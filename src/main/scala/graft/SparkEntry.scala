@@ -1,13 +1,184 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.MlQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * a full elastic-net path fit (the reference's core capability). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    MlQueries.lambdaPath(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gauss_ols1"    -> (MlQueries.gaussOls1 _),
+    "q_gauss_ridge1"  -> (MlQueries.gaussRidge1 _),
+    "q_gauss_lasso1"  -> (MlQueries.gaussLasso1 _),
+    "q_gauss_ols3"    -> (MlQueries.gaussOls3 _),
+    "q_gauss_ridge3"  -> (MlQueries.gaussRidge3 _),
+    "q_gauss_noint"   -> (MlQueries.gaussNoInt _),
+    "q_lambda_path"   -> (MlQueries.lambdaPath _),
+    "q_gauss_nulldev" -> (MlQueries.gaussNullDev _),
+    "q_devratio"      -> (MlQueries.devRatioQ _),
+    "q_standardize"   -> (MlQueries.standardizeQ _),
+    "q_predict_link"  -> (MlQueries.predictLink _),
+    "q_score_mse"     -> (MlQueries.scoreMse _),
+    "q_score_auc"     -> (MlQueries.scoreAuc _),
+    "q_binom_nulldev" -> (MlQueries.binomNullDev _)
+  )
+
+  /** DuckDB-equivalent SQL for each SQL-expressible query. */
+  def oracleSql: Map[String, String] = Map(
+    "q_gauss_ols1" ->
+      """WITH s AS (SELECT regr_intercept(l_extendedprice, l_quantity) i,
+        |                  regr_slope(l_extendedprice, l_quantity) b FROM lineitem)
+        |SELECT 'a0' AS term, round(i, 4) AS value FROM s
+        |UNION ALL SELECT 'l_quantity', round(b, 4) FROM s
+        |ORDER BY term""".stripMargin,
+
+    "q_gauss_ridge1" ->
+      """WITH s AS (SELECT avg(l_quantity) mx, avg(l_extendedprice) my,
+        |                  covar_pop(l_quantity, l_extendedprice) cxy,
+        |                  var_pop(l_quantity) vx FROM lineitem),
+        |t AS (SELECT mx, my, cxy / (vx * (1 + 2.5)) AS b FROM s)
+        |SELECT 'a0' AS term, round(my - b * mx, 4) AS value FROM t
+        |UNION ALL SELECT 'l_quantity', round(b, 4) FROM t
+        |ORDER BY term""".stripMargin,
+
+    "q_gauss_lasso1" ->
+      """WITH s AS (SELECT avg(l_quantity) mx, avg(l_extendedprice) my,
+        |                  covar_pop(l_quantity, l_extendedprice) cxy,
+        |                  sqrt(var_pop(l_quantity)) sd FROM lineitem),
+        |t AS (SELECT mx, my,
+        |        sign(cxy / sd) * greatest(abs(cxy / sd) - 1.0, 0) / sd AS b FROM s)
+        |SELECT 'a0' AS term, round(my - b * mx, 4) AS value FROM t
+        |UNION ALL SELECT 'l_quantity', round(b, 4) FROM t
+        |ORDER BY term""".stripMargin,
+
+    "q_gauss_ols3" ->
+      """WITH s AS (SELECT
+        |  var_pop(l_quantity) c11, covar_pop(l_quantity, l_discount) c12,
+        |  covar_pop(l_quantity, l_tax) c13, var_pop(l_discount) c22,
+        |  covar_pop(l_discount, l_tax) c23, var_pop(l_tax) c33,
+        |  covar_pop(l_quantity, l_extendedprice) d1,
+        |  covar_pop(l_discount, l_extendedprice) d2,
+        |  covar_pop(l_tax, l_extendedprice) d3,
+        |  avg(l_quantity) m1, avg(l_discount) m2, avg(l_tax) m3,
+        |  avg(l_extendedprice) my
+        |FROM lineitem),
+        |t AS (SELECT *,
+        |  c11*(c22*c33 - c23*c23) - c12*(c12*c33 - c23*c13)
+        |    + c13*(c12*c23 - c22*c13) AS det FROM s),
+        |u AS (SELECT m1, m2, m3, my,
+        |  (d1*(c22*c33 - c23*c23) - c12*(d2*c33 - c23*d3)
+        |    + c13*(d2*c23 - c22*d3)) / det AS b1,
+        |  (c11*(d2*c33 - d3*c23) - d1*(c12*c33 - c23*c13)
+        |    + c13*(c12*d3 - d2*c13)) / det AS b2,
+        |  (c11*(c22*d3 - d2*c23) - c12*(c12*d3 - d2*c13)
+        |    + d1*(c12*c23 - c22*c13)) / det AS b3
+        |FROM t)
+        |SELECT 'a0' AS term, round(my - b1*m1 - b2*m2 - b3*m3, 4) AS value FROM u
+        |UNION ALL SELECT 'l_discount', round(b2, 4) FROM u
+        |UNION ALL SELECT 'l_quantity', round(b1, 4) FROM u
+        |UNION ALL SELECT 'l_tax', round(b3, 4) FROM u
+        |ORDER BY term""".stripMargin,
+
+    "q_gauss_ridge3" ->
+      """WITH s AS (SELECT
+        |  sqrt(var_pop(l_quantity)) s1, sqrt(var_pop(l_discount)) s2,
+        |  sqrt(var_pop(l_tax)) s3,
+        |  covar_pop(l_quantity, l_discount) c12, covar_pop(l_quantity, l_tax) c13,
+        |  covar_pop(l_discount, l_tax) c23,
+        |  covar_pop(l_quantity, l_extendedprice) e1,
+        |  covar_pop(l_discount, l_extendedprice) e2,
+        |  covar_pop(l_tax, l_extendedprice) e3,
+        |  avg(l_quantity) m1, avg(l_discount) m2, avg(l_tax) m3,
+        |  avg(l_extendedprice) my
+        |FROM lineitem),
+        |g AS (SELECT m1, m2, m3, my, s1, s2, s3,
+        |  1 + 0.5 AS a11, c12/(s1*s2) AS a12, c13/(s1*s3) AS a13,
+        |  1 + 0.5 AS a22, c23/(s2*s3) AS a23, 1 + 0.5 AS a33,
+        |  e1/s1 AS d1, e2/s2 AS d2, e3/s3 AS d3 FROM s),
+        |t AS (SELECT *,
+        |  a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+        |    + a13*(a12*a23 - a22*a13) AS det FROM g),
+        |u AS (SELECT m1, m2, m3, my,
+        |  (d1*(a22*a33 - a23*a23) - a12*(d2*a33 - a23*d3)
+        |    + a13*(d2*a23 - a22*d3)) / det / s1 AS b1,
+        |  (a11*(d2*a33 - d3*a23) - d1*(a12*a33 - a23*a13)
+        |    + a13*(a12*d3 - d2*a13)) / det / s2 AS b2,
+        |  (a11*(a22*d3 - d2*a23) - a12*(a12*d3 - d2*a13)
+        |    + d1*(a12*a23 - a22*a13)) / det / s3 AS b3
+        |FROM t)
+        |SELECT 'a0' AS term, round(my - b1*m1 - b2*m2 - b3*m3, 4) AS value FROM u
+        |UNION ALL SELECT 'l_discount', round(b2, 4) FROM u
+        |UNION ALL SELECT 'l_quantity', round(b1, 4) FROM u
+        |UNION ALL SELECT 'l_tax', round(b3, 4) FROM u
+        |ORDER BY term""".stripMargin,
+
+    "q_gauss_noint" ->
+      """WITH s AS (SELECT sum(l_quantity * l_extendedprice)
+        |                    / sum(l_quantity * l_quantity) AS b FROM lineitem)
+        |SELECT 'a0' AS term, round(0.0, 4) AS value FROM s
+        |UNION ALL SELECT 'l_quantity', round(b, 4) FROM s
+        |ORDER BY term""".stripMargin,
+
+    "q_lambda_path" ->
+      """WITH s AS (SELECT greatest(
+        |    abs(covar_pop(l_quantity, l_extendedprice) / sqrt(var_pop(l_quantity))),
+        |    abs(covar_pop(l_discount, l_extendedprice) / sqrt(var_pop(l_discount))),
+        |    abs(covar_pop(l_tax, l_extendedprice) / sqrt(var_pop(l_tax)))) lmax
+        |  FROM lineitem)
+        |SELECT cast(g.i AS INTEGER) AS idx,
+        |       round(ln(lmax) + (ln(lmax * 0.0001) - ln(lmax)) * g.i / 19.0, 4) AS lambda
+        |FROM s, generate_series(0, 19) AS g(i) ORDER BY idx""".stripMargin,
+
+    "q_gauss_nulldev" ->
+      """SELECT round(ln(count(*) * var_pop(l_extendedprice)), 4) AS nulldev
+        |FROM lineitem""".stripMargin,
+
+    "q_devratio" ->
+      """SELECT round(pow(corr(l_quantity, l_extendedprice), 2), 6) AS dev_ratio
+        |FROM lineitem""".stripMargin,
+
+    "q_standardize" ->
+      """WITH s AS (SELECT avg(l_quantity) m1, sqrt(var_pop(l_quantity)) s1,
+        |  avg(l_discount) m2, sqrt(var_pop(l_discount)) s2,
+        |  avg(l_tax) m3, sqrt(var_pop(l_tax)) s3 FROM lineitem)
+        |SELECT 'l_discount' AS term, round(m2, 6) AS mean, round(s2, 6) AS sd FROM s
+        |UNION ALL SELECT 'l_quantity', round(m1, 6), round(s1, 6) FROM s
+        |UNION ALL SELECT 'l_tax', round(m3, 6), round(s3, 6) FROM s
+        |ORDER BY term""".stripMargin,
+
+    "q_predict_link" ->
+      """WITH m AS (SELECT regr_intercept(l_extendedprice, l_quantity) i,
+        |                  regr_slope(l_extendedprice, l_quantity) b FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, round(i + b * l_quantity, 2) AS pred
+        |FROM lineitem, m WHERE l_orderkey <= 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_score_mse" ->
+      """WITH m AS (SELECT regr_intercept(l_extendedprice, l_quantity) i,
+        |                  regr_slope(l_extendedprice, l_quantity) b FROM lineitem)
+        |SELECT round(ln(avg(pow(l_extendedprice - (i + b * l_quantity), 2))), 4) AS mse
+        |FROM lineitem, m""".stripMargin,
+
+    "q_score_auc" ->
+      """WITH r AS (SELECT l_quantity s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END y FROM lineitem),
+        |k AS (SELECT y, rank() OVER (ORDER BY s)
+        |        + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS avgr FROM r),
+        |a AS (SELECT sum(CASE WHEN y = 1 THEN avgr END) rpos,
+        |             sum(CASE WHEN y = 1 THEN 1.0 ELSE 0.0 END) np,
+        |             sum(CASE WHEN y = 0 THEN 1.0 ELSE 0.0 END) nn FROM k)
+        |SELECT round((rpos - np * (np + 1) / 2) / (np * nn), 6) AS auc FROM a""".stripMargin,
+
+    "q_binom_nulldev" ->
+      """WITH s AS (SELECT avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) p,
+        |                  count(*) n FROM lineitem)
+        |SELECT round(-2 * n * (p * ln(p) + (1 - p) * ln(1 - p)), 4) AS nulldev
+        |FROM s""".stripMargin
+  )
 }

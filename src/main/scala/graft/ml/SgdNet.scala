@@ -1,0 +1,538 @@
+package graft.ml
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Fit parameters, mirroring the reference API surface
+  * (sgdnet R/sgdnet.R:175-196: family, alpha, nlambda, lambda.min.ratio,
+  * lambda, maxit, standardize, intercept, thresh, standardize.response).
+  */
+final case class SgdNetParams(
+    family: String = "gaussian",
+    alpha: Double = 1.0,
+    nlambda: Int = 100,
+    lambdaMinRatio: Double = Double.NaN, // NaN => reference default
+    lambda: Array[Double] = null,        // user-supplied path (descending)
+    standardize: Boolean = true,
+    intercept: Boolean = true,
+    thresh: Double = 1e-3,
+    maxit: Int = 1000,
+    standardizeResponse: Boolean = false)
+
+/** Spark-native elastic-net GLM path fitting with the capability surface
+  * of `sgdnet` (gaussian, binomial, multinomial, mgaussian families).
+  *
+  * Architecture (NOT a port — see SURVEY.md §3): the reference's SAGA
+  * solver is sequential per-sample; graft instead computes per-pass
+  * sufficient statistics with `treeAggregate` and solves the penalized
+  * problem driver-side on p-dimensional moments:
+  *   - gaussian / mgaussian: ONE data pass for the entire lambda path
+  *     (coordinate descent on the Gram matrix, covariance updates);
+  *   - binomial: distributed IRLS — one pass per Newton step, warm
+  *     starts along the path;
+  *   - multinomial: distributed proximal gradient (FISTA) — one pass
+  *     per gradient step.
+  * Every pass is a shuffle-free linear scan; driver state is O(p^2).
+  */
+object SgdNet {
+
+  def fit(df: DataFrame, featureCols: Seq[String], labelCol: String,
+          params: SgdNetParams = SgdNetParams()): SgdNetModel =
+    fitMulti(df, featureCols, Seq(labelCol), params)
+
+  def fitMulti(df: DataFrame, featureCols: Seq[String], labelCols: Seq[String],
+               params: SgdNetParams): SgdNetModel = {
+    require(featureCols.nonEmpty, "the predictor matrix (x) is empty.")
+    require(labelCols.nonEmpty, "the response (y) is empty.")
+    require(params.alpha >= 0 && params.alpha <= 1,
+      "elastic net mixing parameter (alpha) must be in [0, 1].")
+    require(params.nlambda > 0, "lambda path cannot be of zero length.")
+    require(params.thresh >= 0, "threshold for stopping criteria cannot be negative.")
+    require(params.maxit > 0, "maximum number of iterations cannot be negative or zero.")
+    if (params.lambda != null)
+      require(params.lambda.forall(_ >= 0), "penalty strengths (lambdas) must be positive.")
+
+    params.family match {
+      case "gaussian" =>
+        require(labelCols.size == 1, "response for Gaussian regression must be one-dimensional.")
+        fitGaussianLike(df, featureCols, labelCols, params)
+      case "mgaussian" =>
+        fitGaussianLike(df, featureCols, labelCols, params)
+      case "binomial" =>
+        fitBinomial(df, featureCols, labelCols.head, params)
+      case "multinomial" =>
+        fitMultinomial(df, featureCols, labelCols.head, params)
+      case f => throw new IllegalArgumentException(s"unsupported family: $f")
+    }
+  }
+
+  // ---------------------------------------------------------------- gaussian
+
+  private def fitGaussianLike(df: DataFrame, featureCols: Seq[String],
+                              labelCols: Seq[String], params: SgdNetParams): SgdNetModel = {
+    val p = featureCols.size
+    val k = labelCols.size
+    val rdd = SufficientStats.toRdd(df, featureCols, labelCols)
+    val g = SufficientStats.compute(rdd, p, k)
+    require(g.n > 0, "the response (y) is empty.")
+    val raw = SufficientStats.standardize(g, params.standardize, params.intercept)
+
+    // optional response standardization (mgaussian only): pure moment math
+    val yScale: Array[Double] =
+      if (params.standardizeResponse)
+        raw.yVar.map(v => { val s = math.sqrt(v); if (s > 0) s else 1.0 })
+      else Array.fill(k)(1.0)
+    val st = raw.copy(
+      b = Array.tabulate(k, p)((t, j) => raw.b(t)(j) / yScale(t)),
+      yMean = Array.tabulate(k)(t => raw.yMean(t) / yScale(t)),
+      yVar = Array.tabulate(k)(t => raw.yVar(t) / (yScale(t) * yScale(t))))
+
+    val minRatio = if (params.lambdaMinRatio.isNaN)
+      LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
+    val lambdas = if (params.lambda != null) params.lambda
+      else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio)
+
+    val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+    // null deviance: intercept-model RSS (or zero-model if no intercept)
+    val ySecond = Array.tabulate(k) { t =>
+      if (params.intercept) st.yVar(t) else st.yVar(t) + st.yMean(t) * st.yMean(t)
+    }
+    val nulldev = g.n * ySecond.sum
+
+    val L = lambdas.length
+    val a0 = Array.ofDim[Double](L, k)
+    val beta = Array.ofDim[Double](L, k, p)
+    val devRatio = new Array[Double](L)
+    var warm = Array.ofDim[Double](k, p)
+    var totalIters = 0
+
+    for (l <- 0 until L) {
+      val lam = lambdas(l)
+      val (sol, iters) =
+        if (k == 1) {
+          val r = CoordinateDescent.solve(st.gram, st.b(0),
+            new Array[Double](p), 0.0, 1.0, lam, params.alpha,
+            intercept = false, init = warm(0),
+            thresh = params.thresh * 1e-4, maxIter = params.maxit)
+          (Array(r.beta), r.iters)
+        } else {
+          CoordinateDescent.solveGroup(st.gram, st.b, lam, params.alpha,
+            warm, thresh = params.thresh * 1e-4, maxIter = params.maxit)
+        }
+      warm = sol
+      totalIters += iters
+      var rss = 0.0
+      for (t <- 0 until k) {
+        val bt = sol(t)
+        // RSS/n on working scale = E[yc^2] - 2 b.beta + beta' G beta
+        var bb = 0.0; var gq = 0.0
+        var j = 0
+        while (j < p) {
+          bb += st.b(t)(j) * bt(j)
+          var m = 0
+          var s = 0.0
+          while (m < p) { s += st.gram(j)(m) * bt(m); m += 1 }
+          gq += bt(j) * s
+          j += 1
+        }
+        rss += (ySecond(t) - 2 * bb + gq) * yScale(t) * yScale(t)
+        for (j2 <- 0 until p) beta(l)(t)(j2) = bt(j2) / scale(j2) * yScale(t)
+        a0(l)(t) = if (params.intercept)
+          st.yMean(t) * yScale(t) - (0 until p).map(j3 => beta(l)(t)(j3) * st.xMean(j3)).sum
+        else 0.0
+      }
+      devRatio(l) = if (nulldev > 0) 1.0 - g.n * rss / nulldev else 0.0
+    }
+
+    new SgdNetModel(params.family, featureCols.toArray, labelCols.toArray,
+      Array.empty, lambdas, a0, beta, nulldev, devRatio, g.n, totalIters, params)
+  }
+
+  // ---------------------------------------------------------------- binomial
+
+  private def fitBinomial(df: DataFrame, featureCols: Seq[String],
+                          labelCol: String, params: SgdNetParams): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    val p = featureCols.size
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(classes.length == 2,
+      if (classes.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
+      else "only one class in response.")
+    val positive = classes(1)
+
+    val rows = df.selectExpr(
+        (featureCols.map(c => s"cast(`$c` as double)") :+
+          s"cast(cast(`$labelCol` as string) = '$positive' as double)"): _*)
+      .rdd.map { row =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = row.getDouble(j); j += 1 }
+        (x, Array(row.getDouble(p)))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+
+    try fitBinomialImpl(rows, featureCols, labelCol, classes, params)
+    finally rows.unpersist(blocking = false)
+  }
+
+  private def fitBinomialImpl(rows: RDD[(Array[Double], Array[Double])],
+                              featureCols: Seq[String], labelCol: String,
+                              classes: Array[String], params: SgdNetParams): SgdNetModel = {
+    val p = featureCols.size
+    val g = SufficientStats.compute(rows, p, 1)
+    val st = SufficientStats.standardize(g, params.standardize, params.intercept)
+    val n = g.n.toDouble
+    val pBar = st.yMean(0)
+
+    // lambda_max from the gradient of the *unpenalized logistic* loss at the
+    // null model: (1/n)|<xs_j, y - pbar>| (glmnet convention).
+    val minRatio = if (params.lambdaMinRatio.isNaN)
+      LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
+    val lambdas = if (params.lambda != null) params.lambda
+      else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio)
+
+    val mean = if (params.intercept) st.xMean else new Array[Double](p)
+    val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+    val sc = rows.sparkContext
+    val bMean = sc.broadcast(mean)
+    val bScale = sc.broadcast(scale)
+
+    val L = lambdas.length
+    val a0Out = Array.ofDim[Double](L, 1)
+    val betaOut = Array.ofDim[Double](L, 1, p)
+    var beta = new Array[Double](p) // standardized scale
+    var a0 = if (params.intercept && pBar > 0 && pBar < 1)
+      math.log(pBar / (1 - pBar)) else 0.0
+    var passes = 0
+
+    val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
+    for (l <- 0 until L) {
+      val lam = lambdas(l)
+      var iter = 0
+      var done = false
+      while (iter < 25 && !done) {
+        val (wg, _) = weightedGram(rows, bMean.value, bScale.value, beta, a0)
+        passes += 1
+        val ninv = 1.0 / n
+        val a = LinAlg.unpackSym(wg.swxx, p).map(_.map(_ * ninv))
+        val c = wg.swxz.map(_ * ninv)
+        val xw = wg.swx.map(_ * ninv)
+        val r = CoordinateDescent.solve(a, c, xw, wg.swz * ninv, wg.sw * ninv,
+          lam, params.alpha, params.intercept, beta,
+          thresh = newtonTol, maxIter = params.maxit)
+        var maxD = math.abs(r.a0 - a0)
+        var j = 0
+        while (j < p) {
+          val d = math.abs(r.beta(j) - beta(j)); if (d > maxD) maxD = d; j += 1
+        }
+        beta = r.beta; a0 = r.a0
+        iter += 1
+        if (maxD < math.max(params.thresh * 1e-2, 1e-8)) done = true
+      }
+      for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
+      a0Out(l)(0) =
+        if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
+        else a0
+    }
+
+    // null deviance (reference families.h Binomial::NullDeviance):
+    // 2 * sum of logistic losses at the null linear predictor
+    val nullP = if (params.intercept) pBar else 0.5
+    val nulldev = -2.0 * n * (safeXLog(pBar, nullP) + safeXLog(1 - pBar, 1 - nullP))
+
+    // one scoring pass for the whole path -> deviance ratios
+    val devs = pathDeviance(rows, bMean.value, bScale.value,
+      Array.tabulate(L)(l => Array(a0Out(l)(0) +
+        (0 until p).map(j => betaOut(l)(0)(j) * 0.0).sum)), a0Out, betaOut, binomial = true)
+    passes += 1
+    val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
+
+    new SgdNetModel("binomial", featureCols.toArray, Array(labelCol),
+      classes, lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+  }
+
+  private def safeXLog(x: Double, q: Double): Double =
+    if (x <= 0) 0.0 else x * math.log(math.max(q, 1e-300))
+
+  private final class WGram(p: Int) extends Serializable {
+    var sw = 0.0; var swz = 0.0; var loglik = 0.0
+    val swx = new Array[Double](p)
+    val swxz = new Array[Double](p)
+    val swxx = new Array[Double](LinAlg.triSize(p))
+  }
+
+  /** One IRLS pass: weighted moments of the working response at (a0, beta). */
+  private def weightedGram(rows: RDD[(Array[Double], Array[Double])],
+                           mean: Array[Double], scale: Array[Double],
+                           beta: Array[Double], a0: Double): (WGram, Long) = {
+    val p = mean.length
+    val acc = rows.treeAggregate(new WGram(p))(
+      seqOp = (s, xy) => {
+        val (xr, y) = xy
+        val xs = new Array[Double](p)
+        var j = 0
+        var eta = a0
+        while (j < p) {
+          xs(j) = (xr(j) - mean(j)) / scale(j)
+          eta += xs(j) * beta(j)
+          j += 1
+        }
+        val mu = 1.0 / (1.0 + math.exp(-eta))
+        val w = math.max(mu * (1.0 - mu), 1e-5)
+        val z = eta + (y(0) - mu) / w
+        s.sw += w; s.swz += w * z
+        j = 0
+        while (j < p) {
+          val wxj = w * xs(j)
+          s.swx(j) += wxj
+          s.swxz(j) += wxj * z
+          var i = 0
+          val base = j * (j + 1) / 2
+          while (i <= j) { s.swxx(base + i) += xs(i) * wxj; i += 1 }
+          j += 1
+        }
+        s
+      },
+      combOp = (a, b) => {
+        a.sw += b.sw; a.swz += b.swz; a.loglik += b.loglik
+        var i = 0
+        while (i < a.swx.length) { a.swx(i) += b.swx(i); a.swxz(i) += b.swxz(i); i += 1 }
+        i = 0
+        while (i < a.swxx.length) { a.swxx(i) += b.swxx(i); i += 1 }
+        a
+      }, depth = 2)
+    (acc, 0L)
+  }
+
+  /** One pass scoring deviance (=-2 loglik) for EVERY lambda at once.
+    * Coefficients are on the ORIGINAL feature scale (a0Out/betaOut), so no
+    * standardization is needed in the scan.
+    */
+  private def pathDeviance(rows: RDD[(Array[Double], Array[Double])],
+                           mean: Array[Double], scale: Array[Double],
+                           unused: Array[Array[Double]],
+                           a0: Array[Array[Double]],
+                           beta: Array[Array[Array[Double]]],
+                           binomial: Boolean): Array[Double] = {
+    val L = a0.length
+    val p = mean.length
+    rows.treeAggregate(new Array[Double](L))(
+      seqOp = (acc, xy) => {
+        val (x, y) = xy
+        var l = 0
+        while (l < L) {
+          var eta = a0(l)(0)
+          var j = 0
+          val bl = beta(l)(0)
+          while (j < p) { eta += bl(j) * x(j); j += 1 }
+          // -2 * [y*eta - log(1+e^eta)] in a numerically stable form
+          val m = math.max(eta, 0.0)
+          acc(l) += 2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y(0) * eta)
+          l += 1
+        }
+        acc
+      },
+      combOp = (a, b) => { var i = 0; while (i < L) { a(i) += b(i); i += 1 }; a },
+      depth = 2)
+  }
+
+  // ------------------------------------------------------------- multinomial
+
+  private def fitMultinomial(df: DataFrame, featureCols: Seq[String],
+                             labelCol: String, params: SgdNetParams): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    val p = featureCols.size
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(classes.length > 2,
+      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
+      else "only one class in response.")
+    val k = classes.length
+    val classIdx = classes.zipWithIndex.toMap
+
+    val rows = df.selectExpr(
+        (featureCols.map(c => s"cast(`$c` as double)") :+ s"cast(`$labelCol` as string)"): _*)
+      .rdd.map { row =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = row.getDouble(j); j += 1 }
+        (x, row.getString(p))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idx = rows.sparkContext.broadcast(classIdx)
+      val onehot = rows.map { case (x, c) =>
+        val y = new Array[Double](k); y(idx.value(c)) = 1.0; (x, y)
+      }
+      fitMultinomialImpl(onehot, featureCols, labelCol, classes, params)
+    } finally rows.unpersist(blocking = false)
+  }
+
+  private def fitMultinomialImpl(rows: RDD[(Array[Double], Array[Double])],
+                                 featureCols: Seq[String], labelCol: String,
+                                 classes: Array[String], params: SgdNetParams): SgdNetModel = {
+    val p = featureCols.size
+    val k = classes.length
+    val g = SufficientStats.compute(rows, p, k)
+    val n = g.n.toDouble
+    val st = SufficientStats.standardize(g, params.standardize, params.intercept)
+
+    val minRatio = if (params.lambdaMinRatio.isNaN)
+      LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
+    // gradient at null: (1/n)<xs_j, y_t - pbar_t>; with xs centered this is b
+    val lambdas = if (params.lambda != null) params.lambda
+      else {
+        val perClass = Array.tabulate(k, p)((t, j) => Array(st.b(t)(j)))
+        // ungrouped lasso: lambda_max = max over (j,t) of |b_tj|
+        val flat = Array(st.b.flatten)
+        LambdaPath.build(flat, params.alpha, params.nlambda, minRatio)
+      }
+
+    val mean = if (params.intercept) st.xMean else new Array[Double](p)
+    val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+    val sc = rows.sparkContext
+    val bMean = sc.broadcast(mean)
+    val bScale = sc.broadcast(scale)
+
+    // Lipschitz bound for softmax cross-entropy on standardized X:
+    // L <= 0.5 * lambda_max(Gram)
+    val lip = 0.5 * LinAlg.maxEig(st.gram) + 1e-9
+    val priors = st.yMean // class proportions
+
+    val L = lambdas.length
+    val a0Out = Array.ofDim[Double](L, k)
+    val betaOut = Array.ofDim[Double](L, k, p)
+    var beta = Array.ofDim[Double](k, p)
+    var a0 = Array.tabulate(k)(t => if (params.intercept)
+      math.log(math.max(priors(t), 1e-12)) else 0.0)
+    var passes = 0
+
+    for (l <- 0 until L) {
+      val lam = lambdas(l)
+      val step = 1.0 / lip
+      var iter = 0
+      var done = false
+      // FISTA state
+      var yB = beta.map(_.clone()); var yA = a0.clone(); var tk = 1.0
+      while (iter < math.min(params.maxit, 200) && !done) {
+        val (grad, gradA0) = softmaxGrad(rows, bMean.value, bScale.value, yB, yA, k)
+        passes += 1
+        val nb = Array.ofDim[Double](k, p)
+        val na = new Array[Double](k)
+        var maxD = 0.0
+        for (t <- 0 until k) {
+          na(t) = if (params.intercept) yA(t) - step * gradA0(t) else 0.0
+          val d0 = math.abs(na(t) - a0(t)); if (d0 > maxD) maxD = d0
+          for (j <- 0 until p) {
+            val v = yB(t)(j) - step * grad(t)(j)
+            nb(t)(j) = LinAlg.softThreshold(v, step * lam * params.alpha) /
+              (1.0 + step * lam * (1.0 - params.alpha))
+            val d = math.abs(nb(t)(j) - beta(t)(j)); if (d > maxD) maxD = d
+          }
+        }
+        val tk1 = (1.0 + math.sqrt(1.0 + 4.0 * tk * tk)) / 2.0
+        val mom = (tk - 1.0) / tk1
+        for (t <- 0 until k; j <- 0 until p)
+          yB(t)(j) = nb(t)(j) + mom * (nb(t)(j) - beta(t)(j))
+        for (t <- 0 until k) yA(t) = na(t) + mom * (na(t) - a0(t))
+        beta = nb; a0 = na; tk = tk1
+        iter += 1
+        if (maxD < math.max(params.thresh * 1e-3, 1e-8)) done = true
+      }
+      for (t <- 0 until k; j <- 0 until p) betaOut(l)(t)(j) = beta(t)(j) / scale(j)
+      for (t <- 0 until k)
+        a0Out(l)(t) = if (params.intercept)
+          a0(t) - (0 until p).map(j => betaOut(l)(t)(j) * mean(j)).sum else 0.0
+    }
+
+    // null deviance: 2 * sum_i -log(prior_{y_i}) (reference families.h:263)
+    val nulldev = -2.0 * n * priors.map(pr => safeXLog(pr, pr)).sum
+    val devs = multinomDeviance(rows, a0Out, betaOut, k)
+    passes += 1
+    val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
+
+    new SgdNetModel("multinomial", featureCols.toArray, Array(labelCol),
+      classes, lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+  }
+
+  private def softmaxGrad(rows: RDD[(Array[Double], Array[Double])],
+                          mean: Array[Double], scale: Array[Double],
+                          beta: Array[Array[Double]], a0: Array[Double],
+                          k: Int): (Array[Array[Double]], Array[Double]) = {
+    val p = mean.length
+    // accumulator: [k*(p+1)] gradient sums
+    val acc = rows.treeAggregate(new Array[Double](k * (p + 1) + 1))(
+      seqOp = (s, xy) => {
+        val (xr, y) = xy
+        val xs = new Array[Double](p)
+        var j = 0
+        while (j < p) { xs(j) = (xr(j) - mean(j)) / scale(j); j += 1 }
+        val eta = new Array[Double](k)
+        var mx = Double.NegativeInfinity
+        var t = 0
+        while (t < k) {
+          var e = a0(t)
+          j = 0
+          while (j < p) { e += beta(t)(j) * xs(j); j += 1 }
+          eta(t) = e; if (e > mx) mx = e
+          t += 1
+        }
+        var z = 0.0
+        t = 0
+        while (t < k) { eta(t) = math.exp(eta(t) - mx); z += eta(t); t += 1 }
+        t = 0
+        while (t < k) {
+          val r = eta(t) / z - y(t)   // P_t - Y_t
+          s(t * (p + 1)) += r
+          j = 0
+          while (j < p) { s(t * (p + 1) + 1 + j) += r * xs(j); j += 1 }
+          t += 1
+        }
+        s(k * (p + 1)) += 1.0
+        s
+      },
+      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+      depth = 2)
+    val n = acc(k * (p + 1))
+    val grad = Array.tabulate(k, p)((t, j) => acc(t * (p + 1) + 1 + j) / n)
+    val gradA0 = Array.tabulate(k)(t => acc(t * (p + 1)) / n)
+    (grad, gradA0)
+  }
+
+  private def multinomDeviance(rows: RDD[(Array[Double], Array[Double])],
+                               a0: Array[Array[Double]],
+                               beta: Array[Array[Array[Double]]],
+                               k: Int): Array[Double] = {
+    val L = a0.length
+    rows.treeAggregate(new Array[Double](L))(
+      seqOp = (acc, xy) => {
+        val (x, y) = xy
+        val p = x.length
+        var l = 0
+        while (l < L) {
+          val eta = new Array[Double](k)
+          var mx = Double.NegativeInfinity
+          var t = 0
+          while (t < k) {
+            var e = a0(l)(t)
+            var j = 0
+            while (j < p) { e += beta(l)(t)(j) * x(j); j += 1 }
+            eta(t) = e; if (e > mx) mx = e
+            t += 1
+          }
+          var z = 0.0
+          t = 0
+          while (t < k) { z += math.exp(eta(t) - mx); t += 1 }
+          val logZ = mx + math.log(z)
+          t = 0
+          var ll = 0.0
+          while (t < k) { ll += y(t) * (eta(t) - logZ); t += 1 }
+          acc(l) += -2.0 * ll
+          l += 1
+        }
+        acc
+      },
+      combOp = (a, b) => { var i = 0; while (i < L) { a(i) += b(i); i += 1 }; a },
+      depth = 2)
+  }
+}

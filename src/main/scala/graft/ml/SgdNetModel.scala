@@ -1,0 +1,218 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A fitted regularization path — the Spark analogue of the reference's
+  * `sgdnet` S3 object (R/sgdnet.R return value: a0, beta, nulldev,
+  * dev.ratio, df, dfmat, alpha, lambda, nobs, npasses).
+  *
+  * Coefficients are on the ORIGINAL feature scale. `classLabels` is empty
+  * for gaussian/mgaussian; for binomial it holds the two sorted class
+  * labels (coefficients model P(class == classLabels(1))); for
+  * multinomial one coefficient vector per class.
+  */
+final class SgdNetModel(
+    val family: String,
+    val featureNames: Array[String],
+    val responseNames: Array[String],
+    val classLabels: Array[String],
+    val lambda: Array[Double],
+    val a0: Array[Array[Double]],            // [L][K]
+    val beta: Array[Array[Array[Double]]],   // [L][K][p]
+    val nulldev: Double,
+    val devRatio: Array[Double],
+    val nobs: Long,
+    val npasses: Int,
+    val params: SgdNetParams) extends Serializable {
+
+  def nLambda: Int = lambda.length
+  def nFeatures: Int = featureNames.length
+  def nResponses: Int = if (a0.isEmpty) 0 else a0(0).length
+
+  /** Number of nonzero coefficients per lambda; for multivariate families a
+    * feature counts if ANY response/class uses it (reference `df` field). */
+  def df: Array[Int] = beta.map { bl =>
+    (0 until nFeatures).count(j => bl.exists(bt => bt(j) != 0.0))
+  }
+
+  /** [L][K] nonzero count per class/response (reference `dfmat`). */
+  def dfMat: Array[Array[Int]] = beta.map(_.map(_.count(_ != 0.0)))
+
+  /** deviance(fit) = (1 - dev.ratio) * nulldev (reference R/deviance.sgdnet.R). */
+  def deviance: Array[Double] = devRatio.map(r => (1.0 - r) * nulldev)
+
+  // ---------------------------------------------------------- interpolation
+
+  /** Coefficients at arbitrary penalty `s` by linear interpolation between
+    * adjacent path points (reference R/utils.R lambda_interpolate /
+    * interpolate_coefficients). */
+  def atLambda(s: Double): (Array[Double], Array[Array[Double]]) = {
+    val L = lambda.length
+    if (L == 1) return (a0(0), beta(0))
+    val sc = math.min(math.max(s, lambda.min), lambda.max)
+    // lambda is descending
+    var right = lambda.indexWhere(_ <= sc)
+    if (right <= 0) right = if (lambda(0) <= sc) 0 else L - 1
+    val left = math.max(right - 1, 0)
+    val frac =
+      if (left == right || lambda(left) == lambda(right)) 1.0
+      else (sc - lambda(right)) / (lambda(left) - lambda(right))
+    val ia0 = Array.tabulate(nResponses)(t => frac * a0(left)(t) + (1 - frac) * a0(right)(t))
+    val ib = Array.tabulate(nResponses, nFeatures)((t, j) =>
+      frac * beta(left)(t)(j) + (1 - frac) * beta(right)(t)(j))
+    (ia0, ib)
+  }
+
+  // -------------------------------------------------------------- predict
+
+  /** Linear predictor as a codegen-friendly Column: a0 + sum_j beta_j * x_j.
+    * The coefficient table is tiny driver state folded into the plan as
+    * literals — no UDF, no shuffle; whole-stage codegen applies. */
+  def linkCol(lambdaIdx: Int, response: Int = 0): Column =
+    featureNames.zipWithIndex.foldLeft(lit(a0(lambdaIdx)(response))) {
+      case (acc, (f, j)) =>
+        val w = beta(lambdaIdx)(response)(j)
+        if (w == 0.0) acc else acc + col(f) * lit(w)
+    }
+
+  def responseCol(lambdaIdx: Int, response: Int = 0): Column = family match {
+    case "binomial" =>
+      val eta = linkCol(lambdaIdx, response)
+      lit(1.0) / (lit(1.0) + exp(-eta))
+    case "multinomial" =>
+      val etas = (0 until nResponses).map(t => exp(linkCol(lambdaIdx, t)))
+      val z = etas.reduce(_ + _)
+      exp(linkCol(lambdaIdx, response)) / z
+    case _ => linkCol(lambdaIdx, response)
+  }
+
+  /** predict(type="class") for binomial/multinomial as a Column. */
+  def classCol(lambdaIdx: Int): Column = family match {
+    case "binomial" =>
+      when(responseCol(lambdaIdx) > 0.5, lit(classLabels(1))).otherwise(lit(classLabels(0)))
+    case "multinomial" =>
+      // argmax over class linear predictors
+      val struct0 = (0 until nResponses).map { t =>
+        struct(linkCol(lambdaIdx, t).as("eta"), lit(classLabels(t)).as("cls"))
+      }
+      greatest(struct0: _*).getField("cls")
+    case f => throw new IllegalArgumentException(s"class prediction undefined for $f")
+  }
+
+  /** predict(df, type): appends one prediction column per requested lambda
+    * index. Types: link | response | class. */
+  def predict(df: DataFrame, tpe: String = "link",
+              lambdaIdxs: Seq[Int] = Seq.empty): DataFrame = {
+    val idxs = if (lambdaIdxs.nonEmpty) lambdaIdxs else lambda.indices
+    idxs.foldLeft(df) { (d, l) =>
+      val c = tpe match {
+        case "link"     => linkCol(l)
+        case "response" => responseCol(l)
+        case "class"    => classCol(l)
+        case t => throw new IllegalArgumentException(s"unknown predict type: $t")
+      }
+      d.withColumn(s"pred_$l", c)
+    }
+  }
+
+  // ------------------------------------------------------------- coef frame
+
+  /** Long-format coefficient path (the data behind the reference's
+    * plot.sgdnet coefficient-path plot and coef()/predict(type=
+    * "coefficients")). */
+  def coefDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      l <- lambda.indices
+      t <- 0 until nResponses
+      resp = if (classLabels.nonEmpty) classLabels(math.min(t, classLabels.length - 1))
+             else responseNames(math.min(t, responseNames.length - 1))
+      (term, value) <- ("(Intercept)", a0(l)(t)) +:
+        featureNames.toSeq.zipWithIndex.map { case (f, j) => (f, beta(l)(t)(j)) }
+    } yield (l, lambda(l), resp, term, value)
+    rows.toSeq.toDF("lambda_idx", "lambda", "response", "term", "value")
+  }
+
+  /** predict(type="nonzero"): features with any nonzero coef per lambda. */
+  def nonzeroDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      l <- lambda.indices
+      j <- 0 until nFeatures
+      if beta(l).exists(bt => bt(j) != 0.0)
+    } yield (l, featureNames(j))
+    rows.toSeq.toDF("lambda_idx", "term")
+  }
+
+  /** The printed path summary (reference print.sgdnet): df, %dev, lambda. */
+  def summaryDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val d = df
+    lambda.indices.map(l => (l, d(l), devRatio(l), lambda(l)))
+      .toDF("lambda_idx", "df", "dev_ratio", "lambda")
+  }
+
+  // ----------------------------------------------------------------- score
+
+  /** score(fit, x, y, type.measure) (reference R/score.R) as a distributed
+    * aggregation — no collect of row data. Returns one row per lambda. */
+  def score(df: DataFrame, measure: String, lambdaIdxs: Seq[Int] = Seq.empty): DataFrame = {
+    val idxs = if (lambdaIdxs.nonEmpty) lambdaIdxs else lambda.indices
+    val spark = df.sparkSession
+    import spark.implicits._
+    val label = col(responseNames(0))
+    val aggs: Seq[(Int, Column)] = idxs.map { l =>
+      measure match {
+        case "mse" | "deviance_gaussian" =>
+          l -> avg(pow(label - linkCol(l), 2))
+        case "mae" =>
+          l -> avg(abs(label - linkCol(l)))
+        case "class" => family match {
+          case "binomial" | "multinomial" =>
+            l -> avg(when(classCol(l) === label.cast("string"), 0.0).otherwise(1.0))
+          case f => throw new IllegalArgumentException(s"class score undefined for $f")
+        }
+        case m => throw new IllegalArgumentException(s"unknown measure: $m")
+      }
+    }
+    val row = df.agg(aggs.head._2.as(s"m_${aggs.head._1}"),
+      aggs.tail.map { case (l, c) => c.as(s"m_$l") }: _*)
+    // unpivot to (lambda_idx, score)
+    val vals = row.collect()(0)
+    idxs.zipWithIndex.map { case (l, i) => (l, lambda(l), vals.getDouble(i)) }
+      .toDF("lambda_idx", "lambda", "score")
+  }
+
+  /** Distributed AUC via the rank-sum (Mann–Whitney) statistic: ties get
+    * average ranks. One sort-shuffle over scores; no driver collection of
+    * rows (reference R/utils.R auc does this in memory). */
+  def aucScore(df: DataFrame, lambdaIdx: Int): Double = {
+    require(family == "binomial", "auc requires the binomial family")
+    val spark = df.sparkSession
+    val label = col(responseNames(0)).cast("string") === lit(classLabels(1))
+    val scored = df.select(responseCol(lambdaIdx).as("s"), label.cast("double").as("y"))
+    SgdNetModel.aucOf(scored, "s", "y")
+  }
+}
+
+object SgdNetModel {
+  /** AUC of score column `s` against 0/1 label `y`, average ranks for ties. */
+  def aucOf(df: DataFrame, scoreCol: String, labelCol: String): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(scoreCol))
+    val ranked = df
+      .select(col(scoreCol), col(labelCol))
+      .withColumn("r", rank().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col(scoreCol))))
+      .withColumn("avgr", col("r") + (col("cnt") - 1) / 2.0)
+    val agg = ranked.agg(
+      sum(when(col(labelCol) === 1.0, col("avgr"))).as("rpos"),
+      sum(when(col(labelCol) === 1.0, 1.0).otherwise(0.0)).as("np"),
+      sum(when(col(labelCol) =!= 1.0, 1.0).otherwise(0.0)).as("nn")
+    ).collect()(0)
+    val rpos = agg.getDouble(0); val np = agg.getDouble(1); val nn = agg.getDouble(2)
+    if (np == 0 || nn == 0) Double.NaN
+    else (rpos - np * (np + 1) / 2.0) / (np * nn)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** One-pass sufficient statistics for penalized (weighted) least squares.
+  *
+  * This is the scale-critical kernel of graft's model fitting: a single
+  * `treeAggregate` linear scan produces n, column sums, the packed Gram
+  * matrix XtX, and the cross-moments XtY for K response columns. Driver
+  * state is O(p^2 + pK) regardless of row count, so the same code path
+  * works at 100 TB with 1000 executors (depth-2 tree aggregation keeps
+  * the driver fan-in bounded).
+  *
+  * The reference (sgdnet, src/saga-dense.h) instead streams samples
+  * sequentially through SAGA — a shape that cannot distribute. graft
+  * keeps the reference's objective but computes with cluster-shaped
+  * statistics; for the gaussian family these statistics are *complete*
+  * (the whole lambda path is solved from them with zero further passes).
+  */
+final class GramStats(val p: Int, val k: Int) extends Serializable {
+  var n: Long = 0L
+  val sumX = new Array[Double](p)           // column sums of features
+  val xtx = new Array[Double](LinAlg.triSize(p)) // packed upper-tri X'X
+  val sumY = new Array[Double](k)           // response sums
+  val sumYY = new Array[Double](k)          // response squared sums
+  val xty = new Array[Double](p * k)        // X'Y, column-major [j*k + t]
+
+  def add(x: Array[Double], y: Array[Double]): GramStats = {
+    n += 1
+    var j = 0
+    while (j < p) {
+      val xj = x(j)
+      sumX(j) += xj
+      var i = 0
+      val base = j * (j + 1) / 2
+      while (i <= j) { xtx(base + i) += x(i) * xj; i += 1 }
+      var t = 0
+      while (t < k) { xty(j * k + t) += xj * y(t); t += 1 }
+      j += 1
+    }
+    var t = 0
+    while (t < k) { sumY(t) += y(t); sumYY(t) += y(t) * y(t); t += 1 }
+    this
+  }
+
+  def merge(o: GramStats): GramStats = {
+    n += o.n
+    var i = 0
+    while (i < sumX.length) { sumX(i) += o.sumX(i); i += 1 }
+    i = 0
+    while (i < xtx.length) { xtx(i) += o.xtx(i); i += 1 }
+    i = 0
+    while (i < sumY.length) { sumY(i) += o.sumY(i); sumYY(i) += o.sumYY(i); i += 1 }
+    i = 0
+    while (i < xty.length) { xty(i) += o.xty(i); i += 1 }
+    this
+  }
+}
+
+/** Derived, standardized-scale quantities used by the CD solver. */
+final case class StdStats(
+    n: Long,
+    xMean: Array[Double],
+    xSd: Array[Double],      // population sd (1/n), glmnet convention
+    yMean: Array[Double],
+    yVar: Array[Double],     // population variance of each response
+    gram: Array[Array[Double]],  // (1/n) Xs'Xs on the working scale
+    b: Array[Array[Double]]      // [K][p]: (1/n) <xs_j, y_t>, y centered iff intercept
+)
+
+object SufficientStats {
+
+  /** Assemble feature/label columns into a cached RDD of primitive arrays. */
+  def toRdd(df: DataFrame, featureCols: Seq[String], labelCols: Seq[String]) = {
+    val p = featureCols.size
+    val k = labelCols.size
+    val cols = (featureCols ++ labelCols).map(c => col(c).cast("double"))
+    df.select(cols: _*).rdd.map { row =>
+      val x = new Array[Double](p)
+      var j = 0
+      while (j < p) { x(j) = row.getDouble(j); j += 1 }
+      val y = new Array[Double](k)
+      var t = 0
+      while (t < k) { y(t) = row.getDouble(p + t); t += 1 }
+      (x, y)
+    }
+  }
+
+  def compute(rdd: org.apache.spark.rdd.RDD[(Array[Double], Array[Double])],
+              p: Int, k: Int): GramStats =
+    rdd.treeAggregate(new GramStats(p, k))(
+      seqOp = (s, xy) => s.add(xy._1, xy._2),
+      combOp = (a, b) => a.merge(b),
+      depth = 2)
+
+  /** Standardized-scale derivation.
+    *
+    * standardize=true divides each feature by its population sd;
+    * centering is applied iff an intercept is fit (matching glmnet /
+    * sgdnet, where the intercept absorbs the means). On the working
+    * scale gram(j)(j) == 1 when standardized and centered.
+    */
+  def standardize(g: GramStats, standardizeX: Boolean, intercept: Boolean): StdStats = {
+    val p = g.p; val k = g.k; val n = g.n.toDouble
+    val xMean = g.sumX.map(_ / n)
+    val rawVar = Array.tabulate(p) { j =>
+      math.max(g.xtx(LinAlg.triIdx(j, j)) / n - xMean(j) * xMean(j), 0.0)
+    }
+    val xSd = rawVar.map(v => { val s = math.sqrt(v); if (s > 0) s else 1.0 })
+    val scale = if (standardizeX) xSd else Array.fill(p)(1.0)
+    val center = if (intercept) xMean else new Array[Double](p)
+    val yMean = g.sumY.map(_ / n)
+    val yVar = Array.tabulate(k)(t => math.max(g.sumYY(t) / n - yMean(t) * yMean(t), 0.0))
+    val gram = Array.tabulate(p, p) { (i, j) =>
+      (g.xtx(LinAlg.triIdx(i, j)) / n - center(i) * xMean(j) - center(j) * xMean(i)
+        + center(i) * center(j)) / (scale(i) * scale(j))
+    }
+    val yCenter = if (intercept) yMean else new Array[Double](k)
+    val b = Array.tabulate(k, p) { (t, j) =>
+      (g.xty(j * k + t) / n - center(j) * yMean(t) - yCenter(t) * xMean(j)
+        + center(j) * yCenter(t)) / scale(j)
+    }
+    StdStats(g.n, xMean, xSd, yMean, yVar, gram, b)
+  }
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ml._
+
+/** Declared queries exercising the graft.ml surface (SURVEY.md §2).
+  * Each returns a small deterministic DataFrame; floating-point outputs
+  * are rounded to 6 dp to match the DuckDB oracles bit-for-bit.
+  */
+object MlQueries {
+
+  def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private val DP = 4  // coarse grid: cross-engine FP-safe
+
+  /** (term, value) frame from a fitted model at one path point. */
+  def coefFrame(spark: SparkSession, m: SgdNetModel, l: Int, resp: Int = 0): DataFrame = {
+    import spark.implicits._
+    val rows = ("a0", m.a0(l)(resp)) +:
+      m.featureNames.toSeq.zipWithIndex.map { case (f, j) => (f, m.beta(l)(resp)(j)) }
+    rows.toDF("term", "value")
+      .withColumn("value", round(col("value"), DP))
+      .orderBy("term")
+  }
+
+  // -- gaussian fits with closed-form oracles --------------------------------
+
+  /** OLS, 1 feature (lambda=0). */
+  def gaussOls1(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = Array(0.0), thresh = 1e-9))
+    coefFrame(spark, m, 0)
+  }
+
+  /** Ridge, 1 feature, fixed lambda=2.5 (closed form on standardized scale). */
+  def gaussRidge1(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 0.0, lambda = Array(2.5), thresh = 1e-9))
+    coefFrame(spark, m, 0)
+  }
+
+  /** Lasso, 1 feature, fixed lambda=1.0 (soft-threshold closed form). */
+  def gaussLasso1(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = Array(1.0), thresh = 1e-9))
+    coefFrame(spark, m, 0)
+  }
+
+  /** OLS, 3 features (oracle: Cramer's rule on the covariance system). */
+  def gaussOls3(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = Array(0.0), thresh = 1e-11, maxit = 100000))
+    coefFrame(spark, m, 0)
+  }
+
+  /** Ridge, 3 features, lambda=0.5 (oracle: Cramer on correlation+lambda). */
+  def gaussRidge3(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice",
+      SgdNetParams(alpha = 0.0, lambda = Array(0.5), thresh = 1e-11, maxit = 100000))
+    coefFrame(spark, m, 0)
+  }
+
+  /** No-intercept, no-standardize OLS (beta = sum(xy)/sum(xx)). */
+  def gaussNoInt(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = Array(0.0), thresh = 1e-9,
+        standardize = false, intercept = false))
+    coefFrame(spark, m, 0)
+  }
+
+  /** Automatic lambda path (nlambda=20, alpha=1) on 3 features. */
+  def lambdaPath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity", "l_discount", "l_tax"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, nlambda = 20))
+    m.lambda.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("idx", "lambda")
+      .withColumn("lambda", round(log(col("lambda")), 4))
+      .orderBy("idx")
+  }
+
+  /** Gaussian null deviance = n * var_pop(y). */
+  def gaussNullDev(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(lambda = Array(0.0)))
+    Seq(m.nulldev).toDF("nulldev")
+      .withColumn("nulldev", round(log(col("nulldev")), 4))
+  }
+
+  /** dev.ratio of the 1-feature OLS == squared Pearson correlation. */
+  def devRatioQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = Array(0.0), thresh = 1e-9))
+    Seq(m.devRatio(0)).toDF("dev_ratio")
+      .withColumn("dev_ratio", round(col("dev_ratio"), 6))
+  }
+
+  /** Standardizer output: per-feature mean and population sd. */
+  def standardizeQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val cols = Seq("l_quantity", "l_discount", "l_tax")
+    val rdd = SufficientStats.toRdd(li, cols, Seq("l_extendedprice"))
+    val st = SufficientStats.standardize(
+      SufficientStats.compute(rdd, cols.size, 1), standardizeX = true, intercept = true)
+    cols.zipWithIndex.map { case (c, j) => (c, st.xMean(j), st.xSd(j)) }
+      .toDF("term", "mean", "sd")
+      .withColumn("mean", round(col("mean"), 6))
+      .withColumn("sd", round(col("sd"), 6))
+      .orderBy("term")
+  }
+
+  /** predict(type="link") for the 1-feature OLS on a deterministic subset. */
+  def predictLink(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = Array(0.0), thresh = 1e-9))
+    li.filter(col("l_orderkey") <= 10)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(m.linkCol(0), 2).as("pred"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** score(type.measure="mse") of the 1-feature OLS over the full table. */
+  def scoreMse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = Array(0.0), thresh = 1e-9))
+    val mse = li.agg(avg(pow(col("l_extendedprice") - m.linkCol(0), 2))).head.getDouble(0)
+    Seq(mse).toDF("mse").withColumn("mse", round(log(col("mse")), 4))
+  }
+
+  /** Distributed rank-statistic AUC of l_quantity as a score for
+    * l_returnflag = 'R' (oracle: the same Mann–Whitney formula in SQL). */
+  def scoreAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .select(col("l_quantity").as("s"),
+        (col("l_returnflag") === "R").cast("double").as("y"))
+    Seq(SgdNetModel.aucOf(li, "s", "y")).toDF("auc")
+      .withColumn("auc", round(col("auc"), 6))
+  }
+
+  /** Binomial null deviance: -2n [p log p + (1-p) log(1-p)], p = mean(y). */
+  def binomNullDev(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+    val m = SgdNet.fit(li, Seq("l_quantity"), "is_r",
+      SgdNetParams(family = "binomial", lambda = Array(1e6), maxit = 5))
+    Seq(m.nulldev).toDF("nulldev").withColumn("nulldev", round(col("nulldev"), 4))
+  }
+}
