@@ -1,0 +1,115 @@
+package graft.ml
+
+import graft.SparkSpec
+
+/** Gaussian-family correctness: closed forms, KKT optimality, spark.ml
+  * agreement (spark.ml minimizes the same glmnet objective).
+  */
+class SgdNetGaussianSpec extends SparkSpec {
+
+  private def fitStats(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) = {
+    val rdd = SufficientStats.toRdd(df, cols, Seq("y"))
+    SufficientStats.standardize(
+      SufficientStats.compute(rdd, cols.size, 1), standardizeX = true, intercept = true)
+  }
+
+  test("OLS matches the normal equations") {
+    val df = SparkSpec.regressionDF(spark)
+    val m = SgdNet.fit(df, Seq("x1", "x2", "x3"), "y",
+      SgdNetParams(lambda = Array(0.0), thresh = 1e-11, maxit = 100000))
+    // spark.ml with regParam=0 solves the same least squares
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.LinearRegression
+    val va = new VectorAssembler().setInputCols(Array("x1", "x2", "x3")).setOutputCol("f")
+    val lr = new LinearRegression().setFeaturesCol("f").setLabelCol("y")
+      .setRegParam(0.0).setSolver("normal")
+    val ml = lr.fit(va.transform(df))
+    val got = m.beta(0)(0)
+    for (j <- 0 until 3)
+      assert(math.abs(got(j) - ml.coefficients(j)) < 1e-6, s"beta_$j: ${got(j)} vs ${ml.coefficients(j)}")
+    assert(math.abs(m.a0(0)(0) - ml.intercept) < 1e-6)
+  }
+
+  test("elastic net matches spark.ml (same objective, converted params)") {
+    // spark.ml LinearRegression internally scales the label by its
+    // POPULATION sd, which turns its (regParam, elasticNetParam) into the
+    // glmnet-scale penalties l1 = lamMl*alphaMl, l2 = lamMl*(1-alphaMl)/sdY.
+    // Convert glmnet (alpha, lambda) -> spark.ml params and require exact
+    // agreement (verified to ~1e-11).
+    import org.apache.spark.sql.functions.stddev_pop
+    val df = SparkSpec.regressionDF(spark)
+    val sdY = df.agg(stddev_pop(org.apache.spark.sql.functions.col("y"))).head.getDouble(0)
+    for ((alpha, lam) <- Seq((1.0, 0.1), (0.5, 0.2), (0.0, 0.5))) {
+      val m = SgdNet.fit(df, Seq("x1", "x2", "x3"), "y",
+        SgdNetParams(alpha = alpha, lambda = Array(lam), thresh = 1e-12, maxit = 100000))
+      val a = lam * alpha; val b = lam * (1 - alpha)
+      val lamMl = a + b * sdY
+      val alphaMl = if (lamMl == 0) 0.0 else a / lamMl
+      import org.apache.spark.ml.feature.VectorAssembler
+      import org.apache.spark.ml.regression.LinearRegression
+      val va = new VectorAssembler().setInputCols(Array("x1", "x2", "x3")).setOutputCol("f")
+      val ml = new LinearRegression().setFeaturesCol("f").setLabelCol("y")
+        .setRegParam(lamMl).setElasticNetParam(alphaMl).setStandardization(true)
+        .setMaxIter(100000).setTol(1e-15).fit(va.transform(df))
+      for (j <- 0 until 3)
+        assert(math.abs(m.beta(0)(0)(j) - ml.coefficients(j)) < 1e-7,
+          s"alpha=$alpha lam=$lam beta_$j: ${m.beta(0)(0)(j)} vs ${ml.coefficients(j)}")
+      assert(math.abs(m.a0(0)(0) - ml.intercept) < 1e-7)
+    }
+  }
+
+  test("lasso solution satisfies KKT conditions") {
+    val df = SparkSpec.regressionDF(spark)
+    val cols = Seq("x1", "x2", "x3")
+    val lam = 0.3
+    val m = SgdNet.fit(df, cols, "y",
+      SgdNetParams(alpha = 1.0, lambda = Array(lam), thresh = 1e-11, maxit = 100000))
+    val st = fitStats(df, cols)
+    // standardized-scale coefficients
+    val bstd = Array.tabulate(3)(j => m.beta(0)(0)(j) * st.xSd(j))
+    // gradient_j = sum_k G_jk beta_k - b_j ; KKT: |grad| <= lam if beta=0,
+    // grad + lam*sign(beta) = 0 otherwise
+    for (j <- 0 until 3) {
+      val grad = (0 until 3).map(k => st.gram(j)(k) * bstd(k)).sum - st.b(0)(j)
+      if (bstd(j) == 0.0) assert(math.abs(grad) <= lam + 1e-6, s"KKT zero coef $j: $grad")
+      else assert(math.abs(grad + lam * math.signum(bstd(j))) < 1e-6, s"KKT active $j")
+    }
+  }
+
+  test("lambda path is decreasing, first solution is null model") {
+    val df = SparkSpec.regressionDF(spark)
+    val m = SgdNet.fit(df, Seq("x1", "x2", "x3"), "y",
+      SgdNetParams(alpha = 1.0, nlambda = 10))
+    assert(m.lambda.sliding(2).forall(a => a(0) > a(1)))
+    assert(m.beta(0)(0).forall(_ == 0.0), "at lambda_max all coefficients are zero")
+    assert(m.df.head == 0 && m.df.last > 0)
+    assert(m.devRatio.last > m.devRatio.head)
+  }
+
+  test("no-intercept / no-standardize fit") {
+    val df = SparkSpec.regressionDF(spark)
+    val m = SgdNet.fit(df, Seq("x1"), "y",
+      SgdNetParams(lambda = Array(0.0), standardize = false, intercept = false, thresh = 1e-11))
+    import spark.implicits._
+    val d = df.select("x1", "y").as[(Double, Double)].collect()
+    val expected = d.map(t => t._1 * t._2).sum / d.map(t => t._1 * t._1).sum
+    assert(math.abs(m.beta(0)(0)(0) - expected) < 1e-8)
+    assert(m.a0(0)(0) == 0.0)
+  }
+
+  test("input validation mirrors reference") {
+    val df = SparkSpec.regressionDF(spark)
+    intercept[IllegalArgumentException] {
+      SgdNet.fit(df, Seq("x1"), "y", SgdNetParams(alpha = 1.5))
+    }
+    intercept[IllegalArgumentException] {
+      SgdNet.fit(df, Seq("x1"), "y", SgdNetParams(nlambda = 0))
+    }
+    intercept[IllegalArgumentException] {
+      SgdNet.fit(df, Seq("x1"), "y", SgdNetParams(lambda = Array(-1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      SgdNet.fit(df, Seq("x1"), "y", SgdNetParams(maxit = 0))
+    }
+  }
+}
