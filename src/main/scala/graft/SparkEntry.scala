@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.MlQueries
+import graft.queries.{MlQueries, PathQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -26,8 +26,25 @@ object SparkEntry {
     "q_predict_link"  -> (MlQueries.predictLink _),
     "q_score_mse"     -> (MlQueries.scoreMse _),
     "q_score_auc"     -> (MlQueries.scoreAuc _),
-    "q_binom_nulldev" -> (MlQueries.binomNullDev _)
+    "q_binom_nulldev" -> (MlQueries.binomNullDev _),
+    "q_binom_fit"        -> (PathQueries.binomFit _),
+    "q_multinom_fit"     -> (PathQueries.multinomFit _),
+    "q_mgauss_fit"       -> (PathQueries.mgaussFit _),
+    "q_predict_response" -> (PathQueries.predictResponse _),
+    "q_predict_class"    -> (PathQueries.predictClass _),
+    "q_score_class"      -> (PathQueries.scoreClass _),
+    "q_nonzero"          -> (PathQueries.nonzeroQ _),
+    "q_df_path"          -> (PathQueries.dfPath _),
+    "q_path_summary"     -> (PathQueries.pathSummary _),
+    "q_plot_path_data"   -> (PathQueries.plotPathData _),
+    "q_deviance"         -> (PathQueries.devianceQ _),
+    "q_cv_curve"         -> (PathQueries.cvCurve _),
+    "q_cv_select"        -> (PathQueries.cvSelect _)
   )
+
+  private val fixedPathValues =
+    "(VALUES (0, 256.0), (1, 128.0), (2, 64.0), (3, 32.0), (4, 16.0), " +
+      "(5, 8.0), (6, 4.0), (7, 2.0), (8, 1.0), (9, 0.5)) AS t(lambda_idx, lam)"
 
   /** DuckDB-equivalent SQL for each SQL-expressible query. */
   def oracleSql: Map[String, String] = Map(
@@ -179,6 +196,94 @@ object SparkEntry {
       """WITH s AS (SELECT avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) p,
         |                  count(*) n FROM lineitem)
         |SELECT round(-2 * n * (p * ln(p) + (1 - p) * ln(1 - p)), 4) AS nulldev
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    "q_mgauss_fit" ->
+      """WITH s AS (SELECT var_pop(l_quantity) vq, var_pop(l_discount) vd,
+        |  covar_pop(l_quantity, l_discount) cqd,
+        |  covar_pop(l_quantity, l_extendedprice) c1q,
+        |  covar_pop(l_discount, l_extendedprice) c1d,
+        |  covar_pop(l_quantity, l_tax) c2q, covar_pop(l_discount, l_tax) c2d,
+        |  avg(l_quantity) mq, avg(l_discount) md,
+        |  avg(l_extendedprice) m1, avg(l_tax) m2 FROM lineitem),
+        |t AS (SELECT *, vq * vd - cqd * cqd AS det FROM s),
+        |u AS (SELECT 'l_extendedprice' AS response, m1 AS my,
+        |        (c1q*vd - cqd*c1d)/det AS b1, (vq*c1d - cqd*c1q)/det AS b2, mq, md FROM t
+        |  UNION ALL SELECT 'l_tax', m2,
+        |        (c2q*vd - cqd*c2d)/det, (vq*c2d - cqd*c2q)/det, mq, md FROM t)
+        |SELECT response, 'a0' AS term, round(my - b1*mq - b2*md, 4) AS value FROM u
+        |UNION ALL SELECT response, 'l_discount', round(b2, 4) FROM u
+        |UNION ALL SELECT response, 'l_quantity', round(b1, 4) FROM u
+        |ORDER BY response, term""".stripMargin,
+
+    "q_predict_response" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(1 / (1 + exp(-(-1.2 + l_quantity * 0.045))), 6) AS prob
+        |FROM lineitem WHERE l_orderkey <= 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_predict_class" ->
+      """WITH e AS (SELECT l_orderkey, l_linenumber,
+        |  0.1 + l_quantity * 0.02 + l_discount * 1.5 AS ea,
+        |  -0.05 + l_quantity * -0.01 + l_discount * 2.0 AS en,
+        |  0.0 + l_quantity * 0.005 + l_discount * -3.0 AS er
+        |FROM lineitem WHERE l_orderkey <= 20)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN er >= en AND er >= ea THEN 'R'
+        |       WHEN en >= ea THEN 'N' ELSE 'A' END AS pred
+        |FROM e ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_score_class" ->
+      """SELECT round(avg(CASE WHEN
+        |  (CASE WHEN 1 / (1 + exp(-(-1.2 + l_quantity * 0.045))) > 0.5
+        |        THEN '1' ELSE '0' END)
+        |  != (CASE WHEN l_returnflag = 'R' THEN '1' ELSE '0' END)
+        |  THEN 1.0 ELSE 0.0 END), 6) AS class_error
+        |FROM lineitem""".stripMargin,
+
+    "q_nonzero" ->
+      s"""WITH s AS (SELECT abs(covar_pop(l_quantity, l_extendedprice)
+        |    / sqrt(var_pop(l_quantity))) AS bmax FROM lineitem),
+        |l AS (SELECT * FROM $fixedPathValues)
+        |SELECT cast(l.lambda_idx AS INTEGER) AS lambda_idx, 'l_quantity' AS term
+        |FROM l, s WHERE l.lam < s.bmax ORDER BY lambda_idx""".stripMargin,
+
+    "q_df_path" ->
+      s"""WITH s AS (SELECT abs(covar_pop(l_quantity, l_extendedprice)
+        |    / sqrt(var_pop(l_quantity))) AS bmax FROM lineitem),
+        |l AS (SELECT * FROM $fixedPathValues)
+        |SELECT cast(l.lambda_idx AS INTEGER) AS lambda_idx,
+        |       CASE WHEN l.lam < s.bmax THEN 1 ELSE 0 END AS df
+        |FROM l, s ORDER BY lambda_idx""".stripMargin,
+
+    "q_path_summary" ->
+      s"""WITH s AS (SELECT covar_pop(l_quantity, l_extendedprice)
+        |    / sqrt(var_pop(l_quantity)) AS b,
+        |    var_pop(l_extendedprice) AS vy FROM lineitem),
+        |l AS (SELECT * FROM $fixedPathValues),
+        |c AS (SELECT lambda_idx, lam,
+        |        sign(b) * greatest(abs(b) - lam, 0) AS beta, b, vy FROM l, s)
+        |SELECT cast(lambda_idx AS INTEGER) AS lambda_idx,
+        |       CASE WHEN beta != 0 THEN 1 ELSE 0 END AS df,
+        |       round((2 * beta * b - beta * beta) / vy, 6) AS dev_ratio,
+        |       round(lam, 4) AS lambda
+        |FROM c ORDER BY lambda_idx""".stripMargin,
+
+    "q_plot_path_data" ->
+      s"""WITH s AS (SELECT covar_pop(l_quantity, l_extendedprice)
+        |    / sqrt(var_pop(l_quantity)) AS b, sqrt(var_pop(l_quantity)) AS sd,
+        |    avg(l_quantity) AS mx, avg(l_extendedprice) AS my FROM lineitem),
+        |l AS (SELECT * FROM $fixedPathValues),
+        |c AS (SELECT lambda_idx,
+        |        sign(b) * greatest(abs(b) - lam, 0) / sd AS bo, mx, my FROM l, s)
+        |SELECT cast(lambda_idx AS INTEGER) AS lambda_idx, '(Intercept)' AS term,
+        |       round(my - bo * mx, 4) AS value FROM c
+        |UNION ALL SELECT cast(lambda_idx AS INTEGER), 'l_quantity', round(bo, 4) FROM c
+        |ORDER BY lambda_idx, term""".stripMargin,
+
+    "q_deviance" ->
+      """SELECT round(ln((1 - pow(corr(l_quantity, l_extendedprice), 2))
+        |  * count(*) * var_pop(l_extendedprice)), 4) AS deviance
+        |FROM lineitem""".stripMargin
   )
 }

@@ -1,0 +1,216 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** k-fold cross-validation over the regularization path (and optionally an
+  * alpha grid) — the Spark analogue of reference R/cv_sgdnet.R.
+  *
+  * Fold assignment is a deterministic hash of the row content
+  * (`pmod(xxhash64(cols), k)`) — no materialized splits, stable across
+  * partitionings, and scalable: no data movement at all for assignment.
+  *
+  * For the gaussian family the WHOLE cross-validation runs from ONE data
+  * pass: per-fold Gram/moment statistics are aggregated together, the
+  * train-side moments for fold f are total minus fold-f (moment
+  * subtraction), each fold's path is solved driver-side, and the held-out
+  * MSE is itself a moment form evaluated against fold-f's statistics.
+  * Iterative families (binomial/multinomial) refit per fold.
+  */
+object CvSgdNet {
+
+  final case class CvPath(
+      alpha: Double,
+      lambda: Array[Double],
+      cvm: Array[Double],      // mean CV score per lambda (lower is better)
+      cvsd: Array[Double],     // standard error of the fold scores
+      lambdaMin: Double,       // arg-min of cvm
+      lambda1se: Double,       // largest lambda with cvm <= min + 1 se
+      fit: SgdNetModel)        // full-data fit at this alpha
+
+  final case class CvResult(paths: Seq[CvPath], best: CvPath) {
+    /** CV curve long-frame (reference plot.cv_sgdnet data). */
+    def curveDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      paths.flatMap { p =>
+        p.lambda.indices.map(l =>
+          (p.alpha, l, p.lambda(l), p.cvm(l), p.cvsd(l)))
+      }.toDF("alpha", "lambda_idx", "lambda", "cvm", "cvsd")
+    }
+  }
+
+  private def select(lambda: Array[Double], cvm: Array[Double],
+                     cvsd: Array[Double]): (Double, Double) = {
+    val minIdx = cvm.indices.minBy(cvm(_))
+    val lambdaMin = lambda(minIdx)
+    val cut = cvm(minIdx) + cvsd(minIdx)
+    // lambda is descending: pick the LARGEST lambda within one se
+    val idx1se = lambda.indices.find(l => cvm(l) <= cut).getOrElse(minIdx)
+    (lambdaMin, lambda(idx1se))
+  }
+
+  def fit(df: DataFrame, featureCols: Seq[String], labelCols: Seq[String],
+          params: SgdNetParams = SgdNetParams(),
+          nfolds: Int = 10,
+          alphas: Seq[Double] = Seq.empty,
+          measure: String = "deviance"): CvResult = {
+    require(nfolds >= 2, "nfolds must be at least 2")
+    val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
+    val paths = alphaGrid.map { a =>
+      val p = params.copy(alpha = a)
+      if (params.family == "gaussian" && (measure == "deviance" || measure == "mse"))
+        cvGaussianOnePass(df, featureCols, labelCols.head, p, nfolds)
+      else cvGeneric(df, featureCols, labelCols, p, nfolds, measure)
+    }
+    // best path: smallest cvm at its lambdaMin
+    val best = paths.minBy(p => p.cvm.min)
+    CvResult(paths, best)
+  }
+
+  // ------------------------------------------------- gaussian, one-pass CV
+
+  private def cvGaussianOnePass(df: DataFrame, featureCols: Seq[String],
+                                labelCol: String, params: SgdNetParams,
+                                nfolds: Int): CvPath = {
+    val p = featureCols.size
+    val full = SgdNet.fit(df, featureCols, labelCol, params) // defines lambda
+    val lambdas = full.lambda
+
+    val hashCols = (featureCols :+ labelCol).map(col)
+    val withFold = df.withColumn("__fold", pmod(xxhash64(hashCols: _*), lit(nfolds)))
+    val rdd = withFold.select(
+        (featureCols.map(c => col(c).cast("double")) :+
+          col(labelCol).cast("double") :+ col("__fold").cast("int")): _*)
+      .rdd.map { row =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = row.getDouble(j); j += 1 }
+        (row.getInt(p + 1), x, row.getDouble(p))
+      }
+
+    // one pass: per-fold GramStats
+    val zero = Array.fill(nfolds)(new GramStats(p, 1))
+    val perFold = rdd.treeAggregate(zero)(
+      seqOp = (acc, t) => { acc(t._1).add(t._2, Array(t._3)); acc },
+      combOp = (a, b) => { var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a },
+      depth = 2)
+
+    val total = new GramStats(p, 1)
+    perFold.foreach(total.merge)
+
+    val L = lambdas.length
+    val foldScores = Array.ofDim[Double](nfolds, L)
+    for (f <- 0 until nfolds) {
+      // train = total - fold (moment subtraction)
+      val train = new GramStats(p, 1)
+      train.merge(total)
+      val fg = perFold(f)
+      train.n -= fg.n
+      for (i <- 0 until p) train.sumX(i) -= fg.sumX(i)
+      for (i <- 0 until train.xtx.length) train.xtx(i) -= fg.xtx(i)
+      train.sumY(0) -= fg.sumY(0); train.sumYY(0) -= fg.sumYY(0)
+      for (i <- 0 until train.xty.length) train.xty(i) -= fg.xty(i)
+
+      val st = SufficientStats.standardize(train, params.standardize, params.intercept)
+      val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      var warm = new Array[Double](p)
+      for (l <- 0 until L) {
+        val r = CoordinateDescent.solve(st.gram, st.b(0), new Array[Double](p),
+          0.0, 1.0, lambdas(l), params.alpha, intercept = false, warm,
+          thresh = params.thresh * 1e-4, maxIter = params.maxit)
+        warm = r.beta
+        // back-transform to original scale
+        val bOrig = Array.tabulate(p)(j => r.beta(j) / scale(j))
+        val a0 = if (params.intercept)
+          st.yMean(0) - (0 until p).map(j => bOrig(j) * st.xMean(j)).sum else 0.0
+        // held-out MSE from fold-f moments:
+        // (1/nf) sum (y - a0 - x'b)^2 =
+        //   Syy/nf - 2 a0 Sy/nf + a0^2 + b'(Sxx/nf)b + 2 a0 b'Sx/nf - 2 b'Sxy/nf
+        val nf = fg.n.toDouble
+        var quad = 0.0; var bx = 0.0; var bxy = 0.0
+        for (j <- 0 until p) {
+          bx += bOrig(j) * fg.sumX(j) / nf
+          bxy += bOrig(j) * fg.xty(j) / nf
+          var s = 0.0
+          for (m <- 0 until p) s += fg.xtx(LinAlg.triIdx(j, m)) / nf * bOrig(m)
+          quad += bOrig(j) * s
+        }
+        foldScores(f)(l) = fg.sumYY(0) / nf - 2 * a0 * fg.sumY(0) / nf + a0 * a0 +
+          quad + 2 * a0 * bx - 2 * bxy
+      }
+    }
+    summarize(params.alpha, lambdas, foldScores, full)
+  }
+
+  // ------------------------------------------------- generic per-fold refit
+
+  private def cvGeneric(df: DataFrame, featureCols: Seq[String],
+                        labelCols: Seq[String], params: SgdNetParams,
+                        nfolds: Int, measure: String): CvPath = {
+    val full = SgdNet.fitMulti(df, featureCols, labelCols, params)
+    val lambdas = full.lambda
+    val hashCols = (featureCols ++ labelCols).map(col)
+    val withFold = df.withColumn("__fold", pmod(xxhash64(hashCols: _*), lit(nfolds)))
+      .cache()
+    try {
+      val L = lambdas.length
+      val foldScores = Array.ofDim[Double](nfolds, L)
+      for (f <- 0 until nfolds) {
+        val train = withFold.filter(col("__fold") =!= f)
+        val test = withFold.filter(col("__fold") === f)
+        val m = SgdNet.fitMulti(train, featureCols, labelCols,
+          params.copy(lambda = lambdas))
+        val scores = scoreAllLambdas(m, test, measure)
+        for (l <- 0 until L) foldScores(f)(l) = scores(l)
+      }
+      summarize(params.alpha, lambdas, foldScores, full)
+    } finally { withFold.unpersist(blocking = false) }
+  }
+
+  /** Held-out score per lambda in ONE aggregation over the test fold. */
+  private def scoreAllLambdas(m: SgdNetModel, test: DataFrame,
+                              measure: String): Array[Double] = {
+    val L = m.nLambda
+    val label = col(m.responseNames(0))
+    val cols: Seq[Column] = (0 until L).map { l =>
+      (m.family, measure) match {
+        case ("gaussian" | "mgaussian", _) =>
+          avg(pow(label.cast("double") - m.linkCol(l), 2))
+        case ("binomial", "deviance") =>
+          val pm = m.responseCol(l)
+          val pc = least(greatest(pm, lit(1e-5)), lit(1.0 - 1e-5))
+          val y = (label.cast("string") === lit(m.classLabels(1))).cast("double")
+          avg(lit(-2.0) * (y * log(pc) + (lit(1.0) - y) * log(lit(1.0) - pc)))
+        case ("binomial", "class") | ("multinomial", "class") =>
+          avg((m.classCol(l) =!= label.cast("string")).cast("double"))
+        case ("multinomial", _) => // multinomial deviance
+          val y = label.cast("string")
+          val terms = (0 until m.nResponses).map { t =>
+            val pt = least(greatest(m.responseCol(l, t), lit(1e-5)), lit(1.0 - 1e-5))
+            when(y === lit(m.classLabels(t)), lit(-2.0) * log(pt)).otherwise(lit(0.0))
+          }
+          avg(terms.reduce(_ + _))
+        case (fam, ms) =>
+          throw new IllegalArgumentException(s"unsupported cv measure $ms for $fam")
+      }
+    }
+    val row = test.agg(cols.head.as("c0"),
+      cols.tail.zipWithIndex.map { case (c, i) => c.as(s"c${i + 1}") }: _*).head
+    Array.tabulate(L)(row.getDouble)
+  }
+
+  private def summarize(alpha: Double, lambdas: Array[Double],
+                        foldScores: Array[Array[Double]],
+                        full: SgdNetModel): CvPath = {
+    val nfolds = foldScores.length
+    val L = lambdas.length
+    val cvm = Array.tabulate(L)(l => foldScores.map(_(l)).sum / nfolds)
+    val cvsd = Array.tabulate(L) { l =>
+      val xs = foldScores.map(_(l))
+      val mu = cvm(l)
+      math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (nfolds - 1.0) / nfolds)
+    }
+    val (lmin, l1se) = select(lambdas, cvm, cvsd)
+    CvPath(alpha, lambdas, cvm, cvsd, lmin, l1se, full)
+  }
+}

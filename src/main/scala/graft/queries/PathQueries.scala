@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ml._
+import MlQueries.tbl
+
+/** Queries covering the post-fit surface: multi-family fits, predict
+  * types, nonzero/df paths, summaries, plot data and cross-validation
+  * (SURVEY.md §2 "Post-fit methods" / "Cross-validation").
+  */
+object PathQueries {
+
+  /** Fixed lambdas (not data-derived) keep set-membership conditions
+    * (nonzero/df) exactly reproducible in the SQL oracles. */
+  private val FixedPath = Array(256.0, 128.0, 64.0, 32.0, 16.0, 8.0, 4.0, 2.0, 1.0, 0.5)
+
+  private def singleFeaturePath(spark: SparkSession, dir: String): SgdNetModel =
+    SgdNet.fit(tbl(spark, dir, "lineitem"), Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = FixedPath, thresh = 1e-10))
+
+  /** Hand-built binomial model with FIXED coefficients: exercises the
+    * sigmoid response / class machinery against an exact SQL oracle. */
+  private def fixedBinomial(): SgdNetModel =
+    new SgdNetModel("binomial", Array("l_quantity"), Array("is_r"),
+      Array("0", "1"), Array(1.0), Array(Array(-1.2)), Array(Array(Array(0.045))),
+      0.0, Array(0.0), 0L, 0, SgdNetParams(family = "binomial"))
+
+  /** Hand-built 3-class multinomial model (fixed coefficients). */
+  private def fixedMultinomial(): SgdNetModel =
+    new SgdNetModel("multinomial", Array("l_quantity", "l_discount"),
+      Array("cls"), Array("A", "N", "R"), Array(1.0),
+      Array(Array(0.1, -0.05, 0.0)),
+      Array(Array(Array(0.02, 1.5), Array(-0.01, 2.0), Array(0.005, -3.0))),
+      0.0, Array(0.0), 0L, 0, SgdNetParams(family = "multinomial"))
+
+  // ------------------------------------------------------------ fit queries
+
+  /** Binomial elastic-net fit (rows-only; solver verified by specs
+    * against spark.ml). */
+  def binomFit(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+    val m = SgdNet.fit(li, Seq("l_quantity", "l_discount", "l_tax"), "is_r",
+      SgdNetParams(family = "binomial", alpha = 0.5, nlambda = 5, thresh = 1e-5))
+    MlQueries.coefFrame(spark, m, 4)
+  }
+
+  /** Multinomial fit over l_returnflag (3 classes); rows-only. */
+  def multinomFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity", "l_discount"), "l_returnflag",
+      SgdNetParams(family = "multinomial", alpha = 0.0, lambda = Array(0.05),
+        thresh = 1e-5, maxit = 300))
+    val rows = for {
+      t <- 0 until m.nResponses
+      (term, v) <- ("a0", m.a0(0)(t)) +:
+        m.featureNames.toSeq.zipWithIndex.map { case (f, j) => (f, m.beta(0)(t)(j)) }
+    } yield (m.classLabels(t), term, v)
+    rows.toDF("class", "term", "value")
+      .withColumn("value", round(col("value"), 4))
+      .orderBy("class", "term")
+  }
+
+  /** mgaussian at lambda=0 == per-response OLS: exact SQL oracle via
+    * 2-feature Cramer solves for both responses. */
+  def mgaussFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fitMulti(li, Seq("l_quantity", "l_discount"),
+      Seq("l_extendedprice", "l_tax"),
+      SgdNetParams(family = "mgaussian", lambda = Array(0.0),
+        thresh = 1e-11, maxit = 100000))
+    val rows = for {
+      t <- 0 until 2
+      (term, v) <- ("a0", m.a0(0)(t)) +:
+        m.featureNames.toSeq.zipWithIndex.map { case (f, j) => (f, m.beta(0)(t)(j)) }
+    } yield (m.responseNames(t), term, v)
+    rows.toDF("response", "term", "value")
+      .withColumn("value", round(col("value"), 4))
+      .orderBy("response", "term")
+  }
+
+  // ------------------------------------------------------- predict queries
+
+  /** predict(type="response") of the fixed binomial model. */
+  def predictResponse(spark: SparkSession, dir: String): DataFrame = {
+    val m = fixedBinomial()
+    tbl(spark, dir, "lineitem").filter(col("l_orderkey") <= 10)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(m.responseCol(0), 6).as("prob"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** predict(type="class") of the fixed multinomial model. */
+  def predictClass(spark: SparkSession, dir: String): DataFrame = {
+    val m = fixedMultinomial()
+    tbl(spark, dir, "lineitem").filter(col("l_orderkey") <= 20)
+      .select(col("l_orderkey"), col("l_linenumber"), m.classCol(0).as("pred"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** score(type.measure="class") of the fixed binomial model. */
+  def scoreClass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = fixedBinomial()
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", when(col("l_returnflag") === "R", "1").otherwise("0"))
+    val err = li.agg(avg((m.classCol(0) =!= col("is_r")).cast("double")))
+      .head.getDouble(0)
+    Seq(err).toDF("class_error").withColumn("class_error", round(col("class_error"), 6))
+  }
+
+  // ------------------------------------------- path inspection / plot data
+
+  /** predict(type="nonzero") on the fixed-lambda single-feature path. */
+  def nonzeroQ(spark: SparkSession, dir: String): DataFrame = {
+    val m = singleFeaturePath(spark, dir)
+    m.nonzeroDF(spark)
+      .withColumn("lambda_idx", col("lambda_idx").cast("int"))
+      .orderBy("lambda_idx")
+  }
+
+  /** df per lambda (printed path summary df column). */
+  def dfPath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = singleFeaturePath(spark, dir)
+    m.df.zipWithIndex.map { case (d, l) => (l, d) }.toSeq
+      .toDF("lambda_idx", "df").orderBy("lambda_idx")
+  }
+
+  /** print(fit) summary frame: (lambda_idx, df, dev_ratio, lambda). */
+  def pathSummary(spark: SparkSession, dir: String): DataFrame = {
+    val m = singleFeaturePath(spark, dir)
+    m.summaryDF(spark)
+      .withColumn("dev_ratio", round(col("dev_ratio"), 6))
+      .withColumn("lambda", round(col("lambda"), 4))
+      .orderBy("lambda_idx")
+  }
+
+  /** Coefficient-path long frame (plot.sgdnet data) on the fixed path. */
+  def plotPathData(spark: SparkSession, dir: String): DataFrame = {
+    val m = singleFeaturePath(spark, dir)
+    m.coefDF(spark)
+      .select(col("lambda_idx").cast("int"), col("term"),
+        round(col("value"), 4).as("value"))
+      .orderBy("lambda_idx", "term")
+  }
+
+  /** deviance(fit) for the 1-feature OLS (ln-encoded). */
+  def devianceQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(lambda = Array(0.0), thresh = 1e-10))
+    Seq(m.deviance(0)).toDF("deviance")
+      .withColumn("deviance", round(log(col("deviance")), 4))
+  }
+
+  // -------------------------------------------------------------------- CV
+
+  /** CV curve over the path (rows-only: fold hash is engine-specific).
+    * Shape and monotonicity are spec-verified; the driver checks rows. */
+  def cvCurve(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val cv = CvSgdNet.fit(li, Seq("l_quantity", "l_discount", "l_tax"),
+      Seq("l_extendedprice"), SgdNetParams(alpha = 1.0, nlambda = 10), nfolds = 5)
+    cv.curveDF(spark)
+      .select(col("alpha"), col("lambda_idx").cast("int"),
+        round(col("lambda"), 4).as("lambda"), round(col("cvm"), 2).as("cvm"),
+        round(col("cvsd"), 2).as("cvsd"))
+      .orderBy("lambda_idx")
+  }
+
+  /** lambda.min / lambda.1se selection (rows-only). */
+  def cvSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val cv = CvSgdNet.fit(li, Seq("l_quantity", "l_discount", "l_tax"),
+      Seq("l_extendedprice"), SgdNetParams(alpha = 1.0, nlambda = 10), nfolds = 5)
+    Seq((cv.best.alpha, cv.best.lambdaMin, cv.best.lambda1se))
+      .toDF("alpha", "lambda_min", "lambda_1se")
+      .withColumn("lambda_min", round(col("lambda_min"), 4))
+      .withColumn("lambda_1se", round(col("lambda_1se"), 4))
+  }
+}

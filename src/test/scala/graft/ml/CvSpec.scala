@@ -1,0 +1,69 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CvSpec extends SparkSpec {
+
+  test("gaussian one-pass CV matches the generic per-fold refit path") {
+    val df = SparkSpec.regressionDF(spark, n = 300)
+    val params = SgdNetParams(alpha = 1.0, nlambda = 8, thresh = 1e-7, maxit = 50000)
+    val fast = CvSgdNet.fit(df, Seq("x1", "x2", "x3"), Seq("y"), params, nfolds = 4)
+    // force the generic path by asking for the same thing via a measure that
+    // routes generically: use reflection-free trick — call cvGeneric through
+    // the public API with family gaussian but measure "mse" goes fast, so
+    // instead verify internal consistency: recompute fold scores manually.
+    val k = 4
+    val withFold = df.withColumn("__fold",
+      pmod(xxhash64(col("x1"), col("x2"), col("x3"), col("y")), lit(k)))
+    val lambdas = fast.best.lambda
+    val manual = Array.ofDim[Double](k, lambdas.length)
+    for (f <- 0 until k) {
+      val train = withFold.filter(col("__fold") =!= f)
+      val test = withFold.filter(col("__fold") === f)
+      val m = SgdNet.fit(train, Seq("x1", "x2", "x3"), "y",
+        params.copy(lambda = lambdas))
+      for (l <- lambdas.indices) {
+        manual(f)(l) = test.agg(
+          avg(pow(col("y") - m.linkCol(l), 2))).head.getDouble(0)
+      }
+    }
+    val cvmManual = lambdas.indices.map(l => (0 until k).map(manual(_)(l)).sum / k)
+    for (l <- lambdas.indices)
+      assert(math.abs(fast.best.cvm(l) - cvmManual(l)) < 1e-6,
+        s"lambda $l: ${fast.best.cvm(l)} vs ${cvmManual(l)}")
+  }
+
+  test("lambda.min minimizes cvm; lambda.1se >= lambda.min") {
+    val df = SparkSpec.regressionDF(spark, n = 400)
+    val cv = CvSgdNet.fit(df, Seq("x1", "x2", "x3"), Seq("y"),
+      SgdNetParams(alpha = 1.0, nlambda = 20), nfolds = 5)
+    val b = cv.best
+    val minIdx = b.cvm.indices.minBy(b.cvm(_))
+    assert(b.lambdaMin == b.lambda(minIdx))
+    assert(b.lambda1se >= b.lambdaMin)
+    // CV error at lambda.min should be near the noise floor (sigma^2=0.09)
+    assert(b.cvm(minIdx) < 0.2, s"cv mse ${b.cvm(minIdx)}")
+  }
+
+  test("alpha grid returns a best path and all requested alphas") {
+    val df = SparkSpec.regressionDF(spark, n = 300)
+    val cv = CvSgdNet.fit(df, Seq("x1", "x2", "x3"), Seq("y"),
+      SgdNetParams(nlambda = 6), nfolds = 3, alphas = Seq(0.0, 0.5, 1.0))
+    assert(cv.paths.map(_.alpha) == Seq(0.0, 0.5, 1.0))
+    assert(cv.paths.contains(cv.best))
+    assert(cv.curveDF(spark).count() == 18)
+  }
+
+  test("binomial CV via generic path produces sane deviance curve") {
+    val df = SparkSpec.binaryDF(spark, n = 400)
+    val cv = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
+      SgdNetParams(family = "binomial", nlambda = 5, thresh = 1e-4),
+      nfolds = 3)
+    val b = cv.best
+    assert(b.cvm.length == 5)
+    // strongly predictive features: CV deviance at lambda.min beats null
+    assert(b.cvm.min < b.cvm.head, "regularized fit beats the near-null fit")
+    assert(b.cvm.forall(v => v > 0 && v.isFinite))
+  }
+}
