@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{MlQueries, PathQueries}
+import graft.queries.{MlQueries, OpsOracles, OpsQueries, PathQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -39,7 +39,20 @@ object SparkEntry {
     "q_plot_path_data"   -> (PathQueries.plotPathData _),
     "q_deviance"         -> (PathQueries.devianceQ _),
     "q_cv_curve"         -> (PathQueries.cvCurve _),
-    "q_cv_select"        -> (PathQueries.cvSelect _)
+    "q_cv_select"        -> (PathQueries.cvSelect _),
+    "q_dedup_exact"      -> (OpsQueries.dedupExact _),
+    "q_dedup_minhash"    -> (OpsQueries.dedupMinhash _),
+    "q_dedup_simhash"    -> (OpsQueries.dedupSimhash _),
+    "q_ngram_jaccard"    -> (OpsQueries.ngramJaccard _),
+    "q_dedup_cosine"     -> (OpsQueries.dedupCosine _),
+    "q_ann_topk"         -> (OpsQueries.annTopK _),
+    "q_ann_lsh"          -> (OpsQueries.annLsh _),
+    "q_lang_id"          -> (OpsQueries.langId _),
+    "q_quality_score"    -> (OpsQueries.qualityScore _),
+    "q_token_count"      -> (OpsQueries.tokenCount _),
+    "q_fingerprint"      -> (OpsQueries.fingerprint _),
+    "q_winnow"           -> (OpsQueries.winnow _),
+    "q_multimodal_meta"  -> (OpsQueries.multimodalMeta _)
   )
 
   private val fixedPathValues =
@@ -285,5 +298,5 @@ object SparkEntry {
       """SELECT round(ln((1 - pow(corr(l_quantity, l_extendedprice), 2))
         |  * count(*) * var_pop(l_extendedprice)), 4) AS deviance
         |FROM lineitem""".stripMargin
-  )
+  ) ++ OpsOracles.sql
 }

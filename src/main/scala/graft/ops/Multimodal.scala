@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media payloads ride as opaque `binary`
+  * columns with typed metadata structs; decode / feature-extraction /
+  * resize / frame-sampling run per-partition in bounded batches.
+  *
+  * The actual codecs are NOT available in this environment, so the decode
+  * kernel is a clearly-marked deterministic STUB (`stubDecode`); the
+  * Spark-side plumbing — schema, binary transport, partition-batched
+  * processing, metadata struct shape — is real and tested. Swapping the
+  * stub for a JNI/FFI codec keeps every other line unchanged.
+  */
+object Multimodal {
+
+  /** Typed metadata produced by decode. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false)))
+
+  /** Attach a binary payload column (here: the UTF-8 bytes of a text
+    * column standing in for real media bytes) plus a modality tag. */
+  def withPayload(df: DataFrame, srcCol: String, modality: String): DataFrame =
+    df.withColumn("payload", col(srcCol).cast("binary"))
+      .withColumn("modality", lit(modality))
+
+  /** STUB decode kernel: deterministic pseudo-metadata from the raw bytes.
+    * A real implementation would parse the container header / decode
+    * frames here; everything around it (batching, schema, partitioning)
+    * is production-shaped.
+    */
+  def stubDecode(payload: Array[Byte], modality: String): Row = {
+    val n = payload.length.toLong
+    // ??? real codec goes here — deterministic fake derived from length:
+    val width = 64 + (n % 577).toInt
+    val height = 64 + ((n * 31) % 353).toInt
+    val frames = if (modality == "video") 1 + (n % 7).toInt else 1
+    Row(n, width, height, frames, modality match {
+      case "image" => "png"
+      case "audio" => "wav"
+      case "video" => "mp4"
+      case _       => "bin"
+    })
+  }
+
+  /** Decode payloads partition-by-partition in bounded batches (the shape
+    * a Pandas-UDF / mapInPandas pipeline has in PySpark: per-batch
+    * amortized codec setup, no driver involvement, no shuffle). */
+  def decode(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields.filterNot(_.name == "payload") :+
+      StructField("media", mediaMetaSchema, nullable = false))
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val modalityIdx = inSchema.fieldIndex("modality")
+    val keepIdx = inSchema.fields.indices.filterNot(_ == payloadIdx)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      // batch to amortize per-batch codec initialization (stubbed)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { row =>
+          val meta = stubDecode(row.getAs[Array[Byte]](payloadIdx),
+            row.getString(modalityIdx))
+          Row.fromSeq(keepIdx.map(row.get) :+ meta)
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame sampling plumbing: returns one row per sampled frame index for
+    * video payloads (every `stride`-th frame) — the exploded shape a real
+    * frame extractor emits. */
+  def sampleFrames(decoded: DataFrame, stride: Int = 2): DataFrame =
+    decoded
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("media.n_frames") - 1, lit(stride))))
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators: language ID, quality scoring, token counting,
+  * document fingerprinting. All pure Catalyst expressions — codegen'd,
+  * shuffle-free per-row transforms (fingerprints aggregate by doc id).
+  */
+object TextAnalysis {
+
+  // --------------------------------------------------------- token counting
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: letter runs, single digits, and punctuation each
+    * count as one token (a cheap proxy for byte-pair tokenizers). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  // -------------------------------------------------------- quality scoring
+
+  /** Quality metrics mirroring common pretraining-data filters:
+    * length, word stats, punctuation/digit ratios, repetition. */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = Dedup.words(t)
+    df.withColumn("n_chars", length(t))
+      .withColumn("n_words", size(ws))
+      .withColumn("avg_word_len",
+        (length(t) - size(ws) + 1).cast("double") / size(ws))
+      .withColumn("punct_ratio",
+        (length(t) - length(regexp_replace(t, "[^\\w\\s]", ""))).cast("double") /
+          length(t))
+      .withColumn("digit_ratio",
+        (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("double") /
+          length(t))
+      .withColumn("uniq_word_ratio",
+        size(array_distinct(ws)).cast("double") / size(ws))
+  }
+
+  /** Composite quality score in [0,1]: penalizes extreme lengths, high
+    * punctuation/digit density, and heavy repetition. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityMetrics(df, textCol).withColumn("quality",
+      round(
+        least(col("n_words") / 50.0, lit(1.0)) * lit(0.4) +
+          (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0))) * lit(0.2) +
+          (lit(1.0) - least(col("digit_ratio") * 5.0, lit(1.0))) * lit(0.2) +
+          least(col("uniq_word_ratio") * 2.0, lit(1.0)) * lit(0.2), 6))
+
+  // ------------------------------------------------------------ language ID
+
+  /** Distinct-stopword-hit language scores. Deterministic, engine-portable
+    * (array intersection of lowercased whitespace tokens with small
+    * per-language stopword lists), with a CJK character-ratio override. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "por", "para"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = array_distinct(Dedup.words(text))
+    stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      lang -> size(array_intersect(toks, array(sw.map(lit): _*)))
+    }
+  }
+
+  /** Predicted language: argmax of stopword hits (ties -> lexicographically
+    * larger language code, 'und' when no stopword hits), 'zh' when CJK
+    * characters dominate. */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    val scores = langScores(text)
+    val best = greatest(scores.map { case (l, s) =>
+      struct(s.as("s"), lit(l).as("l"))
+    }: _*)
+    when(cjk * 2 > length(text), lit("zh"))
+      .when(best.getField("s") === 0, lit("und"))
+      .otherwise(best.getField("l"))
+  }
+
+  // --------------------------------------------------------- fingerprinting
+
+  /** Document fingerprint: minimum md5 over all character k-grams (the
+    * min-hash member of a winnowing scheme). Deterministic and
+    * engine-portable. */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8): DataFrame = {
+    val t = col(textCol)
+    val gramHashes = transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => md5(t.substr(i, lit(k))))
+    df.select(col(idCol), array_min(gramHashes).as("fingerprint"))
+  }
+
+  /** Winnowing fingerprints: minimum gram-hash in each sliding window of
+    * `w` consecutive k-gram hashes — the standard winnowing selection
+    * (Schleimer et al.), as pure array expressions. */
+  def winnowing(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 8, w: Int = 4): DataFrame = {
+    val t = col(textCol)
+    val gramHashes = transform(
+      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
+      i => md5(t.substr(i, lit(k))))
+    val wins = transform(
+      sequence(lit(0), greatest(size(gramHashes) - w, lit(0))),
+      i => array_min(slice(gramHashes, i + lit(1), lit(w))))
+    df.select(col(idCol), array_distinct(wins).as("fingerprints"))
+  }
+}

@@ -1,0 +1,182 @@
+package graft.queries
+
+/** DuckDB oracle SQL for the pipeline-operator queries (OpsQueries).
+  * Each statement replicates the exact Spark computation — same md5-based
+  * hashing, same planted-duplicate construction, same rounding — so the
+  * driver's DuckDB comparison is bit-exact.
+  */
+object OpsOracles {
+  val sql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """
+        |WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT md5(text) AS content_key, min(doc_id) AS keep_id,
+        |       count(*) AS cluster_size
+        |FROM docs GROUP BY md5(text) ORDER BY keep_id""".stripMargin.trim,
+
+    "q_dedup_minhash" ->
+      """
+        |WITH docs AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         array_to_string(list_slice(w, 1, len(w) - 5), ' ')
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w FROM documents)),
+        |sh AS (
+        |  SELECT id, list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS shingles
+        |  FROM (SELECT id, string_split(lower(trim(text)), ' ') w FROM docs)),
+        |mh AS (
+        |  SELECT id, s, min(md5(s::varchar || '|' || u.sh2)) AS sig
+        |  FROM sh, generate_series(0, 11) AS g(s), unnest(sh.shingles) AS u(sh2)
+        |  GROUP BY id, s),
+        |sigv AS (SELECT id, array_agg(sig ORDER BY s) AS sigs FROM mh GROUP BY id),
+        |bands AS (
+        |  SELECT id, b, md5(sigs[b*3+1] || ',' || sigs[b*3+2] || ',' || sigs[b*3+3]) AS bucket
+        |  FROM sigv, generate_series(0, 3) AS g(b)),
+        |cand AS (
+        |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        |  FROM bands l, bands r
+        |  WHERE l.b = r.b AND l.bucket = r.bucket AND l.id < r.id),
+        |sets AS (SELECT id, list_distinct(shingles) AS s FROM sh),
+        |ver AS (
+        |  SELECT id_a, id_b,
+        |         len(list_intersect(a.s, b.s))::double AS inter, len(a.s) AS la, len(b.s) AS lb
+        |  FROM cand JOIN sets a ON cand.id_a = a.id JOIN sets b ON cand.id_b = b.id)
+        |SELECT id_a, id_b, round(inter / (la + lb - inter), 4) AS jaccard
+        |FROM ver WHERE inter / (la + lb - inter) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin.trim,
+
+    "q_ngram_jaccard" ->
+      """
+        |WITH docs AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         array_to_string(list_slice(w, 1, len(w) - 5), ' ')
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w FROM documents)),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+        |  FROM (SELECT id, string_split(lower(trim(text)), ' ') w FROM docs)),
+        |inv AS (SELECT id, len(s) AS n, unnest(s) AS g FROM sets),
+        |pc AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb, count(*)::double AS c
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, round(c / (na + nb - c), 4) AS jaccard
+        |FROM pc WHERE c / (na + nb - c) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin.trim,
+
+    "q_dedup_cosine" ->
+      """
+        |WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(embedding, x -> x * 2.0::float)
+        |  FROM embeddings)
+        |SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+        |       round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4) AS cos
+        |FROM e l, e r
+        |WHERE l.vec_id < r.vec_id
+        |  AND list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin.trim,
+
+    "q_ann_topk" ->
+      """
+        |WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        |  FROM q, c WHERE query_id != neighbor_id)
+        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+        |FROM s WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.trim,
+
+    "q_lang_id" ->
+      """
+        |WITH sc AS (
+        |  SELECT doc_id,
+        |    len(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |    len(text) AS nc,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |unp AS (
+        |  SELECT doc_id, cjk, nc, 'de' AS lang,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','für'])) AS s FROM sc
+        |  UNION ALL SELECT doc_id, cjk, nc, 'en',
+        |    len(list_intersect(toks, ['the','a','and','of','to','in','is','it','that','for'])) FROM sc
+        |  UNION ALL SELECT doc_id, cjk, nc, 'es',
+        |    len(list_intersect(toks, ['el','la','los','y','es','un','una','en','por','para'])) FROM sc
+        |  UNION ALL SELECT doc_id, cjk, nc, 'fr',
+        |    len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','pour','que'])) FROM sc),
+        |best AS (
+        |  SELECT doc_id, cjk, nc, lang, s,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang DESC) AS rn
+        |  FROM unp)
+        |SELECT CASE WHEN cjk * 2 > nc THEN 'zh'
+        |            WHEN s = 0 THEN 'und'
+        |            ELSE lang END AS lang_pred,
+        |       count(*) AS n
+        |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY lang_pred""".stripMargin.trim,
+
+    "q_quality_score" ->
+      """
+        |WITH m AS (
+        |  SELECT doc_id, text,
+        |    len(text) AS n_chars,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_words,
+        |    (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))::double / len(text) AS punct_ratio,
+        |    (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::double / len(text) AS digit_ratio,
+        |    len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))::double
+        |      / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS uniq_word_ratio
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, n_chars, n_words,
+        |  round(punct_ratio, 6) AS punct_ratio,
+        |  round(uniq_word_ratio, 6) AS uniq_word_ratio,
+        |  round(least(n_words / 50.0, 1.0) * 0.4
+        |      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+        |      + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.2
+        |      + least(uniq_word_ratio * 2.0, 1.0) * 0.2, 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin.trim,
+
+    "q_token_count" ->
+      """
+        |SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS re_tokens
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin.trim,
+
+    "q_fingerprint" ->
+      """
+        |SELECT doc_id,
+        |  list_aggregate(list_transform(generate_series(1, greatest(len(text) - 7, 1)),
+        |    i -> md5(substr(text, i, 8))), 'min') AS fingerprint
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin.trim,
+
+    "q_winnow" ->
+      """
+        |WITH gh AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(text) - 7, 1)),
+        |      i -> md5(substr(text, i, 8))) AS gh
+        |  FROM documents WHERE doc_id < 20),
+        |wins AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(0, greatest(len(gh) - 4, 0)),
+        |      i -> list_aggregate(list_slice(gh, i + 1, i + 4), 'min'))) AS fps
+        |  FROM gh)
+        |SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp""".stripMargin.trim,
+
+    "q_multimodal_meta" ->
+      """
+        |SELECT doc_id, octet_length(text::blob) AS byte_len,
+        |  64 + (octet_length(text::blob) % 577) AS width,
+        |  64 + ((octet_length(text::blob) * 31) % 353) AS height,
+        |  'png' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin.trim
+  )
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import MlQueries.tbl
+
+/** Declared queries for the training-data pipeline operators
+  * (SURVEY.md §2 "Training-data pipeline operators").
+  *
+  * The synthetic corpus has no natural duplicates, so dedup queries PLANT
+  * deterministic (near-)duplicates by unioning the table with a perturbed
+  * copy (ids offset by 100000) — the operator must find exactly the
+  * planted pairs and reject the random ones, and the DuckDB oracle
+  * replicates the same construction.
+  */
+object OpsQueries {
+
+  /** documents ∪ exact copies (ids + 100000). */
+  private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+    d.select(col("doc_id"), col("text"))
+      .unionAll(d.select(col("doc_id") + 100000, col("text")))
+  }
+
+  /** documents ∪ near-dup copies (last 5 words dropped, ids + 100000). */
+  private def docsWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+    val w = Dedup.words(col("text"))
+    d.select(col("doc_id"), col("text"))
+      .unionAll(d.select(col("doc_id") + 100000,
+        concat_ws(" ", slice(w, lit(1), size(w) - 5)).as("text")))
+  }
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docsWithDups(spark, dir), "doc_id", Seq("text"))
+      .select(col("content_key"), col("keep_id"), col("cluster_size"))
+      .orderBy("keep_id")
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id", "text",
+        bands = 4, rowsPerBand = 3, threshold = 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docsWithNearDups(spark, dir), "doc_id", "text",
+        maxHamming = 6)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docsWithNearDups(spark, dir), "doc_id", "text",
+        threshold = 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** embeddings ∪ rescaled copies (cosine-identical, ids + 100000). */
+  def dedupCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val dup = e.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val all = e.select(col("vec_id"), col("embedding")).unionAll(dup)
+    Dedup.cosineNearDups(all, "vec_id", "embedding", threshold = 0.95)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    Ann.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, tables = 8, bits = 6)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang_pred")
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(
+        tbl(spark, dir, "documents").filter(col("doc_id") < 100), "text")
+      .select(col("doc_id"), col("n_chars"), col("n_words"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("uniq_word_ratio"), 6).as("uniq_word_ratio"),
+        col("quality"))
+      .orderBy("doc_id")
+
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("re_tokens"))
+      .orderBy("doc_id")
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(
+        tbl(spark, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowing(
+        tbl(spark, dir, "documents").filter(col("doc_id") < 20),
+        "doc_id", "text", k = 8, w = 4)
+      .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+      .orderBy("doc_id", "fp")
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val d = Multimodal.withPayload(
+      tbl(spark, dir, "documents").select("doc_id", "text"), "text", "image")
+      .drop("text")
+    Multimodal.decode(d)
+      .select(col("doc_id"), col("media.byte_len").as("byte_len"),
+        col("media.width").as("width"), col("media.height").as("height"),
+        col("media.format").as("format"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer rules engine"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup clusters identical content") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text")).collect()
+    assert(out.length == 3)
+    val c = out.find(_.getAs[Long]("cluster_size") == 2).get
+    assert(c.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds near-dups, rejects unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact dup pair found")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), "near-dup pair found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc not paired")
+  }
+
+  test("simhash: identical texts identical hashes; near-dups close; strangers far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)),
+      s"near-dup ${ham(sh(1L), sh(2L))} should be closer than stranger ${ham(sh(1L), sh(3L))}")
+  }
+
+  test("ngram jaccard pairs computes exact set jaccard") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out((1L, 4L)) - 1.0) < 1e-12)
+    assert(out((1L, 2L)) > 0.5 && out((1L, 2L)) < 1.0)
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ANN LSH recall against brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(e, q, "vec_id", "embedding", k = 10,
+      tables = 8, bits = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"LSH recall $recall (random embeddings; bucketed probing)")
+    // and it must actually prune: candidate pairs well below n_queries * n
+    assert(approx.size <= exact.size)
+  }
+
+  test("language id picks the right language on natural samples") {
+    val samples = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("der hund ist nicht mit der katze", "de"),
+      ("le chat est dans la maison pour que", "fr"),
+      ("el perro es un animal en la casa", "es"),
+      ("这是一个中文句子没有空格", "zh"),
+      ("xyzzy plugh foobar", "und")
+    ).toDF("text", "expected")
+    val out = samples.withColumn("pred", TextAnalysis.langId(col("text")))
+      .filter(col("pred") =!= col("expected")).collect()
+    assert(out.isEmpty, out.mkString(";"))
+  }
+
+  test("quality score penalizes repetition and punctuation noise") {
+    val df = Seq(
+      (1L, "a a a a a a a a a a a a"),                       // repetitive
+      (2L, "many distinct words compose this reasonably long informative sentence overall"),
+      (3L, "!!! ??? *** ### $$$ %%% ^^^ &&&")                // punctuation noise
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(df, "text")
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(2L) > q(1L), s"informative ${q(2L)} > repetitive ${q(1L)}")
+    assert(q(2L) > q(3L), s"informative ${q(2L)} > noisy ${q(3L)}")
+  }
+
+  test("fingerprints: equal for dups, winnowing selects a subset of gram hashes") {
+    val fp = TextAnalysis.fingerprint(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp(1L) != fp(3L))
+    val win = TextAnalysis.winnowing(docs, "doc_id", "text")
+      .select("doc_id", "fingerprints").as[(Long, Seq[String])].collect().toMap
+    assert(win(1L) == win(4L))
+    assert(win(1L).nonEmpty && win(1L).toSet.subsetOf(
+      win(1L).toSet ++ win(2L).toSet))
+  }
+
+  test("multimodal decode plumbing: schema, batching, frame sampling") {
+    val media = Multimodal.withPayload(
+      docs.withColumn("text", concat(col("text"), lit(" pad"))), "text", "video")
+    val dec = Multimodal.decode(media.drop("text"), batchSize = 2)
+    assert(dec.schema.fieldNames.contains("media"))
+    val rows = dec.select("doc_id", "media.byte_len", "media.n_frames", "media.format").collect()
+    assert(rows.length == 4)
+    assert(rows.forall(_.getString(3) == "mp4"))
+    // frame sampling explodes by stride
+    val frames = Multimodal.sampleFrames(dec, stride = 2)
+    val perDoc = frames.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nf = rows.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    perDoc.foreach { case (id, cnt) =>
+      assert(cnt == (nf(id) + 1) / 2, s"doc $id frames ${nf(id)} sampled $cnt")
+    }
+  }
+
+  test("streaming: score a fitted model over a structured stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val train = SparkSpec.regressionDF(spark)
+    val m = graft.ml.SgdNet.fit(train, Seq("x1", "x2"), "y",
+      graft.ml.SgdNetParams(lambda = Array(0.1)))
+    val input = MemoryStream[(Double, Double)]
+    input.addData((1.0, 2.0), (0.5, -1.0), (3.0, 0.0))
+    val scored = input.toDF().toDF("x1", "x2")
+      .withColumn("pred", m.linkCol(0))
+    val q = scored.writeStream.format("memory").queryName("graft_scores")
+      .trigger(Trigger.Once()).start()
+    q.awaitTermination(30000)
+    val out = spark.sql("select * from graft_scores").collect()
+    assert(out.length == 3)
+    assert(out.forall(r => !r.getDouble(2).isNaN))
+  }
+}
