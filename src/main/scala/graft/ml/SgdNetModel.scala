@@ -197,19 +197,29 @@ final class SgdNetModel(
 }
 
 object SgdNetModel {
-  /** AUC of score column `s` against 0/1 label `y`, average ranks for ties. */
+  /** AUC of score column `s` against 0/1 label `y` via the Mann–Whitney
+    * rank statistic with average ranks for ties.
+    *
+    * Scalable form: aggregate (count, positives) per DISTINCT score first
+    * — one shuffle on the score key, map-side combined — then rank with a
+    * prefix sum over the (small) distinct-score table. The global-order
+    * window touches only distinct scores, never rows, so this works at
+    * any row count with bounded distinct scores (and degrades to the
+    * distinct-score cardinality otherwise — still far below a full-table
+    * single-partition sort). */
   def aucOf(df: DataFrame, scoreCol: String, labelCol: String): Double = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(scoreCol))
-    val ranked = df
-      .select(col(scoreCol), col(labelCol))
-      .withColumn("r", rank().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col(scoreCol))))
-      .withColumn("avgr", col("r") + (col("cnt") - 1) / 2.0)
+    val perScore = df.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        sum(when(col(labelCol) === 1.0, 1.0).otherwise(0.0)).as("pos"))
+    val w = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perScore.withColumn("cumBefore",
+      coalesce(sum(col("cnt")).over(w), lit(0.0)))
+    // all rows at score s share avg rank = cumBefore + (cnt + 1)/2
     val agg = ranked.agg(
-      sum(when(col(labelCol) === 1.0, col("avgr"))).as("rpos"),
-      sum(when(col(labelCol) === 1.0, 1.0).otherwise(0.0)).as("np"),
-      sum(when(col(labelCol) =!= 1.0, 1.0).otherwise(0.0)).as("nn")
+      sum(col("pos") * (col("cumBefore") + (col("cnt") + 1) / 2.0)).as("rpos"),
+      sum(col("pos")).as("np"),
+      sum(col("cnt") - col("pos")).as("nn")
     ).collect()(0)
     val rpos = agg.getDouble(0); val np = agg.getDouble(1); val nn = agg.getDouble(2)
     if (np == 0 || nn == 0) Double.NaN

@@ -52,11 +52,12 @@ object OpsOracles {
     "q_ngram_jaccard" ->
       """
         |WITH docs AS (
-        |  SELECT doc_id AS id, text FROM documents
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 1000
         |  UNION ALL
         |  SELECT doc_id + 100000,
         |         array_to_string(list_slice(w, 1, len(w) - 5), ' ')
-        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w FROM documents)),
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w
+        |        FROM documents WHERE doc_id < 1000)),
         |sets AS (
         |  SELECT id, list_distinct(list_transform(generate_series(0, greatest(len(w) - 3, 0)),
         |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s

@@ -23,9 +23,11 @@ object OpsQueries {
       .unionAll(d.select(col("doc_id") + 100000, col("text")))
   }
 
-  /** documents ∪ near-dup copies (last 5 words dropped, ids + 100000). */
-  private def docsWithNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val d = tbl(spark, dir, "documents")
+  /** documents ∪ near-dup copies (last 5 words dropped, ids + 100000).
+    * `maxDocs` bounds quadratic-demo queries; Long.MaxValue = all. */
+  private def docsWithNearDups(spark: SparkSession, dir: String,
+                               maxDocs: Long = Long.MaxValue): DataFrame = {
+    val d = tbl(spark, dir, "documents").filter(col("doc_id") < maxDocs)
     val w = Dedup.words(col("text"))
     d.select(col("doc_id"), col("text"))
       .unionAll(d.select(col("doc_id") + 100000,
@@ -49,8 +51,11 @@ object OpsQueries {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
 
+  /** Exact all-pairs n-gram Jaccard on a bounded slice (doc_id < 1000):
+    * the exact operator is inherently quadratic — the LSH query above is
+    * the full-corpus scale path. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(docsWithNearDups(spark, dir), "doc_id", "text",
+    Dedup.ngramJaccardPairs(docsWithNearDups(spark, dir, 1000), "doc_id", "text",
         threshold = 0.6)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
