@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps physical plans for representative queries (plan-quality audit;
+  * distilled commentary lives in PLANS.md). Usage:
+  *   sbt "runMain graft.Plans /root/testdata/sf0.001"
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq("q_predict_link", "q_dedup_exact", "q_dedup_minhash",
+      "q_ann_topk", "q_token_count", "q_score_auc")
+    interesting.foreach { name =>
+      println(s"\n===================== $name =====================")
+      SparkEntry.queries(name)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

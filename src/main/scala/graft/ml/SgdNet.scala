@@ -67,14 +67,44 @@ object SgdNet {
     }
   }
 
+  /** Sparse-input gaussian/mgaussian fit: rows are CSR-style
+    * (indices, values) arrays over a fixed feature dimension `dim`
+    * (the Spark shape of the reference's dgCMatrix input,
+    * R/sgdnet.R:224-228 / src/saga-sparse.h). Per-row cost is O(nnz^2)
+    * for the Gram pass; the solve is identical to the dense path.
+    */
+  def fitSparse(df: DataFrame, idxCol: String, valCol: String, dim: Int,
+                labelCol: String, params: SgdNetParams = SgdNetParams()): SgdNetModel = {
+    require(params.family == "gaussian" || params.family == "mgaussian",
+      "sparse input currently supports the gaussian families")
+    import org.apache.spark.sql.functions.col
+    val rdd = df.select(col(idxCol), col(valCol).cast("array<double>"),
+        col(labelCol).cast("double"))
+      .rdd.map { row =>
+        (row.getSeq[Int](0).toArray, row.getSeq[Double](1).toArray,
+          Array(row.getDouble(2)))
+      }
+    val g = rdd.treeAggregate(new GramStats(dim, 1))(
+      seqOp = (s, r) => s.addSparse(r._1, r._2, r._3),
+      combOp = (a, b) => a.merge(b), depth = 2)
+    solveGaussianFromStats(g, (0 until dim).map(j => s"V$j"), Seq(labelCol), params)
+  }
+
   // ---------------------------------------------------------------- gaussian
 
   private def fitGaussianLike(df: DataFrame, featureCols: Seq[String],
                               labelCols: Seq[String], params: SgdNetParams): SgdNetModel = {
+    val rdd = SufficientStats.toRdd(df, featureCols, labelCols)
+    val g = SufficientStats.compute(rdd, featureCols.size, labelCols.size)
+    solveGaussianFromStats(g, featureCols, labelCols, params)
+  }
+
+  /** Solve the full gaussian/mgaussian path from one-pass statistics. */
+  private def solveGaussianFromStats(g: GramStats, featureCols: Seq[String],
+                                     labelCols: Seq[String],
+                                     params: SgdNetParams): SgdNetModel = {
     val p = featureCols.size
     val k = labelCols.size
-    val rdd = SufficientStats.toRdd(df, featureCols, labelCols)
-    val g = SufficientStats.compute(rdd, p, k)
     require(g.n > 0, "the response (y) is empty.")
     val raw = SufficientStats.standardize(g, params.standardize, params.intercept)
 

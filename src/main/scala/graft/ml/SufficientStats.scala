@@ -45,6 +45,31 @@ final class GramStats(val p: Int, val k: Int) extends Serializable {
     this
   }
 
+  /** Sparse row: only the listed feature indices are nonzero. The Gram
+    * update touches O(nnz^2) cells instead of O(p^2) — the whole point of
+    * CSR input for wide-but-sparse designs (reference saga-sparse.h). */
+  def addSparse(idx: Array[Int], vals: Array[Double], y: Array[Double]): GramStats = {
+    n += 1
+    var a = 0
+    while (a < idx.length) {
+      val j = idx(a); val xj = vals(a)
+      sumX(j) += xj
+      var b = 0
+      while (b <= a) {
+        val i = idx(b)
+        if (i <= j) xtx(j * (j + 1) / 2 + i) += vals(b) * xj
+        else xtx(i * (i + 1) / 2 + j) += vals(b) * xj
+        b += 1
+      }
+      var t = 0
+      while (t < k) { xty(j * k + t) += xj * y(t); t += 1 }
+      a += 1
+    }
+    var t = 0
+    while (t < k) { sumY(t) += y(t); sumYY(t) += y(t) * y(t); t += 1 }
+    this
+  }
+
   def merge(o: GramStats): GramStats = {
     n += o.n
     var i = 0

@@ -1,0 +1,71 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Lambda interpolation, npasses accounting, sparse input. */
+class PredictSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("atLambda interpolates linearly between path points and clamps") {
+    val df = SparkSpec.regressionDF(spark)
+    val m = SgdNet.fit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(alpha = 1.0, nlambda = 10, thresh = 1e-9))
+    // exactly on a path point
+    val (a0At, bAt) = m.atLambda(m.lambda(3))
+    assert(math.abs(a0At(0) - m.a0(3)(0)) < 1e-12)
+    for (j <- 0 until 2) assert(math.abs(bAt(0)(j) - m.beta(3)(0)(j)) < 1e-12)
+    // midpoint between points 3 and 4
+    val mid = (m.lambda(3) + m.lambda(4)) / 2
+    val frac = (mid - m.lambda(4)) / (m.lambda(3) - m.lambda(4))
+    val (_, bMid) = m.atLambda(mid)
+    for (j <- 0 until 2) {
+      val expect = frac * m.beta(3)(0)(j) + (1 - frac) * m.beta(4)(0)(j)
+      assert(math.abs(bMid(0)(j) - expect) < 1e-12)
+    }
+    // clamping beyond the ends
+    val (_, bHi) = m.atLambda(m.lambda(0) * 10)
+    for (j <- 0 until 2) assert(bHi(0)(j) == m.beta(0)(0)(j))
+    val (_, bLo) = m.atLambda(m.lambda.last / 10)
+    for (j <- 0 until 2) assert(bLo(0)(j) == m.beta.last(0)(j))
+  }
+
+  test("npasses: gaussian path uses ONE data pass; binomial counts IRLS passes") {
+    val df = SparkSpec.regressionDF(spark)
+    val m = SgdNet.fit(df, Seq("x1", "x2"), "y", SgdNetParams(nlambda = 50))
+    // npasses for gaussian counts CD sweeps (driver-side); the cluster work
+    // is exactly one aggregation regardless of path length — verified by
+    // construction (solveGaussianFromStats takes only GramStats)
+    assert(m.npasses > 0)
+    val db = SparkSpec.binaryDF(spark)
+    val mb = SgdNet.fit(db, Seq("x1", "x2"), "y",
+      SgdNetParams(family = "binomial", lambda = Array(0.1, 0.05)))
+    assert(mb.npasses >= 2, "at least one IRLS pass per lambda")
+  }
+
+  test("sparse input matches the dense fit exactly") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 300).map { _ =>
+      // ~70% sparse row over 6 features
+      val dense = Array.tabulate(6)(j =>
+        if (rnd.nextDouble() < 0.3) rnd.nextGaussian() else 0.0)
+      val y = 1.0 + dense.zipWithIndex.map { case (v, j) => v * (j + 1) * 0.5 }.sum +
+        rnd.nextGaussian() * 0.1
+      val idx = dense.indices.filter(dense(_) != 0.0).toArray
+      (idx, idx.map(dense), dense.toSeq, y)
+    }
+    val sparseDf = rows.map(r => (r._1, r._2, r._4)).toDF("idx", "vals", "y")
+    val denseDf = rows.map(r => (r._3(0), r._3(1), r._3(2), r._3(3), r._3(4), r._3(5), r._4))
+      .toDF("v0", "v1", "v2", "v3", "v4", "v5", "y")
+    for ((alpha, lam) <- Seq((1.0, 0.05), (0.0, 0.2))) {
+      val ms = SgdNet.fitSparse(sparseDf, "idx", "vals", 6, "y",
+        SgdNetParams(alpha = alpha, lambda = Array(lam), thresh = 1e-10, maxit = 100000))
+      val md = SgdNet.fit(denseDf, (0 until 6).map(j => s"v$j"), "y",
+        SgdNetParams(alpha = alpha, lambda = Array(lam), thresh = 1e-10, maxit = 100000))
+      for (j <- 0 until 6)
+        assert(math.abs(ms.beta(0)(0)(j) - md.beta(0)(0)(j)) < 1e-10,
+          s"alpha=$alpha sparse/dense beta_$j")
+      assert(math.abs(ms.a0(0)(0) - md.a0(0)(0)) < 1e-10)
+    }
+  }
+}
