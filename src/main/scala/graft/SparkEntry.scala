@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{MlQueries, OpsOracles, OpsQueries, PathQueries}
+import graft.queries.{EventQueries, MlQueries, OpsOracles, OpsQueries, PathQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -52,7 +52,10 @@ object SparkEntry {
     "q_token_count"      -> (OpsQueries.tokenCount _),
     "q_fingerprint"      -> (OpsQueries.fingerprint _),
     "q_winnow"           -> (OpsQueries.winnow _),
-    "q_multimodal_meta"  -> (OpsQueries.multimodalMeta _)
+    "q_multimodal_meta"  -> (OpsQueries.multimodalMeta _),
+    "q_event_window"     -> (EventQueries.eventWindow _),
+    "q_sessionize"       -> (EventQueries.sessionize _),
+    "q_cv_predict"       -> (EventQueries.cvPredict _)
   )
 
   private val fixedPathValues =
@@ -298,5 +301,24 @@ object SparkEntry {
       """SELECT round(ln((1 - pow(corr(l_quantity, l_extendedprice), 2))
         |  * count(*) * var_pop(l_extendedprice)), 4) AS deviance
         |FROM lineitem""".stripMargin
-  ) ++ OpsOracles.sql
+  ) ++ OpsOracles.sql ++ Map(
+    "q_event_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin
+  )
 }

@@ -37,6 +37,36 @@ object CvSgdNet {
           (p.alpha, l, p.lambda(l), p.cvm(l), p.cvsd(l)))
       }.toDF("alpha", "lambda_idx", "lambda", "cvm", "cvsd")
     }
+
+    /** predict.cv_sgdnet: predictions at the selected penalty
+      * (`which` = "lambda.min" | "lambda.1se"), interpolating the best
+      * full-data path like the reference. */
+    def predictAt(df: DataFrame, which: String = "lambda.min",
+                  tpe: String = "link"): DataFrame = {
+      val s = which match {
+        case "lambda.min" => best.lambdaMin
+        case "lambda.1se" => best.lambda1se
+        case other        => other.toDouble
+      }
+      val (a0, beta) = best.fit.atLambda(s)
+      df.withColumn("pred", best.fit.linkColFor(a0(0), beta(0)))
+    }
+
+    /** deviance.cv_sgdnet: the full-data fit's deviance path. */
+    def deviance: Array[Double] = best.fit.deviance
+
+    /** print.cv_sgdnet data: one row per alpha with the selected lambdas
+      * and their CV scores. */
+    def summaryDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      paths.map { p =>
+        val iMin = p.lambda.indexWhere(_ == p.lambdaMin)
+        val i1se = p.lambda.indexWhere(_ == p.lambda1se)
+        (p.alpha, p.lambdaMin, p.cvm(iMin), p.cvsd(iMin),
+          p.lambda1se, p.cvm(i1se))
+      }.toDF("alpha", "lambda_min", "cvm_min", "cvsd_min",
+        "lambda_1se", "cvm_1se")
+    }
   }
 
   private def select(lambda: Array[Double], cvm: Array[Double],

@@ -70,9 +70,14 @@ final class SgdNetModel(
     * The coefficient table is tiny driver state folded into the plan as
     * literals — no UDF, no shuffle; whole-stage codegen applies. */
   def linkCol(lambdaIdx: Int, response: Int = 0): Column =
-    featureNames.zipWithIndex.foldLeft(lit(a0(lambdaIdx)(response))) {
+    linkColFor(a0(lambdaIdx)(response), beta(lambdaIdx)(response))
+
+  /** Linear predictor for explicit (a0, beta) — e.g. interpolated
+    * coefficients from [[atLambda]]. */
+  def linkColFor(a0v: Double, betaV: Array[Double]): Column =
+    featureNames.zipWithIndex.foldLeft(lit(a0v)) {
       case (acc, (f, j)) =>
-        val w = beta(lambdaIdx)(response)(j)
+        val w = betaV(j)
         if (w == 0.0) acc else acc + col(f) * lit(w)
     }
 

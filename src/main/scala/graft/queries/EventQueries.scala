@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.EventAgg
+import graft.ml.{CvSgdNet, SgdNetParams}
+import MlQueries.tbl
+
+/** Event-stream analytics queries (batch twins of the streaming
+  * operators) + cv_sgdnet post-fit methods. */
+object EventQueries {
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read nanos as long and truncate to micros exactly
+    * (integer division — matching DuckDB's read truncation). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour window aggregation over events. */
+  def eventWindow(spark: SparkSession, dir: String): DataFrame =
+    EventAgg.windowedAgg(events(spark, dir), "1 hour")
+      .withColumn("sum_value", round(col("sum_value"), 4))
+      .orderBy("window_start", "event_type")
+
+  /** Gap-based sessionization (30-minute inactivity gap). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    EventAgg.sessionizeBatch(events(spark, dir), gapMinutes = 30)
+      .withColumn("sum_value", round(col("sum_value"), 4))
+      .orderBy("user_id", "session_start")
+
+  /** predict.cv_sgdnet at lambda.min (rows-only: fold hash is
+    * engine-specific; interpolation spec-verified). */
+  def cvPredict(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val cv = CvSgdNet.fit(li, Seq("l_quantity", "l_discount", "l_tax"),
+      Seq("l_extendedprice"), SgdNetParams(alpha = 1.0, nlambda = 10), nfolds = 5)
+    cv.predictAt(li.filter(col("l_orderkey") <= 5), "lambda.min")
+      .select(col("l_orderkey"), col("l_linenumber"), round(col("pred"), 2).as("pred"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+}

