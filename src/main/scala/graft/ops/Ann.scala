@@ -43,7 +43,8 @@ object Ann {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine(corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -73,7 +74,8 @@ object Ann {
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cands.withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+    cands.withColumn("cos",
+        graft.functions.GraftFunctions.cosine(corpus.sparkSession, col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
