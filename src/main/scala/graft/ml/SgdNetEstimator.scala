@@ -1,0 +1,83 @@
+package graft.ml
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.types.StructType
+
+/** spark.ml Pipeline-conformant wrapper around [[SgdNet]]: drops into
+  * `org.apache.spark.ml.Pipeline`, `CrossValidator`, and param grids like
+  * any MLlib estimator, while fitting the reference-faithful
+  * regularization path underneath.
+  */
+class SgdNetEstimator(override val uid: String)
+    extends Estimator[SgdNetPipelineModel] {
+
+  def this() = this(Identifiable.randomUID("sgdnet"))
+
+  final val featureCols = new StringArrayParam(this, "featureCols", "feature column names")
+  final val labelCol = new Param[String](this, "labelCol", "label column")
+  final val family = new Param[String](this, "family", "model family",
+    ParamValidators.inArray(Array("gaussian", "binomial", "multinomial", "mgaussian")))
+  final val alpha = new DoubleParam(this, "alpha", "elastic-net mixing",
+    ParamValidators.inRange(0, 1))
+  final val nLambda = new IntParam(this, "nLambda", "path length", ParamValidators.gt(0))
+  final val lambdas = new DoubleArrayParam(this, "lambdas", "explicit lambda path")
+  final val standardize = new BooleanParam(this, "standardize", "standardize features")
+  final val fitIntercept = new BooleanParam(this, "fitIntercept", "fit intercept")
+  final val thresh = new DoubleParam(this, "thresh", "convergence threshold")
+
+  setDefault(labelCol -> "label", family -> "gaussian", alpha -> 1.0,
+    nLambda -> 100, standardize -> true, fitIntercept -> true, thresh -> 1e-3)
+
+  def setFeatureCols(v: Seq[String]): this.type = set(featureCols, v.toArray)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setFamily(v: String): this.type = set(family, v)
+  def setAlpha(v: Double): this.type = set(alpha, v)
+  def setNLambda(v: Int): this.type = set(nLambda, v)
+  def setLambdas(v: Seq[Double]): this.type = set(lambdas, v.toArray)
+  def setStandardize(v: Boolean): this.type = set(standardize, v)
+  def setFitIntercept(v: Boolean): this.type = set(fitIntercept, v)
+  def setThresh(v: Double): this.type = set(thresh, v)
+
+  override def fit(dataset: Dataset[_]): SgdNetPipelineModel = {
+    val params = SgdNetParams(
+      family = $(family), alpha = $(alpha), nlambda = $(nLambda),
+      lambda = if (isSet(lambdas)) $(lambdas) else null,
+      standardize = $(standardize), intercept = $(fitIntercept),
+      thresh = $(thresh))
+    val m = SgdNet.fit(dataset.toDF(), $(featureCols).toSeq, $(labelCol), params)
+    new SgdNetPipelineModel(uid, m).setParent(this)
+  }
+
+  override def copy(extra: ParamMap): SgdNetEstimator = defaultCopy(extra)
+
+  override def transformSchema(schema: StructType): StructType = {
+    require($(featureCols).forall(schema.fieldNames.contains),
+      s"missing feature columns: ${$(featureCols).filterNot(schema.fieldNames.contains).mkString(",")}")
+    schema.add("prediction", org.apache.spark.sql.types.DoubleType)
+  }
+}
+
+/** Fitted pipeline model: transform() appends `prediction` at the densest
+  * path point (smallest lambda); the full path model is exposed as
+  * `pathModel` for coef/score/deviance access. */
+class SgdNetPipelineModel(override val uid: String, val pathModel: SgdNetModel)
+    extends Model[SgdNetPipelineModel] {
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    val l = pathModel.nLambda - 1
+    val c = pathModel.family match {
+      case "binomial" | "multinomial" => pathModel.responseCol(l)
+      case _                          => pathModel.linkCol(l)
+    }
+    dataset.toDF().withColumn("prediction", c)
+  }
+
+  override def copy(extra: ParamMap): SgdNetPipelineModel =
+    new SgdNetPipelineModel(uid, pathModel).setParent(parent)
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add("prediction", org.apache.spark.sql.types.DoubleType)
+}
