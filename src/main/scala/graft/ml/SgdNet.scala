@@ -67,6 +67,19 @@ object SgdNet {
     }
   }
 
+  /** Refit including extra penalty values (the reference's
+    * `predict(..., exact = TRUE)` / `update()` path, R/utils.R refit):
+    * merges `extra` into the model's lambda sequence (descending) and
+    * refits — for the gaussian families this still costs ONE data pass.
+    */
+  def refit(model: SgdNetModel, df: DataFrame, extra: Seq[Double]): SgdNetModel = {
+    val merged = (model.lambda ++ extra).distinct.sorted(Ordering[Double].reverse)
+    val p = model.params.copy(lambda = merged.toArray)
+    if (model.responseNames.length > 1 || model.family == "mgaussian")
+      fitMulti(df, model.featureNames.toSeq, model.responseNames.toSeq, p)
+    else fit(df, model.featureNames.toSeq, model.responseNames.head, p)
+  }
+
   /** Sparse-input gaussian/mgaussian fit: rows are CSR-style
     * (indices, values) arrays over a fixed feature dimension `dim`
     * (the Spark shape of the reference's dgCMatrix input,

@@ -43,6 +43,22 @@ class PredictSpec extends SparkSpec {
     assert(mb.npasses >= 2, "at least one IRLS pass per lambda")
   }
 
+  test("refit merges extra lambdas and agrees with direct fits (exact predict)") {
+    val df = SparkSpec.regressionDF(spark)
+    val m = SgdNet.fit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(alpha = 1.0, nlambda = 5, thresh = 1e-9))
+    val s = (m.lambda(1) + m.lambda(2)) / 2 // off-path
+    val r = SgdNet.refit(m, df, Seq(s))
+    assert(r.lambda.length == 6 && r.lambda.contains(s))
+    assert(r.lambda.sliding(2).forall(a => a(0) > a(1)))
+    // exact solution at s equals a direct fit at s
+    val direct = SgdNet.fit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(alpha = 1.0, lambda = Array(s), thresh = 1e-9))
+    val idx = r.lambda.indexOf(s)
+    for (j <- 0 until 2)
+      assert(math.abs(r.beta(idx)(0)(j) - direct.beta(0)(0)(j)) < 1e-6)
+  }
+
   test("sparse input matches the dense fit exactly") {
     val rnd = new scala.util.Random(3)
     val rows = (1 to 300).map { _ =>
