@@ -120,6 +120,7 @@ object OpsQueries {
     TextAnalysis.winnowing(
         tbl(spark, dir, "documents").filter(col("doc_id") < 20),
         "doc_id", "text", k = 8, w = 4)
+      .cache() // explode would otherwise re-evaluate the winnowing array per OUTPUT row
       .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
       .orderBy("doc_id", "fp")
 
