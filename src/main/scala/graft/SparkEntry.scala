@@ -25,11 +25,14 @@ object SparkEntry {
     "q_standardize"   -> (MlQueries.standardizeQ _),
     "q_predict_link"  -> (MlQueries.predictLink _),
     "q_score_mse"     -> (MlQueries.scoreMse _),
+    "q_score_mae"     -> (MlQueries.scoreMae _),
     "q_score_auc"     -> (MlQueries.scoreAuc _),
     "q_binom_nulldev" -> (MlQueries.binomNullDev _),
     "q_binom_fit"        -> (PathQueries.binomFit _),
     "q_multinom_fit"     -> (PathQueries.multinomFit _),
     "q_mgauss_fit"       -> (PathQueries.mgaussFit _),
+    "q_poisson_fit"      -> (PathQueries.poissonFit _),
+    "q_poisson_nulldev"  -> (PathQueries.poissonNullDev _),
     "q_predict_response" -> (PathQueries.predictResponse _),
     "q_predict_class"    -> (PathQueries.predictClass _),
     "q_score_class"      -> (PathQueries.scoreClass _),
@@ -196,6 +199,19 @@ object SparkEntry {
       """WITH m AS (SELECT regr_intercept(l_extendedprice, l_quantity) i,
         |                  regr_slope(l_extendedprice, l_quantity) b FROM lineitem)
         |SELECT round(ln(avg(pow(l_extendedprice - (i + b * l_quantity), 2))), 4) AS mse
+        |FROM lineitem, m""".stripMargin,
+
+    "q_poisson_nulldev" ->
+      """WITH s AS (SELECT avg(l_quantity) yb FROM lineitem)
+        |SELECT round(ln(2 * sum(CASE WHEN l_quantity > 0
+        |    THEN l_quantity * ln(l_quantity / yb) ELSE 0 END
+        |  - (l_quantity - yb))), 4) AS nulldev
+        |FROM lineitem, s""".stripMargin,
+
+    "q_score_mae" ->
+      """WITH m AS (SELECT regr_intercept(l_extendedprice, l_quantity) i,
+        |                  regr_slope(l_extendedprice, l_quantity) b FROM lineitem)
+        |SELECT round(ln(avg(abs(l_extendedprice - (i + b * l_quantity)))), 4) AS mae
         |FROM lineitem, m""".stripMargin,
 
     "q_score_auc" ->

@@ -61,6 +61,8 @@ object SgdNet {
         fitGaussianLike(df, featureCols, labelCols, params)
       case "binomial" =>
         fitBinomial(df, featureCols, labelCols.head, params)
+      case "poisson" =>
+        fitPoisson(df, featureCols, labelCols.head, params)
       case "multinomial" =>
         fitMultinomial(df, featureCols, labelCols.head, params)
       case f => throw new IllegalArgumentException(s"unsupported family: $f")
@@ -293,6 +295,164 @@ object SgdNet {
 
     new SgdNetModel("binomial", featureCols.toArray, Array(labelCol),
       classes, lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+  }
+
+  // ---------------------------------------------------------------- poisson
+
+  /** Poisson regression with log link — a graft extension beyond the
+    * reference's four families, using the same distributed IRLS shape as
+    * binomial: one `treeAggregate` per Newton step, penalized WLS solved
+    * driver-side by CD. y must be a nonnegative count-like column.
+    */
+  private def fitPoisson(df: DataFrame, featureCols: Seq[String],
+                         labelCol: String, params: SgdNetParams): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    val p = featureCols.size
+    val rows = df.select(
+        (featureCols.map(c => col(c).cast("double")) :+ col(labelCol).cast("double")): _*)
+      .rdd.map { row =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = row.getDouble(j); j += 1 }
+        (x, Array(row.getDouble(p)))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val g = SufficientStats.compute(rows, p, 1)
+      val st = SufficientStats.standardize(g, params.standardize, params.intercept)
+      val n = g.n.toDouble
+      val yBar = st.yMean(0)
+      require(yBar > 0, "poisson response must contain positive counts")
+
+      val minRatio = if (params.lambdaMinRatio.isNaN)
+        LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
+      val lambdas = if (params.lambda != null) params.lambda
+        else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio)
+
+      val mean = if (params.intercept) st.xMean else new Array[Double](p)
+      val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      val sc = rows.sparkContext
+      val bMean = sc.broadcast(mean)
+      val bScale = sc.broadcast(scale)
+
+      val L = lambdas.length
+      val a0Out = Array.ofDim[Double](L, 1)
+      val betaOut = Array.ofDim[Double](L, 1, p)
+      var beta = new Array[Double](p)
+      var a0 = if (params.intercept) math.log(yBar) else 0.0
+      var passes = 0
+      val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
+
+      for (l <- 0 until L) {
+        var iter = 0
+        var done = false
+        while (iter < 25 && !done) {
+          val wg = poissonGram(rows, bMean.value, bScale.value, beta, a0)
+          passes += 1
+          val ninv = 1.0 / n
+          val a = LinAlg.unpackSym(wg.swxx, p).map(_.map(_ * ninv))
+          val r = CoordinateDescent.solve(a, wg.swxz.map(_ * ninv),
+            wg.swx.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
+            lambdas(l), params.alpha, params.intercept, beta,
+            thresh = newtonTol, maxIter = params.maxit)
+          var maxD = math.abs(r.a0 - a0)
+          var j = 0
+          while (j < p) {
+            val d = math.abs(r.beta(j) - beta(j)); if (d > maxD) maxD = d; j += 1
+          }
+          beta = r.beta; a0 = r.a0
+          iter += 1
+          if (maxD < math.max(params.thresh * 1e-2, 1e-8)) done = true
+        }
+        for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
+        a0Out(l)(0) =
+          if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
+          else a0
+      }
+
+      // null deviance: 2 sum[y log(y/muNull) - (y - muNull)], muNull = yBar
+      // (intercept) or 1 (eta = 0)
+      val muNull = if (params.intercept) yBar else 1.0
+      val devs = poissonDeviance(rows, a0Out, betaOut, muNull)
+      passes += 1
+      val nulldev = devs.last // last slot carries the null-model deviance
+      val devRatio = Array.tabulate(L)(l =>
+        if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
+
+      new SgdNetModel("poisson", featureCols.toArray, Array(labelCol),
+        Array.empty, lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+    } finally rows.unpersist(blocking = false)
+  }
+
+  private def poissonGram(rows: RDD[(Array[Double], Array[Double])],
+                          mean: Array[Double], scale: Array[Double],
+                          beta: Array[Double], a0: Double): WGram = {
+    val p = mean.length
+    rows.treeAggregate(new WGram(p))(
+      seqOp = (s, xy) => {
+        val (xr, y) = xy
+        val xs = new Array[Double](p)
+        var j = 0
+        var eta = a0
+        while (j < p) {
+          xs(j) = (xr(j) - mean(j)) / scale(j)
+          eta += xs(j) * beta(j)
+          j += 1
+        }
+        val etaC = math.max(math.min(eta, 30.0), -30.0)
+        val mu = math.exp(etaC)
+        val w = math.max(mu, 1e-5)
+        val z = etaC + (y(0) - mu) / w
+        s.sw += w; s.swz += w * z
+        j = 0
+        while (j < p) {
+          val wxj = w * xs(j)
+          s.swx(j) += wxj
+          s.swxz(j) += wxj * z
+          var i = 0
+          val base = j * (j + 1) / 2
+          while (i <= j) { s.swxx(base + i) += xs(i) * wxj; i += 1 }
+          j += 1
+        }
+        s
+      },
+      combOp = (a, b) => {
+        a.sw += b.sw; a.swz += b.swz
+        var i = 0
+        while (i < a.swx.length) { a.swx(i) += b.swx(i); a.swxz(i) += b.swxz(i); i += 1 }
+        i = 0
+        while (i < a.swxx.length) { a.swxx(i) += b.swxx(i); i += 1 }
+        a
+      }, depth = 2)
+  }
+
+  /** One pass: deviance for every lambda plus the null model (last slot). */
+  private def poissonDeviance(rows: RDD[(Array[Double], Array[Double])],
+                              a0: Array[Array[Double]],
+                              beta: Array[Array[Array[Double]]],
+                              muNull: Double): Array[Double] = {
+    val L = a0.length
+    rows.treeAggregate(new Array[Double](L + 1))(
+      seqOp = (acc, xy) => {
+        val (x, y) = xy
+        val p = x.length
+        def devTerm(mu: Double): Double = {
+          val ylog = if (y(0) > 0) y(0) * math.log(y(0) / mu) else 0.0
+          2.0 * (ylog - (y(0) - mu))
+        }
+        var l = 0
+        while (l < L) {
+          var eta = a0(l)(0)
+          var j = 0
+          val bl = beta(l)(0)
+          while (j < p) { eta += bl(j) * x(j); j += 1 }
+          acc(l) += devTerm(math.exp(math.max(math.min(eta, 30.0), -30.0)))
+          l += 1
+        }
+        acc(L) += devTerm(muNull)
+        acc
+      },
+      combOp = (a, b) => { var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a },
+      depth = 2)
   }
 
   private def safeXLog(x: Double, q: Double): Double =

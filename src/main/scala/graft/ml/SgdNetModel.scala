@@ -82,6 +82,7 @@ final class SgdNetModel(
     }
 
   def responseCol(lambdaIdx: Int, response: Int = 0): Column = family match {
+    case "poisson" => exp(linkCol(lambdaIdx, response))
     case "binomial" =>
       val eta = linkCol(lambdaIdx, response)
       lit(1.0) / (lit(1.0) + exp(-eta))

@@ -144,6 +144,16 @@ object MlQueries {
     Seq(mse).toDF("mse").withColumn("mse", round(log(col("mse")), 4))
   }
 
+  /** score(type.measure="mae") of the 1-feature OLS over the full table. */
+  def scoreMae(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = Array(0.0), thresh = 1e-9))
+    val mae = li.agg(avg(abs(col("l_extendedprice") - m.linkCol(0)))).head.getDouble(0)
+    Seq(mae).toDF("mae").withColumn("mae", round(log(col("mae")), 4))
+  }
+
   /** Distributed rank-statistic AUC of l_quantity as a score for
     * l_returnflag = 'R' (oracle: the same Mann–Whitney formula in SQL). */
   def scoreAuc(spark: SparkSession, dir: String): DataFrame = {

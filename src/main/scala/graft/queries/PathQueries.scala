@@ -82,6 +82,24 @@ object PathQueries {
       .orderBy("response", "term")
   }
 
+  /** Poisson elastic-net fit (graft extension family; rows-only, solver
+    * verified against spark.ml GLR by PoissonSpec). */
+  def poissonFit(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_discount", "l_tax"), "l_quantity",
+      SgdNetParams(family = "poisson", alpha = 0.5, nlambda = 5, thresh = 1e-6))
+    MlQueries.coefFrame(spark, m, 4)
+  }
+
+  /** Poisson null deviance: 2*sum[y ln(y/ybar) - (y - ybar)] (exact oracle). */
+  def poissonNullDev(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_discount"), "l_quantity",
+      SgdNetParams(family = "poisson", lambda = Array(1e6), maxit = 5))
+    Seq(m.nulldev).toDF("nulldev").withColumn("nulldev", round(log(col("nulldev")), 4))
+  }
+
   // ------------------------------------------------------- predict queries
 
   /** predict(type="response") of the fixed binomial model. */
