@@ -18,7 +18,10 @@ final case class SgdNetParams(
     intercept: Boolean = true,
     thresh: Double = 1e-3,
     maxit: Int = 1000,
-    standardizeResponse: Boolean = false)
+    standardizeResponse: Boolean = false,
+    // "ungrouped" (reference behavior) or "grouped" (group-lasso across
+    // classes per feature — the reference's own TODO, R/sgdnet.R:265)
+    typeMultinomial: String = "ungrouped")
 
 /** Spark-native elastic-net GLM path fitting with the capability surface
   * of `sgdnet` (gaussian, binomial, multinomial, mgaussian families).
@@ -585,10 +588,10 @@ object SgdNet {
     // gradient at null: (1/n)<xs_j, y_t - pbar_t>; with xs centered this is b
     val lambdas = if (params.lambda != null) params.lambda
       else {
-        val perClass = Array.tabulate(k, p)((t, j) => Array(st.b(t)(j)))
-        // ungrouped lasso: lambda_max = max over (j,t) of |b_tj|
-        val flat = Array(st.b.flatten)
-        LambdaPath.build(flat, params.alpha, params.nlambda, minRatio)
+        // ungrouped: lambda_max = max |b_tj|; grouped: max_j ||b_.j||_2
+        val bArg = if (params.typeMultinomial == "grouped") st.b
+          else Array(st.b.flatten)
+        LambdaPath.build(bArg, params.alpha, params.nlambda, minRatio)
       }
 
     val mean = if (params.intercept) st.xMean else new Array[Double](p)
@@ -623,14 +626,34 @@ object SgdNet {
         val nb = Array.ofDim[Double](k, p)
         val na = new Array[Double](k)
         var maxD = 0.0
+        val grouped = params.typeMultinomial == "grouped"
         for (t <- 0 until k) {
           na(t) = if (params.intercept) yA(t) - step * gradA0(t) else 0.0
           val d0 = math.abs(na(t) - a0(t)); if (d0 > maxD) maxD = d0
-          for (j <- 0 until p) {
-            val v = yB(t)(j) - step * grad(t)(j)
-            nb(t)(j) = LinAlg.softThreshold(v, step * lam * params.alpha) /
-              (1.0 + step * lam * (1.0 - params.alpha))
-            val d = math.abs(nb(t)(j) - beta(t)(j)); if (d > maxD) maxD = d
+        }
+        for (j <- 0 until p) {
+          if (grouped) {
+            // group soft-threshold across classes: the l1/l2 mixed norm
+            // prox (fills the reference's own TODO for grouped multinomial)
+            var nrm = 0.0
+            val v = Array.tabulate(k)(t => yB(t)(j) - step * grad(t)(j))
+            v.foreach(x => nrm += x * x)
+            nrm = math.sqrt(nrm)
+            val g = step * lam * params.alpha
+            val shrink =
+              if (nrm > g) (1.0 - g / nrm) / (1.0 + step * lam * (1.0 - params.alpha))
+              else 0.0
+            for (t <- 0 until k) {
+              nb(t)(j) = v(t) * shrink
+              val d = math.abs(nb(t)(j) - beta(t)(j)); if (d > maxD) maxD = d
+            }
+          } else {
+            for (t <- 0 until k) {
+              val v = yB(t)(j) - step * grad(t)(j)
+              nb(t)(j) = LinAlg.softThreshold(v, step * lam * params.alpha) /
+                (1.0 + step * lam * (1.0 - params.alpha))
+              val d = math.abs(nb(t)(j) - beta(t)(j)); if (d > maxD) maxD = d
+            }
           }
         }
         val tk1 = (1.0 + math.sqrt(1.0 + 4.0 * tk * tk)) / 2.0

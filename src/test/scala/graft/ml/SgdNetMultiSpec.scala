@@ -110,6 +110,28 @@ class SgdNetMultiSpec extends SparkSpec {
     }
   }
 
+  test("grouped multinomial zeroes features jointly across classes") {
+    val df = SparkSpec.multiclassDF(spark)
+      .withColumn("noise", rand(7) * 0.01) // near-irrelevant feature
+    val m = SgdNet.fit(df, Seq("x1", "x2", "noise"), "cls",
+      SgdNetParams(family = "multinomial", alpha = 1.0, nlambda = 6,
+        typeMultinomial = "grouped", thresh = 1e-6, maxit = 2000))
+    // group structure at every path point: a feature is zero for ALL
+    // classes or none
+    for (l <- 0 until m.nLambda; j <- 0 until 3) {
+      val zeros = (0 until 3).count(t => m.beta(l)(t)(j) == 0.0)
+      assert(zeros == 0 || zeros == 3,
+        s"grouped sparsity violated at lambda $l feature $j ($zeros/3 zero)")
+    }
+    // informative features enter before the noise feature
+    val firstEntry = (j: Int) => m.beta.indexWhere(bl => bl.exists(bt => bt(j) != 0.0)) match {
+      case -1 => Int.MaxValue
+      case i  => i
+    }
+    assert(firstEntry(0) <= firstEntry(2) && firstEntry(1) <= firstEntry(2),
+      s"entries: x1=${firstEntry(0)} x2=${firstEntry(1)} noise=${firstEntry(2)}")
+  }
+
   test("standardize.response scales and unscales consistently") {
     val df = SparkSpec.regressionDF(spark)
       .withColumn("y2", col("y") * 100.0) // wildly different scale
