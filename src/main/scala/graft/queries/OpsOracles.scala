@@ -7,6 +7,52 @@ package graft.queries
   */
 object OpsOracles {
   val sql: Map[String, String] = Map(
+    "q_pipeline_e2e" ->
+      """
+        |WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(text)),
+        |deduped AS (SELECT d.doc_id, d.text FROM docs d JOIN keep k ON d.doc_id = k.doc_id),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_words,
+        |    (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))::double / len(text) AS punct_ratio,
+        |    (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::double / len(text) AS digit_ratio,
+        |    len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))::double
+        |      / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS uniq_word_ratio
+        |  FROM deduped),
+        |scored AS (
+        |  SELECT *, round(least(n_words / 50.0, 1.0) * 0.4
+        |      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+        |      + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.2
+        |      + least(uniq_word_ratio * 2.0, 1.0) * 0.2, 6) AS quality
+        |  FROM q),
+        |kept AS (SELECT * FROM scored WHERE quality >= 0.8),
+        |lid AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |    len(text) AS nc,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS ws_toks
+        |  FROM kept),
+        |unp AS (
+        |  SELECT doc_id, cjk, nc, ws_toks, 'de' AS lang,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','für'])) AS s FROM lid
+        |  UNION ALL SELECT doc_id, cjk, nc, ws_toks, 'en',
+        |    len(list_intersect(toks, ['the','a','and','of','to','in','is','it','that','for'])) FROM lid
+        |  UNION ALL SELECT doc_id, cjk, nc, ws_toks, 'es',
+        |    len(list_intersect(toks, ['el','la','los','y','es','un','una','en','por','para'])) FROM lid
+        |  UNION ALL SELECT doc_id, cjk, nc, ws_toks, 'fr',
+        |    len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','pour','que'])) FROM lid),
+        |best AS (
+        |  SELECT doc_id, ws_toks,
+        |    CASE WHEN cjk * 2 > nc THEN 'zh' WHEN s = 0 THEN 'und' ELSE lang END AS lang_pred,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang DESC) AS rn
+        |  FROM unp)
+        |SELECT lang_pred, count(*) AS n_docs, cast(sum(ws_toks) AS BIGINT) AS total_tokens
+        |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY lang_pred""".stripMargin.trim,
+
     "q_dedup_exact" ->
       """
         |WITH docs AS (

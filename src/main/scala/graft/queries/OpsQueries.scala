@@ -124,6 +124,25 @@ object OpsQueries {
       .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
       .orderBy("doc_id", "fp")
 
+  /** End-to-end pipeline composition — the shape of a real training-data
+    * job: exact-dedup the (duplicated) corpus, keep quality >= 0.8 docs,
+    * report per-predicted-language doc counts and token totals. Every
+    * stage is engine-portable, so the whole chain has an exact oracle. */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithDups(spark, dir)
+    val keep = Dedup.exact(docs, "doc_id", Seq("text"))
+      .select(col("keep_id").as("doc_id"))
+    val deduped = docs.join(keep, "doc_id")
+    val scored = TextAnalysis.qualityScore(deduped, "text")
+      .filter(col("quality") >= 0.8)
+    scored
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .withColumn("toks", TextAnalysis.wsTokenCount(col("text")))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("total_tokens"))
+      .orderBy("lang_pred")
+  }
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = Multimodal.withPayload(
       tbl(spark, dir, "documents").select("doc_id", "text"), "text", "image")
