@@ -50,6 +50,7 @@ object SparkEntry {
     "q_dedup_cosine"     -> (OpsQueries.dedupCosine _),
     "q_ann_topk"         -> (OpsQueries.annTopK _),
     "q_ann_lsh"          -> (OpsQueries.annLsh _),
+    "q_ann_ivf"          -> (OpsQueries.annIvf _),
     "q_lang_id"          -> (OpsQueries.langId _),
     "q_quality_score"    -> (OpsQueries.qualityScore _),
     "q_token_count"      -> (OpsQueries.tokenCount _),

@@ -52,6 +52,51 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest cells only. The corpus shuffles ONCE on the cell id
+    * (like any partitioned index build); per-query work is bounded by the
+    * probed cells, not corpus size — the standard billion-scale ANN
+    * layout (FAISS-style), expressed as Spark joins.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val withVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("fv", array_to_vector(col("cv")))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(withVec)
+    val cells = km.transform(withVec).select("neighbor_id", "cv", "cell")
+    // driver-side: nprobe nearest centroids per query (centroid table is tiny)
+    val centers = km.clusterCenters.map(_.toArray)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])].collect()
+    val probes = q.flatMap { case (qid, qv) =>
+      centers.zipWithIndex.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < qv.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map { case (_, cell) => (qid, qv, cell) }
+    }
+    val probeDf = spark.createDataset(probes.toSeq).toDF("query_id", "qv", "cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cells.join(broadcast(probeDf), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine(spark, col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a bucket with the
     * query in at least one of `tables` hash tables. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,

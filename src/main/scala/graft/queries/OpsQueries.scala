@@ -88,6 +88,15 @@ object OpsQueries {
       .orderBy("query_id", "rank")
   }
 
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    Ann.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
       .select(TextAnalysis.langId(col("text")).as("lang_pred"))

@@ -60,6 +60,21 @@ class OpsSpec extends SparkSpec {
     assert(approx.size <= exact.size)
   }
 
+  test("IVF ANN: k-means cells prune candidates, recall stays useful") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(e, q, "vec_id", "embedding", k = 10,
+      nlist = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    // random embeddings scatter across cells; nprobe 3/8 should still
+    // recover a solid fraction of true neighbors
+    assert(recall >= 0.25, s"IVF recall $recall")
+    assert(ivf.size <= exact.size, "probed candidates only")
+  }
+
   test("language id picks the right language on natural samples") {
     val samples = Seq(
       ("the cat is on the mat and it is happy", "en"),
