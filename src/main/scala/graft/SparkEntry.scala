@@ -72,8 +72,8 @@ object SparkEntry {
     "q_gauss_ols1" ->
       """WITH s AS (SELECT regr_intercept(l_extendedprice, l_quantity) i,
         |                  regr_slope(l_extendedprice, l_quantity) b FROM lineitem)
-        |SELECT 'a0' AS term, round(i, 4) AS value FROM s
-        |UNION ALL SELECT 'l_quantity', round(b, 4) FROM s
+        |SELECT 'a0' AS term, round(i, 4) + 0 AS value FROM s
+        |UNION ALL SELECT 'l_quantity', round(b, 4) + 0 FROM s
         |ORDER BY term""".stripMargin,
 
     "q_gauss_ridge1" ->
@@ -81,8 +81,8 @@ object SparkEntry {
         |                  covar_pop(l_quantity, l_extendedprice) cxy,
         |                  var_pop(l_quantity) vx FROM lineitem),
         |t AS (SELECT mx, my, cxy / (vx * (1 + 2.5)) AS b FROM s)
-        |SELECT 'a0' AS term, round(my - b * mx, 4) AS value FROM t
-        |UNION ALL SELECT 'l_quantity', round(b, 4) FROM t
+        |SELECT 'a0' AS term, round(my - b * mx, 4) + 0 AS value FROM t
+        |UNION ALL SELECT 'l_quantity', round(b, 4) + 0 FROM t
         |ORDER BY term""".stripMargin,
 
     "q_gauss_lasso1" ->
@@ -91,8 +91,8 @@ object SparkEntry {
         |                  sqrt(var_pop(l_quantity)) sd FROM lineitem),
         |t AS (SELECT mx, my,
         |        sign(cxy / sd) * greatest(abs(cxy / sd) - 1.0, 0) / sd AS b FROM s)
-        |SELECT 'a0' AS term, round(my - b * mx, 4) AS value FROM t
-        |UNION ALL SELECT 'l_quantity', round(b, 4) FROM t
+        |SELECT 'a0' AS term, round(my - b * mx, 4) + 0 AS value FROM t
+        |UNION ALL SELECT 'l_quantity', round(b, 4) + 0 FROM t
         |ORDER BY term""".stripMargin,
 
     "q_gauss_ols3" ->
@@ -117,10 +117,10 @@ object SparkEntry {
         |  (c11*(c22*d3 - d2*c23) - c12*(c12*d3 - d2*c13)
         |    + d1*(c12*c23 - c22*c13)) / det AS b3
         |FROM t)
-        |SELECT 'a0' AS term, round(my - b1*m1 - b2*m2 - b3*m3, 4) AS value FROM u
-        |UNION ALL SELECT 'l_discount', round(b2, 4) FROM u
-        |UNION ALL SELECT 'l_quantity', round(b1, 4) FROM u
-        |UNION ALL SELECT 'l_tax', round(b3, 4) FROM u
+        |SELECT 'a0' AS term, round(my - b1*m1 - b2*m2 - b3*m3, 4) + 0 AS value FROM u
+        |UNION ALL SELECT 'l_discount', round(b2, 4) + 0 FROM u
+        |UNION ALL SELECT 'l_quantity', round(b1, 4) + 0 FROM u
+        |UNION ALL SELECT 'l_tax', round(b3, 4) + 0 FROM u
         |ORDER BY term""".stripMargin,
 
     "q_gauss_ridge3" ->
@@ -150,17 +150,17 @@ object SparkEntry {
         |  (a11*(a22*d3 - d2*a23) - a12*(a12*d3 - d2*a13)
         |    + d1*(a12*a23 - a22*a13)) / det / s3 AS b3
         |FROM t)
-        |SELECT 'a0' AS term, round(my - b1*m1 - b2*m2 - b3*m3, 4) AS value FROM u
-        |UNION ALL SELECT 'l_discount', round(b2, 4) FROM u
-        |UNION ALL SELECT 'l_quantity', round(b1, 4) FROM u
-        |UNION ALL SELECT 'l_tax', round(b3, 4) FROM u
+        |SELECT 'a0' AS term, round(my - b1*m1 - b2*m2 - b3*m3, 4) + 0 AS value FROM u
+        |UNION ALL SELECT 'l_discount', round(b2, 4) + 0 FROM u
+        |UNION ALL SELECT 'l_quantity', round(b1, 4) + 0 FROM u
+        |UNION ALL SELECT 'l_tax', round(b3, 4) + 0 FROM u
         |ORDER BY term""".stripMargin,
 
     "q_gauss_noint" ->
       """WITH s AS (SELECT sum(l_quantity * l_extendedprice)
         |                    / sum(l_quantity * l_quantity) AS b FROM lineitem)
-        |SELECT 'a0' AS term, round(0.0, 4) AS value FROM s
-        |UNION ALL SELECT 'l_quantity', round(b, 4) FROM s
+        |SELECT 'a0' AS term, round(0.0, 4) + 0 AS value FROM s
+        |UNION ALL SELECT 'l_quantity', round(b, 4) + 0 FROM s
         |ORDER BY term""".stripMargin,
 
     "q_lambda_path" ->
@@ -245,9 +245,9 @@ object SparkEntry {
         |        (c1q*vd - cqd*c1d)/det AS b1, (vq*c1d - cqd*c1q)/det AS b2, mq, md FROM t
         |  UNION ALL SELECT 'l_tax', m2,
         |        (c2q*vd - cqd*c2d)/det, (vq*c2d - cqd*c2q)/det, mq, md FROM t)
-        |SELECT response, 'a0' AS term, round(my - b1*mq - b2*md, 4) AS value FROM u
-        |UNION ALL SELECT response, 'l_discount', round(b2, 4) FROM u
-        |UNION ALL SELECT response, 'l_quantity', round(b1, 4) FROM u
+        |SELECT response, 'a0' AS term, round(my - b1*mq - b2*md, 4) + 0 AS value FROM u
+        |UNION ALL SELECT response, 'l_discount', round(b2, 4) + 0 FROM u
+        |UNION ALL SELECT response, 'l_quantity', round(b1, 4) + 0 FROM u
         |ORDER BY response, term""".stripMargin,
 
     "q_predict_response" ->
@@ -299,7 +299,7 @@ object SparkEntry {
         |        sign(b) * greatest(abs(b) - lam, 0) AS beta, b, vy FROM l, s)
         |SELECT cast(lambda_idx AS INTEGER) AS lambda_idx,
         |       CASE WHEN beta != 0 THEN 1 ELSE 0 END AS df,
-        |       round((2 * beta * b - beta * beta) / vy, 6) AS dev_ratio,
+        |       round((2 * beta * b - beta * beta) / vy, 6) + 0 AS dev_ratio,
         |       round(lam, 4) AS lambda
         |FROM c ORDER BY lambda_idx""".stripMargin,
 
@@ -311,8 +311,8 @@ object SparkEntry {
         |c AS (SELECT lambda_idx,
         |        sign(b) * greatest(abs(b) - lam, 0) / sd AS bo, mx, my FROM l, s)
         |SELECT cast(lambda_idx AS INTEGER) AS lambda_idx, '(Intercept)' AS term,
-        |       round(my - bo * mx, 4) AS value FROM c
-        |UNION ALL SELECT cast(lambda_idx AS INTEGER), 'l_quantity', round(bo, 4) FROM c
+        |       round(my - bo * mx, 4) + 0 AS value FROM c
+        |UNION ALL SELECT cast(lambda_idx AS INTEGER), 'l_quantity', round(bo, 4) + 0 FROM c
         |ORDER BY lambda_idx, term""".stripMargin,
 
     "q_deviance" ->

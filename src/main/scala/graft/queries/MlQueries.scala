@@ -21,7 +21,7 @@ object MlQueries {
     val rows = ("a0", m.a0(l)(resp)) +:
       m.featureNames.toSeq.zipWithIndex.map { case (f, j) => (f, m.beta(l)(resp)(j)) }
     rows.toDF("term", "value")
-      .withColumn("value", round(col("value"), DP))
+      .withColumn("value", round(col("value"), DP) + lit(0.0)) // normalize -0.0
       .orderBy("term")
   }
 

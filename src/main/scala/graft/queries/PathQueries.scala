@@ -59,7 +59,7 @@ object PathQueries {
         m.featureNames.toSeq.zipWithIndex.map { case (f, j) => (f, m.beta(0)(t)(j)) }
     } yield (m.classLabels(t), term, v)
     rows.toDF("class", "term", "value")
-      .withColumn("value", round(col("value"), 4))
+      .withColumn("value", round(col("value"), 4) + lit(0.0))
       .orderBy("class", "term")
   }
 
@@ -78,7 +78,7 @@ object PathQueries {
         m.featureNames.toSeq.zipWithIndex.map { case (f, j) => (f, m.beta(0)(t)(j)) }
     } yield (m.responseNames(t), term, v)
     rows.toDF("response", "term", "value")
-      .withColumn("value", round(col("value"), 4))
+      .withColumn("value", round(col("value"), 4) + lit(0.0))
       .orderBy("response", "term")
   }
 
@@ -152,7 +152,7 @@ object PathQueries {
   def pathSummary(spark: SparkSession, dir: String): DataFrame = {
     val m = singleFeaturePath(spark, dir)
     m.summaryDF(spark)
-      .withColumn("dev_ratio", round(col("dev_ratio"), 6))
+      .withColumn("dev_ratio", round(col("dev_ratio"), 6) + lit(0.0))
       .withColumn("lambda", round(col("lambda"), 4))
       .orderBy("lambda_idx")
   }
@@ -162,7 +162,7 @@ object PathQueries {
     val m = singleFeaturePath(spark, dir)
     m.coefDF(spark)
       .select(col("lambda_idx").cast("int"), col("term"),
-        round(col("value"), 4).as("value"))
+        (round(col("value"), 4) + lit(0.0)).as("value"))
       .orderBy("lambda_idx", "term")
   }
 
