@@ -290,9 +290,7 @@ object SgdNet {
     val nulldev = -2.0 * n * (safeXLog(pBar, nullP) + safeXLog(1 - pBar, 1 - nullP))
 
     // one scoring pass for the whole path -> deviance ratios
-    val devs = pathDeviance(rows, bMean.value, bScale.value,
-      Array.tabulate(L)(l => Array(a0Out(l)(0) +
-        (0 until p).map(j => betaOut(l)(0)(j) * 0.0).sum)), a0Out, betaOut, binomial = true)
+    val devs = pathDeviance(rows, a0Out, betaOut)
     passes += 1
     val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
 
@@ -516,13 +514,9 @@ object SgdNet {
     * standardization is needed in the scan.
     */
   private def pathDeviance(rows: RDD[(Array[Double], Array[Double])],
-                           mean: Array[Double], scale: Array[Double],
-                           unused: Array[Array[Double]],
                            a0: Array[Array[Double]],
-                           beta: Array[Array[Array[Double]]],
-                           binomial: Boolean): Array[Double] = {
+                           beta: Array[Array[Array[Double]]]): Array[Double] = {
     val L = a0.length
-    val p = mean.length
     rows.treeAggregate(new Array[Double](L))(
       seqOp = (acc, xy) => {
         val (x, y) = xy
@@ -531,7 +525,7 @@ object SgdNet {
           var eta = a0(l)(0)
           var j = 0
           val bl = beta(l)(0)
-          while (j < p) { eta += bl(j) * x(j); j += 1 }
+          while (j < x.length) { eta += bl(j) * x(j); j += 1 }
           // -2 * [y*eta - log(1+e^eta)] in a numerically stable form
           val m = math.max(eta, 0.0)
           acc(l) += 2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y(0) * eta)

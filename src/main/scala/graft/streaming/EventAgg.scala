@@ -32,6 +32,15 @@ object EventAgg {
                            session_end: Timestamp, n_events: Long, sum_value: Double)
   final case class SessionState(startMs: Long, endMs: Long, cnt: Long, total: Double)
 
+  /** Streaming exact dedup: first-seen row per key within the watermark
+    * horizon (late duplicates beyond the watermark are dropped by the
+    * engine; state for old keys is evicted — the bounded-state version of
+    * batch `Dedup.exact` for infinite streams). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch sessionization: gap-and-island with a per-user window — a new
     * session starts when the gap to the previous event exceeds
     * `gapMinutes`. One shuffle on user_id. */

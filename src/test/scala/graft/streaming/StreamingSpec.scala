@@ -60,6 +60,21 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(_._1 == "c"), "window still open is not emitted")
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val stream = input.toDF().toDF("ts", "event_id", "value")
+    val q = EventAgg.dedupStream(stream, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    input.addData((ts(0), 1L, 1.0), (ts(1), 1L, 2.0), (ts(2), 2L, 3.0),
+      (ts(3), 2L, 4.0), (ts(4), 3L, 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("select event_id from dedup_out")
+      .as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 3L), s"one row per key: ${out.toSeq}")
+  }
+
   test("cv predictAt interpolates between path lambdas") {
     val df = SparkSpec.regressionDF(spark)
     val cv = graft.ml.CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
