@@ -90,6 +90,8 @@ object CvSgdNet {
       val p = params.copy(alpha = a)
       if (params.family == "gaussian" && (measure == "deviance" || measure == "mse"))
         cvGaussianOnePass(df, featureCols, labelCols.head, p, nfolds)
+      else if (params.family == "binomial" && measure == "deviance")
+        cvBinomialShared(df, featureCols, labelCols.head, p, nfolds)
       else cvGeneric(df, featureCols, labelCols, p, nfolds, measure)
     }
     // best path: smallest cvm at its lambdaMin
@@ -170,6 +172,188 @@ object CvSgdNet {
       }
     }
     summarize(params.alpha, lambdas, foldScores, full)
+  }
+
+  // --------------------------------------------- binomial, shared-pass CV
+
+  /** All k fold-models advance TOGETHER: each IRLS round is ONE
+    * `treeAggregate` computing every unconverged fold's weighted Gram
+    * (a row contributes to all train sets except its own fold). Total
+    * pass count ≈ one binomial fit, not k of them — the shape that holds
+    * at 100 TB. Held-out deviance for all (fold, lambda) comes from one
+    * final scoring pass. Driver state: k x p^2.
+    */
+  private def cvBinomialShared(df: DataFrame, featureCols: Seq[String],
+                               labelCol: String, params: SgdNetParams,
+                               nfolds: Int): CvPath = {
+    val p = featureCols.size
+    val full = SgdNet.fit(df, featureCols, labelCol, params)
+    val lambdas = full.lambda
+    val positive = full.classLabels(1)
+
+    val hashCols = (featureCols :+ labelCol).map(col)
+    val rows = df
+      .withColumn("__fold", pmod(xxhash64(hashCols: _*), lit(nfolds)).cast("int"))
+      .select((featureCols.map(c => col(c).cast("double")) :+
+        (col(labelCol).cast("string") === positive).cast("double") :+ col("__fold")): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = r.getDouble(j); j += 1 }
+        (r.getInt(p + 1), x, r.getDouble(p))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      // per-fold standardization stats from per-fold moment subtraction
+      val zero = Array.fill(nfolds)(new GramStats(p, 1))
+      val perFold = rows.treeAggregate(zero)(
+        (acc, t) => { acc(t._1).add(t._2, Array(t._3)); acc },
+        (a, b) => { var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a },
+        depth = 2)
+      val total = new GramStats(p, 1)
+      perFold.foreach(total.merge)
+      val trainStats = Array.tabulate(nfolds) { f =>
+        val tr = new GramStats(p, 1)
+        tr.merge(total)
+        val fg = perFold(f)
+        tr.n -= fg.n
+        for (i <- 0 until p) tr.sumX(i) -= fg.sumX(i)
+        for (i <- 0 until tr.xtx.length) tr.xtx(i) -= fg.xtx(i)
+        tr.sumY(0) -= fg.sumY(0); tr.sumYY(0) -= fg.sumYY(0)
+        for (i <- 0 until tr.xty.length) tr.xty(i) -= fg.xty(i)
+        SufficientStats.standardize(tr, params.standardize, params.intercept)
+      }
+      val nTrain = Array.tabulate(nfolds)(f => (total.n - perFold(f).n).toDouble)
+      val means = trainStats.map(st => if (params.intercept) st.xMean else new Array[Double](p))
+      val scales = trainStats.map(st => if (params.standardize) st.xSd else Array.fill(p)(1.0))
+      val sc = rows.sparkContext
+      val bMeans = sc.broadcast(means)
+      val bScales = sc.broadcast(scales)
+
+      val L = lambdas.length
+      val beta = Array.fill(nfolds)(new Array[Double](p))
+      val a0 = Array.tabulate(nfolds) { f =>
+        val pb = trainStats(f).yMean(0)
+        if (params.intercept && pb > 0 && pb < 1) math.log(pb / (1 - pb)) else 0.0
+      }
+      // original-scale coefficients per fold per lambda (for scoring pass)
+      val a0Out = Array.ofDim[Double](nfolds, L)
+      val betaOut = Array.ofDim[Double](nfolds, L, p)
+
+      for (l <- 0 until L) {
+        val active = Array.fill(nfolds)(true)
+        var iter = 0
+        while (iter < 25 && active.exists(identity)) {
+          val betaSnap = beta.map(_.clone())
+          val a0Snap = a0.clone()
+          val activeSnap = active.clone()
+          // ONE pass: weighted grams for all active folds
+          val grams = rows.treeAggregate(
+            Array.fill(nfolds)(new BinWGram(p)))(
+            (acc, t) => {
+              val (rowFold, xr, y) = t
+              var f = 0
+              while (f < nfolds) {
+                if (f != rowFold && activeSnap(f)) {
+                  val m = bMeans.value(f); val s = bScales.value(f)
+                  val bf = betaSnap(f)
+                  var eta = a0Snap(f)
+                  val xs = new Array[Double](p)
+                  var j = 0
+                  while (j < p) {
+                    xs(j) = (xr(j) - m(j)) / s(j); eta += xs(j) * bf(j); j += 1
+                  }
+                  val mu = 1.0 / (1.0 + math.exp(-eta))
+                  val w = math.max(mu * (1.0 - mu), 1e-5)
+                  val z = eta + (y - mu) / w
+                  acc(f).add(xs, w, z)
+                }
+                f += 1
+              }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a },
+            depth = 2)
+          for (f <- 0 until nfolds if active(f)) {
+            val g = grams(f)
+            val ninv = 1.0 / nTrain(f)
+            val aM = LinAlg.unpackSym(g.swxx, p).map(_.map(_ * ninv))
+            val r = CoordinateDescent.solve(aM, g.swxz.map(_ * ninv),
+              g.swx.map(_ * ninv), g.swz * ninv, g.sw * ninv,
+              lambdas(l), params.alpha, params.intercept, beta(f),
+              thresh = math.max(params.thresh * 1e-4, 1e-10),
+              maxIter = params.maxit)
+            var maxD = math.abs(r.a0 - a0(f))
+            var j = 0
+            while (j < p) {
+              val d = math.abs(r.beta(j) - beta(f)(j)); if (d > maxD) maxD = d; j += 1
+            }
+            beta(f) = r.beta; a0(f) = r.a0
+            if (maxD < math.max(params.thresh * 1e-2, 1e-8)) active(f) = false
+          }
+          iter += 1
+        }
+        for (f <- 0 until nfolds) {
+          for (j <- 0 until p) betaOut(f)(l)(j) = beta(f)(j) / scales(f)(j)
+          a0Out(f)(l) =
+            if (params.intercept)
+              a0(f) - (0 until p).map(j => betaOut(f)(l)(j) * means(f)(j)).sum
+            else a0(f)
+        }
+      }
+
+      // one scoring pass: held-out deviance per (fold, lambda)
+      val bA0 = sc.broadcast(a0Out)
+      val bBeta = sc.broadcast(betaOut)
+      val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
+        (acc, t) => {
+          val (f, x, y) = t
+          var l = 0
+          while (l < L) {
+            var eta = bA0.value(f)(l)
+            val bl = bBeta.value(f)(l)
+            var j = 0
+            while (j < p) { eta += bl(j) * x(j); j += 1 }
+            val mu = math.min(math.max(1.0 / (1.0 + math.exp(-eta)), 1e-5), 1.0 - 1e-5)
+            acc(f * L + l) += -2.0 * (y * math.log(mu) + (1 - y) * math.log(1 - mu))
+            l += 1
+          }
+          acc
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      val foldScores = Array.tabulate(nfolds, L)((f, l) =>
+        sums(f * L + l) / perFold(f).n.toDouble)
+      summarize(params.alpha, lambdas, foldScores, full)
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** Mutable weighted-gram accumulator used by the shared CV pass. */
+  private final class BinWGram(p: Int) extends Serializable {
+    var sw = 0.0; var swz = 0.0
+    val swx = new Array[Double](p)
+    val swxz = new Array[Double](p)
+    val swxx = new Array[Double](LinAlg.triSize(p))
+    def add(xs: Array[Double], w: Double, z: Double): Unit = {
+      sw += w; swz += w * z
+      var j = 0
+      while (j < p) {
+        val wxj = w * xs(j)
+        swx(j) += wxj
+        swxz(j) += wxj * z
+        var i = 0
+        val base = j * (j + 1) / 2
+        while (i <= j) { swxx(base + i) += xs(i) * wxj; i += 1 }
+        j += 1
+      }
+    }
+    def merge(o: BinWGram): Unit = {
+      sw += o.sw; swz += o.swz
+      var i = 0
+      while (i < swx.length) { swx(i) += o.swx(i); swxz(i) += o.swxz(i); i += 1 }
+      i = 0
+      while (i < swxx.length) { swxx(i) += o.swxx(i); i += 1 }
+    }
   }
 
   // ------------------------------------------------- generic per-fold refit

@@ -66,4 +66,37 @@ class CvSpec extends SparkSpec {
     assert(b.cvm.min < b.cvm.head, "regularized fit beats the near-null fit")
     assert(b.cvm.forall(v => v > 0 && v.isFinite))
   }
+
+  test("binomial shared-pass CV matches per-fold refits") {
+    val df = SparkSpec.binaryDF(spark, n = 400)
+    val params = SgdNetParams(family = "binomial", alpha = 0.5, nlambda = 4,
+      thresh = 1e-6, maxit = 100000)
+    // shared-pass path (measure=deviance routes there)
+    val fast = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"), params,
+      nfolds = 3, measure = "deviance")
+    // manual per-fold refits with the same hash folds and lambdas
+    import org.apache.spark.sql.functions._
+    val k = 3
+    val withFold = df.withColumn("__fold",
+      pmod(xxhash64(col("x1"), col("x2"), col("y")), lit(k)))
+    val lambdas = fast.best.lambda
+    val manual = Array.ofDim[Double](k, lambdas.length)
+    for (f <- 0 until k) {
+      val train = withFold.filter(col("__fold") =!= f)
+      val test = withFold.filter(col("__fold") === f)
+      val m = SgdNet.fit(train, Seq("x1", "x2"), "y", params.copy(lambda = lambdas))
+      for (l <- lambdas.indices) {
+        val pm = m.responseCol(l)
+        val pc = least(greatest(pm, lit(1e-5)), lit(1.0 - 1e-5))
+        manual(f)(l) = test.agg(avg(lit(-2.0) *
+          (col("y") * log(pc) + (lit(1.0) - col("y")) * log(lit(1.0) - pc))))
+          .head.getDouble(0)
+      }
+    }
+    for (l <- lambdas.indices) {
+      val cvmManual = (0 until k).map(manual(_)(l)).sum / k
+      assert(math.abs(fast.best.cvm(l) - cvmManual) < 1e-4,
+        s"lambda $l: shared=${fast.best.cvm(l)} manual=$cvmManual")
+    }
+  }
 }
