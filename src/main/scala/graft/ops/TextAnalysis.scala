@@ -82,6 +82,24 @@ object TextAnalysis {
       .otherwise(best.getField("l"))
   }
 
+  // ---------------------------------------------------------- text cleaning
+
+  /** Canonical text normalization for dedup/training: lowercase, collapse
+    * whitespace runs, strip leading/trailing whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** PII scrubbing: mask email addresses, long digit runs (phone/account
+    * numbers), and bare IPv4 addresses with typed placeholders. Simple
+    * dialect-portable patterns (same semantics in Java regex and RE2). */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, "[0-9][0-9 ()+-]{6,}[0-9]", "<NUMBER>")
+  }
+
   // --------------------------------------------------------- fingerprinting
 
   /** Document fingerprint: minimum md5 over all character k-grams (the

@@ -7,6 +7,30 @@ package graft.queries
   */
 object OpsOracles {
   val sql: Map[String, String] = Map(
+    "q_pii_scrub" ->
+      """
+        |WITH injected AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' contact bob' || doc_id::varchar ||
+        |    '@example.com or call +1 (555) 010-' || lpad((doc_id % 10000)::varchar, 4, '0') ||
+        |    ' ip 10.0.' || (doc_id % 256)::varchar || '.7 ' || substr(text, 41) AS text
+        |  FROM documents WHERE doc_id < 200),
+        |scrubbed AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '[0-9][0-9 ()+-]{6,}[0-9]', '<NUMBER>', 'g') AS text
+        |  FROM injected),
+        |norm AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text FROM scrubbed)
+        |SELECT doc_id, md5(text) AS scrubbed_hash,
+        |  contains(text, '<email>') AS has_email_mask,
+        |  contains(text, '<number>') AS has_number_mask,
+        |  contains(text, '<ip>') AS has_ip_mask
+        |FROM norm ORDER BY doc_id""".stripMargin.trim,
+
     "q_pipeline_e2e" ->
       """
         |WITH docs AS (

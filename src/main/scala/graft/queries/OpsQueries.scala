@@ -152,6 +152,26 @@ object OpsQueries {
       .orderBy("lang_pred")
   }
 
+  /** PII scrubbing + normalization over documents with deterministically
+    * injected emails/phones/IPs: every row must come out masked, hashes
+    * compared exactly against the oracle's identical chain. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents").filter(col("doc_id") < 200)
+    val injected = d.withColumn("text", concat(
+      substring(col("text"), 1, 40), lit(" contact bob"),
+      col("doc_id").cast("string"), lit("@example.com or call +1 (555) 010-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 "),
+      expr("substring(text, 41)")))
+    val cleaned = injected.withColumn("text",
+      TextAnalysis.normalize(TextAnalysis.scrubPii(col("text"))))
+    cleaned.select(col("doc_id"), md5(col("text")).as("scrubbed_hash"),
+      col("text").contains("<email>").as("has_email_mask"),
+      col("text").contains("<number>").as("has_number_mask"),
+      col("text").contains("<ip>").as("has_ip_mask"))
+      .orderBy("doc_id")
+  }
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = Multimodal.withPayload(
       tbl(spark, dir, "documents").select("doc_id", "text"), "text", "image")
