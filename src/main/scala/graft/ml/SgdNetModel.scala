@@ -169,17 +169,35 @@ final class SgdNetModel(
     import spark.implicits._
     val label = col(responseNames(0))
     val aggs: Seq[(Int, Column)] = idxs.map { l =>
-      measure match {
-        case "mse" | "deviance_gaussian" =>
+      (family, measure) match {
+        // gaussian: deviance == mse (reference score.R:21-24)
+        case ("gaussian" | "mgaussian", "mse" | "deviance") =>
           l -> avg(pow(label - linkCol(l), 2))
-        case "mae" =>
+        case ("gaussian" | "mgaussian", "mae") =>
           l -> avg(abs(label - linkCol(l)))
-        case "class" => family match {
-          case "binomial" | "multinomial" =>
-            l -> avg(when(classCol(l) === label.cast("string"), 0.0).otherwise(1.0))
-          case f => throw new IllegalArgumentException(s"class score undefined for $f")
-        }
-        case m => throw new IllegalArgumentException(s"unknown measure: $m")
+        // binomial measures on the one-hot encoding (score.R:44-62):
+        // mse/mae double-count both classes; deviance is clamped log-loss
+        case ("binomial", "deviance") =>
+          val y = (label.cast("string") === lit(classLabels(1))).cast("double")
+          val pc = least(greatest(responseCol(l), lit(1e-5)), lit(1.0 - 1e-5))
+          l -> avg(lit(-2.0) * (y * log(pc) + (lit(1.0) - y) * log(lit(1.0) - pc)))
+        case ("binomial", "mse") =>
+          val y = (label.cast("string") === lit(classLabels(1))).cast("double")
+          l -> avg(lit(2.0) * pow(responseCol(l) - y, 2))
+        case ("binomial", "mae") =>
+          val y = (label.cast("string") === lit(classLabels(1))).cast("double")
+          l -> avg(lit(2.0) * abs(responseCol(l) - y))
+        case ("multinomial", "deviance") =>
+          val y = label.cast("string")
+          val terms = (0 until nResponses).map { t =>
+            val pt = least(greatest(responseCol(l, t), lit(1e-5)), lit(1.0 - 1e-5))
+            when(y === lit(classLabels(t)), lit(-2.0) * log(pt)).otherwise(lit(0.0))
+          }
+          l -> avg(terms.reduce(_ + _))
+        case ("binomial" | "multinomial", "class") =>
+          l -> avg(when(classCol(l) === label.cast("string"), 0.0).otherwise(1.0))
+        case (f, m) =>
+          throw new IllegalArgumentException(s"unsupported measure $m for family $f")
       }
     }
     val row = df.agg(aggs.head._2.as(s"m_${aggs.head._1}"),

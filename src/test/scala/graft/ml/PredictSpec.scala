@@ -43,6 +43,33 @@ class PredictSpec extends SparkSpec {
     assert(mb.npasses >= 2, "at least one IRLS pass per lambda")
   }
 
+  test("score() measures: deviance==mse for gaussian, mae, class error") {
+    val df = SparkSpec.regressionDF(spark)
+    val m = SgdNet.fit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(alpha = 1.0, nlambda = 3, thresh = 1e-8))
+    val dev = m.score(df, "deviance").collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val mse = m.score(df, "mse").collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    dev.foreach { case (l, v) => assert(v == mse(l), s"deviance==mse at $l") }
+    val mae = m.score(df, "mae").collect()
+    assert(mae.length == 3 && mae.forall(_.getDouble(2) > 0))
+    val db = SparkSpec.binaryDF(spark)
+    val mb = SgdNet.fit(db, Seq("x1", "x2"), "y",
+      SgdNetParams(family = "binomial", lambda = Array(0.02), thresh = 1e-7))
+    val cls = mb.score(db, "class").head.getDouble(2)
+    assert(cls > 0 && cls < 0.3, s"class error $cls")
+    // binomial deviance/mse per the reference's one-hot definitions
+    val bdev = mb.score(db, "deviance").head.getDouble(2)
+    val bmse = mb.score(db, "mse").head.getDouble(2)
+    val manualDev = db.selectExpr(
+      s"avg(-2 * (y * ln(least(greatest(${"1.0/(1.0+exp(-(" +
+        mb.a0(0)(0) + " + x1*" + mb.beta(0)(0)(0) + " + x2*" + mb.beta(0)(0)(1) + ")))"}, 1e-5), 1.0-1e-5)) " +
+        s"+ (1-y) * ln(1 - least(greatest(${"1.0/(1.0+exp(-(" +
+        mb.a0(0)(0) + " + x1*" + mb.beta(0)(0)(0) + " + x2*" + mb.beta(0)(0)(1) + ")))"}, 1e-5), 1.0-1e-5))))")
+      .head.getDouble(0)
+    assert(math.abs(bdev - manualDev) < 1e-9, s"$bdev vs $manualDev")
+    assert(bmse > 0 && bmse < 2.0)
+  }
+
   test("refit merges extra lambdas and agrees with direct fits (exact predict)") {
     val df = SparkSpec.regressionDF(spark)
     val m = SgdNet.fit(df, Seq("x1", "x2"), "y",
