@@ -100,6 +100,31 @@ object TextAnalysis {
     regexp_replace(ip, "[0-9][0-9 ()+-]{6,}[0-9]", "<NUMBER>")
   }
 
+  // ------------------------------------------------------ repetition filters
+
+  /** Gopher-style repetition metrics: fraction of duplicate lines and the
+    * fraction of characters in the most common line (documents dominated
+    * by repeated boilerplate lines get filtered upstream of training).
+    * Pure per-row expressions over the split-lines array. */
+  def repetitionMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\\n")
+    df.withColumn("n_lines", size(lines))
+      .withColumn("n_distinct_lines", size(array_distinct(lines)))
+      .withColumn("dup_line_ratio",
+        (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+  }
+
+  /** Top n-gram concentration: characters covered by the single most
+    * frequent word — high values indicate degenerate repetition. */
+  def topWordConcentration(text: Column): Column = {
+    val ws = Dedup.words(text)
+    val distinctW = array_distinct(ws)
+    // count of the most frequent word via HOFs on small per-doc arrays
+    val maxCount = array_max(transform(distinctW,
+      w => size(filter(ws, x => x === w))))
+    maxCount.cast("double") / size(ws)
+  }
+
   // --------------------------------------------------------- fingerprinting
 
   /** Document fingerprint: minimum md5 over all character k-grams (the

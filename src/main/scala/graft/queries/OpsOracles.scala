@@ -7,6 +7,19 @@ package graft.queries
   */
 object OpsOracles {
   val sql: Map[String, String] = Map(
+    "q_repetition" ->
+      """
+        |SELECT doc_id,
+        |  len(string_split(text, chr(10))) AS n_lines,
+        |  len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines,
+        |  round((len(string_split(text, chr(10))) - len(list_distinct(string_split(text, chr(10)))))::double
+        |    / len(string_split(text, chr(10))), 6) AS dup_line_ratio,
+        |  round(list_aggregate(list_transform(list_distinct(ws),
+        |      w -> len(list_filter(ws, x -> x = w))), 'max')::double / len(ws), 6) AS top_word_conc
+        |FROM (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |      FROM documents WHERE doc_id < 100)
+        |ORDER BY doc_id""".stripMargin.trim,
+
     "q_pii_scrub" ->
       """
         |WITH injected AS (

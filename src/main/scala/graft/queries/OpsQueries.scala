@@ -152,6 +152,17 @@ object OpsQueries {
       .orderBy("lang_pred")
   }
 
+  /** Gopher-style repetition metrics + top-word concentration. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents").filter(col("doc_id") < 100)
+    TextAnalysis.repetitionMetrics(d, "text")
+      .withColumn("top_word_conc",
+        round(TextAnalysis.topWordConcentration(col("text")), 6))
+      .select(col("doc_id"), col("n_lines"), col("n_distinct_lines"),
+        round(col("dup_line_ratio"), 6).as("dup_line_ratio"), col("top_word_conc"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrubbing + normalization over documents with deterministically
     * injected emails/phones/IPs: every row must come out masked, hashes
     * compared exactly against the oracle's identical chain. */
