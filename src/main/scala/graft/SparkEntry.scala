@@ -60,6 +60,7 @@ object SparkEntry {
     "q_pipeline_e2e"     -> (OpsQueries.pipelineE2e _),
     "q_pii_scrub"        -> (OpsQueries.piiScrub _),
     "q_repetition"       -> (OpsQueries.repetition _),
+    "q_contamination"    -> (OpsQueries.contamination _),
     "q_event_window"     -> (EventQueries.eventWindow _),
     "q_sessionize"       -> (EventQueries.sessionize _),
     "q_cv_predict"       -> (EventQueries.cvPredict _)

@@ -125,6 +125,33 @@ object TextAnalysis {
     maxCount.cast("double") / size(ws)
   }
 
+  // ------------------------------------------------------- contamination
+
+  /** Benchmark-contamination detection: fraction of each document's
+    * distinct w-word shingles that appear anywhere in the benchmark
+    * corpus (the decontamination primitive for training pipelines).
+    *
+    * Shape: benchmark shingles deduplicate once, the doc-side inverted
+    * index joins on the shingle key (benchmark side broadcasts when
+    * small), and matches aggregate per doc — never a cartesian product,
+    * corpus scales linearly. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    w: Int = 3): DataFrame = {
+    val docSets = Dedup.shingleSets(docs, idCol, textCol, w)
+      .withColumn("n", size(col("sh")))
+      .cache()
+    val benchGrams = Dedup.shingleSets(bench, idCol, benchTextCol, w)
+      .select(explode(col("sh")).as("g")).distinct()
+    val inv = docSets.select(col("__id"), explode(col("sh")).as("g"))
+    val matched = inv.join(benchGrams, "g")
+      .groupBy(col("__id")).agg(count(lit(1)).as("c"))
+    docSets.join(matched, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("n"))
+          .as("contamination"))
+  }
+
   // --------------------------------------------------------- fingerprinting
 
   /** Document fingerprint: minimum md5 over all character k-grams (the

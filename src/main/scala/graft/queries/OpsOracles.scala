@@ -7,6 +7,19 @@ package graft.queries
   */
 object OpsOracles {
   val sql: Map[String, String] = Map(
+    "q_contamination" ->
+      """
+        |WITH sets AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w FROM documents)),
+        |b AS (SELECT DISTINCT unnest(sh) AS g FROM sets WHERE doc_id < 5),
+        |d AS (SELECT doc_id, sh, len(sh) AS n FROM sets WHERE doc_id < 200),
+        |e AS (SELECT doc_id, n, unnest(sh) AS g FROM d),
+        |m AS (SELECT e.doc_id AS mid, count(*) AS c FROM e JOIN b USING (g) GROUP BY 1)
+        |SELECT d.doc_id AS doc_id, round(coalesce(m.c, 0)::double / d.n, 6) AS contamination
+        |FROM d LEFT JOIN m ON d.doc_id = m.mid ORDER BY doc_id""".stripMargin.trim,
+
     "q_repetition" ->
       """
         |SELECT doc_id,

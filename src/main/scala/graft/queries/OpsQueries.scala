@@ -152,6 +152,18 @@ object OpsQueries {
       .orderBy("lang_pred")
   }
 
+  /** Benchmark-contamination: shingle overlap of docs < 200 against the
+    * "benchmark" (docs < 5 stand in). Planted property: benchmark docs
+    * score exactly 1.0. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val all = tbl(spark, dir, "documents")
+    TextAnalysis.contamination(
+        all.filter(col("doc_id") < 200), "doc_id", "text",
+        all.filter(col("doc_id") < 5), "text")
+      .withColumn("contamination", round(col("contamination"), 6))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition metrics + top-word concentration. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     val d = tbl(spark, dir, "documents").filter(col("doc_id") < 100)
