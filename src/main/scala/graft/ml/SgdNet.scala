@@ -650,8 +650,17 @@ object SgdNet {
             }
           }
         }
-        val tk1 = (1.0 + math.sqrt(1.0 + 4.0 * tk * tk)) / 2.0
-        val mom = (tk - 1.0) / tk1
+        // gradient-based adaptive restart (O'Donoghue & Candès): when the
+        // momentum direction opposes the gradient step, reset it —
+        // typically 2-5x fewer gradient passes, each of which is a
+        // cluster scan here
+        var restartDot = 0.0
+        for (t <- 0 until k; j <- 0 until p)
+          restartDot += grad(t)(j) * (nb(t)(j) - beta(t)(j))
+        for (t <- 0 until k) restartDot += gradA0(t) * (na(t) - a0(t))
+        val tk1 = if (restartDot > 0) 1.0
+          else (1.0 + math.sqrt(1.0 + 4.0 * tk * tk)) / 2.0
+        val mom = if (restartDot > 0) 0.0 else (tk - 1.0) / tk1
         for (t <- 0 until k; j <- 0 until p)
           yB(t)(j) = nb(t)(j) + mom * (nb(t)(j) - beta(t)(j))
         for (t <- 0 until k) yA(t) = na(t) + mom * (na(t) - a0(t))
