@@ -49,7 +49,13 @@ object CvSgdNet {
         case other        => other.toDouble
       }
       val (a0, beta) = best.fit.atLambda(s)
-      df.withColumn("pred", best.fit.linkColFor(a0(0), beta(0)))
+      val c = tpe match {
+        case "link"     => best.fit.linkColFor(a0(0), beta(0))
+        case "response" => best.fit.responseColFor(a0, beta)
+        case "class"    => best.fit.classColFor(a0, beta)
+        case t => throw new IllegalArgumentException(s"unknown predict type: $t")
+      }
+      df.withColumn("pred", c)
     }
 
     /** deviance.cv_sgdnet: the full-data fit's deviance path. */

@@ -142,11 +142,15 @@ object SgdNet {
       else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio)
 
     val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
-    // null deviance: intercept-model RSS (or zero-model if no intercept)
+    // null deviance: intercept-model RSS (or zero-model if no intercept).
+    // ySecond is on the response-STANDARDIZED scale (matching the fit);
+    // nulldev is reported on the ORIGINAL y scale (ySecond * yScale^2),
+    // the same scale rss is converted to below — so dev.ratio never mixes
+    // the two even when standardizeResponse=true.
     val ySecond = Array.tabulate(k) { t =>
       if (params.intercept) st.yVar(t) else st.yVar(t) + st.yMean(t) * st.yMean(t)
     }
-    val nulldev = g.n * ySecond.sum
+    val nulldev = g.n * (0 until k).map(t => ySecond(t) * yScale(t) * yScale(t)).sum
 
     val L = lambdas.length
     val a0 = Array.ofDim[Double](L, k)

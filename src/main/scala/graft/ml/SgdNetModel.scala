@@ -81,26 +81,36 @@ final class SgdNetModel(
         if (w == 0.0) acc else acc + col(f) * lit(w)
     }
 
-  def responseCol(lambdaIdx: Int, response: Int = 0): Column = family match {
-    case "poisson" => exp(linkCol(lambdaIdx, response))
+  def responseCol(lambdaIdx: Int, response: Int = 0): Column =
+    responseColFor(a0(lambdaIdx), beta(lambdaIdx), response)
+
+  /** Response-scale prediction for explicit coefficients (all responses —
+    * multinomial softmax needs every class's linear predictor), e.g.
+    * interpolated output of [[atLambda]]. */
+  def responseColFor(a0v: Array[Double], betaV: Array[Array[Double]],
+                     response: Int = 0): Column = family match {
+    case "poisson" => exp(linkColFor(a0v(response), betaV(response)))
     case "binomial" =>
-      val eta = linkCol(lambdaIdx, response)
+      val eta = linkColFor(a0v(response), betaV(response))
       lit(1.0) / (lit(1.0) + exp(-eta))
     case "multinomial" =>
-      val etas = (0 until nResponses).map(t => exp(linkCol(lambdaIdx, t)))
+      val etas = (0 until nResponses).map(t => exp(linkColFor(a0v(t), betaV(t))))
       val z = etas.reduce(_ + _)
-      exp(linkCol(lambdaIdx, response)) / z
-    case _ => linkCol(lambdaIdx, response)
+      exp(linkColFor(a0v(response), betaV(response))) / z
+    case _ => linkColFor(a0v(response), betaV(response))
   }
 
   /** predict(type="class") for binomial/multinomial as a Column. */
-  def classCol(lambdaIdx: Int): Column = family match {
+  def classCol(lambdaIdx: Int): Column = classColFor(a0(lambdaIdx), beta(lambdaIdx))
+
+  /** Class prediction for explicit coefficients (e.g. interpolated). */
+  def classColFor(a0v: Array[Double], betaV: Array[Array[Double]]): Column = family match {
     case "binomial" =>
-      when(responseCol(lambdaIdx) > 0.5, lit(classLabels(1))).otherwise(lit(classLabels(0)))
+      when(responseColFor(a0v, betaV) > 0.5, lit(classLabels(1))).otherwise(lit(classLabels(0)))
     case "multinomial" =>
       // argmax over class linear predictors
       val struct0 = (0 until nResponses).map { t =>
-        struct(linkCol(lambdaIdx, t).as("eta"), lit(classLabels(t)).as("cls"))
+        struct(linkColFor(a0v(t), betaV(t)).as("eta"), lit(classLabels(t)).as("cls"))
       }
       greatest(struct0: _*).getField("cls")
     case f => throw new IllegalArgumentException(s"class prediction undefined for $f")

@@ -62,30 +62,52 @@ object EventAgg {
 
   /** Streaming sessionization with custom state:
     * `flatMapGroupsWithState` keeps one open session per user, emits a
-    * session when the gap is exceeded (or on processing-time timeout).
-    * The KeyValueGroupedDataset shape is the canonical Spark mechanism
-    * for reference-free custom streaming state. */
-  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    * session when the in-data gap is exceeded, or via EVENT-TIME timeout
+    * when the watermark passes `session_end + gap` — the idle user's open
+    * session is flushed and its state entry evicted, so state stays
+    * bounded by the set of users active within the watermark horizon.
+    * (Event-time, not processing-time: no wall-clock dependence, and the
+    * microbatch engine only schedules extra batches when the watermark
+    * actually advances.) The KeyValueGroupedDataset shape is the
+    * canonical Spark mechanism for reference-free custom streaming
+    * state. */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30,
+                       watermarkDelay: String = "30 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          var cur = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val t = e.ts.getTime
-            if (cur == null) cur = SessionState(t, t, 1, e.value)
-            else if (t - cur.endMs > gapMs) {
-              out += Session(uid, new Timestamp(cur.startMs), new Timestamp(cur.endMs),
-                cur.cnt, cur.total)
-              cur = SessionState(t, t, 1, e.value)
-            } else cur = SessionState(cur.startMs, math.max(cur.endMs, t),
-              cur.cnt + 1, cur.total + e.value)
+          if (state.hasTimedOut) {
+            // watermark passed session_end + gap: emit and evict
+            val out = state.getOption.map(cur =>
+              Session(uid, new Timestamp(cur.startMs), new Timestamp(cur.endMs),
+                cur.cnt, cur.total))
+            state.remove()
+            out.iterator
+          } else {
+            var cur = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              if (cur == null) cur = SessionState(t, t, 1, e.value)
+              else if (t - cur.endMs > gapMs) {
+                out += Session(uid, new Timestamp(cur.startMs), new Timestamp(cur.endMs),
+                  cur.cnt, cur.total)
+                cur = SessionState(t, t, 1, e.value)
+              } else cur = SessionState(cur.startMs, math.max(cur.endMs, t),
+                cur.cnt + 1, cur.total + e.value)
+            }
+            if (cur != null) {
+              state.update(cur)
+              // must stay above the current watermark or the engine rejects it
+              state.setTimeoutTimestamp(
+                math.max(cur.endMs + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
           }
-          if (cur != null) state.update(cur)
-          out.iterator
       }
   }
 }

@@ -99,4 +99,25 @@ class CvSpec extends SparkSpec {
         s"lambda $l: shared=${fast.best.cvm(l)} manual=$cvmManual")
     }
   }
+
+  test("predictAt honors the prediction type (link/response/class)") {
+    val df = SparkSpec.binaryDF(spark, n = 400)
+    val cv = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
+      SgdNetParams(family = "binomial", nlambda = 5, thresh = 1e-5),
+      nfolds = 3)
+    val sample = df.limit(20)
+    val link = cv.predictAt(sample, "lambda.min", "link")
+      .select("pred").collect().map(_.getDouble(0))
+    val resp = cv.predictAt(sample, "lambda.min", "response")
+      .select("pred").collect().map(_.getDouble(0))
+    val cls = cv.predictAt(sample, "lambda.min", "class")
+      .select("pred").collect().map(_.getString(0))
+    for (i <- link.indices) {
+      val sigmoid = 1.0 / (1.0 + math.exp(-link(i)))
+      assert(math.abs(resp(i) - sigmoid) < 1e-12,
+        s"response must be sigmoid(link): ${resp(i)} vs $sigmoid")
+      val expected = cv.best.fit.classLabels(if (resp(i) > 0.5) 1 else 0)
+      assert(cls(i) == expected)
+    }
+  }
 }

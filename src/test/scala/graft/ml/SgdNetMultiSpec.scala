@@ -146,5 +146,12 @@ class SgdNetMultiSpec extends SparkSpec {
       assert(math.abs(m.beta(0)(0)(j) - m1.beta(0)(0)(j)) < 1e-7)
       assert(math.abs(m.beta(0)(1)(j) - 100.0 * m1.beta(0)(0)(j)) < 1e-4)
     }
+    // dev.ratio must compare rss and nulldev on ONE scale: with y2=100*y
+    // both responses explain the same variance fraction, so the joint
+    // dev.ratio equals the single-response one (and stays in [0, 1])
+    assert(m.devRatio(0) >= 0 && m.devRatio(0) <= 1,
+      s"devRatio out of range: ${m.devRatio(0)}")
+    assert(math.abs(m.devRatio(0) - m1.devRatio(0)) < 1e-6,
+      s"scale-mixed devRatio: ${m.devRatio(0)} vs ${m1.devRatio(0)}")
   }
 }

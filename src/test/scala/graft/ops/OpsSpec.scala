@@ -20,6 +20,34 @@ class OpsSpec extends SparkSpec {
     assert(c.getAs[Long]("keep_id") == 1L)
   }
 
+  test("exact dedup content key is null-safe") {
+    // rows differing only in WHICH column is null, or null vs empty,
+    // must land in different clusters
+    val rows = Seq(
+      (1L, Option("a"), Option.empty[String], Option("b")),
+      (2L, Option("a"), Option("b"), Option.empty[String]),
+      (3L, Option("a"), Option.empty[String], Option("")),
+      (4L, Option("a"), Option.empty[String], Option("b")) // true dup of 1
+    ).toDF("id", "c1", "c2", "c3")
+    val out = Dedup.exact(rows, "id", Seq("c1", "c2", "c3")).collect()
+    assert(out.length == 3, s"expected 3 distinct keys, got ${out.length}")
+    val dup = out.find(_.getAs[Long]("cluster_size") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("shingle kernel tolerates null text") {
+    val withNull = docs.unionAll(Seq((5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val sets = Dedup.shingleSets(withNull, "doc_id", "text", 3).collect()
+    assert(sets.length == 5)
+    assert(sets.find(_.getLong(0) == 5L).get.getSeq[String](1).isEmpty)
+    // pair operators must survive a null-text row end-to-end
+    val pairs = Dedup.minhashLsh(withNull, "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
   test("minhash LSH finds near-dups, rejects unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
       bands = 4, rowsPerBand = 3, threshold = 0.5)

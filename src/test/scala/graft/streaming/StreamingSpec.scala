@@ -27,7 +27,6 @@ class StreamingSpec extends SparkSpec {
     val q = EventAgg.sessionizeStream(input.toDS(), gapMinutes = 30)
       .writeStream.format("memory").queryName("sessions").outputMode("append").start()
     q.processAllAvailable()
-    q.stop()
     val streamed = spark.sql(
       "select user_id, session_start, n_events, sum_value from sessions")
       .as[(Long, Timestamp, Long, Double)].collect().toSet
@@ -39,6 +38,18 @@ class StreamingSpec extends SparkSpec {
     // sessions themselves stay open in state
     val closed = batch.filterNot(_._2 == ts(10000)).toSet
     assert(streamed == closed, s"streamed=$streamed closed=$closed")
+
+    // advance the watermark past sentinel_end + gap: the idle sentinel
+    // sessions must flush via event-time timeout (and their state evict)
+    input.addData(EventAgg.Event(3L, ts(12000), "c", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val flushed = spark.sql(
+      "select user_id, session_start, n_events, sum_value from sessions")
+      .as[(Long, Timestamp, Long, Double)].collect().toSet
+    val all = batch.toSet // every session of the original events, sentinels included
+    assert(flushed == all, s"flushed=$flushed all=$all")
+    assert(!flushed.exists(_._1 == 3L), "user 3's session is still open")
   }
 
   test("watermarked windowed aggregation finalizes windows in append mode") {
