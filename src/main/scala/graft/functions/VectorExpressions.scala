@@ -111,7 +111,8 @@ object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (args => DotProduct(args(0), args(1))),
-    "graft_cosine" -> (args => CosineSimilarity(args(0), args(1))))
+    "graft_cosine" -> (args => CosineSimilarity(args(0), args(1))),
+    "graft_lang_id" -> (args => LangId(args(0))))
 
   def register(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
     fns.foreach { case (name, builder) =>
@@ -140,6 +141,12 @@ object GraftFunctions {
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_cosine", a, b)
+  }
+
+  /** Codegen'd language-ID of a string column. */
+  def langId(spark: SparkSession, text: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_lang_id", text)
   }
 }
 

@@ -52,38 +52,119 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  // -------------------------------------------------- driver-side k-means
+
+  private def sqdist(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0
+    var j = 0
+    while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+    d
+  }
+
+  private def nearestCell(v: Array[Double], centers: Array[Array[Double]]): Int = {
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val d = sqdist(v, centers(c))
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Lloyd's k-means with k-means++ seeding, run driver-side on a bounded
+    * sample (the coarse quantizer only needs a sample — the FAISS
+    * training recipe; a distributed iterative fit would cost one Spark
+    * job per iteration for a 16-row result). */
+  private[ops] def kmeansFit(xs: Array[Array[Double]], k: Int, seed: Long,
+                             maxIter: Int = 20): Array[Array[Double]] = {
+    require(xs.nonEmpty, "k-means sample is empty")
+    val rnd = new scala.util.Random(seed)
+    val n = xs.length
+    val kk = math.min(k, n)
+    val dim = xs(0).length
+    val centers = Array.ofDim[Array[Double]](kk)
+    centers(0) = xs(rnd.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    for (c <- 1 until kk) {
+      var i = 0
+      while (i < n) {
+        val d = sqdist(xs(i), centers(c - 1))
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+      var r = rnd.nextDouble() * d2.sum
+      var idx = 0
+      while (idx < n - 1 && r > d2(idx)) { r -= d2(idx); idx += 1 }
+      centers(c) = xs(idx).clone()
+    }
+    val assign = Array.fill(n)(-1)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      changed = false
+      var i = 0
+      while (i < n) {
+        val a = nearestCell(xs(i), centers)
+        if (a != assign(i)) { assign(i) = a; changed = true }
+        i += 1
+      }
+      val sums = Array.ofDim[Double](kk, dim)
+      val cnt = new Array[Int](kk)
+      i = 0
+      while (i < n) {
+        val a = assign(i)
+        cnt(a) += 1
+        var j = 0
+        while (j < dim) { sums(a)(j) += xs(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < kk) {
+        if (cnt(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / cnt(c); j += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     * partitions the corpus into `nlist` cells; each query probes its
-    * `nprobe` nearest cells only. The corpus shuffles ONCE on the cell id
-    * (like any partitioned index build); per-query work is bounded by the
-    * probed cells, not corpus size — the standard billion-scale ANN
-    * layout (FAISS-style), expressed as Spark joins.
+    * `nprobe` nearest cells only. The quantizer trains driver-side on a
+    * bounded deterministic sample (FAISS recipe — sample-train, then ONE
+    * distributed assignment pass over the corpus instead of one Spark
+    * job per k-means iteration); per-query work is bounded by the probed
+    * cells, not corpus size — the standard billion-scale ANN layout,
+    * expressed as Spark joins.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+              seed: Long = 42L, maxTrainSample: Int = 65536): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val withVec = corpus.select(col(idCol).as("neighbor_id"),
+    val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("fv", array_to_vector(col("cv")))
-    val km = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(withVec)
-    val cells = km.transform(withVec).select("neighbor_id", "cv", "cell")
+    val sample = vecs.orderBy(col("neighbor_id")).limit(maxTrainSample)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    val centers = kmeansFit(sample, nlist, seed)
+    val bcC = spark.sparkContext.broadcast(centers)
+    // single assignment pass: cell id per corpus row (typed kernel — a
+    // tight argmin loop; no iterative distributed fitting)
+    val cells = vecs.as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, nearestCell(v, bcC.value)) }
+      .toDF("neighbor_id", "cv", "cell")
     // driver-side: nprobe nearest centroids per query (centroid table is tiny)
-    val centers = km.clusterCenters.map(_.toArray)
-    val q = queries.select(col(idCol).as("query_id"),
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .as[(Long, Array[Double])].collect()
     val probes = q.flatMap { case (qid, qv) =>
-      centers.zipWithIndex.map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < qv.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
-        (d, i)
-      }.sortBy(_._1).take(nprobe).map { case (_, cell) => (qid, qv, cell) }
+      centers.zipWithIndex.map { case (c, i) => (sqdist(qv, c), i) }
+        .sortBy(_._1).take(nprobe).map { case (_, cell) => (qid, qv, cell) }
     }
     val probeDf = spark.createDataset(probes.toSeq).toDF("query_id", "qv", "cell")
     val w = Window.partitionBy(col("query_id"))
@@ -98,30 +179,56 @@ object Ann {
   }
 
   /** LSH-bucketed approximate top-k: candidates share a bucket with the
-    * query in at least one of `tables` hash tables. */
+    * query in at least one of `tables` hash tables.
+    *
+    * Bucketing is ONE typed-kernel pass emitting (id, vec, table, bucket)
+    * rows — the previous plan unioned `tables` scan branches, each
+    * computing `bits` interpreted HOF dot products per row. The corpus
+    * side streams into a broadcast join on (table, bucket); candidate
+    * pairs dedupe on ids AFTER the cosine (so the shuffle never carries
+    * vector payloads). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, tables: Int = 8, bits: Int = 6,
               seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     val pl = planes(dim, tables, bits, seed)
+    val bcP = spark.sparkContext.broadcast(pl)
     def bucketed(df: DataFrame, id: String): DataFrame =
-      (0 until tables).map { t =>
-        df.select(col(idCol).as(id),
-          col(vecCol).cast("array<double>").as(s"${id}_v"),
-          lit(t).as("table"), signature(col(vecCol).cast("array<double>"), pl(t)).as("bucket"))
-      }.reduce(_ unionAll _)
+      df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .flatMap { case (rid, v) =>
+          val p = bcP.value
+          (0 until p.length).iterator.map { t =>
+            val tp = p(t)
+            var sig = 0L
+            var b = 0
+            while (b < tp.length) {
+              val plane = tp(b)
+              var d = 0.0
+              var j = 0
+              while (j < v.length) { d += v(j) * plane(j); j += 1 }
+              if (d > 0) sig |= (1L << b)
+              b += 1
+            }
+            (rid, v, t, sig)
+          }
+        }
+        .toDF(id, s"${id}_v", "table", "bucket")
     val cb = bucketed(corpus, "neighbor_id")
     val qb = bucketed(queries, "query_id")
+    // cosine before the dedup: the group-by then shuffles only
+    // (query_id, neighbor_id, cos) — never the vectors
     val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        col("query_id_v").as("qv"), col("neighbor_id_v").as("cv"))
-      .distinct()
+        graft.functions.GraftFunctions.cosine(spark,
+          col("query_id_v"), col("neighbor_id_v")).as("cos"))
+      .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cands.withColumn("cos",
-        graft.functions.GraftFunctions.cosine(corpus.sparkSession, col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
+    cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }

@@ -101,31 +101,85 @@ object Dedup {
     * band's signature slice agrees, and survives if its exact Jaccard
     * >= threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
+  /** One-pass typed kernel: distinct shingle set PLUS the LSH band-bucket
+    * hashes per row. Signature s = min over shingles of md5(s|shingle);
+    * bucket b = md5 of the comma-joined signature slice — identical
+    * strings to the previous explode + codegen'd min-aggregate plan, but
+    * computed in a tight loop with a reused MessageDigest: no exploded
+    * row materialization, no aggregation shuffle at all for the
+    * signature step (the shuffle that remains is the band-bucket join,
+    * which the semantics require). */
+  private def shingleSetsWithBuckets(df: DataFrame, idCol: String,
+                                     textCol: String, w: Int, bands: Int,
+                                     rowsPerBand: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TextKernels.md5Hex
+    val numHashes = bands * rowsPerBand
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (text == null) (id, Array.empty[String], Array.empty[String])
+        else {
+          val ws = text.trim.toLowerCase.split("\\s+")
+          val n = math.max(ws.length - w, 0)
+          val grams = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i <= n) {
+            val sb = new StringBuilder
+            var o = 0
+            while (o < w && i + o < ws.length) {
+              if (o > 0) sb.append(' ')
+              sb.append(ws(i + o))
+              o += 1
+            }
+            grams.add(sb.toString)
+            i += 1
+          }
+          val sh = grams.toArray(Array.empty[String])
+          val sig = new Array[String](numHashes)
+          var s = 0
+          while (s < numHashes) {
+            val prefix = s.toString + "|"
+            var m: String = null
+            var gi = 0
+            while (gi < sh.length) {
+              val h = md5Hex(prefix + sh(gi))
+              if (m == null || h.compareTo(m) < 0) m = h
+              gi += 1
+            }
+            sig(s) = m
+            s += 1
+          }
+          val buckets = new Array[String](if (sh.isEmpty) 0 else bands)
+          var b = 0
+          while (b < buckets.length) {
+            val sb = new StringBuilder
+            var r = 0
+            while (r < rowsPerBand) {
+              if (r > 0) sb.append(',')
+              sb.append(sig(b * rowsPerBand + r))
+              r += 1
+            }
+            buckets(b) = md5Hex(sb.toString)
+            b += 1
+          }
+          (id, sh, buckets)
+        }
+      }
+      .toDF("__id", "sh", "buckets")
+  }
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  bands: Int = 4, rowsPerBand: Int = 3,
                  threshold: Double = 0.6, shingleWidth: Int = 3): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // one pass computes the shingle set AND all signatures; cached because
-    // the band union + self-join would otherwise recompute the md5 work
-    // once per band per join side (~8x at bands=4)
-    val sets = shingleSets(df, idCol, textCol, shingleWidth).cache()
-    // exploded + codegen'd min-aggregates: array HOFs (transform/array_min)
-    // are interpreted, while the exploded md5 projection + hash aggregate
-    // is whole-stage codegen'd with map-side combine — measurably faster
-    val exploded = sets.select(col("__id"), explode(col("sh")).as("g"))
-    val sigCols = (0 until numHashes).map { s =>
-      min(md5(concat(lit(s.toString), lit("|"), col("g")))).as(s"mh_$s")
-    }
-    val sig = exploded.groupBy(col("__id")).agg(sigCols.head, sigCols.tail: _*)
-    // one pass over sig: posexplode of the band-bucket array (a 4-way
-    // union would recompute the signature aggregation per branch)
-    val buckets = array((0 until bands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      md5(concat_ws(",", slice: _*))
-    }: _*)
-    val bandRows = sig
-      .select(col("__id"), posexplode(buckets).as(Seq("band", "bucket")))
-      .cache()
+    // one kernel pass computes the shingle set AND the band buckets;
+    // cached because the self-join + the two verify re-joins would
+    // otherwise recompute the md5 work once per consumer
+    val sets = shingleSetsWithBuckets(df, idCol, textCol, shingleWidth,
+      bands, rowsPerBand).cache()
+    val bandRows = sets
+      .select(col("__id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
     val cands = bandRows.as("l")
       .join(bandRows.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
@@ -133,9 +187,10 @@ object Dedup {
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
     // verify with exact shingle-set jaccard
+    val shOnly = sets.select(col("__id"), col("sh"))
     cands
-      .join(sets.withColumnRenamed("__id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sets.withColumnRenamed("__id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(shOnly.withColumnRenamed("__id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(shOnly.withColumnRenamed("__id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))

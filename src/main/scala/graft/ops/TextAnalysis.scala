@@ -70,17 +70,13 @@ object TextAnalysis {
 
   /** Predicted language: argmax of stopword hits (ties -> lexicographically
     * larger language code, 'und' when no stopword hits), 'zh' when CJK
-    * characters dominate. */
-  def langId(text: Column): Column = {
-    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
-    val scores = langScores(text)
-    val best = greatest(scores.map { case (l, s) =>
-      struct(s.as("s"), lit(l).as("l"))
-    }: _*)
-    when(cjk * 2 > length(text), lit("zh"))
-      .when(best.getField("s") === 0, lit("und"))
-      .otherwise(best.getField("l"))
-  }
+    * characters dominate.
+    *
+    * Backed by the codegen'd `graft_lang_id` expression
+    * ([[graft.functions.LangId]]): the HOF formulation (4 interpreted
+    * array_intersects + a regex per row) measured ~50x slower. */
+  def langId(spark: org.apache.spark.sql.SparkSession, text: Column): Column =
+    graft.functions.GraftFunctions.langId(spark, text)
 
   // ---------------------------------------------------------- text cleaning
 
@@ -156,28 +152,38 @@ object TextAnalysis {
 
   /** Document fingerprint: minimum md5 over all character k-grams (the
     * min-hash member of a winnowing scheme). Deterministic and
-    * engine-portable. */
+    * engine-portable. Typed kernel ([[graft.functions.TextKernels]]):
+    * the HOF version interpreted one md5 expression per gram. */
   def fingerprint(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 8): DataFrame = {
-    val t = col(textCol)
-    val gramHashes = transform(
-      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-      i => md5(t.substr(i, lit(k))))
-    df.select(col(idCol), array_min(gramHashes).as("fingerprint"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.functions.TextKernels.minGramHash(text, k))
+      }
+      .toDF(idCol, "fingerprint")
   }
 
   /** Winnowing fingerprints: minimum gram-hash in each sliding window of
     * `w` consecutive k-gram hashes — the standard winnowing selection
-    * (Schleimer et al.), as pure array expressions. */
+    * (Schleimer et al.).
+    *
+    * Typed kernel: the nested-HOF formulation (transform over window
+    * positions of array_min(slice(gramHashes))) re-evaluated the ENTIRE
+    * gram-hash array per window position interpreted — O(n^2) md5 calls
+    * per document. The kernel hashes each gram once and slides the
+    * window: O(n*w) string compares, one md5 per gram. */
   def winnowing(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 8, w: Int = 4): DataFrame = {
-    val t = col(textCol)
-    val gramHashes = transform(
-      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-      i => md5(t.substr(i, lit(k))))
-    val wins = transform(
-      sequence(lit(0), greatest(size(gramHashes) - w, lit(0))),
-      i => array_min(slice(gramHashes, i + lit(1), lit(w))))
-    df.select(col(idCol), array_distinct(wins).as("fingerprints"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, graft.functions.TextKernels.winnow(text, k, w))
+      }
+      .toDF(idCol, "fingerprints")
   }
 }

@@ -99,7 +99,7 @@ object OpsQueries {
 
   def langId(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
-      .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+      .select(TextAnalysis.langId(spark, col("text")).as("lang_pred"))
       .groupBy("lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang_pred")
 
@@ -129,7 +129,8 @@ object OpsQueries {
     TextAnalysis.winnowing(
         tbl(spark, dir, "documents").filter(col("doc_id") < 20),
         "doc_id", "text", k = 8, w = 4)
-      .cache() // explode would otherwise re-evaluate the winnowing array per OUTPUT row
+      // (no cache needed: the kernel output is a bound attribute, so
+      // explode does not re-evaluate the winnowing work per output row)
       .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
       .orderBy("doc_id", "fp")
 
@@ -145,7 +146,7 @@ object OpsQueries {
     val scored = TextAnalysis.qualityScore(deduped, "text")
       .filter(col("quality") >= 0.8)
     scored
-      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .withColumn("lang_pred", TextAnalysis.langId(spark, col("text")))
       .withColumn("toks", TextAnalysis.wsTokenCount(col("text")))
       .groupBy("lang_pred")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast("long").as("total_tokens"))

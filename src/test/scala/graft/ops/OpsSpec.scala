@@ -112,9 +112,20 @@ class OpsSpec extends SparkSpec {
       ("这是一个中文句子没有空格", "zh"),
       ("xyzzy plugh foobar", "und")
     ).toDF("text", "expected")
-    val out = samples.withColumn("pred", TextAnalysis.langId(col("text")))
+    val out = samples.withColumn("pred", TextAnalysis.langId(spark, col("text")))
       .filter(col("pred") =!= col("expected")).collect()
     assert(out.isEmpty, out.mkString(";"))
+    // kernel expression must agree with the declarative HOF formulation
+    val scores = TextAnalysis.langScores(col("text"))
+    val best = greatest(scores.map { case (l, s) =>
+      struct(s.as("s"), lit(l).as("l")) }: _*)
+    val cjk = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", ""))
+    val hof = when(cjk * 2 > length(col("text")), lit("zh"))
+      .when(best.getField("s") === 0, lit("und"))
+      .otherwise(best.getField("l"))
+    val diff = samples.withColumn("pred", TextAnalysis.langId(spark, col("text")))
+      .withColumn("hof", hof).filter(col("pred") =!= col("hof")).collect()
+    assert(diff.isEmpty, diff.mkString(";"))
   }
 
   test("quality score penalizes repetition and punctuation noise") {
