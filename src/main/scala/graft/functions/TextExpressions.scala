@@ -77,12 +77,7 @@ object TextKernels {
 
   private val HEX = "0123456789abcdef".toCharArray
 
-  /** Lowercase md5 hex of a string's UTF-8 bytes — identical to Spark's
-    * `md5()` / DuckDB's `md5()`. */
-  def md5Hex(s: String): String = {
-    val d = md5tl.get()
-    d.reset()
-    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def toHex(bytes: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -91,6 +86,24 @@ object TextKernels {
       i += 1
     }
     new String(out)
+  }
+
+  /** Lowercase md5 hex of a string's UTF-8 bytes — identical to Spark's
+    * `md5()` / DuckDB's `md5()`. */
+  def md5Hex(s: String): String = {
+    val d = md5tl.get()
+    d.reset()
+    toHex(d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  /** md5 hex of `prefix ++ suffix` without concatenating (equal to
+    * md5Hex(prefixString + suffixString) when the byte arrays are the
+    * UTF-8 encodings) — lets callers encode shared parts once. */
+  def md5Hex2(prefix: Array[Byte], suffix: Array[Byte]): String = {
+    val d = md5tl.get()
+    d.reset()
+    d.update(prefix)
+    toHex(d.digest(suffix))
   }
 
   /** md5 hex of each character k-gram (positions 1..max(len-k+1, 1);

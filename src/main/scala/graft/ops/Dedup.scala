@@ -137,14 +137,20 @@ object Dedup {
             i += 1
           }
           val sh = grams.toArray(Array.empty[String])
+          // encode each gram's UTF-8 bytes ONCE; per (seed, gram) the md5
+          // streams the pre-encoded seed prefix then the gram bytes
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val gramBytes = new Array[Array[Byte]](sh.length)
+          var gi = 0
+          while (gi < sh.length) { gramBytes(gi) = sh(gi).getBytes(utf8); gi += 1 }
           val sig = new Array[String](numHashes)
           var s = 0
           while (s < numHashes) {
-            val prefix = s.toString + "|"
+            val prefix = (s.toString + "|").getBytes(utf8)
             var m: String = null
-            var gi = 0
+            gi = 0
             while (gi < sh.length) {
-              val h = md5Hex(prefix + sh(gi))
+              val h = graft.functions.TextKernels.md5Hex2(prefix, gramBytes(gi))
               if (m == null || h.compareTo(m) < 0) m = h
               gi += 1
             }
@@ -311,9 +317,20 @@ object Dedup {
                      threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val v = df.select(col(idCol).cast("long").as("__id"),
-      normalized(col(vecCol).cast("array<double>")).as("v"))
+    // typed normalize kernel (the HOF normalized() evaluates interpreted,
+    // and this projection runs once per side of the broadcast product)
+    val v = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
+      .map { case (id, a) =>
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { s += a(i) * a(i); i += 1 }
+        val nrm = math.sqrt(s)
+        val out = new Array[Double](a.length)
+        i = 0
+        while (i < a.length) { out(i) = a(i) / nrm; i += 1 }
+        (id, out)
+      }
     val corpus = v.collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(corpus)
     v.mapPartitions { it =>
