@@ -63,7 +63,12 @@ object SparkEntry {
     "q_contamination"    -> (OpsQueries.contamination _),
     "q_event_window"     -> (EventQueries.eventWindow _),
     "q_sessionize"       -> (EventQueries.sessionize _),
-    "q_cv_predict"       -> (EventQueries.cvPredict _)
+    "q_cv_predict"       -> (EventQueries.cvPredict _),
+    "q_dedup_cluster"    -> (OpsQueries.dedupCluster _),
+    "q_boilerplate"      -> (OpsQueries.boilerplate _),
+    "q_sample_strat"     -> (OpsQueries.sampleStrat _),
+    "q_vocab"            -> (OpsQueries.vocab _),
+    "q_asof_join"        -> (EventQueries.asofErrors _)
   )
 
   private val fixedPathValues =

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the most recent right row with
+  * `right.time <= left.time` in the same key group — the canonical
+  * time-series enrichment operator (latest quote for a trade, last
+  * error before a click). Spark has no native ASOF JOIN; the naive
+  * range-predicate join degrades to O(|L| x |R|) per key.
+  *
+  * Execution shape: tag and union both sides, then ONE window pass per
+  * key ordered by (time, side): `last(payload, ignoreNulls)` over
+  * unbounded-preceding rows hands every left row the latest preceding
+  * right payload. At equal timestamps the right row sorts first, so the
+  * match is inclusive (>=). Cost: one shuffle on the key + a per-key
+  * sort — O(n log n), the same shape as a windowed aggregation, at any
+  * scale.
+  */
+object AsofJoin {
+
+  /** @param left        left (probe) side; all its columns are kept
+    * @param right       right (reference) side
+    * @param keyCol      equi-join key present on both sides
+    * @param timeCol     orderable time column present on both sides
+    * @param payloadCols right-side columns to attach (null when no right
+    *                    row precedes the left row)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               timeCol: String, payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "as-of join needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    // unified schema: key, time, side, left columns (null on right rows),
+    // payload columns (null on left rows)
+    val l = left.select(
+      Seq(col(keyCol).as("__k"), col(timeCol).as("__t"), lit(1).as("__side")) ++
+        leftCols.map(col) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+    val r = right.filter(col(timeCol).isNotNull).select(
+      Seq(col(keyCol).as("__k"), col(timeCol).as("__t"), lit(0).as("__side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.unionAll(r)
+      .select(
+        (col("__side") +: leftCols.map(col)) ++
+          payloadCols.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w)
+            .as(s"asof_$c")): _*)
+    joined.filter(col("__side") === 1).drop("__side")
+  }
+}

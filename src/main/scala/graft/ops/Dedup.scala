@@ -352,4 +352,60 @@ object Dedup {
     val nrm = sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (a, x) => a + x))
     transform(v, x => x / nrm)
   }
+
+  /** Connected components over a near-duplicate pair list: every node
+    * gets the MINIMUM id reachable from it as its cluster id — the step
+    * that turns pairwise near-dup evidence ((a,b), (b,c)) into dedup
+    * groups ({a,b,c} keep a).
+    *
+    * Iterative min-label propagation: each round joins the edge list to
+    * the current labels and takes the per-node minimum neighbor label;
+    * converges in O(component diameter) rounds (near-dup components are
+    * shallow — pairs/chains — so 2-4 rounds in practice; a 100 TB run
+    * with deep components would switch to the large-star/small-star
+    * contraction, same join primitive, O(log n) rounds). Each round is
+    * one shuffle on node id; labels are checkpoint-cached so lineage
+    * stays flat.
+    *
+    * Returns (id, cluster_id) for every node appearing in `pairs`. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val p = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    // eager localCheckpoint: materializes AND truncates lineage — without
+    // it every iteration's action re-analyzes the full upstream plan
+    // (e.g. the whole minhash pipeline) plus one more join layer per
+    // round, and planning overhead dwarfs the actual work
+    val edges = p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst").as("pid")).agg(min(col("label")).as("plabel"))
+      // labels only ever DECREASE, so "changed" falls out of the same
+      // projection — no extra prev-vs-next join per round
+      val stepped = labels.join(prop, col("id") === col("pid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"),
+          (coalesce(col("plabel"), col("label")) < col("label")).as("chg"))
+      // pointer jump (label <- label(label)): halves the remaining path
+      // each round, so chains converge in O(log diameter) rounds instead
+      // of O(diameter)
+      val next = stepped.as("a")
+        .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("a.label") === col("jid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"),
+          (col("a.chg") ||
+            coalesce(col("jlabel"), col("a.label")) < col("a.label")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
 }

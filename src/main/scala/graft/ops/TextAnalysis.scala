@@ -121,6 +121,51 @@ object TextAnalysis {
     maxCount.cast("double") / size(ws)
   }
 
+  // ------------------------------------------------- boilerplate removal
+
+  /** Line-level boilerplate removal (C4/Common-Crawl style): a line that
+    * appears in at least `minDocs` DISTINCT documents is boilerplate
+    * (nav menus, cookie banners, copyright footers) and is dropped from
+    * every document; surviving lines are reassembled in original order.
+    *
+    * Shape: one exploded doc-frequency aggregation (map-side combined,
+    * shuffle on the line key), the boilerplate line set broadcasts into
+    * a left-anti join, and the rebuild groups by doc id. Documents whose
+    * every line was boilerplate come back as empty text (left join from
+    * the input keeps them). */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        minDocs: Int): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.groupBy(col("line"))
+      .agg(countDistinct(col(idCol)).as("docs"))
+      .filter(col("docs") >= minDocs)
+      .select(col("line"))
+    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept_lines"))
+    df.select(col(idCol), size(split(col(textCol), "\n")).as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept_lines"), lit(0L))).as("n_removed_lines"))
+  }
+
+  // -------------------------------------------------- corpus vocabulary
+
+  /** Corpus vocabulary with counts: whitespace tokens (lowercased) and
+    * their total occurrence counts, thresholded — the input to frequency
+    * filters and tokenizer training. One map-side-combined aggregation
+    * on the token key. */
+  def vocabulary(df: DataFrame, textCol: String, minCount: Long = 1L): DataFrame =
+    df.select(explode(Dedup.words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
   // ------------------------------------------------------- contamination
 
   /** Benchmark-contamination detection: fraction of each document's

@@ -31,6 +31,24 @@ object EventQueries {
       .withColumn("sum_value", round(col("sum_value"), 4))
       .orderBy("user_id", "session_start")
 
+  /** As-of join: each click event picks up the user's most recent error
+    * event at-or-before its timestamp (the canonical time-series
+    * enrichment; DuckDB's native ASOF JOIN is the oracle). */
+  def asofErrors(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"),
+        col("ts").as("err_ts"), col("value").as("err_value"))
+    graft.ops.AsofJoin.asofJoin(clicks, errors, "user_id", "ts",
+        Seq("err_ts", "err_value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_err_ts").as("err_ts"),
+        (round(col("asof_err_value"), 4) + lit(0.0)).as("err_value"))
+      .orderBy("event_id")
+  }
+
   /** predict.cv_sgdnet at lambda.min (rows-only: fold hash is
     * engine-specific; interpolation spec-verified). */
   def cvPredict(spark: SparkSession, dir: String): DataFrame = {

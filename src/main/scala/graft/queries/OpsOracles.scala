@@ -268,6 +268,92 @@ object OpsOracles {
         |  FROM gh)
         |SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp""".stripMargin.trim,
 
+    "q_dedup_cluster" ->
+      """
+        |WITH RECURSIVE docs AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         array_to_string(list_slice(w, 1, len(w) - 5), ' ')
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w FROM documents)),
+        |sh AS (
+        |  SELECT id, list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS shingles
+        |  FROM (SELECT id, string_split(lower(trim(text)), ' ') w FROM docs)),
+        |mh AS (
+        |  SELECT id, s, min(md5(s::varchar || '|' || u.sh2)) AS sig
+        |  FROM sh, generate_series(0, 11) AS g(s), unnest(sh.shingles) AS u(sh2)
+        |  GROUP BY id, s),
+        |sigv AS (SELECT id, array_agg(sig ORDER BY s) AS sigs FROM mh GROUP BY id),
+        |bands AS (
+        |  SELECT id, b, md5(sigs[b*3+1] || ',' || sigs[b*3+2] || ',' || sigs[b*3+3]) AS bucket
+        |  FROM sigv, generate_series(0, 3) AS g(b)),
+        |cand AS (
+        |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        |  FROM bands l, bands r
+        |  WHERE l.b = r.b AND l.bucket = r.bucket AND l.id < r.id),
+        |sets AS (SELECT id, list_distinct(shingles) AS s FROM sh),
+        |ver AS (
+        |  SELECT id_a, id_b,
+        |         len(list_intersect(a.s, b.s))::double AS inter, len(a.s) AS la, len(b.s) AS lb
+        |  FROM cand JOIN sets a ON cand.id_a = a.id JOIN sets b ON cand.id_b = b.id),
+        |pr AS (SELECT id_a, id_b FROM ver WHERE inter / (la + lb - inter) >= 0.6),
+        |e AS (SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr),
+        |reach AS (
+        |  SELECT s AS id, s AS r FROM e
+        |  UNION
+        |  SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id)
+        |SELECT id AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.trim,
+
+    "q_boilerplate" ->
+      """
+        |WITH injected AS (
+        |  SELECT doc_id,
+        |    'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) || text || chr(10)
+        |      || 'COPYRIGHT 2024 EXAMPLE CORP' AS text
+        |  FROM documents WHERE doc_id < 300),
+        |ls AS (SELECT doc_id, string_split(text, chr(10)) AS la FROM injected),
+        |bset AS (
+        |  SELECT coalesce(array_agg(line), []) AS bl FROM (
+        |    SELECT line FROM (SELECT doc_id, unnest(la) AS line FROM ls) u
+        |    GROUP BY line HAVING count(DISTINCT doc_id) >= 50)),
+        |rebuilt AS (
+        |  SELECT doc_id, la,
+        |         list_filter(la, x -> NOT list_contains(b.bl, x)) AS kept
+        |  FROM ls, bset b)
+        |SELECT doc_id,
+        |       md5(array_to_string(kept, chr(10))) AS clean_hash,
+        |       len(la) AS n_lines,
+        |       len(la) - len(kept) AS n_removed_lines
+        |FROM rebuilt ORDER BY doc_id""".stripMargin.trim,
+
+    "q_sample_strat" ->
+      """
+        |SELECT l_orderkey, l_linenumber, l_returnflag
+        |FROM lineitem
+        |WHERE ((l_orderkey * 100 + l_linenumber) * 2654435761) % 4294967296
+        |      < CASE l_returnflag
+        |          WHEN 'A' THEN 429496730 WHEN 'N' THEN 1073741824
+        |          WHEN 'R' THEN 214748365 ELSE -1 END
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin.trim,
+
+    "q_vocab" ->
+      """
+        |SELECT w AS word, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |      FROM documents)
+        |GROUP BY w ORDER BY word""".stripMargin.trim,
+
+    "q_asof_join" ->
+      """
+        |WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts, value FROM events WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, c.ts, e.ts AS err_ts,
+        |       round(e.value, 4) + 0 AS err_value
+        |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY c.event_id""".stripMargin.trim,
+
     "q_multimodal_meta" ->
       """
         |SELECT doc_id, octet_length(text::blob) AS byte_len,

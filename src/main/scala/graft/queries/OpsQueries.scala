@@ -196,6 +196,47 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** Near-dup clustering: minhash-LSH pairs → connected components →
+    * (doc_id, cluster_id = min id in the component). The step that turns
+    * pairwise near-dup evidence into dedup keep/drop groups. */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.6)
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Line-level boilerplate removal over documents with deterministically
+    * injected header/footer lines: every doc must come out stripped of
+    * exactly the injected lines (its natural lines are unique), verified
+    * by content hash. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents").filter(col("doc_id") < 300)
+      .withColumn("text", concat(lit("SUBSCRIBE TO OUR NEWSLETTER\n"),
+        col("text"), lit("\nCOPYRIGHT 2024 EXAMPLE CORP")))
+    TextAnalysis.removeBoilerplate(d, "doc_id", "text", minDocs = 50)
+      .select(col("doc_id"), md5(col("clean_text")).as("clean_hash"),
+        col("n_lines"), col("n_removed_lines"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling of lineitem by return flag
+    * (Knuth-hash portable: the DuckDB oracle reproduces the exact rows). */
+  def sampleStrat(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    Sampling.stratifiedSample(li,
+        col("l_orderkey") * 100 + col("l_linenumber"), col("l_returnflag"),
+        Map("A" -> 0.10, "N" -> 0.25, "R" -> 0.05))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Corpus vocabulary with counts (whitespace tokens, lowercased). */
+  def vocab(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(tbl(spark, dir, "documents"), "text")
+      .orderBy("word")
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = Multimodal.withPayload(
       tbl(spark, dir, "documents").select("doc_id", "text"), "text", "image")

@@ -171,6 +171,67 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("connected components: pairs collapse to min-id clusters") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (3L, 7L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,3,7} -> 1 (via the 2-1, 2-3, 3-7 chain), {10,11} -> 10
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L),
+      cc.toString)
+  }
+
+  test("boilerplate removal drops shared lines, keeps order, counts removed") {
+    val d = Seq(
+      (1L, "HEADER\nalpha beta\ngamma\nFOOTER"),
+      (2L, "HEADER\ndelta\nFOOTER"),
+      (3L, "HEADER\nepsilon zeta\nFOOTER")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(d, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("alpha beta\ngamma", 4, 2L)), out(1L).toString)
+    assert(out(2L) == (("delta", 3, 2L)))
+    assert(out(3L) == (("epsilon zeta", 3, 2L)))
+  }
+
+  test("hash sampling is deterministic, portable, and nested by fraction") {
+    val df = spark.range(10000).toDF("id")
+    val s10 = Sampling.sample(df, col("id"), 0.10).as[Long].collect().toSet
+    val s10b = Sampling.sample(df, col("id"), 0.10).as[Long].collect().toSet
+    assert(s10 == s10b, "same rows every run")
+    assert(math.abs(s10.size - 1000) < 150, s"~10%: ${s10.size}")
+    val s20 = Sampling.sample(df, col("id"), 0.20).as[Long].collect().toSet
+    assert(s10.subsetOf(s20), "smaller fraction is a subset of the larger")
+    // stratified: fractions differ per stratum
+    val strat = df.withColumn("s", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val out = Sampling.stratifiedSample(strat, col("id"), col("s"),
+        Map("a" -> 0.3, "b" -> 0.05))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("a") - 1500) < 200, out.toString)
+    assert(math.abs(out("b") - 250) < 100, out.toString)
+  }
+
+  test("as-of join attaches the latest preceding right row per key") {
+    import java.sql.Timestamp
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 60000L)
+    val left = Seq((1L, ts(10), "e1"), (1L, ts(30), "e2"), (2L, ts(5), "e3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, ts(8), 100.0), (1L, ts(20), 200.0), (3L, ts(1), 999.0))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.asofJoin(left, right, "k", "t", Seq("v"))
+      .select("name", "asof_v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("e1") == Some(100.0), "latest right at-or-before ts(10) is ts(8)")
+    assert(out("e2") == Some(200.0))
+    assert(out("e3") == None, "no preceding right row for key 2")
+    // inclusive semantics: equal timestamps match
+    val eq = AsofJoin.asofJoin(
+      Seq((1L, ts(8), "x")).toDF("k", "t", "name"), right, "k", "t", Seq("v"))
+      .select("asof_v").head.getDouble(0)
+    assert(eq == 100.0)
+  }
+
   test("streaming: score a fitted model over a structured stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
