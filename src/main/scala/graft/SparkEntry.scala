@@ -43,6 +43,8 @@ object SparkEntry {
     "q_deviance"         -> (PathQueries.devianceQ _),
     "q_cv_curve"         -> (PathQueries.cvCurve _),
     "q_cv_select"        -> (PathQueries.cvSelect _),
+    "q_cv_exact_curve"   -> (PathQueries.cvExactCurve _),
+    "q_cv_exact_pick"    -> (PathQueries.cvExactPick _),
     "q_dedup_exact"      -> (OpsQueries.dedupExact _),
     "q_dedup_minhash"    -> (OpsQueries.dedupMinhash _),
     "q_dedup_simhash"    -> (OpsQueries.dedupSimhash _),
@@ -74,6 +76,46 @@ object SparkEntry {
   private val fixedPathValues =
     "(VALUES (0, 256.0), (1, 128.0), (2, 64.0), (3, 32.0), (4, 16.0), " +
       "(5, 8.0), (6, 4.0), (7, 2.0), (8, 1.0), (9, 0.5)) AS t(lambda_idx, lam)"
+
+  /** Closed-form 1-feature lasso CV (portable Knuth-hash folds, moment
+    * subtraction per fold) — shared CTE chain of the q_cv_exact oracles. */
+  private val cvExactCte =
+    """WITH r AS (
+      |  SELECT l_quantity AS x, l_extendedprice AS y,
+      |    ((l_orderkey * 100 + l_linenumber) * 2654435761) % 4294967296 % 5 AS f
+      |  FROM lineitem),
+      |tot AS (SELECT count(*)::double n, sum(x) sx, sum(y) sy, sum(x*x) sxx,
+      |               sum(x*y) sxy, sum(y*y) syy FROM r),
+      |pf AS (SELECT f, count(*)::double n, sum(x) sx, sum(y) sy, sum(x*x) sxx,
+      |              sum(x*y) sxy, sum(y*y) syy FROM r GROUP BY f),
+      |lmx AS (SELECT abs(covar_pop(l_quantity, l_extendedprice)
+      |          / sqrt(var_pop(l_quantity))) AS lmax FROM lineitem),
+      |lgrid AS (SELECT cast(g.i AS INT) AS lambda_idx,
+      |                 lmax * pow(0.01, g.i / 9.0) AS lam
+      |          FROM lmx, generate_series(0, 9) AS g(i)),
+      |tr AS (SELECT pf.f, tot.n - pf.n AS n, tot.sx - pf.sx AS sx,
+      |              tot.sy - pf.sy AS sy, tot.sxx - pf.sxx AS sxx,
+      |              tot.sxy - pf.sxy AS sxy, tot.syy - pf.syy AS syy
+      |       FROM pf, tot),
+      |fitm AS (SELECT tr.f, lgrid.lambda_idx, lgrid.lam,
+      |           sx/n AS mx, sy/n AS my,
+      |           sqrt(sxx/n - (sx/n)*(sx/n)) AS sd,
+      |           (sxy/n - (sx/n)*(sy/n)) AS cxy
+      |         FROM tr, lgrid),
+      |co AS (SELECT f, lambda_idx, lam, mx, my,
+      |         sign(cxy/sd) * greatest(abs(cxy/sd) - lam, 0) / sd AS b
+      |       FROM fitm),
+      |sc AS (SELECT co.f, lambda_idx, lam, my - b*mx AS a0, b, pf.n AS nf,
+      |         pf.sx AS fx, pf.sy AS fy, pf.sxx AS fxx, pf.sxy AS fxy,
+      |         pf.syy AS fyy
+      |       FROM co JOIN pf ON co.f = pf.f),
+      |msef AS (SELECT lambda_idx, lam, f,
+      |           fyy/nf - 2*a0*fy/nf + a0*a0 + b*b*fxx/nf
+      |             + 2*a0*b*fx/nf - 2*b*fxy/nf AS m
+      |         FROM sc),
+      |curve AS (SELECT lambda_idx, lam, avg(m) AS cvm,
+      |                 stddev_samp(m) / sqrt(5) AS cvsd
+      |          FROM msef GROUP BY lambda_idx, lam)""".stripMargin
 
   /** DuckDB-equivalent SQL for each SQL-expressible query. */
   def oracleSql: Map[String, String] = Map(
@@ -326,7 +368,23 @@ object SparkEntry {
     "q_deviance" ->
       """SELECT round(ln((1 - pow(corr(l_quantity, l_extendedprice), 2))
         |  * count(*) * var_pop(l_extendedprice)), 4) AS deviance
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+
+    "q_cv_exact_curve" ->
+      s"""$cvExactCte
+        |SELECT lambda_idx, round(ln(lam), 4) AS ln_lambda,
+        |       round(ln(cvm), 6) AS ln_cvm, round(ln(cvsd), 6) AS ln_cvsd
+        |FROM curve ORDER BY lambda_idx""".stripMargin,
+
+    "q_cv_exact_pick" ->
+      s"""$cvExactCte,
+        |sel AS (SELECT lam, cvm, cvsd FROM curve
+        |        ORDER BY cvm, lambda_idx LIMIT 1),
+        |one AS (SELECT max(c.lam) AS l1se FROM curve c, sel
+        |        WHERE c.cvm <= sel.cvm + sel.cvsd)
+        |SELECT round(ln(sel.lam), 4) AS ln_lambda_min,
+        |       round(ln(one.l1se), 4) AS ln_lambda_1se
+        |FROM sel, one""".stripMargin
   ) ++ OpsOracles.sql ++ Map(
     "q_event_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

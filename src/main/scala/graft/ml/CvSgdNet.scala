@@ -85,37 +85,47 @@ object CvSgdNet {
     (lambdaMin, lambda(idx1se))
   }
 
+  /** @param foldCol optional custom fold-assignment expression in
+    *                 [0, nfolds); defaults to the content hash
+    *                 `pmod(xxhash64(features, labels), nfolds)`. Supply an
+    *                 engine-portable hash (e.g. [[graft.ops.Sampling
+    *                 .hashBucket]] of a stable key) when results must be
+    *                 reproducible outside Spark. */
   def fit(df: DataFrame, featureCols: Seq[String], labelCols: Seq[String],
           params: SgdNetParams = SgdNetParams(),
           nfolds: Int = 10,
           alphas: Seq[Double] = Seq.empty,
-          measure: String = "deviance"): CvResult = {
+          measure: String = "deviance",
+          foldCol: Column = null): CvResult = {
     require(nfolds >= 2, "nfolds must be at least 2")
     val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
     val paths = alphaGrid.map { a =>
       val p = params.copy(alpha = a)
       if (params.family == "gaussian" && (measure == "deviance" || measure == "mse"))
-        cvGaussianOnePass(df, featureCols, labelCols.head, p, nfolds)
+        cvGaussianOnePass(df, featureCols, labelCols.head, p, nfolds, foldCol)
       else if (params.family == "binomial" && measure == "deviance")
-        cvBinomialShared(df, featureCols, labelCols.head, p, nfolds)
-      else cvGeneric(df, featureCols, labelCols, p, nfolds, measure)
+        cvBinomialShared(df, featureCols, labelCols.head, p, nfolds, foldCol)
+      else cvGeneric(df, featureCols, labelCols, p, nfolds, measure, foldCol)
     }
     // best path: smallest cvm at its lambdaMin
     val best = paths.minBy(p => p.cvm.min)
     CvResult(paths, best)
   }
 
+  private def foldExpr(foldCol: Column, hashCols: Seq[Column], nfolds: Int): Column =
+    if (foldCol != null) foldCol else pmod(xxhash64(hashCols: _*), lit(nfolds))
+
   // ------------------------------------------------- gaussian, one-pass CV
 
   private def cvGaussianOnePass(df: DataFrame, featureCols: Seq[String],
                                 labelCol: String, params: SgdNetParams,
-                                nfolds: Int): CvPath = {
+                                nfolds: Int, foldCol: Column = null): CvPath = {
     val p = featureCols.size
     val full = SgdNet.fit(df, featureCols, labelCol, params) // defines lambda
     val lambdas = full.lambda
 
     val hashCols = (featureCols :+ labelCol).map(col)
-    val withFold = df.withColumn("__fold", pmod(xxhash64(hashCols: _*), lit(nfolds)))
+    val withFold = df.withColumn("__fold", foldExpr(foldCol, hashCols, nfolds))
     val rdd = withFold.select(
         (featureCols.map(c => col(c).cast("double")) :+
           col(labelCol).cast("double") :+ col("__fold").cast("int")): _*)
@@ -191,7 +201,7 @@ object CvSgdNet {
     */
   private def cvBinomialShared(df: DataFrame, featureCols: Seq[String],
                                labelCol: String, params: SgdNetParams,
-                               nfolds: Int): CvPath = {
+                               nfolds: Int, foldCol: Column = null): CvPath = {
     val p = featureCols.size
     val full = SgdNet.fit(df, featureCols, labelCol, params)
     val lambdas = full.lambda
@@ -199,7 +209,7 @@ object CvSgdNet {
 
     val hashCols = (featureCols :+ labelCol).map(col)
     val rows = df
-      .withColumn("__fold", pmod(xxhash64(hashCols: _*), lit(nfolds)).cast("int"))
+      .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
       .select((featureCols.map(c => col(c).cast("double")) :+
         (col(labelCol).cast("string") === positive).cast("double") :+ col("__fold")): _*)
       .rdd.map { r =>
@@ -366,11 +376,12 @@ object CvSgdNet {
 
   private def cvGeneric(df: DataFrame, featureCols: Seq[String],
                         labelCols: Seq[String], params: SgdNetParams,
-                        nfolds: Int, measure: String): CvPath = {
+                        nfolds: Int, measure: String,
+                        foldCol: Column = null): CvPath = {
     val full = SgdNet.fitMulti(df, featureCols, labelCols, params)
     val lambdas = full.lambda
     val hashCols = (featureCols ++ labelCols).map(col)
-    val withFold = df.withColumn("__fold", pmod(xxhash64(hashCols: _*), lit(nfolds)))
+    val withFold = df.withColumn("__fold", foldExpr(foldCol, hashCols, nfolds))
       .cache()
     try {
       val L = lambdas.length

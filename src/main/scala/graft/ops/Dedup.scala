@@ -229,33 +229,26 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash of a text column: per-token xxhash64, each bit votes
-    * +1/-1; the sign vector packs into a long. Near-dups have small
-    * Hamming distance.
+  /** 64-bit SimHash of a text column: per-token 64-bit hash, each bit
+    * votes +1/-1; the sign vector packs into a long. Near-dups have
+    * small Hamming distance.
     *
-    * Shape note: explode + 64 codegen'd conditional sums + one hash
-    * aggregation measurably beats a "shuffle-free" formulation with 64
-    * array-fold HOFs per row — Spark higher-order functions are
-    * interpreted, whole-stage codegen is not (8s vs 31s at sf0.1). The
-    * exploded aggregation is map-side combined, so the shuffle carries
-    * one row per doc per partition. */
+    * The token hash is the TOP 64 bits of md5 (first 16 hex chars,
+    * parsed unsigned) — engine-portable, so the whole operator is
+    * DuckDB-oracle-checkable (xxhash64 would tie the result to Spark's
+    * hash implementation). Typed per-row kernel: tokens -> votes ->
+    * packed sign vector in one projection — no explode, no shuffle, no
+    * interpreted HOFs. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // typed per-row kernel: tokens -> 64-bit hash votes -> packed sign
-    // vector, entirely within one projection (no explode, no shuffle,
-    // no interpreted HOFs). Hash: xxhash64 of the token's UTF-8 bytes
-    // with Spark's seed (42) via the engine's own XXH64 implementation,
-    // so results equal the previous exploded-expression formulation.
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
         val votes = new Array[Int](64)
-        text.trim.toLowerCase.split("\\s+").foreach { w =>
-          val bytes = w.getBytes("UTF-8")
-          val h = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-              bytes.length, 42L)
+        if (text != null) text.trim.toLowerCase.split("\\s+").foreach { w =>
+          val h = java.lang.Long.parseUnsignedLong(
+            graft.functions.TextKernels.md5Hex(w).substring(0, 16), 16)
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -145,6 +145,38 @@ object OpsOracles {
         |FROM ver WHERE inter / (la + lb - inter) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin.trim,
 
+    "q_dedup_simhash" ->
+      """
+        |WITH docs AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         array_to_string(list_slice(w, 1, len(w) - 5), ' ')
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w FROM documents)),
+        |toks AS (
+        |  SELECT id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM docs),
+        |th AS (SELECT id, substr(md5(w), 1, 16) AS h FROM toks),
+        |bits AS (
+        |  SELECT id, g.b,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, 16 - g.b // 4, 1)) - 1)
+        |                   >> (g.b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, generate_series(0, 63) AS g(b) GROUP BY id, g.b),
+        |sv AS (SELECT id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+        |                             ORDER BY b) AS bv
+        |       FROM bits GROUP BY id),
+        |bands AS (SELECT id, g.band, substr(bv, g.band * 16 + 1, 16) AS bucket
+        |          FROM sv, generate_series(0, 3) AS g(band)),
+        |cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        |         FROM bands l JOIN bands r
+        |         ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+        |ham AS (SELECT id_a, id_b,
+        |          len(list_filter(generate_series(1, 64),
+        |                i -> substr(a.bv, i, 1) != substr(b.bv, i, 1))) AS hamming
+        |        FROM cand JOIN sv a ON cand.id_a = a.id JOIN sv b ON cand.id_b = b.id)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6
+        |ORDER BY id_a, id_b""".stripMargin.trim,
+
     "q_ngram_jaccard" ->
       """
         |WITH docs AS (

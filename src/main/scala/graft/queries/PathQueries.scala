@@ -191,6 +191,42 @@ object PathQueries {
       .orderBy("lambda_idx")
   }
 
+  /** Oracle-exact cross-validation: 1-feature lasso over a log-spaced
+    * path with a PORTABLE fold hash ([[graft.ops.Sampling.hashBucket]] of
+    * the row key) — per-fold training is closed-form under moment
+    * subtraction, so DuckDB reproduces the whole CV curve bit-exactly
+    * (the 3-feature `q_cv_curve` keeps the default content-hash folds and
+    * stays rows-only). */
+  private def cvExactFit(spark: SparkSession, dir: String): CvSgdNet.CvResult = {
+    val li = tbl(spark, dir, "lineitem")
+    val lmax = li.agg(
+      (abs(covar_pop(col("l_quantity"), col("l_extendedprice"))) /
+        sqrt(var_pop(col("l_quantity")))).as("lmax")).head.getDouble(0)
+    val lambdas = Array.tabulate(10)(i => lmax * math.pow(0.01, i / 9.0))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    CvSgdNet.fit(li, Seq("l_quantity"), Seq("l_extendedprice"),
+      SgdNetParams(alpha = 1.0, lambda = lambdas, thresh = 1e-7),
+      nfolds = 5, foldCol = fold)
+  }
+
+  def cvExactCurve(spark: SparkSession, dir: String): DataFrame =
+    cvExactFit(spark, dir).curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(log(col("lambda")), 4).as("ln_lambda"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+
+  def cvExactPick(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cv = cvExactFit(spark, dir)
+    Seq((math.log(cv.best.lambdaMin), math.log(cv.best.lambda1se)))
+      .toDF("ln_lambda_min", "ln_lambda_1se")
+      .select(round(col("ln_lambda_min"), 4).as("ln_lambda_min"),
+        round(col("ln_lambda_1se"), 4).as("ln_lambda_1se"))
+  }
+
   /** lambda.min / lambda.1se selection (rows-only). */
   def cvSelect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
