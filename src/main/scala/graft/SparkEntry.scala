@@ -45,6 +45,9 @@ object SparkEntry {
     "q_cv_select"        -> (PathQueries.cvSelect _),
     "q_cv_exact_curve"   -> (PathQueries.cvExactCurve _),
     "q_cv_exact_pick"    -> (PathQueries.cvExactPick _),
+    "q_cv_exact_predict" -> (PathQueries.cvExactPredict _),
+    "q_binom_null_fit"   -> (PathQueries.binomNullFit _),
+    "q_poisson_null_fit" -> (PathQueries.poissonNullFit _),
     "q_dedup_exact"      -> (OpsQueries.dedupExact _),
     "q_dedup_minhash"    -> (OpsQueries.dedupMinhash _),
     "q_dedup_simhash"    -> (OpsQueries.dedupSimhash _),
@@ -384,7 +387,33 @@ object SparkEntry {
         |        WHERE c.cvm <= sel.cvm + sel.cvsd)
         |SELECT round(ln(sel.lam), 4) AS ln_lambda_min,
         |       round(ln(one.l1se), 4) AS ln_lambda_1se
-        |FROM sel, one""".stripMargin
+        |FROM sel, one""".stripMargin,
+
+    "q_cv_exact_predict" ->
+      s"""$cvExactCte,
+        |sel AS (SELECT lam FROM curve ORDER BY cvm, lambda_idx LIMIT 1),
+        |fm AS (SELECT avg(l_quantity) mx, avg(l_extendedprice) my,
+        |              covar_pop(l_quantity, l_extendedprice) cxy,
+        |              sqrt(var_pop(l_quantity)) sd FROM lineitem),
+        |cf AS (SELECT sign(cxy/sd) * greatest(abs(cxy/sd) - sel.lam, 0) / sd AS b,
+        |              mx, my FROM fm, sel)
+        |SELECT l_orderkey, l_linenumber,
+        |       round(my - b * mx + b * l_quantity, 2) AS pred
+        |FROM lineitem, cf WHERE l_orderkey <= 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_binom_null_fit" ->
+      """WITH s AS (SELECT avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) p
+        |           FROM lineitem)
+        |SELECT 'a0' AS term, round(ln(p / (1 - p)), 6) + 0 AS value FROM s
+        |UNION ALL SELECT 'l_quantity', round(0.0, 6) + 0 FROM s
+        |ORDER BY term""".stripMargin,
+
+    "q_poisson_null_fit" ->
+      """WITH s AS (SELECT avg(l_quantity) yb FROM lineitem)
+        |SELECT 'a0' AS term, round(ln(yb), 6) + 0 AS value FROM s
+        |UNION ALL SELECT 'l_discount', round(0.0, 6) + 0 FROM s
+        |ORDER BY term""".stripMargin
   ) ++ OpsOracles.sql ++ Map(
     "q_event_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

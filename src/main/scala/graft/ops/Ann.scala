@@ -23,6 +23,19 @@ object Ann {
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
   }
 
+  /** Engine-portable Rademacher (±1) hyperplanes: entry (t, b, j) is +1
+    * iff the first md5 nibble of "t|b|j" is odd. Sign-random-projection
+    * with ±1 entries has the same locality guarantees as gaussian planes
+    * (Achlioptas-style sparse projections), and any engine with md5 can
+    * reproduce the buckets — which is how the DuckDB oracle verifies
+    * [[lshTopK]] end-to-end. */
+  def planesMd5(dim: Int, tables: Int, bits: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bits, dim) { (t, b, j) =>
+      val nib = Integer.parseInt(
+        graft.functions.TextKernels.md5Hex(s"$t|$b|$j").substring(0, 1), 16)
+      if ((nib & 1) == 1) 1.0 else -1.0
+    }
+
   private def dotLit(v: Column, p: Array[Double]): Column =
     aggregate(zip_with(v, typedlit(p.toSeq), (x, y) => x * y),
       lit(0.0d), (acc, x) => acc + x)
@@ -188,12 +201,11 @@ object Ann {
     * pairs dedupe on ids AFTER the cosine (so the shuffle never carries
     * vector payloads). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, tables: Int = 8, bits: Int = 6,
-              seed: Long = 42L): DataFrame = {
+              vecCol: String, k: Int, tables: Int = 8, bits: Int = 6): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
-    val pl = planes(dim, tables, bits, seed)
+    val pl = planesMd5(dim, tables, bits)
     val bcP = spark.sparkContext.broadcast(pl)
     def bucketed(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))

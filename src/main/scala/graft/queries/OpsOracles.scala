@@ -225,6 +225,38 @@ object OpsOracles {
         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
         |FROM s WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.trim,
 
+    "q_ann_lsh" ->
+      """
+        |WITH pl AS (
+        |  SELECT g1.t, g2.b, g3.j,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |           substr(md5(g1.t::varchar || '|' || g2.b::varchar || '|'
+        |                      || g3.j::varchar), 1, 1)) - 1) % 2 = 1
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM generate_series(0, 7) AS g1(t), generate_series(0, 5) AS g2(b),
+        |       generate_series(0, 63) AS g3(j)),
+        |vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |comp AS (
+        |  SELECT vec_id, t, b, sum(v[j + 1] * s) AS dot
+        |  FROM vec, pl GROUP BY vec_id, t, b),
+        |sigs AS (
+        |  SELECT vec_id, t,
+        |         sum(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END) AS bucket
+        |  FROM comp GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM sigs q JOIN sigs c ON q.t = c.t AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 10 AND q.vec_id != c.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         list_cosine_similarity(a.v, b.v) AS cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_cosine_similarity(a.v, b.v) DESC, neighbor_id) AS rank
+        |  FROM cand JOIN vec a ON cand.query_id = a.vec_id
+        |            JOIN vec b ON cand.neighbor_id = b.vec_id)
+        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.trim,
+
     "q_lang_id" ->
       """
         |WITH sc AS (

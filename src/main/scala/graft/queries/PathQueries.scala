@@ -91,6 +91,51 @@ object PathQueries {
     MlQueries.coefFrame(spark, m, 4)
   }
 
+  /** Binomial IRLS convergence against the closed form: at lambda large
+    * enough to zero the coefficient, the fit must land EXACTLY on the
+    * intercept-only model a0 = log(p/(1-p)) — an end-to-end oracle for
+    * the distributed IRLS + CD solver (the multi-feature path has no
+    * closed form; this point does). */
+  def binomNullFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+    val m = SgdNet.fit(li, Seq("l_quantity"), "is_r",
+      SgdNetParams(family = "binomial", alpha = 1.0, lambda = Array(1e6),
+        thresh = 1e-9, maxit = 10000))
+    Seq(("a0", m.a0(0)(0)), ("l_quantity", m.beta(0)(0)(0)))
+      .toDF("term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("term")
+  }
+
+  /** Poisson IRLS convergence against the closed form a0 = ln(mean y)
+    * (same construction as [[binomNullFit]]). */
+  def poissonNullFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_discount"), "l_quantity",
+      SgdNetParams(family = "poisson", alpha = 1.0, lambda = Array(1e6),
+        thresh = 1e-9, maxit = 10000))
+    Seq(("a0", m.a0(0)(0)), ("l_discount", m.beta(0)(0)(0)))
+      .toDF("term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("term")
+  }
+
+  /** predict.cv_sgdnet with the portable-fold CV of [[cvExactFit]]:
+    * lambda.min lands on a path point, so the interpolated coefficients
+    * are the closed-form soft-threshold — the whole select-then-predict
+    * chain verifies against DuckDB. */
+  def cvExactPredict(spark: SparkSession, dir: String): DataFrame = {
+    val cv = cvExactFit(spark, dir)
+    cv.predictAt(tbl(spark, dir, "lineitem").filter(col("l_orderkey") <= 5),
+        "lambda.min")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("pred"), 2).as("pred"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Poisson null deviance: 2*sum[y ln(y/ybar) - (y - ybar)] (exact oracle). */
   def poissonNullDev(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
