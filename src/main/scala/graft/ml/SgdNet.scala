@@ -93,19 +93,246 @@ object SgdNet {
     */
   def fitSparse(df: DataFrame, idxCol: String, valCol: String, dim: Int,
                 labelCol: String, params: SgdNetParams = SgdNetParams()): SgdNetModel = {
-    require(params.family == "gaussian" || params.family == "mgaussian",
-      "sparse input currently supports the gaussian families")
     import org.apache.spark.sql.functions.col
-    val rdd = df.select(col(idxCol), col(valCol).cast("array<double>"),
-        col(labelCol).cast("double"))
-      .rdd.map { row =>
-        (row.getSeq[Int](0).toArray, row.getSeq[Double](1).toArray,
-          Array(row.getDouble(2)))
+    params.family match {
+      case "gaussian" | "mgaussian" =>
+        val rdd = df.select(col(idxCol), col(valCol).cast("array<double>"),
+            col(labelCol).cast("double"))
+          .rdd.map { row =>
+            (row.getSeq[Int](0).toArray, row.getSeq[Double](1).toArray,
+              Array(row.getDouble(2)))
+          }
+        val g = rdd.treeAggregate(new GramStats(dim, 1))(
+          seqOp = (s, r) => s.addSparse(r._1, r._2, r._3),
+          combOp = (a, b) => a.merge(b), depth = 2)
+        solveGaussianFromStats(g, (0 until dim).map(j => s"V$j"), Seq(labelCol), params)
+      case "binomial" | "poisson" =>
+        fitSparseGlm(df, idxCol, valCol, dim, labelCol, params)
+      case f => throw new IllegalArgumentException(
+        s"sparse input supports gaussian, mgaussian, binomial, poisson (got $f)")
+    }
+  }
+
+  /** Sparse-input binomial/poisson IRLS (reference supports dgCMatrix for
+    * every family — src/saga-sparse.h): the same distributed Newton shape
+    * as the dense path, but each pass accumulates UNCENTERED weighted
+    * moments over only each row's nonzeros (O(nnz^2) per row), and the
+    * centering + standardization correction is applied ALGEBRAICALLY on
+    * the driver:
+    *   sum w xs_i xs_j = (sum w x_i x_j - m_i sum w x_j - m_j sum w x_i
+    *                       + m_i m_j sum w) / (s_i s_j)
+    * so the sparse matrix is never densified — the linear predictor uses
+    * a per-pass scalar offset a0 - sum_j m_j beta_j / s_j, O(nnz) per
+    * row. Produces bitwise the same solve inputs as the dense path. */
+  private def fitSparseGlm(df: DataFrame, idxCol: String, valCol: String,
+                           dim: Int, labelCol: String,
+                           params: SgdNetParams): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    val p = dim
+    val binomial = params.family == "binomial"
+    val classes: Array[String] =
+      if (binomial) {
+        val cs = df.select(col(labelCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).sorted
+        require(cs.length == 2,
+          if (cs.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
+          else "only one class in response.")
+        cs
+      } else Array.empty
+    val yCol =
+      if (binomial) (col(labelCol).cast("string") === classes(1)).cast("double")
+      else col(labelCol).cast("double")
+    val rows = df.select(col(idxCol), col(valCol).cast("array<double>"), yCol)
+      .rdd.map { r =>
+        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray, r.getDouble(2))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val g = rows.treeAggregate(new GramStats(p, 1))(
+        seqOp = (s, r) => s.addSparse(r._1, r._2, Array(r._3)),
+        combOp = (a, b) => a.merge(b), depth = 2)
+      val st = SufficientStats.standardize(g, params.standardize, params.intercept)
+      val n = g.n.toDouble
+      val yBar = st.yMean(0)
+      if (!binomial) require(yBar > 0, "poisson response must contain positive counts")
+
+      val minRatio = if (params.lambdaMinRatio.isNaN)
+        LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
+      val lambdas = if (params.lambda != null) params.lambda
+        else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio)
+
+      val mean = if (params.intercept) st.xMean else new Array[Double](p)
+      val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      val sc = rows.sparkContext
+
+      val L = lambdas.length
+      val a0Out = Array.ofDim[Double](L, 1)
+      val betaOut = Array.ofDim[Double](L, 1, p)
+      var beta = new Array[Double](p) // standardized scale
+      var a0 =
+        if (binomial) {
+          if (params.intercept && yBar > 0 && yBar < 1) math.log(yBar / (1 - yBar)) else 0.0
+        } else if (params.intercept) math.log(yBar) else 0.0
+      var passes = 0
+      val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
+
+      for (l <- 0 until L) {
+        var iter = 0
+        var done = false
+        while (iter < 25 && !done) {
+          val bOverS = Array.tabulate(p)(j => beta(j) / scale(j))
+          var offset = a0
+          var j0 = 0
+          while (j0 < p) { offset -= mean(j0) * bOverS(j0); j0 += 1 }
+          val bc = sc.broadcast(bOverS)
+          val wg = rows.treeAggregate(new SpWGram(p))(
+            seqOp = (s, r) => {
+              val (idx, vals, y) = r
+              val bos = bc.value
+              var eta = offset
+              var i = 0
+              while (i < idx.length) { eta += vals(i) * bos(idx(i)); i += 1 }
+              var w = 0.0
+              var z = 0.0
+              if (binomial) {
+                val mu = 1.0 / (1.0 + math.exp(-eta))
+                w = math.max(mu * (1.0 - mu), 1e-5)
+                z = eta + (y - mu) / w
+              } else {
+                val etaC = math.max(math.min(eta, 30.0), -30.0)
+                val mu = math.exp(etaC)
+                w = math.max(mu, 1e-5)
+                z = etaC + (y - mu) / w
+              }
+              s.sw += w; s.swz += w * z
+              i = 0
+              while (i < idx.length) {
+                val j = idx(i)
+                val wxj = w * vals(i)
+                s.swx(j) += wxj
+                s.swxz(j) += wxj * z
+                var m = 0
+                while (m <= i) {
+                  s.swxx(LinAlg.triIdx(idx(m), j)) += wxj * vals(m)
+                  m += 1
+                }
+                i += 1
+              }
+              s
+            },
+            combOp = (a, b) => a.merge(b), depth = 2)
+          passes += 1
+          // center + standardize algebraically, then the SAME driver CD
+          val ninv = 1.0 / n
+          val swxStd = Array.tabulate(p)(j =>
+            (wg.swx(j) - mean(j) * wg.sw) / scale(j))
+          val swxzStd = Array.tabulate(p)(j =>
+            (wg.swxz(j) - mean(j) * wg.swz) / scale(j))
+          val aM = Array.ofDim[Double](p, p)
+          var j = 0
+          while (j < p) {
+            var i = 0
+            while (i <= j) {
+              val v = (wg.swxx(LinAlg.triIdx(i, j)) - mean(i) * wg.swx(j) -
+                mean(j) * wg.swx(i) + mean(i) * mean(j) * wg.sw) /
+                (scale(i) * scale(j)) * ninv
+              aM(i)(j) = v; aM(j)(i) = v
+              i += 1
+            }
+            j += 1
+          }
+          val r = CoordinateDescent.solve(aM, swxzStd.map(_ * ninv),
+            swxStd.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
+            lambdas(l), params.alpha, params.intercept, beta,
+            thresh = newtonTol, maxIter = params.maxit)
+          var maxD = math.abs(r.a0 - a0)
+          j = 0
+          while (j < p) {
+            val d = math.abs(r.beta(j) - beta(j)); if (d > maxD) maxD = d; j += 1
+          }
+          beta = r.beta; a0 = r.a0
+          iter += 1
+          if (maxD < math.max(params.thresh * 1e-2, 1e-8)) done = true
+        }
+        for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
+        a0Out(l)(0) =
+          if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
+          else a0
       }
-    val g = rdd.treeAggregate(new GramStats(dim, 1))(
-      seqOp = (s, r) => s.addSparse(r._1, r._2, r._3),
-      combOp = (a, b) => a.merge(b), depth = 2)
-    solveGaussianFromStats(g, (0 until dim).map(j => s"V$j"), Seq(labelCol), params)
+
+      // deviance pass on original-scale coefficients (sparse eta)
+      val featureNames = (0 until p).map(j => s"V$j").toArray
+      if (binomial) {
+        val pBar = yBar
+        val nullP = if (params.intercept) pBar else 0.5
+        val nulldev = -2.0 * n * (safeXLog(pBar, nullP) + safeXLog(1 - pBar, 1 - nullP))
+        val devs = rows.treeAggregate(new Array[Double](L))(
+          seqOp = (acc, r) => {
+            val (idx, vals, y) = r
+            var l = 0
+            while (l < L) {
+              var eta = a0Out(l)(0)
+              val bl = betaOut(l)(0)
+              var i = 0
+              while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
+              val m = math.max(eta, 0.0)
+              acc(l) += 2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y * eta)
+              l += 1
+            }
+            acc
+          },
+          combOp = (a, b) => { var i = 0; while (i < L) { a(i) += b(i); i += 1 }; a },
+          depth = 2)
+        passes += 1
+        val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
+        new SgdNetModel("binomial", featureNames, Array(labelCol), classes,
+          lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+      } else {
+        val muNull = if (params.intercept) yBar else 1.0
+        val devs = rows.treeAggregate(new Array[Double](L + 1))(
+          seqOp = (acc, r) => {
+            val (idx, vals, y) = r
+            def devTerm(mu: Double): Double = {
+              val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+              2.0 * (ylog - (y - mu))
+            }
+            var l = 0
+            while (l < L) {
+              var eta = a0Out(l)(0)
+              val bl = betaOut(l)(0)
+              var i = 0
+              while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
+              acc(l) += devTerm(math.exp(math.max(math.min(eta, 30.0), -30.0)))
+              l += 1
+            }
+            acc(L) += devTerm(muNull)
+            acc
+          },
+          combOp = (a, b) => { var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a },
+          depth = 2)
+        passes += 1
+        val nulldev = devs.last
+        val devRatio = Array.tabulate(L)(l =>
+          if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
+        new SgdNetModel("poisson", featureNames, Array(labelCol), Array.empty,
+          lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+      }
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** Uncentered weighted-moment accumulator for the sparse IRLS pass. */
+  private final class SpWGram(p: Int) extends Serializable {
+    var sw = 0.0; var swz = 0.0
+    val swx = new Array[Double](p)
+    val swxz = new Array[Double](p)
+    val swxx = new Array[Double](LinAlg.triSize(p))
+    def merge(o: SpWGram): SpWGram = {
+      sw += o.sw; swz += o.swz
+      var i = 0
+      while (i < swx.length) { swx(i) += o.swx(i); swxz(i) += o.swxz(i); i += 1 }
+      i = 0
+      while (i < swxx.length) { swxx(i) += o.swxx(i); i += 1 }
+      this
+    }
   }
 
   // ---------------------------------------------------------------- gaussian

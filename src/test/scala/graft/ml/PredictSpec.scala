@@ -111,4 +111,41 @@ class PredictSpec extends SparkSpec {
       assert(math.abs(ms.a0(0)(0) - md.a0(0)(0)) < 1e-10)
     }
   }
+
+  test("sparse binomial and poisson IRLS match their dense fits") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { _ =>
+      val dense = Array.tabulate(4)(_ =>
+        if (rnd.nextDouble() < 0.4) rnd.nextGaussian() else 0.0)
+      val eta = -0.3 + dense(0) * 1.2 - dense(1) * 0.8 + dense(2) * 0.5
+      val pb = 1.0 / (1.0 + math.exp(-eta))
+      val yb = if (rnd.nextDouble() < pb) 1.0 else 0.0
+      val yp = {
+        // Poisson-ish counts from a log-link mean, deterministic-ish draw
+        val mu = math.exp(0.5 + dense(0) * 0.3 - dense(3) * 0.4)
+        math.floor(mu + rnd.nextGaussian() * math.sqrt(mu)).max(0.0)
+      }
+      val idx = dense.indices.filter(dense(_) != 0.0).toArray
+      (idx, idx.map(dense), dense.toSeq, yb, yp)
+    }
+    val sparseDf = rows.map(r => (r._1, r._2, r._4, r._5))
+      .toDF("idx", "vals", "yb", "yp")
+    val denseDf = rows.map(r => (r._3(0), r._3(1), r._3(2), r._3(3), r._4, r._5))
+      .toDF("v0", "v1", "v2", "v3", "yb", "yp")
+    val feats = (0 until 4).map(j => s"v$j")
+    for ((family, label) <- Seq(("binomial", "yb"), ("poisson", "yp"))) {
+      val params = SgdNetParams(family = family, alpha = 0.5,
+        lambda = Array(0.05, 0.01), thresh = 1e-8, maxit = 100000)
+      val ms = SgdNet.fitSparse(sparseDf, "idx", "vals", 4, label, params)
+      val md = SgdNet.fit(denseDf, feats, label, params)
+      for (l <- 0 until 2; j <- 0 until 4)
+        assert(math.abs(ms.beta(l)(0)(j) - md.beta(l)(0)(j)) < 1e-8,
+          s"$family sparse/dense beta($l)($j): ${ms.beta(l)(0)(j)} vs ${md.beta(l)(0)(j)}")
+      for (l <- 0 until 2)
+        assert(math.abs(ms.a0(l)(0) - md.a0(l)(0)) < 1e-8, s"$family a0($l)")
+      assert(math.abs(ms.nulldev - md.nulldev) < 1e-6 * math.max(1.0, md.nulldev))
+      for (l <- 0 until 2)
+        assert(math.abs(ms.devRatio(l) - md.devRatio(l)) < 1e-8)
+    }
+  }
 }
