@@ -16,7 +16,8 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val interesting = Seq("q_predict_link", "q_dedup_exact", "q_dedup_minhash",
-      "q_ann_topk", "q_token_count", "q_score_auc")
+      "q_ann_topk", "q_token_count", "q_score_auc",
+      "q_asof_join", "q_sample_strat", "q_boilerplate", "q_ann_lsh")
     interesting.foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -176,16 +176,34 @@ object Dedup {
       .toDF("__id", "sh", "buckets")
   }
 
+  /** @param maxBucketSize drop band buckets larger than this before the
+    *        self-join. Candidate generation inside a bucket is
+    *        O(size^2): at corpus scale a boilerplate-heavy shingle set
+    *        can put millions of docs in one bucket and turn the join
+    *        quadratic. Capping trades recall ON DEGENERATE buckets only
+    *        (a bucket that large is near-identical boilerplate, handled
+    *        by exact dedup) for bounded work. Default: uncapped (exact
+    *        semantics — what the oracle checks). */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  bands: Int = 4, rowsPerBand: Int = 3,
-                 threshold: Double = 0.6, shingleWidth: Int = 3): DataFrame = {
+                 threshold: Double = 0.6, shingleWidth: Int = 3,
+                 maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // one kernel pass computes the shingle set AND the band buckets;
     // cached because the self-join + the two verify re-joins would
     // otherwise recompute the md5 work once per consumer
     val sets = shingleSetsWithBuckets(df, idCol, textCol, shingleWidth,
       bands, rowsPerBand).cache()
-    val bandRows = sets
+    val bandRows0 = sets
       .select(col("__id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val bandRows =
+      if (maxBucketSize == Int.MaxValue) bandRows0
+      else {
+        val ok = bandRows0.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("sz"))
+          .filter(col("sz") <= maxBucketSize)
+          .select(col("band"), col("bucket"))
+        bandRows0.join(ok, Seq("band", "bucket"), "left_semi")
+      }
     val cands = bandRows.as("l")
       .join(bandRows.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&

@@ -41,6 +41,29 @@ object EventAgg {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream enrichment join: each left event picks up right-side
+    * events for the same key whose timestamp falls within
+    * `[left.ts - lookback, left.ts]` — the streaming counterpart of the
+    * batch as-of join ([[graft.ops.AsofJoin]]). Stream-stream joins need
+    * a BOUNDED time-range predicate so the engine can size and evict
+    * per-key state from the watermarks; an unbounded "latest ever" match
+    * would require infinite state. Payload columns arrive prefixed
+    * `r_`. */
+  def enrichStream(left: DataFrame, right: DataFrame, keyCol: String,
+                   payloadCols: Seq[String], lookback: String = "1 hour",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.withWatermark("ts", watermark)
+      .select(Seq(col(keyCol).as("r_key"), col("ts").as("r_ts")) ++
+        payloadCols.map(c => col(c).as(s"r_$c")): _*)
+    l.join(r,
+      col(keyCol) === col("r_key") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col("ts"),
+      "leftOuter")
+      .drop("r_key")
+  }
+
   /** Batch sessionization: gap-and-island with a per-user window — a new
     * session starts when the gap to the previous event exceeds
     * `gapMinutes`. One shuffle on user_id. */

@@ -48,6 +48,23 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("minhash LSH hot-bucket cap bounds quadratic candidate work") {
+    // 3 identical docs share every band bucket (size 3); capping at 2
+    // drops the degenerate buckets and produces no candidate pairs
+    val trips = Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "totally different text with other words entirely present")
+    ).toDF("doc_id", "text")
+    val capped = Dedup.minhashLsh(trips, "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.5, maxBucketSize = 2)
+    assert(capped.count() == 0, "degenerate bucket pruned")
+    val uncapped = Dedup.minhashLsh(trips, "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.5)
+    assert(uncapped.count() == 3, "all identical pairs found when uncapped")
+  }
+
   test("minhash LSH finds near-dups, rejects unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
       bands = 4, rowsPerBand = 3, threshold = 0.5)

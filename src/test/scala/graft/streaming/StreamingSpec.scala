@@ -86,6 +86,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L, 3L), s"one row per key: ${out.toSeq}")
   }
 
+  test("stream-stream enrichment joins right events within the lookback") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Timestamp, String)]
+    val rIn = MemoryStream[(Long, Timestamp, Double)]
+    val left = lIn.toDF().toDF("user_id", "ts", "name")
+    val right = rIn.toDF().toDF("user_id", "ts", "score")
+    val q = EventAgg.enrichStream(left, right, "user_id", Seq("score"),
+        lookback = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    // user 1: click at t=60 picks up score at t=40 (within 30m), not t=10
+    lIn.addData((1L, ts(60), "a"), (2L, ts(60), "b"))
+    rIn.addData((1L, ts(40), 7.0), (1L, ts(10), 3.0))
+    q.processAllAvailable()
+    // advance both watermarks so outer-join nulls finalize
+    lIn.addData((9L, ts(500), "zz"))
+    rIn.addData((9L, ts(500), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("select name, r_score from enriched where name in ('a','b')")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("a") == Some(7.0), s"within-lookback match: $out")
+    assert(out("b") == None, "no right rows for user 2 -> outer null")
+  }
+
   test("cv predictAt interpolates between path lambdas") {
     val df = SparkSpec.regressionDF(spark)
     val cv = graft.ml.CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
