@@ -108,8 +108,9 @@ object SgdNet {
         solveGaussianFromStats(g, (0 until dim).map(j => s"V$j"), Seq(labelCol), params)
       case "binomial" | "poisson" =>
         fitSparseGlm(df, idxCol, valCol, dim, labelCol, params)
-      case f => throw new IllegalArgumentException(
-        s"sparse input supports gaussian, mgaussian, binomial, poisson (got $f)")
+      case "multinomial" =>
+        fitSparseMultinomial(df, idxCol, valCol, dim, labelCol, params)
+      case f => throw new IllegalArgumentException(s"unsupported family: $f")
     }
   }
 
@@ -805,6 +806,23 @@ object SgdNet {
     val p = featureCols.size
     val k = classes.length
     val g = SufficientStats.compute(rows, p, k)
+    fitMultinomialCore(g, featureCols.toArray, labelCol, classes, params,
+      gradFn = (mean, scale, yB, yA) => softmaxGrad(rows, mean, scale, yB, yA, k),
+      devFn = (a0Out, betaOut) => multinomDeviance(rows, a0Out, betaOut, k))
+  }
+
+  /** Driver-side FISTA over cluster gradient passes — shared by the dense
+    * and sparse multinomial paths (only the per-pass gradient and the
+    * final deviance scan differ by row representation). */
+  private def fitMultinomialCore(
+      g: GramStats, featureNames: Array[String], labelCol: String,
+      classes: Array[String], params: SgdNetParams,
+      gradFn: (Array[Double], Array[Double], Array[Array[Double]], Array[Double]) =>
+        (Array[Array[Double]], Array[Double]),
+      devFn: (Array[Array[Double]], Array[Array[Array[Double]]]) => Array[Double])
+      : SgdNetModel = {
+    val p = featureNames.length
+    val k = classes.length
     val n = g.n.toDouble
     val st = SufficientStats.standardize(g, params.standardize, params.intercept)
 
@@ -821,9 +839,6 @@ object SgdNet {
 
     val mean = if (params.intercept) st.xMean else new Array[Double](p)
     val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
-    val sc = rows.sparkContext
-    val bMean = sc.broadcast(mean)
-    val bScale = sc.broadcast(scale)
 
     // Lipschitz bound for softmax cross-entropy on standardized X:
     // L <= 0.5 * lambda_max(Gram)
@@ -846,7 +861,7 @@ object SgdNet {
       // FISTA state
       var yB = beta.map(_.clone()); var yA = a0.clone(); var tk = 1.0
       while (iter < math.min(params.maxit, 200) && !done) {
-        val (grad, gradA0) = softmaxGrad(rows, bMean.value, bScale.value, yB, yA, k)
+        val (grad, gradA0) = gradFn(mean, scale, yB, yA)
         passes += 1
         val nb = Array.ofDim[Double](k, p)
         val na = new Array[Double](k)
@@ -907,11 +922,11 @@ object SgdNet {
 
     // null deviance: 2 * sum_i -log(prior_{y_i}) (reference families.h:263)
     val nulldev = -2.0 * n * priors.map(pr => safeXLog(pr, pr)).sum
-    val devs = multinomDeviance(rows, a0Out, betaOut, k)
+    val devs = devFn(a0Out, betaOut)
     passes += 1
     val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
 
-    new SgdNetModel("multinomial", featureCols.toArray, Array(labelCol),
+    new SgdNetModel("multinomial", featureNames, Array(labelCol),
       classes, lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
   }
 
@@ -957,6 +972,135 @@ object SgdNet {
     val grad = Array.tabulate(k, p)((t, j) => acc(t * (p + 1) + 1 + j) / n)
     val gradA0 = Array.tabulate(k)(t => acc(t * (p + 1)) / n)
     (grad, gradA0)
+  }
+
+  /** Sparse softmax gradient pass: raw per-class accumulations over the
+    * nonzeros only; the centering/standardization correction
+    *   grad_std[t][j] = (sum r_t x_j - m_j sum r_t) / s_j / n
+    * is applied driver-side (same algebra as the sparse IRLS gram). */
+  private def sparseSoftmaxGrad(rows: RDD[(Array[Int], Array[Double], Array[Double])],
+                                mean: Array[Double], scale: Array[Double],
+                                beta: Array[Array[Double]], a0: Array[Double],
+                                k: Int): (Array[Array[Double]], Array[Double]) = {
+    val p = mean.length
+    val sc = rows.sparkContext
+    val bOverS = Array.tabulate(k, p)((t, j) => beta(t)(j) / scale(j))
+    val offsets = Array.tabulate(k) { t =>
+      var o = a0(t)
+      var j = 0
+      while (j < p) { o -= mean(j) * bOverS(t)(j); j += 1 }
+      o
+    }
+    val bc = sc.broadcast((bOverS, offsets))
+    val acc = rows.treeAggregate(new Array[Double](k * (p + 1) + 1))(
+      seqOp = (s, row) => {
+        val (idx, vals, y) = row
+        val (bos, off) = bc.value
+        val eta = new Array[Double](k)
+        var mx = Double.NegativeInfinity
+        var t = 0
+        while (t < k) {
+          var e = off(t)
+          var i = 0
+          while (i < idx.length) { e += vals(i) * bos(t)(idx(i)); i += 1 }
+          eta(t) = e; if (e > mx) mx = e
+          t += 1
+        }
+        var z = 0.0
+        t = 0
+        while (t < k) { eta(t) = math.exp(eta(t) - mx); z += eta(t); t += 1 }
+        t = 0
+        while (t < k) {
+          val r = eta(t) / z - y(t) // P_t - Y_t
+          s(t * (p + 1)) += r
+          var i = 0
+          while (i < idx.length) {
+            s(t * (p + 1) + 1 + idx(i)) += r * vals(i)
+            i += 1
+          }
+          t += 1
+        }
+        s(k * (p + 1)) += 1.0
+        s
+      },
+      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+      depth = 2)
+    val n = acc(k * (p + 1))
+    val gradA0 = Array.tabulate(k)(t => acc(t * (p + 1)) / n)
+    val grad = Array.tabulate(k, p)((t, j) =>
+      (acc(t * (p + 1) + 1 + j) - mean(j) * acc(t * (p + 1))) / scale(j) / n)
+    (grad, gradA0)
+  }
+
+  private def sparseMultinomDeviance(rows: RDD[(Array[Int], Array[Double], Array[Double])],
+                                     a0: Array[Array[Double]],
+                                     beta: Array[Array[Array[Double]]],
+                                     k: Int): Array[Double] = {
+    val L = a0.length
+    rows.treeAggregate(new Array[Double](L))(
+      seqOp = (acc, row) => {
+        val (idx, vals, y) = row
+        var l = 0
+        while (l < L) {
+          val eta = new Array[Double](k)
+          var mx = Double.NegativeInfinity
+          var t = 0
+          while (t < k) {
+            var e = a0(l)(t)
+            val bl = beta(l)(t)
+            var i = 0
+            while (i < idx.length) { e += bl(idx(i)) * vals(i); i += 1 }
+            eta(t) = e; if (e > mx) mx = e
+            t += 1
+          }
+          var z = 0.0
+          t = 0
+          while (t < k) { z += math.exp(eta(t) - mx); t += 1 }
+          val logZ = mx + math.log(z)
+          t = 0
+          var ll = 0.0
+          while (t < k) { ll += y(t) * (eta(t) - logZ); t += 1 }
+          acc(l) += -2.0 * ll
+          l += 1
+        }
+        acc
+      },
+      combOp = (a, b) => { var i = 0; while (i < L) { a(i) += b(i); i += 1 }; a },
+      depth = 2)
+  }
+
+  /** Sparse-input multinomial: one-hot labels over CSR rows; the FISTA
+    * driver loop is [[fitMultinomialCore]], with sparse gradient and
+    * deviance passes (never densified). */
+  private def fitSparseMultinomial(df: DataFrame, idxCol: String, valCol: String,
+                                   dim: Int, labelCol: String,
+                                   params: SgdNetParams): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(classes.length > 2,
+      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
+      else "only one class in response.")
+    val k = classes.length
+    val classIdx = classes.zipWithIndex.toMap
+    val rows = df.select(col(idxCol), col(valCol).cast("array<double>"),
+        col(labelCol).cast("string"))
+      .rdd.map { r =>
+        val y = new Array[Double](k)
+        y(classIdx(r.getString(2))) = 1.0
+        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray, y)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val g = rows.treeAggregate(new GramStats(dim, k))(
+        seqOp = (s, r) => s.addSparse(r._1, r._2, r._3),
+        combOp = (a, b) => a.merge(b), depth = 2)
+      fitMultinomialCore(g, (0 until dim).map(j => s"V$j").toArray, labelCol,
+        classes, params,
+        gradFn = (mean, scale, yB, yA) =>
+          sparseSoftmaxGrad(rows, mean, scale, yB, yA, k),
+        devFn = (a0Out, betaOut) =>
+          sparseMultinomDeviance(rows, a0Out, betaOut, k))
+    } finally rows.unpersist(blocking = false)
   }
 
   private def multinomDeviance(rows: RDD[(Array[Double], Array[Double])],

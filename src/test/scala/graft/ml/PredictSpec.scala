@@ -148,4 +148,41 @@ class PredictSpec extends SparkSpec {
         assert(math.abs(ms.devRatio(l) - md.devRatio(l)) < 1e-8)
     }
   }
+
+  test("sparse multinomial FISTA matches the dense fit") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 450).map { _ =>
+      val dense = Array.tabulate(4)(_ =>
+        if (rnd.nextDouble() < 0.4) rnd.nextGaussian() else 0.0)
+      val etas = Array(
+        0.2 + dense(0) * 1.5 - dense(1) * 0.5,
+        -0.1 - dense(0) * 0.7 + dense(2) * 1.1,
+        0.0 + dense(1) * 0.9 - dense(3) * 0.6)
+      val mx = etas.max
+      val ps = etas.map(e => math.exp(e - mx))
+      val z = ps.sum
+      var u = rnd.nextDouble() * z
+      var cls = 0
+      while (cls < 2 && u > ps(cls)) { u -= ps(cls); cls += 1 }
+      val idx = dense.indices.filter(dense(_) != 0.0).toArray
+      (idx, idx.map(dense), dense.toSeq, s"c$cls")
+    }
+    val sparseDf = rows.map(r => (r._1, r._2, r._4)).toDF("idx", "vals", "y")
+    val denseDf = rows.map(r => (r._3(0), r._3(1), r._3(2), r._3(3), r._4))
+      .toDF("v0", "v1", "v2", "v3", "y")
+    for (tpe <- Seq("ungrouped", "grouped")) {
+      val params = SgdNetParams(family = "multinomial", alpha = 1.0,
+        lambda = Array(0.02), thresh = 1e-7, maxit = 100000,
+        typeMultinomial = tpe)
+      val ms = SgdNet.fitSparse(sparseDf, "idx", "vals", 4, "y", params)
+      val md = SgdNet.fit(denseDf, (0 until 4).map(j => s"v$j"), "y", params)
+      assert(ms.classLabels.toSeq == md.classLabels.toSeq)
+      for (t <- 0 until 3; j <- 0 until 4)
+        assert(math.abs(ms.beta(0)(t)(j) - md.beta(0)(t)(j)) < 1e-7,
+          s"$tpe sparse/dense beta($t)($j): ${ms.beta(0)(t)(j)} vs ${md.beta(0)(t)(j)}")
+      for (t <- 0 until 3)
+        assert(math.abs(ms.a0(0)(t) - md.a0(0)(t)) < 1e-7, s"$tpe a0($t)")
+      assert(math.abs(ms.devRatio(0) - md.devRatio(0)) < 1e-8)
+    }
+  }
 }
