@@ -73,6 +73,8 @@ object SparkEntry {
     "q_boilerplate"      -> (OpsQueries.boilerplate _),
     "q_sample_strat"     -> (OpsQueries.sampleStrat _),
     "q_vocab"            -> (OpsQueries.vocab _),
+    "q_bm25"             -> (OpsQueries.bm25 _),
+    "q_quantiles"        -> (OpsQueries.quantiles _),
     "q_asof_join"        -> (EventQueries.asofErrors _)
   )
 

@@ -155,6 +155,34 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("n_kept_lines"), lit(0L))).as("n_removed_lines"))
   }
 
+  // ------------------------------------------------------ ranked retrieval
+
+  /** BM25 scores of every document against a fixed term set — the
+    * standard ranked-retrieval scoring (k1/b defaults per Robertson).
+    *
+    * Shape: one exploded term-frequency aggregation (shuffle on
+    * (doc, term)), document frequencies for the QUERY terms only
+    * (broadcast — the query is small by construction), then a per-doc
+    * score aggregation. Corpus-linear at any scale; nothing quadratic.
+    * idf uses the BM25+ form ln(1 + (N - df + 0.5)/(df + 0.5)), which is
+    * positive for any df. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val n = df.count().toDouble
+    val toks = df.select(col(idCol), explode(Dedup.words(col(textCol))).as("w"))
+    val docLen = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val avgLen = docLen.agg(avg(col("dl"))).head.getDouble(0)
+    val qt = toks.filter(col("w").isInCollection(queryTerms))
+    val tf = qt.groupBy(col(idCol), col("w")).agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "w")
+      .join(docLen, idCol)
+      .withColumn("idf", log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s", col("idf") * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgLen))))
+      .groupBy(idCol).agg(sum(col("s")).as("bm25"))
+  }
+
   // -------------------------------------------------- corpus vocabulary
 
   /** Corpus vocabulary with counts: whitespace tokens (lowercased) and

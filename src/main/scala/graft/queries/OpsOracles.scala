@@ -409,6 +409,34 @@ object OpsOracles {
         |      FROM documents)
         |GROUP BY w ORDER BY word""".stripMargin.trim,
 
+    "q_bm25" ->
+      """
+        |WITH n AS (SELECT count(*)::double AS n FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |dlen AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY doc_id),
+        |al AS (SELECT avg(dl) AS avgl FROM dlen),
+        |tf AS (SELECT doc_id, w, count(*)::double AS tf FROM toks
+        |       WHERE w IN ('spark', 'query', 'stream') GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, count(*)::double AS df FROM tf GROUP BY w),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlen.dl / al.avgl)) AS s
+        |  FROM tf JOIN dfreq ON tf.w = dfreq.w
+        |          JOIN dlen ON tf.doc_id = dlen.doc_id, n, al)
+        |SELECT doc_id, round(sum(s), 6) AS bm25
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.trim,
+
+    "q_quantiles" ->
+      """
+        |SELECT u.q, round(u.v, 4) AS value FROM (
+        |  SELECT unnest([0.25, 0.5, 0.75, 0.99]) AS q,
+        |         unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.99])) AS v
+        |  FROM lineitem) u
+        |ORDER BY q""".stripMargin.trim,
+
     "q_asof_join" ->
       """
         |WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

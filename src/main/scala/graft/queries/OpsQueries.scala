@@ -237,6 +237,28 @@ object OpsQueries {
     TextAnalysis.vocabulary(tbl(spark, dir, "documents"), "text")
       .orderBy("word")
 
+  /** BM25 ranked retrieval over the corpus for a fixed query. */
+  def bm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(tbl(spark, dir, "documents"), "doc_id", "text",
+        Seq("spark", "query", "stream"))
+      .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+      .orderBy("doc_id")
+
+  /** Exact interpolated quantiles of lineitem prices — Spark
+    * `percentile` and DuckDB `quantile_cont` share the same linear
+    * interpolation definition, so the result is oracle-exact. (At
+    * 100 TB the same query shape runs on `approx_percentile`; the
+    * exact form is the correctness anchor.) */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))")
+        .as("qs"))
+      .select(posexplode(col("qs")).as(Seq("i", "v")))
+      .select(
+        element_at(typedlit(Seq(0.25, 0.5, 0.75, 0.99)), col("i") + 1).as("q"),
+        round(col("v"), 4).as("value"))
+      .orderBy("q")
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = Multimodal.withPayload(
       tbl(spark, dir, "documents").select("doc_id", "text"), "text", "image")
