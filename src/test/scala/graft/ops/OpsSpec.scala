@@ -249,6 +249,31 @@ class OpsSpec extends SparkSpec {
     assert(eq == 100.0)
   }
 
+  test("new operators tolerate degenerate inputs") {
+    // empty pair list -> empty cluster assignment (no hang, no NPE)
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(emptyPairs, "id_a", "id_b").count() == 0)
+    // boilerplate removal with no shared lines leaves every doc intact
+    val solo = Seq((1L, "unique line one\nunique line two")).toDF("doc_id", "text")
+    val kept = TextAnalysis.removeBoilerplate(solo, "doc_id", "text", minDocs = 2)
+      .head
+    assert(kept.getString(1) == "unique line one\nunique line two")
+    assert(kept.getLong(3) == 0L, "nothing removed")
+    // sampling extremes: frac 0 keeps nothing, frac 1 keeps everything
+    val df = spark.range(100).toDF("id")
+    assert(Sampling.sample(df, col("id"), 0.0).count() == 0)
+    assert(Sampling.sample(df, col("id"), 1.0).count() == 100)
+    // as-of join with an empty right side: all payloads null, rows kept
+    import java.sql.Timestamp
+    val l = Seq((1L, new Timestamp(1000L), "a")).toDF("k", "t", "name")
+    val r = Seq.empty[(Long, Timestamp, Double)].toDF("k", "t", "v")
+    val out = AsofJoin.asofJoin(l, r, "k", "t", Seq("v")).collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("asof_v")))
+    // bm25 with query terms absent from the corpus: empty result
+    val bm = TextAnalysis.bm25(solo, "doc_id", "text", Seq("zzzqqq"))
+    assert(bm.count() == 0)
+  }
+
   test("streaming: score a fitted model over a structured stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
