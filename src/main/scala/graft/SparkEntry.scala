@@ -87,7 +87,8 @@ object SparkEntry {
   private val cvExactCte =
     """WITH r AS (
       |  SELECT l_quantity AS x, l_extendedprice AS y,
-      |    ((l_orderkey * 100 + l_linenumber) * 2654435761) % 4294967296 % 5 AS f
+      |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+      |      % 4294967296 % 5 AS f
       |  FROM lineitem),
       |tot AS (SELECT count(*)::double n, sum(x) sx, sum(y) sy, sum(x*x) sxx,
       |               sum(x*y) sxy, sum(y*y) syy FROM r),

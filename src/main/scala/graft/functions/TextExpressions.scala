@@ -51,7 +51,9 @@ object TextKernels {
     }
     if (cjk * 2 > cp) return ZH
     val toks = new java.util.HashSet[String]()
-    val ws = text.trim.toLowerCase.split("\\s+")
+    // Locale.ROOT: Spark's lower() is locale-independent; the default
+    // locale (e.g. Turkish dotless i) would silently diverge from it
+    val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     var w = 0
     while (w < ws.length) { toks.add(ws(w)); w += 1 }
     var bestS = -1

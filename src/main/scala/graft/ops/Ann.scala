@@ -17,12 +17,6 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Deterministic random hyperplanes: L tables x bits planes x dim. */
-  def planes(dim: Int, tables: Int, bits: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(tables, bits, dim)(rnd.nextGaussian())
-  }
-
   /** Engine-portable Rademacher (±1) hyperplanes: entry (t, b, j) is +1
     * iff the first md5 nibble of "t|b|j" is odd. Sign-random-projection
     * with ±1 entries has the same locality guarantees as gaussian planes
@@ -35,16 +29,6 @@ object Ann {
         graft.functions.TextKernels.md5Hex(s"$t|$b|$j").substring(0, 1), 16)
       if ((nib & 1) == 1) 1.0 else -1.0
     }
-
-  private def dotLit(v: Column, p: Array[Double]): Column =
-    aggregate(zip_with(v, typedlit(p.toSeq), (x, y) => x * y),
-      lit(0.0d), (acc, x) => acc + x)
-
-  /** Signature (bucket id) of an embedding for one LSH table. */
-  def signature(v: Column, tablePlanes: Array[Array[Double]]): Column =
-    tablePlanes.zipWithIndex.map { case (p, b) =>
-      when(dotLit(v, p) > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
 
   /** Exact top-k cosine neighbors for each query row.
     * `queries` must be small (broadcast). Returns
@@ -160,9 +144,16 @@ object Ann {
               seed: Long = 42L, maxTrainSample: Int = 65536): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
-    val sample = vecs.orderBy(col("neighbor_id")).limit(maxTrainSample)
+    val vecs = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+    // training sample: the maxTrainSample rows with the SMALLEST id hash —
+    // a deterministic uniform sample (TakeOrdered, one pass). Ordering by
+    // raw id would bias the quantizer to a corpus prefix whenever ids
+    // correlate with content (time- or source-ordered ingestion).
+    val sample = vecs
+      .orderBy(graft.ops.Sampling.hashBucket(col("neighbor_id")), col("neighbor_id"))
+      .limit(maxTrainSample)
       .as[(Long, Array[Double])].collect().map(_._2)
     val centers = kmeansFit(sample, nlist, seed)
     val bcC = spark.sparkContext.broadcast(centers)
@@ -172,8 +163,9 @@ object Ann {
       .map { case (id, v) => (id, v, nearestCell(v, bcC.value)) }
       .toDF("neighbor_id", "cv", "cell")
     // driver-side: nprobe nearest centroids per query (centroid table is tiny)
-    val q = queries.select(col(idCol).cast("long").as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
       .as[(Long, Array[Double])].collect()
     val probes = q.flatMap { case (qid, qv) =>
       centers.zipWithIndex.map { case (c, i) => (sqdist(qv, c), i) }
@@ -204,11 +196,15 @@ object Ann {
               vecCol: String, k: Int, tables: Int = 8, bits: Int = 6): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    val dim = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head.getInt(0)
     val pl = planesMd5(dim, tables, bits)
     val bcP = spark.sparkContext.broadcast(pl)
+    // null vectors can't bucket — excluded, like the HOF formulation's
+    // null-propagating signatures that never joined
     def bucketed(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
         .as[(Long, Array[Double])]
         .flatMap { case (rid, v) =>
           val p = bcP.value

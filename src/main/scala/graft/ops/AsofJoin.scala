@@ -32,23 +32,28 @@ object AsofJoin {
     require(payloadCols.nonEmpty, "as-of join needs at least one payload column")
     val leftCols = left.columns.toSeq
     // unified schema: key, time, side, left columns (null on right rows),
-    // payload columns (null on left rows)
+    // and ONE payload struct (null on left rows). The struct is picked
+    // atomically by last(ignoreNulls): a right row whose payload VALUE is
+    // null still wins (struct non-null), and multiple payload columns can
+    // never mix values from different right rows.
+    val payloadStruct = struct(payloadCols.map(c => col(c).as(c)): _*)
+    val nullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(payloadCols.map(c => right.schema(c)).toArray))
     val l = left.select(
       Seq(col(keyCol).as("__k"), col(timeCol).as("__t"), lit(1).as("__side")) ++
-        leftCols.map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")): _*)
+        leftCols.map(col) :+ nullStruct.as("__p"): _*)
     val r = right.filter(col(timeCol).isNotNull).select(
       Seq(col(keyCol).as("__k"), col(timeCol).as("__t"), lit(0).as("__side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("__p"): _*)
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l.unionAll(r)
-      .select(
-        (col("__side") +: leftCols.map(col)) ++
-          payloadCols.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w)
-            .as(s"asof_$c")): _*)
-    joined.filter(col("__side") === 1).drop("__side")
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    payloadCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"asof_$c", col("__asof").getField(c))
+    }.select(leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
   }
 }

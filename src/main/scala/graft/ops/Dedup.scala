@@ -49,7 +49,7 @@ object Dedup {
         // fail the whole job on one bad row.
         if (text == null) (id, Array.empty[String])
         else {
-        val ws = text.trim.toLowerCase.split("\\s+")
+        val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
         val n = math.max(ws.length - w, 0)
         val out = new java.util.LinkedHashSet[String]()
         var i = 0
@@ -121,7 +121,7 @@ object Dedup {
       .map { case (id, text) =>
         if (text == null) (id, Array.empty[String], Array.empty[String])
         else {
-          val ws = text.trim.toLowerCase.split("\\s+")
+          val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           val n = math.max(ws.length - w, 0)
           val grams = new java.util.LinkedHashSet[String]()
           var i = 0
@@ -264,7 +264,7 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, text) =>
         val votes = new Array[Int](64)
-        if (text != null) text.trim.toLowerCase.split("\\s+").foreach { w =>
+        if (text != null) text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { w =>
           val h = java.lang.Long.parseUnsignedLong(
             graft.functions.TextKernels.md5Hex(w).substring(0, 16), 16)
           var b = 0
@@ -329,8 +329,10 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     // typed normalize kernel (the HOF normalized() evaluates interpreted,
-    // and this projection runs once per side of the broadcast product)
-    val v = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    // and this projection runs once per side of the broadcast product);
+    // null vectors can't pair — excluded rather than NPE-ing the job
+    val v = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .map { case (id, a) =>
         var s = 0.0

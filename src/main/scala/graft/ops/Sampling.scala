@@ -16,11 +16,20 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   private val KNUTH = 2654435761L
-  private val MOD = 4294967296L // 2^32
+  private val MOD = 4294967296L  // 2^32
+  private val RED = 2147483648L  // 2^31
 
-  /** The [0, 2^32) hash bucket of a long key. */
+  /** The [0, 2^32) hash bucket of a non-negative long key.
+    *
+    * The key is reduced mod 2^31 BEFORE the multiply so the product
+    * (< 2^31 * 2654435761 ~ 5.7e18) never exceeds Long range: unguarded,
+    * a key above ~3.5e9 would silently wrap in Spark but raise a BIGINT
+    * overflow in engines that check (e.g. the DuckDB oracle) — breaking
+    * the cross-engine contract exactly where it matters. Keys are
+    * expected non-negative (row ids); pmod keeps the result lawful
+    * either way. */
   def hashBucket(key: Column): Column =
-    pmod(key.cast("long") * lit(KNUTH), lit(MOD))
+    pmod(pmod(key.cast("long"), lit(RED)) * lit(KNUTH), lit(MOD))
 
   /** Keep ~`frac` of rows, selected deterministically by the key. */
   def sample(df: DataFrame, keyCol: Column, frac: Double): DataFrame = {

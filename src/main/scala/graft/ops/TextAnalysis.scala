@@ -137,11 +137,14 @@ object TextAnalysis {
                         minDocs: Int): DataFrame = {
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    // no broadcast hint: the boilerplate set is unbounded (every line in
+    // >= minDocs docs) — let the planner pick broadcast vs shuffle from
+    // its actual size
     val boiler = lines.groupBy(col("line"))
       .agg(countDistinct(col(idCol)).as("docs"))
       .filter(col("docs") >= minDocs)
       .select(col("line"))
-    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol))
       .agg(
         array_join(
@@ -168,10 +171,14 @@ object TextAnalysis {
     * positive for any df. */
   def bm25(df: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val n = df.count().toDouble
     val toks = df.select(col(idCol), explode(Dedup.words(col(textCol))).as("w"))
-    val docLen = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
-    val avgLen = docLen.agg(avg(col("dl"))).head.getDouble(0)
+    // cache the small per-doc length table; n and avgLen come from ONE
+    // action over it instead of separate corpus scans (tokenization —
+    // the expensive step — runs twice total: docLen and tf)
+    val docLen = toks.groupBy(idCol).agg(count(lit(1)).as("dl")).cache()
+    val stats = docLen.agg(count(lit(1)).cast("double"), avg(col("dl"))).head
+    val n = stats.getDouble(0)
+    val avgLen = stats.getDouble(1)
     val qt = toks.filter(col("w").isInCollection(queryTerms))
     val tf = qt.groupBy(col(idCol), col("w")).agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).cast("double").as("df"))
@@ -234,7 +241,9 @@ object TextAnalysis {
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
-        (id, graft.functions.TextKernels.minGramHash(text, k))
+        // null text -> null fingerprint (the HOF formulation's behavior)
+        (id, if (text == null) null
+             else graft.functions.TextKernels.minGramHash(text, k))
       }
       .toDF(idCol, "fingerprint")
   }
@@ -255,7 +264,9 @@ object TextAnalysis {
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
-        (id, graft.functions.TextKernels.winnow(text, k, w))
+        // null text -> no fingerprints (one bad row must not fail the job)
+        (id, if (text == null) Array.empty[String]
+             else graft.functions.TextKernels.winnow(text, k, w))
       }
       .toDF(idCol, "fingerprints")
   }

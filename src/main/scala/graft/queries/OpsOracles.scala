@@ -396,7 +396,8 @@ object OpsOracles {
       """
         |SELECT l_orderkey, l_linenumber, l_returnflag
         |FROM lineitem
-        |WHERE ((l_orderkey * 100 + l_linenumber) * 2654435761) % 4294967296
+        |WHERE (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |        % 4294967296
         |      < CASE l_returnflag
         |          WHEN 'A' THEN 429496730 WHEN 'N' THEN 1073741824
         |          WHEN 'R' THEN 214748365 ELSE -1 END
