@@ -86,6 +86,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L, 3L), s"one row per key: ${out.toSeq}")
   }
 
+  test("streaming near-dup detection matches batch simhash pairing") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "completely different content about spark catalyst optimizer rules engine"
+    val input = MemoryStream[StreamDedup.Doc]
+    val q = StreamDedup.nearDupStream(input.toDS(), maxHamming = 6)
+      .writeStream.format("memory").queryName("neardups").outputMode("append").start()
+    input.addData(
+      StreamDedup.Doc(1L, ts(0), a),
+      StreamDedup.Doc(2L, ts(1), b))
+    q.processAllAvailable()
+    // an exact dup of doc 1 arrives later -> must hit doc 1, not doc 2
+    input.addData(StreamDedup.Doc(3L, ts(2), a))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.sql("select doc_id, dup_of, hamming from neardups")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(hits == Set((3L, 1L, 0)), s"hits=$hits")
+    // kernel equals the batch operator's simhash
+    val batch = graft.ops.Dedup.simhash(
+      Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text")
+      .head.getLong(1)
+    assert(batch == StreamDedup.simhash64(a))
+  }
+
   test("stream-stream enrichment joins right events within the lookback") {
     implicit val sqlCtx = spark.sqlContext
     val lIn = MemoryStream[(Long, Timestamp, String)]
