@@ -36,7 +36,9 @@ object Multimodal {
     * is production-shaped.
     */
   def stubDecode(payload: Array[Byte], modality: String): Row = {
-    val n = payload.length.toLong
+    // null payload decodes as empty media (one corrupt row must not
+    // fail the partition)
+    val n = if (payload == null) 0L else payload.length.toLong
     // ??? real codec goes here — deterministic fake derived from length:
     val width = 64 + (n % 577).toInt
     val height = 64 + ((n * 31) % 353).toInt
