@@ -249,6 +249,56 @@ class OpsSpec extends SparkSpec {
     assert(eq == 100.0)
   }
 
+  test("connected components agree with union-find on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = (1 to 50).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> {
+          // min node id in the component
+          val root = find(id.toInt)
+          (0 until n).filter(j => find(j) == root)
+            .filter(j => edges.exists(e => e._1 == j || e._2 == j)).min.toLong
+        }).toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: $got vs $expected")
+    }
+  }
+
+  test("as-of join agrees with a driver-side reference on random data") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(17)
+    def ts(m: Long) = new Timestamp(1700000000000L + m * 1000L)
+    val leftRows = (1 to 80).map(i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(1000).toLong), i.toLong))
+    // unique right timestamps per key (ties among right rows are
+    // engine-ambiguous in any as-of implementation)
+    val rightRows = (1 to 60).map(i =>
+      (rnd.nextInt(5).toLong, ts(i * 17L), i * 1.5))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val out = AsofJoin.asofJoin(
+        leftRows.toDF("k", "t", "row_id"), rightRows.toDF("k", "t", "v"),
+        "k", "t", Seq("v"))
+      .collect().map(r => r.getAs[Long]("row_id") -> Option(r.get(r.fieldIndex("asof_v"))))
+      .toMap
+    leftRows.foreach { case (k, lt, rowId) =>
+      val expected = rightRows.filter(r => r._1 == k && !r._2.after(lt))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+      assert(out(rowId) == expected, s"row $rowId key $k t=$lt")
+    }
+  }
+
   test("new operators tolerate degenerate inputs") {
     // empty pair list -> empty cluster assignment (no hang, no NPE)
     val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
