@@ -141,19 +141,27 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 42L, maxTrainSample: Int = 65536): DataFrame = {
+              seed: Long = 42L, maxTrainSample: Int = 65536,
+              maxTrainBytes: Long = 256L << 20): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
-    // training sample: the maxTrainSample rows with the SMALLEST id hash —
-    // a deterministic uniform sample (TakeOrdered, one pass). Ordering by
+    // training sample: the rows with the SMALLEST id hash — a
+    // deterministic uniform sample (TakeOrdered, one pass). Ordering by
     // raw id would bias the quantizer to a corpus prefix whenever ids
     // correlate with content (time- or source-ordered ingestion).
+    // The sample collects to the DRIVER (the FAISS train-on-sample
+    // recipe), so its size is budgeted in BYTES, not rows: at 1536-dim
+    // doubles, 65536 rows is ~0.8 GB of heap — maxTrainBytes rescales
+    // the row cap by the actual dimension (default 256 MB of vectors).
+    val dim = vecs.select(size(col("cv"))).head.getInt(0)
+    val budgetRows = math.max(nlist * 8L,
+      maxTrainBytes / math.max(8L * dim, 1L)).min(maxTrainSample).toInt
     val sample = vecs
       .orderBy(graft.ops.Sampling.hashBucket(col("neighbor_id")), col("neighbor_id"))
-      .limit(maxTrainSample)
+      .limit(budgetRows)
       .as[(Long, Array[Double])].collect().map(_._2)
     val centers = kmeansFit(sample, nlist, seed)
     val bcC = spark.sparkContext.broadcast(centers)

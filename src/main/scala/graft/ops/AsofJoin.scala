@@ -39,15 +39,22 @@ object AsofJoin {
     val payloadStruct = struct(payloadCols.map(c => col(c).as(c)): _*)
     val nullStruct = lit(null).cast(
       org.apache.spark.sql.types.StructType(payloadCols.map(c => right.schema(c)).toArray))
+    // __tie: deterministic order among right rows sharing (key, time) —
+    // without it the window sort is ambiguous on ties and last() could
+    // attach a different payload run-to-run. The payload hash is stable
+    // across runs and partitionings (xxhash64 of the payload values), so
+    // ties resolve identically every execution.
     val l = left.select(
-      Seq(col(keyCol).as("__k"), col(timeCol).as("__t"), lit(1).as("__side")) ++
+      Seq(col(keyCol).as("__k"), col(timeCol).as("__t"), lit(1).as("__side"),
+        lit(0L).as("__tie")) ++
         leftCols.map(col) :+ nullStruct.as("__p"): _*)
     val r = right.filter(col(timeCol).isNotNull).select(
-      Seq(col(keyCol).as("__k"), col(timeCol).as("__t"), lit(0).as("__side")) ++
+      Seq(col(keyCol).as("__k"), col(timeCol).as("__t"), lit(0).as("__side"),
+        xxhash64(payloadCols.map(col): _*).as("__tie")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         payloadStruct.as("__p"): _*)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l.unionAll(r)
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))

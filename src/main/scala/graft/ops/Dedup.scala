@@ -73,14 +73,16 @@ object Dedup {
   /** Exact dedup: one representative row (min id) per distinct content key.
     * One shuffle on the md5 content hash.
     *
-    * The key is NULL-safe: each column is tagged `V<value>` (present) or
-    * `N` (null) before joining with a U+0001 separator, so rows that
-    * differ only in WHICH column is null -- or null vs empty string -- get
-    * distinct keys (plain `concat_ws` silently skips nulls). */
+    * The key is NULL-safe AND injection-safe: each column is tagged
+    * `V<value>` (present) or `N` (null), then hashed INDIVIDUALLY; the
+    * fixed-width (32 hex char) digests concatenate into the row key, so
+    * no value content -- separator or tag chars inside a value -- can
+    * make two distinct column tuples concatenate identically (the
+    * collision a separator-joined raw encoding admits). */
   def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
     val parts = contentCols.map(c =>
-      coalesce(concat(lit("V"), col(c).cast("string")), lit("N")))
-    val key = md5(concat_ws("\u0001", parts: _*))
+      md5(coalesce(concat(lit("V"), col(c).cast("string")), lit("N"))))
+    val key = md5(concat(parts: _*))
     df.groupBy(key.as("content_key"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("cluster_size"))
   }
@@ -189,10 +191,13 @@ object Dedup {
                  threshold: Double = 0.6, shingleWidth: Int = 3,
                  maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // one kernel pass computes the shingle set AND the band buckets;
-    // cached because the self-join + the two verify re-joins would
-    // otherwise recompute the md5 work once per consumer
+    // materialized once (lazy localCheckpoint) because the self-join +
+    // the two verify re-joins would otherwise recompute the md5 work
+    // once per consumer. localCheckpoint, not cache: the RDD blocks are
+    // reference-tracked and freed on GC, so repeated operator calls in a
+    // long-lived session don't accumulate storage memory.
     val sets = shingleSetsWithBuckets(df, idCol, textCol, shingleWidth,
-      bands, rowsPerBand).cache()
+      bands, rowsPerBand).localCheckpoint(false)
     val bandRows0 = sets
       .select(col("__id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
     val bandRows =
@@ -223,19 +228,39 @@ object Dedup {
   }
 
   /** All-pairs n-gram Jaccard via inverted-index join (pairs must share at
-    * least one shingle; grouped pair counts, no cartesian product). */
+    * least one shingle; grouped pair counts, no cartesian product).
+    *
+    * @param maxDf drop grams whose document frequency exceeds this before
+    *        the self-join. The inverted-index join emits f² pair rows for
+    *        a gram in f docs — one boilerplate trigram ("all rights
+    *        reserved") in 1M docs is 10¹² join rows. Capping bounds the
+    *        work like [[minhashLsh]]'s `maxBucketSize`: dropped grams no
+    *        longer contribute to intersection counts, so jaccard is
+    *        UNDERestimated only for pairs whose overlap is dominated by
+    *        corpus-wide boilerplate (which near-dup semantics want to
+    *        ignore anyway). Default: uncapped (exact semantics — what
+    *        the oracle checks). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, shingleWidth: Int = 3): DataFrame = {
+                        threshold: Double, shingleWidth: Int = 3,
+                        maxDf: Int = Int.MaxValue): DataFrame = {
     // cached: the self-join would otherwise recompute the shingle
     // construction once per join side
     val sets = shingleSets(df, idCol, textCol, shingleWidth)
       .withColumn("n", size(col("sh")))
-      .cache()
+      .localCheckpoint(false) // GC-freed, unlike cache (see minhashLsh)
     // join on the 8-byte xxhash64 of the shingle instead of the string:
     // same distinct-set intersection counts (collisions are ~2^-64 per
     // gram pair), half the shuffle width
-    val inv = sets.select(col("__id"), col("n"), explode(col("sh")).as("g"))
-      .withColumn("gh", xxhash64(col("g"))).drop("g").cache()
+    val inv0 = sets.select(col("__id"), col("n"), explode(col("sh")).as("g"))
+      .withColumn("gh", xxhash64(col("g"))).drop("g")
+    val inv = (if (maxDf == Int.MaxValue) inv0
+               else {
+                 val ok = inv0.groupBy(col("gh"))
+                   .agg(count(lit(1)).as("df"))
+                   .filter(col("df") <= maxDf)
+                   .select(col("gh"))
+                 inv0.join(ok, Seq("gh"), "left_semi")
+               }).localCheckpoint(false)
     val pairCounts = inv.as("a").join(inv.as("b"),
         col("a.gh") === col("b.gh") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
@@ -289,15 +314,15 @@ object Dedup {
     * verify candidates by full Hamming distance. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    // cache + posexplode: the band union + self-join would otherwise
-    // recompute the simhash kernel once per band per side (~8x)
-    val sh = simhash(df, idCol, textCol).cache()
+    // materialize + posexplode: the band union + self-join would
+    // otherwise recompute the simhash kernel once per band per side (~8x)
+    val sh = simhash(df, idCol, textCol).localCheckpoint(false)
     val bandBuckets = array((0 until 4).map { b =>
       shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
     }: _*)
     val bandRows = sh.select(col(idCol).as("__id"), col("simhash"),
         posexplode(bandBuckets).as(Seq("band", "bucket")))
-      .cache()
+      .localCheckpoint(false)
     bandRows.as("l").join(bandRows.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.__id") < col("r.__id"))
@@ -315,21 +340,37 @@ object Dedup {
     dot / (na * nb)
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold (exact).
+  /** Embedding-cosine near-duplicate pairs above a threshold.
     *
-    * Execution shape: pre-normalize in one projection, then a broadcast
-    * block-nested-loop with a primitive-array dot-product kernel in
-    * `mapPartitions` — the same plan Spark picks for a broadcast
-    * non-equi join, but ~50x faster than per-pair array HOFs (no per-pair
-    * allocation, SIMD-friendly inner loop). The broadcast side must fit
-    * in executor memory; at 100 TB corpus-vs-corpus scale, route through
-    * [[Ann.lshTopK]]-style bucketing instead of the full product. */
+    * Execution shape — fully distributed, NO driver collection of the
+    * corpus: (1) one typed projection L2-normalizes each vector;
+    * (2) one typed pass computes `tables` sign-random-projection
+    * signatures per row against the engine-portable Rademacher planes
+    * ([[Ann.planesMd5]] — md5-derived, so any engine reproduces the
+    * buckets); (3) a self-join on (table, signature) over the MINIMAL
+    * (id, table, sig) projection yields candidate pairs; (4) candidates
+    * re-join their normalized vectors and verify with the codegen
+    * `graft_dot` expression. The only shuffles are the bucket join and
+    * the two verify joins on id — bucket sizes, not corpus size, bound
+    * the pairwise work, which is the layout that survives a 100 TB
+    * corpus (at n rows choose `bits` ≈ log2(n / targetBucketSize)).
+    *
+    * Recall: a pair at exactly the threshold angle can miss every table
+    * (p_miss = (1 - (1-θ/π)^bits)^tables ≈ 1.2% at cos 0.95 with the
+    * defaults); identical-direction duplicates (cos = 1) are ALWAYS
+    * found — every plane agrees, so they share every bucket.
+    *
+    * @param maxBucketSize drop (table, sig) buckets larger than this
+    *        before the self-join — same degenerate-bucket bound as
+    *        [[minhashLsh]]'s cap (a bucket that large is a pile of
+    *        near-identical vectors; exact dedup handles it). Default
+    *        uncapped. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double): DataFrame = {
+                     threshold: Double, tables: Int = 8, bits: Int = 8,
+                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // typed normalize kernel (the HOF normalized() evaluates interpreted,
-    // and this projection runs once per side of the broadcast product);
+    // typed normalize kernel (the HOF normalized() evaluates interpreted);
     // null vectors can't pair — excluded rather than NPE-ing the job
     val v = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
@@ -344,20 +385,52 @@ object Dedup {
         while (i < a.length) { out(i) = a(i) / nrm; i += 1 }
         (id, out)
       }
-    val corpus = v.collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(corpus)
-    v.mapPartitions { it =>
-      val c = bc.value
-      it.flatMap { case (idA, va) =>
-        // only emit pairs (idA < idB): each pair produced exactly once
-        c.iterator.filter(_._1 > idA).flatMap { case (idB, vb) =>
-          var s = 0.0
-          var i = 0
-          while (i < va.length) { s += va(i) * vb(i); i += 1 }
-          if (s >= threshold) Some((idA, idB, s)) else None
+      .toDF("__id", "nv")
+      // consumed by the bucket pass and both verify joins; GC-freed
+      .localCheckpoint(false)
+    val dimRow = v.select(size(col("nv"))).head()
+    val dim = dimRow.getInt(0)
+    val bcP = spark.sparkContext.broadcast(Ann.planesMd5(dim, tables, bits))
+    // minimal (id, table, sig) band rows — vectors never ride the bucket join
+    val bandRows0 = v.as[(Long, Array[Double])].flatMap { case (id, nv) =>
+      val p = bcP.value
+      (0 until p.length).iterator.map { t =>
+        val tp = p(t)
+        var sig = 0L
+        var b = 0
+        while (b < tp.length) {
+          val plane = tp(b)
+          var d = 0.0
+          var j = 0
+          while (j < nv.length) { d += nv(j) * plane(j); j += 1 }
+          if (d > 0) sig |= (1L << b)
+          b += 1
         }
+        (id, t, sig)
       }
-    }.toDF("id_a", "id_b", "cos")
+    }.toDF("__id", "table", "sig")
+    val bandRows =
+      if (maxBucketSize == Int.MaxValue) bandRows0
+      else {
+        val ok = bandRows0.groupBy(col("table"), col("sig"))
+          .agg(count(lit(1)).as("sz"))
+          .filter(col("sz") <= maxBucketSize)
+          .select(col("table"), col("sig"))
+        bandRows0.join(ok, Seq("table", "sig"), "left_semi")
+      }
+    val cands = bandRows.as("l")
+      .join(bandRows.as("r"),
+        col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
+          col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+    cands
+      .join(v.select(col("__id").as("id_a"), col("nv").as("nv_a")), "id_a")
+      .join(v.select(col("__id").as("id_b"), col("nv").as("nv_b")), "id_b")
+      .withColumn("cos",
+        graft.functions.GraftFunctions.dot(spark, col("nv_a"), col("nv_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** L2-normalize a double-array column (expression-level, one pass). */

@@ -175,7 +175,8 @@ object TextAnalysis {
     // cache the small per-doc length table; n and avgLen come from ONE
     // action over it instead of separate corpus scans (tokenization —
     // the expensive step — runs twice total: docLen and tf)
-    val docLen = toks.groupBy(idCol).agg(count(lit(1)).as("dl")).cache()
+    val docLen = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(false) // GC-freed, unlike cache
     val stats = docLen.agg(count(lit(1)).cast("double"), avg(col("dl"))).head
     val n = stats.getDouble(0)
     val avgLen = stats.getDouble(1)
@@ -216,7 +217,7 @@ object TextAnalysis {
                     w: Int = 3): DataFrame = {
     val docSets = Dedup.shingleSets(docs, idCol, textCol, w)
       .withColumn("n", size(col("sh")))
-      .cache()
+      .localCheckpoint(false) // GC-freed, unlike cache
     val benchGrams = Dedup.shingleSets(bench, idCol, benchTextCol, w)
       .select(explode(col("sh")).as("g")).distinct()
     val inv = docSets.select(col("__id"), explode(col("sh")).as("g"))

@@ -108,9 +108,9 @@ object OpsOracles {
         |WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 100000, text FROM documents)
-        |SELECT md5('V' || text) AS content_key, min(doc_id) AS keep_id,
+        |SELECT md5(md5('V' || text)) AS content_key, min(doc_id) AS keep_id,
         |       count(*) AS cluster_size
-        |FROM docs GROUP BY md5('V' || text) ORDER BY keep_id""".stripMargin.trim,
+        |FROM docs GROUP BY md5(md5('V' || text)) ORDER BY keep_id""".stripMargin.trim,
 
     "q_dedup_minhash" ->
       """

@@ -48,18 +48,28 @@ object EventAgg {
     * a BOUNDED time-range predicate so the engine can size and evict
     * per-key state from the watermarks; an unbounded "latest ever" match
     * would require infinite state. Payload columns arrive prefixed
-    * `r_`. */
+    * `r_`.
+    *
+    * @param timeCol event-time column name, present on BOTH streams
+    *                (like [[graft.ops.AsofJoin.asofJoin]]'s timeCol). */
   def enrichStream(left: DataFrame, right: DataFrame, keyCol: String,
                    payloadCols: Seq[String], lookback: String = "1 hour",
-                   watermark: String = "1 hour"): DataFrame = {
-    val l = left.withWatermark("ts", watermark)
-    val r = right.withWatermark("ts", watermark)
-      .select(Seq(col(keyCol).as("r_key"), col("ts").as("r_ts")) ++
+                   watermark: String = "1 hour",
+                   timeCol: String = "ts"): DataFrame = {
+    // lookback splices into an INTERVAL literal — validate the shape
+    // instead of letting arbitrary text reach the SQL parser
+    require(lookback.matches("(?i)\\s*\\d+\\s+(second|minute|hour|day)s?\\s*"),
+      s"lookback must look like '<n> seconds|minutes|hours|days', got '$lookback'")
+    require(left.columns.contains(timeCol) && right.columns.contains(timeCol),
+      s"both streams need the event-time column '$timeCol'")
+    val l = left.withWatermark(timeCol, watermark)
+    val r = right.withWatermark(timeCol, watermark)
+      .select(Seq(col(keyCol).as("r_key"), col(timeCol).as("r_ts")) ++
         payloadCols.map(c => col(c).as(s"r_$c")): _*)
     l.join(r,
       col(keyCol) === col("r_key") &&
-        col("r_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
-        col("r_ts") <= col("ts"),
+        col("r_ts") >= col(timeCol) - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col(timeCol),
       "leftOuter")
       .drop("r_key")
   }

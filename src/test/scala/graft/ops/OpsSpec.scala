@@ -35,6 +35,58 @@ class OpsSpec extends SparkSpec {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("exact dedup key resists separator/tag injection") {
+    // values crafted so a separator-joined raw encoding would collide:
+    // ("aVb", null) vs ("a", "bN") concatenate identically
+    // under the old scheme; per-part digests keep them distinct
+    val rows = Seq(
+      (1L, Option("aVb"), Option.empty[String]),
+      (2L, Option("a"), Option("bN"))
+    ).toDF("id", "c1", "c2")
+    val out = Dedup.exact(rows, "id", Seq("c1", "c2")).collect()
+    assert(out.length == 2, s"adversarial values must not merge: ${out.length}")
+  }
+
+  test("cosine near-dups: SRP buckets find planted dups, agree with brute force") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 30).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian())))
+    // scaled copies are cosine-identical (cos = 1): every SRP plane
+    // agrees, so bucketing can never miss them
+    val dups = (0 until 3).map(i => (100L + i, base(i)._2.map(_ * 3.0)))
+    val df = (base ++ dups).toDF("id", "v")
+    val got = Dedup.cosineNearDups(df, "id", "v", threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // driver-side brute-force reference
+    val all = base ++ dups
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (for {
+      (ia, va) <- all; (ib, vb) <- all
+      if ia < ib && cos(va, vb) >= 0.95
+    } yield (ia, ib)).toSet
+    assert(expected.size >= 3, "planted pairs present in reference")
+    assert(got == expected, s"got $got expected $expected")
+    // hot-bucket cap: with every vector IDENTICAL all rows share every
+    // bucket; capping prunes the degenerate buckets
+    val same = (0 until 5).map(i => (i.toLong, Array.fill(8)(1.0))).toDF("id", "v")
+    val capped = Dedup.cosineNearDups(same, "id", "v", 0.9, maxBucketSize = 3)
+    assert(capped.count() == 0, "degenerate buckets pruned")
+  }
+
+  test("ngram jaccard hot-gram cap bounds boilerplate grams") {
+    // each doc: unique prefix + a shared boilerplate shingle; the ONLY
+    // common gram across docs is "all rights reserved" (df = 4)
+    val d = (1 to 4).map(i =>
+      (i.toLong, s"unique$i content$i all rights reserved")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.05)
+    assert(uncapped.count() == 6, "all pairs share the boilerplate gram")
+    val capped = Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.05,
+      maxDf = 3)
+    assert(capped.count() == 0, "hot gram dropped, no candidate pairs remain")
+  }
+
   test("shingle kernel tolerates null text") {
     val withNull = docs.unionAll(Seq((5L, null.asInstanceOf[String]))
       .toDF("doc_id", "text"))
