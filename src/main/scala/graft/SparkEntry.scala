@@ -43,6 +43,8 @@ object SparkEntry {
     "q_deviance"         -> (PathQueries.devianceQ _),
     "q_cv_curve"         -> (PathQueries.cvCurve _),
     "q_cv_select"        -> (PathQueries.cvSelect _),
+    "q_cv_auc"           -> (PathQueries.cvAuc _),
+    "q_cv_mae"           -> (PathQueries.cvMae _),
     "q_cv_exact_curve"   -> (PathQueries.cvExactCurve _),
     "q_cv_exact_pick"    -> (PathQueries.cvExactPick _),
     "q_cv_exact_predict" -> (PathQueries.cvExactPredict _),
@@ -380,6 +382,101 @@ object SparkEntry {
       s"""$cvExactCte
         |SELECT lambda_idx, round(ln(lam), 4) AS ln_lambda,
         |       round(ln(cvm), 6) AS ln_cvm, round(ln(cvsd), 6) AS ln_cvsd
+        |FROM curve ORDER BY lambda_idx""".stripMargin,
+
+    // AUC of a 1-feature logistic model depends only on the
+    // coefficient's activity (KKT at the null: |cov(x_std,y)| <= lam on
+    // train moments) and sign — closed form — so the CV-auc curve is
+    // exact. Fold sums use ORDER BY f lists so both engines add the 5
+    // fold scores in the same order (bit-stable rounding).
+    "q_cv_auc" ->
+      """WITH r AS (
+        |  SELECT l_quantity AS x,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |lgrid AS (SELECT lambda_idx, lam::DOUBLE AS lam
+        |          FROM (VALUES (0, 0.01), (1, 0.003), (2, 0.001),
+        |          (3, 0.0005), (4, 0.0002), (5, 0.00005)) AS t(lambda_idx, lam)),
+        |tot AS (SELECT count(*)::double n, sum(x) sx, sum(y) sy,
+        |               sum(x*x) sxx, sum(x*y) sxy FROM r),
+        |pf AS (SELECT f, count(*)::double n, sum(x) sx, sum(y) sy,
+        |              sum(x*x) sxx, sum(x*y) sxy FROM r GROUP BY f),
+        |g AS (SELECT pf.f,
+        |        ((tot.sxy-pf.sxy)/(tot.n-pf.n)
+        |          - ((tot.sx-pf.sx)/(tot.n-pf.n))*((tot.sy-pf.sy)/(tot.n-pf.n)))
+        |        / sqrt((tot.sxx-pf.sxx)/(tot.n-pf.n)
+        |          - ((tot.sx-pf.sx)/(tot.n-pf.n))*((tot.sx-pf.sx)/(tot.n-pf.n)))
+        |        AS grad
+        |      FROM pf, tot),
+        |k AS (SELECT f, y,
+        |        rank() OVER (PARTITION BY f ORDER BY x)
+        |          + (count(*) OVER (PARTITION BY f, x) - 1) / 2.0 AS ra,
+        |        rank() OVER (PARTITION BY f ORDER BY x DESC)
+        |          + (count(*) OVER (PARTITION BY f, x) - 1) / 2.0 AS rd
+        |      FROM r),
+        |a AS (SELECT f, sum(CASE WHEN y = 1 THEN ra END) rpa,
+        |             sum(CASE WHEN y = 1 THEN rd END) rpd,
+        |             sum(CASE WHEN y = 1 THEN 1.0 ELSE 0.0 END) np,
+        |             sum(CASE WHEN y = 0 THEN 1.0 ELSE 0.0 END) nn
+        |      FROM k GROUP BY f),
+        |aucf AS (SELECT f, (rpa - np*(np+1)/2) / (np*nn) AS auc_a,
+        |                (rpd - np*(np+1)/2) / (np*nn) AS auc_d FROM a),
+        |fl AS (SELECT lgrid.lambda_idx, lgrid.lam, g.f,
+        |         CASE WHEN abs(g.grad) <= lgrid.lam THEN 0.5
+        |              WHEN g.grad > 0 THEN aucf.auc_a
+        |              ELSE aucf.auc_d END AS m
+        |       FROM lgrid, g JOIN aucf ON g.f = aucf.f),
+        |curve AS (SELECT lambda_idx, lam,
+        |            list_aggregate(list(m ORDER BY f), 'sum') AS sm,
+        |            list(m ORDER BY f) AS la
+        |          FROM fl GROUP BY lambda_idx, lam)
+        |SELECT lambda_idx, round(lam, 6) AS lambda,
+        |       round(sm/5, 6) + 0 AS cvm,
+        |       round(sqrt(list_aggregate(list_transform(la,
+        |           x -> (x - sm/5)*(x - sm/5)), 'sum') / 4.0 / 5.0), 6) + 0 AS cvsd
+        |FROM curve ORDER BY lambda_idx""".stripMargin,
+
+    // per-fold coefficients are the closed-form soft threshold of train
+    // moments (same CTE chain as q_cv_exact_*); held-out MAE is a plain
+    // row aggregation, ln-encoded like the other fit oracles.
+    "q_cv_mae" ->
+      """WITH r AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |tot AS (SELECT count(*)::double n, sum(x) sx, sum(y) sy, sum(x*x) sxx,
+        |               sum(x*y) sxy FROM r),
+        |pf AS (SELECT f, count(*)::double n, sum(x) sx, sum(y) sy, sum(x*x) sxx,
+        |              sum(x*y) sxy FROM r GROUP BY f),
+        |lmx AS (SELECT abs(covar_pop(l_quantity, l_extendedprice)
+        |          / sqrt(var_pop(l_quantity))) AS lmax FROM lineitem),
+        |lgrid AS (SELECT cast(g.i AS INT) AS lambda_idx,
+        |                 lmax * pow(0.01, g.i / 9.0) AS lam
+        |          FROM lmx, generate_series(0, 9) AS g(i)),
+        |tr AS (SELECT pf.f, tot.n - pf.n AS n, tot.sx - pf.sx AS sx,
+        |              tot.sy - pf.sy AS sy, tot.sxx - pf.sxx AS sxx,
+        |              tot.sxy - pf.sxy AS sxy
+        |       FROM pf, tot),
+        |fitm AS (SELECT tr.f, lgrid.lambda_idx, lgrid.lam,
+        |           sx/n AS mx, sy/n AS my,
+        |           sqrt(sxx/n - (sx/n)*(sx/n)) AS sd,
+        |           (sxy/n - (sx/n)*(sy/n)) AS cxy
+        |         FROM tr, lgrid),
+        |co AS (SELECT f, lambda_idx, lam, mx, my,
+        |         sign(cxy/sd) * greatest(abs(cxy/sd) - lam, 0) / sd AS b
+        |       FROM fitm),
+        |sc AS (SELECT f, lambda_idx, lam, my - b*mx AS a0, b FROM co),
+        |mf AS (SELECT sc.lambda_idx, sc.lam, sc.f,
+        |         avg(abs(r.y - sc.a0 - sc.b * r.x)) AS m
+        |       FROM r JOIN sc ON r.f = sc.f GROUP BY 1, 2, 3),
+        |curve AS (SELECT lambda_idx, lam, avg(m) AS cvm,
+        |                 stddev_samp(m) / sqrt(5) AS cvsd
+        |          FROM mf GROUP BY lambda_idx, lam)
+        |SELECT lambda_idx, round(ln(lam), 4) AS ln_lambda,
+        |       round(ln(cvm), 4) AS ln_cvm, round(ln(cvsd), 4) AS ln_cvsd
         |FROM curve ORDER BY lambda_idx""".stripMargin,
 
     "q_cv_exact_pick" ->

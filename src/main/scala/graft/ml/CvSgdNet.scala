@@ -58,6 +58,20 @@ object CvSgdNet {
       df.withColumn("pred", c)
     }
 
+    /** score.cv_sgdnet (reference R/score.R:182-201): score NEW data at
+      * the CV-selected penalty. `which` = "lambda.min" | "lambda.1se" |
+      * a numeric string; measure semantics match [[SgdNetModel.scoreAt]]
+      * (deviance/mse/mae/class/auc per family). */
+    def score(df: DataFrame, measure: String = "deviance",
+              which: String = "lambda.min"): Double = {
+      val s = which match {
+        case "lambda.min" => best.lambdaMin
+        case "lambda.1se" => best.lambda1se
+        case other        => other.toDouble
+      }
+      best.fit.scoreAt(df, measure, s)
+    }
+
     /** deviance.cv_sgdnet: the full-data fit's deviance path. */
     def deviance: Array[Double] = best.fit.deviance
 
@@ -85,7 +99,15 @@ object CvSgdNet {
     (lambdaMin, lambda(idx1se))
   }
 
-  /** @param foldCol optional custom fold-assignment expression in
+  /** @param measure "deviance" | "mse" | "mae" | "class" | "auc"
+    *                 (reference R/cv_sgdnet.R:119-128; auc is
+    *                 binomial-only, mae/mse valid for every family).
+    *                 NOTE: selection minimizes cvm for EVERY measure,
+    *                 auc included — matching the reference's
+    *                 find_optimum (R/cv_sgdnet.R:265-282, which.min
+    *                 unconditionally); callers maximizing auc should
+    *                 read the curve via curveDF and pick the max.
+    * @param foldCol optional custom fold-assignment expression in
     *                 [0, nfolds); defaults to the content hash
     *                 `pmod(xxhash64(features, labels), nfolds)`. Supply an
     *                 engine-portable hash (e.g. [[graft.ops.Sampling
@@ -386,16 +408,67 @@ object CvSgdNet {
     try {
       val L = lambdas.length
       val foldScores = Array.ofDim[Double](nfolds, L)
+      val models = new Array[SgdNetModel](nfolds)
       for (f <- 0 until nfolds) {
         val train = withFold.filter(col("__fold") =!= f)
-        val test = withFold.filter(col("__fold") === f)
-        val m = SgdNet.fitMulti(train, featureCols, labelCols,
+        models(f) = SgdNet.fitMulti(train, featureCols, labelCols,
           params.copy(lambda = lambdas))
-        val scores = scoreAllLambdas(m, test, measure)
-        for (l <- 0 until L) foldScores(f)(l) = scores(l)
+      }
+      if (measure == "auc") {
+        require(full.family == "binomial", "auc requires the binomial family")
+        val y = (col(labelCols.head).cast("string") === lit(full.classLabels(1)))
+          .cast("double")
+        for (l <- 0 until L) {
+          // every row scored by ITS OWN fold's held-out model — a
+          // fold-keyed CASE chain keeps all k folds in ONE distributed
+          // rank pass per lambda instead of k separate AUC jobs
+          val scoreCol = (0 until nfolds).foldLeft(lit(Double.NaN)) { (acc, f) =>
+            when(col("__fold") === f, models(f).responseCol(l)).otherwise(acc)
+          }
+          val aucs = aucPerFold(withFold.select(
+            col("__fold").cast("int").as("__fold"),
+            scoreCol.as("__s"), y.as("__y")), nfolds)
+          for (f <- 0 until nfolds) foldScores(f)(l) = aucs(f)
+        }
+      } else {
+        for (f <- 0 until nfolds) {
+          val test = withFold.filter(col("__fold") === f)
+          val scores = scoreAllLambdas(models(f), test, measure)
+          for (l <- 0 until L) foldScores(f)(l) = scores(l)
+        }
       }
       summarize(params.alpha, lambdas, foldScores, full)
     } finally { withFold.unpersist(blocking = false) }
+  }
+
+  /** Per-fold AUC (average-rank Mann–Whitney) in one distributed pass:
+    * distinct (fold, score) aggregation, rank via a fold-PARTITIONED
+    * window (bounded by per-fold distinct scores — never the global
+    * single-partition sort), rank-sums per fold. Deterministic average
+    * ranks where the reference randomizes ties with runif
+    * (R/score.R:218-226) — equal in expectation, reproducible here. */
+  private def aucPerFold(scored: DataFrame, nfolds: Int): Array[Double] = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = scored.groupBy(col("__fold"), col("__s"))
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        sum(when(col("__y") === 1.0, 1.0).otherwise(0.0)).as("pos"))
+    val w = Window.partitionBy(col("__fold")).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perScore.withColumn("cumBefore",
+      coalesce(sum(col("cnt")).over(w), lit(0.0)))
+    val rows = ranked.groupBy(col("__fold"))
+      .agg(sum(col("pos") * (col("cumBefore") + (col("cnt") + 1) / 2.0)).as("rpos"),
+        sum(col("pos")).as("np"), sum(col("cnt") - col("pos")).as("nn"))
+      .collect()
+    val out = Array.fill(nfolds)(Double.NaN)
+    rows.foreach { r =>
+      val f = r.getInt(0)
+      val rpos = r.getDouble(1); val np = r.getDouble(2); val nn = r.getDouble(3)
+      out(f) =
+        if (np == 0 || nn == 0) Double.NaN
+        else (rpos - np * (np + 1) / 2.0) / (np * nn)
+    }
+    out
   }
 
   /** Held-out score per lambda in ONE aggregation over the test fold. */
@@ -405,16 +478,42 @@ object CvSgdNet {
     val label = col(m.responseNames(0))
     val cols: Seq[Column] = (0 until L).map { l =>
       (m.family, measure) match {
-        case ("gaussian" | "mgaussian", _) =>
+        case ("gaussian", "mae") =>
+          avg(abs(label.cast("double") - m.linkCol(l)))
+        case ("gaussian", "mse" | "deviance") =>
           avg(pow(label.cast("double") - m.linkCol(l), 2))
+        case ("mgaussian", ms @ ("mse" | "deviance" | "mae")) =>
+          // reference score.sgdnet_mgaussian sums errors ACROSS responses
+          // (colSums over the response axis) before averaging rows
+          val terms = (0 until m.nResponses).map { t =>
+            val d = col(m.responseNames(t)).cast("double") - m.linkCol(l, t)
+            if (ms == "mae") abs(d) else pow(d, 2)
+          }
+          avg(terms.reduce(_ + _))
         case ("binomial", "deviance") =>
           val pm = m.responseCol(l)
           val pc = least(greatest(pm, lit(1e-5)), lit(1.0 - 1e-5))
           val y = (label.cast("string") === lit(m.classLabels(1))).cast("double")
           avg(lit(-2.0) * (y * log(pc) + (lit(1.0) - y) * log(lit(1.0) - pc)))
+        case ("binomial", "mse") =>
+          // reference one-hot form (p + y1 - 1)^2 + (p - y2)^2 == 2(p - y)^2
+          val y = (label.cast("string") === lit(m.classLabels(1))).cast("double")
+          avg(lit(2.0) * pow(m.responseCol(l) - y, 2))
+        case ("binomial", "mae") =>
+          val y = (label.cast("string") === lit(m.classLabels(1))).cast("double")
+          avg(lit(2.0) * abs(m.responseCol(l) - y))
         case ("binomial", "class") | ("multinomial", "class") =>
           avg((m.classCol(l) =!= label.cast("string")).cast("double"))
-        case ("multinomial", _) => // multinomial deviance
+        case ("multinomial", ms @ ("mse" | "mae")) =>
+          // one-hot row sums across classes (reference rowSums)
+          val y = label.cast("string")
+          val terms = (0 until m.nResponses).map { t =>
+            val d = m.responseCol(l, t) -
+              when(y === lit(m.classLabels(t)), 1.0).otherwise(0.0)
+            if (ms == "mae") abs(d) else pow(d, 2)
+          }
+          avg(terms.reduce(_ + _))
+        case ("multinomial", "deviance") =>
           val y = label.cast("string")
           val terms = (0 until m.nResponses).map { t =>
             val pt = least(greatest(m.responseCol(l, t), lit(1e-5)), lit(1.0 - 1e-5))

@@ -218,6 +218,63 @@ final class SgdNetModel(
       .toDF("lambda_idx", "lambda", "score")
   }
 
+  /** score() at an ARBITRARY penalty `s` (interpolated off-path like
+    * predict's `s` argument) — the primitive behind score.cv_sgdnet
+    * (reference R/score.R:182-201). One aggregation (or one rank pass
+    * for auc); returns the scalar score. */
+  def scoreAt(df: DataFrame, measure: String, s: Double): Double = {
+    val (a0v, betaV) = atLambda(s)
+    val label = col(responseNames(0))
+    (family, measure) match {
+      case ("gaussian", "mse" | "deviance") =>
+        df.agg(avg(pow(label - linkColFor(a0v(0), betaV(0)), 2))).head.getDouble(0)
+      case ("gaussian", "mae") =>
+        df.agg(avg(abs(label - linkColFor(a0v(0), betaV(0))))).head.getDouble(0)
+      case ("mgaussian", ms @ ("mse" | "deviance" | "mae")) =>
+        val terms = (0 until nResponses).map { t =>
+          val d = col(responseNames(t)).cast("double") - linkColFor(a0v(t), betaV(t))
+          if (ms == "mae") abs(d) else pow(d, 2)
+        }
+        df.agg(avg(terms.reduce(_ + _))).head.getDouble(0)
+      case ("binomial", "deviance") =>
+        val y = (label.cast("string") === lit(classLabels(1))).cast("double")
+        val pc = least(greatest(responseColFor(a0v, betaV), lit(1e-5)), lit(1.0 - 1e-5))
+        df.agg(avg(lit(-2.0) * (y * log(pc) + (lit(1.0) - y) * log(lit(1.0) - pc))))
+          .head.getDouble(0)
+      case ("binomial", "mse") =>
+        val y = (label.cast("string") === lit(classLabels(1))).cast("double")
+        df.agg(avg(lit(2.0) * pow(responseColFor(a0v, betaV) - y, 2))).head.getDouble(0)
+      case ("binomial", "mae") =>
+        val y = (label.cast("string") === lit(classLabels(1))).cast("double")
+        df.agg(avg(lit(2.0) * abs(responseColFor(a0v, betaV) - y))).head.getDouble(0)
+      case ("binomial" | "multinomial", "class") =>
+        df.agg(avg((classColFor(a0v, betaV) =!= label.cast("string")).cast("double")))
+          .head.getDouble(0)
+      case ("binomial", "auc") =>
+        val y = (label.cast("string") === lit(classLabels(1))).cast("double")
+        SgdNetModel.aucOf(
+          df.select(responseColFor(a0v, betaV).as("s"), y.as("y")), "s", "y")
+      case ("multinomial", ms @ ("mse" | "mae")) =>
+        val y = label.cast("string")
+        val terms = (0 until nResponses).map { t =>
+          val d = responseColFor(a0v, betaV, t) -
+            when(y === lit(classLabels(t)), 1.0).otherwise(0.0)
+          if (ms == "mae") abs(d) else pow(d, 2)
+        }
+        df.agg(avg(terms.reduce(_ + _))).head.getDouble(0)
+      case ("multinomial", "deviance") =>
+        val y = label.cast("string")
+        val terms = (0 until nResponses).map { t =>
+          val pt = least(greatest(responseColFor(a0v, betaV, t), lit(1e-5)),
+            lit(1.0 - 1e-5))
+          when(y === lit(classLabels(t)), lit(-2.0) * log(pt)).otherwise(lit(0.0))
+        }
+        df.agg(avg(terms.reduce(_ + _))).head.getDouble(0)
+      case (f, ms) =>
+        throw new IllegalArgumentException(s"unsupported measure $ms for family $f")
+    }
+  }
+
   /** Distributed AUC via the rank-sum (Mann–Whitney) statistic: ties get
     * average ranks. One sort-shuffle over scores; no driver collection of
     * rows (reference R/utils.R auc does this in memory). */
@@ -234,29 +291,56 @@ object SgdNetModel {
   /** AUC of score column `s` against 0/1 label `y` via the Mann–Whitney
     * rank statistic with average ranks for ties.
     *
-    * Scalable form: aggregate (count, positives) per DISTINCT score first
-    * — one shuffle on the score key, map-side combined — then rank with a
-    * prefix sum over the (small) distinct-score table. The global-order
-    * window touches only distinct scores, never rows, so this works at
-    * any row count with bounded distinct scores (and degrades to the
-    * distinct-score cardinality otherwise — still far below a full-table
-    * single-partition sort). */
+    * Scalable form — NO single-partition sort anywhere: (1) aggregate
+    * (count, positives) per DISTINCT score (one shuffle, map-side
+    * combined); (2) RANGE-partition the distinct-score table by score
+    * and sort within partitions — a distributed sort, each partition
+    * holds a contiguous score range; (3) pass one computes per-partition
+    * count totals (a tiny P-row collect), whose running sum gives each
+    * partition its global rank offset; (4) pass two turns offset +
+    * partition-local running count into every score's average rank and
+    * reduces the rank-sum. Scores of a continuous model are ~all
+    * distinct, so the ranked table is the full row count — exactly why
+    * the global-order Window (single partition) had to go.
+    *
+    * Exactness: counts are integer-valued doubles, so the partitioned
+    * prefix sums equal the sequential scan bit-for-bit (integer sums are
+    * exact well below 2^53) — same result as the Window formulation. */
   def aucOf(df: DataFrame, scoreCol: String, labelCol: String): Double = {
-    import org.apache.spark.sql.expressions.Window
     val perScore = df.groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).cast("double").as("cnt"),
         sum(when(col(labelCol) === 1.0, 1.0).otherwise(0.0)).as("pos"))
-    val w = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = perScore.withColumn("cumBefore",
-      coalesce(sum(col("cnt")).over(w), lit(0.0)))
-    // all rows at score s share avg rank = cumBefore + (cnt + 1)/2
-    val agg = ranked.agg(
-      sum(col("pos") * (col("cumBefore") + (col("cnt") + 1) / 2.0)).as("rpos"),
-      sum(col("pos")).as("np"),
-      sum(col("cnt") - col("pos")).as("nn")
-    ).collect()(0)
-    val rpos = agg.getDouble(0); val np = agg.getDouble(1); val nn = agg.getDouble(2)
-    if (np == 0 || nn == 0) Double.NaN
-    else (rpos - np * (np + 1) / 2.0) / (np * nn)
+    val ranged = perScore
+      .repartitionByRange(col("s"))
+      .sortWithinPartitions("s")
+      .select(col("cnt"), col("pos"))
+    val rdd = ranged.rdd.map(r => (r.getDouble(0), r.getDouble(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+        var c = 0.0; var p = 0.0
+        it.foreach { case (cnt, pos) => c += cnt; p += pos }
+        Iterator((i, c, p))
+      }.collect().sortBy(_._1)
+      val total = partTotals.map(_._2).sum
+      val np = partTotals.map(_._3).sum
+      val nn = total - np
+      val offsets = new Array[Double](math.max(rdd.getNumPartitions, 1))
+      var acc = 0.0
+      partTotals.foreach { case (i, c, _) => offsets(i) = acc; acc += c }
+      val bcOff = rdd.sparkContext.broadcast(offsets)
+      val rpos = rdd.mapPartitionsWithIndex { (i, it) =>
+        // cumBefore = rows with strictly smaller score; rows at score s
+        // share avg rank = cumBefore + (cnt + 1)/2
+        var cum = bcOff.value(i)
+        var r = 0.0
+        it.foreach { case (cnt, pos) =>
+          r += pos * (cum + (cnt + 1) / 2.0); cum += cnt
+        }
+        Iterator(r)
+      }.fold(0.0)(_ + _)
+      if (np == 0 || nn == 0) Double.NaN
+      else (rpos - np * (np + 1) / 2.0) / (np * nn)
+    } finally rdd.unpersist(blocking = false)
   }
 }

@@ -272,6 +272,60 @@ object PathQueries {
         round(col("ln_lambda_1se"), 4).as("ln_lambda_1se"))
   }
 
+  /** Cross-validation over type.measure="auc" (reference
+    * R/cv_sgdnet.R:119-128): 1-feature binomial lasso, portable Knuth
+    * folds, FIXED lambda grid. Oracle-EXACT despite the iterative IRLS
+    * solver, because the AUC of a 1-feature logistic model depends only
+    * on the coefficient's ACTIVITY and SIGN (AUC is invariant to
+    * monotone score transforms): the KKT condition at the null point —
+    * beta = 0 iff |cov(x_std, y)| <= lambda on the fold's train moments
+    * — is closed-form, and the rank statistic itself is engine-portable.
+    * The curve therefore verifies bit-exactly in DuckDB while still
+    * driving the full CV-with-auc machinery end-to-end. */
+  def cvAuc(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+    val lambdas = Array(0.01, 0.003, 0.001, 5e-4, 2e-4, 5e-5)
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fit(li, Seq("l_quantity"), Seq("is_r"),
+      SgdNetParams(family = "binomial", alpha = 1.0, lambda = lambdas,
+        thresh = 1e-9),
+      nfolds = 5, measure = "auc", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 6).as("lambda"),
+        (round(col("cvm"), 6) + lit(0.0)).as("cvm"),
+        (round(col("cvsd"), 6) + lit(0.0)).as("cvsd"))
+      .orderBy("lambda_idx")
+  }
+
+  /** Cross-validation over type.measure="mae" (reference accepts mae for
+    * every family; mae is NOT a moment form, so this exercises the
+    * generic per-fold refit path). Same portable-fold 1-feature lasso as
+    * [[cvExactFit]]: each fold's coefficients are the closed-form soft
+    * threshold of train moments, and held-out MAE is a plain row
+    * aggregation — DuckDB reproduces the whole curve (ln-encoded,
+    * round 4, like the other fit oracles). */
+  def cvMae(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val lmax = li.agg(
+      (abs(covar_pop(col("l_quantity"), col("l_extendedprice"))) /
+        sqrt(var_pop(col("l_quantity")))).as("lmax")).head.getDouble(0)
+    val lambdas = Array.tabulate(10)(i => lmax * math.pow(0.01, i / 9.0))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fit(li, Seq("l_quantity"), Seq("l_extendedprice"),
+      SgdNetParams(alpha = 1.0, lambda = lambdas, thresh = 1e-10),
+      nfolds = 5, measure = "mae", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(log(col("lambda")), 4).as("ln_lambda"),
+        round(log(col("cvm")), 4).as("ln_cvm"),
+        round(log(col("cvsd")), 4).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
   /** lambda.min / lambda.1se selection (rows-only). */
   def cvSelect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -100,6 +100,81 @@ class CvSpec extends SparkSpec {
     }
   }
 
+  test("CV over auc matches per-fold refits scored by aucScore") {
+    val df = SparkSpec.binaryDF(spark, n = 400)
+    val params = SgdNetParams(family = "binomial", alpha = 0.5, nlambda = 4,
+      thresh = 1e-6, maxit = 100000)
+    val cv = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"), params,
+      nfolds = 3, measure = "auc")
+    // manual per-fold refits with the same hash folds and lambdas
+    val k = 3
+    val withFold = df.withColumn("__fold",
+      pmod(xxhash64(col("x1"), col("x2"), col("y")), lit(k)))
+    val lambdas = cv.best.lambda
+    for (l <- lambdas.indices) {
+      val manual = (0 until k).map { f =>
+        val train = withFold.filter(col("__fold") =!= f)
+        val test = withFold.filter(col("__fold") === f)
+        val m = SgdNet.fit(train, Seq("x1", "x2"), "y", params.copy(lambda = lambdas))
+        m.aucScore(test, l)
+      }
+      val cvmManual = manual.sum / k
+      assert(math.abs(cv.best.cvm(l) - cvmManual) < 1e-9,
+        s"lambda $l: cv=${cv.best.cvm(l)} manual=$cvmManual")
+      // predictive features: auc at the least-penalized end beats chance
+      if (l == lambdas.length - 1) assert(cv.best.cvm(l) > 0.7, cv.best.cvm(l))
+    }
+  }
+
+  test("gaussian CV honors measure=mae (not silently mse)") {
+    val df = SparkSpec.regressionDF(spark, n = 300)
+    val params = SgdNetParams(alpha = 1.0, nlambda = 5, thresh = 1e-7,
+      maxit = 50000)
+    val mae = CvSgdNet.fit(df, Seq("x1", "x2", "x3"), Seq("y"), params,
+      nfolds = 3, measure = "mae")
+    // manual per-fold MAE with the same hash folds
+    val k = 3
+    val withFold = df.withColumn("__fold",
+      pmod(xxhash64(col("x1"), col("x2"), col("x3"), col("y")), lit(k)))
+    val lambdas = mae.best.lambda
+    for (l <- lambdas.indices) {
+      val manual = (0 until k).map { f =>
+        val m = SgdNet.fit(withFold.filter(col("__fold") =!= f),
+          Seq("x1", "x2", "x3"), "y", params.copy(lambda = lambdas))
+        withFold.filter(col("__fold") === f)
+          .agg(avg(abs(col("y") - m.linkCol(l)))).head.getDouble(0)
+      }
+      assert(math.abs(mae.best.cvm(l) - manual.sum / k) < 1e-9,
+        s"lambda $l: ${mae.best.cvm(l)} vs ${manual.sum / k}")
+    }
+    // and it is NOT the mse curve
+    val mse = CvSgdNet.fit(df, Seq("x1", "x2", "x3"), Seq("y"), params,
+      nfolds = 3, measure = "mse")
+    assert((0 until lambdas.length).exists(l =>
+      math.abs(mae.best.cvm(l) - mse.best.cvm(l)) > 1e-6),
+      "mae curve must differ from mse curve")
+  }
+
+  test("score.cv_sgdnet scores held-out data at the selected lambda") {
+    val df = SparkSpec.binaryDF(spark, n = 400)
+    val cv = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
+      SgdNetParams(family = "binomial", nlambda = 5, thresh = 1e-5),
+      nfolds = 3)
+    val holdout = df.limit(100)
+    for (measure <- Seq("deviance", "mse", "mae", "class", "auc")) {
+      val v = cv.score(holdout, measure, "lambda.min")
+      assert(v.isFinite && v >= 0, s"$measure: $v")
+      // delegates to the interpolated full-data fit
+      val direct = cv.best.fit.scoreAt(holdout, measure, cv.best.lambdaMin)
+      assert(v == direct, s"$measure: $v vs $direct")
+    }
+    // at an exact path point, scoreAt agrees with the per-index score()
+    val li = cv.best.fit.lambda.indices.last
+    val s = cv.best.fit.score(df, "deviance", Seq(li)).collect()(0).getDouble(2)
+    val at = cv.best.fit.scoreAt(df, "deviance", cv.best.fit.lambda(li))
+    assert(math.abs(s - at) < 1e-12, s"$s vs $at")
+  }
+
   test("predictAt honors the prediction type (link/response/class)") {
     val df = SparkSpec.binaryDF(spark, n = 400)
     val cv = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
