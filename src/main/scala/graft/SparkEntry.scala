@@ -77,6 +77,7 @@ object SparkEntry {
     "q_vocab"            -> (OpsQueries.vocab _),
     "q_bm25"             -> (OpsQueries.bm25 _),
     "q_quantiles"        -> (OpsQueries.quantiles _),
+    "q_quantiles_approx" -> (OpsQueries.quantilesApprox _),
     "q_asof_join"        -> (EventQueries.asofErrors _)
   )
 
@@ -513,6 +514,31 @@ object SparkEntry {
       """WITH s AS (SELECT avg(l_quantity) yb FROM lineitem)
         |SELECT 'a0' AS term, round(ln(yb), 6) + 0 AS value FROM s
         |UNION ALL SELECT 'l_discount', round(0.0, 6) + 0 FROM s
+        |ORDER BY term""".stripMargin,
+
+    // one IRLS step from the null point: constant weights w = p(1-p),
+    // so the penalized WLS step is the closed-form soft threshold
+    "q_binom_fit" ->
+      """WITH s AS (SELECT avg(l_quantity) mx, sqrt(var_pop(l_quantity)) sd,
+        |  avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) p,
+        |  covar_pop(l_quantity, CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) cxy
+        |FROM lineitem),
+        |t AS (SELECT mx, p,
+        |  sign(cxy/sd) * greatest(abs(cxy/sd) - 0.0002, 0) / (p * (1 - p)) / sd AS b
+        |FROM s)
+        |SELECT 'a0' AS term, round(ln(p / (1 - p)) - b * mx, 6) + 0 AS value FROM t
+        |UNION ALL SELECT 'l_quantity', round(b, 6) + 0 FROM t
+        |ORDER BY term""".stripMargin,
+
+    // one IRLS step from the null point: constant weights w = ybar
+    "q_poisson_fit" ->
+      """WITH s AS (SELECT avg(l_discount) mx, sqrt(var_pop(l_discount)) sd,
+        |  avg(l_quantity) yb, covar_pop(l_discount, l_quantity) cxy
+        |FROM lineitem),
+        |t AS (SELECT mx, yb,
+        |  sign(cxy/sd) * greatest(abs(cxy/sd) - 0.01, 0) / yb / sd AS b FROM s)
+        |SELECT 'a0' AS term, round(ln(yb) - b * mx, 6) + 0 AS value FROM t
+        |UNION ALL SELECT 'l_discount', round(b, 6) + 0 FROM t
         |ORDER BY term""".stripMargin
   ) ++ OpsOracles.sql ++ Map(
     "q_event_window" ->

@@ -102,6 +102,67 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sparse dot product: sum over k of weights[indices[k]] * values[k] —
+  * the CSR-row linear predictor behind sparse predict (the reference
+  * scores dgCMatrix newx, R/predict.sgdnet.R). The weight vector folds
+  * into the plan as an array literal; cost is O(nnz) per row, the row is
+  * never densified. Out-of-range indices are ignored (contribute 0). */
+case class SparseDot(indices: Expression, values: Expression,
+                     weights: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  // AbstractDataType is private[sql] in Spark 4; rely on the inferred
+  // covariant Seq[ArrayType] to satisfy ExpectsInputTypes
+  override def inputTypes = Seq(ArrayType(org.apache.spark.sql.types.IntegerType),
+    ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sparse_dot"
+  override def first: Expression = indices
+  override def second: Expression = values
+  override def third: Expression = weights
+
+  override protected def nullSafeEval(i: Any, v: Any, w: Any): Any = {
+    val idx = i.asInstanceOf[ArrayData]
+    val vs = v.asInstanceOf[ArrayData]
+    val ws = w.asInstanceOf[ArrayData]
+    val n = math.min(idx.numElements(), vs.numElements())
+    val p = ws.numElements()
+    var s = 0.0
+    var k = 0
+    while (k < n) {
+      val j = idx.getInt(k)
+      if (j >= 0 && j < p) s += ws.getDouble(j) * vs.getDouble(k)
+      k += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (i, v, w) => {
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      s"""
+         |int $n = java.lang.Math.min($i.numElements(), $v.numElements());
+         |int $p = $w.numElements();
+         |double $s = 0.0;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  int $j = $i.getInt($k);
+         |  if ($j >= 0 && $j < $p) $s += $w.getDouble($j) * $v.getDouble($k);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(indices = newFirst, values = newSecond, weights = newThird)
+}
+
 /** Registration + Column helpers. `GraftExtensions` plugs into
   * `spark.sql.extensions`; `ensureRegistered` registers on a live
   * session (idempotent) so library operators can rely on the functions
@@ -112,6 +173,7 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (args => DotProduct(args(0), args(1))),
     "graft_cosine" -> (args => CosineSimilarity(args(0), args(1))),
+    "graft_sparse_dot" -> (args => SparseDot(args(0), args(1), args(2))),
     "graft_lang_id" -> (args => LangId(args(0))))
 
   def register(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
@@ -141,6 +203,13 @@ object GraftFunctions {
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     ensureRegistered(spark)
     call_function("graft_cosine", a, b)
+  }
+
+  /** Codegen'd sparse dot: sum_k weights[indices[k]] * values[k]. */
+  def sparseDot(spark: SparkSession, indices: Column, values: Column,
+                weights: Column): Column = {
+    ensureRegistered(spark)
+    call_function("graft_sparse_dot", indices, values, weights)
   }
 
   /** Codegen'd language-ID of a string column. */

@@ -132,6 +132,76 @@ final class SgdNetModel(
     }
   }
 
+  // --------------------------------------------------------- sparse predict
+
+  /** Linear predictor over CSR (indices, values) rows — sparse predict
+    * (the reference scores dgCMatrix newx, R/predict.sgdnet.R). The
+    * codegen `graft_sparse_dot` expression walks only each row's
+    * nonzeros against the coefficient array folded into the plan as a
+    * literal: O(nnz) per row, the matrix is never densified. Feature j
+    * of the sparse fit corresponds to index j in `indices`. */
+  def sparseLinkColFor(spark: SparkSession, idxCol: String, valCol: String,
+                       a0v: Double, betaV: Array[Double]): Column =
+    lit(a0v) + graft.functions.GraftFunctions.sparseDot(spark,
+      col(idxCol).cast("array<int>"), col(valCol).cast("array<double>"),
+      typedlit(betaV.toSeq))
+
+  def sparseLinkCol(spark: SparkSession, idxCol: String, valCol: String,
+                    lambdaIdx: Int, response: Int = 0): Column =
+    sparseLinkColFor(spark, idxCol, valCol, a0(lambdaIdx)(response),
+      beta(lambdaIdx)(response))
+
+  /** Response-scale sparse prediction (same family semantics as
+    * [[responseColFor]]). */
+  def sparseResponseCol(spark: SparkSession, idxCol: String, valCol: String,
+                        lambdaIdx: Int, response: Int = 0): Column = {
+    def eta(t: Int): Column =
+      sparseLinkColFor(spark, idxCol, valCol, a0(lambdaIdx)(t), beta(lambdaIdx)(t))
+    family match {
+      case "poisson"  => exp(eta(response))
+      case "binomial" => lit(1.0) / (lit(1.0) + exp(-eta(response)))
+      case "multinomial" =>
+        val z = (0 until nResponses).map(t => exp(eta(t))).reduce(_ + _)
+        exp(eta(response)) / z
+      case _ => eta(response)
+    }
+  }
+
+  /** predict(type="class") over sparse rows. */
+  def sparseClassCol(spark: SparkSession, idxCol: String, valCol: String,
+                     lambdaIdx: Int): Column = family match {
+    case "binomial" =>
+      when(sparseResponseCol(spark, idxCol, valCol, lambdaIdx) > 0.5,
+        lit(classLabels(1))).otherwise(lit(classLabels(0)))
+    case "multinomial" =>
+      val structs = (0 until nResponses).map { t =>
+        struct(sparseLinkColFor(spark, idxCol, valCol,
+          a0(lambdaIdx)(t), beta(lambdaIdx)(t)).as("eta"),
+          lit(classLabels(t)).as("cls"))
+      }
+      greatest(structs: _*).getField("cls")
+    case f => throw new IllegalArgumentException(s"class prediction undefined for $f")
+  }
+
+  /** predict over CSR (indices, values) rows: appends one prediction
+    * column per requested lambda index — the sparse twin of [[predict]],
+    * so sparse-fit models score sparse data without densifying. */
+  def predictSparse(df: DataFrame, idxCol: String, valCol: String,
+                    tpe: String = "link",
+                    lambdaIdxs: Seq[Int] = Seq.empty): DataFrame = {
+    val spark = df.sparkSession
+    val idxs = if (lambdaIdxs.nonEmpty) lambdaIdxs else lambda.indices
+    idxs.foldLeft(df) { (d, l) =>
+      val c = tpe match {
+        case "link"     => sparseLinkCol(spark, idxCol, valCol, l)
+        case "response" => sparseResponseCol(spark, idxCol, valCol, l)
+        case "class"    => sparseClassCol(spark, idxCol, valCol, l)
+        case t => throw new IllegalArgumentException(s"unknown predict type: $t")
+      }
+      d.withColumn(s"pred_$l", c)
+    }
+  }
+
   // ------------------------------------------------------------- coef frame
 
   /** Long-format coefficient path (the data behind the reference's

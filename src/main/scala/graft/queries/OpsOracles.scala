@@ -438,6 +438,14 @@ object OpsOracles {
         |  FROM lineitem) u
         |ORDER BY q""".stripMargin.trim,
 
+    "q_quantiles_approx" ->
+      """
+        |SELECT u.q, round(u.v, 4) AS value FROM (
+        |  SELECT unnest([0.25, 0.5, 0.75, 0.99]) AS q,
+        |         unnest(quantile_disc(l_extendedprice, [0.25, 0.5, 0.75, 0.99])::DOUBLE[]) AS v
+        |  FROM lineitem) u
+        |ORDER BY q""".stripMargin.trim,
+
     "q_asof_join" ->
       """
         |WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),

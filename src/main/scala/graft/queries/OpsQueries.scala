@@ -246,17 +246,25 @@ object OpsQueries {
 
   /** Exact interpolated quantiles of lineitem prices — Spark
     * `percentile` and DuckDB `quantile_cont` share the same linear
-    * interpolation definition, so the result is oracle-exact. (At
-    * 100 TB the same query shape runs on `approx_percentile`; the
-    * exact form is the correctness anchor.) */
+    * interpolation definition, so the result is oracle-exact. This is
+    * the small-sf correctness anchor; [[quantilesApprox]] is the
+    * bounded-memory operator a 100 TB pipeline runs. */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
-    tbl(spark, dir, "lineitem")
-      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.99D))")
-        .as("qs"))
-      .select(posexplode(col("qs")).as(Seq("i", "v")))
-      .select(
-        element_at(typedlit(Seq(0.25, 0.5, 0.75, 0.99)), col("i") + 1).as("q"),
-        round(col("v"), 4).as("value"))
+    Quantiles.exact(tbl(spark, dir, "lineitem"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.99))
+      .select(col("q"), round(col("value"), 4).as("value"))
+      .orderBy("q")
+
+  /** Sketch quantiles (bounded aggregation state — the 100 TB path).
+    * With accuracy >= n the Greenwald-Khanna sketch is rank-exact and
+    * returns the discrete quantile, so DuckDB `quantile_disc` verifies
+    * the operator bit-exactly at verification scale; production callers
+    * lower `accuracy` to bound memory and accept rank error
+    * <= n/accuracy. */
+  def quantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Quantiles.approx(tbl(spark, dir, "lineitem"), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.99), accuracy = 10000000)
+      .select(col("q"), round(col("value"), 4).as("value"))
       .orderBy("q")
 
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {

@@ -36,14 +36,27 @@ object PathQueries {
 
   // ------------------------------------------------------------ fit queries
 
-  /** Binomial elastic-net fit (rows-only; solver verified by specs
-    * against spark.ml). */
+  /** Binomial fit verified BIT-EXACTLY end-to-end: one IRLS (Newton)
+    * step from the closed-form null point (the q_binom_null_fit
+    * technique, one step further). With `thresh` large the outer Newton
+    * loop stops after its first step, whose penalized WLS solution is
+    * closed-form — at the null the weights are CONSTANT w = p(1-p), so
+    * b_std = S(cov(x_std, y), lambda)/w and a0 = logit(p). This drives
+    * the REAL distributed chain (treeAggregate weighted gram -> CD ->
+    * back-transform), not a hand-built model, and DuckDB reproduces it.
+    * The converged multi-feature path stays covered by
+    * SgdNetBinomialSpec against spark.ml LogisticRegression. */
   def binomFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val li = tbl(spark, dir, "lineitem")
       .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
-    val m = SgdNet.fit(li, Seq("l_quantity", "l_discount", "l_tax"), "is_r",
-      SgdNetParams(family = "binomial", alpha = 0.5, nlambda = 5, thresh = 1e-5))
-    MlQueries.coefFrame(spark, m, 4)
+    val m = SgdNet.fit(li, Seq("l_quantity"), "is_r",
+      SgdNetParams(family = "binomial", alpha = 1.0, lambda = Array(0.0002),
+        thresh = 1e6))
+    Seq(("a0", m.a0(0)(0)), ("l_quantity", m.beta(0)(0)(0)))
+      .toDF("term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("term")
   }
 
   /** Multinomial fit over l_returnflag (3 classes); rows-only. */
@@ -82,13 +95,22 @@ object PathQueries {
       .orderBy("response", "term")
   }
 
-  /** Poisson elastic-net fit (graft extension family; rows-only, solver
-    * verified against spark.ml GLR by PoissonSpec). */
+  /** Poisson fit verified BIT-EXACTLY end-to-end: one IRLS step from the
+    * closed-form null point (same construction as [[binomFit]] — at the
+    * null the Poisson weights are constant w = ybar, so b_std =
+    * S(cov(x_std, y), lambda)/ybar and a0 = ln(ybar)). The converged
+    * multi-feature path stays covered by PoissonSpec against spark.ml
+    * GeneralizedLinearRegression. */
   def poissonFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val li = tbl(spark, dir, "lineitem")
-    val m = SgdNet.fit(li, Seq("l_discount", "l_tax"), "l_quantity",
-      SgdNetParams(family = "poisson", alpha = 0.5, nlambda = 5, thresh = 1e-6))
-    MlQueries.coefFrame(spark, m, 4)
+    val m = SgdNet.fit(li, Seq("l_discount"), "l_quantity",
+      SgdNetParams(family = "poisson", alpha = 1.0, lambda = Array(0.01),
+        thresh = 1e6))
+    Seq(("a0", m.a0(0)(0)), ("l_discount", m.beta(0)(0)(0)))
+      .toDF("term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("term")
   }
 
   /** Binomial IRLS convergence against the closed form: at lambda large

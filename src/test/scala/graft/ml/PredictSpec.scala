@@ -149,6 +149,48 @@ class PredictSpec extends SparkSpec {
     }
   }
 
+  test("sparse predict matches dense predict on the same model (all types)") {
+    val rnd = new scala.util.Random(21)
+    val rows = (1 to 300).map { i =>
+      val dense = Array.tabulate(5)(_ =>
+        if (rnd.nextDouble() < 0.4) rnd.nextGaussian() else 0.0)
+      val eta = 0.4 + dense(0) * 1.4 - dense(1) * 0.9
+      val yb = if (rnd.nextDouble() < 1.0 / (1.0 + math.exp(-eta))) 1.0 else 0.0
+      val y = 1.0 + dense.zipWithIndex.map { case (v, j) => v * (j + 1) * 0.4 }.sum +
+        rnd.nextGaussian() * 0.1
+      val idx = dense.indices.filter(dense(_) != 0.0).toArray
+      (i.toLong, idx, idx.map(dense), dense.toSeq, y, yb)
+    }
+    val sp = rows.map(r => (r._1, r._2, r._3, r._5, r._6))
+      .toDF("id", "idx", "vals", "y", "yb")
+    // dense columns named V0..V4 — fitSparse's featureNames — so the SAME
+    // model predicts both representations
+    val de = rows.map(r => (r._1, r._4(0), r._4(1), r._4(2), r._4(3), r._4(4),
+        r._5, r._6))
+      .toDF("id", "V0", "V1", "V2", "V3", "V4", "y", "yb")
+    def byId(df: org.apache.spark.sql.DataFrame, c: String): Map[Long, Double] =
+      df.select(col("id"), col(c).cast("double")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // gaussian link
+    val mg = SgdNet.fitSparse(sp, "idx", "vals", 5, "y",
+      SgdNetParams(alpha = 1.0, lambda = Array(0.05), thresh = 1e-10))
+    val gs = byId(mg.predictSparse(sp, "idx", "vals", "link"), "pred_0")
+    val gd = byId(mg.predict(de, "link"), "pred_0")
+    for (i <- gs.keys) assert(math.abs(gs(i) - gd(i)) < 1e-12, s"gaussian link row $i")
+    // binomial response + class
+    val mb = SgdNet.fitSparse(sp, "idx", "vals", 5, "yb",
+      SgdNetParams(family = "binomial", alpha = 0.5, lambda = Array(0.02),
+        thresh = 1e-8, maxit = 100000))
+    val bs = byId(mb.predictSparse(sp, "idx", "vals", "response"), "pred_0")
+    val bd = byId(mb.predict(de, "response"), "pred_0")
+    for (i <- bs.keys) assert(math.abs(bs(i) - bd(i)) < 1e-12, s"binomial response row $i")
+    val cs = mb.predictSparse(sp, "idx", "vals", "class")
+      .select("id", "pred_0").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cd = mb.predict(de, "class")
+      .select("id", "pred_0").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cs == cd, "binomial class predictions must agree")
+  }
+
   test("sparse multinomial FISTA matches the dense fit") {
     val rnd = new scala.util.Random(11)
     val rows = (1 to 450).map { _ =>

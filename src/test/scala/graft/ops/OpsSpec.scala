@@ -376,6 +376,34 @@ class OpsSpec extends SparkSpec {
     assert(bm.count() == 0)
   }
 
+  test("quantiles: exact interpolation; sketch rank-exact at full accuracy, bounded at low") {
+    // permutation of 0..9999 (7919 coprime with 10000): distinct values,
+    // value == rank, so sketch rank error reads directly in value units
+    val vals = (0 until 10000).map(i => ((i * 7919) % 10000).toDouble)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    val probs = Seq(0.1, 0.5, 0.9)
+    val ex = Quantiles.exact(df, "v", probs).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for (p <- probs) {
+      val pos = p * (sorted.length - 1)
+      val lo = math.floor(pos).toInt
+      val want = sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+      assert(math.abs(ex(p) - want) < 1e-9, s"exact p=$p: ${ex(p)} vs $want")
+    }
+    val full = Quantiles.approx(df, "v", probs, accuracy = 100000).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for (p <- probs) {
+      val disc = sorted(math.floor(p * (sorted.length - 1)).toInt)
+      assert(full(p) == disc, s"full-accuracy sketch p=$p: ${full(p)} vs $disc")
+    }
+    val rough = Quantiles.approx(df, "v", probs, accuracy = 100).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for (p <- probs)
+      assert(math.abs(rough(p) - full(p)) <= 200.0,
+        s"rank error beyond n/accuracy at p=$p: ${rough(p)} vs ${full(p)}")
+  }
+
   test("streaming: score a fitted model over a structured stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
