@@ -123,10 +123,13 @@ object CvSgdNet {
     val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
     val paths = alphaGrid.map { a =>
       val p = params.copy(alpha = a)
-      if (params.family == "gaussian" && (measure == "deviance" || measure == "mse"))
-        cvGaussianOnePass(df, featureCols, labelCols.head, p, nfolds, foldCol)
-      else if (params.family == "binomial" && measure == "deviance")
-        cvBinomialShared(df, featureCols, labelCols.head, p, nfolds, foldCol)
+      if (params.family == "gaussian" &&
+          (measure == "deviance" || measure == "mse" || measure == "mae"))
+        cvGaussianOnePass(df, featureCols, labelCols.head, p, nfolds, foldCol,
+          measure)
+      else if (params.family == "binomial")
+        cvBinomialShared(df, featureCols, labelCols.head, p, nfolds, foldCol,
+          measure)
       else cvGeneric(df, featureCols, labelCols, p, nfolds, measure, foldCol)
     }
     // best path: smallest cvm at its lambdaMin
@@ -141,7 +144,8 @@ object CvSgdNet {
 
   private def cvGaussianOnePass(df: DataFrame, featureCols: Seq[String],
                                 labelCol: String, params: SgdNetParams,
-                                nfolds: Int, foldCol: Column = null): CvPath = {
+                                nfolds: Int, foldCol: Column = null,
+                                measure: String = "mse"): CvPath = {
     val p = featureCols.size
     val full = SgdNet.fit(df, featureCols, labelCol, params) // defines lambda
     val lambdas = full.lambda
@@ -170,6 +174,10 @@ object CvSgdNet {
 
     val L = lambdas.length
     val foldScores = Array.ofDim[Double](nfolds, L)
+    // coefficients per (fold, lambda) on the original scale — the mae
+    // scoring pass needs them; moment scoring uses them in closed form
+    val a0Out = Array.ofDim[Double](nfolds, L)
+    val bOut = Array.ofDim[Double](nfolds, L, p)
     for (f <- 0 until nfolds) {
       // train = total - fold (moment subtraction)
       val train = new GramStats(p, 1)
@@ -193,21 +201,44 @@ object CvSgdNet {
         val bOrig = Array.tabulate(p)(j => r.beta(j) / scale(j))
         val a0 = if (params.intercept)
           st.yMean(0) - (0 until p).map(j => bOrig(j) * st.xMean(j)).sum else 0.0
-        // held-out MSE from fold-f moments:
-        // (1/nf) sum (y - a0 - x'b)^2 =
-        //   Syy/nf - 2 a0 Sy/nf + a0^2 + b'(Sxx/nf)b + 2 a0 b'Sx/nf - 2 b'Sxy/nf
-        val nf = fg.n.toDouble
-        var quad = 0.0; var bx = 0.0; var bxy = 0.0
-        for (j <- 0 until p) {
-          bx += bOrig(j) * fg.sumX(j) / nf
-          bxy += bOrig(j) * fg.xty(j) / nf
-          var s = 0.0
-          for (m <- 0 until p) s += fg.xtx(LinAlg.triIdx(j, m)) / nf * bOrig(m)
-          quad += bOrig(j) * s
+        a0Out(f)(l) = a0
+        for (j <- 0 until p) bOut(f)(l)(j) = bOrig(j)
+        if (measure != "mae") {
+          // held-out MSE from fold-f moments:
+          // (1/nf) sum (y - a0 - x'b)^2 =
+          //   Syy/nf - 2 a0 Sy/nf + a0^2 + b'(Sxx/nf)b + 2 a0 b'Sx/nf - 2 b'Sxy/nf
+          val nf = fg.n.toDouble
+          var quad = 0.0; var bx = 0.0; var bxy = 0.0
+          for (j <- 0 until p) {
+            bx += bOrig(j) * fg.sumX(j) / nf
+            bxy += bOrig(j) * fg.xty(j) / nf
+            var s = 0.0
+            for (m <- 0 until p) s += fg.xtx(LinAlg.triIdx(j, m)) / nf * bOrig(m)
+            quad += bOrig(j) * s
+          }
+          foldScores(f)(l) = fg.sumYY(0) / nf - 2 * a0 * fg.sumY(0) / nf + a0 * a0 +
+            quad + 2 * a0 * bx - 2 * bxy
         }
-        foldScores(f)(l) = fg.sumYY(0) / nf - 2 * a0 * fg.sumY(0) / nf + a0 * a0 +
-          quad + 2 * a0 * bx - 2 * bxy
       }
+    }
+    if (measure == "mae") {
+      // |residual| is not a moment form — ONE row-scoring aggregation
+      // computes every (fold, lambda) held-out MAE: each cell filters to
+      // its own fold and evaluates that fold's model (all nfolds x L
+      // predictors fold into the plan as literals; still just 2 data
+      // passes total for the whole CV)
+      val label = col(labelCol).cast("double")
+      val cells = for (f <- 0 until nfolds; l <- 0 until L) yield {
+        val eta = featureCols.zipWithIndex.foldLeft(lit(a0Out(f)(l))) {
+          case (acc, (c, j)) =>
+            val w = bOut(f)(l)(j)
+            if (w == 0.0) acc else acc + col(c) * lit(w)
+        }
+        avg(when(col("__fold") === f, abs(label - eta))).as(s"m_${f}_$l")
+      }
+      val row = withFold.agg(cells.head, cells.tail: _*).head
+      for (f <- 0 until nfolds; l <- 0 until L)
+        foldScores(f)(l) = row.getDouble(f * L + l)
     }
     summarize(params.alpha, lambdas, foldScores, full)
   }
@@ -223,7 +254,8 @@ object CvSgdNet {
     */
   private def cvBinomialShared(df: DataFrame, featureCols: Seq[String],
                                labelCol: String, params: SgdNetParams,
-                               nfolds: Int, foldCol: Column = null): CvPath = {
+                               nfolds: Int, foldCol: Column = null,
+                               measure: String = "deviance"): CvPath = {
     val p = featureCols.size
     val full = SgdNet.fit(df, featureCols, labelCol, params)
     val lambdas = full.lambda
@@ -340,28 +372,69 @@ object CvSgdNet {
         }
       }
 
-      // one scoring pass: held-out deviance per (fold, lambda)
+      // held-out scoring per (fold, lambda) — every row is scored by its
+      // OWN fold's model (trained without it)
       val bA0 = sc.broadcast(a0Out)
       val bBeta = sc.broadcast(betaOut)
-      val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
-        (acc, t) => {
-          val (f, x, y) = t
-          var l = 0
-          while (l < L) {
-            var eta = bA0.value(f)(l)
-            val bl = bBeta.value(f)(l)
-            var j = 0
-            while (j < p) { eta += bl(j) * x(j); j += 1 }
-            val mu = math.min(math.max(1.0 / (1.0 + math.exp(-eta)), 1e-5), 1.0 - 1e-5)
-            acc(f * L + l) += -2.0 * (y * math.log(mu) + (1 - y) * math.log(1 - mu))
-            l += 1
+      val foldScores = measure match {
+        case "auc" =>
+          // AUC is invariant to the monotone sigmoid, so the linear
+          // predictor ranks directly (and never saturates). ONE typed
+          // projection pass materializes per-row etas for all lambdas;
+          // each lambda then costs one fold-partitioned rank pass over
+          // the (small) distinct-score aggregation.
+          val spark = df.sparkSession
+          import spark.implicits._
+          val scored = spark.createDataFrame(rows.map { t =>
+            val (f, x, y) = t
+            val etas = new Array[Double](L)
+            var l = 0
+            while (l < L) {
+              var eta = bA0.value(f)(l)
+              val bl = bBeta.value(f)(l)
+              var j = 0
+              while (j < p) { eta += bl(j) * x(j); j += 1 }
+              etas(l) = eta
+              l += 1
+            }
+            (f, y, etas)
+          }).toDF("__fold", "__y", "__etas").localCheckpoint(false)
+          val out = Array.ofDim[Double](nfolds, L)
+          for (l <- 0 until L) {
+            val aucs = aucPerFold(scored.select(col("__fold"),
+              element_at(col("__etas"), l + 1).as("__s"), col("__y")), nfolds)
+            for (f <- 0 until nfolds) out(f)(l) = aucs(f)
           }
-          acc
-        },
-        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
-        depth = 2)
-      val foldScores = Array.tabulate(nfolds, L)((f, l) =>
-        sums(f * L + l) / perFold(f).n.toDouble)
+          out
+        case _ =>
+          // deviance / mse / mae / class share one accumulation pass
+          val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
+            (acc, t) => {
+              val (f, x, y) = t
+              var l = 0
+              while (l < L) {
+                var eta = bA0.value(f)(l)
+                val bl = bBeta.value(f)(l)
+                var j = 0
+                while (j < p) { eta += bl(j) * x(j); j += 1 }
+                val mu = 1.0 / (1.0 + math.exp(-eta))
+                acc(f * L + l) += (measure match {
+                  case "mse" => 2.0 * (mu - y) * (mu - y)
+                  case "mae" => 2.0 * math.abs(mu - y)
+                  case "class" => if ((if (mu > 0.5) 1.0 else 0.0) != y) 1.0 else 0.0
+                  case _ => // deviance (clamped log-loss)
+                    val mc = math.min(math.max(mu, 1e-5), 1.0 - 1e-5)
+                    -2.0 * (y * math.log(mc) + (1 - y) * math.log(1 - mc))
+                })
+                l += 1
+              }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          Array.tabulate(nfolds, L)((f, l) =>
+            sums(f * L + l) / perFold(f).n.toDouble)
+      }
       summarize(params.alpha, lambdas, foldScores, full)
     } finally rows.unpersist(blocking = false)
   }

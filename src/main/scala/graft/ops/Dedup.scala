@@ -456,6 +456,8 @@ object Dedup {
     * Returns (id, cluster_id) for every node appearing in `pairs`. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val p = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
     // eager localCheckpoint: materializes AND truncates lineage — without
@@ -480,16 +482,24 @@ object Dedup {
       // pointer jump (label <- label(label)): halves the remaining path
       // each round, so chains converge in O(log diameter) rounds instead
       // of O(diameter)
-      val next = stepped.as("a")
+      val jumped = stepped.as("a")
         .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
           col("a.label") === col("jid"), "left")
         .select(col("a.id").as("id"),
           least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"),
           (col("a.chg") ||
             coalesce(col("jlabel"), col("a.label")) < col("a.label")).as("chg"))
+      // convergence check piggy-backs on the checkpoint materialization
+      // job via an accumulator — no separate count() action per round
+      // (task retries can only over-count, and only zero-vs-nonzero is
+      // read, so the check stays sound)
+      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
+      val next = jumped.as[(Long, Long, Boolean)]
+        .map { t => if (t._3) acc.add(1L); (t._1, t._2) }
+        .toDF("id", "label")
         .localCheckpoint(true)
-      changed = next.filter(col("chg")).count()
-      labels = next.drop("chg")
+      changed = acc.value
+      labels = next
       iter += 1
     }
     labels.select(col("id"), col("label").as("cluster_id"))
