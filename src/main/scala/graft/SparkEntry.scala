@@ -58,6 +58,7 @@ object SparkEntry {
     "q_ann_topk"         -> (OpsQueries.annTopK _),
     "q_ann_lsh"          -> (OpsQueries.annLsh _),
     "q_ann_ivf"          -> (OpsQueries.annIvf _),
+    "q_ann_pq"           -> (OpsQueries.annPq _),
     "q_lang_id"          -> (OpsQueries.langId _),
     "q_quality_score"    -> (OpsQueries.qualityScore _),
     "q_token_count"      -> (OpsQueries.tokenCount _),
@@ -75,6 +76,8 @@ object SparkEntry {
     "q_boilerplate"      -> (OpsQueries.boilerplate _),
     "q_sample_strat"     -> (OpsQueries.sampleStrat _),
     "q_vocab"            -> (OpsQueries.vocab _),
+    "q_lm_score"         -> (OpsQueries.lmScore _),
+    "q_pack_chunks"      -> (OpsQueries.packChunks _),
     "q_bm25"             -> (OpsQueries.bm25 _),
     "q_quantiles"        -> (OpsQueries.quantiles _),
     "q_quantiles_approx" -> (OpsQueries.quantilesApprox _),

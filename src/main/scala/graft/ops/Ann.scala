@@ -191,6 +191,107 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Product-quantization ANN (the PQ/ADC half of FAISS's IVFPQ): the
+    * vector dimension splits into `m` subspaces; each subspace gets a
+    * `ksub`-centroid k-means codebook trained driver-side on a bounded
+    * sample; ONE distributed pass encodes every corpus vector to m small
+    * codes (m*log2(ksub) bits instead of dim*64 — the memory layout that
+    * makes billion-vector indexes fit). Queries precompute per-subspace
+    * distance tables, so scoring a vector is m table lookups (asymmetric
+    * distance computation), not a dim-length dot product.
+    *
+    * Distances are approximate squared L2; callers wanting cosine ranks
+    * should pre-normalize (then L2^2 = 2 - 2cos, same order). The scan
+    * keeps a bounded per-query heap PER PARTITION and only the partition
+    * winners reach the final top-k — no corpus-sized shuffle. At 100 TB
+    * combine with [[ivfTopK]]-style cell pruning; this operator is the
+    * quantized-scoring building block.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+             seed: Long = 42L, maxTrainSample: Int = 65536,
+             maxTrainBytes: Long = 256L << 20): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+    val dim = vecs.select(size(col("cv"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val budgetRows = math.max(ksub * 8L,
+      maxTrainBytes / math.max(8L * dim, 1L)).min(maxTrainSample).toInt
+    val sample = vecs
+      .orderBy(graft.ops.Sampling.hashBucket(col("neighbor_id")), col("neighbor_id"))
+      .limit(budgetRows)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    // one codebook per subspace (independent k-means — the PQ recipe)
+    val codebooks = Array.tabulate(m) { mi =>
+      kmeansFit(sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)),
+        ksub, seed + mi)
+    }
+    val bcCB = spark.sparkContext.broadcast(codebooks)
+    // ONE encoding pass: corpus vector -> m codes
+    val codes = vecs.as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cb = bcCB.value
+        val c = new Array[Int](m)
+        var mi = 0
+        while (mi < m) {
+          c(mi) = nearestCell(
+            java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub), cb(mi))
+          mi += 1
+        }
+        (id, c)
+      }
+    // per-query ADC tables: table(mi)(code) = ||q_sub - centroid||^2
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])].collect()
+    val tables = q.map { case (qid, qv) =>
+      (qid, Array.tabulate(m, ksub) { (mi, c) =>
+        sqdist(java.util.Arrays.copyOfRange(qv, mi * sub, (mi + 1) * sub),
+          bcCB.value(mi)(c))
+      })
+    }
+    val bcT = spark.sparkContext.broadcast(tables)
+    // partition-local bounded heaps: only numPartitions * |queries| * k
+    // candidate rows ever shuffle
+    val kk = k
+    val cands = codes.mapPartitions { it =>
+      import scala.jdk.CollectionConverters._
+      val ts = bcT.value
+      val nat = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      // per query: heap holding the k best (dist, id), worst at the head
+      val heaps = ts.map { case (qid, _) =>
+        qid -> new java.util.PriorityQueue[(Double, Long)](
+          math.max(kk, 1), nat.reverse)
+      }.toMap
+      it.foreach { case (id, code) =>
+        ts.foreach { case (qid, tab) =>
+          if (qid != id) {
+            var d = 0.0
+            var mi = 0
+            while (mi < code.length) { d += tab(mi)(code(mi)); mi += 1 }
+            val h = heaps(qid)
+            val cand = (d, id)
+            if (h.size < kk) h.add(cand)
+            else if (nat.lt(cand, h.peek())) { h.poll(); h.add(cand) }
+          }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator().asScala.map { case (d, id) => (qid, id, d) }
+      }
+    }.toDF("query_id", "neighbor_id", "adist")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a bucket with the
     * query in at least one of `tables` hash tables.
     *

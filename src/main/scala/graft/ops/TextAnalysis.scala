@@ -171,24 +171,114 @@ object TextAnalysis {
     * positive for any df. */
   def bm25(df: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = df.select(col(idCol), explode(Dedup.words(col(textCol))).as("w"))
-    // cache the small per-doc length table; n and avgLen come from ONE
-    // action over it instead of separate corpus scans (tokenization —
-    // the expensive step — runs twice total: docLen and tf)
-    val docLen = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
-      .localCheckpoint(false) // GC-freed, unlike cache
-    val stats = docLen.agg(count(lit(1)).cast("double"), avg(col("dl"))).head
+    val spark = df.sparkSession
+    import spark.implicits._
+    val terms = queryTerms.toArray
+    // ONE tokenization pass: a typed kernel reduces each doc to its
+    // length + per-query-term counts (a tiny fixed-width row), replacing
+    // the exploded-token shuffle AND the second tokenization of the old
+    // docLen/tf split. Null-text docs drop out (no tokens), matching
+    // the explode semantics.
+    val perDoc = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) None
+        else {
+          val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val tfs = new Array[Long](terms.length)
+          var i = 0
+          while (i < ws.length) {
+            var t = 0
+            while (t < terms.length) {
+              if (ws(i) == terms(t)) tfs(t) += 1
+              t += 1
+            }
+            i += 1
+          }
+          Some((id, ws.length.toLong, tfs))
+        }
+      }
+      .toDF("__id", "dl", "tfs")
+      .localCheckpoint(false) // feeds stats, tf rows; GC-freed
+    val stats = perDoc.agg(count(lit(1)).cast("double"), avg(col("dl"))).head
     val n = stats.getDouble(0)
     val avgLen = stats.getDouble(1)
-    val qt = toks.filter(col("w").isInCollection(queryTerms))
-    val tf = qt.groupBy(col(idCol), col("w")).agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).cast("double").as("df"))
-    tf.join(broadcast(dfreq), "w")
-      .join(docLen, idCol)
+    val tf = perDoc
+      .select(col("__id").as(idCol), col("dl"),
+        posexplode(col("tfs")).as(Seq("ti", "tf")))
+      .filter(col("tf") > 0)
+      .withColumn("tf", col("tf").cast("double"))
+    val dfreq = tf.groupBy(col("ti")).agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfreq), "ti")
       .withColumn("idf", log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("s", col("idf") * col("tf") * lit(k1 + 1) /
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgLen))))
       .groupBy(idCol).agg(sum(col("s")).as("bm25"))
+  }
+
+  // -------------------------------------------- n-gram LM perplexity filter
+
+  /** Per-row bigram arrays (NON-distinct, one entry per occurrence) as
+    * "w1 w2" strings — a typed kernel like [[Dedup.shingleSets]]
+    * (array HOFs evaluate interpreted; this is a tight loop). Words
+    * cannot contain whitespace (split on \s+), so the joined string is
+    * an unambiguous pair key. */
+  private def bigramArr(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (text == null) (id, Array.empty[String])
+        else {
+          val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val out = new Array[String](math.max(ws.length - 1, 0))
+          var i = 0
+          while (i < out.length) { out(i) = ws(i) + " " + ws(i + 1); i += 1 }
+          (id, out)
+        }
+      }
+      .toDF("__id", "bg")
+  }
+
+  /** Bigram language-model scoring — the CCNet/RedPajama-style
+    * "perplexity filter" primitive: train an add-k-smoothed bigram LM on
+    * `corpus`, score each `docs` row with its mean negative log
+    * likelihood (low nll ~ fluent according to the corpus; outliers get
+    * filtered or bucketed before training).
+    *
+    * P(w2|w1) = (C(w1 w2) + k) / (C(w1 ·) + k V), V = corpus vocabulary.
+    *
+    * Shapes (100 TB): bigram counts are ONE map-side-combined
+    * aggregation; the follow-C1 and vocab aggregations run over the
+    * already-reduced count table; scoring is an equi-join of the doc
+    * bigrams against the count table (shuffle on the bigram key,
+    * corpus-linear) + a per-doc aggregation. Nothing quadratic, no
+    * driver row data. Returns (doc_id, n_bigrams, nll); docs with < 2
+    * words have no bigrams and drop out (no likelihood is defined). */
+  def lmPerplexity(corpus: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, k: Double = 1.0): DataFrame = {
+    require(k > 0, "smoothing constant k must be positive")
+    val bgAll = bigramArr(corpus, idCol, textCol)
+      .select(explode(col("bg")).as("b"))
+    val c2 = bgAll.groupBy(col("b")).agg(count(lit(1)).cast("double").as("c2"))
+      .localCheckpoint(false) // feeds both c1 and the scoring join
+    val c1 = c2.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val v = corpus.select(explode(Dedup.words(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).cast("double")).head.getDouble(0)
+    // left joins: a held-out bigram (or even prefix word) absent from
+    // the corpus still scores — that is exactly what smoothing is for
+    bigramArr(docs, idCol, textCol)
+      .select(col("__id").as(idCol), explode(col("bg")).as("b"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .join(c2, Seq("b"), "left")
+      .join(c1, Seq("w1"), "left")
+      .withColumn("lp",
+        log((coalesce(col("c2"), lit(0.0)) + k) /
+          (coalesce(col("c1"), lit(0.0)) + k * v)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), avg(-col("lp")).as("nll"))
   }
 
   // -------------------------------------------------- corpus vocabulary

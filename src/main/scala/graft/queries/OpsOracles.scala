@@ -403,6 +403,43 @@ object OpsOracles {
         |          WHEN 'R' THEN 214748365 ELSE -1 END
         |ORDER BY l_orderkey, l_linenumber""".stripMargin.trim,
 
+    "q_pack_chunks" ->
+      """
+        |WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok,
+        |    coalesce(sum(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+        |  FROM t)
+        |SELECT doc_id, tok AS n_tokens, off AS token_offset,
+        |       off // 2048 AS chunk_first,
+        |       (off + tok - 1) // 2048 AS chunk_last
+        |FROM c ORDER BY doc_id""".stripMargin.trim,
+
+    "q_lm_score" ->
+      """
+        |WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |           FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+        |           i -> ws[i] || ' ' || ws[i + 1])) AS b
+        |       FROM w),
+        |c2 AS (SELECT b, count(*)::double AS c2 FROM bg GROUP BY b),
+        |c1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT u)::double AS v
+        |      FROM (SELECT unnest(ws) AS u FROM w)),
+        |sc AS (SELECT bg.doc_id,
+        |         ln((coalesce(c2.c2, 0) + 1) / (coalesce(c1.c1, 0) + v.v)) AS lp
+        |       FROM bg
+        |       LEFT JOIN c2 USING (b)
+        |       LEFT JOIN c1 ON split_part(bg.b, ' ', 1) = c1.w1, v
+        |       WHERE bg.doc_id < 200)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(-lp), 6) AS nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.trim,
+
     "q_vocab" ->
       """
         |SELECT w AS word, count(*) AS cnt

@@ -97,6 +97,17 @@ object OpsQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ/ADC quantized top-k (rows-only: k-means codebooks are not
+    * SQL-expressible; recall + determinism are spec-verified). */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    Ann.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adist"), 4).as("adist"))
+      .orderBy("query_id", "rank")
+  }
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
       .select(TextAnalysis.langId(spark, col("text")).as("lang_pred"))
@@ -230,6 +241,30 @@ object OpsQueries {
         Map("A" -> 0.10, "N" -> 0.25, "R" -> 0.05))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
       .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Bigram-LM perplexity filter (CCNet/RedPajama-style): train the
+    * smoothed bigram LM on the full corpus, score docs < 200 by mean
+    * negative log likelihood. The whole chain (counts, smoothing,
+    * scoring join) is engine-portable — exact oracle. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+    TextAnalysis.lmPerplexity(d, d.filter(col("doc_id") < 200), "doc_id", "text")
+      .select(col("doc_id"), col("n_bigrams"), round(col("nll"), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  /** GPT-style concat-and-chunk sequence packing: every document's
+    * placement (token offset, context-window span) in the packed
+    * training stream. Integer prefix sums — bit-exact oracle via a SQL
+    * window, while the Spark side runs the two-pass distributed scan. */
+  def packChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+      .withColumn("toks", TextAnalysis.wsTokenCount(col("text")))
+    Packing.concatChunk(d, "doc_id", "toks", contextLen = 2048)
+      .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+        col("chunk_first"), col("chunk_last"))
+      .orderBy("doc_id")
   }
 
   /** Corpus vocabulary with counts (whitespace tokens, lowercased). */

@@ -157,6 +157,35 @@ class OpsSpec extends SparkSpec {
     assert(approx.size <= exact.size)
   }
 
+  test("PQ ANN: quantized distances keep useful recall; deterministic") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    // exact L2 top-10 reference, driver-side
+    val all = e.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    def sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = all.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid).map { case (nid, nv) => (qid, nid, sq(qv, nv)) }
+        .sortBy(t => (t._3, t._2)).take(10).map(t => (qid, t._2))
+    }.toSet
+    val pq1 = Ann.pqTopK(e, q, "vec_id", "embedding", k = 10, m = 8, ksub = 16)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val got = pq1.map(t => (t._1, t._2)).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ recall $recall (random embeddings, 8x16 codebooks)")
+    // ranks are a proper 1..k sequence per query
+    pq1.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 10), s"query $qid ranks")
+    }
+    // deterministic: same codebooks + heaps every run
+    val pq2 = Ann.pqTopK(e, q, "vec_id", "embedding", k = 10, m = 8, ksub = 16)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pq1.toSet == pq2.toSet, "PQ must be deterministic")
+  }
+
   test("IVF ANN: k-means cells prune candidates, recall stays useful") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 20)
@@ -374,6 +403,40 @@ class OpsSpec extends SparkSpec {
     // bm25 with query terms absent from the corpus: empty result
     val bm = TextAnalysis.bm25(solo, "doc_id", "text", Seq("zzzqqq"))
     assert(bm.count() == 0)
+  }
+
+  test("concat-and-chunk packing matches a sequential prefix-sum reference") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 5000).map(i => (i.toLong, (rnd.nextInt(400) + 1).toLong))
+    val df = rows.toDF("id", "tok")
+    val out = Packing.concatChunk(df, "id", "tok", contextLen = 512)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    var off = 0L
+    rows.foreach { case (id, tok) =>
+      val expect = (off, off / 512, (off + tok - 1) / 512)
+      assert(out(id) == expect, s"doc $id: ${out(id)} vs $expect")
+      off += tok
+    }
+    // invariant: consecutive docs tile the stream with no gaps/overlap
+    assert(out(4999L)._1 + rows(4999)._2.toLong ==
+      rows.map(_._2).sum, "offsets tile the full stream")
+  }
+
+  test("bigram LM perplexity: fluent docs score lower; unseen bigrams still score") {
+    val corpus = ((0 until 20).map(i => (i.toLong, "the cat sat on the mat")) :+
+      (100L, "zx qv jk pl mn")).toDF("doc_id", "text")
+    val nll = TextAnalysis.lmPerplexity(corpus, corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(0L) < nll(100L),
+      s"common phrasing ${nll(0L)} must beat gibberish ${nll(100L)}")
+    // held-out doc: "the cat" is a corpus bigram, "cat flew" is not —
+    // smoothing must yield a finite score, unseen worse than seen
+    val held = Seq((500L, "the cat flew")).toDF("doc_id", "text")
+    val h = TextAnalysis.lmPerplexity(corpus, held, "doc_id", "text").collect()
+    assert(h.length == 1 && h(0).getLong(1) == 2 && h(0).getDouble(2).isFinite)
+    // a doc with fewer than two words has no bigrams and drops out
+    val tiny = Seq((501L, "word")).toDF("doc_id", "text")
+    assert(TextAnalysis.lmPerplexity(corpus, tiny, "doc_id", "text").count() == 0)
   }
 
   test("quantiles: exact interpolation; sketch rank-exact at full accuracy, bounded at low") {
