@@ -65,6 +65,7 @@ object SparkEntry {
     "q_fingerprint"      -> (OpsQueries.fingerprint _),
     "q_winnow"           -> (OpsQueries.winnow _),
     "q_multimodal_meta"  -> (OpsQueries.multimodalMeta _),
+    "q_multimodal_embed" -> (OpsQueries.multimodalEmbed _),
     "q_pipeline_e2e"     -> (OpsQueries.pipelineE2e _),
     "q_pii_scrub"        -> (OpsQueries.piiScrub _),
     "q_repetition"       -> (OpsQueries.repetition _),

@@ -81,4 +81,69 @@ object Multimodal {
     decoded
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("media.n_frames") - 1, lit(stride))))
+
+  /** Resize plumbing: batched per-partition kernel rewriting
+    * (payload, media) to the target dimensions. The byte transform is the
+    * documented stub (payload passes through; a real implementation
+    * transcodes here); the batching, schema and metadata update are the
+    * production shape. Expects the `decode` output PLUS the original
+    * payload (use `decode(df.withColumn("payload_keep", col("payload")))`
+    * or call on a frame that still carries `payload`). */
+  def resize(df: DataFrame, width: Int, height: Int,
+             batchSize: Int = 64): DataFrame = {
+    val inSchema = df.schema
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(inSchema)
+    val resized = df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // ??? real scaler goes here — the stub keeps bytes unchanged
+        batch.iterator.map { row =>
+          Row.fromSeq(row.toSeq.updated(payloadIdx,
+            row.getAs[Array[Byte]](payloadIdx)))
+        }
+      }
+    }(enc)
+    if (resized.columns.contains("media"))
+      resized.withColumn("media", struct(
+        col("media.byte_len").as("byte_len"),
+        lit(width).as("width"), lit(height).as("height"),
+        col("media.n_frames").as("n_frames"),
+        col("media.format").as("format")))
+    else resized
+  }
+
+  /** Feature-extraction plumbing: per-payload embedding vector, computed
+    * in bounded batches per partition (the shape a CLIP/audio-encoder
+    * step has). The encoder is a deterministic md5-derived STUB —
+    * feature j = first 32 bits of md5(j + "|" + md5(payload)) scaled to
+    * [0,1) — which makes the WHOLE multimodal chain engine-reproducible
+    * (the DuckDB oracle recomputes identical vectors), while a real
+    * encoder swaps in behind the same signature. Output feeds the ANN
+    * operators directly. */
+  def featureExtract(df: DataFrame, dim: Int = 16,
+                     batchSize: Int = 64): DataFrame = {
+    require(dim > 0 && dim <= 256, "feature dim must be in (0, 256]")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("features", ArrayType(DoubleType, containsNull = false),
+        nullable = false))
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // ??? real encoder forward pass goes here (batched) — stub:
+        batch.iterator.map { row =>
+          val payload = row.getAs[Array[Byte]](payloadIdx)
+          val base =
+            if (payload == null) graft.functions.TextKernels.md5Hex("")
+            else graft.functions.TextKernels.md5Hex2(Array.empty[Byte], payload)
+          val feats = Array.tabulate(dim) { j =>
+            val h = graft.functions.TextKernels.md5Hex(s"$j|$base")
+            java.lang.Long.parseLong(h.substring(0, 8), 16).toDouble / 4294967296.0
+          }
+          Row.fromSeq(row.toSeq :+ feats.toSeq)
+        }
+      }
+    }(enc)
+  }
 }

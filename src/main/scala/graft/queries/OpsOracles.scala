@@ -492,6 +492,20 @@ object OpsOracles {
         |FROM c ASOF LEFT JOIN e ON c.user_id = e.user_id AND c.ts >= e.ts
         |ORDER BY c.event_id""".stripMargin.trim,
 
+    "q_multimodal_embed" ->
+      """
+        |WITH base AS (SELECT doc_id, md5(text) AS b
+        |              FROM documents WHERE doc_id < 50),
+        |f AS (SELECT doc_id, g.j, md5(g.j::varchar || '|' || b) AS h
+        |      FROM base, generate_series(0, 7) AS g(j)),
+        |vals AS (SELECT doc_id, j,
+        |  list_aggregate(list_transform(generate_series(1, 8),
+        |    i -> (strpos('0123456789abcdef', substr(h, i, 1)) - 1)::BIGINT
+        |           * (1::BIGINT << (4 * (8 - i)))), 'sum') / 4294967296.0 AS v
+        |  FROM f)
+        |SELECT doc_id, cast(j AS INT) AS j, round(v, 6) AS value
+        |FROM vals ORDER BY doc_id, j""".stripMargin.trim,
+
     "q_multimodal_meta" ->
       """
         |SELECT doc_id, octet_length(text::blob) AS byte_len,

@@ -302,6 +302,19 @@ object OpsQueries {
       .select(col("q"), round(col("value"), 4).as("value"))
       .orderBy("q")
 
+  /** Multimodal feature extraction: payload -> embedding vectors via the
+    * batched encoder plumbing (md5-derived stub features, so the chain
+    * verifies bit-exactly in DuckDB). */
+  def multimodalEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val d = Multimodal.withPayload(
+      tbl(spark, dir, "documents").filter(col("doc_id") < 50)
+        .select("doc_id", "text"), "text", "image")
+    Multimodal.featureExtract(d, dim = 8)
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("j", "value")))
+      .select(col("doc_id"), col("j"), round(col("value"), 6).as("value"))
+      .orderBy("doc_id", "j")
+  }
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = Multimodal.withPayload(
       tbl(spark, dir, "documents").select("doc_id", "text"), "text", "image")

@@ -269,6 +269,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize + feature extraction feed the ANN operators") {
+    val media = Multimodal.withPayload(docs, "text", "image")
+    // resize keeps the payload and rewrites the metadata dims
+    val dec = Multimodal.decode(media.withColumn("payload_keep", col("payload")))
+      .withColumnRenamed("payload_keep", "payload")
+    val rs = Multimodal.resize(dec, 224, 224, batchSize = 2)
+    val dims = rs.select("media.width", "media.height").distinct().collect()
+    assert(dims.length == 1 && dims(0).getInt(0) == 224 && dims(0).getInt(1) == 224)
+    assert(rs.filter(col("payload").isNull).count() == 0)
+    // features: deterministic, fixed dim, in [0, 1)
+    val f1 = Multimodal.featureExtract(media, dim = 8, batchSize = 2)
+      .select("doc_id", "features").as[(Long, Seq[Double])].collect().toMap
+    val f2 = Multimodal.featureExtract(media, dim = 8, batchSize = 3)
+      .select("doc_id", "features").as[(Long, Seq[Double])].collect().toMap
+    assert(f1 == f2, "features must not depend on batching")
+    assert(f1.values.forall(v => v.length == 8 && v.forall(x => x >= 0 && x < 1)))
+    // duplicate payloads embed identically; the chain composes with ANN
+    assert(f1(1L) == f1(4L), "identical payloads -> identical features")
+    val emb = Multimodal.featureExtract(media, dim = 8)
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    val nn = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 1), "vec_id",
+      "embedding", k = 1).collect()
+    assert(nn.length == 1 && nn(0).getAs[Long]("neighbor_id") == 4L,
+      "nearest neighbor of doc 1 is its exact duplicate doc 4")
+  }
+
   test("connected components: pairs collapse to min-id clusters") {
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (3L, 7L))
       .toDF("id_a", "id_b")
