@@ -120,6 +120,8 @@ object CvSgdNet {
           measure: String = "deviance",
           foldCol: Column = null): CvResult = {
     require(nfolds >= 2, "nfolds must be at least 2")
+    require(Set("deviance", "mse", "mae", "class", "auc").contains(measure),
+      s"unknown type.measure '$measure' (want deviance|mse|mae|class|auc)")
     val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
     val paths = alphaGrid.map { a =>
       val p = params.copy(alpha = a)
@@ -238,7 +240,10 @@ object CvSgdNet {
       }
       val row = withFold.agg(cells.head, cells.tail: _*).head
       for (f <- 0 until nfolds; l <- 0 until L)
-        foldScores(f)(l) = row.getDouble(f * L + l)
+        // an EMPTY fold averages to NULL — degrade to NaN like the
+        // moment-based scores do, instead of NPE-ing the whole CV
+        foldScores(f)(l) =
+          if (row.isNullAt(f * L + l)) Double.NaN else row.getDouble(f * L + l)
     }
     summarize(params.alpha, lambdas, foldScores, full)
   }
@@ -422,9 +427,11 @@ object CvSgdNet {
                   case "mse" => 2.0 * (mu - y) * (mu - y)
                   case "mae" => 2.0 * math.abs(mu - y)
                   case "class" => if ((if (mu > 0.5) 1.0 else 0.0) != y) 1.0 else 0.0
-                  case _ => // deviance (clamped log-loss)
+                  case "deviance" => // clamped log-loss
                     val mc = math.min(math.max(mu, 1e-5), 1.0 - 1e-5)
                     -2.0 * (y * math.log(mc) + (1 - y) * math.log(1 - mc))
+                  case other => // unreachable: fit() validates measures
+                    throw new IllegalArgumentException(s"unknown measure $other")
                 })
                 l += 1
               }
@@ -473,6 +480,11 @@ object CvSgdNet {
                         labelCols: Seq[String], params: SgdNetParams,
                         nfolds: Int, measure: String,
                         foldCol: Column = null): CvPath = {
+    // binomial (the only auc-capable family) always routes to
+    // cvBinomialShared, so auc cannot be satisfied here
+    if (measure == "auc")
+      throw new IllegalArgumentException(
+        s"auc requires the binomial family, not ${params.family}")
     val full = SgdNet.fitMulti(df, featureCols, labelCols, params)
     val lambdas = full.lambda
     val hashCols = (featureCols ++ labelCols).map(col)
@@ -481,67 +493,78 @@ object CvSgdNet {
     try {
       val L = lambdas.length
       val foldScores = Array.ofDim[Double](nfolds, L)
-      val models = new Array[SgdNetModel](nfolds)
       for (f <- 0 until nfolds) {
         val train = withFold.filter(col("__fold") =!= f)
-        models(f) = SgdNet.fitMulti(train, featureCols, labelCols,
+        val test = withFold.filter(col("__fold") === f)
+        val m = SgdNet.fitMulti(train, featureCols, labelCols,
           params.copy(lambda = lambdas))
-      }
-      if (measure == "auc") {
-        require(full.family == "binomial", "auc requires the binomial family")
-        val y = (col(labelCols.head).cast("string") === lit(full.classLabels(1)))
-          .cast("double")
-        for (l <- 0 until L) {
-          // every row scored by ITS OWN fold's held-out model — a
-          // fold-keyed CASE chain keeps all k folds in ONE distributed
-          // rank pass per lambda instead of k separate AUC jobs
-          val scoreCol = (0 until nfolds).foldLeft(lit(Double.NaN)) { (acc, f) =>
-            when(col("__fold") === f, models(f).responseCol(l)).otherwise(acc)
-          }
-          val aucs = aucPerFold(withFold.select(
-            col("__fold").cast("int").as("__fold"),
-            scoreCol.as("__s"), y.as("__y")), nfolds)
-          for (f <- 0 until nfolds) foldScores(f)(l) = aucs(f)
-        }
-      } else {
-        for (f <- 0 until nfolds) {
-          val test = withFold.filter(col("__fold") === f)
-          val scores = scoreAllLambdas(models(f), test, measure)
-          for (l <- 0 until L) foldScores(f)(l) = scores(l)
-        }
+        val scores = scoreAllLambdas(m, test, measure)
+        for (l <- 0 until L) foldScores(f)(l) = scores(l)
       }
       summarize(params.alpha, lambdas, foldScores, full)
     } finally { withFold.unpersist(blocking = false) }
   }
 
-  /** Per-fold AUC (average-rank Mann–Whitney) in one distributed pass:
-    * distinct (fold, score) aggregation, rank via a fold-PARTITIONED
-    * window (bounded by per-fold distinct scores — never the global
-    * single-partition sort), rank-sums per fold. Deterministic average
+  /** Per-fold AUC (average-rank Mann–Whitney) with NO single-partition
+    * sort anywhere — the per-fold generalization of
+    * [[SgdNetModel.aucOf]]'s two-pass rank: distinct (fold, score)
+    * aggregation, range partition + local sort on (fold, score), pass
+    * one collects per-(partition, fold) count totals (tiny), whose
+    * fold-wise running sums give each (partition, fold) its rank
+    * offset; pass two turns offset + local running count into rank
+    * sums. Continuous scores (~all distinct) are exactly the case the
+    * fold-partitioned Window would degrade on. Deterministic average
     * ranks where the reference randomizes ties with runif
     * (R/score.R:218-226) — equal in expectation, reproducible here. */
   private def aucPerFold(scored: DataFrame, nfolds: Int): Array[Double] = {
-    import org.apache.spark.sql.expressions.Window
     val perScore = scored.groupBy(col("__fold"), col("__s"))
       .agg(count(lit(1)).cast("double").as("cnt"),
         sum(when(col("__y") === 1.0, 1.0).otherwise(0.0)).as("pos"))
-    val w = Window.partitionBy(col("__fold")).orderBy(col("__s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = perScore.withColumn("cumBefore",
-      coalesce(sum(col("cnt")).over(w), lit(0.0)))
-    val rows = ranked.groupBy(col("__fold"))
-      .agg(sum(col("pos") * (col("cumBefore") + (col("cnt") + 1) / 2.0)).as("rpos"),
-        sum(col("pos")).as("np"), sum(col("cnt") - col("pos")).as("nn"))
-      .collect()
-    val out = Array.fill(nfolds)(Double.NaN)
-    rows.foreach { r =>
-      val f = r.getInt(0)
-      val rpos = r.getDouble(1); val np = r.getDouble(2); val nn = r.getDouble(3)
-      out(f) =
-        if (np == 0 || nn == 0) Double.NaN
-        else (rpos - np * (np + 1) / 2.0) / (np * nn)
-    }
-    out
+    val ranged = perScore
+      .repartitionByRange(col("__fold"), col("__s"))
+      .sortWithinPartitions("__fold", "__s")
+      .select(col("__fold").cast("int"), col("cnt"), col("pos"))
+    val rdd = ranged.rdd.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Double)]
+        it.foreach { case (f, cnt, pos) =>
+          val cur = m.getOrElse(f, (0.0, 0.0))
+          m(f) = (cur._1 + cnt, cur._2 + pos)
+        }
+        m.iterator.map { case (f, (c, pz)) => (pid, f, c, pz) }
+      }.collect()
+      val np = Array.fill(nfolds)(0.0)
+      val total = Array.fill(nfolds)(0.0)
+      totals.foreach { case (_, f, c, pz) => total(f) += c; np(f) += pz }
+      // fold-wise rank offsets per partition: counts of the same fold in
+      // earlier partitions (range partitioning orders by (fold, score))
+      val offsets = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+      val acc = Array.fill(nfolds)(0.0)
+      totals.sortBy(_._1).foreach { case (pid, f, c, _) =>
+        offsets((pid, f)) = acc(f); acc(f) += c
+      }
+      val bcOff = rdd.sparkContext.broadcast(offsets.toMap)
+      val rpos = Array.fill(nfolds)(0.0)
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val off = bcOff.value
+        val cum = scala.collection.mutable.HashMap.empty[Int, Double]
+        val r = scala.collection.mutable.HashMap.empty[Int, Double]
+        it.foreach { case (f, cnt, pos) =>
+          val c = cum.getOrElse(f, off.getOrElse((pid, f), 0.0))
+          r(f) = r.getOrElse(f, 0.0) + pos * (c + (cnt + 1) / 2.0)
+          cum(f) = c + cnt
+        }
+        r.iterator
+      }.reduceByKey(_ + _).collect()
+        .foreach { case (f, v) => rpos(f) = v }
+      Array.tabulate(nfolds) { f =>
+        val nn = total(f) - np(f)
+        if (np(f) == 0 || nn == 0) Double.NaN
+        else (rpos(f) - np(f) * (np(f) + 1) / 2.0) / (np(f) * nn)
+      }
+    } finally rdd.unpersist(blocking = false)
   }
 
   /** Held-out score per lambda in ONE aggregation over the test fold. */

@@ -388,8 +388,13 @@ object Dedup {
       .toDF("__id", "nv")
       // consumed by the bucket pass and both verify joins; GC-freed
       .localCheckpoint(false)
-    val dimRow = v.select(size(col("nv"))).head()
-    val dim = dimRow.getInt(0)
+    // empty corpus (or all-null vectors): no pairs — return the empty
+    // frame instead of failing head() on a zero-row dimension probe
+    val dimRow = v.select(size(col("nv"))).limit(1).collect()
+    if (dimRow.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0).as("cos"))
+    val dim = dimRow(0).getInt(0)
     val bcP = spark.sparkContext.broadcast(Ann.planesMd5(dim, tables, bits))
     // minimal (id, table, sig) band rows — vectors never ride the bucket join
     val bandRows0 = v.as[(Long, Array[Double])].flatMap { case (id, nv) =>

@@ -35,7 +35,10 @@ object Packing {
       .sortWithinPartitions("__id")
     // persisted (not unpersisted here: the RETURNED frame still reads
     // it; RDD persists are reference-tracked and GC-freed)
-    val rdd = ranged.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // a null token count (e.g. wsTokenCount of a null text) packs as 0
+    // tokens — one bad row must not fail the job
+    val rdd = ranged.rdd
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
       var s = 0L

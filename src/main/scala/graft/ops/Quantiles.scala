@@ -11,29 +11,27 @@ import org.apache.spark.sql.functions._
   *   100 TB path: aggregation state is bounded by `accuracy`, not row
   *   count, with rank error <= n/accuracy; partial sketches merge
   *   map-side like any algebraic aggregate. While n <= accuracy the
-  *   sketch is rank-EXACT and returns the discrete quantile (the element
-  *   at rank floor(p * (n-1)) — DuckDB `quantile_disc` semantics), which
-  *   is how the small-sf oracle verifies this operator bit-exactly.
+  *   sketch is rank-EXACT and returns the discrete quantile — the same
+  *   order statistic DuckDB `quantile_disc` picks (verified
+  *   empirically), which is how the small-sf oracle checks this
+  *   operator bit-exactly.
   * - [[exact]] — Spark `percentile`, linear interpolation (DuckDB
   *   `quantile_cont` semantics). Buffers every value in the aggregation
   *   state: correctness anchor for small data, NOT for 100 TB use.
   */
 object Quantiles {
 
-  private def unpack(df: DataFrame, aggSql: String,
+  private def unpack(df: DataFrame, agg: org.apache.spark.sql.Column,
                      probs: Seq[Double]): DataFrame =
-    df.agg(expr(aggSql).as("qs"))
+    df.agg(agg.as("qs"))
       .select(posexplode(col("qs")).as(Seq("i", "v")))
       .select(element_at(typedlit(probs), col("i") + 1).as("q"),
         col("v").cast("double").as("value"))
 
-  private def probArray(probs: Seq[Double]): String =
-    probs.map(p => s"${p}D").mkString("array(", ", ", ")")
-
   /** Exact interpolated quantiles (per-group state = all values). */
   def exact(df: DataFrame, valueCol: String, probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
-    unpack(df, s"percentile($valueCol, ${probArray(probs)})", probs)
+    unpack(df, percentile(col(valueCol), typedlit(probs)), probs)
   }
 
   /** Sketch-based quantiles with bounded state (the scale path).
@@ -43,7 +41,7 @@ object Quantiles {
              accuracy: Int = 10000): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
     require(accuracy > 0, "accuracy must be positive")
-    unpack(df, s"approx_percentile($valueCol, ${probArray(probs)}, $accuracy)",
-      probs)
+    unpack(df,
+      percentile_approx(col(valueCol), typedlit(probs), lit(accuracy)), probs)
   }
 }

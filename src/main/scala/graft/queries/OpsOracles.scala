@@ -199,18 +199,45 @@ object OpsOracles {
         |FROM pc WHERE c / (na + nb - c) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin.trim,
 
+    // reproduces the operator's SRP-LSH bucketing (md5 Rademacher
+    // planes, 8 tables x 8 bits) so Spark and oracle agree BY
+    // CONSTRUCTION — including any near-threshold pair an exact
+    // all-pairs oracle would find but bucketing can miss. Signature
+    // signs are normalization-invariant, so raw doubles bucket the
+    // same as the operator's normalized vectors.
     "q_dedup_cosine" ->
       """
         |WITH e AS (
         |  SELECT vec_id, embedding FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + 100000, list_transform(embedding, x -> x * 2.0::float)
-        |  FROM embeddings)
-        |SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-        |       round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 4) AS cos
-        |FROM e l, e r
-        |WHERE l.vec_id < r.vec_id
-        |  AND list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.95
+        |  FROM embeddings),
+        |vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM e),
+        |pl AS (
+        |  SELECT g1.t, g2.b, g3.j,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |           substr(md5(g1.t::varchar || '|' || g2.b::varchar || '|'
+        |                      || g3.j::varchar), 1, 1)) - 1) % 2 = 1
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM generate_series(0, 7) AS g1(t), generate_series(0, 7) AS g2(b),
+        |       generate_series(0, 63) AS g3(j)),
+        |comp AS (
+        |  SELECT vec_id, t, b, sum(v[j + 1] * s) AS dot
+        |  FROM vec, pl GROUP BY vec_id, t, b),
+        |sigs AS (
+        |  SELECT vec_id, t,
+        |         sum(CASE WHEN dot > 0 THEN 1::BIGINT << b ELSE 0 END) AS bucket
+        |  FROM comp GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        |  FROM sigs l JOIN sigs r
+        |    ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+        |SELECT id_a, id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM cand
+        |JOIN vec a ON cand.id_a = a.vec_id
+        |JOIN vec b ON cand.id_b = b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin.trim,
 
     "q_ann_topk" ->

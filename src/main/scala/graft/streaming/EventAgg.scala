@@ -57,9 +57,11 @@ object EventAgg {
                    watermark: String = "1 hour",
                    timeCol: String = "ts"): DataFrame = {
     // lookback splices into an INTERVAL literal — validate the shape
-    // instead of letting arbitrary text reach the SQL parser
-    require(lookback.matches("(?i)\\s*\\d+\\s+(second|minute|hour|day)s?\\s*"),
-      s"lookback must look like '<n> seconds|minutes|hours|days', got '$lookback'")
+    // (one or more '<n> unit' terms) instead of letting arbitrary text
+    // reach the SQL parser
+    require(lookback.matches(
+      "(?i)\\s*(\\d+\\s+(millisecond|second|minute|hour|day|week)s?\\s*)+"),
+      s"lookback must look like '<n> <unit>[ <n> <unit>...]', got '$lookback'")
     require(left.columns.contains(timeCol) && right.columns.contains(timeCol),
       s"both streams need the event-time column '$timeCol'")
     val l = left.withWatermark(timeCol, watermark)
