@@ -403,14 +403,17 @@ object CvSgdNet {
               l += 1
             }
             (f, y, etas)
-          }).toDF("__fold", "__y", "__etas").localCheckpoint(false)
-          val out = Array.ofDim[Double](nfolds, L)
-          for (l <- 0 until L) {
-            val aucs = aucPerFold(scored.select(col("__fold"),
-              element_at(col("__etas"), l + 1).as("__s"), col("__y")), nfolds)
-            for (f <- 0 until nfolds) out(f)(l) = aucs(f)
-          }
-          out
+          }).toDF("__fold", "__y", "__etas")
+          // ONE rank chain for every (lambda, fold) cell: explode the
+          // eta array and rank group (lambda*nfolds + fold) — 4 jobs
+          // total instead of 4 per lambda
+          val exploded = scored
+            .select(col("__fold"), col("__y"),
+              posexplode(col("__etas")).as(Seq("__l", "__s")))
+            .select((col("__l") * nfolds + col("__fold")).as("__g"),
+              col("__s"), col("__y"))
+          val aucs = aucPerGroup(exploded, L * nfolds)
+          Array.tabulate(nfolds, L)((f, l) => aucs(l * nfolds + f))
         case _ =>
           // deviance / mse / mae / class share one accumulation pass
           val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
@@ -505,25 +508,26 @@ object CvSgdNet {
     } finally { withFold.unpersist(blocking = false) }
   }
 
-  /** Per-fold AUC (average-rank Mann–Whitney) with NO single-partition
-    * sort anywhere — the per-fold generalization of
-    * [[SgdNetModel.aucOf]]'s two-pass rank: distinct (fold, score)
-    * aggregation, range partition + local sort on (fold, score), pass
-    * one collects per-(partition, fold) count totals (tiny), whose
-    * fold-wise running sums give each (partition, fold) its rank
+  /** Per-group AUC (average-rank Mann–Whitney) with NO single-partition
+    * sort anywhere — the grouped generalization of
+    * [[SgdNetModel.aucOf]]'s two-pass rank: distinct (group, score)
+    * aggregation, range partition + local sort on (group, score), pass
+    * one collects per-(partition, group) count totals (tiny), whose
+    * group-wise running sums give each (partition, group) its rank
     * offset; pass two turns offset + local running count into rank
-    * sums. Continuous scores (~all distinct) are exactly the case the
-    * fold-partitioned Window would degrade on. Deterministic average
+    * sums. Continuous scores (~all distinct) are exactly the case a
+    * group-partitioned Window would degrade on. Deterministic average
     * ranks where the reference randomizes ties with runif
-    * (R/score.R:218-226) — equal in expectation, reproducible here. */
-  private def aucPerFold(scored: DataFrame, nfolds: Int): Array[Double] = {
-    val perScore = scored.groupBy(col("__fold"), col("__s"))
+    * (R/score.R:218-226) — equal in expectation, reproducible here.
+    * Input columns: __g (int group), __s (score), __y (0/1 label). */
+  private def aucPerGroup(scored: DataFrame, nGroups: Int): Array[Double] = {
+    val perScore = scored.groupBy(col("__g"), col("__s"))
       .agg(count(lit(1)).cast("double").as("cnt"),
         sum(when(col("__y") === 1.0, 1.0).otherwise(0.0)).as("pos"))
     val ranged = perScore
-      .repartitionByRange(col("__fold"), col("__s"))
-      .sortWithinPartitions("__fold", "__s")
-      .select(col("__fold").cast("int"), col("cnt"), col("pos"))
+      .repartitionByRange(col("__g"), col("__s"))
+      .sortWithinPartitions("__g", "__s")
+      .select(col("__g").cast("int"), col("cnt"), col("pos"))
     val rdd = ranged.rdd.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -535,18 +539,18 @@ object CvSgdNet {
         }
         m.iterator.map { case (f, (c, pz)) => (pid, f, c, pz) }
       }.collect()
-      val np = Array.fill(nfolds)(0.0)
-      val total = Array.fill(nfolds)(0.0)
+      val np = Array.fill(nGroups)(0.0)
+      val total = Array.fill(nGroups)(0.0)
       totals.foreach { case (_, f, c, pz) => total(f) += c; np(f) += pz }
-      // fold-wise rank offsets per partition: counts of the same fold in
-      // earlier partitions (range partitioning orders by (fold, score))
+      // group-wise rank offsets per partition: counts of the same group
+      // in earlier partitions (range partitioning orders (group, score))
       val offsets = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
-      val acc = Array.fill(nfolds)(0.0)
+      val acc = Array.fill(nGroups)(0.0)
       totals.sortBy(_._1).foreach { case (pid, f, c, _) =>
         offsets((pid, f)) = acc(f); acc(f) += c
       }
       val bcOff = rdd.sparkContext.broadcast(offsets.toMap)
-      val rpos = Array.fill(nfolds)(0.0)
+      val rpos = Array.fill(nGroups)(0.0)
       rdd.mapPartitionsWithIndex { (pid, it) =>
         val off = bcOff.value
         val cum = scala.collection.mutable.HashMap.empty[Int, Double]
@@ -559,10 +563,10 @@ object CvSgdNet {
         r.iterator
       }.reduceByKey(_ + _).collect()
         .foreach { case (f, v) => rpos(f) = v }
-      Array.tabulate(nfolds) { f =>
-        val nn = total(f) - np(f)
-        if (np(f) == 0 || nn == 0) Double.NaN
-        else (rpos(f) - np(f) * (np(f) + 1) / 2.0) / (np(f) * nn)
+      Array.tabulate(nGroups) { g =>
+        val nn = total(g) - np(g)
+        if (np(g) == 0 || nn == 0) Double.NaN
+        else (rpos(g) - np(g) * (np(g) + 1) / 2.0) / (np(g) * nn)
       }
     } finally rdd.unpersist(blocking = false)
   }
