@@ -59,6 +59,7 @@ object SparkEntry {
     "q_ann_lsh"          -> (OpsQueries.annLsh _),
     "q_ann_ivf"          -> (OpsQueries.annIvf _),
     "q_ann_pq"           -> (OpsQueries.annPq _),
+    "q_embed_project"    -> (OpsQueries.embedProject _),
     "q_lang_id"          -> (OpsQueries.langId _),
     "q_quality_score"    -> (OpsQueries.qualityScore _),
     "q_token_count"      -> (OpsQueries.tokenCount _),

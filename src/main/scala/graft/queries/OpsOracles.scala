@@ -240,6 +240,23 @@ object OpsOracles {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin.trim,
 
+    "q_embed_project" ->
+      """
+        |WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |             FROM embeddings WHERE vec_id < 100),
+        |pl AS (
+        |  SELECT g2.b, g3.j,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |           substr(md5('0|' || g2.b::varchar || '|'
+        |                      || g3.j::varchar), 1, 1)) - 1) % 2 = 1
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM generate_series(0, 7) AS g2(b), generate_series(0, 63) AS g3(j)),
+        |proj AS (
+        |  SELECT vec_id, b AS i, sum(v[j + 1] * s) / sqrt(8.0) AS value
+        |  FROM vec, pl GROUP BY vec_id, b)
+        |SELECT vec_id, cast(i AS INT) AS i, round(value, 6) AS value
+        |FROM proj ORDER BY vec_id, i""".stripMargin.trim,
+
     "q_ann_topk" ->
       """
         |WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

@@ -108,6 +108,16 @@ object OpsQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** JL random projection of embeddings to 8 dims (portable md5 planes:
+    * the oracle recomputes identical projections). */
+  def embedProject(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.randomProject(
+        tbl(spark, dir, "embeddings").filter(col("vec_id") < 100),
+        "vec_id", "embedding", outDim = 8)
+      .select(col("vec_id"), posexplode(col("projection")).as(Seq("i", "value")))
+      .select(col("vec_id"), col("i"), round(col("value"), 6).as("value"))
+      .orderBy("vec_id", "i")
+
   def langId(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "documents")
       .select(TextAnalysis.langId(spark, col("text")).as("lang_pred"))

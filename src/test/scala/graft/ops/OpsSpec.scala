@@ -431,6 +431,28 @@ class OpsSpec extends SparkSpec {
     assert(bm.count() == 0)
   }
 
+  test("random projection preserves norms approximately and is deterministic") {
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 200).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    val df = rows.toDF("id", "v")
+    val p1 = Embeddings.randomProject(df, "id", "v", outDim = 16)
+      .as[(Long, Seq[Double])].collect().toMap
+    val p2 = Embeddings.randomProject(df, "id", "v", outDim = 16)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(p1 == p2, "projection must be deterministic")
+    // JL: E[||proj||^2] = ||v||^2; with 16 dims the ratio concentrates —
+    // check the mean ratio across 200 vectors is near 1
+    val ratios = rows.map { case (id, v) =>
+      val n2 = v.map(x => x * x).sum
+      p1(id).map(x => x * x).sum / n2
+    }
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.15, s"mean norm ratio $mean")
+    // empty input: empty projection frame, no crash
+    assert(Embeddings.randomProject(df.filter(col("id") < 0), "id", "v", 8)
+      .count() == 0)
+  }
+
   test("concat-and-chunk packing matches a sequential prefix-sum reference") {
     val rnd = new scala.util.Random(5)
     val rows = (0 until 5000).map(i => (i.toLong, (rnd.nextInt(400) + 1).toLong))
