@@ -96,6 +96,29 @@ object TextAnalysis {
     regexp_replace(ip, "[0-9][0-9 ()+-]{6,}[0-9]", "<NUMBER>")
   }
 
+  // ------------------------------------------------- provenance / URL stats
+
+  /** URLs in a text column (scheme://... up to whitespace) — the
+    * extraction primitive for provenance filtering and dedup-by-source.
+    * Dialect-portable pattern (same semantics in Java regex and RE2). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0))
+
+  /** Registered host of a URL: lowercased, leading `www.` stripped. */
+  def urlDomain(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, "https?://([^/\\s]+)", 1)),
+      "^www\\.", "")
+
+  /** Per-domain corpus stats: distinct documents mentioning the domain
+    * and total URL mentions — the table behind domain allow/deny lists
+    * and per-source sampling decisions. One explode + one aggregation
+    * on the domain key; corpus-linear. */
+  def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(extractUrls(col(textCol))).as("url"))
+      .withColumn("domain", urlDomain(col("url")))
+      .groupBy("domain")
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_urls"))
+
   // ------------------------------------------------------ repetition filters
 
   /** Gopher-style repetition metrics: fraction of duplicate lines and the

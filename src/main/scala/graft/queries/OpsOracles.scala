@@ -447,6 +447,24 @@ object OpsOracles {
         |          WHEN 'R' THEN 214748365 ELSE -1 END
         |ORDER BY l_orderkey, l_linenumber""".stripMargin.trim,
 
+    "q_domain_stats" ->
+      """
+        |WITH injected AS (
+        |  SELECT doc_id, text || ' see https://Site' || (doc_id % 20)::varchar
+        |    || '.example.org/p' || doc_id::varchar
+        |    || ' or http://www.ref' || (doc_id % 7)::varchar || '.net/x' AS text
+        |  FROM documents WHERE doc_id < 300),
+        |urls AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+        |  FROM injected),
+        |dom AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(url, 'https?://([^/\s]+)', 1)),
+        |      '^www\.', '') AS domain
+        |  FROM urls)
+        |SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_urls
+        |FROM dom GROUP BY domain ORDER BY domain""".stripMargin.trim,
+
     "q_pack_chunks" ->
       """
         |WITH t AS (

@@ -277,6 +277,20 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-domain provenance stats over deterministically injected URLs:
+    * extraction + domain normalization + per-domain doc/mention counts,
+    * all engine-portable — exact oracle. */
+  def domainStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents").filter(col("doc_id") < 300)
+      .withColumn("text", concat(col("text"),
+        lit(" see https://Site"), (col("doc_id") % 20).cast("string"),
+        lit(".example.org/p"), col("doc_id").cast("string"),
+        lit(" or http://www.ref"), (col("doc_id") % 7).cast("string"),
+        lit(".net/x")))
+    TextAnalysis.domainStats(d, "doc_id", "text")
+      .orderBy("domain")
+  }
+
   /** Corpus vocabulary with counts (whitespace tokens, lowercased). */
   def vocab(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(tbl(spark, dir, "documents"), "text")

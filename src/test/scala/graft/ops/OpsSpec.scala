@@ -431,6 +431,18 @@ class OpsSpec extends SparkSpec {
     assert(bm.count() == 0)
   }
 
+  test("URL extraction + domain stats normalize hosts and count mentions") {
+    val d = Seq(
+      (1L, "read https://WWW.Example.COM/a and https://example.com/b today"),
+      (2L, "see http://other.org/x"),
+      (3L, "no links here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.domainStats(d, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map("example.com" -> ((1L, 2L)), "other.org" -> ((1L, 1L))),
+      out.toString)
+  }
+
   test("random projection preserves norms approximately and is deterministic") {
     val rnd = new scala.util.Random(9)
     val rows = (0 until 200).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian())))
