@@ -81,6 +81,7 @@ object SparkEntry {
     "q_lm_score"         -> (OpsQueries.lmScore _),
     "q_pack_chunks"      -> (OpsQueries.packChunks _),
     "q_domain_stats"     -> (OpsQueries.domainStats _),
+    "q_bpe_merges"       -> (OpsQueries.bpeMerges _),
     "q_bm25"             -> (OpsQueries.bm25 _),
     "q_quantiles"        -> (OpsQueries.quantiles _),
     "q_quantiles_approx" -> (OpsQueries.quantilesApprox _),

@@ -291,6 +291,13 @@ object OpsQueries {
       .orderBy("domain")
   }
 
+  /** BPE merge training over the corpus word-frequency table (rows-only:
+    * the iterative merge loop is not SQL-expressible; determinism and
+    * correctness are spec-verified against hand-computed merges). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    Tokenizer.trainBpe(tbl(spark, dir, "documents"), "text", numMerges = 20)
+      .orderBy("rank")
+
   /** Corpus vocabulary with counts (whitespace tokens, lowercased). */
   def vocab(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(tbl(spark, dir, "documents"), "text")

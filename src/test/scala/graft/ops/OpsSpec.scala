@@ -431,6 +431,30 @@ class OpsSpec extends SparkSpec {
     assert(bm.count() == 0)
   }
 
+  test("BPE training learns hand-checkable merges; counts reflect them") {
+    // words: "aa" x2, "ab" x1 -> pair (a,a) count 2 wins, then the only
+    // remaining pair (a,b) count 1; then nothing mergeable -> stops early
+    val d = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val merges = Tokenizer.trainBpe(d, "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq((0, "a", "a", 2L), (1, "a", "b", 1L)),
+      merges.mkString(";"))
+    // token counts under the learned merges: "aa"->1, "ab"->1
+    val ms = merges.map(m => (m._2, m._3))
+    val counts = Tokenizer.bpeTokenCount(spark, d, "doc_id", "text", ms)
+      .collect().map(r => r.getLong(1))
+    assert(counts.toSeq == Seq(3L), counts.mkString(","))
+    // no merges: every char is a token (2 + 2 + 2)
+    val raw = Tokenizer.bpeTokenCount(spark, d, "doc_id", "text", Array.empty)
+      .collect()(0).getLong(1)
+    assert(raw == 6L)
+    // ties break lexicographically: "ba ba ab ab" -> (a,b) before (b,a)
+    val t = Seq((1L, "ba ba ab ab")).toDF("doc_id", "text")
+    val tm = Tokenizer.trainBpe(t, "text", numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(tm.toSeq == Seq(("a", "b")), tm.mkString(";"))
+  }
+
   test("URL extraction + domain stats normalize hosts and count mentions") {
     val d = Seq(
       (1L, "read https://WWW.Example.COM/a and https://example.com/b today"),
