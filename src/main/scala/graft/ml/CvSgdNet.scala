@@ -620,6 +620,17 @@ object CvSgdNet {
             when(y === lit(m.classLabels(t)), lit(-2.0) * log(pt)).otherwise(lit(0.0))
           }
           avg(terms.reduce(_ + _))
+        case ("poisson", "deviance") =>
+          // 2[y ln(y/mu) - (y - mu)], with 0 ln 0 = 0 (graft extension
+          // family; same unit deviance as SgdNet's poisson fit)
+          val y = label.cast("double")
+          val mu = m.responseCol(l)
+          avg(lit(2.0) *
+            (when(y > 0, y * log(y / mu)).otherwise(lit(0.0)) - (y - mu)))
+        case ("poisson", "mse") =>
+          avg(pow(label.cast("double") - m.responseCol(l), 2))
+        case ("poisson", "mae") =>
+          avg(abs(label.cast("double") - m.responseCol(l)))
         case (fam, ms) =>
           throw new IllegalArgumentException(s"unsupported cv measure $ms for $fam")
       }

@@ -178,6 +178,34 @@ class CvSpec extends SparkSpec {
     assert(math.abs(s - at) < 1e-12, s"$s vs $at")
   }
 
+  test("poisson CV scores held-out deviance via the generic path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 400).map { _ =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      val mu = math.exp(0.5 + 0.4 * x1 - 0.3 * x2)
+      val y = math.floor(mu + rnd.nextGaussian() * math.sqrt(mu)).max(0.0)
+      (x1, x2, y)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val cv = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
+      SgdNetParams(family = "poisson", alpha = 0.5, nlambda = 4, thresh = 1e-6),
+      nfolds = 3)
+    assert(cv.best.cvm.length == 4)
+    assert(cv.best.cvm.forall(v => v.isFinite && v > 0))
+    // predictive features: the regularized end of the path beats the
+    // most-penalized (near-null) end
+    assert(cv.best.cvm.last < cv.best.cvm.head,
+      s"${cv.best.cvm.last} vs ${cv.best.cvm.head}")
+    // mse/mae also run
+    for (ms <- Seq("mse", "mae")) {
+      val c = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
+        SgdNetParams(family = "poisson", alpha = 0.5, nlambda = 3, thresh = 1e-5),
+        nfolds = 3, measure = ms)
+      assert(c.best.cvm.forall(_.isFinite))
+    }
+  }
+
   test("predictAt honors the prediction type (link/response/class)") {
     val df = SparkSpec.binaryDF(spark, n = 400)
     val cv = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
