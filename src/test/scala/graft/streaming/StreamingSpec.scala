@@ -135,6 +135,54 @@ class StreamingSpec extends SparkSpec {
     assert(out("b") == None, "no right rows for user 2 -> outer null")
   }
 
+  test("stateless text-pipeline columns run identically over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then some more words here"),
+      (2L, "!!! ??? *** ###"),
+      (3L, "der hund ist nicht mit der katze hier heute"))
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextAnalysis.qualityScore(df, "text")
+        .withColumn("lang", graft.ops.TextAnalysis.langId(spark, col("text")))
+        .withColumn("toks", graft.ops.TextAnalysis.wsTokenCount(col("text")))
+        .select("doc_id", "quality", "lang", "toks")
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val q = pipe(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qpipe").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getString(2), r.getInt(3))
+    val streamed = spark.sql("select * from qpipe").collect().map(key).toSet
+    val batch = pipe(docs.toDF("doc_id", "text")).collect().map(key).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+  }
+
+  test("watermarked streaming quantile sketch finalizes per-window medians") {
+    implicit val sqlCtx = spark.sqlContext
+    // window [0,60): values 1..5 (median 3); window [60,120): 10,20 (median 10
+    // for the discrete sketch); sentinel far ahead closes both
+    val evts = (1 to 5).map(i => EventAgg.Event(1L, ts(i * 5), "a", i.toDouble)) ++
+      Seq(EventAgg.Event(1L, ts(70), "a", 10.0), EventAgg.Event(1L, ts(80), "a", 20.0),
+        EventAgg.Event(1L, ts(10000), "zz", 0.0))
+    val input = MemoryStream[EventAgg.Event]
+    input.addData(evts)
+    val agg = input.toDF().withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("p50"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("squant")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.sql("select ws, p50, n from squant").collect()
+      .map(r => r.getTimestamp(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // hour windows align to epoch hour boundaries, not to ts(0)
+    def hourStart(m: Long) = new Timestamp(ts(m).getTime / 3600000L * 3600000L)
+    assert(out(hourStart(5)) == ((3.0, 5L)), out.toString)
+    assert(out(hourStart(70)) == ((10.0, 2L)), out.toString)
+  }
+
   test("cv predictAt interpolates between path lambdas") {
     val df = SparkSpec.regressionDF(spark)
     val cv = graft.ml.CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
