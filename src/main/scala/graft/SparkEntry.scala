@@ -85,7 +85,10 @@ object SparkEntry {
     "q_bm25"             -> (OpsQueries.bm25 _),
     "q_quantiles"        -> (OpsQueries.quantiles _),
     "q_quantiles_approx" -> (OpsQueries.quantilesApprox _),
-    "q_asof_join"        -> (EventQueries.asofErrors _)
+    "q_asof_join"        -> (EventQueries.asofErrors _),
+    "q_chunk"            -> (OpsQueries.chunk _),
+    "q_rolling"          -> (OpsQueries.rollingFeats _),
+    "q_skew_join"        -> (OpsQueries.skewJoin _)
   )
 
   private val fixedPathValues =

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resilient equi-join: salt the hot keys.
+  *
+  * A shuffle join hash-partitions both sides on the key, so one hot key
+  * (a null-ish sentinel user, a boilerplate domain, an empty-string
+  * bucket) lands its entire row set on ONE reducer — at 100 TB that task
+  * runs for hours while the other 999 executors idle, or OOMs. AQE's
+  * skew-join handles sort-merge spills but not the logical imbalance of
+  * a single gigantic key group.
+  *
+  * `saltedJoin` fixes the plan shape: a first aggregation pass finds keys
+  * whose row count exceeds `hotThreshold` (by construction at most
+  * n/hotThreshold keys — a tiny, driver-safe set); hot left rows get a
+  * deterministic salt in [0, salts) derived from a caller-named unique
+  * column (NOT rand(): reruns and task retries must salt identically),
+  * and the right side replicates only its hot-key rows `salts` ways. The
+  * join key becomes (key, salt), splitting each hot reducer into `salts`
+  * even shards. Cold keys keep salt 0 on both sides — no replication.
+  * Output == the plain inner join, row for row (the DuckDB oracle for
+  * `q_skew_join` IS the plain join).
+  */
+object SkewJoin {
+
+  /** Inner equi-join of `left` and `right` on `key`, resilient to
+    * left-side key skew. `saltBy` must be unique-ish per left row (an id
+    * column) — it only drives shard placement, never the result.
+    * `maxHotKeys` bounds the driver collect; exceeding it fails fast
+    * rather than silently degrading. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltBy: Column, salts: Int = 16,
+                 hotThreshold: Long = 1000000L,
+                 maxHotKeys: Int = 10000): DataFrame = {
+    require(salts > 1, "salts must exceed 1 (1 would be a plain join)")
+    require(hotThreshold > 0, "hotThreshold must be positive")
+    val hotRows = left.groupBy(col(key)).count()
+      .filter(col("count") >= hotThreshold)
+      .select(col(key)).limit(maxHotKeys + 1).collect()
+    require(hotRows.length <= maxHotKeys,
+      s"more than $maxHotKeys hot keys — raise hotThreshold")
+    if (hotRows.isEmpty) return left.join(right, key)
+    val hot = hotRows.map(_.get(0)).toSeq
+    // literal IN-set over a bounded key list: codegen'd, no extra join
+    val lSalt = when(col(key).isin(hot: _*),
+      Sampling.hashBucket(saltBy) % salts).otherwise(lit(0L))
+    val rSalts = when(col(key).isin(hot: _*),
+      sequence(lit(0L), lit(salts - 1L))).otherwise(array(lit(0L)))
+    val l = left.withColumn("__salt", lSalt)
+    val r = right.withColumn("__salt", explode(rSalts))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}

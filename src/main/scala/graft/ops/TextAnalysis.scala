@@ -119,6 +119,35 @@ object TextAnalysis {
       .groupBy("domain")
       .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_urls"))
 
+  // ------------------------------------------------------------- chunking
+
+  /** RAG/embedding-style document chunking: fixed-size character windows
+    * with `overlap` characters shared between consecutive chunks
+    * (stride = chunkSize - overlap). Emits one row per chunk with its
+    * 0-based index and character offset. The window count per doc is
+    * max(1, ceil((len - overlap) / stride)) so no chunk starts inside the
+    * overlap tail of the previous one (the final chunk may be short).
+    * Pure narrow explode — corpus-linear, no shuffle, codegen'd
+    * (`sequence`/`posexplode`/`substr`); empty/null docs emit nothing. */
+  def chunkText(df: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize,
+      "overlap must be in [0, chunkSize)")
+    val stride = chunkSize - overlap
+    val t = col(textCol)
+    val len = length(t)
+    // integer arithmetic on positives only: truncating division == floor
+    val nChunks = when(len <= overlap, lit(1))
+      .otherwise(floor((len - overlap - 1) / lit(stride)).cast("int") + 1)
+    df.filter(len > 0)
+      .select(col(idCol), t.as("__text"),
+        posexplode(sequence(lit(0), (nChunks - 1) * lit(stride), lit(stride))))
+      .select(col(idCol), col("pos").as("chunk_id"),
+        col("col").as("chunk_start"),
+        col("__text").substr(col("col") + 1, lit(chunkSize)).as("chunk"))
+  }
+
   // ------------------------------------------------------ repetition filters
 
   /** Gopher-style repetition metrics: fraction of duplicate lines and the

@@ -574,6 +574,51 @@ object OpsOracles {
         |  64 + (octet_length(text::blob) % 577) AS width,
         |  64 + ((octet_length(text::blob) * 31) % 353) AS height,
         |  'png' AS format
-        |FROM documents ORDER BY doc_id""".stripMargin.trim
+        |FROM documents ORDER BY doc_id""".stripMargin.trim,
+
+    // chunk windows: size 180, overlap 30, stride 150; positive-operand
+    // integer division floors identically in both engines
+    "q_chunk" ->
+      """
+        |WITH d AS (SELECT doc_id, text, length(text) AS len
+        |           FROM documents WHERE length(text) > 0),
+        |n AS (SELECT doc_id, text,
+        |        CASE WHEN len <= 30 THEN 1 ELSE (len - 31) // 150 + 1 END AS nc
+        |      FROM d),
+        |s AS (SELECT doc_id, text, unnest(generate_series(0, nc - 1)) AS i FROM n)
+        |SELECT doc_id, cast(i AS INT) AS chunk_id,
+        |       cast(i * 150 AS INT) AS chunk_start,
+        |       length(substring(text, cast(i * 150 + 1 AS INT), 180))::INT AS chunk_len,
+        |       md5(substring(text, cast(i * 150 + 1 AS INT), 180)) AS chunk_md5
+        |FROM s
+        |ORDER BY doc_id, chunk_id""".stripMargin.trim,
+
+    // integer cents make the rolling sums addition-order-free; epoch is
+    // floored to whole seconds exactly like Spark's unix_timestamp
+    "q_rolling" ->
+      """
+        |SELECT event_id,
+        |  count(*) OVER wrows AS roll_n,
+        |  (sum(cents) OVER wrows)::BIGINT AS roll_cents,
+        |  count(*) OVER wrange AS range_n,
+        |  (sum(cents) OVER wrange)::BIGINT AS range_cents
+        |FROM (SELECT event_id, user_id, ts, floor(epoch(ts))::BIGINT AS sec,
+        |             floor(value * 100 + 0.5)::BIGINT AS cents FROM events)
+        |WINDOW wrows AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |       wrange AS (PARTITION BY user_id ORDER BY sec
+        |                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin.trim,
+
+    // the salted join must equal the PLAIN join row-for-row: the oracle
+    // is the unsalted query
+    "q_skew_join" ->
+      """
+        |WITH e AS (SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS k,
+        |                  user_id FROM events),
+        |c AS (SELECT c_custkey AS k, c_mktsegment FROM customer)
+        |SELECT c_mktsegment, count(*) AS n, sum(user_id)::BIGINT AS uid_sum
+        |FROM e JOIN c USING (k)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.trim
   )
 }

@@ -346,6 +346,47 @@ object OpsQueries {
       .orderBy("doc_id", "j")
   }
 
+  /** RAG-style chunking of every document into 180-char windows with a
+    * 30-char overlap: chunk ids, offsets, and content digests — the
+    * narrow explode an embedding pipeline runs before encoding. */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkText(tbl(spark, dir, "documents"), "doc_id", "text",
+        chunkSize = 180, overlap = 30)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+        length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Per-user rolling features over the event stream: last-5-events count
+    * and exact cents sum (row frame, id tiebreak) plus a trailing 1-hour
+    * range frame — all key-partitioned windows, integer-exact oracle. */
+  def rollingFeats(spark: SparkSession, dir: String): DataFrame = {
+    val e = EventQueries.events(spark, dir)
+    val rows = Rolling.lastNRows(e, col("user_id"),
+      Seq(col("ts"), col("event_id")), n = 5, valCol = col("value"))
+    Rolling.timeRange(rows, col("user_id"), col("ts"),
+        seconds = 3600, valCol = col("value"))
+      .select(col("event_id"), col("roll_n"), col("roll_cents"),
+        col("range_n"), col("range_cents"))
+      .orderBy("event_id")
+  }
+
+  /** Skew-resilient join: half the events collapse onto one planted hot
+    * key, which a plain shuffle join would send to a single reducer. The
+    * salted join splits it 8 ways; the oracle is the PLAIN join — the
+    * operator must be a pure plan-shape change, row-identical output. */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = EventQueries.events(spark, dir)
+      .withColumn("k", when(col("user_id") % 2 === 0, lit(0L))
+        .otherwise(col("user_id")))
+    val c = tbl(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    SkewJoin.saltedJoin(e, c, "k", saltBy = col("event_id"),
+        salts = 8, hotThreshold = 1000L)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"))
+      .orderBy("c_mktsegment")
+  }
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = Multimodal.withPayload(
       tbl(spark, dir, "documents").select("doc_id", "text"), "text", "image")

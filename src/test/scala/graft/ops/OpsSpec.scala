@@ -551,6 +551,78 @@ class OpsSpec extends SparkSpec {
         s"rank error beyond n/accuracy at p=$p: ${rough(p)} vs ${full(p)}")
   }
 
+  test("chunkText windows cover the doc with the declared overlap") {
+    val d = Seq(
+      (1L, "a" * 400),            // 3 chunks: 0, 150, 300
+      (2L, "b" * 180),            // exactly one window
+      (3L, "c" * 181),            // spills into a second chunk
+      (4L, "short"),              // shorter than the overlap -> one chunk
+      (5L, "")                    // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkText(d, "doc_id", "text", 180, 30)
+      .orderBy("doc_id", "chunk_id").collect()
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byDoc == Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 1))
+    // consecutive chunks share exactly `overlap` characters
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    assert(doc1.map(_.getInt(2)).toSeq == Seq(0, 150, 300))
+    assert(doc1.take(2).forall(_.getString(3).length == 180))
+    assert(doc1.last.getString(3).length == 100, "final partial chunk")
+    // reassembling chunk strides reproduces the document
+    val d3 = out.filter(_.getLong(0) == 3L).map(_.getString(3))
+    assert(d3(0).take(150) + d3(1) == "c" * 181)
+  }
+
+  test("rolling features: frames match a sequential reference") {
+    import java.sql.Timestamp
+    val rows = Seq(
+      // key 1: 6 events, one per 10 min; values 1..6
+      (1L to 6L).map(i => (10L * i, new Timestamp(1700000000000L + i * 600000L), 1L, i.toDouble)),
+      // key 2: two events in the same second (range ties)
+      Seq((100L, new Timestamp(1700000000000L), 2L, 5.0),
+          (101L, new Timestamp(1700000000000L), 2L, 7.0))
+    ).flatten.toDF("event_id", "ts", "user_id", "value")
+    val out = Rolling.timeRange(
+        Rolling.lastNRows(rows, col("user_id"), Seq(col("ts"), col("event_id")),
+          n = 3, valCol = col("value")),
+        col("user_id"), col("ts"), seconds = 1500, valCol = col("value"))
+      .orderBy("event_id").collect()
+    val k1 = out.filter(_.getLong(2) == 1L)
+    assert(k1.map(_.getAs[Long]("roll_n")).toSeq == Seq(1L, 2L, 3L, 3L, 3L, 3L))
+    // rows frame sums of cents: last 3 of 100,200,...,600
+    assert(k1.map(_.getAs[Long]("roll_cents")).toSeq ==
+      Seq(100L, 300L, 600L, 900L, 1200L, 1500L))
+    // 1500 s = 25 min trailing range covers the current + 2 prior events
+    assert(k1.map(_.getAs[Long]("range_n")).toSeq == Seq(1L, 2L, 3L, 3L, 3L, 3L))
+    // same-second rows: both see both (range ties are symmetric)...
+    val k2 = out.filter(_.getLong(2) == 2L)
+    assert(k2.map(_.getAs[Long]("range_n")).toSeq == Seq(2L, 2L))
+    assert(k2.map(_.getAs[Long]("range_cents")).toSeq == Seq(1200L, 1200L))
+    // ...but the row frame orders them by the event_id tiebreak
+    assert(k2.map(_.getAs[Long]("roll_cents")).toSeq == Seq(500L, 1200L))
+  }
+
+  test("salted skew join equals the plain join and splits the hot key") {
+    val left = spark.range(10000).toDF("id")
+      .withColumn("k", when(col("id") % 4 < 3, lit(7L)).otherwise(col("id") % 100))
+      .withColumn("payload", col("id") * 2)
+    val right = spark.range(100).toDF("k").withColumn("name", concat(lit("n"), col("k")))
+    val salted = SkewJoin.saltedJoin(left, right, "k", saltBy = col("id"),
+      salts = 8, hotThreshold = 500L)
+    val plain = left.join(right, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the hot key's left rows really fan out across all 8 salts
+    val hotSalts = left.filter(col("k") === 7L)
+      .select((Sampling.hashBucket(col("id")) % 8).as("s"))
+      .distinct().count()
+    assert(hotSalts == 8L, s"hot key spread over $hotSalts salts")
+    // no hot keys -> falls back to the plain join, still correct
+    val cold = SkewJoin.saltedJoin(left, right, "k", saltBy = col("id"),
+      salts = 8, hotThreshold = 100000L)
+    assert(cold.count() == plain.count())
+  }
+
   test("streaming: score a fitted model over a structured stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
