@@ -88,7 +88,8 @@ object SparkEntry {
     "q_asof_join"        -> (EventQueries.asofErrors _),
     "q_chunk"            -> (OpsQueries.chunk _),
     "q_rolling"          -> (OpsQueries.rollingFeats _),
-    "q_skew_join"        -> (OpsQueries.skewJoin _)
+    "q_skew_join"        -> (OpsQueries.skewJoin _),
+    "q_semdedup"         -> (OpsQueries.semDedup _)
   )
 
   private val fixedPathValues =

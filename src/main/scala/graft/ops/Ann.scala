@@ -58,7 +58,7 @@ object Ann {
     d
   }
 
-  private def nearestCell(v: Array[Double], centers: Array[Array[Double]]): Int = {
+  private[ops] def nearestCell(v: Array[Double], centers: Array[Array[Double]]): Int = {
     var best = 0
     var bd = Double.MaxValue
     var c = 0

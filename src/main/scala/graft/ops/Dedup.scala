@@ -438,6 +438,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means clustering + within-cluster cosine.
+    *
+    * The caller supplies the centroids (train them with the bounded
+    * driver-side sample recipe — see [[Ann.ivfTopK]] — or pass any fixed
+    * quantizer; an explicit centroid table keeps the operator
+    * deterministic and lets the DuckDB oracle replicate the whole chain).
+    * ONE typed assignment pass computes each row's nearest centroid
+    * (ascending-index argmin, strict `<`, so ties break to the lowest
+    * cluster id — bit-reproducible cross-engine); the self-join is keyed
+    * on the cluster id, so the pairwise cosine work is bounded by
+    * cluster sizes, never corpus size — the same quadratic-work bound as
+    * the LSH bucket joins, with `maxClusterSize` as the degenerate-
+    * cluster escape hatch. Emits (cluster, id_a, id_b, cos) for pairs at
+    * or above `threshold`; feed the pairs to [[connectedComponents]] for
+    * keep-one-per-group dedup. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Double]], threshold: Double,
+               maxClusterSize: Int = Int.MaxValue): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val assigned0 = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, Ann.nearestCell(v, bcC.value)) }
+      .toDF("__id", "v", "cluster")
+      // consumed by both sides of the self-join (and the size cap)
+      .localCheckpoint(false)
+    val assigned =
+      if (maxClusterSize == Int.MaxValue) assigned0
+      else {
+        val ok = assigned0.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("sz"))
+          .filter(col("sz") <= maxClusterSize)
+          .select(col("cluster"))
+        assigned0.join(ok, Seq("cluster"), "left_semi")
+      }
+    assigned.as("l").join(assigned.as("r"),
+        col("l.cluster") === col("r.cluster") && col("l.__id") < col("r.__id"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine(spark, col("l.v"), col("r.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("l.cluster").as("cluster"), col("l.__id").as("id_a"),
+        col("r.__id").as("id_b"), col("cos"))
+  }
+
   /** L2-normalize a double-array column (expression-level, one pass). */
   def normalized(v: Column): Column = {
     val nrm = sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (a, x) => a + x))

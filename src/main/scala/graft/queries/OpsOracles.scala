@@ -576,6 +576,31 @@ object OpsOracles {
         |  'png' AS format
         |FROM documents ORDER BY doc_id""".stripMargin.trim,
 
+    // centroid assignment replicates the Scala argmin bit-for-bit: the
+    // squared-diff sum runs ascending j in both engines, ties break to
+    // the lowest centroid id
+    "q_semdedup" ->
+      """
+        |WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 200),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |      FROM embeddings WHERE vec_id < 4),
+        |d AS (SELECT e.vec_id, e.v, c.cid,
+        |        list_aggregate(list_transform(generate_series(1, 64),
+        |          j -> (v[j] - cv[j]) * (v[j] - cv[j])), 'sum') AS dist
+        |      FROM e, c),
+        |a AS (SELECT vec_id, v, cid FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                     ORDER BY dist, cid) AS rn FROM d)
+        |      WHERE rn = 1)
+        |SELECT cast(l.cid AS INT) AS cluster, l.vec_id AS id_a, r.vec_id AS id_b,
+        |       round(list_cosine_similarity(l.v, r.v), 4) AS cos
+        |FROM a l JOIN a r ON l.cid = r.cid AND l.vec_id < r.vec_id
+        |WHERE list_cosine_similarity(l.v, r.v) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin.trim,
+
     // chunk windows: size 180, overlap 30, stride 150; positive-operand
     // integer division floors identically in both engines
     "q_chunk" ->

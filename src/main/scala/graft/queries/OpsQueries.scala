@@ -387,6 +387,23 @@ object OpsQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** SemDeDup over embeddings with planted exact duplicates: fixed
+    * centroids (the first four corpus vectors) make the whole chain —
+    * argmin assignment, within-cluster pairing, cosine verify —
+    * replicable in SQL, so the oracle is exact. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val all = e.unionAll(e.select(col("vec_id") + 100000, col("embedding")))
+    val centroids = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    Dedup.semDedup(all, "vec_id", "embedding", centroids, threshold = 0.99)
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = Multimodal.withPayload(
       tbl(spark, dir, "documents").select("doc_id", "text"), "text", "image")

@@ -623,6 +623,29 @@ class OpsSpec extends SparkSpec {
     assert(cold.count() == plain.count())
   }
 
+  test("semDedup: within-cluster dups found, cross-cluster pairs never compared") {
+    // two tight clusters around orthogonal axes + one exact dup per cluster
+    def v(axis: Int, eps: Double) =
+      Array.tabulate(4)(j => (if (j == axis) 1.0 else 0.0) + (if (j == 3) eps else 0.0))
+    val rows = Seq(
+      (1L, v(0, 0.00)), (2L, v(0, 0.00)),   // dup pair in cluster 0
+      (3L, v(0, 0.30)),                     // same cluster, below threshold
+      (10L, v(1, 0.00)), (11L, v(1, 0.00)), // dup pair in cluster 1
+      (20L, v(2, 0.00))                     // alone in cluster 2
+    ).toDF("id", "vec")
+    val centroids = Array(v(0, 0.0), v(1, 0.0), v(2, 0.0))
+    val pairs = Dedup.semDedup(rows, "id", "vec", centroids, threshold = 0.99)
+      .orderBy("id_a").collect()
+    assert(pairs.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (10L, 11L)))
+    assert(pairs.forall(_.getDouble(3) > 0.999))
+    // a degenerate cluster is skipped under the cap, others survive
+    val capped = Dedup.semDedup(rows, "id", "vec", centroids,
+      threshold = 0.99, maxClusterSize = 2)
+    assert(capped.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 11L)))
+  }
+
   test("streaming: score a fitted model over a structured stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
