@@ -89,7 +89,8 @@ object SparkEntry {
     "q_chunk"            -> (OpsQueries.chunk _),
     "q_rolling"          -> (OpsQueries.rollingFeats _),
     "q_skew_join"        -> (OpsQueries.skewJoin _),
-    "q_semdedup"         -> (OpsQueries.semDedup _)
+    "q_semdedup"         -> (OpsQueries.semDedup _),
+    "q_zorder"           -> (OpsQueries.zorder _)
   )
 
   private val fixedPathValues =

@@ -6,7 +6,28 @@ package graft.queries
   * driver's DuckDB comparison is bit-exact.
   */
 object OpsOracles {
+
+  /** q_zorder: min/max binning to 8 bits then bit interleaving — the
+    * same expression tree as Layout.zOrderKey so doubles match bitwise.
+    * Column j's bit b lands at position b*2 + j. */
+  private def zOrderSql: String = {
+    def bin(c: String, mn: String, mx: String) =
+      s"least(floor((($c::DOUBLE) - $mn) / ($mx - $mn) * 256), 255)::BIGINT"
+    val terms = (for {
+      (nm, j) <- Seq("bx" -> 0, "by" -> 1)
+      b <- 0 until 8
+    } yield s"((($nm >> $b) & 1) << ${b * 2 + j})").mkString(" | ")
+    s"""WITH mm AS (SELECT min(o_custkey::DOUBLE) AS mnx, max(o_custkey::DOUBLE) AS mxx,
+       |                  min(o_totalprice) AS mny, max(o_totalprice) AS mxy FROM orders),
+       |b AS (SELECT o_orderkey,
+       |        ${bin("o_custkey", "mnx", "mxx")} AS bx,
+       |        ${bin("o_totalprice", "mny", "mxy")} AS by
+       |      FROM orders, mm)
+       |SELECT o_orderkey, $terms AS z FROM b ORDER BY o_orderkey""".stripMargin.trim
+  }
+
   val sql: Map[String, String] = Map(
+    "q_zorder" -> zOrderSql,
     "q_contamination" ->
       """
         |WITH sets AS (

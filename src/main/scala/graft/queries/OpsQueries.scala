@@ -404,6 +404,16 @@ object OpsQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Z-order layout key over orders (customer x price, 8-bit bins):
+    * the multi-dimensional clustering key behind data-skipping writes
+    * (`graft.sources.Layout.writeZOrdered`). Binning and interleave are
+    * exact integer/double arithmetic — oracle-exact. */
+  def zorder(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Layout.zOrderKey(tbl(spark, dir, "orders"),
+        Seq("o_custkey", "o_totalprice"), bits = 8)
+      .select(col("o_orderkey"), col("__z").as("z"))
+      .orderBy("o_orderkey")
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = Multimodal.withPayload(
       tbl(spark, dir, "documents").select("doc_id", "text"), "text", "image")

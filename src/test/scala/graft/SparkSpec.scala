@@ -17,6 +17,8 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      s"/tmp/graft-warehouse-${java.util.UUID.randomUUID().toString.take(8)}")
     .getOrCreate()
 
   /** Deterministic synthetic regression data: y = 3 + 2*x1 - 1.5*x2 + noise. */

@@ -61,4 +61,55 @@ class PlanSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(!plan.contains("Exchange"), s"sampling must not shuffle: ${plan.take(400)}")
   }
+
+  test("zValue interleaves bits; z-ordered files cluster 2-d ranges") {
+    import graft.sources.Layout
+    import spark.implicits._
+    // hand-checked interleave: x=0b101, y=0b011 -> z=0b011011 = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), bits = 3)).head.getLong(0)
+    assert(z == 27L, s"zValue(5,3)=$z")
+    // locality: the same 2-d rectangle touches fewer files when z-ordered
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val zdir = "/tmp/graft-zorder-test"
+    val rdir = "/tmp/graft-roundrobin-test"
+    Layout.writeZOrdered(orders, Seq("o_custkey", "o_totalprice"), 8, zdir,
+      numFiles = 8)
+    orders.repartition(8).write.mode("overwrite").parquet(rdir)
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("o_custkey") < 20 && col("o_totalprice") < 30000)
+        .select(input_file_name()).distinct().count()
+    val (zf, rf) = (filesTouched(zdir), filesTouched(rdir))
+    assert(zf < rf, s"z-ordered rows in $zf files vs round-robin $rf")
+    // the z-ordered write preserves every row
+    assert(spark.read.parquet(zdir).count() == orders.count())
+  }
+
+  test("bucketed tables join and aggregate with zero exchanges") {
+    import graft.sources.Layout
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Layout.writeBucketed(orders, "orders_b", Seq("o_orderkey"), buckets = 4)
+    Layout.writeBucketed(
+      li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b",
+      Seq("o_orderkey"), buckets = 4)
+    // disable auto-broadcast so the bucketed sort-merge path is what we
+    // assert on (at real scale neither side would be broadcastable)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"bucketed join+agg must not shuffle:\n${plan.take(1200)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(400))
+      // and it returns the same result as the plain join
+      val plain = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+        .groupBy(orders("o_orderkey")).agg(sum("l_quantity")).count()
+      assert(joined.count() == plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
