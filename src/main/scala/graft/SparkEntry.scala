@@ -542,6 +542,31 @@ object SparkEntry {
         |UNION ALL SELECT 'l_quantity', round(b, 6) + 0 FROM t
         |ORDER BY term""".stripMargin,
 
+    // one FISTA step from the null point: a0 = ln(prior), step =
+    // 1/(0.5*(1+corr)+1e-9) (power iteration from [1,1] returns 1+corr
+    // for the 2x2 standardized Gram), coef = soft-threshold of step*b
+    "q_multinom_fit" ->
+      """WITH s AS (SELECT avg(l_quantity) mx1, avg(l_discount) mx2,
+        |  sqrt(var_pop(l_quantity)) sd1, sqrt(var_pop(l_discount)) sd2,
+        |  covar_pop(l_quantity, l_discount)
+        |    / (sqrt(var_pop(l_quantity)) * sqrt(var_pop(l_discount))) r
+        |FROM lineitem),
+        |g AS (SELECT f, avg(CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) p,
+        |  covar_pop(l_quantity, CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) c1,
+        |  covar_pop(l_discount, CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) c2
+        |FROM lineitem, (VALUES ('A'), ('N'), ('R')) t(f) GROUP BY f),
+        |u AS (SELECT f, p, mx1, mx2,
+        |  sign(c1/sd1) * greatest((1.0/(0.5*(1+r)+0.000000001)) * abs(c1/sd1)
+        |    - (1.0/(0.5*(1+r)+0.000000001)) * 0.001, 0) / sd1 AS b1,
+        |  sign(c2/sd2) * greatest((1.0/(0.5*(1+r)+0.000000001)) * abs(c2/sd2)
+        |    - (1.0/(0.5*(1+r)+0.000000001)) * 0.001, 0) / sd2 AS b2
+        |FROM g, s)
+        |SELECT f AS class, 'a0' AS term,
+        |       round(ln(p) - (b1 * mx1 + b2 * mx2), 6) + 0 AS value FROM u
+        |UNION ALL SELECT f, 'l_quantity', round(b1, 6) + 0 FROM u
+        |UNION ALL SELECT f, 'l_discount', round(b2, 6) + 0 FROM u
+        |ORDER BY class, term""".stripMargin,
+
     // one IRLS step from the null point: constant weights w = ybar
     "q_poisson_fit" ->
       """WITH s AS (SELECT avg(l_discount) mx, sqrt(var_pop(l_discount)) sd,

@@ -59,20 +59,28 @@ object PathQueries {
       .orderBy("term")
   }
 
-  /** Multinomial fit over l_returnflag (3 classes); rows-only. */
+  /** Multinomial lasso over l_returnflag (3 classes), ONE FISTA step from
+    * the null point (maxit = 1) — closed form, so oracle-EXACT: the null
+    * intercepts are ln(class priors) (softmax gradient w.r.t. a0 vanishes
+    * there), the step size is 1/(0.5*maxEig(gram)+1e-9) where the 2x2
+    * standardized Gram's power iteration returns 1 + corr(x1,x2) (the
+    * start vector [1,1] is its eigenvector), and the coefficient update
+    * is one soft-threshold of step * cov(x_j, 1[y=t])/sd_j. Converged
+    * multinomial fits are KKT- and spark.ml-verified in
+    * `SgdNetMultiSpec`. */
   def multinomFit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = tbl(spark, dir, "lineitem")
     val m = SgdNet.fit(li, Seq("l_quantity", "l_discount"), "l_returnflag",
-      SgdNetParams(family = "multinomial", alpha = 0.0, lambda = Array(0.05),
-        thresh = 1e-5, maxit = 300))
+      SgdNetParams(family = "multinomial", alpha = 1.0, lambda = Array(0.001),
+        maxit = 1))
     val rows = for {
       t <- 0 until m.nResponses
       (term, v) <- ("a0", m.a0(0)(t)) +:
         m.featureNames.toSeq.zipWithIndex.map { case (f, j) => (f, m.beta(0)(t)(j)) }
     } yield (m.classLabels(t), term, v)
     rows.toDF("class", "term", "value")
-      .withColumn("value", round(col("value"), 4) + lit(0.0))
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
       .orderBy("class", "term")
   }
 
