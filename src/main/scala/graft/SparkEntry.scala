@@ -90,7 +90,10 @@ object SparkEntry {
     "q_rolling"          -> (OpsQueries.rollingFeats _),
     "q_skew_join"        -> (OpsQueries.skewJoin _),
     "q_semdedup"         -> (OpsQueries.semDedup _),
-    "q_zorder"           -> (OpsQueries.zorder _)
+    "q_zorder"           -> (OpsQueries.zorder _),
+    "q_tfidf"            -> (OpsQueries.tfidfQ _),
+    "q_group_topk"       -> (OpsQueries.groupTopK _),
+    "q_ks_drift"         -> (OpsQueries.ksDrift _)
   )
 
   private val fixedPathValues =

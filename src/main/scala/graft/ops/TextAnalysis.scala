@@ -344,6 +344,24 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
 
+  /** TF-IDF term weights per document: term frequency from one explode +
+    * (doc, term) aggregation, document frequency from one term-keyed
+    * aggregation over that result, idf = ln(nDocs / df) joined back on
+    * the term key. Two shuffles (doc-term, term), both corpus-linear;
+    * `minDf` prunes the long hapax tail before the join. The whole chain
+    * is count arithmetic + ln — oracle-exact. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String,
+            minDf: Long = 1L): DataFrame = {
+    val nDocs = df.count().toDouble
+    val tf = df.select(col(idCol), explode(Dedup.words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    tf.join(dfreq, "term")
+      .withColumn("tfidf", col("tf") * log(lit(nDocs) / col("df")))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
   // ------------------------------------------------------- contamination
 
   /** Benchmark-contamination detection: fraction of each document's

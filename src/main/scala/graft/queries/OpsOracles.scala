@@ -597,6 +597,56 @@ object OpsOracles {
         |  'png' AS format
         |FROM documents ORDER BY doc_id""".stripMargin.trim,
 
+    "q_tfidf" ->
+      """
+        |WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |tok AS (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |        FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |        HAVING count(*) >= 2),
+        |n AS (SELECT count(*)::DOUBLE AS nd FROM d)
+        |SELECT doc_id, term, tf, df, round(tf * ln(nd / df), 6) AS tfidf
+        |FROM tf JOIN dfq USING (term), n
+        |ORDER BY doc_id, term""".stripMargin.trim,
+
+    // ranking runs on the 6-dp-rounded quality with a doc_id tiebreak,
+    // so row_number agrees across engines
+    "q_group_topk" ->
+      """
+        |WITH m AS (
+        |  SELECT doc_id, lang,
+        |    round(least(len(regexp_split_to_array(trim(lower(text)), '\s+')) / 50.0, 1.0) * 0.4
+        |      + (1.0 - least((len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))::double / len(text) * 5.0, 1.0)) * 0.2
+        |      + (1.0 - least((len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::double / len(text) * 5.0, 1.0)) * 0.2
+        |      + least(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))::double
+        |          / len(regexp_split_to_array(trim(lower(text)), '\s+')) * 2.0, 1.0) * 0.2, 6) AS quality
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, quality,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY quality DESC, doc_id) AS rank
+        |      FROM m)
+        |SELECT lang, cast(rank AS INT) AS rank, doc_id, quality
+        |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin.trim,
+
+    // cumulative per-side counts are exact integers, so the running
+    // ECDF gap is bit-identical to the Spark two-pass rank kernel
+    "q_ks_drift" ->
+      """
+        |WITH u AS (SELECT l_extendedprice AS v,
+        |                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g
+        |           FROM lineitem),
+        |pv AS (SELECT v, sum(g)::DOUBLE AS ca, sum(1 - g)::DOUBLE AS cb
+        |       FROM u GROUP BY v),
+        |n AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM pv),
+        |c AS (SELECT sum(ca) OVER w AS cca, sum(cb) OVER w AS ccb FROM pv
+        |      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND CURRENT ROW))
+        |SELECT round(max(abs(cca/na - ccb/nb)), 6) AS ks,
+        |       na::BIGINT AS n_a, nb::BIGINT AS n_b
+        |FROM c, n GROUP BY na, nb""".stripMargin.trim,
+
     // centroid assignment replicates the Scala argmin bit-for-bit: the
     // squared-diff sum runs ascending j in both engines, ties break to
     // the lowest centroid id

@@ -414,6 +414,38 @@ object OpsQueries {
       .select(col("o_orderkey"), col("__z").as("z"))
       .orderBy("o_orderkey")
 
+  /** TF-IDF term weights over a bounded doc slice (minDf = 2 prunes the
+    * hapax tail) — count arithmetic + ln, oracle-exact. */
+  def tfidfQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidf(tbl(spark, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", minDf = 2)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy("doc_id", "term")
+
+  /** Top 3 documents per language by quality score (deterministic
+    * doc_id tiebreak) — the per-group curation primitive; the ranking
+    * runs on the 6-dp-rounded quality so it is engine-portable. */
+  def groupTopK(spark: SparkSession, dir: String): DataFrame =
+    TopK.perGroup(
+        TextAnalysis.qualityScore(tbl(spark, dir, "documents"), "text"),
+        Seq(col("lang")), Seq(col("quality").desc, col("doc_id")), k = 3)
+      .select(col("lang"), col("rank"), col("doc_id"), col("quality"))
+      .orderBy("lang", "rank")
+
+  /** Two-sample KS drift between returned and kept lineitem prices:
+    * exact ECDF gap via the two-pass range-partitioned rank (the same
+    * no-single-partition-window discipline as AUC). */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val (d, na, nb) = Drift.ksStatistic(
+      li.filter(col("l_returnflag") === "R"),
+      li.filter(col("l_returnflag") =!= "R"), "l_extendedprice")
+    Seq((d, na, nb)).toDF("ks", "n_a", "n_b")
+      .withColumn("ks", round(col("ks"), 6))
+  }
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = Multimodal.withPayload(
       tbl(spark, dir, "documents").select("doc_id", "text"), "text", "image")

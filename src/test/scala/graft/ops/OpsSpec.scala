@@ -646,6 +646,51 @@ class OpsSpec extends SparkSpec {
       Seq((10L, 11L)))
   }
 
+  test("tfidf: frequencies, idf, and minDf pruning match a hand count") {
+    val d = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry"),
+      (3L, "banana banana date")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(d, "doc_id", "text", minDf = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // apple: df 2; banana: df 2; cherry/date: df 1 -> pruned
+    assert(out.keySet.map(_._2) == Set("apple", "banana"))
+    val (tf, df, w) = out((1L, "apple"))
+    assert(tf == 2L && df == 2L)
+    assert(math.abs(w - 2.0 * math.log(3.0 / 2.0)) < 1e-12)
+    assert(out((3L, "banana"))._1 == 2L)
+  }
+
+  test("per-group top-k keeps exactly k rows per group, ranked and stable") {
+    val d = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5), ("a", 4L, 0.7),
+      ("b", 5L, 0.1)
+    ).toDF("g", "id", "score")
+    val out = TopK.perGroup(d, Seq(col("g")),
+        Seq(col("score").desc, col("id")), k = 2)
+      .orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(3), r.getLong(1)))
+    // tie at 0.9 breaks by id; group b has fewer than k rows
+    assert(out.toSeq == Seq(("a", 1, 1L), ("a", 2, 2L), ("b", 1, 5L)))
+  }
+
+  test("KS statistic matches a sequential reference on known samples") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val (d, na, nb) = Drift.ksStatistic(a, b, "v")
+    // at v=2: F_a=0.5, F_b=0 -> gap 0.5 (the supremum)
+    assert(na == 4L && nb == 4L)
+    assert(math.abs(d - 0.5) < 1e-12)
+    // identical samples -> zero drift
+    val (z, _, _) = Drift.ksStatistic(a, a, "v")
+    assert(z == 0.0)
+    // disjoint supports -> full separation
+    val (one, _, _) = Drift.ksStatistic(a, Seq(10.0, 11.0).toDF("v"), "v")
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+
   test("streaming: score a fitted model over a structured stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
