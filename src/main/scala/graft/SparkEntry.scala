@@ -93,7 +93,8 @@ object SparkEntry {
     "q_zorder"           -> (OpsQueries.zorder _),
     "q_tfidf"            -> (OpsQueries.tfidfQ _),
     "q_group_topk"       -> (OpsQueries.groupTopK _),
-    "q_ks_drift"         -> (OpsQueries.ksDrift _)
+    "q_ks_drift"         -> (OpsQueries.ksDrift _),
+    "q_event_sliding"    -> (EventQueries.eventSliding _)
   )
 
   private val fixedPathValues =
@@ -585,6 +586,17 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // each event expands into len/slide = 4 overlapping windows, starts
+    // aligned to 900 s slide boundaries — exactly Spark's window(ts,len,slide)
+    "q_event_sliding" ->
+      """WITH e AS (SELECT event_type, value,
+        |             floor(epoch(ts) / 900)::BIGINT * 900 AS s1 FROM events),
+        |w AS (SELECT event_type, value,
+        |        unnest(generate_series(s1 - 2700, s1, 900)) AS ws FROM e)
+        |SELECT make_timestamp(ws * 1000000) AS window_start, event_type,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "q_sessionize" ->
       """WITH g AS (

@@ -25,6 +25,13 @@ object EventQueries {
       .withColumn("sum_value", round(col("sum_value"), 4))
       .orderBy("window_start", "event_type")
 
+  /** Sliding 1-hour windows every 15 minutes (each event lands in 4
+    * windows — the overlap the `window` generator expands). */
+  def eventSliding(spark: SparkSession, dir: String): DataFrame =
+    EventAgg.slidingAgg(events(spark, dir), "1 hour", "15 minutes")
+      .withColumn("sum_value", round(col("sum_value"), 4))
+      .orderBy("window_start", "event_type")
+
   /** Gap-based sessionization (30-minute inactivity gap). */
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     EventAgg.sessionizeBatch(events(spark, dir), gapMinutes = 30)

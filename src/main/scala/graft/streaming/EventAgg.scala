@@ -27,6 +27,25 @@ object EventAgg {
                         watermark: String = "2 hours"): DataFrame =
     windowedAgg(events.withWatermark("ts", watermark), windowLen)
 
+  /** SLIDING-window aggregation: each event lands in windowLen/slide
+    * overlapping windows (Spark's `window` generator expands them before
+    * the aggregation, so the shuffle carries len/slide copies per event —
+    * the inherent cost of sliding windows on any engine; keep the ratio
+    * small at scale). Batch and streaming share the plan; streaming
+    * callers watermark upstream exactly like [[windowedAggStream]]. */
+  def slidingAgg(events: DataFrame, windowLen: String = "1 hour",
+                 slide: String = "15 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  def slidingAggStream(events: DataFrame, windowLen: String = "1 hour",
+                       slide: String = "15 minutes",
+                       watermark: String = "2 hours"): DataFrame =
+    slidingAgg(events.withWatermark("ts", watermark), windowLen, slide)
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long, sum_value: Double)

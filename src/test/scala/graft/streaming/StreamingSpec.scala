@@ -183,6 +183,33 @@ class StreamingSpec extends SparkSpec {
     assert(out(hourStart(70)) == ((10.0, 2L)), out.toString)
   }
 
+  test("sliding-window streaming aggregation matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val evts = Seq(
+      EventAgg.Event(1L, ts(10), "a", 1.0),   // windows starting at -45..0 min
+      EventAgg.Event(1L, ts(40), "a", 2.0),
+      EventAgg.Event(2L, ts(70), "b", 4.0),
+      EventAgg.Event(1L, ts(10000), "zz", 0.0)) // sentinel closes everything
+    val input = MemoryStream[EventAgg.Event]
+    input.addData(evts)
+    val q = EventAgg.slidingAggStream(input.toDF(), "1 hour", "15 minutes",
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("sslide").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))
+    // the sentinel's own windows are still open when the stream stops —
+    // compare finalized windows only
+    val streamed = spark.sql("select * from sslide where event_type != 'zz'")
+      .collect().map(key).toSet
+    val batch = EventAgg.slidingAgg(evts.toDF(), "1 hour", "15 minutes")
+      .filter(col("event_type") =!= "zz").collect().map(key).toSet
+    assert(streamed == batch, s"stream $streamed\nbatch $batch")
+    // every event appears in exactly len/slide = 4 windows
+    val aRows = batch.filter(_._2 == "a").toSeq
+    assert(aRows.map(_._3).sum == 8L, s"2 events x 4 windows: $aRows")
+  }
+
   test("cv predictAt interpolates between path lambdas") {
     val df = SparkSpec.regressionDF(spark)
     val cv = graft.ml.CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
