@@ -389,6 +389,43 @@ object TextAnalysis {
           .as("contamination"))
   }
 
+  /** Bloom-filter contamination — the NO-JOIN scale path of
+    * [[contamination]]. The benchmark's distinct shingles reduce to one
+    * Bloom filter (a distributed treeAggregate build; the driver holds
+    * only the filter bits, sized by the benchmark, never the corpus),
+    * which broadcasts to a single narrow pass over the documents: no
+    * inverted index, no shuffle of the corpus at all. One-sided error:
+    * never *misses* a contaminated shingle (no false negatives), and
+    * over-counts with probability <= `fpp` per clean shingle — exactly
+    * the safe direction for decontamination (you only ever drop a few
+    * extra docs). Use the exact operator when the per-doc fraction must
+    * be auditable; use this one at 100 TB. */
+  def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         w: Int = 3, fpp: Double = 0.001): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val benchGrams = Dedup.shingleSets(bench, idCol, benchTextCol, w)
+      .select(explode(col("sh")).as("g")).distinct()
+      .localCheckpoint(false) // consumed by the count and the filter build
+    val nGrams = math.max(benchGrams.count(), 1L)
+    val filter = benchGrams.stat.bloomFilter("g", nGrams, fpp)
+    val bcF = spark.sparkContext.broadcast(filter)
+    Dedup.shingleSets(docs, idCol, textCol, w)
+      .as[(Long, Array[String])]
+      .map { case (id, sh) =>
+        val f = bcF.value
+        var hits = 0
+        var i = 0
+        while (i < sh.length) {
+          if (f.mightContainString(sh(i))) hits += 1
+          i += 1
+        }
+        (id, if (sh.length > 0) hits.toDouble / sh.length else 0.0)
+      }
+      .toDF(idCol, "contamination")
+  }
+
   // --------------------------------------------------------- fingerprinting
 
   /** Document fingerprint: minimum md5 over all character k-grams (the

@@ -691,6 +691,28 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(one - 1.0) < 1e-12)
   }
 
+  test("bloom contamination bounds the exact fraction from above") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated words about catalyst optimizer internals here"),
+      (3L, "prefix words then the quick brown fox jumps over something else")
+    ).toDF("doc_id", "text")
+    val exact = TextAnalysis.contamination(corpus, "doc_id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bloom = TextAnalysis.contaminationBloom(corpus, "doc_id", "text",
+        bench, "text", fpp = 0.001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet == bloom.keySet)
+    // no false negatives: bloom >= exact everywhere; at this size, equal
+    exact.foreach { case (id, e) =>
+      assert(bloom(id) >= e - 1e-12, s"doc $id: bloom ${bloom(id)} < exact $e")
+      assert(bloom(id) == e, s"doc $id: tiny filter should be exact")
+    }
+    assert(exact(1L) > 0.5 && exact(2L) == 0.0)
+  }
+
   test("streaming: score a fitted model over a structured stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
