@@ -94,7 +94,11 @@ object SparkEntry {
     "q_tfidf"            -> (OpsQueries.tfidfQ _),
     "q_group_topk"       -> (OpsQueries.groupTopK _),
     "q_ks_drift"         -> (OpsQueries.ksDrift _),
-    "q_event_sliding"    -> (EventQueries.eventSliding _)
+    "q_event_sliding"    -> (EventQueries.eventSliding _),
+    "q_dup_spans"        -> (OpsQueries.dupSpans _),
+    "q_profile"          -> (OpsQueries.profileQ _),
+    "q_heavy_tokens"     -> (OpsQueries.heavyTokensQ _),
+    "q_shard_manifest"   -> (OpsQueries.shardManifest _)
   )
 
   private val fixedPathValues =

@@ -557,4 +557,91 @@ object Dedup {
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
+
+  // ------------------------------------------------- duplicate token spans
+
+  /** Maximal duplicated token spans across documents — EXACT
+    * substring-level dedup at token-gram granularity (the suffix-array
+    * substring-dedup semantics of "Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022, expressed as a
+    * shuffle-bounded join instead of a monolithic suffix array).
+    *
+    * Recipe: each doc emits one md5 per `gramWidth`-token window with its
+    * token position; an inverted-index self-join on the gram hash yields
+    * matching positions per doc pair; consecutive matches on the same
+    * alignment diagonal (pos_a - pos_b) merge into maximal runs via the
+    * gaps-and-islands trick; a run of c grams is a duplicated span of
+    * c + gramWidth - 1 tokens. Returns
+    * (id_a, id_b, start_a, start_b, span_tokens) with id_a < id_b, one
+    * row per maximal span of at least `minTokens` tokens (0-based token
+    * offsets).
+    *
+    * Scale notes (100 TB): no cross product — the only wide shuffle is
+    * the gram-hash join, and `maxDf` caps the f² pair blowup of
+    * corpus-wide boilerplate grams exactly like [[ngramJaccardPairs]]'s
+    * cap (a dropped gram can only split or shorten reported spans of
+    * boilerplate text, never invent one). The islands window partitions
+    * by (pair, diagonal) — bounded by document length, never a global
+    * sort. Spans detect at gram granularity: every duplicated substring
+    * of >= gramWidth tokens is found exactly; shorter ones are below
+    * detection by design.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     minTokens: Int, gramWidth: Int = 8,
+                     maxDf: Int = Int.MaxValue): DataFrame = {
+    require(minTokens >= gramWidth,
+      s"minTokens ($minTokens) must be >= gramWidth ($gramWidth): shorter spans are below gram detection")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TextKernels.md5Hex
+    val w = gramWidth
+    // (id, pos, gramHash) per token window — typed kernel (reused
+    // MessageDigest), not HOFs: interpreted array lambdas measured ~50x
+    // slower on shingle chains (see shingleSets).
+    val occ0 = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val n = math.max(ws.length - w, 0)
+          (0 to n).iterator.map { i =>
+            val sb = new StringBuilder
+            var o = 0
+            while (o < w && i + o < ws.length) {
+              if (o > 0) sb.append(' ')
+              sb.append(ws(i + o))
+              o += 1
+            }
+            (id, i, md5Hex(sb.toString))
+          }
+        }
+      }
+      .toDF("__id", "pos", "gh")
+      // both sides of the self-join read this — materialize once
+      .localCheckpoint(false)
+    val occ =
+      if (maxDf == Int.MaxValue) occ0
+      else {
+        val ok = occ0.groupBy(col("gh")).agg(count(lit(1)).as("f"))
+          .filter(col("f") <= maxDf).select(col("gh"))
+        occ0.join(ok, Seq("gh"), "left_semi")
+      }
+    val pairs = occ.as("a").join(occ.as("b"),
+        col("a.gh") === col("b.gh") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    // pos_a is unique within (pair, diag): the gram at pos_a is fixed, so
+    // row_number is deterministic and pos_a - row_number marks islands
+    val byDiag = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    pairs
+      .withColumn("island", col("pos_a") - row_number().over(byDiag))
+      .groupBy("id_a", "id_b", "diag", "island")
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (count(lit(1)) + (w - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+  }
 }

@@ -26,8 +26,68 @@ object OpsOracles {
        |SELECT o_orderkey, $terms AS z FROM b ORDER BY o_orderkey""".stripMargin.trim
   }
 
+  /** q_profile: one UNION ALL arm per column, mirroring Profile.profile's
+    * stat arms (mean only for integral columns, avg_len only for
+    * strings — both exact integer sums, so engine-portable). */
+  private def profileSql: String = {
+    def arm(c: String, mean: Boolean, avgLen: Boolean) =
+      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+         |  (count(*) - count($c))::BIGINT AS n_null,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value,
+         |  ${if (mean) s"round(avg($c), 6)" else "NULL::DOUBLE"} AS mean,
+         |  ${if (avgLen) s"round(avg(length($c)), 6)" else "NULL::DOUBLE"} AS avg_len
+         |FROM orders""".stripMargin
+    Seq(arm("o_orderkey", mean = true, avgLen = false),
+      arm("o_custkey", mean = true, avgLen = false),
+      arm("o_orderstatus", mean = false, avgLen = true),
+      arm("o_totalprice", mean = false, avgLen = false),
+      arm("o_orderpriority", mean = false, avgLen = true))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val sql: Map[String, String] = Map(
     "q_zorder" -> zOrderSql,
+    "q_profile" -> profileSql,
+    "q_heavy_tokens" ->
+      """
+        |SELECT w AS tok, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |      FROM documents)
+        |GROUP BY w HAVING count(*) >= 500 ORDER BY tok""".stripMargin.trim,
+    "q_shard_manifest" ->
+      """
+        |WITH s AS (SELECT doc_id, length(text)::BIGINT AS b FROM documents),
+        |c AS (SELECT doc_id, b,
+        |        coalesce(sum(b) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+        |      FROM s),
+        |a AS (SELECT doc_id, b, (off // 65536)::BIGINT AS shard FROM c)
+        |SELECT shard, count(*)::BIGINT AS n_docs, sum(b)::BIGINT AS total_bytes,
+        |       min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin.trim,
+    "q_dup_spans" ->
+      """
+        |WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |base AS (
+        |  SELECT doc_id, text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    'uniq' || doc_id || ' ' || array_to_string(ws[11:50], ' ') || ' ' || 'tail' || doc_id
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM src)),
+        |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM base),
+        |g0 AS (SELECT doc_id, unnest(list_transform(generate_series(0, greatest(len(ws)-5, 0)),
+        |         i -> {'pos': i, 'gh': md5(array_to_string(ws[i+1 : i+5], ' '))})) AS u FROM w),
+        |g AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM g0),
+        |p AS (SELECT a.doc_id id_a, b.doc_id id_b, a.pos pos_a, b.pos pos_b, a.pos - b.pos AS diag
+        |      FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+        |i AS (SELECT *, pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+        |      FROM p)
+        |SELECT id_a, id_b, min(pos_a)::BIGINT AS start_a, min(pos_b)::BIGINT AS start_b,
+        |       (count(*) + 4)::BIGINT AS span_tokens
+        |FROM i GROUP BY id_a, id_b, diag, island
+        |HAVING span_tokens >= 10
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin.trim,
     "q_contamination" ->
       """
         |WITH sets AS (

@@ -446,6 +446,50 @@ object OpsQueries {
       .withColumn("ks", round(col("ks"), 6))
   }
 
+  /** Exact duplicate-span detection on a planted internal overlap: each
+    * clone carries words 11..50 of its source wrapped in unique sentinel
+    * tokens, so the operator must recover exactly the shared 40-token
+    * window (plus any organic repeats the synthetic corpus has — the
+    * oracle replicates the same construction either way). */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val w = Dedup.words(col("text"))
+    val planted = d.select((col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ",
+        concat(lit("uniq"), col("doc_id")),
+        array_join(slice(w, 11, 40), " "),
+        concat(lit("tail"), col("doc_id"))).as("text"))
+    Dedup.duplicateSpans(d.unionAll(planted), "doc_id", "text",
+        minTokens = 10, gramWidth = 5)
+      .select(col("id_a"), col("id_b"), col("start_a").cast("long").as("start_a"),
+        col("start_b").cast("long").as("start_b"), col("span_tokens"))
+      .orderBy("id_a", "id_b", "start_a", "start_b")
+  }
+
+  /** One-pass per-column profile over orders (integral, string, and
+    * double columns exercise every stat arm). */
+  def profileQ(spark: SparkSession, dir: String): DataFrame =
+    Profile.profile(tbl(spark, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"))
+      .orderBy("col_name")
+
+  /** SON two-pass frequent tokens: exact counts of every token occurring
+    * >= 500 times in the corpus — same answer as the full vocabulary
+    * groupBy (which IS the oracle), bounded state on the way there. */
+  def heavyTokensQ(spark: SparkSession, dir: String): DataFrame =
+    Frequent.heavyTokens(tbl(spark, dir, "documents"), "text", minCount = 500)
+      .orderBy("tok")
+
+  /** Shard manifest for a 64 KiB-bounded export of the documents table
+    * (deterministic prefix-sum placement; integer-exact oracle). */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Export.manifest(
+        tbl(spark, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", length(col("text")), shardBytes = 65536L)
+      .orderBy("shard")
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = Multimodal.withPayload(
       tbl(spark, dir, "documents").select("doc_id", "text"), "text", "image")

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.Packing
+
+/** Sharded training-data export: deterministic assignment of documents
+  * to bounded-size shards in a stable global order, a partitioned write,
+  * and the shard manifest that downstream training jobs consume.
+  *
+  * Shard assignment is the [[Packing.concatChunk]] placement applied to
+  * byte sizes: shard = floor(bytes-before-this-doc / shardBytes) over
+  * docs in id order — a TWO-PASS range-partitioned prefix sum (per-
+  * partition totals + broadcast offsets), never a single-partition
+  * window. Whole documents stay in one shard, so a shard can exceed
+  * `shardBytes` by at most one document — the standard contract for
+  * training shards.
+  *
+  * Scale notes (100 TB): the prefix sum shuffles once (range partition
+  * on the id); the shard-attach join is a join on the id key; the write
+  * is `partitionBy(shard)` so each task streams its shard files without
+  * a global sort. Deterministic: same ids + sizes -> same shards on any
+  * cluster size, any engine.
+  */
+object Export {
+
+  /** Per-doc shard placement: (idCol, n_bytes, byte_offset, shard). */
+  def assignShards(df: DataFrame, idCol: String, sizeExpr: Column,
+                   shardBytes: Long): DataFrame = {
+    require(shardBytes > 0, "shardBytes must be positive")
+    Packing.concatChunk(
+        df.select(col(idCol), sizeExpr.cast("long").as("__bytes")),
+        idCol, "__bytes", shardBytes)
+      .select(col(idCol), col("n_tokens").as("n_bytes"),
+        col("token_offset").as("byte_offset"), col("chunk_first").as("shard"))
+  }
+
+  /** `df` with a `shard` column attached (join on the id key). */
+  def withShard(df: DataFrame, idCol: String, sizeExpr: Column,
+                shardBytes: Long): DataFrame =
+    df.join(assignShards(df, idCol, sizeExpr, shardBytes)
+      .select(col(idCol), col("shard")), Seq(idCol))
+
+  /** Shard manifest: per-shard doc count, byte total, id range. */
+  def manifest(df: DataFrame, idCol: String, sizeExpr: Column,
+               shardBytes: Long): DataFrame =
+    assignShards(df, idCol, sizeExpr, shardBytes)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("total_bytes"),
+        min(col(idCol)).as("first_id"), max(col(idCol)).as("last_id"))
+
+  /** Write the corpus as bounded-size shards under `outDir/shard=N/`,
+    * `format` = "parquet" (columnar shards) or "json" (JSONL shards).
+    * Returns the manifest of what was written. */
+  def writeShards(df: DataFrame, idCol: String, sizeExpr: Column,
+                  shardBytes: Long, outDir: String,
+                  format: String = "parquet"): DataFrame = {
+    require(format == "parquet" || format == "json",
+      s"unsupported shard format: $format")
+    withShard(df, idCol, sizeExpr, shardBytes)
+      .write.mode("overwrite").format(format).partitionBy("shard").save(outDir)
+    manifest(df, idCol, sizeExpr, shardBytes)
+  }
+}

@@ -713,6 +713,100 @@ class OpsSpec extends SparkSpec {
     assert(exact(1L) > 0.5 && exact(2L) == 0.0)
   }
 
+  test("duplicate spans: maximal shared token runs on the right diagonals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z z a b c d e f q q"),
+      (3L, "p q r s t u v w x y")).toDF("id", "text")
+    val spans = Dedup.duplicateSpans(df, "id", "text", minTokens = 4, gramWidth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    // docs 1 and 2 share exactly "a b c d e f": 6 tokens at offsets 0 / 2
+    assert(spans.toSet == Set((1L, 2L, 0, 2, 6L)))
+  }
+
+  test("duplicate spans: disjoint shared runs stay separate maximal spans") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "s1 s2 c1 c2 c3 c4 x1 x2 d1 d2 d3 d4 y1"),
+      (2L, "c1 c2 c3 c4 q d1 d2 d3 d4")).toDF("id", "text")
+    val spans = Dedup.duplicateSpans(df, "id", "text", minTokens = 4, gramWidth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    assert(spans.toSet == Set((1L, 2L, 2, 0, 4L), (1L, 2L, 8, 5, 4L)))
+  }
+
+  test("duplicate spans: maxDf cap drops corpus-wide boilerplate grams") {
+    import spark.implicits._
+    val boiler = "m1 m2 m3 m4 m5"
+    val df = (1L to 5L).map(i => (i, s"doc$i $boiler end$i")).toDF("id", "text")
+    val uncapped = Dedup.duplicateSpans(df, "id", "text", minTokens = 5, gramWidth = 3)
+    assert(uncapped.count() == 10) // all C(5,2) pairs share the 5-token run
+    val capped = Dedup.duplicateSpans(df, "id", "text", minTokens = 5, gramWidth = 3,
+      maxDf = 4)
+    assert(capped.count() == 0) // every boilerplate gram occurs 5 times > cap
+  }
+
+  test("profile: one-pass column stats with nulls, strings, and integers") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("aa"), Some(10L)),
+      (2L, None, Some(30L)),
+      (3L, Some("cccc"), None),
+      (4L, Some("aa"), Some(20L))).toDF("id", "s", "v")
+    val p = Profile.profile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) == 4 && p("id").getLong(2) == 0)
+    assert(p("id").getLong(3) == 4)                       // distinct ids
+    assert(p("id").getDouble(6) == 2.5)                   // mean of 1..4
+    assert(p("s").getLong(2) == 1 && p("s").getLong(3) == 2)
+    assert(p("s").getString(4) == "aa" && p("s").getString(5) == "cccc")
+    assert(p("s").getDouble(7) == 2.666667) // avg_len rounded to 6 dp
+    assert(p("v").getLong(2) == 1 && p("v").getDouble(6) == 20.0)
+    assert(p("v").isNullAt(7))                            // no avg_len for ints
+    // approx path: same frame shape, HLL cardinalities exact at this size
+    val a = Profile.profile(df, Seq("id", "s"), approxDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a("id") == 4 && a("s") == 2)
+  }
+
+  test("SON heavy hitters equal the full groupBy on a skewed corpus") {
+    import spark.implicits._
+    // 200 docs: 'hot' in all, 'warm' in even ids, unique filler per doc
+    val df = (1L to 200L).map { i =>
+      val warm = if (i % 2 == 0) " warm" else ""
+      (i, s"hot$warm filler$i noise${i % 7}")
+    }.toDF("id", "text").repartition(8)
+    val got = Frequent.heavyTokens(df, "text", minCount = 29)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.select(explode(Dedup.words(col("text"))).as("t"))
+      .groupBy("t").count().filter(col("count") >= 29)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got("hot") == 200 && got("warm") == 100)
+    assert(got.keySet.forall(t => t == "hot" || t == "warm" || t.startsWith("noise")))
+  }
+
+  test("shard export: prefix-sum placement, bounded shards, manifest round-trip") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, "x" * 100)).toDF("doc_id", "text")
+      .repartition(5)
+    val assign = graft.sources.Export.assignShards(df, "doc_id",
+        length(col("text")), shardBytes = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // doc i (100 bytes) starts at (i-1)*100 -> shard = (i-1)*100 / 300
+    assign.foreach { case (id, b, off, shard) =>
+      assert(b == 100 && off == (id - 1) * 100 && shard == (id - 1) * 100 / 300)
+    }
+    val out = s"/tmp/graft-shards-${java.util.UUID.randomUUID().toString.take(8)}"
+    val man = graft.sources.Export.writeShards(df, "doc_id",
+      length(col("text")), 300, out)
+    val m = man.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m.size == 17 && m(0L) == ((3L, 300L))) // 50 docs / 3-per-shard
+    val back = spark.read.parquet(out)
+    assert(back.count() == 50 && back.select("shard").distinct().count() == 17)
+  }
+
   test("streaming: score a fitted model over a structured stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
