@@ -98,7 +98,8 @@ object SparkEntry {
     "q_dup_spans"        -> (OpsQueries.dupSpans _),
     "q_profile"          -> (OpsQueries.profileQ _),
     "q_heavy_tokens"     -> (OpsQueries.heavyTokensQ _),
-    "q_shard_manifest"   -> (OpsQueries.shardManifest _)
+    "q_shard_manifest"   -> (OpsQueries.shardManifest _),
+    "q_budget_select"    -> (OpsQueries.budgetSelect _)
   )
 
   private val fixedPathValues =

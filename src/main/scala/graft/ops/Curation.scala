@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Data selection under a token budget: keep the best-ranked rows whose
+  * cumulative cost still fits the budget — the curation step behind
+  * "train on the top-quality N tokens" recipes (greedy prefix of the
+  * quality ranking).
+  *
+  * The cumulative cost runs as the same TWO-PASS range-partitioned
+  * prefix sum as [[Packing.concatChunk]]: range-partition on the rank
+  * order, per-partition totals to the driver (one long per partition),
+  * broadcast cumulative offsets — never a single-partition window.
+  * Partitions whose offset already exceeds the budget short-circuit.
+  * Costs are integers, so the prefix sums are exact and
+  * engine-portable. `orderCols` must be a TOTAL order (add an id
+  * tiebreak): with ties, the row choice at the budget boundary is
+  * otherwise engine-defined.
+  */
+object Curation {
+
+  /** Rows (in any output order) whose inclusive cumulative cost in
+    * `orderCols` order is <= `budget`, with a `cum_before` column
+    * (cost mass strictly before the row; null costs count as 0). */
+  def selectByBudget(df: DataFrame, orderCols: Seq[Column], costCol: Column,
+                     budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val spark = df.sparkSession
+    val withCost = df.withColumn("__cost", costCol.cast("long"))
+    val ranged = withCost.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = ranged.schema
+    val ci = schema.fieldIndex("__cost")
+    val rdd = ranged.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach { r => if (!r.isNullAt(ci)) s += r.getLong(ci) }
+      Iterator((i, s))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](math.max(rdd.getNumPartitions, 1))
+    var acc = 0L
+    totals.foreach { case (i, s) => offsets(i) = acc; acc += s }
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    val b = budget
+    val kept = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = bcOff.value(i)
+      if (cum > b) Iterator.empty
+      else it.flatMap { r =>
+        val c = if (r.isNullAt(ci)) 0L else r.getLong(ci)
+        val before = cum
+        cum += c
+        if (before + c <= b) Some(Row.fromSeq(r.toSeq :+ before)) else None
+      }
+    }
+    spark.createDataFrame(kept, schema.add("cum_before", LongType))
+      .drop("__cost")
+  }
+}

@@ -55,6 +55,29 @@ object OpsOracles {
         |FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
         |      FROM documents)
         |GROUP BY w HAVING count(*) >= 500 ORDER BY tok""".stripMargin.trim,
+    "q_budget_select" ->
+      """
+        |WITH m AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_words,
+        |    (len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))::double / len(text) AS punct_ratio,
+        |    (len(text) - len(regexp_replace(text, '[0-9]', '', 'g')))::double / len(text) AS digit_ratio,
+        |    len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))::double
+        |      / len(regexp_split_to_array(trim(lower(text)), '\s+')) AS uniq_word_ratio,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS ntok
+        |  FROM documents),
+        |t AS (SELECT doc_id, ntok,
+        |    round(least(n_words / 50.0, 1.0) * 0.4
+        |        + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+        |        + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.2
+        |        + least(uniq_word_ratio * 2.0, 1.0) * 0.2, 6) AS quality
+        |  FROM m),
+        |c AS (SELECT doc_id, quality, ntok,
+        |    coalesce(sum(ntok) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+        |  FROM t)
+        |SELECT doc_id, quality, ntok AS n_tokens, cum_before
+        |FROM c WHERE cum_before + ntok <= 50000 ORDER BY doc_id""".stripMargin.trim,
     "q_shard_manifest" ->
       """
         |WITH s AS (SELECT doc_id, length(text)::BIGINT AS b FROM documents),

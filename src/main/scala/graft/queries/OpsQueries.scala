@@ -490,6 +490,22 @@ object OpsQueries {
         "doc_id", length(col("text")), shardBytes = 65536L)
       .orderBy("shard")
 
+  /** Token-budget curation: best documents by (rounded) quality score
+    * until 50k whitespace tokens are spent. The ranking runs on the
+    * 6-dp-rounded quality with a doc_id tiebreak so the order — and
+    * therefore the kept set — is engine-exact. */
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(
+        tbl(spark, dir, "documents").select(col("doc_id"), col("text")), "text")
+      .withColumn("n_tokens", TextAnalysis.wsTokenCount(col("text")))
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+    Curation.selectByBudget(scored,
+        Seq(col("quality").desc, col("doc_id")), col("n_tokens"), budget = 50000L)
+      .select(col("doc_id"), col("quality"), col("n_tokens").cast("long").as("n_tokens"),
+        col("cum_before"))
+      .orderBy("doc_id")
+  }
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = Multimodal.withPayload(
       tbl(spark, dir, "documents").select("doc_id", "text"), "text", "image")

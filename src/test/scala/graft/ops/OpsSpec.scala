@@ -807,6 +807,25 @@ class OpsSpec extends SparkSpec {
     assert(back.count() == 50 && back.select("shard").distinct().count() == 17)
   }
 
+  test("budget curation matches a sequential greedy reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val rows = (1L to 300L).map(i => (i, rnd.nextInt(100), 1 + rnd.nextInt(50)))
+    val df = rows.toDF("id", "q", "cost").repartition(7)
+    val budget = 2000L
+    val got = Curation.selectByBudget(df,
+        Seq(col("q").desc, col("id")), col("cost"), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // sequential reference: cum threshold in (q desc, id) order
+    var cum = 0L
+    val want = rows.sortBy { case (id, q, _) => (-q, id) }.flatMap { case (id, _, c) =>
+      val before = cum; cum += c
+      if (before + c <= budget) Some(id -> before) else None
+    }.toMap
+    assert(got == want)
+    assert(got.nonEmpty && got.size < 300)
+  }
+
   test("streaming: score a fitted model over a structured stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
