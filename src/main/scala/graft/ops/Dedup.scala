@@ -558,6 +558,35 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Dedup DECISION table — the operator users actually execute on:
+    * cluster near-dup pairs ([[connectedComponents]]) and pick ONE
+    * keeper per cluster: highest score, ties to the smallest id (a
+    * deterministic tiebreak keeps the drop list stable across engines,
+    * partitionings, and runs). Returns one row per clustered doc:
+    * (id, cluster_id, keeper_id, keep); docs in no pair are implicit
+    * keepers and are not returned. Docs missing from `scores` rank
+    * below every scored doc.
+    *
+    * Scale shape: the component labels are the dominant cost (see
+    * [[connectedComponents]]); the keeper election is one partial-
+    * aggregated max-of-struct per cluster plus one key join. */
+  def keeperTable(pairs: DataFrame, aCol: String, bCol: String,
+                  scores: DataFrame, idCol: String,
+                  scoreCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val scored = cc.join(
+        scores.select(col(idCol).cast("long").as("id"),
+          col(scoreCol).cast("double").as("__s")), Seq("id"), "left")
+      .withColumn("__s", coalesce(col("__s"), lit(Double.MinValue)))
+    val keepers = scored
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("__s").as("s"), (-col("id")).as("negid"))).as("__m"))
+      .select(col("cluster_id"), (-col("__m.negid")).as("keeper_id"))
+    scored.join(keepers, Seq("cluster_id"))
+      .select(col("id"), col("cluster_id"), col("keeper_id"),
+        (col("id") === col("keeper_id")).as("keep"))
+  }
+
   // ------------------------------------------------- duplicate token spans
 
   /** Maximal duplicated token spans across documents — EXACT

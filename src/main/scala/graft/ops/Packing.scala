@@ -60,4 +60,33 @@ object Packing {
       }
     }.toDF(idCol, "n_tokens", "token_offset", "chunk_first", "chunk_last")
   }
+
+  /** Per-chunk composition: one row per (chunk, document segment) —
+    * the table a training data-loader needs to assemble each packed
+    * context window and draw attention-mask boundaries between the
+    * documents inside it:
+    *
+    *   doc_start — first token of the segment within the document
+    *   seg_len   — tokens the document contributes to this chunk
+    *   chunk_pos — where the segment starts within the chunk
+    *
+    * Zero-token documents contribute nothing and are omitted. Pure
+    * integer arithmetic on top of [[concatChunk]]'s placement (the
+    * explode fans each doc out to the few chunks it spans), so the
+    * whole manifest is engine-exact. */
+  def chunkManifest(df: DataFrame, idCol: String, tokenCol: String,
+                    contextLen: Long): DataFrame = {
+    val placed = concatChunk(df, idCol, tokenCol, contextLen)
+      .filter(col("n_tokens") > 0)
+    val L = lit(contextLen)
+    placed
+      .withColumn("chunk", explode(sequence(col("chunk_first"), col("chunk_last"))))
+      .withColumn("gbeg", greatest(col("token_offset"), col("chunk") * L))
+      .withColumn("gend",
+        least(col("token_offset") + col("n_tokens"), (col("chunk") + 1) * L))
+      .select(col("chunk"), col(idCol),
+        (col("gbeg") - col("token_offset")).as("doc_start"),
+        (col("gend") - col("gbeg")).as("seg_len"),
+        (col("gbeg") - col("chunk") * L).as("chunk_pos"))
+  }
 }
