@@ -73,7 +73,7 @@ object SparkEntry {
     "q_contamination"    -> (OpsQueries.contamination _),
     "q_event_window"     -> (EventQueries.eventWindow _),
     "q_sessionize"       -> (EventQueries.sessionize _),
-    "q_cv_predict"       -> (EventQueries.cvPredict _),
+    "q_cv_predict"       -> (PathQueries.cvPredict _),
     "q_dedup_cluster"    -> (OpsQueries.dedupCluster _),
     "q_boilerplate"      -> (OpsQueries.boilerplate _),
     "q_sample_strat"     -> (OpsQueries.sampleStrat _),
@@ -81,6 +81,11 @@ object SparkEntry {
     "q_lm_score"         -> (OpsQueries.lmScore _),
     "q_pack_chunks"      -> (OpsQueries.packChunks _),
     "q_domain_stats"     -> (OpsQueries.domainStats _),
+    // q_bpe_merges is the ONE deliberately rows-only query: BPE training
+    // is an inherently ITERATIVE merge loop (each merge rewrites the
+    // symbol sequences the next pair count depends on) with no fixed
+    // recursion depth — not expressible as a DuckDB oracle. Correctness
+    // is covered by TokenizerSpec's hand-computed-merge test instead.
     "q_bpe_merges"       -> (OpsQueries.bpeMerges _),
     "q_bm25"             -> (OpsQueries.bm25 _),
     "q_quantiles"        -> (OpsQueries.quantiles _),
@@ -147,8 +152,132 @@ object SparkEntry {
       |                 stddev_samp(m) / sqrt(5) AS cvsd
       |          FROM msef GROUP BY lambda_idx, lam)""".stripMargin
 
+  /** Closed-form 3-feature ridge CV (portable Knuth-hash folds, Cramer
+    * solve of the standardized (C + lambda I) b = d system on subtracted
+    * fold moments, moment-form held-out MSE — exactly the arithmetic of
+    * `CvSgdNet.cvGaussianOnePass`) — shared CTE chain of the
+    * q_cv_curve / q_cv_select / q_cv_predict oracles. */
+  private val cvRidgeCte =
+    s"""WITH r AS (
+      |  SELECT l_quantity AS x1, l_discount AS x2, l_tax AS x3,
+      |    l_extendedprice AS y,
+      |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+      |      % 4294967296 % 5 AS f
+      |  FROM lineitem),
+      |tot AS (SELECT count(*)::double n, sum(x1) s1, sum(x2) s2, sum(x3) s3,
+      |          sum(y) sy, sum(x1*x1) s11, sum(x2*x2) s22, sum(x3*x3) s33,
+      |          sum(x1*x2) s12, sum(x1*x3) s13, sum(x2*x3) s23,
+      |          sum(x1*y) s1y, sum(x2*y) s2y, sum(x3*y) s3y, sum(y*y) syy
+      |        FROM r),
+      |pf AS (SELECT f, count(*)::double n, sum(x1) s1, sum(x2) s2, sum(x3) s3,
+      |         sum(y) sy, sum(x1*x1) s11, sum(x2*x2) s22, sum(x3*x3) s33,
+      |         sum(x1*x2) s12, sum(x1*x3) s13, sum(x2*x3) s23,
+      |         sum(x1*y) s1y, sum(x2*y) s2y, sum(x3*y) s3y, sum(y*y) syy
+      |       FROM r GROUP BY f),
+      |lgrid AS (SELECT lambda_idx, lam::DOUBLE AS lam FROM $fixedPathValues),
+      |trn AS (SELECT pf.f, tot.n - pf.n AS n, tot.s1 - pf.s1 AS s1,
+      |          tot.s2 - pf.s2 AS s2, tot.s3 - pf.s3 AS s3,
+      |          tot.sy - pf.sy AS sy, tot.s11 - pf.s11 AS s11,
+      |          tot.s22 - pf.s22 AS s22, tot.s33 - pf.s33 AS s33,
+      |          tot.s12 - pf.s12 AS s12, tot.s13 - pf.s13 AS s13,
+      |          tot.s23 - pf.s23 AS s23, tot.s1y - pf.s1y AS s1y,
+      |          tot.s2y - pf.s2y AS s2y, tot.s3y - pf.s3y AS s3y
+      |        FROM pf, tot),
+      |mo AS (SELECT f, n, s1/n m1, s2/n m2, s3/n m3, sy/n my,
+      |         s11/n - (s1/n)*(s1/n) c11, s22/n - (s2/n)*(s2/n) c22,
+      |         s33/n - (s3/n)*(s3/n) c33, s12/n - (s1/n)*(s2/n) c12,
+      |         s13/n - (s1/n)*(s3/n) c13, s23/n - (s2/n)*(s3/n) c23,
+      |         s1y/n - (s1/n)*(sy/n) e1, s2y/n - (s2/n)*(sy/n) e2,
+      |         s3y/n - (s3/n)*(sy/n) e3
+      |       FROM trn),
+      |g AS (SELECT f, lambda_idx, lam, m1, m2, m3, my,
+      |        sqrt(c11) sd1, sqrt(c22) sd2, sqrt(c33) sd3,
+      |        1 + lam AS a11, c12/(sqrt(c11)*sqrt(c22)) AS a12,
+      |        c13/(sqrt(c11)*sqrt(c33)) AS a13, 1 + lam AS a22,
+      |        c23/(sqrt(c22)*sqrt(c33)) AS a23, 1 + lam AS a33,
+      |        e1/sqrt(c11) AS d1, e2/sqrt(c22) AS d2, e3/sqrt(c33) AS d3
+      |      FROM mo, lgrid),
+      |t2 AS (SELECT *,
+      |         a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+      |           + a13*(a12*a23 - a22*a13) AS det FROM g),
+      |u AS (SELECT f, lambda_idx, lam, m1, m2, m3, my,
+      |        (d1*(a22*a33 - a23*a23) - a12*(d2*a33 - a23*d3)
+      |          + a13*(d2*a23 - a22*d3)) / det / sd1 AS b1,
+      |        (a11*(d2*a33 - d3*a23) - d1*(a12*a33 - a23*a13)
+      |          + a13*(a12*d3 - d2*a13)) / det / sd2 AS b2,
+      |        (a11*(a22*d3 - d2*a23) - a12*(a12*d3 - d2*a13)
+      |          + d1*(a12*a23 - a22*a13)) / det / sd3 AS b3
+      |      FROM t2),
+      |sc AS (SELECT u.f, lambda_idx, lam,
+      |         my - b1*m1 - b2*m2 - b3*m3 AS a0, b1, b2, b3,
+      |         pf.n AS nf, pf.s1 f1, pf.s2 f2, pf.s3 f3, pf.sy fy,
+      |         pf.syy fyy, pf.s11 f11, pf.s22 f22, pf.s33 f33,
+      |         pf.s12 f12, pf.s13 f13, pf.s23 f23,
+      |         pf.s1y f1y, pf.s2y f2y, pf.s3y f3y
+      |       FROM u JOIN pf ON u.f = pf.f),
+      |msef AS (SELECT lambda_idx, lam, f,
+      |           fyy/nf - 2*a0*fy/nf + a0*a0
+      |             + (b1*b1*f11 + b2*b2*f22 + b3*b3*f33
+      |                + 2*b1*b2*f12 + 2*b1*b3*f13 + 2*b2*b3*f23)/nf
+      |             + 2*a0*(b1*f1 + b2*f2 + b3*f3)/nf
+      |             - 2*(b1*f1y + b2*f2y + b3*f3y)/nf AS m
+      |         FROM sc),
+      |curve AS (SELECT lambda_idx, lam, avg(m) AS cvm,
+      |            stddev_samp(m) / sqrt(5) AS cvsd
+      |          FROM msef GROUP BY lambda_idx, lam)""".stripMargin
+
   /** DuckDB-equivalent SQL for each SQL-expressible query. */
   def oracleSql: Map[String, String] = Map(
+    "q_cv_curve" ->
+      s"""$cvRidgeCte
+        |SELECT cast(lambda_idx AS INT) AS lambda_idx, round(lam, 4) AS lambda,
+        |       round(ln(cvm), 4) AS ln_cvm, round(ln(cvsd), 4) AS ln_cvsd
+        |FROM curve ORDER BY lambda_idx""".stripMargin,
+
+    "q_cv_select" ->
+      s"""$cvRidgeCte,
+        |sel AS (SELECT lam, cvm, cvsd FROM curve
+        |        ORDER BY cvm, lambda_idx LIMIT 1),
+        |one AS (SELECT max(c.lam) AS l1se FROM curve c, sel
+        |        WHERE c.cvm <= sel.cvm + sel.cvsd)
+        |SELECT 0.0::DOUBLE AS alpha, round(sel.lam, 4) AS lambda_min,
+        |       round(one.l1se, 4) AS lambda_1se
+        |FROM sel, one""".stripMargin,
+
+    "q_cv_predict" ->
+      s"""$cvRidgeCte,
+        |sel AS (SELECT lam FROM curve ORDER BY cvm, lambda_idx LIMIT 1),
+        |fmo AS (SELECT n, s1/n m1, s2/n m2, s3/n m3, sy/n my,
+        |          s11/n - (s1/n)*(s1/n) c11, s22/n - (s2/n)*(s2/n) c22,
+        |          s33/n - (s3/n)*(s3/n) c33, s12/n - (s1/n)*(s2/n) c12,
+        |          s13/n - (s1/n)*(s3/n) c13, s23/n - (s2/n)*(s3/n) c23,
+        |          s1y/n - (s1/n)*(sy/n) e1, s2y/n - (s2/n)*(sy/n) e2,
+        |          s3y/n - (s3/n)*(sy/n) e3
+        |        FROM tot),
+        |fg AS (SELECT lam, m1, m2, m3, my,
+        |         sqrt(c11) sd1, sqrt(c22) sd2, sqrt(c33) sd3,
+        |         1 + lam AS a11, c12/(sqrt(c11)*sqrt(c22)) AS a12,
+        |         c13/(sqrt(c11)*sqrt(c33)) AS a13, 1 + lam AS a22,
+        |         c23/(sqrt(c22)*sqrt(c33)) AS a23, 1 + lam AS a33,
+        |         e1/sqrt(c11) AS d1, e2/sqrt(c22) AS d2, e3/sqrt(c33) AS d3
+        |       FROM fmo, sel),
+        |ft AS (SELECT *,
+        |         a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+        |           + a13*(a12*a23 - a22*a13) AS det FROM fg),
+        |fu AS (SELECT m1, m2, m3, my,
+        |         (d1*(a22*a33 - a23*a23) - a12*(d2*a33 - a23*d3)
+        |           + a13*(d2*a23 - a22*d3)) / det / sd1 AS b1,
+        |         (a11*(d2*a33 - d3*a23) - d1*(a12*a33 - a23*a13)
+        |           + a13*(a12*d3 - d2*a13)) / det / sd2 AS b2,
+        |         (a11*(a22*d3 - d2*a23) - a12*(a12*d3 - d2*a13)
+        |           + d1*(a12*a23 - a22*a13)) / det / sd3 AS b3
+        |       FROM ft),
+        |cf AS (SELECT my - b1*m1 - b2*m2 - b3*m3 AS a0, b1, b2, b3 FROM fu)
+        |SELECT l_orderkey, l_linenumber,
+        |       round(a0 + b1*l_quantity + b2*l_discount + b3*l_tax, 2) AS pred
+        |FROM lineitem, cf WHERE l_orderkey <= 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "q_gauss_ols1" ->
       """WITH s AS (SELECT regr_intercept(l_extendedprice, l_quantity) i,
         |                  regr_slope(l_extendedprice, l_quantity) b FROM lineitem)

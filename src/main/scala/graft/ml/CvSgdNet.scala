@@ -87,6 +87,52 @@ object CvSgdNet {
       }.toDF("alpha", "lambda_min", "cvm_min", "cvsd_min",
         "lambda_1se", "cvm_1se")
     }
+
+    /** Persist the whole CV result (parquet-backed, overwrite): the
+      * per-alpha curves + selections in one `<path>/curves` table, each
+      * full-data fit under `<path>/model_<i>` via [[SgdNetModel!.save]].
+      * The reference restores cv_sgdnet objects with `readRDS`; this is
+      * the Spark equivalent. Restored by [[CvSgdNet.load]]. */
+    def save(spark: SparkSession, path: String): Unit = {
+      import spark.implicits._
+      val bestIdx = math.max(paths.indexWhere(_ eq best), 0)
+      val rows = paths.zipWithIndex.flatMap { case (p, i) =>
+        p.lambda.indices.map { l =>
+          (i, i == bestIdx, p.alpha, l, p.lambda(l), p.cvm(l), p.cvsd(l),
+            p.lambdaMin, p.lambda1se)
+        }
+      }
+      rows.toDF("path_idx", "is_best", "alpha", "lambda_idx", "lambda",
+          "cvm", "cvsd", "lambda_min", "lambda_1se")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/curves")
+      paths.zipWithIndex.foreach { case (p, i) =>
+        p.fit.save(spark, s"$path/model_$i")
+      }
+    }
+  }
+
+  /** Restore a CV result persisted by [[CvResult.save]]. */
+  def load(spark: SparkSession, path: String): CvResult = {
+    val rows = spark.read.parquet(s"$path/curves")
+      .select(col("path_idx").cast("int"), col("is_best"), col("alpha"),
+        col("lambda_idx").cast("int"), col("lambda"), col("cvm"),
+        col("cvsd"), col("lambda_min"), col("lambda_1se"))
+      .collect()
+    val byPath = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    var bestIdx = 0
+    val paths = byPath.map { case (i, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      if (rs.head.getBoolean(1)) bestIdx = i
+      CvPath(
+        alpha = rs.head.getDouble(2),
+        lambda = sorted.map(_.getDouble(4)),
+        cvm = sorted.map(_.getDouble(5)),
+        cvsd = sorted.map(_.getDouble(6)),
+        lambdaMin = rs.head.getDouble(7),
+        lambda1se = rs.head.getDouble(8),
+        fit = SgdNetModel.load(spark, s"$path/model_$i"))
+    }
+    CvResult(paths, paths(bestIdx))
   }
 
   private def select(lambda: Array[Double], cvm: Array[Double],

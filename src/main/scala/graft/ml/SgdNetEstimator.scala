@@ -2,17 +2,20 @@ package graft.ml
 
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.param._
-import org.apache.spark.ml.util.Identifiable
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable,
+  Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.types.StructType
 
 /** spark.ml Pipeline-conformant wrapper around [[SgdNet]]: drops into
   * `org.apache.spark.ml.Pipeline`, `CrossValidator`, and param grids like
   * any MLlib estimator, while fitting the reference-faithful
-  * regularization path underneath.
+  * regularization path underneath. Persists like any MLlib stage:
+  * `DefaultParamsWritable` here, a custom writer on the fitted model —
+  * so `Pipeline.save`/`PipelineModel.load` round-trip graft stages.
   */
 class SgdNetEstimator(override val uid: String)
-    extends Estimator[SgdNetPipelineModel] {
+    extends Estimator[SgdNetPipelineModel] with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("sgdnet"))
 
@@ -60,11 +63,15 @@ class SgdNetEstimator(override val uid: String)
   }
 }
 
+object SgdNetEstimator extends DefaultParamsReadable[SgdNetEstimator] {
+  override def load(path: String): SgdNetEstimator = super.load(path)
+}
+
 /** Fitted pipeline model: transform() appends `prediction` at the densest
   * path point (smallest lambda); the full path model is exposed as
   * `pathModel` for coef/score/deviance access. */
 class SgdNetPipelineModel(override val uid: String, val pathModel: SgdNetModel)
-    extends Model[SgdNetPipelineModel] {
+    extends Model[SgdNetPipelineModel] with MLWritable {
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     val l = pathModel.nLambda - 1
@@ -80,4 +87,42 @@ class SgdNetPipelineModel(override val uid: String, val pathModel: SgdNetModel)
 
   override def transformSchema(schema: StructType): StructType =
     schema.add("prediction", org.apache.spark.sql.types.DoubleType)
+
+  override def write: MLWriter = new SgdNetPipelineModel.Writer(this)
+}
+
+object SgdNetPipelineModel extends MLReadable[SgdNetPipelineModel] {
+  import org.json4s._
+  import org.json4s.JsonDSL._
+  import org.json4s.jackson.JsonMethods._
+
+  /** Writes the standard MLlib stage metadata (so `PipelineModel.load`
+    * can dispatch on the `class` field) plus the path-model payload via
+    * [[SgdNetModel!.save]] under `<path>/model`. */
+  private[ml] class Writer(instance: SgdNetPipelineModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val metadata = ("class" -> instance.getClass.getName) ~
+        ("timestamp" -> System.currentTimeMillis()) ~
+        ("sparkVersion" -> sc.version) ~
+        ("uid" -> instance.uid) ~
+        ("paramMap" -> JObject(Nil)) ~
+        ("defaultParamMap" -> JObject(Nil))
+      sparkSession.createDataset(Seq(compact(render(metadata))))(Encoders.STRING)
+        .repartition(1).write.mode("overwrite").text(s"$path/metadata")
+      instance.pathModel.save(sparkSession, s"$path/model")
+    }
+  }
+
+  private class Reader extends MLReader[SgdNetPipelineModel] {
+    override def load(path: String): SgdNetPipelineModel = {
+      implicit val formats: Formats = DefaultFormats
+      val metaStr = sparkSession.read.text(s"$path/metadata").head.getString(0)
+      val uid = (parse(metaStr) \ "uid").extract[String]
+      new SgdNetPipelineModel(uid, SgdNetModel.load(sparkSession, s"$path/model"))
+    }
+  }
+
+  override def read: MLReader[SgdNetPipelineModel] = new Reader
+
+  override def load(path: String): SgdNetPipelineModel = super.load(path)
 }

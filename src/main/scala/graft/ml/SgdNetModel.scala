@@ -355,9 +355,87 @@ final class SgdNetModel(
     val scored = df.select(responseCol(lambdaIdx).as("s"), label.cast("double").as("y"))
     SgdNetModel.aucOf(scored, "s", "y")
   }
+
+  // ----------------------------------------------------------- persistence
+
+  /** Persist the fitted path to `path` (parquet-backed, overwrite): the
+    * reference gets restorable fits for free via `saveRDS`; Spark users
+    * fit once and score elsewhere, so the model must leave the session.
+    * Layout: `<path>/meta` (one-row frame of everything scalar/array) +
+    * `<path>/coef` ((lambda_idx, response_idx, a0, beta) rows). Restored
+    * by [[SgdNetModel.load]] — predictions are bit-identical (the
+    * coefficient doubles round-trip exactly through parquet). */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val coefRows = for { l <- lambda.indices; t <- 0 until nResponses }
+      yield (l, t, a0(l)(t), beta(l)(t).toSeq)
+    coefRows.toDF("lambda_idx", "response_idx", "a0", "beta")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/coef")
+    Seq((family, featureNames.toSeq, responseNames.toSeq, classLabels.toSeq,
+        lambda.toSeq, nulldev, devRatio.toSeq, nobs, npasses,
+        params.family, params.alpha, params.nlambda, params.lambdaMinRatio,
+        Option(params.lambda).map(_.toSeq), params.standardize,
+        params.intercept, params.thresh, params.maxit,
+        params.standardizeResponse, params.typeMultinomial))
+      .toDF("family", "feature_names", "response_names", "class_labels",
+        "lambda", "nulldev", "dev_ratio", "nobs", "npasses",
+        "p_family", "p_alpha", "p_nlambda", "p_lambda_min_ratio",
+        "p_lambda", "p_standardize", "p_intercept", "p_thresh", "p_maxit",
+        "p_standardize_response", "p_type_multinomial")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
 }
 
 object SgdNetModel {
+
+  /** Restore a path model persisted by [[SgdNetModel!.save]]. */
+  def load(spark: SparkSession, path: String): SgdNetModel = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    val featureNames = m.getSeq[String](m.fieldIndex("feature_names")).toArray
+    val lambdaArr = m.getSeq[Double](m.fieldIndex("lambda")).toArray
+    val params = SgdNetParams(
+      family = m.getString(m.fieldIndex("p_family")),
+      alpha = m.getDouble(m.fieldIndex("p_alpha")),
+      nlambda = m.getInt(m.fieldIndex("p_nlambda")),
+      lambdaMinRatio = m.getDouble(m.fieldIndex("p_lambda_min_ratio")),
+      lambda =
+        if (m.isNullAt(m.fieldIndex("p_lambda"))) null
+        else m.getSeq[Double](m.fieldIndex("p_lambda")).toArray,
+      standardize = m.getBoolean(m.fieldIndex("p_standardize")),
+      intercept = m.getBoolean(m.fieldIndex("p_intercept")),
+      thresh = m.getDouble(m.fieldIndex("p_thresh")),
+      maxit = m.getInt(m.fieldIndex("p_maxit")),
+      standardizeResponse = m.getBoolean(m.fieldIndex("p_standardize_response")),
+      typeMultinomial = m.getString(m.fieldIndex("p_type_multinomial")))
+    val coefs = spark.read.parquet(s"$path/coef")
+      .select(col("lambda_idx").cast("int"), col("response_idx").cast("int"),
+        col("a0").cast("double"), col("beta").cast("array<double>"))
+      .collect()
+    val L = lambdaArr.length
+    val k = if (coefs.isEmpty) 0 else coefs.map(_.getInt(1)).max + 1
+    val p = featureNames.length
+    val a0 = Array.ofDim[Double](L, k)
+    val beta = Array.ofDim[Double](L, k, p)
+    coefs.foreach { r =>
+      val l = r.getInt(0); val t = r.getInt(1)
+      a0(l)(t) = r.getDouble(2)
+      val b = r.getSeq[Double](3)
+      var j = 0
+      while (j < p) { beta(l)(t)(j) = b(j); j += 1 }
+    }
+    new SgdNetModel(
+      family = m.getString(m.fieldIndex("family")),
+      featureNames = featureNames,
+      responseNames = m.getSeq[String](m.fieldIndex("response_names")).toArray,
+      classLabels = m.getSeq[String](m.fieldIndex("class_labels")).toArray,
+      lambda = lambdaArr, a0 = a0, beta = beta,
+      nulldev = m.getDouble(m.fieldIndex("nulldev")),
+      devRatio = m.getSeq[Double](m.fieldIndex("dev_ratio")).toArray,
+      nobs = m.getLong(m.fieldIndex("nobs")),
+      npasses = m.getInt(m.fieldIndex("npasses")),
+      params = params)
+  }
+
   /** AUC of score column `s` against 0/1 label `y` via the Mann–Whitney
     * rank statistic with average ranks for ties.
     *

@@ -164,6 +164,25 @@ object Ann {
       .limit(budgetRows)
       .as[(Long, Array[Double])].collect().map(_._2)
     val centers = kmeansFit(sample, nlist, seed)
+    ivfTopKFixed(corpus, queries, idCol, vecCol, k, centers, nprobe)
+  }
+
+  /** [[ivfTopK]] with CALLER-SUPPLIED coarse centroids — the
+    * engine-portable variant (assignment, probing and scoring are pure
+    * argmin/cosine arithmetic over the given centroid table, so another
+    * engine reproduces the result exactly; `q_ann_ivf`'s DuckDB oracle
+    * does). Production indexing should prefer [[ivfTopK]]'s sampled
+    * k-means; this entry point also serves index REUSE — score against
+    * a quantizer trained once elsewhere. */
+  def ivfTopKFixed(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, centers: Array[Array[Double]],
+                   nprobe: Int = 4): DataFrame = {
+    require(centers.nonEmpty, "need at least one centroid")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
     val bcC = spark.sparkContext.broadcast(centers)
     // single assignment pass: cell id per corpus row (typed kernel — a
     // tight argmin loop; no iterative distributed fitting)
@@ -176,6 +195,8 @@ object Ann {
         col(vecCol).cast("array<double>").as("qv"))
       .as[(Long, Array[Double])].collect()
     val probes = q.flatMap { case (qid, qv) =>
+      // stable sort: exact distance ties resolve to the lower cell id,
+      // matching the oracle's ORDER BY dist, cid
       centers.zipWithIndex.map { case (c, i) => (sqdist(qv, c), i) }
         .sortBy(_._1).take(nprobe).map { case (_, cell) => (qid, qv, cell) }
     }
@@ -230,6 +251,27 @@ object Ann {
       kmeansFit(sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)),
         ksub, seed + mi)
     }
+    pqTopKFixed(corpus, queries, idCol, vecCol, k, codebooks)
+  }
+
+  /** [[pqTopK]] with CALLER-SUPPLIED codebooks (`codebooks(mi)(c)` is
+    * centroid `c` of subspace `mi`) — the engine-portable variant
+    * (`q_ann_pq`'s DuckDB oracle replicates encode + ADC exactly), and
+    * the index-reuse path: encode/score against codebooks trained once
+    * elsewhere. Production training should prefer [[pqTopK]]. */
+  def pqTopKFixed(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int,
+                  codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "codebooks must be non-empty per subspace")
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+    val ksub = codebooks(0).length
     val bcCB = spark.sparkContext.broadcast(codebooks)
     // ONE encoding pass: corpus vector -> m codes
     val codes = vecs.as[(Long, Array[Double])]

@@ -407,7 +407,10 @@ object Dedup {
           val plane = tp(b)
           var d = 0.0
           var j = 0
-          while (j < nv.length) { d += nv(j) * plane(j); j += 1 }
+          // min-bound: the dimension is probed from one arbitrary row, so
+          // a ragged corpus (mixed vector lengths) must truncate, not AIOOBE
+          val n = math.min(nv.length, plane.length)
+          while (j < n) { d += nv(j) * plane(j); j += 1 }
           if (d > 0) sig |= (1L << b)
           b += 1
         }

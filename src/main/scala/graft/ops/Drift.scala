@@ -32,6 +32,10 @@ object Drift {
       .repartitionByRange(col("v"))
       .sortWithinPartitions("v")
       .select(col("ca"), col("cb"))
+    // Double sums here are EXACT, not approximate: ca/cb are integer
+    // counts, and IEEE doubles represent every integer below 2^53
+    // exactly (same argument as SgdNetModel.aucOf) — do not "fix" this
+    // to floats or to a lossy accumulator.
     val rdd = perValue.rdd.map(r => (r.getDouble(0), r.getDouble(1)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

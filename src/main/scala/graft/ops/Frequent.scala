@@ -22,21 +22,42 @@ import org.apache.spark.sql.functions._
   * exact counts — same answer as the full groupBy, but the shuffle and
   * the aggregation state never see the (Zipf-heavy) tail that dominates
   * a 100 TB corpus vocabulary.
+  *
+  * Two guards keep the recipe honest at scale:
+  *   - pass 1 runs on at most minCount / MinLocalThreshold partitions
+  *     (coalesced if needed) so the local threshold never degenerates to
+  *     1 — with thousands of partitions and a modest minCount, a
+  *     threshold of 1 would make every distinct token a candidate;
+  *   - the candidate set is probed against `maxCandidates` BEFORE being
+  *     broadcast; past the cap (pruning has degenerated — e.g. a flat
+  *     token distribution) the operator falls back to the plain exact
+  *     shuffle aggregation instead of broadcasting a vocabulary-sized
+  *     set to every executor.
+  *
+  * Both passes recompute the token explode — two cheap narrow scans —
+  * rather than checkpointing a corpus-scale token materialization.
   */
 object Frequent {
 
+  /** Pass-1 local thresholds below this defeat the pruning; partitions
+    * are coalesced to keep ceil(minCount / p) at or above it. */
+  private val MinLocalThreshold = 8L
+
   /** Frequent whitespace tokens of a text column. */
-  def heavyTokens(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+  def heavyTokens(df: DataFrame, textCol: String, minCount: Long,
+                  maxCandidates: Long = 1L << 20): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    // materialized once: both passes read it, and explode over a computed
-    // array would otherwise re-split every text per consumer
+    // lazy on purpose: recomputed by each pass (narrow scans), never
+    // materialized — a checkpoint here would be corpus-sized at scale
     val toks = df.select(explode(Dedup.words(col(textCol))).as("tok"))
-      .localCheckpoint(false)
-    val p = math.max(toks.rdd.getNumPartitions, 1)
+    val p0 = math.max(toks.rdd.getNumPartitions, 1)
+    val pCap = math.max(1L, minCount / MinLocalThreshold)
+    val p = math.min(p0.toLong, pCap).toInt
+    val pass1 = if (p < p0) toks.coalesce(p) else toks
     val local = (minCount + p - 1) / p // ceil(minCount / p)
-    val cand = toks.as[String].mapPartitions { it =>
+    val cand = pass1.as[String].mapPartitions { it =>
       val m = new java.util.HashMap[String, Array[Long]]()
       it.foreach { t =>
         val c = m.get(t)
@@ -46,9 +67,18 @@ object Frequent {
       m.forEach { (k, v) => if (v(0) >= local) out += k }
       out.result().iterator
     }.distinct().toDF("tok")
-    toks.join(broadcast(cand), Seq("tok"), "left_semi")
-      .groupBy(col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
+    // bounded probe (LocalLimit stops early) before any broadcast
+    val nCand = cand.limit((maxCandidates + 1).toInt).count()
+    if (nCand > maxCandidates) {
+      // pruning degenerated: exact answer via the plain shuffle agg
+      toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+    } else {
+      toks.join(broadcast(cand), Seq("tok"), "left_semi")
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+    }
   }
 }

@@ -43,9 +43,13 @@ object SkewJoin {
       s"more than $maxHotKeys hot keys — raise hotThreshold")
     if (hotRows.isEmpty) return left.join(right, key)
     val hot = hotRows.map(_.get(0)).toSeq
-    // literal IN-set over a bounded key list: codegen'd, no extra join
+    // literal IN-set over a bounded key list: codegen'd, no extra join.
+    // coalesce: a null saltBy on a hot-key row would yield a null salt
+    // that matches no right-side shard and silently drop the row —
+    // shard placement is arbitrary, so any constant preserves the
+    // row-identical-to-plain-join contract.
     val lSalt = when(col(key).isin(hot: _*),
-      Sampling.hashBucket(saltBy) % salts).otherwise(lit(0L))
+      coalesce(Sampling.hashBucket(saltBy) % salts, lit(0L))).otherwise(lit(0L))
     val rSalts = when(col(key).isin(hot: _*),
       sequence(lit(0L), lit(salts - 1L))).otherwise(array(lit(0L)))
     val l = left.withColumn("__salt", lSalt)

@@ -14,22 +14,57 @@ import org.apache.spark.sql.functions._
   */
 object Tokenizer {
 
+  /** What the `maxVocabWords` cap cost: `droppedMass` is the number of
+    * word OCCURRENCES past the cap that the merge loop never saw. When
+    * it is 0 the merges are exactly the full-vocab merges; when it is
+    * not, late merges may differ from a full-vocab train — callers
+    * deciding whether to raise the cap should look here, not guess. */
+  case class BpeTrainStats(keptWords: Long, totalWords: Long,
+                           keptMass: Long, totalMass: Long) {
+    def droppedWords: Long = totalWords - keptWords
+    def droppedMass: Long = totalMass - keptMass
+  }
+
   /** Ordered BPE merges learned from the corpus.
     * @return (rank, left, right, pair_count) — rank 0 is the first merge. */
   def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
                maxVocabWords: Int = 65536): DataFrame = {
+    val (merges, stats) = trainBpeWithStats(df, textCol, numMerges, maxVocabWords)
+    if (stats.droppedMass > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"BPE vocab cap $maxVocabWords dropped ${stats.droppedWords} distinct " +
+          s"words / ${stats.droppedMass} occurrences (of ${stats.totalMass}); " +
+          "late merges may differ from a full-vocab train")
+    merges
+  }
+
+  /** [[trainBpe]], also returning the vocabulary-truncation stats so the
+    * dropped word mass is observable rather than silent. */
+  def trainBpeWithStats(df: DataFrame, textCol: String, numMerges: Int,
+                        maxVocabWords: Int = 65536): (DataFrame, BpeTrainStats) = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val wc = df.select(explode(Dedup.words(col(textCol))).as("w"))
+    // vocab-sized (not corpus-sized) intermediate: cached so the top-k
+    // collect and the total-mass aggregate share one corpus scan
+    val grouped = df.select(explode(Dedup.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("w"))
-      .limit(maxVocabWords)
-      .as[(String, Long)].collect()
-    val merges = trainOnWordCounts(wc, numMerges)
-    merges.zipWithIndex
-      .map { case ((l, r, c), i) => (i, l, r, c) }
-      .toSeq.toDF("rank", "left", "right", "pair_count")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wc = grouped
+        .orderBy(col("c").desc, col("w"))
+        .limit(maxVocabWords)
+        .as[(String, Long)].collect()
+      val totRow = grouped.agg(count(lit(1)), coalesce(sum(col("c")), lit(0L))).head()
+      val stats = BpeTrainStats(
+        keptWords = wc.length.toLong, totalWords = totRow.getLong(0),
+        keptMass = wc.map(_._2).sum, totalMass = totRow.getLong(1))
+      val merges = trainOnWordCounts(wc, numMerges)
+      val out = merges.zipWithIndex
+        .map { case ((l, r, c), i) => (i, l, r, c) }
+        .toSeq.toDF("rank", "left", "right", "pair_count")
+      (out, stats)
+    } finally grouped.unpersist(false)
   }
 
   /** Driver-side merge loop over the (bounded) word-frequency table. */

@@ -56,14 +56,4 @@ object EventQueries {
       .orderBy("event_id")
   }
 
-  /** predict.cv_sgdnet at lambda.min (rows-only: fold hash is
-    * engine-specific; interpolation spec-verified). */
-  def cvPredict(spark: SparkSession, dir: String): DataFrame = {
-    val li = tbl(spark, dir, "lineitem")
-    val cv = CvSgdNet.fit(li, Seq("l_quantity", "l_discount", "l_tax"),
-      Seq("l_extendedprice"), SgdNetParams(alpha = 1.0, nlambda = 10), nfolds = 5)
-    cv.predictAt(li.filter(col("l_orderkey") <= 5), "lambda.min")
-      .select(col("l_orderkey"), col("l_linenumber"), round(col("pred"), 2).as("pred"))
-      .orderBy("l_orderkey", "l_linenumber")
-  }
 }

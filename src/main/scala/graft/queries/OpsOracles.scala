@@ -405,6 +405,74 @@ object OpsOracles {
         |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
         |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.trim,
 
+    // fixed-centroid IVF (centroids = first 16 corpus vectors): argmin
+    // cell assignment, nprobe=4 probing, cosine rank — all exact
+    // arithmetic; dist sums run in the same j order as the Spark kernel
+    "q_ann_ivf" ->
+      """
+        |WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |      FROM embeddings WHERE vec_id < 16),
+        |d AS (SELECT vec.vec_id, c.cid,
+        |        list_aggregate(list_transform(generate_series(1, 64),
+        |          j -> (v[j] - cv[j]) * (v[j] - cv[j])), 'sum') AS dist
+        |      FROM vec, c),
+        |a AS (SELECT vec_id, cid FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                     ORDER BY dist, cid) AS rn FROM d)
+        |      WHERE rn = 1),
+        |qp AS (SELECT vec_id AS query_id, cid FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                      ORDER BY dist, cid) AS rn
+        |          FROM d WHERE vec_id < 10)
+        |       WHERE rn <= 4),
+        |cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id
+        |         FROM qp JOIN a ON qp.cid = a.cid
+        |         WHERE qp.query_id != a.vec_id),
+        |scored AS (SELECT query_id, neighbor_id,
+        |             list_cosine_similarity(qv.v, nv.v) AS cos,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY list_cosine_similarity(qv.v, nv.v) DESC,
+        |                        neighbor_id) AS rank
+        |           FROM cand JOIN vec qv ON cand.query_id = qv.vec_id
+        |                     JOIN vec nv ON cand.neighbor_id = nv.vec_id)
+        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.trim,
+
+    // fixed-codebook PQ (codebook mi = subvectors [mi*8+1, mi*8+8] of the
+    // first 16 corpus vectors): argmin encode per subspace, then ADC —
+    // each neighbor's distance is the sum of its 8 per-subspace table
+    // entries (sum order is ulp-irrelevant: candidates are separated by
+    // far more than float noise, exact ties sum identical values)
+    "q_ann_pq" ->
+      """
+        |WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (SELECT g.mi, c.vec_id AS code, c.v AS cv
+        |       FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+        |             FROM embeddings WHERE vec_id < 16) c,
+        |            generate_series(0, 7) AS g(mi)),
+        |d AS (SELECT vec.vec_id, cb.mi, cb.code,
+        |        list_aggregate(list_transform(generate_series(1, 8),
+        |          j -> (v[mi*8 + j] - cv[mi*8 + j])
+        |             * (v[mi*8 + j] - cv[mi*8 + j])), 'sum') AS dist
+        |      FROM vec, cb),
+        |enc AS (SELECT vec_id, mi, code FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+        |                       ORDER BY dist, code) AS rn FROM d)
+        |        WHERE rn = 1),
+        |qd AS (SELECT vec_id AS query_id, mi, code, dist
+        |       FROM d WHERE vec_id < 10),
+        |ad AS (SELECT qd.query_id, enc.vec_id AS neighbor_id,
+        |         sum(qd.dist) AS adist
+        |       FROM enc JOIN qd ON enc.mi = qd.mi AND enc.code = qd.code
+        |       WHERE qd.query_id != enc.vec_id
+        |       GROUP BY qd.query_id, enc.vec_id),
+        |scored AS (SELECT query_id, neighbor_id, adist,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY adist, neighbor_id) AS rank FROM ad)
+        |SELECT query_id, rank, neighbor_id, round(adist, 4) AS adist
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.trim,
+
     "q_lang_id" ->
       """
         |WITH sc AS (
@@ -582,7 +650,8 @@ object OpsOracles {
         |  FROM t)
         |SELECT doc_id, tok AS n_tokens, off AS token_offset,
         |       off // 2048 AS chunk_first,
-        |       (off + tok - 1) // 2048 AS chunk_last
+        |       CASE WHEN tok > 0 THEN (off + tok - 1) // 2048
+        |            ELSE off // 2048 END AS chunk_last
         |FROM c ORDER BY doc_id""".stripMargin.trim,
 
     "q_lm_score" ->

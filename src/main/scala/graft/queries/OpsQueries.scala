@@ -88,21 +88,40 @@ object OpsQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF top-k with FIXED coarse centroids (the first 16 corpus vectors
+    * — the q_semdedup technique): assignment, probing and scoring become
+    * pure argmin/cosine arithmetic, so the DuckDB oracle replicates the
+    * whole chain. The production sampled-k-means path ([[Ann.ivfTopK]])
+    * keeps its recall/pruning spec in `OpsSpec`. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
-    Ann.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 4)
+    val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    Ann.ivfTopKFixed(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, centers, nprobe = 4)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cos"))
       .orderBy("query_id", "rank")
   }
 
-  /** PQ/ADC quantized top-k (rows-only: k-means codebooks are not
-    * SQL-expressible; recall + determinism are spec-verified). */
+  /** PQ/ADC quantized top-k with FIXED codebooks (subvectors of the
+    * first 16 corpus vectors): encode + asymmetric-distance scoring are
+    * exact arithmetic over the codebook table — oracle-exact. The
+    * sampled-k-means training path ([[Ann.pqTopK]]) keeps its
+    * recall/determinism spec. */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
-    Ann.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-        k = 5, m = 8, ksub = 16)
+    val cvecs = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val m = 8
+    val sub = cvecs(0).length / m
+    val codebooks = Array.tabulate(m) { mi =>
+      cvecs.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+    }
+    Ann.pqTopKFixed(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, codebooks)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("adist"), 4).as("adist"))
       .orderBy("query_id", "rank")

@@ -253,18 +253,34 @@ object PathQueries {
 
   // -------------------------------------------------------------------- CV
 
-  /** CV curve over the path (rows-only: fold hash is engine-specific).
-    * Shape and monotonicity are spec-verified; the driver checks rows. */
-  def cvCurve(spark: SparkSession, dir: String): DataFrame = {
+  /** Multi-feature oracle-exact CV: 3-feature RIDGE (alpha = 0) over a
+    * fixed lambda grid with portable Knuth-hash folds. Ridge is the
+    * multi-feature family whose per-fold solution is CLOSED FORM — the
+    * standardized 3x3 system (C + lambda I) b = d solves by Cramer's
+    * rule on subtracted fold moments, and the held-out MSE is the same
+    * moment form the engine evaluates — so DuckDB replicates the entire
+    * curve (the engine-default content-hash xxhash64 folds stay covered
+    * by `CvSpec`). */
+  private[queries] def cvRidgeFit(spark: SparkSession, dir: String): CvSgdNet.CvResult = {
     val li = tbl(spark, dir, "lineitem")
-    val cv = CvSgdNet.fit(li, Seq("l_quantity", "l_discount", "l_tax"),
-      Seq("l_extendedprice"), SgdNetParams(alpha = 1.0, nlambda = 10), nfolds = 5)
-    cv.curveDF(spark)
-      .select(col("alpha"), col("lambda_idx").cast("int"),
-        round(col("lambda"), 4).as("lambda"), round(col("cvm"), 2).as("cvm"),
-        round(col("cvsd"), 2).as("cvsd"))
-      .orderBy("lambda_idx")
+    val lambdas = Array(256.0, 128.0, 64.0, 32.0, 16.0, 8.0, 4.0, 2.0, 1.0, 0.5)
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    CvSgdNet.fit(li, Seq("l_quantity", "l_discount", "l_tax"),
+      Seq("l_extendedprice"),
+      SgdNetParams(alpha = 0.0, lambda = lambdas, thresh = 1e-11, maxit = 100000),
+      nfolds = 5, foldCol = fold)
   }
+
+  /** CV curve over the 3-feature ridge path ([[cvRidgeFit]]) —
+    * oracle-exact (was rows-only under the engine-hash folds). */
+  def cvCurve(spark: SparkSession, dir: String): DataFrame =
+    cvRidgeFit(spark, dir).curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"),
+        round(log(col("cvm")), 4).as("ln_cvm"),
+        round(log(col("cvsd")), 4).as("ln_cvsd"))
+      .orderBy("lambda_idx")
 
   /** Oracle-exact cross-validation: 1-feature lasso over a log-spaced
     * path with a PORTABLE fold hash ([[graft.ops.Sampling.hashBucket]] of
@@ -359,15 +375,28 @@ object PathQueries {
       .orderBy("lambda_idx")
   }
 
-  /** lambda.min / lambda.1se selection (rows-only). */
+  /** lambda.min / lambda.1se selection on the [[cvRidgeFit]] chain —
+    * oracle-exact (the fixed grid makes both selections SQL-computable). */
   def cvSelect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = tbl(spark, dir, "lineitem")
-    val cv = CvSgdNet.fit(li, Seq("l_quantity", "l_discount", "l_tax"),
-      Seq("l_extendedprice"), SgdNetParams(alpha = 1.0, nlambda = 10), nfolds = 5)
+    val cv = cvRidgeFit(spark, dir)
     Seq((cv.best.alpha, cv.best.lambdaMin, cv.best.lambda1se))
       .toDF("alpha", "lambda_min", "lambda_1se")
-      .withColumn("lambda_min", round(col("lambda_min"), 4))
-      .withColumn("lambda_1se", round(col("lambda_1se"), 4))
+      .select((round(col("alpha"), 4) + lit(0.0)).as("alpha"),
+        round(col("lambda_min"), 4).as("lambda_min"),
+        round(col("lambda_1se"), 4).as("lambda_1se"))
+  }
+
+  /** predict.cv_sgdnet at lambda.min on the [[cvRidgeFit]] chain:
+    * lambda.min is a path point, so the coefficients are the closed-form
+    * full-data ridge solve at the selected lambda — the whole
+    * select-then-predict chain verifies against DuckDB. */
+  def cvPredict(spark: SparkSession, dir: String): DataFrame = {
+    val cv = cvRidgeFit(spark, dir)
+    cv.predictAt(tbl(spark, dir, "lineitem").filter(col("l_orderkey") <= 5),
+        "lambda.min")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("pred"), 2).as("pred"))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 }

@@ -51,11 +51,19 @@ object Layout {
         max(col(c).cast("double")).as(s"__mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val binned = cols.zipWithIndex.map { case (c, i) =>
-      val mn = row.getDouble(2 * i)
-      val mx = row.getDouble(2 * i + 1)
-      if (mx == mn) lit(0L)
-      else least(floor((col(c).cast("double") - mn) / (mx - mn) * buckets),
-        lit(buckets - 1))
+      // an all-null column has null min/max — bin it to 0 like a constant
+      // column; per-row nulls likewise coalesce to bin 0 instead of
+      // silently nulling the whole __z key
+      if (row.isNullAt(2 * i)) lit(0L)
+      else {
+        val mn = row.getDouble(2 * i)
+        val mx = row.getDouble(2 * i + 1)
+        if (mx == mn) lit(0L)
+        else coalesce(
+          least(floor((col(c).cast("double") - mn) / (mx - mn) * buckets),
+            lit(buckets - 1)),
+          lit(0L))
+      }
     }
     df.withColumn("__z", zValue(binned, bits))
   }
