@@ -81,11 +81,9 @@ object SparkEntry {
     "q_lm_score"         -> (OpsQueries.lmScore _),
     "q_pack_chunks"      -> (OpsQueries.packChunks _),
     "q_domain_stats"     -> (OpsQueries.domainStats _),
-    // q_bpe_merges is the ONE deliberately rows-only query: BPE training
-    // is an inherently ITERATIVE merge loop (each merge rewrites the
-    // symbol sequences the next pair count depends on) with no fixed
-    // recursion depth — not expressible as a DuckDB oracle. Correctness
-    // is covered by TokenizerSpec's hand-computed-merge test instead.
+    // q_bpe_merges: the merge loop has a FIXED depth at declaration time
+    // (numMerges = 20), so the oracle unrolls it into 20 generated CTE
+    // blocks (OpsOracles.bpeMergesSql) — hash-exact like everything else.
     "q_bpe_merges"       -> (OpsQueries.bpeMerges _),
     "q_bm25"             -> (OpsQueries.bm25 _),
     "q_quantiles"        -> (OpsQueries.quantiles _),

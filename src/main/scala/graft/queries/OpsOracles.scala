@@ -46,9 +46,58 @@ object OpsOracles {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** q_bpe_merges: the BPE merge loop mechanically UNROLLED for the
+    * query's fixed `numMerges` — `oracleSql` is generated Scala, so the
+    * "iterative" loop is just N chained CTE blocks. Each word's symbol
+    * sequence is encoded as a tab-delimited string where every symbol is
+    * individually wrapped (`\t s \t`); tab can never appear inside a
+    * symbol because words are whitespace-split. That encoding makes the
+    * greedy left-to-right non-overlapping merge rewrite EXACTLY SQL
+    * `replace()` — `replace` scans left to right and never rematches
+    * inside a replacement, the same skip-2-on-match semantics as
+    * Tokenizer.trainOnWordCounts. Per iteration: pair counts via
+    * unnest(range), argmax with the (count desc, left, right) tiebreak,
+    * then the rewrite. CTEs are AS MATERIALIZED so the k-step chain is
+    * evaluated once per step (DuckDB would otherwise inline the
+    * doubly-referenced w_k/m_k CTEs and blow up exponentially). */
+  private def bpeMergesSql(numMerges: Int, maxVocabWords: Int): String = {
+    val T = "chr(9)"
+    val b = new StringBuilder("WITH ")
+    b ++= s"""wc AS MATERIALIZED (
+             |  SELECT w, count(*)::BIGINT AS c
+             |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+             |        FROM documents)
+             |  GROUP BY w ORDER BY c DESC, w LIMIT $maxVocabWords),
+             |w0 AS MATERIALIZED (
+             |  SELECT regexp_replace(w, '(.)', $T||'\\1'||$T, 'g') AS s, c FROM wc)""".stripMargin
+    for (k <- 0 until numMerges) {
+      b ++= s""",
+               |p$k AS MATERIALIZED (
+               |  SELECT syms[i] AS l, syms[i+1] AS r, sum(c)::BIGINT AS cnt
+               |  FROM (SELECT syms, c, unnest(range(1, len(syms))) AS i
+               |        FROM (SELECT string_split(trim(s, $T), $T||$T) AS syms, c FROM w$k))
+               |  GROUP BY 1, 2),
+               |m$k AS MATERIALIZED (
+               |  SELECT $k::INT AS rank, l, r, cnt,
+               |         $T||l||$T||$T||r||$T AS pat, $T||l||r||$T AS rep
+               |  FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+      if (k < numMerges - 1)
+        b ++= s""",
+                 |w${k + 1} AS MATERIALIZED (
+                 |  SELECT replace(w.s, m.pat, m.rep) AS s, w.c FROM w$k w, m$k m)""".stripMargin
+    }
+    val union = (0 until numMerges)
+      .map(k => s"SELECT rank, l, r, cnt FROM m$k").mkString(" UNION ALL ")
+    b ++= s"""
+             |SELECT rank, l AS "left", r AS "right", cnt AS pair_count
+             |FROM ($union) ORDER BY rank""".stripMargin
+    b.result()
+  }
+
   val sql: Map[String, String] = Map(
     "q_zorder" -> zOrderSql,
     "q_profile" -> profileSql,
+    "q_bpe_merges" -> bpeMergesSql(numMerges = 20, maxVocabWords = 65536),
     "q_heavy_tokens" ->
       """
         |SELECT w AS tok, count(*) AS cnt
