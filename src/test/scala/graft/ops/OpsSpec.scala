@@ -295,6 +295,41 @@ class OpsSpec extends SparkSpec {
       "nearest neighbor of doc 1 is its exact duplicate doc 4")
   }
 
+  test("multimodal codec seam: a custom MediaCodec swaps in without operator edits") {
+    // a fake codec with recognizable outputs, proving decode/resize/embed
+    // all route through the injected instance (not the stub)
+    object FakeCodec extends MediaCodec {
+      override def decode(payload: Array[Byte], modality: String): MediaMeta =
+        MediaMeta(if (payload == null) 0L else payload.length.toLong,
+          width = 1234, height = 777, nFrames = 3, format = "fake")
+      override def resize(payload: Array[Byte], modality: String,
+                          width: Int, height: Int): Array[Byte] =
+        s"resized:${width}x$height".getBytes("UTF-8")
+      override def embed(payload: Array[Byte], dim: Int): Array[Double] =
+        Array.fill(dim)(0.5)
+    }
+    val media = Multimodal.withPayload(docs, "text", "image")
+    val dec = Multimodal.decode(
+      media.withColumn("payload_keep", col("payload")).drop("text"),
+      batchSize = 2, codec = FakeCodec)
+    val m = dec.select("media.width", "media.height", "media.n_frames", "media.format")
+      .distinct().collect()
+    assert(m.length == 1 && m(0).getInt(0) == 1234 && m(0).getInt(1) == 777 &&
+      m(0).getInt(2) == 3 && m(0).getString(3) == "fake")
+    val rs = Multimodal.resize(dec.withColumnRenamed("payload_keep", "payload"),
+      64, 32, codec = FakeCodec)
+    val bytes = rs.select("payload").collect().map(r =>
+      new String(r.getAs[Array[Byte]](0), "UTF-8")).distinct
+    assert(bytes.toSeq == Seq("resized:64x32"), "resize bytes come from the codec")
+    val feats = Multimodal.featureExtract(media, dim = 4, codec = FakeCodec)
+      .select("features").as[Seq[Double]].collect()
+    assert(feats.forall(_ == Seq(0.5, 0.5, 0.5, 0.5)), "embed comes from the codec")
+    // and the default instance is the stub: same query, stub results
+    val stub = Multimodal.decode(media.drop("text"), batchSize = 2)
+      .select("media.format").distinct().collect()
+    assert(stub.map(_.getString(0)).toSeq == Seq("png"))
+  }
+
   test("connected components: pairs collapse to min-id clusters") {
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (3L, 7L))
       .toDF("id_a", "id_b")
