@@ -298,19 +298,31 @@ object CvSgdNet {
 
   /** All k fold-models advance TOGETHER: each IRLS round is ONE
     * `treeAggregate` computing every unconverged fold's weighted Gram
-    * (a row contributes to all train sets except its own fold). Total
-    * pass count ≈ one binomial fit, not k of them — the shape that holds
-    * at 100 TB. Held-out deviance for all (fold, lambda) comes from one
-    * final scoring pass. Driver state: k x p^2.
-    */
+    * (a row contributes to all train sets except its own fold). The
+    * FULL-data model rides the same passes as virtual fold k (every row
+    * contributes — "train = total minus an empty fold"), so CV costs
+    * ~one binomial fit's worth of data passes INCLUDING the full path
+    * fit, not k+1 of them — the shape that holds at 100 TB. Held-out
+    * deviance for all (fold, lambda) comes from one final scoring pass.
+    * Driver state: (k+1) x p^2.
+    *
+    * The fused full model is numerically the same fixed point as
+    * `SgdNet.fit` (identical per-row IRLS arithmetic — see
+    * `SgdNet.weightedGram`); its stats aggregate in per-fold-then-merge
+    * order, so last-ulp drift from a standalone fit is possible, while
+    * every fold score (hence the CV curve and selection) is
+    * bit-identical to the unfused implementation. */
   private def cvBinomialShared(df: DataFrame, featureCols: Seq[String],
                                labelCol: String, params: SgdNetParams,
                                nfolds: Int, foldCol: Column = null,
                                measure: String = "deviance"): CvPath = {
     val p = featureCols.size
-    val full = SgdNet.fit(df, featureCols, labelCol, params)
-    val lambdas = full.lambda
-    val positive = full.classLabels(1)
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(classes.length == 2,
+      if (classes.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
+      else "only one class in response.")
+    val positive = classes(1)
 
     val hashCols = (featureCols :+ labelCol).map(col)
     val rows = df
@@ -325,6 +337,8 @@ object CvSgdNet {
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     try {
+      // fold count INCLUDING the virtual full-data fold (index nfolds)
+      val F = nfolds + 1
       // per-fold standardization stats from per-fold moment subtraction
       val zero = Array.fill(nfolds)(new GramStats(p, 1))
       val perFold = rows.treeAggregate(zero)(
@@ -333,10 +347,12 @@ object CvSgdNet {
         depth = 2)
       val total = new GramStats(p, 1)
       perFold.foreach(total.merge)
-      val trainStats = Array.tabulate(nfolds) { f =>
+      // index nfolds subtracts an EMPTY fold: train = all rows
+      val perFoldExt = perFold :+ new GramStats(p, 1)
+      val trainStats = Array.tabulate(F) { f =>
         val tr = new GramStats(p, 1)
         tr.merge(total)
-        val fg = perFold(f)
+        val fg = perFoldExt(f)
         tr.n -= fg.n
         for (i <- 0 until p) tr.sumX(i) -= fg.sumX(i)
         for (i <- 0 until tr.xtx.length) tr.xtx(i) -= fg.xtx(i)
@@ -344,7 +360,17 @@ object CvSgdNet {
         for (i <- 0 until tr.xty.length) tr.xty(i) -= fg.xty(i)
         SufficientStats.standardize(tr, params.standardize, params.intercept)
       }
-      val nTrain = Array.tabulate(nfolds)(f => (total.n - perFold(f).n).toDouble)
+      // lambda grid: user-supplied, or the path from the FULL-data
+      // standardized gradient (what a standalone fit would build)
+      val lambdas =
+        if (params.lambda != null) params.lambda
+        else {
+          val minRatio = if (params.lambdaMinRatio.isNaN)
+            LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
+          LambdaPath.build(trainStats(nfolds).b, params.alpha, params.nlambda,
+            minRatio)
+        }
+      val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
       val means = trainStats.map(st => if (params.intercept) st.xMean else new Array[Double](p))
       val scales = trainStats.map(st => if (params.standardize) st.xSd else Array.fill(p)(1.0))
       val sc = rows.sparkContext
@@ -352,29 +378,62 @@ object CvSgdNet {
       val bScales = sc.broadcast(scales)
 
       val L = lambdas.length
-      val beta = Array.fill(nfolds)(new Array[Double](p))
-      val a0 = Array.tabulate(nfolds) { f =>
+      val beta = Array.fill(F)(new Array[Double](p))
+      val a0 = Array.tabulate(F) { f =>
         val pb = trainStats(f).yMean(0)
         if (params.intercept && pb > 0 && pb < 1) math.log(pb / (1 - pb)) else 0.0
       }
       // original-scale coefficients per fold per lambda (for scoring pass)
-      val a0Out = Array.ofDim[Double](nfolds, L)
-      val betaOut = Array.ofDim[Double](nfolds, L, p)
+      val a0Out = Array.ofDim[Double](F, L)
+      val betaOut = Array.ofDim[Double](F, L, p)
+      var sharedPasses = 0
+      // per-fold weighted gram from the fold's most recent data pass —
+      // the gram depends on the coefficients, NOT on lambda, so the
+      // previous lambda's final gram (computed at the warm-start point)
+      // serves as the next lambda's first-iteration gram for free
+      val lastGram = Array.fill[BinWGram](F)(null)
 
       for (l <- 0 until L) {
-        val active = Array.fill(nfolds)(true)
+        val active = Array.fill(F)(true)
+        // Free first Newton step (no data pass) against the carried
+        // grams. A fold whose solve does not move AT ALL (maxD == 0 —
+        // typical while beta stays 0 near the top of the path) is
+        // already converged: its gram is at exactly the current
+        // coefficients, so the declaration is as sound as one made
+        // after a fresh pass. Moving folds proceed to fresh passes.
+        if (lastGram.forall(_ != null)) {
+          for (f <- 0 until F) {
+            val g = lastGram(f)
+            val ninv = 1.0 / nTrain(f)
+            val aM = LinAlg.unpackSym(g.swxx, p).map(_.map(_ * ninv))
+            val r = CoordinateDescent.solve(aM, g.swxz.map(_ * ninv),
+              g.swx.map(_ * ninv), g.swz * ninv, g.sw * ninv,
+              lambdas(l), params.alpha, params.intercept, beta(f),
+              thresh = math.max(params.thresh * 1e-4, 1e-10),
+              maxIter = params.maxit)
+            var maxD = math.abs(r.a0 - a0(f))
+            var j = 0
+            while (j < p) {
+              val d = math.abs(r.beta(j) - beta(f)(j)); if (d > maxD) maxD = d; j += 1
+            }
+            beta(f) = r.beta; a0(f) = r.a0
+            if (maxD == 0.0) active(f) = false
+          }
+        }
         var iter = 0
         while (iter < 25 && active.exists(identity)) {
           val betaSnap = beta.map(_.clone())
           val a0Snap = a0.clone()
           val activeSnap = active.clone()
-          // ONE pass: weighted grams for all active folds
+          sharedPasses += 1
+          // ONE pass: weighted grams for all active folds (the virtual
+          // full-data fold never matches rowFold, so every row feeds it)
           val grams = rows.treeAggregate(
-            Array.fill(nfolds)(new BinWGram(p)))(
+            Array.fill(F)(new BinWGram(p)))(
             (acc, t) => {
               val (rowFold, xr, y) = t
               var f = 0
-              while (f < nfolds) {
+              while (f < F) {
                 if (f != rowFold && activeSnap(f)) {
                   val m = bMeans.value(f); val s = bScales.value(f)
                   val bf = betaSnap(f)
@@ -393,10 +452,11 @@ object CvSgdNet {
               }
               acc
             },
-            (a, b) => { var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a },
+            (a, b) => { var i = 0; while (i < F) { a(i).merge(b(i)); i += 1 }; a },
             depth = 2)
-          for (f <- 0 until nfolds if active(f)) {
+          for (f <- 0 until F if active(f)) {
             val g = grams(f)
+            lastGram(f) = g // fresh gram at betaSnap(f) — carried forward
             val ninv = 1.0 / nTrain(f)
             val aM = LinAlg.unpackSym(g.swxx, p).map(_.map(_ * ninv))
             val r = CoordinateDescent.solve(aM, g.swxz.map(_ * ninv),
@@ -414,7 +474,7 @@ object CvSgdNet {
           }
           iter += 1
         }
-        for (f <- 0 until nfolds) {
+        for (f <- 0 until F) {
           for (j <- 0 until p) betaOut(f)(l)(j) = beta(f)(j) / scales(f)(j)
           a0Out(f)(l) =
             if (params.intercept)
@@ -422,6 +482,21 @@ object CvSgdNet {
             else a0(f)
         }
       }
+
+      // the full-data model assembled from the virtual fold's path — one
+      // extra scoring pass for its deviance ratios, nothing else
+      val a0Full = Array.tabulate(L)(l => Array(a0Out(nfolds)(l)))
+      val betaFull = Array.tabulate(L)(l => Array(betaOut(nfolds)(l).clone()))
+      val pBar = trainStats(nfolds).yMean(0)
+      val nullP = if (params.intercept) pBar else 0.5
+      val nulldev = -2.0 * total.n *
+        (SgdNet.safeXLog(pBar, nullP) + SgdNet.safeXLog(1 - pBar, 1 - nullP))
+      val devs = SgdNet.pathDeviance(
+        rows.map(t => (t._2, Array(t._3))), a0Full, betaFull)
+      val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
+      val full = new SgdNetModel("binomial", featureCols.toArray,
+        Array(labelCol), classes, lambdas, a0Full, betaFull, nulldev,
+        devRatio, total.n, sharedPasses + 2, params)
 
       // held-out scoring per (fold, lambda) — every row is scored by its
       // OWN fold's model (trained without it)
@@ -566,10 +641,42 @@ object CvSgdNet {
     * ranks where the reference randomizes ties with runif
     * (R/score.R:218-226) — equal in expectation, reproducible here.
     * Input columns: __g (int group), __s (score), __y (0/1 label). */
-  private def aucPerGroup(scored: DataFrame, nGroups: Int): Array[Double] = {
+  private def aucPerGroup(scored: DataFrame, nGroups: Int,
+                          maxLocalCells: Long = 1L << 20): Array[Double] = {
     val perScore = scored.groupBy(col("__g"), col("__s"))
       .agg(count(lit(1)).cast("double").as("cnt"),
         sum(when(col("__y") === 1.0, 1.0).otherwise(0.0)).as("pos"))
+      .select(col("__g").cast("int").as("__g"), col("__s").cast("double").as("__s"),
+        col("cnt"), col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bounded small-side fast path: the rank statistic runs over the
+    // DISTINCT (group, score) aggregation, which for low-cardinality
+    // scores is tiny even when the corpus is not. Below an explicit cell
+    // bound (default 2^20 ≈ 32 MB), compute the ranks on the driver in
+    // one collect instead of a range-partition chain (sample job + two
+    // rank passes). The probe is limit(cap + 1), so the driver never
+    // holds more than the bound; continuous-score data at scale exceeds
+    // it and takes the distributed two-pass rank below.
+    val probe = perScore.limit(
+      math.min(maxLocalCells + 1, Int.MaxValue.toLong).toInt).collect()
+    if (probe.length <= maxLocalCells) {
+      perScore.unpersist(blocking = false)
+      val np = Array.fill(nGroups)(0.0)
+      val total = Array.fill(nGroups)(0.0)
+      val rpos = Array.fill(nGroups)(0.0)
+      val cum = Array.fill(nGroups)(0.0)
+      probe.foreach { r => total(r.getInt(0)) += r.getDouble(2); np(r.getInt(0)) += r.getDouble(3) }
+      probe.sortBy(r => (r.getInt(0), r.getDouble(1))).foreach { r =>
+        val g = r.getInt(0); val cnt = r.getDouble(2); val pos = r.getDouble(3)
+        rpos(g) += pos * (cum(g) + (cnt + 1) / 2.0)
+        cum(g) += cnt
+      }
+      return Array.tabulate(nGroups) { g =>
+        val nn = total(g) - np(g)
+        if (np(g) == 0 || nn == 0) Double.NaN
+        else (rpos(g) - np(g) * (np(g) + 1) / 2.0) / (np(g) * nn)
+      }
+    }
     val ranged = perScore
       .repartitionByRange(col("__g"), col("__s"))
       .sortWithinPartitions("__g", "__s")
@@ -614,7 +721,10 @@ object CvSgdNet {
         if (np(g) == 0 || nn == 0) Double.NaN
         else (rpos(g) - np(g) * (np(g) + 1) / 2.0) / (np(g) * nn)
       }
-    } finally rdd.unpersist(blocking = false)
+    } finally {
+      rdd.unpersist(blocking = false)
+      perScore.unpersist(blocking = false)
+    }
   }
 
   /** Held-out score per lambda in ONE aggregation over the test fold. */

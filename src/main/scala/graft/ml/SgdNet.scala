@@ -688,7 +688,7 @@ object SgdNet {
       depth = 2)
   }
 
-  private def safeXLog(x: Double, q: Double): Double =
+  private[ml] def safeXLog(x: Double, q: Double): Double =
     if (x <= 0) 0.0 else x * math.log(math.max(q, 1e-300))
 
   private final class WGram(p: Int) extends Serializable {
@@ -745,7 +745,7 @@ object SgdNet {
     * Coefficients are on the ORIGINAL feature scale (a0Out/betaOut), so no
     * standardization is needed in the scan.
     */
-  private def pathDeviance(rows: RDD[(Array[Double], Array[Double])],
+  private[ml] def pathDeviance(rows: RDD[(Array[Double], Array[Double])],
                            a0: Array[Array[Double]],
                            beta: Array[Array[Array[Double]]]): Array[Double] = {
     val L = a0.length

@@ -507,19 +507,51 @@ object Dedup {
     * with deep components would switch to the large-star/small-star
     * contraction, same join primitive, O(log n) rounds). Each round is
     * one shuffle on node id; labels are checkpoint-cached so lineage
-    * stays flat.
+    * stays flat. Graphs at or under `maxLocalEdges` skip the loop
+    * entirely for a driver union-find (bounded collect, identical
+    * labels) — per-round job latency dwarfs the actual work there.
     *
     * Returns (id, cluster_id) for every node appearing in `pairs`. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          maxLocalEdges: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val p = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
     // eager localCheckpoint: materializes AND truncates lineage — without
-    // it every iteration's action re-analyzes the full upstream plan
-    // (e.g. the whole minhash pipeline) plus one more join layer per
-    // round, and planning overhead dwarfs the actual work
+    // it every action below re-analyzes the full upstream plan (e.g. the
+    // whole minhash pipeline), and planning overhead dwarfs the work
+    val p = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst")).localCheckpoint(true)
+    // Small-graph fast path: below an EXPLICIT pair bound (default 2^20
+    // pairs = 16 MB of longs — the same bounded-collect budget as the
+    // ANN training sample), solve with driver union-find: identical
+    // labels (min id per component), two jobs total instead of
+    // 3-4 shuffle jobs PER ROUND. The probe is limit(cap + 1), so the
+    // driver never holds more than the bound regardless of graph size;
+    // a 100 TB corpus whose pair graph exceeds it takes the distributed
+    // loop below — the cutover is a size check, not a semantic change.
+    val probe = p.limit(
+      math.min(maxLocalEdges + 1, Int.MaxValue.toLong).toInt).collect()
+    if (probe.length <= maxLocalEdges) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      probe.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min id keeps the label = component min
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val out = parent.keysIterator.map(id => (id, find(id))).toSeq
+      return spark.createDataset(out).toDF("id", "cluster_id")
+    }
     val edges = p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()

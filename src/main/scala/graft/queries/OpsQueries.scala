@@ -25,7 +25,7 @@ object OpsQueries {
 
   /** documents ∪ near-dup copies (last 5 words dropped, ids + 100000).
     * `maxDocs` bounds quadratic-demo queries; Long.MaxValue = all. */
-  private def docsWithNearDups(spark: SparkSession, dir: String,
+  private[graft] def docsWithNearDups(spark: SparkSession, dir: String,
                                maxDocs: Long = Long.MaxValue): DataFrame = {
     val d = tbl(spark, dir, "documents").filter(col("doc_id") < maxDocs)
     val w = Dedup.words(col("text"))

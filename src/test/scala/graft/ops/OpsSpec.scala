@@ -333,11 +333,33 @@ class OpsSpec extends SparkSpec {
   test("connected components: pairs collapse to min-id clusters") {
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (3L, 7L))
       .toDF("id_a", "id_b")
+    val expected =
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L)
+    // {1,2,3,7} -> 1 (via the 2-1, 2-3, 3-7 chain), {10,11} -> 10
     val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // {1,2,3,7} -> 1 (via the 2-1, 2-3, 3-7 chain), {10,11} -> 10
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 10L -> 10L, 11L -> 10L),
-      cc.toString)
+    assert(cc == expected, cc.toString)
+    // maxLocalEdges = 0 forces the distributed pointer-jumping loop —
+    // both paths must produce identical labels
+    val loop = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        maxLocalEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loop == expected, loop.toString)
+  }
+
+  test("connected components paths agree on a deep chain + self-loop") {
+    // 60-node chain exercises multi-round pointer jumping; the (99,99)
+    // self-loop node must appear in BOTH paths' output, labeled itself
+    val chain = (0L until 59L).map(i => (i + 1, i)) :+ (99L, 99L)
+    val pairs = chain.toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Dedup.connectedComponents(pairs, "id_a", "id_b",
+        maxLocalEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L until 60L).map(_ -> 0L).toMap + (99L -> 99L)
+    assert(local == expected)
+    assert(loop == expected)
   }
 
   test("boilerplate removal drops shared lines, keeps order, counts removed") {
@@ -411,8 +433,10 @@ class OpsSpec extends SparkSpec {
           (0 until n).filter(j => find(j) == root)
             .filter(j => edges.exists(e => e._1 == j || e._2 == j)).min.toLong
         }).toMap
+      // maxLocalEdges = 0: the reference IS union-find, so route the
+      // operator through the distributed loop to test the other path
       val got = Dedup.connectedComponents(
-          edges.toDF("id_a", "id_b"), "id_a", "id_b")
+          edges.toDF("id_a", "id_b"), "id_a", "id_b", maxLocalEdges = 0)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"trial $trial: $got vs $expected")
     }
