@@ -88,12 +88,15 @@ object CvSgdNet {
         "lambda_1se", "cvm_1se")
     }
 
-    /** Persist the whole CV result (parquet-backed, overwrite): the
-      * per-alpha curves + selections in one `<path>/curves` table, each
-      * full-data fit under `<path>/model_<i>` via [[SgdNetModel!.save]].
-      * The reference restores cv_sgdnet objects with `readRDS`; this is
-      * the Spark equivalent. Restored by [[CvSgdNet.load]]. */
-    def save(spark: SparkSession, path: String): Unit = {
+    /** Persist the whole CV result (parquet-backed): the per-alpha
+      * curves + selections in one `<path>/curves` table, each full-data
+      * fit under `<path>/model_<i>` via [[SgdNetModel!.save]]. The
+      * reference restores cv_sgdnet objects with `readRDS`; this is the
+      * Spark equivalent. Restored by [[CvSgdNet.load]].
+      * `overwrite = false` fails on an existing path instead of
+      * silently clobbering it (the MLlib writer convention). */
+    def save(spark: SparkSession, path: String,
+             overwrite: Boolean = true): Unit = {
       import spark.implicits._
       val bestIdx = math.max(paths.indexWhere(_ eq best), 0)
       val rows = paths.zipWithIndex.flatMap { case (p, i) =>
@@ -104,9 +107,10 @@ object CvSgdNet {
       }
       rows.toDF("path_idx", "is_best", "alpha", "lambda_idx", "lambda",
           "cvm", "cvsd", "lambda_min", "lambda_1se")
-        .repartition(1).write.mode("overwrite").parquet(s"$path/curves")
+        .repartition(1).write.mode(if (overwrite) "overwrite" else "errorifexists")
+        .parquet(s"$path/curves")
       paths.zipWithIndex.foreach { case (p, i) =>
-        p.fit.save(spark, s"$path/model_$i")
+        p.fit.save(spark, s"$path/model_$i", overwrite)
       }
     }
   }
@@ -119,10 +123,12 @@ object CvSgdNet {
         col("cvsd"), col("lambda_min"), col("lambda_1se"))
       .collect()
     val byPath = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-    var bestIdx = 0
+    // best = POSITION within the sorted seq, not the stored path_idx —
+    // identical for files written by save(), but robust to an edited /
+    // partial curves table with non-contiguous path indexes
+    val bestIdx = math.max(byPath.indexWhere(_._2.head.getBoolean(1)), 0)
     val paths = byPath.map { case (i, rs) =>
       val sorted = rs.sortBy(_.getInt(3))
-      if (rs.head.getBoolean(1)) bestIdx = i
       CvPath(
         alpha = rs.head.getDouble(2),
         lambda = sorted.map(_.getDouble(4)),

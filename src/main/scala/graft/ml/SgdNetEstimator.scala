@@ -98,9 +98,12 @@ object SgdNetPipelineModel extends MLReadable[SgdNetPipelineModel] {
 
   /** Writes the standard MLlib stage metadata (so `PipelineModel.load`
     * can dispatch on the `class` field) plus the path-model payload via
-    * [[SgdNetModel!.save]] under `<path>/model`. */
+    * [[SgdNetModel!.save]] under `<path>/model`. Honors the MLWriter
+    * overwrite contract: saving to an existing path fails unless the
+    * caller asked for `.overwrite()`. */
   private[ml] class Writer(instance: SgdNetPipelineModel) extends MLWriter {
     override protected def saveImpl(path: String): Unit = {
+      val mode = if (shouldOverwrite) "overwrite" else "errorifexists"
       val metadata = ("class" -> instance.getClass.getName) ~
         ("timestamp" -> System.currentTimeMillis()) ~
         ("sparkVersion" -> sc.version) ~
@@ -108,8 +111,9 @@ object SgdNetPipelineModel extends MLReadable[SgdNetPipelineModel] {
         ("paramMap" -> JObject(Nil)) ~
         ("defaultParamMap" -> JObject(Nil))
       sparkSession.createDataset(Seq(compact(render(metadata))))(Encoders.STRING)
-        .repartition(1).write.mode("overwrite").text(s"$path/metadata")
-      instance.pathModel.save(sparkSession, s"$path/model")
+        .repartition(1).write.mode(mode).text(s"$path/metadata")
+      instance.pathModel.save(sparkSession, s"$path/model",
+        overwrite = shouldOverwrite)
     }
   }
 

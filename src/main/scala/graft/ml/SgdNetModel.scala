@@ -358,19 +358,23 @@ final class SgdNetModel(
 
   // ----------------------------------------------------------- persistence
 
-  /** Persist the fitted path to `path` (parquet-backed, overwrite): the
-    * reference gets restorable fits for free via `saveRDS`; Spark users
-    * fit once and score elsewhere, so the model must leave the session.
+  /** Persist the fitted path to `path` (parquet-backed): the reference
+    * gets restorable fits for free via `saveRDS`; Spark users fit once
+    * and score elsewhere, so the model must leave the session.
     * Layout: `<path>/meta` (one-row frame of everything scalar/array) +
     * `<path>/coef` ((lambda_idx, response_idx, a0, beta) rows). Restored
     * by [[SgdNetModel.load]] — predictions are bit-identical (the
-    * coefficient doubles round-trip exactly through parquet). */
-  def save(spark: SparkSession, path: String): Unit = {
+    * coefficient doubles round-trip exactly through parquet).
+    * `overwrite = false` fails on an existing path instead of silently
+    * clobbering it (the MLlib writer convention). */
+  def save(spark: SparkSession, path: String,
+           overwrite: Boolean = true): Unit = {
     import spark.implicits._
+    val mode = if (overwrite) "overwrite" else "errorifexists"
     val coefRows = for { l <- lambda.indices; t <- 0 until nResponses }
       yield (l, t, a0(l)(t), beta(l)(t).toSeq)
     coefRows.toDF("lambda_idx", "response_idx", "a0", "beta")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/coef")
+      .repartition(1).write.mode(mode).parquet(s"$path/coef")
     Seq((family, featureNames.toSeq, responseNames.toSeq, classLabels.toSeq,
         lambda.toSeq, nulldev, devRatio.toSeq, nobs, npasses,
         params.family, params.alpha, params.nlambda, params.lambdaMinRatio,
@@ -382,7 +386,7 @@ final class SgdNetModel(
         "p_family", "p_alpha", "p_nlambda", "p_lambda_min_ratio",
         "p_lambda", "p_standardize", "p_intercept", "p_thresh", "p_maxit",
         "p_standardize_response", "p_type_multinomial")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+      .repartition(1).write.mode(mode).parquet(s"$path/meta")
   }
 }
 

@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *   - pass 1 runs on at most minCount / MinLocalThreshold partitions
   *     (coalesced if needed) so the local threshold never degenerates to
   *     1 — with thousands of partitions and a modest minCount, a
-  *     threshold of 1 would make every distinct token a candidate;
+  *     threshold of 1 would make every distinct token a candidate; if
+  *     that cap would fall below the core count (tiny minCount), the
+  *     operator skips SON for the plain exact shuffle agg instead of
+  *     strangling the scan's parallelism;
   *   - the candidate set is probed against `maxCandidates` BEFORE being
   *     broadcast; past the cap (pruning has degenerated — e.g. a flat
   *     token distribution) the operator falls back to the plain exact
@@ -52,9 +55,19 @@ object Frequent {
     // lazy on purpose: recomputed by each pass (narrow scans), never
     // materialized — a checkpoint here would be corpus-sized at scale
     val toks = df.select(explode(Dedup.words(col(textCol))).as("tok"))
+    def plainExact: DataFrame =
+      toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
     val p0 = math.max(toks.rdd.getNumPartitions, 1)
+    val dp = math.max(spark.sparkContext.defaultParallelism, 1)
     val pCap = math.max(1L, minCount / MinLocalThreshold)
     val p = math.min(p0.toLong, pCap).toInt
+    // A small minCount would coalesce pass 1 below the core count and
+    // funnel the corpus scan through a handful of tasks — there the
+    // plain exact shuffle agg IS the fast path (and with a threshold
+    // that low, SON pruning barely prunes anyway).
+    if (p < p0 && p < dp) return plainExact
     val pass1 = if (p < p0) toks.coalesce(p) else toks
     val local = (minCount + p - 1) / p // ceil(minCount / p)
     val cand = pass1.as[String].mapPartitions { it =>
@@ -67,15 +80,18 @@ object Frequent {
       m.forEach { (k, v) => if (v(0) >= local) out += k }
       out.result().iterator
     }.distinct().toDF("tok")
-    // bounded probe (LocalLimit stops early) before any broadcast
-    val nCand = cand.limit((maxCandidates + 1).toInt).count()
-    if (nCand > maxCandidates) {
+    // ONE bounded computation of the candidate set (limit cap + 1, so
+    // the driver never holds more than the broadcast budget): the
+    // collected array both answers the size probe and feeds the
+    // broadcast join, instead of computing pass 1 twice
+    val candArr = cand.limit(
+      math.min(maxCandidates + 1, Int.MaxValue.toLong).toInt).collect()
+    if (candArr.length > maxCandidates) {
       // pruning degenerated: exact answer via the plain shuffle agg
-      toks.groupBy(col("tok"))
-        .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= minCount)
+      plainExact
     } else {
-      toks.join(broadcast(cand), Seq("tok"), "left_semi")
+      val candDf = candArr.map(_.getString(0)).toSeq.toDF("tok")
+      toks.join(broadcast(candDf), Seq("tok"), "left_semi")
         .groupBy(col("tok"))
         .agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= minCount)

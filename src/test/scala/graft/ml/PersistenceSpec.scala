@@ -43,6 +43,9 @@ class PersistenceSpec extends SparkSpec {
     // doubles round-trip exactly through parquet -> identical predictions
     assert(maxPredDiff(m.predict(df, "link", Seq(0)),
       r.predict(df, "link", Seq(0))) == 0.0)
+    // MLlib writer convention: overwrite = false refuses an existing path
+    intercept[Exception] { m.save(spark, path, overwrite = false) }
+    m.save(spark, path) // default still overwrites
   }
 
   test("multinomial model round-trips (class labels + per-class coefs)") {
