@@ -84,6 +84,29 @@ class PlanSpec extends SparkSpec {
     assert(zf < rf, s"z-ordered rows in $zf files vs round-robin $rf")
     // the z-ordered write preserves every row
     assert(spark.read.parquet(zdir).count() == orders.count())
+    // SKIPPING, not just locality: the parquet reader must DECODE fewer
+    // rows from the z-ordered layout under the same min/max predicate —
+    // pushed filters prune whole row groups by footer stats, which only
+    // works when the layout makes per-file ranges tight. Scan-level
+    // numOutputRows is the rows that survived pushdown.
+    def rowsDecoded(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("o_custkey") < 20 && col("o_totalprice") < 30000)
+      q.collect()
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scansOf)
+      }
+      scansOf(q.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val (zRows, rRows) = (rowsDecoded(zdir), rowsDecoded(rdir))
+    assert(zRows * 2 <= rRows,
+      s"z-ordered scan decoded $zRows rows vs round-robin $rRows — " +
+        "min/max skipping is not engaging")
   }
 
   test("bucketed tables join and aggregate with zero exchanges") {
