@@ -139,31 +139,46 @@ object Ann {
     * cells, not corpus size — the standard billion-scale ANN layout,
     * expressed as Spark joins.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 42L, maxTrainSample: Int = 65536,
-              maxTrainBytes: Long = 256L << 20): DataFrame = {
+  /** Bounded deterministic training sample: the rows with the SMALLEST
+    * id hash (TakeOrdered, one pass). Ordering by raw id would bias the
+    * quantizer to a corpus prefix whenever ids correlate with content
+    * (time- or source-ordered ingestion). The sample collects to the
+    * DRIVER (the FAISS train-on-sample recipe), so its size is budgeted
+    * in BYTES, not rows: at 1536-dim doubles, 65536 rows is ~0.8 GB of
+    * heap — maxTrainBytes rescales the row cap by the actual dimension
+    * (default 256 MB of vectors). */
+  private def trainSample(corpus: DataFrame, idCol: String, vecCol: String,
+                          minRows: Long, maxTrainSample: Int,
+                          maxTrainBytes: Long): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
-    // training sample: the rows with the SMALLEST id hash — a
-    // deterministic uniform sample (TakeOrdered, one pass). Ordering by
-    // raw id would bias the quantizer to a corpus prefix whenever ids
-    // correlate with content (time- or source-ordered ingestion).
-    // The sample collects to the DRIVER (the FAISS train-on-sample
-    // recipe), so its size is budgeted in BYTES, not rows: at 1536-dim
-    // doubles, 65536 rows is ~0.8 GB of heap — maxTrainBytes rescales
-    // the row cap by the actual dimension (default 256 MB of vectors).
     val dim = vecs.select(size(col("cv"))).head.getInt(0)
-    val budgetRows = math.max(nlist * 8L,
+    val budgetRows = math.max(minRows,
       maxTrainBytes / math.max(8L * dim, 1L)).min(maxTrainSample).toInt
-    val sample = vecs
+    vecs
       .orderBy(graft.ops.Sampling.hashBucket(col("neighbor_id")), col("neighbor_id"))
       .limit(budgetRows)
       .as[(Long, Array[Double])].collect().map(_._2)
-    val centers = kmeansFit(sample, nlist, seed)
+  }
+
+  /** Train the IVF coarse quantizer (sampled k-means) and return its
+    * centroid table — the reusable index artifact. Persist with
+    * [[saveIvfIndex]]; score with [[ivfTopKFixed]]. */
+  def trainIvf(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, seed: Long = 42L, maxTrainSample: Int = 65536,
+               maxTrainBytes: Long = 256L << 20): Array[Array[Double]] =
+    kmeansFit(trainSample(corpus, idCol, vecCol, nlist * 8L,
+      maxTrainSample, maxTrainBytes), nlist, seed)
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 42L, maxTrainSample: Int = 65536,
+              maxTrainBytes: Long = 256L << 20): DataFrame = {
+    val centers = trainIvf(corpus, idCol, vecCol, nlist, seed,
+      maxTrainSample, maxTrainBytes)
     ivfTopKFixed(corpus, queries, idCol, vecCol, k, centers, nprobe)
   }
 
@@ -228,29 +243,31 @@ object Ann {
     * combine with [[ivfTopK]]-style cell pruning; this operator is the
     * quantized-scoring building block.
     */
+  /** Train PQ codebooks (one sampled k-means per subspace) and return
+    * `codebooks(mi)(c)` — the reusable index artifact. Persist with
+    * [[savePqIndex]]; score with [[pqTopKFixed]]. */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, ksub: Int = 16, seed: Long = 42L,
+              maxTrainSample: Int = 65536,
+              maxTrainBytes: Long = 256L << 20): Array[Array[Array[Double]]] = {
+    val sample = trainSample(corpus, idCol, vecCol, ksub * 8L,
+      maxTrainSample, maxTrainBytes)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    // one codebook per subspace (independent k-means — the PQ recipe)
+    Array.tabulate(m) { mi =>
+      kmeansFit(sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)),
+        ksub, seed + mi)
+    }
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
              seed: Long = 42L, maxTrainSample: Int = 65536,
              maxTrainBytes: Long = 256L << 20): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val vecs = corpus.filter(col(vecCol).isNotNull)
-      .select(col(idCol).cast("long").as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-    val dim = vecs.select(size(col("cv"))).head.getInt(0)
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val sub = dim / m
-    val budgetRows = math.max(ksub * 8L,
-      maxTrainBytes / math.max(8L * dim, 1L)).min(maxTrainSample).toInt
-    val sample = vecs
-      .orderBy(graft.ops.Sampling.hashBucket(col("neighbor_id")), col("neighbor_id"))
-      .limit(budgetRows)
-      .as[(Long, Array[Double])].collect().map(_._2)
-    // one codebook per subspace (independent k-means — the PQ recipe)
-    val codebooks = Array.tabulate(m) { mi =>
-      kmeansFit(sample.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)),
-        ksub, seed + mi)
-    }
+    val codebooks = trainPq(corpus, idCol, vecCol, m, ksub, seed,
+      maxTrainSample, maxTrainBytes)
     pqTopKFixed(corpus, queries, idCol, vecCol, k, codebooks)
   }
 
@@ -390,5 +407,67 @@ object Ann {
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  // --------------------------------------------------- index persistence
+
+  /** Persist a trained IVF quantizer (the FAISS write-index workflow:
+    * train once, reuse across sessions). Layout: `<path>` parquet of
+    * (cell, centroid). Restored by [[loadIvfIndex]] bit-exactly (doubles
+    * round-trip exactly through parquet). */
+  def saveIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   centers: Array[Array[Double]],
+                   overwrite: Boolean = true): Unit = {
+    import spark.implicits._
+    centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1).write
+      .mode(if (overwrite) "overwrite" else "errorifexists").parquet(path)
+  }
+
+  /** Restore an IVF quantizer persisted by [[saveIvfIndex]]. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, s"empty IVF index at $path")
+    require(rows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      s"non-contiguous cell ids in IVF index at $path")
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Persist trained PQ codebooks. Layout: `<path>` parquet of
+    * (subspace, code, centroid). Restored by [[loadPqIndex]]. */
+  def savePqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  codebooks: Array[Array[Array[Double]]],
+                  overwrite: Boolean = true): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (cb, mi) <- codebooks.zipWithIndex
+      (c, code) <- cb.zipWithIndex
+    } yield (mi, code, c.toSeq)
+    rows.toSeq.toDF("subspace", "code", "centroid")
+      .repartition(1).write
+      .mode(if (overwrite) "overwrite" else "errorifexists").parquet(path)
+  }
+
+  /** Restore PQ codebooks persisted by [[savePqIndex]]. */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("subspace").cast("int"), col("code").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty, s"empty PQ index at $path")
+    val bySub = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    require(bySub.zipWithIndex.forall { case ((mi, _), i) => mi == i },
+      s"non-contiguous subspace ids in PQ index at $path")
+    bySub.map { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      require(sorted.zipWithIndex.forall { case (r, i) => r.getInt(1) == i },
+        s"non-contiguous code ids in PQ index at $path")
+      sorted.map(_.getSeq[Double](2).toArray)
+    }.toArray
   }
 }

@@ -201,6 +201,41 @@ class OpsSpec extends SparkSpec {
     assert(ivf.size <= exact.size, "probed candidates only")
   }
 
+  test("ANN index persistence: train once, save, load, identical results") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val base = s"/tmp/graft-ann-index-${java.util.UUID.randomUUID().toString.take(8)}"
+    // IVF: centroids round-trip bit-exactly and score identically
+    val centers = Ann.trainIvf(e, "vec_id", "embedding", nlist = 8)
+    Ann.saveIvfIndex(spark, s"$base/ivf", centers)
+    val centers2 = Ann.loadIvfIndex(spark, s"$base/ivf")
+    assert(centers.length == centers2.length)
+    assert(centers.zip(centers2).forall { case (a, b) => a.sameElements(b) })
+    val r1 = Ann.ivfTopKFixed(e, q, "vec_id", "embedding", 5, centers, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val r2 = Ann.ivfTopKFixed(e, q, "vec_id", "embedding", 5, centers2, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(r1 == r2, "loaded IVF index must score identically")
+    // PQ: codebooks round-trip bit-exactly and score identically
+    val cb = Ann.trainPq(e, "vec_id", "embedding", m = 8, ksub = 16)
+    Ann.savePqIndex(spark, s"$base/pq", cb)
+    val cb2 = Ann.loadPqIndex(spark, s"$base/pq")
+    assert(cb.length == cb2.length)
+    for (mi <- cb.indices) {
+      assert(cb(mi).length == cb2(mi).length)
+      assert(cb(mi).zip(cb2(mi)).forall { case (a, b) => a.sameElements(b) })
+    }
+    val p1 = Ann.pqTopKFixed(e, q, "vec_id", "embedding", 5, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val p2 = Ann.pqTopKFixed(e, q, "vec_id", "embedding", 5, cb2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(p1 == p2, "loaded PQ index must score identically")
+    // overwrite convention matches the model writers
+    intercept[Exception] {
+      Ann.saveIvfIndex(spark, s"$base/ivf", centers, overwrite = false)
+    }
+  }
+
   test("language id picks the right language on natural samples") {
     val samples = Seq(
       ("the cat is on the mat and it is happy", "en"),
