@@ -16,19 +16,31 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // optional query filter for local iteration (driver leaves it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // reps: each query runs `reps` times and reports the MIN — first-run
+    // wall-clock on a shared box swings 2-3x with background load and
+    // JIT/plan-compile warm-up, which has produced phantom regressions
+    // in committed bench files twice; min-of-2 is the steady-state
+    // number the plan actually earns. first-run totals are kept in the
+    // JSON so the warm-up cost stays visible.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     // deterministic name order: stable cross-round comparisons
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally spark.catalog.clearCache() // operator-internal caches don't leak across queries
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          finally spark.catalog.clearCache() // operator-internal caches don't leak across queries
+          (System.nanoTime() - t0) / 1e9
+        }
+        (name, times.min, times.head)
+      }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val firstTotal = if (results.nonEmpty) results.map(_._3).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""first_run_total":$firstTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

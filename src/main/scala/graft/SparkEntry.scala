@@ -81,10 +81,14 @@ object SparkEntry {
     "q_lm_score"         -> (OpsQueries.lmScore _),
     "q_pack_chunks"      -> (OpsQueries.packChunks _),
     "q_domain_stats"     -> (OpsQueries.domainStats _),
-    // q_bpe_merges: the merge loop has a FIXED depth at declaration time
-    // (numMerges = 20), so the oracle unrolls it into 20 generated CTE
-    // blocks (OpsOracles.bpeMergesSql) — hash-exact like everything else.
+    // q_bpe_merges / q_bpe_tokens: the merge loop has a FIXED depth at
+    // declaration time (numMerges = 20), so the oracle unrolls it into
+    // 20 generated CTE blocks (OpsOracles.bpeMergesSql) — hash-exact
+    // like everything else; q_bpe_tokens applies the same unrolled
+    // rewrites to encode documents.
     "q_bpe_merges"       -> (OpsQueries.bpeMerges _),
+    "q_bpe_tokens"       -> (OpsQueries.bpeTokens _),
+    "q_keeper_table"     -> (OpsQueries.keeperTableQ _),
     "q_bm25"             -> (OpsQueries.bm25 _),
     "q_quantiles"        -> (OpsQueries.quantiles _),
     "q_quantiles_approx" -> (OpsQueries.quantilesApprox _),

@@ -60,9 +60,12 @@ object OpsOracles {
     * then the rewrite. CTEs are AS MATERIALIZED so the k-step chain is
     * evaluated once per step (DuckDB would otherwise inline the
     * doubly-referenced w_k/m_k CTEs and blow up exponentially). */
-  private def bpeMergesSql(numMerges: Int, maxVocabWords: Int): String = {
+  /** The shared merge-training CTE chain: wc → w0 → (p_k, m_k, w_k+1)
+    * for each unrolled merge step. `m{k}` holds merge k's (l, r, cnt)
+    * and its wrapped-string rewrite (pat → rep). */
+  private def bpeChainCtes(numMerges: Int, maxVocabWords: Int): String = {
     val T = "chr(9)"
-    val b = new StringBuilder("WITH ")
+    val b = new StringBuilder
     b ++= s"""wc AS MATERIALIZED (
              |  SELECT w, count(*)::BIGINT AS c
              |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
@@ -86,18 +89,92 @@ object OpsOracles {
                  |w${k + 1} AS MATERIALIZED (
                  |  SELECT replace(w.s, m.pat, m.rep) AS s, w.c FROM w$k w, m$k m)""".stripMargin
     }
-    val union = (0 until numMerges)
-      .map(k => s"SELECT rank, l, r, cnt FROM m$k").mkString(" UNION ALL ")
-    b ++= s"""
-             |SELECT rank, l AS "left", r AS "right", cnt AS pair_count
-             |FROM ($union) ORDER BY rank""".stripMargin
     b.result()
   }
+
+  private def bpeMergesSql(numMerges: Int, maxVocabWords: Int): String = {
+    val union = (0 until numMerges)
+      .map(k => s"SELECT rank, l, r, cnt FROM m$k").mkString(" UNION ALL ")
+    s"""WITH ${bpeChainCtes(numMerges, maxVocabWords)}
+       |SELECT rank, l AS "left", r AS "right", cnt AS pair_count
+       |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
+  /** q_bpe_tokens: APPLY the trained merges — each doc's words go
+    * through the same wrapped-string encoding, every merge's rewrite
+    * runs in rank order (the exact `Tokenizer.encodeWord` semantics via
+    * SQL replace), and the surviving symbol count per doc is the BPE
+    * token count. Empty-text docs count 0 via the left join + CASE. */
+  private def bpeTokensSql(numMerges: Int, maxVocabWords: Int,
+                           maxDocId: Int): String = {
+    val T = "chr(9)"
+    val b = new StringBuilder("WITH ")
+    b ++= bpeChainCtes(numMerges, maxVocabWords)
+    b ++= s""",
+             |dw0 AS MATERIALIZED (
+             |  SELECT doc_id, regexp_replace(w, '(.)', $T||'\\1'||$T, 'g') AS s
+             |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+             |        FROM documents WHERE doc_id < $maxDocId))""".stripMargin
+    for (k <- 0 until numMerges)
+      b ++= s""",
+               |dw${k + 1} AS MATERIALIZED (
+               |  SELECT doc_id, replace(d.s, m.pat, m.rep) AS s FROM dw$k d, m$k m)""".stripMargin
+    b ++= s"""
+             |SELECT d.doc_id, coalesce(t.n, 0)::BIGINT AS bpe_tokens
+             |FROM (SELECT doc_id FROM documents WHERE doc_id < $maxDocId) d
+             |LEFT JOIN (
+             |  SELECT doc_id, sum(CASE WHEN s = '' THEN 0
+             |                          ELSE len(string_split(trim(s, $T), $T||$T)) END) AS n
+             |  FROM dw$numMerges GROUP BY doc_id) t USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin
+    b.result()
+  }
+
+  /** Shared near-dup pipeline CTEs (docs ∪ shortened copies → shingles
+    * → minhash bands → verified pairs → recursive reachability) —
+    * the q_dedup_cluster / q_keeper_table common prefix. */
+  private val nearDupClusterCte =
+    """
+      |WITH RECURSIVE docs AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |         array_to_string(list_slice(w, 1, len(w) - 5), ' ')
+      |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w FROM documents)),
+      |sh AS (
+      |  SELECT id, list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+      |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS shingles
+      |  FROM (SELECT id, string_split(lower(trim(text)), ' ') w FROM docs)),
+      |mh AS (
+      |  SELECT id, s, min(md5(s::varchar || '|' || u.sh2)) AS sig
+      |  FROM sh, generate_series(0, 11) AS g(s), unnest(sh.shingles) AS u(sh2)
+      |  GROUP BY id, s),
+      |sigv AS (SELECT id, array_agg(sig ORDER BY s) AS sigs FROM mh GROUP BY id),
+      |bands AS (
+      |  SELECT id, b, md5(sigs[b*3+1] || ',' || sigs[b*3+2] || ',' || sigs[b*3+3]) AS bucket
+      |  FROM sigv, generate_series(0, 3) AS g(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+      |  FROM bands l, bands r
+      |  WHERE l.b = r.b AND l.bucket = r.bucket AND l.id < r.id),
+      |sets AS (SELECT id, list_distinct(shingles) AS s FROM sh),
+      |ver AS (
+      |  SELECT id_a, id_b,
+      |         len(list_intersect(a.s, b.s))::double AS inter, len(a.s) AS la, len(b.s) AS lb
+      |  FROM cand JOIN sets a ON cand.id_a = a.id JOIN sets b ON cand.id_b = b.id),
+      |pr AS (SELECT id_a, id_b FROM ver WHERE inter / (la + lb - inter) >= 0.6),
+      |e AS (SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr),
+      |reach AS (
+      |  SELECT s AS id, s AS r FROM e
+      |  UNION
+      |  SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id)""".stripMargin.trim
 
   val sql: Map[String, String] = Map(
     "q_zorder" -> zOrderSql,
     "q_profile" -> profileSql,
     "q_bpe_merges" -> bpeMergesSql(numMerges = 20, maxVocabWords = 65536),
+    "q_bpe_tokens" -> bpeTokensSql(numMerges = 20, maxVocabWords = 65536,
+      maxDocId = 100),
     "q_heavy_tokens" ->
       """
         |SELECT w AS tok, count(*) AS cnt
@@ -598,42 +675,26 @@ object OpsOracles {
         |SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp""".stripMargin.trim,
 
     "q_dedup_cluster" ->
-      """
-        |WITH RECURSIVE docs AS (
-        |  SELECT doc_id AS id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |         array_to_string(list_slice(w, 1, len(w) - 5), ' ')
-        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w FROM documents)),
-        |sh AS (
-        |  SELECT id, list_transform(generate_series(0, greatest(len(w) - 3, 0)),
-        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS shingles
-        |  FROM (SELECT id, string_split(lower(trim(text)), ' ') w FROM docs)),
-        |mh AS (
-        |  SELECT id, s, min(md5(s::varchar || '|' || u.sh2)) AS sig
-        |  FROM sh, generate_series(0, 11) AS g(s), unnest(sh.shingles) AS u(sh2)
-        |  GROUP BY id, s),
-        |sigv AS (SELECT id, array_agg(sig ORDER BY s) AS sigs FROM mh GROUP BY id),
-        |bands AS (
-        |  SELECT id, b, md5(sigs[b*3+1] || ',' || sigs[b*3+2] || ',' || sigs[b*3+3]) AS bucket
-        |  FROM sigv, generate_series(0, 3) AS g(b)),
-        |cand AS (
-        |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
-        |  FROM bands l, bands r
-        |  WHERE l.b = r.b AND l.bucket = r.bucket AND l.id < r.id),
-        |sets AS (SELECT id, list_distinct(shingles) AS s FROM sh),
-        |ver AS (
-        |  SELECT id_a, id_b,
-        |         len(list_intersect(a.s, b.s))::double AS inter, len(a.s) AS la, len(b.s) AS lb
-        |  FROM cand JOIN sets a ON cand.id_a = a.id JOIN sets b ON cand.id_b = b.id),
-        |pr AS (SELECT id_a, id_b FROM ver WHERE inter / (la + lb - inter) >= 0.6),
-        |e AS (SELECT id_a AS s, id_b AS d FROM pr UNION SELECT id_b, id_a FROM pr),
-        |reach AS (
-        |  SELECT s AS id, s AS r FROM e
-        |  UNION
-        |  SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id)
+      s"""$nearDupClusterCte
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.trim,
+
+    // keeper election over the same clusters: highest score wins, ties
+    // to the smallest id — exactly Dedup.keeperTable's
+    // max(struct(score, -id)) with score = length(text)
+    "q_keeper_table" ->
+      s"""$nearDupClusterCte,
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |sc AS (SELECT id, length(text)::DOUBLE AS s FROM docs),
+        |kp AS (
+        |  SELECT cluster_id, id AS keeper_id FROM (
+        |    SELECT cl.cluster_id, cl.id,
+        |           row_number() OVER (PARTITION BY cl.cluster_id
+        |                              ORDER BY sc.s DESC, cl.id) AS rn
+        |    FROM cl JOIN sc USING (id)) WHERE rn = 1)
+        |SELECT cl.id AS doc_id, cl.cluster_id, kp.keeper_id,
+        |       cl.id = kp.keeper_id AS keep
+        |FROM cl JOIN kp USING (cluster_id) ORDER BY doc_id""".stripMargin.trim,
 
     "q_boilerplate" ->
       """

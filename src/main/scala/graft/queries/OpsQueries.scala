@@ -247,6 +247,34 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup DECISION table over the near-dup clusters: one keeper per
+    * cluster by (score desc, id asc) — the keep/drop list a pipeline
+    * actually executes on. Score = text length (engine-portable), so
+    * the whole chain — pairs, clustering, election — has an exact
+    * oracle. */
+  def keeperTableQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(spark, dir)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.6)
+    val scores = docs.select(col("doc_id"), length(col("text")).as("score"))
+    Dedup.keeperTable(pairs, "id_a", "id_b", scores, "doc_id", "score")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("keeper_id"),
+        col("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE token counts under the corpus-trained merges (bounded doc
+    * slice) — the APPLY half of the tokenizer, priced per document. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val merges = Tokenizer.trainBpe(docs, "text", numMerges = 20)
+      .orderBy("rank").select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    Tokenizer.bpeTokenCount(spark, docs.filter(col("doc_id") < 100),
+        "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
   /** Line-level boilerplate removal over documents with deterministically
     * injected header/footer lines: every doc must come out stripped of
     * exactly the injected lines (its natural lines are unique), verified
