@@ -45,6 +45,7 @@ object SparkEntry {
     "q_cv_select"        -> (PathQueries.cvSelect _),
     "q_cv_auc"           -> (PathQueries.cvAuc _),
     "q_cv_mae"           -> (PathQueries.cvMae _),
+    "q_cv_alpha"         -> (PathQueries.cvAlphaCurve _),
     "q_cv_exact_curve"   -> (PathQueries.cvExactCurve _),
     "q_cv_exact_pick"    -> (PathQueries.cvExactPick _),
     "q_cv_exact_predict" -> (PathQueries.cvExactPredict _),
@@ -536,6 +537,53 @@ object SparkEntry {
         |SELECT lambda_idx, round(ln(lam), 4) AS ln_lambda,
         |       round(ln(cvm), 6) AS ln_cvm, round(ln(cvsd), 6) AS ln_cvsd
         |FROM curve ORDER BY lambda_idx""".stripMargin,
+
+    // alpha-grid CV: the 1-feature elastic net at ANY alpha is the
+    // closed form S(c, lam*alpha) / (1 + lam*(1-alpha)) on standardized
+    // subtracted fold moments — cvExactCte generalized with an alpha
+    // cross join
+    "q_cv_alpha" ->
+      """WITH r AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |tot AS (SELECT count(*)::double n, sum(x) sx, sum(y) sy, sum(x*x) sxx,
+        |               sum(x*y) sxy, sum(y*y) syy FROM r),
+        |pf AS (SELECT f, count(*)::double n, sum(x) sx, sum(y) sy, sum(x*x) sxx,
+        |              sum(x*y) sxy, sum(y*y) syy FROM r GROUP BY f),
+        |lgrid AS (SELECT cast(lambda_idx AS INT) AS lambda_idx, lam::DOUBLE AS lam
+        |          FROM (VALUES (0, 256.0), (1, 64.0), (2, 16.0), (3, 4.0),
+        |                       (4, 1.0), (5, 0.25)) AS t(lambda_idx, lam)),
+        |ag AS (SELECT unnest([1.0, 0.5, 0.0]) AS alpha),
+        |tr AS (SELECT pf.f, tot.n - pf.n AS n, tot.sx - pf.sx AS sx,
+        |              tot.sy - pf.sy AS sy, tot.sxx - pf.sxx AS sxx,
+        |              tot.sxy - pf.sxy AS sxy, tot.syy - pf.syy AS syy
+        |       FROM pf, tot),
+        |fitm AS (SELECT tr.f, ag.alpha, lgrid.lambda_idx, lgrid.lam,
+        |           sx/n AS mx, sy/n AS my,
+        |           sqrt(sxx/n - (sx/n)*(sx/n)) AS sd,
+        |           (sxy/n - (sx/n)*(sy/n)) AS cxy
+        |         FROM tr, lgrid, ag),
+        |co AS (SELECT f, alpha, lambda_idx, lam, mx, my,
+        |         sign(cxy/sd) * greatest(abs(cxy/sd) - lam * alpha, 0)
+        |           / (1.0 + lam * (1.0 - alpha)) / sd AS b
+        |       FROM fitm),
+        |sc AS (SELECT co.f, alpha, lambda_idx, lam, my - b*mx AS a0, b,
+        |         pf.n AS nf, pf.sx AS fx, pf.sy AS fy, pf.sxx AS fxx,
+        |         pf.sxy AS fxy, pf.syy AS fyy
+        |       FROM co JOIN pf ON co.f = pf.f),
+        |msef AS (SELECT alpha, lambda_idx, lam, f,
+        |           fyy/nf - 2*a0*fy/nf + a0*a0 + b*b*fxx/nf
+        |             + 2*a0*b*fx/nf - 2*b*fxy/nf AS m
+        |         FROM sc),
+        |curve AS (SELECT alpha, lambda_idx, lam, avg(m) AS cvm,
+        |                 stddev_samp(m) / sqrt(5) AS cvsd
+        |          FROM msef GROUP BY 1, 2, 3)
+        |SELECT round(alpha, 2) + 0.0 AS alpha,
+        |       cast(lambda_idx AS INT) AS lambda_idx, round(lam, 4) AS lambda,
+        |       round(ln(cvm), 6) AS ln_cvm, round(ln(cvsd), 6) AS ln_cvsd
+        |FROM curve ORDER BY alpha, lambda_idx""".stripMargin,
 
     // AUC of a 1-feature logistic model depends only on the
     // coefficient's activity (KKT at the null: |cov(x_std,y)| <= lam on

@@ -282,6 +282,32 @@ object PathQueries {
         round(log(col("cvsd")), 4).as("ln_cvsd"))
       .orderBy("lambda_idx")
 
+  /** CV over an ALPHA GRID (reference cv_sgdnet(alpha = c(...))): the
+    * 1-feature elastic net is closed form at EVERY alpha — the
+    * soft-threshold / ridge-shrink solution
+    * S(c, lam*alpha) / (1 + lam*(1-alpha)) on subtracted fold moments —
+    * so the full 3-alpha x 6-lambda CV surface verifies hash-exact
+    * (ln-encoded, the same rounding discipline as the other CV
+    * oracles). Exercises the multi-path CvResult: one CvPath per alpha,
+    * best picked by min cvm. */
+  def cvAlphaCurve(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val lambdas = Array(256.0, 64.0, 16.0, 4.0, 1.0, 0.25)
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fit(li, Seq("l_quantity"), Seq("l_extendedprice"),
+      SgdNetParams(alpha = 1.0, lambda = lambdas, thresh = 1e-7),
+      nfolds = 5, alphas = Seq(1.0, 0.5, 0.0), measure = "mse",
+      foldCol = fold)
+    cv.curveDF(spark)
+      .select((round(col("alpha"), 2) + lit(0.0)).as("alpha"),
+        col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("alpha", "lambda_idx")
+  }
+
   /** Oracle-exact cross-validation: 1-feature lasso over a log-spaced
     * path with a PORTABLE fold hash ([[graft.ops.Sampling.hashBucket]] of
     * the row key) — per-fold training is closed-form under moment
