@@ -24,6 +24,8 @@ object SparkEntry {
     "q_devratio"      -> (MlQueries.devRatioQ _),
     "q_standardize"   -> (MlQueries.standardizeQ _),
     "q_predict_link"  -> (MlQueries.predictLink _),
+    "q_predict_interp" -> (MlQueries.predictInterp _),
+    "q_score_interp"  -> (MlQueries.scoreInterp _),
     "q_score_mse"     -> (MlQueries.scoreMse _),
     "q_score_mae"     -> (MlQueries.scoreMae _),
     "q_score_auc"     -> (MlQueries.scoreAuc _),
@@ -408,6 +410,36 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, round(i + b * l_quantity, 2) AS pred
         |FROM lineitem, m WHERE l_orderkey <= 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // interpolation between path points: coefficients at s=4 are the
+    // frac-weighted blend of the closed-form ridge fits at lambda 8 and
+    // 2, frac = (s - l_right) / (l_left - l_right)
+    "q_predict_interp" ->
+      """WITH s AS (SELECT avg(l_quantity) mx, avg(l_extendedprice) my,
+        |                  covar_pop(l_quantity, l_extendedprice) cxy,
+        |                  var_pop(l_quantity) vx FROM lineitem),
+        |t AS (SELECT mx, my, cxy / (vx * (1 + 8.0)) AS b8,
+        |             cxy / (vx * (1 + 2.0)) AS b2 FROM s),
+        |c AS (SELECT ((4.0 - 2.0) / (8.0 - 2.0)) * (my - b8 * mx)
+        |          + (1 - ((4.0 - 2.0) / (8.0 - 2.0))) * (my - b2 * mx) AS ia0,
+        |        ((4.0 - 2.0) / (8.0 - 2.0)) * b8
+        |          + (1 - ((4.0 - 2.0) / (8.0 - 2.0))) * b2 AS ib FROM t)
+        |SELECT l_orderkey, l_linenumber, round(ia0 + ib * l_quantity, 2) AS pred
+        |FROM lineitem, c WHERE l_orderkey <= 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_score_interp" ->
+      """WITH s AS (SELECT avg(l_quantity) mx, avg(l_extendedprice) my,
+        |                  covar_pop(l_quantity, l_extendedprice) cxy,
+        |                  var_pop(l_quantity) vx FROM lineitem),
+        |t AS (SELECT mx, my, cxy / (vx * (1 + 8.0)) AS b8,
+        |             cxy / (vx * (1 + 2.0)) AS b2 FROM s),
+        |c AS (SELECT ((4.0 - 2.0) / (8.0 - 2.0)) * (my - b8 * mx)
+        |          + (1 - ((4.0 - 2.0) / (8.0 - 2.0))) * (my - b2 * mx) AS ia0,
+        |        ((4.0 - 2.0) / (8.0 - 2.0)) * b8
+        |          + (1 - ((4.0 - 2.0) / (8.0 - 2.0))) * b2 AS ib FROM t)
+        |SELECT round(ln(avg(pow(l_extendedprice - (ia0 + ib * l_quantity), 2))), 4) AS mse
+        |FROM lineitem, c""".stripMargin,
 
     "q_score_mse" ->
       """WITH m AS (SELECT regr_intercept(l_extendedprice, l_quantity) i,

@@ -134,6 +134,34 @@ object MlQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** predict at an OFF-PATH penalty (reference predict(fit, s = ...)):
+    * a 2-point ridge path at lambda {8, 2}, scored at s = 4 — the
+    * coefficients are the linear interpolation of the adjacent path
+    * points ([[graft.ml.SgdNetModel.atLambda]]), and both ridge fits
+    * are closed form, so the interpolated predictions verify
+    * hash-exact. */
+  def predictInterp(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 0.0, lambda = Array(8.0, 2.0), thresh = 1e-9))
+    val (a0v, betaV) = m.atLambda(4.0)
+    li.filter(col("l_orderkey") <= 10)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(m.linkColFor(a0v(0), betaV(0)), 2).as("pred"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** score at an OFF-PATH penalty (reference score(fit, ..., s = ...)):
+    * held-in MSE of the same interpolated model as [[predictInterp]]. */
+  def scoreInterp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 0.0, lambda = Array(8.0, 2.0), thresh = 1e-9))
+    Seq(m.scoreAt(li, "mse", 4.0)).toDF("mse")
+      .withColumn("mse", round(log(col("mse")), 4))
+  }
+
   /** score(type.measure="mse") of the 1-feature OLS over the full table. */
   def scoreMse(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
