@@ -25,6 +25,8 @@ object SparkEntry {
     "q_standardize"   -> (MlQueries.standardizeQ _),
     "q_predict_link"  -> (MlQueries.predictLink _),
     "q_predict_interp" -> (MlQueries.predictInterp _),
+    "q_predict_sparse" -> (MlQueries.predictSparseQ _),
+    "q_refit_exact"   -> (MlQueries.refitExact _),
     "q_score_interp"  -> (MlQueries.scoreInterp _),
     "q_score_mse"     -> (MlQueries.scoreMse _),
     "q_score_mae"     -> (MlQueries.scoreMae _),
@@ -48,6 +50,8 @@ object SparkEntry {
     "q_cv_auc"           -> (PathQueries.cvAuc _),
     "q_cv_mae"           -> (PathQueries.cvMae _),
     "q_cv_alpha"         -> (PathQueries.cvAlphaCurve _),
+    "q_cv_summary"       -> (PathQueries.cvSummary _),
+    "q_cv_score"         -> (PathQueries.cvScore _),
     "q_cv_exact_curve"   -> (PathQueries.cvExactCurve _),
     "q_cv_exact_pick"    -> (PathQueries.cvExactPick _),
     "q_cv_exact_predict" -> (PathQueries.cvExactPredict _),
@@ -249,6 +253,53 @@ object SparkEntry {
         |       round(one.l1se, 4) AS lambda_1se
         |FROM sel, one""".stripMargin,
 
+    "q_cv_summary" ->
+      s"""$cvRidgeCte,
+        |sel AS (SELECT lam, cvm, cvsd FROM curve
+        |        ORDER BY cvm, lambda_idx LIMIT 1),
+        |one AS (SELECT c.lam AS l1se, c.cvm AS cvm1 FROM curve c, sel
+        |        WHERE c.cvm <= sel.cvm + sel.cvsd
+        |        ORDER BY c.lam DESC LIMIT 1)
+        |SELECT 0.0::DOUBLE AS alpha, round(sel.lam, 4) AS lambda_min,
+        |       round(ln(sel.cvm), 6) AS ln_cvm_min,
+        |       round(ln(sel.cvsd), 6) AS ln_cvsd_min,
+        |       round(one.l1se, 4) AS lambda_1se,
+        |       round(ln(one.cvm1), 6) AS ln_cvm_1se
+        |FROM sel, one""".stripMargin,
+
+    "q_cv_score" ->
+      s"""$cvRidgeCte,
+        |sel AS (SELECT lam FROM curve ORDER BY cvm, lambda_idx LIMIT 1),
+        |fmo AS (SELECT n, s1/n m1, s2/n m2, s3/n m3, sy/n my,
+        |          s11/n - (s1/n)*(s1/n) c11, s22/n - (s2/n)*(s2/n) c22,
+        |          s33/n - (s3/n)*(s3/n) c33, s12/n - (s1/n)*(s2/n) c12,
+        |          s13/n - (s1/n)*(s3/n) c13, s23/n - (s2/n)*(s3/n) c23,
+        |          s1y/n - (s1/n)*(sy/n) e1, s2y/n - (s2/n)*(sy/n) e2,
+        |          s3y/n - (s3/n)*(sy/n) e3
+        |        FROM tot),
+        |fg AS (SELECT lam, m1, m2, m3, my,
+        |         sqrt(c11) sd1, sqrt(c22) sd2, sqrt(c33) sd3,
+        |         1 + lam AS a11, c12/(sqrt(c11)*sqrt(c22)) AS a12,
+        |         c13/(sqrt(c11)*sqrt(c33)) AS a13, 1 + lam AS a22,
+        |         c23/(sqrt(c22)*sqrt(c33)) AS a23, 1 + lam AS a33,
+        |         e1/sqrt(c11) AS d1, e2/sqrt(c22) AS d2, e3/sqrt(c33) AS d3
+        |       FROM fmo, sel),
+        |ft AS (SELECT *,
+        |         a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+        |           + a13*(a12*a23 - a22*a13) AS det FROM fg),
+        |fu AS (SELECT m1, m2, m3, my,
+        |         (d1*(a22*a33 - a23*a23) - a12*(d2*a33 - a23*d3)
+        |           + a13*(d2*a23 - a22*d3)) / det / sd1 AS b1,
+        |         (a11*(d2*a33 - d3*a23) - d1*(a12*a33 - a23*a13)
+        |           + a13*(a12*d3 - d2*a13)) / det / sd2 AS b2,
+        |         (a11*(a22*d3 - d2*a23) - a12*(a12*d3 - d2*a13)
+        |           + d1*(a12*a23 - a22*a13)) / det / sd3 AS b3
+        |       FROM ft),
+        |cf AS (SELECT my - b1*m1 - b2*m2 - b3*m3 AS a0, b1, b2, b3 FROM fu)
+        |SELECT round(ln(avg(pow(l_extendedprice
+        |         - (a0 + b1*l_quantity + b2*l_discount + b3*l_tax), 2))), 4) AS mse
+        |FROM lineitem, cf""".stripMargin,
+
     "q_cv_predict" ->
       s"""$cvRidgeCte,
         |sel AS (SELECT lam FROM curve ORDER BY cvm, lambda_idx LIMIT 1),
@@ -427,6 +478,33 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, round(ia0 + ib * l_quantity, 2) AS pred
         |FROM lineitem, c WHERE l_orderkey <= 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // sparse rows are the dense column with zeros (odd line numbers
+    // carry no entries) — dense-equivalence is what makes the sparse
+    // fit/predict path exactly verifiable
+    "q_predict_sparse" ->
+      """WITH r AS (SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber % 2 = 1 THEN 0.0
+        |       ELSE l_quantity::DOUBLE END AS x,
+        |  l_extendedprice AS y FROM lineitem),
+        |s AS (SELECT avg(x) mx, avg(y) my, covar_pop(x, y) cxy,
+        |             var_pop(x) vx FROM r),
+        |t AS (SELECT mx, my, cxy / (vx * (1 + 2.0)) AS b FROM s)
+        |SELECT l_orderkey, l_linenumber, round((my - b * mx) + b * x, 2) AS pred
+        |FROM r, t WHERE l_orderkey <= 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_refit_exact" ->
+      """WITH s AS (SELECT avg(l_quantity) mx, avg(l_extendedprice) my,
+        |                  covar_pop(l_quantity, l_extendedprice) cxy,
+        |                  var_pop(l_quantity) vx FROM lineitem),
+        |g AS (SELECT cast(i AS INT) AS lambda_idx, lam::DOUBLE AS lam
+        |      FROM (VALUES (0, 8.0), (1, 4.0), (2, 2.0)) AS t(i, lam)),
+        |t AS (SELECT lambda_idx, lam, mx, my,
+        |        cxy / (vx * (1 + lam)) AS b FROM s, g)
+        |SELECT lambda_idx, round(lam, 4) AS lambda,
+        |       round(my - b * mx, 4) + 0 AS a0, round(b, 6) + 0 AS b
+        |FROM t ORDER BY lambda_idx""".stripMargin,
 
     "q_score_interp" ->
       """WITH s AS (SELECT avg(l_quantity) mx, avg(l_extendedprice) my,

@@ -162,6 +162,46 @@ object MlQueries {
       .withColumn("mse", round(log(col("mse")), 4))
   }
 
+  /** Sparse fit + sparse PREDICT (reference dgCMatrix x / newx,
+    * R/sgdnet.R:224-228): CSR (indices, values) rows where odd line
+    * numbers carry NO entries (implicit zero) — fit and score without
+    * ever densifying. Dense-equivalence makes the oracle exact: the
+    * sparse rows are the dense column with zeros. */
+  def predictSparseQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val sp = li.select(col("l_orderkey"), col("l_linenumber"),
+      when(col("l_linenumber") % 2 === 1, array().cast("array<int>"))
+        .otherwise(array(lit(0))).as("idx"),
+      when(col("l_linenumber") % 2 === 1, array().cast("array<double>"))
+        .otherwise(array(col("l_quantity").cast("double"))).as("v"),
+      col("l_extendedprice"))
+    val m = SgdNet.fitSparse(sp, "idx", "v", dim = 1, "l_extendedprice",
+      SgdNetParams(alpha = 0.0, lambda = Array(2.0), thresh = 1e-9))
+    m.predictSparse(sp.filter(col("l_orderkey") <= 10), "idx", "v",
+        "link", Seq(0))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("pred_0"), 2).as("pred"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** predict(exact = TRUE) / update() refit (reference R/utils.R refit):
+    * extra lambda 4 merges into the {8, 2} path and the model refits
+    * over {8, 4, 2} — each point closed-form ridge, so the refit path
+    * verifies hash-exact. */
+  def refitExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m0 = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 0.0, lambda = Array(8.0, 2.0), thresh = 1e-9))
+    val m = SgdNet.refit(m0, li, Seq(4.0))
+    m.lambda.indices.map(l => (l, m.lambda(l), m.a0(l)(0), m.beta(l)(0)(0)))
+      .toDF("lambda_idx", "lambda", "a0", "b")
+      .select(col("lambda_idx"), round(col("lambda"), 4).as("lambda"),
+        (round(col("a0"), 4) + lit(0.0)).as("a0"),
+        (round(col("b"), 6) + lit(0.0)).as("b"))
+      .orderBy("lambda_idx")
+  }
+
   /** score(type.measure="mse") of the 1-feature OLS over the full table. */
   def scoreMse(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

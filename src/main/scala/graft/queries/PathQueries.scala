@@ -308,6 +308,29 @@ object PathQueries {
       .orderBy("alpha", "lambda_idx")
   }
 
+  /** print.cv_sgdnet data: the per-alpha selection summary (selected
+    * lambdas with their CV scores) over the closed-form ridge chain —
+    * reference print.cv_sgdnet. */
+  def cvSummary(spark: SparkSession, dir: String): DataFrame =
+    cvRidgeFit(spark, dir).summaryDF(spark)
+      .select((round(col("alpha"), 2) + lit(0.0)).as("alpha"),
+        round(col("lambda_min"), 4).as("lambda_min"),
+        round(log(col("cvm_min")), 6).as("ln_cvm_min"),
+        round(log(col("cvsd_min")), 6).as("ln_cvsd_min"),
+        round(col("lambda_1se"), 4).as("lambda_1se"),
+        round(log(col("cvm_1se")), 6).as("ln_cvm_1se"))
+
+  /** score.cv_sgdnet: score data at the CV-selected penalty (reference
+    * R/score.R:182-201) — held-in MSE of the full-data ridge fit at
+    * lambda.min, every step closed form. */
+  def cvScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cv = cvRidgeFit(spark, dir)
+    val li = tbl(spark, dir, "lineitem")
+    Seq(cv.score(li, "mse", "lambda.min")).toDF("mse")
+      .withColumn("mse", round(log(col("mse")), 4))
+  }
+
   /** Oracle-exact cross-validation: 1-feature lasso over a log-spaced
     * path with a PORTABLE fold hash ([[graft.ops.Sampling.hashBucket]] of
     * the row key) — per-fold training is closed-form under moment
