@@ -52,6 +52,8 @@ object SparkEntry {
     "q_cv_alpha"         -> (PathQueries.cvAlphaCurve _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
+    "q_cv_deviance"      -> (PathQueries.cvDeviance _),
+    "q_mgauss_stdresp"   -> (PathQueries.mgaussStdResp _),
     "q_cv_exact_curve"   -> (PathQueries.cvExactCurve _),
     "q_cv_exact_pick"    -> (PathQueries.cvExactPick _),
     "q_cv_exact_predict" -> (PathQueries.cvExactPredict _),
@@ -299,6 +301,67 @@ object SparkEntry {
         |SELECT round(ln(avg(pow(l_extendedprice
         |         - (a0 + b1*l_quantity + b2*l_discount + b3*l_tax), 2))), 4) AS mse
         |FROM lineitem, cf""".stripMargin,
+
+    // full-data ridge solved at EVERY lambda (lgrid cross join instead
+    // of the selected one); deviance = RSS in original-scale moment form
+    "q_cv_deviance" ->
+      s"""$cvRidgeCte,
+        |fmo AS (SELECT n, s1, s2, s3, sy, s11, s22, s33, s12, s13, s23,
+        |          s1y, s2y, s3y, syy,
+        |          s1/n m1, s2/n m2, s3/n m3, sy/n my,
+        |          s11/n - (s1/n)*(s1/n) c11, s22/n - (s2/n)*(s2/n) c22,
+        |          s33/n - (s3/n)*(s3/n) c33, s12/n - (s1/n)*(s2/n) c12,
+        |          s13/n - (s1/n)*(s3/n) c13, s23/n - (s2/n)*(s3/n) c23,
+        |          s1y/n - (s1/n)*(sy/n) e1, s2y/n - (s2/n)*(sy/n) e2,
+        |          s3y/n - (s3/n)*(sy/n) e3
+        |        FROM tot),
+        |fg AS (SELECT lambda_idx, lam, fmo.*,
+        |         sqrt(c11) sd1, sqrt(c22) sd2, sqrt(c33) sd3,
+        |         1 + lam AS a11, c12/(sqrt(c11)*sqrt(c22)) AS a12,
+        |         c13/(sqrt(c11)*sqrt(c33)) AS a13, 1 + lam AS a22,
+        |         c23/(sqrt(c22)*sqrt(c33)) AS a23, 1 + lam AS a33,
+        |         e1/sqrt(c11) AS d1, e2/sqrt(c22) AS d2, e3/sqrt(c33) AS d3
+        |       FROM fmo, lgrid),
+        |ft AS (SELECT *,
+        |         a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+        |           + a13*(a12*a23 - a22*a13) AS det FROM fg),
+        |fu AS (SELECT lambda_idx, n, s1, s2, s3, sy, s11, s22, s33,
+        |         s12, s13, s23, s1y, s2y, s3y, syy, m1, m2, m3, my,
+        |         (d1*(a22*a33 - a23*a23) - a12*(d2*a33 - a23*d3)
+        |           + a13*(d2*a23 - a22*d3)) / det / sd1 AS b1,
+        |         (a11*(d2*a33 - d3*a23) - d1*(a12*a33 - a23*a13)
+        |           + a13*(a12*d3 - d2*a13)) / det / sd2 AS b2,
+        |         (a11*(a22*d3 - d2*a23) - a12*(a12*d3 - d2*a13)
+        |           + d1*(a12*a23 - a22*a13)) / det / sd3 AS b3
+        |       FROM ft),
+        |cf AS (SELECT lambda_idx, n, s1, s2, s3, sy, s11, s22, s33,
+        |         s12, s13, s23, s1y, s2y, s3y, syy, b1, b2, b3,
+        |         my - b1*m1 - b2*m2 - b3*m3 AS a0 FROM fu),
+        |dev AS (SELECT lambda_idx,
+        |          syy - 2*a0*sy + n*a0*a0
+        |            + (b1*b1*s11 + b2*b2*s22 + b3*b3*s33
+        |               + 2*b1*b2*s12 + 2*b1*b3*s13 + 2*b2*b3*s23)
+        |            + 2*a0*(b1*s1 + b2*s2 + b3*s3)
+        |            - 2*(b1*s1y + b2*s2y + b3*s3y) AS d
+        |        FROM cf)
+        |SELECT lambda_idx, round(ln(d), 6) AS ln_dev
+        |FROM dev ORDER BY lambda_idx""".stripMargin,
+
+    // standardize.response: each response fits on y/sd_y and scales
+    // back — with alpha=0 the group penalty decouples, so per response
+    // b = ((((cov/sdx)/sdy) / (1+lam)) / sdx) * sdy, a0 = my - b*mx
+    "q_mgauss_stdresp" ->
+      """WITH s AS (SELECT avg(l_quantity) mx, sqrt(var_pop(l_quantity)) sdx,
+        |  avg(l_extendedprice) m1, sqrt(var_pop(l_extendedprice)) sd1,
+        |  avg(l_tax) m2, sqrt(var_pop(l_tax)) sd2,
+        |  covar_pop(l_quantity, l_extendedprice) c1,
+        |  covar_pop(l_quantity, l_tax) c2 FROM lineitem),
+        |u AS (SELECT 'l_extendedprice' AS response, m1 AS my,
+        |        ((((c1 / sdx) / sd1) / (1 + 2.0)) / sdx) * sd1 AS b, mx FROM s
+        |  UNION ALL SELECT 'l_tax', m2,
+        |        ((((c2 / sdx) / sd2) / (1 + 2.0)) / sdx) * sd2, mx FROM s)
+        |SELECT response, round(my - b * mx, 4) + 0 AS a0, round(b, 8) + 0 AS b
+        |FROM u ORDER BY response""".stripMargin,
 
     "q_cv_predict" ->
       s"""$cvRidgeCte,

@@ -320,6 +320,39 @@ object PathQueries {
         round(col("lambda_1se"), 4).as("lambda_1se"),
         round(log(col("cvm_1se")), 6).as("ln_cvm_1se"))
 
+  /** deviance.cv_sgdnet: the full-data fit's deviance path (reference
+    * R/deviance.sgdnet.R, (1 - dev.ratio) * nulldev per lambda) over
+    * the closed-form ridge chain — the oracle recomputes each lambda's
+    * RSS in original-scale moment form. */
+  def cvDeviance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cv = cvRidgeFit(spark, dir)
+    cv.deviance.zipWithIndex.map { case (d, l) => (l, d) }.toSeq
+      .toDF("lambda_idx", "dev")
+      .select(col("lambda_idx"), round(log(col("dev")), 6).as("ln_dev"))
+      .orderBy("lambda_idx")
+  }
+
+  /** standardize.response (mgaussian, reference sgdnet argument): with
+    * alpha = 0 the group penalty decouples per response, so each
+    * response's ridge solution — fit on y / sd_y, coefficients scaled
+    * back — is closed form and the response-standardization EFFECT
+    * (penalty biting each response on its own scale) verifies
+    * hash-exact. */
+  def mgaussStdResp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fitMulti(li, Seq("l_quantity"),
+      Seq("l_extendedprice", "l_tax"),
+      SgdNetParams(family = "mgaussian", alpha = 0.0, lambda = Array(2.0),
+        standardizeResponse = true, thresh = 1e-9))
+    (0 until 2).map(t => (m.responseNames(t), m.a0(0)(t), m.beta(0)(t)(0)))
+      .toDF("response", "a0", "b")
+      .select(col("response"), (round(col("a0"), 4) + lit(0.0)).as("a0"),
+        (round(col("b"), 8) + lit(0.0)).as("b"))
+      .orderBy("response")
+  }
+
   /** score.cv_sgdnet: score data at the CV-selected penalty (reference
     * R/score.R:182-201) — held-in MSE of the full-data ridge fit at
     * lambda.min, every step closed form. */
