@@ -34,6 +34,7 @@ object SparkEntry {
     "q_binom_nulldev" -> (MlQueries.binomNullDev _),
     "q_binom_fit"        -> (PathQueries.binomFit _),
     "q_multinom_fit"     -> (PathQueries.multinomFit _),
+    "q_multinom_grouped" -> (PathQueries.multinomGrouped _),
     "q_mgauss_fit"       -> (PathQueries.mgaussFit _),
     "q_poisson_fit"      -> (PathQueries.poissonFit _),
     "q_poisson_nulldev"  -> (PathQueries.poissonNullDev _),
@@ -922,6 +923,41 @@ object SparkEntry {
         |  sign(c2/sd2) * greatest((1.0/(0.5*(1+r)+0.000000001)) * abs(c2/sd2)
         |    - (1.0/(0.5*(1+r)+0.000000001)) * 0.001, 0) / sd2 AS b2
         |FROM g, s)
+        |SELECT f AS class, 'a0' AS term,
+        |       round(ln(p) - (b1 * mx1 + b2 * mx2), 6) + 0 AS value FROM u
+        |UNION ALL SELECT f, 'l_quantity', round(b1, 6) + 0 FROM u
+        |UNION ALL SELECT f, 'l_discount', round(b2, 6) + 0 FROM u
+        |ORDER BY class, term""".stripMargin,
+
+    // grouped prox: per feature, the class-vector v_t = step * (c_t/sd)
+    // shrinks by (1 - step*lam/||v||_2)+ (alpha = 1 -> unit denominator);
+    // everything else matches q_multinom_fit's one-step closed form
+    "q_multinom_grouped" ->
+      """WITH s AS (SELECT avg(l_quantity) mx1, avg(l_discount) mx2,
+        |  sqrt(var_pop(l_quantity)) sd1, sqrt(var_pop(l_discount)) sd2,
+        |  covar_pop(l_quantity, l_discount)
+        |    / (sqrt(var_pop(l_quantity)) * sqrt(var_pop(l_discount))) r
+        |FROM lineitem),
+        |g AS (SELECT f, avg(CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) p,
+        |  covar_pop(l_quantity, CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) c1,
+        |  covar_pop(l_discount, CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) c2
+        |FROM lineitem, (VALUES ('A'), ('N'), ('R')) t(f) GROUP BY f),
+        |stp AS (SELECT (1.0/(0.5*(1+r)+0.000000001)) AS step, s.* FROM s),
+        |nm AS (SELECT max(step) AS step, max(mx1) AS mx1, max(mx2) AS mx2,
+        |         max(sd1) AS sd1, max(sd2) AS sd2,
+        |         sqrt(sum(pow(step * (c1/sd1), 2))) AS nrm1,
+        |         sqrt(sum(pow(step * (c2/sd2), 2))) AS nrm2
+        |       FROM g, stp),
+        |shr AS (SELECT *,
+        |  CASE WHEN nrm1 > step * 0.001 THEN 1.0 - (step * 0.001) / nrm1
+        |       ELSE 0.0 END AS sh1,
+        |  CASE WHEN nrm2 > step * 0.001 THEN 1.0 - (step * 0.001) / nrm2
+        |       ELSE 0.0 END AS sh2
+        |FROM nm),
+        |u AS (SELECT f, p, shr.mx1, shr.mx2,
+        |  (shr.step * (c1/shr.sd1)) * sh1 / shr.sd1 AS b1,
+        |  (shr.step * (c2/shr.sd2)) * sh2 / shr.sd2 AS b2
+        |FROM g, shr)
         |SELECT f AS class, 'a0' AS term,
         |       round(ln(p) - (b1 * mx1 + b2 * mx2), 6) + 0 AS value FROM u
         |UNION ALL SELECT f, 'l_quantity', round(b1, 6) + 0 FROM u

@@ -84,6 +84,28 @@ object PathQueries {
       .orderBy("class", "term")
   }
 
+  /** GROUPED multinomial penalty (the reference's own TODO,
+    * R/sgdnet.R:265), ONE FISTA step from the null point — closed form
+    * like [[multinomFit]], except the prox is the group soft-threshold
+    * across classes: per feature j the class-vector v (= step * grads)
+    * shrinks by (1 - step*lam / ||v||_2)+ instead of entrywise.
+    * Converged grouped fits are KKT-verified in `SgdNetMultiSpec`. */
+  def multinomGrouped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity", "l_discount"), "l_returnflag",
+      SgdNetParams(family = "multinomial", alpha = 1.0,
+        lambda = Array(0.001), maxit = 1, typeMultinomial = "grouped"))
+    val rows = for {
+      t <- 0 until m.nResponses
+      (term, v) <- ("a0", m.a0(0)(t)) +:
+        m.featureNames.toSeq.zipWithIndex.map { case (f, j) => (f, m.beta(0)(t)(j)) }
+    } yield (m.classLabels(t), term, v)
+    rows.toDF("class", "term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("class", "term")
+  }
+
   /** mgaussian at lambda=0 == per-response OLS: exact SQL oracle via
     * 2-feature Cramer solves for both responses. */
   def mgaussFit(spark: SparkSession, dir: String): DataFrame = {
