@@ -238,6 +238,46 @@ object SparkEntry {
       |            stddev_samp(m) / sqrt(5) AS cvsd
       |          FROM msef GROUP BY lambda_idx, lam)""".stripMargin
 
+  /** Full-data 3-feature ridge solve shared by the q_cv_predict /
+    * q_cv_score / q_cv_deviance oracles: expects a CTE
+    * `lsrc(lambda_idx, lam)` naming the penalties to solve at, and
+    * emits `cf` with the original-scale coefficients per lsrc row plus
+    * the raw total sums for downstream moment forms. Appended after
+    * `cvRidgeCte` (which defines `tot`). ONE copy — the Cramer
+    * determinant/solve must never drift between the three oracles. */
+  private val fullRidgeSolveCte =
+    """fmo AS (SELECT n, s1, s2, s3, sy, s11, s22, s33, s12, s13, s23,
+      |          s1y, s2y, s3y, syy,
+      |          s1/n m1, s2/n m2, s3/n m3, sy/n my,
+      |          s11/n - (s1/n)*(s1/n) c11, s22/n - (s2/n)*(s2/n) c22,
+      |          s33/n - (s3/n)*(s3/n) c33, s12/n - (s1/n)*(s2/n) c12,
+      |          s13/n - (s1/n)*(s3/n) c13, s23/n - (s2/n)*(s3/n) c23,
+      |          s1y/n - (s1/n)*(sy/n) e1, s2y/n - (s2/n)*(sy/n) e2,
+      |          s3y/n - (s3/n)*(sy/n) e3
+      |        FROM tot),
+      |fg AS (SELECT lambda_idx, lam, fmo.*,
+      |         sqrt(c11) sd1, sqrt(c22) sd2, sqrt(c33) sd3,
+      |         1 + lam AS a11, c12/(sqrt(c11)*sqrt(c22)) AS a12,
+      |         c13/(sqrt(c11)*sqrt(c33)) AS a13, 1 + lam AS a22,
+      |         c23/(sqrt(c22)*sqrt(c33)) AS a23, 1 + lam AS a33,
+      |         e1/sqrt(c11) AS d1, e2/sqrt(c22) AS d2, e3/sqrt(c33) AS d3
+      |       FROM fmo, lsrc),
+      |ft AS (SELECT *,
+      |         a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+      |           + a13*(a12*a23 - a22*a13) AS det FROM fg),
+      |fu AS (SELECT lambda_idx, lam, n, s1, s2, s3, sy, s11, s22, s33,
+      |         s12, s13, s23, s1y, s2y, s3y, syy, m1, m2, m3, my,
+      |         (d1*(a22*a33 - a23*a23) - a12*(d2*a33 - a23*d3)
+      |           + a13*(d2*a23 - a22*d3)) / det / sd1 AS b1,
+      |         (a11*(d2*a33 - d3*a23) - d1*(a12*a33 - a23*a13)
+      |           + a13*(a12*d3 - d2*a13)) / det / sd2 AS b2,
+      |         (a11*(a22*d3 - d2*a23) - a12*(a12*d3 - d2*a13)
+      |           + d1*(a12*a23 - a22*a13)) / det / sd3 AS b3
+      |       FROM ft),
+      |cf AS (SELECT lambda_idx, lam, n, s1, s2, s3, sy, s11, s22, s33,
+      |         s12, s13, s23, s1y, s2y, s3y, syy, b1, b2, b3,
+      |         my - b1*m1 - b2*m2 - b3*m3 AS a0 FROM fu)""".stripMargin
+
   /** DuckDB-equivalent SQL for each SQL-expressible query. */
   def oracleSql: Map[String, String] = Map(
     "q_cv_curve" ->
@@ -273,71 +313,18 @@ object SparkEntry {
     "q_cv_score" ->
       s"""$cvRidgeCte,
         |sel AS (SELECT lam FROM curve ORDER BY cvm, lambda_idx LIMIT 1),
-        |fmo AS (SELECT n, s1/n m1, s2/n m2, s3/n m3, sy/n my,
-        |          s11/n - (s1/n)*(s1/n) c11, s22/n - (s2/n)*(s2/n) c22,
-        |          s33/n - (s3/n)*(s3/n) c33, s12/n - (s1/n)*(s2/n) c12,
-        |          s13/n - (s1/n)*(s3/n) c13, s23/n - (s2/n)*(s3/n) c23,
-        |          s1y/n - (s1/n)*(sy/n) e1, s2y/n - (s2/n)*(sy/n) e2,
-        |          s3y/n - (s3/n)*(sy/n) e3
-        |        FROM tot),
-        |fg AS (SELECT lam, m1, m2, m3, my,
-        |         sqrt(c11) sd1, sqrt(c22) sd2, sqrt(c33) sd3,
-        |         1 + lam AS a11, c12/(sqrt(c11)*sqrt(c22)) AS a12,
-        |         c13/(sqrt(c11)*sqrt(c33)) AS a13, 1 + lam AS a22,
-        |         c23/(sqrt(c22)*sqrt(c33)) AS a23, 1 + lam AS a33,
-        |         e1/sqrt(c11) AS d1, e2/sqrt(c22) AS d2, e3/sqrt(c33) AS d3
-        |       FROM fmo, sel),
-        |ft AS (SELECT *,
-        |         a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
-        |           + a13*(a12*a23 - a22*a13) AS det FROM fg),
-        |fu AS (SELECT m1, m2, m3, my,
-        |         (d1*(a22*a33 - a23*a23) - a12*(d2*a33 - a23*d3)
-        |           + a13*(d2*a23 - a22*d3)) / det / sd1 AS b1,
-        |         (a11*(d2*a33 - d3*a23) - d1*(a12*a33 - a23*a13)
-        |           + a13*(a12*d3 - d2*a13)) / det / sd2 AS b2,
-        |         (a11*(a22*d3 - d2*a23) - a12*(a12*d3 - d2*a13)
-        |           + d1*(a12*a23 - a22*a13)) / det / sd3 AS b3
-        |       FROM ft),
-        |cf AS (SELECT my - b1*m1 - b2*m2 - b3*m3 AS a0, b1, b2, b3 FROM fu)
+        |lsrc AS (SELECT 0 AS lambda_idx, lam FROM sel),
+        |$fullRidgeSolveCte
         |SELECT round(ln(avg(pow(l_extendedprice
         |         - (a0 + b1*l_quantity + b2*l_discount + b3*l_tax), 2))), 4) AS mse
         |FROM lineitem, cf""".stripMargin,
 
-    // full-data ridge solved at EVERY lambda (lgrid cross join instead
-    // of the selected one); deviance = RSS in original-scale moment form
+    // full-data ridge solved at EVERY lambda (lsrc = the whole grid);
+    // deviance = RSS in original-scale moment form over cf's sums
     "q_cv_deviance" ->
       s"""$cvRidgeCte,
-        |fmo AS (SELECT n, s1, s2, s3, sy, s11, s22, s33, s12, s13, s23,
-        |          s1y, s2y, s3y, syy,
-        |          s1/n m1, s2/n m2, s3/n m3, sy/n my,
-        |          s11/n - (s1/n)*(s1/n) c11, s22/n - (s2/n)*(s2/n) c22,
-        |          s33/n - (s3/n)*(s3/n) c33, s12/n - (s1/n)*(s2/n) c12,
-        |          s13/n - (s1/n)*(s3/n) c13, s23/n - (s2/n)*(s3/n) c23,
-        |          s1y/n - (s1/n)*(sy/n) e1, s2y/n - (s2/n)*(sy/n) e2,
-        |          s3y/n - (s3/n)*(sy/n) e3
-        |        FROM tot),
-        |fg AS (SELECT lambda_idx, lam, fmo.*,
-        |         sqrt(c11) sd1, sqrt(c22) sd2, sqrt(c33) sd3,
-        |         1 + lam AS a11, c12/(sqrt(c11)*sqrt(c22)) AS a12,
-        |         c13/(sqrt(c11)*sqrt(c33)) AS a13, 1 + lam AS a22,
-        |         c23/(sqrt(c22)*sqrt(c33)) AS a23, 1 + lam AS a33,
-        |         e1/sqrt(c11) AS d1, e2/sqrt(c22) AS d2, e3/sqrt(c33) AS d3
-        |       FROM fmo, lgrid),
-        |ft AS (SELECT *,
-        |         a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
-        |           + a13*(a12*a23 - a22*a13) AS det FROM fg),
-        |fu AS (SELECT lambda_idx, n, s1, s2, s3, sy, s11, s22, s33,
-        |         s12, s13, s23, s1y, s2y, s3y, syy, m1, m2, m3, my,
-        |         (d1*(a22*a33 - a23*a23) - a12*(d2*a33 - a23*d3)
-        |           + a13*(d2*a23 - a22*d3)) / det / sd1 AS b1,
-        |         (a11*(d2*a33 - d3*a23) - d1*(a12*a33 - a23*a13)
-        |           + a13*(a12*d3 - d2*a13)) / det / sd2 AS b2,
-        |         (a11*(a22*d3 - d2*a23) - a12*(a12*d3 - d2*a13)
-        |           + d1*(a12*a23 - a22*a13)) / det / sd3 AS b3
-        |       FROM ft),
-        |cf AS (SELECT lambda_idx, n, s1, s2, s3, sy, s11, s22, s33,
-        |         s12, s13, s23, s1y, s2y, s3y, syy, b1, b2, b3,
-        |         my - b1*m1 - b2*m2 - b3*m3 AS a0 FROM fu),
+        |lsrc AS (SELECT lambda_idx, lam FROM lgrid),
+        |$fullRidgeSolveCte,
         |dev AS (SELECT lambda_idx,
         |          syy - 2*a0*sy + n*a0*a0
         |            + (b1*b1*s11 + b2*b2*s22 + b3*b3*s33
@@ -348,51 +335,38 @@ object SparkEntry {
         |SELECT lambda_idx, round(ln(d), 6) AS ln_dev
         |FROM dev ORDER BY lambda_idx""".stripMargin,
 
-    // standardize.response: each response fits on y/sd_y and scales
-    // back — with alpha=0 the group penalty decouples, so per response
-    // b = ((((cov/sdx)/sdy) / (1+lam)) / sdx) * sdy, a0 = my - b*mx
+    // standardize.response at alpha=0.5: the group prox couples the
+    // responses through the norm of the y-STANDARDIZED gradients
+    // cs_t = (cov_t/sd_x)/sd_yt — the sd_y scaling changes the shrink,
+    // so a broken flag cannot hash-match. For p=1 the solve is one
+    // group soft-threshold: shrink = (1 - l1/||cs||)+ / (1 + l2) with
+    // l1 = lam*alpha = 1.0, l2 = lam*(1-alpha) = 1.0; back-transform
+    // b_t = cs_t*shrink/sd_x*sd_yt, a0_t = my_t - b_t*mx
     "q_mgauss_stdresp" ->
       """WITH s AS (SELECT avg(l_quantity) mx, sqrt(var_pop(l_quantity)) sdx,
         |  avg(l_extendedprice) m1, sqrt(var_pop(l_extendedprice)) sd1,
         |  avg(l_tax) m2, sqrt(var_pop(l_tax)) sd2,
         |  covar_pop(l_quantity, l_extendedprice) c1,
         |  covar_pop(l_quantity, l_tax) c2 FROM lineitem),
+        |cs AS (SELECT *, ((c1 / sdx) / sd1) AS cs1, ((c2 / sdx) / sd2) AS cs2
+        |       FROM s),
+        |sh AS (SELECT *, sqrt(cs1*cs1 + cs2*cs2) AS nrm FROM cs),
+        |u0 AS (SELECT *,
+        |  CASE WHEN nrm > 2.0 * 0.5
+        |       THEN (1.0 - (2.0 * 0.5) / nrm) / (1.0 + 2.0 * (1.0 - 0.5))
+        |       ELSE 0.0 END AS shrink FROM sh),
         |u AS (SELECT 'l_extendedprice' AS response, m1 AS my,
-        |        ((((c1 / sdx) / sd1) / (1 + 2.0)) / sdx) * sd1 AS b, mx FROM s
+        |        cs1 * shrink / sdx * sd1 AS b, mx FROM u0
         |  UNION ALL SELECT 'l_tax', m2,
-        |        ((((c2 / sdx) / sd2) / (1 + 2.0)) / sdx) * sd2, mx FROM s)
+        |        cs2 * shrink / sdx * sd2, mx FROM u0)
         |SELECT response, round(my - b * mx, 4) + 0 AS a0, round(b, 8) + 0 AS b
         |FROM u ORDER BY response""".stripMargin,
 
     "q_cv_predict" ->
       s"""$cvRidgeCte,
         |sel AS (SELECT lam FROM curve ORDER BY cvm, lambda_idx LIMIT 1),
-        |fmo AS (SELECT n, s1/n m1, s2/n m2, s3/n m3, sy/n my,
-        |          s11/n - (s1/n)*(s1/n) c11, s22/n - (s2/n)*(s2/n) c22,
-        |          s33/n - (s3/n)*(s3/n) c33, s12/n - (s1/n)*(s2/n) c12,
-        |          s13/n - (s1/n)*(s3/n) c13, s23/n - (s2/n)*(s3/n) c23,
-        |          s1y/n - (s1/n)*(sy/n) e1, s2y/n - (s2/n)*(sy/n) e2,
-        |          s3y/n - (s3/n)*(sy/n) e3
-        |        FROM tot),
-        |fg AS (SELECT lam, m1, m2, m3, my,
-        |         sqrt(c11) sd1, sqrt(c22) sd2, sqrt(c33) sd3,
-        |         1 + lam AS a11, c12/(sqrt(c11)*sqrt(c22)) AS a12,
-        |         c13/(sqrt(c11)*sqrt(c33)) AS a13, 1 + lam AS a22,
-        |         c23/(sqrt(c22)*sqrt(c33)) AS a23, 1 + lam AS a33,
-        |         e1/sqrt(c11) AS d1, e2/sqrt(c22) AS d2, e3/sqrt(c33) AS d3
-        |       FROM fmo, sel),
-        |ft AS (SELECT *,
-        |         a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
-        |           + a13*(a12*a23 - a22*a13) AS det FROM fg),
-        |fu AS (SELECT m1, m2, m3, my,
-        |         (d1*(a22*a33 - a23*a23) - a12*(d2*a33 - a23*d3)
-        |           + a13*(d2*a23 - a22*d3)) / det / sd1 AS b1,
-        |         (a11*(d2*a33 - d3*a23) - d1*(a12*a33 - a23*a13)
-        |           + a13*(a12*d3 - d2*a13)) / det / sd2 AS b2,
-        |         (a11*(a22*d3 - d2*a23) - a12*(a12*d3 - d2*a13)
-        |           + d1*(a12*a23 - a22*a13)) / det / sd3 AS b3
-        |       FROM ft),
-        |cf AS (SELECT my - b1*m1 - b2*m2 - b3*m3 AS a0, b1, b2, b3 FROM fu)
+        |lsrc AS (SELECT 0 AS lambda_idx, lam FROM sel),
+        |$fullRidgeSolveCte
         |SELECT l_orderkey, l_linenumber,
         |       round(a0 + b1*l_quantity + b2*l_discount + b3*l_tax, 2) AS pred
         |FROM lineitem, cf WHERE l_orderkey <= 5

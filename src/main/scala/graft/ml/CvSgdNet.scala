@@ -94,10 +94,12 @@ object CvSgdNet {
       * reference restores cv_sgdnet objects with `readRDS`; this is the
       * Spark equivalent. Restored by [[CvSgdNet.load]].
       * `overwrite = false` fails on an existing path instead of
-      * silently clobbering it (the MLlib writer convention). */
+      * silently clobbering it (the MLlib writer convention; ONE root
+      * check before anything is written, never a half-written dir). */
     def save(spark: SparkSession, path: String,
              overwrite: Boolean = true): Unit = {
       import spark.implicits._
+      SgdNetModel.checkOverwrite(spark, path, overwrite)
       val bestIdx = math.max(paths.indexWhere(_ eq best), 0)
       val rows = paths.zipWithIndex.flatMap { case (p, i) =>
         p.lambda.indices.map { l =>
@@ -107,10 +109,10 @@ object CvSgdNet {
       }
       rows.toDF("path_idx", "is_best", "alpha", "lambda_idx", "lambda",
           "cvm", "cvsd", "lambda_min", "lambda_1se")
-        .repartition(1).write.mode(if (overwrite) "overwrite" else "errorifexists")
-        .parquet(s"$path/curves")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/curves")
       paths.zipWithIndex.foreach { case (p, i) =>
-        p.fit.save(spark, s"$path/model_$i", overwrite)
+        // root check already passed — inner writes overwrite freely
+        p.fit.save(spark, s"$path/model_$i")
       }
     }
   }
@@ -315,9 +317,13 @@ object CvSgdNet {
     * The fused full model is numerically the same fixed point as
     * `SgdNet.fit` (identical per-row IRLS arithmetic — see
     * `SgdNet.weightedGram`); its stats aggregate in per-fold-then-merge
-    * order, so last-ulp drift from a standalone fit is possible, while
-    * every fold score (hence the CV curve and selection) is
-    * bit-identical to the unfused implementation. */
+    * order, so last-ulp drift from a standalone fit is possible. Fold
+    * scores match the unfused implementation within the convergence
+    * tolerance: the gram-reuse free step below declares convergence
+    * against a gram computed within `thresh`-tolerance of the current
+    * coefficients — the same optimality slack a fresh-pass declaration
+    * carries (its gram is also one sub-`thresh` solve behind the
+    * returned iterate), not a bit-exactness guarantee. */
   private def cvBinomialShared(df: DataFrame, featureCols: Seq[String],
                                labelCol: String, params: SgdNetParams,
                                nfolds: Int, foldCol: Column = null,
@@ -404,9 +410,15 @@ object CvSgdNet {
         // Free first Newton step (no data pass) against the carried
         // grams. A fold whose solve does not move AT ALL (maxD == 0 —
         // typical while beta stays 0 near the top of the path) is
-        // already converged: its gram is at exactly the current
-        // coefficients, so the declaration is as sound as one made
-        // after a fresh pass. Moving folds proceed to fresh passes.
+        // declared converged. The carried gram sits within the
+        // convergence tolerance of the current coefficients (it was
+        // computed at the previous lambda's pre-final-solve iterate,
+        // < thresh away), so this declaration carries the same O(thresh)
+        // optimality slack as a fresh-pass one — coefficients within
+        // thresh of a soft-threshold activation boundary could resolve
+        // differently than an unfused run, which is inside the accuracy
+        // contract already implied by `thresh`. Moving folds proceed to
+        // fresh passes.
         if (lastGram.forall(_ != null)) {
           for (f <- 0 until F) {
             val g = lastGram(f)

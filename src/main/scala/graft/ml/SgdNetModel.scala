@@ -366,15 +366,17 @@ final class SgdNetModel(
     * by [[SgdNetModel.load]] — predictions are bit-identical (the
     * coefficient doubles round-trip exactly through parquet).
     * `overwrite = false` fails on an existing path instead of silently
-    * clobbering it (the MLlib writer convention). */
+    * clobbering it (the MLlib writer convention). The existence check
+    * runs ONCE against the root path before anything is written, so a
+    * refused save never leaves a half-written directory. */
   def save(spark: SparkSession, path: String,
            overwrite: Boolean = true): Unit = {
     import spark.implicits._
-    val mode = if (overwrite) "overwrite" else "errorifexists"
+    SgdNetModel.checkOverwrite(spark, path, overwrite)
     val coefRows = for { l <- lambda.indices; t <- 0 until nResponses }
       yield (l, t, a0(l)(t), beta(l)(t).toSeq)
     coefRows.toDF("lambda_idx", "response_idx", "a0", "beta")
-      .repartition(1).write.mode(mode).parquet(s"$path/coef")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/coef")
     Seq((family, featureNames.toSeq, responseNames.toSeq, classLabels.toSeq,
         lambda.toSeq, nulldev, devRatio.toSeq, nobs, npasses,
         params.family, params.alpha, params.nlambda, params.lambdaMinRatio,
@@ -386,11 +388,23 @@ final class SgdNetModel(
         "p_family", "p_alpha", "p_nlambda", "p_lambda_min_ratio",
         "p_lambda", "p_standardize", "p_intercept", "p_thresh", "p_maxit",
         "p_standardize_response", "p_type_multinomial")
-      .repartition(1).write.mode(mode).parquet(s"$path/meta")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 }
 
 object SgdNetModel {
+
+  /** One root-path existence check (the MLlib writer convention):
+    * refuse BEFORE anything is written, so a failed save never leaves
+    * a partially updated directory. */
+  private[ml] def checkOverwrite(spark: SparkSession, path: String,
+                                 overwrite: Boolean): Unit =
+    if (!overwrite) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) throw new IllegalArgumentException(
+        s"path $path already exists (use overwrite = true to replace it)")
+    }
 
   /** Restore a path model persisted by [[SgdNetModel!.save]]. */
   def load(spark: SparkSession, path: String): SgdNetModel = {

@@ -147,15 +147,23 @@ object Ann {
     * in BYTES, not rows: at 1536-dim doubles, 65536 rows is ~0.8 GB of
     * heap — maxTrainBytes rescales the row cap by the actual dimension
     * (default 256 MB of vectors). */
+  /** `validateDim` runs against the corpus dimension BEFORE the driver
+    * collect, so shape errors (e.g. PQ's dim % m) fail in milliseconds
+    * instead of after sampling up to `maxTrainBytes` of vectors. */
   private def trainSample(corpus: DataFrame, idCol: String, vecCol: String,
                           minRows: Long, maxTrainSample: Int,
-                          maxTrainBytes: Long): Array[Array[Double]] = {
+                          maxTrainBytes: Long,
+                          validateDim: Int => Unit = _ => ()): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val vecs = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("neighbor_id"),
         col(vecCol).cast("array<double>").as("cv"))
-    val dim = vecs.select(size(col("cv"))).head.getInt(0)
+    val first = vecs.select(size(col("cv"))).limit(1).collect()
+    require(first.nonEmpty,
+      s"ANN training corpus is empty (no non-null '$vecCol' rows)")
+    val dim = first(0).getInt(0)
+    validateDim(dim)
     val budgetRows = math.max(minRows,
       maxTrainBytes / math.max(8L * dim, 1L)).min(maxTrainSample).toInt
     vecs
@@ -251,9 +259,10 @@ object Ann {
               maxTrainSample: Int = 65536,
               maxTrainBytes: Long = 256L << 20): Array[Array[Array[Double]]] = {
     val sample = trainSample(corpus, idCol, vecCol, ksub * 8L,
-      maxTrainSample, maxTrainBytes)
+      maxTrainSample, maxTrainBytes,
+      validateDim = d =>
+        require(d % m == 0, s"dim $d must divide into m=$m subspaces"))
     val dim = sample(0).length
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
     // one codebook per subspace (independent k-means — the PQ recipe)
     Array.tabulate(m) { mi =>

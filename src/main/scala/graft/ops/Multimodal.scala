@@ -76,14 +76,18 @@ object Multimodal {
              codec: MediaCodec = StubMediaCodec): DataFrame = {
     val inSchema = df.schema
     val payloadIdx = inSchema.fieldIndex("payload")
-    val modalityIdx = inSchema.fieldIndex("modality")
+    // modality is optional for resize (callers often drop it after
+    // decode); codecs see null when absent
+    val modalityIdx = inSchema.fieldNames.indexOf("modality")
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(inSchema)
     val resized = df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { row =>
+          val modality =
+            if (modalityIdx >= 0) row.getString(modalityIdx) else null
           Row.fromSeq(row.toSeq.updated(payloadIdx,
             codec.resize(row.getAs[Array[Byte]](payloadIdx),
-              row.getString(modalityIdx), width, height)))
+              modality, width, height)))
         }
       }
     }(enc)

@@ -355,18 +355,20 @@ object PathQueries {
       .orderBy("lambda_idx")
   }
 
-  /** standardize.response (mgaussian, reference sgdnet argument): with
-    * alpha = 0 the group penalty decouples per response, so each
-    * response's ridge solution — fit on y / sd_y, coefficients scaled
-    * back — is closed form and the response-standardization EFFECT
-    * (penalty biting each response on its own scale) verifies
-    * hash-exact. */
+  /** standardize.response (mgaussian, reference sgdnet argument), at
+    * alpha = 0.5 so the flag is OBSERVABLE: the group prox couples the
+    * responses through the l2 norm of the y-STANDARDIZED gradients
+    * (at alpha = 0 the sd_y factors cancel algebraically and the
+    * output could not distinguish a broken flag). For p = 1 the group
+    * soft-threshold is still closed form:
+    * shrink = (1 - lam*alpha/||c_std||)+ / (1 + lam*(1-alpha)),
+    * b_t = c_std_t * shrink / sd_x * sd_yt. */
   def mgaussStdResp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = tbl(spark, dir, "lineitem")
     val m = SgdNet.fitMulti(li, Seq("l_quantity"),
       Seq("l_extendedprice", "l_tax"),
-      SgdNetParams(family = "mgaussian", alpha = 0.0, lambda = Array(2.0),
+      SgdNetParams(family = "mgaussian", alpha = 0.5, lambda = Array(2.0),
         standardizeResponse = true, thresh = 1e-9))
     (0 until 2).map(t => (m.responseNames(t), m.a0(0)(t), m.beta(0)(t)(0)))
       .toDF("response", "a0", "b")

@@ -313,6 +313,9 @@ class OpsSpec extends SparkSpec {
     val dims = rs.select("media.width", "media.height").distinct().collect()
     assert(dims.length == 1 && dims(0).getInt(0) == 224 && dims(0).getInt(1) == 224)
     assert(rs.filter(col("payload").isNull).count() == 0)
+    // modality is OPTIONAL for resize — callers often drop it after decode
+    val rsNoMod = Multimodal.resize(dec.drop("modality"), 64, 32)
+    assert(rsNoMod.select("media.width").distinct().head.getInt(0) == 64)
     // features: deterministic, fixed dim, in [0, 1)
     val f1 = Multimodal.featureExtract(media, dim = 8, batchSize = 2)
       .select("doc_id", "features").as[(Long, Seq[Double])].collect().toMap

@@ -103,8 +103,11 @@ class PlanSpec extends SparkSpec {
       scansOf(q.queryExecution.executedPlan)
         .map(_.metrics("numOutputRows").value).sum
     }
+    // margin 3/4 (not 1/2): the skipping granularity is parquet
+    // row-group/page stats, which shift with writer defaults — the
+    // assert is "skipping engages materially", not an exact ratio
     val (zRows, rRows) = (rowsDecoded(zdir), rowsDecoded(rdir))
-    assert(zRows * 2 <= rRows,
+    assert(zRows * 4 <= rRows * 3,
       s"z-ordered scan decoded $zRows rows vs round-robin $rRows — " +
         "min/max skipping is not engaging")
   }
