@@ -552,6 +552,50 @@ class OpsSpec extends SparkSpec {
     assert(tm.toSeq == Seq(("a", "b")), tm.mkString(";"))
   }
 
+  test("BPE merge loop agrees with a brute-force reference on random corpora") {
+    // reference: literally re-derive each merge by scanning every word's
+    // current symbol sequence — independent arithmetic from the
+    // hash-map/tiebreak implementation under test
+    def refMerges(words: Seq[(String, Long)], n: Int): Seq[(String, String, Long)] = {
+      var ws = words.map { case (w, c) => (w.map(_.toString).toList, c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      for (_ <- 0 until n if ws.exists(_._1.size > 1)) {
+        val counts = ws.flatMap { case (ss, c) =>
+          ss.zip(ss.drop(1)).map(p => (p, c))
+        }.groupBy(_._1).map { case (p, xs) => (p, xs.map(_._2).sum) }
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.toSeq.minBy { case ((a, b), m) => (-m, a, b) }
+          out += ((l, r, c))
+          ws = ws.map { case (ss, cnt) =>
+            val b = scala.collection.mutable.ListBuffer.empty[String]
+            var rest = ss
+            while (rest.nonEmpty) rest match {
+              case x :: y :: t if x == l && y == r => b += x + y; rest = t
+              case x :: t => b += x; rest = t
+              case Nil =>
+            }
+            (b.toList, cnt)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 5) {
+      val vocab = Seq.fill(12)(Seq.fill(1 + rnd.nextInt(5))(
+        ('a' + rnd.nextInt(3)).toChar).mkString)
+      val text = Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val d = Seq((1L, text)).toDF("doc_id", "text")
+      val got = Tokenizer.trainBpe(d, "text", numMerges = 6)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val wc = text.split(" ").groupBy(identity)
+        .map { case (w, xs) => (w, xs.length.toLong) }.toSeq
+      val want = refMerges(wc, 6)
+      assert(got == want, s"trial $trial: $got vs $want (text: $text)")
+    }
+  }
+
   test("URL extraction + domain stats normalize hosts and count mentions") {
     val d = Seq(
       (1L, "read https://WWW.Example.COM/a and https://example.com/b today"),
