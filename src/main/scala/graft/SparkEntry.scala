@@ -62,6 +62,7 @@ object SparkEntry {
     "q_poisson_null_fit" -> (PathQueries.poissonNullFit _),
     "q_dedup_exact"      -> (OpsQueries.dedupExact _),
     "q_dedup_minhash"    -> (OpsQueries.dedupMinhash _),
+    "q_dedup_incremental" -> (OpsQueries.dedupIncremental _),
     "q_dedup_simhash"    -> (OpsQueries.dedupSimhash _),
     "q_ngram_jaccard"    -> (OpsQueries.ngramJaccard _),
     "q_dedup_cosine"     -> (OpsQueries.dedupCosine _),

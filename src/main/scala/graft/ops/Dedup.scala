@@ -121,7 +121,8 @@ object Dedup {
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
-        if (text == null) (id, Array.empty[String], Array.empty[String])
+        if (text == null)
+          (id, Array.empty[String], Array.empty[String], Array.empty[String])
         else {
           val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
           val n = math.max(ws.length - w, 0)
@@ -172,10 +173,10 @@ object Dedup {
             buckets(b) = md5Hex(sb.toString)
             b += 1
           }
-          (id, sh, buckets)
+          (id, sh, if (sh.isEmpty) Array.empty[String] else sig, buckets)
         }
       }
-      .toDF("__id", "sh", "buckets")
+      .toDF("__id", "sh", "sig", "buckets")
   }
 
   /** @param maxBucketSize drop band buckets larger than this before the
@@ -225,6 +226,94 @@ object Dedup {
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------- incremental dedup
+
+  /** Banded minhash INDEX of a corpus — the reusable artifact for
+    * INCREMENTAL dedup: dedup each new batch against the historical
+    * corpus without re-scanning it (the production crawl-ingest shape).
+    * One signature-sized row per doc: (id, sig, buckets) — the raw text
+    * and shingle sets do NOT ride along, so the index is
+    * numHashes x 32 hex chars per doc at any corpus size. Persist with
+    * [[saveMinhashIndex]]; probe with [[minhashLshIncremental]]. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   bands: Int = 4, rowsPerBand: Int = 3,
+                   shingleWidth: Int = 3): DataFrame =
+    shingleSetsWithBuckets(df, idCol, textCol, shingleWidth, bands,
+      rowsPerBand)
+      .select(col("__id").as("id"), col("sig"), col("buckets"))
+
+  /** Persist a minhash index as parquet (overwrite = false refuses an
+    * existing path, like the model writers). */
+  def saveMinhashIndex(index: DataFrame, path: String,
+                       overwrite: Boolean = true): Unit =
+    index.write.mode(if (overwrite) "overwrite" else "errorifexists")
+      .parquet(path)
+
+  /** Restore a minhash index persisted by [[saveMinhashIndex]]. */
+  def loadMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("id").cast("long"), col("sig").cast("array<string>"),
+        col("buckets").cast("array<string>"))
+
+  /** Near-dups of `newDocs` AGAINST an existing [[minhashIndex]] —
+    * incremental dedup without touching the indexed corpus text.
+    * Candidates come from the band-bucket join (minimal (id, band,
+    * bucket) projections, the only wide shuffle); similarity is the
+    * signature-estimated Jaccard (fraction of agreeing minhashes — the
+    * standard index-probe estimate; the indexed shingle sets are gone
+    * by design, so exact verification is impossible and unnecessary:
+    * E[estimate] = true Jaccard, with numHashes controlling variance).
+    * Returns (new_id, index_id, est_jaccard) for pairs at or above
+    * `minEstJaccard`.
+    *
+    * Scale notes (100 TB): the index is signature-sized; per-batch cost
+    * is one kernel pass over the BATCH plus the bucket join, and
+    * `maxBucketSize` caps degenerate boilerplate buckets exactly like
+    * [[minhashLsh]]. The bands/rowsPerBand/shingleWidth MUST match the
+    * index build (bucket strings are md5 of signature slices). */
+  def minhashLshIncremental(index: DataFrame, newDocs: DataFrame,
+                            idCol: String, textCol: String,
+                            bands: Int = 4, rowsPerBand: Int = 3,
+                            minEstJaccard: Double = 0.6,
+                            shingleWidth: Int = 3,
+                            maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val probe = minhashIndex(newDocs, idCol, textCol, bands, rowsPerBand,
+      shingleWidth).localCheckpoint(false)
+    val ix = index.select(col("id").as("index_id"),
+      col("sig").as("sig_i"), col("buckets").as("buckets_i"))
+    val ib0 = ix.select(col("index_id"),
+      posexplode(col("buckets_i")).as(Seq("band", "bucket")))
+    val ib =
+      if (maxBucketSize == Int.MaxValue) ib0
+      else {
+        val ok = ib0.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("sz"))
+          .filter(col("sz") <= maxBucketSize)
+          .select(col("band"), col("bucket"))
+        ib0.join(ok, Seq("band", "bucket"), "left_semi")
+      }
+    val pb = probe.select(col("id").as("new_id"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val cands = ib.join(pb, Seq("band", "bucket"))
+      .filter(col("new_id") =!= col("index_id"))
+      .select(col("new_id"), col("index_id"))
+      .distinct()
+    // signature-estimated Jaccard via codegen'd zip_with + aggregate —
+    // no UDF, no shuffle beyond the key joins
+    cands
+      .join(probe.select(col("id").as("new_id"), col("sig").as("sig_n")), "new_id")
+      .join(ix.select(col("index_id"), col("sig_i")), "index_id")
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_n"), col("sig_i"),
+            (a, b) => when(a === b, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("new_id"), col("index_id"), col("est_jaccard"))
   }
 
   /** All-pairs n-gram Jaccard via inverted-index join (pairs must share at

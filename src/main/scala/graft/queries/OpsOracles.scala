@@ -674,6 +674,54 @@ object OpsOracles {
         |  FROM gh)
         |SELECT doc_id, unnest(fps) AS fp FROM wins ORDER BY doc_id, fp""".stripMargin.trim,
 
+    // index-probe incremental dedup: original docs are the index, the
+    // shortened copies the new batch; candidates from the band-bucket
+    // join, similarity = fraction of agreeing minhash signatures
+    "q_dedup_incremental" ->
+      """
+        |WITH idocs AS (SELECT doc_id AS id, text FROM documents),
+        |ndocs AS (
+        |  SELECT doc_id + 100000 AS id,
+        |         array_to_string(list_slice(w, 1, len(w) - 5), ' ') AS text
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w FROM documents)),
+        |ish AS (
+        |  SELECT id, list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS shingles
+        |  FROM (SELECT id, string_split(lower(trim(text)), ' ') w FROM idocs)),
+        |nsh AS (
+        |  SELECT id, list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS shingles
+        |  FROM (SELECT id, string_split(lower(trim(text)), ' ') w FROM ndocs)),
+        |imh AS (
+        |  SELECT id, s, min(md5(s::varchar || '|' || u.sh2)) AS sig
+        |  FROM ish, generate_series(0, 11) AS g(s), unnest(ish.shingles) AS u(sh2)
+        |  GROUP BY id, s),
+        |nmh AS (
+        |  SELECT id, s, min(md5(s::varchar || '|' || u.sh2)) AS sig
+        |  FROM nsh, generate_series(0, 11) AS g(s), unnest(nsh.shingles) AS u(sh2)
+        |  GROUP BY id, s),
+        |isv AS (SELECT id, array_agg(sig ORDER BY s) AS sigs FROM imh GROUP BY id),
+        |nsv AS (SELECT id, array_agg(sig ORDER BY s) AS sigs FROM nmh GROUP BY id),
+        |ibd AS (
+        |  SELECT id, b, md5(sigs[b*3+1] || ',' || sigs[b*3+2] || ',' || sigs[b*3+3]) AS bucket
+        |  FROM isv, generate_series(0, 3) AS g(b)),
+        |nbd AS (
+        |  SELECT id, b, md5(sigs[b*3+1] || ',' || sigs[b*3+2] || ',' || sigs[b*3+3]) AS bucket
+        |  FROM nsv, generate_series(0, 3) AS g(b)),
+        |cand AS (
+        |  SELECT DISTINCT n.id AS new_id, i.id AS index_id
+        |  FROM nbd n JOIN ibd i ON n.b = i.b AND n.bucket = i.bucket
+        |  WHERE n.id <> i.id),
+        |est AS (
+        |  SELECT new_id, index_id,
+        |    list_sum(list_transform(generate_series(1, 12),
+        |      k -> CASE WHEN a.sigs[k] = b.sigs[k] THEN 1.0 ELSE 0.0 END)) / 12
+        |      AS ej
+        |  FROM cand JOIN nsv a ON cand.new_id = a.id
+        |            JOIN isv b ON cand.index_id = b.id)
+        |SELECT new_id, index_id, round(ej, 4) AS est_jaccard
+        |FROM est WHERE ej >= 0.5 ORDER BY new_id, index_id""".stripMargin.trim,
+
     "q_dedup_cluster" ->
       s"""$nearDupClusterCte
         |SELECT id AS doc_id, min(r) AS cluster_id

@@ -247,6 +247,25 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup: the ORIGINAL documents are indexed
+    * (signature-sized minhash index, no text retained); the shortened
+    * near-dup copies arrive as the "new batch" and probe the index.
+    * Every step — signatures, band buckets, the estimate — is md5
+    * arithmetic, so the whole index-probe chain has an exact oracle. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val index = Dedup.minhashIndex(docs, "doc_id", "text",
+      bands = 4, rowsPerBand = 3)
+    val w = Dedup.words(col("text"))
+    val newBatch = docs.select((col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(w, lit(1), size(w) - 5)).as("text"))
+    Dedup.minhashLshIncremental(index, newBatch, "doc_id", "text",
+        bands = 4, rowsPerBand = 3, minEstJaccard = 0.5)
+      .select(col("new_id"), col("index_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("new_id", "index_id")
+  }
+
   /** Dedup DECISION table over the near-dup clusters: one keeper per
     * cluster by (score desc, id asc) — the keep/drop list a pipeline
     * actually executes on. Score = text length (engine-portable), so

@@ -368,6 +368,43 @@ class OpsSpec extends SparkSpec {
     assert(stub.map(_.getString(0)).toSeq == Seq("png"))
   }
 
+  test("incremental dedup probes a persisted minhash index") {
+    val corpus = docs // 4 docs, 1 and 4 identical
+    val index = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val path = s"/tmp/graft-mh-index-${java.util.UUID.randomUUID().toString.take(8)}"
+    Dedup.saveMinhashIndex(index, path)
+    val loaded = Dedup.loadMinhashIndex(spark, path)
+    // round-trip: identical signatures and buckets
+    val a = index.orderBy("id").collect().map(_.toSeq)
+    val b = loaded.orderBy("id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "index must round-trip exactly")
+    // a new batch containing an exact copy of doc 1 (id 100) and an
+    // unrelated doc (id 101): the copy must hit doc 1 (and its dup 4)
+    // with estimate 1.0; the unrelated doc must hit nothing
+    val newBatch = Seq(
+      (100L, docs.filter(col("doc_id") === 1).head.getString(1)),
+      (101L, "entirely unrelated words about volcanoes and glaciers today")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.minhashLshIncremental(loaded, newBatch, "doc_id", "text",
+        minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byNew = hits.groupBy(_._1)
+    // the exact copy hits its source and the source's duplicate with
+    // estimate exactly 1.0 (all signatures agree); near-dup corpus
+    // members may also surface, always above the floor
+    assert(Set(1L, 4L).subsetOf(byNew(100L).map(_._2).toSet), hits.mkString(";"))
+    assert(byNew(100L).filter(h => h._2 == 1L || h._2 == 4L).forall(_._3 == 1.0),
+      "exact copy -> all signatures agree")
+    assert(byNew(100L).forall(_._3 >= 0.5))
+    assert(!byNew.contains(101L), "unrelated doc must not match")
+    // incremental probe agrees with self-join minhashLsh on the same pairs
+    val joint = corpus.unionAll(newBatch)
+    val self = Dedup.minhashLsh(joint, "doc_id", "text", threshold = 0.0)
+      .filter(col("id_b") === 100L)
+      .select(col("id_a")).collect().map(_.getLong(0)).toSet
+    assert(byNew(100L).map(_._2).toSet.subsetOf(self + 100L))
+  }
+
   test("connected components: pairs collapse to min-id clusters") {
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (3L, 7L))
       .toDF("id_a", "id_b")
