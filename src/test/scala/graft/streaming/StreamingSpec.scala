@@ -111,6 +111,45 @@ class StreamingSpec extends SparkSpec {
     assert(batch == StreamDedup.simhash64(a))
   }
 
+  test("streaming incremental dedup: foreachBatch probes the static minhash index") {
+    // the continuous-ingest shape: a STATIC signature-sized index of the
+    // historical corpus, each arriving micro-batch probed against it via
+    // the batch operator inside foreachBatch — identical semantics to
+    // the batch probe by construction, demonstrated end-to-end here
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about spark catalyst optimizer rules engine"))
+      .toDF("doc_id", "text")
+    val index = graft.ops.Dedup.minhashIndex(corpus, "doc_id", "text")
+      .localCheckpoint(true)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.ops.Dedup
+          .minhashLshIncremental(index, batch, "doc_id", "text",
+            minEstJaccard = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        ()
+      }
+      .start()
+    input.addData(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "unrelated words about volcanoes and glaciers in the far north"))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == Set((10L, 1L, 1.0)), got.mkString(";"))
+    // and the streaming path agrees with the direct batch probe
+    val batchHits = graft.ops.Dedup.minhashLshIncremental(index,
+        Seq((10L, "the quick brown fox jumps over the lazy dog again and again today"),
+          (11L, "unrelated words about volcanoes and glaciers in the far north"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.toSet == batchHits)
+  }
+
   test("stream-stream enrichment joins right events within the lookback") {
     implicit val sqlCtx = spark.sqlContext
     val lIn = MemoryStream[(Long, Timestamp, String)]
