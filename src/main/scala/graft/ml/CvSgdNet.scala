@@ -292,7 +292,7 @@ object CvSgdNet {
         }
         avg(when(col("__fold") === f, abs(label - eta))).as(s"m_${f}_$l")
       }
-      val row = withFold.agg(cells.head, cells.tail: _*).head
+      val row = withFold.agg(cells.head, cells.tail: _*).head()
       for (f <- 0 until nfolds; l <- 0 until L)
         // an EMPTY fold averages to NULL — degrade to NaN like the
         // moment-based scores do, instead of NPE-ing the whole CV
@@ -810,7 +810,7 @@ object CvSgdNet {
       }
     }
     val row = test.agg(cols.head.as("c0"),
-      cols.tail.zipWithIndex.map { case (c, i) => c.as(s"c${i + 1}") }: _*).head
+      cols.tail.zipWithIndex.map { case (c, i) => c.as(s"c${i + 1}") }: _*).head()
     Array.tabulate(L)(row.getDouble)
   }
 

@@ -120,7 +120,7 @@ object SgdNetPipelineModel extends MLReadable[SgdNetPipelineModel] {
   private class Reader extends MLReader[SgdNetPipelineModel] {
     override def load(path: String): SgdNetPipelineModel = {
       implicit val formats: Formats = DefaultFormats
-      val metaStr = sparkSession.read.text(s"$path/metadata").head.getString(0)
+      val metaStr = sparkSession.read.text(s"$path/metadata").head().getString(0)
       val uid = (parse(metaStr) \ "uid").extract[String]
       new SgdNetPipelineModel(uid, SgdNetModel.load(sparkSession, s"$path/model"))
     }

@@ -297,29 +297,29 @@ final class SgdNetModel(
     val label = col(responseNames(0))
     (family, measure) match {
       case ("gaussian", "mse" | "deviance") =>
-        df.agg(avg(pow(label - linkColFor(a0v(0), betaV(0)), 2))).head.getDouble(0)
+        df.agg(avg(pow(label - linkColFor(a0v(0), betaV(0)), 2))).head().getDouble(0)
       case ("gaussian", "mae") =>
-        df.agg(avg(abs(label - linkColFor(a0v(0), betaV(0))))).head.getDouble(0)
+        df.agg(avg(abs(label - linkColFor(a0v(0), betaV(0))))).head().getDouble(0)
       case ("mgaussian", ms @ ("mse" | "deviance" | "mae")) =>
         val terms = (0 until nResponses).map { t =>
           val d = col(responseNames(t)).cast("double") - linkColFor(a0v(t), betaV(t))
           if (ms == "mae") abs(d) else pow(d, 2)
         }
-        df.agg(avg(terms.reduce(_ + _))).head.getDouble(0)
+        df.agg(avg(terms.reduce(_ + _))).head().getDouble(0)
       case ("binomial", "deviance") =>
         val y = (label.cast("string") === lit(classLabels(1))).cast("double")
         val pc = least(greatest(responseColFor(a0v, betaV), lit(1e-5)), lit(1.0 - 1e-5))
         df.agg(avg(lit(-2.0) * (y * log(pc) + (lit(1.0) - y) * log(lit(1.0) - pc))))
-          .head.getDouble(0)
+          .head().getDouble(0)
       case ("binomial", "mse") =>
         val y = (label.cast("string") === lit(classLabels(1))).cast("double")
-        df.agg(avg(lit(2.0) * pow(responseColFor(a0v, betaV) - y, 2))).head.getDouble(0)
+        df.agg(avg(lit(2.0) * pow(responseColFor(a0v, betaV) - y, 2))).head().getDouble(0)
       case ("binomial", "mae") =>
         val y = (label.cast("string") === lit(classLabels(1))).cast("double")
-        df.agg(avg(lit(2.0) * abs(responseColFor(a0v, betaV) - y))).head.getDouble(0)
+        df.agg(avg(lit(2.0) * abs(responseColFor(a0v, betaV) - y))).head().getDouble(0)
       case ("binomial" | "multinomial", "class") =>
         df.agg(avg((classColFor(a0v, betaV) =!= label.cast("string")).cast("double")))
-          .head.getDouble(0)
+          .head().getDouble(0)
       case ("binomial", "auc") =>
         val y = (label.cast("string") === lit(classLabels(1))).cast("double")
         SgdNetModel.aucOf(
@@ -331,7 +331,7 @@ final class SgdNetModel(
             when(y === lit(classLabels(t)), 1.0).otherwise(0.0)
           if (ms == "mae") abs(d) else pow(d, 2)
         }
-        df.agg(avg(terms.reduce(_ + _))).head.getDouble(0)
+        df.agg(avg(terms.reduce(_ + _))).head().getDouble(0)
       case ("multinomial", "deviance") =>
         val y = label.cast("string")
         val terms = (0 until nResponses).map { t =>
@@ -339,7 +339,7 @@ final class SgdNetModel(
             lit(1.0 - 1e-5))
           when(y === lit(classLabels(t)), lit(-2.0) * log(pt)).otherwise(lit(0.0))
         }
-        df.agg(avg(terms.reduce(_ + _))).head.getDouble(0)
+        df.agg(avg(terms.reduce(_ + _))).head().getDouble(0)
       case (f, ms) =>
         throw new IllegalArgumentException(s"unsupported measure $ms for family $f")
     }

@@ -374,7 +374,7 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = corpus.filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).head.getInt(0)
+      .select(size(col(vecCol))).head().getInt(0)
     val pl = planesMd5(dim, tables, bits)
     val bcP = spark.sparkContext.broadcast(pl)
     // null vectors can't bucket — excluded, like the HOF formulation's

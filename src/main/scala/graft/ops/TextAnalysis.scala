@@ -252,7 +252,7 @@ object TextAnalysis {
       }
       .toDF("__id", "dl", "tfs")
       .localCheckpoint(false) // feeds stats, tf rows; GC-freed
-    val stats = perDoc.agg(count(lit(1)).cast("double"), avg(col("dl"))).head
+    val stats = perDoc.agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
     val n = stats.getDouble(0)
     val avgLen = stats.getDouble(1)
     val tf = perDoc
@@ -318,7 +318,7 @@ object TextAnalysis {
     val c1 = c2.groupBy(substring_index(col("b"), " ", 1).as("w1"))
       .agg(sum(col("c2")).as("c1"))
     val v = corpus.select(explode(Dedup.words(col(textCol))).as("w"))
-      .agg(countDistinct(col("w")).cast("double")).head.getDouble(0)
+      .agg(countDistinct(col("w")).cast("double")).head().getDouble(0)
     // left joins: a held-out bigram (or even prefix word) absent from
     // the corpus still scores — that is exactly what smoothing is for
     bigramArr(docs, idCol, textCol)

@@ -208,7 +208,7 @@ object MlQueries {
     val li = tbl(spark, dir, "lineitem")
     val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
       SgdNetParams(alpha = 1.0, lambda = Array(0.0), thresh = 1e-9))
-    val mse = li.agg(avg(pow(col("l_extendedprice") - m.linkCol(0), 2))).head.getDouble(0)
+    val mse = li.agg(avg(pow(col("l_extendedprice") - m.linkCol(0), 2))).head().getDouble(0)
     Seq(mse).toDF("mse").withColumn("mse", round(log(col("mse")), 4))
   }
 
@@ -218,7 +218,7 @@ object MlQueries {
     val li = tbl(spark, dir, "lineitem")
     val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
       SgdNetParams(alpha = 1.0, lambda = Array(0.0), thresh = 1e-9))
-    val mae = li.agg(avg(abs(col("l_extendedprice") - m.linkCol(0)))).head.getDouble(0)
+    val mae = li.agg(avg(abs(col("l_extendedprice") - m.linkCol(0)))).head().getDouble(0)
     Seq(mae).toDF("mae").withColumn("mae", round(log(col("mae")), 4))
   }
 

@@ -223,7 +223,7 @@ object PathQueries {
     val li = tbl(spark, dir, "lineitem")
       .withColumn("is_r", when(col("l_returnflag") === "R", "1").otherwise("0"))
     val err = li.agg(avg((m.classCol(0) =!= col("is_r")).cast("double")))
-      .head.getDouble(0)
+      .head().getDouble(0)
     Seq(err).toDF("class_error").withColumn("class_error", round(col("class_error"), 6))
   }
 
@@ -398,7 +398,7 @@ object PathQueries {
     val li = tbl(spark, dir, "lineitem")
     val lmax = li.agg(
       (abs(covar_pop(col("l_quantity"), col("l_extendedprice"))) /
-        sqrt(var_pop(col("l_quantity")))).as("lmax")).head.getDouble(0)
+        sqrt(var_pop(col("l_quantity")))).as("lmax")).head().getDouble(0)
     val lambdas = Array.tabulate(10)(i => lmax * math.pow(0.01, i / 9.0))
     val fold = pmod(graft.ops.Sampling.hashBucket(
       col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
@@ -466,7 +466,7 @@ object PathQueries {
     val li = tbl(spark, dir, "lineitem")
     val lmax = li.agg(
       (abs(covar_pop(col("l_quantity"), col("l_extendedprice"))) /
-        sqrt(var_pop(col("l_quantity")))).as("lmax")).head.getDouble(0)
+        sqrt(var_pop(col("l_quantity")))).as("lmax")).head().getDouble(0)
     val lambdas = Array.tabulate(10)(i => lmax * math.pow(0.01, i / 9.0))
     val fold = pmod(graft.ops.Sampling.hashBucket(
       col("l_orderkey") * 100 + col("l_linenumber")), lit(5))

@@ -158,7 +158,7 @@ object EventAgg {
               state.update(cur)
               // must stay above the current watermark or the engine rejects it
               state.setTimeoutTimestamp(
-                math.max(cur.endMs + gapMs, state.getCurrentWatermarkMs + 1))
+                math.max(cur.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }

@@ -103,7 +103,7 @@ object StreamDedup {
             state.update(st)
             // evict once the watermark passes last activity + retention
             state.setTimeoutTimestamp(
-              math.max(lastTs + retentionMs, state.getCurrentWatermarkMs + 1))
+              math.max(lastTs + retentionMs, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }
