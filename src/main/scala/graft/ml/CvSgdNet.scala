@@ -177,17 +177,44 @@ object CvSgdNet {
     require(Set("deviance", "mse", "mae", "class", "auc").contains(measure),
       s"unknown type.measure '$measure' (want deviance|mse|mae|class|auc)")
     val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
-    val paths = alphaGrid.map { a =>
-      val p = params.copy(alpha = a)
+    val paths =
       if (params.family == "gaussian" &&
-          (measure == "deviance" || measure == "mse" || measure == "mae"))
-        cvGaussianOnePass(df, featureCols, labelCols.head, p, nfolds, foldCol,
-          measure)
-      else if (params.family == "binomial")
-        cvBinomialShared(df, featureCols, labelCols.head, p, nfolds, foldCol,
-          measure)
-      else cvGeneric(df, featureCols, labelCols, p, nfolds, measure, foldCol)
-    }
+          (measure == "deviance" || measure == "mse" || measure == "mae")) {
+        // ONE stats pass serves the WHOLE alpha grid AND every alpha's
+        // full-data fit: per-fold Gram moments are alpha-independent,
+        // so the alpha loop is pure driver arithmetic (mae adds one
+        // scoring aggregation per alpha — |residual| is not a moment)
+        val p = featureCols.size
+        val labelCol = labelCols.head
+        val hashCols = (featureCols :+ labelCol).map(col)
+        val withFold = df.withColumn("__fold", foldExpr(foldCol, hashCols, nfolds))
+        val rdd = withFold.select(
+            (featureCols.map(c => col(c).cast("double")) :+
+              col(labelCol).cast("double") :+ col("__fold").cast("int")): _*)
+          .rdd.map { row =>
+            val x = new Array[Double](p)
+            var j = 0
+            while (j < p) { x(j) = row.getDouble(j); j += 1 }
+            (row.getInt(p + 1), x, row.getDouble(p))
+          }
+        val zero = Array.fill(nfolds)(new GramStats(p, 1))
+        val perFold = rdd.treeAggregate(zero)(
+          seqOp = (acc, t) => { acc(t._1).add(t._2, Array(t._3)); acc },
+          combOp = (a, b) => {
+            var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a
+          },
+          depth = 2)
+        val total = new GramStats(p, 1)
+        perFold.foreach(total.merge)
+        alphaGrid.map(a => cvGaussianFromStats(withFold, perFold, total,
+          featureCols, labelCol, params.copy(alpha = a), nfolds, measure))
+      } else alphaGrid.map { a =>
+        val p = params.copy(alpha = a)
+        if (params.family == "binomial")
+          cvBinomialShared(df, featureCols, labelCols.head, p, nfolds, foldCol,
+            measure)
+        else cvGeneric(df, featureCols, labelCols, p, nfolds, measure, foldCol)
+      }
     // best path: smallest cvm at its lambdaMin
     val best = paths.minBy(p => p.cvm.min)
     CvResult(paths, best)
@@ -198,35 +225,22 @@ object CvSgdNet {
 
   // ------------------------------------------------- gaussian, one-pass CV
 
-  private def cvGaussianOnePass(df: DataFrame, featureCols: Seq[String],
-                                labelCol: String, params: SgdNetParams,
-                                nfolds: Int, foldCol: Column = null,
-                                measure: String = "mse"): CvPath = {
+  /** The per-alpha driver half of gaussian CV: everything below runs on
+    * the SHARED per-fold moments computed once in [[fit]] — the
+    * full-data path for this alpha solves from the merged total
+    * (identical arithmetic to a standalone `SgdNet.fit`, modulo
+    * per-fold-then-merge summation order), each fold's path from
+    * moment subtraction, and held-out mse/deviance are themselves
+    * moment forms. Only mae touches row data (one aggregation). */
+  private def cvGaussianFromStats(withFold: DataFrame,
+                                  perFold: Array[GramStats], total: GramStats,
+                                  featureCols: Seq[String], labelCol: String,
+                                  params: SgdNetParams, nfolds: Int,
+                                  measure: String): CvPath = {
     val p = featureCols.size
-    val full = SgdNet.fit(df, featureCols, labelCol, params) // defines lambda
+    val full = SgdNet.solveGaussianFromStats(total, featureCols, Seq(labelCol),
+      params) // defines lambda
     val lambdas = full.lambda
-
-    val hashCols = (featureCols :+ labelCol).map(col)
-    val withFold = df.withColumn("__fold", foldExpr(foldCol, hashCols, nfolds))
-    val rdd = withFold.select(
-        (featureCols.map(c => col(c).cast("double")) :+
-          col(labelCol).cast("double") :+ col("__fold").cast("int")): _*)
-      .rdd.map { row =>
-        val x = new Array[Double](p)
-        var j = 0
-        while (j < p) { x(j) = row.getDouble(j); j += 1 }
-        (row.getInt(p + 1), x, row.getDouble(p))
-      }
-
-    // one pass: per-fold GramStats
-    val zero = Array.fill(nfolds)(new GramStats(p, 1))
-    val perFold = rdd.treeAggregate(zero)(
-      seqOp = (acc, t) => { acc(t._1).add(t._2, Array(t._3)); acc },
-      combOp = (a, b) => { var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a },
-      depth = 2)
-
-    val total = new GramStats(p, 1)
-    perFold.foreach(total.merge)
 
     val L = lambdas.length
     val foldScores = Array.ofDim[Double](nfolds, L)

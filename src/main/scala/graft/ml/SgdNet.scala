@@ -346,7 +346,7 @@ object SgdNet {
   }
 
   /** Solve the full gaussian/mgaussian path from one-pass statistics. */
-  private def solveGaussianFromStats(g: GramStats, featureCols: Seq[String],
+  private[ml] def solveGaussianFromStats(g: GramStats, featureCols: Seq[String],
                                      labelCols: Seq[String],
                                      params: SgdNetParams): SgdNetModel = {
     val p = featureCols.size
