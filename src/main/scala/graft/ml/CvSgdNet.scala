@@ -686,12 +686,12 @@ object CvSgdNet {
     // scores is tiny even when the corpus is not. Below an explicit cell
     // bound (default 2^20 ≈ 32 MB), compute the ranks on the driver in
     // one collect instead of a range-partition chain (sample job + two
-    // rank passes). The probe is limit(cap + 1), so the driver never
-    // holds more than the bound; continuous-score data at scale exceeds
-    // it and takes the distributed two-pass rank below.
-    val probe = perScore.limit(
-      math.min(maxLocalCells + 1, Int.MaxValue.toLong).toInt).collect()
-    if (probe.length <= maxLocalCells) {
+    // rank passes). The size gate is a count() — it materializes the
+    // persisted aggregate (which BOTH paths then reuse from cache) and
+    // transfers no rows, so continuous-score data at scale pays nothing
+    // before taking the distributed two-pass rank below.
+    if (perScore.count() <= maxLocalCells) {
+      val probe = perScore.collect()
       perScore.unpersist(blocking = false)
       val np = Array.fill(nGroups)(0.0)
       val total = Array.fill(nGroups)(0.0)

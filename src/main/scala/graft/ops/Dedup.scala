@@ -273,7 +273,14 @@ object Dedup {
     * is one kernel pass over the BATCH plus the bucket join, and
     * `maxBucketSize` caps degenerate boilerplate buckets exactly like
     * [[minhashLsh]]. The bands/rowsPerBand/shingleWidth MUST match the
-    * index build (bucket strings are md5 of signature slices). */
+    * index build (bucket strings are md5 of signature slices).
+    *
+    * ID CONTRACT: ids MUST be globally unique across the index and
+    * every probed batch (the self-pair guard filters `new_id =!=
+    * index_id`, so a batch doc that REUSES an indexed doc's id would
+    * silently lose its genuine near-duplicate pair). When id spaces are
+    * allocated independently, disambiguate before probing — e.g. offset
+    * batch ids past the index max, or carry a namespace in the id. */
   def minhashLshIncremental(index: DataFrame, newDocs: DataFrame,
                             idCol: String, textCol: String,
                             bands: Int = 4, rowsPerBand: Int = 3,
@@ -609,19 +616,24 @@ object Dedup {
     // eager localCheckpoint: materializes AND truncates lineage — without
     // it every action below re-analyzes the full upstream plan (e.g. the
     // whole minhash pipeline), and planning overhead dwarfs the work
+    // null endpoints are dropped up front so BOTH paths below see the
+    // same edge set (the distributed joins would silently drop null
+    // keys; the driver union-find would NPE on getLong)
     val p = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst")).localCheckpoint(true)
+      col(bCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true)
     // Small-graph fast path: below an EXPLICIT pair bound (default 2^20
     // pairs = 16 MB of longs — the same bounded-collect budget as the
     // ANN training sample), solve with driver union-find: identical
     // labels (min id per component), two jobs total instead of
-    // 3-4 shuffle jobs PER ROUND. The probe is limit(cap + 1), so the
-    // driver never holds more than the bound regardless of graph size;
-    // a 100 TB corpus whose pair graph exceeds it takes the distributed
-    // loop below — the cutover is a size check, not a semantic change.
-    val probe = p.limit(
-      math.min(maxLocalEdges + 1, Int.MaxValue.toLong).toInt).collect()
-    if (probe.length <= maxLocalEdges) {
+    // 3-4 shuffle jobs PER ROUND. The size gate is a count() on the
+    // already-checkpointed blocks (~free, no row transfer), so a
+    // 100 TB pair graph pays no wasted collect before taking the
+    // distributed loop below — the cutover is a size check, not a
+    // semantic change.
+    if (p.count() <= maxLocalEdges) {
+      val probe = p.collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

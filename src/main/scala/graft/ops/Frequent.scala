@@ -83,7 +83,12 @@ object Frequent {
     // ONE bounded computation of the candidate set (limit cap + 1, so
     // the driver never holds more than the broadcast budget): the
     // collected array both answers the size probe and feeds the
-    // broadcast join, instead of computing pass 1 twice
+    // broadcast join, instead of computing pass 1 twice. Deliberate
+    // tradeoff vs a count()-gate: `cand` is NOT persisted (it would be
+    // corpus-scale pressure for a set we expect to be small), so a
+    // count-first gate would recompute the full pass-1 corpus scan on
+    // the fast path — strictly worse than the one capped (≤ ~32 MB)
+    // transfer this probe wastes in the rare degenerate-pruning case.
     val candArr = cand.limit(
       math.min(maxCandidates + 1, Int.MaxValue.toLong).toInt).collect()
     if (candArr.length > maxCandidates) {

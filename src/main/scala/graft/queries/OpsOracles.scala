@@ -84,10 +84,16 @@ object OpsOracles {
                |  SELECT $k::INT AS rank, l, r, cnt,
                |         $T||l||$T||$T||r||$T AS pat, $T||l||r||$T AS rep
                |  FROM p$k ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+      // LEFT JOIN ON TRUE + coalesce: when merge step k finds no pair
+      // at all (corpus exhausted before numMerges), m_k is empty and a
+      // cross join would empty the whole rewrite chain; this passes
+      // symbols through unchanged instead — exactly what the Tokenizer
+      // does when it stops merging early.
       if (k < numMerges - 1)
         b ++= s""",
                  |w${k + 1} AS MATERIALIZED (
-                 |  SELECT replace(w.s, m.pat, m.rep) AS s, w.c FROM w$k w, m$k m)""".stripMargin
+                 |  SELECT coalesce(replace(w.s, m.pat, m.rep), w.s) AS s, w.c
+                 |  FROM w$k w LEFT JOIN m$k m ON TRUE)""".stripMargin
     }
     b.result()
   }
@@ -115,10 +121,12 @@ object OpsOracles {
              |  SELECT doc_id, regexp_replace(w, '(.)', $T||'\\1'||$T, 'g') AS s
              |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
              |        FROM documents WHERE doc_id < $maxDocId))""".stripMargin
+    // same empty-merge-step robustness as the training chain
     for (k <- 0 until numMerges)
       b ++= s""",
                |dw${k + 1} AS MATERIALIZED (
-               |  SELECT doc_id, replace(d.s, m.pat, m.rep) AS s FROM dw$k d, m$k m)""".stripMargin
+               |  SELECT doc_id, coalesce(replace(d.s, m.pat, m.rep), d.s) AS s
+               |  FROM dw$k d LEFT JOIN m$k m ON TRUE)""".stripMargin
     b ++= s"""
              |SELECT d.doc_id, coalesce(t.n, 0)::BIGINT AS bpe_tokens
              |FROM (SELECT doc_id FROM documents WHERE doc_id < $maxDocId) d
