@@ -117,7 +117,14 @@ object SparkEntry {
     "q_profile"          -> (OpsQueries.profileQ _),
     "q_heavy_tokens"     -> (OpsQueries.heavyTokensQ _),
     "q_shard_manifest"   -> (OpsQueries.shardManifest _),
-    "q_budget_select"    -> (OpsQueries.budgetSelect _)
+    "q_budget_select"    -> (OpsQueries.budgetSelect _),
+    "q_funnel"           -> (EventQueries.funnelQ _),
+    "q_retention"        -> (EventQueries.retentionQ _),
+    "q_corr"             -> (OpsQueries.corrMatrix _),
+    "q_mixture_sample"   -> (OpsQueries.mixtureSample _),
+    "q_kmeans"           -> (OpsQueries.kmeansQ _),
+    "q_rollup"           -> (OpsQueries.rollupQ _),
+    "q_pivot"            -> (OpsQueries.pivotQ _)
   )
 
   private val fixedPathValues =

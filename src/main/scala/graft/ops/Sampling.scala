@@ -37,6 +37,41 @@ object Sampling {
     df.filter(hashBucket(keyCol) < math.round(frac * MOD))
   }
 
+  /** Mixture rebalancing: keep ~`targets(domain)` rows per domain,
+    * deriving each domain's sampling rate from its OBSERVED count at
+    * runtime — the domain-reweighting step of a training-data mixture
+    * (e.g. "cap web crawl at 2B docs, keep all of wikipedia"). Domains
+    * absent from `targets` are dropped; a target at or above the
+    * observed count keeps the whole domain.
+    *
+    * The per-domain threshold is `min(2^32, (target * 2^32) div n)` —
+    * PURE integer arithmetic (target * 2^32 ≤ ~9.2e18 fits a long for
+    * targets up to ~2.1e9), so the kept set is engine-exact, unlike a
+    * float rate whose threshold could round differently per engine.
+    *
+    * Shape: one count aggregation over the domain column (tiny result,
+    * broadcast back) + the narrow hash filter. No corpus shuffle. */
+  def mixtureSample(df: DataFrame, keyCol: Column, domainCol: Column,
+                    targets: Map[String, Long]): DataFrame = {
+    require(targets.values.forall(_ >= 0), "targets must be >= 0")
+    require(targets.values.forall(_ <= Long.MaxValue / MOD),
+      s"targets must be <= ${Long.MaxValue / MOD} (threshold stays in long range)")
+    val counts = df.groupBy(domainCol.as("__domain"))
+      .agg(count(lit(1)).as("__n"))
+    val targetNum = targets.foldLeft(lit(-1L)) { case (acc, (d, t)) =>
+      when(col("__domain") === lit(d), lit(t * MOD)).otherwise(acc)
+    }
+    // `div` is INTEGRAL division (a float quotient + floor could round
+    // across an integer boundary and flip a row's membership)
+    val thr = counts.select(col("__domain"), col("__n"), targetNum.as("__num"))
+      .select(col("__domain"),
+        when(col("__num") < 0, lit(-1L))
+          .otherwise(least(lit(MOD), expr("__num div __n"))).as("__thr"))
+    df.join(broadcast(thr), domainCol === col("__domain"))
+      .filter(hashBucket(keyCol) < col("__thr"))
+      .drop("__domain", "__thr")
+  }
+
   /** Stratified sampling: per-stratum fractions over a stratum column
     * (e.g. downsample dominant languages, upweight rare sources). Rows
     * in strata missing from `fracs` are dropped. */

@@ -56,4 +56,16 @@ object EventQueries {
       .orderBy("event_id")
   }
 
+  /** Strict-order view → click → purchase funnel per user (timestamps
+    * + step count — pure min-aggregation/join chain, engine-exact). */
+  def funnelQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Analytics.funnel(events(spark, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
+  /** Weekly cohort retention triangle over events. */
+  def retentionQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Analytics.weeklyRetention(events(spark, dir), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+
 }

@@ -177,7 +177,142 @@ object OpsOracles {
       |  UNION
       |  SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id)""".stripMargin.trim
 
+  /** q_kmeans: Lloyd's iterations mechanically UNROLLED into CTEs (the
+    * same generated-SQL trick as the BPE chain). Exactness argument,
+    * mirrored in [[graft.ops.KMeans.lloyd]]:
+    *   - `xm` micro-quantization is integer-exact on both engines;
+    *   - centroid updates are HUGEINT sums (DuckDB auto-widens
+    *     sum(BIGINT)) divided once in double — bit-identical to Spark's
+    *     long sums + one IEEE division;
+    *   - the distance is a LEFT-ASSOCIATED `+` chain over dimensions,
+    *     term-for-term the kernel's left-to-right loop, so doubles
+    *     match bit-for-bit and the argmin (row_number with the
+    *     cluster-index tiebreak) picks the same cluster. */
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    def dist(v: String, c: String): String =
+      (1 to dim).map(i =>
+        s"($v.xm[$i]::DOUBLE - $c.c[$i]) * ($v.xm[$i]::DOUBLE - $c.c[$i])")
+        .mkString(" + ")
+    val sums = (1 to dim).map(i => s"sum(xm[$i]) AS s$i").mkString(", ")
+    val meanList = (1 to dim).map(i => s"u.s$i::DOUBLE / u.n").mkString("[", ", ", "]")
+    val b = new StringBuilder
+    b ++= s"""WITH v AS MATERIALIZED (
+             |  SELECT vec_id,
+             |         list_transform(embedding, e -> CAST(round(e::DOUBLE * 1000000.0) AS BIGINT)) AS xm
+             |  FROM embeddings),
+             |c0 AS MATERIALIZED (
+             |  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS k,
+             |         list_transform(xm, a -> a::DOUBLE) AS c
+             |  FROM (SELECT vec_id, xm FROM v ORDER BY vec_id LIMIT $k))""".stripMargin
+    for (t <- 1 to iters) {
+      b ++= s""",
+               |a$t AS MATERIALIZED (
+               |  SELECT vec_id, xm, k AS cluster FROM (
+               |    SELECT v.vec_id, v.xm, c.k,
+               |           row_number() OVER (PARTITION BY v.vec_id
+               |                              ORDER BY ${dist("v", "c")}, c.k) AS rn
+               |    FROM v, c${t - 1} c) WHERE rn = 1)""".stripMargin
+      if (t < iters)
+        b ++= s""",
+                 |u$t AS MATERIALIZED (
+                 |  SELECT cluster, count(*) AS n, $sums FROM a$t GROUP BY cluster),
+                 |c$t AS MATERIALIZED (
+                 |  SELECT p.k, CASE WHEN u.cluster IS NULL THEN p.c ELSE $meanList END AS c
+                 |  FROM c${t - 1} p LEFT JOIN u$t u ON p.k = u.cluster)""".stripMargin
+    }
+    b ++= s"""
+             |SELECT vec_id, cluster FROM a$iters ORDER BY vec_id""".stripMargin
+    b.result()
+  }
+
   val sql: Map[String, String] = Map(
+    "q_kmeans" -> kmeansSql(k = 8, iters = 3, dim = 64),
+    "q_funnel" ->
+      """
+        |WITH e AS (SELECT user_id, ts, event_type FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |       (1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+        |          + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END)::INT AS steps_completed
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin.trim,
+    "q_retention" ->
+      """
+        |WITH e AS (SELECT user_id, date_trunc('week', ts)::DATE AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, week FROM e)
+        |SELECT c.cohort_week, ((a.week - c.cohort_week) // 7)::INT AS week_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.trim,
+    "q_corr" -> {
+      val pairs = Seq(("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"), ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"), ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"))
+      def iu(c: String) = s"CAST(round($c * 100.0) AS BIGINT)"
+      val moments = pairs.zipWithIndex.flatMap { case ((a, b), i) => Seq(
+        s"count(*)::HUGEINT AS n_$i",
+        s"sum(${iu(a)}) AS sx_$i", s"sum(${iu(b)}) AS sy_$i",
+        s"sum(${iu(a)} * ${iu(a)}) AS sxx_$i",
+        s"sum(${iu(b)} * ${iu(b)}) AS syy_$i",
+        s"sum(${iu(a)} * ${iu(b)}) AS sxy_$i")
+      }.mkString(",\n         ")
+      val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  round((n_$i * sxy_$i - sx_$i * sy_$i)::DOUBLE /
+           |    (sqrt((n_$i * sxx_$i - sx_$i * sx_$i)::DOUBLE)
+           |     * sqrt((n_$i * syy_$i - sy_$i * sy_$i)::DOUBLE)), 6) AS corr
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m AS MATERIALIZED (
+         |  SELECT $moments
+         |  FROM lineitem)
+         |$rows
+         |ORDER BY col_a, col_b""".stripMargin.trim
+    },
+    "q_mixture_sample" ->
+      """
+        |WITH cnt AS (
+        |  SELECT source, count(*) AS n,
+        |         CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 12
+        |              WHEN 'src2' THEN 100000 WHEN 'src3' THEN 17
+        |              WHEN 'src5' THEN 1 ELSE -1 END AS tgt
+        |  FROM documents GROUP BY source),
+        |thr AS (
+        |  SELECT source,
+        |         CASE WHEN tgt < 0 THEN -1
+        |              ELSE least(4294967296, (tgt * 4294967296) // n) END AS t
+        |  FROM cnt)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN thr ON d.source = thr.source
+        |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < thr.t
+        |ORDER BY d.doc_id""".stripMargin.trim,
+    "q_rollup" ->
+      """
+        |SELECT l_returnflag, l_linestatus,
+        |       GROUPING(l_returnflag, l_linestatus)::INT AS gid,
+        |       count(*) AS n,
+        |       sum(CAST(round(l_quantity * 100.0) AS BIGINT))::BIGINT AS sum_qty_cents,
+        |       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::BIGINT AS sum_price_cents
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin.trim,
+    "q_pivot" ->
+      """
+        |SELECT source,
+        |       sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS de,
+        |       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS en,
+        |       sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS es,
+        |       sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS fr,
+        |       sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin.trim,
     "q_zorder" -> zOrderSql,
     "q_profile" -> profileSql,
     "q_bpe_merges" -> bpeMergesSql(numMerges = 20, maxVocabWords = 65536),

@@ -582,4 +582,61 @@ object OpsQueries {
         col("media.format").as("format"))
       .orderBy("doc_id")
   }
+
+  /** Exact Pearson correlation matrix over lineitem's numeric columns
+    * (decimal-exact integer moments; see [[Analytics.corrPairs]]). */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame =
+    Analytics.corrPairs(tbl(spark, dir, "lineitem"),
+        Seq(("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+          ("l_quantity", "l_tax"), ("l_extendedprice", "l_discount"),
+          ("l_extendedprice", "l_tax"), ("l_discount", "l_tax")))
+      .orderBy("col_a", "col_b")
+
+  /** Mixture rebalancing over document sources: data-dependent integer
+    * thresholds (target-count / observed-count), engine-exact kept set.
+    * src2's target exceeds every SF's source count (keep-all branch);
+    * src4 is deliberately absent (dropped-domain branch). */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(tbl(spark, dir, "documents"),
+        col("doc_id"), col("source"),
+        Map("src0" -> 5L, "src1" -> 12L, "src2" -> 100000L,
+          "src3" -> 17L, "src5" -> 1L))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  /** Distributed Lloyd's k-means (k=8, 3 assignment rounds) on the
+    * embeddings table — the full iterative fit verified row-exactly
+    * against the unrolled-CTE oracle (see [[KMeans.lloyd]]). */
+  def kmeansQ(spark: SparkSession, dir: String): DataFrame =
+    KMeans.lloyd(tbl(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 3)
+      .select(col("id").as("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+
+  /** OLAP ROLLUP with grouping ids over lineitem (subtotals + grand
+    * total in ONE Expand+aggregate pass — no self-union of per-level
+    * aggregations; money sums in exact integer cents). Spark and
+    * DuckDB share the grouping-id bitmask convention (first column =
+    * highest bit). */
+  def rollupQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val qtyC = round(col("l_quantity") * 100).cast("long")
+    val priceC = round(col("l_extendedprice") * 100).cast("long")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(qtyC).as("sum_qty_cents"),
+        sum(priceC).as("sum_price_cents"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** PIVOT: per-source document counts spread across language columns
+    * (one aggregation; absent cells 0 — integer-exact). */
+  def pivotQ(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("source")
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Funnel / retention / correlation / mixture-sampling / k-means specs
+  * on hand-computable inputs. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel enforces strict step order per user") {
+    val e = Seq(
+      // user 1 completes all three in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // user 2: purchase BEFORE click — funnel stops at click
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 09:10:00"), "purchase"),
+      (2L, ts("2024-01-01 09:20:00"), "click"),
+      // user 3: never views — not in the funnel at all
+      (3L, ts("2024-01-01 08:00:00"), "click"),
+      // user 4: click at the SAME instant as view — strict > rejects it
+      (4L, ts("2024-01-01 07:00:00"), "view"),
+      (4L, ts("2024-01-01 07:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Analytics.funnel(e, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    val steps = out.map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(steps == Map(1L -> 3, 2L -> 2, 4L -> 1))
+    // user 2's t2 is the 09:20 click (after the 09:00 view), t3 null
+    // (no purchase after 09:20)
+    val u2 = out.find(_.getLong(0) == 2L).get
+    assert(u2.getTimestamp(2) == ts("2024-01-01 09:20:00") && u2.isNullAt(3))
+  }
+
+  test("weeklyRetention cohorts by first-event week and counts offsets") {
+    val e = Seq(
+      (1L, ts("2024-01-01 12:00:00")), // Monday, cohort week 2024-01-01
+      (1L, ts("2024-01-10 12:00:00")), // week 2024-01-08 -> offset 1
+      (2L, ts("2024-01-03 12:00:00")), // same cohort week
+      (2L, ts("2024-01-17 12:00:00")), // offset 2
+      (3L, ts("2024-01-09 12:00:00"))  // cohort 2024-01-08, offset 0
+    ).toDF("user_id", "ts")
+    val out = Analytics.weeklyRetention(e, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-08", 0, 1L)))
+  }
+
+  test("corrPairs matches closed-form Pearson on exact fixed-point data") {
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 5.0), (4.0, 9.0))
+      .toDF("x", "y")
+    val out = Analytics.corrPairs(df, Seq(("x", "y")))
+      .collect().head.getDouble(2)
+    // closed form: n=4, Sx=10, Sy=20, Sxx=30, Syy=126, Sxy=61
+    val num = 4.0 * 61 - 10 * 20
+    val den = math.sqrt(4.0 * 30 - 100) * math.sqrt(4.0 * 126 - 400)
+    assert(math.abs(out - math.rint(num / den * 1e6) / 1e6) < 1e-12)
+    // perfectly correlated pair is exactly 1
+    val one = Analytics.corrPairs(
+      Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y"),
+      Seq(("x", "y"))).collect().head.getDouble(2)
+    assert(one == 1.0)
+  }
+
+  test("mixtureSample hits integer thresholds; keep-all and drop branches") {
+    val docs = (0L until 100L).map(i => (i, if (i < 80) "big" else "small"))
+      .toDF("id", "dom")
+    val out = Sampling.mixtureSample(docs, col("id"), col("dom"),
+      Map("big" -> 20L, "small" -> 1000L))
+    val kept = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "small" target exceeds its 20 rows: keep all; "big" ~20/80
+    assert(kept("small") == 20L)
+    assert(kept.getOrElse("big", 0L) >= 10L && kept("big") <= 30L)
+    // a domain absent from targets is dropped entirely
+    val dropped = Sampling.mixtureSample(docs, col("id"), col("dom"),
+      Map("small" -> 5L))
+    assert(dropped.filter(col("dom") === "big").count() == 0L)
+    // deterministic: same kept set on re-evaluation
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("KMeans.lloyd recovers well-separated clusters deterministically") {
+    // two tight blobs far apart in 3-d; k=2, init = ids 0 and 1 (one in
+    // each blob by construction)
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f)), (1L, Array(10.0f, 10.0f, 10.0f)),
+      (2L, Array(0.1f, -0.1f, 0.05f)), (3L, Array(9.9f, 10.1f, 9.95f)),
+      (4L, Array(-0.2f, 0.1f, 0.0f)), (5L, Array(10.2f, 9.8f, 10.0f))
+    ).toDF("id", "vec")
+    val out = KMeans.lloyd(pts, "id", "vec", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(0L) == out(2L) && out(2L) == out(4L))
+    assert(out(1L) == out(3L) && out(3L) == out(5L))
+    assert(out(0L) != out(1L))
+    // rerun is bit-identical (no RNG anywhere)
+    val again = KMeans.lloyd(pts, "id", "vec", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again == out)
+    // k=1 degenerates to a single cluster
+    val one = KMeans.lloyd(pts, "id", "vec", k = 1, iters = 2)
+      .select("cluster").distinct().collect()
+    assert(one.length == 1 && one.head.getInt(0) == 0)
+  }
+}
