@@ -124,7 +124,8 @@ object SparkEntry {
     "q_mixture_sample"   -> (OpsQueries.mixtureSample _),
     "q_kmeans"           -> (OpsQueries.kmeansQ _),
     "q_rollup"           -> (OpsQueries.rollupQ _),
-    "q_pivot"            -> (OpsQueries.pivotQ _)
+    "q_pivot"            -> (OpsQueries.pivotQ _),
+    "q_pagerank"         -> (OpsQueries.pagerankQ _)
   )
 
   private val fixedPathValues =

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over pair evidence (the natural follow-on to
+  * [[Dedup.connectedComponents]]: rank nodes WITHIN the near-dup /
+  * similarity graph, e.g. to pick canonical documents or weight
+  * cluster members).
+  *
+  * PageRank here is FIXED-POINT INTEGER arithmetic end to end: ranks
+  * live in nano-units (`scale` = 1e9), every contribution is integral
+  * division, every sum is a long sum — so there is NO floating point
+  * anywhere, summation order cannot matter, and the whole trajectory
+  * is bit-exact on any engine (the DuckDB oracle unrolls the
+  * iterations and reproduces it row-for-row). The cost is deterministic
+  * downward truncation: each division floors, so total mass shrinks by
+  * at most ~N nano-units per iteration — a reproducibility-for-
+  * last-digit trade the verification story is built on.
+  */
+object Graph {
+
+  /** `iters` PageRank power iterations with damping `dampNum/dampDen`
+    * (default 17/20 = 0.85) over directed edges; returns
+    * (id, pr_nano). Dangling nodes (no out-edges) leak their mass —
+    * the common SQL-PageRank simplification, fine for ranking within
+    * connected similarity graphs where every node has an edge
+    * (symmetrize undirected pair evidence first); documented rather
+    * than redistributed.
+    *
+    * Scale notes (100 TB): per iteration one key-join of edges to the
+    * rank table (shuffle on src), one grouped long-sum on dst, one
+    * left join back to nodes — the canonical distributed power-
+    * iteration shape, bounded by `iters`. Each round ends in an eager
+    * localCheckpoint (same rationale as connectedComponents: without
+    * the lineage cut, round t re-plans t join layers). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 5, dampNum: Long = 17L, dampDen: Long = 20L,
+               scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      "damping must be a fraction in [0, 1]")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "graph has no edges")
+    val teleport = ((dampDen - dampNum) * scale) / (dampDen * n)
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint(true)
+    var pr = nodes.select(col("id"), lit(scale / n).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(pr, ed("src") === pr("id"))
+        .select(col("dst"), expr("pr div deg").as("c")) // integral div: exact
+        .groupBy("dst").agg(sum(col("c")).as("s"))      // long sum: exact
+      pr = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(nodes("id"),
+          (lit(teleport) +
+            expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("id"), col("pr").cast("long").as("pr_nano"))
+  }
+}

@@ -294,6 +294,36 @@ object OpsOracles {
         |FROM documents d JOIN thr ON d.source = thr.source
         |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < thr.t
         |ORDER BY d.doc_id""".stripMargin.trim,
+    // fixed-point integer PageRank over the shared near-dup pair graph:
+    // every rank is nano-unit integral arithmetic (floor divisions,
+    // long sums), so the unrolled power iterations reproduce the Spark
+    // trajectory BIT-exactly — no float anywhere on either engine
+    "q_pagerank" -> {
+      val iters = 5
+      val b = new StringBuilder
+      b ++= s"""$nearDupClusterCte,
+               |pn AS MATERIALIZED (
+               |  SELECT id FROM (SELECT s AS id FROM e UNION SELECT d FROM e)),
+               |pdeg AS MATERIALIZED (SELECT s, count(*) AS deg FROM e GROUP BY s),
+               |ped AS MATERIALIZED (
+               |  SELECT e.s, e.d, pdeg.deg FROM e JOIN pdeg USING (s)),
+               |pcnt AS MATERIALIZED (SELECT count(*)::BIGINT AS nn FROM pn),
+               |pp0 AS MATERIALIZED (
+               |  SELECT id, (SELECT 1000000000 // nn FROM pcnt)::BIGINT AS pr FROM pn)""".stripMargin
+      for (t <- 1 to iters)
+        b ++= s""",
+                 |pc$t AS MATERIALIZED (
+                 |  SELECT ped.d, sum(p.pr // ped.deg)::BIGINT AS s2
+                 |  FROM ped JOIN pp${t - 1} p ON ped.s = p.id GROUP BY ped.d),
+                 |pp$t AS MATERIALIZED (
+                 |  SELECT pn.id,
+                 |         ((SELECT (3::BIGINT * 1000000000) // (20 * nn) FROM pcnt)
+                 |          + (17::BIGINT * coalesce(c.s2, 0)) // 20)::BIGINT AS pr
+                 |  FROM pn LEFT JOIN pc$t c ON pn.id = c.d)""".stripMargin
+      b ++= s"""
+               |SELECT id AS doc_id, pr AS pr_nano FROM pp$iters ORDER BY doc_id""".stripMargin
+      b.result()
+    },
     "q_rollup" ->
       """
         |SELECT l_returnflag, l_linestatus,

@@ -639,4 +639,17 @@ object OpsQueries {
       .agg(count(lit(1)))
       .na.fill(0L)
       .orderBy("source")
+
+  /** Fixed-point integer PageRank over the symmetrized near-dup pair
+    * graph (rank canonical documents within duplicate neighborhoods) —
+    * bit-exact on any engine, iterations unrolled in the oracle. */
+  def pagerankQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id",
+      "text", bands = 4, rowsPerBand = 3, threshold = 0.6)
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    Graph.pageRank(sym, "src", "dst", iters = 5)
+      .select(col("id").as("doc_id"), col("pr_nano"))
+      .orderBy("doc_id")
+  }
 }

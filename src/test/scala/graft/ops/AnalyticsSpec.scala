@@ -92,6 +92,34 @@ class AnalyticsSpec extends SparkSpec {
       out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("pageRank fixed-point arithmetic matches hand-computed values") {
+    // 3-cycle a->b->c->a: uniform rank is the fixed point of the
+    // integer recurrence too (teleport 3e9//(20*3)=50000000;
+    // 50000000 + (17*333333333)//20 = 333333333)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val prCyc = Graph.pageRank(cyc, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prCyc == Map(1L -> 333333333L, 2L -> 333333333L, 3L -> 333333333L))
+    // star 2->1, 3->1: node 1 is dangling (mass leaks, documented).
+    // iter 1: contrib(1) = 333333333 + 333333333; pr(1) = 50000000 +
+    // (17*666666666)//20 = 616666666; pr(2) = pr(3) = teleport only.
+    val star = Seq((2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val s1 = Graph.pageRank(star, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s1 == Map(1L -> 616666666L, 2L -> 50000000L, 3L -> 50000000L))
+    // iter 2: contrib(1) = 50000000 + 50000000; pr(1) = 50000000 +
+    // (17*100000000)//20 = 135000000
+    val s2 = Graph.pageRank(star, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s2(1L) == 135000000L && s2(2L) == 50000000L)
+    // duplicate + null edges are dropped before everything
+    val messy = Seq((Some(2L), Some(1L)), (Some(2L), Some(1L)),
+      (None, Some(1L)), (Some(3L), Some(1L))).toDF("src", "dst")
+    val m1 = Graph.pageRank(messy, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == s1)
+  }
+
   test("KMeans.lloyd recovers well-separated clusters deterministically") {
     // two tight blobs far apart in 3-d; k=2, init = ids 0 and 1 (one in
     // each blob by construction)
