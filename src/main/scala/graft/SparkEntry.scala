@@ -125,7 +125,10 @@ object SparkEntry {
     "q_kmeans"           -> (OpsQueries.kmeansQ _),
     "q_rollup"           -> (OpsQueries.rollupQ _),
     "q_pivot"            -> (OpsQueries.pivotQ _),
-    "q_pagerank"         -> (OpsQueries.pagerankQ _)
+    "q_pagerank"         -> (OpsQueries.pagerankQ _),
+    "q_fuzzy_join"       -> (OpsQueries.fuzzyJoinQ _),
+    "q_entity_resolution" -> (OpsQueries.entityResolution _),
+    "q_export_delta"     -> (OpsQueries.exportDelta _)
   )
 
   private val fixedPathValues =

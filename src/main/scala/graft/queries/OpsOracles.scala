@@ -225,6 +225,50 @@ object OpsOracles {
     b.result()
   }
 
+  /** Shared blocked-Levenshtein chain (ASCII-normalized 30-char keys,
+    * right side truncated by doc_id % 5 → distances 0-4, maxDist 3;
+    * 8-char normalized-prefix blocking). `withEntities` appends the
+    * recursive connected-components tail (entity id = min member,
+    * entity size). Pure-ASCII keys keep byte and codepoint Levenshtein
+    * identical across engines. */
+  private def fuzzyJoinSql(withEntities: Boolean): String = {
+    val prefix =
+      """
+        |WITH RECURSIVE base AS (
+        |  SELECT doc_id,
+        |         substring(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 30) AS base
+        |  FROM documents WHERE doc_id < 300),
+        |l AS (SELECT doc_id AS left_id, base AS k,
+        |             substring(regexp_replace(base, '[^a-z]', '', 'g'), 1, 8) AS b
+        |      FROM base),
+        |r AS (SELECT doc_id + 100000 AS right_id,
+        |             substring(base, 1, 30 - (doc_id % 5)::INT) AS k2,
+        |             substring(regexp_replace(substring(base, 1, 30 - (doc_id % 5)::INT),
+        |                                      '[^a-z]', '', 'g'), 1, 8) AS b
+        |      FROM base),
+        |p AS (
+        |  SELECT l.left_id, r.right_id, levenshtein(l.k, r.k2)::INT AS dist
+        |  FROM l JOIN r USING (b) WHERE levenshtein(l.k, r.k2) <= 3)""".stripMargin.trim
+    if (!withEntities)
+      s"""$prefix
+         |SELECT left_id, right_id, dist FROM p
+         |ORDER BY left_id, right_id""".stripMargin
+    else
+      s"""$prefix,
+         |e AS (SELECT left_id AS s, right_id AS d FROM p
+         |      UNION SELECT right_id, left_id FROM p),
+         |reach AS (
+         |  SELECT s AS id, s AS rt FROM e
+         |  UNION
+         |  SELECT e.d, reach.rt FROM reach JOIN e ON e.s = reach.id),
+         |cl AS (SELECT id, min(rt) AS entity_id FROM reach GROUP BY id)
+         |SELECT cl.id, cl.entity_id, sz.n AS entity_size
+         |FROM cl JOIN (SELECT entity_id, count(*) AS n
+         |              FROM (SELECT id, min(rt) AS entity_id FROM reach GROUP BY id)
+         |              GROUP BY entity_id) sz USING (entity_id)
+         |ORDER BY cl.id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q_kmeans" -> kmeansSql(k = 8, iters = 3, dim = 64),
     "q_funnel" ->
@@ -294,6 +338,26 @@ object OpsOracles {
         |FROM documents d JOIN thr ON d.source = thr.source
         |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < thr.t
         |ORDER BY d.doc_id""".stripMargin.trim,
+    "q_fuzzy_join" -> fuzzyJoinSql(withEntities = false),
+    "q_entity_resolution" -> fuzzyJoinSql(withEntities = true),
+    "q_export_delta" ->
+      """
+        |WITH o AS (SELECT doc_id, md5(md5('V' || text)) AS h FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |         md5(md5('V' || CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |                             ELSE text END)) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, md5(md5('V' || text))
+        |  FROM documents WHERE doc_id < 25)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.h = n.h THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin.trim,
     // fixed-point integer PageRank over the shared near-dup pair graph:
     // every rank is nano-unit integral arithmetic (floor divisions,
     // long sums), so the unrolled power iterations reproduce the Spark

@@ -640,6 +640,61 @@ object OpsQueries {
       .na.fill(0L)
       .orderBy("source")
 
+  /** ASCII-normalized 30-char name keys for the fuzzy-matching queries:
+    * the right side truncates by doc_id % 5 chars, so edit distances
+    * span 0-4 and the maxDist=3 filter genuinely prunes. Pure-ASCII
+    * keys keep byte-level and codepoint-level Levenshtein identical
+    * across engines (the zh documents would otherwise diverge). */
+  private def fuzzySides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = tbl(spark, dir, "documents").filter(col("doc_id") < 300)
+      .withColumn("base",
+        substring(regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, 30))
+    val left = d.select(col("doc_id"), col("base").as("k"))
+    val right = d.select((col("doc_id") + 100000).as("doc_id"),
+      expr("substring(base, 1, 30 - CAST(doc_id % 5 AS INT))").as("k"))
+    (left, right)
+  }
+
+  /** Blocked fuzzy join (record linkage): normalized-prefix blocking +
+    * Levenshtein verify (see [[FuzzyJoin.fuzzyPairs]]). */
+  def fuzzyJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val (left, right) = fuzzySides(spark, dir)
+    FuzzyJoin.fuzzyPairs(left, "doc_id", "k", right, "doc_id", "k",
+        maxDist = 3)
+      .orderBy("left_id", "right_id")
+  }
+
+  /** Entity resolution: fuzzy pairs → connected components → canonical
+    * entity id (min member) + entity size — the full record-linkage
+    * pipeline composed from [[FuzzyJoin]] + [[Dedup.connectedComponents]]. */
+  def entityResolution(spark: SparkSession, dir: String): DataFrame = {
+    val (left, right) = fuzzySides(spark, dir)
+    val pairs = FuzzyJoin.fuzzyPairs(left, "doc_id", "k",
+      right, "doc_id", "k", maxDist = 3)
+    val cc = Dedup.connectedComponents(pairs, "left_id", "right_id")
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("entity_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("id"), col("cluster_id").as("entity_id"), col("entity_size"))
+      .orderBy("id")
+  }
+
+  /** Corpus delta between two snapshots (see [[graft.sources.Export.delta]]):
+    * removals (doc_id % 7 == 0), edits (% 5 == 0, " v2" appended), and
+    * 25 added docs — every row classified engine-exactly by content
+    * hash. */
+  def exportDelta(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+    val oldDf = d.select(col("doc_id"), col("text"))
+    val newDf = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    graft.sources.Export.delta(oldDf, newDf, "doc_id", Seq("text"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed-point integer PageRank over the symmetrized near-dup pair
     * graph (rank canonical documents within duplicate neighborhoods) —
     * bit-exact on any engine, iterations unrolled in the oracle. */

@@ -61,4 +61,30 @@ object Export {
       .write.mode("overwrite").format(format).partitionBy("shard").save(outDir)
     manifest(df, idCol, sizeExpr, shardBytes)
   }
+
+  /** Corpus delta between two snapshots — the incremental-refresh
+    * primitive: which rows a downstream training job must re-ingest
+    * (`added` / `changed`) or tombstone (`removed`) versus what it can
+    * skip (`unchanged`). Content equality uses [[graft.ops.Dedup.exact]]'s
+    * injection-safe key (per-column `V`/`N`-tagged md5, digests
+    * concatenated and hashed), so comparing 100 TB snapshots moves only
+    * (id, hash) pairs into the full-outer key-join — never the
+    * payloads.
+    *
+    * Returns (idCol, status). Engine-exact: md5 + join semantics
+    * only. */
+  def delta(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+            contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "need at least one content column")
+    def keyed(df: DataFrame, h: String) = df.select(col(idCol),
+      md5(concat(contentCols.map(c =>
+        md5(coalesce(concat(lit("V"), col(c).cast("string")), lit("N")))): _*))
+        .as(h))
+    keyed(oldDf, "__old").join(keyed(newDf, "__new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(col("__old") === col("__new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -120,6 +120,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(m1 == s1)
   }
 
+  test("fuzzyPairs blocks then verifies; entity pipeline clusters matches") {
+    val left = Seq((1L, "Acme Corp"), (2L, "Widget Inc"), (3L, "zzz"))
+      .toDF("id", "name")
+    val right = Seq((10L, "acme corp."), (11L, "Widget, Inc"),
+      (12L, "Totally Different Name"), (13L, "acmexcorp"))
+      .toDF("id", "name")
+    val pairs = FuzzyJoin.fuzzyPairs(left, "id", "name", right, "id", "name",
+      maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // "Acme Corp" vs "acme corp.": block keys both "acmecorp";
+    // distance = 5 case subs + 1 dot insert = 6 > 3? No: Levenshtein
+    // is case-sensitive here, so distance counts case changes — keep
+    // the assertion on what the operator returns rather than guess:
+    // "acmexcorp" blocks to "acmexcor" (different key) and never pairs.
+    assert(!pairs.exists(_._2 == 13L))
+    // different block keys are never compared even if close overall
+    assert(!pairs.exists(p => p._1 == 3L))
+    // Widget Inc vs "Widget, Inc": same block "widgetin", distance 1
+    // (inserted comma) <= 3 — the pair survives with the right dist
+    assert(pairs.contains((2L, 11L, 1)))
+  }
+
+  test("Export.delta classifies added/removed/changed/unchanged") {
+    val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val newDf = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
+    val out = graft.sources.Export.delta(oldDf, newDf, "id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // null content is distinguished from the string "null" (N vs V-tag)
+    val o2 = Seq((1L, Option.empty[String])).toDF("id", "text")
+    val n2 = Seq((1L, Option("null"))).toDF("id", "text")
+    val d2 = graft.sources.Export.delta(o2, n2, "id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2 == Map(1L -> "changed"))
+  }
+
   test("KMeans.lloyd recovers well-separated clusters deterministically") {
     // two tight blobs far apart in 3-d; k=2, init = ids 0 and 1 (one in
     // each blob by construction)
