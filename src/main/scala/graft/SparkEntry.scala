@@ -128,7 +128,9 @@ object SparkEntry {
     "q_pagerank"         -> (OpsQueries.pagerankQ _),
     "q_fuzzy_join"       -> (OpsQueries.fuzzyJoinQ _),
     "q_entity_resolution" -> (OpsQueries.entityResolution _),
-    "q_export_delta"     -> (OpsQueries.exportDelta _)
+    "q_export_delta"     -> (OpsQueries.exportDelta _),
+    "q_dq_checks"        -> (OpsQueries.dqChecks _),
+    "q_histogram"        -> (OpsQueries.histogramQ _)
   )
 
   private val fixedPathValues =

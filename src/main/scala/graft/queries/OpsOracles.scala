@@ -338,6 +338,31 @@ object OpsOracles {
         |FROM documents d JOIN thr ON d.source = thr.source
         |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < thr.t
         |ORDER BY d.doc_id""".stripMargin.trim,
+    "q_dq_checks" ->
+      """
+        |WITH m AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v0,
+        |    sum(CASE WHEN l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END)::BIGINT AS v1,
+        |    sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END)::BIGINT AS v2,
+        |    sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END)::BIGINT AS v3,
+        |    sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)::BIGINT AS v4,
+        |    sum(CASE WHEN l_tax > 0.05 THEN 1 ELSE 0 END)::BIGINT AS v5
+        |  FROM lineitem)
+        |SELECT 'l_orderkey_not_null' AS rule, v0 AS n_violations, n AS n_rows FROM m
+        |UNION ALL SELECT 'l_quantity_in_1_50', v1, n FROM m
+        |UNION ALL SELECT 'l_discount_in_0_0.1', v2, n FROM m
+        |UNION ALL SELECT 'l_price_positive', v3, n FROM m
+        |UNION ALL SELECT 'l_returnflag_domain', v4, n FROM m
+        |UNION ALL SELECT 'l_tax_under_0.05', v5, n FROM m
+        |ORDER BY rule""".stripMargin.trim,
+    "q_histogram" ->
+      """
+        |SELECT u // 500000 AS bin, (u // 500000) * 500000 AS lo_units,
+        |       count(*) AS n, sum(u)::BIGINT AS sum_units
+        |FROM (SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT) AS u
+        |      FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |GROUP BY 1 ORDER BY bin""".stripMargin.trim,
     "q_fuzzy_join" -> fuzzyJoinSql(withEntities = false),
     "q_entity_resolution" -> fuzzyJoinSql(withEntities = true),
     "q_export_delta" ->

@@ -695,6 +695,27 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** Deequ-style data-quality sweep: every rule in ONE scan (counts —
+    * engine-exact). Rules deliberately mix passing and failing checks. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.check(tbl(spark, dir, "lineitem"), Seq(
+        "l_orderkey_not_null" -> col("l_orderkey").isNull,
+        "l_quantity_in_1_50" ->
+          (col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+        "l_discount_in_0_0.1" ->
+          (col("l_discount") < 0.0 || col("l_discount") > 0.1),
+        "l_price_positive" -> (col("l_extendedprice") <= 0.0),
+        "l_returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R"),
+        "l_tax_under_0.05" -> (col("l_tax") > 0.05)))
+      .orderBy("rule")
+
+  /** Integer-exact fixed-width histogram of l_extendedprice (cent
+    * units, $5,000 bins — floor-division bin keys, no float binning). */
+  def histogramQ(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.histogram(tbl(spark, dir, "lineitem"),
+        col("l_extendedprice"), binUnits = 500000L)
+      .orderBy("bin")
+
   /** Fixed-point integer PageRank over the symmetrized near-dup pair
     * graph (rank canonical documents within duplicate neighborhoods) —
     * bit-exact on any engine, iterations unrolled in the oracle. */

@@ -157,6 +157,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(d2 == Map(1L -> "changed"))
   }
 
+  test("DataQuality.check counts violations per rule in one pass") {
+    val df = Seq((1L, 5.0), (2L, -1.0), (3L, 200.0), (4L, 7.0))
+      .toDF("id", "v")
+    val out = DataQuality.check(df, Seq(
+        "v_nonneg" -> (col("v") < 0.0),
+        "v_under_100" -> (col("v") > 100.0),
+        "always_pass" -> lit(false)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("v_nonneg" -> (1L, 4L), "v_under_100" -> (1L, 4L),
+      "always_pass" -> (0L, 4L)))
+  }
+
+  test("DataQuality.histogram floor-bins negatives correctly") {
+    val df = Seq(-1.5, -0.01, 0.0, 0.99, 1.0, 2.49).toDF("v")
+    // cent units, bin width 100 cents: -150 -> bin -2, -1 -> bin -1,
+    // 0/99 -> bin 0, 100 -> bin 1, 249 -> bin 2
+    val out = DataQuality.histogram(df, col("v"), binUnits = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(-2L -> (-200L, 1L), -1L -> (-100L, 1L),
+      0L -> (0L, 2L), 1L -> (100L, 1L), 2L -> (200L, 1L)))
+  }
+
   test("KMeans.lloyd recovers well-separated clusters deterministically") {
     // two tight blobs far apart in 3-d; k=2, init = ids 0 and 1 (one in
     // each blob by construction)
