@@ -62,6 +62,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle: ${plan.take(400)}")
   }
 
+  test("rollup plans ONE Expand pass, not per-level self-unions") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val plan = li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .queryExecution.sparkPlan.toString
+    assert("(?s)Expand".r.findAllIn(plan).size == 1, plan.take(600))
+    assert("Union".r.findAllIn(plan).isEmpty, "rollup must not self-union")
+  }
+
+  test("corr matrix and DQ sweep are single-scan aggregations") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val corr = Analytics.corrPairs(li,
+      Seq(("l_quantity", "l_discount"), ("l_discount", "l_tax")))
+    assert(scans(corr).size == 1, "all pairs must share one scan")
+    val dq = DataQuality.check(li, Seq(
+      "a" -> col("l_quantity").isNull, "b" -> (col("l_tax") > 1.0)))
+    assert(scans(dq).size == 1, "all rules must share one scan")
+  }
+
+  test("fuzzy join is a blocked equi-join, never a cartesian product") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), substring(col("text"), 1, 20).as("k"))
+    val plan = FuzzyJoin.fuzzyPairs(docs, "doc_id", "k", docs, "doc_id", "k",
+      maxDist = 2).queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
   test("zValue interleaves bits; z-ordered files cluster 2-d ranges") {
     import graft.sources.Layout
     import spark.implicits._
