@@ -164,4 +164,47 @@ object EventAgg {
           }
       }
   }
+
+  /** A user's funnel progress: step times reached so far (epoch
+    * micros, index i = step i+1). */
+  final case class FunnelProgress(user_id: Long, steps_completed: Int,
+                                  times: Seq[Long])
+
+  /** Streaming twin of [[graft.ops.Analytics.funnel]]: per-user state
+    * is the prefix of step times reached (N longs), advanced greedily
+    * as events arrive — which equals the batch min-chain whenever each
+    * user's events arrive in event-time order (in-batch sorting handles
+    * intra-batch disorder; CROSS-batch disorder is the documented
+    * limit, the same in-order contract every incremental funnel
+    * engine states). Emits a row in Update mode whenever a user
+    * progresses.
+    *
+    * State is O(active users) x N longs — the minimal possible funnel
+    * state; no event history is retained. */
+  def funnelStream(events: Dataset[Event],
+                   steps: Seq[String]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val n = steps.size
+    // full microsecond precision: Timestamp.getTime is millis-only and
+    // would merge events that differ in the sub-ms digits
+    def micros(t: Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Long], FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[Seq[Long]]) =>
+          var times = state.getOption.getOrElse(Seq.empty[Long])
+          val before = times.size
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_type)).foreach { e =>
+            if (times.size < n && e.event_type == steps(times.size) &&
+                (times.isEmpty || micros(e.ts) > times.last))
+              times = times :+ micros(e.ts)
+          }
+          if (times.size > before) {
+            state.update(times)
+            Iterator.single(FunnelProgress(uid, times.size, times))
+          } else Iterator.empty
+      }
+  }
 }

@@ -179,6 +179,55 @@ class AnalyticsSpec extends SparkSpec {
       0L -> (0L, 2L), 1L -> (100L, 1L), 2L -> (200L, 1L)))
   }
 
+  test("property: mixtureSample bounds hold over random corpora") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 15) {
+      val nDoms = 1 + rnd.nextInt(4)
+      val doms = (0 until nDoms).map(i => s"d$i")
+      val rows = (0 until 50 + rnd.nextInt(250))
+        .map(i => (i.toLong, doms(rnd.nextInt(nDoms))))
+      val df = rows.toDF("id", "dom")
+      val counts = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      // target one domain absent, one over-count, rest random
+      val targets = doms.take(nDoms - 1).map { d =>
+        d -> (if (rnd.nextBoolean()) counts(d) + 50L else rnd.nextInt(40).toLong)
+      }.toMap
+      val kept = Sampling.mixtureSample(df, col("id"), col("dom"), targets)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val keptByDom = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      // kept set is a subset of the input
+      assert(kept.toSet.subsetOf(rows.toSet))
+      // absent domain drops entirely
+      assert(!keptByDom.contains(doms.last) || nDoms == 1)
+      targets.foreach { case (d, t) =>
+        val k = keptByDom.getOrElse(d, 0L)
+        assert(k <= counts(d), s"$d kept $k > present ${counts(d)}")
+        if (t >= counts(d)) assert(k == counts(d), s"$d keep-all branch")
+        if (t == 0L) assert(k == 0L, s"$d zero target")
+      }
+    }
+  }
+
+  test("property: pageRank ranks respect teleport floor and mass ceiling") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 10) {
+      val nNodes = 3 + rnd.nextInt(20)
+      val edges = (0 until nNodes * 2).map(_ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val pr = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst",
+          iters = 3).collect().map(_.getLong(1))
+        val present = edges.flatMap(e => Seq(e._1, e._2)).distinct.size
+        val teleport = (3L * 1000000000L) / (20L * present)
+        // floor divisions only LOSE mass: total never exceeds the scale,
+        // and every node keeps at least its teleport share
+        assert(pr.sum <= 1000000000L, s"mass ${pr.sum}")
+        assert(pr.forall(_ >= teleport), s"min ${pr.min} < teleport $teleport")
+      }
+    }
+  }
+
   test("KMeans.lloyd recovers well-separated clusters deterministically") {
     // two tight blobs far apart in 3-d; k=2, init = ids 0 and 1 (one in
     // each blob by construction)

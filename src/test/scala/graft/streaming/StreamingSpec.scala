@@ -249,6 +249,40 @@ class StreamingSpec extends SparkSpec {
     assert(aRows.map(_._3).sum == 8L, s"2 events x 4 windows: $aRows")
   }
 
+  test("streaming funnel matches the batch funnel on in-order streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    // user 1 completes all three (split across two batches); user 2's
+    // purchase precedes its click (stops at click); user 3 never views
+    val batch1 = Seq(
+      EventAgg.Event(1L, ts(0), "view", 0), EventAgg.Event(1L, ts(5), "click", 0),
+      EventAgg.Event(2L, ts(0), "view", 0), EventAgg.Event(2L, ts(3), "purchase", 0),
+      EventAgg.Event(3L, ts(1), "click", 0))
+    val batch2 = Seq(
+      EventAgg.Event(1L, ts(9), "purchase", 0),
+      EventAgg.Event(2L, ts(8), "click", 0))
+    val input = MemoryStream[EventAgg.Event]
+    val q = EventAgg.funnelStream(input.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
+    input.addData(batch1); q.processAllAvailable()
+    input.addData(batch2); q.processAllAvailable()
+    q.stop()
+    // final state per user = the last (highest-steps) update row
+    val streamed = spark.sql("select * from funnel")
+      .as[EventAgg.FunnelProgress].collect()
+      .groupBy(_.user_id).map { case (u, rows) =>
+        u -> rows.maxBy(_.steps_completed).times }
+    val batchOut = graft.ops.Analytics.funnel(
+        (batch1 ++ batch2).toDF(), "user_id", "ts", "event_type", steps)
+      .collect().map { r =>
+        r.getLong(0) -> (1 to 3).flatMap(i =>
+          Option(r.getTimestamp(i)).map(t =>
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L))
+      }.toMap
+    assert(streamed == batchOut, s"streamed=$streamed batch=$batchOut")
+    assert(!streamed.contains(3L), "user 3 never enters the funnel")
+  }
+
   test("cv predictAt interpolates between path lambdas") {
     val df = SparkSpec.regressionDF(spark)
     val cv = graft.ml.CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
