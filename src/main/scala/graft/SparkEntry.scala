@@ -130,7 +130,8 @@ object SparkEntry {
     "q_entity_resolution" -> (OpsQueries.entityResolution _),
     "q_export_delta"     -> (OpsQueries.exportDelta _),
     "q_dq_checks"        -> (OpsQueries.dqChecks _),
-    "q_histogram"        -> (OpsQueries.histogramQ _)
+    "q_histogram"        -> (OpsQueries.histogramQ _),
+    "q_rank_deciles"     -> (OpsQueries.rankDeciles _)
   )
 
   private val fixedPathValues =

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Global ranking and quantile-bucket assignment with NO
+  * single-partition window — the distributed answer to
+  * `row_number() OVER (ORDER BY ...)` / `ntile(n)`, which Spark plans
+  * as a one-task sort at any scale.
+  *
+  * The shape is the repo's standard two-pass range-partitioned rank
+  * ([[Drift]], [[Packing]], the AUC ranks): range-partition + local
+  * sort on the key, pass 1 collects per-partition row counts (tiny),
+  * whose running sums give each partition its rank offset; pass 2
+  * turns offset + local position into the global rank. Deterministic
+  * ranks REQUIRE a total order — include a unique tiebreak column in
+  * `sortCols` (engine-exactness dies with ties, exactly as it would
+  * for any `row_number`). */
+object Ranking {
+
+  /** Input columns + `rank` (1-based, by `sortCols`) + `bucket`
+    * (0 .. nBuckets-1, `((rank-1) * nBuckets) div n` — integral, so
+    * bucket boundaries are engine-exact; bucket sizes differ by at
+    * most one, matching SQL ntile only when n % nBuckets == 0 — the
+    * floor-division contract is simpler and exact, and is what the
+    * oracle replicates). */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+                 nBuckets: Int = 10): DataFrame = {
+    require(sortCols.nonEmpty, "need at least one sort column")
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    // persisted, not unpersisted here: the returned frame still reads
+    // it; RDD persists are reference-tracked and GC-freed (the Packing
+    // prefix-sum idiom)
+    val rdd = ranged.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partCounts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var c = 0L; it.foreach(_ => c += 1); Iterator((i, c))
+    }.collect().sortBy(_._1)
+    val n = math.max(partCounts.map(_._2).sum, 1L)
+    val offsets = new Array[Long](math.max(rdd.getNumPartitions, 1))
+    var acc = 0L
+    partCounts.foreach { case (i, c) => offsets(i) = acc; acc += c }
+    val bcOff = rdd.sparkContext.broadcast(offsets)
+    val nb = nBuckets.toLong
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = bcOff.value(i)
+      it.map { row =>
+        r += 1
+        Row.fromSeq(row.toSeq :+ r :+ ((r - 1) * nb) / n)
+      }
+    }
+    spark.createDataFrame(out, StructType(ranged.schema.fields ++
+      Seq(StructField("rank", LongType, nullable = false),
+        StructField("bucket", LongType, nullable = false))))
+  }
+}

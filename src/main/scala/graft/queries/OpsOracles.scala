@@ -338,6 +338,15 @@ object OpsOracles {
         |FROM documents d JOIN thr ON d.source = thr.source
         |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < thr.t
         |ORDER BY d.doc_id""".stripMargin.trim,
+    "q_rank_deciles" ->
+      """
+        |WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank,
+        |         count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, n_chars, rank, ((rank - 1) * 10) // n AS bucket
+        |FROM r ORDER BY rank""".stripMargin.trim,
     "q_dq_checks" ->
       """
         |WITH m AS (

@@ -695,6 +695,15 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** Distributed global ranking + decile assignment (two-pass
+    * range-partitioned rank, no single-partition window): documents by
+    * length, unique doc_id tiebreak — engine-exact total order. */
+  def rankDeciles(spark: SparkSession, dir: String): DataFrame =
+    Ranking.globalRank(
+        tbl(spark, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id")), nBuckets = 10)
+      .orderBy("rank")
+
   /** Deequ-style data-quality sweep: every rule in ONE scan (counts —
     * engine-exact). Rules deliberately mix passing and failing checks. */
   def dqChecks(spark: SparkSession, dir: String): DataFrame =

@@ -179,6 +179,23 @@ class AnalyticsSpec extends SparkSpec {
       0L -> (0L, 2L), 1L -> (100L, 1L), 2L -> (200L, 1L)))
   }
 
+  test("globalRank assigns exact ranks and floor-division buckets") {
+    val df = Seq((1L, 30L), (2L, 10L), (3L, 30L), (4L, 50L), (5L, 20L))
+      .toDF("id", "v")
+    // order: v desc, id asc -> 4, 1, 3, 5, 2
+    val out = Ranking.globalRank(df, Seq(col("v").desc, col("id")),
+        nBuckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((4L, 1L, 0L), (1L, 2L, 0L), (3L, 3L, 0L),
+      (5L, 4L, 1L), (2L, 5L, 1L)))
+    // buckets partition evenly when n % nBuckets == 0
+    val big = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    val buckets = Ranking.globalRank(big, Seq(col("v"), col("id")), 10)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets == (0L to 9L).map(_ -> 10L).toMap)
+  }
+
   test("property: mixtureSample bounds hold over random corpora") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 15) {
