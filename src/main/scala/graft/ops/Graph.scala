@@ -36,10 +36,13 @@ object Graph {
     * the lineage cut, round t re-plans t join layers). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, dampNum: Long = 17L, dampDen: Long = 20L,
-               scale: Long = 1000000000L): DataFrame = {
+               scale: Long = 1000000000L,
+               maxLocalEdges: Long = 1L << 20): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "damping must be a fraction in [0, 1]")
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -50,6 +53,27 @@ object Graph {
     val n = nodes.count()
     require(n > 0, "graph has no edges")
     val teleport = ((dampDen - dampNum) * scale) / (dampDen * n)
+    // Small-graph fast path (the connectedComponents cutover): below an
+    // explicit edge bound, run the SAME integer recurrence on the
+    // driver — identical ranks (pure long arithmetic, no accumulation-
+    // order sensitivity), two jobs total instead of one checkpointed
+    // join-agg-join round per iteration. The gate is a count() on the
+    // already-checkpointed edge blocks: no row transfer before the
+    // distributed loop on a graph that exceeds the bound.
+    if (e.count() <= maxLocalEdges) {
+      val es = e.as[(Long, Long)].collect()
+      val ids = nodes.as[Long].collect()
+      val idx = ids.zipWithIndex.toMap
+      val deg = new Array[Long](ids.length)
+      es.foreach { case (s, _) => deg(idx(s)) += 1L }
+      var pr = Array.fill(ids.length)(scale / n)
+      for (_ <- 1 to iters) {
+        val contrib = new Array[Long](ids.length)
+        es.foreach { case (s, d) => contrib(idx(d)) += pr(idx(s)) / deg(idx(s)) }
+        pr = contrib.map(c => teleport + dampNum * c / dampDen)
+      }
+      return spark.createDataset(ids.toSeq.zip(pr.toSeq)).toDF("id", "pr_nano")
+    }
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint(true)
     var pr = nodes.select(col("id"), lit(scale / n).as("pr"))
