@@ -17,7 +17,11 @@ object Plans {
     spark.sparkContext.setLogLevel("ERROR")
     val interesting = Seq("q_predict_link", "q_dedup_exact", "q_dedup_minhash",
       "q_ann_topk", "q_token_count", "q_score_auc",
-      "q_asof_join", "q_sample_strat", "q_boilerplate", "q_ann_lsh")
+      "q_asof_join", "q_sample_strat", "q_boilerplate", "q_ann_lsh",
+      // round-6 additions: rollup must show ONE Expand; corr/dq one
+      // scan; funnel key-joins; fuzzy join a blocked equi-join
+      "q_rollup", "q_corr", "q_dq_checks", "q_funnel", "q_fuzzy_join",
+      "q_mixture_sample", "q_histogram")
     interesting.foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
