@@ -131,7 +131,8 @@ object SparkEntry {
     "q_export_delta"     -> (OpsQueries.exportDelta _),
     "q_dq_checks"        -> (OpsQueries.dqChecks _),
     "q_histogram"        -> (OpsQueries.histogramQ _),
-    "q_rank_deciles"     -> (OpsQueries.rankDeciles _)
+    "q_rank_deciles"     -> (OpsQueries.rankDeciles _),
+    "q_interval_join"    -> (EventQueries.intervalJoinQ _)
   )
 
   private val fixedPathValues =

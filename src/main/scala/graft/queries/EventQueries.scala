@@ -68,4 +68,23 @@ object EventQueries {
     graft.ops.Analytics.weeklyRetention(events(spark, dir), "user_id", "ts")
       .orderBy("cohort_week", "week_offset")
 
+  /** Interval-overlap join via grid bucketing: error incident windows
+    * [ts, ts+15min] against purchase attribution windows [ts-5min, ts]
+    * — epoch-micro integer intervals, engine-exact overlap bounds. The
+    * DuckDB oracle plans its native range join (IEJoin); the Spark
+    * side uses the grid decomposition (see
+    * [[graft.ops.IntervalJoin.overlapJoin]]). */
+  def intervalJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + lit(900000000L)).as("e"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), (unix_micros(col("ts")) - lit(300000000L)).as("s"),
+        unix_micros(col("ts")).as("e"))
+    graft.ops.IntervalJoin.overlapJoin(errors, "event_id", "s", "e",
+        purchases, "event_id", "s", "e", gridWidth = 900000000L)
+      .orderBy("left_id", "right_id")
+  }
+
 }

@@ -338,6 +338,21 @@ object OpsOracles {
         |FROM documents d JOIN thr ON d.source = thr.source
         |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < thr.t
         |ORDER BY d.doc_id""".stripMargin.trim,
+    "q_interval_join" ->
+      """
+        |WITH l AS (
+        |  SELECT event_id AS left_id, epoch_us(ts) AS s,
+        |         epoch_us(ts) + 900000000 AS e
+        |  FROM events WHERE event_type = 'error'),
+        |r AS (
+        |  SELECT event_id AS right_id, epoch_us(ts) - 300000000 AS s2,
+        |         epoch_us(ts) AS e2
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT left_id, right_id,
+        |       greatest(l.s, r.s2) AS overlap_start,
+        |       least(l.e, r.e2) AS overlap_end
+        |FROM l JOIN r ON l.s <= r.e2 AND r.s2 <= l.e
+        |ORDER BY left_id, right_id""".stripMargin.trim,
     "q_rank_deciles" ->
       """
         |WITH r AS (

@@ -179,6 +179,29 @@ class AnalyticsSpec extends SparkSpec {
       0L -> (0L, 2L), 1L -> (100L, 1L), 2L -> (200L, 1L)))
   }
 
+  test("overlapJoin finds exactly the overlapping interval pairs") {
+    val left = Seq((1L, 0L, 100L), (2L, 200L, 300L), (3L, 1000L, 1100L))
+      .toDF("id", "s", "e")
+    val right = Seq((10L, 50L, 60L),    // inside 1
+      (11L, 100L, 150L),               // touches 1's end (closed: match)
+      (12L, 301L, 400L),               // just after 2 (no match)
+      (13L, 250L, 1050L))              // spans 2 and 3
+      .toDF("id", "s", "e")
+    // gridWidth much smaller than spans: pairs meet in MANY cells —
+    // the distinct must still emit each pair once
+    val out = IntervalJoin.overlapJoin(left, "id", "s", "e",
+        right, "id", "s", "e", gridWidth = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (1L, 10L, 50L, 60L), (1L, 11L, 100L, 100L),
+      (2L, 13L, 250L, 300L), (3L, 13L, 1000L, 1050L)))
+    // inverted / null intervals are dropped, not exploded
+    val bad = Seq((9L, 100L, 0L)).toDF("id", "s", "e")
+    assert(IntervalJoin.overlapJoin(bad, "id", "s", "e",
+      right, "id", "s", "e", gridWidth = 7L).count() == 0L)
+  }
+
   test("globalRank assigns exact ranks and floor-division buckets") {
     val df = Seq((1L, 30L), (2L, 10L), (3L, 30L), (4L, 50L), (5L, 20L))
       .toDF("id", "v")

@@ -81,6 +81,15 @@ class PlanSpec extends SparkSpec {
     assert(scans(dq).size == 1, "all rules must share one scan")
   }
 
+  test("interval join plans a cell equi-join, never a cartesian product") {
+    val a = spark.range(10).select(col("id"), (col("id") * 100).as("s"),
+      (col("id") * 100 + 50).as("e"))
+    val plan = IntervalJoin.overlapJoin(a, "id", "s", "e",
+      a, "id", "s", "e", gridWidth = 100L).queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
   test("fuzzy join is a blocked equi-join, never a cartesian product") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), substring(col("text"), 1, 20).as("k"))
