@@ -132,7 +132,17 @@ object SparkEntry {
     "q_dq_checks"        -> (OpsQueries.dqChecks _),
     "q_histogram"        -> (OpsQueries.histogramQ _),
     "q_rank_deciles"     -> (OpsQueries.rankDeciles _),
-    "q_interval_join"    -> (EventQueries.intervalJoinQ _)
+    "q_interval_join"    -> (EventQueries.intervalJoinQ _),
+    "q_scd2"             -> (EventQueries.scd2Q _),
+    "q_gap_fill"         -> (EventQueries.gapFillQ _),
+    "q_transitions"      -> (EventQueries.transitionsQ _),
+    "q_ab_test"          -> (EventQueries.abTestQ _),
+    "q_cdc_merge"        -> (OpsQueries.cdcMerge _),
+    "q_cube"             -> (OpsQueries.cubeQ _),
+    "q_mad_outliers"     -> (OpsQueries.madOutliersQ _),
+    "q_triangle_count"   -> (OpsQueries.triangleCountQ _),
+    "q_cooccur"          -> (OpsQueries.cooccurQ _),
+    "q_pos_index"        -> (OpsQueries.posIndexQ _)
   )
 
   private val fixedPathValues =
@@ -993,6 +1003,80 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // SCD2: change rows (IS DISTINCT FROM the lagged value) become
+    // versions; validity bounds from lead over the change rows
+    "q_scd2" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM m
+        |       WHERE prev IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS valid_to,
+        |        CAST(row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS INT) AS version
+        |      FROM ch)
+        |SELECT user_id, event_type, valid_from, valid_to, version,
+        |       valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |         CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 30),
+        |cnts AS (SELECT user_id, bucket, count(*) AS n,
+        |                sum(c)::BIGINT AS sum_cents
+        |         FROM b GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |          FROM cnts GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |         FROM spans)
+        |SELECT g.user_id, g.bucket, coalesce(c.n, 0) AS n,
+        |       coalesce(c.sum_cents, 0) AS sum_cents
+        |FROM grid g LEFT JOIN cnts c
+        |  ON g.user_id = c.user_id AND g.bucket = c.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
+
+    "q_transitions" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |cnt AS (SELECT prev AS from_type, event_type AS to_type,
+        |               count(*) AS n
+        |        FROM m WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n)::BIGINT AS tot FROM cnt GROUP BY 1)
+        |SELECT cnt.from_type, cnt.to_type, cnt.n,
+        |       round(cnt.n::DOUBLE / tot.tot, 6) AS p
+        |FROM cnt JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    // pooled two-proportion z; the arithmetic mirrors Analytics.abTest
+    // operation for operation (same IEEE expression tree)
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14 AS conv
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |  sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |  sum(CASE WHEN user_id % 2 = 0 AND conv THEN 1 ELSE 0 END)::BIGINT AS conv_a,
+        |  sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |  sum(CASE WHEN user_id % 2 = 1 AND conv THEN 1 ELSE 0 END)::BIGINT AS conv_b
+        |FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b) /
+        |    sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+        |      * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+        |FROM a""".stripMargin
   )
 }

@@ -114,4 +114,112 @@ object Analytics {
     // one output row per pair (a per-pair union would rescan)
     m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
+
+  /** First-order (Markov) transition counts over the event stream: for
+    * each key, consecutive event types (ordered by (ts, tie)) form a
+    * (from, to) pair; returns per-pair counts and the exact row
+    * probability n / total(from). Integer counts; the single division
+    * is IEEE-identical on any engine.
+    *
+    * Shape: one key-partitioned lag window (the sessionization
+    * partitioning), one grouped count, one broadcast-sized join on the
+    * `from` marginal. */
+  def transitions(events: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, typeCol: String,
+                  outDigits: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+    val cnt = pairs
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val marginal = cnt.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    cnt.join(broadcast(marginal), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tot"), outDigits).as("p"))
+  }
+
+  /** Two-proportion A/B z-test: each unit (e.g. user) lands in variant
+    * A or B by `variantIsB`; `converted` marks success. Returns the
+    * integer counts per arm plus the pooled-variance z statistic —
+    * counts are exact longs, and the final z combination is one fixed
+    * IEEE expression, identical on any engine.
+    *
+    * Shape: ONE full-scan aggregation (conditional sums, map-side
+    * combine) — adding arms or metrics adds columns, not passes. */
+  def abTest(units: DataFrame, variantIsB: Column, converted: Column,
+             outDigits: Int = 6): DataFrame = {
+    val isB = variantIsB.cast("boolean")
+    val conv = converted.cast("boolean")
+    units.agg(
+        sum(when(!isB, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!isB && conv, 1L).otherwise(0L)).as("conv_a"),
+        sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(isB && conv, 1L).otherwise(0L)).as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(
+          (col("conv_a").cast("double") / col("n_a")
+            - col("conv_b").cast("double") / col("n_b")) /
+          sqrt(((col("conv_a") + col("conv_b")).cast("double")
+              / (col("n_a") + col("n_b")))
+            * (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double")
+              / (col("n_a") + col("n_b")))
+            * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))),
+          outDigits).as("z"))
+  }
+
+  /** Robust per-group outlier profile: EXACT median and MAD (median
+    * absolute deviation) over integer cent units, plus the count of
+    * rows beyond `k` MADs. All-integer arithmetic: medians average the
+    * two middle values, so everything lives in half-cent (`2·cents`)
+    * and the MAD test in `4·cents` units — no float until the final
+    * /2.0 and /4.0 (dyadic — exact doubles). Engine-exact.
+    *
+    * Shape: no per-row window anywhere. Rows aggregate to (group,
+    * value)-distinct counts; prefix sums run over DISTINCT values per
+    * group (bounded by value cardinality, not row count — the same
+    * two-pass rank discipline as AUC/KS). Three aggregations total.
+    * For unbounded-cardinality doubles at 100 TB, pre-quantize or use
+    * [[Quantiles.approx]]; this is the exact anchor. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: Column,
+                  k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    def medianOfCounts(counts: DataFrame): DataFrame =
+      // counts: (g, v, cnt) distinct-value rows → (g, n, med2 = lo+hi)
+      counts
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(wg))
+        .groupBy(col("g")).agg(
+          max(col("n")).as("n"),
+          // floor((n+1)/2), floor((n+2)/2): the 1-based lower/upper
+          // median positions (equal when n is odd)
+          min(when(col("cum") >= floor((col("n") + 1) / 2), col("v"))).as("lo"),
+          min(when(col("cum") >= floor((col("n") + 2) / 2), col("v"))).as("hi"))
+        .select(col("g"), col("n"), (col("lo") + col("hi")).as("med2"))
+    val cents = df.select(col(groupCol).as("g"),
+      round(valueCol * 100).cast("long").as("v"))
+    val vc = cents.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // reused by the deviation pass
+    val med = medianOfCounts(vc)
+    // deviations in half-cent units, aggregated per DISTINCT (g, dev)
+    val dev = vc.join(broadcast(med.select(col("g"), col("med2"))), "g")
+      .select(col("g"), abs(lit(2) * col("v") - col("med2")).as("v"), col("cnt"))
+      .groupBy(col("g"), col("v")).agg(sum(col("cnt")).as("cnt"))
+    val mad = medianOfCounts(dev)
+      .select(col("g"), (col("med2")).as("mad4")) // 2·dev2-median = 4·MAD cents
+    // dev_cents > k·MAD_cents  ⇔  dev2/2 > k·mad4/4  ⇔  2·dev2 > k·mad4
+    val out = dev.join(broadcast(mad), "g")
+      .groupBy(col("g")).agg(
+        sum(when(lit(2L) * col("v") > lit(k.toLong) * col("mad4"),
+          col("cnt")).otherwise(0L)).as("n_outliers"))
+    med.join(mad, "g").join(out, "g")
+      .select(col("g").as(groupCol), col("n"),
+        (col("med2") / 2.0).as("median"),
+        (col("mad4") / 4.0).as("mad"), col("n_outliers"))
+  }
 }

@@ -91,4 +91,47 @@ object Graph {
     }
     pr.select(col("id"), col("pr").cast("long").as("pr_nano"))
   }
+
+  /** Per-node triangle participation counts over an undirected graph
+    * given as (possibly duplicated / bidirectional) edge pairs.
+    * Returns (id, n_triangles) for every node in ≥ 1 triangle —
+    * integer counts, engine-exact regardless of enumeration order.
+    *
+    * Shape — the compact-forward / degree-orientation algorithm: each
+    * undirected edge is oriented from its lower-(degree, id) endpoint
+    * to the higher, making a DAG whose out-degrees are O(√m); the
+    * wedge join (u→v)⋈(v→w) is then bounded by Σ outdeg² = O(m^1.5)
+    * TOTAL — the classic worst-case-optimal bound — instead of
+    * Σ deg² (quadratic in the max degree) for an unoriented join. The
+    * closing check (u→w) is a key-join on the oriented edge set. Every
+    * shuffle is on edge keys; per-node counts come from exploding each
+    * triangle's three members. */
+  def triangleCount(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val a = least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+    val b = greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+    val e = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(a.as("a"), b.as("b")).filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(false) // reused 3× below
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) → high-(deg, id)
+    val o = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+      .localCheckpoint(false) // wedge + closing joins reuse the DAG
+    val wedges = o.select(col("u"), col("v"))
+      .join(o.select(col("u").as("v"), col("v").as("w")), "v")
+    val tris = wedges.join(
+      o.select(col("u"), col("v").as("w"), lit(1).as("__hit")), Seq("u", "w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
 }

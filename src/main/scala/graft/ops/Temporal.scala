@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal data-engineering operators: SCD2 dimension builds, CDC
+  * (change-data-capture) merge application, and time-series gap
+  * filling — the warehouse maintenance surface next to the as-of join
+  * ([[AsofJoin]]) and sessionization ([[graft.streaming.EventAgg]]).
+  *
+  * Scale notes (100 TB): every window here is partitioned by the
+  * entity key (never a single global partition); the SCD2 change
+  * compression and the CDC latest-wins pick reuse one (key)-hash
+  * shuffle across their window passes. Gap filling explodes a dense
+  * per-key bucket grid from one row per key — grid size is bounded by
+  * (time span / step), independent of event volume.
+  */
+object Temporal {
+
+  /** Type-2 slowly-changing-dimension build from a change log:
+    * consecutive rows (per key, ordered by (ts, tie)) with the SAME
+    * attribute value compress into one version; each version carries
+    * `valid_from` (its first change ts), `valid_to` (the next
+    * version's start, null while current), a 1-based `version`
+    * number, and `is_current`.
+    *
+    * All comparisons are null-safe (`<=>`), so a null attribute value
+    * forms versions like any other value. Timestamp/integer
+    * semantics only — engine-exact.
+    *
+    * Shape: two window passes over the SAME (key, order) partitioning
+    * — the change-detection lag and the validity lead reuse one
+    * shuffle+sort (the filter between them preserves distribution and
+    * order, so Catalyst plans a single Exchange). */
+  def scd2(changes: DataFrame, keyCol: String, attrCol: String,
+           tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val versions = changes
+      .select(col(keyCol), col(attrCol), col(tsCol), col(tieCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
+    versions
+      .select(col(keyCol), col(attrCol),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(w).as("valid_to"),
+        row_number().over(w).as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Apply a CDC change stream to a base snapshot, latest-wins:
+    * for each key the change with the highest (orderCols, …) wins —
+    * `op` 'D' deletes the key, 'I'/'U' upserts `valueCols` — and keys
+    * without changes keep their base row. The caller's `orderCols`
+    * MUST totally order changes per key (include a unique tiebreak),
+    * or the pick is nondeterministic.
+    *
+    * Shape: one (key)-window to pick the winning change, one
+    * full-outer key-join against the base — the MERGE INTO plan. The
+    * change stream is usually ≪ the snapshot; at 100 TB the join
+    * shuffles each side once on the key (bucketed base tables skip
+    * their side entirely). */
+  def cdcApply(base: DataFrame, changes: DataFrame, keyCol: String,
+               opCol: String, orderCols: Seq[Column],
+               valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.desc): _*)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol) +: col(opCol).as("__op") +:
+        valueCols.map(c => col(c).as(s"__c_$c")): _*)
+    base.join(latest, Seq(keyCol), "full_outer")
+      .filter(!(col("__op") <=> lit("D"))) // delete wins; absent op keeps base
+      .select(col(keyCol) +: valueCols.map(c =>
+        when(col("__op").isNotNull, col(s"__c_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** Dense per-key time grid with zero-filled counts and exact cent
+    * sums: buckets events into `date_trunc(unit, ts)`, then fills
+    * every bucket between each key's first and last active bucket.
+    * Integer counts + cent sums — engine-exact.
+    *
+    * Shape: one (key, bucket) aggregation; the grid explodes from ONE
+    * row per key (min/max bucket) — narrow, bounded by span/step —
+    * then a left key-join back. No per-event window. */
+  def gapFill(events: DataFrame, keyCol: String, tsCol: String,
+              valCol: Column, unit: String = "hour",
+              step: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val b = events.select(col(keyCol).as("k"),
+      date_trunc(unit, col(tsCol)).as("bucket"),
+      round(valCol * 100).cast("long").as("__cents"))
+    val counts = b.groupBy(col("k"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__cents")).as("sum_cents"))
+    val grid = counts.groupBy(col("k"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+      .select(col("k"), explode(sequence(col("lo"), col("hi"), expr(step)))
+        .as("bucket"))
+    grid.join(counts, Seq("k", "bucket"), "left")
+      .select(col("k").as(keyCol), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
+  }
+}

@@ -468,4 +468,67 @@ object TextAnalysis {
       }
       .toDF(idCol, "fingerprints")
   }
+  /** Windowed collocation PMI (the classic collocation-extraction
+    * statistic): token pairs co-occurring within `window` positions,
+    * scored `pmi = ln((c_ab/N_pairs) / ((c_a/N)·(c_b/N)))` against
+    * the unigram marginals. Integer counts with ONE ln at the end —
+    * engine-exact.
+    *
+    * Shape: NO per-document quadratic — each position explodes to its
+    * `window` forward offsets and equi-joins back on (doc, position),
+    * so the pair stream is exactly `window ×` the token stream
+    * (corpus-linear), then aggregates to the (tiny) pair vocabulary.
+    * Unordered pairs canonicalize lexically; self-pairs (a word near
+    * itself) count like any other — the repetition signal. */
+  def cooccurrence(df: DataFrame, idCol: String, textCol: String,
+                   window: Int = 5, minPair: Long = 2L,
+                   outDigits: Int = 6): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val tok = df.select(col(idCol).as("__doc"),
+        posexplode(Dedup.words(col(textCol))).as(Seq("pos", "tok")))
+      .localCheckpoint(false) // marginals + both pair-join sides reuse it
+    val nTok = tok.count().toDouble
+    val uni = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val shifted = tok
+      .select(col("__doc"), col("pos"), col("tok").as("t1"),
+        explode(sequence(lit(1), lit(window))).as("o"))
+      .select(col("__doc"), (col("pos") + col("o")).as("pos"), col("t1"))
+    val pairs = shifted
+      .join(tok.select(col("__doc"), col("pos"), col("tok").as("t2")),
+        Seq("__doc", "pos"))
+      .select(least(col("t1"), col("t2")).as("tok_a"),
+        greatest(col("t1"), col("t2")).as("tok_b"))
+      .localCheckpoint(false) // pair total + pair counts reuse it
+    val nPairs = pairs.count().toDouble
+    pairs.groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+      .join(broadcast(uni.select(col("tok").as("tok_a"), col("c").as("c_a"))),
+        "tok_a")
+      .join(broadcast(uni.select(col("tok").as("tok_b"), col("c").as("c_b"))),
+        "tok_b")
+      .select(col("tok_a"), col("tok_b"), col("n_pair"), col("c_a"), col("c_b"),
+        round(log((col("n_pair") * lit(nTok * nTok))
+          / (lit(nPairs) * (col("c_a") * col("c_b")))), outDigits).as("pmi"))
+  }
+
+  /** Positional inverted index: (token, doc, occurrence count, first
+    * 1-based position) postings for tokens appearing in >= minDocs
+    * documents — the retrieval-index build step (BM25/phrase search
+    * run over exactly this shape). Integer-exact.
+    *
+    * Shape: one posexplode (narrow) → (token, doc) aggregation →
+    * token-keyed df filter join. Corpus-linear; the index is
+    * naturally partitioned by token key for serving. */
+  def positionalIndex(df: DataFrame, idCol: String, textCol: String,
+                      minDocs: Long = 2L): DataFrame = {
+    val posting = df.select(col(idCol).as("doc_id"),
+        posexplode(Dedup.words(col(textCol))).as(Seq("pos0", "token")))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occur"), (min(col("pos0")) + 1).as("first_pos"))
+    val dfreq = posting.groupBy(col("token"))
+      .agg(count(lit(1)).as("df")).filter(col("df") >= minDocs)
+    posting.join(dfreq, "token")
+      .select(col("token"), col("doc_id"), col("n_occur"),
+        col("first_pos"), col("df"))
+  }
 }

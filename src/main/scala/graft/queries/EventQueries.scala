@@ -87,4 +87,42 @@ object EventQueries {
       .orderBy("left_id", "right_id")
   }
 
+  /** SCD2 dimension build: each user's event_type change log compresses
+    * into validity versions (valid_from/valid_to/version/is_current) —
+    * pure timestamp/window semantics, engine-exact. */
+  def scd2Q(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Temporal.scd2(events(spark, dir), "user_id", "event_type",
+        "ts", "event_id")
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"), col("version"), col("is_current"))
+      .orderBy("user_id", "version")
+
+  /** Dense hourly grid with zero-filled counts + exact cent sums over
+    * each user's purchase activity span (users < 30 bound the grid). */
+  def gapFillQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Temporal.gapFill(
+        events(spark, dir)
+          .filter(col("event_type") === "purchase" && col("user_id") < 30),
+        "user_id", "ts", col("value"))
+      .orderBy("user_id", "bucket")
+
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences (counts + exact-ratio probabilities). */
+  def transitionsQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Analytics.transitions(events(spark, dir), "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy("from_type", "to_type")
+
+  /** Two-proportion A/B z-test: users split by parity of user_id;
+    * "converted" = made >= 14 purchases (the per-user median is 13, so
+    * both arms land strictly inside (0, 1) and the pooled variance is
+    * non-degenerate). */
+  def abTestQ(spark: SparkSession, dir: String): DataFrame = {
+    val units = events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("n_purch"))
+    graft.ops.Analytics.abTest(units,
+      col("user_id") % 2 === 1, col("n_purch") >= 14)
+  }
 }

@@ -1311,6 +1311,139 @@ object OpsOracles {
         |c AS (SELECT c_custkey AS k, c_mktsegment FROM customer)
         |SELECT c_mktsegment, count(*) AS n, sum(user_id)::BIGINT AS uid_sum
         |FROM e JOIN c USING (k)
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.trim
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.trim,
+
+    // latest-wins MERGE: the winning change per key by (o_orderdate,
+    // o_orderkey) desc; 'D' deletes, otherwise change values override,
+    // unmatched base rows pass through
+    "q_cdc_merge" ->
+      """
+        |WITH ch AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 100000
+        |              ELSE o_custkey END AS c_custkey,
+        |    CASE WHEN o_custkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_orderdate, o_orderkey,
+        |    'cdc-' || o_orderkey AS c_name,
+        |    CAST(o_orderkey % 25 AS INT) AS c_nationkey,
+        |    o_totalprice AS c_acctbal, o_orderpriority AS c_mktsegment
+        |  FROM orders),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT coalesce(l.c_custkey, b.c_custkey) AS c_custkey,
+        |  CASE WHEN l.op IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
+        |  CASE WHEN l.op IS NOT NULL THEN l.c_nationkey
+        |       ELSE b.c_nationkey END AS c_nationkey,
+        |  CASE WHEN l.op IS NOT NULL THEN l.c_acctbal
+        |       ELSE b.c_acctbal END AS c_acctbal,
+        |  CASE WHEN l.op IS NOT NULL THEN l.c_mktsegment
+        |       ELSE b.c_mktsegment END AS c_mktsegment
+        |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+        |WHERE NOT coalesce(l.op = 'D', false)
+        |ORDER BY c_custkey""".stripMargin.trim,
+
+    "q_cube" ->
+      """
+        |SELECT l_returnflag, l_linestatus,
+        |       GROUPING(l_returnflag, l_linestatus)::INT AS gid,
+        |       count(*) AS n,
+        |       sum(CAST(round(l_quantity * 100.0) AS BIGINT))::BIGINT AS sum_qty_cents,
+        |       sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::BIGINT AS sum_price_cents
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin.trim,
+
+    // exact integer median/MAD in half- and quarter-cent units: lower+
+    // upper middle values from prefix sums over DISTINCT cents per group
+    // (mirrors Analytics.madOutliers arithmetic step for step)
+    "q_mad_outliers" ->
+      """
+        |WITH c AS (SELECT o_orderpriority AS g,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |vc AS (SELECT g, v, count(*) AS cnt FROM c GROUP BY g, v),
+        |cu AS (SELECT g, v, cnt,
+        |         (sum(cnt) OVER (PARTITION BY g ORDER BY v))::BIGINT AS cum,
+        |         (sum(cnt) OVER (PARTITION BY g))::BIGINT AS n FROM vc),
+        |med AS (SELECT g, max(n) AS n,
+        |          min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+        |            + min(CASE WHEN cum >= (n + 2) // 2 THEN v END) AS med2
+        |        FROM cu GROUP BY g),
+        |dv AS (SELECT vc.g, abs(2 * vc.v - m.med2) AS v, sum(cnt)::BIGINT AS cnt
+        |       FROM vc JOIN med m ON vc.g = m.g GROUP BY 1, 2),
+        |cu2 AS (SELECT g, v, cnt,
+        |          (sum(cnt) OVER (PARTITION BY g ORDER BY v))::BIGINT AS cum,
+        |          (sum(cnt) OVER (PARTITION BY g))::BIGINT AS n FROM dv),
+        |mad AS (SELECT g,
+        |          min(CASE WHEN cum >= (n + 1) // 2 THEN v END)
+        |            + min(CASE WHEN cum >= (n + 2) // 2 THEN v END) AS mad4
+        |        FROM cu2 GROUP BY g),
+        |outl AS (SELECT dv.g,
+        |           sum(CASE WHEN 2 * dv.v > 3 * mad.mad4 THEN cnt
+        |               ELSE 0 END)::BIGINT AS n_outliers
+        |         FROM dv JOIN mad ON dv.g = mad.g GROUP BY dv.g)
+        |SELECT med.g AS o_orderpriority, med.n, med.med2 / 2.0 AS median,
+        |       mad.mad4 / 4.0 AS mad, outl.n_outliers
+        |FROM med JOIN mad ON med.g = mad.g JOIN outl ON med.g = outl.g
+        |ORDER BY o_orderpriority""".stripMargin.trim,
+
+    // triangle enumeration over id-ordered canonical edges (a<b<c):
+    // the per-node participation counts are orientation-invariant, so
+    // the degree-oriented Spark join must reproduce them exactly
+    "q_triangle_count" ->
+      """
+        |WITH pe AS (SELECT DISTINCT l_orderkey AS ok, l_partkey % 997 AS p
+        |            FROM lineitem WHERE l_orderkey < 3000),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |      FROM pe x JOIN pe y ON x.ok = y.ok AND x.p < y.p),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (SELECT unnest([x, y, z]) AS id FROM tri)
+        |SELECT id, count(*) AS n_triangles FROM nodes
+        |GROUP BY id ORDER BY id""".stripMargin.trim,
+
+    // windowed collocation PMI: pair instances are (position, position
+    // + o <= 5) equi-matches; marginals are unigram occurrence counts
+    "q_cooccur" ->
+      """
+        |WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok,
+        |         unnest(generate_series(0,
+        |           len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1)) AS pos
+        |  FROM documents),
+        |nt AS (SELECT count(*)::DOUBLE AS n FROM tok),
+        |uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+        |pr AS (SELECT least(a.tok, b.tok) AS tok_a,
+        |              greatest(a.tok, b.tok) AS tok_b
+        |       FROM tok a
+        |       JOIN (SELECT unnest(generate_series(1, 5)) AS o) off ON true
+        |       JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + off.o),
+        |np AS (SELECT count(*)::DOUBLE AS n FROM pr),
+        |pc AS (SELECT tok_a, tok_b, count(*) AS n_pair FROM pr
+        |       GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT pc.tok_a, pc.tok_b, pc.n_pair, ua.c AS c_a, ub.c AS c_b,
+        |       round(ln((pc.n_pair * (nt.n * nt.n))
+        |         / (np.n * (ua.c * ub.c))), 6) AS pmi
+        |FROM pc
+        |JOIN uni ua ON pc.tok_a = ua.tok
+        |JOIN uni ub ON pc.tok_b = ub.tok, nt, np
+        |ORDER BY tok_a, tok_b""".stripMargin.trim,
+
+    "q_pos_index" ->
+      """
+        |WITH d AS (SELECT doc_id,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') AS l
+        |           FROM documents WHERE doc_id < 100),
+        |tok AS (SELECT doc_id, unnest(l) AS token,
+        |               unnest(generate_series(1, len(l))) AS pos FROM d),
+        |post AS (SELECT token, doc_id, count(*) AS n_occur,
+        |                min(pos) AS first_pos FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY token
+        |          HAVING count(*) >= 3)
+        |SELECT token, doc_id, n_occur, first_pos, df
+        |FROM post JOIN dfreq USING (token)
+        |ORDER BY token, doc_id""".stripMargin.trim
   )
 }

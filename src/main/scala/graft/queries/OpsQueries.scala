@@ -737,4 +737,80 @@ object OpsQueries {
       .select(col("id").as("doc_id"), col("pr_nano"))
       .orderBy("doc_id")
   }
+
+  /** CDC MERGE: a synthetic change stream derived from orders (updates,
+    * deletes for custkey % 97 == 0, inserts keyed +100000) applies
+    * latest-wins — ordered by (o_orderdate, o_orderkey) — onto the
+    * customer snapshot. Pure pick-and-join semantics, engine-exact. */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = tbl(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val changes = tbl(spark, dir, "orders").select(
+      when(col("o_orderkey") % 10 === 0, col("o_custkey") + 100000)
+        .otherwise(col("o_custkey")).as("c_custkey"),
+      when(col("o_custkey") % 97 === 0, lit("D")).otherwise(lit("U")).as("op"),
+      col("o_orderdate"), col("o_orderkey"),
+      concat(lit("cdc-"), col("o_orderkey")).as("c_name"),
+      (col("o_orderkey") % 25).cast("int").as("c_nationkey"),
+      col("o_totalprice").as("c_acctbal"),
+      col("o_orderpriority").as("c_mktsegment"))
+    Temporal.cdcApply(base, changes, "c_custkey", "op",
+        Seq(col("o_orderdate"), col("o_orderkey")),
+        Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** OLAP CUBE over lineitem (all four grouping levels in ONE
+    * Expand+aggregate pass; exact integer cents — the rollup query's
+    * full-lattice sibling). */
+  def cubeQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("sum_price_cents"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Exact per-group median / MAD / outlier counts over order totals
+    * (all-integer half/quarter-cent arithmetic — see
+    * [[Analytics.madOutliers]]). */
+  def madOutliersQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.madOutliers(tbl(spark, dir, "orders"), "o_orderpriority",
+        col("o_totalprice"), k = 3)
+      .orderBy("o_orderpriority")
+
+  /** Per-node triangle counts over the part co-purchase graph (parts
+    * bucketed mod 997 co-occurring in the same order; bounded order
+    * slice keeps the exact-enumeration demo fixed-size across SFs —
+    * the operator itself is the O(m^1.5) oriented join). */
+  def triangleCountQ(spark: SparkSession, dir: String): DataFrame = {
+    val pe = tbl(spark, dir, "lineitem").filter(col("l_orderkey") < 3000)
+      .select(col("l_orderkey").as("ok"), (col("l_partkey") % 997).as("p"))
+      .distinct()
+    val edges = pe.select(col("ok"), col("p").as("src"))
+      .join(pe.select(col("ok"), col("p").as("dst")), "ok")
+      .filter(col("src") < col("dst"))
+    Graph.triangleCount(edges, "src", "dst")
+      .orderBy("id")
+  }
+
+  /** Windowed collocation PMI over the corpus (window 5, pair count
+    * >= 5) — integer counts, one ln at the end. */
+  def cooccurQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cooccurrence(tbl(spark, dir, "documents"), "doc_id", "text",
+        window = 5, minPair = 5L)
+      .orderBy("tok_a", "tok_b")
+
+  /** Positional inverted index over a bounded doc slice: postings with
+    * occurrence counts and first positions for tokens in >= 3 docs. */
+  def posIndexQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.positionalIndex(
+        tbl(spark, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", minDocs = 3L)
+      .select(col("token"), col("doc_id"), col("n_occur"),
+        col("first_pos").cast("long").as("first_pos"), col("df"))
+      .orderBy("token", "doc_id")
 }
