@@ -21,7 +21,13 @@ object Plans {
       // round-6 additions: rollup must show ONE Expand; corr/dq one
       // scan; funnel key-joins; fuzzy join a blocked equi-join
       "q_rollup", "q_corr", "q_dq_checks", "q_funnel", "q_fuzzy_join",
-      "q_mixture_sample", "q_histogram")
+      "q_mixture_sample", "q_histogram",
+      // temporal/CDC + prefix-filter batch: scd2 must show ONE
+      // Exchange for both windows; cdc a window + full-outer join;
+      // gap_fill a one-row-per-key explode; prefix_jaccard the
+      // banded candidate join; wow one agg + self-join
+      "q_scd2", "q_cdc_merge", "q_gap_fill", "q_prefix_jaccard",
+      "q_wow", "q_cusum")
     interesting.foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -142,7 +142,13 @@ object SparkEntry {
     "q_mad_outliers"     -> (OpsQueries.madOutliersQ _),
     "q_triangle_count"   -> (OpsQueries.triangleCountQ _),
     "q_cooccur"          -> (OpsQueries.cooccurQ _),
-    "q_pos_index"        -> (OpsQueries.posIndexQ _)
+    "q_pos_index"        -> (OpsQueries.posIndexQ _),
+    "q_kcore"            -> (OpsQueries.kcoreQ _),
+    "q_cusum"            -> (EventQueries.cusumQ _),
+    "q_twap"             -> (EventQueries.twapQ _),
+    "q_prefix_jaccard"   -> (OpsQueries.prefixJaccard _),
+    "q_nearest_join"     -> (EventQueries.nearestJoinQ _),
+    "q_wow"              -> (EventQueries.wowQ _)
   )
 
   private val fixedPathValues =
@@ -1058,6 +1064,84 @@ object SparkEntry {
         |       round(cnt.n::DOUBLE / tot.tot, 6) AS p
         |FROM cnt JOIN tot USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // nearest-in-time: min |Δmicros| per click, ties to the earlier
+    // error; LEFT JOIN keeps clicks from users with no errors
+    "q_nearest_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (SELECT user_id, ts AS err_ts, value AS err_value,
+        |             epoch_us(ts) AS us
+        |      FROM events WHERE event_type = 'error'),
+        |j AS (SELECT c.event_id, c.user_id, c.ts, e.err_ts, e.err_value,
+        |        abs(c.us - e.us)::BIGINT AS dt,
+        |        row_number() OVER (PARTITION BY c.event_id
+        |          ORDER BY abs(c.us - e.us), e.us) AS rn
+        |      FROM c LEFT JOIN e ON c.user_id = e.user_id)
+        |SELECT event_id, user_id, ts, err_ts,
+        |       round(err_value, 4) + 0.0 AS err_value,
+        |       dt AS nearest_dt_us
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // week-over-week: previous CALENDAR week via equi-join on
+    // period − 7 days (gap-safe), one integer division per ratio
+    "q_wow" ->
+      """WITH per AS (
+        |  SELECT event_type AS series, date_trunc('week', ts) AS period,
+        |         count(*) AS n,
+        |         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+        |  FROM events GROUP BY 1, 2),
+        |prev AS (SELECT series, period + INTERVAL 7 DAY AS period,
+        |                n AS n_prev, sum_cents AS sum_cents_prev FROM per)
+        |SELECT p.series, p.period, p.n, p.sum_cents,
+        |       v.n_prev, v.sum_cents_prev,
+        |       round(p.n::DOUBLE / v.n_prev - 1.0, 6) AS wow_n,
+        |       round(p.sum_cents::DOUBLE / v.sum_cents_prev - 1.0, 6) AS wow_cents
+        |FROM per p LEFT JOIN prev v USING (series, period)
+        |ORDER BY series, period""".stripMargin,
+
+    // CUSUM: centered prefix deviation |n·S_k − k·S_n| in all-long
+    // arithmetic; the oracle's single per-key window equals the
+    // operator's two-level bucketed prefix sums exactly
+    "q_cusum" ->
+      """WITH r AS (
+        |  SELECT event_type AS k, ts, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |p AS (SELECT k, ts,
+        |        (sum(c) OVER (PARTITION BY k ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING))::BIGINT AS sk,
+        |        (count(*) OVER (PARTITION BY k ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING))::BIGINT AS rk,
+        |        (sum(c) OVER (PARTITION BY k))::BIGINT AS tot_s,
+        |        (count(*) OVER (PARTITION BY k))::BIGINT AS tot_n
+        |      FROM r),
+        |d AS (SELECT k, ts, tot_n,
+        |        abs(tot_n * sk - rk * tot_s)::BIGINT AS dev FROM p),
+        |m AS (SELECT k, max(tot_n)::BIGINT AS n, max(dev)::BIGINT AS max_dev
+        |      FROM d GROUP BY k)
+        |SELECT m.k AS event_type, m.n, m.max_dev, min(d.ts) AS argmax_ts
+        |FROM m JOIN d ON d.k = m.k AND d.dev = m.max_dev
+        |GROUP BY m.k, m.n, m.max_dev
+        |ORDER BY event_type""".stripMargin,
+
+    // TWAP: cent×micro products (per-row long-safe) summed exactly
+    // (HUGEINT here, decimal(38,0) on the Spark side), one division
+    "q_twap" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id,
+        |         CAST(round(value * 100) AS BIGINT) AS c,
+        |         epoch_us(ts) AS us FROM events),
+        |h AS (SELECT user_id, c,
+        |        lead(us) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) - us AS dur
+        |      FROM r),
+        |agg AS (SELECT user_id, count(*) AS n_held,
+        |          sum(dur)::BIGINT AS total_us, sum(c * dur) AS wsum
+        |        FROM h WHERE dur IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_held, total_us,
+        |       round(wsum::DOUBLE / total_us / 100.0, 6) AS twap
+        |FROM agg ORDER BY user_id""".stripMargin,
 
     // pooled two-proportion z; the arithmetic mirrors Analytics.abTest
     // operation for operation (same IEEE expression tree)

@@ -171,6 +171,37 @@ object Analytics {
           outDigits).as("z"))
   }
 
+  /** Period-over-period report: per (series, period) integer counts +
+    * exact cent sums, each period joined to the series' PREVIOUS
+    * calendar period (an equi-join on `period − interval` — gap-safe,
+    * unlike a lag window, which would silently compare across missing
+    * periods). Growth ratios are one integer division each — the only
+    * IEEE ops, identical on any engine; null when no previous period.
+    *
+    * Shape: one aggregation + one self-equi-join on the (tiny)
+    * per-period table. */
+  def periodOverPeriod(events: DataFrame, seriesCol: String, tsCol: String,
+                       valCol: Column, truncUnit: String = "week",
+                       stepInterval: String = "INTERVAL 7 DAYS",
+                       outDigits: Int = 6): DataFrame = {
+    val per = events.select(col(seriesCol).as("series"),
+        date_trunc(truncUnit, col(tsCol)).as("period"),
+        round(valCol * 100).cast("long").as("__cents"))
+      .groupBy(col("series"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("__cents")).as("sum_cents"))
+      .localCheckpoint(false) // both join sides reuse it
+    val prev = per.select(col("series"),
+      (col("period") + expr(stepInterval)).as("period"),
+      col("n").as("n_prev"), col("sum_cents").as("sum_cents_prev"))
+    per.join(prev, Seq("series", "period"), "left")
+      .select(col("series"), col("period"), col("n"), col("sum_cents"),
+        col("n_prev"), col("sum_cents_prev"),
+        round(col("n").cast("double") / col("n_prev") - 1.0, outDigits)
+          .as("wow_n"),
+        round(col("sum_cents").cast("double") / col("sum_cents_prev") - 1.0,
+          outDigits).as("wow_cents"))
+  }
+
   /** Robust per-group outlier profile: EXACT median and MAD (median
     * absolute deviation) over integer cent units, plus the count of
     * rows beyond `k` MADs. All-integer arithmetic: medians average the

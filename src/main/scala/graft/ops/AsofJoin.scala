@@ -63,4 +63,49 @@ object AsofJoin {
       d.withColumn(s"asof_$c", col("__asof").getField(c))
     }.select(leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c")): _*)
   }
+
+  /** Nearest-in-time join: for each left row, the right row in the same
+    * key group minimizing |Δtime|, ties to the EARLIER right row.
+    * Composed from two as-of passes — backward (latest at-or-before)
+    * and forward (earliest at-or-after, which is the backward pass on
+    * NEGATED epoch micros) — then one integer |Δ| comparison picks the
+    * winner. Same cost shape as [[asofJoin]] ×2: key-shuffle + per-key
+    * sort, no range cross-join at any scale.
+    *
+    * `timeCol` must be a timestamp; Δ compares in epoch micros
+    * (integer-exact). Returns left columns + `nearest_<payload>` +
+    * `nearest_dt_us` (null when the key has no right rows). */
+  def nearestJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                  timeCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val us = unix_micros(col(timeCol))
+    // carry the right row's own time as a payload so Δ is computable
+    val rp = right.withColumn("__rt_us", us)
+    val back = asofJoin(left, rp, keyCol, timeCol,
+      payloadCols :+ "__rt_us")
+    val backRenamed = (payloadCols :+ "__rt_us").foldLeft(back) { (d, c) =>
+      d.withColumnRenamed(s"asof_$c", s"__b_$c")
+    }
+    // forward pass: negate micros on BOTH sides; "latest -t' <= -t" is
+    // exactly "earliest t' >= t". Equal timestamps land in the backward
+    // pass too, so the tie-to-earlier rule below never loses them.
+    val negT = "__negt"
+    val lNeg = backRenamed.withColumn(negT, -us)
+    val rNeg = rp.withColumn(negT, -us)
+    val both = asofJoin(lNeg, rNeg, keyCol, negT, payloadCols :+ "__rt_us")
+    val fwdRenamed = (payloadCols :+ "__rt_us").foldLeft(both) { (d, c) =>
+      d.withColumnRenamed(s"asof_$c", s"__f_$c")
+    }
+    val dtB = us - col("__b___rt_us")  // >= 0 when present
+    val dtF = col("__f___rt_us") - us  // >= 0 when present
+    val useB = col("__b___rt_us").isNotNull &&
+      (col("__f___rt_us").isNull || dtB <= dtF) // tie -> earlier (backward)
+    val picked = payloadCols.foldLeft(fwdRenamed) { (d, c) =>
+      d.withColumn(s"nearest_$c",
+        when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")))
+    }.withColumn("nearest_dt_us",
+      when(useB, dtB).otherwise(dtF))
+    picked.select(leftCols.map(col) ++
+      payloadCols.map(c => col(s"nearest_$c")) :+ col("nearest_dt_us"): _*)
+  }
 }

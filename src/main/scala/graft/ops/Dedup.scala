@@ -368,6 +368,59 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact-threshold Jaccard join via PREFIX FILTERING (the
+    * SSJoin/PPJoin family): identical output to the all-pairs
+    * [[ngramJaccardPairs]] at the same threshold, but candidate pairs
+    * come only from shared PREFIX grams. Under a global gram order
+    * (rarest first — ascending document frequency, gram-hash
+    * tiebreak), any pair with jaccard >= t shares at least one gram
+    * among each side's first `n - ceil(t·n) + 1` grams (Chaudhuri et
+    * al. 2006; Xiao et al. 2008), so indexing ONLY prefixes is
+    * lossless. The prefix length uses `ceil(t·n − 1e-9)` — float
+    * noise can only LENGTHEN the prefix (more candidates), never drop
+    * a true pair, and the exact verify step makes the output
+    * independent of the filter's rounding.
+    *
+    * Scale notes (100 TB): the candidate join touches ~t-fraction-of-
+    * rarest grams instead of every gram — on Zipfian corpora that
+    * drops the join input by the head of the distribution, and the
+    * rarest-first order makes surviving posting lists short. The
+    * verify joins full shingle sets back on the (small) candidate
+    * list only. This is the exact-semantics scale path next to the
+    * probabilistic [[minhashLsh]]. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double,
+                         shingleWidth: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sets = shingleSets(df, idCol, textCol, shingleWidth)
+      .withColumn("n", size(col("sh")))
+      .localCheckpoint(false) // prefix index + verify join reuse it
+    val inv = sets.select(col("__id"), col("n"), explode(col("sh")).as("g"))
+      .withColumn("gh", xxhash64(col("g"))).drop("g")
+    val dfreq = inv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("df"), col("gh"))
+    val prefix = inv.join(dfreq, "gh")
+      .withColumn("r", row_number().over(wp))
+      .filter(col("r") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .select(col("__id"), col("gh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.gh") === col("b.gh") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("__id").as("id_a"), col("sh").as("sa"),
+        col("n").as("na")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("sh").as("sb"),
+        col("n").as("nb")), "id_b")
+      .withColumn("c", size(array_intersect(col("sa"), col("sb")))
+        .cast("double"))
+      .withColumn("jaccard", col("c") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash of a text column: per-token 64-bit hash, each bit
     * votes +1/-1; the sign vector packs into a long. Near-dups have
     * small Hamming distance.

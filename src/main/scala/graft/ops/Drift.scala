@@ -64,4 +64,53 @@ object Drift {
       (d, na.toLong, nb.toLong)
     } finally rdd.unpersist(blocking = false)
   }
+
+  /** Per-series CUSUM change-point statistic: for each key, over rows
+    * ordered by (ts, tie), the maximum absolute centered prefix
+    * deviation `max_k |n·S_k − k·S_n|` of integer cent values — all
+    * LONG arithmetic (the division by n·100 to currency units happens
+    * once, at the end), so the statistic is bit-exact on any engine. A
+    * large value flags a sustained level shift (the classic CUSUM
+    * change-point signal); the argmax timestamp localizes it.
+    *
+    * Scale notes: per-row prefix sums NEVER run in one window over a
+    * whole series. Rows bucket by `date_trunc(bucketUnit)`; cross-
+    * bucket offsets come from a window over the per-(key, bucket)
+    * aggregate (bounded by span/bucket — e.g. 720 rows per key for a
+    * 30-day hourly span), and the per-row scan is a window inside ONE
+    * (key, bucket) — bounded by bucket row counts. The same two-level
+    * prefix-sum shape as [[Packing.concatChunk]], keyed. */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+            valCol: Column, bucketUnit: String = "hour"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+      col(tieCol).as("tie"), round(valCol * 100).cast("long").as("c"),
+      date_trunc(bucketUnit, col(tsCol)).as("bucket"))
+    val perBucket = rows.groupBy(col("k"), col("bucket"))
+      .agg(sum(col("c")).as("bs"), count(lit(1)).as("bn"))
+    val wk = w.partitionBy(col("k")).orderBy(col("bucket"))
+    val offs = perBucket.select(col("k"), col("bucket"),
+      (sum(col("bs")).over(wk) - col("bs")).as("off_s"),
+      (sum(col("bn")).over(wk) - col("bn")).as("off_n"),
+      sum(col("bs")).over(w.partitionBy(col("k"))).as("tot_s"),
+      sum(col("bn")).over(w.partitionBy(col("k"))).as("tot_n"))
+    val wb = w.partitionBy(col("k"), col("bucket"))
+      .orderBy(col("ts"), col("tie"))
+    val devs = rows.join(offs, Seq("k", "bucket"))
+      .select(col("k"), col("ts"), col("tot_s"), col("tot_n"),
+        (col("off_s") + sum(col("c")).over(wb)).as("sk"),
+        (col("off_n") + count(lit(1)).over(wb)).as("rk"))
+      .select(col("k"), col("ts"), col("tot_n"),
+        abs(col("tot_n") * col("sk") - col("rk") * col("tot_s")).as("dev"))
+      .localCheckpoint(false) // max pass + argmax join-back reuse it
+    val mx = devs.groupBy(col("k")).agg(
+      max(col("tot_n")).as("n"), max(col("dev")).as("max_dev"))
+    devs.join(broadcast(mx), "k")
+      .filter(col("dev") === col("max_dev"))
+      .groupBy(col("k")).agg(
+        max(col("n")).as("n"), max(col("max_dev")).as("max_dev"),
+        min(col("ts")).as("argmax_ts")) // earliest row attaining the max
+      .select(col("k").as(keyCol), col("n"), col("max_dev"),
+        col("argmax_ts"))
+  }
 }

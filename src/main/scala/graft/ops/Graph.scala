@@ -92,6 +92,57 @@ object Graph {
     pr.select(col("id"), col("pr").cast("long").as("pr_nano"))
   }
 
+  /** k-core decomposition membership: `rounds` synchronous peeling
+    * iterations (drop every node with degree < k, recompute), returning
+    * the surviving nodes with their final in-core degrees. With
+    * `rounds` at or beyond convergence this IS the k-core (the unique
+    * maximal subgraph of min-degree >= k); fixing the round count keeps
+    * the whole trajectory engine-exact (the oracle unrolls the same
+    * rounds), and synchronous peeling converges in O(peel depth)
+    * rounds — typically a handful on co-occurrence graphs.
+    *
+    * Scale notes (100 TB): one degree aggregation + one semi-join per
+    * round on the edge key, bounded by `rounds`; each round ends in an
+    * eager localCheckpoint (the connectedComponents rationale). Below
+    * `maxLocalEdges` the same integer peeling runs on the driver —
+    * set-membership arithmetic only, so it is bit-identical to the
+    * distributed loop (the PageRank cutover pattern). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            rounds: Int = 6, maxLocalEdges: Long = 1L << 20): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val a = least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+    val b = greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+    val e0 = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(a.as("a"), b.as("b")).filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    if (e0.count() <= maxLocalEdges) {
+      var es = e0.as[(Long, Long)].collect()
+      for (_ <- 1 to rounds) {
+        val deg = scala.collection.mutable.Map.empty[Long, Int]
+        es.foreach { case (x, y) =>
+          deg(x) = deg.getOrElse(x, 0) + 1; deg(y) = deg.getOrElse(y, 0) + 1 }
+        es = es.filter { case (x, y) => deg(x) >= k && deg(y) >= k }
+      }
+      val deg = scala.collection.mutable.Map.empty[Long, Long]
+      es.foreach { case (x, y) =>
+        deg(x) = deg.getOrElse(x, 0L) + 1L; deg(y) = deg.getOrElse(y, 0L) + 1L }
+      return spark.createDataset(deg.toSeq.sortBy(_._1)).toDF("id", "core_deg")
+    }
+    var e = e0
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val good = deg.filter(col("deg") >= k).select("id")
+      e = e.join(good.select(col("id").as("a")), "a")
+        .join(good.select(col("id").as("b")), "b")
+        .select("a", "b").localCheckpoint(true)
+    }
+    e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Per-node triangle participation counts over an undirected graph
     * given as (possibly duplicated / bidirectional) edge pairs.
     * Returns (id, n_triangles) for every node in ≥ 1 triangle —

@@ -101,4 +101,36 @@ object Temporal {
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("sum_cents"), lit(0L)).as("sum_cents"))
   }
+
+  /** Time-weighted average per key (TWAP semantics): each observation's
+    * value holds from its timestamp until the next observation; the
+    * average weights each held value by its holding duration. All-LONG
+    * accumulation — cent values × epoch-micro durations summed as
+    * decimal(38,0) (a 64-bit sum can overflow: cents·micros reaches
+    * ~1e13 PER ROW) — with ONE double division at the end. The final
+    * observation has no holding period and contributes nothing (the
+    * standard left-closed convention; document, don't silently pad).
+    *
+    * Shape: one key-partitioned lead window + one grouped aggregation
+    * — the SCD2 partitioning reused. */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, valCol: Column,
+                      outDigits: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val held = df
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        round(valCol * 100).cast("long").as("__cents"),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__dur", lead(col("__us"), 1).over(w) - col("__us"))
+      .filter(col("__dur").isNotNull)
+    held.groupBy(col(keyCol)).agg(
+        count(lit(1)).as("n_held"),
+        sum(col("__dur")).as("total_us"),
+        sum((col("__cents") * col("__dur")).cast("decimal(38,0)"))
+          .as("__wsum"))
+      .select(col(keyCol), col("n_held"), col("total_us"),
+        round(col("__wsum").cast("double")
+          / col("total_us") / 100.0, outDigits).as("twap"))
+  }
 }

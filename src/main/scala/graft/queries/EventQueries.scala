@@ -113,6 +113,46 @@ object EventQueries {
         "event_id", "event_type")
       .orderBy("from_type", "to_type")
 
+  /** Nearest-in-time join: each click attaches the user's error event
+    * with minimal |Δt| (ties to the earlier error), composed from two
+    * as-of passes — no range cross-join. */
+  def nearestJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"),
+        col("ts").as("err_ts"), col("value").as("err_value"))
+    graft.ops.AsofJoin.nearestJoin(clicks, errors, "user_id", "ts",
+        Seq("err_ts", "err_value"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("nearest_err_ts").as("err_ts"),
+        (round(col("nearest_err_value"), 4) + lit(0.0)).as("err_value"),
+        col("nearest_dt_us"))
+      .orderBy("event_id")
+  }
+
+  /** Week-over-week per event type: counts + exact cent sums joined to
+    * the previous calendar week (gap-safe equi-join, not a lag). */
+  def wowQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Analytics.periodOverPeriod(events(spark, dir), "event_type",
+        "ts", col("value"))
+      .orderBy("series", "period")
+
+  /** Per-event-type CUSUM change-point statistic (all-long centered
+    * prefix deviations via the two-level bucketed prefix sum). */
+  def cusumQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Drift.cusum(events(spark, dir), "event_type", "ts",
+        "event_id", col("value"))
+      .orderBy("event_type")
+
+  /** Per-user time-weighted average event value (TWAP): cent-micro
+    * products summed exactly, one final division. */
+  def twapQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Temporal.timeWeightedAvg(events(spark, dir), "user_id",
+        "ts", "event_id", col("value"))
+      .orderBy("user_id")
+
   /** Two-proportion A/B z-test: users split by parity of user_id;
     * "converted" = made >= 14 purchases (the per-user median is 13, so
     * both arms land strictly inside (0, 1) and the pooled variance is

@@ -269,7 +269,64 @@ object OpsOracles {
          |ORDER BY cl.id""".stripMargin
   }
 
+  /** Unrolled k-core peel: `rounds` generated (degree → keep → filter)
+    * CTE blocks over the co-purchase edge set — the same mechanical
+    * unrolling as [[bpeMergesSql]]; round count matches
+    * `Graph.kCore(rounds = ...)` exactly, so convergence timing cannot
+    * diverge between the engines. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    // each round references the previous edge CTE 3x — MATERIALIZED
+    // stops the inlining from expanding the plan exponentially
+    val sb = new StringBuilder(
+      """WITH pe AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey % 997 AS p
+        |  FROM lineitem WHERE l_orderkey < 3000),
+        |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p AS b
+        |       FROM pe x JOIN pe y ON x.ok = y.ok AND x.p < y.p)""".stripMargin)
+    for (i <- 0 until rounds) {
+      sb ++= s""",
+        |d$i AS MATERIALIZED (SELECT id, count(*) AS deg
+        |        FROM (SELECT a AS id FROM e$i UNION ALL SELECT b FROM e$i)
+        |        GROUP BY id),
+        |g$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= $k),
+        |e${i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$i e
+        |        JOIN g$i ga ON e.a = ga.id JOIN g$i gb ON e.b = gb.id)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT id, count(*) AS core_deg
+      |FROM (SELECT a AS id FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+      |GROUP BY id ORDER BY id""".stripMargin
+    sb.toString
+  }
+
+  /** Brute-force all-pairs n-gram Jaccard on the bounded near-dup
+    * slice — the oracle of BOTH q_ngram_jaccard (the all-pairs
+    * operator) and q_prefix_jaccard (the prefix-filtered join, which
+    * must reproduce it exactly). */
+  private val ngramJaccardSql: String =
+    """
+      |WITH docs AS (
+      |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 1000
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |         array_to_string(list_slice(w, 1, len(w) - 5), ' ')
+      |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w
+      |        FROM documents WHERE doc_id < 1000)),
+      |sets AS (
+      |  SELECT id, list_distinct(list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+      |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+      |  FROM (SELECT id, string_split(lower(trim(text)), ' ') w FROM docs)),
+      |inv AS (SELECT id, len(s) AS n, unnest(s) AS g FROM sets),
+      |pc AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb, count(*)::double AS c
+      |  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, round(c / (na + nb - c), 4) AS jaccard
+      |FROM pc WHERE c / (na + nb - c) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin.trim
+
   val sql: Map[String, String] = Map(
+    "q_kcore" -> kcoreSql(k = 30, rounds = 16),
     "q_kmeans" -> kmeansSql(k = 8, iters = 3, dim = 64),
     "q_funnel" ->
       """
@@ -693,27 +750,11 @@ object OpsOracles {
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 6
         |ORDER BY id_a, id_b""".stripMargin.trim,
 
-    "q_ngram_jaccard" ->
-      """
-        |WITH docs AS (
-        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 1000
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |         array_to_string(list_slice(w, 1, len(w) - 5), ' ')
-        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w
-        |        FROM documents WHERE doc_id < 1000)),
-        |sets AS (
-        |  SELECT id, list_distinct(list_transform(generate_series(0, greatest(len(w) - 3, 0)),
-        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
-        |  FROM (SELECT id, string_split(lower(trim(text)), ' ') w FROM docs)),
-        |inv AS (SELECT id, len(s) AS n, unnest(s) AS g FROM sets),
-        |pc AS (
-        |  SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb, count(*)::double AS c
-        |  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT id_a, id_b, round(c / (na + nb - c), 4) AS jaccard
-        |FROM pc WHERE c / (na + nb - c) >= 0.6
-        |ORDER BY id_a, id_b""".stripMargin.trim,
+    // the prefix-filtered join must equal the brute-force all-pairs
+    // query EXACTLY — same oracle text as q_ngram_jaccard
+    "q_prefix_jaccard" -> ngramJaccardSql,
+
+    "q_ngram_jaccard" -> ngramJaccardSql,
 
     // reproduces the operator's SRP-LSH bucketing (md5 Rademacher
     // planes, 8 tables x 8 bits) so Spark and oracle agree BY

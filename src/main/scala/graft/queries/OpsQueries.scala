@@ -60,6 +60,16 @@ object OpsQueries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** Prefix-filtered EXACT Jaccard join on the same bounded slice as
+    * [[ngramJaccard]]: candidates from rarest-first gram prefixes only,
+    * then exact verify — the output must equal the brute-force
+    * all-pairs query (which IS the oracle). */
+  def prefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(docsWithNearDups(spark, dir, 1000), "doc_id",
+        "text", threshold = 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
   /** embeddings ∪ rescaled copies (cosine-identical, ids + 100000). */
   def dedupCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
@@ -782,20 +792,32 @@ object OpsQueries {
         col("o_totalprice"), k = 3)
       .orderBy("o_orderpriority")
 
-  /** Per-node triangle counts over the part co-purchase graph (parts
-    * bucketed mod 997 co-occurring in the same order; bounded order
-    * slice keeps the exact-enumeration demo fixed-size across SFs —
-    * the operator itself is the O(m^1.5) oriented join). */
-  def triangleCountQ(spark: SparkSession, dir: String): DataFrame = {
+  /** Part co-purchase graph (parts bucketed mod 997 co-occurring in the
+    * same order; bounded order slice keeps the exact-enumeration demos
+    * fixed-size across SFs) — shared by the triangle and k-core
+    * queries. */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
     val pe = tbl(spark, dir, "lineitem").filter(col("l_orderkey") < 3000)
       .select(col("l_orderkey").as("ok"), (col("l_partkey") % 997).as("p"))
       .distinct()
-    val edges = pe.select(col("ok"), col("p").as("src"))
+    pe.select(col("ok"), col("p").as("src"))
       .join(pe.select(col("ok"), col("p").as("dst")), "ok")
       .filter(col("src") < col("dst"))
-    Graph.triangleCount(edges, "src", "dst")
-      .orderBy("id")
   }
+
+  /** Per-node triangle counts over the co-purchase graph — the operator
+    * itself is the O(m^1.5) degree-oriented join. */
+  def triangleCountQ(spark: SparkSession, dir: String): DataFrame =
+    Graph.triangleCount(coPurchaseEdges(spark, dir), "src", "dst")
+      .orderBy("id")
+
+  /** 30-core membership of the co-purchase graph: 16 synchronous peel
+    * rounds (convergence needs <= 15 at every shipped SF; the oracle
+    * unrolls the same 16 rounds, so the match is exact regardless). */
+  def kcoreQ(spark: SparkSession, dir: String): DataFrame =
+    Graph.kCore(coPurchaseEdges(spark, dir), "src", "dst", k = 30,
+        rounds = 16)
+      .orderBy("id")
 
   /** Windowed collocation PMI over the corpus (window 5, pair count
     * >= 5) — integer counts, one ln at the end. */

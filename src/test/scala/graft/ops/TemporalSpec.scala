@@ -144,6 +144,141 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", "b", 3L, 3L, 2L, pmi)))
   }
 
+  test("kCore peels below-k nodes; driver and distributed paths agree") {
+    // K5 (deg 4 inside) + a pendant chain 5-6-7: at k=3 the chain peels
+    // over two rounds and K5 survives with in-core degree 4
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val e = (k5 ++ Seq((5L, 6L), (6L, 7L))).toDF("src", "dst")
+    val local = Graph.kCore(e, "src", "dst", k = 3, rounds = 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(local.toSeq == (1L to 5L).map((_, 4L)))
+    val dist = Graph.kCore(e, "src", "dst", k = 3, rounds = 4,
+        maxLocalEdges = 0)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dist.toSeq == local.toSeq)
+  }
+
+  test("cusum finds the level-shift point across bucket boundaries") {
+    // 6 obs: value 1.00 for the first three, 5.00 after — the centered
+    // deviation |n*S_k - k*S_n| peaks at the change point k=3
+    // (S_n = 1800 cents, n = 6): |6*300 - 3*1800| = 3600
+    val e = (1 to 6).map { i =>
+      ("a", ts(f"2024-01-01 0$i:30:00"), i.toLong,
+        if (i <= 3) 1.00 else 5.00)
+    }.toDF("k", "ts", "id", "value")
+    val out = Drift.cusum(e, "k", "ts", "id", col("value")).collect()(0)
+    assert((out.getString(0), out.getLong(1), out.getLong(2),
+      out.getTimestamp(3)) ==
+      (("a", 6L, 3600L, ts("2024-01-01 03:30:00"))))
+  }
+
+  test("timeWeightedAvg weights each value by its holding duration") {
+    val e = Seq(
+      // 1.00 held 2h, then 4.00 held 1h -> twap = (1*2 + 4*1)/3 = 2.0
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1.00),
+      (1L, ts("2024-01-01 02:00:00"), 2L, 4.00),
+      (1L, ts("2024-01-01 03:00:00"), 3L, 9.99), // final obs: no period
+      (2L, ts("2024-01-01 00:00:00"), 4L, 7.00)  // single obs: dropped
+    ).toDF("u", "ts", "id", "value")
+    val out = Temporal.timeWeightedAvg(e, "u", "ts", "id", col("value"))
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((1L, 2L, 3L * 3600L * 1000000L, 2.0)))
+  }
+
+  test("streaming CDC upsert via foreachBatch equals the batch merge") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Seq((1L, "one", 10.0), (2L, "two", 20.0))
+      .toDF("k", "name", "bal").localCheckpoint(true)
+    val input = MemoryStream[(Long, String, Long, String, Double)]
+    // snapshot evolves per micro-batch; in-order per-key delivery is
+    // the streaming CDC precondition (documented on cdcApply)
+    var snapshot = base
+    val q = input.toDF().toDF("k", "op", "seq", "name", "bal").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        snapshot = Temporal.cdcApply(snapshot, batch, "k", "op",
+          Seq(col("seq")), Seq("name", "bal")).localCheckpoint(true)
+        ()
+      }
+      .start()
+    input.addData((1L, "U", 1L, "one-v2", 11.0), (3L, "I", 2L, "three", 30.0))
+    q.processAllAvailable()
+    input.addData((2L, "D", 3L, "x", 0.0), (1L, "U", 4L, "one-v3", 12.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = snapshot.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val allChanges = Seq(
+      (1L, "U", 1L, "one-v2", 11.0), (3L, "I", 2L, "three", 30.0),
+      (2L, "D", 3L, "x", 0.0), (1L, "U", 4L, "one-v3", 12.0)
+    ).toDF("k", "op", "seq", "name", "bal")
+    val batchMerge = Temporal.cdcApply(base, allChanges, "k", "op",
+        Seq(col("seq")), Seq("name", "bal"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == batchMerge.toSeq)
+    assert(got.toSeq == Seq((1L, "one-v3", 12.0), (3L, "three", 30.0)))
+  }
+
+  test("prefixJaccardPairs equals brute-force all-pairs at the threshold") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "aa bb cc dd ee ff gg"),   // near-dup of 1
+      (3L, "zz yy xx ww vv uu tt"),   // unrelated
+      (4L, "aa bb cc zz yy xx ww vv") // partial overlap, below threshold
+    ).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP))).toSet
+    val brute = norm(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5))
+    val pref = norm(Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.5))
+    assert(pref == brute && brute.nonEmpty)
+  }
+
+  test("nearestJoin picks min |dt| with ties to the earlier right row") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 23:00:00")),
+      (3L, 20L, ts("2024-01-01 05:00:00")) // key with no right rows
+    ).toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), 1.0), // 1h before left 1
+      (10L, ts("2024-01-01 11:00:00"), 2.0)  // 1h after: TIE -> earlier
+    ).toDF("k", "ts", "v")
+      .select(col("k"), col("ts"), col("ts").as("rt"), col("v"))
+    val out = AsofJoin.nearestJoin(left, right, "k", "ts", Seq("rt", "v"))
+      .orderBy("id").collect()
+    assert(out(0).getTimestamp(3) == ts("2024-01-01 09:00:00")
+      && out(0).getDouble(4) == 1.0
+      && out(0).getLong(5) == 3600L * 1000000L)
+    // left 2: only earlier rows exist; nearest is 11:00 (12h away)
+    assert(out(1).getTimestamp(3) == ts("2024-01-01 11:00:00")
+      && out(1).getLong(5) == 12L * 3600L * 1000000L)
+    assert(out(2).isNullAt(3) && out(2).isNullAt(5))
+  }
+
+  test("periodOverPeriod joins the previous calendar period, gap-safe") {
+    val e = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1.00), // week 1
+      ("a", ts("2024-01-02 10:00:00"), 2.00), // week 1
+      ("a", ts("2024-01-08 10:00:00"), 6.00), // week 2
+      ("a", ts("2024-01-22 10:00:00"), 9.00)  // week 4: gap -> null prev
+    ).toDF("t", "ts", "value")
+    val out = Analytics.periodOverPeriod(e, "t", "ts", col("value"))
+      .orderBy("period").collect()
+      .map(r => (r.getTimestamp(1).toString.take(10), r.getLong(2),
+        Option(if (r.isNullAt(4)) null else r.getLong(4)),
+        Option(if (r.isNullAt(6)) null else r.getDouble(6))))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 2L, None, None),
+      ("2024-01-08", 1L, Some(2L), Some(-0.5)),
+      ("2024-01-22", 1L, None, None))) // week 3 missing: NOT compared to week 2
+  }
+
   test("positionalIndex records df, occurrence counts and first position") {
     val docs = Seq((1L, "x y x"), (2L, "y z"), (3L, "y")).toDF("doc_id", "text")
     val out = TextAnalysis.positionalIndex(docs, "doc_id", "text", minDocs = 2)
