@@ -148,7 +148,11 @@ object SparkEntry {
     "q_twap"             -> (EventQueries.twapQ _),
     "q_prefix_jaccard"   -> (OpsQueries.prefixJaccard _),
     "q_nearest_join"     -> (EventQueries.nearestJoinQ _),
-    "q_wow"              -> (EventQueries.wowQ _)
+    "q_wow"              -> (EventQueries.wowQ _),
+    "q_group_pcts"       -> (OpsQueries.groupPcts _),
+    "q_group_ols"        -> (OpsQueries.groupOls _),
+    "q_table_digest"     -> (OpsQueries.tableDigestQ _),
+    "q_attribution"      -> (EventQueries.attributionQ _)
   )
 
   private val fixedPathValues =
@@ -1064,6 +1068,30 @@ object SparkEntry {
         |       round(cnt.n::DOUBLE / tot.tot, 6) AS p
         |FROM cnt JOIN tot USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // last-touch attribution: latest (user, ts)-deduped touch at-or-
+    // before each purchase, 2h lookback, else 'none'
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, min(event_type) AS channel,
+        |             epoch_us(ts) AS touch_us
+        |      FROM events WHERE event_type IN ('view', 'click')
+        |      GROUP BY user_id, ts),
+        |j AS (SELECT p.event_id, p.cents, t.channel, t.touch_us,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY t.touch_us DESC) AS rn, p.us
+        |      FROM p LEFT JOIN t
+        |        ON p.user_id = t.user_id AND t.touch_us <= p.us),
+        |a AS (SELECT event_id, cents,
+        |        CASE WHEN touch_us IS NOT NULL AND us - touch_us <= 7200000000
+        |             THEN channel ELSE 'none' END AS channel
+        |      FROM j WHERE rn = 1)
+        |SELECT channel, count(*) AS n_purchases,
+        |       sum(cents)::BIGINT AS revenue_cents
+        |FROM a GROUP BY channel ORDER BY channel""".stripMargin,
 
     // nearest-in-time: min |Δmicros| per click, ties to the earlier
     // error; LEFT JOIN keeps clicks from users with no errors

@@ -171,6 +171,38 @@ object Analytics {
           outDigits).as("z"))
   }
 
+  /** Per-group closed-form OLS (segmented regression): slope,
+    * intercept, and R² of y ~ x within each group, from integer-cent
+    * moments summed as decimal(38,0) — EXACT accumulation (the
+    * [[corrPairs]] discipline: no float summation-order dependence;
+    * long Sxx overflows at sf0.1 magnitudes), with the closed-form
+    * combination `slope = (n·Sxy − Sx·Sy)/(n·Sxx − Sx²)` in doubles at
+    * the end. One grouped full-scan aggregation.
+    *
+    * Both columns scale by 100 (cents), so the slope is in original
+    * units; the intercept converts back via /100. */
+  def groupedOls(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String, outDigits: Int = 6): DataFrame = {
+    def ints(c: String): Column =
+      round(col(c).cast("double") * 100).cast("long").cast("decimal(38,0)")
+    val m = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(ints(xCol)).as("sx"), sum(ints(yCol)).as("sy"),
+      sum(ints(xCol) * ints(xCol)).as("sxx"),
+      sum(ints(xCol) * ints(yCol)).as("sxy"),
+      sum(ints(yCol) * ints(yCol)).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / den
+    m.select(col(groupCol),
+      round(slope, outDigits).as("slope"),
+      round((col("sy").cast("double") / col("n").cast("double")
+        - slope * (col("sx").cast("double") / col("n").cast("double")))
+        / 100.0, outDigits).as("intercept"),
+      round(num * num / (den * dy), outDigits).as("r2"))
+  }
+
   /** Period-over-period report: per (series, period) integer counts +
     * exact cent sums, each period joined to the series' PREVIOUS
     * calendar period (an equi-join on `period − interval` — gap-safe,

@@ -44,4 +44,21 @@ object Quantiles {
     unpack(df,
       percentile_approx(col(valueCol), typedlit(probs), lit(accuracy)), probs)
   }
+
+  /** Exact interpolated quantiles PER GROUP — the p50/p95/p99-by-
+    * segment report. One aggregation; per-group state buffers that
+    * group's values (the [[exact]] caveat per group — the correctness
+    * anchor; swap `percentile` for `percentile_approx` at 100 TB, or
+    * use the distinct-value prefix-sum machinery of
+    * [[Analytics.madOutliers]] when values are integer-valued). */
+  def exactByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                   probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), typedlit(probs)).as("qs"))
+      .select(col(groupCol), posexplode(col("qs")).as(Seq("i", "v")))
+      .select(col(groupCol),
+        element_at(typedlit(probs), col("i") + 1).as("q"),
+        col("v").cast("double").as("value"))
+  }
 }

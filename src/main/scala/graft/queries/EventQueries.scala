@@ -139,6 +139,33 @@ object EventQueries {
         "ts", col("value"))
       .orderBy("series", "period")
 
+  /** Last-touch marketing attribution: each purchase attributes to the
+    * user's most recent view/click touch within a 2-hour lookback
+    * (else "none"); per-channel conversions + attributed revenue.
+    * Touches pre-dedup to one per (user, ts) — min(channel), a
+    * deterministic cross-engine tiebreak — then ONE as-of pass and a
+    * tiny grouped rollup. */
+  def attributionQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_type")).as("channel"))
+      .withColumn("touch_us", unix_micros(col("ts")))
+    val att = graft.ops.AsofJoin.asofJoin(purchases, touches, "user_id",
+        "ts", Seq("channel", "touch_us"))
+      .withColumn("attributed",
+        when(col("asof_touch_us").isNotNull &&
+          unix_micros(col("ts")) - col("asof_touch_us") <= 7200L * 1000000L,
+          col("asof_channel")).otherwise(lit("none")))
+    att.groupBy(col("attributed").as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).cast("long").as("revenue_cents"))
+      .orderBy("channel")
+  }
+
   /** Per-event-type CUSUM change-point statistic (all-long centered
     * prefix deviations via the two-level bucketed prefix sum). */
   def cusumQ(spark: SparkSession, dir: String): DataFrame =

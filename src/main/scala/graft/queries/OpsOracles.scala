@@ -327,6 +327,56 @@ object OpsOracles {
 
   val sql: Map[String, String] = Map(
     "q_kcore" -> kcoreSql(k = 30, rounds = 16),
+
+    // quantile_cont shares Spark percentile's linear interpolation
+    // (the q_quantiles precedent), grouped
+    "q_group_pcts" ->
+      """
+        |WITH g AS (SELECT l_returnflag,
+        |             quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.99]) AS qs
+        |           FROM lineitem GROUP BY 1),
+        |u AS (SELECT l_returnflag, unnest([0.25, 0.5, 0.75, 0.99]) AS q,
+        |             unnest(qs) AS v FROM g)
+        |SELECT l_returnflag, q, round(v, 4) AS value
+        |FROM u ORDER BY l_returnflag, q""".stripMargin.trim,
+
+    // exact HUGEINT cent moments (the q_corr discipline), closed-form
+    // slope/intercept/r2 with the same IEEE combination as groupedOls
+    "q_group_ols" ->
+      """
+        |WITH m AS (SELECT l_returnflag,
+        |    count(*)::HUGEINT AS n,
+        |    sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS sx,
+        |    sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sy,
+        |    sum(CAST(round(l_quantity * 100.0) AS BIGINT)
+        |      * CAST(round(l_quantity * 100.0) AS BIGINT)) AS sxx,
+        |    sum(CAST(round(l_quantity * 100.0) AS BIGINT)
+        |      * CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sxy,
+        |    sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |      * CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT l_returnflag,
+        |    (n * sxy - sx * sy)::DOUBLE AS num,
+        |    (n * sxx - sx * sx)::DOUBLE AS den,
+        |    (n * syy - sy * sy)::DOUBLE AS dy,
+        |    sx::DOUBLE AS sxd, sy::DOUBLE AS syd, n::DOUBLE AS nd
+        |  FROM m)
+        |SELECT l_returnflag,
+        |  round(num / den, 6) AS slope,
+        |  round((syd / nd - (num / den) * (sxd / nd)) / 100.0, 6) AS intercept,
+        |  round(num * num / (den * dy), 6) AS r2
+        |FROM t ORDER BY l_returnflag""".stripMargin.trim,
+
+    // 60-bit md5-prefix row hashes; order-independent HUGEINT sum mod
+    // 10^18 per content-addressed shard
+    "q_table_digest" ->
+      """
+        |WITH h AS (SELECT
+        |    ('0x' || substr(md5(doc_id::varchar || chr(1) || text), 1, 15))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT hv % 16 AS shard, count(*) AS n_rows,
+        |       (sum(hv) % 1000000000000000000)::BIGINT AS digest
+        |FROM h GROUP BY 1 ORDER BY shard""".stripMargin.trim,
     "q_kmeans" -> kmeansSql(k = 8, iters = 3, dim = 64),
     "q_funnel" ->
       """

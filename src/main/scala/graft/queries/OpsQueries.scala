@@ -582,6 +582,30 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact p25/p50/p75/p99 of line prices per return flag — the
+    * per-segment latency/value report (exact anchor; approx is the
+    * 100 TB path, see [[Quantiles.exactByGroup]]). */
+  def groupPcts(spark: SparkSession, dir: String): DataFrame =
+    Quantiles.exactByGroup(tbl(spark, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.99))
+      .select(col("l_returnflag"), col("q"), round(col("value"), 4).as("value"))
+      .orderBy("l_returnflag", "q")
+
+  /** Segmented OLS: price ~ quantity per return flag (exact decimal
+    * integer moments, closed-form slope/intercept/R²). */
+  def groupOls(spark: SparkSession, dir: String): DataFrame =
+    Analytics.groupedOls(tbl(spark, dir, "lineitem"), "l_returnflag",
+        "l_quantity", "l_extendedprice")
+      .orderBy("l_returnflag")
+
+  /** Order-independent per-shard content digests of the documents
+    * table (the export/migration integrity check). */
+  def tableDigestQ(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Export.tableDigest(
+        tbl(spark, dir, "documents").select("doc_id", "text"),
+        Seq("doc_id", "text"), shards = 16)
+      .orderBy("shard")
+
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     val d = Multimodal.withPayload(
       tbl(spark, dir, "documents").select("doc_id", "text"), "text", "image")

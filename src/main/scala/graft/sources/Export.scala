@@ -87,4 +87,29 @@ object Export {
           .when(col("__old") === col("__new"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** ORDER-INDEPENDENT content digest per shard: each row hashes to a
+    * 60-bit integer (first 15 md5 hex chars — engine-portable), shards
+    * by `hash % shards` (content-addressed: no id column needed), and
+    * each shard reports (row count, sum-of-hashes mod 10^18). Equal
+    * tables produce equal digests under ANY partitioning/ordering —
+    * the cheap integrity check before/after an export or migration,
+    * and the per-shard split localizes WHERE two snapshots diverge.
+    * All-integer (decimal-exact sum), engine-exact.
+    *
+    * One narrow projection + one tiny aggregation; nothing but
+    * (shard, hash) moves. */
+  def tableDigest(df: DataFrame, contentCols: Seq[String],
+                  shards: Int = 16): DataFrame = {
+    require(contentCols.nonEmpty && shards >= 1)
+    val rowStr = concat_ws("\u0001", // separator: ("ab","c") vs ("a","bc") must differ
+      contentCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val hv = conv(substring(md5(rowStr), 1, 15), 16, 10)
+      .cast("decimal(38,0)").cast("long")
+    df.select((hv % shards).as("shard"), hv.as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("__h").cast("decimal(38,0)")) % lit(1000000000000000000L))
+          .cast("long").as("digest"))
+  }
 }

@@ -207,4 +207,43 @@ object EventAgg {
           } else Iterator.empty
       }
   }
+
+  /** A key that stopped emitting: last event seen and the declared
+    * silence bound that fired. */
+  final case class SilenceAlert(user_id: Long, last_seen: Timestamp,
+                                silent_for_min: Long)
+  final case class LastSeen(lastMs: Long)
+
+  /** Silence / heartbeat-loss detection — the monitoring dual of
+    * [[sessionizeStream]]: one alert per key whose EVENT-TIME silence
+    * exceeds `silenceMinutes` (detected when the watermark passes
+    * `last_seen + silence`; no wall-clock dependence). State is one
+    * timestamp per key active within the horizon, evicted on alert —
+    * the key re-arms when it next appears, so a flapping source emits
+    * one alert per silent episode, not per micro-batch. */
+  def silenceAlerts(events: Dataset[Event], silenceMinutes: Int = 30,
+                    watermarkDelay: String = "10 minutes"): Dataset[SilenceAlert] = {
+    import events.sparkSession.implicits._
+    val gapMs = silenceMinutes * 60000L
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, SilenceAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[LastSeen]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SilenceAlert(uid, new Timestamp(s.lastMs), silenceMinutes.toLong))
+            state.remove()
+            out.iterator
+          } else {
+            val maxT = rows.map(_.ts.getTime).max
+            val last = math.max(
+              state.getOption.map(_.lastMs).getOrElse(Long.MinValue), maxT)
+            state.update(LastSeen(last))
+            state.setTimeoutTimestamp(
+              math.max(last + gapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -158,6 +158,21 @@ class TemporalSpec extends SparkSpec {
     assert(dist.toSeq == local.toSeq)
   }
 
+  test("kCore at the declared query parameters has converged (fixpoint)") {
+    // q_kcore ships rounds = 16; prove the result is the true k-core at
+    // verification scale by checking one fewer round changes nothing
+    val pe = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_orderkey") < 3000)
+      .select(col("l_orderkey").as("ok"), (col("l_partkey") % 997).as("p"))
+      .distinct()
+    val edges = pe.select(col("ok"), col("p").as("src"))
+      .join(pe.select(col("ok"), col("p").as("dst")), "ok")
+      .filter(col("src") < col("dst"))
+    def run(r: Int) = Graph.kCore(edges, "src", "dst", k = 30, rounds = r)
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(run(15) == run(16))
+  }
+
   test("cusum finds the level-shift point across bucket boundaries") {
     // 6 obs: value 1.00 for the first three, 5.00 after — the centered
     // deviation |n*S_k - k*S_n| peaks at the change point k=3
@@ -277,6 +292,43 @@ class TemporalSpec extends SparkSpec {
       ("2024-01-01", 2L, None, None),
       ("2024-01-08", 1L, Some(2L), Some(-0.5)),
       ("2024-01-22", 1L, None, None))) // week 3 missing: NOT compared to week 2
+  }
+
+  test("exactByGroup interpolates per-group percentiles") {
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++ Seq(10.0).map(("b", _)))
+      .toDF("g", "v")
+    val out = Quantiles.exactByGroup(df, "g", "v", Seq(0.5, 1.0))
+      .orderBy("g", "q").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("a", 0.5, 2.5), ("a", 1.0, 4.0),
+      ("b", 0.5, 10.0), ("b", 1.0, 10.0)))
+  }
+
+  test("groupedOls recovers per-group closed-form slope/intercept/r2") {
+    // group a: perfect line y = 2x + 1 -> slope 2, intercept 1, r2 1
+    val a = Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0)).map { case (x, y) => ("a", x, y) }
+    // group b: y constant would make r2 undefined; use a sloped noisy set
+    val b = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0)).map { case (x, y) => ("b", x, y) }
+    val out = Analytics.groupedOls((a ++ b).toDF("g", "x", "y"), "g", "x", "y")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out(0) == (("a", 2.0, 1.0, 1.0)))
+    // group b closed form: slope = 0.5, intercept = 1.0, r2 = 0.25
+    assert(out(1) == (("b", 0.5, 1.0, 0.25)))
+  }
+
+  test("tableDigest is order- and partitioning-independent") {
+    val d1 = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("id", "t")
+    val d2 = Seq((3L, "cc"), (1L, "aa"), (2L, "bb")).toDF("id", "t")
+      .repartition(7)
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.Export.tableDigest(df, Seq("id", "t"), shards = 4)
+        .orderBy("shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(dig(d1) == dig(d2))
+    // a one-row change must move exactly that row's shard digest
+    val d3 = Seq((1L, "aa"), (2L, "bb"), (3L, "CHANGED")).toDF("id", "t")
+    assert(dig(d1) != dig(d3))
   }
 
   test("positionalIndex records df, occurrence counts and first position") {

@@ -295,4 +295,28 @@ class StreamingSpec extends SparkSpec {
     assert(summary(0).getDouble(1) <= summary(0).getDouble(4) * (1 + 1e-12),
       "lambda_min <= lambda_1se")
   }
+
+  test("silenceAlerts fires once per silent episode via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventAgg.Event]
+    val q = EventAgg.silenceAlerts(input.toDS(), silenceMinutes = 30,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("silence").outputMode("append")
+      .start()
+    // user 1 last seen at t=0; user 2's event at t=100 advances the
+    // watermark to 90 > 0 + 30 -> user 1's alert fires
+    input.addData(EventAgg.Event(1L, ts(0), "a", 1.0))
+    q.processAllAvailable()
+    input.addData(EventAgg.Event(2L, ts(100), "a", 1.0))
+    q.processAllAvailable()
+    // one more advance so the engine runs a batch after the timeout
+    input.addData(EventAgg.Event(2L, ts(200), "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val alerts = spark.sql("select user_id, last_seen from silence")
+      .as[(Long, Timestamp)].collect().toSet
+    assert(alerts.contains((1L, ts(0))), alerts.mkString(";"))
+    // user 1 never alerted twice for the same episode
+    assert(alerts.count(_._1 == 1L) == 1)
+  }
 }
