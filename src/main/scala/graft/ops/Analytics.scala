@@ -195,12 +195,15 @@ object Analytics {
     val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
     val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
     val slope = num / den
+    // degenerate groups (constant x -> den = 0, e.g. a single point)
+    // return null rather than NaN/Inf
+    def guarded(c: Column): Column = when(den =!= 0.0, c)
     m.select(col(groupCol),
-      round(slope, outDigits).as("slope"),
-      round((col("sy").cast("double") / col("n").cast("double")
+      round(guarded(slope), outDigits).as("slope"),
+      round(guarded(col("sy").cast("double") / col("n").cast("double")
         - slope * (col("sx").cast("double") / col("n").cast("double")))
         / 100.0, outDigits).as("intercept"),
-      round(num * num / (den * dy), outDigits).as("r2"))
+      round(guarded(num * num / (den * dy)), outDigits).as("r2"))
   }
 
   /** Period-over-period report: per (series, period) integer counts +

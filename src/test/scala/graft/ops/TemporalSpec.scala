@@ -331,6 +331,49 @@ class TemporalSpec extends SparkSpec {
     assert(dig(d1) != dig(d3))
   }
 
+  test("degenerate inputs: empty frames, single rows, constant groups") {
+    val emptyLog = Seq.empty[(Long, String, Timestamp, Long)]
+      .toDF("k", "attr", "ts", "id")
+    assert(Temporal.scd2(emptyLog, "k", "attr", "ts", "id").count() == 0)
+    assert(Temporal.gapFill(
+      Seq.empty[(Long, Timestamp, Double)].toDF("k", "ts", "value"),
+      "k", "ts", col("value")).count() == 0)
+    // cdcApply with no changes: base passes through untouched
+    val base = Seq((1L, "one", 10.0)).toDF("k", "name", "bal")
+    val noChanges = Seq.empty[(Long, String, Long, String, Double)]
+      .toDF("k", "op", "seq", "name", "bal")
+    val kept = Temporal.cdcApply(base, noChanges, "k", "op",
+      Seq(col("seq")), Seq("name", "bal")).collect()
+    assert(kept.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      == Seq((1L, "one", 10.0)))
+    // transitions with one event per key: no pairs
+    val solo = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "a"))
+      .toDF("u", "ts", "id", "t")
+    assert(Analytics.transitions(solo, "u", "ts", "id", "t").count() == 0)
+    // twap: single-observation keys have no holding period
+    assert(Temporal.timeWeightedAvg(solo.withColumn("value", lit(5.0)),
+      "u", "ts", "id", col("value")).count() == 0)
+    // cusum of a single row: centered deviation is exactly zero
+    val one = Drift.cusum(solo.withColumn("value", lit(5.0)),
+      "t", "ts", "id", col("value")).collect()(0)
+    assert(one.getLong(1) == 1L && one.getLong(2) == 0L)
+    // triangle-free graph: empty triangle table
+    assert(Graph.triangleCount(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst").count() == 0)
+    // kCore on an empty edge set: empty core
+    assert(Graph.kCore(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst", k = 2)
+      .count() == 0)
+    // constant-x group: guarded OLS returns nulls, not NaN
+    val flat = Seq(("g", 1.0, 2.0), ("g", 1.0, 3.0)).toDF("g", "x", "y")
+    val ols = Analytics.groupedOls(flat, "g", "x", "y").collect()(0)
+    assert(ols.isNullAt(1) && ols.isNullAt(2) && ols.isNullAt(3))
+    // madOutliers on a constant group: MAD 0, zero outliers
+    val mo = Analytics.madOutliers(
+      Seq(("g", 5.0), ("g", 5.0)).toDF("g", "v"), "g", col("v")).collect()(0)
+    assert(mo.getDouble(3) == 0.0 && mo.getLong(4) == 0L)
+  }
+
   test("positionalIndex records df, occurrence counts and first position") {
     val docs = Seq((1L, "x y x"), (2L, "y z"), (3L, "y")).toDF("doc_id", "text")
     val out = TextAnalysis.positionalIndex(docs, "doc_id", "text", minDocs = 2)
