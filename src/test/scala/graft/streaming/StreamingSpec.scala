@@ -319,4 +319,41 @@ class StreamingSpec extends SparkSpec {
     // user 1 never alerted twice for the same episode
     assert(alerts.count(_._1 == 1L) == 1)
   }
+
+  test("streaming ANN: micro-batch queries probe the fixed IVF index") {
+    // the similarity-search twin of incremental dedup: quantizer trained
+    // (here: fixed centroids) ONCE, arriving query batches probe it via
+    // the batch operator inside foreachBatch — semantics identical to
+    // the batch probe by construction, demonstrated end-to-end
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint(true)
+    val centers = e.filter(col("vec_id") < 8).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val queryVecs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val input = MemoryStream[(Long, Array[Double])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.ops.Ann
+          .ivfTopKFixed(e, batch, "vec_id", "embedding", k = 3, centers,
+            nprobe = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+        ()
+      }
+      .start()
+    input.addData(queryVecs.take(2).toSeq)
+    q.processAllAvailable()
+    input.addData(queryVecs.drop(2).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val batchHits = graft.ops.Ann.ivfTopKFixed(e,
+        e.filter(col("vec_id") < 4), "vec_id", "embedding", k = 3, centers,
+        nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
+    assert(got.toSet == batchHits && batchHits.nonEmpty)
+  }
 }
