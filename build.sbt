@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console UNPREFIXED: the default
+// LoggedOutput strategy wraps every line in "[info] ", which has broken
+// the driver's machine-parse of Bench's JSON line every round (see
+// BENCH_r01..r06.json: "parsed": null, tail shows "[info] {...").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,15 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Headline benchmark. Prints TWO stdout lines:
+/** Headline benchmark. Prints TWO bare JSON stdout lines (build.sbt sets
+  * `run / outputStrategy := StdoutOutput` so sbt does NOT prefix them
+  * with "[info] " — that prefix made every prior round's driver-side
+  * parse fail):
   *
   *   1. the FULL result JSON — per-query min-of-reps AND first-run
-  *      times, full precision (also written to `BENCH_last_full.json`
-  *      in the working directory, because the driver's log capture
-  *      keeps only the last 2000 characters and a 100-query line does
-  *      not fit);
+  *      times, full precision;
   *   2. a COMPACT summary line (total, methodology, errors, the
-  *      slowest queries) sized to survive that 2000-char tail intact.
+  *      slowest queries) printed LAST so it survives intact inside a
+  *      bounded tail capture (~2000 chars).
+  *
+  * The full JSON is also written to `BENCH.json` in the working
+  * directory (the repo root for `sbt run`), which is the durable
+  * artifact — stdout capture is best-effort only.
   *
   * Methodology: each query runs `SPARK_GRAFT_BENCH_REPS` (default 2)
   * times and the reported per-query number is the MIN — first-run
@@ -19,9 +24,21 @@ import org.apache.spark.sql.SparkSession
   * consumers never compare min-of-reps against first-run files; the
   * per-query first-run times are kept alongside (`queries_first_run`).
   * A query that throws is EXCLUDED from every total and listed in
-  * `errors` (its per-query value is -1), never silently folded in.
+  * `errors` (its per-query value is -1) with its exception message in
+  * `error_msgs`, never silently folded in.
   */
 object Bench {
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,36 +59,44 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        var failed = false
+        var err: Option[String] = None
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
-          catch { case _: Throwable => failed = true }
+          catch { case e: Throwable =>
+            err = Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}".take(300))
+          }
           finally spark.catalog.clearCache() // operator-internal caches don't leak across queries
           (System.nanoTime() - t0) / 1e9
         }
-        (name, times.min, times.head, failed)
+        (name, times.min, times.head, err)
       }
-    val ok = results.filterNot(_._4)
-    val errors = results.filter(_._4).map(_._1)
+    val ok = results.filter(_._4.isEmpty)
+    val errors = results.collect { case (n, _, _, Some(_)) => n }
+    val errMsgs = results.collect { case (n, _, _, Some(m)) => (n, m) }
     def fmtQ(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val firstTotal = ok.map(_._3).sum
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val qMin = results.map { case (k, v, _, f) => (k, if (f) -1.0 else v) }
-    val qFirst = results.map { case (k, _, v, f) => (k, if (f) -1.0 else v) }
+    val errJson = errors.map(jstr).mkString("[", ",", "]")
+    val errMsgJson = errMsgs.map { case (k, m) => jstr(k) + ":" + jstr(m) }
+      .mkString("{", ",", "}")
+    val qMin = results.map { case (k, v, _, e) => (k, if (e.isDefined) -1.0 else v) }
+    val qFirst = results.map { case (k, _, v, e) => (k, if (e.isDefined) -1.0 else v) }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""methodology":"min_of_reps","first_run_total":$firstTotal,""" +
-      s""""errors":$errJson,"queries":${fmtQ(qMin)},""" +
+      s""""errors":$errJson,"error_msgs":$errMsgJson,"queries":${fmtQ(qMin)},""" +
       s""""queries_first_run":${fmtQ(qFirst)},"sf":"$sfDir"}"""
     println(full)
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_last_full.json"),
-        (full + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // read-only cwd: stdout already has it
-    // compact tail-safe summary: slowest queries only, 3-decimal times
+    // durable artifact: the committed repo file, not the stdout capture
+    for (path <- Seq("BENCH.json", "BENCH_last_full.json")) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          (full + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () } // read-only cwd: stdout already has it
+    }
+    // compact tail-safe summary LAST: slowest queries only, 3-decimal times
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val slow = ok.sortBy(-_._2).take(12).map { case (k, v, _, _) => (k, r3(v)) }
     println(
@@ -79,7 +104,7 @@ object Bench {
       s""""methodology":"min_of_reps","first_run_total":${r3(firstTotal)},""" +
       s""""n_queries":${results.size},"errors":$errJson,""" +
       s""""queries":${fmtQ(slow)},""" +
-      s""""full_results":"BENCH_last_full.json","sf":"$sfDir"}""")
+      s""""full_results":"BENCH.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
