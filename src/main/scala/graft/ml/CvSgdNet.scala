@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   * train-side moments for fold f are total minus fold-f (moment
   * subtraction), each fold's path is solved driver-side, and the held-out
   * MSE is itself a moment form evaluated against fold-f's statistics.
-  * Iterative families (binomial/multinomial) refit per fold.
+  * Binomial and multinomial CV advance ALL fold-models together — one
+  * shared aggregate per solver round serves every fold (and the
+  * full-data fit rides along as a virtual extra fold), so CV costs
+  * about one fit's worth of data passes, not k+1 of them. Only
+  * poisson/mgaussian take the generic per-fold refit path.
   */
 object CvSgdNet {
 
@@ -213,6 +217,9 @@ object CvSgdNet {
         if (params.family == "binomial")
           cvBinomialShared(df, featureCols, labelCols.head, p, nfolds, foldCol,
             measure)
+        else if (params.family == "multinomial")
+          cvMultinomialShared(df, featureCols, labelCols.head, p, nfolds,
+            foldCol, measure)
         else cvGeneric(df, featureCols, labelCols, p, nfolds, measure, foldCol)
       }
     // best path: smallest cvm at its lambdaMin
@@ -630,9 +637,327 @@ object CvSgdNet {
     }
   }
 
+  // ------------------------------------------ multinomial, shared-pass CV
+
+  /** All k fold-models advance TOGETHER through the softmax FISTA loop:
+    * each gradient round is ONE `treeAggregate` computing every
+    * unconverged fold's standardized softmax gradient (a row contributes
+    * to all train sets except its own fold), and the FULL-data model
+    * rides the same passes as virtual fold k (every row contributes —
+    * "train = total minus an empty fold"). This is the multinomial twin
+    * of [[cvBinomialShared]]: CV costs ~one multinomial fit's worth of
+    * data passes INCLUDING the full path fit, not k+1 of them — the
+    * shape that holds at 100 TB. Driver state: (k+1) fold-models of
+    * K x p coefficients each.
+    *
+    * The per-fold solver arithmetic is identical to
+    * `SgdNet.fitMultinomialCore` (same standardization from subtracted
+    * fold moments, same Lipschitz step from the fold's gram, same
+    * entrywise / grouped prox, same O'Donoghue–Candès gradient restart),
+    * so each fold's path matches a standalone fit on its train subset up
+    * to per-fold-then-merge summation order of the statistics. Held-out
+    * scores for all (fold, lambda) come from one final scoring pass with
+    * the semantics of [[scoreAllLambdas]] (deviance clamps P to
+    * [1e-5, 1-1e-5]; mse/mae are one-hot row sums across classes; class
+    * is argmax-vs-label, first max winning ties). */
+  private def cvMultinomialShared(df: DataFrame, featureCols: Seq[String],
+                                  labelCol: String, params: SgdNetParams,
+                                  nfolds: Int, foldCol: Column = null,
+                                  measure: String = "deviance"): CvPath = {
+    if (measure == "auc")
+      throw new IllegalArgumentException(
+        s"auc requires the binomial family, not ${params.family}")
+    val p = featureCols.size
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(classes.length > 2,
+      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
+      else "only one class in response.")
+    val k = classes.length
+    val classIdx = classes.zipWithIndex.toMap
+
+    val hashCols = (featureCols :+ labelCol).map(col)
+    val sc0 = df.sparkSession.sparkContext
+    val bClassIdx = sc0.broadcast(classIdx)
+    val rows = df
+      .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
+      .select((featureCols.map(c => col(c).cast("double")) :+
+        col(labelCol).cast("string") :+ col("__fold")): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = r.getDouble(j); j += 1 }
+        (r.getInt(p + 1), x, bClassIdx.value(r.getString(p)))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      // fold count INCLUDING the virtual full-data fold (index nfolds)
+      val F = nfolds + 1
+      val zero = Array.fill(nfolds)(new GramStats(p, k))
+      val perFold = rows.treeAggregate(zero)(
+        (acc, t) => {
+          val y = new Array[Double](k); y(t._3) = 1.0
+          acc(t._1).add(t._2, y); acc
+        },
+        (a, b) => { var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a },
+        depth = 2)
+      val total = new GramStats(p, k)
+      perFold.foreach(total.merge)
+      // index nfolds subtracts an EMPTY fold: train = all rows
+      val perFoldExt = perFold :+ new GramStats(p, k)
+      val trainStats = Array.tabulate(F) { f =>
+        val tr = new GramStats(p, k)
+        tr.merge(total)
+        val fg = perFoldExt(f)
+        tr.n -= fg.n
+        var i = 0
+        while (i < p) { tr.sumX(i) -= fg.sumX(i); i += 1 }
+        i = 0
+        while (i < tr.xtx.length) { tr.xtx(i) -= fg.xtx(i); i += 1 }
+        i = 0
+        while (i < k) { tr.sumY(i) -= fg.sumY(i); tr.sumYY(i) -= fg.sumYY(i); i += 1 }
+        i = 0
+        while (i < tr.xty.length) { tr.xty(i) -= fg.xty(i); i += 1 }
+        SufficientStats.standardize(tr, params.standardize, params.intercept)
+      }
+      val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
+      // lambda grid: user-supplied, or the path from the FULL-data
+      // standardized gradient (what a standalone fit would build)
+      val grouped = params.typeMultinomial == "grouped"
+      val lambdas =
+        if (params.lambda != null) params.lambda
+        else {
+          val minRatio = if (params.lambdaMinRatio.isNaN)
+            LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
+          val bArg = if (grouped) trainStats(nfolds).b
+            else Array(trainStats(nfolds).b.flatten)
+          LambdaPath.build(bArg, params.alpha, params.nlambda, minRatio)
+        }
+      val means = trainStats.map(st =>
+        if (params.intercept) st.xMean else new Array[Double](p))
+      val scales = trainStats.map(st =>
+        if (params.standardize) st.xSd else Array.fill(p)(1.0))
+      // per-fold Lipschitz step from the fold's standardized gram
+      val steps = trainStats.map(st => 1.0 / (0.5 * LinAlg.maxEig(st.gram) + 1e-9))
+      val sc = rows.sparkContext
+      val bMeans = sc.broadcast(means)
+      val bScales = sc.broadcast(scales)
+
+      val L = lambdas.length
+      // per-fold FISTA iterates (standardized scale)
+      val beta = Array.fill(F)(Array.ofDim[Double](k, p))
+      val a0 = Array.tabulate(F) { f =>
+        Array.tabulate(k)(t => if (params.intercept)
+          math.log(math.max(trainStats(f).yMean(t), 1e-12)) else 0.0)
+      }
+      // original-scale coefficients per (fold, lambda) for scoring
+      val a0Out = Array.ofDim[Double](F, L, k)
+      val betaOut = Array.ofDim[Double](F, L, k, p)
+      var sharedPasses = 0
+
+      for (l <- 0 until L) {
+        val lam = lambdas(l)
+        val active = Array.fill(F)(true)
+        // FISTA momentum state per fold, reset at each lambda
+        val yB = beta.map(_.map(_.clone()))
+        val yA = a0.map(_.clone())
+        val tk = Array.fill(F)(1.0)
+        var iter = 0
+        while (iter < math.min(params.maxit, 200) && active.exists(identity)) {
+          val activeSnap = active.clone()
+          val yBSnap = yB.map(_.map(_.clone()))
+          val yASnap = yA.map(_.clone())
+          sharedPasses += 1
+          // ONE pass: softmax gradient accumulations for all active
+          // folds (the virtual full-data fold never matches rowFold, so
+          // every row feeds it). Layout: [f][t*(p+1)] residual sum,
+          // [f][t*(p+1)+1+j] residual * xs_j sums.
+          val acc = rows.treeAggregate(new Array[Double](F * k * (p + 1)))(
+            (s, row) => {
+              val (rowFold, xr, yIdx) = row
+              var f = 0
+              while (f < F) {
+                if (f != rowFold && activeSnap(f)) {
+                  val m = bMeans.value(f); val sl = bScales.value(f)
+                  val bf = yBSnap(f); val af = yASnap(f)
+                  val xs = new Array[Double](p)
+                  var j = 0
+                  while (j < p) { xs(j) = (xr(j) - m(j)) / sl(j); j += 1 }
+                  val eta = new Array[Double](k)
+                  var mx = Double.NegativeInfinity
+                  var t = 0
+                  while (t < k) {
+                    var e = af(t)
+                    j = 0
+                    while (j < p) { e += bf(t)(j) * xs(j); j += 1 }
+                    eta(t) = e; if (e > mx) mx = e
+                    t += 1
+                  }
+                  var z = 0.0
+                  t = 0
+                  while (t < k) { eta(t) = math.exp(eta(t) - mx); z += eta(t); t += 1 }
+                  val base = f * k * (p + 1)
+                  t = 0
+                  while (t < k) {
+                    val r = eta(t) / z - (if (t == yIdx) 1.0 else 0.0)
+                    s(base + t * (p + 1)) += r
+                    j = 0
+                    while (j < p) { s(base + t * (p + 1) + 1 + j) += r * xs(j); j += 1 }
+                    t += 1
+                  }
+                }
+                f += 1
+              }
+              s
+            },
+            (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          // driver-side FISTA prox step per active fold (identical
+          // arithmetic to fitMultinomialCore's)
+          for (f <- 0 until F if active(f)) {
+            val base = f * k * (p + 1)
+            val ninv = 1.0 / nTrain(f)
+            val grad = Array.tabulate(k, p)((t, j) =>
+              acc(base + t * (p + 1) + 1 + j) * ninv)
+            val gradA0 = Array.tabulate(k)(t => acc(base + t * (p + 1)) * ninv)
+            val step = steps(f)
+            val nb = Array.ofDim[Double](k, p)
+            val na = new Array[Double](k)
+            var maxD = 0.0
+            for (t <- 0 until k) {
+              na(t) = if (params.intercept) yA(f)(t) - step * gradA0(t) else 0.0
+              val d0 = math.abs(na(t) - a0(f)(t)); if (d0 > maxD) maxD = d0
+            }
+            for (j <- 0 until p) {
+              if (grouped) {
+                var nrm = 0.0
+                val v = Array.tabulate(k)(t => yB(f)(t)(j) - step * grad(t)(j))
+                v.foreach(x => nrm += x * x)
+                nrm = math.sqrt(nrm)
+                val g = step * lam * params.alpha
+                val shrink =
+                  if (nrm > g) (1.0 - g / nrm) / (1.0 + step * lam * (1.0 - params.alpha))
+                  else 0.0
+                for (t <- 0 until k) {
+                  nb(t)(j) = v(t) * shrink
+                  val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                }
+              } else {
+                for (t <- 0 until k) {
+                  val v = yB(f)(t)(j) - step * grad(t)(j)
+                  nb(t)(j) = LinAlg.softThreshold(v, step * lam * params.alpha) /
+                    (1.0 + step * lam * (1.0 - params.alpha))
+                  val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                }
+              }
+            }
+            // gradient-based adaptive restart (O'Donoghue & Candès)
+            var restartDot = 0.0
+            for (t <- 0 until k; j <- 0 until p)
+              restartDot += grad(t)(j) * (nb(t)(j) - beta(f)(t)(j))
+            for (t <- 0 until k) restartDot += gradA0(t) * (na(t) - a0(f)(t))
+            val tk1 = if (restartDot > 0) 1.0
+              else (1.0 + math.sqrt(1.0 + 4.0 * tk(f) * tk(f))) / 2.0
+            val mom = if (restartDot > 0) 0.0 else (tk(f) - 1.0) / tk1
+            for (t <- 0 until k; j <- 0 until p)
+              yB(f)(t)(j) = nb(t)(j) + mom * (nb(t)(j) - beta(f)(t)(j))
+            for (t <- 0 until k) yA(f)(t) = na(t) + mom * (na(t) - a0(f)(t))
+            beta(f) = nb; a0(f) = na; tk(f) = tk1
+            if (maxD < math.max(params.thresh * 1e-3, 1e-8)) active(f) = false
+          }
+          iter += 1
+        }
+        for (f <- 0 until F) {
+          for (t <- 0 until k; j <- 0 until p)
+            betaOut(f)(l)(t)(j) = beta(f)(t)(j) / scales(f)(j)
+          for (t <- 0 until k)
+            a0Out(f)(l)(t) = if (params.intercept)
+              a0(f)(t) - (0 until p).map(j => betaOut(f)(l)(t)(j) * means(f)(j)).sum
+            else a0(f)(t)
+        }
+      }
+
+      // the full-data model assembled from the virtual fold's path — one
+      // extra scoring pass for its deviance ratios, nothing else
+      val a0Full = Array.tabulate(L)(l => a0Out(nfolds)(l).clone())
+      val betaFull = Array.tabulate(L)(l => betaOut(nfolds)(l).map(_.clone()))
+      val priors = trainStats(nfolds).yMean
+      val nulldev = -2.0 * total.n * priors.map(pr => SgdNet.safeXLog(pr, pr)).sum
+      val onehotRows = rows.map { t =>
+        val y = new Array[Double](k); y(t._3) = 1.0; (t._2, y)
+      }
+      val devs = SgdNet.multinomDeviance(onehotRows, a0Full, betaFull, k)
+      val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
+      val full = new SgdNetModel("multinomial", featureCols.toArray,
+        Array(labelCol), classes, lambdas, a0Full, betaFull, nulldev,
+        devRatio, total.n, sharedPasses + 2, params)
+
+      // held-out scoring per (fold, lambda) — every row is scored by its
+      // OWN fold's model (trained without it)
+      val bA0 = sc.broadcast(a0Out)
+      val bBeta = sc.broadcast(betaOut)
+      val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
+        (s, row) => {
+          val (f, x, yIdx) = row
+          var l = 0
+          while (l < L) {
+            val al = bA0.value(f)(l); val bl = bBeta.value(f)(l)
+            val eta = new Array[Double](k)
+            var mx = Double.NegativeInfinity
+            var t = 0
+            while (t < k) {
+              var e = al(t)
+              var j = 0
+              while (j < p) { e += bl(t)(j) * x(j); j += 1 }
+              eta(t) = e; if (e > mx) mx = e
+              t += 1
+            }
+            var z = 0.0
+            t = 0
+            while (t < k) { eta(t) = math.exp(eta(t) - mx); z += eta(t); t += 1 }
+            s(f * L + l) += (measure match {
+              case "class" =>
+                // argmax with FIRST max winning ties (classCol semantics)
+                var best = 0
+                t = 1
+                while (t < k) { if (eta(t) > eta(best)) best = t; t += 1 }
+                if (best != yIdx) 1.0 else 0.0
+              case "mse" =>
+                var acc2 = 0.0
+                t = 0
+                while (t < k) {
+                  val d = eta(t) / z - (if (t == yIdx) 1.0 else 0.0)
+                  acc2 += d * d; t += 1
+                }
+                acc2
+              case "mae" =>
+                var acc2 = 0.0
+                t = 0
+                while (t < k) {
+                  acc2 += math.abs(eta(t) / z - (if (t == yIdx) 1.0 else 0.0)); t += 1
+                }
+                acc2
+              case "deviance" =>
+                val pt = math.min(math.max(eta(yIdx) / z, 1e-5), 1.0 - 1e-5)
+                -2.0 * math.log(pt)
+              case other => // unreachable: fit() validates measures
+                throw new IllegalArgumentException(s"unknown measure $other")
+            })
+            l += 1
+          }
+          s
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      val foldScores = Array.tabulate(nfolds, L)((f, l) =>
+        sums(f * L + l) / perFold(f).n.toDouble)
+      summarize(params.alpha, lambdas, foldScores, full)
+    } finally rows.unpersist(blocking = false)
+  }
+
   // ------------------------------------------------- generic per-fold refit
 
-  private def cvGeneric(df: DataFrame, featureCols: Seq[String],
+  private[ml] def cvGeneric(df: DataFrame, featureCols: Seq[String],
                         labelCols: Seq[String], params: SgdNetParams,
                         nfolds: Int, measure: String,
                         foldCol: Column = null): CvPath = {

@@ -1103,7 +1103,7 @@ object SgdNet {
     } finally rows.unpersist(blocking = false)
   }
 
-  private def multinomDeviance(rows: RDD[(Array[Double], Array[Double])],
+  private[ml] def multinomDeviance(rows: RDD[(Array[Double], Array[Double])],
                                a0: Array[Array[Double]],
                                beta: Array[Array[Array[Double]]],
                                k: Int): Array[Double] = {
