@@ -51,10 +51,12 @@ object SparkEntry {
     "q_cv_auc"           -> (PathQueries.cvAuc _),
     "q_cv_mae"           -> (PathQueries.cvMae _),
     "q_cv_alpha"         -> (PathQueries.cvAlphaCurve _),
+    "q_cv_multinom"      -> (PathQueries.cvMultinom _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
     "q_cv_deviance"      -> (PathQueries.cvDeviance _),
     "q_mgauss_stdresp"   -> (PathQueries.mgaussStdResp _),
+    "q_score_mgauss"     -> (PathQueries.scoreMgauss _),
     "q_cv_exact_curve"   -> (PathQueries.cvExactCurve _),
     "q_cv_exact_pick"    -> (PathQueries.cvExactPick _),
     "q_cv_exact_predict" -> (PathQueries.cvExactPredict _),
@@ -593,6 +595,24 @@ object SparkEntry {
         |SELECT round(ln(avg(pow(l_extendedprice - (ia0 + ib * l_quantity), 2))), 4) AS mse
         |FROM lineitem, c""".stripMargin,
 
+    // mgaussian score: lambda=0 fit == per-response OLS (regr_*), score =
+    // avg over rows of the error summed across both responses
+    "q_score_mgauss" ->
+      """WITH m AS (SELECT
+        |    regr_intercept(l_extendedprice, l_quantity) i1,
+        |    regr_slope(l_extendedprice, l_quantity) b1,
+        |    regr_intercept(l_tax, l_quantity) i2,
+        |    regr_slope(l_tax, l_quantity) b2 FROM lineitem),
+        |e AS (SELECT
+        |    avg(pow(l_extendedprice - (i1 + b1 * l_quantity), 2)
+        |      + pow(l_tax - (i2 + b2 * l_quantity), 2)) AS mse,
+        |    avg(abs(l_extendedprice - (i1 + b1 * l_quantity))
+        |      + abs(l_tax - (i2 + b2 * l_quantity))) AS mae
+        |  FROM lineitem, m)
+        |SELECT 'mse' AS measure, round(ln(mse), 4) + 0 AS ln_score FROM e
+        |UNION ALL SELECT 'mae', round(ln(mae), 4) + 0 FROM e
+        |ORDER BY measure""".stripMargin,
+
     "q_score_mse" ->
       """WITH m AS (SELECT regr_intercept(l_extendedprice, l_quantity) i,
         |                  regr_slope(l_extendedprice, l_quantity) b FROM lineitem)
@@ -973,6 +993,67 @@ object SparkEntry {
         |UNION ALL SELECT f, 'l_quantity', round(b1, 6) + 0 FROM u
         |UNION ALL SELECT f, 'l_discount', round(b2, 6) + 0 FROM u
         |ORDER BY class, term""".stripMargin,
+
+    // shared-pass multinomial CV, one FISTA step from the null per fold
+    // (q_multinom_fit's closed form on SUBTRACTED train moments, portable
+    // Knuth folds); held-out deviance = -2 ln(clamped softmax of the true
+    // class), cvm/cvsd over the 5 folds
+    // NOTE (ok, lnum) is NOT a key in the synthetic lineitem (dup rows
+    // exist): score per PHYSICAL row via a synthetic unique rid, or the
+    // GROUP BY would collapse duplicates into one softmax
+    "q_cv_multinom" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT l_quantity AS x1, l_discount AS x2, l_returnflag AS y,
+        |    row_number() OVER () AS rid,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |tot AS (SELECT count(*)::double n, sum(x1) s1, sum(x2) s2,
+        |          sum(x1*x1) s11, sum(x2*x2) s22, sum(x1*x2) s12 FROM r),
+        |pf AS (SELECT f, count(*)::double n, sum(x1) s1, sum(x2) s2,
+        |         sum(x1*x1) s11, sum(x2*x2) s22, sum(x1*x2) s12
+        |       FROM r GROUP BY f),
+        |totc AS (SELECT y, count(*)::double ny, sum(x1) c1, sum(x2) c2
+        |         FROM r GROUP BY y),
+        |pfc AS (SELECT f, y, count(*)::double ny, sum(x1) c1, sum(x2) c2
+        |        FROM r GROUP BY f, y),
+        |trn AS (SELECT pf.f, tot.n - pf.n AS n, tot.s1 - pf.s1 AS s1,
+        |          tot.s2 - pf.s2 AS s2, tot.s11 - pf.s11 AS s11,
+        |          tot.s22 - pf.s22 AS s22, tot.s12 - pf.s12 AS s12
+        |        FROM pf, tot),
+        |trc AS (SELECT pfc.f, pfc.y AS cls, totc.ny - pfc.ny AS ny,
+        |          totc.c1 - pfc.c1 AS c1, totc.c2 - pfc.c2 AS c2
+        |        FROM pfc JOIN totc ON pfc.y = totc.y),
+        |mo AS (SELECT f, n, s1/n AS m1, s2/n AS m2,
+        |         sqrt(s11/n - (s1/n)*(s1/n)) AS sd1,
+        |         sqrt(s22/n - (s2/n)*(s2/n)) AS sd2,
+        |         s12/n - (s1/n)*(s2/n) AS c12
+        |       FROM trn),
+        |st AS (SELECT f, n, m1, m2, sd1, sd2,
+        |         1.0/(0.5*(1 + c12/(sd1*sd2)) + 0.000000001) AS step
+        |       FROM mo),
+        |mdl AS MATERIALIZED (SELECT st.f, trc.cls, trc.ny / st.n AS prior,
+        |          st.m1, st.m2,
+        |          sign((trc.c1/st.n - st.m1 * trc.ny/st.n) / st.sd1)
+        |            * greatest(st.step * abs((trc.c1/st.n - st.m1 * trc.ny/st.n) / st.sd1)
+        |                - st.step * 0.001, 0) / st.sd1 AS b1,
+        |          sign((trc.c2/st.n - st.m2 * trc.ny/st.n) / st.sd2)
+        |            * greatest(st.step * abs((trc.c2/st.n - st.m2 * trc.ny/st.n) / st.sd2)
+        |                - st.step * 0.001, 0) / st.sd2 AS b2
+        |        FROM st JOIN trc ON st.f = trc.f),
+        |m2t AS (SELECT f, cls, ln(prior) - b1*m1 - b2*m2 AS a0, b1, b2 FROM mdl),
+        |sc AS (SELECT r.f, r.rid,
+        |         sum(exp(m2t.a0 + m2t.b1*r.x1 + m2t.b2*r.x2)) AS z,
+        |         sum(CASE WHEN m2t.cls = r.y
+        |               THEN exp(m2t.a0 + m2t.b1*r.x1 + m2t.b2*r.x2) END) AS ez
+        |       FROM r JOIN m2t ON r.f = m2t.f GROUP BY r.f, r.rid),
+        |fd AS (SELECT f,
+        |         avg(-2 * ln(least(greatest(ez/z, 0.00001), 0.99999))) AS d
+        |       FROM sc GROUP BY f)
+        |SELECT 0 AS lambda_idx, round(0.001::DOUBLE, 6) AS lambda,
+        |       round(ln(avg(d)), 6) AS ln_cvm,
+        |       round(ln(stddev_samp(d)/sqrt(5)), 6) AS ln_cvsd
+        |FROM fd""".stripMargin,
 
     // one IRLS step from the null point: constant weights w = ybar
     "q_poisson_fit" ->

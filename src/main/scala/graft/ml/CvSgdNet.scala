@@ -208,6 +208,7 @@ object CvSgdNet {
             var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a
           },
           depth = 2)
+        requireNonEmptyFolds(perFold.map(_.n), nfolds)
         val total = new GramStats(p, 1)
         perFold.foreach(total.merge)
         alphaGrid.map(a => cvGaussianFromStats(withFold, perFold, total,
@@ -229,6 +230,18 @@ object CvSgdNet {
 
   private def foldExpr(foldCol: Column, hashCols: Seq[Column], nfolds: Int): Column =
     if (foldCol != null) foldCol else pmod(xxhash64(hashCols: _*), lit(nfolds))
+
+  /** Every fold must receive at least one observation: an empty fold has
+    * no held-out rows to score (mean over 0 rows -> silent NaN poisoning
+    * cvm/cvsd downstream), so fail fast with an actionable message — the
+    * analogue of the reference's fold-size validation (R/cv_sgdnet.R). */
+  private def requireNonEmptyFolds(counts: IndexedSeq[Long], nfolds: Int): Unit = {
+    val empty = counts.indices.filter(counts(_) == 0L)
+    require(empty.isEmpty,
+      s"cross-validation fold(s) ${empty.mkString(", ")} of $nfolds received " +
+        "no observations; decrease nfolds or supply a foldCol that populates " +
+        "every fold")
+  }
 
   // ------------------------------------------------- gaussian, one-pass CV
 
@@ -378,6 +391,7 @@ object CvSgdNet {
         (acc, t) => { acc(t._1).add(t._2, Array(t._3)); acc },
         (a, b) => { var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a },
         depth = 2)
+      requireNonEmptyFolds(perFold.map(_.n), nfolds)
       val total = new GramStats(p, 1)
       perFold.foreach(total.merge)
       // index nfolds subtracts an EMPTY fold: train = all rows
@@ -659,7 +673,8 @@ object CvSgdNet {
     * scores for all (fold, lambda) come from one final scoring pass with
     * the semantics of [[scoreAllLambdas]] (deviance clamps P to
     * [1e-5, 1-1e-5]; mse/mae are one-hot row sums across classes; class
-    * is argmax-vs-label, first max winning ties). */
+    * is argmax-vs-label, largest class label winning exact ties like
+    * classCol's greatest(struct(eta, cls))). */
   private def cvMultinomialShared(df: DataFrame, featureCols: Seq[String],
                                   labelCol: String, params: SgdNetParams,
                                   nfolds: Int, foldCol: Column = null,
@@ -701,6 +716,7 @@ object CvSgdNet {
         },
         (a, b) => { var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a },
         depth = 2)
+      requireNonEmptyFolds(perFold.map(_.n), nfolds)
       val total = new GramStats(p, k)
       perFold.foreach(total.merge)
       // index nfolds subtracts an EMPTY fold: train = all rows
@@ -763,7 +779,9 @@ object CvSgdNet {
         val yA = a0.map(_.clone())
         val tk = Array.fill(F)(1.0)
         var iter = 0
-        while (iter < math.min(params.maxit, 200) && active.exists(identity)) {
+        // honor the user's maxit exactly (no hidden clamp): the batch fit
+        // and this path must truncate identically for parity
+        while (iter < params.maxit && active.exists(identity)) {
           val activeSnap = active.clone()
           val yBSnap = yB.map(_.map(_.clone()))
           val yASnap = yA.map(_.clone())
@@ -917,10 +935,12 @@ object CvSgdNet {
             while (t < k) { eta(t) = math.exp(eta(t) - mx); z += eta(t); t += 1 }
             s(f * L + l) += (measure match {
               case "class" =>
-                // argmax with FIRST max winning ties (classCol semantics)
+                // argmax with the LARGEST class index winning exact ties
+                // (>=): classes are sorted, so this matches classCol's
+                // greatest(struct(eta, cls)) tie-break exactly
                 var best = 0
                 t = 1
-                while (t < k) { if (eta(t) > eta(best)) best = t; t += 1 }
+                while (t < k) { if (eta(t) >= eta(best)) best = t; t += 1 }
                 if (best != yIdx) 1.0 else 0.0
               case "mse" =>
                 var acc2 = 0.0

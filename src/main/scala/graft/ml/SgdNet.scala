@@ -860,7 +860,9 @@ object SgdNet {
       var done = false
       // FISTA state
       var yB = beta.map(_.clone()); var yA = a0.clone(); var tk = 1.0
-      while (iter < math.min(params.maxit, 200) && !done) {
+      // honor the user's maxit exactly — no hidden iteration clamp (the
+      // model's npasses surfaces how many gradient passes were spent)
+      while (iter < params.maxit && !done) {
         val (grad, gradA0) = gradFn(mean, scale, yB, yA)
         passes += 1
         val nb = Array.ofDim[Double](k, p)

@@ -251,10 +251,21 @@ final class SgdNetModel(
     val aggs: Seq[(Int, Column)] = idxs.map { l =>
       (family, measure) match {
         // gaussian: deviance == mse (reference score.R:21-24)
-        case ("gaussian" | "mgaussian", "mse" | "deviance") =>
+        case ("gaussian", "mse" | "deviance") =>
           l -> avg(pow(label - linkCol(l), 2))
-        case ("gaussian" | "mgaussian", "mae") =>
+        case ("gaussian", "mae") =>
           l -> avg(abs(label - linkCol(l)))
+        // mgaussian: per-row error SUMMED over responses, averaged over
+        // rows (scoreAt's convention; reference score.sgdnet_mgaussian
+        // R/score.R:163-180 sums the same squared/absolute errors — we
+        // normalize per sample like every other family so CV fold scores
+        // are size-invariant)
+        case ("mgaussian", ms @ ("mse" | "deviance" | "mae")) =>
+          val terms = (0 until nResponses).map { t =>
+            val d = col(responseNames(t)).cast("double") - linkCol(l, t)
+            if (ms == "mae") abs(d) else pow(d, 2)
+          }
+          l -> avg(terms.reduce(_ + _))
         // binomial measures on the one-hot encoding (score.R:44-62):
         // mse/mae double-count both classes; deviance is clamped log-loss
         case ("binomial", "deviance") =>

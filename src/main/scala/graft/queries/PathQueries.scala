@@ -377,6 +377,26 @@ object PathQueries {
       .orderBy("response")
   }
 
+  /** score.sgdnet_mgaussian (reference R/score.R:163-180): per-row error
+    * summed across BOTH responses, averaged over rows — exercises the
+    * mgaussian branch of [[SgdNetModel.score]] end-to-end. lambda = 0
+    * makes the fit per-response OLS, so DuckDB's regr_slope/intercept
+    * reproduce the model and the score is a plain aggregation. */
+  def scoreMgauss(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fitMulti(li, Seq("l_quantity"),
+      Seq("l_extendedprice", "l_tax"),
+      SgdNetParams(family = "mgaussian", lambda = Array(0.0),
+        thresh = 1e-11, maxit = 100000))
+    val mse = m.score(li, "mse")
+      .select(lit("mse").as("measure"),
+        (round(log(col("score")), 4) + lit(0.0)).as("ln_score"))
+    val mae = m.score(li, "mae")
+      .select(lit("mae").as("measure"),
+        (round(log(col("score")), 4) + lit(0.0)).as("ln_score"))
+    mse.unionAll(mae).orderBy("measure")
+  }
+
   /** score.cv_sgdnet: score data at the CV-selected penalty (reference
     * R/score.R:182-201) — held-in MSE of the full-data ridge fit at
     * lambda.min, every step closed form. */
@@ -478,6 +498,36 @@ object PathQueries {
         round(log(col("lambda")), 4).as("ln_lambda"),
         round(log(col("cvm")), 4).as("ln_cvm"),
         round(log(col("cvsd")), 4).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
+  /** Oracle-exact MULTINOMIAL cross-validation — lights up the
+    * shared-pass softmax CV route (`CvSgdNet.cvMultinomialShared`, the
+    * default for every `family="multinomial"` CV call) end-to-end: ONE
+    * FISTA step from the null point per fold (maxit = 1, the
+    * [[multinomFit]] technique applied per fold on SUBTRACTED train
+    * moments) with portable Knuth folds. Closed form per fold f: null
+    * intercepts a0_t = ln(train prior_t) (where the softmax a0-gradient
+    * vanishes), step = 1/(0.5*(1 + train corr(x1,x2)) + 1e-9) (power
+    * iteration from [1,1] is exact on the 2x2 standardized Gram), and
+    * b_tj = S(step * cov(xs_j, 1[y=t]), step*lam)/sd_j. The held-out
+    * deviance -2 ln(clamp(softmax_t(eta))) is a plain row aggregation —
+    * DuckDB reproduces cvm AND cvsd bit-for-bit. Converged multinomial
+    * CV stays covered by CvSpec's shared-vs-generic parity test. */
+  def cvMultinom(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fit(li, Seq("l_quantity", "l_discount"),
+      Seq("l_returnflag"),
+      SgdNetParams(family = "multinomial", alpha = 1.0,
+        lambda = Array(0.001), maxit = 1),
+      nfolds = 5, measure = "deviance", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 6).as("lambda"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
       .orderBy("lambda_idx")
   }
 

@@ -100,6 +100,61 @@ class CvSpec extends SparkSpec {
     }
   }
 
+  test("multinomial shared-pass CV matches the generic per-fold refit path") {
+    val df = SparkSpec.multiclassDF(spark, n = 450)
+    val k = 3
+    val lambdas = Array(0.5, 0.2, 0.1, 0.05, 0.02)
+    // deviance + class on the entrywise penalty, deviance on the grouped
+    // penalty — the three routes ADVICE asked to light up. class error is
+    // a 0/1 fraction: one near-boundary row flipping between the shared
+    // and refit iterates moves a fold by 1/|fold| (~1/150), so it gets a
+    // looser gate than the smooth deviance measure.
+    for ((measure, tpe, tol) <- Seq(("deviance", "ungrouped", 1e-4),
+                                    ("class", "ungrouped", 2e-2),
+                                    ("deviance", "grouped", 1e-4))) {
+      val params = SgdNetParams(family = "multinomial", alpha = 0.5,
+        lambda = lambdas, thresh = 1e-7, maxit = 100000,
+        typeMultinomial = tpe)
+      // shared-pass path (the default multinomial CV route)
+      val fast = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("cls"), params,
+        nfolds = k, measure = measure)
+      // generic per-fold refit path on the SAME fixed grid + default folds
+      val gen = CvSgdNet.cvGeneric(df, Seq("x1", "x2"), Seq("cls"), params,
+        k, measure)
+      assert(fast.best.lambda.sameElements(gen.lambda))
+      for (l <- lambdas.indices) {
+        assert(math.abs(fast.best.cvm(l) - gen.cvm(l)) < tol,
+          s"$measure/$tpe lambda $l: shared=${fast.best.cvm(l)} generic=${gen.cvm(l)}")
+        assert(math.abs(fast.best.cvsd(l) - gen.cvsd(l)) < tol,
+          s"$measure/$tpe lambda $l: cvsd shared=${fast.best.cvsd(l)} generic=${gen.cvsd(l)}")
+      }
+    }
+  }
+
+  test("CV fails fast when a fold receives no observations") {
+    // foldCol only ever produces folds 0..2 but nfolds = 4: fold 3 is
+    // empty and each family's shared path must raise, not emit NaN
+    val foldCol = pmod(xxhash64(col("x1")), lit(3))
+    val gaussian = intercept[IllegalArgumentException] {
+      CvSgdNet.fit(SparkSpec.regressionDF(spark, n = 80),
+        Seq("x1", "x2", "x3"), Seq("y"), SgdNetParams(nlambda = 3),
+        nfolds = 4, foldCol = foldCol)
+    }
+    assert(gaussian.getMessage.contains("fold"))
+    val binomial = intercept[IllegalArgumentException] {
+      CvSgdNet.fit(SparkSpec.binaryDF(spark, n = 80), Seq("x1", "x2"),
+        Seq("y"), SgdNetParams(family = "binomial", nlambda = 3),
+        nfolds = 4, foldCol = foldCol)
+    }
+    assert(binomial.getMessage.contains("fold"))
+    val multinomial = intercept[IllegalArgumentException] {
+      CvSgdNet.fit(SparkSpec.multiclassDF(spark, n = 90), Seq("x1", "x2"),
+        Seq("cls"), SgdNetParams(family = "multinomial", nlambda = 3),
+        nfolds = 4, foldCol = foldCol)
+    }
+    assert(multinomial.getMessage.contains("fold"))
+  }
+
   test("CV over auc matches per-fold refits scored by aucScore") {
     val df = SparkSpec.binaryDF(spark, n = 400)
     val params = SgdNetParams(family = "binomial", alpha = 0.5, nlambda = 4,
