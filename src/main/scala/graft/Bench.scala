@@ -16,7 +16,11 @@ import org.apache.spark.sql.SparkSession
   * directory (the repo root for `sbt run`), which is the durable
   * artifact — stdout capture is best-effort only.
   *
-  * Methodology: each query runs `SPARK_GRAFT_BENCH_REPS` (default 2)
+  * Filtered (`SPARK_GRAFT_ONLY`) or non-standard-sf runs write
+  * `BENCH_only.json` instead, so the committed full-board record is
+  * never clobbered by a local iteration run.
+  *
+  * Methodology: each query runs `SPARK_GRAFT_BENCH_REPS` (default 3)
   * times and the reported per-query number is the MIN — first-run
   * wall-clock on a shared box swings 2-3x with background load and
   * JIT/plan-compile warm-up, which has produced phantom regressions in
@@ -54,7 +58,9 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // optional query filter for local iteration (driver leaves it unset)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // default 3 reps: min-of-2 has twice produced phantom 5-10x
+    // "regressions" from host steal bursts in committed round files
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // deterministic name order: stable cross-round comparisons
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -89,8 +95,17 @@ object Bench {
       s""""errors":$errJson,"error_msgs":$errMsgJson,"queries":${fmtQ(qMin)},""" +
       s""""queries_first_run":${fmtQ(qFirst)},"sf":"$sfDir"}"""
     println(full)
-    // durable artifact: the committed repo file, not the stdout capture
-    for (path <- Seq("BENCH.json", "BENCH_last_full.json")) {
+    // Durable artifacts (the committed repo files; stdout capture is
+    // best-effort). BENCH.json / BENCH_last_full.json hold ONLY
+    // full-board runs at the standard benchmark sf — a filtered
+    // (SPARK_GRAFT_ONLY) or non-standard-sf iteration run must not
+    // clobber the round-over-round record, so it goes to
+    // BENCH_only.json instead.
+    val isFullBoard = only.isEmpty && sfDir == "/root/testdata/sf0.1"
+    val paths =
+      if (isFullBoard) Seq("BENCH.json", "BENCH_last_full.json")
+      else Seq("BENCH_only.json")
+    for (path <- paths) {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(path),
           (full + "\n").getBytes("UTF-8"))
