@@ -72,6 +72,7 @@ object SparkEntry {
     "q_ann_lsh"          -> (OpsQueries.annLsh _),
     "q_ann_ivf"          -> (OpsQueries.annIvf _),
     "q_ann_pq"           -> (OpsQueries.annPq _),
+    "q_ann_ivfpq"        -> (OpsQueries.annIvfPq _),
     "q_embed_project"    -> (OpsQueries.embedProject _),
     "q_lang_id"          -> (OpsQueries.langId _),
     "q_quality_score"    -> (OpsQueries.qualityScore _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "q_rollup"           -> (OpsQueries.rollupQ _),
     "q_pivot"            -> (OpsQueries.pivotQ _),
     "q_pagerank"         -> (OpsQueries.pagerankQ _),
+    "q_pagerank_dangling" -> (OpsQueries.pagerankDangling _),
     "q_fuzzy_join"       -> (OpsQueries.fuzzyJoinQ _),
     "q_entity_resolution" -> (OpsQueries.entityResolution _),
     "q_export_delta"     -> (OpsQueries.exportDelta _),

@@ -360,6 +360,159 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "adist")
   }
 
+  // ------------------------------------------------------ IVFPQ (composed)
+
+  /** Train the COMPOSED IVFPQ index (the FAISS `IVFx,PQy` layout): a
+    * coarse k-means quantizer partitions space into `nlist` cells, and
+    * PQ codebooks are trained on per-cell RESIDUALS (v − centroid(v)) —
+    * residuals concentrate near the origin regardless of which cell a
+    * vector lives in, so one shared set of codebooks quantizes every
+    * cell far more accurately than raw-vector PQ at the same bit
+    * budget. That residual encoding is what makes the billion-vector
+    * layout work: cell pruning bounds the candidates, PQ codes bound
+    * the memory (m·log2(ksub) bits/vector), and the two compose.
+    * Returns (coarse centroids, residual codebooks); both persist with
+    * the existing [[saveIvfIndex]]/[[savePqIndex]]. */
+  def trainIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                 seed: Long = 42L, maxTrainSample: Int = 65536,
+                 maxTrainBytes: Long = 256L << 20)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val sample = trainSample(corpus, idCol, vecCol,
+      math.max(nlist, ksub) * 8L, maxTrainSample, maxTrainBytes,
+      validateDim = d =>
+        require(d % m == 0, s"dim $d must divide into m=$m subspaces"))
+    val centers = kmeansFit(sample, nlist, seed)
+    val dim = sample(0).length
+    val sub = dim / m
+    // residuals of the SAME sample against the trained quantizer
+    val residuals = sample.map { v =>
+      val c = centers(nearestCell(v, centers))
+      Array.tabulate(dim)(j => v(j) - c(j))
+    }
+    val codebooks = Array.tabulate(m) { mi =>
+      kmeansFit(residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)),
+        ksub, seed + 1 + mi)
+    }
+    (centers, codebooks)
+  }
+
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16, m: Int = 8,
+                ksub: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+                maxTrainSample: Int = 65536,
+                maxTrainBytes: Long = 256L << 20): DataFrame = {
+    val (centers, codebooks) = trainIvfPq(corpus, idCol, vecCol, nlist, m,
+      ksub, seed, maxTrainSample, maxTrainBytes)
+    ivfpqTopKFixed(corpus, queries, idCol, vecCol, k, centers, codebooks,
+      nprobe)
+  }
+
+  /** [[ivfpqTopK]] with CALLER-SUPPLIED centroids + codebooks — the
+    * engine-portable / index-reuse variant (`q_ann_ivfpq`'s DuckDB
+    * oracle replicates assign → residual-encode → probe → ADC exactly).
+    *
+    * Scale shape: ONE distributed pass assigns each corpus vector to
+    * its cell and residual-encodes it to m codes (the corpus is never
+    * collected and its vectors never shuffle); per-query ADC tables are
+    * built per PROBED CELL (the residual q − centroid(cell) differs per
+    * cell, so each probed cell gets its own m×ksub table — still tiny:
+    * |q|·nprobe·m·ksub doubles, broadcast); scoring scans only code
+    * rows in probed cells with partition-local bounded heaps, so only
+    * numPartitions·|q|·k candidate rows ever shuffle. */
+  def ivfpqTopKFixed(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, centers: Array[Array[Double]],
+                     codebooks: Array[Array[Array[Double]]],
+                     nprobe: Int = 4): DataFrame = {
+    require(centers.nonEmpty, "need at least one centroid")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "codebooks must be non-empty per subspace")
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val dim = centers(0).length
+    require(dim == m * sub,
+      s"centroid dim $dim != m*sub = ${m * sub} of the codebooks")
+    val ksub = codebooks(0).length
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(centers)
+    val bcCB = spark.sparkContext.broadcast(codebooks)
+    // ONE pass: cell assignment + residual PQ encoding per corpus row
+    val codes = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cs = bcC.value; val cb = bcCB.value
+        val cell = nearestCell(v, cs)
+        val ctr = cs(cell)
+        val r = new Array[Double](v.length)
+        var j = 0
+        while (j < v.length) { r(j) = v(j) - ctr(j); j += 1 }
+        val code = new Array[Int](m)
+        var mi = 0
+        while (mi < m) {
+          code(mi) = nearestCell(
+            java.util.Arrays.copyOfRange(r, mi * sub, (mi + 1) * sub), cb(mi))
+          mi += 1
+        }
+        (id, cell, code)
+      }
+    // driver-side: probed cells + per-(query, cell) residual ADC tables
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])].collect()
+    // probes(cell) -> [(qid, table)]: table(mi)(c) = ||(q-ctr)_mi - cb(mi)(c)||^2
+    val probes: Map[Int, Array[(Long, Array[Array[Double]])]] = q.flatMap {
+      case (qid, qv) =>
+        centers.zipWithIndex.map { case (c, i) => (sqdist(qv, c), i) }
+          .sortBy(_._1).take(nprobe) // stable: ties -> lower cell id
+          .map { case (_, cell) =>
+            val ctr = centers(cell)
+            val qr = Array.tabulate(dim)(j => qv(j) - ctr(j))
+            val tab = Array.tabulate(m, ksub) { (mi, c) =>
+              sqdist(java.util.Arrays.copyOfRange(qr, mi * sub, (mi + 1) * sub),
+                codebooks(mi)(c))
+            }
+            (cell, (qid, tab))
+          }
+    }.groupBy(_._1).map { case (cell, xs) => (cell, xs.map(_._2)) }
+    val bcT = spark.sparkContext.broadcast(probes)
+    val kk = k
+    val cands = codes.mapPartitions { it =>
+      import scala.jdk.CollectionConverters._
+      val byCell = bcT.value
+      val nat = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Long, java.util.PriorityQueue[(Double, Long)]]
+      it.foreach { case (id, cell, code) =>
+        byCell.get(cell).foreach(_.foreach { case (qid, tab) =>
+          if (qid != id) {
+            var d = 0.0
+            var mi = 0
+            while (mi < code.length) { d += tab(mi)(code(mi)); mi += 1 }
+            val h = heaps.getOrElseUpdate(qid,
+              new java.util.PriorityQueue[(Double, Long)](
+                math.max(kk, 1), nat.reverse))
+            val cand = (d, id)
+            if (h.size < kk) h.add(cand)
+            else if (nat.lt(cand, h.peek())) { h.poll(); h.add(cand) }
+          }
+        })
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator().asScala.map { case (d, id) => (qid, id, d) }
+      }
+    }.toDF("query_id", "neighbor_id", "adist")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist")
+  }
+
   /** LSH-bucketed approximate top-k: candidates share a bucket with the
     * query in at least one of `tables` hash tables.
     *

@@ -22,22 +22,31 @@ object Graph {
 
   /** `iters` PageRank power iterations with damping `dampNum/dampDen`
     * (default 17/20 = 0.85) over directed edges; returns
-    * (id, pr_nano). Dangling nodes (no out-edges) leak their mass —
-    * the common SQL-PageRank simplification, fine for ranking within
+    * (id, pr_nano).
+    *
+    * Dangling nodes (no out-edges): by default their mass leaks — the
+    * common SQL-PageRank simplification, fine for ranking within
     * connected similarity graphs where every node has an edge
-    * (symmetrize undirected pair evidence first); documented rather
-    * than redistributed.
+    * (symmetrize undirected pair evidence first), and kept as the
+    * default for trajectory continuity with existing oracles. With
+    * `redistributeDangling = true` the STANDARD semantics apply: each
+    * iteration aggregates the sink mass and hands every node an equal
+    * integral share (`sinkMass div n`) before damping — still pure
+    * long arithmetic, still bit-exact on any engine.
     *
     * Scale notes (100 TB): per iteration one key-join of edges to the
     * rank table (shuffle on src), one grouped long-sum on dst, one
     * left join back to nodes — the canonical distributed power-
-    * iteration shape, bounded by `iters`. Each round ends in an eager
+    * iteration shape, bounded by `iters`. Redistribution adds ONE
+    * scalar aggregate (sink-mass sum) per iteration — a driver-side
+    * long, not a data motion. Each round ends in an eager
     * localCheckpoint (same rationale as connectedComponents: without
     * the lineage cut, round t re-plans t join layers). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 5, dampNum: Long = 17L, dampDen: Long = 20L,
                scale: Long = 1000000000L,
-               maxLocalEdges: Long = 1L << 20): DataFrame = {
+               maxLocalEdges: Long = 1L << 20,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "damping must be a fraction in [0, 1]")
@@ -70,22 +79,43 @@ object Graph {
       for (_ <- 1 to iters) {
         val contrib = new Array[Long](ids.length)
         es.foreach { case (s, d) => contrib(idx(d)) += pr(idx(s)) / deg(idx(s)) }
-        pr = contrib.map(c => teleport + dampNum * c / dampDen)
+        // equal integral share of the sink mass to every node — the same
+        // long arithmetic the distributed loop runs
+        val share = if (redistributeDangling) {
+          var sink = 0L
+          var i = 0
+          while (i < pr.length) { if (deg(i) == 0L) sink += pr(i); i += 1 }
+          sink / n
+        } else 0L
+        pr = contrib.map(c => teleport + dampNum * (c + share) / dampDen)
       }
       return spark.createDataset(ids.toSeq.zip(pr.toSeq)).toDF("id", "pr_nano")
     }
     val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint(true)
+    // dangling node set: computed once, tiny join key table per round
+    val dangling =
+      if (redistributeDangling)
+        nodes.join(e.select(col("src").as("id")).distinct(), Seq("id"),
+          "left_anti").localCheckpoint(true)
+      else null
     var pr = nodes.select(col("id"), lit(scale / n).as("pr"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
+      // sink mass: ONE scalar long per round (exact sum, then one
+      // integral division on the driver — matches the local path)
+      val share = if (redistributeDangling) {
+        val sink = pr.join(dangling, Seq("id"))
+          .agg(coalesce(sum(col("pr")), lit(0L))).head().getLong(0)
+        sink / n
+      } else 0L
       val contrib = ed.join(pr, ed("src") === pr("id"))
         .select(col("dst"), expr("pr div deg").as("c")) // integral div: exact
         .groupBy("dst").agg(sum(col("c")).as("s"))      // long sum: exact
       pr = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
         .select(nodes("id"),
           (lit(teleport) +
-            expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
+            expr(s"($dampNum * (coalesce(s, CAST(0 AS BIGINT)) + $share)) div $dampDen"))
             .as("pr"))
         .localCheckpoint(true)
     }

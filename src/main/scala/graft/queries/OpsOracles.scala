@@ -544,6 +544,45 @@ object OpsOracles {
                |SELECT id AS doc_id, pr AS pr_nano FROM pp$iters ORDER BY doc_id""".stripMargin
       b.result()
     },
+    // standard-semantics PageRank on the DIRECTED pair graph (id_a ->
+    // id_b): sink nodes (no out-edges) pool their mass each iteration
+    // and every node receives an equal integral share (sink div n)
+    // before damping — same nano-unit long arithmetic, bit-exact
+    "q_pagerank_dangling" -> {
+      val iters = 5
+      val b = new StringBuilder
+      b ++= s"""$nearDupClusterCte,
+               |ed AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pr),
+               |pn AS MATERIALIZED (
+               |  SELECT id FROM (SELECT s AS id FROM ed UNION SELECT d FROM ed)),
+               |pdeg AS MATERIALIZED (SELECT s, count(*) AS deg FROM ed GROUP BY s),
+               |ped AS MATERIALIZED (
+               |  SELECT ed.s, ed.d, pdeg.deg FROM ed JOIN pdeg USING (s)),
+               |psink AS MATERIALIZED (
+               |  SELECT id FROM pn WHERE NOT EXISTS
+               |    (SELECT 1 FROM pdeg WHERE pdeg.s = pn.id)),
+               |pcnt AS MATERIALIZED (SELECT count(*)::BIGINT AS nn FROM pn),
+               |pp0 AS MATERIALIZED (
+               |  SELECT id, (SELECT 1000000000 // nn FROM pcnt)::BIGINT AS pr FROM pn)""".stripMargin
+      for (t <- 1 to iters)
+        b ++= s""",
+                 |psh$t AS MATERIALIZED (
+                 |  SELECT (coalesce(sum(p.pr), 0)::BIGINT
+                 |          // (SELECT nn FROM pcnt))::BIGINT AS share
+                 |  FROM pp${t - 1} p JOIN psink ON p.id = psink.id),
+                 |pc$t AS MATERIALIZED (
+                 |  SELECT ped.d, sum(p.pr // ped.deg)::BIGINT AS s2
+                 |  FROM ped JOIN pp${t - 1} p ON ped.s = p.id GROUP BY ped.d),
+                 |pp$t AS MATERIALIZED (
+                 |  SELECT pn.id,
+                 |         ((SELECT (3::BIGINT * 1000000000) // (20 * nn) FROM pcnt)
+                 |          + (17::BIGINT * (coalesce(c.s2, 0)
+                 |                           + (SELECT share FROM psh$t))) // 20)::BIGINT AS pr
+                 |  FROM pn LEFT JOIN pc$t c ON pn.id = c.d)""".stripMargin
+      b ++= s"""
+               |SELECT id AS doc_id, pr AS pr_nano FROM pp$iters ORDER BY doc_id""".stripMargin
+      b.result()
+    },
     "q_rollup" ->
       """
         |SELECT l_returnflag, l_linestatus,
@@ -973,6 +1012,65 @@ object OpsOracles {
         |scored AS (SELECT query_id, neighbor_id, adist,
         |             row_number() OVER (PARTITION BY query_id
         |               ORDER BY adist, neighbor_id) AS rank FROM ad)
+        |SELECT query_id, rank, neighbor_id, round(adist, 4) AS adist
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.trim,
+
+    // composed IVFPQ: coarse centroids = first 4 corpus vectors, residual
+    // codebooks = subvectors of the first 16; assign (argmin full-dim),
+    // residual-encode per subspace ((v - center) - codebook entry),
+    // probe nprobe=2 cells, ADC over residual tables — exact arithmetic
+    // in the same association order as the Spark kernel (adist rounds to
+    // 4 decimals; candidates separate far beyond float noise)
+    "q_ann_ivfpq" ->
+      """
+        |WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        |      FROM embeddings WHERE vec_id < 4),
+        |ad AS (SELECT vec.vec_id, c.cid,
+        |         list_aggregate(list_transform(generate_series(1, 64),
+        |           j -> (v[j] - cv[j]) * (v[j] - cv[j])), 'sum') AS dist
+        |       FROM vec, c),
+        |a AS (SELECT vec_id, cid FROM
+        |        (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                     ORDER BY dist, cid) AS rn FROM ad)
+        |      WHERE rn = 1),
+        |cb AS (SELECT g.mi, cc.vec_id AS code, cc.v AS cbv
+        |       FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+        |             FROM embeddings WHERE vec_id < 16) cc,
+        |            generate_series(0, 7) AS g(mi)),
+        |encd AS (SELECT vec.vec_id, cb.mi, cb.code,
+        |           list_aggregate(list_transform(generate_series(1, 8),
+        |             j -> ((v[mi*8 + j] - cv[mi*8 + j]) - cbv[mi*8 + j])
+        |                * ((v[mi*8 + j] - cv[mi*8 + j]) - cbv[mi*8 + j])),
+        |             'sum') AS dist
+        |         FROM vec JOIN a ON vec.vec_id = a.vec_id
+        |              JOIN c ON a.cid = c.cid, cb),
+        |enc AS (SELECT vec_id, mi, code FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+        |                       ORDER BY dist, code) AS rn FROM encd)
+        |        WHERE rn = 1),
+        |qp AS (SELECT vec_id AS query_id, cid FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                      ORDER BY dist, cid) AS rn
+        |          FROM ad WHERE vec_id < 10)
+        |       WHERE rn <= 2),
+        |qt AS (SELECT qp.query_id, qp.cid, cb.mi, cb.code,
+        |         list_aggregate(list_transform(generate_series(1, 8),
+        |           j -> ((qv.v[mi*8 + j] - c.cv[mi*8 + j]) - cb.cbv[mi*8 + j])
+        |              * ((qv.v[mi*8 + j] - c.cv[mi*8 + j]) - cb.cbv[mi*8 + j])),
+        |           'sum') AS dist
+        |       FROM qp JOIN vec qv ON qp.query_id = qv.vec_id
+        |            JOIN c ON qp.cid = c.cid, cb),
+        |adc AS (SELECT qt.query_id, enc.vec_id AS neighbor_id,
+        |          sum(qt.dist) AS adist
+        |        FROM enc JOIN a ON enc.vec_id = a.vec_id
+        |             JOIN qt ON qt.cid = a.cid AND qt.mi = enc.mi
+        |                    AND qt.code = enc.code
+        |        WHERE qt.query_id != enc.vec_id
+        |        GROUP BY qt.query_id, enc.vec_id),
+        |scored AS (SELECT query_id, neighbor_id, adist,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY adist, neighbor_id) AS rank FROM adc)
         |SELECT query_id, rank, neighbor_id, round(adist, 4) AS adist
         |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.trim,
 

@@ -137,6 +137,34 @@ object OpsQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** COMPOSED IVFPQ (residual product quantization inside coarse
+    * cells — the FAISS `IVFx,PQy` billion-vector layout) with FIXED
+    * parameters: coarse centroids = first 4 corpus vectors, residual
+    * codebooks = subvectors of the first 16 (the q_ann_ivf/q_ann_pq
+    * technique) — assignment, residual encoding, probing and ADC are
+    * exact arithmetic the DuckDB oracle replicates end-to-end. The
+    * trained path ([[Ann.ivfpqTopK]], residual-trained codebooks) keeps
+    * its recall spec in `OpsSpec`. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val centers = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cvecs = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val m = 8
+    val sub = cvecs(0).length / m
+    val codebooks = Array.tabulate(m) { mi =>
+      cvecs.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+    }
+    Ann.ivfpqTopKFixed(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, centers, codebooks, nprobe = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adist"), 4).as("adist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** JL random projection of embeddings to 8 dims (portable md5 planes:
     * the oracle recomputes identical projections). */
   def embedProject(spark: SparkSession, dir: String): DataFrame =
@@ -768,6 +796,21 @@ object OpsQueries {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     Graph.pageRank(sym, "src", "dst", iters = 5)
+      .select(col("id").as("doc_id"), col("pr_nano"))
+      .orderBy("doc_id")
+  }
+
+  /** STANDARD-semantics PageRank (dangling mass redistributed) over the
+    * DIRECTED near-dup pair graph (id_a -> id_b only, so every
+    * component's sink nodes have no out-edges and the redistribution
+    * path actually carries mass) — the same fixed-point integer
+    * arithmetic, sink share = sinkMass div n per iteration, bit-exact
+    * against the unrolled oracle. */
+  def pagerankDangling(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id",
+      "text", bands = 4, rowsPerBand = 3, threshold = 0.6)
+    Graph.pageRank(pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+        "src", "dst", iters = 5, redistributeDangling = true)
       .select(col("id").as("doc_id"), col("pr_nano"))
       .orderBy("doc_id")
   }

@@ -120,6 +120,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(m1 == s1)
   }
 
+  test("pageRank dangling-mass redistribution conserves mass, matches hand-computed") {
+    // star 2->1, 3->1 with node 1 dangling. iter 1: sink = pr(1) =
+    // 333333333, share = sink//3 = 111111111; pr(1) = 50000000 +
+    // (17*(666666666+111111111))//20 = 711111110; pr(2) = pr(3) =
+    // 50000000 + (17*111111111)//20 = 144444444 (sum 999999998 —
+    // conserved up to floor truncation)
+    val star = Seq((2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val r1 = Graph.pageRank(star, "src", "dst", iters = 1,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 711111110L, 2L -> 144444444L, 3L -> 144444444L))
+    // mass conservation over 5 iterations: total stays within a few
+    // nano-units of scale (each floor division truncates < 1 unit per
+    // node per round), where the leaky default loses ~85% of the sink
+    // mass every round
+    val r5 = Graph.pageRank(star, "src", "dst", iters = 5,
+        redistributeDangling = true)
+      .collect().map(_.getLong(1)).sum
+    assert(r5 > 999999900L && r5 <= 1000000000L, s"mass $r5")
+    val leaky5 = Graph.pageRank(star, "src", "dst", iters = 5)
+      .collect().map(_.getLong(1)).sum
+    assert(leaky5 < 900000000L, s"leaky mass $leaky5 should be far below scale")
+    // no dangling nodes -> redistribution is the identity
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val a = Graph.pageRank(cyc, "src", "dst", iters = 3,
+      redistributeDangling = true).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.pageRank(cyc, "src", "dst", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // distributed loop (maxLocalEdges = 0) runs the identical integer
+    // recurrence as the driver fast path
+    val dist = Graph.pageRank(star, "src", "dst", iters = 2,
+        redistributeDangling = true, maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == Map(1L -> 497037035L, 2L -> 251481480L, 3L -> 251481480L))
+  }
+
   test("fuzzyPairs blocks then verifies; entity pipeline clusters matches") {
     val left = Seq((1L, "Acme Corp"), (2L, "Widget Inc"), (3L, "zzz"))
       .toDF("id", "name")

@@ -201,6 +201,39 @@ class OpsSpec extends SparkSpec {
     assert(ivf.size <= exact.size, "probed candidates only")
   }
 
+  test("IVFPQ ANN: composed residual quantization keeps useful recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val r1 = Ann.ivfpqTopK(e, q, "vec_id", "embedding", k = 10,
+      nlist = 8, m = 8, ksub = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect r1).size.toDouble / exact.size
+    // cell pruning (nprobe 4/8) AND residual quantization both lose a
+    // little; the composition must still recover a useful fraction
+    assert(recall >= 0.2, s"IVFPQ recall $recall")
+    assert(r1.size <= exact.size, "probed candidates only")
+    // deterministic end to end (sampled training included)
+    val r2 = Ann.ivfpqTopK(e, q, "vec_id", "embedding", k = 10,
+      nlist = 8, m = 8, ksub = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(r1 == r2, "IVFPQ must be deterministic")
+    // the composed index persists via the EXISTING ivf/pq writers and
+    // scores identically after a round-trip
+    val (centers, cb) = Ann.trainIvfPq(e, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16)
+    val base = s"/tmp/graft-ivfpq-${java.util.UUID.randomUUID().toString.take(8)}"
+    Ann.saveIvfIndex(spark, s"$base/ivf", centers)
+    Ann.savePqIndex(spark, s"$base/pq", cb)
+    val f1 = Ann.ivfpqTopKFixed(e, q, "vec_id", "embedding", 5, centers, cb,
+      nprobe = 4).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val f2 = Ann.ivfpqTopKFixed(e, q, "vec_id", "embedding", 5,
+      Ann.loadIvfIndex(spark, s"$base/ivf"), Ann.loadPqIndex(spark, s"$base/pq"),
+      nprobe = 4).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(f1 == f2, "loaded IVFPQ index must score identically")
+  }
+
   test("ANN index persistence: train once, save, load, identical results") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
