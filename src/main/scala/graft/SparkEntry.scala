@@ -52,6 +52,7 @@ object SparkEntry {
     "q_cv_mae"           -> (PathQueries.cvMae _),
     "q_cv_alpha"         -> (PathQueries.cvAlphaCurve _),
     "q_cv_multinom"      -> (PathQueries.cvMultinom _),
+    "q_cv_mgauss"        -> (PathQueries.cvMgauss _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
     "q_cv_deviance"      -> (PathQueries.cvDeviance _),
@@ -1056,6 +1057,68 @@ object SparkEntry {
         |       round(ln(avg(d)), 6) AS ln_cvm,
         |       round(ln(stddev_samp(d)/sqrt(5)), 6) AS ln_cvsd
         |FROM fd""".stripMargin,
+
+    // one-pass moment mgaussian CV: per-fold group lasso at p=1 is the
+    // closed form beta_std_t = c_t*(1 - lam/nrm)/gjj (nrm > lam, else
+    // 0); held-out deviance = per-response mse moment forms summed.
+    // gjj and c_t replicate SufficientStats.standardize's EXACT float
+    // association ((a - b - b) + b); fold sums subtract from totals
+    "q_cv_mgauss" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT l_quantity AS x, l_extendedprice AS y1, l_tax AS y2,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |tot AS (SELECT count(*)::double n, sum(x) sx, sum(x*x) sxx,
+        |          sum(y1) sy1, sum(y1*y1) syy1, sum(x*y1) sxy1,
+        |          sum(y2) sy2, sum(y2*y2) syy2, sum(x*y2) sxy2 FROM r),
+        |pf AS MATERIALIZED (
+        |  SELECT f, count(*)::double n, sum(x) sx, sum(x*x) sxx,
+        |         sum(y1) sy1, sum(y1*y1) syy1, sum(x*y1) sxy1,
+        |         sum(y2) sy2, sum(y2*y2) syy2, sum(x*y2) sxy2
+        |  FROM r GROUP BY f),
+        |lgrid AS (SELECT cast(i AS INT) AS lambda_idx, lam::DOUBLE AS lam
+        |          FROM (VALUES (0, 512.0), (1, 128.0), (2, 32.0), (3, 8.0),
+        |                       (4, 2.0), (5, 0.5)) AS t(i, lam)),
+        |tr AS (SELECT pf.f, tot.n - pf.n AS n, tot.sx - pf.sx AS sx,
+        |         tot.sxx - pf.sxx AS sxx, tot.sy1 - pf.sy1 AS sy1,
+        |         tot.syy1 - pf.syy1 AS syy1, tot.sxy1 - pf.sxy1 AS sxy1,
+        |         tot.sy2 - pf.sy2 AS sy2, tot.syy2 - pf.syy2 AS syy2,
+        |         tot.sxy2 - pf.sxy2 AS sxy2
+        |       FROM pf, tot),
+        |mo AS (SELECT f, n, sx/n AS mx, sy1/n AS my1, sy2/n AS my2,
+        |         sqrt(greatest(sxx/n - (sx/n)*(sx/n), 0)) AS sd,
+        |         sxx/n AS sxxn, sxy1/n AS sxy1n, sxy2/n AS sxy2n
+        |       FROM tr),
+        |st AS MATERIALIZED (
+        |  SELECT f, mx, my1, my2, sd,
+        |         (sxxn - mx*mx - mx*mx + mx*mx) / (sd*sd) AS gjj,
+        |         (sxy1n - mx*my1 - my1*mx + mx*my1) / sd AS c1,
+        |         (sxy2n - mx*my2 - my2*mx + mx*my2) / sd AS c2
+        |  FROM mo),
+        |bt AS MATERIALIZED (
+        |  SELECT st.f, lg.lambda_idx, lg.lam, mx, my1, my2,
+        |         CASE WHEN sqrt(c1*c1 + c2*c2) > lg.lam
+        |              THEN c1 * ((1 - lg.lam/sqrt(c1*c1 + c2*c2)) / gjj) / sd
+        |              ELSE 0 END AS b1,
+        |         CASE WHEN sqrt(c1*c1 + c2*c2) > lg.lam
+        |              THEN c2 * ((1 - lg.lam/sqrt(c1*c1 + c2*c2)) / gjj) / sd
+        |              ELSE 0 END AS b2
+        |  FROM st, lgrid lg),
+        |sc AS (SELECT bt.f, lambda_idx, lam,
+        |         (pf.syy1/pf.n - 2*(my1 - b1*mx)*pf.sy1/pf.n
+        |            + (my1 - b1*mx)*(my1 - b1*mx) + b1*(pf.sxx/pf.n*b1)
+        |            + 2*(my1 - b1*mx)*(b1*pf.sx/pf.n) - 2*(b1*pf.sxy1/pf.n))
+        |       + (pf.syy2/pf.n - 2*(my2 - b2*mx)*pf.sy2/pf.n
+        |            + (my2 - b2*mx)*(my2 - b2*mx) + b2*(pf.sxx/pf.n*b2)
+        |            + 2*(my2 - b2*mx)*(b2*pf.sx/pf.n) - 2*(b2*pf.sxy2/pf.n)) AS m
+        |       FROM bt JOIN pf ON bt.f = pf.f),
+        |curve AS (SELECT lambda_idx, lam, avg(m) AS cvm,
+        |                 stddev_samp(m)/sqrt(5) AS cvsd
+        |          FROM sc GROUP BY 1, 2)
+        |SELECT lambda_idx, round(lam, 4) AS lambda, round(ln(cvm), 6) AS ln_cvm,
+        |       round(ln(cvsd), 6) AS ln_cvsd
+        |FROM curve ORDER BY lambda_idx""".stripMargin,
 
     // one IRLS step from the null point: constant weights w = ybar
     "q_poisson_fit" ->

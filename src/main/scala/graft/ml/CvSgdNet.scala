@@ -182,37 +182,50 @@ object CvSgdNet {
       s"unknown type.measure '$measure' (want deviance|mse|mae|class|auc)")
     val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
     val paths =
-      if (params.family == "gaussian" &&
+      if ((params.family == "gaussian" || params.family == "mgaussian") &&
           (measure == "deviance" || measure == "mse" || measure == "mae")) {
         // ONE stats pass serves the WHOLE alpha grid AND every alpha's
         // full-data fit: per-fold Gram moments are alpha-independent,
         // so the alpha loop is pure driver arithmetic (mae adds one
-        // scoring aggregation per alpha — |residual| is not a moment)
+        // scoring aggregation per alpha — |residual| is not a moment).
+        // mgaussian rides the same machinery: the moments decouple per
+        // response (GramStats carries k response columns), only the
+        // driver-side solve couples them through the group penalty.
         val p = featureCols.size
-        val labelCol = labelCols.head
-        val hashCols = (featureCols :+ labelCol).map(col)
+        val k = labelCols.size
+        val hashCols = (featureCols ++ labelCols).map(col)
         val withFold = df.withColumn("__fold", foldExpr(foldCol, hashCols, nfolds))
         val rdd = withFold.select(
-            (featureCols.map(c => col(c).cast("double")) :+
-              col(labelCol).cast("double") :+ col("__fold").cast("int")): _*)
+            (featureCols.map(c => col(c).cast("double")) ++
+              labelCols.map(c => col(c).cast("double")) :+
+              col("__fold").cast("int")): _*)
           .rdd.map { row =>
             val x = new Array[Double](p)
             var j = 0
             while (j < p) { x(j) = row.getDouble(j); j += 1 }
-            (row.getInt(p + 1), x, row.getDouble(p))
+            val y = new Array[Double](k)
+            var t = 0
+            while (t < k) { y(t) = row.getDouble(p + t); t += 1 }
+            (row.getInt(p + k), x, y)
           }
-        val zero = Array.fill(nfolds)(new GramStats(p, 1))
+        val zero = Array.fill(nfolds)(new GramStats(p, k))
         val perFold = rdd.treeAggregate(zero)(
-          seqOp = (acc, t) => { acc(t._1).add(t._2, Array(t._3)); acc },
+          seqOp = (acc, t) => { acc(t._1).add(t._2, t._3); acc },
           combOp = (a, b) => {
             var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a
           },
           depth = 2)
         requireNonEmptyFolds(perFold.map(_.n), nfolds)
-        val total = new GramStats(p, 1)
+        val total = new GramStats(p, k)
         perFold.foreach(total.merge)
-        alphaGrid.map(a => cvGaussianFromStats(withFold, perFold, total,
-          featureCols, labelCol, params.copy(alpha = a), nfolds, measure))
+        alphaGrid.map { a =>
+          if (k == 1 && params.family == "gaussian")
+            cvGaussianFromStats(withFold, perFold, total, featureCols,
+              labelCols.head, params.copy(alpha = a), nfolds, measure)
+          else
+            cvMgaussianFromStats(withFold, perFold, total, featureCols,
+              labelCols, params.copy(alpha = a), nfolds, measure)
+        }
       } else alphaGrid.map { a =>
         val p = params.copy(alpha = a)
         if (params.family == "binomial")
@@ -221,6 +234,10 @@ object CvSgdNet {
         else if (params.family == "multinomial")
           cvMultinomialShared(df, featureCols, labelCols.head, p, nfolds,
             foldCol, measure)
+        else if (params.family == "poisson" &&
+            (measure == "deviance" || measure == "mse" || measure == "mae"))
+          cvPoissonShared(df, featureCols, labelCols.head, p, nfolds, foldCol,
+            measure)
         else cvGeneric(df, featureCols, labelCols, p, nfolds, measure, foldCol)
       }
     // best path: smallest cvm at its lambdaMin
@@ -330,6 +347,103 @@ object CvSgdNet {
       for (f <- 0 until nfolds; l <- 0 until L)
         // an EMPTY fold averages to NULL — degrade to NaN like the
         // moment-based scores do, instead of NPE-ing the whole CV
+        foldScores(f)(l) =
+          if (row.isNullAt(f * L + l)) Double.NaN else row.getDouble(f * L + l)
+    }
+    summarize(params.alpha, lambdas, foldScores, full)
+  }
+
+  // ----------------------------------------- mgaussian, one-pass moment CV
+
+  /** Multi-response (mgaussian) CV from the SAME one-pass per-fold
+    * moments as the gaussian path: the sufficient statistics decouple
+    * per response (GramStats carries k response columns), so moment
+    * subtraction still yields every fold's train statistics from one
+    * data pass; only the driver-side solve couples responses through
+    * the group penalty — and that reuses [[SgdNet.solveGaussianFromStats]]
+    * verbatim (identical standardization, group CD,
+    * standardize.response handling, back-transform), so each fold's
+    * path IS a standalone mgaussian fit on its train moments. Held-out
+    * deviance/mse are per-response moment forms summed across responses
+    * (the [[SgdNetModel.score]] mgaussian convention: per-row error
+    * summed over responses, averaged over rows); mae adds one scoring
+    * aggregation. CV cost: ONE data pass (+1 for mae) regardless of
+    * nfolds — the 100 TB shape. */
+  private def cvMgaussianFromStats(withFold: DataFrame,
+                                   perFold: Array[GramStats], total: GramStats,
+                                   featureCols: Seq[String],
+                                   labelCols: Seq[String],
+                                   params: SgdNetParams, nfolds: Int,
+                                   measure: String): CvPath = {
+    val p = featureCols.size
+    val k = labelCols.size
+    val full = SgdNet.solveGaussianFromStats(total, featureCols, labelCols,
+      params) // defines lambda
+    val lambdas = full.lambda
+    val L = lambdas.length
+    val foldScores = Array.ofDim[Double](nfolds, L)
+    // original-scale coefficients per (fold, lambda, response)
+    val a0Out = Array.ofDim[Double](nfolds, L, k)
+    val bOut = Array.ofDim[Double](nfolds, L, k, p)
+    for (f <- 0 until nfolds) {
+      // train = total - fold (moment subtraction, all k responses)
+      val train = new GramStats(p, k)
+      train.merge(total)
+      val fg = perFold(f)
+      train.n -= fg.n
+      for (i <- 0 until p) train.sumX(i) -= fg.sumX(i)
+      for (i <- 0 until train.xtx.length) train.xtx(i) -= fg.xtx(i)
+      for (t <- 0 until k) {
+        train.sumY(t) -= fg.sumY(t); train.sumYY(t) -= fg.sumYY(t)
+      }
+      for (i <- 0 until train.xty.length) train.xty(i) -= fg.xty(i)
+      val fm = SgdNet.solveGaussianFromStats(train, featureCols, labelCols,
+        params.copy(lambda = lambdas))
+      for (l <- 0 until L; t <- 0 until k) {
+        a0Out(f)(l)(t) = fm.a0(l)(t)
+        for (j <- 0 until p) bOut(f)(l)(t)(j) = fm.beta(l)(t)(j)
+      }
+      if (measure != "mae") {
+        // held-out (mse == deviance) from fold-f moments, summed across
+        // responses — same closed form as the gaussian path per response
+        val nf = fg.n.toDouble
+        for (l <- 0 until L) {
+          var s = 0.0
+          for (t <- 0 until k) {
+            val a0 = a0Out(f)(l)(t)
+            val bt = bOut(f)(l)(t)
+            var quad = 0.0; var bx = 0.0; var bxy = 0.0
+            for (j <- 0 until p) {
+              bx += bt(j) * fg.sumX(j) / nf
+              bxy += bt(j) * fg.xty(j * k + t) / nf
+              var sj = 0.0
+              for (m <- 0 until p) sj += fg.xtx(LinAlg.triIdx(j, m)) / nf * bt(m)
+              quad += bt(j) * sj
+            }
+            s += fg.sumYY(t) / nf - 2 * a0 * fg.sumY(t) / nf + a0 * a0 +
+              quad + 2 * a0 * bx - 2 * bxy
+          }
+          foldScores(f)(l) = s
+        }
+      }
+    }
+    if (measure == "mae") {
+      // |residual| is not a moment form — ONE aggregation computes every
+      // (fold, lambda) held-out MAE (per-row abs errors summed across
+      // responses, the scoreAllLambdas mgaussian convention)
+      val cells = for (f <- 0 until nfolds; l <- 0 until L) yield {
+        val err = (0 until k).map { t =>
+          val eta = featureCols.zipWithIndex.foldLeft(lit(a0Out(f)(l)(t))) {
+            case (acc, (c, j)) =>
+              val w = bOut(f)(l)(t)(j)
+              if (w == 0.0) acc else acc + col(c) * lit(w)
+          }
+          abs(col(labelCols(t)).cast("double") - eta)
+        }.reduce(_ + _)
+        avg(when(col("__fold") === f, err)).as(s"m_${f}_$l")
+      }
+      val row = withFold.agg(cells.head, cells.tail: _*).head()
+      for (f <- 0 until nfolds; l <- 0 until L)
         foldScores(f)(l) =
           if (row.isNullAt(f * L + l)) Double.NaN else row.getDouble(f * L + l)
     }
@@ -649,6 +763,222 @@ object CvSgdNet {
       i = 0
       while (i < swxx.length) { swxx(i) += o.swxx(i); i += 1 }
     }
+  }
+
+  // ---------------------------------------------- poisson, shared-pass CV
+
+  /** Poisson CV on the [[cvBinomialShared]] chassis: all k fold-models
+    * advance TOGETHER — each IRLS round is ONE `treeAggregate` of every
+    * unconverged fold's weighted Gram (a row contributes to all train
+    * sets except its own fold), with the FULL-data model riding as
+    * virtual fold k. Per-row IRLS arithmetic is identical to
+    * `SgdNet.fitPoisson`'s `poissonGram` (eta clamped to ±30,
+    * mu = exp(eta), w = max(mu, 1e-5), z = eta + (y − mu)/w), so each
+    * fold's path matches a standalone poisson fit on its train subset
+    * within the convergence tolerance. Held-out deviance/mse/mae for
+    * all (fold, lambda) come from one final scoring pass with
+    * [[scoreAllLambdas]] semantics (mu = exp(eta), UNclamped;
+    * deviance = 2[y ln(y/mu) − (y − mu)], 0 ln 0 = 0). */
+  private def cvPoissonShared(df: DataFrame, featureCols: Seq[String],
+                              labelCol: String, params: SgdNetParams,
+                              nfolds: Int, foldCol: Column = null,
+                              measure: String = "deviance"): CvPath = {
+    val p = featureCols.size
+    val hashCols = (featureCols :+ labelCol).map(col)
+    val rows = df
+      .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
+      .select((featureCols.map(c => col(c).cast("double")) :+
+        col(labelCol).cast("double") :+ col("__fold")): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = r.getDouble(j); j += 1 }
+        (r.getInt(p + 1), x, r.getDouble(p))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      // fold count INCLUDING the virtual full-data fold (index nfolds)
+      val F = nfolds + 1
+      val zero = Array.fill(nfolds)(new GramStats(p, 1))
+      val perFold = rows.treeAggregate(zero)(
+        (acc, t) => { acc(t._1).add(t._2, Array(t._3)); acc },
+        (a, b) => { var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a },
+        depth = 2)
+      requireNonEmptyFolds(perFold.map(_.n), nfolds)
+      val total = new GramStats(p, 1)
+      perFold.foreach(total.merge)
+      // index nfolds subtracts an EMPTY fold: train = all rows
+      val perFoldExt = perFold :+ new GramStats(p, 1)
+      val trainStats = Array.tabulate(F) { f =>
+        val tr = new GramStats(p, 1)
+        tr.merge(total)
+        val fg = perFoldExt(f)
+        tr.n -= fg.n
+        for (i <- 0 until p) tr.sumX(i) -= fg.sumX(i)
+        for (i <- 0 until tr.xtx.length) tr.xtx(i) -= fg.xtx(i)
+        tr.sumY(0) -= fg.sumY(0); tr.sumYY(0) -= fg.sumYY(0)
+        for (i <- 0 until tr.xty.length) tr.xty(i) -= fg.xty(i)
+        SufficientStats.standardize(tr, params.standardize, params.intercept)
+      }
+      trainStats.foreach(st => require(st.yMean(0) > 0,
+        "poisson response must contain positive counts in every train fold"))
+      val lambdas =
+        if (params.lambda != null) params.lambda
+        else {
+          val minRatio = if (params.lambdaMinRatio.isNaN)
+            LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
+          LambdaPath.build(trainStats(nfolds).b, params.alpha, params.nlambda,
+            minRatio)
+        }
+      val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
+      val means = trainStats.map(st => if (params.intercept) st.xMean else new Array[Double](p))
+      val scales = trainStats.map(st => if (params.standardize) st.xSd else Array.fill(p)(1.0))
+      val sc = rows.sparkContext
+      val bMeans = sc.broadcast(means)
+      val bScales = sc.broadcast(scales)
+
+      val L = lambdas.length
+      val beta = Array.fill(F)(new Array[Double](p))
+      val a0 = Array.tabulate(F) { f =>
+        if (params.intercept) math.log(trainStats(f).yMean(0)) else 0.0
+      }
+      val a0Out = Array.ofDim[Double](F, L)
+      val betaOut = Array.ofDim[Double](F, L, p)
+      var sharedPasses = 0
+      val lastGram = Array.fill[BinWGram](F)(null)
+
+      for (l <- 0 until L) {
+        val active = Array.fill(F)(true)
+        // free first Newton step against the carried grams (see
+        // cvBinomialShared for the optimality-slack argument)
+        if (lastGram.forall(_ != null)) {
+          for (f <- 0 until F) {
+            val g = lastGram(f)
+            val ninv = 1.0 / nTrain(f)
+            val aM = LinAlg.unpackSym(g.swxx, p).map(_.map(_ * ninv))
+            val r = CoordinateDescent.solve(aM, g.swxz.map(_ * ninv),
+              g.swx.map(_ * ninv), g.swz * ninv, g.sw * ninv,
+              lambdas(l), params.alpha, params.intercept, beta(f),
+              thresh = math.max(params.thresh * 1e-4, 1e-10),
+              maxIter = params.maxit)
+            var maxD = math.abs(r.a0 - a0(f))
+            var j = 0
+            while (j < p) {
+              val d = math.abs(r.beta(j) - beta(f)(j)); if (d > maxD) maxD = d; j += 1
+            }
+            beta(f) = r.beta; a0(f) = r.a0
+            if (maxD == 0.0) active(f) = false
+          }
+        }
+        var iter = 0
+        while (iter < 25 && active.exists(identity)) {
+          val betaSnap = beta.map(_.clone())
+          val a0Snap = a0.clone()
+          val activeSnap = active.clone()
+          sharedPasses += 1
+          // ONE pass: poisson weighted grams for all active folds
+          val grams = rows.treeAggregate(
+            Array.fill(F)(new BinWGram(p)))(
+            (acc, t) => {
+              val (rowFold, xr, y) = t
+              var f = 0
+              while (f < F) {
+                if (f != rowFold && activeSnap(f)) {
+                  val m = bMeans.value(f); val s = bScales.value(f)
+                  val bf = betaSnap(f)
+                  var eta = a0Snap(f)
+                  val xs = new Array[Double](p)
+                  var j = 0
+                  while (j < p) {
+                    xs(j) = (xr(j) - m(j)) / s(j); eta += xs(j) * bf(j); j += 1
+                  }
+                  val etaC = math.max(math.min(eta, 30.0), -30.0)
+                  val mu = math.exp(etaC)
+                  val w = math.max(mu, 1e-5)
+                  val z = etaC + (y - mu) / w
+                  acc(f).add(xs, w, z)
+                }
+                f += 1
+              }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < F) { a(i).merge(b(i)); i += 1 }; a },
+            depth = 2)
+          for (f <- 0 until F if active(f)) {
+            val g = grams(f)
+            lastGram(f) = g
+            val ninv = 1.0 / nTrain(f)
+            val aM = LinAlg.unpackSym(g.swxx, p).map(_.map(_ * ninv))
+            val r = CoordinateDescent.solve(aM, g.swxz.map(_ * ninv),
+              g.swx.map(_ * ninv), g.swz * ninv, g.sw * ninv,
+              lambdas(l), params.alpha, params.intercept, beta(f),
+              thresh = math.max(params.thresh * 1e-4, 1e-10),
+              maxIter = params.maxit)
+            var maxD = math.abs(r.a0 - a0(f))
+            var j = 0
+            while (j < p) {
+              val d = math.abs(r.beta(j) - beta(f)(j)); if (d > maxD) maxD = d; j += 1
+            }
+            beta(f) = r.beta; a0(f) = r.a0
+            if (maxD < math.max(params.thresh * 1e-2, 1e-8)) active(f) = false
+          }
+          iter += 1
+        }
+        for (f <- 0 until F) {
+          for (j <- 0 until p) betaOut(f)(l)(j) = beta(f)(j) / scales(f)(j)
+          a0Out(f)(l) =
+            if (params.intercept)
+              a0(f) - (0 until p).map(j => betaOut(f)(l)(j) * means(f)(j)).sum
+            else a0(f)
+        }
+      }
+
+      // full-data model from the virtual fold's path + its deviance pass
+      val a0Full = Array.tabulate(L)(l => Array(a0Out(nfolds)(l)))
+      val betaFull = Array.tabulate(L)(l => Array(betaOut(nfolds)(l).clone()))
+      val muNull = if (params.intercept) trainStats(nfolds).yMean(0) else 1.0
+      val devs = SgdNet.poissonDeviance(
+        rows.map(t => (t._2, Array(t._3))), a0Full, betaFull, muNull)
+      val nulldev = devs.last
+      val devRatio = Array.tabulate(L)(l =>
+        if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
+      val full = new SgdNetModel("poisson", featureCols.toArray,
+        Array(labelCol), Array.empty, lambdas, a0Full, betaFull, nulldev,
+        devRatio, total.n, sharedPasses + 2, params)
+
+      // held-out scoring per (fold, lambda): one accumulation pass,
+      // scoreAllLambdas poisson semantics (mu unclamped)
+      val bA0 = sc.broadcast(a0Out)
+      val bBeta = sc.broadcast(betaOut)
+      val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
+        (acc, t) => {
+          val (f, x, y) = t
+          var l = 0
+          while (l < L) {
+            var eta = bA0.value(f)(l)
+            val bl = bBeta.value(f)(l)
+            var j = 0
+            while (j < p) { eta += bl(j) * x(j); j += 1 }
+            val mu = math.exp(eta)
+            acc(f * L + l) += (measure match {
+              case "mse" => (y - mu) * (y - mu)
+              case "mae" => math.abs(y - mu)
+              case "deviance" =>
+                val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+                2.0 * (ylog - (y - mu))
+              case other => // unreachable: fit() routes class/auc away
+                throw new IllegalArgumentException(s"unknown measure $other")
+            })
+            l += 1
+          }
+          acc
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      val foldScores = Array.tabulate(nfolds, L)((f, l) =>
+        sums(f * L + l) / perFold(f).n.toDouble)
+      summarize(params.alpha, lambdas, foldScores, full)
+    } finally rows.unpersist(blocking = false)
   }
 
   // ------------------------------------------ multinomial, shared-pass CV

@@ -659,7 +659,7 @@ object SgdNet {
   }
 
   /** One pass: deviance for every lambda plus the null model (last slot). */
-  private def poissonDeviance(rows: RDD[(Array[Double], Array[Double])],
+  private[ml] def poissonDeviance(rows: RDD[(Array[Double], Array[Double])],
                               a0: Array[Array[Double]],
                               beta: Array[Array[Array[Double]]],
                               muNull: Double): Array[Double] = {

@@ -531,6 +531,34 @@ object PathQueries {
       .orderBy("lambda_idx")
   }
 
+  /** Oracle-exact MULTI-RESPONSE (mgaussian) cross-validation — lights
+    * up the one-pass moment CV route (`CvSgdNet.cvMgaussianFromStats`)
+    * end-to-end. With ONE feature the group coordinate update is a
+    * closed form the oracle replicates exactly: standardized per-train
+    * covariances c_t = (Sxy_t/n − mx·my_t)/sd, group norm
+    * nrm = sqrt(c1² + c2²), β_std_t = c_t·(1 − λ/nrm)/gjj when
+    * nrm > λ else 0 (lasso group soft-threshold; gjj is the
+    * standardized Gram diagonal, ≈1 up to float), β_t = β_std_t/sd,
+    * a0_t = my_t − β_t·mx. Held-out deviance (= mse summed across
+    * responses) is a moment form on the fold's own statistics — DuckDB
+    * reproduces cvm AND cvsd. Fixed λ grid; portable Knuth folds. */
+  def cvMgauss(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fit(li, Seq("l_quantity"),
+      Seq("l_extendedprice", "l_tax"),
+      SgdNetParams(family = "mgaussian", alpha = 1.0,
+        lambda = Array(512.0, 128.0, 32.0, 8.0, 2.0, 0.5)),
+      nfolds = 5, measure = "deviance", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
   /** lambda.min / lambda.1se selection on the [[cvRidgeFit]] chain —
     * oracle-exact (the fixed grid makes both selections SQL-computable). */
   def cvSelect(spark: SparkSession, dir: String): DataFrame = {

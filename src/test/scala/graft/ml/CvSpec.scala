@@ -233,16 +233,75 @@ class CvSpec extends SparkSpec {
     assert(math.abs(s - at) < 1e-12, s"$s vs $at")
   }
 
-  test("poisson CV scores held-out deviance via the generic path") {
+  private def poissonDF(n: Int = 400, seed: Long = 31L) = {
     import spark.implicits._
-    val rnd = new scala.util.Random(31)
-    val rows = (1 to 400).map { _ =>
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { _ =>
       val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
       val mu = math.exp(0.5 + 0.4 * x1 - 0.3 * x2)
       val y = math.floor(mu + rnd.nextGaussian() * math.sqrt(mu)).max(0.0)
       (x1, x2, y)
+    }.toDF("x1", "x2", "y")
+  }
+
+  private def mgaussDF(n: Int = 300, seed: Long = 47L) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { _ =>
+      val x1 = rnd.nextGaussian() * 2.0 + 1.0
+      val x2 = rnd.nextGaussian() * 0.5 - 2.0
+      val y1 = 3.0 + 2.0 * x1 - 1.5 * x2 + rnd.nextGaussian() * 0.3
+      val y2 = -1.0 + 0.5 * x1 + 1.0 * x2 + rnd.nextGaussian() * 0.3
+      (x1, x2, y1, y2)
+    }.toDF("x1", "x2", "y1", "y2")
+  }
+
+  test("poisson shared-pass CV matches the generic per-fold refit path") {
+    val df = poissonDF()
+    val lambdas = Array(0.5, 0.1, 0.02)
+    for (measure <- Seq("deviance", "mse", "mae")) {
+      val params = SgdNetParams(family = "poisson", alpha = 0.5,
+        lambda = lambdas, thresh = 1e-7, maxit = 100000)
+      val fast = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"), params,
+        nfolds = 3, measure = measure)
+      val gen = CvSgdNet.cvGeneric(df, Seq("x1", "x2"), Seq("y"), params,
+        3, measure)
+      assert(fast.best.lambda.sameElements(gen.lambda))
+      for (l <- lambdas.indices) {
+        assert(math.abs(fast.best.cvm(l) - gen.cvm(l)) < 1e-4,
+          s"$measure lambda $l: shared=${fast.best.cvm(l)} generic=${gen.cvm(l)}")
+        assert(math.abs(fast.best.cvsd(l) - gen.cvsd(l)) < 1e-4,
+          s"$measure lambda $l: cvsd shared=${fast.best.cvsd(l)} generic=${gen.cvsd(l)}")
+      }
     }
-    val df = rows.toDF("x1", "x2", "y")
+  }
+
+  test("mgaussian one-pass moment CV matches the generic per-fold refit path") {
+    val df = mgaussDF()
+    val lambdas = Array(1.0, 0.3, 0.1, 0.03)
+    for ((measure, stdResp) <- Seq(("deviance", false), ("mse", false),
+                                   ("mae", false), ("deviance", true))) {
+      val params = SgdNetParams(family = "mgaussian", alpha = 0.5,
+        lambda = lambdas, thresh = 1e-9, maxit = 100000,
+        standardizeResponse = stdResp)
+      val fast = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y1", "y2"), params,
+        nfolds = 3, measure = measure)
+      val gen = CvSgdNet.cvGeneric(df, Seq("x1", "x2"), Seq("y1", "y2"),
+        params, 3, measure)
+      assert(fast.best.lambda.sameElements(gen.lambda))
+      for (l <- lambdas.indices) {
+        // the fold solves reuse solveGaussianFromStats verbatim, so the
+        // only differences are moment-vs-row float summation order
+        assert(math.abs(fast.best.cvm(l) - gen.cvm(l)) < 1e-6,
+          s"$measure/std=$stdResp lambda $l: shared=${fast.best.cvm(l)} generic=${gen.cvm(l)}")
+        assert(math.abs(fast.best.cvsd(l) - gen.cvsd(l)) < 1e-6,
+          s"$measure/std=$stdResp lambda $l: cvsd shared=${fast.best.cvsd(l)} generic=${gen.cvsd(l)}")
+      }
+    }
+  }
+
+  test("poisson CV scores held-out deviance (shared-pass route)") {
+    val df = poissonDF()
     val cv = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
       SgdNetParams(family = "poisson", alpha = 0.5, nlambda = 4, thresh = 1e-6),
       nfolds = 3)
