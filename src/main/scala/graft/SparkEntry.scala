@@ -155,6 +155,7 @@ object SparkEntry {
     "q_nearest_join"     -> (EventQueries.nearestJoinQ _),
     "q_wow"              -> (EventQueries.wowQ _),
     "q_group_pcts"       -> (OpsQueries.groupPcts _),
+    "q_group_pcts_scale" -> (OpsQueries.groupPctsScale _),
     "q_group_ols"        -> (OpsQueries.groupOls _),
     "q_table_digest"     -> (OpsQueries.tableDigestQ _),
     "q_attribution"      -> (EventQueries.attributionQ _)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution quantiles of a numeric column as a (q, value) frame.
@@ -60,5 +61,46 @@ object Quantiles {
       .select(col(groupCol),
         element_at(typedlit(probs), col("i") + 1).as("q"),
         col("v").cast("double").as("value"))
+  }
+
+  /** EXACT interpolated grouped quantiles with BOUNDED aggregation
+    * state — the 100 TB twin of [[exactByGroup]] (whose `percentile`
+    * aggregate buffers every row value per group). The
+    * [[Analytics.madOutliers]] distinct-value prefix-sum discipline:
+    * rows first collapse to (group, value)-distinct counts (one
+    * partial-aggregated shuffle, state bounded by VALUE CARDINALITY,
+    * not row count); cumulative counts over the distinct values locate
+    * the two bracketing order statistics per requested quantile (the
+    * rank window runs over distinct values per group — bounded the
+    * same way); one conditional min-aggregation interpolates. Same
+    * linear-interpolation semantics as `percentile`/`quantile_cont`:
+    * h = q·(n−1), value = v_lo + (h − ⌊h⌋)·(v_hi − v_lo). For
+    * unbounded-cardinality continuous doubles, pre-quantize or use
+    * [[approx]]; on integer/decimal-grained data (prices, counts,
+    * durations) this path is exact at any scale. */
+  def exactByGroupScale(df: DataFrame, groupCol: String, valueCol: String,
+                        probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    val vc = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val wg = Window.partitionBy(col(groupCol))
+    val cum = vc
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", sum(col("__cnt")).over(wg))
+    // h and lo are constant within (group, q): they depend only on n
+    val pq = cum.select(col(groupCol), col("__v"), col("__cum"), col("__n"),
+        posexplode(typedlit(probs)).as(Seq("__i", "q")))
+      .withColumn("__h", col("q") * (col("__n") - 1))
+      .withColumn("__lo", floor(col("__h")))
+    pq.groupBy(col(groupCol), col("q"))
+      .agg(
+        min(when(col("__cum") >= col("__lo") + 1, col("__v"))).as("__vlo"),
+        min(when(col("__cum") >= col("__lo") + 2, col("__v"))).as("__vhi"),
+        first(col("__h")).as("__hh"), first(col("__lo")).as("__ll"))
+      .select(col(groupCol), col("q"),
+        (col("__vlo") + (col("__hh") - col("__ll")) *
+          (coalesce(col("__vhi"), col("__vlo")) - col("__vlo"))).as("value"))
   }
 }

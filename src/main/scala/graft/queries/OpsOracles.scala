@@ -340,6 +340,19 @@ object OpsOracles {
         |SELECT l_returnflag, q, round(v, 4) AS value
         |FROM u ORDER BY l_returnflag, q""".stripMargin.trim,
 
+    // same quantile_cont semantics as q_group_pcts — the Spark side runs
+    // the bounded-state distinct-value prefix-sum path instead of the
+    // value-buffering percentile aggregate
+    "q_group_pcts_scale" ->
+      """
+        |WITH g AS (SELECT l_returnflag,
+        |             quantile_cont(l_extendedprice, [0.5, 0.95, 0.99]) AS qs
+        |           FROM lineitem GROUP BY 1),
+        |u AS (SELECT l_returnflag, unnest([0.5, 0.95, 0.99]) AS q,
+        |             unnest(qs) AS v FROM g)
+        |SELECT l_returnflag, q, round(v, 4) AS value
+        |FROM u ORDER BY l_returnflag, q""".stripMargin.trim,
+
     // exact HUGEINT cent moments (the q_corr discipline), closed-form
     // slope/intercept/r2 with the same IEEE combination as groupedOls
     "q_group_ols" ->

@@ -619,6 +619,16 @@ object OpsQueries {
       .select(col("l_returnflag"), col("q"), round(col("value"), 4).as("value"))
       .orderBy("l_returnflag", "q")
 
+  /** Scale-exact grouped percentiles: the distinct-value prefix-sum
+    * path ([[Quantiles.exactByGroupScale]]) — bounded aggregation
+    * state at any row count, same interpolated values as
+    * quantile_cont. */
+  def groupPctsScale(spark: SparkSession, dir: String): DataFrame =
+    Quantiles.exactByGroupScale(tbl(spark, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", Seq(0.5, 0.95, 0.99))
+      .select(col("l_returnflag"), col("q"), round(col("value"), 4).as("value"))
+      .orderBy("l_returnflag", "q")
+
   /** Segmented OLS: price ~ quantity per return flag (exact decimal
     * integer moments, closed-form slope/intercept/R²). */
   def groupOls(spark: SparkSession, dir: String): DataFrame =

@@ -304,6 +304,31 @@ class TemporalSpec extends SparkSpec {
       ("b", 0.5, 10.0), ("b", 1.0, 10.0)))
   }
 
+  test("exactByGroupScale matches exactByGroup without buffering values") {
+    // ties, duplicates, and a 0/1-probability edge per group
+    val df = (Seq(1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 4.0).map(("a", _)) ++
+      Seq(10.0, 20.0).map(("b", _)) ++ Seq(7.0).map(("c", _)))
+      .toDF("g", "v")
+    val probs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val buf = Quantiles.exactByGroup(df, "g", "v", probs)
+      .orderBy("g", "q").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val scale = Quantiles.exactByGroupScale(df, "g", "v", probs)
+      .orderBy("g", "q").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(buf.length == scale.length)
+    for (((g1, q1, v1), (g2, q2, v2)) <- buf.zip(scale)) {
+      assert(g1 == g2 && q1 == q2)
+      assert(math.abs(v1 - v2) < 1e-12, s"$g1 q=$q1: buffered=$v1 scale=$v2")
+    }
+    // the scale path's plan must contain NO value-buffering percentile
+    // aggregate — only count/sum aggregates + windows over distinct values
+    val plan = Quantiles.exactByGroupScale(df, "g", "v", probs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"),
+      "scale path must not use the percentile buffer aggregate")
+  }
+
   test("groupedOls recovers per-group closed-form slope/intercept/r2") {
     // group a: perfect line y = 2x + 1 -> slope 2, intercept 1, r2 1
     val a = Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0)).map { case (x, y) => ("a", x, y) }
