@@ -747,6 +747,75 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components by LARGE-STAR/SMALL-STAR contraction (Kiveris
+    * et al. 2014, "Connected Components in MapReduce and Beyond") — the
+    * deep-component escalation path [[connectedComponents]]'s doc
+    * promises: label propagation converges in O(log diameter) rounds
+    * WITH pointer jumping, but its per-round work is the full edge
+    * list; star contraction instead rewires edges toward component
+    * minima so the edge set itself flattens, converging in O(log n)
+    * alternations on ANY topology (chains, expanders, lollipops) with
+    * the SAME join-groupBy primitive per round.
+    *
+    * One alternation: large-star connects every neighbor v > u to
+    * m(u) = min(Γ(u) ∪ {u}) (grouped over the symmetrized edge list);
+    * small-star connects every neighbor v < u, and u itself, to the
+    * minimum such neighbor (grouped over hi→lo oriented edges). Both
+    * preserve connectivity and the component minimum; the fixed point
+    * is a star forest rooted at each component's min id. Convergence
+    * is detected by edge-set equality (one anti-join on the edge key —
+    * same shuffle class as the round itself). Each round ends in an
+    * eager localCheckpoint (the [[connectedComponents]] rationale).
+    *
+    * Returns (id, cluster_id) for every node appearing in `pairs` —
+    * label-identical to [[connectedComponents]] (min reachable id),
+    * self-loop-only nodes included. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 50): DataFrame = {
+    val p0 = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+      .localCheckpoint(true)
+    val nodes = p0.select(col("u").as("id"))
+      .unionAll(p0.select(col("v").as("id"))).distinct()
+      .localCheckpoint(true)
+    def largeStar(ed: DataFrame): DataFrame = {
+      val sym = ed.select(col("u"), col("v"))
+        .unionAll(ed.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    def smallStar(ed: DataFrame): DataFrame = {
+      val or = ed.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = or.groupBy("u").agg(min(col("v")).as("m")) // m < u
+      val moved = or.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      moved.unionAll(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+    var e = p0.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+    var iter = 0
+    var done = e.isEmpty
+    while (!done && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // edge-set equality: same count and nothing in next beyond e
+      done = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      iter += 1
+    }
+    require(done || iter < maxIter,
+      s"star contraction did not converge within $maxIter rounds")
+    val starLabels = e.select(col("u").as("id"), col("v").as("label"))
+    nodes.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
+  }
+
   /** Dedup DECISION table — the operator users actually execute on:
     * cluster near-dup pairs ([[connectedComponents]]) and pick ONE
     * keeper per cluster: highest score, ties to the smallest id (a

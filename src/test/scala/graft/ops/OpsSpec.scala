@@ -470,6 +470,41 @@ class OpsSpec extends SparkSpec {
     assert(loop == expected)
   }
 
+  test("star-contraction CC: label-identical to label propagation, O(log n) rounds") {
+    // planted components: a deep 64-chain (worst case for per-round
+    // propagation), a star, a triangle + pendant, a self-loop singleton
+    val chain = (0L until 63L).map(i => (i + 1, i))
+    val star = (201L to 208L).map(i => (200L, i))
+    val tri = Seq((300L, 301L), (301L, 302L), (302L, 300L), (302L, 303L))
+    val selfLoop = Seq((400L, 400L))
+    val pairs = (chain ++ star ++ tri ++ selfLoop).toDF("id_a", "id_b")
+    val expected = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // maxIter = 15 bounds the rounds: a 64-chain needs ~log2(64)
+    // alternations, far under label propagation's unjumped 64
+    val got = Dedup.connectedComponentsStar(pairs, "id_a", "id_b",
+        maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"star labels diverge: $got")
+    assert(got(63L) == 0L && got(208L) == 200L && got(303L) == 300L &&
+      got(400L) == 400L)
+    // random planted graph: union of seeded random trees + extra edges
+    val rnd = new scala.util.Random(97)
+    val randPairs = (1 to 300).map { _ =>
+      val a = rnd.nextInt(120).toLong; val b = rnd.nextInt(120).toLong
+      (a, b)
+    }.toDF("id_a", "id_b")
+    val exp2 = Dedup.connectedComponents(randPairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got2 = Dedup.connectedComponentsStar(randPairs, "id_a", "id_b",
+        maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == exp2)
+    // empty input converges immediately
+    assert(Dedup.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b").count() == 0)
+  }
+
   test("boilerplate removal drops shared lines, keeps order, counts removed") {
     val d = Seq(
       (1L, "HEADER\nalpha beta\ngamma\nFOOTER"),
