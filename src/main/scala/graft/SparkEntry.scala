@@ -53,6 +53,7 @@ object SparkEntry {
     "q_cv_alpha"         -> (PathQueries.cvAlphaCurve _),
     "q_cv_multinom"      -> (PathQueries.cvMultinom _),
     "q_cv_mgauss"        -> (PathQueries.cvMgauss _),
+    "q_cv_poisson"       -> (PathQueries.cvPoisson _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
     "q_cv_deviance"      -> (PathQueries.cvDeviance _),
@@ -90,6 +91,7 @@ object SparkEntry {
     "q_sessionize"       -> (EventQueries.sessionize _),
     "q_cv_predict"       -> (PathQueries.cvPredict _),
     "q_dedup_cluster"    -> (OpsQueries.dedupCluster _),
+    "q_cc_star"          -> (OpsQueries.dedupClusterStar _),
     "q_boilerplate"      -> (OpsQueries.boilerplate _),
     "q_sample_strat"     -> (OpsQueries.sampleStrat _),
     "q_vocab"            -> (OpsQueries.vocab _),
@@ -1120,6 +1122,30 @@ object SparkEntry {
         |SELECT lambda_idx, round(lam, 4) AS lambda, round(ln(cvm), 6) AS ln_cvm,
         |       round(ln(cvsd), 6) AS ln_cvsd
         |FROM curve ORDER BY lambda_idx""".stripMargin,
+
+    // shared-pass poisson CV at coefficient-zeroing lambda: fold model
+    // is the intercept-only poisson MLE a0 = ln(train ybar) (mu =
+    // exp(ln(ybar)) written out so both engines hit the same ulp);
+    // held-out deviance is a row aggregation per fold
+    "q_cv_poisson" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT l_quantity AS y,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |tot AS (SELECT count(*)::double n, sum(y) sy FROM r),
+        |pf AS (SELECT f, count(*)::double n, sum(y) sy FROM r GROUP BY f),
+        |mdl AS (SELECT pf.f,
+        |          exp(ln((tot.sy - pf.sy) / (tot.n - pf.n))) AS mu
+        |        FROM pf, tot),
+        |fd AS (SELECT r.f,
+        |         avg(2 * ((CASE WHEN r.y > 0 THEN r.y * ln(r.y / mdl.mu)
+        |                        ELSE 0 END) - (r.y - mdl.mu))) AS d
+        |       FROM r JOIN mdl ON r.f = mdl.f GROUP BY r.f),
+        |cv AS (SELECT avg(d) AS cvm, stddev_samp(d)/sqrt(5) AS cvsd FROM fd)
+        |SELECT 0 AS lambda_idx, round(10.0::DOUBLE, 4) AS lambda,
+        |       round(ln(cvm), 6) AS ln_cvm, round(ln(cvsd), 6) AS ln_cvsd
+        |FROM cv""".stripMargin,
 
     // one IRLS step from the null point: constant weights w = ybar
     "q_poisson_fit" ->

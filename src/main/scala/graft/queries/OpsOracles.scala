@@ -1215,6 +1215,13 @@ object OpsOracles {
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.trim,
 
+    // star-contraction CC computes the SAME min-reachable-id labels on
+    // the same pair graph — one reachability oracle covers both
+    "q_cc_star" ->
+      s"""$nearDupClusterCte
+        |SELECT id AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.trim,
+
     // keeper election over the same clusters: highest score wins, ties
     // to the smallest id — exactly Dedup.keeperTable's
     // max(struct(score, -id)) with score = length(text)

@@ -285,6 +285,19 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** Near-dup clustering via LARGE-STAR/SMALL-STAR contraction — same
+    * pair graph and min-id labels as [[dedupCluster]], produced by the
+    * O(log n)-round star algorithm ([[Dedup.connectedComponentsStar]])
+    * instead of label propagation; the same reachability oracle
+    * verifies both. */
+  def dedupClusterStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.6)
+    Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental dedup: the ORIGINAL documents are indexed
     * (signature-sized minhash index, no text retained); the shortened
     * near-dup copies arrive as the "new batch" and probe the index.

@@ -559,6 +559,32 @@ object PathQueries {
       .orderBy("lambda_idx")
   }
 
+  /** Oracle-exact POISSON cross-validation — lights up the shared-pass
+    * poisson IRLS CV route (`CvSgdNet.cvPoissonShared`) end-to-end. At
+    * a lambda far above every fold's standardized gradient the
+    * coefficient stays zero and the intercept-only poisson MLE is the
+    * closed form a0_f = ln(train ȳ_f) (the IRLS intercept update is a
+    * fixed point there: constant mu means the weighted mean of z
+    * returns a0 + (ȳ − mu)/mu ≈ a0 to the ulp — the q_poisson_null_fit
+    * technique, per fold). Held-out deviance
+    * 2[y ln(y/mu) − (y − mu)] is a plain row aggregation; DuckDB
+    * reproduces cvm AND cvsd. Converged multi-feature poisson CV stays
+    * covered by CvSpec's shared-vs-generic parity test. */
+  def cvPoisson(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fit(li, Seq("l_discount"), Seq("l_quantity"),
+      SgdNetParams(family = "poisson", alpha = 1.0, lambda = Array(10.0)),
+      nfolds = 5, measure = "deviance", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
   /** lambda.min / lambda.1se selection on the [[cvRidgeFit]] chain —
     * oracle-exact (the fixed grid makes both selections SQL-computable). */
   def cvSelect(spark: SparkSession, dir: String): DataFrame = {
