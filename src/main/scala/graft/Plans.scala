@@ -4,11 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Dumps physical plans for representative queries (plan-quality audit;
   * distilled commentary lives in PLANS.md). Usage:
-  *   sbt "runMain graft.Plans /root/testdata/sf0.001"
+  *   sbt "runMain graft.Plans /root/testdata/sf0.001 [q_a,q_b,...]"
+  * — optional 2nd arg restricts to the named queries.
   */
 object Plans {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -27,8 +30,13 @@ object Plans {
       // gap_fill a one-row-per-key explode; prefix_jaccard the
       // banded candidate join; wow one agg + self-join
       "q_scd2", "q_cdc_merge", "q_gap_fill", "q_prefix_jaccard",
-      "q_wow", "q_cusum")
-    interesting.foreach { name =>
+      "q_wow", "q_cusum",
+      // round-8 additions: ivfpq must be equi-joins (cell probe + code
+      // join) with a partition-local heap, never a corpus broadcast;
+      // group_pcts_scale must show NO collect_list (distinct-value
+      // prefix sums only); score_mgauss one scan + broadcast coefs
+      "q_ann_ivfpq", "q_group_pcts_scale", "q_score_mgauss")
+    interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }
