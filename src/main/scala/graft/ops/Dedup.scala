@@ -785,8 +785,10 @@ object Dedup {
       val mins = sym.groupBy("u")
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
+      // no distinct: duplicate (v, m) edges are absorbed map-side by
+      // smallStar's min-groupBy, cheaper than a dedicated shuffle here
       sym.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v")).distinct()
+        .select(col("v").as("u"), col("m").as("v"))
     }
     def smallStar(ed: DataFrame): DataFrame = {
       val or = ed.select(greatest(col("u"), col("v")).as("u"),
@@ -800,13 +802,27 @@ object Dedup {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint(true)
+    // Edge-set fingerprint: (count, XOR of 64-bit row hashes) in ONE
+    // aggregate job (XOR — overflow-free under ANSI, order-independent,
+    // and edges are distinct so no self-cancellation). Equal
+    // fingerprints gate the EXACT except() check, so equality stays
+    // exact but the per-round cost is one cheap aggregate instead of
+    // count + anti-join every round — the anti-join runs once, at
+    // convergence (or on a hash collision).
+    def sig(ed: DataFrame): (Long, Long) = {
+      val r = ed.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var iter = 0
-    var done = e.isEmpty
+    var eSig = sig(e)
+    var done = eSig._1 == 0L
     while (!done && iter < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // edge-set equality: same count and nothing in next beyond e
-      done = next.count() == e.count() && next.except(e).isEmpty
+      val nSig = sig(next)
+      done = nSig == eSig && next.except(e).isEmpty
       e = next
+      eSig = nSig
       iter += 1
     }
     require(done || iter < maxIter,

@@ -6,8 +6,12 @@ import org.apache.spark.sql.functions._
 
 /** Distribution quantiles of a numeric column as a (q, value) frame.
   *
-  * Two execution strategies with the same output shape:
+  * Execution strategies with the same output shape:
   *
+  * - [[exactScale]] — exact interpolated quantiles via the two-pass
+  *   range-partitioned rank: no task buffers the column, state is
+  *   bounded at any row count AND any value cardinality. The 100 TB
+  *   exact path.
   * - [[approx]] — `approx_percentile` (Greenwald–Khanna sketch). THE
   *   100 TB path: aggregation state is bounded by `accuracy`, not row
   *   count, with rank error <= n/accuracy; partial sketches merge
@@ -44,6 +48,79 @@ object Quantiles {
     require(accuracy > 0, "accuracy must be positive")
     unpack(df,
       percentile_approx(col(valueCol), typedlit(probs), lit(accuracy)), probs)
+  }
+
+  /** EXACT interpolated quantiles with BOUNDED state at ANY value
+    * cardinality — the 100 TB form of [[exact]] (whose `percentile`
+    * aggregate buffers every value in ONE aggregation state, i.e. one
+    * task holds the full column). The [[graft.ml.SgdNetModel.aucOf]]
+    * two-pass range-partitioned rank discipline, ungrouped case:
+    *
+    *  1. aggregate rows to (value, count) per DISTINCT value — one
+    *     map-side-combined shuffle;
+    *  2. RANGE-partition the distinct-value table by value and sort
+    *     within partitions (a distributed sort — each partition holds a
+    *     contiguous value range, no partition sees the whole column);
+    *  3. pass one: per-partition count totals (a P-row driver collect)
+    *     → global prefix offsets + total n;
+    *  4. pass two: each partition scans its range once and emits the
+    *     order statistics whose global rank it covers — exactly the two
+    *     bracketing ranks ⌊h⌋+1, ⌊h⌋+2 per requested quantile, h =
+    *     q·(n−1), interpolated on the driver with the same linear rule
+    *     as `percentile`/`quantile_cont`.
+    *
+    * Integer-exact: ranks are long sums, so the partitioned prefix
+    * offsets equal a sequential scan bit-for-bit; the selected order
+    * statistics — and hence the interpolated result — are identical to
+    * [[exact]]. */
+  def exactScale(df: DataFrame, valueCol: String,
+                 probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    val spark = df.sparkSession
+    val perValue = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val ranged = perValue.repartitionByRange(col("__v"))
+      .sortWithinPartitions("__v")
+    val rdd = ranged.select(col("__v"), col("__cnt")).rdd
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+        var c = 0L; it.foreach(c += _._2); Iterator((i, c))
+      }.collect().sortBy(_._1)
+      val n = partTotals.map(_._2).sum
+      require(n > 0, s"no non-null values in $valueCol")
+      val offsets = new Array[Long](math.max(rdd.getNumPartitions, 1))
+      var acc = 0L
+      partTotals.foreach { case (i, c) => offsets(i) = acc; acc += c }
+      // bracketing 1-indexed ranks per quantile: ⌊h⌋+1 and ⌊h⌋+2 (clamped)
+      val wanted = probs.flatMap { q =>
+        val lo = math.floor(q * (n - 1)).toLong
+        Seq(lo + 1, math.min(lo + 2, n))
+      }.distinct.sorted.toArray
+      val bcOff = rdd.sparkContext.broadcast(offsets)
+      val bcWanted = rdd.sparkContext.broadcast(wanted)
+      val stats: Map[Long, Double] = rdd.mapPartitionsWithIndex { (i, it) =>
+        var cum = bcOff.value(i)
+        val ws = bcWanted.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        it.foreach { case (v, cnt) =>
+          val lo = cum; cum += cnt
+          var j = java.util.Arrays.binarySearch(ws, lo + 1)
+          if (j < 0) j = -j - 1
+          while (j < ws.length && ws(j) <= cum) { out += ((ws(j), v)); j += 1 }
+        }
+        out.iterator
+      }.collect().toMap
+      import spark.implicits._
+      probs.map { q =>
+        val h = q * (n - 1); val lo = math.floor(h).toLong
+        val vlo = stats(lo + 1)
+        val vhi = stats(math.min(lo + 2, n))
+        (q, vlo + (h - lo) * (vhi - vlo))
+      }.toDF("q", "value")
+    } finally rdd.unpersist(blocking = false)
   }
 
   /** Exact interpolated quantiles PER GROUP — the p50/p95/p99-by-

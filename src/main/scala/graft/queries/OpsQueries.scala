@@ -427,13 +427,14 @@ object OpsQueries {
       .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
       .orderBy("doc_id")
 
-  /** Exact interpolated quantiles of lineitem prices — Spark
-    * `percentile` and DuckDB `quantile_cont` share the same linear
-    * interpolation definition, so the result is oracle-exact. This is
-    * the small-sf correctness anchor; [[quantilesApprox]] is the
-    * bounded-memory operator a 100 TB pipeline runs. */
+  /** Exact interpolated quantiles of lineitem prices via the two-pass
+    * range-partitioned rank ([[Quantiles.exactScale]]) — same linear
+    * interpolation as DuckDB `quantile_cont`, so the result is
+    * oracle-exact, but no task ever buffers the column (the
+    * `percentile`-aggregate anchor [[Quantiles.exact]] remains in the
+    * API); [[quantilesApprox]] is the bounded-sketch alternative. */
   def quantiles(spark: SparkSession, dir: String): DataFrame =
-    Quantiles.exact(tbl(spark, dir, "lineitem"), "l_extendedprice",
+    Quantiles.exactScale(tbl(spark, dir, "lineitem"), "l_extendedprice",
         Seq(0.25, 0.5, 0.75, 0.99))
       .select(col("q"), round(col("value"), 4).as("value"))
       .orderBy("q")

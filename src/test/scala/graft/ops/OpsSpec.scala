@@ -797,6 +797,35 @@ class OpsSpec extends SparkSpec {
         s"rank error beyond n/accuracy at p=$p: ${rough(p)} vs ${full(p)}")
   }
 
+  test("exactScale quantiles match the buffering exact path, ties and edges included") {
+    val probs = Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    // heavy ties (mod 97) + a shuffled distinct tail
+    val vals = (0 until 5000).map(i => ((i * 7919) % 97).toDouble) ++
+      (0 until 500).map(i => 1000.0 + (i * 311) % 500)
+    val df = vals.toDF("v").repartition(7)
+    val ex = Quantiles.exact(df, "v", probs).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sc = Quantiles.exactScale(df, "v", probs).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    for (p <- probs)
+      assert(sc(p) == ex(p), s"p=$p: exactScale ${sc(p)} vs exact ${ex(p)}")
+    // single row: every quantile is that value
+    val one = Quantiles.exactScale(Seq(42.0).toDF("v"), "v", Seq(0.0, 0.5, 1.0))
+      .collect().map(_.getDouble(1))
+    assert(one.forall(_ == 42.0))
+    // all-equal column
+    val eq = Quantiles.exactScale(Seq.fill(100)(7.5).toDF("v"), "v", Seq(0.25, 0.75))
+      .collect().map(_.getDouble(1))
+    assert(eq.forall(_ == 7.5))
+    // nulls are ignored, empty input raises
+    val withNull = Seq(Option(1.0), None, Option(3.0)).toDF("v")
+    val wn = Quantiles.exactScale(withNull, "v", Seq(0.5)).collect()
+    assert(wn.head.getDouble(1) == 2.0)
+    intercept[IllegalArgumentException] {
+      Quantiles.exactScale(Seq(Option.empty[Double]).toDF("v"), "v", Seq(0.5))
+    }
+  }
+
   test("chunkText windows cover the doc with the declared overlap") {
     val d = Seq(
       (1L, "a" * 400),            // 3 chunks: 0, 150, 300
