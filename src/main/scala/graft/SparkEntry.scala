@@ -94,6 +94,8 @@ object SparkEntry {
     "q_cc_star"          -> (OpsQueries.dedupClusterStar _),
     "q_boilerplate"      -> (OpsQueries.boilerplate _),
     "q_sample_strat"     -> (OpsQueries.sampleStrat _),
+    "q_sample_weighted"  -> (OpsQueries.sampleWeighted _),
+    "q_rrf_fusion"       -> (OpsQueries.rrfFusion _),
     "q_vocab"            -> (OpsQueries.vocab _),
     "q_lm_score"         -> (OpsQueries.lmScore _),
     "q_pack_chunks"      -> (OpsQueries.packChunks _),

@@ -57,4 +57,37 @@ object Ranking {
       Seq(StructField("rank", LongType, nullable = false),
         StructField("bucket", LongType, nullable = false))))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the hybrid-search
+    * combiner: each ranker contributes 1/(k + rank) per candidate and
+    * the fused score is the sum, so scale-incompatible score spaces
+    * (BM25 vs cosine) fuse on RANKS alone. Input frames are candidate
+    * lists `(queryCol, idCol, rankCol)` whose size the PRODUCER bounds
+    * (an ANN top-k, a BM25 top-n via [[globalRank]]) — fusion adds no
+    * unbounded state of its own.
+    *
+    * Shape: union of the candidate lists → ONE (query, id) groupBy
+    * (map-side combined) → a per-QUERY window over candidate-bounded
+    * rows for the fused rank. Determinism: integer ranks make each
+    * contribution an exact IEEE division; ties in the fused score break
+    * by id. `n_rankers` reports how many lists each survivor came from
+    * (the usual hybrid-search diagnostic). */
+  def rrfFuse(rankers: Seq[DataFrame], queryCol: String, idCol: String,
+              rankCol: String, kRrf: Int = 60, topN: Int = 10): DataFrame = {
+    require(rankers.nonEmpty, "need at least one ranker")
+    require(kRrf >= 1 && topN >= 1, "kRrf and topN must be >= 1")
+    val uni = rankers.map { df =>
+      df.select(col(queryCol).cast("long").as("query_id"),
+        col(idCol).cast("long").as("doc_id"),
+        col(rankCol).cast("long").as("__r"))
+    }.reduce(_ unionAll _)
+    val fused = uni.groupBy("query_id", "doc_id")
+      .agg(sum(lit(1.0) / (lit(kRrf.toDouble) + col("__r"))).as("rrf"),
+        count(lit(1)).as("n_rankers"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topN)
+      .select("query_id", "doc_id", "rrf", "n_rankers", "fused_rank")
+  }
 }

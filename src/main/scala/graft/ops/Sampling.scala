@@ -72,6 +72,46 @@ object Sampling {
       .drop("__domain", "__thr")
   }
 
+  /** WEIGHT-PROPORTIONAL Bernoulli sampling: keep each row with
+    * probability `targetRows * w / sum(w)` (capped at 1) — the
+    * importance-sampling step of a data mixture ("sample documents
+    * proportional to quality x length, expect ~N survivors"), kept
+    * deterministic and engine-exact like every sampler here.
+    *
+    * Exactness discipline: weights must be non-negative INTEGERS
+    * (cents, tokens, scaled scores — the repo-wide integer-moment
+    * convention), and the keep test is the DIVISION-FREE cross-
+    * multiplied form of `h < (targetRows * w * 2^32) div sum(w)`:
+    *
+    *   keep  ⟺  (h + 1) * sum(w)  <=  targetRows * w * 2^32
+    *
+    * evaluated in DECIMAL(38,0) products (both sides < 10^29 for any
+    * long weights and targetRows <= 2^31) — pure exact integer
+    * multiplication on BOTH engines, where a decimal or double
+    * QUOTIENT rounds at some scale and could flip a row across its
+    * keep boundary differently per engine. The probability-1 cap is
+    * free: targetRows*w*2^32 >= 2^32*sum(w) keeps every hash bucket.
+    *
+    * Shape: ONE scalar aggregate (sum of weights — map-side combined)
+    * folded into a narrow filter. No shuffle of the corpus, no per-row
+    * state; the expected survivor count is targetRows minus whatever
+    * mass the probability cap absorbs. */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+                     targetRows: Long): DataFrame = {
+    require(targetRows >= 0 && targetRows <= Long.MaxValue / MOD,
+      s"targetRows must be in [0, ${Long.MaxValue / MOD}]")
+    val w = weightCol.cast("long")
+    val totRow = df.agg(sum(w).as("t"), min(w).as("mn")).head()
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
+      "total weight must be positive")
+    require(totRow.getLong(1) >= 0, "weights must be non-negative")
+    val tot = totRow.getLong(0)
+    val dec = "decimal(38,0)"
+    val lhs = (hashBucket(keyCol) + lit(1L)).cast(dec) * lit(tot).cast(dec)
+    val rhs = lit(targetRows * MOD).cast(dec) * w.cast(dec)
+    df.filter(w > 0 && lhs <= rhs)
+  }
+
   /** Stratified sampling: per-stratum fractions over a stratum column
     * (e.g. downsample dominant languages, upweight rare sources). Rows
     * in strata missing from `fracs` are dropped. */

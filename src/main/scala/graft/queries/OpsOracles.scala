@@ -1355,6 +1355,49 @@ object OpsOracles {
         |SELECT doc_id, round(sum(s), 6) AS bm25
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.trim,
 
+    "q_sample_weighted" ->
+      """
+        |WITH tot AS (SELECT sum(n_chars)::HUGEINT AS t FROM documents)
+        |SELECT doc_id, n_chars FROM documents, tot
+        |WHERE n_chars > 0
+        |  AND ((((doc_id % 2147483648) * 2654435761) % 4294967296) + 1)::HUGEINT * t
+        |      <= 1717986918400::HUGEINT * n_chars::HUGEINT
+        |ORDER BY doc_id""".stripMargin.trim,
+
+    "q_rrf_fusion" ->
+      """
+        |WITH n AS (SELECT count(*)::double AS n FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |dlen AS (SELECT doc_id, count(*)::double AS dl FROM toks GROUP BY doc_id),
+        |al AS (SELECT avg(dl) AS avgl FROM dlen),
+        |tf AS (SELECT doc_id, w, count(*)::double AS tf FROM toks
+        |       WHERE w IN ('spark', 'query', 'stream') GROUP BY doc_id, w),
+        |dfreq AS (SELECT w, count(*)::double AS df FROM tf GROUP BY w),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) * tf.tf * 2.2
+        |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dlen.dl / al.avgl)) AS s
+        |  FROM tf JOIN dfreq ON tf.w = dfreq.w
+        |          JOIN dlen ON tf.doc_id = dlen.doc_id, n, al),
+        |bm AS (SELECT doc_id, round(sum(s), 6) AS s FROM sc GROUP BY doc_id),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        |  FROM bm QUALIFY r <= 20),
+        |q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+        |sem AS (
+        |  SELECT vec_id AS doc_id,
+        |         row_number() OVER (ORDER BY list_cosine_similarity(qv, embedding::DOUBLE[]) DESC,
+        |                            vec_id) AS r
+        |  FROM embeddings, q WHERE vec_id != 7 QUALIFY r <= 20),
+        |u AS (SELECT doc_id, r FROM lex UNION ALL SELECT doc_id, r FROM sem),
+        |f AS (SELECT doc_id, sum(1.0 / (60 + r)) AS rrf, count(*) AS n_rankers
+        |      FROM u GROUP BY doc_id)
+        |SELECT 7 AS query_id, doc_id, round(rrf, 6) AS rrf, n_rankers,
+        |       row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+        |FROM f QUALIFY fused_rank <= 10 ORDER BY fused_rank""".stripMargin.trim,
+
     "q_quantiles" ->
       """
         |SELECT u.q, round(u.v, 4) AS value FROM (

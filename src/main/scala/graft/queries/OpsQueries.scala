@@ -370,6 +370,41 @@ object OpsQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Weight-proportional Bernoulli sample of documents (importance
+    * sampling by length: keep probability ∝ n_chars, ~400 expected
+    * survivors). The division-free integral keep test makes the
+    * surviving set engine-exact — the oracle reproduces the exact
+    * rows with HUGEINT arithmetic. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(tbl(spark, dir, "documents"), col("doc_id"),
+        col("n_chars"), targetRows = 400)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Hybrid retrieval: reciprocal-rank fusion of a lexical ranker
+    * (BM25 top-20, ranks from the two-pass [[Ranking.globalRank]] on
+    * the 6dp-rounded score — no single-partition window) and a
+    * semantic ranker (brute cosine top-20 for query vector 7). Integer
+    * ranks + exact IEEE divisions make the fused list oracle-exact. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val e = tbl(spark, dir, "embeddings")
+    val bmTop = TextAnalysis.bm25(docs, "doc_id", "text",
+        Seq("spark", "query", "stream"))
+      .select(col("doc_id"), round(col("bm25"), 6).as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(20)
+    val lexical = Ranking.globalRank(bmTop, Seq(col("s").desc, col("doc_id")))
+      .select(lit(7L).as("query_id"), col("doc_id"), col("rank"))
+    val semantic = Ann.bruteForceTopK(e, e.filter(col("vec_id") === 7),
+        "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    Ranking.rrfFuse(Seq(lexical, semantic), "query_id", "doc_id", "rank",
+        kRrf = 60, topN = 10)
+      .select(col("query_id"), col("doc_id"), round(col("rrf"), 6).as("rrf"),
+        col("n_rankers"), col("fused_rank"))
+      .orderBy("fused_rank")
+  }
+
   /** Bigram-LM perplexity filter (CCNet/RedPajama-style): train the
     * smoothed bigram LM on the full corpus, score docs < 200 by mean
     * negative log likelihood. The whole chain (counts, smoothing,

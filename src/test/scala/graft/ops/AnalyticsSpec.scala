@@ -92,6 +92,56 @@ class AnalyticsSpec extends SparkSpec {
       out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("weightedSample keeps rows proportional to weight, exactly at the integer boundary") {
+    // two weight classes, 9:1 — the heavy class must survive ~9x as often
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) 90L else 10L))
+      .toDF("id", "w")
+    val out = Sampling.weightedSample(docs, col("id"), col("w"), 400L)
+    val kept = out.groupBy("w").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // expected: heavy 400*90/100 = 360 of 1000, light 400*10/100 = 40
+    assert(kept(90L) > 250 && kept(90L) < 450, s"heavy kept ${kept(90L)}")
+    assert(kept.getOrElse(10L, 0L) < 90, s"light kept ${kept.getOrElse(10L, 0L)}")
+    assert(kept(90L) > 4 * kept.getOrElse(10L, 1L))
+    // deterministic: exact same rows on recompute
+    val ids1 = out.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Sampling.weightedSample(docs, col("id"), col("w"), 400L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+    // probability cap: target >= n with equal weights keeps every row
+    val all = Sampling.weightedSample(docs, col("id"), lit(1L), 5000L)
+    assert(all.count() == 2000L)
+    // zero-weight rows never survive; all-zero weights raise
+    val zw = docs.withColumn("w", when(col("id") < 1000, 0L).otherwise(col("w")))
+    assert(Sampling.weightedSample(zw, col("id"), col("w"), 400L)
+      .filter(col("id") < 1000).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(docs, col("id"), lit(0L), 10L)
+    }
+  }
+
+  test("rrfFuse combines rankers on ranks alone, ties broken by id") {
+    // ranker A: docs 1,2,3 at ranks 1,2,3; ranker B: docs 3,4 at ranks 1,2
+    val a = Seq((7L, 1L, 1L), (7L, 2L, 2L), (7L, 3L, 3L)).toDF("q", "d", "r")
+    val b = Seq((7L, 3L, 1L), (7L, 4L, 2L)).toDF("q", "d", "r")
+    val out = Ranking.rrfFuse(Seq(a, b), "q", "d", "r", kRrf = 60, topN = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getInt(4))).sortBy(_._4)
+    // doc 3: 1/63 + 1/61 (two rankers) must outrank everything
+    assert(out.head._1 == 3L && out.head._3 == 2L)
+    assert(math.abs(out.head._2 - (1.0 / 63 + 1.0 / 61)) < 1e-15)
+    // doc 1 (1/61) beats doc 4 (1/62) beats doc 2 (1/62? no: 1/62)
+    // doc 2 = 1/62, doc 4 = 1/62 -> exact tie, smaller id first
+    assert(out.map(_._1).toSeq == Seq(3L, 1L, 2L, 4L))
+    // topN truncates the fused list
+    val top2 = Ranking.rrfFuse(Seq(a, b), "q", "d", "r", topN = 2)
+    assert(top2.count() == 2)
+    // multiple query groups fuse independently
+    val a2 = Seq((1L, 10L, 1L), (2L, 20L, 1L)).toDF("q", "d", "r")
+    val m = Ranking.rrfFuse(Seq(a2), "q", "d", "r", topN = 5)
+    assert(m.select("query_id").distinct().count() == 2)
+  }
+
   test("pageRank fixed-point arithmetic matches hand-computed values") {
     // 3-cycle a->b->c->a: uniform rank is the fixed point of the
     // integer recurrence too (teleport 3e9//(20*3)=50000000;
