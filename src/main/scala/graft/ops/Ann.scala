@@ -49,6 +49,32 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: from a ranked
+    * candidate list `(query_id, neighbor_id, rank, ...)` (any ANN
+    * producer here — brute, LSH, IVF, PQ, IVFPQ), drop each query's
+    * labeled positives and re-rank what remains, keeping the top `k`
+    * most-similar non-positives — the "closest wrong answers" batch
+    * builders sample. Pure composition: one left-anti equi-join on
+    * (query, id) + a per-query window over the candidate-bounded
+    * survivors. The candidate list must carry enough slack to survive
+    * exclusion (ask the producer for k + max positives per query).
+    *
+    * `positives` is (queryCol, idCol)-shaped; extra columns ignored. */
+  def hardNegatives(candidates: DataFrame, positives: DataFrame,
+                    queryCol: String, idCol: String, rankCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val pos = positives.select(col(queryCol).cast("long").as("__pq"),
+      col(idCol).cast("long").as("__pi"))
+    val surv = candidates.join(pos,
+      col(queryCol).cast("long") === col("__pq") &&
+        col(idCol).cast("long") === col("__pi"), "left_anti")
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col(rankCol).asc)
+    surv.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+  }
+
   // -------------------------------------------------- driver-side k-means
 
   private def sqdist(a: Array[Double], b: Array[Double]): Double = {

@@ -1398,6 +1398,29 @@ object OpsOracles {
         |       row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
         |FROM f QUALIFY fused_rank <= 10 ORDER BY fused_rank""".stripMargin.trim,
 
+    "q_hard_negatives" ->
+      """
+        |WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        |  FROM q, c WHERE query_id != neighbor_id QUALIFY rank <= 15),
+        |pos AS (
+        |  SELECT g.x AS query_id, (g.x * 7 + 3) % 100 AS neighbor_id FROM generate_series(0, 4) g(x)
+        |  UNION ALL
+        |  SELECT g.x, (g.x * 13 + 11) % 100 FROM generate_series(0, 4) g(x)),
+        |surv AS (
+        |  SELECT s.* FROM s ANTI JOIN pos
+        |    ON s.query_id = pos.query_id AND s.neighbor_id = pos.neighbor_id),
+        |rr AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY rank) AS neg_rank
+        |  FROM surv QUALIFY neg_rank <= 8)
+        |SELECT query_id, neg_rank, neighbor_id, round(cos, 4) AS cos
+        |FROM rr ORDER BY query_id, neg_rank""".stripMargin.trim,
+
     "q_quantiles" ->
       """
         |SELECT u.q, round(u.v, 4) AS value FROM (

@@ -405,6 +405,24 @@ object OpsQueries {
       .orderBy("fused_rank")
   }
 
+  /** Hard-negative mining: brute-cosine top-15 candidates for queries
+    * 0..4, minus a deterministic labeled-positive table, re-ranked to
+    * the top-8 non-positives per query — the contrastive-batch
+    * composition (candidates from any ANN producer + one anti-join). */
+  def hardNegativesQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val cand = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 15)
+    val pos = spark.range(5).select(col("id").as("query_id"),
+        ((col("id") * 7 + 3) % 100).as("neighbor_id"))
+      .unionAll(spark.range(5).select(col("id").as("query_id"),
+        ((col("id") * 13 + 11) % 100).as("neighbor_id")))
+    Ann.hardNegatives(cand, pos, "query_id", "neighbor_id", "rank", k = 8)
+      .select(col("query_id"), col("neg_rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "neg_rank")
+  }
+
   /** Bigram-LM perplexity filter (CCNet/RedPajama-style): train the
     * smoothed bigram LM on the full corpus, score docs < 200 by mean
     * negative log likelihood. The whole chain (counts, smoothing,

@@ -142,6 +142,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(m.select("query_id").distinct().count() == 2)
   }
 
+  test("hardNegatives drops positives and re-ranks by candidate order") {
+    // query 1: candidates 10..14 at ranks 1..5; positives {11, 13}
+    val cand = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+        (1L, 13L, 4), (1L, 14L, 5), (2L, 20L, 1), (2L, 21L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val pos = Seq((1L, 11L), (1L, 13L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val out = Ann.hardNegatives(cand, pos, "query_id", "neighbor_id",
+        "rank", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(t => (t._1, t._3))
+    // query 1 keeps 10 (neg_rank 1) and 12 (neg_rank 2) — 11 excluded,
+    // 14 truncated by k; query 2's positive 99 isn't a candidate, so
+    // both candidates survive in order
+    assert(out.toSeq == Seq((1L, 10L, 1), (1L, 12L, 2),
+      (2L, 20L, 1), (2L, 21L, 2)))
+  }
+
   test("pageRank fixed-point arithmetic matches hand-computed values") {
     // 3-cycle a->b->c->a: uniform rank is the fixed point of the
     // integer recurrence too (teleport 3e9//(20*3)=50000000;
