@@ -97,6 +97,7 @@ object SparkEntry {
     "q_sample_weighted"  -> (OpsQueries.sampleWeighted _),
     "q_rrf_fusion"       -> (OpsQueries.rrfFusion _),
     "q_hard_negatives"   -> (OpsQueries.hardNegativesQ _),
+    "q_embed_centroid"   -> (OpsQueries.embedCentroid _),
     "q_vocab"            -> (OpsQueries.vocab _),
     "q_lm_score"         -> (OpsQueries.lmScore _),
     "q_pack_chunks"      -> (OpsQueries.packChunks _),

@@ -6,6 +6,39 @@ import org.apache.spark.sql.functions._
 /** Embedding-column utilities for large-scale vector pipelines. */
 object Embeddings {
 
+  /** Per-group embedding CENTROIDS (cluster prototypes, per-domain
+    * mean vectors for drift / SemDeDup seeding / routing), exact at
+    * any scale: components are first quantized to integer units of
+    * 2^-scaleBits via `floor(v * 2^scaleBits)` — double-by-power-of-2
+    * multiply and floor are both exact IEEE ops, identical on every
+    * engine — so the per-(group, position) moments are LONG sums:
+    * order-independent, partitioning-independent, and oracle-exact,
+    * where a naive double sum would drift with aggregation order. One
+    * posexplode (corpus x dim rows) into ONE map-side-combined
+    * (group, pos) aggregation; the single double division happens once
+    * per output cell, on identical operands in every engine.
+    *
+    * Returns the long frame (groupCol, pos, mean): callers wanting the
+    * assembled array can `collect_list(struct(pos, mean))` — the frame
+    * keeps each output cell independent, which is what downstream
+    * aggregations and the oracle compare. Quantization error is
+    * deterministic and bounded by 2^-scaleBits per component. */
+  def centroidBy(df: DataFrame, groupCol: String, vecCol: String,
+                 scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 30, "scaleBits must be in [1, 30]")
+    val m = math.pow(2.0, scaleBits)
+    val q = df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "__v")))
+      .select(col(groupCol), col("pos"),
+        floor(col("__v") * lit(m)).cast("long").as("__iv"))
+    q.groupBy(col(groupCol), col("pos"))
+      .agg(sum(col("__iv")).as("__s"), count(lit(1)).as("__n"))
+      .select(col(groupCol), col("pos"),
+        (col("__s").cast("double") / (col("__n").cast("double") * lit(m)))
+          .as("mean"))
+  }
+
   /** Johnson–Lindenstrauss random projection to `outDim` dimensions
     * using the engine-portable md5 Rademacher planes ([[Ann.planesMd5]]):
     * out_i = <v, plane_i> / sqrt(outDim). Pairwise distances and norms

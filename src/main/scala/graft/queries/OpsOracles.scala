@@ -1398,6 +1398,18 @@ object OpsOracles {
         |       row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
         |FROM f QUALIFY fused_rank <= 10 ORDER BY fused_rank""".stripMargin.trim,
 
+    "q_embed_centroid" ->
+      """
+        |WITH x AS (
+        |  SELECT label, g.x AS pos,
+        |         CAST(floor(embedding[g.x + 1]::DOUBLE * 1048576.0) AS BIGINT) AS iv
+        |  FROM embeddings, generate_series(0, 63) g(x)
+        |  WHERE embedding IS NOT NULL),
+        |a AS (SELECT label, pos, sum(iv) AS s, count(*) AS n
+        |      FROM x GROUP BY label, pos)
+        |SELECT label, pos, round(s::DOUBLE / (n::DOUBLE * 1048576.0), 6) AS mean
+        |FROM a ORDER BY label, pos""".stripMargin.trim,
+
     "q_hard_negatives" ->
       """
         |WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),

@@ -423,6 +423,14 @@ object OpsQueries {
       .orderBy("query_id", "neg_rank")
   }
 
+  /** Per-label embedding centroids (integer-quantized moments — exact
+    * long sums, one double division per output cell; see
+    * [[Embeddings.centroidBy]]). */
+  def embedCentroid(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.centroidBy(tbl(spark, dir, "embeddings"), "label", "embedding")
+      .select(col("label"), col("pos"), round(col("mean"), 6).as("mean"))
+      .orderBy("label", "pos")
+
   /** Bigram-LM perplexity filter (CCNet/RedPajama-style): train the
     * smoothed bigram LM on the full corpus, score docs < 200 by mean
     * negative log likelihood. The whole chain (counts, smoothing,

@@ -160,6 +160,36 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 20L, 1), (2L, 21L, 2)))
   }
 
+  test("centroidBy computes exact quantized means, invariant to partitioning") {
+    val vecs = Seq(
+      ("a", Array(1.0, -2.0)), ("a", Array(3.0, 4.0)),
+      ("b", Array(0.5, 0.25)))
+      .toDF("g", "v")
+    val out = Embeddings.centroidBy(vecs, "g", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    // exactly representable values: quantization is lossless here
+    assert(out == Set(("a", 0, 2.0), ("a", 1, 1.0),
+      ("b", 0, 0.5), ("b", 1, 0.25)))
+    // irrational-ish components: result identical across partitionings
+    val rnd = new scala.util.Random(7)
+    val big = (0 until 500).map(i =>
+      (s"g${i % 3}", Array.fill(8)(rnd.nextGaussian())))
+      .toDF("g", "v")
+    val c1 = Embeddings.centroidBy(big.repartition(1), "g", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val c13 = Embeddings.centroidBy(big.repartition(13), "g", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(c1 == c13, "quantized means must not depend on partitioning")
+    // quantization error bound: within 2^-20 of the true mean
+    val truth = (0 until 500).groupBy(i => s"g${i % 3}")
+    val rnd2 = new scala.util.Random(7)
+    val data = (0 until 500).map(_ => Array.fill(8)(rnd2.nextGaussian()))
+    for (((g, idxs)) <- truth; p <- 0 until 8) {
+      val exact = idxs.map(i => data(i)(p)).sum / idxs.size
+      assert(math.abs(c1((g, p)) - exact) <= math.pow(2, -20) + 1e-12)
+    }
+  }
+
   test("pageRank fixed-point arithmetic matches hand-computed values") {
     // 3-cycle a->b->c->a: uniform rank is the fixed point of the
     // integer recurrence too (teleport 3e9//(20*3)=50000000;
