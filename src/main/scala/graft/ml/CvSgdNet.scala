@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   * train-side moments for fold f are total minus fold-f (moment
   * subtraction), each fold's path is solved driver-side, and the held-out
   * MSE is itself a moment form evaluated against fold-f's statistics.
-  * Binomial and multinomial CV advance ALL fold-models together — one
-  * shared aggregate per solver round serves every fold (and the
-  * full-data fit rides along as a virtual extra fold), so CV costs
-  * about one fit's worth of data passes, not k+1 of them. Only
-  * poisson/mgaussian take the generic per-fold refit path.
+  * mgaussian rides the same one-pass machinery (its per-response
+  * moments decouple; only the driver-side solve couples them).
+  * Binomial, multinomial, and poisson CV advance ALL fold-models
+  * together — one shared aggregate per solver round serves every fold
+  * (and the full-data fit rides along as a virtual extra fold), so CV
+  * costs about one fit's worth of data passes, not k+1 of them. The
+  * generic per-fold refit path (`cvGeneric`) survives as the parity
+  * reference the specs compare every shared route against, and as the
+  * fallback for measure/family combinations outside the shared routes
+  * (e.g. poisson with class/auc, which `fit` rejects anyway).
   */
 object CvSgdNet {
 
@@ -180,6 +185,12 @@ object CvSgdNet {
     require(nfolds >= 2, "nfolds must be at least 2")
     require(Set("deviance", "mse", "mae", "class", "auc").contains(measure),
       s"unknown type.measure '$measure' (want deviance|mse|mae|class|auc)")
+    // same single-response validation as SgdNet.fit — without it a
+    // 2-label gaussian call would silently ride the mgaussian stats
+    // path and score response 0 only
+    require(params.family == "mgaussian" || labelCols.size == 1,
+      s"response for ${params.family} must be one-dimensional " +
+        "(use family=\"mgaussian\" for multi-response)")
     val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
     val paths =
       if ((params.family == "gaussian" || params.family == "mgaussian") &&
@@ -287,14 +298,8 @@ object CvSgdNet {
     val bOut = Array.ofDim[Double](nfolds, L, p)
     for (f <- 0 until nfolds) {
       // train = total - fold (moment subtraction)
-      val train = new GramStats(p, 1)
-      train.merge(total)
       val fg = perFold(f)
-      train.n -= fg.n
-      for (i <- 0 until p) train.sumX(i) -= fg.sumX(i)
-      for (i <- 0 until train.xtx.length) train.xtx(i) -= fg.xtx(i)
-      train.sumY(0) -= fg.sumY(0); train.sumYY(0) -= fg.sumYY(0)
-      for (i <- 0 until train.xty.length) train.xty(i) -= fg.xty(i)
+      val train = new GramStats(p, 1).merge(total).subtract(fg)
 
       val st = SufficientStats.standardize(train, params.standardize, params.intercept)
       val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
@@ -387,16 +392,8 @@ object CvSgdNet {
     val bOut = Array.ofDim[Double](nfolds, L, k, p)
     for (f <- 0 until nfolds) {
       // train = total - fold (moment subtraction, all k responses)
-      val train = new GramStats(p, k)
-      train.merge(total)
       val fg = perFold(f)
-      train.n -= fg.n
-      for (i <- 0 until p) train.sumX(i) -= fg.sumX(i)
-      for (i <- 0 until train.xtx.length) train.xtx(i) -= fg.xtx(i)
-      for (t <- 0 until k) {
-        train.sumY(t) -= fg.sumY(t); train.sumYY(t) -= fg.sumYY(t)
-      }
-      for (i <- 0 until train.xty.length) train.xty(i) -= fg.xty(i)
+      val train = new GramStats(p, k).merge(total).subtract(fg)
       val fm = SgdNet.solveGaussianFromStats(train, featureCols, labelCols,
         params.copy(lambda = lambdas))
       for (l <- 0 until L; t <- 0 until k) {
@@ -511,14 +508,7 @@ object CvSgdNet {
       // index nfolds subtracts an EMPTY fold: train = all rows
       val perFoldExt = perFold :+ new GramStats(p, 1)
       val trainStats = Array.tabulate(F) { f =>
-        val tr = new GramStats(p, 1)
-        tr.merge(total)
-        val fg = perFoldExt(f)
-        tr.n -= fg.n
-        for (i <- 0 until p) tr.sumX(i) -= fg.sumX(i)
-        for (i <- 0 until tr.xtx.length) tr.xtx(i) -= fg.xtx(i)
-        tr.sumY(0) -= fg.sumY(0); tr.sumYY(0) -= fg.sumYY(0)
-        for (i <- 0 until tr.xty.length) tr.xty(i) -= fg.xty(i)
+        val tr = new GramStats(p, 1).merge(total).subtract(perFoldExt(f))
         SufficientStats.standardize(tr, params.standardize, params.intercept)
       }
       // lambda grid: user-supplied, or the path from the FULL-data
@@ -810,14 +800,7 @@ object CvSgdNet {
       // index nfolds subtracts an EMPTY fold: train = all rows
       val perFoldExt = perFold :+ new GramStats(p, 1)
       val trainStats = Array.tabulate(F) { f =>
-        val tr = new GramStats(p, 1)
-        tr.merge(total)
-        val fg = perFoldExt(f)
-        tr.n -= fg.n
-        for (i <- 0 until p) tr.sumX(i) -= fg.sumX(i)
-        for (i <- 0 until tr.xtx.length) tr.xtx(i) -= fg.xtx(i)
-        tr.sumY(0) -= fg.sumY(0); tr.sumYY(0) -= fg.sumYY(0)
-        for (i <- 0 until tr.xty.length) tr.xty(i) -= fg.xty(i)
+        val tr = new GramStats(p, 1).merge(total).subtract(perFoldExt(f))
         SufficientStats.standardize(tr, params.standardize, params.intercept)
       }
       trainStats.foreach(st => require(st.yMean(0) > 0,
@@ -1052,18 +1035,7 @@ object CvSgdNet {
       // index nfolds subtracts an EMPTY fold: train = all rows
       val perFoldExt = perFold :+ new GramStats(p, k)
       val trainStats = Array.tabulate(F) { f =>
-        val tr = new GramStats(p, k)
-        tr.merge(total)
-        val fg = perFoldExt(f)
-        tr.n -= fg.n
-        var i = 0
-        while (i < p) { tr.sumX(i) -= fg.sumX(i); i += 1 }
-        i = 0
-        while (i < tr.xtx.length) { tr.xtx(i) -= fg.xtx(i); i += 1 }
-        i = 0
-        while (i < k) { tr.sumY(i) -= fg.sumY(i); tr.sumYY(i) -= fg.sumYY(i); i += 1 }
-        i = 0
-        while (i < tr.xty.length) { tr.xty(i) -= fg.xty(i); i += 1 }
+        val tr = new GramStats(p, k).merge(total).subtract(perFoldExt(f))
         SufficientStats.standardize(tr, params.standardize, params.intercept)
       }
       val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)

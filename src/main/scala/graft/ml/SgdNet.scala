@@ -861,7 +861,10 @@ object SgdNet {
       // FISTA state
       var yB = beta.map(_.clone()); var yA = a0.clone(); var tk = 1.0
       // honor the user's maxit exactly — no hidden iteration clamp (the
-      // model's npasses surfaces how many gradient passes were spent)
+      // model's npasses surfaces how many gradient passes were spent;
+      // each pass is one distributed scan, so a non-converging fit can
+      // spend up to maxit scans PER LAMBDA — tune maxit/thresh, the
+      // engine will not silently truncate)
       while (iter < params.maxit && !done) {
         val (grad, gradA0) = gradFn(mean, scale, yB, yA)
         passes += 1

@@ -82,6 +82,23 @@ final class GramStats(val p: Int, val k: Int) extends Serializable {
     while (i < xty.length) { xty(i) += o.xty(i); i += 1 }
     this
   }
+
+  /** Moment subtraction — the "train = total minus fold" step every
+    * one-pass CV family uses. Kept HERE, next to [[merge]], so a field
+    * added to the stats is updated in exactly two places instead of at
+    * every CV call site. */
+  def subtract(o: GramStats): GramStats = {
+    n -= o.n
+    var i = 0
+    while (i < sumX.length) { sumX(i) -= o.sumX(i); i += 1 }
+    i = 0
+    while (i < xtx.length) { xtx(i) -= o.xtx(i); i += 1 }
+    i = 0
+    while (i < sumY.length) { sumY(i) -= o.sumY(i); sumYY(i) -= o.sumYY(i); i += 1 }
+    i = 0
+    while (i < xty.length) { xty(i) -= o.xty(i); i += 1 }
+    this
+  }
 }
 
 /** Derived, standardized-scale quantities used by the CD solver. */

@@ -451,6 +451,8 @@ object Ann {
                      vecCol: String, k: Int, centers: Array[Array[Double]],
                      codebooks: Array[Array[Array[Double]]],
                      nprobe: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
     require(centers.nonEmpty, "need at least one centroid")
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
       "codebooks must be non-empty per subspace")

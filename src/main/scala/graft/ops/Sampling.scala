@@ -101,12 +101,17 @@ object Sampling {
     require(targetRows >= 0 && targetRows <= Long.MaxValue / MOD,
       s"targetRows must be in [0, ${Long.MaxValue / MOD}]")
     val w = weightCol.cast("long")
-    val totRow = df.agg(sum(w).as("t"), min(w).as("mn")).head()
-    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
+    val dec = "decimal(38,0)"
+    // total in decimal(38,0): a plain long sum would WRAP silently past
+    // 2^63 (trillions of rows x large weights — the scale this module
+    // targets) while the oracle sums in HUGEINT; decimal keeps both
+    // engines on the same exact total
+    val totRow = df.agg(sum(w.cast(dec)).as("t"), min(w).as("mn")).head()
+    require(!totRow.isNullAt(0) &&
+      totRow.getDecimal(0).compareTo(java.math.BigDecimal.ZERO) > 0,
       "total weight must be positive")
     require(totRow.getLong(1) >= 0, "weights must be non-negative")
-    val tot = totRow.getLong(0)
-    val dec = "decimal(38,0)"
+    val tot = totRow.getDecimal(0)
     val lhs = (hashBucket(keyCol) + lit(1L)).cast(dec) * lit(tot).cast(dec)
     val rhs = lit(targetRows * MOD).cast(dec) * w.cast(dec)
     df.filter(w > 0 && lhs <= rhs)
