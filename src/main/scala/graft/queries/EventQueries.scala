@@ -10,13 +10,22 @@ import MlQueries.tbl
   * operators) + cv_sgdnet post-fit methods. */
 object EventQueries {
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to micros exactly
-    * (integer division — matching DuckDB's read truncation). */
+  /** events.parquet has carried either TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader rejects, so nanos read as long and truncate to
+    * micros exactly (integer division, matching DuckDB's read
+    * truncation) — or TIMESTAMP(MICROS, NTZ), which casts to the
+    * session-UTC instant directly. Dispatch on the OBSERVED schema so
+    * either generation of the driver's testdata loads. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = tbl(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour window aggregation over events. */
@@ -179,6 +188,13 @@ object EventQueries {
     graft.ops.Temporal.timeWeightedAvg(events(spark, dir), "user_id",
         "ts", "event_id", col("value"))
       .orderBy("user_id")
+
+  /** Hourly OHLC bars per event type: open/close picked by the
+    * deterministic (ts, event_id) total order, integer-cent volume. */
+  def ohlcQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Temporal.ohlcBars(events(spark, dir), "event_type", "ts",
+        "event_id", col("value"), bucketSeconds = 3600L)
+      .orderBy("event_type", "bar_start")
 
   /** Two-proportion A/B z-test: users split by parity of user_id;
     * "converted" = made >= 14 purchases (the per-user median is 13, so
