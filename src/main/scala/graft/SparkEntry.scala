@@ -75,6 +75,11 @@ object SparkEntry {
     "q_ann_ivf"          -> (OpsQueries.annIvf _),
     "q_ann_pq"           -> (OpsQueries.annPq _),
     "q_ann_ivfpq"        -> (OpsQueries.annIvfPq _),
+    "q_ann_rerank"       -> (OpsQueries.annRerank _),
+    "q_para_dedup"       -> (OpsQueries.paraDedup _),
+    "q_group_sample"     -> (OpsQueries.groupSampleQ _),
+    "q_temp_budgets"     -> (OpsQueries.tempBudgets _),
+    "q_ohlc"             -> (EventQueries.ohlcQ _),
     "q_embed_project"    -> (OpsQueries.embedProject _),
     "q_lang_id"          -> (OpsQueries.langId _),
     "q_quality_score"    -> (OpsQueries.qualityScore _),

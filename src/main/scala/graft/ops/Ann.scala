@@ -75,6 +75,37 @@ object Ann {
       .filter(col("neg_rank") <= k)
   }
 
+  /** EXACT-COSINE RERANK of an ANN candidate shortlist — the second
+    * stage of two-stage retrieval: a cheap index (IVFPQ / LSH / IVF)
+    * recalls a generous shortlist of m candidates per query, then the
+    * TRUE metric re-scores only those m rows. `candidates` is any
+    * (queryCol, candCol) frame from any producer; extra columns are
+    * dropped. Vectors re-attach via ONE candidate-sized equi-join
+    * against the corpus (the corpus itself never re-scans beyond that
+    * join's probe side) and the query vectors broadcast; per-query
+    * top-k is the WindowGroupLimit rank filter. At 100 TB the join is
+    * shuffle-hash on the id — candidate volume is queries × m,
+    * independent of corpus size. */
+  def rerank(candidates: DataFrame, corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, queryCol: String,
+             candCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cand = candidates.select(col(queryCol).cast("long").as("query_id"),
+      col(candCol).cast("long").as("neighbor_id"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = cand.join(c, "neighbor_id").join(broadcast(q), "query_id")
+      .withColumn("cos", graft.functions.GraftFunctions.cosine(
+        corpus.sparkSession, col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   // -------------------------------------------------- driver-side k-means
 
   private def sqdist(a: Array[Double], b: Array[Double]): Double = {

@@ -87,6 +87,46 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("cluster_size"))
   }
 
+  /** PARAGRAPH-LEVEL global dedup (the RefinedWeb / Dolma recipe): split
+    * each document on `sep`, keep every distinct paragraph only at its
+    * FIRST global occurrence — the lexicographically smallest
+    * (id, position) among all rows carrying an identical paragraph — and
+    * reassemble each document's surviving text in original order.
+    * Boilerplate that repeats across millions of pages (cookie banners,
+    * nav bars, license footers) survives in exactly one document;
+    * full-copy documents lose every paragraph (`text` comes back NULL).
+    *
+    * Output: (id, n_paras, n_kept, text).
+    *
+    * Shape: posexplode → groupBy(md5(paragraph)) keeping
+    * min(struct(id, pos)) — partial-aggregated, so the hot-paragraph
+    * case (the same footer on every page) collapses map-side and the
+    * shuffle carries one row per distinct paragraph per partition —
+    * → equi-join back on the hash → per-document ordered re-aggregation
+    * (state bounded by single-document size). Paragraph volume is
+    * corpus-linear; no window ever spans an unbounded partition. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__para")))
+    val hashed = paras.withColumn("__h", md5(col("__para")))
+    val firstOcc = hashed.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val kept = hashed.join(firstOcc, "__h")
+      .filter(col("__id") === col("__first.__id") &&
+        col("__pos") === col("__first.__pos"))
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          s => s.getField("__para")), sep).as("text"))
+    paras.groupBy(col("__id")).agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("text"))
+  }
+
   /** MinHash signature columns: sig_s = min over shingles of md5(s|shingle).
     * Deterministic across engines (md5 over strings, lexicographic min). */
   def minhashSignature(text: Column, numHashes: Int, shingleWidth: Int = 3): Seq[Column] = {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling for training-data pipelines.
@@ -115,6 +116,69 @@ object Sampling {
     val lhs = (hashBucket(keyCol) + lit(1L)).cast(dec) * lit(tot).cast(dec)
     val rhs = lit(targetRows * MOD).cast(dec) * w.cast(dec)
     df.filter(w > 0 && lhs <= rhs)
+  }
+
+  /** EXACT-k deterministic per-group sample: the `k` rows of each group
+    * with the smallest Knuth-hash buckets (ties broken by the key
+    * itself) — "give me exactly 10 eval documents per language", where
+    * [[stratifiedSample]]'s Bernoulli fractions only deliver an
+    * EXPECTED count. Same portability contract as every sampler here:
+    * the chosen rows depend only on the key values.
+    *
+    * Shape: rank-filter over a (group)-partitioned window ordered by
+    * the hash. Spark plans the `rank <= k` filter as WindowGroupLimit —
+    * each map task keeps only its local top-k per group BEFORE the
+    * shuffle, so a billion-row group moves k rows per input partition,
+    * not the group. */
+  def groupSample(df: DataFrame, keyCol: Column, groupCol: Column,
+                  k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(groupCol).orderBy(hashBucket(keyCol).asc,
+      keyCol.asc)
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** TEMPERATURE-SCALED mixture budgeting (the multilingual /
+    * data-mixture standard at temperature τ = 2): split an integer
+    * token `budget` across domains proportionally to sqrt(domain mass),
+    * flattening the head of the distribution so low-resource domains
+    * are upsampled relative to their raw share. Largest-remainder
+    * (Hamilton) apportionment makes the per-domain allocations INTEGERS
+    * that sum to exactly `budget`.
+    *
+    * Exactness discipline: sqrt is correctly rounded IEEE-754 (the one
+    * float op here, identical on every engine), quantized to the
+    * integer weight floor(sqrt(mass)·10⁶); base share and remainder are
+    * decimal(38,0) div/mod; the +1 top-up ranks (remainder desc,
+    * domain) through the two-pass [[Ranking.globalRank]] — so the whole
+    * allocation is engine-exact and a DuckDB oracle reproduces it.
+    *
+    * Shape: one aggregation to the (tiny) domain table, two scalar
+    * aggregates, one bounded global rank. The corpus is scanned once. */
+  def temperatureBudgets(df: DataFrame, domainCol: Column, massCol: Column,
+                         budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val dec = "decimal(38,0)"
+    val dom = df.groupBy(domainCol.as("domain"))
+      .agg(sum(massCol.cast("long")).as("mass"))
+      .withColumn("w", floor(sqrt(col("mass").cast("double")) * 1e6).cast(dec))
+    val totRow = dom.agg(sum(col("w")).cast(dec)).head()
+    require(!totRow.isNullAt(0) &&
+      totRow.getDecimal(0).compareTo(java.math.BigDecimal.ZERO) > 0,
+      "total weight must be positive")
+    // base = (budget * w) div totalW (IntegralDivide → long, exact);
+    // remainder stays decimal — both engines floor identically
+    val withBase = dom
+      .withColumn("__num", lit(budget).cast(dec) * col("w"))
+      .withColumn("__tw", lit(totRow.getDecimal(0)).cast(dec))
+      .withColumn("base", expr("__num div __tw"))
+      .withColumn("__rem", col("__num") - col("base").cast(dec) * col("__tw"))
+    val leftover = budget - withBase.agg(sum(col("base"))).head().getLong(0)
+    Ranking.globalRank(withBase, Seq(col("__rem").desc, col("domain").asc))
+      .select(col("domain"), col("mass"),
+        (col("base") + when(col("rank") <= lit(leftover), lit(1L))
+          .otherwise(lit(0L))).as("tokens_alloc"))
   }
 
   /** Stratified sampling: per-stratum fractions over a stratum column

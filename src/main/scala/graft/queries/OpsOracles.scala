@@ -1028,6 +1028,131 @@ object OpsOracles {
         |SELECT query_id, rank, neighbor_id, round(adist, 4) AS adist
         |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.trim,
 
+    // two-stage retrieval: the q_ann_pq chain with a 20-candidate
+    // shortlist, re-scored by exact cosine and cut to the true top-5
+    "q_ann_rerank" ->
+      """
+        |WITH vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (SELECT g.mi, c.vec_id AS code, c.v AS cv
+        |       FROM (SELECT vec_id, embedding::DOUBLE[] AS v
+        |             FROM embeddings WHERE vec_id < 16) c,
+        |            generate_series(0, 7) AS g(mi)),
+        |d AS (SELECT vec.vec_id, cb.mi, cb.code,
+        |        list_aggregate(list_transform(generate_series(1, 8),
+        |          j -> (v[mi*8 + j] - cv[mi*8 + j])
+        |             * (v[mi*8 + j] - cv[mi*8 + j])), 'sum') AS dist
+        |      FROM vec, cb),
+        |enc AS (SELECT vec_id, mi, code FROM
+        |          (SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+        |                       ORDER BY dist, code) AS rn FROM d)
+        |        WHERE rn = 1),
+        |qd AS (SELECT vec_id AS query_id, mi, code, dist
+        |       FROM d WHERE vec_id < 10),
+        |ad AS (SELECT qd.query_id, enc.vec_id AS neighbor_id,
+        |         sum(qd.dist) AS adist
+        |       FROM enc JOIN qd ON enc.mi = qd.mi AND enc.code = qd.code
+        |       WHERE qd.query_id != enc.vec_id
+        |       GROUP BY qd.query_id, enc.vec_id),
+        |sl AS (SELECT query_id, neighbor_id FROM
+        |         (SELECT query_id, neighbor_id,
+        |            row_number() OVER (PARTITION BY query_id
+        |              ORDER BY adist, neighbor_id) AS rk FROM ad)
+        |       WHERE rk <= 20),
+        |scored AS (SELECT query_id, neighbor_id,
+        |             list_cosine_similarity(qv.v, nv.v) AS cos,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY list_cosine_similarity(qv.v, nv.v) DESC,
+        |                        neighbor_id) AS rank
+        |           FROM sl JOIN vec qv ON sl.query_id = qv.vec_id
+        |                   JOIN vec nv ON sl.neighbor_id = nv.vec_id)
+        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.trim,
+
+    // paragraph-level dedup: 8-word re-chunking, first global
+    // occurrence per md5(paragraph) by (doc_id, pos), ordered rebuild
+    "q_para_dedup" ->
+      """
+        |WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+        |wd AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+        |       FROM docs),
+        |par AS (SELECT doc_id,
+        |    list_transform(
+        |      generate_series(0,
+        |        greatest(cast(ceil(len(w) / 8.0) AS INT), 1) - 1),
+        |      i -> array_to_string(list_slice(w, i*8+1, i*8+8), ' ')) AS ps
+        |  FROM wd),
+        |paras AS (SELECT doc_id,
+        |            unnest(generate_series(1, len(ps))) - 1 AS pos,
+        |            unnest(ps) AS para
+        |          FROM par),
+        |fo AS (SELECT doc_id, pos FROM
+        |         (SELECT *, row_number() OVER (PARTITION BY md5(para)
+        |                      ORDER BY doc_id, pos) AS rn FROM paras)
+        |       WHERE rn = 1),
+        |kept AS (SELECT p.doc_id, p.pos, p.para FROM paras p
+        |         JOIN fo ON p.doc_id = fo.doc_id AND p.pos = fo.pos),
+        |rb AS (SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(para, chr(10) ORDER BY pos) AS text
+        |       FROM kept GROUP BY doc_id),
+        |np AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id)
+        |SELECT np.doc_id, np.n_paras, coalesce(rb.n_kept, 0) AS n_kept,
+        |       rb.text
+        |FROM np LEFT JOIN rb ON np.doc_id = rb.doc_id
+        |ORDER BY np.doc_id""".stripMargin.trim,
+
+    // exact-k per-group sample: Knuth-hash rank within language
+    "q_group_sample" ->
+      """
+        |SELECT lang, sample_rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296,
+        |               doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 10 ORDER BY lang, sample_rank""".stripMargin.trim,
+
+    // temperature-scaled (sqrt-mass) budgets with largest-remainder
+    // integer apportionment — HUGEINT here, decimal(38,0) on Spark
+    "q_temp_budgets" ->
+      """
+        |WITH dom AS (SELECT lang AS domain, cast(sum(n_chars) AS BIGINT) AS mass
+        |             FROM documents GROUP BY 1),
+        |w AS (SELECT domain, mass,
+        |        cast(floor(sqrt(mass::DOUBLE) * 1e6) AS HUGEINT) AS w FROM dom),
+        |t AS (SELECT sum(w) AS tw FROM w),
+        |b AS (SELECT domain, mass, (1000000::HUGEINT * w) // tw AS base,
+        |             (1000000::HUGEINT * w) % tw AS rem FROM w, t),
+        |l AS (SELECT 1000000 - sum(base) AS leftover FROM b),
+        |r AS (SELECT domain, mass, base,
+        |        row_number() OVER (ORDER BY rem DESC, domain) AS rk FROM b)
+        |SELECT domain, mass,
+        |       cast(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |         AS tokens_alloc
+        |FROM r, l ORDER BY domain""".stripMargin.trim,
+
+    // hourly OHLC bars: open/close by the (ts, event_id) total order,
+    // integer-cent volume, bucket by pure epoch-micro arithmetic
+    "q_ohlc" ->
+      """
+        |WITH e AS (SELECT event_type, ts, event_id, value,
+        |             epoch_us(ts) - epoch_us(ts) % 3600000000 AS bar_us
+        |           FROM events),
+        |rn AS (SELECT *,
+        |         row_number() OVER (PARTITION BY event_type, bar_us
+        |                            ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type, bar_us) AS cnt
+        |       FROM e)
+        |SELECT event_type, make_timestamp(bar_us) AS bar_start,
+        |  max(CASE WHEN rn = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn = cnt THEN value END) AS close,
+        |  cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS vol_cents,
+        |  count(*) AS n_events
+        |FROM rn GROUP BY event_type, bar_us
+        |ORDER BY event_type, bar_start""".stripMargin.trim,
+
     // composed IVFPQ: coarse centroids = first 4 corpus vectors, residual
     // codebooks = subvectors of the first 16; assign (argmin full-dim),
     // residual-encode per subspace ((v - center) - codebook entry),

@@ -165,6 +165,64 @@ object OpsQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** TWO-STAGE retrieval: the fixed-codebook PQ/ADC index recalls a
+    * generous 20-candidate shortlist per query by APPROXIMATE distance,
+    * then [[Ann.rerank]] re-scores only those candidates with the exact
+    * cosine and cuts to the true top-5 — the standard recall-then-rerank
+    * pipeline. Reuses [[annPq]]'s fixed codebooks so the whole chain
+    * stays oracle-exact. */
+  def annRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val cvecs = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val m = 8
+    val sub = cvecs(0).length / m
+    val codebooks = Array.tabulate(m) { mi =>
+      cvecs.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+    }
+    val shortlist = Ann.pqTopKFixed(e, e.filter(col("vec_id") < 10), "vec_id",
+      "embedding", k = 20, codebooks)
+    Ann.rerank(shortlist, e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", "query_id", "neighbor_id", k = 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Paragraph-level global dedup over documents ∪ exact copies: the
+    * corpus is single-line, so texts are re-chunked into 8-word
+    * "paragraphs" first — common phrase runs then collide across
+    * documents and every full-copy document loses ALL its paragraphs
+    * (text comes back NULL, n_kept = 0). */
+  def paraDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsWithDups(spark, dir)
+    val w = Dedup.words(col("text"))
+    val nChunks = greatest(ceil(size(w) / lit(8.0)).cast("int"), lit(1))
+    val paraText = array_join(transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(w, i * 8 + 1, lit(8)), " ")), "\n")
+    Dedup.paragraphDedup(d.select(col("doc_id"), paraText.as("text")),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  /** Exact-k deterministic per-group sample: 10 documents per language,
+    * chosen by Knuth-hash order — engine-portable, so the oracle picks
+    * the identical rows. */
+  def groupSampleQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.groupSample(tbl(spark, dir, "documents"), col("doc_id"),
+        col("lang"), k = 10)
+      .select(col("lang"), col("sample_rank"), col("doc_id"))
+      .orderBy("lang", "sample_rank")
+
+  /** Temperature-scaled (τ=2) token budget split across languages with
+    * largest-remainder integer apportionment — allocations sum to
+    * exactly 1,000,000. */
+  def tempBudgets(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureBudgets(tbl(spark, dir, "documents"), col("lang"),
+        col("n_chars"), budget = 1000000L)
+      .orderBy("domain")
+
   /** JL random projection of embeddings to 8 dims (portable md5 planes:
     * the oracle recomputes identical projections). */
   def embedProject(spark: SparkSession, dir: String): DataFrame =

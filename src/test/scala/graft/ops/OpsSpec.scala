@@ -1119,4 +1119,64 @@ class OpsSpec extends SparkSpec {
     assert(out.length == 3)
     assert(out.forall(r => !r.getDouble(2).isNaN))
   }
+
+  test("paragraph dedup keeps first global occurrence, nulls full copies") {
+    val df = Seq(
+      (1L, "alpha beta\nshared footer\ngamma delta"),
+      (2L, "epsilon zeta\nshared footer"),        // loses the footer
+      (3L, "alpha beta\nshared footer\ngamma delta"), // full copy: all gone
+      (4L, "unique content here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3))))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 3L, Some("alpha beta\nshared footer\ngamma delta")),
+      (2L, 2L, 1L, Some("epsilon zeta")),
+      (3L, 3L, 0L, None),
+      (4L, 1L, 1L, Some("unique content here"))))
+  }
+
+  test("group sample returns exactly k rows per group, stable under other groups") {
+    val base = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+    val out = Sampling.groupSample(base.toDF("id", "g"), col("id"), col("g"), 7)
+    val byGroup = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup == Map("a" -> 7L, "b" -> 7L))
+    // adding rows of a NEW group must not change group a's chosen ids
+    val aIds = out.filter(col("g") === "a").select("id").collect()
+      .map(_.getLong(0)).toSet
+    val widened = (base ++ (200L to 250L).map(i => (i, "c")))
+      .toDF("id", "g")
+    val aIds2 = Sampling.groupSample(widened, col("id"), col("g"), 7)
+      .filter(col("g") === "a").select("id").collect().map(_.getLong(0)).toSet
+    assert(aIds == aIds2)
+  }
+
+  test("temperature budgets: integers, exact total, flattened shares") {
+    // masses 90000 vs 10000: raw share 90/10, sqrt share 3/1
+    val df = Seq.tabulate(100)(i =>
+      (if (i < 90) "big" else "small", 1000L)).toDF("dom", "n")
+    val out = Sampling.temperatureBudgets(df, col("dom"), col("n"), 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out.values.sum == 1000L)
+    assert(out("big") == 750L && out("small") == 250L)
+  }
+
+  test("rerank recovers the exact top-k from a superset shortlist") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 3)
+    val brute = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", k = 4)
+    // shortlist: generous brute-force top-8 (superset of the true top-4)
+    val shortlist = Ann.bruteForceTopK(e, queries, "vec_id", "embedding", k = 8)
+      .select(col("query_id"), col("neighbor_id"))
+    val reranked = Ann.rerank(shortlist, e, queries, "vec_id", "embedding",
+      "query_id", "neighbor_id", k = 4)
+    val a = brute.select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = reranked.select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
 }

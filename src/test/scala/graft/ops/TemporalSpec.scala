@@ -409,4 +409,26 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("y", 1L, 1L, 2, 3L), ("y", 2L, 1L, 1, 3L), ("y", 3L, 1L, 1, 3L)))
   }
+
+  test("ohlc bars: deterministic open/close, tie at the bucket edge") {
+    val rows = Seq(
+      // key k, hour bucket 00: open=10.00 (tie on ts broken by id 1<2),
+      // high=30.00, low=5.00, close=5.00
+      ("k", ts("2024-01-01 00:00:01"), 1L, 10.00),
+      ("k", ts("2024-01-01 00:00:01"), 2L, 30.00),
+      ("k", ts("2024-01-01 00:30:00"), 3L, 5.00),
+      // hour bucket 01: single event
+      ("k", ts("2024-01-01 01:59:59"), 4L, 7.25),
+      ("j", ts("2024-01-01 00:10:00"), 5L, 2.50)
+    ).toDF("k", "ts", "id", "v")
+    val out = Temporal.ohlcBars(rows, "k", "ts", "id", col("v"), 3600L)
+      .orderBy("k", "bar_start").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6),
+        r.getLong(7)))
+    assert(out.toSeq == Seq(
+      ("j", ts("2024-01-01 00:00:00"), 2.50, 2.50, 2.50, 2.50, 250L, 1L),
+      ("k", ts("2024-01-01 00:00:00"), 10.00, 30.00, 5.00, 5.00, 4500L, 3L),
+      ("k", ts("2024-01-01 01:00:00"), 7.25, 7.25, 7.25, 7.25, 725L, 1L)))
+  }
 }
