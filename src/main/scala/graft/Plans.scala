@@ -35,7 +35,13 @@ object Plans {
       // join) with a partition-local heap, never a corpus broadcast;
       // group_pcts_scale must show NO collect_list (distinct-value
       // prefix sums only); score_mgauss one scan + broadcast coefs
-      "q_ann_ivfpq", "q_group_pcts_scale", "q_score_mgauss")
+      "q_ann_ivfpq", "q_group_pcts_scale", "q_score_mgauss",
+      // round-8 part 2: group_sample must plan WindowGroupLimit;
+      // para_dedup partial-aggregated min-(id,pos), no window over
+      // paragraphs; rerank candidate-sized joins + broadcast queries;
+      // ohlc ONE (key,bucket) Exchange shared by windows and agg
+      "q_group_sample", "q_para_dedup", "q_ann_rerank", "q_ohlc",
+      "q_temp_budgets")
     interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
