@@ -80,6 +80,10 @@ object SparkEntry {
     "q_group_sample"     -> (OpsQueries.groupSampleQ _),
     "q_temp_budgets"     -> (OpsQueries.tempBudgets _),
     "q_ohlc"             -> (EventQueries.ohlcQ _),
+    "q_url_dedup"        -> (OpsQueries.urlDedupQ _),
+    "q_split_leakage"    -> (OpsQueries.splitLeakage _),
+    "q_epoch_shuffle"    -> (OpsQueries.epochShuffleQ _),
+    "q_psi"              -> (OpsQueries.psiQ _),
     "q_embed_project"    -> (OpsQueries.embedProject _),
     "q_lang_id"          -> (OpsQueries.langId _),
     "q_quality_score"    -> (OpsQueries.qualityScore _),

@@ -113,4 +113,42 @@ object Drift {
       .select(col("k").as(keyCol), col("n"), col("max_dev"),
         col("argmax_ts"))
   }
+
+  /** POPULATION STABILITY INDEX between `valueCol` in `a` (expected /
+    * reference) and `b` (actual / new) over FIXED bin edges — the
+    * monitoring-dashboard standard for "has this feature's distribution
+    * shifted". Per-bin frame: counts, clamped shares, and the PSI term
+    * (p_a − p_b)·ln(p_a/p_b); the total PSI is the sum (>0.25 is the
+    * conventional "significant shift" alarm).
+    *
+    * Fixed user-supplied edges (not runtime quantiles) keep the bin
+    * assignment pure integer-comparison arithmetic — engine-exact and
+    * stable across monitoring runs, which is the point of PSI. Bins
+    * empty on one side are clamped to share 1e-6 (the industry
+    * convention) instead of producing ±inf.
+    *
+    * Shape: one union scan → one tiny (nBins-bounded) aggregation; the
+    * scalar totals broadcast back. The corpus is read once. */
+  def psiBins(a: DataFrame, b: DataFrame, valueCol: String,
+              breaks: Seq[Double]): DataFrame = {
+    require(breaks.nonEmpty && breaks == breaks.sorted,
+      "breaks must be non-empty and ascending")
+    val tagged = a.select(col(valueCol).cast("double").as("v"), lit(1L).as("g"))
+      .unionAll(b.select(col(valueCol).cast("double").as("v"), lit(0L).as("g")))
+      .filter(col("v").isNotNull)
+    // bin = number of edges <= v: 0..nBreaks, pure comparisons
+    val bin = breaks.foldLeft(lit(0)) { (acc, br) =>
+      acc + when(col("v") >= lit(br), 1).otherwise(0)
+    }
+    val counts = tagged.groupBy(bin.as("bin"))
+      .agg(sum(col("g")).as("n_a"), sum(lit(1L) - col("g")).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        greatest(col("n_a") / col("ta"), lit(1e-6)).as("pa"),
+        greatest(col("n_b") / col("tb"), lit(1e-6)).as("pb"))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        ((col("pa") - col("pb")) * log(col("pa") / col("pb")))
+          .as("psi_term"))
+  }
 }

@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  private val KNUTH = 2654435761L
-  private val MOD = 4294967296L  // 2^32
-  private val RED = 2147483648L  // 2^31
+  private[ops] val KNUTH = 2654435761L
+  private[ops] val MOD = 4294967296L  // 2^32
+  private[ops] val RED = 2147483648L  // 2^31
 
   /** The [0, 2^32) hash bucket of a non-negative long key.
     *
@@ -179,6 +179,64 @@ object Sampling {
       .select(col("domain"), col("mass"),
         (col("base") + when(col("rank") <= lit(leftover), lit(1L))
           .otherwise(lit(0L))).as("tokens_alloc"))
+  }
+
+  /** DETERMINISTIC per-epoch training order: global position 0..n-1 by
+    * the epoch-salted Knuth hash of the key — every epoch visits the
+    * corpus in a different but fully reproducible order, with no
+    * `rand()` and no driver state. The salt enters BEFORE the multiply
+    * (h = (key mod 2^31 + epoch·40503) · KNUTH mod 2^32), so
+    * consecutive epochs decorrelate rather than rotate.
+    *
+    * Shape: the two-pass range-partitioned [[Ranking.globalRank]] over
+    * the hash — one range shuffle + one bounded offsets collect, never
+    * a single-partition window. Output adds `epoch_pos`. */
+  def epochShuffle(df: DataFrame, keyCol: Column, epoch: Int): DataFrame = {
+    require(epoch >= 0, "epoch must be >= 0")
+    val salted = pmod(
+      (pmod(keyCol.cast("long"), lit(RED)) + lit(epoch.toLong * 40503L))
+        * lit(KNUTH), lit(MOD))
+    Ranking.globalRank(df.withColumn("__eb", salted),
+        Seq(col("__eb").asc, keyCol.asc))
+      .withColumn("epoch_pos", col("rank") - 1)
+      .drop("rank", "bucket", "__eb")
+  }
+
+  /** LEAKAGE-SAFE train/val/test split: near-duplicate CLUSTERS are
+    * assigned to splits atomically — no near-dup pair ever straddles
+    * train and test, the held-out-contamination guard every LLM data
+    * pipeline needs. `pairs` is any near-dup pair frame (minhash LSH,
+    * simhash, cosine); ids absent from `pairs` are singleton clusters.
+    * The split of a cluster depends only on its label (min reachable
+    * id) and the cumulative-fraction thresholds — engine-exact.
+    *
+    * Shape: connected components over the PAIR graph (pair-volume, not
+    * corpus-volume), one left join back to the corpus, then a narrow
+    * hash filter. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String,
+                       splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0),
+      "splits must be non-empty with non-negative fractions")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val cc = Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id"), col("cluster_id"))
+    val labeled = df.select(col(idCol).cast("long").as("id"))
+      .join(cc, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+    val b = hashBucket(col("cluster_id"))
+    // first matching cumulative threshold wins: fold right-to-left so
+    // the when-chain tests splits in declaration order
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.round(c * MOD))
+    val chain = splits.zip(thresholds).reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (acc, ((name, _), thr)) =>
+          when(b < lit(thr), lit(name)).otherwise(acc)
+      }
+    labeled.select(col("id").as(idCol), col("cluster_id"),
+      chain.as("split"))
   }
 
   /** Stratified sampling: per-stratum fractions over a stratum column

@@ -119,6 +119,39 @@ object TextAnalysis {
       .groupBy("domain")
       .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_urls"))
 
+  /** CANONICAL form of an absolute http(s) URL — the CommonCrawl-style
+    * URL-key used for crawl dedup and provenance joins. Normalizations,
+    * all engine-portable (simple regex + array ops, no dialect traps):
+    * lowercase scheme and host, strip a leading `www.`, strip default
+    * ports (:80/:443), drop the #fragment, drop tracking params
+    * (utm_*, fbclid, gclid), SORT the surviving query params (param
+    * order is not semantic), and strip trailing slashes from the path.
+    * Purely columnar — usable inside any narrow pass. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_replace(host0, "^www\\.", ""),
+      ":(80|443)$", "")
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = regexp_replace(rest, "/+$", "")
+    val qs = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(qs, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[a-z]+|fbclid|gclid)=")))
+    val query = array_join(params, "&")
+    concat(scheme, lit("://"), host, path,
+      when(query === "", lit("")).otherwise(concat(lit("?"), query)))
+  }
+
+  /** URL-keyed dedup: group by [[canonicalUrl]], keep the smallest id —
+    * the crawl-frontier dedup that collapses tracking-param/case/port/
+    * fragment variants of the same page. One hash aggregation on the
+    * canonical key; corpus-linear, map-side combined. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalUrl(col(urlCol)).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_urls"))
+
   // ------------------------------------------------------------- chunking
 
   /** RAG/embedding-style document chunking: fixed-size character windows

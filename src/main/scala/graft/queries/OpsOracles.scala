@@ -1028,6 +1028,90 @@ object OpsOracles {
         |SELECT query_id, rank, neighbor_id, round(adist, 4) AS adist
         |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.trim,
 
+    // URL canonicalization: same normalization chain (lower scheme/
+    // host, strip www./default port/fragment/tracking params, sort
+    // surviving params, strip trailing slash) over the same injected
+    // variants
+    "q_url_dedup" ->
+      """
+        |WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN 'https://site' || (doc_id%20)::varchar
+        |        || '.example.org/p' || (doc_id%50)::varchar
+        |      WHEN 1 THEN 'HTTPS://SITE' || (doc_id%20)::varchar
+        |        || '.EXAMPLE.ORG/p' || (doc_id%50)::varchar
+        |      WHEN 2 THEN 'https://www.site' || (doc_id%20)::varchar
+        |        || '.example.org:443/p' || (doc_id%50)::varchar || '/'
+        |      WHEN 3 THEN 'https://site' || (doc_id%20)::varchar
+        |        || '.example.org/p' || (doc_id%50)::varchar
+        |        || '?utm_source=x&utm_campaign=y'
+        |      WHEN 4 THEN 'https://site' || (doc_id%20)::varchar
+        |        || '.example.org/p' || (doc_id%50)::varchar || '#frag'
+        |      ELSE 'https://site' || (doc_id%20)::varchar
+        |        || '.example.org/p' || (doc_id%50)::varchar || '?b=2&a=1'
+        |    END AS url
+        |  FROM documents WHERE doc_id < 300),
+        |n AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u),
+        |parts AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |      AS scheme,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(nf,
+        |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |      '^www\.', ''), ':(80|443)$', '') AS host,
+        |    regexp_replace(regexp_extract(nf,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |      '/+$', '') AS path,
+        |    coalesce(array_to_string(list_sort(list_filter(
+        |      string_split(regexp_extract(nf, '\?([^#]*)', 1), '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |             '^(utm_[a-z]+|fbclid|gclid)='))), '&'), '') AS q
+        |  FROM n),
+        |c AS (SELECT doc_id, scheme || '://' || host || path ||
+        |        CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
+        |      FROM parts)
+        |SELECT canon_url, min(doc_id) AS keep_id, count(*) AS n_urls
+        |FROM c GROUP BY canon_url ORDER BY canon_url""".stripMargin.trim,
+
+    // epoch-salted Knuth-hash global training order
+    "q_epoch_shuffle" ->
+      """
+        |SELECT row_number() OVER (
+        |    ORDER BY ((doc_id % 2147483648 + 3 * 40503) * 2654435761)
+        |               % 4294967296, doc_id) - 1 AS epoch_pos,
+        |       doc_id
+        |FROM documents ORDER BY epoch_pos""".stripMargin.trim,
+
+    // PSI over fixed 50-wide bins, shares clamped at 1e-6
+    "q_psi" ->
+      """
+        |WITH t AS (
+        |  SELECT value AS v, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g
+        |  FROM events WHERE value IS NOT NULL),
+        |binned AS (
+        |  SELECT (CASE WHEN v >= 50 THEN 1 ELSE 0 END
+        |        + CASE WHEN v >= 100 THEN 1 ELSE 0 END
+        |        + CASE WHEN v >= 150 THEN 1 ELSE 0 END
+        |        + CASE WHEN v >= 200 THEN 1 ELSE 0 END
+        |        + CASE WHEN v >= 250 THEN 1 ELSE 0 END
+        |        + CASE WHEN v >= 300 THEN 1 ELSE 0 END
+        |        + CASE WHEN v >= 350 THEN 1 ELSE 0 END
+        |        + CASE WHEN v >= 400 THEN 1 ELSE 0 END
+        |        + CASE WHEN v >= 450 THEN 1 ELSE 0 END) AS bin,
+        |    g FROM t),
+        |counts AS (SELECT bin, sum(g)::BIGINT AS n_a,
+        |             sum(1 - g)::BIGINT AS n_b
+        |           FROM binned GROUP BY bin),
+        |tot AS (SELECT sum(n_a)::DOUBLE AS ta, sum(n_b)::DOUBLE AS tb
+        |        FROM counts)
+        |SELECT bin, n_a, n_b,
+        |  round((greatest(n_a / ta, 1e-6) - greatest(n_b / tb, 1e-6))
+        |    * ln(greatest(n_a / ta, 1e-6) / greatest(n_b / tb, 1e-6)), 6)
+        |    AS psi_term
+        |FROM counts, tot ORDER BY bin""".stripMargin.trim,
+
     // two-stage retrieval: the q_ann_pq chain with a 20-candidate
     // shortlist, re-scored by exact cosine and cut to the true top-5
     "q_ann_rerank" ->
@@ -1346,6 +1430,23 @@ object OpsOracles {
       s"""$nearDupClusterCte
         |SELECT id AS doc_id, min(r) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin.trim,
+
+    // leakage-safe split over the same near-dup graph: cluster label =
+    // min reachable id (singletons = own id), Knuth-hash thresholds
+    // round(0.8*2^32)=3435973837, round(0.9*2^32)=3865470566
+    "q_split_leakage" ->
+      s"""$nearDupClusterCte,
+        |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |alld AS (SELECT d.id, coalesce(cl.cluster_id, d.id) AS cluster_id
+        |         FROM (SELECT id FROM docs) d LEFT JOIN cl USING (id)),
+        |h AS (SELECT id AS doc_id, cluster_id,
+        |        ((cluster_id % 2147483648) * 2654435761) % 4294967296 AS b
+        |      FROM alld)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN b < 3435973837 THEN 'train'
+        |       WHEN b < 3865470566 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin.trim,
 
     // keeper election over the same clusters: highest score wins, ties
     // to the smallest id — exactly Dedup.keeperTable's

@@ -223,6 +223,59 @@ object OpsQueries {
         col("n_chars"), budget = 1000000L)
       .orderBy("domain")
 
+  /** URL-keyed crawl dedup: injected URL variants (case, www., default
+    * port, tracking params, fragment, param order) collapse to one
+    * canonical key per page; a genuinely different query string stays
+    * distinct. */
+  def urlDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents").filter(col("doc_id") < 300)
+    val k = (col("doc_id") % 20).cast("string")
+    val j = (col("doc_id") % 50).cast("string")
+    val base = concat(lit("site"), k, lit(".example.org/p"), j)
+    val url = when(col("doc_id") % 6 === 0, concat(lit("https://"), base))
+      .when(col("doc_id") % 6 === 1,
+        concat(lit("HTTPS://SITE"), k, lit(".EXAMPLE.ORG/p"), j))
+      .when(col("doc_id") % 6 === 2,
+        concat(lit("https://www.site"), k, lit(".example.org:443/p"), j, lit("/")))
+      .when(col("doc_id") % 6 === 3,
+        concat(lit("https://"), base, lit("?utm_source=x&utm_campaign=y")))
+      .when(col("doc_id") % 6 === 4, concat(lit("https://"), base, lit("#frag")))
+      .otherwise(concat(lit("https://"), base, lit("?b=2&a=1")))
+    TextAnalysis.urlDedup(d.select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+      .orderBy("canon_url")
+  }
+
+  /** Leakage-safe 80/10/10 split over the planted near-dup graph:
+    * near-dup clusters land in one split atomically. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsWithNearDups(spark, dir)
+    val pairs = Dedup.minhashLsh(d, "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.6)
+    Sampling.leakageSafeSplit(d.select(col("doc_id")), "doc_id", pairs,
+        "id_a", "id_b", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic epoch-3 training order over documents. */
+  def epochShuffleQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.epochShuffle(tbl(spark, dir, "documents").select("doc_id"),
+        col("doc_id"), epoch = 3)
+      .select(col("epoch_pos"), col("doc_id"))
+      .orderBy("epoch_pos")
+
+  /** PSI drift between even- and odd-user event values over fixed
+    * 50-wide bins. */
+  def psiQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    Drift.psiBins(ev.filter(col("user_id") % 2 === 0),
+        ev.filter(col("user_id") % 2 === 1), "value",
+        (1 to 9).map(_ * 50.0))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(col("psi_term"), 6).as("psi_term"))
+      .orderBy("bin")
+  }
+
   /** JL random projection of embeddings to 8 dims (portable md5 planes:
     * the oracle recomputes identical projections). */
   def embedProject(spark: SparkSession, dir: String): DataFrame =

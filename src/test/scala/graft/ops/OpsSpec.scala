@@ -1120,6 +1120,73 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => !r.getDouble(2).isNaN))
   }
 
+  test("canonical url collapses variants, keeps real query differences") {
+    val urls = Seq(
+      (1L, "https://site.example.org/page"),
+      (2L, "HTTPS://SITE.EXAMPLE.ORG/page"),
+      (3L, "https://www.site.example.org:443/page/"),
+      (4L, "https://site.example.org/page?utm_source=x&gclid=z"),
+      (5L, "https://site.example.org/page#frag"),
+      (6L, "https://site.example.org/page?b=2&a=1"),
+      (7L, "https://site.example.org/page?a=1&b=2"), // same as 6 sorted
+      (8L, "http://site.example.org:80/page")        // http, not https
+    ).toDF("id", "url")
+    val out = TextAnalysis.urlDedup(urls, "id", "url")
+      .orderBy("canon_url").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("http://site.example.org/page", 8L, 1L),
+      ("https://site.example.org/page", 1L, 5L),
+      ("https://site.example.org/page?a=1&b=2", 6L, 2L)))
+  }
+
+  test("leakage-safe split keeps near-dup clusters in one split") {
+    val ids = (1L to 200L).toDF("id")
+    // chain clusters {1..5}, {10,11}, rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(ids, "id", pairs, "id_a", "id_b",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(out.count() == 200)
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every member of a cluster shares the label AND the split
+    assert((1L to 5L).map(byId(_)).toSet.size == 1)
+    assert(Seq(10L, 11L).map(byId(_)).toSet.size == 1)
+    assert(byId(1L)._1 == 1L && byId(10L)._1 == 10L)
+    // all three splits non-empty at n=200 and fractions roughly honored
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
+  test("epoch shuffle is a reproducible permutation that varies by epoch") {
+    val ids = (1L to 300L).toDF("id")
+    val e1 = Sampling.epochShuffle(ids, col("id"), 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1.keySet == (1L to 300L).toSet)           // a permutation
+    assert(e1.values.toSeq.sorted == (0L until 300L)) // positions 0..n-1
+    val e1b = Sampling.epochShuffle(ids, col("id"), 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1 == e1b)                                 // reproducible
+    val e2 = Sampling.epochShuffle(ids, col("id"), 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1 != e2)                                  // epochs decorrelate
+  }
+
+  test("psi is ~zero on identical samples and flags a planted shift") {
+    val a = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Drift.psiBins(a, a, "v", Seq(25.0, 50.0, 75.0))
+      .agg(sum(col("psi_term"))).head().getDouble(0)
+    assert(math.abs(same) < 1e-12)
+    // b concentrates mass in the top bin
+    val b = (1 to 1000).map(i => 80.0 + (i % 20)).toDF("v")
+    val shifted = Drift.psiBins(a, b, "v", Seq(25.0, 50.0, 75.0))
+      .agg(sum(col("psi_term"))).head().getDouble(0)
+    assert(shifted > 0.25, s"psi $shifted should flag the shift")
+  }
+
   test("paragraph dedup keeps first global occurrence, nulls full copies") {
     val df = Seq(
       (1L, "alpha beta\nshared footer\ngamma delta"),
