@@ -84,6 +84,7 @@ object SparkEntry {
     "q_split_leakage"    -> (OpsQueries.splitLeakage _),
     "q_epoch_shuffle"    -> (OpsQueries.epochShuffleQ _),
     "q_psi"              -> (OpsQueries.psiQ _),
+    "q_span_removal"     -> (OpsQueries.spanRemoval _),
     "q_embed_project"    -> (OpsQueries.embedProject _),
     "q_lang_id"          -> (OpsQueries.langId _),
     "q_quality_score"    -> (OpsQueries.qualityScore _),

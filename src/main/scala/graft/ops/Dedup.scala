@@ -987,4 +987,45 @@ object Dedup {
       .filter(col("span_tokens") >= minTokens)
       .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
   }
+
+  /** EXACT SUBSTRING DEDUP — the removal step of Lee et al. 2022
+    * (arXiv:2107.06499): every duplicated >= minTokens token run is
+    * EXCISED from the LATER document (larger id) of each pair, so one
+    * copy of every long substring survives corpus-wide. Overlapping
+    * spans union per document; documents whose every token is covered
+    * come back with NULL text (the [[paragraphDedup]] convention).
+    * Tokenization is [[words]] (lowercased \s+ split), matching span
+    * detection, so positions align exactly; the rebuilt text is
+    * therefore lowercase-normalized. Cross-document spans only —
+    * within-document repeats are repetition-filter territory.
+    *
+    * Output: (id, n_tokens, n_kept, text).
+    *
+    * Shape: [[duplicateSpans]] (inverted gram join, per-(pair,
+    * diagonal) windows) → spans explode to covered positions (volume =
+    * total duplicated tokens, corpus-bounded) → one left_anti join
+    * against the token table → per-document ordered rebuild (state
+    * bounded by single-document size). */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           minTokens: Int, gramWidth: Int = 8,
+                           maxDf: Int = Int.MaxValue): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, minTokens, gramWidth, maxDf)
+    val drop = spans.select(col("id_b").as("__id"),
+        explode(sequence(col("start_b").cast("long"),
+          col("start_b").cast("long") + col("span_tokens") - 1)).as("pos"))
+      .select(col("__id"), col("pos").cast("int").as("pos"))
+      .distinct()
+    val toks = df.select(col(idCol).cast("long").as("__id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "__w")))
+    val kept = toks.join(drop, Seq("__id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("__id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__w")))),
+          s => s.getField("__w")), " ").as("text"))
+    toks.groupBy("__id").agg(count(lit(1)).as("n_tokens"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("text"))
+  }
 }

@@ -682,6 +682,50 @@ object OpsOracles {
         |FROM i GROUP BY id_a, id_b, diag, island
         |HAVING span_tokens >= 10
         |ORDER BY id_a, id_b, start_a, start_b""".stripMargin.trim,
+    // substring-dedup removal: the q_dup_spans chain, then covered
+    // positions excised from the later doc and the text rebuilt
+    "q_span_removal" ->
+      """
+        |WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |base AS (
+        |  SELECT doc_id, text FROM src
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    'uniq' || doc_id || ' '
+        |      || coalesce(array_to_string(ws[11:50], ' '), '')
+        |      || ' ' || 'tail' || doc_id
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM src)),
+        |w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') ws FROM base),
+        |g0 AS (SELECT doc_id, unnest(list_transform(generate_series(0, greatest(len(ws)-5, 0)),
+        |         i -> {'pos': i, 'gh': md5(array_to_string(ws[i+1 : i+5], ' '))})) AS u FROM w),
+        |g AS (SELECT doc_id, u.pos AS pos, u.gh AS gh FROM g0),
+        |p AS (SELECT a.doc_id id_a, b.doc_id id_b, a.pos pos_a, b.pos pos_b, a.pos - b.pos AS diag
+        |      FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+        |i AS (SELECT *, pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+        |      FROM p),
+        |spans AS (
+        |  SELECT id_b, min(pos_b)::BIGINT AS start_b,
+        |         (count(*) + 4)::BIGINT AS span_tokens
+        |  FROM i GROUP BY id_a, id_b, diag, island
+        |  HAVING span_tokens >= 10),
+        |drop0 AS (SELECT id_b AS doc_id,
+        |            unnest(generate_series(start_b, start_b + span_tokens - 1)) AS pos
+        |          FROM spans),
+        |dropped AS (SELECT DISTINCT doc_id, pos FROM drop0),
+        |toks AS (SELECT doc_id, unnest(generate_series(1, len(ws))) - 1 AS pos,
+        |           unnest(ws) AS wd FROM w),
+        |kept AS (SELECT t.doc_id, t.pos, t.wd FROM toks t
+        |         LEFT JOIN dropped d ON t.doc_id = d.doc_id AND t.pos = d.pos
+        |         WHERE d.doc_id IS NULL),
+        |rb AS (SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(wd, ' ' ORDER BY pos) AS text
+        |       FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM w)
+        |SELECT tot.doc_id, tot.n_tokens, coalesce(rb.n_kept, 0)::BIGINT AS n_kept,
+        |       rb.text
+        |FROM tot LEFT JOIN rb ON tot.doc_id = rb.doc_id
+        |ORDER BY tot.doc_id""".stripMargin.trim,
+
     "q_contamination" ->
       """
         |WITH sets AS (

@@ -223,6 +223,23 @@ object OpsQueries {
         col("n_chars"), budget = 1000000L)
       .orderBy("domain")
 
+  /** Exact substring-dedup REMOVAL over the same planted overlap as
+    * [[dupSpans]]: each clone (larger id) loses the 40-token window it
+    * shares with its source; sentinel tokens survive. */
+  def spanRemoval(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents").filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val w = Dedup.words(col("text"))
+    val planted = d.select((col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ",
+        concat(lit("uniq"), col("doc_id")),
+        array_join(slice(w, 11, 40), " "),
+        concat(lit("tail"), col("doc_id"))).as("text"))
+    Dedup.removeDuplicateSpans(d.unionAll(planted), "doc_id", "text",
+        minTokens = 10, gramWidth = 5)
+      .orderBy("doc_id")
+  }
+
   /** URL-keyed crawl dedup: injected URL variants (case, www., default
     * port, tracking params, fragment, param order) collapse to one
     * canonical key per page; a genuinely different query string stays

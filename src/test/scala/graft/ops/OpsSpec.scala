@@ -1000,6 +1000,24 @@ class OpsSpec extends SparkSpec {
     assert(spans.toSet == Set((1L, 2L, 0, 2, 6L)))
   }
 
+  test("span removal excises later copies, keeps the first occurrence") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z z a b c d e f q q"),   // loses "a b c d e f"
+      (3L, "a b c d e f g h i j"))   // full copy: everything removed
+      .toDF("id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "id", "text",
+        minTokens = 4, gramWidth = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3))))
+    assert(out.toSeq == Seq(
+      (1L, 10L, 10L, Some("a b c d e f g h i j")),
+      (2L, 10L, 4L, Some("z z q q")),
+      (3L, 10L, 0L, None)))
+  }
+
   test("duplicate spans: disjoint shared runs stay separate maximal spans") {
     import spark.implicits._
     val df = Seq(
