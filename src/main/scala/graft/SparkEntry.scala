@@ -85,6 +85,8 @@ object SparkEntry {
     "q_epoch_shuffle"    -> (OpsQueries.epochShuffleQ _),
     "q_psi"              -> (OpsQueries.psiQ _),
     "q_span_removal"     -> (OpsQueries.spanRemoval _),
+    "q_containment"      -> (OpsQueries.containmentQ _),
+    "q_calibrated_rank"  -> (OpsQueries.calibratedRank _),
     "q_embed_project"    -> (OpsQueries.embedProject _),
     "q_lang_id"          -> (OpsQueries.langId _),
     "q_quality_score"    -> (OpsQueries.qualityScore _),

@@ -408,6 +408,52 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT pairs: |A ∩ B| / |A| >= threshold over
+    * distinct n-gram sets — the EXCERPT detector. Jaccard misses a
+    * short quote inside a long document (the union term swamps it);
+    * containment asks "what fraction of the SMALLER side's grams
+    * appear in the other", flagging quotes, syndicated snippets, and
+    * benchmark text embedded in web pages. Emits (id_small, id_big)
+    * with the containment of the smaller-set side (ties by id).
+    *
+    * Shape: identical inverted-index machinery to
+    * [[ngramJaccardPairs]] — hash-gram candidate join, counts-only
+    * verify; `maxDf` caps stopword-gram fan-out. Inherently quadratic
+    * in co-occurring docs like every exact pair op — LSH remains the
+    * corpus-wide path. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleWidth: Int = 3,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sets = shingleSets(df, idCol, textCol, shingleWidth)
+      .withColumn("n", size(col("sh")))
+      .localCheckpoint(false)
+    val inv0 = sets.select(col("__id"), col("n"), explode(col("sh")).as("g"))
+      .withColumn("gh", xxhash64(col("g"))).drop("g")
+    val inv = (if (maxDf == Int.MaxValue) inv0
+               else {
+                 val ok = inv0.groupBy(col("gh"))
+                   .agg(count(lit(1)).as("df"))
+                   .filter(col("df") <= maxDf)
+                   .select(col("gh"))
+                 inv0.join(ok, Seq("gh"), "left_semi")
+               }).localCheckpoint(false)
+    val pairCounts = inv.as("a").join(inv.as("b"),
+        col("a.gh") === col("b.gh") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    // containment of the smaller-gram-set side; on equal sizes the
+    // smaller id (id_a, by join construction) is the "small" side
+    val small = col("na") <= col("nb")
+    pairCounts
+      .withColumn("id_small", when(small, col("id_a")).otherwise(col("id_b")))
+      .withColumn("id_big", when(small, col("id_b")).otherwise(col("id_a")))
+      .withColumn("containment", col("c") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select("id_small", "id_big", "containment")
+  }
+
   /** Exact-threshold Jaccard join via PREFIX FILTERING (the
     * SSJoin/PPJoin family): identical output to the all-pairs
     * [[ngramJaccardPairs]] at the same threshold, but candidate pairs

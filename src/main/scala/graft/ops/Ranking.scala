@@ -58,6 +58,25 @@ object Ranking {
         StructField("bucket", LongType, nullable = false))))
   }
 
+  /** DOMAIN-CALIBRATED percentile rank: percent_rank of `sortCols`
+    * within each `groupCol` — makes a raw quality/length/perplexity
+    * score comparable ACROSS domains ("keep each domain's top 20%"
+    * instead of one global threshold that wipes out whole domains).
+    * `sortCols` must be a total order (unique tiebreak) for
+    * engine-exact ranks; percent_rank = (rank-1)/(n-1) is then an
+    * exact rational.
+    *
+    * Shape: one keyed window per group — state bounded by group size
+    * (the `rolling`/per-key discipline); for a single giant group use
+    * [[globalRank]] + arithmetic instead. */
+  def groupPercentRank(df: DataFrame, groupCol: Column,
+                       sortCols: Seq[Column]): DataFrame = {
+    require(sortCols.nonEmpty, "need at least one sort column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(sortCols: _*)
+    df.withColumn("pct_rank", percent_rank().over(w))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the hybrid-search
     * combiner: each ranker contributes 1/(k + rank) per candidate and
     * the fused score is the sum, so scale-incompatible score spaces

@@ -140,33 +140,31 @@ object Temporal {
     * DETERMINISTIC total order (ts, tieCol), so ties at the bucket edge
     * resolve identically on every engine (arg_min/arg_max style
     * aggregates leave ties engine-defined, which would break the
-    * oracle).
+    * oracle): open/close are `min/max(struct(ts, tie, v))` — the
+    * struct comparison resolves on (ts, tie) before ever reaching v.
     *
-    * Shape: one (key, bucket)-hash shuffle; the row_number + per-bucket
-    * count ride the same partitioning, then one partial-aggregated
-    * groupBy. Bucket membership is pure integer arithmetic on epoch
-    * micros (pmod, not float division — a float quotient could land an
-    * edge timestamp in the wrong bar). Volume accumulates integer
-    * cents; the only doubles in the output are the carried o/h/l/c
-    * values themselves. */
+    * Shape: ONE partial-aggregated (key, bucket) groupBy — no windows,
+    * no per-bucket sort; a bucket with a billion events combines
+    * map-side to one row per input partition. Bucket membership is
+    * pure integer arithmetic on epoch micros (pmod, not float division
+    * — a float quotient could land an edge timestamp in the wrong
+    * bar). Volume accumulates integer cents; the only doubles in the
+    * output are the carried o/h/l/c values themselves. */
   def ohlcBars(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
                valCol: Column, bucketSeconds: Long): DataFrame = {
     require(bucketSeconds >= 1, "bucketSeconds must be >= 1")
     val step = bucketSeconds * 1000000L
     val us = unix_micros(col(tsCol))
-    val w = Window.partitionBy(col(keyCol), col("__bar"))
-      .orderBy(col(tsCol), col(tieCol))
-    val wAll = Window.partitionBy(col(keyCol), col("__bar"))
+    val edge = struct(col(tsCol).as("__t"), col(tieCol).as("__k"),
+      col("__v"))
     df.select(col(keyCol), col(tsCol), col(tieCol), valCol.as("__v"),
         timestamp_micros(us - pmod(us, lit(step))).as("__bar"))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__cnt", count(lit(1)).over(wAll))
       .groupBy(col(keyCol), col("__bar").as("bar_start"))
       .agg(
-        max(when(col("__rn") === 1, col("__v"))).as("open"),
+        min(edge).getField("__v").as("open"),
         max(col("__v")).as("high"),
         min(col("__v")).as("low"),
-        max(when(col("__rn") === col("__cnt"), col("__v"))).as("close"),
+        max(edge).getField("__v").as("close"),
         sum(round(col("__v") * 100).cast("long")).as("vol_cents"),
         count(lit(1)).as("n_events"))
   }

@@ -682,6 +682,45 @@ object OpsOracles {
         |FROM i GROUP BY id_a, id_b, diag, island
         |HAVING span_tokens >= 10
         |ORDER BY id_a, id_b, start_a, start_b""".stripMargin.trim,
+    // per-language percent_rank of document length
+    "q_calibrated_rank" ->
+      """
+        |SELECT doc_id, lang, n_chars,
+        |  round(percent_rank() OVER (PARTITION BY lang
+        |          ORDER BY n_chars, doc_id), 6) AS pct_rank
+        |FROM documents ORDER BY doc_id""".stripMargin.trim,
+
+    // smaller-side containment over the planted-excerpt corpus; the
+    // shingle chain mirrors q_ngram_jaccard's construction
+    "q_containment" ->
+      """
+        |WITH docs AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 1000
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    'qa' || doc_id || ' qb' || doc_id || ' '
+        |      || coalesce(array_to_string(w[11:25], ' '), '')
+        |      || ' qc' || doc_id
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w
+        |        FROM documents WHERE doc_id < 1000)),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+        |  FROM (SELECT id, string_split(lower(trim(text)), ' ') w FROM docs)),
+        |inv AS (SELECT id, len(s) AS n, unnest(s) AS g FROM sets),
+        |pc AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.n AS na, b.n AS nb, count(*)::double AS c
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.id < b.id
+        |  GROUP BY 1, 2, 3, 4),
+        |oriented AS (
+        |  SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS id_small,
+        |         CASE WHEN na <= nb THEN id_b ELSE id_a END AS id_big,
+        |         c / least(na, nb) AS containment
+        |  FROM pc)
+        |SELECT id_small, id_big, round(containment, 4) AS containment
+        |FROM oriented WHERE containment >= 0.5
+        |ORDER BY id_small, id_big""".stripMargin.trim,
+
     // substring-dedup removal: the q_dup_spans chain, then covered
     // positions excised from the later doc and the text rebuilt
     "q_span_removal" ->

@@ -223,6 +223,38 @@ object OpsQueries {
         col("n_chars"), budget = 1000000L)
       .orderBy("domain")
 
+  /** Per-language calibrated percentile of document length — the
+    * "top-k% within each domain" score normalization. */
+  def calibratedRank(spark: SparkSession, dir: String): DataFrame =
+    Ranking.groupPercentRank(
+        tbl(spark, dir, "documents").select("doc_id", "lang", "n_chars"),
+        col("lang"), Seq(col("n_chars"), col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("pct_rank"), 6).as("pct_rank"))
+      .orderBy("doc_id")
+
+  /** Containment (excerpt) detection on planted short quotes: each
+    * clone embeds a 15-word excerpt of its source inside unique filler
+    * — Jaccard stays far below any useful threshold (the union term
+    * swamps the quote) but smaller-side containment clears 0.5.
+    * Bounded slice like [[ngramJaccard]]: exact pair ops are the
+    * quadratic anchors; LSH is the corpus path. */
+  def containmentQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents").filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("text"))
+    val w = Dedup.words(col("text"))
+    val planted = d.select((col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ",
+        concat(lit("qa"), col("doc_id")), concat(lit("qb"), col("doc_id")),
+        array_join(slice(w, 11, 15), " "),
+        concat(lit("qc"), col("doc_id"))).as("text"))
+    Dedup.containmentPairs(d.unionAll(planted), "doc_id", "text",
+        threshold = 0.5)
+      .select(col("id_small"), col("id_big"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy("id_small", "id_big")
+  }
+
   /** Exact substring-dedup REMOVAL over the same planted overlap as
     * [[dupSpans]]: each clone (larger id) loses the 40-token window it
     * shares with its source; sentinel tokens survive. */

@@ -46,6 +46,34 @@ object EventAgg {
                        watermark: String = "2 hours"): DataFrame =
     slidingAgg(events.withWatermark("ts", watermark), windowLen, slide)
 
+  /** OHLC bars as a pure aggregation — the same min/max(struct) shape
+    * as `Temporal.ohlcBars`, expressed over Spark's `window` generator
+    * so it runs identically over batch and streaming frames (the
+    * struct-edge trick needs NO windows/row_numbers, which is what
+    * makes it streamable: open/close are ordinary commutative
+    * aggregates). Streaming callers watermark upstream. */
+  def ohlcAgg(events: DataFrame, keyCol: String, tieCol: String,
+              valCol: String, windowLen: String = "1 hour"): DataFrame = {
+    val edge = struct(col("ts").as("__t"), col(tieCol).as("__k"),
+      col(valCol).as("__v"))
+    events.groupBy(window(col("ts"), windowLen).as("w"), col(keyCol))
+      .agg(min(edge).getField("__v").as("open"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        max(edge).getField("__v").as("close"),
+        sum(round(col(valCol) * 100).cast("long")).as("vol_cents"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("bar_start"), col(keyCol),
+        col("open"), col("high"), col("low"), col("close"),
+        col("vol_cents"), col("n_events"))
+  }
+
+  def ohlcAggStream(events: DataFrame, keyCol: String, tieCol: String,
+                    valCol: String, windowLen: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    ohlcAgg(events.withWatermark("ts", watermark), keyCol, tieCol, valCol,
+      windowLen)
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long, sum_value: Double)

@@ -1000,6 +1000,24 @@ class OpsSpec extends SparkSpec {
     assert(spans.toSet == Set((1L, 2L, 0, 2, 6L)))
   }
 
+  test("containment flags a short excerpt that jaccard misses") {
+    import spark.implicits._
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (20 to 30).map(i => s"w$i").mkString(" ")   // 11 words
+    val df = Seq(
+      (1L, long),
+      (2L, s"intro1 intro2 $quote outro1 outro2"),
+      (3L, "totally unrelated words only here")).toDF("id", "text")
+    val cont = Dedup.containmentPairs(df, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.length == 1)
+    val (s, b, c) = cont.head
+    assert(s == 2L && b == 1L && c > 0.5)
+    // the same pair is invisible to exact Jaccard at any useful threshold
+    val jac = Dedup.ngramJaccardPairs(df, "id", "text", threshold = 0.3)
+    assert(jac.count() == 0)
+  }
+
   test("span removal excises later copies, keeps the first occurrence") {
     import spark.implicits._
     val df = Seq(

@@ -356,4 +356,34 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue)).toSet
     assert(got.toSet == batchHits && batchHits.nonEmpty)
   }
+
+  test("streaming OHLC bars match the batch aggregation, ties included") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long, Double)]
+    val stream = input.toDF().toDF("ts", "k", "id", "v")
+    val q = EventAgg.ohlcAggStream(stream, "k", "id", "v", "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("ohlc").outputMode("append").start()
+    // two events share ts(0): open must break the tie by id (1 < 2)
+    val evts = Seq(
+      (ts(0), "x", 1L, 10.0), (ts(0), "x", 2L, 30.0), (ts(30), "x", 3L, 5.0),
+      (ts(70), "x", 4L, 7.25), (ts(10), "y", 5L, 2.5))
+    input.addData(evts)
+    q.processAllAvailable()
+    // advance watermark far enough to finalize every window
+    input.addData((ts(10000), "zz", 9L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "select bar_start, k, open, high, low, close, vol_cents, n_events from ohlc")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6),
+        r.getLong(7))).toSet
+    val batch = EventAgg.ohlcAgg(evts.toDF("ts", "k", "id", "v"),
+        "k", "id", "v", "1 hour")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6),
+        r.getLong(7))).toSet
+    assert(streamed == batch && batch.size == 3,
+      s"streamed=$streamed batch=$batch")
+  }
 }
