@@ -41,7 +41,14 @@ object Plans {
       // paragraphs; rerank candidate-sized joins + broadcast queries;
       // ohlc ONE (key,bucket) Exchange shared by windows and agg
       "q_group_sample", "q_para_dedup", "q_ann_rerank", "q_ohlc",
-      "q_temp_budgets")
+      "q_temp_budgets",
+      // round-8 part 3: url_dedup one map-side-combined agg on the
+      // canonical key; split_leakage pair-graph CC + narrow hash
+      // filter; epoch_shuffle the two-pass range rank; span_removal
+      // gram join + left_anti + bounded rebuild; containment the
+      // inverted-index pair join; calibrated_rank one keyed window
+      "q_url_dedup", "q_split_leakage", "q_epoch_shuffle", "q_psi",
+      "q_span_removal", "q_containment", "q_calibrated_rank")
     interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
