@@ -630,6 +630,76 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  // --------------------------------------------------- materialized layout
+
+  /** MATERIALIZED cell-partitioned corpus layout: assign each vector to
+    * its coarse cell ONCE and write `partitionBy(cell)` — searches then
+    * read only probed cell DIRECTORIES (parquet partition pruning)
+    * instead of re-assigning the whole corpus per query batch. This is
+    * the serving-side half of the FAISS IVF recipe: the quantizer
+    * ([[saveIvfIndex]]) is tiny and frozen; the corpus lives as a
+    * cell-keyed table whose file layout IS the index. */
+  def saveIvfLayout(corpus: DataFrame, idCol: String, vecCol: String,
+                    centers: Array[Array[Double]], path: String,
+                    mode: String = "overwrite"): Unit = {
+    require(centers.nonEmpty, "need at least one centroid")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(centers)
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, nearestCell(v, bcC.value)) }
+      .toDF("id", "vec", "cell")
+      .write.mode(mode).partitionBy("cell").parquet(path)
+  }
+
+  /** INCREMENTAL indexing: assign a new vector batch with the SAME
+    * frozen quantizer and dynamic-partition-append it into the layout
+    * — the daily-embedding-delta path. No retrain, no rewrite of
+    * existing cells; existing files are untouched. */
+  def appendIvfLayout(batch: DataFrame, idCol: String, vecCol: String,
+                      centers: Array[Array[Double]], path: String): Unit =
+    saveIvfLayout(batch, idCol, vecCol, centers, path, mode = "append")
+
+  /** Search a [[saveIvfLayout]] table: probed cells resolve driver-side
+    * against the tiny centroid table, and the `cell IN (...)` literal
+    * filter becomes a parquet PartitionFilter — only probed cell
+    * directories are ever read. Result semantics are identical to
+    * [[ivfTopKFixed]] over the same corpus and centers. */
+  def ivfTopKFromLayout(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int,
+                        centers: Array[Array[Double]],
+                        nprobe: Int = 4): DataFrame = {
+    require(centers.nonEmpty, "need at least one centroid")
+    import spark.implicits._
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])].collect()
+    val probes = q.flatMap { case (qid, qv) =>
+      centers.zipWithIndex.map { case (c, i) => (sqdist(qv, c), i) }
+        .sortBy(_._1).take(nprobe).map { case (_, cell) => (qid, qv, cell) }
+    }
+    val probedCells = probes.map(_._3).distinct.toSeq
+    val probeDf = spark.createDataset(probes.toSeq)
+      .toDF("query_id", "qv", "cell")
+    val layout = spark.read.parquet(path)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    layout.join(broadcast(probeDf), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine(spark, col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   // --------------------------------------------------- index persistence
 
   /** Persist a trained IVF quantizer (the FAISS write-index workflow:

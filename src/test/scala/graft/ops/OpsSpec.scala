@@ -234,6 +234,32 @@ class OpsSpec extends SparkSpec {
     assert(f1 == f2, "loaded IVFPQ index must score identically")
   }
 
+  test("IVF layout: cell-partitioned search equals in-memory, appends incrementally, prunes partitions") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val centers = Ann.trainIvf(e, "vec_id", "embedding", nlist = 8)
+    val base = s"/tmp/graft-ivf-layout-${java.util.UUID.randomUUID().toString.take(8)}"
+    val first = e.filter(col("vec_id") < 600)
+    val rest = e.filter(col("vec_id") >= 600)
+    Ann.saveIvfLayout(first, "vec_id", "embedding", centers, base)
+    def run(corpus: org.apache.spark.sql.DataFrame) =
+      Ann.ivfTopKFixed(corpus, q, "vec_id", "embedding", 5, centers, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def runLayout() =
+      Ann.ivfTopKFromLayout(spark, base, q, "vec_id", "embedding", 5,
+        centers, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(runLayout() == run(first), "layout search must equal in-memory")
+    // incremental append: same frozen quantizer, untouched old cells
+    Ann.appendIvfLayout(rest, "vec_id", "embedding", centers, base)
+    assert(runLayout() == run(e), "appended layout must equal full corpus")
+    // the probe filter must prune parquet partitions (cell directories)
+    val plan = spark.read.parquet(base).filter(col("cell").isin(0, 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected partition pruning on cell, plan:\n$plan")
+  }
+
   test("ANN index persistence: train once, save, load, identical results") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
