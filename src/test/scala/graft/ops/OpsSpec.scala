@@ -1182,6 +1182,48 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => !r.getDouble(2).isNaN))
   }
 
+  test("round-8 operators tolerate degenerate inputs") {
+    import spark.implicits._
+    // paragraph dedup: null text explodes to no paragraphs — the doc
+    // simply has no row (same contract as shingle ops on null text)
+    val pd = Dedup.paragraphDedup(
+      Seq((1L, null.asInstanceOf[String]), (2L, "a\nb")).toDF("id", "text"),
+      "id", "text").collect()
+    assert(pd.map(_.getLong(0)).toSet == Set(2L))
+    // group sample with k >= group size returns the whole group
+    val gs = Sampling.groupSample(
+      Seq((1L, "g"), (2L, "g")).toDF("id", "grp"), col("id"), col("grp"), 10)
+    assert(gs.count() == 2)
+    // temperature budgets: a single domain takes the entire budget
+    val tb = Sampling.temperatureBudgets(
+      Seq(("only", 42L)).toDF("d", "m"), col("d"), col("m"), 777L).head()
+    assert(tb.getLong(2) == 777L)
+    // ohlc: a single event is its own open/high/low/close
+    val one = Temporal.ohlcBars(
+      Seq(("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, 3.5))
+        .toDF("k", "ts", "id", "v"), "k", "ts", "id", col("v"), 60L).head()
+    assert(one.getDouble(2) == 3.5 && one.getDouble(5) == 3.5 &&
+      one.getLong(6) == 350L && one.getLong(7) == 1L)
+    // epoch shuffle of an empty frame is empty (two-pass rank included)
+    assert(Sampling.epochShuffle(
+      spark.range(0).toDF("id"), col("id"), 1).count() == 0)
+    // containment on disjoint docs: no pairs
+    assert(Dedup.containmentPairs(
+      Seq((1L, "aa bb cc dd"), (2L, "xx yy zz ww")).toDF("id", "text"),
+      "id", "text", threshold = 0.1).count() == 0)
+    // leakage split with no pairs: every id a singleton, all assigned
+    val ls = Sampling.leakageSafeSplit(spark.range(1, 51).toDF("id"), "id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b",
+      Seq("train" -> 0.9, "test" -> 0.1))
+    assert(ls.count() == 50 && ls.filter(col("cluster_id") =!= col("id")).count() == 0)
+    // span removal with no duplicates returns every doc unchanged
+    val sr = Dedup.removeDuplicateSpans(
+      Seq((1L, "a b c d e f")).toDF("id", "text"), "id", "text",
+      minTokens = 4, gramWidth = 3).head()
+    assert(sr.getLong(1) == 6L && sr.getLong(2) == 6L &&
+      sr.getString(3) == "a b c d e f")
+  }
+
   test("canonical url collapses variants, keeps real query differences") {
     val urls = Seq(
       (1L, "https://site.example.org/page"),
