@@ -1182,6 +1182,47 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => !r.getDouble(2).isNaN))
   }
 
+  test("temperature budgets: exact integer apportionment on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 8) {
+      val doms = (1 to 1 + rnd.nextInt(8))
+        .map(i => (s"d$i", 1L + rnd.nextInt(100000).toLong))
+      val budget = 1L + rnd.nextInt(1000000).toLong
+      val out = Sampling.temperatureBudgets(doms.toDF("d", "m"),
+        col("d"), col("m"), budget).collect()
+      assert(out.map(_.getLong(2)).sum == budget,
+        s"allocations must sum exactly to $budget for $doms")
+      assert(out.forall(_.getLong(2) >= 0))
+    }
+  }
+
+  test("paragraph dedup invariant: total kept equals distinct paragraphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pool = (1 to 10).map(i => s"para$i content piece number $i")
+    val docs = (1L to 30L).map { id =>
+      val k = 1 + rnd.nextInt(5)
+      (id, Seq.fill(k)(pool(rnd.nextInt(pool.size))).mkString("\n"))
+    }
+    val out = Dedup.paragraphDedup(docs.toDF("id", "text"), "id", "text")
+      .collect()
+    // each distinct paragraph hash survives exactly once corpus-wide —
+    // INCLUDING within-document repeats (only one copy of a repeated
+    // paragraph inside the same doc keeps its slot)
+    val distinctParas = docs.flatMap(_._2.split("\n")).distinct.size
+    assert(out.map(_.getLong(2)).sum == distinctParas)
+    // kept text is always an ordered subsequence of the original
+    val orig = docs.toMap
+    out.filter(!_.isNullAt(3)).foreach { r =>
+      val keptSeq = r.getString(3).split("\n").toSeq
+      val origSeq = orig(r.getLong(0)).split("\n").toSeq
+      val it = origSeq.iterator
+      assert(keptSeq.forall(p => it.contains(p)),
+        s"doc ${r.getLong(0)}: kept text must be an ordered subsequence")
+    }
+  }
+
   test("round-8 operators tolerate degenerate inputs") {
     import spark.implicits._
     // paragraph dedup: null text explodes to no paragraphs — the doc
