@@ -357,6 +357,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == batchHits && batchHits.nonEmpty)
   }
 
+  test("streaming crawl-frontier dedup keys on the canonical URL") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    // canonicalUrl is a plain narrow column — it composes into the
+    // watermarked dedup with no extra shuffle or state
+    val stream = input.toDF().toDF("ts", "url")
+      .withColumn("curl", graft.ops.TextAnalysis.canonicalUrl(col("url")))
+    val q = EventAgg.dedupStream(stream, Seq("curl"), "10 minutes")
+      .writeStream.format("memory").queryName("url_dedup_out")
+      .outputMode("append").start()
+    input.addData(
+      (ts(0), "https://site.example.org/page"),
+      (ts(1), "HTTPS://WWW.SITE.EXAMPLE.ORG:443/page/"),    // same page
+      (ts(2), "https://site.example.org/page?utm_source=x"), // same page
+      (ts(3), "https://site.example.org/other"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("select curl, url from url_dedup_out").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set("https://site.example.org/page",
+      "https://site.example.org/other"))
+    // first-seen raw variant survives for the deduped page
+    assert(out("https://site.example.org/page") == "https://site.example.org/page")
+  }
+
   test("streaming OHLC bars match the batch aggregation, ties included") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long, Double)]
