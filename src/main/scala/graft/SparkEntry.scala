@@ -87,6 +87,7 @@ object SparkEntry {
     "q_span_removal"     -> (OpsQueries.spanRemoval _),
     "q_containment"      -> (OpsQueries.containmentQ _),
     "q_calibrated_rank"  -> (OpsQueries.calibratedRank _),
+    "q_group_budget"     -> (OpsQueries.groupBudgetSelect _),
     "q_embed_project"    -> (OpsQueries.embedProject _),
     "q_lang_id"          -> (OpsQueries.langId _),
     "q_quality_score"    -> (OpsQueries.qualityScore _),

@@ -58,4 +58,34 @@ object Curation {
     spark.createDataFrame(kept, schema.add("cum_before", LongType))
       .drop("__cost")
   }
+
+  /** PER-GROUP budgeted selection — the step that turns
+    * [[graft.ops.Sampling.temperatureBudgets]]' per-domain token
+    * budgets into actual document picks: within each group, keep the
+    * greedy prefix of the `orderCols` ranking whose inclusive
+    * cumulative cost fits that group's budget. `budgets` is one row
+    * per group (a domain table — tiny, broadcast).
+    *
+    * Shape: one keyed window per group for the cumulative cost (state
+    * bounded by group size, the `rolling` discipline — for one
+    * enormous ungrouped corpus use [[selectByBudget]]'s two-pass
+    * machinery instead) + a broadcast join against the budget table.
+    * Integer costs keep the prefix sums engine-exact; `orderCols` must
+    * total-order within each group (id tiebreak). */
+  def selectByGroupBudget(df: DataFrame, groupCol: Column,
+                          orderCols: Seq[Column], costCol: Column,
+                          budgets: DataFrame, budgetGroupCol: String,
+                          budgetCol: String): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val b = budgets.select(col(budgetGroupCol).as("__g"),
+      col(budgetCol).cast("long").as("__budget"))
+    df.withColumn("__cost", costCol.cast("long"))
+      .withColumn("__cum", sum(col("__cost")).over(w))
+      .join(broadcast(b), groupCol === col("__g"))
+      .filter(col("__cum") <= col("__budget"))
+      .drop("__g", "__budget", "__cost", "__cum")
+  }
 }

@@ -682,6 +682,33 @@ object OpsOracles {
         |FROM i GROUP BY id_a, id_b, diag, island
         |HAVING span_tokens >= 10
         |ORDER BY id_a, id_b, start_a, start_b""".stripMargin.trim,
+    // temperature budgets (same HUGEINT chain as q_temp_budgets at
+    // budget=100000) turned into per-language greedy prefix picks
+    "q_group_budget" ->
+      """
+        |WITH dom AS (SELECT lang AS domain, cast(sum(n_chars) AS BIGINT) AS mass
+        |             FROM documents GROUP BY 1),
+        |w AS (SELECT domain, mass,
+        |        cast(floor(sqrt(mass::DOUBLE) * 1e6) AS HUGEINT) AS w FROM dom),
+        |t AS (SELECT sum(w) AS tw FROM w),
+        |b AS (SELECT domain, (100000::HUGEINT * w) // tw AS base,
+        |             (100000::HUGEINT * w) % tw AS rem FROM w, t),
+        |l AS (SELECT 100000 - sum(base) AS leftover FROM b),
+        |r AS (SELECT domain, base,
+        |        row_number() OVER (ORDER BY rem DESC, domain) AS rk FROM b),
+        |alloc AS (SELECT domain,
+        |            cast(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |                 AS BIGINT) AS tokens_alloc
+        |          FROM r, l),
+        |sel AS (SELECT doc_id, lang, n_chars,
+        |          sum(n_chars) OVER (PARTITION BY lang
+        |            ORDER BY n_chars DESC, doc_id
+        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM documents)
+        |SELECT doc_id, lang, n_chars
+        |FROM sel JOIN alloc ON sel.lang = alloc.domain
+        |WHERE cum <= tokens_alloc ORDER BY doc_id""".stripMargin.trim,
+
     // per-language percent_rank of document length
     "q_calibrated_rank" ->
       """

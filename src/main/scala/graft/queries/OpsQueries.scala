@@ -223,6 +223,21 @@ object OpsQueries {
         col("n_chars"), budget = 1000000L)
       .orderBy("domain")
 
+  /** The full mixture pipeline: temperature-scaled per-language token
+    * budgets ([[tempBudgets]]' construction) turned into actual
+    * document picks — within each language, the longest-first greedy
+    * prefix whose cumulative n_chars fits that language's allocation. */
+  def groupBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+    val budgets = Sampling.temperatureBudgets(d, col("lang"), col("n_chars"),
+      budget = 100000L)
+    Curation.selectByGroupBudget(d.select("doc_id", "lang", "n_chars"),
+        col("lang"), Seq(col("n_chars").desc, col("doc_id").asc),
+        col("n_chars"), budgets, "domain", "tokens_alloc")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Per-language calibrated percentile of document length — the
     * "top-k% within each domain" score normalization. */
   def calibratedRank(spark: SparkSession, dir: String): DataFrame =

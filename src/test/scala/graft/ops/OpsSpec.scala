@@ -1182,6 +1182,21 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => !r.getDouble(2).isNaN))
   }
 
+  test("per-group budget selection keeps each group's greedy prefix") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 50L), (2L, "a", 40L), (3L, "a", 30L),  // a: budget 100
+      (4L, "b", 80L), (5L, "b", 10L)                    // b: budget 85
+    ).toDF("id", "g", "cost")
+    val budgets = Seq(("a", 100L), ("b", 85L)).toDF("g", "budget")
+    val kept = Curation.selectByGroupBudget(docs, col("g"),
+        Seq(col("cost").desc, col("id").asc), col("cost"),
+        budgets, "g", "budget")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // a: 50 + 40 = 90 fits, +30 would exceed; b: 80 fits, +10 exceeds
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
   test("temperature budgets: exact integer apportionment on random inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
