@@ -175,4 +175,27 @@ class PlanSpec extends SparkSpec {
       assert(joined.count() == plain)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("group sample plans WindowGroupLimit; ohlc plans no window at all") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val gs = Sampling.groupSample(docs, col("doc_id"), col("lang"), 5)
+    val gsPlan = gs.queryExecution.executedPlan.toString
+    // the rank filter must push a partial top-k BEFORE the shuffle —
+    // without WindowGroupLimit a billion-row group moves wholesale
+    assert(gsPlan.contains("WindowGroupLimit"), gsPlan.take(600))
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val bars = Temporal.ohlcBars(ev, "event_type", "ts", "event_id",
+      col("value"), 3600L)
+    val barPlan = bars.queryExecution.executedPlan.toString
+    // open/close ride min/max(struct) PARTIAL aggregation — any Window
+    // here is a regression to the sorted-per-bucket shape. Struct
+    // min/max plans as SortAggregate (task-local sort, no extra
+    // shuffle); the invariants are: no Window, partial before the
+    // exchange, exactly one hash Exchange
+    assert(!barPlan.contains("Window"), barPlan.take(600))
+    assert(barPlan.contains("partial_min"), barPlan.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(barPlan).size == 1,
+      barPlan.take(600))
+  }
 }
