@@ -85,13 +85,21 @@ object Ann {
     * join's probe side) and the query vectors broadcast; per-query
     * top-k is the WindowGroupLimit rank filter. At 100 TB the join is
     * shuffle-hash on the id — candidate volume is queries × m,
-    * independent of corpus size. */
+    * independent of corpus size.
+    *
+    * The shortlist is defensively normalized — self-pairs dropped and
+    * duplicate (query, candidate) pairs collapsed — so a producer that
+    * emits the query itself or overlapping candidate sets (e.g. a union
+    * of two recall routes) can't surface the query as its own neighbor
+    * or repeat a neighbor inside top-k. */
   def rerank(candidates: DataFrame, corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, queryCol: String,
              candCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val cand = candidates.select(col(queryCol).cast("long").as("query_id"),
       col(candCol).cast("long").as("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .distinct()
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).cast("long").as("query_id"),

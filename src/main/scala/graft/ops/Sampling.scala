@@ -163,7 +163,12 @@ object Sampling {
     val dom = df.groupBy(domainCol.as("domain"))
       .agg(sum(massCol.cast("long")).as("mass"))
       .withColumn("w", floor(sqrt(col("mass").cast("double")) * 1e6).cast(dec))
-    val totRow = dom.agg(sum(col("w")).cast(dec)).head()
+    val totRow = dom.agg(sum(col("w")).cast(dec),
+      count(when(col("mass").isNull || col("mass") < 0, 1))).head()
+    require(totRow.getLong(1) == 0,
+      "every domain mass must be non-negative and non-null — a negative " +
+        "or all-null mass would turn into sqrt(NaN) and silently break " +
+        "the exact-sum allocation invariant")
     require(!totRow.isNullAt(0) &&
       totRow.getDecimal(0).compareTo(java.math.BigDecimal.ZERO) > 0,
       "total weight must be positive")
@@ -193,6 +198,14 @@ object Sampling {
     * a single-partition window. Output adds `epoch_pos`. */
   def epochShuffle(df: DataFrame, keyCol: Column, epoch: Int): DataFrame = {
     require(epoch >= 0, "epoch must be >= 0")
+    // (2^31-1 + epoch·40503) · KNUTH must stay within a signed 64-bit
+    // long for the engine-exact contract to hold against a wider-integer
+    // oracle: (2^63-1)/KNUTH ≈ 3.4747e9 caps the salted key, giving
+    // epoch ≤ (3.4747e9 − 2^31)/40503 ≈ 32769. Beyond that Spark would
+    // silently wrap while a HUGEINT oracle would not.
+    require(epoch <= 32768,
+      "epoch must be <= 32768: larger salts overflow the 64-bit Knuth " +
+        "product and break engine-exactness")
     val salted = pmod(
       (pmod(keyCol.cast("long"), lit(RED)) + lit(epoch.toLong * 40503L))
         * lit(KNUTH), lit(MOD))

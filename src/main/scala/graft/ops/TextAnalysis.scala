@@ -122,8 +122,10 @@ object TextAnalysis {
   /** CANONICAL form of an absolute http(s) URL — the CommonCrawl-style
     * URL-key used for crawl dedup and provenance joins. Normalizations,
     * all engine-portable (simple regex + array ops, no dialect traps):
-    * lowercase scheme and host, strip a leading `www.`, strip default
-    * ports (:80/:443), drop the #fragment, drop tracking params
+    * lowercase scheme and host, strip a leading `www.`, strip the
+    * scheme's own default port (:80 for http, :443 for https — an
+    * explicit :443 on an http URL is a *different* resource and is
+    * kept), drop the #fragment, drop tracking params
     * (utm_*, fbclid, gclid), SORT the surviving query params (param
     * order is not semantic), and strip trailing slashes from the path.
     * Purely columnar — usable inside any narrow pass. */
@@ -131,8 +133,10 @@ object TextAnalysis {
     val noFrag = regexp_replace(url, "#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host0 = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val host = regexp_replace(regexp_replace(host0, "^www\\.", ""),
-      ":(80|443)$", "")
+    val noWww = regexp_replace(host0, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
     val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val path = regexp_replace(rest, "/+$", "")
     val qs = regexp_extract(noFrag, "\\?([^#]*)", 1)

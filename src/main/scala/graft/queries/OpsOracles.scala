@@ -1163,14 +1163,20 @@ object OpsOracles {
         |    END AS url
         |  FROM documents WHERE doc_id < 300),
         |n AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u),
-        |parts AS (
-        |  SELECT doc_id,
+        |raw AS (
+        |  SELECT doc_id, nf,
         |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
         |      AS scheme,
-        |    regexp_replace(regexp_replace(
+        |    regexp_replace(
         |      lower(regexp_extract(nf,
         |        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
-        |      '^www\.', ''), ':(80|443)$', '') AS host,
+        |      '^www\.', '') AS h
+        |  FROM n),
+        |parts AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(h, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(h, ':443$', '')
+        |         ELSE h END AS host,
         |    regexp_replace(regexp_extract(nf,
         |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
         |      '/+$', '') AS path,
@@ -1178,7 +1184,7 @@ object OpsOracles {
         |      string_split(regexp_extract(nf, '\?([^#]*)', 1), '&'),
         |      p -> p <> '' AND NOT regexp_matches(p,
         |             '^(utm_[a-z]+|fbclid|gclid)='))), '&'), '') AS q
-        |  FROM n),
+        |  FROM raw),
         |c AS (SELECT doc_id, scheme || '://' || host || path ||
         |        CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url
         |      FROM parts)
