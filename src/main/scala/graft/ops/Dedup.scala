@@ -19,6 +19,54 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Dropped-bucket observability for the LSH hot-bucket caps: how many
+    * band buckets exceeded `maxBucketSize` (and were excluded from
+    * candidate generation), how many band rows they held, and the
+    * largest bucket observed — the numbers a caller needs to decide
+    * whether a cap traded away real recall or only degenerate
+    * boilerplate (the [[graft.ops.Tokenizer.BpeTrainStats]] pattern:
+    * capped work, observable dropped mass). */
+  case class LshBucketDropStats(droppedBuckets: Long, droppedRows: Long,
+                                largestBucket: Long)
+
+  /** Shared hot-bucket cap: keep only band rows whose (bucket-key)
+    * group has at most `maxBucketSize` members, computing the drop
+    * stats in the same pass over the bucket-size aggregate. The stats
+    * aggregate is one extra job over the (already checkpointed)
+    * band-row projection — the price of never silently degrading
+    * recall. Returns the filtered band rows plus the stats. */
+  private def capBuckets(bandRows: DataFrame, keyCols: Seq[String],
+                         maxBucketSize: Int, opName: String)
+      : (DataFrame, LshBucketDropStats) = {
+    val sizes = bandRows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"))
+    val r = sizes.agg(
+      coalesce(sum(when(col("sz") > maxBucketSize, lit(1L))), lit(0L)),
+      coalesce(sum(when(col("sz") > maxBucketSize, col("sz"))), lit(0L)),
+      coalesce(max(col("sz")), lit(0L))).head()
+    val stats = LshBucketDropStats(r.getLong(0), r.getLong(1), r.getLong(2))
+    if (stats.droppedBuckets > 0)
+      log.warn(s"$opName: hot-bucket cap $maxBucketSize dropped " +
+        s"${stats.droppedBuckets} buckets / ${stats.droppedRows} band rows " +
+        s"(largest bucket: ${stats.largestBucket}); pairs inside dropped " +
+        "buckets are near-identical boilerplate — verify with exact dedup " +
+        "if that mass matters")
+    val ok = sizes.filter(col("sz") <= maxBucketSize)
+      .select(keyCols.map(col): _*)
+    (bandRows.join(ok, keyCols, "left_semi"), stats)
+  }
+
+  /** The finite default for the LSH hot-bucket caps. Candidate
+    * generation inside a bucket is O(size²), so one corpus-scale
+    * boilerplate bucket (empty docs, cookie banners) would degenerate
+    * the candidate join; 2048 keeps ~4M candidate pairs per worst-case
+    * bucket (bounded work) while sitting far above any bucket a
+    * non-degenerate corpus produces. Pass `Int.MaxValue` explicitly for
+    * uncapped exact semantics. */
+  val DefaultMaxBucketSize: Int = 2048
+
   /** Words of a text column (whitespace split, lowercased). */
   def words(text: Column): Column = split(lower(trim(text)), "\\s+")
 
@@ -225,12 +273,25 @@ object Dedup {
     *        can put millions of docs in one bucket and turn the join
     *        quadratic. Capping trades recall ON DEGENERATE buckets only
     *        (a bucket that large is near-identical boilerplate, handled
-    *        by exact dedup) for bounded work. Default: uncapped (exact
-    *        semantics — what the oracle checks). */
+    *        by exact dedup) for bounded work. Default:
+    *        [[DefaultMaxBucketSize]], ON — drops are never silent (a
+    *        warn log with [[LshBucketDropStats]]; use
+    *        [[minhashLshWithStats]] for programmatic access). Pass
+    *        `Int.MaxValue` for uncapped exact semantics. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  bands: Int = 4, rowsPerBand: Int = 3,
                  threshold: Double = 0.6, shingleWidth: Int = 3,
-                 maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                 maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    minhashLshWithStats(df, idCol, textCol, bands, rowsPerBand, threshold,
+      shingleWidth, maxBucketSize)._1
+
+  /** [[minhashLsh]], also returning the hot-bucket drop stats (None when
+    * uncapped) so dropped candidate mass is observable, not guessed. */
+  def minhashLshWithStats(df: DataFrame, idCol: String, textCol: String,
+                 bands: Int = 4, rowsPerBand: Int = 3,
+                 threshold: Double = 0.6, shingleWidth: Int = 3,
+                 maxBucketSize: Int = DefaultMaxBucketSize)
+      : (DataFrame, Option[LshBucketDropStats]) = {
     // one kernel pass computes the shingle set AND the band buckets;
     // materialized once (lazy localCheckpoint) because the self-join +
     // the two verify re-joins would otherwise recompute the md5 work
@@ -241,14 +302,12 @@ object Dedup {
       bands, rowsPerBand).localCheckpoint(false)
     val bandRows0 = sets
       .select(col("__id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val bandRows =
-      if (maxBucketSize == Int.MaxValue) bandRows0
+    val (bandRows, stats) =
+      if (maxBucketSize == Int.MaxValue) (bandRows0, None)
       else {
-        val ok = bandRows0.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("sz"))
-          .filter(col("sz") <= maxBucketSize)
-          .select(col("band"), col("bucket"))
-        bandRows0.join(ok, Seq("band", "bucket"), "left_semi")
+        val (capped, s) = capBuckets(bandRows0, Seq("band", "bucket"),
+          maxBucketSize, "minhashLsh")
+        (capped, Some(s))
       }
     val cands = bandRows.as("l")
       .join(bandRows.as("r"),
@@ -258,7 +317,7 @@ object Dedup {
       .distinct()
     // verify with exact shingle-set jaccard
     val shOnly = sets.select(col("__id"), col("sh"))
-    cands
+    val pairs = cands
       .join(shOnly.withColumnRenamed("__id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shOnly.withColumnRenamed("__id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
@@ -266,6 +325,7 @@ object Dedup {
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (pairs, stats)
   }
 
   // ------------------------------------------------- incremental dedup
@@ -326,7 +386,7 @@ object Dedup {
                             bands: Int = 4, rowsPerBand: Int = 3,
                             minEstJaccard: Double = 0.6,
                             shingleWidth: Int = 3,
-                            maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                            maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val numHashes = bands * rowsPerBand
     val probe = minhashIndex(newDocs, idCol, textCol, bands, rowsPerBand,
       shingleWidth).localCheckpoint(false)
@@ -336,13 +396,8 @@ object Dedup {
       posexplode(col("buckets_i")).as(Seq("band", "bucket")))
     val ib =
       if (maxBucketSize == Int.MaxValue) ib0
-      else {
-        val ok = ib0.groupBy(col("band"), col("bucket"))
-          .agg(count(lit(1)).as("sz"))
-          .filter(col("sz") <= maxBucketSize)
-          .select(col("band"), col("bucket"))
-        ib0.join(ok, Seq("band", "bucket"), "left_semi")
-      }
+      else capBuckets(ib0, Seq("band", "bucket"), maxBucketSize,
+        "minhashLshIncremental")._1
     val pb = probe.select(col("id").as("new_id"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
     val cands = ib.join(pb, Seq("band", "bucket"))
@@ -598,11 +653,11 @@ object Dedup {
     * @param maxBucketSize drop (table, sig) buckets larger than this
     *        before the self-join — same degenerate-bucket bound as
     *        [[minhashLsh]]'s cap (a bucket that large is a pile of
-    *        near-identical vectors; exact dedup handles it). Default
-    *        uncapped. */
+    *        near-identical vectors; exact dedup handles it). Default:
+    *        [[DefaultMaxBucketSize]], with dropped buckets logged. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, tables: Int = 8, bits: Int = 8,
-                     maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // typed normalize kernel (the HOF normalized() evaluates interpreted);
@@ -654,13 +709,8 @@ object Dedup {
     }.toDF("__id", "table", "sig")
     val bandRows =
       if (maxBucketSize == Int.MaxValue) bandRows0
-      else {
-        val ok = bandRows0.groupBy(col("table"), col("sig"))
-          .agg(count(lit(1)).as("sz"))
-          .filter(col("sz") <= maxBucketSize)
-          .select(col("table"), col("sig"))
-        bandRows0.join(ok, Seq("table", "sig"), "left_semi")
-      }
+      else capBuckets(bandRows0.localCheckpoint(false), Seq("table", "sig"),
+        maxBucketSize, "cosineNearDups")._1
     val cands = bandRows.as("l")
       .join(bandRows.as("r"),
         col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&

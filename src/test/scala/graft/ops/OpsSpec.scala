@@ -112,9 +112,35 @@ class OpsSpec extends SparkSpec {
     val capped = Dedup.minhashLsh(trips, "doc_id", "text",
       bands = 4, rowsPerBand = 3, threshold = 0.5, maxBucketSize = 2)
     assert(capped.count() == 0, "degenerate bucket pruned")
-    val uncapped = Dedup.minhashLsh(trips, "doc_id", "text",
+    // the default cap (2048) sits far above non-degenerate bucket sizes,
+    // so small-corpus results are identical to uncapped semantics
+    val deflt = Dedup.minhashLsh(trips, "doc_id", "text",
       bands = 4, rowsPerBand = 3, threshold = 0.5)
-    assert(uncapped.count() == 3, "all identical pairs found when uncapped")
+    assert(deflt.count() == 3, "all identical pairs found under default cap")
+  }
+
+  test("LSH hot-bucket cap is ON by default and drops are observable") {
+    assert(Dedup.DefaultMaxBucketSize != Int.MaxValue,
+      "the quadratic-work guard must not be opt-in")
+    // planted degenerate bucket: 3 identical docs collide in all 4 band
+    // buckets; a cap of 2 drops those 4 buckets (12 band rows) and the
+    // stats record exactly that — dropped mass is reported, not silent
+    val trips = Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "totally different text with other words entirely present")
+    ).toDF("doc_id", "text")
+    val (pairs, stats) = Dedup.minhashLshWithStats(trips, "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.5, maxBucketSize = 2)
+    assert(pairs.count() == 0, "capped bucket produces no candidates")
+    assert(stats.contains(Dedup.LshBucketDropStats(
+      droppedBuckets = 4, droppedRows = 12, largestBucket = 3)), s"$stats")
+    // uncapped (explicit Int.MaxValue) reports no stats
+    val (_, none) = Dedup.minhashLshWithStats(trips, "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.5,
+      maxBucketSize = Int.MaxValue)
+    assert(none.isEmpty)
   }
 
   test("minhash LSH finds near-dups, rejects unrelated docs") {
