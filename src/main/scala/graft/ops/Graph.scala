@@ -129,7 +129,11 @@ object Graph {
     * maximal subgraph of min-degree >= k); fixing the round count keeps
     * the whole trajectory engine-exact (the oracle unrolls the same
     * rounds), and synchronous peeling converges in O(peel depth)
-    * rounds — typically a handful on co-occurrence graphs.
+    * rounds — typically a handful on co-occurrence graphs. On a graph
+    * whose peel depth exceeds `rounds` the result is NOT yet the core —
+    * use [[kCoreConverged]] (fixpoint iteration, no truncation) unless
+    * you specifically need this variant's fixed, oracle-unrollable
+    * trajectory.
     *
     * Scale notes (100 TB): one degree aggregation + one semi-join per
     * round on the edge key, bounded by `rounds`; each round ends in an
@@ -169,6 +173,77 @@ object Graph {
         .join(good.select(col("id").as("b")), "b")
         .select("a", "b").localCheckpoint(true)
     }
+    e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** [[kCore]] iterated to the FIXPOINT instead of a fixed round
+    * budget: peels until no node falls below degree k, so the result is
+    * the true k-core regardless of peel depth. The fixed-round variant
+    * can silently truncate on deep-peel graphs (a long path peels two
+    * endpoints per round); use this one unless you need the
+    * round-for-round engine-exact trajectory the oracle unrolls.
+    *
+    * Convergence gate: peeling is MONOTONE — each round's edge set is a
+    * subset of the previous round's — so an unchanged edge COUNT
+    * already proves an unchanged edge set. One cheap count per round
+    * (no except(), no hash fingerprint; the
+    * [[graft.ops.Dedup.connectedComponentsStar]] gate needs the XOR +
+    * exact check only because star contraction rewrites edges
+    * non-monotonically). `maxIter` is a runaway bound, not a truncation
+    * knob: hitting it throws rather than returning a non-core. */
+  def kCoreConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                     k: Int, maxIter: Int = 1000,
+                     maxLocalEdges: Long = 1L << 20): DataFrame = {
+    require(k >= 1 && maxIter >= 1, "k and maxIter must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val a = least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+    val b = greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+    val e0 = edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(a.as("a"), b.as("b")).filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    var n = e0.count()
+    if (n <= maxLocalEdges) {
+      // driver cutover: same integer peeling, bit-identical to the
+      // distributed loop (the kCore/PageRank cutover pattern)
+      var es = e0.as[(Long, Long)].collect()
+      var changed = true
+      var iter = 0
+      while (changed && iter < maxIter) {
+        val deg = scala.collection.mutable.Map.empty[Long, Int]
+        es.foreach { case (x, y) =>
+          deg(x) = deg.getOrElse(x, 0) + 1; deg(y) = deg.getOrElse(y, 0) + 1 }
+        val next = es.filter { case (x, y) => deg(x) >= k && deg(y) >= k }
+        changed = next.length != es.length
+        es = next
+        iter += 1
+      }
+      require(!changed || iter < maxIter,
+        s"k-core peeling did not converge within $maxIter rounds")
+      val deg = scala.collection.mutable.Map.empty[Long, Long]
+      es.foreach { case (x, y) =>
+        deg(x) = deg.getOrElse(x, 0L) + 1L; deg(y) = deg.getOrElse(y, 0L) + 1L }
+      return spark.createDataset(deg.toSeq.sortBy(_._1)).toDF("id", "core_deg")
+    }
+    var e = e0
+    var changed = n > 0
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val good = deg.filter(col("deg") >= k).select("id")
+      val next = e.join(good.select(col("id").as("a")), "a")
+        .join(good.select(col("id").as("b")), "b")
+        .select("a", "b").localCheckpoint(true)
+      val m = next.count()
+      changed = m != n
+      e = next
+      n = m
+      iter += 1
+    }
+    require(!changed || iter < maxIter,
+      s"k-core peeling did not converge within $maxIter rounds")
     e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("core_deg"))
   }

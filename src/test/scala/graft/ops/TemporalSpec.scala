@@ -173,6 +173,32 @@ class TemporalSpec extends SparkSpec {
     assert(run(15) == run(16))
   }
 
+  test("kCoreConverged returns the true core where the fixed-round default truncates") {
+    // planted deep-peel graph: a 20-node path (peel depth 10 — two
+    // endpoints dissolve per round) plus a disjoint triangle (a real
+    // 2-core). kCore's default rounds = 6 leaves un-peeled path middle
+    // nodes behind; the fixpoint mode returns exactly the triangle.
+    val path = (0L until 19L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val e = (path ++ tri).toDF("src", "dst")
+    val truncated = Graph.kCore(e, "src", "dst", k = 2)
+      .orderBy("id").collect().map(_.getLong(0))
+    assert(truncated.exists(_ < 100L),
+      "fixed 6-round default must still contain un-peeled path nodes " +
+        "for this spec to be meaningful")
+    val expected = Seq((100L, 2L), (101L, 2L), (102L, 2L))
+    val conv = Graph.kCoreConverged(e, "src", "dst", k = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(conv.toSeq == expected, conv.mkString(","))
+    // distributed loop (count-gate convergence) agrees with the driver path
+    val dist = Graph.kCoreConverged(e, "src", "dst", k = 2, maxLocalEdges = 0)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dist.toSeq == expected, dist.mkString(","))
+    // a graph whose core is empty converges to the empty frame
+    assert(Graph.kCoreConverged(path.toDF("src", "dst"), "src", "dst",
+      k = 2).count() == 0)
+  }
+
   test("cusum finds the level-shift point across bucket boundaries") {
     // 6 obs: value 1.00 for the first three, 5.00 after — the centered
     // deviation |n*S_k - k*S_n| peaks at the change point k=3
