@@ -261,7 +261,12 @@ object Ann {
     * engine reproduces the result exactly; `q_ann_ivf`'s DuckDB oracle
     * does). Production indexing should prefer [[ivfTopK]]'s sampled
     * k-means; this entry point also serves index REUSE — score against
-    * a quantizer trained once elsewhere. */
+    * a quantizer trained once elsewhere.
+    *
+    * BOUNDED-QUERY contract: the query set collects to the driver (the
+    * interactive/micro-batch serving shape). For batch loads where the
+    * query side is itself corpus-sized, use [[ivfTopKJoin]] (no
+    * collect) or [[ivfTopKAuto]] (explicit count gate). */
   def ivfTopKFixed(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int, centers: Array[Array[Double]],
                    nprobe: Int = 4): DataFrame = {
@@ -298,6 +303,72 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** [[ivfTopKFixed]] with a DISTRIBUTED query side — the batch-load
+    * variant for query sets too large to collect (full-corpus
+    * reprocessing, query = corpus joins). The query frame is never
+    * collected: the (tiny) centroid table broadcasts and each executor
+    * computes its queries' nprobe cells in a typed flatMap; candidates
+    * come from an equi-join of the (query, cell) probe rows against the
+    * cell-assigned corpus. Result-identical to [[ivfTopKFixed]] (same
+    * probe arithmetic, same (cos desc, id) tie-break).
+    *
+    * Scale shape: both sides shuffle on the cell key — skew is bounded
+    * by the largest (cell population × queries probing it); production
+    * nlist should grow with the corpus (the usual ~sqrt(n) sizing), which
+    * simultaneously bounds cell sizes and spreads the join. Per-query
+    * top-k is a key-partitioned window, never a global sort. */
+  def ivfTopKJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, centers: Array[Array[Double]],
+                  nprobe: Int = 4): DataFrame = {
+    require(centers.nonEmpty, "need at least one centroid")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(centers)
+    val cells = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, nearestCell(v, bcC.value)) }
+      .toDF("neighbor_id", "cv", "cell")
+    // executor-side probe pass: same stable (dist, cell) order as the
+    // driver path, so results are identical down to ties
+    val probeRows = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, qv) =>
+        val cs = bcC.value
+        cs.zipWithIndex.map { case (c, i) => (sqdist(qv, c), i) }
+          .sortBy(_._1).take(nprobe).map { case (_, cell) => (qid, qv, cell) }
+      }
+      .toDF("query_id", "qv", "cell")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cells.join(probeRows, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine(spark, col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Gated IVF scoring: the driver ADC path ([[ivfTopKFixed]] — fastest
+    * for the common bounded query set) below `maxDriverQueries`, the
+    * join-based probe ([[ivfTopKJoin]]) above it. The gate is an
+    * explicit count of the query frame — the
+    * [[graft.ops.Dedup.connectedComponents]] cutover pattern: driver
+    * participation is always bounded by construction, never by hope. */
+  def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, centers: Array[Array[Double]],
+                  nprobe: Int = 4,
+                  maxDriverQueries: Long = 1L << 16): DataFrame = {
+    val n = queries.filter(col(vecCol).isNotNull).count()
+    if (n <= maxDriverQueries)
+      ivfTopKFixed(corpus, queries, idCol, vecCol, k, centers, nprobe)
+    else ivfTopKJoin(corpus, queries, idCol, vecCol, k, centers, nprobe)
   }
 
   /** Product-quantization ANN (the PQ/ADC half of FAISS's IVFPQ): the
@@ -349,7 +420,12 @@ object Ann {
     * centroid `c` of subspace `mi`) — the engine-portable variant
     * (`q_ann_pq`'s DuckDB oracle replicates encode + ADC exactly), and
     * the index-reuse path: encode/score against codebooks trained once
-    * elsewhere. Production training should prefer [[pqTopK]]. */
+    * elsewhere. Production training should prefer [[pqTopK]].
+    *
+    * BOUNDED-QUERY contract: the query set collects to the driver, and
+    * unpruned PQ scans the whole corpus per query batch by design. For
+    * corpus-sized query loads compose cell pruning with the distributed
+    * probe instead — [[ivfpqTopKJoin]] is that path. */
   def pqTopKFixed(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int,
                   codebooks: Array[Array[Array[Double]]]): DataFrame = {
@@ -485,7 +561,11 @@ object Ann {
     * cell, so each probed cell gets its own m×ksub table — still tiny:
     * |q|·nprobe·m·ksub doubles, broadcast); scoring scans only code
     * rows in probed cells with partition-local bounded heaps, so only
-    * numPartitions·|q|·k candidate rows ever shuffle. */
+    * numPartitions·|q|·k candidate rows ever shuffle.
+    *
+    * BOUNDED-QUERY contract: the query set collects to the driver. For
+    * corpus-sized query loads use [[ivfpqTopKJoin]] (distributed probe,
+    * no collect) or [[ivfpqTopKAuto]] (explicit count gate). */
   def ivfpqTopKFixed(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int, centers: Array[Array[Double]],
                      codebooks: Array[Array[Array[Double]]],
@@ -578,6 +658,129 @@ object Ann {
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "adist")
+  }
+
+  /** [[ivfpqTopKFixed]] with a DISTRIBUTED query side — no query
+    * collect, no driver-built ADC tables. The (tiny) centroid and
+    * codebook tables broadcast; a typed flatMap over the query frame
+    * computes, executor-side, each query's nprobe cells and the
+    * per-(query, cell) residual ADC table (flattened m·ksub doubles);
+    * scoring is an equi-join of those probe rows against the
+    * residual-encoded corpus codes on the cell key, m table lookups per
+    * candidate — identical arithmetic and identical (adist,
+    * neighbor_id) tie-break to the driver path, so results match
+    * exactly.
+    *
+    * Scale shape: the corpus is encoded in ONE pass and never
+    * re-scanned per query; join volume is Σ_cells (cell population ×
+    * queries probing the cell) — the inherent IVFPQ batch-scoring work.
+    * Shuffle is on the cell key (size nlist; grow nlist ~sqrt(n) as the
+    * corpus grows). Per-query top-k is a key-partitioned window. */
+  def ivfpqTopKJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, centers: Array[Array[Double]],
+                    codebooks: Array[Array[Array[Double]]],
+                    nprobe: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(centers.nonEmpty, "need at least one centroid")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "codebooks must be non-empty per subspace")
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val dim = centers(0).length
+    require(dim == m * sub,
+      s"centroid dim $dim != m*sub = ${m * sub} of the codebooks")
+    val ksub = codebooks(0).length
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcC = spark.sparkContext.broadcast(centers)
+    val bcCB = spark.sparkContext.broadcast(codebooks)
+    // same one-pass cell assignment + residual encoding as the driver path
+    val codes = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cs = bcC.value; val cb = bcCB.value
+        val cell = nearestCell(v, cs)
+        val ctr = cs(cell)
+        val r = new Array[Double](v.length)
+        var j = 0
+        while (j < v.length) { r(j) = v(j) - ctr(j); j += 1 }
+        val code = new Array[Int](m)
+        var mi = 0
+        while (mi < m) {
+          code(mi) = nearestCell(
+            java.util.Arrays.copyOfRange(r, mi * sub, (mi + 1) * sub), cb(mi))
+          mi += 1
+        }
+        (id, cell, code)
+      }
+      .toDF("neighbor_id", "cell", "code")
+    // executor-side probe pass: nprobe cells + flattened residual ADC
+    // table per (query, cell) — the structure the driver path builds on
+    // the driver, computed where the query rows already live
+    val probeTabs = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, qv) =>
+        val cs = bcC.value; val cb = bcCB.value
+        cs.zipWithIndex.map { case (c, i) => (sqdist(qv, c), i) }
+          .sortBy(_._1).take(nprobe) // stable: ties -> lower cell id
+          .map { case (_, cell) =>
+            val ctr = cs(cell)
+            val qr = Array.tabulate(dim)(j => qv(j) - ctr(j))
+            val tab = new Array[Double](m * ksub)
+            var mi = 0
+            while (mi < m) {
+              var c = 0
+              while (c < ksub) {
+                tab(mi * ksub + c) = sqdist(
+                  java.util.Arrays.copyOfRange(qr, mi * sub, (mi + 1) * sub),
+                  cb(mi)(c))
+                c += 1
+              }
+              mi += 1
+            }
+            (qid, cell, tab)
+          }
+      }
+      .toDF("query_id", "cell", "tab")
+    val scored = codes.join(probeTabs, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("tab"), col("code"))
+      .as[(Long, Long, Array[Double], Array[Int])]
+      .map { case (qid, nid, tab, code) =>
+        // same ascending-mi summation order as the driver scorer, so
+        // the float result is bit-identical
+        var d = 0.0
+        var mi = 0
+        while (mi < code.length) { d += tab(mi * ksub + code(mi)); mi += 1 }
+        (qid, nid, d)
+      }
+      .toDF("query_id", "neighbor_id", "adist")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist")
+  }
+
+  /** Gated IVFPQ scoring: driver ADC below `maxDriverQueries`
+    * ([[ivfpqTopKFixed]]), join-based probe above ([[ivfpqTopKJoin]]) —
+    * the [[ivfTopKAuto]] contract for the composed index. */
+  def ivfpqTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, centers: Array[Array[Double]],
+                    codebooks: Array[Array[Array[Double]]],
+                    nprobe: Int = 4,
+                    maxDriverQueries: Long = 1L << 16): DataFrame = {
+    val n = queries.filter(col(vecCol).isNotNull).count()
+    if (n <= maxDriverQueries)
+      ivfpqTopKFixed(corpus, queries, idCol, vecCol, k, centers, codebooks,
+        nprobe)
+    else ivfpqTopKJoin(corpus, queries, idCol, vecCol, k, centers, codebooks,
+      nprobe)
   }
 
   /** LSH-bucketed approximate top-k: candidates share a bucket with the

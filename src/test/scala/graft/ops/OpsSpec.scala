@@ -260,6 +260,56 @@ class OpsSpec extends SparkSpec {
     assert(f1 == f2, "loaded IVFPQ index must score identically")
   }
 
+  test("distributed ANN probe: join path equals driver path, keeps query side un-collected") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 25)
+    val centers = Ann.trainIvf(e, "vec_id", "embedding", nlist = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq
+    // IVF: identical results (ranks, exact float scores, tie-breaks)
+    val drvIvf = Ann.ivfTopKFixed(e, q, "vec_id", "embedding", 5, centers,
+      nprobe = 3)
+    val joinIvf = Ann.ivfTopKJoin(e, q, "vec_id", "embedding", 5, centers,
+      nprobe = 3)
+    assert(rows(joinIvf) == rows(drvIvf), "IVF join probe must equal driver probe")
+    // IVFPQ: identical results including bit-identical ADC sums
+    val (cs, cb) = Ann.trainIvfPq(e, "vec_id", "embedding", nlist = 8,
+      m = 8, ksub = 16)
+    val drvPq = Ann.ivfpqTopKFixed(e, q, "vec_id", "embedding", 5, cs, cb,
+      nprobe = 3)
+    val joinPq = Ann.ivfpqTopKJoin(e, q, "vec_id", "embedding", 5, cs, cb,
+      nprobe = 3)
+    assert(rows(joinPq) == rows(drvPq), "IVFPQ join probe must equal driver probe")
+    // plan shape: the join path keeps the QUERY side as a live scan in
+    // the plan (two parquet scans — corpus and queries), while the
+    // driver path collected it away (one scan + a local probe table).
+    // That is the "no query-side collect" guarantee, visible in the plan.
+    def parquetScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.size
+    assert(parquetScans(joinIvf) == 2, "join path must scan queries distributed")
+    assert(parquetScans(drvIvf) == 1, "driver path collects the query side")
+    assert(parquetScans(joinPq) == 2)
+    assert(parquetScans(drvPq) == 1)
+    // the gate dispatches by an explicit query count: above it, the
+    // returned plan is the join path (query scan alive), below it the
+    // driver path
+    val above = Ann.ivfTopKAuto(e, q, "vec_id", "embedding", 5, centers,
+      nprobe = 3, maxDriverQueries = 10)
+    assert(parquetScans(above) == 2, "above the gate: distributed probe")
+    assert(rows(above) == rows(drvIvf))
+    val below = Ann.ivfTopKAuto(e, q, "vec_id", "embedding", 5, centers,
+      nprobe = 3, maxDriverQueries = 1000)
+    assert(parquetScans(below) == 1, "below the gate: driver probe")
+    val abovePq = Ann.ivfpqTopKAuto(e, q, "vec_id", "embedding", 5, cs, cb,
+      nprobe = 3, maxDriverQueries = 10)
+    assert(parquetScans(abovePq) == 2)
+    assert(rows(abovePq) == rows(drvPq))
+  }
+
   test("IVF layout: cell-partitioned search equals in-memory, appends incrementally, prunes partitions") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
