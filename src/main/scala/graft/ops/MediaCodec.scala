@@ -37,14 +37,14 @@ trait MediaCodec extends Serializable {
   def embed(payload: Array[Byte], dim: Int): Array[Double]
 }
 
-/** Default codec: real codecs are NOT available in this environment, so
-  * this instance produces clearly-documented DETERMINISTIC results
+/** Default codec: produces clearly-documented DETERMINISTIC results
   * derived from the payload bytes alone — which is exactly what makes
   * the multimodal queries cross-engine verifiable (the DuckDB oracle
   * recomputes identical metadata and vectors). The Spark-side plumbing
   * around it (schema, binary transport, batching, partitioning) is the
-  * production shape; a real codec swaps in behind [[MediaCodec]] with
-  * every other line unchanged.
+  * production shape. For REAL image payloads use [[ImageCodec]] (the
+  * javax.imageio production instance); this stub stays the default so
+  * the oracle-anchored queries remain engine-reproducible.
   */
 object StubMediaCodec extends MediaCodec {
 

@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * resize / frame-sampling run per-partition in bounded batches.
   *
   * All byte-level work happens behind the pluggable [[MediaCodec]]
-  * boundary; the default instance is [[StubMediaCodec]] (real codecs are
-  * not available in this environment — see its Scaladoc). The Spark-side
-  * plumbing — schema, binary transport, partition-batched processing,
-  * metadata struct shape — is real and tested; swapping in a JNI/FFI
-  * codec is a parameter, not an operator edit.
+  * boundary. The default instance is [[StubMediaCodec]] (deterministic,
+  * oracle-reproducible — what the correctness queries anchor on);
+  * [[ImageCodec]] is the production instance for real image payloads
+  * (javax.imageio: PNG/JPEG/BMP/GIF decode, pixel resize, grid feature
+  * vectors). The Spark-side plumbing — schema, binary transport,
+  * partition-batched processing, metadata struct shape — is identical
+  * for both; swapping in a further JNI/FFI codec (ffmpeg, ONNX encoder)
+  * is a parameter, not an operator edit.
   */
 object Multimodal {
 

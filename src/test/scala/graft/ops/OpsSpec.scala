@@ -503,6 +503,61 @@ class OpsSpec extends SparkSpec {
     assert(stub.map(_.getString(0)).toSeq == Seq("png"))
   }
 
+  test("ImageCodec decodes real image bytes end-to-end: decode, resize, features, ANN") {
+    // real PNG and JPEG payloads rendered in-test via the same JVM
+    // imaging stack a production ingest would hand us
+    def img(w: Int, h: Int)(px: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, px(x, y))
+      b
+    }
+    def enc(b: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, fmt, out)
+      out.toByteArray
+    }
+    val red = enc(img(40, 30)((_, _) => 0xFF0000), "png")
+    val red2 = enc(img(40, 30)((x, _) => if (x == 0) 0xEE0000 else 0xFF0000), "png")
+    val blue = enc(img(40, 30)((_, _) => 0x0000FF), "png")
+    val jpegGrad = enc(img(20, 20)((x, y) => (x * 12 << 16) | (y * 12 << 8)), "jpeg")
+    val rows = Seq((1L, red), (2L, red2), (3L, blue), (4L, jpegGrad),
+      (5L, "not an image".getBytes("UTF-8")), (6L, null.asInstanceOf[Array[Byte]]))
+    val media = rows.toDF("id", "payload").withColumn("modality", lit("image"))
+    // decode: real header metadata, corrupt/null rows survive as marked
+    val dec = Multimodal.decode(
+      media.withColumn("payload_keep", col("payload")), codec = ImageCodec)
+    val metas = dec.select("id", "media.width", "media.height", "media.format")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(metas(1L) == ((40, 30, "png")), metas(1L).toString)
+    assert(metas(4L) == ((20, 20, "jpeg")), metas(4L).toString)
+    assert(metas(5L)._3 == "corrupt" && metas(6L)._3 == "empty")
+    // resize: pixels actually re-render to the target dims (re-decoded)
+    val rs = Multimodal.resize(dec.withColumnRenamed("payload_keep", "payload")
+        .filter(col("id") <= 4), 16, 8, codec = ImageCodec)
+    val rsMeta = Multimodal.decode(rs.drop("media"), codec = ImageCodec)
+      .select("media.width", "media.height", "media.format").distinct().collect()
+    assert(rsMeta.length == 1 && rsMeta(0).getInt(0) == 16 &&
+      rsMeta(0).getInt(1) == 8 && rsMeta(0).getString(2) == "png")
+    // features: red pixels light the R channel, not B; deterministic
+    val feats = Multimodal.featureExtract(media, dim = 12, codec = ImageCodec)
+      .select("id", "features").as[(Long, Seq[Double])].collect().toMap
+    assert(feats(1L).zipWithIndex.forall { case (v, j) =>
+      if (j % 3 == 0) v > 0.9 else v < 0.1 }, s"red features: ${feats(1L)}")
+    assert(feats(3L).zipWithIndex.forall { case (v, j) =>
+      if (j % 3 == 2) v > 0.9 else v < 0.1 }, s"blue features: ${feats(3L)}")
+    assert(feats(6L).forall(_ == 0.0), "null payload embeds as zero vector")
+    // ANN composition: the near-identical red image is red's nearest
+    // neighbor through the standard brute-force operator
+    val emb = Multimodal.featureExtract(media.filter(col("id") <= 4),
+        dim = 12, codec = ImageCodec)
+      .select(col("id").as("vec_id"), col("features").as("embedding"))
+    val nn = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 1).collect()
+    assert(nn.length == 1 && nn(0).getLong(1) == 2L,
+      s"nearest to red must be red2: ${nn.mkString(",")}")
+  }
+
   test("incremental dedup probes a persisted minhash index") {
     val corpus = docs // 4 docs, 1 and 4 identical
     val index = Dedup.minhashIndex(corpus, "doc_id", "text")
