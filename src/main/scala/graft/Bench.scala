@@ -89,11 +89,19 @@ object Bench {
       .mkString("{", ",", "}")
     val qMin = results.map { case (k, v, _, e) => (k, if (e.isDefined) -1.0 else v) }
     val qFirst = results.map { case (k, _, v, e) => (k, if (e.isDefined) -1.0 else v) }
+    // committed spark.ml baseline ratios (graft.Baseline, BASELINE.md)
+    // ride along so every bench file carries the baseline criterion
+    val baseline =
+      try {
+        val b = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BASELINE_local.json")), "UTF-8").trim
+        if (b.startsWith("{")) s""","baseline":$b""" else ""
+      } catch { case _: Throwable => "" }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
       s""""methodology":"min_of_reps","first_run_total":$firstTotal,""" +
       s""""errors":$errJson,"error_msgs":$errMsgJson,"queries":${fmtQ(qMin)},""" +
-      s""""queries_first_run":${fmtQ(qFirst)},"sf":"$sfDir"}"""
+      s""""queries_first_run":${fmtQ(qFirst)}$baseline,"sf":"$sfDir"}"""
     println(full)
     // Durable artifacts (the committed repo files; stdout capture is
     // best-effort). BENCH.json / BENCH_last_full.json hold ONLY
