@@ -601,18 +601,29 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64 bits into 4 x 16-bit bucket keys
     * (a pair within Hamming distance 3 shares at least one band exactly);
-    * verify candidates by full Hamming distance. */
+    * verify candidates by full Hamming distance.
+    *
+    * @param maxBucketSize the same default-on hot-bucket cap as
+    *        [[minhashLsh]]/[[cosineNearDups]]: a corpus-scale
+    *        boilerplate band bucket (one 16-bit band shared by millions
+    *        of near-identical docs) makes the self-join quadratic;
+    *        buckets above the cap are dropped and logged. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // materialize + posexplode: the band union + self-join would
     // otherwise recompute the simhash kernel once per band per side (~8x)
     val sh = simhash(df, idCol, textCol).localCheckpoint(false)
     val bandBuckets = array((0 until 4).map { b =>
       shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
     }: _*)
-    val bandRows = sh.select(col(idCol).as("__id"), col("simhash"),
+    val bandRows0 = sh.select(col(idCol).as("__id"), col("simhash"),
         posexplode(bandBuckets).as(Seq("band", "bucket")))
       .localCheckpoint(false)
+    val bandRows =
+      if (maxBucketSize == Int.MaxValue) bandRows0
+      else capBuckets(bandRows0, Seq("band", "bucket"), maxBucketSize,
+        "simhashPairs")._1
     bandRows.as("l").join(bandRows.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.__id") < col("r.__id"))

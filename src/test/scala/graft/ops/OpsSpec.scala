@@ -152,6 +152,22 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc not paired")
   }
 
+  test("simhash pairs hot-bucket cap bounds degenerate band buckets") {
+    val trips = Seq(
+      (1L, "one two three four five six seven eight nine"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "totally different text with other words entirely present")
+    ).toDF("doc_id", "text")
+    // identical docs share all 4 band buckets (size 3); cap 2 drops them
+    val capped = Dedup.simhashPairs(trips, "doc_id", "text", maxHamming = 3,
+      maxBucketSize = 2)
+    assert(capped.count() == 0, "degenerate simhash bucket pruned")
+    // the default cap (2048) leaves ordinary buckets untouched
+    val deflt = Dedup.simhashPairs(trips, "doc_id", "text", maxHamming = 3)
+    assert(deflt.count() == 3, "identical pairs found under default cap")
+  }
+
   test("simhash: identical texts identical hashes; near-dups close; strangers far") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
