@@ -322,6 +322,8 @@ object Ann {
   def ivfTopKJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, centers: Array[Array[Double]],
                   nprobe: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
     require(centers.nonEmpty, "need at least one centroid")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -365,10 +367,16 @@ object Ann {
                   vecCol: String, k: Int, centers: Array[Array[Double]],
                   nprobe: Int = 4,
                   maxDriverQueries: Long = 1L << 16): DataFrame = {
-    val n = queries.filter(col(vecCol).isNotNull).count()
+    // materialize the (projected) query frame ONCE: the gate count and
+    // the chosen path both read the checkpointed blocks, so an
+    // expensive derived query frame is computed a single time — and a
+    // nondeterministic one cannot disagree between count and scoring
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol)).localCheckpoint(false)
+    val n = q.count()
     if (n <= maxDriverQueries)
-      ivfTopKFixed(corpus, queries, idCol, vecCol, k, centers, nprobe)
-    else ivfTopKJoin(corpus, queries, idCol, vecCol, k, centers, nprobe)
+      ivfTopKFixed(corpus, q, idCol, vecCol, k, centers, nprobe)
+    else ivfTopKJoin(corpus, q, idCol, vecCol, k, centers, nprobe)
   }
 
   /** Product-quantization ANN (the PQ/ADC half of FAISS's IVFPQ): the
@@ -775,11 +783,14 @@ object Ann {
                     codebooks: Array[Array[Array[Double]]],
                     nprobe: Int = 4,
                     maxDriverQueries: Long = 1L << 16): DataFrame = {
-    val n = queries.filter(col(vecCol).isNotNull).count()
+    // one materialization for gate + path (see ivfTopKAuto)
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol)).localCheckpoint(false)
+    val n = q.count()
     if (n <= maxDriverQueries)
-      ivfpqTopKFixed(corpus, queries, idCol, vecCol, k, centers, codebooks,
+      ivfpqTopKFixed(corpus, q, idCol, vecCol, k, centers, codebooks,
         nprobe)
-    else ivfpqTopKJoin(corpus, queries, idCol, vecCol, k, centers, codebooks,
+    else ivfpqTopKJoin(corpus, q, idCol, vecCol, k, centers, codebooks,
       nprobe)
   }
 

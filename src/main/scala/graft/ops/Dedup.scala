@@ -36,12 +36,17 @@ object Dedup {
     * stats in the same pass over the bucket-size aggregate. The stats
     * aggregate is one extra job over the (already checkpointed)
     * band-row projection — the price of never silently degrading
-    * recall. Returns the filtered band rows plus the stats. */
+    * recall; it does mean a capped operator (the default) launches
+    * that job at DataFrame-construction time rather than staying fully
+    * lazy (the trainBpe eager-stats trade). The bucket-size aggregate
+    * itself is checkpointed so the stats pass and the semi-join share
+    * one computation. Returns the filtered band rows plus the stats. */
   private def capBuckets(bandRows: DataFrame, keyCols: Seq[String],
                          maxBucketSize: Int, opName: String)
       : (DataFrame, LshBucketDropStats) = {
     val sizes = bandRows.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("sz"))
+      .localCheckpoint(false) // stats .head() materializes; semi-join reuses
     val r = sizes.agg(
       coalesce(sum(when(col("sz") > maxBucketSize, lit(1L))), lit(0L)),
       coalesce(sum(when(col("sz") > maxBucketSize, col("sz"))), lit(0L)),

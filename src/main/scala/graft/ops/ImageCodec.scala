@@ -39,9 +39,15 @@ object ImageCodec extends MediaCodec {
     if (payload == null || payload.isEmpty)
       return MediaMeta(0L, 0, 0, 0, "empty")
     val n = payload.length.toLong
-    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    // EVERYTHING inside the try — with ImageIO's default disk cache,
+    // createImageInputStream itself can throw (full/read-only tmpdir on
+    // a busy executor), and the never-throw contract must hold there too
+    var iis: javax.imageio.stream.ImageInputStream = null
     try {
-      val readers = ImageIO.getImageReaders(iis)
+      iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      val readers =
+        if (iis == null) java.util.Collections.emptyIterator[javax.imageio.ImageReader]()
+        else ImageIO.getImageReaders(iis)
       if (!readers.hasNext) MediaMeta(n, 0, 0, 0, "corrupt")
       else {
         val r = readers.next()
@@ -56,7 +62,9 @@ object ImageCodec extends MediaCodec {
       }
     } catch {
       case _: Exception => MediaMeta(n, 0, 0, 0, "corrupt")
-    } finally iis.close()
+    } finally if (iis != null) {
+      try iis.close() catch { case _: Exception => () }
+    }
   }
 
   /** Re-render to exactly (width, height) with bilinear interpolation

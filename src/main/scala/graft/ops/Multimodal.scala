@@ -94,9 +94,17 @@ object Multimodal {
         }
       }
     }(enc)
+    // byte_len is re-derived from the rewritten payload (a transcoding
+    // codec changes it; the stale pre-resize value would lie), while
+    // width/height are stamped to the TARGET dims — the declared
+    // transform semantics. A codec that passes an undecodable payload
+    // through untouched keeps its true byte_len but still shows the
+    // target dims here; run decode() again after resize when exact
+    // per-row post-transform metadata matters (its format/dims come
+    // from the actual bytes).
     if (resized.columns.contains("media"))
       resized.withColumn("media", struct(
-        col("media.byte_len").as("byte_len"),
+        coalesce(length(col("payload")).cast("long"), lit(0L)).as("byte_len"),
         lit(width).as("width"), lit(height).as("height"),
         col("media.n_frames").as("n_frames"),
         col("media.format").as("format")))
