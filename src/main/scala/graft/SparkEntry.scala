@@ -75,6 +75,8 @@ object SparkEntry {
     "q_ann_ivf"          -> (OpsQueries.annIvf _),
     "q_ann_pq"           -> (OpsQueries.annPq _),
     "q_ann_ivfpq"        -> (OpsQueries.annIvfPq _),
+    "q_ann_ivf_dist"     -> (OpsQueries.annIvfDist _),
+    "q_ann_ivfpq_dist"   -> (OpsQueries.annIvfPqDist _),
     "q_ann_rerank"       -> (OpsQueries.annRerank _),
     "q_para_dedup"       -> (OpsQueries.paraDedup _),
     "q_group_sample"     -> (OpsQueries.groupSampleQ _),
@@ -168,6 +170,7 @@ object SparkEntry {
     "q_cooccur"          -> (OpsQueries.cooccurQ _),
     "q_pos_index"        -> (OpsQueries.posIndexQ _),
     "q_kcore"            -> (OpsQueries.kcoreQ _),
+    "q_kcore_conv"       -> (OpsQueries.kcoreConvQ _),
     "q_cusum"            -> (EventQueries.cusumQ _),
     "q_twap"             -> (EventQueries.twapQ _),
     "q_prefix_jaccard"   -> (OpsQueries.prefixJaccard _),
@@ -1174,7 +1177,7 @@ object SparkEntry {
         |SELECT 'a0' AS term, round(ln(yb) - b * mx, 6) + 0 AS value FROM t
         |UNION ALL SELECT 'l_discount', round(b, 6) + 0 FROM t
         |ORDER BY term""".stripMargin
-  ) ++ OpsOracles.sql ++ Map(
+  ) ++ OpsOracles.sql ++ OpsOracles.variants ++ Map(
     "q_event_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n_events, round(sum(value), 4) AS sum_value

@@ -2075,4 +2075,14 @@ object OpsOracles {
         |FROM post JOIN dfreq USING (token)
         |ORDER BY token, doc_id""".stripMargin.trim
   )
+
+  /** Result-identical execution variants share their anchor's oracle:
+    * the distributed ANN join probes reproduce the driver-path
+    * arithmetic bit-for-bit, and the k-core fixpoint equals the
+    * unrolled fixed-round oracle wherever peeling converges within its
+    * rounds (spec-proved at every shipped SF). */
+  val variants: Map[String, String] = Map(
+    "q_ann_ivf_dist" -> sql("q_ann_ivf"),
+    "q_ann_ivfpq_dist" -> sql("q_ann_ivfpq"),
+    "q_kcore_conv" -> sql("q_kcore"))
 }

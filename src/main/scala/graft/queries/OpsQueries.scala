@@ -165,6 +165,48 @@ object OpsQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** [[annIvf]]'s exact chain scored through the DISTRIBUTED join
+    * probe ([[Ann.ivfTopKJoin]] — centroids broadcast, nprobe cells
+    * computed executor-side, NO query-side collect): result-identical
+    * to the driver path by construction, so it shares `q_ann_ivf`'s
+    * oracle — putting the batch-scale query path itself on the
+    * correctness board. */
+  def annIvfDist(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val centers = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    Ann.ivfTopKJoin(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, centers, nprobe = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[annIvfPq]]'s composed residual chain through the DISTRIBUTED
+    * join probe ([[Ann.ivfpqTopKJoin]] — executor-side residual ADC
+    * tables, equi-join scoring, no collect): shares `q_ann_ivfpq`'s
+    * oracle, bit-identical summation order. */
+  def annIvfPqDist(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val centers = e.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val cvecs = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val m = 8
+    val sub = cvecs(0).length / m
+    val codebooks = Array.tabulate(m) { mi =>
+      cvecs.map(v => java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub))
+    }
+    Ann.ivfpqTopKJoin(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, centers, codebooks, nprobe = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adist"), 4).as("adist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** TWO-STAGE retrieval: the fixed-codebook PQ/ADC index recalls a
     * generous 20-candidate shortlist per query by APPROXIMATE distance,
     * then [[Ann.rerank]] re-scores only those candidates with the exact
@@ -1144,6 +1186,15 @@ object OpsQueries {
   def kcoreQ(spark: SparkSession, dir: String): DataFrame =
     Graph.kCore(coPurchaseEdges(spark, dir), "src", "dst", k = 30,
         rounds = 16)
+      .orderBy("id")
+
+  /** [[kcoreQ]] through the FIXPOINT mode ([[Graph.kCoreConverged]]):
+    * on this graph peeling converges within the oracle's 16 unrolled
+    * rounds (spec-proved at every shipped SF), so the converged result
+    * equals the fixed-round oracle exactly — putting the
+    * no-truncation API itself on the correctness board. */
+  def kcoreConvQ(spark: SparkSession, dir: String): DataFrame =
+    Graph.kCoreConverged(coPurchaseEdges(spark, dir), "src", "dst", k = 30)
       .orderBy("id")
 
   /** Windowed collocation PMI over the corpus (window 5, pair count
