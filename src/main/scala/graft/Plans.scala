@@ -48,7 +48,14 @@ object Plans {
       // gram join + left_anti + bounded rebuild; containment the
       // inverted-index pair join; calibrated_rank one keyed window
       "q_url_dedup", "q_split_leakage", "q_epoch_shuffle", "q_psi",
-      "q_span_removal", "q_containment", "q_calibrated_rank")
+      "q_span_removal", "q_containment", "q_calibrated_rank",
+      // round-9 additions: dsir must broadcast the bucket-ratio table
+      // (<= buckets rows) into the weight join; novelty a gram-key
+      // min-agg + equi-join (no window); feature_scale ONE stats agg
+      // broadcast back; contam_matrix gram-key equi-joins only (the
+      // only cross join is domains x eval-set stat rows)
+      "q_dsir_weights", "q_novelty", "q_feature_scale", "q_contam_matrix",
+      "q_kn_lm")
     interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

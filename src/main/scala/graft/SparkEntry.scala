@@ -180,7 +180,14 @@ object SparkEntry {
     "q_group_pcts_scale" -> (OpsQueries.groupPctsScale _),
     "q_group_ols"        -> (OpsQueries.groupOls _),
     "q_table_digest"     -> (OpsQueries.tableDigestQ _),
-    "q_attribution"      -> (EventQueries.attributionQ _)
+    "q_attribution"      -> (EventQueries.attributionQ _),
+    "q_dsir_weights"     -> (OpsQueries.dsirWeights _),
+    "q_kn_lm"            -> (OpsQueries.knLm _),
+    "q_ppl_ratio"        -> (OpsQueries.pplRatio _),
+    "q_novelty"          -> (OpsQueries.noveltyQ _),
+    "q_tok_fertility"    -> (OpsQueries.tokFertility _),
+    "q_feature_scale"    -> (OpsQueries.featureScale _),
+    "q_contam_matrix"    -> (OpsQueries.contamMatrix _)
   )
 
   private val fixedPathValues =

@@ -288,4 +288,41 @@ object Analytics {
         (col("med2") / 2.0).as("median"),
         (col("mad4") / 4.0).as("mad"), col("n_outliers"))
   }
+
+  /** Per-group feature scaling — the three standard normalizations in
+    * one pass: z-score ((x - mean)/stddev_pop), min-max ((x - min)/
+    * (max - min)), and robust ((x - median)/IQR, Tukey), each against
+    * its group's statistics.
+    *
+    * Shape: ONE grouped aggregation produces every statistic (the
+    * percentile aggregate buffers per-group values — fine for bounded
+    * group cardinality; at 100 TB per-group value counts swap in the
+    * distinct-value prefix-sum quantiles of [[Quantiles.groupPctsScale]]
+    * as the stats source), the tiny stats table broadcasts back, and
+    * scaling is a narrow codegen'd projection. Degenerate groups
+    * (constant value: sd = 0, max = min, IQR = 0) yield null for the
+    * affected scale rather than a division blowup. */
+  def scaleByGroup(df: DataFrame, groupCol: Column, valueCol: Column)
+      : DataFrame = {
+    val x = df.withColumn("__g", groupCol).withColumn("__x",
+      valueCol.cast("double"))
+    val stats = x.groupBy(col("__g")).agg(
+      avg(col("__x")).as("mean"),
+      stddev_pop(col("__x")).as("sd"),
+      min(col("__x")).as("mn"),
+      max(col("__x")).as("mx"),
+      expr("percentile(__x, 0.25)").as("p25"),
+      expr("percentile(__x, 0.5)").as("p50"),
+      expr("percentile(__x, 0.75)").as("p75"))
+    x.join(broadcast(stats), Seq("__g"))
+      .withColumn("z",
+        when(col("sd") > 0, (col("__x") - col("mean")) / col("sd")))
+      .withColumn("minmax",
+        when(col("mx") > col("mn"),
+          (col("__x") - col("mn")) / (col("mx") - col("mn"))))
+      .withColumn("robust",
+        when(col("p75") > col("p25"),
+          (col("__x") - col("p50")) / (col("p75") - col("p25"))))
+      .drop("__g", "__x", "mean", "sd", "mn", "mx", "p25", "p50", "p75")
+  }
 }

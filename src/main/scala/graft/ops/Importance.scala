@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023) —
+  * pick raw-corpus documents whose hashed-n-gram distribution looks like
+  * a target corpus. The standard recipe behind "select web data that
+  * resembles Wikipedia/books" curation passes.
+  *
+  * Pipeline: (1) bag-of-hashed-n-grams features (unigrams + bigrams,
+  * md5-bucketed); (2) two smoothed categorical distributions over the
+  * buckets, one from the target corpus (p) and one from the raw corpus
+  * (q); (3) per-document log importance weight
+  * `log w(x) = sum_b c_b(x) * (log p_b - log q_b)`; (4) Gumbel-top-k
+  * resampling on the weights (sampling without replacement proportional
+  * to w) with deterministic hash-derived Gumbel noise.
+  *
+  * Shapes (100 TB): feature extraction is a typed per-partition kernel
+  * (no exploded-string shuffle — bucket ids only); both distributions
+  * are ONE map-side-combined aggregation each, reduced to `buckets`
+  * rows (<= 2^16, broadcast to the weight join); the per-doc weight is
+  * one aggregation over the doc's bucket counts. Selection is a
+  * TakeOrdered top-k (driver holds k rows, never the corpus) — for k
+  * beyond driver comfort, rank with [[Ranking.rankGlobal]] instead and
+  * filter `rank <= k`.
+  */
+object Importance {
+
+  /** Hashed bag-of-n-grams features: one row per (doc, bucket) with its
+    * occurrence count. Features are lowercased whitespace unigrams and
+    * bigrams; bucket = first 4 md5 bytes (as an unsigned int) mod
+    * `buckets` — portable across engines (DuckDB:
+    * `('0x' || substr(md5(f), 1, 8))::BIGINT % buckets`). */
+  def hashedNgramCounts(df: DataFrame, idCol: String, textCol: String,
+                        buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = buckets.toLong
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def bucket(s: String): Long = {
+          val h = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+          v % b
+        }
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            val out = new Array[(Long, Long)](math.max(2 * ws.length - 1, 0))
+            var i = 0
+            while (i < ws.length) { out(i) = (id, bucket(ws(i))); i += 1 }
+            var j = 0
+            while (j < ws.length - 1) {
+              out(ws.length + j) = (id, bucket(ws(j) + " " + ws(j + 1)))
+              j += 1
+            }
+            out.iterator
+          }
+        }
+      }
+      .toDF("__id", "b")
+      .groupBy(col("__id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Smoothed bucket distribution log-probabilities of a corpus:
+    * `log((count_b + s) / (total + s * buckets))` for every bucket that
+    * occurs (absent buckets take the implied floor `log(s / (total +
+    * s * buckets))`, applied by the consumer via coalesce on count 0). */
+  private def bucketLogDist(counts: DataFrame): (DataFrame, Double) = {
+    val byBucket = counts.groupBy(col("b"))
+      .agg(sum(col("c")).cast("double").as("cb"))
+    val total = byBucket.agg(coalesce(sum(col("cb")), lit(0.0))).head().getDouble(0)
+    (byBucket, total)
+  }
+
+  /** Per-document DSIR log importance weights against a target corpus.
+    *
+    * Returns (idCol, n_feats, logw): `n_feats` is the document's total
+    * feature count, `logw` the summed log-likelihood ratio under the
+    * Laplace-smoothed (constant `s`) target vs raw bucket distributions.
+    * Documents with no features (null/empty text) drop out — no
+    * distribution ratio is defined for them. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 4096,
+                  s: Double = 1.0): DataFrame = {
+    require(s > 0, s"smoothing constant must be positive, got $s")
+    val rawCounts = hashedNgramCounts(raw, idCol, textCol, buckets)
+      .localCheckpoint(false) // feeds both the q distribution and scoring
+    val (tb, tTot) = bucketLogDist(
+      hashedNgramCounts(target, idCol, textCol, buckets))
+    val (qb, qTot) = bucketLogDist(rawCounts)
+    val denomT = tTot + s * buckets
+    val denomQ = qTot + s * buckets
+    // <= `buckets` rows each: broadcast both sides of the ratio table
+    val ratio = broadcast(qb.join(tb.withColumnRenamed("cb", "tb"), Seq("b"), "full")
+      .select(col("b"),
+        (log((coalesce(col("tb"), lit(0.0)) + s) / denomT) -
+          log((coalesce(col("cb"), lit(0.0)) + s) / denomQ)).as("lr")))
+    rawCounts.join(ratio, Seq("b"))
+      .groupBy(col("__id"))
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c").cast("double") * col("lr")).as("logw"))
+      .withColumnRenamed("__id", idCol)
+  }
+
+  /** Gumbel-top-k resampling on DSIR weights: sampling k documents
+    * without replacement with probability proportional to their
+    * importance weight. The Gumbel noise is hash-derived from the doc id
+    * ([[Sampling.hashBucket]]), so the draw is deterministic and
+    * engine-portable: `g = -ln(-ln((hash(id) + 0.5) / 2^32))`.
+    *
+    * Driver holds exactly k rows (TakeOrdered); the corpus is never
+    * collected. */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, k: Int, buckets: Int = 4096,
+                   s: Double = 1.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (Sampling.hashBucket(col(idCol)).cast("double") + 0.5) /
+      lit(Sampling.MOD.toDouble)
+    dsirWeights(raw, target, idCol, textCol, buckets, s)
+      .withColumn("gumbel_key", col("logw") - log(-log(u)))
+      .orderBy(desc("gumbel_key"), col(idCol))
+      .limit(k)
+  }
+}

@@ -370,6 +370,182 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"), avg(-col("lp")).as("nll"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM scoring — the KenLM-style
+    * quality-filter estimator (the de-facto standard for pretraining
+    * perplexity filters; ref: Kneser & Ney 1995, Chen & Goodman 1998).
+    * Absolute discounting with interpolation:
+    *
+    * seen prefix:  P(w2|w1) = max(C(w1w2) - D, 0)/C(w1.)
+    *                        + D * N1+(w1.)/C(w1.) * Pcont(w2)
+    * unseen prefix: P(w2|w1) = Pcont(w2)
+    *
+    * with the continuation probability smoothed so every token scores:
+    * Pcont(w2) = (N1+(.w2) + 0.5) / (|bigram types| + 0.5 * V).
+    *
+    * Everything derives from ONE bigram-count aggregation: C(w1.),
+    * N1+(w1.), N1+(.w2) and the type total are aggregations over the
+    * already-reduced count table; scoring joins doc bigrams against the
+    * count tables on their keys (corpus-linear, no driver row data —
+    * same shape as [[lmPerplexity]]). Returns (doc_id, n_bigrams, nll);
+    * docs with < 2 words drop out. */
+  def knPerplexity(corpus: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    val c2 = bigramArr(corpus, idCol, textCol)
+      .select(explode(col("bg")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).cast("double").as("c2"))
+      .localCheckpoint(false) // feeds prefix stats, continuation stats, scoring
+    val pre = c2.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).cast("double").as("n1p"))
+    val cont = c2.groupBy(substring_index(col("b"), " ", -1).as("w2"))
+      .agg(count(lit(1)).cast("double").as("nc"))
+    val types = c2.agg(count(lit(1)).cast("double")).head().getDouble(0)
+    val v = corpus.select(explode(Dedup.words(col(textCol))).as("w"))
+      .agg(countDistinct(col("w")).cast("double")).head().getDouble(0)
+    val d = lit(discount)
+    val pcont = (coalesce(col("nc"), lit(0.0)) + 0.5) / lit(types + 0.5 * v)
+    bigramArr(docs, idCol, textCol)
+      .select(col("__id").as(idCol), explode(col("bg")).as("b"))
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .withColumn("w2", substring_index(col("b"), " ", -1))
+      .join(c2, Seq("b"), "left")
+      .join(pre, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .withColumn("p",
+        when(col("c1").isNotNull,
+          greatest(col("c2") - d, lit(0.0)) / col("c1") +
+            d * col("n1p") / col("c1") * pcont)
+          .otherwise(pcont))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), avg(-log(col("p"))).as("nll"))
+  }
+
+  /** CCNet-style perplexity bucketing: score every document with a
+    * bigram LM trained on the TARGET corpus (e.g. the wiki-like slice)
+    * and one trained on the full corpus, and bucket by the target-LM
+    * nll against fixed thresholds — `head` (most target-like), `middle`,
+    * `tail`. `delta` (target nll minus general nll) is the
+    * domain-affinity signal DSIR generalizes.
+    *
+    * Two [[lmPerplexity]] passes + one join on the doc key; thresholds
+    * are FIXED constants, not corpus quantiles, so the bucketing is
+    * embarrassingly parallel and engine-exact (the CCNet paper also
+    * fixes its cutoffs, from a held-out calibration). */
+  def pplRatioBuckets(corpus: DataFrame, target: DataFrame, docs: DataFrame,
+                      idCol: String, textCol: String,
+                      headMax: Double, middleMax: Double,
+                      k: Double = 1.0): DataFrame = {
+    require(headMax < middleMax,
+      s"head threshold $headMax must be below middle threshold $middleMax")
+    val tgt = lmPerplexity(target, docs, idCol, textCol, k)
+      .withColumnRenamed("nll", "nll_target")
+    val gen = lmPerplexity(corpus, docs, idCol, textCol, k)
+      .withColumnRenamed("nll", "nll_general")
+      .drop("n_bigrams")
+    tgt.join(gen, Seq(idCol))
+      .select(col(idCol), col("n_bigrams"), col("nll_target"),
+        (col("nll_target") - col("nll_general")).as("delta"),
+        when(col("nll_target") < headMax, lit("head"))
+          .when(col("nll_target") < middleMax, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** First-occurrence n-gram novelty — the "how much of this document
+    * has the corpus already seen" diversity signal used to favor fresh
+    * content in curation order. For each document: the fraction of its
+    * DISTINCT w-word shingles whose first corpus occurrence (minimum doc
+    * id) is this document. Early documents score high, boilerplate
+    * repeated everywhere scores ~0 for every later copy.
+    *
+    * Shape: one shingle explode + min-aggregation on the gram key, one
+    * join back, one per-doc aggregation — corpus-linear, and the counts
+    * are INTEGER-exact (the ratio is one final division). Docs with no
+    * grams (shorter than w words) drop out. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   w: Int = 4): DataFrame = {
+    val grams = Dedup.shingleSets(df, idCol, textCol, w)
+      .select(col("__id"), explode(col("sh")).as("g"))
+      .localCheckpoint(false) // feeds the first-seen agg and the per-doc join
+    val first = grams.groupBy(col("g")).agg(min(col("__id")).as("first_id"))
+    grams.join(first, Seq("g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("total_grams"),
+        sum(when(col("first_id") === col("__id"), lit(1L)).otherwise(lit(0L)))
+          .as("novel_grams"))
+      .withColumn("novelty",
+        col("novel_grams").cast("double") / col("total_grams"))
+      .withColumnRenamed("__id", idCol)
+  }
+
+  /** Tokenizer fertility per detected language: tokens-per-word and
+    * chars-per-token of the BPE-ish regex tokenizer, grouped by
+    * [[langId]]. The standard "how expensive is this language for the
+    * tokenizer" diagnostic for mixture design (fertility >> 1 means the
+    * tokenizer fragments that language). All-integer sums, one narrow
+    * pass + one tiny aggregation — the divisions happen on the final
+    * per-language row. */
+  def tokenFertility(spark: org.apache.spark.sql.SparkSession,
+                     df: DataFrame, textCol: String): DataFrame =
+    df.select(langId(spark, col(textCol)).as("lang_pred"),
+        wsTokenCount(col(textCol)).cast("long").as("wsn"),
+        regexTokenCount(col(textCol)).cast("long").as("ren"),
+        length(col(textCol)).cast("long").as("nc"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("wsn")).as("ws_tokens"),
+        sum(col("ren")).as("regex_tokens"),
+        sum(col("nc")).as("chars"),
+        (sum(col("ren")).cast("double") / sum(col("wsn"))).as("fertility"),
+        (sum(col("nc")).cast("double") / sum(col("ren"))).as("chars_per_token"))
+
+  /** Train-domain x eval-set contamination matrix: for every (training
+    * domain, evaluation set) pair, the number and fraction of eval
+    * documents whose distinct w-gram overlap with that domain's grams
+    * reaches `threshold` — the audit table behind "which crawl sources
+    * leak which benchmarks".
+    *
+    * Shape: domain grams deduplicate once per (domain, gram); the eval
+    * side joins on the gram key only (never domain x eval doc
+    * cartesian — pairs exist only where grams actually collide), then
+    * one aggregation to (eval doc, domain) and one to the matrix cell.
+    * Counts are integer-exact; `rate` is one final division. Eval sets
+    * with zero contaminated docs still appear (cross join of the
+    * observed domain and set keys), with rate 0. */
+  def contaminationMatrix(train: DataFrame, domainCol: String,
+                          eval: DataFrame, setCol: String, idCol: String,
+                          textCol: String, w: Int = 3,
+                          threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val domainGrams = train
+      .select(col(domainCol).as("domain"),
+        explode(Dedup.shingles(col(textCol), w)).as("g"))
+      .distinct()
+    val evalSets = Dedup.shingleSets(eval, idCol, textCol, w)
+      .join(eval.select(col(idCol).cast("long").as("__id"),
+        col(setCol).as("eset")), Seq("__id"))
+      .withColumn("n", size(col("sh")))
+      .localCheckpoint(false) // feeds the per-set sizes and the overlap join
+    val perSet = evalSets.groupBy(col("eset"))
+      .agg(count(lit(1)).as("n_eval"))
+    val hits = evalSets
+      .select(col("__id"), col("eset"), col("n"), explode(col("sh")).as("g"))
+      .join(domainGrams, Seq("g"))
+      .groupBy(col("__id"), col("eset"), col("domain"), col("n"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c").cast("double") >= col("n").cast("double") * threshold)
+      .groupBy(col("domain"), col("eset"))
+      .agg(count(lit(1)).as("contaminated"))
+    val domains = domainGrams.select(col("domain")).distinct()
+    domains.crossJoin(perSet)
+      .join(hits, Seq("domain", "eset"), "left")
+      .select(col("domain"), col("eset").as("eval_set"), col("n_eval"),
+        coalesce(col("contaminated"), lit(0L)).as("contaminated"),
+        (coalesce(col("contaminated"), lit(0L)).cast("double") /
+          col("n_eval")).as("rate"))
+  }
+
   // -------------------------------------------------- corpus vocabulary
 
   /** Corpus vocabulary with counts: whitespace tokens (lowercased) and

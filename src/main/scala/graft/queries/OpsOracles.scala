@@ -2073,7 +2073,231 @@ object OpsOracles {
         |          HAVING count(*) >= 3)
         |SELECT token, doc_id, n_occur, first_pos, df
         |FROM post JOIN dfreq USING (token)
-        |ORDER BY token, doc_id""".stripMargin.trim
+        |ORDER BY token, doc_id""".stripMargin.trim,
+
+    // DSIR: same md5-bucketed unigram+bigram features (first 4 md5
+    // bytes as an unsigned int, mod 4096), same Laplace-smoothed
+    // target/raw bucket distributions, same per-doc log-ratio sum
+    "q_dsir_weights" ->
+      """
+        |WITH w AS (SELECT doc_id, source,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |           FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, unnest(ws) AS f FROM w
+        |  UNION ALL
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+        |      i -> ws[i] || ' ' || ws[i + 1]))
+        |  FROM w),
+        |fb AS (SELECT doc_id, source,
+        |         ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS b FROM f),
+        |cnt AS (SELECT doc_id, b, count(*)::BIGINT AS c FROM fb GROUP BY 1, 2),
+        |tcnt AS (SELECT b, count(*)::double AS tb FROM fb
+        |         WHERE source = 'src0' GROUP BY 1),
+        |qcnt AS (SELECT b, sum(c)::double AS qb FROM cnt GROUP BY 1),
+        |tot AS (SELECT (SELECT coalesce(sum(tb), 0) FROM tcnt) AS tt,
+        |               (SELECT coalesce(sum(qb), 0) FROM qcnt) AS qt),
+        |sc AS (SELECT cnt.doc_id, sum(cnt.c)::BIGINT AS nf,
+        |         sum(cnt.c * (ln((coalesce(tcnt.tb, 0) + 1.0) / (tot.tt + 4096.0))
+        |                    - ln((qcnt.qb + 1.0) / (tot.qt + 4096.0)))) AS lw
+        |       FROM cnt JOIN qcnt USING (b) LEFT JOIN tcnt USING (b), tot
+        |       WHERE cnt.doc_id < 400 GROUP BY cnt.doc_id)
+        |SELECT doc_id, nf AS n_feats, round(lw, 6) AS logw
+        |FROM sc ORDER BY doc_id""".stripMargin.trim,
+
+    // interpolated Kneser-Ney bigram LM: same discounted/backoff
+    // arithmetic (D = 0.75, smoothed continuation probability) over the
+    // same bigram counts
+    "q_kn_lm" ->
+      """
+        |WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |           FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+        |           i -> ws[i] || ' ' || ws[i + 1])) AS b
+        |       FROM w),
+        |c2 AS (SELECT b, count(*)::double AS c2 FROM bg GROUP BY b),
+        |pre AS (SELECT split_part(b, ' ', 1) AS w1, sum(c2) AS c1,
+        |               count(*)::double AS n1p FROM c2 GROUP BY 1),
+        |cont AS (SELECT split_part(b, ' ', 2) AS w2, count(*)::double AS nc
+        |         FROM c2 GROUP BY 1),
+        |tv AS (SELECT (SELECT count(*)::double FROM c2) AS types,
+        |              (SELECT count(DISTINCT u)::double
+        |               FROM (SELECT unnest(ws) AS u FROM w)) AS v),
+        |sc AS (SELECT bg.doc_id,
+        |         CASE WHEN pre.c1 IS NOT NULL THEN
+        |           greatest(coalesce(c2.c2, 0) - 0.75, 0) / pre.c1
+        |           + 0.75 * pre.n1p / pre.c1
+        |             * ((coalesce(cont.nc, 0) + 0.5) / (tv.types + 0.5 * tv.v))
+        |         ELSE (coalesce(cont.nc, 0) + 0.5) / (tv.types + 0.5 * tv.v)
+        |         END AS p
+        |       FROM bg
+        |       LEFT JOIN c2 USING (b)
+        |       LEFT JOIN pre ON split_part(bg.b, ' ', 1) = pre.w1
+        |       LEFT JOIN cont ON split_part(bg.b, ' ', 2) = cont.w2, tv
+        |       WHERE bg.doc_id < 200)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(-ln(p)), 6) AS nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin.trim,
+
+    // CCNet perplexity bucketing: two add-1 bigram LMs (target = en
+    // docs, general = full corpus), fixed nll cutoffs 4.0 / 5.0
+    "q_ppl_ratio" ->
+      """
+        |WITH w AS (SELECT doc_id, lang,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |           FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |         unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+        |           i -> ws[i] || ' ' || ws[i + 1])) AS b
+        |       FROM w),
+        |gc2 AS (SELECT b, count(*)::double AS c2 FROM bg GROUP BY b),
+        |gc1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(c2) AS c1
+        |        FROM gc2 GROUP BY 1),
+        |gv AS (SELECT count(DISTINCT u)::double AS v
+        |       FROM (SELECT unnest(ws) AS u FROM w)),
+        |tc2 AS (SELECT b, count(*)::double AS c2 FROM bg
+        |        WHERE lang = 'en' GROUP BY b),
+        |tc1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(c2) AS c1
+        |        FROM tc2 GROUP BY 1),
+        |tv AS (SELECT count(DISTINCT u)::double AS v
+        |       FROM (SELECT unnest(ws) AS u FROM w WHERE lang = 'en')),
+        |sct AS (SELECT bg.doc_id, count(*) AS nb,
+        |          avg(-ln((coalesce(tc2.c2, 0) + 1)
+        |            / (coalesce(tc1.c1, 0) + tv.v))) AS nll_t
+        |        FROM bg LEFT JOIN tc2 USING (b)
+        |          LEFT JOIN tc1 ON split_part(bg.b, ' ', 1) = tc1.w1, tv
+        |        WHERE bg.doc_id < 200 GROUP BY bg.doc_id),
+        |scg AS (SELECT bg.doc_id,
+        |          avg(-ln((coalesce(gc2.c2, 0) + 1)
+        |            / (coalesce(gc1.c1, 0) + gv.v))) AS nll_g
+        |        FROM bg LEFT JOIN gc2 USING (b)
+        |          LEFT JOIN gc1 ON split_part(bg.b, ' ', 1) = gc1.w1, gv
+        |        WHERE bg.doc_id < 200 GROUP BY bg.doc_id)
+        |SELECT sct.doc_id, sct.nb AS n_bigrams, round(sct.nll_t, 6) AS nll_target,
+        |       round(sct.nll_t - scg.nll_g, 6) AS delta,
+        |       CASE WHEN sct.nll_t < 4.0 THEN 'head'
+        |            WHEN sct.nll_t < 5.0 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM sct JOIN scg USING (doc_id) ORDER BY doc_id""".stripMargin.trim,
+
+    // first-occurrence 4-gram novelty: distinct doc shingles, min doc
+    // id per gram, integer counts
+    "q_novelty" ->
+      """
+        |WITH w AS (SELECT doc_id,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_distinct(list_transform(
+        |          generate_series(1, greatest(len(ws) - 3, 0)),
+        |          i -> array_to_string(ws[i:i + 3], ' ')))) AS g
+        |      FROM w),
+        |first AS (SELECT g, min(doc_id) AS f FROM g GROUP BY g),
+        |per AS (SELECT g.doc_id, count(*)::BIGINT AS total,
+        |          sum(CASE WHEN first.f = g.doc_id THEN 1 ELSE 0 END)::BIGINT AS novel
+        |        FROM g JOIN first USING (g) GROUP BY 1)
+        |SELECT doc_id, total AS total_grams, novel AS novel_grams,
+        |       round(novel::double / total, 6) AS novelty
+        |FROM per WHERE doc_id < 300 ORDER BY doc_id""".stripMargin.trim,
+
+    // tokenizer fertility per predicted language: the q_lang_id
+    // prediction chain feeding integer token/char sums
+    "q_tok_fertility" ->
+      """
+        |WITH d0 AS (SELECT doc_id,
+        |              text || ' v' || (doc_id % 10)::varchar || '.x! 数据' AS text
+        |            FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |    len(text) AS nc,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM d0),
+        |unp AS (
+        |  SELECT doc_id, cjk, nc, 'de' AS lang,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','für'])) AS s FROM sc
+        |  UNION ALL SELECT doc_id, cjk, nc, 'en',
+        |    len(list_intersect(toks, ['the','a','and','of','to','in','is','it','that','for'])) FROM sc
+        |  UNION ALL SELECT doc_id, cjk, nc, 'es',
+        |    len(list_intersect(toks, ['el','la','los','y','es','un','una','en','por','para'])) FROM sc
+        |  UNION ALL SELECT doc_id, cjk, nc, 'fr',
+        |    len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','pour','que'])) FROM sc),
+        |best AS (
+        |  SELECT doc_id, cjk, nc, lang, s,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang DESC) AS rn
+        |  FROM unp),
+        |lp AS (SELECT doc_id,
+        |         CASE WHEN cjk * 2 > nc THEN 'zh'
+        |              WHEN s = 0 THEN 'und'
+        |              ELSE lang END AS lang_pred
+        |       FROM best WHERE rn = 1),
+        |m AS (SELECT doc_id,
+        |        len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS wsn,
+        |        len(regexp_extract_all(lower(text),
+        |          '[a-z]+|[0-9]|[^a-z0-9\s]'))::BIGINT AS ren,
+        |        len(text)::BIGINT AS nc
+        |      FROM d0)
+        |SELECT lang_pred, count(*) AS n_docs, sum(wsn)::BIGINT AS ws_tokens,
+        |       sum(ren)::BIGINT AS regex_tokens, sum(nc)::BIGINT AS chars,
+        |       round(sum(ren)::double / sum(wsn), 6) AS fertility,
+        |       round(sum(nc)::double / sum(ren), 6) AS chars_per_token
+        |FROM lp JOIN m USING (doc_id)
+        |GROUP BY 1 ORDER BY lang_pred""".stripMargin.trim,
+
+    // per-nation scaling: one stats pass (quantile_cont == Spark's
+    // interpolating percentile), null for degenerate groups
+    "q_feature_scale" ->
+      """
+        |WITH s AS (SELECT c_nationkey AS g, avg(c_acctbal) AS mean,
+        |             stddev_pop(c_acctbal) AS sd, min(c_acctbal) AS mn,
+        |             max(c_acctbal) AS mx,
+        |             quantile_cont(c_acctbal, 0.25) AS p25,
+        |             quantile_cont(c_acctbal, 0.5) AS p50,
+        |             quantile_cont(c_acctbal, 0.75) AS p75
+        |           FROM customer GROUP BY 1)
+        |SELECT c_custkey, c_nationkey, c_acctbal,
+        |  round(CASE WHEN sd > 0 THEN (c_acctbal - mean) / sd END, 6) AS z,
+        |  round(CASE WHEN mx > mn THEN (c_acctbal - mn) / (mx - mn) END, 6) AS minmax,
+        |  round(CASE WHEN p75 > p25 THEN (c_acctbal - p50) / (p75 - p25) END, 6) AS robust
+        |FROM customer JOIN s ON c_nationkey = s.g
+        |WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin.trim,
+
+    // contamination matrix: train domains (source, docs < 400) x eval
+    // sets (lang, docs >= 400), 3-gram overlap >= half the eval doc's
+    // distinct grams
+    "q_contam_matrix" ->
+      """
+        |WITH w AS (SELECT doc_id, source, lang,
+        |             regexp_split_to_array(lower(trim(text)), '\s+') ws
+        |           FROM documents),
+        |tg AS (SELECT DISTINCT source AS domain, g
+        |       FROM (SELECT source,
+        |               unnest(list_transform(
+        |                 generate_series(1, greatest(len(ws) - 2, 0)),
+        |                 i -> array_to_string(ws[i:i + 2], ' '))) AS g
+        |             FROM w WHERE doc_id < 400)),
+        |ev AS (SELECT doc_id, lang,
+        |         unnest(list_distinct(list_transform(
+        |           generate_series(1, greatest(len(ws) - 2, 0)),
+        |           i -> array_to_string(ws[i:i + 2], ' ')))) AS g
+        |       FROM w WHERE doc_id >= 400),
+        |en AS (SELECT doc_id, count(*)::BIGINT AS n FROM ev GROUP BY 1),
+        |hits AS (SELECT ev.doc_id, ev.lang, tg.domain, count(*)::BIGINT AS c
+        |         FROM ev JOIN tg USING (g) GROUP BY 1, 2, 3),
+        |cm AS (SELECT domain, lang, count(*)::BIGINT AS contaminated
+        |       FROM hits JOIN en USING (doc_id)
+        |       WHERE c::double >= n * 0.5 GROUP BY 1, 2),
+        |doms AS (SELECT DISTINCT domain FROM tg),
+        |per AS (SELECT lang, count(*)::BIGINT AS n_eval FROM documents
+        |        WHERE doc_id >= 400 GROUP BY 1)
+        |SELECT doms.domain, per.lang AS eval_set, per.n_eval,
+        |       coalesce(cm.contaminated, 0)::BIGINT AS contaminated,
+        |       round(coalesce(cm.contaminated, 0)::double / per.n_eval, 6) AS rate
+        |FROM doms CROSS JOIN per
+        |LEFT JOIN cm ON doms.domain = cm.domain AND per.lang = cm.lang
+        |ORDER BY doms.domain, eval_set""".stripMargin.trim
   )
 
   /** Result-identical execution variants share their anchor's oracle:

@@ -1213,4 +1213,95 @@ object OpsQueries {
       .select(col("token"), col("doc_id"), col("n_occur"),
         col("first_pos").cast("long").as("first_pos"), col("df"))
       .orderBy("token", "doc_id")
+
+  /** DSIR importance weights: raw = the whole corpus, target = the
+    * `src0` source slice ("select web docs that look like this
+    * domain"). Per-doc hashed-ngram log-likelihood ratios for a bounded
+    * output slice; the Gumbel-top-k resampler on these weights is
+    * spec-covered ([[Importance.dsirResample]]). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+    Importance.dsirWeights(d, d.filter(col("source") === "src0"),
+        "doc_id", "text", buckets = 4096, s = 1.0)
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("n_feats"), round(col("logw"), 6).as("logw"))
+      .orderBy("doc_id")
+  }
+
+  /** Interpolated Kneser-Ney bigram LM (KenLM-style quality filter):
+    * train on the full corpus, score a bounded doc slice. */
+  def knLm(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+    TextAnalysis.knPerplexity(d, d.filter(col("doc_id") < 200),
+        "doc_id", "text", discount = 0.75)
+      .select(col("doc_id"), col("n_bigrams"), round(col("nll"), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style perplexity head/middle/tail bucketing: target LM =
+    * English docs, general LM = full corpus, fixed nll cutoffs. */
+  def pplRatio(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+    TextAnalysis.pplRatioBuckets(d, d.filter(col("lang") === "en"),
+        d.filter(col("doc_id") < 200), "doc_id", "text",
+        headMax = 4.0, middleMax = 5.0)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll_target"), 6).as("nll_target"),
+        round(col("delta"), 6).as("delta"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** First-occurrence 4-gram novelty over the corpus in doc-id order —
+    * integer-exact counts, one final division. */
+  def noveltyQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramNovelty(tbl(spark, dir, "documents"),
+        "doc_id", "text", w = 4)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("total_grams"), col("novel_grams"),
+        round(col("novelty"), 6).as("novelty"))
+      .orderBy("doc_id")
+
+  /** Tokenizer fertility per DETECTED language (composes the codegen'd
+    * lang-id with the regex tokenizer) — all-integer sums, two final
+    * divisions per language row. The synthetic corpus is pure lowercase
+    * words (fertility would be exactly 1.0 everywhere), so the query
+    * appends a deterministic punctuation/digit/CJK tail per doc to make
+    * the tokenizer actually fragment — the injected-variant pattern of
+    * q_url_dedup/q_domain_stats. */
+  def tokFertility(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenFertility(spark,
+      tbl(spark, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" v"), (col("doc_id") % 10).cast("string"),
+          lit(".x! 数据"))), "text")
+      .select(col("lang_pred"), col("n_docs"), col("ws_tokens"),
+        col("regex_tokens"), col("chars"),
+        round(col("fertility"), 6).as("fertility"),
+        round(col("chars_per_token"), 6).as("chars_per_token"))
+      .orderBy("lang_pred")
+
+  /** Per-nation feature scaling of customer account balances: z-score,
+    * min-max, and robust (median/IQR) in one stats pass, on a bounded
+    * output slice. */
+  def featureScale(spark: SparkSession, dir: String): DataFrame =
+    Analytics.scaleByGroup(tbl(spark, dir, "customer"),
+        col("c_nationkey"), col("c_acctbal"))
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        round(col("z"), 6).as("z"), round(col("minmax"), 6).as("minmax"),
+        round(col("robust"), 6).as("robust"))
+      .orderBy("c_custkey")
+
+  /** Contamination audit matrix: training domains = `source` over docs
+    * 0-399, eval sets = lang over docs 400+; a doc is contaminated by a
+    * domain when half its 3-gram shingles appear in that domain. */
+  def contamMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+    TextAnalysis.contaminationMatrix(
+        d.filter(col("doc_id") < 400), "source",
+        d.filter(col("doc_id") >= 400), "lang", "doc_id", "text",
+        w = 3, threshold = 0.5)
+      .select(col("domain"), col("eval_set"), col("n_eval"),
+        col("contaminated"), round(col("rate"), 6).as("rate"))
+      .orderBy("domain", "eval_set")
+  }
 }
