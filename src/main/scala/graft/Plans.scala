@@ -55,7 +55,16 @@ object Plans {
       // broadcast back; contam_matrix gram-key equi-joins only (the
       // only cross join is domains x eval-set stat rows)
       "q_dsir_weights", "q_novelty", "q_feature_scale", "q_contam_matrix",
-      "q_kn_lm")
+      "q_kn_lm",
+      // round-9 part 2: lexical_stats two map-side-combined aggs;
+      // zipf TakeOrdered(K) bounding the rank window; kl_mix
+      // slices×buckets grid with broadcast corpus side; domain_filter
+      // suffix equi-join vs broadcast rules; ewma ONE key Exchange +
+      // partition-local sort + streaming fold; hits per-half-step
+      // edge-join + long-sum (audited at runtime, localCheckpoint
+      // cuts the visible plan)
+      "q_lexical_stats", "q_zipf", "q_kl_mix", "q_domain_filter",
+      "q_ewma")
     interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

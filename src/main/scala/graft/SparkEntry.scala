@@ -187,7 +187,14 @@ object SparkEntry {
     "q_novelty"          -> (OpsQueries.noveltyQ _),
     "q_tok_fertility"    -> (OpsQueries.tokFertility _),
     "q_feature_scale"    -> (OpsQueries.featureScale _),
-    "q_contam_matrix"    -> (OpsQueries.contamMatrix _)
+    "q_contam_matrix"    -> (OpsQueries.contamMatrix _),
+    "q_lexical_stats"    -> (OpsQueries.lexicalStats _),
+    "q_zipf"             -> (OpsQueries.zipfQ _),
+    "q_kl_mix"           -> (OpsQueries.klMix _),
+    "q_domain_filter"    -> (OpsQueries.domainFilter _),
+    "q_nfc_norm"         -> (OpsQueries.nfcNorm _),
+    "q_ewma"             -> (OpsQueries.ewmaQ _),
+    "q_hits"             -> (OpsQueries.hitsQ _)
   )
 
   private val fixedPathValues =

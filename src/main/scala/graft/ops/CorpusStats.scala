@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level distributional statistics — the diagnostics a curation
+  * pipeline runs before and after every filtering/mixing decision:
+  * per-document lexical health (entropy, type-token ratio), corpus
+  * Zipf conformance (tokenizer / crawl sanity), and per-slice
+  * KL divergence against the full corpus (mixture drift).
+  *
+  * All token handling mirrors [[Dedup.words]] (lowercased whitespace
+  * split) so every statistic is reproducible by the DuckDB oracle.
+  */
+object CorpusStats {
+
+  /** Per-document lexical statistics: token count, distinct-type count,
+    * type-token ratio, hapax ratio (fraction of types occurring once),
+    * and unigram Shannon entropy in nats
+    * (`ln n − Σ c·ln c / n` — computed from integer counts, so only the
+    * final arithmetic is floating point).
+    *
+    * Low entropy / low TTR flags templated or repetitive documents —
+    * the same family of gates as [[TextAnalysis.repetitionStats]] but
+    * distribution-based rather than span-based.
+    *
+    * Shape (100 TB): one explode into a map-side-combined (doc, token)
+    * count, then one (doc) aggregation — both corpus-linear, no state
+    * beyond the combiner. */
+  def lexicalStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(Dedup.words(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("_clnc"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_ratio"),
+        (log(col("n_tokens").cast("double")) -
+          col("_clnc") / col("n_tokens")).as("entropy"))
+
+  /** Zipf's-law fit over the top-`topK` token frequencies: OLS of
+    * `ln freq ~ ln rank` (rank by count desc, token asc for a total
+    * order). A healthy natural-language corpus sits near slope −1;
+    * boilerplate floods or tokenizer bugs bend the curve — the standard
+    * one-number crawl-health diagnostic.
+    *
+    * Returns one row: (top_k, slope, intercept).
+    *
+    * Shape (100 TB): the vocabulary aggregation is one map-side-combined
+    * count on the token key; only `topK` rows (orderBy + limit = a
+    * distributed TakeOrdered — never a full sort) reach the ranking
+    * window, which is therefore bounded at `topK` rows regardless of
+    * corpus size (the unpartitioned window is safe ONLY because of that
+    * bound). */
+  def zipfFit(df: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    require(topK > 1, s"topK must be > 1, got $topK")
+    val top = TextAnalysis.vocabulary(df, textCol)
+      .orderBy(desc("cnt"), col("word")).limit(topK)
+    val xy = top
+      .withColumn("r", row_number().over(
+        Window.orderBy(desc("cnt"), col("word"))))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    xy.agg(count(lit(1)).cast("double").as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").cast("long").as("top_k"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        ((col("sy") - col("sx") *
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"))
+          .as("intercept"))
+  }
+
+  /** Per-slice KL divergence `KL(p_slice ‖ p_corpus)` over Laplace-
+    * smoothed hashed-unigram distributions — "how far has each source /
+    * shard / snapshot drifted from the corpus mixture", the
+    * distribution-level companion to [[Drift.psi]].
+    *
+    * Tokens hash into `buckets` md5 buckets (the [[Importance]] DSIR
+    * featurization, portable to the oracle as
+    * `('0x' || substr(md5(w),1,8))::BIGINT % buckets`), so the state is
+    * `slices × buckets` rows no matter how large the vocabulary — the
+    * full-vocab KL would carry a corpus-sized join at 100 TB; the
+    * bucketed one is a constant-size table. The bucket grid is dense
+    * (every (slice, bucket) cell, absent ⇒ count 0), so the smoothed
+    * distributions sum to exactly 1 and the KL is a true divergence.
+    *
+    * Returns (slice, n_tokens, kl). */
+  def klMixture(df: DataFrame, sliceCol: String, textCol: String,
+                buckets: Int = 4096, s: Double = 1.0): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(s > 0, s"smoothing constant must be positive, got $s")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = buckets.toLong
+    val counts = df.select(col(sliceCol).cast("string"), col(textCol))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def bucket(w: String): Long = {
+          val h = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+          v % b
+        }
+        it.flatMap { case (slice, text) =>
+          if (slice == null || text == null) Iterator.empty
+          else {
+            val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            ws.iterator.map(w => (slice, bucket(w)))
+          }
+        }
+      }
+      .toDF("slice", "b")
+      .groupBy(col("slice"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds the corpus totals AND the grid join
+    val corpus = counts.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val total = corpus.agg(coalesce(sum(col("cb")), lit(0L))).head().getLong(0)
+    val sliceTotals = counts.groupBy(col("slice"))
+      .agg(sum(col("c")).as("n_tokens"))
+    // dense (slice × bucket) grid: slices are few, buckets bounded —
+    // the cross join is (n_slices × buckets) rows, broadcast-sized
+    val grid = sliceTotals.crossJoin(
+      spark.range(buckets).select(col("id").as("b")))
+    val denomQ = total.toDouble + s * buckets
+    grid
+      .join(counts, Seq("slice", "b"), "left")
+      .join(broadcast(corpus), Seq("b"), "left")
+      .select(col("slice"), col("n_tokens"),
+        ((coalesce(col("c"), lit(0L)).cast("double") + s) /
+          (col("n_tokens").cast("double") + s * buckets)).as("p"),
+        ((coalesce(col("cb"), lit(0L)).cast("double") + s) / denomQ).as("q"))
+      .groupBy(col("slice"), col("n_tokens"))
+      .agg(sum(col("p") * log(col("p") / col("q"))).as("kl"))
+      .select(col("slice"), col("n_tokens"), col("kl"))
+  }
+}

@@ -151,4 +151,58 @@ object Drift {
         ((col("pa") - col("pb")) * log(col("pa") / col("pb")))
           .as("psi_term"))
   }
+
+  /** Per-key exponentially-weighted moving level: the recursion
+    * `y ← (1−α)·y + α·x` over each key's series in (ts, tie) order,
+    * seeded with the first observation — the classic smoothed-level /
+    * one-step-forecast monitor (the recursive companion to the
+    * windowed [[cusum]]). Returns one row per key:
+    * (keyCol, n, last_ts, ewma).
+    *
+    * Determinism: the fold visits rows in a total order (ts, then
+    * `tieCol`), so the floating-point sequence is fixed — an oracle
+    * replaying the same order (e.g. DuckDB
+    * `list_reduce(list(v ORDER BY ts, tie), …)`) reproduces it
+    * bit-exactly. Use an α whose binary expansion is exact (0.25,
+    * 0.125…) to keep `1−α` exact too.
+    *
+    * Shape (100 TB): one hash repartition on the key + partition-local
+    * secondary sort (the [[Ranking]] / [[Curation]] pattern), then a
+    * STREAMING fold — O(1) state per key, no per-key buffering, no
+    * window over an unbounded frame. */
+  def ewmaLevel(df: DataFrame, keyCol: String, tsCol: String,
+                tieCol: String, valueCol: String,
+                alpha: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val beta = 1.0 - alpha
+    df.select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("k").isNotNull && col("ts").isNotNull && col("v").isNotNull)
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "ts", "tie")
+      .as[(Long, Long, Long, Double)]
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long, Double)] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Long, Long, Double) = {
+            val (k, ts0, _, v0) = buf.next()
+            var level = v0; var n = 1L; var lastTs = ts0
+            while (buf.hasNext && buf.head._1 == k) {
+              val (_, ts, _, v) = buf.next()
+              level = beta * level + alpha * v
+              n += 1; lastTs = ts
+            }
+            (k, n, lastTs, level)
+          }
+        }
+      }
+      .toDF("k", "n", "last_ts", "ewma")
+      .select(col("k").as(keyCol), col("n"),
+        timestamp_micros(col("last_ts")).as("last_ts"), col("ewma"))
+  }
 }

@@ -290,4 +290,71 @@ object Graph {
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** HITS hubs-and-authorities over directed edges — the link-analysis
+    * complement to [[pageRank]]: authorities are pointed AT by good
+    * hubs, hubs point TO good authorities (Kleinberg 1999). Used in
+    * crawl curation to rank link-hub pages vs content pages.
+    *
+    * Pure LONG arithmetic like the integer PageRank: h⁰ = 1, then
+    * alternately a ← Σ_in h and h ← Σ_out a. Instead of the textbook
+    * L2 normalization (which would drag floating point — and its
+    * summation-order sensitivity — into every iteration), each half-step
+    * rescales by an integer POWER-OF-TWO shift chosen from the current
+    * maximum (`floor(log2 max) − 39`, clamping values under 2^40):
+    * division by 2^k floors identically on every engine, so the whole
+    * trajectory is bit-exact, and sums of up-to-2^40 values stay far
+    * from Long overflow for any realistic in/out-degree (< 2^23 ≈ 8M
+    * same-key edges). Returns (id, auth, hub) in the final rescaled
+    * integer units plus each node's share of the respective total
+    * (`auth_share`/`hub_share`, the scale-free quantity).
+    *
+    * Shape (100 TB): per half-iteration one edge-to-score equi-join +
+    * one grouped long-sum (the power-iteration shape, shuffle on the
+    * join key) + ONE scalar max aggregate for the shift; each round
+    * ends in an eager localCheckpoint (the [[pageRank]] lineage-cut
+    * rationale). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    // integer power-of-two rescale keeping max < 2^40
+    def rescaled(scores: DataFrame, c: String): DataFrame = {
+      val mx = scores.agg(coalesce(max(col(c)), lit(1L))).head().getLong(0)
+      val shift = math.max(0, (63 - java.lang.Long.numberOfLeadingZeros(mx)) - 39)
+      if (shift == 0) scores
+      else scores.select(col("id"), shiftright(col(c), shift).as(c))
+    }
+    var hub = nodes.select(col("id"), lit(1L).as("hub"))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = rescaled(nodes.join(
+          e.join(hub, e("src") === hub("id")).groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
+            .withColumnRenamed("dst", "id"),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth")), "auth")
+        .localCheckpoint(true)
+      hub = rescaled(nodes.join(
+          e.join(auth, e("dst") === auth("id")).groupBy(col("src")).agg(sum(col("auth")).as("hub"))
+            .withColumnRenamed("src", "id"),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub")), "hub")
+        .localCheckpoint(true)
+    }
+    val joined = auth.join(hub, "id").localCheckpoint(false)
+    val tot = joined.agg(
+      coalesce(sum(col("auth")), lit(0L)).as("ta"),
+      coalesce(sum(col("hub")), lit(0L)).as("th")).head()
+    val (ta, th) = (math.max(tot.getLong(0), 1L), math.max(tot.getLong(1), 1L))
+    joined.select(col("id"), col("auth"), col("hub"),
+      (col("auth").cast("double") / ta).as("auth_share"),
+      (col("hub").cast("double") / th).as("hub_share"))
+  }
 }

@@ -744,4 +744,86 @@ object TextAnalysis {
       .select(col("token"), col("doc_id"), col("n_occur"),
         col("first_pos"), col("df"))
   }
+
+  // ----------------------------------------------------- domain blocklist
+
+  /** Suffix-semantics domain blocklist marking — the crawl-pipeline
+    * deny-list primitive: a rule `example.com` blocks the domain itself
+    * AND every subdomain (`ads.example.com`), the way Public Suffix /
+    * adblock lists are interpreted.
+    *
+    * `idCol` must uniquely key `df`'s rows (an explode producer should
+    * pass its (doc, url-ordinal) key); `rules` is a one-column frame of
+    * blocked domain suffixes. Returns the input plus `domain` and
+    * `blocked_by` (the LONGEST matching rule, alphabetical tie-break —
+    * deterministic; null = allowed).
+    *
+    * Shape (100 TB): each URL explodes into its domain's dot-suffixes
+    * (bounded by label depth, ~5) and equi-joins the broadcast rule
+    * table — never a LIKE scan per rule, so cost is corpus-linear and
+    * independent of blocklist size. */
+  def markBlockedDomains(df: DataFrame, idCol: String, urlCol: String,
+                         rules: DataFrame, ruleCol: String = "pattern"): DataFrame = {
+    val withDomain = df.withColumn("domain", urlDomain(col(urlCol)))
+    val parts = split(col("domain"), "\\.")
+    val suffixes = withDomain
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(parts)),
+        // length = full size is always >= the remaining tail (slice
+        // clamps); an Int.MaxValue length would overflow start+length
+        i => concat_ws(".", slice(parts, i, size(parts))))).as("sfx"))
+    val matched = suffixes
+      .join(broadcast(rules.select(col(ruleCol).as("sfx")).distinct()), "sfx")
+      .groupBy(col(idCol))
+      .agg(max(struct(length(col("sfx")).as("l"), col("sfx").as("s")))
+        .as("best"))
+      .select(col(idCol), col("best.s").as("blocked_by"))
+    withDomain.join(matched, Seq(idCol), "left")
+  }
+
+  // --------------------------------------------------- unicode hygiene
+
+  /** NFC normalization + per-document normalization stats — the
+    * unicode-hygiene pass (mojibake from mixed encodings, decomposed
+    * accents from OCR/mac filesystems) that runs before any
+    * hash-keyed dedup: two canonically-equal strings hash apart unless
+    * both sides normalized first.
+    *
+    * Returns (idCol, len_raw, len_nfc, changed) with codepoint counts
+    * (not UTF-16 units — portable to engines whose `length` is
+    * codepoint-based, like DuckDB). The transform itself is
+    * [[nfc]]. Pure narrow kernel pass; no shuffle. */
+  def nfcStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          if (text == null) (id, 0L, 0L, false)
+          else {
+            val n = java.text.Normalizer.normalize(
+              text, java.text.Normalizer.Form.NFC)
+            (id, text.codePointCount(0, text.length).toLong,
+              n.codePointCount(0, n.length).toLong, n != text)
+          }
+        }
+      }
+      .toDF(idCol, "len_raw", "len_nfc", "changed")
+  }
+
+  /** NFC-normalize a text Dataset column via a typed kernel: returns
+    * (idCol, textCol) with the text canonically composed. */
+  def nfc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, if (text == null) null
+             else java.text.Normalizer.normalize(
+               text, java.text.Normalizer.Form.NFC))
+      })
+      .toDF(idCol, textCol)
+  }
 }

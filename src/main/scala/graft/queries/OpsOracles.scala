@@ -2297,8 +2297,144 @@ object OpsOracles {
         |       round(coalesce(cm.contaminated, 0)::double / per.n_eval, 6) AS rate
         |FROM doms CROSS JOIN per
         |LEFT JOIN cm ON doms.domain = cm.domain AND per.lang = cm.lang
-        |ORDER BY doms.domain, eval_set""".stripMargin.trim
+        |ORDER BY doms.domain, eval_set""".stripMargin.trim,
+
+    // per-doc lexical health: integer counts, FP only in the final
+    // ratios/entropy (rounded 6)
+    "q_lexical_stats" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |           FROM documents WHERE doc_id < 300),
+        |c AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM w GROUP BY doc_id, w)
+        |SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |  round(count(*)::DOUBLE / sum(c), 6) AS ttr,
+        |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS hapax_ratio,
+        |  round(ln(sum(c)::DOUBLE) - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c), 6) AS entropy
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin.trim,
+
+    // corpus Zipf fit: same total order (cnt desc, word) and the same
+    // closed-form OLS sums over the top-100 rows
+    "q_zipf" ->
+      """WITH v AS (SELECT w, count(*)::BIGINT AS cnt
+        |           FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |                 FROM documents) GROUP BY w),
+        |t AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS r
+        |      FROM v ORDER BY cnt DESC, w LIMIT 100),
+        |x AS (SELECT ln(r::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM t),
+        |s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx FROM x)
+        |SELECT n::BIGINT AS top_k,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 6) AS intercept
+        |FROM s""".stripMargin.trim,
+
+    // per-source KL vs the corpus mixture over 1024 md5 buckets —
+    // dense grid, Laplace s=1, same md5 bucket id as the Spark kernel
+    "q_kl_mix" ->
+      """WITH w AS (SELECT source AS slice, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |           FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |c AS (SELECT slice, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b,
+        |             count(*)::BIGINT AS c FROM w GROUP BY slice, b),
+        |corpus AS (SELECT b, sum(c)::BIGINT AS cb FROM c GROUP BY b),
+        |tot AS (SELECT sum(cb)::BIGINT AS t FROM corpus),
+        |st AS (SELECT slice, sum(c)::BIGINT AS n_tokens FROM c GROUP BY slice),
+        |grid AS (SELECT st.slice, st.n_tokens, g.b
+        |         FROM st CROSS JOIN (SELECT unnest(range(0, 1024)) AS b) g),
+        |terms AS (SELECT grid.slice, grid.n_tokens,
+        |    (coalesce(c.c, 0)::DOUBLE + 1.0) / (grid.n_tokens::DOUBLE + 1024.0) AS p,
+        |    (coalesce(corpus.cb, 0)::DOUBLE + 1.0) / ((SELECT t FROM tot)::DOUBLE + 1024.0) AS q
+        |  FROM grid LEFT JOIN c ON grid.slice = c.slice AND grid.b = c.b
+        |  LEFT JOIN corpus ON grid.b = corpus.b)
+        |SELECT slice, n_tokens, round(sum(p * ln(p / q)), 6) AS kl
+        |FROM terms GROUP BY slice, n_tokens ORDER BY slice""".stripMargin.trim,
+
+    // suffix-semantics blocklist: same synthetic URLs, same www-strip,
+    // dot-suffix explosion joined against the 3-rule list, longest wins
+    "q_domain_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://' || (CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'ads.'
+        |                   WHEN 2 THEN 'cdn.media.' ELSE 'www.' END)
+        |      || 'site' || (doc_id % 5) || '.example' || (doc_id % 3)
+        |      || '.org/p' || doc_id AS url
+        |  FROM documents WHERE doc_id < 400),
+        |d AS (SELECT doc_id, regexp_replace(lower(regexp_extract(url, 'https?://([^/\s]+)', 1)),
+        |                                    '^www\.', '') AS domain FROM u),
+        |sfx AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(parts)),
+        |          i -> array_to_string(list_slice(parts, i, len(parts)), '.'))) AS sfx
+        |        FROM (SELECT doc_id, string_split(domain, '.') AS parts FROM d)),
+        |m AS (SELECT doc_id, sfx,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY length(sfx) DESC, sfx DESC) AS rn
+        |      FROM sfx
+        |      WHERE sfx IN ('example0.org', 'site2.example2.org', 'ads.site1.example1.org'))
+        |SELECT d.doc_id, d.domain, b.sfx AS blocked_by
+        |FROM d LEFT JOIN (SELECT doc_id, sfx FROM m WHERE rn = 1) b ON d.doc_id = b.doc_id
+        |ORDER BY d.doc_id""".stripMargin.trim,
+
+    // NFC hygiene: chr(101)||chr(769) is the same decomposed e+acute the
+    // Spark query plants; DuckDB length() counts codepoints like
+    // codePointCount
+    "q_nfc_norm" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' caf' || chr(101) || chr(769)
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, coalesce(length(text), 0)::BIGINT AS len_raw,
+        |  coalesce(length(nfc_normalize(text)), 0)::BIGINT AS len_nfc,
+        |  coalesce(nfc_normalize(text) != text, FALSE) AS changed
+        |FROM d ORDER BY doc_id""".stripMargin.trim,
+
+    // per-user EWMA: list_reduce over the SAME (ts, event_id) total
+    // order replays the identical FP sequence — bit-exact before the
+    // final round
+    "q_ewma" ->
+      """SELECT user_id, count(*)::BIGINT AS n, max(ts) AS last_ts,
+        |  round(list_reduce(list(value ORDER BY ts, event_id),
+        |                    (acc, x) -> 0.75 * acc + 0.25 * x), 6) AS ewma
+        |FROM events
+        |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+        |  AND user_id < 200
+        |GROUP BY user_id ORDER BY user_id""".stripMargin.trim,
+
+    "q_hits" -> hitsSql
   )
+
+  /** q_hits: 2 Gauss-Seidel HITS iterations (a ← Σ_in h then h ← Σ_out a,
+    * each followed by the power-of-two rescale keeping max < 2^40)
+    * mechanically unrolled — pure BIGINT arithmetic, so summation order
+    * cannot matter; `floor(log2(max))` equals the engine's
+    * `63 − numberOfLeadingZeros(max)` for every max < 2^53 (values stay
+    * under ~2^53 whenever max same-key degree < 2^13, far above any
+    * planted graph). */
+  private def hitsSql: String = {
+    val b = new StringBuilder
+    b ++= s"""$nearDupClusterCte,
+             |hed AS MATERIALIZED (SELECT DISTINCT id_a AS s, id_b AS d FROM pr),
+             |hn AS MATERIALIZED (
+             |  SELECT DISTINCT id FROM (SELECT s AS id FROM hed UNION ALL SELECT d FROM hed)),
+             |hv0 AS (SELECT id, 1::BIGINT AS v FROM hn)""".stripMargin
+    // half-steps alternate: odd t aggregates over in-edges (auth from
+    // hub), even t over out-edges (hub from auth)
+    for (t <- 1 to 4) {
+      val (grp, key) = if (t % 2 == 1) ("d", "s") else ("s", "d")
+      val prev = if (t == 1) "hv0" else s"hv${t - 1}s"
+      b ++= s""",
+               |hr$t AS (SELECT hed.$grp AS id, sum(p.v)::BIGINT AS v
+               |         FROM hed JOIN $prev p ON hed.$key = p.id GROUP BY hed.$grp),
+               |hv$t AS (SELECT hn.id, coalesce(r.v, 0)::BIGINT AS v
+               |         FROM hn LEFT JOIN hr$t r ON hn.id = r.id),
+               |hk$t AS (SELECT greatest(0, floor(log2(greatest(max(v), 1)))::INT - 39) AS k FROM hv$t),
+               |hv${t}s AS (SELECT id, (v >> (SELECT k FROM hk$t))::BIGINT AS v FROM hv$t)""".stripMargin
+    }
+    b ++= s"""
+             |, htot AS (SELECT greatest((SELECT sum(v) FROM hv3s), 1) AS ta,
+             |                  greatest((SELECT sum(v) FROM hv4s), 1) AS th)
+             |SELECT a.v_id AS doc_id, a.v AS auth, h.v AS hub,
+             |  round(a.v::DOUBLE / (SELECT ta FROM htot), 6) AS auth_share,
+             |  round(h.v::DOUBLE / (SELECT th FROM htot), 6) AS hub_share
+             |FROM (SELECT id AS v_id, v FROM hv3s) a
+             |JOIN (SELECT id, v FROM hv4s) h ON a.v_id = h.id
+             |ORDER BY doc_id""".stripMargin
+    b.result()
+  }
 
   /** Result-identical execution variants share their anchor's oracle:
     * the distributed ANN join probes reproduce the driver-path

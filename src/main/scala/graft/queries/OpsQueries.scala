@@ -1304,4 +1304,88 @@ object OpsQueries {
         col("contaminated"), round(col("rate"), 6).as("rate"))
       .orderBy("domain", "eval_set")
   }
+
+  /** Per-document lexical health: token/type counts, TTR, hapax ratio,
+    * unigram entropy, on a bounded doc slice. */
+  def lexicalStats(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.lexicalStats(
+        tbl(spark, dir, "documents").filter(col("doc_id") < 300),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("ttr"), 6).as("ttr"),
+        round(col("hapax_ratio"), 6).as("hapax_ratio"),
+        round(col("entropy"), 6).as("entropy"))
+      .orderBy("doc_id")
+
+  /** Corpus Zipf conformance: log-log OLS over the top-100 token
+    * frequencies — one diagnostic row. */
+  def zipfQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.zipfFit(tbl(spark, dir, "documents"), "text", topK = 100)
+      .select(col("top_k"), round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"))
+
+  /** Per-source KL divergence against the corpus token mixture over
+    * 1024 md5 buckets. */
+  def klMix(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.klMixture(tbl(spark, dir, "documents"), "source", "text",
+        buckets = 1024, s = 1.0)
+      .select(col("slice"), col("n_tokens"), round(col("kl"), 6).as("kl"))
+      .orderBy("slice")
+
+  /** Suffix-semantics domain blocklisting over synthetic per-doc URLs:
+    * subdomain prefixes (ads. / cdn.media. / www.) hit rules at
+    * different suffix depths; longest match wins. */
+  def domainFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents").filter(col("doc_id") < 400)
+    val sub = element_at(array(lit(""), lit("ads."), lit("cdn.media."),
+      lit("www.")), (col("doc_id") % 4).cast("int") + 1)
+    val url = concat(lit("https://"), sub,
+      lit("site"), (col("doc_id") % 5).cast("string"),
+      lit(".example"), (col("doc_id") % 3).cast("string"),
+      lit(".org/p"), col("doc_id").cast("string"))
+    val rules = spark.createDataFrame(Seq(
+      Tuple1("example0.org"), Tuple1("site2.example2.org"),
+      Tuple1("ads.site1.example1.org"))).toDF("pattern")
+    TextAnalysis.markBlockedDomains(d.select(col("doc_id"), url.as("url")),
+        "doc_id", "url", rules)
+      .select(col("doc_id"), col("domain"), col("blocked_by"))
+      .orderBy("doc_id")
+  }
+
+  /** NFC normalization stats with planted decomposed accents (every
+    * third doc gets a combining-acute suffix that NFC composes away). */
+  def nfcNorm(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents").filter(col("doc_id") < 500)
+      .withColumn("text", when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" caf"), lit("e\u0301"))) // decomposed e + combining acute
+        .otherwise(col("text")))
+    TextAnalysis.nfcStats(d, "doc_id", "text")
+      .select(col("doc_id"), col("len_raw"), col("len_nfc"), col("changed"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-user EWMA level (alpha = 1/4) over event values in (ts,
+    * event_id) order — bit-exact against the oracle's ordered
+    * list_reduce replay. */
+  def ewmaQ(spark: SparkSession, dir: String): DataFrame =
+    Drift.ewmaLevel(tbl(spark, dir, "events")
+          .filter(col("user_id") < 200),
+        "user_id", "ts", "event_id", "value", alpha = 0.25)
+      .select(col("user_id"), col("n"), col("last_ts"),
+        round(col("ewma"), 6).as("ewma"))
+      .orderBy("user_id")
+
+  /** HITS hubs/authorities over the DIRECTED planted near-dup pair
+    * graph (the q_pagerank_dangling edge set) — 2 integer iterations
+    * with power-of-two rescale, bit-exact. */
+  def hitsQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id",
+      "text", bands = 4, rowsPerBand = 3, threshold = 0.6)
+    Graph.hits(pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+        "src", "dst", iters = 2)
+      .select(col("id").as("doc_id"), col("auth"), col("hub"),
+        round(col("auth_share"), 6).as("auth_share"),
+        round(col("hub_share"), 6).as("hub_share"))
+      .orderBy("doc_id")
+  }
 }
