@@ -64,7 +64,14 @@ object Plans {
       // edge-join + long-sum (audited at runtime, localCheckpoint
       // cuts the visible plan)
       "q_lexical_stats", "q_zipf", "q_kl_mix", "q_domain_filter",
-      "q_ewma")
+      "q_ewma",
+      // round-9 part 3: luhn a narrow explode+filter (no shuffle);
+      // sketch_sim two k-row aggregates joined; ann_recall a
+      // result-set-sized (query,neighbor) join over the two producers
+      "q_luhn_scan", "q_sketch_sim", "q_ann_recall",
+      // embed_dispersion centroid agg + broadcast cosine pass;
+      // code_detect pure narrow regex-count projection
+      "q_embed_dispersion", "q_code_detect")
     interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

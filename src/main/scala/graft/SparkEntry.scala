@@ -194,7 +194,12 @@ object SparkEntry {
     "q_domain_filter"    -> (OpsQueries.domainFilter _),
     "q_nfc_norm"         -> (OpsQueries.nfcNorm _),
     "q_ewma"             -> (OpsQueries.ewmaQ _),
-    "q_hits"             -> (OpsQueries.hitsQ _)
+    "q_hits"             -> (OpsQueries.hitsQ _),
+    "q_luhn_scan"        -> (OpsQueries.luhnScanQ _),
+    "q_sketch_sim"       -> (OpsQueries.sketchSim _),
+    "q_ann_recall"       -> (OpsQueries.annRecall _),
+    "q_embed_dispersion" -> (OpsQueries.embedDispersion _),
+    "q_code_detect"      -> (OpsQueries.codeDetect _)
   )
 
   private val fixedPathValues =

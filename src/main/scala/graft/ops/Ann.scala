@@ -983,4 +983,37 @@ object Ann {
       sorted.map(_.getSeq[Double](2).toArray)
     }.toArray
   }
+
+  /** Recall@k of an approximate neighbor table against exact ground
+    * truth — the evaluation harness every ANN deployment tunes
+    * against (nprobe / tables / bits sweeps read this number).
+    *
+    * Both inputs are (queryCol, neighborCol, …) tables from any
+    * producer ([[bruteForceTopK]] as truth; [[lshTopK]] / [[ivfTopKJoin]]
+    * / [[ivfpqTopKJoin]] / [[pqTopK]] as approx). Truth is taken as-is
+    * (pass its top-k); recall divides hits by `k`, so a truth table
+    * with fewer than k rows for a query (tiny corpus) caps that
+    * query's recall below 1 — deliberate, it keeps the denominator
+    * comparable across queries.
+    *
+    * Returns one row per truth query: (queryCol, n_true, n_hit,
+    * recall). Queries the approx table missed entirely still appear
+    * (recall 0). Shape: one equi-join on (query, neighbor) + one
+    * grouped count — result-set-sized, never corpus-sized. */
+  def recallAtK(approx: DataFrame, truth: DataFrame, k: Int,
+                queryCol: String = "query_id",
+                neighborCol: String = "neighbor_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val a = approx.select(col(queryCol).as("__q"), col(neighborCol).as("__n"))
+      .distinct()
+    val t = truth.select(col(queryCol).as("__q"), col(neighborCol).as("__n"))
+      .distinct()
+    val hits = t.join(a, Seq("__q", "__n"))
+      .groupBy(col("__q")).agg(count(lit(1)).as("n_hit"))
+    t.groupBy(col("__q")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("__q"), "left")
+      .select(col("__q").as(queryCol), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+  }
 }

@@ -1140,4 +1140,56 @@ object Dedup {
       .select(col("__id").as(idCol), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("text"))
   }
+
+  // ---------------------------------------------- corpus-level sketches
+
+  /** k-slot MinHash sketch of an ENTIRE corpus: one row per hash slot
+    * s ∈ [0, k) with `sig` = min over every w-shingle in the corpus of
+    * md5(s|shingle) — the same portable hash family as
+    * [[minhashSignature]], aggregated corpus-wide instead of per-doc.
+    *
+    * Because slot-wise min is associative and commutative, the sketch
+    * of a union of corpora is the slot-wise min of their sketches —
+    * snapshots sketch once and compare forever, and incremental
+    * batches fold in without rescanning history. The fraction of equal
+    * slots between two sketches is an unbiased estimate of the shingle-
+    * set Jaccard similarity ([[sketchSimilarity]]) — "how much did the
+    * crawl actually change" for the cost of k cells per snapshot.
+    *
+    * Shape (100 TB): the k signature columns compute per-row inside
+    * one narrow projection (no row fan-out), then ONE map-side-combined
+    * global min per column reduces the corpus to a single row,
+    * unpivoted to (s, sig). Nothing but k strings ever leaves the
+    * combiner. */
+  def corpusSketch(df: DataFrame, textCol: String, k: Int = 64,
+                   w: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val sigRow = df.select(minhashSignature(col(textCol), k, w): _*)
+      .agg(min(col("mh_0")).as("mh_0"),
+        (1 until k).map(s => min(col(s"mh_$s")).as(s"mh_$s")): _*)
+    sigRow.select(posexplode(array((0 until k).map(s => col(s"mh_$s")): _*)))
+      .select(col("pos").cast("long").as("s"), col("col").as("sig"))
+  }
+
+  /** Fold corpus sketches: slot-wise min across any number of
+    * [[corpusSketch]] frames — sketch(A ∪ B) == mergeSketches(sketch A,
+    * sketch B), so snapshots and incremental crawl batches fold in
+    * k-row work. */
+  def mergeSketches(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_.unionAll(_))
+      .groupBy(col("s")).agg(min(col("sig")).as("sig"))
+  }
+
+  /** Jaccard estimate between two corpus sketches (equal slot count /
+    * k). Returns one row: (k, n_equal, sim). Slots where either side
+    * is null (an empty corpus) count as unequal. */
+  def sketchSimilarity(a: DataFrame, b: DataFrame): DataFrame = {
+    val j = a.select(col("s"), col("sig").as("sig_a"))
+      .join(b.select(col("s"), col("sig").as("sig_b")), "s")
+    j.agg(count(lit(1)).as("k"),
+        sum(when(col("sig_a") === col("sig_b"), 1L).otherwise(0L)).as("n_equal"))
+      .select(col("k"), col("n_equal"),
+        (col("n_equal").cast("double") / col("k")).as("sim"))
+  }
 }

@@ -83,4 +83,35 @@ object Embeddings {
       }
       .toDF(idCol, "projection")
   }
+
+  /** Per-group embedding DISPERSION: mean cosine distance of each
+    * group's vectors to the group's (integer-quantized, [[centroidBy]])
+    * centroid — the "how semantically tight is this domain / cluster"
+    * diagnostic behind SemDeDup epsilon choices and mixture decisions
+    * (a diffuse source mixes differently than a templated one).
+    *
+    * Returns (groupCol, n_vecs, dispersion) with dispersion =
+    * avg(1 − cos(v, centroid)).
+    *
+    * Shape (100 TB): the centroid aggregation is the [[centroidBy]]
+    * long-sum pass; the assembled per-group centroid array (dim cells,
+    * collect_list bounded by the dimension) broadcasts into one
+    * codegen'd cosine pass over the corpus + one grouped average. Two
+    * aggregations and a broadcast join — never a pairwise product. */
+  def dispersionBy(df: DataFrame, groupCol: String, vecCol: String,
+                   scaleBits: Int = 20): DataFrame = {
+    val cent = centroidBy(df, groupCol, vecCol, scaleBits)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mean")))).as("c"))
+      .select(col(groupCol), col("c.mean").as("__centroid"))
+    val v = df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol), col(vecCol).cast("array<double>").as("__v"))
+    v.join(broadcast(cent), groupCol)
+      .select(col(groupCol),
+        graft.functions.GraftFunctions.cosine(df.sparkSession,
+          col("__v"), col("__centroid")).as("__cos"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        avg(lit(1.0) - col("__cos")).as("dispersion"))
+  }
 }

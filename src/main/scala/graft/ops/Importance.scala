@@ -129,4 +129,55 @@ object Importance {
       .orderBy(desc("gumbel_key"), col(idCol))
       .limit(k)
   }
+
+  // ------------------------------------ trained quality filter (fastText-ish)
+
+  /** Per-doc sparse hashed-n-gram feature vectors: (idCol, idx, vals) —
+    * sorted bucket indices with ln(1+count) values, the standard
+    * linear-classifier featurization over [[hashedNgramCounts]]. */
+  def sparseNgramFeatures(df: DataFrame, idCol: String, textCol: String,
+                          buckets: Int): DataFrame =
+    hashedNgramCounts(df, idCol, textCol, buckets)
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("b").cast("int").as("b"),
+        log(lit(1.0) + col("c")).as("v")))).as("f"))
+      .select(col("__id").as(idCol),
+        col("f.b").as("idx"), col("f.v").as("vals"))
+
+  /** Train a LOGISTIC quality filter that separates `target` (label 1)
+    * from `background` (label 0) on hashed n-gram features — the
+    * fastText-style classifier gate (GPT-3/LLaMA-lineage "looks like
+    * high-quality reference text" filter), here trained by the in-repo
+    * distributed elastic-net solver on the SAME featurization DSIR uses,
+    * so the two curation signals are directly comparable.
+    *
+    * The sparse path never densifies: [[graft.ml.SgdNet.fitSparse]]
+    * accumulates weighted moments over each row's nonzeros only.
+    * Returns the fitted [[graft.ml.SgdNetModel]] (full lambda path). */
+  def trainQualityFilter(background: DataFrame, target: DataFrame,
+                         idCol: String, textCol: String,
+                         buckets: Int = 4096,
+                         params: graft.ml.SgdNetParams =
+                           graft.ml.SgdNetParams(family = "binomial",
+                             lambda = Array(0.001))): graft.ml.SgdNetModel = {
+    val bg = sparseNgramFeatures(background, idCol, textCol, buckets)
+      .withColumn("__y", lit(0.0))
+    val tg = sparseNgramFeatures(target, idCol, textCol, buckets)
+      .withColumn("__y", lit(1.0))
+    graft.ml.SgdNet.fitSparse(bg.unionAll(tg), "idx", "vals", buckets,
+      "__y", params)
+  }
+
+  /** Score documents with a trained quality filter: (idCol, score) with
+    * score = P(target-like) at the model's LAST lambda (the least-
+    * penalized fit). One narrow codegen'd sparse-dot pass. */
+  def qualityFilterScores(model: graft.ml.SgdNetModel, df: DataFrame,
+                          idCol: String, textCol: String,
+                          buckets: Int): DataFrame = {
+    val feats = sparseNgramFeatures(df, idCol, textCol, buckets)
+    val last = model.lambda.length - 1
+    model.predictSparse(feats, "idx", "vals", tpe = "response",
+        lambdaIdxs = Seq(last))
+      .select(col(idCol), col(s"pred_$last").as("score"))
+  }
 }

@@ -745,6 +745,75 @@ object TextAnalysis {
         col("first_pos"), col("df"))
   }
 
+  // -------------------------------------------------- code/prose routing
+
+  /** Code-vs-prose signals — the routing gate that keeps source code
+    * out of a prose corpus (or carves out a code corpus): symbol
+    * density, code-keyword hits, indented/terminator line ratios, with
+    * a thresholded `is_code` verdict. All counts come from
+    * `regexp_extract_all` lengths (RE2 == Java on these patterns) and
+    * integer line arithmetic — engine-exact; ratios are the only
+    * doubles. Pure narrow projection, no shuffle.
+    *
+    * Returns (idCol, n_chars, n_symbols, n_keywords, n_lines,
+    * n_marked_lines, symbol_ratio, is_code) where marked lines start
+    * indented or end in `;`/`{`/`}`. */
+  def codeSignals(df: DataFrame, idCol: String, textCol: String,
+                  symbolRatioMin: Double = 0.03,
+                  keywordsMin: Long = 2L,
+                  markedLineRatioMin: Double = 0.3): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val nChars = length(t)
+    val nSym = size(regexp_extract_all(t, lit("[{}\\[\\]();=<>]"), lit(0)))
+    val nKw = size(regexp_extract_all(t,
+      lit("\\b(def|class|return|import|function|var|val|int|void|if|else|for|while)\\b"),
+      lit(0)))
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val nMarked = size(filter(lines, l =>
+      l.rlike("^(  |\\t)") || l.rlike("[;{}]\\s*$")))
+    df.select(col(idCol), nChars.as("n_chars"), nSym.as("n_symbols"),
+        nKw.cast("long").as("n_keywords"), nLines.as("n_lines"),
+        nMarked.as("n_marked_lines"))
+      .withColumn("symbol_ratio",
+        col("n_symbols").cast("double") / greatest(col("n_chars"), lit(1)))
+      .withColumn("is_code",
+        (col("symbol_ratio") > symbolRatioMin &&
+          col("n_keywords") >= keywordsMin) ||
+        (col("n_marked_lines").cast("double") /
+          greatest(col("n_lines"), lit(1)) > markedLineRatioMin))
+  }
+
+  // ------------------------------------------------ checksum-verified PII
+
+  /** Payment-card detection with Luhn validation — the checksum stage
+    * that separates real PAN leaks from random digit runs, so a PII
+    * scrubber can redact aggressively without mangling order ids and
+    * timestamps. Returns one row per candidate digit run (13–19 digits,
+    * spaces/dashes allowed): (idCol, candidate, digits, luhn_valid).
+    *
+    * Everything is integer arithmetic over the digit characters
+    * (`aggregate` over the reversed digit string — codegen'd, no UDF),
+    * and the candidate regex avoids lookarounds so the oracle's RE2
+    * extracts the identical spans. Narrow explode; corpus-linear. */
+  def luhnScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cand = explode(regexp_extract_all(col(textCol),
+      lit("[0-9](?:[ -]?[0-9]){12,18}"), lit(0)))
+    val digits = regexp_replace(col("candidate"), "[ -]", "")
+    val chars = split(reverse(col("digits")), "")
+    val luhnSum = aggregate(
+      sequence(lit(1), size(chars)), lit(0),
+      (acc, i) => {
+        val d = element_at(chars, i).cast("int")
+        acc + when(i % 2 === 1, d)
+          .otherwise(d * 2 - when(d >= 5, 9).otherwise(0))
+      })
+    df.select(col(idCol), cand.as("candidate"))
+      .withColumn("digits", digits)
+      .filter(length(col("digits")).between(13, 19))
+      .withColumn("luhn_valid", luhnSum % 10 === 0)
+  }
+
   // ----------------------------------------------------- domain blocklist
 
   /** Suffix-semantics domain blocklist marking — the crawl-pipeline

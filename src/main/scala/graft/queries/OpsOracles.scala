@@ -2394,7 +2394,148 @@ object OpsOracles {
         |  AND user_id < 200
         |GROUP BY user_id ORDER BY user_id""".stripMargin.trim,
 
-    "q_hits" -> hitsSql
+    "q_hits" -> hitsSql,
+
+    // Luhn PAN scan: same lookaround-free candidate regex (RE2 ==
+    // Java semantics here), same digit-position arithmetic over the
+    // reversed digit string — all integer
+    "q_luhn_scan" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    (CASE doc_id % 4 WHEN 0 THEN ' card 4111111111111111 ok'
+        |     WHEN 1 THEN ' ref 4111-1111-1111-1112 bad'
+        |     WHEN 2 THEN ' num 4539 5787 6362 1486 x'
+        |     ELSE ' order 123456789012 none' END) AS text
+        |  FROM documents WHERE doc_id < 400),
+        |c AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        |        '[0-9](?:[ -]?[0-9]){12,18}')) AS candidate FROM d),
+        |g AS (SELECT doc_id, candidate,
+        |        regexp_replace(candidate, '[ -]', '', 'g') AS digits FROM c),
+        |f AS (SELECT doc_id, candidate, digits, reverse(digits) AS rev
+        |      FROM g WHERE length(digits) BETWEEN 13 AND 19)
+        |SELECT doc_id, candidate, digits,
+        |  list_sum(list_transform(generate_series(1, length(rev)),
+        |    i -> CASE WHEN i % 2 = 1 THEN substr(rev, i, 1)::INT
+        |         ELSE 2 * substr(rev, i, 1)::INT
+        |              - CASE WHEN substr(rev, i, 1)::INT >= 5 THEN 9 ELSE 0 END
+        |         END)) % 10 = 0 AS luhn_valid
+        |FROM f ORDER BY doc_id, candidate""".stripMargin.trim,
+
+    // corpus MinHash sketches: min over every shingle of md5(s|gram)
+    // per slot (the established portable hash family), equal-slot
+    // fraction as the Jaccard estimate
+    "q_sketch_sim" ->
+      """WITH wa AS (SELECT string_split(lower(trim(text)), ' ') w
+        |            FROM documents WHERE doc_id < 300),
+        |sha AS (SELECT unnest(list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+        |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh FROM wa),
+        |wb AS (SELECT string_split(lower(trim(text)), ' ') w
+        |       FROM documents WHERE doc_id >= 200),
+        |shb AS (SELECT unnest(list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+        |          i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh FROM wb),
+        |sa AS (SELECT s, min(md5(s::varchar || '|' || sh)) AS sig
+        |       FROM sha, generate_series(0, 63) g(s) GROUP BY s),
+        |sb AS (SELECT s, min(md5(s::varchar || '|' || sh)) AS sig
+        |       FROM shb, generate_series(0, 63) g(s) GROUP BY s)
+        |SELECT count(*)::BIGINT AS k,
+        |  sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)::BIGINT AS n_equal,
+        |  round(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)::DOUBLE
+        |        / count(*), 6) AS sim
+        |FROM sa JOIN sb ON sa.s = sb.s""".stripMargin.trim,
+
+    // per-label dispersion: the q_embed_centroid integer-quantized
+    // centroid assembled per label, one cosine pass, grouped average
+    "q_embed_dispersion" ->
+      """WITH x AS (
+        |  SELECT label, g.x AS pos,
+        |         CAST(floor(embedding[g.x + 1]::DOUBLE * 1048576.0) AS BIGINT) AS iv
+        |  FROM embeddings, generate_series(0, 63) g(x)
+        |  WHERE embedding IS NOT NULL),
+        |a AS (SELECT label, pos, sum(iv) AS s, count(*) AS n
+        |      FROM x GROUP BY label, pos),
+        |cent AS (SELECT label, list(s::DOUBLE / (n::DOUBLE * 1048576.0)
+        |                            ORDER BY pos) AS c
+        |         FROM a GROUP BY label),
+        |v AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+        |      WHERE embedding IS NOT NULL)
+        |SELECT v.label AS label, count(*)::BIGINT AS n_vecs,
+        |  round(avg(1.0 - list_cosine_similarity(v.v, cent.c)), 6) AS dispersion
+        |FROM v JOIN cent ON v.label = cent.label
+        |GROUP BY v.label ORDER BY v.label""".stripMargin.trim,
+
+    // code/prose signals: same regex counts (RE2 == Java), same planted
+    // code block built from chr(10) lines, integer counts + one ratio
+    "q_code_detect" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || 'def f(x):'
+        |      || chr(10) || '  return x + 1;' || chr(10) || 'class A {'
+        |      || chr(10) || '  int v = 2;' || chr(10) || '}'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id < 400),
+        |s AS (SELECT doc_id, coalesce(text, '') AS t FROM d),
+        |m AS (SELECT doc_id,
+        |    length(t)::BIGINT AS n_chars,
+        |    len(regexp_extract_all(t, '[{}\[\]();=<>]'))::BIGINT AS n_symbols,
+        |    len(regexp_extract_all(t,
+        |      '\b(def|class|return|import|function|var|val|int|void|if|else|for|while)\b'))::BIGINT AS n_keywords,
+        |    len(string_split(t, chr(10)))::BIGINT AS n_lines,
+        |    len(list_filter(string_split(t, chr(10)), l ->
+        |      regexp_matches(l, '^(  |\t)') OR regexp_matches(l, '[;{}]\s*$')))::BIGINT AS n_marked_lines
+        |  FROM s)
+        |SELECT doc_id, n_chars, n_symbols, n_keywords, n_lines, n_marked_lines,
+        |  round(n_symbols::DOUBLE / greatest(n_chars, 1), 6) AS symbol_ratio,
+        |  (n_symbols::DOUBLE / greatest(n_chars, 1) > 0.03 AND n_keywords >= 2)
+        |    OR (n_marked_lines::DOUBLE / greatest(n_lines, 1) > 0.3) AS is_code
+        |FROM m ORDER BY doc_id""".stripMargin.trim,
+
+    // recall@5: the q_ann_topk chain as truth, the q_ann_lsh chain as
+    // approx (both verbatim from their green anchors), joined on
+    // (query, neighbor)
+    "q_ann_recall" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        |  FROM q, c WHERE query_id != neighbor_id),
+        |truth AS (SELECT query_id, neighbor_id FROM s WHERE rank <= 5),
+        |pl AS (
+        |  SELECT g1.t, g2.b, g3.j,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |           substr(md5(g1.t::varchar || '|' || g2.b::varchar || '|'
+        |                      || g3.j::varchar), 1, 1)) - 1) % 2 = 1
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM generate_series(0, 7) AS g1(t), generate_series(0, 5) AS g2(b),
+        |       generate_series(0, 63) AS g3(j)),
+        |vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |comp AS (
+        |  SELECT vec_id, t, b, sum(v[j + 1] * s) AS dot
+        |  FROM vec, pl GROUP BY vec_id, t, b),
+        |sigs AS (
+        |  SELECT vec_id, t,
+        |         sum(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END) AS bucket
+        |  FROM comp GROUP BY vec_id, t),
+        |cand AS (
+        |  SELECT DISTINCT qq.vec_id AS query_id, cc.vec_id AS neighbor_id
+        |  FROM sigs qq JOIN sigs cc ON qq.t = cc.t AND qq.bucket = cc.bucket
+        |  WHERE qq.vec_id < 10 AND qq.vec_id != cc.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_cosine_similarity(a.v, b.v) DESC, neighbor_id) AS rank
+        |  FROM cand JOIN vec a ON cand.query_id = a.vec_id
+        |            JOIN vec b ON cand.neighbor_id = b.vec_id),
+        |approx AS (SELECT query_id, neighbor_id FROM scored WHERE rank <= 5),
+        |hits AS (SELECT truth.query_id, count(*)::BIGINT AS n_hit
+        |         FROM truth JOIN approx USING (query_id, neighbor_id)
+        |         GROUP BY truth.query_id),
+        |tt AS (SELECT query_id, count(*)::BIGINT AS n_true
+        |       FROM truth GROUP BY query_id)
+        |SELECT tt.query_id, tt.n_true,
+        |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+        |  round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall
+        |FROM tt LEFT JOIN hits h ON tt.query_id = h.query_id
+        |ORDER BY tt.query_id""".stripMargin.trim
   )
 
   /** q_hits: 2 Gauss-Seidel HITS iterations (a ← Σ_in h then h ← Σ_out a,

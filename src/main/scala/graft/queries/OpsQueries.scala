@@ -1375,6 +1375,70 @@ object OpsQueries {
         round(col("ewma"), 6).as("ewma"))
       .orderBy("user_id")
 
+  /** Luhn-validated payment-card scan over planted digit runs: one
+    * valid bare PAN, one checksum-broken dashed run, one valid spaced
+    * run, and one too-short run that must NOT match. */
+  def luhnScanQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents").filter(col("doc_id") < 400)
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" card 4111111111111111 ok"))
+          .when(col("doc_id") % 4 === 1, lit(" ref 4111-1111-1111-1112 bad"))
+          .when(col("doc_id") % 4 === 2, lit(" num 4539 5787 6362 1486 x"))
+          .otherwise(lit(" order 123456789012 none"))))
+    TextAnalysis.luhnScan(d, "doc_id", "text")
+      .select(col("doc_id"), col("candidate"), col("digits"), col("luhn_valid"))
+      .orderBy("doc_id", "candidate")
+  }
+
+  /** Corpus-level MinHash sketch similarity between two overlapping doc
+    * slices — the snapshot-delta Jaccard estimate. */
+  def sketchSim(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+    val a = Dedup.corpusSketch(d.filter(col("doc_id") < 300), "text",
+      k = 64, w = 3)
+    val b = Dedup.corpusSketch(d.filter(col("doc_id") >= 200), "text",
+      k = 64, w = 3)
+    Dedup.sketchSimilarity(a, b)
+      .select(col("k"), col("n_equal"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Recall@5 of the LSH ANN path against brute-force ground truth on
+    * the standard 10-query workload. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val truth = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+    val approx = Ann.lshTopK(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, tables = 8, bits = 6)
+    Ann.recallAtK(approx, truth, k = 5)
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        round(col("recall"), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** Per-label embedding dispersion (mean cosine distance to the
+    * integer-quantized centroid). */
+  def embedDispersion(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.dispersionBy(tbl(spark, dir, "embeddings"),
+        "label", "embedding")
+      .select(col("label"), col("n_vecs"),
+        round(col("dispersion"), 6).as("dispersion"))
+      .orderBy("label")
+
+  /** Code-vs-prose routing signals with a planted code block on every
+    * fifth doc. */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame = {
+    val block = "\ndef f(x):\n  return x + 1;\nclass A {\n  int v = 2;\n}"
+    val d = tbl(spark, dir, "documents").filter(col("doc_id") < 400)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(block))).otherwise(col("text")))
+    TextAnalysis.codeSignals(d, "doc_id", "text")
+      .select(col("doc_id"), col("n_chars"), col("n_symbols"),
+        col("n_keywords"), col("n_lines"), col("n_marked_lines"),
+        round(col("symbol_ratio"), 6).as("symbol_ratio"), col("is_code"))
+      .orderBy("doc_id")
+  }
+
   /** HITS hubs/authorities over the DIRECTED planted near-dup pair
     * graph (the q_pagerank_dangling edge set) — 2 integer iterations
     * with power-of-two rescale, bit-exact. */

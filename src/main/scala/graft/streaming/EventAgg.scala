@@ -274,4 +274,41 @@ object EventAgg {
           }
       }
   }
+
+  final case class EwmaState(level: Double, n: Long, lastMicros: Long)
+  final case class EwmaRow(user_id: Long, n: Long, last_ts: Timestamp,
+                           ewma: Double)
+
+  /** Streaming twin of [[graft.ops.Drift.ewmaLevel]]: per-user state is
+    * (level, n, last_ts) — three scalars, the minimal possible — and
+    * each micro-batch folds its rows in event-time order, emitting the
+    * updated level per touched user (Update-mode sink). Equals the
+    * batch operator whenever each user's events arrive in event-time
+    * order ACROSS batches (in-batch disorder is sorted away; the
+    * cross-batch in-order contract is the same one [[funnelStream]]
+    * documents — the recursion is order-sensitive by definition).
+    * Events must be unique per (user, ts) for the order to be total. */
+  def ewmaStream(events: Dataset[Event],
+                 alpha: Double = 0.25): Dataset[EwmaRow] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val beta = 1.0 - alpha
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaRow](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          var cur = state.getOption.orNull
+          rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            cur =
+              if (cur == null) EwmaState(e.value, 1L, micros(e.ts))
+              else EwmaState(beta * cur.level + alpha * e.value, cur.n + 1,
+                math.max(cur.lastMicros, micros(e.ts)))
+          }
+          state.update(cur)
+          val ts = new Timestamp(cur.lastMicros / 1000)
+          ts.setNanos((cur.lastMicros % 1000000L).toInt * 1000)
+          EwmaRow(uid, cur.n, ts, cur.level)
+      }
+  }
 }

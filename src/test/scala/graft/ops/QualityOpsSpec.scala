@@ -1,0 +1,163 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Luhn PII scan, corpus MinHash sketches, ANN recall evaluation, and
+  * the trained hashed-ngram quality filter. */
+class QualityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ luhnScan
+
+  test("luhnScan: validates checksums, handles separators and lengths") {
+    val rows = Seq(
+      (1L, "pay with 4111111111111111 now"),         // valid bare
+      (2L, "pay with 4111111111111112 now"),         // checksum broken
+      (3L, "card 4539 5787 6362 1486 thanks"),       // valid spaced
+      (4L, "card 4111-1111-1111-1111 thanks"),       // valid dashed
+      (5L, "order 123456789012 is 12 digits"),       // too short: no row
+      (6L, "no digits at all"),
+      (7L, "amex 371449635398431 ok"))               // valid 15-digit
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.luhnScan(rows, "doc_id", "text")
+      .select("doc_id", "digits", "luhn_valid")
+      .as[(Long, String, Boolean)].collect()
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).head._3 && byDoc(1L).head._2 == "4111111111111111")
+    assert(!byDoc(2L).head._3)
+    assert(byDoc(3L).head._3 && byDoc(3L).head._2 == "4539578763621486")
+    assert(byDoc(4L).head._3)
+    assert(!byDoc.contains(5L) && !byDoc.contains(6L))
+    assert(byDoc(7L).head._3)
+  }
+
+  // ------------------------------------------- corpus sketch / similarity
+
+  private def corpus(ids: Range, salt: String) =
+    ids.map(i => (i.toLong, s"$salt document number $i with shared words " +
+      s"alpha beta gamma token$i end")).toDF("doc_id", "text")
+
+  test("corpusSketch: identical corpora sketch identically (sim = 1)") {
+    val a = Dedup.corpusSketch(corpus(0 until 50, "x"), "text", k = 32)
+    val b = Dedup.corpusSketch(corpus(0 until 50, "x").repartition(9),
+      "text", k = 32)
+    val sim = Dedup.sketchSimilarity(a, b).head()
+    assert(sim.getAs[Long]("k") == 32L)
+    assert(sim.getAs[Long]("n_equal") == 32L)
+    assert(sim.getAs[Double]("sim") == 1.0)
+  }
+
+  test("corpusSketch: disjoint corpora diverge, union = slotwise min") {
+    val ca = corpus(0 until 50, "xx")
+    val cb = corpus(100 until 150, "yy")
+    val a = Dedup.corpusSketch(ca, "text", k = 32)
+    val b = Dedup.corpusSketch(cb, "text", k = 32)
+    val simAB = Dedup.sketchSimilarity(a, b).head().getAs[Double]("sim")
+    assert(simAB < 0.5, s"disjoint corpora too similar: $simAB")
+    // sketch(A ∪ B) == slotwise min(sketch A, sketch B)
+    val direct = Dedup.corpusSketch(ca.unionAll(cb), "text", k = 32)
+      .as[(Long, String)].collect().toMap
+    val folded = a.select(col("s"), col("sig").as("sa"))
+      .join(b.select(col("s"), col("sig").as("sb")), "s")
+      .select(col("s"), least(col("sa"), col("sb")).as("sig"))
+      .as[(Long, String)].collect().toMap
+    assert(direct == folded)
+  }
+
+  // ----------------------------------------------------------- recallAtK
+
+  test("recallAtK: hand-computed hits, missed queries score zero") {
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 30L), (3L, 31L), (3L, 32L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L), // 2/3 for q1
+      (2L, 20L), (2L, 21L), (2L, 22L))                // 3/3 for q2, q3 missed
+      .toDF("query_id", "neighbor_id")
+    val got = Ann.recallAtK(approx, truth, k = 3)
+      .select("query_id", "n_true", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 2L, 2.0 / 3)))
+    assert(got(2L) == ((2L, 3L, 3L, 1.0)))
+    assert(got(3L) == ((3L, 3L, 0L, 0.0)))
+  }
+
+  test("recallAtK: duplicate candidate rows don't inflate recall") {
+    val truth = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 10L))
+      .toDF("query_id", "neighbor_id")
+    val r = Ann.recallAtK(approx, truth, k = 2).head()
+    assert(r.getAs[Long]("n_hit") == 1L)
+  }
+
+  // -------------------------------------------------------- dispersionBy
+
+  test("dispersionBy: tight group near zero, diffuse group larger") {
+    val tight = (0 until 20).map(i =>
+      ("tight", Array(1.0, 0.001 * i, 0.0)))
+    val diffuse = Seq(("diffuse", Array(1.0, 0.0, 0.0)),
+      ("diffuse", Array(0.0, 1.0, 0.0)), ("diffuse", Array(0.0, 0.0, 1.0)))
+    val df = (tight ++ diffuse).toDF("label", "vec")
+    val got = Embeddings.dispersionBy(df, "label", "vec")
+      .select("label", "n_vecs", "dispersion")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("tight")._2 == 20L && got("diffuse")._2 == 3L)
+    assert(got("tight")._3 < 0.001, s"tight dispersion ${got("tight")._3}")
+    assert(got("diffuse")._3 > 0.3, s"diffuse dispersion ${got("diffuse")._3}")
+  }
+
+  // --------------------------------------------------------- codeSignals
+
+  test("codeSignals routes code blocks vs prose") {
+    val code =
+      "def add(a, b):\n  return a + b;\nclass Calc {\n  int total = 0;\n}"
+    val prose = "the gentle morning light settled over the quiet harbor " +
+      "as fishermen prepared their nets for the day ahead"
+    val df = Seq((1L, code), (2L, prose), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.codeSignals(df, "doc_id", "text")
+      .select("doc_id", "n_keywords", "n_lines", "n_marked_lines", "is_code")
+      .as[(Long, Long, Int, Int, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._5, "code block must flag is_code")
+    assert(got(1L)._2 >= 4) // def, return, class, int
+    assert(got(1L)._3 == 5 && got(1L)._4 >= 3)
+    assert(!got(2L)._5, "prose must not flag is_code")
+    assert(!got(3L)._5)
+  }
+
+  // ------------------------------------------------------- mergeSketches
+
+  test("mergeSketches folds incrementally to the batch sketch") {
+    val batches = Seq(corpus(0 until 20, "a"), corpus(20 until 40, "b"),
+      corpus(40 until 60, "c"))
+    val whole = Dedup.corpusSketch(
+      batches.reduce(_.unionAll(_)), "text", k = 16)
+      .as[(Long, String)].collect().toMap
+    val folded = Dedup.mergeSketches(
+        batches.map(b => Dedup.corpusSketch(b, "text", k = 16)): _*)
+      .as[(Long, String)].collect().toMap
+    assert(whole == folded)
+  }
+
+  // ------------------------------------------------- trained quality filter
+
+  test("trainQualityFilter separates target-like from background docs") {
+    val target = (0 until 30).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog " +
+        s"quality prose sentence $i")).toDF("doc_id", "text")
+    val background = (100 until 130).map(i =>
+      (i.toLong, s"buy cheap pills now click here winner $i spam spam " +
+        "free offer")).toDF("doc_id", "text")
+    val model = Importance.trainQualityFilter(background, target,
+      "doc_id", "text", buckets = 512)
+    val scores = Importance.qualityFilterScores(model,
+        target.unionAll(background), "doc_id", "text", buckets = 512)
+      .as[(Long, Double)].collect().toMap
+    val tMin = (0 until 30).map(i => scores(i.toLong)).min
+    val bMax = (100 until 130).map(i => scores(i.toLong)).max
+    assert(tMin > bMax,
+      s"classifier failed to separate: target min $tMin <= background max $bMax")
+    assert(tMin > 0.5 && bMax < 0.5)
+  }
+}

@@ -411,4 +411,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.size == 3,
       s"streamed=$streamed batch=$batch")
   }
+
+  test("streaming EWMA matches the batch fold across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventAgg.Event]
+    val q = EventAgg.ewmaStream(input.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName("ewma").outputMode("update").start()
+    // batch 1 out of order WITHIN the batch (sorted by the operator),
+    // batch 2 strictly later (the documented cross-batch contract)
+    input.addData(Seq(
+      EventAgg.Event(1L, ts(2), "a", 20.0), EventAgg.Event(1L, ts(1), "a", 10.0),
+      EventAgg.Event(2L, ts(1), "b", 5.0)))
+    q.processAllAvailable()
+    input.addData(Seq(EventAgg.Event(1L, ts(3), "a", 30.0)))
+    q.processAllAvailable()
+    q.stop()
+    // last update per user is the final level
+    val streamed = spark.sql(
+      "select user_id, n, ewma from ewma")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).maxBy(_._1) }  // highest n = latest state
+    val batchDf = Seq(
+      (1L, ts(1), 1L, 10.0), (1L, ts(2), 2L, 20.0), (1L, ts(3), 3L, 30.0),
+      (2L, ts(1), 4L, 5.0)).toDF("user_id", "ts", "event_id", "value")
+    val batch = graft.ops.Drift.ewmaLevel(batchDf, "user_id", "ts",
+        "event_id", "value", alpha = 0.25)
+      .select("user_id", "n", "ewma")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch(1L) == ((3L, 16.875)))
+  }
 }
