@@ -71,7 +71,12 @@ object Plans {
       "q_luhn_scan", "q_sketch_sim", "q_ann_recall",
       // embed_dispersion centroid agg + broadcast cosine pass;
       // code_detect pure narrow regex-count projection
-      "q_embed_dispersion", "q_code_detect")
+      "q_embed_dispersion", "q_code_detect",
+      // evaluation suite: ranked_eval must plan WindowGroupLimit on
+      // the run topk (rank-filter form) with query-partitioned windows
+      // only; pr_curve ONE distinct-score agg then the two-pass prefix
+      // scan (no global window); confusion/brier single-agg passes
+      "q_ranked_eval", "q_pr_curve", "q_confusion", "q_brier")
     interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -199,7 +199,13 @@ object SparkEntry {
     "q_sketch_sim"       -> (OpsQueries.sketchSim _),
     "q_ann_recall"       -> (OpsQueries.annRecall _),
     "q_embed_dispersion" -> (OpsQueries.embedDispersion _),
-    "q_code_detect"      -> (OpsQueries.codeDetect _)
+    "q_code_detect"      -> (OpsQueries.codeDetect _),
+    "q_ranked_eval"      -> (OpsQueries.rankedEvalQ _),
+    "q_ir_summary"       -> (OpsQueries.irSummaryQ _),
+    "q_pr_curve"         -> (OpsQueries.prCurveQ _),
+    "q_confusion"        -> (OpsQueries.confusionQ _),
+    "q_calibration"      -> (OpsQueries.calibrationQ _),
+    "q_brier"            -> (OpsQueries.brierQ _)
   )
 
   private val fixedPathValues =

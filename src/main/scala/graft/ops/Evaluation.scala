@@ -1,0 +1,276 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval and classifier evaluation metrics, integer-exact.
+  *
+  * A curation pipeline is only as good as the evaluation loop judging
+  * it: retrieval quality for the RAG/hard-negative stack (NDCG, MRR,
+  * MAP, precision/recall at k) and classifier quality for the trained
+  * quality filters (PR curve, confusion matrix, calibration, Brier).
+  * The reference ships score() for mse/mae/class/auc
+  * (/root/reference/R/score.R); this module is the corpus-side
+  * complement over ranked result tables.
+  *
+  * Everything is computed in scaled-integer arithmetic (ppm = parts
+  * per million; reciprocal ranks scaled by lcm(1..k); DCG discounts as
+  * precomputed integer weights) so sums are order- and
+  * partitioning-independent and every metric verifies hash-exact
+  * against a SQL oracle — the same discipline as the integer PageRank
+  * ([[Graph.pageRank]]) and the division-free samplers
+  * ([[Sampling.weightedBySlice]]).
+  *
+  * Scale shapes (100 TB): ranked metrics use only query-partitioned
+  * windows (rank-filter form, so Spark plans WindowGroupLimit and
+  * partial-aggregates the top-k before any shuffle); the PR curve
+  * reduces the corpus to one row per DISTINCT score (map-side
+  * combined), then prefix-sums that bounded table with the two-pass
+  * range-partitioned scan of [[Packing.concatChunk]] — no global
+  * window, no driver collect beyond the P-row partition totals.
+  */
+object Evaluation {
+
+  /** lcm(1..k) — the common denominator that keeps reciprocal-rank and
+    * average-precision sums in exact integer arithmetic. Fits a Long
+    * comfortably for k <= 20 (lcm(1..20) = 232,792,560). */
+  def rankLcm(k: Int): Long = {
+    require(k >= 1 && k <= 20, s"k must be in [1, 20], got $k")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to k.toLong).reduce((a, b) => a / gcd(a, b) * b)
+  }
+
+  /** DCG position weights `round(1e9 / log2(pos + 1))` for pos = 1..k,
+    * precomputed once on the driver so BOTH engines consume identical
+    * integer constants (cross-engine log2 agreement is never needed). */
+  def dcgWeights(k: Int): Array[Long] = {
+    require(k >= 1 && k <= 20, s"k must be in [1, 20], got $k")
+    (1 to k).map(i => math.round(1e9 / (math.log(i + 1.0) / math.log(2.0)))).toArray
+  }
+
+  /** Per-query ranked-retrieval metrics at cutoff k.
+    *
+    * @param run   retrieved results: one row per (query, item) with a
+    *              ranking score (higher = better; ties broken by item
+    *              ascending, so the ranking is total and deterministic)
+    * @param truth graded relevance: one row per (query, item) with an
+    *              integer grade >= 0 (0 = irrelevant; absent = 0)
+    * @return one row per query appearing in `run`:
+    *   hits      — retrieved items in the top-k with grade > 0
+    *   n_rel     — total relevant items for the query (from `truth`)
+    *   prec_ppm  — hits * 1e6 div k
+    *   rec_ppm   — hits * 1e6 div n_rel (null when n_rel = 0)
+    *   rr_lcm    — lcm(1..k) / rank of first relevant hit (0 if none);
+    *               divide by lcm for the reciprocal rank
+    *   ap_ppm    — average precision at k, ppm (null when n_rel = 0)
+    *   dcg_e9 / idcg_e9 — discounted cumulative gain (weights 1e9-scaled)
+    *   ndcg_ppm  — dcg * 1e6 div idcg (null when idcg = 0)
+    */
+  def rankedEval(run: DataFrame, truth: DataFrame, qCol: String,
+                 itemCol: String, scoreCol: String, relCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, s"k must be in [1, 20], got $k")
+    val lcm = rankLcm(k)
+    val w = dcgWeights(k).toSeq
+    val q = col("__q"); val item = col("__item")
+
+    val runN = run.select(col(qCol).as("__q"), col(itemCol).as("__item"),
+      col(scoreCol).as("__s"))
+    val truthN = truth.select(col(qCol).as("__q"), col(itemCol).as("__item"),
+      col(relCol).cast("long").as("__rel"))
+
+    // top-k of the run per query — rank-filter form → WindowGroupLimit
+    val byScore = Window.partitionBy(q).orderBy(col("__s").desc, item.asc)
+    val topk = runN
+      .withColumn("__rank", row_number().over(byScore))
+      .filter(col("__rank") <= k)
+
+    // graded top-k (absent truth rows grade 0)
+    val graded = topk.join(truthN, Seq("__q", "__item"), "left")
+      .select(q, item, col("__rank"),
+        coalesce(col("__rel"), lit(0L)).as("__rel"))
+
+    // per-query relevant-item totals and the ideal DCG from the truth
+    // side (top-k grades sorted descending; rank-filter form again)
+    val relOnly = truthN.filter(col("__rel") > 0)
+    val nRel = relOnly.groupBy(q).agg(count(lit(1)).as("n_rel"))
+    val byGrade = Window.partitionBy(q).orderBy(col("__rel").desc, item.asc)
+    val idcg = relOnly
+      .withColumn("__irank", row_number().over(byGrade))
+      .filter(col("__irank") <= k)
+      .groupBy(q)
+      .agg(sum(col("__rel") * element_at(typedlit(w), col("__irank")))
+        .as("idcg_e9"))
+
+    // prefix hit counts inside the top-k (per-query window, <= k rows)
+    val cum = Window.partitionBy(q).orderBy(col("__rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isHit = (col("__rel") > 0).cast("long")
+    val perQuery = graded
+      .withColumn("__hit", isHit)
+      .withColumn("__hits_at", sum(col("__hit")).over(cum))
+      .groupBy(q)
+      .agg(
+        sum(col("__hit")).as("hits"),
+        sum(col("__rel") * element_at(typedlit(w), col("__rank")))
+          .as("dcg_e9"),
+        // AP numerator: sum over relevant positions of hits@i * (lcm/i)
+        sum(when(col("__hit") === 1,
+          col("__hits_at") * expr(s"$lcm div __rank"))
+          .otherwise(0L)).as("__ap_num"),
+        // first relevant rank → reciprocal rank scaled by lcm
+        min(when(col("__hit") === 1, col("__rank"))).as("__first_rel"))
+
+    perQuery
+      .join(nRel, Seq("__q"), "left")
+      .join(idcg, Seq("__q"), "left")
+      .select(
+        q.as(qCol),
+        col("hits"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        expr(s"hits * 1000000 div $k").as("prec_ppm"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          expr("hits * 1000000 div n_rel")).as("rec_ppm"),
+        coalesce(expr(s"$lcm div __first_rel"), lit(0L)).as("rr_lcm"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0,
+          expr(s"__ap_num * 1000000 div ($lcm * least(n_rel, $k))"))
+          .as("ap_ppm"),
+        col("dcg_e9"),
+        coalesce(col("idcg_e9"), lit(0L)).as("idcg_e9"),
+        when(coalesce(col("idcg_e9"), lit(0L)) > 0,
+          expr("dcg_e9 * 1000000 div idcg_e9")).as("ndcg_ppm"))
+  }
+
+  /** Corpus-level rollup of [[rankedEval]]: query count, MRR, MAP and
+    * mean NDCG (all ppm, integer-exact means over the defined rows). */
+  def irSummary(perQuery: DataFrame, k: Int): DataFrame = {
+    val lcm = rankLcm(k)
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      expr(s"sum(rr_lcm) * 1000000 div ($lcm * count(1))").as("mrr_ppm"),
+      expr("sum(ap_ppm) div count(ap_ppm)").as("map_ppm"),
+      expr("sum(ndcg_ppm) div count(ndcg_ppm)").as("mean_ndcg_ppm"))
+  }
+
+  /** Exact precision/recall curve: one point per DISTINCT score value,
+    * treating each as the decision threshold `score >= t`.
+    *
+    * The corpus first reduces to (score, n, pos) per distinct score —
+    * one map-side-combined aggregation — and the bounded distinct-score
+    * table is prefix-summed with the two-pass range-partitioned scan
+    * (partition totals + broadcast offsets), never a global window.
+    * For continuous scores quantize to a fixed grid first (the ppm
+    * convention used throughout this module) so the curve's point count
+    * is bounded by construction.
+    *
+    * f1_ppm uses the algebraic form `2*tp*1e6 div (2*tp + fp + fn)` —
+    * pure integers, no intermediate rounding. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perScore = df
+      .select(col(scoreCol).cast("double").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
+      .repartitionByRange(col("__s").desc)
+      .sortWithinPartitions(col("__s").desc)
+    val rdd = perScore.rdd
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L; var p = 0L
+      it.foreach { case (_, cn, cp) => n += cn; p += cp }
+      Iterator((i, n, p))
+    }.collect().sortBy(_._1)
+    val nOff = new Array[Long](math.max(rdd.getNumPartitions, 1))
+    val pOff = new Array[Long](nOff.length)
+    var an = 0L; var ap = 0L
+    partTotals.foreach { case (i, n, p) => nOff(i) = an; pOff(i) = ap; an += n; ap += p }
+    val (totalN, totalP) = (an, ap)
+    val bcN = rdd.sparkContext.broadcast(nOff)
+    val bcP = rdd.sparkContext.broadcast(pOff)
+    rdd.mapPartitionsWithIndex { (i, it) =>
+      var cn = bcN.value(i); var cp = bcP.value(i)
+      it.map { case (s, n, p) =>
+        cn += n; cp += p
+        val tp = cp; val fp = cn - cp
+        val fn = totalP - tp; val tn = (totalN - totalP) - fp
+        (s, tp, fp, fn, tn)
+      }
+    }.toDF("threshold", "tp", "fp", "fn", "tn")
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("tp * 1000000 div (tp + fp)").as("prec_ppm"),
+        when(lit(totalP) > 0, expr("tp * 1000000 div (tp + fn)")).as("rec_ppm"),
+        when(col("tp") + col("fp") + col("fn") > 0,
+          expr("2 * tp * 1000000 div (2 * tp + fp + fn)")).as("f1_ppm"))
+  }
+
+  /** Confusion matrix + derived rates at a fixed threshold
+    * (`score >= threshold` predicts positive). One aggregation pass. */
+  def confusionAt(df: DataFrame, scoreCol: String, labelCol: String,
+                  threshold: Double): DataFrame = {
+    val pred = (col(scoreCol) >= threshold).cast("long")
+    val y = col(labelCol).cast("long")
+    df.filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .agg(
+        sum(pred * y).as("tp"),
+        sum(pred * (lit(1L) - y)).as("fp"),
+        sum((lit(1L) - pred) * y).as("fn"),
+        sum((lit(1L) - pred) * (lit(1L) - y)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(tp + tn) * 1000000 div (tp + fp + fn + tn)").as("acc_ppm"),
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000 div (tp + fp)")).as("prec_ppm"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 1000000 div (tp + fn)")).as("rec_ppm"),
+        when(col("tp") + col("fp") + col("fn") > 0,
+          expr("2 * tp * 1000000 div (2 * tp + fp + fn)")).as("f1_ppm"))
+  }
+
+  /** Reliability (calibration) bins over ppm-scaled probabilities.
+    *
+    * @param muPpmCol predicted probability scaled to [0, 1e6] integers
+    *                 (the caller quantizes — keeping the contract
+    *                 integer end-to-end)
+    * @param bins     number of equal-width probability bins
+    * @return per-bin: n, mean predicted ppm, mean observed ppm, and the
+    *         absolute gap — `sum(|gap| * n) / N` over the rows is the
+    *         expected calibration error, which [[brier]] reports. */
+  def calibrationBins(df: DataFrame, muPpmCol: String, labelCol: String,
+                      bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    val mu = col(muPpmCol).cast("long")
+    val y = col(labelCol).cast("long")
+    df.filter(mu.isNotNull && y.isNotNull)
+      .select(least(expr(s"CAST($muPpmCol AS BIGINT) * $bins div 1000000"),
+        lit(bins - 1L)).cast("long").as("bin"), mu.as("__mu"), y.as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__mu")).as("__mu_sum"),
+        sum(col("__y")).as("__y_sum"))
+      .select(col("bin"), col("n"),
+        expr("__mu_sum div n").as("mean_pred_ppm"),
+        expr("__y_sum * 1000000 div n").as("mean_obs_ppm"),
+        expr("abs(__mu_sum - __y_sum * 1000000) div n").as("gap_ppm"))
+  }
+
+  /** Brier score and expected calibration error, both scaled-integer
+    * (ppm of ppm^2 for Brier: the per-row squared error of ppm-scaled
+    * probabilities sums exactly in Long; dividing by n at the end keeps
+    * the score on a 1e12 = perfect-miss scale). */
+  def brier(df: DataFrame, muPpmCol: String, labelCol: String,
+            bins: Int): DataFrame = {
+    val mu = col(muPpmCol).cast("long")
+    val y = col(labelCol).cast("long")
+    val sq = df.filter(mu.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum((mu - y * 1000000L) * (mu - y * 1000000L)).as("__se"))
+      .select(col("n"), expr("__se div n").as("brier_e12"))
+    val ece = calibrationBins(df, muPpmCol, labelCol, bins)
+      .agg(sum(col("gap_ppm") * col("n")).as("__g"), sum(col("n")).as("__n"))
+      .select(expr("__g div __n").as("ece_ppm"))
+    sq.crossJoin(ece)
+  }
+}

@@ -2535,8 +2535,135 @@ object OpsOracles {
         |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
         |  round(coalesce(h.n_hit, 0) / 5.0, 6) AS recall
         |FROM tt LEFT JOIN hits h ON tt.query_id = h.query_id
-        |ORDER BY tt.query_id""".stripMargin.trim
+        |ORDER BY tt.query_id""".stripMargin.trim,
+
+    "q_ranked_eval" -> rankedEvalSql,
+    "q_ir_summary" -> irSummarySql,
+
+    // exact PR curve: distinct-score counts then DESC prefix sums; all
+    // integer (ppm divisions are integral) so partitioning can't matter
+    "q_pr_curve" ->
+      """WITH s AS (SELECT l_quantity AS t, count(*)::BIGINT AS n,
+        |    sum((l_returnflag = 'R')::BIGINT)::BIGINT AS pos
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT AS all_n, sum(pos)::BIGINT AS all_p FROM s),
+        |c AS (SELECT t, sum(n) OVER (ORDER BY t DESC)::BIGINT AS cn,
+        |        sum(pos) OVER (ORDER BY t DESC)::BIGINT AS cp FROM s)
+        |SELECT t AS threshold, cp AS tp, (cn - cp)::BIGINT AS fp,
+        |  (all_p - cp)::BIGINT AS fn,
+        |  ((all_n - all_p) - (cn - cp))::BIGINT AS tn,
+        |  (cp * 1000000 // cn)::BIGINT AS prec_ppm,
+        |  CASE WHEN all_p > 0 THEN (cp * 1000000 // all_p)::BIGINT END AS rec_ppm,
+        |  CASE WHEN cp + (cn - cp) + (all_p - cp) > 0
+        |    THEN (2 * cp * 1000000 // (2 * cp + (cn - cp) + (all_p - cp)))::BIGINT
+        |  END AS f1_ppm
+        |FROM c, tot ORDER BY threshold DESC""".stripMargin.trim,
+
+    "q_confusion" ->
+      """WITH r AS (SELECT (l_quantity >= 25.0)::BIGINT AS p,
+        |    (l_returnflag = 'R')::BIGINT AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+        |m AS (SELECT sum(p * y)::BIGINT AS tp, sum(p * (1 - y))::BIGINT AS fp,
+        |        sum((1 - p) * y)::BIGINT AS fn,
+        |        sum((1 - p) * (1 - y))::BIGINT AS tn FROM r)
+        |SELECT tp, fp, fn, tn,
+        |  ((tp + tn) * 1000000 // (tp + fp + fn + tn))::BIGINT AS acc_ppm,
+        |  CASE WHEN tp + fp > 0 THEN (tp * 1000000 // (tp + fp))::BIGINT END AS prec_ppm,
+        |  CASE WHEN tp + fn > 0 THEN (tp * 1000000 // (tp + fn))::BIGINT END AS rec_ppm,
+        |  CASE WHEN tp + fp + fn > 0
+        |    THEN (2 * tp * 1000000 // (2 * tp + fp + fn))::BIGINT END AS f1_ppm
+        |FROM m""".stripMargin.trim,
+
+    // reliability bins over the ppm-quantized toy probability
+    // mu = l_quantity/50 — bin index and all bin stats are integral
+    "q_calibration" ->
+      """WITH b AS (SELECT least(l_quantity::BIGINT * 20000 * 10 // 1000000, 9) AS bin,
+        |    l_quantity::BIGINT * 20000 AS mu, (l_returnflag = 'R')::BIGINT AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL)
+        |SELECT bin, count(*)::BIGINT AS n,
+        |  (sum(mu) // count(*))::BIGINT AS mean_pred_ppm,
+        |  (sum(y) * 1000000 // count(*))::BIGINT AS mean_obs_ppm,
+        |  (abs(sum(mu) - sum(y) * 1000000) // count(*))::BIGINT AS gap_ppm
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin.trim,
+
+    "q_brier" ->
+      """WITH r AS (SELECT l_quantity::BIGINT * 20000 AS mu,
+        |    (l_returnflag = 'R')::BIGINT AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |sq AS (SELECT count(*)::BIGINT AS n,
+        |    (sum((mu - y * 1000000) * (mu - y * 1000000)) // count(*))::BIGINT AS brier_e12
+        |  FROM r),
+        |b AS (SELECT least(mu * 10 // 1000000, 9) AS bin, count(*)::BIGINT AS n,
+        |    (abs(sum(mu) - sum(y) * 1000000) // count(*))::BIGINT AS gap_ppm
+        |  FROM r GROUP BY bin),
+        |e AS (SELECT (sum(gap_ppm * n) // sum(n))::BIGINT AS ece_ppm FROM b)
+        |SELECT sq.n, sq.brier_e12, e.ece_ppm FROM sq, e""".stripMargin.trim
   )
+
+  /** q_ranked_eval / q_ir_summary: the DCG discount weights and the
+    * lcm(1..k) reciprocal-rank scale are computed ONCE in Scala
+    * (graft.ops.Evaluation.dcgWeights / rankLcm) and injected into the
+    * SQL as integer literals, so cross-engine log2 agreement is never
+    * required — every metric is integral arithmetic on those shared
+    * constants. */
+  private def rankedEvalCtes: String = {
+    val k = 10
+    val lcm = graft.ops.Evaluation.rankLcm(k)
+    val values = graft.ops.Evaluation.dcgWeights(k).zipWithIndex
+      .map { case (wt, i) => s"(${i + 1}, $wt::BIGINT)" }.mkString(", ")
+    s"""WITH wt(pos, w) AS (VALUES $values),
+       |ev AS (SELECT user_id, event_id, value,
+       |    CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+       |      WHEN 'click' THEN 1 WHEN 'view' THEN 1 ELSE 0 END AS rel
+       |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+       |topk AS (SELECT user_id, event_id, rel,
+       |    row_number() OVER (PARTITION BY user_id
+       |                       ORDER BY value DESC, event_id) AS rnk
+       |  FROM ev QUALIFY rnk <= $k),
+       |nrel AS (SELECT user_id, count(*)::BIGINT AS n_rel
+       |  FROM ev WHERE rel > 0 GROUP BY 1),
+       |idcg AS (SELECT user_id, sum(rel * w)::BIGINT AS idcg_e9 FROM (
+       |    SELECT user_id, rel, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY rel DESC, event_id) AS ir
+       |    FROM ev WHERE rel > 0 QUALIFY ir <= $k) t
+       |  JOIN wt ON t.ir = wt.pos GROUP BY 1),
+       |g AS (SELECT t.user_id, t.rnk, t.rel, (t.rel > 0)::BIGINT AS hit,
+       |    sum((t.rel > 0)::BIGINT) OVER (PARTITION BY t.user_id
+       |                                   ORDER BY t.rnk) AS hits_at, wt.w
+       |  FROM topk t JOIN wt ON t.rnk = wt.pos),
+       |pq AS (SELECT user_id, sum(hit)::BIGINT AS hits,
+       |    sum(rel * w)::BIGINT AS dcg_e9,
+       |    sum(CASE WHEN hit = 1 THEN hits_at * ($lcm // rnk)
+       |        ELSE 0 END)::BIGINT AS ap_num,
+       |    min(CASE WHEN hit = 1 THEN rnk END) AS first_rel
+       |  FROM g GROUP BY 1),
+       |ranked AS (SELECT pq.user_id, hits, coalesce(n_rel, 0)::BIGINT AS n_rel,
+       |    (hits * 1000000 // $k)::BIGINT AS prec_ppm,
+       |    CASE WHEN coalesce(n_rel, 0) > 0
+       |      THEN (hits * 1000000 // n_rel)::BIGINT END AS rec_ppm,
+       |    coalesce($lcm // first_rel, 0)::BIGINT AS rr_lcm,
+       |    CASE WHEN coalesce(n_rel, 0) > 0
+       |      THEN (ap_num * 1000000 // ($lcm * least(n_rel, $k)))::BIGINT
+       |    END AS ap_ppm,
+       |    dcg_e9, coalesce(idcg_e9, 0)::BIGINT AS idcg_e9,
+       |    CASE WHEN coalesce(idcg_e9, 0) > 0
+       |      THEN (dcg_e9 * 1000000 // idcg_e9)::BIGINT END AS ndcg_ppm
+       |  FROM pq LEFT JOIN nrel USING (user_id)
+       |          LEFT JOIN idcg USING (user_id))""".stripMargin
+  }
+
+  private def rankedEvalSql: String =
+    s"$rankedEvalCtes\nSELECT * FROM ranked ORDER BY user_id"
+
+  private def irSummarySql: String = {
+    val lcm = graft.ops.Evaluation.rankLcm(10)
+    s"""$rankedEvalCtes
+       |SELECT count(*)::BIGINT AS n_queries,
+       |  (sum(rr_lcm) * 1000000 // ($lcm * count(*)))::BIGINT AS mrr_ppm,
+       |  (sum(ap_ppm) // count(ap_ppm))::BIGINT AS map_ppm,
+       |  (sum(ndcg_ppm) // count(ndcg_ppm))::BIGINT AS mean_ndcg_ppm
+       |FROM ranked""".stripMargin.trim
+  }
 
   /** q_hits: 2 Gauss-Seidel HITS iterations (a ← Σ_in h then h ← Σ_out a,
     * each followed by the power-of-two rescale keeping max < 2^40)

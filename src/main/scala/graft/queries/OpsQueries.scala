@@ -1452,4 +1452,55 @@ object OpsQueries {
         round(col("hub_share"), 6).as("hub_share"))
       .orderBy("doc_id")
   }
+
+  /** Ranked-retrieval evaluation: each user's events ranked by value
+    * form the "run", event_type grades form the relevance judgments
+    * (purchase=3, signup=2, click/view=1, error=0) — NDCG@10, AP@10,
+    * reciprocal rank, precision/recall, all scaled-integer. */
+  private def rankedEvalDf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+    val rel = expr("CASE event_type WHEN 'purchase' THEN 3 " +
+      "WHEN 'signup' THEN 2 WHEN 'click' THEN 1 WHEN 'view' THEN 1 " +
+      "ELSE 0 END")
+    Evaluation.rankedEval(
+      ev.select(col("user_id"), col("event_id"), col("value")),
+      ev.select(col("user_id"), col("event_id"), rel.as("rel")),
+      "user_id", "event_id", "value", "rel", k = 10)
+  }
+
+  def rankedEvalQ(spark: SparkSession, dir: String): DataFrame =
+    rankedEvalDf(spark, dir).orderBy("user_id")
+
+  def irSummaryQ(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.irSummary(rankedEvalDf(spark, dir), k = 10)
+
+  /** Exact PR curve of the l_quantity score against the R-returnflag
+    * label — one point per distinct score, two-pass prefix sums. */
+  def prCurveQ(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.prCurve(
+      tbl(spark, dir, "lineitem").select(col("l_quantity"),
+        (col("l_returnflag") === "R").cast("long").as("is_r")),
+      "l_quantity", "is_r")
+      .orderBy(col("threshold").desc)
+
+  def confusionQ(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.confusionAt(
+      tbl(spark, dir, "lineitem").select(col("l_quantity"),
+        (col("l_returnflag") === "R").cast("long").as("is_r")),
+      "l_quantity", "is_r", threshold = 25.0)
+
+  /** Calibration of the toy "probability" mu = l_quantity / 50 (ppm
+    * integers by construction) against the R-returnflag label. */
+  private def muPpmDf(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .select((col("l_quantity").cast("long") * 20000L).as("mu_ppm"),
+        (col("l_returnflag") === "R").cast("long").as("is_r"))
+
+  def calibrationQ(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.calibrationBins(muPpmDf(spark, dir), "mu_ppm", "is_r",
+      bins = 10).orderBy("bin")
+
+  def brierQ(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.brier(muPpmDf(spark, dir), "mu_ppm", "is_r", bins = 10)
 }

@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Integer-exact retrieval / classifier evaluation metrics. */
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- rankedEval
+
+  // query 1: run retrieves items 10,20,30 (scores 3,2,1); grades 3,0,1.
+  // query 2: run retrieves 10,20 (scores 5,4); nothing relevant.
+  private val run = Seq(
+    (1L, 10L, 3.0), (1L, 20L, 2.0), (1L, 30L, 1.0),
+    (2L, 10L, 5.0), (2L, 20L, 4.0)).toDF("q", "item", "s")
+  private val truth = Seq(
+    (1L, 10L, 3L), (1L, 30L, 1L), (1L, 99L, 2L), // 99 never retrieved
+    (2L, 77L, 1L)).toDF("q", "item", "rel")
+
+  test("rankedEval: hand-computed metrics at k=3") {
+    val lcm = Evaluation.rankLcm(3) // 6
+    val w = Evaluation.dcgWeights(3)
+    val got = Evaluation.rankedEval(run, truth, "q", "item", "s", "rel", 3)
+      .orderBy("q").collect()
+
+    val r1 = got(0)
+    assert(r1.getAs[Long]("hits") === 2) // items 10 and 30
+    assert(r1.getAs[Long]("n_rel") === 3)
+    assert(r1.getAs[Long]("prec_ppm") === 2L * 1000000 / 3)
+    assert(r1.getAs[Long]("rec_ppm") === 2L * 1000000 / 3)
+    assert(r1.getAs[Long]("rr_lcm") === lcm) // first hit at rank 1
+    // AP numerator: rank1 hit (hits=1) → 1*(6/1); rank3 hit (hits=2) → 2*(6/3)
+    val apNum = 1 * (lcm / 1) + 2 * (lcm / 3)
+    assert(r1.getAs[Long]("ap_ppm") === apNum * 1000000L / (lcm * 3))
+    // DCG: 3*w(1) + 0*w(2) + 1*w(3); IDCG: grades 3,2,1 in order
+    val dcg = 3 * w(0) + 1 * w(2)
+    val idcg = 3 * w(0) + 2 * w(1) + 1 * w(2)
+    assert(r1.getAs[Long]("dcg_e9") === dcg)
+    assert(r1.getAs[Long]("idcg_e9") === idcg)
+    assert(r1.getAs[Long]("ndcg_ppm") === dcg * 1000000L / idcg)
+
+    val r2 = got(1)
+    assert(r2.getAs[Long]("hits") === 0)
+    assert(r2.getAs[Long]("n_rel") === 1) // item 77, never retrieved
+    assert(r2.getAs[Long]("rr_lcm") === 0)
+    assert(r2.getAs[Long]("rec_ppm") === 0)
+    assert(r2.getAs[Long]("ap_ppm") === 0)
+    // no relevant item retrieved but idcg is defined (truth has grades)
+    assert(r2.getAs[Long]("ndcg_ppm") === 0)
+  }
+
+  test("rankedEval: perfect ranking scores ndcg = rr = 1") {
+    val perfRun = Seq((1L, 10L, 9.0), (1L, 99L, 8.0), (1L, 30L, 7.0))
+      .toDF("q", "item", "s") // retrieved exactly in grade order 3,2,1
+    val got = Evaluation.rankedEval(perfRun, truth, "q", "item", "s", "rel", 3)
+      .head()
+    assert(got.getAs[Long]("ndcg_ppm") === 1000000L)
+    assert(got.getAs[Long]("rr_lcm") === Evaluation.rankLcm(3))
+    assert(got.getAs[Long]("ap_ppm") === 1000000L)
+  }
+
+  test("irSummary rolls up per-query rows") {
+    val per = Evaluation.rankedEval(run, truth, "q", "item", "s", "rel", 3)
+    val s = Evaluation.irSummary(per, 3).head()
+    assert(s.getAs[Long]("n_queries") === 2)
+    val lcm = Evaluation.rankLcm(3)
+    assert(s.getAs[Long]("mrr_ppm") === (lcm + 0) * 1000000L / (lcm * 2))
+  }
+
+  // ------------------------------------------------------------- prCurve
+
+  test("prCurve: prefix sums are exact and recall is monotone") {
+    val df = Seq((5.0, 1L), (5.0, 0L), (4.0, 1L), (3.0, 0L), (3.0, 1L),
+      (1.0, 0L)).toDF("s", "y")
+    val pts = Evaluation.prCurve(df, "s", "y").orderBy(desc("threshold"))
+      .collect()
+    assert(pts.length === 4) // distinct scores
+    // threshold 5: tp=1 fp=1; threshold 4: tp=2 fp=1; 3: tp=3 fp=2
+    assert(pts(0).getAs[Long]("tp") === 1 && pts(0).getAs[Long]("fp") === 1)
+    assert(pts(1).getAs[Long]("tp") === 2 && pts(1).getAs[Long]("fp") === 1)
+    assert(pts(2).getAs[Long]("tp") === 3 && pts(2).getAs[Long]("fp") === 2)
+    // last point covers everything
+    assert(pts(3).getAs[Long]("tp") === 3 && pts(3).getAs[Long]("fn") === 0)
+    val recalls = pts.map(_.getAs[Long]("rec_ppm"))
+    assert(recalls.sameElements(recalls.sorted))
+    // partitioning cannot change the curve
+    val re = Evaluation.prCurve(df.repartition(7), "s", "y")
+      .orderBy(desc("threshold")).collect()
+    assert(re.map(_.toSeq).sameElements(pts.map(_.toSeq)))
+  }
+
+  test("confusionAt agrees with the prCurve point at that threshold") {
+    val df = Seq((5.0, 1L), (5.0, 0L), (4.0, 1L), (3.0, 0L), (3.0, 1L),
+      (1.0, 0L)).toDF("s", "y")
+    val c = Evaluation.confusionAt(df, "s", "y", 4.0).head()
+    val p = Evaluation.prCurve(df, "s", "y")
+      .filter(col("threshold") === 4.0).head()
+    for (f <- Seq("tp", "fp", "fn", "tn", "prec_ppm", "rec_ppm", "f1_ppm"))
+      assert(c.getAs[Long](f) === p.getAs[Long](f), f)
+  }
+
+  // -------------------------------------------------- calibration / brier
+
+  test("brier: perfect ppm predictions score zero, worst score 1e12") {
+    val perfect = Seq((1000000L, 1L), (0L, 0L), (1000000L, 1L))
+      .toDF("mu", "y")
+    val b = Evaluation.brier(perfect, "mu", "y", 10).head()
+    assert(b.getAs[Long]("brier_e12") === 0L)
+    assert(b.getAs[Long]("ece_ppm") === 0L)
+    val worst = Seq((1000000L, 0L), (0L, 1L)).toDF("mu", "y")
+    val w = Evaluation.brier(worst, "mu", "y", 10).head()
+    assert(w.getAs[Long]("brier_e12") === 1000000000000L)
+  }
+
+  test("calibrationBins: bin edges and counts") {
+    val df = Seq((0L, 0L), (99999L, 0L), (100000L, 1L), (999999L, 1L),
+      (1000000L, 1L)).toDF("mu", "y")
+    val bins = Evaluation.calibrationBins(df, "mu", "y", 10)
+      .orderBy("bin").collect()
+    // mu=0 and 99999 → bin 0; 100000 → bin 1; 999999 and 1000000 → bin 9
+    assert(bins.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"))).toSeq
+      === Seq((0L, 2L), (1L, 1L), (9L, 2L)))
+    assert(bins.map(_.getAs[Long]("n")).sum === 5)
+  }
+}
