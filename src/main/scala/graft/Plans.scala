@@ -76,7 +76,11 @@ object Plans {
       // the run topk (rank-filter form) with query-partitioned windows
       // only; pr_curve ONE distinct-score agg then the two-pass prefix
       // scan (no global window); confusion/brier single-agg passes
-      "q_ranked_eval", "q_pr_curve", "q_confusion", "q_brier")
+      "q_ranked_eval", "q_pr_curve", "q_confusion", "q_brier",
+      // graph similarity: link_predict ONE wedge self-join on capped
+      // middles + keyed degree joins; assoc_rules distinct-reduce then
+      // one basket self-join with AQE-chosen marginal joins
+      "q_link_predict", "q_assoc_rules")
     interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

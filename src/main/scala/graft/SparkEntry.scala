@@ -205,7 +205,11 @@ object SparkEntry {
     "q_pr_curve"         -> (OpsQueries.prCurveQ _),
     "q_confusion"        -> (OpsQueries.confusionQ _),
     "q_calibration"      -> (OpsQueries.calibrationQ _),
-    "q_brier"            -> (OpsQueries.brierQ _)
+    "q_brier"            -> (OpsQueries.brierQ _),
+    "q_link_predict"     -> (OpsQueries.linkPredictQ _),
+    "q_clustering_coeff" -> (OpsQueries.clusteringCoeffQ _),
+    "q_assortativity"    -> (OpsQueries.assortativityQ _),
+    "q_assoc_rules"      -> (OpsQueries.assocRulesQ _)
   )
 
   private val fixedPathValues =

@@ -102,4 +102,53 @@ object Frequent {
         .filter(col("cnt") >= minCount)
     }
   }
+
+  /** Pairwise association rules over (basket, item) rows — the
+    * market-basket support/confidence/lift mining that powers
+    * "documents tagged X also carry tag Y" curation diagnostics.
+    *
+    * For every DIRECTED item pair (a → b) co-occurring in at least
+    * `minSupport` baskets:
+    *   n_a, n_b    — baskets containing each item
+    *   n_ab        — baskets containing both
+    *   conf_ppm    — n_ab · 1e6 div n_a        (P(b | a))
+    *   lift_ppm    — n_ab · N · 1e6 div (n_a · n_b)  (1e6 = independent)
+    * All integral, so the table is engine-exact.
+    *
+    * Shape (100 TB): baskets dedupe to distinct (basket, item) — one
+    * map-side-combined aggregation; the pair generation is ONE
+    * self-equi-join on the basket key, bounded by `maxBasketSize`
+    * (baskets past the cap are dropped whole before the join — a
+    * degenerate mega-basket of b items would otherwise emit b² pairs);
+    * item marginals join on the item key (left to AQE — broadcast when
+    * the item vocabulary is small, shuffle when it isn't: the pair
+    * table is keyed on items anyway). */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Long = 2,
+                       maxBasketSize: Int = 1024): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2,
+      s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val bi = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .distinct()
+    val sized = bi.groupBy("__bk").agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBasketSize)
+    val kept = bi.join(sized.select("__bk"), "__bk")
+      .localCheckpoint(false) // marginals + pair join reuse
+    val nBaskets = kept.select(col("__bk")).distinct().count()
+    val marg = kept.groupBy(col("__it")).agg(count(lit(1)).as("__n"))
+    val pairs = kept.select(col("__bk"), col("__it").as("ante"))
+      .join(kept.select(col("__bk"), col("__it").as("cons")), "__bk")
+      .filter(col("ante") =!= col("cons"))
+      .groupBy(col("ante"), col("cons"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(marg.select(col("__it").as("ante"), col("__n").as("n_a")), "ante")
+      .join(marg.select(col("__it").as("cons"), col("__n").as("n_b")), "cons")
+      .select(col("ante"), col("cons"), col("n_a"), col("n_b"), col("n_ab"),
+        expr("n_ab * 1000000 div n_a").as("conf_ppm"),
+        expr(s"n_ab * $nBaskets * 1000000 div (n_a * n_b)").as("lift_ppm"))
+  }
 }

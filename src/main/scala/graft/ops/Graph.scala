@@ -357,4 +357,115 @@ object Graph {
       (col("auth").cast("double") / ta).as("auth_share"),
       (col("hub").cast("double") / th).as("hub_share"))
   }
+
+  /** Undirected simple-graph normalization shared by the similarity
+    * operators below: symmetric, deduplicated, self-loop-free, with
+    * endpoints ordered a < b. */
+  private def simple(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val a = least(col(srcCol).cast("long"), col(dstCol).cast("long"))
+    val b = greatest(col(srcCol).cast("long"), col(dstCol).cast("long"))
+    edges.filter(col(srcCol).isNotNull && col(dstCol).isNotNull)
+      .select(a.as("a"), b.as("b")).filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Link-prediction scores for every node pair sharing at least one
+    * common neighbor: common-neighbor count, neighborhood Jaccard, and
+    * the Resource-Allocation index (Zhou et al. 2009) — RA instead of
+    * Adamic-Adar because `Σ 1e12 div deg(z)` is pure integer
+    * arithmetic, so the score is order-independent and engine-exact
+    * (Adamic-Adar's `1/ln deg` would ride on cross-engine libm).
+    *
+    * @param maxDegree wedge middles with degree above this are skipped
+    *   — the standard super-hub cut: one celebrity node of degree d
+    *   would otherwise emit d² candidate pairs. Capping bounds the
+    *   wedge join by `Σ_z min(deg z, maxDegree)²` and is also how a
+    *   bipartite graph is projected onto one side (cap below the far
+    *   side's degrees → only near-side pairs survive).
+    *
+    * Shape (100 TB): one distinct edge normalization, one degree
+    * aggregation, ONE self-equi-join on the wedge middle (shuffle on
+    * z), one grouped sum per pair, plus degree joins keyed on u/v.
+    * `is_edge` marks already-connected pairs via a left join against
+    * the edge set — candidates for link prediction are the rows with
+    * `is_edge = false`. */
+  def linkPredict(edges: DataFrame, srcCol: String, dstCol: String,
+                  maxDegree: Int = 1000): DataFrame = {
+    require(maxDegree >= 1, s"maxDegree must be positive, got $maxDegree")
+    val e = simple(edges, srcCol, dstCol).localCheckpoint(false)
+    val adj = e.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(e.select(col("b").as("id"), col("a").as("nb")))
+    val deg = adj.groupBy("id").agg(count(lit(1)).as("deg"))
+    val mid = adj.join(deg, "id").filter(col("deg") <= maxDegree)
+      .select(col("id").as("z"), col("nb"), col("deg").as("degz"))
+    val wedges = mid.select(col("z"), col("nb").as("u"), col("degz"))
+      .join(mid.select(col("z"), col("nb").as("v")), "z")
+      .filter(col("u") < col("v"))
+    val pairs = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000000000 div degz")).as("ra_e12"))
+    pairs
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .join(e.select(col("a").as("u"), col("b").as("v"),
+        lit(true).as("__e")), Seq("u", "v"), "left")
+      .select(col("u"), col("v"), col("cn"),
+        col("ra_e12"),
+        expr("cn * 1000000 div (du + dv - cn)").as("jac_ppm"),
+        coalesce(col("__e"), lit(false)).as("is_edge"))
+  }
+
+  /** Local clustering coefficient per node: `2·triangles div
+    * (deg·(deg−1))` in ppm — how tightly a node's neighborhood closes.
+    * Rides on [[triangleCount]]'s degree-oriented O(m^1.5) wedge join;
+    * adds one degree aggregation and one left join (nodes in no
+    * triangle coefficient 0, degree-1 nodes null). */
+  def clusteringCoeff(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val e = simple(edges, srcCol, dstCol).localCheckpoint(false)
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val tri = triangleCount(e, "a", "b")
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          expr("2 * coalesce(n_triangles, 0) * 1000000 div (deg * (deg - 1))"))
+          .as("coeff_ppm"))
+  }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over the (symmetrized) edge list — positive r = hubs link to hubs,
+    * negative = hubs link to leaves (Newman 2002). Degrees are already
+    * integers, so the five moment sums run in decimal(38,0) exactly
+    * ([[Analytics.corrPairs]] discipline) and the double conversion is
+    * the first inexact step on either engine. One degree aggregation +
+    * two keyed joins + ONE moment aggregate. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String, dstCol: String,
+                          outDigits: Int = 6): DataFrame = {
+    val e = simple(edges, srcCol, dstCol).localCheckpoint(false)
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // both orientations: each undirected edge contributes (du,dv), (dv,du)
+    val sym = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(col("da").as("x"), col("db").as("y"))
+    val both = sym.unionAll(sym.select(col("y").as("x"), col("x").as("y")))
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("decimal(38,0)")
+    both.agg(
+      count(lit(1)).cast("decimal(38,0)").as("__n"),
+      sum(d(col("x"))).as("__sx"), sum(d(col("y"))).as("__sy"),
+      sum(d(col("x")) * d(col("x"))).as("__sxx"),
+      sum(d(col("y")) * d(col("y"))).as("__syy"),
+      sum(d(col("x")) * d(col("y"))).as("__sxy"))
+      .select((col("__n") / 2).cast("long").as("n_edges"),
+        round(expr("try_divide(" +
+          "CAST(__n * __sxy - __sx * __sy AS DOUBLE), " +
+          "sqrt(CAST(__n * __sxx - __sx * __sx AS DOUBLE)) * " +
+          "sqrt(CAST(__n * __syy - __sy * __sy AS DOUBLE)))"), outDigits)
+          .as("assortativity"))
+  }
 }

@@ -325,6 +325,14 @@ object OpsOracles {
       |FROM pc WHERE c / (na + nb - c) >= 0.6
       |ORDER BY id_a, id_b""".stripMargin.trim
 
+  /** Shared CTE prefix: the bounded co-purchase graph (same edges as
+    * the triangle/k-core queries — OpsQueries.coPurchaseEdges). */
+  private val coPurchaseCte =
+    """WITH pe AS (SELECT DISTINCT l_orderkey AS ok, l_partkey % 997 AS p
+      |            FROM lineitem WHERE l_orderkey < 3000),
+      |e AS (SELECT DISTINCT x.p AS a, y.p AS b
+      |      FROM pe x JOIN pe y ON x.ok = y.ok AND x.p < y.p)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_kcore" -> kcoreSql(k = 30, rounds = 16),
 
@@ -2597,7 +2605,78 @@ object OpsOracles {
         |    (abs(sum(mu) - sum(y) * 1000000) // count(*))::BIGINT AS gap_ppm
         |  FROM r GROUP BY bin),
         |e AS (SELECT (sum(gap_ppm * n) // sum(n))::BIGINT AS ece_ppm FROM b)
-        |SELECT sq.n, sq.brier_e12, e.ece_ppm FROM sq, e""".stripMargin.trim
+        |SELECT sq.n, sq.brier_e12, e.ece_ppm FROM sq, e""".stripMargin.trim,
+
+    // link prediction on the co-purchase graph: wedge join over capped
+    // middles; RA index as integral 1e12 // deg sums
+    "q_link_predict" ->
+      s"""$coPurchaseCte,
+         |adj AS (SELECT a AS id, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT id, count(*)::BIGINT AS deg FROM adj GROUP BY id),
+         |mid AS (SELECT adj.id AS z, adj.nb, deg.deg AS degz
+         |        FROM adj JOIN deg ON adj.id = deg.id WHERE deg.deg <= 1000),
+         |w AS (SELECT m1.z, m1.nb AS u, m2.nb AS v, m1.degz
+         |      FROM mid m1 JOIN mid m2 ON m1.z = m2.z AND m1.nb < m2.nb),
+         |pr AS (SELECT u, v, count(*)::BIGINT AS cn,
+         |         sum(1000000000000 // degz)::BIGINT AS ra_e12
+         |       FROM w GROUP BY u, v)
+         |SELECT pr.u, pr.v, pr.cn, pr.ra_e12,
+         |  (pr.cn * 1000000 // (du.deg + dv.deg - pr.cn))::BIGINT AS jac_ppm,
+         |  coalesce(t.ed, FALSE) AS is_edge
+         |FROM pr JOIN deg du ON pr.u = du.id JOIN deg dv ON pr.v = dv.id
+         |LEFT JOIN (SELECT a, b, TRUE AS ed FROM e) t
+         |  ON t.a = pr.u AND t.b = pr.v
+         |WHERE pr.cn >= 10 ORDER BY pr.u, pr.v""".stripMargin.trim,
+
+    "q_clustering_coeff" ->
+      s"""$coPurchaseCte,
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |nodes AS (SELECT unnest([x, y, z]) AS id FROM tri),
+         |tc AS (SELECT id, count(*)::BIGINT AS n_triangles FROM nodes GROUP BY id),
+         |adj AS (SELECT a AS id FROM e UNION ALL SELECT b FROM e),
+         |deg AS (SELECT id, count(*)::BIGINT AS deg FROM adj GROUP BY id)
+         |SELECT deg.id, deg.deg,
+         |  coalesce(tc.n_triangles, 0)::BIGINT AS n_triangles,
+         |  CASE WHEN deg.deg >= 2 THEN (2 * coalesce(tc.n_triangles, 0)
+         |    * 1000000 // (deg.deg * (deg.deg - 1)))::BIGINT END AS coeff_ppm
+         |FROM deg LEFT JOIN tc ON deg.id = tc.id ORDER BY deg.id""".stripMargin.trim,
+
+    // degree assortativity: HUGEINT moment sums over both edge
+    // orientations, double conversion last (the q_corr discipline)
+    "q_assortativity" ->
+      s"""$coPurchaseCte,
+         |adj AS (SELECT a AS id FROM e UNION ALL SELECT b FROM e),
+         |deg AS (SELECT id, count(*)::BIGINT AS deg FROM adj GROUP BY id),
+         |s AS (SELECT da.deg AS x, db.deg AS y
+         |      FROM e JOIN deg da ON e.a = da.id JOIN deg db ON e.b = db.id),
+         |b AS (SELECT x, y FROM s UNION ALL SELECT y AS x, x AS y FROM s),
+         |m AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         |        sum(y)::HUGEINT AS sy, sum(x*x)::HUGEINT AS sxx,
+         |        sum(y*y)::HUGEINT AS syy, sum(x*y)::HUGEINT AS sxy FROM b)
+         |SELECT (n // 2)::BIGINT AS n_edges,
+         |  round((n * sxy - sx * sy)::DOUBLE /
+         |    (sqrt((n * sxx - sx * sx)::DOUBLE)
+         |     * sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS assortativity
+         |FROM m""".stripMargin.trim,
+
+    // association rules over (user, event_type) baskets — distinct
+    // basket-item rows, one self-join, integral conf/lift
+    "q_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT user_id AS bk, event_type AS it
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |nb AS (SELECT count(DISTINCT bk)::BIGINT AS n FROM bi),
+        |marg AS (SELECT it, count(*)::BIGINT AS c FROM bi GROUP BY it),
+        |pr AS (SELECT x.it AS ante, y.it AS cons, count(*)::BIGINT AS n_ab
+        |       FROM bi x JOIN bi y ON x.bk = y.bk AND x.it != y.it
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pr.ante, pr.cons, ma.c AS n_a, mb.c AS n_b, pr.n_ab,
+        |  (pr.n_ab * 1000000 // ma.c)::BIGINT AS conf_ppm,
+        |  (pr.n_ab * nb.n * 1000000 // (ma.c * mb.c))::BIGINT AS lift_ppm
+        |FROM pr JOIN marg ma ON pr.ante = ma.it
+        |        JOIN marg mb ON pr.cons = mb.it, nb
+        |ORDER BY pr.ante, pr.cons""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1503,4 +1503,25 @@ object OpsQueries {
 
   def brierQ(spark: SparkSession, dir: String): DataFrame =
     Evaluation.brier(muPpmDf(spark, dir), "mu_ppm", "is_r", bins = 10)
+
+  /** Link-prediction scores over the co-purchase graph (cn >= 10 keeps
+    * the declared result to the strongly-overlapping pairs — the dense
+    * demo graph has ~400k 1-wedge pairs; the operator emits them all). */
+  def linkPredictQ(spark: SparkSession, dir: String): DataFrame =
+    Graph.linkPredict(coPurchaseEdges(spark, dir), "src", "dst")
+      .filter(col("cn") >= 10)
+      .orderBy("u", "v")
+
+  def clusteringCoeffQ(spark: SparkSession, dir: String): DataFrame =
+    Graph.clusteringCoeff(coPurchaseEdges(spark, dir), "src", "dst")
+      .orderBy("id")
+
+  def assortativityQ(spark: SparkSession, dir: String): DataFrame =
+    Graph.degreeAssortativity(coPurchaseEdges(spark, dir), "src", "dst")
+
+  /** Association rules over (user, event_type) baskets. */
+  def assocRulesQ(spark: SparkSession, dir: String): DataFrame =
+    Frequent.associationRules(
+      tbl(spark, dir, "events"), "user_id", "event_type", minSupport = 2)
+      .orderBy("ante", "cons")
 }
