@@ -80,7 +80,12 @@ object Plans {
       // graph similarity: link_predict ONE wedge self-join on capped
       // middles + keyed degree joins; assoc_rules distinct-reduce then
       // one basket self-join with AQE-chosen marginal joins
-      "q_link_predict", "q_assoc_rules")
+      "q_link_predict", "q_assoc_rules",
+      // hygiene/infra: mojibake+readability narrow projections (no
+      // shuffle but output order); keyphrase explode + two aggs + one
+      // word join; compaction keyed-window prefix sums; mannwhitney
+      // distinct-value agg + two-pass RDD scan
+      "q_mojibake", "q_keyphrase", "q_compaction_plan", "q_mannwhitney")
     interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

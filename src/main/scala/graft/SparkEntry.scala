@@ -209,7 +209,14 @@ object SparkEntry {
     "q_link_predict"     -> (OpsQueries.linkPredictQ _),
     "q_clustering_coeff" -> (OpsQueries.clusteringCoeffQ _),
     "q_assortativity"    -> (OpsQueries.assortativityQ _),
-    "q_assoc_rules"      -> (OpsQueries.assocRulesQ _)
+    "q_assoc_rules"      -> (OpsQueries.assocRulesQ _),
+    "q_mojibake"         -> (OpsQueries.mojibakeQ _),
+    "q_readability"      -> (OpsQueries.readabilityQ _),
+    "q_keyphrase"        -> (OpsQueries.keyphraseQ _),
+    "q_compaction_plan"  -> (OpsQueries.compactionPlanQ _),
+    "q_skew_report"      -> (OpsQueries.skewReportQ _),
+    "q_mannwhitney"      -> (OpsQueries.mannWhitneyQ _),
+    "q_gini"             -> (OpsQueries.giniQ _)
   )
 
   private val fixedPathValues =

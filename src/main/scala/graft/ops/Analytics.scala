@@ -325,4 +325,30 @@ object Analytics {
           (col("__x") - col("p50")) / (col("p75") - col("p25"))))
       .drop("__g", "__x", "mean", "sd", "mn", "mx", "p25", "p50", "p75")
   }
+
+  /** Per-group Gini concentration of a non-negative integer value —
+    * "how unequal are per-domain document sizes / token budgets", the
+    * standard inequality diagnostic for corpus-mixture decisions.
+    *
+    * Exact integral form over ascending ranks i = 1..n:
+    *   gini = Σ(2i − n − 1)·x_i / (n·Σx)
+    * computed as `(2·Σ i·x_i − (n+1)·Σx) · 1e6 div (n·Σx)` — Long
+    * arithmetic end to end. The rank window is partitioned by group
+    * (ties in any order: equal x share a contiguous rank block and
+    * Σ(2i−n−1) over a block is permutation-invariant, so the statistic
+    * is deterministic). One keyed window + one grouped aggregation. */
+  def giniBy(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__x"))
+    df.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(col(groupCol), col(valueCol).cast("long").as("__x"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
+        sum(col("__i") * col("__x")).as("__ix"))
+      .select(col(groupCol), col("n"), col("total"),
+        when(col("total") > 0,
+          expr("(2 * __ix - (n + 1) * total) * 1000000 div (n * total)"))
+          .as("gini_ppm"))
+  }
 }

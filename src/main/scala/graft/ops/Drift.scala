@@ -205,4 +205,69 @@ object Drift {
       .select(col("k").as(keyCol), col("n"),
         timestamp_micros(col("last_ts")).as("last_ts"), col("ewma"))
   }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) between `valueCol` in `a` and
+    * in `b` — the nonparametric two-sample location test, the standard
+    * "did this slice's quality-score distribution shift" check when
+    * normality can't be assumed (KS tests shape, MW tests location).
+    *
+    * Exact integer core: values reduce to one row per DISTINCT value
+    * with per-sample counts; midranks-with-ties come from the same
+    * two-pass range-partitioned prefix scan as [[ksStatistic]], kept
+    * ×2 so they stay integral (`rank2 = 2·cumBefore + ties + 1`).
+    * Returns one row:
+    *   n_a, n_b     — sample sizes
+    *   u2           — 2·U_a (integer-exact; U_a = u2/2)
+    *   tie_term     — Σ (t³ − t) over tie groups (integer)
+    *   z            — normal approximation with tie correction,
+    *                  rounded; the ONLY float, computed once from the
+    *                  integer sufficient statistics. */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String,
+                   outDigits: Int = 6): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val tagged = a.select(col(valueCol).cast("double").as("v"), lit(1L).as("g"))
+      .unionAll(b.select(col(valueCol).cast("double").as("v"), lit(0L).as("g")))
+      .filter(col("v").isNotNull)
+    val perValue = tagged.groupBy(col("v"))
+      .agg(sum(col("g")).as("ca"), sum(lit(1L) - col("g")).as("cb"))
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions("v")
+    val rdd = perValue.rdd
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+        var x = 0L; var y = 0L
+        it.foreach { case (ca, cb) => x += ca; y += cb }
+        Iterator((i, x, y))
+      }.collect().sortBy(_._1)
+      val na = partTotals.map(_._2).sum
+      val nb = partTotals.map(_._3).sum
+      require(na > 0 && nb > 0, "both samples must be non-empty")
+      val offs = new Array[Long](math.max(rdd.getNumPartitions, 1))
+      var acc = 0L
+      partTotals.foreach { case (i, x, y) => offs(i) = acc; acc += x + y }
+      val bcOff = rdd.sparkContext.broadcast(offs)
+      val (r1x2, tieSum) = rdd.mapPartitionsWithIndex { (i, it) =>
+        var cum = bcOff.value(i)
+        var r = 0L; var ts = 0L
+        it.foreach { case (ca, cb) =>
+          val t = ca + cb
+          r += ca * (2 * cum + t + 1) // 2x the midrank, integral
+          ts += t * t * t - t
+          cum += t
+        }
+        Iterator((r, ts))
+      }.fold((0L, 0L)) { case ((x1, y1), (x2, y2)) => (x1 + x2, y1 + y2) }
+      val u2 = r1x2 - na * (na + 1)
+      val n = na + nb
+      // z mirrors the oracle's expression tree op for op
+      val sigma = math.sqrt(na.toDouble * nb / 12.0 *
+        ((n + 1) - tieSum.toDouble / (n.toDouble * (n - 1))))
+      val z = BigDecimal((u2 - na * nb).toDouble / (2.0 * sigma))
+        .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((na, nb, u2, tieSum, z)).toDF("n_a", "n_b", "u2", "tie_term", "z")
+    } finally rdd.unpersist(blocking = false)
+  }
 }

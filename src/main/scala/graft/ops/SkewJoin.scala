@@ -56,4 +56,41 @@ object SkewJoin {
     val r = right.withColumn("__salt", explode(rSalts))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Key-skew diagnosis for join/aggregation planning: reduces the
+    * table to per-key counts (one map-side-combined aggregation), then
+    * summarizes the count DISTRIBUTION in one pass —
+    *
+    *   n_keys / total_rows / max_cnt — the basics
+    *   p50 / p95 / p99               — exact interpolated percentiles
+    *                                   of the per-key counts
+    *   skew_x1000                    — max div median, milli-units
+    *   suggested_salt                — ceil(max / p95): the salt factor
+    *                                   that levels the hottest key to
+    *                                   p95-sized shards ([[saltedJoin]]
+    *                                   takes it directly)
+    *
+    * The percentile aggregate buffers the PER-KEY COUNT table (n_keys
+    * rows), not the input — fine up to very large key cardinalities;
+    * beyond that run [[Quantiles.exactScale]] on the counts frame
+    * instead (same numbers, bounded state). */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("total_rows"),
+      max(col("cnt")).as("max_cnt"),
+      expr("percentile(cnt, 0.5)").as("p50"),
+      expr("percentile(cnt, 0.95)").as("p95"),
+      expr("percentile(cnt, 0.99)").as("p99"))
+      .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+        round(col("p50"), 6).as("p50"), round(col("p95"), 6).as("p95"),
+        round(col("p99"), 6).as("p99"),
+        when(col("p50") > 0,
+          round(col("max_cnt").cast("double") / col("p50") * 1000)
+            .cast("long")).as("skew_x1000"),
+        when(col("p95") > 0,
+          ceil(col("max_cnt").cast("double") / col("p95")).cast("long"))
+          .as("suggested_salt"))
+  }
 }

@@ -895,4 +895,115 @@ object TextAnalysis {
       })
       .toDF(idCol, textCol)
   }
+
+  /** Encoding-artifact (mojibake) scan: per-document counts of the
+    * classic corruption fingerprints a crawl carries —
+    *
+    *   n_replacement — U+FFFD replacement characters (decoder already
+    *                   gave up)
+    *   n_c1          — C1 control codepoints U+0080–U+009F (Windows-1252
+    *                   bytes mis-read as Latin-1/UTF-8)
+    *   n_latin1      — 'Ã' / 'Â' lead bytes and the 'â€' digraph, the
+    *                   UTF-8-decoded-as-Latin-1 signature ("Ã©" for é,
+    *                   "â€™" for ’)
+    *
+    * plus `is_mojibake` when any count is positive. Codepoint-class
+    * counts are `regexp_extract_all` lengths (RE2 == Java on explicit
+    * codepoint classes); the digraph/lead counts are replace()-length
+    * arithmetic — no regex at all. One narrow projection, no shuffle:
+    * corpus-linear, a gate in the same family as the Gopher repetition
+    * filters. */
+  def mojibakeScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    def subCount(needle: String): Column =
+      (length(t) - length(regexp_replace(t, lit(java.util.regex.Pattern.quote(needle)), lit("")))) / needle.length
+    val nRepl = size(regexp_extract_all(t, lit("\\x{FFFD}"), lit(0)))
+    val nC1 = size(regexp_extract_all(t, lit("[\\x{80}-\\x{9f}]"), lit(0)))
+    val nLatin1 = (subCount("\u00c3") + subCount("\u00c2") +
+      subCount("\u00e2\u20ac")).cast("long")
+    df.select(col(idCol), length(t).cast("long").as("n_chars"),
+        nRepl.cast("long").as("n_replacement"),
+        nC1.cast("long").as("n_c1"),
+        nLatin1.as("n_latin1"))
+      .withColumn("is_mojibake",
+        col("n_replacement") + col("n_c1") + col("n_latin1") > 0)
+  }
+
+  /** Flesch–Kincaid readability signals: words (whitespace runs),
+    * sentences (terminator runs, floored at 1), syllables (vowel
+    * groups of the lowercased text — the standard heuristic; vowel
+    * groups never span whitespace so the text-global count equals the
+    * per-word sum), and the FK grade
+    * `0.39·W/S + 11.8·Syl/W − 15.59` rounded to milli-units. The grade
+    * is the only non-integer: one fixed expression tree of IEEE double
+    * ops per row, identical on any engine. One narrow projection. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val words = size(regexp_extract_all(lower(t), lit("[^\\s]+"), lit(0)))
+      .cast("long")
+    val sents = greatest(
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long"), lit(1L))
+    val syls = size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    df.select(col(idCol), words.as("n_words"), sents.as("n_sentences"),
+        syls.as("n_syllables"))
+      .withColumn("fk_grade_milli",
+        when(col("n_words") > 0,
+          round((lit(0.39) * col("n_words").cast("double") /
+            col("n_sentences").cast("double") +
+            lit(11.8) * col("n_syllables").cast("double") /
+            col("n_words").cast("double") - lit(15.59)) * 1000)
+            .cast("long")))
+  }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010), integral scoring:
+    * candidate phrases are maximal runs between stopwords/punctuation;
+    * each word scores `deg(w)·1e6 div freq(w)` (deg = summed length of
+    * phrases containing it, freq = occurrences) and a phrase scores the
+    * sum of its word scores.
+    *
+    * Shape (100 TB): phrase extraction is a narrow regex pipeline +
+    * explode (corpus-linear); word stats are ONE map-side-combined
+    * aggregation; the phrase score is one (word → score) equi-join +
+    * one grouped sum — join volume is total phrase words, never
+    * pairwise. Returns one row per distinct phrase with `n_docs`,
+    * `score_ppm`; the caller ranks/filters (e.g. top-k via
+    * [[TopK.perGroup]] or a global rank). */
+  def rakePhrases(df: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String] = Seq("the", "and", "of", "to",
+                    "a", "in", "is", "for", "on", "with"),
+                  minPhraseWords: Int = 2): DataFrame = {
+    require(stopwords.nonEmpty, "need a stopword list")
+    require(minPhraseWords >= 1, "minPhraseWords must be >= 1")
+    val stopPat = s"\\b(${stopwords.mkString("|")})\\b"
+    // lower → strip non-letters → stopwords to '|' → split to phrases
+    val cleaned = regexp_replace(lower(coalesce(col(textCol), lit(""))),
+      lit("[^a-z ]"), lit(" "))
+    val marked = regexp_replace(cleaned, lit(stopPat), lit("|"))
+    val phrase = explode(split(marked, lit("\\|")))
+    val phrases = df
+      .select(col(idCol).as("__doc"), phrase.as("__raw"))
+      .select(col("__doc"),
+        trim(regexp_replace(col("__raw"), lit(" +"), lit(" "))).as("phrase"))
+      .filter(length(col("phrase")) > 0)
+      .filter(size(split(col("phrase"), lit(" "))) >= minPhraseWords)
+    val pw = phrases.select(col("__doc"), col("phrase"),
+        size(split(col("phrase"), lit(" "))).cast("long").as("__len"),
+        explode(split(col("phrase"), lit(" "))).as("__w"))
+    val wordStats = pw.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("__w"), expr("__deg * 1000000 div __freq").as("__wscore"))
+    // score each DISTINCT phrase once (instances share the word multiset)
+    val distinctPhrases = phrases.groupBy(col("phrase"))
+      .agg(countDistinct(col("__doc")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+    val scored = distinctPhrases
+      .select(col("phrase"), explode(split(col("phrase"), lit(" "))).as("__w"))
+      .join(wordStats, "__w")
+      .groupBy(col("phrase"))
+      .agg(sum(col("__wscore")).as("score_ppm"))
+    distinctPhrases.join(scored, "phrase")
+      .select(col("phrase"), col("n_docs"), col("n_occurrences"),
+        col("score_ppm"))
+  }
 }

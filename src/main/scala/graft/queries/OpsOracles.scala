@@ -2676,7 +2676,142 @@ object OpsOracles {
         |  (pr.n_ab * nb.n * 1000000 // (ma.c * mb.c))::BIGINT AS lift_ppm
         |FROM pr JOIN marg ma ON pr.ante = ma.it
         |        JOIN marg mb ON pr.cons = mb.it, nb
-        |ORDER BY pr.ante, pr.cons""".stripMargin.trim
+        |ORDER BY pr.ante, pr.cons""".stripMargin.trim,
+
+    // mojibake scan over planted artifacts: chr() literals build the
+    // same corrupted suffixes, counts are regex-class lengths and
+    // replace()-length arithmetic — all integral
+    "q_mojibake" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '')
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' ' || chr(195) || chr(169) ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' ' || chr(65533) ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN chr(133) ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id, length(t)::BIGINT AS n_chars,
+        |  len(regexp_extract_all(t, '\x{FFFD}'))::BIGINT AS n_replacement,
+        |  len(regexp_extract_all(t, '[\x{80}-\x{9f}]'))::BIGINT AS n_c1,
+        |  ((length(t) - length(replace(t, chr(195), ''))) / 1
+        |   + (length(t) - length(replace(t, chr(194), ''))) / 1
+        |   + (length(t) - length(replace(t, chr(226) || chr(8364), ''))) / 2
+        |  )::BIGINT AS n_latin1,
+        |  (len(regexp_extract_all(t, '\x{FFFD}'))
+        |   + len(regexp_extract_all(t, '[\x{80}-\x{9f}]'))
+        |   + ((length(t) - length(replace(t, chr(195), ''))) / 1
+        |      + (length(t) - length(replace(t, chr(194), ''))) / 1
+        |      + (length(t) - length(replace(t, chr(226) || chr(8364), ''))) / 2)
+        |  ) > 0 AS is_mojibake
+        |FROM d ORDER BY doc_id""".stripMargin.trim,
+
+    // Flesch-Kincaid: counts are regex-run lengths; the grade is ONE
+    // per-row double expression mirrored op for op
+    "q_readability" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |c AS (SELECT doc_id,
+        |    len(regexp_extract_all(lower(t), '[^\s]+'))::BIGINT AS n_words,
+        |    greatest(len(regexp_extract_all(t, '[.!?]+'))::BIGINT, 1) AS n_sentences,
+        |    len(regexp_extract_all(lower(t), '[aeiouy]+'))::BIGINT AS n_syllables
+        |  FROM d)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    round((0.39::DOUBLE * n_words / n_sentences
+        |           + 11.8::DOUBLE * n_syllables / n_words - 15.59::DOUBLE)
+        |          * 1000)::BIGINT
+        |  END AS fk_grade_milli
+        |FROM c ORDER BY doc_id""".stripMargin.trim,
+
+    // RAKE: same lower -> strip -> stopword-split -> squish pipeline,
+    // integral deg*1e6//freq word scores summed per distinct phrase
+    "q_keyphrase" ->
+      """WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+        |c AS (SELECT doc_id, regexp_replace(t, '[^a-z ]', ' ', 'g') AS t FROM d),
+        |m AS (SELECT doc_id, regexp_replace(t,
+        |    '\b(the|and|of|to|a|in|is|for|on|with)\b', '|', 'g') AS t FROM c),
+        |ph0 AS (SELECT doc_id, unnest(string_split(t, '|')) AS raw FROM m),
+        |ph AS (SELECT doc_id,
+        |    trim(regexp_replace(raw, ' +', ' ', 'g')) AS phrase FROM ph0),
+        |phf AS (SELECT doc_id, phrase FROM ph
+        |  WHERE length(phrase) > 0 AND len(string_split(phrase, ' ')) >= 2),
+        |pw AS (SELECT doc_id, phrase,
+        |    len(string_split(phrase, ' '))::BIGINT AS l,
+        |    unnest(string_split(phrase, ' ')) AS w FROM phf),
+        |ws AS (SELECT w, (sum(l) * 1000000 // count(*))::BIGINT AS wscore
+        |       FROM pw GROUP BY w),
+        |dp AS (SELECT phrase, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |         count(*)::BIGINT AS n_occurrences FROM phf GROUP BY phrase),
+        |pws AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM dp),
+        |sc AS (SELECT phrase, sum(wscore)::BIGINT AS score_ppm
+        |       FROM pws JOIN ws USING (w) GROUP BY phrase)
+        |SELECT dp.phrase, dp.n_docs, dp.n_occurrences, sc.score_ppm
+        |FROM dp JOIN sc USING (phrase)
+        |WHERE dp.n_occurrences >= 3 ORDER BY dp.phrase""".stripMargin.trim,
+
+    // compaction bins: per-partition integer prefix sums, bin = bytes
+    // before // target
+    "q_compaction_plan" ->
+      """WITH f AS (SELECT source, doc_id, n_chars::BIGINT AS bytes
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |p AS (SELECT source, doc_id, bytes,
+        |    coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM f)
+        |SELECT source, (before // 5000)::BIGINT AS bin_id,
+        |  count(*)::BIGINT AS n_files, sum(bytes)::BIGINT AS bin_bytes
+        |FROM p GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin.trim,
+
+    // skew report: per-key counts then one distribution summary;
+    // percentile <-> quantile_cont parity is the q_group_pcts anchor
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_suppkey, count(*)::BIGINT AS cnt FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS total_rows,
+        |    max(cnt)::BIGINT AS max_cnt,
+        |    quantile_cont(cnt, 0.5) AS p50, quantile_cont(cnt, 0.95) AS p95,
+        |    quantile_cont(cnt, 0.99) AS p99 FROM c)
+        |SELECT n_keys, total_rows, max_cnt,
+        |  round(p50, 6) AS p50, round(p95, 6) AS p95, round(p99, 6) AS p99,
+        |  CASE WHEN p50 > 0
+        |    THEN round(max_cnt::DOUBLE / p50 * 1000)::BIGINT END AS skew_x1000,
+        |  CASE WHEN p95 > 0
+        |    THEN ceil(max_cnt::DOUBLE / p95)::BIGINT END AS suggested_salt
+        |FROM m""".stripMargin.trim,
+
+    // Mann-Whitney U: distinct-value counts, 2x-midrank prefix sums
+    // (all BIGINT), one mirrored double expression for z
+    "q_mannwhitney" ->
+      """WITH t AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |    AND value IS NOT NULL),
+        |pv AS (SELECT v, sum(g)::BIGINT AS ca, sum(1 - g)::BIGINT AS cb
+        |       FROM t GROUP BY v),
+        |o AS (SELECT v, ca, cb, ca + cb AS t2,
+        |    coalesce(sum(ca + cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM pv),
+        |s AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+        |    sum(ca * (2 * cum + t2 + 1))::BIGINT AS r1x2,
+        |    sum(t2 * t2 * t2 - t2)::BIGINT AS tie FROM o)
+        |SELECT na AS n_a, nb AS n_b,
+        |  (r1x2 - na * (na + 1))::BIGINT AS u2, tie AS tie_term,
+        |  round(((r1x2 - na * (na + 1)) - na * nb)::DOUBLE
+        |    / (2.0 * sqrt(na::DOUBLE * nb / 12.0
+        |       * (((na + nb) + 1) - tie::DOUBLE
+        |          / ((na + nb)::DOUBLE * ((na + nb) - 1))))), 6) AS z
+        |FROM s""".stripMargin.trim,
+
+    // per-group Gini over ascending ranks — pure BIGINT
+    "q_gini" ->
+      """WITH f AS (SELECT source, n_chars::BIGINT AS x FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        |r AS (SELECT source, x,
+        |    row_number() OVER (PARTITION BY source ORDER BY x) AS i FROM f),
+        |g AS (SELECT source, count(*)::BIGINT AS n, sum(x)::BIGINT AS total,
+        |    sum(i * x)::BIGINT AS ix FROM r GROUP BY source)
+        |SELECT source, n, total,
+        |  CASE WHEN total > 0 THEN
+        |    ((2 * ix - (n + 1) * total) * 1000000 // (n * total))::BIGINT
+        |  END AS gini_ppm
+        |FROM g ORDER BY source""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1524,4 +1524,55 @@ object OpsQueries {
     Frequent.associationRules(
       tbl(spark, dir, "events"), "user_id", "event_type", minSupport = 2)
       .orderBy("ante", "cons")
+
+  /** Mojibake scan over documents with PLANTED encoding artifacts
+    * (replacement char, C1 control, latin-1 double-decode digraph) —
+    * the clean corpus must scan clean and exactly the planted docs
+    * must flag. */
+  def mojibakeQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+      .select(col("doc_id"), concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 7 === 0, lit(" \u00c3\u00a9")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" \ufffd")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit("\u0085")).otherwise(lit("")))
+        .as("text"))
+    TextAnalysis.mojibakeScan(d, "doc_id", "text").orderBy("doc_id")
+  }
+
+  def readabilityQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.readability(tbl(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** RAKE keyphrases of the corpus (recurring phrases only — the
+    * one-off tail is the operator's raw output). */
+  def keyphraseQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rakePhrases(tbl(spark, dir, "documents"), "doc_id", "text")
+      .filter(col("n_occurrences") >= 3)
+      .orderBy("phrase")
+
+  /** Compaction bins of the documents "manifest" (source = partition,
+    * n_chars = file bytes, 5 KB target). */
+  def compactionPlanQ(spark: SparkSession, dir: String): DataFrame = {
+    val plan = graft.sources.Layout.compactionPlan(
+      tbl(spark, dir, "documents"), "source", "doc_id", "n_chars",
+      targetBytes = 5000)
+    graft.sources.Layout.compactionBins(plan, "source")
+      .orderBy("source", "bin_id")
+  }
+
+  def skewReportQ(spark: SparkSession, dir: String): DataFrame =
+    SkewJoin.skewReport(tbl(spark, dir, "lineitem"), "l_suppkey")
+
+  /** Mann-Whitney U: purchase vs click event values. */
+  def mannWhitneyQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events").filter(col("value").isNotNull)
+    Drift.mannWhitneyU(
+      ev.filter(col("event_type") === "purchase").select(col("value")),
+      ev.filter(col("event_type") === "click").select(col("value")),
+      "value")
+  }
+
+  def giniQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.giniBy(tbl(spark, dir, "documents"), "source", "n_chars")
+      .orderBy("source")
 }

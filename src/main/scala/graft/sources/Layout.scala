@@ -95,4 +95,34 @@ object Layout {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
   }
+
+  /** Small-file compaction plan: assign files to target-sized
+    * compaction bins, sequentially per partition key (the lakehouse
+    * OPTIMIZE planning step — which files to rewrite together).
+    *
+    * Deterministic rule: files ordered by id within their partition;
+    * `bin_id = (bytes before this file) div targetBytes`. Bins then
+    * hold ~targetBytes each (a file may straddle a boundary — this is
+    * a grouping plan, not a byte splitter). Pure integer prefix sums
+    * in a window PARTITIONED BY the partition key — per-partition file
+    * counts bound the window, never the whole manifest. */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partCol)).orderBy(col(fileCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .filter(col(bytesCol).isNotNull)
+      .select(col(partCol), col(fileCol), col(bytesCol).cast("long").as("bytes"))
+      .withColumn("__before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"__before div CAST($targetBytes AS BIGINT)"))
+      .drop("__before")
+  }
+
+  /** Per-bin rollup of [[compactionPlan]]: one row per compaction task
+    * with its file count and total bytes. */
+  def compactionBins(plan: DataFrame, partCol: String): DataFrame =
+    plan.groupBy(col(partCol), col("bin_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"))
 }
