@@ -85,7 +85,8 @@ object Plans {
       // shuffle but output order); keyphrase explode + two aggs + one
       // word join; compaction keyed-window prefix sums; mannwhitney
       // distinct-value agg + two-pass RDD scan
-      "q_mojibake", "q_keyphrase", "q_compaction_plan", "q_mannwhitney")
+      "q_mojibake", "q_keyphrase", "q_compaction_plan", "q_mannwhitney",
+      "q_modularity", "q_bootstrap_ci")
     interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

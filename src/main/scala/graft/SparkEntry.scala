@@ -216,7 +216,11 @@ object SparkEntry {
     "q_compaction_plan"  -> (OpsQueries.compactionPlanQ _),
     "q_skew_report"      -> (OpsQueries.skewReportQ _),
     "q_mannwhitney"      -> (OpsQueries.mannWhitneyQ _),
-    "q_gini"             -> (OpsQueries.giniQ _)
+    "q_gini"             -> (OpsQueries.giniQ _),
+    "q_modularity"       -> (OpsQueries.modularityQ _),
+    "q_bootstrap_ci"     -> (OpsQueries.bootstrapCiQ _),
+    "q_mutual_info"      -> (OpsQueries.mutualInfoQ _),
+    "q_holt"             -> (OpsQueries.holtQ _)
   )
 
   private val fixedPathValues =

@@ -326,6 +326,47 @@ object Analytics {
       .drop("__g", "__x", "mean", "sd", "mn", "mx", "p25", "p50", "p75")
   }
 
+  /** Mutual information (and the two marginal entropies) between two
+    * categorical columns — "how much does source predict language",
+    * the dependence diagnostic behind mixture / dedup stratification
+    * decisions.
+    *
+    * Cross-engine discipline for the ln() sums: each cell/marginal
+    * term is ONE mirrored double expression rounded to 1e-9, and the
+    * rounded terms sum as DECIMAL(38,9) — exact, order-independent —
+    * before the final rounding. (The same per-term-round-then-
+    * decimal-sum recipe as the PMI / KL-drift oracles.) Shape: one
+    * grouped count for the joint (|A|·|B| observed cells), two
+    * marginal aggregations, broadcast-sized joins. */
+  def mutualInfo(df: DataFrame, colA: String, colB: String,
+                 outDigits: Int = 6): DataFrame = {
+    val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).as("__a"), col(colB).as("__b"))
+      .localCheckpoint(false) // joint + two marginals reuse
+    val n = base.count()
+    require(n > 0, "no non-null rows")
+    val joint = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ma = base.groupBy(col("__a")).agg(count(lit(1)).as("n_a"))
+    val mb = base.groupBy(col("__b")).agg(count(lit(1)).as("n_b"))
+    def dec(c: Column): Column = c.cast("decimal(38,9)")
+    val mi = joint.join(ma, "__a").join(mb, "__b")
+      .select(round((col("n_ab").cast("double") / n) *
+        log(col("n_ab").cast("double") * n /
+          (col("n_a").cast("double") * col("n_b"))), 9).as("__t"))
+      .agg(sum(dec(col("__t"))).as("__mi"))
+    def entropy(m: DataFrame, cnt: String): DataFrame = m
+      .select(round((col(cnt).cast("double") / n) *
+        log(col(cnt).cast("double") / n), 9).as("__t"))
+      .agg((-sum(dec(col("__t")))).as("__h"))
+    mi.crossJoin(entropy(ma, "n_a").select(col("__h").as("__ha")))
+      .crossJoin(entropy(mb, "n_b").select(col("__h").as("__hb")))
+      .select(lit(n).as("n"),
+        round(col("__mi"), outDigits).cast("double").as("mi_nats"),
+        round(col("__ha"), outDigits).cast("double").as("h_a"),
+        round(col("__hb"), outDigits).cast("double").as("h_b"))
+  }
+
   /** Per-group Gini concentration of a non-negative integer value —
     * "how unequal are per-domain document sizes / token budgets", the
     * standard inequality diagnostic for corpus-mixture decisions.

@@ -206,6 +206,62 @@ object Drift {
         timestamp_micros(col("last_ts")).as("last_ts"), col("ewma"))
   }
 
+  /** Holt double-exponential smoothing per key: level + trend state
+    * folded over the (ts, tie)-ordered series —
+    *   level' = α·x + (1−α)·(level + trend)
+    *   trend' = β·(level' − level) + (1−β)·trend
+    * init level = x₀, trend = 0. The one-step-ahead forecast is
+    * `level + trend`. [[ewmaLevel]] tracks level only; Holt also
+    * captures drift DIRECTION — the "is this domain's quality score
+    * trending down" monitor.
+    *
+    * Same engine-exactness contract as [[ewmaLevel]]: the fold replays
+    * an identical FP sequence over an identical total order, so the
+    * result is bit-exact before the final round; state is three
+    * scalars per key (streaming-ready via mapGroupsWithState). Use α/β
+    * values exactly representable in binary (0.5, 0.25, …) to keep the
+    * oracle's literal parsing exact. */
+  def holtLevelTrend(df: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, valueCol: String,
+                     alpha: Double = 0.5, beta: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1), got $beta")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (av, bv) = (alpha, beta)
+    df.select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("k").isNotNull && col("ts").isNotNull && col("v").isNotNull)
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "ts", "tie")
+      .as[(Long, Long, Long, Double)]
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long, Double, Double)] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Long, Long, Double, Double) = {
+            val (k, ts0, _, v0) = buf.next()
+            var l = v0; var b = 0.0; var n = 1L; var lastTs = ts0
+            while (buf.hasNext && buf.head._1 == k) {
+              val (_, ts, _, x) = buf.next()
+              val l2 = av * x + (1 - av) * (l + b)
+              val b2 = bv * (l2 - l) + (1 - bv) * b
+              l = l2; b = b2; n += 1; lastTs = ts
+            }
+            (k, n, lastTs, l, b)
+          }
+        }
+      }
+      .toDF("k", "n", "last_ts", "level", "trend")
+      .select(col("k").as(keyCol), col("n"),
+        timestamp_micros(col("last_ts")).as("last_ts"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("level") + col("trend"), 6).as("forecast"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between `valueCol` in `a` and
     * in `b` — the nonparametric two-sample location test, the standard
     * "did this slice's quality-score distribution shift" check when

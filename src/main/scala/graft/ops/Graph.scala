@@ -435,6 +435,56 @@ object Graph {
           .as("coeff_ppm"))
   }
 
+  /** Newman modularity of a node partition: how much denser
+    * communities are than a degree-preserving random rewiring —
+    * `Q = Σ_c [ e_c/m − (d_c/2m)² ]` over communities c (e_c =
+    * intra-community edges, d_c = degree sum, m = edges). The standard
+    * quality score for near-dup cluster assignments and community
+    * labels.
+    *
+    * Integral form on the 1e12 scale with documented per-community
+    * flooring: `q_e12(c) = e_c·1e12 div m − d_c²·1e12 div (4m²)` —
+    * decimal(38,0) keeps d_c²·1e12 exact for any realistic degree
+    * mass. Returns per-community rows plus their sum is the partition
+    * score (the caller aggregates, or reads `modularity_e12` off the
+    * one-row rollup [[modularityTotal]]).
+    *
+    * Shape (100 TB): two membership equi-joins on the edge endpoints,
+    * one grouped count (e_c), one degree aggregation joined to
+    * membership (d_c) — all keyed shuffles, no windows. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 membership: DataFrame, idCol: String,
+                 commCol: String): DataFrame = {
+    val e = simple(edges, srcCol, dstCol).localCheckpoint(false)
+    val m = e.count()
+    require(m > 0, "graph has no edges")
+    val mem = membership.select(col(idCol).cast("long").as("__id"),
+      col(commCol).as("__c"))
+    val intra = e
+      .join(mem.select(col("__id").as("a"), col("__c").as("__ca")), "a")
+      .join(mem.select(col("__id").as("b"), col("__c").as("__cb")), "b")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val degSum = e.select(col("a").as("__id")).unionAll(e.select(col("b").as("__id")))
+      .join(mem, "__id")
+      .groupBy(col("__c").as("community"))
+      .agg(count(lit(1)).as("d_sum"))
+    degSum.join(intra, Seq("community"), "left")
+      .select(col("community"), coalesce(col("e_in"), lit(0L)).as("e_in"),
+        col("d_sum"),
+        (expr(s"CAST(coalesce(e_in, 0) AS DECIMAL(38,0)) * 1000000000000 div $m")
+          - expr(s"CAST(d_sum AS DECIMAL(38,0)) * CAST(d_sum AS DECIMAL(38,0))" +
+            s" * 1000000000000 div (4 * CAST($m AS DECIMAL(38,0)) * $m)"))
+          .cast("long").as("q_e12"))
+  }
+
+  /** One-row rollup of [[modularity]]: the partition's total Q. */
+  def modularityTotal(perCommunity: DataFrame): DataFrame =
+    perCommunity.agg(count(lit(1)).as("n_communities"),
+      sum(col("e_in")).as("intra_edges"),
+      sum(col("q_e12")).as("modularity_e12"))
+
   /** Degree assortativity: the Pearson correlation of endpoint degrees
     * over the (symmetrized) edge list — positive r = hubs link to hubs,
     * negative = hubs link to leaves (Newman 2002). Degrees are already

@@ -264,4 +264,77 @@ object Sampling {
     }
     df.filter(hashBucket(keyCol) < threshold)
   }
+
+  /** Poisson(1) CDF thresholds on the u32 hash scale, k = 0..maxK:
+    * `T_k = floor(P(X <= k) · 2^32)`. Computed ONCE on the driver and
+    * injected as integer literals into both the Spark plan and the
+    * oracle SQL, so the weight function is identical arithmetic in
+    * every engine (no cross-engine exp/factorial). */
+  def poissonThresholdsU32(maxK: Int): Array[Long] = {
+    require(maxK >= 1 && maxK <= 16, s"maxK must be in [1, 16], got $maxK")
+    var p = math.exp(-1.0); var c = 0.0
+    (0 to maxK).map { k =>
+      c += p; p = p / (k + 1)
+      math.floor(c * MOD).toLong
+    }.toArray
+  }
+
+  /** Deterministic Poisson bootstrap: per-replicate resampled MEANS of
+    * a value column, with multinomial counts approximated by
+    * independent Poisson(1) weights (the standard streaming-bootstrap
+    * recipe — Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams") drawn from the SALTED row hash, so replicates are
+    * reproducible, engine-exact, and need no RNG state.
+    *
+    * Values quantize to `10^scaleDigits` units once (round — the
+    * oracle mirrors it); each replicate's weighted sum and effective n
+    * are Long sums, and the reported mean is the integral
+    * `sum · 1e6 div n_eff` in ppm of a quantized unit. Percentiles of
+    * the replicate means are the bootstrap CI ([[bootstrapSummary]]).
+    *
+    * Shape (100 TB): ONE narrow explode of `replicates` ids per row
+    * feeding directly into a map-side-combined (replicate) aggregation
+    * — the exploded rows never shuffle; the shuffle moves `replicates`
+    * partial rows per task. Weights cap at maxK+1 (tail probability
+    * < 1e-4 at the default) — documented truncation, same in the
+    * oracle. */
+  def bootstrapMeans(df: DataFrame, idCol: String, valueCol: String,
+                     replicates: Int = 40, scaleDigits: Int = 2,
+                     maxK: Int = 5): DataFrame = {
+    require(replicates >= 2 && replicates <= 10000,
+      s"replicates must be in [2, 10000], got $replicates")
+    require(scaleDigits >= 0 && scaleDigits <= 6,
+      s"scaleDigits must be in [0, 6], got $scaleDigits")
+    val unit = math.pow(10, scaleDigits)
+    val t = poissonThresholdsU32(maxK)
+    // salted u32 hash: (key mod 2^31 + b*40503) * KNUTH mod 2^32 — the
+    // epochShuffle salt scheme, replicate count bounded far below the
+    // overflow edge by the require above
+    val salted = pmod((pmod(col("__id"), lit(RED)) + col("b") * 40503L)
+      * lit(KNUTH), lit(MOD))
+    val w = t.zipWithIndex.foldRight(lit(maxK + 1): Column) {
+      case ((thr, k), acc) => when(salted < thr, lit(k.toLong)).otherwise(acc)
+    }
+    df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        round(col(valueCol).cast("double") * unit).cast("long").as("__x"))
+      .select(col("__id"), col("__x"),
+        explode(sequence(lit(0L), lit(replicates - 1L))).as("b"))
+      .select(col("b"), col("__x"), w.cast("long").as("__w"))
+      .groupBy(col("b"))
+      .agg(sum(col("__w")).as("n_eff"),
+        sum(col("__w") * col("__x")).as("__ws"))
+      .select(col("b").as("replicate"), col("n_eff"),
+        when(col("n_eff") > 0, expr("__ws * 1000000 div n_eff"))
+          .as("mean_ppm_units"))
+  }
+
+  /** Bootstrap CI rollup: percentile bounds of the replicate means
+    * (the replicate table is `replicates` rows — driver-trivial). */
+  def bootstrapSummary(means: DataFrame, lo: Double = 0.025,
+                       hi: Double = 0.975): DataFrame =
+    means.agg(count(lit(1)).as("n_replicates"),
+      round(expr("percentile(mean_ppm_units, 0.5)"), 6).as("median"),
+      round(expr(s"percentile(mean_ppm_units, $lo)"), 6).as("ci_lo"),
+      round(expr(s"percentile(mean_ppm_units, $hi)"), 6).as("ci_hi"))
 }

@@ -2811,7 +2811,82 @@ object OpsOracles {
         |  CASE WHEN total > 0 THEN
         |    ((2 * ix - (n + 1) * total) * 1000000 // (n * total))::BIGINT
         |  END AS gini_ppm
-        |FROM g ORDER BY source""".stripMargin.trim
+        |FROM g ORDER BY source""".stripMargin.trim,
+
+    // modularity of the CC partition over the near-dup pair graph —
+    // HUGEINT arithmetic with the same per-community flooring
+    "q_modularity" ->
+      s"""$nearDupClusterCte,
+         |mem AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+         |e2 AS (SELECT DISTINCT least(id_a, id_b) AS a,
+         |         greatest(id_a, id_b) AS b FROM pr WHERE id_a != id_b),
+         |mm AS (SELECT count(*)::BIGINT AS m FROM e2),
+         |intra AS (SELECT ma.c AS community, count(*)::BIGINT AS e_in
+         |  FROM e2 JOIN mem ma ON e2.a = ma.id JOIN mem mb ON e2.b = mb.id
+         |  WHERE ma.c = mb.c GROUP BY 1),
+         |degs AS (SELECT mem.c AS community, count(*)::BIGINT AS d_sum
+         |  FROM (SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) nd
+         |  JOIN mem ON nd.id = mem.id GROUP BY 1)
+         |SELECT d.community, coalesce(i.e_in, 0)::BIGINT AS e_in, d.d_sum,
+         |  (coalesce(i.e_in, 0)::HUGEINT * 1000000000000 // mm.m
+         |   - d.d_sum::HUGEINT * d.d_sum * 1000000000000
+         |     // (4::HUGEINT * mm.m * mm.m))::BIGINT AS q_e12
+         |FROM degs d LEFT JOIN intra i ON d.community = i.community, mm
+         |ORDER BY d.community""".stripMargin.trim,
+
+    "q_bootstrap_ci" -> bootstrapCiSql,
+
+    // mutual information source x lang: per-term round at 1e-9 then
+    // DECIMAL(38,9) sums (the PMI-oracle ln discipline)
+    "q_mutual_info" ->
+      """WITH base AS (SELECT source AS a, lang AS b FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM base),
+        |j AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM base GROUP BY a, b),
+        |ma AS (SELECT a, count(*)::BIGINT AS n_a FROM base GROUP BY a),
+        |mb AS (SELECT b, count(*)::BIGINT AS n_b FROM base GROUP BY b),
+        |mi AS (SELECT sum(round((n_ab::DOUBLE / n) * ln(n_ab::DOUBLE * n
+        |           / (n_a::DOUBLE * n_b)), 9)::DECIMAL(38,9)) AS v
+        |       FROM j JOIN ma USING (a) JOIN mb USING (b), nn),
+        |ha AS (SELECT -sum(round((n_a::DOUBLE / n) * ln(n_a::DOUBLE / n),
+        |           9)::DECIMAL(38,9)) AS v FROM ma, nn),
+        |hb AS (SELECT -sum(round((n_b::DOUBLE / n) * ln(n_b::DOUBLE / n),
+        |           9)::DECIMAL(38,9)) AS v FROM mb, nn)
+        |SELECT nn.n, round(mi.v, 6)::DOUBLE AS mi_nats,
+        |  round(ha.v, 6)::DOUBLE AS h_a, round(hb.v, 6)::DOUBLE AS h_b
+        |FROM nn, mi, ha, hb""".stripMargin.trim,
+
+    // Holt level+trend: a RECURSIVE-CTE fold replays the identical FP
+    // sequence over the identical (ts, event_id) order — bit-exact
+    // pre-round. (list_reduce with a struct accumulator miscomputes
+    // multi-field recurrences in DuckDB 1.0 — verified against the
+    // standalone lambda arithmetic — so the fold is unrolled row by
+    // row instead.)
+    "q_holt" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, ts, value FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL AND user_id < 200),
+        |seq AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS i FROM ev),
+        |cnt AS (SELECT user_id, count(*)::BIGINT AS n, max(ts) AS last_ts
+        |        FROM ev GROUP BY user_id),
+        |fold AS (
+        |  SELECT user_id, i, value::DOUBLE AS l, 0.0::DOUBLE AS b
+        |  FROM seq WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.i,
+        |    0.5 * s.value + 0.5 * (fold.l + fold.b),
+        |    0.25 * ((0.5 * s.value + 0.5 * (fold.l + fold.b)) - fold.l)
+        |      + 0.75 * fold.b
+        |  FROM fold JOIN seq s
+        |    ON s.user_id = fold.user_id AND s.i = fold.i + 1)
+        |SELECT f.user_id, cnt.n, cnt.last_ts,
+        |  round(f.l, 6) AS level, round(f.b, 6) AS trend,
+        |  round(f.l + f.b, 6) AS forecast
+        |FROM fold f JOIN cnt ON f.user_id = cnt.user_id AND f.i = cnt.n
+        |ORDER BY f.user_id""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the
@@ -2868,6 +2943,30 @@ object OpsOracles {
 
   private def rankedEvalSql: String =
     s"$rankedEvalCtes\nSELECT * FROM ranked ORDER BY user_id"
+
+  /** q_bootstrap_ci: the Poisson(1) CDF thresholds come from the SAME
+    * driver computation as the Spark plan
+    * (graft.ops.Sampling.poissonThresholdsU32), injected as integer
+    * literals — weights are pure integral hash arithmetic in both
+    * engines. */
+  private def bootstrapCiSql: String = {
+    val t = graft.ops.Sampling.poissonThresholdsU32(5)
+    val cases = t.zipWithIndex
+      .map { case (thr, k) => s"WHEN u < $thr THEN $k" }.mkString(" ")
+    s"""WITH r AS (SELECT event_id AS id,
+       |    CAST(round(value * 100.0) AS BIGINT) AS x
+       |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+       |g AS (SELECT id, x, b FROM r, generate_series(0, 39) AS t(b)),
+       |h AS (SELECT b, x,
+       |    ((id % 2147483648 + b * 40503) * 2654435761) % 4294967296 AS u
+       |  FROM g),
+       |w AS (SELECT b, x, CASE $cases ELSE 6 END AS w FROM h)
+       |SELECT b AS replicate, sum(w)::BIGINT AS n_eff,
+       |  CASE WHEN sum(w) > 0
+       |    THEN (sum(w * x) * 1000000 // sum(w))::BIGINT
+       |  END AS mean_ppm_units
+       |FROM w GROUP BY b ORDER BY b""".stripMargin.trim
+  }
 
   private def irSummarySql: String = {
     val lcm = graft.ops.Evaluation.rankLcm(10)

@@ -1575,4 +1575,32 @@ object OpsQueries {
   def giniQ(spark: SparkSession, dir: String): DataFrame =
     Analytics.giniBy(tbl(spark, dir, "documents"), "source", "n_chars")
       .orderBy("source")
+
+  /** Modularity of the near-dup cluster partition over its own pair
+    * graph (communities = connected components — every edge intra, so
+    * Q measures the degree-mass spread across clusters). */
+  def modularityQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id",
+      "text", bands = 4, rowsPerBand = 3, threshold = 0.6)
+      .localCheckpoint(false) // edges + membership reuse one LSH pass
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    Graph.modularity(pairs, "id_a", "id_b", cc, "id", "cluster_id")
+      .orderBy("community")
+  }
+
+  /** Poisson-bootstrap replicate means of the event values. */
+  def bootstrapCiQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.bootstrapMeans(
+      tbl(spark, dir, "events"), "event_id", "value", replicates = 40)
+      .orderBy("replicate")
+
+  def mutualInfoQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.mutualInfo(tbl(spark, dir, "documents"), "source", "lang")
+
+  /** Holt level+trend per user (bounded key range mirrors q_ewma). */
+  def holtQ(spark: SparkSession, dir: String): DataFrame =
+    Drift.holtLevelTrend(
+      tbl(spark, dir, "events").filter(col("user_id") < 200),
+      "user_id", "ts", "event_id", "value")
+      .orderBy("user_id")
 }

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Modularity, Poisson bootstrap, mutual information, Holt smoothing. */
+class StatOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----------------------------------------------------------- modularity
+
+  test("modularity: two triangles with a bridge, hand-computed") {
+    // triangle {1,2,3}, triangle {4,5,6}, bridge 3-4 → m = 7
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "d")
+    val mem = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("id", "c")
+    val per = Graph.modularity(edges, "s", "d", mem, "id", "c")
+      .orderBy("community").collect()
+    assert(per.length === 2)
+    // each community: e_in = 3, d_sum = 7
+    assert(per.forall(r => r.getAs[Long]("e_in") === 3L))
+    assert(per.forall(r => r.getAs[Long]("d_sum") === 7L))
+    // q = 3e12 div 7 − 49e12 div 196 = 428571428571 − 250000000000
+    assert(per.forall(r => r.getAs[Long]("q_e12") === 178571428571L))
+    val tot = Graph.modularityTotal(
+      Graph.modularity(edges, "s", "d", mem, "id", "c")).head()
+    assert(tot.getAs[Long]("modularity_e12") === 2 * 178571428571L)
+  }
+
+  test("modularity: the all-in-one partition scores zero") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    val mem = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("id", "c")
+    val r = Graph.modularity(edges, "s", "d", mem, "id", "c").head()
+    assert(r.getAs[Long]("q_e12") === 0L) // 1e12 div 1 − 36e12 div 36
+  }
+
+  // ------------------------------------------------------- bootstrapMeans
+
+  test("bootstrapMeans: deterministic, constant values give exact means") {
+    val df = (1L to 500L).map(i => (i, 3.14)).toDF("id", "v")
+    val m1 = Sampling.bootstrapMeans(df, "id", "v", replicates = 10)
+      .orderBy("replicate").collect()
+    val m2 = Sampling.bootstrapMeans(df.repartition(7), "id", "v",
+      replicates = 10).orderBy("replicate").collect()
+    assert(m1.map(_.toSeq).sameElements(m2.map(_.toSeq)))
+    assert(m1.length === 10)
+    // constant column: every replicate mean is exactly 314 * 1e6
+    assert(m1.forall(_.getAs[Long]("mean_ppm_units") === 314000000L))
+    // Poisson(1) weights: n_eff within a loose band of n
+    assert(m1.forall(r => math.abs(r.getAs[Long]("n_eff") - 500L) < 150))
+  }
+
+  test("bootstrapSummary: ordered CI bounds") {
+    val df = (1L to 2000L).map(i => (i, (i % 100).toDouble)).toDF("id", "v")
+    val s = Sampling.bootstrapSummary(
+      Sampling.bootstrapMeans(df, "id", "v", replicates = 30)).head()
+    assert(s.getAs[Long]("n_replicates") === 30)
+    assert(s.getAs[Double]("ci_lo") <= s.getAs[Double]("median"))
+    assert(s.getAs[Double]("median") <= s.getAs[Double]("ci_hi"))
+  }
+
+  // ----------------------------------------------------------- mutualInfo
+
+  test("mutualInfo: independent columns score zero, copy scores H") {
+    val ind = (0 until 600).map(i => (i % 2, i % 3)).toDF("a", "b")
+    val r0 = Analytics.mutualInfo(ind, "a", "b").head()
+    assert(r0.getAs[Double]("mi_nats") === 0.0)
+    val dep = (0 until 600).map(i => (i % 3, i % 3)).toDF("a", "b")
+    val r1 = Analytics.mutualInfo(dep, "a", "b").head()
+    assert(r1.getAs[Double]("mi_nats") === r1.getAs[Double]("h_a"))
+    assert(math.abs(r1.getAs[Double]("h_a") - math.log(3)) < 1e-5)
+  }
+
+  // -------------------------------------------------------- holtLevelTrend
+
+  test("holtLevelTrend: two-point hand check and key isolation") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 10.0),
+      (1L, "2024-01-01 00:01:00", 2L, 20.0),
+      (2L, "2024-01-01 00:00:00", 3L, 5.0))
+      .toDF("k", "ts", "tie", "v")
+    val by = Drift.holtLevelTrend(df, "k", "ts", "tie", "v").collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    val r1 = by(1L)
+    assert(r1.getAs[Double]("level") === 15.0) // 0.5*20 + 0.5*10
+    assert(r1.getAs[Double]("trend") === 1.25) // 0.25*(15-10)
+    assert(r1.getAs[Double]("forecast") === 16.25)
+    val r2 = by(2L)
+    assert(r2.getAs[Double]("level") === 5.0 && r2.getAs[Double]("trend") === 0.0)
+  }
+
+  test("holtLevelTrend: partitioning cannot change the fold") {
+    val df = (1 to 200).map(i =>
+      (i % 5L, f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00", i.toLong,
+        (i * 7 % 43).toDouble)).toDF("k", "ts", "tie", "v")
+    val a = Drift.holtLevelTrend(df, "k", "ts", "tie", "v")
+      .orderBy("k").collect()
+    val b = Drift.holtLevelTrend(df.repartition(11), "k", "ts", "tie", "v")
+      .orderBy("k").collect()
+    assert(a.map(_.toSeq).sameElements(b.map(_.toSeq)))
+  }
+}
