@@ -86,7 +86,8 @@ object Plans {
       // word join; compaction keyed-window prefix sums; mannwhitney
       // distinct-value agg + two-pass RDD scan
       "q_mojibake", "q_keyphrase", "q_compaction_plan", "q_mannwhitney",
-      "q_modularity", "q_bootstrap_ci")
+      "q_modularity", "q_bootstrap_ci",
+      "q_silhouette", "q_time_decay", "q_join_estimate")
     interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -220,7 +220,10 @@ object SparkEntry {
     "q_modularity"       -> (OpsQueries.modularityQ _),
     "q_bootstrap_ci"     -> (OpsQueries.bootstrapCiQ _),
     "q_mutual_info"      -> (OpsQueries.mutualInfoQ _),
-    "q_holt"             -> (OpsQueries.holtQ _)
+    "q_holt"             -> (OpsQueries.holtQ _),
+    "q_silhouette"       -> (OpsQueries.silhouetteQ _),
+    "q_time_decay"       -> (OpsQueries.timeDecayQ _),
+    "q_join_estimate"    -> (OpsQueries.joinEstimateQ _)
   )
 
   private val fixedPathValues =

@@ -1164,11 +1164,61 @@ object Dedup {
   def corpusSketch(df: DataFrame, textCol: String, k: Int = 64,
                    w: Int = 3): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val sigRow = df.select(minhashSignature(col(textCol), k, w): _*)
-      .agg(min(col("mh_0")).as("mh_0"),
-        (1 until k).map(s => min(col(s"mh_$s")).as(s"mh_$s")): _*)
-    sigRow.select(posexplode(array((0 until k).map(s => col(s"mh_$s")): _*)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // typed kernel, NOT the k-column HOF projection: interpreted
+    // ArrayTransform re-evaluates the whole shingle build per
+    // signature column (~0.16 s/doc at k=64 — a bench-measured 10-min
+    // stall on a 5k-doc corpus); the kernel keeps a k-cell running
+    // min per PARTITION, so the aggregation input is one k-array per
+    // partition, not per row
+    val kk = k; val ww = w
+    val partMins = df.select(col(textCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val prefixes = Array.tabulate(kk)(s => (s.toString + "|").getBytes(utf8))
+        val mins = new Array[String](kk)
+        it.foreach { text =>
+          if (text != null) {
+            val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            val n = math.max(ws.length - ww, 0)
+            val grams = new java.util.LinkedHashSet[String]()
+            var i = 0
+            while (i <= n) {
+              val sb = new StringBuilder
+              var o = 0
+              while (o < ww && i + o < ws.length) {
+                if (o > 0) sb.append(' ')
+                sb.append(ws(i + o))
+                o += 1
+              }
+              grams.add(sb.toString)
+              i += 1
+            }
+            val sh = grams.toArray(Array.empty[String])
+            val gramBytes = sh.map(_.getBytes(utf8))
+            var s = 0
+            while (s < kk) {
+              var gi = 0
+              while (gi < gramBytes.length) {
+                val h = graft.functions.TextKernels.md5Hex2(
+                  prefixes(s), gramBytes(gi))
+                if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+                gi += 1
+              }
+              s += 1
+            }
+          }
+        }
+        Iterator.single(mins.toSeq)
+      }
+    // one k-row reduction folds the per-partition mins (empty corpus →
+    // k rows with null sig, matching the previous aggregate's shape)
+    partMins.toDF("mins")
+      .select(posexplode(col("mins")))
       .select(col("pos").cast("long").as("s"), col("col").as("sig"))
+      .groupBy(col("s"))
+      .agg(min(col("sig")).as("sig"))
   }
 
   /** Fold corpus sketches: slot-wise min across any number of

@@ -114,4 +114,67 @@ object Embeddings {
       .agg(count(lit(1)).as("n_vecs"),
         avg(lit(1.0) - col("__cos")).as("dispersion"))
   }
+
+  /** Simplified (centroid-based) silhouette per cluster label — the
+    * clustering-quality score behind SemDeDup epsilon choices and
+    * mixture-by-cluster decisions: for each point, `a` = distance to
+    * its OWN label centroid, `b` = distance to the nearest OTHER
+    * centroid, `s = (b − a)/max(a, b)` ∈ [−1, 1] (the Hartigan
+    * medoid-free variant — O(n·k), never pairwise O(n²)).
+    *
+    * Engine-exactness: components quantize to `floor(v·2^scaleBits)`
+    * ([[centroidBy]]'s trick), and the squared distance to a RATIONAL
+    * centroid s/n clears denominators —
+    * `D2 = Σ_pos (x_q·n − s_pos)²` — computed exactly in decimal. The
+    * only doubles are `sqrt(D2)/(n·2^bits)` and the final ratio, one
+    * mirrored expression each, rounded to micro-units and then
+    * Long-summed per label.
+    *
+    * Shape (100 TB): the component join fans each point's dim rows out
+    * by k labels (the k-means assignment-cost shape, shuffle on `pos`),
+    * reduces to one (point, label) row, then one per-point pivot and
+    * one per-label aggregation. k must be small (it multiplies the
+    * pass); for large k use the IVF quantizer instead. */
+  def silhouetteBy(df: DataFrame, idCol: String, labelCol: String,
+                   vecCol: String, scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 30, "scaleBits must be in [1, 30]")
+    val m = math.pow(2.0, scaleBits)
+    val expl = df
+      .filter(col(vecCol).isNotNull && col(labelCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(idCol).as("__id"), col(labelCol).as("__own"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "__v")))
+      .select(col("__id"), col("__own"), col("pos"),
+        floor(col("__v") * lit(m)).cast("long").as("__xq"))
+      .localCheckpoint(false) // moments + assignment join reuse
+    val moments = expl.groupBy(col("__own").as("__clabel"), col("pos"))
+      .agg(sum(col("__xq")).as("__s"), count(lit(1)).as("__n"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val d2 = expl.join(moments, "pos")
+      .groupBy(col("__id"), col("__own"), col("__clabel"))
+      .agg(max(col("__n")).as("__n"),
+        sum((d(col("__xq")) * d(col("__n")) - d(col("__s"))) *
+            (d(col("__xq")) * d(col("__n")) - d(col("__s")))).as("__dd"))
+    val dist = d2.select(col("__id"), col("__own"), col("__clabel"),
+      (sqrt(col("__dd").cast("double")) /
+        (col("__n").cast("double") * lit(m))).as("__d"))
+    val per = dist.groupBy(col("__id"), col("__own"))
+      .agg(max(when(col("__clabel") === col("__own"), col("__d"))).as("__a"),
+        min(when(col("__clabel") =!= col("__own"), col("__d"))).as("__b"))
+    per
+      .select(col("__own"),
+        when(col("__b").isNotNull && greatest(col("__a"), col("__b")) > 0,
+          round((col("__b") - col("__a")) / greatest(col("__a"), col("__b"))
+            * 1000000).cast("long")).as("__sm"))
+      .groupBy(col("__own"))
+      .agg(count(lit(1)).as("n_points"),
+        // floor of a double ratio, NOT integral div: s_micro can be
+        // negative and Spark `div` truncates where SQL `//` floors;
+        // the double is exact (|sum| < 2^53 ⟺ < ~9e9 points/label)
+        when(count(col("__sm")) > 0,
+          floor(sum(col("__sm")).cast("double") / count(col("__sm")))
+            .cast("long")).as("mean_s_micro"))
+      .select(col("__own").as(labelCol), col("n_points"),
+        col("mean_s_micro"))
+  }
 }

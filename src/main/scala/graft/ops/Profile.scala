@@ -56,4 +56,34 @@ object Profile {
     }
     row.select(explode(array(structs: _*)).as("p")).select("p.*")
   }
+
+  /** EXACT equi-join cardinality from per-key histograms, without
+    * running the join: `|A ⋈ B| = Σ_k cA(k)·cB(k)` — what a 100 TB
+    * planner wants to know before committing to a shuffle (is this
+    * join going to explode? which keys dominate?).
+    *
+    * One row out: the exact joined row count, matched-key count, the
+    * single hottest key's contribution and its share in ppm — all
+    * Long/decimal sums over the two per-key count tables (each
+    * map-side combined), met by ONE equi-join on the key. Cost is
+    * |distinct A-keys ⋈ distinct B-keys|, never |A|·|B|. */
+  def joinCardinality(a: DataFrame, aKey: String,
+                      b: DataFrame, bKey: String): DataFrame = {
+    val ca = a.filter(col(aKey).isNotNull)
+      .groupBy(col(aKey).as("__k")).agg(count(lit(1)).as("__ca"))
+    val cb = b.filter(col(bKey).isNotNull)
+      .groupBy(col(bKey).as("__k")).agg(count(lit(1)).as("__cb"))
+    ca.join(cb, "__k")
+      .select(col("__k"),
+        (col("__ca").cast("decimal(38,0)") * col("__cb"))
+          .cast("decimal(38,0)").as("__c"))
+      .agg(sum(col("__c")).cast("decimal(38,0)").as("__est"),
+        count(lit(1)).as("n_matched_keys"),
+        max(col("__c")).cast("decimal(38,0)").as("__max"))
+      .select(col("__est").cast("long").as("est_rows"),
+        col("n_matched_keys"),
+        col("__max").cast("long").as("max_key_rows"),
+        expr("CAST(__max * 1000000 div greatest(__est, CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
+          .as("max_key_share_ppm"))
+  }
 }

@@ -168,4 +168,39 @@ object Temporal {
         sum(round(col("__v") * 100).cast("long")).as("vol_cents"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Freshness-decayed counts and value sums per key: each row weighs
+    * `2^-(age div halflife)` of a fresh row — the recency weighting
+    * behind "prefer recent crawl snapshots" mixture decisions — kept
+    * INTEGRAL by bucketing age into halflife units and weighting with
+    * power-of-two shifts on a 2^20 fixed-point scale:
+    *
+    *   k = age_days div halflifeDays   (rows after `refDate` clamp to 0)
+    *   w = 1 << (20 − k)  for k ≤ 20, else 0  (< 1e-6 of a fresh row)
+    *
+    * decayed_x20 is the decayed COUNT ·2^20, decayed_cents_x20 the
+    * decayed cent-value sum ·2^20 — pure Long sums, engine-exact. One
+    * narrow projection + one map-side-combined aggregation.
+    *
+    * @param refDate  'YYYY-MM-DD' reference date (the "now" anchor,
+    *                 injected as a literal so both engines share it) */
+  def timeDecayedStats(df: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, refDate: String,
+                       halflifeDays: Int): DataFrame = {
+    require(halflifeDays >= 1, s"halflifeDays must be >= 1, got $halflifeDays")
+    require(refDate.matches("\\d{4}-\\d{2}-\\d{2}"), "refDate must be YYYY-MM-DD")
+    val kExpr = s"greatest(datediff(CAST('$refDate' AS DATE), " +
+      s"CAST($tsCol AS DATE)), 0) div $halflifeDays"
+    val w = expr(s"CASE WHEN $kExpr <= 20 THEN " +
+      s"shiftleft(CAST(1 AS BIGINT), 20 - CAST(($kExpr) AS INT)) " +
+      s"ELSE CAST(0 AS BIGINT) END")
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol), w.as("__w"),
+        round(col(valueCol).cast("double") * 100).cast("long").as("__xc"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__w")).as("decayed_x20"),
+        sum(col("__w") * col("__xc")).as("decayed_cents_x20"))
+  }
 }

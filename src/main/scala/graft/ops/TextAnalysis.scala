@@ -518,9 +518,38 @@ object TextAnalysis {
                           threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
+    // typed gram kernel, NOT explode(Dedup.shingles(...)): exploding an
+    // interpreted HOF re-evaluates the whole transform per OUTPUT row
+    // (the PLANS.md-measured trap) — quadratic in shingles per doc
+    val spark = train.sparkSession
+    import spark.implicits._
+    val ww = w
     val domainGrams = train
-      .select(col(domainCol).as("domain"),
-        explode(Dedup.shingles(col(textCol), w)).as("g"))
+      .select(col(domainCol).cast("string").as("domain"),
+        col(textCol).cast("string").as("__t"))
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (dom, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val n = math.max(ws.length - ww, 0)
+          val grams = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i <= n) {
+            val sb = new StringBuilder
+            var o = 0
+            while (o < ww && i + o < ws.length) {
+              if (o > 0) sb.append(' ')
+              sb.append(ws(i + o))
+              o += 1
+            }
+            grams.add(sb.toString)
+            i += 1
+          }
+          grams.toArray(Array.empty[String]).iterator.map(g => (dom, g))
+        }
+      })
+      .toDF("domain", "g")
       .distinct()
     val evalSets = Dedup.shingleSets(eval, idCol, textCol, w)
       .join(eval.select(col(idCol).cast("long").as("__id"),

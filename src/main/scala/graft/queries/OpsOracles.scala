@@ -2886,7 +2886,68 @@ object OpsOracles {
         |  round(f.l, 6) AS level, round(f.b, 6) AS trend,
         |  round(f.l + f.b, 6) AS forecast
         |FROM fold f JOIN cnt ON f.user_id = cnt.user_id AND f.i = cnt.n
-        |ORDER BY f.user_id""".stripMargin.trim
+        |ORDER BY f.user_id""".stripMargin.trim,
+
+    // centroid silhouette: D2 = Σ(xq·n − s)² clears the rational
+    // centroid denominator — HUGEINT-exact; the only doubles are
+    // sqrt(D2)/(n·2^20) and the final ratio, mirrored and
+    // micro-rounded; the label mean is a FLOOR of a double ratio
+    // (negative sums: trunc-div would disagree between engines)
+    "q_silhouette" ->
+      """WITH e AS (SELECT vec_id AS id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND label IS NOT NULL AND vec_id IS NOT NULL),
+        |x AS (SELECT id, label, g.pos,
+        |    floor(v[g.pos + 1] * 1048576.0)::BIGINT AS xq
+        |  FROM e, generate_series(0, 63) AS g(pos)),
+        |mom AS (SELECT label AS clabel, pos, sum(xq)::HUGEINT AS s,
+        |    count(*)::BIGINT AS n FROM x GROUP BY 1, 2),
+        |d2 AS (SELECT x.id, x.label AS own, mom.clabel, max(mom.n) AS n,
+        |    sum((x.xq::HUGEINT * mom.n - mom.s)
+        |        * (x.xq::HUGEINT * mom.n - mom.s)) AS dd
+        |  FROM x JOIN mom ON x.pos = mom.pos GROUP BY 1, 2, 3),
+        |dist AS (SELECT id, own, clabel,
+        |    sqrt(dd::DOUBLE) / (n::DOUBLE * 1048576.0) AS d FROM d2),
+        |per AS (SELECT id, own,
+        |    max(CASE WHEN clabel = own THEN d END) AS a,
+        |    min(CASE WHEN clabel != own THEN d END) AS b
+        |  FROM dist GROUP BY 1, 2),
+        |sm AS (SELECT own, CASE WHEN b IS NOT NULL AND greatest(a, b) > 0
+        |    THEN round((b - a) / greatest(a, b) * 1000000)::BIGINT
+        |  END AS smx FROM per)
+        |SELECT own AS label, count(*)::BIGINT AS n_points,
+        |  CASE WHEN count(smx) > 0
+        |    THEN floor(sum(smx)::DOUBLE / count(smx))::BIGINT
+        |  END AS mean_s_micro
+        |FROM sm GROUP BY own ORDER BY label""".stripMargin.trim,
+
+    // freshness decay: power-of-two shift weights on the 2^20 scale —
+    // pure BIGINT
+    "q_time_decay" ->
+      """WITH r AS (SELECT event_type,
+        |    greatest(datediff('day', CAST(ts AS DATE), DATE '2024-02-05'),
+        |             0) // 7 AS k,
+        |    CAST(round(value * 100.0) AS BIGINT) AS xc
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |w AS (SELECT event_type,
+        |    CASE WHEN k <= 20 THEN (1::BIGINT << (20 - k)) ELSE 0 END AS w,
+        |    xc FROM r)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(w)::BIGINT AS decayed_x20,
+        |  sum(w * xc)::BIGINT AS decayed_cents_x20
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin.trim,
+
+    // exact equi-join cardinality from per-key histograms
+    "q_join_estimate" ->
+      """WITH ca AS (SELECT l_partkey AS k, count(*)::BIGINT AS c
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT x.k, x.c::HUGEINT * cb.c AS cc
+        |      FROM ca x JOIN ca cb ON x.k = cb.k)
+        |SELECT sum(cc)::BIGINT AS est_rows, count(*)::BIGINT AS n_matched_keys,
+        |  max(cc)::BIGINT AS max_key_rows,
+        |  (max(cc) * 1000000 // greatest(sum(cc), 1))::BIGINT AS max_key_share_ppm
+        |FROM j""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

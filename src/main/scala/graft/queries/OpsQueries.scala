@@ -1603,4 +1603,24 @@ object OpsQueries {
       tbl(spark, dir, "events").filter(col("user_id") < 200),
       "user_id", "ts", "event_id", "value")
       .orderBy("user_id")
+
+  /** Centroid silhouette of the embeddings' ground-truth labels. */
+  def silhouetteQ(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.silhouetteBy(tbl(spark, dir, "embeddings"),
+      "vec_id", "label", "embedding")
+      .orderBy("label")
+
+  /** Freshness-decayed per-type event mass (halflife 7 days, anchored
+    * at 2024-02-05 — just past the synthetic 30-day span). */
+  def timeDecayQ(spark: SparkSession, dir: String): DataFrame =
+    Temporal.timeDecayedStats(tbl(spark, dir, "events"),
+      "event_type", "ts", "value", refDate = "2024-02-05", halflifeDays = 7)
+      .orderBy("event_type")
+
+  /** Exact self-join cardinality estimate on l_partkey — "would the
+    * co-purchase join explode" without running it. */
+  def joinEstimateQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    Profile.joinCardinality(li, "l_partkey", li, "l_partkey")
+  }
 }

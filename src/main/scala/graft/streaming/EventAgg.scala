@@ -311,4 +311,44 @@ object EventAgg {
           EwmaRow(uid, cur.n, ts, cur.level)
       }
   }
+
+  final case class HoltState(level: Double, trend: Double, n: Long,
+                             lastMicros: Long)
+  final case class HoltRow(user_id: Long, n: Long, last_ts: Timestamp,
+                           level: Double, trend: Double, forecast: Double)
+
+  /** Streaming twin of [[graft.ops.Drift.holtLevelTrend]]: four
+    * scalars of state per key in mapGroupsWithState, Update-mode
+    * emission. Same cross-batch contract as [[ewmaStream]]: rows
+    * sort by event time INSIDE each micro-batch; equality with the
+    * batch fold holds when batches arrive in event-time order (the
+    * replay/backfill case the spec pins). */
+  def holtStream(events: Dataset[Event], alpha: Double = 0.5,
+                 beta: Double = 0.25): Dataset[HoltRow] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0,1), got $beta")
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[HoltState, HoltRow](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[HoltState]) =>
+          var cur = state.getOption.orNull
+          rows.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            cur =
+              if (cur == null) HoltState(e.value, 0.0, 1L, micros(e.ts))
+              else {
+                val l2 = alpha * e.value + (1 - alpha) * (cur.level + cur.trend)
+                val b2 = beta * (l2 - cur.level) + (1 - beta) * cur.trend
+                HoltState(l2, b2, cur.n + 1,
+                  math.max(cur.lastMicros, micros(e.ts)))
+              }
+          }
+          state.update(cur)
+          val ts = new Timestamp(cur.lastMicros / 1000)
+          ts.setNanos((cur.lastMicros % 1000000L).toInt * 1000)
+          HoltRow(uid, cur.n, ts, cur.level, cur.trend,
+            cur.level + cur.trend)
+      }
+  }
 }

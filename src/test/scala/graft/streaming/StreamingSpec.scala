@@ -443,4 +443,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
     assert(batch(1L) == ((3L, 16.875)))
   }
+
+  test("streaming Holt matches the batch fold across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventAgg.Event]
+    val q = EventAgg.holtStream(input.toDS())
+      .writeStream.format("memory").queryName("holt").outputMode("update").start()
+    input.addData(Seq(
+      EventAgg.Event(1L, ts(2), "a", 20.0), EventAgg.Event(1L, ts(1), "a", 10.0),
+      EventAgg.Event(2L, ts(1), "b", 5.0)))
+    q.processAllAvailable()
+    input.addData(Seq(EventAgg.Event(1L, ts(3), "a", 30.0)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "select user_id, n, level, trend, forecast from holt")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    val batchDf = Seq(
+      (1L, ts(1), 1L, 10.0), (1L, ts(2), 2L, 20.0), (1L, ts(3), 3L, 30.0),
+      (2L, ts(1), 4L, 5.0)).toDF("user_id", "ts", "event_id", "value")
+    val batch = graft.ops.Drift.holtLevelTrend(batchDf, "user_id", "ts",
+        "event_id", "value")
+      .select("user_id", "n", "level", "trend", "forecast")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // hand check: l1=15, b1=1.25; l2=0.5*30+0.5*16.25=23.125,
+    // b2=0.25*(23.125-15)+0.75*1.25 = 2.96875
+    assert(batch(1L) == ((3L, 23.125, 2.96875, 26.09375)))
+  }
 }
