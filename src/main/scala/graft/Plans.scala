@@ -87,7 +87,8 @@ object Plans {
       // distinct-value agg + two-pass RDD scan
       "q_mojibake", "q_keyphrase", "q_compaction_plan", "q_mannwhitney",
       "q_modularity", "q_bootstrap_ci",
-      "q_silhouette", "q_time_decay", "q_join_estimate")
+      "q_silhouette", "q_time_decay", "q_join_estimate",
+      "q_label_prop", "q_dedup_eval")
     interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")

@@ -223,7 +223,11 @@ object SparkEntry {
     "q_holt"             -> (OpsQueries.holtQ _),
     "q_silhouette"       -> (OpsQueries.silhouetteQ _),
     "q_time_decay"       -> (OpsQueries.timeDecayQ _),
-    "q_join_estimate"    -> (OpsQueries.joinEstimateQ _)
+    "q_join_estimate"    -> (OpsQueries.joinEstimateQ _),
+    "q_k_anon"           -> (OpsQueries.kAnonQ _),
+    "q_dedup_eval"       -> (OpsQueries.dedupEvalQ _),
+    "q_label_prop"       -> (OpsQueries.labelPropQ _),
+    "q_seasonality"      -> (OpsQueries.seasonalityQ _)
   )
 
   private val fixedPathValues =

@@ -326,6 +326,32 @@ object Analytics {
       .drop("__g", "__x", "mean", "sd", "mn", "mx", "p25", "p50", "p75")
   }
 
+  /** Hour-of-week seasonal profile per key: (day-of-week, hour) cells
+    * with row counts, exact cent sums, and each cell's ppm share of
+    * its key's total — the load/traffic shape behind ingestion
+    * scheduling and anomaly baselines. Day-of-week is computed as
+    * `pmod(epoch_days + 4, 7)` (0 = Sunday) — pure integer arithmetic,
+    * sidestepping the engines' disagreeing dayofweek() conventions.
+    * One grouped aggregation + one broadcast-sized key-total join. */
+  def seasonalProfile(df: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String): DataFrame = {
+    val cells = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol),
+        pmod(datediff(col(tsCol).cast("date"),
+          lit("1970-01-01").cast("date")) + 4, lit(7)).as("dow"),
+        hour(col(tsCol)).as("hour"),
+        round(col(valueCol).cast("double") * 100).cast("long").as("__xc"))
+      .groupBy(col(keyCol), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("__xc")).as("sum_cents"))
+    val totals = cells.groupBy(col(keyCol)).agg(sum(col("n")).as("__tot"))
+    cells.join(totals, keyCol)
+      .select(col(keyCol), col("dow"), col("hour"), col("n"),
+        col("sum_cents"),
+        expr("n * 1000000 div __tot").as("share_ppm"))
+  }
+
   /** Mutual information (and the two marginal entropies) between two
     * categorical columns — "how much does source predict language",
     * the dependence diagnostic behind mixture / dedup stratification

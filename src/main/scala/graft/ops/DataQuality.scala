@@ -51,4 +51,38 @@ object DataQuality {
       .select(col("bin"), (col("bin") * binUnits).as("lo_units"),
         col("n"), col("sum_units"))
   }
+
+  /** k-anonymity / l-diversity audit: group rows by the quasi-identifier
+    * combination and summarize re-identification risk — the privacy
+    * gate a dataset passes before release:
+    *
+    *   n_groups_lt_k / n_rows_lt_k — equivalence classes (and the rows
+    *     in them) smaller than k: re-identifiable
+    *   min_group                   — worst-case class size
+    *   min_l_diversity             — fewest distinct sensitive values
+    *     in any class (1 = attribute disclosure even at k-anonymity)
+    *
+    * One grouped aggregation on the quasi-identifier key (map-side
+    * combined; distinct-sensitive via a two-level aggregation, never
+    * a collected set), then one summary reduction. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val qs = quasiCols.map(col)
+    // distinct sensitive values per class WITHOUT countDistinct's
+    // per-group set state: reduce to (class, sensitive) first
+    val perPair = df.groupBy(qs :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("__n"))
+    val perClass = perPair.groupBy(qs: _*)
+      .agg(sum(col("__n")).as("__rows"), count(lit(1)).as("__l"))
+    perClass.agg(
+      sum(col("__rows")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      sum(when(col("__rows") < k, 1L).otherwise(0L)).as("n_groups_lt_k"),
+      sum(when(col("__rows") < k, col("__rows")).otherwise(0L))
+        .as("n_rows_lt_k"),
+      min(col("__rows")).as("min_group"),
+      min(col("__l")).as("min_l_diversity"))
+  }
 }

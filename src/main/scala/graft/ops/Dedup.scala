@@ -1173,7 +1173,16 @@ object Dedup {
     // min per PARTITION, so the aggregation input is one k-array per
     // partition, not per row
     val kk = k; val ww = w
-    val partMins = df.select(col(textCol).cast("string")).as[String]
+    // the kernel has NO downstream shuffle, so its parallelism IS the
+    // input partitioning: a single-file demo corpus would run one-core.
+    // Spread thin inputs to the session's parallelism (min is
+    // commutative — the result cannot change); wide inputs (the 100 TB
+    // case) pass through untouched.
+    val texts = df.select(col(textCol).cast("string"))
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (texts.rdd.getNumPartitions < par) texts.repartition(par) else texts
+    val partMins = spread.as[String]
       .mapPartitions { it =>
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
         val prefixes = Array.tabulate(kk)(s => (s.toString + "|").getBytes(utf8))

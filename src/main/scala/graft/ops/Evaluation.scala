@@ -208,6 +208,39 @@ object Evaluation {
           expr("2 * tp * 1000000 div (2 * tp + fp + fn)")).as("f1_ppm"))
   }
 
+  /** Pair-set precision/recall: how well a candidate pair table (an
+    * LSH/banding output) covers a ground-truth pair table (exact
+    * Jaccard pairs on an audit slice) — the dedup-tuning loop's
+    * metric ("are my bands missing near-dups? how much verify work is
+    * wasted?").
+    *
+    * Both sides normalize to unordered distinct pairs (a < b), meet in
+    * ONE equi-join on the pair key, and reduce to one row of integral
+    * ppm metrics — result-set-sized work, never corpus-sized. */
+  def pairSetEval(truth: DataFrame, cand: DataFrame, aCol: String,
+                  bCol: String): DataFrame = {
+    def norm(df: DataFrame): DataFrame = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("__a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .distinct()
+    val t = norm(truth).localCheckpoint(false)
+    val c = norm(cand).localCheckpoint(false)
+    val nT = t.count(); val nC = c.count()
+    val nHit = t.join(c, Seq("__a", "__b")).count()
+    val spark = truth.sparkSession
+    import spark.implicits._
+    Seq((nT, nC, nHit)).toDF("n_truth", "n_cand", "n_hit")
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_cand") > 0, expr("n_hit * 1000000 div n_cand"))
+          .as("prec_ppm"),
+        when(col("n_truth") > 0, expr("n_hit * 1000000 div n_truth"))
+          .as("rec_ppm"),
+        when(col("n_truth") + col("n_cand") > 0,
+          expr("2 * n_hit * 1000000 div (n_truth + n_cand)")).as("f1_ppm"))
+  }
+
   /** Confusion matrix + derived rates at a fixed threshold
     * (`score >= threshold` predicts positive). One aggregation pass. */
   def confusionAt(df: DataFrame, scoreCol: String, labelCol: String,

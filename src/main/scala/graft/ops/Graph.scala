@@ -435,6 +435,52 @@ object Graph {
           .as("coeff_ppm"))
   }
 
+  /** Semi-supervised label propagation with clamped seeds: spread
+    * known labels (quality tier, topic, license class) from seed nodes
+    * to their graph neighborhood — the "label the near-dups like their
+    * labeled original" pass. Synchronous rounds; per round each node
+    * takes the majority label of its labeled neighbors with the
+    * deterministic (count desc, label asc) tiebreak, seeds stay
+    * clamped, nodes with no labeled neighbor keep their previous
+    * state. Fixed `rounds` (each is one edge-label equi-join + one
+    * grouped count + one argmax — the power-iteration shape), so the
+    * oracle unrolls mechanically; labels reach at most `rounds` hops.
+    * Argmax via `min(struct(-count, label))` — one aggregation, no
+    * window. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: DataFrame, idCol: String, labelCol: String,
+                       rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds must be in [1,10], got $rounds")
+    val e = simple(edges, srcCol, dstCol).localCheckpoint(false)
+    val adj = e.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(e.select(col("b").as("id"), col("a").as("nb")))
+      .localCheckpoint(false)
+    val nodes = adj.select(col("id")).distinct().localCheckpoint(false)
+    val seedL = seeds.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("__seed"))
+    var cur = nodes.join(seedL, Seq("id"), "left")
+      .select(col("id"), col("__seed").as("lbl"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val counts = adj
+        .join(cur.filter(col("lbl").isNotNull)
+          .select(col("id").as("nb"), col("lbl")), "nb")
+        .groupBy(col("id"), col("lbl"))
+        .agg(count(lit(1)).as("__c"))
+      val best = counts
+        .groupBy(col("id"))
+        .agg(min(struct((-col("__c")).as("nc"), col("lbl"))).as("__m"))
+        .select(col("id"), col("__m.lbl").as("__best"))
+      cur = cur
+        .join(seedL, Seq("id"), "left")
+        .join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("__seed"), col("__best"), col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    cur.select(col("id"), col("lbl").as(labelCol))
+  }
+
   /** Newman modularity of a node partition: how much denser
     * communities are than a degree-preserving random rewiring —
     * `Q = Σ_c [ e_c/m − (d_c/2m)² ]` over communities c (e_c =

@@ -2947,7 +2947,95 @@ object OpsOracles {
         |SELECT sum(cc)::BIGINT AS est_rows, count(*)::BIGINT AS n_matched_keys,
         |  max(cc)::BIGINT AS max_key_rows,
         |  (max(cc) * 1000000 // greatest(sum(cc), 1))::BIGINT AS max_key_share_ppm
-        |FROM j""".stripMargin.trim
+        |FROM j""".stripMargin.trim,
+
+    // k-anonymity: the two-level distinct (class, sensitive) reduction
+    // mirrors the operator (count-distinct semantics INCLUDING null as
+    // a value), then one summary row — all BIGINT
+    "q_k_anon" ->
+      """WITH r AS (SELECT user_id % 500 AS qa, event_type,
+        |    CAST(round(value * 100.0) AS BIGINT) // 5000 AS vb
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL),
+        |pp AS (SELECT qa, event_type, vb, count(*)::BIGINT AS n
+        |       FROM r GROUP BY 1, 2, 3),
+        |pc AS (SELECT qa, event_type, sum(n)::BIGINT AS rws,
+        |         count(*)::BIGINT AS l FROM pp GROUP BY 1, 2)
+        |SELECT sum(rws)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+        |  sum(CASE WHEN rws < 5 THEN 1 ELSE 0 END)::BIGINT AS n_groups_lt_k,
+        |  sum(CASE WHEN rws < 5 THEN rws ELSE 0 END)::BIGINT AS n_rows_lt_k,
+        |  min(rws)::BIGINT AS min_group,
+        |  min(l)::BIGINT AS min_l_diversity
+        |FROM pc""".stripMargin.trim,
+
+    // banding quality: exact all-pairs Jaccard truth vs minhash-band
+    // candidates over the SAME planted corpus, one pair-key join
+    "q_dedup_eval" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 1000
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         array_to_string(list_slice(w, 1, len(w) - 5), ' ')
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w
+        |        FROM documents WHERE doc_id < 1000)),
+        |sh AS (
+        |  SELECT id, list_transform(generate_series(0, greatest(len(w) - 3, 0)),
+        |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS shingles
+        |  FROM (SELECT id, string_split(lower(trim(text)), ' ') w FROM docs)),
+        |sets AS (SELECT id, list_distinct(shingles) AS s FROM sh),
+        |tok AS (SELECT id, unnest(s) AS g FROM sets),
+        |cp AS (SELECT a.id AS ia, b.id AS ib, count(*)::BIGINT AS inter
+        |       FROM tok a JOIN tok b ON a.g = b.g AND a.id < b.id
+        |       GROUP BY 1, 2),
+        |tr AS (SELECT ia, ib FROM cp
+        |       JOIN sets sa ON cp.ia = sa.id JOIN sets sb ON cp.ib = sb.id
+        |       WHERE inter::DOUBLE / (len(sa.s) + len(sb.s) - inter) >= 0.6),
+        |mh AS (SELECT id, s, min(md5(s::varchar || '|' || u.sh2)) AS sig
+        |       FROM sh, generate_series(0, 11) AS g(s),
+        |            unnest(sh.shingles) AS u(sh2)
+        |       GROUP BY id, s),
+        |sigv AS (SELECT id, array_agg(sig ORDER BY s) AS sigs FROM mh GROUP BY id),
+        |bands AS (SELECT id, b,
+        |    md5(sigs[b*3+1] || ',' || sigs[b*3+2] || ',' || sigs[b*3+3]) AS bucket
+        |  FROM sigv, generate_series(0, 3) AS g(b)),
+        |cand0 AS (SELECT DISTINCT l.id AS ia, r.id AS ib
+        |  FROM bands l, bands r
+        |  WHERE l.b = r.b AND l.bucket = r.bucket AND l.id < r.id),
+        |cd AS (SELECT ia, ib FROM cand0
+        |  JOIN sets sa ON cand0.ia = sa.id JOIN sets sb ON cand0.ib = sb.id
+        |  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+        |        / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+        |        >= 0.01),
+        |m AS (SELECT (SELECT count(*) FROM tr)::BIGINT AS n_truth,
+        |        (SELECT count(*) FROM cd)::BIGINT AS n_cand,
+        |        (SELECT count(*) FROM tr JOIN cd USING (ia, ib))::BIGINT AS n_hit)
+        |SELECT n_truth, n_cand, n_hit,
+        |  CASE WHEN n_cand > 0 THEN (n_hit * 1000000 // n_cand)::BIGINT
+        |  END AS prec_ppm,
+        |  CASE WHEN n_truth > 0 THEN (n_hit * 1000000 // n_truth)::BIGINT
+        |  END AS rec_ppm,
+        |  CASE WHEN n_truth + n_cand > 0
+        |    THEN (2 * n_hit * 1000000 // (n_truth + n_cand))::BIGINT
+        |  END AS f1_ppm
+        |FROM m""".stripMargin.trim,
+
+    "q_label_prop" -> labelPropSql,
+
+    // hour-of-week profile: dow as pmod(epoch_days + 4, 7) — integer,
+    // convention-free
+    "q_seasonality" ->
+      """WITH c AS (SELECT event_type,
+        |    (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow,
+        |    hour(ts) AS hour, CAST(round(value * 100.0) AS BIGINT) AS xc
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |g AS (SELECT event_type, dow, hour, count(*)::BIGINT AS n,
+        |        sum(xc)::BIGINT AS sum_cents FROM c GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, sum(n)::BIGINT AS tot FROM g GROUP BY 1)
+        |SELECT g.event_type, g.dow, g.hour, g.n, g.sum_cents,
+        |  (g.n * 1000000 // t.tot)::BIGINT AS share_ppm
+        |FROM g JOIN t ON g.event_type = t.event_type
+        |ORDER BY 1, 2, 3""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the
@@ -3037,6 +3125,36 @@ object OpsOracles {
        |  (sum(ap_ppm) // count(ap_ppm))::BIGINT AS map_ppm,
        |  (sum(ndcg_ppm) // count(ndcg_ppm))::BIGINT AS mean_ndcg_ppm
        |FROM ranked""".stripMargin.trim
+  }
+
+  /** q_label_prop: two clamped synchronous rounds unrolled over the
+    * near-dup pair graph — per round one labeled-neighbor count and
+    * the (count desc, label asc) argmax, seeds override, unlabeled
+    * nodes keep their previous state. */
+  private def labelPropSql: String = {
+    val b = new StringBuilder
+    b ++= s"""$nearDupClusterCte,
+             |lpn AS (SELECT DISTINCT s AS id FROM e),
+             |lps AS (SELECT doc_id, source FROM documents WHERE doc_id < 250),
+             |lab0 AS (SELECT lpn.id, lps.source AS lbl
+             |         FROM lpn LEFT JOIN lps ON lpn.id = lps.doc_id)""".stripMargin
+    for (t <- 1 to 2) {
+      val prev = s"lab${t - 1}"
+      b ++= s""",
+               |c$t AS (SELECT e.s AS id, l.lbl, count(*)::BIGINT AS c
+               |        FROM e JOIN $prev l ON e.d = l.id
+               |        WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+               |b$t AS (SELECT id, lbl FROM (
+               |          SELECT id, lbl, row_number() OVER (PARTITION BY id
+               |            ORDER BY c DESC, lbl) AS rn FROM c$t) WHERE rn = 1),
+               |lab$t AS (SELECT p.id,
+               |            coalesce(lps.source, b$t.lbl, p.lbl) AS lbl
+               |          FROM $prev p
+               |          LEFT JOIN lps ON p.id = lps.doc_id
+               |          LEFT JOIN b$t ON p.id = b$t.id)""".stripMargin
+    }
+    b ++= "\nSELECT id, lbl AS source FROM lab2 ORDER BY id"
+    b.result()
   }
 
   /** q_hits: 2 Gauss-Seidel HITS iterations (a ← Σ_in h then h ← Σ_out a,

@@ -1623,4 +1623,46 @@ object OpsQueries {
     val li = tbl(spark, dir, "lineitem")
     Profile.joinCardinality(li, "l_partkey", li, "l_partkey")
   }
+
+  /** k-anonymity / l-diversity audit of events under the
+    * (user cohort, event type) quasi-identifier with bucketed value as
+    * the sensitive attribute. */
+  def kAnonQ(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.kAnonymity(
+      tbl(spark, dir, "events")
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("value").isNotNull)
+        .select((col("user_id") % 500).as("qa"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT) div 5000").as("vb")),
+      Seq("qa", "event_type"), "vb", k = 5)
+
+  /** Banding quality: minhash candidates (verify floor 0.01) scored
+    * against the exact all-pairs Jaccard truth at 0.6. */
+  def dedupEvalQ(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = docsWithNearDups(spark, dir, 1000)
+      .localCheckpoint(false) // both pair producers share one build
+    val truth = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      threshold = 0.6, maxDf = Int.MaxValue)
+    val cand = Dedup.minhashLsh(corpus, "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.01)
+    Evaluation.pairSetEval(truth, cand, "id_a", "id_b")
+  }
+
+  /** Label propagation: sources of the seed docs (doc_id < 250) spread
+    * over the near-dup graph, two clamped synchronous rounds. */
+  def labelPropQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id",
+      "text", bands = 4, rowsPerBand = 3, threshold = 0.6)
+    val seeds = tbl(spark, dir, "documents")
+      .filter(col("doc_id") < 250)
+      .select(col("doc_id"), col("source"))
+    Graph.labelPropagation(pairs, "id_a", "id_b", seeds, "doc_id", "source",
+        rounds = 2)
+      .orderBy("id")
+  }
+
+  def seasonalityQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.seasonalProfile(tbl(spark, dir, "events"),
+      "event_type", "ts", "value")
+      .orderBy("event_type", "dow", "hour")
 }
