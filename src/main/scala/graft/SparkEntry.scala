@@ -227,7 +227,10 @@ object SparkEntry {
     "q_k_anon"           -> (OpsQueries.kAnonQ _),
     "q_dedup_eval"       -> (OpsQueries.dedupEvalQ _),
     "q_label_prop"       -> (OpsQueries.labelPropQ _),
-    "q_seasonality"      -> (OpsQueries.seasonalityQ _)
+    "q_seasonality"      -> (OpsQueries.seasonalityQ _),
+    "q_chi2"             -> (OpsQueries.chi2Q _),
+    "q_winsorize"        -> (OpsQueries.winsorizeQ _),
+    "q_iban_scan"        -> (OpsQueries.ibanScanQ _)
   )
 
   private val fixedPathValues =

@@ -393,6 +393,75 @@ object Analytics {
         round(col("__hb"), outDigits).cast("double").as("h_b"))
   }
 
+  /** Chi-square test of independence between two categorical columns
+    * (+ Cramér's V effect size) — the frequentist counterpart of
+    * [[mutualInfo]] over the same contingency table, sharing its
+    * cross-engine discipline: each cell contribution
+    * `(o − e)²/e` is ONE mirrored double expression rounded at 1e-9,
+    * summed as DECIMAL(38,9); dof and N are integers; Cramér's V is
+    * one final mirrored double. One joint + two marginal
+    * aggregations. */
+  def chiSquare(df: DataFrame, colA: String, colB: String,
+                outDigits: Int = 6): DataFrame = {
+    val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).as("__a"), col(colB).as("__b"))
+      .localCheckpoint(false)
+    val n = base.count()
+    require(n > 0, "no non-null rows")
+    val joint = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ma = base.groupBy(col("__a")).agg(count(lit(1)).as("n_a"))
+    val mb = base.groupBy(col("__b")).agg(count(lit(1)).as("n_b"))
+    val ka = ma.count(); val kb = mb.count()
+    val dof = (ka - 1) * (kb - 1)
+    // Σ_all (o−e)²/e = Σ_observed o²/e − N  (cells absent from the
+    // joint table have o = 0 and contribute exactly their e, which the
+    // −N term absorbs — no zero-cell enumeration needed)
+    val e = col("n_a").cast("double") * col("n_b") / n
+    val chi = joint.join(ma, "__a").join(mb, "__b")
+      .select(round(col("n_ab").cast("double") * col("n_ab") / e, 9)
+        .as("__t"))
+      .agg((sum(col("__t").cast("decimal(38,9)")) - n).as("__chi"))
+    val minDim = math.min(ka, kb) - 1
+    chi.select(lit(n).as("n"), lit(dof).as("dof"),
+      round(col("__chi"), outDigits).cast("double").as("chi2"),
+      when(lit(minDim) > 0,
+        round(sqrt(col("__chi").cast("double") / (n.toDouble * minDim)),
+          outDigits)).as("cramers_v"))
+  }
+
+  /** Winsorized per-group summary: values clipped at the group's exact
+    * [pLo, pHi] percentiles — the robust-statistics companion to
+    * [[Quantiles]] (outlier-proof means for quality-score dashboards).
+    * Reports the clip counts and the cent-sum of the clipped values —
+    * a compact audit row per group; apply the same `least/greatest`
+    * expression row-wise for the full clipped table.
+    *
+    * The grouped `percentile` buffers per-group values (the exact
+    * anchor, like q_group_pcts); the declared scale path for unbounded
+    * groups is [[Quantiles.exactScale]]'s prefix-sum discipline. */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val bounds = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, $pLo)").as("__lo"),
+        expr(s"percentile($valueCol, $pHi)").as("__hi"))
+    val clipped = least(greatest(col(valueCol).cast("double"), col("__lo")),
+      col("__hi"))
+    df.filter(col(valueCol).isNotNull)
+      .join(bounds, groupCol)
+      .select(col(groupCol), col(valueCol), col("__lo"), col("__hi"),
+        clipped.as("__c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum((col(valueCol) < col("__lo")).cast("long")).as("n_clipped_lo"),
+        sum((col(valueCol) > col("__hi")).cast("long")).as("n_clipped_hi"),
+        round(min(col("__lo")), 6).as("lo"),
+        round(min(col("__hi")), 6).as("hi"),
+        sum(round(col("__c") * 100).cast("long")).as("winsorized_cents"))
+  }
+
   /** Per-group Gini concentration of a non-negative integer value —
     * "how unequal are per-domain document sizes / token budgets", the
     * standard inequality diagnostic for corpus-mixture decisions.

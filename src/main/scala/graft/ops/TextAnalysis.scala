@@ -843,6 +843,34 @@ object TextAnalysis {
       .withColumn("luhn_valid", luhnSum % 10 === 0)
   }
 
+  /** IBAN detection with MOD-97 validation (ISO 13616) — [[luhnScan]]'s
+    * sibling for bank-account PII: candidates are word-bounded
+    * `CC##A…` runs; validation rearranges the first four chars to the
+    * end, expands letters to two digits (A=10..Z=35) and folds the
+    * resulting number mod 97 — an integer `aggregate` over the chars
+    * (acc ≤ 96, so `acc·100+35` never leaves Int range), valid iff the
+    * remainder is 1. Narrow explode; corpus-linear; the oracle replays
+    * the identical fold as a recursive CTE. */
+  def ibanScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cand = explode(regexp_extract_all(col(textCol),
+      lit("\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"), lit(0)))
+    val rearranged = concat(expr("substr(candidate, 5)"),
+      expr("substr(candidate, 1, 4)"))
+    val chars = split(col("__r"), "")
+    val mod97 = aggregate(
+      sequence(lit(1), size(chars)), lit(0),
+      (acc, i) => {
+        val c = ascii(element_at(chars, i))
+        when(c.between(48, 57), (acc * 10 + (c - 48)) % 97)
+          .otherwise((acc * 100 + (c - 55)) % 97)
+      })
+    df.select(col(idCol), cand.as("candidate"))
+      .withColumn("__r", rearranged)
+      .withColumn("iban_valid",
+        length(col("candidate")).between(15, 34) && mod97 === 1)
+      .drop("__r")
+  }
+
   // ----------------------------------------------------- domain blocklist
 
   /** Suffix-semantics domain blocklist marking — the crawl-pipeline

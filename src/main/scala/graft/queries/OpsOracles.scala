@@ -3035,7 +3035,85 @@ object OpsOracles {
         |SELECT g.event_type, g.dow, g.hour, g.n, g.sum_cents,
         |  (g.n * 1000000 // t.tot)::BIGINT AS share_ppm
         |FROM g JOIN t ON g.event_type = t.event_type
-        |ORDER BY 1, 2, 3""".stripMargin.trim
+        |ORDER BY 1, 2, 3""".stripMargin.trim,
+
+    // chi-square independence: per-cell (o-e)^2/e rounded at 1e-9 then
+    // DECIMAL(38,9)-summed (the mutual-info ln discipline)
+    "q_chi2" ->
+      """WITH base AS (SELECT source AS a, lang AS b FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM base),
+        |j AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM base GROUP BY a, b),
+        |ma AS (SELECT a, count(*)::BIGINT AS n_a FROM base GROUP BY a),
+        |mb AS (SELECT b, count(*)::BIGINT AS n_b FROM base GROUP BY b),
+        |ka AS (SELECT count(*)::BIGINT AS c FROM ma),
+        |kb AS (SELECT count(*)::BIGINT AS c FROM mb),
+        |chi AS (SELECT sum(round(
+        |    n_ab::DOUBLE * n_ab / (n_a::DOUBLE * n_b / n),
+        |    9)::DECIMAL(38,9)) - max(n) AS v
+        |  FROM j JOIN ma USING (a) JOIN mb USING (b), nn)
+        |SELECT nn.n, ((ka.c - 1) * (kb.c - 1))::BIGINT AS dof,
+        |  round(chi.v, 6)::DOUBLE AS chi2,
+        |  CASE WHEN least(ka.c, kb.c) - 1 > 0 THEN
+        |    round(sqrt(chi.v::DOUBLE
+        |      / (nn.n::DOUBLE * (least(ka.c, kb.c) - 1))), 6)
+        |  END AS cramers_v
+        |FROM nn, chi, ka, kb""".stripMargin.trim,
+
+    // winsorized per-group summary: quantile_cont bounds (percentile
+    // parity is the q_group_pcts anchor), integral clip counts,
+    // cent-sum of the clipped values
+    "q_winsorize" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        |r AS (SELECT l.l_returnflag AS g, l.l_extendedprice AS x, b.lo, b.hi,
+        |    least(greatest(l.l_extendedprice, b.lo), b.hi) AS c
+        |  FROM lineitem l JOIN b ON l.l_returnflag = b.g
+        |  WHERE l.l_extendedprice IS NOT NULL)
+        |SELECT g AS l_returnflag, count(*)::BIGINT AS n,
+        |  sum((x < lo)::BIGINT)::BIGINT AS n_clipped_lo,
+        |  sum((x > hi)::BIGINT)::BIGINT AS n_clipped_hi,
+        |  round(min(lo), 6) AS lo, round(min(hi), 6) AS hi,
+        |  sum(CAST(round(c * 100.0) AS BIGINT))::BIGINT AS winsorized_cents
+        |FROM r GROUP BY g ORDER BY g""".stripMargin.trim,
+
+    // IBAN mod-97: the same char fold as the Spark aggregate HOF,
+    // unrolled as a recursive CTE keyed by a per-candidate ordinal
+    "q_iban_scan" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, coalesce(text, '')
+        |    || CASE WHEN doc_id % 9 = 0
+        |         THEN ' DE89370400440532013000' ELSE '' END
+        |    || CASE WHEN doc_id % 10 = 0
+        |         THEN ' DE89370400440532013001' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN ' GB82WEST12345698765432' ELSE '' END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id, unnest(regexp_extract_all(t,
+        |    '\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b')) AS candidate FROM d),
+        |r AS (SELECT doc_id, candidate,
+        |    substr(candidate, 5) || substr(candidate, 1, 4) AS s,
+        |    row_number() OVER (ORDER BY doc_id, candidate) AS ck FROM c),
+        |f AS (
+        |  SELECT ck, 1 AS i,
+        |    CASE WHEN ascii(substr(s, 1, 1)) BETWEEN 48 AND 57
+        |      THEN (ascii(substr(s, 1, 1)) - 48) % 97
+        |      ELSE (ascii(substr(s, 1, 1)) - 55) % 97 END AS acc
+        |  FROM r
+        |  UNION ALL
+        |  SELECT f.ck, f.i + 1,
+        |    CASE WHEN ascii(substr(r.s, f.i + 1, 1)) BETWEEN 48 AND 57
+        |      THEN (f.acc * 10 + ascii(substr(r.s, f.i + 1, 1)) - 48) % 97
+        |      ELSE (f.acc * 100 + ascii(substr(r.s, f.i + 1, 1)) - 55) % 97
+        |    END
+        |  FROM f JOIN r ON r.ck = f.ck WHERE f.i < length(r.s))
+        |SELECT r.doc_id, r.candidate,
+        |  (length(r.candidate) BETWEEN 15 AND 34 AND fin.acc = 1) AS iban_valid
+        |FROM r JOIN (SELECT f.ck, f.acc FROM f
+        |             JOIN r ON r.ck = f.ck WHERE f.i = length(r.s)) fin
+        |  ON r.ck = fin.ck
+        |ORDER BY r.doc_id, r.candidate""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1665,4 +1665,29 @@ object OpsQueries {
     Analytics.seasonalProfile(tbl(spark, dir, "events"),
       "event_type", "ts", "value")
       .orderBy("event_type", "dow", "hour")
+
+  def chi2Q(spark: SparkSession, dir: String): DataFrame =
+    Analytics.chiSquare(tbl(spark, dir, "documents"), "source", "lang")
+
+  def winsorizeQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.winsorizedStats(
+      tbl(spark, dir, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice", pLo = 0.05, pHi = 0.95)
+      .orderBy("l_returnflag")
+
+  /** IBAN scan over documents with planted valid/invalid accounts. */
+  def ibanScanQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+      .select(col("doc_id"), concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 9 === 0, lit(" DE89370400440532013000"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 10 === 0, lit(" DE89370400440532013001"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" GB82WEST12345698765432"))
+          .otherwise(lit("")))
+        .as("text"))
+    TextAnalysis.ibanScan(d, "doc_id", "text")
+      .orderBy("doc_id", "candidate")
+  }
 }
