@@ -230,7 +230,9 @@ object SparkEntry {
     "q_seasonality"      -> (OpsQueries.seasonalityQ _),
     "q_chi2"             -> (OpsQueries.chi2Q _),
     "q_winsorize"        -> (OpsQueries.winsorizeQ _),
-    "q_iban_scan"        -> (OpsQueries.ibanScanQ _)
+    "q_iban_scan"        -> (OpsQueries.ibanScanQ _),
+    "q_bitext_mine"      -> (OpsQueries.bitextMineQ _),
+    "q_cc_incremental"   -> (OpsQueries.ccIncrementalQ _)
   )
 
   private val fixedPathValues =

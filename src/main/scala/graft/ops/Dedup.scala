@@ -468,6 +468,66 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Bitext candidate mining by NUMBER fingerprints: pair documents in
+    * DIFFERENT languages whose digit-token sets overlap — numbers
+    * survive translation verbatim, so shared numerals are the classic
+    * cheap pre-filter for parallel-corpus (translation-pair) mining
+    * before any expensive cross-lingual scoring.
+    *
+    * Candidates come from the [[ngramJaccardPairs]] inverted-index
+    * machinery on distinct digit runs (regexp `[0-9]+`), restricted to
+    * cross-language pairs, scored by the integral Jaccard
+    * `inter·1e6 div union`. `maxDf` drops ubiquitous numbers ("2024")
+    * that would fan the index quadratically — the hot-gram cap.
+    * Returns (id_a, lang_a, id_b, lang_b, n_common, jac_ppm) with
+    * id_a < id_b. */
+  def bitextCandidates(df: DataFrame, idCol: String, langCol: String,
+                       textCol: String, threshold: Double,
+                       maxDf: Int = 10000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    require(maxDf >= 1, s"maxDf must be positive, got $maxDf")
+    val sets = df
+      .filter(col(idCol).isNotNull && col(langCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"), col(langCol).as("__lang"),
+        array_distinct(regexp_extract_all(coalesce(col(textCol), lit("")),
+          lit("[0-9]+"), lit(0))).as("__nums"))
+      .filter(size(col("__nums")) > 0)
+      .withColumn("n", size(col("__nums")))
+      .localCheckpoint(false)
+    val inv0 = sets.select(col("__id"), col("__lang"), col("n"),
+      explode(col("__nums")).as("g"))
+    val ok = inv0.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("g"))
+    val inv = inv0.join(ok, Seq("g"), "left_semi").localCheckpoint(false)
+    inv.as("a").join(inv.as("b"),
+        col("a.g") === col("b.g") && col("a.__id") < col("b.__id") &&
+        col("a.__lang") =!= col("b.__lang"))
+      .groupBy(col("a.__id").as("id_a"), col("a.__lang").as("lang_a"),
+        col("b.__id").as("id_b"), col("b.__lang").as("lang_b"),
+        col("a.n").as("__na"), col("b.n").as("__nb"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common").cast("double") >=
+        (col("__na") + col("__nb") - col("n_common")).cast("double") * threshold)
+      .select(col("id_a"), col("lang_a"), col("id_b"), col("lang_b"),
+        col("n_common"),
+        expr("n_common * 1000000 div (__na + __nb - n_common)").as("jac_ppm"))
+  }
+
+  /** Incremental connected components: fold a NEW batch of pairs into
+    * EXISTING cluster labels without re-reading history — labels
+    * themselves are connectivity (each (id, cluster_id) row is an edge
+    * to the cluster representative), so CC over `labels ∪ newPairs`
+    * equals CC over the full original edge set plus the batch. The
+    * crawl-clustering companion to [[minhashLshIncremental]]. */
+  def connectedComponentsIncremental(prevLabels: DataFrame, idCol: String,
+                                     clusterCol: String, newPairs: DataFrame,
+                                     aCol: String, bCol: String): DataFrame =
+    connectedComponents(
+      prevLabels.select(col(idCol).as("id_a"), col(clusterCol).as("id_b"))
+        .unionAll(newPairs.select(col(aCol).as("id_a"), col(bCol).as("id_b"))),
+      "id_a", "id_b")
+
   /** Asymmetric CONTAINMENT pairs: |A ∩ B| / |A| >= threshold over
     * distinct n-gram sets — the EXCERPT detector. Jaccard misses a
     * short quote inside a long document (the union term swamps it);

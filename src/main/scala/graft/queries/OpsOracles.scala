@@ -3113,7 +3113,38 @@ object OpsOracles {
         |FROM r JOIN (SELECT f.ck, f.acc FROM f
         |             JOIN r ON r.ck = f.ck WHERE f.i = length(r.s)) fin
         |  ON r.ck = fin.ck
-        |ORDER BY r.doc_id, r.candidate""".stripMargin.trim
+        |ORDER BY r.doc_id, r.candidate""".stripMargin.trim,
+
+    // bitext mining: planted reference numbers survive the word-reversed
+    // "translation"; cross-language digit-set Jaccard, integral ppm
+    "q_bitext_mine" ->
+      """WITH base AS (SELECT doc_id, lang, coalesce(text, '')
+        |    || ' ref ' || (doc_id * 7 + 11)::VARCHAR
+        |    || ' code ' || (doc_id * 13 + 29)::VARCHAR AS t
+        |  FROM documents WHERE doc_id < 300),
+        |twin AS (SELECT doc_id + 200000 AS doc_id, 'xx' AS lang,
+        |    array_to_string(list_reverse(string_split(t, ' ')), ' ') AS t
+        |  FROM base),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM twin),
+        |sets AS (SELECT doc_id AS id, lang,
+        |    list_distinct(regexp_extract_all(t, '[0-9]+')) AS nums FROM u
+        |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+        |s2 AS (SELECT id, lang, nums, len(nums)::BIGINT AS n FROM sets
+        |       WHERE len(nums) > 0),
+        |inv0 AS (SELECT id, lang, n, unnest(nums) AS g FROM s2),
+        |ok AS (SELECT g FROM (SELECT g, count(*) AS c FROM inv0 GROUP BY g)
+        |       WHERE c <= 1000),
+        |inv AS (SELECT * FROM inv0 WHERE g IN (SELECT g FROM ok)),
+        |pc AS (SELECT a.id AS id_a, a.lang AS lang_a, b.id AS id_b,
+        |    b.lang AS lang_b, a.n AS na, b.n AS nb, count(*)::BIGINT AS n_common
+        |  FROM inv a JOIN inv b
+        |    ON a.g = b.g AND a.id < b.id AND a.lang != b.lang
+        |  GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT id_a, lang_a, id_b, lang_b, n_common,
+        |  (n_common * 1000000 // (na + nb - n_common))::BIGINT AS jac_ppm
+        |FROM pc
+        |WHERE n_common::DOUBLE >= (na + nb - n_common)::DOUBLE * 0.9
+        |ORDER BY id_a, id_b""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the
@@ -3282,5 +3313,9 @@ object OpsOracles {
   val variants: Map[String, String] = Map(
     "q_ann_ivf_dist" -> sql("q_ann_ivf"),
     "q_ann_ivfpq_dist" -> sql("q_ann_ivfpq"),
-    "q_kcore_conv" -> sql("q_kcore"))
+    "q_kcore_conv" -> sql("q_kcore"),
+    // incremental CC folds the late pair batch into the early batch's
+    // labels; labels are connectivity, so the result is exactly the
+    // full-recompute clustering
+    "q_cc_incremental" -> sql("q_dedup_cluster"))
 }

@@ -1676,6 +1676,42 @@ object OpsQueries {
       "l_returnflag", "l_extendedprice", pLo = 0.05, pHi = 0.95)
       .orderBy("l_returnflag")
 
+  /** Bitext candidate mining: each doc under 300 gains two unique
+    * deterministic reference numbers; a planted "translation" twin
+    * (id + 200000, lang 'xx', words reversed) keeps the numbers —
+    * cross-language number-fingerprint Jaccard must pair exactly the
+    * twins. */
+  def bitextMineQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = tbl(spark, dir, "documents")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"),
+        concat(coalesce(col("text"), lit("")),
+          lit(" ref "), col("doc_id") * 7 + 11,
+          lit(" code "), col("doc_id") * 13 + 29).as("text"))
+    val twin = base.select((col("doc_id") + 200000).as("doc_id"),
+      lit("xx").as("lang"),
+      concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+    Dedup.bitextCandidates(base.unionAll(twin), "doc_id", "lang", "text",
+        threshold = 0.9, maxDf = 1000)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Incremental clustering: CC labels of the early pair batch folded
+    * with the late batch must equal the full recompute (shares the
+    * q_dedup_cluster oracle). */
+  def ccIncrementalQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id",
+      "text", bands = 4, rowsPerBand = 3, threshold = 0.6)
+      .localCheckpoint(false) // split twice below
+    val old = pairs.filter(col("id_b") < 100250)
+    val fresh = pairs.filter(col("id_b") >= 100250)
+    val labels1 = Dedup.connectedComponents(old, "id_a", "id_b")
+    Dedup.connectedComponentsIncremental(labels1, "id", "cluster_id",
+        fresh, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** IBAN scan over documents with planted valid/invalid accounts. */
   def ibanScanQ(spark: SparkSession, dir: String): DataFrame = {
     val d = tbl(spark, dir, "documents")
