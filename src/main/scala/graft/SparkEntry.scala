@@ -232,7 +232,8 @@ object SparkEntry {
     "q_winsorize"        -> (OpsQueries.winsorizeQ _),
     "q_iban_scan"        -> (OpsQueries.ibanScanQ _),
     "q_bitext_mine"      -> (OpsQueries.bitextMineQ _),
-    "q_cc_incremental"   -> (OpsQueries.ccIncrementalQ _)
+    "q_cc_incremental"   -> (OpsQueries.ccIncrementalQ _),
+    "q_embed_int8"       -> (OpsQueries.embedInt8Q _)
   )
 
   private val fixedPathValues =

@@ -115,6 +115,68 @@ object Embeddings {
         avg(lit(1.0) - col("__cos")).as("dispersion"))
   }
 
+  /** INT8 vector quantization with exact reconstruction accounting —
+    * the 4× storage cut that makes a 100 TB embedding corpus fit its
+    * serving tier. Per vector: the scale is the smallest POWER OF TWO
+    * `2^e` with `max|v| ≤ 127·2^e`, chosen by an unrolled comparison
+    * chain against exact power-of-two literals (never a cross-engine
+    * `log2` — the boundary ulp would flip e); codes are
+    * `round(v / 2^e)` (division by a power of two is exact, so the
+    * rounding input is bit-identical on every engine and |q| ≤ 127 by
+    * construction).
+    *
+    * Returns one row per vector: exponent `e`, the int8 code array,
+    * and `err_e15` — the squared reconstruction error as an integer
+    * sum of per-component `round((v − q·2^e)²·1e15)` terms
+    * (order-independent, engine-exact). Roll up with
+    * [[quantizeInt8Report]]. One narrow kernel pass, no shuffle. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(vecCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions(_.map { case (id, v) =>
+        var maxAbs = 0.0
+        v.foreach(x => if (math.abs(x) > maxAbs) maxAbs = math.abs(x))
+        // smallest e in [-40, 40] with 127 * 2^e >= maxAbs (all-zero
+        // vectors take the floor e = -40); comparisons against exact
+        // power-of-two products only
+        var e = -40
+        while (e < 40 && 127.0 * java.lang.Math.scalb(1.0, e) < maxAbs) e += 1
+        val scale = java.lang.Math.scalb(1.0, e)
+        val q = new Array[Int](v.length)
+        var err = 0L
+        var i = 0
+        while (i < v.length) {
+          // HALF-AWAY-FROM-ZERO, matching SQL round() — Java
+          // Math.round is half-UP and disagrees at negative .5 ties
+          val r = v(i) / scale
+          q(i) = (if (r >= 0) math.floor(r + 0.5) else math.ceil(r - 0.5)).toInt
+          val d = v(i) - q(i) * scale
+          err += math.round(d * d * 1e15) // non-negative: half-up == half-away
+          i += 1
+        }
+        (id, e, q.toSeq, err)
+      })
+      .toDF(idCol, "e", "codes", "err_e15")
+  }
+
+  /** Per-group rollup of [[quantizeInt8]] joined back to a label
+    * column: vector counts, exponent range, total reconstruction
+    * error — the "is int8 safe for this corpus" audit table. */
+  def quantizeInt8Report(df: DataFrame, idCol: String, labelCol: String,
+                         vecCol: String): DataFrame = {
+    val q = quantizeInt8(df, idCol, vecCol)
+    df.select(col(idCol).cast("long").as(idCol), col(labelCol))
+      .join(q, idCol)
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("e")).as("e_min"), max(col("e")).as("e_max"),
+        sum(col("err_e15")).as("total_err_e15"),
+        max(col("err_e15")).as("max_err_e15"))
+  }
+
   /** Simplified (centroid-based) silhouette per cluster label — the
     * clustering-quality score behind SemDeDup epsilon choices and
     * mixture-by-cluster decisions: for each point, `a` = distance to

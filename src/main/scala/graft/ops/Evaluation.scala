@@ -177,6 +177,9 @@ object Evaluation {
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
       .repartitionByRange(col("__s").desc)
       .sortWithinPartitions(col("__s").desc)
+    // persisted (not unpersisted here: the RETURNED frame still reads
+    // it; RDD persists are reference-tracked and GC-freed — the
+    // Packing.concatChunk precedent)
     val rdd = perScore.rdd
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

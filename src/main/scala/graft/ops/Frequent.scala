@@ -149,6 +149,9 @@ object Frequent {
       .join(marg.select(col("__it").as("cons"), col("__n").as("n_b")), "cons")
       .select(col("ante"), col("cons"), col("n_a"), col("n_b"), col("n_ab"),
         expr("n_ab * 1000000 div n_a").as("conf_ppm"),
-        expr(s"n_ab * $nBaskets * 1000000 div (n_a * n_b)").as("lift_ppm"))
+        // decimal: n_ab·N·1e6 can pass 2^63 on a billion-basket corpus
+        expr(s"CAST(CAST(n_ab AS DECIMAL(38,0)) * $nBaskets * 1000000" +
+          s" div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("lift_ppm"))
   }
 }

@@ -3021,6 +3021,8 @@ object OpsOracles {
 
     "q_label_prop" -> labelPropSql,
 
+    "q_embed_int8" -> embedInt8Sql,
+
     // hour-of-week profile: dow as pmod(epoch_days + 4, 7) — integer,
     // convention-free
     "q_seasonality" ->
@@ -3264,6 +3266,41 @@ object OpsOracles {
     }
     b ++= "\nSELECT id, lbl AS source FROM lab2 ORDER BY id"
     b.result()
+  }
+
+  /** q_embed_int8: the power-of-two exponent comes from an unrolled
+    * comparison chain against EXACT `127·2^e` double literals (Scala
+    * Double.toString round-trips, so both engines compare the same
+    * doubles — no cross-engine log2); the matching scale literal comes
+    * from the same generator. round() is half-away-from-zero in both
+    * engines (the kernel implements it explicitly). */
+  private def embedInt8Sql: String = {
+    val eArms = (-40 to 39).map { e =>
+      s"WHEN ma <= ${(127.0 * java.lang.Math.scalb(1.0, e)).toString} THEN $e"
+    }.mkString("\n    ")
+    val sArms = (-40 to 40).map { e =>
+      s"WHEN $e THEN ${java.lang.Math.scalb(1.0, e).toString}"
+    }.mkString("\n    ")
+    s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+       |m AS (SELECT vec_id, label, v,
+       |    coalesce(list_max(list_transform(v, x -> abs(x))), 0) AS ma
+       |  FROM e0),
+       |ex AS (SELECT vec_id, label, v,
+       |    CASE $eArms ELSE 40 END AS e FROM m),
+       |sc AS (SELECT vec_id, label, v, e,
+       |    CASE e $sArms END::DOUBLE AS s FROM ex),
+       |comp AS (SELECT vec_id, label, e, s, unnest(v) AS x FROM sc),
+       |qq AS (SELECT vec_id, label, e,
+       |    CAST(round((x - round(x / s) * s) * (x - round(x / s) * s)
+       |         * 1e15) AS BIGINT) AS t
+       |  FROM comp),
+       |er AS (SELECT vec_id, label, e, sum(t)::BIGINT AS err
+       |       FROM qq GROUP BY 1, 2, 3)
+       |SELECT label, count(*)::BIGINT AS n_vecs,
+       |  min(e) AS e_min, max(e) AS e_max,
+       |  sum(err)::BIGINT AS total_err_e15, max(err)::BIGINT AS max_err_e15
+       |FROM er GROUP BY label ORDER BY label""".stripMargin.trim
   }
 
   /** q_hits: 2 Gauss-Seidel HITS iterations (a ← Σ_in h then h ← Σ_out a,

@@ -1712,6 +1712,12 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** INT8 quantization audit of the embeddings corpus per label. */
+  def embedInt8Q(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.quantizeInt8Report(tbl(spark, dir, "embeddings"),
+      "vec_id", "label", "embedding")
+      .orderBy("label")
+
   /** IBAN scan over documents with planted valid/invalid accounts. */
   def ibanScanQ(spark: SparkSession, dir: String): DataFrame = {
     val d = tbl(spark, dir, "documents")

@@ -198,4 +198,39 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(barPlan).size == 1,
       barPlan.take(600))
   }
+
+  test("ranked evaluation bounds both top-k paths with WindowGroupLimit") {
+    val spark2 = spark
+    import spark2.implicits._
+    val run = (1 to 50).map(i => (i % 5L, i.toLong, i * 0.1))
+      .toDF("q", "item", "s")
+    val truth = (1 to 30).map(i => (i % 5L, i.toLong, (i % 3).toLong))
+      .toDF("q", "item", "rel")
+    val plan = Evaluation.rankedEval(run, truth, "q", "item", "s", "rel", 5)
+      .queryExecution.executedPlan.toString
+    // the run ranking AND the ideal (IDCG) ranking are rank-filters:
+    // both must push a partial top-k before their exchanges
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan.take(800))
+  }
+
+  test("PR curve never plans a global Window") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_quantity"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+    val plan = Evaluation.prCurve(li, "l_quantity", "y")
+      .queryExecution.executedPlan.toString
+    // prefix sums run in the two-pass range-partitioned scan — a
+    // Window here would be the single-partition global-sort regression
+    assert(!plan.contains("Window"), plan.take(600))
+  }
+
+  test("link prediction applies the hub cap BEFORE the wedge join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey").as("s"), (col("l_partkey") % 97).as("d"))
+    val df = Graph.linkPredict(docs, "s", "d", maxDegree = 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "wedge join must be equi")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "wedge join must be equi")
+  }
 }

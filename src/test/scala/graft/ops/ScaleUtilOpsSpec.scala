@@ -81,4 +81,38 @@ class ScaleUtilOpsSpec extends SparkSpec {
     // the estimate equals the actual join size
     assert(a.join(b, "k").count() === 6)
   }
+
+  // --------------------------------------------------------- quantizeInt8
+
+  test("quantizeInt8: power-of-two scales, codes in int8 range, exact zero") {
+    val rows = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f)),   // maxabs 1 → e = -7 (127/128 < 1)
+      (2L, Array(0.0f, 0.0f)),           // all-zero → floor exponent
+      (3L, Array(200.0f, -100.0f)))      // needs e = 1 (127*2 >= 200)
+      .toDF("id", "vec")
+    val by = Embeddings.quantizeInt8(rows, "id", "vec").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(by(1L).getAs[Int]("e") === -7 + 1) // 127*2^-7 = 0.9921875 < 1 → -6
+    val codes1 = by(1L).getAs[scala.collection.Seq[Int]]("codes")
+    assert(codes1.forall(c => c >= -127 && c <= 127))
+    // 2^-6 scale: 1.0/2^-6 = 64 exactly → zero reconstruction error
+    assert(codes1.head === 64)
+    assert(by(1L).getAs[Long]("err_e15") === 0L) // all components dyadic
+    assert(by(2L).getAs[Int]("e") === -40)
+    assert(by(2L).getAs[Long]("err_e15") === 0L)
+    assert(by(3L).getAs[Int]("e") === 1)
+    assert(by(3L).getAs[scala.collection.Seq[Int]]("codes").toSeq === Seq(100, -50))
+  }
+
+  test("quantizeInt8Report: rollup keyed by label") {
+    val rows = Seq((1L, 7, Array(1.0f, 0.5f)), (2L, 7, Array(0.25f, 0.125f)),
+      (3L, 9, Array(2.0f, 4.0f))).toDF("id", "label", "vec")
+    val by = Embeddings.quantizeInt8Report(rows, "id", "label", "vec")
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    assert(by(7).getAs[Long]("n_vecs") === 2)
+    assert(by(9).getAs[Long]("n_vecs") === 1)
+    // dyadic inputs quantize losslessly
+    assert(by(7).getAs[Long]("total_err_e15") === 0L)
+    assert(by(9).getAs[Long]("total_err_e15") === 0L)
+  }
 }
