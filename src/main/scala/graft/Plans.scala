@@ -88,7 +88,10 @@ object Plans {
       "q_mojibake", "q_keyphrase", "q_compaction_plan", "q_mannwhitney",
       "q_modularity", "q_bootstrap_ci",
       "q_silhouette", "q_time_decay", "q_join_estimate",
-      "q_label_prop", "q_dedup_eval")
+      "q_label_prop", "q_dedup_eval",
+      // bitext the inverted-index pair join on digit tokens; int8 one
+      // narrow kernel pass + label rollup
+      "q_bitext_mine", "q_embed_int8")
     interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
