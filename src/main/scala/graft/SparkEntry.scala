@@ -233,7 +233,8 @@ object SparkEntry {
     "q_iban_scan"        -> (OpsQueries.ibanScanQ _),
     "q_bitext_mine"      -> (OpsQueries.bitextMineQ _),
     "q_cc_incremental"   -> (OpsQueries.ccIncrementalQ _),
-    "q_embed_int8"       -> (OpsQueries.embedInt8Q _)
+    "q_embed_int8"       -> (OpsQueries.embedInt8Q _),
+    "q_coverage_curve"   -> (OpsQueries.coverageCurveQ _)
   )
 
   private val fixedPathValues =

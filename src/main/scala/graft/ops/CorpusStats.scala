@@ -140,4 +140,31 @@ object CorpusStats {
       .agg(sum(col("p") * log(col("p") / col("q"))).as("kl"))
       .select(col("slice"), col("n_tokens"), col("kl"))
   }
+
+  /** Corpus concentration (coverage) curve: the top-k keys by row
+    * count with each prefix's cumulative share of the WHOLE corpus —
+    * "the top N domains hold X% of the documents", the mixture-risk
+    * diagnostic behind temperature and cap decisions. All integral
+    * (cum·1e6 div total). The zipfFit discipline bounds the global
+    * ordering: TakeOrdered(topK) runs BEFORE the rank window, so the
+    * window sees ≤ topK rows — never the key universe. The total
+    * includes the tail beyond top-k, so the last row's share_cum_ppm
+    * < 1e6 exactly measures the uncovered mass. */
+  def coverageCurve(df: DataFrame, keyCol: String,
+                    topK: Int = 100): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // total + top-k reuse
+    val total = counts.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .head().getLong(0)
+    require(total > 0, "no non-null rows")
+    val w = Window.orderBy(desc("cnt"), col(keyCol))
+    counts.orderBy(desc("cnt"), col(keyCol)).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col(keyCol), col("cnt"), col("cum"),
+        expr(s"cum * 1000000 div CAST($total AS BIGINT)").as("share_cum_ppm"))
+  }
 }

@@ -3023,6 +3023,21 @@ object OpsOracles {
 
     "q_embed_int8" -> embedInt8Sql,
 
+    // coverage curve: top-k sources with cumulative ppm of the WHOLE
+    // corpus (tail mass stays in the denominator)
+    "q_coverage_curve" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS cnt FROM documents
+        |  WHERE source IS NOT NULL GROUP BY source),
+        |t AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+        |top AS (SELECT source, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, source) AS rank
+        |  FROM c QUALIFY rank <= 10),
+        |cm AS (SELECT rank, source, cnt,
+        |    sum(cnt) OVER (ORDER BY rank)::BIGINT AS cum FROM top)
+        |SELECT rank, source, cnt, cum,
+        |  (cum * 1000000 // t.total)::BIGINT AS share_cum_ppm
+        |FROM cm, t ORDER BY rank""".stripMargin.trim,
+
     // hour-of-week profile: dow as pmod(epoch_days + 4, 7) — integer,
     // convention-free
     "q_seasonality" ->

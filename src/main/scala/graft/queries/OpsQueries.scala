@@ -1712,6 +1712,12 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** Coverage curve: cumulative corpus share of the top-10 sources. */
+  def coverageCurveQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.coverageCurve(tbl(spark, dir, "documents"), "source",
+        topK = 10)
+      .orderBy("rank")
+
   /** INT8 quantization audit of the embeddings corpus per label. */
   def embedInt8Q(spark: SparkSession, dir: String): DataFrame =
     Embeddings.quantizeInt8Report(tbl(spark, dir, "embeddings"),

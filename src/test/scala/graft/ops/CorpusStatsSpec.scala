@@ -165,4 +165,16 @@ class CorpusStatsSpec extends SparkSpec {
     assert(a == b)
     assert(a.contains((2L, 5L, 0L)))
   }
+
+  test("coverageCurve: cumulative shares keep the tail in the total") {
+    import spark.implicits._
+    val rows = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val got = CorpusStats.coverageCurve(rows, "k", topK = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("k"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("share_cum_ppm")))
+    // c's 2 rows stay in the denominator: the curve tops out at 800000
+    assert(got.toSeq === Seq((1, "a", 5L, 500000L), (2, "b", 3L, 800000L)))
+  }
 }
