@@ -234,7 +234,9 @@ object SparkEntry {
     "q_bitext_mine"      -> (OpsQueries.bitextMineQ _),
     "q_cc_incremental"   -> (OpsQueries.ccIncrementalQ _),
     "q_embed_int8"       -> (OpsQueries.embedInt8Q _),
-    "q_coverage_curve"   -> (OpsQueries.coverageCurveQ _)
+    "q_coverage_curve"   -> (OpsQueries.coverageCurveQ _),
+    "q_gate_matrix"      -> (OpsQueries.gateMatrixQ _),
+    "q_effective_tokens" -> (OpsQueries.effectiveTokensQ _)
   )
 
   private val fixedPathValues =

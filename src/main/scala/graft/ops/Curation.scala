@@ -88,4 +88,37 @@ object Curation {
       .filter(col("__cum") <= col("__budget"))
       .drop("__g", "__budget", "__cost", "__cum")
   }
+
+  /** EFFECTIVE token accounting per group: raw tokens vs tokens after
+    * exact dedup (keep = smallest id per content hash) — the corpus
+    * bookkeeping that answers "how many tokens does this source REALLY
+    * contribute", the number that budget and mixture math must use
+    * instead of the raw count (duplicated boilerplate inflates raw
+    * counts 2-10× on web crawls).
+    *
+    * One [[Dedup.exact]] hash aggregation, one keep-side semi-join,
+    * two grouped sums. All integer: `dedup_ratio_ppm = effective·1e6
+    * div raw`. */
+  def effectiveTokens(df: DataFrame, idCol: String, groupCol: String,
+                      textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), col(groupCol),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("__t"))
+      .filter(col("__t").isNotNull)
+      .localCheckpoint(false) // raw + kept sides reuse
+    val keep = Dedup.exact(df, idCol, Seq(textCol))
+      .select(col("keep_id").as(idCol))
+    val raw = toks.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("raw_tokens"))
+    val kept = toks.join(keep, Seq(idCol), "left_semi")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_kept"), sum(col("__t")).as("effective_tokens"))
+    raw.join(kept, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("raw_tokens"),
+        coalesce(col("effective_tokens"), lit(0L)).as("effective_tokens"),
+        when(col("raw_tokens") > 0,
+          expr("coalesce(effective_tokens, 0) * 1000000 div raw_tokens"))
+          .as("dedup_ratio_ppm"))
+  }
 }

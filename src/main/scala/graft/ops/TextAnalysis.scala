@@ -843,6 +843,48 @@ object TextAnalysis {
       .withColumn("luhn_valid", luhnSum % 10 === 0)
   }
 
+  /** Quality-gate co-failure matrix: how often each pair of filter
+    * gates fires together — the tuning diagnostic that shows which
+    * gates are redundant (near-identical fail sets) and which catch
+    * unique garbage. Gates are integral cross-multiplied predicates
+    * (no float ratios, engine-exact):
+    *
+    *   short       n_words < 20          long      n_words > 300
+    *   repetitive  2·distinct < words    numeric   5·digits > chars
+    *   puncty      5·punct > chars       mojibake  any corruption marker
+    *
+    * One narrow projection builds each doc's failed-gate array; the
+    * double explode emits ≤ g² pairs per doc (g ≤ 6); one grouped
+    * count. Diagonal rows are per-gate totals. */
+  def gateMatrix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val ws = Dedup.words(t)
+    val nWords = size(ws).cast("long")
+    val nDistinct = size(array_distinct(ws)).cast("long")
+    val nChars = length(t).cast("long")
+    val nDigits = (nChars - length(regexp_replace(t, "[0-9]", "")))
+      .cast("long")
+    val nPunct = (nChars - length(regexp_replace(t, "[^\\w\\s]", "")))
+      .cast("long")
+    val moji = size(regexp_extract_all(t, lit("\\x{FFFD}"), lit(0))) +
+      size(regexp_extract_all(t, lit("[\\x{80}-\\x{9f}]"), lit(0)))
+    val gates = Seq(
+      "short" -> (nWords < 20),
+      "long" -> (nWords > 300),
+      "repetitive" -> (nDistinct * 2 < nWords),
+      "numeric" -> (nDigits * 5 > nChars),
+      "puncty" -> (nPunct * 5 > nChars),
+      "mojibake" -> (moji > 0))
+    val failed = array_compact(array(gates.map { case (name, cond) =>
+      when(cond, lit(name)) }: _*))
+    df.select(col(idCol), failed.as("__f"))
+      .select(col(idCol), explode(col("__f")).as("gate_a"), col("__f"))
+      .select(col(idCol), col("gate_a"), explode(col("__f")).as("gate_b"))
+      .filter(col("gate_a") <= col("gate_b"))
+      .groupBy(col("gate_a"), col("gate_b"))
+      .agg(count(lit(1)).as("n_both"))
+  }
+
   /** IBAN detection with MOD-97 validation (ISO 13616) — [[luhnScan]]'s
     * sibling for bank-account PII: candidates are word-bounded
     * `CC##A…` runs; validation rearranges the first four chars to the

@@ -3023,6 +3023,62 @@ object OpsOracles {
 
     "q_embed_int8" -> embedInt8Sql,
 
+    // gate co-failure matrix: integral cross-multiplied gate
+    // predicates, list_filter-built failure arrays, pair self-join
+    "q_gate_matrix" ->
+      """WITH d0 AS (SELECT doc_id, coalesce(text, '') AS t0 FROM documents),
+        |d1 AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN '999 999 999 x'
+        |    WHEN doc_id % 5 = 0 THEN substr(t0, 1, 15)
+        |    ELSE t0 END AS t1 FROM d0),
+        |d AS (SELECT doc_id, t1 || CASE WHEN doc_id % 11 = 0
+        |    THEN chr(65533) ELSE '' END AS t FROM d1),
+        |m AS (SELECT doc_id,
+        |    len(string_split(lower(trim(t)), ' '))::BIGINT AS w,
+        |    len(list_distinct(string_split(lower(trim(t)), ' ')))::BIGINT AS dw,
+        |    length(t)::BIGINT AS ch,
+        |    (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))::BIGINT AS dg,
+        |    (length(t) - length(regexp_replace(t, '[^\w\s]', '', 'g')))::BIGINT AS pu,
+        |    (len(regexp_extract_all(t, '\x{FFFD}'))
+        |     + len(regexp_extract_all(t, '[\x{80}-\x{9f}]')))::BIGINT AS mo
+        |  FROM d),
+        |f AS (SELECT doc_id, list_filter([
+        |    CASE WHEN w < 20 THEN 'short' END,
+        |    CASE WHEN w > 300 THEN 'long' END,
+        |    CASE WHEN dw * 2 < w THEN 'repetitive' END,
+        |    CASE WHEN dg * 5 > ch THEN 'numeric' END,
+        |    CASE WHEN pu * 5 > ch THEN 'puncty' END,
+        |    CASE WHEN mo > 0 THEN 'mojibake' END], x -> x IS NOT NULL) AS fl
+        |  FROM m),
+        |u AS (SELECT doc_id, unnest(fl) AS g FROM f),
+        |p AS (SELECT a.g AS gate_a, b.g AS gate_b FROM u a
+        |      JOIN u b ON a.doc_id = b.doc_id AND a.g <= b.g)
+        |SELECT gate_a, gate_b, count(*)::BIGINT AS n_both
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.trim,
+
+    // effective tokens: Dedup.exact's md5-of-md5 content key mirrored,
+    // min-id keep, integral dedup ratio
+    "q_effective_tokens" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, source, text FROM documents),
+        |tk AS (SELECT doc_id, source,
+        |    len(string_split(trim(text), ' '))::BIGINT AS t
+        |  FROM d WHERE text IS NOT NULL),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM d
+        |  GROUP BY md5(md5(coalesce('V' || text, 'N')))),
+        |raw AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    sum(t)::BIGINT AS raw_tokens FROM tk GROUP BY source),
+        |kept AS (SELECT tk.source, count(*)::BIGINT AS n_kept,
+        |    sum(tk.t)::BIGINT AS effective_tokens FROM tk
+        |  WHERE tk.doc_id IN (SELECT doc_id FROM keep) GROUP BY tk.source)
+        |SELECT raw.source, raw.n_docs, coalesce(kept.n_kept, 0)::BIGINT AS n_kept,
+        |  raw.raw_tokens,
+        |  coalesce(kept.effective_tokens, 0)::BIGINT AS effective_tokens,
+        |  CASE WHEN raw.raw_tokens > 0 THEN
+        |    (coalesce(kept.effective_tokens, 0) * 1000000 // raw.raw_tokens)::BIGINT
+        |  END AS dedup_ratio_ppm
+        |FROM raw LEFT JOIN kept ON raw.source = kept.source
+        |ORDER BY raw.source""".stripMargin.trim,
+
     // coverage curve: top-k sources with cumulative ppm of the WHOLE
     // corpus (tail mass stays in the denominator)
     "q_coverage_curve" ->

@@ -1712,6 +1712,33 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** Gate co-failure matrix over documents with planted failures:
+    * %6 → numeric+short stub, %5 → 15-char truncation (short),
+    * %11 → appended replacement char (mojibake). */
+  def gateMatrixQ(spark: SparkSession, dir: String): DataFrame = {
+    val t0 = coalesce(col("text"), lit(""))
+    val t1 = when(col("doc_id") % 6 === 0, lit("999 999 999 x"))
+      .when(col("doc_id") % 5 === 0, expr("substr(coalesce(text, ''), 1, 15)"))
+      .otherwise(t0)
+    val d = tbl(spark, dir, "documents")
+      .select(col("doc_id"), concat(t1,
+        when(col("doc_id") % 11 === 0, lit("\ufffd")).otherwise(lit("")))
+        .as("text"))
+    TextAnalysis.gateMatrix(d, "doc_id", "text")
+      .orderBy("gate_a", "gate_b")
+  }
+
+  /** Effective (post-exact-dedup) token accounting per source over the
+    * planted full-duplicate corpus — the ratio must land at ~50%. */
+  def effectiveTokensQ(spark: SparkSession, dir: String): DataFrame = {
+    val base = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val d = base.unionAll(base.select(col("doc_id") + 100000,
+      col("source"), col("text")))
+    Curation.effectiveTokens(d, "doc_id", "source", "text")
+      .orderBy("source")
+  }
+
   /** Coverage curve: cumulative corpus share of the top-10 sources. */
   def coverageCurveQ(spark: SparkSession, dir: String): DataFrame =
     CorpusStats.coverageCurve(tbl(spark, dir, "documents"), "source",
