@@ -236,7 +236,9 @@ object SparkEntry {
     "q_embed_int8"       -> (OpsQueries.embedInt8Q _),
     "q_coverage_curve"   -> (OpsQueries.coverageCurveQ _),
     "q_gate_matrix"      -> (OpsQueries.gateMatrixQ _),
-    "q_effective_tokens" -> (OpsQueries.effectiveTokensQ _)
+    "q_effective_tokens" -> (OpsQueries.effectiveTokensQ _),
+    "q_interarrival"     -> (OpsQueries.interArrivalQ _),
+    "q_degree_dist"      -> (OpsQueries.degreeDistQ _)
   )
 
   private val fixedPathValues =

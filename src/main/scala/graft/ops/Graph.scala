@@ -435,6 +435,23 @@ object Graph {
           .as("coeff_ppm"))
   }
 
+  /** Degree distribution of the (undirected, simple) graph: one row
+    * per distinct degree with its node count and ppm share — the
+    * first look at any crawl/link/co-occurrence graph (is there a
+    * heavy tail that needs hub caps?). Two aggregations, all
+    * integral. */
+  def degreeDistribution(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame = {
+    val e = simple(edges, srcCol, dstCol)
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val n = deg.count()
+    deg.groupBy(col("deg"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("deg"), col("n_nodes"),
+        expr(s"n_nodes * 1000000 div CAST($n AS BIGINT)").as("share_ppm"))
+  }
+
   /** Semi-supervised label propagation with clamped seeds: spread
     * known labels (quality tier, topic, license class) from seed nodes
     * to their graph neighborhood — the "label the near-dups like their

@@ -169,6 +169,44 @@ object Temporal {
         count(lit(1)).as("n_events"))
   }
 
+  /** Inter-arrival statistics per key: gap moments and the
+    * Goh–Barabási burstiness `B = (σ − μ)/(σ + μ)` over consecutive
+    * event gaps — the bot/automation signal (B → −1 periodic cron,
+    * B ≈ 0 Poisson-human, B → +1 bursty scraper).
+    *
+    * Gaps are integer MICROSECONDS from a key-partitioned lag window;
+    * moments are decimal(38,0) sums (exact); μ, σ and B are one
+    * mirrored double expression each, rounded. Keys with fewer than
+    * two events emit null burstiness. */
+  def interArrivalStats(df: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, outDigits: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__us"), col(tieCol))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol), col(tieCol),
+        unix_micros(col(tsCol).cast("timestamp")).as("__us"))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("__gap")).as("n_gaps"),
+        coalesce(sum(d(col("__gap"))), lit(0).cast("decimal(38,0)"))
+          .as("__s"),
+        coalesce(sum(d(col("__gap")) * d(col("__gap"))),
+          lit(0).cast("decimal(38,0)")).as("__s2"))
+      .select(col(keyCol), col("n_events"), col("n_gaps"),
+        when(col("n_gaps") > 0, expr("CAST(__s div n_gaps AS BIGINT)"))
+          .as("mean_gap_us"),
+        // __s > 0 guards the all-zero-gap key (mean = sd = 0 → 0/0)
+        when(col("n_gaps") > 1 && col("__s") > 0,
+          round(expr(
+            "(sqrt(CAST(n_gaps * __s2 - __s * __s AS DOUBLE)) / n_gaps" +
+            " - CAST(__s AS DOUBLE) / n_gaps)" +
+            " / (sqrt(CAST(n_gaps * __s2 - __s * __s AS DOUBLE)) / n_gaps" +
+            " + CAST(__s AS DOUBLE) / n_gaps)"), outDigits))
+          .as("burstiness"))
+  }
+
   /** Freshness-decayed counts and value sums per key: each row weighs
     * `2^-(age div halflife)` of a fresh row — the recency weighting
     * behind "prefer recent crawl snapshots" mixture decisions — kept

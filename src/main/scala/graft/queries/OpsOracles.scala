@@ -3023,6 +3023,37 @@ object OpsOracles {
 
     "q_embed_int8" -> embedInt8Sql,
 
+    // inter-arrival burstiness: integer micro gaps from a keyed lag,
+    // HUGEINT moments, one mirrored double for B = (sd-mean)/(sd+mean)
+    "q_interarrival" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS gap FROM e),
+        |a AS (SELECT user_id, count(*)::BIGINT AS n_events,
+        |    count(gap)::BIGINT AS ng,
+        |    coalesce(sum(gap), 0)::HUGEINT AS s,
+        |    coalesce(sum(gap::HUGEINT * gap), 0)::HUGEINT AS s2
+        |  FROM g GROUP BY user_id)
+        |SELECT user_id, n_events, ng AS n_gaps,
+        |  CASE WHEN ng > 0 THEN (s // ng)::BIGINT END AS mean_gap_us,
+        |  CASE WHEN ng > 1 AND s > 0 THEN
+        |    round((sqrt((ng * s2 - s * s)::DOUBLE) / ng - s::DOUBLE / ng)
+        |      / (sqrt((ng * s2 - s * s)::DOUBLE) / ng + s::DOUBLE / ng), 6)
+        |  END AS burstiness
+        |FROM a ORDER BY user_id""".stripMargin.trim,
+
+    // degree distribution of the co-purchase graph — all integral
+    "q_degree_dist" ->
+      s"""$coPurchaseCte,
+         |adj AS (SELECT a AS id FROM e UNION ALL SELECT b FROM e),
+         |deg AS (SELECT id, count(*)::BIGINT AS deg FROM adj GROUP BY id),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM deg)
+         |SELECT deg, count(*)::BIGINT AS n_nodes,
+         |  (count(*) * 1000000 // nn.n)::BIGINT AS share_ppm
+         |FROM deg, nn GROUP BY deg, nn.n ORDER BY deg""".stripMargin.trim,
+
     // gate co-failure matrix: integral cross-multiplied gate
     // predicates, list_filter-built failure arrays, pair self-join
     "q_gate_matrix" ->

@@ -1712,6 +1712,17 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** Inter-arrival burstiness per user over the event stream. */
+  def interArrivalQ(spark: SparkSession, dir: String): DataFrame =
+    Temporal.interArrivalStats(tbl(spark, dir, "events"),
+      "user_id", "ts", "event_id")
+      .orderBy("user_id")
+
+  /** Degree distribution of the co-purchase graph. */
+  def degreeDistQ(spark: SparkSession, dir: String): DataFrame =
+    Graph.degreeDistribution(coPurchaseEdges(spark, dir), "src", "dst")
+      .orderBy("deg")
+
   /** Gate co-failure matrix over documents with planted failures:
     * %6 → numeric+short stub, %5 → 15-char truncation (short),
     * %11 → appended replacement char (mojibake). */
