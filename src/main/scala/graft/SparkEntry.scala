@@ -238,7 +238,9 @@ object SparkEntry {
     "q_gate_matrix"      -> (OpsQueries.gateMatrixQ _),
     "q_effective_tokens" -> (OpsQueries.effectiveTokensQ _),
     "q_interarrival"     -> (OpsQueries.interArrivalQ _),
-    "q_degree_dist"      -> (OpsQueries.degreeDistQ _)
+    "q_degree_dist"      -> (OpsQueries.degreeDistQ _),
+    "q_ann_multiprobe"   -> (OpsQueries.annMultiProbe _),
+    "q_seasonal_resid"   -> (OpsQueries.seasonalResidQ _)
   )
 
   private val fixedPathValues =

@@ -393,6 +393,35 @@ object Analytics {
         round(col("__hb"), outDigits).cast("double").as("h_b"))
   }
 
+  /** Seasonal-residual anomalies: subtract each event's hour-of-week
+    * cell mean ([[seasonalProfile]]'s grid) from its value and count
+    * exceedances — the "is this spike real or just Friday night"
+    * detrending step before alerting. All integer: cell means are
+    * integral `sum_cents div n` floors, residuals are cent
+    * differences. One grid aggregation + one grid join + one per-key
+    * rollup. */
+  def seasonalResiduals(df: DataFrame, keyCol: String, tsCol: String,
+                        valueCol: String, threshCents: Long): DataFrame = {
+    require(threshCents > 0, s"threshCents must be positive, got $threshCents")
+    val base = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol),
+        pmod(datediff(col(tsCol).cast("date"),
+          lit("1970-01-01").cast("date")) + 4, lit(7)).as("dow"),
+        hour(col(tsCol)).as("hour"),
+        round(col(valueCol).cast("double") * 100).cast("long").as("__xc"))
+      .localCheckpoint(false) // grid + residual join reuse
+    val cells = base.groupBy(col(keyCol), col("dow"), col("hour"))
+      .agg(expr("sum(__xc) div count(1)").as("__mean"))
+    base.join(cells, Seq(keyCol, "dow", "hour"))
+      .select(col(keyCol), (col("__xc") - col("__mean")).as("__r"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        max(abs(col("__r"))).as("max_abs_resid_cents"),
+        sum((abs(col("__r")) > threshCents).cast("long")).as("n_beyond"))
+  }
+
   /** Chi-square test of independence between two categorical columns
     * (+ Cramér's V effect size) — the frequentist counterpart of
     * [[mutualInfo]] over the same contingency table, sharing its

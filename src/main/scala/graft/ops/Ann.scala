@@ -852,6 +852,64 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** MULTI-PROBE LSH top-k (Lv et al. 2007): besides its own bucket,
+    * each QUERY also probes the buckets at Hamming distance 1 on its
+    * first `probes` sign bits — the classic recall-for-tables trade
+    * (one probe ≈ one extra table of recall at zero extra corpus
+    * bucketing cost). Corpus-side work is IDENTICAL to [[lshTopK]];
+    * only the broadcast query side fans out ×(1 + probes). The
+    * candidate set is a superset of the single-probe set, so recall
+    * can only improve (spec-pinned). Deterministic bit choice (lowest
+    * `probes` positions) keeps the oracle mechanical. */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, tables: Int = 8,
+                        bits: Int = 6, probes: Int = 2): DataFrame = {
+    require(probes >= 0 && probes <= bits,
+      s"probes must be in [0, bits=$bits], got $probes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head().getInt(0)
+    val pl = planesMd5(dim, tables, bits)
+    val bcP = spark.sparkContext.broadcast(pl)
+    def bucketed(df: DataFrame, id: String, nProbes: Int): DataFrame =
+      df.filter(col(vecCol).isNotNull)
+        .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+        .as[(Long, Array[Double])]
+        .flatMap { case (rid, v) =>
+          val p = bcP.value
+          (0 until p.length).iterator.flatMap { t =>
+            val tp = p(t)
+            var sig = 0L
+            var b = 0
+            while (b < tp.length) {
+              val plane = tp(b)
+              var d = 0.0
+              var j = 0
+              while (j < v.length) { d += v(j) * plane(j); j += 1 }
+              if (d > 0) sig |= (1L << b)
+              b += 1
+            }
+            Iterator.single((rid, v, t, sig)) ++
+              (0 until nProbes).iterator.map(pb => (rid, v, t, sig ^ (1L << pb)))
+          }
+        }
+        .toDF(id, s"${id}_v", "table", "bucket")
+    val cb = bucketed(corpus, "neighbor_id", 0)
+    val qb = bucketed(queries, "query_id", probes)
+    val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.GraftFunctions.cosine(spark,
+          col("query_id_v"), col("neighbor_id_v")).as("cos"))
+      .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   // --------------------------------------------------- materialized layout
 
   /** MATERIALIZED cell-partitioned corpus layout: assign each vector to

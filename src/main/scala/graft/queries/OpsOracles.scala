@@ -3023,6 +3023,61 @@ object OpsOracles {
 
     "q_embed_int8" -> embedInt8Sql,
 
+    // multi-probe LSH: the q_ann_lsh machinery with two Hamming-1
+    // probe buckets per query (xor on the BIGINT signature)
+    "q_ann_multiprobe" ->
+      """
+        |WITH pl AS (
+        |  SELECT g1.t, g2.b, g3.j,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |           substr(md5(g1.t::varchar || '|' || g2.b::varchar || '|'
+        |                      || g3.j::varchar), 1, 1)) - 1) % 2 = 1
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM generate_series(0, 7) AS g1(t), generate_series(0, 5) AS g2(b),
+        |       generate_series(0, 63) AS g3(j)),
+        |vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |comp AS (
+        |  SELECT vec_id, t, b, sum(v[j + 1] * s) AS dot
+        |  FROM vec, pl GROUP BY vec_id, t, b),
+        |sigs AS (
+        |  SELECT vec_id, t,
+        |         sum(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END)::BIGINT AS bucket
+        |  FROM comp GROUP BY vec_id, t),
+        |qp AS (SELECT vec_id, t, bucket FROM sigs WHERE vec_id < 10
+        |  UNION SELECT vec_id, t, xor(bucket, 1) FROM sigs WHERE vec_id < 10
+        |  UNION SELECT vec_id, t, xor(bucket, 2) FROM sigs WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM qp q JOIN sigs c ON q.t = c.t AND q.bucket = c.bucket
+        |  WHERE q.vec_id != c.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         list_cosine_similarity(a.v, b.v) AS cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_cosine_similarity(a.v, b.v) DESC, neighbor_id) AS rank
+        |  FROM cand JOIN vec a ON cand.query_id = a.vec_id
+        |            JOIN vec b ON cand.neighbor_id = b.vec_id)
+        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.trim,
+
+    // seasonal residuals: hour-of-week cell means (integral floor),
+    // integer cent residuals, one rollup
+    "q_seasonal_resid" ->
+      """WITH c AS (SELECT event_type,
+        |    (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7 AS dow,
+        |    hour(ts) AS hour, CAST(round(value * 100.0) AS BIGINT) AS xc
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |g AS (SELECT event_type, dow, hour,
+        |        sum(xc) // count(*) AS m FROM c GROUP BY 1, 2, 3),
+        |r AS (SELECT c.event_type, c.xc - g.m AS r FROM c
+        |      JOIN g ON c.event_type = g.event_type AND c.dow = g.dow
+        |            AND c.hour = g.hour)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  max(abs(r))::BIGINT AS max_abs_resid_cents,
+        |  sum(CASE WHEN abs(r) > 10000 THEN 1 ELSE 0 END)::BIGINT AS n_beyond
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin.trim,
+
     // inter-arrival burstiness: integer micro gaps from a keyed lag,
     // HUGEINT moments, one mirrored double for B = (sd-mean)/(sd+mean)
     "q_interarrival" ->

@@ -1712,6 +1712,24 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** Multi-probe LSH ANN: same workload as q_ann_lsh, two extra
+    * Hamming-1 probes per query bucket. */
+  def annMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    Ann.lshTopKMultiProbe(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, tables = 8, bits = 6, probes = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Seasonal-residual anomaly counts per event type (1.00-unit
+    * threshold = 100 cents... using 10000 cents = 100.00). */
+  def seasonalResidQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.seasonalResiduals(tbl(spark, dir, "events"),
+      "event_type", "ts", "value", threshCents = 10000)
+      .orderBy("event_type")
+
   /** Inter-arrival burstiness per user over the event stream. */
   def interArrivalQ(spark: SparkSession, dir: String): DataFrame =
     Temporal.interArrivalStats(tbl(spark, dir, "events"),
