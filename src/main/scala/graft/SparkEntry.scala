@@ -240,7 +240,9 @@ object SparkEntry {
     "q_interarrival"     -> (OpsQueries.interArrivalQ _),
     "q_degree_dist"      -> (OpsQueries.degreeDistQ _),
     "q_ann_multiprobe"   -> (OpsQueries.annMultiProbe _),
-    "q_seasonal_resid"   -> (OpsQueries.seasonalResidQ _)
+    "q_seasonal_resid"   -> (OpsQueries.seasonalResidQ _),
+    "q_emd"              -> (OpsQueries.emdQ _),
+    "q_rolling_distinct" -> (OpsQueries.rollingDistinctQ _)
   )
 
   private val fixedPathValues =

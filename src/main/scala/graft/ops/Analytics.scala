@@ -393,6 +393,32 @@ object Analytics {
         round(col("__hb"), outDigits).cast("double").as("h_b"))
   }
 
+  /** EXACT rolling distinct actors (DAU / trailing-window WAU): the
+    * retention dashboard's exact counterpart — no HLL error. The
+    * trailing window is an EXPLODE of each (actor, day) into the
+    * `windowDays` target days it covers (equi-aggregation — never a
+    * non-equi range join), then a two-level distinct reduce; both
+    * shapes are corpus-linear × windowDays. */
+  def rollingDistinct(df: DataFrame, keyCol: String, tsCol: String,
+                      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays must be in [1, 366], got $windowDays")
+    val days = df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(tsCol).cast("date").as("__d"))
+      .distinct()
+      .localCheckpoint(false) // dau + window explode reuse
+    val dau = days.groupBy(col("__d").as("d"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(col("__k"), explode(sequence(lit(0), lit(windowDays - 1)))
+        .as("__o"), col("__d"))
+      .select(col("__k"), date_add(col("__d"), col("__o")).as("d"))
+      .distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as(s"rolling_$windowDays"))
+    dau.join(wau, Seq("d"))
+      .select(col("d"), col("dau"), col(s"rolling_$windowDays"))
+  }
+
   /** Seasonal-residual anomalies: subtract each event's hour-of-week
     * cell mean ([[seasonalProfile]]'s grid) from its value and count
     * exceedances — the "is this spike real or just Friday night"

@@ -206,6 +206,83 @@ object Drift {
         timestamp_micros(col("last_ts")).as("last_ts"), col("ewma"))
   }
 
+  /** EXACT 1-D Earth Mover's (Wasserstein-1) distance between two
+    * samples of an integer-cent value — `∫|F_A − F_B| dx`, the
+    * distribution-shift measure that (unlike [[ksStatistic]]'s sup)
+    * weighs HOW FAR mass moved, and (unlike [[psiBins]]) needs no
+    * binning. Complements KS / PSI / KL on the drift board.
+    *
+    * Integral core: on the distinct-value grid,
+    * `num = Σ_i |cumA_i·nB − cumB_i·nA| · (v_{i+1} − v_i)` — exact
+    * BigInt sums in the same two-pass range-partitioned scan as
+    * [[ksStatistic]] (per-partition cum/boundary offsets; the partials
+    * are one BigInt per partition). Reported
+    * `emd_milli = num·1000 div (nA·nB)` in milli-cents. */
+  def emd1d(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val tagged = a.select(round(col(valueCol).cast("double") * 100)
+        .cast("long").as("v"), lit(1L).as("g"))
+      .unionAll(b.select(round(col(valueCol).cast("double") * 100)
+        .cast("long").as("v"), lit(0L).as("g")))
+      .filter(col("v").isNotNull)
+    val perValue = tagged.groupBy(col("v"))
+      .agg(sum(col("g")).as("ca"), sum(lit(1L) - col("g")).as("cb"))
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions("v")
+    val rdd = perValue.rdd
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-partition totals + first/last values
+      val parts = rdd.mapPartitionsWithIndex { (i, it) =>
+        var sa = 0L; var sb = 0L
+        var first = Long.MinValue; var last = Long.MinValue; var any = false
+        it.foreach { case (v, ca, cb) =>
+          if (!any) { first = v; any = true }
+          last = v; sa += ca; sb += cb
+        }
+        Iterator((i, sa, sb, any, first, last))
+      }.collect().sortBy(_._1)
+      val na = parts.map(_._2).sum
+      val nb = parts.map(_._3).sum
+      require(na > 0 && nb > 0, "both samples must be non-empty")
+      val n = parts.length
+      val offA = new Array[Long](n); val offB = new Array[Long](n)
+      val prevLast = new Array[Long](n) // last value of preceding data
+      val hasPrev = new Array[Boolean](n)
+      var ca = 0L; var cb = 0L; var lastV = 0L; var seen = false
+      parts.foreach { case (i, sa, sb, any, first, last) =>
+        offA(i) = ca; offB(i) = cb
+        prevLast(i) = lastV; hasPrev(i) = seen
+        ca += sa; cb += sb
+        if (any) { lastV = last; seen = true }
+      }
+      val bcA = rdd.sparkContext.broadcast(offA)
+      val bcB = rdd.sparkContext.broadcast(offB)
+      val bcP = rdd.sparkContext.broadcast(prevLast)
+      val bcH = rdd.sparkContext.broadcast(hasPrev)
+      // pass 2: per-partition BigInt partial of Σ|cumA·nB − cumB·nA|·gap
+      val partials = rdd.mapPartitionsWithIndex { (i, it) =>
+        var cA = bcA.value(i); var cB = bcB.value(i)
+        var prev = bcP.value(i); var havePrev = bcH.value(i)
+        var num = BigInt(0)
+        it.foreach { case (v, pa, pb) =>
+          if (havePrev) {
+            val gap = BigInt(v - prev)
+            num += (BigInt(cA) * nb - BigInt(cB) * na).abs * gap
+          }
+          cA += pa; cB += pb
+          prev = v; havePrev = true
+        }
+        Iterator(num.toString)
+      }.collect().map(BigInt(_)).sum
+      val denom = BigInt(na) * BigInt(nb)
+      val emdMilli = (partials * 1000 / denom).toLong
+      Seq((na, nb, emdMilli)).toDF("n_a", "n_b", "emd_milli_cents")
+    } finally rdd.unpersist(blocking = false)
+  }
+
   /** Holt double-exponential smoothing per key: level + trend state
     * folded over the (ts, tie)-ordered series —
     *   level' = α·x + (1−α)·(level + trend)

@@ -3023,6 +3023,40 @@ object OpsOracles {
 
     "q_embed_int8" -> embedInt8Sql,
 
+    // exact 1-D EMD on the integer-cent grid: HUGEINT
+    // Σ|cumA·nB − cumB·nA|·gap over distinct values, integral milli
+    "q_emd" ->
+      """WITH t AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |    AND value IS NOT NULL),
+        |pv AS (SELECT v, sum(g)::BIGINT AS ca, sum(1 - g)::BIGINT AS cb
+        |       FROM t GROUP BY v),
+        |nn AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM pv),
+        |o AS (SELECT v, sum(ca) OVER (ORDER BY v)::HUGEINT AS cuma,
+        |        sum(cb) OVER (ORDER BY v)::HUGEINT AS cumb,
+        |        lead(v) OVER (ORDER BY v) AS nv FROM pv),
+        |s AS (SELECT sum(abs(cuma * nn.nb - cumb * nn.na)
+        |        * (nv - v)::HUGEINT) AS num
+        |      FROM o, nn WHERE nv IS NOT NULL)
+        |SELECT nn.na AS n_a, nn.nb AS n_b,
+        |  (s.num * 1000 // (nn.na::HUGEINT * nn.nb))::BIGINT
+        |    AS emd_milli_cents
+        |FROM s, nn""".stripMargin.trim,
+
+    // exact DAU / trailing-window distinct: (actor, day) distinct,
+    // window explode into covered target days, two-level reduce
+    "q_rolling_distinct" ->
+      """WITH days AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |dau AS (SELECT d, count(*)::BIGINT AS dau FROM days GROUP BY d),
+        |ex AS (SELECT DISTINCT k, d + CAST(o AS INTEGER) AS td
+        |       FROM days, generate_series(0, 6) AS g(o)),
+        |wau AS (SELECT td AS d, count(*)::BIGINT AS rolling_7
+        |        FROM ex GROUP BY td)
+        |SELECT dau.d, dau.dau, wau.rolling_7
+        |FROM dau JOIN wau ON dau.d = wau.d ORDER BY dau.d""".stripMargin.trim,
+
     // multi-probe LSH: the q_ann_lsh machinery with two Hamming-1
     // probe buckets per query (xor on the BIGINT signature)
     "q_ann_multiprobe" ->

@@ -1712,6 +1712,21 @@ object OpsQueries {
       .orderBy("doc_id")
   }
 
+  /** Exact 1-D EMD between purchase and click value distributions. */
+  def emdQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events").filter(col("value").isNotNull)
+    Drift.emd1d(
+      ev.filter(col("event_type") === "purchase").select(col("value")),
+      ev.filter(col("event_type") === "click").select(col("value")),
+      "value")
+  }
+
+  /** Exact DAU + trailing-7-day distinct users per day. */
+  def rollingDistinctQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.rollingDistinct(tbl(spark, dir, "events"),
+      "user_id", "ts", windowDays = 7)
+      .orderBy("d")
+
   /** Multi-probe LSH ANN: same workload as q_ann_lsh, two extra
     * Hamming-1 probes per query bucket. */
   def annMultiProbe(spark: SparkSession, dir: String): DataFrame = {
