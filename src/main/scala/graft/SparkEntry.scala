@@ -242,7 +242,12 @@ object SparkEntry {
     "q_ann_multiprobe"   -> (OpsQueries.annMultiProbe _),
     "q_seasonal_resid"   -> (OpsQueries.seasonalResidQ _),
     "q_emd"              -> (OpsQueries.emdQ _),
-    "q_rolling_distinct" -> (OpsQueries.rollingDistinctQ _)
+    "q_rolling_distinct" -> (OpsQueries.rollingDistinctQ _),
+    "q_spearman"         -> (OpsQueries.spearmanQ _),
+    "q_kendall"          -> (OpsQueries.kendallQ _),
+    "q_welch_t"          -> (OpsQueries.welchQ _),
+    "q_benford"          -> (OpsQueries.benfordQ _),
+    "q_cuped"            -> (OpsQueries.cupedQ _)
   )
 
   private val fixedPathValues =

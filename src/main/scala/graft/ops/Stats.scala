@@ -1,0 +1,284 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classical statistics over distributed data, engine-exact.
+  *
+  * Every operator here follows the repo's cross-engine discipline: all
+  * sufficient statistics are integral (cent-scaled longs summed in
+  * decimal(38,0)), the first inexact step is one double conversion in
+  * the closed-form finish, and that expression tree is mirrored op for
+  * op by the DuckDB oracle. Rank-based tests reuse the two-pass
+  * range-partitioned distinct-value prefix scan (see
+  * [[Drift.mannWhitneyU]]) so no stage ever buffers more than its range
+  * slice — the shape that survives any row count.
+  */
+object Stats {
+
+  /** 2× midranks per distinct value of `vCol` (double), as a (v, rank2)
+    * frame. rank2 = 2·cumBefore + ties + 1 stays integral; the prefix
+    * runs as per-partition totals broadcast back as offsets — the
+    * [[Drift.mannWhitneyU]] scan, kept distributed (the map is returned
+    * as a DataFrame to be joined back, not collected). */
+  private def rank2Map(df: DataFrame, vCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perValue = df.groupBy(col(vCol).as("v"))
+      .agg(count(lit(1)).as("t"))
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions("v")
+    val rdd = perValue.rdd.map(r => (r.getDouble(0), r.getLong(1)))
+    val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var x = 0L; it.foreach(x += _._2); Iterator((i, x))
+    }.collect().sortBy(_._1)
+    val offs = new Array[Long](math.max(rdd.getNumPartitions, 1))
+    var acc = 0L
+    partTotals.foreach { case (i, x) => offs(i) = acc; acc += x }
+    val bcOff = spark.sparkContext.broadcast(offs)
+    rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = bcOff.value(i)
+      it.map { case (v, t) =>
+        val r2 = 2 * cum + t + 1
+        cum += t
+        (v, r2)
+      }
+    }.toDF("v", "rank2")
+  }
+
+  /** Spearman rank correlation between `colA` and `colB` with exact
+    * average-rank tie handling: midranks (×2, integral) per column via
+    * the distributed distinct-value prefix scan, joined back by value,
+    * then Pearson on the integral ranks with decimal(38,0) moments.
+    * Returns one row (n, rho). The double division + sqrt at the end is
+    * the only inexact step, mirrored by the oracle. */
+  def spearman(df: DataFrame, colA: String, colB: String,
+               outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df
+      .select(col(colA).cast("double").as("a"), col(colB).cast("double").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val ra = rank2Map(rows, "a").withColumnRenamed("rank2", "ra2")
+    val rb = rank2Map(rows, "b").withColumnRenamed("rank2", "rb2")
+    val joined = rows
+      .join(ra, rows("a") === ra("v")).drop("v")
+      .join(rb, rows("b") === rb("v")).drop("v")
+    def d(c: String) = col(c).cast("decimal(38,0)")
+    val m = joined.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(d("ra2")).as("sx"), sum(d("rb2")).as("sy"),
+      sum(d("ra2") * d("ra2")).as("sxx"),
+      sum(d("rb2") * d("rb2")).as("syy"),
+      sum(d("ra2") * d("rb2")).as("sxy")).head()
+    val Seq(n, sx, sy, sxx, syy, sxy) =
+      (0 until 6).map(i => BigDecimal(m.getDecimal(i)))
+    // decimal intermediates exact (rank2 <= 2n+1; sums < 8n^3 << 1e38);
+    // double conversion is the FIRST inexact step on either engine
+    val num = (n * sxy - sx * sy).toDouble
+    val dx = (n * sxx - sx * sx).toDouble
+    val dy = (n * syy - sy * sy).toDouble
+    val rho = BigDecimal(num / (math.sqrt(dx) * math.sqrt(dy)))
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n.toLong, rho)).toDF("n", "rho")
+  }
+
+  /** Kendall tau-b between two BOUNDED-CARDINALITY columns via the joint
+    * distinct-value histogram: cells (x, y, count) self-join under a
+    * strict x-order (the cell frame is tiny — broadcast NLJ by
+    * construction), concordant/discordant mass is an exact integral
+    * cross product, ties come from the marginal histograms. One corpus
+    * scan builds the cells; everything downstream touches only the
+    * histogram. `maxCells` gates the contract — high-cardinality inputs
+    * must be quantized (scale `scaleDigits`) first.
+    * Returns one row (n, nc, nd, tau_b). */
+  def kendallTau(df: DataFrame, colA: String, colB: String,
+                 scaleDigits: Int = 2, maxCells: Long = 4096,
+                 outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    def ic(c: String) = round(col(c).cast("double") * lit(unit)).cast("long")
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(ic(colA).as("x"), ic(colB).as("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    try {
+      val k = cells.count()
+      require(k <= maxCells,
+        s"kendallTau: $k distinct (x,y) cells exceed maxCells=$maxCells — " +
+          "quantize the inputs (scaleDigits) before calling")
+      val c1 = cells.select(col("x").as("x1"), col("y").as("y1"), col("cnt").as("n1"))
+      val c2 = cells.select(col("x").as("x2"), col("y").as("y2"), col("cnt").as("n2"))
+      def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val pair = c1.join(broadcast(c2), col("x1") < col("x2"))
+        .agg(
+          sum(when(col("y1") < col("y2"), dd(col("n1")) * dd(col("n2")))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("nc"),
+          sum(when(col("y1") > col("y2"), dd(col("n1")) * dd(col("n2")))
+            .otherwise(lit(0).cast("decimal(38,0)"))).as("nd"))
+        .head()
+      val nc = BigDecimal(pair.getDecimal(0))
+      val nd = BigDecimal(pair.getDecimal(1))
+      val margin = cells.agg(
+        sum(dd(col("cnt"))).as("n"),
+        sum(dd(col("cnt")) * dd(col("cnt"))).as("scell2")).head()
+      val n = BigDecimal(margin.getDecimal(0))
+      def tiePairs2(kc: String): BigDecimal = {
+        // 2 * sum_g C(t_g, 2) = sum_g t_g^2 - n, integral throughout
+        val r = cells.groupBy(col(kc)).agg(sum(col("cnt")).as("t"))
+          .agg(sum(dd(col("t")) * dd(col("t")))).head()
+        BigDecimal(r.getDecimal(0)) - n
+      }
+      val tx2 = tiePairs2("x")
+      val ty2 = tiePairs2("y")
+      val n02 = n * (n - 1) // 2 * C(n,2)
+      val den = math.sqrt((n02 - tx2).toDouble) * math.sqrt((n02 - ty2).toDouble)
+      val tau = BigDecimal((nc - nd).toDouble * 2.0 / den)
+        .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((n.toLong, nc.toLong, nd.toLong, tau)).toDF("n", "nc", "nd", "tau_b")
+    } finally { cells.unpersist(false); () }
+  }
+
+  /** Welch's unequal-variance t-test of cent-scaled `valueCol` between
+    * `groupA` and `groupB` of `groupCol`. One grouped aggregation of
+    * exact decimal moments; means/variances/t/df come from one double
+    * closed form (Welch–Satterthwaite), mirrored by the oracle.
+    * Returns one row (n_a, n_b, mean_a, mean_b, t_stat, df_welch). */
+  def welchTTest(df: DataFrame, valueCol: String, groupCol: String,
+                 groupA: String, groupB: String,
+                 scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val ic = round(col(valueCol).cast("double") * lit(unit))
+      .cast("long").cast("decimal(38,0)")
+    val m = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(ic).as("s"), sum(ic * ic).as("ss"))
+      .collect().map(r => r.getString(0) ->
+        ((BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2)),
+          BigDecimal(r.getDecimal(3))))).toMap
+    def stats(g: String): (Long, Double, Double) = {
+      val (n, s, ss) = m.getOrElse(g,
+        throw new IllegalArgumentException(s"group '$g' absent"))
+      require(n > 1, s"group '$g' needs n > 1")
+      val nd = n.toDouble
+      val mean = s.toDouble / unit / nd
+      // sample variance from exact integral moments, in original units
+      val varS = (n * ss - s * s).toDouble / (unit * unit) / (nd * (nd - 1.0))
+      (n.toLong, mean, varS)
+    }
+    val (na, ma, va) = stats(groupA)
+    val (nb, mb, vb) = stats(groupB)
+    val sa = va / na; val sb = vb / nb
+    val t = (ma - mb) / math.sqrt(sa + sb)
+    val dfW = (sa + sb) * (sa + sb) /
+      (sa * sa / (na - 1.0) + sb * sb / (nb - 1.0))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((na, nb, r6(ma), r6(mb), r6(t), r6(dfW)))
+      .toDF("n_a", "n_b", "mean_a", "mean_b", "t_stat", "df_welch")
+  }
+
+  /** Benford's-law expected first-digit probabilities, rounded to 12
+    * places so both engines consume identical double LITERALS instead
+    * of each calling its own log10. */
+  val benfordPpt: Seq[(Int, Double)] = Seq(
+    1 -> 0.301029995664, 2 -> 0.176091259056, 3 -> 0.124938736608,
+    4 -> 0.096910013008, 5 -> 0.079181246048, 6 -> 0.066946789631,
+    7 -> 0.057991946978, 8 -> 0.051152522447, 9 -> 0.045757490561)
+
+  /** Benford first-significant-digit audit of a positive money column:
+    * the classic fabricated-data / corrupt-feed detector. The digit is
+    * extracted from the DECIMAL STRING of the cent-scaled integer —
+    * exact and identical on any engine (no log10 on data). Returns 9
+    * rows (digit, n_obs, obs_ppm, chi_term) where obs_ppm is the
+    * floored parts-per-million share and chi_term the (obs−exp)²/exp
+    * contribution; Σ chi_term is the audit's χ² statistic. One scan,
+    * one 9-group aggregate. */
+  def benford(df: DataFrame, valueCol: String,
+              scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val cents = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val counts = df
+      .filter(col(valueCol).isNotNull && cents > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val digits = benfordPpt.toDF("digit", "p_exp")
+    val total = counts.agg(sum(col("n_obs")).as("n_total"))
+    digits.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(total)
+      .select(col("digit"), col("n_obs"),
+        // floored ppm share: integral on both engines (non-negative, so
+        // Spark's truncating div == DuckDB's flooring //)
+        expr("(n_obs * 1000000) div n_total").as("obs_ppm"),
+        round(
+          (col("n_obs").cast("double") - col("n_total").cast("double") * col("p_exp")) *
+            (col("n_obs").cast("double") - col("n_total").cast("double") * col("p_exp")) /
+            (col("n_total").cast("double") * col("p_exp")), outDigits).as("chi_term"))
+      .orderBy("digit")
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013): adjust an
+    * experiment's post-period metric by its pre-period covariate,
+    * theta = cov(pre, post) / var(pre) pooled over ALL users, then
+    * per-variant adjusted mean = mean(post) − theta·(mean(pre) −
+    * mean_all(pre)). Users aggregate once (pre/post cent sums from one
+    * conditional pass over the event scan); moments are exact decimals
+    * per variant and the pooled row is the sum of the per-variant rows
+    * — no second scan. Returns one row per variant:
+    * (variant, n_users, mean_post, mean_adj, theta). */
+  def cuped(events: DataFrame, userCol: String, tsCol: String,
+            valueCol: String, variantCol: org.apache.spark.sql.Column,
+            splitDays: Int = 15, scaleDigits: Int = 2,
+            outDigits: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val base = events.filter(col(valueCol).isNotNull)
+    val minDay = base.agg(min(to_date(col(tsCol)))).head().getDate(0)
+    val vc = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val isPre = datediff(to_date(col(tsCol)), lit(minDay)) < lit(splitDays)
+    val users = base
+      .groupBy(col(userCol).as("u"))
+      .agg(first(variantCol).as("variant"),
+        sum(when(isPre, vc).otherwise(0L)).as("pre_c"),
+        sum(when(!isPre, vc).otherwise(0L)).as("post_c"))
+    def d(c: String) = col(c).cast("decimal(38,0)")
+    val perVar = users.groupBy(col("variant"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(d("pre_c")).as("sx"), sum(d("post_c")).as("sy"),
+        sum(d("pre_c") * d("pre_c")).as("sxx"),
+        sum(d("pre_c") * d("post_c")).as("sxy"))
+      .collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDecimal(1)),
+        BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)),
+        BigDecimal(r.getDecimal(4)), BigDecimal(r.getDecimal(5))))
+      .sortBy(_._1)
+    val n = perVar.map(_._2).sum
+    val sx = perVar.map(_._3).sum
+    val sy = perVar.map(_._4).sum
+    val sxx = perVar.map(_._5).sum
+    val sxy = perVar.map(_._6).sum
+    // pooled theta and overall pre mean in cents — one double each
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val preAll = sx.toDouble / n.toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = perVar.map { case (v, nv, sxv, syv, _, _) =>
+      val meanPost = syv.toDouble / nv.toDouble
+      val meanPre = sxv.toDouble / nv.toDouble
+      (v, nv.toLong, r6(meanPost / unit),
+        r6((meanPost - theta * (meanPre - preAll)) / unit),
+        r6(theta))
+    }
+    rows.toSeq.toDF("variant", "n_users", "mean_post", "mean_adj", "theta")
+  }
+}

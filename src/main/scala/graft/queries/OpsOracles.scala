@@ -3337,7 +3337,145 @@ object OpsOracles {
         |  (n_common * 1000000 // (na + nb - n_common))::BIGINT AS jac_ppm
         |FROM pc
         |WHERE n_common::DOUBLE >= (na + nb - n_common)::DOUBLE * 0.9
-        |ORDER BY id_a, id_b""".stripMargin.trim
+        |ORDER BY id_a, id_b""".stripMargin.trim,
+
+    // Spearman: exact ×2 midranks per distinct value (window prefix in
+    // the oracle == two-pass range scan in the engine), Pearson on the
+    // integral ranks in HUGEINT, one double finish
+    "q_spearman" ->
+      """WITH f AS (SELECT l_quantity::DOUBLE AS a, l_extendedprice::DOUBLE AS b
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |pa AS (SELECT a AS v, count(*)::BIGINT AS t FROM f GROUP BY 1),
+        |ra AS (SELECT v, 2 * coalesce(sum(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+        |  FROM pa),
+        |pb AS (SELECT b AS v, count(*)::BIGINT AS t FROM f GROUP BY 1),
+        |rb AS (SELECT v, 2 * coalesce(sum(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1 AS r2
+        |  FROM pb),
+        |j AS (SELECT ra.r2 AS x, rb.r2 AS y
+        |  FROM f JOIN ra ON f.a = ra.v JOIN rb ON f.b = rb.v),
+        |m AS (SELECT count(*)::HUGEINT AS n,
+        |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+        |    sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy,
+        |    sum(x::HUGEINT * y) AS sxy FROM j)
+        |SELECT n::BIGINT AS n,
+        |  round((n * sxy - sx * sy)::DOUBLE
+        |    / (sqrt((n * sxx - sx * sx)::DOUBLE)
+        |       * sqrt((n * syy - sy * sy)::DOUBLE)), 6) AS rho
+        |FROM m""".stripMargin.trim,
+
+    // Kendall tau-b over the bounded (quantity, discount) cell grid:
+    // concordant/discordant mass from the cell self-join under strict
+    // x order, tie terms from the marginals — all integral; the doubled
+    // identities cancel ((nc-nd)*2 / (2*sqrt((n0-n1)(n0-n2))))
+    "q_kendall" ->
+      """WITH f AS (SELECT CAST(round(l_quantity * 100.0) AS BIGINT) AS x,
+        |    CAST(round(l_discount * 100.0) AS BIGINT) AS y FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+        |cells AS (SELECT x, y, count(*)::BIGINT AS cnt FROM f GROUP BY 1, 2),
+        |pr AS (SELECT
+        |    coalesce(sum(CASE WHEN c1.y < c2.y
+        |      THEN c1.cnt::HUGEINT * c2.cnt ELSE 0 END), 0) AS nc,
+        |    coalesce(sum(CASE WHEN c1.y > c2.y
+        |      THEN c1.cnt::HUGEINT * c2.cnt ELSE 0 END), 0) AS nd
+        |  FROM cells c1 JOIN cells c2 ON c1.x < c2.x),
+        |mar AS (SELECT sum(cnt)::HUGEINT AS n FROM cells),
+        |tx AS (SELECT sum(t::HUGEINT * t) - (SELECT n FROM mar) AS t2
+        |  FROM (SELECT x, sum(cnt)::BIGINT AS t FROM cells GROUP BY 1)),
+        |ty AS (SELECT sum(t::HUGEINT * t) - (SELECT n FROM mar) AS t2
+        |  FROM (SELECT y, sum(cnt)::BIGINT AS t FROM cells GROUP BY 1))
+        |SELECT mar.n::BIGINT AS n, pr.nc::BIGINT AS nc, pr.nd::BIGINT AS nd,
+        |  round((pr.nc - pr.nd)::DOUBLE * 2.0
+        |    / (sqrt((mar.n * (mar.n - 1) - tx.t2)::DOUBLE)
+        |       * sqrt((mar.n * (mar.n - 1) - ty.t2)::DOUBLE)), 6) AS tau_b
+        |FROM mar, tx, ty, pr""".stripMargin.trim,
+
+    // Welch's t: exact HUGEINT cent moments per group, then the
+    // engine's exact closed-form order of operations
+    "q_welch_t" ->
+      """WITH m AS (SELECT l_returnflag AS g, count(*)::HUGEINT AS n,
+        |    sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::HUGEINT AS s,
+        |    sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)::HUGEINT
+        |        * CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS ss
+        |  FROM lineitem
+        |  WHERE l_returnflag IN ('R', 'A') AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT n::DOUBLE AS nd, n::BIGINT AS nl,
+        |    s::DOUBLE / 100.0::DOUBLE / n::DOUBLE AS mean,
+        |    (n * ss - s * s)::DOUBLE / 10000.0::DOUBLE
+        |      / (n::DOUBLE * (n::DOUBLE - 1.0::DOUBLE)) AS v
+        |  FROM m WHERE g = 'R'),
+        |b AS (SELECT n::DOUBLE AS nd, n::BIGINT AS nl,
+        |    s::DOUBLE / 100.0::DOUBLE / n::DOUBLE AS mean,
+        |    (n * ss - s * s)::DOUBLE / 10000.0::DOUBLE
+        |      / (n::DOUBLE * (n::DOUBLE - 1.0::DOUBLE)) AS v
+        |  FROM m WHERE g = 'A')
+        |SELECT a.nl AS n_a, b.nl AS n_b,
+        |  round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+        |  round((a.mean - b.mean)
+        |    / sqrt(a.v / a.nd + b.v / b.nd), 6) AS t_stat,
+        |  round((a.v / a.nd + b.v / b.nd) * (a.v / a.nd + b.v / b.nd)
+        |    / ((a.v / a.nd) * (a.v / a.nd) / (a.nd - 1.0::DOUBLE)
+        |       + (b.v / b.nd) * (b.v / b.nd) / (b.nd - 1.0::DOUBLE)), 6)
+        |    AS df_welch
+        |FROM a, b""".stripMargin.trim,
+
+    // Benford: first digit from the DECIMAL STRING of the cent integer
+    // (no log10 on data); expected probabilities are shared 12-digit
+    // literals, so the chi terms are identical IEEE trees
+    "q_benford" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |    AS cents FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |d AS (SELECT CAST(substring(cents::VARCHAR, 1, 1) AS INTEGER) AS digit,
+        |    count(*)::BIGINT AS n_obs FROM c WHERE cents > 0 GROUP BY 1),
+        |e (digit, p_exp) AS (VALUES
+        |  (1, 0.301029995664::DOUBLE), (2, 0.176091259056::DOUBLE),
+        |  (3, 0.124938736608::DOUBLE), (4, 0.096910013008::DOUBLE),
+        |  (5, 0.079181246048::DOUBLE), (6, 0.066946789631::DOUBLE),
+        |  (7, 0.057991946978::DOUBLE), (8, 0.051152522447::DOUBLE),
+        |  (9, 0.045757490561::DOUBLE)),
+        |t AS (SELECT sum(n_obs)::BIGINT AS n_total FROM d)
+        |SELECT e.digit, coalesce(d.n_obs, 0)::BIGINT AS n_obs,
+        |  ((coalesce(d.n_obs, 0) * 1000000) // n_total)::BIGINT AS obs_ppm,
+        |  round((coalesce(d.n_obs, 0)::DOUBLE - n_total::DOUBLE * e.p_exp)
+        |    * (coalesce(d.n_obs, 0)::DOUBLE - n_total::DOUBLE * e.p_exp)
+        |    / (n_total::DOUBLE * e.p_exp), 6) AS chi_term
+        |FROM e LEFT JOIN d ON e.digit = d.digit, t
+        |ORDER BY e.digit""".stripMargin.trim,
+
+    // CUPED: per-user pre/post cent sums split at min-date + 15d,
+    // pooled theta from the summed per-variant HUGEINT moments, the
+    // engine's exact adjustment order of operations
+    "q_cuped" ->
+      """WITH base AS (SELECT user_id, ts,
+        |    CAST(round(value * 100.0) AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL),
+        |md AS (SELECT min(ts::DATE) AS d0 FROM base),
+        |users AS (SELECT user_id % 2 AS variant,
+        |    sum(CASE WHEN datediff('day', d0, ts::DATE) < 15
+        |      THEN vc ELSE 0 END)::BIGINT AS pre_c,
+        |    sum(CASE WHEN datediff('day', d0, ts::DATE) >= 15
+        |      THEN vc ELSE 0 END)::BIGINT AS post_c
+        |  FROM base, md GROUP BY user_id),
+        |pv AS (SELECT variant, count(*)::HUGEINT AS n,
+        |    sum(pre_c)::HUGEINT AS sx, sum(post_c)::HUGEINT AS sy,
+        |    sum(pre_c::HUGEINT * pre_c) AS sxx,
+        |    sum(pre_c::HUGEINT * post_c) AS sxy
+        |  FROM users GROUP BY 1),
+        |tot AS (SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+        |    sum(sxx) AS sxx, sum(sxy) AS sxy FROM pv),
+        |th AS (SELECT (n * sxy - sx * sy)::DOUBLE
+        |      / (n * sxx - sx * sx)::DOUBLE AS theta,
+        |    sx::DOUBLE / n::DOUBLE AS pre_all FROM tot)
+        |SELECT pv.variant::BIGINT AS variant, pv.n::BIGINT AS n_users,
+        |  round(sy::DOUBLE / pv.n::DOUBLE / 100.0::DOUBLE, 6) AS mean_post,
+        |  round((sy::DOUBLE / pv.n::DOUBLE
+        |    - th.theta * (sx::DOUBLE / pv.n::DOUBLE - th.pre_all))
+        |    / 100.0::DOUBLE, 6) AS mean_adj,
+        |  round(th.theta, 6) AS theta
+        |FROM pv, th ORDER BY variant""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

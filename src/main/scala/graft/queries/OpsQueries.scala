@@ -1809,4 +1809,26 @@ object OpsQueries {
     TextAnalysis.ibanScan(d, "doc_id", "text")
       .orderBy("doc_id", "candidate")
   }
+
+  /** Spearman rank correlation (exact midranks) of quantity vs price. */
+  def spearmanQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.spearman(tbl(spark, dir, "lineitem"), "l_quantity", "l_extendedprice")
+
+  /** Kendall tau-b over the bounded (quantity, discount) grid. */
+  def kendallQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.kendallTau(tbl(spark, dir, "lineitem"), "l_quantity", "l_discount")
+
+  /** Welch's t-test: extendedprice, returnflag 'R' vs 'A'. */
+  def welchQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.welchTTest(tbl(spark, dir, "lineitem"), "l_extendedprice",
+      "l_returnflag", "R", "A")
+
+  /** Benford first-digit audit of extendedprice cents. */
+  def benfordQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.benford(tbl(spark, dir, "lineitem"), "l_extendedprice")
+
+  /** CUPED adjustment of per-user event value, variant = user_id mod 2. */
+  def cupedQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.cuped(tbl(spark, dir, "events"), "user_id", "ts", "value",
+      pmod(col("user_id"), lit(2)).cast("long"))
 }

@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Spearman, Kendall tau-b, Welch's t, Benford, CUPED. */
+class StatsFamilySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- spearman
+
+  test("spearman: monotone data gives 1, reversal gives -1") {
+    val up = (1 to 50).map(i => (i.toDouble, (i * i).toDouble)).toDF("a", "b")
+    assert(Stats.spearman(up, "a", "b").head().getAs[Double]("rho") === 1.0)
+    val down = (1 to 50).map(i => (i.toDouble, (51 - i).toDouble)).toDF("a", "b")
+    assert(Stats.spearman(down, "a", "b").head().getAs[Double]("rho") === -1.0)
+  }
+
+  test("spearman: tie midranks match the closed-form computation") {
+    // a has ties; expected value computed directly from average ranks
+    val rows = Seq((1.0, 2.0), (1.0, 1.0), (2.0, 4.0), (3.0, 3.0), (3.0, 5.0))
+    val df = rows.toDF("a", "b")
+    def ranks(xs: Seq[Double]): Seq[Double] = {
+      val sorted = xs.sorted
+      xs.map { v =>
+        val lo = sorted.indexOf(v) + 1
+        val hi = sorted.lastIndexOf(v) + 1
+        (lo + hi) / 2.0
+      }
+    }
+    val ra = ranks(rows.map(_._1)); val rb = ranks(rows.map(_._2))
+    val n = rows.size
+    val mx = ra.sum / n; val my = rb.sum / n
+    val num = ra.zip(rb).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = math.sqrt(ra.map(x => (x - mx) * (x - mx)).sum) *
+      math.sqrt(rb.map(y => (y - my) * (y - my)).sum)
+    val expected = num / den
+    val got = Stats.spearman(df, "a", "b").head().getAs[Double]("rho")
+    assert(math.abs(got - expected) < 1e-6)
+    assert(Stats.spearman(df, "a", "b").head().getAs[Long]("n") === 5L)
+  }
+
+  // ----------------------------------------------------------- kendallTau
+
+  test("kendallTau: perfect concordance 1, discordance -1, ties shrink") {
+    val up = (1 to 30).map(i => (i.toDouble, i.toDouble)).toDF("a", "b")
+    val r = Stats.kendallTau(up, "a", "b", scaleDigits = 0).head()
+    assert(r.getAs[Double]("tau_b") === 1.0)
+    assert(r.getAs[Long]("nc") === 30L * 29 / 2 && r.getAs[Long]("nd") === 0L)
+    val down = (1 to 30).map(i => (i.toDouble, (31 - i).toDouble)).toDF("a", "b")
+    assert(Stats.kendallTau(down, "a", "b", scaleDigits = 0)
+      .head().getAs[Double]("tau_b") === -1.0)
+  }
+
+  test("kendallTau: tau-b tie correction matches hand computation") {
+    // pairs: (1,1),(1,2),(2,1),(2,2),(2,3) — nc, nd, ties by enumeration
+    val rows = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 1.0), (2.0, 2.0), (2.0, 3.0))
+    var nc = 0L; var nd = 0L; var tx = 0L; var ty = 0L
+    for (i <- rows.indices; j <- i + 1 until rows.size) {
+      val (x1, y1) = rows(i); val (x2, y2) = rows(j)
+      if (x1 != x2 && y1 != y2) {
+        if ((x1 < x2) == (y1 < y2)) nc += 1 else nd += 1
+      } else if (x1 == x2 && y1 != y2) tx += 1
+      else if (y1 == y2 && x1 != x2) ty += 1
+      else { tx += 1; ty += 1 }
+    }
+    val n0 = rows.size.toLong * (rows.size - 1) / 2
+    // n1/n2 count ties in x / y regardless of the other column
+    val n1 = rows.groupBy(_._1).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val n2 = rows.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val expected = (nc - nd).toDouble / math.sqrt((n0 - n1).toDouble * (n0 - n2))
+    val r = Stats.kendallTau(rows.toDF("a", "b"), "a", "b", scaleDigits = 0).head()
+    assert(r.getAs[Long]("nc") === nc && r.getAs[Long]("nd") === nd)
+    assert(math.abs(r.getAs[Double]("tau_b") - expected) < 1e-6)
+  }
+
+  test("kendallTau: cell gate rejects unquantized high cardinality") {
+    val wide = (1 to 500).map(i => (i * 1.0001, i * 2.0003)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Stats.kendallTau(wide, "a", "b", maxCells = 100).head()
+    }
+  }
+
+  // ----------------------------------------------------------- welchTTest
+
+  test("welchTTest: identical groups give t=0; known case matches") {
+    val same = ((1 to 40).map(i => ("a", i.toDouble)) ++
+      (1 to 40).map(i => ("b", i.toDouble))).toDF("g", "x")
+    val r0 = Stats.welchTTest(same, "x", "g", "a", "b").head()
+    assert(r0.getAs[Double]("t_stat") === 0.0)
+    // crafted unequal-variance case, expected from the same closed form
+    val xa = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val xb = Seq(2.0, 4.0, 6.0, 8.0, 10.0, 12.0)
+    val df = (xa.map(("a", _)) ++ xb.map(("b", _))).toDF("g", "x")
+    def mv(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+    }
+    val (ma, va) = mv(xa); val (mb, vb) = mv(xb)
+    val sa = va / xa.size; val sb = vb / xb.size
+    val tExp = (ma - mb) / math.sqrt(sa + sb)
+    val dfExp = (sa + sb) * (sa + sb) /
+      (sa * sa / (xa.size - 1) + sb * sb / (xb.size - 1))
+    val r = Stats.welchTTest(df, "x", "g", "a", "b").head()
+    assert(math.abs(r.getAs[Double]("t_stat") - tExp) < 1e-5)
+    assert(math.abs(r.getAs[Double]("df_welch") - dfExp) < 1e-4)
+    assert(r.getAs[Long]("n_a") === 5L && r.getAs[Long]("n_b") === 6L)
+  }
+
+  // -------------------------------------------------------------- benford
+
+  test("benford: digits come from the cent string; all nine rows emitted") {
+    // values 1.00, 2.00, ... 9.00, 19.00 → digits 1..9 once, 1 twice
+    val vals = (1 to 9).map(_.toDouble) :+ 19.0
+    val df = vals.map(Tuple1(_)).toDF("x")
+    val rows = Stats.benford(df, "x").collect()
+    assert(rows.length === 9)
+    val byDigit = rows.map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n_obs")).toMap
+    assert(byDigit(1) === 2L) // 1.00 → "100", 19.00 → "1900"
+    assert((2 to 9).forall(d => byDigit(d) === 1L))
+    // chi term for digit 1: (2 - 10*p)² / (10*p)
+    val p = Stats.benfordPpt.head._2
+    val exp1 = (2.0 - 10 * p) * (2.0 - 10 * p) / (10 * p)
+    val got1 = rows.find(_.getAs[Int]("digit") == 1).get.getAs[Double]("chi_term")
+    assert(math.abs(got1 - exp1) < 1e-6)
+    // zero-count digits still get a row with the full expected-mass term
+    val none = Seq(Tuple1(1.0)).toDF("x")
+    val z = Stats.benford(none, "x").collect()
+    assert(z.count(_.getAs[Long]("n_obs") == 0L) === 8)
+  }
+
+  // ---------------------------------------------------------------- cuped
+
+  test("cuped: adjustment recovers the known theta and shrinks variance") {
+    // post = 2*pre + variant effect; theta should be ~2, and the
+    // adjusted means should preserve the true lift
+    // variant flips per DECADE of user ids so it is independent of
+    // pre = u%10+1 (a %2 variant would correlate with pre's parity and
+    // bias theta away from 2)
+    val events = (0 until 200).flatMap { u =>
+      val pre = (u % 10 + 1).toDouble
+      val post = 2.0 * pre + ((u / 10) % 2) * 5.0
+      Seq((u.toLong, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), pre),
+        (u.toLong, java.sql.Timestamp.valueOf("2024-01-25 00:00:00"), post))
+    }.toDF("user_id", "ts", "value")
+    val r = Stats.cuped(events, "user_id", "ts", "value",
+      expr("(user_id div 10) % 2").cast("long")).collect()
+      .map(x => x.getAs[Long]("variant") -> x).toMap
+    assert(r(0L).getAs[Long]("n_users") === 100L)
+    assert(math.abs(r(0L).getAs[Double]("theta") - 2.0) < 1e-6)
+    // both variants share identical pre distributions → adjustment
+    // leaves the true lift of 5.0 intact
+    val lift = r(1L).getAs[Double]("mean_adj") - r(0L).getAs[Double]("mean_adj")
+    assert(math.abs(lift - 5.0) < 1e-6)
+    // variant means: post means differ by raw lift too (balanced pre)
+    val rawLift = r(1L).getAs[Double]("mean_post") - r(0L).getAs[Double]("mean_post")
+    assert(math.abs(rawLift - 5.0) < 1e-6)
+  }
+}
