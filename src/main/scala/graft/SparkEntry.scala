@@ -247,7 +247,11 @@ object SparkEntry {
     "q_kendall"          -> (OpsQueries.kendallQ _),
     "q_welch_t"          -> (OpsQueries.welchQ _),
     "q_benford"          -> (OpsQueries.benfordQ _),
-    "q_cuped"            -> (OpsQueries.cupedQ _)
+    "q_cuped"            -> (OpsQueries.cupedQ _),
+    "q_acf"              -> (OpsQueries.acfQ _),
+    "q_token_entropy"    -> (OpsQueries.tokenEntropyQ _),
+    "q_profile_drift"    -> (OpsQueries.profileDriftQ _),
+    "q_embed_cov"        -> (OpsQueries.embedCovQ _)
   )
 
   private val fixedPathValues =

@@ -167,4 +167,33 @@ object CorpusStats {
       .select(col("rank"), col(keyCol), col("cnt"), col("cum"),
         expr(s"cum * 1000000 div CAST($total AS BIGINT)").as("share_cum_ppm"))
   }
+
+  /** Per-slice lexical diversity: token Shannon entropy (bits),
+    * Simpson repeat probability, and type-token ratio — the "is this
+    * source word-soup or natural text" triage that complements the
+    * Zipf fit. One token explode + (slice, token) count, one slice
+    * rollup; the integral outputs (Simpson / TTR as floored ppm) are
+    * engine-exact, and the entropy follows the [[klMixture]] ln-sum
+    * discipline (rounded once at the end). Returns one row per slice:
+    * (slice, n_tokens, vocab, simpson_ppm, ttr_ppm, entropy_bits). */
+  def tokenDiversity(df: DataFrame, sliceCol: String, textCol: String,
+                     outDigits: Int = 6): DataFrame = {
+    val counts = df
+      .filter(col(sliceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sliceCol).as("slice"),
+        explode(Dedup.words(col(textCol))).as("w"))
+      .groupBy("slice", "w").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("slice")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab"),
+        sum(col("c") * (col("c") - lit(1L))).as("rp"))
+    counts.join(totals, Seq("slice"))
+      .groupBy(col("slice"), col("n"), col("vocab"), col("rp"))
+      .agg(sum((col("c").cast("double") / col("n").cast("double"))
+        * log(col("n").cast("double") / col("c").cast("double"))).as("ent_nats"))
+      .select(col("slice"), col("n").as("n_tokens"), col("vocab"),
+        expr("rp * 1000000 div (n * (n - 1))").as("simpson_ppm"),
+        expr("vocab * 1000000 div n").as("ttr_ppm"),
+        round(col("ent_nats") / log(lit(2.0)), outDigits).as("entropy_bits"))
+      .orderBy("slice")
+  }
 }

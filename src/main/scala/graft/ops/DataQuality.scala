@@ -85,4 +85,37 @@ object DataQuality {
       min(col("__rows")).as("min_group"),
       min(col("__l")).as("min_l_diversity"))
   }
+
+  /** Schema/profile drift between two snapshots of the same table
+    * (yesterday's crawl vs today's): per column, row count, null rate
+    * and exact distinct cardinality on each side plus the null-rate
+    * delta — the "did the upstream feed silently change shape" check
+    * that runs before any content-level drift test. One aggregation
+    * pass per side over a bounded literal column list (the multi-agg
+    * row explodes into one output row per column, the [[check]] /
+    * corrPairs single-scan shape). All outputs integral. */
+  def profileDrift(a: DataFrame, b: DataFrame,
+                   cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    def side(df: DataFrame, tag: String) = {
+      val aggs = count(lit(1)).as(s"n_$tag") +: cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_${tag}_$c"),
+          countDistinct(col(c)).as(s"dist_${tag}_$c"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    val m = side(a, "a").crossJoin(side(b, "b"))
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"),
+        col("n_a"), col("n_b"),
+        expr(s"nulls_a_$c * 1000000 div n_a").as("null_ppm_a"),
+        expr(s"nulls_b_$c * 1000000 div n_b").as("null_ppm_b"),
+        col(s"dist_a_$c").as("distinct_a"),
+        col(s"dist_b_$c").as("distinct_b"),
+        (expr(s"nulls_b_$c * 1000000 div n_b")
+          - expr(s"nulls_a_$c * 1000000 div n_a")).as("null_drift_ppm"))
+    }
+    m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy("column")
+  }
 }

@@ -239,4 +239,76 @@ object Embeddings {
       .select(col("__own").as(labelCol), col("n_points"),
         col("mean_s_micro"))
   }
+
+  /** Exact d×d covariance of the embedding population — the input to
+    * PCA / whitening / dimensionality audits. Components quantize to
+    * integer units of 10^-scaleDigits (HALF-AWAY rounding, matching
+    * SQL round()); ONE treeAggregate pass accumulates the d first
+    * moments and the d(d+1)/2 upper-triangle products as longs, so
+    * driver state is d² numbers (32 KB at d=64) regardless of corpus
+    * size — the shape that holds at any row count. cov_ij =
+    * (n·P_ij − S_i·S_j) / n² in quantized units², rescaled to the
+    * original units by one exact power-of-ten division. Returns
+    * (i, j, cov) for the upper triangle, 0-based. */
+  def covariance(df: DataFrame, vecCol: String,
+                 scaleDigits: Int = 3, outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val vecs = df.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>")).as[Seq[Double]]
+    // acc = (n, sums[d], upper-triangle products[d*(d+1)/2]); arrays
+    // allocate lazily on the first row of each partition
+    type Acc = (Long, Array[Long], Array[Long])
+    val zero: Acc = (0L, null, null)
+    def quant(x: Double): Long = {
+      val r = x * unit
+      (if (r >= 0) math.floor(r + 0.5) else math.ceil(r - 0.5)).toLong
+    }
+    def seqOp(acc: Acc, v: Seq[Double]): Acc = {
+      val d = v.length
+      val (n, s0, p0) = acc
+      val s = if (s0 == null) new Array[Long](d) else s0
+      val p = if (p0 == null) new Array[Long](d * (d + 1) / 2) else p0
+      require(s.length == d, "embedding dimensions must be uniform")
+      val q = new Array[Long](d)
+      var i = 0
+      while (i < d) { q(i) = quant(v(i)); s(i) += q(i); i += 1 }
+      var idx = 0
+      i = 0
+      while (i < d) {
+        var j = i
+        while (j < d) { p(idx) += q(i) * q(j); idx += 1; j += 1 }
+        i += 1
+      }
+      (n + 1, s, p)
+    }
+    def combOp(x: Acc, y: Acc): Acc =
+      if (x._2 == null) y
+      else if (y._2 == null) x
+      else {
+        var i = 0
+        while (i < x._2.length) { x._2(i) += y._2(i); i += 1 }
+        i = 0
+        while (i < x._3.length) { x._3(i) += y._3(i); i += 1 }
+        (x._1 + y._1, x._2, x._3)
+      }
+    val (n, s, p) = vecs.rdd.treeAggregate(zero)(seqOp, combOp)
+    require(n > 0, "no vectors")
+    val d = s.length
+    val unit2 = unit * unit
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+    } yield {
+      val idx = i * d - i * (i - 1) / 2 + (j - i)
+      // exact BigInt numerator; the double division is the only
+      // inexact step, mirrored by the oracle
+      val num = BigInt(n) * BigInt(p(idx)) - BigInt(s(i)) * BigInt(s(j))
+      val cov = BigDecimal(num.toDouble / (n.toDouble * n.toDouble) / unit2)
+        .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i, j, cov)
+    }
+    rows.toDF("i", "j", "cov")
+  }
 }

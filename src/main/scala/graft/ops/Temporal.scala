@@ -241,4 +241,59 @@ object Temporal {
         sum(col("__w")).as("decayed_x20"),
         sum(col("__w") * col("__xc")).as("decayed_cents_x20"))
   }
+
+  /** Autocorrelation function of the daily `valueCol` sum at lags
+    * 1..`maxLag` — the periodicity / trend-persistence diagnostic for
+    * event streams and revenue series. The series is the ZERO-FILLED
+    * calendar grid (one row per day between min and max date), so its
+    * length is bounded by the calendar span, never by event volume;
+    * the distributed work is one grouped cent-sum over the raw scan.
+    * Everything downstream — the lag self-join and the moment sums —
+    * runs on the tiny day grid. acf_k = (n²·Σxy − n·S·(H+T) +
+    * (n−k)·S²) / (n²·Σx² − n·S²) with every term an exact decimal;
+    * the single double division is the only inexact step. Returns
+    * (lag, n_days, acf). */
+  def acf(df: DataFrame, dateCol: String, valueCol: String,
+          maxLag: Int = 7, scaleDigits: Int = 2,
+          outDigits: Int = 6): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val spark = df.sparkSession
+    val unit = math.pow(10, scaleDigits)
+    val vc = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val perDay = df
+      .filter(col(valueCol).isNotNull && col(dateCol).isNotNull)
+      .groupBy(to_date(col(dateCol)).as("d"))
+      .agg(sum(vc).as("xc"))
+    val bounds = perDay.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val span = bounds
+      .select((datediff(col("d1"), col("d0")) + 1).cast("long")).head().getLong(0)
+    val indexed = perDay.crossJoin(broadcast(bounds))
+      .select(datediff(col("d"), col("d0")).cast("long").as("t"), col("xc"))
+    val x = spark.range(span).toDF("t")
+      .join(indexed, Seq("t"), "left").na.fill(0L, Seq("xc"))
+      .localCheckpoint(false)
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val g = x.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dd(col("xc"))).as("s"),
+      sum(dd(col("xc")) * dd(col("xc"))).as("sxx"))
+    val lagged = x.select(
+      explode(array((1 to maxLag).map(k => lit(k.toLong)): _*)).as("k"),
+      col("t"), col("xc").as("xa"))
+    val pairs = lagged
+      .withColumn("t2", col("t") + col("k"))
+      .join(x.select(col("t").as("t2"), col("xc").as("xb")), Seq("t2"))
+    pairs.groupBy("k")
+      .agg(sum(dd(col("xa")) * dd(col("xb"))).as("sxy"),
+        sum(dd(col("xa"))).as("h"), sum(dd(col("xb"))).as("tt"))
+      .crossJoin(broadcast(g))
+      .select(col("k").as("lag"), col("n").cast("long").as("n_days"),
+        round(
+          (col("n") * col("n") * col("sxy")
+            - col("n") * col("s") * (col("h") + col("tt"))
+            + (col("n") - dd(col("k"))) * col("s") * col("s")).cast("double")
+          / (col("n") * col("n") * col("sxx")
+            - col("n") * col("s") * col("s")).cast("double"),
+          outDigits).as("acf"))
+      .orderBy("lag")
+  }
 }

@@ -3475,7 +3475,111 @@ object OpsOracles {
         |    - th.theta * (sx::DOUBLE / pv.n::DOUBLE - th.pre_all))
         |    / 100.0::DOUBLE, 6) AS mean_adj,
         |  round(th.theta, 6) AS theta
-        |FROM pv, th ORDER BY variant""".stripMargin.trim
+        |FROM pv, th ORDER BY variant""".stripMargin.trim,
+
+    // ACF over the zero-filled daily revenue grid — every moment is a
+    // HUGEINT over the bounded calendar series; one double division
+    "q_acf" ->
+      """WITH pd AS (SELECT o_orderdate::DATE AS d,
+        |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT AS xc
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |  GROUP BY 1),
+        |bnd AS (SELECT min(d) AS d0, max(d) AS d1 FROM pd),
+        |cal AS (SELECT unnest(range(0, datediff('day', d0, d1) + 1)) AS t
+        |  FROM bnd),
+        |idx AS (SELECT datediff('day', bnd.d0, pd.d)::BIGINT AS t, xc
+        |  FROM pd, bnd),
+        |x AS (SELECT cal.t, coalesce(idx.xc, 0)::BIGINT AS xc
+        |  FROM cal LEFT JOIN idx ON cal.t = idx.t),
+        |g AS (SELECT count(*)::HUGEINT AS n, sum(xc)::HUGEINT AS s,
+        |    sum(xc::HUGEINT * xc) AS sxx FROM x),
+        |ks AS (SELECT unnest(range(1, 8)) AS k),
+        |pk AS (SELECT ks.k::BIGINT AS k,
+        |    sum(a.xc::HUGEINT * b.xc) AS sxy,
+        |    sum(a.xc)::HUGEINT AS h, sum(b.xc)::HUGEINT AS tt
+        |  FROM ks, x a JOIN x b ON b.t = a.t + ks.k GROUP BY 1)
+        |SELECT pk.k AS lag, g.n::BIGINT AS n_days,
+        |  round((g.n * g.n * pk.sxy - g.n * g.s * (pk.h + pk.tt)
+        |      + (g.n - pk.k) * g.s * g.s)::DOUBLE
+        |    / (g.n * g.n * g.sxx - g.n * g.s * g.s)::DOUBLE, 6) AS acf
+        |FROM pk, g ORDER BY lag""".stripMargin.trim,
+
+    // lexical diversity: integral Simpson/TTR ppm; entropy follows the
+    // q_kl_mix ln-sum discipline (one rounded double per slice)
+    "q_token_entropy" ->
+      """WITH w AS (SELECT source AS slice,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |c AS (SELECT slice, w, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+        |t AS (SELECT slice, sum(c)::BIGINT AS n, count(*)::BIGINT AS vocab,
+        |    sum(c * (c - 1))::BIGINT AS rp FROM c GROUP BY 1)
+        |SELECT t.slice, t.n AS n_tokens, t.vocab,
+        |  (rp * 1000000 // (n * (n - 1)))::BIGINT AS simpson_ppm,
+        |  (vocab * 1000000 // n)::BIGINT AS ttr_ppm,
+        |  round(sum((c.c::DOUBLE / t.n::DOUBLE)
+        |      * ln(t.n::DOUBLE / c.c::DOUBLE)) / ln(2.0::DOUBLE), 6)
+        |    AS entropy_bits
+        |FROM c JOIN t ON c.slice = t.slice
+        |GROUP BY t.slice, t.n, t.vocab, t.rp ORDER BY t.slice""".stripMargin.trim,
+
+    // profile drift: exact per-column null rates and distinct counts
+    // on each side of the day-15 split
+    "q_profile_drift" ->
+      """WITH d0 AS (SELECT min(ts::DATE) AS d FROM events),
+        |a AS (SELECT * FROM events, d0 WHERE datediff('day', d0.d, ts::DATE) < 15),
+        |b AS (SELECT * FROM events, d0 WHERE datediff('day', d0.d, ts::DATE) >= 15),
+        |ma AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu1,
+        |    count(DISTINCT event_type)::BIGINT AS di1,
+        |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu2,
+        |    count(DISTINCT value)::BIGINT AS di2,
+        |    sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu3,
+        |    count(DISTINCT props)::BIGINT AS di3 FROM a),
+        |mb AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu1,
+        |    count(DISTINCT event_type)::BIGINT AS di1,
+        |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu2,
+        |    count(DISTINCT value)::BIGINT AS di2,
+        |    sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu3,
+        |    count(DISTINCT props)::BIGINT AS di3 FROM b),
+        |u AS (
+        |  SELECT 'event_type' AS "column", ma.n AS n_a, mb.n AS n_b,
+        |    ma.nu1 AS nua, mb.nu1 AS nub, ma.di1 AS distinct_a,
+        |    mb.di1 AS distinct_b FROM ma, mb
+        |  UNION ALL
+        |  SELECT 'value', ma.n, mb.n, ma.nu2, mb.nu2, ma.di2, mb.di2
+        |  FROM ma, mb
+        |  UNION ALL
+        |  SELECT 'props', ma.n, mb.n, ma.nu3, mb.nu3, ma.di3, mb.di3
+        |  FROM ma, mb)
+        |SELECT "column", n_a, n_b,
+        |  (nua * 1000000 // n_a)::BIGINT AS null_ppm_a,
+        |  (nub * 1000000 // n_b)::BIGINT AS null_ppm_b,
+        |  distinct_a, distinct_b,
+        |  ((nub * 1000000 // n_b) - (nua * 1000000 // n_a))::BIGINT
+        |    AS null_drift_ppm
+        |FROM u ORDER BY "column"""".stripMargin.trim,
+
+    // exact quantized covariance: parallel unnest zips (value, index);
+    // HUGEINT moments, the engine's double finish
+    "q_embed_cov" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS i
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |q AS (SELECT vec_id, i,
+        |    CAST(round(v::DOUBLE * 1000.0) AS BIGINT) AS qv FROM e),
+        |g AS (SELECT count(DISTINCT vec_id)::HUGEINT AS n FROM q),
+        |s AS (SELECT i, sum(qv)::HUGEINT AS si FROM q GROUP BY 1),
+        |p AS (SELECT a.i AS i, b.i AS j, sum(a.qv::HUGEINT * b.qv) AS pij
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT (p.i - 1)::INTEGER AS i, (p.j - 1)::INTEGER AS j,
+        |  round((g.n * p.pij - sa.si * sb.si)::DOUBLE
+        |    / (g.n::DOUBLE * g.n::DOUBLE) / 1000000.0::DOUBLE, 6)
+        |    + 0.0::DOUBLE AS cov
+        |FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i, g
+        |ORDER BY i, j""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1831,4 +1831,26 @@ object OpsQueries {
   def cupedQ(spark: SparkSession, dir: String): DataFrame =
     Stats.cuped(tbl(spark, dir, "events"), "user_id", "ts", "value",
       pmod(col("user_id"), lit(2)).cast("long"))
+
+  /** ACF of daily order revenue at lags 1..7 (zero-filled calendar). */
+  def acfQ(spark: SparkSession, dir: String): DataFrame =
+    Temporal.acf(tbl(spark, dir, "orders"), "o_orderdate", "o_totalprice")
+
+  /** Per-source lexical diversity: entropy, Simpson, TTR. */
+  def tokenEntropyQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.tokenDiversity(tbl(spark, dir, "documents"), "source", "text")
+
+  /** Schema-profile drift: events, first 15 days vs the rest. */
+  def profileDriftQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    val d0 = ev.agg(min(to_date(col("ts")))).head().getDate(0)
+    val early = ev.filter(datediff(to_date(col("ts")), lit(d0)) < 15)
+    val late = ev.filter(datediff(to_date(col("ts")), lit(d0)) >= 15)
+    DataQuality.profileDrift(early, late, Seq("event_type", "value", "props"))
+  }
+
+  /** Exact embedding covariance (upper triangle, one treeAggregate). */
+  def embedCovQ(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.covariance(tbl(spark, dir, "embeddings"), "embedding")
+      .orderBy("i", "j")
 }
