@@ -251,7 +251,11 @@ object SparkEntry {
     "q_acf"              -> (OpsQueries.acfQ _),
     "q_token_entropy"    -> (OpsQueries.tokenEntropyQ _),
     "q_profile_drift"    -> (OpsQueries.profileDriftQ _),
-    "q_embed_cov"        -> (OpsQueries.embedCovQ _)
+    "q_embed_cov"        -> (OpsQueries.embedCovQ _),
+    "q_target_encode"    -> (OpsQueries.targetEncodeQ _),
+    "q_woe_iv"           -> (OpsQueries.woeIvQ _),
+    "q_cohen_kappa"      -> (OpsQueries.cohenKappaQ _),
+    "q_kaplan_meier"     -> (OpsQueries.kaplanMeierQ _)
   )
 
   private val fixedPathValues =

@@ -542,4 +542,48 @@ object Analytics {
           expr("(2 * __ix - (n + 1) * total) * 1000000 div (n * total)"))
           .as("gini_ppm"))
   }
+
+  /** Kaplan–Meier survival over per-user activity lifetimes — the
+    * retention curve with correct CENSORING, which the cohort
+    * retention table cannot express (users still active at the corpus
+    * edge are censored, not churned). Duration = days between a user's
+    * first and last event; the user churned iff their last event is
+    * more than `churnGapDays` before the corpus max date, else they
+    * are censored at their observed duration. The distributed work is
+    * one per-user min/max aggregation; everything after runs on the
+    * duration grid, bounded by the calendar span. n_risk is a suffix
+    * sum over the grid; survival is reported as ln S(t) — a CUMULATIVE
+    * sum (not product) in ascending-t order, which both engines
+    * evaluate in the same sequence, so the doubles agree bit-for-bit
+    * before the single rounding. Event times only; the terminal point
+    * where everyone at risk churns (S = 0, ln undefined) is omitted.
+    * Returns (t_days, n_risk, d_churn, ln_surv). */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+                  churnGapDays: Int = 7, outDigits: Int = 6): DataFrame = {
+    val days = events
+      .filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+    val bounds = days.agg(max(col("d")).as("dmax"))
+    val users = days.groupBy("u")
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+      .crossJoin(broadcast(bounds))
+      .select(datediff(col("l"), col("f")).cast("long").as("t"),
+        (datediff(col("dmax"), col("l")) > churnGapDays).cast("long").as("e"))
+    val grid = users.groupBy("t")
+      .agg(sum(col("e")).as("d"), count(lit(1)).as("m"))
+    val wSuffix = org.apache.spark.sql.expressions.Window.orderBy("t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wPrefix = org.apache.spark.sql.expressions.Window.orderBy("t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid.withColumn("n_risk", sum(col("m")).over(wSuffix))
+      .filter(col("d") > 0 && col("n_risk") > col("d"))
+      .withColumn("__lt",
+        log((col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double")))
+      .withColumn("ln_surv", sum(col("__lt")).over(wPrefix))
+      .select(col("t").as("t_days"), col("n_risk"), col("d").as("d_churn"),
+        round(col("ln_surv"), outDigits).as("ln_surv"))
+      .orderBy("t_days")
+  }
 }

@@ -309,4 +309,38 @@ object Evaluation {
       .select(expr("__g div __n").as("ece_ppm"))
     sq.crossJoin(ece)
   }
+
+  /** Cohen's kappa between two categorical raters/classifiers —
+    * chance-corrected agreement, the standard inter-annotator metric
+    * for label-quality audits. kappa = (N·ΣD − ΣM) / (N² − ΣM) where
+    * ΣD is the agreement count times N and ΣM = Σ_k rowMarg_k·colMarg_k
+    * — every term exact decimal from two grouped counts (joint cells
+    * once, marginals derived from the cells), one double division.
+    * Returns one row (n, agree_ppm, kappa). */
+  def cohenKappa(df: DataFrame, raterA: org.apache.spark.sql.Column,
+                 raterB: org.apache.spark.sql.Column,
+                 outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.select(raterA.cast("string").as("a"), raterB.cast("string").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .persist()
+    try {
+      def dec(x: java.math.BigDecimal) = BigDecimal(x)
+      val n = dec(cells.agg(sum(col("c")).cast("decimal(38,0)")).head().getDecimal(0))
+      val diag = dec(cells.filter(col("a") === col("b"))
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("decimal(38,0)")).head().getDecimal(0))
+      val ra = cells.groupBy("a").agg(sum(col("c")).as("ma"))
+      val rb = cells.groupBy("b").agg(sum(col("c")).as("mb"))
+      val sm = dec(ra.join(rb, col("a") === col("b"))
+        .agg(coalesce(sum(col("ma").cast("decimal(38,0)")
+          * col("mb").cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)")))
+        .head().getDecimal(0))
+      val kappa = BigDecimal((n * diag - sm).toDouble / (n * n - sm).toDouble)
+        .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val agreePpm = (diag * 1000000).quot(n).toLong // floor, non-negative
+      Seq((n.toLong, agreePpm, kappa)).toDF("n", "agree_ppm", "kappa")
+    } finally { cells.unpersist(false); () }
+  }
 }

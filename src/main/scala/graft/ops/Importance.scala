@@ -180,4 +180,65 @@ object Importance {
         lambdaIdxs = Seq(last))
       .select(col(idCol), col(s"pred_$last").as("score"))
   }
+
+  /** Leave-one-out target encoding of a categorical feature against a
+    * binary label — the leakage-safe categorical encoder for
+    * downstream models. Because the label is binary, every row's LOO
+    * value is determined by its (category, y) pair, so the output is
+    * the DISTINCT encoding table (category, y, n_cat, sum_y, enc) —
+    * tiny, joinable back to rows by (cat, y) — not a per-row rewrite.
+    * enc = (sum_y − y + m·prior) / (n_cat − 1 + m) with smoothing m
+    * toward the global prior; counts are exact, the two divisions are
+    * the only doubles, mirrored by the oracle. */
+  def targetEncode(df: DataFrame, catCol: String, labelCol: org.apache.spark.sql.Column,
+                   smoothing: Double = 10.0, outDigits: Int = 6): DataFrame = {
+    val base = df.filter(col(catCol).isNotNull)
+      .select(col(catCol).as("category"), labelCol.cast("long").as("y"))
+    val perCat = base.groupBy("category")
+      .agg(count(lit(1)).as("n_cat"), sum(col("y")).as("sum_y"))
+    val global = base.agg(count(lit(1)).as("n_all"), sum(col("y")).as("s_all"))
+    perCat
+      .join(base.select("category", "y").distinct(), Seq("category"))
+      .crossJoin(broadcast(global))
+      .select(col("category"), col("y"), col("n_cat"), col("sum_y"),
+        round(
+          (col("sum_y").cast("double") - col("y").cast("double")
+            + lit(smoothing) * (col("s_all").cast("double") / col("n_all").cast("double")))
+            / (col("n_cat").cast("double") - lit(1.0) + lit(smoothing)),
+          outDigits).as("enc"))
+      .orderBy("category", "y")
+  }
+
+  /** Weight of evidence and information value of a bounded-cardinality
+    * feature bucket against a binary label — the classic credit-risk /
+    * feature-screening statistic. Per bucket b: WoE = ln((bad_b·Good)
+    * / (good_b·Bad)) and iv_term = (bad_b/Bad − good_b/Good)·WoE,
+    * where Good/Bad are the global class totals; Σ iv_term is the
+    * feature's IV. One grouped count pass; buckets where either class
+    * is absent are omitted (the standard zero-cell rule — apply your
+    * own smoothing upstream if you need those buckets). Counts exact;
+    * each output double rounds once, so there is no cross-engine
+    * float-sum ordering anywhere. */
+  def woeIv(df: DataFrame, bucketCol: org.apache.spark.sql.Column,
+            labelCol: org.apache.spark.sql.Column,
+            outDigits: Int = 6): DataFrame = {
+    val base = df.select(bucketCol.as("bucket"), labelCol.cast("long").as("y"))
+      .filter(col("bucket").isNotNull)
+    val perBucket = base.groupBy("bucket")
+      .agg(sum(lit(1L) - col("y")).as("good"), sum(col("y")).as("bad"))
+    val totals = perBucket.agg(sum(col("good")).as("g_all"), sum(col("bad")).as("b_all"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    perBucket.filter(col("good") > 0 && col("bad") > 0)
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("good"), col("bad"),
+        round(log((dd(col("bad")) * dd(col("g_all"))).cast("double")
+          / (dd(col("good")) * dd(col("b_all"))).cast("double")), outDigits)
+          .as("woe"),
+        round((col("bad").cast("double") / col("b_all").cast("double")
+          - col("good").cast("double") / col("g_all").cast("double"))
+          * log((dd(col("bad")) * dd(col("g_all"))).cast("double")
+            / (dd(col("good")) * dd(col("b_all"))).cast("double")), outDigits)
+          .as("iv_term"))
+      .orderBy("bucket")
+  }
 }

@@ -3579,7 +3579,88 @@ object OpsOracles {
         |    / (g.n::DOUBLE * g.n::DOUBLE) / 1000000.0::DOUBLE, 6)
         |    + 0.0::DOUBLE AS cov
         |FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i, g
-        |ORDER BY i, j""".stripMargin.trim
+        |ORDER BY i, j""".stripMargin.trim,
+
+    // LOO target encoding: the distinct (category, y) table with the
+    // engine's smoothing formula — counts exact, two double divisions
+    "q_target_encode" ->
+      """WITH base AS (SELECT l_returnflag AS category,
+        |    CASE WHEN CAST(round(l_discount * 100.0) AS BIGINT) >= 6
+        |      THEN 1 ELSE 0 END::BIGINT AS y
+        |  FROM lineitem WHERE l_returnflag IS NOT NULL),
+        |pc AS (SELECT category, count(*)::BIGINT AS n_cat,
+        |    sum(y)::BIGINT AS sum_y FROM base GROUP BY 1),
+        |gl AS (SELECT count(*)::BIGINT AS n_all, sum(y)::BIGINT AS s_all
+        |  FROM base),
+        |dv AS (SELECT DISTINCT category, y FROM base)
+        |SELECT dv.category, dv.y, pc.n_cat, pc.sum_y,
+        |  round((pc.sum_y::DOUBLE - dv.y::DOUBLE
+        |      + 10.0::DOUBLE * (gl.s_all::DOUBLE / gl.n_all::DOUBLE))
+        |    / (pc.n_cat::DOUBLE - 1.0::DOUBLE + 10.0::DOUBLE), 6) AS enc
+        |FROM dv JOIN pc ON dv.category = pc.category, gl
+        |ORDER BY dv.category, dv.y""".stripMargin.trim,
+
+    // WoE / IV per quantity bucket: integral counts, each double
+    // rounds once (no float-sum ordering anywhere)
+    "q_woe_iv" ->
+      """WITH base AS (SELECT CAST(round(l_quantity) AS BIGINT) AS bucket,
+        |    CASE WHEN CAST(round(l_discount * 100.0) AS BIGINT) >= 6
+        |      THEN 1 ELSE 0 END::BIGINT AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |pb AS (SELECT bucket, sum(1 - y)::BIGINT AS good,
+        |    sum(y)::BIGINT AS bad FROM base GROUP BY 1),
+        |tot AS (SELECT sum(good)::BIGINT AS g_all, sum(bad)::BIGINT AS b_all
+        |  FROM pb)
+        |SELECT bucket, good, bad,
+        |  round(ln((bad::HUGEINT * g_all)::DOUBLE
+        |    / (good::HUGEINT * b_all)::DOUBLE), 6) AS woe,
+        |  round((bad::DOUBLE / b_all::DOUBLE - good::DOUBLE / g_all::DOUBLE)
+        |    * ln((bad::HUGEINT * g_all)::DOUBLE
+        |      / (good::HUGEINT * b_all)::DOUBLE), 6) AS iv_term
+        |FROM pb, tot WHERE good > 0 AND bad > 0
+        |ORDER BY bucket""".stripMargin.trim,
+
+    // Cohen's kappa: joint cells once, marginals from the cells,
+    // kappa = (N*diag - sum(ra*rb)) / (N^2 - sum(ra*rb))
+    "q_cohen_kappa" ->
+      """WITH c0 AS (SELECT CAST(n_chars >= 300 AS INTEGER) AS a,
+        |    CAST(length(trim(text)) >= 280 AS INTEGER) AS b FROM documents),
+        |cl AS (SELECT a, b, count(*)::BIGINT AS c FROM c0
+        |  WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2),
+        |nn AS (SELECT sum(c)::HUGEINT AS n FROM cl),
+        |dg AS (SELECT coalesce(sum(c), 0)::HUGEINT AS diag FROM cl WHERE a = b),
+        |ma AS (SELECT a, sum(c)::BIGINT AS m FROM cl GROUP BY 1),
+        |mb AS (SELECT b, sum(c)::BIGINT AS m FROM cl GROUP BY 1),
+        |sm AS (SELECT coalesce(sum(ma.m::HUGEINT * mb.m), 0)::HUGEINT AS sm
+        |  FROM ma JOIN mb ON ma.a = mb.b)
+        |SELECT nn.n::BIGINT AS n,
+        |  (dg.diag * 1000000 // nn.n)::BIGINT AS agree_ppm,
+        |  round((nn.n * dg.diag - sm.sm)::DOUBLE
+        |    / (nn.n * nn.n - sm.sm)::DOUBLE, 6) AS kappa
+        |FROM nn, dg, sm""".stripMargin.trim,
+
+    // Kaplan-Meier: per-user lifetime + censoring flag, suffix-sum
+    // n_risk over the bounded duration grid, ln S(t) as a CUMULATIVE
+    // sum both engines evaluate in the same ascending order
+    "q_kaplan_meier" ->
+      """WITH dy AS (SELECT user_id AS u, ts::DATE AS d FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |bnd AS (SELECT max(d) AS dmax FROM dy),
+        |us AS (SELECT datediff('day', min(d), max(d))::BIGINT AS t,
+        |    CASE WHEN datediff('day', max(d), (SELECT dmax FROM bnd)) > 7
+        |      THEN 1 ELSE 0 END::BIGINT AS e
+        |  FROM dy GROUP BY u),
+        |grid AS (SELECT t, sum(e)::BIGINT AS d, count(*)::BIGINT AS m
+        |  FROM us GROUP BY 1),
+        |g2 AS (SELECT t, d, sum(m) OVER (ORDER BY t ROWS BETWEEN
+        |    CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n_risk FROM grid),
+        |ev AS (SELECT t, d, n_risk,
+        |    ln((n_risk - d)::DOUBLE / n_risk::DOUBLE) AS lt
+        |  FROM g2 WHERE d > 0 AND n_risk > d)
+        |SELECT t AS t_days, n_risk, d AS d_churn,
+        |  round(sum(lt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW), 6) AS ln_surv
+        |FROM ev ORDER BY t_days""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1853,4 +1853,29 @@ object OpsQueries {
   def embedCovQ(spark: SparkSession, dir: String): DataFrame =
     Embeddings.covariance(tbl(spark, dir, "embeddings"), "embedding")
       .orderBy("i", "j")
+
+  /** Integer-exact deep-discount label shared by the encoding queries:
+    * discount cents >= 6 (double literals never cross the engines). */
+  private def discountLabel =
+    (round(col("l_discount") * 100).cast("long") >= 6).cast("long")
+
+  /** LOO target encoding: returnflag vs the deep-discount label. */
+  def targetEncodeQ(spark: SparkSession, dir: String): DataFrame =
+    Importance.targetEncode(tbl(spark, dir, "lineitem"), "l_returnflag",
+      discountLabel)
+
+  /** WoE / IV of the quantity bucket vs the deep-discount label. */
+  def woeIvQ(spark: SparkSession, dir: String): DataFrame =
+    Importance.woeIv(tbl(spark, dir, "lineitem"),
+      round(col("l_quantity")).cast("long"), discountLabel)
+
+  /** Cohen's kappa between two deterministic document "raters". */
+  def cohenKappaQ(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.cohenKappa(tbl(spark, dir, "documents"),
+      (col("n_chars") >= 300).cast("int"),
+      (length(trim(col("text"))) >= 280).cast("int"))
+
+  /** Kaplan-Meier over user activity lifetimes (7-day churn gap). */
+  def kaplanMeierQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.kaplanMeier(tbl(spark, dir, "events"), "user_id", "ts")
 }

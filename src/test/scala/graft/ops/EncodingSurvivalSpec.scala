@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Target encoding, WoE/IV, Cohen's kappa, Kaplan-Meier. */
+class EncodingSurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------------- targetEncode
+
+  test("targetEncode: LOO formula with smoothing toward the prior") {
+    // cat a: 3 rows, 2 positive; cat b: 2 rows, 0 positive; prior 2/5
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 0L), ("b", 0L), ("b", 0L))
+      .toDF("c", "y")
+    val got = Importance.targetEncode(df, "c", col("y"), smoothing = 10.0)
+      .collect()
+      .map(r => (r.getAs[String]("category"), r.getAs[Long]("y")) ->
+        r.getAs[Double]("enc")).toMap
+    val prior = 2.0 / 5
+    def enc(sum: Long, y: Long, n: Long) =
+      (sum - y + 10.0 * prior) / (n - 1.0 + 10.0)
+    assert(got.size === 3) // (a,0) (a,1) (b,0)
+    assert(math.abs(got(("a", 1L)) - enc(2, 1, 3)) < 1e-6)
+    assert(math.abs(got(("a", 0L)) - enc(2, 0, 3)) < 1e-6)
+    assert(math.abs(got(("b", 0L)) - enc(0, 0, 2)) < 1e-6)
+  }
+
+  // ---------------------------------------------------------------- woeIv
+
+  test("woeIv: matches the hand formula, omits zero-cell buckets") {
+    // bucket 1: 3 good / 1 bad; bucket 2: 1 good / 3 bad;
+    // bucket 3: 2 good / 0 bad (omitted)
+    val rows = Seq((1L, 0L), (1L, 0L), (1L, 0L), (1L, 1L),
+      (2L, 0L), (2L, 1L), (2L, 1L), (2L, 1L), (3L, 0L), (3L, 0L))
+    val df = rows.toDF("b", "y")
+    val got = Importance.woeIv(df, col("b"), col("y")).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(got.size === 2 && !got.contains(3L))
+    val (gAll, bAll) = (6.0, 4.0)
+    def woe(g: Long, b: Long) = math.log((b * gAll) / (g * bAll))
+    def iv(g: Long, b: Long) = (b / bAll - g / gAll) * woe(g, b)
+    assert(math.abs(got(1L).getAs[Double]("woe") - woe(3, 1)) < 1e-6)
+    assert(math.abs(got(2L).getAs[Double]("woe") - woe(1, 3)) < 1e-6)
+    assert(math.abs(got(1L).getAs[Double]("iv_term") - iv(3, 1)) < 1e-6)
+    assert(math.abs(got(2L).getAs[Double]("iv_term") - iv(1, 3)) < 1e-6)
+  }
+
+  // ----------------------------------------------------------- cohenKappa
+
+  test("cohenKappa: perfect agreement 1, known 2x2 case matches") {
+    val perfect = (0 until 50).map(i => (i % 2, i % 2)).toDF("a", "b")
+    val r0 = Evaluation.cohenKappa(perfect, col("a"), col("b")).head()
+    assert(r0.getAs[Double]("kappa") === 1.0)
+    assert(r0.getAs[Long]("agree_ppm") === 1000000L)
+    // 2x2 cells: (0,0)=20 (0,1)=5 (1,0)=10 (1,1)=15 -> po=.7
+    val rows = Seq.fill(20)((0, 0)) ++ Seq.fill(5)((0, 1)) ++
+      Seq.fill(10)((1, 0)) ++ Seq.fill(15)((1, 1))
+    val r = Evaluation.cohenKappa(rows.toDF("a", "b"), col("a"), col("b")).head()
+    val n = 50.0; val po = 35.0 / n
+    val pe = (25.0 * 30 + 25.0 * 20) / (n * n)
+    assert(math.abs(r.getAs[Double]("kappa") - (po - pe) / (1 - pe)) < 1e-6)
+    assert(r.getAs[Long]("n") === 50L && r.getAs[Long]("agree_ppm") === 700000L)
+  }
+
+  // ---------------------------------------------------------- kaplanMeier
+
+  test("kaplanMeier: censoring, n_risk suffix sums, ln-survival") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-${day + 1}%02d 09:00:00")
+    // corpus spans day 0..20. users:
+    //  u1: days 0..2  (dur 2, last day 2, gap 18 > 7 -> churned)
+    //  u2: days 0..2  (dur 2, churned)
+    //  u3: days 0..5  (dur 5, gap 15 -> churned)
+    //  u4: days 0..20 (dur 20, gap 0 -> censored)
+    //  u5: days 3..20 (dur 17, gap 0 -> censored)
+    val ev = Seq((1L, 0), (1L, 2), (2L, 0), (2L, 2), (3L, 0), (3L, 5),
+      (4L, 0), (4L, 20), (5L, 3), (5L, 20))
+      .map { case (u, d) => (u, ts(d)) }.toDF("user_id", "ts")
+    val got = Analytics.kaplanMeier(ev, "user_id", "ts").collect()
+    // event times: t=2 (d=2, n_risk=5), t=5 (d=1, n_risk=3)
+    assert(got.length === 2)
+    val t2 = got(0); val t5 = got(1)
+    assert(t2.getAs[Long]("t_days") === 2L && t2.getAs[Long]("n_risk") === 5L
+      && t2.getAs[Long]("d_churn") === 2L)
+    assert(t5.getAs[Long]("t_days") === 5L && t5.getAs[Long]("n_risk") === 3L
+      && t5.getAs[Long]("d_churn") === 1L)
+    val ln2 = math.log(3.0 / 5)
+    val ln5 = ln2 + math.log(2.0 / 3)
+    assert(math.abs(t2.getAs[Double]("ln_surv") - ln2) < 1e-6)
+    assert(math.abs(t5.getAs[Double]("ln_surv") - ln5) < 1e-6)
+  }
+}
