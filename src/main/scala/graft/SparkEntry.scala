@@ -255,7 +255,11 @@ object SparkEntry {
     "q_target_encode"    -> (OpsQueries.targetEncodeQ _),
     "q_woe_iv"           -> (OpsQueries.woeIvQ _),
     "q_cohen_kappa"      -> (OpsQueries.cohenKappaQ _),
-    "q_kaplan_meier"     -> (OpsQueries.kaplanMeierQ _)
+    "q_kaplan_meier"     -> (OpsQueries.kaplanMeierQ _),
+    "q_theil_sen"        -> (OpsQueries.theilSenQ _),
+    "q_hhi"              -> (OpsQueries.hhiQ _),
+    "q_jsd"              -> (OpsQueries.jsdQ _),
+    "q_hill_tail"        -> (OpsQueries.hillTailQ _)
   )
 
   private val fixedPathValues =

@@ -558,6 +558,72 @@ object Analytics {
     * before the single rounding. Event times only; the terminal point
     * where everyone at risk churns (S = 0, ln undefined) is omitted.
     * Returns (t_days, n_risk, d_churn, ln_surv). */
+  /** Theil–Sen robust trend of the daily `valueCol` sum: the MEDIAN of
+    * all pairwise slopes between observed days — immune to the outlier
+    * days that wreck an OLS trend line. The distributed work is one
+    * grouped cent-sum; the pairwise slope set lives on the day grid,
+    * bounded by the CALENDAR SPAN squared (≤ ~266k pairs for two years
+    * of days), never by event volume — so the single-partition median
+    * window is bounded by construction. Slopes are one exact-integer
+    * difference ratio each; the median of an even count averages the
+    * two middle values (commutative two-term mean, engine-identical).
+    * Returns one row (n_days, n_pairs, slope_per_day). */
+  def theilSen(df: DataFrame, dateCol: String, valueCol: String,
+               scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    val unit = math.pow(10, scaleDigits)
+    val vc = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val perDay = df
+      .filter(col(valueCol).isNotNull && col(dateCol).isNotNull)
+      .groupBy(to_date(col(dateCol)).as("d"))
+      .agg(sum(vc).as("y"))
+    val bounds = perDay.agg(min(col("d")).as("d0"))
+    val idx = perDay.crossJoin(broadcast(bounds))
+      .select(datediff(col("d"), col("d0")).cast("long").as("t"), col("y"))
+      .localCheckpoint(false)
+    val a = idx.select(col("t").as("t1"), col("y").as("y1"))
+    val b = idx.select(col("t").as("t2"), col("y").as("y2"))
+    val slopes = a.join(b, col("t1") < col("t2"))
+      .select(((col("y2") - col("y1")).cast("double")
+        / (col("t2") - col("t1")).cast("double")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("s")
+    val ranked = slopes.withColumn("rn", row_number().over(w))
+    val stats = idx.agg(count(lit(1)).as("n_days")).crossJoin(
+      slopes.agg(count(lit(1)).as("n_pairs")))
+    ranked.crossJoin(broadcast(stats))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2")
+        || col("rn") === expr("(n_pairs + 2) div 2"))
+      .groupBy(col("n_days"), col("n_pairs"))
+      .agg(round(avg(col("s")) / lit(unit), outDigits).as("slope_per_day"))
+  }
+
+  /** Herfindahl–Hirschman concentration of `valueCol` mass over
+    * `entityCol` within each `groupCol` — "how concentrated is this
+    * source / supplier / domain mix", the same diagnostic the coverage
+    * curve gives cumulatively, as one exact scalar per group.
+    * hhi_ppm = Σ share² in parts-per-million = (Σ rᵢ²)·10⁶ // (Σ rᵢ)²
+    * with all moments exact decimals; top_share_ppm is the largest
+    * single entity's share. Two grouped aggregations, all integral. */
+  def hhi(df: DataFrame, groupCol: String, entityCol: String,
+          valueCol: String, scaleDigits: Int = 2): DataFrame = {
+    val unit = math.pow(10, scaleDigits)
+    val vc = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    df.filter(col(valueCol).isNotNull && col(entityCol).isNotNull)
+      .groupBy(col(groupCol), col(entityCol))
+      .agg(sum(vc).as("r"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_entities"),
+        sum(dd(col("r"))).as("tot"),
+        sum(dd(col("r")) * dd(col("r"))).as("sq"),
+        max(col("r")).cast("decimal(38,0)").as("top"))
+      .filter(col("tot") > 0)
+      .select(col(groupCol), col("n_entities"),
+        col("tot").cast("long").as("total_units"),
+        expr("CAST((sq * 1000000) div (tot * tot) AS BIGINT)").as("hhi_ppm"),
+        expr("CAST((top * 1000000) div tot AS BIGINT)").as("top_share_ppm"))
+      .orderBy(groupCol)
+  }
+
   def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
                   churnGapDays: Int = 7, outDigits: Int = 6): DataFrame = {
     val days = events

@@ -196,4 +196,86 @@ object CorpusStats {
         round(col("ent_nats") / log(lit(2.0)), outDigits).as("entropy_bits"))
       .orderBy("slice")
   }
+
+  /** Jensen–Shannon divergence between TWO slices' hashed-token
+    * distributions — the symmetric, bounded ([0,1] bit) companion to
+    * [[klMixture]]'s slice-vs-corpus KL, the right pairwise distance
+    * for "how far apart are these two sources". Same md5 bucket
+    * kernel, same +s smoothing over the dense bucket grid, same
+    * ln-sum discipline (one rounded double). Returns one row
+    * (n_a, n_b, jsd_bits). */
+  def jsDivergence(df: DataFrame, sliceCol: String, textCol: String,
+                   sliceA: String, sliceB: String, buckets: Int = 1024,
+                   s: Double = 1.0, outDigits: Int = 6): DataFrame = {
+    require(buckets > 0 && s > 0, "buckets and smoothing must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = buckets.toLong
+    val counts = df
+      .filter(col(sliceCol).isin(sliceA, sliceB))
+      .select(col(sliceCol).cast("string"), col(textCol))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def bucket(w: String): Long = {
+          val h = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+          v % b
+        }
+        it.flatMap { case (slice, text) =>
+          if (slice == null || text == null) Iterator.empty
+          else {
+            val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+            ws.iterator.map(w => (slice, bucket(w)))
+          }
+        }
+      }
+      .toDF("slice", "b")
+      .groupBy(col("slice"), col("b")).agg(count(lit(1)).as("c"))
+    val grid = spark.range(buckets).select(col("id").as("b"))
+      .join(counts.filter(col("slice") === sliceA)
+        .select(col("b"), col("c").as("ca")), Seq("b"), "left")
+      .join(counts.filter(col("slice") === sliceB)
+        .select(col("b"), col("c").as("cb")), Seq("b"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+    val totals = grid.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    grid.crossJoin(broadcast(totals))
+      .select(col("na"), col("nb"),
+        ((col("ca").cast("double") + lit(s))
+          / (col("na").cast("double") + lit(s * buckets))).as("p"),
+        ((col("cb").cast("double") + lit(s))
+          / (col("nb").cast("double") + lit(s * buckets))).as("q"))
+      .withColumn("m", (col("p") + col("q")) * lit(0.5))
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(lit(0.5) * col("p") * log(col("p") / col("m"))
+        + lit(0.5) * col("q") * log(col("q") / col("m"))).as("jsd_nats"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("jsd_nats") / log(lit(2.0)), outDigits).as("jsd_bits"))
+  }
+
+  /** Hill estimator of the power-law tail index over the top `k` order
+    * statistics of `valueCol` — the heavy-tail diagnostic behind "can
+    * I cap document length / degree / domain mass at X". alpha =
+    * k / Σᵢ ln(x₍ᵢ₎ / x₍ₖ₊₁₎). The only distributed work is a
+    * TakeOrdered top-(k+1) (never a global sort); the bounded order
+    * statistics finish on the driver. Ties at the boundary cannot
+    * change the value multiset. Returns (k, x_tail, hill_alpha). */
+  def hillTail(df: DataFrame, valueCol: String, k: Int = 100,
+               outDigits: Int = 6): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val top = df.select(col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull && col("x") > 0)
+      .orderBy(col("x").desc)
+      .limit(k + 1)
+      .collect().map(_.getLong(0))
+    require(top.length == k + 1, s"need at least ${k + 1} positive values")
+    val xTail = top.last
+    val sumLn = top.take(k).map(x => math.log(x.toDouble / xTail)).sum
+    val alpha = BigDecimal(k.toDouble / sumLn)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((k.toLong, xTail, alpha)).toDF("k", "x_tail", "hill_alpha")
+  }
 }

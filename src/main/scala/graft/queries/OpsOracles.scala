@@ -3660,7 +3660,81 @@ object OpsOracles {
         |SELECT t AS t_days, n_risk, d AS d_churn,
         |  round(sum(lt) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
         |    AND CURRENT ROW), 6) AS ln_surv
-        |FROM ev ORDER BY t_days""".stripMargin.trim
+        |FROM ev ORDER BY t_days""".stripMargin.trim,
+
+    // Theil-Sen: median of all pairwise day-grid slopes; even counts
+    // average the two middle values (commutative two-term mean)
+    "q_theil_sen" ->
+      """WITH pd AS (SELECT o_orderdate::DATE AS d,
+        |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT AS y
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |  GROUP BY 1),
+        |bb AS (SELECT min(d) AS d0 FROM pd),
+        |idx AS (SELECT datediff('day', bb.d0, pd.d)::BIGINT AS t, y
+        |  FROM pd, bb),
+        |sl AS (SELECT (b2.y - a2.y)::DOUBLE / (b2.t - a2.t)::DOUBLE AS s
+        |  FROM idx a2 JOIN idx b2 ON a2.t < b2.t),
+        |r AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM sl),
+        |st AS (SELECT (SELECT count(*) FROM idx)::BIGINT AS n_days,
+        |    count(*)::BIGINT AS n_pairs FROM sl)
+        |SELECT st.n_days, st.n_pairs,
+        |  round(avg(r.s) / 100.0::DOUBLE, 6) AS slope_per_day
+        |FROM r, st
+        |WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
+        |GROUP BY st.n_days, st.n_pairs""".stripMargin.trim,
+
+    // HHI: integral share-squared concentration per group
+    "q_hhi" ->
+      """WITH rr AS (SELECT l_returnflag AS g, l_suppkey AS e,
+        |    sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::BIGINT AS r
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_suppkey IS NOT NULL
+        |  GROUP BY 1, 2),
+        |h AS (SELECT g, count(*)::BIGINT AS n_entities,
+        |    sum(r)::HUGEINT AS tot, sum(r::HUGEINT * r) AS sq,
+        |    max(r)::HUGEINT AS top FROM rr GROUP BY 1)
+        |SELECT g AS l_returnflag, n_entities, tot::BIGINT AS total_units,
+        |  ((sq * 1000000) // (tot * tot))::BIGINT AS hhi_ppm,
+        |  ((top * 1000000) // tot)::BIGINT AS top_share_ppm
+        |FROM h WHERE tot > 0 ORDER BY g""".stripMargin.trim,
+
+    // JSD between src0 and src1 over the same md5 bucket kernel and
+    // +1 smoothing as q_kl_mix; one rounded ln-sum
+    "q_jsd" ->
+      """WITH w AS (SELECT source AS slice,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1') AND text IS NOT NULL),
+        |c AS (SELECT slice, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b,
+        |    count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+        |grid AS (SELECT g.b, coalesce(ca.c, 0)::BIGINT AS ca,
+        |    coalesce(cb.c, 0)::BIGINT AS cb
+        |  FROM (SELECT unnest(range(0, 1024)) AS b) g
+        |  LEFT JOIN (SELECT b, c FROM c WHERE slice = 'src0') ca ON g.b = ca.b
+        |  LEFT JOIN (SELECT b, c FROM c WHERE slice = 'src1') cb ON g.b = cb.b),
+        |t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM grid),
+        |terms AS (SELECT na, nb,
+        |    (ca::DOUBLE + 1.0::DOUBLE) / (na::DOUBLE + 1024.0::DOUBLE) AS p,
+        |    (cb::DOUBLE + 1.0::DOUBLE) / (nb::DOUBLE + 1024.0::DOUBLE) AS q
+        |  FROM grid, t)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(sum(0.5 * p * ln(p / ((p + q) * 0.5))
+        |      + 0.5 * q * ln(q / ((p + q) * 0.5))) / ln(2.0::DOUBLE), 6)
+        |    AS jsd_bits
+        |FROM terms GROUP BY na, nb""".stripMargin.trim,
+
+    // Hill tail index from the top-101 order statistics
+    "q_hill_tail" ->
+      """WITH v AS (SELECT n_chars::BIGINT AS x FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |t AS (SELECT x, row_number() OVER (ORDER BY x DESC) AS rn FROM v),
+        |k1 AS (SELECT x AS xt FROM t WHERE rn = 101),
+        |s AS (SELECT sum(ln(t.x::DOUBLE / k1.xt::DOUBLE)) AS sl
+        |  FROM t, k1 WHERE rn <= 100)
+        |SELECT 100::BIGINT AS k, k1.xt AS x_tail,
+        |  round(100.0::DOUBLE / s.sl, 6) AS hill_alpha
+        |FROM k1, s""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

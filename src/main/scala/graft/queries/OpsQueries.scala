@@ -1878,4 +1878,22 @@ object OpsQueries {
   /** Kaplan-Meier over user activity lifetimes (7-day churn gap). */
   def kaplanMeierQ(spark: SparkSession, dir: String): DataFrame =
     Analytics.kaplanMeier(tbl(spark, dir, "events"), "user_id", "ts")
+
+  /** Theil-Sen robust trend of daily order revenue. */
+  def theilSenQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.theilSen(tbl(spark, dir, "orders"), "o_orderdate", "o_totalprice")
+
+  /** HHI concentration of revenue over suppliers per returnflag. */
+  def hhiQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.hhi(tbl(spark, dir, "lineitem"), "l_returnflag", "l_suppkey",
+      "l_extendedprice")
+
+  /** Jensen-Shannon divergence between the src0 and src1 corpora. */
+  def jsdQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.jsDivergence(tbl(spark, dir, "documents"), "source", "text",
+      "src0", "src1")
+
+  /** Hill tail index of the document-length distribution (k=100). */
+  def hillTailQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.hillTail(tbl(spark, dir, "documents"), "n_chars")
 }

@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Theil-Sen, HHI, Jensen-Shannon divergence, Hill tail index. */
+class TrendConcentrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int) =
+    java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:00")
+
+  // ------------------------------------------------------------- theilSen
+
+  test("theilSen: exact slope on linear data, robust to one outlier") {
+    val lin = (0 until 10).map(i => (ts(i), 5.0 + 2.5 * i)).toDF("d", "x")
+    val r = Analytics.theilSen(lin, "d", "x").head()
+    assert(r.getAs[Long]("n_days") === 10L && r.getAs[Long]("n_pairs") === 45L)
+    assert(r.getAs[Double]("slope_per_day") === 2.5)
+    // one wild outlier day: median slope stays 2.5 (OLS would not)
+    val out = ((0 until 10).map(i => (ts(i), 5.0 + 2.5 * i)) :+
+      (ts(10), 1000.0)).toDF("d", "x")
+    val r2 = Analytics.theilSen(out, "d", "x").head()
+    assert(r2.getAs[Double]("slope_per_day") === 2.5)
+  }
+
+  // ------------------------------------------------------------------ hhi
+
+  test("hhi: monopoly is 1e6 ppm, equal split is 1e6/n") {
+    val rows = Seq(("m", 1L, 50.0), ("m", 1L, 30.0),
+      ("e", 1L, 10.0), ("e", 2L, 10.0), ("e", 3L, 10.0), ("e", 4L, 10.0))
+      .toDF("g", "ent", "v")
+    val got = Analytics.hhi(rows, "g", "ent", "v").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    assert(got("m").getAs[Long]("hhi_ppm") === 1000000L)
+    assert(got("m").getAs[Long]("top_share_ppm") === 1000000L)
+    assert(got("e").getAs[Long]("hhi_ppm") === 250000L)
+    assert(got("e").getAs[Long]("top_share_ppm") === 250000L)
+    assert(got("e").getAs[Long]("n_entities") === 4L)
+  }
+
+  // --------------------------------------------------------- jsDivergence
+
+  test("jsDivergence: identical slices 0; disjoint vocab near 1 bit") {
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("s", "t")
+    val r0 = CorpusStats.jsDivergence(same, "s", "t", "a", "b").head()
+    assert(r0.getAs[Double]("jsd_bits") === 0.0)
+    // heavy disjoint vocabularies: JSD approaches 1 bit (smoothing
+    // over 1024 buckets keeps it strictly below)
+    // 10k tokens per side so the +1-per-bucket smoothing mass (1024)
+    // no longer dominates the signal
+    val aTxt = Seq.fill(25)((1 to 400).map(i => s"aa$i").mkString(" ")).mkString(" ")
+    val bTxt = Seq.fill(25)((1 to 400).map(i => s"bb$i").mkString(" ")).mkString(" ")
+    val dis = Seq(("a", aTxt), ("b", bTxt)).toDF("s", "t")
+    val r1 = CorpusStats.jsDivergence(dis, "s", "t", "a", "b").head()
+    assert(r1.getAs[Double]("jsd_bits") > 0.5 && r1.getAs[Double]("jsd_bits") <= 1.0)
+    assert(r1.getAs[Long]("n_a") === 10000L && r1.getAs[Long]("n_b") === 10000L)
+  }
+
+  // ------------------------------------------------------------- hillTail
+
+  test("hillTail: matches the direct estimator on a planted tail") {
+    // x_i = floor(1000 / i^0.5): a Pareto-ish tail with alpha ~ 2
+    val xs = (1 to 300).map(i => math.floor(1000.0 / math.sqrt(i)).toLong)
+    val df = xs.map(Tuple1(_)).toDF("x")
+    val r = CorpusStats.hillTail(df, "x", k = 50).head()
+    val sorted = xs.sortBy(-_)
+    val xt = sorted(50)
+    val direct = 50.0 / sorted.take(50).map(x => math.log(x.toDouble / xt)).sum
+    assert(r.getAs[Long]("x_tail") === xt)
+    assert(math.abs(r.getAs[Double]("hill_alpha") - direct) < 1e-6)
+    intercept[IllegalArgumentException] {
+      CorpusStats.hillTail(df.limit(10), "x", k = 50)
+    }
+  }
+}
