@@ -259,7 +259,10 @@ object SparkEntry {
     "q_theil_sen"        -> (OpsQueries.theilSenQ _),
     "q_hhi"              -> (OpsQueries.hhiQ _),
     "q_jsd"              -> (OpsQueries.jsdQ _),
-    "q_hill_tail"        -> (OpsQueries.hillTailQ _)
+    "q_hill_tail"        -> (OpsQueries.hillTailQ _),
+    "q_cluster_sizes"    -> (OpsQueries.clusterSizesQ _),
+    "q_top_movers"       -> (EventQueries.topMoversQ _),
+    "q_lateness"         -> (EventQueries.latenessQ _)
   )
 
   private val fixedPathValues =

@@ -543,6 +543,72 @@ object Analytics {
           .as("gini_ppm"))
   }
 
+  /** Top movers between consecutive periods: the k series-periods with
+    * the largest ABSOLUTE cent delta vs the prior period — "what
+    * changed most this week", the triage view over
+    * [[periodOverPeriod]]'s full table. The delta is exact integer
+    * cents, so the ordering is deterministic; ties break on
+    * (series, period). TakeOrdered(k) — never a global sort. */
+  def topMovers(events: DataFrame, seriesCol: String, tsCol: String,
+                valCol: Column, k: Int = 10): DataFrame =
+    periodOverPeriod(events, seriesCol, tsCol, valCol)
+      .filter(col("sum_cents_prev").isNotNull)
+      .select(col("series"), col("period"), col("sum_cents"),
+        col("sum_cents_prev"),
+        (col("sum_cents") - col("sum_cents_prev")).as("delta_cents"))
+      .orderBy(abs(col("delta_cents")).desc, col("series"), col("period"))
+      .limit(k)
+
+  /** Out-of-orderness (lateness) profile of an event stream: for each
+    * event, lateness = high-watermark timestamp among STRICTLY EARLIER
+    * arrivals (by `seqCol`) minus its own timestamp, clamped at 0 —
+    * the measurement that picks a Structured Streaming watermark delay.
+    * The running maximum runs as the repo's two-pass range-partitioned
+    * prefix scan (per-partition maxima broadcast back as exclusive
+    * offsets), so no stage sees more than its range slice. Returns the
+    * integral histogram (bucket_start_s, n_events) with
+    * `bucketSeconds`-wide buckets. */
+  def latenessProfile(events: DataFrame, seqCol: String, tsCol: String,
+                      bucketSeconds: Long = 600): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val base = events
+      .filter(col(seqCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(seqCol).cast("long").as("seq"),
+        col(tsCol).cast("long").as("t"))
+      .repartitionByRange(col("seq"))
+      .sortWithinPartitions("seq")
+    val rdd = base.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partMax = rdd.mapPartitionsWithIndex { (i, it) =>
+        var m = Long.MinValue
+        it.foreach { case (_, t) => if (t > m) m = t }
+        Iterator((i, m))
+      }.collect().sortBy(_._1)
+      val offs = new Array[Long](math.max(rdd.getNumPartitions, 1))
+      var acc = Long.MinValue
+      partMax.foreach { case (i, m) => offs(i) = acc; acc = math.max(acc, m) }
+      val bcOff = rdd.sparkContext.broadcast(offs)
+      val lateness = rdd.mapPartitionsWithIndex { (i, it) =>
+        var run = bcOff.value(i)
+        it.map { case (_, t) =>
+          val lat = if (run == Long.MinValue) 0L else math.max(0L, run - t)
+          if (t > run) run = t
+          lat
+        }
+      }.toDF("lat")
+      lateness
+        .groupBy((expr(s"lat div $bucketSeconds") * bucketSeconds)
+          .as("bucket_start_s"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("bucket_start_s")
+        // materialize before unpersist: one bounded histogram
+        .localCheckpoint(true)
+    } finally { rdd.unpersist(blocking = false); () }
+  }
+
   /** Kaplan–Meier survival over per-user activity lifetimes — the
     * retention curve with correct CENSORING, which the cohort
     * retention table cannot express (users still active at the corpus

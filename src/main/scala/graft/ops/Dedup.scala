@@ -1311,4 +1311,19 @@ object Dedup {
       .select(col("k"), col("n_equal"),
         (col("n_equal").cast("double") / col("k")).as("sim"))
   }
+
+  /** Cluster-size distribution of a labeling (the output of
+    * [[connectedComponents]] / [[connectedComponentsStar]]): how many
+    * clusters of each size exist and how many documents they hold —
+    * the "is my dedup graph a few mega-clusters or many pairs" health
+    * check that decides keeper policy and cap settings. Two grouped
+    * counts; all integral. Returns (size, n_clusters, n_docs). */
+  def clusterSizes(labels: DataFrame, clusterCol: String): DataFrame =
+    labels.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"))
+      .orderBy("size")
 }

@@ -148,6 +148,15 @@ object EventQueries {
         "ts", col("value"))
       .orderBy("series", "period")
 
+  /** Top-10 week-over-week movers by absolute cent delta. */
+  def topMoversQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Analytics.topMovers(events(spark, dir), "event_type",
+      "ts", col("value"))
+
+  /** Arrival-order lateness histogram (10-minute buckets). */
+  def latenessQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Analytics.latenessProfile(events(spark, dir), "event_id", "ts")
+
   /** Last-touch marketing attribution: each purchase attributes to the
     * user's most recent view/click touch within a 2-hour lookback
     * (else "none"); per-channel conversions + attributed revenue.

@@ -3734,7 +3734,44 @@ object OpsOracles {
         |  FROM t, k1 WHERE rn <= 100)
         |SELECT 100::BIGINT AS k, k1.xt AS x_tail,
         |  round(100.0::DOUBLE / s.sl, 6) AS hill_alpha
-        |FROM k1, s""".stripMargin.trim
+        |FROM k1, s""".stripMargin.trim,
+
+    // cluster-size histogram over the shared near-dup CC reachability
+    "q_cluster_sizes" ->
+      s"""$nearDupClusterCte,
+         |mem AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+         |sz AS (SELECT c, count(*)::BIGINT AS size FROM mem GROUP BY 1)
+         |SELECT size, count(*)::BIGINT AS n_clusters,
+         |  (size * count(*))::BIGINT AS n_docs
+         |FROM sz GROUP BY size ORDER BY size""".stripMargin.trim,
+
+    // top movers: exact integer deltas make the top-10 selection
+    // deterministic (abs desc, then series/period)
+    "q_top_movers" ->
+      """WITH per AS (
+        |  SELECT event_type AS series, date_trunc('week', ts) AS period,
+        |         sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+        |  FROM events GROUP BY 1, 2),
+        |prev AS (SELECT series, period + INTERVAL 7 DAY AS period,
+        |                sum_cents AS sum_cents_prev FROM per)
+        |SELECT p.series, p.period, p.sum_cents, v.sum_cents_prev,
+        |  (p.sum_cents - v.sum_cents_prev)::BIGINT AS delta_cents
+        |FROM per p JOIN prev v USING (series, period)
+        |ORDER BY abs(p.sum_cents - v.sum_cents_prev) DESC, p.series, p.period
+        |LIMIT 10""".stripMargin.trim,
+
+    // lateness histogram: exclusive running max over arrival order
+    // (the engine's two-pass prefix scan == one ordered window here)
+    "q_lateness" ->
+      """WITH r AS (SELECT event_id AS seq, floor(epoch(ts))::BIGINT AS t
+        |  FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL),
+        |p AS (SELECT t, max(t) OVER (ORDER BY seq ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM r),
+        |l AS (SELECT CASE WHEN pm IS NULL THEN 0
+        |    ELSE greatest(0, pm - t) END::BIGINT AS lat FROM p)
+        |SELECT ((lat // 600) * 600)::BIGINT AS bucket_start_s,
+        |  count(*)::BIGINT AS n_events
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1896,4 +1896,12 @@ object OpsQueries {
   /** Hill tail index of the document-length distribution (k=100). */
   def hillTailQ(spark: SparkSession, dir: String): DataFrame =
     CorpusStats.hillTail(tbl(spark, dir, "documents"), "n_chars")
+
+  /** Cluster-size distribution of the near-dup CC labeling. */
+  def clusterSizesQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.6)
+    Dedup.clusterSizes(
+      Dedup.connectedComponents(pairs, "id_a", "id_b"), "cluster_id")
+  }
 }

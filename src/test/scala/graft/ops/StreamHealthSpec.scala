@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cluster-size distribution, top movers, lateness profile. */
+class StreamHealthSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clusterSizes: histogram of label cardinalities") {
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 30L)).toDF("id", "cluster_id")
+    val got = Dedup.clusterSizes(labels, "cluster_id").collect()
+      .map(r => r.getAs[Long]("size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"))).toMap
+    assert(got(3L) === ((1L, 3L)))
+    assert(got(2L) === ((1L, 2L)))
+    assert(got(1L) === ((1L, 1L)))
+  }
+
+  test("topMovers: picks the largest absolute deltas, ties broken by key") {
+    def ts(week: Int) = java.sql.Timestamp.valueOf(f"2024-01-${week * 7 + 1}%02d 12:00:00")
+    // series a: 10 -> 50 (delta +40); series b: 100 -> 10 (delta -90)
+    val ev = Seq(("a", ts(0), 10.0), ("a", ts(1), 50.0),
+      ("b", ts(0), 100.0), ("b", ts(1), 10.0)).toDF("et", "ts", "v")
+    val got = Analytics.topMovers(ev, "et", "ts", col("v"), k = 1).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[String]("series") === "b")
+    assert(got(0).getAs[Long]("delta_cents") === -9000L)
+    val both = Analytics.topMovers(ev, "et", "ts", col("v"), k = 5).collect()
+    assert(both.map(_.getAs[String]("series")).toSeq === Seq("b", "a"))
+  }
+
+  test("latenessProfile: exclusive running max, clamped, bucketed") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // arrival order by seq; event at seq 3 is 1300s late, seq 5 is 700s
+    val ev = Seq(
+      (1L, ts(10000L)), (2L, ts(10600L)), (3L, ts(9300L)),
+      (4L, ts(11000L)), (5L, ts(10300L)), (6L, ts(12000L)))
+      .toDF("event_id", "ts")
+    val got = Analytics.latenessProfile(ev, "event_id", "ts", bucketSeconds = 600)
+      .collect().map(r => r.getAs[Long]("bucket_start_s") ->
+        r.getAs[Long]("n_events")).toMap
+    // latenesses: 0 (first), 0, 1300, 0, 700, 0 -> buckets 0:4, 600:1, 1200:1
+    assert(got(0L) === 4L)
+    assert(got(600L) === 1L)
+    assert(got(1200L) === 1L)
+  }
+}
