@@ -262,7 +262,9 @@ object SparkEntry {
     "q_hill_tail"        -> (OpsQueries.hillTailQ _),
     "q_cluster_sizes"    -> (OpsQueries.clusterSizesQ _),
     "q_top_movers"       -> (EventQueries.topMoversQ _),
-    "q_lateness"         -> (EventQueries.latenessQ _)
+    "q_lateness"         -> (EventQueries.latenessQ _),
+    "q_user_growth"      -> (OpsQueries.userGrowthQ _),
+    "q_stickiness"       -> (OpsQueries.stickinessQ _)
   )
 
   private val fixedPathValues =

@@ -419,6 +419,39 @@ object Analytics {
       .select(col("d"), col("dau"), col(s"rolling_$windowDays"))
   }
 
+  /** New-user growth curve: per first-seen day, how many actors
+    * appeared for the first time and the cumulative total — the
+    * acquisition view the DAU series cannot give. One per-actor min
+    * aggregation (corpus-linear); the cumulative sum runs over the
+    * bounded day grid. Returns (d, new_users, cum_users). */
+  def userGrowth(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val firstSeen = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(col(tsCol).cast("date")).as("d"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    firstSeen
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy("d")
+  }
+
+  /** DAU/WAU stickiness per day — "what share of the trailing window's
+    * actives showed up today", the engagement-frequency dial. Rides on
+    * [[rollingDistinct]]'s exact explode-based trailing window (no HLL
+    * error) and adds one integral floored-ppm ratio. The leading
+    * `windowDays − 1` days carry partial windows, as in any trailing
+    * metric. Returns (d, dau, rolling_N, stickiness_ppm). */
+  def stickiness(df: DataFrame, keyCol: String, tsCol: String,
+                 windowDays: Int = 7): DataFrame =
+    rollingDistinct(df, keyCol, tsCol, windowDays)
+      .withColumn("stickiness_ppm",
+        expr(s"dau * 1000000 div rolling_$windowDays"))
+      .orderBy("d")
+
   /** Seasonal-residual anomalies: subtract each event's hour-of-week
     * cell mean ([[seasonalProfile]]'s grid) from its value and count
     * exceedances — the "is this spike real or just Friday night"

@@ -3771,7 +3771,31 @@ object OpsOracles {
         |    ELSE greatest(0, pm - t) END::BIGINT AS lat FROM p)
         |SELECT ((lat // 600) * 600)::BIGINT AS bucket_start_s,
         |  count(*)::BIGINT AS n_events
-        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin.trim
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+
+    // new-user growth: per-actor first-seen day, cumulative over the
+    // bounded day grid
+    "q_user_growth" ->
+      """WITH fs AS (SELECT user_id, min(ts::DATE) AS d FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1),
+        |nd AS (SELECT d, count(*)::BIGINT AS new_users FROM fs GROUP BY 1)
+        |SELECT d, new_users,
+        |  sum(new_users) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)::BIGINT AS cum_users
+        |FROM nd ORDER BY d""".stripMargin.trim,
+
+    // stickiness: the exact rolling-distinct table + one floored ppm
+    "q_stickiness" ->
+      """WITH days AS (SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |dau AS (SELECT d, count(*)::BIGINT AS dau FROM days GROUP BY d),
+        |ex AS (SELECT DISTINCT k, d + CAST(o AS INTEGER) AS td
+        |       FROM days, generate_series(0, 6) AS g(o)),
+        |wau AS (SELECT td AS d, count(*)::BIGINT AS rolling_7
+        |        FROM ex GROUP BY td)
+        |SELECT dau.d, dau.dau, wau.rolling_7,
+        |  (dau.dau * 1000000 // wau.rolling_7)::BIGINT AS stickiness_ppm
+        |FROM dau JOIN wau ON dau.d = wau.d ORDER BY dau.d""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1897,6 +1897,14 @@ object OpsQueries {
   def hillTailQ(spark: SparkSession, dir: String): DataFrame =
     CorpusStats.hillTail(tbl(spark, dir, "documents"), "n_chars")
 
+  /** New-user growth curve over the event stream. */
+  def userGrowthQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.userGrowth(tbl(spark, dir, "events"), "user_id", "ts")
+
+  /** DAU/WAU stickiness per day (7-day trailing window). */
+  def stickinessQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.stickiness(tbl(spark, dir, "events"), "user_id", "ts")
+
   /** Cluster-size distribution of the near-dup CC labeling. */
   def clusterSizesQ(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id", "text",

@@ -31,6 +31,21 @@ class StreamHealthSpec extends SparkSpec {
     assert(both.map(_.getAs[String]("series")).toSeq === Seq("b", "a"))
   }
 
+  test("userGrowth and stickiness: first-seen cumulative, floored ppm") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-04-${day + 1}%02d 08:00:00")
+    val ev = Seq((1L, 0), (2L, 0), (1L, 1), (3L, 1), (1L, 2))
+      .map { case (u, d) => (u, ts(d)) }.toDF("user_id", "ts")
+    val g = Analytics.userGrowth(ev, "user_id", "ts").collect()
+    assert(g.map(_.getAs[Long]("new_users")).toSeq === Seq(2L, 1L))
+    assert(g.map(_.getAs[Long]("cum_users")).toSeq === Seq(2L, 3L))
+    val s = Analytics.stickiness(ev, "user_id", "ts").collect()
+      .map(r => r.getDate(0).toString -> r).toMap
+    // day 2: dau=1 (u1), trailing-7 actives = {1,2,3} -> 333333 ppm
+    assert(s("2024-04-03").getAs[Long]("dau") === 1L)
+    assert(s("2024-04-03").getAs[Long]("rolling_7") === 3L)
+    assert(s("2024-04-03").getAs[Long]("stickiness_ppm") === 333333L)
+  }
+
   test("latenessProfile: exclusive running max, clamped, bucketed") {
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
     // arrival order by seq; event at seq 3 is 1300s late, seq 5 is 700s
