@@ -264,7 +264,10 @@ object SparkEntry {
     "q_top_movers"       -> (EventQueries.topMoversQ _),
     "q_lateness"         -> (EventQueries.latenessQ _),
     "q_user_growth"      -> (OpsQueries.userGrowthQ _),
-    "q_stickiness"       -> (OpsQueries.stickinessQ _)
+    "q_stickiness"       -> (OpsQueries.stickinessQ _),
+    "q_fairness"         -> (OpsQueries.fairnessQ _),
+    "q_neg_sample"       -> (OpsQueries.negSampleQ _),
+    "q_eb_smooth"        -> (OpsQueries.ebSmoothQ _)
   )
 
   private val fixedPathValues =

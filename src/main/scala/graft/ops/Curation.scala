@@ -121,4 +121,51 @@ object Curation {
           expr("coalesce(effective_tokens, 0) * 1000000 div raw_tokens"))
           .as("dedup_ratio_ppm"))
   }
+
+  /** Empirical-Bayes (beta-binomial) smoothing of per-key success
+    * rates — the standard fix for "this domain has 2/2 good docs, is
+    * it really 100%?" before rates feed mixture or keeper decisions.
+    * The beta prior is fitted by method of moments on the FLOORED-PPM
+    * per-key rates (exact integer moments → two doubles), so the fit
+    * is deterministic on any engine; each key's smoothed rate is then
+    * (s + α) / (t + α + β). Degenerate priors (zero between-key
+    * variance, or variance at the binomial bound) fall back to the
+    * global mean. One grouped count pass + one moment rollup.
+    * Returns (key, trials, successes, raw_ppm, alpha, beta,
+    * smoothed). */
+  def ebSmoothRates(df: DataFrame, keyCol: String,
+                    successCol: org.apache.spark.sql.Column,
+                    outDigits: Int = 6): DataFrame = {
+    val perKey = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("t"), sum(successCol.cast("long")).as("s"))
+      .withColumn("r_ppm", expr("s * 1000000 div t"))
+      .localCheckpoint(false) // key rows + moment rollup reuse
+    val m = perKey.agg(count(lit(1)).cast("decimal(38,0)").as("k"),
+      sum(col("r_ppm").cast("decimal(38,0)")).as("sr"),
+      sum(col("r_ppm").cast("decimal(38,0)")
+        * col("r_ppm").cast("decimal(38,0)")).as("srr")).head()
+    val kk = BigDecimal(m.getDecimal(0))
+    val sr = BigDecimal(m.getDecimal(1))
+    val srr = BigDecimal(m.getDecimal(2))
+    require(kk > 0, "no keys")
+    // population moments of the ppm rates; the double conversions are
+    // the first inexact step and the oracle mirrors them
+    val mean = sr.toDouble / kk.toDouble / 1e6
+    val variance = (kk * srr - sr * sr).toDouble / (kk * kk).toDouble / 1e12
+    val mm = mean * (1.0 - mean)
+    val (alpha, beta) =
+      if (variance <= 0.0 || variance >= mm) (0.0, 0.0) // fallback: no prior
+      else {
+        val c = mm / variance - 1.0
+        (mean * c, (1.0 - mean) * c)
+      }
+    def r6(c: org.apache.spark.sql.Column) = round(c, outDigits)
+    perKey.select(col("key"), col("t").as("trials"), col("s").as("successes"),
+      col("r_ppm").as("raw_ppm"),
+      r6(lit(alpha)).as("alpha"), r6(lit(beta)).as("beta"),
+      r6((col("s").cast("double") + lit(alpha))
+        / (col("t").cast("double") + lit(alpha) + lit(beta))).as("smoothed"))
+      .orderBy("key")
+  }
 }

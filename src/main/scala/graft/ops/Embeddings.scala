@@ -287,6 +287,10 @@ object Embeddings {
       if (x._2 == null) y
       else if (y._2 == null) x
       else {
+        // partitions can each see only one row — the uniform-dimension
+        // contract must hold across partitions too
+        require(x._2.length == y._2.length,
+          "embedding dimensions must be uniform")
         var i = 0
         while (i < x._2.length) { x._2(i) += y._2(i); i += 1 }
         i = 0

@@ -310,6 +310,47 @@ object Evaluation {
     sq.crossJoin(ece)
   }
 
+  /** Per-group fairness audit of a binary classifier: selection rate,
+    * TPR and FPR per protected group plus each group's gap to the
+    * OVERALL rate — the demographic-parity / equalized-odds screen a
+    * training-data pipeline runs before shipping labels downstream.
+    * One grouped count pass (confusion cells per group; the overall
+    * row is the sum of the group rows — no second scan); every rate
+    * is a floored ppm and every gap an integer ppm difference, so the
+    * whole audit is engine-exact. Returns one row per group:
+    * (group, n, n_pos, sel_ppm, tpr_ppm, fpr_ppm, sel_gap_ppm,
+    * tpr_gap_ppm, fpr_gap_ppm). */
+  def fairnessAudit(df: DataFrame, groupCol: String,
+                    predCol: org.apache.spark.sql.Column,
+                    labelCol: org.apache.spark.sql.Column): DataFrame = {
+    val cells = df
+      .select(col(groupCol).as("g"), predCol.cast("long").as("p"),
+        labelCol.cast("long").as("y"))
+      .filter(col("g").isNotNull && col("p").isNotNull && col("y").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("p")).as("n_sel"),
+        sum(col("p") * col("y")).as("tp"),
+        sum(col("p") * (lit(1L) - col("y"))).as("fp"))
+      .localCheckpoint(false) // group rows + overall rollup reuse
+    val overall = cells.agg(sum(col("n")).as("tot_n"),
+      sum(col("n_pos")).as("tot_pos"), sum(col("n_sel")).as("tot_sel"),
+      sum(col("tp")).as("tot_tp"), sum(col("fp")).as("tot_fp"))
+    cells.crossJoin(broadcast(overall))
+      .filter(col("n_pos") > 0 && col("n_pos") < col("n")) // both classes present
+      .select(col("g"), col("n"), col("n_pos"),
+        expr("n_sel * 1000000 div n").as("sel_ppm"),
+        expr("tp * 1000000 div n_pos").as("tpr_ppm"),
+        expr("fp * 1000000 div (n - n_pos)").as("fpr_ppm"),
+        (expr("n_sel * 1000000 div n")
+          - expr("tot_sel * 1000000 div tot_n")).as("sel_gap_ppm"),
+        (expr("tp * 1000000 div n_pos")
+          - expr("tot_tp * 1000000 div tot_pos")).as("tpr_gap_ppm"),
+        (expr("fp * 1000000 div (n - n_pos)")
+          - expr("tot_fp * 1000000 div (tot_n - tot_pos)")).as("fpr_gap_ppm"))
+      .orderBy("g")
+  }
+
   /** Cohen's kappa between two categorical raters/classifiers —
     * chance-corrected agreement, the standard inter-annotator metric
     * for label-quality audits. kappa = (N·ΣD − ΣM) / (N² − ΣM) where

@@ -337,4 +337,39 @@ object Sampling {
       round(expr("percentile(mean_ppm_units, 0.5)"), 6).as("median"),
       round(expr(s"percentile(mean_ppm_units, $lo)"), 6).as("ci_lo"),
       round(expr(s"percentile(mean_ppm_units, $hi)"), 6).as("ci_hi"))
+
+  /** Deterministic negative sampling for contrastive training: for
+    * each (query, positive) pair, emit `k` pseudo-random negatives
+    * drawn by a Knuth multiplicative hash over a DENSE id space
+    * [0, corpusSize) — reproducible across runs and engines (no
+    * rand()), the epoch-shuffle discipline applied to negatives.
+    * A draw that collides with the row's positive advances by one
+    * (mod corpusSize); collisions BETWEEN negatives of one query are
+    * possible and by design (sampling with replacement, the standard
+    * contrastive setup). Pure per-row expressions — corpus-linear,
+    * no join, no shuffle beyond the input's. Requires ids dense:
+    * callers with sparse ids must rank-compact first. */
+  def negativeSample(pairs: DataFrame, queryCol: String, posCol: String,
+                     corpusSize: Long, k: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(corpusSize > 1, "need at least two candidates")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val draws = spark.range(1, k + 1).toDF("neg_rank")
+    pairs
+      .select(col(queryCol).cast("long").as("query_id"),
+        col(posCol).cast("long").as("pos_id"))
+      .filter(col("query_id").isNotNull && col("pos_id").isNotNull)
+      .crossJoin(broadcast(draws))
+      // (q mod 2^31)·KNUTH + rank·40503 < 2^63 always; double mod
+      // keeps every intermediate non-negative on any engine
+      .withColumn("__h",
+        expr("((query_id % 2147483648) * 2654435761 + neg_rank * 40503) " +
+          s"% 2147483648 % $corpusSize"))
+      .withColumn("neg_id",
+        when(col("__h") === col("pos_id"),
+          (col("__h") + 1) % corpusSize).otherwise(col("__h")))
+      .select(col("query_id"), col("pos_id"), col("neg_rank"), col("neg_id"))
+      .orderBy("query_id", "neg_rank")
+  }
 }

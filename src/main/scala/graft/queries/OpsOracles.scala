@@ -3795,7 +3795,80 @@ object OpsOracles {
         |        FROM ex GROUP BY td)
         |SELECT dau.d, dau.dau, wau.rolling_7,
         |  (dau.dau * 1000000 // wau.rolling_7)::BIGINT AS stickiness_ppm
-        |FROM dau JOIN wau ON dau.d = wau.d ORDER BY dau.d""".stripMargin.trim
+        |FROM dau JOIN wau ON dau.d = wau.d ORDER BY dau.d""".stripMargin.trim,
+
+    // fairness audit: per-group confusion cells, overall = sum of the
+    // group rows; every rate floored ppm, every gap an integer diff
+    "q_fairness" ->
+      """WITH base AS (SELECT lang AS g,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END::BIGINT AS p,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END::BIGINT AS y
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |    AND doc_id IS NOT NULL),
+        |cells AS (SELECT g, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+        |    sum(p)::BIGINT AS n_sel, sum(p * y)::BIGINT AS tp,
+        |    sum(p * (1 - y))::BIGINT AS fp FROM base GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT AS tn, sum(n_pos)::BIGINT AS tpos,
+        |    sum(n_sel)::BIGINT AS tsel, sum(tp)::BIGINT AS ttp,
+        |    sum(fp)::BIGINT AS tfp FROM cells)
+        |SELECT g, n, n_pos,
+        |  (n_sel * 1000000 // n)::BIGINT AS sel_ppm,
+        |  (tp * 1000000 // n_pos)::BIGINT AS tpr_ppm,
+        |  (fp * 1000000 // (n - n_pos))::BIGINT AS fpr_ppm,
+        |  ((n_sel * 1000000 // n) - (tsel * 1000000 // tn))::BIGINT
+        |    AS sel_gap_ppm,
+        |  ((tp * 1000000 // n_pos) - (ttp * 1000000 // tpos))::BIGINT
+        |    AS tpr_gap_ppm,
+        |  ((fp * 1000000 // (n - n_pos))
+        |    - (tfp * 1000000 // (tn - tpos)))::BIGINT AS fpr_gap_ppm
+        |FROM cells, tot WHERE n_pos > 0 AND n_pos < n
+        |ORDER BY g""".stripMargin.trim,
+
+    // deterministic contrastive negatives: the Knuth hash draw with
+    // positive-collision advance, over the dense vec_id space
+    "q_neg_sample" ->
+      """WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+        |pairs AS (SELECT vec_id AS query_id,
+        |    (vec_id + 7) % (SELECT n FROM nn) AS pos_id
+        |  FROM embeddings WHERE vec_id < 20),
+        |draws AS (SELECT unnest(range(1, 5))::BIGINT AS neg_rank),
+        |h AS (SELECT query_id, pos_id, neg_rank,
+        |    ((query_id % 2147483648) * 2654435761 + neg_rank * 40503)
+        |      % 2147483648 % (SELECT n FROM nn) AS hv
+        |  FROM pairs, draws)
+        |SELECT query_id, pos_id, neg_rank,
+        |  CASE WHEN hv = pos_id THEN (hv + 1) % (SELECT n FROM nn)
+        |    ELSE hv END::BIGINT AS neg_id
+        |FROM h ORDER BY query_id, neg_rank""".stripMargin.trim,
+
+    // empirical-Bayes beta-binomial smoothing: the prior fitted by
+    // method of moments on the floored-ppm per-key rates (exact
+    // integer moments -> the engine's exact double sequence)
+    "q_eb_smooth" ->
+      """WITH pk AS (SELECT source AS key, count(*)::BIGINT AS t,
+        |    sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT AS s
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |pr AS (SELECT key, t, s, (s * 1000000 // t)::BIGINT AS r_ppm FROM pk),
+        |m AS (SELECT count(*)::HUGEINT AS k, sum(r_ppm)::HUGEINT AS sr,
+        |    sum(r_ppm::HUGEINT * r_ppm) AS srr FROM pr),
+        |mo AS (SELECT sr::DOUBLE / k::DOUBLE / 1000000.0::DOUBLE AS mean,
+        |    (k * srr - sr * sr)::DOUBLE / (k * k)::DOUBLE
+        |      / 1000000000000.0::DOUBLE AS variance FROM m),
+        |ab AS (SELECT CASE WHEN variance <= 0.0
+        |      OR variance >= mean * (1.0::DOUBLE - mean) THEN 0.0::DOUBLE
+        |    ELSE mean * (mean * (1.0::DOUBLE - mean) / variance
+        |      - 1.0::DOUBLE) END AS alpha,
+        |    CASE WHEN variance <= 0.0
+        |      OR variance >= mean * (1.0::DOUBLE - mean) THEN 0.0::DOUBLE
+        |    ELSE (1.0::DOUBLE - mean) * (mean * (1.0::DOUBLE - mean)
+        |      / variance - 1.0::DOUBLE) END AS beta
+        |  FROM mo)
+        |SELECT key, t AS trials, s AS successes, r_ppm AS raw_ppm,
+        |  round(alpha, 6) AS alpha, round(beta, 6) AS beta,
+        |  round((s::DOUBLE + alpha) / (t::DOUBLE + alpha + beta), 6)
+        |    AS smoothed
+        |FROM pr, ab ORDER BY key""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

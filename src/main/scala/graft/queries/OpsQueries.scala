@@ -1905,6 +1905,27 @@ object OpsQueries {
   def stickinessQ(spark: SparkSession, dir: String): DataFrame =
     Analytics.stickiness(tbl(spark, dir, "events"), "user_id", "ts")
 
+  /** Per-language fairness audit of the length-gate classifier
+    * against a deterministic planted label. */
+  def fairnessQ(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.fairnessAudit(tbl(spark, dir, "documents"), "lang",
+      (col("n_chars") >= 300).cast("long"),
+      (col("doc_id") % 3 === 0).cast("long"))
+
+  /** Deterministic contrastive negatives over the dense vec_id space. */
+  def negSampleQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(spark, dir, "embeddings")
+    val n = emb.count()
+    val pairs = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"), ((col("vec_id") + 7) % n).as("pos"))
+    Sampling.negativeSample(pairs, "vec_id", "pos", corpusSize = n, k = 4)
+  }
+
+  /** Empirical-Bayes smoothing of per-source long-doc rates. */
+  def ebSmoothQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
+      (col("n_chars") >= 300).cast("long"))
+
   /** Cluster-size distribution of the near-dup CC labeling. */
   def clusterSizesQ(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id", "text",
