@@ -250,8 +250,12 @@ object Embeddings {
     * (n·P_ij − S_i·S_j) / n² in quantized units², rescaled to the
     * original units by one exact power-of-ten division. Returns
     * (i, j, cov) for the upper triangle, 0-based. */
-  def covariance(df: DataFrame, vecCol: String,
-                 scaleDigits: Int = 3, outDigits: Int = 6): DataFrame = {
+  /** One treeAggregate pass over the quantized vectors: row count,
+    * per-dimension sums, and upper-triangle products — the shared
+    * sufficient statistics behind [[covariance]] and [[pcaTopK]].
+    * Driver state is d² longs regardless of corpus size. */
+  private def covMoments(df: DataFrame, vecCol: String,
+                         scaleDigits: Int): (Long, Array[Long], Array[Long]) = {
     val spark = df.sparkSession
     import spark.implicits._
     val unit = math.pow(10, scaleDigits)
@@ -299,6 +303,15 @@ object Embeddings {
       }
     val (n, s, p) = vecs.rdd.treeAggregate(zero)(seqOp, combOp)
     require(n > 0, "no vectors")
+    (n, s, p)
+  }
+
+  def covariance(df: DataFrame, vecCol: String,
+                 scaleDigits: Int = 3, outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val (n, s, p) = covMoments(df, vecCol, scaleDigits)
     val d = s.length
     val unit2 = unit * unit
     val rows = for {
@@ -314,5 +327,112 @@ object Embeddings {
       (i, j, cov)
     }
     rows.toDF("i", "j", "cov")
+  }
+
+  /** Principal components of the embedding population. The covariance
+    * comes from the same single-pass [[covMoments]] sufficient
+    * statistics (d² driver state, corpus-size independent); the d×d
+    * eigendecomposition — a driver-trivial dense problem at embedding
+    * dimensions — runs as cyclic Jacobi sweeps to convergence.
+    * Components are sorted by descending eigenvalue with a
+    * deterministic sign convention (the largest-|weight| coordinate is
+    * positive). Eigendecomposition has no SQL oracle; correctness is
+    * spec-pinned: orthonormality, eigenvalue ordering, trace identity,
+    * and projected-variance == eigenvalue. */
+  case class PcaModel(eigenvalues: Array[Double],
+                      components: Array[Array[Double]]) {
+    def k: Int = components.length
+    def d: Int = if (components.isEmpty) 0 else components(0).length
+  }
+
+  def pcaTopK(df: DataFrame, vecCol: String, k: Int,
+              scaleDigits: Int = 3): PcaModel = {
+    require(k >= 1, "k must be >= 1")
+    val unit = math.pow(10, scaleDigits)
+    val (n, s, p) = covMoments(df, vecCol, scaleDigits)
+    val d = s.length
+    require(k <= d, s"k=$k exceeds dimension $d")
+    val unit2 = unit * unit
+    // population covariance in original units
+    val a = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val idx = i * d - i * (i - 1) / 2 + (j - i)
+      val num = BigInt(n) * BigInt(p(idx)) - BigInt(s(i)) * BigInt(s(j))
+      val c = num.toDouble / (n.toDouble * n.toDouble) / unit2
+      a(i)(j) = c; a(j)(i) = c
+    }
+    // cyclic Jacobi on the symmetric matrix; v accumulates rotations
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-12) {
+      off = 0.0
+      for (pi <- 0 until d - 1; qi <- pi + 1 until d) {
+        val apq = a(pi)(qi)
+        if (math.abs(apq) > 1e-300) {
+          off = math.max(off, math.abs(apq))
+          val theta = (a(qi)(qi) - a(pi)(pi)) / (2.0 * apq)
+          val t = math.signum(theta) match {
+            case 0.0 => 1.0
+            case sgn => sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          }
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val sn = t * c
+          var i = 0
+          while (i < d) {
+            val aip = a(i)(pi); val aiq = a(i)(qi)
+            a(i)(pi) = c * aip - sn * aiq
+            a(i)(qi) = sn * aip + c * aiq
+            i += 1
+          }
+          i = 0
+          while (i < d) {
+            val api = a(pi)(i); val aqi = a(qi)(i)
+            a(pi)(i) = c * api - sn * aqi
+            a(qi)(i) = sn * api + c * aqi
+            val vip = v(i)(pi); val viq = v(i)(qi)
+            v(i)(pi) = c * vip - sn * viq
+            v(i)(qi) = sn * vip + c * viq
+            i += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    val pairs = (0 until d).map { j =>
+      (a(j)(j), Array.tabulate(d)(i => v(i)(j)))
+    }.sortBy(-_._1).take(k)
+    val comps = pairs.map { case (_, vec) =>
+      // deterministic sign: the largest-|weight| coordinate positive
+      val m = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      if (vec(m) < 0) vec.map(x => -x) else vec
+    }.toArray
+    PcaModel(pairs.map(_._1).toArray, comps)
+  }
+
+  /** Project every vector onto the model's components — one narrow
+    * typed kernel pass with the (k×d) component matrix broadcast;
+    * corpus-linear, no shuffle. Returns (idCol, scores[k]). */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 model: PcaModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.components)
+    df.filter(col(vecCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val comps = bc.value
+        it.map { case (id, vec) =>
+          val scores = comps.map { c =>
+            var acc = 0.0
+            var i = 0
+            while (i < c.length) { acc += c(i) * vec(i); i += 1 }
+            acc
+          }
+          (id, scores.toSeq)
+        }
+      }
+      .toDF(idCol, "scores")
   }
 }
