@@ -267,7 +267,11 @@ object SparkEntry {
     "q_stickiness"       -> (OpsQueries.stickinessQ _),
     "q_fairness"         -> (OpsQueries.fairnessQ _),
     "q_neg_sample"       -> (OpsQueries.negSampleQ _),
-    "q_eb_smooth"        -> (OpsQueries.ebSmoothQ _)
+    "q_eb_smooth"        -> (OpsQueries.ebSmoothQ _),
+    "q_json_extract"     -> (OpsQueries.jsonExtractQ _),
+    "q_session_paths"    -> (OpsQueries.sessionPathsQ _),
+    "q_conversion_lag"   -> (OpsQueries.conversionLagQ _),
+    "q_lang_confusion"   -> (OpsQueries.langConfusionQ _)
   )
 
   private val fixedPathValues =

@@ -419,6 +419,51 @@ object Analytics {
       .select(col("d"), col("dau"), col(s"rolling_$windowDays"))
   }
 
+  /** Top k 3-step behavior paths: consecutive event-type trigrams per
+    * actor (ordered by (ts, tie)), counted corpus-wide — the "what do
+    * users actually do" extension of first-order [[transitions]].
+    * One keyed double-lag window + one grouped count; the top-k pick
+    * is TakeOrdered with a deterministic (count desc, path asc)
+    * ordering. Returns (path, n). */
+  def sessionPaths(events: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, typeCol: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("__p1", lag(col(typeCol), 1).over(w))
+      .withColumn("__p2", lag(col(typeCol), 2).over(w))
+      .filter(col("__p1").isNotNull && col("__p2").isNotNull)
+      .select(concat_ws(">", col("__p2"), col("__p1"), col(typeCol)).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Conversion-lag histogram: for each actor with a `fromType` event,
+    * the day gap to their first `toType` event AT OR AFTER the first
+    * `fromType` — the time-to-convert distribution behind funnel SLAs.
+    * Two grouped min aggregations + one equi-join on the actor key
+    * (the ts comparison is a post-join filter, never a range join).
+    * Returns the integral histogram (lag_days, n_users). */
+  def conversionLag(events: DataFrame, keyCol: String, tsCol: String,
+                    typeCol: String, fromType: String,
+                    toType: String): DataFrame = {
+    val base = events.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+    val first = base.filter(col(typeCol) === fromType)
+      .groupBy(col(keyCol).as("u")).agg(min(col(tsCol)).as("t0"))
+    val conv = base.filter(col(typeCol) === toType)
+      .select(col(keyCol).as("u"), col(tsCol).as("t1"))
+      .join(first, Seq("u"))
+      .filter(col("t1") >= col("t0"))
+      .groupBy(col("u"), col("t0")).agg(min(col("t1")).as("t1"))
+    conv
+      .select(datediff(to_date(col("t1")), to_date(col("t0"))).cast("long")
+        .as("lag_days"))
+      .groupBy("lag_days").agg(count(lit(1)).as("n_users"))
+      .orderBy("lag_days")
+  }
+
   /** New-user growth curve: per first-seen day, how many actors
     * appeared for the first time and the cumulative total — the
     * acquisition view the DAU series cannot give. One per-actor min

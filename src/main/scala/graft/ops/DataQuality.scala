@@ -86,6 +86,26 @@ object DataQuality {
       min(col("__l")).as("min_l_diversity"))
   }
 
+  /** Typed-field profile of a semi-structured JSON column: extract
+    * one path per group and report count, null/unparsable count, and
+    * exact integer min/max/sum — the schema-discovery step before
+    * promoting a props blob to a real column. One narrow projection +
+    * one grouped aggregation; the JSON parse stays inside codegen
+    * (`get_json_object`). Returns (group, n, n_null, min_v, max_v,
+    * sum_v). */
+  def jsonFieldStats(df: DataFrame, groupCol: String, jsonCol: String,
+                     path: String): DataFrame =
+    df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        get_json_object(col(jsonCol), path).cast("long").as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        sum(col("v")).as("sum_v"))
+      .withColumnRenamed("g", groupCol)
+      .orderBy(groupCol)
+
   /** Schema/profile drift between two snapshots of the same table
     * (yesterday's crawl vs today's): per column, row count, null rate
     * and exact distinct cardinality on each side plus the null-rate

@@ -3868,7 +3868,73 @@ object OpsOracles {
         |  round(alpha, 6) AS alpha, round(beta, 6) AS beta,
         |  round((s::DOUBLE + alpha) / (t::DOUBLE + alpha + beta), 6)
         |    AS smoothed
-        |FROM pr, ab ORDER BY key""".stripMargin.trim
+        |FROM pr, ab ORDER BY key""".stripMargin.trim,
+
+    // typed JSON field profile: extract-then-cast on both engines
+    "q_json_extract" ->
+      """WITH v AS (SELECT event_type AS g,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL)
+        |SELECT g AS event_type, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |  min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v,
+        |  sum(v)::BIGINT AS sum_v
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+
+    // 3-step behavior paths: double lag over the sessionization order,
+    // deterministic top-20 (count desc, path asc)
+    "q_session_paths" ->
+      """WITH l AS (SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS p1, lag(event_type, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT p2 || '>' || p1 || '>' || event_type AS path FROM l
+        |  WHERE p1 IS NOT NULL AND p2 IS NOT NULL)
+        |SELECT path, count(*)::BIGINT AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, path LIMIT 20""".stripMargin.trim,
+
+    // conversion lag: first 'view' per user, first 'purchase' at or
+    // after it; equi-join + filter, integral day histogram
+    "q_conversion_lag" ->
+      """WITH b AS (SELECT user_id AS u, ts, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |f AS (SELECT u, min(ts) AS t0 FROM b WHERE event_type = 'view'
+        |  GROUP BY 1),
+        |c AS (SELECT b.u, f.t0, min(b.ts) AS t1 FROM b JOIN f ON b.u = f.u
+        |  WHERE b.event_type = 'purchase' AND b.ts >= f.t0
+        |  GROUP BY b.u, f.t0)
+        |SELECT datediff('day', t0::DATE, t1::DATE)::BIGINT AS lag_days,
+        |  count(*)::BIGINT AS n_users
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+
+    // declared-vs-predicted language confusion: the q_lang_id scorer
+    // carried through with the declared label
+    "q_lang_confusion" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang AS dl,
+        |    len(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |    len(text) AS nc,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents WHERE lang IS NOT NULL),
+        |unp AS (
+        |  SELECT doc_id, dl, cjk, nc, 'de' AS lang,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','für'])) AS s FROM sc
+        |  UNION ALL SELECT doc_id, dl, cjk, nc, 'en',
+        |    len(list_intersect(toks, ['the','a','and','of','to','in','is','it','that','for'])) FROM sc
+        |  UNION ALL SELECT doc_id, dl, cjk, nc, 'es',
+        |    len(list_intersect(toks, ['el','la','los','y','es','un','una','en','por','para'])) FROM sc
+        |  UNION ALL SELECT doc_id, dl, cjk, nc, 'fr',
+        |    len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','pour','que'])) FROM sc),
+        |best AS (
+        |  SELECT doc_id, dl, cjk, nc, lang, s,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang DESC) AS rn
+        |  FROM unp)
+        |SELECT dl AS lang_declared,
+        |  CASE WHEN cjk * 2 > nc THEN 'zh'
+        |       WHEN s = 0 THEN 'und'
+        |       ELSE lang END AS lang_pred,
+        |  count(*)::BIGINT AS n
+        |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1926,6 +1926,30 @@ object OpsQueries {
     Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
       (col("n_chars") >= 300).cast("long"))
 
+  /** Typed-field profile of the events props JSON per event type. */
+  def jsonExtractQ(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.jsonFieldStats(tbl(spark, dir, "events"), "event_type",
+      "props", "$.k")
+
+  /** Top 20 3-step event-type paths. */
+  def sessionPathsQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.sessionPaths(tbl(spark, dir, "events"), "user_id", "ts",
+      "event_id", "event_type")
+
+  /** View-to-purchase conversion-lag histogram. */
+  def conversionLagQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.conversionLag(tbl(spark, dir, "events"), "user_id", "ts",
+      "event_type", "view", "purchase")
+
+  /** Declared-vs-predicted language confusion matrix. */
+  def langConfusionQ(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "documents")
+      .filter(col("lang").isNotNull)
+      .select(col("lang").as("lang_declared"),
+        TextAnalysis.langId(spark, col("text")).as("lang_pred"))
+      .groupBy("lang_declared", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang_declared", "lang_pred")
+
   /** Cluster-size distribution of the near-dup CC labeling. */
   def clusterSizesQ(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id", "text",

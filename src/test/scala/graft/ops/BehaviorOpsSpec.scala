@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** JSON field stats, session paths, conversion lag. */
+class BehaviorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jsonFieldStats: typed extraction with null accounting") {
+    val df = Seq(("a", """{"k": 5}"""), ("a", """{"k": 7}"""),
+      ("a", """{"x": 1}"""), ("b", null.asInstanceOf[String]))
+      .toDF("g", "props")
+    val got = DataQuality.jsonFieldStats(df, "g", "props", "$.k").collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n") === 3L && a.getAs[Long]("n_null") === 1L)
+    assert(a.getAs[Long]("min_v") === 5L && a.getAs[Long]("max_v") === 7L)
+    assert(a.getAs[Long]("sum_v") === 12L)
+    assert(got("b").getAs[Long]("n_null") === 1L)
+  }
+
+  test("sessionPaths: trigrams per user in event order, top-k") {
+    def ts(s: Int) = new java.sql.Timestamp(1000L * s)
+    val ev = Seq(
+      (1L, ts(1), 1L, "view"), (1L, ts(2), 2L, "click"), (1L, ts(3), 3L, "buy"),
+      (2L, ts(1), 4L, "view"), (2L, ts(2), 5L, "click"), (2L, ts(3), 6L, "buy"),
+      (3L, ts(1), 7L, "view"), (3L, ts(2), 8L, "view"), (3L, ts(3), 9L, "exit"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.sessionPaths(ev, "user_id", "ts", "event_id",
+      "event_type", k = 2).collect()
+    assert(got(0).getAs[String]("path") === "view>click>buy")
+    assert(got(0).getAs[Long]("n") === 2L)
+    assert(got(1).getAs[String]("path") === "view>view>exit")
+  }
+
+  test("conversionLag: first view to first subsequent purchase") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-05-${d + 1}%02d 10:00:00")
+    val ev = Seq(
+      (1L, ts(0), "view"), (1L, ts(3), "purchase"), (1L, ts(9), "purchase"),
+      (2L, ts(5), "purchase"), (2L, ts(6), "view"), // purchase BEFORE view: no conv
+      (3L, ts(2), "view"))                          // never converts
+      .toDF("user_id", "ts", "event_type")
+    val got = Analytics.conversionLag(ev, "user_id", "ts", "event_type",
+      "view", "purchase").collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("lag_days") === 3L)
+    assert(got(0).getAs[Long]("n_users") === 1L)
+  }
+}
