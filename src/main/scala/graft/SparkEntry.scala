@@ -271,7 +271,10 @@ object SparkEntry {
     "q_json_extract"     -> (OpsQueries.jsonExtractQ _),
     "q_session_paths"    -> (OpsQueries.sessionPathsQ _),
     "q_conversion_lag"   -> (OpsQueries.conversionLagQ _),
-    "q_lang_confusion"   -> (OpsQueries.langConfusionQ _)
+    "q_lang_confusion"   -> (OpsQueries.langConfusionQ _),
+    "q_pareto_curve"     -> (OpsQueries.paretoCurveQ _),
+    "q_engagement_depth" -> (OpsQueries.engagementDepthQ _),
+    "q_psi_series"       -> (OpsQueries.psiSeriesQ _)
   )
 
   private val fixedPathValues =

@@ -484,6 +484,19 @@ object Analytics {
       .orderBy("d")
   }
 
+  /** Engagement-depth histogram: how many actors were active on
+    * exactly N distinct days — the loyalty distribution behind
+    * retention targets. Two grouped counts over the distinct
+    * (actor, day) reduction. Returns (active_days, n_users). */
+  def engagementDepth(df: DataFrame, keyCol: String,
+                      tsCol: String): DataFrame =
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"), col(tsCol).cast("date").as("d"))
+      .distinct()
+      .groupBy(col("k")).agg(count(lit(1)).as("active_days"))
+      .groupBy(col("active_days")).agg(count(lit(1)).as("n_users"))
+      .orderBy("active_days")
+
   /** DAU/WAU stickiness per day — "what share of the trailing window's
     * actives showed up today", the engagement-frequency dial. Rides on
     * [[rollingDistinct]]'s exact explode-based trailing window (no HLL

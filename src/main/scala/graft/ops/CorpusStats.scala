@@ -168,6 +168,33 @@ object CorpusStats {
         expr(s"cum * 1000000 div CAST($total AS BIGINT)").as("share_cum_ppm"))
   }
 
+  /** VALUE-weighted coverage (Pareto) curve: the top-k keys by summed
+    * cent mass with each prefix's cumulative share of the WHOLE
+    * corpus's mass — "the top N customers hold X% of revenue", the
+    * [[coverageCurve]] generalized from row counts to an additive
+    * measure. Same TakeOrdered-bounded shape: the rank window sees at
+    * most topK rows. */
+  def paretoCurve(df: DataFrame, keyCol: String,
+                  valueCol: String, topK: Int = 100,
+                  scaleDigits: Int = 2): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val unit = math.pow(10, scaleDigits)
+    val vc = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val mass = df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol)).agg(sum(vc).as("cents"))
+      .localCheckpoint(false) // total + top-k reuse
+    val total = mass.agg(coalesce(sum(col("cents")), lit(0L)))
+      .head().getLong(0)
+    require(total > 0, "no positive mass")
+    val w = Window.orderBy(desc("cents"), col(keyCol))
+    mass.orderBy(desc("cents"), col(keyCol)).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col(keyCol), col("cents"), col("cum"),
+        expr(s"cum * 1000000 div CAST($total AS BIGINT)").as("share_cum_ppm"))
+  }
+
   /** Per-slice lexical diversity: token Shannon entropy (bits),
     * Simpson repeat probability, and type-token ratio — the "is this
     * source word-soup or natural text" triage that complements the

@@ -152,6 +152,56 @@ object Drift {
           .as("psi_term"))
   }
 
+  /** PSI drift TIME SERIES: the [[psiBins]] statistic of every
+    * calendar week against the FIRST week's distribution — "when did
+    * the feed start drifting", the monitoring view the one-shot PSI
+    * cannot give. Week index is a gap-safe integer (`days-since-min
+    * div 7`); bins are fixed break comparisons; the dense
+    * (week × bin) grid is bounded by span/7 × breaks. Per-week PSI
+    * sums ≤ breaks+1 ln terms and rounds once. Returns one row per
+    * week: (week, n_rows, psi). */
+  def psiSeries(df: DataFrame, tsCol: String, valueCol: String,
+                breaks: Seq[Double], outDigits: Int = 6): DataFrame = {
+    require(breaks.nonEmpty && breaks == breaks.sorted,
+      "breaks must be non-empty and ascending")
+    val spark = df.sparkSession
+    val base0 = df.filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+    val minDay = base0.agg(min(to_date(col(tsCol)))).head().getDate(0)
+    val bin = breaks.foldLeft(lit(0)) { (acc, br) =>
+      acc + when(col("v") >= lit(br), 1).otherwise(0)
+    }
+    val counts = base0
+      .select(col(valueCol).cast("double").as("v"),
+        expr(s"datediff(to_date(${tsCol}), date'${minDay}') div 7").as("week"))
+      .groupBy(col("week"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // grid + baseline + totals reuse
+    val weeks = counts.select(col("week")).distinct()
+    val binsDf = spark.range(breaks.size + 1).select(col("id").cast("int").as("bin"))
+    val grid = weeks.crossJoin(broadcast(binsDf))
+      .join(counts, Seq("week", "bin"), "left").na.fill(0L, Seq("n"))
+    val baseline = counts.filter(col("week") === 0)
+      .select(col("bin"), col("n").as("n0"))
+    val totals = grid.groupBy(col("week")).agg(sum(col("n")).as("t"))
+    val t0 = counts.filter(col("week") === 0)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("t0"))
+    grid
+      .join(broadcast(baseline), Seq("bin"), "left").na.fill(0L, Seq("n0"))
+      .join(totals, Seq("week"))
+      .crossJoin(broadcast(t0))
+      .select(col("week"), col("t"),
+        (greatest(col("n") / col("t"), lit(1e-6))
+          .as("pa")),
+        (greatest(col("n0") / col("t0"), lit(1e-6))
+          .as("pb")))
+      .select(col("week"), col("t"),
+        ((col("pa") - col("pb")) * log(col("pa") / col("pb"))).as("term"))
+      .groupBy(col("week"), col("t"))
+      .agg(round(sum(col("term")), outDigits).as("psi"))
+      .select(col("week"), col("t").as("n_rows"), col("psi"))
+      .orderBy("week")
+  }
+
   /** Per-key exponentially-weighted moving level: the recursion
     * `y ← (1−α)·y + α·x` over each key's series in (ts, tie) order,
     * seeded with the first observation — the classic smoothed-level /

@@ -3934,7 +3934,75 @@ object OpsOracles {
         |       WHEN s = 0 THEN 'und'
         |       ELSE lang END AS lang_pred,
         |  count(*)::BIGINT AS n
-        |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.trim
+        |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin.trim,
+
+    // revenue Pareto: the coverageCurve shape on summed cent mass
+    "q_pareto_curve" ->
+      """WITH mass AS (SELECT o_custkey AS k,
+        |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT AS cents
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(cents)::BIGINT AS t FROM mass),
+        |top AS (SELECT k, cents,
+        |    row_number() OVER (ORDER BY cents DESC, k) AS rank
+        |  FROM mass ORDER BY cents DESC, k LIMIT 20)
+        |SELECT rank, k AS o_custkey, cents,
+        |  sum(cents) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)::BIGINT AS cum,
+        |  ((sum(cents) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)) * 1000000 // (SELECT t FROM tot))::BIGINT
+        |    AS share_cum_ppm
+        |FROM top ORDER BY rank""".stripMargin.trim,
+
+    // engagement depth: distinct (actor, day) -> per-actor day count
+    // -> histogram
+    "q_engagement_depth" ->
+      """WITH dd2 AS (SELECT DISTINCT user_id AS k, ts::DATE AS d
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |ad AS (SELECT k, count(*)::BIGINT AS active_days FROM dd2 GROUP BY 1)
+        |SELECT active_days, count(*)::BIGINT AS n_users
+        |FROM ad GROUP BY 1 ORDER BY 1""".stripMargin.trim,
+
+    // weekly PSI vs the first week over the dense (week x bin) grid;
+    // per-week sum of <= 10 ln terms rounds once
+    "q_psi_series" ->
+      """WITH b0 AS (SELECT value::DOUBLE AS v, ts FROM events
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |md AS (SELECT min(ts::DATE) AS d0 FROM b0),
+        |r0 AS (SELECT v,
+        |    (datediff('day', md.d0, ts::DATE) // 7)::BIGINT AS week
+        |  FROM b0, md),
+        |binned AS (SELECT week,
+        |    (CASE WHEN v >= 50 THEN 1 ELSE 0 END
+        |   + CASE WHEN v >= 100 THEN 1 ELSE 0 END
+        |   + CASE WHEN v >= 150 THEN 1 ELSE 0 END
+        |   + CASE WHEN v >= 200 THEN 1 ELSE 0 END
+        |   + CASE WHEN v >= 250 THEN 1 ELSE 0 END
+        |   + CASE WHEN v >= 300 THEN 1 ELSE 0 END
+        |   + CASE WHEN v >= 350 THEN 1 ELSE 0 END
+        |   + CASE WHEN v >= 400 THEN 1 ELSE 0 END
+        |   + CASE WHEN v >= 450 THEN 1 ELSE 0 END)::INTEGER AS bin
+        |  FROM r0),
+        |counts AS (SELECT week, bin, count(*)::BIGINT AS n FROM binned
+        |  GROUP BY 1, 2),
+        |weeks AS (SELECT DISTINCT week FROM counts),
+        |bins AS (SELECT unnest(range(0, 10))::INTEGER AS bin),
+        |grid AS (SELECT w.week, bb.bin, coalesce(c.n, 0)::BIGINT AS n
+        |  FROM weeks w CROSS JOIN bins bb
+        |  LEFT JOIN counts c ON w.week = c.week AND bb.bin = c.bin),
+        |base AS (SELECT bin, n AS n0 FROM counts WHERE week = 0),
+        |tw AS (SELECT week, sum(n)::BIGINT AS t FROM grid GROUP BY 1),
+        |tz AS (SELECT coalesce(sum(n), 0)::BIGINT AS t0 FROM counts
+        |  WHERE week = 0),
+        |terms AS (SELECT g.week, tw.t,
+        |    greatest(g.n::DOUBLE / tw.t::DOUBLE, 1e-6) AS pa,
+        |    greatest(coalesce(base.n0, 0)::DOUBLE / tz.t0::DOUBLE, 1e-6) AS pb
+        |  FROM grid g LEFT JOIN base ON g.bin = base.bin
+        |  JOIN tw ON g.week = tw.week, tz)
+        |SELECT week, t AS n_rows,
+        |  round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+        |FROM terms GROUP BY week, t ORDER BY week""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1926,6 +1926,20 @@ object OpsQueries {
     Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
       (col("n_chars") >= 300).cast("long"))
 
+  /** Revenue Pareto curve: top-20 customers by order mass. */
+  def paretoCurveQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.paretoCurve(tbl(spark, dir, "orders"), "o_custkey",
+      "o_totalprice", topK = 20)
+
+  /** Engagement-depth histogram over the event stream. */
+  def engagementDepthQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.engagementDepth(tbl(spark, dir, "events"), "user_id", "ts")
+
+  /** Weekly PSI drift series of event values vs the first week. */
+  def psiSeriesQ(spark: SparkSession, dir: String): DataFrame =
+    Drift.psiSeries(tbl(spark, dir, "events"), "ts", "value",
+      breaks = Seq(50.0, 100.0, 150.0, 200.0, 250.0, 300.0, 350.0, 400.0, 450.0))
+
   /** Typed-field profile of the events props JSON per event type. */
   def jsonExtractQ(spark: SparkSession, dir: String): DataFrame =
     DataQuality.jsonFieldStats(tbl(spark, dir, "events"), "event_type",

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pareto curve, engagement depth, PSI drift series. */
+class ParetoDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("paretoCurve: value-weighted cumulative shares") {
+    val rows = Seq((1L, 70.0), (2L, 20.0), (3L, 10.0), (2L, 0.0))
+      .toDF("k", "v")
+    val got = CorpusStats.paretoCurve(rows, "k", "v", topK = 2).collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("k") === 1L)
+    assert(got(0).getAs[Long]("share_cum_ppm") === 700000L)
+    assert(got(1).getAs[Long]("k") === 2L)
+    assert(got(1).getAs[Long]("share_cum_ppm") === 900000L)
+  }
+
+  test("engagementDepth: distinct-day loyalty histogram") {
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-06-${d + 1}%02d $h%02d:00:00")
+    val ev = Seq((1L, ts(0, 9)), (1L, ts(0, 15)), (1L, ts(1, 9)),
+      (2L, ts(0, 9)), (3L, ts(0, 9)), (3L, ts(1, 9)), (3L, ts(2, 9)))
+      .toDF("user_id", "ts")
+    val got = Analytics.engagementDepth(ev, "user_id", "ts").collect()
+      .map(r => r.getAs[Long]("active_days") -> r.getAs[Long]("n_users")).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("psiSeries: week 0 is zero drift; a shifted week scores high") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-07-${d + 1}%02d 12:00:00")
+    // week 0 (days 0-6): values ~ 10; week 1 (days 7-13): values ~ 90
+    val ev = (0 until 7).flatMap(d => Seq((ts(d), 10.0), (ts(d), 12.0))) ++
+      (7 until 14).flatMap(d => Seq((ts(d), 90.0), (ts(d), 95.0)))
+    val df = ev.toDF("ts", "v")
+    val got = Drift.psiSeries(df, "ts", "v", breaks = Seq(50.0)).collect()
+      .map(r => r.getAs[Long]("week") -> r.getAs[Double]("psi")).toMap
+    assert(got(0L) === 0.0)
+    assert(got(1L) > 5.0) // full mass moved across the single break
+  }
+}
