@@ -274,7 +274,9 @@ object SparkEntry {
     "q_lang_confusion"   -> (OpsQueries.langConfusionQ _),
     "q_pareto_curve"     -> (OpsQueries.paretoCurveQ _),
     "q_engagement_depth" -> (OpsQueries.engagementDepthQ _),
-    "q_psi_series"       -> (OpsQueries.psiSeriesQ _)
+    "q_psi_series"       -> (OpsQueries.psiSeriesQ _),
+    "q_rfm"              -> (OpsQueries.rfmQ _),
+    "q_cluster_downweight" -> (OpsQueries.clusterDownweightQ _)
   )
 
   private val fixedPathValues =

@@ -484,6 +484,49 @@ object Analytics {
       .orderBy("d")
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation with
+    * DISTRIBUTED quartile assignment: each metric ranks through
+    * [[Ranking.globalRank]]'s two-pass range-partitioned scan (ties
+    * broken by the customer key, so bucket assignment is fully
+    * deterministic), never a single-partition ntile. Scores are 1–4
+    * with recency inverted (most recent = 4); segment = r·100 + f·10
+    * + m. Three rank passes + two equi-joins on the customer key.
+    * Returns (key, recency_days, frequency, monetary_cents, r, f, m,
+    * segment). */
+  def rfmSegments(orders: DataFrame, keyCol: String, tsCol: String,
+                  valueCol: String, scaleDigits: Int = 2): DataFrame = {
+    val unit = math.pow(10, scaleDigits)
+    val vc = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val base = orders
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull
+        && col(valueCol).isNotNull)
+    val maxDay = base.agg(max(to_date(col(tsCol)))).head().getDate(0)
+    val perKey = base.groupBy(col(keyCol).as("k"))
+      .agg(datediff(lit(maxDay), max(to_date(col(tsCol)))).cast("long")
+        .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(vc).as("monetary_cents"))
+      .localCheckpoint(false) // three rank passes reuse
+    def score(metric: String, invert: Boolean): DataFrame = {
+      val ranked = Ranking.globalRank(
+        perKey.select(col("k"), col(metric)),
+        Seq(col(metric), col("k")), nBuckets = 4)
+      val s = if (invert) lit(4L) - col("bucket") else col("bucket") + 1L
+      ranked.select(col("k"), s.as(s"__s_$metric"))
+    }
+    perKey
+      .join(score("recency_days", invert = true), Seq("k"))
+      .join(score("frequency", invert = false), Seq("k"))
+      .join(score("monetary_cents", invert = false), Seq("k"))
+      .select(col("k").as(keyCol), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        col("__s_recency_days").as("r"), col("__s_frequency").as("f"),
+        col("__s_monetary_cents").as("m"),
+        (col("__s_recency_days") * 100 + col("__s_frequency") * 10
+          + col("__s_monetary_cents")).as("segment"))
+      .orderBy(keyCol)
+  }
+
   /** Engagement-depth histogram: how many actors were active on
     * exactly N distinct days — the loyalty distribution behind
     * retention targets. Two grouped counts over the distinct

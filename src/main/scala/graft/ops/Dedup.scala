@@ -1318,6 +1318,33 @@ object Dedup {
     * the "is my dedup graph a few mega-clusters or many pairs" health
     * check that decides keeper policy and cap settings. Two grouped
     * counts; all integral. Returns (size, n_clusters, n_docs). */
+  /** Cluster-size-downweighted sampling (the "keep duplicates with
+    * probability 1/cluster-size" reweighting): every document joins
+    * its near-dup cluster size (absent → singleton, size 1) and
+    * survives a DIVISION-FREE deterministic Bernoulli test
+    * `knuth(id) · size < 2³¹` — expected one representative's worth
+    * of mass per cluster without the hard keeper cut, preserving
+    * intra-cluster diversity. One left join on the label table + pure
+    * per-row arithmetic; engine-exact. Returns kept
+    * (idCol, cluster_id, cluster_size). */
+  def clusterDownweight(docs: DataFrame, idCol: String,
+                        labels: DataFrame, labelIdCol: String,
+                        clusterCol: String): DataFrame = {
+    val sizes = labels.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("cluster_size"))
+    val labeled = labels.select(col(labelIdCol).as("__id"), col(clusterCol))
+      .join(sizes, Seq(clusterCol))
+    docs.select(col(idCol))
+      .join(labeled, col(idCol) === col("__id"), "left")
+      .select(col(idCol),
+        coalesce(col(clusterCol), col(idCol)).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .filter(
+        expr(s"(($idCol % 2147483648) * 2654435761) % 2147483648")
+          * col("cluster_size") < lit(2147483648L))
+      .orderBy(idCol)
+  }
+
   def clusterSizes(labels: DataFrame, clusterCol: String): DataFrame =
     labels.groupBy(col(clusterCol))
       .agg(count(lit(1)).as("size"))

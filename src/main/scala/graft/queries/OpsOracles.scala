@@ -4002,7 +4002,52 @@ object OpsOracles {
         |  JOIN tw ON g.week = tw.week, tz)
         |SELECT week, t AS n_rows,
         |  round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
-        |FROM terms GROUP BY week, t ORDER BY week""".stripMargin.trim
+        |FROM terms GROUP BY week, t ORDER BY week""".stripMargin.trim,
+
+    // RFM: quartiles via the globalRank bucket formula
+    // ((rank-1)*4) floor-div n with unique (metric, key) ordering
+    "q_rfm" ->
+      """WITH base AS (SELECT o_custkey AS k, o_orderdate::DATE AS d,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS vc FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |mx AS (SELECT max(d) AS md FROM base),
+        |pk AS (SELECT k,
+        |    datediff('day', max(d), (SELECT md FROM mx))::BIGINT
+        |      AS recency_days,
+        |    count(*)::BIGINT AS frequency, sum(vc)::BIGINT AS monetary_cents
+        |  FROM base GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM pk),
+        |r AS (SELECT k, ((row_number() OVER (ORDER BY recency_days, k) - 1)
+        |    * 4) // (SELECT n FROM nn) AS b FROM pk),
+        |f AS (SELECT k, ((row_number() OVER (ORDER BY frequency, k) - 1)
+        |    * 4) // (SELECT n FROM nn) AS b FROM pk),
+        |m AS (SELECT k, ((row_number() OVER (ORDER BY monetary_cents, k) - 1)
+        |    * 4) // (SELECT n FROM nn) AS b FROM pk)
+        |SELECT pk.k AS o_custkey, recency_days, frequency, monetary_cents,
+        |  (4 - r.b)::BIGINT AS r, (f.b + 1)::BIGINT AS f,
+        |  (m.b + 1)::BIGINT AS m,
+        |  ((4 - r.b) * 100 + (f.b + 1) * 10 + (m.b + 1))::BIGINT AS segment
+        |FROM pk JOIN r ON pk.k = r.k JOIN f ON pk.k = f.k
+        |  JOIN m ON pk.k = m.k
+        |ORDER BY o_custkey""".stripMargin.trim,
+
+    // cluster-downweighted sampling: 1/size division-free Bernoulli
+    // over the shared near-dup reachability; singletons always keep
+    "q_cluster_downweight" ->
+      s"""$nearDupClusterCte,
+         |mem AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+         |szs AS (SELECT c, count(*)::BIGINT AS cluster_size FROM mem
+         |  GROUP BY 1),
+         |lab AS (SELECT docs.id,
+         |    coalesce(mem.c, docs.id) AS cluster_id,
+         |    coalesce(szs.cluster_size, 1)::BIGINT AS cluster_size
+         |  FROM docs LEFT JOIN mem ON docs.id = mem.id
+         |  LEFT JOIN szs ON mem.c = szs.c)
+         |SELECT id AS doc_id, cluster_id, cluster_size FROM lab
+         |WHERE ((id % 2147483648) * 2654435761) % 2147483648
+         |    * cluster_size < 2147483648
+         |ORDER BY doc_id""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1926,6 +1926,21 @@ object OpsQueries {
     Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
       (col("n_chars") >= 300).cast("long"))
 
+  /** RFM segmentation of customers over their orders. */
+  def rfmQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.rfmSegments(tbl(spark, dir, "orders"), "o_custkey",
+      "o_orderdate", "o_totalprice")
+
+  /** Cluster-downweighted sampling over the near-dup corpus. */
+  def clusterDownweightQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(spark, dir)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.6)
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    Dedup.clusterDownweight(docs, "doc_id",
+      labels.select(col("id"), col("cluster_id")), "id", "cluster_id")
+  }
+
   /** Revenue Pareto curve: top-20 customers by order mass. */
   def paretoCurveQ(spark: SparkSession, dir: String): DataFrame =
     CorpusStats.paretoCurve(tbl(spark, dir, "orders"), "o_custkey",

@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RFM segmentation and cluster-downweighted sampling. */
+class SegmentationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rfmSegments: deterministic quartiles, recency inverted") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-08-${d + 1}%02d 00:00:00")
+    // 8 customers: customer i orders (i+1) times, last order on day i,
+    // each order worth (i+1)*10 — all three metrics increase with i
+    val orders = (0 until 8).flatMap { i =>
+      (0 to i).map(j => (i.toLong, ts(i - j), (i + 1) * 10.0))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Analytics.rfmSegments(orders, "o_custkey", "o_orderdate",
+      "o_totalprice").collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r).toMap
+    // customer 7: most recent (recency 0 -> bucket 0 -> r=4), highest
+    // f and m (bucket 3 -> score 4) -> segment 444
+    assert(got(7L).getAs[Long]("segment") === 444L)
+    assert(got(7L).getAs[Long]("recency_days") === 0L)
+    // customer 0: oldest single cheap order -> r=1? recency_days = 7
+    // (ranked last ascending -> bucket 3 -> r = 1), f and m lowest
+    assert(got(0L).getAs[Long]("segment") === 111L)
+    // monotonicity: segments never decrease with i
+    val segs = (0 until 8).map(i => got(i.toLong).getAs[Long]("segment"))
+    assert(segs.sliding(2).forall(w => w(0) <= w(1)))
+  }
+
+  test("clusterDownweight: singletons always survive; big clusters thin") {
+    // cluster A: ids 0..99 in one cluster; singletons 1000..1019
+    val docs = ((0L until 100L) ++ (1000L until 1020L))
+      .map(Tuple1(_)).toDF("doc_id")
+    val labels = (0L until 100L).map(i => (i, 0L)).toDF("id", "cluster_id")
+    val kept = Dedup.clusterDownweight(docs, "doc_id", labels, "id",
+      "cluster_id").collect()
+    val keptSingles = kept.filter(_.getAs[Long]("cluster_size") == 1L)
+    assert(keptSingles.length === 20) // every singleton kept
+    val keptBig = kept.filter(_.getAs[Long]("cluster_size") == 100L)
+    // expected ~1 of 100; the deterministic draw keeps few
+    assert(keptBig.length <= 5)
+    // deterministic: second run identical
+    val again = Dedup.clusterDownweight(docs, "doc_id", labels, "id",
+      "cluster_id").collect()
+    assert(kept.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+}
