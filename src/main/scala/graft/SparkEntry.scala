@@ -276,7 +276,9 @@ object SparkEntry {
     "q_engagement_depth" -> (OpsQueries.engagementDepthQ _),
     "q_psi_series"       -> (OpsQueries.psiSeriesQ _),
     "q_rfm"              -> (OpsQueries.rfmQ _),
-    "q_cluster_downweight" -> (OpsQueries.clusterDownweightQ _)
+    "q_cluster_downweight" -> (OpsQueries.clusterDownweightQ _),
+    "q_anova"            -> (OpsQueries.anovaQ _),
+    "q_kruskal"          -> (OpsQueries.kruskalQ _)
   )
 
   private val fixedPathValues =

@@ -184,6 +184,106 @@ object Stats {
       .toDF("n_a", "n_b", "mean_a", "mean_b", "t_stat", "df_welch")
   }
 
+  /** One-way ANOVA F over `groupCol` — the k-sample mean-difference
+    * test completing the two-sample [[welchTTest]]. Sufficient
+    * statistics are exact decimal cent moments per group; SSB/SSW and
+    * the F ratio are assembled on the driver from the BOUNDED group
+    * list (sorted by group key, so the double summation order is a
+    * deterministic sequence mirrored by the oracle's per-group CTE).
+    * Returns one row (k_groups, n, f_stat, ssb, ssw), doubles rounded
+    * once. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String,
+             scaleDigits: Int = 2, maxGroups: Int = 1000,
+             outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val ic = round(col(valueCol).cast("double") * lit(unit))
+      .cast("long").cast("decimal(38,0)")
+    val groups = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(ic).as("s"), sum(ic * ic).as("ss"))
+      .collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1)),
+        BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3))))
+      .sortBy(_._1)
+    val k = groups.length
+    require(k >= 2 && k <= maxGroups, s"need 2..$maxGroups groups, got $k")
+    require(groups.forall(_._2 > 1), "every group needs n > 1")
+    val nTot = groups.map(_._2).sum
+    val sTot = groups.map(_._3).sum
+    val u2 = unit * unit
+    // deterministic left-to-right fold over the sorted groups
+    var between = 0.0
+    var within = 0.0
+    groups.foreach { case (_, n, s, ss) =>
+      val sg2 = (s * s).toDouble / n.toDouble
+      between += sg2
+      within += ss.toDouble - sg2
+    }
+    val ssb = (between - (sTot * sTot).toDouble / nTot.toDouble) / u2
+    val ssw = within / u2
+    val f = (ssb / (k - 1.0)) / (ssw / (nTot.toDouble - k))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // SS magnitudes grow with the data — ln-encode them (the nulldev
+    // discipline) so rounding compares relative, not absolute, error
+    Seq((k.toLong, nTot.toLong, r6(f), r6(math.log(ssb)), r6(math.log(ssw))))
+      .toDF("k_groups", "n", "f_stat", "ln_ssb", "ln_ssw")
+  }
+
+  /** Kruskal–Wallis H — the k-sample rank test generalizing
+    * [[Drift.mannWhitneyU]], for "did location shift anywhere among
+    * these slices" without normality. Pooled ×2 midranks come from the
+    * same distributed distinct-value prefix scan; per-group rank sums
+    * and the tie term stay integral; H with tie correction is one
+    * driver closed form over the bounded group list. Returns one row
+    * (k_groups, n, h_stat). */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+                    maxGroups: Int = 1000, outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+    val ranks = rank2Map(rows.select(col("v").as("a")), "a")
+      .withColumnRenamed("v", "vv")
+    val joined = rows.join(ranks, rows("v") === ranks("vv"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val perGroup = joined.groupBy(col("g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dd(col("rank2"))).as("r2"))
+      .collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1)),
+        BigDecimal(r.getDecimal(2))))
+      .sortBy(_._1)
+    val k = perGroup.length
+    require(k >= 2 && k <= maxGroups, s"need 2..$maxGroups groups, got $k")
+    // tie term from the distinct-value counts: sum t^3 - t
+    val tieRow = rows.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(dd(col("t")) * dd(col("t")) * dd(col("t"))
+        - dd(col("t"))), lit(0L).cast("decimal(38,0)"))).head()
+    val tie = BigDecimal(tieRow.getDecimal(0))
+    val n = perGroup.map(_._2).sum
+    require(n > 1, "need n > 1")
+    // H = 12/(N(N+1)) * sum (R_g^2 / n_g) - 3(N+1), with R_g = r2/2;
+    // deterministic left-to-right fold over the sorted groups
+    var sumR = 0.0
+    perGroup.foreach { case (_, ng, r2) =>
+      val rg = r2.toDouble / 2.0
+      sumR += rg * rg / ng.toDouble
+    }
+    val nD = n.toDouble
+    val h0 = 12.0 / (nD * (nD + 1.0)) * sumR - 3.0 * (nD + 1.0)
+    val corr = 1.0 - tie.toDouble / (nD * nD * nD - nD)
+    val h = BigDecimal(h0 / corr)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((k.toLong, n.toLong, h)).toDF("k_groups", "n", "h_stat")
+  }
+
   /** Benford's-law expected first-digit probabilities, rounded to 12
     * places so both engines consume identical double LITERALS instead
     * of each calling its own log10. */

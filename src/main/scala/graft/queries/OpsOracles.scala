@@ -4047,7 +4047,57 @@ object OpsOracles {
          |SELECT id AS doc_id, cluster_id, cluster_size FROM lab
          |WHERE ((id % 2147483648) * 2654435761) % 2147483648
          |    * cluster_size < 2147483648
-         |ORDER BY doc_id""".stripMargin.trim
+         |ORDER BY doc_id""".stripMargin.trim,
+
+    // one-way ANOVA from exact per-group HUGEINT moments; SS terms
+    // ln-encoded (the nulldev discipline) so rounding is relative
+    "q_anova" ->
+      """WITH m AS (SELECT l_returnflag AS g, count(*)::HUGEINT AS n,
+        |    sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::HUGEINT AS s,
+        |    sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)::HUGEINT
+        |        * CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS ss
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |agg AS (SELECT count(*)::BIGINT AS k, sum(n)::HUGEINT AS nt,
+        |    sum(s)::HUGEINT AS st,
+        |    sum((s * s)::DOUBLE / n::DOUBLE) AS between_d,
+        |    sum(ss::DOUBLE - (s * s)::DOUBLE / n::DOUBLE) AS within_d
+        |  FROM m)
+        |SELECT k AS k_groups, nt::BIGINT AS n,
+        |  round(((between_d - (st * st)::DOUBLE / nt::DOUBLE)
+        |      / 10000.0::DOUBLE / (k - 1.0::DOUBLE))
+        |    / ((within_d / 10000.0::DOUBLE) / (nt::DOUBLE - k)), 6)
+        |    AS f_stat,
+        |  round(ln((between_d - (st * st)::DOUBLE / nt::DOUBLE)
+        |    / 10000.0::DOUBLE), 6) AS ln_ssb,
+        |  round(ln(within_d / 10000.0::DOUBLE), 6) AS ln_ssw
+        |FROM agg""".stripMargin.trim,
+
+    // Kruskal-Wallis H: pooled midranks (the mannWhitneyU prefix),
+    // per-group integral rank sums, tie-corrected closed form
+    "q_kruskal" ->
+      """WITH r0 AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |pv AS (SELECT v, count(*)::BIGINT AS t FROM r0 GROUP BY 1),
+        |rk AS (SELECT v, 2 * coalesce(sum(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + t + 1
+        |    AS r2 FROM pv),
+        |j AS (SELECT g, rk.r2 FROM r0 JOIN rk ON r0.v = rk.v),
+        |pg AS (SELECT g, count(*)::HUGEINT AS n, sum(r2)::HUGEINT AS r2s
+        |  FROM j GROUP BY 1),
+        |tie AS (SELECT coalesce(sum(t::HUGEINT * t * t - t), 0) AS tie
+        |  FROM pv),
+        |nt AS (SELECT sum(n)::HUGEINT AS n, count(*)::BIGINT AS k FROM pg),
+        |sr AS (SELECT sum((r2s::DOUBLE / 2.0) * (r2s::DOUBLE / 2.0)
+        |    / n::DOUBLE) AS sumr FROM pg)
+        |SELECT nt.k AS k_groups, nt.n::BIGINT AS n,
+        |  round((12.0::DOUBLE / (nt.n::DOUBLE * (nt.n::DOUBLE + 1.0))
+        |      * sr.sumr - 3.0::DOUBLE * (nt.n::DOUBLE + 1.0))
+        |    / (1.0::DOUBLE - tie.tie::DOUBLE
+        |      / (nt.n::DOUBLE * nt.n::DOUBLE * nt.n::DOUBLE - nt.n::DOUBLE)),
+        |    6) AS h_stat
+        |FROM nt, sr, tie""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

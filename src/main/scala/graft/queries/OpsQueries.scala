@@ -1926,6 +1926,15 @@ object OpsQueries {
     Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
       (col("n_chars") >= 300).cast("long"))
 
+  /** One-way ANOVA: extendedprice across returnflag groups. */
+  def anovaQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.anovaF(tbl(spark, dir, "lineitem"), "l_returnflag",
+      "l_extendedprice")
+
+  /** Kruskal-Wallis H: event values across event types. */
+  def kruskalQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.kruskalWallis(tbl(spark, dir, "events"), "event_type", "value")
+
   /** RFM segmentation of customers over their orders. */
   def rfmQ(spark: SparkSession, dir: String): DataFrame =
     Analytics.rfmSegments(tbl(spark, dir, "orders"), "o_custkey",

@@ -107,6 +107,51 @@ class StatsFamilySpec extends SparkSpec {
     assert(r.getAs[Long]("n_a") === 5L && r.getAs[Long]("n_b") === 6L)
   }
 
+  // --------------------------------------------------------------- anovaF
+
+  test("anovaF: matches the direct computation on separated groups") {
+    val xa = Seq(1.0, 2.0, 3.0, 4.0)
+    val xb = Seq(6.0, 7.0, 8.0, 9.0)
+    val xc = Seq(11.0, 12.0, 13.0, 14.0)
+    val df = (xa.map(("a", _)) ++ xb.map(("b", _)) ++ xc.map(("c", _)))
+      .toDF("g", "x")
+    val all = xa ++ xb ++ xc
+    val gm = all.sum / all.size
+    def sm(xs: Seq[Double]) = xs.sum / xs.size
+    val ssb = Seq(xa, xb, xc).map(g => g.size * math.pow(sm(g) - gm, 2)).sum
+    val ssw = Seq(xa, xb, xc).map(g => g.map(x => math.pow(x - sm(g), 2)).sum).sum
+    val fExp = (ssb / 2) / (ssw / (all.size - 3))
+    val r = Stats.anovaF(df, "g", "x").head()
+    assert(r.getAs[Long]("k_groups") === 3L && r.getAs[Long]("n") === 12L)
+    assert(math.abs(r.getAs[Double]("f_stat") - fExp) < 1e-4)
+    assert(math.abs(r.getAs[Double]("ln_ssb") - math.log(ssb)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("ln_ssw") - math.log(ssw)) < 1e-5)
+  }
+
+  // -------------------------------------------------------- kruskalWallis
+
+  test("kruskalWallis: matches the direct tie-corrected H") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 3.0),
+      ("b", 4.0), ("c", 5.0), ("c", 6.0), ("c", 2.0))
+    val df = rows.toDF("g", "v")
+    // direct: midranks over the pooled sample
+    val sorted = rows.map(_._2).sorted
+    def midrank(v: Double): Double = {
+      val lo = sorted.indexOf(v) + 1; val hi = sorted.lastIndexOf(v) + 1
+      (lo + hi) / 2.0
+    }
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(x => midrank(x._2)))
+    val n = rows.size.toDouble
+    val sumR = byG.values.map(rs => math.pow(rs.sum, 2) / rs.size).sum
+    val h0 = 12.0 / (n * (n + 1)) * sumR - 3.0 * (n + 1)
+    val ties = rows.map(_._2).groupBy(identity).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val hExp = h0 / (1.0 - ties / (n * n * n - n))
+    val r = Stats.kruskalWallis(df, "g", "v").head()
+    assert(r.getAs[Long]("k_groups") === 3L && r.getAs[Long]("n") === 8L)
+    assert(math.abs(r.getAs[Double]("h_stat") - hExp) < 1e-5)
+  }
+
   // -------------------------------------------------------------- benford
 
   test("benford: digits come from the cent string; all nine rows emitted") {
