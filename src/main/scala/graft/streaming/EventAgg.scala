@@ -351,4 +351,37 @@ object EventAgg {
             cur.level + cur.trend)
       }
   }
+
+  final case class FirstSeenState(firstMicros: Long)
+  final case class NewUser(user_id: Long, first_ts: Timestamp)
+
+  /** Streaming twin of [[graft.ops.Analytics.userGrowth]]'s first-seen
+    * detection: one long of state per known user; a user's FIRST
+    * appearance emits exactly one `NewUser` row (Append mode), later
+    * events emit nothing — the growth dashboard updates incrementally
+    * instead of rescanning history. Same cross-batch contract as
+    * [[ewmaStream]]: in-batch disorder is resolved by taking the batch
+    * minimum, so equality with the batch operator holds when each
+    * user's batches arrive in event-time order. State never expires
+    * (a "new user" is forever-known by definition); for bounded state
+    * on unbounded user churn, snapshot-and-compact via the batch
+    * operator. */
+  def firstSeenStream(events: Dataset[Event]): Dataset[NewUser] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FirstSeenState, NewUser](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FirstSeenState]) =>
+          val batchMin = rows.map(e => micros(e.ts)).min
+          if (state.exists) Iterator.empty
+          else {
+            state.update(FirstSeenState(batchMin))
+            val ts = new Timestamp(batchMin / 1000)
+            ts.setNanos((batchMin % 1000000L).toInt * 1000)
+            Iterator(NewUser(uid, ts))
+          }
+      }
+  }
 }

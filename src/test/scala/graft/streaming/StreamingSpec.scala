@@ -475,4 +475,38 @@ class StreamingSpec extends SparkSpec {
     // b2=0.25*(23.125-15)+0.75*1.25 = 2.96875
     assert(batch(1L) == ((3L, 23.125, 2.96875, 26.09375)))
   }
+
+  test("streaming first-seen detection matches the batch growth curve") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventAgg.Event]
+    // batch 1: users 1 and 2 appear (user 1 twice, min ts wins)
+    input.addData(
+      EventAgg.Event(1L, ts(5), "a", 1.0), EventAgg.Event(1L, ts(2), "a", 1.0),
+      EventAgg.Event(2L, ts(3), "b", 1.0))
+    val q = EventAgg.firstSeenStream(input.toDS())
+      .writeStream.format("memory").queryName("newusers")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: user 1 again (no emission) + new user 3
+    input.addData(
+      EventAgg.Event(1L, ts(50), "a", 1.0), EventAgg.Event(3L, ts(60), "c", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql("select user_id, first_ts from newusers")
+      .as[(Long, Timestamp)].collect().toSet
+    assert(streamed === Set((1L, ts(2)), (2L, ts(3)), (3L, ts(60))))
+    // the per-day growth curve derived from the stream equals the
+    // batch operator on the union of all events
+    val allEvents = Seq(
+      EventAgg.Event(1L, ts(5), "a", 1.0), EventAgg.Event(1L, ts(2), "a", 1.0),
+      EventAgg.Event(2L, ts(3), "b", 1.0), EventAgg.Event(1L, ts(50), "a", 1.0),
+      EventAgg.Event(3L, ts(60), "c", 1.0))
+    val batchCurve = graft.ops.Analytics.userGrowth(allEvents.toDF(), "user_id", "ts")
+      .collect().map(r => r.getDate(0).toString -> r.getAs[Long]("new_users")).toMap
+    val streamCurve = streamed.toSeq.toDF("user_id", "first_ts")
+      .select(to_date(col("first_ts")).as("d"))
+      .groupBy("d").count()
+      .collect().map(r => r.getDate(0).toString -> r.getAs[Long]("count")).toMap
+    assert(streamCurve === batchCurve)
+  }
 }
