@@ -278,7 +278,8 @@ object SparkEntry {
     "q_rfm"              -> (OpsQueries.rfmQ _),
     "q_cluster_downweight" -> (OpsQueries.clusterDownweightQ _),
     "q_anova"            -> (OpsQueries.anovaQ _),
-    "q_kruskal"          -> (OpsQueries.kruskalQ _)
+    "q_kruskal"          -> (OpsQueries.kruskalQ _),
+    "q_sorted_neighborhood" -> (OpsQueries.sortedNeighborhoodQ _)
   )
 
   private val fixedPathValues =

@@ -41,4 +41,40 @@ object FuzzyJoin {
       .filter(col("dist") <= maxDist)
       .select(col("left_id"), col("right_id"), col("dist").cast("int").as("dist"))
   }
+
+  /** Sorted-neighborhood blocking (Hernández–Stolfo): candidate pairs
+    * are records within `window` positions of each other in the
+    * GLOBAL sort order of a numeric blocking key — the classic
+    * complement to prefix/LSH blocking when similarity is ordinal
+    * (balances, timestamps, zip codes). The global order comes from
+    * [[Ranking.globalRank]]'s two-pass range scan with the id as a
+    * deterministic tiebreak; the neighborhood join is an EQUI-join on
+    * rank buckets of width `window` (the right side probes its own
+    * and its predecessor bucket), so no rank ever compares across
+    * more than two buckets and nothing is quadratic. Returns
+    * (id_a, id_b, v_a, v_b, rank_dist) with id_a earlier in the sort
+    * order. */
+  def sortedNeighborhood(df: DataFrame, idCol: String,
+                         sortVal: Column, window: Int = 5): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val ranked = graft.ops.Ranking.globalRank(
+      df.filter(col(idCol).isNotNull)
+        .select(col(idCol).as("id"), sortVal.cast("long").as("v"))
+        .filter(col("v").isNotNull),
+      Seq(col("v"), col("id")), nBuckets = 1)
+      .select(col("id"), col("v"), col("rank"))
+      .localCheckpoint(false) // both join sides reuse one rank pass
+    val left = ranked
+      .select(col("id").as("id_a"), col("v").as("v_a"), col("rank").as("ra"))
+      .withColumn("__bk", expr(s"(ra - 1) div $window"))
+    val right = ranked
+      .select(col("id").as("id_b"), col("v").as("v_b"), col("rank").as("rb"))
+      .withColumn("__pk", explode(array(expr(s"(rb - 1) div $window"),
+        expr(s"(rb - 1) div $window - 1"))))
+    left.join(right, col("__bk") === col("__pk"))
+      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + window)
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"),
+        (col("rb") - col("ra")).as("rank_dist"))
+      .orderBy("id_a", "id_b")
+  }
 }

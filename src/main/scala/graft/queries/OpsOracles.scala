@@ -4097,7 +4097,19 @@ object OpsOracles {
         |    / (1.0::DOUBLE - tie.tie::DOUBLE
         |      / (nt.n::DOUBLE * nt.n::DOUBLE * nt.n::DOUBLE - nt.n::DOUBLE)),
         |    6) AS h_stat
-        |FROM nt, sr, tie""".stripMargin.trim
+        |FROM nt, sr, tie""".stripMargin.trim,
+
+    // sorted-neighborhood blocking: rank-window pairs over the global
+    // (value, id) order
+    "q_sorted_neighborhood" ->
+      """WITH r AS (SELECT c_custkey AS id,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer
+        |  WHERE c_custkey IS NOT NULL AND c_acctbal IS NOT NULL),
+        |rk AS (SELECT id, v, row_number() OVER (ORDER BY v, id) AS rn FROM r)
+        |SELECT a.id AS id_a, b.id AS id_b, a.v AS v_a, b.v AS v_b,
+        |  (b.rn - a.rn)::BIGINT AS rank_dist
+        |FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 5
+        |ORDER BY id_a, id_b""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1926,6 +1926,11 @@ object OpsQueries {
     Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
       (col("n_chars") >= 300).cast("long"))
 
+  /** Sorted-neighborhood candidates over customer balances (w=5). */
+  def sortedNeighborhoodQ(spark: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.sortedNeighborhood(tbl(spark, dir, "customer"),
+      "c_custkey", round(col("c_acctbal") * 100), window = 5)
+
   /** One-way ANOVA: extendedprice across returnflag groups. */
   def anovaQ(spark: SparkSession, dir: String): DataFrame =
     Stats.anovaF(tbl(spark, dir, "lineitem"), "l_returnflag",

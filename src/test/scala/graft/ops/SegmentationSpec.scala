@@ -29,6 +29,23 @@ class SegmentationSpec extends SparkSpec {
     assert(segs.sliding(2).forall(w => w(0) <= w(1)))
   }
 
+  test("sortedNeighborhood: exactly the rank-window pairs, tie-stable") {
+    // values with ties; ids break ties deterministically
+    val rows = Seq((10L, 5.0), (11L, 5.0), (12L, 7.0), (13L, 1.0),
+      (14L, 9.0), (15L, 7.0)).toDF("id", "v")
+    val got = FuzzyJoin.sortedNeighborhood(rows, "id", col("v"), window = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("rank_dist")))
+    // sort order by (v, id): 13(1) 10(5) 11(5) 12(7) 15(7) 14(9)
+    val order = Seq(13L, 10L, 11L, 12L, 15L, 14L)
+    val expected = (for {
+      i <- order.indices; j <- i + 1 until math.min(i + 3, order.size)
+    } yield (order(i), order(j), (j - i).toLong)).toSet
+    assert(got.toSet === expected)
+    assert(got.length === expected.size)
+  }
+
   test("clusterDownweight: singletons always survive; big clusters thin") {
     // cluster A: ids 0..99 in one cluster; singletons 1000..1019
     val docs = ((0L until 100L) ++ (1000L until 1020L))
