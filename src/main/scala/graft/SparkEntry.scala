@@ -279,7 +279,8 @@ object SparkEntry {
     "q_cluster_downweight" -> (OpsQueries.clusterDownweightQ _),
     "q_anova"            -> (OpsQueries.anovaQ _),
     "q_kruskal"          -> (OpsQueries.kruskalQ _),
-    "q_sorted_neighborhood" -> (OpsQueries.sortedNeighborhoodQ _)
+    "q_sorted_neighborhood" -> (OpsQueries.sortedNeighborhoodQ _),
+    "q_distinctive_terms" -> (OpsQueries.distinctiveTermsQ _)
   )
 
   private val fixedPathValues =

@@ -281,6 +281,56 @@ object CorpusStats {
         round(col("jsd_nats") / log(lit(2.0)), outDigits).as("jsd_bits"))
   }
 
+  /** Distinctive terms per slice — Monroe et al.'s "Fightin' Words"
+    * log-odds with an informative Dirichlet prior, the statistically
+    * honest replacement for raw TF-IDF "top terms" when comparing
+    * sources (it damps both hapax noise and stopword mass). For slice
+    * s and term w with slice count y_sw, corpus count y_w, slice
+    * total n_s and corpus total N, prior α_w = a0·y_w/N:
+    * δ = ln((y_sw+α_w)/(n_s+a0−y_sw−α_w)) − ln((y_rw+α_w)/(N−n_s+a0−y_rw−α_w)),
+    * where y_rw = y_w − y_sw is the rest-of-corpus count; z = δ/√var
+    * with var ≈ 1/(y_sw+α_w) + 1/(y_rw+α_w). Counts are exact; every
+    * term's z is assembled from them with one rounding. Top-k per
+    * slice by (z desc, term) — a keyed WindowGroupLimit, bounded at
+    * k·slices rows. `minCount` prunes the hapax tail before any join.
+    * Returns (slice, term, y_sw, z_score). */
+  def distinctiveTerms(df: DataFrame, sliceCol: String, textCol: String,
+                       topK: Int = 10, a0: Double = 100.0,
+                       minCount: Long = 5, outDigits: Int = 6): DataFrame = {
+    require(topK >= 1 && a0 > 0 && minCount >= 1, "bad parameters")
+    val toks = df
+      .filter(col(sliceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sliceCol).as("slice"),
+        explode(Dedup.words(col(textCol))).as("w"))
+    val sw = toks.groupBy("slice", "w").agg(count(lit(1)).as("y_sw"))
+      .localCheckpoint(false) // corpus + slice totals reuse
+    val wTot = sw.groupBy("w").agg(sum(col("y_sw")).as("y_w"))
+      .filter(col("y_w") >= minCount)
+    val sTot = sw.groupBy("slice").agg(sum(col("y_sw")).as("n_s"))
+    val nTot = sw.agg(coalesce(sum(col("y_sw")), lit(0L))).head().getLong(0)
+    require(nTot > 0, "no tokens")
+    val joined = sw
+      .join(wTot, Seq("w"))
+      .join(broadcast(sTot), Seq("slice"))
+    val alpha = lit(a0) * col("y_w").cast("double") / lit(nTot.toDouble)
+    val ysw = col("y_sw").cast("double")
+    val yrw = (col("y_w") - col("y_sw")).cast("double")
+    val ns = col("n_s").cast("double")
+    val rest = lit(nTot.toDouble) - ns
+    val delta = log((ysw + alpha) / (ns + lit(a0) - ysw - alpha)) -
+      log((yrw + alpha) / (rest + lit(a0) - yrw - alpha))
+    val z = delta / sqrt(lit(1.0) / (ysw + alpha) + lit(1.0) / (yrw + alpha))
+    val scored = joined.select(col("slice"), col("w").as("term"),
+      col("y_sw"), round(z, outDigits).as("z_score"))
+    val win = Window.partitionBy(col("slice"))
+      .orderBy(col("z_score").desc, col("term"))
+    scored
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= topK)
+      .select(col("slice"), col("term"), col("y_sw"), col("z_score"))
+      .orderBy(col("slice"), col("z_score").desc, col("term"))
+  }
+
   /** Hill estimator of the power-law tail index over the top `k` order
     * statistics of `valueCol` — the heavy-tail diagnostic behind "can
     * I cap document length / degree / domain mass at X". alpha =

@@ -4109,7 +4109,42 @@ object OpsOracles {
         |SELECT a.id AS id_a, b.id AS id_b, a.v AS v_a, b.v AS v_b,
         |  (b.rn - a.rn)::BIGINT AS rank_dist
         |FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 5
-        |ORDER BY id_a, id_b""".stripMargin.trim
+        |ORDER BY id_a, id_b""".stripMargin.trim,
+
+    // Monroe log-odds distinctive terms: exact counts, the engine's
+    // exact double chain (alpha expanded inline), rounded z ranked
+    // with the term tiebreak
+    "q_distinctive_terms" ->
+      """WITH toks AS (SELECT source AS slice,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+        |sw AS (SELECT slice, w, count(*)::BIGINT AS y_sw FROM toks
+        |  GROUP BY 1, 2),
+        |wt AS (SELECT w, sum(y_sw)::BIGINT AS y_w FROM sw GROUP BY 1
+        |  HAVING sum(y_sw) >= 5),
+        |st AS (SELECT slice, sum(y_sw)::BIGINT AS n_s FROM sw GROUP BY 1),
+        |ntt AS (SELECT sum(y_sw)::BIGINT AS n FROM sw),
+        |sc AS (SELECT sw.slice, sw.w AS term, sw.y_sw,
+        |    round((ln((sw.y_sw::DOUBLE
+        |        + 100.0::DOUBLE * wt.y_w::DOUBLE / ntt.n::DOUBLE)
+        |      / (st.n_s::DOUBLE + 100.0::DOUBLE - sw.y_sw::DOUBLE
+        |        - 100.0::DOUBLE * wt.y_w::DOUBLE / ntt.n::DOUBLE))
+        |    - ln(((wt.y_w - sw.y_sw)::DOUBLE
+        |        + 100.0::DOUBLE * wt.y_w::DOUBLE / ntt.n::DOUBLE)
+        |      / (ntt.n::DOUBLE - st.n_s::DOUBLE + 100.0::DOUBLE
+        |        - (wt.y_w - sw.y_sw)::DOUBLE
+        |        - 100.0::DOUBLE * wt.y_w::DOUBLE / ntt.n::DOUBLE)))
+        |    / sqrt(1.0::DOUBLE / (sw.y_sw::DOUBLE
+        |        + 100.0::DOUBLE * wt.y_w::DOUBLE / ntt.n::DOUBLE)
+        |      + 1.0::DOUBLE / ((wt.y_w - sw.y_sw)::DOUBLE
+        |        + 100.0::DOUBLE * wt.y_w::DOUBLE / ntt.n::DOUBLE)), 6)
+        |    AS z_score
+        |  FROM sw JOIN wt ON sw.w = wt.w JOIN st ON sw.slice = st.slice,
+        |    ntt),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY slice
+        |    ORDER BY z_score DESC, term) AS rn FROM sc)
+        |SELECT slice, term, y_sw, z_score FROM rk WHERE rn <= 5
+        |ORDER BY slice, z_score DESC, term""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

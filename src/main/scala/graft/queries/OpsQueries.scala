@@ -1926,6 +1926,11 @@ object OpsQueries {
     Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
       (col("n_chars") >= 300).cast("long"))
 
+  /** Distinctive terms per source (Monroe log-odds, top 5). */
+  def distinctiveTermsQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.distinctiveTerms(tbl(spark, dir, "documents"),
+      "source", "text", topK = 5)
+
   /** Sorted-neighborhood candidates over customer balances (w=5). */
   def sortedNeighborhoodQ(spark: SparkSession, dir: String): DataFrame =
     FuzzyJoin.sortedNeighborhood(tbl(spark, dir, "customer"),

@@ -29,6 +29,23 @@ class ParetoDriftSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("distinctiveTerms: planted slice-specific term wins; shared term near zero") {
+    val common = Seq.fill(40)("the common words here").mkString(" ")
+    val a = s"$common ${Seq.fill(30)("alphaonly").mkString(" ")}"
+    val b = s"$common ${Seq.fill(30)("betaonly").mkString(" ")}"
+    val df = Seq(("a", a), ("b", b)).toDF("src", "text")
+    val got = CorpusStats.distinctiveTerms(df, "src", "text", topK = 3)
+      .collect()
+    val topA = got.filter(_.getAs[String]("slice") == "a")
+    assert(topA.head.getAs[String]("term") === "alphaonly")
+    assert(topA.head.getAs[Double]("z_score") > 2.0)
+    val topB = got.filter(_.getAs[String]("slice") == "b")
+    assert(topB.head.getAs[String]("term") === "betaonly")
+    // the shared vocabulary scores near zero in both slices
+    val shared = got.filter(r => r.getAs[String]("term") == "the")
+    shared.foreach(r => assert(math.abs(r.getAs[Double]("z_score")) < 1.0))
+  }
+
   test("psiSeries: week 0 is zero drift; a shifted week scores high") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-07-${d + 1}%02d 12:00:00")
     // week 0 (days 0-6): values ~ 10; week 1 (days 7-13): values ~ 90
