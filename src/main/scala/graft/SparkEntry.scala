@@ -280,7 +280,8 @@ object SparkEntry {
     "q_anova"            -> (OpsQueries.anovaQ _),
     "q_kruskal"          -> (OpsQueries.kruskalQ _),
     "q_sorted_neighborhood" -> (OpsQueries.sortedNeighborhoodQ _),
-    "q_distinctive_terms" -> (OpsQueries.distinctiveTermsQ _)
+    "q_distinctive_terms" -> (OpsQueries.distinctiveTermsQ _),
+    "q_term_burst"       -> (OpsQueries.termBurstQ _)
   )
 
   private val fixedPathValues =

@@ -331,6 +331,43 @@ object CorpusStats {
       .orderBy(col("slice"), col("z_score").desc, col("term"))
   }
 
+  /** Term-burst detection: (term, week) cells whose observed count
+    * most exceeds the independence expectation term_total·week_total/N
+    * — Poisson-standardized z = (obs − exp)/√exp, the "what spiked
+    * this week" trend surfacing over any timestamped text. Week index
+    * is the gap-safe `days-since-min div 7`; counts are exact; each
+    * cell's z is one double chain rounded once; the global top-k is a
+    * TakeOrdered with (z desc, term, week) tiebreaks. `minCount`
+    * prunes rare terms before the cell join. Returns
+    * (term, week, n_obs, z_burst). */
+  def termBurst(df: DataFrame, tsCol: String, textCol: String,
+                minCount: Long = 50, topK: Int = 20,
+                outDigits: Int = 6): DataFrame = {
+    require(topK >= 1 && minCount >= 1, "bad parameters")
+    val base = df.filter(col(tsCol).isNotNull && col(textCol).isNotNull)
+    val minDay = base.agg(min(to_date(col(tsCol)))).head().getDate(0)
+    val cells = base
+      .select(expr(s"datediff(to_date($tsCol), date'$minDay') div 7")
+        .as("week"), explode(Dedup.words(col(textCol))).as("term"))
+      .groupBy("week", "term").agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint(false) // term/week totals + cells reuse
+    val termTot = cells.groupBy("term").agg(sum(col("n_obs")).as("t_tot"))
+      .filter(col("t_tot") >= minCount)
+    val weekTot = cells.groupBy("week").agg(sum(col("n_obs")).as("w_tot"))
+    val n = cells.agg(coalesce(sum(col("n_obs")), lit(0L))).head().getLong(0)
+    require(n > 0, "no tokens")
+    val expC = col("t_tot").cast("double") * col("w_tot").cast("double") /
+      lit(n.toDouble)
+    cells
+      .join(termTot, Seq("term"))
+      .join(broadcast(weekTot), Seq("week"))
+      .select(col("term"), col("week"), col("n_obs"),
+        round((col("n_obs").cast("double") - expC) / sqrt(expC), outDigits)
+          .as("z_burst"))
+      .orderBy(col("z_burst").desc, col("term"), col("week"))
+      .limit(topK)
+  }
+
   /** Hill estimator of the power-law tail index over the top `k` order
     * statistics of `valueCol` — the heavy-tail diagnostic behind "can
     * I cap document length / degree / domain mass at X". alpha =

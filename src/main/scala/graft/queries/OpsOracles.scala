@@ -4144,7 +4144,34 @@ object OpsOracles {
         |rk AS (SELECT *, row_number() OVER (PARTITION BY slice
         |    ORDER BY z_score DESC, term) AS rn FROM sc)
         |SELECT slice, term, y_sw, z_score FROM rk WHERE rn <= 5
-        |ORDER BY slice, z_score DESC, term""".stripMargin.trim
+        |ORDER BY slice, z_score DESC, term""".stripMargin.trim,
+
+    // term bursts: Poisson-standardized (term, week) cells vs the
+    // independence expectation; deterministic TakeOrdered top-20
+    "q_term_burst" ->
+      """WITH src AS (SELECT l_shipdate, p_name FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate IS NOT NULL AND p_name IS NOT NULL),
+        |md AS (SELECT min(l_shipdate::DATE) AS d0 FROM src),
+        |cells AS (SELECT
+        |    (datediff('day', md.d0, l_shipdate::DATE) // 7)::BIGINT AS week,
+        |    unnest(regexp_split_to_array(lower(trim(p_name)), '\s+')) AS term,
+        |    1 AS one
+        |  FROM src, md),
+        |cc AS (SELECT week, term, count(*)::BIGINT AS n_obs FROM cells
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT term, sum(n_obs)::BIGINT AS t_tot FROM cc GROUP BY 1
+        |  HAVING sum(n_obs) >= 50),
+        |wt AS (SELECT week, sum(n_obs)::BIGINT AS w_tot FROM cc GROUP BY 1),
+        |nt AS (SELECT sum(n_obs)::BIGINT AS n FROM cc)
+        |SELECT cc.term, cc.week, cc.n_obs,
+        |  round((cc.n_obs::DOUBLE
+        |      - tt.t_tot::DOUBLE * wt.w_tot::DOUBLE / nt.n::DOUBLE)
+        |    / sqrt(tt.t_tot::DOUBLE * wt.w_tot::DOUBLE / nt.n::DOUBLE), 6)
+        |    AS z_burst
+        |FROM cc JOIN tt ON cc.term = tt.term JOIN wt ON cc.week = wt.week,
+        |  nt
+        |ORDER BY z_burst DESC, cc.term, cc.week LIMIT 20""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

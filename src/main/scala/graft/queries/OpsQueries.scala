@@ -1926,6 +1926,15 @@ object OpsQueries {
     Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
       (col("n_chars") >= 300).cast("long"))
 
+  /** Term bursts: part-name tokens over shipdate weeks (top 20). */
+  def termBurstQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.termBurst(
+      tbl(spark, dir, "lineitem")
+        .join(broadcast(tbl(spark, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_shipdate"), col("p_name")),
+      "l_shipdate", "p_name")
+
   /** Distinctive terms per source (Monroe log-odds, top 5). */
   def distinctiveTermsQ(spark: SparkSession, dir: String): DataFrame =
     CorpusStats.distinctiveTerms(tbl(spark, dir, "documents"),

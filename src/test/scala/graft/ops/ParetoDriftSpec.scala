@@ -46,6 +46,25 @@ class ParetoDriftSpec extends SparkSpec {
     shared.foreach(r => assert(math.abs(r.getAs[Double]("z_score")) < 1.0))
   }
 
+  test("termBurst: a planted spike week dominates the board") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-09-${d + 1}%02d 12:00:00")
+    // weeks 0-3: heavy steady "base item"; week 2 adds a proportionally
+    // small "viral gadget" spike (so week totals stay comparable and
+    // the independence expectation isolates the genuinely bursty term)
+    val rows = (0 until 28).flatMap { d =>
+      val steady = Seq.fill(20)((ts(d), "base item"))
+      val spike = if (d / 7 == 2) Seq.fill(5)((ts(d), "viral gadget")) else Nil
+      steady ++ spike
+    }
+    val df = rows.toDF("ts", "name")
+    val got = CorpusStats.termBurst(df, "ts", "name", minCount = 10, topK = 4)
+      .collect()
+    assert(got.head.getAs[String]("term") === "viral" ||
+      got.head.getAs[String]("term") === "gadget")
+    assert(got.head.getAs[Long]("week") === 2L)
+    assert(got.head.getAs[Double]("z_burst") > 3.0)
+  }
+
   test("psiSeries: week 0 is zero drift; a shifted week scores high") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-07-${d + 1}%02d 12:00:00")
     // week 0 (days 0-6): values ~ 10; week 1 (days 7-13): values ~ 90
