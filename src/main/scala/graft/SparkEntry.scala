@@ -281,7 +281,9 @@ object SparkEntry {
     "q_kruskal"          -> (OpsQueries.kruskalQ _),
     "q_sorted_neighborhood" -> (OpsQueries.sortedNeighborhoodQ _),
     "q_distinctive_terms" -> (OpsQueries.distinctiveTermsQ _),
-    "q_term_burst"       -> (OpsQueries.termBurstQ _)
+    "q_term_burst"       -> (OpsQueries.termBurstQ _),
+    "q_corpus_card"      -> (OpsQueries.corpusCardQ _),
+    "q_vocab_overlap"    -> (OpsQueries.vocabOverlapQ _)
   )
 
   private val fixedPathValues =

@@ -331,6 +331,66 @@ object CorpusStats {
       .orderBy(col("slice"), col("z_score").desc, col("term"))
   }
 
+  /** One-row corpus datasheet ("datasheets for datasets" summary):
+    * document/token/vocabulary volumes, language and source breadth,
+    * exact-duplicate mass, and mean length — the header numbers every
+    * corpus release note needs, from two corpus-linear aggregation
+    * passes (one text-token pass, one md5-duplicate pass). All outputs
+    * integral (floored milli/ppm). Returns (n_docs, n_null_text,
+    * n_langs, n_sources, n_tokens, vocab_size, dup_doc_ppm,
+    * mean_chars_milli). */
+  def corpusCard(df: DataFrame, idCol: String, textCol: String,
+                 langCol: String, sourceCol: String,
+                 charsCol: String): DataFrame = {
+    val head = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("n_null_text"),
+      countDistinct(col(langCol)).as("n_langs"),
+      countDistinct(col(sourceCol)).as("n_sources"),
+      sum(coalesce(col(charsCol), lit(0L))).as("sum_chars"))
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(explode(Dedup.words(col(textCol))).as("w"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("w")).as("vocab_size"))
+    val dups = df.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("__h")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") - lit(1L)), lit(0L)).as("dup_docs"))
+    head.crossJoin(toks).crossJoin(dups)
+      .select(col("n_docs"), col("n_null_text"), col("n_langs"),
+        col("n_sources"), col("n_tokens"), col("vocab_size"),
+        expr("dup_docs * 1000000 div n_docs").as("dup_doc_ppm"),
+        expr("sum_chars * 1000 div n_docs").as("mean_chars_milli"))
+  }
+
+  /** Pairwise vocabulary overlap between slices: |A∩B| and the
+    * Jaccard share of type sets for every source pair — "are these
+    * two feeds the same content in different wrappers" at the
+    * vocabulary level. Distinct (slice, token) reduction, an
+    * inverted-index equi-join on the token (per-token fanout bounded
+    * by slices², never corpus-quadratic), sizes joined back. Returns
+    * (slice_a, slice_b, common, size_a, size_b, jaccard_ppm). */
+  def vocabOverlap(df: DataFrame, sliceCol: String,
+                   textCol: String): DataFrame = {
+    val types = df
+      .filter(col(sliceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sliceCol).as("s"),
+        explode(Dedup.words(col(textCol))).as("w"))
+      .distinct()
+      .localCheckpoint(false) // sizes + pair join reuse
+    val sizes = types.groupBy("s").agg(count(lit(1)).as("sz"))
+    val pairs = types.select(col("s").as("sa"), col("w"))
+      .join(types.select(col("s").as("sb"), col("w")), Seq("w"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("s").as("sa"), col("sz").as("size_a")), Seq("sa"))
+      .join(sizes.select(col("s").as("sb"), col("sz").as("size_b")), Seq("sb"))
+      .select(col("sa").as("slice_a"), col("sb").as("slice_b"),
+        col("common"), col("size_a"), col("size_b"),
+        expr("common * 1000000 div (size_a + size_b - common)")
+          .as("jaccard_ppm"))
+      .orderBy("slice_a", "slice_b")
+  }
+
   /** Term-burst detection: (term, week) cells whose observed count
     * most exceeds the independence expectation term_total·week_total/N
     * — Poisson-standardized z = (obs − exp)/√exp, the "what spiked

@@ -4171,7 +4171,46 @@ object OpsOracles {
         |    AS z_burst
         |FROM cc JOIN tt ON cc.term = tt.term JOIN wt ON cc.week = wt.week,
         |  nt
-        |ORDER BY z_burst DESC, cc.term, cc.week LIMIT 20""".stripMargin.trim
+        |ORDER BY z_burst DESC, cc.term, cc.week LIMIT 20""".stripMargin.trim,
+
+    // corpus datasheet: two corpus passes, all integral
+    "q_corpus_card" ->
+      """WITH head AS (SELECT count(*)::BIGINT AS n_docs,
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_null_text,
+        |    count(DISTINCT lang)::BIGINT AS n_langs,
+        |    count(DISTINCT source)::BIGINT AS n_sources,
+        |    sum(coalesce(n_chars, 0))::BIGINT AS sum_chars FROM documents),
+        |toks AS (SELECT count(*)::BIGINT AS n_tokens,
+        |    count(DISTINCT w)::BIGINT AS vocab_size
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+        |      '\s+')) AS w FROM documents WHERE text IS NOT NULL)),
+        |dups AS (SELECT coalesce(sum(c - 1), 0)::BIGINT AS dup_docs
+        |  FROM (SELECT md5(text) AS h, count(*)::BIGINT AS c FROM documents
+        |        WHERE text IS NOT NULL GROUP BY 1))
+        |SELECT n_docs, n_null_text, n_langs, n_sources, n_tokens,
+        |  vocab_size,
+        |  (dup_docs * 1000000 // n_docs)::BIGINT AS dup_doc_ppm,
+        |  (sum_chars * 1000 // n_docs)::BIGINT AS mean_chars_milli
+        |FROM head, toks, dups""".stripMargin.trim,
+
+    // vocabulary overlap: distinct type sets, token-keyed pair join
+    "q_vocab_overlap" ->
+      """WITH types AS (SELECT DISTINCT s, w FROM
+        |  (SELECT source AS s,
+        |     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |   FROM documents WHERE source IS NOT NULL AND text IS NOT NULL)),
+        |sizes AS (SELECT s, count(*)::BIGINT AS sz FROM types GROUP BY 1),
+        |pairs AS (SELECT a.s AS slice_a, b.s AS slice_b,
+        |    count(*)::BIGINT AS common
+        |  FROM types a JOIN types b ON a.w = b.w AND a.s < b.s
+        |  GROUP BY 1, 2)
+        |SELECT slice_a, slice_b, common, sa.sz AS size_a, sb.sz AS size_b,
+        |  (common * 1000000 // (sa.sz + sb.sz - common))::BIGINT
+        |    AS jaccard_ppm
+        |FROM pairs JOIN sizes sa ON pairs.slice_a = sa.s
+        |  JOIN sizes sb ON pairs.slice_b = sb.s
+        |ORDER BY slice_a, slice_b""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1926,6 +1926,15 @@ object OpsQueries {
     Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
       (col("n_chars") >= 300).cast("long"))
 
+  /** One-row corpus datasheet over the documents table. */
+  def corpusCardQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.corpusCard(tbl(spark, dir, "documents"), "doc_id", "text",
+      "lang", "source", "n_chars")
+
+  /** Pairwise vocabulary overlap across sources. */
+  def vocabOverlapQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.vocabOverlap(tbl(spark, dir, "documents"), "source", "text")
+
   /** Term bursts: part-name tokens over shipdate weeks (top 20). */
   def termBurstQ(spark: SparkSession, dir: String): DataFrame =
     CorpusStats.termBurst(

@@ -46,6 +46,33 @@ class ParetoDriftSpec extends SparkSpec {
     shared.foreach(r => assert(math.abs(r.getAs[Double]("z_score")) < 1.0))
   }
 
+  test("corpusCard and vocabOverlap: exact datasheet numbers") {
+    val docs = Seq(
+      (1L, "the quick fox", "en", "s1", 13L),
+      (2L, "the quick fox", "en", "s1", 13L),       // exact dup
+      (3L, "la vache rouge", "fr", "s2", 14L),
+      (4L, null.asInstanceOf[String], "en", "s2", 0L),
+      (5L, "the slow fox", "en", "s2", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val card = CorpusStats.corpusCard(docs, "doc_id", "text", "lang",
+      "source", "n_chars").head()
+    assert(card.getAs[Long]("n_docs") === 5L)
+    assert(card.getAs[Long]("n_null_text") === 1L)
+    assert(card.getAs[Long]("n_langs") === 2L)
+    assert(card.getAs[Long]("n_sources") === 2L)
+    assert(card.getAs[Long]("n_tokens") === 12L)
+    assert(card.getAs[Long]("vocab_size") === 7L) // the quick fox la vache rouge slow
+    assert(card.getAs[Long]("dup_doc_ppm") === 200000L) // 1 of 5
+    assert(card.getAs[Long]("mean_chars_milli") === 52L * 1000 / 5)
+    val ov = CorpusStats.vocabOverlap(docs, "source", "text").collect()
+    assert(ov.length === 1)
+    val r = ov.head
+    // s1 types: the quick fox (3); s2: la vache rouge the slow fox (6)
+    assert(r.getAs[Long]("size_a") === 3L && r.getAs[Long]("size_b") === 6L)
+    assert(r.getAs[Long]("common") === 2L) // the, fox
+    assert(r.getAs[Long]("jaccard_ppm") === 2L * 1000000 / 7)
+  }
+
   test("termBurst: a planted spike week dominates the board") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-09-${d + 1}%02d 12:00:00")
     // weeks 0-3: heavy steady "base item"; week 2 adds a proportionally
