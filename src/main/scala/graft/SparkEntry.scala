@@ -283,7 +283,8 @@ object SparkEntry {
     "q_distinctive_terms" -> (OpsQueries.distinctiveTermsQ _),
     "q_term_burst"       -> (OpsQueries.termBurstQ _),
     "q_corpus_card"      -> (OpsQueries.corpusCardQ _),
-    "q_vocab_overlap"    -> (OpsQueries.vocabOverlapQ _)
+    "q_vocab_overlap"    -> (OpsQueries.vocabOverlapQ _),
+    "q_did"              -> (OpsQueries.didQ _)
   )
 
   private val fixedPathValues =

@@ -326,6 +326,49 @@ object Stats {
       .orderBy("digit")
   }
 
+  /** Difference-in-differences: the (treated post − treated pre) −
+    * (control post − control pre) effect estimate over an event
+    * stream split at `splitDays` after the corpus min date — the
+    * quasi-experimental companion to [[cuped]] when assignment isn't
+    * randomized but trends are parallel. One grouped cent-moment pass
+    * over the four (variant × period) cells; means and the DiD are
+    * exact-moment doubles rounded once. Returns one row
+    * (n_t, n_c, m_t_pre, m_t_post, m_c_pre, m_c_post, did). */
+  def diffInDiff(events: DataFrame, tsCol: String, valueCol: String,
+                 treatedCol: org.apache.spark.sql.Column,
+                 splitDays: Int = 15, scaleDigits: Int = 2,
+                 outDigits: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val base = events.filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+    val minDay = base.agg(min(to_date(col(tsCol)))).head().getDate(0)
+    val vc = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val cells = base
+      .groupBy(treatedCol.cast("long").as("t"),
+        (datediff(to_date(col(tsCol)), lit(minDay)) < lit(splitDays))
+          .cast("long").as("pre"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(vc.cast("decimal(38,0)")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3))))).toMap
+    def mean(t: Long, pre: Long): Double = {
+      val (n, s) = cells.getOrElse((t, pre),
+        throw new IllegalArgumentException(s"empty cell (t=$t, pre=$pre)"))
+      s.toDouble / unit / n.toDouble
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (mtp, mtq) = (mean(1, 1), mean(1, 0))
+    val (mcp, mcq) = (mean(0, 1), mean(0, 0))
+    val nT = (cells((1L, 1L))._1 + cells((1L, 0L))._1).toLong
+    val nC = (cells((0L, 1L))._1 + cells((0L, 0L))._1).toLong
+    Seq((nT, nC, r6(mtp), r6(mtq), r6(mcp), r6(mcq),
+      r6((mtq - mtp) - (mcq - mcp))))
+      .toDF("n_t", "n_c", "m_t_pre", "m_t_post", "m_c_pre", "m_c_post", "did")
+  }
+
   /** CUPED variance reduction (Deng et al. 2013): adjust an
     * experiment's post-period metric by its pre-period covariate,
     * theta = cov(pre, post) / var(pre) pooled over ALL users, then

@@ -4210,7 +4210,37 @@ object OpsOracles {
         |    AS jaccard_ppm
         |FROM pairs JOIN sizes sa ON pairs.slice_a = sa.s
         |  JOIN sizes sb ON pairs.slice_b = sb.s
-        |ORDER BY slice_a, slice_b""".stripMargin.trim
+        |ORDER BY slice_a, slice_b""".stripMargin.trim,
+
+    // difference-in-differences over the four (variant x period)
+    // cent-moment cells
+    "q_did" ->
+      """WITH base AS (SELECT
+        |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END::BIGINT AS t,
+        |    ts, CAST(round(value * 100.0) AS BIGINT) AS vc
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |md AS (SELECT min(ts::DATE) AS d0 FROM base),
+        |cells AS (SELECT t,
+        |    CASE WHEN datediff('day', md.d0, ts::DATE) < 15
+        |      THEN 1 ELSE 0 END::BIGINT AS pre,
+        |    count(*)::HUGEINT AS n, sum(vc)::HUGEINT AS s
+        |  FROM base, md GROUP BY 1, 2),
+        |m AS (SELECT
+        |    max(CASE WHEN t = 1 AND pre = 1 THEN s::DOUBLE / 100.0::DOUBLE
+        |      / n::DOUBLE END) AS mtp,
+        |    max(CASE WHEN t = 1 AND pre = 0 THEN s::DOUBLE / 100.0::DOUBLE
+        |      / n::DOUBLE END) AS mtq,
+        |    max(CASE WHEN t = 0 AND pre = 1 THEN s::DOUBLE / 100.0::DOUBLE
+        |      / n::DOUBLE END) AS mcp,
+        |    max(CASE WHEN t = 0 AND pre = 0 THEN s::DOUBLE / 100.0::DOUBLE
+        |      / n::DOUBLE END) AS mcq,
+        |    sum(CASE WHEN t = 1 THEN n ELSE 0 END)::BIGINT AS n_t,
+        |    sum(CASE WHEN t = 0 THEN n ELSE 0 END)::BIGINT AS n_c
+        |  FROM cells)
+        |SELECT n_t, n_c, round(mtp, 6) AS m_t_pre, round(mtq, 6) AS m_t_post,
+        |  round(mcp, 6) AS m_c_pre, round(mcq, 6) AS m_c_post,
+        |  round((mtq - mtp) - (mcq - mcp), 6) AS did
+        |FROM m""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

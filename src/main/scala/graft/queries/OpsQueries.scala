@@ -1926,6 +1926,11 @@ object OpsQueries {
     Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
       (col("n_chars") >= 300).cast("long"))
 
+  /** Difference-in-differences: user_id mod 2 treatment, day-15 split. */
+  def didQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.diffInDiff(tbl(spark, dir, "events"), "ts", "value",
+      pmod(col("user_id"), lit(2)) === 1)
+
   /** One-row corpus datasheet over the documents table. */
   def corpusCardQ(spark: SparkSession, dir: String): DataFrame =
     CorpusStats.corpusCard(tbl(spark, dir, "documents"), "doc_id", "text",

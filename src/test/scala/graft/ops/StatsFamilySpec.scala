@@ -174,6 +174,22 @@ class StatsFamilySpec extends SparkSpec {
     assert(z.count(_.getAs[Long]("n_obs") == 0L) === 8)
   }
 
+  // ----------------------------------------------------------- diffInDiff
+
+  test("diffInDiff: recovers a planted treatment effect over a trend") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 10:00:00")
+    // shared trend: +4 post; treated adds +7 true effect post
+    val ev = (0 until 10).flatMap { i =>
+      Seq((1L, ts(2), 10.0 + i), (1L, ts(20), 21.0 + i),  // treated: 10->21 (+4 trend +7)
+        (2L, ts(2), 10.0 + i), (2L, ts(20), 14.0 + i))    // control: 10->14 (+4 trend)
+    }.toDF("user_id", "ts", "value")
+    val r = Stats.diffInDiff(ev, "ts", "value",
+      pmod(col("user_id"), lit(2)) === 1).head()
+    assert(r.getAs[Double]("did") === 7.0)
+    assert(r.getAs[Long]("n_t") === 20L && r.getAs[Long]("n_c") === 20L)
+    assert(r.getAs[Double]("m_t_pre") === 14.5 && r.getAs[Double]("m_c_post") === 18.5)
+  }
+
   // ---------------------------------------------------------------- cuped
 
   test("cuped: adjustment recovers the known theta and shrinks variance") {
