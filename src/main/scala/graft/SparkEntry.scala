@@ -284,7 +284,8 @@ object SparkEntry {
     "q_term_burst"       -> (OpsQueries.termBurstQ _),
     "q_corpus_card"      -> (OpsQueries.corpusCardQ _),
     "q_vocab_overlap"    -> (OpsQueries.vocabOverlapQ _),
-    "q_did"              -> (OpsQueries.didQ _)
+    "q_did"              -> (OpsQueries.didQ _),
+    "q_ipw"              -> (PathQueries.ipwAte _)
   )
 
   private val fixedPathValues =
@@ -1063,6 +1064,32 @@ object SparkEntry {
         |SELECT 'a0' AS term, round(ln(p / (1 - p)) - b * mx, 6) + 0 AS value FROM t
         |UNION ALL SELECT 'l_quantity', round(b, 6) + 0 FROM t
         |ORDER BY term""".stripMargin,
+
+    // IPW ATE: the q_binom_fit closed-form propensity scored per row
+    // (identical sigmoid tree), Hajek-normalized weighted means —
+    // ratios of same-magnitude sums absorb float-order ulps at 6dp
+    "q_ipw" ->
+      """WITH s AS (SELECT avg(l_quantity) mx, sqrt(var_pop(l_quantity)) sd,
+        |  avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) p,
+        |  covar_pop(l_quantity, CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) cxy
+        |FROM lineitem),
+        |t2 AS (SELECT mx, p,
+        |  sign(cxy/sd) * greatest(abs(cxy/sd) - 0.0002, 0) / (p * (1 - p)) / sd AS b
+        |FROM s),
+        |cf AS (SELECT ln(p / (1 - p)) - b * mx AS a0, b FROM t2),
+        |r AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS t,
+        |    l_extendedprice AS y,
+        |    1.0 / (1.0 + exp(-(cf.a0 + l_quantity * cf.b))) AS p
+        |  FROM lineitem, cf)
+        |SELECT CAST(sum(t) AS BIGINT) AS n_treated,
+        |  CAST(sum(1.0 - t) AS BIGINT) AS n_control,
+        |  round(sum(t * y / p) / sum(t / p), 6) AS mean_treated,
+        |  round(sum((1.0 - t) * y / (1.0 - p))
+        |    / sum((1.0 - t) / (1.0 - p)), 6) AS mean_control,
+        |  round(sum(t * y / p) / sum(t / p)
+        |    - sum((1.0 - t) * y / (1.0 - p))
+        |      / sum((1.0 - t) / (1.0 - p)), 6) AS ate
+        |FROM r""".stripMargin.trim,
 
     // one FISTA step from the null point: a0 = ln(prior), step =
     // 1/(0.5*(1+corr)+1e-9) (power iteration from [1,1] returns 1+corr

@@ -46,6 +46,36 @@ object PathQueries {
     * back-transform), not a hand-built model, and DuckDB reproduces it.
     * The converged multi-feature path stays covered by
     * SgdNetBinomialSpec against spark.ml LogisticRegression. */
+  /** Inverse-propensity-weighted outcome means and ATE: the
+    * [[binomFit]] one-step propensity model (P[returnflag = R |
+    * quantity]) scores every row IN the aggregation pipeline (the
+    * prediction is a codegen column expression, not a materialized
+    * table), then Hájek-normalized weighted means estimate the
+    * "effect" of the R flag on extendedprice. End-to-end: model fit →
+    * per-row sigmoid → weighted rollup, one distributed pass after
+    * the fit's treeAggregate — and every step has a closed-form
+    * oracle because the fit configuration is the oracle-exact
+    * one-step solve. */
+  def ipwAte(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+    val m = SgdNet.fit(li, Seq("l_quantity"), "is_r",
+      SgdNetParams(family = "binomial", alpha = 1.0, lambda = Array(0.0002),
+        thresh = 1e6))
+    val t = col("is_r").cast("double")
+    val rows = li.select(t.as("t"), col("l_extendedprice").as("y"),
+      m.responseCol(0).as("p"))
+    val mt = sum(col("t") * col("y") / col("p")) / sum(col("t") / col("p"))
+    val mc = sum((lit(1.0) - col("t")) * col("y") / (lit(1.0) - col("p"))) /
+      sum((lit(1.0) - col("t")) / (lit(1.0) - col("p")))
+    rows.agg(
+      sum(col("t")).cast("long").as("n_treated"),
+      sum(lit(1.0) - col("t")).cast("long").as("n_control"),
+      round(mt, 6).as("mean_treated"),
+      round(mc, 6).as("mean_control"),
+      round(mt - mc, 6).as("ate"))
+  }
+
   def binomFit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = tbl(spark, dir, "lineitem")

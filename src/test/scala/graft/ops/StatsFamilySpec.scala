@@ -174,6 +174,27 @@ class StatsFamilySpec extends SparkSpec {
     assert(z.count(_.getAs[Long]("n_obs") == 0L) === 8)
   }
 
+  // ------------------------------------------------------------------ ipw
+
+  test("ipwAte: uninformative propensity collapses to plain means") {
+    // treatment independent of x -> the lasso shrinks b to 0, p is the
+    // constant base rate, and the Hajek means equal the raw group means
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.queries.PathQueries.ipwAte(spark, dir).head()
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val raw = li.groupBy((col("l_returnflag") === "R").cast("int").as("t"))
+      .agg(avg(col("l_extendedprice")).as("m"), count(lit(1)).as("n"))
+      .collect().map(x => x.getAs[Int]("t") -> x).toMap
+    assert(r.getAs[Long]("n_treated") === raw(1).getAs[Long]("n"))
+    assert(r.getAs[Long]("n_control") === raw(0).getAs[Long]("n"))
+    // weights reweight within groups; with a nearly-flat propensity the
+    // IPW means sit close to the raw means (identical if b == 0)
+    assert(math.abs(r.getAs[Double]("mean_treated") - raw(1).getAs[Double]("m"))
+      < 0.05 * math.abs(raw(1).getAs[Double]("m")))
+    assert(math.abs(r.getAs[Double]("ate") -
+      (r.getAs[Double]("mean_treated") - r.getAs[Double]("mean_control"))) < 2.1e-6) // two independent 6dp roundings
+  }
+
   // ----------------------------------------------------------- diffInDiff
 
   test("diffInDiff: recovers a planted treatment effect over a trend") {
