@@ -285,7 +285,9 @@ object SparkEntry {
     "q_corpus_card"      -> (OpsQueries.corpusCardQ _),
     "q_vocab_overlap"    -> (OpsQueries.vocabOverlapQ _),
     "q_did"              -> (OpsQueries.didQ _),
-    "q_ipw"              -> (PathQueries.ipwAte _)
+    "q_ipw"              -> (PathQueries.ipwAte _),
+    "q_cms_audit"        -> (OpsQueries.cmsAuditQ _),
+    "q_srm"              -> (OpsQueries.srmQ _)
   )
 
   private val fixedPathValues =

@@ -154,4 +154,45 @@ object Frequent {
           s" div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
           .as("lift_ppm"))
   }
+
+  /** Count-Min sketch with an EXACT error audit: build a (depth ×
+    * width) CM sketch of the token stream with deterministic md5-row
+    * hashes (engine-portable, no seeds), then report, for the top-k
+    * exact tokens, the sketch estimate (min over rows) next to the
+    * true count and the overcount — the calibration run that tells
+    * you what width a production sketch needs. The sketch itself is
+    * ONE grouped aggregation into depth·width cells (bounded state at
+    * any corpus size, the point of a CMS); the audit joins the tiny
+    * top-k exact list against the broadcast-sized cell table. CMS
+    * never undercounts, so `overcount >= 0` is an invariant. Returns
+    * (token, exact_count, cms_estimate, overcount). */
+  def countMinAudit(df: DataFrame, textCol: String, depth: Int = 3,
+                    width: Int = 256, topK: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 8 && width >= 2, "bad sketch shape")
+    val spark = df.sparkSession
+    // row r hash: first 8 hex chars of md5(r || ':' || token) mod width
+    def cell(r: Int) =
+      expr(s"CAST(conv(substring(md5(concat('$r', ':', w)), 1, 8), 16, 10) " +
+        s"AS BIGINT) % $width").as(s"c_$r")
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(explode(Dedup.words(col(textCol))).as("w"))
+      .localCheckpoint(false) // sketch + exact counts reuse one explode
+    val cells = (0 until depth).map { r =>
+      toks.select(lit(r).as("row"), cell(r).as("cellv"))
+    }.reduce(_ unionAll _)
+      .groupBy("row", "cellv").agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy("w").agg(count(lit(1)).as("exact_count"))
+      .orderBy(desc("exact_count"), col("w")).limit(topK)
+    val probes = (0 until depth).map { r =>
+      exact.select(col("w"), col("exact_count"), lit(r).as("row"),
+        cell(r).as("cellv"))
+    }.reduce(_ unionAll _)
+    probes
+      .join(broadcast(cells), Seq("row", "cellv"))
+      .groupBy(col("w").as("token"), col("exact_count"))
+      .agg(min(col("cnt")).as("cms_estimate"))
+      .select(col("token"), col("exact_count"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_count")).as("overcount"))
+      .orderBy(desc("exact_count"), col("token"))
+  }
 }

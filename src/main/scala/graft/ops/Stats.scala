@@ -326,6 +326,27 @@ object Stats {
       .orderBy("digit")
   }
 
+  /** Sample-ratio-mismatch guardrail: z-score of the observed variant
+    * split against the designed allocation `pA` — the first check any
+    * experiment readout must pass (a failed SRM invalidates every
+    * downstream metric). Exact integer counts, one double closed
+    * form. Returns (n_a, n_b, z_srm). */
+  def srmCheck(df: DataFrame, variantACol: org.apache.spark.sql.Column,
+               pA: Double = 0.5, outDigits: Int = 6): DataFrame = {
+    require(pA > 0 && pA < 1, "pA must be in (0,1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = df.agg(
+      sum(variantACol.cast("long")).as("na"),
+      count(lit(1)).as("n")).head()
+    val na = r.getLong(0); val n = r.getLong(1)
+    require(n > 0, "no rows")
+    val z = BigDecimal((na.toDouble - n.toDouble * pA) /
+      math.sqrt(n.toDouble * pA * (1.0 - pA)))
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((na, n - na, z)).toDF("n_a", "n_b", "z_srm")
+  }
+
   /** Difference-in-differences: the (treated post − treated pre) −
     * (control post − control pre) effect estimate over an event
     * stream split at `splitDays` after the corpus min date — the

@@ -4240,7 +4240,40 @@ object OpsOracles {
         |SELECT n_t, n_c, round(mtp, 6) AS m_t_pre, round(mtq, 6) AS m_t_post,
         |  round(mcp, 6) AS m_c_pre, round(mcq, 6) AS m_c_post,
         |  round((mtq - mtp) - (mcq - mcp), 6) AS did
-        |FROM m""".stripMargin.trim
+        |FROM m""".stripMargin.trim,
+
+    // CMS audit: deterministic md5-row hashes, min over depth rows,
+    // top-k exact tokens probed against the bounded cell table
+    "q_cms_audit" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(
+        |    lower(trim(text)), '\s+')) AS w FROM documents
+        |  WHERE text IS NOT NULL),
+        |cells AS (SELECT r, ('0x' || substr(md5(r::VARCHAR || ':' || w),
+        |    1, 8))::BIGINT % 256 AS cellv, count(*)::BIGINT AS cnt
+        |  FROM toks, generate_series(0, 2) AS g(r) GROUP BY 1, 2),
+        |exact AS (SELECT w, count(*)::BIGINT AS exact_count FROM toks
+        |  GROUP BY 1 ORDER BY exact_count DESC, w LIMIT 20),
+        |probes AS (SELECT w, exact_count, g.r,
+        |    ('0x' || substr(md5(g.r::VARCHAR || ':' || w), 1, 8))::BIGINT
+        |      % 256 AS cellv
+        |  FROM exact, generate_series(0, 2) AS g(r)),
+        |est AS (SELECT probes.w AS token, probes.exact_count,
+        |    min(cells.cnt)::BIGINT AS cms_estimate
+        |  FROM probes JOIN cells ON probes.r = cells.r
+        |    AND probes.cellv = cells.cellv
+        |  GROUP BY 1, 2)
+        |SELECT token, exact_count, cms_estimate,
+        |  (cms_estimate - exact_count)::BIGINT AS overcount
+        |FROM est ORDER BY exact_count DESC, token""".stripMargin.trim,
+
+    // SRM guardrail: exact counts, one double z
+    "q_srm" ->
+      """WITH c AS (SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0
+        |    END)::BIGINT AS na, count(*)::BIGINT AS n FROM events)
+        |SELECT na AS n_a, (n - na)::BIGINT AS n_b,
+        |  round((na::DOUBLE - n::DOUBLE * 0.5)
+        |    / sqrt(n::DOUBLE * 0.5 * (1.0::DOUBLE - 0.5)), 6) AS z_srm
+        |FROM c""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1926,6 +1926,15 @@ object OpsQueries {
     Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
       (col("n_chars") >= 300).cast("long"))
 
+  /** CMS calibration audit over document tokens (3x256 sketch). */
+  def cmsAuditQ(spark: SparkSession, dir: String): DataFrame =
+    Frequent.countMinAudit(tbl(spark, dir, "documents"), "text")
+
+  /** Sample-ratio-mismatch guardrail on the user_id mod 2 split. */
+  def srmQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.srmCheck(tbl(spark, dir, "events"),
+      (pmod(col("user_id"), lit(2)) === 0).cast("long"))
+
   /** Difference-in-differences: user_id mod 2 treatment, day-15 split. */
   def didQ(spark: SparkSession, dir: String): DataFrame =
     Stats.diffInDiff(tbl(spark, dir, "events"), "ts", "value",

@@ -174,6 +174,19 @@ class StatsFamilySpec extends SparkSpec {
     assert(z.count(_.getAs[Long]("n_obs") == 0L) === 8)
   }
 
+  // ------------------------------------------------------------------ srm
+
+  test("srmCheck: balanced split near zero; skew flags strongly") {
+    val balanced = (0 until 1000).map(i => Tuple1((i % 2 == 0))).toDF("a")
+    val r0 = Stats.srmCheck(balanced, col("a").cast("long")).head()
+    assert(math.abs(r0.getAs[Double]("z_srm")) < 0.1)
+    val skew = (0 until 1000).map(i => Tuple1(i % 10 != 0)).toDF("a")
+    val r1 = Stats.srmCheck(skew, col("a").cast("long")).head()
+    assert(r1.getAs[Long]("n_a") === 900L)
+    // z = (900 - 500)/sqrt(250) = 25.3
+    assert(math.abs(r1.getAs[Double]("z_srm") - 400.0 / math.sqrt(250)) < 1e-4)
+  }
+
   // ------------------------------------------------------------------ ipw
 
   test("ipwAte: uninformative propensity collapses to plain means") {

@@ -57,6 +57,27 @@ class TrendConcentrationSpec extends SparkSpec {
     assert(r1.getAs[Long]("n_a") === 10000L && r1.getAs[Long]("n_b") === 10000L)
   }
 
+  // -------------------------------------------------------- countMinAudit
+
+  test("countMinAudit: never undercounts; exact on a sparse stream") {
+    // few distinct tokens << width -> no collisions -> estimates exact
+    val docs = Seq.fill(30)("alpha beta beta gamma").map(Tuple1(_)).toDF("t")
+    val got = Frequent.countMinAudit(docs, "t", depth = 3, width = 256,
+      topK = 3).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L) // CMS invariant
+      assert(r.getAs[Long]("cms_estimate") === r.getAs[Long]("exact_count"))
+    }
+    val byTok = got.map(r => r.getAs[String]("token") ->
+      r.getAs[Long]("exact_count")).toMap
+    assert(byTok("beta") === 60L && byTok("alpha") === 30L)
+    // a tiny width forces collisions: estimates still never undercount
+    val tight = Frequent.countMinAudit(docs, "t", depth = 2, width = 2,
+      topK = 3).collect()
+    tight.foreach(r => assert(
+      r.getAs[Long]("cms_estimate") >= r.getAs[Long]("exact_count")))
+  }
+
   // ------------------------------------------------------------- hillTail
 
   test("hillTail: matches the direct estimator on a planted tail") {
