@@ -287,7 +287,8 @@ object SparkEntry {
     "q_did"              -> (OpsQueries.didQ _),
     "q_ipw"              -> (PathQueries.ipwAte _),
     "q_cms_audit"        -> (OpsQueries.cmsAuditQ _),
-    "q_srm"              -> (OpsQueries.srmQ _)
+    "q_srm"              -> (OpsQueries.srmQ _),
+    "q_weighted_quantiles" -> (OpsQueries.weightedQuantilesQ _)
   )
 
   private val fixedPathValues =

@@ -123,6 +123,67 @@ object Quantiles {
     } finally rdd.unpersist(blocking = false)
   }
 
+  /** WEIGHTED exact quantiles with bounded state — "the price the
+    * median UNIT sold at", "the doc length the median TOKEN lives
+    * in": every row counts with its integer weight, not once. Same
+    * two-pass range-partitioned distinct-value scan as [[exactScale]]
+    * with weight sums in place of row counts; the quantile contract
+    * is the weighted LOWER quantile (smallest value whose cumulative
+    * weight reaches ⌈p‰·W/1000⌉ — integral, no interpolation, so the
+    * partitioned scan equals a sequential one bit-for-bit and the
+    * oracle is a window cumsum). Probabilities arrive as per-mille
+    * integers to keep the target ranks exact. Returns
+    * (p_permille, t_rank, total_weight, value). */
+  def weightedExactScale(df: DataFrame, valueCol: String,
+                         weightCol: String,
+                         permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
+      "permille targets must be in [1, 1000]")
+    val spark = df.sparkSession
+    val perValue = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull
+        && col(weightCol) > 0)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val ranged = perValue.repartitionByRange(col("__v"))
+      .sortWithinPartitions("__v")
+    val rdd = ranged.select(col("__v"), col("__w")).rdd
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+        var c = 0L; it.foreach(c += _._2); Iterator((i, c))
+      }.collect().sortBy(_._1)
+      val w = partTotals.map(_._2).sum
+      require(w > 0, s"no positive weight in $weightCol")
+      val offsets = new Array[Long](math.max(rdd.getNumPartitions, 1))
+      var acc = 0L
+      partTotals.foreach { case (i, c) => offsets(i) = acc; acc += c }
+      // integral target ranks: ceil(pm * W / 1000)
+      val targets = permille.map(pm => (pm.toLong * w + 999L) / 1000L)
+        .distinct.sorted.toArray
+      val bcOff = rdd.sparkContext.broadcast(offsets)
+      val bcT = rdd.sparkContext.broadcast(targets)
+      val hit: Map[Long, Double] = rdd.mapPartitionsWithIndex { (i, it) =>
+        var cum = bcOff.value(i)
+        val ts = bcT.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        it.foreach { case (v, wt) =>
+          val lo = cum; cum += wt
+          var j = java.util.Arrays.binarySearch(ts, lo + 1)
+          if (j < 0) j = -j - 1
+          while (j < ts.length && ts(j) <= cum) { out += ((ts(j), v)); j += 1 }
+        }
+        out.iterator
+      }.collect().toMap
+      import spark.implicits._
+      permille.map { pm =>
+        val t = (pm.toLong * w + 999L) / 1000L
+        (pm.toLong, t, w, hit(t))
+      }.toDF("p_permille", "t_rank", "total_weight", "value")
+    } finally rdd.unpersist(blocking = false)
+  }
+
   /** Exact interpolated quantiles PER GROUP — the p50/p95/p99-by-
     * segment report. One aggregation; per-group state buffers that
     * group's values (the [[exact]] caveat per group — the correctness

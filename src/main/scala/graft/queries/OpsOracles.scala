@@ -4273,7 +4273,26 @@ object OpsOracles {
         |SELECT na AS n_a, (n - na)::BIGINT AS n_b,
         |  round((na::DOUBLE - n::DOUBLE * 0.5)
         |    / sqrt(n::DOUBLE * 0.5 * (1.0::DOUBLE - 0.5)), 6) AS z_srm
-        |FROM c""".stripMargin.trim
+        |FROM c""".stripMargin.trim,
+
+    // weighted lower quantiles: distinct-value cumulative weights,
+    // smallest value whose cumw reaches the integral ceil target
+    "q_weighted_quantiles" ->
+      """WITH src AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    ::DOUBLE AS v, CAST(round(l_quantity) AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND CAST(round(l_quantity) AS BIGINT) > 0),
+        |pv AS (SELECT v, sum(w)::BIGINT AS wt FROM src GROUP BY 1),
+        |cw AS (SELECT v, sum(wt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)::BIGINT AS cum FROM pv),
+        |tot AS (SELECT sum(wt)::BIGINT AS w FROM pv),
+        |tg AS (SELECT pm::BIGINT AS p_permille,
+        |    ((pm * tot.w + 999) // 1000)::BIGINT AS t_rank, tot.w
+        |  FROM tot, (VALUES (250), (500), (750), (950)) p(pm))
+        |SELECT p_permille, t_rank, w AS total_weight,
+        |  (SELECT min(v) FROM cw WHERE cum >= t_rank) AS value
+        |FROM tg ORDER BY p_permille""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1926,6 +1926,14 @@ object OpsQueries {
     Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
       (col("n_chars") >= 300).cast("long"))
 
+  /** Weighted exact price quantiles: cents weighted by units sold. */
+  def weightedQuantilesQ(spark: SparkSession, dir: String): DataFrame =
+    Quantiles.weightedExactScale(
+      tbl(spark, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          round(col("l_quantity")).cast("long").as("units")),
+      "cents", "units", permille = Seq(250, 500, 750, 950))
+
   /** CMS calibration audit over document tokens (3x256 sketch). */
   def cmsAuditQ(spark: SparkSession, dir: String): DataFrame =
     Frequent.countMinAudit(tbl(spark, dir, "documents"), "text")

@@ -115,4 +115,27 @@ class ScaleUtilOpsSpec extends SparkSpec {
     assert(by(7).getAs[Long]("total_err_e15") === 0L)
     assert(by(9).getAs[Long]("total_err_e15") === 0L)
   }
+
+  // ---------------------------------------------------- weightedExactScale
+
+  test("weightedExactScale: weighted lower quantiles, weight-sensitive") {
+    // values 1..4 with weights 1, 1, 1, 7 -> W=10:
+    //  p500 target ceil(5)=5 -> first cum >= 5 is value 4 (cum 1,2,3,10)
+    //  p250 target ceil(2.5)=3 -> value 3
+    val df = Seq((1.0, 1L), (2.0, 1L), (3.0, 1L), (4.0, 7L))
+      .toDF("v", "w")
+    val got = graft.ops.Quantiles.weightedExactScale(df, "v", "w",
+      Seq(250, 500, 900)).collect()
+      .map(r => r.getAs[Long]("p_permille") -> r).toMap
+    assert(got(250L).getAs[Double]("value") === 3.0)
+    assert(got(250L).getAs[Long]("t_rank") === 3L)
+    assert(got(500L).getAs[Double]("value") === 4.0)
+    assert(got(900L).getAs[Double]("value") === 4.0)
+    assert(got(500L).getAs[Long]("total_weight") === 10L)
+    // unweighted (all weights 1) equals the plain lower quantile
+    val flat = Seq(10.0, 20.0, 30.0, 40.0).map((_, 1L)).toDF("v", "w")
+    val m = graft.ops.Quantiles.weightedExactScale(flat, "v", "w", Seq(500))
+      .head()
+    assert(m.getAs[Double]("value") === 20.0) // ceil(0.5*4)=2nd value
+  }
 }
