@@ -288,7 +288,8 @@ object SparkEntry {
     "q_ipw"              -> (PathQueries.ipwAte _),
     "q_cms_audit"        -> (OpsQueries.cmsAuditQ _),
     "q_srm"              -> (OpsQueries.srmQ _),
-    "q_weighted_quantiles" -> (OpsQueries.weightedQuantilesQ _)
+    "q_weighted_quantiles" -> (OpsQueries.weightedQuantilesQ _),
+    "q_quad_trend"       -> (OpsQueries.quadTrendQ _)
   )
 
   private val fixedPathValues =

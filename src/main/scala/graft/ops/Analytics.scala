@@ -743,6 +743,58 @@ object Analytics {
     } finally { rdd.unpersist(blocking = false); () }
   }
 
+  /** Quadratic trend of the weekly `valueCol` sum — "is growth
+    * accelerating or saturating", the curvature question the linear
+    * OLS trend cannot answer. One grouped cent-sum builds the weekly
+    * series (x = gap-safe week index); the 3×3 normal equations solve
+    * by CRAMER'S RULE over EXACT integral moments (n ≤ ~5k weeks ⇒
+    * every determinant term < 10³⁸, BigInt on the driver, HUGEINT in
+    * the oracle), so the whole fit is engine-exact up to the three
+    * final double divisions. Returns one row
+    * (n_weeks, c0, c1, c2) with y = c0 + c1·x + c2·x² in original
+    * units per week. */
+  def quadTrend(df: DataFrame, dateCol: String, valueCol: String,
+                scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val vc = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val base = df.filter(col(valueCol).isNotNull && col(dateCol).isNotNull)
+    val minDay = base.agg(min(to_date(col(dateCol)))).head().getDate(0)
+    val weekly = base
+      .groupBy(expr(s"datediff(to_date($dateCol), date'$minDay') div 7")
+        .as("x"))
+      .agg(sum(vc).as("y"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = weekly.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dd(col("x"))).as("sx"),
+      sum(dd(col("x")) * dd(col("x"))).as("sx2"),
+      sum(dd(col("x")) * dd(col("x")) * dd(col("x"))).as("sx3"),
+      sum(dd(col("x")) * dd(col("x")) * dd(col("x")) * dd(col("x"))).as("sx4"),
+      sum(dd(col("y"))).as("sy"),
+      sum(dd(col("x")) * dd(col("y"))).as("sxy"),
+      sum(dd(col("x")) * dd(col("x")) * dd(col("y"))).as("sx2y")).head()
+    val Seq(n, sx, sx2, sx3, sx4, sy, sxy, sx2y) =
+      (0 until 8).map(i => BigInt(m.getDecimal(i).toBigInteger))
+    require(n >= 3, "need at least 3 weeks")
+    def det3(a: BigInt, b: BigInt, c: BigInt, d: BigInt, e: BigInt,
+             f: BigInt, g: BigInt, h: BigInt, i: BigInt): BigInt =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val det = det3(n, sx, sx2, sx, sx2, sx3, sx2, sx3, sx4)
+    require(det != 0, "degenerate design (all weeks identical)")
+    val d0 = det3(sy, sx, sx2, sxy, sx2, sx3, sx2y, sx3, sx4)
+    val d1 = det3(n, sy, sx2, sx, sxy, sx3, sx2, sx2y, sx4)
+    val d2 = det3(n, sx, sy, sx, sx2, sxy, sx2, sx3, sx2y)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // one double division per coefficient, then the cent rescale
+    Seq((n.toLong, r6(d0.toDouble / det.toDouble / unit),
+      r6(d1.toDouble / det.toDouble / unit),
+      r6(d2.toDouble / det.toDouble / unit)))
+      .toDF("n_weeks", "c0", "c1", "c2")
+  }
+
   /** Kaplan–Meier survival over per-user activity lifetimes — the
     * retention curve with correct CENSORING, which the cohort
     * retention table cannot express (users still active at the corpus

@@ -4292,7 +4292,37 @@ object OpsOracles {
         |  FROM tot, (VALUES (250), (500), (750), (950)) p(pm))
         |SELECT p_permille, t_rank, w AS total_weight,
         |  (SELECT min(v) FROM cw WHERE cum >= t_rank) AS value
-        |FROM tg ORDER BY p_permille""".stripMargin.trim
+        |FROM tg ORDER BY p_permille""".stripMargin.trim,
+
+    // quadratic trend: exact HUGEINT Cramer determinants over the
+    // weekly moment sums; only the three final divisions are doubles
+    "q_quad_trend" ->
+      """WITH base AS (SELECT o_orderdate,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS vc FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        |md AS (SELECT min(o_orderdate::DATE) AS d0 FROM base),
+        |wk AS (SELECT (datediff('day', md.d0, o_orderdate::DATE) // 7)
+        |    ::BIGINT AS x, sum(vc)::BIGINT AS y FROM base, md GROUP BY 1),
+        |mm AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+        |    sum(x::HUGEINT * x) AS sx2, sum(x::HUGEINT * x * x) AS sx3,
+        |    sum(x::HUGEINT * x * x * x) AS sx4, sum(y)::HUGEINT AS sy,
+        |    sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x * y) AS sx2y
+        |  FROM wk),
+        |dets AS (SELECT n::BIGINT AS n_weeks,
+        |    n * (sx2 * sx4 - sx3 * sx3) - sx * (sx * sx4 - sx3 * sx2)
+        |      + sx2 * (sx * sx3 - sx2 * sx2) AS det,
+        |    sy * (sx2 * sx4 - sx3 * sx3) - sx * (sxy * sx4 - sx3 * sx2y)
+        |      + sx2 * (sxy * sx3 - sx2 * sx2y) AS d0,
+        |    n * (sxy * sx4 - sx3 * sx2y) - sy * (sx * sx4 - sx3 * sx2)
+        |      + sx2 * (sx * sx2y - sxy * sx2) AS d1,
+        |    n * (sx2 * sx2y - sxy * sx3) - sx * (sx * sx2y - sxy * sx2)
+        |      + sy * (sx * sx3 - sx2 * sx2) AS d2
+        |  FROM mm)
+        |SELECT n_weeks,
+        |  round(d0::DOUBLE / det::DOUBLE / 100.0::DOUBLE, 6) AS c0,
+        |  round(d1::DOUBLE / det::DOUBLE / 100.0::DOUBLE, 6) AS c1,
+        |  round(d2::DOUBLE / det::DOUBLE / 100.0::DOUBLE, 6) AS c2
+        |FROM dets""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1926,6 +1926,11 @@ object OpsQueries {
     Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
       (col("n_chars") >= 300).cast("long"))
 
+  /** Quadratic trend of weekly order revenue (exact Cramer solve). */
+  def quadTrendQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.quadTrend(tbl(spark, dir, "orders"), "o_orderdate",
+      "o_totalprice")
+
   /** Weighted exact price quantiles: cents weighted by units sold. */
   def weightedQuantilesQ(spark: SparkSession, dir: String): DataFrame =
     Quantiles.weightedExactScale(

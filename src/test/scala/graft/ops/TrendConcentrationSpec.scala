@@ -57,6 +57,22 @@ class TrendConcentrationSpec extends SparkSpec {
     assert(r1.getAs[Long]("n_a") === 10000L && r1.getAs[Long]("n_b") === 10000L)
   }
 
+  // ------------------------------------------------------------ quadTrend
+
+  test("quadTrend: recovers an exact planted parabola") {
+    // weekly values y = 100 + 5x + 2x^2 planted as one event per week
+    def ts(week: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 12, 0).plusDays(week * 7L))
+    val rows = (0 until 12).map { x =>
+      (ts(x), 100.0 + 5.0 * x + 2.0 * x * x)
+    }.toDF("d", "v")
+    val r = Analytics.quadTrend(rows, "d", "v").head()
+    assert(r.getAs[Long]("n_weeks") === 12L)
+    assert(math.abs(r.getAs[Double]("c0") - 100.0) < 1e-4)
+    assert(math.abs(r.getAs[Double]("c1") - 5.0) < 1e-4)
+    assert(math.abs(r.getAs[Double]("c2") - 2.0) < 1e-4)
+  }
+
   // -------------------------------------------------------- countMinAudit
 
   test("countMinAudit: never undercounts; exact on a sparse stream") {
