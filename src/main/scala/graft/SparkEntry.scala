@@ -289,7 +289,9 @@ object SparkEntry {
     "q_cms_audit"        -> (OpsQueries.cmsAuditQ _),
     "q_srm"              -> (OpsQueries.srmQ _),
     "q_weighted_quantiles" -> (OpsQueries.weightedQuantilesQ _),
-    "q_quad_trend"       -> (OpsQueries.quadTrendQ _)
+    "q_quad_trend"       -> (OpsQueries.quadTrendQ _),
+    "q_lorenz"           -> (OpsQueries.lorenzQ _),
+    "q_pvm"              -> (OpsQueries.pvmQ _)
   )
 
   private val fixedPathValues =

@@ -743,6 +743,91 @@ object Analytics {
     } finally { rdd.unpersist(blocking = false); () }
   }
 
+  /** Lorenz curve by deciles: each tenth of keys (poorest→richest by
+    * summed cent mass, ties broken by key) with its mass and the
+    * cumulative share — the full inequality curve behind the single
+    * Gini number and the [[CorpusStats.paretoCurve]] top-k view.
+    * Decile assignment runs through [[Ranking.globalRank]]'s two-pass
+    * scan; the cumulative window sees only `nBuckets` rows. All
+    * integral. Returns (decile, n_keys, mass_cents, cum_share_ppm). */
+  def lorenzDeciles(df: DataFrame, keyCol: String, valueCol: String,
+                    scaleDigits: Int = 2, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, "need at least 2 buckets")
+    val unit = math.pow(10, scaleDigits)
+    val vc = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val mass = df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("k")).agg(sum(vc).as("cents"))
+    val ranked = Ranking.globalRank(mass, Seq(col("cents"), col("k")),
+      nBuckets = nBuckets)
+    val per = ranked.groupBy(col("bucket").as("decile"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cents")).as("mass_cents"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    per
+      .withColumn("__cum", sum(col("mass_cents")).over(w))
+      .crossJoin(broadcast(per.agg(sum(col("mass_cents")).as("__tot"))))
+      .select(col("decile"), col("n_keys"), col("mass_cents"),
+        expr("__cum * 1000000 div __tot").as("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
+  /** Price–volume–mix decomposition of the revenue change between two
+    * periods (split at `splitDays` after the corpus min date), per
+    * matched product: PE = Σ(p₂−p₁)·q₁, VE = Σp₁·(q₂−q₁), MIX =
+    * Σ(p₂−p₁)(q₂−q₁), with unit prices as FLOORED milli-cent
+    * integers (`rev·1000 div units`) so every term — and the flooring
+    * residue, reported explicitly as `resid_milli` — is engine-exact.
+    * New / discontinued products contribute their whole mass to
+    * dedicated columns instead of polluting the matched effects. Two
+    * grouped aggregations + one full outer join on the product key.
+    * Returns one row. */
+  def priceVolumeMix(df: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, qtyCol: String,
+                     splitDays: Int = 15, scaleDigits: Int = 2): DataFrame = {
+    val unit = math.pow(10, scaleDigits)
+    val base = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull
+      && col(qtyCol).isNotNull)
+    val minDay = base.agg(min(to_date(col(tsCol)))).head().getDate(0)
+    def period(pre: Boolean) = {
+      val f = datediff(to_date(col(tsCol)), lit(minDay)) < lit(splitDays)
+      base.filter(if (pre) f else !f)
+        .groupBy(col(keyCol).as("k"))
+        .agg(sum(round(col(valueCol).cast("double") * lit(unit)).cast("long"))
+          .as(if (pre) "r1" else "r2"),
+          sum(round(col(qtyCol)).cast("long"))
+            .as(if (pre) "q1" else "q2"))
+    }
+    val joined = period(pre = true)
+      .join(period(pre = false), Seq("k"), "full_outer")
+    joined.agg(
+      sum(when(col("r1").isNotNull && col("r2").isNotNull, 1L)
+        .otherwise(0L)).as("n_matched"),
+      sum(when(col("r1").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("r2").isNull, 1L).otherwise(0L)).as("n_dropped"),
+      sum(when(col("r1").isNotNull && col("r2").isNotNull,
+        col("r2") - col("r1")).otherwise(0L)).as("delta_matched_cents"),
+      sum(when(col("r1").isNotNull && col("r2").isNotNull
+        && col("q1") > 0 && col("q2") > 0,
+        (expr("r2 * 1000 div q2") - expr("r1 * 1000 div q1")) * col("q1"))
+        .otherwise(0L)).as("price_effect_milli"),
+      sum(when(col("r1").isNotNull && col("r2").isNotNull
+        && col("q1") > 0 && col("q2") > 0,
+        expr("r1 * 1000 div q1") * (col("q2") - col("q1")))
+        .otherwise(0L)).as("volume_effect_milli"),
+      sum(when(col("r1").isNotNull && col("r2").isNotNull
+        && col("q1") > 0 && col("q2") > 0,
+        (expr("r2 * 1000 div q2") - expr("r1 * 1000 div q1"))
+          * (col("q2") - col("q1"))).otherwise(0L)).as("mix_effect_milli"),
+      sum(when(col("r1").isNull, col("r2")).otherwise(0L)).as("new_mass_cents"),
+      sum(when(col("r2").isNull, col("r1")).otherwise(0L))
+        .as("dropped_mass_cents"))
+      .withColumn("resid_milli",
+        col("delta_matched_cents") * 1000 - col("price_effect_milli")
+          - col("volume_effect_milli") - col("mix_effect_milli"))
+  }
+
   /** Quadratic trend of the weekly `valueCol` sum — "is growth
     * accelerating or saturating", the curvature question the linear
     * OLS trend cannot answer. One grouped cent-sum builds the weekly

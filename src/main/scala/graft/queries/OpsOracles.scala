@@ -4322,7 +4322,83 @@ object OpsOracles {
         |  round(d0::DOUBLE / det::DOUBLE / 100.0::DOUBLE, 6) AS c0,
         |  round(d1::DOUBLE / det::DOUBLE / 100.0::DOUBLE, 6) AS c1,
         |  round(d2::DOUBLE / det::DOUBLE / 100.0::DOUBLE, 6) AS c2
-        |FROM dets""".stripMargin.trim
+        |FROM dets""".stripMargin.trim,
+
+    // Lorenz deciles: the globalRank bucket formula over (cents, key),
+    // bounded cumulative window
+    "q_lorenz" ->
+      """WITH mass AS (SELECT o_custkey AS k,
+        |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT AS cents
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM mass),
+        |rk AS (SELECT cents,
+        |    ((row_number() OVER (ORDER BY cents, k) - 1) * 10)
+        |      // (SELECT n FROM nn) AS decile FROM mass),
+        |per AS (SELECT decile, count(*)::BIGINT AS n_keys,
+        |    sum(cents)::BIGINT AS mass_cents FROM rk GROUP BY 1),
+        |tot AS (SELECT sum(mass_cents)::BIGINT AS t FROM per)
+        |SELECT decile, n_keys, mass_cents,
+        |  ((sum(mass_cents) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)) * 1000000
+        |    // (SELECT t FROM tot))::BIGINT AS cum_share_ppm
+        |FROM per ORDER BY decile""".stripMargin.trim,
+
+    // price-volume-mix: floored milli-cent unit prices keep every
+    // effect term and the flooring residue engine-exact
+    "q_pvm" ->
+      """WITH base AS (SELECT l_partkey AS k, l_shipdate,
+        |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS rc,
+        |    CAST(round(l_quantity) AS BIGINT) AS qc FROM lineitem
+        |  WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_quantity IS NOT NULL),
+        |md AS (SELECT min(l_shipdate::DATE) AS d0 FROM base),
+        |p1 AS (SELECT k, sum(rc)::BIGINT AS r1, sum(qc)::BIGINT AS q1
+        |  FROM base, md
+        |  WHERE datediff('day', md.d0, l_shipdate::DATE) < 365 GROUP BY 1),
+        |p2 AS (SELECT k, sum(rc)::BIGINT AS r2, sum(qc)::BIGINT AS q2
+        |  FROM base, md
+        |  WHERE datediff('day', md.d0, l_shipdate::DATE) >= 365 GROUP BY 1),
+        |j AS (SELECT coalesce(p1.k, p2.k) AS k, r1, q1, r2, q2
+        |  FROM p1 FULL OUTER JOIN p2 ON p1.k = p2.k)
+        |SELECT
+        |  sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN 1 ELSE 0
+        |    END)::BIGINT AS n_matched,
+        |  sum(CASE WHEN r1 IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |  sum(CASE WHEN r2 IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+        |  sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN r2 - r1
+        |    ELSE 0 END)::BIGINT AS delta_matched_cents,
+        |  sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |      AND q1 > 0 AND q2 > 0
+        |    THEN ((r2 * 1000 // q2) - (r1 * 1000 // q1)) * q1
+        |    ELSE 0 END)::BIGINT AS price_effect_milli,
+        |  sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |      AND q1 > 0 AND q2 > 0
+        |    THEN (r1 * 1000 // q1) * (q2 - q1)
+        |    ELSE 0 END)::BIGINT AS volume_effect_milli,
+        |  sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |      AND q1 > 0 AND q2 > 0
+        |    THEN ((r2 * 1000 // q2) - (r1 * 1000 // q1)) * (q2 - q1)
+        |    ELSE 0 END)::BIGINT AS mix_effect_milli,
+        |  sum(CASE WHEN r1 IS NULL THEN r2 ELSE 0 END)::BIGINT
+        |    AS new_mass_cents,
+        |  sum(CASE WHEN r2 IS NULL THEN r1 ELSE 0 END)::BIGINT
+        |    AS dropped_mass_cents,
+        |  (sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL THEN r2 - r1
+        |      ELSE 0 END) * 1000
+        |   - sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |       AND q1 > 0 AND q2 > 0
+        |     THEN ((r2 * 1000 // q2) - (r1 * 1000 // q1)) * q1
+        |     ELSE 0 END)
+        |   - sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |       AND q1 > 0 AND q2 > 0
+        |     THEN (r1 * 1000 // q1) * (q2 - q1) ELSE 0 END)
+        |   - sum(CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+        |       AND q1 > 0 AND q2 > 0
+        |     THEN ((r2 * 1000 // q2) - (r1 * 1000 // q1)) * (q2 - q1)
+        |     ELSE 0 END))::BIGINT AS resid_milli
+        |FROM j""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1926,6 +1926,16 @@ object OpsQueries {
     Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
       (col("n_chars") >= 300).cast("long"))
 
+  /** Lorenz deciles of customer revenue. */
+  def lorenzQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.lorenzDeciles(tbl(spark, dir, "orders"), "o_custkey",
+      "o_totalprice")
+
+  /** Price-volume-mix: per-part revenue change, year-1 vs rest. */
+  def pvmQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.priceVolumeMix(tbl(spark, dir, "lineitem"), "l_partkey",
+      "l_shipdate", "l_extendedprice", "l_quantity", splitDays = 365)
+
   /** Quadratic trend of weekly order revenue (exact Cramer solve). */
   def quadTrendQ(spark: SparkSession, dir: String): DataFrame =
     Analytics.quadTrend(tbl(spark, dir, "orders"), "o_orderdate",

@@ -46,6 +46,40 @@ class SegmentationSpec extends SparkSpec {
     assert(got.length === expected.size)
   }
 
+  test("lorenzDeciles: perfect equality gives linear cumulative shares") {
+    def tsO(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 00:00:00")
+    val eq = (0 until 100).map(i => (i.toLong, tsO(i), 10.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Analytics.lorenzDeciles(eq, "o_custkey", "o_totalprice")
+      .collect()
+    assert(got.length === 10)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n_keys") === 10L)
+      assert(r.getAs[Long]("cum_share_ppm") === (i + 1) * 100000L)
+    }
+  }
+
+  test("priceVolumeMix: pure price and pure volume changes decompose cleanly") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(d.toLong))
+    // part 1: price 2.00 -> 3.00 at constant volume 10 (pure price +10.00)
+    // part 2: price 5.00 constant, volume 10 -> 14 (pure volume +20.00)
+    // part 3: only period 2 (new, mass 7.00)
+    val rows = Seq(
+      (1L, ts(0), 20.0, 10.0), (1L, ts(400), 30.0, 10.0),
+      (2L, ts(0), 50.0, 10.0), (2L, ts(400), 70.0, 14.0),
+      (3L, ts(400), 7.0, 1.0))
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+    val r = Analytics.priceVolumeMix(rows, "l_partkey", "l_shipdate",
+      "l_extendedprice", "l_quantity", splitDays = 365).head()
+    assert(r.getAs[Long]("n_matched") === 2L && r.getAs[Long]("n_new") === 1L)
+    assert(r.getAs[Long]("price_effect_milli") === 1000L * 1000L) // +10.00
+    assert(r.getAs[Long]("volume_effect_milli") === 2000L * 1000L) // +20.00
+    assert(r.getAs[Long]("mix_effect_milli") === 0L)
+    assert(r.getAs[Long]("new_mass_cents") === 700L)
+    assert(r.getAs[Long]("resid_milli") === 0L) // exact decomposition here
+  }
+
   test("clusterDownweight: singletons always survive; big clusters thin") {
     // cluster A: ids 0..99 in one cluster; singletons 1000..1019
     val docs = ((0L until 100L) ++ (1000L until 1020L))
