@@ -291,7 +291,8 @@ object SparkEntry {
     "q_weighted_quantiles" -> (OpsQueries.weightedQuantilesQ _),
     "q_quad_trend"       -> (OpsQueries.quadTrendQ _),
     "q_lorenz"           -> (OpsQueries.lorenzQ _),
-    "q_pvm"              -> (OpsQueries.pvmQ _)
+    "q_pvm"              -> (OpsQueries.pvmQ _),
+    "q_logrank"          -> (OpsQueries.logRankQ _)
   )
 
   private val fixedPathValues =

@@ -880,6 +880,68 @@ object Analytics {
       .toDF("n_weeks", "c0", "c1", "c2")
   }
 
+  /** Log-rank test between two cohorts' survival curves — "does
+    * variant A churn faster", the hypothesis-test companion to
+    * [[kaplanMeier]]. Per event time t: observed group-1 events d1t
+    * vs the expectation d_t·n1t/n_t under equal hazards, variance
+    * d_t·(n1t/n_t)(1−n1t/n_t)(n_t−d_t)/(n_t−1); Z = Σ(O−E)/√ΣV.
+    * Same lifetime/censoring construction as kaplanMeier; the grid,
+    * suffix-sum n_risk and the per-cell terms all live on the
+    * bounded duration grid (≤ calendar span rows — the ln-surv
+    * summation discipline). Returns one row
+    * (n_1, n_2, d_1, exp_1, z_logrank). */
+  def logRank(events: DataFrame, userCol: String, tsCol: String,
+              groupCol: org.apache.spark.sql.Column,
+              churnGapDays: Int = 7, outDigits: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val days = events
+      .filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"),
+        groupCol.cast("long").as("g"))
+    val bounds = days.agg(max(col("d")).as("dmax"))
+    val users = days.groupBy("u")
+      .agg(first(col("g")).as("g"), min(col("d")).as("f"), max(col("d")).as("l"))
+      .crossJoin(broadcast(bounds))
+      .select(col("g"), datediff(col("l"), col("f")).cast("long").as("t"),
+        (datediff(col("dmax"), col("l")) > churnGapDays).cast("long").as("e"))
+    val grid = users.groupBy("t")
+      .agg(sum(when(col("g") === 1, col("e")).otherwise(0L)).as("d1"),
+        sum(col("e")).as("d"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("m1"),
+        count(lit(1)).as("m"))
+    val wSuffix = org.apache.spark.sql.expressions.Window.orderBy("t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val cells = grid
+      .withColumn("n1", sum(col("m1")).over(wSuffix))
+      .withColumn("n", sum(col("m")).over(wSuffix))
+      .filter(col("d") > 0 && col("n") > 1)
+      .select(col("d1"), col("d"),
+        (col("d").cast("double") * col("n1").cast("double")
+          / col("n").cast("double")).as("e1"),
+        (col("d").cast("double")
+          * (col("n1").cast("double") / col("n").cast("double"))
+          * (lit(1.0) - col("n1").cast("double") / col("n").cast("double"))
+          * (col("n") - col("d")).cast("double")
+          / (col("n") - lit(1L)).cast("double")).as("v"))
+      .collect() // bounded by the duration grid; deterministic fold below
+      .sortBy(-_.getAs[Double]("e1")) // stable total order for the sums
+    val totals = users.groupBy("g").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var o1 = 0L; var e1 = 0.0; var v = 0.0
+    cells.foreach { r =>
+      o1 += r.getAs[Long]("d1"); e1 += r.getAs[Double]("e1")
+      v += r.getAs[Double]("v")
+    }
+    require(v > 0, "no variance — degenerate cohorts")
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((totals.getOrElse(1L, 0L), totals.getOrElse(0L, 0L), o1,
+      r6(e1), r6((o1.toDouble - e1) / math.sqrt(v))))
+      .toDF("n_1", "n_2", "d_1", "exp_1", "z_logrank")
+  }
+
   /** Kaplan–Meier survival over per-user activity lifetimes — the
     * retention curve with correct CENSORING, which the cohort
     * retention table cannot express (users still active at the corpus

@@ -4398,7 +4398,45 @@ object OpsOracles {
         |       AND q1 > 0 AND q2 > 0
         |     THEN ((r2 * 1000 // q2) - (r1 * 1000 // q1)) * (q2 - q1)
         |     ELSE 0 END))::BIGINT AS resid_milli
-        |FROM j""".stripMargin.trim
+        |FROM j""".stripMargin.trim,
+
+    // log-rank: kaplanMeier's lifetime construction with a cohort
+    // split; per-event-time O-E and variance over the bounded grid
+    "q_logrank" ->
+      """WITH dy AS (SELECT user_id AS u, ts::DATE AS d,
+        |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END::BIGINT AS g
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |bnd AS (SELECT max(d) AS dmax FROM dy),
+        |us AS (SELECT min(g) AS g,
+        |    datediff('day', min(d), max(d))::BIGINT AS t,
+        |    CASE WHEN datediff('day', max(d), (SELECT dmax FROM bnd)) > -1
+        |      THEN 1 ELSE 0 END::BIGINT AS e
+        |  FROM dy GROUP BY u),
+        |grid AS (SELECT t,
+        |    sum(CASE WHEN g = 1 THEN e ELSE 0 END)::BIGINT AS d1,
+        |    sum(e)::BIGINT AS d,
+        |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS m1,
+        |    count(*)::BIGINT AS m FROM us GROUP BY 1),
+        |g2 AS (SELECT t, d1, d,
+        |    sum(m1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+        |      UNBOUNDED FOLLOWING)::BIGINT AS n1,
+        |    sum(m) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+        |      UNBOUNDED FOLLOWING)::BIGINT AS n FROM grid),
+        |cells AS (SELECT d1, d,
+        |    d::DOUBLE * n1::DOUBLE / n::DOUBLE AS e1,
+        |    d::DOUBLE * (n1::DOUBLE / n::DOUBLE)
+        |      * (1.0::DOUBLE - n1::DOUBLE / n::DOUBLE)
+        |      * (n - d)::DOUBLE / (n - 1)::DOUBLE AS v
+        |  FROM g2 WHERE d > 0 AND n > 1),
+        |tot AS (SELECT sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n1u,
+        |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS n0u FROM us)
+        |SELECT tot.n1u AS n_1, tot.n0u AS n_2,
+        |  (SELECT sum(d1) FROM cells)::BIGINT AS d_1,
+        |  round((SELECT sum(e1) FROM cells), 6) AS exp_1,
+        |  round(((SELECT sum(d1) FROM cells)::DOUBLE
+        |      - (SELECT sum(e1) FROM cells))
+        |    / sqrt((SELECT sum(v) FROM cells)), 6) AS z_logrank
+        |FROM tot""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

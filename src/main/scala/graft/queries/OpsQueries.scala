@@ -1926,6 +1926,14 @@ object OpsQueries {
     Curation.ebSmoothRates(tbl(spark, dir, "documents"), "source",
       (col("n_chars") >= 300).cast("long"))
 
+  /** Log-rank survival test between user_id-parity cohorts. The
+    * driver corpus outlives every user (max last-event gap is 2
+    * days), so the query runs the FULLY-OBSERVED contract
+    * (churnGapDays = -1: every lifetime is a complete event). */
+  def logRankQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.logRank(tbl(spark, dir, "events"), "user_id", "ts",
+      pmod(col("user_id"), lit(2)) === 1, churnGapDays = -1)
+
   /** Lorenz deciles of customer revenue. */
   def lorenzQ(spark: SparkSession, dir: String): DataFrame =
     Analytics.lorenzDeciles(tbl(spark, dir, "orders"), "o_custkey",

@@ -65,6 +65,31 @@ class EncodingSurvivalSpec extends SparkSpec {
 
   // ---------------------------------------------------------- kaplanMeier
 
+  test("logRank: identical cohorts give z ~ 0; divergent hazards flag") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-${day + 1}%02d 09:00:00")
+    // symmetric cohorts: every duration appears once per parity;
+    // sentinel users (one per parity) extend the corpus to day 20 so
+    // the gap>7 churn rule fires for the short-lived users
+    val same = ((0 until 20).flatMap { i =>
+      val dur = i % 5 + 1
+      Seq((i.toLong, ts(0)), (i.toLong, ts(dur)))
+    } ++ Seq((100L, ts(0)), (100L, ts(20)), (101L, ts(0)), (101L, ts(20))))
+      .toDF("user_id", "ts")
+    val r0 = Analytics.logRank(same, "user_id", "ts",
+      pmod(col("user_id"), lit(2)) === 1).head()
+    assert(math.abs(r0.getAs[Double]("z_logrank")) < 0.6)
+    // cohort 1 churns at duration 1-2, cohort 0 survives to 10-12;
+    // fully-observed contract so every lifetime is an event
+    val diff = (0 until 20).flatMap { i =>
+      val dur = if (i % 2 == 1) 1 + i % 2 else 10 + i % 3
+      Seq((i.toLong, ts(0)), (i.toLong, ts(dur)))
+    }.toDF("user_id", "ts")
+    val r1 = Analytics.logRank(diff, "user_id", "ts",
+      pmod(col("user_id"), lit(2)) === 1, churnGapDays = -1).head()
+    assert(r1.getAs[Double]("z_logrank") > 2.0) // group 1 churns early
+    assert(r1.getAs[Long]("n_1") === 10L && r1.getAs[Long]("n_2") === 10L)
+  }
+
   test("kaplanMeier: censoring, n_risk suffix sums, ln-survival") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-${day + 1}%02d 09:00:00")
     // corpus spans day 0..20. users:
