@@ -292,7 +292,8 @@ object SparkEntry {
     "q_quad_trend"       -> (OpsQueries.quadTrendQ _),
     "q_lorenz"           -> (OpsQueries.lorenzQ _),
     "q_pvm"              -> (OpsQueries.pvmQ _),
-    "q_logrank"          -> (OpsQueries.logRankQ _)
+    "q_logrank"          -> (OpsQueries.logRankQ _),
+    "q_changepoint"      -> (OpsQueries.changepointQ _)
   )
 
   private val fixedPathValues =

@@ -152,6 +152,56 @@ object Drift {
           .as("psi_term"))
   }
 
+  /** Best single change point of the weekly mean (one binary-
+    * segmentation step): the split s maximizing the between-segment
+    * sum-of-squares gain n_l·n_r/n·(mean_l − mean_r)² over the
+    * bounded weekly grid — "WHEN did the level shift", where [[cusum]]
+    * answers "did it shift". The weekly series is one grouped
+    * cent-sum; prefix sums over the grid give every candidate split's
+    * gain from exact integers, and both engines evaluate the same
+    * double gain formula on the same integers, so the argmax (ties →
+    * earliest week) is deterministic. Returns one row
+    * (split_week, n_l, n_r, mean_l, mean_r, gain). */
+  def changepointSplit(df: DataFrame, tsCol: String, valueCol: String,
+                       scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val vc = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val base = df.filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+    val minDay = base.agg(min(to_date(col(tsCol)))).head().getDate(0)
+    val weekly = base
+      .groupBy(expr(s"datediff(to_date($tsCol), date'$minDay') div 7")
+        .as("x"))
+      .agg(count(lit(1)).as("m"), sum(vc).as("y"))
+      .orderBy("x")
+      .collect() // bounded by span/7 weeks
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(weekly.length >= 2, "need at least 2 weeks")
+    val nTot = weekly.map(_._2).sum
+    val sTot = weekly.map(_._3).sum
+    var bestGain = Double.NegativeInfinity
+    var best: (Long, Long, Long) = null // (week, n_l, s_l)
+    var nl = 0L; var sl = 0L
+    weekly.dropRight(1).foreach { case (x, m, y) =>
+      nl += m; sl += y
+      val nr = nTot - nl; val sr = sTot - sl
+      val ml = sl.toDouble / nl.toDouble
+      val mr = sr.toDouble / nr.toDouble
+      val gain = nl.toDouble * nr.toDouble / nTot.toDouble *
+        (ml - mr) * (ml - mr)
+      if (gain > bestGain) { bestGain = gain; best = (x, nl, sl) }
+    }
+    val (w, bnl, bsl) = (best._1, best._2, best._3)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((w, bnl, nTot - bnl,
+      r6(bsl.toDouble / bnl.toDouble / unit),
+      r6((sTot - bsl).toDouble / (nTot - bnl).toDouble / unit),
+      r6(math.log(bestGain / (unit * unit)))))
+      .toDF("split_week", "n_l", "n_r", "mean_l", "mean_r", "ln_gain")
+  }
+
   /** PSI drift TIME SERIES: the [[psiBins]] statistic of every
     * calendar week against the FIRST week's distribution — "when did
     * the feed start drifting", the monitoring view the one-shot PSI

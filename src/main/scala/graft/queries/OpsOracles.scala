@@ -4436,7 +4436,38 @@ object OpsOracles {
         |  round(((SELECT sum(d1) FROM cells)::DOUBLE
         |      - (SELECT sum(e1) FROM cells))
         |    / sqrt((SELECT sum(v) FROM cells)), 6) AS z_logrank
-        |FROM tot""".stripMargin.trim
+        |FROM tot""".stripMargin.trim,
+
+    // best-split changepoint: identical double gain formula on the
+    // same exact integers -> deterministic argmax (ties: earliest)
+    "q_changepoint" ->
+      """WITH base AS (SELECT o_orderdate,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS vc FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        |md AS (SELECT min(o_orderdate::DATE) AS d0 FROM base),
+        |wk AS (SELECT (datediff('day', md.d0, o_orderdate::DATE) // 7)
+        |    ::BIGINT AS x, count(*)::BIGINT AS m, sum(vc)::BIGINT AS y
+        |  FROM base, md GROUP BY 1),
+        |tot AS (SELECT sum(m)::BIGINT AS n, sum(y)::BIGINT AS s FROM wk),
+        |pre AS (SELECT x,
+        |    sum(m) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW)::BIGINT AS nl,
+        |    sum(y) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW)::BIGINT AS sl,
+        |    row_number() OVER (ORDER BY x) AS rn,
+        |    count(*) OVER () AS cnt FROM wk),
+        |cand AS (SELECT x, nl, sl, tot.n - nl AS nr, tot.s - sl AS sr,
+        |    tot.n AS n FROM pre, tot WHERE rn < cnt),
+        |g AS (SELECT x, nl, nr, sl, sr,
+        |    nl::DOUBLE * nr::DOUBLE / n::DOUBLE
+        |      * (sl::DOUBLE / nl::DOUBLE - sr::DOUBLE / nr::DOUBLE)
+        |      * (sl::DOUBLE / nl::DOUBLE - sr::DOUBLE / nr::DOUBLE) AS gain
+        |  FROM cand)
+        |SELECT x AS split_week, nl AS n_l, nr AS n_r,
+        |  round(sl::DOUBLE / nl::DOUBLE / 100.0::DOUBLE, 6) AS mean_l,
+        |  round(sr::DOUBLE / nr::DOUBLE / 100.0::DOUBLE, 6) AS mean_r,
+        |  round(ln(gain / 10000.0::DOUBLE), 6) AS ln_gain
+        |FROM g ORDER BY gain DESC, x LIMIT 1""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

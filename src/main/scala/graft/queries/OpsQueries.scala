@@ -1944,6 +1944,11 @@ object OpsQueries {
     Analytics.priceVolumeMix(tbl(spark, dir, "lineitem"), "l_partkey",
       "l_shipdate", "l_extendedprice", "l_quantity", splitDays = 365)
 
+  /** Best single changepoint of the weekly mean order value. */
+  def changepointQ(spark: SparkSession, dir: String): DataFrame =
+    Drift.changepointSplit(tbl(spark, dir, "orders"), "o_orderdate",
+      "o_totalprice")
+
   /** Quadratic trend of weekly order revenue (exact Cramer solve). */
   def quadTrendQ(spark: SparkSession, dir: String): DataFrame =
     Analytics.quadTrend(tbl(spark, dir, "orders"), "o_orderdate",

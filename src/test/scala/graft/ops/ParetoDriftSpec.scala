@@ -92,6 +92,21 @@ class ParetoDriftSpec extends SparkSpec {
     assert(got.head.getAs[Double]("z_burst") > 3.0)
   }
 
+  test("changepointSplit: finds the planted level-shift week") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 8, 0).plusDays(d.toLong))
+    // weeks 0-4 mean 10, weeks 5-9 mean 50: the best split is week 4
+    val rows = (0 until 70).map { d =>
+      val v = if (d / 7 < 5) 10.0 else 50.0
+      (ts(d), v)
+    }.toDF("d", "v")
+    val r = Drift.changepointSplit(rows, "d", "v").head()
+    assert(r.getAs[Long]("split_week") === 4L)
+    assert(r.getAs[Double]("mean_l") === 10.0)
+    assert(r.getAs[Double]("mean_r") === 50.0)
+    assert(r.getAs[Long]("n_l") === 35L && r.getAs[Long]("n_r") === 35L)
+  }
+
   test("psiSeries: week 0 is zero drift; a shifted week scores high") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-07-${d + 1}%02d 12:00:00")
     // week 0 (days 0-6): values ~ 10; week 1 (days 7-13): values ~ 90
