@@ -293,7 +293,8 @@ object SparkEntry {
     "q_lorenz"           -> (OpsQueries.lorenzQ _),
     "q_pvm"              -> (OpsQueries.pvmQ _),
     "q_logrank"          -> (OpsQueries.logRankQ _),
-    "q_changepoint"      -> (OpsQueries.changepointQ _)
+    "q_changepoint"      -> (OpsQueries.changepointQ _),
+    "q_holt_winters"     -> (OpsQueries.holtWintersQ _)
   )
 
   private val fixedPathValues =

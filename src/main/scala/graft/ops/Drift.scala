@@ -152,6 +152,58 @@ object Drift {
           .as("psi_term"))
   }
 
+  /** Additive Holt–Winters (level + trend + weekly seasonality) over
+    * the daily cent series — the seasonal completion of the
+    * level/trend [[holtLevelTrend]]. Initialization: level = first-
+    * week mean, trend = 0, seasonal = first week's deviations; then
+    * the classic three recursions with exact-binary smoothing
+    * constants (α=0.5, β=0.25, γ=0.25) so every engine folds the
+    * identical IEEE sequence. The distributed work is one grouped
+    * cent-sum; the fold runs over the BOUNDED calendar series
+    * (driver-side here, a 9-column rotating-queue recursive CTE in
+    * the oracle). Requires a GAP-FREE daily series (fails loudly on
+    * gaps rather than diverging from the oracle silently). Returns
+    * (n_days, level, trend, forecast_next, seasonal_range). */
+  def holtWinters(df: DataFrame, tsCol: String, valueCol: String,
+                  period: Int = 7, scaleDigits: Int = 2,
+                  outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val vc = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val base = df.filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+    val minDay = base.agg(min(to_date(col(tsCol)))).head().getDate(0)
+    val daily = base
+      .groupBy(expr(s"datediff(to_date($tsCol), date'$minDay')").as("t"))
+      .agg(sum(vc).as("xc"))
+      .orderBy("t").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val n = daily.length
+    require(n >= 2 * period, s"need at least ${2 * period} days, got $n")
+    require(daily.map(_._1).toSeq == (0 until n),
+      "holtWinters requires a gap-free daily series")
+    val x = daily.map(_._2.toDouble)
+    val (aS, bS, gS) = (0.5, 0.25, 0.25)
+    var l = x.take(period).sum / period.toDouble
+    var b = 0.0
+    val s = Array.tabulate(period)(d => x(d) - l)
+    var t = period
+    while (t < n) {
+      val sPrev = s(t % period)
+      val lNew = aS * (x(t) - sPrev) + (1.0 - aS) * (l + b)
+      val bNew = bS * (lNew - l) + (1.0 - bS) * b
+      s(t % period) = gS * (x(t) - lNew) + (1.0 - gS) * sPrev
+      l = lNew; b = bNew
+      t += 1
+    }
+    val sNext = s(n % period)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n.toLong, r6(l / unit), r6(b / unit),
+      r6((l + b + sNext) / unit), r6((s.max - s.min) / unit)))
+      .toDF("n_days", "level", "trend", "forecast_next", "seasonal_range")
+  }
+
   /** Best single change point of the weekly mean (one binary-
     * segmentation step): the split s maximizing the between-segment
     * sum-of-squares gain n_l·n_r/n·(mean_l − mean_r)² over the

@@ -4467,7 +4467,47 @@ object OpsOracles {
         |  round(sl::DOUBLE / nl::DOUBLE / 100.0::DOUBLE, 6) AS mean_l,
         |  round(sr::DOUBLE / nr::DOUBLE / 100.0::DOUBLE, 6) AS mean_r,
         |  round(ln(gain / 10000.0::DOUBLE), 6) AS ln_gain
-        |FROM g ORDER BY gain DESC, x LIMIT 1""".stripMargin.trim
+        |FROM g ORDER BY gain DESC, x LIMIT 1""".stripMargin.trim,
+
+    // additive Holt-Winters: 9-column rotating-queue recursive CTE —
+    // the engine's exact fold sequence with exact-binary constants
+    "q_holt_winters" ->
+      """WITH RECURSIVE md AS (SELECT min(ts::DATE) AS d0 FROM events
+        |  WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |daily AS (SELECT datediff('day', md.d0, ts::DATE)::BIGINT AS t,
+        |    sum(CAST(round(value * 100.0) AS BIGINT))::BIGINT AS xc
+        |  FROM events, md WHERE value IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n, max(t) AS mx FROM daily),
+        |ini AS (SELECT (SELECT sum(xc) FROM daily WHERE t < 7)::DOUBLE
+        |    / 7.0::DOUBLE AS l),
+        |fold AS (
+        |  SELECT 6::BIGINT AS t, ini.l AS l, 0.0::DOUBLE AS b,
+        |    (SELECT xc FROM daily WHERE t = 0)::DOUBLE - ini.l AS s1,
+        |    (SELECT xc FROM daily WHERE t = 1)::DOUBLE - ini.l AS s2,
+        |    (SELECT xc FROM daily WHERE t = 2)::DOUBLE - ini.l AS s3,
+        |    (SELECT xc FROM daily WHERE t = 3)::DOUBLE - ini.l AS s4,
+        |    (SELECT xc FROM daily WHERE t = 4)::DOUBLE - ini.l AS s5,
+        |    (SELECT xc FROM daily WHERE t = 5)::DOUBLE - ini.l AS s6,
+        |    (SELECT xc FROM daily WHERE t = 6)::DOUBLE - ini.l AS s7
+        |  FROM ini
+        |  UNION ALL
+        |  SELECT f.t + 1,
+        |    0.5 * (dd.xc::DOUBLE - f.s1) + 0.5 * (f.l + f.b),
+        |    0.25 * ((0.5 * (dd.xc::DOUBLE - f.s1) + 0.5 * (f.l + f.b))
+        |      - f.l) + 0.75 * f.b,
+        |    f.s2, f.s3, f.s4, f.s5, f.s6, f.s7,
+        |    0.25 * (dd.xc::DOUBLE
+        |      - (0.5 * (dd.xc::DOUBLE - f.s1) + 0.5 * (f.l + f.b)))
+        |      + 0.75 * f.s1
+        |  FROM fold f JOIN daily dd ON dd.t = f.t + 1)
+        |SELECT nn.n AS n_days, round(f.l / 100.0::DOUBLE, 6) AS level,
+        |  round(f.b / 100.0::DOUBLE, 6) AS trend,
+        |  round((f.l + f.b + f.s1) / 100.0::DOUBLE, 6) AS forecast_next,
+        |  round((greatest(f.s1, f.s2, f.s3, f.s4, f.s5, f.s6, f.s7)
+        |    - least(f.s1, f.s2, f.s3, f.s4, f.s5, f.s6, f.s7))
+        |    / 100.0::DOUBLE, 6) AS seasonal_range
+        |FROM fold f, nn WHERE f.t = nn.mx""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1944,6 +1944,10 @@ object OpsQueries {
     Analytics.priceVolumeMix(tbl(spark, dir, "lineitem"), "l_partkey",
       "l_shipdate", "l_extendedprice", "l_quantity", splitDays = 365)
 
+  /** Additive Holt-Winters over the daily event-value series. */
+  def holtWintersQ(spark: SparkSession, dir: String): DataFrame =
+    Drift.holtWinters(tbl(spark, dir, "events"), "ts", "value")
+
   /** Best single changepoint of the weekly mean order value. */
   def changepointQ(spark: SparkSession, dir: String): DataFrame =
     Drift.changepointSplit(tbl(spark, dir, "orders"), "o_orderdate",

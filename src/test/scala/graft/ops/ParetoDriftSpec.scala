@@ -92,6 +92,26 @@ class ParetoDriftSpec extends SparkSpec {
     assert(got.head.getAs[Double]("z_burst") > 3.0)
   }
 
+  test("holtWinters: locks onto a pure seasonal pattern with zero trend") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 3, 1, 9, 0).plusDays(d.toLong))
+    // exact weekly pattern, no trend: HW converges with b ~ 0 and the
+    // next-day forecast equal to the pattern value
+    val pattern = Seq(10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0)
+    val rows = (0 until 28).map(d => (ts(d), pattern(d % 7))).toDF("d", "v")
+    val r = Drift.holtWinters(rows, "d", "v").head()
+    assert(r.getAs[Long]("n_days") === 28L)
+    assert(math.abs(r.getAs[Double]("trend")) < 0.5)
+    // day 28 is pattern slot 0 -> ~10
+    assert(math.abs(r.getAs[Double]("forecast_next") - 10.0) < 2.0)
+    assert(r.getAs[Double]("seasonal_range") > 20.0)
+    // gap-free contract
+    val gappy = rows.filter(col("v") =!= 30.0)
+    intercept[IllegalArgumentException] {
+      Drift.holtWinters(gappy, "d", "v")
+    }
+  }
+
   test("changepointSplit: finds the planted level-shift week") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(
       java.time.LocalDateTime.of(2024, 1, 1, 8, 0).plusDays(d.toLong))
