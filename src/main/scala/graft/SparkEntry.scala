@@ -294,7 +294,8 @@ object SparkEntry {
     "q_pvm"              -> (OpsQueries.pvmQ _),
     "q_logrank"          -> (OpsQueries.logRankQ _),
     "q_changepoint"      -> (OpsQueries.changepointQ _),
-    "q_holt_winters"     -> (OpsQueries.holtWintersQ _)
+    "q_holt_winters"     -> (OpsQueries.holtWintersQ _),
+    "q_conformal"        -> (OpsQueries.conformalQ _)
   )
 
   private val fixedPathValues =

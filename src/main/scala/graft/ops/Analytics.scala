@@ -743,6 +743,49 @@ object Analytics {
     } finally { rdd.unpersist(blocking = false); () }
   }
 
+  /** Conformal prediction interval from exact-moment OLS: fit
+    * y ~ x by the decimal-moment closed form (both engines derive
+    * IDENTICAL double coefficients from identical exact integers),
+    * quantize absolute residuals to cents, and take the weighted
+    * LOWER quantile at `permille` through
+    * [[Quantiles.weightedExactScale]]'s bounded two-pass scan — the
+    * distribution-free "±q covers p% of points" guarantee band.
+    * Returns one row (n, slope, intercept, q_permille,
+    * q_resid_cents). */
+  def conformalInterval(df: DataFrame, xCol: String, yCol: String,
+                        permille: Int = 900, scaleDigits: Int = 2,
+                        outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    def ic(c: String) = round(col(c).cast("double") * lit(unit))
+      .cast("long").cast("decimal(38,0)")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .localCheckpoint(false) // moments + residual pass reuse
+    val m = base.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(ic(xCol)).as("sx"), sum(ic(yCol)).as("sy"),
+      sum(ic(xCol) * ic(xCol)).as("sxx"),
+      sum(ic(xCol) * ic(yCol)).as("sxy")).head()
+    val Seq(n, sx, sy, sxx, sxy) =
+      (0 until 5).map(i => BigDecimal(m.getDecimal(i)))
+    require(n > 1, "need n > 1")
+    // cent-scale moments cancel: slope is unit-free, intercept in units
+    val b = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val a = (sy.toDouble - b * sx.toDouble) / n.toDouble / unit
+    val resid = base.select(
+      round(abs(col(yCol).cast("double")
+        - (lit(a) + lit(b) * col(xCol).cast("double"))) * lit(unit))
+        .cast("long").as("rc"))
+      .withColumn("w", lit(1L))
+    val q = Quantiles.weightedExactScale(resid, "rc", "w", Seq(permille))
+      .head()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n.toLong, r6(b), r6(a), permille.toLong,
+      q.getAs[Double]("value")))
+      .toDF("n", "slope", "intercept", "q_permille", "q_resid_cents")
+  }
+
   /** Lorenz curve by deciles: each tenth of keys (poorest→richest by
     * summed cent mass, ties broken by key) with its mass and the
     * cumulative share — the full inequality curve behind the single

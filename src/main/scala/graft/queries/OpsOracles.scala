@@ -4507,7 +4507,41 @@ object OpsOracles {
         |  round((greatest(f.s1, f.s2, f.s3, f.s4, f.s5, f.s6, f.s7)
         |    - least(f.s1, f.s2, f.s3, f.s4, f.s5, f.s6, f.s7))
         |    / 100.0::DOUBLE, 6) AS seasonal_range
-        |FROM fold f, nn WHERE f.t = nn.mx""".stripMargin.trim
+        |FROM fold f, nn WHERE f.t = nn.mx""".stripMargin.trim,
+
+    // conformal band: identical OLS doubles from exact cent moments,
+    // cent-quantized residuals, lower-quantile target rank
+    "q_conformal" ->
+      """WITH m AS (SELECT count(*)::HUGEINT AS n,
+        |    sum(CAST(round(l_quantity * 100.0) AS BIGINT))::HUGEINT AS sx,
+        |    sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::HUGEINT
+        |      AS sy,
+        |    sum(CAST(round(l_quantity * 100.0) AS BIGINT)::HUGEINT
+        |      * CAST(round(l_quantity * 100.0) AS BIGINT)) AS sxx,
+        |    sum(CAST(round(l_quantity * 100.0) AS BIGINT)::HUGEINT
+        |      * CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sxy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cf AS (SELECT (n * sxy - sx * sy)::DOUBLE
+        |    / (n * sxx - sx * sx)::DOUBLE AS b FROM m),
+        |cf2 AS (SELECT cf.b,
+        |    (m.sy::DOUBLE - cf.b * m.sx::DOUBLE) / m.n::DOUBLE
+        |      / 100.0::DOUBLE AS a, m.n::BIGINT AS nn FROM cf, m),
+        |rc AS (SELECT CAST(round(abs(l_extendedprice::DOUBLE
+        |    - (cf2.a + cf2.b * l_quantity::DOUBLE)) * 100.0::DOUBLE)
+        |    AS BIGINT) AS r
+        |  FROM lineitem, cf2
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |pv AS (SELECT r, count(*)::BIGINT AS wt FROM rc GROUP BY 1),
+        |cw AS (SELECT r, sum(wt) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW)::BIGINT AS cum FROM pv),
+        |tg AS (SELECT ((900 * nn + 999) // 1000)::BIGINT AS t, nn, a, b
+        |  FROM cf2)
+        |SELECT nn AS n, round(b, 6) AS slope, round(a, 6) AS intercept,
+        |  900::BIGINT AS q_permille,
+        |  (SELECT min(r) FROM cw WHERE cum >= tg.t)::DOUBLE
+        |    AS q_resid_cents
+        |FROM tg""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1944,6 +1944,11 @@ object OpsQueries {
     Analytics.priceVolumeMix(tbl(spark, dir, "lineitem"), "l_partkey",
       "l_shipdate", "l_extendedprice", "l_quantity", splitDays = 365)
 
+  /** Conformal 90% residual band for price ~ quantity. */
+  def conformalQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.conformalInterval(tbl(spark, dir, "lineitem"),
+      "l_quantity", "l_extendedprice")
+
   /** Additive Holt-Winters over the daily event-value series. */
   def holtWintersQ(spark: SparkSession, dir: String): DataFrame =
     Drift.holtWinters(tbl(spark, dir, "events"), "ts", "value")

@@ -57,6 +57,26 @@ class TrendConcentrationSpec extends SparkSpec {
     assert(r1.getAs[Long]("n_a") === 10000L && r1.getAs[Long]("n_b") === 10000L)
   }
 
+  // ---------------------------------------------------- conformalInterval
+
+  test("conformalInterval: exact line gives zero band; outliers widen it") {
+    val clean = (1 to 100).map(i => (i.toDouble, 5.0 + 2.0 * i)).toDF("x", "y")
+    val r0 = Analytics.conformalInterval(clean, "x", "y").head()
+    assert(r0.getAs[Double]("slope") === 2.0)
+    assert(r0.getAs[Double]("q_resid_cents") === 0.0)
+    // 10% of points pushed off the line by ~50.00: the 90% band stays
+    // small, a 95% band must cover the outliers
+    val noisy = (1 to 100).map { i =>
+      val bump = if (i % 10 == 0) 50.0 else 0.0
+      (i.toDouble, 5.0 + 2.0 * i + bump)
+    }.toDF("x", "y")
+    val r90 = Analytics.conformalInterval(noisy, "x", "y").head()
+    val r95 = Analytics.conformalInterval(noisy, "x", "y",
+      permille = 950).head()
+    assert(r90.getAs[Double]("q_resid_cents") < 2000.0)
+    assert(r95.getAs[Double]("q_resid_cents") > 3000.0)
+  }
+
   // ------------------------------------------------------------ quadTrend
 
   test("quadTrend: recovers an exact planted parabola") {
