@@ -295,7 +295,9 @@ object SparkEntry {
     "q_logrank"          -> (OpsQueries.logRankQ _),
     "q_changepoint"      -> (OpsQueries.changepointQ _),
     "q_holt_winters"     -> (OpsQueries.holtWintersQ _),
-    "q_conformal"        -> (OpsQueries.conformalQ _)
+    "q_conformal"        -> (OpsQueries.conformalQ _),
+    "q_nav_entropy"      -> (OpsQueries.navEntropyQ _),
+    "q_kanon_ladder"     -> (OpsQueries.kanonLadderQ _)
   )
 
   private val fixedPathValues =

@@ -743,6 +743,32 @@ object Analytics {
     } finally { rdd.unpersist(blocking = false); () }
   }
 
+  /** Navigation predictability: Shannon entropy of the next-event
+    * distribution per predecessor type — "how deterministic is user
+    * behavior after X", the information-theoretic read of the
+    * [[transitions]] matrix. Counts exact; each per-prev entropy sums
+    * a handful of ln terms and rounds once. Returns
+    * (from_type, n, h_nats). */
+  def navEntropy(events: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, typeCol: String,
+                 outDigits: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(keyCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("c")).as("n"))
+    pairs.join(totals, Seq("from_type"))
+      .groupBy(col("from_type"), col("n"))
+      .agg(round(sum((col("c").cast("double") / col("n").cast("double"))
+        * log(col("n").cast("double") / col("c").cast("double"))), outDigits)
+        .as("h_nats"))
+      .orderBy("from_type")
+  }
+
   /** Conformal prediction interval from exact-moment OLS: fit
     * y ~ x by the decimal-moment closed form (both engines derive
     * IDENTICAL double coefficients from identical exact integers),

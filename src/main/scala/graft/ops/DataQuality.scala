@@ -86,6 +86,39 @@ object DataQuality {
       min(col("__l")).as("min_l_diversity"))
   }
 
+  /** k-anonymity GENERALIZATION LADDER: re-identification risk at
+    * every prefix of the quasi-identifier list in ONE Expand pass
+    * (ROLLUP over the cell counts — no per-level rescans): per
+    * ladder level, the group count, singleton-group count (k = 1 ⇒
+    * unique rows) and singleton share. Dropping columns left-to-right
+    * IS the generalization: the table answers "how many columns must
+    * I coarsen away before nobody is unique". All integral. Returns
+    * (level, n_groups, n_singletons, singleton_ppm) where level =
+    * number of quasi-identifiers retained. */
+  def kAnonLadder(df: DataFrame, quasiCols: Seq[String]): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    val cells = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__rows"))
+    // one Expand pass: each rollup output row IS one group at its
+    // ladder level, carrying that group's TOTAL row count
+    val rolled = cells.rollup(quasiCols.map(col): _*)
+      .agg(grouping_id().cast("int").as("__gid"),
+        sum(col("__rows")).as("__tot"))
+    rolled
+      // grand total (all columns rolled away) is not a ladder level
+      .filter(col("__gid") < (1 << quasiCols.size) - 1)
+      .groupBy(col("__gid"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("__tot") === 1, 1L).otherwise(0L)).as("n_singletons"))
+      .select(
+        // gid has one bit per rolled-up trailing column
+        (lit(quasiCols.size)
+          - expr("CAST(log2(__gid + 1) AS INT)")).as("level"),
+        col("n_groups"), col("n_singletons"),
+        expr("n_singletons * 1000000 div n_groups").as("singleton_ppm"))
+      .orderBy(desc("level"))
+  }
+
   /** Typed-field profile of a semi-structured JSON column: extract
     * one path per group and report count, null/unparsable count, and
     * exact integer min/max/sum — the schema-discovery step before

@@ -4541,7 +4541,43 @@ object OpsOracles {
         |  900::BIGINT AS q_permille,
         |  (SELECT min(r) FROM cw WHERE cum >= tg.t)::DOUBLE
         |    AS q_resid_cents
-        |FROM tg""".stripMargin.trim
+        |FROM tg""".stripMargin.trim,
+
+    // next-event entropy per predecessor: exact counts, one rounded
+    // ln-sum per row (tokenDiversity discipline)
+    "q_nav_entropy" ->
+      """WITH l AS (SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS p FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |pr AS (SELECT p AS from_type, event_type AS to_type,
+        |    count(*)::BIGINT AS c FROM l WHERE p IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(c)::BIGINT AS n FROM pr GROUP BY 1)
+        |SELECT t.from_type, t.n,
+        |  round(sum((pr.c::DOUBLE / t.n::DOUBLE)
+        |    * ln(t.n::DOUBLE / pr.c::DOUBLE)), 6) AS h_nats
+        |FROM pr JOIN t ON pr.from_type = t.from_type
+        |GROUP BY t.from_type, t.n ORDER BY t.from_type""".stripMargin.trim,
+
+    // k-anonymity ladder: per-level group/singleton counts (the
+    // engine's one Expand pass == three explicit levels here)
+    "q_kanon_ladder" ->
+      """WITH d AS (SELECT lang, source, n_chars // 100 AS len_bucket
+        |  FROM documents),
+        |c3 AS (SELECT count(*)::BIGINT AS c FROM d
+        |  GROUP BY lang, source, len_bucket),
+        |c2 AS (SELECT count(*)::BIGINT AS c FROM d GROUP BY lang, source),
+        |c1 AS (SELECT count(*)::BIGINT AS c FROM d GROUP BY lang),
+        |g3 AS (SELECT count(*)::BIGINT AS ng,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS ns FROM c3),
+        |g2 AS (SELECT count(*)::BIGINT AS ng,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS ns FROM c2),
+        |g1 AS (SELECT count(*)::BIGINT AS ng,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS ns FROM c1)
+        |SELECT 3 AS level, ng AS n_groups, ns AS n_singletons,
+        |  (ns * 1000000 // ng)::BIGINT AS singleton_ppm FROM g3
+        |UNION ALL SELECT 2, ng, ns, (ns * 1000000 // ng)::BIGINT FROM g2
+        |UNION ALL SELECT 1, ng, ns, (ns * 1000000 // ng)::BIGINT FROM g1
+        |ORDER BY level DESC""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1944,6 +1944,18 @@ object OpsQueries {
     Analytics.priceVolumeMix(tbl(spark, dir, "lineitem"), "l_partkey",
       "l_shipdate", "l_extendedprice", "l_quantity", splitDays = 365)
 
+  /** Per-predecessor next-event entropy (navigation predictability). */
+  def navEntropyQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.navEntropy(tbl(spark, dir, "events"), "user_id", "ts",
+      "event_id", "event_type")
+
+  /** k-anonymity generalization ladder over (lang, source, length). */
+  def kanonLadderQ(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.kAnonLadder(
+      tbl(spark, dir, "documents")
+        .withColumn("len_bucket", expr("n_chars div 100")),
+      Seq("lang", "source", "len_bucket"))
+
   /** Conformal 90% residual band for price ~ quantity. */
   def conformalQ(spark: SparkSession, dir: String): DataFrame =
     Analytics.conformalInterval(tbl(spark, dir, "lineitem"),

@@ -34,6 +34,37 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(got(1).getAs[String]("path") === "view>view>exit")
   }
 
+  test("navEntropy: deterministic successor gives 0; uniform gives ln k") {
+    def ts(s: Int) = new java.sql.Timestamp(1000L * s)
+    // after "a" always "b" (H=0); after "b": c/d equally (H=ln 2)
+    val ev = (0 until 8).flatMap { u =>
+      val nxt = if (u % 2 == 0) "c" else "d"
+      Seq((u.toLong, ts(1), 1L + u * 10, "a"), (u.toLong, ts(2), 2L + u * 10, "b"),
+        (u.toLong, ts(3), 3L + u * 10, nxt))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.navEntropy(ev, "user_id", "ts", "event_id",
+      "event_type").collect()
+      .map(r => r.getAs[String]("from_type") -> r.getAs[Double]("h_nats")).toMap
+    assert(got("a") === 0.0)
+    assert(math.abs(got("b") - math.log(2.0)) < 1e-6)
+  }
+
+  test("kAnonLadder: coarsening removes uniqueness") {
+    val df = Seq(
+      ("en", "s1", 1L), ("en", "s1", 1L),   // k=2 cell
+      ("en", "s2", 2L),                       // unique at level 3 AND 2
+      ("fr", "s1", 3L), ("fr", "s1", 4L))    // unique cells, same (fr,s1)
+      .toDF("lang", "source", "len_bucket")
+    val got = DataQuality.kAnonLadder(df, Seq("lang", "source", "len_bucket"))
+      .collect().map(r => r.getAs[Int]("level") -> r).toMap
+    assert(got(3).getAs[Long]("n_groups") === 4L)
+    assert(got(3).getAs[Long]("n_singletons") === 3L)
+    assert(got(2).getAs[Long]("n_groups") === 3L)
+    assert(got(2).getAs[Long]("n_singletons") === 1L) // only (en,s2)
+    assert(got(1).getAs[Long]("n_groups") === 2L)
+    assert(got(1).getAs[Long]("n_singletons") === 0L)
+  }
+
   test("conversionLag: first view to first subsequent purchase") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-05-${d + 1}%02d 10:00:00")
     val ev = Seq(
