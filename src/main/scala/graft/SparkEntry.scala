@@ -297,7 +297,8 @@ object SparkEntry {
     "q_holt_winters"     -> (OpsQueries.holtWintersQ _),
     "q_conformal"        -> (OpsQueries.conformalQ _),
     "q_nav_entropy"      -> (OpsQueries.navEntropyQ _),
-    "q_kanon_ladder"     -> (OpsQueries.kanonLadderQ _)
+    "q_kanon_ladder"     -> (OpsQueries.kanonLadderQ _),
+    "q_golden_record"    -> (OpsQueries.goldenRecordQ _)
   )
 
   private val fixedPathValues =

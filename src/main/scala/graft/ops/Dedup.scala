@@ -1312,6 +1312,40 @@ object Dedup {
         (col("n_equal").cast("double") / col("k")).as("sim"))
   }
 
+  /** Golden-record survivorship merge: one consolidated row per
+    * near-dup cluster with FIELD-LEVEL survivorship rules — the MDM
+    * step after clustering: representative id = min id (stable),
+    * longest length survives, and the modal categorical value wins
+    * with a deterministic (count desc, value asc) tiebreak. Docs
+    * absent from the label table are their own singleton clusters.
+    * One left join + two grouped aggregations + one keyed
+    * WindowGroupLimit for the mode. Returns (cluster_id, rep_id,
+    * n_docs, max_len, mode_cat). */
+  def goldenRecord(docs: DataFrame, idCol: String, lenCol: String,
+                   catCol: String, labels: DataFrame, labelIdCol: String,
+                   clusterCol: String): DataFrame = {
+    val labeled = docs
+      .join(labels.select(col(labelIdCol).as("__id"), col(clusterCol)),
+        col(idCol) === col("__id"), "left")
+      .select(coalesce(col(clusterCol), col(idCol)).as("cluster_id"),
+        col(idCol).as("__doc"), col(lenCol).as("__len"), col(catCol).as("__cat"))
+      .localCheckpoint(false) // base aggregate + mode pass reuse
+    val base = labeled.groupBy("cluster_id")
+      .agg(min(col("__doc")).as("rep_id"), count(lit(1)).as("n_docs"),
+        max(col("__len")).as("max_len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(desc("__cnt"), col("__cat"))
+    val mode = labeled.filter(col("__cat").isNotNull)
+      .groupBy(col("cluster_id"), col("__cat"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("__cat").as("mode_cat"))
+    base.join(mode, Seq("cluster_id"), "left")
+      .orderBy("cluster_id")
+  }
+
   /** Cluster-size distribution of a labeling (the output of
     * [[connectedComponents]] / [[connectedComponentsStar]]): how many
     * clusters of each size exist and how many documents they hold —

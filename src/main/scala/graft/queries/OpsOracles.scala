@@ -4577,7 +4577,29 @@ object OpsOracles {
         |  (ns * 1000000 // ng)::BIGINT AS singleton_ppm FROM g3
         |UNION ALL SELECT 2, ng, ns, (ns * 1000000 // ng)::BIGINT FROM g2
         |UNION ALL SELECT 1, ng, ns, (ns * 1000000 // ng)::BIGINT FROM g1
-        |ORDER BY level DESC""".stripMargin.trim
+        |ORDER BY level DESC""".stripMargin.trim,
+
+    // golden record: shared near-dup reachability + field-level
+    // survivorship (min id, max len, deterministic modal value)
+    "q_golden_record" ->
+      s"""$nearDupClusterCte,
+         |mem AS (SELECT id, min(r) AS c FROM reach GROUP BY id),
+         |dd AS (SELECT docs.id, coalesce(mem.c, docs.id) AS cluster_id,
+         |    length(coalesce(docs.text, '')) AS len,
+         |    substr(coalesce(docs.text, ''), 1, 1) AS cat
+         |  FROM docs LEFT JOIN mem ON docs.id = mem.id),
+         |b AS (SELECT cluster_id, min(id)::BIGINT AS rep_id,
+         |    count(*)::BIGINT AS n_docs, max(len)::BIGINT AS max_len
+         |  FROM dd GROUP BY 1),
+         |mo AS (SELECT cluster_id, cat AS mode_cat FROM (
+         |    SELECT cluster_id, cat, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY count(*) DESC, cat) AS rn
+         |    FROM dd WHERE cat IS NOT NULL GROUP BY cluster_id, cat)
+         |  WHERE rn = 1)
+         |SELECT b.cluster_id, b.rep_id, b.n_docs, b.max_len, mo.mode_cat
+         |FROM b LEFT JOIN mo ON b.cluster_id = mo.cluster_id
+         |ORDER BY b.cluster_id""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1944,6 +1944,19 @@ object OpsQueries {
     Analytics.priceVolumeMix(tbl(spark, dir, "lineitem"), "l_partkey",
       "l_shipdate", "l_extendedprice", "l_quantity", splitDays = 365)
 
+  /** Golden-record merge over the near-dup clusters. */
+  def goldenRecordQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(spark, dir)
+      .withColumn("len", length(coalesce(col("text"), lit(""))))
+      .withColumn("cat",
+        substring(coalesce(col("text"), lit("")), 1, 1))
+    val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id",
+      "text", bands = 4, rowsPerBand = 3, threshold = 0.6)
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    Dedup.goldenRecord(docs, "doc_id", "len", "cat",
+      labels.select(col("id"), col("cluster_id")), "id", "cluster_id")
+  }
+
   /** Per-predecessor next-event entropy (navigation predictability). */
   def navEntropyQ(spark: SparkSession, dir: String): DataFrame =
     Analytics.navEntropy(tbl(spark, dir, "events"), "user_id", "ts",

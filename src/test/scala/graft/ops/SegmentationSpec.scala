@@ -80,6 +80,24 @@ class SegmentationSpec extends SparkSpec {
     assert(r.getAs[Long]("resid_milli") === 0L) // exact decomposition here
   }
 
+  test("goldenRecord: field-level survivorship with deterministic mode") {
+    val docs = Seq(
+      (1L, 10, "x"), (2L, 25, "y"), (3L, 15, "y"), // cluster A
+      (9L, 7, "z"))                                 // singleton
+      .toDF("doc_id", "len", "cat")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster_id")
+    val got = Dedup.goldenRecord(docs, "doc_id", "len", "cat",
+      labels, "id", "cluster_id").collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r).toMap
+    val a = got(1L)
+    assert(a.getAs[Long]("rep_id") === 1L)
+    assert(a.getAs[Long]("n_docs") === 3L)
+    assert(a.getAs[Int]("max_len") === 25)
+    assert(a.getAs[String]("mode_cat") === "y") // 2 votes beat 1
+    val s = got(9L)
+    assert(s.getAs[Long]("n_docs") === 1L && s.getAs[String]("mode_cat") === "z")
+  }
+
   test("clusterDownweight: singletons always survive; big clusters thin") {
     // cluster A: ids 0..99 in one cluster; singletons 1000..1019
     val docs = ((0L until 100L) ++ (1000L until 1020L))
