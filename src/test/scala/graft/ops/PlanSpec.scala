@@ -233,4 +233,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "wedge join must be equi")
     assert(!plan.contains("BroadcastNestedLoopJoin"), "wedge join must be equi")
   }
+
+  test("sorted neighborhood joins on rank buckets, never cross-joins") {
+    import spark.implicits._
+    val rows = (1 to 200).map(i => (i.toLong, (i * 37 % 91).toDouble))
+      .toDF("id", "v")
+    val plan = FuzzyJoin.sortedNeighborhood(rows, "id", col("v"), window = 5)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
+  test("distinctive terms bound the rank window with WindowGroupLimit") {
+    import spark.implicits._
+    val docs = Seq(("a", Seq.fill(30)("alpha beta gamma").mkString(" ")),
+      ("b", Seq.fill(30)("delta beta gamma").mkString(" ")))
+      .toDF("src", "text")
+    val plan = CorpusStats.distinctiveTerms(docs, "src", "text", topK = 3,
+      minCount = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("pareto and lorenz bound global ordering (TakeOrdered / two-pass)") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (i.toLong, (i % 50).toDouble))
+      .toDF("k", "v")
+    val p = CorpusStats.paretoCurve(rows, "k", "v", topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
 }
