@@ -298,7 +298,8 @@ object SparkEntry {
     "q_conformal"        -> (OpsQueries.conformalQ _),
     "q_nav_entropy"      -> (OpsQueries.navEntropyQ _),
     "q_kanon_ladder"     -> (OpsQueries.kanonLadderQ _),
-    "q_golden_record"    -> (OpsQueries.goldenRecordQ _)
+    "q_golden_record"    -> (OpsQueries.goldenRecordQ _),
+    "q_fk_integrity"     -> (OpsQueries.integrityQ _)
   )
 
   private val fixedPathValues =

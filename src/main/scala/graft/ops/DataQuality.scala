@@ -86,6 +86,36 @@ object DataQuality {
       min(col("__l")).as("min_l_diversity"))
   }
 
+  /** Referential-integrity audit across a star schema: for each
+    * (child —fk→ parent) relation, the orphan count (child keys with
+    * no parent — a LEFT ANTI join, fully distributed) and the
+    * parent-side primary-key duplication — the two invariants every
+    * warehouse load must re-prove. The relation list is bounded
+    * metadata, so the per-relation aggregates collect one row each.
+    * Returns one row per relation: (relation, n_child, n_orphans,
+    * orphan_ppm, n_parent, pk_dup_rows). */
+  def integrityAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relations.nonEmpty, "need at least one relation")
+    val spark = relations.head._2.sparkSession
+    import spark.implicits._
+    val rows = relations.map { case (name, child, fk, parent, pk) =>
+      val c = child.filter(col(fk).isNotNull)
+      val nChild = c.count()
+      val orphans = c.select(col(fk))
+        .join(parent.select(col(pk)).distinct(), col(fk) === col(pk),
+          "left_anti")
+        .count()
+      val p = parent.agg(count(lit(1)).as("n"),
+        countDistinct(col(pk)).as("d")).head()
+      val (nParent, distinctPk) = (p.getLong(0), p.getLong(1))
+      (name, nChild, orphans,
+        if (nChild == 0) 0L else orphans * 1000000L / nChild,
+        nParent, nParent - distinctPk)
+    }
+    rows.toDF("relation", "n_child", "n_orphans", "orphan_ppm",
+      "n_parent", "pk_dup_rows").orderBy("relation")
+  }
+
   /** k-anonymity GENERALIZATION LADDER: re-identification risk at
     * every prefix of the quasi-identifier list in ONE Expand pass
     * (ROLLUP over the cell counts — no per-level rescans): per

@@ -4599,7 +4599,38 @@ object OpsOracles {
          |  WHERE rn = 1)
          |SELECT b.cluster_id, b.rep_id, b.n_docs, b.max_len, mo.mode_cat
          |FROM b LEFT JOIN mo ON b.cluster_id = mo.cluster_id
-         |ORDER BY b.cluster_id""".stripMargin.trim
+         |ORDER BY b.cluster_id""".stripMargin.trim,
+
+    // referential integrity: orphan anti-joins + parent PK duplication
+    "q_fk_integrity" -> {
+      def rel(name: String, child: String, fk: String, parent: String,
+              pk: String) =
+        s"""SELECT '$name' AS relation,
+           |  (SELECT count(*) FROM $child WHERE $fk IS NOT NULL)::BIGINT
+           |    AS n_child,
+           |  (SELECT count(*) FROM $child WHERE $fk IS NOT NULL
+           |    AND $fk NOT IN (SELECT $pk FROM $parent
+           |      WHERE $pk IS NOT NULL))::BIGINT AS n_orphans,
+           |  (SELECT count(*) FROM $parent)::BIGINT AS n_parent,
+           |  ((SELECT count(*) FROM $parent)
+           |    - (SELECT count(DISTINCT $pk) FROM $parent))::BIGINT
+           |    AS pk_dup_rows""".stripMargin
+      s"""WITH u AS (
+         |${rel("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+         |UNION ALL
+         |${rel("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey")}
+         |UNION ALL
+         |${rel("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey")}
+         |UNION ALL
+         |${rel("orders->customer", "orders", "o_custkey", "customer", "c_custkey")}
+         |UNION ALL
+         |${rel("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey")})
+         |SELECT relation, n_child, n_orphans,
+         |  (CASE WHEN n_child = 0 THEN 0
+         |    ELSE n_orphans * 1000000 // n_child END)::BIGINT AS orphan_ppm,
+         |  n_parent, pk_dup_rows
+         |FROM u ORDER BY relation""".stripMargin.trim
+    }
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

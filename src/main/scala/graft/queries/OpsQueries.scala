@@ -1944,6 +1944,20 @@ object OpsQueries {
     Analytics.priceVolumeMix(tbl(spark, dir, "lineitem"), "l_partkey",
       "l_shipdate", "l_extendedprice", "l_quantity", splitDays = 365)
 
+  /** Referential-integrity audit over the TPC-H-ish star schema. */
+  def integrityQ(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.integrityAudit(Seq(
+      ("lineitem->orders", tbl(spark, dir, "lineitem"), "l_orderkey",
+        tbl(spark, dir, "orders"), "o_orderkey"),
+      ("lineitem->part", tbl(spark, dir, "lineitem"), "l_partkey",
+        tbl(spark, dir, "part"), "p_partkey"),
+      ("lineitem->supplier", tbl(spark, dir, "lineitem"), "l_suppkey",
+        tbl(spark, dir, "supplier"), "s_suppkey"),
+      ("orders->customer", tbl(spark, dir, "orders"), "o_custkey",
+        tbl(spark, dir, "customer"), "c_custkey"),
+      ("customer->nation", tbl(spark, dir, "customer"), "c_nationkey",
+        tbl(spark, dir, "nation"), "n_nationkey")))
+
   /** Golden-record merge over the near-dup clusters. */
   def goldenRecordQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = docsWithNearDups(spark, dir)

@@ -49,6 +49,19 @@ class BehaviorOpsSpec extends SparkSpec {
     assert(math.abs(got("b") - math.log(2.0)) < 1e-6)
   }
 
+  test("integrityAudit: counts orphans and duplicate parent keys") {
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "fk")
+    val parent = Seq(10L, 11L, 11L).map(Tuple1(_)).toDF("pk")
+    val got = DataQuality.integrityAudit(
+      Seq(("c->p", child, "fk", parent, "pk"))).head()
+    assert(got.getAs[Long]("n_child") === 3L)   // null fk excluded
+    assert(got.getAs[Long]("n_orphans") === 1L) // fk=99
+    assert(got.getAs[Long]("orphan_ppm") === 333333L)
+    assert(got.getAs[Long]("n_parent") === 3L)
+    assert(got.getAs[Long]("pk_dup_rows") === 1L) // 11 twice
+  }
+
   test("kAnonLadder: coarsening removes uniqueness") {
     val df = Seq(
       ("en", "s1", 1L), ("en", "s1", 1L),   // k=2 cell
