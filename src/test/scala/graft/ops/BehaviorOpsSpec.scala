@@ -50,8 +50,8 @@ class BehaviorOpsSpec extends SparkSpec {
   }
 
   test("integrityAudit: counts orphans and duplicate parent keys") {
-    val child = Seq((1L, 10L), (2L, 10L), (3L, 99L), (4L, null.asInstanceOf[java.lang.Long]))
-      .toDF("id", "fk")
+    val child = Seq((1L, Some(10L)), (2L, Some(10L)), (3L, Some(99L)),
+      (4L, None: Option[Long])).toDF("id", "fk")
     val parent = Seq(10L, 11L, 11L).map(Tuple1(_)).toDF("pk")
     val got = DataQuality.integrityAudit(
       Seq(("c->p", child, "fk", parent, "pk"))).head()
