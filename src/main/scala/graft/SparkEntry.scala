@@ -299,7 +299,8 @@ object SparkEntry {
     "q_nav_entropy"      -> (OpsQueries.navEntropyQ _),
     "q_kanon_ladder"     -> (OpsQueries.kanonLadderQ _),
     "q_golden_record"    -> (OpsQueries.goldenRecordQ _),
-    "q_fk_integrity"     -> (OpsQueries.integrityQ _)
+    "q_fk_integrity"     -> (OpsQueries.integrityQ _),
+    "q_cohort_ltv"       -> (OpsQueries.cohortLtvQ _)
   )
 
   private val fixedPathValues =

@@ -743,6 +743,44 @@ object Analytics {
     } finally { rdd.unpersist(blocking = false); () }
   }
 
+  /** Cohort LTV curves: cumulative cent revenue per signup cohort by
+    * age — "how much is a week-N cohort worth by week M", the growth
+    * accounting behind payback windows. Cohort = each actor's
+    * first-seen week; one grouped cent-sum per (cohort, age) cell;
+    * the cumulative window is keyed by cohort and bounded by the
+    * calendar span. All integral; per-user normalization is a floored
+    * milli division. Returns (cohort_week, age_week, n_users,
+    * rev_cents, cum_rev_cents, cum_per_user_milli). */
+  def cohortLtv(events: DataFrame, keyCol: String, tsCol: String,
+                valueCol: String, scaleDigits: Int = 2): DataFrame = {
+    val unit = math.pow(10, scaleDigits)
+    val vc = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val base = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull
+        && col(valueCol).isNotNull)
+    val minDay = base.agg(min(to_date(col(tsCol)))).head().getDate(0)
+    val withWeek = base.select(col(keyCol).as("u"),
+      expr(s"datediff(to_date($tsCol), date'$minDay') div 7").as("w"),
+      vc.as("vc"))
+      .localCheckpoint(false) // cohort map + revenue cells reuse
+    val cohorts = withWeek.groupBy("u").agg(min(col("w")).as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+    val cells = withWeek.join(cohorts, Seq("u"))
+      .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("age_week"))
+      .agg(sum(col("vc")).as("rev_cents"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week")).orderBy(col("age_week"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    cells
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+      .join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("age_week"), col("n_users"),
+        col("rev_cents"), col("cum_rev_cents"),
+        expr("cum_rev_cents * 10 div n_users").as("cum_per_user_milli"))
+      .orderBy("cohort_week", "age_week")
+  }
+
   /** Navigation predictability: Shannon entropy of the next-event
     * distribution per predecessor type — "how deterministic is user
     * behavior after X", the information-theoretic read of the

@@ -4630,7 +4630,35 @@ object OpsOracles {
          |    ELSE n_orphans * 1000000 // n_child END)::BIGINT AS orphan_ppm,
          |  n_parent, pk_dup_rows
          |FROM u ORDER BY relation""".stripMargin.trim
-    }
+    },
+
+    // cohort LTV: first-seen-week cohorts, per-age cent cells,
+    // keyed cumulative window over the bounded week grid
+    "q_cohort_ltv" ->
+      """WITH md AS (SELECT min(ts::DATE) AS d0 FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |ww AS (SELECT user_id AS u,
+        |    (datediff('day', md.d0, ts::DATE) // 7)::BIGINT AS w,
+        |    CAST(round(value * 100.0) AS BIGINT) AS vc
+        |  FROM events, md WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |co AS (SELECT u, min(w) AS cohort_week FROM ww GROUP BY 1),
+        |sz AS (SELECT cohort_week, count(*)::BIGINT AS n_users FROM co
+        |  GROUP BY 1),
+        |cells AS (SELECT co.cohort_week, ww.w - co.cohort_week AS age_week,
+        |    sum(ww.vc)::BIGINT AS rev_cents
+        |  FROM ww JOIN co ON ww.u = co.u GROUP BY 1, 2),
+        |cum AS (SELECT cohort_week, age_week, rev_cents,
+        |    sum(rev_cents) OVER (PARTITION BY cohort_week ORDER BY age_week
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum_rev_cents FROM cells)
+        |SELECT cum.cohort_week, cum.age_week, sz.n_users, cum.rev_cents,
+        |  cum.cum_rev_cents,
+        |  (cum.cum_rev_cents * 10 // sz.n_users)::BIGINT
+        |    AS cum_per_user_milli
+        |FROM cum JOIN sz ON cum.cohort_week = sz.cohort_week
+        |ORDER BY cum.cohort_week, cum.age_week""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

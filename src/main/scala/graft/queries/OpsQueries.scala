@@ -1944,6 +1944,10 @@ object OpsQueries {
     Analytics.priceVolumeMix(tbl(spark, dir, "lineitem"), "l_partkey",
       "l_shipdate", "l_extendedprice", "l_quantity", splitDays = 365)
 
+  /** Cohort LTV curves over the event stream. */
+  def cohortLtvQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.cohortLtv(tbl(spark, dir, "events"), "user_id", "ts", "value")
+
   /** Referential-integrity audit over the TPC-H-ish star schema. */
   def integrityQ(spark: SparkSession, dir: String): DataFrame =
     DataQuality.integrityAudit(Seq(

@@ -31,6 +31,24 @@ class StreamHealthSpec extends SparkSpec {
     assert(both.map(_.getAs[String]("series")).toSeq === Seq("b", "a"))
   }
 
+  test("cohortLtv: cumulative per-cohort revenue by age") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-04-${d + 1}%02d 08:00:00")
+    // cohort 0: users 1,2 (week 0); cohort 1: user 3 (week 1)
+    val ev = Seq(
+      (1L, ts(0), 10.0), (2L, ts(1), 20.0),   // cohort 0, age 0: 30
+      (1L, ts(8), 5.0),                        // cohort 0, age 1: 5
+      (3L, ts(8), 40.0), (3L, ts(16), 1.0))   // cohort 1, ages 0 and 1
+      .toDF("user_id", "ts", "value")
+    val got = Analytics.cohortLtv(ev, "user_id", "ts", "value").collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("age_week")) -> r)
+      .toMap
+    assert(got((0L, 0L)).getAs[Long]("rev_cents") === 3000L)
+    assert(got((0L, 1L)).getAs[Long]("cum_rev_cents") === 3500L)
+    assert(got((0L, 1L)).getAs[Long]("n_users") === 2L)
+    assert(got((0L, 1L)).getAs[Long]("cum_per_user_milli") === 17500L)
+    assert(got((1L, 1L)).getAs[Long]("cum_rev_cents") === 4100L)
+  }
+
   test("userGrowth and stickiness: first-seen cumulative, floored ppm") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-04-${day + 1}%02d 08:00:00")
     val ev = Seq((1L, 0), (2L, 0), (1L, 1), (3L, 1), (1L, 2))
