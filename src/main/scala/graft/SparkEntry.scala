@@ -300,7 +300,8 @@ object SparkEntry {
     "q_kanon_ladder"     -> (OpsQueries.kanonLadderQ _),
     "q_golden_record"    -> (OpsQueries.goldenRecordQ _),
     "q_fk_integrity"     -> (OpsQueries.integrityQ _),
-    "q_cohort_ltv"       -> (OpsQueries.cohortLtvQ _)
+    "q_cohort_ltv"       -> (OpsQueries.cohortLtvQ _),
+    "q_dup_rate"         -> (OpsQueries.dupRateQ _)
   )
 
   private val fixedPathValues =

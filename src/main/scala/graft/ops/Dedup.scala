@@ -1312,6 +1312,24 @@ object Dedup {
         (col("n_equal").cast("double") / col("k")).as("sim"))
   }
 
+  /** Exact-duplicate rate per slice: which FEED is flooding the
+    * corpus with copies — the triage that decides where dedup effort
+    * goes before any near-dup machinery runs. One md5-key grouped
+    * count per (slice, content), one slice rollup; duplicate docs =
+    * every row beyond its group's first. All integral. Returns
+    * (slice, n_docs, n_dup_docs, dup_ppm). */
+  def dupRateBySlice(df: DataFrame, sliceCol: String,
+                     textCol: String): DataFrame =
+    df.filter(col(sliceCol).isNotNull && col(textCol).isNotNull)
+      .groupBy(col(sliceCol).as("slice"), md5(col(textCol)).as("__h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("slice")
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("c") - lit(1L)).as("n_dup_docs"))
+      .select(col("slice"), col("n_docs"), col("n_dup_docs"),
+        expr("n_dup_docs * 1000000 div n_docs").as("dup_ppm"))
+      .orderBy("slice")
+
   /** Golden-record survivorship merge: one consolidated row per
     * near-dup cluster with FIELD-LEVEL survivorship rules — the MDM
     * step after clustering: representative id = min id (stable),

@@ -4658,7 +4658,21 @@ object OpsOracles {
         |  (cum.cum_rev_cents * 10 // sz.n_users)::BIGINT
         |    AS cum_per_user_milli
         |FROM cum JOIN sz ON cum.cohort_week = sz.cohort_week
-        |ORDER BY cum.cohort_week, cum.age_week""".stripMargin.trim
+        |ORDER BY cum.cohort_week, cum.age_week""".stripMargin.trim,
+
+    // exact-dup rate per source over a planted doubled corpus
+    "q_dup_rate" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, source, text FROM documents
+        |    WHERE doc_id % 3 = 0),
+        |g AS (SELECT source AS slice, md5(text) AS h,
+        |    count(*)::BIGINT AS c FROM d
+        |  WHERE source IS NOT NULL AND text IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT slice, sum(c)::BIGINT AS n_docs,
+        |    sum(c - 1)::BIGINT AS n_dup_docs FROM g GROUP BY 1)
+        |SELECT slice, n_docs, n_dup_docs,
+        |  (n_dup_docs * 1000000 // n_docs)::BIGINT AS dup_ppm
+        |FROM s ORDER BY slice""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -1944,6 +1944,16 @@ object OpsQueries {
     Analytics.priceVolumeMix(tbl(spark, dir, "lineitem"), "l_partkey",
       "l_shipdate", "l_extendedprice", "l_quantity", splitDays = 365)
 
+  /** Exact-duplicate rate per source (every third doc re-planted). */
+  def dupRateQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val doubled = d.unionAll(
+      d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id") + 100000, col("source"), col("text")))
+    Dedup.dupRateBySlice(doubled, "source", "text")
+  }
+
   /** Cohort LTV curves over the event stream. */
   def cohortLtvQ(spark: SparkSession, dir: String): DataFrame =
     Analytics.cohortLtv(tbl(spark, dir, "events"), "user_id", "ts", "value")

@@ -80,6 +80,16 @@ class SegmentationSpec extends SparkSpec {
     assert(r.getAs[Long]("resid_milli") === 0L) // exact decomposition here
   }
 
+  test("dupRateBySlice: per-feed duplicate mass") {
+    val docs = Seq(("s1", "a"), ("s1", "a"), ("s1", "b"),
+      ("s2", "c"), ("s2", "d")).toDF("source", "text")
+    val got = Dedup.dupRateBySlice(docs, "source", "text").collect()
+      .map(r => r.getAs[String]("slice") -> r).toMap
+    assert(got("s1").getAs[Long]("n_dup_docs") === 1L)
+    assert(got("s1").getAs[Long]("dup_ppm") === 333333L)
+    assert(got("s2").getAs[Long]("n_dup_docs") === 0L)
+  }
+
   test("goldenRecord: field-level survivorship with deterministic mode") {
     val docs = Seq(
       (1L, 10, "x"), (2L, 25, "y"), (3L, 15, "y"), // cluster A
