@@ -31,6 +31,27 @@ object ScaleProbe {
         val d = spark.read.parquet(s"${args(1)}/documents.parquet")
         ops.Dedup.simhashPairs(d, "doc_id", "text",
           maxHamming = args(2).toInt).count()
+      case "noop" =>
+        // fixed harness overhead: parquet scan + count only
+        spark.read.parquet(s"${args(1)}/documents.parquet").count()
+      case "simhashonly" =>
+        // isolates the per-word md5 signature kernel from the pair join
+        val d = spark.read.parquet(s"${args(1)}/documents.parquet")
+        ops.Dedup.simhash(d, "doc_id", "text").count()
+      case "simhashstats" =>
+        // band-bucket size distribution + Σsz² (intrinsic candidate mass)
+        val d = spark.read.parquet(s"${args(1)}/documents.parquet")
+        val sh = ops.Dedup.simhash(d, "doc_id", "text")
+        val bandBuckets = array((0 until 4).map { b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+        }: _*)
+        val sizes = sh.select(posexplode(bandBuckets).as(Seq("band", "bucket")))
+          .groupBy("band", "bucket").count()
+        sizes.agg(count(lit(1)), max("count"), sum(col("count") * col("count")),
+            sum(when(col("count") > 64, col("count") * col("count"))))
+          .show(false)
+        sizes.orderBy(col("count").desc).show(20, false)
+        sizes.count()
       case "cvauc" =>
         // q_cv_auc's exact fit with a swappable measure: times the
         // shared-IRLS chassis with (auc) vs without (deviance) the rank

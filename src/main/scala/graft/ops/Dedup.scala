@@ -21,56 +21,125 @@ object Dedup {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Dropped-bucket observability for the LSH hot-bucket caps: how many
-    * band buckets exceeded `maxBucketSize` (and were excluded from
-    * candidate generation), how many band rows they held, and the
-    * largest bucket observed — the numbers a caller needs to decide
-    * whether a cap traded away real recall or only degenerate
-    * boilerplate (the [[graft.ops.Tokenizer.BpeTrainStats]] pattern:
-    * capped work, observable dropped mass). */
-  case class LshBucketDropStats(droppedBuckets: Long, droppedRows: Long,
-                                largestBucket: Long)
+  /** Hot-bucket observability for the LSH band joins: how many band
+    * buckets exceeded `maxBucketSize` (and were routed to the salted
+    * sub-bucket join instead of the plain equi-join), how many band
+    * rows they held, and the largest bucket observed. Since round 11
+    * NOTHING is dropped — the stats report where the intrinsic
+    * quadratic candidate mass lives (Σ size² over these buckets), so a
+    * caller can see the cost of a degenerate corpus rather than guess. */
+  case class LshSaltStats(saltedBuckets: Long, saltedRows: Long,
+                          largestBucket: Long)
 
-  /** Shared hot-bucket cap: keep only band rows whose (bucket-key)
-    * group has at most `maxBucketSize` members, computing the drop
-    * stats in the same pass over the bucket-size aggregate. The stats
-    * aggregate is one extra job over the (already checkpointed)
-    * band-row projection — the price of never silently degrading
-    * recall; it does mean a capped operator (the default) launches
-    * that job at DataFrame-construction time rather than staying fully
-    * lazy (the trainBpe eager-stats trade). The bucket-size aggregate
-    * itself is checkpointed so the stats pass and the semi-join share
-    * one computation. Returns the filtered band rows plus the stats. */
-  private def capBuckets(bandRows: DataFrame, keyCols: Seq[String],
-                         maxBucketSize: Int, opName: String)
-      : (DataFrame, LshBucketDropStats) = {
-    val sizes = bandRows.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("sz"))
-      .localCheckpoint(false) // stats .head() materializes; semi-join reuses
+  /** Skew-split router for the LSH band joins: compute bucket sizes
+    * once, route rows whose bucket holds at most `maxBucketSize`
+    * members to the plain equi-join path, and annotate rows in larger
+    * ("hot") buckets with the sub-bucket count ceil(size / cap) for
+    * [[saltedHotPairs]]. NOTHING is dropped — `maxBucketSize` is a
+    * task-granularity knob, not a recall trade (the pre-round-11 cap
+    * dropped hot buckets and logged the loss; the salted join keeps
+    * the exact uncapped pair set). The stats aggregate is one extra
+    * job over the (already checkpointed) band-row projection — the
+    * routing decision needs the sizes anyway, and the size table is
+    * checkpointed so the stats pass and both routing joins share one
+    * computation. */
+  private def splitHotBuckets(bandRows: DataFrame, keyCols: Seq[String],
+                              maxBucketSize: Int, opName: String,
+                              subBucketRows: Int = 0)
+      : (DataFrame, DataFrame, LshSaltStats) = {
+    val kc = keyCols.map(col)
+    val sub = if (subBucketRows > 0) subBucketRows else maxBucketSize
+    val sizes = bandRows.groupBy(kc: _*)
+      .agg(count(lit(1)).as("__sz"))
+      .localCheckpoint(false) // stats .head() materializes; joins reuse
     val r = sizes.agg(
-      coalesce(sum(when(col("sz") > maxBucketSize, lit(1L))), lit(0L)),
-      coalesce(sum(when(col("sz") > maxBucketSize, col("sz"))), lit(0L)),
-      coalesce(max(col("sz")), lit(0L))).head()
-    val stats = LshBucketDropStats(r.getLong(0), r.getLong(1), r.getLong(2))
-    if (stats.droppedBuckets > 0)
-      log.warn(s"$opName: hot-bucket cap $maxBucketSize dropped " +
-        s"${stats.droppedBuckets} buckets / ${stats.droppedRows} band rows " +
-        s"(largest bucket: ${stats.largestBucket}); pairs inside dropped " +
-        "buckets are near-identical boilerplate — verify with exact dedup " +
-        "if that mass matters")
-    val ok = sizes.filter(col("sz") <= maxBucketSize)
-      .select(keyCols.map(col): _*)
-    (bandRows.join(ok, keyCols, "left_semi"), stats)
+      coalesce(sum(when(col("__sz") > maxBucketSize, lit(1L))), lit(0L)),
+      coalesce(sum(when(col("__sz") > maxBucketSize, col("__sz"))), lit(0L)),
+      coalesce(max(col("__sz")), lit(0L))).head()
+    val stats = LshSaltStats(r.getLong(0), r.getLong(1), r.getLong(2))
+    if (stats.saltedBuckets > 0)
+      log.info(s"$opName: ${stats.saltedBuckets} band buckets over " +
+        s"$maxBucketSize (${stats.saltedRows} band rows, largest " +
+        s"${stats.largestBucket}) take the salted sub-bucket route; all " +
+        "pairs retained — the bucket's intrinsic size² candidate mass " +
+        "is the cost")
+    val normal = bandRows.join(
+      sizes.filter(col("__sz") <= maxBucketSize).select(kc: _*),
+      keyCols, "left_semi")
+    val hot = bandRows
+      .join(sizes.filter(col("__sz") > maxBucketSize), keyCols)
+      .withColumn("__nsalt",
+        ceil(col("__sz").cast("double") / sub).cast("int"))
+      .drop("__sz")
+    (normal, hot, stats)
   }
 
-  /** The finite default for the LSH hot-bucket caps. Candidate
-    * generation inside a bucket is O(size²), so one corpus-scale
-    * boilerplate bucket (empty docs, cookie banners) would degenerate
-    * the candidate join; 2048 keeps ~4M candidate pairs per worst-case
-    * bucket (bounded work) while sitting far above any bucket a
-    * non-degenerate corpus produces. Pass `Int.MaxValue` explicitly for
-    * uncapped exact semantics. */
+  /** All unordered within-bucket pairs of the hot band rows, via a
+    * salted sub-bucket self-join: each row keeps ONE deterministic salt
+    * on the left side and replicates to EVERY salt on the right, so a
+    * pair (a, b) with a < b meets exactly once per bucket (at a's salt)
+    * and no single join key carries more than ~bucketSize x
+    * maxBucketSize pair comparisons — the SkewJoin recipe
+    * ([[graft.ops.SkewJoin.saltedJoin]]) applied to a self-join. Total
+    * work is still the Σ size² the bucket intrinsically implies;
+    * salting bounds TASK size (no straggler / OOM key), it cannot
+    * shrink the candidate mass. `payload` columns ride the join as
+    * `<name>_a` / `<name>_b` so verification runs inline — hot pairs
+    * never take the candidate-distinct + payload-re-join detour (that
+    * shuffle, sized by candidate mass, was the measured sf1 cliff in
+    * SCALE.md finding 1). */
+  private def saltedHotPairs(hot: DataFrame, keyCols: Seq[String],
+                             payload: Seq[String]): DataFrame = {
+    val l = hot.withColumn("__salt",
+      pmod(xxhash64(col("__id")), col("__nsalt").cast("long")).cast("int"))
+    val r = hot.withColumn("__salt",
+      explode(sequence(lit(0), col("__nsalt") - 1)))
+    val cond = (keyCols :+ "__salt")
+      .map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+      col("l.__id") < col("r.__id")
+    l.as("l").join(r.as("r"), cond)
+      .select(col("l.__id").as("id_a") +: col("r.__id").as("id_b") +:
+        payload.flatMap(p =>
+          Seq(col(s"l.$p").as(s"${p}_a"), col(s"r.$p").as(s"${p}_b"))): _*)
+  }
+
+  /** Bucket-size routing threshold for the LSH band joins. Candidate
+    * generation inside a bucket is O(size²); buckets above this size
+    * (degenerate boilerplate / mega-cluster mass) are salted into
+    * ~cap-sized sub-buckets and verified inline ([[saltedHotPairs]])
+    * instead of riding the candidate-distinct path, so one
+    * corpus-scale bucket cannot create a straggler task or an
+    * unbounded candidate shuffle. Results are IDENTICAL at any
+    * setting — this tunes task granularity only. Pass `Int.MaxValue`
+    * to skip the routing (single-path plan, no stats job). */
   val DefaultMaxBucketSize: Int = 2048
+
+  /** Kernel-route threshold for [[cosineNearDups]]: buckets above this
+    * size skip the candidate-distinct + vector-re-join detour and take
+    * the grouped primitive-dot kernel instead. Lower than the text
+    * default because vector payloads make the per-candidate cost of the
+    * join path ~20x the kernel's (measured at sf1, SCALE.md finding 1) —
+    * in a healthy sparse corpus buckets stay under this anyway, so the
+    * normal path (which never ships vectors through the band join)
+    * still serves the non-degenerate mass. Identical results at any
+    * setting. */
+  val DefaultVectorBucketSize: Int = 256
+
+  /** Kernel-route threshold for [[simhashPairs]]: the payload is one
+    * long, so the kernel route (XOR + popcount per pair, single-copy
+    * shuffle) beats the join path from a few dozen rows per bucket —
+    * 64 keeps genuinely sparse buckets on the zero-extra-shuffle plain
+    * join and routes everything collision-dense to the kernel.
+    * Identical results at any setting. */
+  val DefaultSimhashBucketSize: Int = 64
+
+  /** Grid-salting threshold INSIDE the cosine kernel route: hot buckets
+    * up to this many rows run as one kernel task (vectors shipped once,
+    * worst task ~size²/2 dots); larger buckets split into (saltL,
+    * saltR) grid cells of ~this many rows per side, bounding task
+    * memory and straggler time at the price of 2 x nsalt vector
+    * copies. 8192 rows = ~34M dot evals ≈ a few seconds per cell. */
+  val KernelSubBucketRows: Int = 8192
 
   /** Words of a text column (whitespace split, lowercased). */
   def words(text: Column): Column = split(lower(trim(text)), "\\s+")
@@ -272,17 +341,28 @@ object Dedup {
       .toDF("__id", "sh", "sig", "buckets")
   }
 
-  /** @param maxBucketSize drop band buckets larger than this before the
-    *        self-join. Candidate generation inside a bucket is
-    *        O(size^2): at corpus scale a boilerplate-heavy shingle set
-    *        can put millions of docs in one bucket and turn the join
-    *        quadratic. Capping trades recall ON DEGENERATE buckets only
-    *        (a bucket that large is near-identical boilerplate, handled
-    *        by exact dedup) for bounded work. Default:
-    *        [[DefaultMaxBucketSize]], ON — drops are never silent (a
-    *        warn log with [[LshBucketDropStats]]; use
-    *        [[minhashLshWithStats]] for programmatic access). Pass
-    *        `Int.MaxValue` for uncapped exact semantics. */
+  /** Exact shingle-set jaccard over a pairs frame carrying `sh_a` /
+    * `sh_b`, thresholded — shared by the normal-bucket verify join and
+    * the salted hot-bucket path so both produce bit-identical doubles. */
+  private def jaccardVerify(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** @param maxBucketSize route band buckets larger than this to the
+    *        salted sub-bucket join ([[saltedHotPairs]]) instead of the
+    *        candidate-distinct path. Candidate generation inside a
+    *        bucket is O(size^2): at corpus scale a boilerplate-heavy
+    *        shingle set can put millions of docs in one bucket; the
+    *        salted route bounds every task at ~cap-sized sub-buckets
+    *        while keeping the EXACT uncapped pair set (nothing is
+    *        dropped — round-11 change from the drop-cap). Default:
+    *        [[DefaultMaxBucketSize]]; use [[minhashLshWithStats]] for
+    *        programmatic hot-bucket stats. Pass `Int.MaxValue` to skip
+    *        routing (identical result, no stats job). */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  bands: Int = 4, rowsPerBand: Int = 3,
                  threshold: Double = 0.6, shingleWidth: Int = 3,
@@ -290,13 +370,14 @@ object Dedup {
     minhashLshWithStats(df, idCol, textCol, bands, rowsPerBand, threshold,
       shingleWidth, maxBucketSize)._1
 
-  /** [[minhashLsh]], also returning the hot-bucket drop stats (None when
-    * uncapped) so dropped candidate mass is observable, not guessed. */
+  /** [[minhashLsh]], also returning the hot-bucket salt stats (None when
+    * routing is skipped) so degenerate candidate mass is observable,
+    * not guessed. */
   def minhashLshWithStats(df: DataFrame, idCol: String, textCol: String,
                  bands: Int = 4, rowsPerBand: Int = 3,
                  threshold: Double = 0.6, shingleWidth: Int = 3,
                  maxBucketSize: Int = DefaultMaxBucketSize)
-      : (DataFrame, Option[LshBucketDropStats]) = {
+      : (DataFrame, Option[LshSaltStats]) = {
     // one kernel pass computes the shingle set AND the band buckets;
     // materialized once (lazy localCheckpoint) because the self-join +
     // the two verify re-joins would otherwise recompute the md5 work
@@ -307,12 +388,24 @@ object Dedup {
       bands, rowsPerBand).localCheckpoint(false)
     val bandRows0 = sets
       .select(col("__id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val (bandRows, stats) =
-      if (maxBucketSize == Int.MaxValue) (bandRows0, None)
+    val shOnly = sets.select(col("__id"), col("sh"))
+    val (bandRows, hotPairs, stats) =
+      if (maxBucketSize == Int.MaxValue) (bandRows0, None, None)
       else {
-        val (capped, s) = capBuckets(bandRows0, Seq("band", "bucket"),
+        val (normal, hot, s) = splitHotBuckets(
+          bandRows0.localCheckpoint(false), Seq("band", "bucket"),
           maxBucketSize, "minhashLsh")
-        (capped, Some(s))
+        if (s.saltedBuckets == 0) (normal, None, Some(s))
+        else {
+          // hot pairs verify INLINE: shingle sets ride the salted join
+          // (bounded by the hot-row count x sub-bucket replication), so
+          // the quadratic candidate mass never hits a distinct shuffle
+          // or a payload re-join
+          val hp = jaccardVerify(
+            saltedHotPairs(hot.join(shOnly, "__id"),
+              Seq("band", "bucket"), Seq("sh")), threshold)
+          (normal, Some(hp), Some(s))
+        }
       }
     val cands = bandRows.as("l")
       .join(bandRows.as("r"),
@@ -321,15 +414,16 @@ object Dedup {
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
     // verify with exact shingle-set jaccard
-    val shOnly = sets.select(col("__id"), col("sh"))
-    val pairs = cands
+    val normalPairs = jaccardVerify(cands
       .join(shOnly.withColumnRenamed("__id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(shOnly.withColumnRenamed("__id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .join(shOnly.withColumnRenamed("__id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b"),
+      threshold)
+    // a pair can surface from a normal bucket AND a hot bucket (different
+    // bands) or from several hot buckets; both paths compute the same
+    // jaccard double, so a distinct over the (output-sized) union dedupes
+    val pairs = hotPairs
+      .map(hp => normalPairs.unionAll(hp).distinct())
+      .getOrElse(normalPairs)
     (pairs, stats)
   }
 
@@ -399,21 +493,14 @@ object Dedup {
       col("sig").as("sig_i"), col("buckets").as("buckets_i"))
     val ib0 = ix.select(col("index_id"),
       posexplode(col("buckets_i")).as(Seq("band", "bucket")))
-    val ib =
-      if (maxBucketSize == Int.MaxValue) ib0
-      else capBuckets(ib0, Seq("band", "bucket"), maxBucketSize,
-        "minhashLshIncremental")._1
     val pb = probe.select(col("id").as("new_id"),
       posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val cands = ib.join(pb, Seq("band", "bucket"))
-      .filter(col("new_id") =!= col("index_id"))
-      .select(col("new_id"), col("index_id"))
-      .distinct()
+    val sigN = probe.select(col("id").as("new_id"), col("sig").as("sig_n"))
+    val sigI = ix.select(col("index_id"), col("sig_i"))
     // signature-estimated Jaccard via codegen'd zip_with + aggregate —
-    // no UDF, no shuffle beyond the key joins
-    cands
-      .join(probe.select(col("id").as("new_id"), col("sig").as("sig_n")), "new_id")
-      .join(ix.select(col("index_id"), col("sig_i")), "index_id")
+    // no UDF, no shuffle beyond the key joins; shared by both routes so
+    // the doubles are bit-identical
+    def estimate(pairs: DataFrame): DataFrame = pairs
       .withColumn("est_jaccard",
         aggregate(
           zip_with(col("sig_n"), col("sig_i"),
@@ -421,6 +508,49 @@ object Dedup {
           lit(0.0), (acc, x) => acc + x) / numHashes)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("new_id"), col("index_id"), col("est_jaccard"))
+    val (ib, hotPairs) =
+      if (maxBucketSize == Int.MaxValue) (ib0, None)
+      else {
+        // hot buckets defined by INDEX bucket size (the index is the
+        // corpus-scale side; the probe batch is comparatively small):
+        // index rows keep one deterministic salt, probe rows replicate
+        // to every salt, signatures ride the join so estimation is
+        // inline — no candidate-distinct shuffle over the hot mass
+        val (normal, hot, s) = splitHotBuckets(ib0.localCheckpoint(false),
+          Seq("band", "bucket"), maxBucketSize, "minhashLshIncremental")
+        if (s.saltedBuckets == 0) (normal, None)
+        else {
+          val hotL = hot.join(sigI, "index_id")
+            .withColumn("__salt",
+              pmod(xxhash64(col("index_id")), col("__nsalt").cast("long"))
+                .cast("int"))
+          val hotKeys = hot.select(col("band"), col("bucket"), col("__nsalt"))
+            .distinct()
+          val pbHot = pb.join(hotKeys, Seq("band", "bucket"))
+            .join(sigN, "new_id")
+            .withColumn("__salt", explode(sequence(lit(0), col("__nsalt") - 1)))
+          val hp = estimate(
+            hotL.as("l").join(pbHot.as("r"),
+              col("l.band") === col("r.band") &&
+                col("l.bucket") === col("r.bucket") &&
+                col("l.__salt") === col("r.__salt") &&
+                col("l.index_id") =!= col("r.new_id"))
+              .select(col("r.new_id").as("new_id"),
+                col("l.index_id").as("index_id"),
+                col("r.sig_n").as("sig_n"), col("l.sig_i").as("sig_i")))
+          (normal, Some(hp))
+        }
+      }
+    val cands = ib.join(pb, Seq("band", "bucket"))
+      .filter(col("new_id") =!= col("index_id"))
+      .select(col("new_id"), col("index_id"))
+      .distinct()
+    val normalPairs = estimate(cands.join(sigN, "new_id").join(sigI, "index_id"))
+    // a (new, index) pair can collide in several buckets across routes;
+    // both routes compute the same estimate, so a distinct over the
+    // (output-sized) union dedupes
+    hotPairs.map(hp => normalPairs.unionAll(hp).distinct())
+      .getOrElse(normalPairs)
   }
 
   /** All-pairs n-gram Jaccard via inverted-index join (pairs must share at
@@ -642,21 +772,35 @@ object Dedup {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val votes = new Array[Int](64)
-        if (text != null) text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { w =>
-          val h = java.lang.Long.parseUnsignedLong(
-            graft.functions.TextKernels.md5Hex(w).substring(0, 16), 16)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
+      .mapPartitions { it =>
+        // natural-language vocabulary is Zipfian, so a bounded
+        // per-partition word -> hash memo turns the per-OCCURRENCE md5
+        // (the measured 75% of simhashPairs wall at sf1) into a
+        // per-DISTINCT-WORD md5; pure function, so the memo cannot
+        // change results
+        val ws = java.util.regex.Pattern.compile("\\s+")
+        val memo = new java.util.HashMap[String, java.lang.Long](1 << 12)
+        it.map { case (id, text) =>
+          val votes = new Array[Int](64)
+          if (text != null) ws.split(text.trim.toLowerCase(java.util.Locale.ROOT)).foreach { w =>
+            var boxed = memo.get(w)
+            if (boxed == null) {
+              boxed = java.lang.Long.parseUnsignedLong(
+                graft.functions.TextKernels.md5Hex(w).substring(0, 16), 16)
+              if (memo.size < (1 << 16)) memo.put(w, boxed)
+            }
+            val h = boxed.longValue
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+              b += 1
+            }
           }
+          var packed = 0L
+          var b = 0
+          while (b < 64) { if (votes(b) > 0) packed |= (1L << b); b += 1 }
+          (id, packed)
         }
-        var packed = 0L
-        var b = 0
-        while (b < 64) { if (votes(b) > 0) packed |= (1L << b); b += 1 }
-        (id, packed)
       }
       .toDF(idCol, "simhash")
   }
@@ -666,16 +810,20 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64 bits into 4 x 16-bit bucket keys
     * (a pair within Hamming distance 3 shares at least one band exactly);
-    * verify candidates by full Hamming distance.
+    * verify candidates by full Hamming distance. The Hamming filter runs
+    * BEFORE the pair-dedup distinct, so the distinct shuffle carries
+    * only surviving pairs, never the raw candidate mass.
     *
-    * @param maxBucketSize the same default-on hot-bucket cap as
+    * @param maxBucketSize the same salted hot-bucket routing as
     *        [[minhashLsh]]/[[cosineNearDups]]: a corpus-scale
     *        boilerplate band bucket (one 16-bit band shared by millions
-    *        of near-identical docs) makes the self-join quadratic;
-    *        buckets above the cap are dropped and logged. */
+    *        of near-identical docs) makes one self-join key quadratic;
+    *        buckets above this size are salted into ~cap-sized
+    *        sub-buckets and verified inline — identical pair set at any
+    *        setting, nothing dropped. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                   maxBucketSize: Int = DefaultSimhashBucketSize): DataFrame = {
     // materialize + posexplode: the band union + self-join would
     // otherwise recompute the simhash kernel once per band per side (~8x)
     val sh = simhash(df, idCol, textCol).localCheckpoint(false)
@@ -685,17 +833,78 @@ object Dedup {
     val bandRows0 = sh.select(col(idCol).as("__id"), col("simhash"),
         posexplode(bandBuckets).as(Seq("band", "bucket")))
       .localCheckpoint(false)
-    val bandRows =
-      if (maxBucketSize == Int.MaxValue) bandRows0
-      else capBuckets(bandRows0, Seq("band", "bucket"), maxBucketSize,
-        "simhashPairs")._1
-    bandRows.as("l").join(bandRows.as("r"),
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (bandRows, hotPairs) =
+      if (maxBucketSize == Int.MaxValue) (bandRows0, None)
+      else {
+        val (normal, hot, s) = splitHotBuckets(bandRows0,
+          Seq("band", "bucket"), maxBucketSize, "simhashPairs",
+          subBucketRows = KernelSubBucketRows)
+        if (s.saltedBuckets == 0) (normal, None)
+        else {
+          // hot buckets: same grouped kernel as [[cosineNearDups]] —
+          // the payload is one long, so the single-copy shuffle is
+          // trivial and the pair loop is XOR + popcount (~5 ns/pair vs
+          // ~1 us through join machinery + candidate distinct)
+          val hv = hot.select(col("band"), col("bucket"), col("__nsalt"),
+              col("__id"), col("simhash"))
+            .as[(Int, Long, Int, Long, Long)]
+          val tagged = hv.flatMap { case (band, bucket, nsalt, id, sh) =>
+            if (nsalt <= 1) Iterator.single((band, bucket, 0, 0, 2.toByte, id, sh))
+            else {
+              val own = java.lang.Math.floorMod(
+                scala.util.hashing.byteswap64(id), nsalt.toLong).toInt
+              (0 until nsalt).iterator.flatMap { o =>
+                if (o == own) Iterator((band, bucket, own, own, 2.toByte, id, sh))
+                else Iterator((band, bucket, own, o, 0.toByte, id, sh),
+                  (band, bucket, o, own, 1.toByte, id, sh))
+              }
+            }
+          }
+          val hp = tagged
+            .groupByKey(e => (e._1, e._2, e._3, e._4))
+            .flatMapGroups { (_, it) =>
+              val lids = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val lsh = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val rids = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val rsh = scala.collection.mutable.ArrayBuffer.empty[Long]
+              it.foreach { e =>
+                if (e._5 != 1.toByte) { lids += e._6; lsh += e._7 }
+                if (e._5 != 0.toByte) { rids += e._6; rsh += e._7 }
+              }
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Long, Int)]
+              var x = 0
+              while (x < lids.length) {
+                val ida = lids(x); val sa = lsh(x)
+                var y = 0
+                while (y < rids.length) {
+                  val idb = rids(y)
+                  if (ida < idb) {
+                    val h = java.lang.Long.bitCount(sa ^ rsh(y))
+                    if (h <= maxHamming) out += ((ida, idb, h))
+                  }
+                  y += 1
+                }
+                x += 1
+              }
+              out.iterator
+            }
+            .toDF("id_a", "id_b", "hamming")
+          (normal, Some(hp))
+        }
+      }
+    val normalPairs = bandRows.as("l").join(bandRows.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
         hamming(col("l.simhash"), col("r.simhash")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+    // both routes compute the same integer hamming; distinct over the
+    // (filtered, output-sized) union dedupes multi-bucket collisions
+    hotPairs.map(hp => normalPairs.unionAll(hp)).getOrElse(normalPairs)
+      .distinct()
   }
 
   /** Cosine similarity of two double-array columns (Catalyst HOFs). */
@@ -726,14 +935,17 @@ object Dedup {
     * defaults); identical-direction duplicates (cos = 1) are ALWAYS
     * found — every plane agrees, so they share every bucket.
     *
-    * @param maxBucketSize drop (table, sig) buckets larger than this
-    *        before the self-join — same degenerate-bucket bound as
-    *        [[minhashLsh]]'s cap (a bucket that large is a pile of
-    *        near-identical vectors; exact dedup handles it). Default:
-    *        [[DefaultMaxBucketSize]], with dropped buckets logged. */
+    * @param maxBucketSize route (table, sig) buckets larger than this
+    *        to the salted sub-bucket join with INLINE dot verification —
+    *        same skew-split as [[minhashLsh]]. A mega-cluster corpus
+    *        (SCALE.md finding 1) puts whole clusters in single buckets;
+    *        the salted route keeps the exact uncapped pair set while
+    *        bounding every task and skipping the candidate-distinct +
+    *        vector-re-join shuffle that the hot mass would otherwise
+    *        pay twice. Identical results at any setting. */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, tables: Int = 8, bits: Int = 8,
-                     maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                     maxBucketSize: Int = DefaultVectorBucketSize): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // typed normalize kernel (the HOF normalized() evaluates interpreted);
@@ -783,23 +995,136 @@ object Dedup {
         (id, t, sig)
       }
     }.toDF("__id", "table", "sig")
-    val bandRows =
-      if (maxBucketSize == Int.MaxValue) bandRows0
-      else capBuckets(bandRows0.localCheckpoint(false), Seq("table", "sig"),
-        maxBucketSize, "cosineNearDups")._1
+    val (bandRows, hotPairs) =
+      if (maxBucketSize == Int.MaxValue) (bandRows0, None)
+      else {
+        val (normal, hot, s) = splitHotBuckets(bandRows0.localCheckpoint(false),
+          Seq("table", "sig"), maxBucketSize, "cosineNearDups",
+          subBucketRows = KernelSubBucketRows)
+        if (s.saltedBuckets == 0) (normal, None)
+        else {
+          // hot buckets: grouped typed kernel. A join formulation pays
+          // SMJ group buffering + UnsafeArrayData access PER PAIR
+          // (measured ~1.5 us/pair at sf1 — the 268 s cliff of SCALE.md
+          // finding 1 was exactly this shape); the kernel instead ships
+          // each hot row's vector ONCE (role = both) for buckets up to
+          // KernelSubBucketRows, runs a primitive double[] nested loop
+          // per bucket, and emits only surviving pairs — no candidate
+          // distinct, no vector re-join, no per-pair row machinery.
+          // Only gargantuan buckets (> KernelSubBucketRows) grid-salt
+          // into (saltL, saltR) cells — 2 x nsalt vector copies — so
+          // one bucket can neither OOM a task (group memory <=
+          // 2 x KernelSubBucketRows vectors) nor serialize the stage
+          // behind a single quadratic straggler. The kernel loop
+          // reproduces DotProduct's codegen exactly (min-length,
+          // sequential sum), so the doubles bit-match the normal path.
+          val hv = hot.join(v, "__id")
+            .select(col("table"), col("sig"), col("__nsalt"),
+              col("__id"), col("nv"))
+            .as[(Int, Long, Int, Long, Array[Double])]
+          // role: 0 = left, 1 = right, 2 = both (single-cell buckets)
+          val tagged = hv.flatMap { case (t, sig, nsalt, id, nv) =>
+            if (nsalt <= 1) Iterator.single((t, sig, 0, 0, 2.toByte, id, nv))
+            else {
+              val own = java.lang.Math.floorMod(
+                scala.util.hashing.byteswap64(id), nsalt.toLong).toInt
+              // left role in every (own, j) cell; right role in every
+              // (i, own) cell — each unordered pair meets in exactly one
+              // cell with the smaller id in the left role; the diagonal
+              // (own, own) cell gets one dual-role copy, not two
+              (0 until nsalt).iterator.flatMap { o =>
+                if (o == own) Iterator((t, sig, own, own, 2.toByte, id, nv))
+                else Iterator((t, sig, own, o, 0.toByte, id, nv),
+                  (t, sig, o, own, 1.toByte, id, nv))
+              }
+            }
+          }
+          val hp = tagged
+            .groupByKey(e => (e._1, e._2, e._3, e._4))
+            .flatMapGroups { (_, it) =>
+              // imperative buffers: at ~1e9+ pairs per degenerate corpus,
+              // per-pair Iterator/closure allocation is the cost, so the
+              // pair loop below is while-loops over primitive-indexed
+              // buffers. sqrtTail = sqrt of the vector's second-half
+              // energy, precomputed once per entry for the early exit.
+              val lids = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val lvec = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+              val ltl = scala.collection.mutable.ArrayBuffer.empty[Double]
+              val rids = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val rvec = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+              val rtl = scala.collection.mutable.ArrayBuffer.empty[Double]
+              it.foreach { e =>
+                val nv = e._7
+                var t = 0.0
+                var i = nv.length >> 1
+                while (i < nv.length) { t += nv(i) * nv(i); i += 1 }
+                val st = math.sqrt(t)
+                if (e._5 != 1.toByte) { lids += e._6; lvec += nv; ltl += st }
+                if (e._5 != 0.toByte) { rids += e._6; rvec += nv; rtl += st }
+              }
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Long, Double)]
+              var x = 0
+              while (x < lids.length) {
+                val ida = lids(x); val va = lvec(x); val sa = ltl(x)
+                var y = 0
+                while (y < rids.length) {
+                  val idb = rids(y)
+                  if (ida < idb) {
+                    val vb = rvec(y)
+                    val n = math.min(va.length, vb.length)
+                    var d = 0.0
+                    var i = 0
+                    if (va.length == vb.length) {
+                      // half-point Cauchy–Schwarz exit: the second half
+                      // contributes at most sa*sb, so a pair whose bound
+                      // (+1e-9 rounding fuzz) misses the threshold is a
+                      // guaranteed reject — rejects dominate a hot
+                      // bucket, and they skip half the multiplies. A
+                      // surviving pair continues the SAME sequential
+                      // accumulation, so accepted doubles are untouched.
+                      val h = n >> 1
+                      while (i < h) { d += va(i) * vb(i); i += 1 }
+                      if (d + sa * rtl(y) + 1e-9 >= threshold) {
+                        while (i < n) { d += va(i) * vb(i); i += 1 }
+                        if (d >= threshold) out += ((ida, idb, d))
+                      }
+                    } else {
+                      // ragged pair (documented truncate semantics): the
+                      // per-vector tail energies don't cover [n/2, n) —
+                      // take the plain full loop
+                      while (i < n) { d += va(i) * vb(i); i += 1 }
+                      if (d >= threshold) out += ((ida, idb, d))
+                    }
+                  }
+                  y += 1
+                }
+                x += 1
+              }
+              out.iterator
+            }
+            .toDF("id_a", "id_b", "cos")
+          (normal, Some(hp))
+        }
+      }
     val cands = bandRows.as("l")
       .join(bandRows.as("r"),
         col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
-    cands
+    val normalPairs = cands
       .join(v.select(col("__id").as("id_a"), col("nv").as("nv_a")), "id_a")
       .join(v.select(col("__id").as("id_b"), col("nv").as("nv_b")), "id_b")
       .withColumn("cos",
         graft.functions.GraftFunctions.dot(spark, col("nv_a"), col("nv_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+    // both routes run the same codegen dot over the same normalized
+    // vectors, so the doubles agree and a distinct over the
+    // (output-sized) union dedupes multi-bucket collisions
+    hotPairs.map(hp => normalPairs.unionAll(hp).distinct())
+      .getOrElse(normalPairs)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -68,11 +68,35 @@ class OpsSpec extends SparkSpec {
     } yield (ia, ib)).toSet
     assert(expected.size >= 3, "planted pairs present in reference")
     assert(got == expected, s"got $got expected $expected")
-    // hot-bucket cap: with every vector IDENTICAL all rows share every
-    // bucket; capping prunes the degenerate buckets
+    // hot-bucket salting: with every vector IDENTICAL all rows share
+    // every bucket; the salted route still yields ALL pairs (round-11
+    // change: the cap routes, it no longer drops)
     val same = (0 until 5).map(i => (i.toLong, Array.fill(8)(1.0))).toDF("id", "v")
-    val capped = Dedup.cosineNearDups(same, "id", "v", 0.9, maxBucketSize = 3)
-    assert(capped.count() == 0, "degenerate buckets pruned")
+    val salted = Dedup.cosineNearDups(same, "id", "v", 0.9, maxBucketSize = 3)
+    assert(salted.count() == 10, "all C(5,2) pairs survive the salted route")
+  }
+
+  test("cosine near-dup salted hot buckets equal the uncapped pair set") {
+    // planted mega-bucket: two tight direction clusters + exact
+    // rescaled duplicates, with a cap small enough that every cluster
+    // bucket goes hot — the salted route must reproduce the uncapped
+    // output EXACTLY (ids and cos doubles)
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map { i =>
+      val c = if (i % 2 == 0) Array(1.0, 0.0, 0.1, 0.0, 0.2, 0.0, 0.0, 0.1)
+              else Array(0.0, 1.0, 0.0, 0.1, 0.0, 0.2, 0.1, 0.0)
+      (i.toLong, c.map(_ + rnd.nextGaussian() * 0.02))
+    }
+    val dups = (0 until 20).map(i => (200L + i, base(i)._2.map(_ * 2.5)))
+    val df = (base ++ dups).toDF("id", "v").cache()
+    val uncapped = Dedup.cosineNearDups(df, "id", "v", 0.97,
+        maxBucketSize = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val saltedOut = Dedup.cosineNearDups(df, "id", "v", 0.97,
+        maxBucketSize = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.size >= 20, s"planted pairs present: ${uncapped.size}")
+    assert(saltedOut == uncapped, "salted route == uncapped pair set")
   }
 
   test("ngram jaccard hot-gram cap bounds boilerplate grams") {
@@ -100,31 +124,31 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
-  test("minhash LSH hot-bucket cap bounds quadratic candidate work") {
-    // 3 identical docs share every band bucket (size 3); capping at 2
-    // drops the degenerate buckets and produces no candidate pairs
+  test("minhash LSH hot buckets are salted, not dropped") {
+    // 3 identical docs share every band bucket (size 3); the routing
+    // threshold of 2 sends those buckets down the salted join, which
+    // must still produce all 3 pairs (round-11 lossless change)
     val trips = Seq(
       (1L, "one two three four five six seven eight nine"),
       (2L, "one two three four five six seven eight nine"),
       (3L, "one two three four five six seven eight nine"),
       (4L, "totally different text with other words entirely present")
     ).toDF("doc_id", "text")
-    val capped = Dedup.minhashLsh(trips, "doc_id", "text",
+    val salted = Dedup.minhashLsh(trips, "doc_id", "text",
       bands = 4, rowsPerBand = 3, threshold = 0.5, maxBucketSize = 2)
-    assert(capped.count() == 0, "degenerate bucket pruned")
-    // the default cap (2048) sits far above non-degenerate bucket sizes,
-    // so small-corpus results are identical to uncapped semantics
+    assert(salted.count() == 3, "all identical pairs survive the salted route")
     val deflt = Dedup.minhashLsh(trips, "doc_id", "text",
       bands = 4, rowsPerBand = 3, threshold = 0.5)
     assert(deflt.count() == 3, "all identical pairs found under default cap")
   }
 
-  test("LSH hot-bucket cap is ON by default and drops are observable") {
+  test("LSH hot-bucket routing is ON by default and salting is observable") {
     assert(Dedup.DefaultMaxBucketSize != Int.MaxValue,
-      "the quadratic-work guard must not be opt-in")
+      "the straggler-task guard must not be opt-in")
     // planted degenerate bucket: 3 identical docs collide in all 4 band
-    // buckets; a cap of 2 drops those 4 buckets (12 band rows) and the
-    // stats record exactly that — dropped mass is reported, not silent
+    // buckets; a threshold of 2 routes those 4 buckets (12 band rows)
+    // to the salted join — the stats record the routed mass AND the
+    // pairs are all retained (vs the pre-round-11 drop semantics)
     val trips = Seq(
       (1L, "one two three four five six seven eight nine"),
       (2L, "one two three four five six seven eight nine"),
@@ -133,10 +157,10 @@ class OpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val (pairs, stats) = Dedup.minhashLshWithStats(trips, "doc_id", "text",
       bands = 4, rowsPerBand = 3, threshold = 0.5, maxBucketSize = 2)
-    assert(pairs.count() == 0, "capped bucket produces no candidates")
-    assert(stats.contains(Dedup.LshBucketDropStats(
-      droppedBuckets = 4, droppedRows = 12, largestBucket = 3)), s"$stats")
-    // uncapped (explicit Int.MaxValue) reports no stats
+    assert(pairs.count() == 3, "salted buckets keep every pair")
+    assert(stats.contains(Dedup.LshSaltStats(
+      saltedBuckets = 4, saltedRows = 12, largestBucket = 3)), s"$stats")
+    // unrouted (explicit Int.MaxValue) reports no stats
     val (_, none) = Dedup.minhashLshWithStats(trips, "doc_id", "text",
       bands = 4, rowsPerBand = 3, threshold = 0.5,
       maxBucketSize = Int.MaxValue)
@@ -152,18 +176,19 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc not paired")
   }
 
-  test("simhash pairs hot-bucket cap bounds degenerate band buckets") {
+  test("simhash hot buckets are salted, not dropped") {
     val trips = Seq(
       (1L, "one two three four five six seven eight nine"),
       (2L, "one two three four five six seven eight nine"),
       (3L, "one two three four five six seven eight nine"),
       (4L, "totally different text with other words entirely present")
     ).toDF("doc_id", "text")
-    // identical docs share all 4 band buckets (size 3); cap 2 drops them
-    val capped = Dedup.simhashPairs(trips, "doc_id", "text", maxHamming = 3,
+    // identical docs share all 4 band buckets (size 3); routing at 2
+    // salts them and must keep all 3 pairs (round-11 lossless change)
+    val salted = Dedup.simhashPairs(trips, "doc_id", "text", maxHamming = 3,
       maxBucketSize = 2)
-    assert(capped.count() == 0, "degenerate simhash bucket pruned")
-    // the default cap (2048) leaves ordinary buckets untouched
+    assert(salted.count() == 3, "salted simhash buckets keep every pair")
+    // the default threshold (2048) leaves ordinary buckets on the plain path
     val deflt = Dedup.simhashPairs(trips, "doc_id", "text", maxHamming = 3)
     assert(deflt.count() == 3, "identical pairs found under default cap")
   }
