@@ -15,6 +15,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gauss_ols1"    -> (MlQueries.gaussOls1 _),
     "q_gauss_ridge1"  -> (MlQueries.gaussRidge1 _),
+    "q_ridge_compat"  -> (MlQueries.gaussRidgeCompat _),
     "q_gauss_lasso1"  -> (MlQueries.gaussLasso1 _),
     "q_gauss_ols3"    -> (MlQueries.gaussOls3 _),
     "q_gauss_ridge3"  -> (MlQueries.gaussRidge3 _),
@@ -569,6 +570,18 @@ object SparkEntry {
         |                  covar_pop(l_quantity, l_extendedprice) cxy,
         |                  var_pop(l_quantity) vx FROM lineitem),
         |t AS (SELECT mx, my, cxy / (vx * (1 + 2.5)) AS b FROM s)
+        |SELECT 'a0' AS term, round(my - b * mx, 4) + 0 AS value FROM t
+        |UNION ALL SELECT 'l_quantity', round(b, 4) + 0 FROM t
+        |ORDER BY term""".stripMargin,
+
+    // reference-implemented penalty convention: L2 term / sd_pop(y)
+    // (sgdnet src/utils.h:170-180) — only the shrink denominator changes
+    "q_ridge_compat" ->
+      """WITH s AS (SELECT avg(l_quantity) mx, avg(l_extendedprice) my,
+        |                  covar_pop(l_quantity, l_extendedprice) cxy,
+        |                  var_pop(l_quantity) vx,
+        |                  sqrt(var_pop(l_extendedprice)) sy FROM lineitem),
+        |t AS (SELECT mx, my, cxy / (vx * (1 + 2.5 / sy)) AS b FROM s)
         |SELECT 'a0' AS term, round(my - b * mx, 4) + 0 AS value FROM t
         |UNION ALL SELECT 'l_quantity', round(b, 4) + 0 FROM t
         |ORDER BY term""".stripMargin,

@@ -33,12 +33,16 @@ object CoordinateDescent {
       intercept: Boolean,
       init: Array[Double],
       thresh: Double = 1e-7,
-      maxIter: Int = 10000): Result = {
+      maxIter: Int = 10000,
+      // multiplier on the L2 term only — 1.0 for the documented
+      // objective; 1/sd_pop(y) reproduces the reference solver's
+      // implemented penalty construction (SgdNetParams.sgdnetCompat)
+      l2Scale: Double = 1.0): Result = {
 
     val p = c.length
     val beta = init.clone()
     val l1 = lambda * alpha
-    val l2 = lambda * (1.0 - alpha)
+    val l2 = lambda * (1.0 - alpha) * l2Scale
     var a0 = 0.0
 
     // residual moment r_j = (1/n) <x_j, w*(z - a0 - X beta)>

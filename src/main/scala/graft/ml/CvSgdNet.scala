@@ -303,11 +303,15 @@ object CvSgdNet {
 
       val st = SufficientStats.standardize(train, params.standardize, params.intercept)
       val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      // sgdnetCompat: each fold-fit rescales by ITS OWN training-fold
+      // sd_pop(y), exactly as the reference's cv refits would
+      val l2Scale = SgdNet.compatL2Scale(params, 1, st.yVar)
       var warm = new Array[Double](p)
       for (l <- 0 until L) {
         val r = CoordinateDescent.solve(st.gram, st.b(0), new Array[Double](p),
           0.0, 1.0, lambdas(l), params.alpha, intercept = false, warm,
-          thresh = params.thresh * 1e-4, maxIter = params.maxit)
+          thresh = params.thresh * 1e-4, maxIter = params.maxit,
+          l2Scale = l2Scale)
         warm = r.beta
         // back-transform to original scale
         val bOrig = Array.tabulate(p)(j => r.beta(j) / scale(j))

@@ -21,7 +21,21 @@ final case class SgdNetParams(
     standardizeResponse: Boolean = false,
     // "ungrouped" (reference behavior) or "grouped" (group-lasso across
     // classes per feature — the reference's own TODO, R/sgdnet.R:265)
-    typeMultinomial: String = "ungrouped")
+    typeMultinomial: String = "ungrouped",
+    // Reference-exact penalty compatibility (sgdnet src/utils.h:170-180):
+    // the reference's solver divides BOTH penalty terms by
+    // max(y_scale) on its y-standardized working problem, which —
+    // unwound to the original scale — keeps the documented L1 term but
+    // scales the L2 term by 1/sd_pop(y). That deviates from the
+    // objective the reference DOCUMENTS (R/sgdnet.R:28-41), which graft
+    // implements by default; setting sgdnetCompat = true reproduces the
+    // reference's implemented coefficients at the same lambda (its own
+    // manual ridge test, tests/testthat/test-gaussian.R:45-60).
+    // Gaussian single-response only by construction: binomial /
+    // multinomial / poisson / mgaussian all have y_scale = 1 in the
+    // reference (families.h Preprocess is a no-op there), so the flag
+    // is a correct no-op for them.
+    sgdnetCompat: Boolean = false)
 
 /** Spark-native elastic-net GLM path fitting with the capability surface
   * of `sgdnet` (gaussian, binomial, multinomial, mgaussian families).
@@ -345,6 +359,21 @@ object SgdNet {
     solveGaussianFromStats(g, featureCols, labelCols, params)
   }
 
+  /** L2-penalty multiplier under [[SgdNetParams.sgdnetCompat]]: the
+    * reference's implemented penalty construction divides the working
+    * penalties by max(y_scale) (src/utils.h:170-180), which on the
+    * original scale leaves L1 alone and scales L2 by 1/sd_pop(y) —
+    * gaussian single-response only (every other family keeps
+    * y_scale = 1). `yVar` must be ORIGINAL-scale population variances.
+    * A constant response (sd 0) degrades to 1 — the reference's lambda
+    * path is all-zero there anyway. */
+  private[ml] def compatL2Scale(params: SgdNetParams, k: Int,
+                                yVar: Array[Double]): Double =
+    if (params.sgdnetCompat && k == 1) {
+      val s = math.sqrt(yVar(0))
+      if (s > 0) 1.0 / s else 1.0
+    } else 1.0
+
   /** Solve the full gaussian/mgaussian path from one-pass statistics. */
   private[ml] def solveGaussianFromStats(g: GramStats, featureCols: Seq[String],
                                      labelCols: Seq[String],
@@ -359,6 +388,11 @@ object SgdNet {
       if (params.standardizeResponse)
         raw.yVar.map(v => { val s = math.sqrt(v); if (s > 0) s else 1.0 })
       else Array.fill(k)(1.0)
+    // sgdnetCompat: L2 term scaled by 1/sd_pop(y) (see SgdNetParams);
+    // single-response gaussian only — the reference's y_scale is 1 for
+    // every other family, and its mgaussian Standardize(y) never writes
+    // y_scale either (families.h:340-346), so max(y_scale) stays 1 there
+    val l2Scale = compatL2Scale(params, k, raw.yVar)
     val st = raw.copy(
       b = Array.tabulate(k, p)((t, j) => raw.b(t)(j) / yScale(t)),
       yMean = Array.tabulate(k)(t => raw.yMean(t) / yScale(t)),
@@ -394,7 +428,8 @@ object SgdNet {
           val r = CoordinateDescent.solve(st.gram, st.b(0),
             new Array[Double](p), 0.0, 1.0, lam, params.alpha,
             intercept = false, init = warm(0),
-            thresh = params.thresh * 1e-4, maxIter = params.maxit)
+            thresh = params.thresh * 1e-4, maxIter = params.maxit,
+            l2Scale = l2Scale)
           (Array(r.beta), r.iters)
         } else {
           CoordinateDescent.solveGroup(st.gram, st.b, lam, params.alpha,

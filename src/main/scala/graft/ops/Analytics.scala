@@ -1063,7 +1063,10 @@ object Analytics {
     * evaluate in the same sequence, so the doubles agree bit-for-bit
     * before the single rounding. Event times only; the terminal point
     * where everyone at risk churns (S = 0, ln undefined) is omitted.
-    * Returns (t_days, n_risk, d_churn, ln_surv). */
+    * `timeUnit` picks the grid granularity: "day" (default) or "hour"
+    * for corpora whose lifetimes saturate the calendar span
+    * (churnGapDays then counts hours). Returns
+    * (t_days, n_risk, d_churn, ln_surv) — t in the chosen unit. */
   /** Theil–Sen robust trend of the daily `valueCol` sum: the MEDIAN of
     * all pairwise slopes between observed days — immune to the outlier
     * days that wreck an OLS trend line. The distributed work is one
@@ -1131,16 +1134,31 @@ object Analytics {
   }
 
   def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
-                  churnGapDays: Int = 7, outDigits: Int = 6): DataFrame = {
+                  churnGapDays: Int = 7, outDigits: Int = 6,
+                  timeUnit: String = "day"): DataFrame = {
+    // integer time index: "day" reproduces the original to_date/datediff
+    // semantics exactly (UTC session, epoch-day arithmetic); "hour"
+    // gives survival curves a usable grid on corpora whose user
+    // lifetimes all span the full calendar (the driver events table has
+    // a max last-event gap of 2 DAYS, so any day-grid churn rule is
+    // near-vacuous there — churnGapDays then counts HOURS)
+    val idx = timeUnit match {
+      case "day"  => datediff(to_date(col(tsCol)), lit("1970-01-01"))
+        .cast("long")
+      case "hour" => floor(unix_timestamp(col(tsCol)) / lit(3600L))
+        .cast("long")
+      case other  => throw new IllegalArgumentException(
+        s"timeUnit must be day|hour, got $other")
+    }
     val days = events
       .filter(col(tsCol).isNotNull && col(userCol).isNotNull)
-      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .select(col(userCol).as("u"), idx.as("d"))
     val bounds = days.agg(max(col("d")).as("dmax"))
     val users = days.groupBy("u")
       .agg(min(col("d")).as("f"), max(col("d")).as("l"))
       .crossJoin(broadcast(bounds))
-      .select(datediff(col("l"), col("f")).cast("long").as("t"),
-        (datediff(col("dmax"), col("l")) > churnGapDays).cast("long").as("e"))
+      .select((col("l") - col("f")).as("t"),
+        (col("dmax") - col("l") > churnGapDays).cast("long").as("e"))
     val grid = users.groupBy("t")
       .agg(sum(col("e")).as("d"), count(lit(1)).as("m"))
     val wSuffix = org.apache.spark.sql.expressions.Window.orderBy("t")

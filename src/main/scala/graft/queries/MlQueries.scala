@@ -43,6 +43,18 @@ object MlQueries {
     coefFrame(spark, m, 0)
   }
 
+  /** Ridge in sgdnetCompat mode: the REFERENCE's implemented penalty
+    * construction (L2 scaled by 1/sd_pop(y), sgdnet src/utils.h:170-180;
+    * replays its manual ridge test, tests/testthat/test-gaussian.R:45-60)
+    * — closed form beta = cxy / (vx * (1 + lambda / sd_y)). */
+  def gaussRidgeCompat(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 0.0, lambda = Array(2.5), thresh = 1e-9,
+        sgdnetCompat = true))
+    coefFrame(spark, m, 0)
+  }
+
   /** Lasso, 1 feature, fixed lambda=1.0 (soft-threshold closed form). */
   def gaussLasso1(spark: SparkSession, dir: String): DataFrame = {
     val li = tbl(spark, dir, "lineitem")

@@ -3642,12 +3642,17 @@ object OpsOracles {
     // Kaplan-Meier: per-user lifetime + censoring flag, suffix-sum
     // n_risk over the bounded duration grid, ln S(t) as a CUMULATIVE
     // sum both engines evaluate in the same ascending order
+    // hour-index lifetimes (floor(epoch/3600) == Spark's
+    // floor(unix_timestamp/3600) in the UTC session; NB DuckDB // on
+    // DOUBLE does NOT floor and ::BIGINT rounds), 24h churn gap — the
+    // day grid is vacuous on this corpus (max gap 2 days)
     "q_kaplan_meier" ->
-      """WITH dy AS (SELECT user_id AS u, ts::DATE AS d FROM events
+      """WITH dy AS (SELECT user_id AS u,
+        |    floor(epoch(ts) / 3600)::BIGINT AS d FROM events
         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |bnd AS (SELECT max(d) AS dmax FROM dy),
-        |us AS (SELECT datediff('day', min(d), max(d))::BIGINT AS t,
-        |    CASE WHEN datediff('day', max(d), (SELECT dmax FROM bnd)) > 7
+        |us AS (SELECT (max(d) - min(d))::BIGINT AS t,
+        |    CASE WHEN (SELECT dmax FROM bnd) - max(d) > 24
         |      THEN 1 ELSE 0 END::BIGINT AS e
         |  FROM dy GROUP BY u),
         |grid AS (SELECT t, sum(e)::BIGINT AS d, count(*)::BIGINT AS m

@@ -1875,9 +1875,15 @@ object OpsQueries {
       (col("n_chars") >= 300).cast("int"),
       (length(trim(col("text"))) >= 280).cast("int"))
 
-  /** Kaplan-Meier over user activity lifetimes (7-day churn gap). */
+  /** Kaplan-Meier over user activity lifetimes. Hour grid + 24h churn
+    * gap: the events table's lifetimes saturate the 30-day calendar and
+    * its max last-event gap is 2 days, so the day-grid/7-day default
+    * produces an EMPTY survival table here (the round-10 vacuous-oracle
+    * finding) — hours give a populated curve with a real censoring mix
+    * (14 churned / 150 users at sf0.01). */
   def kaplanMeierQ(spark: SparkSession, dir: String): DataFrame =
-    Analytics.kaplanMeier(tbl(spark, dir, "events"), "user_id", "ts")
+    Analytics.kaplanMeier(tbl(spark, dir, "events"), "user_id", "ts",
+      churnGapDays = 24, timeUnit = "hour")
 
   /** Theil-Sen robust trend of daily order revenue. */
   def theilSenQ(spark: SparkSession, dir: String): DataFrame =

@@ -58,6 +58,42 @@ class SgdNetGaussianSpec extends SparkSpec {
     }
   }
 
+  test("sgdnetCompat reproduces the reference's implemented penalty") {
+    // the reference converts its penalties "to match scikit-learn"
+    // (src/utils.h:172-178) — the same convention spark.ml uses (label
+    // scaled by sd_pop), so compat mode must agree with spark.ml at
+    // UNCONVERTED params (regParam = lambda, elasticNetParam = alpha),
+    // where default mode needs the sdY-converted params above
+    val df = SparkSpec.regressionDF(spark)
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.LinearRegression
+    val va = new VectorAssembler().setInputCols(Array("x1", "x2", "x3")).setOutputCol("f")
+    for ((alpha, lam) <- Seq((0.0, 0.5), (0.5, 0.2))) {
+      val m = SgdNet.fit(df, Seq("x1", "x2", "x3"), "y",
+        SgdNetParams(alpha = alpha, lambda = Array(lam), thresh = 1e-12,
+          maxit = 100000, sgdnetCompat = true))
+      val ml = new LinearRegression().setFeaturesCol("f").setLabelCol("y")
+        .setRegParam(lam).setElasticNetParam(alpha).setStandardization(true)
+        .setMaxIter(100000).setTol(1e-15).fit(va.transform(df))
+      for (j <- 0 until 3)
+        assert(math.abs(m.beta(0)(0)(j) - ml.coefficients(j)) < 1e-7,
+          s"compat alpha=$alpha lam=$lam beta_$j: ${m.beta(0)(0)(j)} vs ${ml.coefficients(j)}")
+      assert(math.abs(m.a0(0)(0) - ml.intercept) < 1e-7)
+    }
+    // pure lasso: the conventions share the L1 term, so compat is the
+    // identity there (tolerance, not bitwise: treeAggregate partition
+    // merges follow task completion order, which wobbles the moment
+    // sums at the last ulp between runs)
+    val d0 = SgdNet.fit(df, Seq("x1", "x2", "x3"), "y",
+      SgdNetParams(alpha = 1.0, lambda = Array(0.1), thresh = 1e-12))
+    val d1 = SgdNet.fit(df, Seq("x1", "x2", "x3"), "y",
+      SgdNetParams(alpha = 1.0, lambda = Array(0.1), thresh = 1e-12,
+        sgdnetCompat = true))
+    for (j <- 0 until 3)
+      assert(math.abs(d0.beta(0)(0)(j) - d1.beta(0)(0)(j)) < 1e-9)
+    assert(math.abs(d0.a0(0)(0) - d1.a0(0)(0)) < 1e-9)
+  }
+
   test("lasso solution satisfies KKT conditions") {
     val df = SparkSpec.regressionDF(spark)
     val cols = Seq("x1", "x2", "x3")

@@ -114,4 +114,27 @@ class EncodingSurvivalSpec extends SparkSpec {
     assert(math.abs(t2.getAs[Double]("ln_surv") - ln2) < 1e-6)
     assert(math.abs(t5.getAs[Double]("ln_surv") - ln5) < 1e-6)
   }
+
+  test("kaplanMeier hour unit: same curve on an hour-scaled corpus") {
+    // the day-mode corpus above, compressed onto an hour grid: every
+    // day becomes an hour, churn gap counts hours — the survival table
+    // must be identical row-for-row to the day-mode fixture
+    def ts(hour: Int) = java.sql.Timestamp.valueOf(
+      f"2024-02-01 ${hour}%02d:30:00")
+    val ev = Seq((1L, 0), (1L, 2), (2L, 0), (2L, 2), (3L, 0), (3L, 5),
+      (4L, 0), (4L, 20), (5L, 3), (5L, 20))
+      .map { case (u, h) => (u, ts(h)) }.toDF("user_id", "ts")
+    val got = Analytics.kaplanMeier(ev, "user_id", "ts",
+      churnGapDays = 7, timeUnit = "hour").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("t_days") === 2L
+      && got(0).getAs[Long]("n_risk") === 5L
+      && got(0).getAs[Long]("d_churn") === 2L)
+    assert(got(1).getAs[Long]("t_days") === 5L
+      && got(1).getAs[Long]("n_risk") === 3L
+      && got(1).getAs[Long]("d_churn") === 1L)
+    intercept[IllegalArgumentException] {
+      Analytics.kaplanMeier(ev, "user_id", "ts", timeUnit = "week")
+    }
+  }
 }
