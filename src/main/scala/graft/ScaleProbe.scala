@@ -31,6 +31,12 @@ object ScaleProbe {
         val d = spark.read.parquet(s"${args(1)}/documents.parquet")
         ops.Dedup.simhashPairs(d, "doc_id", "text",
           maxHamming = args(2).toInt).count()
+      case "bpe" =>
+        // distributed-vs-driver BPE route timing: args = dir, numMerges,
+        // maxVocabWords (route threshold; 1 forces the distributed rounds)
+        val d = spark.read.parquet(s"${args(1)}/documents.parquet")
+        ops.Tokenizer.trainBpe(d, "text", numMerges = args(2).toInt,
+          maxVocabWords = args(3).toInt).count()
       case "kmdebug" =>
         val e = spark.read.parquet(s"${args(1)}/events.parquet")
           .filter(col("user_id").isin(6, 47, 106, 121, 114))

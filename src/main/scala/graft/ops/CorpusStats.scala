@@ -448,6 +448,11 @@ object CorpusStats {
     require(top.length == k + 1, s"need at least ${k + 1} positive values")
     val xTail = top.last
     val sumLn = top.take(k).map(x => math.log(x.toDouble / xTail)).sum
+    // all top k+1 order statistics equal (capped/constant column) ->
+    // k/sumLn is +Inf; fail with a diagnostic instead of
+    // NumberFormatException from BigDecimal(Infinity)
+    require(sumLn > 0,
+      s"hillTail: degenerate tail — top ${k + 1} values are all $xTail")
     val alpha = BigDecimal(k.toDouble / sumLn)
       .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
     Seq((k.toLong, xTail, alpha)).toDF("k", "x_tail", "hill_alpha")

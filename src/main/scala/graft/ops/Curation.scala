@@ -128,9 +128,12 @@ object Curation {
     * The beta prior is fitted by method of moments on the FLOORED-PPM
     * per-key rates (exact integer moments → two doubles), so the fit
     * is deterministic on any engine; each key's smoothed rate is then
-    * (s + α) / (t + α + β). Degenerate priors (zero between-key
-    * variance, or variance at the binomial bound) fall back to the
-    * global mean. One grouped count pass + one moment rollup.
+    * (s + α) / (t + α + β). Degenerate fits (zero between-key
+    * variance, or variance at the binomial bound) DISABLE smoothing:
+    * (α, β) = (0, 0) makes the smoothed rate the raw per-key rate s/t
+    * (mirrored by the q_eb_smooth oracle) — there is no global-mean
+    * shrinkage in that regime. One grouped count pass + one moment
+    * rollup.
     * Returns (key, trials, successes, raw_ppm, alpha, beta,
     * smoothed). */
   def ebSmoothRates(df: DataFrame, keyCol: String,

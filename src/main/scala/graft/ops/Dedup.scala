@@ -1717,7 +1717,10 @@ object Dedup {
         coalesce(col(clusterCol), col(idCol)).as("cluster_id"),
         coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
       .filter(
-        expr(s"(($idCol % 2147483648) * 2654435761) % 2147483648")
+        // pmod: plain % keeps the dividend's sign, so a negative id
+        // would make hash*size < 2^31 vacuously true and silently
+        // disable downweighting for those rows
+        expr(s"pmod(pmod($idCol, 2147483648) * 2654435761, 2147483648)")
           * col("cluster_size") < lit(2147483648L))
       .orderBy(idCol)
   }

@@ -213,7 +213,9 @@ object Drift {
     * gain from exact integers, and both engines evaluate the same
     * double gain formula on the same integers, so the argmax (ties →
     * earliest week) is deterministic. Returns one row
-    * (split_week, n_l, n_r, mean_l, mean_r, gain). */
+    * (split_week, n_l, n_r, mean_l, mean_r, ln_gain) — the gain
+    * ln-encoded (the nulldev discipline); a flat series (all candidate
+    * gains 0) fails with a diagnostic rather than emitting ln(0). */
   def changepointSplit(df: DataFrame, tsCol: String, valueCol: String,
                        scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
     val spark = df.sparkSession
@@ -245,6 +247,11 @@ object Drift {
       if (gain > bestGain) { bestGain = gain; best = (x, nl, sl) }
     }
     val (w, bnl, bsl) = (best._1, best._2, best._3)
+    // a perfectly flat series has every candidate gain 0 -> ln_gain is
+    // undefined; fail with a diagnostic instead of NumberFormatException
+    // from BigDecimal(-Infinity)
+    require(bestGain > 0,
+      "changepointSplit: flat series — every split gain is 0, no changepoint")
     def r6(x: Double) = BigDecimal(x)
       .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
     Seq((w, bnl, nTot - bnl,

@@ -361,10 +361,12 @@ object Sampling {
         col(posCol).cast("long").as("pos_id"))
       .filter(col("query_id").isNotNull && col("pos_id").isNotNull)
       .crossJoin(broadcast(draws))
-      // (q mod 2^31)·KNUTH + rank·40503 < 2^63 always; double mod
-      // keeps every intermediate non-negative on any engine
+      // pmod(q, 2^31)·KNUTH + rank·40503 < 2^63 always; pmod (not %,
+      // which keeps the dividend's sign and would push a negative
+      // query_id's neg_id outside [0, corpusSize)) keeps every
+      // intermediate non-negative on any engine
       .withColumn("__h",
-        expr("((query_id % 2147483648) * 2654435761 + neg_rank * 40503) " +
+        expr("(pmod(query_id, 2147483648) * 2654435761 + neg_rank * 40503) " +
           s"% 2147483648 % $corpusSize"))
       .withColumn("neg_id",
         when(col("__h") === col("pos_id"),

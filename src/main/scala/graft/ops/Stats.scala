@@ -109,15 +109,26 @@ object Stats {
       require(k <= maxCells,
         s"kendallTau: $k distinct (x,y) cells exceed maxCells=$maxCells — " +
           "quantize the inputs (scaleDigits) before calling")
+      // tau-b's denominator is 0 when either margin is constant (every
+      // pair tied) — fail with a diagnostic up front rather than
+      // converting the resulting NaN
+      val dm = cells.agg(countDistinct(col("x")), countDistinct(col("y"))).head()
+      require(dm.getLong(0) >= 2 && dm.getLong(1) >= 2,
+        "kendallTau: a constant margin leaves tau-b undefined " +
+          s"(distinct x=${dm.getLong(0)}, y=${dm.getLong(1)})")
       val c1 = cells.select(col("x").as("x1"), col("y").as("y1"), col("cnt").as("n1"))
       val c2 = cells.select(col("x").as("x2"), col("y").as("y2"), col("cnt").as("n2"))
       def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val pair = c1.join(broadcast(c2), col("x1") < col("x2"))
         .agg(
-          sum(when(col("y1") < col("y2"), dd(col("n1")) * dd(col("n2")))
-            .otherwise(lit(0).cast("decimal(38,0)"))).as("nc"),
-          sum(when(col("y1") > col("y2"), dd(col("n1")) * dd(col("n2")))
-            .otherwise(lit(0).cast("decimal(38,0)"))).as("nd"))
+          // coalesce: with a single distinct x cell the x1 < x2 join is
+          // empty and the sums come back null (the oracle coalesces too)
+          coalesce(sum(when(col("y1") < col("y2"), dd(col("n1")) * dd(col("n2")))
+            .otherwise(lit(0).cast("decimal(38,0)"))),
+            lit(0).cast("decimal(38,0)")).as("nc"),
+          coalesce(sum(when(col("y1") > col("y2"), dd(col("n1")) * dd(col("n2")))
+            .otherwise(lit(0).cast("decimal(38,0)"))),
+            lit(0).cast("decimal(38,0)")).as("nd"))
         .head()
       val nc = BigDecimal(pair.getDecimal(0))
       val nd = BigDecimal(pair.getDecimal(1))
@@ -190,7 +201,8 @@ object Stats {
     * the F ratio are assembled on the driver from the BOUNDED group
     * list (sorted by group key, so the double summation order is a
     * deterministic sequence mirrored by the oracle's per-group CTE).
-    * Returns one row (k_groups, n, f_stat, ssb, ssw), doubles rounded
+    * Returns one row (k_groups, n, f_stat, ln_ssb, ln_ssw) — the sums of
+    * squares ln-encoded (the nulldev discipline), doubles rounded
     * once. */
   def anovaF(df: DataFrame, groupCol: String, valueCol: String,
              scaleDigits: Int = 2, maxGroups: Int = 1000,
@@ -225,6 +237,11 @@ object Stats {
     }
     val ssb = (between - (sTot * sTot).toDouble / nTot.toDouble) / u2
     val ssw = within / u2
+    // degenerate decompositions (all group means equal, or zero
+    // within-group variance) have no finite ln_ssb/ln_ssw — fail with a
+    // diagnostic instead of NumberFormatException from BigDecimal(±Inf)
+    require(ssb > 0, "anovaF: all group means equal — ln_ssb undefined")
+    require(ssw > 0, "anovaF: zero within-group variance — ln_ssw undefined")
     val f = (ssb / (k - 1.0)) / (ssw / (nTot.toDouble - k))
     def r6(x: Double) = BigDecimal(x)
       .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object Tokenizer {
 
-  /** What the `maxVocabWords` cap cost: `droppedMass` is the number of
-    * word OCCURRENCES past the cap that the merge loop never saw. When
-    * it is 0 the merges are exactly the full-vocab merges; when it is
-    * not, late merges may differ from a full-vocab train — callers
-    * deciding whether to raise the cap should look here, not guess. */
+  /** Where the vocabulary landed relative to `maxVocabWords`: since
+    * round 11 NOTHING is dropped — a vocabulary over the threshold
+    * trains through the distributed merge rounds instead of the
+    * driver loop, so keptWords == totalWords and droppedMass == 0
+    * always; the fields remain for observability of which route ran
+    * (keptMass < totalMass can no longer occur). */
   case class BpeTrainStats(keptWords: Long, totalWords: Long,
                            keptMass: Long, totalMass: Long) {
     def droppedWords: Long = totalWords - keptWords
@@ -28,43 +29,104 @@ object Tokenizer {
   /** Ordered BPE merges learned from the corpus.
     * @return (rank, left, right, pair_count) — rank 0 is the first merge. */
   def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
-               maxVocabWords: Int = 65536): DataFrame = {
-    val (merges, stats) = trainBpeWithStats(df, textCol, numMerges, maxVocabWords)
-    if (stats.droppedMass > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"BPE vocab cap $maxVocabWords dropped ${stats.droppedWords} distinct " +
-          s"words / ${stats.droppedMass} occurrences (of ${stats.totalMass}); " +
-          "late merges may differ from a full-vocab train")
-    merges
-  }
+               maxVocabWords: Int = 65536): DataFrame =
+    trainBpeWithStats(df, textCol, numMerges, maxVocabWords)._1
 
-  /** [[trainBpe]], also returning the vocabulary-truncation stats so the
-    * dropped word mass is observable rather than silent. */
+  /** [[trainBpe]], also returning the vocabulary stats.
+    *
+    * `maxVocabWords` is a ROUTING threshold, not a truncation: a
+    * vocabulary that fits is collected once and merged in the fast
+    * driver loop; a larger vocabulary runs the SAME deterministic
+    * algorithm distributed — one adjacent-pair aggregation + one
+    * argmax row per merge over the word-frequency table (vocab-sized,
+    * never corpus-sized, and never collected), applying each winning
+    * merge with a typed map. Identical merges on either route (most
+    * frequent pair wins, ties lexicographic), proven by spec. At
+    * 100 TB the corpus cost stays the single word-count scan; each
+    * merge round then touches only the distinct-word table. */
   def trainBpeWithStats(df: DataFrame, textCol: String, numMerges: Int,
                         maxVocabWords: Int = 65536): (DataFrame, BpeTrainStats) = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    // vocab-sized (not corpus-sized) intermediate: cached so the top-k
-    // collect and the total-mass aggregate share one corpus scan
+    // vocab-sized (not corpus-sized) intermediate: cached so the route
+    // decision, the collect / merge rounds, and the mass aggregate share
+    // one corpus scan
     val grouped = df.select(explode(Dedup.words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val wc = grouped
-        .orderBy(col("c").desc, col("w"))
-        .limit(maxVocabWords)
-        .as[(String, Long)].collect()
       val totRow = grouped.agg(count(lit(1)), coalesce(sum(col("c")), lit(0L))).head()
-      val stats = BpeTrainStats(
-        keptWords = wc.length.toLong, totalWords = totRow.getLong(0),
-        keptMass = wc.map(_._2).sum, totalMass = totRow.getLong(1))
-      val merges = trainOnWordCounts(wc, numMerges)
+      val totalWords = totRow.getLong(0)
+      val totalMass = totRow.getLong(1)
+      val stats = BpeTrainStats(totalWords, totalWords, totalMass, totalMass)
+      val merges =
+        if (totalWords <= maxVocabWords) {
+          val wc = grouped.orderBy(col("c").desc, col("w"))
+            .as[(String, Long)].collect()
+          trainOnWordCounts(wc, numMerges)
+        } else trainDistributed(grouped, numMerges)
       val out = merges.zipWithIndex
         .map { case ((l, r, c), i) => (i, l, r, c) }
         .toSeq.toDF("rank", "left", "right", "pair_count")
       (out, stats)
     } finally grouped.unpersist(false)
+  }
+
+  /** Distributed merge rounds over the word-frequency table: per merge,
+    * ONE adjacent-pair aggregation (flatMap -> grouped sum), one
+    * single-row argmax collect (ordered count desc, then lexicographic
+    * — the driver loop's exact tie-break), and one typed map applying
+    * the merge. The word table is localCheckpointed per round so the
+    * lineage stays flat across hundreds of merges; it is never
+    * collected to the driver. */
+  private def trainDistributed(grouped: DataFrame,
+                               numMerges: Int): Array[(String, String, Long)] = {
+    val spark = grouped.sparkSession
+    import spark.implicits._
+    var words = grouped.as[(String, Long)]
+      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+      .localCheckpoint(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      val top = words.flatMap { case (syms, c) =>
+        (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), c))
+      }.toDF("l", "r", "c")
+        .groupBy("l", "r").agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        out += ((l, r, top(0).getLong(2)))
+        words = words.map { case (syms, c) => (mergePair(syms, l, r), c) }
+        // checkpoint every few rounds: merge maps are vocab-sized and
+        // cheap to replay, so a flat-every-round materialization costs
+        // more in job overhead than the replay it saves
+        if (m % 8 == 7) words = words.localCheckpoint(false)
+        m += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** One merge application to one symbol sequence (left-to-right,
+    * non-overlapping) — shared by the driver loop, the distributed
+    * rounds, and [[encodeWord]] so every route merges identically. */
+  private[ops] def mergePair(syms: Array[String], l: String,
+                             r: String): Array[String] = {
+    val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+    val merged = l + r
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        ns += merged; i += 2
+      } else { ns += syms(i); i += 1 }
+    }
+    ns.toArray
   }
 
   /** Driver-side merge loop over the (bounded) word-frequency table. */
@@ -90,17 +152,7 @@ object Tokenizer {
       else {
         val ((l, r), c) = pairCounts.minBy { case ((a, b), n) => (-n, a, b) }
         out += ((l, r, c))
-        val merged = l + r
-        words = words.map { case (syms, wcnt) =>
-          val ns = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-              ns += merged; i += 2
-            } else { ns += syms(i); i += 1 }
-          }
-          (ns.toArray, wcnt)
-        }
+        words = words.map { case (syms, wcnt) => (mergePair(syms, l, r), wcnt) }
         m += 1
       }
     }
@@ -111,17 +163,7 @@ object Tokenizer {
   private[ops] def encodeWord(word: String,
                               merges: Array[(String, String)]): Array[String] = {
     var syms = word.map(_.toString).toArray
-    merges.foreach { case (l, r) =>
-      val merged = l + r
-      val ns = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-          ns += merged; i += 2
-        } else { ns += syms(i); i += 1 }
-      }
-      syms = ns.toArray
-    }
+    merges.foreach { case (l, r) => syms = mergePair(syms, l, r) }
     syms
   }
 

@@ -604,6 +604,66 @@ class OpsSpec extends SparkSpec {
       s"nearest to red must be red2: ${nn.mkString(",")}")
   }
 
+  test("AudioCodec decodes real WAV bytes end-to-end: decode, resample, features, ANN") {
+    // real PCM WAV payloads synthesized in-test through the same
+    // javax.sound encoder a production ingest would hand us
+    def tone(hz: Double, rate: Int, frames: Int, channels: Int = 1,
+             amp: Double = 12000.0): Array[Byte] = {
+      val s = new Array[Short](frames * channels)
+      for (i <- 0 until frames; c <- 0 until channels)
+        s(i * channels + c) =
+          (amp * math.sin(2 * math.Pi * hz * i / rate)).toShort
+      AudioCodec.encodeWav(s, rate, channels)
+    }
+    // loud-then-quiet vs quiet-then-loud: opposite energy envelopes
+    def envelope(first: Double, second: Double): Array[Byte] = {
+      val rate = 8000; val frames = 4000
+      val s = Array.tabulate(frames) { i =>
+        val a = if (i < frames / 2) first else second
+        (a * math.sin(2 * math.Pi * 440 * i / rate)).toShort
+      }
+      AudioCodec.encodeWav(s, rate, 1)
+    }
+    val a1 = envelope(12000, 300)
+    val a2 = envelope(11500, 350) // near-duplicate of a1
+    val a3 = envelope(300, 12000) // reversed envelope
+    val stereo = tone(440, 16000, 1600, channels = 2)
+    val rows = Seq((1L, a1), (2L, a2), (3L, a3), (4L, stereo),
+      (5L, "not audio".getBytes("UTF-8")), (6L, null.asInstanceOf[Array[Byte]]))
+    val media = rows.toDF("id", "payload").withColumn("modality", lit("audio"))
+    // decode: real header metadata (width = Hz, height = channels,
+    // nFrames = sample frames); corrupt/null rows survive as marked
+    val dec = Multimodal.decode(media, codec = AudioCodec)
+    val metas = dec.select("id", "media.width", "media.height",
+        "media.n_frames", "media.format")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(metas(1L) == ((8000, 1, 4000, "wav")), metas(1L).toString)
+    assert(metas(4L) == ((16000, 2, 1600, "wav")), metas(4L).toString)
+    assert(metas(5L)._4 == "corrupt" && metas(6L)._4 == "empty")
+    // resample: 16 kHz stereo -> 8 kHz mono, frame count halves
+    val rs = Multimodal.resize(media.filter(col("id") === 4), 8000, 1,
+      codec = AudioCodec)
+    val rsMeta = Multimodal.decode(rs.drop("media"), codec = AudioCodec)
+      .select("media.width", "media.height", "media.n_frames").head()
+    assert(rsMeta.getInt(0) == 8000 && rsMeta.getInt(1) == 1)
+    assert(math.abs(rsMeta.getInt(2) - 800) <= 1, rsMeta.getInt(2).toString)
+    // features: energy envelope — loud first half, quiet second half
+    val feats = Multimodal.featureExtract(media, dim = 8, codec = AudioCodec)
+      .select("id", "features").as[(Long, Seq[Double])].collect().toMap
+    assert(feats(1L).take(4).forall(_ > 0.15) &&
+      feats(1L).drop(4).forall(_ < 0.05), s"envelope: ${feats(1L)}")
+    assert(feats(6L).forall(_ == 0.0), "null payload embeds as zero vector")
+    // ANN composition: the near-duplicate clip is a1's nearest neighbor
+    val emb = Multimodal.featureExtract(media.filter(col("id") <= 4),
+        dim = 8, codec = AudioCodec)
+      .select(col("id").as("vec_id"), col("features").as("embedding"))
+    val nn = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 1).collect()
+    assert(nn.length == 1 && nn(0).getLong(1) == 2L,
+      s"nearest to a1 must be a2: ${nn.mkString(",")}")
+  }
+
   test("incremental dedup probes a persisted minhash index") {
     val corpus = docs // 4 docs, 1 and 4 identical
     val index = Dedup.minhashIndex(corpus, "doc_id", "text")
@@ -902,6 +962,30 @@ class OpsSpec extends SparkSpec {
       val want = refMerges(wc, 6)
       assert(got == want, s"trial $trial: $got vs $want (text: $text)")
     }
+  }
+
+  test("distributed BPE rounds equal the driver loop on the full vocab") {
+    // force the distributed route with a routing threshold below the
+    // vocabulary size; merges must equal the driver loop's exactly —
+    // the round-11 uncapped-vocab contract (maxVocabWords routes, it
+    // no longer truncates)
+    val rnd = new scala.util.Random(31)
+    val vocab = Seq.fill(20)(Seq.fill(1 + rnd.nextInt(5))(
+      ('a' + rnd.nextInt(3)).toChar).mkString)
+    val text = Seq.fill(80)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val (driver, sDriver) = Tokenizer.trainBpeWithStats(d, "text",
+      numMerges = 8, maxVocabWords = 65536)
+    val (dist, sDist) = Tokenizer.trainBpeWithStats(d, "text",
+      numMerges = 8, maxVocabWords = 2)
+    val a = driver.orderBy("rank").collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val b = dist.orderBy("rank").collect().map(r =>
+      (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(a == b, s"$a vs $b")
+    // nothing is dropped on either route
+    assert(sDriver.droppedMass == 0 && sDist.droppedMass == 0)
+    assert(sDist.keptWords == sDist.totalWords)
   }
 
   test("URL extraction + domain stats normalize hosts and count mentions") {

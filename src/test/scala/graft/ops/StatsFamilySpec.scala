@@ -251,4 +251,32 @@ class StatsFamilySpec extends SparkSpec {
     val rawLift = r(1L).getAs[Double]("mean_post") - r(0L).getAs[Double]("mean_post")
     assert(math.abs(rawLift - 5.0) < 1e-6)
   }
+
+  test("degenerate inputs fail with diagnostics, not NaN/Infinity conversions") {
+    // kendallTau: one distinct x cell — clean require, not an NPE from
+    // null join sums or a NaN tau from the zero denominator
+    val oneX = Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0)).toDF("a", "b")
+    val eK = intercept[IllegalArgumentException] {
+      Stats.kendallTau(oneX, "a", "b")
+    }
+    assert(eK.getMessage.contains("constant margin"), eK.getMessage)
+    // anovaF: identical group means -> ln_ssb undefined
+    val flat = Seq(("g1", 1.0), ("g1", 3.0), ("g2", 1.0), ("g2", 3.0))
+      .toDF("g", "v")
+    val eA = intercept[IllegalArgumentException] { Stats.anovaF(flat, "g", "v") }
+    assert(eA.getMessage.contains("ln_ssb"), eA.getMessage)
+    // hillTail: constant column -> clean require, not BigDecimal(Inf)
+    val const = Seq.fill(6)(7L).toDF("x")
+    val eH = intercept[IllegalArgumentException] {
+      CorpusStats.hillTail(const, "x", k = 3)
+    }
+    assert(eH.getMessage.contains("degenerate tail"), eH.getMessage)
+    // changepointSplit: flat series -> clean require, not BigDecimal(-Inf)
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 09:00:00")
+    val flatSeries = (0 until 28).map(d => (ts(d), 5.0)).toDF("ts", "v")
+    val eC = intercept[IllegalArgumentException] {
+      Drift.changepointSplit(flatSeries, "ts", "v").collect()
+    }
+    assert(eC.getMessage.contains("flat series"), eC.getMessage)
+  }
 }
