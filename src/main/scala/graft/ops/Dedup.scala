@@ -57,12 +57,15 @@ object Dedup {
       coalesce(sum(when(col("__sz") > maxBucketSize, col("__sz"))), lit(0L)),
       coalesce(max(col("__sz")), lit(0L))).head()
     val stats = LshSaltStats(r.getLong(0), r.getLong(1), r.getLong(2))
-    if (stats.saltedBuckets > 0)
-      log.info(s"$opName: ${stats.saltedBuckets} band buckets over " +
-        s"$maxBucketSize (${stats.saltedRows} band rows, largest " +
-        s"${stats.largestBucket}) take the salted sub-bucket route; all " +
-        "pairs retained — the bucket's intrinsic size² candidate mass " +
-        "is the cost")
+    // no hot buckets (the healthy-corpus common case): every row is
+    // "normal", so skip both routing joins — the stats job was the
+    // only overhead the routing added
+    if (stats.saltedBuckets == 0) return (bandRows, bandRows, stats)
+    log.info(s"$opName: ${stats.saltedBuckets} band buckets over " +
+      s"$maxBucketSize (${stats.saltedRows} band rows, largest " +
+      s"${stats.largestBucket}) take the salted sub-bucket route; all " +
+      "pairs retained — the bucket's intrinsic size² candidate mass " +
+      "is the cost")
     val normal = bandRows.join(
       sizes.filter(col("__sz") <= maxBucketSize).select(kc: _*),
       keyCols, "left_semi")
