@@ -664,6 +664,67 @@ class OpsSpec extends SparkSpec {
       s"nearest to a1 must be a2: ${nn.mkString(",")}")
   }
 
+  test("VideoCodec decodes real MJPEG-AVI bytes: decode, frame sample, resize, features, ANN") {
+    def frame(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(b, "jpeg", out)
+      out.toByteArray
+    }
+    // clip 1: red->red; clip 2: nearly the same; clip 3: blue->green
+    val v1 = VideoCodec.encodeAvi(
+      Array(frame(32, 24, 0xFF0000), frame(32, 24, 0xEE0000),
+        frame(32, 24, 0xFF1100)), 32, 24)
+    val v2 = VideoCodec.encodeAvi(
+      Array(frame(32, 24, 0xEE0000), frame(32, 24, 0xFF0000)), 32, 24)
+    val v3 = VideoCodec.encodeAvi(
+      Array(frame(32, 24, 0x0000FF), frame(32, 24, 0x00CC00)), 32, 24)
+    val rows = Seq((1L, v1), (2L, v2), (3L, v3),
+      (4L, "not a video".getBytes("UTF-8")), (5L, null.asInstanceOf[Array[Byte]]))
+    val media = rows.toDF("id", "payload").withColumn("modality", lit("video"))
+    // decode: real avih header metadata; corrupt/null survive as marked
+    val dec = Multimodal.decode(media, codec = VideoCodec)
+    val metas = dec.select("id", "media.width", "media.height",
+        "media.n_frames", "media.format")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(metas(1L) == ((32, 24, 3, "avi")), metas(1L).toString)
+    assert(metas(3L) == ((32, 24, 2, "avi")), metas(3L).toString)
+    assert(metas(4L)._4 == "corrupt" && metas(5L)._4 == "empty")
+    // frame sampling composes with the REAL frame count, and
+    // extractFrame yields decodable JPEG bytes per sampled index
+    val sampled = Multimodal.sampleFrames(dec.filter(col("id") === 1), stride = 2)
+      .select("id", "frame_idx").as[(Long, Int)].collect().toSet
+    assert(sampled == Set((1L, 0), (1L, 2)), sampled.toString)
+    val f2 = VideoCodec.extractFrame(v1, 2)
+    val f2meta = ImageCodec.decode(f2, "image")
+    assert(f2meta.width == 32 && f2meta.height == 24 &&
+      f2meta.format == "jpeg", f2meta.toString)
+    assert(VideoCodec.extractFrame(v1, 99) == null)
+    // resize: every frame re-renders; the rebuilt container reports the
+    // target dims and the same frame count
+    val rs = Multimodal.resize(media.filter(col("id") === 1), 16, 8,
+      codec = VideoCodec)
+    val rsMeta = Multimodal.decode(rs.drop("media"), codec = VideoCodec)
+      .select("media.width", "media.height", "media.n_frames").head()
+    assert(rsMeta.getInt(0) == 16 && rsMeta.getInt(1) == 8 && rsMeta.getInt(2) == 3)
+    // features: red clips near, blue/green clip far; null embeds zero
+    val feats = Multimodal.featureExtract(media, dim = 12, codec = VideoCodec)
+      .select("id", "features").as[(Long, Seq[Double])].collect().toMap
+    assert(feats(1L).zipWithIndex.forall { case (v, j) =>
+      if (j % 3 == 0) v > 0.8 else v < 0.2 }, s"red clip: ${feats(1L)}")
+    assert(feats(5L).forall(_ == 0.0))
+    val emb = Multimodal.featureExtract(media.filter(col("id") <= 3),
+        dim = 12, codec = VideoCodec)
+      .select(col("id").as("vec_id"), col("features").as("embedding"))
+    val nnv = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 1).collect()
+    assert(nnv.length == 1 && nnv(0).getLong(1) == 2L,
+      s"nearest to v1 must be v2: ${nnv.mkString(",")}")
+  }
+
   test("incremental dedup probes a persisted minhash index") {
     val corpus = docs // 4 docs, 1 and 4 identical
     val index = Dedup.minhashIndex(corpus, "doc_id", "text")
