@@ -31,6 +31,11 @@ object ScaleProbe {
         val d = spark.read.parquet(s"${args(1)}/documents.parquet")
         ops.Dedup.simhashPairs(d, "doc_id", "text",
           maxHamming = args(2).toInt).count()
+      case "minhash" =>
+        val d = spark.read.parquet(s"${args(1)}/documents.parquet")
+        ops.Dedup.minhashLsh(d, "doc_id", "text",
+          bands = 4, rowsPerBand = 3, threshold = args(2).toDouble,
+          maxBucketSize = args(3).toInt).count()
       case "bpe" =>
         // distributed-vs-driver BPE route timing: args = dir, numMerges,
         // maxVocabWords (route threshold; 1 forces the distributed rounds)

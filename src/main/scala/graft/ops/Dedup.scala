@@ -35,7 +35,7 @@ object Dedup {
     * once, route rows whose bucket holds at most `maxBucketSize`
     * members to the plain equi-join path, and annotate rows in larger
     * ("hot") buckets with the sub-bucket count ceil(size / cap) for
-    * [[saltedHotPairs]]. NOTHING is dropped — `maxBucketSize` is a
+    * the grouped salted kernels. NOTHING is dropped — `maxBucketSize` is a
     * task-granularity knob, not a recall trade (the pre-round-11 cap
     * dropped hot buckets and logged the loss; the salted join keeps
     * the exact uncapped pair set). The stats aggregate is one extra
@@ -77,39 +77,10 @@ object Dedup {
     (normal, hot, stats)
   }
 
-  /** All unordered within-bucket pairs of the hot band rows, via a
-    * salted sub-bucket self-join: each row keeps ONE deterministic salt
-    * on the left side and replicates to EVERY salt on the right, so a
-    * pair (a, b) with a < b meets exactly once per bucket (at a's salt)
-    * and no single join key carries more than ~bucketSize x
-    * maxBucketSize pair comparisons — the SkewJoin recipe
-    * ([[graft.ops.SkewJoin.saltedJoin]]) applied to a self-join. Total
-    * work is still the Σ size² the bucket intrinsically implies;
-    * salting bounds TASK size (no straggler / OOM key), it cannot
-    * shrink the candidate mass. `payload` columns ride the join as
-    * `<name>_a` / `<name>_b` so verification runs inline — hot pairs
-    * never take the candidate-distinct + payload-re-join detour (that
-    * shuffle, sized by candidate mass, was the measured sf1 cliff in
-    * SCALE.md finding 1). */
-  private def saltedHotPairs(hot: DataFrame, keyCols: Seq[String],
-                             payload: Seq[String]): DataFrame = {
-    val l = hot.withColumn("__salt",
-      pmod(xxhash64(col("__id")), col("__nsalt").cast("long")).cast("int"))
-    val r = hot.withColumn("__salt",
-      explode(sequence(lit(0), col("__nsalt") - 1)))
-    val cond = (keyCols :+ "__salt")
-      .map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
-      col("l.__id") < col("r.__id")
-    l.as("l").join(r.as("r"), cond)
-      .select(col("l.__id").as("id_a") +: col("r.__id").as("id_b") +:
-        payload.flatMap(p =>
-          Seq(col(s"l.$p").as(s"${p}_a"), col(s"r.$p").as(s"${p}_b"))): _*)
-  }
-
   /** Bucket-size routing threshold for the LSH band joins. Candidate
     * generation inside a bucket is O(size²); buckets above this size
     * (degenerate boilerplate / mega-cluster mass) are salted into
-    * ~cap-sized sub-buckets and verified inline ([[saltedHotPairs]])
+    * ~cap-sized sub-buckets and verified inline (grouped kernels)
     * instead of riding the candidate-distinct path, so one
     * corpus-scale bucket cannot create a straggler task or an
     * unbounded candidate shuffle. Results are IDENTICAL at any
@@ -356,16 +327,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** @param maxBucketSize route band buckets larger than this to the
-    *        salted sub-bucket join ([[saltedHotPairs]]) instead of the
+    *        salted sub-bucket kernel instead of the
     *        candidate-distinct path. Candidate generation inside a
     *        bucket is O(size^2): at corpus scale a boilerplate-heavy
     *        shingle set can put millions of docs in one bucket; the
-    *        salted route bounds every task at ~cap-sized sub-buckets
-    *        while keeping the EXACT uncapped pair set (nothing is
-    *        dropped — round-11 change from the drop-cap). Default:
-    *        [[DefaultMaxBucketSize]]; use [[minhashLshWithStats]] for
-    *        programmatic hot-bucket stats. Pass `Int.MaxValue` to skip
-    *        routing (identical result, no stats job). */
+    *        salted kernel route bounds every task at ~cap-sized
+    *        sub-buckets while keeping the EXACT uncapped pair set
+    *        (nothing is dropped — round-11 change from the drop-cap).
+    *        Default: [[DefaultMaxBucketSize]]; use
+    *        [[minhashLshWithStats]] for programmatic hot-bucket stats.
+    *        Pass `Int.MaxValue` to skip routing (identical result, no
+    *        stats job). */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  bands: Int = 4, rowsPerBand: Int = 3,
                  threshold: Double = 0.6, shingleWidth: Int = 3,
@@ -400,13 +372,80 @@ object Dedup {
           maxBucketSize, "minhashLsh")
         if (s.saltedBuckets == 0) (normal, None, Some(s))
         else {
-          // hot pairs verify INLINE: shingle sets ride the salted join
-          // (bounded by the hot-row count x sub-bucket replication), so
-          // the quadratic candidate mass never hits a distinct shuffle
-          // or a payload re-join
-          val hp = jaccardVerify(
-            saltedHotPairs(hot.join(shOnly, "__id"),
-              Seq("band", "bucket"), Seq("sh")), threshold)
+          // hot pairs verify INLINE in a grouped typed kernel (the
+          // cosineNearDups shape): shingle sets ship ONCE per hot row
+          // for single-cell buckets, the per-pair jaccard runs as a
+          // hash-set membership count, and only surviving pairs leave
+          // the group — the quadratic candidate mass never hits a
+          // distinct shuffle or a payload re-join. The double
+          // arithmetic (c / (na + nb - c) on exact ints) matches the
+          // join path's array_intersect expression bit-for-bit.
+          val spark = df.sparkSession
+          import spark.implicits._
+          val hv = hot.join(shOnly, "__id")
+            .select(col("band"), col("bucket"), col("__nsalt"),
+              col("__id"), col("sh"))
+            .as[(Int, String, Int, Long, Array[String])]
+          val tagged = hv.flatMap { case (band, bucket, nsalt, id, sh) =>
+            if (nsalt <= 1)
+              Iterator.single((band, bucket, 0, 0, 2.toByte, id, sh))
+            else {
+              val own = java.lang.Math.floorMod(
+                scala.util.hashing.byteswap64(id), nsalt.toLong).toInt
+              (0 until nsalt).iterator.flatMap { o =>
+                if (o == own)
+                  Iterator((band, bucket, own, own, 2.toByte, id, sh))
+                else Iterator((band, bucket, own, o, 0.toByte, id, sh),
+                  (band, bucket, o, own, 1.toByte, id, sh))
+              }
+            }
+          }
+          val hp = tagged
+            .groupByKey(e => (e._1, e._2, e._3, e._4))
+            .flatMapGroups { (_, it) =>
+              val lids = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val lset = scala.collection.mutable.ArrayBuffer
+                .empty[java.util.HashSet[String]]
+              val lsz = scala.collection.mutable.ArrayBuffer.empty[Int]
+              val rids = scala.collection.mutable.ArrayBuffer.empty[Long]
+              val rarr = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+              it.foreach { e =>
+                if (e._5 != 1.toByte) {
+                  val hs = new java.util.HashSet[String](e._7.length * 2)
+                  e._7.foreach(hs.add)
+                  lids += e._6; lset += hs; lsz += e._7.length
+                }
+                if (e._5 != 0.toByte) { rids += e._6; rarr += e._7 }
+              }
+              val out = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Long, Double)]
+              var x = 0
+              while (x < lids.length) {
+                val ida = lids(x); val sa = lset(x); val na = lsz(x)
+                var y = 0
+                while (y < rids.length) {
+                  val idb = rids(y)
+                  if (ida < idb) {
+                    val sb = rarr(y)
+                    var c = 0
+                    var i = 0
+                    while (i < sb.length) {
+                      if (sa.contains(sb(i))) c += 1
+                      i += 1
+                    }
+                    val denom = na + sb.length - c
+                    if (denom > 0) {
+                      val j = c.toDouble / denom.toDouble
+                      if (j >= threshold) out += ((ida, idb, j))
+                    }
+                  }
+                  y += 1
+                }
+                x += 1
+              }
+              out.iterator
+            }
+            .toDF("id_a", "id_b", "jaccard")
           (normal, Some(hp), Some(s))
         }
       }

@@ -142,6 +142,30 @@ class OpsSpec extends SparkSpec {
     assert(deflt.count() == 3, "all identical pairs found under default cap")
   }
 
+  test("minhash salted hot buckets equal the uncapped pair set") {
+    // planted boilerplate mega-bucket: many docs share a long common
+    // suffix, plus unrelated docs — with a routing threshold of 3 the
+    // shared band buckets go hot, and the kernel route must reproduce
+    // the uncapped output exactly (ids AND jaccard doubles)
+    val rnd = new scala.util.Random(41)
+    val docs = (0 until 24).map { i =>
+      val boiler = "all rights reserved contact us subscribe now terms apply"
+      val unique = Seq.fill(3)(s"w${rnd.nextInt(50)}").mkString(" ")
+      (i.toLong, s"$unique $boiler")
+    } ++ (100 until 106).map(i =>
+      (i.toLong, s"completely different text number $i with other words"))
+    val df = docs.toDF("doc_id", "text").cache()
+    val uncapped = Dedup.minhashLsh(df, "doc_id", "text",
+        bands = 4, rowsPerBand = 3, threshold = 0.3,
+        maxBucketSize = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    val salted = Dedup.minhashLsh(df, "doc_id", "text",
+        bands = 4, rowsPerBand = 3, threshold = 0.3, maxBucketSize = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.size >= 20, s"planted pairs present: ${uncapped.size}")
+    assert(salted == uncapped, "salted kernel route == uncapped pair set")
+  }
+
   test("LSH hot-bucket routing is ON by default and salting is observable") {
     assert(Dedup.DefaultMaxBucketSize != Int.MaxValue,
       "the straggler-task guard must not be opt-in")

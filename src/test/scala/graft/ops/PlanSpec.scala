@@ -55,6 +55,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "bucket join must be equi")
   }
 
+  test("LSH routing: healthy corpora skip the kernel stage; hot data plans it") {
+    // sf0.001 buckets all sit under the routing threshold, so the
+    // zero-hot fast path must leave NO MapGroups (kernel) stage and NO
+    // routing semi-join in the plan — the healthy plan is the plain
+    // band equi-join
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val healthy = Dedup.cosineNearDups(e, "vec_id", "embedding", 0.95)
+      .queryExecution.sparkPlan.toString
+    assert(!healthy.contains("MapGroups"),
+      "healthy corpus must not plan the kernel route")
+    assert(!healthy.contains("CartesianProduct"), healthy.take(500))
+    // identical vectors force every bucket hot: the kernel route
+    // (MapGroups over salted cells) must appear
+    import spark.implicits._
+    val same = (0 until 9).map(i => (i.toLong, Array.fill(8)(1.0))).toDF("id", "v")
+    val hot = Dedup.cosineNearDups(same, "id", "v", 0.9, maxBucketSize = 3)
+      .queryExecution.sparkPlan.toString
+    assert(hot.contains("MapGroups"), hot.take(500))
+  }
+
   test("hash sampling stays a narrow filter (no shuffle)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val plan = Sampling.sample(li, col("l_orderkey"), 0.1)
