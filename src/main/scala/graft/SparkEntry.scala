@@ -72,6 +72,8 @@ object SparkEntry {
     "q_ngram_jaccard"    -> (OpsQueries.ngramJaccard _),
     "q_dedup_cosine"     -> (OpsQueries.dedupCosine _),
     "q_ann_topk"         -> (OpsQueries.annTopK _),
+    "q_maxsim"           -> (OpsQueries.maxSimQ _),
+    "q_matryoshka"       -> (OpsQueries.matryoshkaEval _),
     "q_ann_lsh"          -> (OpsQueries.annLsh _),
     "q_ann_ivf"          -> (OpsQueries.annIvf _),
     "q_ann_pq"           -> (OpsQueries.annPq _),

@@ -49,6 +49,55 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** ColBERT-style LATE-INTERACTION retrieval (Khattab & Zaharia 2020,
+    * arXiv:2004.12832): queries and documents are BAGS of vectors
+    * (one per token/chunk), and a document's score for a query is
+    * MaxSim — the sum over query vectors of each one's best dot
+    * against the document's vectors. Captures fine-grained term
+    * matching that single-vector cosine blurs away; the standard
+    * second-stage ranker between ANN shortlisting and a cross-encoder.
+    *
+    * Execution shape: the (bounded) query vector set broadcasts; the
+    * corpus vector table streams through ONE codegen-dot projection
+    * and two grouped aggregations (max per query vector, then the
+    * MaxSim sum) — the corpus never shuffles by more than its
+    * (query, doc) score grid, and map-side combine reduces the dot
+    * stream before the exchange. Per-query top-k is a
+    * WindowGroupLimit-bounded rank, ties broken by doc id.
+    *
+    * Cross-engine discipline: each dot rounds once to `scaleDigits`
+    * and becomes an integral micro-unit long, so the max and the sum
+    * are ORDER-FREE integer aggregates (double summation order never
+    * leaks into the result); the score converts back to a double at
+    * the end. Returns (query_id, doc_id, rank, maxsim). */
+  def maxSimTopK(docVecs: DataFrame, queryVecs: DataFrame,
+                 docIdCol: String, queryIdCol: String, vecCol: String,
+                 k: Int, scaleDigits: Int = 6): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = docVecs.sparkSession
+    val unit = math.pow(10, scaleDigits)
+    val q = queryVecs.select(col(queryIdCol).as("query_id"),
+      monotonically_increasing_id().as("__qpos"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val d = docVecs.select(col(docIdCol).as("doc_id"),
+      col(vecCol).cast("array<double>").as("dv"))
+    val dots = d.crossJoin(broadcast(q))
+      .select(col("query_id"), col("doc_id"), col("__qpos"),
+        round(graft.functions.GraftFunctions.dot(spark, col("qv"), col("dv")),
+          scaleDigits).as("dot"))
+      .withColumn("__u", round(col("dot") * lit(unit)).cast("long"))
+    val perQueryVec = dots.groupBy("query_id", "doc_id", "__qpos")
+      .agg(max(col("__u")).as("__m"))
+    val scores = perQueryVec.groupBy("query_id", "doc_id")
+      .agg(sum(col("__m")).as("__s"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s").desc, col("doc_id"))
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        (col("__s").cast("double") / lit(unit)).as("maxsim"))
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training: from a ranked
     * candidate list `(query_id, neighbor_id, rank, ...)` (any ANN
     * producer here — brute, LSH, IVF, PQ, IVFPQ), drop each query's

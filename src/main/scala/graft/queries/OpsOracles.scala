@@ -1034,6 +1034,62 @@ object OpsOracles {
         |SELECT vec_id, cast(i AS INT) AS i, round(value, 6) AS value
         |FROM proj ORDER BY vec_id, i""".stripMargin.trim,
 
+    // Matryoshka eval: brute-force top-5 on the 32-dim prefix vs the
+    // full-dim truth, per-query recall
+    "q_matryoshka" ->
+      """
+        |WITH full_q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |                FROM embeddings WHERE vec_id < 10),
+        |full_c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        |           FROM embeddings),
+        |tr_q AS (SELECT query_id, qv[1:32] AS qv FROM full_q),
+        |tr_c AS (SELECT neighbor_id, cv[1:32] AS cv FROM full_c),
+        |truth AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        |  FROM full_q, full_c WHERE query_id != neighbor_id),
+        |approx AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        |  FROM tr_q, tr_c WHERE query_id != neighbor_id),
+        |t5 AS (SELECT query_id, neighbor_id FROM truth WHERE rank <= 5),
+        |a5 AS (SELECT query_id, neighbor_id FROM approx WHERE rank <= 5),
+        |h AS (SELECT t5.query_id, count(*) AS n_hit
+        |      FROM t5 JOIN a5 USING (query_id, neighbor_id)
+        |      GROUP BY 1)
+        |SELECT t5.query_id, count(*) AS n_true,
+        |       coalesce(max(h.n_hit), 0) AS n_hit,
+        |       round(coalesce(max(h.n_hit), 0) / 5.0, 6) + 0 AS recall
+        |FROM t5 LEFT JOIN h ON t5.query_id = h.query_id
+        |GROUP BY t5.query_id
+        |ORDER BY t5.query_id""".stripMargin.trim,
+
+    // late-interaction MaxSim: per-dot round to 6dp -> integral
+    // micro-units, so the max and sum are order-free on both engines
+    "q_maxsim" ->
+      """
+        |WITH dv AS (SELECT vec_id // 5 AS doc_id, vec_id AS dpos,
+        |              embedding::DOUBLE[] AS v FROM embeddings),
+        |qv AS (SELECT vec_id // 5 AS query_id, vec_id AS qpos,
+        |         embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+        |dots AS (SELECT query_id, doc_id, qpos,
+        |    CAST(round(round(list_dot_product(qv.v, dv.v), 6) * 1000000)
+        |         AS BIGINT) AS u
+        |  FROM qv, dv),
+        |pm AS (SELECT query_id, doc_id, qpos, max(u) AS m
+        |       FROM dots GROUP BY 1, 2, 3),
+        |sc AS (SELECT query_id, doc_id, sum(m) AS s FROM pm GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, s,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY s DESC, doc_id) AS rank
+        |       FROM sc)
+        |SELECT query_id, rank, doc_id,
+        |       round(s / 1000000.0, 4) + 0 AS maxsim
+        |FROM rk WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin.trim,
+
     "q_ann_topk" ->
       """
         |WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

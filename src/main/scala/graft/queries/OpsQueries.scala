@@ -89,6 +89,20 @@ object OpsQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** ColBERT-style late-interaction MaxSim top-k: embeddings grouped
+    * into 5-vector "documents" (vec_id div 5), the first two documents'
+    * vector bags as the queries. */
+  def maxSimQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val docs = e.select(expr("vec_id div 5").as("doc_id"), col("embedding"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(expr("vec_id div 5").as("query_id"), col("embedding"))
+    Ann.maxSimTopK(docs, qs, "doc_id", "query_id", "embedding", k = 5)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("maxsim"), 4).as("maxsim"))
+      .orderBy("query_id", "rank")
+  }
+
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = tbl(spark, dir, "embeddings")
     Ann.lshTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -1410,6 +1424,27 @@ object OpsQueries {
       "vec_id", "embedding", k = 5)
     val approx = Ann.lshTopK(e, e.filter(col("vec_id") < 10),
       "vec_id", "embedding", k = 5, tables = 8, bits = 6)
+    Ann.recallAtK(approx, truth, k = 5)
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        round(col("recall"), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** Matryoshka truncation evaluation (Kusupati et al. 2022,
+    * arXiv:2205.13147): retrieval recall@k of the first-32-dim PREFIX
+    * of each embedding against the full-dimension ground truth — the
+    * measurement behind "how many dims can we drop before retrieval
+    * degrades", composed entirely from the existing brute-force top-k
+    * + recall operators (slice is a codegen expression; the corpus
+    * never shuffles on either pass). */
+  def matryoshkaEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val trunc = e.select(col("vec_id"),
+      slice(col("embedding"), 1, 32).as("embedding"))
+    val truth = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+    val approx = Ann.bruteForceTopK(trunc, trunc.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
     Ann.recallAtK(approx, truth, k = 5)
       .select(col("query_id"), col("n_true"), col("n_hit"),
         round(col("recall"), 6).as("recall"))

@@ -234,6 +234,27 @@ class OpsSpec extends SparkSpec {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("maxSim late interaction: hand-checkable scores, term-match ranking") {
+    // query has two "token" vectors along axes x and y; doc 10 matches
+    // both tokens strongly (one vector near x, one near y), doc 20 only
+    // matches x, doc 30 matches neither — MaxSim must rank 10 > 20 > 30
+    // even though doc 20's best SINGLE vector ties doc 10's
+    val docs = Seq(
+      (10L, Array(1.0, 0.0, 0.0)), (10L, Array(0.0, 1.0, 0.0)),
+      (20L, Array(1.0, 0.0, 0.0)), (20L, Array(0.0, 0.0, 1.0)),
+      (30L, Array(0.0, 0.0, 1.0)), (30L, Array(0.0, 0.0, 0.5))
+    ).toDF("doc_id", "vec")
+    val qs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (1L, Array(0.0, 1.0, 0.0))
+    ).toDF("query_id", "vec")
+    val got = Ann.maxSimTopK(docs, qs, "doc_id", "query_id", "vec", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // scores: doc10 = 1 + 1 = 2; doc20 = 1 + 0 = 1; doc30 = 0 + 0 = 0
+    assert(got.toSeq == Seq((10L, 1, 2.0), (20L, 2, 1.0), (30L, 3, 0.0)),
+      got.mkString(";"))
+  }
+
   test("ANN LSH recall against brute force on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 20)
