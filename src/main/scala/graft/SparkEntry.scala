@@ -74,6 +74,7 @@ object SparkEntry {
     "q_ann_topk"         -> (OpsQueries.annTopK _),
     "q_maxsim"           -> (OpsQueries.maxSimQ _),
     "q_matryoshka"       -> (OpsQueries.matryoshkaEval _),
+    "q_mmr"              -> (OpsQueries.mmrQ _),
     "q_ann_lsh"          -> (OpsQueries.annLsh _),
     "q_ann_ivf"          -> (OpsQueries.annIvf _),
     "q_ann_pq"           -> (OpsQueries.annPq _),

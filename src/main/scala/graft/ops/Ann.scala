@@ -98,6 +98,113 @@ object Ann {
         (col("__s").cast("double") / lit(unit)).as("maxsim"))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE diversification (Carbonell & Goldstein
+    * 1998): greedily re-select `k` results per query from a bounded
+    * candidate shortlist, each step taking the candidate maximizing
+    * lambda*relevance - (1-lambda)*max-cosine-to-already-selected —
+    * the standard redundancy killer between retrieval and a RAG
+    * context window.
+    *
+    * Execution shape: ONE groupByKey over the query id; each group is
+    * the (contract-bounded, <= maxCandidates) shortlist, and the
+    * greedy loop runs inside the group kernel in O(k * n * dim) with
+    * incrementally-maintained max-sim — no driver collection, queries
+    * parallelize across the cluster.
+    *
+    * Cross-engine discipline: relevance and pairwise cosines round
+    * once to micro-units, lambda arrives as PPM, and the objective
+    * lambdaPpm*rel_u - (1e6-lambdaPpm)*maxSim_u is EXACT long
+    * arithmetic — the argmax (ties -> smaller doc id) is deterministic
+    * on any engine, and the emitted `mmr_u` objective is integral.
+    * With nothing selected yet the redundancy term is 0, so step one
+    * is pure relevance. Returns (query_id, rank, doc_id, mmr_u). */
+  def mmrSelect(cands: DataFrame, queryCol: String, idCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambdaPpm: Int = 500000,
+                maxCandidates: Int = 4096): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000,
+      "lambdaPpm must be in [0, 1e6]")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val lp = lambdaPpm.toLong
+    val rows = cands.select(col(queryCol).cast("long"), col(idCol).cast("long"),
+        col(relCol).cast("double"), col(vecCol).cast("array<double>"))
+      .as[(Long, Long, Double, Array[Double])]
+    rows.groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val relU = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        // HALF_UP micro-unit rounding — matches SQL round() (half away
+        // from zero), not rint's half-even
+        def u6(x: Double): Long = BigDecimal(x * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        it.foreach { e =>
+          ids += e._2
+          relU += u6(e._3)
+          vecs += e._4
+        }
+        require(ids.length <= maxCandidates,
+          s"mmrSelect: ${ids.length} candidates for query $q exceed " +
+            s"maxCandidates=$maxCandidates — shortlist upstream (top-N per query)")
+        val n = ids.length
+        // micro-unit cosine, same sequential-fold arithmetic as the
+        // codegen CosineSimilarity expression
+        def cosU(a: Array[Double], b: Array[Double]): Long = {
+          val m = math.min(a.length, b.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          var i = 0
+          while (i < m) {
+            dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+            i += 1
+          }
+          val denom = math.sqrt(na) * math.sqrt(nb)
+          if (denom == 0) 0L
+          else BigDecimal(dot / denom * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+        val taken = new Array[Boolean](n)
+        // MinValue = "nothing selected yet" sentinel: the redundancy
+        // term is 0 with an empty selected set, but once anything is
+        // selected the true (possibly NEGATIVE) max similarity counts —
+        // clamping at 0 would hide anti-correlated diversity wins
+        val maxSimU = Array.fill(n)(Long.MinValue)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+        var step = 0
+        val kk = math.min(k, n)
+        while (step < kk) {
+          var best = -1
+          var bestObj = Long.MinValue
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              val m = if (maxSimU(i) == Long.MinValue) 0L else maxSimU(i)
+              val obj = lp * relU(i) - (1000000L - lp) * m
+              if (best < 0 || obj > bestObj ||
+                (obj == bestObj && ids(i) < ids(best))) {
+                best = i; bestObj = obj
+              }
+            }
+            i += 1
+          }
+          taken(best) = true
+          out += ((q, step + 1, ids(best), bestObj))
+          i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              val c = cosU(vecs(i), vecs(best))
+              if (c > maxSimU(i)) maxSimU(i) = c
+            }
+            i += 1
+          }
+          step += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "rank", "doc_id", "mmr_u")
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training: from a ranked
     * candidate list `(query_id, neighbor_id, rank, ...)` (any ANN
     * producer here — brute, LSH, IVF, PQ, IVFPQ), drop each query's

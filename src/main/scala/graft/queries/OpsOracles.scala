@@ -1034,6 +1034,63 @@ object OpsOracles {
         |SELECT vec_id, cast(i AS INT) AS i, round(value, 6) AS value
         |FROM proj ORDER BY vec_id, i""".stripMargin.trim,
 
+    // MMR: greedy diversified selection unrolled to 4 steps — micro-unit
+    // relevance/cosines make the objective exact long arithmetic, so the
+    // per-step argmax (ties -> smaller doc id) matches the kernel's
+    "q_mmr" ->
+      """
+        |WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 6),
+        |c AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |sc AS (SELECT query_id, doc_id,
+        |         CAST(round(list_cosine_similarity(qv, cv) * 1000000) AS BIGINT) AS rel_u,
+        |         cv,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_cosine_similarity(qv, cv) DESC, doc_id) AS rnk
+        |       FROM q, c WHERE query_id != doc_id),
+        |cand AS (SELECT query_id, doc_id, rel_u, cv FROM sc WHERE rnk <= 8),
+        |s1 AS (SELECT query_id, doc_id, cv, 500000 * rel_u AS obj
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY rel_u DESC, doc_id) AS rn FROM cand)
+        |       WHERE rn = 1),
+        |r2 AS (SELECT c.query_id, c.doc_id, c.rel_u, c.cv,
+        |         CAST(round(list_cosine_similarity(c.cv, s1.cv) * 1000000) AS BIGINT) AS m
+        |       FROM cand c JOIN s1 ON c.query_id = s1.query_id
+        |         AND c.doc_id != s1.doc_id),
+        |s2 AS (SELECT query_id, doc_id, cv,
+        |         500000 * rel_u - 500000 * m AS obj
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY (500000 * rel_u - 500000 * m) DESC, doc_id) AS rn
+        |             FROM r2)
+        |       WHERE rn = 1),
+        |r3 AS (SELECT r2.query_id, r2.doc_id, r2.rel_u, r2.cv,
+        |         greatest(r2.m, CAST(round(list_cosine_similarity(r2.cv, s2.cv)
+        |           * 1000000) AS BIGINT)) AS m
+        |       FROM r2 JOIN s2 ON r2.query_id = s2.query_id
+        |         AND r2.doc_id != s2.doc_id),
+        |s3 AS (SELECT query_id, doc_id, cv,
+        |         500000 * rel_u - 500000 * m AS obj
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY (500000 * rel_u - 500000 * m) DESC, doc_id) AS rn
+        |             FROM r3)
+        |       WHERE rn = 1),
+        |r4 AS (SELECT r3.query_id, r3.doc_id, r3.rel_u, r3.cv,
+        |         greatest(r3.m, CAST(round(list_cosine_similarity(r3.cv, s3.cv)
+        |           * 1000000) AS BIGINT)) AS m
+        |       FROM r3 JOIN s3 ON r3.query_id = s3.query_id
+        |         AND r3.doc_id != s3.doc_id),
+        |s4 AS (SELECT query_id, doc_id, cv,
+        |         500000 * rel_u - 500000 * m AS obj
+        |       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY (500000 * rel_u - 500000 * m) DESC, doc_id) AS rn
+        |             FROM r4)
+        |       WHERE rn = 1)
+        |SELECT query_id, 1 AS rank, doc_id, obj AS mmr_u FROM s1
+        |UNION ALL SELECT query_id, 2, doc_id, obj FROM s2
+        |UNION ALL SELECT query_id, 3, doc_id, obj FROM s3
+        |UNION ALL SELECT query_id, 4, doc_id, obj FROM s4
+        |ORDER BY query_id, rank""".stripMargin.trim,
+
     // Matryoshka eval: brute-force top-5 on the 32-dim prefix vs the
     // full-dim truth, per-query recall
     "q_matryoshka" ->

@@ -1430,6 +1430,20 @@ object OpsQueries {
       .orderBy("query_id")
   }
 
+  /** MMR diversified selection: per-query brute-force top-8 shortlist,
+    * then greedy MaxRel-minus-redundancy re-selection of 4
+    * (lambda = 0.5 in ppm — the integral objective is engine-exact). */
+  def mmrQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    val shortlist = Ann.bruteForceTopK(e, e.filter(col("vec_id") < 6),
+        "vec_id", "embedding", k = 8)
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+    Ann.mmrSelect(shortlist, "query_id", "neighbor_id", "cos", "embedding",
+        k = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** Matryoshka truncation evaluation (Kusupati et al. 2022,
     * arXiv:2205.13147): retrieval recall@k of the first-32-dim PREFIX
     * of each embedding against the full-dimension ground truth — the

@@ -255,6 +255,31 @@ class OpsSpec extends SparkSpec {
       got.mkString(";"))
   }
 
+  test("mmrSelect trades relevance for diversity deterministically") {
+    // d1 most relevant; d2 a near-duplicate of d1 with nearly the same
+    // relevance; d3 orthogonal but less relevant. Pure relevance ranks
+    // d1, d2, d3 — MMR at lambda 0.5 must pick d1, then prefer the
+    // ORTHOGONAL d3 over the redundant d2
+    val cands = Seq(
+      (1L, 10L, 0.99, Array(1.0, 0.0)),
+      (1L, 20L, 0.98, Array(0.999, 0.0447)),
+      (1L, 30L, 0.60, Array(0.0, 1.0))
+    ).toDF("query_id", "doc_id", "rel", "vec")
+    val got = Ann.mmrSelect(cands, "query_id", "doc_id", "rel", "vec", k = 3)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 10L), (2, 30L), (3, 20L)), got.mkString(";"))
+    // lambda = 1e6 (pure relevance) restores the relevance order
+    val rel = Ann.mmrSelect(cands, "query_id", "doc_id", "rel", "vec", k = 3,
+        lambdaPpm = 1000000)
+      .orderBy("rank").collect().map(r => r.getLong(2))
+    assert(rel.toSeq == Seq(10L, 20L, 30L), rel.mkString(","))
+    // candidate-bound contract is enforced
+    intercept[org.apache.spark.SparkException] {
+      Ann.mmrSelect(cands, "query_id", "doc_id", "rel", "vec", k = 1,
+        maxCandidates = 2).collect()
+    }
+  }
+
   test("ANN LSH recall against brute force on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 20)
