@@ -128,6 +128,7 @@ object SparkEntry {
     // rewrites to encode documents.
     "q_bpe_merges"       -> (OpsQueries.bpeMerges _),
     "q_bpe_tokens"       -> (OpsQueries.bpeTokens _),
+    "q_bpe_encode"       -> (OpsQueries.bpeEncodeQ _),
     "q_keeper_table"     -> (OpsQueries.keeperTableQ _),
     "q_bm25"             -> (OpsQueries.bm25 _),
     "q_quantiles"        -> (OpsQueries.quantiles _),

@@ -167,6 +167,34 @@ object Tokenizer {
     syms
   }
 
+  /** Per-doc BPE token SEQUENCE under a trained merge list — the
+    * exploded (id, pos, token) rows an export or packing stage consumes
+    * (where [[bpeTokenCount]] only answers "how many"). Typed kernel,
+    * merges broadcast; one narrow pass, output size = token count.
+    * Null/empty text emits no rows. */
+  def bpeEncode(spark: SparkSession, df: DataFrame, idCol: String,
+                textCol: String,
+                merges: Array[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          var pos = -1L
+          ws.iterator.flatMap { w =>
+            encodeWord(w, bc.value).iterator.map { t =>
+              pos += 1
+              (id, pos, t)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "pos", "token")
+  }
+
   /** Per-doc BPE token count under a trained merge list — the accurate
     * "how many tokens will this doc cost" column (vs the whitespace /
     * regex approximations). Typed kernel, merges broadcast; one narrow

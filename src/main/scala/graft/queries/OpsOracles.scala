@@ -138,6 +138,44 @@ object OpsOracles {
     b.result()
   }
 
+  /** q_bpe_encode: the [[bpeTokensSql]] encoding chain, emitting the
+    * exploded (doc_id, pos, token) sequence instead of counts — word
+    * position and within-word token position come from index lambdas
+    * (DuckDB's generate_series cannot laterally reference len()), and
+    * the global position is a per-doc row_number over (wpos, tpos). */
+  private def bpeEncodeSql(numMerges: Int, maxVocabWords: Int,
+                           maxDocId: Int): String = {
+    val T = "chr(9)"
+    val b = new StringBuilder("WITH ")
+    b ++= bpeChainCtes(numMerges, maxVocabWords)
+    b ++= s""",
+             |dw0 AS MATERIALIZED (
+             |  SELECT doc_id, u.x['i'] AS wpos,
+             |         regexp_replace(u.x['v'], '(.)', $T||'\\1'||$T, 'g') AS s
+             |  FROM (SELECT doc_id,
+             |          regexp_split_to_array(lower(trim(text)), '\\s+') AS warr
+             |        FROM documents WHERE doc_id < $maxDocId),
+             |       unnest(list_transform(warr, (v, i) -> {'i': i, 'v': v})) AS u(x))""".stripMargin
+    for (k <- 0 until numMerges)
+      b ++= s""",
+               |dw${k + 1} AS MATERIALIZED (
+               |  SELECT doc_id, wpos, coalesce(replace(d.s, m.pat, m.rep), d.s) AS s
+               |  FROM dw$k d LEFT JOIN m$k m ON TRUE)""".stripMargin
+    b ++= s"""
+             |SELECT doc_id,
+             |  row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY wpos, tpos) - 1 AS pos,
+             |  token
+             |FROM (
+             |  SELECT doc_id, wpos, u.x['i'] AS tpos, u.x['v'] AS token
+             |  FROM (SELECT doc_id, wpos,
+             |          string_split(trim(s, $T), $T||$T) AS toks
+             |        FROM dw$numMerges WHERE s != ''),
+             |       unnest(list_transform(toks, (v, i) -> {'i': i, 'v': v})) AS u(x))
+             |ORDER BY doc_id, pos""".stripMargin
+    b.result()
+  }
+
   /** Shared near-dup pipeline CTEs (docs ∪ shortened copies → shingles
     * → minhash bands → verified pairs → recursive reachability) —
     * the q_dedup_cluster / q_keeper_table common prefix. */
@@ -626,6 +664,8 @@ object OpsOracles {
     "q_zorder" -> zOrderSql,
     "q_profile" -> profileSql,
     "q_bpe_merges" -> bpeMergesSql(numMerges = 20, maxVocabWords = 65536),
+    "q_bpe_encode" -> bpeEncodeSql(numMerges = 20, maxVocabWords = 65536,
+      maxDocId = 30),
     "q_bpe_tokens" -> bpeTokensSql(numMerges = 20, maxVocabWords = 65536,
       maxDocId = 100),
     "q_heavy_tokens" ->

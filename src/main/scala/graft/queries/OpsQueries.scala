@@ -566,6 +566,19 @@ object OpsQueries {
 
   /** BPE token counts under the corpus-trained merges (bounded doc
     * slice) — the APPLY half of the tokenizer, priced per document. */
+  /** BPE token SEQUENCES (exploded id/pos/token rows) under the same
+    * 20 trained merges as q_bpe_tokens — what an export/packing stage
+    * actually consumes. */
+  def bpeEncodeQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(spark, dir, "documents")
+    val merges = Tokenizer.trainBpe(docs, "text", numMerges = 20)
+      .orderBy("rank").select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    Tokenizer.bpeEncode(spark, docs.filter(col("doc_id") < 30),
+        "doc_id", "text", merges)
+      .orderBy("doc_id", "pos")
+  }
+
   def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
     val docs = tbl(spark, dir, "documents")
     val merges = Tokenizer.trainBpe(docs, "text", numMerges = 20)

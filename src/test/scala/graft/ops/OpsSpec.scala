@@ -1049,6 +1049,14 @@ class OpsSpec extends SparkSpec {
     val tm = Tokenizer.trainBpe(t, "text", numMerges = 1)
       .collect().map(r => (r.getString(1), r.getString(2)))
     assert(tm.toSeq == Seq(("a", "b")), tm.mkString(";"))
+    // token SEQUENCES: "aa ab" under merges [(a,a),(a,b)] -> ["aa","ab"]
+    // in document order, with null text emitting nothing
+    val seqs = Tokenizer.bpeEncode(spark,
+        Seq((1L, "aa ab"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        "doc_id", "text", Array(("a", "a"), ("a", "b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(seqs.toSeq.sorted == Seq((1L, 0L, "aa"), (1L, 1L, "ab")),
+      seqs.mkString(";"))
   }
 
   test("BPE merge loop agrees with a brute-force reference on random corpora") {
