@@ -221,6 +221,7 @@ object SparkEntry {
     "q_compaction_plan"  -> (OpsQueries.compactionPlanQ _),
     "q_skew_report"      -> (OpsQueries.skewReportQ _),
     "q_mannwhitney"      -> (OpsQueries.mannWhitneyQ _),
+    "q_cvm"              -> (OpsQueries.cvmQ _),
     "q_gini"             -> (OpsQueries.giniQ _),
     "q_modularity"       -> (OpsQueries.modularityQ _),
     "q_bootstrap_ci"     -> (OpsQueries.bootstrapCiQ _),

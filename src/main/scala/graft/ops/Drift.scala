@@ -65,6 +65,63 @@ object Drift {
     } finally rdd.unpersist(blocking = false)
   }
 
+  /** Two-sample Cramér–von Mises criterion (Anderson 1962 functional):
+    * T = n·m/(n+m)² · Σ over all pooled observations of
+    * (F_n(x) − G_m(x))² — the integrated-squared-gap companion to
+    * [[ksStatistic]]'s max-gap: KS sees one large local deviation, CvM
+    * sees many small ones (a distribution that drifts EVERYWHERE a
+    * little). Same two-pass range-partitioned distinct-value prefix
+    * scan as KS; the per-value gap numerator cumA·m − cumB·n and the
+    * weighted square sum stay EXACT integers (BigInt accumulation —
+    * the square exceeds a long), and the single double division
+    * S / (n·m·(n+m)²) at the end is mirrored by the oracle. Returns
+    * (n_a, n_b, cvm). */
+  def cvmStatistic(a: DataFrame, b: DataFrame, valueCol: String,
+                   outDigits: Int = 6): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val tagged = a.select(col(valueCol).cast("double").as("v"), lit(1L).as("g"))
+      .unionAll(b.select(col(valueCol).cast("double").as("v"), lit(0L).as("g")))
+      .filter(col("v").isNotNull)
+    val perValue = tagged.groupBy(col("v"))
+      .agg(sum(col("g")).as("ca"), sum(lit(1L) - col("g")).as("cb"))
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions("v")
+      .select(col("ca"), col("cb"))
+    val rdd = perValue.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
+        var x = 0L; var y = 0L
+        it.foreach { case (ca, cb) => x += ca; y += cb }
+        Iterator((i, x, y))
+      }.collect().sortBy(_._1)
+      val na = partTotals.map(_._2).sum
+      val nb = partTotals.map(_._3).sum
+      require(na > 0 && nb > 0, "both samples must be non-empty")
+      val offs = new Array[(Long, Long)](math.max(rdd.getNumPartitions, 1))
+      var accA = 0L; var accB = 0L
+      partTotals.foreach { case (i, x, y) => offs(i) = (accA, accB); accA += x; accB += y }
+      val bcOff = rdd.sparkContext.broadcast(offs)
+      val s = rdd.mapPartitionsWithIndex { (i, it) =>
+        var (ca, cb) = bcOff.value(i)
+        var acc = BigInt(0)
+        it.foreach { case (xa, xb) =>
+          ca += xa; cb += xb
+          // cumA·m − cumB·n <= n·m fits a long; the square does not
+          val num = ca * nb - cb * na
+          acc += BigInt(num) * BigInt(num) * BigInt(xa + xb)
+        }
+        Iterator(acc)
+      }.fold(BigInt(0))(_ + _)
+      val n = na + nb
+      val denom = BigInt(na) * BigInt(nb) * BigInt(n) * BigInt(n)
+      val t = BigDecimal(s.toDouble / denom.toDouble)
+        .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq((na, nb, t)).toDF("n_a", "n_b", "cvm")
+    } finally { rdd.unpersist(blocking = false); () }
+  }
+
   /** Per-series CUSUM change-point statistic: for each key, over rows
     * ordered by (ts, tie), the maximum absolute centered prefix
     * deviation `max_k |n·S_k − k·S_n|` of integer cent values — all

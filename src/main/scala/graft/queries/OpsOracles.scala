@@ -2018,6 +2018,32 @@ object OpsOracles {
 
     // cumulative per-side counts are exact integers, so the running
     // ECDF gap is bit-identical to the Spark two-pass rank kernel
+    // CvM: per-value gap numerators and the weighted square sum stay
+    // exact integers (HUGEINT here, BigInt in the kernel); ONE double
+    // division at the end on both engines
+    "q_cvm" ->
+      """
+        |WITH u AS (SELECT l_extendedprice AS v,
+        |                  CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS g
+        |           FROM lineitem WHERE l_returnflag IN ('A', 'N')),
+        |pv AS (SELECT v, sum(g)::BIGINT AS ca, sum(1 - g)::BIGINT AS cb
+        |       FROM u GROUP BY v),
+        |n AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM pv),
+        |c AS (SELECT ca, cb,
+        |        sum(ca) OVER w AS cca, sum(cb) OVER w AS ccb FROM pv
+        |      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND CURRENT ROW)),
+        |s AS (SELECT sum((cca * nb - ccb * na)::HUGEINT
+        |               * (cca * nb - ccb * na)::HUGEINT
+        |               * (ca + cb)::HUGEINT) AS sq,
+        |             max(na) AS na, max(nb) AS nb
+        |      FROM c, n)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(sq::DOUBLE /
+        |    (na::HUGEINT * nb::HUGEINT * (na + nb)::HUGEINT
+        |     * (na + nb)::HUGEINT)::DOUBLE, 6) AS cvm
+        |FROM s""".stripMargin.trim,
+
     "q_ks_drift" ->
       """
         |WITH u AS (SELECT l_extendedprice AS v,

@@ -1626,6 +1626,16 @@ object OpsQueries {
     SkewJoin.skewReport(tbl(spark, dir, "lineitem"), "l_suppkey")
 
   /** Mann-Whitney U: purchase vs click event values. */
+  /** Two-sample Cramér–von Mises between A-flag and N-flag prices —
+    * the integrated-squared-gap companion to q_ks_drift's max gap. */
+  def cvmQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    Drift.cvmStatistic(
+      li.filter(col("l_returnflag") === "A").select(col("l_extendedprice")),
+      li.filter(col("l_returnflag") === "N").select(col("l_extendedprice")),
+      "l_extendedprice")
+  }
+
   def mannWhitneyQ(spark: SparkSession, dir: String): DataFrame = {
     val ev = tbl(spark, dir, "events").filter(col("value").isNotNull)
     Drift.mannWhitneyU(

@@ -252,6 +252,20 @@ class StatsFamilySpec extends SparkSpec {
     assert(math.abs(rawLift - 5.0) < 1e-6)
   }
 
+  test("cvmStatistic: hand case, zero on identical samples, tie handling") {
+    // a = {1,2}, b = {3,4}: gaps (.5, 1, .5, 0) over 4 pooled points ->
+    // T = (2*2/16) * (0.25 + 1 + 0.25) = 0.375
+    val a = Seq(1.0, 2.0).toDF("v")
+    val b = Seq(3.0, 4.0).toDF("v")
+    val r = Drift.cvmStatistic(a, b, "v").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 0.375) < 1e-9, r.getDouble(2).toString)
+    // identical samples (with ties): every prefix gap is 0
+    val c = Seq(1.0, 1.0, 5.0).toDF("v")
+    val r0 = Drift.cvmStatistic(c, c, "v").head()
+    assert(r0.getDouble(2) == 0.0)
+  }
+
   test("degenerate inputs fail with diagnostics, not NaN/Infinity conversions") {
     // kendallTau: one distinct x cell — clean require, not an NPE from
     // null join sums or a NaN tau from the zero denominator
