@@ -42,16 +42,6 @@ object ScaleProbe {
         val d = spark.read.parquet(s"${args(1)}/documents.parquet")
         ops.Tokenizer.trainBpe(d, "text", numMerges = args(2).toInt,
           maxVocabWords = args(3).toInt).count()
-      case "kmdebug" =>
-        val e = spark.read.parquet(s"${args(1)}/events.parquet")
-          .filter(col("user_id").isin(6, 47, 106, 121, 114))
-        e.groupBy("user_id")
-          .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"),
-            min(floor(unix_timestamp(col("ts")) / lit(3600L)).cast("long")).as("h1"),
-            max(floor(unix_timestamp(col("ts")) / lit(3600L)).cast("long")).as("h2"))
-          .withColumn("t", col("h2") - col("h1"))
-          .orderBy("user_id").show(false)
-        e.count()
       case "noop" =>
         // fixed harness overhead: parquet scan + count only
         spark.read.parquet(s"${args(1)}/documents.parquet").count()
