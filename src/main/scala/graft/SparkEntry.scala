@@ -307,7 +307,12 @@ object SparkEntry {
     "q_golden_record"    -> (OpsQueries.goldenRecordQ _),
     "q_fk_integrity"     -> (OpsQueries.integrityQ _),
     "q_cohort_ltv"       -> (OpsQueries.cohortLtvQ _),
-    "q_dup_rate"         -> (OpsQueries.dupRateQ _)
+    "q_dup_rate"         -> (OpsQueries.dupRateQ _),
+    "q_cliffs_delta"     -> (OpsQueries.cliffsDeltaQ _),
+    "q_effect_size"      -> (OpsQueries.effectSizeQ _),
+    "q_levene"           -> (OpsQueries.leveneQ _),
+    "q_trimmed_mean"     -> (OpsQueries.trimmedMeanQ _),
+    "q_dw"               -> (OpsQueries.durbinWatsonQ _)
   )
 
   private val fixedPathValues =

@@ -72,15 +72,21 @@ object AudioCodec extends MediaCodec {
       val srcFrames = samples.length / srcCh
       // channel conversion first (on the source grid)
       val chans = Array.tabulate(height) { c =>
-        val src = c % srcCh
-        Array.tabulate(srcFrames) { i =>
-          if (height == 1 && srcCh > 1) {
-            // mixdown: integer average across channels
+        if (height < srcCh) {
+          // mixdown: target channel c is the integer average of every
+          // source channel s with s % height == c (so 2→1 averages
+          // L+R, 4→2 averages FL+RL into L and FR+RR into R) — never
+          // a selection that silently drops source channels
+          val srcs = (0 until srcCh).filter(_ % height == c)
+          Array.tabulate(srcFrames) { i =>
             var s = 0L
-            var k = 0
-            while (k < srcCh) { s += samples(i * srcCh + k); k += 1 }
-            (s / srcCh).toShort
-          } else samples(i * srcCh + src)
+            srcs.foreach(k => s += samples(i * srcCh + k))
+            (s / srcs.length).toShort
+          }
+        } else {
+          // upmix: duplicate source channels round-robin
+          val src = c % srcCh
+          Array.tabulate(srcFrames)(i => samples(i * srcCh + src))
         }
       }
       // linear resample each channel to the target rate

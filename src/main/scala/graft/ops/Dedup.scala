@@ -1697,6 +1697,33 @@ object Dedup {
         expr("n_dup_docs * 1000000 div n_docs").as("dup_ppm"))
       .orderBy("slice")
 
+  /** Cross-document n-gram overlap — the "onion"-style contamination
+    * signal (what fraction of a document's DISTINCT w-shingles also
+    * appear in ≥ minDf documents): high overlap means the text is
+    * assembled from corpus boilerplate even when no single document
+    * duplicates it, the regime doc-level near-dup misses. Inverted-
+    * index shape: one distinct (doc, shingle) explode, one shingle-df
+    * grouped count, one join back, one per-doc rollup — corpus-linear,
+    * no pair join anywhere. All-integral output (ppm by truncating
+    * division; both engines floor on non-negative operands). Returns
+    * (id, n_shingles, n_common, common_ppm, keep). */
+  def onionOverlap(df: DataFrame, idCol: String, textCol: String,
+                   w: Int = 3, minDf: Int = 2,
+                   keepBelowPpm: Long = 500000L): DataFrame = {
+    require(w >= 1 && minDf >= 2, "need w >= 1 and minDf >= 2")
+    val sh = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        explode(array_distinct(shingles(col(textCol), w))).as("g"))
+    val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "g")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("df") >= minDf).cast("long")).as("n_common"))
+      .select(col("id"), col("n_shingles"), col("n_common"),
+        expr("n_common * 1000000 div n_shingles").as("common_ppm"))
+      .withColumn("keep", col("common_ppm") < lit(keepBelowPpm))
+  }
+
   /** Golden-record survivorship merge: one consolidated row per
     * near-dup cluster with FIELD-LEVEL survivorship rules — the MDM
     * step after clustering: representative id = min id (stable),

@@ -108,9 +108,10 @@ object Drift {
         var acc = BigInt(0)
         it.foreach { case (xa, xb) =>
           ca += xa; cb += xb
-          // cumA·m − cumB·n <= n·m fits a long; the square does not
-          val num = ca * nb - cb * na
-          acc += BigInt(num) * BigInt(num) * BigInt(xa + xb)
+          // cumA·m − cumB·n can reach n·m, which overflows Long once
+          // n·m ≥ 2^63 (~3e9 rows per side) — form it in BigInt.
+          val num = BigInt(ca) * nb - BigInt(cb) * na
+          acc += num * num * BigInt(xa + xb)
         }
         Iterator(acc)
       }.fold(BigInt(0))(_ + _)

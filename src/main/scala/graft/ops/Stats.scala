@@ -462,4 +462,187 @@ object Stats {
     }
     rows.toSeq.toDF("variant", "n_users", "mean_post", "mean_adj", "theta")
   }
+
+  /** Cliff's delta ordinal effect size between two samples:
+    * δ = (#{a > b} − #{a < b}) / (n_a·n_b), ties contributing zero —
+    * identical to the rank-biserial correlation of the Mann–Whitney U.
+    * Rides [[Drift.mannWhitneyU]]'s integral midrank scan: its `u2`
+    * is exactly 2·U_a (ties as ½, doubled to stay in longs), so
+    * δ = (u2 − n_a·n_b) / (n_a·n_b) with an all-integral numerator —
+    * the one double division happens at output. Same 100 TB shape as
+    * the U test itself (range-partitioned prefix scan, no all-pairs). */
+  def cliffsDelta(a: DataFrame, b: DataFrame, valueCol: String,
+                  outDigits: Int = 6): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val r = Drift.mannWhitneyU(a, b, valueCol, outDigits).head()
+    val na = r.getLong(0); val nb = r.getLong(1); val u2 = r.getLong(2)
+    val num = BigInt(u2) - BigInt(na) * nb
+    val delta = BigDecimal(num.toDouble / (na.toDouble * nb))
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((na, nb, u2, delta)).toDF("n_a", "n_b", "u2", "cliffs_delta")
+  }
+
+  /** Cohen's d and Hedges' g standardized mean difference between two
+    * groups of `groupCol`, from exact integral moments (cent-scaled
+    * sums in decimal(38,0)) — pooled-variance d, small-sample-corrected
+    * g = d·(1 − 3/(4(n_a+n_b) − 9)). One grouped aggregation; driver
+    * closed form. */
+  def effectSize(df: DataFrame, valueCol: String, groupCol: String,
+                 groupA: String, groupB: String,
+                 scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val ic = round(col(valueCol).cast("double") * lit(unit))
+      .cast("long").cast("decimal(38,0)")
+    val m = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(ic).as("s"), sum(ic * ic).as("ss"))
+      .collect().map(r => r.getString(0) ->
+        ((BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2)),
+          BigDecimal(r.getDecimal(3))))).toMap
+    def stats(g: String): (Long, Double, Double) = {
+      val (n, s, ss) = m.getOrElse(g,
+        throw new IllegalArgumentException(s"group '$g' absent"))
+      require(n > 1, s"group '$g' needs n > 1")
+      val nd = n.toDouble
+      val mean = s.toDouble / unit / nd
+      val varS = (n * ss - s * s).toDouble / (unit * unit) / (nd * (nd - 1.0))
+      (n.toLong, mean, varS)
+    }
+    val (na, ma, va) = stats(groupA)
+    val (nb, mb, vb) = stats(groupB)
+    val sp = math.sqrt(((na - 1.0) * va + (nb - 1.0) * vb) / (na + nb - 2.0))
+    val d0 = (ma - mb) / sp
+    val g0 = d0 * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((na, nb, r6(ma), r6(mb), r6(d0), r6(g0)))
+      .toDF("n_a", "n_b", "mean_a", "mean_b", "cohens_d", "hedges_g")
+  }
+
+  /** Brown–Forsythe test (Levene with the MEDIAN center — the robust
+    * default) for homogeneity of variance across all groups of
+    * `groupCol`:
+    *   W = ((N−k)/(k−1)) · Σ_j n_j(z̄_j − z̄)² / Σ_ij (z_ij − z̄_j)²
+    * with z_ij = |x_ij − median_j|. Exactness: values go to cents; the
+    * per-group median doubles exactly onto the integer grid (sum of the
+    * two middle cents), so z2 = |2x − 2·med| is a LONG and every W term
+    * derives from integral (n_j, Σz2, Σz2²) — the 2× scale cancels in
+    * the ratio. Two grouped aggregations + one broadcast-size join;
+    * per-group medians ride Spark's exact `percentile`. */
+  def leveneTest(df: DataFrame, groupCol: String, valueCol: String,
+                 scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val ic = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), ic.as("x"))
+    val med2 = base.groupBy("g")
+      .agg(round(percentile(col("x"), lit(0.5)) * lit(2)).cast("long").as("m2"))
+    val z = base.join(broadcast(med2), "g")
+      .select(col("g"), abs(col("x") * lit(2) - col("m2")).as("z2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val per = z.groupBy("g")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(d(col("z2"))).as("s"), sum(d(col("z2")) * d(col("z2"))).as("ss"))
+      .collect()
+      .map(r => (r.get(0).toString, BigDecimal(r.getDecimal(1)),
+        BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3))))
+      .sortBy(_._1)
+    val k = per.length
+    require(k >= 2, "leveneTest needs at least 2 groups")
+    require(per.forall(_._2 > 1), "every group needs n > 1")
+    val nTot = per.map(_._2).sum
+    val sTot = per.map(_._3).sum
+    // between = Σ S_j²/n_j − T²/N; within = Σss − Σ S_j²/n_j — the
+    // anovaF decomposition on |x − med| with a deterministic
+    // left-to-right fold over the name-sorted groups
+    var q = 0.0
+    var ssSum = 0.0
+    per.foreach { case (_, n, s, ss) =>
+      q += (s * s).toDouble / n.toDouble
+      ssSum += ss.toDouble
+    }
+    val between = q - (sTot * sTot).toDouble / nTot.toDouble
+    val within = ssSum - q
+    require(between > 0, "leveneTest: all group mean deviations equal")
+    require(within > 0, "leveneTest: zero within-group spread")
+    val w = (nTot.toDouble - k) / (k - 1.0) * between / within
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((k.toLong, nTot.toLong, k - 1L, nTot.toLong - k, r6(w)))
+      .toDF("k_groups", "n", "df1", "df2", "w_stat")
+  }
+
+  /** Per-group trimmed mean: drop the ⌊n·trimFrac⌋ smallest and largest
+    * values, average the rest — the robust location estimate quality
+    * pipelines use where winsorizing (clamping) is too forgiving of
+    * heavy tails. Ties are safe: row_number picks an arbitrary k-subset
+    * of a tied value but any k smallest/largest multiset has the same
+    * sum, so the result is deterministic. Two rank windows per group —
+    * the same per-group-sort shape as the exact percentile board. */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  trimFrac: Double = 0.1, scaleDigits: Int = 2,
+                  outDigits: Int = 6): DataFrame = {
+    require(trimFrac >= 0 && trimFrac < 0.5, "trimFrac must be in [0, 0.5)")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val unit = math.pow(10, scaleDigits)
+    val ic = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), ic.as("x"))
+    val wAsc = Window.partitionBy("g").orderBy(col("x").asc)
+    // ONE rank order per group; the descending rank is its complement
+    // (n+1−ra), NOT an independent desc window — with ties two
+    // independent row_number orders need not be reverse-consistent, so
+    // the kept count would become nondeterministic
+    val ranked = base
+      .withColumn("ra", row_number().over(wAsc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("rd", col("n") + 1 - col("ra"))
+    val kept = ranked
+      .withColumn("cut", floor(col("n") * lit(trimFrac)))
+      .filter(col("ra") > col("cut") && col("rd") > col("cut"))
+    kept.groupBy("g")
+      .agg(max(col("n")).as("n"), count(lit(1)).as("kept"),
+        sum(col("x").cast("decimal(38,0)")).as("s"))
+      .select(col("g").as(groupCol), col("n"), col("kept"),
+        round(col("s").cast("double") / col("kept").cast("double") /
+          lit(unit), outDigits).as("trimmed_mean"))
+  }
+
+  /** Durbin–Watson statistic of a daily-total series' deviation from
+    * its mean: DW = Σ_{t≥2}(e_t − e_{t−1})² / Σ e_t², e_t = y_t − ȳ —
+    * the classic lag-1 autocorrelation diagnostic (DW ≈ 2(1−ρ)). All
+    * arithmetic is integral: with day totals y_t in cents and N days,
+    * e'_t = N·y_t − S is a BigInt and DW = Σ(Δe')²/Σe'² (the N scale
+    * cancels). One grouped aggregation to the calendar-bounded day
+    * grid; the bounded series finishes on the driver. */
+  def durbinWatson(events: DataFrame, tsCol: String, valueCol: String,
+                   scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val ic = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    val days = events.filter(col(valueCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("d"))
+      .agg(sum(ic).as("y"))
+      .orderBy("d")
+      .collect().map(r => BigInt(r.getLong(1)))
+    val n = days.length
+    require(n >= 3, "durbinWatson needs at least 3 days")
+    val s = days.sum
+    val e = days.map(y => y * n - s)
+    val den = e.map(v => v * v).sum
+    require(den != 0, "series is constant; DW undefined")
+    val num = e.sliding(2).map { case Array(a, b) => (b - a) * (b - a) }.sum
+    val dw = BigDecimal(num.toDouble / den.toDouble)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n.toLong, dw)).toDF("n_days", "dw")
+  }
 }

@@ -85,7 +85,7 @@ object Tokenizer {
     val spark = grouped.sparkSession
     import spark.implicits._
     var words = grouped.as[(String, Long)]
-      .map { case (w, c) => (w.map(_.toString).toArray, c) }
+      .map { case (w, c) => (toSymbols(w), c) }
       .localCheckpoint(false)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var m = 0
@@ -132,9 +132,9 @@ object Tokenizer {
   /** Driver-side merge loop over the (bounded) word-frequency table. */
   private[ops] def trainOnWordCounts(wc: Array[(String, Long)],
                                      numMerges: Int): Array[(String, String, Long)] = {
-    // each word as its current symbol sequence (starts as characters)
+    // each word as its current symbol sequence (starts as code points)
     var words: Array[(Array[String], Long)] =
-      wc.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      wc.map { case (w, c) => (toSymbols(w), c) }
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var m = 0
     var done = false
@@ -150,7 +150,21 @@ object Tokenizer {
       }
       if (pairCounts.isEmpty) done = true
       else {
-        val ((l, r), c) = pairCounts.minBy { case ((a, b), n) => (-n, a, b) }
+        // Tie-break in CODE-POINT order (== UTF-8 binary order, which is
+        // what Spark's string sort uses on the distributed route), NOT
+        // Java's UTF-16 code-unit compareTo: for symbols mixing
+        // supplementary-plane chars with U+E000–U+FFFF the two orders
+        // differ, and the two routes must pick identical merges.
+        val ((l, r), c) = pairCounts.reduceLeft { (best, cur) =>
+          val ((ba, bb), bn) = best; val ((ca2, cb2), cn) = cur
+          val cmp =
+            if (cn != bn) java.lang.Long.compare(bn, cn) // higher count wins
+            else {
+              val c1 = codePointCompare(ca2, ba)
+              if (c1 != 0) c1 else codePointCompare(cb2, bb)
+            }
+          if (cmp < 0) cur else best
+        }
         out += ((l, r, c))
         words = words.map { case (syms, wcnt) => (mergePair(syms, l, r), wcnt) }
         m += 1
@@ -159,10 +173,41 @@ object Tokenizer {
     out.toArray
   }
 
+  /** Initial symbolization of a word: one symbol per Unicode CODE
+    * POINT, never per UTF-16 char — splitting a surrogate pair would
+    * make lone-surrogate symbols that Spark's UTF-8 string encoding
+    * cannot represent (they collapse to `?` on shuffle), silently
+    * corrupting the distributed route's pair counts on emoji/CJK-B
+    * text. Merged symbols concatenate well-formed strings, so no
+    * route ever sees an ill-formed symbol. */
+  private[ops] def toSymbols(w: String): Array[String] = {
+    val out = new Array[String](w.codePointCount(0, w.length))
+    var i = 0; var k = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out(k) = new String(Character.toChars(cp))
+      k += 1; i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Compare two strings by Unicode CODE POINT (equivalent to UTF-8
+    * byte order for well-formed strings) — the collation Spark's
+    * binary string sort uses, shared by both training routes. */
+  private[ops] def codePointCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** Apply learned merges to one word (merge order = training order). */
   private[ops] def encodeWord(word: String,
                               merges: Array[(String, String)]): Array[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = toSymbols(word)
     merges.foreach { case (l, r) => syms = mergePair(syms, l, r) }
     syms
   }

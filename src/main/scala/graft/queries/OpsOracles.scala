@@ -4856,7 +4856,118 @@ object OpsOracles {
         |    sum(c - 1)::BIGINT AS n_dup_docs FROM g GROUP BY 1)
         |SELECT slice, n_docs, n_dup_docs,
         |  (n_dup_docs * 1000000 // n_docs)::BIGINT AS dup_ppm
-        |FROM s ORDER BY slice""".stripMargin.trim
+        |FROM s ORDER BY slice""".stripMargin.trim,
+
+    // Cliff's delta rides the Mann–Whitney midrank scan: u2 = 2·U_a is
+    // integral, delta = (u2 − na·nb)/(na·nb) with ONE double division
+    "q_cliffs_delta" ->
+      """WITH t AS (SELECT value AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |    AND value IS NOT NULL),
+        |pv AS (SELECT v, sum(g)::BIGINT AS ca, sum(1 - g)::BIGINT AS cb
+        |       FROM t GROUP BY v),
+        |o AS (SELECT v, ca, cb, ca + cb AS t2,
+        |    coalesce(sum(ca + cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM pv),
+        |s AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+        |    sum(ca * (2 * cum + t2 + 1))::BIGINT AS r1x2 FROM o)
+        |SELECT na AS n_a, nb AS n_b,
+        |  (r1x2 - na * (na + 1))::BIGINT AS u2,
+        |  round(((r1x2 - na * (na + 1)) - na * nb)::DOUBLE
+        |    / (na::DOUBLE * nb), 6) + 0.0 AS cliffs_delta
+        |FROM s""".stripMargin.trim,
+
+    // pooled-variance standardized mean difference from the welch
+    // moment CTEs; g = d·(1 − 3/(4N − 9))
+    "q_effect_size" ->
+      """WITH m AS (SELECT l_returnflag AS g, count(*)::HUGEINT AS n,
+        |    sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::HUGEINT AS s,
+        |    sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)::HUGEINT
+        |        * CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS ss
+        |  FROM lineitem
+        |  WHERE l_returnflag IN ('R', 'A') AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT n::DOUBLE AS nd, n::BIGINT AS nl,
+        |    s::DOUBLE / 100.0::DOUBLE / n::DOUBLE AS mean,
+        |    (n * ss - s * s)::DOUBLE / 10000.0::DOUBLE
+        |      / (n::DOUBLE * (n::DOUBLE - 1.0::DOUBLE)) AS v
+        |  FROM m WHERE g = 'R'),
+        |b AS (SELECT n::DOUBLE AS nd, n::BIGINT AS nl,
+        |    s::DOUBLE / 100.0::DOUBLE / n::DOUBLE AS mean,
+        |    (n * ss - s * s)::DOUBLE / 10000.0::DOUBLE
+        |      / (n::DOUBLE * (n::DOUBLE - 1.0::DOUBLE)) AS v
+        |  FROM m WHERE g = 'A'),
+        |d AS (SELECT a.nl AS na, b.nl AS nb, a.mean AS ma, b.mean AS mb,
+        |    (a.mean - b.mean) / sqrt(((a.nd - 1.0::DOUBLE) * a.v
+        |      + (b.nd - 1.0::DOUBLE) * b.v)
+        |      / (a.nd + b.nd - 2.0::DOUBLE)) AS d0,
+        |    a.nd + b.nd AS ntot
+        |  FROM a, b)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round(d0, 6) + 0.0 AS cohens_d,
+        |  round(d0 * (1.0::DOUBLE - 3.0::DOUBLE
+        |    / (4.0::DOUBLE * ntot - 9.0::DOUBLE)), 6) + 0.0 AS hedges_g
+        |FROM d""".stripMargin.trim,
+
+    // Brown–Forsythe: |x − group median| in doubled cents (integral),
+    // then the anovaF between/within decomposition
+    "q_levene" ->
+      """WITH t AS (SELECT event_type AS g,
+        |    CAST(round(value * 100.0) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT g,
+        |    CAST(round(2 * quantile_cont(x, 0.5)) AS BIGINT) AS m2
+        |  FROM t GROUP BY g),
+        |z AS (SELECT t.g, abs(2 * x - m2)::HUGEINT AS z2
+        |  FROM t JOIN med USING (g)),
+        |m AS (SELECT g, count(*)::HUGEINT AS n, sum(z2)::HUGEINT AS s,
+        |    sum(z2 * z2)::HUGEINT AS ss FROM z GROUP BY g),
+        |agg AS (SELECT count(*)::BIGINT AS k, sum(n)::HUGEINT AS ntot,
+        |    sum(s)::HUGEINT AS stot,
+        |    sum((s * s)::DOUBLE / n::DOUBLE) AS q,
+        |    sum(ss::DOUBLE) AS sssum FROM m)
+        |SELECT k AS k_groups, ntot::BIGINT AS n,
+        |  (k - 1)::BIGINT AS df1, (ntot - k)::BIGINT AS df2,
+        |  round((ntot::DOUBLE - k::DOUBLE) / (k::DOUBLE - 1.0::DOUBLE)
+        |    * (q - (stot * stot)::DOUBLE / ntot::DOUBLE)
+        |    / (sssum - q), 6) AS w_stat
+        |FROM agg""".stripMargin.trim,
+
+    // 10%-trimmed mean: drop floor(n·0.1) per tail by rank; the cut is
+    // computed in DOUBLE on both engines so the floor agrees bit-exact
+    "q_trimmed_mean" ->
+      """WITH t AS (SELECT event_type AS g,
+        |    CAST(round(value * 100.0) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT g, x,
+        |    row_number() OVER (PARTITION BY g ORDER BY x) AS ra,
+        |    count(*) OVER (PARTITION BY g)
+        |      + 1 - row_number() OVER (PARTITION BY g ORDER BY x) AS rd,
+        |    count(*) OVER (PARTITION BY g) AS n FROM t),
+        |k AS (SELECT g, x, n FROM r
+        |  WHERE ra > floor(n * 0.1::DOUBLE) AND rd > floor(n * 0.1::DOUBLE))
+        |SELECT g AS event_type, max(n)::BIGINT AS n,
+        |  count(*)::BIGINT AS kept,
+        |  round(sum(x)::DOUBLE / count(*)::DOUBLE / 100.0::DOUBLE, 6)
+        |    AS trimmed_mean
+        |FROM k GROUP BY g ORDER BY g""".stripMargin.trim,
+
+    // Durbin–Watson on the mean-centered daily series: e' = N·y − S is
+    // HUGEINT-exact, DW = Σ(Δe')²/Σe'² with one double division
+    "q_dw" ->
+      """WITH dd AS (SELECT ts::DATE AS day,
+        |    sum(CAST(round(value * 100.0) AS BIGINT))::HUGEINT AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |s AS (SELECT count(*)::HUGEINT AS n, sum(y) AS st FROM dd),
+        |e AS (SELECT day, n * y - st AS ev,
+        |    lag(n * y - st) OVER (ORDER BY day) AS ep FROM dd, s),
+        |f AS (SELECT sum((ev - ep) * (ev - ep)) AS num,
+        |    sum(ev * ev) AS den, count(*)::BIGINT AS nd FROM e)
+        |SELECT nd AS n_days, round(num::DOUBLE / den::DOUBLE, 6) AS dw
+        |FROM f""".stripMargin.trim
   )
 
   /** q_ranked_eval / q_ir_summary: the DCG discount weights and the

@@ -2213,4 +2213,31 @@ object OpsQueries {
     Dedup.clusterSizes(
       Dedup.connectedComponents(pairs, "id_a", "id_b"), "cluster_id")
   }
+
+  /** Cliff's delta: purchase vs click event values. */
+  def cliffsDeltaQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events").filter(col("value").isNotNull)
+    Stats.cliffsDelta(
+      ev.filter(col("event_type") === "purchase").select(col("value")),
+      ev.filter(col("event_type") === "click").select(col("value")),
+      "value")
+  }
+
+  /** Cohen's d / Hedges' g: extendedprice, returnflag 'R' vs 'A'. */
+  def effectSizeQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.effectSize(tbl(spark, dir, "lineitem"), "l_extendedprice",
+      "l_returnflag", "R", "A")
+
+  /** Brown–Forsythe variance-homogeneity test across event types. */
+  def leveneQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.leveneTest(tbl(spark, dir, "events"), "event_type", "value")
+
+  /** 10%-trimmed mean of event value per event type. */
+  def trimmedMeanQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.trimmedMean(tbl(spark, dir, "events"), "event_type", "value",
+      trimFrac = 0.1).orderBy("event_type")
+
+  /** Durbin–Watson of the mean-centered daily event-value series. */
+  def durbinWatsonQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.durbinWatson(tbl(spark, dir, "events"), "ts", "value")
 }

@@ -734,6 +734,57 @@ class OpsSpec extends SparkSpec {
       s"nearest to a1 must be a2: ${nn.mkString(",")}")
   }
 
+  test("AudioCodec downmix AVERAGES interleaved channel groups, never selects") {
+    // 4-channel source with constant per-channel levels; 4→2 must
+    // average (ch0,ch2)→L and (ch1,ch3)→R (quad→stereo), not pick
+    // channels 0 and 1 and drop the rears
+    val frames = 64; val rate = 8000
+    val s = new Array[Short](frames * 4)
+    for (i <- 0 until frames; c <- 0 until 4)
+      s(i * 4 + c) = ((c + 1) * 1000).toShort
+    val quad = AudioCodec.encodeWav(s, rate, 4)
+    val out = AudioCodec.resize(quad, "audio", rate, 2)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(out))
+    assert(ais.getFormat.getChannels == 2)
+    val raw = ais.readAllBytes()
+    def sample(k: Int): Int =
+      ((raw(2 * k + 1) << 8) | (raw(2 * k) & 0xFF))
+    // frame 1 (skip frame 0 only to avoid any edge assumption): L, R
+    assert(sample(2) == 2000, s"L must be avg(1000,3000): ${sample(2)}")
+    assert(sample(3) == 3000, s"R must be avg(2000,4000): ${sample(3)}")
+    // 2→1 still averages L+R
+    val stereo = AudioCodec.encodeWav(
+      Array.tabulate[Short](32)(i => if (i % 2 == 0) 100 else 300), rate, 2)
+    val mono = AudioCodec.resize(stereo, "audio", rate, 1)
+    val mIs = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(mono))
+    val mRaw = mIs.readAllBytes()
+    assert(((mRaw(3) << 8) | (mRaw(2) & 0xFF)) == 200,
+      "mono must be avg(L,R)")
+  }
+
+  test("BPE tie-breaks collate by code point on BOTH routes (emoji vs private-use)") {
+    // U+1F600 (😀, surrogate pair starting 0xD83D) sorts BEFORE
+    // U+E000 under Java's UTF-16 code-unit compareTo but AFTER it in
+    // code-point/UTF-8 order — Spark's sort. Both training routes must
+    // share the code-point collation, so the first merge on a tied
+    // corpus is (, a) on both.
+    assert(Tokenizer.codePointCompare("😀", "") > 0)
+    assert("😀".compareTo("") < 0) // the trap the fix closes
+    val text = "😀a a"
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    def firstMerge(maxVocab: Int): (String, String) = {
+      val m = Tokenizer.trainBpe(d, "text", numMerges = 1,
+        maxVocabWords = maxVocab).head()
+      (m.getString(1), m.getString(2))
+    }
+    val driver = firstMerge(65536) // driver loop route
+    val dist = firstMerge(1)       // distributed route
+    assert(driver == (("", "a")), s"driver route picked $driver")
+    assert(dist == driver, s"routes disagree: $dist vs $driver")
+  }
+
   test("VideoCodec decodes real MJPEG-AVI bytes: decode, frame sample, resize, features, ANN") {
     def frame(w: Int, h: Int, rgb: Int): Array[Byte] = {
       val b = new java.awt.image.BufferedImage(w, h,

@@ -293,4 +293,73 @@ class StatsFamilySpec extends SparkSpec {
     }
     assert(eC.getMessage.contains("flat series"), eC.getMessage)
   }
+
+  test("cliffsDelta: full dominance ±1, identical samples 0, tie contribution") {
+    val hi = Seq(2.0, 3.0).toDF("v"); val lo = Seq(1.0).toDF("v")
+    assert(Stats.cliffsDelta(hi, lo, "v").head()
+      .getAs[Double]("cliffs_delta") === 1.0)
+    assert(Stats.cliffsDelta(lo, hi, "v").head()
+      .getAs[Double]("cliffs_delta") === -1.0)
+    val same = Seq(1.0, 5.0).toDF("v")
+    assert(Stats.cliffsDelta(same, same, "v").head()
+      .getAs[Double]("cliffs_delta") === 0.0)
+    // a={1,2}, b={1}: pairs (1,1) tie → 0, (2,1) win → +1; delta = 1/2
+    val a = Seq(1.0, 2.0).toDF("v"); val b = Seq(1.0).toDF("v")
+    assert(Stats.cliffsDelta(a, b, "v").head()
+      .getAs[Double]("cliffs_delta") === 0.5)
+  }
+
+  test("effectSize: hand case for pooled d and Hedges correction") {
+    // A={1,2,3}, B={2,3,4}: means 2 and 3, both sample variances 1 →
+    // pooled sd 1, d = −1, g = d·(1 − 3/(4·6 − 9)) = −0.8
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 2.0), ("B", 3.0), ("B", 4.0)).toDF("g", "v")
+    val r = Stats.effectSize(df, "v", "g", "A", "B").head()
+    assert(r.getAs[Double]("cohens_d") === -1.0)
+    assert(r.getAs[Double]("hedges_g") === -0.8)
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+  }
+
+  test("leveneTest: hand case, and clean failure on zero within-spread") {
+    // g1={0,1,4} med 1 → z={1,0,3}; g2={0,2,8} med 2 → z={2,0,6}
+    // between = 8/3, within = 70/3, W = 4·(8/3)/(70/3) = 16/35
+    val df = Seq(("g1", 0.0), ("g1", 1.0), ("g1", 4.0),
+      ("g2", 0.0), ("g2", 2.0), ("g2", 8.0)).toDF("g", "v")
+    val r = Stats.leveneTest(df, "g", "v").head()
+    assert(r.getAs[Long]("k_groups") === 2L && r.getAs[Long]("n") === 6L)
+    assert(math.abs(r.getAs[Double]("w_stat") - 16.0 / 35.0) < 1e-6)
+    // every |x − med| identical within groups → within = 0 → require
+    val degen = Seq(("g1", 0.0), ("g1", 2.0), ("g2", 0.0), ("g2", 4.0))
+      .toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Stats.leveneTest(degen, "g", "v")
+    }
+    assert(e.getMessage.contains("within-group"), e.getMessage)
+  }
+
+  test("trimmedMean: drops exactly floor(n·frac) per tail; ties are safe") {
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Stats.trimmedMean(df, "g", "v", trimFrac = 0.1).head()
+    assert(r.getAs[Long]("n") === 10L && r.getAs[Long]("kept") === 8L)
+    assert(r.getAs[Double]("trimmed_mean") === 5.5) // mean of 2..9
+    // all-equal values: any trimmed subset has the same mean
+    val ties = Seq.fill(10)(("g", 3.0)).toDF("g", "v")
+    val rt = Stats.trimmedMean(ties, "g", "v", trimFrac = 0.2).head()
+    assert(rt.getAs[Double]("trimmed_mean") === 3.0 &&
+      rt.getAs[Long]("kept") === 6L)
+  }
+
+  test("durbinWatson: hand case and white-noise sanity") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day}%02d 09:00:00")
+    // daily totals {1,2,3}: e' = {−3,0,3}, num = 9+9, den = 18 → DW 1
+    val df = Seq((ts(1), 1.0), (ts(2), 2.0), (ts(3), 3.0)).toDF("ts", "v")
+    val r = Stats.durbinWatson(df, "ts", "v").head()
+    assert(r.getAs[Long]("n_days") === 3L)
+    assert(r.getAs[Double]("dw") === 1.0)
+    // alternating series {1,3,1,3,…} is strongly negatively
+    // autocorrelated → DW well above 2
+    val alt = (1 to 20).map(d => (ts(d), if (d % 2 == 0) 3.0 else 1.0))
+      .toDF("ts", "v")
+    assert(Stats.durbinWatson(alt, "ts", "v").head().getAs[Double]("dw") > 3.0)
+  }
 }
