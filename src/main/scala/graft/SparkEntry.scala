@@ -312,7 +312,10 @@ object SparkEntry {
     "q_effect_size"      -> (OpsQueries.effectSizeQ _),
     "q_levene"           -> (OpsQueries.leveneQ _),
     "q_trimmed_mean"     -> (OpsQueries.trimmedMeanQ _),
-    "q_dw"               -> (OpsQueries.durbinWatsonQ _)
+    "q_dw"               -> (OpsQueries.durbinWatsonQ _),
+    "q_qld"              -> (OpsQueries.qldQ _),
+    "q_onion"            -> (OpsQueries.onionQ _),
+    "q_relaxed_fit"      -> (MlQueries.relaxedLasso _)
   )
 
   private val fixedPathValues =
@@ -605,6 +608,26 @@ object SparkEntry {
         |SELECT 'a0' AS term, round(my - b * mx, 4) + 0 AS value FROM t
         |UNION ALL SELECT 'l_quantity', round(b, 4) + 0 FROM t
         |ORDER BY term""".stripMargin,
+
+    // relaxed lasso: lambda 1e12 zeroes the coef (intercept-only
+    // refit); lambda 1.0 is the q_gauss_lasso1 closed form with the
+    // plain OLS refit; blend at gamma = 0.5
+    "q_relaxed_fit" ->
+      """WITH s AS (SELECT avg(l_quantity) mx, avg(l_extendedprice) my,
+        |                  covar_pop(l_quantity, l_extendedprice) cxy,
+        |                  sqrt(var_pop(l_quantity)) sd FROM lineitem),
+        |t AS (SELECT mx, my,
+        |        sign(cxy / sd) * greatest(abs(cxy / sd) - 1.0, 0) / sd AS bl,
+        |        (cxy / sd) / sd AS bo FROM s),
+        |r AS (
+        |  SELECT 0 AS lambda_idx, 'a0' AS term, my AS lasso, my AS ols FROM t
+        |  UNION ALL SELECT 0, 'l_quantity', 0.0::DOUBLE, 0.0::DOUBLE FROM t
+        |  UNION ALL SELECT 1, 'a0', my - bl * mx, my - bo * mx FROM t
+        |  UNION ALL SELECT 1, 'l_quantity', bl, bo FROM t)
+        |SELECT lambda_idx, term, round(lasso, 4) + 0.0 AS lasso,
+        |  round(ols, 4) + 0.0 AS ols,
+        |  round(0.5::DOUBLE * lasso + 0.5::DOUBLE * ols, 4) + 0.0 AS relaxed
+        |FROM r ORDER BY lambda_idx, term""".stripMargin,
 
     "q_gauss_ols3" ->
       """WITH s AS (SELECT

@@ -464,6 +464,62 @@ object SgdNet {
       Array.empty, lambdas, a0, beta, nulldev, devRatio, g.n, totalIters, params)
   }
 
+  /** Relaxed elastic-net path (glmnet `relax = TRUE`): for each lambda,
+    * the UNPENALIZED least-squares refit restricted to that lambda's
+    * active set, plus the γ-blend γ·penalized + (1−γ)·refit (γ=1 is
+    * the original path, γ=0 fully relaxed). The reference has no
+    * counterpart; glmnet users migrating through sgdnet ask for it
+    * because the lasso's shrinkage bias on the SELECTED coefficients
+    * is often unwanted once selection is done (Meinshausen 2007). */
+  final case class RelaxedPath(model: SgdNetModel, olsA0: Array[Double],
+                               olsBeta: Array[Array[Double]], gamma: Double) {
+    def blendedA0(l: Int): Double =
+      gamma * model.a0(l)(0) + (1 - gamma) * olsA0(l)
+    def blendedBeta(l: Int): Array[Double] =
+      Array.tabulate(model.beta(l)(0).length)(j =>
+        gamma * model.beta(l)(0)(j) + (1 - gamma) * olsBeta(l)(j))
+  }
+
+  /** Fit the gaussian path, then refit each lambda's active set
+    * unpenalized — from the SAME one-pass sufficient statistics, so
+    * the relaxed path costs zero extra data passes: the active-set
+    * normal equations gram_AA·x = b_A solve driver-side (active sets
+    * are p-bounded). Empty active set refits to the intercept-only
+    * model. */
+  def relaxedFit(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                 params: SgdNetParams = SgdNetParams(),
+                 gamma: Double = 1.0): RelaxedPath = {
+    require(params.family == "gaussian", "relaxedFit: gaussian family only")
+    require(gamma >= 0 && gamma <= 1, "gamma must be in [0, 1]")
+    require(!params.standardizeResponse,
+      "relaxedFit: standardize.response is mgaussian-only")
+    val rdd = SufficientStats.toRdd(df, featureCols, Seq(labelCol))
+    val g = SufficientStats.compute(rdd, featureCols.size, 1)
+    val model = solveGaussianFromStats(g, featureCols, Seq(labelCol), params)
+    val p = featureCols.size
+    val st = SufficientStats.standardize(g, params.standardize, params.intercept)
+    val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+    val L = model.lambda.length
+    val olsA0 = new Array[Double](L)
+    val olsBeta = Array.ofDim[Double](L, p)
+    for (l <- 0 until L) {
+      val active = (0 until p).filter(j => model.beta(l)(0)(j) != 0.0)
+      if (active.nonEmpty) {
+        val a = Array.tabulate(active.size, active.size)((i, j) =>
+          st.gram(active(i))(active(j)))
+        val bv = active.map(j => st.b(0)(j)).toArray
+        val sol = LinAlg.solve(a, bv)
+        active.zipWithIndex.foreach { case (j, i) =>
+          olsBeta(l)(j) = sol(i) / scale(j)
+        }
+      }
+      olsA0(l) = if (params.intercept)
+        st.yMean(0) - (0 until p).map(j => olsBeta(l)(j) * st.xMean(j)).sum
+      else 0.0
+    }
+    RelaxedPath(model, olsA0, olsBeta, gamma)
+  }
+
   // ---------------------------------------------------------------- binomial
 
   private def fitBinomial(df: DataFrame, featureCols: Seq[String],

@@ -30,6 +30,52 @@ object LinAlg {
     out
   }
 
+  /** Solve a·x = b by Gaussian elimination with partial pivoting —
+    * driver-side, for ACTIVE-SET normal equations (a is a dense copy
+    * of a small symmetric submatrix; both inputs are left intact).
+    * Used by the relaxed (unpenalized) refit, where sets stay small
+    * by construction. */
+  def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    val m = Array.tabulate(n)(i => a(i).clone())
+    val x = b.clone()
+    var c = 0
+    while (c < n) {
+      var piv = c
+      var r = c + 1
+      while (r < n) {
+        if (math.abs(m(r)(c)) > math.abs(m(piv)(c))) piv = r
+        r += 1
+      }
+      require(math.abs(m(piv)(c)) > 1e-12,
+        s"singular active-set system at column $c")
+      if (piv != c) {
+        val t = m(piv); m(piv) = m(c); m(c) = t
+        val tb = x(piv); x(piv) = x(c); x(c) = tb
+      }
+      r = c + 1
+      while (r < n) {
+        val f = m(r)(c) / m(c)(c)
+        if (f != 0.0) {
+          var k = c
+          while (k < n) { m(r)(k) -= f * m(c)(k); k += 1 }
+          x(r) -= f * x(c)
+        }
+        r += 1
+      }
+      c += 1
+    }
+    var i = n - 1
+    while (i >= 0) {
+      var s = x(i)
+      var k = i + 1
+      while (k < n) { s -= m(i)(k) * x(k); k += 1 }
+      x(i) = s / m(i)(i)
+      i -= 1
+    }
+    x
+  }
+
   /** Soft-thresholding operator S(z, g) = sign(z) * max(|z| - g, 0). */
   @inline def softThreshold(z: Double, g: Double): Double =
     if (z > g) z - g else if (z < -g) z + g else 0.0

@@ -258,6 +258,65 @@ object TextAnalysis {
     * score aggregation. Corpus-linear at any scale; nothing quadratic.
     * idf uses the BM25+ form ln(1 + (N - df + 0.5)/(df + 0.5)), which is
     * positive for any df. */
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty):
+    * score(d) = Σ_t ln((tf_t,d + μ·cf_t/|C|) / (|d| + μ)) over the
+    * query terms — the language-modeling alternative to [[bm25]],
+    * ranking by how likely the query is under each document's smoothed
+    * unigram LM. Scored docs are those matching ≥1 term (smoothing
+    * makes the remaining terms contribute their background mass, so
+    * scores stay comparable). Shape: the bm25 one-pass typed kernel
+    * (per-doc length + fixed-width term counts), ONE collection-stats
+    * aggregate (term cfs + total tokens — all integral, so the sums
+    * are order-free exact), then a single codegen score expression;
+    * corpus-linear, no shuffle beyond the stats aggregate. */
+  def queryLikelihood(df: DataFrame, idCol: String, textCol: String,
+                      queryTerms: Seq[String], mu: Double = 2000.0,
+                      outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val terms = queryTerms.toArray
+    val perDoc = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) None
+        else {
+          val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val tfs = new Array[Long](terms.length)
+          var i = 0
+          while (i < ws.length) {
+            var t = 0
+            while (t < terms.length) {
+              if (ws(i) == terms(t)) tfs(t) += 1
+              t += 1
+            }
+            i += 1
+          }
+          Some((id, ws.length.toLong, tfs))
+        }
+      }
+      .toDF("__id", "dl", "tfs")
+      .localCheckpoint(false)
+    val statsExprs = sum(col("dl")) +: terms.indices.map(i =>
+      sum(element_at(col("tfs"), i + 1)))
+    val statsRow = perDoc.agg(statsExprs.head, statsExprs.tail: _*).head()
+    val tTot = statsRow.getLong(0)
+    require(tTot > 0, "empty collection")
+    // background mass μ·cf_t/|C| — integral cf/T, one double each
+    val priors = terms.indices.map { i =>
+      val cf = if (statsRow.isNullAt(i + 1)) 0L else statsRow.getLong(i + 1)
+      mu * cf.toDouble / tTot.toDouble
+    }
+    val score = terms.indices.map { i =>
+      log((element_at(col("tfs"), i + 1).cast("double") + lit(priors(i))) /
+        (col("dl").cast("double") + lit(mu)))
+    }.reduce(_ + _)
+    val anyMatch = terms.indices.map(i =>
+      element_at(col("tfs"), i + 1) > 0).reduce(_ || _)
+    perDoc.filter(anyMatch)
+      .select(col("__id").as(idCol), round(score, outDigits).as("qld"))
+  }
+
   def bm25(df: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = df.sparkSession

@@ -254,4 +254,29 @@ object MlQueries {
       SgdNetParams(family = "binomial", lambda = Array(1e6), maxit = 5))
     Seq(m.nulldev).toDF("nulldev").withColumn("nulldev", round(col("nulldev"), 4))
   }
+
+  /** Relaxed lasso (glmnet relax=TRUE shape), 1 feature, explicit
+    * 2-lambda path: lambda 1e12 zeroes the coefficient (empty active
+    * set → intercept-only refit), lambda 1.0 reproduces the
+    * q_gauss_lasso1 fit whose active-set OLS refit is the plain
+    * 1-feature OLS — both closed-form for the oracle. γ = 0.5 blend. */
+  def relaxedLasso(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val rp = SgdNet.relaxedFit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = Array(1e12, 1.0), thresh = 1e-9),
+      gamma = 0.5)
+    val m = rp.model
+    val rows = for {
+      l <- m.lambda.indices
+      (term, la, ol) <- Seq(
+        ("a0", m.a0(l)(0), rp.olsA0(l)),
+        ("l_quantity", m.beta(l)(0)(0), rp.olsBeta(l)(0)))
+    } yield (l, term, la, ol, rp.gamma * la + (1 - rp.gamma) * ol)
+    rows.toDF("lambda_idx", "term", "lasso", "ols", "relaxed")
+      .withColumn("lasso", round(col("lasso"), DP) + lit(0.0))
+      .withColumn("ols", round(col("ols"), DP) + lit(0.0))
+      .withColumn("relaxed", round(col("relaxed"), DP) + lit(0.0))
+      .orderBy("lambda_idx", "term")
+  }
 }

@@ -4955,6 +4955,62 @@ object OpsOracles {
         |    AS trimmed_mean
         |FROM k GROUP BY g ORDER BY g""".stripMargin.trim,
 
+    // Dirichlet query likelihood: integral cf/dl/T moments (double
+    // sums of integers are exact, so order-free), one fixed-order
+    // three-term ln expression mirrored op for op
+    "q_qld" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |dlen AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+        |tot AS (SELECT sum(dl)::BIGINT AS t FROM dlen),
+        |cf AS (SELECT
+        |    sum(CASE WHEN w = 'spark' THEN 1 ELSE 0 END)::BIGINT AS cf1,
+        |    sum(CASE WHEN w = 'query' THEN 1 ELSE 0 END)::BIGINT AS cf2,
+        |    sum(CASE WHEN w = 'stream' THEN 1 ELSE 0 END)::BIGINT AS cf3
+        |  FROM toks),
+        |tf AS (SELECT doc_id,
+        |    sum(CASE WHEN w = 'spark' THEN 1 ELSE 0 END)::BIGINT AS tf1,
+        |    sum(CASE WHEN w = 'query' THEN 1 ELSE 0 END)::BIGINT AS tf2,
+        |    sum(CASE WHEN w = 'stream' THEN 1 ELSE 0 END)::BIGINT AS tf3
+        |  FROM toks GROUP BY doc_id),
+        |s AS (SELECT tf.doc_id,
+        |    ln((tf1::DOUBLE + 2000.0::DOUBLE * cf1::DOUBLE / t::DOUBLE)
+        |       / (dl::DOUBLE + 2000.0::DOUBLE))
+        |  + ln((tf2::DOUBLE + 2000.0::DOUBLE * cf2::DOUBLE / t::DOUBLE)
+        |       / (dl::DOUBLE + 2000.0::DOUBLE))
+        |  + ln((tf3::DOUBLE + 2000.0::DOUBLE * cf3::DOUBLE / t::DOUBLE)
+        |       / (dl::DOUBLE + 2000.0::DOUBLE)) AS qld,
+        |    tf1 + tf2 + tf3 AS m
+        |  FROM tf JOIN dlen USING (doc_id), tot, cf)
+        |SELECT doc_id, round(qld, 6) AS qld FROM s WHERE m > 0
+        |ORDER BY doc_id""".stripMargin.trim,
+
+    // onion overlap: distinct shingle inverted index + df join back,
+    // all-integral ppm via floor division (non-negative operands)
+    "q_onion" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         array_to_string(list_slice(w, 1, len(w) - 5), ' ')
+        |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') w
+        |        FROM documents)),
+        |sets AS (
+        |  SELECT id, list_distinct(list_transform(
+        |      generate_series(0, greatest(len(w) - 3, 0)),
+        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+        |  FROM (SELECT id, string_split(lower(trim(text)), ' ') w FROM docs)),
+        |inv AS (SELECT id, unnest(s) AS g FROM sets),
+        |dfq AS (SELECT g, count(*)::BIGINT AS df FROM inv GROUP BY g),
+        |per AS (SELECT id, count(*)::BIGINT AS n_shingles,
+        |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_common
+        |  FROM inv JOIN dfq USING (g) GROUP BY id)
+        |SELECT id, n_shingles, n_common,
+        |  (n_common * 1000000 // n_shingles)::BIGINT AS common_ppm,
+        |  (n_common * 1000000 // n_shingles) < 500000 AS keep
+        |FROM per ORDER BY id""".stripMargin.trim,
+
     // Durbin–Watson on the mean-centered daily series: e' = N·y − S is
     // HUGEINT-exact, DW = Σ(Δe')²/Σe'² with one double division
     "q_dw" ->

@@ -2240,4 +2240,16 @@ object OpsQueries {
   /** Durbin–Watson of the mean-centered daily event-value series. */
   def durbinWatsonQ(spark: SparkSession, dir: String): DataFrame =
     Stats.durbinWatson(tbl(spark, dir, "events"), "ts", "value")
+
+  /** Dirichlet query-likelihood retrieval, same query terms as bm25. */
+  def qldQ(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.queryLikelihood(tbl(spark, dir, "documents"), "doc_id",
+        "text", Seq("spark", "query", "stream"))
+      .orderBy("doc_id")
+
+  /** Onion-style cross-doc shingle overlap over the near-dup corpus. */
+  def onionQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.onionOverlap(docsWithNearDups(spark, dir), "doc_id", "text",
+        w = 3, minDf = 2)
+      .orderBy("id")
 }

@@ -148,4 +148,39 @@ class SgdNetGaussianSpec extends SparkSpec {
       SgdNet.fit(df, Seq("x1"), "y", SgdNetParams(maxit = 0))
     }
   }
+
+  test("relaxedFit: active-set OLS refit, empty-set fallback, gamma blend") {
+    val df = SparkSpec.regressionDF(spark)
+    // lambda 1e12 kills every coefficient; 0.05 keeps x1/x2 active
+    val rp = SgdNet.relaxedFit(df, Seq("x1", "x2", "x3"), "y",
+      SgdNetParams(lambda = Array(1e12, 0.05), thresh = 1e-11,
+        maxit = 100000), gamma = 0.25)
+    // empty active set → intercept-only refit at the mean
+    assert(rp.olsBeta(0).forall(_ == 0.0))
+    val yMean = df.agg(org.apache.spark.sql.functions.avg("y")).head().getDouble(0)
+    assert(math.abs(rp.olsA0(0) - yMean) < 1e-9)
+    // refit on the full active set == unpenalized least squares on it
+    val active = rp.model.beta(1)(0).zipWithIndex.filter(_._1 != 0.0).map(_._2)
+    assert(active.nonEmpty)
+    val cols = active.map(j => Seq("x1", "x2", "x3")(j)).toSeq
+    val ols = SgdNet.fit(df, cols, "y",
+      SgdNetParams(lambda = Array(0.0), thresh = 1e-11, maxit = 100000))
+    active.zipWithIndex.foreach { case (j, i) =>
+      assert(math.abs(rp.olsBeta(1)(j) - ols.beta(0)(0)(i)) < 1e-6,
+        s"refit beta_$j")
+    }
+    assert(math.abs(rp.olsA0(1) - ols.a0(0)(0)) < 1e-6)
+    // refit shrinks less than the lasso toward zero on the signal coefs
+    assert(math.abs(rp.olsBeta(1)(0)) > math.abs(rp.model.beta(1)(0)(0)))
+    // blend is the stated affine combination
+    val b = rp.blendedBeta(1)
+    for (j <- 0 until 3)
+      assert(math.abs(b(j) - (0.25 * rp.model.beta(1)(0)(j)
+        + 0.75 * rp.olsBeta(1)(j))) < 1e-12)
+    // gaussian-only contract
+    intercept[IllegalArgumentException] {
+      SgdNet.relaxedFit(df, Seq("x1"), "y",
+        SgdNetParams(family = "binomial"))
+    }
+  }
 }

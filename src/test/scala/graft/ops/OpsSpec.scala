@@ -1078,6 +1078,45 @@ class OpsSpec extends SparkSpec {
     assert(bm.count() == 0)
   }
 
+  test("queryLikelihood: hand-computed Dirichlet scores; zero-tf terms still contribute") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.queryLikelihood(docs, "doc_id", "text",
+      Seq("a", "c"), mu = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // |C| = 5, cf_a = 2, cf_c = 1 → priors 0.4 and 0.2
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = math.log((2 + 0.4) / 4.0) + math.log((0 + 0.2) / 4.0)
+    val d2 = math.log((0 + 0.4) / 3.0) + math.log((1 + 0.2) / 3.0)
+    assert(got(1L) == r6(d1) && got(2L) == r6(d2), got.toString)
+    assert(!got.contains(3L), "null text never scores")
+    // a longer doc with the same tf scores LOWER (length normalization)
+    val len = Seq((1L, "a x"), (2L, "a x x x x x")).toDF("doc_id", "text")
+    val ls = TextAnalysis.queryLikelihood(len, "doc_id", "text", Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ls(1L) > ls(2L))
+  }
+
+  test("onionOverlap: shared shingles mark assembled docs; singles stay clean") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w5"), (3L, "x y z q"))
+      .toDF("doc_id", "text")
+    val got = Dedup.onionOverlap(docs, "doc_id", "text", w = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // docs 1/2 share shingle "w1 w2 w3": 1 of 2 distinct shingles
+    assert(got(1L) == ((2L, 1L, 500000L, false)), got(1L).toString)
+    assert(got(2L) == ((2L, 1L, 500000L, false)))
+    assert(got(3L) == ((2L, 0L, 0L, true)))
+    // repeated shingles inside ONE doc are not cross-doc overlap
+    val self = Seq((1L, "p q r p q r p q"), (2L, "unrelated words here"))
+      .toDF("doc_id", "text")
+    val s = Dedup.onionOverlap(self, "doc_id", "text", w = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s(1L) == 0L, "distinct-per-doc shingles: no self-df inflation")
+  }
+
   test("BPE training learns hand-checkable merges; counts reflect them") {
     // words: "aa" x2, "ab" x1 -> pair (a,a) count 2 wins, then the only
     // remaining pair (a,b) count 1; then nothing mergeable -> stops early
