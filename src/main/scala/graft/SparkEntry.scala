@@ -315,7 +315,11 @@ object SparkEntry {
     "q_dw"               -> (OpsQueries.durbinWatsonQ _),
     "q_qld"              -> (OpsQueries.qldQ _),
     "q_onion"            -> (OpsQueries.onionQ _),
-    "q_relaxed_fit"      -> (MlQueries.relaxedLasso _)
+    "q_relaxed_fit"      -> (MlQueries.relaxedLasso _),
+    "q_dev_resid"        -> (MlQueries.devResid _),
+    "q_key_detect"       -> (OpsQueries.keyDetectQ _),
+    "q_null_pattern"     -> (OpsQueries.nullPatternQ _),
+    "q_ppr"              -> (OpsQueries.pprQ _)
   )
 
   private val fixedPathValues =
@@ -608,6 +612,15 @@ object SparkEntry {
         |SELECT 'a0' AS term, round(my - b * mx, 4) + 0 AS value FROM t
         |UNION ALL SELECT 'l_quantity', round(b, 4) + 0 FROM t
         |ORDER BY term""".stripMargin,
+
+    // gaussian deviance residual = y − ŷ of the closed-form OLS
+    "q_dev_resid" ->
+      """WITH m AS (SELECT regr_intercept(l_extendedprice, l_quantity) i,
+        |                  regr_slope(l_extendedprice, l_quantity) b FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice - (i + b * l_quantity), 2) + 0.0 AS dev_resid
+        |FROM lineitem, m WHERE l_orderkey <= 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // relaxed lasso: lambda 1e12 zeroes the coef (intercept-only
     // refit); lambda 1.0 is the q_gauss_lasso1 closed form with the

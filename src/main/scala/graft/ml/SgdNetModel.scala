@@ -100,6 +100,29 @@ final class SgdNetModel(
     case _ => linkColFor(a0v(response), betaV(response))
   }
 
+  /** Per-row DEVIANCE residuals (the glm residuals(fit, "deviance")
+    * analogue): gaussian y − μ; binomial sign(y − μ)·√(−2(y·ln μ +
+    * (1−y)·ln(1−μ))) for y ∈ {0,1}; poisson sign(y − μ)·√(2(y·ln(y/μ)
+    * − (y − μ))) with the y = 0 limit. Squared residuals sum to the
+    * model deviance (spec-verified), so the column supports
+    * distributed outlier audits without a collect. */
+  def devResidCol(yCol: Column, lambdaIdx: Int, response: Int = 0): Column =
+    family match {
+      case "gaussian" | "mgaussian" => yCol - linkCol(lambdaIdx, response)
+      case "binomial" =>
+        val mu = responseCol(lambdaIdx, response)
+        val y = yCol.cast("double")
+        val unit = when(y > 0.5, -log(mu)).otherwise(-log(lit(1.0) - mu))
+        signum(y - mu) * sqrt(lit(2.0) * unit)
+      case "poisson" =>
+        val mu = responseCol(lambdaIdx, response)
+        val y = yCol.cast("double")
+        val term = when(y > 0, y * log(y / mu)).otherwise(lit(0.0)) - (y - mu)
+        signum(y - mu) * sqrt(lit(2.0) * term)
+      case f => throw new IllegalArgumentException(
+        s"deviance residuals undefined for $f")
+    }
+
   /** predict(type="class") for binomial/multinomial as a Column. */
   def classCol(lambdaIdx: Int): Column = classColFor(a0(lambdaIdx), beta(lambdaIdx))
 

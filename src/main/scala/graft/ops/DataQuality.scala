@@ -201,4 +201,62 @@ object DataQuality {
     m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
       .orderBy("column")
   }
+
+  /** Candidate-key detection: for each proposed column set, how close
+    * it comes to uniquely identifying a row — the schema-inference
+    * audit run before declaring join keys or dedup identities. One
+    * grouped count per set (distinct = groups, dup rows = rows beyond
+    * each group's first); a set with any NULL component never
+    * qualifies (SQL key semantics). Returns (column_set, n_rows,
+    * n_distinct, n_dup_rows, unique_ppm, is_key). */
+  def keyCandidates(df: DataFrame, sets: Seq[Seq[String]]): DataFrame = {
+    require(sets.nonEmpty, "need at least one column set")
+    val spark = df.sparkSession
+    val n = df.count()
+    val rows = sets.map { cols =>
+      require(cols.nonEmpty, "empty column set")
+      val nonNull = cols.map(col(_).isNotNull).reduce(_ && _)
+      val grouped = df.filter(nonNull)
+        .groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(coalesce(count(lit(1)), lit(0L)),
+          coalesce(sum(col("c") - 1), lit(0L))).head()
+      val dist = grouped.getLong(0)
+      val dup = grouped.getLong(1)
+      val nn = dist + dup // non-null rows under this set
+      (cols.mkString(","), n, dist, n - dist,
+        if (n > 0) dist * 1000000L / n else 0L, nn == n && dup == 0L)
+    }
+    import spark.implicits._
+    rows.toDF("column_set", "n_rows", "n_distinct", "n_dup_rows",
+      "unique_ppm", "is_key")
+  }
+
+  /** Missingness co-occurrence: per column pair, how often NULLs land
+    * on the same rows — the signal separating "fields die together"
+    * (one broken upstream join) from independent sparsity. ONE
+    * aggregation pass computes all per-column and pairwise counts
+    * (column list is bounded); output is all-integral. Returns
+    * (col_a, col_b, n, null_a, null_b, null_both, both_ppm). */
+  def nullPattern(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val spark = df.sparkSession
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = count(lit(1)).as("__n") +:
+      (cols.map(c => sum(col(c).isNull.cast("long")).as(s"__null_$c")) ++
+        pairs.map { case (a, b) =>
+          sum((col(a).isNull && col(b).isNull).cast("long"))
+            .as(s"__both_${a}_$b")
+        })
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
+        col(s"__null_$a").as("null_a"), col(s"__null_$b").as("null_b"),
+        col(s"__both_${a}_$b").as("null_both"),
+        expr(s"__both_${a}_$b * 1000000 div __n").as("both_ppm"))
+    }
+    m.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy("col_a", "col_b")
+  }
 }

@@ -122,6 +122,75 @@ object Graph {
     pr.select(col("id"), col("pr").cast("long").as("pr_nano"))
   }
 
+  /** Personalized PageRank: the teleport mass returns ONLY to the seed
+    * set (uniformly), so ranks measure proximity to the seeds — the
+    * standard seed-expansion primitive (find docs "around" known-good
+    * or known-bad ones in the near-dup/link graph). Same fixed-round
+    * integral nano-unit recurrence as [[pageRank]] (bit-exact on
+    * either the driver fast path or the distributed loop): pr_0 =
+    * scale/|S| on seeds, 0 elsewhere; pr_{t+1} = [id ∈ S]·(1−d)·scale/|S|
+    * + d·Σ contrib. Returns (id, ppr_nano). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[Long], iters: Int = 5,
+                           dampNum: Long = 17L, dampDen: Long = 20L,
+                           scale: Long = 1000000000L,
+                           maxLocalEdges: Long = 1L << 20): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(seeds.nonEmpty, "personalizedPageRank needs a seed set")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      "damping must be a fraction in [0, 1]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val seedSet = seeds.toSet
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val s = seedSet.size.toLong
+    val init = scale / s
+    val teleport = ((dampDen - dampNum) * scale) / (dampDen * s)
+    if (e.count() <= maxLocalEdges) {
+      val es = e.as[(Long, Long)].collect()
+      val ids = nodes.as[Long].collect()
+      val idx = ids.zipWithIndex.toMap
+      val deg = new Array[Long](ids.length)
+      es.foreach { case (src, _) => deg(idx(src)) += 1L }
+      var pr = ids.map(id => if (seedSet(id)) init else 0L)
+      for (_ <- 1 to iters) {
+        val contrib = new Array[Long](ids.length)
+        es.foreach { case (src, d) =>
+          contrib(idx(d)) += pr(idx(src)) / deg(idx(src))
+        }
+        pr = ids.indices.toArray.map { i =>
+          (if (seedSet(ids(i))) teleport else 0L) +
+            dampNum * contrib(i) / dampDen
+        }
+      }
+      return spark.createDataset(ids.toSeq.zip(pr.toSeq)).toDF("id", "ppr_nano")
+    }
+    val ed = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint(true)
+    val isSeed = col("id").isin(seeds: _*)
+    var pr = nodes.select(col("id"),
+        when(isSeed, lit(init)).otherwise(lit(0L)).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(pr, ed("src") === pr("id"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(nodes("id"),
+          (when(isSeed, lit(teleport)).otherwise(lit(0L)) +
+            expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("id"), col("pr").cast("long").as("ppr_nano"))
+  }
+
   /** k-core decomposition membership: `rounds` synchronous peeling
     * iterations (drop every node with degree < k, recompute), returning
     * the surviving nodes with their final in-core degrees. With

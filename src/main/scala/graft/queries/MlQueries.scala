@@ -255,6 +255,19 @@ object MlQueries {
     Seq(m.nulldev).toDF("nulldev").withColumn("nulldev", round(col("nulldev"), 4))
   }
 
+  /** Per-row gaussian deviance residuals of the 1-feature OLS fit —
+    * the residuals(fit) surface; binomial/poisson forms are
+    * spec-verified against the model deviance. */
+  def devResid(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = Array(0.0), thresh = 1e-9))
+    li.filter(col("l_orderkey") <= 5)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(m.devResidCol(col("l_extendedprice"), 0), 2).as("dev_resid"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Relaxed lasso (glmnet relax=TRUE shape), 1 feature, explicit
     * 2-lambda path: lambda 1e12 zeroes the coefficient (empty active
     * set → intercept-only refit), lambda 1.0 reproduces the

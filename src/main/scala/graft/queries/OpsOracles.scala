@@ -603,6 +603,38 @@ object OpsOracles {
                |SELECT id AS doc_id, pr AS pr_nano FROM pp$iters ORDER BY doc_id""".stripMargin
       b.result()
     },
+    // personalized PageRank: same integral nano-unit recurrence as
+    // q_pagerank but teleport mass lands ONLY on the seed set {0, 1}
+    "q_ppr" -> {
+      val iters = 5
+      val b = new StringBuilder
+      b ++= s"""$nearDupClusterCte,
+               |pn AS MATERIALIZED (
+               |  SELECT id FROM (SELECT s AS id FROM e UNION SELECT d FROM e)),
+               |pdeg AS MATERIALIZED (SELECT s, count(*) AS deg FROM e GROUP BY s),
+               |ped AS MATERIALIZED (
+               |  SELECT e.s, e.d, pdeg.deg FROM e JOIN pdeg USING (s)),
+               |pp0 AS MATERIALIZED (
+               |  SELECT id, CASE WHEN id IN (0, 1)
+               |             THEN (1000000000 // 2)::BIGINT
+               |             ELSE 0::BIGINT END AS pr FROM pn)""".stripMargin
+      for (t <- 1 to iters)
+        b ++= s""",
+                 |pc$t AS MATERIALIZED (
+                 |  SELECT ped.d, sum(p.pr // ped.deg)::BIGINT AS s2
+                 |  FROM ped JOIN pp${t - 1} p ON ped.s = p.id GROUP BY ped.d),
+                 |pp$t AS MATERIALIZED (
+                 |  SELECT pn.id,
+                 |         (CASE WHEN pn.id IN (0, 1)
+                 |               THEN (3::BIGINT * 1000000000) // (20 * 2)
+                 |               ELSE 0 END
+                 |          + (17::BIGINT * coalesce(c.s2, 0)) // 20)::BIGINT AS pr
+                 |  FROM pn LEFT JOIN pc$t c ON pn.id = c.d)""".stripMargin
+      b ++= s"""
+               |SELECT id AS doc_id, pr AS ppr_nano FROM pp$iters ORDER BY doc_id""".stripMargin
+      b.result()
+    },
+
     // standard-semantics PageRank on the DIRECTED pair graph (id_a ->
     // id_b): sink nodes (no out-edges) pool their mass each iteration
     // and every node receives an equal integral share (sink div n)
@@ -5010,6 +5042,63 @@ object OpsOracles {
         |  (n_common * 1000000 // n_shingles)::BIGINT AS common_ppm,
         |  (n_common * 1000000 // n_shingles) < 500000 AS keep
         |FROM per ORDER BY id""".stripMargin.trim,
+
+    // candidate-key audit: per set, grouped distinct/dup counts; a set
+    // with NULLs or dups is not a key
+    "q_key_detect" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n FROM orders),
+        |s1 AS (SELECT count(*)::BIGINT AS dist,
+        |    coalesce(sum(c - 1), 0)::BIGINT AS dup FROM (
+        |  SELECT count(*)::BIGINT AS c FROM orders
+        |  WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)),
+        |s2 AS (SELECT count(*)::BIGINT AS dist,
+        |    coalesce(sum(c - 1), 0)::BIGINT AS dup FROM (
+        |  SELECT count(*)::BIGINT AS c FROM orders
+        |  WHERE o_custkey IS NOT NULL GROUP BY o_custkey)),
+        |s3 AS (SELECT count(*)::BIGINT AS dist,
+        |    coalesce(sum(c - 1), 0)::BIGINT AS dup FROM (
+        |  SELECT count(*)::BIGINT AS c FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |  GROUP BY o_custkey, o_orderdate))
+        |SELECT 'o_orderkey' AS column_set, n.n AS n_rows, dist AS n_distinct,
+        |  n.n - dist AS n_dup_rows, (dist * 1000000 // n.n)::BIGINT AS unique_ppm,
+        |  (dist + dup = n.n AND dup = 0) AS is_key FROM n, s1
+        |UNION ALL
+        |SELECT 'o_custkey', n.n, dist, n.n - dist,
+        |  (dist * 1000000 // n.n)::BIGINT,
+        |  (dist + dup = n.n AND dup = 0) FROM n, s2
+        |UNION ALL
+        |SELECT 'o_custkey,o_orderdate', n.n, dist, n.n - dist,
+        |  (dist * 1000000 // n.n)::BIGINT,
+        |  (dist + dup = n.n AND dup = 0) FROM n, s3
+        |ORDER BY column_set""".stripMargin.trim,
+
+    // missingness co-occurrence over planted correlated nulls — one
+    // aggregation, all-integral
+    "q_null_pattern" ->
+      """WITH e AS (SELECT
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE props END AS p,
+        |    CASE WHEN event_id % 35 = 0 THEN NULL ELSE event_type END AS t
+        |  FROM events),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS nv,
+        |    sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END)::BIGINT AS np,
+        |    sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END)::BIGINT AS nt,
+        |    sum(CASE WHEN v IS NULL AND p IS NULL THEN 1 ELSE 0 END)::BIGINT AS nvp,
+        |    sum(CASE WHEN v IS NULL AND t IS NULL THEN 1 ELSE 0 END)::BIGINT AS nvt,
+        |    sum(CASE WHEN p IS NULL AND t IS NULL THEN 1 ELSE 0 END)::BIGINT AS npt
+        |  FROM e)
+        |SELECT 'value' AS col_a, 'props' AS col_b, n, nv AS null_a,
+        |  np AS null_b, nvp AS null_both,
+        |  (nvp * 1000000 // n)::BIGINT AS both_ppm FROM m
+        |UNION ALL
+        |SELECT 'value', 'event_type', n, nv, nt, nvt,
+        |  (nvt * 1000000 // n)::BIGINT FROM m
+        |UNION ALL
+        |SELECT 'props', 'event_type', n, np, nt, npt,
+        |  (npt * 1000000 // n)::BIGINT FROM m
+        |ORDER BY col_a, col_b""".stripMargin.trim,
 
     // Durbin–Watson on the mean-centered daily series: e' = N·y − S is
     // HUGEINT-exact, DW = Σ(Δe')²/Σe'² with one double division

@@ -2252,4 +2252,38 @@ object OpsQueries {
     Dedup.onionOverlap(docsWithNearDups(spark, dir), "doc_id", "text",
         w = 3, minDf = 2)
       .orderBy("id")
+
+  /** Candidate-key audit over orders: the real key, a foreign key, and
+    * a plausible-but-false composite. */
+  def keyDetectQ(spark: SparkSession, dir: String): DataFrame =
+    DataQuality.keyCandidates(tbl(spark, dir, "orders"),
+        Seq(Seq("o_orderkey"), Seq("o_custkey"),
+          Seq("o_custkey", "o_orderdate")))
+      .orderBy("column_set")
+
+  /** Missingness co-occurrence over events with planted correlated
+    * nulls (value on id%7, props on id%5, event_type on id%35 — so
+    * type-nulls co-occur with BOTH others by construction). */
+  def nullPatternQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events").select(
+      when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))
+        .as("value"),
+      when(col("event_id") % 5 === 0, lit(null)).otherwise(col("props"))
+        .as("props"),
+      when(col("event_id") % 35 === 0, lit(null)).otherwise(col("event_type"))
+        .as("event_type"))
+    DataQuality.nullPattern(ev, Seq("value", "props", "event_type"))
+  }
+
+  /** Personalized PageRank around docs {0, 1} on the near-dup graph. */
+  def pprQ(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id",
+      "text", bands = 4, rowsPerBand = 3, threshold = 0.6)
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    Graph.personalizedPageRank(sym, "src", "dst", seeds = Seq(0L, 1L),
+        iters = 5)
+      .select(col("id").as("doc_id"), col("ppr_nano"))
+      .orderBy("doc_id")
+  }
 }

@@ -227,4 +227,43 @@ class PredictSpec extends SparkSpec {
       assert(math.abs(ms.devRatio(0) - md.devRatio(0)) < 1e-8)
     }
   }
+
+  test("devResidCol: gaussian = y − ŷ; binomial squares sum to the deviance") {
+    import org.apache.spark.sql.functions._
+    val df = SparkSpec.regressionDF(spark)
+    val m = SgdNet.fit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(lambda = Array(0.0), thresh = 1e-10))
+    val gap = df.select((col("y") - m.linkCol(0) -
+        m.devResidCol(col("y"), 0)).as("g"))
+      .selectExpr("max(abs(g))").head.getDouble(0)
+    assert(gap == 0.0, "gaussian deviance residual is the raw residual")
+    val db = SparkSpec.binaryDF(spark)
+    val mb = SgdNet.fit(db, Seq("x1", "x2"), "y",
+      SgdNetParams(family = "binomial", lambda = Array(0.02), thresh = 1e-7))
+    val ssr = db.select(mb.devResidCol(col("y"), 0).as("r"))
+      .selectExpr("sum(r * r)").head.getDouble(0)
+    val manual = db.select((lit(-2.0) * (col("y") * log(mb.responseCol(0))
+        + (lit(1.0) - col("y")) * log(lit(1.0) - mb.responseCol(0)))).as("d"))
+      .selectExpr("sum(d)").head.getDouble(0)
+    assert(math.abs(ssr - manual) < 1e-6, s"$ssr vs $manual")
+    // signs follow y − μ
+    val signs = db.select(signum(col("y") - mb.responseCol(0)).as("s"),
+        signum(mb.devResidCol(col("y"), 0)).as("r"))
+      .selectExpr("max(abs(s - r))").head.getDouble(0)
+    assert(signs == 0.0)
+    // poisson: y = 0 rows stay finite
+    val dp = Seq((0.0, 0.0), (1.0, 2.0), (2.0, 5.0), (3.0, 9.0), (0.5, 1.0))
+      .toDF("x1", "y")
+    val mp = SgdNet.fit(dp, Seq("x1"), "y",
+      SgdNetParams(family = "poisson", lambda = Array(0.0), thresh = 1e-9))
+    val rs = dp.select(mp.devResidCol(col("y"), 0).as("r"))
+      .collect().map(_.getDouble(0))
+    assert(rs.forall(v => !v.isNaN && !v.isInfinite), rs.mkString(","))
+    intercept[IllegalArgumentException] {
+      val mm = SgdNet.fit(db.withColumn("c", (col("y") * 2).cast("int")),
+        Seq("x1"), "c", SgdNetParams(family = "multinomial",
+          lambda = Array(0.05), maxit = 10))
+      mm.devResidCol(col("c"), 0)
+    }
+  }
 }

@@ -78,4 +78,40 @@ class GovernanceOpsSpec extends SparkSpec {
     assert(cells((4, 10)).getAs[Long]("share_ppm") === 2000000L / 3)
     assert(cells((0, 23)).getAs[Long]("n") === 1)
   }
+
+  test("keyCandidates: real key, dup column, null-component disqualification") {
+    val df = Seq(
+      (1L, Some("a"), "x"), (2L, Some("a"), "y"),
+      (3L, None: Option[String], "z"), (4L, Some("b"), "z"))
+      .toDF("id", "grp", "tag")
+    val got = DataQuality.keyCandidates(df,
+        Seq(Seq("id"), Seq("grp"), Seq("tag"), Seq("grp", "tag")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(got("id") == ((4L, 4L, 0L, 1000000L, true)))
+    // grp: one NULL row excluded, 'a' duplicated → never a key
+    assert(got("grp") == ((4L, 2L, 2L, 500000L, false)))
+    // tag: no nulls but 'z' duplicated
+    assert(got("tag") == ((4L, 3L, 1L, 750000L, false)))
+    // (grp, tag): all distinct among non-null rows, but the NULL row
+    // disqualifies the set
+    assert(got("grp,tag") == ((4L, 3L, 1L, 750000L, false)))
+  }
+
+  test("nullPattern: correlated missingness counted in one pass") {
+    val df = Seq(
+      (Some(1.0), Some("p"), Some("t")),
+      (None: Option[Double], None: Option[String], Some("t")),
+      (None: Option[Double], Some("p"), None: Option[String]),
+      (Some(2.0), None: Option[String], None: Option[String]))
+      .toDF("v", "p", "t")
+    val got = DataQuality.nullPattern(df, Seq("v", "p", "t"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got(("v", "p")) == ((4L, 2L, 2L, 1L, 250000L)))
+    assert(got(("v", "t")) == ((4L, 2L, 2L, 1L, 250000L)))
+    assert(got(("p", "t")) == ((4L, 2L, 2L, 1L, 250000L)))
+  }
 }

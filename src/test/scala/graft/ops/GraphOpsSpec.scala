@@ -105,4 +105,30 @@ class GraphOpsSpec extends SparkSpec {
     // N counts only kept baskets: lift = 2*2/(2*2) = 1
     assert(ab.getAs[Long]("lift_ppm") === 1000000L)
   }
+
+  test("personalizedPageRank: mass decays with distance from the seed") {
+    // symmetric path 1-2-3-4-5, seed {1}: rank strictly decreases away
+    // from the seed
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val pr = Graph.personalizedPageRank(e, "src", "dst", seeds = Seq(1L),
+      iters = 8).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(1L) > pr(2L) && pr(2L) > pr(3L) && pr(3L) > pr(4L),
+      pr.toString)
+    // a non-seed far node gets no teleport mass, only propagated mass
+    assert(pr(5L) > 0L && pr(5L) < pr(1L) / 4)
+  }
+
+  test("personalizedPageRank: driver fast path == distributed loop, bit-exact") {
+    val rnd = new scala.util.Random(5)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val e = edges.toDF("src", "dst")
+    val seeds = Seq(3L, 7L)
+    def run(cap: Long) =
+      Graph.personalizedPageRank(e, "src", "dst", seeds, iters = 5,
+          maxLocalEdges = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(run(1L << 20) == run(0L), "local and distributed paths differ")
+  }
 }
