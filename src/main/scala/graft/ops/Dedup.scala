@@ -1711,9 +1711,12 @@ object Dedup {
                    w: Int = 3, minDf: Int = 2,
                    keepBelowPpm: Long = 500000L): DataFrame = {
     require(w >= 1 && minDf >= 2, "need w >= 1 and minDf >= 2")
-    val sh = df.filter(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("id"),
-        explode(array_distinct(shingles(col(textCol), w))).as("g"))
+    // typed shingle kernel, not array HOFs (the §6 round-2 lesson:
+    // interpreted HOFs cost ~2.5 ms/doc and dominated this query 20:1)
+    val sh = shingleSets(df.filter(col(textCol).isNotNull),
+        idCol, textCol, w)
+      .toDF("id", "sh")
+      .select(col("id"), explode(col("sh")).as("g"))
     val dfreq = sh.groupBy("g").agg(count(lit(1)).as("df"))
     sh.join(dfreq, "g")
       .groupBy("id")

@@ -629,11 +629,14 @@ object Stats {
     import spark.implicits._
     val unit = math.pow(10, scaleDigits)
     val ic = round(col(valueCol).cast("double") * lit(unit)).cast("long")
+    // project the date away before collect: only the longs cross the
+    // driver boundary (and DateType decoding differs across session
+    // datetime configs — the Bench session tripped on it)
     val days = events.filter(col(valueCol).isNotNull)
       .groupBy(to_date(col(tsCol)).as("d"))
       .agg(sum(ic).as("y"))
-      .orderBy("d")
-      .collect().map(r => BigInt(r.getLong(1)))
+      .orderBy("d").select("y")
+      .collect().map(r => BigInt(r.getLong(0)))
     val n = days.length
     require(n >= 3, "durbinWatson needs at least 3 days")
     val s = days.sum
