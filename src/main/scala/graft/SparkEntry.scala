@@ -317,6 +317,7 @@ object SparkEntry {
     "q_onion"            -> (OpsQueries.onionQ _),
     "q_relaxed_fit"      -> (MlQueries.relaxedLasso _),
     "q_dev_resid"        -> (MlQueries.devResid _),
+    "q_penalty_factor"   -> (MlQueries.penaltyFactorRidge _),
     "q_key_detect"       -> (OpsQueries.keyDetectQ _),
     "q_null_pattern"     -> (OpsQueries.nullPatternQ _),
     "q_ppr"              -> (OpsQueries.pprQ _)
@@ -663,6 +664,41 @@ object SparkEntry {
         |    + c13*(c12*d3 - d2*c13)) / det AS b2,
         |  (c11*(c22*d3 - d2*c23) - c12*(c12*d3 - d2*c13)
         |    + d1*(c12*c23 - c22*c13)) / det AS b3
+        |FROM t)
+        |SELECT 'a0' AS term, round(my - b1*m1 - b2*m2 - b3*m3, 4) + 0 AS value FROM u
+        |UNION ALL SELECT 'l_discount', round(b2, 4) + 0 FROM u
+        |UNION ALL SELECT 'l_quantity', round(b1, 4) + 0 FROM u
+        |UNION ALL SELECT 'l_tax', round(b3, 4) + 0 FROM u
+        |ORDER BY term""".stripMargin,
+
+    // penalty.factor [0,1,2] at lambda 0.5: ridge-3 Cramer solve with
+    // per-feature diagonal 1 + 0.5·pf_j
+    "q_penalty_factor" ->
+      """WITH s AS (SELECT
+        |  sqrt(var_pop(l_quantity)) s1, sqrt(var_pop(l_discount)) s2,
+        |  sqrt(var_pop(l_tax)) s3,
+        |  covar_pop(l_quantity, l_discount) c12, covar_pop(l_quantity, l_tax) c13,
+        |  covar_pop(l_discount, l_tax) c23,
+        |  covar_pop(l_quantity, l_extendedprice) e1,
+        |  covar_pop(l_discount, l_extendedprice) e2,
+        |  covar_pop(l_tax, l_extendedprice) e3,
+        |  avg(l_quantity) m1, avg(l_discount) m2, avg(l_tax) m3,
+        |  avg(l_extendedprice) my
+        |FROM lineitem),
+        |g AS (SELECT m1, m2, m3, my, s1, s2, s3,
+        |  1 + 0.5 * 0 AS a11, c12/(s1*s2) AS a12, c13/(s1*s3) AS a13,
+        |  1 + 0.5 * 1 AS a22, c23/(s2*s3) AS a23, 1 + 0.5 * 2 AS a33,
+        |  e1/s1 AS d1, e2/s2 AS d2, e3/s3 AS d3 FROM s),
+        |t AS (SELECT *,
+        |  a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+        |    + a13*(a12*a23 - a22*a13) AS det FROM g),
+        |u AS (SELECT m1, m2, m3, my,
+        |  (d1*(a22*a33 - a23*a23) - a12*(d2*a33 - a23*d3)
+        |    + a13*(d2*a23 - a22*d3)) / det / s1 AS b1,
+        |  (a11*(d2*a33 - d3*a23) - d1*(a12*a33 - a23*a13)
+        |    + a13*(a12*d3 - d2*a13)) / det / s2 AS b2,
+        |  (a11*(a22*d3 - d2*a23) - a12*(a12*d3 - d2*a13)
+        |    + d1*(a12*a23 - a22*a13)) / det / s3 AS b3
         |FROM t)
         |SELECT 'a0' AS term, round(my - b1*m1 - b2*m2 - b3*m3, 4) + 0 AS value FROM u
         |UNION ALL SELECT 'l_discount', round(b2, 4) + 0 FROM u

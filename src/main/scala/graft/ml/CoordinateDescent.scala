@@ -37,12 +37,19 @@ object CoordinateDescent {
       // multiplier on the L2 term only — 1.0 for the documented
       // objective; 1/sd_pop(y) reproduces the reference solver's
       // implemented penalty construction (SgdNetParams.sgdnetCompat)
-      l2Scale: Double = 1.0): Result = {
+      l2Scale: Double = 1.0,
+      // glmnet penalty.factor: per-coordinate multiplier on BOTH
+      // penalty terms (0 = unpenalized, used as given, no rescaling);
+      // null = all ones
+      penaltyFactor: Array[Double] = null): Result = {
 
     val p = c.length
     val beta = init.clone()
     val l1 = lambda * alpha
     val l2 = lambda * (1.0 - alpha) * l2Scale
+    require(penaltyFactor == null ||
+      (penaltyFactor.length == p && penaltyFactor.forall(_ >= 0)),
+      "penaltyFactor must have one non-negative entry per feature")
     var a0 = 0.0
 
     // residual moment r_j = (1/n) <x_j, w*(z - a0 - X beta)>
@@ -72,9 +79,10 @@ object CoordinateDescent {
       while (j < p) {
         val old = beta(j)
         val ajj = a(j)(j)
-        if (ajj > 0 || l2 > 0) {
+        val pf = if (penaltyFactor == null) 1.0 else penaltyFactor(j)
+        if (ajj > 0 || l2 * pf > 0) {
           val rho = c(j) - a0 * xw(j) - (ab(j) - ajj * old)
-          val nb = softThreshold(rho, l1) / (ajj + l2)
+          val nb = softThreshold(rho, l1 * pf) / (ajj + l2 * pf)
           if (nb != old) {
             val d = nb - old
             beta(j) = nb

@@ -311,7 +311,7 @@ object CvSgdNet {
         val r = CoordinateDescent.solve(st.gram, st.b(0), new Array[Double](p),
           0.0, 1.0, lambdas(l), params.alpha, intercept = false, warm,
           thresh = params.thresh * 1e-4, maxIter = params.maxit,
-          l2Scale = l2Scale)
+          l2Scale = l2Scale, penaltyFactor = params.penaltyFactor)
         warm = r.beta
         // back-transform to original scale
         val bOrig = Array.tabulate(p)(j => r.beta(j) / scale(j))
@@ -523,7 +523,7 @@ object CvSgdNet {
           val minRatio = if (params.lambdaMinRatio.isNaN)
             LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
           LambdaPath.build(trainStats(nfolds).b, params.alpha, params.nlambda,
-            minRatio)
+            minRatio, params.penaltyFactor)
         }
       val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
       val means = trainStats.map(st => if (params.intercept) st.xMean else new Array[Double](p))
@@ -571,7 +571,8 @@ object CvSgdNet {
               g.swx.map(_ * ninv), g.swz * ninv, g.sw * ninv,
               lambdas(l), params.alpha, params.intercept, beta(f),
               thresh = math.max(params.thresh * 1e-4, 1e-10),
-              maxIter = params.maxit)
+              maxIter = params.maxit,
+              penaltyFactor = params.penaltyFactor)
             var maxD = math.abs(r.a0 - a0(f))
             var j = 0
             while (j < p) {
@@ -624,7 +625,8 @@ object CvSgdNet {
               g.swx.map(_ * ninv), g.swz * ninv, g.sw * ninv,
               lambdas(l), params.alpha, params.intercept, beta(f),
               thresh = math.max(params.thresh * 1e-4, 1e-10),
-              maxIter = params.maxit)
+              maxIter = params.maxit,
+              penaltyFactor = params.penaltyFactor)
             var maxD = math.abs(r.a0 - a0(f))
             var j = 0
             while (j < p) {
@@ -815,7 +817,7 @@ object CvSgdNet {
           val minRatio = if (params.lambdaMinRatio.isNaN)
             LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
           LambdaPath.build(trainStats(nfolds).b, params.alpha, params.nlambda,
-            minRatio)
+            minRatio, params.penaltyFactor)
         }
       val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
       val means = trainStats.map(st => if (params.intercept) st.xMean else new Array[Double](p))
@@ -847,7 +849,8 @@ object CvSgdNet {
               g.swx.map(_ * ninv), g.swz * ninv, g.sw * ninv,
               lambdas(l), params.alpha, params.intercept, beta(f),
               thresh = math.max(params.thresh * 1e-4, 1e-10),
-              maxIter = params.maxit)
+              maxIter = params.maxit,
+              penaltyFactor = params.penaltyFactor)
             var maxD = math.abs(r.a0 - a0(f))
             var j = 0
             while (j < p) {
@@ -900,7 +903,8 @@ object CvSgdNet {
               g.swx.map(_ * ninv), g.swz * ninv, g.sw * ninv,
               lambdas(l), params.alpha, params.intercept, beta(f),
               thresh = math.max(params.thresh * 1e-4, 1e-10),
-              maxIter = params.maxit)
+              maxIter = params.maxit,
+              penaltyFactor = params.penaltyFactor)
             var maxD = math.abs(r.a0 - a0(f))
             var j = 0
             while (j < p) {
@@ -1053,7 +1057,8 @@ object CvSgdNet {
             LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
           val bArg = if (grouped) trainStats(nfolds).b
             else Array(trainStats(nfolds).b.flatten)
-          LambdaPath.build(bArg, params.alpha, params.nlambda, minRatio)
+          LambdaPath.build(bArg, params.alpha, params.nlambda, minRatio,
+            params.penaltyFactor)
         }
       val means = trainStats.map(st =>
         if (params.intercept) st.xMean else new Array[Double](p))

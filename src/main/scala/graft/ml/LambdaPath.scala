@@ -37,9 +37,34 @@ object LambdaPath {
   }
 
   def build(b: Array[Array[Double]], alpha: Double, nlambda: Int,
-            minRatio: Double): Array[Double] = {
-    val lmax = lambdaMax(b, alpha)
+            minRatio: Double,
+            penaltyFactor: Array[Double] = null): Array[Double] = {
+    val lmax = lambdaMax(b, alpha, penaltyFactor)
     if (lmax <= 0.0) Array.fill(nlambda)(0.0)
     else logSpace(lmax, lmax * minRatio, nlambda)
+  }
+
+  /** lambda_max under glmnet penalty.factor semantics: the smallest
+    * lambda with every PENALIZED coordinate zero is
+    * max over pf_j > 0 of |b_j| / pf_j (unpenalized coordinates never
+    * constrain the path). */
+  def lambdaMax(b: Array[Array[Double]], alpha: Double,
+                penaltyFactor: Array[Double]): Double = {
+    if (penaltyFactor == null) return lambdaMax(b, alpha)
+    val k = b.length
+    val p = if (k == 0) 0 else b(0).length
+    var mx = 0.0
+    var j = 0
+    while (j < p) {
+      if (penaltyFactor(j) > 0) {
+        var s = 0.0
+        var t = 0
+        while (t < k) { s += b(t)(j) * b(t)(j); t += 1 }
+        val nrm = math.sqrt(s) / penaltyFactor(j)
+        if (nrm > mx) mx = nrm
+      }
+      j += 1
+    }
+    mx / math.max(alpha, 1e-3)
   }
 }

@@ -35,7 +35,15 @@ final case class SgdNetParams(
     // multinomial / poisson / mgaussian all have y_scale = 1 in the
     // reference (families.h Preprocess is a no-op there), so the flag
     // is a correct no-op for them.
-    sgdnetCompat: Boolean = false)
+    sgdnetCompat: Boolean = false,
+    // glmnet penalty.factor: per-feature multiplier on BOTH penalty
+    // terms (0 = that feature is never penalized; used as given, no
+    // rescaling — document your own normalization if you want
+    // glmnet's sum-to-p convention). Applies on the standardized
+    // working coordinates, matching glmnet. Supported for gaussian
+    // (single response), binomial, and poisson; multinomial/mgaussian
+    // group solvers reject it.
+    penaltyFactor: Array[Double] = null)
 
 /** Spark-native elastic-net GLM path fitting with the capability surface
   * of `sgdnet` (gaussian, binomial, multinomial, mgaussian families).
@@ -173,7 +181,8 @@ object SgdNet {
       val minRatio = if (params.lambdaMinRatio.isNaN)
         LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
       val lambdas = if (params.lambda != null) params.lambda
-        else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio)
+        else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio,
+          params.penaltyFactor)
 
       val mean = if (params.intercept) st.xMean else new Array[Double](p)
       val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
@@ -258,7 +267,8 @@ object SgdNet {
           val r = CoordinateDescent.solve(aM, swxzStd.map(_ * ninv),
             swxStd.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
             lambdas(l), params.alpha, params.intercept, beta,
-            thresh = newtonTol, maxIter = params.maxit)
+            thresh = newtonTol, maxIter = params.maxit,
+            penaltyFactor = params.penaltyFactor)
           var maxD = math.abs(r.a0 - a0)
           j = 0
           while (j < p) {
@@ -398,10 +408,35 @@ object SgdNet {
       yMean = Array.tabulate(k)(t => raw.yMean(t) / yScale(t)),
       yVar = Array.tabulate(k)(t => raw.yVar(t) / (yScale(t) * yScale(t))))
 
+    require(params.penaltyFactor == null ||
+      (params.penaltyFactor.length == p && params.penaltyFactor.forall(_ >= 0)),
+      "penaltyFactor must have one non-negative entry per feature")
+    require(params.penaltyFactor == null || k == 1,
+      "penaltyFactor is not supported by the mgaussian group solver")
     val minRatio = if (params.lambdaMinRatio.isNaN)
       LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
+    // lambda_max under penalty factors with UNPENALIZED coordinates
+    // (pf = 0): glmnet semantics — those coordinates are fit exactly
+    // first, and the path starts where every PENALIZED gradient of the
+    // residual problem is dominated: max |c_j − A_jU·β_U| / pf_j. The
+    // null-model bound would leave penalized coefficients live at the
+    // first path point.
+    val pathB: Array[Array[Double]] = {
+      val pf = params.penaltyFactor
+      if (params.lambda != null || pf == null || !pf.contains(0.0)) st.b
+      else {
+        val unpen = (0 until p).filter(j => pf(j) == 0.0)
+        val aU = Array.tabulate(unpen.size, unpen.size)((i2, j2) =>
+          st.gram(unpen(i2))(unpen(j2)))
+        val sol = LinAlg.solve(aU, unpen.map(j => st.b(0)(j)).toArray)
+        Array(Array.tabulate(p)(j => st.b(0)(j) -
+          unpen.zipWithIndex.map { case (u, i2) =>
+            st.gram(j)(u) * sol(i2) }.sum))
+      }
+    }
     val lambdas = if (params.lambda != null) params.lambda
-      else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio)
+      else LambdaPath.build(pathB, params.alpha, params.nlambda, minRatio,
+        params.penaltyFactor)
 
     val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
     // null deviance: intercept-model RSS (or zero-model if no intercept).
@@ -429,7 +464,7 @@ object SgdNet {
             new Array[Double](p), 0.0, 1.0, lam, params.alpha,
             intercept = false, init = warm(0),
             thresh = params.thresh * 1e-4, maxIter = params.maxit,
-            l2Scale = l2Scale)
+            l2Scale = l2Scale, penaltyFactor = params.penaltyFactor)
           (Array(r.beta), r.iters)
         } else {
           CoordinateDescent.solveGroup(st.gram, st.b, lam, params.alpha,
@@ -525,6 +560,10 @@ object SgdNet {
   private def fitBinomial(df: DataFrame, featureCols: Seq[String],
                           labelCol: String, params: SgdNetParams): SgdNetModel = {
     import org.apache.spark.sql.functions.col
+    require(params.penaltyFactor == null ||
+      (params.penaltyFactor.length == featureCols.size &&
+        params.penaltyFactor.forall(_ >= 0)),
+      "penaltyFactor must have one non-negative entry per feature")
     val p = featureCols.size
     val classes = df.select(col(labelCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
@@ -561,7 +600,8 @@ object SgdNet {
     val minRatio = if (params.lambdaMinRatio.isNaN)
       LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
     val lambdas = if (params.lambda != null) params.lambda
-      else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio)
+      else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio,
+        params.penaltyFactor)
 
     val mean = if (params.intercept) st.xMean else new Array[Double](p)
     val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
@@ -591,7 +631,8 @@ object SgdNet {
         val xw = wg.swx.map(_ * ninv)
         val r = CoordinateDescent.solve(a, c, xw, wg.swz * ninv, wg.sw * ninv,
           lam, params.alpha, params.intercept, beta,
-          thresh = newtonTol, maxIter = params.maxit)
+          thresh = newtonTol, maxIter = params.maxit,
+          penaltyFactor = params.penaltyFactor)
         var maxD = math.abs(r.a0 - a0)
         var j = 0
         while (j < p) {
@@ -650,7 +691,8 @@ object SgdNet {
       val minRatio = if (params.lambdaMinRatio.isNaN)
         LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
       val lambdas = if (params.lambda != null) params.lambda
-        else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio)
+        else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio,
+          params.penaltyFactor)
 
       val mean = if (params.intercept) st.xMean else new Array[Double](p)
       val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
@@ -677,7 +719,8 @@ object SgdNet {
           val r = CoordinateDescent.solve(a, wg.swxz.map(_ * ninv),
             wg.swx.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
             lambdas(l), params.alpha, params.intercept, beta,
-            thresh = newtonTol, maxIter = params.maxit)
+            thresh = newtonTol, maxIter = params.maxit,
+            penaltyFactor = params.penaltyFactor)
           var maxD = math.abs(r.a0 - a0)
           var j = 0
           while (j < p) {
@@ -865,6 +908,8 @@ object SgdNet {
   private def fitMultinomial(df: DataFrame, featureCols: Seq[String],
                              labelCol: String, params: SgdNetParams): SgdNetModel = {
     import org.apache.spark.sql.functions.col
+    require(params.penaltyFactor == null,
+      "penaltyFactor is not supported by the multinomial solvers")
     val p = featureCols.size
     val classes = df.select(col(labelCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted

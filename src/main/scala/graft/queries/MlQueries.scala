@@ -79,6 +79,18 @@ object MlQueries {
     coefFrame(spark, m, 0)
   }
 
+  /** Ridge with glmnet penalty.factor [0, 1, 2]: quantity unpenalized,
+    * tax shrunk twice as hard as discount — closed-form oracle is the
+    * ridge-3 Cramer solve with the per-feature diagonal. */
+  def penaltyFactorRidge(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity", "l_discount", "l_tax"),
+      "l_extendedprice",
+      SgdNetParams(alpha = 0.0, lambda = Array(0.5), thresh = 1e-11,
+        maxit = 100000, penaltyFactor = Array(0.0, 1.0, 2.0)))
+    coefFrame(spark, m, 0)
+  }
+
   /** No-intercept, no-standardize OLS (beta = sum(xy)/sum(xx)). */
   def gaussNoInt(spark: SparkSession, dir: String): DataFrame = {
     val li = tbl(spark, dir, "lineitem")

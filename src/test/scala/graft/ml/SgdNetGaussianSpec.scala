@@ -149,6 +149,45 @@ class SgdNetGaussianSpec extends SparkSpec {
     }
   }
 
+  test("penaltyFactor: all-ones is the default fit; 0 leaves a feature unpenalized") {
+    val df = SparkSpec.regressionDF(spark)
+    val base = SgdNet.fit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(lambda = Array(0.3), thresh = 1e-11, maxit = 100000))
+    val ones = SgdNet.fit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(lambda = Array(0.3), thresh = 1e-11, maxit = 100000,
+        penaltyFactor = Array(1.0, 1.0)))
+    for (j <- 0 until 2)
+      assert(math.abs(base.beta(0)(0)(j) - ones.beta(0)(0)(j)) < 1e-9)
+    // pf = [0, 1] at enormous lambda: x2 dies, x1 refits as the
+    // 1-feature OLS (its coordinate never sees the penalty)
+    val pf = SgdNet.fit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(lambda = Array(1e9), thresh = 1e-11, maxit = 100000,
+        penaltyFactor = Array(0.0, 1.0)))
+    assert(pf.beta(0)(0)(1) == 0.0, "penalized coef must vanish")
+    val ols1 = SgdNet.fit(df, Seq("x1"), "y",
+      SgdNetParams(lambda = Array(0.0), thresh = 1e-11, maxit = 100000))
+    assert(math.abs(pf.beta(0)(0)(0) - ols1.beta(0)(0)(0)) < 1e-7,
+      s"${pf.beta(0)(0)(0)} vs ${ols1.beta(0)(0)(0)}")
+    // automatic path: lambda_max comes from PENALIZED coords only
+    val path = SgdNet.fit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(nlambda = 3, penaltyFactor = Array(0.0, 1.0)))
+    assert(path.beta(0)(0)(0) != 0.0, "unpenalized coef live at lambda_max")
+    assert(math.abs(path.beta(0)(0)(1)) < 1e-6,
+      s"penalized coef zero at lambda_max: ${path.beta(0)(0)(1)}")
+    // binomial route: a huge factor on x2 kills exactly that coef
+    val db = SparkSpec.binaryDF(spark)
+    val mb = SgdNet.fit(db, Seq("x1", "x2"), "y",
+      SgdNetParams(family = "binomial", lambda = Array(0.02),
+        penaltyFactor = Array(1.0, 1e6), thresh = 1e-7))
+    assert(mb.beta(0)(0)(1) == 0.0 && mb.beta(0)(0)(0) != 0.0)
+    // group solvers reject it
+    intercept[IllegalArgumentException] {
+      SgdNet.fitMulti(df, Seq("x1"), Seq("y", "x3"),
+        SgdNetParams(family = "mgaussian", lambda = Array(0.1),
+          penaltyFactor = Array(1.0)))
+    }
+  }
+
   test("relaxedFit: active-set OLS refit, empty-set fallback, gamma blend") {
     val df = SparkSpec.regressionDF(spark)
     // lambda 1e12 kills every coefficient; 0.05 keeps x1/x2 active
