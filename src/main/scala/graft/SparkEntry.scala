@@ -318,6 +318,7 @@ object SparkEntry {
     "q_relaxed_fit"      -> (MlQueries.relaxedLasso _),
     "q_dev_resid"        -> (MlQueries.devResid _),
     "q_penalty_factor"   -> (MlQueries.penaltyFactorRidge _),
+    "q_weighted_fit"     -> (MlQueries.weightedRidge _),
     "q_key_detect"       -> (OpsQueries.keyDetectQ _),
     "q_null_pattern"     -> (OpsQueries.nullPatternQ _),
     "q_ppr"              -> (OpsQueries.pprQ _)
@@ -669,6 +670,23 @@ object SparkEntry {
         |UNION ALL SELECT 'l_discount', round(b2, 4) + 0 FROM u
         |UNION ALL SELECT 'l_quantity', round(b1, 4) + 0 FROM u
         |UNION ALL SELECT 'l_tax', round(b3, 4) + 0 FROM u
+        |ORDER BY term""".stripMargin,
+
+    // observation-weighted ridge: all moments weighted by l_linenumber
+    // (weights normalized to sum to n cancel in every moment ratio)
+    "q_weighted_fit" ->
+      """WITH s AS (SELECT sum(l_linenumber)::DOUBLE AS w,
+        |  sum(l_linenumber * l_quantity) AS swx,
+        |  sum(l_linenumber * l_extendedprice) AS swy,
+        |  sum(l_linenumber * l_quantity * l_quantity) AS swxx,
+        |  sum(l_linenumber * l_quantity * l_extendedprice) AS swxy
+        |FROM lineitem),
+        |t AS (SELECT swx/w AS mx, swy/w AS my,
+        |  swxy/w - (swx/w) * (swy/w) AS cxy,
+        |  swxx/w - (swx/w) * (swx/w) AS vx FROM s),
+        |u AS (SELECT mx, my, cxy / (vx * (1 + 2.5)) AS b FROM t)
+        |SELECT 'a0' AS term, round(my - b * mx, 4) + 0 AS value FROM u
+        |UNION ALL SELECT 'l_quantity', round(b, 4) + 0 FROM u
         |ORDER BY term""".stripMargin,
 
     // penalty.factor [0,1,2] at lambda 0.5: ridge-3 Cramer solve with

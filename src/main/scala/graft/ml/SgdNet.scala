@@ -499,6 +499,46 @@ object SgdNet {
       Array.empty, lambdas, a0, beta, nulldev, devRatio, g.n, totalIters, params)
   }
 
+  /** Weighted gaussian elastic-net path (glmnet `weights`): minimizes
+    * 1/(2W) Σ w_i(y_i − a0 − x_i'β)² + λ[(1−α)/2‖β‖² + α‖β‖₁] with
+    * W = Σw. Weights are normalized to sum to n (the glmnet
+    * convention — lambda values stay comparable to the unweighted
+    * fit), then ONE weighted-moment treeAggregate feeds the exact
+    * same path solver as [[fit]]: standardization, lambda path,
+    * penalty factors, sgdnetCompat all apply on the WEIGHTED
+    * moments. Integer weights reproduce row duplication exactly
+    * (spec-verified). Gaussian single-response only. */
+  def fitWeighted(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                  weightCol: String,
+                  params: SgdNetParams = SgdNetParams()): SgdNetModel = {
+    require(params.family == "gaussian",
+      "fitWeighted: gaussian family only (IRLS families fold frequency " +
+        "weights into their own working weights)")
+    import org.apache.spark.sql.functions.col
+    val p = featureCols.size
+    val rows = df.select((featureCols.map(c => col(c).cast("double")) ++
+        Seq(col(labelCol).cast("double"), col(weightCol).cast("double"))): _*)
+      .rdd.map { r =>
+        val x = Array.tabulate(p)(j => r.getDouble(j))
+        (x, r.getDouble(p), r.getDouble(p + 1))
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (nRows, wSum) = rows.treeAggregate((0L, 0.0))(
+        seqOp = (s, r) => {
+          require(r._3 > 0, "weights must be strictly positive")
+          (s._1 + 1, s._2 + r._3)
+        },
+        combOp = (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+      require(nRows > 0, "the response (y) is empty.")
+      val norm = nRows.toDouble / wSum
+      val g = rows.treeAggregate(new GramStats(p, 1))(
+        seqOp = (s, r) => s.addWeighted(r._1, Array(r._2), r._3 * norm),
+        combOp = (a, b) => a.merge(b), depth = 2)
+      solveGaussianFromStats(g, featureCols, Seq(labelCol), params)
+    } finally { rows.unpersist(blocking = false); () }
+  }
+
   /** Relaxed elastic-net path (glmnet `relax = TRUE`): for each lambda,
     * the UNPENALIZED least-squares refit restricted to that lambda's
     * active set, plus the γ-blend γ·penalized + (1−γ)·refit (γ=1 is

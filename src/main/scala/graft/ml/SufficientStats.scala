@@ -45,6 +45,29 @@ final class GramStats(val p: Int, val k: Int) extends Serializable {
     this
   }
 
+  /** Weighted row: every moment accumulates with multiplier `w`, but
+    * `n` still counts ROWS — callers pass weights pre-normalized to
+    * sum to n (the glmnet convention), so the downstream /n moment
+    * math yields exactly the WEIGHTED means/variances/covariances. */
+  def addWeighted(x: Array[Double], y: Array[Double], w: Double): GramStats = {
+    n += 1
+    var j = 0
+    while (j < p) {
+      val xj = x(j)
+      val wxj = w * xj
+      sumX(j) += wxj
+      var i = 0
+      val base = j * (j + 1) / 2
+      while (i <= j) { xtx(base + i) += x(i) * wxj; i += 1 }
+      var t = 0
+      while (t < k) { xty(j * k + t) += wxj * y(t); t += 1 }
+      j += 1
+    }
+    var t = 0
+    while (t < k) { sumY(t) += w * y(t); sumYY(t) += w * y(t) * y(t); t += 1 }
+    this
+  }
+
   /** Sparse row: only the listed feature indices are nonzero. The Gram
     * update touches O(nnz^2) cells instead of O(p^2) — the whole point of
     * CSR input for wide-but-sparse designs (reference saga-sparse.h). */

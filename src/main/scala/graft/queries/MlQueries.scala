@@ -91,6 +91,17 @@ object MlQueries {
     coefFrame(spark, m, 0)
   }
 
+  /** Observation-weighted ridge (glmnet weights), weight =
+    * l_linenumber — closed-form weighted-moment oracle. */
+  def weightedRidge(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fitWeighted(li, Seq("l_quantity"), "l_extendedprice",
+      "l_linenumber",
+      SgdNetParams(alpha = 0.0, lambda = Array(2.5), thresh = 1e-11,
+        maxit = 100000))
+    coefFrame(spark, m, 0)
+  }
+
   /** No-intercept, no-standardize OLS (beta = sum(xy)/sum(xx)). */
   def gaussNoInt(spark: SparkSession, dir: String): DataFrame = {
     val li = tbl(spark, dir, "lineitem")

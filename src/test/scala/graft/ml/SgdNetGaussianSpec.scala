@@ -188,6 +188,42 @@ class SgdNetGaussianSpec extends SparkSpec {
     }
   }
 
+  test("fitWeighted: unit weights = unweighted fit; integer weights = row duplication") {
+    import org.apache.spark.sql.functions._
+    val df = SparkSpec.regressionDF(spark)
+    val unw = SgdNet.fit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(lambda = Array(0.2), thresh = 1e-11, maxit = 100000))
+    val w1 = SgdNet.fitWeighted(df.withColumn("w", lit(1.0)),
+      Seq("x1", "x2"), "y", "w",
+      SgdNetParams(lambda = Array(0.2), thresh = 1e-11, maxit = 100000))
+    for (j <- 0 until 2)
+      assert(math.abs(unw.beta(0)(0)(j) - w1.beta(0)(0)(j)) < 1e-9)
+    assert(math.abs(unw.a0(0)(0) - w1.a0(0)(0)) < 1e-7)
+    // integer weights {1,2,3} == physically duplicated rows
+    val wdf = df.withColumn("w",
+      (pmod(round(col("y") * 100).cast("long"), lit(3)) + 1).cast("double"))
+    val dup = wdf.withColumn("k",
+        explode(sequence(lit(1), col("w").cast("int"))))
+      .drop("k")
+    val mw = SgdNet.fitWeighted(wdf, Seq("x1", "x2"), "y", "w",
+      SgdNetParams(lambda = Array(0.2), thresh = 1e-12, maxit = 100000))
+    val md = SgdNet.fit(dup, Seq("x1", "x2"), "y",
+      SgdNetParams(lambda = Array(0.2), thresh = 1e-12, maxit = 100000))
+    for (j <- 0 until 2)
+      assert(math.abs(mw.beta(0)(0)(j) - md.beta(0)(0)(j)) < 1e-6,
+        s"beta_$j: ${mw.beta(0)(0)(j)} vs ${md.beta(0)(0)(j)}")
+    assert(math.abs(mw.a0(0)(0) - md.a0(0)(0)) < 1e-4)
+    // contracts: positive weights, gaussian only
+    intercept[Exception] {
+      SgdNet.fitWeighted(df.withColumn("w", lit(0.0)),
+        Seq("x1"), "y", "w", SgdNetParams(lambda = Array(0.1)))
+    }
+    intercept[IllegalArgumentException] {
+      SgdNet.fitWeighted(df.withColumn("w", lit(1.0)), Seq("x1"), "y", "w",
+        SgdNetParams(family = "binomial"))
+    }
+  }
+
   test("relaxedFit: active-set OLS refit, empty-set fallback, gamma blend") {
     val df = SparkSpec.regressionDF(spark)
     // lambda 1e12 kills every coefficient; 0.05 keeps x1/x2 active
