@@ -321,7 +321,9 @@ object SparkEntry {
     "q_weighted_fit"     -> (MlQueries.weightedRidge _),
     "q_key_detect"       -> (OpsQueries.keyDetectQ _),
     "q_null_pattern"     -> (OpsQueries.nullPatternQ _),
-    "q_ppr"              -> (OpsQueries.pprQ _)
+    "q_ppr"              -> (OpsQueries.pprQ _),
+    "q_lang_mix"         -> (OpsQueries.langMixQ _),
+    "q_grouping_sets"    -> (OpsQueries.groupingSetsQ _)
   )
 
   private val fixedPathValues =

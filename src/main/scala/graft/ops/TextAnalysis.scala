@@ -185,6 +185,34 @@ object TextAnalysis {
         col("__text").substr(col("col") + 1, lit(chunkSize)).as("chunk"))
   }
 
+  /** Per-document language-mix (code-switching) profile: chunk the
+    * text into fixed character windows, language-ID each window (the
+    * codegen `graft_lang_id` expression), then report how mixed the
+    * document is — (id, n_chunks, n_langs, major_lang, major_ppm).
+    * Multilingual pretraining corpora route heavily on this: a doc
+    * that flips language mid-stream needs different handling than its
+    * majority label suggests. One chunk explode + two grouped
+    * aggregations, corpus-linear; the majority pick is a keyed window
+    * over the bounded (id, lang) counts with a deterministic
+    * (count desc, lang asc) tiebreak. */
+  def langMix(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+              idCol: String, textCol: String,
+              chunkSize: Int = 180): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = chunkText(df, idCol, textCol, chunkSize, overlap = 0)
+      .select(col(idCol).as("id"), langId(spark, col("chunk")).as("lang"))
+    val per = ch.groupBy("id", "lang").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("id").orderBy(col("c").desc, col("lang").asc)
+    per.withColumn("rn", row_number().over(w))
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_chunks"), count(lit(1)).as("n_langs"),
+        max(when(col("rn") === 1, col("lang"))).as("major_lang"),
+        max(when(col("rn") === 1, col("c"))).as("major_n"))
+      .select(col("id").as(idCol), col("n_chunks"), col("n_langs"),
+        col("major_lang"),
+        expr("major_n * 1000000 div n_chunks").as("major_ppm"))
+  }
+
   // ------------------------------------------------------ repetition filters
 
   /** Gopher-style repetition metrics: fraction of duplicate lines and the

@@ -5043,6 +5043,65 @@ object OpsOracles {
         |  (n_common * 1000000 // n_shingles) < 500000 AS keep
         |FROM per ORDER BY id""".stripMargin.trim,
 
+    // language-mix over planted code-switched docs: the q_chunk window
+    // construction + the q_lang_id scorer per chunk + majority pick
+    // with the operator's (count desc, lang asc) tiebreak
+    "q_lang_mix" ->
+      """WITH d0 AS (SELECT a.doc_id AS doc_id, a.text || ' ' || b.text AS text
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |d AS (SELECT doc_id, text, length(text) AS len FROM d0
+        |  WHERE length(text) > 0),
+        |n AS (SELECT doc_id, text, (len - 1) // 120 + 1 AS nc FROM d),
+        |s AS (SELECT doc_id, unnest(generate_series(0, nc - 1)) AS i, text
+        |  FROM n),
+        |cks AS (SELECT doc_id, i,
+        |    substring(text, cast(i * 120 + 1 AS INT), 120) AS ck FROM s),
+        |sc AS (SELECT doc_id, i,
+        |    len(regexp_replace(ck, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+        |    len(ck) AS nch,
+        |    list_distinct(regexp_split_to_array(lower(trim(ck)), '\s+')) AS toks
+        |  FROM cks),
+        |unp AS (
+        |  SELECT doc_id, i, cjk, nch, 'de' AS lang,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','für'])) AS sco FROM sc
+        |  UNION ALL SELECT doc_id, i, cjk, nch, 'en',
+        |    len(list_intersect(toks, ['the','a','and','of','to','in','is','it','that','for'])) FROM sc
+        |  UNION ALL SELECT doc_id, i, cjk, nch, 'es',
+        |    len(list_intersect(toks, ['el','la','los','y','es','un','una','en','por','para'])) FROM sc
+        |  UNION ALL SELECT doc_id, i, cjk, nch, 'fr',
+        |    len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','pour','que'])) FROM sc),
+        |best AS (
+        |  SELECT doc_id, i, cjk, nch, lang, sco,
+        |         row_number() OVER (PARTITION BY doc_id, i
+        |           ORDER BY sco DESC, lang DESC) AS rn
+        |  FROM unp),
+        |langs AS (SELECT doc_id,
+        |    CASE WHEN cjk * 2 > nch THEN 'zh'
+        |         WHEN sco = 0 THEN 'und' ELSE lang END AS lang
+        |  FROM best WHERE rn = 1),
+        |per AS (SELECT doc_id, lang, count(*)::BIGINT AS c
+        |  FROM langs GROUP BY 1, 2),
+        |maj AS (SELECT doc_id, lang, c,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY c DESC, lang ASC) AS rn FROM per)
+        |SELECT doc_id, sum(c)::BIGINT AS n_chunks,
+        |  count(*)::BIGINT AS n_langs,
+        |  max(CASE WHEN rn = 1 THEN lang END) AS major_lang,
+        |  (max(CASE WHEN rn = 1 THEN c END) * 1000000
+        |    // sum(c))::BIGINT AS major_ppm
+        |FROM maj GROUP BY doc_id ORDER BY doc_id""".stripMargin.trim,
+
+    // arbitrary grouping sets in one pass; (all) placeholders keep the
+    // schema null-free (the base columns are non-null)
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |  coalesce(l_linestatus, '(all)') AS ls,
+        |  sum(l_quantity)::BIGINT AS sum_qty, count(*)::BIGINT AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |ORDER BY rf, ls""".stripMargin.trim,
+
     // candidate-key audit: per set, grouped distinct/dup counts; a set
     // with NULLs or dups is not a key
     "q_key_detect" ->

@@ -2275,6 +2275,34 @@ object OpsQueries {
     DataQuality.nullPattern(ev, Seq("value", "props", "event_type"))
   }
 
+  /** Language-mix profile over PLANTED code-switched docs (each doc
+    * concatenated with its successor, chunked at 120 chars). */
+  def langMixQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val paired = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_id"),
+        concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+    TextAnalysis.langMix(spark, paired, "doc_id", "text", chunkSize = 120)
+      .orderBy("doc_id")
+  }
+
+  /** Arbitrary GROUPING SETS (the OLAP shape rollup/cube can't
+    * express): (flag, status), (flag), and the grand total in ONE
+    * aggregation pass. */
+  def groupingSetsQ(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
   /** Personalized PageRank around docs {0, 1} on the near-dup graph. */
   def pprQ(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id",

@@ -1098,6 +1098,23 @@ class OpsSpec extends SparkSpec {
     assert(ls(1L) > ls(2L))
   }
 
+  test("langMix: code-switched doc splits langs; monolingual stays pure") {
+    val en = Array.fill(30)("the and of to in is").mkString(" ")
+    val fr = Array.fill(30)("le la les et est dans").mkString(" ")
+    val docs = Seq((1L, en + " " + fr), (2L, en)).toDF("doc_id", "text")
+    val got = TextAnalysis.langMix(spark, docs, "doc_id", "text",
+        chunkSize = 60)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))).toMap
+    val (n1, k1, maj1, _) = got(1L)
+    assert(k1 >= 2, s"switched doc must show >1 language: $k1")
+    assert(n1 > 5)
+    assert(Set("en", "fr").contains(maj1))
+    val (_, k2, maj2, ppm2) = got(2L)
+    assert(k2 == 1 && maj2 == "en" && ppm2 == 1000000L,
+      s"monolingual doc: $k2 $maj2 $ppm2")
+  }
+
   test("onionOverlap: shared shingles mark assembled docs; singles stay clean") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w5"), (3L, "x y z q"))

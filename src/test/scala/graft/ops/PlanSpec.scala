@@ -91,6 +91,35 @@ class PlanSpec extends SparkSpec {
     assert("Union".r.findAllIn(plan).isEmpty, "rollup must not self-union")
   }
 
+  test("grouping sets plan ONE Expand pass; null pattern is one scan") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val plan = li.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .queryExecution.sparkPlan.toString
+    assert("(?s)Expand".r.findAllIn(plan).size == 1, plan.take(600))
+    assert("Union".r.findAllIn(plan).isEmpty, "grouping sets must not self-union")
+    val np = DataQuality.nullPattern(li,
+      Seq("l_returnflag", "l_linestatus", "l_tax"))
+    assert(scans(np).size == 1, "all pairwise null counts share one scan")
+  }
+
+  test("onion overlap and PPR plan equi-joins only, never cartesian") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val onion = Dedup.onionOverlap(d, "doc_id", "text", w = 3, minDf = 2)
+      .queryExecution.sparkPlan.toString
+    assert(!onion.contains("CartesianProduct") &&
+      !onion.contains("BroadcastNestedLoopJoin"), onion.take(600))
+    val e = spark.range(50).select(col("id").as("src"),
+      ((col("id") + 7) % 50).as("dst"))
+    val ppr = Graph.personalizedPageRank(e, "src", "dst", Seq(0L),
+      iters = 2, maxLocalEdges = 0L)
+    assert(ppr.queryExecution.sparkPlan.toString.contains("") &&
+      !ppr.queryExecution.sparkPlan.toString.contains("CartesianProduct"))
+  }
+
   test("corr matrix and DQ sweep are single-scan aggregations") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val corr = Analytics.corrPairs(li,
