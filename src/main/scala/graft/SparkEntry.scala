@@ -319,6 +319,7 @@ object SparkEntry {
     "q_dev_resid"        -> (MlQueries.devResid _),
     "q_penalty_factor"   -> (MlQueries.penaltyFactorRidge _),
     "q_weighted_fit"     -> (MlQueries.weightedRidge _),
+    "q_offset_fit"       -> (MlQueries.offsetRidge _),
     "q_key_detect"       -> (OpsQueries.keyDetectQ _),
     "q_null_pattern"     -> (OpsQueries.nullPatternQ _),
     "q_ppr"              -> (OpsQueries.pprQ _),
@@ -672,6 +673,18 @@ object SparkEntry {
         |UNION ALL SELECT 'l_discount', round(b2, 4) + 0 FROM u
         |UNION ALL SELECT 'l_quantity', round(b1, 4) + 0 FROM u
         |UNION ALL SELECT 'l_tax', round(b3, 4) + 0 FROM u
+        |ORDER BY term""".stripMargin,
+
+    // offset fit: gaussian with linear-predictor offset == ridge on
+    // y − offset
+    "q_offset_fit" ->
+      """WITH s AS (SELECT avg(l_quantity) mx,
+        |  avg(l_extendedprice - l_tax * 1000) my,
+        |  covar_pop(l_quantity, l_extendedprice - l_tax * 1000) cxy,
+        |  var_pop(l_quantity) vx FROM lineitem),
+        |t AS (SELECT mx, my, cxy / (vx * (1 + 2.5)) AS b FROM s)
+        |SELECT 'a0' AS term, round(my - b * mx, 4) + 0 AS value FROM t
+        |UNION ALL SELECT 'l_quantity', round(b, 4) + 0 FROM t
         |ORDER BY term""".stripMargin,
 
     // observation-weighted ridge: all moments weighted by l_linenumber

@@ -865,6 +865,183 @@ object SgdNet {
   private[ml] def safeXLog(x: Double, q: Double): Double =
     if (x <= 0) 0.0 else x * math.log(math.max(q, 1e-300))
 
+  // ----------------------------------------------------------- offset fits
+
+  /** GLM fit with a per-row OFFSET on the linear predictor (the glmnet
+    * `offset` argument): η_i = offset_i + a0 + x_i'β. For poisson with
+    * log link, offset = ln(exposure) is THE standard rate model
+    * (counts over unequal observation windows). Gaussian reduces
+    * exactly to fitting y − offset; poisson threads the offset through
+    * every IRLS pass (weights, working response, deviance, and the
+    * exposure-weighted null intercept a0 = ln(Σy / Σe^offset)).
+    * Predictions from the returned model are `offset + linkCol` —
+    * the offset column is the caller's to supply at scoring time,
+    * exactly as glmnet's `newoffset` works. */
+  def fitWithOffset(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                    offsetCol: String,
+                    params: SgdNetParams = SgdNetParams()): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    params.family match {
+      case "gaussian" =>
+        val adj = df.select((featureCols.map(col) :+
+          (col(labelCol).cast("double") - col(offsetCol).cast("double"))
+            .as(labelCol)): _*)
+        fit(adj, featureCols, labelCol, params)
+      case "poisson" => fitPoissonOffset(df, featureCols, labelCol,
+        offsetCol, params)
+      case f => throw new IllegalArgumentException(
+        s"fitWithOffset supports gaussian and poisson, not $f")
+    }
+  }
+
+  private def fitPoissonOffset(df: DataFrame, featureCols: Seq[String],
+                               labelCol: String, offsetCol: String,
+                               params: SgdNetParams): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    val p = featureCols.size
+    val rows = df.select((featureCols.map(c => col(c).cast("double")) ++
+        Seq(col(labelCol).cast("double"), col(offsetCol).cast("double"))): _*)
+      .rdd.map { row =>
+        val x = Array.tabulate(p)(j => row.getDouble(j))
+        (x, Array(row.getDouble(p), row.getDouble(p + 1)))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // moments over (x, y) for standardization/lambda; exposure sum for
+      // the null intercept
+      val g = SufficientStats.compute(rows.map(r => (r._1, Array(r._2(0)))), p, 1)
+      val st = SufficientStats.standardize(g, params.standardize, params.intercept)
+      val n = g.n.toDouble
+      val sumExpOff = rows.treeAggregate(0.0)(
+        (s, r) => s + math.exp(math.max(math.min(r._2(1), 30.0), -30.0)),
+        _ + _, depth = 2)
+      val sumY = st.yMean(0) * n
+      require(sumY > 0, "poisson response must contain positive counts")
+
+      val minRatio = if (params.lambdaMinRatio.isNaN)
+        LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
+      val lambdas = if (params.lambda != null) params.lambda
+        else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio,
+          params.penaltyFactor)
+
+      val mean = if (params.intercept) st.xMean else new Array[Double](p)
+      val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      val sc = rows.sparkContext
+      val bMean = sc.broadcast(mean)
+      val bScale = sc.broadcast(scale)
+
+      val L = lambdas.length
+      val a0Out = Array.ofDim[Double](L, 1)
+      val betaOut = Array.ofDim[Double](L, 1, p)
+      var beta = new Array[Double](p)
+      var a0 = if (params.intercept) math.log(sumY / sumExpOff) else 0.0
+      var passes = 0
+      val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
+
+      for (l <- 0 until L) {
+        var iter = 0
+        var done = false
+        while (iter < 25 && !done) {
+          // IRLS pass at η = off + a0 + xs·β; the WLS target is z − off
+          // so the solver fits exactly a0 + xs·β
+          val wg = rows.treeAggregate(new WGram(p))(
+            seqOp = (s, xy) => {
+              val (xr, yo) = xy
+              val off = yo(1)
+              val xs = new Array[Double](p)
+              var j = 0
+              var eta = a0 + off
+              while (j < p) {
+                xs(j) = (xr(j) - bMean.value(j)) / bScale.value(j)
+                eta += xs(j) * beta(j)
+                j += 1
+              }
+              val etaC = math.max(math.min(eta, 30.0), -30.0)
+              val mu = math.exp(etaC)
+              val w = math.max(mu, 1e-5)
+              val z = etaC + (yo(0) - mu) / w - off
+              s.sw += w; s.swz += w * z
+              j = 0
+              while (j < p) {
+                val wxj = w * xs(j)
+                s.swx(j) += wxj
+                s.swxz(j) += wxj * z
+                var i = 0
+                val base = j * (j + 1) / 2
+                while (i <= j) { s.swxx(base + i) += xs(i) * wxj; i += 1 }
+                j += 1
+              }
+              s
+            },
+            combOp = (a, b) => {
+              a.sw += b.sw; a.swz += b.swz
+              var i = 0
+              while (i < a.swx.length) {
+                a.swx(i) += b.swx(i); a.swxz(i) += b.swxz(i); i += 1
+              }
+              i = 0
+              while (i < a.swxx.length) { a.swxx(i) += b.swxx(i); i += 1 }
+              a
+            }, depth = 2)
+          passes += 1
+          val ninv = 1.0 / n
+          val aM = LinAlg.unpackSym(wg.swxx, p).map(_.map(_ * ninv))
+          val r = CoordinateDescent.solve(aM, wg.swxz.map(_ * ninv),
+            wg.swx.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
+            lambdas(l), params.alpha, params.intercept, beta,
+            thresh = newtonTol, maxIter = params.maxit,
+            penaltyFactor = params.penaltyFactor)
+          var maxD = math.abs(r.a0 - a0)
+          var j = 0
+          while (j < p) {
+            val d = math.abs(r.beta(j) - beta(j)); if (d > maxD) maxD = d; j += 1
+          }
+          beta = r.beta; a0 = r.a0
+          iter += 1
+          if (maxD < math.max(params.thresh * 1e-2, 1e-8)) done = true
+        }
+        for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
+        a0Out(l)(0) =
+          if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
+          else a0
+      }
+
+      // deviance with per-row offset; null model uses the
+      // exposure-weighted intercept (or bare offset without intercept)
+      val a0Null = if (params.intercept) math.log(sumY / sumExpOff) else 0.0
+      val devs = rows.treeAggregate(new Array[Double](L + 1))(
+        seqOp = (acc, xy) => {
+          val (x, yo) = xy
+          val off = yo(1)
+          def devTerm(mu: Double): Double = {
+            val ylog = if (yo(0) > 0) yo(0) * math.log(yo(0) / mu) else 0.0
+            2.0 * (ylog - (yo(0) - mu))
+          }
+          var l = 0
+          while (l < L) {
+            var eta = a0Out(l)(0) + off
+            var j = 0
+            val bl = betaOut(l)(0)
+            while (j < p) { eta += bl(j) * x(j); j += 1 }
+            acc(l) += devTerm(math.exp(math.max(math.min(eta, 30.0), -30.0)))
+            l += 1
+          }
+          acc(L) += devTerm(math.exp(
+            math.max(math.min(a0Null + off, 30.0), -30.0)))
+          acc
+        },
+        combOp = (a, b) => { var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      passes += 1
+      val nulldev = devs(L)
+      val devRatio = Array.tabulate(L)(l =>
+        if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
+
+      new SgdNetModel("poisson", featureCols.toArray, Array(labelCol),
+        Array.empty, lambdas, a0Out, betaOut, nulldev, devRatio, g.n,
+        passes, params)
+    } finally { rows.unpersist(blocking = false); () }
+  }
+
   private final class WGram(p: Int) extends Serializable {
     var sw = 0.0; var swz = 0.0; var loglik = 0.0
     val swx = new Array[Double](p)

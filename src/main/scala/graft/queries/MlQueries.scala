@@ -102,6 +102,17 @@ object MlQueries {
     coefFrame(spark, m, 0)
   }
 
+  /** Gaussian ridge with a linear-predictor OFFSET (glmnet offset):
+    * fitting y with offset o is exactly the ridge fit of y − o. */
+  def offsetRidge(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("off", col("l_tax") * lit(1000))
+    val m = SgdNet.fitWithOffset(li, Seq("l_quantity"), "l_extendedprice",
+      "off", SgdNetParams(alpha = 0.0, lambda = Array(2.5), thresh = 1e-11,
+        maxit = 100000))
+    coefFrame(spark, m, 0)
+  }
+
   /** No-intercept, no-standardize OLS (beta = sum(xy)/sum(xx)). */
   def gaussNoInt(spark: SparkSession, dir: String): DataFrame = {
     val li = tbl(spark, dir, "lineitem")

@@ -81,4 +81,44 @@ class PoissonSpec extends SparkSpec {
         s"poisson KKT j=$j grad=${grad(j)}")
     }
   }
+
+  test("poisson offset: zero = plain fit, constant shifts a0, exposure recovers the rate model") {
+    import org.apache.spark.sql.functions._
+    val df = countDF
+    val p0 = SgdNet.fit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(family = "poisson", lambda = Array(0.01), thresh = 1e-9))
+    val o0 = SgdNet.fitWithOffset(df.withColumn("off", lit(0.0)),
+      Seq("x1", "x2"), "y", "off",
+      SgdNetParams(family = "poisson", lambda = Array(0.01), thresh = 1e-9))
+    for (j <- 0 until 2)
+      assert(math.abs(p0.beta(0)(0)(j) - o0.beta(0)(0)(j)) < 1e-8)
+    assert(math.abs(p0.a0(0)(0) - o0.a0(0)(0)) < 1e-8)
+    assert(math.abs(p0.nulldev - o0.nulldev) < 1e-6 * p0.nulldev)
+    // constant offset c: identical slopes, intercept shifted by −c
+    val oc = SgdNet.fitWithOffset(df.withColumn("off", lit(0.7)),
+      Seq("x1", "x2"), "y", "off",
+      SgdNetParams(family = "poisson", lambda = Array(0.01), thresh = 1e-9))
+    for (j <- 0 until 2)
+      assert(math.abs(oc.beta(0)(0)(j) - p0.beta(0)(0)(j)) < 1e-7)
+    assert(math.abs(oc.a0(0)(0) - (p0.a0(0)(0) - 0.7)) < 1e-7,
+      s"${oc.a0(0)(0)} vs ${p0.a0(0)(0) - 0.7}")
+    // exposure model: y = exposure · exp(0.2 + 0.5 x) exactly — the
+    // unpenalized fit with offset = ln(exposure) recovers (0.2, 0.5)
+    val rnd = new scala.util.Random(3)
+    val exp0 = (1 to 400).map { i =>
+      val x = rnd.nextGaussian()
+      val expo = 1.0 + (i % 5)
+      (x, math.log(expo), expo * math.exp(0.2 + 0.5 * x))
+    }.toDF("x", "off", "y")
+    val mr = SgdNet.fitWithOffset(exp0, Seq("x"), "y", "off",
+      SgdNetParams(family = "poisson", lambda = Array(0.0), thresh = 1e-10,
+        maxit = 100000))
+    assert(math.abs(mr.a0(0)(0) - 0.2) < 1e-5, mr.a0(0)(0).toString)
+    assert(math.abs(mr.beta(0)(0)(0) - 0.5) < 1e-5, mr.beta(0)(0)(0).toString)
+    // unsupported family rejects
+    intercept[IllegalArgumentException] {
+      SgdNet.fitWithOffset(df.withColumn("off", lit(0.0)), Seq("x1"), "y",
+        "off", SgdNetParams(family = "binomial"))
+    }
+  }
 }
