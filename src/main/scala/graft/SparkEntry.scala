@@ -324,7 +324,9 @@ object SparkEntry {
     "q_null_pattern"     -> (OpsQueries.nullPatternQ _),
     "q_ppr"              -> (OpsQueries.pprQ _),
     "q_lang_mix"         -> (OpsQueries.langMixQ _),
-    "q_grouping_sets"    -> (OpsQueries.groupingSetsQ _)
+    "q_grouping_sets"    -> (OpsQueries.groupingSetsQ _),
+    "q_quantile_norm"    -> (OpsQueries.quantileNormQ _),
+    "q_closeness"        -> (OpsQueries.closenessQ _)
   )
 
   private val fixedPathValues =

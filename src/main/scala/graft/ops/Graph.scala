@@ -122,6 +122,54 @@ object Graph {
     pr.select(col("id"), col("pr").cast("long").as("pr_nano"))
   }
 
+  /** k-hop HARMONIC (closeness) centrality: per node, the exact count
+    * of nodes at each BFS distance 1..maxHops and the integral
+    * harmonic sum Σ n_d·⌊10⁶/d⌋ — the "how central is this node
+    * locally" measure that, unlike degree, sees past the first hop,
+    * and unlike full closeness, stays bounded (maxHops frontier
+    * rounds, no all-pairs shortest paths). Undirected: edges are
+    * symmetrized internally. Each round is one adjacency equi-join +
+    * one distinct + one anti-join against the visited set — the
+    * frontier shape that survives any graph size for small maxHops.
+    * Returns (id, n_1..n_maxHops, harmonic_micro). */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 6, "maxHops must be in [1, 6]")
+    val e0 = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"))
+      .filter(col("s").isNotNull && col("d").isNotNull && col("s") =!= col("d"))
+    val sym = e0.unionAll(e0.select(col("d").as("s"), col("s").as("d")))
+      .distinct().localCheckpoint(true)
+    var frontier = sym.select(col("s").as("v"), col("d").as("u"))
+      .distinct().localCheckpoint(true)
+    var visited = frontier
+      .unionAll(frontier.select(col("v"), col("v").as("u")).distinct())
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer(
+      frontier.groupBy("v").agg(count(lit(1)).as("n1")))
+    var hop = 2
+    while (hop <= maxHops) {
+      frontier = frontier.join(sym, frontier("u") === sym("s"))
+        .select(frontier("v"), sym("d").as("u"))
+        .filter(col("v") =!= col("u"))
+        .distinct()
+        .join(visited, Seq("v", "u"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.unionAll(frontier).localCheckpoint(true)
+      levels += frontier.groupBy("v").agg(count(lit(1)).as(s"n$hop"))
+      hop += 1
+    }
+    val ids = visited.select(col("v").as("id")).distinct()
+    val joined = levels.zipWithIndex.foldLeft(ids) { case (acc, (lvl, i)) =>
+      acc.join(lvl.withColumnRenamed("v", "id"), Seq("id"), "left")
+        .withColumn(s"n_${i + 1}",
+          coalesce(col(s"n${i + 1}"), lit(0L))).drop(s"n${i + 1}")
+    }
+    val harmonic = (1 to maxHops).map(d =>
+      col(s"n_$d") * lit(1000000L / d)).reduce(_ + _)
+    joined.withColumn("harmonic_micro", harmonic)
+  }
+
   /** Personalized PageRank: the teleport mass returns ONLY to the seed
     * set (uniformly), so ranks measure proximity to the seeds — the
     * standard seed-expansion primitive (find docs "around" known-good

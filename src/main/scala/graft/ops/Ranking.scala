@@ -58,6 +58,40 @@ object Ranking {
         StructField("bucket", LongType, nullable = false))))
   }
 
+  /** Quantile NORMALIZATION across slices: replace each value with the
+    * POOLED distribution's value at the equivalent within-slice rank
+    * position — the classic cross-batch normalization (arrays,
+    * per-source quality scores) that makes slice distributions
+    * identical without assuming a parametric form. All-integral
+    * selection variant: within-slice rank r of n_s maps to pooled
+    * position ⌊r·N/(n_s+1)⌋+1 clamped to [1, N] (floor division on
+    * positives — engine-exact, no interpolation). Shape: one keyed
+    * rank window per slice + the two-pass range-partitioned
+    * [[globalRank]] for the pooled order + one equi-join on position.
+    * Returns (idCol, sliceCol, value_cents, norm_cents). */
+  def quantileNormalize(df: DataFrame, sliceCol: String, valueCol: String,
+                        idCol: String, scaleDigits: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unit = math.pow(10, scaleDigits)
+    val base = df.filter(col(valueCol).isNotNull && col(sliceCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(sliceCol).as("g"),
+        round(col(valueCol).cast("double") * lit(unit)).cast("long").as("x"))
+    val w = Window.partitionBy("g").orderBy(col("x"), col("id"))
+    val ranked = base
+      .withColumn("r", row_number().over(w))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("g")))
+    val pooled = globalRank(base.select(col("x"), col("id")),
+        Seq(col("x"), col("id")))
+      .select(col("x").as("px"), col("rank").as("pr"))
+    val n = base.count()
+    val pos = ranked.withColumn("nn", lit(n))
+      .withColumn("pos",
+        least(greatest(expr("r * nn div (ns + 1)") + 1, lit(1L)), lit(n)))
+    pos.join(pooled, pos("pos") === pooled("pr"))
+      .select(col("id").as(idCol), col("g").as(sliceCol),
+        col("x").as("value_cents"), col("px").as("norm_cents"))
+  }
+
   /** DOMAIN-CALIBRATED percentile rank: percent_rank of `sortCols`
     * within each `groupCol` — makes a raw quality/length/perplexity
     * score comparable ACROSS domains ("keep each domain's top 20%"

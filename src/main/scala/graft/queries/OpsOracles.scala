@@ -5091,6 +5091,49 @@ object OpsOracles {
         |    // sum(c))::BIGINT AS major_ppm
         |FROM maj GROUP BY doc_id ORDER BY doc_id""".stripMargin.trim,
 
+    // quantile normalization: within-slice rank -> pooled position by
+    // integral floor division; selection (no interpolation), all longs
+    "q_quantile_norm" ->
+      """WITH t AS (SELECT event_id AS id, event_type AS g,
+        |    CAST(round(value * 100.0) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |nc AS (SELECT count(*)::BIGINT AS nn FROM t),
+        |r AS (SELECT id, g, x,
+        |    row_number() OVER (PARTITION BY g ORDER BY x, id) AS r,
+        |    count(*) OVER (PARTITION BY g) AS ns FROM t),
+        |p AS (SELECT x AS px, row_number() OVER (ORDER BY x, id) AS pr
+        |  FROM t),
+        |q AS (SELECT id, g, x,
+        |    least(greatest((r * nn) // (ns + 1) + 1, 1), nn) AS pos
+        |  FROM r, nc)
+        |SELECT q.id AS event_id, q.g AS event_type, q.x AS value_cents,
+        |  p.px AS norm_cents
+        |FROM q JOIN p ON q.pos = p.pr
+        |WHERE q.id < 500 ORDER BY event_id""".stripMargin.trim,
+
+    // 3-hop harmonic centrality, BFS frontier unrolled level by level
+    "q_closeness" -> (coPurchaseCte + """,
+        |sym AS (SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e),
+        |d1 AS (SELECT DISTINCT s AS v, d AS u FROM sym),
+        |d2 AS (SELECT DISTINCT d1.v, sym.d AS u
+        |  FROM d1 JOIN sym ON d1.u = sym.s
+        |  WHERE sym.d <> d1.v
+        |    AND NOT EXISTS (SELECT 1 FROM d1 p WHERE p.v = d1.v AND p.u = sym.d)),
+        |d3 AS (SELECT DISTINCT d2.v, sym.d AS u
+        |  FROM d2 JOIN sym ON d2.u = sym.s
+        |  WHERE sym.d <> d2.v
+        |    AND NOT EXISTS (SELECT 1 FROM d1 p WHERE p.v = d2.v AND p.u = sym.d)
+        |    AND NOT EXISTS (SELECT 1 FROM d2 p WHERE p.v = d2.v AND p.u = sym.d)),
+        |c1 AS (SELECT v, count(*)::BIGINT AS n_1 FROM d1 GROUP BY v),
+        |c2 AS (SELECT v, count(*)::BIGINT AS n_2 FROM d2 GROUP BY v),
+        |c3 AS (SELECT v, count(*)::BIGINT AS n_3 FROM d3 GROUP BY v)
+        |SELECT c1.v AS id, n_1, coalesce(n_2, 0)::BIGINT AS n_2,
+        |  coalesce(n_3, 0)::BIGINT AS n_3,
+        |  (n_1 * 1000000 + coalesce(n_2, 0) * 500000
+        |    + coalesce(n_3, 0) * 333333)::BIGINT AS harmonic_micro
+        |FROM c1 LEFT JOIN c2 ON c1.v = c2.v LEFT JOIN c3 ON c1.v = c3.v
+        |ORDER BY id""".stripMargin.trim),
+
     // arbitrary grouping sets in one pass; (all) placeholders keep the
     // schema null-free (the base columns are non-null)
     "q_grouping_sets" ->

@@ -2303,6 +2303,20 @@ object OpsQueries {
         col("sum_qty"), col("n"))
       .orderBy("rf", "ls")
 
+  /** Quantile normalization of event values across event types
+    * (output bounded to event_id < 500; the mapping uses ALL rows). */
+  def quantileNormQ(spark: SparkSession, dir: String): DataFrame =
+    Ranking.quantileNormalize(tbl(spark, dir, "events"), "event_type",
+        "value", "event_id")
+      .filter(col("event_id") < 500)
+      .orderBy("event_id")
+
+  /** 3-hop harmonic centrality on the bounded co-purchase graph. */
+  def closenessQ(spark: SparkSession, dir: String): DataFrame =
+    Graph.harmonicCentrality(coPurchaseEdges(spark, dir), "src", "dst",
+        maxHops = 3)
+      .orderBy("id")
+
   /** Personalized PageRank around docs {0, 1} on the near-dup graph. */
   def pprQ(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.minhashLsh(docsWithNearDups(spark, dir), "doc_id",

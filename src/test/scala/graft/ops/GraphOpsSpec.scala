@@ -106,6 +106,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(ab.getAs[Long]("lift_ppm") === 1000000L)
   }
 
+  test("harmonicCentrality: path graph levels and integral harmonic sum") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.harmonicCentrality(e, "src", "dst", maxHops = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // endpoint: one node at each distance 1..3
+    assert(got(1L) == ((1L, 1L, 1L, 1000000L + 500000L + 333333L)))
+    // center: two at d=1, two at d=2, none at d=3
+    assert(got(3L) == ((2L, 2L, 0L, 2000000L + 1000000L)))
+    // symmetric input (both directions given) must not double-count
+    val sym = (Seq((1L, 2L)) ++ Seq((2L, 1L))).toDF("src", "dst")
+    val g2 = Graph.harmonicCentrality(sym, "src", "dst", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g2(1L) == 1L && g2(2L) == 1L)
+  }
+
   test("personalizedPageRank: mass decays with distance from the seed") {
     // symmetric path 1-2-3-4-5, seed {1}: rank strictly decreases away
     // from the seed

@@ -1098,6 +1098,20 @@ class OpsSpec extends SparkSpec {
     assert(ls(1L) > ls(2L))
   }
 
+  test("quantileNormalize: equal-size slices map onto the SAME pooled positions") {
+    val df = Seq(
+      ("a", 1L, 0.10), ("a", 2L, 0.20), ("a", 3L, 0.30),
+      ("b", 4L, 1.00), ("b", 5L, 2.00), ("b", 6L, 3.00))
+      .toDF("g", "id", "v")
+    val got = Ranking.quantileNormalize(df, "g", "v", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // pooled cents sorted: 10,20,30,100,200,300 (N=6); each slice has
+    // n=3 → positions ⌊r·6/4⌋+1 = 2,4,5 → values 20,100,200 for BOTH
+    // slices — the shifted distribution lands on the identical grid
+    assert(got(1L) == 20L && got(2L) == 100L && got(3L) == 200L, got.toString)
+    assert(got(4L) == 20L && got(5L) == 100L && got(6L) == 200L)
+  }
+
   test("langMix: code-switched doc splits langs; monolingual stays pure") {
     val en = Array.fill(30)("the and of to in is").mkString(" ")
     val fr = Array.fill(30)("le la les et est dans").mkString(" ")
