@@ -120,6 +120,15 @@ class GraphOpsSpec extends SparkSpec {
     val g2 = Graph.harmonicCentrality(sym, "src", "dst", maxHops = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(g2(1L) == 1L && g2(2L) == 1L)
+    // driver fast path == distributed frontier loop, bit-exact
+    val rnd = new scala.util.Random(11)
+    val re = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(p => p._1 != p._2).toDF("src", "dst")
+    def run(cap: Long) = Graph.harmonicCentrality(re, "src", "dst",
+        maxHops = 3, maxLocalEdges = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(run(1L << 20) == run(0L), "local and distributed BFS differ")
   }
 
   test("personalizedPageRank: mass decays with distance from the seed") {
