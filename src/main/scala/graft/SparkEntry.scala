@@ -326,7 +326,10 @@ object SparkEntry {
     "q_lang_mix"         -> (OpsQueries.langMixQ _),
     "q_grouping_sets"    -> (OpsQueries.groupingSetsQ _),
     "q_quantile_norm"    -> (OpsQueries.quantileNormQ _),
-    "q_closeness"        -> (OpsQueries.closenessQ _)
+    "q_closeness"        -> (OpsQueries.closenessQ _),
+    "q_mcnemar"          -> (OpsQueries.mcnemarQ _),
+    "q_runs_test"        -> (OpsQueries.runsTestQ _),
+    "q_mann_kendall"     -> (OpsQueries.mannKendallQ _)
   )
 
   private val fixedPathValues =

@@ -620,4 +620,92 @@ object Drift {
       Seq((na, nb, u2, tieSum, z)).toDF("n_a", "n_b", "u2", "tie_term", "z")
     } finally rdd.unpersist(blocking = false)
   }
+
+  /** Daily cent totals of a timestamped value column, ordered — the
+    * calendar-bounded series the trend/randomness tests below run on
+    * (one grouped aggregation; only longs cross the driver boundary). */
+  private def dailyCents(events: DataFrame, tsCol: String, valueCol: String,
+                         unit: Double): Array[Long] =
+    events.filter(col(valueCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("d"))
+      .agg(sum(round(col(valueCol).cast("double") * lit(unit)).cast("long"))
+        .as("y"))
+      .orderBy("d").select("y")
+      .collect().map(_.getLong(0))
+
+  /** Wald–Wolfowitz RUNS test for randomness of the daily series
+    * around its median: too few runs = sticky regimes (trend/level
+    * shifts), too many = oscillation. Values equal to the median are
+    * dropped (the standard convention); the 2×-median stays on the
+    * integer grid so the above/below signs are engine-exact. Returns
+    * (n_above, n_below, n_runs, z) with the normal approximation
+    *   μ = 2ab/(a+b) + 1, σ² = 2ab(2ab−a−b)/((a+b)²(a+b−1)). */
+  def runsTest(events: DataFrame, tsCol: String, valueCol: String,
+               scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ys = dailyCents(events, tsCol, valueCol, math.pow(10, scaleDigits))
+    require(ys.length >= 3, "runsTest needs at least 3 days")
+    // exact doubled median of the day totals (integer grid)
+    val sorted = ys.sorted
+    val n0 = sorted.length
+    val med2 = if (n0 % 2 == 1) 2 * sorted(n0 / 2)
+      else sorted(n0 / 2 - 1) + sorted(n0 / 2)
+    val signs = ys.filter(y => 2 * y != med2).map(y => 2 * y > med2)
+    val a = signs.count(identity).toLong
+    val b = signs.length - a
+    require(a > 0 && b > 0, "runsTest: all days on one side of the median")
+    var runs = 1L
+    var i = 1
+    while (i < signs.length) {
+      if (signs(i) != signs(i - 1)) runs += 1
+      i += 1
+    }
+    val nn = (a + b).toDouble
+    val mu = 2.0 * a * b / nn + 1.0
+    val sigma = math.sqrt(2.0 * a * b * (2.0 * a * b - a - b) /
+      (nn * nn * (nn - 1.0)))
+    val z = BigDecimal((runs - mu) / sigma)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((a, b, runs, z)).toDF("n_above", "n_below", "n_runs", "z")
+  }
+
+  /** Mann–Kendall trend test on the daily series: S = Σ_{i<j}
+    * sign(y_j − y_i) (integral), tie-corrected variance
+    * 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the
+    * continuity-corrected z = (S∓1)/√Var — THE nonparametric
+    * monotone-trend detector (no linearity or normality assumed).
+    * The pair set is calendar-bounded (days², not rows²); the series
+    * reduces to day totals in one aggregation. Returns
+    * (n_days, s_stat, var18, z). */
+  def mannKendall(events: DataFrame, tsCol: String, valueCol: String,
+                  scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ys = dailyCents(events, tsCol, valueCol, math.pow(10, scaleDigits))
+    val n = ys.length
+    require(n >= 3, "mannKendall needs at least 3 days")
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        s += java.lang.Long.signum(ys(j) - ys(i))
+        j += 1
+      }
+      i += 1
+    }
+    val ties = ys.groupBy(identity).values.map(_.length.toLong)
+      .filter(_ > 1)
+    val var18 = n.toLong * (n - 1) * (2L * n + 5) -
+      ties.map(t => t * (t - 1) * (2 * t + 5)).sum
+    require(var18 > 0, "mannKendall: constant series — variance zero")
+    val z0 =
+      if (s > 0) (s - 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+      else if (s < 0) (s + 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+      else 0.0
+    val z = BigDecimal(z0)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n.toLong, s, var18, z)).toDF("n_days", "s_stat", "var18", "z")
+  }
 }

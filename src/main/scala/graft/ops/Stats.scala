@@ -616,6 +616,34 @@ object Stats {
           lit(unit), outDigits).as("trimmed_mean"))
   }
 
+  /** McNemar test on PAIRED binary outcomes (one pair per key): did
+    * the same population flip between two conditions — the A/B
+    * companion for within-subject designs where the two-proportion
+    * z-test is wrong. χ² = (n10 − n01)² / (n10 + n01) over the
+    * discordant counts (no continuity correction — document and test
+    * against the exact same form). One grouped max per key + one
+    * 4-cell rollup, all integral until the final division. Returns
+    * (n_pairs, n10, n01, chi2). */
+  def mcnemar(df: DataFrame, keyCol: String, condA: org.apache.spark.sql.Column,
+              condB: org.apache.spark.sql.Column,
+              outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val per = df.groupBy(col(keyCol))
+      .agg(coalesce(max(condA.cast("int")), lit(0)).as("a"),
+        coalesce(max(condB.cast("int")), lit(0)).as("b"))
+    val r = per.agg(count(lit(1)),
+      sum(((col("a") === 1) && (col("b") === 0)).cast("long")),
+      sum(((col("a") === 0) && (col("b") === 1)).cast("long"))).head()
+    val n = r.getLong(0); val n10 = r.getLong(1); val n01 = r.getLong(2)
+    require(n10 + n01 > 0, "mcnemar: no discordant pairs — test undefined")
+    val d = n10 - n01
+    val chi2 = BigDecimal(
+      (d.toDouble * d.toDouble) / (n10 + n01).toDouble)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n, n10, n01, chi2)).toDF("n_pairs", "n10", "n01", "chi2")
+  }
+
   /** Durbin–Watson statistic of a daily-total series' deviation from
     * its mean: DW = Σ_{t≥2}(e_t − e_{t−1})² / Σ e_t², e_t = y_t − ȳ —
     * the classic lag-1 autocorrelation diagnostic (DW ≈ 2(1−ρ)). All

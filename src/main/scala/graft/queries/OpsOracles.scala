@@ -5091,6 +5091,72 @@ object OpsOracles {
         |    // sum(c))::BIGINT AS major_ppm
         |FROM maj GROUP BY doc_id ORDER BY doc_id""".stripMargin.trim,
 
+    // McNemar on paired within-user outcomes (purchase before vs after
+    // day 15) — discordant-cell chi-square, integral until one division
+    "q_mcnemar" ->
+      """WITH per AS (SELECT user_id, ts::DATE AS day,
+        |    max(CASE WHEN event_type = 'purchase'
+        |        AND extract(hour FROM ts) < 12 THEN 1 ELSE 0 END) AS a,
+        |    max(CASE WHEN event_type = 'purchase'
+        |        AND NOT (extract(hour FROM ts) < 12)
+        |        THEN 1 ELSE 0 END) AS b
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+        |    sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)::BIGINT AS n01
+        |  FROM per)
+        |SELECT n AS n_pairs, n10, n01,
+        |  round(((n10 - n01)::DOUBLE * (n10 - n01)::DOUBLE)
+        |    / (n10 + n01)::DOUBLE, 6) AS chi2
+        |FROM m""".stripMargin.trim,
+
+    // Wald–Wolfowitz runs test around the exact day-total median
+    // (2×-median on the integer grid; equal-to-median days dropped)
+    "q_runs_test" ->
+      """WITH dd AS (SELECT ts::DATE AS day,
+        |    sum(CAST(round(value * 100.0) AS BIGINT))::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |med AS (SELECT CAST(round(2 * quantile_cont(y, 0.5)) AS BIGINT) AS m2
+        |  FROM dd),
+        |sgn AS (SELECT day, (2 * y > m2) AS s FROM dd, med WHERE 2 * y <> m2),
+        |r AS (SELECT s, lag(s) OVER (ORDER BY day) AS ps FROM sgn),
+        |agg AS (SELECT sum(CASE WHEN s THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN s THEN 0 ELSE 1 END)::BIGINT AS b,
+        |    (1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps
+        |       THEN 1 ELSE 0 END))::BIGINT AS runs
+        |  FROM r)
+        |SELECT a AS n_above, b AS n_below, runs AS n_runs,
+        |  round((runs::DOUBLE - (2.0::DOUBLE * a * b / (a + b)::DOUBLE
+        |      + 1.0::DOUBLE))
+        |    / sqrt(2.0::DOUBLE * a * b * (2.0::DOUBLE * a * b - a - b)
+        |      / ((a + b)::DOUBLE * (a + b)::DOUBLE
+        |         * ((a + b)::DOUBLE - 1.0::DOUBLE))), 6) + 0.0 AS z
+        |FROM agg""".stripMargin.trim,
+
+    // Mann–Kendall: integral S over the calendar-bounded day pairs,
+    // tie-corrected 18·Var, continuity-corrected z
+    "q_mann_kendall" ->
+      """WITH dd AS (SELECT ts::DATE AS day,
+        |    sum(CAST(round(value * 100.0) AS BIGINT))::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |n AS (SELECT count(*)::BIGINT AS nd FROM dd),
+        |s AS (SELECT sum(CASE WHEN b.y > a.y THEN 1
+        |    WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT AS st
+        |  FROM dd a JOIN dd b ON b.day > a.day),
+        |t AS (SELECT coalesce(sum(c * (c - 1) * (2 * c + 5)), 0)::BIGINT AS tie
+        |  FROM (SELECT count(*)::BIGINT AS c FROM dd GROUP BY y
+        |        HAVING count(*) > 1)),
+        |v AS (SELECT nd, st,
+        |    (nd * (nd - 1) * (2 * nd + 5) - tie)::BIGINT AS var18
+        |  FROM n, s, t)
+        |SELECT nd AS n_days, st AS s_stat, var18,
+        |  round(CASE WHEN st > 0
+        |      THEN (st - 1)::DOUBLE / sqrt(var18::DOUBLE / 18.0::DOUBLE)
+        |    WHEN st < 0
+        |      THEN (st + 1)::DOUBLE / sqrt(var18::DOUBLE / 18.0::DOUBLE)
+        |    ELSE 0.0::DOUBLE END, 6) + 0.0 AS z
+        |FROM v""".stripMargin.trim,
+
     // quantile normalization: within-slice rank -> pooled position by
     // integral floor division; selection (no interpolation), all longs
     "q_quantile_norm" ->

@@ -2241,6 +2241,26 @@ object OpsQueries {
   def durbinWatsonQ(spark: SparkSession, dir: String): DataFrame =
     Stats.durbinWatson(tbl(spark, dir, "events"), "ts", "value")
 
+  /** McNemar: per (user, day) pair, morning purchase vs evening
+    * purchase — the within-subject flip test. */
+  def mcnemarQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+      .withColumn("ud", concat_ws("|", col("user_id"),
+        to_date(col("ts")).cast("string")))
+    val isAm = hour(col("ts")) < 12
+    Stats.mcnemar(ev, "ud",
+      condA = (col("event_type") === "purchase") && isAm,
+      condB = (col("event_type") === "purchase") && !isAm)
+  }
+
+  /** Wald–Wolfowitz runs test on the daily value series. */
+  def runsTestQ(spark: SparkSession, dir: String): DataFrame =
+    Drift.runsTest(tbl(spark, dir, "events"), "ts", "value")
+
+  /** Mann–Kendall monotone-trend test on the daily value series. */
+  def mannKendallQ(spark: SparkSession, dir: String): DataFrame =
+    Drift.mannKendall(tbl(spark, dir, "events"), "ts", "value")
+
   /** Dirichlet query-likelihood retrieval, same query terms as bm25. */
   def qldQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.queryLikelihood(tbl(spark, dir, "documents"), "doc_id",

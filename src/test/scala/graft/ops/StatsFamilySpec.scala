@@ -349,6 +349,56 @@ class StatsFamilySpec extends SparkSpec {
       rt.getAs[Long]("kept") === 6L)
   }
 
+  test("mcnemar: discordant cells only; concordant-only input fails cleanly") {
+    val df = Seq(
+      ("k1", 1, 0), ("k2", 1, 0), ("k3", 1, 0), // a-only ×3
+      ("k4", 0, 1),                             // b-only ×1
+      ("k5", 1, 1), ("k6", 1, 1), ("k7", 0, 0)) // concordant
+      .toDF("k", "a", "b")
+    val r = Stats.mcnemar(df, "k", col("a") === 1, col("b") === 1).head()
+    assert(r.getLong(0) === 7L && r.getLong(1) === 3L && r.getLong(2) === 1L)
+    assert(r.getAs[Double]("chi2") === 1.0) // (3−1)²/4
+    val conc = Seq(("k1", 1, 1), ("k2", 0, 0)).toDF("k", "a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Stats.mcnemar(conc, "k", col("a") === 1, col("b") === 1)
+    }
+    assert(e.getMessage.contains("discordant"), e.getMessage)
+  }
+
+  test("runsTest: alternating series runs hot; blocky series runs cold") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day}%02d 09:00:00")
+    // {1,5}×3: a=b=3, runs=6, mu=4, sigma²=1.2 → z = 2/√1.2
+    val alt = (1 to 6).map(d => (ts(d), if (d % 2 == 0) 5.0 else 1.0))
+      .toDF("ts", "v")
+    val r = Drift.runsTest(alt, "ts", "v").head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L && r.getLong(2) === 6L)
+    assert(math.abs(r.getAs[Double]("z") - 2.0 / math.sqrt(1.2)) < 1e-6)
+    // low block then high block: exactly 2 runs → strongly negative z
+    val block = (1 to 10).map(d => (ts(d), if (d <= 5) 1.0 else 5.0))
+      .toDF("ts", "v")
+    val rb = Drift.runsTest(block, "ts", "v").head()
+    assert(rb.getLong(2) === 2L && rb.getAs[Double]("z") < -2.0)
+  }
+
+  test("mannKendall: monotone series, tie correction, flat-series require") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day}%02d 09:00:00")
+    val up = (1 to 6).map(d => (ts(d), d.toDouble)).toDF("ts", "v")
+    val r = Drift.mannKendall(up, "ts", "v").head()
+    assert(r.getLong(1) === 15L) // all C(6,2) pairs concordant
+    assert(r.getLong(2) === 6L * 5 * 17) // no ties
+    assert(math.abs(r.getAs[Double]("z") - 14.0 / math.sqrt(510.0 / 18.0)) < 1e-6)
+    // ties shrink the variance term: {1,1,2,3}: tie group t=2 → 18Var
+    // = 4·3·13 − 2·1·9 = 138
+    val tied = Seq((ts(1), 1.0), (ts(2), 1.0), (ts(3), 2.0), (ts(4), 3.0))
+      .toDF("ts", "v")
+    assert(Drift.mannKendall(tied, "ts", "v").head().getLong(2) === 138L)
+    val flat = (1 to 5).map(d => (ts(d), 2.0)).toDF("ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      Drift.mannKendall(flat, "ts", "v")
+    }
+    assert(e.getMessage.contains("constant"), e.getMessage)
+  }
+
   test("durbinWatson: hand case and white-noise sanity") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day}%02d 09:00:00")
     // daily totals {1,2,3}: e' = {−3,0,3}, num = 9+9, den = 18 → DW 1
