@@ -329,7 +329,9 @@ object SparkEntry {
     "q_closeness"        -> (OpsQueries.closenessQ _),
     "q_mcnemar"          -> (OpsQueries.mcnemarQ _),
     "q_runs_test"        -> (OpsQueries.runsTestQ _),
-    "q_mann_kendall"     -> (OpsQueries.mannKendallQ _)
+    "q_mann_kendall"     -> (OpsQueries.mannKendallQ _),
+    "q_gains"            -> (OpsQueries.gainsQ _),
+    "q_mcf"              -> (OpsQueries.mcfQ _)
   )
 
   private val fixedPathValues =

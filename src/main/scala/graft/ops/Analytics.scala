@@ -1176,4 +1176,30 @@ object Analytics {
         round(col("ln_surv"), outDigits).as("ln_surv"))
       .orderBy("t_days")
   }
+
+  /** Mean cumulative function of RECURRENT events (Nelson estimator
+    * under the fully-observed convention this table satisfies — every
+    * unit at risk for the whole window): per day, cumulative matching
+    * events per at-risk unit in integral micro-units. The
+    * Kaplan–Meier family answers "time to FIRST event"; the MCF is
+    * the reliability view for events that repeat (errors, repairs,
+    * repeat purchases). One day rollup + one window over the
+    * calendar-bounded grid. Returns
+    * (day, n_events, cum_events, mcf_micro). */
+  def meanCumulativeFunction(events: DataFrame, tsCol: String,
+                             unitCol: String,
+                             cond: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nUnits = events.select(col(unitCol)).distinct().count()
+    require(nUnits > 0, "no at-risk units")
+    val days = events.filter(cond)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.withColumn("cum_events", sum(col("n_events")).over(w))
+      .select(col("day"), col("n_events"), col("cum_events"),
+        expr(s"cum_events * 1000000 div ${nUnits}L").as("mcf_micro"))
+      .orderBy("day")
+  }
 }

@@ -384,4 +384,46 @@ object Evaluation {
       Seq((n.toLong, agreePpm, kappa)).toDF("n", "agree_ppm", "kappa")
     } finally { cells.unpersist(false); () }
   }
+
+  /** Cumulative GAINS / LIFT curve: rank by score descending, split
+    * into `buckets` equal global-rank slices, and report per bucket
+    * the cumulative positive capture and the lift over the base rate
+    * — the model-targeting diagnostic behind "contact the top 20%".
+    * Ranks come from the two-pass [[Ranking.globalRank]] with an id
+    * tiebreak (engine-exact deciles: bucket = (rank−1)·buckets/N,
+    * no ntile ambiguity); the cumulative pass is a window over the
+    * BOUNDED bucket rollup. All-integral outputs (ppm, floor
+    * division in decimal — overflow-safe at any count). Returns
+    * (bucket, n, pos, cum_n, cum_pos, capture_ppm, lift_ppm). */
+  def gainsCurve(df: DataFrame, idCol: String, scoreCol: String,
+                 label: org.apache.spark.sql.Column,
+                 buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("double").as("s"), label.cast("long").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    val ranked = Ranking.globalRank(base, Seq(col("s").desc, col("id")),
+      nBuckets = buckets)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the rollup is buckets-bounded; the cumulative ppm arithmetic runs
+    // on the driver in BigInt so the floor divisions are EXACT (decimal
+    // division would round at its result scale before the floor)
+    val per = ranked.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totN = BigInt(per.map(_._2).sum)
+    val totPos = BigInt(per.map(_._3).sum)
+    require(totPos > 0, "gainsCurve: no positive labels")
+    var cn = BigInt(0); var cp = BigInt(0)
+    val rows = per.map { case (b, n0, pos) =>
+      cn += n0; cp += pos
+      (b, n0, pos, cn.toLong, cp.toLong,
+        (cp * 1000000 / totPos).toLong,
+        (cp * 1000000 * totN / (cn * totPos)).toLong)
+    }
+    rows.toSeq.toDF("bucket", "n", "pos", "cum_n", "cum_pos",
+      "capture_ppm", "lift_ppm")
+  }
 }

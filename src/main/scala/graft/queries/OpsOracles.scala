@@ -5091,6 +5091,39 @@ object OpsOracles {
         |    // sum(c))::BIGINT AS major_ppm
         |FROM maj GROUP BY doc_id ORDER BY doc_id""".stripMargin.trim,
 
+    // gains/lift deciles: the globalRank bucket formula
+    // (rank−1)·10 // N, cumulative ppm in HUGEINT floor division
+    "q_gains" ->
+      """WITH t AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+        |    l_extendedprice AS s,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |r AS (SELECT y, (row_number() OVER (ORDER BY s DESC, id) - 1) * 10
+        |    // (SELECT count(*) FROM t) AS bucket FROM t),
+        |per AS (SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+        |  FROM r GROUP BY bucket),
+        |c AS (SELECT bucket, n, pos,
+        |    sum(n) OVER (ORDER BY bucket)::BIGINT AS cum_n,
+        |    sum(pos) OVER (ORDER BY bucket)::BIGINT AS cum_pos,
+        |    (SELECT sum(n) FROM per)::HUGEINT AS tn,
+        |    (SELECT sum(pos) FROM per)::HUGEINT AS tp FROM per)
+        |SELECT bucket, n, pos, cum_n, cum_pos,
+        |  (cum_pos::HUGEINT * 1000000 // tp)::BIGINT AS capture_ppm,
+        |  (cum_pos::HUGEINT * 1000000 * tn
+        |    // (cum_n::HUGEINT * tp))::BIGINT AS lift_ppm
+        |FROM c ORDER BY bucket""".stripMargin.trim,
+
+    // mean cumulative function of recurrent error events per user
+    "q_mcf" ->
+      """WITH u AS (SELECT count(DISTINCT user_id)::BIGINT AS nu FROM events),
+        |d AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n_events
+        |  FROM events WHERE event_type = 'error' GROUP BY 1),
+        |c AS (SELECT day, n_events,
+        |    sum(n_events) OVER (ORDER BY day)::BIGINT AS cum FROM d)
+        |SELECT day, n_events, cum AS cum_events,
+        |  (cum * 1000000 // (SELECT nu FROM u))::BIGINT AS mcf_micro
+        |FROM c ORDER BY day""".stripMargin.trim,
+
     // McNemar on paired within-user outcomes (purchase before vs after
     // day 15) — discordant-cell chi-square, integral until one division
     "q_mcnemar" ->

@@ -2261,6 +2261,19 @@ object OpsQueries {
   def mannKendallQ(spark: SparkSession, dir: String): DataFrame =
     Drift.mannKendall(tbl(spark, dir, "events"), "ts", "value")
 
+  /** Gains/lift deciles: rank lineitems by price, capture of 'R'. */
+  def gainsQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("rid", col("l_orderkey") * 10 + col("l_linenumber"))
+    Evaluation.gainsCurve(li, "rid", "l_extendedprice",
+      col("l_returnflag") === "R")
+  }
+
+  /** Mean cumulative function of error events per at-risk user. */
+  def mcfQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.meanCumulativeFunction(tbl(spark, dir, "events"), "ts",
+      "user_id", col("event_type") === "error")
+
   /** Dirichlet query-likelihood retrieval, same query terms as bm25. */
   def qldQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.queryLikelihood(tbl(spark, dir, "documents"), "doc_id",

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+// (gains-curve spec appended at the end of this suite)
 import org.apache.spark.sql.functions._
 
 /** Integer-exact retrieval / classifier evaluation metrics. */
@@ -122,5 +123,34 @@ class EvaluationSpec extends SparkSpec {
     assert(bins.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"))).toSeq
       === Seq((0L, 2L), (1L, 1L), (9L, 2L)))
     assert(bins.map(_.getAs[Long]("n")).sum === 5)
+  }
+
+  test("gainsCurve: perfect separation gives max early lift, curve ends at 1") {
+    import org.apache.spark.sql.functions._
+    // scores rank ids 1..10 top-down; the top-scored 5 are positive
+    val df = (1 to 10).map(i => (i.toLong, (11 - i).toDouble, i <= 5))
+      .toDF("id", "s", "y")
+    val got = Evaluation.gainsCurve(df, "id", "s", col("y"), buckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(5),
+        r.getLong(6)))
+    // bucket 0: 2 of 2 positive → capture 2/5, lift = (2·10)/(2·5) = 2
+    assert(got(0) == ((0L, 2L, 400000L, 2000000L)), got(0).toString)
+    // by bucket 2 every positive is captured; lift decays to 10/6
+    assert(got(2)._3 == 1000000L && got(2)._4 == 1000000L * 10 / 6)
+    // the curve always ends at capture 1, lift 1
+    assert(got(4)._3 == 1000000L && got(4)._4 == 1000000L)
+  }
+
+  test("meanCumulativeFunction: cumulative recurrent events per at-risk unit") {
+    import org.apache.spark.sql.functions._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day}%02d 09:00:00")
+    val ev = Seq(
+      (1L, ts(1), "error"), (2L, ts(1), "error"), (1L, ts(3), "error"),
+      (2L, ts(2), "click")) // non-matching event keeps user 2 at risk
+      .toDF("user_id", "ts", "event_type")
+    val got = Analytics.meanCumulativeFunction(ev, "ts", "user_id",
+        col("event_type") === "error")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 2L, 1000000L), (1L, 3L, 1500000L)))
   }
 }
