@@ -331,7 +331,9 @@ object SparkEntry {
     "q_runs_test"        -> (OpsQueries.runsTestQ _),
     "q_mann_kendall"     -> (OpsQueries.mannKendallQ _),
     "q_gains"            -> (OpsQueries.gainsQ _),
-    "q_mcf"              -> (OpsQueries.mcfQ _)
+    "q_mcf"              -> (OpsQueries.mcfQ _),
+    "q_cronbach"         -> (OpsQueries.cronbachQ _),
+    "q_icc"              -> (OpsQueries.iccQ _)
   )
 
   private val fixedPathValues =

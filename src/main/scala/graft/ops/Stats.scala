@@ -463,6 +463,97 @@ object Stats {
     rows.toSeq.toDF("variant", "n_users", "mean_post", "mean_adj", "theta")
   }
 
+  /** Cronbach's alpha internal-consistency coefficient over k numeric
+    * item columns: α = k/(k−1)·(1 − Σσ²_i / σ²_total), population
+    * variances, σ²_total the variance of the row sum — the standard
+    * "do these measurements hang together" reliability check before
+    * averaging feature columns into a score. ONE aggregation computes
+    * every item moment and the row-sum moments in exact cents
+    * (decimal(38,0)); driver closed form. */
+  def cronbachAlpha(df: DataFrame, itemCols: Seq[String],
+                    scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    require(itemCols.size >= 2, "cronbachAlpha needs at least 2 items")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val k = itemCols.size
+    def ic(c: String) = round(col(c).cast("double") * lit(unit))
+      .cast("long").cast("decimal(38,0)")
+    val tot = itemCols.map(ic).reduce(_ + _)
+    val base = df.filter(itemCols.map(col(_).isNotNull).reduce(_ && _))
+    val aggs = count(lit(1)).cast("decimal(38,0)").as("n") +:
+      (itemCols.flatMap(c => Seq(sum(ic(c)).as(s"s_$c"),
+        sum(ic(c) * ic(c)).as(s"ss_$c"))) ++
+        Seq(sum(tot).as("st"), sum(tot * tot).as("stt")))
+    val r = base.agg(aggs.head, aggs.tail: _*).head()
+    val n = BigDecimal(r.getDecimal(0))
+    require(n > 1, "cronbachAlpha needs n > 1 rows")
+    // population variance from exact moments: (n·ss − s²)/n²
+    def varOf(s: BigDecimal, ss: BigDecimal): Double =
+      (n * ss - s * s).toDouble / (n * n).toDouble
+    var itemVarSum = 0.0
+    itemCols.zipWithIndex.foreach { case (_, i) =>
+      itemVarSum += varOf(BigDecimal(r.getDecimal(1 + 2 * i)),
+        BigDecimal(r.getDecimal(2 + 2 * i)))
+    }
+    val totVar = varOf(BigDecimal(r.getDecimal(1 + 2 * k)),
+      BigDecimal(r.getDecimal(2 + 2 * k)))
+    require(totVar > 0, "cronbachAlpha: zero total variance")
+    val alpha = BigDecimal(
+      k.toDouble / (k - 1.0) * (1.0 - itemVarSum / totVar))
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n.toLong, k.toLong, alpha)).toDF("n", "k_items", "alpha")
+  }
+
+  /** One-way intraclass correlation ICC(1) — how much of the variance
+    * lives BETWEEN groups: (MSB − MSW)/(MSB + (n₀−1)·MSW) with the
+    * unbalanced-design mean group size n₀ = (N − Σn_j²/N)/(k−1). The
+    * clustered-data diagnostic (rater/cluster agreement; design
+    * effects for A/B units). Rides the anovaF integral moments:
+    * one grouped aggregation, driver closed form. */
+  def iccOneWay(df: DataFrame, groupCol: String, valueCol: String,
+                scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unit = math.pow(10, scaleDigits)
+    val ic = round(col(valueCol).cast("double") * lit(unit))
+      .cast("long").cast("decimal(38,0)")
+    val groups = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(ic).as("s"), sum(ic * ic).as("ss"))
+      .collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1)),
+        BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3))))
+      .sortBy(_._1)
+    val k = groups.length
+    require(k >= 2, "iccOneWay needs at least 2 groups")
+    require(groups.forall(_._2 > 1), "every group needs n > 1")
+    val nTot = groups.map(_._2).sum
+    val sTot = groups.map(_._3).sum
+    var q = 0.0
+    var ssSum = 0.0
+    var nsq = BigDecimal(0)
+    groups.foreach { case (_, n0, s, ss) =>
+      q += (s * s).toDouble / n0.toDouble
+      ssSum += ss.toDouble
+      nsq += n0 * n0
+    }
+    val ssb = q - (sTot * sTot).toDouble / nTot.toDouble
+    val ssw = ssSum - q
+    require(ssw > 0, "iccOneWay: zero within-group variance")
+    val msb = ssb / (k - 1.0)
+    val msw = ssw / (nTot.toDouble - k)
+    val nZero = (nTot.toDouble - nsq.toDouble / nTot.toDouble) / (k - 1.0)
+    val icc = BigDecimal((msb - msw) / (msb + (nZero - 1.0) * msw))
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((k.toLong, nTot.toLong, r6(nZero), icc))
+      .toDF("k_groups", "n", "n0", "icc")
+  }
+
   /** Cliff's delta ordinal effect size between two samples:
     * δ = (#{a > b} − #{a < b}) / (n_a·n_b), ties contributing zero —
     * identical to the rank-biserial correlation of the Mann–Whitney U.

@@ -5124,6 +5124,57 @@ object OpsOracles {
         |  (cum * 1000000 // (SELECT nu FROM u))::BIGINT AS mcf_micro
         |FROM c ORDER BY day""".stripMargin.trim,
 
+    // Cronbach's alpha: ONE moment aggregation over cents, mirrored
+    // population-variance closed form
+    "q_cronbach" ->
+      """WITH m AS (SELECT count(*)::HUGEINT AS n,
+        |    sum(q)::HUGEINT AS s1, sum(q * q) AS ss1,
+        |    sum(d)::HUGEINT AS s2, sum(d * d) AS ss2,
+        |    sum(t)::HUGEINT AS s3, sum(t * t) AS ss3,
+        |    sum(q + d + t)::HUGEINT AS st,
+        |    sum((q + d + t) * (q + d + t)) AS stt
+        |  FROM (SELECT
+        |      CAST(round(l_quantity * 100.0) AS BIGINT)::HUGEINT AS q,
+        |      CAST(round(l_discount * 100.0) AS BIGINT)::HUGEINT AS d,
+        |      CAST(round(l_tax * 100.0) AS BIGINT)::HUGEINT AS t
+        |    FROM lineitem
+        |    WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |      AND l_tax IS NOT NULL))
+        |SELECT n::BIGINT AS n, 3::BIGINT AS k_items,
+        |  round(3.0::DOUBLE / 2.0::DOUBLE * (1.0::DOUBLE -
+        |    (((n * ss1 - s1 * s1)::DOUBLE / (n * n)::DOUBLE)
+        |     + ((n * ss2 - s2 * s2)::DOUBLE / (n * n)::DOUBLE)
+        |     + ((n * ss3 - s3 * s3)::DOUBLE / (n * n)::DOUBLE))
+        |    / ((n * stt - st * st)::DOUBLE / (n * n)::DOUBLE)), 6)
+        |    + 0.0 AS alpha
+        |FROM m""".stripMargin.trim,
+
+    // ICC(1): anovaF moment decomposition + unbalanced mean group size
+    "q_icc" ->
+      """WITH m AS (SELECT l_returnflag AS g, count(*)::HUGEINT AS n,
+        |    sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))::HUGEINT AS s,
+        |    sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)::HUGEINT
+        |        * CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS ss
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS k, sum(n)::HUGEINT AS ntot,
+        |    sum(s)::HUGEINT AS stot,
+        |    sum((s * s)::DOUBLE / n::DOUBLE) AS q,
+        |    sum(ss::DOUBLE) AS sssum, sum(n * n)::HUGEINT AS nsq FROM m),
+        |b AS (SELECT k, ntot,
+        |    q - (stot * stot)::DOUBLE / ntot::DOUBLE AS ssb,
+        |    sssum - q AS ssw, nsq FROM a),
+        |c AS (SELECT k, ntot,
+        |    ssb / (k::DOUBLE - 1.0::DOUBLE) AS msb,
+        |    ssw / (ntot::DOUBLE - k::DOUBLE) AS msw,
+        |    (ntot::DOUBLE - nsq::DOUBLE / ntot::DOUBLE)
+        |      / (k::DOUBLE - 1.0::DOUBLE) AS n0 FROM b)
+        |SELECT k AS k_groups, ntot::BIGINT AS n, round(n0, 6) AS n0,
+        |  round((msb - msw) / (msb + (n0 - 1.0::DOUBLE) * msw), 6)
+        |    + 0.0 AS icc
+        |FROM c""".stripMargin.trim,
+
     // McNemar on paired within-user outcomes (purchase before vs after
     // day 15) — discordant-cell chi-square, integral until one division
     "q_mcnemar" ->

@@ -2274,6 +2274,16 @@ object OpsQueries {
     Analytics.meanCumulativeFunction(tbl(spark, dir, "events"), "ts",
       "user_id", col("event_type") === "error")
 
+  /** Cronbach's alpha over the three lineitem amount columns. */
+  def cronbachQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.cronbachAlpha(tbl(spark, dir, "lineitem"),
+      Seq("l_quantity", "l_discount", "l_tax"))
+
+  /** ICC(1) of extendedprice within returnflag groups. */
+  def iccQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.iccOneWay(tbl(spark, dir, "lineitem"), "l_returnflag",
+      "l_extendedprice")
+
   /** Dirichlet query-likelihood retrieval, same query terms as bm25. */
   def qldQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.queryLikelihood(tbl(spark, dir, "documents"), "doc_id",

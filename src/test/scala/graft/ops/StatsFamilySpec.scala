@@ -399,6 +399,39 @@ class StatsFamilySpec extends SparkSpec {
     assert(e.getMessage.contains("constant"), e.getMessage)
   }
 
+  test("cronbachAlpha: perfectly correlated items give 1; independent items ~0") {
+    // items all equal → every covariance = variance → alpha = 1
+    val same = (1 to 40).map(i => (i.toDouble, i.toDouble, i.toDouble))
+      .toDF("a", "b", "c")
+    val r1 = Stats.cronbachAlpha(same, Seq("a", "b", "c")).head()
+    assert(r1.getAs[Double]("alpha") === 1.0)
+    assert(r1.getLong(1) === 3L)
+    // hand case, k=2: a={1,2,3}, b={1,3,2}: var_a=var_b=2/3,
+    // var(a+b)={2,5,5}: mean 4, var=2 → alpha = 2·(1 − (4/3)/2) = 2/3
+    val h = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0)).toDF("a", "b")
+    val r2 = Stats.cronbachAlpha(h, Seq("a", "b")).head()
+    assert(math.abs(r2.getAs[Double]("alpha") - 2.0 / 3.0) < 1e-6)
+    // anti-correlated pair with zero total variance fails cleanly
+    val z = Seq((1.0, -1.0), (2.0, -2.0)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Stats.cronbachAlpha(z, Seq("a", "b"))
+    }
+    assert(e.getMessage.contains("total variance"), e.getMessage)
+  }
+
+  test("iccOneWay: separated groups near 1, identical groups near 0") {
+    // groups at distinct levels, tiny within-noise → ICC ≈ 1
+    val sep = (for (g <- 1 to 3; i <- 1 to 10)
+      yield (s"g$g", g * 100.0 + i * 0.01)).toDF("g", "v")
+    val r = Stats.iccOneWay(sep, "g", "v").head()
+    assert(r.getAs[Double]("icc") > 0.99, r.toString)
+    assert(r.getLong(0) === 3L && r.getAs[Double]("n0") === 10.0)
+    // the same values in every group → between-variance ~0 → ICC ≤ 0
+    val flat = (for (g <- 1 to 3; i <- 1 to 10)
+      yield (s"g$g", i.toDouble)).toDF("g", "v")
+    assert(Stats.iccOneWay(flat, "g", "v").head().getAs[Double]("icc") <= 0.0)
+  }
+
   test("durbinWatson: hand case and white-noise sanity") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-03-${day}%02d 09:00:00")
     // daily totals {1,2,3}: e' = {−3,0,3}, num = 9+9, den = 18 → DW 1
