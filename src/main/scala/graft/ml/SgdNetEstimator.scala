@@ -30,6 +30,12 @@ class SgdNetEstimator(override val uid: String)
   final val standardize = new BooleanParam(this, "standardize", "standardize features")
   final val fitIntercept = new BooleanParam(this, "fitIntercept", "fit intercept")
   final val thresh = new DoubleParam(this, "thresh", "convergence threshold")
+  final val penaltyFactor = new DoubleArrayParam(this, "penaltyFactor",
+    "glmnet penalty.factor: per-feature multiplier on both penalty terms")
+  final val weightCol = new Param[String](this, "weightCol",
+    "observation-weight column (gaussian only)")
+  final val offsetCol = new Param[String](this, "offsetCol",
+    "linear-predictor offset column (gaussian/poisson)")
 
   setDefault(labelCol -> "label", family -> "gaussian", alpha -> 1.0,
     nLambda -> 100, standardize -> true, fitIntercept -> true, thresh -> 1e-3)
@@ -43,14 +49,28 @@ class SgdNetEstimator(override val uid: String)
   def setStandardize(v: Boolean): this.type = set(standardize, v)
   def setFitIntercept(v: Boolean): this.type = set(fitIntercept, v)
   def setThresh(v: Double): this.type = set(thresh, v)
+  def setPenaltyFactor(v: Seq[Double]): this.type = set(penaltyFactor, v.toArray)
+  def setWeightCol(v: String): this.type = set(weightCol, v)
+  def setOffsetCol(v: String): this.type = set(offsetCol, v)
 
   override def fit(dataset: Dataset[_]): SgdNetPipelineModel = {
     val params = SgdNetParams(
       family = $(family), alpha = $(alpha), nlambda = $(nLambda),
       lambda = if (isSet(lambdas)) $(lambdas) else null,
       standardize = $(standardize), intercept = $(fitIntercept),
-      thresh = $(thresh))
-    val m = SgdNet.fit(dataset.toDF(), $(featureCols).toSeq, $(labelCol), params)
+      thresh = $(thresh),
+      penaltyFactor = if (isSet(penaltyFactor)) $(penaltyFactor) else null)
+    require(!(isSet(weightCol) && isSet(offsetCol)),
+      "weightCol and offsetCol cannot be combined")
+    val df = dataset.toDF()
+    val m =
+      if (isSet(weightCol))
+        SgdNet.fitWeighted(df, $(featureCols).toSeq, $(labelCol),
+          $(weightCol), params)
+      else if (isSet(offsetCol))
+        SgdNet.fitWithOffset(df, $(featureCols).toSeq, $(labelCol),
+          $(offsetCol), params)
+      else SgdNet.fit(df, $(featureCols).toSeq, $(labelCol), params)
     new SgdNetPipelineModel(uid, m).setParent(this)
   }
 

@@ -28,4 +28,32 @@ class EstimatorSpec extends SparkSpec {
     val copied = est.copy(org.apache.spark.ml.param.ParamMap.empty)
     assert(copied.isInstanceOf[SgdNetEstimator])
   }
+
+  test("estimator routes penaltyFactor, weightCol, and offsetCol to the fits") {
+    import org.apache.spark.sql.functions._
+    val df = graft.SparkSpec.regressionDF(spark)
+    def base() = new SgdNetEstimator()
+      .setFeatureCols(Seq("x1", "x2")).setLabelCol("y")
+      .setLambdas(Seq(0.3)).setThresh(1e-10)
+    val pf = base().setPenaltyFactor(Seq(0.0, 1.0)).fit(df).pathModel
+    val direct = SgdNet.fit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(lambda = Array(0.3), thresh = 1e-10,
+        penaltyFactor = Array(0.0, 1.0)))
+    for (j <- 0 until 2)
+      assert(math.abs(pf.beta(0)(0)(j) - direct.beta(0)(0)(j)) < 1e-9)
+    val wdf = df.withColumn("w", lit(2.0))
+    val mw = base().setWeightCol("w").fit(wdf).pathModel
+    val dw = SgdNet.fitWeighted(wdf, Seq("x1", "x2"), "y", "w",
+      SgdNetParams(lambda = Array(0.3), thresh = 1e-10))
+    assert(math.abs(mw.a0(0)(0) - dw.a0(0)(0)) < 1e-9)
+    val odf = df.withColumn("off", lit(1.5))
+    val mo = base().setOffsetCol("off").fit(odf).pathModel
+    val doff = SgdNet.fitWithOffset(odf, Seq("x1", "x2"), "y", "off",
+      SgdNetParams(lambda = Array(0.3), thresh = 1e-10))
+    assert(math.abs(mo.a0(0)(0) - doff.a0(0)(0)) < 1e-9)
+    intercept[IllegalArgumentException] {
+      base().setWeightCol("w").setOffsetCol("off").fit(
+        wdf.withColumn("off", lit(0.0)))
+    }
+  }
 }
