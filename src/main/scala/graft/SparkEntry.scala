@@ -333,7 +333,8 @@ object SparkEntry {
     "q_gains"            -> (OpsQueries.gainsQ _),
     "q_mcf"              -> (OpsQueries.mcfQ _),
     "q_cronbach"         -> (OpsQueries.cronbachQ _),
-    "q_icc"              -> (OpsQueries.iccQ _)
+    "q_icc"              -> (OpsQueries.iccQ _),
+    "q_capture_recapture" -> (OpsQueries.captureRecaptureQ _)
   )
 
   private val fixedPathValues =

@@ -1727,6 +1727,40 @@ object Dedup {
       .withColumn("keep", col("common_ppm") < lit(keepBelowPpm))
   }
 
+  /** Lincoln–Petersen capture–recapture estimate of the TRUE
+    * duplicate-pair population from two INDEPENDENT detectors'
+    * catches (e.g. minhash vs simhash): if detector 1 catches n₁
+    * pairs, detector 2 catches n₂, and m pairs appear in both, the
+    * bias-corrected Chapman estimate of the total is
+    * (n₁+1)(n₂+1)/(m+1) − 1 — the only way to audit dedup RECALL
+    * without labeled truth. Orientation-normalized distinct pair
+    * sets; one inner join for the overlap; all-integral output with
+    * per-detector coverage ppm against the estimate. Returns
+    * (n_1, n_2, overlap, chapman_est, coverage_1_ppm,
+    * coverage_2_ppm). */
+  def captureRecapture(a: DataFrame, b: DataFrame,
+                       aCol: String = "id_a",
+                       bCol: String = "id_b"): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def norm(df: DataFrame) = df.select(
+        least(col(aCol), col(bCol)).as("x"),
+        greatest(col(aCol), col(bCol)).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+    val ca = norm(a).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = norm(b).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n1 = ca.count(); val n2 = cb.count()
+      val m = ca.join(cb, Seq("x", "y")).count()
+      val chapman = (BigInt(n1 + 1) * BigInt(n2 + 1) / BigInt(m + 1) - 1).toLong
+      val c1 = if (chapman > 0) n1 * 1000000L / chapman else 0L
+      val c2 = if (chapman > 0) n2 * 1000000L / chapman else 0L
+      Seq((n1, n2, m, chapman, c1, c2))
+        .toDF("n_1", "n_2", "overlap", "chapman_est",
+          "coverage_1_ppm", "coverage_2_ppm")
+    } finally { ca.unpersist(false); cb.unpersist(false); () }
+  }
+
   /** Golden-record survivorship merge: one consolidated row per
     * near-dup cluster with FIELD-LEVEL survivorship rules — the MDM
     * step after clustering: representative id = min id (stable),

@@ -5124,6 +5124,46 @@ object OpsOracles {
         |  (cum * 1000000 // (SELECT nu FROM u))::BIGINT AS mcf_micro
         |FROM c ORDER BY day""".stripMargin.trim,
 
+    // capture-recapture: the minhash catch (pr, from the shared
+    // near-dup CTE) x the simhash catch (the q_dedup_simhash pipeline,
+    // s-prefixed) -> Chapman estimate, all-integral
+    "q_capture_recapture" -> (nearDupClusterCte + """,
+        |stoks AS (
+        |  SELECT id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM docs),
+        |sth AS (SELECT id, substr(md5(w), 1, 16) AS h FROM stoks),
+        |sbits AS (
+        |  SELECT id, g.b,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, 16 - g.b // 4, 1)) - 1)
+        |                   >> (g.b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM sth, generate_series(0, 63) AS g(b) GROUP BY id, g.b),
+        |ssv AS (SELECT id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+        |                              ORDER BY b) AS bv
+        |        FROM sbits GROUP BY id),
+        |sbands AS (SELECT id, g.band, substr(bv, g.band * 16 + 1, 16) AS bucket
+        |           FROM ssv, generate_series(0, 3) AS g(band)),
+        |scand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        |          FROM sbands l JOIN sbands r
+        |          ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+        |sham AS (SELECT id_a, id_b,
+        |           len(list_filter(generate_series(1, 64),
+        |                 i -> substr(a.bv, i, 1) != substr(b.bv, i, 1))) AS hamming
+        |         FROM scand JOIN ssv a ON scand.id_a = a.id
+        |              JOIN ssv b ON scand.id_b = b.id),
+        |sp AS (SELECT id_a, id_b FROM sham WHERE hamming <= 6),
+        |cc AS (SELECT count(*)::BIGINT AS n1 FROM pr),
+        |cs AS (SELECT count(*)::BIGINT AS n2 FROM sp),
+        |ov AS (SELECT count(*)::BIGINT AS m FROM pr JOIN sp USING (id_a, id_b))
+        |SELECT n1 AS n_1, n2 AS n_2, m AS overlap,
+        |  ((n1 + 1)::HUGEINT * (n2 + 1) // (m + 1) - 1)::BIGINT AS chapman_est,
+        |  (n1 * 1000000
+        |    // ((n1 + 1)::HUGEINT * (n2 + 1) // (m + 1) - 1))::BIGINT
+        |    AS coverage_1_ppm,
+        |  (n2 * 1000000
+        |    // ((n1 + 1)::HUGEINT * (n2 + 1) // (m + 1) - 1))::BIGINT
+        |    AS coverage_2_ppm
+        |FROM cc, cs, ov""".stripMargin.trim),
+
     // Cronbach's alpha: ONE moment aggregation over cents, mirrored
     // population-variance closed form
     "q_cronbach" ->

@@ -2284,6 +2284,16 @@ object OpsQueries {
     Stats.iccOneWay(tbl(spark, dir, "lineitem"), "l_returnflag",
       "l_extendedprice")
 
+  /** Capture–recapture dedup-recall audit: minhash vs simhash
+    * catches over the planted near-dup corpus. */
+  def captureRecaptureQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithNearDups(spark, dir)
+    val mh = Dedup.minhashLsh(docs, "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.6)
+    val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+    Dedup.captureRecapture(mh, sh)
+  }
+
   /** Dirichlet query-likelihood retrieval, same query terms as bm25. */
   def qldQ(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.queryLikelihood(tbl(spark, dir, "documents"), "doc_id",

@@ -1098,6 +1098,17 @@ class OpsSpec extends SparkSpec {
     assert(ls(1L) > ls(2L))
   }
 
+  test("captureRecapture: Chapman estimate from orientation-normalized catches") {
+    val c1 = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    // flipped orientation + a duplicate row must not inflate the catch
+    val c2 = Seq((2L, 1L), (2L, 1L), (3L, 4L)).toDF("id_a", "id_b")
+    val r = Dedup.captureRecapture(c1, c2).head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L && r.getLong(2) === 2L)
+    // chapman = 4·3/3 − 1 = 3 (the true total when catch1 saw it all)
+    assert(r.getLong(3) === 3L)
+    assert(r.getLong(4) === 1000000L && r.getLong(5) === 666666L)
+  }
+
   test("quantileNormalize: equal-size slices map onto the SAME pooled positions") {
     val df = Seq(
       ("a", 1L, 0.10), ("a", 2L, 0.20), ("a", 3L, 0.30),
