@@ -262,6 +262,11 @@ object SparkEntry {
     "q_woe_iv"           -> (OpsQueries.woeIvQ _),
     "q_cohen_kappa"      -> (OpsQueries.cohenKappaQ _),
     "q_kaplan_meier"     -> (OpsQueries.kaplanMeierQ _),
+    "q_nelson_aalen"     -> (OpsQueries.nelsonAalenQ _),
+    "q_g_test"           -> (OpsQueries.gTestQ _),
+    "q_jarque_bera"      -> (OpsQueries.jarqueBeraQ _),
+    "q_grubbs"           -> (OpsQueries.grubbsQ _),
+    "q_bh_fdr"           -> (OpsQueries.bhFdrQ _),
     "q_theil_sen"        -> (OpsQueries.theilSenQ _),
     "q_hhi"              -> (OpsQueries.hhiQ _),
     "q_jsd"              -> (OpsQueries.jsdQ _),

@@ -1177,6 +1177,56 @@ object Analytics {
       .orderBy("t_days")
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator over the same
+    * lifetime/censoring construction as [[kaplanMeier]] (identical
+    * duration grid, risk sets, and churn rule): H(t) = Σ_{t_i ≤ t}
+    * d_i/n_i with the Poisson-type variance Σ d_i/n_i². Where KM
+    * reports ln-survival, NA reports the cumulative hazard directly —
+    * the robust choice for small risk sets. Shape: one grouped rollup
+    * to the duration grid + two windows over the calendar-bounded
+    * grid; the prefix sums run in t-order on both engines, so the
+    * double sequences are identical. Returns
+    * (t_days, n_risk, d_churn, na_hazard, na_var). */
+  def nelsonAalen(events: DataFrame, userCol: String, tsCol: String,
+                  churnGapDays: Int = 7, outDigits: Int = 6,
+                  timeUnit: String = "day"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = timeUnit match {
+      case "day"  => datediff(to_date(col(tsCol)), lit("1970-01-01"))
+        .cast("long")
+      case "hour" => floor(unix_timestamp(col(tsCol)) / lit(3600L))
+        .cast("long")
+      case other  => throw new IllegalArgumentException(
+        s"timeUnit must be day|hour, got $other")
+    }
+    val days = events
+      .filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("u"), idx.as("d"))
+    val bounds = days.agg(max(col("d")).as("dmax"))
+    val users = days.groupBy("u")
+      .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+      .crossJoin(broadcast(bounds))
+      .select((col("l") - col("f")).as("t"),
+        (col("dmax") - col("l") > churnGapDays).cast("long").as("e"))
+    val grid = users.groupBy("t")
+      .agg(sum(col("e")).as("d"), count(lit(1)).as("m"))
+    val wSuffix = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wPrefix = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("n_risk", sum(col("m")).over(wSuffix))
+      .filter(col("d") > 0)
+      .withColumn("__h", col("d").cast("double") / col("n_risk").cast("double"))
+      .withColumn("__v", col("d").cast("double") /
+        (col("n_risk").cast("double") * col("n_risk").cast("double")))
+      .withColumn("na_hazard", sum(col("__h")).over(wPrefix))
+      .withColumn("na_var", sum(col("__v")).over(wPrefix))
+      .select(col("t").as("t_days"), col("n_risk"), col("d").as("d_churn"),
+        round(col("na_hazard"), outDigits).as("na_hazard"),
+        round(col("na_var"), outDigits).as("na_var"))
+      .orderBy("t_days")
+  }
+
   /** Mean cumulative function of RECURRENT events (Nelson estimator
     * under the fully-observed convention this table satisfies — every
     * unit at risk for the whole window): per day, cumulative matching

@@ -767,4 +767,185 @@ object Stats {
       .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
     Seq((n.toLong, dw)).toDF("n_days", "dw")
   }
+
+  /** G-test (log-likelihood-ratio test) of independence between two
+    * categorical columns. The same shape as [[Analytics.chiSquare]]:
+    * exact joint/marginal counts, one double term per OBSERVED cell
+    * (zero cells contribute exactly 0 to G — no absorption term is
+    * needed), each term rounded to 9 dp and summed in decimal(38,9) so
+    * the total is independent of partition merge order (the micro-unit
+    * idiom). Returns one row (n, dof, g_stat). */
+  def gTest(df: DataFrame, colA: String, colB: String,
+            outDigits: Int = 6): DataFrame = {
+    val base = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).as("__a"), col(colB).as("__b"))
+      .localCheckpoint(false)
+    val n = base.count()
+    require(n > 0, "no non-null rows")
+    val joint = base.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val ma = base.groupBy(col("__a")).agg(count(lit(1)).as("n_a"))
+    val mb = base.groupBy(col("__b")).agg(count(lit(1)).as("n_b"))
+    val ka = ma.count(); val kb = mb.count()
+    val dof = (ka - 1) * (kb - 1)
+    val nd = n.toDouble
+    val term = col("n_ab").cast("double") *
+      log(col("n_ab").cast("double") * lit(nd) /
+        (col("n_a").cast("double") * col("n_b").cast("double")))
+    val g = joint.join(ma, "__a").join(mb, "__b")
+      .select(round(term, 9).as("__t"))
+      .agg((sum(col("__t").cast("decimal(38,9)")) * 2).as("__g"))
+    g.select(lit(n).as("n"), lit(dof).as("dof"),
+      round(col("__g"), outDigits).cast("double").as("g_stat"))
+  }
+
+  /** Per-group Jarque–Bera normality statistic from exact integral
+    * power sums: cent-scaled values are summed through the 4th power in
+    * decimal(38,0) (cents^4 · rows must stay under 1e38 — values to
+    * ~1e5 in units leave headroom past sf100), then ONE double closed
+    * form produces skewness / excess kurtosis / JB. The standardized
+    * moments are scale-invariant, so the cent unit cancels everywhere
+    * except the reported mean. Fully distributed — one grouped
+    * aggregation, no collect. */
+  def jarqueBera(df: DataFrame, valueCol: String, groupCol: String,
+                 scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    val unit = math.pow(10, scaleDigits)
+    val ic = round(col(valueCol).cast("double") * lit(unit))
+      .cast("long").cast("decimal(38,0)")
+    val ic2 = ic * ic
+    val m = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"), sum(ic).as("s1"),
+        sum(ic2).as("s2"), sum(ic2 * ic).as("s3"), sum(ic2 * ic2).as("s4"))
+    val nd = col("n").cast("double")
+    val m1 = col("s1").cast("double") / nd
+    val r2 = col("s2").cast("double") / nd
+    val r3 = col("s3").cast("double") / nd
+    val r4 = col("s4").cast("double") / nd
+    val mu2 = r2 - m1 * m1
+    val mu3 = r3 - lit(3.0) * m1 * r2 + lit(2.0) * m1 * m1 * m1
+    val mu4 = r4 - lit(4.0) * m1 * r3 + lit(6.0) * m1 * m1 * r2 -
+      lit(3.0) * m1 * m1 * m1 * m1
+    val skew = mu3 / (mu2 * sqrt(mu2))
+    val exk = mu4 / (mu2 * mu2) - lit(3.0)
+    val jb = nd / lit(6.0) * (skew * skew + exk * exk / lit(4.0))
+    m.select(col("g"), col("n").cast("long").as("n"),
+        round(m1 / lit(unit), outDigits).as("mean"),
+        round(skew, outDigits).as("skewness"),
+        round(exk, outDigits).as("ex_kurtosis"),
+        round(jb, outDigits).as("jb"))
+      .orderBy("g")
+  }
+
+  /** Per-group Grubbs outlier statistic G = max|x−mean| / sd. The
+    * deviation ranking stays EXACT: d = |x_c·n − s1| is integral
+    * decimal per row, its per-group max is order-free, and only the
+    * closed-form finish converts to double (unit cancels in G). Ties at
+    * the max are reported as a count (`n_at_max`) instead of an
+    * arbitrary representative. Two broadcast joins against the bounded
+    * group-stats table; the row scan stays distributed. */
+  def grubbs(df: DataFrame, valueCol: String, groupCol: String,
+             scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    val unit = math.pow(10, scaleDigits)
+    val ic = round(col(valueCol).cast("double") * lit(unit))
+      .cast("long").cast("decimal(38,0)")
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), ic.as("xc"))
+      .localCheckpoint(false)
+    val stats = base.groupBy("g")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("xc")).as("s1"), sum(col("xc") * col("xc")).as("s2"))
+    val dCol = abs(col("xc") * col("n") - col("s1"))
+    val dmax = base.join(broadcast(stats), "g")
+      .select(col("g"), dCol.as("d"))
+      .groupBy("g").agg(max(col("d")).as("dmax"),
+        count(lit(1)).as("__nr"))
+    val atMax = base.join(broadcast(stats), "g")
+      .join(broadcast(dmax.select("g", "dmax")), "g")
+      .filter(dCol === col("dmax"))
+      .groupBy("g").agg(count(lit(1)).as("n_at_max"))
+    val nd = col("n").cast("double")
+    // sample variance in cents² from exact moments
+    val varC = (col("n") * col("s2") - col("s1") * col("s1")).cast("double") /
+      (nd * (nd - lit(1.0)))
+    stats.join(dmax.select("g", "dmax"), "g").join(atMax, "g")
+      .select(col("g"), col("n").cast("long").as("n"),
+        round(col("s1").cast("double") / nd / lit(unit), outDigits).as("mean"),
+        round(sqrt(varC) / lit(unit), outDigits).as("sd"),
+        round(col("dmax").cast("double") / nd / sqrt(varC), outDigits)
+          .as("g_stat"),
+        col("n_at_max"))
+      .orderBy("g")
+  }
+
+  /** Multiple-testing correction across a family of hypotheses:
+    * Benjamini–Hochberg step-up (FDR) and Holm step-down (FWER)
+    * adjusted p-values. Ranks come from [[Ranking.globalRank]]'s
+    * two-pass range-partitioned scan (ties broken by the key, so the
+    * order is total and deterministic); the suffix-min (BH) and
+    * prefix-max (Holm) run as ONE more pass over the same range
+    * partitioning with per-partition extrema broadcast as offsets —
+    * no stage buffers more than its range slice, so the family can be
+    * millions of hypotheses. Returns (key, p_raw, rank, p_bh, p_holm),
+    * adjusted values capped at 1. */
+  def fdrCorrect(df: DataFrame, keyCol: String, pCol: String,
+                 outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(keyCol).cast("string").as("k"),
+        col(pCol).cast("double").as("p"))
+      .filter(col("p").isNotNull)
+    val m = base.count()
+    require(m > 0, "empty hypothesis family")
+    val ranked = Ranking.globalRank(base, Seq(col("p"), col("k")), 1)
+      .select(col("k"), col("p"), col("rank"))
+    val scored = ranked
+      .withColumn("q", col("p") * lit(m) / col("rank"))
+      .withColumn("h", col("p") * (lit(m) - col("rank") + lit(1L)))
+    val rr = scored.repartitionByRange(col("rank"))
+      .sortWithinPartitions("rank")
+      .select("k", "p", "rank", "q", "h").rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nParts = math.max(rr.getNumPartitions, 1)
+    val extrema = rr.mapPartitionsWithIndex { (i, it) =>
+      var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+      it.foreach { r => mn = math.min(mn, r.getDouble(3))
+        mx = math.max(mx, r.getDouble(4)) }
+      Iterator((i, mn, mx))
+    }.collect().sortBy(_._1)
+    val minQ = Array.fill(nParts)(Double.PositiveInfinity)
+    val maxH = Array.fill(nParts)(Double.NegativeInfinity)
+    extrema.foreach { case (i, mn, mx) => minQ(i) = mn; maxH(i) = mx }
+    // sufAfter(i) = min q over partitions > i; prefBefore(i) = max h < i
+    val sufAfter = new Array[Double](nParts)
+    val prefBefore = new Array[Double](nParts)
+    var accMin = Double.PositiveInfinity
+    for (i <- (nParts - 1) to 0 by -1) { sufAfter(i) = accMin
+      accMin = math.min(accMin, minQ(i)) }
+    var accMax = Double.NegativeInfinity
+    for (i <- 0 until nParts) { prefBefore(i) = accMax
+      accMax = math.max(accMax, maxH(i)) }
+    val bcSuf = spark.sparkContext.broadcast(sufAfter)
+    val bcPre = spark.sparkContext.broadcast(prefBefore)
+    val digits = outDigits
+    val out = rr.mapPartitionsWithIndex { (i, it) =>
+      val rows = it.toArray
+      def r6(x: Double) = BigDecimal(math.min(x, 1.0))
+        .setScale(digits, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val bh = new Array[Double](rows.length)
+      var sm = bcSuf.value(i)
+      for (j <- rows.indices.reverse) {
+        sm = math.min(sm, rows(j).getDouble(3)); bh(j) = sm
+      }
+      var pm = bcPre.value(i)
+      rows.indices.iterator.map { j =>
+        pm = math.max(pm, rows(j).getDouble(4))
+        (rows(j).getString(0),
+          BigDecimal(rows(j).getDouble(1))
+            .setScale(digits, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          rows(j).getLong(2), r6(bh(j)), r6(pm))
+      }
+    }.toDF("k", "p_raw", "rank", "p_bh", "p_holm")
+    out.withColumnRenamed("k", keyCol)
+  }
 }

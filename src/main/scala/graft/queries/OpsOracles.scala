@@ -3878,6 +3878,142 @@ object OpsOracles {
         |    AND CURRENT ROW), 6) AS ln_surv
         |FROM ev ORDER BY t_days""".stripMargin.trim,
 
+    // Nelson-Aalen: the q_kaplan_meier lifetime construction, reporting
+    // cumulative hazard sum(d/n) + variance sum(d/n^2); prefix sums run
+    // in t-order on both engines so the double sequences are identical
+    "q_nelson_aalen" ->
+      """WITH dy AS (SELECT user_id AS u,
+        |    floor(epoch(ts) / 3600)::BIGINT AS d FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |bnd AS (SELECT max(d) AS dmax FROM dy),
+        |us AS (SELECT (max(d) - min(d))::BIGINT AS t,
+        |    CASE WHEN (SELECT dmax FROM bnd) - max(d) > 24
+        |      THEN 1 ELSE 0 END::BIGINT AS e
+        |  FROM dy GROUP BY u),
+        |grid AS (SELECT t, sum(e)::BIGINT AS d, count(*)::BIGINT AS m
+        |  FROM us GROUP BY 1),
+        |g2 AS (SELECT t, d, sum(m) OVER (ORDER BY t ROWS BETWEEN
+        |    CURRENT ROW AND UNBOUNDED FOLLOWING)::BIGINT AS n_risk FROM grid),
+        |ev AS (SELECT t, d, n_risk, d::DOUBLE / n_risk::DOUBLE AS h,
+        |    d::DOUBLE / (n_risk::DOUBLE * n_risk::DOUBLE) AS v
+        |  FROM g2 WHERE d > 0)
+        |SELECT t AS t_days, n_risk, d AS d_churn,
+        |  round(sum(h) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW), 6) AS na_hazard,
+        |  round(sum(v) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW), 6) AS na_var
+        |FROM ev ORDER BY t_days""".stripMargin.trim,
+
+    // G-test: q_chi2's count shape; one rounded-term decimal sum, zero
+    // cells contribute exactly 0 so only observed cells appear
+    "q_g_test" ->
+      """WITH base AS (SELECT o_orderpriority AS a, o_orderstatus AS b
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM base),
+        |j AS (SELECT a, b, count(*)::BIGINT AS n_ab FROM base GROUP BY a, b),
+        |ma AS (SELECT a, count(*)::BIGINT AS n_a FROM base GROUP BY a),
+        |mb AS (SELECT b, count(*)::BIGINT AS n_b FROM base GROUP BY b),
+        |ka AS (SELECT count(*)::BIGINT AS c FROM ma),
+        |kb AS (SELECT count(*)::BIGINT AS c FROM mb),
+        |g AS (SELECT sum(round(
+        |    n_ab::DOUBLE * ln(n_ab::DOUBLE * n
+        |      / (n_a::DOUBLE * n_b::DOUBLE)),
+        |    9)::DECIMAL(38,9)) * 2 AS v
+        |  FROM j JOIN ma USING (a) JOIN mb USING (b), nn)
+        |SELECT nn.n, ((ka.c - 1) * (kb.c - 1))::BIGINT AS dof,
+        |  round(g.v, 6)::DOUBLE AS g_stat
+        |FROM nn, g, ka, kb""".stripMargin.trim,
+
+    // Jarque-Bera: exact HUGEINT power sums through x^4; standardized
+    // moments are unit-invariant so cents cancel except in the mean
+    "q_jarque_bera" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100.0) AS BIGINT)::HUGEINT AS xc
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |m AS (SELECT g, count(*)::HUGEINT AS n, sum(xc)::HUGEINT AS s1,
+        |    sum(xc * xc)::HUGEINT AS s2, sum(xc * xc * xc)::HUGEINT AS s3,
+        |    sum(xc * xc * xc * xc)::HUGEINT AS s4 FROM c GROUP BY 1),
+        |f AS (SELECT g, n::BIGINT AS nl, n::DOUBLE AS nd,
+        |    s1::DOUBLE / n::DOUBLE AS m1, s2::DOUBLE / n::DOUBLE AS r2,
+        |    s3::DOUBLE / n::DOUBLE AS r3, s4::DOUBLE / n::DOUBLE AS r4
+        |  FROM m),
+        |k AS (SELECT g, nl, nd, m1, r2 - m1 * m1 AS mu2,
+        |    r3 - 3.0::DOUBLE * m1 * r2 + 2.0::DOUBLE * m1 * m1 * m1 AS mu3,
+        |    r4 - 4.0::DOUBLE * m1 * r3 + 6.0::DOUBLE * m1 * m1 * r2
+        |      - 3.0::DOUBLE * m1 * m1 * m1 * m1 AS mu4 FROM f),
+        |z AS (SELECT g, nl, nd, m1, mu2,
+        |    mu3 / (mu2 * sqrt(mu2)) AS skew,
+        |    mu4 / (mu2 * mu2) - 3.0::DOUBLE AS exk FROM k)
+        |SELECT g, nl AS n, round(m1 / 100.0::DOUBLE, 6) AS mean,
+        |  round(skew, 6) AS skewness, round(exk, 6) AS ex_kurtosis,
+        |  round(nd / 6.0::DOUBLE * (skew * skew + exk * exk / 4.0::DOUBLE),
+        |    6) AS jb
+        |FROM z ORDER BY g""".stripMargin.trim,
+
+    // Grubbs: deviation ranking on the EXACT integral |x_c*n - s1|;
+    // only the closed-form finish converts to double (unit cancels)
+    "q_grubbs" ->
+      """WITH b AS (SELECT c_mktsegment AS g,
+        |    CAST(round(c_acctbal * 100.0) AS BIGINT)::HUGEINT AS xc
+        |  FROM customer
+        |  WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+        |st AS (SELECT g, count(*)::HUGEINT AS n, sum(xc)::HUGEINT AS s1,
+        |    sum(xc * xc)::HUGEINT AS s2 FROM b GROUP BY 1),
+        |d AS (SELECT b.g, abs(b.xc * st.n - st.s1) AS d
+        |  FROM b JOIN st USING (g)),
+        |mx AS (SELECT g, max(d) AS dmax FROM d GROUP BY 1),
+        |am AS (SELECT g, count(*)::BIGINT AS n_at_max
+        |  FROM d JOIN mx USING (g) WHERE d = dmax GROUP BY g),
+        |f AS (SELECT st.g, st.n::BIGINT AS nl, st.n::DOUBLE AS nd,
+        |    st.s1::DOUBLE AS s1d,
+        |    (st.n * st.s2 - st.s1 * st.s1)::DOUBLE
+        |      / (st.n::DOUBLE * (st.n::DOUBLE - 1.0::DOUBLE)) AS varc,
+        |    mx.dmax::DOUBLE AS dmaxd, am.n_at_max
+        |  FROM st JOIN mx USING (g) JOIN am USING (g))
+        |SELECT g, nl AS n, round(s1d / nd / 100.0::DOUBLE, 6) AS mean,
+        |  round(sqrt(varc) / 100.0::DOUBLE, 6) AS sd,
+        |  round(dmaxd / nd / sqrt(varc), 6) AS g_stat, n_at_max
+        |FROM f ORDER BY g""".stripMargin.trim,
+
+    // BH/Holm: per-event-type two-proportion z (q_ab_test's tree), p =
+    // Chernoff bound exp(-z^2/2) of the ROUNDED z; the step-up/step-down
+    // envelopes are suffix-min / prefix-max in rank order
+    "q_bh_fdr" ->
+      """WITH pu AS (SELECT event_type, user_id, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |cells AS (SELECT event_type,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN user_id % 2 = 0 AND c >= 15 THEN 1 ELSE 0
+        |      END)::BIGINT AS conv_a,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN user_id % 2 = 1 AND c >= 15 THEN 1 ELSE 0
+        |      END)::BIGINT AS conv_b
+        |  FROM pu GROUP BY 1),
+        |z AS (SELECT event_type, round(
+        |    (conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b) /
+        |    sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b))
+        |      * (1.0::DOUBLE - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+        |      * (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b)), 6) AS zv
+        |  FROM cells),
+        |p AS (SELECT event_type, exp(-0.5::DOUBLE * zv * zv) AS p FROM z),
+        |r AS (SELECT event_type, p,
+        |    row_number() OVER (ORDER BY p, event_type) AS rank,
+        |    count(*) OVER () AS m FROM p),
+        |s AS (SELECT event_type, p, rank,
+        |    p * m / rank AS q, p * (m - rank + 1) AS h FROM r),
+        |adj AS (SELECT event_type, p, rank,
+        |    min(q) OVER (ORDER BY rank ROWS BETWEEN CURRENT ROW AND
+        |      UNBOUNDED FOLLOWING) AS bh,
+        |    max(h) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS hm
+        |  FROM s)
+        |SELECT event_type, round(p, 6) AS p_raw, rank,
+        |  round(least(bh, 1.0::DOUBLE), 6) AS p_bh,
+        |  round(least(hm, 1.0::DOUBLE), 6) AS p_holm
+        |FROM adj ORDER BY rank""".stripMargin.trim,
+
     // Theil-Sen: median of all pairwise day-grid slopes; even counts
     // average the two middle values (commutative two-term mean)
     "q_theil_sen" ->

@@ -2381,4 +2381,54 @@ object OpsQueries {
       .select(col("id").as("doc_id"), col("ppr_nano"))
       .orderBy("doc_id")
   }
+
+  /** G-test of independence: order priority × order status. */
+  def gTestQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.gTest(tbl(spark, dir, "orders"), "o_orderpriority", "o_orderstatus")
+
+  /** Jarque–Bera normality of extended price per return flag. */
+  def jarqueBeraQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.jarqueBera(tbl(spark, dir, "lineitem"), "l_extendedprice",
+      "l_returnflag")
+
+  /** Grubbs outlier statistic of account balance per market segment. */
+  def grubbsQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.grubbs(tbl(spark, dir, "customer"), "c_acctbal", "c_mktsegment")
+
+  /** BH / Holm multiple-testing correction over a family of per-event-
+    * type two-proportion z-tests (variant = user parity, converted =
+    * ≥15 events of the type). The p-score is the Chernoff normal tail
+    * bound exp(−z²/2) of the ROUNDED z — monotone in the true
+    * two-sided p, engine-exact, and honest about what a SQL oracle can
+    * replicate (neither engine ships erfc). */
+  def bhFdrQ(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = tbl(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val cells = perUser.groupBy(col("event_type"))
+      .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("user_id") % 2 === 0 && col("c") >= 15, 1L)
+          .otherwise(0L)).as("conv_a"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("user_id") % 2 === 1 && col("c") >= 15, 1L)
+          .otherwise(0L)).as("conv_b"))
+    val z = round(
+      (col("conv_a").cast("double") / col("n_a")
+        - col("conv_b").cast("double") / col("n_b")) /
+      sqrt(((col("conv_a") + col("conv_b")).cast("double")
+          / (col("n_a") + col("n_b")))
+        * (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double")
+          / (col("n_a") + col("n_b")))
+        * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
+    val hyp = cells.select(col("event_type"),
+      exp(lit(-0.5) * z * z).as("p"))
+    Stats.fdrCorrect(hyp, "event_type", "p")
+      .orderBy("rank")
+  }
+
+  /** Nelson–Aalen cumulative hazard on the KM query's lifetime grid
+    * (hour unit, 24h churn gap — the populated-curve regime). */
+  def nelsonAalenQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.nelsonAalen(tbl(spark, dir, "events"), "user_id", "ts",
+      churnGapDays = 24, timeUnit = "hour")
 }
