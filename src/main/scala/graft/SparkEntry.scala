@@ -267,6 +267,9 @@ object SparkEntry {
     "q_jarque_bera"      -> (OpsQueries.jarqueBeraQ _),
     "q_grubbs"           -> (OpsQueries.grubbsQ _),
     "q_bh_fdr"           -> (OpsQueries.bhFdrQ _),
+    "q_knn_graph"        -> (OpsQueries.knnGraphQ _),
+    "q_ann_filtered"     -> (OpsQueries.annFilteredQ _),
+    "q_lsh_plan"         -> (OpsQueries.lshPlanQ _),
     "q_theil_sen"        -> (OpsQueries.theilSenQ _),
     "q_hhi"              -> (OpsQueries.hhiQ _),
     "q_jsd"              -> (OpsQueries.jsdQ _),

@@ -535,6 +535,146 @@ object Ann {
     else ivfTopKJoin(corpus, q, idCol, vecCol, k, centers, nprobe)
   }
 
+  /** Scalar twin of the `graft_cosine` codegen expression — the SAME
+    * fused dot/norm loop and final division, so kernel and expression
+    * routes produce bit-identical doubles. */
+  @inline private def cosScalar(x: Array[Double], y: Array[Double]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xv = x(i); val yv = y(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Exact cosine top-k via a PARTITION-LOCAL bounded-selection kernel:
+    * the (bounded, gated) query set broadcasts, the corpus streams
+    * through each partition ONCE keeping a k-slot candidate set per
+    * query, and only the per-partition winners (≤ parts·k rows per
+    * query) reach the final rank — no |corpus|×|queries| row blowup
+    * ever materializes (a broadcast nested-loop join builds exactly
+    * that, interpreted, which measured ~10× slower at 2000×2000).
+    * Selection order is (cos desc, neighbor_id asc) with cosines from
+    * [[cosScalar]], so the output is bit-identical to
+    * [[bruteForceTopK]]. */
+  def bruteTopKKernel(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int,
+                      maxQueries: Long = 1L << 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    require(qRows.length <= maxQueries,
+      s"bruteTopKKernel query set is gated at $maxQueries (got " +
+        s"${qRows.length}); use the IVF join path for unbounded queries")
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    val kk = k
+    val cand = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val q = bcQ.value
+        val nq = q.length
+        val hIds = Array.fill(nq)(new Array[Long](kk))
+        val hCos = Array.fill(nq)(new Array[Double](kk))
+        val hCnt = new Array[Int](nq)
+        // "a is worse than b" under (cos desc, id asc)
+        @inline def worse(c1: Double, i1: Long, c2: Double, i2: Long) =
+          c1 < c2 || (c1 == c2 && i1 > i2)
+        it.foreach { case (cid, cv) =>
+          var qi = 0
+          while (qi < nq) {
+            if (q(qi)._1 != cid) {
+              val c = cosScalar(q(qi)._2, cv)
+              val cnt = hCnt(qi)
+              if (cnt < kk) {
+                hIds(qi)(cnt) = cid; hCos(qi)(cnt) = c; hCnt(qi) = cnt + 1
+              } else {
+                var w = 0; var j = 1
+                while (j < cnt) {
+                  if (worse(hCos(qi)(j), hIds(qi)(j), hCos(qi)(w),
+                    hIds(qi)(w))) w = j
+                  j += 1
+                }
+                if (worse(hCos(qi)(w), hIds(qi)(w), c, cid)) {
+                  hCos(qi)(w) = c; hIds(qi)(w) = cid
+                }
+              }
+            }
+            qi += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          (0 until hCnt(qi)).iterator
+            .map(j => (q(qi)._1, hIds(qi)(j), hCos(qi)(j)))
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kk)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
+  /** Mutual-kNN GRAPH over an embedding corpus: each vector's top-k
+    * cosine neighbors as edges (src, dst, rank, cos, mutual), where
+    * `mutual` marks edges whose reverse is also a top-k edge — the
+    * standard densification input for graph clustering, SemDeDup-style
+    * semantic grouping, and UMAP-ish neighborhood methods (mutual
+    * edges are the high-precision core; one-way edges the recall
+    * fringe). Small corpora (≤ `maxBruteRows`, explicit gate) run the
+    * exact broadcast scan; larger corpora MUST pass trained IVF
+    * `centers` and run the [[ivfTopKJoin]] bucketed probe — corpus ×
+    * corpus never materializes, only cell-cohabiting pairs. The
+    * mutual flag is one self-equi-join on the n·k edge table. */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+               centers: Option[Array[Array[Double]]] = None,
+               nprobe: Int = 4, maxBruteRows: Long = 1L << 14): DataFrame = {
+    val base = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .localCheckpoint(false)
+    val topk = centers match {
+      case Some(c) => ivfTopKJoin(base, base, idCol, vecCol, k, c, nprobe)
+      case None =>
+        val n = base.count()
+        require(n <= maxBruteRows,
+          s"knnGraph exact path is bounded to $maxBruteRows rows ($n " +
+            "given); pass trained IVF centers for the bucketed path")
+        bruteTopKKernel(base, base, idCol, vecCol, k, maxBruteRows)
+    }
+    val rev = topk.select(col("query_id").as("__rd"),
+      col("neighbor_id").as("__rs"))
+    topk.join(rev, col("query_id") === col("__rs") &&
+        col("neighbor_id") === col("__rd"), "left")
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"),
+        col("rank"), col("cos"), col("__rs").isNotNull.as("mutual"))
+  }
+
+  /** PRE-FILTERED ANN: restrict the corpus by an arbitrary predicate
+    * BEFORE searching, so every query still gets k results from the
+    * eligible set (post-filtering an index probe under-fills whenever
+    * the filter is selective — the classic filtered-search failure).
+    * The predicate is applied to the corpus scan, so a narrow column
+    * predicate stays pushdown-eligible all the way to parquet. With
+    * trained `centers` the search runs the count-gated
+    * [[ivfTopKAuto]] probe over the filtered corpus; without, the
+    * exact broadcast scan (corpus streams, bounded queries
+    * broadcast). */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int,
+                   pred: org.apache.spark.sql.Column,
+                   centers: Option[Array[Array[Double]]] = None,
+                   nprobe: Int = 4): DataFrame = {
+    val c = corpus.filter(pred)
+    centers match {
+      case Some(ct) => ivfTopKAuto(c, queries, idCol, vecCol, k, ct, nprobe)
+      case None     => bruteForceTopK(c, queries, idCol, vecCol, k)
+    }
+  }
+
   /** Product-quantization ANN (the PQ/ADC half of FAISS's IVFPQ): the
     * vector dimension splits into `m` subspaces; each subspace gets a
     * `ksub`-centroid k-means codebook trained driver-side on a bounded

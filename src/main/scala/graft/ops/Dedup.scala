@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -1839,4 +1839,49 @@ object Dedup {
       .select(col("size"), col("n_clusters"),
         (col("size") * col("n_clusters")).as("n_docs"))
       .orderBy("size")
+
+  /** OPTIMAL LSH BAND PLAN for a target Jaccard `threshold` under a
+    * signature budget of `maxHashes` total hash functions: choose
+    * (bands b, rows-per-band r) with b·r ≤ maxHashes minimizing the
+    * weighted false-positive + false-negative area of the S-curve
+    * P(candidate | jaccard s) = 1 − (1 − s^r)^b on a 1% similarity
+    * grid (the datasketch `optimal_param` objective) — the planning
+    * step that turns "I want 0.8-similar pairs" into [[minhashLsh]]
+    * parameters instead of hand-tuning. Pure closed-form driver math
+    * (no data pass); each grid term rounds to 9 dp before the exact
+    * decimal sum so the argmin is engine-reproducible, ties broken by
+    * (objective, b, r). Returns the S-curve of the chosen plan at 5%
+    * steps: (bands, rows_per_band, n_hashes, s_pct, p_candidate). */
+  def lshPlan(spark: SparkSession, threshold: Double, maxHashes: Int = 64,
+              fpWeight: Double = 0.5, outDigits: Int = 6): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0,1)")
+    require(maxHashes >= 1, "maxHashes must be >= 1")
+    import spark.implicits._
+    def pAt(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val cand = for {
+      b <- 1 to maxHashes
+      r <- 1 to maxHashes / b
+    } yield (b, r)
+    val scored = cand.map { case (b, r) =>
+      var sum = BigDecimal(0)
+      var i = 1
+      while (i <= 99) {
+        val s = i.toDouble / 100.0
+        val p = pAt(s, b, r)
+        val term = if (s < threshold) fpWeight * p
+        else (1.0 - fpWeight) * (1.0 - p)
+        sum += BigDecimal(term).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        i += 1
+      }
+      (sum, b, r)
+    }
+    val (_, b, r) = scored.minBy { case (o, bb, rr) => (o, bb, rr) }
+    (5 to 95 by 5).map { sp =>
+      val p = pAt(sp.toDouble / 100.0, b, r)
+      (b.toLong, r.toLong, (b * r).toLong, sp.toLong,
+        BigDecimal(p).setScale(outDigits, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.toDF("bands", "rows_per_band", "n_hashes", "s_pct", "p_candidate")
+  }
 }

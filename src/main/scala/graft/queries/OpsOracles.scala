@@ -4014,6 +4014,65 @@ object OpsOracles {
         |  round(least(hm, 1.0::DOUBLE), 6) AS p_holm
         |FROM adj ORDER BY rank""".stripMargin.trim,
 
+    // mutual-kNN graph: brute all-pairs cosine rank + a reversed-edge
+    // self-join for the mutual flag
+    "q_knn_graph" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 2000),
+        |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_cosine_similarity(a.v, b.v) AS cos,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id)
+        |      AS rank
+        |  FROM c a, c b WHERE a.vec_id != b.vec_id),
+        |t AS (SELECT * FROM s WHERE rank <= 3)
+        |SELECT t.src, t.dst, t.rank, round(t.cos, 4) AS cos,
+        |  (m.src IS NOT NULL) AS mutual
+        |FROM t LEFT JOIN t m ON m.src = t.dst AND m.dst = t.src
+        |ORDER BY t.src, t.rank""".stripMargin.trim,
+
+    // pre-filtered ANN: exact brute top-k over the label-filtered corpus
+    "q_ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings WHERE label = 1),
+        |s AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qv, cv) AS cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id)
+        |      AS rank
+        |  FROM q, c WHERE query_id != neighbor_id)
+        |SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+        |FROM s WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin.trim,
+
+    // LSH band planner: enumerate b*r <= 64, FP+FN S-curve area on the
+    // 1% grid with per-term round-9 decimal sums (argmin ties -> b, r),
+    // then the winner's S-curve at 5% steps
+    "q_lsh_plan" ->
+      """WITH cand AS (SELECT g1.b::INT AS b, g2.r::INT AS r
+        |  FROM generate_series(1, 64) g1(b), generate_series(1, 64) g2(r)
+        |  WHERE g1.b * g2.r <= 64),
+        |grid AS (SELECT i FROM generate_series(1, 99) g(i)),
+        |terms AS (SELECT b, r, i,
+        |    1.0::DOUBLE - power(1.0::DOUBLE
+        |      - power(i::DOUBLE / 100.0::DOUBLE, r), b) AS p
+        |  FROM cand, grid),
+        |obj AS (SELECT b, r, sum(round(CASE
+        |      WHEN i::DOUBLE / 100.0::DOUBLE < 0.6::DOUBLE
+        |      THEN 0.5::DOUBLE * p
+        |      ELSE 0.5::DOUBLE * (1.0::DOUBLE - p) END,
+        |    9)::DECIMAL(38,9)) AS o
+        |  FROM terms GROUP BY b, r),
+        |best AS (SELECT b, r FROM obj ORDER BY o, b, r LIMIT 1)
+        |SELECT best.b::BIGINT AS bands, best.r::BIGINT AS rows_per_band,
+        |  (best.b * best.r)::BIGINT AS n_hashes, (sp * 5)::BIGINT AS s_pct,
+        |  round(1.0::DOUBLE - power(1.0::DOUBLE
+        |    - power((sp * 5)::DOUBLE / 100.0::DOUBLE, best.r), best.b), 6)
+        |    AS p_candidate
+        |FROM best, generate_series(1, 19) g(sp)
+        |ORDER BY s_pct""".stripMargin.trim,
+
     // Theil-Sen: median of all pairwise day-grid slopes; even counts
     // average the two middle values (commutative two-term mean)
     "q_theil_sen" ->

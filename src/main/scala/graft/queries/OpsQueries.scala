@@ -2431,4 +2431,32 @@ object OpsQueries {
   def nelsonAalenQ(spark: SparkSession, dir: String): DataFrame =
     Analytics.nelsonAalen(tbl(spark, dir, "events"), "user_id", "ts",
       churnGapDays = 24, timeUnit = "hour")
+
+  /** Mutual-3NN graph on a bounded slice (vec_id < 2000 — the exact
+    * route is inherently quadratic; the IVF route is the scale path,
+    * proved equal to this one by spec). */
+  def knnGraphQ(spark: SparkSession, dir: String): DataFrame =
+    Ann.knnGraph(tbl(spark, dir, "embeddings").filter(col("vec_id") < 2000),
+        "vec_id", "embedding", k = 3)
+      .select(col("src"), col("dst"), col("rank"),
+        round(col("cos"), 4).as("cos"), col("mutual"))
+      .orderBy("src", "rank")
+
+  /** Pre-filtered ANN: label=1 corpus only, first ten vectors as
+    * queries — every query gets k eligible neighbors (post-filtering
+    * an index probe would under-fill). */
+  def annFilteredQ(spark: SparkSession, dir: String): DataFrame = {
+    val e = tbl(spark, dir, "embeddings")
+    Ann.filteredTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k = 5, pred = col("label") === 1)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Optimal LSH band plan for threshold 0.6 under a 64-hash budget
+    * (pure planner output: chosen (b, r) + its S-curve). */
+  def lshPlanQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshPlan(spark, threshold = 0.6, maxHashes = 64)
+      .orderBy("s_pct")
 }
