@@ -270,6 +270,9 @@ object SparkEntry {
     "q_knn_graph"        -> (OpsQueries.knnGraphQ _),
     "q_ann_filtered"     -> (OpsQueries.annFilteredQ _),
     "q_lsh_plan"         -> (OpsQueries.lshPlanQ _),
+    "q_multi_touch"      -> (OpsQueries.multiTouchQ _),
+    "q_stump"            -> (OpsQueries.stumpQ _),
+    "q_hapax"            -> (OpsQueries.hapaxQ _),
     "q_theil_sen"        -> (OpsQueries.theilSenQ _),
     "q_hhi"              -> (OpsQueries.hhiQ _),
     "q_jsd"              -> (OpsQueries.jsdQ _),

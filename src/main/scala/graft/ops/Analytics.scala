@@ -1252,4 +1252,69 @@ object Analytics {
         expr(s"cum_events * 1000000 div ${nUnits}L").as("mcf_micro"))
       .orderBy("day")
   }
+
+  /** MULTI-TOUCH attribution: each conversion's credit splits across
+    * its full touch path inside the lookback window, under two
+    * standard models at once — `linear` (1/n each) and `ushape`
+    * (position-based 40/20/40: first and last touch 40% each, middles
+    * share 20%; n=1 → 100%, n=2 → 50/50). Weights are integral PPM
+    * with the division remainder assigned to the path's LAST touch,
+    * so credit mass is conserved EXACTLY per conversion and every
+    * aggregate is order-free integer arithmetic — no fractional
+    * drift, engine-exact. Conversions with no in-window touch credit
+    * 'none' in full (total credit = conversions × 10⁶ ppm, always).
+    *
+    * Shape: one user-keyed equi-join (touches bounded by the lookback
+    * window), one conversion-keyed rank window over the per-path
+    * touches, one grouped rollup. Returns per channel:
+    * (channel, touches, linear_micro_cents, ushape_micro_cents). */
+  def multiTouchAttribution(conversions: DataFrame, touches: DataFrame,
+                            idCol: String, userCol: String, tsCol: String,
+                            channelCol: String, valueCentsCol: String,
+                            lookbackSeconds: Long = 7200L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = conversions.select(col(idCol).as("__cid"),
+      col(userCol).as("__cu"), unix_micros(col(tsCol)).as("__cus"),
+      col(valueCentsCol).cast("long").as("__cents"))
+    val tch = touches.select(col(userCol).as("__tu"),
+      unix_micros(col(tsCol)).as("__tus"), col(channelCol).as("__ch"))
+    val lb = lookbackSeconds * 1000000L
+    // window condition lives IN the join: a conversion whose touches all
+    // fall outside the lookback must keep its null row (-> 'none'), not
+    // vanish to a post-join filter
+    val joined = conv.join(tch,
+      conv("__cu") === tch("__tu") && tch("__tus") <= conv("__cus") &&
+        conv("__cus") - tch("__tus") <= lb, "left")
+    val w = Window.partitionBy("__cid")
+      .orderBy(col("__tus").asc_nulls_first, col("__ch"))
+    val wN = Window.partitionBy("__cid")
+    val ranked = joined
+      .withColumn("__pos", row_number().over(w))
+      .withColumn("__n", count(col("__tus")).over(wN))
+    // integral ppm weights; division remainders go to the LAST touch
+    // (deterministic), so each conversion's credit sums to exactly 1e6
+    val m = lit(1000000L)
+    val linW = when(col("__n") === 0, m).otherwise(
+      expr("1000000 div __n") +
+        when(col("__pos") === col("__n"), pmod(m, col("__n"))).otherwise(0L))
+    val uW = when(col("__n") <= 0, m)
+      .when(col("__n") === 1, m)
+      .when(col("__n") === 2, lit(500000L))
+      .otherwise(
+        when(col("__pos") === 1 || col("__pos") === col("__n"), lit(400000L))
+          .otherwise(expr("200000 div (__n - 2)") +
+            when(col("__pos") === col("__n") - 1,
+              pmod(lit(200000L), col("__n") - 2)).otherwise(0L)))
+    val dd = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    ranked
+      .withColumn("__channel",
+        when(col("__n") === 0, lit("none")).otherwise(col("__ch")))
+      .groupBy(col("__channel").as("channel"))
+      .agg(sum(when(col("__n") > 0, 1L).otherwise(0L)).as("touches"),
+        sum(dd(linW) * dd(col("__cents"))).cast("long")
+          .as("linear_micro_cents"),
+        sum(dd(uW) * dd(col("__cents"))).cast("long")
+          .as("ushape_micro_cents"))
+      .orderBy("channel")
+  }
 }

@@ -457,4 +457,32 @@ object CorpusStats {
       .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
     Seq((k.toLong, xTail, alpha)).toDF("k", "x_tail", "hill_alpha")
   }
+
+  /** Per-slice HAPAX/DIS LEGOMENA profile: vocabulary size, words
+    * occurring exactly once / twice within the slice, token count,
+    * and the integral ratios — type-token ratio and hapax share in
+    * ppm (floor division, engine-exact). The hapax share is the
+    * classic OCR-noise / synthetic-text / vocabulary-saturation
+    * signal: natural corpora run ~40–60% hapax, noisy ones spike,
+    * templated ones collapse. One explode + two grouped aggregations,
+    * corpus-linear. Returns (slice, n_tokens, vocab, hapax, dis,
+    * ttr_ppm, hapax_share_ppm). */
+  def hapaxStats(df: DataFrame, sliceCol: String,
+                 textCol: String): DataFrame = {
+    val words = df.filter(col(textCol).isNotNull && col(sliceCol).isNotNull)
+      .select(col(sliceCol).as("slice"),
+        explode(Dedup.words(col(textCol))).as("w"))
+    words.groupBy(col("slice"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("slice"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("dis"))
+      .select(col("slice"), col("n_tokens"), col("vocab"), col("hapax"),
+        col("dis"),
+        expr("vocab * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("hapax * 1000000 div vocab").as("hapax_share_ppm"))
+      .orderBy("slice")
+  }
 }

@@ -241,4 +241,57 @@ object Importance {
           .as("iv_term"))
       .orderBy("bucket")
   }
+
+  /** Best single-feature binary split (DECISION STUMP): the threshold
+    * on a cent-scaled numeric feature minimizing weighted Gini
+    * impurity of a boolean label — the one-feature core of tree
+    * induction, and the strongest single-split summary of "does this
+    * feature separate the classes". Candidates are every distinct
+    * feature value (left = x ≤ threshold); prefix class counts come
+    * from one cumulative window over the DISTINCT-VALUE grid (bounded
+    * by value cardinality, not rows — the quantile-grid shape), and
+    * the Gini comparison is pure +,−,×,÷ on exact integral counts, so
+    * both engines order candidates by IDENTICAL doubles (no
+    * transcendental wobble); ties break to the smaller threshold.
+    * Returns one row: (threshold_cents, n_left, pos_left, n_right,
+    * pos_right, gini_split, gini_parent, gain). */
+  def decisionStump(df: DataFrame, featureCol: String,
+                    labelCond: org.apache.spark.sql.Column,
+                    scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unit = math.pow(10, scaleDigits)
+    val base = df.filter(col(featureCol).isNotNull)
+      .select(round(col(featureCol).cast("double") * lit(unit))
+        .cast("long").as("x"),
+        labelCond.cast("boolean").cast("long").as("y"))
+    val grid = base.groupBy("x")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+    val tot = grid.agg(sum(col("n")).as("nn"), sum(col("p")).as("pp"))
+    val wc = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("n1", sum(col("n")).over(wc))
+      .withColumn("p1", sum(col("p")).over(wc))
+      .crossJoin(broadcast(tot))
+      .filter(col("n1") < col("nn"))   // the max value has no right side
+      .withColumn("n2", col("nn") - col("n1"))
+      .withColumn("p2", col("pp") - col("p1"))
+    def gini(n: org.apache.spark.sql.Column, p: org.apache.spark.sql.Column) = {
+      val pd = p.cast("double") / n.cast("double")
+      val qd = (n - p).cast("double") / n.cast("double")
+      lit(1.0) - pd * pd - qd * qd
+    }
+    val wg = (col("n1").cast("double") * gini(col("n1"), col("p1"))
+      + col("n2").cast("double") * gini(col("n2"), col("p2"))) /
+      col("nn").cast("double")
+    val gp = gini(col("nn"), col("pp"))
+    cum.withColumn("wg", wg).withColumn("gp", gp)
+      .orderBy(col("wg"), col("x")).limit(1)
+      .select(col("x").as("threshold_cents"),
+        col("n1").as("n_left"), col("p1").as("pos_left"),
+        col("n2").as("n_right"), col("p2").as("pos_right"),
+        round(col("wg"), outDigits).as("gini_split"),
+        round(col("gp"), outDigits).as("gini_parent"),
+        round(col("gp") - col("wg"), outDigits).as("gain"))
+  }
 }

@@ -4073,6 +4073,95 @@ object OpsOracles {
         |FROM best, generate_series(1, 19) g(sp)
         |ORDER BY s_pct""".stripMargin.trim,
 
+    // multi-touch attribution: ppm weights are pure integer arithmetic
+    // with remainders to the LAST touch, so credit mass is conserved
+    // exactly and every aggregate is order-free
+    "q_multi_touch" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS cus,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, min(event_type) AS channel,
+        |    epoch_us(ts) AS tus
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |  GROUP BY user_id, ts),
+        |j AS (SELECT p.event_id, p.cents, t.channel, t.tus
+        |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+        |    AND t.tus <= p.cus AND p.cus - t.tus <= 7200000000),
+        |r AS (SELECT event_id, cents, channel, tus,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY tus ASC NULLS FIRST, channel) AS pos,
+        |    count(tus) OVER (PARTITION BY event_id) AS n
+        |  FROM j),
+        |wts AS (SELECT event_id, cents, n,
+        |    CASE WHEN n = 0 THEN 'none' ELSE channel END AS channel,
+        |    CASE WHEN n = 0 THEN 1000000
+        |      ELSE 1000000 // n + CASE WHEN pos = n
+        |        THEN 1000000 % n ELSE 0 END END AS lw,
+        |    CASE WHEN n = 0 THEN 1000000
+        |      WHEN n = 1 THEN 1000000
+        |      WHEN n = 2 THEN 500000
+        |      WHEN pos = 1 OR pos = n THEN 400000
+        |      ELSE 200000 // (n - 2) + CASE WHEN pos = n - 1
+        |        THEN 200000 % (n - 2) ELSE 0 END END AS uw
+        |  FROM r)
+        |SELECT channel,
+        |  sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)::BIGINT AS touches,
+        |  sum(lw::HUGEINT * cents)::BIGINT AS linear_micro_cents,
+        |  sum(uw::HUGEINT * cents)::BIGINT AS ushape_micro_cents
+        |FROM wts GROUP BY channel ORDER BY channel""".stripMargin.trim,
+
+    // decision stump: prefix class counts over the distinct-value grid;
+    // the Gini ordering is pure +,-,*,/ on exact longs so both engines
+    // rank candidates by identical doubles
+    "q_stump" ->
+      """WITH b AS (SELECT CAST(round(value * 100.0) AS BIGINT) AS x,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END::BIGINT AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT x, count(*)::BIGINT AS n, sum(y)::BIGINT AS p
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS nn, sum(p)::BIGINT AS pp FROM g),
+        |c AS (SELECT x, sum(n) OVER (ORDER BY x)::BIGINT AS n1,
+        |    sum(p) OVER (ORDER BY x)::BIGINT AS p1 FROM g),
+        |s AS (SELECT x, n1, p1, nn - n1 AS n2, pp - p1 AS p2, nn, pp
+        |  FROM c, t WHERE n1 < nn),
+        |e AS (SELECT x, n1, p1, n2, p2, nn, pp,
+        |    1.0::DOUBLE - (p1::DOUBLE / n1::DOUBLE) * (p1::DOUBLE / n1::DOUBLE)
+        |      - ((n1 - p1)::DOUBLE / n1::DOUBLE)
+        |        * ((n1 - p1)::DOUBLE / n1::DOUBLE) AS gl,
+        |    1.0::DOUBLE - (p2::DOUBLE / n2::DOUBLE) * (p2::DOUBLE / n2::DOUBLE)
+        |      - ((n2 - p2)::DOUBLE / n2::DOUBLE)
+        |        * ((n2 - p2)::DOUBLE / n2::DOUBLE) AS gr,
+        |    1.0::DOUBLE - (pp::DOUBLE / nn::DOUBLE) * (pp::DOUBLE / nn::DOUBLE)
+        |      - ((nn - pp)::DOUBLE / nn::DOUBLE)
+        |        * ((nn - pp)::DOUBLE / nn::DOUBLE) AS gp
+        |  FROM s),
+        |w AS (SELECT x, n1, p1, n2, p2, gp,
+        |    (n1::DOUBLE * gl + n2::DOUBLE * gr) / nn::DOUBLE AS wg
+        |  FROM e ORDER BY wg, x LIMIT 1)
+        |SELECT x AS threshold_cents, n1 AS n_left, p1 AS pos_left,
+        |  n2 AS n_right, p2 AS pos_right,
+        |  round(wg, 6) AS gini_split, round(gp, 6) AS gini_parent,
+        |  round(gp - wg, 6) + 0.0 AS gain
+        |FROM w""".stripMargin.trim,
+
+    // hapax/dis legomena: q_vocab's tokenizer, per-source occurrence
+    // counts, integral floor-division ratios
+    "q_hapax" ->
+      """WITH w AS (SELECT source AS slice,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+        |c AS (SELECT slice, w, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+        |a AS (SELECT slice, sum(c)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS vocab,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+        |    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS dis
+        |  FROM c GROUP BY 1)
+        |SELECT slice, n_tokens, vocab, hapax, dis,
+        |  (vocab * 1000000 // n_tokens)::BIGINT AS ttr_ppm,
+        |  (hapax * 1000000 // vocab)::BIGINT AS hapax_share_ppm
+        |FROM a ORDER BY slice""".stripMargin.trim,
+
     // Theil-Sen: median of all pairwise day-grid slopes; even counts
     // average the two middle values (commutative two-term mean)
     "q_theil_sen" ->

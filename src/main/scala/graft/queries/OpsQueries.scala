@@ -2459,4 +2459,30 @@ object OpsQueries {
   def lshPlanQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshPlan(spark, threshold = 0.6, maxHashes = 64)
       .orderBy("s_pct")
+
+  /** Linear + U-shaped multi-touch attribution: purchases credit
+    * their view/click touch path within a 2-hour lookback (touches
+    * pre-deduped per (user, ts) with the q_attribution min-channel
+    * tiebreak; no-touch purchases credit 'none' in full). */
+  def multiTouchQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = EventQueries.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_type")).as("channel"))
+    Analytics.multiTouchAttribution(purchases, touches, "event_id",
+      "user_id", "ts", "channel", "cents")
+  }
+
+  /** Decision stump: best event-value threshold separating purchases
+    * from the other event types. */
+  def stumpQ(spark: SparkSession, dir: String): DataFrame =
+    Importance.decisionStump(tbl(spark, dir, "events"), "value",
+      col("event_type") === "purchase")
+
+  /** Hapax/dis legomena + TTR per document source. */
+  def hapaxQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.hapaxStats(tbl(spark, dir, "documents"), "source", "text")
 }
