@@ -18,6 +18,8 @@ object SparkEntry {
     "q_ridge_compat"  -> (MlQueries.gaussRidgeCompat _),
     "q_gauss_lasso1"  -> (MlQueries.gaussLasso1 _),
     "q_gauss_ols3"    -> (MlQueries.gaussOls3 _),
+    "q_coef_limits"   -> (MlQueries.coefLimits _),
+    "q_exclude"       -> (MlQueries.excludeFit _),
     "q_gauss_ridge3"  -> (MlQueries.gaussRidge3 _),
     "q_gauss_noint"   -> (MlQueries.gaussNoInt _),
     "q_lambda_path"   -> (MlQueries.lambdaPath _),
@@ -692,6 +694,52 @@ object SparkEntry {
         |FROM t)
         |SELECT 'a0' AS term, round(my - b1*m1 - b2*m2 - b3*m3, 4) + 0 AS value FROM u
         |UNION ALL SELECT 'l_discount', round(b2, 4) + 0 FROM u
+        |UNION ALL SELECT 'l_quantity', round(b1, 4) + 0 FROM u
+        |UNION ALL SELECT 'l_tax', round(b3, 4) + 0 FROM u
+        |ORDER BY term""".stripMargin,
+
+    // non-negative OLS (glmnet lower.limits): the optimum of a
+    // box-constrained strictly convex QP is the best FEASIBLE
+    // face-restricted minimizer — enumerate the 4 active-set faces,
+    // keep the feasible ones, take the min-SSE candidate
+    "q_coef_limits" ->
+      """WITH s AS (SELECT var_pop(l_quantity) c11,
+        |  covar_pop(l_quantity, l_tax) c12, var_pop(l_tax) c22,
+        |  covar_pop(l_quantity, l_extendedprice) d1,
+        |  covar_pop(l_tax, l_extendedprice) d2,
+        |  avg(l_quantity) m1, avg(l_tax) m2, avg(l_extendedprice) my,
+        |  var_pop(l_extendedprice) vy
+        |FROM lineitem),
+        |c AS (
+        |  SELECT 'both' AS k,
+        |    (d1*c22 - d2*c12) / (c11*c22 - c12*c12) AS b1,
+        |    (c11*d2 - c12*d1) / (c11*c22 - c12*c12) AS b2 FROM s
+        |  UNION ALL SELECT 'b1', d1 / c11, 0.0::DOUBLE FROM s
+        |  UNION ALL SELECT 'b2', 0.0::DOUBLE, d2 / c22 FROM s
+        |  UNION ALL SELECT 'none', 0.0::DOUBLE, 0.0::DOUBLE FROM s),
+        |f AS (SELECT c.k, c.b1, c.b2, s.vy - (c.b1*s.d1 + c.b2*s.d2) AS sse
+        |  FROM c, s WHERE c.b1 >= 0 AND c.b2 >= 0),
+        |best AS (SELECT b1, b2 FROM f ORDER BY sse, k LIMIT 1)
+        |SELECT 'a0' AS term, round(my - b1*m1 - b2*m2, 4) + 0 AS value
+        |  FROM best, s
+        |UNION ALL SELECT 'l_quantity', round(b1, 4) + 0 FROM best
+        |UNION ALL SELECT 'l_tax', round(b2, 4) + 0 FROM best
+        |ORDER BY term""".stripMargin,
+
+    // exclude (lower = upper = 0): the b2-fixed-at-0 OLS restricted to
+    // the remaining columns is exactly the 2-feature OLS on them
+    "q_exclude" ->
+      """WITH s AS (SELECT var_pop(l_quantity) c11,
+        |  covar_pop(l_quantity, l_tax) c13, var_pop(l_tax) c33,
+        |  covar_pop(l_quantity, l_extendedprice) d1,
+        |  covar_pop(l_tax, l_extendedprice) d3,
+        |  avg(l_quantity) m1, avg(l_tax) m3, avg(l_extendedprice) my
+        |FROM lineitem),
+        |u AS (SELECT m1, m3, my,
+        |  (d1*c33 - d3*c13) / (c11*c33 - c13*c13) AS b1,
+        |  (c11*d3 - c13*d1) / (c11*c33 - c13*c13) AS b3 FROM s)
+        |SELECT 'a0' AS term, round(my - b1*m1 - b3*m3, 4) + 0 AS value FROM u
+        |UNION ALL SELECT 'l_discount', 0.0::DOUBLE FROM u
         |UNION ALL SELECT 'l_quantity', round(b1, 4) + 0 FROM u
         |UNION ALL SELECT 'l_tax', round(b3, 4) + 0 FROM u
         |ORDER BY term""".stripMargin,

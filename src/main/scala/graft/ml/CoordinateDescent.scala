@@ -41,7 +41,16 @@ object CoordinateDescent {
       // glmnet penalty.factor: per-coordinate multiplier on BOTH
       // penalty terms (0 = unpenalized, used as given, no rescaling);
       // null = all ones
-      penaltyFactor: Array[Double] = null): Result = {
+      penaltyFactor: Array[Double] = null,
+      // glmnet lower.limits / upper.limits, on THIS solver's (working,
+      // standardized) coordinate scale; null = unbounded. Each
+      // coordinate step solves its 1-D box-constrained subproblem
+      // exactly: clip(soft-threshold update) is the prox of
+      // l1 + box when 0 ∈ [lower_j, upper_j] (enforced by callers,
+      // the glmnet requirement), so cyclic CD converges to the
+      // box-constrained elastic-net optimum
+      lower: Array[Double] = null,
+      upper: Array[Double] = null): Result = {
 
     val p = c.length
     val beta = init.clone()
@@ -82,7 +91,9 @@ object CoordinateDescent {
         val pf = if (penaltyFactor == null) 1.0 else penaltyFactor(j)
         if (ajj > 0 || l2 * pf > 0) {
           val rho = c(j) - a0 * xw(j) - (ab(j) - ajj * old)
-          val nb = softThreshold(rho, l1 * pf) / (ajj + l2 * pf)
+          var nb = softThreshold(rho, l1 * pf) / (ajj + l2 * pf)
+          if (lower != null && nb < lower(j)) nb = lower(j)
+          if (upper != null && nb > upper(j)) nb = upper(j)
           if (nb != old) {
             val d = nb - old
             beta(j) = nb

@@ -185,6 +185,8 @@ object CvSgdNet {
     require(nfolds >= 2, "nfolds must be at least 2")
     require(Set("deviance", "mse", "mae", "class", "auc").contains(measure),
       s"unknown type.measure '$measure' (want deviance|mse|mae|class|auc)")
+    require(params.lowerLimits == null && params.upperLimits == null,
+      "lowerLimits/upperLimits are not supported by the CV paths")
     // same single-response validation as SgdNet.fit — without it a
     // 2-label gaussian call would silently ride the mgaussian stats
     // path and score response 0 only

@@ -43,7 +43,20 @@ final case class SgdNetParams(
     // working coordinates, matching glmnet. Supported for gaussian
     // (single response), binomial, and poisson; multinomial/mgaussian
     // group solvers reject it.
-    penaltyFactor: Array[Double] = null)
+    penaltyFactor: Array[Double] = null,
+    // glmnet lower.limits / upper.limits: per-coefficient box
+    // constraints on the ORIGINAL coefficient scale (the working
+    // problem clips on standardized coordinates via the same
+    // beta_std = beta_orig·sd/y_scale transform the unstandardization
+    // inverts). glmnet's validity requirement applies: every
+    // lowerLimit ≤ 0 ≤ upperLimit (the clipped soft-threshold step is
+    // the exact 1-D prox only when 0 is feasible). lower=upper=0
+    // forces a coefficient out — glmnet's `exclude`, see
+    // [[SgdNet.excludeLimits]]. Dense gaussian (single response),
+    // binomial, and poisson (incl. offset) paths; sparse / group /
+    // CV paths reject non-null limits.
+    lowerLimits: Array[Double] = null,
+    upperLimits: Array[Double] = null)
 
 /** Spark-native elastic-net GLM path fitting with the capability surface
   * of `sgdnet` (gaussian, binomial, multinomial, mgaussian families).
@@ -65,6 +78,48 @@ object SgdNet {
   def fit(df: DataFrame, featureCols: Seq[String], labelCol: String,
           params: SgdNetParams = SgdNetParams()): SgdNetModel =
     fitMulti(df, featureCols, Seq(labelCol), params)
+
+  /** glmnet `exclude` as limit arrays: lower = upper = 0 at the
+    * excluded indices (the coefficient is forced out at every lambda),
+    * ±∞ elsewhere. Pass the pair to
+    * `SgdNetParams(lowerLimits = lo, upperLimits = up)`. */
+  def excludeLimits(p: Int, exclude: Seq[Int]):
+      (Array[Double], Array[Double]) = {
+    require(exclude.forall(j => j >= 0 && j < p),
+      s"exclude indices must be in [0, $p)")
+    val lo = Array.fill(p)(Double.NegativeInfinity)
+    val up = Array.fill(p)(Double.PositiveInfinity)
+    exclude.foreach { j => lo(j) = 0.0; up(j) = 0.0 }
+    (lo, up)
+  }
+
+  /** Validate box limits and convert from the ORIGINAL coefficient
+    * scale to the working standardized scale (beta_std =
+    * beta_orig·scale_j / y_scale). Returns (null, null) when both
+    * limit arrays are null. */
+  private def boundsStd(params: SgdNetParams, scale: Array[Double],
+                        yScale: Double): (Array[Double], Array[Double]) = {
+    val (lo, up) = (params.lowerLimits, params.upperLimits)
+    if (lo == null && up == null) return (null, null)
+    val p = scale.length
+    require(lo == null || lo.length == p,
+      s"lowerLimits must have one entry per feature ($p)")
+    require(up == null || up.length == p,
+      s"upperLimits must have one entry per feature ($p)")
+    require(lo == null || lo.forall(_ <= 0),
+      "every lowerLimit must be <= 0 (the glmnet requirement)")
+    require(up == null || up.forall(_ >= 0),
+      "every upperLimit must be >= 0 (the glmnet requirement)")
+    val loS = if (lo == null) Array.fill(p)(Double.NegativeInfinity)
+      else Array.tabulate(p)(j => lo(j) * scale(j) / yScale)
+    val upS = if (up == null) Array.fill(p)(Double.PositiveInfinity)
+      else Array.tabulate(p)(j => up(j) * scale(j) / yScale)
+    (loS, upS)
+  }
+
+  private def requireNoLimits(params: SgdNetParams, where: String): Unit =
+    require(params.lowerLimits == null && params.upperLimits == null,
+      s"lowerLimits/upperLimits are not supported by the $where path")
 
   def fitMulti(df: DataFrame, featureCols: Seq[String], labelCols: Seq[String],
                params: SgdNetParams): SgdNetModel = {
@@ -151,6 +206,7 @@ object SgdNet {
                            dim: Int, labelCol: String,
                            params: SgdNetParams): SgdNetModel = {
     import org.apache.spark.sql.functions.col
+    requireNoLimits(params, "sparse GLM")
     val p = dim
     val binomial = params.family == "binomial"
     val classes: Array[String] =
@@ -455,6 +511,9 @@ object SgdNet {
     val devRatio = new Array[Double](L)
     var warm = Array.ofDim[Double](k, p)
     var totalIters = 0
+    val (loStd, upStd) =
+      if (k == 1) boundsStd(params, scale, yScale(0))
+      else { requireNoLimits(params, "mgaussian group"); (null, null) }
 
     for (l <- 0 until L) {
       val lam = lambdas(l)
@@ -464,7 +523,8 @@ object SgdNet {
             new Array[Double](p), 0.0, 1.0, lam, params.alpha,
             intercept = false, init = warm(0),
             thresh = params.thresh * 1e-4, maxIter = params.maxit,
-            l2Scale = l2Scale, penaltyFactor = params.penaltyFactor)
+            l2Scale = l2Scale, penaltyFactor = params.penaltyFactor,
+            lower = loStd, upper = upStd)
           (Array(r.beta), r.iters)
         } else {
           CoordinateDescent.solveGroup(st.gram, st.b, lam, params.alpha,
@@ -658,6 +718,7 @@ object SgdNet {
     var passes = 0
 
     val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
+    val (loStd, upStd) = boundsStd(params, scale, 1.0)
     for (l <- 0 until L) {
       val lam = lambdas(l)
       var iter = 0
@@ -672,7 +733,8 @@ object SgdNet {
         val r = CoordinateDescent.solve(a, c, xw, wg.swz * ninv, wg.sw * ninv,
           lam, params.alpha, params.intercept, beta,
           thresh = newtonTol, maxIter = params.maxit,
-          penaltyFactor = params.penaltyFactor)
+          penaltyFactor = params.penaltyFactor,
+          lower = loStd, upper = upStd)
         var maxD = math.abs(r.a0 - a0)
         var j = 0
         while (j < p) {
@@ -747,6 +809,7 @@ object SgdNet {
       var a0 = if (params.intercept) math.log(yBar) else 0.0
       var passes = 0
       val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
+      val (loStd, upStd) = boundsStd(params, scale, 1.0)
 
       for (l <- 0 until L) {
         var iter = 0
@@ -760,7 +823,8 @@ object SgdNet {
             wg.swx.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
             lambdas(l), params.alpha, params.intercept, beta,
             thresh = newtonTol, maxIter = params.maxit,
-            penaltyFactor = params.penaltyFactor)
+            penaltyFactor = params.penaltyFactor,
+            lower = loStd, upper = upStd)
           var maxD = math.abs(r.a0 - a0)
           var j = 0
           while (j < p) {
@@ -936,6 +1000,7 @@ object SgdNet {
       var a0 = if (params.intercept) math.log(sumY / sumExpOff) else 0.0
       var passes = 0
       val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
+      val (loStd, upStd) = boundsStd(params, scale, 1.0)
 
       for (l <- 0 until L) {
         var iter = 0
@@ -989,7 +1054,8 @@ object SgdNet {
             wg.swx.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
             lambdas(l), params.alpha, params.intercept, beta,
             thresh = newtonTol, maxIter = params.maxit,
-            penaltyFactor = params.penaltyFactor)
+            penaltyFactor = params.penaltyFactor,
+            lower = loStd, upper = upStd)
           var maxD = math.abs(r.a0 - a0)
           var j = 0
           while (j < p) {
@@ -1174,6 +1240,7 @@ object SgdNet {
         (Array[Array[Double]], Array[Double]),
       devFn: (Array[Array[Double]], Array[Array[Array[Double]]]) => Array[Double])
       : SgdNetModel = {
+    requireNoLimits(params, "multinomial")
     val p = featureNames.length
     val k = classes.length
     val n = g.n.toDouble

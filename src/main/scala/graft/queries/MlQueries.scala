@@ -326,4 +326,29 @@ object MlQueries {
       .withColumn("relaxed", round(col("relaxed"), DP) + lit(0.0))
       .orderBy("lambda_idx", "term")
   }
+
+  /** Box-constrained fit (glmnet lower.limits): non-negative OLS on
+    * (quantity, tax) — the unconstrained tax coefficient is negative
+    * on this data, so the constraint BINDS and the solution lands on
+    * the b_tax = 0 face (oracle: feasible active-set enumeration). */
+  def coefLimits(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity", "l_tax"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = Array(0.0), thresh = 1e-11,
+        maxit = 100000, lowerLimits = Array(0.0, 0.0)))
+    coefFrame(spark, m, 0)
+  }
+
+  /** glmnet `exclude` via [[SgdNet.excludeLimits]]: a 3-feature OLS
+    * with l_discount forced out — exactly the 2-feature OLS on the
+    * remaining columns (oracle: 2×2 Cramer + a literal zero row). */
+  def excludeFit(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val (lo, up) = SgdNet.excludeLimits(3, Seq(1))
+    val m = SgdNet.fit(li, Seq("l_quantity", "l_discount", "l_tax"),
+      "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = Array(0.0), thresh = 1e-11,
+        maxit = 100000, lowerLimits = lo, upperLimits = up))
+    coefFrame(spark, m, 0)
+  }
 }
