@@ -36,6 +36,10 @@ class SgdNetEstimator(override val uid: String)
     "observation-weight column (gaussian only)")
   final val offsetCol = new Param[String](this, "offsetCol",
     "linear-predictor offset column (gaussian/poisson)")
+  final val lowerLimits = new DoubleArrayParam(this, "lowerLimits",
+    "glmnet lower.limits: per-coefficient lower bounds (each <= 0)")
+  final val upperLimits = new DoubleArrayParam(this, "upperLimits",
+    "glmnet upper.limits: per-coefficient upper bounds (each >= 0)")
 
   setDefault(labelCol -> "label", family -> "gaussian", alpha -> 1.0,
     nLambda -> 100, standardize -> true, fitIntercept -> true, thresh -> 1e-3)
@@ -52,6 +56,8 @@ class SgdNetEstimator(override val uid: String)
   def setPenaltyFactor(v: Seq[Double]): this.type = set(penaltyFactor, v.toArray)
   def setWeightCol(v: String): this.type = set(weightCol, v)
   def setOffsetCol(v: String): this.type = set(offsetCol, v)
+  def setLowerLimits(v: Seq[Double]): this.type = set(lowerLimits, v.toArray)
+  def setUpperLimits(v: Seq[Double]): this.type = set(upperLimits, v.toArray)
 
   override def fit(dataset: Dataset[_]): SgdNetPipelineModel = {
     val params = SgdNetParams(
@@ -59,7 +65,9 @@ class SgdNetEstimator(override val uid: String)
       lambda = if (isSet(lambdas)) $(lambdas) else null,
       standardize = $(standardize), intercept = $(fitIntercept),
       thresh = $(thresh),
-      penaltyFactor = if (isSet(penaltyFactor)) $(penaltyFactor) else null)
+      penaltyFactor = if (isSet(penaltyFactor)) $(penaltyFactor) else null,
+      lowerLimits = if (isSet(lowerLimits)) $(lowerLimits) else null,
+      upperLimits = if (isSet(upperLimits)) $(upperLimits) else null)
     require(!(isSet(weightCol) && isSet(offsetCol)),
       "weightCol and offsetCol cannot be combined")
     val df = dataset.toDF()

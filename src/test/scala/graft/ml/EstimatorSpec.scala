@@ -56,4 +56,19 @@ class EstimatorSpec extends SparkSpec {
         wdf.withColumn("off", lit(0.0)))
     }
   }
+
+  test("estimator routes lowerLimits/upperLimits to the fit") {
+    val df = graft.SparkSpec.regressionDF(spark)
+    val m = new SgdNetEstimator()
+      .setFeatureCols(Seq("x1", "x2")).setLabelCol("y")
+      .setLambdas(Seq(0.0)).setThresh(1e-10)
+      .setLowerLimits(Seq(0.0, 0.0))
+      .fit(df).pathModel
+    val direct = SgdNet.fit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(lambda = Array(0.0), thresh = 1e-10,
+        lowerLimits = Array(0.0, 0.0)))
+    for (j <- 0 until 2)
+      assert(math.abs(m.beta(0)(0)(j) - direct.beta(0)(0)(j)) < 1e-9)
+    assert(m.beta(0)(0).forall(_ >= 0.0))
+  }
 }
