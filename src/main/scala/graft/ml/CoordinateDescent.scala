@@ -126,13 +126,20 @@ object CoordinateDescent {
       alpha: Double,
       init: Array[Array[Double]],  // [K][p]
       thresh: Double = 1e-7,
-      maxIter: Int = 10000): (Array[Array[Double]], Int) = {
+      maxIter: Int = 10000,
+      // glmnet penalty.factor for the GROUP penalty: per-FEATURE
+      // multiplier on both the group-l1 and l2 terms (the whole
+      // cross-response group j is scaled by pf_j); null = all ones
+      penaltyFactor: Array[Double] = null): (Array[Array[Double]], Int) = {
 
     val k = b.length
     val p = if (k == 0) 0 else b(0).length
     val beta = init.map(_.clone())
     val l1 = lambda * alpha
     val l2 = lambda * (1.0 - alpha)
+    require(penaltyFactor == null ||
+      (penaltyFactor.length == p && penaltyFactor.forall(_ >= 0)),
+      "penaltyFactor must have one non-negative entry per feature")
 
     // gb(t)(j) = sum_m gram(j)(m) * beta(t)(m)
     val gb = Array.tabulate(k, p) { (t, j) =>
@@ -157,7 +164,9 @@ object CoordinateDescent {
           t += 1
         }
         nrm = math.sqrt(nrm)
-        val shrink = if (nrm > l1) (1.0 - l1 / nrm) / (gjj + l2) else 0.0
+        val pf = if (penaltyFactor == null) 1.0 else penaltyFactor(j)
+        val l1j = l1 * pf
+        val shrink = if (nrm > l1j) (1.0 - l1j / nrm) / (gjj + l2 * pf) else 0.0
         t = 0
         while (t < k) {
           val nb = rho(t) * shrink

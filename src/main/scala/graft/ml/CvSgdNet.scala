@@ -185,8 +185,18 @@ object CvSgdNet {
     require(nfolds >= 2, "nfolds must be at least 2")
     require(Set("deviance", "mse", "mae", "class", "auc").contains(measure),
       s"unknown type.measure '$measure' (want deviance|mse|mae|class|auc)")
-    require(params.lowerLimits == null && params.upperLimits == null,
-      "lowerLimits/upperLimits are not supported by the CV paths")
+    // glmnet cv.glmnet(lower.limits/upper.limits): supported on every
+    // path whose inner solver takes the exact 1-D clipped prox —
+    // gaussian one-pass CV, shared binomial/poisson CV, UNGROUPED
+    // multinomial CV, and the generic refit route. The group solvers
+    // (mgaussian; grouped multinomial) reject inside the fit they
+    // delegate to (the group prox has no closed form under a box).
+    require((params.lowerLimits == null && params.upperLimits == null) ||
+      (params.family != "mgaussian" &&
+        !(params.family == "multinomial" &&
+          params.typeMultinomial == "grouped")),
+      "lowerLimits/upperLimits are not supported by the group-penalty " +
+        "CV paths (mgaussian; grouped multinomial)")
     // same single-response validation as SgdNet.fit — without it a
     // 2-label gaussian call would silently ride the mgaussian stats
     // path and score response 0 only
@@ -308,12 +318,16 @@ object CvSgdNet {
       // sgdnetCompat: each fold-fit rescales by ITS OWN training-fold
       // sd_pop(y), exactly as the reference's cv refits would
       val l2Scale = SgdNet.compatL2Scale(params, 1, st.yVar)
+      // box limits on each fold's OWN standardized coordinate scale —
+      // the same clipped prox the full fit applies (cv.glmnet limits)
+      val (loStd, upStd) = SgdNet.boundsStd(params, scale, 1.0)
       var warm = new Array[Double](p)
       for (l <- 0 until L) {
         val r = CoordinateDescent.solve(st.gram, st.b(0), new Array[Double](p),
           0.0, 1.0, lambdas(l), params.alpha, intercept = false, warm,
           thresh = params.thresh * 1e-4, maxIter = params.maxit,
-          l2Scale = l2Scale, penaltyFactor = params.penaltyFactor)
+          l2Scale = l2Scale, penaltyFactor = params.penaltyFactor,
+          lower = loStd, upper = upStd)
         warm = r.beta
         // back-transform to original scale
         val bOrig = Array.tabulate(p)(j => r.beta(j) / scale(j))
@@ -479,6 +493,7 @@ object CvSgdNet {
                                labelCol: String, params: SgdNetParams,
                                nfolds: Int, foldCol: Column = null,
                                measure: String = "deviance"): CvPath = {
+    SgdNet.requireNoZeroPf(params, "shared binomial CV")
     val p = featureCols.size
     val classes = df.select(col(labelCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
@@ -530,6 +545,8 @@ object CvSgdNet {
       val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
       val means = trainStats.map(st => if (params.intercept) st.xMean else new Array[Double](p))
       val scales = trainStats.map(st => if (params.standardize) st.xSd else Array.fill(p)(1.0))
+      // per-fold box limits on each fold's own standardized scale
+      val boundsF = scales.map(s => SgdNet.boundsStd(params, s, 1.0))
       val sc = rows.sparkContext
       val bMeans = sc.broadcast(means)
       val bScales = sc.broadcast(scales)
@@ -574,7 +591,8 @@ object CvSgdNet {
               lambdas(l), params.alpha, params.intercept, beta(f),
               thresh = math.max(params.thresh * 1e-4, 1e-10),
               maxIter = params.maxit,
-              penaltyFactor = params.penaltyFactor)
+              penaltyFactor = params.penaltyFactor,
+              lower = boundsF(f)._1, upper = boundsF(f)._2)
             var maxD = math.abs(r.a0 - a0(f))
             var j = 0
             while (j < p) {
@@ -628,7 +646,8 @@ object CvSgdNet {
               lambdas(l), params.alpha, params.intercept, beta(f),
               thresh = math.max(params.thresh * 1e-4, 1e-10),
               maxIter = params.maxit,
-              penaltyFactor = params.penaltyFactor)
+              penaltyFactor = params.penaltyFactor,
+              lower = boundsF(f)._1, upper = boundsF(f)._2)
             var maxD = math.abs(r.a0 - a0(f))
             var j = 0
             while (j < p) {
@@ -781,6 +800,7 @@ object CvSgdNet {
                               labelCol: String, params: SgdNetParams,
                               nfolds: Int, foldCol: Column = null,
                               measure: String = "deviance"): CvPath = {
+    SgdNet.requireNoZeroPf(params, "shared poisson CV")
     val p = featureCols.size
     val hashCols = (featureCols :+ labelCol).map(col)
     val rows = df
@@ -824,6 +844,8 @@ object CvSgdNet {
       val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
       val means = trainStats.map(st => if (params.intercept) st.xMean else new Array[Double](p))
       val scales = trainStats.map(st => if (params.standardize) st.xSd else Array.fill(p)(1.0))
+      // per-fold box limits on each fold's own standardized scale
+      val boundsF = scales.map(s => SgdNet.boundsStd(params, s, 1.0))
       val sc = rows.sparkContext
       val bMeans = sc.broadcast(means)
       val bScales = sc.broadcast(scales)
@@ -852,7 +874,8 @@ object CvSgdNet {
               lambdas(l), params.alpha, params.intercept, beta(f),
               thresh = math.max(params.thresh * 1e-4, 1e-10),
               maxIter = params.maxit,
-              penaltyFactor = params.penaltyFactor)
+              penaltyFactor = params.penaltyFactor,
+              lower = boundsF(f)._1, upper = boundsF(f)._2)
             var maxD = math.abs(r.a0 - a0(f))
             var j = 0
             while (j < p) {
@@ -906,7 +929,8 @@ object CvSgdNet {
               lambdas(l), params.alpha, params.intercept, beta(f),
               thresh = math.max(params.thresh * 1e-4, 1e-10),
               maxIter = params.maxit,
-              penaltyFactor = params.penaltyFactor)
+              penaltyFactor = params.penaltyFactor,
+              lower = boundsF(f)._1, upper = boundsF(f)._2)
             var maxD = math.abs(r.a0 - a0(f))
             var j = 0
             while (j < p) {
@@ -1005,6 +1029,7 @@ object CvSgdNet {
     if (measure == "auc")
       throw new IllegalArgumentException(
         s"auc requires the binomial family, not ${params.family}")
+    SgdNet.requireNoZeroPf(params, "shared multinomial CV")
     val p = featureCols.size
     val classes = df.select(col(labelCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
@@ -1013,6 +1038,9 @@ object CvSgdNet {
       else "only one class in response.")
     val k = classes.length
     val classIdx = classes.zipWithIndex.toMap
+    require(params.penaltyFactor == null ||
+      (params.penaltyFactor.length == p && params.penaltyFactor.forall(_ >= 0)),
+      "penaltyFactor must have one non-negative entry per feature")
 
     val hashCols = (featureCols :+ labelCol).map(col)
     val sc0 = df.sparkSession.sparkContext
@@ -1059,13 +1087,21 @@ object CvSgdNet {
             LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
           val bArg = if (grouped) trainStats(nfolds).b
             else Array(trainStats(nfolds).b.flatten)
+          // ungrouped flattens b t-major, so pf tiles per class to match
+          val pfArg = if (params.penaltyFactor == null) null
+            else if (grouped) params.penaltyFactor
+            else Array.tabulate(k * p)(i => params.penaltyFactor(i % p))
           LambdaPath.build(bArg, params.alpha, params.nlambda, minRatio,
-            params.penaltyFactor)
+            pfArg)
         }
       val means = trainStats.map(st =>
         if (params.intercept) st.xMean else new Array[Double](p))
       val scales = trainStats.map(st =>
         if (params.standardize) st.xSd else Array.fill(p)(1.0))
+      // per-fold box limits on each fold's own standardized scale
+      // (ungrouped only — fit() rejects grouped multinomial + limits)
+      val boundsF = scales.map(s => SgdNet.boundsStd(params, s, 1.0))
+      val pf = params.penaltyFactor
       // per-fold Lipschitz step from the fold's standardized gram
       val steps = trainStats.map(st => 1.0 / (0.5 * LinAlg.maxEig(st.gram) + 1e-9))
       val sc = rows.sparkContext
@@ -1160,14 +1196,17 @@ object CvSgdNet {
               val d0 = math.abs(na(t) - a0(f)(t)); if (d0 > maxD) maxD = d0
             }
             for (j <- 0 until p) {
+              val pfj = if (pf == null) 1.0 else pf(j)
               if (grouped) {
                 var nrm = 0.0
                 val v = Array.tabulate(k)(t => yB(f)(t)(j) - step * grad(t)(j))
                 v.foreach(x => nrm += x * x)
                 nrm = math.sqrt(nrm)
-                val g = step * lam * params.alpha
+                val g = step * lam * params.alpha * pfj
                 val shrink =
-                  if (nrm > g) (1.0 - g / nrm) / (1.0 + step * lam * (1.0 - params.alpha))
+                  if (nrm > g)
+                    (1.0 - g / nrm) /
+                      (1.0 + step * lam * (1.0 - params.alpha) * pfj)
                   else 0.0
                 for (t <- 0 until k) {
                   nb(t)(j) = v(t) * shrink
@@ -1176,8 +1215,13 @@ object CvSgdNet {
               } else {
                 for (t <- 0 until k) {
                   val v = yB(f)(t)(j) - step * grad(t)(j)
-                  nb(t)(j) = LinAlg.softThreshold(v, step * lam * params.alpha) /
-                    (1.0 + step * lam * (1.0 - params.alpha))
+                  var x = LinAlg.softThreshold(v,
+                    step * lam * params.alpha * pfj) /
+                    (1.0 + step * lam * (1.0 - params.alpha) * pfj)
+                  val (lo, up) = boundsF(f)
+                  if (lo != null && x < lo(j)) x = lo(j)
+                  if (up != null && x > up(j)) x = up(j)
+                  nb(t)(j) = x
                   val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
                 }
               }

@@ -52,9 +52,12 @@ final case class SgdNetParams(
     // lowerLimit ≤ 0 ≤ upperLimit (the clipped soft-threshold step is
     // the exact 1-D prox only when 0 is feasible). lower=upper=0
     // forces a coefficient out — glmnet's `exclude`, see
-    // [[SgdNet.excludeLimits]]. Dense gaussian (single response),
-    // binomial, and poisson (incl. offset) paths; sparse / group /
-    // CV paths reject non-null limits.
+    // [[SgdNet.excludeLimits]]. Supported wherever the inner solver
+    // takes the exact 1-D clipped prox: gaussian (dense, sparse,
+    // weighted, relaxed), binomial, poisson (incl. offset), UNGROUPED
+    // multinomial, and the corresponding CV paths (cv.glmnet limits).
+    // The group solvers (mgaussian; grouped multinomial) and the
+    // sparse binomial/poisson route reject non-null limits.
     lowerLimits: Array[Double] = null,
     upperLimits: Array[Double] = null)
 
@@ -97,8 +100,8 @@ object SgdNet {
     * scale to the working standardized scale (beta_std =
     * beta_orig·scale_j / y_scale). Returns (null, null) when both
     * limit arrays are null. */
-  private def boundsStd(params: SgdNetParams, scale: Array[Double],
-                        yScale: Double): (Array[Double], Array[Double]) = {
+  private[ml] def boundsStd(params: SgdNetParams, scale: Array[Double],
+                            yScale: Double): (Array[Double], Array[Double]) = {
     val (lo, up) = (params.lowerLimits, params.upperLimits)
     if (lo == null && up == null) return (null, null)
     val p = scale.length
@@ -207,6 +210,7 @@ object SgdNet {
                            params: SgdNetParams): SgdNetModel = {
     import org.apache.spark.sql.functions.col
     requireNoLimits(params, "sparse GLM")
+    requireNoZeroPf(params, "sparse GLM")
     val p = dim
     val binomial = params.family == "binomial"
     val classes: Array[String] =
@@ -467,8 +471,9 @@ object SgdNet {
     require(params.penaltyFactor == null ||
       (params.penaltyFactor.length == p && params.penaltyFactor.forall(_ >= 0)),
       "penaltyFactor must have one non-negative entry per feature")
-    require(params.penaltyFactor == null || k == 1,
-      "penaltyFactor is not supported by the mgaussian group solver")
+    // the unpenalized-coordinate lambda_max projection below is
+    // single-response; the group path needs an explicit lambda there
+    if (k > 1) requireNoZeroPf(params, "mgaussian group")
     val minRatio = if (params.lambdaMinRatio.isNaN)
       LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
     // lambda_max under penalty factors with UNPENALIZED coordinates
@@ -528,7 +533,8 @@ object SgdNet {
           (Array(r.beta), r.iters)
         } else {
           CoordinateDescent.solveGroup(st.gram, st.b, lam, params.alpha,
-            warm, thresh = params.thresh * 1e-4, maxIter = params.maxit)
+            warm, thresh = params.thresh * 1e-4, maxIter = params.maxit,
+            penaltyFactor = params.penaltyFactor)
         }
       warm = sol
       totalIters += iters
@@ -571,9 +577,13 @@ object SgdNet {
   def fitWeighted(df: DataFrame, featureCols: Seq[String], labelCol: String,
                   weightCol: String,
                   params: SgdNetParams = SgdNetParams()): SgdNetModel = {
-    require(params.family == "gaussian",
-      "fitWeighted: gaussian family only (IRLS families fold frequency " +
-        "weights into their own working weights)")
+    params.family match {
+      case "gaussian" => // fall through to the moment path below
+      case "binomial" | "poisson" =>
+        return fitWeightedGlm(df, featureCols, labelCol, weightCol, params)
+      case f => throw new IllegalArgumentException(
+        s"fitWeighted supports gaussian, binomial, and poisson, not $f")
+    }
     import org.apache.spark.sql.functions.col
     val p = featureCols.size
     val rows = df.select((featureCols.map(c => col(c).cast("double")) ++
@@ -597,6 +607,212 @@ object SgdNet {
         combOp = (a, b) => a.merge(b), depth = 2)
       solveGaussianFromStats(g, featureCols, Seq(labelCol), params)
     } finally { rows.unpersist(blocking = false); () }
+  }
+
+  /** Weighted binomial/poisson elastic-net path (glmnet `weights` for
+    * the IRLS families): frequency weights v_i (normalized to sum to n,
+    * the glmnet convention) FOLD INTO the IRLS working weights — every
+    * gram accumulation uses v_i·w_i where w_i is the family's IRLS
+    * weight at the current linear predictor, the working response
+    * z_i = eta_i + (y_i − mu_i)/w_i is unchanged, and every deviance
+    * term is scaled by v_i. Standardization, the lambda path, penalty
+    * factors, and box limits all apply on the WEIGHTED moments, so
+    * integer weights reproduce row duplication exactly
+    * (spec-verified), and the same distributed shape holds: one
+    * `treeAggregate` per Newton step, driver CD on p² moments. */
+  private def fitWeightedGlm(df: DataFrame, featureCols: Seq[String],
+                             labelCol: String, weightCol: String,
+                             params: SgdNetParams): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    val p = featureCols.size
+    val binomial = params.family == "binomial"
+    val classes: Array[String] =
+      if (binomial) {
+        val cs = df.select(col(labelCol).cast("string")).distinct()
+          .collect().map(_.getString(0)).sorted
+        require(cs.length == 2,
+          if (cs.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
+          else "only one class in response.")
+        cs
+      } else Array.empty
+    val yCol =
+      if (binomial) (col(labelCol).cast("string") === classes(1)).cast("double")
+      else col(labelCol).cast("double")
+    val raw = df.select((featureCols.map(c => col(c).cast("double")) ++
+        Seq(yCol, col(weightCol).cast("double"))): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = r.getDouble(j); j += 1 }
+        (x, r.getDouble(p), r.getDouble(p + 1))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (nRows, wSum) = raw.treeAggregate((0L, 0.0))(
+        seqOp = (s, r) => {
+          require(r._3 > 0, "weights must be strictly positive")
+          (s._1 + 1, s._2 + r._3)
+        },
+        combOp = (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+      require(nRows > 0, "the response (y) is empty.")
+      val norm = nRows.toDouble / wSum
+      // rows carry the PRE-normalized weight: moments divide by n below
+      val rows = raw.map(r => (r._1, r._2, r._3 * norm))
+      val g = raw.treeAggregate(new GramStats(p, 1))(
+        seqOp = (s, r) => s.addWeighted(r._1, Array(r._2), r._3 * norm),
+        combOp = (a, b) => a.merge(b), depth = 2)
+      val st = SufficientStats.standardize(g, params.standardize, params.intercept)
+      val n = g.n.toDouble
+      val yBar = st.yMean(0) // weighted mean of y
+      if (!binomial) require(yBar > 0, "poisson response must contain positive counts")
+
+      require(params.penaltyFactor == null ||
+        (params.penaltyFactor.length == p && params.penaltyFactor.forall(_ >= 0)),
+        "penaltyFactor must have one non-negative entry per feature")
+      val mean = if (params.intercept) st.xMean else new Array[Double](p)
+      val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      val a0Null =
+        if (!params.intercept) 0.0
+        else if (binomial) {
+          if (yBar > 0 && yBar < 1) math.log(yBar / (1 - yBar)) else 0.0
+        } else math.log(yBar)
+
+      // one weighted IRLS gram pass at (beta, a0) — shared by the path
+      // solve, the pf==0 projection, and the per-lambda Newton loop
+      def gramAt(beta: Array[Double], a0: Double): WGram =
+        rows.treeAggregate(new WGram(p))(
+          seqOp = (s, xyv) => {
+            val (xr, y, v) = xyv
+            val xs = new Array[Double](p)
+            var j = 0
+            var eta = a0
+            while (j < p) {
+              xs(j) = (xr(j) - mean(j)) / scale(j)
+              eta += xs(j) * beta(j)
+              j += 1
+            }
+            var w = 0.0
+            var z = 0.0
+            if (binomial) {
+              val mu = 1.0 / (1.0 + math.exp(-eta))
+              w = math.max(mu * (1.0 - mu), 1e-5)
+              z = eta + (y - mu) / w
+            } else {
+              val etaC = math.max(math.min(eta, 30.0), -30.0)
+              val mu = math.exp(etaC)
+              w = math.max(mu, 1e-5)
+              z = etaC + (y - mu) / w
+            }
+            val wv = w * v // frequency weight folds into the IRLS weight
+            s.sw += wv; s.swz += wv * z
+            j = 0
+            while (j < p) {
+              val wxj = wv * xs(j)
+              s.swx(j) += wxj
+              s.swxz(j) += wxj * z
+              var i = 0
+              val base = j * (j + 1) / 2
+              while (i <= j) { s.swxx(base + i) += xs(i) * wxj; i += 1 }
+              j += 1
+            }
+            s
+          },
+          combOp = (a, b) => {
+            a.sw += b.sw; a.swz += b.swz
+            var i = 0
+            while (i < a.swx.length) {
+              a.swx(i) += b.swx(i); a.swxz(i) += b.swxz(i); i += 1
+            }
+            i = 0
+            while (i < a.swxx.length) { a.swxx(i) += b.swxx(i); i += 1 }
+            a
+          }, depth = 2)
+
+      val minRatio = if (params.lambdaMinRatio.isNaN)
+        LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
+      val lambdas = if (params.lambda != null) params.lambda
+        else {
+          val pf = params.penaltyFactor
+          val pathB =
+            if (pf == null || !pf.contains(0.0)) st.b
+            else Array(pfZeroPathGradient(p, n, pf, params.intercept,
+              a0Init = a0Null, thresh = params.thresh, maxit = params.maxit,
+              gramAt = gramAt))
+          LambdaPath.build(pathB, params.alpha, params.nlambda, minRatio, pf)
+        }
+
+      val L = lambdas.length
+      val a0Out = Array.ofDim[Double](L, 1)
+      val betaOut = Array.ofDim[Double](L, 1, p)
+      var beta = new Array[Double](p)
+      var a0 = a0Null
+      var passes = 0
+      val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
+      val (loStd, upStd) = boundsStd(params, scale, 1.0)
+
+      for (l <- 0 until L) {
+        var iter = 0
+        var done = false
+        while (iter < 25 && !done) {
+          val wg = gramAt(beta, a0)
+          passes += 1
+          val ninv = 1.0 / n
+          val aM = LinAlg.unpackSym(wg.swxx, p).map(_.map(_ * ninv))
+          val r = CoordinateDescent.solve(aM, wg.swxz.map(_ * ninv),
+            wg.swx.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
+            lambdas(l), params.alpha, params.intercept, beta,
+            thresh = newtonTol, maxIter = params.maxit,
+            penaltyFactor = params.penaltyFactor,
+            lower = loStd, upper = upStd)
+          var maxD = math.abs(r.a0 - a0)
+          var j = 0
+          while (j < p) {
+            val d = math.abs(r.beta(j) - beta(j)); if (d > maxD) maxD = d; j += 1
+          }
+          beta = r.beta; a0 = r.a0
+          iter += 1
+          if (maxD < math.max(params.thresh * 1e-2, 1e-8)) done = true
+        }
+        for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
+        a0Out(l)(0) =
+          if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
+          else a0
+      }
+
+      // v-weighted deviance pass for every lambda + the null model
+      val devs = rows.treeAggregate(new Array[Double](L + 1))(
+        seqOp = (acc, xyv) => {
+          val (x, y, v) = xyv
+          def binDev(eta: Double): Double = {
+            val m = math.max(eta, 0.0)
+            2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y * eta)
+          }
+          def poisDev(mu: Double): Double = {
+            val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+            2.0 * (ylog - (y - mu))
+          }
+          var l = 0
+          while (l < L) {
+            var eta = a0Out(l)(0)
+            val bl = betaOut(l)(0)
+            var j = 0
+            while (j < p) { eta += bl(j) * x(j); j += 1 }
+            acc(l) += v * (if (binomial) binDev(eta)
+              else poisDev(math.exp(math.max(math.min(eta, 30.0), -30.0))))
+            l += 1
+          }
+          acc(L) += v * (if (binomial) binDev(a0Null)
+            else poisDev(if (params.intercept) yBar else 1.0))
+          acc
+        },
+        combOp = (a, b) => { var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      passes += 1
+      val nulldev = devs(L)
+      val devRatio = Array.tabulate(L)(l =>
+        if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
+      new SgdNetModel(params.family, featureCols.toArray, Array(labelCol),
+        classes, lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+    } finally { raw.unpersist(blocking = false); () }
   }
 
   /** Relaxed elastic-net path (glmnet `relax = TRUE`): for each lambda,
@@ -695,16 +911,27 @@ object SgdNet {
     val n = g.n.toDouble
     val pBar = st.yMean(0)
 
+    val mean = if (params.intercept) st.xMean else new Array[Double](p)
+    val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
     // lambda_max from the gradient of the *unpenalized logistic* loss at the
-    // null model: (1/n)|<xs_j, y - pbar>| (glmnet convention).
+    // null model: (1/n)|<xs_j, y - pbar>| (glmnet convention). With
+    // penaltyFactor entries of 0 the null model is the UNPENALIZED
+    // sub-fit on those coordinates (same projection the gaussian
+    // pathB applies) — a few extra IRLS passes, only on that edge.
     val minRatio = if (params.lambdaMinRatio.isNaN)
       LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
     val lambdas = if (params.lambda != null) params.lambda
-      else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio,
-        params.penaltyFactor)
-
-    val mean = if (params.intercept) st.xMean else new Array[Double](p)
-    val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      else {
+        val pf = params.penaltyFactor
+        val pathB =
+          if (pf == null || !pf.contains(0.0)) st.b
+          else Array(pfZeroPathGradient(p, n, pf, params.intercept,
+            a0Init = if (params.intercept && pBar > 0 && pBar < 1)
+              math.log(pBar / (1 - pBar)) else 0.0,
+            thresh = params.thresh, maxit = params.maxit,
+            gramAt = (b, a) => weightedGram(rows, mean, scale, b, a)._1))
+        LambdaPath.build(pathB, params.alpha, params.nlambda, minRatio, pf)
+      }
     val sc = rows.sparkContext
     val bMean = sc.broadcast(mean)
     val bScale = sc.broadcast(scale)
@@ -790,14 +1017,24 @@ object SgdNet {
       val yBar = st.yMean(0)
       require(yBar > 0, "poisson response must contain positive counts")
 
-      val minRatio = if (params.lambdaMinRatio.isNaN)
-        LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
-      val lambdas = if (params.lambda != null) params.lambda
-        else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio,
-          params.penaltyFactor)
-
       val mean = if (params.intercept) st.xMean else new Array[Double](p)
       val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      val minRatio = if (params.lambdaMinRatio.isNaN)
+        LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
+      // penaltyFactor entries of 0: lambda_max comes from the gradient
+      // at the unpenalized sub-fit (glmnet semantics, same projection
+      // the gaussian pathB applies), not the raw null covariance
+      val lambdas = if (params.lambda != null) params.lambda
+        else {
+          val pf = params.penaltyFactor
+          val pathB =
+            if (pf == null || !pf.contains(0.0)) st.b
+            else Array(pfZeroPathGradient(p, n, pf, params.intercept,
+              a0Init = if (params.intercept) math.log(yBar) else 0.0,
+              thresh = params.thresh, maxit = params.maxit,
+              gramAt = (b, a) => poissonGram(rows, mean, scale, b, a)))
+          LambdaPath.build(pathB, params.alpha, params.nlambda, minRatio, pf)
+        }
       val sc = rows.sparkContext
       val bMean = sc.broadcast(mean)
       val bScale = sc.broadcast(scale)
@@ -929,6 +1166,62 @@ object SgdNet {
   private[ml] def safeXLog(x: Double, q: Double): Double =
     if (x <= 0) 0.0 else x * math.log(math.max(q, 1e-300))
 
+  /** Lambda-path gradient under penaltyFactor entries of 0 for the IRLS
+    * families — the glmnet semantics the gaussian path's pathB
+    * projection implements (SgdNet.scala pathB): UNPENALIZED
+    * coordinates are fit exactly first (the null model of the residual
+    * problem), and lambda_max is the largest PENALIZED gradient there.
+    * Solves the unpenalized sub-fit with the existing IRLS machinery —
+    * lambda = 0 with the penalized coordinates boxed to 0 — then reads
+    * the loss gradient from one fresh gram at the final coefficients:
+    * w·(z − eta) = y − mu, so
+    * (1/n)<xs_j, y − mu> = (swxz_j − (A·beta)_j − a0·swx_j)/n. */
+  private def pfZeroPathGradient(p: Int, n: Double, pf: Array[Double],
+      intercept: Boolean, a0Init: Double, thresh: Double, maxit: Int,
+      gramAt: (Array[Double], Double) => WGram): Array[Double] = {
+    val lo = Array.tabulate(p)(j =>
+      if (pf(j) == 0.0) Double.NegativeInfinity else 0.0)
+    val up = Array.tabulate(p)(j =>
+      if (pf(j) == 0.0) Double.PositiveInfinity else 0.0)
+    var beta = new Array[Double](p)
+    var a0 = a0Init
+    var iter = 0
+    var done = false
+    val newtonTol = math.max(thresh * 1e-4, 1e-10)
+    while (iter < 25 && !done) {
+      val wg = gramAt(beta, a0)
+      val ninv = 1.0 / n
+      val aM = LinAlg.unpackSym(wg.swxx, p).map(_.map(_ * ninv))
+      val r = CoordinateDescent.solve(aM, wg.swxz.map(_ * ninv),
+        wg.swx.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
+        0.0, 1.0, intercept, beta, thresh = newtonTol, maxIter = maxit,
+        lower = lo, upper = up)
+      var maxD = math.abs(r.a0 - a0)
+      var j = 0
+      while (j < p) {
+        val d = math.abs(r.beta(j) - beta(j)); if (d > maxD) maxD = d; j += 1
+      }
+      beta = r.beta; a0 = r.a0
+      iter += 1
+      if (maxD < math.max(thresh * 1e-2, 1e-8)) done = true
+    }
+    val wg = gramAt(beta, a0)
+    Array.tabulate(p) { j =>
+      var ab = 0.0
+      var k = 0
+      while (k < p) { ab += wg.swxx(LinAlg.triIdx(k, j)) * beta(k); k += 1 }
+      (wg.swxz(j) - ab - a0 * wg.swx(j)) / n
+    }
+  }
+
+  private[ml] def requireNoZeroPf(params: SgdNetParams, where: String): Unit =
+    require(params.lambda != null || params.penaltyFactor == null ||
+      !params.penaltyFactor.contains(0.0),
+      s"penaltyFactor entries of 0 need an explicit lambda sequence on " +
+        s"the $where path (the automatic lambda_max there does not apply " +
+        "the unpenalized-coordinate projection the dense gaussian/" +
+        "binomial/poisson paths implement)")
+
   // ----------------------------------------------------------- offset fits
 
   /** GLM fit with a per-row OFFSET on the linear predictor (the glmnet
@@ -962,6 +1255,7 @@ object SgdNet {
                                labelCol: String, offsetCol: String,
                                params: SgdNetParams): SgdNetModel = {
     import org.apache.spark.sql.functions.col
+    requireNoZeroPf(params, "poisson offset")
     val p = featureCols.size
     val rows = df.select((featureCols.map(c => col(c).cast("double")) ++
         Seq(col(labelCol).cast("double"), col(offsetCol).cast("double"))): _*)
@@ -981,14 +1275,37 @@ object SgdNet {
       val sumY = st.yMean(0) * n
       require(sumY > 0, "poisson response must contain positive counts")
 
+      val mean = if (params.intercept) st.xMean else new Array[Double](p)
+      val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
       val minRatio = if (params.lambdaMinRatio.isNaN)
         LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
       val lambdas = if (params.lambda != null) params.lambda
-        else LambdaPath.build(st.b, params.alpha, params.nlambda, minRatio,
-          params.penaltyFactor)
-
-      val mean = if (params.intercept) st.xMean else new Array[Double](p)
-      val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+        else {
+          // With a non-constant offset the null-model mean
+          // mu_i = exp(a0Null + off_i) varies per row, so the glmnet
+          // lambda_max is max_j |(1/n) Σ xs_ij (y_i − mu_i)| — st.b (the
+          // offset-IGNORING covariance) would start the path at a lambda
+          // where coefficients are already nonzero. One extra gradient
+          // pass, mirroring the pathB correction on the gaussian path.
+          val a0Null0 = if (params.intercept) math.log(sumY / sumExpOff) else 0.0
+          val bOff = rows.treeAggregate(new Array[Double](p))(
+            seqOp = (acc, xy) => {
+              val (xr, yo) = xy
+              val mu = math.exp(
+                math.max(math.min(a0Null0 + yo(1), 30.0), -30.0))
+              val r = yo(0) - mu
+              var j = 0
+              while (j < p) {
+                acc(j) += (xr(j) - mean(j)) / scale(j) * r; j += 1
+              }
+              acc
+            },
+            combOp = (a, b) => {
+              var i = 0; while (i < p) { a(i) += b(i); i += 1 }; a
+            }, depth = 2)
+          LambdaPath.build(Array(bOff.map(_ / n)), params.alpha,
+            params.nlambda, minRatio, params.penaltyFactor)
+        }
       val sc = rows.sparkContext
       val bMean = sc.broadcast(mean)
       val bScale = sc.broadcast(scale)
@@ -1191,8 +1508,6 @@ object SgdNet {
   private def fitMultinomial(df: DataFrame, featureCols: Seq[String],
                              labelCol: String, params: SgdNetParams): SgdNetModel = {
     import org.apache.spark.sql.functions.col
-    require(params.penaltyFactor == null,
-      "penaltyFactor is not supported by the multinomial solvers")
     val p = featureCols.size
     val classes = df.select(col(labelCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
@@ -1240,25 +1555,46 @@ object SgdNet {
         (Array[Array[Double]], Array[Double]),
       devFn: (Array[Array[Double]], Array[Array[Array[Double]]]) => Array[Double])
       : SgdNetModel = {
-    requireNoLimits(params, "multinomial")
     val p = featureNames.length
     val k = classes.length
     val n = g.n.toDouble
     val st = SufficientStats.standardize(g, params.standardize, params.intercept)
+
+    // glmnet penalty.factor for multinomial: per-FEATURE multiplier on
+    // both penalty terms (every class coefficient of feature j scales
+    // by pf_j — ungrouped entrywise and grouped group-prox alike).
+    // pf == 0 needs an explicit lambda (the unpenalized-coordinate
+    // lambda_max projection is single-response only).
+    val pf = params.penaltyFactor
+    require(pf == null || (pf.length == p && pf.forall(_ >= 0)),
+      "penaltyFactor must have one non-negative entry per feature")
+    requireNoZeroPf(params, "multinomial")
+    // glmnet lower/upper.limits: per-feature bounds applied to EVERY
+    // class coefficient — ungrouped only (the entrywise clipped
+    // soft-threshold is the exact box+l1 prox; the grouped l1/l2 prox
+    // has no closed form under a box)
+    if (params.typeMultinomial == "grouped")
+      requireNoLimits(params, "grouped multinomial")
 
     val minRatio = if (params.lambdaMinRatio.isNaN)
       LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
     // gradient at null: (1/n)<xs_j, y_t - pbar_t>; with xs centered this is b
     val lambdas = if (params.lambda != null) params.lambda
       else {
-        // ungrouped: lambda_max = max |b_tj|; grouped: max_j ||b_.j||_2
+        // ungrouped: lambda_max = max |b_tj| / pf_j (pf tiled per class
+        // to match the flattened t-major layout); grouped:
+        // max_j ||b_.j||_2 / pf_j
         val bArg = if (params.typeMultinomial == "grouped") st.b
           else Array(st.b.flatten)
-        LambdaPath.build(bArg, params.alpha, params.nlambda, minRatio)
+        val pfArg = if (pf == null) null
+          else if (params.typeMultinomial == "grouped") pf
+          else Array.tabulate(k * p)(i => pf(i % p))
+        LambdaPath.build(bArg, params.alpha, params.nlambda, minRatio, pfArg)
       }
 
     val mean = if (params.intercept) st.xMean else new Array[Double](p)
     val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+    val (loStd, upStd) = boundsStd(params, scale, 1.0)
 
     // Lipschitz bound for softmax cross-entropy on standardized X:
     // L <= 0.5 * lambda_max(Gram)
@@ -1297,6 +1633,7 @@ object SgdNet {
           val d0 = math.abs(na(t) - a0(t)); if (d0 > maxD) maxD = d0
         }
         for (j <- 0 until p) {
+          val pfj = if (pf == null) 1.0 else pf(j)
           if (grouped) {
             // group soft-threshold across classes: the l1/l2 mixed norm
             // prox (fills the reference's own TODO for grouped multinomial)
@@ -1304,9 +1641,11 @@ object SgdNet {
             val v = Array.tabulate(k)(t => yB(t)(j) - step * grad(t)(j))
             v.foreach(x => nrm += x * x)
             nrm = math.sqrt(nrm)
-            val g = step * lam * params.alpha
+            val g = step * lam * params.alpha * pfj
             val shrink =
-              if (nrm > g) (1.0 - g / nrm) / (1.0 + step * lam * (1.0 - params.alpha))
+              if (nrm > g)
+                (1.0 - g / nrm) /
+                  (1.0 + step * lam * (1.0 - params.alpha) * pfj)
               else 0.0
             for (t <- 0 until k) {
               nb(t)(j) = v(t) * shrink
@@ -1315,8 +1654,13 @@ object SgdNet {
           } else {
             for (t <- 0 until k) {
               val v = yB(t)(j) - step * grad(t)(j)
-              nb(t)(j) = LinAlg.softThreshold(v, step * lam * params.alpha) /
-                (1.0 + step * lam * (1.0 - params.alpha))
+              var x = LinAlg.softThreshold(v, step * lam * params.alpha * pfj) /
+                (1.0 + step * lam * (1.0 - params.alpha) * pfj)
+              // 1-D box clip IS the exact prox of l1+l2+box when
+              // 0 ∈ [lo_j, up_j] (enforced by boundsStd)
+              if (loStd != null && x < loStd(j)) x = loStd(j)
+              if (upStd != null && x > upStd(j)) x = upStd(j)
+              nb(t)(j) = x
               val d = math.abs(nb(t)(j) - beta(t)(j)); if (d > maxD) maxD = d
             }
           }

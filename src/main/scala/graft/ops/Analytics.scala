@@ -1240,7 +1240,10 @@ object Analytics {
                              unitCol: String,
                              cond: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nUnits = events.select(col(unitCol)).distinct().count()
+    // NULL unit ids are not at-risk units: DataFrame.distinct keeps a
+    // null row, but SQL COUNT(DISTINCT) (the oracle) drops it
+    val nUnits = events.filter(col(unitCol).isNotNull)
+      .select(col(unitCol)).distinct().count()
     require(nUnits > 0, "no at-risk units")
     val days = events.filter(cond)
       .groupBy(to_date(col(tsCol)).as("day"))

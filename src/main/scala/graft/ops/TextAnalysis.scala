@@ -303,6 +303,9 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct.size == queryTerms.size,
+      "queryTerms must be distinct (duplicates would double-count their " +
+        "log term; repeat-weighted queries should weight scores instead)")
     val terms = queryTerms.toArray
     val perDoc = df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
@@ -328,7 +331,9 @@ object TextAnalysis {
     val statsExprs = sum(col("dl")) +: terms.indices.map(i =>
       sum(element_at(col("tfs"), i + 1)))
     val statsRow = perDoc.agg(statsExprs.head, statsExprs.tail: _*).head()
-    val tTot = statsRow.getLong(0)
+    // sum over an empty/all-null-text collection is NULL — degrade to 0
+    // so the require below fires with its message instead of an NPE
+    val tTot = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
     require(tTot > 0, "empty collection")
     // background mass μ·cf_t/|C| — integral cf/T, one double each
     val priors = terms.indices.map { i =>
