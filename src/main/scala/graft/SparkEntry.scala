@@ -65,6 +65,10 @@ object SparkEntry {
     "q_cv_exact_curve"   -> (PathQueries.cvExactCurve _),
     "q_cv_exact_pick"    -> (PathQueries.cvExactPick _),
     "q_cv_exact_predict" -> (PathQueries.cvExactPredict _),
+    "q_cv_limits"        -> (PathQueries.cvLimits _),
+    "q_multinom_pf"      -> (PathQueries.multinomPf _),
+    "q_weighted_binom"   -> (MlQueries.weightedBinom _),
+    "q_weighted_poisson" -> (MlQueries.weightedPoisson _),
     "q_binom_null_fit"   -> (PathQueries.binomNullFit _),
     "q_poisson_null_fit" -> (PathQueries.poissonNullFit _),
     "q_dedup_exact"      -> (OpsQueries.dedupExact _),
@@ -773,6 +777,30 @@ object SparkEntry {
         |UNION ALL SELECT 'l_quantity', round(b, 4) + 0 FROM u
         |ORDER BY term""".stripMargin,
 
+    // weighted BINOMIAL at coefficient-killing lambda: the weighted
+    // IRLS fixed point is the intercept-only weighted logistic MLE
+    // a0 = logit(sum(w y)/sum(w)) — exact oracle for fitWeightedGlm
+    "q_weighted_binom" ->
+      """WITH s AS (SELECT sum(l_linenumber)::DOUBLE AS w,
+        |  sum(l_linenumber *
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS wy
+        |FROM lineitem),
+        |t AS (SELECT wy / w AS p FROM s)
+        |SELECT 'a0' AS term, round(ln(p / (1 - p)), 6) + 0 AS value FROM t
+        |UNION ALL SELECT 'l_quantity', 0.0::DOUBLE FROM t
+        |ORDER BY term""".stripMargin,
+
+    // weighted POISSON, same construction: intercept-only weighted
+    // poisson MLE a0 = ln(sum(w y)/sum(w))
+    "q_weighted_poisson" ->
+      """WITH s AS (SELECT sum(l_linenumber)::DOUBLE AS w,
+        |  sum(l_linenumber * l_quantity) AS wy
+        |FROM lineitem),
+        |t AS (SELECT wy / w AS m FROM s)
+        |SELECT 'a0' AS term, round(ln(m), 6) + 0 AS value FROM t
+        |UNION ALL SELECT 'l_discount', 0.0::DOUBLE FROM t
+        |ORDER BY term""".stripMargin,
+
     // penalty.factor [0,1,2] at lambda 0.5: ridge-3 Cramer solve with
     // per-feature diagonal 1 + 0.5·pf_j
     "q_penalty_factor" ->
@@ -1086,6 +1114,52 @@ object SparkEntry {
         |       round(ln(cvm), 6) AS ln_cvm, round(ln(cvsd), 6) AS ln_cvsd
         |FROM curve ORDER BY lambda_idx""".stripMargin,
 
+    // box-constrained CV (cv.glmnet lower/upper.limits): per fold the
+    // 1-feature bounded lasso is the closed-form clipped soft threshold
+    // clip(S(c_std, lam)/sd, 0, 4) — the same CTE chain as q_cv_exact_*
+    // with the clip applied to the coefficient
+    "q_cv_limits" ->
+      """WITH r AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |tot AS (SELECT count(*)::double n, sum(x) sx, sum(y) sy, sum(x*x) sxx,
+        |               sum(x*y) sxy, sum(y*y) syy FROM r),
+        |pf AS (SELECT f, count(*)::double n, sum(x) sx, sum(y) sy, sum(x*x) sxx,
+        |              sum(x*y) sxy, sum(y*y) syy FROM r GROUP BY f),
+        |lgrid AS (SELECT cast(lambda_idx AS INT) AS lambda_idx, lam::DOUBLE AS lam
+        |          FROM (VALUES (0, 64.0), (1, 16.0), (2, 4.0), (3, 1.0),
+        |                       (4, 0.25)) AS t(lambda_idx, lam)),
+        |tr AS (SELECT pf.f, tot.n - pf.n AS n, tot.sx - pf.sx AS sx,
+        |              tot.sy - pf.sy AS sy, tot.sxx - pf.sxx AS sxx,
+        |              tot.sxy - pf.sxy AS sxy
+        |       FROM pf, tot),
+        |fitm AS (SELECT tr.f, lgrid.lambda_idx, lgrid.lam,
+        |           sx/n AS mx, sy/n AS my,
+        |           sqrt(sxx/n - (sx/n)*(sx/n)) AS sd,
+        |           (sxy/n - (sx/n)*(sy/n)) AS cxy
+        |         FROM tr, lgrid),
+        |co AS (SELECT f, lambda_idx, lam, mx, my,
+        |         least(greatest(
+        |           sign(cxy/sd) * greatest(abs(cxy/sd) - lam, 0) / sd,
+        |           0.0), 4.0) AS b
+        |       FROM fitm),
+        |sc AS (SELECT co.f, lambda_idx, lam, my - b*mx AS a0, b,
+        |         pf.n AS nf, pf.sx AS fx, pf.sy AS fy, pf.sxx AS fxx,
+        |         pf.sxy AS fxy, pf.syy AS fyy
+        |       FROM co JOIN pf ON co.f = pf.f),
+        |msef AS (SELECT lambda_idx, lam, f,
+        |           fyy/nf - 2*a0*fy/nf + a0*a0 + b*b*fxx/nf
+        |             + 2*a0*b*fx/nf - 2*b*fxy/nf AS m
+        |         FROM sc),
+        |curve AS (SELECT lambda_idx, lam, avg(m) AS cvm,
+        |                 stddev_samp(m) / sqrt(5) AS cvsd
+        |          FROM msef GROUP BY 1, 2)
+        |SELECT lambda_idx, round(lam, 4) AS lambda,
+        |       round(ln(cvm), 6) AS ln_cvm, round(ln(cvsd), 6) AS ln_cvsd
+        |FROM curve ORDER BY lambda_idx""".stripMargin,
+
     // alpha-grid CV: the 1-feature elastic net at ANY alpha is the
     // closed form S(c, lam*alpha) / (1 + lam*(1-alpha)) on standardized
     // subtracted fold moments — cvExactCte generalized with an alpha
@@ -1322,6 +1396,31 @@ object SparkEntry {
         |    - (1.0/(0.5*(1+r)+0.000000001)) * 0.001, 0) / sd1 AS b1,
         |  sign(c2/sd2) * greatest((1.0/(0.5*(1+r)+0.000000001)) * abs(c2/sd2)
         |    - (1.0/(0.5*(1+r)+0.000000001)) * 0.001, 0) / sd2 AS b2
+        |FROM g, s)
+        |SELECT f AS class, 'a0' AS term,
+        |       round(ln(p) - (b1 * mx1 + b2 * mx2), 6) + 0 AS value FROM u
+        |UNION ALL SELECT f, 'l_quantity', round(b1, 6) + 0 FROM u
+        |UNION ALL SELECT f, 'l_discount', round(b2, 6) + 0 FROM u
+        |ORDER BY class, term""".stripMargin,
+
+    // multinomial penalty.factor [0.5, 2.0]: the q_multinom_fit one-
+    // FISTA-step closed form with the entrywise threshold scaled per
+    // feature (step·lam·pf_j)
+    "q_multinom_pf" ->
+      """WITH s AS (SELECT avg(l_quantity) mx1, avg(l_discount) mx2,
+        |  sqrt(var_pop(l_quantity)) sd1, sqrt(var_pop(l_discount)) sd2,
+        |  covar_pop(l_quantity, l_discount)
+        |    / (sqrt(var_pop(l_quantity)) * sqrt(var_pop(l_discount))) r
+        |FROM lineitem),
+        |g AS (SELECT f, avg(CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) p,
+        |  covar_pop(l_quantity, CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) c1,
+        |  covar_pop(l_discount, CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) c2
+        |FROM lineitem, (VALUES ('A'), ('N'), ('R')) t(f) GROUP BY f),
+        |u AS (SELECT f, p, mx1, mx2,
+        |  sign(c1/sd1) * greatest((1.0/(0.5*(1+r)+0.000000001)) * abs(c1/sd1)
+        |    - (1.0/(0.5*(1+r)+0.000000001)) * 0.001 * 0.5, 0) / sd1 AS b1,
+        |  sign(c2/sd2) * greatest((1.0/(0.5*(1+r)+0.000000001)) * abs(c2/sd2)
+        |    - (1.0/(0.5*(1+r)+0.000000001)) * 0.001 * 2.0, 0) / sd2 AS b2
         |FROM g, s)
         |SELECT f AS class, 'a0' AS term,
         |       round(ln(p) - (b1 * mx1 + b2 * mx2), 6) + 0 AS value FROM u

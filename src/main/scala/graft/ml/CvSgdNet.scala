@@ -496,7 +496,7 @@ object CvSgdNet {
     SgdNet.requireNoZeroPf(params, "shared binomial CV")
     val p = featureCols.size
     val classes = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
+      .limit(3).collect().map(_.getString(0)).sorted
     require(classes.length == 2,
       if (classes.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
       else "only one class in response.")
@@ -1188,6 +1188,7 @@ object CvSgdNet {
               acc(base + t * (p + 1) + 1 + j) * ninv)
             val gradA0 = Array.tabulate(k)(t => acc(base + t * (p + 1)) * ninv)
             val step = steps(f)
+            val (lo, up) = boundsF(f)
             val nb = Array.ofDim[Double](k, p)
             val na = new Array[Double](k)
             var maxD = 0.0
@@ -1218,7 +1219,6 @@ object CvSgdNet {
                   var x = LinAlg.softThreshold(v,
                     step * lam * params.alpha * pfj) /
                     (1.0 + step * lam * (1.0 - params.alpha) * pfj)
-                  val (lo, up) = boundsF(f)
                   if (lo != null && x < lo(j)) x = lo(j)
                   if (up != null && x > up(j)) x = up(j)
                   nb(t)(j) = x

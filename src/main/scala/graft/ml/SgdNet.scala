@@ -124,8 +124,12 @@ object SgdNet {
     require(params.lowerLimits == null && params.upperLimits == null,
       s"lowerLimits/upperLimits are not supported by the $where path")
 
-  def fitMulti(df: DataFrame, featureCols: Seq[String], labelCols: Seq[String],
-               params: SgdNetParams): SgdNetModel = {
+  /** The argument validation every fit entry point shares (reference
+    * R/sgdnet.R:101-131 input checks) — fitMulti and the weighted /
+    * offset routes that bypass it run the same requires. */
+  private[ml] def validateCommon(featureCols: Seq[String],
+                                 labelCols: Seq[String],
+                                 params: SgdNetParams): Unit = {
     require(featureCols.nonEmpty, "the predictor matrix (x) is empty.")
     require(labelCols.nonEmpty, "the response (y) is empty.")
     require(params.alpha >= 0 && params.alpha <= 1,
@@ -135,6 +139,11 @@ object SgdNet {
     require(params.maxit > 0, "maximum number of iterations cannot be negative or zero.")
     if (params.lambda != null)
       require(params.lambda.forall(_ >= 0), "penalty strengths (lambdas) must be positive.")
+  }
+
+  def fitMulti(df: DataFrame, featureCols: Seq[String], labelCols: Seq[String],
+               params: SgdNetParams): SgdNetModel = {
+    validateCommon(featureCols, labelCols, params)
 
     params.family match {
       case "gaussian" =>
@@ -216,7 +225,7 @@ object SgdNet {
     val classes: Array[String] =
       if (binomial) {
         val cs = df.select(col(labelCol).cast("string")).distinct()
-          .collect().map(_.getString(0)).sorted
+          .limit(3).collect().map(_.getString(0)).sorted
         require(cs.length == 2,
           if (cs.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
           else "only one class in response.")
@@ -573,10 +582,13 @@ object SgdNet {
     * same path solver as [[fit]]: standardization, lambda path,
     * penalty factors, sgdnetCompat all apply on the WEIGHTED
     * moments. Integer weights reproduce row duplication exactly
-    * (spec-verified). Gaussian single-response only. */
+    * (spec-verified). Zero weights are accepted and drop the
+    * observation (the glmnet convention); the sum-to-n normalization
+    * runs over the POSITIVE-weight rows only. */
   def fitWeighted(df: DataFrame, featureCols: Seq[String], labelCol: String,
                   weightCol: String,
                   params: SgdNetParams = SgdNetParams()): SgdNetModel = {
+    validateCommon(featureCols, Seq(labelCol), params)
     params.family match {
       case "gaussian" => // fall through to the moment path below
       case "binomial" | "poisson" =>
@@ -594,16 +606,19 @@ object SgdNet {
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // w == 0 drops the observation (glmnet accepts it); n counts the
+      // kept rows so the sum-to-n normalization runs over them only
       val (nRows, wSum) = rows.treeAggregate((0L, 0.0))(
         seqOp = (s, r) => {
-          require(r._3 > 0, "weights must be strictly positive")
-          (s._1 + 1, s._2 + r._3)
+          require(r._3 >= 0, "weights must be non-negative")
+          if (r._3 > 0) (s._1 + 1, s._2 + r._3) else s
         },
         combOp = (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
       require(nRows > 0, "the response (y) is empty.")
       val norm = nRows.toDouble / wSum
       val g = rows.treeAggregate(new GramStats(p, 1))(
-        seqOp = (s, r) => s.addWeighted(r._1, Array(r._2), r._3 * norm),
+        seqOp = (s, r) =>
+          if (r._3 > 0) s.addWeighted(r._1, Array(r._2), r._3 * norm) else s,
         combOp = (a, b) => a.merge(b), depth = 2)
       solveGaussianFromStats(g, featureCols, Seq(labelCol), params)
     } finally { rows.unpersist(blocking = false); () }
@@ -629,7 +644,7 @@ object SgdNet {
     val classes: Array[String] =
       if (binomial) {
         val cs = df.select(col(labelCol).cast("string")).distinct()
-          .collect().map(_.getString(0)).sorted
+          .limit(3).collect().map(_.getString(0)).sorted
         require(cs.length == 2,
           if (cs.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
           else "only one class in response.")
@@ -647,18 +662,20 @@ object SgdNet {
         (x, r.getDouble(p), r.getDouble(p + 1))
       }.persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // w == 0 drops the observation (glmnet accepts it); n counts the
+      // kept rows so the sum-to-n normalization runs over them only
       val (nRows, wSum) = raw.treeAggregate((0L, 0.0))(
         seqOp = (s, r) => {
-          require(r._3 > 0, "weights must be strictly positive")
-          (s._1 + 1, s._2 + r._3)
+          require(r._3 >= 0, "weights must be non-negative")
+          if (r._3 > 0) (s._1 + 1, s._2 + r._3) else s
         },
         combOp = (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
       require(nRows > 0, "the response (y) is empty.")
       val norm = nRows.toDouble / wSum
       // rows carry the PRE-normalized weight: moments divide by n below
-      val rows = raw.map(r => (r._1, r._2, r._3 * norm))
-      val g = raw.treeAggregate(new GramStats(p, 1))(
-        seqOp = (s, r) => s.addWeighted(r._1, Array(r._2), r._3 * norm),
+      val rows = raw.filter(_._3 > 0).map(r => (r._1, r._2, r._3 * norm))
+      val g = rows.treeAggregate(new GramStats(p, 1))(
+        seqOp = (s, r) => s.addWeighted(r._1, Array(r._2), r._3),
         combOp = (a, b) => a.merge(b), depth = 2)
       val st = SufficientStats.standardize(g, params.standardize, params.intercept)
       val n = g.n.toDouble
@@ -729,6 +746,7 @@ object SgdNet {
 
       val minRatio = if (params.lambdaMinRatio.isNaN)
         LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
+      val (loStd, upStd) = boundsStd(params, scale, 1.0)
       val lambdas = if (params.lambda != null) params.lambda
         else {
           val pf = params.penaltyFactor
@@ -736,7 +754,7 @@ object SgdNet {
             if (pf == null || !pf.contains(0.0)) st.b
             else Array(pfZeroPathGradient(p, n, pf, params.intercept,
               a0Init = a0Null, thresh = params.thresh, maxit = params.maxit,
-              gramAt = gramAt))
+              gramAt = gramAt, userLo = loStd, userUp = upStd))
           LambdaPath.build(pathB, params.alpha, params.nlambda, minRatio, pf)
         }
 
@@ -747,7 +765,6 @@ object SgdNet {
       var a0 = a0Null
       var passes = 0
       val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
-      val (loStd, upStd) = boundsStd(params, scale, 1.0)
 
       for (l <- 0 until L) {
         var iter = 0
@@ -882,7 +899,7 @@ object SgdNet {
       "penaltyFactor must have one non-negative entry per feature")
     val p = featureCols.size
     val classes = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
+      .limit(3).collect().map(_.getString(0)).sorted
     require(classes.length == 2,
       if (classes.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
       else "only one class in response.")
@@ -920,6 +937,7 @@ object SgdNet {
     // pathB applies) — a few extra IRLS passes, only on that edge.
     val minRatio = if (params.lambdaMinRatio.isNaN)
       LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
+    val (loStd0, upStd0) = boundsStd(params, scale, 1.0)
     val lambdas = if (params.lambda != null) params.lambda
       else {
         val pf = params.penaltyFactor
@@ -929,7 +947,8 @@ object SgdNet {
             a0Init = if (params.intercept && pBar > 0 && pBar < 1)
               math.log(pBar / (1 - pBar)) else 0.0,
             thresh = params.thresh, maxit = params.maxit,
-            gramAt = (b, a) => weightedGram(rows, mean, scale, b, a)._1))
+            gramAt = (b, a) => weightedGram(rows, mean, scale, b, a)._1,
+            userLo = loStd0, userUp = upStd0))
         LambdaPath.build(pathB, params.alpha, params.nlambda, minRatio, pf)
       }
     val sc = rows.sparkContext
@@ -945,7 +964,7 @@ object SgdNet {
     var passes = 0
 
     val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
-    val (loStd, upStd) = boundsStd(params, scale, 1.0)
+    val (loStd, upStd) = (loStd0, upStd0)
     for (l <- 0 until L) {
       val lam = lambdas(l)
       var iter = 0
@@ -1024,6 +1043,7 @@ object SgdNet {
       // penaltyFactor entries of 0: lambda_max comes from the gradient
       // at the unpenalized sub-fit (glmnet semantics, same projection
       // the gaussian pathB applies), not the raw null covariance
+      val (loStd, upStd) = boundsStd(params, scale, 1.0)
       val lambdas = if (params.lambda != null) params.lambda
         else {
           val pf = params.penaltyFactor
@@ -1032,7 +1052,8 @@ object SgdNet {
             else Array(pfZeroPathGradient(p, n, pf, params.intercept,
               a0Init = if (params.intercept) math.log(yBar) else 0.0,
               thresh = params.thresh, maxit = params.maxit,
-              gramAt = (b, a) => poissonGram(rows, mean, scale, b, a)))
+              gramAt = (b, a) => poissonGram(rows, mean, scale, b, a),
+              userLo = loStd, userUp = upStd))
           LambdaPath.build(pathB, params.alpha, params.nlambda, minRatio, pf)
         }
       val sc = rows.sparkContext
@@ -1046,7 +1067,6 @@ object SgdNet {
       var a0 = if (params.intercept) math.log(yBar) else 0.0
       var passes = 0
       val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
-      val (loStd, upStd) = boundsStd(params, scale, 1.0)
 
       for (l <- 0 until L) {
         var iter = 0
@@ -1175,14 +1195,24 @@ object SgdNet {
     * lambda = 0 with the penalized coordinates boxed to 0 — then reads
     * the loss gradient from one fresh gram at the final coefficients:
     * w·(z − eta) = y − mu, so
-    * (1/n)<xs_j, y − mu> = (swxz_j − (A·beta)_j − a0·swx_j)/n. */
+    * (1/n)<xs_j, y − mu> = (swxz_j − (A·beta)_j − a0·swx_j)/n.
+    * `userLo`/`userUp` are the caller's STANDARDIZED box limits (null =
+    * unbounded): unpenalized coordinates keep them during the sub-fit,
+    * so a binding box on a pf=0 coordinate shapes lambda_max exactly
+    * like the constrained path it heads. */
   private def pfZeroPathGradient(p: Int, n: Double, pf: Array[Double],
       intercept: Boolean, a0Init: Double, thresh: Double, maxit: Int,
-      gramAt: (Array[Double], Double) => WGram): Array[Double] = {
+      gramAt: (Array[Double], Double) => WGram,
+      userLo: Array[Double] = null,
+      userUp: Array[Double] = null): Array[Double] = {
     val lo = Array.tabulate(p)(j =>
-      if (pf(j) == 0.0) Double.NegativeInfinity else 0.0)
+      if (pf(j) == 0.0) {
+        if (userLo != null) userLo(j) else Double.NegativeInfinity
+      } else 0.0)
     val up = Array.tabulate(p)(j =>
-      if (pf(j) == 0.0) Double.PositiveInfinity else 0.0)
+      if (pf(j) == 0.0) {
+        if (userUp != null) userUp(j) else Double.PositiveInfinity
+      } else 0.0)
     var beta = new Array[Double](p)
     var a0 = a0Init
     var iter = 0

@@ -805,6 +805,104 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "adist")
   }
 
+  /** [[pqTopKFixed]] with a DISTRIBUTED query side — plain-PQ batch
+    * scoring for query sets too large to collect. Plain PQ has no cell
+    * key to join on (every query scans every code by design), so the
+    * distributed shape INVERTS the driver path: the corpus codes — the
+    * COMPRESSED corpus, m·log2(ksub) bits/vector, the artifact PQ
+    * exists to make RAM-resident — broadcast once, and the query frame
+    * streams through a mapPartitions that builds each query's ADC
+    * table and scans the code block with a k-slot heap. Identical
+    * summation order and (adist, neighbor_id) tie-break to
+    * [[pqTopKFixed]], so results are bit-exact.
+    *
+    * GATED-corpus contract: the code block must fit a broadcast —
+    * `maxCorpusCodes` (default 2^22 ≈ 4M codes, ~150 MB at m = 8)
+    * bounds it EXPLICITLY and the call throws past the bound with the
+    * fix spelled out: a corpus past broadcast size needs cell pruning,
+    * which is [[ivfpqTopKJoin]] — the composed layout exists exactly
+    * because plain PQ stops scaling here. */
+  def pqTopKJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int,
+                 codebooks: Array[Array[Array[Double]]],
+                 maxCorpusCodes: Long = 1L << 22): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "codebooks must be non-empty per subspace")
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val ksub = codebooks(0).length
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcCB = spark.sparkContext.broadcast(codebooks)
+    // ONE encoding pass (the pqTopKFixed kernel), then a GATED collect
+    // of the compressed codes: limit(max+1) bounds driver memory even
+    // on the over-sized corpus that throws
+    val codes = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cb = bcCB.value
+        val c = new Array[Int](m)
+        var mi = 0
+        while (mi < m) {
+          c(mi) = nearestCell(
+            java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub), cb(mi))
+          mi += 1
+        }
+        (id, c)
+      }
+    val block = codes.limit((maxCorpusCodes + 1).min(Int.MaxValue).toInt)
+      .collect()
+    require(block.length <= maxCorpusCodes,
+      s"pqTopKJoin corpus is gated at $maxCorpusCodes codes (got more): " +
+        "plain PQ scans every code per query — past broadcast size use " +
+        "the cell-pruned composed index (trainIvfPq + ivfpqTopKJoin)")
+    val bcCodes = spark.sparkContext.broadcast(block)
+    val kk = k
+    val scored = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        import scala.jdk.CollectionConverters._
+        val cb = bcCB.value
+        val cs = bcCodes.value
+        val nat = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+        it.flatMap { case (qid, qv) =>
+          // per-query ADC table — same arithmetic as the driver path
+          val tab = Array.tabulate(m, ksub) { (mi, c) =>
+            sqdist(java.util.Arrays.copyOfRange(qv, mi * sub, (mi + 1) * sub),
+              cb(mi)(c))
+          }
+          val h = new java.util.PriorityQueue[(Double, Long)](
+            math.max(kk, 1), nat.reverse)
+          var i = 0
+          while (i < cs.length) {
+            val (id, code) = cs(i)
+            if (id != qid) {
+              // ascending-mi summation: bit-identical to pqTopKFixed
+              var d = 0.0
+              var mi = 0
+              while (mi < code.length) { d += tab(mi)(code(mi)); mi += 1 }
+              val cand = (d, id)
+              if (h.size < kk) h.add(cand)
+              else if (nat.lt(cand, h.peek())) { h.poll(); h.add(cand) }
+            }
+            i += 1
+          }
+          h.iterator().asScala.map { case (d, id) => (qid, id, d) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "adist")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist")
+  }
+
   // ------------------------------------------------------ IVFPQ (composed)
 
   /** Train the COMPOSED IVFPQ index (the FAISS `IVFx,PQy` layout): a
@@ -1243,18 +1341,32 @@ object Ann {
     * against the tiny centroid table, and the `cell IN (...)` literal
     * filter becomes a parquet PartitionFilter — only probed cell
     * directories are ever read. Result semantics are identical to
-    * [[ivfTopKFixed]] over the same corpus and centers. */
+    * [[ivfTopKFixed]] over the same corpus and centers.
+    *
+    * BOUNDED-QUERY contract (the [[bruteTopKKernel]] gate): the query
+    * set collects to the driver to resolve the partition-pruning cell
+    * list — `maxQueries` bounds that collect EXPLICITLY (limit-gated,
+    * so even the over-sized call never materializes more than the
+    * bound + 1 driver rows). Corpus-sized query loads belong on
+    * [[ivfTopKJoin]] against the loaded layout table instead. */
   def ivfTopKFromLayout(spark: org.apache.spark.sql.SparkSession,
                         path: String, queries: DataFrame, idCol: String,
                         vecCol: String, k: Int,
                         centers: Array[Array[Double]],
-                        nprobe: Int = 4): DataFrame = {
+                        nprobe: Int = 4,
+                        maxQueries: Long = 1L << 16): DataFrame = {
     require(centers.nonEmpty, "need at least one centroid")
     import spark.implicits._
     val q = queries.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
-      .as[(Long, Array[Double])].collect()
+      .as[(Long, Array[Double])]
+      .limit((maxQueries + 1).min(Int.MaxValue).toInt).collect()
+    require(q.length <= maxQueries,
+      s"ivfTopKFromLayout query set is gated at $maxQueries (got more): " +
+        "partition-pruned layout search collects queries driver-side — " +
+        "route corpus-sized query loads through ivfTopKJoin over the " +
+        "loaded layout table")
     val probes = q.flatMap { case (qid, qv) =>
       centers.zipWithIndex.map { case (c, i) => (sqdist(qv, c), i) }
         .sortBy(_._1).take(nprobe).map { case (_, cell) => (qid, qv, cell) }

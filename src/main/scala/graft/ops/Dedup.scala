@@ -338,8 +338,14 @@ object Dedup {
     *        [[minhashLshWithStats]] for programmatic hot-bucket stats.
     *        Pass `Int.MaxValue` to skip routing (identical result, no
     *        stats job). */
+  /** Total hash budget the PLANNED default (b, r) selection optimizes
+    * under — the historical fixed default's 4·3 = 12 hashes, so the
+    * threshold-driven plan never costs more signature work than the
+    * old hard-coded parameters did. */
+  val DefaultLshBudget: Int = 12
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
-                 bands: Int = 4, rowsPerBand: Int = 3,
+                 bands: Int = 0, rowsPerBand: Int = 0,
                  threshold: Double = 0.6, shingleWidth: Int = 3,
                  maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     minhashLshWithStats(df, idCol, textCol, bands, rowsPerBand, threshold,
@@ -348,11 +354,29 @@ object Dedup {
   /** [[minhashLsh]], also returning the hot-bucket salt stats (None when
     * routing is skipped) so degenerate candidate mass is observable,
     * not guessed. */
+  /** [[minhashLsh]], also returning hot-bucket salt stats.
+    *
+    * PLANNED DEFAULTS: leaving `bands`/`rowsPerBand` at 0 selects
+    * (b, r) from the `threshold` via the [[lshPlan]] objective (the
+    * datasketch optimal_param S-curve area) under the
+    * [[DefaultLshBudget]] hash budget — "I want 0.8-similar pairs"
+    * needs no hand tuning. Explicit values are honored unchanged (the
+    * declared oracle queries pin them for engine reproducibility);
+    * passing exactly one of the two is an error. A threshold outside
+    * (0, 1) — e.g. 0 = "every candidate verifies" — has no S-curve to
+    * optimize and falls back to the historical (4, 3). */
   def minhashLshWithStats(df: DataFrame, idCol: String, textCol: String,
-                 bands: Int = 4, rowsPerBand: Int = 3,
+                 bands: Int = 0, rowsPerBand: Int = 0,
                  threshold: Double = 0.6, shingleWidth: Int = 3,
                  maxBucketSize: Int = DefaultMaxBucketSize)
       : (DataFrame, Option[LshSaltStats]) = {
+    require((bands > 0) == (rowsPerBand > 0),
+      "pass both bands and rowsPerBand, or neither (planned defaults)")
+    val (b, r) =
+      if (bands > 0) (bands, rowsPerBand)
+      else if (threshold > 0.0 && threshold < 1.0)
+        lshPlanParams(threshold, DefaultLshBudget, 0.5)
+      else (4, 3)
     // one kernel pass computes the shingle set AND the band buckets;
     // materialized once (lazy localCheckpoint) because the self-join +
     // the two verify re-joins would otherwise recompute the md5 work
@@ -360,7 +384,17 @@ object Dedup {
     // reference-tracked and freed on GC, so repeated operator calls in a
     // long-lived session don't accumulate storage memory.
     val sets = shingleSetsWithBuckets(df, idCol, textCol, shingleWidth,
-      bands, rowsPerBand).localCheckpoint(false)
+      b, r).localCheckpoint(false)
+    minhashPairsFromSets(sets, threshold, maxBucketSize)
+  }
+
+  /** The band-join + verify half of [[minhashLshWithStats]], from an
+    * already-MATERIALIZED (__id, sh, buckets) frame — shared with the
+    * fused dual-detector pass ([[captureRecaptureFromText]]) so one
+    * shingle kernel can feed several consumers. */
+  private def minhashPairsFromSets(sets: DataFrame, threshold: Double,
+                                   maxBucketSize: Int)
+      : (DataFrame, Option[LshSaltStats]) = {
     val bandRows0 = sets
       .select(col("__id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
     val shOnly = sets.select(col("__id"), col("sh"))
@@ -380,7 +414,7 @@ object Dedup {
           // distinct shuffle or a payload re-join. The double
           // arithmetic (c / (na + nb - c) on exact ints) matches the
           // join path's array_intersect expression bit-for-bit.
-          val spark = df.sparkSession
+          val spark = sets.sparkSession
           import spark.implicits._
           val hv = hot.join(shOnly, "__id")
             .select(col("band"), col("bucket"), col("__nsalt"),
@@ -869,13 +903,22 @@ object Dedup {
     // materialize + posexplode: the band union + self-join would
     // otherwise recompute the simhash kernel once per band per side (~8x)
     val sh = simhash(df, idCol, textCol).localCheckpoint(false)
+    simhashPairsFromHashes(sh, idCol, maxHamming, maxBucketSize)
+  }
+
+  /** The band-join + verify half of [[simhashPairs]], from an
+    * already-MATERIALIZED (idCol, simhash) frame — shared with the
+    * fused dual-detector pass ([[captureRecaptureFromText]]). */
+  private def simhashPairsFromHashes(sh: DataFrame, idCol: String,
+                                     maxHamming: Int,
+                                     maxBucketSize: Int): DataFrame = {
     val bandBuckets = array((0 until 4).map { b =>
       shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
     }: _*)
     val bandRows0 = sh.select(col(idCol).as("__id"), col("simhash"),
         posexplode(bandBuckets).as(Seq("band", "bucket")))
       .localCheckpoint(false)
-    val spark = df.sparkSession
+    val spark = sh.sparkSession
     import spark.implicits._
     val (bandRows, hotPairs) =
       if (maxBucketSize == Int.MaxValue) (bandRows0, None)
@@ -1761,6 +1804,122 @@ object Dedup {
     } finally { ca.unpersist(false); cb.unpersist(false); () }
   }
 
+  /** One fused per-row kernel for the dual-detector audit: ONE
+    * trim/lower/whitespace-split of the text feeds BOTH the minhash
+    * chain (distinct w-gram set, per-seed md5 min-signature, band
+    * buckets — byte-identical to [[shingleSetsWithBuckets]]) and the
+    * simhash chain (per-word md5-top-64 bit votes with the Zipf memo —
+    * byte-identical to [[simhash]]). Halves the corpus scan + split
+    * work the two standalone detectors would spend. */
+  private def shingleBucketSimhashSets(df: DataFrame, idCol: String,
+      textCol: String, w: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TextKernels.md5Hex
+    val numHashes = bands * rowsPerBand
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val wsPat = java.util.regex.Pattern.compile("\\s+")
+        val memo = new java.util.HashMap[String, java.lang.Long](1 << 12)
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        it.map { case (id, text) =>
+          if (text == null)
+            (id, Array.empty[String], Array.empty[String], 0L)
+          else {
+            val ws = wsPat.split(text.trim.toLowerCase(java.util.Locale.ROOT))
+            // --- simhash votes over the SAME token stream
+            val votes = new Array[Int](64)
+            ws.foreach { word =>
+              var boxed = memo.get(word)
+              if (boxed == null) {
+                boxed = java.lang.Long.parseUnsignedLong(
+                  graft.functions.TextKernels.md5Hex(word).substring(0, 16), 16)
+                if (memo.size < (1 << 16)) memo.put(word, boxed)
+              }
+              val h = boxed.longValue
+              var b = 0
+              while (b < 64) {
+                if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+                b += 1
+              }
+            }
+            var packed = 0L
+            var b0 = 0
+            while (b0 < 64) { if (votes(b0) > 0) packed |= (1L << b0); b0 += 1 }
+            // --- minhash shingles / signature / buckets
+            val n = math.max(ws.length - w, 0)
+            val grams = new java.util.LinkedHashSet[String]()
+            var i = 0
+            while (i <= n) {
+              val sb = new StringBuilder
+              var o = 0
+              while (o < w && i + o < ws.length) {
+                if (o > 0) sb.append(' ')
+                sb.append(ws(i + o))
+                o += 1
+              }
+              grams.add(sb.toString)
+              i += 1
+            }
+            val sh = grams.toArray(Array.empty[String])
+            val gramBytes = new Array[Array[Byte]](sh.length)
+            var gi = 0
+            while (gi < sh.length) { gramBytes(gi) = sh(gi).getBytes(utf8); gi += 1 }
+            val sig = new Array[String](numHashes)
+            var s = 0
+            while (s < numHashes) {
+              val prefix = (s.toString + "|").getBytes(utf8)
+              var m: String = null
+              gi = 0
+              while (gi < sh.length) {
+                val h = graft.functions.TextKernels.md5Hex2(prefix, gramBytes(gi))
+                if (m == null || h.compareTo(m) < 0) m = h
+                gi += 1
+              }
+              sig(s) = m
+              s += 1
+            }
+            val buckets = new Array[String](if (sh.isEmpty) 0 else bands)
+            var b = 0
+            while (b < buckets.length) {
+              val sb = new StringBuilder
+              var r = 0
+              while (r < rowsPerBand) {
+                if (r > 0) sb.append(',')
+                sb.append(sig(b * rowsPerBand + r))
+                r += 1
+              }
+              buckets(b) = md5Hex(sb.toString)
+              b += 1
+            }
+            (id, sh, buckets, packed)
+          }
+        }
+      }
+      .toDF("__id", "sh", "buckets", "simhash")
+  }
+
+  /** [[captureRecapture]] directly from text, running BOTH detectors
+    * (minhash LSH and simhash banding) off ONE shared tokenization/
+    * shingle kernel pass — the two standalone calls would scan and
+    * re-split the corpus twice for detectors that agree on the token
+    * stream. Pair sets are bit-identical to the standalone
+    * [[minhashLsh]] / [[simhashPairs]] calls (spec-pinned). */
+  def captureRecaptureFromText(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 3, threshold: Double = 0.6,
+      shingleWidth: Int = 3, maxHamming: Int = 3,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      simhashBucketSize: Int = DefaultSimhashBucketSize): DataFrame = {
+    val sets = shingleBucketSimhashSets(df, idCol, textCol, shingleWidth,
+      bands, rowsPerBand).localCheckpoint(false)
+    val (mh, _) = minhashPairsFromSets(sets.select("__id", "sh", "buckets"),
+      threshold, maxBucketSize)
+    val sp = simhashPairsFromHashes(sets.select(col("__id"), col("simhash")),
+      "__id", maxHamming, simhashBucketSize)
+    captureRecapture(mh, sp)
+  }
+
   /** Golden-record survivorship merge: one consolidated row per
     * near-dup cluster with FIELD-LEVEL survivorship rules — the MDM
     * step after clustering: representative id = min id (stable),
@@ -1854,34 +2013,52 @@ object Dedup {
     * steps: (bands, rows_per_band, n_hashes, s_pct, p_candidate). */
   def lshPlan(spark: SparkSession, threshold: Double, maxHashes: Int = 64,
               fpWeight: Double = 0.5, outDigits: Int = 6): DataFrame = {
+    import spark.implicits._
+    val (b, r) = lshPlanParams(threshold, maxHashes, fpWeight)
+    (5 to 95 by 5).map { sp =>
+      val p = lshPAt(sp.toDouble / 100.0, b, r)
+      (b.toLong, r.toLong, (b * r).toLong, sp.toLong,
+        BigDecimal(p).setScale(outDigits, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.toDF("bands", "rows_per_band", "n_hashes", "s_pct", "p_candidate")
+  }
+
+  /** S-curve P(candidate | jaccard s) for (b, r) banding. */
+  private def lshPAt(s: Double, b: Int, r: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, r), b)
+
+  /** The (bands, rowsPerBand) argmin of the [[lshPlan]] objective —
+    * shared by the plan table and the [[minhashLshWithStats]] planned
+    * defaults. Pure driver math; deterministic ties (objective, b, r). */
+  private[ops] def lshPlanParams(threshold: Double, maxHashes: Int,
+                                 fpWeight: Double): (Int, Int) = {
     require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0,1)")
     require(maxHashes >= 1, "maxHashes must be >= 1")
-    import spark.implicits._
-    def pAt(s: Double, b: Int, r: Int): Double =
-      1.0 - math.pow(1.0 - math.pow(s, r), b)
     val cand = for {
       b <- 1 to maxHashes
       r <- 1 to maxHashes / b
     } yield (b, r)
     val scored = cand.map { case (b, r) =>
-      var sum = BigDecimal(0)
-      var i = 1
-      while (i <= 99) {
-        val s = i.toDouble / 100.0
-        val p = pAt(s, b, r)
-        val term = if (s < threshold) fpWeight * p
-        else (1.0 - fpWeight) * (1.0 - p)
-        sum += BigDecimal(term).setScale(9, BigDecimal.RoundingMode.HALF_UP)
-        i += 1
-      }
-      (sum, b, r)
+      (lshObjective(threshold, fpWeight, b, r), b, r)
     }
     val (_, b, r) = scored.minBy { case (o, bb, rr) => (o, bb, rr) }
-    (5 to 95 by 5).map { sp =>
-      val p = pAt(sp.toDouble / 100.0, b, r)
-      (b.toLong, r.toLong, (b * r).toLong, sp.toLong,
-        BigDecimal(p).setScale(outDigits, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble)
-    }.toDF("bands", "rows_per_band", "n_hashes", "s_pct", "p_candidate")
+    (b, r)
+  }
+
+  /** [[lshPlan]] objective value of one (b, r) pair — exposed for the
+    * planned-vs-fixed spec comparison. */
+  private[ops] def lshObjective(threshold: Double, fpWeight: Double,
+                                b: Int, r: Int): BigDecimal = {
+    var sum = BigDecimal(0)
+    var i = 1
+    while (i <= 99) {
+      val s = i.toDouble / 100.0
+      val p = lshPAt(s, b, r)
+      val term = if (s < threshold) fpWeight * p
+      else (1.0 - fpWeight) * (1.0 - p)
+      sum += BigDecimal(term).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      i += 1
+    }
+    sum
   }
 }

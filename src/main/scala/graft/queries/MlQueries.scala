@@ -102,6 +102,41 @@ object MlQueries {
     coefFrame(spark, m, 0)
   }
 
+  /** Weighted BINOMIAL fit (glmnet weights, family="binomial") verified
+    * end-to-end against the closed form: at lambda large enough to zero
+    * the coefficient, the weighted IRLS must land EXACTLY on the
+    * intercept-only weighted logistic MLE a0 = logit(sum(w y)/sum(w)) —
+    * the q_binom_null_fit technique through the `fitWeightedGlm` route
+    * (one treeAggregate of v-weighted IRLS moments per Newton step). */
+  def weightedBinom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+    val m = SgdNet.fitWeighted(li, Seq("l_quantity"), "is_r", "l_linenumber",
+      SgdNetParams(family = "binomial", alpha = 1.0, lambda = Array(1e6),
+        thresh = 1e-9, maxit = 10000))
+    Seq(("a0", m.a0(0)(0)), ("l_quantity", m.beta(0)(0)(0)))
+      .toDF("term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("term")
+  }
+
+  /** Weighted POISSON fit (glmnet weights, family="poisson"), same
+    * construction as [[weightedBinom]]: the intercept-only weighted
+    * poisson MLE is a0 = ln(sum(w y)/sum(w)). */
+  def weightedPoisson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fitWeighted(li, Seq("l_discount"), "l_quantity",
+      "l_linenumber",
+      SgdNetParams(family = "poisson", alpha = 1.0, lambda = Array(1e6),
+        thresh = 1e-9, maxit = 10000))
+    Seq(("a0", m.a0(0)(0)), ("l_discount", m.beta(0)(0)(0)))
+      .toDF("term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("term")
+  }
+
   /** Gaussian ridge with a linear-predictor OFFSET (glmnet offset):
     * fitting y with offset o is exactly the ridge fit of y − o. */
   def offsetRidge(spark: SparkSession, dir: String): DataFrame = {

@@ -2285,14 +2285,12 @@ object OpsQueries {
       "l_extendedprice")
 
   /** Capture–recapture dedup-recall audit: minhash vs simhash
-    * catches over the planted near-dup corpus. */
-  def captureRecaptureQ(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docsWithNearDups(spark, dir)
-    val mh = Dedup.minhashLsh(docs, "doc_id", "text",
-      bands = 4, rowsPerBand = 3, threshold = 0.6)
-    val sh = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
-    Dedup.captureRecapture(mh, sh)
-  }
+    * catches over the planted near-dup corpus — both detectors fed by
+    * ONE shared tokenization/shingle pass. */
+  def captureRecaptureQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.captureRecaptureFromText(docsWithNearDups(spark, dir),
+      "doc_id", "text", bands = 4, rowsPerBand = 3, threshold = 0.6,
+      maxHamming = 6)
 
   /** Dirichlet query-likelihood retrieval, same query terms as bm25. */
   def qldQ(spark: SparkSession, dir: String): DataFrame =

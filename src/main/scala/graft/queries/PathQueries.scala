@@ -457,6 +457,55 @@ object PathQueries {
       nfolds = 5, foldCol = fold)
   }
 
+  /** Box-constrained cross-validation (cv.glmnet with lower.limits /
+    * upper.limits): 1-feature lasso over a FIXED lambda grid with
+    * portable Knuth folds, bounded to [0, 4] — per fold the constrained
+    * coordinate solution is the CLOSED FORM clip(S(c_std, lam)/1, 0·sd,
+    * 4·sd)/sd (the 1-D box prox the solver applies), so the whole CV
+    * curve verifies hash-exact in DuckDB. The grid straddles the cap:
+    * the unconstrained slope ≈ 7.2 means small lambdas BIND at 4.0 and
+    * the largest does not — both branches of the clip are exercised.
+    * Converged multi-feature bounded CV is spec-verified against
+    * per-fold bounded refits in BoxConstraintsSpec. */
+  def cvLimits(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fit(li, Seq("l_quantity"), Seq("l_extendedprice"),
+      SgdNetParams(alpha = 1.0, lambda = Array(64.0, 16.0, 4.0, 1.0, 0.25),
+        thresh = 1e-10, maxit = 100000,
+        lowerLimits = Array(0.0), upperLimits = Array(4.0)),
+      nfolds = 5, foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
+  /** Multinomial lasso with PER-FEATURE PENALTY FACTORS (glmnet
+    * penalty.factor through the softmax FISTA route), ONE step from the
+    * null point — the [[multinomFit]] closed form with the entrywise
+    * threshold scaled per feature: b_tj = S(step·cov(xs_j, 1[y=t]),
+    * step·lam·pf_j)/sd_j with pf = [0.5, 2.0]. Converged pf fits are
+    * KKT-verified in SolverPropertySpec / SgdNetMultiSpec. */
+  def multinomPf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fit(li, Seq("l_quantity", "l_discount"), "l_returnflag",
+      SgdNetParams(family = "multinomial", alpha = 1.0, lambda = Array(0.001),
+        maxit = 1, penaltyFactor = Array(0.5, 2.0)))
+    val rows = for {
+      t <- 0 until m.nResponses
+      (term, v) <- ("a0", m.a0(0)(t)) +:
+        m.featureNames.toSeq.zipWithIndex.map { case (f, j) => (f, m.beta(0)(t)(j)) }
+    } yield (m.classLabels(t), term, v)
+    rows.toDF("class", "term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("class", "term")
+  }
+
   def cvExactCurve(spark: SparkSession, dir: String): DataFrame =
     cvExactFit(spark, dir).curveDF(spark)
       .select(col("lambda_idx").cast("int").as("lambda_idx"),

@@ -76,17 +76,63 @@ class BoxConstraintsSpec extends SparkSpec {
     assert(m.beta(0)(0)(0) > 0.5)
   }
 
-  test("validation: limits must bracket zero; unsupported paths reject") {
+  test("validation: limits must bracket zero; group-penalty paths reject") {
     val df = negData
     intercept[IllegalArgumentException] {
       SgdNet.fit(df, Seq("x1", "x2"), "y",
         SgdNetParams(lowerLimits = Array(0.5, 0.0)))
     }
+    // the group prox (mgaussian; grouped multinomial) has no closed
+    // form under a box — those paths reject, fit and CV alike
     intercept[IllegalArgumentException] {
-      CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"),
-        SgdNetParams(lowerLimits = Array(0.0, 0.0)), nfolds = 3)
+      SgdNet.fitMulti(df, Seq("x1"), Seq("y", "x2"),
+        SgdNetParams(family = "mgaussian", lambda = Array(0.1),
+          lowerLimits = Array(0.0)))
+    }
+    intercept[IllegalArgumentException] {
+      CvSgdNet.fit(df, Seq("x1"), Seq("y", "x2"),
+        SgdNetParams(family = "mgaussian", lowerLimits = Array(0.0)),
+        nfolds = 3)
+    }
+    val mc = graft.SparkSpec.multiclassDF(spark)
+    intercept[IllegalArgumentException] {
+      CvSgdNet.fit(mc, Seq("x1", "x2"), Seq("cls"),
+        SgdNetParams(family = "multinomial", typeMultinomial = "grouped",
+          lowerLimits = Array(0.0, 0.0)), nfolds = 3)
     }
     ()
+  }
+
+  test("CV with box limits == per-fold bounded refits (gaussian one-pass CV)") {
+    import org.apache.spark.sql.functions._
+    val df = negData
+      .withColumn("f", pmod(xxhash64(col("x1"), col("x2"), col("y")), lit(3)))
+    val params = SgdNetParams(alpha = 1.0, lambda = Array(0.5, 0.05, 0.0),
+      thresh = 1e-11, maxit = 100000, lowerLimits = Array(0.0, 0.0))
+    val cv = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"), params,
+      nfolds = 3, foldCol = col("f"))
+    // manual reference: per-fold bounded refit on the fold's train ROWS
+    // (the engine subtracts fold moments — same statistics, other route)
+    val cvmRef = Array.ofDim[Double](3, 3)
+    for (f <- 0 until 3) {
+      val m = SgdNet.fit(df.filter(col("f") =!= f), Seq("x1", "x2"), "y", params)
+      for (l <- 0 until 3) {
+        val eta = lit(m.a0(l)(0)) + col("x1") * lit(m.beta(l)(0)(0)) +
+          col("x2") * lit(m.beta(l)(0)(1))
+        cvmRef(f)(l) = df.filter(col("f") === f)
+          .agg(avg(pow(col("y") - eta, 2))).head().getDouble(0)
+        // the non-negative bound holds on every fold's path point
+        assert(m.beta(l)(0)(0) >= 0.0 && m.beta(l)(0)(1) >= 0.0)
+      }
+    }
+    for (l <- 0 until 3) {
+      val ref = (0 until 3).map(cvmRef(_)(l)).sum / 3
+      assert(math.abs(cv.best.cvm(l) - ref) < 1e-6 * math.max(1.0, ref),
+        s"cvm at lambda idx $l: ${cv.best.cvm(l)} vs $ref")
+    }
+    // the constraint genuinely binds somewhere on the path (x2's
+    // unconstrained coefficient is negative on this data)
+    assert(cv.best.fit.beta(2)(0)(1) === 0.0)
   }
 
   test("no-limits fits are unchanged (null fast path)") {

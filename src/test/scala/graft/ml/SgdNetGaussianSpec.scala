@@ -180,11 +180,31 @@ class SgdNetGaussianSpec extends SparkSpec {
       SgdNetParams(family = "binomial", lambda = Array(0.02),
         penaltyFactor = Array(1.0, 1e6), thresh = 1e-7))
     assert(mb.beta(0)(0)(1) == 0.0 && mb.beta(0)(0)(0) != 0.0)
-    // group solvers reject it
+    // group solver accepts pf: a huge factor on x1 kills that feature's
+    // whole cross-response group, and the surviving x2 group matches the
+    // fit without x1
+    val mgPf = SgdNet.fitMulti(df, Seq("x1", "x2"), Seq("y", "x3"),
+      SgdNetParams(family = "mgaussian", lambda = Array(0.05),
+        thresh = 1e-11, maxit = 100000, penaltyFactor = Array(1e9, 1.0)))
+    for (t <- 0 until 2) assert(mgPf.beta(0)(t)(0) == 0.0)
+    val mgX2 = SgdNet.fitMulti(df, Seq("x2"), Seq("y", "x3"),
+      SgdNetParams(family = "mgaussian", lambda = Array(0.05),
+        thresh = 1e-11, maxit = 100000))
+    for (t <- 0 until 2)
+      assert(math.abs(mgPf.beta(0)(t)(1) - mgX2.beta(0)(t)(0)) < 1e-7,
+        s"response $t")
+    // pf = 0 on the group path: explicit lambda leaves the coordinate
+    // UNPENALIZED (alive at enormous lambda while x2 dies) ...
+    val mgPf0 = SgdNet.fitMulti(df, Seq("x1", "x2"), Seq("y", "x3"),
+      SgdNetParams(family = "mgaussian", lambda = Array(1e9),
+        thresh = 1e-11, maxit = 100000, penaltyFactor = Array(0.0, 1.0)))
+    assert(mgPf0.beta(0)(0)(0) != 0.0 && mgPf0.beta(0)(1)(1) == 0.0)
+    // ... but the AUTOMATIC lambda path rejects (the unpenalized-
+    // coordinate lambda_max projection is single-response only)
     intercept[IllegalArgumentException] {
-      SgdNet.fitMulti(df, Seq("x1"), Seq("y", "x3"),
-        SgdNetParams(family = "mgaussian", lambda = Array(0.1),
-          penaltyFactor = Array(1.0)))
+      SgdNet.fitMulti(df, Seq("x1", "x2"), Seq("y", "x3"),
+        SgdNetParams(family = "mgaussian", nlambda = 5,
+          penaltyFactor = Array(0.0, 1.0)))
     }
   }
 
@@ -213,14 +233,28 @@ class SgdNetGaussianSpec extends SparkSpec {
       assert(math.abs(mw.beta(0)(0)(j) - md.beta(0)(0)(j)) < 1e-6,
         s"beta_$j: ${mw.beta(0)(0)(j)} vs ${md.beta(0)(0)(j)}")
     assert(math.abs(mw.a0(0)(0) - md.a0(0)(0)) < 1e-4)
-    // contracts: positive weights, gaussian only
+    // w == 0 drops the observation: weights {0,1} == the filtered fit
+    val w01 = df.withColumn("w",
+      (pmod(round(col("y") * 100).cast("long"), lit(2))).cast("double"))
+    val mz = SgdNet.fitWeighted(w01, Seq("x1", "x2"), "y", "w",
+      SgdNetParams(lambda = Array(0.2), thresh = 1e-12, maxit = 100000))
+    val mf = SgdNet.fit(w01.filter(col("w") > 0), Seq("x1", "x2"), "y",
+      SgdNetParams(lambda = Array(0.2), thresh = 1e-12, maxit = 100000))
+    for (j <- 0 until 2)
+      assert(math.abs(mz.beta(0)(0)(j) - mf.beta(0)(0)(j)) < 1e-9)
+    assert(math.abs(mz.a0(0)(0) - mf.a0(0)(0)) < 1e-9)
+    // contracts: non-negative weights; supported families; valid alpha
     intercept[Exception] {
-      SgdNet.fitWeighted(df.withColumn("w", lit(0.0)),
+      SgdNet.fitWeighted(df.withColumn("w", lit(-1.0)),
         Seq("x1"), "y", "w", SgdNetParams(lambda = Array(0.1)))
     }
     intercept[IllegalArgumentException] {
       SgdNet.fitWeighted(df.withColumn("w", lit(1.0)), Seq("x1"), "y", "w",
-        SgdNetParams(family = "binomial"))
+        SgdNetParams(family = "multinomial"))
+    }
+    intercept[IllegalArgumentException] {
+      SgdNet.fitWeighted(df.withColumn("w", lit(1.0)), Seq("x1"), "y", "w",
+        SgdNetParams(alpha = 2.0, lambda = Array(0.1)))
     }
   }
 

@@ -72,6 +72,43 @@ class SolverPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("group CD with penalty factors satisfies the pf-scaled group KKT") {
+    for (trial <- 1 to 40) {
+      val trialRnd = new scala.util.Random(trial * 2203L)
+      val seed = trialRnd.nextLong(); val p = 2 + trialRnd.nextInt(5)
+      val lam = 0.05 + trialRnd.nextDouble() * 0.75
+      val alpha = trialRnd.nextDouble()
+      locally {
+        val (g, _) = randomProblem(seed, p)
+        val rnd = new scala.util.Random(seed + 1)
+        val k = 2 + rnd.nextInt(2)
+        val b = Array.fill(k, p)(rnd.nextGaussian())
+        // pf mixes light, unit, and heavy factors (never 0: the group
+        // path requires an explicit lambda for pf=0 — separate contract)
+        val pf = Array.fill(p)(Seq(0.25, 1.0, 4.0)(rnd.nextInt(3)))
+        val (beta, _) = CoordinateDescent.solveGroup(g, b, lam, alpha,
+          Array.ofDim[Double](k, p), thresh = 1e-12, maxIter = 100000,
+          penaltyFactor = pf)
+        val l1 = lam * alpha
+        val l2 = lam * (1 - alpha)
+        for (j <- 0 until p) {
+          val grad = Array.tabulate(k)(t =>
+            (0 until p).map(m => g(j)(m) * beta(t)(m)).sum - b(t)(j) +
+              l2 * pf(j) * beta(t)(j))
+          val nrm = math.sqrt(grad.map(x => x * x).sum)
+          val bn = math.sqrt((0 until k).map(t => beta(t)(j) * beta(t)(j)).sum)
+          if (bn == 0.0)
+            assert(nrm <= l1 * pf(j) + 1e-7,
+              s"zero-group pf KKT j=$j: $nrm > ${l1 * pf(j)} trial=$trial")
+          else (0 until k).foreach { t =>
+            assert(math.abs(grad(t) + l1 * pf(j) * beta(t)(j) / bn) < 1e-7,
+              s"active-group pf KKT j=$j t=$t trial=$trial")
+          }
+        }
+      }
+    }
+  }
+
   test("soft-threshold and logspace basics") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 500) {

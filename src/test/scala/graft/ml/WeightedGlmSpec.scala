@@ -1,0 +1,129 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Observation weights for the IRLS families (glmnet `weights` with
+  * family = binomial / poisson): the weighted fit must reproduce row
+  * duplication exactly for integer weights, drop zero-weight rows, and
+  * land on the closed-form intercept-only MLE when the penalty kills
+  * every coefficient (reference weights semantics, R/sgdnet.R:18-100
+  * parameter mapping). */
+class WeightedGlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def countData = {
+    val rnd = new scala.util.Random(23)
+    (1 to 500).map { _ =>
+      val x1 = rnd.nextGaussian()
+      val mu = math.exp(0.4 + 0.5 * x1)
+      // deterministic count response around the log-linear mean
+      val y = math.max(0L, math.round(mu + rnd.nextGaussian() * math.sqrt(mu)))
+      (x1, y.toDouble)
+    }.toDF("x1", "y")
+  }
+
+  test("binomial: unit weights == unweighted fit; integer weights == row duplication") {
+    val df = SparkSpec.binaryDF(spark)
+    val p = SgdNetParams(family = "binomial", lambda = Array(0.01),
+      thresh = 1e-10, maxit = 100000)
+    val unw = SgdNet.fit(df, Seq("x1", "x2"), "y", p)
+    val w1 = SgdNet.fitWeighted(df.withColumn("w", lit(1.0)),
+      Seq("x1", "x2"), "y", "w", p)
+    for (j <- 0 until 2)
+      assert(math.abs(unw.beta(0)(0)(j) - w1.beta(0)(0)(j)) < 1e-7, s"b_$j")
+    assert(math.abs(unw.a0(0)(0) - w1.a0(0)(0)) < 1e-7)
+
+    // integer weights {1,2,3} == physically duplicated rows: identical
+    // IRLS moments, identical objective (weights normalize to sum to n,
+    // so lambda means the same thing in both fits)
+    val wdf = df.withColumn("w",
+      (pmod(round(col("x1") * 100).cast("long"), lit(3)) + 1).cast("double"))
+    val dup = wdf.withColumn("k",
+        explode(sequence(lit(1), col("w").cast("int"))))
+      .drop("k")
+    val mw = SgdNet.fitWeighted(wdf, Seq("x1", "x2"), "y", "w", p)
+    val md = SgdNet.fit(dup, Seq("x1", "x2"), "y", p)
+    for (j <- 0 until 2)
+      assert(math.abs(mw.beta(0)(0)(j) - md.beta(0)(0)(j)) < 1e-6,
+        s"beta_$j: ${mw.beta(0)(0)(j)} vs ${md.beta(0)(0)(j)}")
+    assert(math.abs(mw.a0(0)(0) - md.a0(0)(0)) < 1e-5)
+    assert(math.abs(mw.nulldev / mw.nobs - md.nulldev / md.nobs) < 1e-6)
+  }
+
+  test("poisson: integer weights == row duplication; weighted deviance matches") {
+    val df = countData
+    val p = SgdNetParams(family = "poisson", lambda = Array(0.01),
+      thresh = 1e-10, maxit = 100000)
+    val wdf = df.withColumn("w",
+      (pmod(round(col("x1") * 100).cast("long"), lit(3)) + 1).cast("double"))
+    val dup = wdf.withColumn("k",
+        explode(sequence(lit(1), col("w").cast("int"))))
+      .drop("k")
+    val mw = SgdNet.fitWeighted(wdf, Seq("x1"), "y", "w", p)
+    val md = SgdNet.fit(dup, Seq("x1"), "y", p)
+    assert(math.abs(mw.beta(0)(0)(0) - md.beta(0)(0)(0)) < 1e-6,
+      s"${mw.beta(0)(0)(0)} vs ${md.beta(0)(0)(0)}")
+    assert(math.abs(mw.a0(0)(0) - md.a0(0)(0)) < 1e-5)
+    assert(math.abs(mw.devRatio(0) - md.devRatio(0)) < 1e-6)
+  }
+
+  test("binomial: zero weights drop the observation") {
+    val df = SparkSpec.binaryDF(spark)
+    val p = SgdNetParams(family = "binomial", lambda = Array(0.01),
+      thresh = 1e-10, maxit = 100000)
+    val w01 = df.withColumn("w",
+      pmod(round(col("x2") * 100).cast("long"), lit(2)).cast("double"))
+    val mz = SgdNet.fitWeighted(w01, Seq("x1", "x2"), "y", "w", p)
+    val mf = SgdNet.fit(w01.filter(col("w") > 0), Seq("x1", "x2"), "y", p)
+    for (j <- 0 until 2)
+      assert(math.abs(mz.beta(0)(0)(j) - mf.beta(0)(0)(j)) < 1e-7, s"b_$j")
+    assert(math.abs(mz.a0(0)(0) - mf.a0(0)(0)) < 1e-7)
+  }
+
+  test("intercept-only closed forms: a0 = logit / log of the weighted mean") {
+    val df = SparkSpec.binaryDF(spark)
+      .withColumn("w", (pmod(round(col("x1") * 100).cast("long"), lit(4)) + 1)
+        .cast("double"))
+    val mb = SgdNet.fitWeighted(df, Seq("x1"), "y", "w",
+      SgdNetParams(family = "binomial", lambda = Array(1e6), thresh = 1e-9,
+        maxit = 10000))
+    val pw = df.agg((sum(col("w") * col("y")) / sum(col("w"))).as("p"))
+      .head().getDouble(0)
+    assert(mb.beta(0)(0)(0) == 0.0)
+    assert(math.abs(mb.a0(0)(0) - math.log(pw / (1 - pw))) < 1e-9)
+
+    val cd = countData.withColumn("w",
+      (pmod(round(col("x1") * 100).cast("long"), lit(4)) + 1).cast("double"))
+    val mp = SgdNet.fitWeighted(cd, Seq("x1"), "y", "w",
+      SgdNetParams(family = "poisson", lambda = Array(1e6), thresh = 1e-9,
+        maxit = 10000))
+    val yw = cd.agg((sum(col("w") * col("y")) / sum(col("w"))).as("m"))
+      .head().getDouble(0)
+    assert(mp.beta(0)(0)(0) == 0.0)
+    assert(math.abs(mp.a0(0)(0) - math.log(yw)) < 1e-9)
+  }
+
+  test("pf = 0 with box limits: lambda_max projection respects a binding bound") {
+    // one unpenalized coordinate (pf=0) under a non-negative bound whose
+    // unconstrained sub-fit coefficient would be NEGATIVE: the projected
+    // lambda_max must come from the BOUNDED sub-fit (beta_1 clipped to 0),
+    // i.e. equal the plain null-model lambda_max of the penalized coords
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 400).map { _ =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      val eta = 0.3 - 1.2 * x1 + 0.8 * x2
+      val y = if (1.0 / (1.0 + math.exp(-eta)) > rnd.nextDouble()) 1.0 else 0.0
+      (x1, x2, y, 1.0)
+    }.toDF("x1", "x2", "y", "w")
+    val bounded = SgdNet.fitWeighted(df, Seq("x1", "x2"), "y", "w",
+      SgdNetParams(family = "binomial", nlambda = 3,
+        penaltyFactor = Array(0.0, 1.0), lowerLimits = Array(0.0, 0.0),
+        thresh = 1e-9, maxit = 10000))
+    // x1's true effect is negative, the bound clips it to 0 — so the
+    // sub-fit IS the null model and beta_2 must be zero at lambda_max
+    assert(bounded.beta(0)(0)(0) == 0.0)
+    assert(math.abs(bounded.beta(0)(0)(1)) < 1e-8,
+      s"penalized coef at lambda_max: ${bounded.beta(0)(0)(1)}")
+  }
+}

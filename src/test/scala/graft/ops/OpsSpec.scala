@@ -371,6 +371,48 @@ class OpsSpec extends SparkSpec {
     assert(f1 == f2, "loaded IVFPQ index must score identically")
   }
 
+  test("pqTopKJoin: distributed plain-PQ equals driver path bit-exactly; corpus gate throws") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 25)
+    val cb = Ann.trainPq(e, "vec_id", "embedding", m = 8, ksub = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .toSeq
+    val drv = Ann.pqTopKFixed(e, q, "vec_id", "embedding", 5, cb)
+    val jn = Ann.pqTopKJoin(e, q, "vec_id", "embedding", 5, cb)
+    assert(rows(jn) == rows(drv),
+      "distributed plain-PQ must equal the driver ADC path, floats included")
+    // the join path never collects the QUERY side: its plan keeps two
+    // live parquet scans (corpus codes + queries)
+    def parquetScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.size
+    assert(parquetScans(jn) == 1, "queries stay a live distributed scan")
+    // the CORPUS-code broadcast is explicitly gated
+    intercept[IllegalArgumentException] {
+      Ann.pqTopKJoin(e, q, "vec_id", "embedding", 5, cb, maxCorpusCodes = 10L)
+    }
+    ()
+  }
+
+  test("ivfTopKFromLayout: the query-side collect is gated") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 25)
+    val centers = Ann.trainIvf(e, "vec_id", "embedding", nlist = 8)
+    val base = s"/tmp/graft-layoutgate-${java.util.UUID.randomUUID().toString.take(8)}"
+    Ann.saveIvfLayout(e, "vec_id", "embedding", centers, base)
+    val ok = Ann.ivfTopKFromLayout(spark, base, q, "vec_id", "embedding",
+      5, centers, nprobe = 3)
+    assert(ok.count() > 0)
+    intercept[IllegalArgumentException] {
+      Ann.ivfTopKFromLayout(spark, base, q, "vec_id", "embedding",
+        5, centers, nprobe = 3, maxQueries = 3L)
+    }
+    ()
+  }
+
   test("distributed ANN probe: join path equals driver path, keeps query side un-collected") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 25)
@@ -1107,6 +1149,33 @@ class OpsSpec extends SparkSpec {
     // chapman = 4·3/3 − 1 = 3 (the true total when catch1 saw it all)
     assert(r.getLong(3) === 3L)
     assert(r.getLong(4) === 1000000L && r.getLong(5) === 666666L)
+  }
+
+  test("captureRecaptureFromText: fused dual-detector pass == standalone detectors") {
+    // a corpus with planted near-dups so BOTH detectors catch pairs
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog again and again tonight",
+      "spark runs distributed queries over columnar parquet files at scale",
+      "all work and no play makes for a very dull data engineer indeed")
+    val docs = (0 until 30).map { i =>
+      val t = base(i % 3)
+      val txt = if (i < 6) t else t + s" tail${i % 5} extra token"
+      (i.toLong, txt)
+    }.toDF("doc_id", "text")
+    val mh = Dedup.minhashLsh(docs, "doc_id", "text",
+        bands = 4, rowsPerBand = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sp = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.nonEmpty && sp.nonEmpty)
+    val fused = Dedup.captureRecaptureFromText(docs, "doc_id", "text",
+      bands = 4, rowsPerBand = 3, threshold = 0.6, maxHamming = 6).head()
+    val ref = Dedup.captureRecapture(
+      Dedup.minhashLsh(docs, "doc_id", "text", bands = 4, rowsPerBand = 3,
+        threshold = 0.6),
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)).head()
+    for (i <- 0 until 6)
+      assert(fused.getLong(i) === ref.getLong(i), s"col $i: $fused vs $ref")
   }
 
   test("quantileNormalize: equal-size slices map onto the SAME pooled positions") {

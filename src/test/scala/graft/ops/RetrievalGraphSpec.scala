@@ -114,4 +114,35 @@ class RetrievalGraphSpec extends SparkSpec {
       assert(row.getAs[Long]("rows_per_band") === best._3.toLong)
     }
   }
+
+  test("minhashLsh planned defaults: threshold drives (b, r); never worse than the old fixed (4,3)") {
+    import spark.implicits._
+    // objective dominance: at every threshold the planned parameters'
+    // S-curve area is <= the historical fixed default's
+    for (t <- Seq(0.5, 0.6, 0.7, 0.8, 0.9)) {
+      val (b, r) = Dedup.lshPlanParams(t, Dedup.DefaultLshBudget, 0.5)
+      assert(b * r <= Dedup.DefaultLshBudget)
+      assert(Dedup.lshObjective(t, 0.5, b, r) <=
+        Dedup.lshObjective(t, 0.5, 4, 3), s"t=$t planned ($b,$r)")
+    }
+    // behavioral: the default call IS the planned-parameter call
+    val docs = (0L until 20L).map { i =>
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      (i, if (i % 2 == 0) base else base + s" tail${i % 3}")
+    }.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(rw => (rw.getLong(0), rw.getLong(1))).toSet
+    val (pb, pr) = Dedup.lshPlanParams(0.7, Dedup.DefaultLshBudget, 0.5)
+    val planned = pairs(Dedup.minhashLsh(docs, "doc_id", "text",
+      threshold = 0.7))
+    val explicit = pairs(Dedup.minhashLsh(docs, "doc_id", "text",
+      bands = pb, rowsPerBand = pr, threshold = 0.7))
+    assert(planned == explicit && planned.nonEmpty)
+    // passing exactly one of the pair is an error
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLsh(docs, "doc_id", "text", bands = 4, threshold = 0.7)
+    }
+    ()
+  }
 }
