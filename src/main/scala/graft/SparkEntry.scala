@@ -279,6 +279,10 @@ object SparkEntry {
     "q_multi_touch"      -> (OpsQueries.multiTouchQ _),
     "q_stump"            -> (OpsQueries.stumpQ _),
     "q_hapax"            -> (OpsQueries.hapaxQ _),
+    "q_bradley_terry"    -> (OpsQueries.bradleyTerryQ _),
+    "q_good_turing"      -> (OpsQueries.goodTuringQ _),
+    "q_isotonic"         -> (OpsQueries.isotonicQ _),
+    "q_fleiss_kappa"     -> (OpsQueries.fleissKappaQ _),
     "q_theil_sen"        -> (OpsQueries.theilSenQ _),
     "q_hhi"              -> (OpsQueries.hhiQ _),
     "q_jsd"              -> (OpsQueries.jsdQ _),

@@ -218,7 +218,6 @@ object SgdNet {
                            dim: Int, labelCol: String,
                            params: SgdNetParams): SgdNetModel = {
     import org.apache.spark.sql.functions.col
-    requireNoLimits(params, "sparse GLM")
     requireNoZeroPf(params, "sparse GLM")
     val p = dim
     val binomial = params.family == "binomial"
@@ -255,6 +254,10 @@ object SgdNet {
 
       val mean = if (params.intercept) st.xMean else new Array[Double](p)
       val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      // glmnet box limits on the sparse IRLS route: the algebraic
+      // centering feeds the SAME driver CD as the dense path, so the
+      // clipped 1-D prox applies unchanged on standardized coordinates
+      val (loStd, upStd) = boundsStd(params, scale, 1.0)
       val sc = rows.sparkContext
 
       val L = lambdas.length
@@ -337,7 +340,8 @@ object SgdNet {
             swxStd.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
             lambdas(l), params.alpha, params.intercept, beta,
             thresh = newtonTol, maxIter = params.maxit,
-            penaltyFactor = params.penaltyFactor)
+            penaltyFactor = params.penaltyFactor,
+            lower = loStd, upper = upStd)
           var maxD = math.abs(r.a0 - a0)
           j = 0
           while (j < p) {

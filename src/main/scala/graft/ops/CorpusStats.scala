@@ -485,4 +485,49 @@ object CorpusStats {
         expr("hapax * 1000000 div vocab").as("hapax_share_ppm"))
       .orderBy("slice")
   }
+
+  /** Good–Turing frequency re-estimation over the corpus unigram
+    * distribution (Good 1953; the smoothing inside Katz backoff and the
+    * classic estimate of UNSEEN-type mass): from the
+    * frequency-of-frequencies table N_r = |{w : count(w) = r}|, the
+    * adjusted count is r* = (r+1)·N_{r+1}/N_r, and N_1/N estimates the
+    * probability mass of never-seen types — the quantity that tells a
+    * corpus curator how much vocabulary the next crawl batch will add.
+    *
+    * Shape: token explode → word-count aggregation → ONE tiny grouped
+    * rollup on r (the count-of-counts table is ~O(max count) rows,
+    * never corpus-sized) → a self-join of N_{r+1} onto N_r on the
+    * r-key. Integral outputs (`r_star_ppm` = (r+1)·N_{r+1}·1e6 div
+    * N_r, 0 where the next bucket is empty; `p0_ppm` = N_1·1e6 div N
+    * on every row) keep it engine-exact. `maxR` bounds the emitted
+    * table (smoothing only matters for small r; the tail is reported
+    * unsmoothed by any consumer).
+    *
+    * @param tokens array-of-string Column producing the count unit —
+    *        [[Dedup.words]] for unigrams, [[Dedup.shingles]] for the
+    *        n-gram distributions whose singleton tail actually drives
+    *        the estimate on template-heavy corpora. */
+  def goodTuring(df: DataFrame, tokens: Column, maxR: Long = 10L): DataFrame = {
+    require(maxR >= 1, "maxR must be >= 1")
+    val counts = df.select(explode(tokens).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy("w").agg(count(lit(1)).as("r"))
+    val freqOfFreq = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
+      .localCheckpoint(false) // self-join + the two scalar aggs below
+    val totals = freqOfFreq.agg(
+        sum(col("r") * col("n_r")).as("n_tokens"),
+        sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1"))
+      .head()
+    val nTokens = totals.getLong(0)
+    val n1 = totals.getLong(1)
+    val next = freqOfFreq.select((col("r") - 1).as("r"), col("n_r").as("n_next"))
+    freqOfFreq.filter(col("r") <= maxR)
+      .join(next, Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"),
+        expr("(r + 1) * coalesce(n_next, 0) * 1000000 div n_r")
+          .as("r_star_ppm"),
+        lit(if (nTokens > 0) n1 * 1000000L / nTokens else 0L).as("p0_ppm"))
+      .orderBy("r")
+  }
 }

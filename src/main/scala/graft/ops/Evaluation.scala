@@ -426,4 +426,101 @@ object Evaluation {
     rows.toSeq.toDF("bucket", "n", "pos", "cum_n", "cum_pos",
       "capture_ppm", "lift_ppm")
   }
+
+  /** Isotonic (monotone non-decreasing) calibration of a [0,1] score
+    * against a binary label — the PAV fit every probability-calibration
+    * stack reaches for when Platt's sigmoid is too rigid. Computed on a
+    * BOUNDED score-bin grid via the minimax characterization
+    * iso(k) = max_{i<=k} min_{j>=k} avg(pos over bins i..j) (equal to
+    * the pool-adjacent-violators solution), in INTEGER ppm: floor is
+    * monotone, so it commutes with both the max and the min, and
+    * avg_ppm(i, j) = pos_delta·1e6 div n_delta on prefix sums is exact
+    * — any engine reproduces the fit bit-for-bit.
+    *
+    * Shape: ONE grouped aggregation to the nBins-bounded grid
+    * (map-side combined), then driver minimax over prefix sums
+    * (O(nBins³) on <= `maxBins` rows — microseconds). Returns
+    * (bin, n, pos, rate_ppm, iso_ppm) with iso_ppm monotone. */
+  def isotonicCalibration(df: DataFrame, scoreCol: Column, labelCol: Column,
+                          nBins: Int = 20): DataFrame = {
+    require(nBins >= 1 && nBins <= 64,
+      "nBins must be in [1, 64] (the driver minimax is cubic in bins)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val binned = df.select(scoreCol.cast("double").as("s"),
+        labelCol.cast("long").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .filter(col("s") >= 0.0 && col("s") <= 1.0)
+      .select(least(floor(col("s") * nBins).cast("int"), lit(nBins - 1))
+        .as("bin"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(binned.nonEmpty, "no rows with scores in [0, 1]")
+    val k = binned.length
+    val cumN = new Array[Long](k + 1)
+    val cumP = new Array[Long](k + 1)
+    for (i <- 0 until k) {
+      cumN(i + 1) = cumN(i) + binned(i)._2
+      cumP(i + 1) = cumP(i) + binned(i)._3
+    }
+    def avgPpm(i: Int, j: Int): Long = // bins i..j inclusive, 0-based
+      (cumP(j + 1) - cumP(i)) * 1000000L / (cumN(j + 1) - cumN(i))
+    val iso = Array.tabulate(k) { pos =>
+      (0 to pos).map { i =>
+        (pos until k).map(j => avgPpm(i, j)).min
+      }.max
+    }
+    binned.indices.map { i =>
+      val (bin, n, pos) = binned(i)
+      (bin, n, pos, pos * 1000000L / n, iso(i))
+    }.toDF("bin", "n", "pos", "rate_ppm", "iso_ppm").orderBy("bin")
+  }
+
+  /** Fleiss' kappa — chance-corrected agreement among n raters per
+    * item (Fleiss 1971), the multi-annotator generalization of
+    * [[cohenKappa]] and the standard QA gate on labeling pipelines
+    * (is the rater pool consistent enough to trust the labels?).
+    * Items with a different rater count are EXCLUDED (the statistic
+    * requires a constant n; the dropped count is reported, never
+    * silent). All sums are integral — Σ_ij c_ij(c_ij−1), category
+    * totals, item counts — so only the final kappa arithmetic is
+    * floating point (a handful of IEEE ops on exact integers, engine-
+    * deterministic). Returns ONE row: (n_items, n_raters,
+    * n_dropped_items, p_bar, p_e, kappa) rounded to `outDigits`. */
+  def fleissKappa(df: DataFrame, itemCol: Column, catCol: Column,
+                  nRaters: Int, outDigits: Int = 6): DataFrame = {
+    require(nRaters >= 2, "need at least two raters per item")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.select(itemCol.cast("string").as("i"),
+        catCol.cast("string").as("c"))
+      .filter(col("i").isNotNull && col("c").isNotNull)
+      .groupBy("i", "c").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // item filter + two rollups share it
+    val sizes = cells.groupBy("i").agg(sum(col("n")).as("tot"))
+    val kept = cells.join(sizes.filter(col("tot") === nRaters).select("i"), "i")
+    val nDropped = sizes.filter(col("tot") =!= nRaters).count()
+    // per-item agreement numerator Σ_j c_ij(c_ij − 1), summed — integral
+    val agg = kept.agg(
+        sum(col("n") * (col("n") - 1)).as("s_agree"),
+        countDistinct(col("i")).as("n_items")).head()
+    val sAgree = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    val nItems = agg.getLong(1)
+    require(nItems > 0,
+      s"no item carries exactly $nRaters ratings (dropped $nDropped)")
+    // Σ cn² is an exact integer, so p_e is ONE IEEE division — no
+    // category-order-dependent double summation on either engine
+    val sumCn2 = kept.groupBy("c").agg(sum(col("n")).as("cn"))
+      .agg(sum(col("cn") * col("cn"))).head().getLong(0)
+    val totalRatings = nItems * nRaters
+    val pBar = sAgree.toDouble / (nItems.toDouble * nRaters * (nRaters - 1))
+    val pE = sumCn2.toDouble / (totalRatings.toDouble * totalRatings.toDouble)
+    val kappa = if (pE >= 1.0) 1.0 else (pBar - pE) / (1.0 - pE)
+    def r(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((nItems, nRaters, nDropped, r(pBar), r(pE), r(kappa)))
+      .toDF("n_items", "n_raters", "n_dropped_items", "p_bar", "p_e", "kappa")
+  }
 }

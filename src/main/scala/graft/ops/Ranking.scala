@@ -143,4 +143,83 @@ object Ranking {
       .filter(col("fused_rank") <= topN)
       .select("query_id", "doc_id", "rrf", "n_rankers", "fused_rank")
   }
+
+  /** Bradley–Terry preference-strength ranking from pairwise outcomes
+    * (Hunter 2004 MM) — the model behind RLHF preference data and
+    * pairwise eval harnesses ("which source/model wins head-to-head"):
+    * P[i beats j] = s_i / (s_i + s_j), fit by the MM fixed point
+    * s_i ← w_i / Σ_j n_ij / (s_i + s_j), normalized to mean 1 each
+    * round.
+    *
+    * Scale shape: wins and per-pair game counts aggregate DISTRIBUTED
+    * (two map-side-combined groupBys over the pair stream — the only
+    * corpus-sized work); the MM loop runs on the driver over the
+    * ITEM-BOUNDED count table (items are models/sources/policies —
+    * thousands at most; `maxItems` makes the bound explicit).
+    *
+    * Engine-exactness: every MM round runs in INTEGER micro-units
+    * (strengths ppm, mean 1e6) with floor division at two fixed points
+    * — denominator terms n·1e12 div (s_i + s_j) and the normalized
+    * update u·k·1e6 div Σu — so the whole trajectory is exact integer
+    * arithmetic any engine reproduces bit-for-bit (the quantization
+    * perturbs strengths O(1e-6) relative per round, far below ranking
+    * resolution). Items that never win have exact strength 0 (the MLE
+    * boundary). Returns (item, wins, games, strength_ppm) sorted by
+    * strength desc, item asc. */
+  def bradleyTerry(pairs: DataFrame, winnerCol: String, loserCol: String,
+                   iters: Int = 15, maxItems: Int = 1024): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val pw = pairs.select(col(winnerCol).cast("string").as("w"),
+      col(loserCol).cast("string").as("l"))
+      .filter(col("w") =!= col("l"))
+      .localCheckpoint(false) // item gate + wins + games re-read the stream
+    // the gate runs BEFORE any driver collect: distinct-item count is
+    // one cheap aggregation, and it bounds the pair-count table at
+    // <= maxItems^2 rows
+    val nItems = pw.select(explode(array(col("w"), col("l"))).as("i"))
+      .agg(countDistinct(col("i"))).head().getLong(0)
+    require(nItems >= 2, "need at least two distinct items")
+    require(nItems <= maxItems,
+      s"bradleyTerry item set is gated at $maxItems (got $nItems): " +
+        "the MM loop holds the item-pair count table on the driver")
+    val winRows = pw.groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gameRows = pw.select(least(col("w"), col("l")).as("a"),
+        greatest(col("w"), col("l")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val items = gameRows.flatMap(g => Seq(g._1, g._2)).distinct.sorted
+    val idx = items.zipWithIndex.toMap
+    val k = items.length
+    val wins = items.map(i => BigInt(winRows.getOrElse(i, 0L)))
+    val games = gameRows.map { case (a, b, n) => (idx(a), idx(b), BigInt(n)) }
+    val gamesPerItem = new Array[Long](k)
+    games.foreach { case (a, b, n) =>
+      gamesPerItem(a) += n.toLong; gamesPerItem(b) += n.toLong
+    }
+    val U = BigInt(1000000L)            // 1.0 in micro-units
+    val SC = BigInt(1000000000000L)     // 1e12 div scale
+    var s = Array.fill(k)(U)
+    for (_ <- 1 to iters) {
+      val den = Array.fill(k)(BigInt(0))
+      games.foreach { case (a, b, n) =>
+        val tot = s(a) + s(b)
+        if (tot > 0) {
+          val t = n * SC / tot
+          den(a) += t; den(b) += t
+        }
+      }
+      val u = Array.tabulate(k)(i =>
+        if (den(i) > 0) wins(i) * SC / den(i) else BigInt(0))
+      val uSum = u.sum
+      s = if (uSum > 0) u.map(_ * BigInt(k) * U / uSum) else u
+    }
+    items.indices.map { i =>
+      (items(i), winRows.getOrElse(items(i), 0L), gamesPerItem(i),
+        s(i).toLong)
+    }.toDF("item", "wins", "games", "strength_ppm")
+      .orderBy(desc("strength_ppm"), col("item"))
+  }
 }

@@ -5896,5 +5896,123 @@ object OpsOracles {
     // incremental CC folds the late pair batch into the early batch's
     // labels; labels are connectivity, so the result is exactly the
     // full-recompute clustering
-    "q_cc_incremental" -> sql("q_dedup_cluster"))
+    "q_cc_incremental" -> sql("q_dedup_cluster"),
+
+    // Bradley-Terry MM in INTEGER micro-units: the recursive CTE
+    // carries the strength list; every round is two exact floor
+    // divisions (denominator terms n*1e12 // (s_i+s_j), normalized
+    // update u*k*1e6 // sum u) - bit-identical to the driver loop
+    "q_bradley_terry" ->
+      """WITH pd AS (
+        |  SELECT CASE WHEN d1.n_chars > d2.n_chars THEN d1.source ELSE d2.source END AS w,
+        |         CASE WHEN d1.n_chars > d2.n_chars THEN d2.source ELSE d1.source END AS l
+        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+        |  WHERE d1.source <> d2.source AND d1.n_chars <> d2.n_chars),
+        |wn AS (SELECT w AS item, count(*)::BIGINT AS wins FROM pd GROUP BY 1),
+        |gm0 AS (SELECT least(w, l) AS a, greatest(w, l) AS b, count(*)::BIGINT AS n
+        |        FROM pd GROUP BY 1, 2),
+        |it AS (SELECT item, row_number() OVER (ORDER BY item) AS rn,
+        |              coalesce(wn.wins, 0) AS wins
+        |       FROM (SELECT DISTINCT item FROM
+        |              (SELECT a AS item FROM gm0 UNION SELECT b FROM gm0))
+        |       LEFT JOIN wn USING (item)),
+        |gm AS (SELECT ia.rn AS ra, ib.rn AS rb, gm0.n
+        |       FROM gm0 JOIN it ia ON gm0.a = ia.item JOIN it ib ON gm0.b = ib.item),
+        |mm AS (
+        |  WITH RECURSIVE rec(iter, ss) AS (
+        |    SELECT 0, (SELECT list(1000000::BIGINT ORDER BY rn) FROM it)
+        |    UNION ALL
+        |    SELECT r.iter + 1,
+        |      (SELECT list(CASE WHEN usum > 0
+        |                   THEN u * (SELECT count(*)::BIGINT FROM it) * 1000000 // usum
+        |                   ELSE u END ORDER BY rn)
+        |       FROM (
+        |         SELECT i.rn,
+        |           CASE WHEN coalesce(d.den, 0) > 0
+        |                THEN i.wins * 1000000000000::BIGINT // d.den ELSE 0 END AS u,
+        |           sum(CASE WHEN coalesce(d.den, 0) > 0
+        |                THEN i.wins * 1000000000000::BIGINT // d.den ELSE 0 END) OVER () AS usum
+        |         FROM it i LEFT JOIN (
+        |           SELECT rn, sum(t)::BIGINT AS den FROM (
+        |             SELECT g.ra AS rn,
+        |               CASE WHEN r.ss[g.ra] + r.ss[g.rb] > 0
+        |                    THEN g.n * 1000000000000::BIGINT // (r.ss[g.ra] + r.ss[g.rb]) ELSE 0 END AS t
+        |             FROM gm g
+        |             UNION ALL
+        |             SELECT g.rb,
+        |               CASE WHEN r.ss[g.ra] + r.ss[g.rb] > 0
+        |                    THEN g.n * 1000000000000::BIGINT // (r.ss[g.ra] + r.ss[g.rb]) ELSE 0 END
+        |             FROM gm g) GROUP BY rn) d ON i.rn = d.rn))
+        |    FROM rec r WHERE r.iter < 15)
+        |  SELECT ss FROM rec WHERE iter = 15),
+        |gp AS (SELECT rn, sum(n)::BIGINT AS games FROM
+        |        (SELECT ra AS rn, n FROM gm UNION ALL SELECT rb, n FROM gm) GROUP BY rn)
+        |SELECT it.item, it.wins, gp.games, mm.ss[it.rn] AS strength_ppm
+        |FROM it JOIN gp ON it.rn = gp.rn, mm
+        |ORDER BY strength_ppm DESC, item""".stripMargin.trim,
+
+    // Good-Turing: frequency-of-frequencies rollup + the r+1 self-join;
+    // integral ppm outputs, floor division on both engines
+    "q_good_turing" ->
+      """WITH ws AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT unnest(list_transform(
+        |    generate_series(1, greatest(len(ws) - 2, 0)),
+        |    i -> array_to_string(ws[i:i + 2], ' '))) AS w FROM ws),
+        |c AS (SELECT w, count(*)::BIGINT AS r FROM w GROUP BY w),
+        |f AS (SELECT r, count(*)::BIGINT AS n_r FROM c GROUP BY r),
+        |t AS (SELECT sum(r * n_r)::BIGINT AS n_tokens,
+        |        sum(CASE WHEN r = 1 THEN n_r ELSE 0 END)::BIGINT AS n1 FROM f)
+        |SELECT f.r, f.n_r, coalesce(f2.n_r, 0)::BIGINT AS n_next,
+        |  ((f.r + 1) * coalesce(f2.n_r, 0) * 1000000 // f.n_r)::BIGINT AS r_star_ppm,
+        |  (CASE WHEN t.n_tokens > 0 THEN t.n1 * 1000000 // t.n_tokens ELSE 0 END)::BIGINT AS p0_ppm
+        |FROM f LEFT JOIN f f2 ON f2.r = f.r + 1, t
+        |WHERE f.r <= 8 ORDER BY f.r""".stripMargin.trim,
+
+    // isotonic minimax in integral ppm: floor commutes with min and
+    // max, so the floored range-average triangle IS the floor of the
+    // exact PAV fit - bit-identical to the driver loop
+    "q_isotonic" ->
+      """WITH b AS (SELECT least(floor((l_discount * 10.0) * 10)::INT, 9) AS bin,
+        |    (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM lineitem
+        |  WHERE (l_discount * 10.0) >= 0 AND (l_discount * 10.0) <= 1),
+        |g AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos
+        |  FROM b GROUP BY bin),
+        |p AS (SELECT bin, n, pos,
+        |    sum(n) OVER (ORDER BY bin)::BIGINT AS cn,
+        |    sum(pos) OVER (ORDER BY bin)::BIGINT AS cp FROM g),
+        |tri AS (SELECT pk.bin AS bin, pi.bin AS i,
+        |    min((pj.cp - pi.cp + pi.pos) * 1000000
+        |        // (pj.cn - pi.cn + pi.n))::BIGINT AS mn
+        |  FROM p pk JOIN p pi ON pi.bin <= pk.bin
+        |            JOIN p pj ON pj.bin >= pk.bin
+        |  GROUP BY pk.bin, pi.bin),
+        |iso AS (SELECT bin, max(mn)::BIGINT AS iso_ppm FROM tri GROUP BY bin)
+        |SELECT g.bin, g.n, g.pos, (g.pos * 1000000 // g.n)::BIGINT AS rate_ppm,
+        |       iso.iso_ppm
+        |FROM g JOIN iso USING (bin) ORDER BY g.bin""".stripMargin.trim,
+
+    // Fleiss' kappa: all sums integral (agreement numerator, category
+    // totals squared); only the final kappa arithmetic is IEEE, on
+    // exact-integer operands - engine-deterministic
+    "q_fleiss_kappa" ->
+      """WITH cells AS (SELECT l_orderkey AS i, l_returnflag AS c,
+        |    count(*)::BIGINT AS n FROM lineitem GROUP BY 1, 2),
+        |sizes AS (SELECT i, sum(n)::BIGINT AS tot FROM cells GROUP BY i),
+        |kept AS (SELECT cells.i, cells.c, cells.n
+        |  FROM cells JOIN sizes USING (i) WHERE sizes.tot = 4),
+        |a AS (SELECT sum(n * (n - 1))::BIGINT AS s_agree,
+        |    count(DISTINCT i)::BIGINT AS n_items FROM kept),
+        |c2 AS (SELECT sum(cn * cn)::BIGINT AS s FROM
+        |  (SELECT sum(n)::BIGINT AS cn FROM kept GROUP BY c)),
+        |d AS (SELECT count(*)::BIGINT AS nd FROM sizes WHERE tot <> 4),
+        |f AS (SELECT a.n_items, d.nd,
+        |    a.s_agree::DOUBLE / (a.n_items::DOUBLE * 4 * 3) AS p_bar,
+        |    c2.s::DOUBLE / ((a.n_items * 4)::DOUBLE * (a.n_items * 4)::DOUBLE) AS p_e
+        |  FROM a, c2, d)
+        |SELECT n_items, 4 AS n_raters, nd AS n_dropped_items,
+        |  round(p_bar, 6) + 0 AS p_bar, round(p_e, 6) + 0 AS p_e,
+        |  round((p_bar - p_e) / (1 - p_e), 6) + 0 AS kappa
+        |FROM f""".stripMargin.trim)
 }

@@ -2483,4 +2483,45 @@ object OpsQueries {
   /** Hapax/dis legomena + TTR per document source. */
   def hapaxQ(spark: SparkSession, dir: String): DataFrame =
     CorpusStats.hapaxStats(tbl(spark, dir, "documents"), "source", "text")
+
+  /** Bradley–Terry source strengths from head-to-head doc-quality
+    * comparisons: adjacent doc ids from DIFFERENT sources duel, the
+    * longer doc wins — the preference-ranking shape of RLHF data. */
+  def bradleyTerryQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val d2 = d.select(col("doc_id").as("did2"), col("source").as("source2"),
+      col("n_chars").as("n2"))
+    val pairs = d.join(d2, col("did2") === col("doc_id") + 1)
+      .filter(col("source") =!= col("source2") && col("n_chars") =!= col("n2"))
+      .select(
+        when(col("n_chars") > col("n2"), col("source"))
+          .otherwise(col("source2")).as("w"),
+        when(col("n_chars") > col("n2"), col("source2"))
+          .otherwise(col("source")).as("l"))
+    Ranking.bradleyTerry(pairs, "w", "l", iters = 15)
+  }
+
+  /** Good–Turing frequency re-estimation of the corpus TRIGRAM
+    * distribution (r ≤ 8) + unseen-type mass — trigrams because the
+    * synthetic corpus's 31-word unigram vocabulary has no rare tail
+    * (every word appears hundreds of times; N_1 = 0 makes unigram GT
+    * vacuous), while the trigram table is Zipf-shaped. */
+  def goodTuringQ(spark: SparkSession, dir: String): DataFrame =
+    CorpusStats.goodTuring(tbl(spark, dir, "documents")
+        .filter(col("text").isNotNull),
+      Dedup.shingles(col("text"), 3), maxR = 8)
+
+  /** Isotonic calibration of the scaled discount as a pseudo-score for
+    * the return flag, on a 10-bin grid. */
+  def isotonicQ(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.isotonicCalibration(tbl(spark, dir, "lineitem"),
+      col("l_discount") * 10.0, (col("l_returnflag") === "R").cast("long"),
+      nBins = 10)
+
+  /** Fleiss' kappa across the 4 "raters" (line numbers) of 4-line
+    * orders rating the category l_returnflag. */
+  def fleissKappaQ(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.fleissKappa(tbl(spark, dir, "lineitem"),
+      col("l_orderkey"), col("l_returnflag"), nRaters = 4)
 }

@@ -149,6 +149,38 @@ class PredictSpec extends SparkSpec {
     }
   }
 
+  test("sparse GLM box limits match the dense bounded fits") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 400).map { _ =>
+      val dense = Array.tabulate(3)(_ =>
+        if (rnd.nextDouble() < 0.5) rnd.nextGaussian() else 0.0)
+      // v1's true effect is NEGATIVE so the non-negative bound binds
+      val eta = 0.2 + dense(0) * 1.0 - dense(1) * 1.5
+      val yb = if (rnd.nextDouble() < 1.0 / (1.0 + math.exp(-eta))) 1.0 else 0.0
+      val idx = dense.indices.filter(dense(_) != 0.0).toArray
+      (idx, idx.map(dense), dense.toSeq, yb)
+    }
+    val sparseDf = rows.map(r => (r._1, r._2, r._4)).toDF("idx", "vals", "yb")
+    val denseDf = rows.map(r => (r._3(0), r._3(1), r._3(2), r._4))
+      .toDF("v0", "v1", "v2", "yb")
+    val params = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(0.01), thresh = 1e-9, maxit = 100000,
+      lowerLimits = Array(0.0, 0.0, 0.0))
+    val ms = SgdNet.fitSparse(sparseDf, "idx", "vals", 3, "yb", params)
+    val md = SgdNet.fit(denseDf, Seq("v0", "v1", "v2"), "yb", params)
+    assert(ms.beta(0)(0)(1) == 0.0 && md.beta(0)(0)(1) == 0.0,
+      "the bound must bind on the negative coefficient")
+    for (j <- 0 until 3)
+      assert(math.abs(ms.beta(0)(0)(j) - md.beta(0)(0)(j)) < 1e-8, s"beta_$j")
+    assert(math.abs(ms.a0(0)(0) - md.a0(0)(0)) < 1e-8)
+    // invalid limits reject on the sparse route too
+    intercept[IllegalArgumentException] {
+      SgdNet.fitSparse(sparseDf, "idx", "vals", 3, "yb",
+        params.copy(lowerLimits = Array(0.5, 0.0, 0.0)))
+    }
+    ()
+  }
+
   test("sparse predict matches dense predict on the same model (all types)") {
     val rnd = new scala.util.Random(21)
     val rows = (1 to 300).map { i =>

@@ -177,4 +177,49 @@ class CorpusStatsSpec extends SparkSpec {
     // c's 2 rows stay in the denominator: the curve tops out at 800000
     assert(got.toSeq === Seq((1, "a", 5L, 500000L), (2, "b", 3L, 800000L)))
   }
+
+  test("goodTuring: hand-computed frequency-of-frequencies re-estimates") {
+    import spark.implicits._
+    // token counts: a:4, b:2, c:2, d:1, e:1, f:1 -> N_1=3, N_2=2, N_4=1
+    val df = Seq("a a b c d", "a a b c e f").toDF("text")
+    val got = CorpusStats.goodTuring(df, Dedup.words(col("text")), maxR = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // N = 11 tokens; p0 = 3*1e6 // 11 = 272727
+    // r=1: r* = 2*N_2/N_1 = 2*2/3 -> 1333333 ppm
+    // r=2: r* = 3*N_3/N_2 = 0 (N_3 empty)
+    // r=4: N_5 empty -> 0
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2L, 1333333L, 272727L),
+      (2L, 2L, 0L, 0L, 272727L),
+      (4L, 1L, 0L, 0L, 272727L)))
+  }
+
+  test("bradleyTerry: dominant item ranks first; zero-win item gets strength 0") {
+    import spark.implicits._
+    // a beats b 3x, a beats c 2x, b beats c 2x, c beats b 1x; c never
+    // beats a, and d never wins at all
+    val pairs = (Seq.fill(3)(("a", "b")) ++ Seq.fill(2)(("a", "c")) ++
+      Seq.fill(2)(("b", "c")) ++ Seq(("c", "b")) ++ Seq(("a", "d")))
+      .toDF("w", "l")
+    val got = Ranking.bradleyTerry(pairs, "w", "l", iters = 15)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.map(_._1).toSeq === Seq("a", "b", "c", "d"),
+      got.mkString(";"))
+    val byItem = got.map(g => g._1 -> g).toMap
+    assert(byItem("a")._2 === 6L && byItem("a")._3 === 6L)
+    assert(byItem("d")._2 === 0L && byItem("d")._4 === 0L,
+      "never-winning item sits at the MLE boundary 0")
+    // strengths normalize to mean ~1e6 (floor-division slack only)
+    val tot = got.map(_._4).sum
+    assert(math.abs(tot - 4000000L) <= 8L, s"sum $tot")
+    // P[a beats b] implied by the fit exceeds the empirical dominance order
+    assert(byItem("a")._4 > byItem("b")._4 && byItem("b")._4 > byItem("c")._4)
+    // self-pairs are dropped; the item gate throws
+    intercept[IllegalArgumentException] {
+      Ranking.bradleyTerry(pairs, "w", "l", maxItems = 2)
+    }
+    ()
+  }
 }

@@ -153,4 +153,57 @@ class EvaluationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((2L, 2L, 1000000L), (1L, 3L, 1500000L)))
   }
+
+  test("isotonicCalibration: pools adjacent violators, keeps monotone bins intact") {
+    import spark.implicits._
+    // 4 bins with rates 0.2, 0.6, 0.4, 0.8 — bins 1 and 2 violate and
+    // pool to their joint rate 0.5; bins 0 and 3 stand
+    val rows =
+      (1 to 10).map(i => (0.05, if (i <= 2) 1L else 0L)) ++  // bin 0: 2/10
+      (1 to 10).map(i => (0.30, if (i <= 6) 1L else 0L)) ++  // bin 1: 6/10
+      (1 to 10).map(i => (0.55, if (i <= 4) 1L else 0L)) ++  // bin 2: 4/10
+      (1 to 10).map(i => (0.80, if (i <= 8) 1L else 0L))     // bin 3: 8/10
+    val df = rows.toDF("s", "y")
+    val got = Evaluation.isotonicCalibration(df, col("s"), col("y"), nBins = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0, 10L, 200000L, 200000L),
+      (1, 10L, 600000L, 500000L),
+      (2, 10L, 400000L, 500000L),
+      (3, 10L, 800000L, 800000L)))
+    // iso is monotone by construction
+    val iso = got.map(_._4)
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b })
+    // a perfect score (s = 1.0) lands in the TOP bin, not out of range
+    val top = Evaluation.isotonicCalibration(
+      Seq((1.0, 1L), (0.0, 0L)).toDF("s", "y"), col("s"), col("y"), nBins = 4)
+      .collect().map(_.getInt(0)).toSet
+    assert(top === Set(0, 3))
+  }
+
+  test("fleissKappa: textbook identities — perfect agreement 1, no correction when pe tiny") {
+    import spark.implicits._
+    // 3 items, 3 raters each, all raters agree per item, 3 categories
+    val perfect = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "b"), (2L, "b"), (2L, "b"),
+      (3L, "c"), (3L, "c"), (3L, "c")).toDF("i", "c")
+    val p = Evaluation.fleissKappa(perfect, col("i"), col("c"), nRaters = 3)
+      .head()
+    assert(p.getDouble(3) === 1.0 && p.getDouble(5) === 1.0) // p_bar, kappa
+    // items with the wrong rater count are DROPPED and reported
+    val mixed = perfect.unionAll(Seq((4L, "a"), (4L, "a")).toDF("i", "c"))
+    val m = Evaluation.fleissKappa(mixed, col("i"), col("c"), nRaters = 3)
+      .head()
+    assert(m.getLong(0) === 3L && m.getLong(2) === 1L)
+    // hand-computed mixed-agreement case: 2 items, 2 raters;
+    // item 1 agrees (a,a), item 2 splits (a,b):
+    // p_bar = (2 + 0) / (2*2*1) = 0.5; totals a=3, b=1 of 4 ->
+    // p_e = (9 + 1)/16 = 0.625; kappa = (0.5 - 0.625)/0.375 = -1/3
+    val h = Evaluation.fleissKappa(
+      Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b")).toDF("i", "c"),
+      col("i"), col("c"), nRaters = 2).head()
+    assert(h.getDouble(3) === 0.5 && h.getDouble(4) === 0.625)
+    assert(math.abs(h.getDouble(5) - (-1.0 / 3.0)) < 1e-6)
+  }
 }
