@@ -283,6 +283,8 @@ object SparkEntry {
     "q_good_turing"      -> (OpsQueries.goodTuringQ _),
     "q_isotonic"         -> (OpsQueries.isotonicQ _),
     "q_fleiss_kappa"     -> (OpsQueries.fleissKappaQ _),
+    "q_pca"              -> (OpsQueries.pcaQ _),
+    "q_cox_score"        -> (OpsQueries.coxScoreQ _),
     "q_theil_sen"        -> (OpsQueries.theilSenQ _),
     "q_hhi"              -> (OpsQueries.hhiQ _),
     "q_jsd"              -> (OpsQueries.jsdQ _),

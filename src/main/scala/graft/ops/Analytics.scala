@@ -997,6 +997,66 @@ object Analytics {
     * bounded duration grid (≤ calendar span rows — the ln-surv
     * summation discipline). Returns one row
     * (n_1, n_2, d_1, exp_1, z_logrank). */
+  /** Cox proportional-hazards SCORE test + one-step estimator for a
+    * single per-user covariate (Cox 1972; Breslow tie handling): at
+    * β = 0 the partial-likelihood score is
+    * U = Σ_t (sx_t − d_t·x̄(R_t)) and the information is
+    * I = Σ_t d_t·(x̄²(R_t) − x̄(R_t)²) over the event-time grid, with
+    * risk set R_t = users whose lifetime ≥ t. Reports the score z =
+    * U/√I (the log-rank generalization to a CONTINUOUS covariate) and
+    * the one-step estimate β₁ = U/I — the standard first Newton step
+    * toward the Cox MLE from the null.
+    *
+    * Same fully-observed lifetime construction as [[kaplanMeier]] /
+    * [[logRank]] (lifetime = last−first active day; every subject is
+    * an event — the shipped events table has no censoring regime).
+    * All grid inputs are integral (d_t, Σx, Σx² of an integer
+    * covariate); suffix sums run on the bounded duration grid, and
+    * the final fold adds cells in ascending-t order so any engine
+    * replays the double sums exactly. Returns one row
+    * (n_users, n_times, u_score, info, beta_1, z_score). */
+  def coxScoreTest(events: DataFrame, userCol: String, tsCol: String,
+                   xAgg: org.apache.spark.sql.Column,
+                   outDigits: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val users = events
+      .filter(col(tsCol).isNotNull && col(userCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .groupBy("u")
+      .agg(datediff(max(col("d")), min(col("d"))).cast("long").as("t"),
+        xAgg.cast("long").as("x"))
+    val grid = users.groupBy("t")
+      .agg(count(lit(1)).as("dt"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val wSuffix = org.apache.spark.sql.expressions.Window.orderBy("t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val cells = grid
+      .withColumn("nr", sum(col("dt")).over(wSuffix))
+      .withColumn("rx", sum(col("sx")).over(wSuffix))
+      .withColumn("rxx", sum(col("sxx")).over(wSuffix))
+      .select(col("t"), col("dt"), col("sx"), col("nr"), col("rx"), col("rxx"))
+      .collect() // bounded by the duration grid
+      .sortBy(_.getLong(0))
+    require(cells.nonEmpty, "no lifetimes")
+    var u = 0.0; var info = 0.0; var nUsers = 0L
+    cells.foreach { r =>
+      val dt = r.getLong(1); val sx = r.getLong(2)
+      val nr = r.getLong(3); val rx = r.getLong(4); val rxx = r.getLong(5)
+      val xb = rx.toDouble / nr.toDouble
+      u += sx.toDouble - dt.toDouble * xb
+      info += dt.toDouble * (rxx.toDouble / nr.toDouble - xb * xb)
+      nUsers += dt
+    }
+    require(info > 0, "no covariate variance in any risk set")
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((nUsers, cells.length.toLong, rd(u), rd(info), rd(u / info),
+      rd(u / math.sqrt(info))))
+      .toDF("n_users", "n_times", "u_score", "info", "beta_1", "z_score")
+  }
+
   def logRank(events: DataFrame, userCol: String, tsCol: String,
               groupCol: org.apache.spark.sql.Column,
               churnGapDays: Int = 7, outDigits: Int = 6): DataFrame = {

@@ -166,6 +166,35 @@ object Dedup {
       .toDF("__id", "sh")
   }
 
+  /** NON-distinct w-word shingle stream as one `gram` column — the
+    * occurrence-counting twin of [[shingleSets]] (same split, same
+    * partial shingles for short docs, every occurrence kept), as a
+    * typed kernel because `explode(shingles(...))` evaluates the
+    * interpreted HOF per OUTPUT row (the bench-measured trap). Pure
+    * projection: no shuffle. */
+  def shingleStream(df: DataFrame, textCol: String, w: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(textCol)).as[String]
+      .mapPartitions { it =>
+        it.filter(_ != null).flatMap { text =>
+          val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val n = math.max(ws.length - w, 0)
+          (0 to n).iterator.map { i =>
+            val sb = new StringBuilder
+            var o = 0
+            while (o < w && i + o < ws.length) {
+              if (o > 0) sb.append(' ')
+              sb.append(ws(i + o))
+              o += 1
+            }
+            sb.toString
+          }
+        }
+      }
+      .toDF("gram")
+  }
+
   /** Exact dedup: one representative row (min id) per distinct content key.
     * One shuffle on the md5 content hash.
     *

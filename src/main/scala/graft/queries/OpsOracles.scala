@@ -5993,6 +5993,72 @@ object OpsOracles {
         |       iso.iso_ppm
         |FROM g JOIN iso USING (bin) ORDER BY g.bin""".stripMargin.trim,
 
+    // Cox score test at beta=0 with Breslow ties: integral grid
+    // inputs, suffix-sum risk sets, ascending-t ordered double fold on
+    // both engines
+    "q_cox_score" ->
+      """WITH du AS (SELECT user_id AS u, ts::DATE AS d FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |us AS (SELECT u, date_diff('day', min(d), max(d))::BIGINT AS t,
+        |    count(*)::BIGINT AS x FROM du GROUP BY u),
+        |g AS (SELECT t, count(*)::BIGINT AS dt, sum(x)::BIGINT AS sx,
+        |    sum(x * x)::BIGINT AS sxx FROM us GROUP BY t),
+        |s AS (SELECT t, dt, sx,
+        |    sum(dt) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+        |      UNBOUNDED FOLLOWING)::BIGINT AS nr,
+        |    sum(sx) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+        |      UNBOUNDED FOLLOWING)::BIGINT AS rx,
+        |    sum(sxx) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW AND
+        |      UNBOUNDED FOLLOWING)::BIGINT AS rxx
+        |  FROM g),
+        |c AS (SELECT t,
+        |    sx::DOUBLE - dt::DOUBLE * (rx::DOUBLE / nr::DOUBLE) AS ut,
+        |    dt::DOUBLE * (rxx::DOUBLE / nr::DOUBLE
+        |      - (rx::DOUBLE / nr::DOUBLE) * (rx::DOUBLE / nr::DOUBLE)) AS it
+        |  FROM s),
+        |f AS (SELECT list_aggregate(list(ut ORDER BY t), 'sum') AS u,
+        |    list_aggregate(list(it ORDER BY t), 'sum') AS i,
+        |    (SELECT sum(dt) FROM g)::BIGINT AS n_users,
+        |    (SELECT count(*) FROM g)::BIGINT AS n_times FROM c)
+        |SELECT n_users, n_times, round(u, 6) + 0 AS u_score,
+        |  round(i, 6) + 0 AS info, round(u / i, 6) + 0 AS beta_1,
+        |  round(u / sqrt(i), 6) + 0 AS z_score
+        |FROM f""".stripMargin.trim,
+
+    // PCA of the 2-D covariance: quantized-integer moments (the
+    // covMoments discipline), closed-form 2x2 eigensystem, unit
+    // eigenvectors with the largest-|weight|-positive sign convention
+    "q_pca" ->
+      """WITH q AS (SELECT CAST(round(l_quantity) AS BIGINT) AS q1,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS q2 FROM lineitem),
+        |m AS (SELECT count(*)::HUGEINT AS n, sum(q1)::HUGEINT AS s1,
+        |    sum(q2)::HUGEINT AS s2, sum(q1::HUGEINT * q1) AS p11,
+        |    sum(q1::HUGEINT * q2) AS p12, sum(q2::HUGEINT * q2) AS p22
+        |  FROM q),
+        |c AS (SELECT
+        |    (n * p11 - s1 * s1)::DOUBLE / (n::DOUBLE * n::DOUBLE) AS a,
+        |    (n * p12 - s1 * s2)::DOUBLE / (n::DOUBLE * n::DOUBLE) AS b,
+        |    (n * p22 - s2 * s2)::DOUBLE / (n::DOUBLE * n::DOUBLE) AS cc
+        |  FROM m),
+        |e AS (SELECT a, b,
+        |    ((a + cc) + sqrt((a - cc) * (a - cc) + 4 * b * b)) / 2 AS l1,
+        |    ((a + cc) - sqrt((a - cc) * (a - cc) + 4 * b * b)) / 2 AS l2
+        |  FROM c),
+        |v AS (SELECT 0 AS comp, l1 AS eig, b AS vx, l1 - a AS vy FROM e
+        |      UNION ALL SELECT 1, l2, b, l2 - a FROM e),
+        |u AS (SELECT comp, eig, vx / sqrt(vx * vx + vy * vy) AS u1,
+        |    vy / sqrt(vx * vx + vy * vy) AS u2 FROM v),
+        |s AS (SELECT comp, eig,
+        |    CASE WHEN (CASE WHEN abs(u1) >= abs(u2) THEN u1 ELSE u2 END) < 0
+        |         THEN -u1 ELSE u1 END AS w_qty,
+        |    CASE WHEN (CASE WHEN abs(u1) >= abs(u2) THEN u1 ELSE u2 END) < 0
+        |         THEN -u2 ELSE u2 END AS w_price
+        |  FROM u)
+        |SELECT comp, round(ln(eig), 6) AS ln_eig,
+        |  round(w_qty, 6) + 0.0 AS w_qty,
+        |  round(w_price, 6) + 0.0 AS w_price
+        |FROM s ORDER BY comp""".stripMargin.trim,
+
     // Fleiss' kappa: all sums integral (agreement numerator, category
     // totals squared); only the final kappa arithmetic is IEEE, on
     // exact-integer operands - engine-deterministic

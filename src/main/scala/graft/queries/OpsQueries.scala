@@ -2508,9 +2508,9 @@ object OpsQueries {
     * (every word appears hundreds of times; N_1 = 0 makes unigram GT
     * vacuous), while the trigram table is Zipf-shaped. */
   def goodTuringQ(spark: SparkSession, dir: String): DataFrame =
-    CorpusStats.goodTuring(tbl(spark, dir, "documents")
-        .filter(col("text").isNotNull),
-      Dedup.shingles(col("text"), 3), maxR = 8)
+    CorpusStats.goodTuringTokens(
+      Dedup.shingleStream(tbl(spark, dir, "documents")
+        .filter(col("text").isNotNull), "text", 3), "gram", maxR = 8)
 
   /** Isotonic calibration of the scaled discount as a pseudo-score for
     * the return flag, on a 10-bin grid. */
@@ -2524,4 +2524,33 @@ object OpsQueries {
   def fleissKappaQ(spark: SparkSession, dir: String): DataFrame =
     Evaluation.fleissKappa(tbl(spark, dir, "lineitem"),
       col("l_orderkey"), col("l_returnflag"), nRaters = 4)
+
+  /** Cox score test + one-step estimator: does per-user activity
+    * volume (event count) predict the lifetime hazard? */
+  def coxScoreQ(spark: SparkSession, dir: String): DataFrame =
+    Analytics.coxScoreTest(tbl(spark, dir, "events"), "user_id", "ts",
+      count(lit(1)))
+
+  /** PCA of the 2-D (quantity, extendedprice) cloud — the 2x2
+    * covariance eigensystem is CLOSED FORM, so the Jacobi sweep
+    * verifies against an exact SQL oracle (eigenvalues ln-encoded;
+    * unit eigenvectors with the deterministic largest-|weight|-
+    * positive sign). scaleDigits = 0: prices quantize to whole units
+    * so the scaled-integer moments stay far from Long overflow at any
+    * SF. */
+  def pcaQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .select(array(col("l_quantity"), col("l_extendedprice"))
+        .cast("array<double>").as("v"))
+    val m = Embeddings.pcaTopK(li, "v", k = 2, scaleDigits = 0)
+    (0 until 2).map { i =>
+      (i, m.eigenvalues(i), m.components(i)(0), m.components(i)(1))
+    }.toDF("comp", "eig", "w_qty", "w_price")
+      .select(col("comp"),
+        round(log(col("eig")), 6).as("ln_eig"),
+        (round(col("w_qty"), 6) + lit(0.0)).as("w_qty"),
+        (round(col("w_price"), 6) + lit(0.0)).as("w_price"))
+      .orderBy("comp")
+  }
 }

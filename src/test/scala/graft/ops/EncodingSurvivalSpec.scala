@@ -90,6 +90,33 @@ class EncodingSurvivalSpec extends SparkSpec {
     assert(r1.getAs[Long]("n_1") === 10L && r1.getAs[Long]("n_2") === 10L)
   }
 
+  test("coxScoreTest: hand-computed Breslow score, info, one-step beta") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-${day + 1}%02d 09:00:00")
+    // u1: 2 events, lifetime 1; u2: 3 events, lifetime 1; u3: 1 event, t 0
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1)),
+      (2L, ts(0)), (2L, ts(0)), (2L, ts(1)),
+      (3L, ts(0))).toDF("user_id", "ts")
+    val r = Analytics.coxScoreTest(ev, "user_id", "ts", count(lit(1))).head()
+    // grid t=0: risk {u1,u2,u3}: nr=3 rx=6 rxx=14, dt=1 sx=1
+    //      t=1: risk {u1,u2}:    nr=2 rx=5 rxx=13, dt=2 sx=5
+    // U = (1 - 1*2) + (5 - 2*2.5) = -1
+    // I = 1*(14/3 - 4) + 2*(13/2 - 6.25) = 2/3 + 1/2 = 7/6
+    assert(r.getAs[Long]("n_users") === 3L && r.getAs[Long]("n_times") === 2L)
+    assert(math.abs(r.getAs[Double]("u_score") - (-1.0)) < 1e-9)
+    assert(math.abs(r.getAs[Double]("info") - 7.0 / 6.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("beta_1") - (-6.0 / 7.0)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("z_score") - (-1.0 / math.sqrt(7.0 / 6.0))) < 1e-6)
+    // a covariate with NO variance in any risk set rejects
+    intercept[IllegalArgumentException] {
+      Analytics.coxScoreTest(
+        Seq((1L, ts(0)), (2L, ts(0))).toDF("user_id", "ts"),
+        "user_id", "ts", count(lit(1)))
+    }
+    ()
+  }
+
   test("kaplanMeier: censoring, n_risk suffix sums, ln-survival") {
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-${day + 1}%02d 09:00:00")
     // corpus spans day 0..20. users:
