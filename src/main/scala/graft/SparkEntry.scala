@@ -285,6 +285,7 @@ object SparkEntry {
     "q_fleiss_kappa"     -> (OpsQueries.fleissKappaQ _),
     "q_pca"              -> (OpsQueries.pcaQ _),
     "q_cox_score"        -> (OpsQueries.coxScoreQ _),
+    "q_hll"              -> (OpsQueries.hllQ _),
     "q_theil_sen"        -> (OpsQueries.theilSenQ _),
     "q_hhi"              -> (OpsQueries.hhiQ _),
     "q_jsd"              -> (OpsQueries.jsdQ _),

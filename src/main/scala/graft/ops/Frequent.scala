@@ -195,4 +195,75 @@ object Frequent {
         (col("cms_estimate") - col("exact_count")).as("overcount"))
       .orderBy(desc("exact_count"), col("token"))
   }
+
+  /** HyperLogLog distinct-count sketch (Flajolet 2007) with
+    * ENGINE-PORTABLE registers: the value hash is the top 60 bits of
+    * md5 (the [[graft.ops.Dedup.simhash]] discipline — never an
+    * engine-private hash), bucket = top p bits, register = max
+    * leading-zero rank of the remaining w = 60−p bits. One
+    * treeAggregate of element-wise register MAX — the sketch is
+    * mergeable by construction, which is the whole point at 100 TB:
+    * registers from per-partition/per-day sketches fold into corpus
+    * totals without rescanning.
+    *
+    * Exactness: the harmonic denominator is reported as the INTEGER
+    * Σ_j 2^(w+1−M_j) (each term a power of two; Σ ≤ 2^(p+w+1) fits a
+    * Long), and the raw estimate α·m²·2^(w+1)/S is a fixed sequence
+    * of IEEE ops on exact integers — any engine reproduces it
+    * bit-for-bit. The standard small-range correction is applied for
+    * the reported `est`: linear counting m·ln(m/V) when est_raw ≤
+    * 2.5m and V = v_zero > 0 (the Flajolet decision rule; the one ln
+    * rides the same cross-engine libm agreement every ln-encoded
+    * oracle on this board already relies on at 4-6 dp). Returns one
+    * row (p, m, v_zero, s_scaled, est_raw, est). */
+  def hllSketch(df: DataFrame, valueCol: String, p: Int = 10): DataFrame = {
+    // p >= 7 so the single alpha formula applies (m >= 128; smaller
+    // sketches use tabulated constants the estimator doesn't carry)
+    require(p >= 7 && p <= 20, "p must be in [7, 20]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    val w = 60 - p
+    val regs = df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .as[String]
+      .mapPartitions { it =>
+        val local = new Array[Byte](m)
+        it.foreach { v =>
+          val h = java.lang.Long.parseLong(
+            graft.functions.TextKernels.md5Hex(v).substring(0, 15), 16)
+          val bucket = (h >>> w).toInt
+          val rest = h & ((1L << w) - 1L)
+          val rank =
+            if (rest == 0L) w + 1
+            else w - (63 - java.lang.Long.numberOfLeadingZeros(rest))
+          if (rank > local(bucket)) local(bucket) = rank.toByte
+        }
+        Iterator.single(local)
+      }
+      .reduce { (a, b) =>
+        var i = 0
+        while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+        a
+      }
+    var s = 0L
+    var vZero = 0L
+    var j = 0
+    while (j < m) {
+      s += 1L << (w + 1 - regs(j))
+      if (regs(j) == 0) vZero += 1
+      j += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val raw = alpha * (m.toDouble * m.toDouble) *
+      java.lang.Math.scalb(1.0, w + 1) / s.toDouble
+    val est =
+      if (raw <= 2.5 * m.toDouble && vZero > 0)
+        m.toDouble * math.log(m.toDouble / vZero.toDouble)
+      else raw
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((p, m, vZero, s, r4(raw), r4(est)))
+      .toDF("p", "m", "v_zero", "s_scaled", "est_raw", "est")
+  }
 }

@@ -5993,6 +5993,38 @@ object OpsOracles {
         |       iso.iso_ppm
         |FROM g JOIN iso USING (bin) ORDER BY g.bin""".stripMargin.trim,
 
+    // HyperLogLog with md5-derived registers: bucket = top 10 bits of
+    // the 60-bit md5 prefix, register = max leading-zero rank of the
+    // 50-bit rest; harmonic denominator as the exact integer
+    // sum(2^(51 - M_j)) over all 1024 buckets (empty -> 2^51), raw
+    // estimate alpha * m^2 * 2^51 / S as one fixed IEEE sequence
+    "q_hll" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(user_id::varchar), 1, 15))::BIGINT AS hv
+        |  FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)),
+        |b AS (SELECT hv >> 50 AS bucket,
+        |    hv & ((1::BIGINT << 50) - 1) AS rest FROM h),
+        |r AS (SELECT bucket,
+        |    max(CASE WHEN rest = 0 THEN 51
+        |        ELSE 50 - (length(bin(rest)) - 1) END)::BIGINT AS mreg
+        |  FROM b GROUP BY bucket),
+        |allb AS (SELECT g.bucket, coalesce(r.mreg, 0) AS mreg
+        |  FROM generate_series(0, 1023) AS g(bucket)
+        |  LEFT JOIN r ON g.bucket = r.bucket),
+        |agg AS (SELECT sum(1::BIGINT << (51 - mreg))::BIGINT AS s,
+        |    sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero
+        |  FROM allb),
+        |e AS (SELECT v_zero, s,
+        |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0))
+        |      * (1024.0 * 1024.0) * (1::BIGINT << 51)::DOUBLE
+        |      / s::DOUBLE AS raw
+        |  FROM agg)
+        |SELECT 10 AS p, 1024 AS m, v_zero, s AS s_scaled,
+        |  round(raw, 4) + 0 AS est_raw,
+        |  round(CASE WHEN raw <= 2.5::DOUBLE * 1024.0 AND v_zero > 0
+        |        THEN 1024.0 * ln(1024.0 / v_zero::DOUBLE)
+        |        ELSE raw END, 4) + 0 AS est
+        |FROM e""".stripMargin.trim,
+
     // Cox score test at beta=0 with Breslow ties: integral grid
     // inputs, suffix-sum risk sets, ascending-t ordered double fold on
     // both engines

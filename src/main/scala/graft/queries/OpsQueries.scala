@@ -2525,6 +2525,10 @@ object OpsQueries {
     Evaluation.fleissKappa(tbl(spark, dir, "lineitem"),
       col("l_orderkey"), col("l_returnflag"), nRaters = 4)
 
+  /** Engine-portable HyperLogLog sketch of distinct users (p = 10). */
+  def hllQ(spark: SparkSession, dir: String): DataFrame =
+    Frequent.hllSketch(tbl(spark, dir, "events"), "user_id", p = 10)
+
   /** Cox score test + one-step estimator: does per-user activity
     * volume (event count) predict the lifetime hazard? */
   def coxScoreQ(spark: SparkSession, dir: String): DataFrame =

@@ -130,4 +130,35 @@ class TrendConcentrationSpec extends SparkSpec {
       CorpusStats.hillTail(df.limit(10), "x", k = 50)
     }
   }
+
+  test("hllSketch: estimate within HLL error bounds; duplicate- and partition-invariant") {
+    import spark.implicits._
+    val n = 20000
+    val df = (1 to n).map(i => s"user_$i").toDF("u")
+    val r = Frequent.hllSketch(df, "u", p = 10).head()
+    val est = r.getAs[Double]("est_raw")
+    // standard error 1.04/sqrt(1024) ~ 3.25%; allow 5 sigma
+    assert(math.abs(est - n) / n < 0.17, s"est $est vs $n")
+    assert(r.getAs[Int]("m") === 1024)
+    // duplicates cannot move a max-register sketch
+    val dup = Frequent.hllSketch(df.unionAll(df).unionAll(df), "u", p = 10).head()
+    assert(dup.getAs[Long]("s_scaled") === r.getAs[Long]("s_scaled"))
+    assert(dup.getAs[Double]("est_raw") === est)
+    // nor can partitioning (element-wise max merges commute)
+    val rep = Frequent.hllSketch(df.repartition(17), "u", p = 10).head()
+    assert(rep.getAs[Long]("s_scaled") === r.getAs[Long]("s_scaled"))
+    // far above 2.5m the raw estimator IS the estimate
+    assert(r.getAs[Double]("est") === est)
+    // small range: linear counting kicks in and lands near truth
+    val small = Frequent.hllSketch(
+      (1 to 200).map(i => s"u$i").toDF("u"), "u", p = 10).head()
+    val se = small.getAs[Double]("est")
+    assert(math.abs(se - 200) / 200 < 0.15, s"lc est $se")
+    assert(se != small.getAs[Double]("est_raw"))
+    // p out of the single-alpha regime rejects
+    intercept[IllegalArgumentException] {
+      Frequent.hllSketch(df, "u", p = 5)
+    }
+    ()
+  }
 }
