@@ -171,4 +171,56 @@ object Curation {
         / (col("t").cast("double") + lit(alpha) + lit(beta))).as("smoothed"))
       .orderBy("key")
   }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023's
+    * exponentiated-gradient core): one EG step over the mixture —
+    * w_d ∝ share_d · exp(eta · (score_d − max_d score_d)) — where
+    * share_d is each domain's document share and score_d its mean
+    * per-doc signal (excess loss, quality, staleness…). The max
+    * subtraction is the standard log-sum-exp stabilizer and cancels
+    * in the normalization. `smooth` mixes the result back toward
+    * uniform ((1−smooth)·w + smooth/k, the DoReMi u-smoothing).
+    *
+    * Shape: ONE grouped aggregation (map-side combined) to the
+    * domain-bounded table, then driver arithmetic over ≤ `maxDomains`
+    * rows. Determinism: shares are integral ppm; the normalization
+    * denominator folds in SORTED domain order so any engine replays
+    * the double sum. Returns (domain, n_docs, share_ppm, mean_score,
+    * weight) sorted by domain. */
+  def domainReweight(df: DataFrame, domainCol: String, scoreCol: Column,
+                     eta: Double, smooth: Double = 0.0,
+                     maxDomains: Int = 4096,
+                     outDigits: Int = 6): DataFrame = {
+    require(eta > 0, "eta must be positive")
+    require(smooth >= 0 && smooth < 1, "smooth must be in [0, 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // avg over an INTEGRAL score column is exact on any engine (exact
+    // sum / count, one division) — callers pass integral signals
+    // (chars, cents, ppm) for bit-stable means
+    val rows = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("d"))
+      .agg(count(lit(1)).as("n"), avg(scoreCol).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "no domains")
+    require(rows.length <= maxDomains,
+      s"domainReweight is gated at $maxDomains domains (got ${rows.length})")
+    val total = rows.map(_._2).sum
+    val maxM = rows.map(_._3).max
+    val k = rows.length
+    val u = rows.map { case (_, n, m) =>
+      (n.toDouble / total.toDouble) * math.exp(eta * (m - maxM))
+    }
+    var denom = 0.0
+    u.foreach(denom += _) // sorted-domain fold order, oracle-replayable
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    rows.indices.map { i =>
+      val (d, n, m) = rows(i)
+      val w = (1.0 - smooth) * (u(i) / denom) + smooth / k.toDouble
+      (d, n, n * 1000000L / total, rd(m), rd(w))
+    }.toDF("domain", "n_docs", "share_ppm", "mean_score", "weight")
+      .orderBy("domain")
+  }
 }

@@ -494,20 +494,27 @@ object Evaluation {
     require(nRaters >= 2, "need at least two raters per item")
     val spark = df.sparkSession
     import spark.implicits._
+    // cells + the per-item total via one item-keyed window; then two
+    // aggregations (scalars; category rollup) — no checkpoint, the
+    // grouped cells frame is computed once per job over a map-side-
+    // combined aggregate
     val cells = df.select(itemCol.cast("string").as("i"),
         catCol.cast("string").as("c"))
       .filter(col("i").isNotNull && col("c").isNotNull)
       .groupBy("i", "c").agg(count(lit(1)).as("n"))
-      .localCheckpoint(false) // item filter + two rollups share it
-    val sizes = cells.groupBy("i").agg(sum(col("n")).as("tot"))
-    val kept = cells.join(sizes.filter(col("tot") === nRaters).select("i"), "i")
-    val nDropped = sizes.filter(col("tot") =!= nRaters).count()
+      .withColumn("tot",
+        sum(col("n")).over(Window.partitionBy(col("i"))))
+    val kept = cells.filter(col("tot") === nRaters)
     // per-item agreement numerator Σ_j c_ij(c_ij − 1), summed — integral
-    val agg = kept.agg(
-        sum(col("n") * (col("n") - 1)).as("s_agree"),
-        countDistinct(col("i")).as("n_items")).head()
+    val agg = cells.agg(
+        sum(when(col("tot") === nRaters, col("n") * (col("n") - 1)))
+          .as("s_agree"),
+        countDistinct(when(col("tot") === nRaters, col("i"))).as("n_items"),
+        countDistinct(when(col("tot") =!= nRaters, col("i"))).as("n_dropped"))
+      .head()
     val sAgree = if (agg.isNullAt(0)) 0L else agg.getLong(0)
     val nItems = agg.getLong(1)
+    val nDropped = agg.getLong(2)
     require(nItems > 0,
       s"no item carries exactly $nRaters ratings (dropped $nDropped)")
     // Σ cn² is an exact integer, so p_e is ONE IEEE division — no

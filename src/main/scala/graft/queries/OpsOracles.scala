@@ -5993,6 +5993,27 @@ object OpsOracles {
         |       iso.iso_ppm
         |FROM g JOIN iso USING (bin) ORDER BY g.bin""".stripMargin.trim,
 
+    // DoReMi EG step: integral shares, exact integer-avg means, the
+    // max-stabilized exp, and a sorted-domain ordered fold for the
+    // normalization denominator
+    "q_domain_reweight" ->
+      """WITH g AS (SELECT source AS domain, count(*)::BIGINT AS n,
+        |    avg(n_chars) AS m
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT sum(n)::BIGINT AS total, max(m) AS mx,
+        |    count(*)::BIGINT AS k FROM g),
+        |u AS (SELECT domain, n, m, total, k,
+        |    (n::DOUBLE / total::DOUBLE)
+        |      * exp(0.01::DOUBLE * (m - mx)) AS uu
+        |  FROM g, t),
+        |ds AS (SELECT list_aggregate(list(uu ORDER BY domain), 'sum') AS den
+        |  FROM u)
+        |SELECT domain, n AS n_docs, (n * 1000000 // total)::BIGINT AS share_ppm,
+        |  round(m, 6) + 0 AS mean_score,
+        |  round((1.0::DOUBLE - 0.1::DOUBLE) * (uu / den)
+        |    + 0.1::DOUBLE / k::DOUBLE, 6) + 0 AS weight
+        |FROM u, ds ORDER BY domain""".stripMargin.trim,
+
     // HyperLogLog with md5-derived registers: bucket = top 10 bits of
     // the 60-bit md5 prefix, register = max leading-zero rank of the
     // 50-bit rest; harmonic denominator as the exact integer

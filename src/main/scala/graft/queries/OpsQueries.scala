@@ -2525,6 +2525,13 @@ object OpsQueries {
     Evaluation.fleissKappa(tbl(spark, dir, "lineitem"),
       col("l_orderkey"), col("l_returnflag"), nRaters = 4)
 
+  /** DoReMi-style exponentiated-gradient domain reweighting: one EG
+    * step over the source mixture using mean doc length as the
+    * per-domain signal, u-smoothed 10% toward uniform. */
+  def domainReweightQ(spark: SparkSession, dir: String): DataFrame =
+    Curation.domainReweight(tbl(spark, dir, "documents"), "source",
+      col("n_chars"), eta = 0.01, smooth = 0.1)
+
   /** Engine-portable HyperLogLog sketch of distinct users (p = 10). */
   def hllQ(spark: SparkSession, dir: String): DataFrame =
     Frequent.hllSketch(tbl(spark, dir, "events"), "user_id", p = 10)

@@ -90,4 +90,32 @@ class FairnessCurationSpec extends SparkSpec {
       assert(r.getAs[Double]("smoothed") === 0.5)
     }
   }
+
+  test("domainReweight: EG step upweights high-score domains, smoothing pulls to uniform") {
+    import spark.implicits._
+    // equal scores -> weights equal the document shares
+    val eq = Seq(("a", 10L), ("a", 10L), ("a", 10L), ("b", 10L))
+      .toDF("d", "s")
+    val w0 = Curation.domainReweight(eq, "d", col("s"), eta = 0.5)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    assert(math.abs(w0("a") - 0.75) < 1e-9 && math.abs(w0("b") - 0.25) < 1e-9)
+    // equal shares, b scores higher -> b upweighted by exactly
+    // exp(eta*(mb - ma)) in the odds
+    val df = Seq(("a", 10L), ("a", 10L), ("b", 12L), ("b", 12L)).toDF("d", "s")
+    val w1 = Curation.domainReweight(df, "d", col("s"), eta = 0.5)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    assert(w1("b") > w1("a"))
+    assert(math.abs(w1("b") / w1("a") - math.exp(0.5 * 2.0)) < 1e-5)
+    // full smoothing limit: smooth -> weights -> uniform mix
+    val ws = Curation.domainReweight(df, "d", col("s"), eta = 0.5,
+        smooth = 0.5)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    assert(ws("a") > w1("a") && ws("b") < w1("b"))
+    assert(math.abs(ws("a") + ws("b") - 1.0) < 1e-6)
+    // the domain gate throws
+    intercept[IllegalArgumentException] {
+      Curation.domainReweight(df, "d", col("s"), eta = 0.5, maxDomains = 1)
+    }
+    ()
+  }
 }
