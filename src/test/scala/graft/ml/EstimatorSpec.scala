@@ -57,6 +57,23 @@ class EstimatorSpec extends SparkSpec {
     }
   }
 
+  test("estimator weightCol reaches the weighted GLM route (binomial)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.SparkSpec.binaryDF(spark)
+      .withColumn("w", (pmod(round(col("x1") * 100).cast("long"), lit(3)) + 1)
+        .cast("double"))
+    val est = new SgdNetEstimator()
+      .setFeatureCols(Seq("x1", "x2")).setLabelCol("y")
+      .setFamily("binomial").setLambdas(Seq(0.01)).setThresh(1e-9)
+      .setWeightCol("w")
+      .fit(df).pathModel
+    val direct = SgdNet.fitWeighted(df, Seq("x1", "x2"), "y", "w",
+      SgdNetParams(family = "binomial", lambda = Array(0.01), thresh = 1e-9))
+    for (j <- 0 until 2)
+      assert(math.abs(est.beta(0)(0)(j) - direct.beta(0)(0)(j)) < 1e-7)
+    assert(math.abs(est.a0(0)(0) - direct.a0(0)(0)) < 1e-7)
+  }
+
   test("estimator routes lowerLimits/upperLimits to the fit") {
     val df = graft.SparkSpec.regressionDF(spark)
     val m = new SgdNetEstimator()
