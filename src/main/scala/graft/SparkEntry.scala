@@ -287,6 +287,7 @@ object SparkEntry {
     "q_cox_score"        -> (OpsQueries.coxScoreQ _),
     "q_hll"              -> (OpsQueries.hllQ _),
     "q_domain_reweight"  -> (OpsQueries.domainReweightQ _),
+    "q_sign_flip"        -> (OpsQueries.signFlipQ _),
     "q_theil_sen"        -> (OpsQueries.theilSenQ _),
     "q_hhi"              -> (OpsQueries.hhiQ _),
     "q_jsd"              -> (OpsQueries.jsdQ _),

@@ -948,4 +948,52 @@ object Stats {
     }.toDF("k", "p_raw", "rank", "p_bh", "p_holm")
     out.withColumnRenamed("k", keyCol)
   }
+
+  /** Sign-flip randomization test of H0: E[d] = 0 on per-key INTEGRAL
+    * differences (the paired-permutation test; Fisher 1935) with
+    * DETERMINISTIC md5-derived flips — flip k negates key `u` iff bit
+    * k of md5(u) is set, so both the flips and every statistic are
+    * engine-exact integers: stat_k = Σ_u s_k(u)·d_u, observed = Σ d_u,
+    * and the add-one randomization p-value
+    * (|#{k : |stat_k| ≥ |obs|}| + 1)·1e6 div (flips + 1) in ppm.
+    * ONE typed treeAggregate carries all `flips` (≤ 128, one md5 per
+    * key) sums — corpus-linear, no shuffle, the 100 TB shape of
+    * randomization inference. Returns one row
+    * (n_keys, flips, stat_obs, n_ge, p_ppm). */
+  def signFlipTest(df: DataFrame, keyCol: String,
+                   diffCol: org.apache.spark.sql.Column,
+                   flips: Int = 128): DataFrame = {
+    require(flips >= 1 && flips <= 128,
+      "flips must be in [1, 128] (one md5 digest of sign bits per key)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(keyCol).cast("string").as("u"),
+        diffCol.cast("long").as("d"))
+      .filter(col("u").isNotNull && col("d").isNotNull)
+      .as[(String, Long)]
+    val k = flips
+    val acc = rows.rdd.treeAggregate(new Array[Long](k + 2))(
+      seqOp = (a, row) => {
+        val (u, d) = row
+        val h = graft.functions.TextKernels.md5Hex(u)
+        var i = 0
+        while (i < k) {
+          val v = Character.digit(h.charAt(i / 4), 16)
+          a(i) += (if (((v >> (i % 4)) & 1) == 1) d else -d)
+          i += 1
+        }
+        a(k) += d      // observed statistic
+        a(k + 1) += 1L // key count
+        a
+      },
+      combOp = (x, y) => {
+        var i = 0
+        while (i < x.length) { x(i) += y(i); i += 1 }
+        x
+      }, depth = 2)
+    val obs = acc(k)
+    val nGe = (0 until k).count(i => math.abs(acc(i)) >= math.abs(obs)).toLong
+    Seq((acc(k + 1), k, obs, nGe, (nGe + 1) * 1000000L / (k + 1)))
+      .toDF("n_keys", "flips", "stat_obs", "n_ge", "p_ppm")
+  }
 }

@@ -5993,6 +5993,28 @@ object OpsOracles {
         |       iso.iso_ppm
         |FROM g JOIN iso USING (bin) ORDER BY g.bin""".stripMargin.trim,
 
+    // sign-flip randomization test: md5-bit deterministic flips over
+    // integral per-user cent diffs - every statistic an exact BIGINT
+    "q_sign_flip" ->
+      """WITH d AS (SELECT user_id AS u,
+        |    (sum(CASE WHEN event_type = 'purchase'
+        |          THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END)
+        |     - sum(CASE WHEN event_type = 'click'
+        |          THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END))::BIGINT AS d
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |s AS (SELECT u, d, md5(u::varchar) AS h FROM d),
+        |f AS (SELECT g.k,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef',
+        |          substr(s.h, g.k // 4 + 1, 1)) - 1) >> (g.k % 4)) & 1 = 1
+        |        THEN s.d ELSE -s.d END)::BIGINT AS stat
+        |  FROM s, generate_series(0, 127) AS g(k) GROUP BY g.k),
+        |o AS (SELECT sum(d)::BIGINT AS obs, count(*)::BIGINT AS n FROM d),
+        |c AS (SELECT count(*)::BIGINT AS n_ge FROM f, o
+        |  WHERE abs(f.stat) >= abs(o.obs))
+        |SELECT o.n AS n_keys, 128 AS flips, o.obs AS stat_obs, c.n_ge,
+        |  ((c.n_ge + 1) * 1000000 // 129)::BIGINT AS p_ppm
+        |FROM o, c""".stripMargin.trim,
+
     // DoReMi EG step: integral shares, exact integer-avg means, the
     // max-stabilized exp, and a sorted-domain ordered fold for the
     // normalization denominator

@@ -2525,6 +2525,19 @@ object OpsQueries {
     Evaluation.fleissKappa(tbl(spark, dir, "lineitem"),
       col("l_orderkey"), col("l_returnflag"), nRaters = 4)
 
+  /** Sign-flip randomization test: does per-user purchase spend exceed
+    * click spend? (integral cents diffs, md5-deterministic flips). */
+  def signFlipQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    val d = ev.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)) -
+        sum(when(col("event_type") === "click",
+          round(col("value") * 100).cast("long")).otherwise(0L))).as("d"))
+    Stats.signFlipTest(d, "user_id", col("d"))
+  }
+
   /** DoReMi-style exponentiated-gradient domain reweighting: one EG
     * step over the source mixture using mean doc length as the
     * per-domain signal, u-smoothed 10% toward uniform. */

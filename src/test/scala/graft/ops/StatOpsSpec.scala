@@ -100,4 +100,30 @@ class StatOpsSpec extends SparkSpec {
       .orderBy("k").collect()
     assert(a.map(_.toSeq).sameElements(b.map(_.toSeq)))
   }
+
+  test("signFlipTest: null diffs, strong signal rejects, partition-invariant") {
+    import spark.implicits._
+    // all-zero diffs: every flipped statistic ties the observed 0 ->
+    // p = (128+1)/(128+1) = 1
+    val zero = (1 to 50).map(i => (s"u$i", 0L)).toDF("u", "d")
+    val rz = Stats.signFlipTest(zero, "u", col("d")).head()
+    assert(rz.getLong(0) === 50L && rz.getLong(2) === 0L)
+    assert(rz.getLong(3) === 128L && rz.getLong(4) === 1000000L)
+    // one pair can never reject: |±d| always ties |d|
+    val one = Seq(("solo", 7L)).toDF("u", "d")
+    assert(Stats.signFlipTest(one, "u", col("d")).head().getLong(4) === 1000000L)
+    // 200 keys all +100: observed 20000 dwarfs the ±sqrt(n)-scale
+    // flipped sums -> small p
+    val strong = (1 to 200).map(i => (s"k$i", 100L)).toDF("u", "d")
+    val rs = Stats.signFlipTest(strong, "u", col("d")).head()
+    assert(rs.getLong(2) === 20000L)
+    assert(rs.getLong(4) < 100000L, s"p_ppm ${rs.getLong(4)}")
+    // deterministic and partition-invariant (integer sums commute)
+    val rp = Stats.signFlipTest(strong.repartition(13), "u", col("d")).head()
+    assert(rp.toSeq === rs.toSeq)
+    intercept[IllegalArgumentException] {
+      Stats.signFlipTest(strong, "u", col("d"), flips = 200)
+    }
+    ()
+  }
 }
