@@ -40,9 +40,13 @@ final case class SgdNetParams(
     // terms (0 = that feature is never penalized; used as given, no
     // rescaling — document your own normalization if you want
     // glmnet's sum-to-p convention). Applies on the standardized
-    // working coordinates, matching glmnet. Supported for gaussian
-    // (single response), binomial, and poisson; multinomial/mgaussian
-    // group solvers reject it.
+    // working coordinates, matching glmnet. Supported for EVERY
+    // family — the group solvers (mgaussian; grouped multinomial)
+    // scale the whole cross-response group j by pf_j. Contract
+    // (requireNoZeroPf): pf = 0 entries need an EXPLICIT lambda
+    // sequence on the paths without the unpenalized-coordinate
+    // lambda_max projection (sparse GLM, group solvers, multinomial,
+    // offset poisson, shared CV).
     penaltyFactor: Array[Double] = null,
     // glmnet lower.limits / upper.limits: per-coefficient box
     // constraints on the ORIGINAL coefficient scale (the working
@@ -54,10 +58,11 @@ final case class SgdNetParams(
     // forces a coefficient out — glmnet's `exclude`, see
     // [[SgdNet.excludeLimits]]. Supported wherever the inner solver
     // takes the exact 1-D clipped prox: gaussian (dense, sparse,
-    // weighted, relaxed), binomial, poisson (incl. offset), UNGROUPED
-    // multinomial, and the corresponding CV paths (cv.glmnet limits).
-    // The group solvers (mgaussian; grouped multinomial) and the
-    // sparse binomial/poisson route reject non-null limits.
+    // weighted, relaxed), binomial and poisson (dense, SPARSE,
+    // weighted, incl. offset), UNGROUPED multinomial, and the
+    // corresponding CV paths (cv.glmnet limits). Only the GROUP
+    // solvers (mgaussian; grouped multinomial) reject non-null
+    // limits — the group l1/l2 prox has no closed form under a box.
     lowerLimits: Array[Double] = null,
     upperLimits: Array[Double] = null)
 

@@ -33,7 +33,7 @@ class SgdNetEstimator(override val uid: String)
   final val penaltyFactor = new DoubleArrayParam(this, "penaltyFactor",
     "glmnet penalty.factor: per-feature multiplier on both penalty terms")
   final val weightCol = new Param[String](this, "weightCol",
-    "observation-weight column (gaussian only)")
+    "observation-weight column (gaussian/binomial/poisson)")
   final val offsetCol = new Param[String](this, "offsetCol",
     "linear-predictor offset column (gaussian/poisson)")
   final val lowerLimits = new DoubleArrayParam(this, "lowerLimits",
