@@ -69,6 +69,7 @@ object SparkEntry {
     "q_multinom_pf"      -> (PathQueries.multinomPf _),
     "q_weighted_binom"   -> (MlQueries.weightedBinom _),
     "q_weighted_poisson" -> (MlQueries.weightedPoisson _),
+    "q_weighted_mgauss"  -> (MlQueries.weightedMgauss _),
     "q_binom_null_fit"   -> (PathQueries.binomNullFit _),
     "q_poisson_null_fit" -> (PathQueries.poissonNullFit _),
     "q_dedup_exact"      -> (OpsQueries.dedupExact _),
@@ -798,6 +799,32 @@ object SparkEntry {
         |SELECT 'a0' AS term, round(ln(p / (1 - p)), 6) + 0 AS value FROM t
         |UNION ALL SELECT 'l_quantity', 0.0::DOUBLE FROM t
         |ORDER BY term""".stripMargin,
+
+    // weighted MGAUSSIAN ridge: alpha = 0 decouples the group penalty
+    // per response, so each coefficient is the q_weighted_fit
+    // weighted-moment closed form
+    "q_weighted_mgauss" ->
+      """WITH s AS (SELECT sum(l_linenumber)::DOUBLE AS w,
+        |  sum(l_linenumber * l_quantity) AS swx,
+        |  sum(l_linenumber * l_extendedprice) AS swy1,
+        |  sum(l_linenumber * l_tax) AS swy2,
+        |  sum(l_linenumber * l_quantity * l_quantity) AS swxx,
+        |  sum(l_linenumber * l_quantity * l_extendedprice) AS swxy1,
+        |  sum(l_linenumber * l_quantity * l_tax) AS swxy2
+        |FROM lineitem),
+        |t AS (SELECT swx/w AS mx, swy1/w AS my1, swy2/w AS my2,
+        |  swxy1/w - (swx/w) * (swy1/w) AS cxy1,
+        |  swxy2/w - (swx/w) * (swy2/w) AS cxy2,
+        |  swxx/w - (swx/w) * (swx/w) AS vx FROM s),
+        |u AS (SELECT mx, my1, my2,
+        |  cxy1 / (vx * (1 + 2.5)) AS b1,
+        |  cxy2 / (vx * (1 + 2.5)) AS b2 FROM t)
+        |SELECT 'l_extendedprice' AS response, 'a0' AS term,
+        |       round(my1 - b1 * mx, 4) + 0 AS value FROM u
+        |UNION ALL SELECT 'l_extendedprice', 'l_quantity', round(b1, 8) + 0 FROM u
+        |UNION ALL SELECT 'l_tax', 'a0', round(my2 - b2 * mx, 4) + 0 FROM u
+        |UNION ALL SELECT 'l_tax', 'l_quantity', round(b2, 8) + 0 FROM u
+        |ORDER BY response, term""".stripMargin,
 
     // weighted POISSON, same construction: intercept-only weighted
     // poisson MLE a0 = ln(sum(w y)/sum(w))

@@ -599,19 +599,40 @@ object SgdNet {
                   params: SgdNetParams = SgdNetParams()): SgdNetModel = {
     validateCommon(featureCols, Seq(labelCol), params)
     params.family match {
-      case "gaussian" => // fall through to the moment path below
+      case "gaussian" =>
+        fitWeightedMulti(df, featureCols, Seq(labelCol), weightCol, params)
       case "binomial" | "poisson" =>
-        return fitWeightedGlm(df, featureCols, labelCol, weightCol, params)
+        fitWeightedGlm(df, featureCols, labelCol, weightCol, params)
       case f => throw new IllegalArgumentException(
-        s"fitWeighted supports gaussian, binomial, and poisson, not $f")
+        s"fitWeighted supports gaussian, binomial, poisson, and " +
+          s"(via fitWeightedMulti) mgaussian, not $f")
     }
+  }
+
+  /** Multi-response weighted fit (glmnet `weights` with
+    * family = "mgaussian", and the gaussian k = 1 case): identical
+    * weighted-moment construction to the single-response route — the
+    * GramStats carry k response columns and the group solver couples
+    * them only driver-side, so weights fold into ONE treeAggregate
+    * regardless of k. */
+  def fitWeightedMulti(df: DataFrame, featureCols: Seq[String],
+                       labelCols: Seq[String], weightCol: String,
+                       params: SgdNetParams = SgdNetParams()): SgdNetModel = {
+    validateCommon(featureCols, labelCols, params)
+    require(params.family == "gaussian" || params.family == "mgaussian",
+      s"fitWeightedMulti is the gaussian/mgaussian route, not ${params.family}")
+    require(params.family == "mgaussian" || labelCols.size == 1,
+      "response for gaussian must be one-dimensional (family=\"mgaussian\" for multi)")
     import org.apache.spark.sql.functions.col
     val p = featureCols.size
+    val k = labelCols.size
     val rows = df.select((featureCols.map(c => col(c).cast("double")) ++
-        Seq(col(labelCol).cast("double"), col(weightCol).cast("double"))): _*)
+        labelCols.map(c => col(c).cast("double")) :+
+        col(weightCol).cast("double")): _*)
       .rdd.map { r =>
         val x = Array.tabulate(p)(j => r.getDouble(j))
-        (x, r.getDouble(p), r.getDouble(p + 1))
+        val y = Array.tabulate(k)(t => r.getDouble(p + t))
+        (x, y, r.getDouble(p + k))
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -625,11 +646,11 @@ object SgdNet {
         combOp = (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
       require(nRows > 0, "the response (y) is empty.")
       val norm = nRows.toDouble / wSum
-      val g = rows.treeAggregate(new GramStats(p, 1))(
+      val g = rows.treeAggregate(new GramStats(p, k))(
         seqOp = (s, r) =>
-          if (r._3 > 0) s.addWeighted(r._1, Array(r._2), r._3 * norm) else s,
+          if (r._3 > 0) s.addWeighted(r._1, r._2, r._3 * norm) else s,
         combOp = (a, b) => a.merge(b), depth = 2)
-      solveGaussianFromStats(g, featureCols, Seq(labelCol), params)
+      solveGaussianFromStats(g, featureCols, labelCols, params)
     } finally { rows.unpersist(blocking = false); () }
   }
 

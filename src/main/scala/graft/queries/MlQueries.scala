@@ -137,6 +137,25 @@ object MlQueries {
       .orderBy("term")
   }
 
+  /** Weighted MULTI-RESPONSE ridge (glmnet weights with
+    * family="mgaussian"): at alpha = 0 the group penalty decouples per
+    * response, so each coefficient is the weighted-moment ridge closed
+    * form — the q_weighted_fit oracle per response. */
+  def weightedMgauss(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fitWeightedMulti(li, Seq("l_quantity"),
+      Seq("l_extendedprice", "l_tax"), "l_linenumber",
+      SgdNetParams(family = "mgaussian", alpha = 0.0, lambda = Array(2.5),
+        thresh = 1e-11, maxit = 100000))
+    val rows = for {
+      t <- 0 until 2
+      (term, v, dp) <- Seq(("a0", m.a0(0)(t), 4), ("l_quantity", m.beta(0)(t)(0), 8))
+    } yield (m.responseNames(t), term,
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+    rows.toDF("response", "term", "value").orderBy("response", "term")
+  }
+
   /** Gaussian ridge with a linear-predictor OFFSET (glmnet offset):
     * fitting y with offset o is exactly the ridge fit of y − o. */
   def offsetRidge(spark: SparkSession, dir: String): DataFrame = {

@@ -104,6 +104,40 @@ class WeightedGlmSpec extends SparkSpec {
     assert(math.abs(mp.a0(0)(0) - math.log(yw)) < 1e-9)
   }
 
+  test("mgaussian: integer weights == row duplication; zero weights drop") {
+    val df = SparkSpec.regressionDF(spark)
+    val p = SgdNetParams(family = "mgaussian", alpha = 0.5,
+      lambda = Array(0.1), thresh = 1e-12, maxit = 100000)
+    val wdf = df.withColumn("w",
+      (pmod(round(col("y") * 100).cast("long"), lit(3)) + 1).cast("double"))
+    val dup = wdf.withColumn("k",
+        explode(sequence(lit(1), col("w").cast("int"))))
+      .drop("k")
+    val mw = SgdNet.fitWeightedMulti(wdf, Seq("x1", "x2"), Seq("y", "x3"),
+      "w", p)
+    val md = SgdNet.fitMulti(dup, Seq("x1", "x2"), Seq("y", "x3"), p)
+    for (t <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(mw.beta(0)(t)(j) - md.beta(0)(t)(j)) < 1e-8,
+        s"beta($t)($j)")
+    for (t <- 0 until 2)
+      assert(math.abs(mw.a0(0)(t) - md.a0(0)(t)) < 1e-6)
+    // zero weights drop the observation
+    val w01 = df.withColumn("w",
+      pmod(round(col("x1") * 100).cast("long"), lit(2)).cast("double"))
+    val mz = SgdNet.fitWeightedMulti(w01, Seq("x1", "x2"), Seq("y", "x3"),
+      "w", p)
+    val mf = SgdNet.fitMulti(w01.filter(col("w") > 0), Seq("x1", "x2"),
+      Seq("y", "x3"), p)
+    for (t <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(mz.beta(0)(t)(j) - mf.beta(0)(t)(j)) < 1e-9)
+    // family contract
+    intercept[IllegalArgumentException] {
+      SgdNet.fitWeightedMulti(w01, Seq("x1"), Seq("y"), "w",
+        SgdNetParams(family = "binomial"))
+    }
+    ()
+  }
+
   test("pf = 0 with box limits: lambda_max projection respects a binding bound") {
     // one unpenalized coordinate (pf=0) under a non-negative bound whose
     // unconstrained sub-fit coefficient would be NEGATIVE: the projected
