@@ -66,6 +66,7 @@ object SparkEntry {
     "q_cv_exact_pick"    -> (PathQueries.cvExactPick _),
     "q_cv_exact_predict" -> (PathQueries.cvExactPredict _),
     "q_cv_limits"        -> (PathQueries.cvLimits _),
+    "q_cv_weighted"      -> (PathQueries.cvWeighted _),
     "q_multinom_pf"      -> (PathQueries.multinomPf _),
     "q_weighted_binom"   -> (MlQueries.weightedBinom _),
     "q_weighted_poisson" -> (MlQueries.weightedPoisson _),
@@ -1194,6 +1195,42 @@ object SparkEntry {
         |          FROM msef GROUP BY 1, 2)
         |SELECT lambda_idx, round(lam, 4) AS lambda,
         |       round(ln(cvm), 6) AS ln_cvm, round(ln(cvsd), 6) AS ln_cvsd
+        |FROM curve ORDER BY lambda_idx""".stripMargin,
+
+    // weighted CV (cv.glmnet weights): per-fold weighted-moment ridge
+    // closed form on TRAIN rows, v-weighted held-out mse row-aggregated
+    // exactly as the engine scores it
+    "q_cv_weighted" ->
+      """WITH r AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y,
+        |    l_linenumber::DOUBLE AS w,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |lgrid AS (SELECT cast(lambda_idx AS INT) AS lambda_idx, lam::DOUBLE AS lam
+        |          FROM (VALUES (0, 256.0), (1, 16.0), (2, 1.0)) AS t(lambda_idx, lam)),
+        |tr AS (SELECT k.f, sum(r.w) AS sw, sum(r.w * r.x) AS swx,
+        |         sum(r.w * r.y) AS swy, sum(r.w * r.x * r.x) AS swxx,
+        |         sum(r.w * r.x * r.y) AS swxy
+        |       FROM (SELECT DISTINCT f FROM r) k(f)
+        |       JOIN r ON r.f <> k.f GROUP BY k.f),
+        |fitm AS (SELECT tr.f, lgrid.lambda_idx, lgrid.lam,
+        |           swx/sw AS mx, swy/sw AS my,
+        |           swxy/sw - (swx/sw) * (swy/sw) AS cxy,
+        |           swxx/sw - (swx/sw) * (swx/sw) AS vx
+        |         FROM tr, lgrid),
+        |co AS (SELECT f, lambda_idx, lam, mx, my,
+        |         cxy / (vx * (1.0 + lam)) AS b FROM fitm),
+        |sc AS (SELECT co.lambda_idx, co.lam, co.f,
+        |         sum(r.w * (r.y - (co.my - co.b * co.mx) - co.b * r.x)
+        |             * (r.y - (co.my - co.b * co.mx) - co.b * r.x))
+        |           / sum(r.w) AS m
+        |       FROM co JOIN r ON r.f = co.f GROUP BY 1, 2, 3),
+        |curve AS (SELECT lambda_idx, lam, avg(m) AS cvm,
+        |                 stddev_samp(m) / sqrt(5) AS cvsd
+        |          FROM sc GROUP BY 1, 2)
+        |SELECT lambda_idx, round(lam, 4) AS lambda,
+        |       round(ln(cvm), 4) AS ln_cvm, round(ln(cvsd), 4) AS ln_cvsd
         |FROM curve ORDER BY lambda_idx""".stripMargin,
 
     // alpha-grid CV: the 1-feature elastic net at ANY alpha is the

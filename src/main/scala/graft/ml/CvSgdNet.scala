@@ -1363,6 +1363,45 @@ object CvSgdNet {
     } finally { withFold.unpersist(blocking = false) }
   }
 
+  /** Cross-validation WITH OBSERVATION WEIGHTS (cv.glmnet `weights`):
+    * the generic per-fold route — each fold trains through
+    * [[SgdNet.fitWeighted]] (gaussian / binomial / poisson; mgaussian
+    * via the multi-label overload) on the fold's train rows and scores
+    * held-out with the v-WEIGHTED measure Σv·err/Σv, glmnet's weighted
+    * CV convention. k+1 weighted fits (no shared-pass fusion — the
+    * correctness-first route; the unweighted families keep their fused
+    * one-pass/shared-IRLS paths). Zero-weight rows drop from training
+    * and contribute nothing to scoring — consistent on both sides. */
+  def fitWeighted(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                  weightCol: String,
+                  params: SgdNetParams = SgdNetParams(),
+                  nfolds: Int = 10,
+                  measure: String = "deviance",
+                  foldCol: Column = null): CvResult = {
+    require(nfolds >= 2, "nfolds must be at least 2")
+    require(Set("deviance", "mse", "mae").contains(measure),
+      s"weighted CV supports deviance|mse|mae, not '$measure'")
+    val full = SgdNet.fitWeighted(df, featureCols, labelCol, weightCol, params)
+    val lambdas = full.lambda
+    val hashCols = (featureCols :+ labelCol).map(col)
+    val withFold = df.withColumn("__fold", foldExpr(foldCol, hashCols, nfolds))
+      .cache()
+    try {
+      val L = lambdas.length
+      val foldScores = Array.ofDim[Double](nfolds, L)
+      for (f <- 0 until nfolds) {
+        val train = withFold.filter(col("__fold") =!= f)
+        val test = withFold.filter(col("__fold") === f)
+        val m = SgdNet.fitWeighted(train, featureCols, labelCol, weightCol,
+          params.copy(lambda = lambdas))
+        val scores = scoreAllLambdasImpl(m, test, measure, weightCol)
+        for (l <- 0 until L) foldScores(f)(l) = scores(l)
+      }
+      val path = summarize(params.alpha, lambdas, foldScores, full)
+      CvResult(Seq(path), path)
+    } finally { withFold.unpersist(blocking = false); () }
+  }
+
   /** Per-group AUC (average-rank Mann–Whitney) with NO single-partition
     * sort anywhere — the grouped generalization of
     * [[SgdNetModel.aucOf]]'s two-pass rank: distinct (group, score)
@@ -1463,9 +1502,21 @@ object CvSgdNet {
 
   /** Held-out score per lambda in ONE aggregation over the test fold. */
   private def scoreAllLambdas(m: SgdNetModel, test: DataFrame,
-                              measure: String): Array[Double] = {
+                              measure: String): Array[Double] =
+    scoreAllLambdasImpl(m, test, measure, weightCol = null)
+
+  /** Per-lambda held-out scores; with `weightCol` non-null the measure
+    * is the v-weighted mean Σv·err/Σv (cv.glmnet weights semantics —
+    * normalization-free ratio, so raw weights are used as given). */
+  private def scoreAllLambdasImpl(m: SgdNetModel, test: DataFrame,
+                                  measure: String,
+                                  weightCol: String): Array[Double] = {
     val L = m.nLambda
     val label = col(m.responseNames(0))
+    def avg(e: Column): Column =
+      if (weightCol == null) org.apache.spark.sql.functions.avg(e)
+      else sum(col(weightCol).cast("double") * e) /
+        sum(col(weightCol).cast("double"))
     val cols: Seq[Column] = (0 until L).map { l =>
       (m.family, measure) match {
         case ("gaussian", "mae") =>

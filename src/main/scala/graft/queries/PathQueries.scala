@@ -506,6 +506,30 @@ object PathQueries {
       .orderBy("class", "term")
   }
 
+  /** WEIGHTED cross-validation (cv.glmnet weights): 1-feature weighted
+    * RIDGE over a fixed grid with portable Knuth folds — each fold's
+    * coefficients are the weighted-moment closed form
+    * b = cov_w(x,y)/(var_w(x)·(1+λ)) on that fold's TRAIN rows, and the
+    * held-out score is the v-weighted mse Σv·err/Σv, so the whole
+    * curve verifies against DuckDB (ln-encoded at 4 dp — the row-
+    * aggregated-scoring discipline of q_cv_mae). */
+  def cvWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitWeighted(li, Seq("l_quantity"), "l_extendedprice",
+      "l_linenumber",
+      SgdNetParams(alpha = 0.0, lambda = Array(256.0, 16.0, 1.0),
+        thresh = 1e-11, maxit = 100000),
+      nfolds = 5, measure = "mse", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"),
+        round(log(col("cvm")), 4).as("ln_cvm"),
+        round(log(col("cvsd")), 4).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
   def cvExactCurve(spark: SparkSession, dir: String): DataFrame =
     cvExactFit(spark, dir).curveDF(spark)
       .select(col("lambda_idx").cast("int").as("lambda_idx"),

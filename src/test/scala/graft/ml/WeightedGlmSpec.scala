@@ -138,6 +138,46 @@ class WeightedGlmSpec extends SparkSpec {
     ()
   }
 
+  test("weighted CV: unit weights match the unweighted moment-route CV; " +
+    "integer weights equal row duplication") {
+    val df = SparkSpec.regressionDF(spark)
+    val lambdas = Array(2.0, 0.5, 0.1)
+    val params = SgdNetParams(alpha = 0.0, lambda = lambdas,
+      thresh = 1e-11, maxit = 100000)
+    val fold = pmod(xxhash64(col("x1"), col("x2"), col("y")), lit(3))
+    val w1 = df.withColumn("w", lit(1.0))
+    val cvW = CvSgdNet.fitWeighted(w1, Seq("x1", "x2"), "y", "w", params,
+      nfolds = 3, measure = "mse", foldCol = fold)
+    val cvU = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("y"), params,
+      nfolds = 3, measure = "mse", foldCol = fold)
+    for (l <- lambdas.indices)
+      assert(math.abs(cvW.best.cvm(l) - cvU.best.cvm(l)) <
+        1e-6 * math.max(1.0, cvU.best.cvm(l)), s"cvm($l)")
+    // integer weights == physically duplicated rows: duplicated rows
+    // hash to the SAME content fold, so the whole CV curve must agree
+    val wdf = df.withColumn("w",
+      (pmod(round(col("y") * 100).cast("long"), lit(3)) + 1).cast("double"))
+    val dup = wdf.withColumn("k",
+        explode(sequence(lit(1), col("w").cast("int"))))
+      .drop("k")
+    val foldW = pmod(xxhash64(col("x1"), col("x2"), col("y")), lit(3))
+    val cvI = CvSgdNet.fitWeighted(wdf, Seq("x1", "x2"), "y", "w", params,
+      nfolds = 3, measure = "mse", foldCol = foldW)
+    val cvD = CvSgdNet.fit(dup, Seq("x1", "x2"), Seq("y"), params,
+      nfolds = 3, measure = "mse", foldCol = foldW)
+    for (l <- lambdas.indices)
+      assert(math.abs(cvI.best.cvm(l) - cvD.best.cvm(l)) <
+        1e-5 * math.max(1.0, cvD.best.cvm(l)),
+        s"cvm($l): ${cvI.best.cvm(l)} vs ${cvD.best.cvm(l)}")
+    assert(cvI.best.lambdaMin === cvD.best.lambdaMin)
+    // measure contract
+    intercept[IllegalArgumentException] {
+      CvSgdNet.fitWeighted(w1, Seq("x1"), "y", "w", params, nfolds = 3,
+        measure = "auc")
+    }
+    ()
+  }
+
   test("pf = 0 with box limits: lambda_max projection respects a binding bound") {
     // one unpenalized coordinate (pf=0) under a non-negative bound whose
     // unconstrained sub-fit coefficient would be NEGATIVE: the projected
