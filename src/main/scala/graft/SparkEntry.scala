@@ -290,6 +290,8 @@ object SparkEntry {
     "q_hll"              -> (OpsQueries.hllQ _),
     "q_domain_reweight"  -> (OpsQueries.domainReweightQ _),
     "q_sign_flip"        -> (OpsQueries.signFlipQ _),
+    "q_wilcoxon"         -> (OpsQueries.wilcoxonQ _),
+    "q_ratio_ci"         -> (OpsQueries.ratioCiQ _),
     "q_theil_sen"        -> (OpsQueries.theilSenQ _),
     "q_hhi"              -> (OpsQueries.hhiQ _),
     "q_jsd"              -> (OpsQueries.jsdQ _),

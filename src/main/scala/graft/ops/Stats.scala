@@ -949,6 +949,101 @@ object Stats {
     out.withColumnRenamed("k", keyCol)
   }
 
+  /** Delta-method CI for a RATIO metric with clustered units (Deng et
+    * al. 2017's ratio-metric variance — the correct error bars for
+    * revenue-per-session, CTR and every other ratio whose numerator
+    * and denominator are summed per user): R = ΣX/ΣY with unit-level
+    * (X_u, Y_u), se² = (varX − 2R·covXY + R²·varY) / (n·ȳ²) on the
+    * unit-level SAMPLE moments. All sums are exact decimal(38,0) over
+    * integral (cent) inputs, so only the final se/CI arithmetic is
+    * IEEE — one fixed expression any engine replays. Returns one row
+    * (n_units, sum_num, sum_den, ratio, se, ci_lo, ci_hi) with the
+    * 95% normal interval R ± 1.96·se. */
+  def ratioMetricCI(df: DataFrame, unitCol: String,
+                    numCol: org.apache.spark.sql.Column,
+                    denCol: org.apache.spark.sql.Column,
+                    outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val units = df.filter(col(unitCol).isNotNull)
+      .groupBy(col(unitCol))
+      .agg(sum(numCol.cast("long")).as("x"), sum(denCol.cast("long")).as("y"))
+      .select(col("x").cast("decimal(38,0)").as("x"),
+        col("y").cast("decimal(38,0)").as("y"))
+    val m = units.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .head()
+    val n = m.getLong(0)
+    require(n >= 2, "need at least two units")
+    def d(i: Int) = BigDecimal(m.getDecimal(i))
+    val (sx, sy, sxx, syy, sxy) = (d(1), d(2), d(3), d(4), d(5))
+    require(sy != 0, "denominator total is zero")
+    val nd = n.toDouble
+    val ratio = sx.toDouble / sy.toDouble
+    val my = sy.toDouble / nd
+    // unit-level SAMPLE (co)variances from exact integer moments
+    val varX = (sxx.toDouble - sx.toDouble * sx.toDouble / nd) / (nd - 1.0)
+    val varY = (syy.toDouble - sy.toDouble * sy.toDouble / nd) / (nd - 1.0)
+    val covXY = (sxy.toDouble - sx.toDouble * sy.toDouble / nd) / (nd - 1.0)
+    val se = math.sqrt(
+      (varX - 2.0 * ratio * covXY + ratio * ratio * varY) / (nd * my * my))
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((n, sx.toLong, sy.toLong, rd(ratio), rd(se),
+      rd(ratio - 1.96 * se), rd(ratio + 1.96 * se)))
+      .toDF("n_units", "sum_num", "sum_den", "ratio", "se", "ci_lo", "ci_hi")
+  }
+
+  /** Wilcoxon signed-rank test of H0: the per-key INTEGRAL differences
+    * are symmetric about 0 — the rank-based companion to
+    * [[signFlipTest]] (and the paired analogue of
+    * [[Drift.mannWhitneyU]]). Zeros drop (the standard convention);
+    * |d| midranks come from the DOUBLED-midrank identity
+    * 2·midrank(v) = 2·cumBefore(v) + t_v + 1, so W⁺ and the tie
+    * correction Σ(t³−t) are exact integers, and the tie-corrected
+    * normal z = (2W⁺ − n(n+1)/2) / sqrt(n(n+1)(2n+1)/6 − T/12) is ONE
+    * fixed IEEE expression on them. Ranks run through
+    * [[Ranking.globalRank]]'s two-pass range scan — no
+    * single-partition window at any scale. Returns one row
+    * (n, w_plus_x2, ties_t3, z). */
+  def wilcoxonSignedRank(df: DataFrame, keyCol: String,
+                         diffCol: org.apache.spark.sql.Column,
+                         outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(keyCol).cast("string").as("u"),
+        diffCol.cast("long").as("d"))
+      .filter(col("u").isNotNull && col("d").isNotNull && col("d") =!= 0L)
+      .select(col("u"), col("d"), abs(col("d")).as("ad"))
+    val ranked = Ranking.globalRank(rows, Seq(col("ad"), col("u")))
+    // per-|d| group: cumBefore = min(rank) − 1; doubled midrank is
+    // integral; W2 accumulates positives only
+    val grid = ranked.groupBy(col("ad"))
+      .agg(min(col("rank")).as("r0"), count(lit(1)).as("t"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
+      .select(col("ad"), col("t"), col("pos"),
+        (lit(2L) * (col("r0") - 1L) + col("t") + 1L).as("mid2"))
+    val agg = grid.agg(
+        sum(col("t")).as("n"),
+        sum(col("pos") * col("mid2")).as("w2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tt"))
+      .head()
+    val n = agg.getLong(0)
+    require(n > 0, "no nonzero differences")
+    val w2 = agg.getLong(1)
+    val tt = agg.getLong(2)
+    val z = (w2.toDouble - (n.toDouble * (n + 1).toDouble) / 2.0) /
+      math.sqrt(n.toDouble * (n + 1).toDouble * (2 * n + 1).toDouble / 6.0 -
+        tt.toDouble / 12.0)
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((n, w2, tt, rd(z))).toDF("n", "w_plus_x2", "ties_t3", "z")
+  }
+
   /** Sign-flip randomization test of H0: E[d] = 0 on per-key INTEGRAL
     * differences (the paired-permutation test; Fisher 1935) with
     * DETERMINISTIC md5-derived flips — flip k negates key `u` iff bit

@@ -5993,6 +5993,61 @@ object OpsOracles {
         |       iso.iso_ppm
         |FROM g JOIN iso USING (bin) ORDER BY g.bin""".stripMargin.trim,
 
+    // Wilcoxon signed-rank: doubled midranks keep W+ and the tie
+    // correction integral; the tie-corrected z is one fixed IEEE
+    // expression on exact BIGINTs
+    "q_wilcoxon" ->
+      """WITH d0 AS (SELECT user_id AS u,
+        |    (sum(CASE WHEN event_type = 'purchase'
+        |          THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END)
+        |     - sum(CASE WHEN event_type = 'click'
+        |          THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END))::BIGINT AS d
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |d AS (SELECT u, d, abs(d) AS ad FROM d0 WHERE d <> 0),
+        |g AS (SELECT ad, count(*)::BIGINT AS t,
+        |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS pos
+        |  FROM d GROUP BY ad),
+        |w AS (SELECT ad, t, pos,
+        |    (2 * sum(t) OVER (ORDER BY ad) - t + 1)::BIGINT AS mid2 FROM g),
+        |a AS (SELECT sum(t)::BIGINT AS n, sum(pos * mid2)::BIGINT AS w2,
+        |    sum(t * t * t - t)::BIGINT AS tt FROM w)
+        |SELECT n, w2 AS w_plus_x2, tt AS ties_t3,
+        |  round((w2::DOUBLE - (n::DOUBLE * (n + 1)::DOUBLE) / 2.0)
+        |    / sqrt(n::DOUBLE * (n + 1)::DOUBLE * (2 * n + 1)::DOUBLE / 6.0
+        |           - tt::DOUBLE / 12.0), 6) + 0 AS z
+        |FROM a""".stripMargin.trim,
+
+    // ratio-metric delta-method CI: exact HUGEINT unit moments, one
+    // fixed IEEE sequence for ratio/se/CI
+    "q_ratio_ci" ->
+      """WITH un AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END)::HUGEINT AS x,
+        |    count(*)::HUGEINT AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx,
+        |    sum(y)::HUGEINT AS sy, sum(x * x)::HUGEINT AS sxx,
+        |    sum(y * y)::HUGEINT AS syy, sum(x * y)::HUGEINT AS sxy FROM un),
+        |e AS (SELECT n, sx, sy,
+        |    sx::DOUBLE / sy::DOUBLE AS ratio,
+        |    sy::DOUBLE / n::DOUBLE AS my,
+        |    (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n::DOUBLE)
+        |      / (n::DOUBLE - 1.0) AS varx,
+        |    (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE)
+        |      / (n::DOUBLE - 1.0) AS vary,
+        |    (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n::DOUBLE)
+        |      / (n::DOUBLE - 1.0) AS covxy
+        |  FROM m),
+        |f AS (SELECT n, sx, sy, ratio,
+        |    sqrt((varx - 2.0::DOUBLE * ratio * covxy + ratio * ratio * vary)
+        |         / (n::DOUBLE * my * my)) AS se
+        |  FROM e)
+        |SELECT n AS n_units, sx::BIGINT AS sum_num, sy::BIGINT AS sum_den,
+        |  round(ratio, 6) + 0 AS ratio, round(se, 6) + 0 AS se,
+        |  round(ratio - 1.96::DOUBLE * se, 6) + 0 AS ci_lo,
+        |  round(ratio + 1.96::DOUBLE * se, 6) + 0 AS ci_hi
+        |FROM f""".stripMargin.trim,
+
     // sign-flip randomization test: md5-bit deterministic flips over
     // integral per-user cent diffs - every statistic an exact BIGINT
     "q_sign_flip" ->

@@ -2525,6 +2525,27 @@ object OpsQueries {
     Evaluation.fleissKappa(tbl(spark, dir, "lineitem"),
       col("l_orderkey"), col("l_returnflag"), nRaters = 4)
 
+  /** Wilcoxon signed-rank test over the same per-user purchase-minus-
+    * click cent diffs as q_sign_flip (the rank-based paired test). */
+  def wilcoxonQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    val d = ev.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)) -
+        sum(when(col("event_type") === "click",
+          round(col("value") * 100).cast("long")).otherwise(0L))).as("d"))
+    Stats.wilcoxonSignedRank(d, "user_id", col("d"))
+  }
+
+  /** Delta-method CI for purchase cents per event, clustered by user
+    * (the ratio-metric error bars of Deng et al. 2017). */
+  def ratioCiQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.ratioMetricCI(tbl(spark, dir, "events"), "user_id",
+      when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L),
+      lit(1L))
+
   /** Sign-flip randomization test: does per-user purchase spend exceed
     * click spend? (integral cents diffs, md5-deterministic flips). */
   def signFlipQ(spark: SparkSession, dir: String): DataFrame = {

@@ -101,6 +101,51 @@ class StatOpsSpec extends SparkSpec {
     assert(a.map(_.toSeq).sameElements(b.map(_.toSeq)))
   }
 
+  test("wilcoxonSignedRank: hand-computed ranks, midrank ties, zero drop") {
+    import spark.implicits._
+    // d = {+1, +2, -3, +4}: ranks of |d| are 1..4, W+ = 1+2+4 = 7
+    val a = Stats.wilcoxonSignedRank(
+      Seq(("a", 1L), ("b", 2L), ("c", -3L), ("d", 4L)).toDF("u", "d"),
+      "u", col("d")).head()
+    assert(a.getLong(0) === 4L && a.getLong(1) === 14L && a.getLong(2) === 0L)
+    assert(math.abs(a.getDouble(3) - 4.0 / math.sqrt(30.0)) < 1e-6)
+    // ties: d = {+1, -1, +2} -> midranks 1.5, 1.5, 3; positives are
+    // +1 (1.5) and +2 (3) -> W+ = 4.5, doubled W2 = 9; T = 2^3 - 2 = 6
+    val b = Stats.wilcoxonSignedRank(
+      Seq(("a", 1L), ("b", -1L), ("c", 2L), ("z", 0L)).toDF("u", "d"),
+      "u", col("d")).head()
+    assert(b.getLong(0) === 3L, "zero diff drops")
+    assert(b.getLong(1) === 9L && b.getLong(2) === 6L)
+    // z = (W2 - n(n+1)/2) / sqrt(n(n+1)(2n+1)/6 - T/12) = 3/sqrt(13.5)
+    assert(math.abs(b.getDouble(3) - 3.0 / math.sqrt(13.5)) < 1e-6)
+    // partition invariance (two-pass global rank, integral sums)
+    val big = (1 to 300).map(i => (s"u$i", if (i % 3 == 0) -i.toLong else i.toLong))
+      .toDF("u", "d")
+    val r1 = Stats.wilcoxonSignedRank(big, "u", col("d")).head()
+    val r2 = Stats.wilcoxonSignedRank(big.repartition(17), "u", col("d")).head()
+    assert(r1.toSeq === r2.toSeq)
+  }
+
+  test("ratioMetricCI: hand-computed delta-method variance") {
+    import spark.implicits._
+    // units (x, y): (10,2), (20,4), (30,4) -> R = 6, varX = 100,
+    // varY = 4/3, covXY = 10; se^2 = (100 - 120 + 48) / (3 * (10/3)^2)
+    val df = Seq(("u1", 10L, 2L), ("u2", 20L, 4L), ("u3", 30L, 4L))
+      .toDF("u", "x", "y")
+    val r = Stats.ratioMetricCI(df, "u", col("x"), col("y")).head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 60L && r.getLong(2) === 10L)
+    assert(math.abs(r.getDouble(3) - 6.0) < 1e-9)
+    val se = math.sqrt(28.0 / (3.0 * (10.0 / 3.0) * (10.0 / 3.0)))
+    assert(math.abs(r.getDouble(4) - se) < 1e-6)
+    assert(math.abs(r.getDouble(5) - (6.0 - 1.96 * se)) < 1e-5)
+    assert(math.abs(r.getDouble(6) - (6.0 + 1.96 * se)) < 1e-5)
+    // degenerate contracts
+    intercept[IllegalArgumentException] {
+      Stats.ratioMetricCI(df.limit(1), "u", col("x"), col("y"))
+    }
+    ()
+  }
+
   test("signFlipTest: null diffs, strong signal rejects, partition-invariant") {
     import spark.implicits._
     // all-zero diffs: every flipped statistic ties the observed 0 ->
