@@ -292,6 +292,7 @@ object SparkEntry {
     "q_sign_flip"        -> (OpsQueries.signFlipQ _),
     "q_wilcoxon"         -> (OpsQueries.wilcoxonQ _),
     "q_ratio_ci"         -> (OpsQueries.ratioCiQ _),
+    "q_cmh"              -> (OpsQueries.cmhQ _),
     "q_theil_sen"        -> (OpsQueries.theilSenQ _),
     "q_hhi"              -> (OpsQueries.hhiQ _),
     "q_jsd"              -> (OpsQueries.jsdQ _),

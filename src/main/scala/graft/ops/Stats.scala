@@ -949,6 +949,62 @@ object Stats {
     out.withColumnRenamed("k", keyCol)
   }
 
+  /** Cochran–Mantel–Haenszel test of conditional independence across
+    * K strata of 2×2 tables (the stratified A/B guardrail: does the
+    * exposure–outcome association survive controlling for the
+    * stratifier?), plus the MH pooled odds ratio. Per stratum with
+    * margins (n1k = exposed, m1k = outcomes, nk = total) and exposed-
+    * outcome cell a_k: E_k = n1k·m1k/nk,
+    * V_k = n1k·n0k·m1k·m0k/(nk²(nk−1)); the CMH statistic
+    * (Σa − ΣE)²/ΣV is chi²(1); OR_MH = Σ(a·d/n)/Σ(b·c/n). ONE grouped
+    * aggregation to the stratum-bounded table (integer cells), then
+    * fixed IEEE arithmetic over a SORTED-stratum fold both engines
+    * replay. Degenerate strata (a margin of 0, or nk < 2) contribute
+    * nothing, the standard convention. Returns one row
+    * (n_strata, a_total, e_total, v_total, cmh_chi2, or_mh). */
+  def cmhTest(df: DataFrame, stratumCol: org.apache.spark.sql.Column,
+              exposedCol: org.apache.spark.sql.Column,
+              outcomeCol: org.apache.spark.sql.Column,
+              outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.select(stratumCol.cast("string").as("s"),
+        exposedCol.cast("boolean").as("e"), outcomeCol.cast("boolean").as("o"))
+      .filter(col("s").isNotNull && col("e").isNotNull && col("o").isNotNull)
+      .groupBy("s")
+      .agg(sum(when(col("e") && col("o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("e") && !col("o"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("e") && col("o"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("e") && !col("o"), 1L).otherwise(0L)).as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1) // deterministic fold order for the double sums
+    require(cells.nonEmpty, "no strata")
+    var aT = 0.0; var eT = 0.0; var vT = 0.0
+    var orNum = 0.0; var orDen = 0.0
+    cells.foreach { case (_, a, b, c, dd) =>
+      val n1 = a + b; val n0 = c + dd
+      val m1 = a + c; val m0 = b + dd
+      val nk = n1 + n0
+      if (nk >= 2 && n1 > 0 && n0 > 0 && m1 > 0 && m0 > 0) {
+        val nkd = nk.toDouble
+        aT += a.toDouble
+        eT += n1.toDouble * m1.toDouble / nkd
+        vT += n1.toDouble * n0.toDouble * m1.toDouble * m0.toDouble /
+          (nkd * nkd * (nkd - 1.0))
+        orNum += a.toDouble * dd.toDouble / nkd
+        orDen += b.toDouble * c.toDouble / nkd
+      }
+    }
+    require(vT > 0, "no stratum carries variance — degenerate margins")
+    val chi2 = (aT - eT) * (aT - eT) / vT
+    val orMh = if (orDen > 0) orNum / orDen else Double.NaN
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((cells.length.toLong, aT.toLong, rd(eT), rd(vT), rd(chi2), rd(orMh)))
+      .toDF("n_strata", "a_total", "e_total", "v_total", "cmh_chi2", "or_mh")
+  }
+
   /** Delta-method CI for a RATIO metric with clustered units (Deng et
     * al. 2017's ratio-metric variance — the correct error bars for
     * revenue-per-session, CTR and every other ratio whose numerator

@@ -5993,6 +5993,48 @@ object OpsOracles {
         |       iso.iso_ppm
         |FROM g JOIN iso USING (bin) ORDER BY g.bin""".stripMargin.trim,
 
+    // CMH: integer 2x2 cells per stratum, degenerate strata skipped,
+    // sorted-stratum ordered fold for the double sums
+    "q_cmh" ->
+      """WITH cl AS (SELECT (day(ts) % 7)::VARCHAR AS s,
+        |    (user_id % 2 = 0) AS e, (event_type = 'purchase') AS o
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |g AS (SELECT s,
+        |    sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM cl GROUP BY s),
+        |t AS (SELECT s, a, b, c, d,
+        |    (a + b)::DOUBLE AS n1, (c + d)::DOUBLE AS n0,
+        |    (a + c)::DOUBLE AS m1, (b + d)::DOUBLE AS m0,
+        |    (a + b + c + d)::DOUBLE AS nk,
+        |    (a + b > 0 AND c + d > 0 AND a + c > 0 AND b + d > 0
+        |     AND a + b + c + d >= 2) AS ok
+        |  FROM g),
+        |f AS (SELECT count(*)::BIGINT AS n_strata,
+        |    list_aggregate(list(CASE WHEN ok THEN a::DOUBLE ELSE 0 END
+        |      ORDER BY s), 'sum') AS at,
+        |    list_aggregate(list(CASE WHEN ok THEN n1 * m1 / nk ELSE 0 END
+        |      ORDER BY s), 'sum') AS et,
+        |    list_aggregate(list(CASE WHEN ok
+        |      THEN n1 * n0 * m1 * m0 / (nk * nk * (nk - 1.0)) ELSE 0 END
+        |      ORDER BY s), 'sum') AS vt,
+        |    list_aggregate(list(CASE WHEN ok
+        |      THEN a::DOUBLE * d::DOUBLE / nk ELSE 0 END
+        |      ORDER BY s), 'sum') AS orn,
+        |    list_aggregate(list(CASE WHEN ok
+        |      THEN b::DOUBLE * c::DOUBLE / nk ELSE 0 END
+        |      ORDER BY s), 'sum') AS ord
+        |  FROM t)
+        |SELECT n_strata, at::BIGINT AS a_total, round(et, 6) + 0 AS e_total,
+        |  round(vt, 6) + 0 AS v_total,
+        |  round((at - et) * (at - et) / vt, 6) + 0 AS cmh_chi2,
+        |  round(orn / ord, 6) + 0 AS or_mh
+        |FROM f""".stripMargin.trim,
+
     // Wilcoxon signed-rank: doubled midranks keep W+ and the tie
     // correction integral; the tie-corrected z is one fixed IEEE
     // expression on exact BIGINTs

@@ -2525,6 +2525,15 @@ object OpsQueries {
     Evaluation.fleissKappa(tbl(spark, dir, "lineitem"),
       col("l_orderkey"), col("l_returnflag"), nRaters = 4)
 
+  /** Cochran–Mantel–Haenszel test: user-parity "exposure" vs purchase
+    * outcome, stratified by day-of-month mod 7 (an engine-neutral
+    * stratifier — dayofweek numbering differs between engines). */
+  def cmhQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.cmhTest(tbl(spark, dir, "events"),
+      pmod(dayofmonth(col("ts")), lit(7)),
+      pmod(col("user_id"), lit(2)) === 0,
+      col("event_type") === "purchase")
+
   /** Wilcoxon signed-rank test over the same per-user purchase-minus-
     * click cent diffs as q_sign_flip (the rank-based paired test). */
   def wilcoxonQ(spark: SparkSession, dir: String): DataFrame = {

@@ -126,6 +126,29 @@ class StatOpsSpec extends SparkSpec {
     assert(r1.toSeq === r2.toSeq)
   }
 
+  test("cmhTest: hand-computed two-stratum tables; degenerate strata skipped") {
+    import spark.implicits._
+    // stratum A: a=3 b=1 c=1 d=3 (n=8, E=2, V=4*4*4*4/(64*7)=4/7)
+    // stratum B: a=2 b=2 c=2 d=2 (n=8, E=2, V=4/7)
+    def rows(s: String, e: Boolean, o: Boolean, k: Int) =
+      Seq.fill(k)((s, e, o))
+    val df = (rows("A", true, true, 3) ++ rows("A", true, false, 1) ++
+      rows("A", false, true, 1) ++ rows("A", false, false, 3) ++
+      rows("B", true, true, 2) ++ rows("B", true, false, 2) ++
+      rows("B", false, true, 2) ++ rows("B", false, false, 2) ++
+      // degenerate stratum: no unexposed rows — contributes nothing
+      rows("Z", true, true, 4))
+      .toDF("s", "e", "o")
+    val r = Stats.cmhTest(df, col("s"), col("e"), col("o")).head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 5L)
+    assert(math.abs(r.getDouble(2) - 4.0) < 1e-9)          // E total
+    assert(math.abs(r.getDouble(3) - 8.0 / 7.0) < 1e-6)    // V total
+    // chi2 = (5-4)^2 / (8/7) = 7/8
+    assert(math.abs(r.getDouble(4) - 0.875) < 1e-6)
+    // OR_MH = (3*3/8 + 2*2/8) / (1*1/8 + 2*2/8) = (13/8)/(5/8) = 2.6
+    assert(math.abs(r.getDouble(5) - 2.6) < 1e-6)
+  }
+
   test("ratioMetricCI: hand-computed delta-method variance") {
     import spark.implicits._
     // units (x, y): (10,2), (20,4), (30,4) -> R = 6, varX = 100,
