@@ -293,6 +293,7 @@ object SparkEntry {
     "q_wilcoxon"         -> (OpsQueries.wilcoxonQ _),
     "q_ratio_ci"         -> (OpsQueries.ratioCiQ _),
     "q_cmh"              -> (OpsQueries.cmhQ _),
+    "q_friedman"         -> (OpsQueries.friedmanQ _),
     "q_theil_sen"        -> (OpsQueries.theilSenQ _),
     "q_hhi"              -> (OpsQueries.hhiQ _),
     "q_jsd"              -> (OpsQueries.jsdQ _),

@@ -949,6 +949,62 @@ object Stats {
     out.withColumnRenamed("k", keyCol)
   }
 
+  /** Friedman test — the repeated-measures rank ANOVA (k treatments
+    * ranked WITHIN each block): does any treatment stochastically
+    * dominate once block effects are removed? Blocks missing any
+    * treatment drop (reported). Within-block DOUBLED midranks
+    * r2 = 2·rank_min + t − 1 keep every sum integral, and the
+    * tie-corrected statistic is the exact integer ratio
+    * χ² = (k−1)·Σ_j (R2_j − n(k+1))² / (Σ r2² − n·k·(k+1)²)
+    * (the Conover form with numerator and denominator scaled ×4) —
+    * ONE IEEE division at the end. Ranks run in k-bounded per-block
+    * windows (never corpus-wide). Returns one row
+    * (n_blocks, k, n_dropped, chi2). */
+  def friedmanTest(df: DataFrame, blockCol: org.apache.spark.sql.Column,
+                   treatCol: org.apache.spark.sql.Column,
+                   valueCol: org.apache.spark.sql.Column,
+                   outDigits: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(blockCol.cast("string").as("b"),
+        treatCol.cast("string").as("tr"), valueCol.cast("long").as("v"))
+      .filter(col("b").isNotNull && col("tr").isNotNull && col("v").isNotNull)
+      .groupBy("b", "tr").agg(sum(col("v")).as("v"))
+      .localCheckpoint(false) // k-count + block filter + ranks share it
+    val k = cells.select(col("tr")).distinct().count()
+    require(k >= 2, "need at least two treatments")
+    val sized = cells.withColumn("cnt",
+      count(lit(1)).over(Window.partitionBy(col("b"))))
+    val nDropped = sized.filter(col("cnt") =!= k)
+      .select(col("b")).distinct().count()
+    val kept = sized.filter(col("cnt") === k)
+    val ranked = kept
+      .withColumn("rmin",
+        rank().over(Window.partitionBy(col("b")).orderBy(col("v"))))
+      .withColumn("t",
+        count(lit(1)).over(Window.partitionBy(col("b"), col("v"))))
+      .withColumn("r2", lit(2L) * col("rmin") + col("t") - 1L)
+    val perTreat = ranked.groupBy("tr").agg(sum(col("r2")).as("r2j"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val tot = ranked.agg(
+        sum(col("r2") * col("r2")).as("a2x4"),
+        countDistinct(col("b")).as("n")).head()
+    val a2x4 = tot.getLong(0)
+    val n = tot.getLong(1)
+    require(n > 0, "no complete blocks")
+    val nk1 = n * (k + 1)
+    val num = BigInt(k - 1) *
+      perTreat.map { case (_, r2j) => BigInt(r2j - nk1) * BigInt(r2j - nk1) }.sum
+    val denom = BigInt(a2x4) - BigInt(n) * BigInt(k) * BigInt((k + 1) * (k + 1))
+    require(denom > 0, "all values tied within every block — no variance")
+    val chi2 = num.toDouble / denom.toDouble
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((n, k, nDropped, rd(chi2)))
+      .toDF("n_blocks", "k", "n_dropped", "chi2")
+  }
+
   /** Cochran–Mantel–Haenszel test of conditional independence across
     * K strata of 2×2 tables (the stratified A/B guardrail: does the
     * exposure–outcome association survive controlling for the

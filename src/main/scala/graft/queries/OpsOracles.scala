@@ -5993,6 +5993,39 @@ object OpsOracles {
         |       iso.iso_ppm
         |FROM g JOIN iso USING (bin) ORDER BY g.bin""".stripMargin.trim,
 
+    // Friedman: within-block doubled midranks (2*rank_min + t - 1)
+    // keep the tie-corrected statistic an exact integer ratio
+    "q_friedman" ->
+      """WITH cells AS (SELECT user_id::VARCHAR AS b, event_type AS tr,
+        |    sum(CAST(round(value * 100.0) AS BIGINT))::BIGINT AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT tr)::BIGINT AS k FROM cells),
+        |sized AS (SELECT cells.*, count(*) OVER (PARTITION BY b) AS cnt
+        |  FROM cells),
+        |kept AS (SELECT sized.* FROM sized, kk WHERE sized.cnt = kk.k),
+        |rk AS (SELECT b, tr, v,
+        |    (2 * rank() OVER (PARTITION BY b ORDER BY v)
+        |     + count(*) OVER (PARTITION BY b, v) - 1)::BIGINT AS r2
+        |  FROM kept),
+        |pt AS (SELECT tr, sum(r2)::BIGINT AS r2j FROM rk GROUP BY tr),
+        |tot AS (SELECT sum(r2 * r2)::BIGINT AS a2x4,
+        |    count(DISTINCT b)::BIGINT AS n FROM rk),
+        |dr AS (SELECT count(DISTINCT b)::BIGINT AS nd FROM sized, kk
+        |  WHERE sized.cnt <> kk.k),
+        |agg AS (SELECT (SELECT k FROM kk) AS k, tot.n, tot.a2x4,
+        |    (SELECT nd FROM dr) AS nd,
+        |    (SELECT sum((r2j - tot.n * ((SELECT k FROM kk) + 1))
+        |              * (r2j - tot.n * ((SELECT k FROM kk) + 1))) FROM pt)
+        |      ::HUGEINT AS ss
+        |  FROM tot)
+        |SELECT n AS n_blocks, k, nd AS n_dropped,
+        |  round(((k - 1) * ss)::DOUBLE
+        |    / (a2x4 - n * k * (k + 1) * (k + 1))::DOUBLE, 6) + 0 AS chi2
+        |FROM agg""".stripMargin.trim,
+
     // CMH: integer 2x2 cells per stratum, degenerate strata skipped,
     // sorted-stratum ordered fold for the double sums
     "q_cmh" ->

@@ -2525,6 +2525,13 @@ object OpsQueries {
     Evaluation.fleissKappa(tbl(spark, dir, "lineitem"),
       col("l_orderkey"), col("l_returnflag"), nRaters = 4)
 
+  /** Friedman test: do event types differ in per-user cent spend once
+    * user effects are blocked out? */
+  def friedmanQ(spark: SparkSession, dir: String): DataFrame =
+    Stats.friedmanTest(tbl(spark, dir, "events"),
+      col("user_id"), col("event_type"),
+      round(col("value") * 100).cast("long"))
+
   /** Cochran–Mantel–Haenszel test: user-parity "exposure" vs purchase
     * outcome, stratified by day-of-month mod 7 (an engine-neutral
     * stratifier — dayofweek numbering differs between engines). */

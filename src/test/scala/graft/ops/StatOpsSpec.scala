@@ -126,6 +126,32 @@ class StatOpsSpec extends SparkSpec {
     assert(r1.toSeq === r2.toSeq)
   }
 
+  test("friedmanTest: textbook no-tie case; incomplete blocks drop; tie correction") {
+    import spark.implicits._
+    // 3 blocks × 3 treatments, treatment C always best, A always worst:
+    // ranks per block (A,B,C) = (1,2,3); R_j = (3,6,9); no ties.
+    // chi2 = 12/(n k (k+1)) ΣR² − 3n(k+1) = 12/36·(9+36+81) − 36 = 6
+    val df = (for {
+      b <- 1 to 3
+      (tr, v) <- Seq(("A", 10L), ("B", 20L), ("C", 30L))
+    } yield (s"b$b", tr, v + b)).toDF("b", "tr", "v")
+    val r = Stats.friedmanTest(df, col("b"), col("tr"), col("v")).head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L && r.getLong(2) === 0L)
+    assert(math.abs(r.getDouble(3) - 6.0) < 1e-9)
+    // an incomplete block drops and is counted
+    val withBad = df.unionAll(Seq(("b9", "A", 5L)).toDF("b", "tr", "v"))
+    val r2 = Stats.friedmanTest(withBad, col("b"), col("tr"), col("v")).head()
+    assert(r2.getLong(0) === 3L && r2.getLong(2) === 1L)
+    assert(r2.getDouble(3) === r.getDouble(3))
+    // full ties within every block reject (zero denominator)
+    intercept[IllegalArgumentException] {
+      Stats.friedmanTest(
+        (for { b <- 1 to 2; tr <- Seq("A", "B") } yield (s"b$b", tr, 7L))
+          .toDF("b", "tr", "v"), col("b"), col("tr"), col("v"))
+    }
+    ()
+  }
+
   test("cmhTest: hand-computed two-stratum tables; degenerate strata skipped") {
     import spark.implicits._
     // stratum A: a=3 b=1 c=1 d=3 (n=8, E=2, V=4*4*4*4/(64*7)=4/7)
