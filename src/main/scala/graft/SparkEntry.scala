@@ -67,6 +67,7 @@ object SparkEntry {
     "q_cv_exact_predict" -> (PathQueries.cvExactPredict _),
     "q_cv_limits"        -> (PathQueries.cvLimits _),
     "q_cv_weighted"      -> (PathQueries.cvWeighted _),
+    "q_cv_weighted_auc"  -> (PathQueries.cvWeightedAuc _),
     "q_multinom_pf"      -> (PathQueries.multinomPf _),
     "q_weighted_binom"   -> (MlQueries.weightedBinom _),
     "q_weighted_poisson" -> (MlQueries.weightedPoisson _),
@@ -1235,6 +1236,62 @@ object SparkEntry {
         |          FROM sc GROUP BY 1, 2)
         |SELECT lambda_idx, round(lam, 4) AS lambda,
         |       round(ln(cvm), 4) AS ln_cvm, round(ln(cvsd), 4) AS ln_cvsd
+        |FROM curve ORDER BY lambda_idx""".stripMargin,
+
+    // weighted CV over auc (cv.glmnet weights + the rank measure): the
+    // q_cv_auc closed form with WEIGHTED train moments for the KKT
+    // activity check, and the v-weighted continuous-mass rank statistic
+    // (cells of mass Σv; per-cell midrank cum_below + cnt/2; correction
+    // P²/2) — all mass sums are integer/half-integer doubles, exact on
+    // both engines
+    "q_cv_weighted_auc" ->
+      """WITH r AS (
+        |  SELECT l_quantity AS x,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+        |    l_linenumber::DOUBLE AS v,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |lgrid AS (SELECT lambda_idx, lam::DOUBLE AS lam
+        |          FROM (VALUES (0, 0.01), (1, 0.003), (2, 0.001),
+        |          (3, 0.0005), (4, 0.0002), (5, 0.00005)) AS t(lambda_idx, lam)),
+        |tot AS (SELECT sum(v) w, sum(v*x) sx, sum(v*y) sy,
+        |               sum(v*x*x) sxx, sum(v*x*y) sxy FROM r),
+        |pf AS (SELECT f, sum(v) w, sum(v*x) sx, sum(v*y) sy,
+        |              sum(v*x*x) sxx, sum(v*x*y) sxy FROM r GROUP BY f),
+        |g AS (SELECT pf.f,
+        |        ((tot.sxy-pf.sxy)/(tot.w-pf.w)
+        |          - ((tot.sx-pf.sx)/(tot.w-pf.w))*((tot.sy-pf.sy)/(tot.w-pf.w)))
+        |        / sqrt((tot.sxx-pf.sxx)/(tot.w-pf.w)
+        |          - ((tot.sx-pf.sx)/(tot.w-pf.w))*((tot.sx-pf.sx)/(tot.w-pf.w)))
+        |        AS grad
+        |      FROM pf, tot),
+        |cells AS (SELECT f, x, sum(v) AS cnt, sum(v*y) AS pos
+        |          FROM r GROUP BY f, x),
+        |k AS (SELECT f, pos,
+        |        sum(cnt) OVER (PARTITION BY f ORDER BY x) - cnt/2.0 AS mida,
+        |        sum(cnt) OVER (PARTITION BY f ORDER BY x DESC) - cnt/2.0 AS midd
+        |      FROM cells),
+        |a AS (SELECT f, sum(pos * mida) rpa, sum(pos * midd) rpd,
+        |             sum(pos) np
+        |      FROM k GROUP BY f),
+        |tots AS (SELECT f, sum(cnt) AS mass FROM cells GROUP BY f),
+        |aucf AS (SELECT a.f, (rpa - np*np/2) / (np*(mass-np)) AS auc_a,
+        |                (rpd - np*np/2) / (np*(mass-np)) AS auc_d
+        |         FROM a JOIN tots ON a.f = tots.f),
+        |fl AS (SELECT lgrid.lambda_idx, lgrid.lam, g.f,
+        |         CASE WHEN abs(g.grad) <= lgrid.lam THEN 0.5
+        |              WHEN g.grad > 0 THEN aucf.auc_a
+        |              ELSE aucf.auc_d END AS m
+        |       FROM lgrid, g JOIN aucf ON g.f = aucf.f),
+        |curve AS (SELECT lambda_idx, lam,
+        |            list_aggregate(list(m ORDER BY f), 'sum') AS sm,
+        |            list(m ORDER BY f) AS la
+        |          FROM fl GROUP BY lambda_idx, lam)
+        |SELECT lambda_idx, round(lam, 6) AS lambda,
+        |       round(sm/5, 6) + 0 AS cvm,
+        |       round(sqrt(list_aggregate(list_transform(la,
+        |           x -> (x - sm/5)*(x - sm/5)), 'sum') / 4.0 / 5.0), 6) + 0 AS cvsd
         |FROM curve ORDER BY lambda_idx""".stripMargin,
 
     // alpha-grid CV: the 1-feature elastic net at ANY alpha is the

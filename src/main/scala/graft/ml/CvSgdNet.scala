@@ -998,6 +998,343 @@ object CvSgdNet {
     } finally rows.unpersist(blocking = false)
   }
 
+  // ----------------------------------- weighted binomial/poisson, shared CV
+
+  /** Shared-pass WEIGHTED binomial/poisson CV: the [[cvBinomialShared]]
+    * chassis with the frequency weight v folded into every IRLS
+    * accumulation — each row contributes w·v·norm_f to fold f's gram,
+    * exactly `SgdNet.fitWeightedGlm`'s per-row arithmetic tiled per
+    * fold. Each fold's weights renormalize to sum to ITS train-row
+    * count via a driver-side multiplier (v moments are linear), so each
+    * fold-model matches a standalone `SgdNet.fitWeighted` on its train
+    * rows within the convergence tolerance; the full-data model rides
+    * as the virtual fold and finishes with `fitWeightedGlm`'s
+    * v-weighted deviance pass. Held-out scores are Σv·err/Σv with raw
+    * v; binomial supports deviance|mse|mae|class|auc (auc via the
+    * continuous-mass weighted rank), poisson deviance|mse|mae. */
+  private def cvWeightedGlmShared(df: DataFrame, featureCols: Seq[String],
+                                  labelCol: String, weightCol: String,
+                                  params: SgdNetParams, nfolds: Int,
+                                  foldCol: Column, measure: String): CvPath = {
+    SgdNet.requireNoZeroPf(params, "shared weighted CV")
+    val p = featureCols.size
+    val binomial = params.family == "binomial"
+    val classes: Array[String] =
+      if (binomial) {
+        val cs = df.select(col(labelCol).cast("string")).distinct()
+          .limit(3).collect().map(_.getString(0)).sorted
+        require(cs.length == 2,
+          if (cs.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
+          else "only one class in response.")
+        cs
+      } else Array.empty
+    val yCol =
+      if (binomial) (col(labelCol).cast("string") === classes(1)).cast("double")
+      else col(labelCol).cast("double")
+    val hashCols = (featureCols :+ labelCol).map(col)
+    val rows = df
+      .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
+      .select((featureCols.map(c => col(c).cast("double")) :+
+        yCol :+ col(weightCol).cast("double") :+ col("__fold")): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = r.getDouble(j); j += 1 }
+        (r.getInt(p + 2), x, r.getDouble(p), r.getDouble(p + 1))
+      }
+      // v == 0 drops the observation everywhere: from training (glmnet)
+      // AND from the held-out ratio (zero mass in both sums)
+      .map { t => require(t._4 >= 0, "weights must be non-negative"); t }
+      .filter(_._4 > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      // fold count INCLUDING the virtual full-data fold (index nfolds)
+      val F = nfolds + 1
+      // ONE pass: per-fold RAW-v weighted moments + per-fold Σv
+      val zero = (Array.fill(nfolds)(new GramStats(p, 1)),
+        new Array[Double](nfolds))
+      val (perFold, wFold) = rows.treeAggregate(zero)(
+        (acc, t) => {
+          acc._1(t._1).addWeighted(t._2, Array(t._3), t._4)
+          acc._2(t._1) += t._4
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < nfolds) { a._1(i).merge(b._1(i)); a._2(i) += b._2(i); i += 1 }
+          a
+        }, depth = 2)
+      requireNonEmptyFolds(perFold.map(_.n), nfolds)
+      val total = new GramStats(p, 1)
+      perFold.foreach(total.merge)
+      val wTotal = wFold.sum
+      // index nfolds subtracts an EMPTY fold: train = all rows
+      val perFoldExt = perFold :+ new GramStats(p, 1)
+      val wFoldExt = wFold :+ 0.0
+      val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
+      // per-fold sum-to-n_train weight normalization (glmnet convention,
+      // per fold — a standalone weighted fit on the train rows uses it)
+      val norms = Array.tabulate(F)(f => nTrain(f) / (wTotal - wFoldExt(f)))
+      val trainStats = Array.tabulate(F) { f =>
+        val tr = new GramStats(p, 1).merge(total).subtract(perFoldExt(f))
+          .scaleWeights(norms(f))
+        SufficientStats.standardize(tr, params.standardize, params.intercept)
+      }
+      if (!binomial) trainStats.foreach(st => require(st.yMean(0) > 0,
+        "poisson response must contain positive counts in every train fold"))
+      val lambdas =
+        if (params.lambda != null) params.lambda
+        else {
+          val minRatio = if (params.lambdaMinRatio.isNaN)
+            LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
+          LambdaPath.build(trainStats(nfolds).b, params.alpha, params.nlambda,
+            minRatio, params.penaltyFactor)
+        }
+      val means = trainStats.map(st => if (params.intercept) st.xMean else new Array[Double](p))
+      val scales = trainStats.map(st => if (params.standardize) st.xSd else Array.fill(p)(1.0))
+      // per-fold box limits on each fold's own standardized scale
+      val boundsF = scales.map(s => SgdNet.boundsStd(params, s, 1.0))
+      val sc = rows.sparkContext
+      val bMeans = sc.broadcast(means)
+      val bScales = sc.broadcast(scales)
+      val bNorms = sc.broadcast(norms)
+
+      val L = lambdas.length
+      val beta = Array.fill(F)(new Array[Double](p))
+      val a0 = Array.tabulate(F) { f =>
+        val yb = trainStats(f).yMean(0) // weighted mean of y
+        if (!params.intercept) 0.0
+        else if (binomial) {
+          if (yb > 0 && yb < 1) math.log(yb / (1 - yb)) else 0.0
+        } else math.log(yb)
+      }
+      val a0Out = Array.ofDim[Double](F, L)
+      val betaOut = Array.ofDim[Double](F, L, p)
+      var sharedPasses = 0
+      val lastGram = Array.fill[BinWGram](F)(null)
+
+      for (l <- 0 until L) {
+        val active = Array.fill(F)(true)
+        // free first Newton step against the carried grams (see
+        // cvBinomialShared for the optimality-slack argument)
+        if (lastGram.forall(_ != null)) {
+          for (f <- 0 until F) {
+            val g = lastGram(f)
+            val ninv = 1.0 / nTrain(f)
+            val aM = LinAlg.unpackSym(g.swxx, p).map(_.map(_ * ninv))
+            val r = CoordinateDescent.solve(aM, g.swxz.map(_ * ninv),
+              g.swx.map(_ * ninv), g.swz * ninv, g.sw * ninv,
+              lambdas(l), params.alpha, params.intercept, beta(f),
+              thresh = math.max(params.thresh * 1e-4, 1e-10),
+              maxIter = params.maxit,
+              penaltyFactor = params.penaltyFactor,
+              lower = boundsF(f)._1, upper = boundsF(f)._2)
+            var maxD = math.abs(r.a0 - a0(f))
+            var j = 0
+            while (j < p) {
+              val d = math.abs(r.beta(j) - beta(f)(j)); if (d > maxD) maxD = d; j += 1
+            }
+            beta(f) = r.beta; a0(f) = r.a0
+            if (maxD == 0.0) active(f) = false
+          }
+        }
+        var iter = 0
+        while (iter < 25 && active.exists(identity)) {
+          val betaSnap = beta.map(_.clone())
+          val a0Snap = a0.clone()
+          val activeSnap = active.clone()
+          sharedPasses += 1
+          // ONE pass: v-weighted IRLS grams for all active folds
+          val grams = rows.treeAggregate(
+            Array.fill(F)(new BinWGram(p)))(
+            (acc, t) => {
+              val (rowFold, xr, y, v) = t
+              var f = 0
+              while (f < F) {
+                if (f != rowFold && activeSnap(f)) {
+                  val m = bMeans.value(f); val s = bScales.value(f)
+                  val bf = betaSnap(f)
+                  var eta = a0Snap(f)
+                  val xs = new Array[Double](p)
+                  var j = 0
+                  while (j < p) {
+                    xs(j) = (xr(j) - m(j)) / s(j); eta += xs(j) * bf(j); j += 1
+                  }
+                  var w = 0.0
+                  var z = 0.0
+                  if (binomial) {
+                    val mu = 1.0 / (1.0 + math.exp(-eta))
+                    w = math.max(mu * (1.0 - mu), 1e-5)
+                    z = eta + (y - mu) / w
+                  } else {
+                    val etaC = math.max(math.min(eta, 30.0), -30.0)
+                    val mu = math.exp(etaC)
+                    w = math.max(mu, 1e-5)
+                    z = etaC + (y - mu) / w
+                  }
+                  // frequency weight (fold-normalized) folds into the
+                  // IRLS weight — fitWeightedGlm's wv = w·v·norm
+                  acc(f).add(xs, w * v * bNorms.value(f), z)
+                }
+                f += 1
+              }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < F) { a(i).merge(b(i)); i += 1 }; a },
+            depth = 2)
+          for (f <- 0 until F if active(f)) {
+            val g = grams(f)
+            lastGram(f) = g
+            val ninv = 1.0 / nTrain(f)
+            val aM = LinAlg.unpackSym(g.swxx, p).map(_.map(_ * ninv))
+            val r = CoordinateDescent.solve(aM, g.swxz.map(_ * ninv),
+              g.swx.map(_ * ninv), g.swz * ninv, g.sw * ninv,
+              lambdas(l), params.alpha, params.intercept, beta(f),
+              thresh = math.max(params.thresh * 1e-4, 1e-10),
+              maxIter = params.maxit,
+              penaltyFactor = params.penaltyFactor,
+              lower = boundsF(f)._1, upper = boundsF(f)._2)
+            var maxD = math.abs(r.a0 - a0(f))
+            var j = 0
+            while (j < p) {
+              val d = math.abs(r.beta(j) - beta(f)(j)); if (d > maxD) maxD = d; j += 1
+            }
+            beta(f) = r.beta; a0(f) = r.a0
+            if (maxD < math.max(params.thresh * 1e-2, 1e-8)) active(f) = false
+          }
+          iter += 1
+        }
+        for (f <- 0 until F) {
+          for (j <- 0 until p) betaOut(f)(l)(j) = beta(f)(j) / scales(f)(j)
+          a0Out(f)(l) =
+            if (params.intercept)
+              a0(f) - (0 until p).map(j => betaOut(f)(l)(j) * means(f)(j)).sum
+            else a0(f)
+        }
+      }
+
+      // full-data model from the virtual fold's path, finished with the
+      // same v·norm-weighted deviance pass as SgdNet.fitWeightedGlm
+      val a0Full = Array.tabulate(L)(l => Array(a0Out(nfolds)(l)))
+      val betaFull = Array.tabulate(L)(l => Array(betaOut(nfolds)(l).clone()))
+      val yBarFull = trainStats(nfolds).yMean(0)
+      val a0NullFull =
+        if (!params.intercept) 0.0
+        else if (binomial) {
+          if (yBarFull > 0 && yBarFull < 1) math.log(yBarFull / (1 - yBarFull)) else 0.0
+        } else math.log(yBarFull)
+      val normFull = norms(nfolds)
+      val devs = rows.treeAggregate(new Array[Double](L + 1))(
+        (acc, t) => {
+          val (_, x, y, v) = t
+          def binDev(eta: Double): Double = {
+            val m = math.max(eta, 0.0)
+            2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y * eta)
+          }
+          def poisDev(mu: Double): Double = {
+            val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+            2.0 * (ylog - (y - mu))
+          }
+          val vn = v * normFull
+          var l = 0
+          while (l < L) {
+            var eta = a0Full(l)(0)
+            val bl = betaFull(l)(0)
+            var j = 0
+            while (j < p) { eta += bl(j) * x(j); j += 1 }
+            acc(l) += vn * (if (binomial) binDev(eta)
+              else poisDev(math.exp(math.max(math.min(eta, 30.0), -30.0))))
+            l += 1
+          }
+          acc(L) += vn * (if (binomial) binDev(a0NullFull)
+            else poisDev(if (params.intercept) yBarFull else 1.0))
+          acc
+        },
+        (a, b) => { var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      val nulldev = devs(L)
+      val devRatio = Array.tabulate(L)(l =>
+        if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
+      val full = new SgdNetModel(params.family, featureCols.toArray,
+        Array(labelCol), classes, lambdas, a0Full, betaFull, nulldev,
+        devRatio, total.n, sharedPasses + 2, params)
+
+      // held-out scoring per (fold, lambda): Σv·err / Σv with RAW v
+      val bA0 = sc.broadcast(a0Out)
+      val bBeta = sc.broadcast(betaOut)
+      val foldScores = measure match {
+        case "auc" =>
+          // v-weighted AUC: mass rides the cells (continuous-mass rank
+          // formula in aucPerGroup); etas rank via the monotone sigmoid
+          val spark = df.sparkSession
+          val scored = spark.createDataFrame(rows.map { t =>
+            val (f, x, y, v) = t
+            val etas = new Array[Double](L)
+            var l = 0
+            while (l < L) {
+              var eta = bA0.value(f)(l)
+              val bl = bBeta.value(f)(l)
+              var j = 0
+              while (j < p) { eta += bl(j) * x(j); j += 1 }
+              etas(l) = eta
+              l += 1
+            }
+            (f, y, v, etas)
+          }).toDF("__fold", "__y", "__v", "__etas")
+          val exploded = scored
+            .select(col("__fold"), col("__y"), col("__v"),
+              posexplode(col("__etas")).as(Seq("__l", "__s")))
+            .select((col("__l") * nfolds + col("__fold")).as("__g"),
+              col("__s"), col("__y"), col("__v"))
+          val aucs = aucPerGroup(exploded, L * nfolds, weightCol = "__v")
+          Array.tabulate(nfolds, L)((f, l) => aucs(l * nfolds + f))
+        case _ =>
+          val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
+            (acc, t) => {
+              val (f, x, y, v) = t
+              var l = 0
+              while (l < L) {
+                var eta = bA0.value(f)(l)
+                val bl = bBeta.value(f)(l)
+                var j = 0
+                while (j < p) { eta += bl(j) * x(j); j += 1 }
+                acc(f * L + l) += v * (if (binomial) {
+                  val mu = 1.0 / (1.0 + math.exp(-eta))
+                  measure match {
+                    case "mse" => 2.0 * (mu - y) * (mu - y)
+                    case "mae" => 2.0 * math.abs(mu - y)
+                    case "class" => if ((if (mu > 0.5) 1.0 else 0.0) != y) 1.0 else 0.0
+                    case "deviance" =>
+                      val mc = math.min(math.max(mu, 1e-5), 1.0 - 1e-5)
+                      -2.0 * (y * math.log(mc) + (1 - y) * math.log(1 - mc))
+                    case other => // unreachable: fitWeightedMulti validates
+                      throw new IllegalArgumentException(s"unknown measure $other")
+                  }
+                } else {
+                  val mu = math.exp(eta)
+                  measure match {
+                    case "mse" => (y - mu) * (y - mu)
+                    case "mae" => math.abs(y - mu)
+                    case "deviance" =>
+                      val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+                      2.0 * (ylog - (y - mu))
+                    case other => // unreachable: fitWeightedMulti validates
+                      throw new IllegalArgumentException(s"unknown measure $other")
+                  }
+                })
+                l += 1
+              }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          Array.tabulate(nfolds, L)((f, l) => sums(f * L + l) / wFold(f))
+      }
+      summarize(params.alpha, lambdas, foldScores, full)
+    } finally rows.unpersist(blocking = false)
+  }
+
   // ------------------------------------------ multinomial, shared-pass CV
 
   /** All k fold-models advance TOGETHER through the softmax FISTA loop:
@@ -1363,24 +1700,94 @@ object CvSgdNet {
     } finally { withFold.unpersist(blocking = false) }
   }
 
-  /** Cross-validation WITH OBSERVATION WEIGHTS (cv.glmnet `weights`):
-    * the generic per-fold route — each fold trains through
-    * [[SgdNet.fitWeighted]] (gaussian / binomial / poisson; mgaussian
-    * via the multi-label overload) on the fold's train rows and scores
-    * held-out with the v-WEIGHTED measure Σv·err/Σv, glmnet's weighted
-    * CV convention. k+1 weighted fits (no shared-pass fusion — the
-    * correctness-first route; the unweighted families keep their fused
-    * one-pass/shared-IRLS paths). Zero-weight rows drop from training
-    * and contribute nothing to scoring — consistent on both sides. */
+  /** Cross-validation WITH OBSERVATION WEIGHTS (cv.glmnet `weights`) —
+    * SHARED-PASS routes for every supported family (round 15; the k+1
+    * per-fold-refit route survives as [[cvWeightedGeneric]], the parity
+    * reference the specs compare these against):
+    *
+    *  - gaussian / mgaussian: ONE raw-v weighted-moment pass. Each
+    *    fold's train statistics are "total minus fold" rescaled to that
+    *    fold's own sum-to-n_train weight normalization — moments are
+    *    LINEAR in v, so accumulating with raw v once and applying the
+    *    per-fold multiplier driver-side reproduces a standalone
+    *    [[SgdNet.fitWeighted]] on the train rows exactly. Held-out
+    *    wMSE/deviance are v-weighted moment forms (mae adds one
+    *    aggregation). CV cost: ONE data pass (+1 for mae) regardless of
+    *    nfolds and of the alpha grid (moments are alpha-independent).
+    *  - binomial / poisson: shared IRLS on the [[cvBinomialShared]]
+    *    chassis — all folds advance in one treeAggregate per Newton
+    *    round with v·norm_f folded into each fold's IRLS weight
+    *    (exactly `SgdNet.fitWeightedGlm`'s per-row accumulation, tiled
+    *    per fold), the full-data fit riding as the virtual fold.
+    *
+    * Measures: deviance|mse|mae for every family; binomial adds class
+    * and the v-weighted AUC (continuous-mass rank statistic —
+    * reference R/cv_sgdnet.R:119-128, R/score.R). `alphas` spans an
+    * alpha grid exactly like [[fit]]. Held-out scores are the
+    * v-weighted mean Σv·err/Σv with RAW weights (normalization-free
+    * ratio — glmnet's weighted-CV convention). Zero-weight rows drop
+    * from training and contribute zero mass to scoring. mgaussian goes
+    * through [[fitWeightedMulti]]; multinomial is rejected (no weighted
+    * multinomial fit exists to cross-validate). */
   def fitWeighted(df: DataFrame, featureCols: Seq[String], labelCol: String,
                   weightCol: String,
+                  params: SgdNetParams = SgdNetParams(),
+                  nfolds: Int = 10,
+                  measure: String = "deviance",
+                  foldCol: Column = null,
+                  alphas: Seq[Double] = Seq.empty): CvResult =
+    fitWeightedMulti(df, featureCols, Seq(labelCol), weightCol, params,
+      nfolds, measure, foldCol, alphas)
+
+  /** [[fitWeighted]] with a multi-column response — the mgaussian
+    * weighted-CV route (also accepts the gaussian k = 1 case). */
+  def fitWeightedMulti(df: DataFrame, featureCols: Seq[String],
+                       labelCols: Seq[String], weightCol: String,
+                       params: SgdNetParams = SgdNetParams(),
+                       nfolds: Int = 10,
+                       measure: String = "deviance",
+                       foldCol: Column = null,
+                       alphas: Seq[Double] = Seq.empty): CvResult = {
+    require(nfolds >= 2, "nfolds must be at least 2")
+    val okMeasures =
+      if (params.family == "binomial") Set("deviance", "mse", "mae", "class", "auc")
+      else Set("deviance", "mse", "mae")
+    require(okMeasures.contains(measure),
+      s"weighted ${params.family} CV supports " +
+        s"${okMeasures.toSeq.sorted.mkString("|")}, not '$measure'")
+    require(params.family == "mgaussian" || labelCols.size == 1,
+      s"response for ${params.family} must be one-dimensional " +
+        "(use family=\"mgaussian\" for multi-response)")
+    val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
+    val paths = params.family match {
+      case "gaussian" | "mgaussian" =>
+        cvWeightedGaussian(df, featureCols, labelCols, weightCol, params,
+          nfolds, alphaGrid, measure, foldCol)
+      case "binomial" | "poisson" =>
+        alphaGrid.map(a => cvWeightedGlmShared(df, featureCols,
+          labelCols.head, weightCol, params.copy(alpha = a), nfolds, foldCol,
+          measure))
+      case f => throw new IllegalArgumentException(
+        s"weighted CV supports gaussian, mgaussian, binomial, poisson, not $f")
+    }
+    val best = paths.minBy(p => p.cvm.min)
+    CvResult(paths, best)
+  }
+
+  /** The pre-round-15 weighted-CV route — k+1 independent
+    * [[SgdNet.fitWeighted]] fits, one per fold plus the full data.
+    * Kept as the parity reference: WeightedCvSpec asserts the shared
+    * routes above reproduce this route's curves within the convergence
+    * tolerance. Not the production path (nfolds+1 full scan sets). */
+  private[ml] def cvWeightedGeneric(df: DataFrame, featureCols: Seq[String],
+                  labelCol: String, weightCol: String,
                   params: SgdNetParams = SgdNetParams(),
                   nfolds: Int = 10,
                   measure: String = "deviance",
                   foldCol: Column = null): CvResult = {
     require(nfolds >= 2, "nfolds must be at least 2")
     require(Set("deviance", "mse", "mae").contains(measure),
-      s"weighted CV supports deviance|mse|mae, not '$measure'")
+      s"weighted generic CV supports deviance|mse|mae, not '$measure'")
     val full = SgdNet.fitWeighted(df, featureCols, labelCol, weightCol, params)
     val lambdas = full.lambda
     val hashCols = (featureCols :+ labelCol).map(col)
@@ -1402,6 +1809,137 @@ object CvSgdNet {
     } finally { withFold.unpersist(blocking = false); () }
   }
 
+  // ------------------------------------ weighted gaussian/mgaussian, one-pass
+
+  /** One-pass weighted gaussian/mgaussian CV (see [[fitWeighted]]).
+    * Returns one CvPath per alpha — the raw-v moments serve the whole
+    * grid. */
+  private def cvWeightedGaussian(df: DataFrame, featureCols: Seq[String],
+                                 labelCols: Seq[String], weightCol: String,
+                                 params: SgdNetParams, nfolds: Int,
+                                 alphaGrid: Seq[Double], measure: String,
+                                 foldCol: Column): Seq[CvPath] = {
+    // cv.glmnet limits: gaussian's 1-D clipped prox supports them; the
+    // mgaussian group prox has no closed form under a box (same
+    // contract as the unweighted fit())
+    require((params.lowerLimits == null && params.upperLimits == null) ||
+      params.family != "mgaussian",
+      "lowerLimits/upperLimits are not supported by the mgaussian group prox")
+    val p = featureCols.size
+    val k = labelCols.size
+    val hashCols = (featureCols ++ labelCols).map(col)
+    val withFold = df.withColumn("__fold", foldExpr(foldCol, hashCols, nfolds))
+    val rdd = withFold.select(
+        (featureCols.map(c => col(c).cast("double")) ++
+          labelCols.map(c => col(c).cast("double")) :+
+          col(weightCol).cast("double") :+
+          col("__fold").cast("int")): _*)
+      .rdd.map { row =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = row.getDouble(j); j += 1 }
+        val y = new Array[Double](k)
+        var t = 0
+        while (t < k) { y(t) = row.getDouble(p + t); t += 1 }
+        (row.getInt(p + k + 1), x, y, row.getDouble(p + k))
+      }
+    // ONE pass: per-fold RAW-v weighted moments + per-fold Σv. w == 0
+    // drops the observation (n counts kept rows, glmnet convention).
+    val zero = (Array.fill(nfolds)(new GramStats(p, k)),
+      new Array[Double](nfolds))
+    val (perFold, wFold) = rdd.treeAggregate(zero)(
+      seqOp = (acc, r) => {
+        require(r._4 >= 0, "weights must be non-negative")
+        if (r._4 > 0) {
+          acc._1(r._1).addWeighted(r._2, r._3, r._4); acc._2(r._1) += r._4
+        }
+        acc
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < nfolds) { a._1(i).merge(b._1(i)); a._2(i) += b._2(i); i += 1 }
+        a
+      }, depth = 2)
+    requireNonEmptyFolds(perFold.map(_.n), nfolds)
+    val total = new GramStats(p, k)
+    perFold.foreach(total.merge)
+    val wTotal = wFold.sum
+    require(total.n > 0, "the response (y) is empty.")
+    // train = total − fold, rescaled to the fold's OWN sum-to-n_train
+    // weight normalization — what a standalone SgdNet.fitWeighted on
+    // the train rows computes
+    def trainStats(f: Int): GramStats = {
+      val tr = new GramStats(p, k).merge(total).subtract(perFold(f))
+      tr.scaleWeights(tr.n.toDouble / (wTotal - wFold(f)))
+    }
+    val totalNorm = new GramStats(p, k).merge(total)
+      .scaleWeights(total.n.toDouble / wTotal)
+    alphaGrid.map { a =>
+      val prm = params.copy(alpha = a)
+      val full = SgdNet.solveGaussianFromStats(totalNorm, featureCols,
+        labelCols, prm) // defines lambda
+      val lambdas = full.lambda
+      val L = lambdas.length
+      val foldScores = Array.ofDim[Double](nfolds, L)
+      val a0Out = Array.ofDim[Double](nfolds, L, k)
+      val bOut = Array.ofDim[Double](nfolds, L, k, p)
+      for (f <- 0 until nfolds) {
+        val fm = SgdNet.solveGaussianFromStats(trainStats(f), featureCols,
+          labelCols, prm.copy(lambda = lambdas))
+        for (l <- 0 until L; t <- 0 until k) {
+          a0Out(f)(l)(t) = fm.a0(l)(t)
+          for (j <- 0 until p) bOut(f)(l)(t)(j) = fm.beta(l)(t)(j)
+        }
+        if (measure != "mae") {
+          // held-out v-weighted (mse == deviance) from fold-f's RAW-v
+          // moments, Σv·(y − a0 − x'b)²/Σv summed across responses
+          val fg = perFold(f)
+          val wf = wFold(f)
+          for (l <- 0 until L) {
+            var s = 0.0
+            for (t <- 0 until k) {
+              val a0 = a0Out(f)(l)(t)
+              val bt = bOut(f)(l)(t)
+              var quad = 0.0; var bx = 0.0; var bxy = 0.0
+              for (j <- 0 until p) {
+                bx += bt(j) * fg.sumX(j) / wf
+                bxy += bt(j) * fg.xty(j * k + t) / wf
+                var sj = 0.0
+                for (m <- 0 until p) sj += fg.xtx(LinAlg.triIdx(j, m)) / wf * bt(m)
+                quad += bt(j) * sj
+              }
+              s += fg.sumYY(t) / wf - 2 * a0 * fg.sumY(t) / wf + a0 * a0 +
+                quad + 2 * a0 * bx - 2 * bxy
+            }
+            foldScores(f)(l) = s
+          }
+        }
+      }
+      if (measure == "mae") {
+        // Σv·|err|/Σv per (fold, lambda) — ONE aggregation, v-weighted
+        // twin of the unweighted mae cells
+        val v = col(weightCol).cast("double")
+        val cells = for (f <- 0 until nfolds; l <- 0 until L) yield {
+          val err = (0 until k).map { t =>
+            val eta = featureCols.zipWithIndex.foldLeft(lit(a0Out(f)(l)(t))) {
+              case (acc2, (c, j)) =>
+                val w = bOut(f)(l)(t)(j)
+                if (w == 0.0) acc2 else acc2 + col(c) * lit(w)
+            }
+            abs(col(labelCols(t)).cast("double") - eta)
+          }.reduce(_ + _)
+          (sum(when(col("__fold") === f, v * err)) /
+            sum(when(col("__fold") === f, v))).as(s"m_${f}_$l")
+        }
+        val row = withFold.agg(cells.head, cells.tail: _*).head()
+        for (f <- 0 until nfolds; l <- 0 until L)
+          foldScores(f)(l) =
+            if (row.isNullAt(f * L + l)) Double.NaN else row.getDouble(f * L + l)
+      }
+      summarize(a, lambdas, foldScores, full)
+    }
+  }
+
   /** Per-group AUC (average-rank Mann–Whitney) with NO single-partition
     * sort anywhere — the grouped generalization of
     * [[SgdNetModel.aucOf]]'s two-pass rank: distinct (group, score)
@@ -1413,15 +1951,33 @@ object CvSgdNet {
     * group-partitioned Window would degrade on. Deterministic average
     * ranks where the reference randomizes ties with runif
     * (R/score.R:218-226) — equal in expectation, reproducible here.
-    * Input columns: __g (int group), __s (score), __y (0/1 label). */
+    * Input columns: __g (int group), __s (score), __y (0/1 label).
+    *
+    * With `weightCol` non-null the statistic is the v-WEIGHTED AUC
+    * (cv.glmnet weights): cells carry mass cnt = Σv / pos = Σv·y, and
+    * the rank algebra switches to its continuous-mass form — per-cell
+    * contribution pos·(cum + cnt/2) and correction P²/2 instead of the
+    * integer-rank pos·(cum + (cnt+1)/2) and P(P+1)/2 (the two agree
+    * exactly when every v = 1: the Σpos·½ = P/2 halves cancel). */
   private def aucPerGroup(scored: DataFrame, nGroups: Int,
-                          maxLocalCells: Long = 1L << 20): Array[Double] = {
-    val perScore = scored.groupBy(col("__g"), col("__s"))
-      .agg(count(lit(1)).cast("double").as("cnt"),
-        sum(when(col("__y") === 1.0, 1.0).otherwise(0.0)).as("pos"))
+                          maxLocalCells: Long = 1L << 20,
+                          weightCol: String = null): Array[Double] = {
+    val grouped = scored.groupBy(col("__g"), col("__s"))
+    val perScore = (if (weightCol == null)
+        grouped.agg(count(lit(1)).cast("double").as("cnt"),
+          sum(when(col("__y") === 1.0, 1.0).otherwise(0.0)).as("pos"))
+      else
+        grouped.agg(sum(col(weightCol).cast("double")).as("cnt"),
+          sum(when(col("__y") === 1.0, col(weightCol).cast("double"))
+            .otherwise(0.0)).as("pos")))
       .select(col("__g").cast("int").as("__g"), col("__s").cast("double").as("__s"),
         col("cnt"), col("pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // integer-rank midrank offset (+1/2 per cell) and rank-sum
+    // correction differ between the count and continuous-mass forms
+    val halfOff = if (weightCol == null) 0.5 else 0.0
+    def rankCorr(p: Double): Double =
+      if (weightCol == null) p * (p + 1) / 2.0 else p * p / 2.0
     // Bounded small-side fast path: the rank statistic runs over the
     // DISTINCT (group, score) aggregation, which for low-cardinality
     // scores is tiny even when the corpus is not. Below an explicit cell
@@ -1441,13 +1997,13 @@ object CvSgdNet {
       probe.foreach { r => total(r.getInt(0)) += r.getDouble(2); np(r.getInt(0)) += r.getDouble(3) }
       probe.sortBy(r => (r.getInt(0), r.getDouble(1))).foreach { r =>
         val g = r.getInt(0); val cnt = r.getDouble(2); val pos = r.getDouble(3)
-        rpos(g) += pos * (cum(g) + (cnt + 1) / 2.0)
+        rpos(g) += pos * (cum(g) + cnt / 2.0 + halfOff)
         cum(g) += cnt
       }
       return Array.tabulate(nGroups) { g =>
         val nn = total(g) - np(g)
         if (np(g) == 0 || nn == 0) Double.NaN
-        else (rpos(g) - np(g) * (np(g) + 1) / 2.0) / (np(g) * nn)
+        else (rpos(g) - rankCorr(np(g))) / (np(g) * nn)
       }
     }
     val ranged = perScore
@@ -1483,7 +2039,7 @@ object CvSgdNet {
         val r = scala.collection.mutable.HashMap.empty[Int, Double]
         it.foreach { case (f, cnt, pos) =>
           val c = cum.getOrElse(f, off.getOrElse((pid, f), 0.0))
-          r(f) = r.getOrElse(f, 0.0) + pos * (c + (cnt + 1) / 2.0)
+          r(f) = r.getOrElse(f, 0.0) + pos * (c + cnt / 2.0 + halfOff)
           cum(f) = c + cnt
         }
         r.iterator
@@ -1492,7 +2048,7 @@ object CvSgdNet {
       Array.tabulate(nGroups) { g =>
         val nn = total(g) - np(g)
         if (np(g) == 0 || nn == 0) Double.NaN
-        else (rpos(g) - np(g) * (np(g) + 1) / 2.0) / (np(g) * nn)
+        else (rpos(g) - rankCorr(np(g))) / (np(g) * nn)
       }
     } finally {
       rdd.unpersist(blocking = false)

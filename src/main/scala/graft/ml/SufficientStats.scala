@@ -106,6 +106,24 @@ final class GramStats(val p: Int, val k: Int) extends Serializable {
     this
   }
 
+  /** Multiply every weight-linear moment by `c`; `n` (the ROW count) is
+    * unchanged. This rescales RAW-v weighted moments to a different
+    * weight normalization driver-side — the per-fold "weights sum to
+    * n_train" step of shared-pass weighted CV: moments are linear in
+    * the observation weight, so accumulating with raw v once and
+    * scaling per fold is exact (same sums, one multiplier). */
+  def scaleWeights(c: Double): GramStats = {
+    var i = 0
+    while (i < sumX.length) { sumX(i) *= c; i += 1 }
+    i = 0
+    while (i < xtx.length) { xtx(i) *= c; i += 1 }
+    i = 0
+    while (i < sumY.length) { sumY(i) *= c; sumYY(i) *= c; i += 1 }
+    i = 0
+    while (i < xty.length) { xty(i) *= c; i += 1 }
+    this
+  }
+
   /** Moment subtraction — the "train = total minus fold" step every
     * one-pass CV family uses. Kept HERE, next to [[merge]], so a field
     * added to the stats is updated in exactly two places instead of at

@@ -540,13 +540,29 @@ object Dedup {
     * One signature-sized row per doc: (id, sig, buckets) — the raw text
     * and shingle sets do NOT ride along, so the index is
     * numHashes x 32 hex chars per doc at any corpus size. Persist with
-    * [[saveMinhashIndex]]; probe with [[minhashLshIncremental]]. */
+    * [[saveMinhashIndex]]; probe with [[minhashLshIncremental]].
+    *
+    * PLANNED DEFAULTS (round 15): leaving `bands`/`rowsPerBand` at 0
+    * selects (b, r) from `threshold` exactly like [[minhashLsh]] — the
+    * two operators' defaults always agree, so an index built with
+    * defaults matches `minhashLsh` defaults at the same threshold.
+    * Explicit values are honored unchanged; the probe side
+    * ([[minhashLshIncremental]]) infers (b, r) FROM the index when left
+    * at defaults, so any build/probe default combination matches. */
   def minhashIndex(df: DataFrame, idCol: String, textCol: String,
-                   bands: Int = 4, rowsPerBand: Int = 3,
-                   shingleWidth: Int = 3): DataFrame =
-    shingleSetsWithBuckets(df, idCol, textCol, shingleWidth, bands,
-      rowsPerBand)
+                   bands: Int = 0, rowsPerBand: Int = 0,
+                   shingleWidth: Int = 3,
+                   threshold: Double = 0.6): DataFrame = {
+    require((bands > 0) == (rowsPerBand > 0),
+      "pass both bands and rowsPerBand, or neither (planned defaults)")
+    val (b, r) =
+      if (bands > 0) (bands, rowsPerBand)
+      else if (threshold > 0.0 && threshold < 1.0)
+        lshPlanParams(threshold, DefaultLshBudget, 0.5)
+      else (4, 3)
+    shingleSetsWithBuckets(df, idCol, textCol, shingleWidth, b, r)
       .select(col("__id").as("id"), col("sig"), col("buckets"))
+  }
 
   /** Persist a minhash index as parquet (overwrite = false refuses an
     * existing path, like the model writers). */
@@ -584,15 +600,37 @@ object Dedup {
     * index_id`, so a batch doc that REUSES an indexed doc's id would
     * silently lose its genuine near-duplicate pair). When id spaces are
     * allocated independently, disambiguate before probing — e.g. offset
-    * batch ids past the index max, or carry a namespace in the id. */
+    * batch ids past the index max, or carry a namespace in the id.
+    *
+    * BAND-PARAM CONTRACT (round 15): leaving `bands`/`rowsPerBand` at 0
+    * infers (b, r) FROM the index itself (one limit-1 peek at the
+    * signature/bucket array lengths), so a probe with defaults matches
+    * ANY index build — planned, historical (4,3), or hand-tuned — by
+    * construction. Explicit values are honored unchanged but MUST match
+    * the index build (bucket strings are md5 of signature slices; a
+    * mismatch silently yields zero candidates), so prefer the default. */
   def minhashLshIncremental(index: DataFrame, newDocs: DataFrame,
                             idCol: String, textCol: String,
-                            bands: Int = 4, rowsPerBand: Int = 3,
+                            bands: Int = 0, rowsPerBand: Int = 0,
                             minEstJaccard: Double = 0.6,
                             shingleWidth: Int = 3,
                             maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val probe = minhashIndex(newDocs, idCol, textCol, bands, rowsPerBand,
+    require((bands > 0) == (rowsPerBand > 0),
+      "pass both bands and rowsPerBand, or neither (inferred from the index)")
+    val (b, r) =
+      if (bands > 0) (bands, rowsPerBand)
+      else index.select(size(col("buckets")), size(col("sig"))).limit(1)
+        .collect() match {
+          case Array(row) =>
+            val nb = row.getInt(0); val nh = row.getInt(1)
+            require(nb > 0 && nh > 0 && nh % nb == 0,
+              s"index has malformed signature shape: $nb buckets, $nh hashes")
+            (nb, nh / nb)
+          case _ => // empty index: any params produce the empty result
+            (4, 3)
+        }
+    val numHashes = b * r
+    val probe = minhashIndex(newDocs, idCol, textCol, b, r,
       shingleWidth).localCheckpoint(false)
     val ix = index.select(col("id").as("index_id"),
       col("sig").as("sig_i"), col("buckets").as("buckets_i"))

@@ -241,11 +241,21 @@ object Frequent {
         }
         Iterator.single(local)
       }
-      .reduce { (a, b) =>
-        var i = 0
-        while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
-        a
-      }
+      // treeAggregate, not Dataset.reduce: reduce throws on an empty
+      // (zero-partition) input, while the fold's zero register array is
+      // exactly the empty sketch (v_zero = m → linear counting → est 0)
+      .rdd
+      .treeAggregate(new Array[Byte](m))(
+        (a, b) => {
+          var i = 0
+          while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+          a
+        },
+        (a, b) => {
+          var i = 0
+          while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+          a
+        })
     var s = 0L
     var vZero = 0L
     var j = 0

@@ -5952,12 +5952,16 @@ object OpsOracles {
         |ORDER BY strength_ppm DESC, item""".stripMargin.trim,
 
     // Good-Turing: frequency-of-frequencies rollup + the r+1 self-join;
-    // integral ppm outputs, floor division on both engines
+    // integral ppm outputs, floor division on both engines.
+    // greatest(..., 1), not 0: shingleStream emits ONE partial shingle
+    // for docs shorter than the window (the ws[i:i+2] slice clamps to
+    // the same joined suffix), so the oracle must too — with 0 a
+    // <3-word doc would silently diverge (round-14 ADVICE finding)
     "q_good_turing" ->
       """WITH ws AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws
         |  FROM documents WHERE text IS NOT NULL),
         |w AS (SELECT unnest(list_transform(
-        |    generate_series(1, greatest(len(ws) - 2, 0)),
+        |    generate_series(1, greatest(len(ws) - 2, 1)),
         |    i -> array_to_string(ws[i:i + 2], ' '))) AS w FROM ws),
         |c AS (SELECT w, count(*)::BIGINT AS r FROM w GROUP BY w),
         |f AS (SELECT r, count(*)::BIGINT AS n_r FROM c GROUP BY r),

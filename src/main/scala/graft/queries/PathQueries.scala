@@ -530,6 +530,36 @@ object PathQueries {
       .orderBy("lambda_idx")
   }
 
+  /** WEIGHTED CV over type.measure="auc" (cv.glmnet weights with the
+    * rank measure — reference R/cv_sgdnet.R:119-128, R/score.R): the
+    * [[cvAuc]] discipline with integer observation weights
+    * (l_linenumber ∈ 1..7). Oracle-EXACT like q_cv_auc: a 1-feature
+    * logistic model's v-weighted AUC depends only on the coefficient's
+    * ACTIVITY — closed-form KKT at the null, |cov_w(x_std, y)| ≤ λ on
+    * the fold's WEIGHTED train moments — and SIGN, while the
+    * continuous-mass rank statistic itself is exact integer/half-
+    * integer mass arithmetic on both engines (v, x, y all integral).
+    * Exercises the round-15 shared weighted IRLS CV + weighted
+    * aucPerGroup end-to-end. */
+  def cvWeightedAuc(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+    val lambdas = Array(0.01, 0.003, 0.001, 5e-4, 2e-4, 5e-5)
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitWeighted(li, Seq("l_quantity"), "is_r",
+      "l_linenumber",
+      SgdNetParams(family = "binomial", alpha = 1.0, lambda = lambdas,
+        thresh = 1e-5),
+      nfolds = 5, measure = "auc", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 6).as("lambda"),
+        (round(col("cvm"), 6) + lit(0.0)).as("cvm"),
+        (round(col("cvsd"), 6) + lit(0.0)).as("cvsd"))
+      .orderBy("lambda_idx")
+  }
+
   def cvExactCurve(spark: SparkSession, dir: String): DataFrame =
     cvExactFit(spark, dir).curveDF(spark)
       .select(col("lambda_idx").cast("int").as("lambda_idx"),
