@@ -289,6 +289,7 @@ object SparkEntry {
     "q_pca"              -> (OpsQueries.pcaQ _),
     "q_cox_score"        -> (OpsQueries.coxScoreQ _),
     "q_hll"              -> (OpsQueries.hllQ _),
+    "q_hll_by"           -> (OpsQueries.hllByQ _),
     "q_domain_reweight"  -> (OpsQueries.domainReweightQ _),
     "q_sign_flip"        -> (OpsQueries.signFlipQ _),
     "q_wilcoxon"         -> (OpsQueries.wilcoxonQ _),

@@ -276,4 +276,132 @@ object Frequent {
     Seq((p, m, vZero, s, r4(raw), r4(est)))
       .toDF("p", "m", "v_zero", "s_scaled", "est_raw", "est")
   }
+
+  // ---------------------------------------------------- per-group HLL
+
+  /** Per-group HyperLogLog (round 15): one sketch row PER KEY — the
+    * per-day/per-domain cardinality table a 100 TB corpus actually
+    * needs, where [[hllSketch]] gives one corpus-global row. Same
+    * engine-portable register arithmetic (60-bit md5 prefix, top-p-bit
+    * bucket, leading-zero rank), but entirely in codegen'd column
+    * expressions: one corpus-linear groupBy(keys, bucket) max-rank
+    * aggregation (map-side combined), then a per-key rollup of the
+    * occupied buckets — empty registers are counted, never
+    * materialized, so state per key is min(distinct-hashes, m) rows at
+    * any corpus size. Output per key: (keys..., p, m, v_zero,
+    * s_scaled, est_raw, est) with the exact-integer harmonic
+    * denominator and the same fixed IEEE estimate sequence as
+    * [[hllSketch]] (register-exact oracle replay). */
+  def hllSketchBy(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  p: Int = 10): DataFrame = {
+    val m = 1 << p
+    val w = 60 - p
+    val sparse = sparseRegisters(df, keyCols, valueCol, p)
+    val keys = keyCols.map(col)
+    val grouped = sparse.groupBy(keys: _*).agg(
+      count(lit(1)).as("__occ"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${w + 1} - __mreg)")).as("__socc"))
+    summaryCols(grouped
+        .withColumn("v_zero", (lit(m.toLong) - col("__occ")).cast("long"))
+        .withColumn("s_scaled",
+          (col("__socc") + (lit(m.toLong) - col("__occ")) *
+            lit(1L << (w + 1))).cast("long")),
+      keyCols, p)
+      .orderBy(keys: _*)
+  }
+
+  /** Per-group DENSE register arrays — the mergeable artifact for
+    * incremental folding: sketch each partition/day separately with
+    * this, fold with [[mergeHllRegisters]], summarize with
+    * [[summarizeHllRegisters]] — union-equivalence is exact (register
+    * max commutes with union), spec-pinned. One m-int array per key;
+    * keep p modest (default 1024 registers) when keys are many. */
+  def hllRegistersBy(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     p: Int = 10): DataFrame = {
+    val m = 1 << p
+    val keys = keyCols.map(col)
+    sparseRegisters(df, keyCols, valueCol, p)
+      .groupBy(keys: _*)
+      .agg(map_from_entries(collect_list(struct(col("__bucket"),
+        col("__mreg")))).as("__mp"))
+      .withColumn("regs", expr(
+        s"transform(sequence(0, ${m - 1}), i -> coalesce(element_at(__mp, i), 0))"))
+      .select((keys :+ col("regs")): _*)
+  }
+
+  /** Element-wise register MAX across two per-key register frames
+    * (full-outer on keys; a key absent from one side merges against the
+    * empty sketch). Exactly the union sketch: HLL registers are a
+    * max-fold, so merge(sketch(A), sketch(B)) == sketch(A ∪ B). */
+  def mergeHllRegisters(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                        p: Int = 10): DataFrame = {
+    val m = 1 << p
+    val zeroArr = array_repeat(lit(0), m)
+    val keys = keyCols.map(col)
+    val aa = a.select((keys :+ col("regs").as("__ra")): _*)
+    val bb = b.select((keys :+ col("regs").as("__rb")): _*)
+    aa.join(bb, keyCols, "full_outer")
+      .withColumn("regs", zip_with(
+        coalesce(col("__ra"), zeroArr), coalesce(col("__rb"), zeroArr),
+        (x, y) => greatest(x, y)))
+      .select((keys :+ col("regs")): _*)
+  }
+
+  /** [[hllRegistersBy]] arrays → the [[hllSketchBy]] summary row per
+    * key (identical estimate arithmetic). */
+  def summarizeHllRegisters(regsDf: DataFrame, keyCols: Seq[String],
+                            p: Int = 10): DataFrame = {
+    val w = 60 - p
+    summaryCols(regsDf
+        .withColumn("v_zero",
+          expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)"))
+        .withColumn("s_scaled", expr(
+          s"aggregate(regs, CAST(0 AS BIGINT), " +
+            s"(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), ${w + 1} - r))")),
+      keyCols, p)
+      .orderBy(keyCols.map(col): _*)
+  }
+
+  /** Shared kernel: one row per occupied (keys..., bucket) with the max
+    * leading-zero rank — the corpus-linear heavy pass of every
+    * per-group HLL entry point. Null keys/values are excluded (a null
+    * key is not a group; a null value is not an element). */
+  private def sparseRegisters(df: DataFrame, keyCols: Seq[String],
+                              valueCol: String, p: Int): DataFrame = {
+    require(p >= 7 && p <= 20, "p must be in [7, 20]")
+    require(keyCols.nonEmpty, "need at least one key column")
+    val w = 60 - p
+    val keys = keyCols.map(col)
+    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(valueCol).isNotNull)
+      .select((keys :+ conv(substring(md5(col(valueCol).cast("string")), 1, 15),
+        16, 10).cast("long").as("__hv")): _*)
+      .withColumn("__bucket", shiftright(col("__hv"), w).cast("int"))
+      .withColumn("__rest", col("__hv").bitwiseAND(lit((1L << w) - 1L)))
+      .withColumn("__rank",
+        when(col("__rest") === 0L, lit(w + 1))
+          .otherwise(lit(w) - (length(bin(col("__rest"))) - lit(1)))
+          .cast("int"))
+      .groupBy((keys :+ col("__bucket")): _*)
+      .agg(max(col("__rank")).as("__mreg"))
+  }
+
+  /** The fixed IEEE estimate sequence of [[hllSketch]] as columns over
+    * per-key (v_zero, s_scaled) — alpha·m²·2^(w+1)/S raw, linear
+    * counting m·ln(m/V) in the small range, 4-dp HALF_UP rounding. */
+  private def summaryCols(grouped: DataFrame, keyCols: Seq[String],
+                          p: Int): DataFrame = {
+    val m = 1 << p
+    val w = 60 - p
+    val alpha = 0.7213 / (1.0 + 1.079 / m.toDouble)
+    val raw = lit(alpha) * lit(m.toDouble * m.toDouble) *
+      lit(java.lang.Math.scalb(1.0, w + 1)) / col("s_scaled").cast("double")
+    val est = when(raw <= lit(2.5 * m.toDouble) && col("v_zero") > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+      .otherwise(raw)
+    grouped.select((keyCols.map(col) :+ lit(p).as("p") :+ lit(m).as("m") :+
+      col("v_zero") :+ col("s_scaled") :+
+      (round(raw, 4) + lit(0.0)).as("est_raw") :+
+      (round(est, 4) + lit(0.0)).as("est")): _*)
+  }
 }

@@ -6202,6 +6202,36 @@ object OpsOracles {
         |        ELSE raw END, 4) + 0 AS est
         |FROM e""".stripMargin.trim,
 
+    // per-group HLL: the q_hll register replay PER KEY — occupied
+    // buckets only (empty registers counted, never materialized:
+    // v_zero = m - occ since occupied registers are always >= 1), same
+    // exact-integer harmonic denominator and IEEE estimate sequence
+    "q_hll_by" ->
+      """WITH h AS (SELECT event_type AS g,
+        |    ('0x' || substr(md5(user_id::varchar), 1, 15))::BIGINT AS hv
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (SELECT g, hv >> 50 AS bucket,
+        |    hv & ((1::BIGINT << 50) - 1) AS rest FROM h),
+        |r AS (SELECT g, bucket,
+        |    max(CASE WHEN rest = 0 THEN 51
+        |        ELSE 50 - (length(bin(rest)) - 1) END)::BIGINT AS mreg
+        |  FROM b GROUP BY g, bucket),
+        |agg AS (SELECT g, count(*)::BIGINT AS occ,
+        |    sum(1::BIGINT << (51 - mreg))::BIGINT AS socc
+        |  FROM r GROUP BY g),
+        |e AS (SELECT g, (1024 - occ)::BIGINT AS v_zero,
+        |    (socc + (1024 - occ) * (1::BIGINT << 51))::BIGINT AS s,
+        |    (0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0))
+        |      * (1024.0 * 1024.0) * (1::BIGINT << 51)::DOUBLE
+        |      / (socc + (1024 - occ) * (1::BIGINT << 51))::DOUBLE AS raw
+        |  FROM agg)
+        |SELECT g AS event_type, 10 AS p, 1024 AS m, v_zero, s AS s_scaled,
+        |  round(raw, 4) + 0 AS est_raw,
+        |  round(CASE WHEN raw <= 2.5::DOUBLE * 1024.0 AND v_zero > 0
+        |        THEN 1024.0 * ln(1024.0 / v_zero::DOUBLE)
+        |        ELSE raw END, 4) + 0 AS est
+        |FROM e ORDER BY event_type""".stripMargin.trim,
+
     // Cox score test at beta=0 with Breslow ties: integral grid
     // inputs, suffix-sum risk sets, ascending-t ordered double fold on
     // both engines

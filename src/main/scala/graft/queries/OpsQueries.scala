@@ -2586,6 +2586,14 @@ object OpsQueries {
   def hllQ(spark: SparkSession, dir: String): DataFrame =
     Frequent.hllSketch(tbl(spark, dir, "events"), "user_id", p = 10)
 
+  /** Per-group HLL (round 15): one register-exact sketch row per event
+    * type — the per-key cardinality table (distinct users per event
+    * type) whose registers replay exactly in DuckDB via the same
+    * md5/rank arithmetic as q_hll, now keyed. */
+  def hllByQ(spark: SparkSession, dir: String): DataFrame =
+    Frequent.hllSketchBy(tbl(spark, dir, "events"), Seq("event_type"),
+      "user_id", p = 10)
+
   /** Cox score test + one-step estimator: does per-user activity
     * volume (event count) predict the lifetime hazard? */
   def coxScoreQ(spark: SparkSession, dir: String): DataFrame =

@@ -159,6 +159,61 @@ class TrendConcentrationSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Frequent.hllSketch(df, "u", p = 5)
     }
+    // empty input: the empty sketch (all-zero registers -> linear
+    // counting -> est 0), not an empty-collection throw (round-15 fix)
+    val empty = Frequent.hllSketch(df.filter(lit(false)), "u", p = 10).head()
+    assert(empty.getAs[Long]("v_zero") === 1024L)
+    assert(empty.getAs[Double]("est") === 0.0)
+    ()
+  }
+
+  test("hllSketchBy: per-group registers match the per-group corpus " +
+    "sketch; merge == union; partition-invariant") {
+    import spark.implicits._
+    val df = (1 to 12000).map { i =>
+      (s"g${i % 3}", s"user_${i % (2000 * (i % 3 + 1))}")
+    }.toDF("g", "u")
+    val by = Frequent.hllSketchBy(df, Seq("g"), "u", p = 10).collect()
+    assert(by.length === 3)
+    // each group's row equals the corpus-global sketch of that group's
+    // rows alone (same registers -> same s_scaled/v_zero/estimates)
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Frequent.hllSketch(df.filter(col("g") === g), "u", p = 10).head()
+      val row = by.find(_.getString(0) == g).get
+      assert(row.getAs[Long]("s_scaled") === solo.getAs[Long]("s_scaled"), g)
+      assert(row.getAs[Long]("v_zero") === solo.getAs[Long]("v_zero"), g)
+      assert(row.getAs[Double]("est") === solo.getAs[Double]("est"), g)
+    }
+    // partition invariance (max-fold commutes)
+    val rep = Frequent.hllSketchBy(df.repartition(17), Seq("g"), "u", p = 10)
+      .collect()
+    assert(rep.map(r => (r.getString(0), r.getAs[Long]("s_scaled"))).toSet ===
+      by.map(r => (r.getString(0), r.getAs[Long]("s_scaled"))).toSet)
+    // fold == union: register merge of two halves == one-shot sketch,
+    // and summarize(registers) == hllSketchBy
+    val (h1, h2) = (df.filter(col("u").substr(6, 1).isin("0", "1", "2", "3")),
+      df.filter(!col("u").substr(6, 1).isin("0", "1", "2", "3")))
+    val merged = Frequent.summarizeHllRegisters(
+      Frequent.mergeHllRegisters(
+        Frequent.hllRegistersBy(h1, Seq("g"), "u", p = 10),
+        Frequent.hllRegistersBy(h2, Seq("g"), "u", p = 10),
+        Seq("g"), p = 10),
+      Seq("g"), p = 10).collect()
+    assert(merged.map(r => (r.getString(0), r.getAs[Long]("s_scaled"),
+        r.getAs[Double]("est"))).toSeq.sortBy(_._1) ===
+      by.map(r => (r.getString(0), r.getAs[Long]("s_scaled"),
+        r.getAs[Double]("est"))).toSeq.sortBy(_._1))
+    // merge with a key absent on one side == that side's empty sketch
+    val extra = Seq(("g9", "only_user")).toDF("g", "u")
+    val mergedDisjoint = Frequent.summarizeHllRegisters(
+      Frequent.mergeHllRegisters(
+        Frequent.hllRegistersBy(df, Seq("g"), "u", p = 10),
+        Frequent.hllRegistersBy(extra, Seq("g"), "u", p = 10),
+        Seq("g"), p = 10),
+      Seq("g"), p = 10).collect()
+    assert(mergedDisjoint.length === 4)
+    val g9 = mergedDisjoint.find(_.getString(0) == "g9").get
+    assert(g9.getAs[Long]("v_zero") === 1023L)
     ()
   }
 }
