@@ -179,6 +179,22 @@ object SgdNet {
     else fit(df, model.featureNames.toSeq, model.responseNames.head, p)
   }
 
+  /** [[refit]] for a WEIGHTED model (`predict(exact = TRUE)` on a
+    * cv.glmnet-weights fit): same merged-lambda refit through the
+    * weighted routes. The model does not record its weight column —
+    * callers pass the one they trained with (passing a different one is
+    * a new model, exactly as glmnet's update(weights=) would be). */
+  def refitWeighted(model: SgdNetModel, df: DataFrame, weightCol: String,
+                    extra: Seq[Double]): SgdNetModel = {
+    val merged = (model.lambda ++ extra).distinct.sorted(Ordering[Double].reverse)
+    val p = model.params.copy(lambda = merged.toArray)
+    if (model.responseNames.length > 1 || model.family == "mgaussian")
+      fitWeightedMulti(df, model.featureNames.toSeq,
+        model.responseNames.toSeq, weightCol, p)
+    else fitWeighted(df, model.featureNames.toSeq, model.responseNames.head,
+      weightCol, p)
+  }
+
   /** Sparse-input gaussian/mgaussian fit: rows are CSR-style
     * (indices, values) arrays over a fixed feature dimension `dim`
     * (the Spark shape of the reference's dgCMatrix input,
@@ -623,6 +639,18 @@ object SgdNet {
       s"fitWeightedMulti is the gaussian/mgaussian route, not ${params.family}")
     require(params.family == "mgaussian" || labelCols.size == 1,
       "response for gaussian must be one-dimensional (family=\"mgaussian\" for multi)")
+    val g = weightedGramStats(df, featureCols, labelCols, weightCol)
+    solveGaussianFromStats(g, featureCols, labelCols, params)
+  }
+
+  /** ONE-pass sum-to-n-normalized weighted moments — the statistics a
+    * weighted gaussian/mgaussian fit solves from, shared by
+    * [[fitWeightedMulti]], [[relaxedFitWeighted]], and the weighted
+    * refit route. w == 0 drops the observation (glmnet accepts it);
+    * n counts the kept rows so the normalization runs over them only. */
+  private[ml] def weightedGramStats(df: DataFrame, featureCols: Seq[String],
+                                    labelCols: Seq[String],
+                                    weightCol: String): GramStats = {
     import org.apache.spark.sql.functions.col
     val p = featureCols.size
     val k = labelCols.size
@@ -636,8 +664,6 @@ object SgdNet {
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // w == 0 drops the observation (glmnet accepts it); n counts the
-      // kept rows so the sum-to-n normalization runs over them only
       val (nRows, wSum) = rows.treeAggregate((0L, 0.0))(
         seqOp = (s, r) => {
           require(r._3 >= 0, "weights must be non-negative")
@@ -646,11 +672,10 @@ object SgdNet {
         combOp = (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
       require(nRows > 0, "the response (y) is empty.")
       val norm = nRows.toDouble / wSum
-      val g = rows.treeAggregate(new GramStats(p, k))(
+      rows.treeAggregate(new GramStats(p, k))(
         seqOp = (s, r) =>
           if (r._3 > 0) s.addWeighted(r._1, r._2, r._3 * norm) else s,
         combOp = (a, b) => a.merge(b), depth = 2)
-      solveGaussianFromStats(g, featureCols, labelCols, params)
     } finally { rows.unpersist(blocking = false); () }
   }
 
@@ -887,12 +912,37 @@ object SgdNet {
   def relaxedFit(df: DataFrame, featureCols: Seq[String], labelCol: String,
                  params: SgdNetParams = SgdNetParams(),
                  gamma: Double = 1.0): RelaxedPath = {
+    validateRelaxed(params, gamma)
+    val rdd = SufficientStats.toRdd(df, featureCols, Seq(labelCol))
+    val g = SufficientStats.compute(rdd, featureCols.size, 1)
+    relaxedFromStats(g, featureCols, labelCol, params, gamma)
+  }
+
+  /** WEIGHTED relaxed fit (glmnet `relax = TRUE` + `weights`): the
+    * active-set OLS refit runs on the same one-pass WEIGHTED moments
+    * the penalized path solves from — v-weighted least squares on each
+    * lambda's active set, zero extra data passes, exactly
+    * [[relaxedFit]]'s shape. Integer weights reproduce row duplication
+    * (spec). */
+  def relaxedFitWeighted(df: DataFrame, featureCols: Seq[String],
+                         labelCol: String, weightCol: String,
+                         params: SgdNetParams = SgdNetParams(),
+                         gamma: Double = 1.0): RelaxedPath = {
+    validateRelaxed(params, gamma)
+    val g = weightedGramStats(df, featureCols, Seq(labelCol), weightCol)
+    relaxedFromStats(g, featureCols, labelCol, params, gamma)
+  }
+
+  private def validateRelaxed(params: SgdNetParams, gamma: Double): Unit = {
     require(params.family == "gaussian", "relaxedFit: gaussian family only")
     require(gamma >= 0 && gamma <= 1, "gamma must be in [0, 1]")
     require(!params.standardizeResponse,
       "relaxedFit: standardize.response is mgaussian-only")
-    val rdd = SufficientStats.toRdd(df, featureCols, Seq(labelCol))
-    val g = SufficientStats.compute(rdd, featureCols.size, 1)
+  }
+
+  private def relaxedFromStats(g: GramStats, featureCols: Seq[String],
+                               labelCol: String, params: SgdNetParams,
+                               gamma: Double): RelaxedPath = {
     val model = solveGaussianFromStats(g, featureCols, Seq(labelCol), params)
     val p = featureCols.size
     val st = SufficientStats.standardize(g, params.standardize, params.intercept)

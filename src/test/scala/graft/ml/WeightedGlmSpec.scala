@@ -200,4 +200,56 @@ class WeightedGlmSpec extends SparkSpec {
     assert(math.abs(bounded.beta(0)(0)(1)) < 1e-8,
       s"penalized coef at lambda_max: ${bounded.beta(0)(0)(1)}")
   }
+
+  test("weighted completeness sweep (round 15): relaxedFitWeighted, " +
+    "refitWeighted, sgdnetCompat + weights, exclude + weights") {
+    val df = SparkSpec.regressionDF(spark)
+    val lambdas = Array(1.0, 0.2)
+    val params = SgdNetParams(alpha = 1.0, lambda = lambdas,
+      thresh = 1e-11, maxit = 100000)
+    val wdf = df.withColumn("w",
+      (pmod(round(col("y") * 100).cast("long"), lit(3)) + 1).cast("double"))
+    val dup = wdf.withColumn("k",
+        explode(sequence(lit(1), col("w").cast("int")))).drop("k")
+    // relaxed: unit weights == unweighted; integer weights == duplication
+    val rUnw = SgdNet.relaxedFit(df, Seq("x1", "x2", "x3"), "y", params, 0.0)
+    val rW1 = SgdNet.relaxedFitWeighted(df.withColumn("w", lit(1.0)),
+      Seq("x1", "x2", "x3"), "y", "w", params, 0.0)
+    val rWI = SgdNet.relaxedFitWeighted(wdf, Seq("x1", "x2", "x3"), "y", "w",
+      params, 0.0)
+    val rDup = SgdNet.relaxedFit(dup, Seq("x1", "x2", "x3"), "y", params, 0.0)
+    for (l <- lambdas.indices; j <- 0 until 3) {
+      assert(math.abs(rW1.olsBeta(l)(j) - rUnw.olsBeta(l)(j)) < 1e-9, s"unit $l $j")
+      assert(math.abs(rWI.olsBeta(l)(j) - rDup.olsBeta(l)(j)) < 1e-8, s"dup $l $j")
+    }
+    assert(math.abs(rWI.olsA0(0) - rDup.olsA0(0)) < 1e-8)
+    // refitWeighted: merged grid, each lambda equals a direct weighted
+    // fit on the same grid
+    val base = SgdNet.fitWeighted(wdf, Seq("x1", "x2"), "y", "w", params)
+    val re = SgdNet.refitWeighted(base, wdf, "w", Seq(0.5))
+    assert(re.lambda.toSeq == Seq(1.0, 0.5, 0.2))
+    val direct = SgdNet.fitWeighted(wdf, Seq("x1", "x2"), "y", "w",
+      params.copy(lambda = Array(1.0, 0.5, 0.2)))
+    for (l <- 0 until 3; j <- 0 until 2)
+      assert(math.abs(re.beta(l)(0)(j) - direct.beta(l)(0)(j)) < 1e-9)
+    // sgdnetCompat applies on the weighted moments: integer weights ==
+    // duplication under compat's 1/sd_pop(y) L2 rescale (ridge so the
+    // L2 term is actually exercised)
+    val compat = SgdNetParams(alpha = 0.0, lambda = Array(2.0),
+      sgdnetCompat = true, thresh = 1e-11, maxit = 100000)
+    val cW = SgdNet.fitWeighted(wdf, Seq("x1", "x2"), "y", "w", compat)
+    val cD = SgdNet.fit(dup, Seq("x1", "x2"), "y", compat)
+    for (j <- 0 until 2)
+      assert(math.abs(cW.beta(0)(0)(j) - cD.beta(0)(0)(j)) < 1e-8, s"compat $j")
+    // exclude (limit arrays) + weights: the excluded coefficient is
+    // forced out of the WEIGHTED fit at every lambda
+    val (lo, up) = SgdNet.excludeLimits(2, Seq(1))
+    val ex = SgdNet.fitWeighted(wdf, Seq("x1", "x2"), "y", "w",
+      params.copy(lowerLimits = lo, upperLimits = up))
+    for (l <- lambdas.indices) {
+      assert(ex.beta(l)(0)(1) == 0.0, s"excluded coef at lambda $l")
+      assert(math.abs(ex.beta(l)(0)(0)) > 0.0)
+    }
+    ()
+  }
 }
