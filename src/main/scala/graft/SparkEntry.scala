@@ -71,6 +71,10 @@ object SparkEntry {
     "q_multinom_pf"      -> (PathQueries.multinomPf _),
     "q_weighted_binom"   -> (MlQueries.weightedBinom _),
     "q_weighted_poisson" -> (MlQueries.weightedPoisson _),
+    "q_multinom_pf"      -> (PathQueries.multinomPf _),
+    "q_weighted_binom"   -> (MlQueries.weightedBinom _),
+    "q_weighted_poisson" -> (MlQueries.weightedPoisson _),
+    "q_weighted_multinom" -> (MlQueries.weightedMultinom _),
     "q_weighted_mgauss"  -> (MlQueries.weightedMgauss _),
     "q_binom_null_fit"   -> (PathQueries.binomNullFit _),
     "q_poisson_null_fit" -> (PathQueries.poissonNullFit _),
@@ -1531,6 +1535,47 @@ object SparkEntry {
         |    - (1.0/(0.5*(1+r)+0.000000001)) * 0.001, 0) / sd1 AS b1,
         |  sign(c2/sd2) * greatest((1.0/(0.5*(1+r)+0.000000001)) * abs(c2/sd2)
         |    - (1.0/(0.5*(1+r)+0.000000001)) * 0.001, 0) / sd2 AS b2
+        |FROM g, s)
+        |SELECT f AS class, 'a0' AS term,
+        |       round(ln(p) - (b1 * mx1 + b2 * mx2), 6) + 0 AS value FROM u
+        |UNION ALL SELECT f, 'l_quantity', round(b1, 6) + 0 FROM u
+        |UNION ALL SELECT f, 'l_discount', round(b2, 6) + 0 FROM u
+        |ORDER BY class, term""".stripMargin,
+
+    // weighted multinomial (glmnet weights, round 15): the
+    // q_multinom_fit one-FISTA-step closed form with every moment
+    // v-weighted (w = l_linenumber); step from the engine's power
+    // iteration on the weighted standardized gram — starting from
+    // (1,1) it returns 1 + r for a 2x2 correlation gram REGARDLESS of
+    // r's sign (the weighted r here is slightly negative), matching
+    // the q_multinom_fit oracle convention; a0 = ln(weighted prior)
+    // on the standardized scale (gradA0 at the weighted null is 0)
+    "q_weighted_multinom" ->
+      """WITH b AS (SELECT l_quantity AS x1, l_discount AS x2,
+        |  l_returnflag AS y, l_linenumber::DOUBLE AS w FROM lineitem),
+        |m AS (SELECT sum(w) sw, sum(w*x1) s1, sum(w*x2) s2,
+        |  sum(w*x1*x1) s11, sum(w*x2*x2) s22, sum(w*x1*x2) s12 FROM b),
+        |s AS (SELECT sw, s1/sw mx1, s2/sw mx2,
+        |  sqrt(s11/sw - (s1/sw)*(s1/sw)) sd1,
+        |  sqrt(s22/sw - (s2/sw)*(s2/sw)) sd2,
+        |  (s12/sw - (s1/sw)*(s2/sw))
+        |    / (sqrt(s11/sw - (s1/sw)*(s1/sw))
+        |       * sqrt(s22/sw - (s2/sw)*(s2/sw))) r
+        |FROM m),
+        |g AS (SELECT t.f,
+        |  sum(b.w * CASE WHEN b.y = t.f THEN 1.0 ELSE 0.0 END) swy,
+        |  sum(b.w * b.x1 * CASE WHEN b.y = t.f THEN 1.0 ELSE 0.0 END) swx1y,
+        |  sum(b.w * b.x2 * CASE WHEN b.y = t.f THEN 1.0 ELSE 0.0 END) swx2y
+        |FROM b, (VALUES ('A'), ('N'), ('R')) t(f) GROUP BY t.f),
+        |u AS (SELECT g.f, g.swy/s.sw AS p, s.mx1, s.mx2,
+        |  sign((g.swx1y/s.sw - s.mx1 * g.swy/s.sw)/s.sd1)
+        |    * greatest((1.0/(0.5*(1+s.r)+0.000000001))
+        |        * abs((g.swx1y/s.sw - s.mx1 * g.swy/s.sw)/s.sd1)
+        |      - (1.0/(0.5*(1+s.r)+0.000000001)) * 0.001, 0) / s.sd1 AS b1,
+        |  sign((g.swx2y/s.sw - s.mx2 * g.swy/s.sw)/s.sd2)
+        |    * greatest((1.0/(0.5*(1+s.r)+0.000000001))
+        |        * abs((g.swx2y/s.sw - s.mx2 * g.swy/s.sw)/s.sd2)
+        |      - (1.0/(0.5*(1+s.r)+0.000000001)) * 0.001, 0) / s.sd2 AS b2
         |FROM g, s)
         |SELECT f AS class, 'a0' AS term,
         |       round(ln(p) - (b1 * mx1 + b2 * mx2), 6) + 0 AS value FROM u

@@ -1669,6 +1669,325 @@ object CvSgdNet {
     } finally rows.unpersist(blocking = false)
   }
 
+  // ------------------------------- weighted multinomial, shared-pass CV
+
+  /** Shared-pass WEIGHTED multinomial CV (round 15): the
+    * [[cvMultinomialShared]] FISTA chassis with the frequency weight v
+    * folded into every softmax-gradient contribution (vn·(p−y) per
+    * row, `SgdNet.fitWeightedMultinomial`'s arithmetic tiled per
+    * fold). Per-fold raw-v moments rescale driver-side to each fold's
+    * sum-to-n_train normalization, so each fold-model matches a
+    * standalone weighted fit on its train rows within the convergence
+    * tolerance. Held-out scores are Σv·err/Σv with raw v
+    * (deviance|mse|mae|class). */
+  private def cvWeightedMultinomialShared(df: DataFrame,
+                                  featureCols: Seq[String],
+                                  labelCol: String, weightCol: String,
+                                  params: SgdNetParams,
+                                  nfolds: Int, foldCol: Column,
+                                  measure: String): CvPath = {
+    SgdNet.requireNoZeroPf(params, "shared weighted multinomial CV")
+    val p = featureCols.size
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(classes.length > 2,
+      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
+      else "only one class in response.")
+    val k = classes.length
+    val classIdx = classes.zipWithIndex.toMap
+    require(params.penaltyFactor == null ||
+      (params.penaltyFactor.length == p && params.penaltyFactor.forall(_ >= 0)),
+      "penaltyFactor must have one non-negative entry per feature")
+
+    val hashCols = (featureCols :+ labelCol).map(col)
+    val sc0 = df.sparkSession.sparkContext
+    val bClassIdx = sc0.broadcast(classIdx)
+    val rows = df
+      .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
+      .select((featureCols.map(c => col(c).cast("double")) :+
+        col(labelCol).cast("string") :+ col(weightCol).cast("double") :+
+        col("__fold")): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = r.getDouble(j); j += 1 }
+        (r.getInt(p + 2), x, bClassIdx.value(r.getString(p)), r.getDouble(p + 1))
+      }
+      // v == 0 drops the observation from training and the held-out ratio
+      .map { t => require(t._4 >= 0, "weights must be non-negative"); t }
+      .filter(_._4 > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      val F = nfolds + 1
+      // ONE pass: per-fold RAW-v one-hot weighted moments + Σv
+      val zero = (Array.fill(nfolds)(new GramStats(p, k)),
+        new Array[Double](nfolds))
+      val (perFold, wFold) = rows.treeAggregate(zero)(
+        (acc, t) => {
+          val y = new Array[Double](k); y(t._3) = 1.0
+          acc._1(t._1).addWeighted(t._2, y, t._4)
+          acc._2(t._1) += t._4
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < nfolds) { a._1(i).merge(b._1(i)); a._2(i) += b._2(i); i += 1 }
+          a
+        }, depth = 2)
+      requireNonEmptyFolds(perFold.map(_.n), nfolds)
+      val total = new GramStats(p, k)
+      perFold.foreach(total.merge)
+      val wTotal = wFold.sum
+      val perFoldExt = perFold :+ new GramStats(p, k)
+      val wFoldExt = wFold :+ 0.0
+      val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
+      val norms = Array.tabulate(F)(f => nTrain(f) / (wTotal - wFoldExt(f)))
+      val trainStats = Array.tabulate(F) { f =>
+        val tr = new GramStats(p, k).merge(total).subtract(perFoldExt(f))
+          .scaleWeights(norms(f))
+        SufficientStats.standardize(tr, params.standardize, params.intercept)
+      }
+      val grouped = params.typeMultinomial == "grouped"
+      val lambdas =
+        if (params.lambda != null) params.lambda
+        else {
+          val minRatio = if (params.lambdaMinRatio.isNaN)
+            LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
+          val bArg = if (grouped) trainStats(nfolds).b
+            else Array(trainStats(nfolds).b.flatten)
+          val pfArg = if (params.penaltyFactor == null) null
+            else if (grouped) params.penaltyFactor
+            else Array.tabulate(k * p)(i => params.penaltyFactor(i % p))
+          LambdaPath.build(bArg, params.alpha, params.nlambda, minRatio,
+            pfArg)
+        }
+      val means = trainStats.map(st =>
+        if (params.intercept) st.xMean else new Array[Double](p))
+      val scales = trainStats.map(st =>
+        if (params.standardize) st.xSd else Array.fill(p)(1.0))
+      val boundsF = scales.map(s => SgdNet.boundsStd(params, s, 1.0))
+      val pf = params.penaltyFactor
+      val steps = trainStats.map(st => 1.0 / (0.5 * LinAlg.maxEig(st.gram) + 1e-9))
+      val sc = rows.sparkContext
+      val bMeans = sc.broadcast(means)
+      val bScales = sc.broadcast(scales)
+      val bNorms = sc.broadcast(norms)
+
+      val L = lambdas.length
+      val beta = Array.fill(F)(Array.ofDim[Double](k, p))
+      val a0 = Array.tabulate(F) { f =>
+        Array.tabulate(k)(t => if (params.intercept)
+          math.log(math.max(trainStats(f).yMean(t), 1e-12)) else 0.0)
+      }
+      val a0Out = Array.ofDim[Double](F, L, k)
+      val betaOut = Array.ofDim[Double](F, L, k, p)
+      var sharedPasses = 0
+
+      for (l <- 0 until L) {
+        val lam = lambdas(l)
+        val active = Array.fill(F)(true)
+        val yB = beta.map(_.map(_.clone()))
+        val yA = a0.map(_.clone())
+        val tk = Array.fill(F)(1.0)
+        var iter = 0
+        while (iter < params.maxit && active.exists(identity)) {
+          val activeSnap = active.clone()
+          val yBSnap = yB.map(_.map(_.clone()))
+          val yASnap = yA.map(_.clone())
+          sharedPasses += 1
+          // ONE pass: v-weighted softmax gradients for all active folds
+          // plus the per-fold weighted count in the last F slots
+          val acc = rows.treeAggregate(new Array[Double](F * k * (p + 1)))(
+            (s, row) => {
+              val (rowFold, xr, yIdx, v) = row
+              var f = 0
+              while (f < F) {
+                if (f != rowFold && activeSnap(f)) {
+                  val m = bMeans.value(f); val sl = bScales.value(f)
+                  val bf = yBSnap(f); val af = yASnap(f)
+                  val vn = v * bNorms.value(f)
+                  val xs = new Array[Double](p)
+                  var j = 0
+                  while (j < p) { xs(j) = (xr(j) - m(j)) / sl(j); j += 1 }
+                  val eta = new Array[Double](k)
+                  var mx = Double.NegativeInfinity
+                  var t = 0
+                  while (t < k) {
+                    var e = af(t)
+                    j = 0
+                    while (j < p) { e += bf(t)(j) * xs(j); j += 1 }
+                    eta(t) = e; if (e > mx) mx = e
+                    t += 1
+                  }
+                  var z = 0.0
+                  t = 0
+                  while (t < k) { eta(t) = math.exp(eta(t) - mx); z += eta(t); t += 1 }
+                  val base = f * k * (p + 1)
+                  t = 0
+                  while (t < k) {
+                    val r = vn * (eta(t) / z - (if (t == yIdx) 1.0 else 0.0))
+                    s(base + t * (p + 1)) += r
+                    j = 0
+                    while (j < p) { s(base + t * (p + 1) + 1 + j) += r * xs(j); j += 1 }
+                    t += 1
+                  }
+                }
+                f += 1
+              }
+              s
+            },
+            (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          // driver-side FISTA prox step per active fold (identical
+          // arithmetic to fitMultinomialCore's; Σvn per fold == nTrain)
+          for (f <- 0 until F if active(f)) {
+            val base = f * k * (p + 1)
+            val ninv = 1.0 / nTrain(f)
+            val grad = Array.tabulate(k, p)((t, j) =>
+              acc(base + t * (p + 1) + 1 + j) * ninv)
+            val gradA0 = Array.tabulate(k)(t => acc(base + t * (p + 1)) * ninv)
+            val step = steps(f)
+            val (lo, up) = boundsF(f)
+            val nb = Array.ofDim[Double](k, p)
+            val na = new Array[Double](k)
+            var maxD = 0.0
+            for (t <- 0 until k) {
+              na(t) = if (params.intercept) yA(f)(t) - step * gradA0(t) else 0.0
+              val d0 = math.abs(na(t) - a0(f)(t)); if (d0 > maxD) maxD = d0
+            }
+            for (j <- 0 until p) {
+              val pfj = if (pf == null) 1.0 else pf(j)
+              if (grouped) {
+                var nrm = 0.0
+                val v = Array.tabulate(k)(t => yB(f)(t)(j) - step * grad(t)(j))
+                v.foreach(x => nrm += x * x)
+                nrm = math.sqrt(nrm)
+                val g = step * lam * params.alpha * pfj
+                val shrink =
+                  if (nrm > g)
+                    (1.0 - g / nrm) /
+                      (1.0 + step * lam * (1.0 - params.alpha) * pfj)
+                  else 0.0
+                for (t <- 0 until k) {
+                  nb(t)(j) = v(t) * shrink
+                  val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                }
+              } else {
+                for (t <- 0 until k) {
+                  val v = yB(f)(t)(j) - step * grad(t)(j)
+                  var x = LinAlg.softThreshold(v,
+                    step * lam * params.alpha * pfj) /
+                    (1.0 + step * lam * (1.0 - params.alpha) * pfj)
+                  if (lo != null && x < lo(j)) x = lo(j)
+                  if (up != null && x > up(j)) x = up(j)
+                  nb(t)(j) = x
+                  val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                }
+              }
+            }
+            var restartDot = 0.0
+            for (t <- 0 until k; j <- 0 until p)
+              restartDot += grad(t)(j) * (nb(t)(j) - beta(f)(t)(j))
+            for (t <- 0 until k) restartDot += gradA0(t) * (na(t) - a0(f)(t))
+            val tk1 = if (restartDot > 0) 1.0
+              else (1.0 + math.sqrt(1.0 + 4.0 * tk(f) * tk(f))) / 2.0
+            val mom = if (restartDot > 0) 0.0 else (tk(f) - 1.0) / tk1
+            for (t <- 0 until k; j <- 0 until p)
+              yB(f)(t)(j) = nb(t)(j) + mom * (nb(t)(j) - beta(f)(t)(j))
+            for (t <- 0 until k) yA(f)(t) = na(t) + mom * (na(t) - a0(f)(t))
+            beta(f) = nb; a0(f) = na; tk(f) = tk1
+            if (maxD < math.max(params.thresh * 1e-3, 1e-8)) active(f) = false
+          }
+          iter += 1
+        }
+        for (f <- 0 until F) {
+          for (t <- 0 until k; j <- 0 until p)
+            betaOut(f)(l)(t)(j) = beta(f)(t)(j) / scales(f)(j)
+          for (t <- 0 until k)
+            a0Out(f)(l)(t) = if (params.intercept)
+              a0(f)(t) - (0 until p).map(j => betaOut(f)(l)(t)(j) * means(f)(j)).sum
+            else a0(f)(t)
+        }
+      }
+
+      // full-data model from the virtual fold + v-weighted deviance pass
+      // (multinomDeviance on vn-scaled one-hots — deviance is linear in y)
+      val a0Full = Array.tabulate(L)(l => a0Out(nfolds)(l).clone())
+      val betaFull = Array.tabulate(L)(l => betaOut(nfolds)(l).map(_.clone()))
+      val priors = trainStats(nfolds).yMean
+      val nulldev = -2.0 * total.n * priors.map(pr => SgdNet.safeXLog(pr, pr)).sum
+      val normFull = norms(nfolds)
+      val onehotRows = rows.map { t =>
+        val y = new Array[Double](k); y(t._3) = t._4 * normFull; (t._2, y)
+      }
+      val devs = SgdNet.multinomDeviance(onehotRows, a0Full, betaFull, k)
+      val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
+      val full = new SgdNetModel("multinomial", featureCols.toArray,
+        Array(labelCol), classes, lambdas, a0Full, betaFull, nulldev,
+        devRatio, total.n, sharedPasses + 2, params)
+
+      // held-out scoring per (fold, lambda): Σv·err / Σv with RAW v
+      val bA0 = sc.broadcast(a0Out)
+      val bBeta = sc.broadcast(betaOut)
+      val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
+        (s, row) => {
+          val (f, x, yIdx, v) = row
+          var l = 0
+          while (l < L) {
+            val al = bA0.value(f)(l); val bl = bBeta.value(f)(l)
+            val eta = new Array[Double](k)
+            var mx = Double.NegativeInfinity
+            var t = 0
+            while (t < k) {
+              var e = al(t)
+              var j = 0
+              while (j < p) { e += bl(t)(j) * x(j); j += 1 }
+              eta(t) = e; if (e > mx) mx = e
+              t += 1
+            }
+            var z = 0.0
+            t = 0
+            while (t < k) { eta(t) = math.exp(eta(t) - mx); z += eta(t); t += 1 }
+            s(f * L + l) += v * (measure match {
+              case "class" =>
+                var best = 0
+                t = 1
+                while (t < k) { if (eta(t) >= eta(best)) best = t; t += 1 }
+                if (best != yIdx) 1.0 else 0.0
+              case "mse" =>
+                var acc2 = 0.0
+                t = 0
+                while (t < k) {
+                  val d = eta(t) / z - (if (t == yIdx) 1.0 else 0.0)
+                  acc2 += d * d; t += 1
+                }
+                acc2
+              case "mae" =>
+                var acc2 = 0.0
+                t = 0
+                while (t < k) {
+                  acc2 += math.abs(eta(t) / z - (if (t == yIdx) 1.0 else 0.0)); t += 1
+                }
+                acc2
+              case "deviance" =>
+                val pt = math.min(math.max(eta(yIdx) / z, 1e-5), 1.0 - 1e-5)
+                -2.0 * math.log(pt)
+              case other => // unreachable: fitWeightedMulti validates
+                throw new IllegalArgumentException(s"unknown measure $other")
+            })
+            l += 1
+          }
+          s
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      val foldScores = Array.tabulate(nfolds, L)((f, l) =>
+        sums(f * L + l) / wFold(f))
+      summarize(params.alpha, lambdas, foldScores, full)
+    } finally rows.unpersist(blocking = false)
+  }
+
   // ------------------------------------------------- generic per-fold refit
 
   private[ml] def cvGeneric(df: DataFrame, featureCols: Seq[String],
@@ -1720,15 +2039,19 @@ object CvSgdNet {
     *    (exactly `SgdNet.fitWeightedGlm`'s per-row accumulation, tiled
     *    per fold), the full-data fit riding as the virtual fold.
     *
+    *  - multinomial: shared FISTA on the [[cvMultinomialShared]]
+    *    chassis with vn·(p−y) gradient contributions
+    *    (`cvWeightedMultinomialShared`).
+    *
     * Measures: deviance|mse|mae for every family; binomial adds class
     * and the v-weighted AUC (continuous-mass rank statistic —
-    * reference R/cv_sgdnet.R:119-128, R/score.R). `alphas` spans an
-    * alpha grid exactly like [[fit]]. Held-out scores are the
-    * v-weighted mean Σv·err/Σv with RAW weights (normalization-free
-    * ratio — glmnet's weighted-CV convention). Zero-weight rows drop
-    * from training and contribute zero mass to scoring. mgaussian goes
-    * through [[fitWeightedMulti]]; multinomial is rejected (no weighted
-    * multinomial fit exists to cross-validate). */
+    * reference R/cv_sgdnet.R:119-128, R/score.R); multinomial adds
+    * class. `alphas` spans an alpha grid exactly like [[fit]].
+    * Held-out scores are the v-weighted mean Σv·err/Σv with RAW
+    * weights (normalization-free ratio — glmnet's weighted-CV
+    * convention). Zero-weight rows drop from training and contribute
+    * zero mass to scoring. mgaussian goes through
+    * [[fitWeightedMulti]]. */
   def fitWeighted(df: DataFrame, featureCols: Seq[String], labelCol: String,
                   weightCol: String,
                   params: SgdNetParams = SgdNetParams(),
@@ -1749,9 +2072,11 @@ object CvSgdNet {
                        foldCol: Column = null,
                        alphas: Seq[Double] = Seq.empty): CvResult = {
     require(nfolds >= 2, "nfolds must be at least 2")
-    val okMeasures =
-      if (params.family == "binomial") Set("deviance", "mse", "mae", "class", "auc")
-      else Set("deviance", "mse", "mae")
+    val okMeasures = params.family match {
+      case "binomial"    => Set("deviance", "mse", "mae", "class", "auc")
+      case "multinomial" => Set("deviance", "mse", "mae", "class")
+      case _             => Set("deviance", "mse", "mae")
+    }
     require(okMeasures.contains(measure),
       s"weighted ${params.family} CV supports " +
         s"${okMeasures.toSeq.sorted.mkString("|")}, not '$measure'")
@@ -1767,8 +2092,13 @@ object CvSgdNet {
         alphaGrid.map(a => cvWeightedGlmShared(df, featureCols,
           labelCols.head, weightCol, params.copy(alpha = a), nfolds, foldCol,
           measure))
+      case "multinomial" =>
+        alphaGrid.map(a => cvWeightedMultinomialShared(df, featureCols,
+          labelCols.head, weightCol, params.copy(alpha = a), nfolds, foldCol,
+          measure))
       case f => throw new IllegalArgumentException(
-        s"weighted CV supports gaussian, mgaussian, binomial, poisson, not $f")
+        s"weighted CV supports gaussian, mgaussian, binomial, poisson, " +
+          s"multinomial, not $f")
     }
     val best = paths.minBy(p => p.cvm.min)
     CvResult(paths, best)

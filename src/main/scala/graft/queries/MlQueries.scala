@@ -156,6 +156,32 @@ object MlQueries {
     rows.toDF("response", "term", "value").orderBy("response", "term")
   }
 
+  /** Weighted MULTINOMIAL lasso (glmnet weights with
+    * family="multinomial", round 15): ONE FISTA step from the null
+    * point — the q_multinom_fit closed form with every moment
+    * v-WEIGHTED (weighted means/sds/correlation/priors/covariances;
+    * Lipschitz step from the weighted standardized 2×2 gram via the
+    * engine's power iteration, which starting from (1,1) yields
+    * 1 + r_w regardless of sign — the q_multinom_fit oracle
+    * convention; gradA0 at the weighted-prior null is exactly 0, so
+    * a0 stays ln(p̄_w) on the standardized scale). */
+  def weightedMultinom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fitWeighted(li, Seq("l_quantity", "l_discount"),
+      "l_returnflag", "l_linenumber",
+      SgdNetParams(family = "multinomial", alpha = 1.0,
+        lambda = Array(0.001), maxit = 1))
+    val rows = for {
+      t <- 0 until m.nResponses
+      (term, v) <- ("a0", m.a0(0)(t)) +:
+        m.featureNames.toSeq.zipWithIndex.map { case (f, j) => (f, m.beta(0)(t)(j)) }
+    } yield (m.classLabels(t), term, v)
+    rows.toDF("class", "term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("class", "term")
+  }
+
   /** Gaussian ridge with a linear-predictor OFFSET (glmnet offset):
     * fitting y with offset o is exactly the ridge fit of y − o. */
   def offsetRidge(spark: SparkSession, dir: String): DataFrame = {

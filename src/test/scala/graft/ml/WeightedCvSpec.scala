@@ -160,16 +160,54 @@ class WeightedCvSpec extends SparkSpec {
     assert(grid.best.cvm.min == grid.paths.map(_.cvm.min).min)
   }
 
-  test("weighted CV contracts: multinomial rejected; auc rejected off-" +
-    "binomial; zero weights drop; non-negative weights enforced") {
+  test("multinomial: weighted fit + shared weighted CV — unit weights == " +
+    "unweighted; integer weights == duplicated rows") {
+    val df = SparkSpec.multiclassDF(spark, n = 450)
+    val fold = pmod(xxhash64(col("x1"), col("x2"), col("cls")), lit(3))
+    val lamM = Array(0.05, 0.01)
+    val params = SgdNetParams(family = "multinomial", lambda = lamM,
+      thresh = 1e-7, maxit = 5000)
+    // fit: unit weights == unweighted; integer weights == duplication
+    val w1 = df.withColumn("w", lit(1.0))
+    val fUnw = SgdNet.fit(df, Seq("x1", "x2"), "cls", params)
+    val fW1 = SgdNet.fitWeighted(w1, Seq("x1", "x2"), "cls", "w", params)
+    for (l <- lamM.indices; t <- 0 until 3; j <- 0 until 2)
+      assert(math.abs(fW1.beta(l)(t)(j) - fUnw.beta(l)(t)(j)) < 1e-7,
+        s"fit unit b($l)($t)($j)")
+    val wdf = df.withColumn("w",
+      (pmod(round(col("x1") * 100).cast("long"), lit(3)) + 1).cast("double"))
+    val dup = wdf.withColumn("k",
+        explode(sequence(lit(1), col("w").cast("int")))).drop("k")
+    val fWI = SgdNet.fitWeighted(wdf, Seq("x1", "x2"), "cls", "w", params)
+    val fDup = SgdNet.fit(dup, Seq("x1", "x2"), "cls", params)
+    for (l <- lamM.indices; t <- 0 until 3; j <- 0 until 2)
+      assert(math.abs(fWI.beta(l)(t)(j) - fDup.beta(l)(t)(j)) < 1e-5,
+        s"fit dup b($l)($t)($j): ${fWI.beta(l)(t)(j)} vs ${fDup.beta(l)(t)(j)}")
+    // CV: unit weights == unweighted shared CV; integer == duplication
+    for (measure <- Seq("deviance", "class")) {
+      val sw = CvSgdNet.fitWeighted(w1, Seq("x1", "x2"), "cls", "w",
+        params, nfolds = 3, measure = measure, foldCol = fold)
+      val un = CvSgdNet.fit(df, Seq("x1", "x2"), Seq("cls"),
+        params, nfolds = 3, measure = measure, foldCol = fold)
+      assertCurvesClose(sw.best, un.best, 1e-6, s"multinom-unit/$measure")
+    }
+    val cvI = CvSgdNet.fitWeighted(wdf, Seq("x1", "x2"), "cls", "w",
+      params, nfolds = 3, measure = "deviance", foldCol = fold)
+    val cvD = CvSgdNet.fit(dup, Seq("x1", "x2"), Seq("cls"),
+      params, nfolds = 3, measure = "deviance", foldCol = fold)
+    assertCurvesClose(cvI.best, cvD.best, 1e-4, "multinom-dup/deviance")
+  }
+
+  test("weighted CV contracts: auc rejected off-binomial; zero weights " +
+    "drop; non-negative weights enforced") {
     val df = SparkSpec.binaryDF(spark, n = 200).withColumn("w", lit(1.0))
     intercept[IllegalArgumentException] {
       CvSgdNet.fitWeighted(df, Seq("x1"), "y", "w",
-        SgdNetParams(family = "multinomial"), nfolds = 2)
+        SgdNetParams(family = "poisson"), nfolds = 2, measure = "auc")
     }
     intercept[IllegalArgumentException] {
       CvSgdNet.fitWeighted(df, Seq("x1"), "y", "w",
-        SgdNetParams(family = "poisson"), nfolds = 2, measure = "auc")
+        SgdNetParams(family = "multinomial"), nfolds = 2, measure = "auc")
     }
     // zero-weight rows drop from training AND scoring: CV on (w ∈ {0,2})
     // equals CV on the w>0 subset with constant weights
