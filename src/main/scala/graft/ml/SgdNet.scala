@@ -224,6 +224,53 @@ object SgdNet {
     }
   }
 
+  /** [[fitSparse]] WITH observation weights (glmnet sparse x +
+    * `weights` together, round 15 — the reference supports dgCMatrix
+    * for every family, src/saga-sparse.h, and glmnet accepts weights
+    * with it): gaussian runs one weighted sparse-moment treeAggregate
+    * (O(nnz²) per row, never densified) into the same driver path
+    * solver; binomial/poisson/multinomial thread v·norm through every
+    * sparse IRLS / softmax-gradient pass. Integer weights reproduce
+    * row duplication (spec); w = 0 drops the observation. */
+  def fitSparseWeighted(df: DataFrame, idxCol: String, valCol: String,
+                        dim: Int, labelCol: String, weightCol: String,
+                        params: SgdNetParams = SgdNetParams()): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    params.family match {
+      case "gaussian" =>
+        val raw = df.select(col(idxCol), col(valCol).cast("array<double>"),
+            col(labelCol).cast("double"), col(weightCol).cast("double"))
+          .rdd.map { row =>
+            (row.getSeq[Int](0).toArray, row.getSeq[Double](1).toArray,
+              row.getDouble(2), row.getDouble(3))
+          }.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (nRows, wSum) = raw.treeAggregate((0L, 0.0))(
+            seqOp = (s, r) => {
+              require(r._4 >= 0, "weights must be non-negative")
+              if (r._4 > 0) (s._1 + 1, s._2 + r._4) else s
+            },
+            combOp = (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+          require(nRows > 0, "the response (y) is empty.")
+          val norm = nRows.toDouble / wSum
+          val g = raw.filter(_._4 > 0).treeAggregate(new GramStats(dim, 1))(
+            seqOp = (s, r) =>
+              s.addSparseWeighted(r._1, r._2, Array(r._3), r._4 * norm),
+            combOp = (a, b) => a.merge(b), depth = 2)
+          solveGaussianFromStats(g, (0 until dim).map(j => s"V$j"),
+            Seq(labelCol), params)
+        } finally { raw.unpersist(blocking = false); () }
+      case "binomial" | "poisson" =>
+        fitSparseGlm(df, idxCol, valCol, dim, labelCol, params, weightCol)
+      case "multinomial" =>
+        fitSparseMultinomial(df, idxCol, valCol, dim, labelCol, params,
+          weightCol)
+      case f => throw new IllegalArgumentException(
+        s"fitSparseWeighted supports gaussian, binomial, poisson, " +
+          s"multinomial, not $f")
+    }
+  }
+
   /** Sparse-input binomial/poisson IRLS (reference supports dgCMatrix for
     * every family — src/saga-sparse.h): the same distributed Newton shape
     * as the dense path, but each pass accumulates UNCENTERED weighted
@@ -237,8 +284,9 @@ object SgdNet {
     * row. Produces bitwise the same solve inputs as the dense path. */
   private def fitSparseGlm(df: DataFrame, idxCol: String, valCol: String,
                            dim: Int, labelCol: String,
-                           params: SgdNetParams): SgdNetModel = {
-    import org.apache.spark.sql.functions.col
+                           params: SgdNetParams,
+                           weightCol: String = null): SgdNetModel = {
+    import org.apache.spark.sql.functions.{col, lit}
     requireNoZeroPf(params, "sparse GLM")
     val p = dim
     val binomial = params.family == "binomial"
@@ -254,13 +302,32 @@ object SgdNet {
     val yCol =
       if (binomial) (col(labelCol).cast("string") === classes(1)).cast("double")
       else col(labelCol).cast("double")
-    val rows = df.select(col(idxCol), col(valCol).cast("array<double>"), yCol)
+    val wCol = if (weightCol == null) lit(1.0) else col(weightCol).cast("double")
+    val raw = df.select(col(idxCol), col(valCol).cast("array<double>"), yCol,
+        wCol)
       .rdd.map { r =>
-        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray, r.getDouble(2))
+        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray,
+          r.getDouble(2), r.getDouble(3))
       }.persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // weights normalize to sum to the kept-row count (w == 0 drops
+      // the observation); vn = 1.0 everywhere for the unweighted call,
+      // which is bit-identical to the pre-weights arithmetic
+      val rows =
+        if (weightCol == null) raw
+        else {
+          val (nRows, wSum) = raw.treeAggregate((0L, 0.0))(
+            seqOp = (s, r) => {
+              require(r._4 >= 0, "weights must be non-negative")
+              if (r._4 > 0) (s._1 + 1, s._2 + r._4) else s
+            },
+            combOp = (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+          require(nRows > 0, "the response (y) is empty.")
+          val norm = nRows.toDouble / wSum
+          raw.filter(_._4 > 0).map(r => (r._1, r._2, r._3, r._4 * norm))
+        }
       val g = rows.treeAggregate(new GramStats(p, 1))(
-        seqOp = (s, r) => s.addSparse(r._1, r._2, Array(r._3)),
+        seqOp = (s, r) => s.addSparseWeighted(r._1, r._2, Array(r._3), r._4),
         combOp = (a, b) => a.merge(b), depth = 2)
       val st = SufficientStats.standardize(g, params.standardize, params.intercept)
       val n = g.n.toDouble
@@ -303,7 +370,7 @@ object SgdNet {
           val bc = sc.broadcast(bOverS)
           val wg = rows.treeAggregate(new SpWGram(p))(
             seqOp = (s, r) => {
-              val (idx, vals, y) = r
+              val (idx, vals, y, vn) = r
               val bos = bc.value
               var eta = offset
               var i = 0
@@ -320,6 +387,7 @@ object SgdNet {
                 w = math.max(mu, 1e-5)
                 z = etaC + (y - mu) / w
               }
+              w = w * vn // frequency weight folds into the IRLS weight
               s.sw += w; s.swz += w * z
               i = 0
               while (i < idx.length) {
@@ -386,7 +454,7 @@ object SgdNet {
         val nulldev = -2.0 * n * (safeXLog(pBar, nullP) + safeXLog(1 - pBar, 1 - nullP))
         val devs = rows.treeAggregate(new Array[Double](L))(
           seqOp = (acc, r) => {
-            val (idx, vals, y) = r
+            val (idx, vals, y, vn) = r
             var l = 0
             while (l < L) {
               var eta = a0Out(l)(0)
@@ -394,7 +462,8 @@ object SgdNet {
               var i = 0
               while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
               val m = math.max(eta, 0.0)
-              acc(l) += 2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y * eta)
+              acc(l) += vn *
+                (2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y * eta))
               l += 1
             }
             acc
@@ -409,7 +478,7 @@ object SgdNet {
         val muNull = if (params.intercept) yBar else 1.0
         val devs = rows.treeAggregate(new Array[Double](L + 1))(
           seqOp = (acc, r) => {
-            val (idx, vals, y) = r
+            val (idx, vals, y, vn) = r
             def devTerm(mu: Double): Double = {
               val ylog = if (y > 0) y * math.log(y / mu) else 0.0
               2.0 * (ylog - (y - mu))
@@ -420,10 +489,11 @@ object SgdNet {
               val bl = betaOut(l)(0)
               var i = 0
               while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
-              acc(l) += devTerm(math.exp(math.max(math.min(eta, 30.0), -30.0)))
+              acc(l) += vn *
+                devTerm(math.exp(math.max(math.min(eta, 30.0), -30.0)))
               l += 1
             }
-            acc(L) += devTerm(muNull)
+            acc(L) += vn * devTerm(muNull)
             acc
           },
           combOp = (a, b) => { var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a },
@@ -435,7 +505,7 @@ object SgdNet {
         new SgdNetModel("poisson", featureNames, Array(labelCol), Array.empty,
           lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
       }
-    } finally rows.unpersist(blocking = false)
+    } finally raw.unpersist(blocking = false)
   }
 
   /** Uncentered weighted-moment accumulator for the sparse IRLS pass. */
@@ -1363,26 +1433,78 @@ object SgdNet {
     }
   }
 
+  /** [[fitWithOffset]] WITH observation weights (glmnet `offset` +
+    * `weights` together — the standard rate model with exposure AND
+    * frequency weights, round 15): gaussian reduces to the weighted
+    * fit of y − offset; poisson threads v·norm through every IRLS
+    * accumulation, the exposure-weighted null (a0 =
+    * ln(Σv·y / Σv·e^offset)), the lambda-path gradient, and the
+    * deviance pass. Integer weights reproduce row duplication
+    * (spec); w = 0 drops the observation. */
+  def fitWithOffsetWeighted(df: DataFrame, featureCols: Seq[String],
+                            labelCol: String, offsetCol: String,
+                            weightCol: String,
+                            params: SgdNetParams = SgdNetParams()): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    params.family match {
+      case "gaussian" =>
+        val adj = df.select((featureCols.map(col) :+
+          (col(labelCol).cast("double") - col(offsetCol).cast("double"))
+            .as(labelCol) :+ col(weightCol)): _*)
+        fitWeighted(adj, featureCols, labelCol, weightCol, params)
+      case "poisson" => fitPoissonOffset(df, featureCols, labelCol,
+        offsetCol, params, weightCol)
+      case f => throw new IllegalArgumentException(
+        s"fitWithOffsetWeighted supports gaussian and poisson, not $f")
+    }
+  }
+
+  /** Poisson offset fit; `weightCol` non-null folds frequency weights
+    * v (sum-to-n normalized over kept rows) into every accumulation —
+    * the unweighted call passes vn = 1.0 everywhere, which is
+    * bit-identical to the pre-weights arithmetic. */
   private def fitPoissonOffset(df: DataFrame, featureCols: Seq[String],
                                labelCol: String, offsetCol: String,
-                               params: SgdNetParams): SgdNetModel = {
-    import org.apache.spark.sql.functions.col
+                               params: SgdNetParams,
+                               weightCol: String = null): SgdNetModel = {
+    import org.apache.spark.sql.functions.{col, lit}
     requireNoZeroPf(params, "poisson offset")
     val p = featureCols.size
-    val rows = df.select((featureCols.map(c => col(c).cast("double")) ++
-        Seq(col(labelCol).cast("double"), col(offsetCol).cast("double"))): _*)
+    val wCol = if (weightCol == null) lit(1.0) else col(weightCol).cast("double")
+    val raw = df.select((featureCols.map(c => col(c).cast("double")) ++
+        Seq(col(labelCol).cast("double"), col(offsetCol).cast("double"),
+          wCol)): _*)
       .rdd.map { row =>
         val x = Array.tabulate(p)(j => row.getDouble(j))
-        (x, Array(row.getDouble(p), row.getDouble(p + 1)))
+        (x, Array(row.getDouble(p), row.getDouble(p + 1), row.getDouble(p + 2)))
       }.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // moments over (x, y) for standardization/lambda; exposure sum for
-      // the null intercept
-      val g = SufficientStats.compute(rows.map(r => (r._1, Array(r._2(0)))), p, 1)
+      val rows =
+        if (weightCol == null) raw
+        else {
+          // w == 0 drops the observation; weights renormalize to sum
+          // to the kept-row count (the fitWeighted convention)
+          val (nRows, wSum) = raw.treeAggregate((0L, 0.0))(
+            seqOp = (s, r) => {
+              require(r._2(2) >= 0, "weights must be non-negative")
+              if (r._2(2) > 0) (s._1 + 1, s._2 + r._2(2)) else s
+            },
+            combOp = (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+          require(nRows > 0, "the response (y) is empty.")
+          val norm = nRows.toDouble / wSum
+          raw.filter(_._2(2) > 0)
+            .map(r => (r._1, Array(r._2(0), r._2(1), r._2(2) * norm)))
+        }
+      // weighted moments over (x, y) for standardization/lambda;
+      // v-weighted exposure sum for the null intercept
+      val g = rows.treeAggregate(new GramStats(p, 1))(
+        seqOp = (s, r) => s.addWeighted(r._1, Array(r._2(0)), r._2(2)),
+        combOp = (a, b) => a.merge(b), depth = 2)
       val st = SufficientStats.standardize(g, params.standardize, params.intercept)
       val n = g.n.toDouble
       val sumExpOff = rows.treeAggregate(0.0)(
-        (s, r) => s + math.exp(math.max(math.min(r._2(1), 30.0), -30.0)),
+        (s, r) => s + r._2(2) *
+          math.exp(math.max(math.min(r._2(1), 30.0), -30.0)),
         _ + _, depth = 2)
       val sumY = st.yMean(0) * n
       require(sumY > 0, "poisson response must contain positive counts")
@@ -1405,7 +1527,7 @@ object SgdNet {
               val (xr, yo) = xy
               val mu = math.exp(
                 math.max(math.min(a0Null0 + yo(1), 30.0), -30.0))
-              val r = yo(0) - mu
+              val r = yo(2) * (yo(0) - mu)
               var j = 0
               while (j < p) {
                 acc(j) += (xr(j) - mean(j)) / scale(j) * r; j += 1
@@ -1451,8 +1573,8 @@ object SgdNet {
               }
               val etaC = math.max(math.min(eta, 30.0), -30.0)
               val mu = math.exp(etaC)
-              val w = math.max(mu, 1e-5)
-              val z = etaC + (yo(0) - mu) / w - off
+              val w = math.max(mu, 1e-5) * yo(2) // frequency weight folds in
+              val z = etaC + (yo(0) - mu) / math.max(mu, 1e-5) - off
               s.sw += w; s.swz += w * z
               j = 0
               while (j < p) {
@@ -1517,10 +1639,11 @@ object SgdNet {
             var j = 0
             val bl = betaOut(l)(0)
             while (j < p) { eta += bl(j) * x(j); j += 1 }
-            acc(l) += devTerm(math.exp(math.max(math.min(eta, 30.0), -30.0)))
+            acc(l) += yo(2) *
+              devTerm(math.exp(math.max(math.min(eta, 30.0), -30.0)))
             l += 1
           }
-          acc(L) += devTerm(math.exp(
+          acc(L) += yo(2) * devTerm(math.exp(
             math.max(math.min(a0Null + off, 30.0), -30.0)))
           acc
         },
@@ -1534,7 +1657,7 @@ object SgdNet {
       new SgdNetModel("poisson", featureCols.toArray, Array(labelCol),
         Array.empty, lambdas, a0Out, betaOut, nulldev, devRatio, g.n,
         passes, params)
-    } finally { rows.unpersist(blocking = false); () }
+    } finally { raw.unpersist(blocking = false); () }
   }
 
   private final class WGram(p: Int) extends Serializable {
@@ -1965,10 +2088,11 @@ object SgdNet {
     * nonzeros only; the centering/standardization correction
     *   grad_std[t][j] = (sum r_t x_j - m_j sum r_t) / s_j / n
     * is applied driver-side (same algebra as the sparse IRLS gram). */
-  private def sparseSoftmaxGrad(rows: RDD[(Array[Int], Array[Double], Array[Double])],
-                                mean: Array[Double], scale: Array[Double],
-                                beta: Array[Array[Double]], a0: Array[Double],
-                                k: Int): (Array[Array[Double]], Array[Double]) = {
+  private def sparseSoftmaxGrad(
+      rows: RDD[(Array[Int], Array[Double], Array[Double], Double)],
+      mean: Array[Double], scale: Array[Double],
+      beta: Array[Array[Double]], a0: Array[Double],
+      k: Int): (Array[Array[Double]], Array[Double]) = {
     val p = mean.length
     val sc = rows.sparkContext
     val bOverS = Array.tabulate(k, p)((t, j) => beta(t)(j) / scale(j))
@@ -1981,7 +2105,7 @@ object SgdNet {
     val bc = sc.broadcast((bOverS, offsets))
     val acc = rows.treeAggregate(new Array[Double](k * (p + 1) + 1))(
       seqOp = (s, row) => {
-        val (idx, vals, y) = row
+        val (idx, vals, y, vn) = row
         val (bos, off) = bc.value
         val eta = new Array[Double](k)
         var mx = Double.NegativeInfinity
@@ -1998,7 +2122,7 @@ object SgdNet {
         while (t < k) { eta(t) = math.exp(eta(t) - mx); z += eta(t); t += 1 }
         t = 0
         while (t < k) {
-          val r = eta(t) / z - y(t) // P_t - Y_t
+          val r = vn * (eta(t) / z - y(t)) // vn·(P_t - Y_t)
           s(t * (p + 1)) += r
           var i = 0
           while (i < idx.length) {
@@ -2007,7 +2131,7 @@ object SgdNet {
           }
           t += 1
         }
-        s(k * (p + 1)) += 1.0
+        s(k * (p + 1)) += vn
         s
       },
       combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
@@ -2061,8 +2185,9 @@ object SgdNet {
     * deviance passes (never densified). */
   private def fitSparseMultinomial(df: DataFrame, idxCol: String, valCol: String,
                                    dim: Int, labelCol: String,
-                                   params: SgdNetParams): SgdNetModel = {
-    import org.apache.spark.sql.functions.col
+                                   params: SgdNetParams,
+                                   weightCol: String = null): SgdNetModel = {
+    import org.apache.spark.sql.functions.{col, lit}
     val classes = df.select(col(labelCol).cast("string")).distinct()
       .collect().map(_.getString(0)).sorted
     require(classes.length > 2,
@@ -2070,24 +2195,42 @@ object SgdNet {
       else "only one class in response.")
     val k = classes.length
     val classIdx = classes.zipWithIndex.toMap
-    val rows = df.select(col(idxCol), col(valCol).cast("array<double>"),
-        col(labelCol).cast("string"))
+    val wCol = if (weightCol == null) lit(1.0) else col(weightCol).cast("double")
+    val raw = df.select(col(idxCol), col(valCol).cast("array<double>"),
+        col(labelCol).cast("string"), wCol)
       .rdd.map { r =>
         val y = new Array[Double](k)
         y(classIdx(r.getString(2))) = 1.0
-        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray, y)
+        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray, y,
+          r.getDouble(3))
       }.persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // vn = 1.0 for the unweighted call — bit-identical arithmetic
+      val rows =
+        if (weightCol == null) raw
+        else {
+          val (nRows, wSum) = raw.treeAggregate((0L, 0.0))(
+            seqOp = (s, r) => {
+              require(r._4 >= 0, "weights must be non-negative")
+              if (r._4 > 0) (s._1 + 1, s._2 + r._4) else s
+            },
+            combOp = (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+          require(nRows > 0, "the response (y) is empty.")
+          val norm = nRows.toDouble / wSum
+          raw.filter(_._4 > 0).map(r => (r._1, r._2, r._3, r._4 * norm))
+        }
       val g = rows.treeAggregate(new GramStats(dim, k))(
-        seqOp = (s, r) => s.addSparse(r._1, r._2, r._3),
+        seqOp = (s, r) => s.addSparseWeighted(r._1, r._2, r._3, r._4),
         combOp = (a, b) => a.merge(b), depth = 2)
       fitMultinomialCore(g, (0 until dim).map(j => s"V$j").toArray, labelCol,
         classes, params,
         gradFn = (mean, scale, yB, yA) =>
           sparseSoftmaxGrad(rows, mean, scale, yB, yA, k),
         devFn = (a0Out, betaOut) =>
-          sparseMultinomDeviance(rows, a0Out, betaOut, k))
-    } finally rows.unpersist(blocking = false)
+          // deviance is linear in y: vn-scaled one-hots weight it exactly
+          sparseMultinomDeviance(rows.map(r => (r._1, r._2, r._3.map(_ * r._4))),
+            a0Out, betaOut, k))
+    } finally raw.unpersist(blocking = false)
   }
 
   private[ml] def multinomDeviance(rows: RDD[(Array[Double], Array[Double])],

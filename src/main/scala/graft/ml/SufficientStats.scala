@@ -93,6 +93,32 @@ final class GramStats(val p: Int, val k: Int) extends Serializable {
     this
   }
 
+  /** Weighted sparse row — [[addSparse]] with every moment scaled by
+    * `w` (n still counts rows; callers pass sum-to-n normalized
+    * weights, the [[addWeighted]] convention). */
+  def addSparseWeighted(idx: Array[Int], vals: Array[Double],
+                        y: Array[Double], w: Double): GramStats = {
+    n += 1
+    var a = 0
+    while (a < idx.length) {
+      val j = idx(a); val wxj = w * vals(a)
+      sumX(j) += wxj
+      var b = 0
+      while (b <= a) {
+        val i = idx(b)
+        if (i <= j) xtx(j * (j + 1) / 2 + i) += vals(b) * wxj
+        else xtx(i * (i + 1) / 2 + j) += vals(b) * wxj
+        b += 1
+      }
+      var t = 0
+      while (t < k) { xty(j * k + t) += wxj * y(t); t += 1 }
+      a += 1
+    }
+    var t = 0
+    while (t < k) { sumY(t) += w * y(t); sumYY(t) += w * y(t) * y(t); t += 1 }
+    this
+  }
+
   def merge(o: GramStats): GramStats = {
     n += o.n
     var i = 0

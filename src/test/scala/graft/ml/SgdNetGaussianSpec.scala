@@ -248,9 +248,12 @@ class SgdNetGaussianSpec extends SparkSpec {
       SgdNet.fitWeighted(df.withColumn("w", lit(-1.0)),
         Seq("x1"), "y", "w", SgdNetParams(lambda = Array(0.1)))
     }
+    // mgaussian needs the multi-label entry point (fitWeightedMulti);
+    // the single-label fitWeighted rejects it with a pointer there
+    // (multinomial is a SUPPORTED weighted family since round 15)
     intercept[IllegalArgumentException] {
       SgdNet.fitWeighted(df.withColumn("w", lit(1.0)), Seq("x1"), "y", "w",
-        SgdNetParams(family = "multinomial"))
+        SgdNetParams(family = "mgaussian"))
     }
     intercept[IllegalArgumentException] {
       SgdNet.fitWeighted(df.withColumn("w", lit(1.0)), Seq("x1"), "y", "w",

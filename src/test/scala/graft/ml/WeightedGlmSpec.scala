@@ -252,4 +252,112 @@ class WeightedGlmSpec extends SparkSpec {
     }
     ()
   }
+
+  test("offset + weights (glmnet offset= with weights=): unit weights == " +
+    "unweighted offset fit; integer weights == duplicated rows") {
+    // poisson rate model: y ~ exp(offset + a0 + b x)
+    val rnd = new scala.util.Random(41)
+    val df = (1 to 400).map { _ =>
+      val x1 = rnd.nextGaussian()
+      val off = math.log(1.0 + rnd.nextInt(4)) // ln(exposure)
+      val mu = math.exp(off + 0.3 + 0.4 * x1)
+      val y = math.max(0L, math.round(mu + rnd.nextGaussian() * math.sqrt(mu)))
+      (x1, off, y.toDouble)
+    }.toDF("x1", "off", "y")
+    val params = SgdNetParams(family = "poisson", alpha = 1.0,
+      lambda = Array(0.05, 0.01), thresh = 1e-10, maxit = 100000)
+    val unw = SgdNet.fitWithOffset(df, Seq("x1"), "y", "off", params)
+    val w1 = SgdNet.fitWithOffsetWeighted(df.withColumn("w", lit(1.0)),
+      Seq("x1"), "y", "off", "w", params)
+    // same arithmetic modulo treeAggregate merge order — tight
+    // tolerance, not bitwise (last-ulp wobble between runs)
+    for (l <- 0 until 2) {
+      assert(math.abs(w1.beta(l)(0)(0) - unw.beta(l)(0)(0)) < 1e-12,
+        s"unit beta($l)")
+      assert(math.abs(w1.a0(l)(0) - unw.a0(l)(0)) < 1e-12, s"unit a0($l)")
+    }
+    val wdf = df.withColumn("w",
+      (pmod(round(col("x1") * 100).cast("long"), lit(3)) + 1).cast("double"))
+    val dup = wdf.withColumn("k",
+        explode(sequence(lit(1), col("w").cast("int")))).drop("k")
+    val wI = SgdNet.fitWithOffsetWeighted(wdf, Seq("x1"), "y", "off", "w",
+      params)
+    val dupFit = SgdNet.fitWithOffset(dup, Seq("x1"), "y", "off", params)
+    for (l <- 0 until 2) {
+      assert(math.abs(wI.beta(l)(0)(0) - dupFit.beta(l)(0)(0)) < 1e-8,
+        s"dup beta($l): ${wI.beta(l)(0)(0)} vs ${dupFit.beta(l)(0)(0)}")
+      assert(math.abs(wI.a0(l)(0) - dupFit.a0(l)(0)) < 1e-8, s"dup a0($l)")
+    }
+    // gaussian reduction: offset+weights == weighted fit of y - off
+    val gdf = SparkSpec.regressionDF(spark)
+      .withColumn("off", col("x3") * 10)
+      .withColumn("w",
+        (pmod(round(col("y") * 100).cast("long"), lit(3)) + 1).cast("double"))
+    val gp = SgdNetParams(alpha = 0.0, lambda = Array(1.0), thresh = 1e-11,
+      maxit = 100000)
+    val go = SgdNet.fitWithOffsetWeighted(gdf, Seq("x1", "x2"), "y", "off",
+      "w", gp)
+    val gm = SgdNet.fitWeighted(
+      gdf.withColumn("y2", col("y") - col("off")),
+      Seq("x1", "x2"), "y2", "w", gp)
+    for (j <- 0 until 2)
+      assert(math.abs(go.beta(0)(0)(j) - gm.beta(0)(0)(j)) < 1e-12)
+    ()
+  }
+
+  test("sparse + weights: fitSparseWeighted matches the weighted DENSE " +
+    "fit for gaussian, binomial, multinomial; unit weights == fitSparse") {
+    val rnd = new scala.util.Random(9)
+    val rows = (1 to 400).map { i =>
+      val dense = Array.tabulate(4)(_ =>
+        if (rnd.nextDouble() < 0.4) rnd.nextGaussian() else 0.0)
+      val yg = 1.0 + dense(0) * 0.8 - dense(2) * 0.5 + rnd.nextGaussian() * 0.1
+      val eta = -0.3 + dense(0) * 1.2 - dense(1) * 0.8
+      val yb = if (rnd.nextDouble() < 1.0 / (1.0 + math.exp(-eta))) 1.0 else 0.0
+      val yc = s"c${i % 3}"
+      val w = (i % 3 + 1).toDouble
+      val idx = dense.indices.filter(dense(_) != 0.0).toArray
+      (idx, idx.map(dense), dense.toSeq, yg, yb, yc, w)
+    }
+    val sp = rows.map(r => (r._1, r._2, r._4, r._5, r._6, r._7))
+      .toDF("idx", "vals", "yg", "yb", "yc", "w")
+    val dn = rows.map(r => (r._3(0), r._3(1), r._3(2), r._3(3), r._4, r._5,
+        r._6, r._7))
+      .toDF("V0", "V1", "V2", "V3", "yg", "yb", "yc", "w")
+    val feats = (0 until 4).map(j => s"V$j")
+    // gaussian
+    val pg = SgdNetParams(alpha = 0.5, lambda = Array(0.1, 0.02),
+      thresh = 1e-10, maxit = 100000)
+    val sg = SgdNet.fitSparseWeighted(sp, "idx", "vals", 4, "yg", "w", pg)
+    val dg = SgdNet.fitWeighted(dn, feats, "yg", "w", pg)
+    for (l <- 0 until 2; j <- 0 until 4)
+      assert(math.abs(sg.beta(l)(0)(j) - dg.beta(l)(0)(j)) < 1e-9,
+        s"gauss sparse/dense b($l)($j)")
+    // binomial
+    val pb = SgdNetParams(family = "binomial", alpha = 0.5,
+      lambda = Array(0.05, 0.01), thresh = 1e-8, maxit = 100000)
+    val sb = SgdNet.fitSparseWeighted(sp, "idx", "vals", 4, "yb", "w", pb)
+    val db = SgdNet.fitWeighted(dn, feats, "yb", "w", pb)
+    for (l <- 0 until 2; j <- 0 until 4)
+      assert(math.abs(sb.beta(l)(0)(j) - db.beta(l)(0)(j)) < 1e-7,
+        s"binom sparse/dense b($l)($j): ${sb.beta(l)(0)(j)} vs ${db.beta(l)(0)(j)}")
+    // multinomial
+    val pm = SgdNetParams(family = "multinomial", alpha = 1.0,
+      lambda = Array(0.02), thresh = 1e-7, maxit = 5000)
+    val sm = SgdNet.fitSparseWeighted(sp, "idx", "vals", 4, "yc", "w", pm)
+    val dm = SgdNet.fitWeighted(dn, feats, "yc", "w", pm)
+    for (t <- 0 until 3; j <- 0 until 4)
+      assert(math.abs(sm.beta(0)(t)(j) - dm.beta(0)(t)(j)) < 1e-6,
+        s"multinom sparse/dense b($t)($j)")
+    // unit weights through the weighted sparse route == plain fitSparse
+    val sp1 = sp.withColumn("w1", lit(1.0))
+    val su = SgdNet.fitSparseWeighted(sp1, "idx", "vals", 4, "yg", "w1", pg)
+    val s0 = SgdNet.fitSparse(sp, "idx", "vals", 4, "yg", pg)
+    // same arithmetic modulo treeAggregate merge order (last-ulp wobble
+    // between runs) — tolerance, not bitwise
+    for (l <- 0 until 2; j <- 0 until 4)
+      assert(math.abs(su.beta(l)(0)(j) - s0.beta(l)(0)(j)) < 1e-12,
+        s"unit b($l)($j)")
+    ()
+  }
 }
