@@ -253,6 +253,67 @@ class WeightedGlmSpec extends SparkSpec {
     ()
   }
 
+  test("weighted KKT optimality: gaussian and binomial weighted fits " +
+    "satisfy the v-weighted elastic-net stationarity conditions") {
+    // the SolverPropertySpec discipline at the FIT level: for the
+    // weighted objective 1/(2n)Σvn·loss + λ[(1−α)/2‖β_std‖² + α‖β_std‖₁]
+    // the returned coefficients must satisfy, per standardized coord,
+    //   active:  g_j + λ(1−α)β_std_j = −λα·sign(β_std_j)
+    //   zero:    |g_j| ≤ λα
+    // with g_j the v-weighted loss gradient — verified driver-side from
+    // the collected rows, independent of the solver's own arithmetic.
+    val rnd = new scala.util.Random(61)
+    val data = (1 to 400).map { _ =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian() * 2
+      val x3 = rnd.nextGaussian()
+      val yg = 1.0 + 0.8 * x1 - 0.5 * x2 + rnd.nextGaussian() * 0.3
+      val pb = 1.0 / (1.0 + math.exp(-(0.4 * x1 - 0.6 * x2)))
+      val yb = if (rnd.nextDouble() < pb) 1.0 else 0.0
+      val w = (1 + rnd.nextInt(4)).toDouble
+      (x1, x2, x3, yg, yb, w)
+    }
+    val df = data.toDF("x1", "x2", "x3", "yg", "yb", "w")
+    val n = data.size
+    val wsum = data.map(_._6).sum
+    val norm = n / wsum
+    val vn = data.map(_._6 * norm)
+    val xs0 = data.map(r => Array(r._1, r._2, r._3))
+    def wmean(v: Seq[Double]) = v.zip(vn).map { case (a, b) => a * b }.sum / n
+    val mx = (0 until 3).map(j => wmean(xs0.map(_(j))))
+    val sd = (0 until 3).map(j =>
+      math.sqrt(wmean(xs0.map(x => x(j) * x(j))) - mx(j) * mx(j)))
+    val xs = xs0.map(x => Array.tabulate(3)(j => (x(j) - mx(j)) / sd(j)))
+    for ((family, label, alpha, lam) <- Seq(
+        ("gaussian", "yg", 0.7, 0.08), ("gaussian", "yg", 1.0, 0.3),
+        ("binomial", "yb", 0.8, 0.02))) {
+      val m = SgdNet.fitWeighted(df, Seq("x1", "x2", "x3"), label, "w",
+        SgdNetParams(family = family, alpha = alpha, lambda = Array(lam),
+          thresh = 1e-11, maxit = 200000))
+      val bOrig = (0 until 3).map(j => m.beta(0)(0)(j))
+      val bStd = (0 until 3).map(j => bOrig(j) * sd(j))
+      val a0 = m.a0(0)(0)
+      val grad = (0 until 3).map { j =>
+        data.indices.map { i =>
+          val eta = a0 + (0 until 3).map(k2 => bOrig(k2) * xs0(i)(k2)).sum
+          val resid =
+            if (family == "gaussian") eta - data(i)._4
+            else 1.0 / (1.0 + math.exp(-eta)) - data(i)._5
+          vn(i) * xs(i)(j) * resid
+        }.sum / n
+      }
+      for (j <- 0 until 3) {
+        if (bStd(j) == 0.0)
+          assert(math.abs(grad(j)) <= lam * alpha + 1e-6,
+            s"$family zero-coef KKT j=$j: |${grad(j)}| > ${lam * alpha}")
+        else
+          assert(math.abs(grad(j) + lam * (1 - alpha) * bStd(j) +
+            lam * alpha * math.signum(bStd(j))) < 1e-6,
+            s"$family active-coef KKT j=$j")
+      }
+    }
+    ()
+  }
+
   test("offset + weights (glmnet offset= with weights=): unit weights == " +
     "unweighted offset fit; integer weights == duplicated rows") {
     // poisson rate model: y ~ exp(offset + a0 + b x)
