@@ -509,4 +509,48 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getDate(0).toString -> r.getAs[Long]("count")).toMap
     assert(streamCurve === batchCurve)
   }
+
+  test("streaming per-group HLL equals the batch sketch REGARDLESS of " +
+    "arrival order and batching (register max commutes)") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = (1 to 3000).map { i =>
+      KeyedValue(s"g${i % 3}", s"user_${i % (700 * (i % 3 + 1))}")
+    }
+    // adversarial delivery: reversed order, split into 3 uneven batches,
+    // with batch 2 REPLAYING half of batch 1 (duplication is a no-op on
+    // a max-register sketch)
+    val shuffled = all.reverse
+    val (b1, rest) = shuffled.splitAt(500)
+    val (b2, b3) = rest.splitAt(1700)
+    val input = MemoryStream[KeyedValue]
+    val q = SketchStream.hllStream(input.toDS(), p = 10)
+      .writeStream.format("memory").queryName("hllstream")
+      .outputMode("update").start()
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2 ++ b1.take(250)); q.processAllAvailable()
+    input.addData(b3); q.processAllAvailable()
+    q.stop()
+    // latest emitted row per key == the batch per-group sketch of the
+    // UNION (duplicates and all) — exact register equality via
+    // (v_zero, s_scaled) and the identical rounded estimates
+    val streamRows = spark.sql(
+        "select key, v_zero, s_scaled, est_raw, est from hllstream")
+      .collect()
+    // update mode emits one row per touched key per batch: the FULLEST
+    // sketch is the one with the smallest harmonic denominator
+    // (s_scaled strictly decreases whenever any register rises)
+    val latest = streamRows.groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.minBy(_.getLong(2)) }
+    val batch = graft.ops.Frequent.hllSketchBy(
+        all.toDF("key", "value"), Seq("key"), "value", p = 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(latest.keySet === batch.keySet)
+    for ((k, s) <- latest) {
+      val b = batch(k)
+      assert(s.getLong(1) === b.getAs[Long]("v_zero"), s"$k v_zero")
+      assert(s.getLong(2) === b.getAs[Long]("s_scaled"), s"$k s_scaled")
+      assert(s.getDouble(3) === b.getAs[Double]("est_raw"), s"$k est_raw")
+      assert(s.getDouble(4) === b.getAs[Double]("est"), s"$k est")
+    }
+  }
 }
