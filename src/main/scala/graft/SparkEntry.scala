@@ -68,6 +68,7 @@ object SparkEntry {
     "q_cv_limits"        -> (PathQueries.cvLimits _),
     "q_cv_weighted"      -> (PathQueries.cvWeighted _),
     "q_cv_weighted_auc"  -> (PathQueries.cvWeightedAuc _),
+    "q_cv_weighted_mgauss" -> (PathQueries.cvWeightedMgauss _),
     "q_multinom_pf"      -> (PathQueries.multinomPf _),
     "q_weighted_binom"   -> (MlQueries.weightedBinom _),
     "q_weighted_poisson" -> (MlQueries.weightedPoisson _),
@@ -1234,6 +1235,50 @@ object SparkEntry {
         |sc AS (SELECT co.lambda_idx, co.lam, co.f,
         |         sum(r.w * (r.y - (co.my - co.b * co.mx) - co.b * r.x)
         |             * (r.y - (co.my - co.b * co.mx) - co.b * r.x))
+        |           / sum(r.w) AS m
+        |       FROM co JOIN r ON r.f = co.f GROUP BY 1, 2, 3),
+        |curve AS (SELECT lambda_idx, lam, avg(m) AS cvm,
+        |                 stddev_samp(m) / sqrt(5) AS cvsd
+        |          FROM sc GROUP BY 1, 2)
+        |SELECT lambda_idx, round(lam, 4) AS lambda,
+        |       round(ln(cvm), 4) AS ln_cvm, round(ln(cvsd), 4) AS ln_cvsd
+        |FROM curve ORDER BY lambda_idx""".stripMargin,
+
+    // weighted mgaussian CV: q_cv_weighted's per-fold weighted-moment
+    // ridge closed form PER RESPONSE (alpha = 0 decouples the group
+    // penalty), held-out v-weighted mse summed across the two
+    // responses (score.sgdnet_mgaussian), row-aggregated scoring
+    "q_cv_weighted_mgauss" ->
+      """WITH r AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y1, l_tax AS y2,
+        |    l_linenumber::DOUBLE AS w,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |lgrid AS (SELECT cast(lambda_idx AS INT) AS lambda_idx, lam::DOUBLE AS lam
+        |          FROM (VALUES (0, 256.0), (1, 16.0), (2, 1.0)) AS t(lambda_idx, lam)),
+        |tr AS (SELECT k.f, sum(r.w) AS sw, sum(r.w * r.x) AS swx,
+        |         sum(r.w * r.y1) AS swy1, sum(r.w * r.y2) AS swy2,
+        |         sum(r.w * r.x * r.x) AS swxx,
+        |         sum(r.w * r.x * r.y1) AS swxy1,
+        |         sum(r.w * r.x * r.y2) AS swxy2
+        |       FROM (SELECT DISTINCT f FROM r) k(f)
+        |       JOIN r ON r.f <> k.f GROUP BY k.f),
+        |fitm AS (SELECT tr.f, lgrid.lambda_idx, lgrid.lam,
+        |           swx/sw AS mx, swy1/sw AS my1, swy2/sw AS my2,
+        |           swxy1/sw - (swx/sw) * (swy1/sw) AS c1,
+        |           swxy2/sw - (swx/sw) * (swy2/sw) AS c2,
+        |           swxx/sw - (swx/sw) * (swx/sw) AS vx
+        |         FROM tr, lgrid),
+        |co AS (SELECT f, lambda_idx, lam, mx, my1, my2,
+        |         c1 / (vx * (1.0 + lam)) AS b1,
+        |         c2 / (vx * (1.0 + lam)) AS b2 FROM fitm),
+        |sc AS (SELECT co.lambda_idx, co.lam, co.f,
+        |         sum(r.w * (
+        |             (r.y1 - (co.my1 - co.b1 * co.mx) - co.b1 * r.x)
+        |           * (r.y1 - (co.my1 - co.b1 * co.mx) - co.b1 * r.x)
+        |           + (r.y2 - (co.my2 - co.b2 * co.mx) - co.b2 * r.x)
+        |           * (r.y2 - (co.my2 - co.b2 * co.mx) - co.b2 * r.x)))
         |           / sum(r.w) AS m
         |       FROM co JOIN r ON r.f = co.f GROUP BY 1, 2, 3),
         |curve AS (SELECT lambda_idx, lam, avg(m) AS cvm,

@@ -560,6 +560,32 @@ object PathQueries {
       .orderBy("lambda_idx")
   }
 
+  /** WEIGHTED mgaussian CV (cv.glmnet weights + family="mgaussian",
+    * round 15 — the fitWeightedMulti route): 1-feature 2-response
+    * weighted RIDGE over a fixed grid with portable Knuth folds. At
+    * alpha = 0 the group penalty decouples per response, so each
+    * fold's coefficients are the per-response weighted-moment closed
+    * form b_t = cov_w(x,y_t)/(var_w(x)·(1+λ)) on the TRAIN rows, and
+    * the held-out score is the v-weighted mse SUMMED ACROSS RESPONSES
+    * (the score.sgdnet_mgaussian convention) — fully DuckDB-exact
+    * (ln-encoded 4 dp, the q_cv_weighted discipline). */
+  def cvWeightedMgauss(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitWeightedMulti(li, Seq("l_quantity"),
+      Seq("l_extendedprice", "l_tax"), "l_linenumber",
+      SgdNetParams(family = "mgaussian", alpha = 0.0,
+        lambda = Array(256.0, 16.0, 1.0), thresh = 1e-11, maxit = 100000),
+      nfolds = 5, measure = "mse", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"),
+        round(log(col("cvm")), 4).as("ln_cvm"),
+        round(log(col("cvsd")), 4).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
   def cvExactCurve(spark: SparkSession, dir: String): DataFrame =
     cvExactFit(spark, dir).curveDF(spark)
       .select(col("lambda_idx").cast("int").as("lambda_idx"),
