@@ -69,6 +69,8 @@ object SparkEntry {
     "q_cv_weighted"      -> (PathQueries.cvWeighted _),
     "q_cv_weighted_auc"  -> (PathQueries.cvWeightedAuc _),
     "q_cv_weighted_mgauss" -> (PathQueries.cvWeightedMgauss _),
+    "q_cv_sparse"        -> (PathQueries.cvSparse _),
+    "q_cv_sparse_auc"    -> (PathQueries.cvSparseAuc _),
     "q_multinom_pf"      -> (PathQueries.multinomPf _),
     "q_weighted_binom"   -> (MlQueries.weightedBinom _),
     "q_weighted_poisson" -> (MlQueries.weightedPoisson _),
@@ -536,7 +538,8 @@ object SparkEntry {
       |         my - b1*m1 - b2*m2 - b3*m3 AS a0 FROM fu)""".stripMargin
 
   /** DuckDB-equivalent SQL for each SQL-expressible query. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = Map(
     "q_cv_curve" ->
       s"""$cvRidgeCte
         |SELECT cast(lambda_idx AS INT) AS lambda_idx, round(lam, 4) AS lambda,
@@ -1240,6 +1243,48 @@ object SparkEntry {
         |curve AS (SELECT lambda_idx, lam, avg(m) AS cvm,
         |                 stddev_samp(m) / sqrt(5) AS cvsd
         |          FROM sc GROUP BY 1, 2)
+        |SELECT lambda_idx, round(lam, 4) AS lambda,
+        |       round(ln(cvm), 4) AS ln_cvm, round(ln(cvsd), 4) AS ln_cvsd
+        |FROM curve ORDER BY lambda_idx""".stripMargin,
+
+    // sparse-input gaussian CV: per-fold unweighted ridge closed form
+    // on subtracted moments + the moment-form held-out mse (the
+    // q_cv_alpha msef discipline at alpha = 0) — the ENGINE side goes
+    // through the one-pass SPARSE-moment route
+    "q_cv_sparse" ->
+      """WITH r AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |tot AS (SELECT count(*)::double n, sum(x) sx, sum(y) sy, sum(x*x) sxx,
+        |               sum(x*y) sxy, sum(y*y) syy FROM r),
+        |pf AS (SELECT f, count(*)::double n, sum(x) sx, sum(y) sy, sum(x*x) sxx,
+        |              sum(x*y) sxy, sum(y*y) syy FROM r GROUP BY f),
+        |lgrid AS (SELECT cast(lambda_idx AS INT) AS lambda_idx, lam::DOUBLE AS lam
+        |          FROM (VALUES (0, 256.0), (1, 16.0), (2, 1.0)) AS t(lambda_idx, lam)),
+        |tr AS (SELECT pf.f, tot.n - pf.n AS n, tot.sx - pf.sx AS sx,
+        |              tot.sy - pf.sy AS sy, tot.sxx - pf.sxx AS sxx,
+        |              tot.sxy - pf.sxy AS sxy
+        |       FROM pf, tot),
+        |fitm AS (SELECT tr.f, lgrid.lambda_idx, lgrid.lam,
+        |           sx/n AS mx, sy/n AS my,
+        |           sqrt(sxx/n - (sx/n)*(sx/n)) AS sd,
+        |           (sxy/n - (sx/n)*(sy/n)) AS cxy
+        |         FROM tr, lgrid),
+        |co AS (SELECT f, lambda_idx, lam, mx, my,
+        |         (cxy/sd) / (1.0 + lam) / sd AS b FROM fitm),
+        |sc AS (SELECT co.f, lambda_idx, lam, my - b*mx AS a0, b,
+        |         pf.n AS nf, pf.sx AS fx, pf.sy AS fy, pf.sxx AS fxx,
+        |         pf.sxy AS fxy, pf.syy AS fyy
+        |       FROM co JOIN pf ON co.f = pf.f),
+        |msef AS (SELECT lambda_idx, lam, f,
+        |           fyy/nf - 2*a0*fy/nf + a0*a0 + b*b*fxx/nf
+        |             + 2*a0*b*fx/nf - 2*b*fxy/nf AS m
+        |         FROM sc),
+        |curve AS (SELECT lambda_idx, lam, avg(m) AS cvm,
+        |                 stddev_samp(m) / sqrt(5) AS cvsd
+        |          FROM msef GROUP BY 1, 2)
         |SELECT lambda_idx, round(lam, 4) AS lambda,
         |       round(ln(cvm), 4) AS ln_cvm, round(ln(cvsd), 4) AS ln_cvsd
         |FROM curve ORDER BY lambda_idx""".stripMargin,
@@ -2051,5 +2096,10 @@ object SparkEntry {
         |      * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
         |      * (1.0 / n_a + 1.0 / n_b)), 6) AS z
         |FROM a""".stripMargin
-  )
+    )
+    // q_cv_sparse_auc runs the SAME data/folds/grid as q_cv_auc through
+    // the sparse CV chassis — byte-identical oracle by construction, so
+    // any divergence isolates the sparse route
+    base + ("q_cv_sparse_auc" -> base("q_cv_auc"))
+  }
 }

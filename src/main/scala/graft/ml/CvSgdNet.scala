@@ -1988,6 +1988,502 @@ object CvSgdNet {
     } finally rows.unpersist(blocking = false)
   }
 
+  // -------------------------------------------------------- sparse-input CV
+
+  /** k-fold CV over SPARSE (CSR) feature input — the
+    * cv.glmnet-with-dgCMatrix surface (the reference's cv_sgdnet
+    * accepts sparse x by delegating to sgdnet — R/cv_sgdnet.R +
+    * src/saga-sparse.h): rows carry (indices, values) arrays over a
+    * fixed dimension `dim`, exactly [[SgdNet.fitSparse]]'s input
+    * shape, and the matrix is NEVER densified.
+    *
+    *  - gaussian: ONE sparse-moment pass — per-fold GramStats via
+    *    O(nnz²) `addSparse`, train = total − fold, each fold's path a
+    *    standalone [[SgdNet.solveGaussianFromStats]], held-out
+    *    mse/deviance as moment forms (mae adds one RDD pass). The
+    *    alpha grid is free (moments are alpha-independent).
+    *  - binomial / poisson: SHARED sparse IRLS — all folds advance in
+    *    one treeAggregate per Newton round accumulating the sparse
+    *    route's UNCENTERED nonzero moments per fold, with the
+    *    centering/standardization correction applied algebraically on
+    *    the driver per fold (the `fitSparseGlm` algebra, fold-tiled);
+    *    the full-data model rides as the virtual fold. Measures
+    *    deviance|mse|mae + class/auc for binomial.
+    *  - multinomial: rejected with an explicit message (use the dense
+    *    CV; the sparse FISTA chassis is not fold-tiled) — a contract,
+    *    not a silent fallback.
+    *
+    * Fold assignment hashes the row content (idx, vals, label) unless
+    * `foldCol` is supplied (the reference's foldid). */
+  def fitSparse(df: DataFrame, idxCol: String, valCol: String, dim: Int,
+                labelCol: String,
+                params: SgdNetParams = SgdNetParams(),
+                nfolds: Int = 10,
+                measure: String = "deviance",
+                foldCol: Column = null,
+                alphas: Seq[Double] = Seq.empty): CvResult = {
+    require(nfolds >= 2, "nfolds must be at least 2")
+    val okMeasures = params.family match {
+      case "binomial" => Set("deviance", "mse", "mae", "class", "auc")
+      case _          => Set("deviance", "mse", "mae")
+    }
+    require(okMeasures.contains(measure),
+      s"sparse ${params.family} CV supports " +
+        s"${okMeasures.toSeq.sorted.mkString("|")}, not '$measure'")
+    val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
+    val paths = params.family match {
+      case "gaussian" =>
+        cvSparseGaussian(df, idxCol, valCol, dim, labelCol, params, nfolds,
+          alphaGrid, measure, foldCol)
+      case "binomial" | "poisson" =>
+        alphaGrid.map(a => cvSparseGlmShared(df, idxCol, valCol, dim,
+          labelCol, params.copy(alpha = a), nfolds, foldCol, measure))
+      case f => throw new IllegalArgumentException(
+        s"sparse CV supports gaussian, binomial, poisson, not $f " +
+          "(multinomial: use the dense CV)")
+    }
+    val best = paths.minBy(p => p.cvm.min)
+    CvResult(paths, best)
+  }
+
+  /** One-pass sparse gaussian CV (see [[fitSparse]]). */
+  private def cvSparseGaussian(df: DataFrame, idxCol: String, valCol: String,
+                               dim: Int, labelCol: String,
+                               params: SgdNetParams, nfolds: Int,
+                               alphaGrid: Seq[Double], measure: String,
+                               foldCol: Column): Seq[CvPath] = {
+    val p = dim
+    val hashCols = Seq(col(idxCol), col(valCol), col(labelCol))
+    val rows = df
+      .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
+      .select(col(idxCol), col(valCol).cast("array<double>"),
+        col(labelCol).cast("double"), col("__fold"))
+      .rdd.map { r =>
+        (r.getInt(3), r.getSeq[Int](0).toArray,
+          r.getSeq[Double](1).toArray, r.getDouble(2))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val zero = Array.fill(nfolds)(new GramStats(p, 1))
+      val perFold = rows.treeAggregate(zero)(
+        (acc, t) => { acc(t._1).addSparse(t._2, t._3, Array(t._4)); acc },
+        (a, b) => { var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a },
+        depth = 2)
+      requireNonEmptyFolds(perFold.map(_.n), nfolds)
+      val total = new GramStats(p, 1)
+      perFold.foreach(total.merge)
+      val names = (0 until p).map(j => s"V$j")
+      alphaGrid.map { a =>
+        val prm = params.copy(alpha = a)
+        val full = SgdNet.solveGaussianFromStats(
+          new GramStats(p, 1).merge(total), names, Seq(labelCol), prm)
+        val lambdas = full.lambda
+        val L = lambdas.length
+        val foldScores = Array.ofDim[Double](nfolds, L)
+        val a0Out = Array.ofDim[Double](nfolds, L)
+        val bOut = Array.ofDim[Double](nfolds, L, p)
+        for (f <- 0 until nfolds) {
+          val train = new GramStats(p, 1).merge(total).subtract(perFold(f))
+          val fm = SgdNet.solveGaussianFromStats(train, names, Seq(labelCol),
+            prm.copy(lambda = lambdas))
+          for (l <- 0 until L) {
+            a0Out(f)(l) = fm.a0(l)(0)
+            for (j <- 0 until p) bOut(f)(l)(j) = fm.beta(l)(0)(j)
+          }
+          if (measure != "mae") {
+            // held-out (mse == deviance) from fold-f moments — the
+            // cvGaussianFromStats closed form on the sparse-built stats
+            val fg = perFold(f)
+            val nf = fg.n.toDouble
+            for (l <- 0 until L) {
+              val a0 = a0Out(f)(l)
+              val bt = bOut(f)(l)
+              var quad = 0.0; var bx = 0.0; var bxy = 0.0
+              for (j <- 0 until p) {
+                bx += bt(j) * fg.sumX(j) / nf
+                bxy += bt(j) * fg.xty(j) / nf
+                var s = 0.0
+                for (m <- 0 until p) s += fg.xtx(LinAlg.triIdx(j, m)) / nf * bt(m)
+                quad += bt(j) * s
+              }
+              foldScores(f)(l) = fg.sumYY(0) / nf - 2 * a0 * fg.sumY(0) / nf +
+                a0 * a0 + quad + 2 * a0 * bx - 2 * bxy
+            }
+          }
+        }
+        if (measure == "mae") {
+          // |residual| is not a moment form — ONE sparse RDD pass for
+          // every (fold, lambda) cell
+          val bA0 = rows.sparkContext.broadcast(a0Out)
+          val bB = rows.sparkContext.broadcast(bOut)
+          val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
+            (acc, t) => {
+              val (f, idx, vals, y) = t
+              var l = 0
+              while (l < L) {
+                var eta = bA0.value(f)(l)
+                val bl = bB.value(f)(l)
+                var i = 0
+                while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
+                acc(f * L + l) += math.abs(y - eta)
+                l += 1
+              }
+              acc
+            },
+            (x, y) => { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x },
+            depth = 2)
+          for (f <- 0 until nfolds; l <- 0 until L)
+            foldScores(f)(l) = sums(f * L + l) / perFold(f).n.toDouble
+        }
+        summarize(a, lambdas, foldScores, full)
+      }
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** Shared sparse IRLS CV for binomial/poisson (see [[fitSparse]]):
+    * the [[cvBinomialShared]] fold-tiling over the sparse route's
+    * uncentered nonzero accumulations, with per-fold algebraic
+    * centering driver-side — the matrix is never densified and per-row
+    * cost stays O(active-folds × nnz²). */
+  private def cvSparseGlmShared(df: DataFrame, idxCol: String, valCol: String,
+                                dim: Int, labelCol: String,
+                                params: SgdNetParams, nfolds: Int,
+                                foldCol: Column, measure: String): CvPath = {
+    SgdNet.requireNoZeroPf(params, "shared sparse CV")
+    val p = dim
+    val binomial = params.family == "binomial"
+    val classes: Array[String] =
+      if (binomial) {
+        val cs = df.select(col(labelCol).cast("string")).distinct()
+          .limit(3).collect().map(_.getString(0)).sorted
+        require(cs.length == 2,
+          if (cs.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
+          else "only one class in response.")
+        cs
+      } else Array.empty
+    val yCol =
+      if (binomial) (col(labelCol).cast("string") === classes(1)).cast("double")
+      else col(labelCol).cast("double")
+    val hashCols = Seq(col(idxCol), col(valCol), col(labelCol))
+    val rows = df
+      .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
+      .select(col(idxCol), col(valCol).cast("array<double>"), yCol,
+        col("__fold"))
+      .rdd.map { r =>
+        (r.getInt(3), r.getSeq[Int](0).toArray,
+          r.getSeq[Double](1).toArray, r.getDouble(2))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val F = nfolds + 1
+      val zero = Array.fill(nfolds)(new GramStats(p, 1))
+      val perFold = rows.treeAggregate(zero)(
+        (acc, t) => { acc(t._1).addSparse(t._2, t._3, Array(t._4)); acc },
+        (a, b) => { var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a },
+        depth = 2)
+      requireNonEmptyFolds(perFold.map(_.n), nfolds)
+      val total = new GramStats(p, 1)
+      perFold.foreach(total.merge)
+      val perFoldExt = perFold :+ new GramStats(p, 1)
+      val trainStats = Array.tabulate(F) { f =>
+        val tr = new GramStats(p, 1).merge(total).subtract(perFoldExt(f))
+        SufficientStats.standardize(tr, params.standardize, params.intercept)
+      }
+      if (!binomial) trainStats.foreach(st => require(st.yMean(0) > 0,
+        "poisson response must contain positive counts in every train fold"))
+      val lambdas =
+        if (params.lambda != null) params.lambda
+        else {
+          val minRatio = if (params.lambdaMinRatio.isNaN)
+            LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
+          LambdaPath.build(trainStats(nfolds).b, params.alpha, params.nlambda,
+            minRatio, params.penaltyFactor)
+        }
+      val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
+      val means = trainStats.map(st => if (params.intercept) st.xMean else new Array[Double](p))
+      val scales = trainStats.map(st => if (params.standardize) st.xSd else Array.fill(p)(1.0))
+      val boundsF = scales.map(s => SgdNet.boundsStd(params, s, 1.0))
+      val sc = rows.sparkContext
+
+      val L = lambdas.length
+      val beta = Array.fill(F)(new Array[Double](p))
+      val a0 = Array.tabulate(F) { f =>
+        val yb = trainStats(f).yMean(0)
+        if (!params.intercept) 0.0
+        else if (binomial) {
+          if (yb > 0 && yb < 1) math.log(yb / (1 - yb)) else 0.0
+        } else math.log(yb)
+      }
+      val a0Out = Array.ofDim[Double](F, L)
+      val betaOut = Array.ofDim[Double](F, L, p)
+      var sharedPasses = 0
+
+      // per-fold CENTERED solve from an uncentered gram — the
+      // fitSparseGlm centering algebra, shared by the free step and
+      // the in-loop step
+      def solveFold(f: Int, g: BinWGram, l: Int): (Array[Double], Double) = {
+        val mean = means(f); val scale = scales(f)
+        val ninv = 1.0 / nTrain(f)
+        val swxStd = Array.tabulate(p)(j =>
+          (g.swx(j) - mean(j) * g.sw) / scale(j))
+        val swxzStd = Array.tabulate(p)(j =>
+          (g.swxz(j) - mean(j) * g.swz) / scale(j))
+        val aM = Array.ofDim[Double](p, p)
+        var j = 0
+        while (j < p) {
+          var i = 0
+          while (i <= j) {
+            val v = (g.swxx(LinAlg.triIdx(i, j)) - mean(i) * g.swx(j) -
+              mean(j) * g.swx(i) + mean(i) * mean(j) * g.sw) /
+              (scale(i) * scale(j)) * ninv
+            aM(i)(j) = v; aM(j)(i) = v
+            i += 1
+          }
+          j += 1
+        }
+        val r = CoordinateDescent.solve(aM, swxzStd.map(_ * ninv),
+          swxStd.map(_ * ninv), g.swz * ninv, g.sw * ninv,
+          lambdas(l), params.alpha, params.intercept, beta(f),
+          thresh = math.max(params.thresh * 1e-4, 1e-10),
+          maxIter = params.maxit,
+          penaltyFactor = params.penaltyFactor,
+          lower = boundsF(f)._1, upper = boundsF(f)._2)
+        (r.beta, r.a0)
+      }
+      val lastGram = Array.fill[BinWGram](F)(null)
+
+      for (l <- 0 until L) {
+        val active = Array.fill(F)(true)
+        // free first Newton step against the carried grams (the
+        // cvBinomialShared optimality-slack argument)
+        if (lastGram.forall(_ != null)) {
+          for (f <- 0 until F) {
+            val (nb, na) = solveFold(f, lastGram(f), l)
+            var maxD = math.abs(na - a0(f))
+            var j = 0
+            while (j < p) {
+              val d = math.abs(nb(j) - beta(f)(j)); if (d > maxD) maxD = d; j += 1
+            }
+            beta(f) = nb; a0(f) = na
+            if (maxD == 0.0) active(f) = false
+          }
+        }
+        var iter = 0
+        while (iter < 25 && active.exists(identity)) {
+          val activeSnap = active.clone()
+          // per-fold linear-predictor form on the ORIGINAL sparse scale:
+          // eta = off_f + Σ vals·(beta_f/scale_f)(idx)
+          val bOverS = Array.tabulate(F, p)((f, j) => beta(f)(j) / scales(f)(j))
+          val offs = Array.tabulate(F) { f =>
+            var o = a0(f)
+            var j = 0
+            while (j < p) { o -= means(f)(j) * bOverS(f)(j); j += 1 }
+            o
+          }
+          val bc = sc.broadcast((bOverS, offs))
+          sharedPasses += 1
+          // ONE pass: uncentered sparse IRLS moments for all active folds
+          val grams = rows.treeAggregate(Array.fill(F)(new BinWGram(p)))(
+            (acc, t) => {
+              val (rowFold, idx, vals, y) = t
+              val (bos, off) = bc.value
+              var f = 0
+              while (f < F) {
+                if (f != rowFold && activeSnap(f)) {
+                  var eta = off(f)
+                  var i = 0
+                  while (i < idx.length) { eta += vals(i) * bos(f)(idx(i)); i += 1 }
+                  var w = 0.0
+                  var z = 0.0
+                  if (binomial) {
+                    val mu = 1.0 / (1.0 + math.exp(-eta))
+                    w = math.max(mu * (1.0 - mu), 1e-5)
+                    z = eta + (y - mu) / w
+                  } else {
+                    val etaC = math.max(math.min(eta, 30.0), -30.0)
+                    val mu = math.exp(etaC)
+                    w = math.max(mu, 1e-5)
+                    z = etaC + (y - mu) / w
+                  }
+                  val g = acc(f)
+                  g.sw += w; g.swz += w * z
+                  var i2 = 0
+                  while (i2 < idx.length) {
+                    val j = idx(i2)
+                    val wxj = w * vals(i2)
+                    g.swx(j) += wxj
+                    g.swxz(j) += wxj * z
+                    var m = 0
+                    while (m <= i2) {
+                      g.swxx(LinAlg.triIdx(idx(m), j)) += wxj * vals(m)
+                      m += 1
+                    }
+                    i2 += 1
+                  }
+                }
+                f += 1
+              }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < F) { a(i).merge(b(i)); i += 1 }; a },
+            depth = 2)
+          for (f <- 0 until F if active(f)) {
+            lastGram(f) = grams(f)
+            val (nb, na) = solveFold(f, grams(f), l)
+            var maxD = math.abs(na - a0(f))
+            var j = 0
+            while (j < p) {
+              val d = math.abs(nb(j) - beta(f)(j)); if (d > maxD) maxD = d; j += 1
+            }
+            beta(f) = nb; a0(f) = na
+            if (maxD < math.max(params.thresh * 1e-2, 1e-8)) active(f) = false
+          }
+          iter += 1
+        }
+        for (f <- 0 until F) {
+          for (j <- 0 until p) betaOut(f)(l)(j) = beta(f)(j) / scales(f)(j)
+          a0Out(f)(l) =
+            if (params.intercept)
+              a0(f) - (0 until p).map(j => betaOut(f)(l)(j) * means(f)(j)).sum
+            else a0(f)
+        }
+      }
+
+      // full-data model from the virtual fold + the fitSparseGlm
+      // deviance forms (sparse eta, never densified)
+      val a0Full = Array.tabulate(L)(l => Array(a0Out(nfolds)(l)))
+      val betaFull = Array.tabulate(L)(l => Array(betaOut(nfolds)(l).clone()))
+      val names = (0 until p).map(j => s"V$j").toArray
+      val full =
+        if (binomial) {
+          val pBar = trainStats(nfolds).yMean(0)
+          val nullP = if (params.intercept) pBar else 0.5
+          val nulldev = -2.0 * total.n *
+            (SgdNet.safeXLog(pBar, nullP) + SgdNet.safeXLog(1 - pBar, 1 - nullP))
+          val devs = rows.treeAggregate(new Array[Double](L))(
+            (acc, t) => {
+              val (_, idx, vals, y) = t
+              var l = 0
+              while (l < L) {
+                var eta = a0Full(l)(0)
+                val bl = betaFull(l)(0)
+                var i = 0
+                while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
+                val m = math.max(eta, 0.0)
+                acc(l) += 2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y * eta)
+                l += 1
+              }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < L) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
+          new SgdNetModel("binomial", names, Array(labelCol), classes,
+            lambdas, a0Full, betaFull, nulldev, devRatio, total.n,
+            sharedPasses + 2, params)
+        } else {
+          val muNull = if (params.intercept) trainStats(nfolds).yMean(0) else 1.0
+          val devs = rows.treeAggregate(new Array[Double](L + 1))(
+            (acc, t) => {
+              val (_, idx, vals, y) = t
+              def devTerm(mu: Double): Double = {
+                val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+                2.0 * (ylog - (y - mu))
+              }
+              var l = 0
+              while (l < L) {
+                var eta = a0Full(l)(0)
+                val bl = betaFull(l)(0)
+                var i = 0
+                while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
+                acc(l) += devTerm(math.exp(math.max(math.min(eta, 30.0), -30.0)))
+                l += 1
+              }
+              acc(L) += devTerm(muNull)
+              acc
+            },
+            (a, b) => { var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          val nulldev = devs.last
+          val devRatio = Array.tabulate(L)(l =>
+            if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
+          new SgdNetModel("poisson", names, Array(labelCol), Array.empty,
+            lambdas, a0Full, betaFull, nulldev, devRatio, total.n,
+            sharedPasses + 2, params)
+        }
+
+      // held-out scoring per (fold, lambda) — sparse eta per row
+      val bA0 = sc.broadcast(a0Out)
+      val bBeta = sc.broadcast(betaOut)
+      val foldScores = measure match {
+        case "auc" =>
+          val spark = df.sparkSession
+          val scored = spark.createDataFrame(rows.map { t =>
+            val (f, idx, vals, y) = t
+            val etas = new Array[Double](L)
+            var l = 0
+            while (l < L) {
+              var eta = bA0.value(f)(l)
+              val bl = bBeta.value(f)(l)
+              var i = 0
+              while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
+              etas(l) = eta
+              l += 1
+            }
+            (f, y, etas)
+          }).toDF("__fold", "__y", "__etas")
+          val exploded = scored
+            .select(col("__fold"), col("__y"),
+              posexplode(col("__etas")).as(Seq("__l", "__s")))
+            .select((col("__l") * nfolds + col("__fold")).as("__g"),
+              col("__s"), col("__y"))
+          val aucs = aucPerGroup(exploded, L * nfolds)
+          Array.tabulate(nfolds, L)((f, l) => aucs(l * nfolds + f))
+        case _ =>
+          val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
+            (acc, t) => {
+              val (f, idx, vals, y) = t
+              var l = 0
+              while (l < L) {
+                var eta = bA0.value(f)(l)
+                val bl = bBeta.value(f)(l)
+                var i = 0
+                while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
+                acc(f * L + l) += (if (binomial) {
+                  val mu = 1.0 / (1.0 + math.exp(-eta))
+                  measure match {
+                    case "mse" => 2.0 * (mu - y) * (mu - y)
+                    case "mae" => 2.0 * math.abs(mu - y)
+                    case "class" => if ((if (mu > 0.5) 1.0 else 0.0) != y) 1.0 else 0.0
+                    case "deviance" =>
+                      val mc = math.min(math.max(mu, 1e-5), 1.0 - 1e-5)
+                      -2.0 * (y * math.log(mc) + (1 - y) * math.log(1 - mc))
+                    case other => // unreachable: fitSparse validates
+                      throw new IllegalArgumentException(s"unknown measure $other")
+                  }
+                } else {
+                  val mu = math.exp(eta)
+                  measure match {
+                    case "mse" => (y - mu) * (y - mu)
+                    case "mae" => math.abs(y - mu)
+                    case "deviance" =>
+                      val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+                      2.0 * (ylog - (y - mu))
+                    case other => // unreachable: fitSparse validates
+                      throw new IllegalArgumentException(s"unknown measure $other")
+                  }
+                })
+                l += 1
+              }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          Array.tabulate(nfolds, L)((f, l) =>
+            sums(f * L + l) / perFold(f).n.toDouble)
+      }
+      summarize(params.alpha, lambdas, foldScores, full)
+    } finally rows.unpersist(blocking = false)
+  }
+
   // ------------------------------------------------- generic per-fold refit
 
   private[ml] def cvGeneric(df: DataFrame, featureCols: Seq[String],

@@ -586,6 +586,55 @@ object PathQueries {
       .orderBy("lambda_idx")
   }
 
+  /** SPARSE-input CV (cv.glmnet with dgCMatrix x, round 15): the
+    * 1-feature ridge CV of q_cv_weighted-without-weights pushed
+    * through `CvSgdNet.fitSparse` — rows arrive as CSR (idx, vals)
+    * arrays and the ONE-pass sparse-moment route must land on the
+    * same per-fold closed form b = cov(x,y)/(var(x)·(1+λ)) the dense
+    * oracle computes. */
+  def cvSparse(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("sidx", array(lit(0)))
+      .withColumn("svals", array(col("l_quantity").cast("double")))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitSparse(li, "sidx", "svals", 1, "l_extendedprice",
+      SgdNetParams(alpha = 0.0, lambda = Array(256.0, 16.0, 1.0),
+        thresh = 1e-11, maxit = 100000),
+      nfolds = 5, measure = "mse", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"),
+        round(log(col("cvm")), 4).as("ln_cvm"),
+        round(log(col("cvsd")), 4).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
+  /** SPARSE binomial CV over auc: the [[cvAuc]] query verbatim but
+    * through `CvSgdNet.fitSparse`'s shared sparse IRLS — the oracle is
+    * byte-identical to q_cv_auc's (same data, folds, grid; activity/
+    * sign closed form + exact rank), so any divergence isolates the
+    * sparse chassis. */
+  def cvSparseAuc(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+      .withColumn("sidx", array(lit(0)))
+      .withColumn("svals", array(col("l_quantity").cast("double")))
+    val lambdas = Array(0.01, 0.003, 0.001, 5e-4, 2e-4, 5e-5)
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitSparse(li, "sidx", "svals", 1, "is_r",
+      SgdNetParams(family = "binomial", alpha = 1.0, lambda = lambdas,
+        thresh = 1e-5),
+      nfolds = 5, measure = "auc", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 6).as("lambda"),
+        (round(col("cvm"), 6) + lit(0.0)).as("cvm"),
+        (round(col("cvsd"), 6) + lit(0.0)).as("cvsd"))
+      .orderBy("lambda_idx")
+  }
+
   def cvExactCurve(spark: SparkSession, dir: String): DataFrame =
     cvExactFit(spark, dir).curveDF(spark)
       .select(col("lambda_idx").cast("int").as("lambda_idx"),
