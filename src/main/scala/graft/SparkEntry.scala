@@ -71,6 +71,8 @@ object SparkEntry {
     "q_cv_weighted_mgauss" -> (PathQueries.cvWeightedMgauss _),
     "q_cv_sparse"        -> (PathQueries.cvSparse _),
     "q_cv_sparse_auc"    -> (PathQueries.cvSparseAuc _),
+    "q_cv_sparse_multinom" -> (PathQueries.cvSparseMultinom _),
+    "q_cv_sparse_weighted" -> (PathQueries.cvSparseWeighted _),
     "q_multinom_pf"      -> (PathQueries.multinomPf _),
     "q_weighted_binom"   -> (MlQueries.weightedBinom _),
     "q_weighted_poisson" -> (MlQueries.weightedPoisson _),
@@ -2099,7 +2101,11 @@ object SparkEntry {
     )
     // q_cv_sparse_auc runs the SAME data/folds/grid as q_cv_auc through
     // the sparse CV chassis — byte-identical oracle by construction, so
-    // any divergence isolates the sparse route
-    base + ("q_cv_sparse_auc" -> base("q_cv_auc"))
+    // any divergence isolates the sparse route; q_cv_sparse_multinom and
+    // q_cv_sparse_weighted reuse q_cv_multinom / q_cv_weighted the same
+    // way (round 16)
+    base + ("q_cv_sparse_auc" -> base("q_cv_auc")) +
+      ("q_cv_sparse_multinom" -> base("q_cv_multinom")) +
+      ("q_cv_sparse_weighted" -> base("q_cv_weighted"))
   }
 }

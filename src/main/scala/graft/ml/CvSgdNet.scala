@@ -2009,9 +2009,19 @@ object CvSgdNet {
     *    the driver per fold (the `fitSparseGlm` algebra, fold-tiled);
     *    the full-data model rides as the virtual fold. Measures
     *    deviance|mse|mae + class/auc for binomial.
-    *  - multinomial: rejected with an explicit message (use the dense
-    *    CV; the sparse FISTA chassis is not fold-tiled) — a contract,
-    *    not a silent fallback.
+    *  - multinomial: SHARED sparse FISTA — all folds advance together
+    *    through one softmax-gradient `treeAggregate` per FISTA round
+    *    over the sparse route's UNCENTERED nonzero accumulations, with
+    *    the per-fold standardization correction applied algebraically
+    *    on the driver (the `sparseSoftmaxGrad` algebra, fold-tiled);
+    *    the full-data model rides as the virtual fold. Measures
+    *    deviance|mse|mae|class.
+    *
+    * `weightCol` adds cv.glmnet observation weights to every family
+    * (round 16 — the last sparse composition cell): per-fold RAW-v
+    * weighted moments with per-fold sum-to-n_train renormalization,
+    * exactly the [[fitWeighted]] dense-CV convention, and v-weighted
+    * held-out scores Σv·err/Σv (v == 0 drops the row everywhere).
     *
     * Fold assignment hashes the row content (idx, vals, label) unless
     * `foldCol` is supplied (the reference's foldid). */
@@ -2021,11 +2031,13 @@ object CvSgdNet {
                 nfolds: Int = 10,
                 measure: String = "deviance",
                 foldCol: Column = null,
-                alphas: Seq[Double] = Seq.empty): CvResult = {
+                alphas: Seq[Double] = Seq.empty,
+                weightCol: String = null): CvResult = {
     require(nfolds >= 2, "nfolds must be at least 2")
     val okMeasures = params.family match {
-      case "binomial" => Set("deviance", "mse", "mae", "class", "auc")
-      case _          => Set("deviance", "mse", "mae")
+      case "binomial"    => Set("deviance", "mse", "mae", "class", "auc")
+      case "multinomial" => Set("deviance", "mse", "mae", "class")
+      case _             => Set("deviance", "mse", "mae")
     }
     require(okMeasures.contains(measure),
       s"sparse ${params.family} CV supports " +
@@ -2034,55 +2046,90 @@ object CvSgdNet {
     val paths = params.family match {
       case "gaussian" =>
         cvSparseGaussian(df, idxCol, valCol, dim, labelCol, params, nfolds,
-          alphaGrid, measure, foldCol)
+          alphaGrid, measure, foldCol, weightCol)
       case "binomial" | "poisson" =>
         alphaGrid.map(a => cvSparseGlmShared(df, idxCol, valCol, dim,
-          labelCol, params.copy(alpha = a), nfolds, foldCol, measure))
+          labelCol, params.copy(alpha = a), nfolds, foldCol, measure,
+          weightCol))
+      case "multinomial" =>
+        alphaGrid.map(a => cvSparseMultinomialShared(df, idxCol, valCol, dim,
+          labelCol, params.copy(alpha = a), nfolds, foldCol, measure,
+          weightCol))
       case f => throw new IllegalArgumentException(
-        s"sparse CV supports gaussian, binomial, poisson, not $f " +
-          "(multinomial: use the dense CV)")
+        s"sparse CV supports gaussian, binomial, poisson, multinomial, " +
+          s"not $f")
     }
     val best = paths.minBy(p => p.cvm.min)
     CvResult(paths, best)
   }
 
-  /** One-pass sparse gaussian CV (see [[fitSparse]]). */
+  /** One-pass sparse gaussian CV (see [[fitSparse]]). With `weightCol`
+    * the ONE pass accumulates per-fold RAW-v weighted sparse moments +
+    * per-fold Σv, and train stats are renormalized to the fold's own
+    * sum-to-n_train (the [[cvWeightedGaussian]] convention); held-out
+    * scores become Σv·err/Σv. The unweighted call is the v == 1
+    * special case of the same arithmetic (all the extra factors are
+    * exactly 1.0, so the output is bit-identical to round 15's). */
   private def cvSparseGaussian(df: DataFrame, idxCol: String, valCol: String,
                                dim: Int, labelCol: String,
                                params: SgdNetParams, nfolds: Int,
                                alphaGrid: Seq[Double], measure: String,
-                               foldCol: Column): Seq[CvPath] = {
+                               foldCol: Column,
+                               weightCol: String = null): Seq[CvPath] = {
     val p = dim
+    val weighted = weightCol != null
     val hashCols = Seq(col(idxCol), col(valCol), col(labelCol))
-    val rows = df
+    val wCol = if (weighted) col(weightCol).cast("double") else lit(1.0)
+    val rows0 = df
       .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
       .select(col(idxCol), col(valCol).cast("array<double>"),
-        col(labelCol).cast("double"), col("__fold"))
+        col(labelCol).cast("double"), col("__fold"), wCol)
       .rdd.map { r =>
         (r.getInt(3), r.getSeq[Int](0).toArray,
-          r.getSeq[Double](1).toArray, r.getDouble(2))
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r.getSeq[Double](1).toArray, r.getDouble(2), r.getDouble(4))
+      }
+    // v == 0 drops the observation everywhere (glmnet) — from training
+    // AND from the held-out ratio; the unweighted path never filters
+    val rows = (if (weighted)
+        rows0.map { t => require(t._5 >= 0, "weights must be non-negative"); t }
+          .filter(_._5 > 0)
+      else rows0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val zero = Array.fill(nfolds)(new GramStats(p, 1))
-      val perFold = rows.treeAggregate(zero)(
-        (acc, t) => { acc(t._1).addSparse(t._2, t._3, Array(t._4)); acc },
-        (a, b) => { var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a },
-        depth = 2)
+      val zero = (Array.fill(nfolds)(new GramStats(p, 1)),
+        new Array[Double](nfolds))
+      val (perFold, wFold) = rows.treeAggregate(zero)(
+        (acc, t) => {
+          acc._1(t._1).addSparseWeighted(t._2, t._3, Array(t._4), t._5)
+          acc._2(t._1) += t._5
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < nfolds) { a._1(i).merge(b._1(i)); a._2(i) += b._2(i); i += 1 }
+          a
+        }, depth = 2)
       requireNonEmptyFolds(perFold.map(_.n), nfolds)
       val total = new GramStats(p, 1)
       perFold.foreach(total.merge)
+      val wTotal = wFold.sum
       val names = (0 until p).map(j => s"V$j")
       alphaGrid.map { a =>
         val prm = params.copy(alpha = a)
         val full = SgdNet.solveGaussianFromStats(
-          new GramStats(p, 1).merge(total), names, Seq(labelCol), prm)
+          new GramStats(p, 1).merge(total)
+            .scaleWeights(total.n.toDouble / wTotal),
+          names, Seq(labelCol), prm)
         val lambdas = full.lambda
         val L = lambdas.length
         val foldScores = Array.ofDim[Double](nfolds, L)
         val a0Out = Array.ofDim[Double](nfolds, L)
         val bOut = Array.ofDim[Double](nfolds, L, p)
         for (f <- 0 until nfolds) {
+          // train = total − fold, rescaled to the fold's OWN sum-to-
+          // n_train weight normalization (exactly 1.0 when unweighted)
           val train = new GramStats(p, 1).merge(total).subtract(perFold(f))
+          train.scaleWeights(train.n.toDouble / (wTotal - wFold(f)))
           val fm = SgdNet.solveGaussianFromStats(train, names, Seq(labelCol),
             prm.copy(lambda = lambdas))
           for (l <- 0 until L) {
@@ -2090,10 +2137,10 @@ object CvSgdNet {
             for (j <- 0 until p) bOut(f)(l)(j) = fm.beta(l)(0)(j)
           }
           if (measure != "mae") {
-            // held-out (mse == deviance) from fold-f moments — the
-            // cvGaussianFromStats closed form on the sparse-built stats
+            // held-out v-weighted (mse == deviance) from fold-f RAW-v
+            // moments — the cvGaussianFromStats closed form
             val fg = perFold(f)
-            val nf = fg.n.toDouble
+            val nf = wFold(f)
             for (l <- 0 until L) {
               val a0 = a0Out(f)(l)
               val bt = bOut(f)(l)
@@ -2112,19 +2159,19 @@ object CvSgdNet {
         }
         if (measure == "mae") {
           // |residual| is not a moment form — ONE sparse RDD pass for
-          // every (fold, lambda) cell
+          // every (fold, lambda) cell, Σv·|err| / Σv
           val bA0 = rows.sparkContext.broadcast(a0Out)
           val bB = rows.sparkContext.broadcast(bOut)
           val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
             (acc, t) => {
-              val (f, idx, vals, y) = t
+              val (f, idx, vals, y, v) = t
               var l = 0
               while (l < L) {
                 var eta = bA0.value(f)(l)
                 val bl = bB.value(f)(l)
                 var i = 0
                 while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
-                acc(f * L + l) += math.abs(y - eta)
+                acc(f * L + l) += v * math.abs(y - eta)
                 l += 1
               }
               acc
@@ -2132,7 +2179,7 @@ object CvSgdNet {
             (x, y) => { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x },
             depth = 2)
           for (f <- 0 until nfolds; l <- 0 until L)
-            foldScores(f)(l) = sums(f * L + l) / perFold(f).n.toDouble
+            foldScores(f)(l) = sums(f * L + l) / wFold(f)
         }
         summarize(a, lambdas, foldScores, full)
       }
@@ -2143,13 +2190,19 @@ object CvSgdNet {
     * the [[cvBinomialShared]] fold-tiling over the sparse route's
     * uncentered nonzero accumulations, with per-fold algebraic
     * centering driver-side — the matrix is never densified and per-row
-    * cost stays O(active-folds × nnz²). */
+    * cost stays O(active-folds × nnz²). With `weightCol` the frequency
+    * weight folds into the IRLS weight as v·norm_f (the
+    * [[cvWeightedGlmShared]] convention) and held-out scores become
+    * Σv·err/Σv; the unweighted call is the v == 1 special case (all
+    * extra factors exactly 1.0 — bit-identical output). */
   private def cvSparseGlmShared(df: DataFrame, idxCol: String, valCol: String,
                                 dim: Int, labelCol: String,
                                 params: SgdNetParams, nfolds: Int,
-                                foldCol: Column, measure: String): CvPath = {
+                                foldCol: Column, measure: String,
+                                weightCol: String = null): CvPath = {
     SgdNet.requireNoZeroPf(params, "shared sparse CV")
     val p = dim
+    val weighted = weightCol != null
     val binomial = params.family == "binomial"
     val classes: Array[String] =
       if (binomial) {
@@ -2163,28 +2216,52 @@ object CvSgdNet {
     val yCol =
       if (binomial) (col(labelCol).cast("string") === classes(1)).cast("double")
       else col(labelCol).cast("double")
+    val wCol = if (weighted) col(weightCol).cast("double") else lit(1.0)
     val hashCols = Seq(col(idxCol), col(valCol), col(labelCol))
-    val rows = df
+    val rows0 = df
       .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
       .select(col(idxCol), col(valCol).cast("array<double>"), yCol,
-        col("__fold"))
+        col("__fold"), wCol)
       .rdd.map { r =>
         (r.getInt(3), r.getSeq[Int](0).toArray,
-          r.getSeq[Double](1).toArray, r.getDouble(2))
-      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          r.getSeq[Double](1).toArray, r.getDouble(2), r.getDouble(4))
+      }
+    // v == 0 drops the observation everywhere (glmnet); the unweighted
+    // path never filters
+    val rows = (if (weighted)
+        rows0.map { t => require(t._5 >= 0, "weights must be non-negative"); t }
+          .filter(_._5 > 0)
+      else rows0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val F = nfolds + 1
-      val zero = Array.fill(nfolds)(new GramStats(p, 1))
-      val perFold = rows.treeAggregate(zero)(
-        (acc, t) => { acc(t._1).addSparse(t._2, t._3, Array(t._4)); acc },
-        (a, b) => { var i = 0; while (i < nfolds) { a(i).merge(b(i)); i += 1 }; a },
-        depth = 2)
+      // ONE pass: per-fold RAW-v weighted sparse moments + per-fold Σv
+      val zero = (Array.fill(nfolds)(new GramStats(p, 1)),
+        new Array[Double](nfolds))
+      val (perFold, wFold) = rows.treeAggregate(zero)(
+        (acc, t) => {
+          acc._1(t._1).addSparseWeighted(t._2, t._3, Array(t._4), t._5)
+          acc._2(t._1) += t._5
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < nfolds) { a._1(i).merge(b._1(i)); a._2(i) += b._2(i); i += 1 }
+          a
+        }, depth = 2)
       requireNonEmptyFolds(perFold.map(_.n), nfolds)
       val total = new GramStats(p, 1)
       perFold.foreach(total.merge)
+      val wTotal = wFold.sum
       val perFoldExt = perFold :+ new GramStats(p, 1)
+      val wFoldExt = wFold :+ 0.0
+      val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
+      // per-fold sum-to-n_train weight normalization (exactly 1.0 when
+      // unweighted)
+      val norms = Array.tabulate(F)(f => nTrain(f) / (wTotal - wFoldExt(f)))
       val trainStats = Array.tabulate(F) { f =>
         val tr = new GramStats(p, 1).merge(total).subtract(perFoldExt(f))
+          .scaleWeights(norms(f))
         SufficientStats.standardize(tr, params.standardize, params.intercept)
       }
       if (!binomial) trainStats.foreach(st => require(st.yMean(0) > 0,
@@ -2197,7 +2274,6 @@ object CvSgdNet {
           LambdaPath.build(trainStats(nfolds).b, params.alpha, params.nlambda,
             minRatio, params.penaltyFactor)
         }
-      val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
       val means = trainStats.map(st => if (params.intercept) st.xMean else new Array[Double](p))
       val scales = trainStats.map(st => if (params.standardize) st.xSd else Array.fill(p)(1.0))
       val boundsF = scales.map(s => SgdNet.boundsStd(params, s, 1.0))
@@ -2278,13 +2354,15 @@ object CvSgdNet {
             while (j < p) { o -= means(f)(j) * bOverS(f)(j); j += 1 }
             o
           }
-          val bc = sc.broadcast((bOverS, offs))
+          val bc = sc.broadcast((bOverS, offs, norms))
           sharedPasses += 1
-          // ONE pass: uncentered sparse IRLS moments for all active folds
+          // ONE pass: uncentered v-weighted sparse IRLS moments for all
+          // active folds (frequency weight folds into the IRLS weight
+          // as v·norm_f — fitWeightedGlm's wv = w·v·norm)
           val grams = rows.treeAggregate(Array.fill(F)(new BinWGram(p)))(
             (acc, t) => {
-              val (rowFold, idx, vals, y) = t
-              val (bos, off) = bc.value
+              val (rowFold, idx, vals, y, v) = t
+              val (bos, off, nrm) = bc.value
               var f = 0
               while (f < F) {
                 if (f != rowFold && activeSnap(f)) {
@@ -2303,12 +2381,13 @@ object CvSgdNet {
                     w = math.max(mu, 1e-5)
                     z = etaC + (y - mu) / w
                   }
+                  val vw = v * nrm(f) * w
                   val g = acc(f)
-                  g.sw += w; g.swz += w * z
+                  g.sw += vw; g.swz += vw * z
                   var i2 = 0
                   while (i2 < idx.length) {
                     val j = idx(i2)
-                    val wxj = w * vals(i2)
+                    val wxj = vw * vals(i2)
                     g.swx(j) += wxj
                     g.swxz(j) += wxj * z
                     var m = 0
@@ -2348,34 +2427,51 @@ object CvSgdNet {
       }
 
       // full-data model from the virtual fold + the fitSparseGlm
-      // deviance forms (sparse eta, never densified)
+      // deviance forms (sparse eta, never densified; v·norm-weighted
+      // when a weight column rides along)
       val a0Full = Array.tabulate(L)(l => Array(a0Out(nfolds)(l)))
       val betaFull = Array.tabulate(L)(l => Array(betaOut(nfolds)(l).clone()))
       val names = (0 until p).map(j => s"V$j").toArray
+      val normFull = norms(nfolds)
       val full =
         if (binomial) {
           val pBar = trainStats(nfolds).yMean(0)
           val nullP = if (params.intercept) pBar else 0.5
-          val nulldev = -2.0 * total.n *
-            (SgdNet.safeXLog(pBar, nullP) + SgdNet.safeXLog(1 - pBar, 1 - nullP))
-          val devs = rows.treeAggregate(new Array[Double](L))(
+          val a0Null =
+            if (!params.intercept) 0.0
+            else if (pBar > 0 && pBar < 1) math.log(pBar / (1 - pBar))
+            else 0.0
+          val devs = rows.treeAggregate(new Array[Double](L + 1))(
             (acc, t) => {
-              val (_, idx, vals, y) = t
+              val (_, idx, vals, y, v) = t
+              def binDev(eta: Double): Double = {
+                val m = math.max(eta, 0.0)
+                2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y * eta)
+              }
+              val vn = v * normFull
               var l = 0
               while (l < L) {
                 var eta = a0Full(l)(0)
                 val bl = betaFull(l)(0)
                 var i = 0
                 while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
-                val m = math.max(eta, 0.0)
-                acc(l) += 2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y * eta)
+                acc(l) += vn * binDev(eta)
                 l += 1
               }
+              acc(L) += vn * binDev(a0Null)
               acc
             },
-            (a, b) => { var i = 0; while (i < L) { a(i) += b(i); i += 1 }; a },
+            (a, b) => { var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a },
             depth = 2)
-          val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
+          // unweighted keeps round 15's closed-form nulldev bit-exactly;
+          // weighted takes the v·norm-weighted pass (the
+          // cvWeightedGlmShared form)
+          val nulldev =
+            if (weighted) devs(L)
+            else -2.0 * total.n *
+              (SgdNet.safeXLog(pBar, nullP) + SgdNet.safeXLog(1 - pBar, 1 - nullP))
+          val devRatio = devs.take(L).map(d =>
+            if (nulldev > 0) 1.0 - d / nulldev else 0.0)
           new SgdNetModel("binomial", names, Array(labelCol), classes,
             lambdas, a0Full, betaFull, nulldev, devRatio, total.n,
             sharedPasses + 2, params)
@@ -2383,21 +2479,22 @@ object CvSgdNet {
           val muNull = if (params.intercept) trainStats(nfolds).yMean(0) else 1.0
           val devs = rows.treeAggregate(new Array[Double](L + 1))(
             (acc, t) => {
-              val (_, idx, vals, y) = t
+              val (_, idx, vals, y, v) = t
               def devTerm(mu: Double): Double = {
                 val ylog = if (y > 0) y * math.log(y / mu) else 0.0
                 2.0 * (ylog - (y - mu))
               }
+              val vn = v * normFull
               var l = 0
               while (l < L) {
                 var eta = a0Full(l)(0)
                 val bl = betaFull(l)(0)
                 var i = 0
                 while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
-                acc(l) += devTerm(math.exp(math.max(math.min(eta, 30.0), -30.0)))
+                acc(l) += vn * devTerm(math.exp(math.max(math.min(eta, 30.0), -30.0)))
                 l += 1
               }
-              acc(L) += devTerm(muNull)
+              acc(L) += vn * devTerm(muNull)
               acc
             },
             (a, b) => { var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a },
@@ -2410,14 +2507,15 @@ object CvSgdNet {
             sharedPasses + 2, params)
         }
 
-      // held-out scoring per (fold, lambda) — sparse eta per row
+      // held-out scoring per (fold, lambda) — sparse eta per row,
+      // Σv·err / Σv with RAW v
       val bA0 = sc.broadcast(a0Out)
       val bBeta = sc.broadcast(betaOut)
       val foldScores = measure match {
         case "auc" =>
           val spark = df.sparkSession
           val scored = spark.createDataFrame(rows.map { t =>
-            val (f, idx, vals, y) = t
+            val (f, idx, vals, y, v) = t
             val etas = new Array[Double](L)
             var l = 0
             while (l < L) {
@@ -2428,26 +2526,27 @@ object CvSgdNet {
               etas(l) = eta
               l += 1
             }
-            (f, y, etas)
-          }).toDF("__fold", "__y", "__etas")
+            (f, y, v, etas)
+          }).toDF("__fold", "__y", "__v", "__etas")
           val exploded = scored
-            .select(col("__fold"), col("__y"),
+            .select(col("__fold"), col("__y"), col("__v"),
               posexplode(col("__etas")).as(Seq("__l", "__s")))
             .select((col("__l") * nfolds + col("__fold")).as("__g"),
-              col("__s"), col("__y"))
-          val aucs = aucPerGroup(exploded, L * nfolds)
+              col("__s"), col("__y"), col("__v"))
+          val aucs = aucPerGroup(exploded, L * nfolds,
+            weightCol = if (weighted) "__v" else null)
           Array.tabulate(nfolds, L)((f, l) => aucs(l * nfolds + f))
         case _ =>
           val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
             (acc, t) => {
-              val (f, idx, vals, y) = t
+              val (f, idx, vals, y, v) = t
               var l = 0
               while (l < L) {
                 var eta = bA0.value(f)(l)
                 val bl = bBeta.value(f)(l)
                 var i = 0
                 while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
-                acc(f * L + l) += (if (binomial) {
+                acc(f * L + l) += v * (if (binomial) {
                   val mu = 1.0 / (1.0 + math.exp(-eta))
                   measure match {
                     case "mse" => 2.0 * (mu - y) * (mu - y)
@@ -2478,8 +2577,356 @@ object CvSgdNet {
             (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
             depth = 2)
           Array.tabulate(nfolds, L)((f, l) =>
-            sums(f * L + l) / perFold(f).n.toDouble)
+            sums(f * L + l) / wFold(f))
       }
+      summarize(params.alpha, lambdas, foldScores, full)
+    } finally rows.unpersist(blocking = false)
+  }
+
+  // --------------------------------- multinomial, shared-pass sparse CV
+
+  /** Shared sparse multinomial CV (round 16 — closes the last
+    * cv.glmnet-with-dgCMatrix composition cell; reference cv_sgdnet
+    * accepts sparse x for every family by delegation, R/cv_sgdnet.R +
+    * tests/testthat/test-sparse.R): the [[cvMultinomialShared]] FISTA
+    * chassis over CSR rows. Each gradient round is ONE `treeAggregate`
+    * accumulating every unconverged fold's UNCENTERED per-class
+    * residual sums Σr and Σr·x over the nonzeros only (the
+    * `SgdNet.sparseSoftmaxGrad` algebra, fold-tiled), with the
+    * standardization correction (Σr·x − mean·Σr)/scale/n applied
+    * algebraically on the driver per fold — the matrix is never
+    * densified and per-row cost stays O(active-folds × k × nnz). The
+    * full-data model rides as virtual fold nfolds. With `weightCol`
+    * the residuals carry v·norm_f mass and held-out scores are
+    * Σv·err/Σv (the [[cvWeightedMultinomialShared]] convention); the
+    * unweighted call is the v == 1 special case. */
+  private def cvSparseMultinomialShared(df: DataFrame, idxCol: String,
+                                        valCol: String, dim: Int,
+                                        labelCol: String,
+                                        params: SgdNetParams, nfolds: Int,
+                                        foldCol: Column, measure: String,
+                                        weightCol: String = null): CvPath = {
+    SgdNet.requireNoZeroPf(params, "shared sparse multinomial CV")
+    val p = dim
+    val weighted = weightCol != null
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(classes.length > 2,
+      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
+      else "only one class in response.")
+    val k = classes.length
+    val classIdx = classes.zipWithIndex.toMap
+    require(params.penaltyFactor == null ||
+      (params.penaltyFactor.length == p && params.penaltyFactor.forall(_ >= 0)),
+      "penaltyFactor must have one non-negative entry per feature")
+
+    val wCol = if (weighted) col(weightCol).cast("double") else lit(1.0)
+    val hashCols = Seq(col(idxCol), col(valCol), col(labelCol))
+    val sc0 = df.sparkSession.sparkContext
+    val bClassIdx = sc0.broadcast(classIdx)
+    val rows0 = df
+      .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
+      .select(col(idxCol), col(valCol).cast("array<double>"),
+        col(labelCol).cast("string"), col("__fold"), wCol)
+      .rdd.map { r =>
+        (r.getInt(3), r.getSeq[Int](0).toArray,
+          r.getSeq[Double](1).toArray, bClassIdx.value(r.getString(2)),
+          r.getDouble(4))
+      }
+    val rows = (if (weighted)
+        rows0.map { t => require(t._5 >= 0, "weights must be non-negative"); t }
+          .filter(_._5 > 0)
+      else rows0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // fold count INCLUDING the virtual full-data fold (index nfolds)
+      val F = nfolds + 1
+      // ONE pass: per-fold RAW-v one-hot weighted sparse moments + Σv
+      val zero = (Array.fill(nfolds)(new GramStats(p, k)),
+        new Array[Double](nfolds))
+      val (perFold, wFold) = rows.treeAggregate(zero)(
+        (acc, t) => {
+          val y = new Array[Double](k); y(t._4) = 1.0
+          acc._1(t._1).addSparseWeighted(t._2, t._3, y, t._5)
+          acc._2(t._1) += t._5
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < nfolds) { a._1(i).merge(b._1(i)); a._2(i) += b._2(i); i += 1 }
+          a
+        }, depth = 2)
+      requireNonEmptyFolds(perFold.map(_.n), nfolds)
+      val total = new GramStats(p, k)
+      perFold.foreach(total.merge)
+      val wTotal = wFold.sum
+      val perFoldExt = perFold :+ new GramStats(p, k)
+      val wFoldExt = wFold :+ 0.0
+      val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
+      val norms = Array.tabulate(F)(f => nTrain(f) / (wTotal - wFoldExt(f)))
+      val trainStats = Array.tabulate(F) { f =>
+        val tr = new GramStats(p, k).merge(total).subtract(perFoldExt(f))
+          .scaleWeights(norms(f))
+        SufficientStats.standardize(tr, params.standardize, params.intercept)
+      }
+      val grouped = params.typeMultinomial == "grouped"
+      val lambdas =
+        if (params.lambda != null) params.lambda
+        else {
+          val minRatio = if (params.lambdaMinRatio.isNaN)
+            LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
+          val bArg = if (grouped) trainStats(nfolds).b
+            else Array(trainStats(nfolds).b.flatten)
+          // ungrouped flattens b t-major, so pf tiles per class to match
+          val pfArg = if (params.penaltyFactor == null) null
+            else if (grouped) params.penaltyFactor
+            else Array.tabulate(k * p)(i => params.penaltyFactor(i % p))
+          LambdaPath.build(bArg, params.alpha, params.nlambda, minRatio,
+            pfArg)
+        }
+      val means = trainStats.map(st =>
+        if (params.intercept) st.xMean else new Array[Double](p))
+      val scales = trainStats.map(st =>
+        if (params.standardize) st.xSd else Array.fill(p)(1.0))
+      // per-fold box limits on each fold's own standardized scale
+      // (ungrouped only — fit() rejects grouped multinomial + limits)
+      val boundsF = scales.map(s => SgdNet.boundsStd(params, s, 1.0))
+      val pf = params.penaltyFactor
+      // per-fold Lipschitz step from the fold's standardized gram
+      val steps = trainStats.map(st => 1.0 / (0.5 * LinAlg.maxEig(st.gram) + 1e-9))
+      val sc = rows.sparkContext
+
+      val L = lambdas.length
+      // per-fold FISTA iterates (standardized scale)
+      val beta = Array.fill(F)(Array.ofDim[Double](k, p))
+      val a0 = Array.tabulate(F) { f =>
+        Array.tabulate(k)(t => if (params.intercept)
+          math.log(math.max(trainStats(f).yMean(t), 1e-12)) else 0.0)
+      }
+      // original-scale coefficients per (fold, lambda) for scoring
+      val a0Out = Array.ofDim[Double](F, L, k)
+      val betaOut = Array.ofDim[Double](F, L, k, p)
+      var sharedPasses = 0
+
+      for (l <- 0 until L) {
+        val lam = lambdas(l)
+        val active = Array.fill(F)(true)
+        // FISTA momentum state per fold, reset at each lambda
+        val yB = beta.map(_.map(_.clone()))
+        val yA = a0.map(_.clone())
+        val tk = Array.fill(F)(1.0)
+        var iter = 0
+        while (iter < params.maxit && active.exists(identity)) {
+          val activeSnap = active.clone()
+          sharedPasses += 1
+          // per-fold momentum iterates re-expressed on the ORIGINAL
+          // sparse scale: eta_t = off(f)(t) + Σ vals·bOverS(f)(t)(idx)
+          val bOverS = Array.tabulate(F, k, p)((f, t, j) =>
+            yB(f)(t)(j) / scales(f)(j))
+          val offs = Array.tabulate(F, k) { (f, t) =>
+            var o = yA(f)(t)
+            var j = 0
+            while (j < p) { o -= means(f)(j) * bOverS(f)(t)(j); j += 1 }
+            o
+          }
+          val bc = sc.broadcast((bOverS, offs, norms))
+          // ONE pass: UNCENTERED v-weighted softmax residual sums for
+          // all active folds (the sparseSoftmaxGrad layout, fold-tiled):
+          // [f][t*(p+1)] Σr, [f][t*(p+1)+1+j] Σr·x_j over nonzeros only
+          val acc = rows.treeAggregate(new Array[Double](F * k * (p + 1)))(
+            (s, row) => {
+              val (rowFold, idx, vals, yIdx, v) = row
+              val (bos, off, nrm) = bc.value
+              var f = 0
+              while (f < F) {
+                if (f != rowFold && activeSnap(f)) {
+                  val eta = new Array[Double](k)
+                  var mx = Double.NegativeInfinity
+                  var t = 0
+                  while (t < k) {
+                    var e = off(f)(t)
+                    var i = 0
+                    while (i < idx.length) { e += vals(i) * bos(f)(t)(idx(i)); i += 1 }
+                    eta(t) = e; if (e > mx) mx = e
+                    t += 1
+                  }
+                  var z = 0.0
+                  t = 0
+                  while (t < k) { eta(t) = math.exp(eta(t) - mx); z += eta(t); t += 1 }
+                  val vn = v * nrm(f)
+                  val base = f * k * (p + 1)
+                  t = 0
+                  while (t < k) {
+                    val r = vn * (eta(t) / z - (if (t == yIdx) 1.0 else 0.0))
+                    s(base + t * (p + 1)) += r
+                    var i = 0
+                    while (i < idx.length) {
+                      s(base + t * (p + 1) + 1 + idx(i)) += r * vals(i)
+                      i += 1
+                    }
+                    t += 1
+                  }
+                }
+                f += 1
+              }
+              s
+            },
+            (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          // driver-side FISTA prox step per active fold (identical
+          // arithmetic to fitMultinomialCore's; the centering correction
+          // (Σr·x − mean·Σr)/scale/n is sparseSoftmaxGrad's)
+          for (f <- 0 until F if active(f)) {
+            val base = f * k * (p + 1)
+            val ninv = 1.0 / nTrain(f)
+            val grad = Array.tabulate(k, p)((t, j) =>
+              (acc(base + t * (p + 1) + 1 + j) -
+                means(f)(j) * acc(base + t * (p + 1))) / scales(f)(j) * ninv)
+            val gradA0 = Array.tabulate(k)(t => acc(base + t * (p + 1)) * ninv)
+            val step = steps(f)
+            val (lo, up) = boundsF(f)
+            val nb = Array.ofDim[Double](k, p)
+            val na = new Array[Double](k)
+            var maxD = 0.0
+            for (t <- 0 until k) {
+              na(t) = if (params.intercept) yA(f)(t) - step * gradA0(t) else 0.0
+              val d0 = math.abs(na(t) - a0(f)(t)); if (d0 > maxD) maxD = d0
+            }
+            for (j <- 0 until p) {
+              val pfj = if (pf == null) 1.0 else pf(j)
+              if (grouped) {
+                var nrm2 = 0.0
+                val v = Array.tabulate(k)(t => yB(f)(t)(j) - step * grad(t)(j))
+                v.foreach(x => nrm2 += x * x)
+                nrm2 = math.sqrt(nrm2)
+                val g = step * lam * params.alpha * pfj
+                val shrink =
+                  if (nrm2 > g)
+                    (1.0 - g / nrm2) /
+                      (1.0 + step * lam * (1.0 - params.alpha) * pfj)
+                  else 0.0
+                for (t <- 0 until k) {
+                  nb(t)(j) = v(t) * shrink
+                  val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                }
+              } else {
+                for (t <- 0 until k) {
+                  val v = yB(f)(t)(j) - step * grad(t)(j)
+                  var x = LinAlg.softThreshold(v,
+                    step * lam * params.alpha * pfj) /
+                    (1.0 + step * lam * (1.0 - params.alpha) * pfj)
+                  if (lo != null && x < lo(j)) x = lo(j)
+                  if (up != null && x > up(j)) x = up(j)
+                  nb(t)(j) = x
+                  val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                }
+              }
+            }
+            // gradient-based adaptive restart (O'Donoghue & Candès)
+            var restartDot = 0.0
+            for (t <- 0 until k; j <- 0 until p)
+              restartDot += grad(t)(j) * (nb(t)(j) - beta(f)(t)(j))
+            for (t <- 0 until k) restartDot += gradA0(t) * (na(t) - a0(f)(t))
+            val tk1 = if (restartDot > 0) 1.0
+              else (1.0 + math.sqrt(1.0 + 4.0 * tk(f) * tk(f))) / 2.0
+            val mom = if (restartDot > 0) 0.0 else (tk(f) - 1.0) / tk1
+            for (t <- 0 until k; j <- 0 until p)
+              yB(f)(t)(j) = nb(t)(j) + mom * (nb(t)(j) - beta(f)(t)(j))
+            for (t <- 0 until k) yA(f)(t) = na(t) + mom * (na(t) - a0(f)(t))
+            beta(f) = nb; a0(f) = na; tk(f) = tk1
+            if (maxD < math.max(params.thresh * 1e-3, 1e-8)) active(f) = false
+          }
+          iter += 1
+        }
+        for (f <- 0 until F) {
+          for (t <- 0 until k; j <- 0 until p)
+            betaOut(f)(l)(t)(j) = beta(f)(t)(j) / scales(f)(j)
+          for (t <- 0 until k)
+            a0Out(f)(l)(t) = if (params.intercept)
+              a0(f)(t) - (0 until p).map(j => betaOut(f)(l)(t)(j) * means(f)(j)).sum
+            else a0(f)(t)
+        }
+      }
+
+      // full-data model from the virtual fold's path + one sparse
+      // deviance pass (v·norm-scaled one-hots — deviance is linear in y)
+      val a0Full = Array.tabulate(L)(l => a0Out(nfolds)(l).clone())
+      val betaFull = Array.tabulate(L)(l => betaOut(nfolds)(l).map(_.clone()))
+      val priors = trainStats(nfolds).yMean
+      val nulldev = -2.0 * total.n * priors.map(pr => SgdNet.safeXLog(pr, pr)).sum
+      val normFull = norms(nfolds)
+      val onehotRows = rows.map { t =>
+        val y = new Array[Double](k); y(t._4) = t._5 * normFull
+        (t._2, t._3, y)
+      }
+      val devs = SgdNet.sparseMultinomDeviance(onehotRows, a0Full, betaFull, k)
+      val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
+      val names = (0 until p).map(j => s"V$j").toArray
+      val full = new SgdNetModel("multinomial", names,
+        Array(labelCol), classes, lambdas, a0Full, betaFull, nulldev,
+        devRatio, total.n, sharedPasses + 2, params)
+
+      // held-out scoring per (fold, lambda): sparse eta per row, every
+      // row scored by its OWN fold's model, Σv·err / Σv
+      val bA0 = sc.broadcast(a0Out)
+      val bBeta = sc.broadcast(betaOut)
+      val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
+        (s, row) => {
+          val (f, idx, vals, yIdx, v) = row
+          var l = 0
+          while (l < L) {
+            val al = bA0.value(f)(l); val bl = bBeta.value(f)(l)
+            val eta = new Array[Double](k)
+            var mx = Double.NegativeInfinity
+            var t = 0
+            while (t < k) {
+              var e = al(t)
+              var i = 0
+              while (i < idx.length) { e += bl(t)(idx(i)) * vals(i); i += 1 }
+              eta(t) = e; if (e > mx) mx = e
+              t += 1
+            }
+            var z = 0.0
+            t = 0
+            while (t < k) { eta(t) = math.exp(eta(t) - mx); z += eta(t); t += 1 }
+            s(f * L + l) += v * (measure match {
+              case "class" =>
+                // argmax with the LARGEST class index winning exact ties
+                // (>=): classes are sorted, so this matches classCol's
+                // greatest(struct(eta, cls)) tie-break exactly
+                var best = 0
+                t = 1
+                while (t < k) { if (eta(t) >= eta(best)) best = t; t += 1 }
+                if (best != yIdx) 1.0 else 0.0
+              case "mse" =>
+                var acc2 = 0.0
+                t = 0
+                while (t < k) {
+                  val d = eta(t) / z - (if (t == yIdx) 1.0 else 0.0)
+                  acc2 += d * d; t += 1
+                }
+                acc2
+              case "mae" =>
+                var acc2 = 0.0
+                t = 0
+                while (t < k) {
+                  acc2 += math.abs(eta(t) / z - (if (t == yIdx) 1.0 else 0.0)); t += 1
+                }
+                acc2
+              case "deviance" =>
+                val pt = math.min(math.max(eta(yIdx) / z, 1e-5), 1.0 - 1e-5)
+                -2.0 * math.log(pt)
+              case other => // unreachable: fitSparse validates measures
+                throw new IllegalArgumentException(s"unknown measure $other")
+            })
+            l += 1
+          }
+          s
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      val foldScores = Array.tabulate(nfolds, L)((f, l) =>
+        sums(f * L + l) / wFold(f))
       summarize(params.alpha, lambdas, foldScores, full)
     } finally rows.unpersist(blocking = false)
   }

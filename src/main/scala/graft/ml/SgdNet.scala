@@ -2143,7 +2143,7 @@ object SgdNet {
     (grad, gradA0)
   }
 
-  private def sparseMultinomDeviance(rows: RDD[(Array[Int], Array[Double], Array[Double])],
+  private[ml] def sparseMultinomDeviance(rows: RDD[(Array[Int], Array[Double], Array[Double])],
                                      a0: Array[Array[Double]],
                                      beta: Array[Array[Array[Double]]],
                                      k: Int): Array[Double] = {

@@ -1132,11 +1132,18 @@ object Analytics {
     * days that wreck an OLS trend line. The distributed work is one
     * grouped cent-sum; the pairwise slope set lives on the day grid,
     * bounded by the CALENDAR SPAN squared (≤ ~266k pairs for two years
-    * of days), never by event volume — so the single-partition median
-    * window is bounded by construction. Slopes are one exact-integer
-    * difference ratio each; the median of an even count averages the
-    * two middle values (commutative two-term mean, engine-identical).
-    * Returns one row (n_days, n_pairs, slope_per_day). */
+    * of days), never by event volume. The median pick runs through the
+    * two-pass range-partitioned [[Ranking.globalRank]] — NO
+    * single-partition sort anywhere (round 16: a 10-year daily series
+    * is ~6.6M slope rows, too many for a one-task Window). Ties in the
+    * slope value don't disturb the median: any order of equal values
+    * yields the same VALUES at the two middle rank positions. n_pairs
+    * is n_days·(n_days−1)/2 by construction (every t1 < t2 pair of
+    * distinct days produces exactly one slope). Slopes are one
+    * exact-integer difference ratio each; the median of an even count
+    * averages the two middle values (commutative two-term mean,
+    * engine-identical). Returns one row (n_days, n_pairs,
+    * slope_per_day). */
   def theilSen(df: DataFrame, dateCol: String, valueCol: String,
                scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
     val unit = math.pow(10, scaleDigits)
@@ -1154,13 +1161,13 @@ object Analytics {
     val slopes = a.join(b, col("t1") < col("t2"))
       .select(((col("y2") - col("y1")).cast("double")
         / (col("t2") - col("t1")).cast("double")).as("s"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("s")
-    val ranked = slopes.withColumn("rn", row_number().over(w))
-    val stats = idx.agg(count(lit(1)).as("n_days")).crossJoin(
-      slopes.agg(count(lit(1)).as("n_pairs")))
+    val ranked = Ranking.globalRank(slopes, Seq(col("s")), nBuckets = 1)
+    val stats = idx.agg(count(lit(1)).as("n_days"))
+      .select(col("n_days"),
+        (col("n_days") * (col("n_days") - 1) / 2).cast("long").as("n_pairs"))
     ranked.crossJoin(broadcast(stats))
-      .filter(col("rn") === expr("(n_pairs + 1) div 2")
-        || col("rn") === expr("(n_pairs + 2) div 2"))
+      .filter(col("rank") === expr("(n_pairs + 1) div 2")
+        || col("rank") === expr("(n_pairs + 2) div 2"))
       .groupBy(col("n_days"), col("n_pairs"))
       .agg(round(avg(col("s")) / lit(unit), outDigits).as("slope_per_day"))
   }

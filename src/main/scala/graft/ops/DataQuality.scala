@@ -88,32 +88,39 @@ object DataQuality {
 
   /** Referential-integrity audit across a star schema: for each
     * (child —fk→ parent) relation, the orphan count (child keys with
-    * no parent — a LEFT ANTI join, fully distributed) and the
-    * parent-side primary-key duplication — the two invariants every
-    * warehouse load must re-prove. The relation list is bounded
-    * metadata, so the per-relation aggregates collect one row each.
+    * no parent) and the parent-side primary-key duplication — the two
+    * invariants every warehouse load must re-prove. ONE declarative
+    * plan for the whole relation list (round 16): each relation's
+    * child count + orphan count fuse into a single LEFT OUTER join
+    * aggregate (no-match rows are the orphans, so one pass counts
+    * both), the parent row/distinct-pk counts are a second one-row
+    * aggregate, and all relations UNION into one job — the audit is
+    * one Spark action regardless of relation count, where the
+    * round-15 shape serialized 3 driver-blocking jobs per relation
+    * (300 sequential jobs on a 100-relation warehouse). Small parent
+    * key sets broadcast under AQE exactly as the anti join did.
     * Returns one row per relation: (relation, n_child, n_orphans,
     * orphan_ppm, n_parent, pk_dup_rows). */
   def integrityAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
     require(relations.nonEmpty, "need at least one relation")
-    val spark = relations.head._2.sparkSession
-    import spark.implicits._
-    val rows = relations.map { case (name, child, fk, parent, pk) =>
-      val c = child.filter(col(fk).isNotNull)
-      val nChild = c.count()
-      val orphans = c.select(col(fk))
-        .join(parent.select(col(pk)).distinct(), col(fk) === col(pk),
-          "left_anti")
-        .count()
-      val p = parent.agg(count(lit(1)).as("n"),
-        countDistinct(col(pk)).as("d")).head()
-      val (nParent, distinctPk) = (p.getLong(0), p.getLong(1))
-      (name, nChild, orphans,
-        if (nChild == 0) 0L else orphans * 1000000L / nChild,
-        nParent, nParent - distinctPk)
+    val perRel = relations.map { case (name, child, fk, parent, pk) =>
+      val c = child.filter(col(fk).isNotNull).select(col(fk).as("__fk"))
+      val pKeys = parent.select(col(pk).as("__pk"))
+        .filter(col("__pk").isNotNull).distinct()
+      val childAgg = c.join(pKeys, col("__fk") === col("__pk"), "left_outer")
+        .agg(count(lit(1)).as("n_child"),
+          coalesce(sum(when(col("__pk").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_orphans"))
+      val parentAgg = parent.agg(count(lit(1)).as("n_parent"),
+        (count(lit(1)) - countDistinct(col(pk))).as("pk_dup_rows"))
+      childAgg.crossJoin(parentAgg)
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"),
+          when(col("n_child") === 0, 0L)
+            .otherwise(expr("n_orphans * 1000000 div n_child"))
+            .as("orphan_ppm"),
+          col("n_parent"), col("pk_dup_rows"))
     }
-    rows.toDF("relation", "n_child", "n_orphans", "orphan_ppm",
-      "n_parent", "pk_dup_rows").orderBy("relation")
+    perRel.reduce(_ unionByName _).orderBy("relation")
   }
 
   /** k-anonymity GENERALIZATION LADDER: re-identification risk at

@@ -635,6 +635,59 @@ object PathQueries {
       .orderBy("lambda_idx")
   }
 
+  /** SPARSE multinomial CV (round 16 — the last cv.glmnet-with-
+    * dgCMatrix composition cell; reference cv_sgdnet delegates sparse x
+    * to sgdnet for EVERY family, R/cv_sgdnet.R + tests/testthat/
+    * test-sparse.R): the [[cvMultinom]] one-FISTA-step query verbatim
+    * but through `CvSgdNet.fitSparse`'s shared sparse softmax chassis —
+    * same data, folds, grid, so the oracle is byte-identical to
+    * q_cv_multinom's and any divergence isolates the sparse route's
+    * uncentered-accumulation + algebraic-centering algebra. */
+  def cvSparseMultinom(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("l_quantity").cast("double"),
+        col("l_discount").cast("double")))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitSparse(li, "sidx", "svals", 2, "l_returnflag",
+      SgdNetParams(family = "multinomial", alpha = 1.0,
+        lambda = Array(0.001), maxit = 1),
+      nfolds = 5, measure = "deviance", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 6).as("lambda"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
+  /** SPARSE CV + observation weights (round 16 — cv.glmnet with
+    * dgCMatrix x AND weights, the remaining sparse×weights CV cell):
+    * the [[cvWeighted]] 1-feature weighted-ridge query verbatim but
+    * through `CvSgdNet.fitSparse(..., weightCol)`'s one-pass RAW-v
+    * weighted sparse moments — same data, folds, grid, weights, so the
+    * oracle is byte-identical to q_cv_weighted's closed form
+    * b = cov_w(x,y)/(var_w(x)·(1+λ)) on each fold's train rows. */
+  def cvSparseWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("sidx", array(lit(0)))
+      .withColumn("svals", array(col("l_quantity").cast("double")))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitSparse(li, "sidx", "svals", 1, "l_extendedprice",
+      SgdNetParams(alpha = 0.0, lambda = Array(256.0, 16.0, 1.0),
+        thresh = 1e-11, maxit = 100000),
+      nfolds = 5, measure = "mse", foldCol = fold,
+      weightCol = "l_linenumber")
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"),
+        round(log(col("cvm")), 4).as("ln_cvm"),
+        round(log(col("cvsd")), 4).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
   def cvExactCurve(spark: SparkSession, dir: String): DataFrame =
     cvExactFit(spark, dir).curveDF(spark)
       .select(col("lambda_idx").cast("int").as("lambda_idx"),

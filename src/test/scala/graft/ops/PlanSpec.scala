@@ -273,6 +273,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(600))
   }
 
+  test("Theil–Sen never plans a global Window over the slope set") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val df = Analytics.theilSen(li, "l_shipdate", "l_extendedprice")
+    val plan = df.queryExecution.executedPlan.toString
+    // the median pick runs through Ranking.globalRank's two-pass
+    // range-partitioned rank — a Window here would be the
+    // single-partition sort over O(days²) slope rows (round 16)
+    assert(!plan.contains("Window"), plan.take(600))
+  }
+
+  test("integrityAudit is ONE fused plan (no per-relation driver jobs)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    val df = DataQuality.integrityAudit(Seq(
+      ("li->ord", li, "l_orderkey", ord, "o_orderkey"),
+      ("li->sup", li, "l_suppkey", sup, "s_suppkey")))
+    // the audit returns a lazy union: every relation's aggregates run
+    // inside the one action the caller triggers (round 16 — the
+    // round-15 shape ran 3 blocking jobs per relation on the driver)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Union"), plan.take(600))
+    assert(df.count() == 2)
+  }
+
   test("link prediction applies the hub cap BEFORE the wedge join") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .filter(col("l_orderkey") < 200)
