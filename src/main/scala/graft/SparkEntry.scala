@@ -39,6 +39,7 @@ object SparkEntry {
     "q_multinom_fit"     -> (PathQueries.multinomFit _),
     "q_multinom_grouped" -> (PathQueries.multinomGrouped _),
     "q_mgauss_fit"       -> (PathQueries.mgaussFit _),
+    "q_mgauss_limits"    -> (PathQueries.mgaussLimits _),
     "q_poisson_fit"      -> (PathQueries.poissonFit _),
     "q_poisson_nulldev"  -> (PathQueries.poissonNullDev _),
     "q_predict_response" -> (PathQueries.predictResponse _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "q_cv_sparse_auc"    -> (PathQueries.cvSparseAuc _),
     "q_cv_sparse_multinom" -> (PathQueries.cvSparseMultinom _),
     "q_cv_sparse_weighted" -> (PathQueries.cvSparseWeighted _),
+    "q_cv_sparse_mgauss" -> (PathQueries.cvSparseMgauss _),
     "q_multinom_pf"      -> (PathQueries.multinomPf _),
     "q_weighted_binom"   -> (MlQueries.weightedBinom _),
     "q_weighted_poisson" -> (MlQueries.weightedPoisson _),
@@ -1091,6 +1093,31 @@ object SparkEntry {
         |UNION ALL SELECT response, 'l_quantity', round(b1, 4) + 0 FROM u
         |ORDER BY response, term""".stripMargin,
 
+    // alpha = 0 decouples the boxed group prox into the exact clipped
+    // ridge step per response (see PathQueries.mgaussLimits): the CD
+    // fixed point at p = 1 is u_t = clip(b_std/(gjj + lam), ±20·sd),
+    // back-transformed beta = u/sd, a0 = my − beta·mx
+    "q_mgauss_limits" ->
+      """WITH s AS (SELECT avg(l_quantity) mx, var_pop(l_quantity) vx,
+        |    avg(l_extendedprice) m1, covar_pop(l_quantity, l_extendedprice) c1,
+        |    avg(l_tax) m2, covar_pop(l_quantity, l_tax) c2 FROM lineitem),
+        |l AS (SELECT * FROM (VALUES (0, 256.0::DOUBLE), (1, 16.0::DOUBLE),
+        |        (2, 1.0::DOUBLE), (3, 0.0::DOUBLE)) AS t(lambda_idx, lam)),
+        |u AS (
+        |  SELECT lambda_idx, lam, 'l_extendedprice' AS response, m1 AS my,
+        |         c1 AS c, mx, vx FROM l, s
+        |  UNION ALL
+        |  SELECT lambda_idx, lam, 'l_tax', m2, c2, mx, vx FROM l, s),
+        |v AS (SELECT lambda_idx, response, my, mx,
+        |  least(greatest((c / sqrt(vx)) / (vx / (sqrt(vx) * sqrt(vx)) + lam),
+        |                 -20.0::DOUBLE * sqrt(vx)), 20.0::DOUBLE * sqrt(vx))
+        |    / sqrt(vx) AS beta FROM u)
+        |SELECT lambda_idx::INTEGER AS lambda_idx, response, 'a0' AS term,
+        |  round(my - beta * mx, 4) + 0 AS value FROM v
+        |UNION ALL SELECT lambda_idx::INTEGER, response, 'l_quantity',
+        |  round(beta, 4) + 0 FROM v
+        |ORDER BY lambda_idx, response, term""".stripMargin,
+
     "q_predict_response" ->
       """SELECT l_orderkey, l_linenumber,
         |  round(1 / (1 + exp(-(-1.2 + l_quantity * 0.045))), 6) AS prob
@@ -2106,6 +2133,7 @@ object SparkEntry {
     // way (round 16)
     base + ("q_cv_sparse_auc" -> base("q_cv_auc")) +
       ("q_cv_sparse_multinom" -> base("q_cv_multinom")) +
-      ("q_cv_sparse_weighted" -> base("q_cv_weighted"))
+      ("q_cv_sparse_weighted" -> base("q_cv_weighted")) +
+      ("q_cv_sparse_mgauss" -> base("q_cv_mgauss"))
   }
 }

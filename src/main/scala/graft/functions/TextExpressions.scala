@@ -108,6 +108,40 @@ object TextKernels {
     toHex(d.digest(suffix))
   }
 
+  /** md5 RAW digest of `prefix ++ suffix` written into `out` (16
+    * bytes) — the allocation-free core of [[md5Hex2]] for min-tracking
+    * loops: lowercase fixed-width hex preserves the digest's UNSIGNED
+    * lexicographic byte order, so `Arrays.compareUnsigned` on raw
+    * digests ranks exactly like `String.compareTo` on the hex — track
+    * the min on bytes, hex-encode only the winner (round 16: the
+    * minhash signature loop was allocating one 32-char string per
+    * (seed, gram) hash — hundreds of millions at corpus scale). */
+  def md5Into(prefix: Array[Byte], suffix: Array[Byte],
+              out: Array[Byte]): Unit = {
+    val d = md5tl.get()
+    d.reset()
+    d.update(prefix)
+    d.update(suffix)
+    d.digest(out, 0, 16)
+    ()
+  }
+
+  /** Lowercase hex of a raw 16-byte digest (the [[md5Into]] twin). */
+  def hexOf(bytes: Array[Byte]): String = toHex(bytes)
+
+  /** First 8 bytes of the md5 digest as a big-endian long — equal to
+    * `java.lang.Long.parseUnsignedLong(md5Hex(s).substring(0, 16), 16)`
+    * without the hex round-trip (the simhash word-hash form). */
+  def md5Long(s: String): Long = {
+    val d = md5tl.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+    v
+  }
+
   /** md5 hex of each character k-gram (positions 1..max(len-k+1, 1);
     * the final grams may be shorter, like substr). */
   def gramHashes(text: String, k: Int): Array[String] = {

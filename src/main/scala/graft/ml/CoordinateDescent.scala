@@ -130,7 +130,18 @@ object CoordinateDescent {
       // glmnet penalty.factor for the GROUP penalty: per-FEATURE
       // multiplier on both the group-l1 and l2 terms (the whole
       // cross-response group j is scaled by pf_j); null = all ones
-      penaltyFactor: Array[Double] = null): (Array[Array[Double]], Int) = {
+      penaltyFactor: Array[Double] = null,
+      // glmnet lower.limits / upper.limits on the working standardized
+      // scale, PER RESPONSE then per feature ([K][p] — mgaussian's
+      // standardize.response makes the working bound response-specific).
+      // null = unbounded; when present, the block update is the
+      // box-constrained group prox (LinAlg.boxedGroupProx — bisection
+      // on the group norm; round 16, closes the documented
+      // mgaussian-limits gap). Block CD on a strongly convex smooth
+      // term + block-separable nonsmooth term converges (Tseng 2001),
+      // and the unbounded path below is byte-identical to round 15's.
+      lower: Array[Array[Double]] = null,
+      upper: Array[Array[Double]] = null): (Array[Array[Double]], Int) = {
 
     val k = b.length
     val p = if (k == 0) 0 else b(0).length
@@ -166,10 +177,22 @@ object CoordinateDescent {
         nrm = math.sqrt(nrm)
         val pf = if (penaltyFactor == null) 1.0 else penaltyFactor(j)
         val l1j = l1 * pf
-        val shrink = if (nrm > l1j) (1.0 - l1j / nrm) / (gjj + l2 * pf) else 0.0
+        val boxed = lower != null || upper != null
+        val nbArr =
+          if (!boxed) null
+          else {
+            val loJ = Array.tabulate(k)(t2 =>
+              if (lower == null) Double.NegativeInfinity else lower(t2)(j))
+            val upJ = Array.tabulate(k)(t2 =>
+              if (upper == null) Double.PositiveInfinity else upper(t2)(j))
+            LinAlg.boxedGroupProx(rho, gjj + l2 * pf, l1j, loJ, upJ,
+              new Array[Double](k))
+          }
+        val shrink = if (boxed) 0.0
+          else if (nrm > l1j) (1.0 - l1j / nrm) / (gjj + l2 * pf) else 0.0
         t = 0
         while (t < k) {
-          val nb = rho(t) * shrink
+          val nb = if (boxed) nbArr(t) else rho(t) * shrink
           val d = nb - beta(t)(j)
           if (d != 0.0) {
             beta(t)(j) = nb

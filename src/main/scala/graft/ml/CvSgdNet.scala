@@ -185,18 +185,10 @@ object CvSgdNet {
     require(nfolds >= 2, "nfolds must be at least 2")
     require(Set("deviance", "mse", "mae", "class", "auc").contains(measure),
       s"unknown type.measure '$measure' (want deviance|mse|mae|class|auc)")
-    // glmnet cv.glmnet(lower.limits/upper.limits): supported on every
-    // path whose inner solver takes the exact 1-D clipped prox —
-    // gaussian one-pass CV, shared binomial/poisson CV, UNGROUPED
-    // multinomial CV, and the generic refit route. The group solvers
-    // (mgaussian; grouped multinomial) reject inside the fit they
-    // delegate to (the group prox has no closed form under a box).
-    require((params.lowerLimits == null && params.upperLimits == null) ||
-      (params.family != "mgaussian" &&
-        !(params.family == "multinomial" &&
-          params.typeMultinomial == "grouped")),
-      "lowerLimits/upperLimits are not supported by the group-penalty " +
-        "CV paths (mgaussian; grouped multinomial)")
+    // glmnet cv.glmnet(lower.limits/upper.limits): supported on EVERY
+    // path since round 16 — the 1-D paths take the exact clipped prox,
+    // and the group-penalty paths (mgaussian; grouped multinomial) take
+    // the boxed group prox (LinAlg.boxedGroupProx).
     // same single-response validation as SgdNet.fit — without it a
     // 2-label gaussian call would silently ride the mgaussian stats
     // path and score response 0 only
@@ -1436,7 +1428,7 @@ object CvSgdNet {
       val scales = trainStats.map(st =>
         if (params.standardize) st.xSd else Array.fill(p)(1.0))
       // per-fold box limits on each fold's own standardized scale
-      // (ungrouped only — fit() rejects grouped multinomial + limits)
+      // (grouped uses the boxed group prox since round 16)
       val boundsF = scales.map(s => SgdNet.boundsStd(params, s, 1.0))
       val pf = params.penaltyFactor
       // per-fold Lipschitz step from the fold's standardized gram
@@ -1536,19 +1528,35 @@ object CvSgdNet {
             for (j <- 0 until p) {
               val pfj = if (pf == null) 1.0 else pf(j)
               if (grouped) {
-                var nrm = 0.0
                 val v = Array.tabulate(k)(t => yB(f)(t)(j) - step * grad(t)(j))
-                v.foreach(x => nrm += x * x)
-                nrm = math.sqrt(nrm)
                 val g = step * lam * params.alpha * pfj
-                val shrink =
-                  if (nrm > g)
-                    (1.0 - g / nrm) /
-                      (1.0 + step * lam * (1.0 - params.alpha) * pfj)
-                  else 0.0
-                for (t <- 0 until k) {
-                  nb(t)(j) = v(t) * shrink
-                  val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                if (lo != null || up != null) {
+                  // boxed group prox (round 16): bisection on the group
+                  // norm — see LinAlg.boxedGroupProx
+                  val q = 1.0 + step * lam * (1.0 - params.alpha) * pfj
+                  val loJ = Array.fill(k)(
+                    if (lo == null) Double.NegativeInfinity else lo(j))
+                  val upJ = Array.fill(k)(
+                    if (up == null) Double.PositiveInfinity else up(j))
+                  val u = LinAlg.boxedGroupProx(v, q, g, loJ, upJ,
+                    new Array[Double](k))
+                  for (t <- 0 until k) {
+                    nb(t)(j) = u(t)
+                    val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                  }
+                } else {
+                  var nrm = 0.0
+                  v.foreach(x => nrm += x * x)
+                  nrm = math.sqrt(nrm)
+                  val shrink =
+                    if (nrm > g)
+                      (1.0 - g / nrm) /
+                        (1.0 + step * lam * (1.0 - params.alpha) * pfj)
+                    else 0.0
+                  for (t <- 0 until k) {
+                    nb(t)(j) = v(t) * shrink
+                    val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                  }
                 }
               } else {
                 for (t <- 0 until k) {
@@ -1859,19 +1867,35 @@ object CvSgdNet {
             for (j <- 0 until p) {
               val pfj = if (pf == null) 1.0 else pf(j)
               if (grouped) {
-                var nrm = 0.0
                 val v = Array.tabulate(k)(t => yB(f)(t)(j) - step * grad(t)(j))
-                v.foreach(x => nrm += x * x)
-                nrm = math.sqrt(nrm)
                 val g = step * lam * params.alpha * pfj
-                val shrink =
-                  if (nrm > g)
-                    (1.0 - g / nrm) /
-                      (1.0 + step * lam * (1.0 - params.alpha) * pfj)
-                  else 0.0
-                for (t <- 0 until k) {
-                  nb(t)(j) = v(t) * shrink
-                  val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                if (lo != null || up != null) {
+                  // boxed group prox (round 16): bisection on the group
+                  // norm — see LinAlg.boxedGroupProx
+                  val q = 1.0 + step * lam * (1.0 - params.alpha) * pfj
+                  val loJ = Array.fill(k)(
+                    if (lo == null) Double.NegativeInfinity else lo(j))
+                  val upJ = Array.fill(k)(
+                    if (up == null) Double.PositiveInfinity else up(j))
+                  val u = LinAlg.boxedGroupProx(v, q, g, loJ, upJ,
+                    new Array[Double](k))
+                  for (t <- 0 until k) {
+                    nb(t)(j) = u(t)
+                    val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                  }
+                } else {
+                  var nrm = 0.0
+                  v.foreach(x => nrm += x * x)
+                  nrm = math.sqrt(nrm)
+                  val shrink =
+                    if (nrm > g)
+                      (1.0 - g / nrm) /
+                        (1.0 + step * lam * (1.0 - params.alpha) * pfj)
+                    else 0.0
+                  for (t <- 0 until k) {
+                    nb(t)(j) = v(t) * shrink
+                    val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                  }
                 }
               } else {
                 for (t <- 0 until k) {
@@ -2045,8 +2069,8 @@ object CvSgdNet {
     val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
     val paths = params.family match {
       case "gaussian" =>
-        cvSparseGaussian(df, idxCol, valCol, dim, labelCol, params, nfolds,
-          alphaGrid, measure, foldCol, weightCol)
+        cvSparseGaussian(df, idxCol, valCol, dim, Seq(labelCol), params,
+          nfolds, alphaGrid, measure, foldCol, weightCol)
       case "binomial" | "poisson" =>
         alphaGrid.map(a => cvSparseGlmShared(df, idxCol, valCol, dim,
           labelCol, params.copy(alpha = a), nfolds, foldCol, measure,
@@ -2057,36 +2081,73 @@ object CvSgdNet {
           weightCol))
       case f => throw new IllegalArgumentException(
         s"sparse CV supports gaussian, binomial, poisson, multinomial, " +
-          s"not $f")
+          s"not $f (multi-response mgaussian: fitSparseMulti)")
     }
     val best = paths.minBy(p => p.cvm.min)
     CvResult(paths, best)
   }
 
-  /** One-pass sparse gaussian CV (see [[fitSparse]]). With `weightCol`
-    * the ONE pass accumulates per-fold RAW-v weighted sparse moments +
-    * per-fold Σv, and train stats are renormalized to the fold's own
-    * sum-to-n_train (the [[cvWeightedGaussian]] convention); held-out
-    * scores become Σv·err/Σv. The unweighted call is the v == 1
-    * special case of the same arithmetic (all the extra factors are
-    * exactly 1.0, so the output is bit-identical to round 15's). */
+  /** [[fitSparse]] with a MULTI-COLUMN response — the
+    * cv.glmnet-with-dgCMatrix mgaussian route (round 16; also accepts
+    * the gaussian k = 1 case): ONE per-fold sparse-moment pass feeds
+    * every fold's group-path solve, with the same weight semantics as
+    * [[fitSparse]] and held-out scores summed across responses (the
+    * score.sgdnet_mgaussian convention). */
+  def fitSparseMulti(df: DataFrame, idxCol: String, valCol: String, dim: Int,
+                     labelCols: Seq[String],
+                     params: SgdNetParams = SgdNetParams(),
+                     nfolds: Int = 10,
+                     measure: String = "deviance",
+                     foldCol: Column = null,
+                     alphas: Seq[Double] = Seq.empty,
+                     weightCol: String = null): CvResult = {
+    require(nfolds >= 2, "nfolds must be at least 2")
+    require(params.family == "gaussian" || params.family == "mgaussian",
+      s"fitSparseMulti supports gaussian and mgaussian, not ${params.family}")
+    require(params.family == "mgaussian" || labelCols.size == 1,
+      "response for gaussian must be one-dimensional " +
+        "(use family=\"mgaussian\" for multi-response)")
+    require(Set("deviance", "mse", "mae").contains(measure),
+      s"sparse ${params.family} CV supports deviance|mae|mse, not '$measure'")
+    val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
+    val paths = cvSparseGaussian(df, idxCol, valCol, dim, labelCols, params,
+      nfolds, alphaGrid, measure, foldCol, weightCol)
+    val best = paths.minBy(p => p.cvm.min)
+    CvResult(paths, best)
+  }
+
+  /** One-pass sparse gaussian/mgaussian CV (see [[fitSparse]] /
+    * [[fitSparseMulti]]). With `weightCol` the ONE pass accumulates
+    * per-fold RAW-v weighted sparse moments + per-fold Σv, and train
+    * stats are renormalized to the fold's own sum-to-n_train (the
+    * [[cvWeightedGaussian]] convention); held-out scores become
+    * Σv·err/Σv, summed ACROSS responses for k > 1 (the
+    * score.sgdnet_mgaussian convention). The unweighted single-response
+    * call is the v == 1, k == 1 special case of the same arithmetic
+    * (all the extra factors are exactly 1.0, so the output is
+    * bit-identical to round 15's). */
   private def cvSparseGaussian(df: DataFrame, idxCol: String, valCol: String,
-                               dim: Int, labelCol: String,
+                               dim: Int, labelCols: Seq[String],
                                params: SgdNetParams, nfolds: Int,
                                alphaGrid: Seq[Double], measure: String,
                                foldCol: Column,
                                weightCol: String = null): Seq[CvPath] = {
     val p = dim
+    val k = labelCols.size
     val weighted = weightCol != null
-    val hashCols = Seq(col(idxCol), col(valCol), col(labelCol))
+    val hashCols = Seq(col(idxCol), col(valCol)) ++ labelCols.map(col)
     val wCol = if (weighted) col(weightCol).cast("double") else lit(1.0)
     val rows0 = df
       .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
-      .select(col(idxCol), col(valCol).cast("array<double>"),
-        col(labelCol).cast("double"), col("__fold"), wCol)
+      .select((Seq(col(idxCol), col(valCol).cast("array<double>")) ++
+        labelCols.map(c => col(c).cast("double")) :+
+        col("__fold") :+ wCol): _*)
       .rdd.map { r =>
-        (r.getInt(3), r.getSeq[Int](0).toArray,
-          r.getSeq[Double](1).toArray, r.getDouble(2), r.getDouble(4))
+        val y = new Array[Double](k)
+        var t = 0
+        while (t < k) { y(t) = r.getDouble(2 + t); t += 1 }
+        (r.getInt(2 + k), r.getSeq[Int](0).toArray,
+          r.getSeq[Double](1).toArray, y, r.getDouble(3 + k))
       }
     // v == 0 drops the observation everywhere (glmnet) — from training
     // AND from the held-out ratio; the unweighted path never filters
@@ -2096,11 +2157,11 @@ object CvSgdNet {
       else rows0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val zero = (Array.fill(nfolds)(new GramStats(p, 1)),
+      val zero = (Array.fill(nfolds)(new GramStats(p, k)),
         new Array[Double](nfolds))
       val (perFold, wFold) = rows.treeAggregate(zero)(
         (acc, t) => {
-          acc._1(t._1).addSparseWeighted(t._2, t._3, Array(t._4), t._5)
+          acc._1(t._1).addSparseWeighted(t._2, t._3, t._4, t._5)
           acc._2(t._1) += t._5
           acc
         },
@@ -2110,56 +2171,61 @@ object CvSgdNet {
           a
         }, depth = 2)
       requireNonEmptyFolds(perFold.map(_.n), nfolds)
-      val total = new GramStats(p, 1)
+      val total = new GramStats(p, k)
       perFold.foreach(total.merge)
       val wTotal = wFold.sum
       val names = (0 until p).map(j => s"V$j")
       alphaGrid.map { a =>
         val prm = params.copy(alpha = a)
         val full = SgdNet.solveGaussianFromStats(
-          new GramStats(p, 1).merge(total)
+          new GramStats(p, k).merge(total)
             .scaleWeights(total.n.toDouble / wTotal),
-          names, Seq(labelCol), prm)
+          names, labelCols, prm)
         val lambdas = full.lambda
         val L = lambdas.length
         val foldScores = Array.ofDim[Double](nfolds, L)
-        val a0Out = Array.ofDim[Double](nfolds, L)
-        val bOut = Array.ofDim[Double](nfolds, L, p)
+        val a0Out = Array.ofDim[Double](nfolds, L, k)
+        val bOut = Array.ofDim[Double](nfolds, L, k, p)
         for (f <- 0 until nfolds) {
           // train = total − fold, rescaled to the fold's OWN sum-to-
           // n_train weight normalization (exactly 1.0 when unweighted)
-          val train = new GramStats(p, 1).merge(total).subtract(perFold(f))
+          val train = new GramStats(p, k).merge(total).subtract(perFold(f))
           train.scaleWeights(train.n.toDouble / (wTotal - wFold(f)))
-          val fm = SgdNet.solveGaussianFromStats(train, names, Seq(labelCol),
+          val fm = SgdNet.solveGaussianFromStats(train, names, labelCols,
             prm.copy(lambda = lambdas))
-          for (l <- 0 until L) {
-            a0Out(f)(l) = fm.a0(l)(0)
-            for (j <- 0 until p) bOut(f)(l)(j) = fm.beta(l)(0)(j)
+          for (l <- 0 until L; t <- 0 until k) {
+            a0Out(f)(l)(t) = fm.a0(l)(t)
+            for (j <- 0 until p) bOut(f)(l)(t)(j) = fm.beta(l)(t)(j)
           }
           if (measure != "mae") {
             // held-out v-weighted (mse == deviance) from fold-f RAW-v
-            // moments — the cvGaussianFromStats closed form
+            // moments, summed across responses — the
+            // cvGaussianFromStats closed form
             val fg = perFold(f)
             val nf = wFold(f)
             for (l <- 0 until L) {
-              val a0 = a0Out(f)(l)
-              val bt = bOut(f)(l)
-              var quad = 0.0; var bx = 0.0; var bxy = 0.0
-              for (j <- 0 until p) {
-                bx += bt(j) * fg.sumX(j) / nf
-                bxy += bt(j) * fg.xty(j) / nf
-                var s = 0.0
-                for (m <- 0 until p) s += fg.xtx(LinAlg.triIdx(j, m)) / nf * bt(m)
-                quad += bt(j) * s
+              var sTot = 0.0
+              for (t <- 0 until k) {
+                val a0 = a0Out(f)(l)(t)
+                val bt = bOut(f)(l)(t)
+                var quad = 0.0; var bx = 0.0; var bxy = 0.0
+                for (j <- 0 until p) {
+                  bx += bt(j) * fg.sumX(j) / nf
+                  bxy += bt(j) * fg.xty(j * k + t) / nf
+                  var s = 0.0
+                  for (m <- 0 until p) s += fg.xtx(LinAlg.triIdx(j, m)) / nf * bt(m)
+                  quad += bt(j) * s
+                }
+                sTot += fg.sumYY(t) / nf - 2 * a0 * fg.sumY(t) / nf +
+                  a0 * a0 + quad + 2 * a0 * bx - 2 * bxy
               }
-              foldScores(f)(l) = fg.sumYY(0) / nf - 2 * a0 * fg.sumY(0) / nf +
-                a0 * a0 + quad + 2 * a0 * bx - 2 * bxy
+              foldScores(f)(l) = sTot
             }
           }
         }
         if (measure == "mae") {
           // |residual| is not a moment form — ONE sparse RDD pass for
-          // every (fold, lambda) cell, Σv·|err| / Σv
+          // every (fold, lambda) cell, Σv·Σ_t|err_t| / Σv
           val bA0 = rows.sparkContext.broadcast(a0Out)
           val bB = rows.sparkContext.broadcast(bOut)
           val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
@@ -2167,11 +2233,17 @@ object CvSgdNet {
               val (f, idx, vals, y, v) = t
               var l = 0
               while (l < L) {
-                var eta = bA0.value(f)(l)
-                val bl = bB.value(f)(l)
-                var i = 0
-                while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
-                acc(f * L + l) += v * math.abs(y - eta)
+                var errSum = 0.0
+                var t2 = 0
+                while (t2 < k) {
+                  var eta = bA0.value(f)(l)(t2)
+                  val bl = bB.value(f)(l)(t2)
+                  var i = 0
+                  while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
+                  errSum += math.abs(y(t2) - eta)
+                  t2 += 1
+                }
+                acc(f * L + l) += v * errSum
                 l += 1
               }
               acc
@@ -2689,7 +2761,7 @@ object CvSgdNet {
       val scales = trainStats.map(st =>
         if (params.standardize) st.xSd else Array.fill(p)(1.0))
       // per-fold box limits on each fold's own standardized scale
-      // (ungrouped only — fit() rejects grouped multinomial + limits)
+      // (grouped uses the boxed group prox since round 16)
       val boundsF = scales.map(s => SgdNet.boundsStd(params, s, 1.0))
       val pf = params.penaltyFactor
       // per-fold Lipschitz step from the fold's standardized gram
@@ -2795,19 +2867,34 @@ object CvSgdNet {
             for (j <- 0 until p) {
               val pfj = if (pf == null) 1.0 else pf(j)
               if (grouped) {
-                var nrm2 = 0.0
                 val v = Array.tabulate(k)(t => yB(f)(t)(j) - step * grad(t)(j))
-                v.foreach(x => nrm2 += x * x)
-                nrm2 = math.sqrt(nrm2)
                 val g = step * lam * params.alpha * pfj
-                val shrink =
-                  if (nrm2 > g)
-                    (1.0 - g / nrm2) /
-                      (1.0 + step * lam * (1.0 - params.alpha) * pfj)
-                  else 0.0
-                for (t <- 0 until k) {
-                  nb(t)(j) = v(t) * shrink
-                  val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                if (lo != null || up != null) {
+                  // boxed group prox (round 16) — see LinAlg.boxedGroupProx
+                  val q = 1.0 + step * lam * (1.0 - params.alpha) * pfj
+                  val loJ = Array.fill(k)(
+                    if (lo == null) Double.NegativeInfinity else lo(j))
+                  val upJ = Array.fill(k)(
+                    if (up == null) Double.PositiveInfinity else up(j))
+                  val u = LinAlg.boxedGroupProx(v, q, g, loJ, upJ,
+                    new Array[Double](k))
+                  for (t <- 0 until k) {
+                    nb(t)(j) = u(t)
+                    val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                  }
+                } else {
+                  var nrm2 = 0.0
+                  v.foreach(x => nrm2 += x * x)
+                  nrm2 = math.sqrt(nrm2)
+                  val shrink =
+                    if (nrm2 > g)
+                      (1.0 - g / nrm2) /
+                        (1.0 + step * lam * (1.0 - params.alpha) * pfj)
+                    else 0.0
+                  for (t <- 0 until k) {
+                    nb(t)(j) = v(t) * shrink
+                    val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                  }
                 }
               } else {
                 for (t <- 0 until k) {
@@ -3092,12 +3179,8 @@ object CvSgdNet {
                                  params: SgdNetParams, nfolds: Int,
                                  alphaGrid: Seq[Double], measure: String,
                                  foldCol: Column): Seq[CvPath] = {
-    // cv.glmnet limits: gaussian's 1-D clipped prox supports them; the
-    // mgaussian group prox has no closed form under a box (same
-    // contract as the unweighted fit())
-    require((params.lowerLimits == null && params.upperLimits == null) ||
-      params.family != "mgaussian",
-      "lowerLimits/upperLimits are not supported by the mgaussian group prox")
+    // cv.glmnet limits: gaussian's 1-D clipped prox and (round 16) the
+    // mgaussian boxed group prox both ride solveGaussianFromStats
     val p = featureCols.size
     val k = labelCols.size
     val hashCols = (featureCols ++ labelCols).map(col)

@@ -114,4 +114,87 @@ object LinAlg {
   }
 
   def l2norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+
+  /** BOX-CONSTRAINED group prox (round 16 — closes the documented
+    * mgaussian / grouped-multinomial limits gap):
+    *
+    *   argmin_u  (q/2)·‖u‖² − r·u + g·‖u‖₂   s.t.  lo_t ≤ u_t ≤ up_t
+    *
+    * with lo ≤ 0 ≤ up elementwise (the glmnet limit contract) and
+    * q > 0. The group-l1 term couples the coordinates, so — unlike the
+    * 1-D elastic-net step — clip(unconstrained solution) is NOT the
+    * answer. KKT structure: if u ≠ 0 with T = ‖u‖, every coordinate is
+    * u_t = clip(r_t·T/(qT + g), lo_t, up_t), and T must equal the norm
+    * of that vector — ψ(T)/T is strictly decreasing (each unclipped
+    * magnitude is |r_t|/(qT + g), decreasing; clipping only flattens
+    * further), so the fixed point is unique and BISECTION on
+    * ψ(T) − T = 0 converges unconditionally. u = 0 is optimal iff
+    * ‖r̃‖ ≤ g where r̃ zeroes the coordinates whose descent direction
+    * the box pins (r_t > 0 with up_t = 0, or r_t < 0 with lo_t = 0).
+    * g = 0 decouples: u_t = clip(r_t/q) exactly.
+    *
+    * Writes the solution into `out` and returns it. */
+  def boxedGroupProx(r: Array[Double], q: Double, g: Double,
+                     lo: Array[Double], up: Array[Double],
+                     out: Array[Double]): Array[Double] = {
+    val k = r.length
+    var t = 0
+    if (g <= 0.0) {
+      // no group-l1: coordinate-separable clipped ridge step
+      while (t < k) {
+        var u = r(t) / q
+        if (u < lo(t)) u = lo(t)
+        if (u > up(t)) u = up(t)
+        out(t) = u
+        t += 1
+      }
+      return out
+    }
+    // zero test on the FEASIBLE-direction gradient
+    var nrmF = 0.0
+    t = 0
+    while (t < k) {
+      val rt = r(t)
+      val blocked = (rt > 0 && up(t) == 0.0) || (rt < 0 && lo(t) == 0.0)
+      if (!blocked) nrmF += rt * rt
+      t += 1
+    }
+    if (math.sqrt(nrmF) <= g) {
+      java.util.Arrays.fill(out, 0.0)
+      return out
+    }
+    def psi(bigT: Double): Double = {
+      val s = bigT / (q * bigT + g)
+      var acc = 0.0
+      var i = 0
+      while (i < k) {
+        var u = r(i) * s
+        if (u < lo(i)) u = lo(i)
+        if (u > up(i)) u = up(i)
+        acc += u * u
+        i += 1
+      }
+      math.sqrt(acc)
+    }
+    // bracket: ψ(T) > T for small T (slope ‖r̃‖/g > 1); ψ(T) ≤ ‖r‖/q < hi
+    var a = 0.0
+    var b = l2norm(r) / q + 1e-12
+    var it = 0
+    while (it < 200 && (b - a) > 1e-15 * b) {
+      val mid = 0.5 * (a + b)
+      if (psi(mid) > mid) a = mid else b = mid
+      it += 1
+    }
+    val bigT = 0.5 * (a + b)
+    val s = bigT / (q * bigT + g)
+    t = 0
+    while (t < k) {
+      var u = r(t) * s
+      if (u < lo(t)) u = lo(t)
+      if (u > up(t)) u = up(t)
+      out(t) = u
+      t += 1
+    }
+    out
+  }
 }

@@ -824,7 +824,11 @@ object Analytics {
     val unit = math.pow(10, scaleDigits)
     def ic(c: String) = round(col(c).cast("double") * lit(unit))
       .cast("long").cast("decimal(38,0)")
+    // prune to the two live columns BEFORE the checkpoint: the reuse
+    // only needs (x, y), not the full input width (round 16 — the
+    // full-width checkpoint was most of this operator's wall)
     val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol), col(yCol))
       .localCheckpoint(false) // moments + residual pass reuse
     val m = base.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
       sum(ic(xCol)).as("sx"), sum(ic(yCol)).as("sy"),

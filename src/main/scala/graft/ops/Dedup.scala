@@ -99,6 +99,17 @@ object Dedup {
     * setting. */
   val DefaultVectorBucketSize: Int = 256
 
+  /** Broadcast cap for the verify-stage payload lookups (round 16):
+    * candidate pair lists at or under this many rows (~64 MB hashed at
+    * 16 bytes a pair) BROADCAST into the two payload joins, so the
+    * corpus-sized payload column (shingle arrays / normalized vectors)
+    * never shuffles — the scale study measured the minhash verify
+    * stage at 14.5 s via shuffle joins vs 1.8 s via broadcast lookups
+    * on the 300k-doc corpus. Larger lists fall back to the plain
+    * shuffle joins. Identical pair sets either way — a pure plan
+    * choice. */
+  val CandBroadcastPairs: Long = 1L << 22
+
   /** Kernel-route threshold for [[simhashPairs]]: the payload is one
     * long, so the kernel route (XOR + popcount per pair, single-copy
     * shuffle) beats the join path from a few dozen rows per bucket —
@@ -285,7 +296,16 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     df.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) =>
+      .mapPartitions { it =>
+        // per-partition state: pre-encoded seed prefixes + two reused
+        // 16-byte digest buffers — the (seed, gram) min-tracking runs on
+        // RAW digests (unsigned byte order == hex order; see md5Into)
+        // and hex-encodes only each seed's winner
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val prefixes = Array.tabulate(numHashes)(s => (s.toString + "|").getBytes(utf8))
+        val scratch = new Array[Byte](16)
+        val minBuf = new Array[Byte](16)
+        it.map { case (id, text) =>
         if (text == null)
           (id, Array.empty[String], Array.empty[String], Array.empty[String])
         else {
@@ -307,22 +327,24 @@ object Dedup {
           val sh = grams.toArray(Array.empty[String])
           // encode each gram's UTF-8 bytes ONCE; per (seed, gram) the md5
           // streams the pre-encoded seed prefix then the gram bytes
-          val utf8 = java.nio.charset.StandardCharsets.UTF_8
           val gramBytes = new Array[Array[Byte]](sh.length)
           var gi = 0
           while (gi < sh.length) { gramBytes(gi) = sh(gi).getBytes(utf8); gi += 1 }
           val sig = new Array[String](numHashes)
           var s = 0
           while (s < numHashes) {
-            val prefix = (s.toString + "|").getBytes(utf8)
-            var m: String = null
+            var have = false
             gi = 0
             while (gi < sh.length) {
-              val h = graft.functions.TextKernels.md5Hex2(prefix, gramBytes(gi))
-              if (m == null || h.compareTo(m) < 0) m = h
+              graft.functions.TextKernels.md5Into(prefixes(s), gramBytes(gi), scratch)
+              if (!have ||
+                  java.util.Arrays.compareUnsigned(scratch, minBuf) < 0) {
+                System.arraycopy(scratch, 0, minBuf, 0, 16)
+                have = true
+              }
               gi += 1
             }
-            sig(s) = m
+            sig(s) = if (have) graft.functions.TextKernels.hexOf(minBuf) else null
             s += 1
           }
           val buckets = new Array[String](if (sh.isEmpty) 0 else bands)
@@ -339,6 +361,7 @@ object Dedup {
             b += 1
           }
           (id, sh, if (sh.isEmpty) Array.empty[String] else sig, buckets)
+        }
         }
       }
       .toDF("__id", "sh", "sig", "buckets")
@@ -421,7 +444,7 @@ object Dedup {
     * already-MATERIALIZED (__id, sh, buckets) frame — shared with the
     * fused dual-detector pass ([[captureRecaptureFromText]]) so one
     * shingle kernel can feed several consumers. */
-  private def minhashPairsFromSets(sets: DataFrame, threshold: Double,
+  private[graft] def minhashPairsFromSets(sets: DataFrame, threshold: Double,
                                    maxBucketSize: Int)
       : (DataFrame, Option[LshSaltStats]) = {
     val bandRows0 = sets
@@ -518,11 +541,25 @@ object Dedup {
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
-    // verify with exact shingle-set jaccard
-    val normalPairs = jaccardVerify(cands
-      .join(shOnly.withColumnRenamed("__id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(shOnly.withColumnRenamed("__id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b"),
-      threshold)
+      // materialized once: feeds two payload lookups and its size picks
+      // the verify plan (output-bounded after banding + distinct)
+      .localCheckpoint(false)
+    // verify with exact shingle-set jaccard; small candidate lists
+    // broadcast into the payload lookups so the corpus-sized sh frame
+    // never shuffles (see CandBroadcastPairs)
+    val joined =
+      if (cands.count() <= CandBroadcastPairs) {
+        val a = shOnly.join(broadcast(cands), col("__id") === col("id_a"))
+          .select(col("id_a"), col("id_b"), col("sh").as("sh_a"))
+        val b = shOnly.join(broadcast(cands), col("__id") === col("id_b"))
+          .select(col("id_a").as("__ba"), col("id_b").as("__bb"),
+            col("sh").as("sh_b"))
+        a.join(b, col("id_a") === col("__ba") && col("id_b") === col("__bb"))
+          .drop("__ba", "__bb")
+      } else cands
+        .join(shOnly.withColumnRenamed("__id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(shOnly.withColumnRenamed("__id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    val normalPairs = jaccardVerify(joined, threshold)
     // a pair can surface from a normal bucket AND a hot bucket (different
     // bands) or from several hot buckets; both paths compute the same
     // jaccard double, so a distinct over the (output-sized) union dedupes
@@ -928,8 +965,7 @@ object Dedup {
           if (text != null) ws.split(text.trim.toLowerCase(java.util.Locale.ROOT)).foreach { w =>
             var boxed = memo.get(w)
             if (boxed == null) {
-              boxed = java.lang.Long.parseUnsignedLong(
-                graft.functions.TextKernels.md5Hex(w).substring(0, 16), 16)
+              boxed = graft.functions.TextKernels.md5Long(w)
               if (memo.size < (1 << 16)) memo.put(w, boxed)
             }
             val h = boxed.longValue
@@ -976,7 +1012,7 @@ object Dedup {
   /** The band-join + verify half of [[simhashPairs]], from an
     * already-MATERIALIZED (idCol, simhash) frame — shared with the
     * fused dual-detector pass ([[captureRecaptureFromText]]). */
-  private def simhashPairsFromHashes(sh: DataFrame, idCol: String,
+  private[graft] def simhashPairsFromHashes(sh: DataFrame, idCol: String,
                                      maxHamming: Int,
                                      maxBucketSize: Int): DataFrame = {
     val bandBuckets = array((0 until 4).map { b =>
@@ -1265,9 +1301,22 @@ object Dedup {
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
-    val normalPairs = cands
-      .join(v.select(col("__id").as("id_a"), col("nv").as("nv_a")), "id_a")
-      .join(v.select(col("__id").as("id_b"), col("nv").as("nv_b")), "id_b")
+      .localCheckpoint(false)
+    // small candidate lists broadcast into the vector lookups so the
+    // corpus-sized nv frame never shuffles (see CandBroadcastPairs)
+    val joined =
+      if (cands.count() <= CandBroadcastPairs) {
+        val a = v.join(broadcast(cands), col("__id") === col("id_a"))
+          .select(col("id_a"), col("id_b"), col("nv").as("nv_a"))
+        val b = v.join(broadcast(cands), col("__id") === col("id_b"))
+          .select(col("id_a").as("__ba"), col("id_b").as("__bb"),
+            col("nv").as("nv_b"))
+        a.join(b, col("id_a") === col("__ba") && col("id_b") === col("__bb"))
+          .drop("__ba", "__bb")
+      } else cands
+        .join(v.select(col("__id").as("id_a"), col("nv").as("nv_a")), "id_a")
+        .join(v.select(col("__id").as("id_b"), col("nv").as("nv_b")), "id_b")
+    val normalPairs = joined
       .withColumn("cos",
         graft.functions.GraftFunctions.dot(spark, col("nv_a"), col("nv_b")))
       .filter(col("cos") >= threshold)
@@ -1723,7 +1772,10 @@ object Dedup {
       .mapPartitions { it =>
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
         val prefixes = Array.tabulate(kk)(s => (s.toString + "|").getBytes(utf8))
-        val mins = new Array[String](kk)
+        // per-slot RAW digest mins across the whole partition — hex
+        // order == unsigned byte order (md5Into), encode once at the end
+        val minBytes = new Array[Array[Byte]](kk)
+        val scratch = new Array[Byte](16)
         it.foreach { text =>
           if (text != null) {
             val ws = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+")
@@ -1747,16 +1799,19 @@ object Dedup {
             while (s < kk) {
               var gi = 0
               while (gi < gramBytes.length) {
-                val h = graft.functions.TextKernels.md5Hex2(
-                  prefixes(s), gramBytes(gi))
-                if (mins(s) == null || h.compareTo(mins(s)) < 0) mins(s) = h
+                graft.functions.TextKernels.md5Into(
+                  prefixes(s), gramBytes(gi), scratch)
+                if (minBytes(s) == null ||
+                    java.util.Arrays.compareUnsigned(scratch, minBytes(s)) < 0)
+                  minBytes(s) = scratch.clone()
                 gi += 1
               }
               s += 1
             }
           }
         }
-        Iterator.single(mins.toSeq)
+        Iterator.single(minBytes.toSeq.map(b =>
+          if (b == null) null else graft.functions.TextKernels.hexOf(b)))
       }
     // one k-row reduction folds the per-partition mins (empty corpus →
     // k rows with null sig, matching the previous aggregate's shape)
@@ -1878,7 +1933,7 @@ object Dedup {
     * simhash chain (per-word md5-top-64 bit votes with the Zipf memo —
     * byte-identical to [[simhash]]). Halves the corpus scan + split
     * work the two standalone detectors would spend. */
-  private def shingleBucketSimhashSets(df: DataFrame, idCol: String,
+  private[graft] def shingleBucketSimhashSets(df: DataFrame, idCol: String,
       textCol: String, w: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -1890,6 +1945,9 @@ object Dedup {
         val wsPat = java.util.regex.Pattern.compile("\\s+")
         val memo = new java.util.HashMap[String, java.lang.Long](1 << 12)
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val prefixes = Array.tabulate(numHashes)(s => (s.toString + "|").getBytes(utf8))
+        val scratch = new Array[Byte](16)
+        val minBuf = new Array[Byte](16)
         it.map { case (id, text) =>
           if (text == null)
             (id, Array.empty[String], Array.empty[String], 0L)
@@ -1900,8 +1958,7 @@ object Dedup {
             ws.foreach { word =>
               var boxed = memo.get(word)
               if (boxed == null) {
-                boxed = java.lang.Long.parseUnsignedLong(
-                  graft.functions.TextKernels.md5Hex(word).substring(0, 16), 16)
+                boxed = graft.functions.TextKernels.md5Long(word)
                 if (memo.size < (1 << 16)) memo.put(word, boxed)
               }
               val h = boxed.longValue
@@ -1936,15 +1993,18 @@ object Dedup {
             val sig = new Array[String](numHashes)
             var s = 0
             while (s < numHashes) {
-              val prefix = (s.toString + "|").getBytes(utf8)
-              var m: String = null
+              var have = false
               gi = 0
               while (gi < sh.length) {
-                val h = graft.functions.TextKernels.md5Hex2(prefix, gramBytes(gi))
-                if (m == null || h.compareTo(m) < 0) m = h
+                graft.functions.TextKernels.md5Into(prefixes(s), gramBytes(gi), scratch)
+                if (!have ||
+                    java.util.Arrays.compareUnsigned(scratch, minBuf) < 0) {
+                  System.arraycopy(scratch, 0, minBuf, 0, 16)
+                  have = true
+                }
                 gi += 1
               }
-              sig(s) = m
+              sig(s) = if (have) graft.functions.TextKernels.hexOf(minBuf) else null
               s += 1
             }
             val buckets = new Array[String](if (sh.isEmpty) 0 else bands)

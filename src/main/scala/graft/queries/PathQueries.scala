@@ -155,6 +155,36 @@ object PathQueries {
       .orderBy("response", "term")
   }
 
+  /** mgaussian with BOX LIMITS (round 16 — the boxed group prox,
+    * `LinAlg.boxedGroupProx`): 1-feature 2-response ridge grid with
+    * lower/upper limits that BIND for the steep response at the small
+    * lambdas and stay slack elsewhere. At alpha = 0 the group-l1 term
+    * vanishes, so the prox decouples into the exact per-response
+    * clipped ridge step u_t = clip(b_std_t/(gjj + λ), ±20·sd) — the
+    * whole curve (bound transitions included) verifies in closed form
+    * in DuckDB, while the call still drives the full boxed-group-prox
+    * machinery end-to-end (the alpha > 0 bisection regime is
+    * spec-anchored in GroupLimitsSpec). */
+  def mgaussLimits(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = SgdNet.fitMulti(li, Seq("l_quantity"),
+      Seq("l_extendedprice", "l_tax"),
+      SgdNetParams(family = "mgaussian", alpha = 0.0,
+        lambda = Array(256.0, 16.0, 1.0, 0.0),
+        lowerLimits = Array(-20.0), upperLimits = Array(20.0),
+        thresh = 1e-11, maxit = 100000))
+    val rows = for {
+      l <- m.lambda.indices
+      t <- 0 until 2
+      (term, v) <- Seq(("a0", m.a0(l)(t)), ("l_quantity", m.beta(l)(t)(0)))
+    } yield (l, m.responseNames(t), term, v)
+    rows.toDF("lambda_idx", "response", "term", "value")
+      .select(col("lambda_idx").cast("int").as("lambda_idx"), col("response"),
+        col("term"), (round(col("value"), 4) + lit(0.0)).as("value"))
+      .orderBy("lambda_idx", "response", "term")
+  }
+
   /** Poisson fit verified BIT-EXACTLY end-to-end: one IRLS step from the
     * closed-form null point (same construction as [[binomFit]] — at the
     * null the Poisson weights are constant w = ybar, so b_std =
@@ -685,6 +715,31 @@ object PathQueries {
         round(col("lambda"), 4).as("lambda"),
         round(log(col("cvm")), 4).as("ln_cvm"),
         round(log(col("cvsd")), 4).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
+  /** SPARSE mgaussian CV (round 16 — cv.glmnet with dgCMatrix x AND a
+    * multi-response y, the last sparse-input family cell): the
+    * [[cvMgauss]] query verbatim but through
+    * `CvSgdNet.fitSparseMulti`'s one-pass multi-response sparse
+    * moments — same data, folds, grid, so the oracle is byte-identical
+    * to q_cv_mgauss's closed-form group soft-threshold curve. */
+  def cvSparseMgauss(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("sidx", array(lit(0)))
+      .withColumn("svals", array(col("l_quantity").cast("double")))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitSparseMulti(li, "sidx", "svals", 1,
+      Seq("l_extendedprice", "l_tax"),
+      SgdNetParams(family = "mgaussian", alpha = 1.0,
+        lambda = Array(512.0, 128.0, 32.0, 8.0, 2.0, 0.5)),
+      nfolds = 5, measure = "deviance", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
       .orderBy("lambda_idx")
   }
 

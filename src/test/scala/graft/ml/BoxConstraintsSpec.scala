@@ -76,30 +76,25 @@ class BoxConstraintsSpec extends SparkSpec {
     assert(m.beta(0)(0)(0) > 0.5)
   }
 
-  test("validation: limits must bracket zero; group-penalty paths reject") {
+  test("validation: limits must bracket zero; group paths accept (r16)") {
     val df = negData
     intercept[IllegalArgumentException] {
       SgdNet.fit(df, Seq("x1", "x2"), "y",
         SgdNetParams(lowerLimits = Array(0.5, 0.0)))
     }
-    // the group prox (mgaussian; grouped multinomial) has no closed
-    // form under a box — those paths reject, fit and CV alike
-    intercept[IllegalArgumentException] {
-      SgdNet.fitMulti(df, Seq("x1"), Seq("y", "x2"),
-        SgdNetParams(family = "mgaussian", lambda = Array(0.1),
-          lowerLimits = Array(0.0)))
-    }
-    intercept[IllegalArgumentException] {
-      CvSgdNet.fit(df, Seq("x1"), Seq("y", "x2"),
-        SgdNetParams(family = "mgaussian", lowerLimits = Array(0.0)),
-        nfolds = 3)
-    }
+    // round 16: the group-penalty paths take the boxed group prox
+    // (LinAlg.boxedGroupProx) — fit and CV accept limits and the
+    // coefficients respect the box (full coverage: GroupLimitsSpec)
+    val mg = SgdNet.fitMulti(df, Seq("x1"), Seq("y", "x2"),
+      SgdNetParams(family = "mgaussian", lambda = Array(0.1),
+        lowerLimits = Array(0.0)))
+    for (t <- 0 until 2) assert(mg.beta(0)(t)(0) >= -1e-12)
     val mc = graft.SparkSpec.multiclassDF(spark)
-    intercept[IllegalArgumentException] {
-      CvSgdNet.fit(mc, Seq("x1", "x2"), Seq("cls"),
-        SgdNetParams(family = "multinomial", typeMultinomial = "grouped",
-          lowerLimits = Array(0.0, 0.0)), nfolds = 3)
-    }
+    val gm = SgdNet.fit(mc, Seq("x1", "x2"), "cls",
+      SgdNetParams(family = "multinomial", typeMultinomial = "grouped",
+        lambda = Array(0.01), lowerLimits = Array(0.0, 0.0)))
+    for (t <- 0 until gm.nResponses; j <- 0 until 2)
+      assert(gm.beta(0)(t)(j) >= -1e-12)
     ()
   }
 

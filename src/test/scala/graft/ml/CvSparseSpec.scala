@@ -174,6 +174,44 @@ class CvSparseSpec extends SparkSpec {
     assertClose(sm.best, dm.best, 1e-6, "multinom/weighted")
   }
 
+  test("sparse mgaussian: fit and CV == dense twins (incl. weights)") {
+    // second response for the multi-response cells
+    val sp2 = sp.withColumn("yg2", col("yg") * 0.5 + col("yp"))
+    val dn2 = dn.withColumn("yg2", col("yg") * 0.5 + col("yp"))
+    val prm = SgdNetParams(family = "mgaussian", alpha = 0.8,
+      lambda = Array(0.5, 0.1, 0.02), thresh = 1e-11, maxit = 100000)
+    // fit parity
+    val fs = SgdNet.fitSparseMulti(sp2, "idx", "vals", 4, Seq("yg", "yg2"), prm)
+    val fd = SgdNet.fitMulti(dn2, feats, Seq("yg", "yg2"), prm)
+    for (l <- 0 until 3; t <- 0 until 2; j <- 0 until 4)
+      assert(math.abs(fs.beta(l)(t)(j) - fd.beta(l)(t)(j)) < 1e-9,
+        s"fit b($l)($t)($j)")
+    // CV parity (deviance == summed mse, and mae's extra pass)
+    for (measure <- Seq("deviance", "mae")) {
+      val s = CvSgdNet.fitSparseMulti(sp2, "idx", "vals", 4, Seq("yg", "yg2"),
+        prm, nfolds = 3, measure = measure, foldCol = fold)
+      val d = CvSgdNet.fit(dn2, feats, Seq("yg", "yg2"), prm,
+        nfolds = 3, measure = measure, foldCol = fold)
+      assertClose(s.best, d.best, 1e-8, s"mgauss/$measure")
+    }
+    // weighted sparse mgaussian CV == weighted dense mgaussian CV
+    val sw = CvSgdNet.fitSparseMulti(sp2, "idx", "vals", 4, Seq("yg", "yg2"),
+      prm, nfolds = 3, measure = "mse", foldCol = fold, weightCol = "w")
+    val dw = CvSgdNet.fitWeightedMulti(dn2, feats, Seq("yg", "yg2"), "w",
+      prm, nfolds = 3, measure = "mse", foldCol = fold)
+    assertClose(sw.best, dw.best, 1e-8, "mgauss/weighted")
+    // contracts: wrong family / multi-response via the 1-D entry reject
+    intercept[IllegalArgumentException] {
+      CvSgdNet.fitSparseMulti(sp2, "idx", "vals", 4, Seq("yg", "yg2"),
+        SgdNetParams(family = "binomial"), nfolds = 2)
+    }
+    intercept[IllegalArgumentException] {
+      SgdNet.fitSparseMulti(sp2, "idx", "vals", 4, Seq("yg", "yg2"),
+        SgdNetParams(family = "gaussian"))
+    }
+    ()
+  }
+
   test("sparse CV integer weights == row duplication; zero weight drops") {
     // integer weight w ≡ the row repeated w times (same rid → same fold)
     val exploded = sp.withColumn("__rep", explode(
