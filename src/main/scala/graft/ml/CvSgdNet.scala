@@ -1327,6 +1327,345 @@ object CvSgdNet {
     } finally rows.unpersist(blocking = false)
   }
 
+  // ------------------------------------------- offset CV (cv.glmnet offset)
+
+  /** k-fold CV WITH a linear-predictor offset (cv.glmnet `offset`,
+    * round 16 — glmnet threads the offset through every fold fit AND
+    * through held-out prediction via newoffset; the reference leaves
+    * offset as a TODO, R/sgdnet.R:341, so this follows the glmnet
+    * semantics [[SgdNet.fitWithOffset]] implements):
+    *
+    *  - gaussian: reduces EXACTLY to the plain CV on y − offset — with
+    *    the identity link the prediction adds the offset back, so every
+    *    held-out residual (hence deviance/mse/mae) is the
+    *    adjusted-response residual. Delegates to [[fit]] /
+    *    [[fitWeighted]], one-pass moment CV included.
+    *  - poisson: SHARED offset-IRLS chassis — all folds advance through
+    *    ONE treeAggregate per Newton round at η = off + a0_f + xs·β_f
+    *    (the fitPoissonOffset algebra, fold-tiled), per-fold
+    *    exposure-weighted null intercepts a0_f = ln(Σv·y / Σv·e^off)
+    *    from subtracted train sums, the offset-corrected lambda-path
+    *    gradient, and held-out scores with the offset in the prediction.
+    *
+    * `weightCol` adds frequency weights with the per-fold sum-to-n_train
+    * renormalization (the [[fitWeighted]] convention). Measures:
+    * deviance|mse|mae. Same family surface as [[SgdNet.fitWithOffset]]. */
+  def fitWithOffset(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                    offsetCol: String,
+                    params: SgdNetParams = SgdNetParams(),
+                    nfolds: Int = 10,
+                    measure: String = "deviance",
+                    foldCol: Column = null,
+                    alphas: Seq[Double] = Seq.empty,
+                    weightCol: String = null): CvResult = {
+    require(nfolds >= 2, "nfolds must be at least 2")
+    require(Set("deviance", "mse", "mae").contains(measure),
+      s"offset CV supports deviance|mae|mse, not '$measure'")
+    params.family match {
+      case "gaussian" =>
+        // replace the label IN PLACE (keep every other column: a
+        // caller-supplied foldCol may reference any of them)
+        val adj = df.withColumn(labelCol,
+          col(labelCol).cast("double") - col(offsetCol).cast("double"))
+        if (weightCol == null)
+          fit(adj, featureCols, Seq(labelCol), params, nfolds, alphas,
+            measure, foldCol)
+        else
+          fitWeighted(adj, featureCols, labelCol, weightCol, params, nfolds,
+            measure, foldCol, alphas)
+      case "poisson" =>
+        val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
+        val paths = alphaGrid.map(a => cvOffsetPoissonShared(df, featureCols,
+          labelCol, offsetCol, params.copy(alpha = a), nfolds, foldCol,
+          measure, weightCol))
+        val best = paths.minBy(p => p.cvm.min)
+        CvResult(paths, best)
+      case f => throw new IllegalArgumentException(
+        s"offset CV supports gaussian and poisson, not $f " +
+          "(the SgdNet.fitWithOffset surface)")
+    }
+  }
+
+  /** Shared-pass poisson CV with a per-row offset (see
+    * [[fitWithOffset]]): the [[cvWeightedGlmShared]] fold-tiling with
+    * η = off + a0_f + xs·β_f in every IRLS pass and the WLS target
+    * z − off, so each fold's inner solve fits exactly a0 + xs·β — the
+    * fitPoissonOffset arithmetic per fold. The full-data model rides as
+    * virtual fold nfolds. */
+  private def cvOffsetPoissonShared(df: DataFrame, featureCols: Seq[String],
+                                    labelCol: String, offsetCol: String,
+                                    params: SgdNetParams, nfolds: Int,
+                                    foldCol: Column, measure: String,
+                                    weightCol: String): CvPath = {
+    SgdNet.requireNoZeroPf(params, "shared offset CV")
+    val p = featureCols.size
+    val weighted = weightCol != null
+    val wCol = if (weighted) col(weightCol).cast("double") else lit(1.0)
+    val hashCols = (featureCols :+ labelCol).map(col)
+    val rows0 = df
+      .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
+      .select((featureCols.map(c => col(c).cast("double")) :+
+        col(labelCol).cast("double") :+ col(offsetCol).cast("double") :+
+        col("__fold") :+ wCol): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = r.getDouble(j); j += 1 }
+        (r.getInt(p + 2), x, r.getDouble(p), r.getDouble(p + 1),
+          r.getDouble(p + 3))
+      }
+    val rows = (if (weighted)
+        rows0.map { t => require(t._5 >= 0, "weights must be non-negative"); t }
+          .filter(_._5 > 0)
+      else rows0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val F = nfolds + 1
+      // ONE pass: per-fold RAW-v moments + Σv + Σv·e^off (exposure)
+      val zero = (Array.fill(nfolds)(new GramStats(p, 1)),
+        new Array[Double](nfolds), new Array[Double](nfolds))
+      val (perFold, wFold, eFold) = rows.treeAggregate(zero)(
+        (acc, t) => {
+          acc._1(t._1).addWeighted(t._2, Array(t._3), t._5)
+          acc._2(t._1) += t._5
+          acc._3(t._1) += t._5 *
+            math.exp(math.max(math.min(t._4, 30.0), -30.0))
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < nfolds) {
+            a._1(i).merge(b._1(i)); a._2(i) += b._2(i); a._3(i) += b._3(i)
+            i += 1
+          }
+          a
+        }, depth = 2)
+      requireNonEmptyFolds(perFold.map(_.n), nfolds)
+      val total = new GramStats(p, 1)
+      perFold.foreach(total.merge)
+      val wTotal = wFold.sum
+      val eTotal = eFold.sum
+      val syTotal = total.sumY(0)
+      val perFoldExt = perFold :+ new GramStats(p, 1)
+      val wFoldExt = wFold :+ 0.0
+      val eFoldExt = eFold :+ 0.0
+      val syFoldExt = perFold.map(_.sumY(0)) :+ 0.0
+      val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
+      val norms = Array.tabulate(F)(f => nTrain(f) / (wTotal - wFoldExt(f)))
+      val trainStats = Array.tabulate(F) { f =>
+        val tr = new GramStats(p, 1).merge(total).subtract(perFoldExt(f))
+          .scaleWeights(norms(f))
+        SufficientStats.standardize(tr, params.standardize, params.intercept)
+      }
+      // per-fold exposure-weighted null intercept: the raw-v ratio (the
+      // sum-to-n norm cancels between numerator and denominator)
+      val a0Null = Array.tabulate(F) { f =>
+        val sy = syTotal - syFoldExt(f)
+        require(sy > 0,
+          "poisson response must contain positive counts in every train fold")
+        if (params.intercept) math.log(sy / (eTotal - eFoldExt(f))) else 0.0
+      }
+      val means = trainStats.map(st =>
+        if (params.intercept) st.xMean else new Array[Double](p))
+      val scales = trainStats.map(st =>
+        if (params.standardize) st.xSd else Array.fill(p)(1.0))
+      val boundsF = scales.map(s => SgdNet.boundsStd(params, s, 1.0))
+      val sc = rows.sparkContext
+      val bMeans = sc.broadcast(means)
+      val bScales = sc.broadcast(scales)
+      val bNorms = sc.broadcast(norms)
+
+      val lambdas =
+        if (params.lambda != null) params.lambda
+        else {
+          // offset-corrected lambda_max on the full data (the
+          // fitPoissonOffset pathB pass): the null-model mean varies
+          // per row, so the offset-ignoring covariance would misplace
+          // the path start
+          val minRatio = if (params.lambdaMinRatio.isNaN)
+            LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
+          val a0N = a0Null(nfolds)
+          val mF = means(nfolds); val sF = scales(nfolds)
+          val nrm = norms(nfolds)
+          val bOff = rows.treeAggregate(new Array[Double](p))(
+            (acc, t) => {
+              val (_, xr, y, off, v) = t
+              val mu = math.exp(math.max(math.min(a0N + off, 30.0), -30.0))
+              val r = v * nrm * (y - mu)
+              var j = 0
+              while (j < p) { acc(j) += (xr(j) - mF(j)) / sF(j) * r; j += 1 }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < p) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          LambdaPath.build(Array(bOff.map(_ / nTrain(nfolds))), params.alpha,
+            params.nlambda, minRatio, params.penaltyFactor)
+        }
+
+      val L = lambdas.length
+      val beta = Array.fill(F)(new Array[Double](p))
+      val a0 = a0Null.clone()
+      val a0Out = Array.ofDim[Double](F, L)
+      val betaOut = Array.ofDim[Double](F, L, p)
+      var sharedPasses = 0
+      val lastGram = Array.fill[BinWGram](F)(null)
+
+      def solveFold(f: Int, g: BinWGram, l: Int): (Array[Double], Double) = {
+        val ninv = 1.0 / nTrain(f)
+        val aM = LinAlg.unpackSym(g.swxx, p).map(_.map(_ * ninv))
+        val r = CoordinateDescent.solve(aM, g.swxz.map(_ * ninv),
+          g.swx.map(_ * ninv), g.swz * ninv, g.sw * ninv,
+          lambdas(l), params.alpha, params.intercept, beta(f),
+          thresh = math.max(params.thresh * 1e-4, 1e-10),
+          maxIter = params.maxit,
+          penaltyFactor = params.penaltyFactor,
+          lower = boundsF(f)._1, upper = boundsF(f)._2)
+        (r.beta, r.a0)
+      }
+
+      for (l <- 0 until L) {
+        val active = Array.fill(F)(true)
+        // free first Newton step against the carried grams
+        if (lastGram.forall(_ != null)) {
+          for (f <- 0 until F) {
+            val (nb, na) = solveFold(f, lastGram(f), l)
+            var maxD = math.abs(na - a0(f))
+            var j = 0
+            while (j < p) {
+              val d = math.abs(nb(j) - beta(f)(j)); if (d > maxD) maxD = d; j += 1
+            }
+            beta(f) = nb; a0(f) = na
+            if (maxD == 0.0) active(f) = false
+          }
+        }
+        var iter = 0
+        while (iter < 25 && active.exists(identity)) {
+          val betaSnap = beta.map(_.clone())
+          val a0Snap = a0.clone()
+          val activeSnap = active.clone()
+          sharedPasses += 1
+          // ONE pass: offset-IRLS grams for all active folds — η
+          // includes the per-row offset, the WLS target z excludes it
+          val grams = rows.treeAggregate(Array.fill(F)(new BinWGram(p)))(
+            (acc, t) => {
+              val (rowFold, xr, y, off, v) = t
+              var f = 0
+              while (f < F) {
+                if (f != rowFold && activeSnap(f)) {
+                  val m = bMeans.value(f); val s = bScales.value(f)
+                  val bf = betaSnap(f)
+                  var eta = a0Snap(f) + off
+                  val xs = new Array[Double](p)
+                  var j = 0
+                  while (j < p) {
+                    xs(j) = (xr(j) - m(j)) / s(j); eta += xs(j) * bf(j); j += 1
+                  }
+                  val etaC = math.max(math.min(eta, 30.0), -30.0)
+                  val mu = math.exp(etaC)
+                  val w = math.max(mu, 1e-5)
+                  val z = etaC + (y - mu) / w - off
+                  acc(f).add(xs, w * v * bNorms.value(f), z)
+                }
+                f += 1
+              }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < F) { a(i).merge(b(i)); i += 1 }; a },
+            depth = 2)
+          for (f <- 0 until F if active(f)) {
+            val g = grams(f)
+            lastGram(f) = g
+            val (nb, na) = solveFold(f, g, l)
+            var maxD = math.abs(na - a0(f))
+            var j = 0
+            while (j < p) {
+              val d = math.abs(nb(j) - beta(f)(j)); if (d > maxD) maxD = d; j += 1
+            }
+            beta(f) = nb; a0(f) = na
+            if (maxD < math.max(params.thresh * 1e-2, 1e-8)) active(f) = false
+          }
+          iter += 1
+        }
+        for (f <- 0 until F) {
+          for (j <- 0 until p) betaOut(f)(l)(j) = beta(f)(j) / scales(f)(j)
+          a0Out(f)(l) =
+            if (params.intercept)
+              a0(f) - (0 until p).map(j => betaOut(f)(l)(j) * means(f)(j)).sum
+            else a0(f)
+        }
+      }
+
+      // full-data model from the virtual fold + offset deviance pass
+      val a0Full = Array.tabulate(L)(l => Array(a0Out(nfolds)(l)))
+      val betaFull = Array.tabulate(L)(l => Array(betaOut(nfolds)(l).clone()))
+      val names = featureCols.toArray
+      val normFull = norms(nfolds)
+      val a0NullFull = a0Null(nfolds)
+      val devs = rows.treeAggregate(new Array[Double](L + 1))(
+        (acc, t) => {
+          val (_, x, y, off, v) = t
+          def devTerm(mu: Double): Double = {
+            val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+            2.0 * (ylog - (y - mu))
+          }
+          val vn = v * normFull
+          var l = 0
+          while (l < L) {
+            var eta = a0Full(l)(0) + off
+            val bl = betaFull(l)(0)
+            var j = 0
+            while (j < p) { eta += bl(j) * x(j); j += 1 }
+            acc(l) += vn * devTerm(math.exp(math.max(math.min(eta, 30.0), -30.0)))
+            l += 1
+          }
+          acc(L) += vn * devTerm(
+            math.exp(math.max(math.min(a0NullFull + off, 30.0), -30.0)))
+          acc
+        },
+        (a, b) => { var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      val nulldev = devs(L)
+      val devRatio = Array.tabulate(L)(l =>
+        if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
+      val full = new SgdNetModel("poisson", names, Array(labelCol),
+        Array.empty, lambdas, a0Full, betaFull, nulldev, devRatio, total.n,
+        sharedPasses + 2, params)
+
+      // held-out scoring per (fold, lambda): μ includes the row's own
+      // offset (glmnet newoffset); Σv·err / Σv with RAW v
+      val bA0 = sc.broadcast(a0Out)
+      val bBeta = sc.broadcast(betaOut)
+      val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
+        (acc, t) => {
+          val (f, x, y, off, v) = t
+          var l = 0
+          while (l < L) {
+            var eta = bA0.value(f)(l) + off
+            val bl = bBeta.value(f)(l)
+            var j = 0
+            while (j < p) { eta += bl(j) * x(j); j += 1 }
+            val mu = math.exp(math.max(math.min(eta, 30.0), -30.0))
+            acc(f * L + l) += v * (measure match {
+              case "mse" => (y - mu) * (y - mu)
+              case "mae" => math.abs(y - mu)
+              case "deviance" =>
+                val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+                2.0 * (ylog - (y - mu))
+              case other => // unreachable: fitWithOffset validates
+                throw new IllegalArgumentException(s"unknown measure $other")
+            })
+            l += 1
+          }
+          acc
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      val foldScores = Array.tabulate(nfolds, L)((f, l) =>
+        sums(f * L + l) / wFold(f))
+      summarize(params.alpha, lambdas, foldScores, full)
+    } finally rows.unpersist(blocking = false)
+  }
+
   // ------------------------------------------ multinomial, shared-pass CV
 
   /** All k fold-models advance TOGETHER through the softmax FISTA loop:

@@ -1192,6 +1192,48 @@ object SgdNet {
     relaxedFromStats(g, featureCols, labelCol, params, gamma)
   }
 
+  /** SPARSE relaxed fit (glmnet `relax = TRUE` with a dgCMatrix x,
+    * round 16): ONE O(nnz²)-per-row sparse-moment pass feeds both the
+    * penalized path and every active-set OLS refit — exactly
+    * [[relaxedFit]]'s zero-extra-passes shape over CSR rows; with
+    * `weightCol`, raw-v weighted moments normalized to sum-to-n (the
+    * [[fitSparseWeighted]] convention). */
+  def relaxedFitSparse(df: DataFrame, idxCol: String, valCol: String,
+                       dim: Int, labelCol: String,
+                       params: SgdNetParams = SgdNetParams(),
+                       gamma: Double = 1.0,
+                       weightCol: String = null): RelaxedPath = {
+    import org.apache.spark.sql.functions.{col, lit}
+    validateRelaxed(params, gamma)
+    val wCol = if (weightCol == null) lit(1.0) else col(weightCol).cast("double")
+    val raw = df.select(col(idxCol), col(valCol).cast("array<double>"),
+        col(labelCol).cast("double"), wCol)
+      .rdd.map { row =>
+        (row.getSeq[Int](0).toArray, row.getSeq[Double](1).toArray,
+          row.getDouble(2), row.getDouble(3))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val norm =
+        if (weightCol == null) 1.0
+        else {
+          val (nRows, wSum) = raw.treeAggregate((0L, 0.0))(
+            seqOp = (s, r) => {
+              require(r._4 >= 0, "weights must be non-negative")
+              if (r._4 > 0) (s._1 + 1, s._2 + r._4) else s
+            },
+            combOp = (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+          require(nRows > 0, "the response (y) is empty.")
+          nRows.toDouble / wSum
+        }
+      val g = raw.filter(_._4 > 0).treeAggregate(new GramStats(dim, 1))(
+        seqOp = (s, r) => s.addSparseWeighted(r._1, r._2, Array(r._3),
+          r._4 * norm),
+        combOp = (a, b) => a.merge(b), depth = 2)
+      relaxedFromStats(g, (0 until dim).map(j => s"V$j"), labelCol, params,
+        gamma)
+    } finally { raw.unpersist(blocking = false); () }
+  }
+
   private def validateRelaxed(params: SgdNetParams, gamma: Double): Unit = {
     require(params.family == "gaussian", "relaxedFit: gaussian family only")
     require(gamma >= 0 && gamma <= 1, "gamma must be in [0, 1]")

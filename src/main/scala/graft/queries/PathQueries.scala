@@ -901,6 +901,35 @@ object PathQueries {
       .orderBy("lambda_idx")
   }
 
+  /** Cross-validation WITH a linear-predictor offset (round 16 —
+    * cv.glmnet `offset`/`newoffset` over `CvSgdNet.fitWithOffset`):
+    * the [[cvPoisson]] null-point discipline with a real exposure
+    * offset ln(l_linenumber). At a lambda far above the
+    * offset-corrected gradient the coefficient stays zero and each
+    * fold's model is the exposure-weighted intercept-only MLE
+    * a0_f = ln(Σ_train y / Σ_train e^off) — closed-form from
+    * total-minus-fold sums — while the held-out deviance scores each
+    * row at μ = exp(a0_f + off_i) (the newoffset semantics). DuckDB
+    * reproduces cvm AND cvsd; the converged-coefficient regime is
+    * spec-anchored (OffsetCvSpec: shared chassis == per-fold
+    * standalone fitWithOffset refits). */
+  def cvOffset(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("lexp", log(col("l_linenumber").cast("double")))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitWithOffset(li, Seq("l_discount"), "l_quantity",
+      "lexp", SgdNetParams(family = "poisson", alpha = 1.0,
+        lambda = Array(10.0)),
+      nfolds = 5, measure = "deviance", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
   /** lambda.min / lambda.1se selection on the [[cvRidgeFit]] chain —
     * oracle-exact (the fixed grid makes both selections SQL-computable). */
   def cvSelect(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,123 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-validation WITH a linear-predictor offset (round 16 — the
+  * cv.glmnet `offset`/`newoffset` surface over the fitWithOffset
+  * families): gaussian must equal the plain CV on y − offset exactly;
+  * the shared poisson offset chassis must reproduce per-fold
+  * standalone offset fits and collapse to the plain poisson CV at
+  * offset ≡ 0. */
+class OffsetCvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val data = {
+    val rnd = new scala.util.Random(29)
+    (1 to 600).map { i =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      val off = math.log(1.0 + rnd.nextInt(5)) // ln exposure
+      val mu = math.exp(0.3 + 0.4 * x1 + off)
+      val yp = math.max(0L, math.round(mu + rnd.nextGaussian() * math.sqrt(mu))).toDouble
+      val yg = 1.0 + 0.8 * x1 - 0.5 * x2 + off + rnd.nextGaussian() * 0.3
+      (i.toLong, x1, x2, off, yg, yp, (i % 3 + 1).toDouble)
+    }.toDF("rid", "x1", "x2", "off", "yg", "yp", "w")
+  }
+  private def fold = pmod(xxhash64(col("rid")), lit(3))
+
+  private def assertClose(a: CvSgdNet.CvPath, b: CvSgdNet.CvPath,
+                          tol: Double, tag: String): Unit = {
+    assert(a.lambda.sameElements(b.lambda), s"$tag lambda grid")
+    for (l <- a.lambda.indices) {
+      assert(math.abs(a.cvm(l) - b.cvm(l)) <
+        tol * math.max(1.0, math.abs(b.cvm(l))), s"$tag cvm($l)")
+      assert(math.abs(a.cvsd(l) - b.cvsd(l)) <
+        tol * math.max(1.0, math.abs(b.cvsd(l))), s"$tag cvsd($l)")
+    }
+  }
+
+  test("gaussian offset CV == plain CV on y − offset (and weighted)") {
+    val params = SgdNetParams(alpha = 0.5, lambda = Array(0.4, 0.05),
+      thresh = 1e-11, maxit = 100000)
+    val adj = data.withColumn("yadj", col("yg") - col("off"))
+    for (measure <- Seq("mse", "mae")) {
+      val o = CvSgdNet.fitWithOffset(data, Seq("x1", "x2"), "yg", "off",
+        params, nfolds = 3, measure = measure, foldCol = fold)
+      val d = CvSgdNet.fit(adj, Seq("x1", "x2"), Seq("yadj"), params,
+        nfolds = 3, measure = measure, foldCol = fold)
+      assertClose(o.best, d.best, 1e-12, s"gauss/$measure")
+    }
+    val ow = CvSgdNet.fitWithOffset(data, Seq("x1", "x2"), "yg", "off",
+      params, nfolds = 3, measure = "mse", foldCol = fold, weightCol = "w")
+    val dw = CvSgdNet.fitWeighted(adj, Seq("x1", "x2"), "yadj", "w", params,
+      nfolds = 3, measure = "mse", foldCol = fold)
+    assertClose(ow.best, dw.best, 1e-12, "gauss/weighted")
+  }
+
+  test("poisson offset CV == per-fold standalone offset refits") {
+    val lambdas = Array(0.3, 0.05)
+    val params = SgdNetParams(family = "poisson", alpha = 1.0,
+      lambda = lambdas, thresh = 1e-9, maxit = 100000)
+    val cv = CvSgdNet.fitWithOffset(data, Seq("x1", "x2"), "yp", "off",
+      params, nfolds = 3, measure = "deviance", foldCol = fold)
+    // manual generic route: fold f's model from a standalone
+    // fitWithOffset on the train rows, held-out deviance by hand
+    val withF = data.withColumn("__f", fold)
+    val foldScores = Array.ofDim[Double](3, lambdas.length)
+    for (f <- 0 until 3) {
+      val m = SgdNet.fitWithOffset(withF.filter(col("__f") =!= f),
+        Seq("x1", "x2"), "yp", "off", params)
+      val test = withF.filter(col("__f") === f)
+        .select("x1", "x2", "off", "yp").collect()
+      for (l <- lambdas.indices) {
+        var s = 0.0
+        test.foreach { r =>
+          val eta = m.a0(l)(0) + m.beta(l)(0)(0) * r.getDouble(0) +
+            m.beta(l)(0)(1) * r.getDouble(1) + r.getDouble(2)
+          val mu = math.exp(eta)
+          val y = r.getDouble(3)
+          s += 2.0 * ((if (y > 0) y * math.log(y / mu) else 0.0) - (y - mu))
+        }
+        foldScores(f)(l) = s / test.length
+      }
+    }
+    for (l <- lambdas.indices) {
+      val cvm = (0 until 3).map(foldScores(_)(l)).sum / 3.0
+      assert(math.abs(cv.best.cvm(l) - cvm) < 1e-6 * math.max(1.0, cvm),
+        s"cvm($l): ${cv.best.cvm(l)} vs $cvm")
+    }
+    // full model rides the passes == standalone full-data offset fit
+    val full = SgdNet.fitWithOffset(data, Seq("x1", "x2"), "yp", "off", params)
+    for (l <- lambdas.indices; j <- 0 until 2)
+      assert(math.abs(cv.best.fit.beta(l)(0)(j) - full.beta(l)(0)(j)) < 1e-6)
+  }
+
+  test("zero offset == plain poisson CV; weights == duplication; contracts") {
+    val z = data.withColumn("z0", lit(0.0))
+    val params = SgdNetParams(family = "poisson", alpha = 1.0,
+      lambda = Array(0.3, 0.05), thresh = 1e-9, maxit = 100000)
+    val o = CvSgdNet.fitWithOffset(z, Seq("x1", "x2"), "yp", "z0", params,
+      nfolds = 3, measure = "deviance", foldCol = fold)
+    val d = CvSgdNet.fit(data, Seq("x1", "x2"), Seq("yp"), params,
+      nfolds = 3, measure = "deviance", foldCol = fold)
+    assertClose(o.best, d.best, 1e-8, "poisson/zero-offset")
+    // integer weights == row duplication (same rid → same fold)
+    val exploded = data.withColumn("__rep",
+      explode(sequence(lit(1), col("w").cast("int"))))
+    val ow = CvSgdNet.fitWithOffset(data, Seq("x1", "x2"), "yp", "off",
+      params, nfolds = 3, measure = "deviance", foldCol = fold,
+      weightCol = "w")
+    val od = CvSgdNet.fitWithOffset(exploded, Seq("x1", "x2"), "yp", "off",
+      params, nfolds = 3, measure = "deviance", foldCol = fold)
+    assertClose(ow.best, od.best, 1e-8, "poisson/weights-duplication")
+    intercept[IllegalArgumentException] {
+      CvSgdNet.fitWithOffset(data, Seq("x1"), "yp", "off",
+        SgdNetParams(family = "binomial"), nfolds = 3)
+    }
+    intercept[IllegalArgumentException] {
+      CvSgdNet.fitWithOffset(data, Seq("x1"), "yp", "off",
+        SgdNetParams(family = "poisson"), nfolds = 3, measure = "auc")
+    }
+    ()
+  }
+}

@@ -295,4 +295,28 @@ class SgdNetGaussianSpec extends SparkSpec {
         SgdNetParams(family = "binomial"))
     }
   }
+
+  test("relaxedFitSparse == dense relaxedFit (round 16, incl. weights)") {
+    import org.apache.spark.sql.functions._
+    val df = SparkSpec.regressionDF(spark)
+      .withColumn("idx", array(lit(0), lit(1), lit(2)))
+      .withColumn("vals", array(col("x1"), col("x2"), col("x3")))
+      .withColumn("w", pmod(xxhash64(col("y")), lit(3)).cast("double") + 1.0)
+    val prm = SgdNetParams(lambda = Array(1e12, 0.05), thresh = 1e-11,
+      maxit = 100000)
+    val d = SgdNet.relaxedFit(df, Seq("x1", "x2", "x3"), "y", prm,
+      gamma = 0.25)
+    val s = SgdNet.relaxedFitSparse(df, "idx", "vals", 3, "y", prm,
+      gamma = 0.25)
+    for (l <- 0 until 2; j <- 0 until 3) {
+      assert(math.abs(s.model.beta(l)(0)(j) - d.model.beta(l)(0)(j)) < 1e-9)
+      assert(math.abs(s.olsBeta(l)(j) - d.olsBeta(l)(j)) < 1e-9)
+    }
+    val dw = SgdNet.relaxedFitWeighted(df, Seq("x1", "x2", "x3"), "y", "w",
+      prm, gamma = 0.25)
+    val sw = SgdNet.relaxedFitSparse(df, "idx", "vals", 3, "y", prm,
+      gamma = 0.25, weightCol = "w")
+    for (l <- 0 until 2; j <- 0 until 3)
+      assert(math.abs(sw.olsBeta(l)(j) - dw.olsBeta(l)(j)) < 1e-9)
+  }
 }
