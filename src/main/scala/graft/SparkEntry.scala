@@ -36,6 +36,7 @@ object SparkEntry {
     "q_score_auc"     -> (MlQueries.scoreAuc _),
     "q_binom_nulldev" -> (MlQueries.binomNullDev _),
     "q_binom_fit"        -> (PathQueries.binomFit _),
+    "q_binom_offset_fit" -> (PathQueries.binomOffsetFit _),
     "q_multinom_fit"     -> (PathQueries.multinomFit _),
     "q_multinom_grouped" -> (PathQueries.multinomGrouped _),
     "q_mgauss_fit"       -> (PathQueries.mgaussFit _),
@@ -1608,6 +1609,21 @@ object SparkEntry {
         |  sign(cxy/sd) * greatest(abs(cxy/sd) - 0.0002, 0) / (p * (1 - p)) / sd AS b
         |FROM s)
         |SELECT 'a0' AS term, round(ln(p / (1 - p)) - b * mx, 6) + 0 AS value FROM t
+        |UNION ALL SELECT 'l_quantity', round(b, 6) + 0 FROM t
+        |ORDER BY term""".stripMargin,
+
+    // the q_binom_fit closed form with the intercept shifted by the
+    // constant offset −0.7 (the offset null is logit(p) − c exactly)
+    "q_binom_offset_fit" ->
+      """WITH s AS (SELECT avg(l_quantity) mx, sqrt(var_pop(l_quantity)) sd,
+        |  avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) p,
+        |  covar_pop(l_quantity, CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) cxy
+        |FROM lineitem),
+        |t AS (SELECT mx, p,
+        |  sign(cxy/sd) * greatest(abs(cxy/sd) - 0.0002, 0) / (p * (1 - p)) / sd AS b
+        |FROM s)
+        |SELECT 'a0' AS term,
+        |  round(ln(p / (1 - p)) - 0.7::DOUBLE - b * mx, 6) + 0 AS value FROM t
         |UNION ALL SELECT 'l_quantity', round(b, 6) + 0 FROM t
         |ORDER BY term""".stripMargin,
 

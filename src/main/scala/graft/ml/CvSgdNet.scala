@@ -1340,16 +1340,19 @@ object CvSgdNet {
     *    held-out residual (hence deviance/mse/mae) is the
     *    adjusted-response residual. Delegates to [[fit]] /
     *    [[fitWeighted]], one-pass moment CV included.
-    *  - poisson: SHARED offset-IRLS chassis — all folds advance through
-    *    ONE treeAggregate per Newton round at η = off + a0_f + xs·β_f
-    *    (the fitPoissonOffset algebra, fold-tiled), per-fold
-    *    exposure-weighted null intercepts a0_f = ln(Σv·y / Σv·e^off)
-    *    from subtracted train sums, the offset-corrected lambda-path
-    *    gradient, and held-out scores with the offset in the prediction.
+    *  - binomial / poisson: SHARED offset-IRLS chassis — all folds
+    *    advance through ONE treeAggregate per Newton round at
+    *    η = off + a0_f + xs·β_f (the fitPoissonOffset /
+    *    fitBinomialOffset algebra, fold-tiled), per-fold offset null
+    *    intercepts from subtracted train sums (poisson closed-form
+    *    ln(Σv·y/Σv·e^off); binomial via a fold-tiled Newton loop — the
+    *    offset null has no closed form), the offset-corrected
+    *    lambda-path gradient, and held-out scores with the offset in
+    *    the prediction. Binomial adds class|auc measures.
     *
     * `weightCol` adds frequency weights with the per-fold sum-to-n_train
-    * renormalization (the [[fitWeighted]] convention). Measures:
-    * deviance|mse|mae. Same family surface as [[SgdNet.fitWithOffset]]. */
+    * renormalization (the [[fitWeighted]] convention). Same family
+    * surface as [[SgdNet.fitWithOffset]]. */
   def fitWithOffset(df: DataFrame, featureCols: Seq[String], labelCol: String,
                     offsetCol: String,
                     params: SgdNetParams = SgdNetParams(),
@@ -1359,8 +1362,13 @@ object CvSgdNet {
                     alphas: Seq[Double] = Seq.empty,
                     weightCol: String = null): CvResult = {
     require(nfolds >= 2, "nfolds must be at least 2")
-    require(Set("deviance", "mse", "mae").contains(measure),
-      s"offset CV supports deviance|mae|mse, not '$measure'")
+    val okMeasures = params.family match {
+      case "binomial" => Set("deviance", "mse", "mae", "class", "auc")
+      case _          => Set("deviance", "mse", "mae")
+    }
+    require(okMeasures.contains(measure),
+      s"offset ${params.family} CV supports " +
+        s"${okMeasures.toSeq.sorted.mkString("|")}, not '$measure'")
     params.family match {
       case "gaussian" =>
         // replace the label IN PLACE (keep every other column: a
@@ -1373,39 +1381,51 @@ object CvSgdNet {
         else
           fitWeighted(adj, featureCols, labelCol, weightCol, params, nfolds,
             measure, foldCol, alphas)
-      case "poisson" =>
+      case "binomial" | "poisson" =>
         val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
-        val paths = alphaGrid.map(a => cvOffsetPoissonShared(df, featureCols,
+        val paths = alphaGrid.map(a => cvOffsetGlmShared(df, featureCols,
           labelCol, offsetCol, params.copy(alpha = a), nfolds, foldCol,
           measure, weightCol))
         val best = paths.minBy(p => p.cvm.min)
         CvResult(paths, best)
       case f => throw new IllegalArgumentException(
-        s"offset CV supports gaussian and poisson, not $f " +
+        s"offset CV supports gaussian, binomial, poisson, not $f " +
           "(the SgdNet.fitWithOffset surface)")
     }
   }
 
-  /** Shared-pass poisson CV with a per-row offset (see
+  /** Shared-pass binomial/poisson CV with a per-row offset (see
     * [[fitWithOffset]]): the [[cvWeightedGlmShared]] fold-tiling with
     * η = off + a0_f + xs·β_f in every IRLS pass and the WLS target
-    * z − off, so each fold's inner solve fits exactly a0 + xs·β — the
-    * fitPoissonOffset arithmetic per fold. The full-data model rides as
-    * virtual fold nfolds. */
-  private def cvOffsetPoissonShared(df: DataFrame, featureCols: Seq[String],
-                                    labelCol: String, offsetCol: String,
-                                    params: SgdNetParams, nfolds: Int,
-                                    foldCol: Column, measure: String,
-                                    weightCol: String): CvPath = {
+    * z − off, so each fold's inner solve fits exactly a0 + xs·β. The
+    * full-data model rides as virtual fold nfolds. */
+  private def cvOffsetGlmShared(df: DataFrame, featureCols: Seq[String],
+                                labelCol: String, offsetCol: String,
+                                params: SgdNetParams, nfolds: Int,
+                                foldCol: Column, measure: String,
+                                weightCol: String): CvPath = {
     SgdNet.requireNoZeroPf(params, "shared offset CV")
     val p = featureCols.size
+    val binomial = params.family == "binomial"
+    val classes: Array[String] =
+      if (binomial) {
+        val cs = df.select(col(labelCol).cast("string")).distinct()
+          .limit(3).collect().map(_.getString(0)).sorted
+        require(cs.length == 2,
+          if (cs.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
+          else "only one class in response.")
+        cs
+      } else Array.empty
+    val yCol =
+      if (binomial) (col(labelCol).cast("string") === classes(1)).cast("double")
+      else col(labelCol).cast("double")
     val weighted = weightCol != null
     val wCol = if (weighted) col(weightCol).cast("double") else lit(1.0)
     val hashCols = (featureCols :+ labelCol).map(col)
     val rows0 = df
       .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
       .select((featureCols.map(c => col(c).cast("double")) :+
-        col(labelCol).cast("double") :+ col(offsetCol).cast("double") :+
+        yCol :+ col(offsetCol).cast("double") :+
         col("__fold") :+ wCol): _*)
       .rdd.map { r =>
         val x = new Array[Double](p)
@@ -1421,21 +1441,25 @@ object CvSgdNet {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val F = nfolds + 1
-      // ONE pass: per-fold RAW-v moments + Σv + Σv·e^off (exposure)
+      // ONE pass: per-fold RAW-v moments + Σv + Σv·e^off (poisson
+      // exposure) + Σv·off (the binomial Newton start)
       val zero = (Array.fill(nfolds)(new GramStats(p, 1)),
-        new Array[Double](nfolds), new Array[Double](nfolds))
-      val (perFold, wFold, eFold) = rows.treeAggregate(zero)(
+        new Array[Double](nfolds), new Array[Double](nfolds),
+        new Array[Double](nfolds))
+      val (perFold, wFold, eFold, oFold) = rows.treeAggregate(zero)(
         (acc, t) => {
           acc._1(t._1).addWeighted(t._2, Array(t._3), t._5)
           acc._2(t._1) += t._5
           acc._3(t._1) += t._5 *
             math.exp(math.max(math.min(t._4, 30.0), -30.0))
+          acc._4(t._1) += t._5 * t._4
           acc
         },
         (a, b) => {
           var i = 0
           while (i < nfolds) {
             a._1(i).merge(b._1(i)); a._2(i) += b._2(i); a._3(i) += b._3(i)
+            a._4(i) += b._4(i)
             i += 1
           }
           a
@@ -1445,10 +1469,12 @@ object CvSgdNet {
       perFold.foreach(total.merge)
       val wTotal = wFold.sum
       val eTotal = eFold.sum
+      val oTotal = oFold.sum
       val syTotal = total.sumY(0)
       val perFoldExt = perFold :+ new GramStats(p, 1)
       val wFoldExt = wFold :+ 0.0
       val eFoldExt = eFold :+ 0.0
+      val oFoldExt = oFold :+ 0.0
       val syFoldExt = perFold.map(_.sumY(0)) :+ 0.0
       val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
       val norms = Array.tabulate(F)(f => nTrain(f) / (wTotal - wFoldExt(f)))
@@ -1457,14 +1483,63 @@ object CvSgdNet {
           .scaleWeights(norms(f))
         SufficientStats.standardize(tr, params.standardize, params.intercept)
       }
-      // per-fold exposure-weighted null intercept: the raw-v ratio (the
-      // sum-to-n norm cancels between numerator and denominator)
-      val a0Null = Array.tabulate(F) { f =>
-        val sy = syTotal - syFoldExt(f)
-        require(sy > 0,
-          "poisson response must contain positive counts in every train fold")
-        if (params.intercept) math.log(sy / (eTotal - eFoldExt(f))) else 0.0
-      }
+      var sharedPasses = 1
+      // per-fold offset null intercept: poisson is the closed-form
+      // raw-v ratio (the sum-to-n norm cancels); binomial converges a
+      // fold-tiled Newton from the mean-offset-shifted logit (exact
+      // already for a constant offset, so the loop usually does one
+      // confirming pass)
+      val a0Null: Array[Double] =
+        if (!binomial) Array.tabulate(F) { f =>
+          val sy = syTotal - syFoldExt(f)
+          require(sy > 0,
+            "poisson response must contain positive counts in every train fold")
+          if (params.intercept) math.log(sy / (eTotal - eFoldExt(f))) else 0.0
+        } else {
+          val a0 = Array.tabulate(F) { f =>
+            val tw = wTotal - wFoldExt(f)
+            val yb = (syTotal - syFoldExt(f)) / tw
+            require(yb > 0 && yb < 1,
+              "binomial response must contain both classes in every train fold")
+            if (params.intercept)
+              math.log(yb / (1 - yb)) - (oTotal - oFoldExt(f)) / tw
+            else 0.0
+          }
+          if (params.intercept) {
+            var it = 0
+            var done = false
+            while (it < 25 && !done) {
+              val a0Snap = a0.clone()
+              val acc = rows.treeAggregate(new Array[Double](2 * F))(
+                (s, t) => {
+                  val (rowFold, _, y, off, v) = t
+                  var f = 0
+                  while (f < F) {
+                    if (f != rowFold) {
+                      val mu = 1.0 / (1.0 + math.exp(-(a0Snap(f) + off)))
+                      s(2 * f) += v * (y - mu)
+                      s(2 * f + 1) += v * math.max(mu * (1.0 - mu), 1e-10)
+                    }
+                    f += 1
+                  }
+                  s
+                },
+                (a, b) => {
+                  var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+                }, depth = 2)
+              sharedPasses += 1
+              var mx = 0.0
+              for (f <- 0 until F) {
+                val step = acc(2 * f) / acc(2 * f + 1)
+                a0(f) += step
+                if (math.abs(step) > mx) mx = math.abs(step)
+              }
+              it += 1
+              if (mx < 1e-12) done = true
+            }
+          }
+          a0
+        }
       val means = trainStats.map(st =>
         if (params.intercept) st.xMean else new Array[Double](p))
       val scales = trainStats.map(st =>
@@ -1490,7 +1565,9 @@ object CvSgdNet {
           val bOff = rows.treeAggregate(new Array[Double](p))(
             (acc, t) => {
               val (_, xr, y, off, v) = t
-              val mu = math.exp(math.max(math.min(a0N + off, 30.0), -30.0))
+              val mu =
+                if (binomial) 1.0 / (1.0 + math.exp(-(a0N + off)))
+                else math.exp(math.max(math.min(a0N + off, 30.0), -30.0))
               val r = v * nrm * (y - mu)
               var j = 0
               while (j < p) { acc(j) += (xr(j) - mF(j)) / sF(j) * r; j += 1 }
@@ -1498,6 +1575,7 @@ object CvSgdNet {
             },
             (a, b) => { var i = 0; while (i < p) { a(i) += b(i); i += 1 }; a },
             depth = 2)
+          sharedPasses += 1
           LambdaPath.build(Array(bOff.map(_ / nTrain(nfolds))), params.alpha,
             params.nlambda, minRatio, params.penaltyFactor)
         }
@@ -1507,7 +1585,6 @@ object CvSgdNet {
       val a0 = a0Null.clone()
       val a0Out = Array.ofDim[Double](F, L)
       val betaOut = Array.ofDim[Double](F, L, p)
-      var sharedPasses = 0
       val lastGram = Array.fill[BinWGram](F)(null)
 
       def solveFold(f: Int, g: BinWGram, l: Int): (Array[Double], Double) = {
@@ -1560,10 +1637,18 @@ object CvSgdNet {
                   while (j < p) {
                     xs(j) = (xr(j) - m(j)) / s(j); eta += xs(j) * bf(j); j += 1
                   }
-                  val etaC = math.max(math.min(eta, 30.0), -30.0)
-                  val mu = math.exp(etaC)
-                  val w = math.max(mu, 1e-5)
-                  val z = etaC + (y - mu) / w - off
+                  var w = 0.0
+                  var z = 0.0
+                  if (binomial) {
+                    val mu = 1.0 / (1.0 + math.exp(-eta))
+                    w = math.max(mu * (1.0 - mu), 1e-5)
+                    z = eta + (y - mu) / w - off
+                  } else {
+                    val etaC = math.max(math.min(eta, 30.0), -30.0)
+                    val mu = math.exp(etaC)
+                    w = math.max(mu, 1e-5)
+                    z = etaC + (y - mu) / w - off
+                  }
                   acc(f).add(xs, w * v * bNorms.value(f), z)
                 }
                 f += 1
@@ -1604,7 +1689,11 @@ object CvSgdNet {
       val devs = rows.treeAggregate(new Array[Double](L + 1))(
         (acc, t) => {
           val (_, x, y, off, v) = t
-          def devTerm(mu: Double): Double = {
+          def binDev(eta: Double): Double = {
+            val m = math.max(eta, 0.0)
+            2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y * eta)
+          }
+          def poisDev(mu: Double): Double = {
             val ylog = if (y > 0) y * math.log(y / mu) else 0.0
             2.0 * (ylog - (y - mu))
           }
@@ -1615,11 +1704,13 @@ object CvSgdNet {
             val bl = betaFull(l)(0)
             var j = 0
             while (j < p) { eta += bl(j) * x(j); j += 1 }
-            acc(l) += vn * devTerm(math.exp(math.max(math.min(eta, 30.0), -30.0)))
+            acc(l) += vn * (if (binomial) binDev(eta)
+              else poisDev(math.exp(math.max(math.min(eta, 30.0), -30.0))))
             l += 1
           }
-          acc(L) += vn * devTerm(
-            math.exp(math.max(math.min(a0NullFull + off, 30.0), -30.0)))
+          acc(L) += vn * (if (binomial) binDev(a0NullFull + off)
+            else poisDev(math.exp(
+              math.max(math.min(a0NullFull + off, 30.0), -30.0))))
           acc
         },
         (a, b) => { var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a },
@@ -1627,41 +1718,81 @@ object CvSgdNet {
       val nulldev = devs(L)
       val devRatio = Array.tabulate(L)(l =>
         if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
-      val full = new SgdNetModel("poisson", names, Array(labelCol),
-        Array.empty, lambdas, a0Full, betaFull, nulldev, devRatio, total.n,
+      val full = new SgdNetModel(params.family, names, Array(labelCol),
+        classes, lambdas, a0Full, betaFull, nulldev, devRatio, total.n,
         sharedPasses + 2, params)
 
-      // held-out scoring per (fold, lambda): μ includes the row's own
-      // offset (glmnet newoffset); Σv·err / Σv with RAW v
+      // held-out scoring per (fold, lambda): the prediction includes the
+      // row's own offset (glmnet newoffset); Σv·err / Σv with RAW v
       val bA0 = sc.broadcast(a0Out)
       val bBeta = sc.broadcast(betaOut)
-      val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
-        (acc, t) => {
-          val (f, x, y, off, v) = t
-          var l = 0
-          while (l < L) {
-            var eta = bA0.value(f)(l) + off
-            val bl = bBeta.value(f)(l)
-            var j = 0
-            while (j < p) { eta += bl(j) * x(j); j += 1 }
-            val mu = math.exp(math.max(math.min(eta, 30.0), -30.0))
-            acc(f * L + l) += v * (measure match {
-              case "mse" => (y - mu) * (y - mu)
-              case "mae" => math.abs(y - mu)
-              case "deviance" =>
-                val ylog = if (y > 0) y * math.log(y / mu) else 0.0
-                2.0 * (ylog - (y - mu))
-              case other => // unreachable: fitWithOffset validates
-                throw new IllegalArgumentException(s"unknown measure $other")
-            })
-            l += 1
-          }
-          acc
-        },
-        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
-        depth = 2)
-      val foldScores = Array.tabulate(nfolds, L)((f, l) =>
-        sums(f * L + l) / wFold(f))
+      val foldScores = measure match {
+        case "auc" =>
+          val spark = df.sparkSession
+          val scored = spark.createDataFrame(rows.map { t =>
+            val (f, x, y, off, v) = t
+            val etas = new Array[Double](L)
+            var l = 0
+            while (l < L) {
+              var eta = bA0.value(f)(l) + off
+              val bl = bBeta.value(f)(l)
+              var j = 0
+              while (j < p) { eta += bl(j) * x(j); j += 1 }
+              etas(l) = eta
+              l += 1
+            }
+            (f, y, v, etas)
+          }).toDF("__fold", "__y", "__v", "__etas")
+          val exploded = scored
+            .select(col("__fold"), col("__y"), col("__v"),
+              posexplode(col("__etas")).as(Seq("__l", "__s")))
+            .select((col("__l") * nfolds + col("__fold")).as("__g"),
+              col("__s"), col("__y"), col("__v"))
+          val aucs = aucPerGroup(exploded, L * nfolds,
+            weightCol = if (weighted) "__v" else null)
+          Array.tabulate(nfolds, L)((f, l) => aucs(l * nfolds + f))
+        case _ =>
+          val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
+            (acc, t) => {
+              val (f, x, y, off, v) = t
+              var l = 0
+              while (l < L) {
+                var eta = bA0.value(f)(l) + off
+                val bl = bBeta.value(f)(l)
+                var j = 0
+                while (j < p) { eta += bl(j) * x(j); j += 1 }
+                acc(f * L + l) += v * (if (binomial) {
+                  val mu = 1.0 / (1.0 + math.exp(-eta))
+                  measure match {
+                    case "mse" => 2.0 * (mu - y) * (mu - y)
+                    case "mae" => 2.0 * math.abs(mu - y)
+                    case "class" => if ((if (mu > 0.5) 1.0 else 0.0) != y) 1.0 else 0.0
+                    case "deviance" =>
+                      val mc = math.min(math.max(mu, 1e-5), 1.0 - 1e-5)
+                      -2.0 * (y * math.log(mc) + (1 - y) * math.log(1 - mc))
+                    case other => // unreachable: fitWithOffset validates
+                      throw new IllegalArgumentException(s"unknown measure $other")
+                  }
+                } else {
+                  val mu = math.exp(math.max(math.min(eta, 30.0), -30.0))
+                  measure match {
+                    case "mse" => (y - mu) * (y - mu)
+                    case "mae" => math.abs(y - mu)
+                    case "deviance" =>
+                      val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+                      2.0 * (ylog - (y - mu))
+                    case other => // unreachable: fitWithOffset validates
+                      throw new IllegalArgumentException(s"unknown measure $other")
+                  }
+                })
+                l += 1
+              }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          Array.tabulate(nfolds, L)((f, l) => sums(f * L + l) / wFold(f))
+      }
       summarize(params.alpha, lambdas, foldScores, full)
     } finally rows.unpersist(blocking = false)
   }

@@ -1657,8 +1657,10 @@ object SgdNet {
         fit(adj, featureCols, labelCol, params)
       case "poisson" => fitPoissonOffset(df, featureCols, labelCol,
         offsetCol, params)
+      case "binomial" => fitBinomialOffset(df, featureCols, labelCol,
+        offsetCol, params)
       case f => throw new IllegalArgumentException(
-        s"fitWithOffset supports gaussian and poisson, not $f")
+        s"fitWithOffset supports gaussian, binomial, poisson, not $f")
     }
   }
 
@@ -1683,8 +1685,10 @@ object SgdNet {
         fitWeighted(adj, featureCols, labelCol, weightCol, params)
       case "poisson" => fitPoissonOffset(df, featureCols, labelCol,
         offsetCol, params, weightCol)
+      case "binomial" => fitBinomialOffset(df, featureCols, labelCol,
+        offsetCol, params, weightCol)
       case f => throw new IllegalArgumentException(
-        s"fitWithOffsetWeighted supports gaussian and poisson, not $f")
+        s"fitWithOffsetWeighted supports gaussian, binomial, poisson, not $f")
     }
   }
 
@@ -1885,6 +1889,230 @@ object SgdNet {
 
       new SgdNetModel("poisson", featureCols.toArray, Array(labelCol),
         Array.empty, lambdas, a0Out, betaOut, nulldev, devRatio, g.n,
+        passes, params)
+    } finally { raw.unpersist(blocking = false); () }
+  }
+
+  /** Binomial offset fit (round 16 — glmnet supports `offset` for
+    * every family; gaussian/poisson shipped earlier, this closes
+    * binomial): the [[fitPoissonOffset]] IRLS shape with sigmoid
+    * forms. The null intercept with a per-row offset has no closed
+    * form — a0Null solves Σv·sigmoid(a0 + off) = Σv·y — so a driver
+    * Newton loop over one-scalar-pair data passes converges it
+    * (quadratic; with a CONSTANT offset the start
+    * logit(ȳ) − mean(off) is already the exact root). `weightCol`
+    * folds v (sum-to-n normalized over kept rows) into every
+    * accumulation; the unweighted call passes vn = 1.0 everywhere. */
+  private def fitBinomialOffset(df: DataFrame, featureCols: Seq[String],
+                                labelCol: String, offsetCol: String,
+                                params: SgdNetParams,
+                                weightCol: String = null): SgdNetModel = {
+    import org.apache.spark.sql.functions.{col, lit}
+    requireNoZeroPf(params, "binomial offset")
+    val p = featureCols.size
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .limit(3).collect().map(_.getString(0)).sorted
+    require(classes.length == 2,
+      if (classes.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
+      else "only one class in response.")
+    val yCol = (col(labelCol).cast("string") === classes(1)).cast("double")
+    val wCol = if (weightCol == null) lit(1.0) else col(weightCol).cast("double")
+    val raw = df.select((featureCols.map(c => col(c).cast("double")) ++
+        Seq(yCol, col(offsetCol).cast("double"), wCol)): _*)
+      .rdd.map { row =>
+        val x = Array.tabulate(p)(j => row.getDouble(j))
+        (x, Array(row.getDouble(p), row.getDouble(p + 1), row.getDouble(p + 2)))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows =
+        if (weightCol == null) raw
+        else {
+          val (nRows, wSum) = raw.treeAggregate((0L, 0.0))(
+            seqOp = (s, r) => {
+              require(r._2(2) >= 0, "weights must be non-negative")
+              if (r._2(2) > 0) (s._1 + 1, s._2 + r._2(2)) else s
+            },
+            combOp = (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+          require(nRows > 0, "the response (y) is empty.")
+          val norm = nRows.toDouble / wSum
+          raw.filter(_._2(2) > 0)
+            .map(r => (r._1, Array(r._2(0), r._2(1), r._2(2) * norm)))
+        }
+      // weighted moments + Σvn·off in ONE pass (off rides slot p of a
+      // widened stats row is overkill — a paired aggregate suffices)
+      val (g, sumOff) = rows.treeAggregate((new GramStats(p, 1), 0.0))(
+        seqOp = (s, r) =>
+          (s._1.addWeighted(r._1, Array(r._2(0)), r._2(2)),
+            s._2 + r._2(2) * r._2(1)),
+        combOp = (a, b) => (a._1.merge(b._1), a._2 + b._2), depth = 2)
+      val st = SufficientStats.standardize(g, params.standardize, params.intercept)
+      val n = g.n.toDouble
+      val ybar = st.yMean(0)
+      require(ybar > 0 && ybar < 1, "binomial response must contain both classes")
+      var passes = 1
+
+      // null intercept: Newton on a0 with μ = σ(a0 + off_i); the
+      // mean-offset-shifted logit start is exact for a constant offset
+      var a0Null = if (params.intercept)
+        math.log(ybar / (1 - ybar)) - sumOff / n else 0.0
+      if (params.intercept) {
+        var it = 0
+        var done = false
+        while (it < 25 && !done) {
+          val (s1, s2) = rows.treeAggregate((0.0, 0.0))(
+            (s, r) => {
+              val mu = 1.0 / (1.0 + math.exp(-(a0Null + r._2(1))))
+              (s._1 + r._2(2) * (r._2(0) - mu),
+                s._2 + r._2(2) * math.max(mu * (1.0 - mu), 1e-10))
+            },
+            (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+          passes += 1
+          val step = s1 / s2
+          a0Null += step
+          it += 1
+          if (math.abs(step) < 1e-12) done = true
+        }
+      }
+
+      val mean = if (params.intercept) st.xMean else new Array[Double](p)
+      val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      val minRatio = if (params.lambdaMinRatio.isNaN)
+        LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
+      val lambdas = if (params.lambda != null) params.lambda
+        else {
+          // offset-corrected lambda_max: gradient at the offset null
+          val a0N = a0Null
+          val bOff = rows.treeAggregate(new Array[Double](p))(
+            seqOp = (acc, xy) => {
+              val (xr, yo) = xy
+              val mu = 1.0 / (1.0 + math.exp(-(a0N + yo(1))))
+              val r = yo(2) * (yo(0) - mu)
+              var j = 0
+              while (j < p) {
+                acc(j) += (xr(j) - mean(j)) / scale(j) * r; j += 1
+              }
+              acc
+            },
+            combOp = (a, b) => {
+              var i = 0; while (i < p) { a(i) += b(i); i += 1 }; a
+            }, depth = 2)
+          passes += 1
+          LambdaPath.build(Array(bOff.map(_ / n)), params.alpha,
+            params.nlambda, minRatio, params.penaltyFactor)
+        }
+      val sc = rows.sparkContext
+      val bMean = sc.broadcast(mean)
+      val bScale = sc.broadcast(scale)
+
+      val L = lambdas.length
+      val a0Out = Array.ofDim[Double](L, 1)
+      val betaOut = Array.ofDim[Double](L, 1, p)
+      var beta = new Array[Double](p)
+      var a0 = a0Null
+      val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
+      val (loStd, upStd) = boundsStd(params, scale, 1.0)
+
+      for (l <- 0 until L) {
+        var iter = 0
+        var done = false
+        while (iter < 25 && !done) {
+          // IRLS pass at η = off + a0 + xs·β; the WLS target is z − off
+          val wg = rows.treeAggregate(new WGram(p))(
+            seqOp = (s, xy) => {
+              val (xr, yo) = xy
+              val off = yo(1)
+              val xs = new Array[Double](p)
+              var j = 0
+              var eta = a0 + off
+              while (j < p) {
+                xs(j) = (xr(j) - bMean.value(j)) / bScale.value(j)
+                eta += xs(j) * beta(j)
+                j += 1
+              }
+              val mu = 1.0 / (1.0 + math.exp(-eta))
+              val wr = math.max(mu * (1.0 - mu), 1e-5)
+              val w = wr * yo(2) // frequency weight folds in
+              val z = eta + (yo(0) - mu) / wr - off
+              s.sw += w; s.swz += w * z
+              j = 0
+              while (j < p) {
+                val wxj = w * xs(j)
+                s.swx(j) += wxj
+                s.swxz(j) += wxj * z
+                var i = 0
+                val base = j * (j + 1) / 2
+                while (i <= j) { s.swxx(base + i) += xs(i) * wxj; i += 1 }
+                j += 1
+              }
+              s
+            },
+            combOp = (a, b) => {
+              a.sw += b.sw; a.swz += b.swz
+              var i = 0
+              while (i < a.swx.length) {
+                a.swx(i) += b.swx(i); a.swxz(i) += b.swxz(i); i += 1
+              }
+              i = 0
+              while (i < a.swxx.length) { a.swxx(i) += b.swxx(i); i += 1 }
+              a
+            }, depth = 2)
+          passes += 1
+          val ninv = 1.0 / n
+          val aM = LinAlg.unpackSym(wg.swxx, p).map(_.map(_ * ninv))
+          val r = CoordinateDescent.solve(aM, wg.swxz.map(_ * ninv),
+            wg.swx.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
+            lambdas(l), params.alpha, params.intercept, beta,
+            thresh = newtonTol, maxIter = params.maxit,
+            penaltyFactor = params.penaltyFactor,
+            lower = loStd, upper = upStd)
+          var maxD = math.abs(r.a0 - a0)
+          var j = 0
+          while (j < p) {
+            val d = math.abs(r.beta(j) - beta(j)); if (d > maxD) maxD = d; j += 1
+          }
+          beta = r.beta; a0 = r.a0
+          iter += 1
+          if (maxD < math.max(params.thresh * 1e-2, 1e-8)) done = true
+        }
+        for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
+        a0Out(l)(0) =
+          if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
+          else a0
+      }
+
+      // deviance with per-row offset; the null model is the converged
+      // offset null intercept (or the bare offset without intercept)
+      val devs = rows.treeAggregate(new Array[Double](L + 1))(
+        seqOp = (acc, xy) => {
+          val (x, yo) = xy
+          val off = yo(1)
+          def binDev(eta: Double): Double = {
+            val m = math.max(eta, 0.0)
+            2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - yo(0) * eta)
+          }
+          var l = 0
+          while (l < L) {
+            var eta = a0Out(l)(0) + off
+            var j = 0
+            val bl = betaOut(l)(0)
+            while (j < p) { eta += bl(j) * x(j); j += 1 }
+            acc(l) += yo(2) * binDev(eta)
+            l += 1
+          }
+          acc(L) += yo(2) * binDev(a0Null + off)
+          acc
+        },
+        combOp = (a, b) => {
+          var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a
+        },
+        depth = 2)
+      passes += 1
+      val nulldev = devs(L)
+      val devRatio = Array.tabulate(L)(l =>
+        if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
+
+      new SgdNetModel("binomial", featureCols.toArray, Array(labelCol),
+        classes, lambdas, a0Out, betaOut, nulldev, devRatio, g.n,
         passes, params)
     } finally { raw.unpersist(blocking = false); () }
   }

@@ -89,6 +89,31 @@ object PathQueries {
       .orderBy("term")
   }
 
+  /** Binomial fit with a CONSTANT offset, one IRLS step from the
+    * closed-form offset null (round 16 — `SgdNet.fitBinomialOffset`;
+    * glmnet supports offset for every family): with a constant offset
+    * c the null intercept is logit(p) − c exactly (the driver Newton
+    * null solve starts there and its first step is a zero-gradient
+    * confirmation), and the first IRLS step's weights are constant
+    * w = p(1−p) — so the whole model is the [[binomFit]] closed form
+    * with the intercept shifted by −c, bit-exact through the REAL
+    * chain (Newton null → offset IRLS pass → CD → back-transform).
+    * The per-row-varying offset regime is spec-anchored against
+    * spark.ml GeneralizedLinearRegression (OffsetCvSpec). */
+  def binomOffsetFit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+      .withColumn("c", lit(0.7))
+    val m = SgdNet.fitWithOffset(li, Seq("l_quantity"), "is_r", "c",
+      SgdNetParams(family = "binomial", alpha = 1.0, lambda = Array(0.0002),
+        thresh = 1e6))
+    Seq(("a0", m.a0(0)(0)), ("l_quantity", m.beta(0)(0)(0)))
+      .toDF("term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("term")
+  }
+
   /** Multinomial lasso over l_returnflag (3 classes), ONE FISTA step from
     * the null point (maxit = 1) — closed form, so oracle-EXACT: the null
     * intercepts are ln(class priors) (softmax gradient w.r.t. a0 vanishes

@@ -20,8 +20,10 @@ class OffsetCvSpec extends SparkSpec {
       val mu = math.exp(0.3 + 0.4 * x1 + off)
       val yp = math.max(0L, math.round(mu + rnd.nextGaussian() * math.sqrt(mu))).toDouble
       val yg = 1.0 + 0.8 * x1 - 0.5 * x2 + off + rnd.nextGaussian() * 0.3
-      (i.toLong, x1, x2, off, yg, yp, (i % 3 + 1).toDouble)
-    }.toDF("rid", "x1", "x2", "off", "yg", "yp", "w")
+      val pb = 1.0 / (1.0 + math.exp(-(-0.4 + 0.9 * x1 + off * 0.5)))
+      val yb = if (rnd.nextDouble() < pb) 1.0 else 0.0
+      (i.toLong, x1, x2, off, yg, yp, yb, (i % 3 + 1).toDouble)
+    }.toDF("rid", "x1", "x2", "off", "yg", "yp", "yb", "w")
   }
   private def fold = pmod(xxhash64(col("rid")), lit(3))
 
@@ -92,6 +94,77 @@ class OffsetCvSpec extends SparkSpec {
       assert(math.abs(cv.best.fit.beta(l)(0)(j) - full.beta(l)(0)(j)) < 1e-6)
   }
 
+  test("binomial offset fit == spark.ml GLR; constant offset == shift") {
+    // unregularized offset logistic vs spark.ml GeneralizedLinearRegression
+    // (binomial family + offsetCol) — same MLE, independent solvers
+    val m = SgdNet.fitWithOffset(data, Seq("x1", "x2"), "yb", "off",
+      SgdNetParams(family = "binomial", lambda = Array(0.0),
+        standardize = false, thresh = 1e-10, maxit = 100000))
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x1", "x2")).setOutputCol("fv").transform(data)
+    val glr = new org.apache.spark.ml.regression.GeneralizedLinearRegression()
+      .setFamily("binomial").setLink("logit").setOffsetCol("off")
+      .setFeaturesCol("fv").setLabelCol("yb").setRegParam(0.0)
+      .setTol(1e-10).setMaxIter(200)
+      .fit(assembled)
+    assert(math.abs(m.a0(0)(0) - glr.intercept) < 1e-4,
+      s"a0 ${m.a0(0)(0)} vs ${glr.intercept}")
+    for (j <- 0 until 2)
+      assert(math.abs(m.beta(0)(0)(j) - glr.coefficients(j)) < 1e-4,
+        s"b$j ${m.beta(0)(0)(j)} vs ${glr.coefficients(j)}")
+    // a CONSTANT offset c shifts the intercept by −c, betas unchanged
+    val cst = data.withColumn("c", lit(0.7))
+    val mc = SgdNet.fitWithOffset(cst, Seq("x1", "x2"), "yb", "c",
+      SgdNetParams(family = "binomial", lambda = Array(0.01),
+        thresh = 1e-10, maxit = 100000))
+    val m0 = SgdNet.fit(data, Seq("x1", "x2"), "yb",
+      SgdNetParams(family = "binomial", lambda = Array(0.01),
+        thresh = 1e-10, maxit = 100000))
+    assert(math.abs((mc.a0(0)(0) + 0.7) - m0.a0(0)(0)) < 1e-7)
+    for (j <- 0 until 2)
+      assert(math.abs(mc.beta(0)(0)(j) - m0.beta(0)(0)(j)) < 1e-7)
+  }
+
+  test("binomial offset CV == per-fold standalone refits; zero-offset collapse") {
+    val lambdas = Array(0.05, 0.01)
+    val params = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = lambdas, thresh = 1e-9, maxit = 100000)
+    val cv = CvSgdNet.fitWithOffset(data, Seq("x1", "x2"), "yb", "off",
+      params, nfolds = 3, measure = "deviance", foldCol = fold)
+    val withF = data.withColumn("__f", fold)
+    for (l <- lambdas.indices) {
+      var cvm = 0.0
+      for (f <- 0 until 3) {
+        val m = SgdNet.fitWithOffset(withF.filter(col("__f") =!= f),
+          Seq("x1", "x2"), "yb", "off", params)
+        val test = withF.filter(col("__f") === f)
+          .select("x1", "x2", "off", "yb").collect()
+        var s = 0.0
+        test.foreach { r =>
+          val eta = m.a0(l)(0) + m.beta(l)(0)(0) * r.getDouble(0) +
+            m.beta(l)(0)(1) * r.getDouble(1) + r.getDouble(2)
+          val mu0 = 1.0 / (1.0 + math.exp(-eta))
+          val mu = math.min(math.max(mu0, 1e-5), 1.0 - 1e-5)
+          val y = r.getDouble(3)
+          s += -2.0 * (y * math.log(mu) + (1 - y) * math.log(1 - mu))
+        }
+        cvm += s / test.length
+      }
+      cvm /= 3.0
+      assert(math.abs(cv.best.cvm(l) - cvm) < 1e-5 * math.max(1.0, cvm),
+        s"cvm($l): ${cv.best.cvm(l)} vs $cvm")
+    }
+    // zero offset collapses to the plain shared binomial CV (incl. auc)
+    val z = data.withColumn("z0", lit(0.0))
+    for (measure <- Seq("deviance", "auc")) {
+      val o = CvSgdNet.fitWithOffset(z, Seq("x1", "x2"), "yb", "z0", params,
+        nfolds = 3, measure = measure, foldCol = fold)
+      val d = CvSgdNet.fit(data, Seq("x1", "x2"), Seq("yb"), params,
+        nfolds = 3, measure = measure, foldCol = fold)
+      assertClose(o.best, d.best, 1e-7, s"binom/zero-offset/$measure")
+    }
+  }
+
   test("zero offset == plain poisson CV; weights == duplication; contracts") {
     val z = data.withColumn("z0", lit(0.0))
     val params = SgdNetParams(family = "poisson", alpha = 1.0,
@@ -112,7 +185,7 @@ class OffsetCvSpec extends SparkSpec {
     assertClose(ow.best, od.best, 1e-8, "poisson/weights-duplication")
     intercept[IllegalArgumentException] {
       CvSgdNet.fitWithOffset(data, Seq("x1"), "yp", "off",
-        SgdNetParams(family = "binomial"), nfolds = 3)
+        SgdNetParams(family = "multinomial"), nfolds = 3)
     }
     intercept[IllegalArgumentException] {
       CvSgdNet.fitWithOffset(data, Seq("x1"), "yp", "off",
