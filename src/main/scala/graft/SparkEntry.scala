@@ -37,6 +37,7 @@ object SparkEntry {
     "q_binom_nulldev" -> (MlQueries.binomNullDev _),
     "q_binom_fit"        -> (PathQueries.binomFit _),
     "q_binom_offset_fit" -> (PathQueries.binomOffsetFit _),
+    "q_binom_offset_sparse" -> (PathQueries.binomOffsetSparse _),
     "q_multinom_fit"     -> (PathQueries.multinomFit _),
     "q_multinom_grouped" -> (PathQueries.multinomGrouped _),
     "q_mgauss_fit"       -> (PathQueries.mgaussFit _),
@@ -2177,6 +2178,7 @@ object SparkEntry {
     base + ("q_cv_sparse_auc" -> base("q_cv_auc")) +
       ("q_cv_sparse_multinom" -> base("q_cv_multinom")) +
       ("q_cv_sparse_weighted" -> base("q_cv_weighted")) +
-      ("q_cv_sparse_mgauss" -> base("q_cv_mgauss"))
+      ("q_cv_sparse_mgauss" -> base("q_cv_mgauss")) +
+      ("q_binom_offset_sparse" -> base("q_binom_offset_fit"))
   }
 }

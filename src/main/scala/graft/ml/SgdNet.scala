@@ -322,6 +322,296 @@ object SgdNet {
     }
   }
 
+  /** Sparse-input fit WITH a linear-predictor offset (round 16 —
+    * closes the sparse × offset cells; glmnet accepts offset with a
+    * dgCMatrix x): gaussian reduces exactly to [[fitSparse]] /
+    * [[fitSparseWeighted]] on y − offset; binomial/poisson run the
+    * [[fitSparseGlm]] uncentered-moment IRLS with the per-row offset in
+    * every linear predictor and the WLS target z − off (the
+    * fitPoissonOffset / fitBinomialOffset algebra over CSR rows —
+    * never densified). Null intercepts: poisson closed-form
+    * ln(Σv·y/Σv·e^off); binomial via the driver Newton loop (exact at
+    * the mean-offset-shifted logit start for constant offsets). The
+    * lambda path uses the offset-corrected null gradient. `weightCol`
+    * folds sum-to-n normalized frequency weights into every
+    * accumulation. */
+  def fitSparseWithOffset(df: DataFrame, idxCol: String, valCol: String,
+                          dim: Int, labelCol: String, offsetCol: String,
+                          params: SgdNetParams = SgdNetParams(),
+                          weightCol: String = null): SgdNetModel = {
+    import org.apache.spark.sql.functions.{col, lit}
+    params.family match {
+      case "gaussian" =>
+        val adj = df.withColumn(labelCol,
+          col(labelCol).cast("double") - col(offsetCol).cast("double"))
+        if (weightCol == null) fitSparse(adj, idxCol, valCol, dim, labelCol,
+          params)
+        else fitSparseWeighted(adj, idxCol, valCol, dim, labelCol, weightCol,
+          params)
+      case "binomial" | "poisson" =>
+        fitSparseGlmOffset(df, idxCol, valCol, dim, labelCol, offsetCol,
+          params, weightCol)
+      case f => throw new IllegalArgumentException(
+        s"fitSparseWithOffset supports gaussian, binomial, poisson, not $f")
+    }
+  }
+
+  /** The binomial/poisson half of [[fitSparseWithOffset]]. */
+  private def fitSparseGlmOffset(df: DataFrame, idxCol: String,
+                                 valCol: String, dim: Int, labelCol: String,
+                                 offsetCol: String, params: SgdNetParams,
+                                 weightCol: String): SgdNetModel = {
+    import org.apache.spark.sql.functions.{col, lit}
+    requireNoZeroPf(params, "sparse offset GLM")
+    val p = dim
+    val binomial = params.family == "binomial"
+    val classes: Array[String] =
+      if (binomial) {
+        val cs = df.select(col(labelCol).cast("string")).distinct()
+          .limit(3).collect().map(_.getString(0)).sorted
+        require(cs.length == 2,
+          if (cs.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
+          else "only one class in response.")
+        cs
+      } else Array.empty
+    val yCol =
+      if (binomial) (col(labelCol).cast("string") === classes(1)).cast("double")
+      else col(labelCol).cast("double")
+    val wCol = if (weightCol == null) lit(1.0) else col(weightCol).cast("double")
+    val raw = df.select(col(idxCol), col(valCol).cast("array<double>"), yCol,
+        col(offsetCol).cast("double"), wCol)
+      .rdd.map { r =>
+        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray,
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows =
+        if (weightCol == null) raw
+        else {
+          val (nRows, wSum) = raw.treeAggregate((0L, 0.0))(
+            seqOp = (s, r) => {
+              require(r._5 >= 0, "weights must be non-negative")
+              if (r._5 > 0) (s._1 + 1, s._2 + r._5) else s
+            },
+            combOp = (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+          require(nRows > 0, "the response (y) is empty.")
+          val norm = nRows.toDouble / wSum
+          raw.filter(_._5 > 0).map(r => (r._1, r._2, r._3, r._4, r._5 * norm))
+        }
+      // ONE stats pass: weighted sparse moments + Σvn·e^off + Σvn·off
+      val (g, sumExpOff, sumOff) =
+        rows.treeAggregate((new GramStats(p, 1), 0.0, 0.0))(
+          seqOp = (s, r) =>
+            (s._1.addSparseWeighted(r._1, r._2, Array(r._3), r._5),
+              s._2 + r._5 * math.exp(math.max(math.min(r._4, 30.0), -30.0)),
+              s._3 + r._5 * r._4),
+          combOp = (a, b) => (a._1.merge(b._1), a._2 + b._2, a._3 + b._3),
+          depth = 2)
+      val st = SufficientStats.standardize(g, params.standardize, params.intercept)
+      val n = g.n.toDouble
+      val yBar = st.yMean(0)
+      var passes = 1
+
+      // offset null intercept
+      var a0Null =
+        if (!params.intercept) 0.0
+        else if (binomial) {
+          require(yBar > 0 && yBar < 1,
+            "binomial response must contain both classes")
+          math.log(yBar / (1 - yBar)) - sumOff / n
+        } else {
+          require(yBar > 0, "poisson response must contain positive counts")
+          math.log(yBar * n / sumExpOff)
+        }
+      if (binomial && params.intercept) {
+        // Newton on a0 with μ = σ(a0 + off) — the fitBinomialOffset loop
+        var it = 0
+        var done = false
+        while (it < 25 && !done) {
+          val (s1, s2) = rows.treeAggregate((0.0, 0.0))(
+            (s, r) => {
+              val mu = 1.0 / (1.0 + math.exp(-(a0Null + r._4)))
+              (s._1 + r._5 * (r._3 - mu),
+                s._2 + r._5 * math.max(mu * (1.0 - mu), 1e-10))
+            },
+            (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+          passes += 1
+          val step = s1 / s2
+          a0Null += step
+          it += 1
+          if (math.abs(step) < 1e-12) done = true
+        }
+      }
+
+      val mean = if (params.intercept) st.xMean else new Array[Double](p)
+      val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      val minRatio = if (params.lambdaMinRatio.isNaN)
+        LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
+      val lambdas = if (params.lambda != null) params.lambda
+        else {
+          // offset-corrected lambda_max: one SPARSE gradient pass at the
+          // null (uncentered sums + algebraic centering)
+          val a0N = a0Null
+          val acc = rows.treeAggregate(new Array[Double](p + 1))(
+            seqOp = (s, r) => {
+              val mu =
+                if (binomial) 1.0 / (1.0 + math.exp(-(a0N + r._4)))
+                else math.exp(math.max(math.min(a0N + r._4, 30.0), -30.0))
+              val res = r._5 * (r._3 - mu)
+              var i = 0
+              while (i < r._1.length) { s(r._1(i)) += res * r._2(i); i += 1 }
+              s(p) += res
+              s
+            },
+            combOp = (a, b) => {
+              var i = 0; while (i <= p) { a(i) += b(i); i += 1 }; a
+            }, depth = 2)
+          passes += 1
+          val bOff = Array.tabulate(p)(j =>
+            (acc(j) - mean(j) * acc(p)) / scale(j) / n)
+          LambdaPath.build(Array(bOff), params.alpha, params.nlambda,
+            minRatio, params.penaltyFactor)
+        }
+      val (loStd, upStd) = boundsStd(params, scale, 1.0)
+      val sc = rows.sparkContext
+
+      val L = lambdas.length
+      val a0Out = Array.ofDim[Double](L, 1)
+      val betaOut = Array.ofDim[Double](L, 1, p)
+      var beta = new Array[Double](p) // standardized scale
+      var a0 = a0Null
+      val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
+
+      for (l <- 0 until L) {
+        var iter = 0
+        var done = false
+        while (iter < 25 && !done) {
+          // linear-predictor form on the ORIGINAL sparse scale:
+          // η = off_row + cOff + Σ vals·(β/scale)(idx); the WLS target
+          // is z − off_row so the solver fits a0 + xs·β exactly
+          val bOverS = Array.tabulate(p)(j => beta(j) / scale(j))
+          var cOff = a0
+          var j0 = 0
+          while (j0 < p) { cOff -= mean(j0) * bOverS(j0); j0 += 1 }
+          val bc = sc.broadcast(bOverS)
+          val wg = rows.treeAggregate(new SpWGram(p))(
+            seqOp = (s, r) => {
+              val (idx, vals, y, off, vn) = r
+              val bos = bc.value
+              var eta = cOff + off
+              var i = 0
+              while (i < idx.length) { eta += vals(i) * bos(idx(i)); i += 1 }
+              var w = 0.0
+              var z = 0.0
+              if (binomial) {
+                val mu = 1.0 / (1.0 + math.exp(-eta))
+                w = math.max(mu * (1.0 - mu), 1e-5)
+                z = eta + (y - mu) / w - off
+              } else {
+                val etaC = math.max(math.min(eta, 30.0), -30.0)
+                val mu = math.exp(etaC)
+                w = math.max(mu, 1e-5)
+                z = etaC + (y - mu) / w - off
+              }
+              w = w * vn
+              s.sw += w; s.swz += w * z
+              i = 0
+              while (i < idx.length) {
+                val j = idx(i)
+                val wxj = w * vals(i)
+                s.swx(j) += wxj
+                s.swxz(j) += wxj * z
+                var m = 0
+                while (m <= i) {
+                  s.swxx(LinAlg.triIdx(idx(m), j)) += wxj * vals(m)
+                  m += 1
+                }
+                i += 1
+              }
+              s
+            },
+            combOp = (a, b) => a.merge(b), depth = 2)
+          passes += 1
+          // center + standardize algebraically, then the SAME driver CD
+          val ninv = 1.0 / n
+          val swxStd = Array.tabulate(p)(j =>
+            (wg.swx(j) - mean(j) * wg.sw) / scale(j))
+          val swxzStd = Array.tabulate(p)(j =>
+            (wg.swxz(j) - mean(j) * wg.swz) / scale(j))
+          val aM = Array.ofDim[Double](p, p)
+          var j = 0
+          while (j < p) {
+            var i = 0
+            while (i <= j) {
+              val v = (wg.swxx(LinAlg.triIdx(i, j)) - mean(i) * wg.swx(j) -
+                mean(j) * wg.swx(i) + mean(i) * mean(j) * wg.sw) /
+                (scale(i) * scale(j)) * ninv
+              aM(i)(j) = v; aM(j)(i) = v
+              i += 1
+            }
+            j += 1
+          }
+          val r = CoordinateDescent.solve(aM, swxzStd.map(_ * ninv),
+            swxStd.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
+            lambdas(l), params.alpha, params.intercept, beta,
+            thresh = newtonTol, maxIter = params.maxit,
+            penaltyFactor = params.penaltyFactor,
+            lower = loStd, upper = upStd)
+          var maxD = math.abs(r.a0 - a0)
+          j = 0
+          while (j < p) {
+            val d = math.abs(r.beta(j) - beta(j)); if (d > maxD) maxD = d; j += 1
+          }
+          beta = r.beta; a0 = r.a0
+          iter += 1
+          if (maxD < math.max(params.thresh * 1e-2, 1e-8)) done = true
+        }
+        for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
+        a0Out(l)(0) =
+          if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
+          else a0
+      }
+
+      // deviance with per-row offset (sparse eta); the null model is the
+      // converged offset null intercept
+      val featureNames = (0 until p).map(j => s"V$j").toArray
+      val devs = rows.treeAggregate(new Array[Double](L + 1))(
+        seqOp = (acc, r) => {
+          val (idx, vals, y, off, vn) = r
+          def binDev(eta: Double): Double = {
+            val m = math.max(eta, 0.0)
+            2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y * eta)
+          }
+          def poisDev(mu: Double): Double = {
+            val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+            2.0 * (ylog - (y - mu))
+          }
+          var l = 0
+          while (l < L) {
+            var eta = a0Out(l)(0) + off
+            val bl = betaOut(l)(0)
+            var i = 0
+            while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
+            acc(l) += vn * (if (binomial) binDev(eta)
+              else poisDev(math.exp(math.max(math.min(eta, 30.0), -30.0))))
+            l += 1
+          }
+          acc(L) += vn * (if (binomial) binDev(a0Null + off)
+            else poisDev(math.exp(
+              math.max(math.min(a0Null + off, 30.0), -30.0))))
+          acc
+        },
+        combOp = (a, b) => { var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      passes += 1
+      val nulldev = devs(L)
+      val devRatio = Array.tabulate(L)(l =>
+        if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
+      new SgdNetModel(params.family, featureNames, Array(labelCol), classes,
+        lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+    } finally { raw.unpersist(blocking = false); () }
+  }
+
   /** Sparse-input binomial/poisson IRLS (reference supports dgCMatrix for
     * every family — src/saga-sparse.h): the same distributed Newton shape
     * as the dense path, but each pass accumulates UNCENTERED weighted

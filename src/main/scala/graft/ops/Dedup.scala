@@ -1295,28 +1295,21 @@ object Dedup {
           (normal, Some(hp))
         }
       }
+    // the cosine chain keeps the plain shuffle joins: in the clustered
+    // regime most candidate mass routes through the hot-bucket kernel,
+    // so the normal path's vector shuffle is small and the broadcast
+    // variant only added a blocking count + double corpus scan
+    // (measured 22% slower at sf1 — the minhash chain is where the
+    // broadcast lookup wins, see minhashPairsFromSets)
     val cands = bandRows.as("l")
       .join(bandRows.as("r"),
         col("l.table") === col("r.table") && col("l.sig") === col("r.sig") &&
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
-      .localCheckpoint(false)
-    // small candidate lists broadcast into the vector lookups so the
-    // corpus-sized nv frame never shuffles (see CandBroadcastPairs)
-    val joined =
-      if (cands.count() <= CandBroadcastPairs) {
-        val a = v.join(broadcast(cands), col("__id") === col("id_a"))
-          .select(col("id_a"), col("id_b"), col("nv").as("nv_a"))
-        val b = v.join(broadcast(cands), col("__id") === col("id_b"))
-          .select(col("id_a").as("__ba"), col("id_b").as("__bb"),
-            col("nv").as("nv_b"))
-        a.join(b, col("id_a") === col("__ba") && col("id_b") === col("__bb"))
-          .drop("__ba", "__bb")
-      } else cands
-        .join(v.select(col("__id").as("id_a"), col("nv").as("nv_a")), "id_a")
-        .join(v.select(col("__id").as("id_b"), col("nv").as("nv_b")), "id_b")
-    val normalPairs = joined
+    val normalPairs = cands
+      .join(v.select(col("__id").as("id_a"), col("nv").as("nv_a")), "id_a")
+      .join(v.select(col("__id").as("id_b"), col("nv").as("nv_b")), "id_b")
       .withColumn("cos",
         graft.functions.GraftFunctions.dot(spark, col("nv_a"), col("nv_b")))
       .filter(col("cos") >= threshold)

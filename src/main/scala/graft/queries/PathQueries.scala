@@ -114,6 +114,28 @@ object PathQueries {
       .orderBy("term")
   }
 
+  /** SPARSE binomial offset fit (round 16 — offset with a dgCMatrix x,
+    * the last sparse × offset cell): the [[binomOffsetFit]] constant-
+    * offset one-IRLS-step query verbatim through
+    * `SgdNet.fitSparseWithOffset`'s uncentered sparse IRLS — same
+    * data, offset, lambda, so the oracle is byte-identical and any
+    * divergence isolates the sparse offset chassis. */
+  def binomOffsetSparse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+      .withColumn("c", lit(0.7))
+      .withColumn("sidx", array(lit(0)))
+      .withColumn("svals", array(col("l_quantity").cast("double")))
+    val m = SgdNet.fitSparseWithOffset(li, "sidx", "svals", 1, "is_r", "c",
+      SgdNetParams(family = "binomial", alpha = 1.0, lambda = Array(0.0002),
+        thresh = 1e6))
+    Seq(("a0", m.a0(0)(0)), ("l_quantity", m.beta(0)(0)(0)))
+      .toDF("term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("term")
+  }
+
   /** Multinomial lasso over l_returnflag (3 classes), ONE FISTA step from
     * the null point (maxit = 1) — closed form, so oracle-EXACT: the null
     * intercepts are ln(class priors) (softmax gradient w.r.t. a0 vanishes

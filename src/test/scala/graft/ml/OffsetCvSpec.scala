@@ -193,4 +193,56 @@ class OffsetCvSpec extends SparkSpec {
     }
     ()
   }
+
+  test("sparse offset fit == dense offset fit (binomial, poisson, gaussian)") {
+    val sp3 = data.withColumn("idx", array(lit(0), lit(1)))
+      .withColumn("vals", array(col("x1"), col("x2")))
+    val pp = SgdNetParams(family = "poisson", alpha = 1.0,
+      lambda = Array(0.3, 0.05), thresh = 1e-9, maxit = 100000)
+    val dp = SgdNet.fitWithOffset(data, Seq("x1", "x2"), "yp", "off", pp)
+    val spp = SgdNet.fitSparseWithOffset(sp3, "idx", "vals", 2, "yp", "off", pp)
+    for (l <- 0 until 2; j <- 0 until 2) {
+      assert(math.abs(spp.beta(l)(0)(j) - dp.beta(l)(0)(j)) < 1e-7,
+        s"poisson b($l)($j)")
+      assert(math.abs(spp.a0(l)(0) - dp.a0(l)(0)) < 1e-7)
+    }
+    assert(math.abs(spp.nulldev - dp.nulldev) < 1e-6 * dp.nulldev)
+    val pb = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(0.05, 0.01), thresh = 1e-9, maxit = 100000)
+    val db = SgdNet.fitWithOffset(data, Seq("x1", "x2"), "yb", "off", pb)
+    val spb = SgdNet.fitSparseWithOffset(sp3, "idx", "vals", 2, "yb", "off", pb)
+    for (l <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(spb.beta(l)(0)(j) - db.beta(l)(0)(j)) < 1e-7,
+        s"binomial b($l)($j)")
+    // gaussian delegation + data-derived path (offset-corrected
+    // lambda_max must agree between the routes too)
+    val pg = SgdNetParams(alpha = 1.0, nlambda = 5, thresh = 1e-10,
+      maxit = 100000)
+    val dg = SgdNet.fitWithOffset(data, Seq("x1", "x2"), "yg", "off", pg)
+    val spg = SgdNet.fitSparseWithOffset(sp3, "idx", "vals", 2, "yg", "off", pg)
+    assert(spg.lambda.zip(dg.lambda).forall { case (a, b) =>
+      math.abs(a - b) < 1e-9 * b })
+    for (l <- 0 until 5; j <- 0 until 2)
+      assert(math.abs(spg.beta(l)(0)(j) - dg.beta(l)(0)(j)) < 1e-8)
+    // weighted sparse offset == weighted dense offset (poisson)
+    val dpw = SgdNet.fitWithOffsetWeighted(data, Seq("x1", "x2"), "yp",
+      "off", "w", pp)
+    val spw = SgdNet.fitSparseWithOffset(sp3, "idx", "vals", 2, "yp", "off",
+      pp, weightCol = "w")
+    for (l <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(spw.beta(l)(0)(j) - dpw.beta(l)(0)(j)) < 1e-7)
+    // data-derived path for the GLM families agrees with the dense route
+    val ppPath = SgdNetParams(family = "poisson", alpha = 1.0, nlambda = 4,
+      thresh = 1e-9, maxit = 100000)
+    val dpp = SgdNet.fitWithOffset(data, Seq("x1", "x2"), "yp", "off", ppPath)
+    val spp2 = SgdNet.fitSparseWithOffset(sp3, "idx", "vals", 2, "yp", "off",
+      ppPath)
+    assert(spp2.lambda.zip(dpp.lambda).forall { case (a, b) =>
+      math.abs(a - b) < 1e-9 * b }, "poisson offset lambda path")
+    intercept[IllegalArgumentException] {
+      SgdNet.fitSparseWithOffset(sp3, "idx", "vals", 2, "yp", "off",
+        SgdNetParams(family = "multinomial"))
+    }
+    ()
+  }
 }
