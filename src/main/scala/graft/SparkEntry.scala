@@ -39,8 +39,10 @@ object SparkEntry {
     "q_binom_offset_fit" -> (PathQueries.binomOffsetFit _),
     "q_binom_offset_sparse" -> (PathQueries.binomOffsetSparse _),
     "q_multinom_fit"     -> (PathQueries.multinomFit _),
+    "q_multinom_offset"  -> (PathQueries.multinomOffset _),
     "q_multinom_grouped" -> (PathQueries.multinomGrouped _),
     "q_mgauss_fit"       -> (PathQueries.mgaussFit _),
+    "q_mgauss_offset"    -> (PathQueries.mgaussOffset _),
     "q_mgauss_limits"    -> (PathQueries.mgaussLimits _),
     "q_poisson_fit"      -> (PathQueries.poissonFit _),
     "q_poisson_nulldev"  -> (PathQueries.poissonNullDev _),
@@ -1096,6 +1098,27 @@ object SparkEntry {
         |UNION ALL SELECT response, 'l_quantity', round(b1, 4) + 0 FROM u
         |ORDER BY response, term""".stripMargin,
 
+    // the q_mgauss_fit Cramer closed form with each response mean
+    // shifted by its constant offset (identity link: the offset fit
+    // IS the OLS of y - off; slopes unchanged, intercepts -c_t)
+    "q_mgauss_offset" ->
+      """WITH s AS (SELECT var_pop(l_quantity) vq, var_pop(l_discount) vd,
+        |  covar_pop(l_quantity, l_discount) cqd,
+        |  covar_pop(l_quantity, l_extendedprice) c1q,
+        |  covar_pop(l_discount, l_extendedprice) c1d,
+        |  covar_pop(l_quantity, l_tax) c2q, covar_pop(l_discount, l_tax) c2d,
+        |  avg(l_quantity) mq, avg(l_discount) md,
+        |  avg(l_extendedprice) - 100.0 AS m1, avg(l_tax) - 0.05 AS m2 FROM lineitem),
+        |t AS (SELECT *, vq * vd - cqd * cqd AS det FROM s),
+        |u AS (SELECT 'l_extendedprice' AS response, m1 AS my,
+        |        (c1q*vd - cqd*c1d)/det AS b1, (vq*c1d - cqd*c1q)/det AS b2, mq, md FROM t
+        |  UNION ALL SELECT 'l_tax', m2,
+        |        (c2q*vd - cqd*c2d)/det, (vq*c2d - cqd*c2q)/det, mq, md FROM t)
+        |SELECT response, 'a0' AS term, round(my - b1*mq - b2*md, 4) + 0 AS value FROM u
+        |UNION ALL SELECT response, 'l_discount', round(b2, 4) + 0 FROM u
+        |UNION ALL SELECT response, 'l_quantity', round(b1, 4) + 0 FROM u
+        |ORDER BY response, term""".stripMargin,
+
     // alpha = 0 decouples the boxed group prox into the exact clipped
     // ridge step per response (see PathQueries.mgaussLimits): the CD
     // fixed point at p = 1 is u_t = clip(b_std/(gjj + lam), ±20·sd),
@@ -1675,6 +1698,35 @@ object SparkEntry {
         |FROM g, s)
         |SELECT f AS class, 'a0' AS term,
         |       round(ln(p) - (b1 * mx1 + b2 * mx2), 6) + 0 AS value FROM u
+        |UNION ALL SELECT f, 'l_quantity', round(b1, 6) + 0 FROM u
+        |UNION ALL SELECT f, 'l_discount', round(b2, 6) + 0 FROM u
+        |ORDER BY class, term""".stripMargin,
+
+    // multinomial with a constant per-class offset (round 16): the
+    // q_multinom_fit one-FISTA-step closed form with each class
+    // intercept shifted by -c_t (the Newton offset-null start
+    // ln(prior) - mean(off) is exact for constant offsets, so eta at
+    // the null -- and hence the whole first step -- matches the plain
+    // fit's trajectory)
+    "q_multinom_offset" ->
+      """WITH s AS (SELECT avg(l_quantity) mx1, avg(l_discount) mx2,
+        |  sqrt(var_pop(l_quantity)) sd1, sqrt(var_pop(l_discount)) sd2,
+        |  covar_pop(l_quantity, l_discount)
+        |    / (sqrt(var_pop(l_quantity)) * sqrt(var_pop(l_discount))) r
+        |FROM lineitem),
+        |g AS (SELECT f, c, avg(CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) p,
+        |  covar_pop(l_quantity, CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) c1,
+        |  covar_pop(l_discount, CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) c2
+        |FROM lineitem, (VALUES ('A', 0.4), ('N', -0.2), ('R', 0.1)) t(f, c)
+        |GROUP BY f, c),
+        |u AS (SELECT f, c, p, mx1, mx2,
+        |  sign(c1/sd1) * greatest((1.0/(0.5*(1+r)+0.000000001)) * abs(c1/sd1)
+        |    - (1.0/(0.5*(1+r)+0.000000001)) * 0.001, 0) / sd1 AS b1,
+        |  sign(c2/sd2) * greatest((1.0/(0.5*(1+r)+0.000000001)) * abs(c2/sd2)
+        |    - (1.0/(0.5*(1+r)+0.000000001)) * 0.001, 0) / sd2 AS b2
+        |FROM g, s)
+        |SELECT f AS class, 'a0' AS term,
+        |       round(ln(p) - c - (b1 * mx1 + b2 * mx2), 6) + 0 AS value FROM u
         |UNION ALL SELECT f, 'l_quantity', round(b1, 6) + 0 FROM u
         |UNION ALL SELECT f, 'l_discount', round(b2, 6) + 0 FROM u
         |ORDER BY class, term""".stripMargin,

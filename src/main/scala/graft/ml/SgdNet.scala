@@ -1949,6 +1949,9 @@ object SgdNet {
         offsetCol, params)
       case "binomial" => fitBinomialOffset(df, featureCols, labelCol,
         offsetCol, params)
+      case "multinomial" | "mgaussian" => throw new IllegalArgumentException(
+        s"${params.family} takes a MATRIX offset (one column per " +
+          "class/response) - use fitMultinomialWithOffset / fitMultiWithOffset")
       case f => throw new IllegalArgumentException(
         s"fitWithOffset supports gaussian, binomial, poisson, not $f")
     }
@@ -1977,8 +1980,42 @@ object SgdNet {
         offsetCol, params, weightCol)
       case "binomial" => fitBinomialOffset(df, featureCols, labelCol,
         offsetCol, params, weightCol)
+      case "multinomial" | "mgaussian" => throw new IllegalArgumentException(
+        s"${params.family} takes a MATRIX offset (one column per " +
+          "class/response) - use fitMultinomialWithOffset / fitMultiWithOffset")
       case f => throw new IllegalArgumentException(
         s"fitWithOffsetWeighted supports gaussian, binomial, poisson, not $f")
+    }
+  }
+
+  /** Multi-response (mgaussian) fit with a per-response OFFSET matrix
+    * (glmnet `offset` for family = "mgaussian" is an nobs × nresp
+    * matrix; here one offset column per response, matched
+    * positionally to `labelCols`). Identity link makes this EXACT by
+    * delegation: fitting y_t − offset_t is the offset model itself —
+    * slopes unchanged vs the no-offset fit of the adjusted responses,
+    * intercepts already on the offset scale. `weightCol` non-null
+    * routes through the weighted multi-response moments. The
+    * reference leaves offset as a TODO (R/sgdnet.R:341); glmnet
+    * semantics implemented. */
+  def fitMultiWithOffset(df: DataFrame, featureCols: Seq[String],
+                         labelCols: Seq[String], offsetCols: Seq[String],
+                         params: SgdNetParams,
+                         weightCol: String = null): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    require(params.family == "mgaussian" || params.family == "gaussian",
+      s"fitMultiWithOffset is the identity-link (gaussian/mgaussian) route, not ${params.family}")
+    require(offsetCols.size == labelCols.size,
+      s"need one offset column per response (${labelCols.size}), got ${offsetCols.size}")
+    val adjusted = labelCols.zip(offsetCols).map { case (l, o) =>
+      (col(l).cast("double") - col(o).cast("double")).as(l)
+    }
+    if (weightCol == null) {
+      val adj = df.select((featureCols.map(col) ++ adjusted): _*)
+      fitMulti(adj, featureCols, labelCols, params)
+    } else {
+      val adj = df.select((featureCols.map(col) ++ adjusted :+ col(weightCol)): _*)
+      fitWeightedMulti(adj, featureCols, labelCols, weightCol, params)
     }
   }
 
@@ -2585,15 +2622,277 @@ object SgdNet {
     } finally { raw.unpersist(blocking = false); () }
   }
 
+  /** Multinomial fit with a per-class linear-predictor OFFSET (round
+    * 16 — glmnet `offset` for family = "multinomial" is an
+    * nobs × nclass matrix; here one offset column per class, matched
+    * positionally to the SORTED class labels, the model's
+    * `classLabels` order). eta_it = offset_it + a0_t + x_i·β_t through
+    * the SAME FISTA core as the plain fit. The pieces the offset
+    * changes are supplied to the core explicitly:
+    *
+    *  - the NULL intercepts (no closed form once offsets vary): a
+    *    damped-Newton driver loop on the k-vector a0 — each iteration
+    *    ONE treeAggregate yielding the k-gradient, the k×k softmax
+    *    Hessian and the log-likelihood; the k×k solve is driver-side.
+    *    The start ln(prior_t) − mean(offset_t) is already exact for
+    *    constant offsets (gradient 0 → zero Newton steps), mirroring
+    *    the binomial offset null. The softmax flat direction (adding a
+    *    constant to every a0) is handled by a 1e-9 ridge on H.
+    *  - the lambda path: offset-corrected null gradient
+    *    b_tj = (1/n)Σ vn·(y_it − p_it)·xs_ij at the offset null.
+    *  - nulldev: −2·Σ vn·log p_null(y_i) at the offset null.
+    *
+    * `weightCol` non-null folds frequency weights v (sum-to-n
+    * normalized, w = 0 drops the row) into every accumulation.
+    * The reference leaves offset as a TODO (R/sgdnet.R:341); glmnet
+    * semantics implemented. */
+  def fitMultinomialWithOffset(df: DataFrame, featureCols: Seq[String],
+                               labelCol: String, offsetCols: Seq[String],
+                               params: SgdNetParams,
+                               weightCol: String = null): SgdNetModel = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(params.family == "multinomial",
+      s"fitMultinomialWithOffset is the multinomial route, not ${params.family}")
+    val p = featureCols.size
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(classes.length > 2,
+      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
+      else "only one class in response.")
+    val k = classes.length
+    require(offsetCols.size == k,
+      s"multinomial offset needs one column per class (nclass = $k, " +
+        s"sorted-label order), got ${offsetCols.size}")
+    val classIdx = classes.zipWithIndex.toMap
+    val wCol = if (weightCol == null) lit(1.0) else col(weightCol).cast("double")
+    val raw = df.select((featureCols.map(c => col(c).cast("double")) ++
+        offsetCols.map(c => col(c).cast("double")) :+
+        col(labelCol).cast("string") :+ wCol): _*)
+      .rdd.map { row =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = row.getDouble(j); j += 1 }
+        val off = new Array[Double](k)
+        var t = 0
+        while (t < k) { off(t) = row.getDouble(p + t); t += 1 }
+        (x, off, row.getString(p + k), row.getDouble(p + k + 1))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // kept-row count, weight mass, per-class weighted offset means
+      val (nRows, wSum, offSum) = raw.treeAggregate((0L, 0.0, new Array[Double](k)))(
+        seqOp = (s, r) => {
+          require(r._4 >= 0, "weights must be non-negative")
+          if (r._4 > 0) {
+            var t = 0
+            while (t < k) { s._3(t) += r._4 * r._2(t); t += 1 }
+            (s._1 + 1, s._2 + r._4, s._3)
+          } else s
+        },
+        combOp = (a, b) => {
+          var t = 0
+          while (t < k) { a._3(t) += b._3(t); t += 1 }
+          (a._1 + b._1, a._2 + b._2, a._3)
+        }, depth = 2)
+      require(nRows > 0, "the response (y) is empty.")
+      val norm = nRows.toDouble / wSum
+      val idx = raw.sparkContext.broadcast(classIdx)
+      val rows = raw.filter(_._4 > 0).map { case (x, off, c, v) =>
+        val y = new Array[Double](k); y(idx.value(c)) = 1.0
+        (x, y, off, v * norm)
+      }
+      var passes = 1
+      val g = rows.treeAggregate(new GramStats(p, k))(
+        seqOp = (s, r) => s.addWeighted(r._1, r._2, r._4),
+        combOp = (a, b) => a.merge(b), depth = 2)
+      passes += 1
+      val st = SufficientStats.standardize(g, params.standardize, params.intercept)
+      val mean = if (params.intercept) st.xMean else new Array[Double](p)
+      val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      val n = g.n.toDouble
+
+      // offset null intercepts: damped Newton from the mean-offset-
+      // shifted log-priors (exact for constant offsets)
+      val a0n = if (params.intercept)
+        Array.tabulate(k)(t =>
+          math.log(math.max(st.yMean(t), 1e-12)) - offSum(t) / wSum)
+        else new Array[Double](k)
+      var nulldev = Double.NaN
+      var it = 0
+      var done = false
+      while (!done) {
+        // one pass: k-gradient, k×k Hessian, log-likelihood at a0n
+        val acc = rows.treeAggregate(new Array[Double](k + k * k + 1))(
+          seqOp = (s, r) => {
+            val (_, y, off, vn) = r
+            val pr = new Array[Double](k)
+            var mx = Double.NegativeInfinity
+            var t = 0
+            while (t < k) {
+              pr(t) = a0n(t) + off(t); if (pr(t) > mx) mx = pr(t); t += 1
+            }
+            var z = 0.0
+            t = 0
+            while (t < k) { pr(t) = math.exp(pr(t) - mx); z += pr(t); t += 1 }
+            val logZ = mx + math.log(z)
+            t = 0
+            while (t < k) {
+              pr(t) /= z
+              s(t) += vn * (pr(t) - y(t))
+              s(k + k * k) += vn * y(t) * (a0n(t) + off(t) - logZ)
+              var u = 0
+              while (u < k) {
+                s(k + t * k + u) += vn *
+                  (if (t == u) pr(t) * (1.0 - pr(t)) else -pr(t) * pr(u))
+                u += 1
+              }
+              t += 1
+            }
+            s
+          },
+          combOp = (a, b) => {
+            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+          }, depth = 2)
+        passes += 1
+        nulldev = -2.0 * acc(k + k * k)
+        if (!params.intercept) done = true
+        else {
+          val gvec = Array.tabulate(k)(t => acc(t) / n)
+          val gInf = gvec.map(math.abs).max
+          if (gInf < 1e-12 || it >= 50) done = true
+          else {
+            val h = Array.tabulate(k, k)((i2, j2) =>
+              acc(k + i2 * k + j2) / n + (if (i2 == j2) 1e-9 else 0.0))
+            val d = LinAlg.solve(h, gvec)
+            var t = 0
+            while (t < k) { a0n(t) -= d(t); t += 1 }
+            it += 1
+          }
+        }
+      }
+
+      // offset-corrected null gradient for the lambda path (skipped
+      // when the caller supplies the lambda sequence — it only feeds
+      // the data-derived path)
+      val nullB = if (params.lambda != null) null else {
+        val (g0, _) = softmaxGradOffset(rows, mean, scale,
+          Array.ofDim[Double](k, p), a0n, k)
+        passes += 1
+        g0.map(_.map(v => -v))
+      }
+
+      fitMultinomialCore(g, featureCols.toArray, labelCol, classes, params,
+        gradFn = (m, s, yB, yA) => softmaxGradOffset(rows, m, s, yB, yA, k),
+        devFn = (a0Out, betaOut) =>
+          multinomOffsetDeviance(rows, a0Out, betaOut, k),
+        nullA0 = a0n, nullB = nullB, nulldevOverride = nulldev,
+        passes0 = passes)
+    } finally { raw.unpersist(blocking = false); () }
+  }
+
+  /** [[softmaxGradWeighted]] with a per-row per-class offset in the
+    * linear predictor: eta_t = a0_t + off_t + β_t·xs. */
+  private def softmaxGradOffset(
+      rows: RDD[(Array[Double], Array[Double], Array[Double], Double)],
+      mean: Array[Double], scale: Array[Double],
+      beta: Array[Array[Double]], a0: Array[Double],
+      k: Int): (Array[Array[Double]], Array[Double]) = {
+    val p = mean.length
+    val acc = rows.treeAggregate(new Array[Double](k * (p + 1) + 1))(
+      seqOp = (s, xyov) => {
+        val (xr, y, off, vn) = xyov
+        val xs = new Array[Double](p)
+        var j = 0
+        while (j < p) { xs(j) = (xr(j) - mean(j)) / scale(j); j += 1 }
+        val eta = new Array[Double](k)
+        var mx = Double.NegativeInfinity
+        var t = 0
+        while (t < k) {
+          var e = a0(t) + off(t)
+          j = 0
+          while (j < p) { e += beta(t)(j) * xs(j); j += 1 }
+          eta(t) = e; if (e > mx) mx = e
+          t += 1
+        }
+        var z = 0.0
+        t = 0
+        while (t < k) { eta(t) = math.exp(eta(t) - mx); z += eta(t); t += 1 }
+        t = 0
+        while (t < k) {
+          val r = vn * (eta(t) / z - y(t))   // vn·(P_t - Y_t)
+          s(t * (p + 1)) += r
+          j = 0
+          while (j < p) { s(t * (p + 1) + 1 + j) += r * xs(j); j += 1 }
+          t += 1
+        }
+        s(k * (p + 1)) += vn
+        s
+      },
+      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+      depth = 2)
+    val n = acc(k * (p + 1))
+    val grad = Array.tabulate(k, p)((t, j) => acc(t * (p + 1) + 1 + j) / n)
+    val gradA0 = Array.tabulate(k)(t => acc(t * (p + 1)) / n)
+    (grad, gradA0)
+  }
+
+  /** [[multinomDeviance]] with per-row per-class offsets and frequency
+    * weights: −2 Σ vn·y_t·(eta_t − logZ) with eta = a0 + off + βx. */
+  private def multinomOffsetDeviance(
+      rows: RDD[(Array[Double], Array[Double], Array[Double], Double)],
+      a0: Array[Array[Double]], beta: Array[Array[Array[Double]]],
+      k: Int): Array[Double] = {
+    val L = a0.length
+    rows.treeAggregate(new Array[Double](L))(
+      seqOp = (acc, xyov) => {
+        val (x, y, off, vn) = xyov
+        val p = x.length
+        var l = 0
+        while (l < L) {
+          val eta = new Array[Double](k)
+          var mx = Double.NegativeInfinity
+          var t = 0
+          while (t < k) {
+            var e = a0(l)(t) + off(t)
+            var j = 0
+            while (j < p) { e += beta(l)(t)(j) * x(j); j += 1 }
+            eta(t) = e; if (e > mx) mx = e
+            t += 1
+          }
+          var z = 0.0
+          t = 0
+          while (t < k) { z += math.exp(eta(t) - mx); t += 1 }
+          val logZ = mx + math.log(z)
+          t = 0
+          var ll = 0.0
+          while (t < k) { ll += y(t) * (eta(t) - logZ); t += 1 }
+          acc(l) += -2.0 * vn * ll
+          l += 1
+        }
+        acc
+      },
+      combOp = (a, b) => { var i = 0; while (i < L) { a(i) += b(i); i += 1 }; a },
+      depth = 2)
+  }
+
   /** Driver-side FISTA over cluster gradient passes — shared by the dense
     * and sparse multinomial paths (only the per-pass gradient and the
-    * final deviance scan differ by row representation). */
+    * final deviance scan differ by row representation). The OFFSET
+    * route (round 16) supplies its own null point: `nullA0` (the
+    * offset-null intercepts replacing ln(prior)), `nullB` (the
+    * offset-corrected null gradient driving the lambda path) and
+    * `nulldevOverride` (deviance of the offset null model) — all three
+    * default to the plain closed forms; `passes0` counts the caller's
+    * own pre-core cluster scans into npasses. */
   private def fitMultinomialCore(
       g: GramStats, featureNames: Array[String], labelCol: String,
       classes: Array[String], params: SgdNetParams,
       gradFn: (Array[Double], Array[Double], Array[Array[Double]], Array[Double]) =>
         (Array[Array[Double]], Array[Double]),
-      devFn: (Array[Array[Double]], Array[Array[Array[Double]]]) => Array[Double])
+      devFn: (Array[Array[Double]], Array[Array[Array[Double]]]) => Array[Double],
+      nullA0: Array[Double] = null,
+      nullB: Array[Array[Double]] = null,
+      nulldevOverride: Double = Double.NaN,
+      passes0: Int = 0)
       : SgdNetModel = {
     val p = featureNames.length
     val k = classes.length
@@ -2619,13 +2918,14 @@ object SgdNet {
     val minRatio = if (params.lambdaMinRatio.isNaN)
       LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
     // gradient at null: (1/n)<xs_j, y_t - pbar_t>; with xs centered this is b
+    val bSrc = if (nullB != null) nullB else st.b
     val lambdas = if (params.lambda != null) params.lambda
       else {
         // ungrouped: lambda_max = max |b_tj| / pf_j (pf tiled per class
         // to match the flattened t-major layout); grouped:
         // max_j ||b_.j||_2 / pf_j
-        val bArg = if (params.typeMultinomial == "grouped") st.b
-          else Array(st.b.flatten)
+        val bArg = if (params.typeMultinomial == "grouped") bSrc
+          else Array(bSrc.flatten)
         val pfArg = if (pf == null) null
           else if (params.typeMultinomial == "grouped") pf
           else Array.tabulate(k * p)(i => pf(i % p))
@@ -2645,9 +2945,10 @@ object SgdNet {
     val a0Out = Array.ofDim[Double](L, k)
     val betaOut = Array.ofDim[Double](L, k, p)
     var beta = Array.ofDim[Double](k, p)
-    var a0 = Array.tabulate(k)(t => if (params.intercept)
-      math.log(math.max(priors(t), 1e-12)) else 0.0)
-    var passes = 0
+    var a0 = if (nullA0 != null) nullA0.clone()
+      else Array.tabulate(k)(t => if (params.intercept)
+        math.log(math.max(priors(t), 1e-12)) else 0.0)
+    var passes = passes0
 
     for (l <- 0 until L) {
       val lam = lambdas(l)
@@ -2745,8 +3046,10 @@ object SgdNet {
           a0(t) - (0 until p).map(j => betaOut(l)(t)(j) * mean(j)).sum else 0.0
     }
 
-    // null deviance: 2 * sum_i -log(prior_{y_i}) (reference families.h:263)
-    val nulldev = -2.0 * n * priors.map(pr => safeXLog(pr, pr)).sum
+    // null deviance: 2 * sum_i -log(prior_{y_i}) (reference families.h:263);
+    // the offset route pre-computes it at the offset null instead
+    val nulldev = if (!nulldevOverride.isNaN) nulldevOverride
+      else -2.0 * n * priors.map(pr => safeXLog(pr, pr)).sum
     val devs = devFn(a0Out, betaOut)
     passes += 1
     val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)

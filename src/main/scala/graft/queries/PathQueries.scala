@@ -183,6 +183,59 @@ object PathQueries {
       .orderBy("class", "term")
   }
 
+  /** Multinomial fit with a constant per-class OFFSET, ONE FISTA step
+    * (round 16 — `SgdNet.fitMultinomialWithOffset`; glmnet's
+    * multinomial offset is an n × nclass matrix): with constant
+    * offsets c_t the Newton offset-null starts at
+    * ln(prior_t) − mean(off_t) = ln(prior_t) − c_t, which is EXACT
+    * (zero gradient, zero steps), so eta at the null equals the plain
+    * fit's start and the whole one-step trajectory is the
+    * [[multinomFit]] closed form with each class intercept shifted by
+    * −c_t. The varying-offset regime (cluster-pass Newton null, k×k
+    * driver solve) is spec-anchored in OffsetCvSpec. */
+  def multinomOffset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("off_a", lit(0.4)).withColumn("off_n", lit(-0.2))
+      .withColumn("off_r", lit(0.1))
+    val m = SgdNet.fitMultinomialWithOffset(li,
+      Seq("l_quantity", "l_discount"), "l_returnflag",
+      Seq("off_a", "off_n", "off_r"),
+      SgdNetParams(family = "multinomial", alpha = 1.0,
+        lambda = Array(0.001), maxit = 1))
+    val rows = for {
+      t <- 0 until m.nResponses
+      (term, v) <- ("a0", m.a0(0)(t)) +:
+        m.featureNames.toSeq.zipWithIndex.map { case (f, j) => (f, m.beta(0)(t)(j)) }
+    } yield (m.classLabels(t), term, v)
+    rows.toDF("class", "term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("class", "term")
+  }
+
+  /** mgaussian with a per-response OFFSET matrix at lambda = 0 (round
+    * 16 — `SgdNet.fitMultiWithOffset`): identity link makes the
+    * offset fit the exact OLS of y_t − off_t, so the oracle is the
+    * [[mgaussFit]] Cramer closed form with each response mean shifted
+    * by its constant offset (slopes unchanged, intercepts −c_t). */
+  def mgaussOffset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("off1", lit(100.0)).withColumn("off2", lit(0.05))
+    val m = SgdNet.fitMultiWithOffset(li, Seq("l_quantity", "l_discount"),
+      Seq("l_extendedprice", "l_tax"), Seq("off1", "off2"),
+      SgdNetParams(family = "mgaussian", lambda = Array(0.0),
+        thresh = 1e-11, maxit = 100000))
+    val rows = for {
+      t <- 0 until 2
+      (term, v) <- ("a0", m.a0(0)(t)) +:
+        m.featureNames.toSeq.zipWithIndex.map { case (f, j) => (f, m.beta(0)(t)(j)) }
+    } yield (m.responseNames(t), term, v)
+    rows.toDF("response", "term", "value")
+      .withColumn("value", round(col("value"), 4) + lit(0.0))
+      .orderBy("response", "term")
+  }
+
   /** mgaussian at lambda=0 == per-response OLS: exact SQL oracle via
     * 2-feature Cramer solves for both responses. */
   def mgaussFit(spark: SparkSession, dir: String): DataFrame = {

@@ -245,4 +245,152 @@ class OffsetCvSpec extends SparkSpec {
     }
     ()
   }
+
+  // ---------------------------------------------------------------------
+  // multinomial / mgaussian MATRIX offset (round 16)
+
+  /** 3-class data whose generating model includes per-class varying
+    * offsets (oa/ob/oc), plus integer-ish weights. */
+  private lazy val mdata = {
+    val rnd = new scala.util.Random(31)
+    (1 to 600).map { i =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      val oA = 0.3 * x1; val oB = -0.2 * x2; val oC = 0.1 * (x1 + x2)
+      val eta = Array(0.5 + x1 + oA, -0.3 - 0.5 * x2 + oB, 0.2 * x1 + oC)
+      val mx = eta.max
+      val ps = eta.map(e => math.exp(e - mx))
+      val u = rnd.nextDouble() * ps.sum
+      val cls = if (u < ps(0)) "a" else if (u < ps(0) + ps(1)) "b" else "c"
+      (i.toLong, x1, x2, oA, oB, oC, cls, (i % 3 + 1).toDouble)
+    }.toDF("rid", "x1", "x2", "oa", "ob", "oc", "cls", "w")
+  }
+
+  test("multinomial constant offset == plain fit with intercepts shifted by -c") {
+    val params = SgdNetParams(family = "multinomial", alpha = 1.0,
+      lambda = Array(0.05, 0.005), thresh = 1e-9, maxit = 20000)
+    val c = Array(0.4, -0.2, 0.1)
+    val dd = mdata.withColumn("c1", lit(c(0)))
+      .withColumn("c2", lit(c(1))).withColumn("c3", lit(c(2)))
+    val off = SgdNet.fitMultinomialWithOffset(dd, Seq("x1", "x2"), "cls",
+      Seq("c1", "c2", "c3"), params)
+    val plain = SgdNet.fit(mdata, Seq("x1", "x2"), "cls", params)
+    for (l <- 0 until 2; t <- 0 until 3) {
+      assert(math.abs(off.a0(l)(t) - (plain.a0(l)(t) - c(t))) < 1e-7,
+        s"a0($l)($t)")
+      for (j <- 0 until 2)
+        assert(math.abs(off.beta(l)(t)(j) - plain.beta(l)(t)(j)) < 1e-7,
+          s"beta($l)($t)($j)")
+    }
+    // constant offsets shift the null model the same way -> same nulldev
+    assert(math.abs(off.nulldev - plain.nulldev) < 1e-6 * plain.nulldev)
+  }
+
+  test("multinomial zero offset == plain fit (incl. data-derived path, grouped)") {
+    val z = mdata.withColumn("z", lit(0.0))
+    for (tm <- Seq("ungrouped", "grouped")) {
+      val params = SgdNetParams(family = "multinomial", alpha = 1.0,
+        nlambda = 5, thresh = 1e-9, maxit = 20000, typeMultinomial = tm)
+      val off = SgdNet.fitMultinomialWithOffset(z, Seq("x1", "x2"), "cls",
+        Seq("z", "z", "z"), params)
+      val plain = SgdNet.fit(mdata, Seq("x1", "x2"), "cls", params)
+      assert(off.lambda.zip(plain.lambda).forall { case (a, b) =>
+        math.abs(a - b) < 1e-10 * b }, s"$tm lambda path")
+      for (l <- 0 until 5; t <- 0 until 3) {
+        assert(math.abs(off.a0(l)(t) - plain.a0(l)(t)) < 1e-8, s"$tm a0")
+        for (j <- 0 until 2)
+          assert(math.abs(off.beta(l)(t)(j) - plain.beta(l)(t)(j)) < 1e-8,
+            s"$tm beta")
+      }
+    }
+  }
+
+  test("multinomial varying offset: integer weights == row duplication") {
+    val params = SgdNetParams(family = "multinomial", alpha = 0.5,
+      lambda = Array(0.02), thresh = 1e-10, maxit = 30000)
+    val wfit = SgdNet.fitMultinomialWithOffset(mdata, Seq("x1", "x2"), "cls",
+      Seq("oa", "ob", "oc"), params, weightCol = "w")
+    val dup = mdata.withColumn("k",
+      explode(sequence(lit(1), col("w").cast("int"))))
+    val dfit = SgdNet.fitMultinomialWithOffset(dup, Seq("x1", "x2"), "cls",
+      Seq("oa", "ob", "oc"), params)
+    for (t <- 0 until 3) {
+      assert(math.abs(wfit.a0(0)(t) - dfit.a0(0)(t)) < 1e-8, s"a0($t)")
+      for (j <- 0 until 2)
+        assert(math.abs(wfit.beta(0)(t)(j) - dfit.beta(0)(t)(j)) < 1e-8,
+          s"beta($t)($j)")
+    }
+  }
+
+  test("multinomial varying offset satisfies KKT at the solution") {
+    val lam = 0.02
+    val params = SgdNetParams(family = "multinomial", alpha = 1.0,
+      lambda = Array(lam), thresh = 1e-11, maxit = 50000)
+    val m = SgdNet.fitMultinomialWithOffset(mdata, Seq("x1", "x2"), "cls",
+      Seq("oa", "ob", "oc"), params)
+    val rows = mdata.select("x1", "x2", "oa", "ob", "oc", "cls").collect()
+    val n = rows.length.toDouble
+    val xs = Array(rows.map(_.getDouble(0)), rows.map(_.getDouble(1)))
+    val mean = xs.map(_.sum / n)
+    val sd = xs.zip(mean).map { case (v, mu) =>
+      math.sqrt(v.map(x => (x - mu) * (x - mu)).sum / n) }
+    val cls = m.classLabels
+    // unpenalized-loss gradient w.r.t. the STANDARDIZED coefficients
+    val grad = Array.ofDim[Double](3, 2)
+    rows.foreach { r =>
+      val eta = Array.tabulate(3) { t =>
+        m.a0(0)(t) + r.getDouble(2 + t) +
+          m.beta(0)(t)(0) * r.getDouble(0) + m.beta(0)(t)(1) * r.getDouble(1)
+      }
+      val mx = eta.max
+      val ps = eta.map(e => math.exp(e - mx)); val z = ps.sum
+      val y = cls.indexOf(r.getString(5))
+      for (t <- 0 until 3; j <- 0 until 2) {
+        val xsj = (r.getDouble(j) - mean(j)) / sd(j)
+        grad(t)(j) += (ps(t) / z - (if (t == y) 1.0 else 0.0)) * xsj / n
+      }
+    }
+    for (t <- 0 until 3; j <- 0 until 2) {
+      val bstd = m.beta(0)(t)(j) * sd(j)
+      if (bstd == 0.0)
+        assert(math.abs(grad(t)(j)) <= lam + 1e-5, s"KKT zero ($t,$j)")
+      else
+        assert(math.abs(grad(t)(j) + lam * math.signum(bstd)) < 1e-5,
+          s"KKT active ($t,$j): ${grad(t)(j)}")
+    }
+  }
+
+  test("mgaussian offset == fitMulti on the adjusted responses (incl. weighted)") {
+    val rnd = new scala.util.Random(37)
+    val d = data.withColumn("y2", col("x2") * 2.0 + col("off") * 0.5 + lit(rnd.nextGaussian() * 0.1))
+      .withColumn("o2", lit(0.3))
+    val params = SgdNetParams(family = "mgaussian", alpha = 0.5,
+      lambda = Array(0.1, 0.01), thresh = 1e-11, maxit = 100000)
+    val adj = d.withColumn("yga", col("yg") - col("off"))
+      .withColumn("y2a", col("y2") - col("o2"))
+    val off = SgdNet.fitMultiWithOffset(d, Seq("x1", "x2"), Seq("yg", "y2"),
+      Seq("off", "o2"), params)
+    val plain = SgdNet.fitMulti(adj, Seq("x1", "x2"), Seq("yga", "y2a"), params)
+    for (l <- 0 until 2; t <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(off.beta(l)(t)(j) - plain.beta(l)(t)(j)) <=
+        1e-12 * math.max(1.0, math.abs(plain.beta(l)(t)(j))), s"beta($l)($t)($j)")
+    for (l <- 0 until 2; t <- 0 until 2)
+      assert(math.abs(off.a0(l)(t) - plain.a0(l)(t)) <=
+        1e-12 * math.max(1.0, math.abs(plain.a0(l)(t))), s"a0($l)($t)")
+    val offW = SgdNet.fitMultiWithOffset(d, Seq("x1", "x2"), Seq("yg", "y2"),
+      Seq("off", "o2"), params, weightCol = "w")
+    val plainW = SgdNet.fitWeightedMulti(adj, Seq("x1", "x2"),
+      Seq("yga", "y2a"), "w", params)
+    for (l <- 0 until 2; t <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(offW.beta(l)(t)(j) - plainW.beta(l)(t)(j)) <=
+        1e-12 * math.max(1.0, math.abs(plainW.beta(l)(t)(j))), s"w beta($l)($t)($j)")
+    intercept[IllegalArgumentException] {
+      SgdNet.fitWithOffset(d, Seq("x1"), "yg", "off",
+        SgdNetParams(family = "multinomial"))
+    }
+    intercept[IllegalArgumentException] {
+      SgdNet.fitMultinomialWithOffset(mdata, Seq("x1"), "cls", Seq("oa", "ob"),
+        SgdNetParams(family = "multinomial"))
+    }
+    ()
+  }
 }
