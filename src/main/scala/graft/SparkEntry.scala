@@ -47,6 +47,7 @@ object SparkEntry {
     "q_poisson_fit"      -> (PathQueries.poissonFit _),
     "q_poisson_nulldev"  -> (PathQueries.poissonNullDev _),
     "q_predict_response" -> (PathQueries.predictResponse _),
+    "q_predict_offset"   -> (PathQueries.predictOffset _),
     "q_predict_class"    -> (PathQueries.predictClass _),
     "q_score_class"      -> (PathQueries.scoreClass _),
     "q_nonzero"          -> (PathQueries.nonzeroQ _),
@@ -1149,6 +1150,18 @@ object SparkEntry {
         |  round(1 / (1 + exp(-(-1.2 + l_quantity * 0.045))), 6) AS prob
         |FROM lineitem WHERE l_orderkey <= 10
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // predict with newoffset (round 16): the q_predict_response fixed
+    // model with a varying 2*l_tax offset added to the linear
+    // predictor before the sigmoid / 0.5 class cut
+    "q_predict_offset" ->
+      """WITH e AS (SELECT l_orderkey, l_linenumber,
+        |  -1.2 + l_quantity * 0.045 + l_tax * 2.0::DOUBLE AS eta
+        |FROM lineitem WHERE l_orderkey <= 10)
+        |SELECT l_orderkey, l_linenumber, round(eta, 6) AS eta,
+        |  round(1 / (1 + exp(-eta)), 6) AS prob,
+        |  CASE WHEN 1 / (1 + exp(-eta)) > 0.5 THEN '1' ELSE '0' END AS pred
+        |FROM e ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_predict_class" ->
       """WITH e AS (SELECT l_orderkey, l_linenumber,

@@ -155,6 +155,52 @@ final class SgdNetModel(
     }
   }
 
+  /** predict with glmnet `newoffset` (round 16): a model fit with an
+    * offset must be scored with one (R predict.glmnet requires
+    * newoffset when the fit used offset) — the per-row offset adds to
+    * every linear predictor BEFORE the inverse link / argmax.
+    * Single-response families take one offset column; multinomial and
+    * mgaussian take one per class/response (sorted-label /
+    * `responseNames` order). Pure Column composition — the offset is
+    * one more codegen'd term, no UDF. */
+  def predictWithOffset(df: DataFrame, offsetCols: Seq[String],
+                        tpe: String = "link",
+                        lambdaIdxs: Seq[Int] = Seq.empty): DataFrame = {
+    val multi = family == "multinomial" || family == "mgaussian"
+    require(if (multi) offsetCols.size == nResponses else offsetCols.size == 1,
+      s"newoffset needs ${if (multi) s"$nResponses columns (one per class/response)"
+        else "exactly one column"} for $family, got ${offsetCols.size}")
+    val offs = offsetCols.map(c => col(c).cast("double"))
+    def eta(l: Int, t: Int): Column = linkCol(l, t) + offs(if (multi) t else 0)
+    val idxs = if (lambdaIdxs.nonEmpty) lambdaIdxs else lambda.indices
+    idxs.foldLeft(df) { (d, l) =>
+      val c = tpe match {
+        case "link" => eta(l, 0)
+        case "response" => family match {
+          case "poisson"  => exp(eta(l, 0))
+          case "binomial" => lit(1.0) / (lit(1.0) + exp(-eta(l, 0)))
+          case "multinomial" =>
+            val z = (0 until nResponses).map(t => exp(eta(l, t))).reduce(_ + _)
+            exp(eta(l, 0)) / z
+          case _ => eta(l, 0)
+        }
+        case "class" => family match {
+          case "binomial" =>
+            when(lit(1.0) / (lit(1.0) + exp(-eta(l, 0))) > 0.5,
+              lit(classLabels(1))).otherwise(lit(classLabels(0)))
+          case "multinomial" =>
+            val structs = (0 until nResponses).map(t =>
+              struct(eta(l, t).as("eta"), lit(classLabels(t)).as("cls")))
+            greatest(structs: _*).getField("cls")
+          case f => throw new IllegalArgumentException(
+            s"class prediction undefined for $f")
+        }
+        case t => throw new IllegalArgumentException(s"unknown predict type: $t")
+      }
+      d.withColumn(s"pred_$l", c)
+    }
+  }
+
   // --------------------------------------------------------- sparse predict
 
   /** Linear predictor over CSR (indices, values) rows — sparse predict

@@ -368,6 +368,27 @@ object PathQueries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** predict with glmnet `newoffset` (round 16 —
+    * `SgdNetModel.predictWithOffset`): the fixed binomial model scored
+    * with a per-row VARYING offset column (2·l_tax) added to the
+    * linear predictor before the sigmoid / class cut — link, response
+    * and class types in one result, each an exact SQL form. */
+  def predictOffset(spark: SparkSession, dir: String): DataFrame = {
+    val m = fixedBinomial()
+    val base = tbl(spark, dir, "lineitem").filter(col("l_orderkey") <= 10)
+      .withColumn("noff", col("l_tax") * 2.0)
+    m.predictWithOffset(
+        m.predictWithOffset(
+          m.predictWithOffset(base, Seq("noff"), "link")
+            .withColumnRenamed("pred_0", "eta"),
+          Seq("noff"), "response").withColumnRenamed("pred_0", "prob"),
+        Seq("noff"), "class").withColumnRenamed("pred_0", "pred")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("eta"), 6).as("eta"), round(col("prob"), 6).as("prob"),
+        col("pred"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** predict(type="class") of the fixed multinomial model. */
   def predictClass(spark: SparkSession, dir: String): DataFrame = {
     val m = fixedMultinomial()

@@ -298,4 +298,52 @@ class PredictSpec extends SparkSpec {
       mm.devResidCol(col("c"), 0)
     }
   }
+
+  test("predictWithOffset: newoffset adds to every linear predictor") {
+    val db = SparkSpec.binaryDF(spark).withColumn("noff", col("x1") * 0.5)
+    val m = SgdNet.fitWithOffset(db, Seq("x1", "x2"), "y", "noff",
+      SgdNetParams(family = "binomial", lambda = Array(0.02),
+        thresh = 1e-9, maxit = 10000))
+    // link/response with the offset == hand math on the coefficients
+    val got = m.predictWithOffset(
+        m.predictWithOffset(db, Seq("noff"), "link")
+          .withColumnRenamed("pred_0", "eta"),
+        Seq("noff"), "response").withColumnRenamed("pred_0", "mu")
+      .select("x1", "x2", "noff", "eta", "mu").collect()
+    got.foreach { r =>
+      val eta = m.a0(0)(0) + m.beta(0)(0)(0) * r.getDouble(0) +
+        m.beta(0)(0)(1) * r.getDouble(1) + r.getDouble(2)
+      assert(math.abs(r.getDouble(3) - eta) < 1e-12, "link")
+      assert(math.abs(r.getDouble(4) - 1.0 / (1.0 + math.exp(-eta))) < 1e-12,
+        "response")
+    }
+    // class cut happens AFTER the offset is added
+    val cls = m.predictWithOffset(db, Seq("noff"), "class")
+      .select(col("pred_0"), m.linkCol(0) + col("noff") > 0.0)
+      .collect()
+    cls.foreach { r =>
+      assert((r.getString(0) == m.classLabels(1)) == r.getBoolean(1), "class cut")
+    }
+    // multinomial: one offset column per class, argmax over shifted etas
+    val md = SparkSpec.regressionDF(spark)
+      .withColumn("c", (pmod(ceil(col("y") * 7), lit(3))).cast("int"))
+      .withColumn("o0", col("x1") * 0.2)
+      .withColumn("o1", lit(0.0)).withColumn("o2", -col("x2") * 0.3)
+    val mm = SgdNet.fitMultinomialWithOffset(md, Seq("x1", "x2"), "c",
+      Seq("o0", "o1", "o2"), SgdNetParams(family = "multinomial",
+        lambda = Array(0.02), thresh = 1e-8, maxit = 5000))
+    val rows = mm.predictWithOffset(md, Seq("o0", "o1", "o2"), "class")
+      .select("x1", "x2", "o0", "o1", "o2", "pred_0").collect()
+    rows.foreach { r =>
+      val etas = Array.tabulate(3)(t => mm.a0(0)(t) +
+        mm.beta(0)(t)(0) * r.getDouble(0) + mm.beta(0)(t)(1) * r.getDouble(1) +
+        r.getDouble(2 + t))
+      val want = mm.classLabels(etas.indexOf(etas.max))
+      assert(r.getString(5) == want, "multinomial argmax with offsets")
+    }
+    intercept[IllegalArgumentException] {
+      mm.predictWithOffset(md, Seq("o0"), "link")
+    }
+    ()
+  }
 }
