@@ -64,6 +64,7 @@ object SparkEntry {
     "q_cv_mgauss"        -> (PathQueries.cvMgauss _),
     "q_cv_poisson"       -> (PathQueries.cvPoisson _),
     "q_cv_offset"        -> (PathQueries.cvOffset _),
+    "q_cv_sparse_offset" -> (PathQueries.cvSparseOffset _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
     "q_cv_deviance"      -> (PathQueries.cvDeviance _),
@@ -1986,6 +1987,32 @@ object SparkEntry {
         |fd AS (SELECT r.f,
         |         avg(2 * ((CASE WHEN r.y > 0 THEN r.y * ln(r.y / mdl.mu)
         |                        ELSE 0 END) - (r.y - mdl.mu))) AS d
+        |       FROM r JOIN mdl ON r.f = mdl.f GROUP BY r.f),
+        |cv AS (SELECT avg(d) AS cvm, stddev_samp(d)/sqrt(5) AS cvsd FROM fd)
+        |SELECT 0 AS lambda_idx, round(10.0::DOUBLE, 4) AS lambda,
+        |       round(ln(cvm), 6) AS ln_cvm, round(ln(cvsd), 6) AS ln_cvsd
+        |FROM cv""".stripMargin,
+
+    // the q_cv_offset oracle BYTE-IDENTICALLY: the sparse offset CV
+    // chassis runs the same data/offset/folds/lambda, so a divergence
+    // isolates the sparse chassis (the q_cv_sparse_auc discipline)
+    "q_cv_sparse_offset" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT l_quantity AS y, ln(l_linenumber::DOUBLE) AS off,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |tot AS (SELECT count(*)::double n, sum(y) sy, sum(exp(off)) se FROM r),
+        |pf AS (SELECT f, count(*)::double n, sum(y) sy, sum(exp(off)) se
+        |       FROM r GROUP BY f),
+        |mdl AS (SELECT pf.f,
+        |          ln((tot.sy - pf.sy) / (tot.se - pf.se)) AS a0
+        |        FROM pf, tot),
+        |fd AS (SELECT r.f,
+        |         avg(2 * ((CASE WHEN r.y > 0
+        |                        THEN r.y * ln(r.y / exp(mdl.a0 + r.off))
+        |                        ELSE 0 END)
+        |            - (r.y - exp(mdl.a0 + r.off)))) AS d
         |       FROM r JOIN mdl ON r.f = mdl.f GROUP BY r.f),
         |cv AS (SELECT avg(d) AS cvm, stddev_samp(d)/sqrt(5) AS cvsd FROM fd)
         |SELECT 0 AS lambda_idx, round(10.0::DOUBLE, 4) AS lambda,

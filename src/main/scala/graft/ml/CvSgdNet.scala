@@ -2557,6 +2557,53 @@ object CvSgdNet {
     CvResult(paths, best)
   }
 
+  /** [[fitSparse]] WITH a linear-predictor offset (round 16 — the
+    * cv.glmnet `offset` surface over dgCMatrix x, closing the last
+    * sparse × offset × CV composition cell): gaussian reduces EXACTLY
+    * to the plain sparse CV on y − offset (identity link); binomial
+    * and poisson run the [[cvSparseGlmShared]] fold-tiling with
+    * η = row-offset + a0_f + x·β_f in every IRLS accumulation and the
+    * WLS target z − offset (the [[cvOffsetGlmShared]] algebra over CSR
+    * rows — uncentered sparse moments, driver-side centering, never
+    * densified), per-fold offset nulls (closed-form exposure MLE for
+    * poisson, fold-tiled Newton for binomial), the offset-corrected
+    * sparse lambda path, held-out scores with the row's own offset in
+    * the prediction (newoffset), and optional frequency weights. */
+  def fitSparseWithOffset(df: DataFrame, idxCol: String, valCol: String,
+                          dim: Int, labelCol: String, offsetCol: String,
+                          params: SgdNetParams = SgdNetParams(),
+                          nfolds: Int = 10,
+                          measure: String = "deviance",
+                          foldCol: Column = null,
+                          alphas: Seq[Double] = Seq.empty,
+                          weightCol: String = null): CvResult = {
+    require(nfolds >= 2, "nfolds must be at least 2")
+    val okMeasures = params.family match {
+      case "binomial" => Set("deviance", "mse", "mae", "class", "auc")
+      case _          => Set("deviance", "mse", "mae")
+    }
+    require(okMeasures.contains(measure),
+      s"sparse offset ${params.family} CV supports " +
+        s"${okMeasures.toSeq.sorted.mkString("|")}, not '$measure'")
+    params.family match {
+      case "gaussian" =>
+        val adj = df.withColumn(labelCol,
+          col(labelCol).cast("double") - col(offsetCol).cast("double"))
+        fitSparse(adj, idxCol, valCol, dim, labelCol, params, nfolds,
+          measure, foldCol, alphas, weightCol)
+      case "binomial" | "poisson" =>
+        val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
+        val paths = alphaGrid.map(a => cvSparseOffsetGlmShared(df, idxCol,
+          valCol, dim, labelCol, offsetCol, params.copy(alpha = a), nfolds,
+          foldCol, measure, weightCol))
+        val best = paths.minBy(p => p.cvm.min)
+        CvResult(paths, best)
+      case f => throw new IllegalArgumentException(
+        s"sparse offset CV supports gaussian, binomial, poisson, not $f " +
+          "(the SgdNet.fitSparseWithOffset surface)")
+    }
+  }
+
   /** [[fitSparse]] with a MULTI-COLUMN response — the
     * cv.glmnet-with-dgCMatrix mgaussian route (round 16; also accepts
     * the gaussian k = 1 case): ONE per-fold sparse-moment pass feeds
@@ -3120,6 +3167,447 @@ object CvSgdNet {
             depth = 2)
           Array.tabulate(nfolds, L)((f, l) =>
             sums(f * L + l) / wFold(f))
+      }
+      summarize(params.alpha, lambdas, foldScores, full)
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** Shared-pass binomial/poisson CV over CSR rows WITH a per-row
+    * offset (see [[fitSparseWithOffset]]): the [[cvSparseGlmShared]]
+    * uncentered-sparse-moment fold-tiling with the
+    * [[cvOffsetGlmShared]] offset algebra — η includes the row offset
+    * in every IRLS accumulation, the WLS target z excludes it (so each
+    * fold's inner solve fits exactly a0 + x·β), per-fold offset nulls
+    * (poisson closed-form exposure MLE; binomial fold-tiled Newton
+    * from the mean-offset-shifted logit, exact for constant offsets),
+    * the offset-corrected sparse lambda path, and held-out predictions
+    * that include the row's own offset. The full-data model rides as
+    * virtual fold nfolds; the matrix is never densified. */
+  private def cvSparseOffsetGlmShared(df: DataFrame, idxCol: String,
+                                      valCol: String, dim: Int,
+                                      labelCol: String, offsetCol: String,
+                                      params: SgdNetParams, nfolds: Int,
+                                      foldCol: Column, measure: String,
+                                      weightCol: String = null): CvPath = {
+    SgdNet.requireNoZeroPf(params, "shared sparse offset CV")
+    val p = dim
+    val weighted = weightCol != null
+    val binomial = params.family == "binomial"
+    val classes: Array[String] =
+      if (binomial) {
+        val cs = df.select(col(labelCol).cast("string")).distinct()
+          .limit(3).collect().map(_.getString(0)).sorted
+        require(cs.length == 2,
+          if (cs.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
+          else "only one class in response.")
+        cs
+      } else Array.empty
+    val yCol =
+      if (binomial) (col(labelCol).cast("string") === classes(1)).cast("double")
+      else col(labelCol).cast("double")
+    val wCol = if (weighted) col(weightCol).cast("double") else lit(1.0)
+    val hashCols = Seq(col(idxCol), col(valCol), col(labelCol))
+    val rows0 = df
+      .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
+      .select(col(idxCol), col(valCol).cast("array<double>"), yCol,
+        col(offsetCol).cast("double"), col("__fold"), wCol)
+      .rdd.map { r =>
+        (r.getInt(4), r.getSeq[Int](0).toArray,
+          r.getSeq[Double](1).toArray, r.getDouble(2), r.getDouble(3),
+          r.getDouble(5))
+      }
+    val rows = (if (weighted)
+        rows0.map { t => require(t._6 >= 0, "weights must be non-negative"); t }
+          .filter(_._6 > 0)
+      else rows0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val F = nfolds + 1
+      // ONE pass: per-fold RAW-v sparse moments + Σv + Σv·e^off
+      // (poisson exposure null) + Σv·off (binomial Newton start)
+      val zero = (Array.fill(nfolds)(new GramStats(p, 1)),
+        new Array[Double](nfolds), new Array[Double](nfolds),
+        new Array[Double](nfolds))
+      val (perFold, wFold, eFold, oFold) = rows.treeAggregate(zero)(
+        (acc, t) => {
+          acc._1(t._1).addSparseWeighted(t._2, t._3, Array(t._4), t._6)
+          acc._2(t._1) += t._6
+          acc._3(t._1) += t._6 *
+            math.exp(math.max(math.min(t._5, 30.0), -30.0))
+          acc._4(t._1) += t._6 * t._5
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < nfolds) {
+            a._1(i).merge(b._1(i)); a._2(i) += b._2(i); a._3(i) += b._3(i)
+            a._4(i) += b._4(i)
+            i += 1
+          }
+          a
+        }, depth = 2)
+      requireNonEmptyFolds(perFold.map(_.n), nfolds)
+      val total = new GramStats(p, 1)
+      perFold.foreach(total.merge)
+      val wTotal = wFold.sum
+      val eTotal = eFold.sum
+      val oTotal = oFold.sum
+      val syTotal = total.sumY(0)
+      val perFoldExt = perFold :+ new GramStats(p, 1)
+      val wFoldExt = wFold :+ 0.0
+      val eFoldExt = eFold :+ 0.0
+      val oFoldExt = oFold :+ 0.0
+      val syFoldExt = perFold.map(_.sumY(0)) :+ 0.0
+      val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
+      val norms = Array.tabulate(F)(f => nTrain(f) / (wTotal - wFoldExt(f)))
+      val trainStats = Array.tabulate(F) { f =>
+        val tr = new GramStats(p, 1).merge(total).subtract(perFoldExt(f))
+          .scaleWeights(norms(f))
+        SufficientStats.standardize(tr, params.standardize, params.intercept)
+      }
+      var sharedPasses = 1
+      // per-fold offset null intercepts (the cvOffsetGlmShared forms)
+      val a0Null: Array[Double] =
+        if (!binomial) Array.tabulate(F) { f =>
+          val sy = syTotal - syFoldExt(f)
+          require(sy > 0,
+            "poisson response must contain positive counts in every train fold")
+          if (params.intercept) math.log(sy / (eTotal - eFoldExt(f))) else 0.0
+        } else {
+          val a0 = Array.tabulate(F) { f =>
+            val tw = wTotal - wFoldExt(f)
+            val yb = (syTotal - syFoldExt(f)) / tw
+            require(yb > 0 && yb < 1,
+              "binomial response must contain both classes in every train fold")
+            if (params.intercept)
+              math.log(yb / (1 - yb)) - (oTotal - oFoldExt(f)) / tw
+            else 0.0
+          }
+          if (params.intercept) {
+            var it = 0
+            var done = false
+            while (it < 25 && !done) {
+              val a0Snap = a0.clone()
+              val acc = rows.treeAggregate(new Array[Double](2 * F))(
+                (s, t) => {
+                  val (rowFold, _, _, y, off, v) = t
+                  var f = 0
+                  while (f < F) {
+                    if (f != rowFold) {
+                      val mu = 1.0 / (1.0 + math.exp(-(a0Snap(f) + off)))
+                      s(2 * f) += v * (y - mu)
+                      s(2 * f + 1) += v * math.max(mu * (1.0 - mu), 1e-10)
+                    }
+                    f += 1
+                  }
+                  s
+                },
+                (a, b) => {
+                  var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+                }, depth = 2)
+              sharedPasses += 1
+              var mx = 0.0
+              for (f <- 0 until F) {
+                val step = acc(2 * f) / acc(2 * f + 1)
+                a0(f) += step
+                if (math.abs(step) > mx) mx = math.abs(step)
+              }
+              it += 1
+              if (mx < 1e-12) done = true
+            }
+          }
+          a0
+        }
+      val means = trainStats.map(st =>
+        if (params.intercept) st.xMean else new Array[Double](p))
+      val scales = trainStats.map(st =>
+        if (params.standardize) st.xSd else Array.fill(p)(1.0))
+      val boundsF = scales.map(s => SgdNet.boundsStd(params, s, 1.0))
+      val sc = rows.sparkContext
+
+      val lambdas =
+        if (params.lambda != null) params.lambda
+        else {
+          // offset-corrected sparse lambda_max on the full data:
+          // uncentered Σr·x over the nonzeros + Σr, centered
+          // driver-side (the sparse null-gradient algebra)
+          val minRatio = if (params.lambdaMinRatio.isNaN)
+            LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
+          val a0N = a0Null(nfolds)
+          val nrm = norms(nfolds)
+          val acc = rows.treeAggregate(new Array[Double](p + 1))(
+            (s, t) => {
+              val (_, idx, vals, y, off, v) = t
+              val mu =
+                if (binomial) 1.0 / (1.0 + math.exp(-(a0N + off)))
+                else math.exp(math.max(math.min(a0N + off, 30.0), -30.0))
+              val r = v * nrm * (y - mu)
+              var i = 0
+              while (i < idx.length) { s(idx(i)) += r * vals(i); i += 1 }
+              s(p) += r
+              s
+            },
+            (a, b) => { var i = 0; while (i <= p) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          sharedPasses += 1
+          val mF = means(nfolds); val sF = scales(nfolds)
+          val bOff = Array.tabulate(p)(j =>
+            (acc(j) - mF(j) * acc(p)) / sF(j) / nTrain(nfolds))
+          LambdaPath.build(Array(bOff), params.alpha, params.nlambda,
+            minRatio, params.penaltyFactor)
+        }
+
+      val L = lambdas.length
+      val beta = Array.fill(F)(new Array[Double](p))
+      val a0 = a0Null.clone()
+      val a0Out = Array.ofDim[Double](F, L)
+      val betaOut = Array.ofDim[Double](F, L, p)
+
+      // per-fold CENTERED solve from an uncentered gram — the
+      // cvSparseGlmShared centering algebra
+      def solveFold(f: Int, g: BinWGram, l: Int): (Array[Double], Double) = {
+        val mean = means(f); val scale = scales(f)
+        val ninv = 1.0 / nTrain(f)
+        val swxStd = Array.tabulate(p)(j =>
+          (g.swx(j) - mean(j) * g.sw) / scale(j))
+        val swxzStd = Array.tabulate(p)(j =>
+          (g.swxz(j) - mean(j) * g.swz) / scale(j))
+        val aM = Array.ofDim[Double](p, p)
+        var j = 0
+        while (j < p) {
+          var i = 0
+          while (i <= j) {
+            val v = (g.swxx(LinAlg.triIdx(i, j)) - mean(i) * g.swx(j) -
+              mean(j) * g.swx(i) + mean(i) * mean(j) * g.sw) /
+              (scale(i) * scale(j)) * ninv
+            aM(i)(j) = v; aM(j)(i) = v
+            i += 1
+          }
+          j += 1
+        }
+        val r = CoordinateDescent.solve(aM, swxzStd.map(_ * ninv),
+          swxStd.map(_ * ninv), g.swz * ninv, g.sw * ninv,
+          lambdas(l), params.alpha, params.intercept, beta(f),
+          thresh = math.max(params.thresh * 1e-4, 1e-10),
+          maxIter = params.maxit,
+          penaltyFactor = params.penaltyFactor,
+          lower = boundsF(f)._1, upper = boundsF(f)._2)
+        (r.beta, r.a0)
+      }
+      val lastGram = Array.fill[BinWGram](F)(null)
+
+      for (l <- 0 until L) {
+        val active = Array.fill(F)(true)
+        // free first Newton step against the carried grams
+        if (lastGram.forall(_ != null)) {
+          for (f <- 0 until F) {
+            val (nb, na) = solveFold(f, lastGram(f), l)
+            var maxD = math.abs(na - a0(f))
+            var j = 0
+            while (j < p) {
+              val d = math.abs(nb(j) - beta(f)(j)); if (d > maxD) maxD = d; j += 1
+            }
+            beta(f) = nb; a0(f) = na
+            if (maxD == 0.0) active(f) = false
+          }
+        }
+        var iter = 0
+        while (iter < 25 && active.exists(identity)) {
+          val activeSnap = active.clone()
+          // per-fold linear-predictor form on the ORIGINAL sparse
+          // scale: eta = foldOff_f + rowOff + Σ vals·(beta_f/scale_f)
+          val bOverS = Array.tabulate(F, p)((f, j) => beta(f)(j) / scales(f)(j))
+          val offs = Array.tabulate(F) { f =>
+            var o = a0(f)
+            var j = 0
+            while (j < p) { o -= means(f)(j) * bOverS(f)(j); j += 1 }
+            o
+          }
+          val bc = sc.broadcast((bOverS, offs, norms))
+          sharedPasses += 1
+          // ONE pass: uncentered v-weighted sparse offset-IRLS moments
+          // for all active folds — η includes the row offset, the WLS
+          // target z excludes it
+          val grams = rows.treeAggregate(Array.fill(F)(new BinWGram(p)))(
+            (acc, t) => {
+              val (rowFold, idx, vals, y, off, v) = t
+              val (bos, foldOff, nrm) = bc.value
+              var f = 0
+              while (f < F) {
+                if (f != rowFold && activeSnap(f)) {
+                  var eta = foldOff(f) + off
+                  var i = 0
+                  while (i < idx.length) { eta += vals(i) * bos(f)(idx(i)); i += 1 }
+                  var w = 0.0
+                  var z = 0.0
+                  if (binomial) {
+                    val mu = 1.0 / (1.0 + math.exp(-eta))
+                    w = math.max(mu * (1.0 - mu), 1e-5)
+                    z = eta + (y - mu) / w - off
+                  } else {
+                    val etaC = math.max(math.min(eta, 30.0), -30.0)
+                    val mu = math.exp(etaC)
+                    w = math.max(mu, 1e-5)
+                    z = etaC + (y - mu) / w - off
+                  }
+                  val vw = v * nrm(f) * w
+                  val g = acc(f)
+                  g.sw += vw; g.swz += vw * z
+                  var i2 = 0
+                  while (i2 < idx.length) {
+                    val j = idx(i2)
+                    val wxj = vw * vals(i2)
+                    g.swx(j) += wxj
+                    g.swxz(j) += wxj * z
+                    var m = 0
+                    while (m <= i2) {
+                      g.swxx(LinAlg.triIdx(idx(m), j)) += wxj * vals(m)
+                      m += 1
+                    }
+                    i2 += 1
+                  }
+                }
+                f += 1
+              }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < F) { a(i).merge(b(i)); i += 1 }; a },
+            depth = 2)
+          for (f <- 0 until F if active(f)) {
+            lastGram(f) = grams(f)
+            val (nb, na) = solveFold(f, grams(f), l)
+            var maxD = math.abs(na - a0(f))
+            var j = 0
+            while (j < p) {
+              val d = math.abs(nb(j) - beta(f)(j)); if (d > maxD) maxD = d; j += 1
+            }
+            beta(f) = nb; a0(f) = na
+            if (maxD < math.max(params.thresh * 1e-2, 1e-8)) active(f) = false
+          }
+          iter += 1
+        }
+        for (f <- 0 until F) {
+          for (j <- 0 until p) betaOut(f)(l)(j) = beta(f)(j) / scales(f)(j)
+          a0Out(f)(l) =
+            if (params.intercept)
+              a0(f) - (0 until p).map(j => betaOut(f)(l)(j) * means(f)(j)).sum
+            else a0(f)
+        }
+      }
+
+      // full-data model from the virtual fold + sparse offset deviance
+      // pass (nulldev at the offset null, per row)
+      val a0Full = Array.tabulate(L)(l => Array(a0Out(nfolds)(l)))
+      val betaFull = Array.tabulate(L)(l => Array(betaOut(nfolds)(l).clone()))
+      val names = (0 until p).map(j => s"V$j").toArray
+      val normFull = norms(nfolds)
+      val a0NullFull = a0Null(nfolds)
+      val devs = rows.treeAggregate(new Array[Double](L + 1))(
+        (acc, t) => {
+          val (_, idx, vals, y, off, v) = t
+          def binDev(eta: Double): Double = {
+            val m = math.max(eta, 0.0)
+            2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y * eta)
+          }
+          def poisDev(mu: Double): Double = {
+            val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+            2.0 * (ylog - (y - mu))
+          }
+          val vn = v * normFull
+          var l = 0
+          while (l < L) {
+            var eta = a0Full(l)(0) + off
+            val bl = betaFull(l)(0)
+            var i = 0
+            while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
+            acc(l) += vn * (if (binomial) binDev(eta)
+              else poisDev(math.exp(math.max(math.min(eta, 30.0), -30.0))))
+            l += 1
+          }
+          acc(L) += vn * (if (binomial) binDev(a0NullFull + off)
+            else poisDev(math.exp(
+              math.max(math.min(a0NullFull + off, 30.0), -30.0))))
+          acc
+        },
+        (a, b) => { var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      val nulldev = devs(L)
+      val devRatio = Array.tabulate(L)(l =>
+        if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
+      val full = new SgdNetModel(params.family, names, Array(labelCol),
+        classes, lambdas, a0Full, betaFull, nulldev, devRatio, total.n,
+        sharedPasses + 2, params)
+
+      // held-out scoring per (fold, lambda): the prediction includes
+      // the row's own offset (newoffset); Σv·err / Σv with RAW v
+      val bA0 = sc.broadcast(a0Out)
+      val bBeta = sc.broadcast(betaOut)
+      val foldScores = measure match {
+        case "auc" =>
+          val spark = df.sparkSession
+          val scored = spark.createDataFrame(rows.map { t =>
+            val (f, idx, vals, y, off, v) = t
+            val etas = new Array[Double](L)
+            var l = 0
+            while (l < L) {
+              var eta = bA0.value(f)(l) + off
+              val bl = bBeta.value(f)(l)
+              var i = 0
+              while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
+              etas(l) = eta
+              l += 1
+            }
+            (f, y, v, etas)
+          }).toDF("__fold", "__y", "__v", "__etas")
+          val exploded = scored
+            .select(col("__fold"), col("__y"), col("__v"),
+              posexplode(col("__etas")).as(Seq("__l", "__s")))
+            .select((col("__l") * nfolds + col("__fold")).as("__g"),
+              col("__s"), col("__y"), col("__v"))
+          val aucs = aucPerGroup(exploded, L * nfolds,
+            weightCol = if (weighted) "__v" else null)
+          Array.tabulate(nfolds, L)((f, l) => aucs(l * nfolds + f))
+        case _ =>
+          val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
+            (acc, t) => {
+              val (f, idx, vals, y, off, v) = t
+              var l = 0
+              while (l < L) {
+                var eta = bA0.value(f)(l) + off
+                val bl = bBeta.value(f)(l)
+                var i = 0
+                while (i < idx.length) { eta += bl(idx(i)) * vals(i); i += 1 }
+                acc(f * L + l) += v * (if (binomial) {
+                  val mu = 1.0 / (1.0 + math.exp(-eta))
+                  measure match {
+                    case "mse" => 2.0 * (mu - y) * (mu - y)
+                    case "mae" => 2.0 * math.abs(mu - y)
+                    case "class" => if ((if (mu > 0.5) 1.0 else 0.0) != y) 1.0 else 0.0
+                    case "deviance" =>
+                      val mc = math.min(math.max(mu, 1e-5), 1.0 - 1e-5)
+                      -2.0 * (y * math.log(mc) + (1 - y) * math.log(1 - mc))
+                    case other => // unreachable: fitSparseWithOffset validates
+                      throw new IllegalArgumentException(s"unknown measure $other")
+                  }
+                } else {
+                  val mu = math.exp(math.max(math.min(eta, 30.0), -30.0))
+                  measure match {
+                    case "mse" => (y - mu) * (y - mu)
+                    case "mae" => math.abs(y - mu)
+                    case "deviance" =>
+                      val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+                      2.0 * (ylog - (y - mu))
+                    case other => // unreachable: fitSparseWithOffset validates
+                      throw new IllegalArgumentException(s"unknown measure $other")
+                  }
+                })
+                l += 1
+              }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          Array.tabulate(nfolds, L)((f, l) => sums(f * L + l) / wFold(f))
       }
       summarize(params.alpha, lambdas, foldScores, full)
     } finally rows.unpersist(blocking = false)

@@ -1051,6 +1051,31 @@ object PathQueries {
       .orderBy("lambda_idx")
   }
 
+  /** SPARSE offset CV (round 16 — `CvSgdNet.fitSparseWithOffset`, the
+    * last sparse × offset × CV composition cell): the [[cvOffset]]
+    * poisson exposure query verbatim through the uncentered
+    * sparse-moment offset chassis — same data, offset, folds and
+    * lambda, so the oracle is byte-identical to q_cv_offset and any
+    * divergence isolates the sparse offset chassis. */
+  def cvSparseOffset(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("lexp", log(col("l_linenumber").cast("double")))
+      .withColumn("sidx", array(lit(0)))
+      .withColumn("svals", array(col("l_discount").cast("double")))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitSparseWithOffset(li, "sidx", "svals", 1,
+      "l_quantity", "lexp", SgdNetParams(family = "poisson", alpha = 1.0,
+        lambda = Array(10.0)),
+      nfolds = 5, measure = "deviance", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
   /** lambda.min / lambda.1se selection on the [[cvRidgeFit]] chain —
     * oracle-exact (the fixed grid makes both selections SQL-computable). */
   def cvSelect(spark: SparkSession, dir: String): DataFrame = {

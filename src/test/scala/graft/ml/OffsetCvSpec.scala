@@ -393,4 +393,54 @@ class OffsetCvSpec extends SparkSpec {
     }
     ()
   }
+
+  test("sparse offset CV == dense offset CV (poisson, binomial; weighted; gaussian)") {
+    val sp = data.withColumn("idx", array(lit(0), lit(1)))
+      .withColumn("vals", array(col("x1"), col("x2")))
+    // poisson deviance on a fixed grid
+    val pp = SgdNetParams(family = "poisson", alpha = 1.0,
+      lambda = Array(0.3, 0.05), thresh = 1e-9, maxit = 100000)
+    val dp = CvSgdNet.fitWithOffset(data, Seq("x1", "x2"), "yp", "off", pp,
+      nfolds = 3, measure = "deviance", foldCol = fold)
+    val spC = CvSgdNet.fitSparseWithOffset(sp, "idx", "vals", 2, "yp", "off",
+      pp, nfolds = 3, measure = "deviance", foldCol = fold)
+    assertClose(spC.best, dp.best, 1e-7, "sparse-offset/poisson")
+    for (l <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(spC.best.fit.beta(l)(0)(j) - dp.best.fit.beta(l)(0)(j)) < 1e-7,
+        s"poisson full beta($l)($j)")
+    // binomial weighted auc on a fixed grid
+    val pb = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(0.05, 0.01), thresh = 1e-9, maxit = 100000)
+    val db = CvSgdNet.fitWithOffset(data, Seq("x1", "x2"), "yb", "off", pb,
+      nfolds = 3, measure = "auc", foldCol = fold, weightCol = "w")
+    val sb = CvSgdNet.fitSparseWithOffset(sp, "idx", "vals", 2, "yb", "off",
+      pb, nfolds = 3, measure = "auc", foldCol = fold, weightCol = "w")
+    assertClose(sb.best, db.best, 1e-6, "sparse-offset/binomial-wauc")
+    // data-derived lambda path agrees with the dense offset chassis
+    val pbPath = SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 4,
+      thresh = 1e-9, maxit = 100000)
+    val dbp = CvSgdNet.fitWithOffset(data, Seq("x1", "x2"), "yb", "off",
+      pbPath, nfolds = 3, measure = "deviance", foldCol = fold)
+    val sbp = CvSgdNet.fitSparseWithOffset(sp, "idx", "vals", 2, "yb", "off",
+      pbPath, nfolds = 3, measure = "deviance", foldCol = fold)
+    assert(sbp.best.lambda.zip(dbp.best.lambda).forall { case (a, b) =>
+      math.abs(a - b) < 1e-9 * b }, "binomial offset lambda path")
+    for (l <- sbp.best.lambda.indices)
+      assert(math.abs(sbp.best.cvm(l) - dbp.best.cvm(l)) <
+        1e-6 * math.max(1.0, dbp.best.cvm(l)), s"path cvm($l)")
+    // gaussian delegates to the plain sparse CV on y − offset
+    val pg = SgdNetParams(alpha = 0.5, lambda = Array(0.4, 0.05),
+      thresh = 1e-11, maxit = 100000)
+    val adj = sp.withColumn("yadj", col("yg") - col("off"))
+    val sg = CvSgdNet.fitSparseWithOffset(sp, "idx", "vals", 2, "yg", "off",
+      pg, nfolds = 3, measure = "mse", foldCol = fold)
+    val sgAdj = CvSgdNet.fitSparse(adj, "idx", "vals", 2, "yadj", pg,
+      nfolds = 3, measure = "mse", foldCol = fold)
+    assertClose(sg.best, sgAdj.best, 1e-12, "sparse-offset/gaussian")
+    intercept[IllegalArgumentException] {
+      CvSgdNet.fitSparseWithOffset(sp, "idx", "vals", 2, "cls3", "off",
+        SgdNetParams(family = "multinomial"), foldCol = fold)
+    }
+    ()
+  }
 }
