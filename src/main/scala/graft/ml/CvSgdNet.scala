@@ -4451,6 +4451,263 @@ object CvSgdNet {
     Array.tabulate(L)(row.getDouble)
   }
 
+  // ------------------------------------------- relaxed CV (gamma × lambda)
+
+  /** cv.glmnet `relax = TRUE` result: one [[CvPath]] per gamma over a
+    * SHARED lambda grid, the overall (gamma, lambda) winner, and the
+    * full-data relaxed path for coefficient extraction. */
+  final case class RelaxedCvResult(
+      gammas: Array[Double],
+      paths: Seq[CvPath],
+      bestGamma: Double,
+      best: CvPath,
+      relaxed: SgdNet.RelaxedPath) {
+    /** CV surface long-frame: (gamma, lambda_idx, lambda, cvm, cvsd). */
+    def curveDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      gammas.toSeq.zip(paths).flatMap { case (g, p) =>
+        p.lambda.indices.map(l => (g, l, p.lambda(l), p.cvm(l), p.cvsd(l)))
+      }.toDF("gamma", "lambda_idx", "lambda", "cvm", "cvsd")
+    }
+    /** Blended full-data coefficients at (bestGamma, lambda.min|.1se):
+      * the selected lambda is a grid point, so no interpolation. */
+    def coefAt(which: String = "lambda.min"): (Double, Array[Double]) = {
+      val s = which match {
+        case "lambda.min" => best.lambdaMin
+        case "lambda.1se" => best.lambda1se
+        case other        => other.toDouble
+      }
+      val l = {
+        val exact = best.lambda.indexWhere(_ == s)
+        if (exact >= 0) exact
+        else best.lambda.zipWithIndex.minBy { case (v, _) => math.abs(v - s) }._2
+      }
+      val g = bestGamma
+      val a0 = g * relaxed.model.a0(l)(0) + (1 - g) * relaxed.olsA0(l)
+      val b = Array.tabulate(relaxed.olsBeta(l).length)(j =>
+        g * relaxed.model.beta(l)(0)(j) + (1 - g) * relaxed.olsBeta(l)(j))
+      (a0, b)
+    }
+  }
+
+  /** Relaxed cross-validation (round 16 — cv.glmnet `relax = TRUE`
+    * with its `gamma` grid; default c(0, .25, .5, .75, 1) like
+    * glmnet): CV over the (gamma × lambda) surface of the γ-blend
+    * γ·penalized + (1−γ)·active-set-OLS-refit. Gaussian family, and
+    * the whole CV is ONE data pass (+1 only for mae):
+    *
+    *  - per-fold moments from one treeAggregate; each fold's penalized
+    *    path AND its per-lambda active-set OLS refits solve
+    *    driver-side from those same moments (the relaxedFit
+    *    zero-extra-passes shape, fold-tiled);
+    *  - held-out (weighted) MSE for every (gamma, fold, lambda) cell
+    *    is the moment closed form — no scoring pass;
+    *  - the full-data blended model per gamma gets its dev.ratio from
+    *    the same moments.
+    *
+    * Frequency weights via `weightCol` follow the fitWeighted
+    * convention (per-fold sum-to-n_train renormalization, w = 0 drops
+    * the row); held-out scores are Σv·err/Σv with raw v. glmnet
+    * semantics; the reference has no relax (graft extension, like
+    * relaxedFit). */
+  def fitRelaxed(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                 params: SgdNetParams = SgdNetParams(),
+                 nfolds: Int = 10,
+                 gammas: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0),
+                 measure: String = "deviance",
+                 foldCol: Column = null,
+                 weightCol: String = null): RelaxedCvResult = {
+    require(nfolds >= 2, "nfolds must be at least 2")
+    require(params.family == "gaussian",
+      "relaxed CV: gaussian family only (the relaxedFit surface)")
+    require(gammas.nonEmpty && gammas.forall(g => g >= 0 && g <= 1),
+      "gamma grid must lie in [0, 1]")
+    require(Set("deviance", "mse", "mae").contains(measure),
+      s"relaxed CV supports deviance|mse|mae, not '$measure'")
+    val p = featureCols.size
+    val weighted = weightCol != null
+    val hashCols = (featureCols :+ labelCol).map(col)
+    val wc = if (weighted) col(weightCol).cast("double") else lit(1.0)
+    val withFold = df
+      .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
+      .withColumn("__v", wc)
+    val rows0 = withFold
+      .select((featureCols.map(c => col(c).cast("double")) :+
+        col(labelCol).cast("double") :+ col("__fold") :+ col("__v")): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = r.getDouble(j); j += 1 }
+        (r.getInt(p + 1), x, r.getDouble(p), r.getDouble(p + 2))
+      }
+    val rows = if (weighted)
+        rows0.map { t => require(t._4 >= 0, "weights must be non-negative"); t }
+          .filter(_._4 > 0)
+      else rows0
+    // ONE pass: per-fold RAW-v moments + Σv
+    val zero = (Array.fill(nfolds)(new GramStats(p, 1)),
+      new Array[Double](nfolds))
+    val (perFold, wFold) = rows.treeAggregate(zero)(
+      (acc, t) => {
+        acc._1(t._1).addWeighted(t._2, Array(t._3), t._4)
+        acc._2(t._1) += t._4
+        acc
+      },
+      (a, b) => {
+        var i = 0
+        while (i < nfolds) { a._1(i).merge(b._1(i)); a._2(i) += b._2(i); i += 1 }
+        a
+      }, depth = 2)
+    requireNonEmptyFolds(perFold.map(_.n), nfolds)
+    val total = new GramStats(p, 1)
+    perFold.foreach(total.merge)
+    val wTotal = wFold.sum
+
+    // full-data relaxed path (defines the shared lambda grid) from the
+    // sum-to-n normalized total moments
+    val totScaled =
+      if (weighted)
+        new GramStats(p, 1).merge(total).scaleWeights(total.n.toDouble / wTotal)
+      else total
+    val relaxedFull = SgdNet.relaxedFromStats(totScaled, featureCols,
+      labelCol, params, 1.0)
+    val lambdas = relaxedFull.model.lambda
+    val L = lambdas.length
+    val G = gammas.length
+
+    // per-fold penalized path + active-set OLS refits, all driver-side
+    // from subtracted moments
+    val a0Pen = Array.ofDim[Double](nfolds, L)
+    val bPen = Array.ofDim[Double](nfolds, L, p)
+    val a0Ols = Array.ofDim[Double](nfolds, L)
+    val bOls = Array.ofDim[Double](nfolds, L, p)
+    for (f <- 0 until nfolds) {
+      val fg = perFold(f)
+      val train0 = new GramStats(p, 1).merge(total).subtract(fg)
+      val train =
+        if (weighted)
+          train0.scaleWeights(train0.n.toDouble / (wTotal - wFold(f)))
+        else train0
+      val st = SufficientStats.standardize(train, params.standardize,
+        params.intercept)
+      val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      val l2Scale = SgdNet.compatL2Scale(params, 1, st.yVar)
+      val (loStd, upStd) = SgdNet.boundsStd(params, scale, 1.0)
+      var warm = new Array[Double](p)
+      for (l <- 0 until L) {
+        val r = CoordinateDescent.solve(st.gram, st.b(0), new Array[Double](p),
+          0.0, 1.0, lambdas(l), params.alpha, intercept = false, warm,
+          thresh = params.thresh * 1e-4, maxIter = params.maxit,
+          l2Scale = l2Scale, penaltyFactor = params.penaltyFactor,
+          lower = loStd, upper = upStd)
+        warm = r.beta
+        for (j <- 0 until p) bPen(f)(l)(j) = r.beta(j) / scale(j)
+        a0Pen(f)(l) = if (params.intercept)
+          st.yMean(0) - (0 until p).map(j => bPen(f)(l)(j) * st.xMean(j)).sum
+        else 0.0
+        val active = (0 until p).filter(j => r.beta(j) != 0.0)
+        if (active.nonEmpty) {
+          val aM = Array.tabulate(active.size, active.size)((i2, j2) =>
+            st.gram(active(i2))(active(j2)))
+          val bv = active.map(j => st.b(0)(j)).toArray
+          val sol = LinAlg.solve(aM, bv)
+          active.zipWithIndex.foreach { case (j, i2) =>
+            bOls(f)(l)(j) = sol(i2) / scale(j)
+          }
+        }
+        a0Ols(f)(l) = if (params.intercept)
+          st.yMean(0) - (0 until p).map(j => bOls(f)(l)(j) * st.xMean(j)).sum
+        else 0.0
+      }
+    }
+
+    // held-out scores for every (gamma, fold, lambda)
+    val foldScores = Array.ofDim[Double](G, nfolds, L)
+    if (measure == "mae") {
+      // one scoring aggregation: every (gamma, fold, lambda) predictor
+      // folds into the plan as literals
+      val label = col(labelCol).cast("double")
+      val cells = for (g <- 0 until G; f <- 0 until nfolds; l <- 0 until L)
+        yield {
+          val gm = gammas(g)
+          val a0 = gm * a0Pen(f)(l) + (1 - gm) * a0Ols(f)(l)
+          val eta = featureCols.zipWithIndex.foldLeft(lit(a0)) {
+            case (acc, (c, j)) =>
+              val w = gm * bPen(f)(l)(j) + (1 - gm) * bOls(f)(l)(j)
+              if (w == 0.0) acc else acc + col(c) * lit(w)
+          }
+          (sum(when(col("__fold") === f, col("__v") * abs(label - eta))) /
+            sum(when(col("__fold") === f, col("__v")))).as(s"m_${g}_${f}_$l")
+        }
+      val row = withFold.agg(cells.head, cells.tail: _*).head()
+      var i = 0
+      for (g <- 0 until G; f <- 0 until nfolds; l <- 0 until L) {
+        foldScores(g)(f)(l) =
+          if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+        i += 1
+      }
+    } else {
+      // held-out weighted MSE from fold moments (the
+      // cvGaussianFromStats closed form with Σv in place of n)
+      for (g <- 0 until G; f <- 0 until nfolds; l <- 0 until L) {
+        val gm = gammas(g)
+        val fg = perFold(f)
+        val wf = wFold(f)
+        val a0 = gm * a0Pen(f)(l) + (1 - gm) * a0Ols(f)(l)
+        val bO = Array.tabulate(p)(j =>
+          gm * bPen(f)(l)(j) + (1 - gm) * bOls(f)(l)(j))
+        var quad = 0.0; var bx = 0.0; var bxy = 0.0
+        for (j <- 0 until p) {
+          bx += bO(j) * fg.sumX(j) / wf
+          bxy += bO(j) * fg.xty(j) / wf
+          var s2 = 0.0
+          for (m <- 0 until p) s2 += fg.xtx(LinAlg.triIdx(j, m)) / wf * bO(m)
+          quad += bO(j) * s2
+        }
+        foldScores(g)(f)(l) = fg.sumYY(0) / wf - 2 * a0 * fg.sumY(0) / wf +
+          a0 * a0 + quad + 2 * a0 * bx - 2 * bxy
+      }
+    }
+
+    // one CvPath per gamma: the full-data blended model with its
+    // dev.ratio from the same total moments
+    val stTot = SufficientStats.standardize(totScaled, params.standardize,
+      params.intercept)
+    val scaleTot = if (params.standardize) stTot.xSd else Array.fill(p)(1.0)
+    val ySecond = if (params.intercept) stTot.yVar(0)
+      else stTot.yVar(0) + stTot.yMean(0) * stTot.yMean(0)
+    val nulldev = totScaled.n * ySecond
+    val paths = (0 until G).map { g =>
+      val gm = gammas(g)
+      val a0B = Array.tabulate(L)(l => Array(
+        gm * relaxedFull.model.a0(l)(0) + (1 - gm) * relaxedFull.olsA0(l)))
+      val bB = Array.tabulate(L)(l => Array(Array.tabulate(p)(j =>
+        gm * relaxedFull.model.beta(l)(0)(j) +
+          (1 - gm) * relaxedFull.olsBeta(l)(j))))
+      val devRatio = Array.tabulate(L) { l =>
+        // RSS/n on the standardized working scale (yScale = 1: the
+        // gaussian relax path rejects standardize.response)
+        var bb = 0.0; var gq = 0.0
+        for (j <- 0 until p) {
+          val bstd = bB(l)(0)(j) * scaleTot(j)
+          bb += stTot.b(0)(j) * bstd
+          var s2 = 0.0
+          for (m <- 0 until p) s2 += stTot.gram(j)(m) * bB(l)(0)(m) * scaleTot(m)
+          gq += bstd * s2
+        }
+        val rss = ySecond - 2 * bb + gq
+        if (nulldev > 0) 1.0 - totScaled.n * rss / nulldev else 0.0
+      }
+      val model = new SgdNetModel("gaussian", featureCols.toArray,
+        Array(labelCol), Array.empty, lambdas, a0B, bB, nulldev, devRatio,
+        total.n, relaxedFull.model.npasses, params)
+      summarize(params.alpha, lambdas, foldScores(g), model)
+    }
+    val bestIdx = (0 until G).minBy(g => paths(g).cvm.min)
+    RelaxedCvResult(gammas.toArray, paths, gammas(bestIdx), paths(bestIdx),
+      relaxedFull)
+  }
+
   private def summarize(alpha: Double, lambdas: Array[Double],
                         foldScores: Array[Array[Double]],
                         full: SgdNetModel): CvPath = {

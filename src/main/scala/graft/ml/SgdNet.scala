@@ -1531,9 +1531,9 @@ object SgdNet {
       "relaxedFit: standardize.response is mgaussian-only")
   }
 
-  private def relaxedFromStats(g: GramStats, featureCols: Seq[String],
-                               labelCol: String, params: SgdNetParams,
-                               gamma: Double): RelaxedPath = {
+  private[ml] def relaxedFromStats(g: GramStats, featureCols: Seq[String],
+                                   labelCol: String, params: SgdNetParams,
+                                   gamma: Double): RelaxedPath = {
     val model = solveGaussianFromStats(g, featureCols, Seq(labelCol), params)
     val p = featureCols.size
     val st = SufficientStats.standardize(g, params.standardize, params.intercept)

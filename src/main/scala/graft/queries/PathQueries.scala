@@ -872,6 +872,33 @@ object PathQueries {
         round(log(col("cvsd")), 6).as("ln_cvsd"))
       .orderBy("lambda_idx")
 
+  /** Relaxed CV surface (round 16 — cv.glmnet relax = TRUE,
+    * `CvSgdNet.fitRelaxed`): the [[cvExactCurve]] 1-feature lasso with
+    * a gamma grid — per fold the penalized coefficient is the
+    * closed-form soft threshold, the active-set OLS refit is the
+    * plain covariance ratio (active iff the threshold didn't zero
+    * it), the γ-blend is linear, and the held-out MSE is the moment
+    * form — so the whole (gamma × lambda) surface verifies exactly in
+    * DuckDB while driving the real one-pass relaxed-CV chassis. */
+  def cvRelaxed(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+    val lmax = li.agg(
+      (abs(covar_pop(col("l_quantity"), col("l_extendedprice"))) /
+        sqrt(var_pop(col("l_quantity")))).as("lmax")).head().getDouble(0)
+    val lambdas = Array.tabulate(10)(i => lmax * math.pow(0.01, i / 9.0))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitRelaxed(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = lambdas, thresh = 1e-7),
+      nfolds = 5, gammas = Seq(0.0, 0.5, 1.0), foldCol = fold)
+    cv.curveDF(spark)
+      .select((round(col("gamma"), 2) + lit(0.0)).as("gamma"),
+        col("lambda_idx").cast("int").as("lambda_idx"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("gamma", "lambda_idx")
+  }
+
   def cvExactPick(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cv = cvExactFit(spark, dir)

@@ -1,0 +1,129 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Relaxed cross-validation (cv.glmnet relax = TRUE, round 16):
+  * the γ = 1 slice must equal the plain CV, λ = 0 must collapse the
+  * whole gamma grid (penalized == refit with everything active), the
+  * fold cells must match hand-computed moment algebra, and integer
+  * weights must reproduce row duplication. */
+class RelaxedCvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val data = {
+    val rnd = new scala.util.Random(41)
+    (1 to 500).map { i =>
+      val x1 = rnd.nextGaussian() * 2.0 + 1.0
+      val x2 = rnd.nextGaussian() * 0.5 - 2.0
+      val x3 = rnd.nextGaussian()
+      val y = 3.0 + 2.0 * x1 - 1.5 * x2 + rnd.nextGaussian() * 0.4
+      (i.toLong, x1, x2, x3, y, (i % 3 + 1).toDouble)
+    }.toDF("rid", "x1", "x2", "x3", "y", "w")
+  }
+  private def fold = pmod(xxhash64(col("rid")), lit(3))
+
+  test("gamma = 1 slice == plain CV; lambda = 0 collapses the gamma grid") {
+    val lambdas = Array(2.0, 0.5, 0.1, 0.0)
+    val params = SgdNetParams(alpha = 1.0, lambda = lambdas, thresh = 1e-10,
+      maxit = 100000)
+    val r = CvSgdNet.fitRelaxed(data, Seq("x1", "x2", "x3"), "y", params,
+      nfolds = 3, gammas = Seq(0.0, 0.5, 1.0), foldCol = fold)
+    val plain = CvSgdNet.fit(data, Seq("x1", "x2", "x3"), Seq("y"), params,
+      nfolds = 3, foldCol = fold)
+    val g1 = r.paths(2)
+    assert(g1.lambda.sameElements(plain.best.lambda))
+    for (l <- lambdas.indices) {
+      assert(math.abs(g1.cvm(l) - plain.best.cvm(l)) <
+        1e-9 * math.max(1.0, plain.best.cvm(l)), s"gamma=1 cvm($l)")
+      assert(math.abs(g1.cvsd(l) - plain.best.cvsd(l)) <
+        1e-9 * math.max(1.0, plain.best.cvsd(l)), s"gamma=1 cvsd($l)")
+    }
+    // at lambda = 0 every coordinate is active and the refit IS the
+    // penalized solution, so every gamma scores identically there
+    val lZero = lambdas.indexOf(0.0)
+    for (g <- 0 until 3)
+      assert(math.abs(r.paths(g).cvm(lZero) - g1.cvm(lZero)) <
+        1e-8 * math.max(1.0, g1.cvm(lZero)), s"lambda=0 gamma($g)")
+    // full-data blended model: gamma=1 equals the penalized path model
+    for (l <- lambdas.indices; j <- 0 until 3)
+      assert(math.abs(r.paths(2).fit.beta(l)(0)(j) -
+        r.relaxed.model.beta(l)(0)(j)) < 1e-12, "gamma=1 full fit")
+  }
+
+  test("fold cells match hand-computed penalized + refit moment algebra") {
+    // 1 feature: penalized fold fit and OLS refit are closed forms
+    val lam = 1.0
+    val params = SgdNetParams(alpha = 1.0, lambda = Array(lam), thresh = 1e-10,
+      maxit = 100000)
+    val r = CvSgdNet.fitRelaxed(data, Seq("x1"), "y", params,
+      nfolds = 3, gammas = Seq(0.0, 0.4, 1.0), foldCol = fold)
+    val rows = data.withColumn("__f", fold).select("x1", "y", "__f").collect()
+      .map(rw => (rw.getDouble(0), rw.getDouble(1), rw.getLong(2).toInt))
+    for ((gm, gi) <- Seq((0.0, 0), (0.4, 1), (1.0, 2))) {
+      val cells = (0 until 3).map { f =>
+        val tr = rows.filter(_._3 != f)
+        val te = rows.filter(_._3 == f)
+        val n = tr.length.toDouble
+        val mx = tr.map(_._1).sum / n
+        val my = tr.map(_._2).sum / n
+        val sd = math.sqrt(tr.map(t => (t._1 - mx) * (t._1 - mx)).sum / n)
+        val cxy = tr.map(t => (t._1 - mx) * (t._2 - my)).sum / n
+        val bPen = math.signum(cxy / sd) *
+          math.max(math.abs(cxy / sd) - lam, 0.0) / sd
+        val bOls = if (bPen != 0.0) (cxy / sd) / sd else 0.0
+        val b = gm * bPen + (1 - gm) * bOls
+        val a0 = my - b * mx
+        te.map(t => math.pow(t._2 - a0 - b * t._1, 2)).sum / te.length
+      }
+      val cvm = cells.sum / 3.0
+      assert(math.abs(r.paths(gi).cvm(0) - cvm) <
+        1e-9 * math.max(1.0, cvm), s"gamma=$gm cvm")
+    }
+  }
+
+  test("relaxed CV weighted: integer weights == row duplication") {
+    val params = SgdNetParams(alpha = 1.0, lambda = Array(0.5, 0.05),
+      thresh = 1e-10, maxit = 100000)
+    val wr = CvSgdNet.fitRelaxed(data, Seq("x1", "x2"), "y", params,
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = fold, weightCol = "w")
+    val dup = data.withColumn("k",
+      explode(sequence(lit(1), col("w").cast("int"))))
+    val dr = CvSgdNet.fitRelaxed(dup, Seq("x1", "x2"), "y", params,
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = fold)
+    for (g <- 0 until 2; l <- 0 until 2) {
+      assert(math.abs(wr.paths(g).cvm(l) - dr.paths(g).cvm(l)) <
+        1e-8 * math.max(1.0, dr.paths(g).cvm(l)), s"dup cvm($g)($l)")
+      for (j <- 0 until 2)
+        assert(math.abs(wr.paths(g).fit.beta(l)(0)(j) -
+          dr.paths(g).fit.beta(l)(0)(j)) < 1e-8, s"dup beta($g)($l)($j)")
+    }
+  }
+
+  test("coefAt returns the blended full-data coefficients; contracts") {
+    val params = SgdNetParams(alpha = 1.0, lambda = Array(1.0, 0.1),
+      thresh = 1e-10, maxit = 100000)
+    val r = CvSgdNet.fitRelaxed(data, Seq("x1", "x2"), "y", params,
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = fold)
+    val (a0, b) = r.coefAt("lambda.min")
+    val l = r.best.lambda.indexOf(r.best.lambdaMin)
+    val g = r.bestGamma
+    assert(math.abs(a0 - (g * r.relaxed.model.a0(l)(0) +
+      (1 - g) * r.relaxed.olsA0(l))) < 1e-12)
+    for (j <- 0 until 2)
+      assert(math.abs(b(j) - (g * r.relaxed.model.beta(l)(0)(j) +
+        (1 - g) * r.relaxed.olsBeta(l)(j))) < 1e-12)
+    // dev.ratio of the blended full model is a real deviance ratio
+    r.paths.foreach(p => p.fit.devRatio.foreach(dr =>
+      assert(dr >= -1e-9 && dr <= 1.0 + 1e-9)))
+    intercept[IllegalArgumentException] {
+      CvSgdNet.fitRelaxed(data, Seq("x1"), "y",
+        SgdNetParams(family = "binomial"), foldCol = fold)
+    }
+    intercept[IllegalArgumentException] {
+      CvSgdNet.fitRelaxed(data, Seq("x1"), "y", SgdNetParams(),
+        gammas = Seq(1.5), foldCol = fold)
+    }
+    ()
+  }
+}
