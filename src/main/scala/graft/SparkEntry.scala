@@ -52,6 +52,7 @@ object SparkEntry {
     "q_score_class"      -> (PathQueries.scoreClass _),
     "q_nonzero"          -> (PathQueries.nonzeroQ _),
     "q_df_path"          -> (PathQueries.dfPath _),
+    "q_dfmax"            -> (PathQueries.dfmaxPath _),
     "q_path_summary"     -> (PathQueries.pathSummary _),
     "q_plot_path_data"   -> (PathQueries.plotPathData _),
     "q_deviance"         -> (PathQueries.devianceQ _),
@@ -1198,6 +1199,20 @@ object SparkEntry {
         |SELECT cast(l.lambda_idx AS INTEGER) AS lambda_idx,
         |       CASE WHEN l.lam < s.bmax THEN 1 ELSE 0 END AS df
         |FROM l, s ORDER BY lambda_idx""".stripMargin,
+
+    // dfmax truncation (round 16): the 1-feature lasso activates iff
+    // lambda < bmax, so with dfmax = 0 the returned path is exactly
+    // the lambda > bmax prefix of the grid (first active point
+    // dropped, path stopped)
+    "q_dfmax" ->
+      """WITH s AS (SELECT abs(covar_pop(l_quantity, l_extendedprice)
+        |    / sqrt(var_pop(l_quantity))) AS bmax FROM lineitem),
+        |g AS (SELECT * FROM (VALUES (0, 2.0::DOUBLE), (1, 1.5::DOUBLE),
+        |        (2, 1.01::DOUBLE), (3, 0.99::DOUBLE), (4, 0.5::DOUBLE),
+        |        (5, 0.1::DOUBLE)) t(i, m))
+        |SELECT cast(i AS INTEGER) AS lambda_idx,
+        |       round(m * bmax, 4) AS lambda, 0 AS df
+        |FROM g, s WHERE m > 1.0 ORDER BY lambda_idx""".stripMargin,
 
     "q_path_summary" ->
       s"""WITH s AS (SELECT covar_pop(l_quantity, l_extendedprice)

@@ -66,7 +66,18 @@ final case class SgdNetParams(
     // under a box, but its norm fixed point is unique). The CV paths
     // inherit whichever their fit uses.
     lowerLimits: Array[Double] = null,
-    upperLimits: Array[Double] = null)
+    upperLimits: Array[Double] = null,
+    // glmnet dfmax / pmax: early path truncation for very large p.
+    // dfmax bounds the nonzero-FEATURE count of any returned model
+    // (multivariate: a feature counts if ANY class/response uses it);
+    // pmax bounds the EVER-ACTIVE feature count along the path. The
+    // first path point that violates either is dropped and the path
+    // stops there (glmnet returns the shorter sequence); -1 = no
+    // bound. Enforced by [[SgdNet.dfTruncate]] in the dense/sparse/
+    // weighted gaussian-family solver and the binomial/poisson/
+    // multinomial path cores.
+    dfmax: Int = -1,
+    pmax: Int = -1)
 
 /** Spark-native elastic-net GLM path fitting with the capability surface
   * of `sgdnet` (gaussian, binomial, multinomial, mgaussian families).
@@ -84,6 +95,55 @@ final case class SgdNetParams(
   * Every pass is a shuffle-free linear scan; driver state is O(p^2).
   */
 object SgdNet {
+
+  /** Path-truncation cursor for glmnet `dfmax`/`pmax` (see
+    * [[SgdNetParams]]): the solver asks [[admit]] after each path
+    * point's solve; a `false` means that point violates a bound — the
+    * caller drops it and stops the path (glmnet returns the shorter
+    * lambda sequence). Ever-active bookkeeping is O(p) driver state. */
+  private[ml] final class DfGate(params: SgdNetParams, p: Int) {
+    private val ever = new Array[Boolean](p)
+    private var everCount = 0
+    val unbounded: Boolean = params.dfmax < 0 && params.pmax < 0
+    def admit(nz: Int => Boolean): Boolean = {
+      if (unbounded) return true
+      var df = 0
+      var j = 0
+      while (j < p) {
+        if (nz(j)) {
+          df += 1
+          if (!ever(j)) { ever(j) = true; everCount += 1 }
+        }
+        j += 1
+      }
+      (params.dfmax < 0 || df <= params.dfmax) &&
+        (params.pmax < 0 || everCount <= params.pmax)
+    }
+  }
+
+  /** Post-hoc `dfmax`/`pmax` truncation for the secondary path routes
+    * (sparse/weighted/offset GLM IRLS): the primary cores stop the
+    * path early at the first violation; these routes solve their path
+    * and slice to the same returned surface — first violating point
+    * dropped, path ends there (nonzero patterns are scale-invariant,
+    * so gating the original-scale coefficients is exact). */
+  private[ml] def dfTruncate(m: SgdNetModel, params: SgdNetParams): SgdNetModel = {
+    if (params.dfmax < 0 && params.pmax < 0) return m
+    val p = m.nFeatures
+    val gate = new DfGate(params, p)
+    var cut = 0
+    var stopped = false
+    while (cut < m.lambda.length && !stopped) {
+      val bl = m.beta(cut)
+      if (gate.admit(j => bl.exists(bt => bt(j) != 0.0))) cut += 1
+      else stopped = true
+    }
+    require(cut > 0, "dfmax/pmax exclude every path point")
+    if (cut == m.lambda.length) m
+    else new SgdNetModel(m.family, m.featureNames, m.responseNames,
+      m.classLabels, m.lambda.take(cut), m.a0.take(cut), m.beta.take(cut),
+      m.nulldev, m.devRatio.take(cut), m.nobs, m.npasses, m.params)
+  }
 
   def fit(df: DataFrame, featureCols: Seq[String], labelCol: String,
           params: SgdNetParams = SgdNetParams()): SgdNetModel =
@@ -607,8 +667,9 @@ object SgdNet {
       val nulldev = devs(L)
       val devRatio = Array.tabulate(L)(l =>
         if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
-      new SgdNetModel(params.family, featureNames, Array(labelCol), classes,
-        lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+      dfTruncate(new SgdNetModel(params.family, featureNames, Array(labelCol),
+        classes, lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes,
+        params), params)
     } finally { raw.unpersist(blocking = false); () }
   }
 
@@ -813,8 +874,9 @@ object SgdNet {
           depth = 2)
         passes += 1
         val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
-        new SgdNetModel("binomial", featureNames, Array(labelCol), classes,
-          lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+        dfTruncate(new SgdNetModel("binomial", featureNames, Array(labelCol),
+          classes, lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes,
+          params), params)
       } else {
         val muNull = if (params.intercept) yBar else 1.0
         val devs = rows.treeAggregate(new Array[Double](L + 1))(
@@ -843,8 +905,9 @@ object SgdNet {
         val nulldev = devs.last
         val devRatio = Array.tabulate(L)(l =>
           if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
-        new SgdNetModel("poisson", featureNames, Array(labelCol), Array.empty,
-          lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+        dfTruncate(new SgdNetModel("poisson", featureNames, Array(labelCol),
+          Array.empty, lambdas, a0Out, betaOut, nulldev, devRatio, g.n,
+          passes, params), params)
       }
     } finally raw.unpersist(blocking = false)
   }
@@ -1096,7 +1159,10 @@ object SgdNet {
       (out, iters)
     }
 
-    for (l <- 0 until L) {
+    val dfGate = new DfGate(params, p)
+    var cutL = L
+    var l = 0
+    while (l < L) {
       val lam = lambdas(l)
       val (sol, iters) =
         if (k == 1) {
@@ -1119,31 +1185,41 @@ object SgdNet {
         }
       warm = sol
       totalIters += iters
-      var rss = 0.0
-      for (t <- 0 until k) {
-        val bt = sol(t)
-        // RSS/n on working scale = E[yc^2] - 2 b.beta + beta' G beta
-        var bb = 0.0; var gq = 0.0
-        var j = 0
-        while (j < p) {
-          bb += st.b(t)(j) * bt(j)
-          var m = 0
-          var s = 0.0
-          while (m < p) { s += st.gram(j)(m) * bt(m); m += 1 }
-          gq += bt(j) * s
-          j += 1
+      // glmnet dfmax/pmax: a violating point is dropped and the path
+      // stops (the shorter lambda sequence is returned)
+      if (!dfGate.admit(j => (0 until k).exists(t => sol(t)(j) != 0.0))) {
+        cutL = l
+        l = L
+      } else {
+        var rss = 0.0
+        for (t <- 0 until k) {
+          val bt = sol(t)
+          // RSS/n on working scale = E[yc^2] - 2 b.beta + beta' G beta
+          var bb = 0.0; var gq = 0.0
+          var j = 0
+          while (j < p) {
+            bb += st.b(t)(j) * bt(j)
+            var m = 0
+            var s = 0.0
+            while (m < p) { s += st.gram(j)(m) * bt(m); m += 1 }
+            gq += bt(j) * s
+            j += 1
+          }
+          rss += (ySecond(t) - 2 * bb + gq) * yScale(t) * yScale(t)
+          for (j2 <- 0 until p) beta(l)(t)(j2) = bt(j2) / scale(j2) * yScale(t)
+          a0(l)(t) = if (params.intercept)
+            st.yMean(t) * yScale(t) - (0 until p).map(j3 => beta(l)(t)(j3) * st.xMean(j3)).sum
+          else 0.0
         }
-        rss += (ySecond(t) - 2 * bb + gq) * yScale(t) * yScale(t)
-        for (j2 <- 0 until p) beta(l)(t)(j2) = bt(j2) / scale(j2) * yScale(t)
-        a0(l)(t) = if (params.intercept)
-          st.yMean(t) * yScale(t) - (0 until p).map(j3 => beta(l)(t)(j3) * st.xMean(j3)).sum
-        else 0.0
+        devRatio(l) = if (nulldev > 0) 1.0 - g.n * rss / nulldev else 0.0
+        l += 1
       }
-      devRatio(l) = if (nulldev > 0) 1.0 - g.n * rss / nulldev else 0.0
     }
+    require(cutL > 0, "dfmax/pmax exclude every path point")
 
     new SgdNetModel(params.family, featureCols.toArray, labelCols.toArray,
-      Array.empty, lambdas, a0, beta, nulldev, devRatio, g.n, totalIters, params)
+      Array.empty, lambdas.take(cutL), a0.take(cutL), beta.take(cutL),
+      nulldev, devRatio.take(cutL), g.n, totalIters, params)
   }
 
   /** Weighted gaussian elastic-net path (glmnet `weights`): minimizes
@@ -1431,8 +1507,9 @@ object SgdNet {
       val nulldev = devs(L)
       val devRatio = Array.tabulate(L)(l =>
         if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
-      new SgdNetModel(params.family, featureCols.toArray, Array(labelCol),
-        classes, lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+      dfTruncate(new SgdNetModel(params.family, featureCols.toArray,
+        Array(labelCol), classes, lambdas, a0Out, betaOut, nulldev, devRatio,
+        g.n, passes, params), params)
     } finally { raw.unpersist(blocking = false); () }
   }
 
@@ -1636,7 +1713,10 @@ object SgdNet {
 
     val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
     val (loStd, upStd) = (loStd0, upStd0)
-    for (l <- 0 until L) {
+    val dfGate = new DfGate(params, p)
+    var cutL = L
+    var l = 0
+    while (l < L) {
       val lam = lambdas(l)
       var iter = 0
       var done = false
@@ -1661,11 +1741,20 @@ object SgdNet {
         iter += 1
         if (maxD < math.max(params.thresh * 1e-2, 1e-8)) done = true
       }
-      for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
-      a0Out(l)(0) =
-        if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
-        else a0
+      // glmnet dfmax/pmax: drop the violating point and stop the path
+      if (!dfGate.admit(j => beta(j) != 0.0)) { cutL = l; l = L }
+      else {
+        for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
+        a0Out(l)(0) =
+          if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
+          else a0
+        l += 1
+      }
     }
+    require(cutL > 0, "dfmax/pmax exclude every path point")
+    val lambdasT = lambdas.take(cutL)
+    val a0OutT = a0Out.take(cutL)
+    val betaOutT = betaOut.take(cutL)
 
     // null deviance (reference families.h Binomial::NullDeviance):
     // 2 * sum of logistic losses at the null linear predictor
@@ -1673,12 +1762,12 @@ object SgdNet {
     val nulldev = -2.0 * n * (safeXLog(pBar, nullP) + safeXLog(1 - pBar, 1 - nullP))
 
     // one scoring pass for the whole path -> deviance ratios
-    val devs = pathDeviance(rows, a0Out, betaOut)
+    val devs = pathDeviance(rows, a0OutT, betaOutT)
     passes += 1
     val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
 
     new SgdNetModel("binomial", featureCols.toArray, Array(labelCol),
-      classes, lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+      classes, lambdasT, a0OutT, betaOutT, nulldev, devRatio, g.n, passes, params)
   }
 
   // ---------------------------------------------------------------- poisson
@@ -1739,7 +1828,10 @@ object SgdNet {
       var passes = 0
       val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
 
-      for (l <- 0 until L) {
+      val dfGate = new DfGate(params, p)
+      var cutL = L
+      var l = 0
+      while (l < L) {
         var iter = 0
         var done = false
         while (iter < 25 && !done) {
@@ -1762,23 +1854,32 @@ object SgdNet {
           iter += 1
           if (maxD < math.max(params.thresh * 1e-2, 1e-8)) done = true
         }
-        for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
-        a0Out(l)(0) =
-          if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
-          else a0
+        // glmnet dfmax/pmax: drop the violating point and stop the path
+        if (!dfGate.admit(j => beta(j) != 0.0)) { cutL = l; l = L }
+        else {
+          for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
+          a0Out(l)(0) =
+            if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
+            else a0
+          l += 1
+        }
       }
+      require(cutL > 0, "dfmax/pmax exclude every path point")
+      val lambdasT = lambdas.take(cutL)
+      val a0OutT = a0Out.take(cutL)
+      val betaOutT = betaOut.take(cutL)
 
       // null deviance: 2 sum[y log(y/muNull) - (y - muNull)], muNull = yBar
       // (intercept) or 1 (eta = 0)
       val muNull = if (params.intercept) yBar else 1.0
-      val devs = poissonDeviance(rows, a0Out, betaOut, muNull)
+      val devs = poissonDeviance(rows, a0OutT, betaOutT, muNull)
       passes += 1
       val nulldev = devs.last // last slot carries the null-model deviance
-      val devRatio = Array.tabulate(L)(l =>
+      val devRatio = Array.tabulate(cutL)(l =>
         if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
 
       new SgdNetModel("poisson", featureCols.toArray, Array(labelCol),
-        Array.empty, lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+        Array.empty, lambdasT, a0OutT, betaOutT, nulldev, devRatio, g.n, passes, params)
     } finally rows.unpersist(blocking = false)
   }
 
@@ -2214,9 +2315,9 @@ object SgdNet {
       val devRatio = Array.tabulate(L)(l =>
         if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
 
-      new SgdNetModel("poisson", featureCols.toArray, Array(labelCol),
-        Array.empty, lambdas, a0Out, betaOut, nulldev, devRatio, g.n,
-        passes, params)
+      dfTruncate(new SgdNetModel("poisson", featureCols.toArray,
+        Array(labelCol), Array.empty, lambdas, a0Out, betaOut, nulldev,
+        devRatio, g.n, passes, params), params)
     } finally { raw.unpersist(blocking = false); () }
   }
 
@@ -2438,9 +2539,9 @@ object SgdNet {
       val devRatio = Array.tabulate(L)(l =>
         if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
 
-      new SgdNetModel("binomial", featureCols.toArray, Array(labelCol),
-        classes, lambdas, a0Out, betaOut, nulldev, devRatio, g.n,
-        passes, params)
+      dfTruncate(new SgdNetModel("binomial", featureCols.toArray,
+        Array(labelCol), classes, lambdas, a0Out, betaOut, nulldev, devRatio,
+        g.n, passes, params), params)
     } finally { raw.unpersist(blocking = false); () }
   }
 
@@ -2950,7 +3051,10 @@ object SgdNet {
         math.log(math.max(priors(t), 1e-12)) else 0.0)
     var passes = passes0
 
-    for (l <- 0 until L) {
+    val dfGate = new DfGate(params, p)
+    var cutL = L
+    var l = 0
+    while (l < L) {
       val lam = lambdas(l)
       val step = 1.0 / lip
       var iter = 0
@@ -3040,22 +3144,33 @@ object SgdNet {
         iter += 1
         if (maxD < math.max(params.thresh * 1e-3, 1e-8)) done = true
       }
-      for (t <- 0 until k; j <- 0 until p) betaOut(l)(t)(j) = beta(t)(j) / scale(j)
-      for (t <- 0 until k)
-        a0Out(l)(t) = if (params.intercept)
-          a0(t) - (0 until p).map(j => betaOut(l)(t)(j) * mean(j)).sum else 0.0
+      // glmnet dfmax/pmax: a feature counts if ANY class uses it
+      if (!dfGate.admit(j => (0 until k).exists(t => beta(t)(j) != 0.0))) {
+        cutL = l
+        l = L
+      } else {
+        for (t <- 0 until k; j <- 0 until p) betaOut(l)(t)(j) = beta(t)(j) / scale(j)
+        for (t <- 0 until k)
+          a0Out(l)(t) = if (params.intercept)
+            a0(t) - (0 until p).map(j => betaOut(l)(t)(j) * mean(j)).sum else 0.0
+        l += 1
+      }
     }
+    require(cutL > 0, "dfmax/pmax exclude every path point")
+    val lambdasT = lambdas.take(cutL)
+    val a0OutT = a0Out.take(cutL)
+    val betaOutT = betaOut.take(cutL)
 
     // null deviance: 2 * sum_i -log(prior_{y_i}) (reference families.h:263);
     // the offset route pre-computes it at the offset null instead
     val nulldev = if (!nulldevOverride.isNaN) nulldevOverride
       else -2.0 * n * priors.map(pr => safeXLog(pr, pr)).sum
-    val devs = devFn(a0Out, betaOut)
+    val devs = devFn(a0OutT, betaOutT)
     passes += 1
     val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
 
     new SgdNetModel("multinomial", featureNames, Array(labelCol),
-      classes, lambdas, a0Out, betaOut, nulldev, devRatio, g.n, passes, params)
+      classes, lambdasT, a0OutT, betaOutT, nulldev, devRatio, g.n, passes, params)
   }
 
   private def softmaxGrad(rows: RDD[(Array[Double], Array[Double])],

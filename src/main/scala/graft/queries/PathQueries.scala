@@ -426,6 +426,29 @@ object PathQueries {
       .toDF("lambda_idx", "df").orderBy("lambda_idx")
   }
 
+  /** glmnet dfmax path truncation (round 16 — `SgdNetParams.dfmax`):
+    * a 1-feature lasso on a grid bracketing the activation threshold
+    * bmax = |cov(x_std, y)| (the soft threshold zeroes the coefficient
+    * iff λ ≥ bmax), with dfmax = 0 — the returned path must be exactly
+    * the λ > bmax prefix, the first active point dropped and the path
+    * stopped. DuckDB recomputes bmax and the surviving grid. Multi-
+    * feature dfmax/pmax, the GLM/multinomial cores and the post-hoc
+    * secondary routes are spec-anchored (DfmaxSpec). */
+  def dfmaxPath(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val bmax = li.agg((abs(covar_pop(col("l_quantity"), col("l_extendedprice"))) /
+      sqrt(var_pop(col("l_quantity")))).as("b")).head().getDouble(0)
+    val grid = Array(2.0, 1.5, 1.01, 0.99, 0.5, 0.1).map(_ * bmax)
+    val m = SgdNet.fit(li, Seq("l_quantity"), "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = grid, thresh = 1e-10, dfmax = 0))
+    m.lambda.zip(m.df).zipWithIndex.map { case ((lam, d), i) => (i, lam, d) }
+      .toSeq.toDF("lambda_idx", "lambda", "df")
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"), col("df").cast("int").as("df"))
+      .orderBy("lambda_idx")
+  }
+
   /** print(fit) summary frame: (lambda_idx, df, dev_ratio, lambda). */
   def pathSummary(spark: SparkSession, dir: String): DataFrame = {
     val m = singleFeaturePath(spark, dir)
