@@ -40,6 +40,7 @@ object SparkEntry {
     "q_binom_offset_sparse" -> (PathQueries.binomOffsetSparse _),
     "q_multinom_fit"     -> (PathQueries.multinomFit _),
     "q_multinom_offset"  -> (PathQueries.multinomOffset _),
+    "q_multinom_offset_sparse" -> (PathQueries.multinomOffsetSparse _),
     "q_multinom_grouped" -> (PathQueries.multinomGrouped _),
     "q_mgauss_fit"       -> (PathQueries.mgaussFit _),
     "q_mgauss_offset"    -> (PathQueries.mgaussOffset _),
@@ -1793,6 +1794,31 @@ object SparkEntry {
     // the null -- and hence the whole first step -- matches the plain
     // fit's trajectory)
     "q_multinom_offset" ->
+      """WITH s AS (SELECT avg(l_quantity) mx1, avg(l_discount) mx2,
+        |  sqrt(var_pop(l_quantity)) sd1, sqrt(var_pop(l_discount)) sd2,
+        |  covar_pop(l_quantity, l_discount)
+        |    / (sqrt(var_pop(l_quantity)) * sqrt(var_pop(l_discount))) r
+        |FROM lineitem),
+        |g AS (SELECT f, c, avg(CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) p,
+        |  covar_pop(l_quantity, CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) c1,
+        |  covar_pop(l_discount, CASE WHEN l_returnflag = f THEN 1.0 ELSE 0.0 END) c2
+        |FROM lineitem, (VALUES ('A', 0.4), ('N', -0.2), ('R', 0.1)) t(f, c)
+        |GROUP BY f, c),
+        |u AS (SELECT f, c, p, mx1, mx2,
+        |  sign(c1/sd1) * greatest((1.0/(0.5*(1+r)+0.000000001)) * abs(c1/sd1)
+        |    - (1.0/(0.5*(1+r)+0.000000001)) * 0.001, 0) / sd1 AS b1,
+        |  sign(c2/sd2) * greatest((1.0/(0.5*(1+r)+0.000000001)) * abs(c2/sd2)
+        |    - (1.0/(0.5*(1+r)+0.000000001)) * 0.001, 0) / sd2 AS b2
+        |FROM g, s)
+        |SELECT f AS class, 'a0' AS term,
+        |       round(ln(p) - c - (b1 * mx1 + b2 * mx2), 6) + 0 AS value FROM u
+        |UNION ALL SELECT f, 'l_quantity', round(b1, 6) + 0 FROM u
+        |UNION ALL SELECT f, 'l_discount', round(b2, 6) + 0 FROM u
+        |ORDER BY class, term""".stripMargin,
+    // the q_multinom_offset oracle BYTE-IDENTICALLY: the sparse
+    // multinomial offset chassis runs the same data/offsets/lambda
+    // (the q_binom_offset_sparse discipline)
+    "q_multinom_offset_sparse" ->
       """WITH s AS (SELECT avg(l_quantity) mx1, avg(l_discount) mx2,
         |  sqrt(var_pop(l_quantity)) sd1, sqrt(var_pop(l_discount)) sd2,
         |  covar_pop(l_quantity, l_discount)

@@ -1394,6 +1394,38 @@ object CvSgdNet {
     }
   }
 
+  /** Multi-response (mgaussian) CV with a per-response OFFSET matrix
+    * (round 16 — cv.glmnet offset for family = "mgaussian"): identity
+    * link makes this exact by delegation, fitting y_t − offset_t
+    * through the plain one-pass mgaussian moment CV; the held-out
+    * measures of the adjusted problem ARE the newoffset-scored
+    * measures of the offset problem (the residual y − off − a0 − xβ
+    * is identical). `weightCol` routes through the weighted
+    * multi-response CV. */
+  def fitMultiWithOffset(df: DataFrame, featureCols: Seq[String],
+                         labelCols: Seq[String], offsetCols: Seq[String],
+                         params: SgdNetParams = SgdNetParams(),
+                         nfolds: Int = 10,
+                         measure: String = "deviance",
+                         foldCol: Column = null,
+                         alphas: Seq[Double] = Seq.empty,
+                         weightCol: String = null): CvResult = {
+    require(params.family == "mgaussian" || params.family == "gaussian",
+      s"fitMultiWithOffset is the identity-link (gaussian/mgaussian) CV route, not ${params.family}")
+    require(offsetCols.size == labelCols.size,
+      s"need one offset column per response (${labelCols.size}), got ${offsetCols.size}")
+    // replace each label IN PLACE (a caller-supplied foldCol may
+    // reference any column)
+    val adj = labelCols.zip(offsetCols).foldLeft(df) { case (d, (l, o)) =>
+      d.withColumn(l, col(l).cast("double") - col(o).cast("double"))
+    }
+    if (weightCol == null)
+      fit(adj, featureCols, labelCols, params, nfolds, alphas, measure, foldCol)
+    else
+      fitWeightedMulti(adj, featureCols, labelCols, weightCol, params,
+        nfolds, measure, foldCol, alphas)
+  }
+
   /** Shared-pass binomial/poisson CV with a per-row offset (see
     * [[fitWithOffset]]): the [[cvWeightedGlmShared]] fold-tiling with
     * η = off + a0_f + xs·β_f in every IRLS pass and the WLS target

@@ -2817,59 +2817,9 @@ object SgdNet {
         Array.tabulate(k)(t =>
           math.log(math.max(st.yMean(t), 1e-12)) - offSum(t) / wSum)
         else new Array[Double](k)
-      var nulldev = Double.NaN
-      var it = 0
-      var done = false
-      while (!done) {
-        // one pass: k-gradient, k×k Hessian, log-likelihood at a0n
-        val acc = rows.treeAggregate(new Array[Double](k + k * k + 1))(
-          seqOp = (s, r) => {
-            val (_, y, off, vn) = r
-            val pr = new Array[Double](k)
-            var mx = Double.NegativeInfinity
-            var t = 0
-            while (t < k) {
-              pr(t) = a0n(t) + off(t); if (pr(t) > mx) mx = pr(t); t += 1
-            }
-            var z = 0.0
-            t = 0
-            while (t < k) { pr(t) = math.exp(pr(t) - mx); z += pr(t); t += 1 }
-            val logZ = mx + math.log(z)
-            t = 0
-            while (t < k) {
-              pr(t) /= z
-              s(t) += vn * (pr(t) - y(t))
-              s(k + k * k) += vn * y(t) * (a0n(t) + off(t) - logZ)
-              var u = 0
-              while (u < k) {
-                s(k + t * k + u) += vn *
-                  (if (t == u) pr(t) * (1.0 - pr(t)) else -pr(t) * pr(u))
-                u += 1
-              }
-              t += 1
-            }
-            s
-          },
-          combOp = (a, b) => {
-            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
-          }, depth = 2)
-        passes += 1
-        nulldev = -2.0 * acc(k + k * k)
-        if (!params.intercept) done = true
-        else {
-          val gvec = Array.tabulate(k)(t => acc(t) / n)
-          val gInf = gvec.map(math.abs).max
-          if (gInf < 1e-12 || it >= 50) done = true
-          else {
-            val h = Array.tabulate(k, k)((i2, j2) =>
-              acc(k + i2 * k + j2) / n + (if (i2 == j2) 1e-9 else 0.0))
-            val d = LinAlg.solve(h, gvec)
-            var t = 0
-            while (t < k) { a0n(t) -= d(t); t += 1 }
-            it += 1
-          }
-        }
-      }
+      val (nulldev, nullPasses) = multinomOffsetNull(
+        rows.map(r => (r._2, r._3, r._4)), a0n, k, params.intercept, n)
+      passes += nullPasses
 
       // offset-corrected null gradient for the lambda path (skipped
       // when the caller supplies the lambda sequence — it only feeds
@@ -2888,6 +2838,75 @@ object SgdNet {
         nullA0 = a0n, nullB = nullB, nulldevOverride = nulldev,
         passes0 = passes)
     } finally { raw.unpersist(blocking = false); () }
+  }
+
+  /** Intercept-only softmax null WITH per-row per-class offsets:
+    * damped Newton on the k-vector a0 (updated IN PLACE) — each step
+    * is ONE treeAggregate over (one-hot y, offset, weight) rows
+    * yielding the k-gradient, the k×k softmax Hessian and the
+    * log-likelihood; the k×k solve is driver-side with a 1e-9 ridge
+    * for the softmax flat direction (adding a constant to every a0).
+    * Shared by the dense and SPARSE multinomial offset fits (x never
+    * enters the null). Returns (nulldev at the final a0, passes). */
+  private def multinomOffsetNull(
+      rows: RDD[(Array[Double], Array[Double], Double)],
+      a0n: Array[Double], k: Int, intercept: Boolean,
+      n: Double): (Double, Int) = {
+    var nulldev = Double.NaN
+    var passes = 0
+    var it = 0
+    var done = false
+    while (!done) {
+      // one pass: k-gradient, k×k Hessian, log-likelihood at a0n
+      val acc = rows.treeAggregate(new Array[Double](k + k * k + 1))(
+        seqOp = (s, r) => {
+          val (y, off, vn) = r
+          val pr = new Array[Double](k)
+          var mx = Double.NegativeInfinity
+          var t = 0
+          while (t < k) {
+            pr(t) = a0n(t) + off(t); if (pr(t) > mx) mx = pr(t); t += 1
+          }
+          var z = 0.0
+          t = 0
+          while (t < k) { pr(t) = math.exp(pr(t) - mx); z += pr(t); t += 1 }
+          val logZ = mx + math.log(z)
+          t = 0
+          while (t < k) {
+            pr(t) /= z
+            s(t) += vn * (pr(t) - y(t))
+            s(k + k * k) += vn * y(t) * (a0n(t) + off(t) - logZ)
+            var u = 0
+            while (u < k) {
+              s(k + t * k + u) += vn *
+                (if (t == u) pr(t) * (1.0 - pr(t)) else -pr(t) * pr(u))
+              u += 1
+            }
+            t += 1
+          }
+          s
+        },
+        combOp = (a, b) => {
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        }, depth = 2)
+      passes += 1
+      nulldev = -2.0 * acc(k + k * k)
+      if (!intercept) done = true
+      else {
+        val gvec = Array.tabulate(k)(t => acc(t) / n)
+        val gInf = gvec.map(math.abs).max
+        if (gInf < 1e-12 || it >= 50) done = true
+        else {
+          val h = Array.tabulate(k, k)((i2, j2) =>
+            acc(k + i2 * k + j2) / n + (if (i2 == j2) 1e-9 else 0.0))
+          val d = LinAlg.solve(h, gvec)
+          var t = 0
+          while (t < k) { a0n(t) -= d(t); t += 1 }
+          it += 1
+        }
+      }
+    }
+    (nulldev, passes)
   }
 
   /** [[softmaxGradWeighted]] with a per-row per-class offset in the
@@ -3412,6 +3431,192 @@ object SgdNet {
           sparseMultinomDeviance(rows.map(r => (r._1, r._2, r._3.map(_ * r._4))),
             a0Out, betaOut, k))
     } finally raw.unpersist(blocking = false)
+  }
+
+  /** SPARSE multinomial fit WITH a per-class offset matrix (round 16 —
+    * the [[fitMultinomialWithOffset]] algebra over CSR rows: shared
+    * offset-null Newton, offset-corrected null gradient for the lambda
+    * path, and the offset in every sparse FISTA gradient / deviance
+    * pass; the matrix is never densified). One offset column per
+    * class, sorted-label order; optional frequency weights. */
+  def fitSparseMultinomialWithOffset(df: DataFrame, idxCol: String,
+                                     valCol: String, dim: Int,
+                                     labelCol: String,
+                                     offsetCols: Seq[String],
+                                     params: SgdNetParams,
+                                     weightCol: String = null): SgdNetModel = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(params.family == "multinomial",
+      s"fitSparseMultinomialWithOffset is the multinomial route, not ${params.family}")
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(classes.length > 2,
+      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
+      else "only one class in response.")
+    val k = classes.length
+    require(offsetCols.size == k,
+      s"multinomial offset needs one column per class (nclass = $k, " +
+        s"sorted-label order), got ${offsetCols.size}")
+    val classIdx = classes.zipWithIndex.toMap
+    val wCol = if (weightCol == null) lit(1.0) else col(weightCol).cast("double")
+    val raw = df.select((Seq(col(idxCol), col(valCol).cast("array<double>"),
+        col(labelCol).cast("string")) ++
+        offsetCols.map(c => col(c).cast("double")) :+ wCol): _*)
+      .rdd.map { r =>
+        val y = new Array[Double](k)
+        y(classIdx(r.getString(2))) = 1.0
+        val off = Array.tabulate(k)(t => r.getDouble(3 + t))
+        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray, y, off,
+          r.getDouble(3 + k))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (nRows, wSum, offSum) = raw.treeAggregate((0L, 0.0, new Array[Double](k)))(
+        seqOp = (s, r) => {
+          require(r._5 >= 0, "weights must be non-negative")
+          if (r._5 > 0) {
+            var t = 0
+            while (t < k) { s._3(t) += r._5 * r._4(t); t += 1 }
+            (s._1 + 1, s._2 + r._5, s._3)
+          } else s
+        },
+        combOp = (a, b) => {
+          var t = 0
+          while (t < k) { a._3(t) += b._3(t); t += 1 }
+          (a._1 + b._1, a._2 + b._2, a._3)
+        }, depth = 2)
+      require(nRows > 0, "the response (y) is empty.")
+      val norm = nRows.toDouble / wSum
+      val rows = raw.filter(_._5 > 0).map(r => (r._1, r._2, r._3, r._4, r._5 * norm))
+      var passes = 1
+      val g = rows.treeAggregate(new GramStats(dim, k))(
+        seqOp = (s, r) => s.addSparseWeighted(r._1, r._2, r._3, r._5),
+        combOp = (a, b) => a.merge(b), depth = 2)
+      passes += 1
+      val st = SufficientStats.standardize(g, params.standardize, params.intercept)
+      val mean = if (params.intercept) st.xMean else new Array[Double](dim)
+      val scale = if (params.standardize) st.xSd else Array.fill(dim)(1.0)
+      val n = g.n.toDouble
+
+      val a0n = if (params.intercept)
+        Array.tabulate(k)(t =>
+          math.log(math.max(st.yMean(t), 1e-12)) - offSum(t) / wSum)
+        else new Array[Double](k)
+      val (nulldev, nullPasses) = multinomOffsetNull(
+        rows.map(r => (r._3, r._4, r._5)), a0n, k, params.intercept, n)
+      passes += nullPasses
+
+      val nullB = if (params.lambda != null) null else {
+        val (g0, _) = sparseSoftmaxGradOffset(rows, mean, scale,
+          Array.ofDim[Double](k, dim), a0n, k)
+        passes += 1
+        g0.map(_.map(v => -v))
+      }
+
+      fitMultinomialCore(g, (0 until dim).map(j => s"V$j").toArray, labelCol,
+        classes, params,
+        gradFn = (m, s, yB, yA) => sparseSoftmaxGradOffset(rows, m, s, yB, yA, k),
+        devFn = (a0Out, betaOut) =>
+          sparseMultinomOffsetDeviance(rows, a0Out, betaOut, k),
+        nullA0 = a0n, nullB = nullB, nulldevOverride = nulldev,
+        passes0 = passes)
+    } finally raw.unpersist(blocking = false)
+  }
+
+  /** [[sparseSoftmaxGrad]] with per-row per-class offsets: eta adds
+    * the row's offset before the softmax; same uncentered
+    * accumulation + driver-side standardization correction. */
+  private def sparseSoftmaxGradOffset(
+      rows: RDD[(Array[Int], Array[Double], Array[Double], Array[Double], Double)],
+      mean: Array[Double], scale: Array[Double],
+      beta: Array[Array[Double]], a0: Array[Double],
+      k: Int): (Array[Array[Double]], Array[Double]) = {
+    val p = mean.length
+    val sc = rows.sparkContext
+    val bOverS = Array.tabulate(k, p)((t, j) => beta(t)(j) / scale(j))
+    val centerOff = Array.tabulate(k) { t =>
+      var o = a0(t)
+      var j = 0
+      while (j < p) { o -= mean(j) * bOverS(t)(j); j += 1 }
+      o
+    }
+    val bc = sc.broadcast((bOverS, centerOff))
+    val acc = rows.treeAggregate(new Array[Double](k * (p + 1) + 1))(
+      seqOp = (s, row) => {
+        val (idx, vals, y, off, vn) = row
+        val (bos, cOff) = bc.value
+        val eta = new Array[Double](k)
+        var mx = Double.NegativeInfinity
+        var t = 0
+        while (t < k) {
+          var e = cOff(t) + off(t)
+          var i = 0
+          while (i < idx.length) { e += vals(i) * bos(t)(idx(i)); i += 1 }
+          eta(t) = e; if (e > mx) mx = e
+          t += 1
+        }
+        var z = 0.0
+        t = 0
+        while (t < k) { eta(t) = math.exp(eta(t) - mx); z += eta(t); t += 1 }
+        t = 0
+        while (t < k) {
+          val r = vn * (eta(t) / z - y(t)) // vn·(P_t - Y_t)
+          s(t * (p + 1)) += r
+          var i = 0
+          while (i < idx.length) {
+            s(t * (p + 1) + 1 + idx(i)) += r * vals(i)
+            i += 1
+          }
+          t += 1
+        }
+        s(k * (p + 1)) += vn
+        s
+      },
+      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+      depth = 2)
+    val n = acc(k * (p + 1))
+    val gradA0 = Array.tabulate(k)(t => acc(t * (p + 1)) / n)
+    val grad = Array.tabulate(k, p)((t, j) =>
+      (acc(t * (p + 1) + 1 + j) - mean(j) * acc(t * (p + 1))) / scale(j) / n)
+    (grad, gradA0)
+  }
+
+  /** [[sparseMultinomDeviance]] with per-row per-class offsets and
+    * frequency weights. */
+  private def sparseMultinomOffsetDeviance(
+      rows: RDD[(Array[Int], Array[Double], Array[Double], Array[Double], Double)],
+      a0: Array[Array[Double]], beta: Array[Array[Array[Double]]],
+      k: Int): Array[Double] = {
+    val L = a0.length
+    rows.treeAggregate(new Array[Double](L))(
+      seqOp = (acc, row) => {
+        val (idx, vals, y, off, vn) = row
+        var l = 0
+        while (l < L) {
+          val eta = new Array[Double](k)
+          var mx = Double.NegativeInfinity
+          var t = 0
+          while (t < k) {
+            var e = a0(l)(t) + off(t)
+            val bl = beta(l)(t)
+            var i = 0
+            while (i < idx.length) { e += bl(idx(i)) * vals(i); i += 1 }
+            eta(t) = e; if (e > mx) mx = e
+            t += 1
+          }
+          var z = 0.0
+          t = 0
+          while (t < k) { z += math.exp(eta(t) - mx); t += 1 }
+          val logZ = mx + math.log(z)
+          t = 0
+          var ll = 0.0
+          while (t < k) { ll += y(t) * (eta(t) - logZ); t += 1 }
+          acc(l) += -2.0 * vn * ll
+          l += 1
+        }
+        acc
+      },
+      combOp = (a, b) => { var i = 0; while (i < L) { a(i) += b(i); i += 1 }; a },
+      depth = 2)
   }
 
   private[ml] def multinomDeviance(rows: RDD[(Array[Double], Array[Double])],

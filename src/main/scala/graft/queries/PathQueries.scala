@@ -213,6 +213,35 @@ object PathQueries {
       .orderBy("class", "term")
   }
 
+  /** SPARSE multinomial offset fit (round 16 —
+    * `SgdNet.fitSparseMultinomialWithOffset`): the [[multinomOffset]]
+    * constant-offset one-FISTA-step query verbatim over CSR rows —
+    * same data, offsets and lambda, so the oracle is byte-identical
+    * to q_multinom_offset and any divergence isolates the sparse
+    * offset chassis (the q_binom_offset_sparse discipline). */
+  def multinomOffsetSparse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("off_a", lit(0.4)).withColumn("off_n", lit(-0.2))
+      .withColumn("off_r", lit(0.1))
+      .withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("l_quantity").cast("double"),
+        col("l_discount").cast("double")))
+    val m = SgdNet.fitSparseMultinomialWithOffset(li, "sidx", "svals", 2,
+      "l_returnflag", Seq("off_a", "off_n", "off_r"),
+      SgdNetParams(family = "multinomial", alpha = 1.0,
+        lambda = Array(0.001), maxit = 1))
+    val names = Seq("l_quantity", "l_discount")
+    val rows = for {
+      t <- 0 until m.nResponses
+      (term, v) <- ("a0", m.a0(0)(t)) +:
+        names.zipWithIndex.map { case (f, j) => (f, m.beta(0)(t)(j)) }
+    } yield (m.classLabels(t), term, v)
+    rows.toDF("class", "term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("class", "term")
+  }
+
   /** mgaussian with a per-response OFFSET matrix at lambda = 0 (round
     * 16 — `SgdNet.fitMultiWithOffset`): identity link makes the
     * offset fit the exact OLS of y_t − off_t, so the oracle is the

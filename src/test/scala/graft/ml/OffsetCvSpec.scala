@@ -443,4 +443,56 @@ class OffsetCvSpec extends SparkSpec {
     }
     ()
   }
+
+  test("sparse multinomial offset == dense; mgaussian offset CV delegates") {
+    val sp = mdata.withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("x1"), col("x2")))
+    val params = SgdNetParams(family = "multinomial", alpha = 1.0,
+      nlambda = 4, thresh = 1e-8, maxit = 10000)
+    val d = SgdNet.fitMultinomialWithOffset(mdata, Seq("x1", "x2"), "cls",
+      Seq("oa", "ob", "oc"), params)
+    val s = SgdNet.fitSparseMultinomialWithOffset(sp, "sidx", "svals", 2,
+      "cls", Seq("oa", "ob", "oc"), params)
+    assert(s.lambda.zip(d.lambda).forall { case (a, b) =>
+      math.abs(a - b) < 1e-9 * b }, "sparse offset lambda path")
+    for (l <- 0 until 4; t <- 0 until 3) {
+      assert(math.abs(s.a0(l)(t) - d.a0(l)(t)) < 1e-6, s"a0($l)($t)")
+      for (j <- 0 until 2)
+        assert(math.abs(s.beta(l)(t)(j) - d.beta(l)(t)(j)) < 1e-6,
+          s"beta($l)($t)($j)")
+    }
+    // weighted sparse == weighted dense
+    val pw = params.copy(lambda = Array(0.02), nlambda = 100)
+    val dw = SgdNet.fitMultinomialWithOffset(mdata, Seq("x1", "x2"), "cls",
+      Seq("oa", "ob", "oc"), pw, weightCol = "w")
+    val sw = SgdNet.fitSparseMultinomialWithOffset(sp, "sidx", "svals", 2,
+      "cls", Seq("oa", "ob", "oc"), pw, weightCol = "w")
+    for (t <- 0 until 3; j <- 0 until 2)
+      assert(math.abs(sw.beta(0)(t)(j) - dw.beta(0)(t)(j)) < 1e-6,
+        s"w beta($t)($j)")
+    // mgaussian offset CV == plain CV on the adjusted responses
+    val d2 = data.withColumn("y2", col("x2") * 2.0 + lit(0.3) * 0.5)
+      .withColumn("o2", lit(0.3))
+    val pg = SgdNetParams(family = "mgaussian", alpha = 0.5,
+      lambda = Array(0.1, 0.01), thresh = 1e-11, maxit = 100000)
+    val cvOff = CvSgdNet.fitMultiWithOffset(d2, Seq("x1", "x2"),
+      Seq("yg", "y2"), Seq("off", "o2"), pg, nfolds = 3, foldCol = fold)
+    val adj = d2.withColumn("yg", col("yg") - col("off"))
+      .withColumn("y2", col("y2") - col("o2"))
+    val cvAdj = CvSgdNet.fit(adj, Seq("x1", "x2"), Seq("yg", "y2"), pg,
+      nfolds = 3, foldCol = fold)
+    assertClose(cvOff.best, cvAdj.best, 1e-12, "mgauss-offset-cv")
+    // weighted delegation
+    val cvOffW = CvSgdNet.fitMultiWithOffset(d2, Seq("x1", "x2"),
+      Seq("yg", "y2"), Seq("off", "o2"), pg, nfolds = 3, foldCol = fold,
+      weightCol = "w")
+    val cvAdjW = CvSgdNet.fitWeightedMulti(adj, Seq("x1", "x2"),
+      Seq("yg", "y2"), "w", pg, nfolds = 3, foldCol = fold)
+    assertClose(cvOffW.best, cvAdjW.best, 1e-12, "mgauss-offset-cv-w")
+    intercept[IllegalArgumentException] {
+      CvSgdNet.fitMultiWithOffset(d2, Seq("x1"), Seq("yg", "y2"),
+        Seq("off"), pg, foldCol = fold)
+    }
+    ()
+  }
 }
