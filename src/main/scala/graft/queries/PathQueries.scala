@@ -1047,6 +1047,36 @@ object PathQueries {
       .orderBy("lambda_idx")
   }
 
+  /** Multinomial CV with a CONSTANT per-class offset (round 16 —
+    * `CvSgdNet.fitMultinomialWithOffset`, cv.glmnet's multinomial
+    * offset): each fold's offset null is exactly ln(prior) − c (the
+    * fold-tiled Newton converges at its start), the one-FISTA-step
+    * trajectory shifts every intercept by −c_t, and the held-out
+    * prediction adds the row's own offset back — so the scores are
+    * BYTE-IDENTICAL to [[cvMultinom]]'s and the q_cv_multinom oracle
+    * verifies this chassis verbatim; a divergence isolates the offset
+    * CV machinery. The varying-offset regime is spec-anchored
+    * (per-fold standalone refits, OffsetCvSpec). */
+  def cvMultinomOffset(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("off_a", lit(0.4)).withColumn("off_n", lit(-0.2))
+      .withColumn("off_r", lit(0.1))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitMultinomialWithOffset(li,
+      Seq("l_quantity", "l_discount"), "l_returnflag",
+      Seq("off_a", "off_n", "off_r"),
+      SgdNetParams(family = "multinomial", alpha = 1.0,
+        lambda = Array(0.001), maxit = 1),
+      nfolds = 5, measure = "deviance", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 6).as("lambda"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
   /** Oracle-exact MULTI-RESPONSE (mgaussian) cross-validation — lights
     * up the one-pass moment CV route (`CvSgdNet.cvMgaussianFromStats`)
     * end-to-end. With ONE feature the group coordinate update is a

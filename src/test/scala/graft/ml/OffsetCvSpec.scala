@@ -495,4 +495,80 @@ class OffsetCvSpec extends SparkSpec {
     }
     ()
   }
+
+  test("multinomial offset CV: zero==plain, constant==plain scores, fold parity") {
+    val params = SgdNetParams(family = "multinomial", alpha = 1.0,
+      lambda = Array(0.05, 0.01), thresh = 1e-8, maxit = 20000)
+    // zero offsets collapse to the plain shared multinomial CV
+    val z = mdata.withColumn("z0", lit(0.0))
+    for (measure <- Seq("deviance", "class")) {
+      val o = CvSgdNet.fitMultinomialWithOffset(z, Seq("x1", "x2"), "cls",
+        Seq("z0", "z0", "z0"), params, nfolds = 3, measure = measure,
+        foldCol = fold)
+      val d = CvSgdNet.fit(mdata, Seq("x1", "x2"), Seq("cls"), params,
+        nfolds = 3, measure = measure, foldCol = fold)
+      assertClose(o.best, d.best, 1e-7, s"multinom-offset-zero/$measure")
+    }
+    // CONSTANT offsets shift every intercept by −c and the held-out
+    // eta adds c back — scores identical to the plain CV
+    val cst = mdata.withColumn("c1", lit(0.4)).withColumn("c2", lit(-0.2))
+      .withColumn("c3", lit(0.1))
+    val oc = CvSgdNet.fitMultinomialWithOffset(cst, Seq("x1", "x2"), "cls",
+      Seq("c1", "c2", "c3"), params, nfolds = 3, measure = "deviance",
+      foldCol = fold)
+    val dc = CvSgdNet.fit(mdata, Seq("x1", "x2"), Seq("cls"), params,
+      nfolds = 3, measure = "deviance", foldCol = fold)
+    assertClose(oc.best, dc.best, 1e-6, "multinom-offset-const")
+    // VARYING offsets: cvm matches per-fold standalone offset refits
+    // scored by hand (the poisson offset CV discipline)
+    val cv = CvSgdNet.fitMultinomialWithOffset(mdata, Seq("x1", "x2"), "cls",
+      Seq("oa", "ob", "oc"), params, nfolds = 3, measure = "deviance",
+      foldCol = fold)
+    val withF = mdata.withColumn("__f", fold)
+    for (l <- 0 until 2) {
+      var cvm = 0.0
+      for (f <- 0 until 3) {
+        val m = SgdNet.fitMultinomialWithOffset(withF.filter(col("__f") =!= f),
+          Seq("x1", "x2"), "cls", Seq("oa", "ob", "oc"), params)
+        val test = withF.filter(col("__f") === f)
+          .select("x1", "x2", "oa", "ob", "oc", "cls").collect()
+        var sum = 0.0
+        test.foreach { r =>
+          val etas = Array.tabulate(3)(t => m.a0(l)(t) + r.getDouble(2 + t) +
+            m.beta(l)(t)(0) * r.getDouble(0) + m.beta(l)(t)(1) * r.getDouble(1))
+          val mx = etas.max
+          val z2 = etas.map(e => math.exp(e - mx)).sum
+          val yi = m.classLabels.indexOf(r.getString(5))
+          val pt = math.min(math.max(math.exp(etas(yi) - mx) / z2, 1e-5),
+            1.0 - 1e-5)
+          sum += -2.0 * math.log(pt)
+        }
+        cvm += sum / test.length
+      }
+      cvm /= 3.0
+      assert(math.abs(cv.best.cvm(l) - cvm) < 2e-4 * math.max(1.0, cvm),
+        s"cvm($l): ${cv.best.cvm(l)} vs $cvm")
+    }
+    // full model rides the passes == standalone full-data offset fit
+    val full = SgdNet.fitMultinomialWithOffset(mdata, Seq("x1", "x2"), "cls",
+      Seq("oa", "ob", "oc"), params)
+    for (l <- 0 until 2; t <- 0 until 3; j <- 0 until 2)
+      assert(math.abs(cv.best.fit.beta(l)(t)(j) - full.beta(l)(t)(j)) < 1e-5,
+        s"full beta($l)($t)($j)")
+    // integer weights == row duplication
+    val wcv = CvSgdNet.fitMultinomialWithOffset(mdata, Seq("x1", "x2"), "cls",
+      Seq("oa", "ob", "oc"), params, nfolds = 3, measure = "deviance",
+      foldCol = fold, weightCol = "w")
+    val dup = mdata.withColumn("k2",
+      explode(sequence(lit(1), col("w").cast("int"))))
+    val dcv = CvSgdNet.fitMultinomialWithOffset(dup, Seq("x1", "x2"), "cls",
+      Seq("oa", "ob", "oc"), params, nfolds = 3, measure = "deviance",
+      foldCol = fold)
+    assertClose(wcv.best, dcv.best, 1e-6, "multinom-offset-dup")
+    intercept[IllegalArgumentException] {
+      CvSgdNet.fitMultinomialWithOffset(mdata, Seq("x1", "x2"), "cls",
+        Seq("oa", "ob"), params, foldCol = fold)
+    }
+    ()
+  }
 }
