@@ -64,6 +64,7 @@ object SparkEntry {
     "q_cv_alpha"         -> (PathQueries.cvAlphaCurve _),
     "q_cv_multinom"      -> (PathQueries.cvMultinom _),
     "q_cv_multinom_offset" -> (PathQueries.cvMultinomOffset _),
+    "q_cv_sparse_multinom_offset" -> (PathQueries.cvSparseMultinomOffset _),
     "q_cv_mgauss"        -> (PathQueries.cvMgauss _),
     "q_cv_poisson"       -> (PathQueries.cvPoisson _),
     "q_cv_offset"        -> (PathQueries.cvOffset _),
@@ -2008,6 +2009,61 @@ object SparkEntry {
     // prediction adds c back, so the offset-CV scores equal the plain
     // CV's exactly (a divergence isolates the offset chassis)
     "q_cv_multinom_offset" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT l_quantity AS x1, l_discount AS x2, l_returnflag AS y,
+        |    row_number() OVER () AS rid,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |tot AS (SELECT count(*)::double n, sum(x1) s1, sum(x2) s2,
+        |          sum(x1*x1) s11, sum(x2*x2) s22, sum(x1*x2) s12 FROM r),
+        |pf AS (SELECT f, count(*)::double n, sum(x1) s1, sum(x2) s2,
+        |         sum(x1*x1) s11, sum(x2*x2) s22, sum(x1*x2) s12
+        |       FROM r GROUP BY f),
+        |totc AS (SELECT y, count(*)::double ny, sum(x1) c1, sum(x2) c2
+        |         FROM r GROUP BY y),
+        |pfc AS (SELECT f, y, count(*)::double ny, sum(x1) c1, sum(x2) c2
+        |        FROM r GROUP BY f, y),
+        |trn AS (SELECT pf.f, tot.n - pf.n AS n, tot.s1 - pf.s1 AS s1,
+        |          tot.s2 - pf.s2 AS s2, tot.s11 - pf.s11 AS s11,
+        |          tot.s22 - pf.s22 AS s22, tot.s12 - pf.s12 AS s12
+        |        FROM pf, tot),
+        |trc AS (SELECT pfc.f, pfc.y AS cls, totc.ny - pfc.ny AS ny,
+        |          totc.c1 - pfc.c1 AS c1, totc.c2 - pfc.c2 AS c2
+        |        FROM pfc JOIN totc ON pfc.y = totc.y),
+        |mo AS (SELECT f, n, s1/n AS m1, s2/n AS m2,
+        |         sqrt(s11/n - (s1/n)*(s1/n)) AS sd1,
+        |         sqrt(s22/n - (s2/n)*(s2/n)) AS sd2,
+        |         s12/n - (s1/n)*(s2/n) AS c12
+        |       FROM trn),
+        |st AS (SELECT f, n, m1, m2, sd1, sd2,
+        |         1.0/(0.5*(1 + c12/(sd1*sd2)) + 0.000000001) AS step
+        |       FROM mo),
+        |mdl AS MATERIALIZED (SELECT st.f, trc.cls, trc.ny / st.n AS prior,
+        |          st.m1, st.m2,
+        |          sign((trc.c1/st.n - st.m1 * trc.ny/st.n) / st.sd1)
+        |            * greatest(st.step * abs((trc.c1/st.n - st.m1 * trc.ny/st.n) / st.sd1)
+        |                - st.step * 0.001, 0) / st.sd1 AS b1,
+        |          sign((trc.c2/st.n - st.m2 * trc.ny/st.n) / st.sd2)
+        |            * greatest(st.step * abs((trc.c2/st.n - st.m2 * trc.ny/st.n) / st.sd2)
+        |                - st.step * 0.001, 0) / st.sd2 AS b2
+        |        FROM st JOIN trc ON st.f = trc.f),
+        |m2t AS (SELECT f, cls, ln(prior) - b1*m1 - b2*m2 AS a0, b1, b2 FROM mdl),
+        |sc AS (SELECT r.f, r.rid,
+        |         sum(exp(m2t.a0 + m2t.b1*r.x1 + m2t.b2*r.x2)) AS z,
+        |         sum(CASE WHEN m2t.cls = r.y
+        |               THEN exp(m2t.a0 + m2t.b1*r.x1 + m2t.b2*r.x2) END) AS ez
+        |       FROM r JOIN m2t ON r.f = m2t.f GROUP BY r.f, r.rid),
+        |fd AS (SELECT f,
+        |         avg(-2 * ln(least(greatest(ez/z, 0.00001), 0.99999))) AS d
+        |       FROM sc GROUP BY f)
+        |SELECT 0 AS lambda_idx, round(0.001::DOUBLE, 6) AS lambda,
+        |       round(ln(avg(d)), 6) AS ln_cvm,
+        |       round(ln(stddev_samp(d)/sqrt(5)), 6) AS ln_cvsd
+        |FROM fd""".stripMargin,
+    // the q_cv_multinom_offset oracle BYTE-IDENTICALLY through the
+    // sparse offset CV chassis (same data/offsets/folds/lambda)
+    "q_cv_sparse_multinom_offset" ->
       """WITH r AS MATERIALIZED (
         |  SELECT l_quantity AS x1, l_discount AS x2, l_returnflag AS y,
         |    row_number() OVER () AS rid,

@@ -3147,6 +3147,30 @@ object CvSgdNet {
     * every fold's group-path solve, with the same weight semantics as
     * [[fitSparse]] and held-out scores summed across responses (the
     * score.sgdnet_mgaussian convention). */
+  /** [[fitSparseMulti]] with a per-response OFFSET matrix (round 16):
+    * exact identity-link delegation to the sparse multi-response
+    * moment CV on y_t − offset_t (the [[fitMultiWithOffset]] argument
+    * over CSR feature rows). */
+  def fitSparseMultiWithOffset(df: DataFrame, idxCol: String, valCol: String,
+                               dim: Int, labelCols: Seq[String],
+                               offsetCols: Seq[String],
+                               params: SgdNetParams = SgdNetParams(),
+                               nfolds: Int = 10,
+                               measure: String = "deviance",
+                               foldCol: Column = null,
+                               alphas: Seq[Double] = Seq.empty,
+                               weightCol: String = null): CvResult = {
+    require(params.family == "mgaussian" || params.family == "gaussian",
+      s"fitSparseMultiWithOffset is the identity-link CV route, not ${params.family}")
+    require(offsetCols.size == labelCols.size,
+      s"need one offset column per response (${labelCols.size}), got ${offsetCols.size}")
+    val adj = labelCols.zip(offsetCols).foldLeft(df) { case (d, (l, o)) =>
+      d.withColumn(l, col(l).cast("double") - col(o).cast("double"))
+    }
+    fitSparseMulti(adj, idxCol, valCol, dim, labelCols, params, nfolds,
+      measure, foldCol, alphas, weightCol)
+  }
+
   def fitSparseMulti(df: DataFrame, idxCol: String, valCol: String, dim: Int,
                      labelCols: Seq[String],
                      params: SgdNetParams = SgdNetParams(),
@@ -4499,6 +4523,517 @@ object CvSgdNet {
                 val pt = math.min(math.max(eta(yIdx) / z, 1e-5), 1.0 - 1e-5)
                 -2.0 * math.log(pt)
               case other => // unreachable: fitSparse validates measures
+                throw new IllegalArgumentException(s"unknown measure $other")
+            })
+            l += 1
+          }
+          s
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      val foldScores = Array.tabulate(nfolds, L)((f, l) =>
+        sums(f * L + l) / wFold(f))
+      summarize(params.alpha, lambdas, foldScores, full)
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** SPARSE multinomial CV WITH a per-class offset matrix (round 16 —
+    * the last sparse × offset × CV composition cell): the
+    * [[cvSparseMultinomialShared]] uncentered-sparse FISTA fold-tiling
+    * with the [[cvOffsetMultinomialShared]] offset algebra — per-fold
+    * offset nulls from one fold-tiled Newton loop (x never enters the
+    * null), the offset-corrected sparse null gradient driving the
+    * lambda path, the row's offset in every fold's eta, newoffset-
+    * scored held-out measures, optional frequency weights; the matrix
+    * is never densified. */
+  def fitSparseMultinomialWithOffset(df: DataFrame, idxCol: String,
+                                     valCol: String, dim: Int,
+                                     labelCol: String,
+                                     offsetCols: Seq[String],
+                                     params: SgdNetParams = SgdNetParams(family = "multinomial"),
+                                     nfolds: Int = 10,
+                                     measure: String = "deviance",
+                                     foldCol: Column = null,
+                                     alphas: Seq[Double] = Seq.empty,
+                                     weightCol: String = null): CvResult = {
+    require(nfolds >= 2, "nfolds must be at least 2")
+    require(params.family == "multinomial",
+      s"fitSparseMultinomialWithOffset is the multinomial CV route, not ${params.family}")
+    require(Set("deviance", "mse", "mae", "class").contains(measure),
+      s"sparse offset multinomial CV supports class|deviance|mae|mse, not '$measure'")
+    val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
+    val paths = alphaGrid.map(a => cvSparseOffsetMultinomialShared(df, idxCol,
+      valCol, dim, labelCol, offsetCols, params.copy(alpha = a), nfolds,
+      foldCol, measure, weightCol))
+    val best = paths.minBy(p => p.cvm.min)
+    CvResult(paths, best)
+  }
+
+  private def cvSparseOffsetMultinomialShared(df: DataFrame, idxCol: String,
+                                              valCol: String, dim: Int,
+                                              labelCol: String,
+                                              offsetCols: Seq[String],
+                                              params: SgdNetParams,
+                                              nfolds: Int, foldCol: Column,
+                                              measure: String,
+                                              weightCol: String): CvPath = {
+    SgdNet.requireNoZeroPf(params, "shared sparse offset multinomial CV")
+    val p = dim
+    val weighted = weightCol != null
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    require(classes.length > 2,
+      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
+      else "only one class in response.")
+    val k = classes.length
+    require(offsetCols.size == k,
+      s"multinomial offset needs one column per class (nclass = $k), got ${offsetCols.size}")
+    val classIdx = classes.zipWithIndex.toMap
+    require(params.penaltyFactor == null ||
+      (params.penaltyFactor.length == p && params.penaltyFactor.forall(_ >= 0)),
+      "penaltyFactor must have one non-negative entry per feature")
+
+    val wCol = if (weighted) col(weightCol).cast("double") else lit(1.0)
+    val hashCols = Seq(col(idxCol), col(valCol), col(labelCol))
+    val sc0 = df.sparkSession.sparkContext
+    val bClassIdx = sc0.broadcast(classIdx)
+    val rows0 = df
+      .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
+      .select((Seq(col(idxCol), col(valCol).cast("array<double>"),
+        col(labelCol).cast("string"), col("__fold"), wCol) ++
+        offsetCols.map(c => col(c).cast("double"))): _*)
+      .rdd.map { r =>
+        val off = Array.tabulate(k)(t => r.getDouble(5 + t))
+        (r.getInt(3), r.getSeq[Int](0).toArray,
+          r.getSeq[Double](1).toArray, bClassIdx.value(r.getString(2)),
+          off, r.getDouble(4))
+      }
+    val rows = (if (weighted)
+        rows0.map { t => require(t._6 >= 0, "weights must be non-negative"); t }
+          .filter(_._6 > 0)
+      else rows0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val F = nfolds + 1
+      // ONE pass: per-fold RAW-v sparse moments + Σv + per-class Σv·off
+      val zero = (Array.fill(nfolds)(new GramStats(p, k)),
+        new Array[Double](nfolds), Array.fill(nfolds)(new Array[Double](k)))
+      val (perFold, wFold, oFold) = rows.treeAggregate(zero)(
+        (acc, t) => {
+          val y = new Array[Double](k); y(t._4) = 1.0
+          acc._1(t._1).addSparseWeighted(t._2, t._3, y, t._6)
+          acc._2(t._1) += t._6
+          var u = 0
+          while (u < k) { acc._3(t._1)(u) += t._6 * t._5(u); u += 1 }
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < nfolds) {
+            a._1(i).merge(b._1(i)); a._2(i) += b._2(i)
+            var u = 0
+            while (u < k) { a._3(i)(u) += b._3(i)(u); u += 1 }
+            i += 1
+          }
+          a
+        }, depth = 2)
+      requireNonEmptyFolds(perFold.map(_.n), nfolds)
+      val total = new GramStats(p, k)
+      perFold.foreach(total.merge)
+      val wTotal = wFold.sum
+      val oTotal = Array.tabulate(k)(t => oFold.map(_(t)).sum)
+      val perFoldExt = perFold :+ new GramStats(p, k)
+      val wFoldExt = wFold :+ 0.0
+      val oFoldExt = oFold :+ new Array[Double](k)
+      val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
+      val norms = Array.tabulate(F)(f => nTrain(f) / (wTotal - wFoldExt(f)))
+      val trainStats = Array.tabulate(F) { f =>
+        val tr = new GramStats(p, k).merge(total).subtract(perFoldExt(f))
+          .scaleWeights(norms(f))
+        SufficientStats.standardize(tr, params.standardize, params.intercept)
+      }
+      var sharedPasses = 1
+
+      // per-fold offset nulls: fold-tiled Newton (identical to the
+      // dense offset CV — x never enters the null)
+      val a0Null = Array.tabulate(F) { f =>
+        val tw = wTotal - wFoldExt(f)
+        Array.tabulate(k)(t =>
+          if (params.intercept)
+            math.log(math.max(trainStats(f).yMean(t), 1e-12)) -
+              (oTotal(t) - oFoldExt(f)(t)) / tw
+          else 0.0)
+      }
+      if (params.intercept) {
+        val cell = k + k * k
+        var it = 0
+        var done = false
+        while (it < 50 && !done) {
+          val a0Snap = a0Null.map(_.clone())
+          val acc = rows.treeAggregate(new Array[Double](F * cell))(
+            (s, t) => {
+              val (rowFold, _, _, yIdx, off, v) = t
+              var f = 0
+              while (f < F) {
+                if (f != rowFold) {
+                  val af = a0Snap(f)
+                  val pr = new Array[Double](k)
+                  var mx = Double.NegativeInfinity
+                  var u = 0
+                  while (u < k) {
+                    pr(u) = af(u) + off(u); if (pr(u) > mx) mx = pr(u); u += 1
+                  }
+                  var z = 0.0
+                  u = 0
+                  while (u < k) { pr(u) = math.exp(pr(u) - mx); z += pr(u); u += 1 }
+                  val base = f * cell
+                  u = 0
+                  while (u < k) {
+                    pr(u) /= z
+                    s(base + u) += v * (pr(u) - (if (u == yIdx) 1.0 else 0.0))
+                    var w2 = 0
+                    while (w2 < k) {
+                      s(base + k + u * k + w2) += v *
+                        (if (u == w2) pr(u) * (1.0 - pr(u)) else -pr(u) * pr(w2))
+                      w2 += 1
+                    }
+                    u += 1
+                  }
+                }
+                f += 1
+              }
+              s
+            },
+            (a, b) => {
+              var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+            }, depth = 2)
+          sharedPasses += 1
+          var mx = 0.0
+          for (f <- 0 until F) {
+            val tw = wTotal - wFoldExt(f)
+            val base = f * cell
+            val gvec = Array.tabulate(k)(t => acc(base + t) / tw)
+            val gInf = gvec.map(math.abs).max
+            if (gInf > mx) mx = gInf
+            if (gInf >= 1e-12) {
+              val h = Array.tabulate(k, k)((i2, j2) =>
+                acc(base + k + i2 * k + j2) / tw + (if (i2 == j2) 1e-9 else 0.0))
+              val d = LinAlg.solve(h, gvec)
+              var t = 0
+              while (t < k) { a0Null(f)(t) -= d(t); t += 1 }
+            }
+          }
+          it += 1
+          if (mx < 1e-12) done = true
+        }
+      }
+
+      val means = trainStats.map(st =>
+        if (params.intercept) st.xMean else new Array[Double](p))
+      val scales = trainStats.map(st =>
+        if (params.standardize) st.xSd else Array.fill(p)(1.0))
+      val boundsF = scales.map(s => SgdNet.boundsStd(params, s, 1.0))
+      val pf = params.penaltyFactor
+      val grouped = params.typeMultinomial == "grouped"
+      val steps = trainStats.map(st => 1.0 / (0.5 * LinAlg.maxEig(st.gram) + 1e-9))
+      val sc = rows.sparkContext
+
+      val lambdas =
+        if (params.lambda != null) params.lambda
+        else {
+          // offset-corrected sparse null gradient on the full data:
+          // uncentered Σr·x over the nonzeros + Σr per class, centered
+          // driver-side
+          val minRatio = if (params.lambdaMinRatio.isNaN)
+            LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
+          val a0N = a0Null(nfolds)
+          val nrm = norms(nfolds)
+          val acc = rows.treeAggregate(new Array[Double](k * (p + 1)))(
+            (s, t) => {
+              val (_, idx, vals, yIdx, off, v) = t
+              val pr = new Array[Double](k)
+              var mx = Double.NegativeInfinity
+              var u = 0
+              while (u < k) {
+                pr(u) = a0N(u) + off(u); if (pr(u) > mx) mx = pr(u); u += 1
+              }
+              var z = 0.0
+              u = 0
+              while (u < k) { pr(u) = math.exp(pr(u) - mx); z += pr(u); u += 1 }
+              u = 0
+              while (u < k) {
+                val r = v * nrm * ((if (u == yIdx) 1.0 else 0.0) - pr(u) / z)
+                s(u * (p + 1)) += r
+                var i = 0
+                while (i < idx.length) {
+                  s(u * (p + 1) + 1 + idx(i)) += r * vals(i); i += 1
+                }
+                u += 1
+              }
+              s
+            },
+            (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          sharedPasses += 1
+          val mF = means(nfolds); val sF = scales(nfolds)
+          val bNull = Array.tabulate(k, p)((t, j) =>
+            (acc(t * (p + 1) + 1 + j) - mF(j) * acc(t * (p + 1))) / sF(j) /
+              nTrain(nfolds))
+          val bArg = if (grouped) bNull else Array(bNull.flatten)
+          val pfArg = if (pf == null) null
+            else if (grouped) pf
+            else Array.tabulate(k * p)(i => pf(i % p))
+          LambdaPath.build(bArg, params.alpha, params.nlambda, minRatio, pfArg)
+        }
+
+      val L = lambdas.length
+      val beta = Array.fill(F)(Array.ofDim[Double](k, p))
+      val a0 = a0Null.map(_.clone())
+      val a0Out = Array.ofDim[Double](F, L, k)
+      val betaOut = Array.ofDim[Double](F, L, k, p)
+
+      for (l <- 0 until L) {
+        val lam = lambdas(l)
+        val active = Array.fill(F)(true)
+        val yB = beta.map(_.map(_.clone()))
+        val yA = a0.map(_.clone())
+        val tk = Array.fill(F)(1.0)
+        var iter = 0
+        while (iter < params.maxit && active.exists(identity)) {
+          val activeSnap = active.clone()
+          sharedPasses += 1
+          // per-fold iterates on the ORIGINAL sparse scale: eta_t =
+          // centerOff(f)(t) + rowOff(t) + Σ vals·bOverS(f)(t)(idx)
+          val bOverS = Array.tabulate(F, k, p)((f, t, j) =>
+            yB(f)(t)(j) / scales(f)(j))
+          val centerOff = Array.tabulate(F, k) { (f, t) =>
+            var o = yA(f)(t)
+            var j = 0
+            while (j < p) { o -= means(f)(j) * bOverS(f)(t)(j); j += 1 }
+            o
+          }
+          val bc = sc.broadcast((bOverS, centerOff, norms))
+          val acc = rows.treeAggregate(new Array[Double](F * k * (p + 1)))(
+            (s, row) => {
+              val (rowFold, idx, vals, yIdx, off, v) = row
+              val (bos, cOff, nrm) = bc.value
+              var f = 0
+              while (f < F) {
+                if (f != rowFold && activeSnap(f)) {
+                  val eta = new Array[Double](k)
+                  var mx = Double.NegativeInfinity
+                  var t = 0
+                  while (t < k) {
+                    var e = cOff(f)(t) + off(t)
+                    var i = 0
+                    while (i < idx.length) { e += vals(i) * bos(f)(t)(idx(i)); i += 1 }
+                    eta(t) = e; if (e > mx) mx = e
+                    t += 1
+                  }
+                  var z = 0.0
+                  t = 0
+                  while (t < k) { eta(t) = math.exp(eta(t) - mx); z += eta(t); t += 1 }
+                  val vn = v * nrm(f)
+                  val base = f * k * (p + 1)
+                  t = 0
+                  while (t < k) {
+                    val r = vn * (eta(t) / z - (if (t == yIdx) 1.0 else 0.0))
+                    s(base + t * (p + 1)) += r
+                    var i = 0
+                    while (i < idx.length) {
+                      s(base + t * (p + 1) + 1 + idx(i)) += r * vals(i)
+                      i += 1
+                    }
+                    t += 1
+                  }
+                }
+                f += 1
+              }
+              s
+            },
+            (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          // driver-side FISTA prox step per active fold — identical to
+          // cvSparseMultinomialShared's (the centering correction is
+          // sparseSoftmaxGrad's)
+          for (f <- 0 until F if active(f)) {
+            val base = f * k * (p + 1)
+            val ninv = 1.0 / nTrain(f)
+            val grad = Array.tabulate(k, p)((t, j) =>
+              (acc(base + t * (p + 1) + 1 + j) -
+                means(f)(j) * acc(base + t * (p + 1))) / scales(f)(j) * ninv)
+            val gradA0 = Array.tabulate(k)(t => acc(base + t * (p + 1)) * ninv)
+            val step = steps(f)
+            val (lo, up) = boundsF(f)
+            val nb = Array.ofDim[Double](k, p)
+            val na = new Array[Double](k)
+            var maxD = 0.0
+            for (t <- 0 until k) {
+              na(t) = if (params.intercept) yA(f)(t) - step * gradA0(t) else 0.0
+              val d0 = math.abs(na(t) - a0(f)(t)); if (d0 > maxD) maxD = d0
+            }
+            for (j <- 0 until p) {
+              val pfj = if (pf == null) 1.0 else pf(j)
+              if (grouped) {
+                val v = Array.tabulate(k)(t => yB(f)(t)(j) - step * grad(t)(j))
+                val g = step * lam * params.alpha * pfj
+                if (lo != null || up != null) {
+                  val q = 1.0 + step * lam * (1.0 - params.alpha) * pfj
+                  val loJ = Array.fill(k)(
+                    if (lo == null) Double.NegativeInfinity else lo(j))
+                  val upJ = Array.fill(k)(
+                    if (up == null) Double.PositiveInfinity else up(j))
+                  val u = LinAlg.boxedGroupProx(v, q, g, loJ, upJ,
+                    new Array[Double](k))
+                  for (t <- 0 until k) {
+                    nb(t)(j) = u(t)
+                    val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                  }
+                } else {
+                  var nrm2 = 0.0
+                  v.foreach(x => nrm2 += x * x)
+                  nrm2 = math.sqrt(nrm2)
+                  val shrink =
+                    if (nrm2 > g)
+                      (1.0 - g / nrm2) /
+                        (1.0 + step * lam * (1.0 - params.alpha) * pfj)
+                    else 0.0
+                  for (t <- 0 until k) {
+                    nb(t)(j) = v(t) * shrink
+                    val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                  }
+                }
+              } else {
+                for (t <- 0 until k) {
+                  val v = yB(f)(t)(j) - step * grad(t)(j)
+                  var x = LinAlg.softThreshold(v,
+                    step * lam * params.alpha * pfj) /
+                    (1.0 + step * lam * (1.0 - params.alpha) * pfj)
+                  if (lo != null && x < lo(j)) x = lo(j)
+                  if (up != null && x > up(j)) x = up(j)
+                  nb(t)(j) = x
+                  val d = math.abs(nb(t)(j) - beta(f)(t)(j)); if (d > maxD) maxD = d
+                }
+              }
+            }
+            var restartDot = 0.0
+            for (t <- 0 until k; j <- 0 until p)
+              restartDot += grad(t)(j) * (nb(t)(j) - beta(f)(t)(j))
+            for (t <- 0 until k) restartDot += gradA0(t) * (na(t) - a0(f)(t))
+            val tk1 = if (restartDot > 0) 1.0
+              else (1.0 + math.sqrt(1.0 + 4.0 * tk(f) * tk(f))) / 2.0
+            val mom = if (restartDot > 0) 0.0 else (tk(f) - 1.0) / tk1
+            for (t <- 0 until k; j <- 0 until p)
+              yB(f)(t)(j) = nb(t)(j) + mom * (nb(t)(j) - beta(f)(t)(j))
+            for (t <- 0 until k) yA(f)(t) = na(t) + mom * (na(t) - a0(f)(t))
+            beta(f) = nb; a0(f) = na; tk(f) = tk1
+            if (maxD < math.max(params.thresh * 1e-3, 1e-8)) active(f) = false
+          }
+          iter += 1
+        }
+        for (f <- 0 until F) {
+          for (t <- 0 until k; j <- 0 until p)
+            betaOut(f)(l)(t)(j) = beta(f)(t)(j) / scales(f)(j)
+          for (t <- 0 until k)
+            a0Out(f)(l)(t) = if (params.intercept)
+              a0(f)(t) - (0 until p).map(j => betaOut(f)(l)(t)(j) * means(f)(j)).sum
+            else a0(f)(t)
+        }
+      }
+
+      // full-data model (virtual fold) + sparse offset deviance pass
+      // (L path deviances AND the offset-null deviance in one scan)
+      val a0Full = Array.tabulate(L)(l => a0Out(nfolds)(l).clone())
+      val betaFull = Array.tabulate(L)(l => betaOut(nfolds)(l).map(_.clone()))
+      val a0NullFull = a0Null(nfolds)
+      val normFull = norms(nfolds)
+      val devs = rows.treeAggregate(new Array[Double](L + 1))(
+        (acc, row) => {
+          val (_, idx, vals, yIdx, off, v) = row
+          val vn = v * normFull
+          def negLl(a0v: Array[Double], bv: Array[Array[Double]]): Double = {
+            val eta = new Array[Double](k)
+            var mx = Double.NegativeInfinity
+            var t = 0
+            while (t < k) {
+              var e = a0v(t) + off(t)
+              if (bv != null) {
+                var i = 0
+                while (i < idx.length) { e += bv(t)(idx(i)) * vals(i); i += 1 }
+              }
+              eta(t) = e; if (e > mx) mx = e
+              t += 1
+            }
+            var z = 0.0
+            t = 0
+            while (t < k) { z += math.exp(eta(t) - mx); t += 1 }
+            -2.0 * (eta(yIdx) - (mx + math.log(z)))
+          }
+          var l = 0
+          while (l < L) {
+            acc(l) += vn * negLl(a0Full(l), betaFull(l))
+            l += 1
+          }
+          acc(L) += vn * negLl(a0NullFull, null)
+          acc
+        },
+        (a, b) => { var i = 0; while (i <= L) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      val nulldev = devs(L)
+      val devRatio = Array.tabulate(L)(l =>
+        if (nulldev > 0) 1.0 - devs(l) / nulldev else 0.0)
+      val names = (0 until p).map(j => s"V$j").toArray
+      val full = new SgdNetModel("multinomial", names,
+        Array(labelCol), classes, lambdas, a0Full, betaFull, nulldev,
+        devRatio, total.n, sharedPasses + 2, params)
+
+      // held-out scoring: sparse eta + the row's own offset (newoffset)
+      val bA0 = sc.broadcast(a0Out)
+      val bBeta = sc.broadcast(betaOut)
+      val sums = rows.treeAggregate(new Array[Double](nfolds * L))(
+        (s, row) => {
+          val (f, idx, vals, yIdx, off, v) = row
+          var l = 0
+          while (l < L) {
+            val al = bA0.value(f)(l); val bl = bBeta.value(f)(l)
+            val eta = new Array[Double](k)
+            var mx = Double.NegativeInfinity
+            var t = 0
+            while (t < k) {
+              var e = al(t) + off(t)
+              var i = 0
+              while (i < idx.length) { e += bl(t)(idx(i)) * vals(i); i += 1 }
+              eta(t) = e; if (e > mx) mx = e
+              t += 1
+            }
+            var z = 0.0
+            t = 0
+            while (t < k) { eta(t) = math.exp(eta(t) - mx); z += eta(t); t += 1 }
+            s(f * L + l) += v * (measure match {
+              case "class" =>
+                var best = 0
+                t = 1
+                while (t < k) { if (eta(t) >= eta(best)) best = t; t += 1 }
+                if (best != yIdx) 1.0 else 0.0
+              case "mse" =>
+                var acc2 = 0.0
+                t = 0
+                while (t < k) {
+                  val d = eta(t) / z - (if (t == yIdx) 1.0 else 0.0)
+                  acc2 += d * d; t += 1
+                }
+                acc2
+              case "mae" =>
+                var acc2 = 0.0
+                t = 0
+                while (t < k) {
+                  acc2 += math.abs(eta(t) / z - (if (t == yIdx) 1.0 else 0.0)); t += 1
+                }
+                acc2
+              case "deviance" =>
+                val pt = math.min(math.max(eta(yIdx) / z, 1e-5), 1.0 - 1e-5)
+                -2.0 * math.log(pt)
+              case other => // unreachable: the entry point validates
                 throw new IllegalArgumentException(s"unknown measure $other")
             })
             l += 1

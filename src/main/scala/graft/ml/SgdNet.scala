@@ -293,6 +293,27 @@ object SgdNet {
     * the positive-weight rows (the [[fitSparseWeighted]] convention;
     * w = 0 drops the observation). Also accepts the k = 1 gaussian
     * case, where it reproduces [[fitSparse]] exactly. */
+  /** [[fitSparseMulti]] with a per-response OFFSET matrix (round 16 —
+    * the sparse twin of [[fitMultiWithOffset]]): identity link makes
+    * this exact by delegation, fitting y_t − offset_t through the
+    * sparse multi-response moment route (the label/offset columns are
+    * dense; only x is CSR). */
+  def fitSparseMultiWithOffset(df: DataFrame, idxCol: String, valCol: String,
+                               dim: Int, labelCols: Seq[String],
+                               offsetCols: Seq[String],
+                               params: SgdNetParams = SgdNetParams(),
+                               weightCol: String = null): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    require(params.family == "mgaussian" || params.family == "gaussian",
+      s"fitSparseMultiWithOffset is the identity-link route, not ${params.family}")
+    require(offsetCols.size == labelCols.size,
+      s"need one offset column per response (${labelCols.size}), got ${offsetCols.size}")
+    val adj = labelCols.zip(offsetCols).foldLeft(df) { case (d, (l, o)) =>
+      d.withColumn(l, col(l).cast("double") - col(o).cast("double"))
+    }
+    fitSparseMulti(adj, idxCol, valCol, dim, labelCols, params, weightCol)
+  }
+
   def fitSparseMulti(df: DataFrame, idxCol: String, valCol: String,
                      dim: Int, labelCols: Seq[String],
                      params: SgdNetParams = SgdNetParams(),

@@ -1077,6 +1077,35 @@ object PathQueries {
       .orderBy("lambda_idx")
   }
 
+  /** SPARSE multinomial offset CV (round 16 —
+    * `CvSgdNet.fitSparseMultinomialWithOffset`): the
+    * [[cvMultinomOffset]] constant-offset query verbatim over CSR
+    * rows — same data, offsets, folds and lambda, so the oracle is
+    * byte-identical to q_cv_multinom_offset (and to q_cv_multinom:
+    * constant offsets cancel in the held-out scores); a divergence
+    * isolates the sparse offset CV chassis. */
+  def cvSparseMultinomOffset(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("off_a", lit(0.4)).withColumn("off_n", lit(-0.2))
+      .withColumn("off_r", lit(0.1))
+      .withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("l_quantity").cast("double"),
+        col("l_discount").cast("double")))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitSparseMultinomialWithOffset(li, "sidx", "svals", 2,
+      "l_returnflag", Seq("off_a", "off_n", "off_r"),
+      SgdNetParams(family = "multinomial", alpha = 1.0,
+        lambda = Array(0.001), maxit = 1),
+      nfolds = 5, measure = "deviance", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 6).as("lambda"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
   /** Oracle-exact MULTI-RESPONSE (mgaussian) cross-validation — lights
     * up the one-pass moment CV route (`CvSgdNet.cvMgaussianFromStats`)
     * end-to-end. With ONE feature the group coordinate update is a

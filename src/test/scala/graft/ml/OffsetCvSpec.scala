@@ -571,4 +571,57 @@ class OffsetCvSpec extends SparkSpec {
     }
     ()
   }
+
+  test("sparse offset multinomial CV == dense; sparse mgaussian offset delegates") {
+    val sp = mdata.withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("x1"), col("x2")))
+    val params = SgdNetParams(family = "multinomial", alpha = 1.0,
+      lambda = Array(0.05, 0.01), thresh = 1e-8, maxit = 20000)
+    for (measure <- Seq("deviance", "class")) {
+      val d = CvSgdNet.fitMultinomialWithOffset(mdata, Seq("x1", "x2"), "cls",
+        Seq("oa", "ob", "oc"), params, nfolds = 3, measure = measure,
+        foldCol = fold)
+      val s = CvSgdNet.fitSparseMultinomialWithOffset(sp, "sidx", "svals", 2,
+        "cls", Seq("oa", "ob", "oc"), params, nfolds = 3, measure = measure,
+        foldCol = fold)
+      assertClose(s.best, d.best, 1e-6, s"sparse-mn-offset/$measure")
+    }
+    // data-derived path + weights
+    val pp = SgdNetParams(family = "multinomial", alpha = 1.0, nlambda = 4,
+      thresh = 1e-8, maxit = 20000)
+    val dw = CvSgdNet.fitMultinomialWithOffset(mdata, Seq("x1", "x2"), "cls",
+      Seq("oa", "ob", "oc"), pp, nfolds = 3, measure = "deviance",
+      foldCol = fold, weightCol = "w")
+    val sw = CvSgdNet.fitSparseMultinomialWithOffset(sp, "sidx", "svals", 2,
+      "cls", Seq("oa", "ob", "oc"), pp, nfolds = 3, measure = "deviance",
+      foldCol = fold, weightCol = "w")
+    assert(sw.best.lambda.zip(dw.best.lambda).forall { case (a, b) =>
+      math.abs(a - b) < 1e-9 * b }, "sparse offset mn lambda path")
+    for (l <- sw.best.lambda.indices)
+      assert(math.abs(sw.best.cvm(l) - dw.best.cvm(l)) <
+        1e-6 * math.max(1.0, dw.best.cvm(l)), s"w cvm($l)")
+    // sparse mgaussian offset fit + CV delegate to the adjusted problem
+    val d2 = data.withColumn("y2", col("x2") * 2.0 + lit(0.15))
+      .withColumn("o2", lit(0.3))
+      .withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("x1"), col("x2")))
+    val pg = SgdNetParams(family = "mgaussian", alpha = 0.5,
+      lambda = Array(0.1, 0.01), thresh = 1e-11, maxit = 100000)
+    val offFit = SgdNet.fitSparseMultiWithOffset(d2, "sidx", "svals", 2,
+      Seq("yg", "y2"), Seq("off", "o2"), pg)
+    val adj = d2.withColumn("yg", col("yg") - col("off"))
+      .withColumn("y2", col("y2") - col("o2"))
+    val adjFit = SgdNet.fitSparseMulti(adj, "sidx", "svals", 2,
+      Seq("yg", "y2"), pg)
+    for (l <- 0 until 2; t <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(offFit.beta(l)(t)(j) - adjFit.beta(l)(t)(j)) <=
+        1e-12 * math.max(1.0, math.abs(adjFit.beta(l)(t)(j))),
+        s"sparse mgauss offset beta($l)($t)($j)")
+    val offCv = CvSgdNet.fitSparseMultiWithOffset(d2, "sidx", "svals", 2,
+      Seq("yg", "y2"), Seq("off", "o2"), pg, nfolds = 3, foldCol = fold)
+    val adjCv = CvSgdNet.fitSparseMulti(adj, "sidx", "svals", 2,
+      Seq("yg", "y2"), pg, nfolds = 3, foldCol = fold)
+    assertClose(offCv.best, adjCv.best, 1e-12, "sparse-mgauss-offset-cv")
+    ()
+  }
 }
