@@ -1559,6 +1559,10 @@ object SgdNet {
   def relaxedFit(df: DataFrame, featureCols: Seq[String], labelCol: String,
                  params: SgdNetParams = SgdNetParams(),
                  gamma: Double = 1.0): RelaxedPath = {
+    // binomial/poisson route to the IRLS refit (round 16); gaussian
+    // keeps the one-pass moment route
+    if (params.family == "binomial" || params.family == "poisson")
+      return relaxedFitGlm(df, featureCols, labelCol, params, gamma)
     validateRelaxed(params, gamma)
     val rdd = SufficientStats.toRdd(df, featureCols, Seq(labelCol))
     val g = SufficientStats.compute(rdd, featureCols.size, 1)
@@ -1627,6 +1631,173 @@ object SgdNet {
     require(gamma >= 0 && gamma <= 1, "gamma must be in [0, 1]")
     require(!params.standardizeResponse,
       "relaxedFit: standardize.response is mgaussian-only")
+  }
+
+  /** Relaxed path for the IRLS families (round 16 — glmnet
+    * `relax = TRUE` with family = binomial | poisson): the penalized
+    * path from [[fit]], then for each lambda the UNPENALIZED IRLS
+    * refit restricted to that lambda's active set. All lambdas' refits
+    * advance TOGETHER: each Newton round is ONE treeAggregate in which
+    * a row contributes its restricted weighted-moment block
+    * (Σw, Σwz, Σw·x_A, Σw·x_A·z, Σw·x_A·x_A') to every unconverged
+    * lambda, and the per-lambda unpenalized WLS systems solve
+    * driver-side — so the refit stage costs a handful of cluster
+    * passes regardless of path length, warm-started at the penalized
+    * coefficients (no standardization: the unpenalized MLE is
+    * scale-equivariant). An empty active set refits to the closed-form
+    * null (logit(ȳ) / ln(ȳ)). The γ-blend semantics are
+    * [[RelaxedPath]]'s. */
+  def relaxedFitGlm(df: DataFrame, featureCols: Seq[String],
+                    labelCol: String,
+                    params: SgdNetParams,
+                    gamma: Double = 1.0): RelaxedPath = {
+    import org.apache.spark.sql.functions.col
+    require(params.family == "binomial" || params.family == "poisson",
+      s"relaxedFitGlm is the IRLS-family route (binomial|poisson), not ${params.family}")
+    require(gamma >= 0 && gamma <= 1, "gamma must be in [0, 1]")
+    val binomial = params.family == "binomial"
+    val model = fit(df, featureCols, labelCol, params)
+    val p = featureCols.size
+    val yExpr =
+      if (binomial) {
+        val positive = model.classLabels(1)
+        (col(labelCol).cast("string") === positive).cast("double")
+      } else col(labelCol).cast("double")
+    val rows = df.select((featureCols.map(c => col(c).cast("double")) :+ yExpr): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = r.getDouble(j); j += 1 }
+        (x, r.getDouble(p))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val L = model.lambda.length
+      val active: Array[Array[Int]] =
+        model.beta.map(bl => (0 until p).filter(j => bl(0)(j) != 0.0).toArray)
+      val a0R = Array.tabulate(L)(l => model.a0(l)(0))
+      val bR = Array.tabulate(L)(l => model.beta(l)(0).clone())
+      val done = new Array[Boolean](L)
+      // empty active sets refit to the closed-form null
+      if (active.exists(_.isEmpty)) {
+        val (sy, n) = rows.treeAggregate((0.0, 0L))(
+          (s, r) => (s._1 + r._2, s._2 + 1),
+          (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+        val ybar = sy / n
+        val a0Null =
+          if (!params.intercept) 0.0
+          else if (binomial) math.log(ybar / (1 - ybar))
+          else math.log(ybar)
+        for (l <- 0 until L if active(l).isEmpty) {
+          a0R(l) = a0Null
+          java.util.Arrays.fill(bR(l), 0.0)
+          done(l) = true
+        }
+      }
+      // restricted-moment layout per unconverged lambda:
+      // [Σw, Σwz, Σw·x_A (m), Σw·x_A·z (m), packed Σw·x·x' (tri(m))]
+      val sc = rows.sparkContext
+      val tol = math.max(params.thresh * 1e-2, 1e-8)
+      var iter = 0
+      while (iter < 25 && !done.forall(identity)) {
+        val live = (0 until L).filter(!done(_)).toArray
+        val sizes = live.map(l => 2 + 2 * active(l).length +
+          LinAlg.triSize(active(l).length))
+        val offs = sizes.scanLeft(0)(_ + _)
+        val total = offs.last
+        val bState = sc.broadcast((live, live.map(active(_)),
+          live.map(a0R(_)), live.map(bR(_)), offs))
+        val acc = rows.treeAggregate(new Array[Double](total))(
+          (s, xy) => {
+            val (x, y) = xy
+            val (lv, acts, a0s, bs, os) = bState.value
+            var i = 0
+            while (i < lv.length) {
+              val a = acts(i)
+              val m = a.length
+              var eta = a0s(i)
+              var q = 0
+              while (q < m) { eta += bs(i)(a(q)) * x(a(q)); q += 1 }
+              var w = 0.0
+              var z = 0.0
+              if (binomial) {
+                val mu = 1.0 / (1.0 + math.exp(-eta))
+                w = math.max(mu * (1.0 - mu), 1e-5)
+                z = eta + (y - mu) / w
+              } else {
+                val etaC = math.max(math.min(eta, 30.0), -30.0)
+                val mu = math.exp(etaC)
+                w = math.max(mu, 1e-5)
+                z = etaC + (y - mu) / w
+              }
+              val base = os(i)
+              s(base) += w
+              s(base + 1) += w * z
+              q = 0
+              while (q < m) {
+                val wx = w * x(a(q))
+                s(base + 2 + q) += wx
+                s(base + 2 + m + q) += wx * z
+                var r2 = 0
+                while (r2 <= q) {
+                  s(base + 2 + 2 * m + LinAlg.triIdx(r2, q)) += wx * x(a(r2))
+                  r2 += 1
+                }
+                q += 1
+              }
+              i += 1
+            }
+            s
+          },
+          (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+          depth = 2)
+        // per-lambda unpenalized WLS solve (intercept included)
+        for (i <- live.indices) {
+          val l = live(i)
+          val a = active(l)
+          val m = a.length
+          val base = offs(i)
+          val dim = if (params.intercept) m + 1 else m
+          val mat = Array.ofDim[Double](dim, dim)
+          val rhs = new Array[Double](dim)
+          if (params.intercept) {
+            mat(0)(0) = acc(base)
+            rhs(0) = acc(base + 1)
+            for (q <- 0 until m) {
+              mat(0)(q + 1) = acc(base + 2 + q)
+              mat(q + 1)(0) = acc(base + 2 + q)
+              rhs(q + 1) = acc(base + 2 + m + q)
+              for (r2 <- 0 to q) {
+                val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
+                mat(r2 + 1)(q + 1) = v
+                mat(q + 1)(r2 + 1) = v
+              }
+            }
+          } else {
+            for (q <- 0 until m) {
+              rhs(q) = acc(base + 2 + m + q)
+              for (r2 <- 0 to q) {
+                val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
+                mat(r2)(q) = v
+                mat(q)(r2) = v
+              }
+            }
+          }
+          val sol = LinAlg.solve(mat, rhs)
+          val na0 = if (params.intercept) sol(0) else 0.0
+          var maxD = math.abs(na0 - a0R(l))
+          val off0 = if (params.intercept) 1 else 0
+          for (q <- 0 until m) {
+            val d = math.abs(sol(off0 + q) - bR(l)(a(q)))
+            if (d > maxD) maxD = d
+          }
+          a0R(l) = na0
+          for (q <- 0 until m) bR(l)(a(q)) = sol(off0 + q)
+          if (maxD < tol) done(l) = true
+        }
+        iter += 1
+      }
+      RelaxedPath(model, a0R, bR, gamma)
+    } finally { rows.unpersist(blocking = false); () }
   }
 
   private[ml] def relaxedFromStats(g: GramStats, featureCols: Seq[String],

@@ -136,6 +136,38 @@ object PathQueries {
       .orderBy("term")
   }
 
+  /** Relaxed binomial path (round 16 — `SgdNet.relaxedFitGlm`, glmnet
+    * relax = TRUE for the IRLS families): 2-lambda grid where BOTH
+    * stages are closed forms. At λ = 1.0 the one-IRLS-step soft
+    * threshold zeroes the coefficient, so penalized AND refit are the
+    * null model (a0 = logit(p̄)). At λ = 2e-4 the penalized point is
+    * the [[binomFit]] closed form, and with `thresh` large the
+    * active-set refit is exactly ONE unpenalized WLS step from it —
+    * per-row w = max(μ(1−μ), 1e-5), z = η + (y−μ)/w at the
+    * closed-form (a0, b), then the 2×2 Cramer solve — all SQL
+    * aggregations. The γ = 0.25 blend is linear. Converged refits are
+    * spark.ml-anchored (RelaxedGlmSpec). */
+  def relaxedBinom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+    val rp = SgdNet.relaxedFit(li, Seq("l_quantity"), "is_r",
+      SgdNetParams(family = "binomial", alpha = 1.0,
+        lambda = Array(1.0, 0.0002), thresh = 1e6), gamma = 0.25)
+    val rows = for {
+      l <- 0 until 2
+      (term, pen, ols) <- Seq(
+        ("a0", rp.model.a0(l)(0), rp.olsA0(l)),
+        ("l_quantity", rp.model.beta(l)(0)(0), rp.olsBeta(l)(0)))
+    } yield (l, term, pen, ols, 0.25 * pen + 0.75 * ols)
+    rows.toDF("lambda_idx", "term", "pen", "ols", "blend")
+      .select(col("lambda_idx").cast("int").as("lambda_idx"), col("term"),
+        (round(col("pen"), 6) + lit(0.0)).as("pen"),
+        (round(col("ols"), 6) + lit(0.0)).as("ols"),
+        (round(col("blend"), 6) + lit(0.0)).as("blend"))
+      .orderBy("lambda_idx", "term")
+  }
+
   /** Multinomial lasso over l_returnflag (3 classes), ONE FISTA step from
     * the null point (maxit = 1) — closed form, so oracle-EXACT: the null
     * intercepts are ln(class priors) (softmax gradient w.r.t. a0 vanishes

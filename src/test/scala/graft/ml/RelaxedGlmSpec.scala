@@ -1,0 +1,104 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Relaxed elastic net for the IRLS families (round 16 — glmnet
+  * relax = TRUE with binomial/poisson): the active-set unpenalized
+  * refit must equal an independent solver's MLE on the active
+  * columns, empty active sets must refit to the closed-form null, and
+  * the gamma blend must be linear with γ = 1 reproducing the
+  * penalized path. */
+class RelaxedGlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def assembled(df: org.apache.spark.sql.DataFrame,
+                        cols: Array[String]) =
+    new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(cols).setOutputCol("fv").transform(df)
+
+  test("binomial relaxed refit == spark.ml LogisticRegression at regParam 0") {
+    val db = SparkSpec.binaryDF(spark)
+    val params = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(0.02), thresh = 1e-9, maxit = 100000)
+    val rp = SgdNet.relaxedFit(db, Seq("x1", "x2"), "y", params, gamma = 0.0)
+    assert(rp.model.df(0) == 2, "both features should be active")
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setRegParam(0.0).setFitIntercept(true).setTol(1e-10).setMaxIter(300)
+      .setFeaturesCol("fv").setLabelCol("y")
+      .fit(assembled(db, Array("x1", "x2")))
+    assert(math.abs(rp.olsA0(0) - lr.intercept) < 1e-4,
+      s"a0 ${rp.olsA0(0)} vs ${lr.intercept}")
+    for (j <- 0 until 2)
+      assert(math.abs(rp.olsBeta(0)(j) - lr.coefficients(j)) < 1e-4,
+        s"b$j ${rp.olsBeta(0)(j)} vs ${lr.coefficients(j)}")
+    // gamma = 0 blends to the refit; gamma = 1 to the penalized path
+    assert(rp.blendedA0(0) == rp.olsA0(0))
+    val rp1 = SgdNet.relaxedFit(db, Seq("x1", "x2"), "y", params, gamma = 1.0)
+    for (j <- 0 until 2)
+      assert(rp1.blendedBeta(0)(j) == rp1.model.beta(0)(0)(j), "gamma=1")
+  }
+
+  test("poisson relaxed refit == spark.ml GLR at regParam 0") {
+    val dp = SparkSpec.regressionDF(spark)
+      .withColumn("yp", ceil(abs(col("y"))).cast("double"))
+    val params = SgdNetParams(family = "poisson", alpha = 1.0,
+      lambda = Array(0.01), thresh = 1e-9, maxit = 100000)
+    val rp = SgdNet.relaxedFit(dp, Seq("x1", "x2"), "yp", params, gamma = 0.5)
+    val glr = new org.apache.spark.ml.regression.GeneralizedLinearRegression()
+      .setFamily("poisson").setLink("log").setRegParam(0.0)
+      .setTol(1e-10).setMaxIter(200)
+      .setFeaturesCol("fv").setLabelCol("yp")
+      .fit(assembled(dp, Array("x1", "x2")))
+    assert(math.abs(rp.olsA0(0) - glr.intercept) < 1e-4,
+      s"a0 ${rp.olsA0(0)} vs ${glr.intercept}")
+    for (j <- 0 until 2)
+      assert(math.abs(rp.olsBeta(0)(j) - glr.coefficients(j)) < 1e-4,
+        s"b$j ${rp.olsBeta(0)(j)} vs ${glr.coefficients(j)}")
+    // blend linearity at gamma = 0.5
+    for (j <- 0 until 2) {
+      val want = 0.5 * rp.model.beta(0)(0)(j) + 0.5 * rp.olsBeta(0)(j)
+      assert(rp.blendedBeta(0)(j) == want, s"blend b$j")
+    }
+  }
+
+  test("empty and partial active sets; per-lambda refits along a path") {
+    val db = SparkSpec.binaryDF(spark)
+    // explicit grid: 10.0 guarantees an empty active set, the tail is
+    // dense enough for a df == 1 transition point
+    val params = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(10.0, 0.3, 0.15, 0.08, 0.05, 0.02, 0.01),
+      thresh = 1e-9, maxit = 100000)
+    val rp = SgdNet.relaxedFit(db, Seq("x1", "x2"), "y", params, gamma = 0.0)
+    val dfs = rp.model.df
+    assert(dfs(0) == 0, "the large-lambda point is the null")
+    val pbar = db.agg(avg(col("y"))).head().getDouble(0)
+    assert(math.abs(rp.olsA0(0) - math.log(pbar / (1 - pbar))) < 1e-9,
+      "empty active set refits to logit(ybar)")
+    assert(rp.olsBeta(0).forall(_ == 0.0))
+    // a df == 1 point (if the path has one): refit == single-feature MLE
+    val l1 = dfs.indexWhere(_ == 1)
+    if (l1 >= 0) {
+      val j = (0 until 2).find(rp.model.beta(l1)(0)(_) != 0.0).get
+      val lr = new org.apache.spark.ml.classification.LogisticRegression()
+        .setRegParam(0.0).setFitIntercept(true).setTol(1e-10).setMaxIter(300)
+        .setFeaturesCol("fv").setLabelCol("y")
+        .fit(assembled(db, Array(Seq("x1", "x2")(j))))
+      assert(math.abs(rp.olsA0(l1) - lr.intercept) < 1e-4, "partial a0")
+      assert(math.abs(rp.olsBeta(l1)(j) - lr.coefficients(0)) < 1e-4,
+        "partial beta")
+      assert(rp.olsBeta(l1).zipWithIndex.filter(_._2 != j).forall(_._1 == 0.0),
+        "inactive stays zero")
+    }
+    // identical active sets share the same refit (path tail)
+    val lLast = dfs.length - 1
+    if (dfs(lLast) == 2 && dfs(lLast - 1) == 2)
+      for (j <- 0 until 2)
+        assert(math.abs(rp.olsBeta(lLast)(j) - rp.olsBeta(lLast - 1)(j)) < 1e-6,
+          "same active set -> same refit")
+    intercept[IllegalArgumentException] {
+      SgdNet.relaxedFitGlm(db, Seq("x1"), "y", SgdNetParams())
+    }
+    ()
+  }
+}
