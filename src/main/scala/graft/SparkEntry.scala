@@ -77,6 +77,7 @@ object SparkEntry {
     "q_score_mgauss"     -> (PathQueries.scoreMgauss _),
     "q_cv_exact_curve"   -> (PathQueries.cvExactCurve _),
     "q_cv_relaxed"       -> (PathQueries.cvRelaxed _),
+    "q_cv_relaxed_binom" -> (PathQueries.cvRelaxedBinom _),
     "q_cv_exact_pick"    -> (PathQueries.cvExactPick _),
     "q_cv_exact_predict" -> (PathQueries.cvExactPredict _),
     "q_cv_limits"        -> (PathQueries.cvLimits _),
@@ -1723,6 +1724,62 @@ object SparkEntry {
         |SELECT 'a0' AS term, round(ln(p / (1 - p)) - b * mx, 6) + 0 AS value FROM t
         |UNION ALL SELECT 'l_quantity', round(b, 6) + 0 FROM t
         |ORDER BY term""".stripMargin,
+
+    // relaxed binomial CV (round 16): each fold's penalized fit is the
+    // q_binom_fit one-WLS-step closed form on fold-subtracted moments
+    // (constant null weights), each fold's refit is ONE unpenalized
+    // WLS step from that point over the TRAIN rows, and held-out
+    // deviance scores the gamma in {0,1} blends
+    "q_cv_relaxed_binom" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT l_quantity AS x,
+        |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |tot AS (SELECT count(*)::double n, sum(x) sx, sum(y) sy,
+        |          sum(x*x) sxx, sum(x*y) sxy FROM r),
+        |pf AS (SELECT f, count(*)::double n, sum(x) sx, sum(y) sy,
+        |         sum(x*x) sxx, sum(x*y) sxy FROM r GROUP BY f),
+        |tr AS (SELECT pf.f, tot.n - pf.n AS n, tot.sx - pf.sx AS sx,
+        |         tot.sy - pf.sy AS sy, tot.sxx - pf.sxx AS sxx,
+        |         tot.sxy - pf.sxy AS sxy FROM pf, tot),
+        |mo AS (SELECT f, n, sx/n AS mx, sy/n AS p,
+        |         sqrt(sxx/n - (sx/n)*(sx/n)) AS sd,
+        |         sxy/n - (sx/n)*(sy/n) AS cxy FROM tr),
+        |pen2 AS MATERIALIZED (SELECT f, ln(p/(1-p)) - b*mx AS a0, b FROM
+        |  (SELECT f, mx, p,
+        |     sign(cxy/sd) * greatest(abs(cxy/sd) - 0.0002, 0)
+        |       / (p*(1-p)) / sd AS b
+        |   FROM mo) t),
+        |tww AS (SELECT mf, x, y, eta, mu,
+        |          greatest(mu*(1.0-mu), 0.00001::DOUBLE) AS w FROM
+        |  (SELECT m.f AS mf, r.x, r.y, m.a0 + m.b * r.x AS eta,
+        |     1.0/(1.0 + exp(-(m.a0 + m.b * r.x))) AS mu
+        |   FROM r JOIN pen2 m ON r.f <> m.f) t),
+        |ag AS (SELECT mf, sum(w) sw, sum(w*(eta + (y-mu)/w)) swz,
+        |         sum(w*x) swx, sum(w*x*(eta + (y-mu)/w)) swxz,
+        |         sum(w*x*x) swxx FROM tww GROUP BY mf),
+        |ols AS (SELECT mf AS f,
+        |          (swz*swxx - swx*swxz)/(sw*swxx - swx*swx) AS a0,
+        |          (sw*swxz - swx*swz)/(sw*swxx - swx*swx) AS b FROM ag),
+        |mdl AS (SELECT g.gamma, p2.f,
+        |          g.gamma*p2.a0 + (1-g.gamma)*o.a0 AS a0,
+        |          g.gamma*p2.b + (1-g.gamma)*o.b AS b
+        |        FROM pen2 p2 JOIN ols o ON p2.f = o.f,
+        |             (VALUES (0.0::DOUBLE), (1.0::DOUBLE)) g(gamma)),
+        |sc AS (SELECT m.gamma, r.f,
+        |         least(greatest(1.0/(1.0+exp(-(m.a0 + m.b*r.x))),
+        |           0.00001::DOUBLE), 0.99999::DOUBLE) AS mu, r.y
+        |       FROM r JOIN mdl m ON r.f = m.f),
+        |fd AS (SELECT gamma, f,
+        |         avg(-2*(y*ln(mu) + (1-y)*ln(1-mu))) AS d
+        |       FROM sc GROUP BY gamma, f),
+        |cv AS (SELECT gamma, avg(d) AS cvm,
+        |         stddev_samp(d)/sqrt(5) AS cvsd FROM fd GROUP BY gamma)
+        |SELECT round(gamma, 2) + 0 AS gamma, 0 AS lambda_idx,
+        |  round(ln(cvm), 6) AS ln_cvm, round(ln(cvsd), 6) AS ln_cvsd
+        |FROM cv ORDER BY gamma""".stripMargin,
 
     // relaxed binomial (round 16): lambda=1.0 zeroes the one-step soft
     // threshold so penalized == refit == null (a0 = logit(p)); at

@@ -983,6 +983,34 @@ object PathQueries {
       .orderBy("gamma", "lambda_idx")
   }
 
+  /** Relaxed BINOMIAL CV surface (round 16 — cv.glmnet relax = TRUE
+    * for the IRLS families, `CvSgdNet.fitRelaxed` GLM route): with
+    * `thresh` large every stage is closed-form — each fold's
+    * penalized fit is ONE WLS step from its null (constant weights
+    * ȳ_f(1−ȳ_f), the q_binom_fit form on fold-subtracted moments),
+    * each fold's refit is ONE unpenalized WLS step from the penalized
+    * point (per-row w/z over the TRAIN rows), and held-out deviance
+    * scores the γ ∈ {0, 1} blends — the whole (gamma × fold) surface
+    * reproduces in DuckDB. Converged refits are spark.ml-anchored
+    * (RelaxedGlmSpec / RelaxedCvSpec). */
+  def cvRelaxedBinom(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitRelaxed(li, Seq("l_quantity"), "is_r",
+      SgdNetParams(family = "binomial", alpha = 1.0,
+        lambda = Array(0.0002), thresh = 1e6),
+      nfolds = 5, gammas = Seq(0.0, 1.0), measure = "deviance",
+      foldCol = fold)
+    cv.curveDF(spark)
+      .select((round(col("gamma"), 2) + lit(0.0)).as("gamma"),
+        col("lambda_idx").cast("int").as("lambda_idx"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("gamma", "lambda_idx")
+  }
+
   def cvExactPick(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cv = cvExactFit(spark, dir)

@@ -100,6 +100,69 @@ class RelaxedCvSpec extends SparkSpec {
     }
   }
 
+  test("binomial relaxed CV: gamma=1 == plain CV; gamma=0 == per-fold refits") {
+    val rnd = new scala.util.Random(43)
+    val db = (1 to 500).map { i =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      val pb = 1.0 / (1.0 + math.exp(-(-0.3 + 1.2 * x1 - 0.4 * x2)))
+      (i.toLong, x1, x2, if (rnd.nextDouble() < pb) 1.0 else 0.0)
+    }.toDF("rid", "x1", "x2", "y")
+    val foldB = pmod(xxhash64(col("rid")), lit(3))
+    val lambdas = Array(0.05, 0.01)
+    val params = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = lambdas, thresh = 1e-9, maxit = 100000)
+    val r = CvSgdNet.fitRelaxed(db, Seq("x1", "x2"), "y", params,
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = foldB)
+    // gamma = 1 slice == the plain shared binomial CV
+    val plain = CvSgdNet.fit(db, Seq("x1", "x2"), Seq("y"), params,
+      nfolds = 3, foldCol = foldB)
+    for (l <- lambdas.indices)
+      assert(math.abs(r.paths(1).cvm(l) - plain.best.cvm(l)) <
+        1e-6 * math.max(1.0, plain.best.cvm(l)), s"gamma=1 cvm($l)")
+    // gamma = 0 cvm == manual per-fold relaxedFitGlm refits scored by hand
+    val withF = db.withColumn("__f", foldB)
+    for (l <- lambdas.indices) {
+      var cvm = 0.0
+      for (f <- 0 until 3) {
+        val rp = SgdNet.relaxedFitGlm(withF.filter(col("__f") =!= f),
+          Seq("x1", "x2"), "y", params)
+        val test = withF.filter(col("__f") === f)
+          .select("x1", "x2", "y").collect()
+        var s = 0.0
+        test.foreach { rw =>
+          val eta = rp.olsA0(l) + rp.olsBeta(l)(0) * rw.getDouble(0) +
+            rp.olsBeta(l)(1) * rw.getDouble(1)
+          val mu0 = 1.0 / (1.0 + math.exp(-eta))
+          val mu = math.min(math.max(mu0, 1e-5), 1.0 - 1e-5)
+          val y = rw.getDouble(2)
+          s += -2.0 * (y * math.log(mu) + (1 - y) * math.log(1 - mu))
+        }
+        cvm += s / test.length
+      }
+      cvm /= 3.0
+      assert(math.abs(r.paths(0).cvm(l) - cvm) < 1e-4 * math.max(1.0, cvm),
+        s"gamma=0 cvm($l): ${r.paths(0).cvm(l)} vs $cvm")
+    }
+    // poisson route + integer weights == duplication
+    val dp = data.withColumn("yp", ceil(abs(col("y"))).cast("double"))
+    val pp = SgdNetParams(family = "poisson", alpha = 1.0,
+      lambda = Array(0.05, 0.01), thresh = 1e-9, maxit = 100000)
+    val wr = CvSgdNet.fitRelaxed(dp, Seq("x1", "x2"), "yp", pp,
+      nfolds = 3, gammas = Seq(0.0, 0.5), foldCol = fold, weightCol = "w")
+    val dup = dp.withColumn("k",
+      explode(sequence(lit(1), col("w").cast("int"))))
+    val dr = CvSgdNet.fitRelaxed(dup, Seq("x1", "x2"), "yp", pp,
+      nfolds = 3, gammas = Seq(0.0, 0.5), foldCol = fold)
+    for (g <- 0 until 2; l <- 0 until 2)
+      assert(math.abs(wr.paths(g).cvm(l) - dr.paths(g).cvm(l)) <
+        1e-6 * math.max(1.0, dr.paths(g).cvm(l)), s"poisson dup cvm($g)($l)")
+    intercept[IllegalArgumentException] {
+      CvSgdNet.fitRelaxed(db, Seq("x1"), "y",
+        SgdNetParams(family = "multinomial"), foldCol = foldB)
+    }
+    ()
+  }
+
   test("coefAt returns the blended full-data coefficients; contracts") {
     val params = SgdNetParams(alpha = 1.0, lambda = Array(1.0, 0.1),
       thresh = 1e-10, maxit = 100000)
@@ -118,7 +181,7 @@ class RelaxedCvSpec extends SparkSpec {
       assert(dr >= -1e-9 && dr <= 1.0 + 1e-9)))
     intercept[IllegalArgumentException] {
       CvSgdNet.fitRelaxed(data, Seq("x1"), "y",
-        SgdNetParams(family = "binomial"), foldCol = fold)
+        SgdNetParams(family = "mgaussian"), foldCol = fold)
     }
     intercept[IllegalArgumentException] {
       CvSgdNet.fitRelaxed(data, Seq("x1"), "y", SgdNetParams(),
