@@ -22,7 +22,8 @@ class SgdNetEstimator(override val uid: String)
   final val featureCols = new StringArrayParam(this, "featureCols", "feature column names")
   final val labelCol = new Param[String](this, "labelCol", "label column")
   final val family = new Param[String](this, "family", "model family",
-    ParamValidators.inArray(Array("gaussian", "binomial", "multinomial", "mgaussian")))
+    ParamValidators.inArray(Array("gaussian", "binomial", "multinomial",
+      "mgaussian", "poisson")))
   final val alpha = new DoubleParam(this, "alpha", "elastic-net mixing",
     ParamValidators.inRange(0, 1))
   final val nLambda = new IntParam(this, "nLambda", "path length", ParamValidators.gt(0))
@@ -35,7 +36,12 @@ class SgdNetEstimator(override val uid: String)
   final val weightCol = new Param[String](this, "weightCol",
     "observation-weight column (gaussian/binomial/poisson)")
   final val offsetCol = new Param[String](this, "offsetCol",
-    "linear-predictor offset column (gaussian/poisson)")
+    "linear-predictor offset column (gaussian/binomial/poisson; " +
+      "combines with weightCol)")
+  final val dfmax = new IntParam(this, "dfmax",
+    "glmnet dfmax: max nonzero features in any returned model (path truncates)")
+  final val pmax = new IntParam(this, "pmax",
+    "glmnet pmax: max ever-active features along the path (path truncates)")
   final val lowerLimits = new DoubleArrayParam(this, "lowerLimits",
     "glmnet lower.limits: per-coefficient lower bounds (each <= 0)")
   final val upperLimits = new DoubleArrayParam(this, "upperLimits",
@@ -56,6 +62,8 @@ class SgdNetEstimator(override val uid: String)
   def setPenaltyFactor(v: Seq[Double]): this.type = set(penaltyFactor, v.toArray)
   def setWeightCol(v: String): this.type = set(weightCol, v)
   def setOffsetCol(v: String): this.type = set(offsetCol, v)
+  def setDfmax(v: Int): this.type = set(dfmax, v)
+  def setPmax(v: Int): this.type = set(pmax, v)
   def setLowerLimits(v: Seq[Double]): this.type = set(lowerLimits, v.toArray)
   def setUpperLimits(v: Seq[Double]): this.type = set(upperLimits, v.toArray)
 
@@ -67,12 +75,15 @@ class SgdNetEstimator(override val uid: String)
       thresh = $(thresh),
       penaltyFactor = if (isSet(penaltyFactor)) $(penaltyFactor) else null,
       lowerLimits = if (isSet(lowerLimits)) $(lowerLimits) else null,
-      upperLimits = if (isSet(upperLimits)) $(upperLimits) else null)
-    require(!(isSet(weightCol) && isSet(offsetCol)),
-      "weightCol and offsetCol cannot be combined")
+      upperLimits = if (isSet(upperLimits)) $(upperLimits) else null,
+      dfmax = if (isSet(dfmax)) $(dfmax) else -1,
+      pmax = if (isSet(pmax)) $(pmax) else -1)
     val df = dataset.toDF()
     val m =
-      if (isSet(weightCol))
+      if (isSet(weightCol) && isSet(offsetCol))
+        SgdNet.fitWithOffsetWeighted(df, $(featureCols).toSeq, $(labelCol),
+          $(offsetCol), $(weightCol), params)
+      else if (isSet(weightCol))
         SgdNet.fitWeighted(df, $(featureCols).toSeq, $(labelCol),
           $(weightCol), params)
       else if (isSet(offsetCol))

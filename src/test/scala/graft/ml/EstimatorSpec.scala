@@ -1,6 +1,7 @@
 package graft.ml
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class EstimatorSpec extends SparkSpec {
 
@@ -24,7 +25,7 @@ class EstimatorSpec extends SparkSpec {
   test("param validation and copy") {
     val est = new SgdNetEstimator().setFeatureCols(Seq("x1")).setLabelCol("y")
     intercept[IllegalArgumentException] { est.setAlpha(1.5) }
-    intercept[IllegalArgumentException] { est.setFamily("poisson") }
+    intercept[IllegalArgumentException] { est.setFamily("tweedie") }
     val copied = est.copy(org.apache.spark.ml.param.ParamMap.empty)
     assert(copied.isInstanceOf[SgdNetEstimator])
   }
@@ -51,10 +52,13 @@ class EstimatorSpec extends SparkSpec {
     val doff = SgdNet.fitWithOffset(odf, Seq("x1", "x2"), "y", "off",
       SgdNetParams(lambda = Array(0.3), thresh = 1e-10))
     assert(math.abs(mo.a0(0)(0) - doff.a0(0)(0)) < 1e-9)
-    intercept[IllegalArgumentException] {
-      base().setWeightCol("w").setOffsetCol("off").fit(
-        wdf.withColumn("off", lit(0.0)))
-    }
+    // weightCol AND offsetCol together route through
+    // fitWithOffsetWeighted (round 16 — the old reject is gone)
+    val wodf = wdf.withColumn("off", lit(1.5))
+    val mwo = base().setWeightCol("w").setOffsetCol("off").fit(wodf).pathModel
+    val dwo = SgdNet.fitWithOffsetWeighted(wodf, Seq("x1", "x2"), "y",
+      "off", "w", SgdNetParams(lambda = Array(0.3), thresh = 1e-10))
+    assert(math.abs(mwo.a0(0)(0) - dwo.a0(0)(0)) < 1e-9)
   }
 
   test("estimator weightCol reaches the weighted GLM route (binomial)") {
@@ -87,5 +91,36 @@ class EstimatorSpec extends SparkSpec {
     for (j <- 0 until 2)
       assert(math.abs(m.beta(0)(0)(j) - direct.beta(0)(0)(j)) < 1e-9)
     assert(m.beta(0)(0).forall(_ >= 0.0))
+  }
+
+  test("estimator: poisson family, weight+offset together, dfmax (round 16)") {
+    val df = graft.SparkSpec.regressionDF(spark)
+      .withColumn("yp", ceil(abs(col("y"))).cast("double"))
+      .withColumn("off", col("x1") * 0.2)
+      .withColumn("w", (pmod(round(col("x2") * 100).cast("long"), lit(3)) + 1)
+        .cast("double"))
+    // poisson family is settable and routes offset+weights together
+    val est = new SgdNetEstimator()
+      .setFeatureCols(Seq("x1", "x2")).setLabelCol("yp")
+      .setFamily("poisson").setLambdas(Seq(0.02)).setThresh(1e-9)
+      .setOffsetCol("off").setWeightCol("w")
+      .fit(df).pathModel
+    val direct = SgdNet.fitWithOffsetWeighted(df, Seq("x1", "x2"), "yp",
+      "off", "w", SgdNetParams(family = "poisson", lambda = Array(0.02),
+        thresh = 1e-9))
+    for (j <- 0 until 2)
+      assert(math.abs(est.beta(0)(0)(j) - direct.beta(0)(0)(j)) < 1e-7)
+    assert(math.abs(est.a0(0)(0) - direct.a0(0)(0)) < 1e-7)
+    // dfmax truncates through the estimator exactly as the direct fit
+    val full = SgdNet.fit(df, Seq("x1", "x2", "x3"), "y",
+      SgdNetParams(alpha = 1.0, nlambda = 12, thresh = 1e-9))
+    val cut0 = full.df.indexWhere(_ > 1)
+    if (cut0 > 0) {
+      val t = new SgdNetEstimator()
+        .setFeatureCols(Seq("x1", "x2", "x3")).setLabelCol("y")
+        .setAlpha(1.0).setNLambda(12).setThresh(1e-9).setDfmax(1)
+        .fit(df).pathModel
+      assert(t.lambda.length == cut0, s"${t.lambda.length} vs $cut0")
+    }
   }
 }
