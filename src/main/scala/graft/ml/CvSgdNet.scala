@@ -126,6 +126,37 @@ object CvSgdNet {
     }
   }
 
+  /** Restore a relaxed-CV result persisted by [[RelaxedCvResult.save]]. */
+  def loadRelaxed(spark: SparkSession, path: String): RelaxedCvResult = {
+    val rows = spark.read.parquet(s"$path/curves")
+      .select(col("path_idx").cast("int"), col("is_best"), col("gamma"),
+        col("alpha"), col("lambda_idx").cast("int"), col("lambda"),
+        col("cvm"), col("cvsd"), col("lambda_min"), col("lambda_1se"))
+      .collect()
+    val byPath = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+    val bestIdx = math.max(byPath.indexWhere(_._2.head.getBoolean(1)), 0)
+    val gammas = byPath.map(_._2.head.getDouble(2)).toArray
+    val paths = byPath.map { case (i, rs) =>
+      val sorted = rs.sortBy(_.getInt(4))
+      CvPath(
+        alpha = rs.head.getDouble(3),
+        lambda = sorted.map(_.getDouble(5)),
+        cvm = sorted.map(_.getDouble(6)),
+        cvsd = sorted.map(_.getDouble(7)),
+        lambdaMin = rs.head.getDouble(8),
+        lambda1se = rs.head.getDouble(9),
+        fit = SgdNetModel.load(spark, s"$path/model_$i"))
+    }
+    val penalized = SgdNetModel.load(spark, s"$path/penalized")
+    val refitRows = spark.read.parquet(s"$path/refit")
+      .select(col("lambda_idx").cast("int"), col("ols_a0"), col("ols_beta"))
+      .collect().sortBy(_.getInt(0))
+    val olsA0 = refitRows.map(_.getDouble(1))
+    val olsBeta = refitRows.map(_.getSeq[Double](2).toArray)
+    RelaxedCvResult(gammas, paths, gammas(bestIdx), paths(bestIdx),
+      SgdNet.RelaxedPath(penalized, olsA0, olsBeta, 1.0))
+  }
+
   /** Restore a CV result persisted by [[CvResult.save]]. */
   def load(spark: SparkSession, path: String): CvResult = {
     val rows = spark.read.parquet(s"$path/curves")
@@ -5541,6 +5572,37 @@ object CvSgdNet {
         p.lambda.indices.map(l => (g, l, p.lambda(l), p.cvm(l), p.cvsd(l)))
       }.toDF("gamma", "lambda_idx", "lambda", "cvm", "cvsd")
     }
+    /** Persist the whole relaxed-CV result: the (gamma × lambda)
+      * curves + selections in `<path>/curves`, each gamma's blended
+      * full model under `<path>/model_<i>`, the penalized full path
+      * under `<path>/penalized`, and the active-set refit path in
+      * `<path>/refit` — restored by [[CvSgdNet.loadRelaxed]]. Same
+      * overwrite contract as [[CvResult.save]]. */
+    def save(spark: SparkSession, path: String,
+             overwrite: Boolean = true): Unit = {
+      import spark.implicits._
+      SgdNetModel.checkOverwrite(spark, path, overwrite)
+      val bestIdx = math.max(paths.indexWhere(_ eq best), 0)
+      val rows = gammas.toSeq.zip(paths).zipWithIndex.flatMap {
+        case ((g, p), i) =>
+          p.lambda.indices.map { l =>
+            (i, i == bestIdx, g, p.alpha, l, p.lambda(l), p.cvm(l),
+              p.cvsd(l), p.lambdaMin, p.lambda1se)
+          }
+      }
+      rows.toDF("path_idx", "is_best", "gamma", "alpha", "lambda_idx",
+          "lambda", "cvm", "cvsd", "lambda_min", "lambda_1se")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/curves")
+      paths.zipWithIndex.foreach { case (p, i) =>
+        p.fit.save(spark, s"$path/model_$i")
+      }
+      relaxed.model.save(spark, s"$path/penalized")
+      relaxed.olsA0.indices.map(l =>
+          (l, relaxed.olsA0(l), relaxed.olsBeta(l).toSeq))
+        .toDF("lambda_idx", "ols_a0", "ols_beta")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/refit")
+    }
+
     /** Blended full-data coefficients at (bestGamma, lambda.min|.1se):
       * the selected lambda is a grid point, so no interpolation. */
     def coefAt(which: String = "lambda.min"): (Double, Array[Double]) = {

@@ -109,4 +109,34 @@ class PersistenceSpec extends SparkSpec {
     val b = restored.transform(df).select("prediction").collect().map(_.getDouble(0))
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
+
+  test("RelaxedCvResult round-trips: surface, blended models, refit path") {
+    import org.apache.spark.sql.functions._
+    val df = SparkSpec.regressionDF(spark)
+      .withColumn("rid", monotonically_increasing_id())
+    val fold = pmod(xxhash64(col("rid")), lit(3))
+    val r = CvSgdNet.fitRelaxed(df, Seq("x1", "x2"), "y",
+      SgdNetParams(alpha = 1.0, lambda = Array(0.5, 0.05), thresh = 1e-9),
+      nfolds = 3, gammas = Seq(0.0, 0.5, 1.0), foldCol = fold)
+    val path = tmp("relaxedcv")
+    r.save(spark, path)
+    val r2 = CvSgdNet.loadRelaxed(spark, path)
+    assert(r2.gammas.sameElements(r.gammas))
+    assert(r2.bestGamma == r.bestGamma)
+    for (g <- 0 until 3; l <- 0 until 2) {
+      assert(r2.paths(g).cvm(l) == r.paths(g).cvm(l), s"cvm($g)($l)")
+      assert(r2.paths(g).cvsd(l) == r.paths(g).cvsd(l), s"cvsd($g)($l)")
+      for (j <- 0 until 2)
+        assert(r2.paths(g).fit.beta(l)(0)(j) == r.paths(g).fit.beta(l)(0)(j))
+    }
+    // the refit path and blended coefficient extraction survive
+    val (a0A, bA) = r.coefAt("lambda.min")
+    val (a0B, bB) = r2.coefAt("lambda.min")
+    assert(a0A == a0B && bA.sameElements(bB))
+    // overwrite contract
+    intercept[IllegalArgumentException] {
+      r.save(spark, path, overwrite = false)
+    }
+    ()
+  }
 }
