@@ -82,6 +82,36 @@ class RelaxedCvSpec extends SparkSpec {
     }
   }
 
+  test("mae measure: one scoring aggregation matches hand-computed cells") {
+    val lam = 1.0
+    val params = SgdNetParams(alpha = 1.0, lambda = Array(lam), thresh = 1e-10,
+      maxit = 100000)
+    val r = CvSgdNet.fitRelaxed(data, Seq("x1"), "y", params,
+      nfolds = 3, gammas = Seq(0.0, 1.0), measure = "mae", foldCol = fold)
+    val rows = data.withColumn("__f", fold).select("x1", "y", "__f").collect()
+      .map(rw => (rw.getDouble(0), rw.getDouble(1), rw.getLong(2).toInt))
+    for ((gm, gi) <- Seq((0.0, 0), (1.0, 1))) {
+      val cells = (0 until 3).map { f =>
+        val tr = rows.filter(_._3 != f)
+        val te = rows.filter(_._3 == f)
+        val n = tr.length.toDouble
+        val mx = tr.map(_._1).sum / n
+        val my = tr.map(_._2).sum / n
+        val sd = math.sqrt(tr.map(t => (t._1 - mx) * (t._1 - mx)).sum / n)
+        val cxy = tr.map(t => (t._1 - mx) * (t._2 - my)).sum / n
+        val bPen = math.signum(cxy / sd) *
+          math.max(math.abs(cxy / sd) - lam, 0.0) / sd
+        val bOls = if (bPen != 0.0) (cxy / sd) / sd else 0.0
+        val b = gm * bPen + (1 - gm) * bOls
+        val a0 = my - b * mx
+        te.map(t => math.abs(t._2 - a0 - b * t._1)).sum / te.length
+      }
+      val cvm = cells.sum / 3.0
+      assert(math.abs(r.paths(gi).cvm(0) - cvm) < 1e-9 * math.max(1.0, cvm),
+        s"mae gamma=$gm")
+    }
+  }
+
   test("relaxed CV weighted: integer weights == row duplication") {
     val params = SgdNetParams(alpha = 1.0, lambda = Array(0.5, 0.05),
       thresh = 1e-10, maxit = 100000)
