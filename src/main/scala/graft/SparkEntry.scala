@@ -77,6 +77,7 @@ object SparkEntry {
     "q_score_mgauss"     -> (PathQueries.scoreMgauss _),
     "q_cv_exact_curve"   -> (PathQueries.cvExactCurve _),
     "q_cv_relaxed"       -> (PathQueries.cvRelaxed _),
+    "q_cv_relaxed_sparse" -> (PathQueries.cvRelaxedSparse _),
     "q_cv_relaxed_binom" -> (PathQueries.cvRelaxedBinom _),
     "q_cv_exact_pick"    -> (PathQueries.cvExactPick _),
     "q_cv_exact_predict" -> (PathQueries.cvExactPredict _),
@@ -1261,6 +1262,56 @@ object SparkEntry {
     // zeroed b_pen), b(g) = g*b_pen + (1-g)*b_ols, a0 = my - b*mx, and
     // the held-out MSE is the same moment form
     "q_cv_relaxed" ->
+      """WITH r AS (
+        |  SELECT l_quantity AS x, l_extendedprice AS y,
+        |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+        |      % 4294967296 % 5 AS f
+        |  FROM lineitem),
+        |tot AS (SELECT count(*)::double n, sum(x) sx, sum(y) sy, sum(x*x) sxx,
+        |               sum(x*y) sxy, sum(y*y) syy FROM r),
+        |pf AS (SELECT f, count(*)::double n, sum(x) sx, sum(y) sy, sum(x*x) sxx,
+        |              sum(x*y) sxy, sum(y*y) syy FROM r GROUP BY f),
+        |lmx AS (SELECT abs(covar_pop(l_quantity, l_extendedprice)
+        |          / sqrt(var_pop(l_quantity))) AS lmax FROM lineitem),
+        |lgrid AS (SELECT cast(g.i AS INT) AS lambda_idx,
+        |                 lmax * pow(0.01, g.i / 9.0) AS lam
+        |          FROM lmx, generate_series(0, 9) AS g(i)),
+        |ggrid AS (SELECT * FROM (VALUES (0.0::DOUBLE), (0.5::DOUBLE),
+        |                                (1.0::DOUBLE)) AS t(gamma)),
+        |tr AS (SELECT pf.f, tot.n - pf.n AS n, tot.sx - pf.sx AS sx,
+        |              tot.sy - pf.sy AS sy, tot.sxx - pf.sxx AS sxx,
+        |              tot.sxy - pf.sxy AS sxy, tot.syy - pf.syy AS syy
+        |       FROM pf, tot),
+        |fitm AS (SELECT tr.f, lgrid.lambda_idx, lgrid.lam,
+        |           sx/n AS mx, sy/n AS my,
+        |           sqrt(sxx/n - (sx/n)*(sx/n)) AS sd,
+        |           (sxy/n - (sx/n)*(sy/n)) AS cxy
+        |         FROM tr, lgrid),
+        |co AS (SELECT f, lambda_idx, lam, mx, my,
+        |         sign(cxy/sd) * greatest(abs(cxy/sd) - lam, 0) / sd AS bp,
+        |         CASE WHEN abs(cxy/sd) > lam THEN (cxy/sd)/sd
+        |              ELSE 0.0 END AS bo
+        |       FROM fitm),
+        |bl AS (SELECT gamma, f, lambda_idx, lam, mx, my,
+        |         gamma * bp + (1.0 - gamma) * bo AS b
+        |       FROM co, ggrid),
+        |sc AS (SELECT gamma, bl.f, lambda_idx, lam, my - b*mx AS a0, b,
+        |         pf.n AS nf, pf.sx AS fx, pf.sy AS fy, pf.sxx AS fxx,
+        |         pf.sxy AS fxy, pf.syy AS fyy
+        |       FROM bl JOIN pf ON bl.f = pf.f),
+        |msef AS (SELECT gamma, lambda_idx, lam, f,
+        |           fyy/nf - 2*a0*fy/nf + a0*a0 + b*b*fxx/nf
+        |             + 2*a0*b*fx/nf - 2*b*fxy/nf AS m
+        |         FROM sc),
+        |curve AS (SELECT gamma, lambda_idx, avg(m) AS cvm,
+        |                 stddev_samp(m) / sqrt(5) AS cvsd
+        |          FROM msef GROUP BY gamma, lambda_idx)
+        |SELECT round(gamma, 2) + 0 AS gamma, lambda_idx,
+        |       round(ln(cvm), 6) AS ln_cvm, round(ln(cvsd), 6) AS ln_cvsd
+        |FROM curve ORDER BY gamma, lambda_idx""".stripMargin,
+    // the q_cv_relaxed oracle BYTE-IDENTICALLY through the sparse
+    // moment chassis (same data/folds/grid/gammas)
+    "q_cv_relaxed_sparse" ->
       """WITH r AS (
         |  SELECT l_quantity AS x, l_extendedprice AS y,
         |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)

@@ -5851,6 +5851,197 @@ object CvSgdNet {
       relaxedFull)
   }
 
+  /** [[fitRelaxed]] over CSR feature rows (round 16 — cv.glmnet
+    * relax = TRUE with a dgCMatrix x, gaussian family): identical
+    * driver algebra to the dense route, with the ONE data pass
+    * gathering per-fold moments through the O(nnz²) sparse
+    * accumulation and the mae scoring cells (when requested) built on
+    * the codegen `graft_sparse_dot` expression — the matrix is never
+    * densified. */
+  def fitRelaxedSparse(df: DataFrame, idxCol: String, valCol: String,
+                       dim: Int, labelCol: String,
+                       params: SgdNetParams = SgdNetParams(),
+                       nfolds: Int = 10,
+                       gammas: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0),
+                       measure: String = "deviance",
+                       foldCol: Column = null,
+                       weightCol: String = null): RelaxedCvResult = {
+    require(nfolds >= 2, "nfolds must be at least 2")
+    require(params.family == "gaussian",
+      "sparse relaxed CV: gaussian family only (the relaxedFitSparse surface)")
+    require(gammas.nonEmpty && gammas.forall(g => g >= 0 && g <= 1),
+      "gamma grid must lie in [0, 1]")
+    require(Set("deviance", "mse", "mae").contains(measure),
+      s"sparse relaxed CV supports deviance|mse|mae, not '$measure'")
+    val p = dim
+    val weighted = weightCol != null
+    val hashCols = Seq(col(idxCol), col(valCol), col(labelCol))
+    val wc = if (weighted) col(weightCol).cast("double") else lit(1.0)
+    val withFold = df
+      .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
+      .withColumn("__v", wc)
+    val rows0 = withFold
+      .select(col(idxCol), col(valCol).cast("array<double>"),
+        col(labelCol).cast("double"), col("__fold"), col("__v"))
+      .rdd.map { r =>
+        (r.getInt(3), r.getSeq[Int](0).toArray,
+          r.getSeq[Double](1).toArray, r.getDouble(2), r.getDouble(4))
+      }
+    val rows = if (weighted)
+        rows0.map { t => require(t._5 >= 0, "weights must be non-negative"); t }
+          .filter(_._5 > 0)
+      else rows0
+    val zero = (Array.fill(nfolds)(new GramStats(p, 1)),
+      new Array[Double](nfolds))
+    val (perFold, wFold) = rows.treeAggregate(zero)(
+      (acc, t) => {
+        acc._1(t._1).addSparseWeighted(t._2, t._3, Array(t._4), t._5)
+        acc._2(t._1) += t._5
+        acc
+      },
+      (a, b) => {
+        var i = 0
+        while (i < nfolds) { a._1(i).merge(b._1(i)); a._2(i) += b._2(i); i += 1 }
+        a
+      }, depth = 2)
+    requireNonEmptyFolds(perFold.map(_.n), nfolds)
+    val total = new GramStats(p, 1)
+    perFold.foreach(total.merge)
+    val wTotal = wFold.sum
+    val names = (0 until p).map(j => s"V$j")
+    val totScaled =
+      if (weighted)
+        new GramStats(p, 1).merge(total).scaleWeights(total.n.toDouble / wTotal)
+      else total
+    val relaxedFull = SgdNet.relaxedFromStats(totScaled, names, labelCol,
+      params, 1.0)
+    val lambdas = relaxedFull.model.lambda
+    val L = lambdas.length
+    val G = gammas.length
+
+    val a0Pen = Array.ofDim[Double](nfolds, L)
+    val bPen = Array.ofDim[Double](nfolds, L, p)
+    val a0Ols = Array.ofDim[Double](nfolds, L)
+    val bOls = Array.ofDim[Double](nfolds, L, p)
+    for (f <- 0 until nfolds) {
+      val fg = perFold(f)
+      val train0 = new GramStats(p, 1).merge(total).subtract(fg)
+      val train =
+        if (weighted)
+          train0.scaleWeights(train0.n.toDouble / (wTotal - wFold(f)))
+        else train0
+      val st = SufficientStats.standardize(train, params.standardize,
+        params.intercept)
+      val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      val l2Scale = SgdNet.compatL2Scale(params, 1, st.yVar)
+      val (loStd, upStd) = SgdNet.boundsStd(params, scale, 1.0)
+      var warm = new Array[Double](p)
+      for (l <- 0 until L) {
+        val r = CoordinateDescent.solve(st.gram, st.b(0), new Array[Double](p),
+          0.0, 1.0, lambdas(l), params.alpha, intercept = false, warm,
+          thresh = params.thresh * 1e-4, maxIter = params.maxit,
+          l2Scale = l2Scale, penaltyFactor = params.penaltyFactor,
+          lower = loStd, upper = upStd)
+        warm = r.beta
+        for (j <- 0 until p) bPen(f)(l)(j) = r.beta(j) / scale(j)
+        a0Pen(f)(l) = if (params.intercept)
+          st.yMean(0) - (0 until p).map(j => bPen(f)(l)(j) * st.xMean(j)).sum
+        else 0.0
+        val active = (0 until p).filter(j => r.beta(j) != 0.0)
+        if (active.nonEmpty) {
+          val aM = Array.tabulate(active.size, active.size)((i2, j2) =>
+            st.gram(active(i2))(active(j2)))
+          val bv = active.map(j => st.b(0)(j)).toArray
+          val sol = LinAlg.solve(aM, bv)
+          active.zipWithIndex.foreach { case (j, i2) =>
+            bOls(f)(l)(j) = sol(i2) / scale(j)
+          }
+        }
+        a0Ols(f)(l) = if (params.intercept)
+          st.yMean(0) - (0 until p).map(j => bOls(f)(l)(j) * st.xMean(j)).sum
+        else 0.0
+      }
+    }
+
+    val foldScores = Array.ofDim[Double](G, nfolds, L)
+    if (measure == "mae") {
+      val spark = df.sparkSession
+      val label = col(labelCol).cast("double")
+      val cells = for (g <- 0 until G; f <- 0 until nfolds; l <- 0 until L)
+        yield {
+          val gm = gammas(g)
+          val a0 = gm * a0Pen(f)(l) + (1 - gm) * a0Ols(f)(l)
+          val bArr = Array.tabulate(p)(j =>
+            gm * bPen(f)(l)(j) + (1 - gm) * bOls(f)(l)(j))
+          val eta = lit(a0) + graft.functions.GraftFunctions.sparseDot(spark,
+            col(idxCol).cast("array<int>"), col(valCol).cast("array<double>"),
+            typedlit(bArr.toSeq))
+          (sum(when(col("__fold") === f, col("__v") * abs(label - eta))) /
+            sum(when(col("__fold") === f, col("__v")))).as(s"m_${g}_${f}_$l")
+        }
+      val row = withFold.agg(cells.head, cells.tail: _*).head()
+      var i = 0
+      for (g <- 0 until G; f <- 0 until nfolds; l <- 0 until L) {
+        foldScores(g)(f)(l) =
+          if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+        i += 1
+      }
+    } else {
+      for (g <- 0 until G; f <- 0 until nfolds; l <- 0 until L) {
+        val gm = gammas(g)
+        val fg = perFold(f)
+        val wf = wFold(f)
+        val a0 = gm * a0Pen(f)(l) + (1 - gm) * a0Ols(f)(l)
+        val bO = Array.tabulate(p)(j =>
+          gm * bPen(f)(l)(j) + (1 - gm) * bOls(f)(l)(j))
+        var quad = 0.0; var bx = 0.0; var bxy = 0.0
+        for (j <- 0 until p) {
+          bx += bO(j) * fg.sumX(j) / wf
+          bxy += bO(j) * fg.xty(j) / wf
+          var s2 = 0.0
+          for (m <- 0 until p) s2 += fg.xtx(LinAlg.triIdx(j, m)) / wf * bO(m)
+          quad += bO(j) * s2
+        }
+        foldScores(g)(f)(l) = fg.sumYY(0) / wf - 2 * a0 * fg.sumY(0) / wf +
+          a0 * a0 + quad + 2 * a0 * bx - 2 * bxy
+      }
+    }
+
+    val stTot = SufficientStats.standardize(totScaled, params.standardize,
+      params.intercept)
+    val scaleTot = if (params.standardize) stTot.xSd else Array.fill(p)(1.0)
+    val ySecond = if (params.intercept) stTot.yVar(0)
+      else stTot.yVar(0) + stTot.yMean(0) * stTot.yMean(0)
+    val nulldev = totScaled.n * ySecond
+    val paths = (0 until G).map { g =>
+      val gm = gammas(g)
+      val a0B = Array.tabulate(L)(l => Array(
+        gm * relaxedFull.model.a0(l)(0) + (1 - gm) * relaxedFull.olsA0(l)))
+      val bB = Array.tabulate(L)(l => Array(Array.tabulate(p)(j =>
+        gm * relaxedFull.model.beta(l)(0)(j) +
+          (1 - gm) * relaxedFull.olsBeta(l)(j))))
+      val devRatio = Array.tabulate(L) { l =>
+        var bb = 0.0; var gq = 0.0
+        for (j <- 0 until p) {
+          val bstd = bB(l)(0)(j) * scaleTot(j)
+          bb += stTot.b(0)(j) * bstd
+          var s2 = 0.0
+          for (m <- 0 until p) s2 += stTot.gram(j)(m) * bB(l)(0)(m) * scaleTot(m)
+          gq += bstd * s2
+        }
+        val rss = ySecond - 2 * bb + gq
+        if (nulldev > 0) 1.0 - totScaled.n * rss / nulldev else 0.0
+      }
+      val model = new SgdNetModel("gaussian", names.toArray,
+        Array(labelCol), Array.empty, lambdas, a0B, bB, nulldev, devRatio,
+        total.n, relaxedFull.model.npasses, params)
+      summarize(params.alpha, lambdas, foldScores(g), model)
+    }
+    val bestIdx = (0 until G).minBy(g => paths(g).cvm.min)
+    RelaxedCvResult(gammas.toArray, paths, gammas(bestIdx), paths(bestIdx),
+      relaxedFull)
+  }
+
   /** Relaxed CV for the IRLS families (round 16 — cv.glmnet
     * relax = TRUE with binomial | poisson): three fold-tiled stages,
     * each ONE treeAggregate per round regardless of nfolds × nlambda:

@@ -983,6 +983,34 @@ object PathQueries {
       .orderBy("gamma", "lambda_idx")
   }
 
+  /** SPARSE relaxed CV (round 16 — `CvSgdNet.fitRelaxedSparse`,
+    * cv.glmnet relax = TRUE with dgCMatrix x): the [[cvRelaxed]]
+    * 1-feature query verbatim over CSR rows — same data, folds,
+    * lambda grid and gammas, so the oracle is byte-identical to
+    * q_cv_relaxed and any divergence isolates the sparse moment
+    * chassis. */
+  def cvRelaxedSparse(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("sidx", array(lit(0)))
+      .withColumn("svals", array(col("l_quantity").cast("double")))
+    val lmax = li.agg(
+      (abs(covar_pop(col("l_quantity"), col("l_extendedprice"))) /
+        sqrt(var_pop(col("l_quantity")))).as("lmax")).head().getDouble(0)
+    val lambdas = Array.tabulate(10)(i => lmax * math.pow(0.01, i / 9.0))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitRelaxedSparse(li, "sidx", "svals", 1,
+      "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = lambdas, thresh = 1e-7),
+      nfolds = 5, gammas = Seq(0.0, 0.5, 1.0), foldCol = fold)
+    cv.curveDF(spark)
+      .select((round(col("gamma"), 2) + lit(0.0)).as("gamma"),
+        col("lambda_idx").cast("int").as("lambda_idx"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("gamma", "lambda_idx")
+  }
+
   /** Relaxed BINOMIAL CV surface (round 16 — cv.glmnet relax = TRUE
     * for the IRLS families, `CvSgdNet.fitRelaxed` GLM route): with
     * `thresh` large every stage is closed-form — each fold's

@@ -193,6 +193,37 @@ class RelaxedCvSpec extends SparkSpec {
     ()
   }
 
+  test("sparse relaxed CV == dense (mse and mae, weighted; contracts)") {
+    val sp = data.withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("x1"), col("x2")))
+    val params = SgdNetParams(alpha = 1.0, lambda = Array(0.5, 0.05),
+      thresh = 1e-10, maxit = 100000)
+    for (measure <- Seq("deviance", "mae")) {
+      val d = CvSgdNet.fitRelaxed(data, Seq("x1", "x2"), "y", params,
+        nfolds = 3, gammas = Seq(0.0, 0.5, 1.0), measure = measure,
+        foldCol = fold)
+      val s = CvSgdNet.fitRelaxedSparse(sp, "sidx", "svals", 2, "y", params,
+        nfolds = 3, gammas = Seq(0.0, 0.5, 1.0), measure = measure,
+        foldCol = fold)
+      for (g <- 0 until 3; l <- 0 until 2)
+        assert(math.abs(s.paths(g).cvm(l) - d.paths(g).cvm(l)) <=
+          1e-11 * math.max(1.0, d.paths(g).cvm(l)), s"$measure cvm($g)($l)")
+    }
+    // weighted delegation parity
+    val dw = CvSgdNet.fitRelaxed(data, Seq("x1", "x2"), "y", params,
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = fold, weightCol = "w")
+    val sw = CvSgdNet.fitRelaxedSparse(sp, "sidx", "svals", 2, "y", params,
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = fold, weightCol = "w")
+    for (g <- 0 until 2; l <- 0 until 2)
+      assert(math.abs(sw.paths(g).cvm(l) - dw.paths(g).cvm(l)) <=
+        1e-11 * math.max(1.0, dw.paths(g).cvm(l)), s"w cvm($g)($l)")
+    intercept[IllegalArgumentException] {
+      CvSgdNet.fitRelaxedSparse(sp, "sidx", "svals", 2, "y",
+        SgdNetParams(family = "binomial"), foldCol = fold)
+    }
+    ()
+  }
+
   test("coefAt returns the blended full-data coefficients; contracts") {
     val params = SgdNetParams(alpha = 1.0, lambda = Array(1.0, 0.1),
       thresh = 1e-10, maxit = 100000)
