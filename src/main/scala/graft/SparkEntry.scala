@@ -38,6 +38,7 @@ object SparkEntry {
     "q_binom_fit"        -> (PathQueries.binomFit _),
     "q_binom_offset_fit" -> (PathQueries.binomOffsetFit _),
     "q_relaxed_binom"    -> (PathQueries.relaxedBinom _),
+    "q_relaxed_binom_sparse" -> (PathQueries.relaxedBinomSparse _),
     "q_binom_offset_sparse" -> (PathQueries.binomOffsetSparse _),
     "q_multinom_fit"     -> (PathQueries.multinomFit _),
     "q_multinom_offset"  -> (PathQueries.multinomOffset _),
@@ -1839,6 +1840,40 @@ object SparkEntry {
     // w = max(mu(1-mu), 1e-5), z = eta + (y-mu)/w, 2x2 Cramer solve);
     // blend = 0.25*pen + 0.75*ols
     "q_relaxed_binom" ->
+      """WITH s AS (SELECT avg(l_quantity) mx, sqrt(var_pop(l_quantity)) sd,
+        |  avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) p,
+        |  covar_pop(l_quantity, CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) cxy
+        |FROM lineitem),
+        |cf AS (SELECT mx, p,
+        |  sign(cxy/sd) * greatest(abs(cxy/sd) - 0.0002, 0) / (p * (1 - p)) / sd AS b
+        |FROM s),
+        |cf2 AS (SELECT ln(p / (1 - p)) - b * mx AS a0, b, p FROM cf),
+        |rr AS (SELECT l_quantity AS x,
+        |         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+        |         cf2.a0 + cf2.b * l_quantity AS eta,
+        |         1.0/(1.0 + exp(-(cf2.a0 + cf2.b * l_quantity))) AS mu
+        |       FROM lineitem, cf2),
+        |ww AS (SELECT x, y, eta, mu,
+        |         greatest(mu * (1.0 - mu), 0.00001::DOUBLE) AS w FROM rr),
+        |ag AS (SELECT sum(w) sw, sum(w * (eta + (y - mu)/w)) swz,
+        |         sum(w * x) swx, sum(w * x * (eta + (y - mu)/w)) swxz,
+        |         sum(w * x * x) swxx FROM ww),
+        |wls AS (SELECT (swz * swxx - swx * swxz) / (sw * swxx - swx * swx) AS a0o,
+        |          (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS bo
+        |        FROM ag)
+        |SELECT 0 AS lambda_idx, 'a0' AS term,
+        |  round(ln(p/(1-p)), 6) + 0 AS pen, round(ln(p/(1-p)), 6) + 0 AS ols,
+        |  round(ln(p/(1-p)), 6) + 0 AS blend FROM s
+        |UNION ALL SELECT 0, 'l_quantity', 0.0, 0.0, 0.0 FROM s
+        |UNION ALL SELECT 1, 'a0', round(cf2.a0, 6) + 0, round(wls.a0o, 6) + 0,
+        |  round(0.25 * cf2.a0 + 0.75 * wls.a0o, 6) + 0 FROM cf2, wls
+        |UNION ALL SELECT 1, 'l_quantity', round(cf2.b, 6) + 0,
+        |  round(wls.bo, 6) + 0, round(0.25 * cf2.b + 0.75 * wls.bo, 6) + 0
+        |FROM cf2, wls
+        |ORDER BY lambda_idx, term""".stripMargin,
+    // the q_relaxed_binom oracle BYTE-IDENTICALLY through the sparse
+    // restricted-moment refit chassis (same data/grid/gamma)
+    "q_relaxed_binom_sparse" ->
       """WITH s AS (SELECT avg(l_quantity) mx, sqrt(var_pop(l_quantity)) sd,
         |  avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) p,
         |  covar_pop(l_quantity, CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) cxy

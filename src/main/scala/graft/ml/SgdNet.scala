@@ -3032,6 +3032,180 @@ object SgdNet {
     } finally { raw.unpersist(blocking = false); () }
   }
 
+  /** [[relaxedFitGlm]] over CSR feature rows (round 16 — glmnet
+    * relax = TRUE with a dgCMatrix x and family binomial | poisson):
+    * the penalized path from [[fitSparse]], then the lambda-tiled
+    * unpenalized active-set IRLS refits with SPARSE restricted-moment
+    * accumulation — a row contributes only its nonzeros that fall in
+    * each live lambda's active set (position lookup via a broadcast
+    * per-cell index map), so per-row cost is O(Σ_live |nnz ∩ A_l|²)
+    * and the matrix is never densified. Same convergence and
+    * empty-active-set semantics as the dense route. */
+  def relaxedFitGlmSparse(df: DataFrame, idxCol: String, valCol: String,
+                          dim: Int, labelCol: String,
+                          params: SgdNetParams,
+                          gamma: Double = 1.0): RelaxedPath = {
+    import org.apache.spark.sql.functions.col
+    require(params.family == "binomial" || params.family == "poisson",
+      s"relaxedFitGlmSparse is the IRLS-family route (binomial|poisson), not ${params.family}")
+    require(gamma >= 0 && gamma <= 1, "gamma must be in [0, 1]")
+    val binomial = params.family == "binomial"
+    val model = fitSparse(df, idxCol, valCol, dim, labelCol, params)
+    val p = dim
+    val yExpr =
+      if (binomial) {
+        val positive = model.classLabels(1)
+        (col(labelCol).cast("string") === positive).cast("double")
+      } else col(labelCol).cast("double")
+    val rows = df.select(col(idxCol), col(valCol).cast("array<double>"), yExpr)
+      .rdd.map { r =>
+        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray, r.getDouble(2))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val L = model.lambda.length
+      val active: Array[Array[Int]] =
+        model.beta.map(bl => (0 until p).filter(j => bl(0)(j) != 0.0).toArray)
+      val a0R = Array.tabulate(L)(l => model.a0(l)(0))
+      val bR = Array.tabulate(L)(l => model.beta(l)(0).clone())
+      val done = new Array[Boolean](L)
+      if (active.exists(_.isEmpty)) {
+        val (sy, n) = rows.treeAggregate((0.0, 0L))(
+          (s, r) => (s._1 + r._3, s._2 + 1),
+          (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+        val ybar = sy / n
+        val a0Null =
+          if (!params.intercept) 0.0
+          else if (binomial) math.log(ybar / (1 - ybar))
+          else math.log(ybar)
+        for (l <- 0 until L if active(l).isEmpty) {
+          a0R(l) = a0Null
+          java.util.Arrays.fill(bR(l), 0.0)
+          done(l) = true
+        }
+      }
+      val sc = rows.sparkContext
+      val tol = math.max(params.thresh * 1e-2, 1e-8)
+      var iter = 0
+      while (iter < 25 && !done.forall(identity)) {
+        val live = (0 until L).filter(!done(_)).toArray
+        val sizes = live.map(l => 2 + 2 * active(l).length +
+          LinAlg.triSize(active(l).length))
+        val offs = sizes.scanLeft(0)(_ + _)
+        // per-cell feature→slot map (-1 = inactive) for O(1) lookup
+        // while walking a row's nonzeros
+        val posOf = live.map { l =>
+          val m = Array.fill(p)(-1)
+          active(l).zipWithIndex.foreach { case (j, q) => m(j) = q }
+          m
+        }
+        val bState = sc.broadcast((live, live.map(active(_)), posOf,
+          live.map(a0R(_)), live.map(bR(_)), offs))
+        val acc = rows.treeAggregate(new Array[Double](offs.last))(
+          (s, row) => {
+            val (idx, vals, y) = row
+            val (lv, acts, pos, a0s, bs, os) = bState.value
+            var i = 0
+            while (i < lv.length) {
+              val a = acts(i)
+              val m = a.length
+              val pm = pos(i)
+              // eta over the row's nonzeros in this cell's active set
+              var eta = a0s(i)
+              var t = 0
+              while (t < idx.length) {
+                if (pm(idx(t)) >= 0) eta += bs(i)(idx(t)) * vals(t)
+                t += 1
+              }
+              var w = 0.0
+              var z = 0.0
+              if (binomial) {
+                val mu = 1.0 / (1.0 + math.exp(-eta))
+                w = math.max(mu * (1.0 - mu), 1e-5)
+                z = eta + (y - mu) / w
+              } else {
+                val etaC = math.max(math.min(eta, 30.0), -30.0)
+                val mu = math.exp(etaC)
+                w = math.max(mu, 1e-5)
+                z = etaC + (y - mu) / w
+              }
+              val base = os(i)
+              s(base) += w
+              s(base + 1) += w * z
+              t = 0
+              while (t < idx.length) {
+                val q = pm(idx(t))
+                if (q >= 0) {
+                  val wx = w * vals(t)
+                  s(base + 2 + q) += wx
+                  s(base + 2 + m + q) += wx * z
+                  var u = 0
+                  while (u <= t) {
+                    val r2 = pm(idx(u))
+                    if (r2 >= 0) {
+                      val lo = math.min(q, r2); val hi = math.max(q, r2)
+                      s(base + 2 + 2 * m + LinAlg.triIdx(lo, hi)) +=
+                        (if (u == t) wx * vals(t) else wx * vals(u))
+                    }
+                    u += 1
+                  }
+                }
+                t += 1
+              }
+              i += 1
+            }
+            s
+          },
+          (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+          depth = 2)
+        for (i <- live.indices) {
+          val l = live(i)
+          val a = active(l)
+          val m = a.length
+          val base = offs(i)
+          val dim2 = if (params.intercept) m + 1 else m
+          val mat = Array.ofDim[Double](dim2, dim2)
+          val rhs = new Array[Double](dim2)
+          if (params.intercept) {
+            mat(0)(0) = acc(base)
+            rhs(0) = acc(base + 1)
+            for (q <- 0 until m) {
+              mat(0)(q + 1) = acc(base + 2 + q)
+              mat(q + 1)(0) = acc(base + 2 + q)
+              rhs(q + 1) = acc(base + 2 + m + q)
+              for (r2 <- 0 to q) {
+                val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
+                mat(r2 + 1)(q + 1) = v
+                mat(q + 1)(r2 + 1) = v
+              }
+            }
+          } else {
+            for (q <- 0 until m) {
+              rhs(q) = acc(base + 2 + m + q)
+              for (r2 <- 0 to q) {
+                val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
+                mat(r2)(q) = v
+                mat(q)(r2) = v
+              }
+            }
+          }
+          val sol = LinAlg.solve(mat, rhs)
+          val na0 = if (params.intercept) sol(0) else 0.0
+          var maxD = math.abs(na0 - a0R(l))
+          val off0 = if (params.intercept) 1 else 0
+          for (q <- 0 until m) {
+            val d = math.abs(sol(off0 + q) - bR(l)(a(q)))
+            if (d > maxD) maxD = d
+          }
+          a0R(l) = na0
+          for (q <- 0 until m) bR(l)(a(q)) = sol(off0 + q)
+          if (maxD < tol) done(l) = true
+        }
+        iter += 1
+      }
+      RelaxedPath(model, a0R, bR, gamma)
+    } finally { rows.unpersist(blocking = false); () }
+  }
+
   /** Intercept-only softmax null WITH per-row per-class offsets:
     * damped Newton on the k-vector a0 (updated IN PLACE) — each step
     * is ONE treeAggregate over (one-hot y, offset, weight) rows

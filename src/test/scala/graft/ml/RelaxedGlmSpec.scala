@@ -101,4 +101,42 @@ class RelaxedGlmSpec extends SparkSpec {
     }
     ()
   }
+
+  test("sparse GLM relaxed fit == dense (binomial, poisson; paths)") {
+    val db = SparkSpec.binaryDF(spark)
+      .withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("x1"), col("x2")))
+    val pb = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(0.3, 0.05, 0.01), thresh = 1e-9, maxit = 100000)
+    val d = SgdNet.relaxedFitGlm(db, Seq("x1", "x2"), "y", pb, gamma = 0.25)
+    val s = SgdNet.relaxedFitGlmSparse(db, "sidx", "svals", 2, "y", pb,
+      gamma = 0.25)
+    for (l <- 0 until 3) {
+      assert(math.abs(s.olsA0(l) - d.olsA0(l)) < 1e-6, s"ols a0($l)")
+      for (j <- 0 until 2) {
+        assert(math.abs(s.olsBeta(l)(j) - d.olsBeta(l)(j)) < 1e-6,
+          s"ols beta($l)($j)")
+        assert(math.abs(s.blendedBeta(l)(j) - d.blendedBeta(l)(j)) < 1e-6,
+          s"blend($l)($j)")
+      }
+    }
+    // poisson with a data-derived path
+    val dp = SparkSpec.regressionDF(spark)
+      .withColumn("yp", ceil(abs(col("y"))).cast("double"))
+      .withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("x1"), col("x2")))
+    val pp = SgdNetParams(family = "poisson", alpha = 1.0, nlambda = 5,
+      thresh = 1e-9, maxit = 100000)
+    val dpp = SgdNet.relaxedFitGlm(dp, Seq("x1", "x2"), "yp", pp)
+    val spp = SgdNet.relaxedFitGlmSparse(dp, "sidx", "svals", 2, "yp", pp)
+    assert(spp.model.lambda.zip(dpp.model.lambda).forall { case (a, b) =>
+      math.abs(a - b) < 1e-9 * b }, "lambda path")
+    for (l <- 0 until 5; j <- 0 until 2)
+      assert(math.abs(spp.olsBeta(l)(j) - dpp.olsBeta(l)(j)) < 1e-6,
+        s"poisson ols($l)($j)")
+    intercept[IllegalArgumentException] {
+      SgdNet.relaxedFitGlmSparse(db, "sidx", "svals", 2, "y", SgdNetParams())
+    }
+    ()
+  }
 }
