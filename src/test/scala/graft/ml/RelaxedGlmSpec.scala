@@ -131,9 +131,26 @@ class RelaxedGlmSpec extends SparkSpec {
     val spp = SgdNet.relaxedFitGlmSparse(dp, "sidx", "svals", 2, "yp", pp)
     assert(spp.model.lambda.zip(dpp.model.lambda).forall { case (a, b) =>
       math.abs(a - b) < 1e-9 * b }, "lambda path")
-    for (l <- 0 until 5; j <- 0 until 2)
-      assert(math.abs(spp.olsBeta(l)(j) - dpp.olsBeta(l)(j)) < 1e-6,
-        s"poisson ols($l)($j)")
+    // the lambda_max point sits EXACTLY on the soft-threshold boundary,
+    // so an ulp of moment-order difference can flip a ~1e-17
+    // coefficient between active and not (changing that point's refit
+    // between null and single-feature MLE — inherent to the path
+    // definition, glmnet shares the edge). Compare refits only where
+    // the two routes agree on the active set; they must agree past the
+    // knife-edge point.
+    var compared = 0
+    for (l <- 0 until 5) {
+      val aD = (0 until 2).filter(j => dpp.model.beta(l)(0)(j) != 0.0)
+      val aS = (0 until 2).filter(j => spp.model.beta(l)(0)(j) != 0.0)
+      if (l > 0) assert(aD == aS, s"active set($l): $aD vs $aS")
+      if (aD == aS) {
+        compared += 1
+        for (j <- 0 until 2)
+          assert(math.abs(spp.olsBeta(l)(j) - dpp.olsBeta(l)(j)) < 1e-6,
+            s"poisson ols($l)($j)")
+      }
+    }
+    assert(compared >= 4, "parity must cover the path tail")
     intercept[IllegalArgumentException] {
       SgdNet.relaxedFitGlmSparse(db, "sidx", "svals", 2, "y", SgdNetParams())
     }
