@@ -78,6 +78,95 @@ object ScaleProbe {
           nfolds = 5, measure = args(2), foldCol = fold)
         println(s"probe_npasses=${cv.best.fit.npasses}")
         cv.curveDF(spark).count()
+      case "screenwls" =>
+        // round 17: strong-rule screen on the per-Newton IRLS WLS
+        // subproblem — driver-solve wall over a 50-lambda lasso path at
+        // large p, screened (CoordinateDescent.solveScreened) vs
+        // unscreened (solve), solutions verified identical. args =
+        // screenwls <p> <n> (data dir unused; pure driver math)
+        val p = args(1).toInt
+        val nObs = args(2).toInt
+        val rnd = new scala.util.Random(7)
+        val a = Array.ofDim[Double](p, p)
+        val c = new Array[Double](p)
+        val xw = new Array[Double](p)
+        var zw = 0.0
+        val ww = 1.0
+        val trueB = Array.tabulate(p)(j =>
+          if (j % 37 == 0) rnd.nextGaussian() * 2.0 else 0.0)
+        for (_ <- 0 until nObs) {
+          val x = Array.fill(p)(rnd.nextGaussian())
+          val w = 0.05 + rnd.nextDouble() * 0.2
+          var z = rnd.nextGaussian() * 0.5
+          var j = 0
+          while (j < p) { z += x(j) * trueB(j); j += 1 }
+          zw += w * z / nObs
+          j = 0
+          while (j < p) {
+            c(j) += w * x(j) * z / nObs
+            xw(j) += w * x(j) / nObs
+            var m = 0
+            while (m <= j) {
+              a(m)(j) += w * x(m) * x(j) / nObs
+              if (m != j) a(j)(m) = a(m)(j)
+              m += 1
+            }
+            j += 1
+          }
+        }
+        val lamMax = c.map(math.abs).max
+        val lams = Array.tabulate(50)(i => lamMax * math.pow(0.01, i / 49.0))
+        def runPath(screened: Boolean): (Array[Array[Double]], Double) = {
+          var warm = new Array[Double](p)
+          val out = Array.ofDim[Double](lams.length, p)
+          val t = System.nanoTime()
+          for (li <- lams.indices) {
+            val r =
+              if (screened && li > 0)
+                ml.CoordinateDescent.solveScreened(a, c, xw, zw, ww,
+                  lams(li), lams(li - 1), 1.0, intercept = true, warm,
+                  thresh = 1e-9, maxIter = 100000)
+              else ml.CoordinateDescent.solve(a, c, xw, zw, ww, lams(li),
+                1.0, intercept = true, warm, thresh = 1e-9,
+                maxIter = 100000)
+            warm = r.beta
+            System.arraycopy(r.beta, 0, out(li), 0, p)
+          }
+          (out, (System.nanoTime() - t) / 1e9)
+        }
+        runPath(screened = false) // JIT warm
+        val (u, tu) = runPath(screened = false)
+        val (s, ts) = runPath(screened = true)
+        var md = 0.0
+        var df = 0
+        for (li <- lams.indices; j <- 0 until p)
+          md = math.max(md, math.abs(u(li)(j) - s(li)(j)))
+        df = u.last.count(_ != 0.0)
+        println(f"probe_screenwls p=$p n=$nObs df_last=$df " +
+          f"unscreened=$tu%.2f screened=$ts%.2f maxdiff=$md%.2e")
+        lams.length.toLong
+      case "dfmaxroute" =>
+        // round 17: true dfmax early stopping on a SECONDARY route
+        // (weighted binomial IRLS) — full path vs dfmax-truncated,
+        // npasses is the cluster treeAggregate count. args =
+        // dfmaxroute <dir> <dfmax>
+        val li = spark.read.parquet(s"${args(1)}/lineitem.parquet")
+          .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+          .withColumn("w", lit(1.0) + (col("l_quantity") > 25).cast("double"))
+        val prm = ml.SgdNetParams(family = "binomial", alpha = 1.0,
+          nlambda = 50, thresh = 1e-7)
+        def time(p2: ml.SgdNetParams): (Double, Int, Int) = {
+          val t = System.nanoTime()
+          val m = ml.SgdNet.fitWeighted(li,
+            Seq("l_quantity", "l_discount", "l_tax"), "is_r", "w", p2)
+          ((System.nanoTime() - t) / 1e9, m.npasses, m.nLambda)
+        }
+        time(prm) // JIT warm
+        val (tf, pf2, lf) = time(prm)
+        val (tt, pt, lt) = time(prm.copy(dfmax = args(2).toInt))
+        println(f"probe_dfmaxroute full=$tf%.2f/${pf2}passes/${lf}L " +
+          f"truncated=$tt%.2f/${pt}passes/${lt}L")
+        lt.toLong
       case other => sys.error(s"unknown probe: $other")
     }
     println(f"probe_rows=$n probe_sec=${(System.nanoTime() - t0) / 1e9}%.3f")

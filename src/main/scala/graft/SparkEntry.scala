@@ -80,6 +80,7 @@ object SparkEntry {
     "q_cv_relaxed"       -> (PathQueries.cvRelaxed _),
     "q_cv_relaxed_sparse" -> (PathQueries.cvRelaxedSparse _),
     "q_cv_relaxed_binom" -> (PathQueries.cvRelaxedBinom _),
+    "q_cv_relaxed_binom_sparse" -> (PathQueries.cvRelaxedBinomSparse _),
     "q_cv_exact_pick"    -> (PathQueries.cvExactPick _),
     "q_cv_exact_predict" -> (PathQueries.cvExactPredict _),
     "q_cv_limits"        -> (PathQueries.cvLimits _),
@@ -2664,6 +2665,9 @@ object SparkEntry {
       ("q_cv_sparse_multinom" -> base("q_cv_multinom")) +
       ("q_cv_sparse_weighted" -> base("q_cv_weighted")) +
       ("q_cv_sparse_mgauss" -> base("q_cv_mgauss")) +
-      ("q_binom_offset_sparse" -> base("q_binom_offset_fit"))
+      ("q_binom_offset_sparse" -> base("q_binom_offset_fit")) +
+      // round 17: relaxed binomial CV through the sparse fold-tiled
+      // GLM chassis — same data/folds/grid, byte-identical oracle
+      ("q_cv_relaxed_binom_sparse" -> base("q_cv_relaxed_binom"))
   }
 }

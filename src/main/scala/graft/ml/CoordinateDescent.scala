@@ -113,6 +113,107 @@ object CoordinateDescent {
     Result(a0, beta, it)
   }
 
+  /** [[solve]] behind the SEQUENTIAL STRONG RULE (round 17 — Tibshirani
+    * et al. 2012, "Strong rules for discarding predictors in lasso-type
+    * problems", §5 extends the rule to the penalized WLS subproblems of
+    * GLM IRLS): density-gated screening with an exact KKT backcheck over
+    * the discarded coordinates, so the returned solution satisfies the
+    * FULL problem's optimality conditions — equality with the unscreened
+    * [[solve]] is structural, not approximate (violators re-enter and
+    * the subproblem re-solves). `lamPrev` is the previous path point;
+    * the rule keeps j when |grad_j| >= alpha·(2λ − λ_prev)·pf_j at the
+    * warm start, plus warm-nonzeros and unpenalized coordinates.
+    * Callers route the FIRST path point (no λ_prev) to [[solve]]. */
+  def solveScreened(
+      a: Array[Array[Double]], c: Array[Double], xw: Array[Double],
+      zw: Double, ww: Double, lambda: Double, lamPrev: Double,
+      alpha: Double, intercept: Boolean, init: Array[Double],
+      thresh: Double = 1e-7, maxIter: Int = 10000,
+      l2Scale: Double = 1.0, penaltyFactor: Array[Double] = null,
+      lower: Array[Double] = null, upper: Array[Double] = null): Result = {
+    val p = c.length
+    def full(): Result = solve(a, c, xw, zw, ww, lambda, alpha, intercept,
+      init, thresh, maxIter, l2Scale, penaltyFactor, lower, upper)
+    if (alpha <= 0) return full()
+    // density gate (same argument as the gaussian path screen): once
+    // the warm active set approaches p the subproblem IS the full
+    // problem and the bookkeeping only adds cost
+    val nz0 = new Array[Int](p)
+    var nzN = 0
+    var j = 0
+    while (j < p) { if (init(j) != 0.0) { nz0(nzN) = j; nzN += 1 }; j += 1 }
+    if (nzN * 2 > p) return full()
+    val a0w =
+      if (intercept && ww > 0) {
+        var s = 0.0
+        var j2 = 0
+        while (j2 < p) { s += xw(j2) * init(j2); j2 += 1 }
+        (zw - s) / ww
+      } else 0.0
+    val pf = penaltyFactor
+    val bound = alpha * (2.0 * lambda - lamPrev)
+    val inAct = new Array[Boolean](p)
+    val act = scala.collection.mutable.ArrayBuffer.empty[Int]
+    j = 0
+    while (j < p) {
+      var s = 0.0
+      val aj = a(j)
+      var i = 0
+      while (i < nzN) { s += aj(nz0(i)) * init(nz0(i)); i += 1 }
+      val grad = c(j) - a0w * xw(j) - s
+      val pfj = if (pf == null) 1.0 else pf(j)
+      if (init(j) != 0.0 || pfj == 0.0 || math.abs(grad) >= bound * pfj) {
+        inAct(j) = true; act += j
+      }
+      j += 1
+    }
+    if (act.length * 2 > p) return full()
+    val out = init.clone()
+    var a0 = a0w
+    var iters = 0
+    var done = false
+    while (!done) {
+      val idx = act.toArray
+      val m = idx.length
+      val aSub = Array.tabulate(m, m)((x, y) => a(idx(x))(idx(y)))
+      val cSub = Array.tabulate(m)(x => c(idx(x)))
+      val xwSub = Array.tabulate(m)(x => xw(idx(x)))
+      val initSub = Array.tabulate(m)(x => out(idx(x)))
+      val loS = if (lower == null) null else Array.tabulate(m)(x => lower(idx(x)))
+      val upS = if (upper == null) null else Array.tabulate(m)(x => upper(idx(x)))
+      val pfS = if (pf == null) null else Array.tabulate(m)(x => pf(idx(x)))
+      val r = solve(aSub, cSub, xwSub, zw, ww, lambda, alpha, intercept,
+        initSub, thresh, maxIter, l2Scale, pfS, loS, upS)
+      iters += r.iters
+      a0 = r.a0
+      var x = 0
+      while (x < m) { out(idx(x)) = r.beta(x); x += 1 }
+      // exact KKT over the discarded coordinates (all at beta = 0):
+      // |c_j − a0·xw_j − A_j,act·beta| <= λ·alpha·pf_j (+ tolerance
+      // tracking the CD threshold so finite-precision actives don't
+      // spuriously re-enter)
+      val nz2 = idx.filter(out(_) != 0.0)
+      val tol = math.max(thresh * 1e2, 1e-12) * math.max(lambda, 1.0)
+      var violations = 0
+      j = 0
+      while (j < p) {
+        if (!inAct(j)) {
+          var s = 0.0
+          val aj = a(j)
+          var i = 0
+          while (i < nz2.length) { s += aj(nz2(i)) * out(nz2(i)); i += 1 }
+          val pfj = if (pf == null) 1.0 else pf(j)
+          if (math.abs(c(j) - a0 * xw(j) - s) > lambda * alpha * pfj + tol) {
+            inAct(j) = true; act += j; violations += 1
+          }
+        }
+        j += 1
+      }
+      done = violations == 0
+    }
+    Result(a0, out, iters)
+  }
+
   /** Group-lasso CD for multi-response (mgaussian): penalty
     * lambda * [ (1-alpha)/2 ||B||_F^2 + alpha * sum_j ||B_j.||_2 ]
     * (the l1/l2 mixed norm of sgdnet's mgaussian objective,

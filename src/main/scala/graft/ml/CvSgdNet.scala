@@ -1893,11 +1893,7 @@ object CvSgdNet {
         s"auc requires the binomial family, not ${params.family}")
     SgdNet.requireNoZeroPf(params, "shared multinomial CV")
     val p = featureCols.size
-    val classes = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
-    require(classes.length > 2,
-      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
-      else "only one class in response.")
+    val classes = SgdNet.multinomialClasses(df, labelCol)
     val k = classes.length
     val classIdx = classes.zipWithIndex.toMap
     require(params.penaltyFactor == null ||
@@ -2252,11 +2248,7 @@ object CvSgdNet {
     SgdNet.requireNoZeroPf(params, "shared offset multinomial CV")
     val p = featureCols.size
     val weighted = weightCol != null
-    val classes = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
-    require(classes.length > 2,
-      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
-      else "only one class in response.")
+    val classes = SgdNet.multinomialClasses(df, labelCol)
     val k = classes.length
     require(offsetCols.size == k,
       s"multinomial offset needs one column per class (nclass = $k), got ${offsetCols.size}")
@@ -2734,11 +2726,7 @@ object CvSgdNet {
                                   measure: String): CvPath = {
     SgdNet.requireNoZeroPf(params, "shared weighted multinomial CV")
     val p = featureCols.size
-    val classes = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
-    require(classes.length > 2,
-      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
-      else "only one class in response.")
+    val classes = SgdNet.multinomialClasses(df, labelCol)
     val k = classes.length
     val classIdx = classes.zipWithIndex.toMap
     require(params.penaltyFactor == null ||
@@ -4231,11 +4219,7 @@ object CvSgdNet {
     SgdNet.requireNoZeroPf(params, "shared sparse multinomial CV")
     val p = dim
     val weighted = weightCol != null
-    val classes = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
-    require(classes.length > 2,
-      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
-      else "only one class in response.")
+    val classes = SgdNet.multinomialClasses(df, labelCol)
     val k = classes.length
     val classIdx = classes.zipWithIndex.toMap
     require(params.penaltyFactor == null ||
@@ -4611,11 +4595,7 @@ object CvSgdNet {
     SgdNet.requireNoZeroPf(params, "shared sparse offset multinomial CV")
     val p = dim
     val weighted = weightCol != null
-    val classes = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
-    require(classes.length > 2,
-      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
-      else "only one class in response.")
+    val classes = SgdNet.multinomialClasses(df, labelCol)
     val k = classes.length
     require(offsetCols.size == k,
       s"multinomial offset needs one column per class (nclass = $k), got ${offsetCols.size}")
@@ -5656,7 +5636,8 @@ object CvSgdNet {
       "gamma grid must lie in [0, 1]")
     if (params.family == "binomial" || params.family == "poisson") {
       val okMeasures = if (params.family == "binomial")
-        Set("deviance", "mse", "mae", "class") else Set("deviance", "mse", "mae")
+        Set("deviance", "mse", "mae", "class", "auc")
+      else Set("deviance", "mse", "mae")
       require(okMeasures.contains(measure),
         s"relaxed ${params.family} CV supports " +
           s"${okMeasures.toSeq.sorted.mkString("|")}, not '$measure'")
@@ -5867,12 +5848,23 @@ object CvSgdNet {
                        foldCol: Column = null,
                        weightCol: String = null): RelaxedCvResult = {
     require(nfolds >= 2, "nfolds must be at least 2")
-    require(params.family == "gaussian",
-      "sparse relaxed CV: gaussian family only (the relaxedFitSparse surface)")
     require(gammas.nonEmpty && gammas.forall(g => g >= 0 && g <= 1),
       "gamma grid must lie in [0, 1]")
+    if (params.family == "binomial" || params.family == "poisson") {
+      val okMeasures = if (params.family == "binomial")
+        Set("deviance", "mse", "mae", "class", "auc")
+      else Set("deviance", "mse", "mae")
+      require(okMeasures.contains(measure),
+        s"relaxed ${params.family} CV supports " +
+          s"${okMeasures.toSeq.sorted.mkString("|")}, not '$measure'")
+      return cvRelaxedGlmSharedSparse(df, idxCol, valCol, dim, labelCol,
+        params, nfolds, gammas, measure, foldCol, weightCol)
+    }
+    require(params.family == "gaussian",
+      s"sparse relaxed CV supports gaussian, binomial, poisson, " +
+        s"not ${params.family}")
     require(Set("deviance", "mse", "mae").contains(measure),
-      s"sparse relaxed CV supports deviance|mse|mae, not '$measure'")
+      s"sparse relaxed gaussian CV supports deviance|mse|mae, not '$measure'")
     val p = dim
     val weighted = weightCol != null
     val hashCols = Seq(col(idxCol), col(valCol), col(labelCol))
@@ -6412,7 +6404,48 @@ object CvSgdNet {
       val bBetaP = sc.broadcast(betaOut)
       val bA0R = sc.broadcast(a0R)
       val bBR = sc.broadcast(bFull)
-      val sums = rows.treeAggregate(new Array[Double](G * nfolds * L))(
+      // round 17 — type.measure = "auc" (cv.glmnet accepts auc with
+      // relax = TRUE): rank-AUC per (gamma, fold, lambda) blend through
+      // the same two-pass rank machinery as the plain binomial CV; etas
+      // rank via the monotone sigmoid, weight mass rides the cells when
+      // a weight column is present (continuous-mass rank form).
+      val cellAuc: Array[Double] =
+        if (measure != "auc") null
+        else {
+          val spark = df.sparkSession
+          val scored = spark.createDataFrame(rows.map { t =>
+            val (f, x, y, v) = t
+            val etas = new Array[Double](G * L)
+            var g = 0
+            while (g < G) {
+              val gm = gArr(g)
+              var l = 0
+              while (l < L) {
+                var eta = gm * bA0P.value(f)(l) + (1 - gm) * bA0R.value(f)(l)
+                var j = 0
+                while (j < p) {
+                  eta += (gm * bBetaP.value(f)(l)(j) +
+                    (1 - gm) * bBR.value(f)(l)(j)) * x(j)
+                  j += 1
+                }
+                etas(g * L + l) = eta
+                l += 1
+              }
+              g += 1
+            }
+            (f, y, v, etas)
+          }).toDF("__fold", "__y", "__v", "__etas")
+          val exploded = scored
+            .select(col("__fold"), col("__y"), col("__v"),
+              posexplode(col("__etas")).as(Seq("__i", "__s")))
+            .select((((col("__i") / lit(L)).cast("int") * nfolds +
+              col("__fold")) * L + pmod(col("__i"), lit(L))).as("__g"),
+              col("__s"), col("__y"), col("__v"))
+          aucPerGroup(exploded, G * nfolds * L,
+            weightCol = if (weighted) "__v" else null)
+        }
+      val sums = if (measure == "auc") new Array[Double](G * nfolds * L)
+      else rows.treeAggregate(new Array[Double](G * nfolds * L))(
         (s, t) => {
           val (f, x, y, v) = t
           var g = 0
@@ -6474,7 +6507,8 @@ object CvSgdNet {
           classes, lambdas, a0B, bB, nulldev, devRatio, total.n,
           sharedPasses, params)
         val foldScores = Array.tabulate(nfolds, L)((f, l) =>
-          sums((g * nfolds + f) * L + l) / wFold(f))
+          if (measure == "auc") cellAuc((g * nfolds + f) * L + l)
+          else sums((g * nfolds + f) * L + l) / wFold(f))
         summarize(params.alpha, lambdas, foldScores, model)
       }
       val bestIdx = (0 until G).minBy(g => paths(g).cvm.min)
@@ -6485,6 +6519,551 @@ object CvSgdNet {
             // gamma = 1 slice IS the penalized model's deviance when 1.0
             // is in the grid; otherwise recompute is skipped — dev.ratio
             // of the penalized full model is informational here
+            val g1 = gArr.indexWhere(_ == 1.0)
+            if (g1 >= 0) 1.0 - devs(g1 * L + l) / nulldev else Double.NaN
+          } else 0.0),
+        total.n, sharedPasses, params)
+      val relaxedFull = SgdNet.RelaxedPath(fullPenalized, a0R(nfolds),
+        bFull(nfolds), 1.0)
+      RelaxedCvResult(gArr, paths, gArr(bestIdx), paths(bestIdx), relaxedFull)
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** [[cvRelaxedGlmShared]] over CSR feature rows (round 17 —
+    * cv.glmnet relax = TRUE with a dgCMatrix x for the IRLS families,
+    * closing the last sparse-delegation cell of R/cv_sgdnet.R): the
+    * same three fold-tiled stages with every data pass walking only
+    * the rows' nonzeros —
+    *
+    *  1. per-fold penalized IRLS paths via the [[cvSparseGlmShared]]
+    *     uncentered-sparse-moment accumulation (η = off_f + x·(β/s),
+    *     centering applied driver-side in the per-fold WLS solve);
+    *  2. per-(fold, lambda) unpenalized active-set refits — the
+    *     [[SgdNet.relaxedFitGlmSparse]] restricted accumulation tiled
+    *     over BOTH folds and lambdas; active-set slots resolve by
+    *     binary search in the cell's sorted active array (no p-sized
+    *     per-cell lookup maps, so the broadcast stays O(Σ active));
+    *  3. held-out scoring of every (gamma, fold, lambda) blend in one
+    *     pass (auc via the two-pass rank machinery), plus one deviance
+    *     pass for the per-gamma blended full models.
+    *
+    * The matrix is never densified; CSR indices are assumed sorted
+    * ascending (the GramStats.addSparseWeighted contract). */
+  private def cvRelaxedGlmSharedSparse(df: DataFrame, idxCol: String,
+                                       valCol: String, dim: Int,
+                                       labelCol: String,
+                                       params: SgdNetParams, nfolds: Int,
+                                       gammas: Seq[Double], measure: String,
+                                       foldCol: Column,
+                                       weightCol: String): RelaxedCvResult = {
+    SgdNet.requireNoZeroPf(params, "relaxed GLM CV")
+    val p = dim
+    val binomial = params.family == "binomial"
+    val weighted = weightCol != null
+    val classes: Array[String] =
+      if (binomial) {
+        val cs = df.select(col(labelCol).cast("string")).distinct()
+          .limit(3).collect().map(_.getString(0)).sorted
+        require(cs.length == 2,
+          if (cs.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
+          else "only one class in response.")
+        cs
+      } else Array.empty
+    val yCol =
+      if (binomial) (col(labelCol).cast("string") === classes(1)).cast("double")
+      else col(labelCol).cast("double")
+    val wCol = if (weighted) col(weightCol).cast("double") else lit(1.0)
+    val hashCols = Seq(col(idxCol), col(valCol), col(labelCol))
+    val rows0 = df
+      .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
+      .select(col(idxCol), col(valCol).cast("array<double>"), yCol,
+        col("__fold"), wCol)
+      .rdd.map { r =>
+        (r.getInt(3), r.getSeq[Int](0).toArray,
+          r.getSeq[Double](1).toArray, r.getDouble(2), r.getDouble(4))
+      }
+    val rows = (if (weighted)
+        rows0.map { t => require(t._5 >= 0, "weights must be non-negative"); t }
+          .filter(_._5 > 0)
+      else rows0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val F = nfolds + 1
+      val zero = (Array.fill(nfolds)(new GramStats(p, 1)),
+        new Array[Double](nfolds))
+      val (perFold, wFold) = rows.treeAggregate(zero)(
+        (acc, t) => {
+          acc._1(t._1).addSparseWeighted(t._2, t._3, Array(t._4), t._5)
+          acc._2(t._1) += t._5
+          acc
+        },
+        (a, b) => {
+          var i = 0
+          while (i < nfolds) { a._1(i).merge(b._1(i)); a._2(i) += b._2(i); i += 1 }
+          a
+        }, depth = 2)
+      requireNonEmptyFolds(perFold.map(_.n), nfolds)
+      val total = new GramStats(p, 1)
+      perFold.foreach(total.merge)
+      val wTotal = wFold.sum
+      val perFoldExt = perFold :+ new GramStats(p, 1)
+      val wFoldExt = wFold :+ 0.0
+      val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
+      val norms = Array.tabulate(F)(f => nTrain(f) / (wTotal - wFoldExt(f)))
+      val trainStats = Array.tabulate(F) { f =>
+        val tr = new GramStats(p, 1).merge(total).subtract(perFoldExt(f))
+          .scaleWeights(norms(f))
+        SufficientStats.standardize(tr, params.standardize, params.intercept)
+      }
+      if (!binomial) trainStats.foreach(st => require(st.yMean(0) > 0,
+        "poisson response must contain positive counts in every train fold"))
+      val lambdas =
+        if (params.lambda != null) params.lambda
+        else {
+          val minRatio = if (params.lambdaMinRatio.isNaN)
+            LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
+          LambdaPath.build(trainStats(nfolds).b, params.alpha, params.nlambda,
+            minRatio, params.penaltyFactor)
+        }
+      val means = trainStats.map(st =>
+        if (params.intercept) st.xMean else new Array[Double](p))
+      val scales = trainStats.map(st =>
+        if (params.standardize) st.xSd else Array.fill(p)(1.0))
+      val boundsF = scales.map(s => SgdNet.boundsStd(params, s, 1.0))
+      val sc = rows.sparkContext
+
+      // ---------------- stage 1: per-fold penalized paths (fold-tiled,
+      // uncentered sparse IRLS moments, centered in the driver solve)
+      val L = lambdas.length
+      val beta = Array.fill(F)(new Array[Double](p))
+      val a0 = Array.tabulate(F) { f =>
+        val yb = trainStats(f).yMean(0)
+        if (!params.intercept) 0.0
+        else if (binomial) {
+          if (yb > 0 && yb < 1) math.log(yb / (1 - yb)) else 0.0
+        } else math.log(yb)
+      }
+      val a0Out = Array.ofDim[Double](F, L)
+      val betaOut = Array.ofDim[Double](F, L, p)
+      var sharedPasses = 1
+      def solveFold(f: Int, g: BinWGram, l: Int): (Array[Double], Double) = {
+        val mean = means(f); val scale = scales(f)
+        val ninv = 1.0 / nTrain(f)
+        val swxStd = Array.tabulate(p)(j =>
+          (g.swx(j) - mean(j) * g.sw) / scale(j))
+        val swxzStd = Array.tabulate(p)(j =>
+          (g.swxz(j) - mean(j) * g.swz) / scale(j))
+        val aM = Array.ofDim[Double](p, p)
+        var j = 0
+        while (j < p) {
+          var i = 0
+          while (i <= j) {
+            val v = (g.swxx(LinAlg.triIdx(i, j)) - mean(i) * g.swx(j) -
+              mean(j) * g.swx(i) + mean(i) * mean(j) * g.sw) /
+              (scale(i) * scale(j)) * ninv
+            aM(i)(j) = v; aM(j)(i) = v
+            i += 1
+          }
+          j += 1
+        }
+        val r = CoordinateDescent.solve(aM, swxzStd.map(_ * ninv),
+          swxStd.map(_ * ninv), g.swz * ninv, g.sw * ninv,
+          lambdas(l), params.alpha, params.intercept, beta(f),
+          thresh = math.max(params.thresh * 1e-4, 1e-10),
+          maxIter = params.maxit,
+          penaltyFactor = params.penaltyFactor,
+          lower = boundsF(f)._1, upper = boundsF(f)._2)
+        (r.beta, r.a0)
+      }
+      for (l <- 0 until L) {
+        val active = Array.fill(F)(true)
+        var iter = 0
+        while (iter < 25 && active.exists(identity)) {
+          val activeSnap = active.clone()
+          // per-fold linear predictor on the ORIGINAL sparse scale:
+          // eta = off_f + Σ vals·(beta_f/scale_f)(idx)
+          val bOverS = Array.tabulate(F, p)((f, j) => beta(f)(j) / scales(f)(j))
+          val offs = Array.tabulate(F) { f =>
+            var o = a0(f)
+            var j = 0
+            while (j < p) { o -= means(f)(j) * bOverS(f)(j); j += 1 }
+            o
+          }
+          val bc = sc.broadcast((bOverS, offs, norms))
+          sharedPasses += 1
+          val grams = rows.treeAggregate(Array.fill(F)(new BinWGram(p)))(
+            (acc, t) => {
+              val (rowFold, idx, vals, y, v) = t
+              val (bos, off, nrm) = bc.value
+              var f = 0
+              while (f < F) {
+                if (f != rowFold && activeSnap(f)) {
+                  var eta = off(f)
+                  var i = 0
+                  while (i < idx.length) { eta += vals(i) * bos(f)(idx(i)); i += 1 }
+                  var w = 0.0
+                  var z = 0.0
+                  if (binomial) {
+                    val mu = 1.0 / (1.0 + math.exp(-eta))
+                    w = math.max(mu * (1.0 - mu), 1e-5)
+                    z = eta + (y - mu) / w
+                  } else {
+                    val etaC = math.max(math.min(eta, 30.0), -30.0)
+                    val mu = math.exp(etaC)
+                    w = math.max(mu, 1e-5)
+                    z = etaC + (y - mu) / w
+                  }
+                  val vw = v * nrm(f) * w
+                  val g = acc(f)
+                  g.sw += vw; g.swz += vw * z
+                  var i2 = 0
+                  while (i2 < idx.length) {
+                    val j = idx(i2)
+                    val wxj = vw * vals(i2)
+                    g.swx(j) += wxj
+                    g.swxz(j) += wxj * z
+                    var m = 0
+                    while (m <= i2) {
+                      g.swxx(LinAlg.triIdx(idx(m), j)) += wxj * vals(m)
+                      m += 1
+                    }
+                    i2 += 1
+                  }
+                }
+                f += 1
+              }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < F) { a(i).merge(b(i)); i += 1 }; a },
+            depth = 2)
+          for (f <- 0 until F if active(f)) {
+            val (nb, na) = solveFold(f, grams(f), l)
+            var maxD = math.abs(na - a0(f))
+            var j = 0
+            while (j < p) {
+              val d = math.abs(nb(j) - beta(f)(j)); if (d > maxD) maxD = d; j += 1
+            }
+            beta(f) = nb; a0(f) = na
+            if (maxD < math.max(params.thresh * 1e-2, 1e-8)) active(f) = false
+          }
+          iter += 1
+        }
+        for (f <- 0 until F) {
+          for (j <- 0 until p) betaOut(f)(l)(j) = beta(f)(j) / scales(f)(j)
+          a0Out(f)(l) =
+            if (params.intercept)
+              a0(f) - (0 until p).map(j => betaOut(f)(l)(j) * means(f)(j)).sum
+            else a0(f)
+        }
+      }
+
+      // --------- stage 2: per-(fold, lambda) unpenalized active-set
+      // refits, tiled over folds AND lambdas (original scale; slots by
+      // binary search in the sorted active array)
+      val activeSet = Array.tabulate(F, L)((f, l) =>
+        (0 until p).filter(j => betaOut(f)(l)(j) != 0.0).toArray)
+      val a0R = Array.tabulate(F, L)((f, l) => a0Out(f)(l))
+      val bFull = Array.tabulate(F, L)((f, l) => betaOut(f)(l).clone())
+      val doneR = Array.ofDim[Boolean](F, L)
+      for (f <- 0 until F; l <- 0 until L if activeSet(f)(l).isEmpty) {
+        val yb = trainStats(f).yMean(0)
+        a0R(f)(l) =
+          if (!params.intercept) 0.0
+          else if (binomial) math.log(yb / (1 - yb))
+          else math.log(yb)
+        java.util.Arrays.fill(bFull(f)(l), 0.0)
+        doneR(f)(l) = true
+      }
+      val tolR = math.max(params.thresh * 1e-2, 1e-8)
+      var iterR = 0
+      while (iterR < 25 && !doneR.forall(_.forall(identity))) {
+        val live = (for (f <- 0 until F; l <- 0 until L if !doneR(f)(l))
+          yield (f, l)).toArray
+        val sizes = live.map { case (f, l) =>
+          val m = activeSet(f)(l).length
+          2 + 2 * m + LinAlg.triSize(m)
+        }
+        val offsA = sizes.scanLeft(0)(_ + _)
+        val bState = sc.broadcast((live,
+          live.map { case (f, l) => activeSet(f)(l) },
+          live.map { case (f, l) => a0R(f)(l) },
+          live.map { case (f, l) => bFull(f)(l) }, offsA))
+        sharedPasses += 1
+        val acc = rows.treeAggregate(new Array[Double](offsA.last))(
+          (s, t) => {
+            val (rowFold, idx, vals, y, v) = t
+            val (lv, acts, a0s, bs, os) = bState.value
+            var i = 0
+            while (i < lv.length) {
+              if (lv(i)._1 != rowFold) {
+                val a = acts(i)
+                val m = a.length
+                // slots of this row's nonzeros in the cell's active set
+                // (bs is zero off the active set, so eta walks all
+                // nonzeros without the lookup)
+                var eta = a0s(i)
+                val qs = new Array[Int](idx.length)
+                var t2 = 0
+                while (t2 < idx.length) {
+                  eta += bs(i)(idx(t2)) * vals(t2)
+                  qs(t2) = java.util.Arrays.binarySearch(a, idx(t2))
+                  t2 += 1
+                }
+                var w = 0.0
+                var z = 0.0
+                if (binomial) {
+                  val mu = 1.0 / (1.0 + math.exp(-eta))
+                  w = math.max(mu * (1.0 - mu), 1e-5)
+                  z = eta + (y - mu) / w
+                } else {
+                  val etaC = math.max(math.min(eta, 30.0), -30.0)
+                  val mu = math.exp(etaC)
+                  w = math.max(mu, 1e-5)
+                  z = etaC + (y - mu) / w
+                }
+                w *= v
+                val base = os(i)
+                s(base) += w
+                s(base + 1) += w * z
+                t2 = 0
+                while (t2 < idx.length) {
+                  val q = qs(t2)
+                  if (q >= 0) {
+                    val wx = w * vals(t2)
+                    s(base + 2 + q) += wx
+                    s(base + 2 + m + q) += wx * z
+                    var u = 0
+                    while (u <= t2) {
+                      val r2 = qs(u)
+                      if (r2 >= 0) {
+                        val lo = math.min(q, r2); val hi = math.max(q, r2)
+                        s(base + 2 + 2 * m + LinAlg.triIdx(lo, hi)) +=
+                          (if (u == t2) wx * vals(t2) else wx * vals(u))
+                      }
+                      u += 1
+                    }
+                  }
+                  t2 += 1
+                }
+              }
+              i += 1
+            }
+            s
+          },
+          (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+          depth = 2)
+        for (i <- live.indices) {
+          val (f, l) = live(i)
+          val a = activeSet(f)(l)
+          val m = a.length
+          val base = offsA(i)
+          val dim2 = if (params.intercept) m + 1 else m
+          val mat = Array.ofDim[Double](dim2, dim2)
+          val rhs = new Array[Double](dim2)
+          if (params.intercept) {
+            mat(0)(0) = acc(base)
+            rhs(0) = acc(base + 1)
+            for (q <- 0 until m) {
+              mat(0)(q + 1) = acc(base + 2 + q)
+              mat(q + 1)(0) = acc(base + 2 + q)
+              rhs(q + 1) = acc(base + 2 + m + q)
+              for (r2 <- 0 to q) {
+                val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
+                mat(r2 + 1)(q + 1) = v
+                mat(q + 1)(r2 + 1) = v
+              }
+            }
+          } else {
+            for (q <- 0 until m) {
+              rhs(q) = acc(base + 2 + m + q)
+              for (r2 <- 0 to q) {
+                val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
+                mat(r2)(q) = v
+                mat(q)(r2) = v
+              }
+            }
+          }
+          val sol = LinAlg.solve(mat, rhs)
+          val na0 = if (params.intercept) sol(0) else 0.0
+          var maxD = math.abs(na0 - a0R(f)(l))
+          val off0 = if (params.intercept) 1 else 0
+          for (q <- 0 until m) {
+            val d = math.abs(sol(off0 + q) - bFull(f)(l)(a(q)))
+            if (d > maxD) maxD = d
+          }
+          a0R(f)(l) = na0
+          for (q <- 0 until m) bFull(f)(l)(a(q)) = sol(off0 + q)
+          if (maxD < tolR) doneR(f)(l) = true
+        }
+        iterR += 1
+      }
+
+      // full-data relaxed path (virtual fold) + blended deviances
+      val a0FullP = Array.tabulate(L)(l => Array(a0Out(nfolds)(l)))
+      val betaFullP = Array.tabulate(L)(l => Array(betaOut(nfolds)(l).clone()))
+      val G = gammas.length
+      val normFull = norms(nfolds)
+      val ybFull = trainStats(nfolds).yMean(0)
+      val a0NullFull =
+        if (!params.intercept) 0.0
+        else if (binomial) math.log(ybFull / (1 - ybFull))
+        else math.log(ybFull)
+      val gArr = gammas.toArray
+      val devs = rows.treeAggregate(new Array[Double](G * L + 1))(
+        (acc, t) => {
+          val (_, idx, vals, y, v) = t
+          def binDev(eta: Double): Double = {
+            val m = math.max(eta, 0.0)
+            2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y * eta)
+          }
+          def poisDev(mu: Double): Double = {
+            val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+            2.0 * (ylog - (y - mu))
+          }
+          val vn = v * normFull
+          var g = 0
+          while (g < G) {
+            val gm = gArr(g)
+            var l = 0
+            while (l < L) {
+              var eta = gm * a0FullP(l)(0) + (1 - gm) * a0R(nfolds)(l)
+              var i = 0
+              while (i < idx.length) {
+                val j = idx(i)
+                eta += (gm * betaFullP(l)(0)(j) +
+                  (1 - gm) * bFull(nfolds)(l)(j)) * vals(i)
+                i += 1
+              }
+              acc(g * L + l) += vn * (if (binomial) binDev(eta)
+                else poisDev(math.exp(math.max(math.min(eta, 30.0), -30.0))))
+              l += 1
+            }
+            g += 1
+          }
+          acc(G * L) += vn * (if (binomial) binDev(a0NullFull)
+            else poisDev(math.exp(
+              math.max(math.min(a0NullFull, 30.0), -30.0))))
+          acc
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      sharedPasses += 1
+      val nulldev = devs(G * L)
+
+      // ------ stage 3: held-out scores for every (gamma, fold, lambda)
+      val bA0P = sc.broadcast(a0Out)
+      val bBetaP = sc.broadcast(betaOut)
+      val bA0R = sc.broadcast(a0R)
+      val bBR = sc.broadcast(bFull)
+      val cellAuc: Array[Double] =
+        if (measure != "auc") null
+        else {
+          val spark = df.sparkSession
+          val scored = spark.createDataFrame(rows.map { t =>
+            val (f, idx, vals, y, v) = t
+            val etas = new Array[Double](G * L)
+            var g = 0
+            while (g < G) {
+              val gm = gArr(g)
+              var l = 0
+              while (l < L) {
+                var eta = gm * bA0P.value(f)(l) + (1 - gm) * bA0R.value(f)(l)
+                var i = 0
+                while (i < idx.length) {
+                  val j = idx(i)
+                  eta += (gm * bBetaP.value(f)(l)(j) +
+                    (1 - gm) * bBR.value(f)(l)(j)) * vals(i)
+                  i += 1
+                }
+                etas(g * L + l) = eta
+                l += 1
+              }
+              g += 1
+            }
+            (f, y, v, etas)
+          }).toDF("__fold", "__y", "__v", "__etas")
+          val exploded = scored
+            .select(col("__fold"), col("__y"), col("__v"),
+              posexplode(col("__etas")).as(Seq("__i", "__s")))
+            .select((((col("__i") / lit(L)).cast("int") * nfolds +
+              col("__fold")) * L + pmod(col("__i"), lit(L))).as("__g"),
+              col("__s"), col("__y"), col("__v"))
+          aucPerGroup(exploded, G * nfolds * L,
+            weightCol = if (weighted) "__v" else null)
+        }
+      val sums = if (measure == "auc") new Array[Double](G * nfolds * L)
+      else rows.treeAggregate(new Array[Double](G * nfolds * L))(
+        (s, t) => {
+          val (f, idx, vals, y, v) = t
+          var g = 0
+          while (g < G) {
+            val gm = gArr(g)
+            var l = 0
+            while (l < L) {
+              var eta = gm * bA0P.value(f)(l) + (1 - gm) * bA0R.value(f)(l)
+              var i = 0
+              while (i < idx.length) {
+                val j = idx(i)
+                eta += (gm * bBetaP.value(f)(l)(j) +
+                  (1 - gm) * bBR.value(f)(l)(j)) * vals(i)
+                i += 1
+              }
+              s((g * nfolds + f) * L + l) += v * (if (binomial) {
+                val mu = 1.0 / (1.0 + math.exp(-eta))
+                measure match {
+                  case "mse" => 2.0 * (mu - y) * (mu - y)
+                  case "mae" => 2.0 * math.abs(mu - y)
+                  case "class" => if ((if (mu > 0.5) 1.0 else 0.0) != y) 1.0 else 0.0
+                  case "deviance" =>
+                    val mc = math.min(math.max(mu, 1e-5), 1.0 - 1e-5)
+                    -2.0 * (y * math.log(mc) + (1 - y) * math.log(1 - mc))
+                  case other => // unreachable: fitRelaxedSparse validates
+                    throw new IllegalArgumentException(s"unknown measure $other")
+                }
+              } else {
+                val mu = math.exp(math.max(math.min(eta, 30.0), -30.0))
+                measure match {
+                  case "mse" => (y - mu) * (y - mu)
+                  case "mae" => math.abs(y - mu)
+                  case "deviance" =>
+                    val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+                    2.0 * (ylog - (y - mu))
+                  case other => // unreachable: fitRelaxedSparse validates
+                    throw new IllegalArgumentException(s"unknown measure $other")
+                }
+              })
+              l += 1
+            }
+            g += 1
+          }
+          s
+        },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      sharedPasses += 1
+
+      val names = (0 until p).map(j => s"V$j").toArray
+      val paths = (0 until G).map { g =>
+        val gm = gArr(g)
+        val a0B = Array.tabulate(L)(l => Array(
+          gm * a0FullP(l)(0) + (1 - gm) * a0R(nfolds)(l)))
+        val bB = Array.tabulate(L)(l => Array(Array.tabulate(p)(j =>
+          gm * betaFullP(l)(0)(j) + (1 - gm) * bFull(nfolds)(l)(j))))
+        val devRatio = Array.tabulate(L)(l =>
+          if (nulldev > 0) 1.0 - devs(g * L + l) / nulldev else 0.0)
+        val model = new SgdNetModel(params.family, names, Array(labelCol),
+          classes, lambdas, a0B, bB, nulldev, devRatio, total.n,
+          sharedPasses, params)
+        val foldScores = Array.tabulate(nfolds, L)((f, l) =>
+          if (measure == "auc") cellAuc((g * nfolds + f) * L + l)
+          else sums((g * nfolds + f) * L + l) / wFold(f))
+        summarize(params.alpha, lambdas, foldScores, model)
+      }
+      val bestIdx = (0 until G).minBy(g => paths(g).cvm.min)
+      val fullPenalized = new SgdNetModel(params.family, names,
+        Array(labelCol), classes, lambdas, a0FullP, betaFullP, nulldev,
+        Array.tabulate(L)(l =>
+          if (nulldev > 0) {
             val g1 = gArr.indexWhere(_ == 1.0)
             if (g1 >= 0) 1.0 - devs(g1 * L + l) / nulldev else Double.NaN
           } else 0.0),

@@ -563,7 +563,16 @@ object SgdNet {
       var a0 = a0Null
       val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
 
-      for (l <- 0 until L) {
+      // round 17: TRUE dfmax/pmax early stopping on this route — the
+      // first violating path point stops the remaining lambdas' IRLS
+      // cluster passes; the violating point carries forward so the
+      // post-hoc dfTruncate slices the path at it (identical surface)
+      val dfGate = new DfGate(params, p)
+      var dfStop = -1
+      for (l <- 0 until L) if (dfStop >= 0) {
+        a0Out(l)(0) = a0Out(dfStop)(0)
+        betaOut(l)(0) = betaOut(dfStop)(0)
+      } else {
         var iter = 0
         var done = false
         while (iter < 25 && !done) {
@@ -651,6 +660,7 @@ object SgdNet {
         a0Out(l)(0) =
           if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
           else a0
+        if (!dfGate.admit(j => betaOut(l)(0)(j) != 0.0)) dfStop = l
       }
 
       // deviance with per-row offset (sparse eta); the null model is the
@@ -782,7 +792,16 @@ object SgdNet {
       var passes = 0
       val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
 
-      for (l <- 0 until L) {
+      // round 17: TRUE dfmax/pmax early stopping on this route — the
+      // first violating path point stops the remaining lambdas' IRLS
+      // cluster passes; the violating point carries forward so the
+      // post-hoc dfTruncate slices the path at it (identical surface)
+      val dfGate = new DfGate(params, p)
+      var dfStop = -1
+      for (l <- 0 until L) if (dfStop >= 0) {
+        a0Out(l)(0) = a0Out(dfStop)(0)
+        betaOut(l)(0) = betaOut(dfStop)(0)
+      } else {
         var iter = 0
         var done = false
         while (iter < 25 && !done) {
@@ -867,6 +886,7 @@ object SgdNet {
         a0Out(l)(0) =
           if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
           else a0
+        if (!dfGate.admit(j => betaOut(l)(0)(j) != 0.0)) dfStop = l
       }
 
       // deviance pass on original-scale coefficients (sparse eta)
@@ -1467,7 +1487,16 @@ object SgdNet {
       var passes = 0
       val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
 
-      for (l <- 0 until L) {
+      // round 17: TRUE dfmax/pmax early stopping on this route — the
+      // first violating path point stops the remaining lambdas' IRLS
+      // cluster passes; the violating point carries forward so the
+      // post-hoc dfTruncate slices the path at it (identical surface)
+      val dfGate = new DfGate(params, p)
+      var dfStop = -1
+      for (l <- 0 until L) if (dfStop >= 0) {
+        a0Out(l)(0) = a0Out(dfStop)(0)
+        betaOut(l)(0) = betaOut(dfStop)(0)
+      } else {
         var iter = 0
         var done = false
         while (iter < 25 && !done) {
@@ -1494,6 +1523,7 @@ object SgdNet {
         a0Out(l)(0) =
           if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
           else a0
+        if (!dfGate.admit(j => betaOut(l)(0)(j) != 0.0)) dfStop = l
       }
 
       // v-weighted deviance pass for every lambda + the null model
@@ -1919,11 +1949,21 @@ object SgdNet {
         val a = LinAlg.unpackSym(wg.swxx, p).map(_.map(_ * ninv))
         val c = wg.swxz.map(_ * ninv)
         val xw = wg.swx.map(_ * ninv)
-        val r = CoordinateDescent.solve(a, c, xw, wg.swz * ninv, wg.sw * ninv,
-          lam, params.alpha, params.intercept, beta,
-          thresh = newtonTol, maxIter = params.maxit,
-          penaltyFactor = params.penaltyFactor,
-          lower = loStd, upper = upStd)
+        // round 17: strong-rule screen on the per-Newton WLS subproblem
+        // at scale (exact by KKT backcheck — same gate as the gaussian
+        // driver solve; first path point has no lamPrev)
+        val r =
+          if (params.alpha > 0 && p >= ScreenMinP && l > 0)
+            CoordinateDescent.solveScreened(a, c, xw, wg.swz * ninv,
+              wg.sw * ninv, lam, lambdas(l - 1), params.alpha,
+              params.intercept, beta, thresh = newtonTol,
+              maxIter = params.maxit, penaltyFactor = params.penaltyFactor,
+              lower = loStd, upper = upStd)
+          else CoordinateDescent.solve(a, c, xw, wg.swz * ninv, wg.sw * ninv,
+            lam, params.alpha, params.intercept, beta,
+            thresh = newtonTol, maxIter = params.maxit,
+            penaltyFactor = params.penaltyFactor,
+            lower = loStd, upper = upStd)
         var maxD = math.abs(r.a0 - a0)
         var j = 0
         while (j < p) {
@@ -2031,12 +2071,22 @@ object SgdNet {
           passes += 1
           val ninv = 1.0 / n
           val a = LinAlg.unpackSym(wg.swxx, p).map(_.map(_ * ninv))
-          val r = CoordinateDescent.solve(a, wg.swxz.map(_ * ninv),
-            wg.swx.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
-            lambdas(l), params.alpha, params.intercept, beta,
-            thresh = newtonTol, maxIter = params.maxit,
-            penaltyFactor = params.penaltyFactor,
-            lower = loStd, upper = upStd)
+          // round 17: strong-rule screen on the per-Newton WLS
+          // subproblem at scale (exact by KKT backcheck)
+          val r =
+            if (params.alpha > 0 && p >= ScreenMinP && l > 0)
+              CoordinateDescent.solveScreened(a, wg.swxz.map(_ * ninv),
+                wg.swx.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
+                lambdas(l), lambdas(l - 1), params.alpha, params.intercept,
+                beta, thresh = newtonTol, maxIter = params.maxit,
+                penaltyFactor = params.penaltyFactor,
+                lower = loStd, upper = upStd)
+            else CoordinateDescent.solve(a, wg.swxz.map(_ * ninv),
+              wg.swx.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
+              lambdas(l), params.alpha, params.intercept, beta,
+              thresh = newtonTol, maxIter = params.maxit,
+              penaltyFactor = params.penaltyFactor,
+              lower = loStd, upper = upStd)
           var maxD = math.abs(r.a0 - a0)
           var j = 0
           while (j < p) {
@@ -2206,6 +2256,32 @@ object SgdNet {
       while (k < p) { ab += wg.swxx(LinAlg.triIdx(k, j)) * beta(k); k += 1 }
       (wg.swxz(j) - ab - a0 * wg.swx(j)) / n
     }
+  }
+
+  /** Upper bound on multinomial class discovery (round 17 hardening):
+    * model state is O(k·p) driver-side anyway, so a label column with
+    * more distinct values than this is almost certainly mis-typed
+    * (a continuous response or an id column) — fail FAST on a bounded
+    * `limit(maxClasses + 1)` scan instead of collecting an unbounded
+    * distinct and dying slowly in the k×p solve. */
+  private[ml] val MaxMultinomialClasses = 1024
+
+  /** Gated multinomial class discovery: distinct labels, sorted,
+    * bounded by [[MaxMultinomialClasses]] (the binomial routes use the
+    * same shape with `limit(3)`). */
+  private[ml] def multinomialClasses(df: DataFrame,
+                                     labelCol: String): Array[String] = {
+    import org.apache.spark.sql.functions.col
+    val cs = df.select(col(labelCol).cast("string")).distinct()
+      .limit(MaxMultinomialClasses + 1).collect().map(_.getString(0)).sorted
+    require(cs.length > 2,
+      if (cs.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
+      else "only one class in response.")
+    require(cs.length <= MaxMultinomialClasses,
+      s"multinomial label column '$labelCol' has more than " +
+        s"$MaxMultinomialClasses distinct values — multinomial state is " +
+        "O(classes × features); is the label a continuous or id column?")
+    cs
   }
 
   private[ml] def requireNoZeroPf(params: SgdNetParams, where: String): Unit =
@@ -2406,7 +2482,16 @@ object SgdNet {
       val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
       val (loStd, upStd) = boundsStd(params, scale, 1.0)
 
-      for (l <- 0 until L) {
+      // round 17: TRUE dfmax/pmax early stopping on this route — the
+      // first violating path point stops the remaining lambdas' IRLS
+      // cluster passes; the violating point carries forward so the
+      // post-hoc dfTruncate slices the path at it (identical surface)
+      val dfGate = new DfGate(params, p)
+      var dfStop = -1
+      for (l <- 0 until L) if (dfStop >= 0) {
+        a0Out(l)(0) = a0Out(dfStop)(0)
+        betaOut(l)(0) = betaOut(dfStop)(0)
+      } else {
         var iter = 0
         var done = false
         while (iter < 25 && !done) {
@@ -2473,6 +2558,7 @@ object SgdNet {
         a0Out(l)(0) =
           if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
           else a0
+        if (!dfGate.admit(j => betaOut(l)(0)(j) != 0.0)) dfStop = l
       }
 
       // deviance with per-row offset; null model uses the
@@ -2632,7 +2718,16 @@ object SgdNet {
       val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
       val (loStd, upStd) = boundsStd(params, scale, 1.0)
 
-      for (l <- 0 until L) {
+      // round 17: TRUE dfmax/pmax early stopping on this route — the
+      // first violating path point stops the remaining lambdas' IRLS
+      // cluster passes; the violating point carries forward so the
+      // post-hoc dfTruncate slices the path at it (identical surface)
+      val dfGate = new DfGate(params, p)
+      var dfStop = -1
+      for (l <- 0 until L) if (dfStop >= 0) {
+        a0Out(l)(0) = a0Out(dfStop)(0)
+        betaOut(l)(0) = betaOut(dfStop)(0)
+      } else {
         var iter = 0
         var done = false
         while (iter < 25 && !done) {
@@ -2698,6 +2793,7 @@ object SgdNet {
         a0Out(l)(0) =
           if (params.intercept) a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
           else a0
+        if (!dfGate.admit(j => betaOut(l)(0)(j) != 0.0)) dfStop = l
       }
 
       // deviance with per-row offset; the null model is the converged
@@ -2821,11 +2917,7 @@ object SgdNet {
                              labelCol: String, params: SgdNetParams): SgdNetModel = {
     import org.apache.spark.sql.functions.col
     val p = featureCols.size
-    val classes = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
-    require(classes.length > 2,
-      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
-      else "only one class in response.")
+    val classes = multinomialClasses(df, labelCol)
     val k = classes.length
     val classIdx = classes.zipWithIndex.toMap
 
@@ -2875,11 +2967,7 @@ object SgdNet {
                                      params: SgdNetParams): SgdNetModel = {
     import org.apache.spark.sql.functions.col
     val p = featureCols.size
-    val classes = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
-    require(classes.length > 2,
-      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
-      else "only one class in response.")
+    val classes = multinomialClasses(df, labelCol)
     val k = classes.length
     val classIdx = classes.zipWithIndex.toMap
     val raw = df.select((featureCols.map(c => col(c).cast("double")) :+
@@ -2947,11 +3035,7 @@ object SgdNet {
     require(params.family == "multinomial",
       s"fitMultinomialWithOffset is the multinomial route, not ${params.family}")
     val p = featureCols.size
-    val classes = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
-    require(classes.length > 2,
-      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
-      else "only one class in response.")
+    val classes = multinomialClasses(df, labelCol)
     val k = classes.length
     require(offsetCols.size == k,
       s"multinomial offset needs one column per class (nclass = $k, " +
@@ -3754,11 +3838,7 @@ object SgdNet {
                                    params: SgdNetParams,
                                    weightCol: String = null): SgdNetModel = {
     import org.apache.spark.sql.functions.{col, lit}
-    val classes = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
-    require(classes.length > 2,
-      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
-      else "only one class in response.")
+    val classes = multinomialClasses(df, labelCol)
     val k = classes.length
     val classIdx = classes.zipWithIndex.toMap
     val wCol = if (weightCol == null) lit(1.0) else col(weightCol).cast("double")
@@ -3814,11 +3894,7 @@ object SgdNet {
     import org.apache.spark.sql.functions.{col, lit}
     require(params.family == "multinomial",
       s"fitSparseMultinomialWithOffset is the multinomial route, not ${params.family}")
-    val classes = df.select(col(labelCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
-    require(classes.length > 2,
-      if (classes.length == 2) "only two classes in response. Are you looking for family = 'binomial'?"
-      else "only one class in response.")
+    val classes = multinomialClasses(df, labelCol)
     val k = classes.length
     require(offsetCols.size == k,
       s"multinomial offset needs one column per class (nclass = $k, " +

@@ -46,9 +46,16 @@ class SgdNetEstimator(override val uid: String)
     "glmnet lower.limits: per-coefficient lower bounds (each <= 0)")
   final val upperLimits = new DoubleArrayParam(this, "upperLimits",
     "glmnet upper.limits: per-coefficient upper bounds (each >= 0)")
+  final val relax = new BooleanParam(this, "relax",
+    "glmnet relax: blend each lambda's penalized fit with its " +
+      "active-set unpenalized refit (gaussian/binomial/poisson)")
+  final val gamma = new DoubleParam(this, "gamma",
+    "glmnet relax gamma: blend weight, 1 = penalized, 0 = full refit",
+    ParamValidators.inRange(0, 1))
 
   setDefault(labelCol -> "label", family -> "gaussian", alpha -> 1.0,
-    nLambda -> 100, standardize -> true, fitIntercept -> true, thresh -> 1e-3)
+    nLambda -> 100, standardize -> true, fitIntercept -> true, thresh -> 1e-3,
+    relax -> false, gamma -> 1.0)
 
   def setFeatureCols(v: Seq[String]): this.type = set(featureCols, v.toArray)
   def setLabelCol(v: String): this.type = set(labelCol, v)
@@ -66,6 +73,8 @@ class SgdNetEstimator(override val uid: String)
   def setPmax(v: Int): this.type = set(pmax, v)
   def setLowerLimits(v: Seq[Double]): this.type = set(lowerLimits, v.toArray)
   def setUpperLimits(v: Seq[Double]): this.type = set(upperLimits, v.toArray)
+  def setRelax(v: Boolean): this.type = set(relax, v)
+  def setGamma(v: Double): this.type = set(gamma, v)
 
   override def fit(dataset: Dataset[_]): SgdNetPipelineModel = {
     val params = SgdNetParams(
@@ -79,6 +88,29 @@ class SgdNetEstimator(override val uid: String)
       dfmax = if (isSet(dfmax)) $(dfmax) else -1,
       pmax = if (isSet(pmax)) $(pmax) else -1)
     val df = dataset.toDF()
+    if ($(relax)) {
+      // round 17: glmnet relax = TRUE through the Pipeline surface.
+      // The fitted stage carries the gamma-BLENDED path (coefficients
+      // exactly gamma*penalized + (1-gamma)*refit per lambda, the
+      // RelaxedPath blend); dev.ratio stays the penalized path's
+      // (informational, like cv.glmnet's relaxed slot).
+      require(!isSet(offsetCol),
+        "relax through SgdNetEstimator does not combine with offsetCol " +
+          "(use SgdNet.relaxedFit* directly)")
+      val rp =
+        if (isSet(weightCol))
+          SgdNet.relaxedFitWeighted(df, $(featureCols).toSeq, $(labelCol),
+            $(weightCol), params, $(gamma))
+        else SgdNet.relaxedFit(df, $(featureCols).toSeq, $(labelCol),
+          params, $(gamma))
+      val pm = rp.model
+      val a0B = Array.tabulate(pm.nLambda)(l => Array(rp.blendedA0(l)))
+      val bB = Array.tabulate(pm.nLambda)(l => Array(rp.blendedBeta(l)))
+      val blended = new SgdNetModel(pm.family, pm.featureNames,
+        pm.responseNames, pm.classLabels, pm.lambda, a0B, bB, pm.nulldev,
+        pm.devRatio, pm.nobs, pm.npasses, params)
+      return new SgdNetPipelineModel(uid, blended).setParent(this)
+    }
     val m =
       if (isSet(weightCol) && isSet(offsetCol))
         SgdNet.fitWithOffsetWeighted(df, $(featureCols).toSeq, $(labelCol),

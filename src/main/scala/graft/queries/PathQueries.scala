@@ -1067,6 +1067,32 @@ object PathQueries {
       .orderBy("gamma", "lambda_idx")
   }
 
+  /** SPARSE relaxed BINOMIAL CV (round 17 — cv.glmnet relax = TRUE
+    * with a dgCMatrix x and an IRLS family, the last sparse-delegation
+    * cell of R/cv_sgdnet.R): the [[cvRelaxedBinom]] query verbatim
+    * over CSR rows — same data, folds, lambda and gammas, so the
+    * oracle is byte-identical to q_cv_relaxed_binom and any divergence
+    * isolates the sparse fold-tiled GLM relax chassis. */
+  def cvRelaxedBinomSparse(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+      .withColumn("sidx", array(lit(0)))
+      .withColumn("svals", array(col("l_quantity").cast("double")))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitRelaxedSparse(li, "sidx", "svals", 1, "is_r",
+      SgdNetParams(family = "binomial", alpha = 1.0,
+        lambda = Array(0.0002), thresh = 1e6),
+      nfolds = 5, gammas = Seq(0.0, 1.0), measure = "deviance",
+      foldCol = fold)
+    cv.curveDF(spark)
+      .select((round(col("gamma"), 2) + lit(0.0)).as("gamma"),
+        col("lambda_idx").cast("int").as("lambda_idx"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("gamma", "lambda_idx")
+  }
+
   def cvExactPick(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cv = cvExactFit(spark, dir)

@@ -116,6 +116,31 @@ class DfmaxSpec extends SparkSpec {
         pb.copy(dfmax = 1)), fullO, cutO, "offset binomial")
   }
 
+  test("secondary routes STOP cluster passes at the dfmax cut (round 17)") {
+    // true early stopping: a dfmax hit must stop the remaining lambdas'
+    // IRLS treeAggregates on the sparse/weighted/offset routes, not just
+    // slice the returned surface — npasses is the cluster-pass count
+    val db = SparkSpec.binaryDF(spark)
+      .withColumn("idx", array(lit(0), lit(1)))
+      .withColumn("vals", array(col("x1"), col("x2")))
+      .withColumn("w", lit(1.0) + (col("x1") > 0).cast("double"))
+      .withColumn("off", col("x2") * 0.3)
+    val pb = SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 10,
+      thresh = 1e-9, maxit = 10000)
+    def check(tag: String, fit: SgdNetParams => SgdNetModel): Unit = {
+      val full = fit(pb)
+      val cut = expectCut(full, 1)
+      if (cut > 0 && cut < full.lambda.length) {
+        val t = fit(pb.copy(dfmax = 1))
+        assert(t.npasses < full.npasses,
+          s"$tag passes: ${t.npasses} vs full ${full.npasses}")
+      }
+    }
+    check("weighted", p => SgdNet.fitWeighted(db, Seq("x1", "x2"), "y", "w", p))
+    check("sparse", p => SgdNet.fitSparse(db, "idx", "vals", 2, "y", p))
+    check("offset", p => SgdNet.fitWithOffset(db, Seq("x1", "x2"), "y", "off", p))
+  }
+
   test("contract: bounds excluding every path point reject") {
     val df = SparkSpec.regressionDF(spark)
     intercept[IllegalArgumentException] {

@@ -123,4 +123,50 @@ class EstimatorSpec extends SparkSpec {
       assert(t.lambda.length == cut0, s"${t.lambda.length} vs $cut0")
     }
   }
+
+  test("estimator routes relax/gamma to relaxedFit (round 17)") {
+    val df = graft.SparkSpec.regressionDF(spark)
+    def base() = new SgdNetEstimator()
+      .setFeatureCols(Seq("x1", "x2")).setLabelCol("y")
+      .setLambdas(Seq(0.5, 0.1)).setThresh(1e-10)
+    // gaussian: blended stage == gamma*penalized + (1-gamma)*refit
+    val est = base().setRelax(true).setGamma(0.25).fit(df).pathModel
+    val rp = SgdNet.relaxedFit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(lambda = Array(0.5, 0.1), thresh = 1e-10), gamma = 0.25)
+    for (l <- 0 until 2) {
+      assert(math.abs(est.a0(l)(0) - rp.blendedA0(l)) < 1e-9, s"a0($l)")
+      for (j <- 0 until 2)
+        assert(math.abs(est.beta(l)(0)(j) - rp.blendedBeta(l)(j)) < 1e-9,
+          s"beta($l)($j)")
+    }
+    // weighted gaussian routes to relaxedFitWeighted
+    val wdf = df.withColumn("w", (pmod(xxhash64(col("x1")), lit(3)) + 1)
+      .cast("double"))
+    val estW = base().setRelax(true).setGamma(0.0).setWeightCol("w")
+      .fit(wdf).pathModel
+    val rpW = SgdNet.relaxedFitWeighted(wdf, Seq("x1", "x2"), "y", "w",
+      SgdNetParams(lambda = Array(0.5, 0.1), thresh = 1e-10), gamma = 0.0)
+    for (l <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(estW.beta(l)(0)(j) - rpW.blendedBeta(l)(j)) < 1e-9,
+        s"weighted beta($l)($j)")
+    // binomial routes through relaxedFitGlm inside relaxedFit
+    val db = SparkSpec.binaryDF(spark)
+    val estB = new SgdNetEstimator()
+      .setFeatureCols(Seq("x1", "x2")).setLabelCol("y")
+      .setFamily("binomial").setLambdas(Seq(0.05)).setThresh(1e-8)
+      .setRelax(true).setGamma(0.5).fit(db).pathModel
+    val rpB = SgdNet.relaxedFit(db, Seq("x1", "x2"), "y",
+      SgdNetParams(family = "binomial", lambda = Array(0.05), thresh = 1e-8),
+      gamma = 0.5)
+    for (j <- 0 until 2)
+      assert(math.abs(estB.beta(0)(0)(j) - rpB.blendedBeta(0)(j)) < 1e-7,
+        s"binomial beta($j)")
+    // contracts: relax + offsetCol rejects; gamma range validates
+    val wOff = df.withColumn("off", lit(0.1))
+    intercept[IllegalArgumentException] {
+      base().setRelax(true).setOffsetCol("off").fit(wOff)
+    }
+    intercept[IllegalArgumentException] { base().setGamma(1.5) }
+    ()
+  }
 }

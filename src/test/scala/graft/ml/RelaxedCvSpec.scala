@@ -219,7 +219,130 @@ class RelaxedCvSpec extends SparkSpec {
         1e-11 * math.max(1.0, dw.paths(g).cvm(l)), s"w cvm($g)($l)")
     intercept[IllegalArgumentException] {
       CvSgdNet.fitRelaxedSparse(sp, "sidx", "svals", 2, "y",
-        SgdNetParams(family = "binomial"), foldCol = fold)
+        SgdNetParams(family = "mgaussian"), foldCol = fold)
+    }
+    ()
+  }
+
+  private lazy val binData = {
+    val rnd = new scala.util.Random(43)
+    (1 to 500).map { i =>
+      val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+      val pb = 1.0 / (1.0 + math.exp(-(-0.3 + 1.2 * x1 - 0.4 * x2)))
+      (i.toLong, x1, x2, if (rnd.nextDouble() < pb) 1.0 else 0.0,
+        (i % 3 + 1).toDouble)
+    }.toDF("rid", "x1", "x2", "y", "w")
+  }
+
+  test("sparse relaxed GLM CV == dense (binomial, poisson; weighted)") {
+    // round 17: the last cv.glmnet relax cell — dgCMatrix x with an
+    // IRLS family. Sparse CSR rows carry the same two features, so any
+    // divergence isolates the sparse fold-tiled chassis.
+    val foldB = pmod(xxhash64(col("rid")), lit(3))
+    val spB = binData.withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("x1"), col("x2")))
+    val lambdas = Array(0.05, 0.01)
+    val pb = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = lambdas, thresh = 1e-9, maxit = 100000)
+    for (measure <- Seq("deviance", "class")) {
+      val d = CvSgdNet.fitRelaxed(binData, Seq("x1", "x2"), "y", pb,
+        nfolds = 3, gammas = Seq(0.0, 0.5, 1.0), measure = measure,
+        foldCol = foldB)
+      val s = CvSgdNet.fitRelaxedSparse(spB, "sidx", "svals", 2, "y", pb,
+        nfolds = 3, gammas = Seq(0.0, 0.5, 1.0), measure = measure,
+        foldCol = foldB)
+      for (g <- 0 until 3; l <- lambdas.indices) {
+        assert(math.abs(s.paths(g).cvm(l) - d.paths(g).cvm(l)) <=
+          1e-7 * math.max(1.0, d.paths(g).cvm(l)),
+          s"binomial $measure cvm($g)($l)")
+        for (j <- 0 until 2)
+          assert(math.abs(s.paths(g).fit.beta(l)(0)(j) -
+            d.paths(g).fit.beta(l)(0)(j)) < 1e-6,
+            s"binomial $measure beta($g)($l)($j)")
+      }
+      assert(s.paths.head.fit.classLabels
+        .sameElements(d.paths.head.fit.classLabels))
+    }
+    // poisson, with a weight column riding along on both sides
+    val dp = binData.withColumn("yp",
+      (lit(1.0) + abs(col("x1")) * lit(2.0)).cast("int").cast("double"))
+    val spP = dp.withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("x1"), col("x2")))
+    val pp = SgdNetParams(family = "poisson", alpha = 1.0,
+      lambda = Array(0.05, 0.01), thresh = 1e-9, maxit = 100000)
+    val dP = CvSgdNet.fitRelaxed(dp, Seq("x1", "x2"), "yp", pp,
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = foldB, weightCol = "w")
+    val sP = CvSgdNet.fitRelaxedSparse(spP, "sidx", "svals", 2, "yp", pp,
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = foldB, weightCol = "w")
+    for (g <- 0 until 2; l <- 0 until 2)
+      assert(math.abs(sP.paths(g).cvm(l) - dP.paths(g).cvm(l)) <=
+        1e-7 * math.max(1.0, dP.paths(g).cvm(l)), s"poisson w cvm($g)($l)")
+    // dev.ratio of the blended sparse full models stays a real ratio
+    sP.paths.foreach(p => p.fit.devRatio.foreach(dr =>
+      assert(dr >= -1e-9 && dr <= 1.0 + 1e-9)))
+    ()
+  }
+
+  test("relaxed binomial CV auc: gamma=1 == plain CV; gamma=0 hand-scored") {
+    val foldB = pmod(xxhash64(col("rid")), lit(3))
+    val lambdas = Array(0.05, 0.01)
+    val params = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = lambdas, thresh = 1e-9, maxit = 100000)
+    val r = CvSgdNet.fitRelaxed(binData, Seq("x1", "x2"), "y", params,
+      nfolds = 3, gammas = Seq(0.0, 1.0), measure = "auc", foldCol = foldB)
+    // gamma = 1 blend IS the penalized fold model: identical eta ranks,
+    // so the rank-AUC matches the plain binomial CV auc exactly
+    val plain = CvSgdNet.fit(binData, Seq("x1", "x2"), Seq("y"), params,
+      nfolds = 3, measure = "auc", foldCol = foldB)
+    for (l <- lambdas.indices)
+      assert(math.abs(r.paths(1).cvm(l) - plain.best.cvm(l)) <= 1e-12,
+        s"gamma=1 auc($l): ${r.paths(1).cvm(l)} vs ${plain.best.cvm(l)}")
+    // gamma = 0 blend scores the per-fold unpenalized refits: hand-rank
+    // each held-out fold from relaxedFitGlm on the train rows
+    val withF = binData.withColumn("__f", foldB)
+    for (l <- lambdas.indices) {
+      var cvm = 0.0
+      for (f <- 0 until 3) {
+        val rp = SgdNet.relaxedFitGlm(withF.filter(col("__f") =!= f),
+          Seq("x1", "x2"), "y", params)
+        val test = withF.filter(col("__f") === f)
+          .select("x1", "x2", "y").collect()
+        val scored = test.map { rw =>
+          (rp.olsA0(l) + rp.olsBeta(l)(0) * rw.getDouble(0) +
+            rp.olsBeta(l)(1) * rw.getDouble(1), rw.getDouble(2))
+        }
+        // midrank AUC over the scored fold
+        val sorted = scored.sortBy(_._1)
+        val nPos = sorted.count(_._2 == 1.0).toDouble
+        val nNeg = sorted.length - nPos
+        var i = 0
+        var rankSum = 0.0
+        while (i < sorted.length) {
+          var j = i
+          while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+          val mid = (i + j + 1) / 2.0 // average of ranks i+1..j
+          for (k <- i until j if sorted(k)._2 == 1.0) rankSum += mid
+          i = j
+        }
+        cvm += (rankSum - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
+      }
+      cvm /= 3.0
+      assert(math.abs(r.paths(0).cvm(l) - cvm) < 1e-6,
+        s"gamma=0 auc($l): ${r.paths(0).cvm(l)} vs $cvm")
+    }
+    // sparse twin: same folds, same grid — auc parity with dense
+    val spB = binData.withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("x1"), col("x2")))
+    val s = CvSgdNet.fitRelaxedSparse(spB, "sidx", "svals", 2, "y", params,
+      nfolds = 3, gammas = Seq(0.0, 1.0), measure = "auc", foldCol = foldB)
+    for (g <- 0 until 2; l <- lambdas.indices)
+      assert(math.abs(s.paths(g).cvm(l) - r.paths(g).cvm(l)) <= 1e-9,
+        s"sparse auc cvm($g)($l)")
+    // poisson still rejects auc on both routes
+    intercept[IllegalArgumentException] {
+      CvSgdNet.fitRelaxed(binData, Seq("x1"), "y",
+        SgdNetParams(family = "poisson", lambda = Array(0.1)),
+        measure = "auc", foldCol = foldB)
     }
     ()
   }

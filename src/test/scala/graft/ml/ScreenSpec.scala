@@ -90,6 +90,69 @@ class ScreenSpec extends AnyFunSuite {
     }
   }
 
+  test("screened WLS subproblem == unscreened (IRLS strong rule, round 17)") {
+    // solveScreened is the per-Newton screen for the GLM IRLS cores:
+    // random intercept-bearing weighted subproblems along a lambda path,
+    // warm-started like the real solver — equality is structural (KKT
+    // backcheck), assert it numerically to 1e-10
+    val p = 48
+    val rnd = new scala.util.Random(71)
+    val n = 300
+    val xs = Array.fill(n)(Array.fill(p)(rnd.nextGaussian()))
+    val w = Array.fill(n)(0.05 + rnd.nextDouble() * 0.2) // IRLS-like weights
+    val z = xs.map(x => 1.3 * x(0) - 0.9 * x(7) + 0.4 * x(20) +
+      rnd.nextGaussian() * 0.5)
+    val a = Array.ofDim[Double](p, p)
+    val c = new Array[Double](p)
+    val xw = new Array[Double](p)
+    var zw = 0.0
+    var ww = 0.0
+    for (i <- 0 until n) {
+      ww += w(i) / n; zw += w(i) * z(i) / n
+      for (j <- 0 until p) {
+        c(j) += w(i) * xs(i)(j) * z(i) / n
+        xw(j) += w(i) * xs(i)(j) / n
+        for (m <- 0 to j) {
+          a(m)(j) += w(i) * xs(i)(m) * xs(i)(j) / n
+          if (m != j) a(j)(m) = a(m)(j)
+        }
+      }
+    }
+    val pf = Array.tabulate(p)(j => if (j % 9 == 0) 0.0 else 1.0)
+    val lo = Array.fill(p)(-0.9)
+    val up = Array.fill(p)(1.1)
+    for ((alpha, usePf, useLim) <- Seq((1.0, false, false), (0.7, true, false),
+        (0.9, false, true))) {
+      val lams = Array(0.5, 0.2, 0.08, 0.03, 0.01)
+      var warmU = new Array[Double](p)
+      var warmS = new Array[Double](p)
+      for (li <- lams.indices) {
+        val u = CoordinateDescent.solve(a, c, xw, zw, ww, lams(li), alpha,
+          intercept = true, warmU, thresh = 1e-12, maxIter = 100000,
+          penaltyFactor = if (usePf) pf else null,
+          lower = if (useLim) lo else null, upper = if (useLim) up else null)
+        val s = if (li == 0) u
+          else CoordinateDescent.solveScreened(a, c, xw, zw, ww, lams(li),
+            lams(li - 1), alpha, intercept = true, warmS, thresh = 1e-12,
+            maxIter = 100000, penaltyFactor = if (usePf) pf else null,
+            lower = if (useLim) lo else null, upper = if (useLim) up else null)
+        assert(math.abs(s.a0 - u.a0) < 1e-10,
+          s"alpha=$alpha pf=$usePf lim=$useLim a0($li)")
+        for (j <- 0 until p)
+          assert(math.abs(s.beta(j) - u.beta(j)) < 1e-10,
+            s"alpha=$alpha pf=$usePf lim=$useLim beta($li)($j)")
+        warmU = u.beta; warmS = s.beta.clone()
+      }
+    }
+    // dense warm start takes the gate fallback (bitwise-equal full solve)
+    val dense = Array.fill(p)(0.1)
+    val u2 = CoordinateDescent.solve(a, c, xw, zw, ww, 0.01, 1.0,
+      intercept = true, dense, thresh = 1e-12, maxIter = 100000)
+    val s2 = CoordinateDescent.solveScreened(a, c, xw, zw, ww, 0.01, 0.03,
+      1.0, intercept = true, dense, thresh = 1e-12, maxIter = 100000)
+    assert(s2.a0 == u2.a0 && s2.beta.sameElements(u2.beta))
+  }
+
   test("small-p and alpha = 0 keep the direct unscreened route") {
     // p < ScreenMinP: the screened and unscreened calls run the SAME
     // code path (gate), so equality is trivially bitwise

@@ -85,4 +85,56 @@ class SgdNetBinomialSpec extends SparkSpec {
     val auc = SgdNetModel.aucOf(df, "s", "y")
     assert(math.abs(auc - 3.5 / 4.0) < 1e-12)
   }
+
+  test("large-p binomial lasso (screened IRLS) satisfies full KKT (round 17)") {
+    // p >= ScreenMinP drives the per-Newton strong-rule screen; the
+    // exact logistic-gradient KKT conditions on standardized coordinates
+    // prove the screened path solves the FULL problem
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val p = 40
+    assert(p >= SgdNet.ScreenMinP)
+    val rows = (1 to 400).map { _ =>
+      val x = Array.fill(p)(rnd.nextGaussian())
+      val eta = 1.2 * x(0) - 0.8 * x(3) + 0.5 * x(11) - 0.2
+      val y = if (rnd.nextDouble() < 1.0 / (1.0 + math.exp(-eta))) 1.0 else 0.0
+      (x.toSeq, y)
+    }
+    val names = (0 until p).map(j => s"x$j")
+    val df = rows.toDF("xs", "y")
+      .select(names.map(nm => col("xs")(nm.drop(1).toInt).as(nm)) :+ col("y"): _*)
+    val m = SgdNet.fit(df, names, "y",
+      SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 12,
+        thresh = 1e-10, maxit = 100000))
+    val data = rows.map { case (x, y) => (x.toArray, y) }
+    val nD = data.length.toDouble
+    val mx = Array.tabulate(p)(j => data.map(_._1(j)).sum / nD)
+    val sd = Array.tabulate(p)(j =>
+      math.sqrt(data.map(t => math.pow(t._1(j) - mx(j), 2)).sum / nD))
+    var screeningUseful = false
+    for (l <- m.lambda.indices) {
+      val b = m.beta(l)(0); val a0 = m.a0(l)(0)
+      if (b.count(_ != 0.0) * 2 < p) screeningUseful = true
+      val grad = new Array[Double](p)
+      data.foreach { case (x, y) =>
+        var eta = a0
+        var j = 0
+        while (j < p) { eta += b(j) * x(j); j += 1 }
+        val mu = 1.0 / (1.0 + math.exp(-eta))
+        j = 0
+        while (j < p) { grad(j) += (y - mu) * (x(j) - mx(j)) / sd(j); j += 1 }
+      }
+      val lam = m.lambda(l)
+      for (j <- 0 until p) {
+        val gj = grad(j) / nD
+        if (b(j) == 0.0)
+          assert(math.abs(gj) <= lam + 1e-4,
+            s"KKT zero coord $j at lambda($l): |$gj| > $lam")
+        else
+          assert(math.abs(gj - lam * math.signum(b(j) * sd(j))) <= 1e-4,
+            s"KKT active coord $j at lambda($l): $gj vs $lam")
+      }
+    }
+    assert(screeningUseful, "path never sparse enough to exercise the screen")
+  }
 }

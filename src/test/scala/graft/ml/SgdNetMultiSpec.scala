@@ -154,4 +154,22 @@ class SgdNetMultiSpec extends SparkSpec {
     assert(math.abs(m.devRatio(0) - m1.devRatio(0)) < 1e-6,
       s"scale-mixed devRatio: ${m.devRatio(0)} vs ${m1.devRatio(0)}")
   }
+
+  test("multinomial class discovery is gated (round 17 hardening)") {
+    // a mis-typed label column (distinct per row) must fail FAST at
+    // class discovery, not slowly inside the k-by-p solve
+    import spark.implicits._
+    val wide = (1 to SgdNet.MaxMultinomialClasses + 10)
+      .map(i => (i.toDouble, i * 2.0, s"c$i")).toDF("x1", "x2", "y")
+    val e = intercept[IllegalArgumentException] {
+      SgdNet.fit(wide, Seq("x1", "x2"), "y",
+        SgdNetParams(family = "multinomial", lambda = Array(0.1)))
+    }
+    assert(e.getMessage.contains("distinct values"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      CvSgdNet.fit(wide, Seq("x1", "x2"), Seq("y"),
+        SgdNetParams(family = "multinomial", lambda = Array(0.1)), nfolds = 2)
+    }
+    assert(e2.getMessage.contains("distinct values"), e2.getMessage)
+  }
 }
