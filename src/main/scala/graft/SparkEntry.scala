@@ -39,6 +39,8 @@ object SparkEntry {
     "q_binom_offset_fit" -> (PathQueries.binomOffsetFit _),
     "q_relaxed_binom"    -> (PathQueries.relaxedBinom _),
     "q_relaxed_binom_sparse" -> (PathQueries.relaxedBinomSparse _),
+    "q_relaxed_binom_weighted" -> (PathQueries.relaxedBinomWeighted _),
+    "q_relaxed_binom_offset" -> (PathQueries.relaxedBinomOffset _),
     "q_binom_offset_sparse" -> (PathQueries.binomOffsetSparse _),
     "q_multinom_fit"     -> (PathQueries.multinomFit _),
     "q_multinom_offset"  -> (PathQueries.multinomOffset _),
@@ -81,6 +83,7 @@ object SparkEntry {
     "q_cv_relaxed_sparse" -> (PathQueries.cvRelaxedSparse _),
     "q_cv_relaxed_binom" -> (PathQueries.cvRelaxedBinom _),
     "q_cv_relaxed_binom_sparse" -> (PathQueries.cvRelaxedBinomSparse _),
+    "q_cv_relaxed_binom_offset" -> (PathQueries.cvRelaxedBinomOffset _),
     "q_cv_exact_pick"    -> (PathQueries.cvExactPick _),
     "q_cv_exact_predict" -> (PathQueries.cvExactPredict _),
     "q_cv_limits"        -> (PathQueries.cvLimits _),
@@ -1872,6 +1875,93 @@ object SparkEntry {
         |  round(wls.bo, 6) + 0, round(0.25 * cf2.b + 0.75 * wls.bo, 6) + 0
         |FROM cf2, wls
         |ORDER BY lambda_idx, term""".stripMargin,
+    // weighted relaxed binomial (round 17 — glmnet relax + weights):
+    // the q_relaxed_binom closed forms on v-WEIGHTED moments — the
+    // penalized point soft-thresholds the v-weighted covariance over
+    // constant null weights p_v(1-p_v); the refit is one unpenalized
+    // WLS step with accumulation weight w*v (z uses the pure IRLS w);
+    // lambda = 1 collapses to the v-weighted null
+    "q_relaxed_binom_weighted" ->
+      """WITH s AS (SELECT
+        |  sum(l_linenumber * l_quantity) / sum(l_linenumber) AS mx,
+        |  sqrt(sum(l_linenumber * l_quantity * l_quantity) / sum(l_linenumber)
+        |    - pow(sum(l_linenumber * l_quantity) / sum(l_linenumber), 2)) AS sd,
+        |  sum(l_linenumber * CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END)
+        |    / sum(l_linenumber) AS p,
+        |  sum(l_linenumber * l_quantity *
+        |      CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END)
+        |    / sum(l_linenumber)
+        |  - (sum(l_linenumber * l_quantity) / sum(l_linenumber)) *
+        |    (sum(l_linenumber * CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END)
+        |      / sum(l_linenumber)) AS cxy
+        |FROM lineitem),
+        |cf AS (SELECT mx, p,
+        |  sign(cxy/sd) * greatest(abs(cxy/sd) - 0.0002, 0) / (p * (1 - p)) / sd AS b
+        |FROM s),
+        |cf2 AS (SELECT ln(p / (1 - p)) - b * mx AS a0, b, p FROM cf),
+        |rr AS (SELECT l_quantity AS x, l_linenumber::DOUBLE AS v,
+        |         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+        |         cf2.a0 + cf2.b * l_quantity AS eta,
+        |         1.0/(1.0 + exp(-(cf2.a0 + cf2.b * l_quantity))) AS mu
+        |       FROM lineitem, cf2),
+        |ww AS (SELECT x, y, eta, mu, v,
+        |         greatest(mu * (1.0 - mu), 0.00001::DOUBLE) AS w0 FROM rr),
+        |ag AS (SELECT sum(w0*v) sw, sum(w0*v * (eta + (y - mu)/w0)) swz,
+        |         sum(w0*v * x) swx, sum(w0*v * x * (eta + (y - mu)/w0)) swxz,
+        |         sum(w0*v * x * x) swxx FROM ww),
+        |wls AS (SELECT (swz * swxx - swx * swxz) / (sw * swxx - swx * swx) AS a0o,
+        |          (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS bo
+        |        FROM ag)
+        |SELECT 0 AS lambda_idx, 'a0' AS term,
+        |  round(ln(p/(1-p)), 6) + 0 AS pen, round(ln(p/(1-p)), 6) + 0 AS ols,
+        |  round(ln(p/(1-p)), 6) + 0 AS blend FROM s
+        |UNION ALL SELECT 0, 'l_quantity', 0.0, 0.0, 0.0 FROM s
+        |UNION ALL SELECT 1, 'a0', round(cf2.a0, 6) + 0, round(wls.a0o, 6) + 0,
+        |  round(0.25 * cf2.a0 + 0.75 * wls.a0o, 6) + 0 FROM cf2, wls
+        |UNION ALL SELECT 1, 'l_quantity', round(cf2.b, 6) + 0,
+        |  round(wls.bo, 6) + 0, round(0.25 * cf2.b + 0.75 * wls.bo, 6) + 0
+        |FROM cf2, wls
+        |ORDER BY lambda_idx, term""".stripMargin,
+    // relaxed binomial with a CONSTANT offset c (round 17 — glmnet
+    // relax + offset): the offset null is logit(p)-c exactly, the
+    // penalized point is the plain one-step form with a0 shifted -c,
+    // and the refit is one WLS step whose eta includes c while the
+    // target excludes it; lambda = 1 collapses to the offset null
+    "q_relaxed_binom_offset" ->
+      """WITH s AS (SELECT avg(l_quantity) mx, sqrt(var_pop(l_quantity)) sd,
+        |  avg(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) p,
+        |  covar_pop(l_quantity, CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) cxy
+        |FROM lineitem),
+        |cf AS (SELECT mx, p,
+        |  sign(cxy/sd) * greatest(abs(cxy/sd) - 0.0002, 0) / (p * (1 - p)) / sd AS b
+        |FROM s),
+        |cf2 AS (SELECT ln(p / (1 - p)) - b * mx - 0.7::DOUBLE AS a0, b, p FROM cf),
+        |rr AS (SELECT l_quantity AS x,
+        |         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+        |         cf2.a0 + cf2.b * l_quantity + 0.7::DOUBLE AS eta,
+        |         1.0/(1.0 + exp(-(cf2.a0 + cf2.b * l_quantity + 0.7::DOUBLE))) AS mu
+        |       FROM lineitem, cf2),
+        |ww AS (SELECT x, y, eta, mu,
+        |         greatest(mu * (1.0 - mu), 0.00001::DOUBLE) AS w FROM rr),
+        |ag AS (SELECT sum(w) sw,
+        |         sum(w * (eta + (y - mu)/w - 0.7::DOUBLE)) swz,
+        |         sum(w * x) swx,
+        |         sum(w * x * (eta + (y - mu)/w - 0.7::DOUBLE)) swxz,
+        |         sum(w * x * x) swxx FROM ww),
+        |wls AS (SELECT (swz * swxx - swx * swxz) / (sw * swxx - swx * swx) AS a0o,
+        |          (sw * swxz - swx * swz) / (sw * swxx - swx * swx) AS bo
+        |        FROM ag)
+        |SELECT 0 AS lambda_idx, 'a0' AS term,
+        |  round(ln(p/(1-p)) - 0.7::DOUBLE, 6) + 0 AS pen,
+        |  round(ln(p/(1-p)) - 0.7::DOUBLE, 6) + 0 AS ols,
+        |  round(ln(p/(1-p)) - 0.7::DOUBLE, 6) + 0 AS blend FROM s
+        |UNION ALL SELECT 0, 'l_quantity', 0.0, 0.0, 0.0 FROM s
+        |UNION ALL SELECT 1, 'a0', round(cf2.a0, 6) + 0, round(wls.a0o, 6) + 0,
+        |  round(0.25 * cf2.a0 + 0.75 * wls.a0o, 6) + 0 FROM cf2, wls
+        |UNION ALL SELECT 1, 'l_quantity', round(cf2.b, 6) + 0,
+        |  round(wls.bo, 6) + 0, round(0.25 * cf2.b + 0.75 * wls.bo, 6) + 0
+        |FROM cf2, wls
+        |ORDER BY lambda_idx, term""".stripMargin,
     // the q_relaxed_binom oracle BYTE-IDENTICALLY through the sparse
     // restricted-moment refit chassis (same data/grid/gamma)
     "q_relaxed_binom_sparse" ->
@@ -2668,6 +2758,12 @@ object SparkEntry {
       ("q_binom_offset_sparse" -> base("q_binom_offset_fit")) +
       // round 17: relaxed binomial CV through the sparse fold-tiled
       // GLM chassis — same data/folds/grid, byte-identical oracle
-      ("q_cv_relaxed_binom_sparse" -> base("q_cv_relaxed_binom"))
+      ("q_cv_relaxed_binom_sparse" -> base("q_cv_relaxed_binom")) +
+      // round 17: relaxed binomial CV with a CONSTANT offset — the
+      // offset shifts every stage's intercept by -c and held-out
+      // scoring adds it back, so the deviance surface reproduces the
+      // no-offset oracle byte-identically (exact only when the offset
+      // algebra is right in every stage)
+      ("q_cv_relaxed_binom_offset" -> base("q_cv_relaxed_binom"))
   }
 }

@@ -5630,7 +5630,8 @@ object CvSgdNet {
                  gammas: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0),
                  measure: String = "deviance",
                  foldCol: Column = null,
-                 weightCol: String = null): RelaxedCvResult = {
+                 weightCol: String = null,
+                 offsetCol: String = null): RelaxedCvResult = {
     require(nfolds >= 2, "nfolds must be at least 2")
     require(gammas.nonEmpty && gammas.forall(g => g >= 0 && g <= 1),
       "gamma grid must lie in [0, 1]")
@@ -5642,10 +5643,19 @@ object CvSgdNet {
         s"relaxed ${params.family} CV supports " +
           s"${okMeasures.toSeq.sorted.mkString("|")}, not '$measure'")
       return cvRelaxedGlmShared(df, featureCols, labelCol, params, nfolds,
-        gammas, measure, foldCol, weightCol)
+        gammas, measure, foldCol, weightCol, offsetCol)
     }
     require(params.family == "gaussian",
       s"relaxed CV supports gaussian, binomial, poisson, not ${params.family}")
+    if (offsetCol != null) {
+      // identity link: relax CV with an offset IS the plain relax CV on
+      // y − offset (the fitWithOffset gaussian reduction); replace the
+      // label IN PLACE so a caller-supplied foldCol keeps its columns
+      val adj = df.withColumn(labelCol,
+        col(labelCol).cast("double") - col(offsetCol).cast("double"))
+      return fitRelaxed(adj, featureCols, labelCol, params, nfolds, gammas,
+        measure, foldCol, weightCol)
+    }
     require(Set("deviance", "mse", "mae").contains(measure),
       s"relaxed gaussian CV supports deviance|mse|mae, not '$measure'")
     val p = featureCols.size
@@ -5846,7 +5856,8 @@ object CvSgdNet {
                        gammas: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0),
                        measure: String = "deviance",
                        foldCol: Column = null,
-                       weightCol: String = null): RelaxedCvResult = {
+                       weightCol: String = null,
+                       offsetCol: String = null): RelaxedCvResult = {
     require(nfolds >= 2, "nfolds must be at least 2")
     require(gammas.nonEmpty && gammas.forall(g => g >= 0 && g <= 1),
       "gamma grid must lie in [0, 1]")
@@ -5858,11 +5869,19 @@ object CvSgdNet {
         s"relaxed ${params.family} CV supports " +
           s"${okMeasures.toSeq.sorted.mkString("|")}, not '$measure'")
       return cvRelaxedGlmSharedSparse(df, idxCol, valCol, dim, labelCol,
-        params, nfolds, gammas, measure, foldCol, weightCol)
+        params, nfolds, gammas, measure, foldCol, weightCol, offsetCol)
     }
     require(params.family == "gaussian",
       s"sparse relaxed CV supports gaussian, binomial, poisson, " +
         s"not ${params.family}")
+    if (offsetCol != null) {
+      // identity link: the offset shifts only the label (CSR x is
+      // untouched) — delegate to the plain sparse relax CV on y − off
+      val adj = df.withColumn(labelCol,
+        col(labelCol).cast("double") - col(offsetCol).cast("double"))
+      return fitRelaxedSparse(adj, idxCol, valCol, dim, labelCol, params,
+        nfolds, gammas, measure, foldCol, weightCol)
+    }
     require(Set("deviance", "mse", "mae").contains(measure),
       s"sparse relaxed gaussian CV supports deviance|mse|mae, not '$measure'")
     val p = dim
@@ -6056,11 +6075,13 @@ object CvSgdNet {
                                  labelCol: String, params: SgdNetParams,
                                  nfolds: Int, gammas: Seq[Double],
                                  measure: String, foldCol: Column,
-                                 weightCol: String): RelaxedCvResult = {
+                                 weightCol: String,
+                                 offsetCol: String = null): RelaxedCvResult = {
     SgdNet.requireNoZeroPf(params, "relaxed GLM CV")
     val p = featureCols.size
     val binomial = params.family == "binomial"
     val weighted = weightCol != null
+    val hasOffset = offsetCol != null
     val classes: Array[String] =
       if (binomial) {
         val cs = df.select(col(labelCol).cast("string")).distinct()
@@ -6074,16 +6095,18 @@ object CvSgdNet {
       if (binomial) (col(labelCol).cast("string") === classes(1)).cast("double")
       else col(labelCol).cast("double")
     val wCol = if (weighted) col(weightCol).cast("double") else lit(1.0)
+    val oCol = if (hasOffset) col(offsetCol).cast("double") else lit(0.0)
     val hashCols = (featureCols :+ labelCol).map(col)
     val rows0 = df
       .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
       .select((featureCols.map(c => col(c).cast("double")) :+
-        yCol :+ wCol :+ col("__fold")): _*)
+        yCol :+ wCol :+ oCol :+ col("__fold")): _*)
       .rdd.map { r =>
         val x = new Array[Double](p)
         var j = 0
         while (j < p) { x(j) = r.getDouble(j); j += 1 }
-        (r.getInt(p + 2), x, r.getDouble(p), r.getDouble(p + 1))
+        (r.getInt(p + 3), x, r.getDouble(p), r.getDouble(p + 1),
+          r.getDouble(p + 2))
       }
     val rows = (if (weighted)
         rows0.map { t => require(t._4 >= 0, "weights must be non-negative"); t }
@@ -6092,25 +6115,41 @@ object CvSgdNet {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val F = nfolds + 1
+      // ONE pass: per-fold raw-v moments + Σv + Σv·e^off + Σv·off (the
+      // last two feed the per-fold OFFSET nulls; zero when no offset)
       val zero = (Array.fill(nfolds)(new GramStats(p, 1)),
+        new Array[Double](nfolds), new Array[Double](nfolds),
         new Array[Double](nfolds))
-      val (perFold, wFold) = rows.treeAggregate(zero)(
+      val (perFold, wFold, eFold, oFold) = rows.treeAggregate(zero)(
         (acc, t) => {
           acc._1(t._1).addWeighted(t._2, Array(t._3), t._4)
           acc._2(t._1) += t._4
+          acc._3(t._1) += t._4 *
+            math.exp(math.max(math.min(t._5, 30.0), -30.0))
+          acc._4(t._1) += t._4 * t._5
           acc
         },
         (a, b) => {
           var i = 0
-          while (i < nfolds) { a._1(i).merge(b._1(i)); a._2(i) += b._2(i); i += 1 }
+          while (i < nfolds) {
+            a._1(i).merge(b._1(i)); a._2(i) += b._2(i); a._3(i) += b._3(i)
+            a._4(i) += b._4(i)
+            i += 1
+          }
           a
         }, depth = 2)
       requireNonEmptyFolds(perFold.map(_.n), nfolds)
       val total = new GramStats(p, 1)
       perFold.foreach(total.merge)
       val wTotal = wFold.sum
+      val eTotal = eFold.sum
+      val oTotal = oFold.sum
+      val syTotal = total.sumY(0)
       val perFoldExt = perFold :+ new GramStats(p, 1)
       val wFoldExt = wFold :+ 0.0
+      val eFoldExt = eFold :+ 0.0
+      val oFoldExt = oFold :+ 0.0
+      val syFoldExt = perFold.map(_.sumY(0)) :+ 0.0
       val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
       val norms = Array.tabulate(F)(f => nTrain(f) / (wTotal - wFoldExt(f)))
       val trainStats = Array.tabulate(F) { f =>
@@ -6120,13 +6159,95 @@ object CvSgdNet {
       }
       if (!binomial) trainStats.foreach(st => require(st.yMean(0) > 0,
         "poisson response must contain positive counts in every train fold"))
+      var offsetPasses = 0
+      // per-fold null intercepts: the plain closed forms without an
+      // offset; with one, the cvOffsetGlmShared offset nulls (poisson
+      // exposure ratio; binomial fold-tiled Newton from the
+      // mean-offset-shifted logit, exact for constant offsets)
+      val a0Null: Array[Double] =
+        if (!params.intercept) new Array[Double](F)
+        else if (!hasOffset) Array.tabulate(F) { f =>
+          val yb = trainStats(f).yMean(0)
+          if (binomial) {
+            if (yb > 0 && yb < 1) math.log(yb / (1 - yb)) else 0.0
+          } else math.log(yb)
+        } else if (!binomial) Array.tabulate(F) { f =>
+          math.log((syTotal - syFoldExt(f)) / (eTotal - eFoldExt(f)))
+        } else {
+          val a0n = Array.tabulate(F) { f =>
+            val tw = wTotal - wFoldExt(f)
+            val yb = (syTotal - syFoldExt(f)) / tw
+            require(yb > 0 && yb < 1,
+              "binomial response must contain both classes in every train fold")
+            math.log(yb / (1 - yb)) - (oTotal - oFoldExt(f)) / tw
+          }
+          var it = 0
+          var done = false
+          while (it < 25 && !done) {
+            val a0Snap = a0n.clone()
+            val acc = rows.treeAggregate(new Array[Double](2 * F))(
+              (s, t) => {
+                val (rowFold, _, y, v, off) = t
+                var f = 0
+                while (f < F) {
+                  if (f != rowFold) {
+                    val mu = 1.0 / (1.0 + math.exp(-(a0Snap(f) + off)))
+                    s(2 * f) += v * (y - mu)
+                    s(2 * f + 1) += v * math.max(mu * (1.0 - mu), 1e-10)
+                  }
+                  f += 1
+                }
+                s
+              },
+              (a, b) => {
+                var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+              }, depth = 2)
+            offsetPasses += 1
+            var mx = 0.0
+            for (f <- 0 until F) {
+              val step = acc(2 * f) / acc(2 * f + 1)
+              a0n(f) += step
+              if (math.abs(step) > mx) mx = math.abs(step)
+            }
+            it += 1
+            if (mx < 1e-12) done = true
+          }
+          a0n
+        }
       val lambdas =
         if (params.lambda != null) params.lambda
-        else {
+        else if (!hasOffset) {
           val minRatio = if (params.lambdaMinRatio.isNaN)
             LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
           LambdaPath.build(trainStats(nfolds).b, params.alpha, params.nlambda,
             minRatio, params.penaltyFactor)
+        } else {
+          // offset-corrected lambda_max on the full data (the
+          // cvOffsetGlmShared pathB pass)
+          val minRatio = if (params.lambdaMinRatio.isNaN)
+            LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
+          val a0N = a0Null(nfolds)
+          val mF = if (params.intercept) trainStats(nfolds).xMean
+            else new Array[Double](p)
+          val sF = if (params.standardize) trainStats(nfolds).xSd
+            else Array.fill(p)(1.0)
+          val nrm = norms(nfolds)
+          val bOff = rows.treeAggregate(new Array[Double](p))(
+            (acc, t) => {
+              val (_, xr, y, v, off) = t
+              val mu =
+                if (binomial) 1.0 / (1.0 + math.exp(-(a0N + off)))
+                else math.exp(math.max(math.min(a0N + off, 30.0), -30.0))
+              val r = v * nrm * (y - mu)
+              var j = 0
+              while (j < p) { acc(j) += (xr(j) - mF(j)) / sF(j) * r; j += 1 }
+              acc
+            },
+            (a, b) => { var i = 0; while (i < p) { a(i) += b(i); i += 1 }; a },
+            depth = 2)
+          offsetPasses += 1
+          LambdaPath.build(Array(bOff.map(_ / nTrain(nfolds))), params.alpha,
+            params.nlambda, minRatio, params.penaltyFactor)
         }
       val means = trainStats.map(st =>
         if (params.intercept) st.xMean else new Array[Double](p))
@@ -6141,16 +6262,10 @@ object CvSgdNet {
       // ---------------- stage 1: per-fold penalized paths (fold-tiled)
       val L = lambdas.length
       val beta = Array.fill(F)(new Array[Double](p))
-      val a0 = Array.tabulate(F) { f =>
-        val yb = trainStats(f).yMean(0)
-        if (!params.intercept) 0.0
-        else if (binomial) {
-          if (yb > 0 && yb < 1) math.log(yb / (1 - yb)) else 0.0
-        } else math.log(yb)
-      }
+      val a0 = a0Null.clone()
       val a0Out = Array.ofDim[Double](F, L)
       val betaOut = Array.ofDim[Double](F, L, p)
-      var sharedPasses = 1
+      var sharedPasses = 1 + offsetPasses
       for (l <- 0 until L) {
         val active = Array.fill(F)(true)
         var iter = 0
@@ -6161,13 +6276,13 @@ object CvSgdNet {
           sharedPasses += 1
           val grams = rows.treeAggregate(Array.fill(F)(new BinWGram(p)))(
             (acc, t) => {
-              val (rowFold, xr, y, v) = t
+              val (rowFold, xr, y, v, off) = t
               var f = 0
               while (f < F) {
                 if (f != rowFold && activeSnap(f)) {
                   val m = bMeans.value(f); val s = bScales.value(f)
                   val bf = betaSnap(f)
-                  var eta = a0Snap(f)
+                  var eta = a0Snap(f) + off
                   val xs = new Array[Double](p)
                   var j = 0
                   while (j < p) {
@@ -6178,12 +6293,12 @@ object CvSgdNet {
                   if (binomial) {
                     val mu = 1.0 / (1.0 + math.exp(-eta))
                     w = math.max(mu * (1.0 - mu), 1e-5)
-                    z = eta + (y - mu) / w
+                    z = eta + (y - mu) / w - off
                   } else {
                     val etaC = math.max(math.min(eta, 30.0), -30.0)
                     val mu = math.exp(etaC)
                     w = math.max(mu, 1e-5)
-                    z = etaC + (y - mu) / w
+                    z = etaC + (y - mu) / w - off
                   }
                   acc(f).add(xs, w * v * bNorms.value(f), z)
                 }
@@ -6231,11 +6346,9 @@ object CvSgdNet {
       val bFull = Array.tabulate(F, L)((f, l) => betaOut(f)(l).clone())
       val doneR = Array.ofDim[Boolean](F, L)
       for (f <- 0 until F; l <- 0 until L if activeSet(f)(l).isEmpty) {
-        val yb = trainStats(f).yMean(0)
-        a0R(f)(l) =
-          if (!params.intercept) 0.0
-          else if (binomial) math.log(yb / (1 - yb))
-          else math.log(yb)
+        // empty-set refit = the fold's null (the OFFSET null when an
+        // offset rides along)
+        a0R(f)(l) = a0Null(f)
         java.util.Arrays.fill(bFull(f)(l), 0.0)
         doneR(f)(l) = true
       }
@@ -6256,14 +6369,14 @@ object CvSgdNet {
         sharedPasses += 1
         val acc = rows.treeAggregate(new Array[Double](offs.last))(
           (s, t) => {
-            val (rowFold, x, y, v) = t
+            val (rowFold, x, y, v, off) = t
             val (lv, acts, a0s, bs, os) = bState.value
             var i = 0
             while (i < lv.length) {
               if (lv(i)._1 != rowFold) {
                 val a = acts(i)
                 val m = a.length
-                var eta = a0s(i)
+                var eta = a0s(i) + off
                 var q = 0
                 while (q < m) { eta += bs(i)(a(q)) * x(a(q)); q += 1 }
                 var w = 0.0
@@ -6271,12 +6384,12 @@ object CvSgdNet {
                 if (binomial) {
                   val mu = 1.0 / (1.0 + math.exp(-eta))
                   w = math.max(mu * (1.0 - mu), 1e-5)
-                  z = eta + (y - mu) / w
+                  z = eta + (y - mu) / w - off
                 } else {
                   val etaC = math.max(math.min(eta, 30.0), -30.0)
                   val mu = math.exp(etaC)
                   w = math.max(mu, 1e-5)
-                  z = etaC + (y - mu) / w
+                  z = etaC + (y - mu) / w - off
                 }
                 w *= v
                 val base = os(i)
@@ -6352,16 +6465,12 @@ object CvSgdNet {
       val betaFullP = Array.tabulate(L)(l => Array(betaOut(nfolds)(l).clone()))
       val G = gammas.length
       val normFull = norms(nfolds)
-      val ybFull = trainStats(nfolds).yMean(0)
-      val a0NullFull =
-        if (!params.intercept) 0.0
-        else if (binomial) math.log(ybFull / (1 - ybFull))
-        else math.log(ybFull)
+      val a0NullFull = a0Null(nfolds)
       // one pass: deviances of every (gamma, lambda) BLEND + the null
       val gArr = gammas.toArray
       val devs = rows.treeAggregate(new Array[Double](G * L + 1))(
         (acc, t) => {
-          val (_, x, y, v) = t
+          val (_, x, y, v, off) = t
           def binDev(eta: Double): Double = {
             val m = math.max(eta, 0.0)
             2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y * eta)
@@ -6376,7 +6485,7 @@ object CvSgdNet {
             val gm = gArr(g)
             var l = 0
             while (l < L) {
-              var eta = gm * a0FullP(l)(0) + (1 - gm) * a0R(nfolds)(l)
+              var eta = gm * a0FullP(l)(0) + (1 - gm) * a0R(nfolds)(l) + off
               var j = 0
               while (j < p) {
                 eta += (gm * betaFullP(l)(0)(j) +
@@ -6389,9 +6498,9 @@ object CvSgdNet {
             }
             g += 1
           }
-          acc(G * L) += vn * (if (binomial) binDev(a0NullFull)
+          acc(G * L) += vn * (if (binomial) binDev(a0NullFull + off)
             else poisDev(math.exp(
-              math.max(math.min(a0NullFull, 30.0), -30.0))))
+              math.max(math.min(a0NullFull + off, 30.0), -30.0))))
           acc
         },
         (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
@@ -6414,14 +6523,15 @@ object CvSgdNet {
         else {
           val spark = df.sparkSession
           val scored = spark.createDataFrame(rows.map { t =>
-            val (f, x, y, v) = t
+            val (f, x, y, v, off) = t
             val etas = new Array[Double](G * L)
             var g = 0
             while (g < G) {
               val gm = gArr(g)
               var l = 0
               while (l < L) {
-                var eta = gm * bA0P.value(f)(l) + (1 - gm) * bA0R.value(f)(l)
+                var eta = gm * bA0P.value(f)(l) +
+                  (1 - gm) * bA0R.value(f)(l) + off
                 var j = 0
                 while (j < p) {
                   eta += (gm * bBetaP.value(f)(l)(j) +
@@ -6447,13 +6557,14 @@ object CvSgdNet {
       val sums = if (measure == "auc") new Array[Double](G * nfolds * L)
       else rows.treeAggregate(new Array[Double](G * nfolds * L))(
         (s, t) => {
-          val (f, x, y, v) = t
+          val (f, x, y, v, off) = t
           var g = 0
           while (g < G) {
             val gm = gArr(g)
             var l = 0
             while (l < L) {
-              var eta = gm * bA0P.value(f)(l) + (1 - gm) * bA0R.value(f)(l)
+              var eta = gm * bA0P.value(f)(l) +
+                (1 - gm) * bA0R.value(f)(l) + off
               var j = 0
               while (j < p) {
                 eta += (gm * bBetaP.value(f)(l)(j) +
@@ -6555,11 +6666,13 @@ object CvSgdNet {
                                        params: SgdNetParams, nfolds: Int,
                                        gammas: Seq[Double], measure: String,
                                        foldCol: Column,
-                                       weightCol: String): RelaxedCvResult = {
+                                       weightCol: String,
+                                       offsetCol: String = null): RelaxedCvResult = {
     SgdNet.requireNoZeroPf(params, "relaxed GLM CV")
     val p = dim
     val binomial = params.family == "binomial"
     val weighted = weightCol != null
+    val hasOffset = offsetCol != null
     val classes: Array[String] =
       if (binomial) {
         val cs = df.select(col(labelCol).cast("string")).distinct()
@@ -6573,14 +6686,16 @@ object CvSgdNet {
       if (binomial) (col(labelCol).cast("string") === classes(1)).cast("double")
       else col(labelCol).cast("double")
     val wCol = if (weighted) col(weightCol).cast("double") else lit(1.0)
+    val oCol = if (hasOffset) col(offsetCol).cast("double") else lit(0.0)
     val hashCols = Seq(col(idxCol), col(valCol), col(labelCol))
     val rows0 = df
       .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
       .select(col(idxCol), col(valCol).cast("array<double>"), yCol,
-        col("__fold"), wCol)
+        col("__fold"), wCol, oCol)
       .rdd.map { r =>
         (r.getInt(3), r.getSeq[Int](0).toArray,
-          r.getSeq[Double](1).toArray, r.getDouble(2), r.getDouble(4))
+          r.getSeq[Double](1).toArray, r.getDouble(2), r.getDouble(4),
+          r.getDouble(5))
       }
     val rows = (if (weighted)
         rows0.map { t => require(t._5 >= 0, "weights must be non-negative"); t }
@@ -6590,24 +6705,38 @@ object CvSgdNet {
     try {
       val F = nfolds + 1
       val zero = (Array.fill(nfolds)(new GramStats(p, 1)),
+        new Array[Double](nfolds), new Array[Double](nfolds),
         new Array[Double](nfolds))
-      val (perFold, wFold) = rows.treeAggregate(zero)(
+      val (perFold, wFold, eFold, oFold) = rows.treeAggregate(zero)(
         (acc, t) => {
           acc._1(t._1).addSparseWeighted(t._2, t._3, Array(t._4), t._5)
           acc._2(t._1) += t._5
+          acc._3(t._1) += t._5 *
+            math.exp(math.max(math.min(t._6, 30.0), -30.0))
+          acc._4(t._1) += t._5 * t._6
           acc
         },
         (a, b) => {
           var i = 0
-          while (i < nfolds) { a._1(i).merge(b._1(i)); a._2(i) += b._2(i); i += 1 }
+          while (i < nfolds) {
+            a._1(i).merge(b._1(i)); a._2(i) += b._2(i); a._3(i) += b._3(i)
+            a._4(i) += b._4(i)
+            i += 1
+          }
           a
         }, depth = 2)
       requireNonEmptyFolds(perFold.map(_.n), nfolds)
       val total = new GramStats(p, 1)
       perFold.foreach(total.merge)
       val wTotal = wFold.sum
+      val eTotal = eFold.sum
+      val oTotal = oFold.sum
+      val syTotal = total.sumY(0)
       val perFoldExt = perFold :+ new GramStats(p, 1)
       val wFoldExt = wFold :+ 0.0
+      val eFoldExt = eFold :+ 0.0
+      val oFoldExt = oFold :+ 0.0
+      val syFoldExt = perFold.map(_.sumY(0)) :+ 0.0
       val nTrain = Array.tabulate(F)(f => (total.n - perFoldExt(f).n).toDouble)
       val norms = Array.tabulate(F)(f => nTrain(f) / (wTotal - wFoldExt(f)))
       val trainStats = Array.tabulate(F) { f =>
@@ -6617,12 +6746,94 @@ object CvSgdNet {
       }
       if (!binomial) trainStats.foreach(st => require(st.yMean(0) > 0,
         "poisson response must contain positive counts in every train fold"))
+      var offsetPasses = 0
+      val a0NullArr: Array[Double] =
+        if (!params.intercept) new Array[Double](F)
+        else if (!hasOffset) Array.tabulate(F) { f =>
+          val yb = trainStats(f).yMean(0)
+          if (binomial) {
+            if (yb > 0 && yb < 1) math.log(yb / (1 - yb)) else 0.0
+          } else math.log(yb)
+        } else if (!binomial) Array.tabulate(F) { f =>
+          math.log((syTotal - syFoldExt(f)) / (eTotal - eFoldExt(f)))
+        } else {
+          val a0n = Array.tabulate(F) { f =>
+            val tw = wTotal - wFoldExt(f)
+            val yb = (syTotal - syFoldExt(f)) / tw
+            require(yb > 0 && yb < 1,
+              "binomial response must contain both classes in every train fold")
+            math.log(yb / (1 - yb)) - (oTotal - oFoldExt(f)) / tw
+          }
+          var it = 0
+          var done = false
+          while (it < 25 && !done) {
+            val a0Snap = a0n.clone()
+            val acc = rows.treeAggregate(new Array[Double](2 * F))(
+              (s, t) => {
+                val (rowFold, _, _, y, v, off) = t
+                var f = 0
+                while (f < F) {
+                  if (f != rowFold) {
+                    val mu = 1.0 / (1.0 + math.exp(-(a0Snap(f) + off)))
+                    s(2 * f) += v * (y - mu)
+                    s(2 * f + 1) += v * math.max(mu * (1.0 - mu), 1e-10)
+                  }
+                  f += 1
+                }
+                s
+              },
+              (a, b) => {
+                var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+              }, depth = 2)
+            offsetPasses += 1
+            var mx = 0.0
+            for (f <- 0 until F) {
+              val step = acc(2 * f) / acc(2 * f + 1)
+              a0n(f) += step
+              if (math.abs(step) > mx) mx = math.abs(step)
+            }
+            it += 1
+            if (mx < 1e-12) done = true
+          }
+          a0n
+        }
       val lambdas =
         if (params.lambda != null) params.lambda
-        else {
+        else if (!hasOffset) {
           val minRatio = if (params.lambdaMinRatio.isNaN)
             LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
           LambdaPath.build(trainStats(nfolds).b, params.alpha, params.nlambda,
+            minRatio, params.penaltyFactor)
+        } else {
+          // offset-corrected sparse lambda_max: accumulate Σr·x_j over
+          // nonzeros + Σr, center/standardize algebraically
+          val minRatio = if (params.lambdaMinRatio.isNaN)
+            LambdaPath.defaultMinRatio(total.n, p) else params.lambdaMinRatio
+          val a0N = a0NullArr(nfolds)
+          val mF = if (params.intercept) trainStats(nfolds).xMean
+            else new Array[Double](p)
+          val sF = if (params.standardize) trainStats(nfolds).xSd
+            else Array.fill(p)(1.0)
+          val nrm = norms(nfolds)
+          val acc = rows.treeAggregate(new Array[Double](p + 1))(
+            (s, t) => {
+              val (_, idx, vals, y, v, off) = t
+              val mu =
+                if (binomial) 1.0 / (1.0 + math.exp(-(a0N + off)))
+                else math.exp(math.max(math.min(a0N + off, 30.0), -30.0))
+              val r = v * nrm * (y - mu)
+              var i = 0
+              while (i < idx.length) { s(idx(i)) += r * vals(i); i += 1 }
+              s(p) += r
+              s
+            },
+            (a, b) => {
+              var i = 0; while (i <= p) { a(i) += b(i); i += 1 }; a
+            }, depth = 2)
+          offsetPasses += 1
+          val bOff = Array.tabulate(p)(j =>
+            (acc(j) - mF(j) * acc(p)) / sF(j) / nTrain(nfolds))
+          LambdaPath.build(Array(bOff), params.alpha, params.nlambda,
             minRatio, params.penaltyFactor)
         }
       val means = trainStats.map(st =>
@@ -6636,16 +6847,10 @@ object CvSgdNet {
       // uncentered sparse IRLS moments, centered in the driver solve)
       val L = lambdas.length
       val beta = Array.fill(F)(new Array[Double](p))
-      val a0 = Array.tabulate(F) { f =>
-        val yb = trainStats(f).yMean(0)
-        if (!params.intercept) 0.0
-        else if (binomial) {
-          if (yb > 0 && yb < 1) math.log(yb / (1 - yb)) else 0.0
-        } else math.log(yb)
-      }
+      val a0 = a0NullArr.clone()
       val a0Out = Array.ofDim[Double](F, L)
       val betaOut = Array.ofDim[Double](F, L, p)
-      var sharedPasses = 1
+      var sharedPasses = 1 + offsetPasses
       def solveFold(f: Int, g: BinWGram, l: Int): (Array[Double], Double) = {
         val mean = means(f); val scale = scales(f)
         val ninv = 1.0 / nTrain(f)
@@ -6693,12 +6898,12 @@ object CvSgdNet {
           sharedPasses += 1
           val grams = rows.treeAggregate(Array.fill(F)(new BinWGram(p)))(
             (acc, t) => {
-              val (rowFold, idx, vals, y, v) = t
+              val (rowFold, idx, vals, y, v, roff) = t
               val (bos, off, nrm) = bc.value
               var f = 0
               while (f < F) {
                 if (f != rowFold && activeSnap(f)) {
-                  var eta = off(f)
+                  var eta = off(f) + roff
                   var i = 0
                   while (i < idx.length) { eta += vals(i) * bos(f)(idx(i)); i += 1 }
                   var w = 0.0
@@ -6706,12 +6911,12 @@ object CvSgdNet {
                   if (binomial) {
                     val mu = 1.0 / (1.0 + math.exp(-eta))
                     w = math.max(mu * (1.0 - mu), 1e-5)
-                    z = eta + (y - mu) / w
+                    z = eta + (y - mu) / w - roff
                   } else {
                     val etaC = math.max(math.min(eta, 30.0), -30.0)
                     val mu = math.exp(etaC)
                     w = math.max(mu, 1e-5)
-                    z = etaC + (y - mu) / w
+                    z = etaC + (y - mu) / w - roff
                   }
                   val vw = v * nrm(f) * w
                   val g = acc(f)
@@ -6766,11 +6971,8 @@ object CvSgdNet {
       val bFull = Array.tabulate(F, L)((f, l) => betaOut(f)(l).clone())
       val doneR = Array.ofDim[Boolean](F, L)
       for (f <- 0 until F; l <- 0 until L if activeSet(f)(l).isEmpty) {
-        val yb = trainStats(f).yMean(0)
-        a0R(f)(l) =
-          if (!params.intercept) 0.0
-          else if (binomial) math.log(yb / (1 - yb))
-          else math.log(yb)
+        // empty-set refit = the fold's null (OFFSET null with an offset)
+        a0R(f)(l) = a0NullArr(f)
         java.util.Arrays.fill(bFull(f)(l), 0.0)
         doneR(f)(l) = true
       }
@@ -6791,7 +6993,7 @@ object CvSgdNet {
         sharedPasses += 1
         val acc = rows.treeAggregate(new Array[Double](offsA.last))(
           (s, t) => {
-            val (rowFold, idx, vals, y, v) = t
+            val (rowFold, idx, vals, y, v, roff) = t
             val (lv, acts, a0s, bs, os) = bState.value
             var i = 0
             while (i < lv.length) {
@@ -6801,7 +7003,7 @@ object CvSgdNet {
                 // slots of this row's nonzeros in the cell's active set
                 // (bs is zero off the active set, so eta walks all
                 // nonzeros without the lookup)
-                var eta = a0s(i)
+                var eta = a0s(i) + roff
                 val qs = new Array[Int](idx.length)
                 var t2 = 0
                 while (t2 < idx.length) {
@@ -6814,12 +7016,12 @@ object CvSgdNet {
                 if (binomial) {
                   val mu = 1.0 / (1.0 + math.exp(-eta))
                   w = math.max(mu * (1.0 - mu), 1e-5)
-                  z = eta + (y - mu) / w
+                  z = eta + (y - mu) / w - roff
                 } else {
                   val etaC = math.max(math.min(eta, 30.0), -30.0)
                   val mu = math.exp(etaC)
                   w = math.max(mu, 1e-5)
-                  z = etaC + (y - mu) / w
+                  z = etaC + (y - mu) / w - roff
                 }
                 w *= v
                 val base = os(i)
@@ -6903,15 +7105,11 @@ object CvSgdNet {
       val betaFullP = Array.tabulate(L)(l => Array(betaOut(nfolds)(l).clone()))
       val G = gammas.length
       val normFull = norms(nfolds)
-      val ybFull = trainStats(nfolds).yMean(0)
-      val a0NullFull =
-        if (!params.intercept) 0.0
-        else if (binomial) math.log(ybFull / (1 - ybFull))
-        else math.log(ybFull)
+      val a0NullFull = a0NullArr(nfolds)
       val gArr = gammas.toArray
       val devs = rows.treeAggregate(new Array[Double](G * L + 1))(
         (acc, t) => {
-          val (_, idx, vals, y, v) = t
+          val (_, idx, vals, y, v, roff) = t
           def binDev(eta: Double): Double = {
             val m = math.max(eta, 0.0)
             2.0 * (m + math.log(math.exp(-m) + math.exp(eta - m)) - y * eta)
@@ -6926,7 +7124,7 @@ object CvSgdNet {
             val gm = gArr(g)
             var l = 0
             while (l < L) {
-              var eta = gm * a0FullP(l)(0) + (1 - gm) * a0R(nfolds)(l)
+              var eta = gm * a0FullP(l)(0) + (1 - gm) * a0R(nfolds)(l) + roff
               var i = 0
               while (i < idx.length) {
                 val j = idx(i)
@@ -6940,9 +7138,9 @@ object CvSgdNet {
             }
             g += 1
           }
-          acc(G * L) += vn * (if (binomial) binDev(a0NullFull)
+          acc(G * L) += vn * (if (binomial) binDev(a0NullFull + roff)
             else poisDev(math.exp(
-              math.max(math.min(a0NullFull, 30.0), -30.0))))
+              math.max(math.min(a0NullFull + roff, 30.0), -30.0))))
           acc
         },
         (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
@@ -6960,14 +7158,15 @@ object CvSgdNet {
         else {
           val spark = df.sparkSession
           val scored = spark.createDataFrame(rows.map { t =>
-            val (f, idx, vals, y, v) = t
+            val (f, idx, vals, y, v, roff) = t
             val etas = new Array[Double](G * L)
             var g = 0
             while (g < G) {
               val gm = gArr(g)
               var l = 0
               while (l < L) {
-                var eta = gm * bA0P.value(f)(l) + (1 - gm) * bA0R.value(f)(l)
+                var eta = gm * bA0P.value(f)(l) +
+                  (1 - gm) * bA0R.value(f)(l) + roff
                 var i = 0
                 while (i < idx.length) {
                   val j = idx(i)
@@ -6994,13 +7193,14 @@ object CvSgdNet {
       val sums = if (measure == "auc") new Array[Double](G * nfolds * L)
       else rows.treeAggregate(new Array[Double](G * nfolds * L))(
         (s, t) => {
-          val (f, idx, vals, y, v) = t
+          val (f, idx, vals, y, v, roff) = t
           var g = 0
           while (g < G) {
             val gm = gArr(g)
             var l = 0
             while (l < L) {
-              var eta = gm * bA0P.value(f)(l) + (1 - gm) * bA0R.value(f)(l)
+              var eta = gm * bA0P.value(f)(l) +
+                (1 - gm) * bA0R.value(f)(l) + roff
               var i = 0
               while (i < idx.length) {
                 val j = idx(i)

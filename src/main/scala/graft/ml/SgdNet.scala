@@ -1605,10 +1605,43 @@ object SgdNet {
     * lambda's active set, zero extra data passes, exactly
     * [[relaxedFit]]'s shape. Integer weights reproduce row duplication
     * (spec). */
+  /** Relaxed fit WITH a linear-predictor offset (round 17 — glmnet
+    * relax = TRUE + offset, completing relax × offset): gaussian
+    * delegates to the plain relax on the offset-adjusted response
+    * (identity link — fitting y − offset IS the offset model, same
+    * reduction as [[fitWithOffset]]); binomial/poisson route to the
+    * offset-aware IRLS refit ([[relaxedFitGlm]]: η includes the
+    * row's offset in every refit accumulation, the WLS target
+    * excludes it, empty sets take the OFFSET null). `weightCol`
+    * composes (offset + weights together). */
+  def relaxedFitWithOffset(df: DataFrame, featureCols: Seq[String],
+                           labelCol: String, offsetCol: String,
+                           params: SgdNetParams = SgdNetParams(),
+                           gamma: Double = 1.0,
+                           weightCol: String = null): RelaxedPath = {
+    import org.apache.spark.sql.functions.col
+    if (params.family == "binomial" || params.family == "poisson")
+      return relaxedFitGlm(df, featureCols, labelCol, params, gamma,
+        weightCol, offsetCol)
+    require(params.family == "gaussian",
+      s"relaxed offset fit supports gaussian, binomial, poisson, not ${params.family}")
+    val adj = df.select((featureCols.map(col) ++
+      (if (weightCol == null) Nil else Seq(col(weightCol))) :+
+      (col(labelCol).cast("double") - col(offsetCol).cast("double"))
+        .as(labelCol)): _*)
+    if (weightCol != null)
+      relaxedFitWeighted(adj, featureCols, labelCol, weightCol, params, gamma)
+    else relaxedFit(adj, featureCols, labelCol, params, gamma)
+  }
+
   def relaxedFitWeighted(df: DataFrame, featureCols: Seq[String],
                          labelCol: String, weightCol: String,
                          params: SgdNetParams = SgdNetParams(),
                          gamma: Double = 1.0): RelaxedPath = {
+    // binomial/poisson route to the weighted IRLS refit (round 17 —
+    // glmnet relax = TRUE + weights for every family)
+    if (params.family == "binomial" || params.family == "poisson")
+      return relaxedFitGlm(df, featureCols, labelCol, params, gamma, weightCol)
     validateRelaxed(params, gamma)
     val g = weightedGramStats(df, featureCols, Seq(labelCol), weightCol)
     relaxedFromStats(g, featureCols, labelCol, params, gamma)
@@ -1626,6 +1659,11 @@ object SgdNet {
                        gamma: Double = 1.0,
                        weightCol: String = null): RelaxedPath = {
     import org.apache.spark.sql.functions.{col, lit}
+    // binomial/poisson route to the sparse IRLS refit (round 17 adds
+    // the weighted cell — glmnet relax + weights with a dgCMatrix x)
+    if (params.family == "binomial" || params.family == "poisson")
+      return relaxedFitGlmSparse(df, idxCol, valCol, dim, labelCol, params,
+        gamma, weightCol)
     validateRelaxed(params, gamma)
     val wCol = if (weightCol == null) lit(1.0) else col(weightCol).cast("double")
     val raw = df.select(col(idxCol), col(valCol).cast("array<double>"),
@@ -1676,30 +1714,61 @@ object SgdNet {
     * coefficients (no standardization: the unpenalized MLE is
     * scale-equivariant). An empty active set refits to the closed-form
     * null (logit(ȳ) / ln(ȳ)). The γ-blend semantics are
-    * [[RelaxedPath]]'s. */
+    * [[RelaxedPath]]'s. With `weightCol` (round 17 — glmnet
+    * relax = TRUE + weights for the IRLS families) the penalized path
+    * comes from [[fitWeighted]] and every refit accumulation folds the
+    * raw v into the IRLS weight (the unpenalized WLS is
+    * scale-invariant in the weights, so no renormalization; w = 0
+    * drops the row; the null is the v-weighted mean). With `offsetCol`
+    * (round 17 — glmnet relax = TRUE + offset) the penalized path
+    * comes from the offset fits, every refit η includes the row's
+    * offset while the WLS target excludes it (the solve fits exactly
+    * a0 + x_A·β), and the empty-set null is the OFFSET null (poisson
+    * closed-form exposure MLE; binomial via a driver Newton over
+    * one-pair data passes, exact at the start for constant offsets). */
   def relaxedFitGlm(df: DataFrame, featureCols: Seq[String],
                     labelCol: String,
                     params: SgdNetParams,
-                    gamma: Double = 1.0): RelaxedPath = {
-    import org.apache.spark.sql.functions.col
+                    gamma: Double = 1.0,
+                    weightCol: String = null,
+                    offsetCol: String = null): RelaxedPath = {
+    import org.apache.spark.sql.functions.{col, lit}
     require(params.family == "binomial" || params.family == "poisson",
       s"relaxedFitGlm is the IRLS-family route (binomial|poisson), not ${params.family}")
     require(gamma >= 0 && gamma <= 1, "gamma must be in [0, 1]")
     val binomial = params.family == "binomial"
-    val model = fit(df, featureCols, labelCol, params)
+    val weighted = weightCol != null
+    val hasOffset = offsetCol != null
+    val model = (weighted, hasOffset) match {
+      case (true, true) =>
+        fitWithOffsetWeighted(df, featureCols, labelCol, offsetCol,
+          weightCol, params)
+      case (true, false) => fitWeighted(df, featureCols, labelCol, weightCol,
+        params)
+      case (false, true) => fitWithOffset(df, featureCols, labelCol,
+        offsetCol, params)
+      case (false, false) => fit(df, featureCols, labelCol, params)
+    }
     val p = featureCols.size
     val yExpr =
       if (binomial) {
         val positive = model.classLabels(1)
         (col(labelCol).cast("string") === positive).cast("double")
       } else col(labelCol).cast("double")
-    val rows = df.select((featureCols.map(c => col(c).cast("double")) :+ yExpr): _*)
+    val wExpr = if (weighted) col(weightCol).cast("double") else lit(1.0)
+    val oExpr = if (hasOffset) col(offsetCol).cast("double") else lit(0.0)
+    val rows0 = df.select((featureCols.map(c => col(c).cast("double")) :+
+        yExpr :+ wExpr :+ oExpr): _*)
       .rdd.map { r =>
         val x = new Array[Double](p)
         var j = 0
         while (j < p) { x(j) = r.getDouble(j); j += 1 }
-        (x, r.getDouble(p))
-      }.persist(StorageLevel.MEMORY_AND_DISK)
+        (x, r.getDouble(p), r.getDouble(p + 1), r.getDouble(p + 2))
+      }
+    val rows = (if (weighted)
+        rows0.map { t => require(t._3 >= 0, "weights must be non-negative"); t }
+          .filter(_._3 > 0)
+      else rows0).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val L = model.lambda.length
       val active: Array[Array[Int]] =
@@ -1707,16 +1776,46 @@ object SgdNet {
       val a0R = Array.tabulate(L)(l => model.a0(l)(0))
       val bR = Array.tabulate(L)(l => model.beta(l)(0).clone())
       val done = new Array[Boolean](L)
-      // empty active sets refit to the closed-form null
+      // empty active sets refit to the closed-form (v-weighted) null —
+      // the OFFSET null when an offset rides along
       if (active.exists(_.isEmpty)) {
-        val (sy, n) = rows.treeAggregate((0.0, 0L))(
-          (s, r) => (s._1 + r._2, s._2 + 1),
-          (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
-        val ybar = sy / n
         val a0Null =
           if (!params.intercept) 0.0
-          else if (binomial) math.log(ybar / (1 - ybar))
-          else math.log(ybar)
+          else if (!hasOffset) {
+            val (sy, n) = rows.treeAggregate((0.0, 0.0))(
+              (s, r) => (s._1 + r._3 * r._2, s._2 + r._3),
+              (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+            val ybar = sy / n
+            if (binomial) math.log(ybar / (1 - ybar)) else math.log(ybar)
+          } else if (!binomial) {
+            // poisson exposure MLE: a0 = ln(Σv·y / Σv·e^off)
+            val (sy, se) = rows.treeAggregate((0.0, 0.0))(
+              (s, r) => (s._1 + r._3 * r._2, s._2 + r._3 * math.exp(
+                math.max(math.min(r._4, 30.0), -30.0))),
+              (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+            math.log(sy / se)
+          } else {
+            // binomial offset null: Newton on Σv·σ(a0+off) = Σv·y from
+            // the mean-offset-shifted logit (exact for constant offsets)
+            val (sy, sv, so) = rows.treeAggregate((0.0, 0.0, 0.0))(
+              (s, r) => (s._1 + r._3 * r._2, s._2 + r._3, s._3 + r._3 * r._4),
+              (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3), depth = 2)
+            val ybar = sy / sv
+            var a0n = math.log(ybar / (1 - ybar)) - so / sv
+            var it = 0
+            var doneN = false
+            while (!doneN && it < 50) {
+              val (g, h) = rows.treeAggregate((0.0, 0.0))(
+                (s, r) => {
+                  val mu = 1.0 / (1.0 + math.exp(-(a0n + r._4)))
+                  (s._1 + r._3 * (mu - r._2), s._2 + r._3 * mu * (1.0 - mu))
+                },
+                (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+              if (math.abs(g / sv) < 1e-12 || h <= 0) doneN = true
+              else { a0n -= g / h; it += 1 }
+            }
+            a0n
+          }
         for (l <- 0 until L if active(l).isEmpty) {
           a0R(l) = a0Null
           java.util.Arrays.fill(bR(l), 0.0)
@@ -1738,13 +1837,13 @@ object SgdNet {
           live.map(a0R(_)), live.map(bR(_)), offs))
         val acc = rows.treeAggregate(new Array[Double](total))(
           (s, xy) => {
-            val (x, y) = xy
+            val (x, y, v, off) = xy
             val (lv, acts, a0s, bs, os) = bState.value
             var i = 0
             while (i < lv.length) {
               val a = acts(i)
               val m = a.length
-              var eta = a0s(i)
+              var eta = a0s(i) + off
               var q = 0
               while (q < m) { eta += bs(i)(a(q)) * x(a(q)); q += 1 }
               var w = 0.0
@@ -1752,13 +1851,14 @@ object SgdNet {
               if (binomial) {
                 val mu = 1.0 / (1.0 + math.exp(-eta))
                 w = math.max(mu * (1.0 - mu), 1e-5)
-                z = eta + (y - mu) / w
+                z = eta + (y - mu) / w - off
               } else {
                 val etaC = math.max(math.min(eta, 30.0), -30.0)
                 val mu = math.exp(etaC)
                 w = math.max(mu, 1e-5)
-                z = etaC + (y - mu) / w
+                z = etaC + (y - mu) / w - off
               }
+              w *= v
               val base = os(i)
               s(base) += w
               s(base + 1) += w * z
@@ -3128,23 +3228,41 @@ object SgdNet {
   def relaxedFitGlmSparse(df: DataFrame, idxCol: String, valCol: String,
                           dim: Int, labelCol: String,
                           params: SgdNetParams,
-                          gamma: Double = 1.0): RelaxedPath = {
-    import org.apache.spark.sql.functions.col
+                          gamma: Double = 1.0,
+                          weightCol: String = null,
+                          offsetCol: String = null): RelaxedPath = {
+    import org.apache.spark.sql.functions.{col, lit}
     require(params.family == "binomial" || params.family == "poisson",
       s"relaxedFitGlmSparse is the IRLS-family route (binomial|poisson), not ${params.family}")
     require(gamma >= 0 && gamma <= 1, "gamma must be in [0, 1]")
     val binomial = params.family == "binomial"
-    val model = fitSparse(df, idxCol, valCol, dim, labelCol, params)
+    val weighted = weightCol != null
+    val hasOffset = offsetCol != null
+    val model =
+      if (hasOffset)
+        fitSparseWithOffset(df, idxCol, valCol, dim, labelCol, offsetCol,
+          params, weightCol)
+      else if (weighted)
+        fitSparseWeighted(df, idxCol, valCol, dim, labelCol, weightCol, params)
+      else fitSparse(df, idxCol, valCol, dim, labelCol, params)
     val p = dim
     val yExpr =
       if (binomial) {
         val positive = model.classLabels(1)
         (col(labelCol).cast("string") === positive).cast("double")
       } else col(labelCol).cast("double")
-    val rows = df.select(col(idxCol), col(valCol).cast("array<double>"), yExpr)
+    val wExpr = if (weighted) col(weightCol).cast("double") else lit(1.0)
+    val oExpr = if (hasOffset) col(offsetCol).cast("double") else lit(0.0)
+    val rows0 = df.select(col(idxCol), col(valCol).cast("array<double>"),
+        yExpr, wExpr, oExpr)
       .rdd.map { r =>
-        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray, r.getDouble(2))
-      }.persist(StorageLevel.MEMORY_AND_DISK)
+        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray,
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      }
+    val rows = (if (weighted)
+        rows0.map { t => require(t._4 >= 0, "weights must be non-negative"); t }
+          .filter(_._4 > 0)
+      else rows0).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val L = model.lambda.length
       val active: Array[Array[Int]] =
@@ -3153,14 +3271,40 @@ object SgdNet {
       val bR = Array.tabulate(L)(l => model.beta(l)(0).clone())
       val done = new Array[Boolean](L)
       if (active.exists(_.isEmpty)) {
-        val (sy, n) = rows.treeAggregate((0.0, 0L))(
-          (s, r) => (s._1 + r._3, s._2 + 1),
-          (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
-        val ybar = sy / n
         val a0Null =
           if (!params.intercept) 0.0
-          else if (binomial) math.log(ybar / (1 - ybar))
-          else math.log(ybar)
+          else if (!hasOffset) {
+            val (sy, n) = rows.treeAggregate((0.0, 0.0))(
+              (s, r) => (s._1 + r._4 * r._3, s._2 + r._4),
+              (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+            val ybar = sy / n
+            if (binomial) math.log(ybar / (1 - ybar)) else math.log(ybar)
+          } else if (!binomial) {
+            val (sy, se) = rows.treeAggregate((0.0, 0.0))(
+              (s, r) => (s._1 + r._4 * r._3, s._2 + r._4 * math.exp(
+                math.max(math.min(r._5, 30.0), -30.0))),
+              (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+            math.log(sy / se)
+          } else {
+            val (sy, sv, so) = rows.treeAggregate((0.0, 0.0, 0.0))(
+              (s, r) => (s._1 + r._4 * r._3, s._2 + r._4, s._3 + r._4 * r._5),
+              (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3), depth = 2)
+            val ybar = sy / sv
+            var a0n = math.log(ybar / (1 - ybar)) - so / sv
+            var it = 0
+            var doneN = false
+            while (!doneN && it < 50) {
+              val (g, h) = rows.treeAggregate((0.0, 0.0))(
+                (s, r) => {
+                  val mu = 1.0 / (1.0 + math.exp(-(a0n + r._5)))
+                  (s._1 + r._4 * (mu - r._3), s._2 + r._4 * mu * (1.0 - mu))
+                },
+                (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+              if (math.abs(g / sv) < 1e-12 || h <= 0) doneN = true
+              else { a0n -= g / h; it += 1 }
+            }
+            a0n
+          }
         for (l <- 0 until L if active(l).isEmpty) {
           a0R(l) = a0Null
           java.util.Arrays.fill(bR(l), 0.0)
@@ -3186,7 +3330,7 @@ object SgdNet {
           live.map(a0R(_)), live.map(bR(_)), offs))
         val acc = rows.treeAggregate(new Array[Double](offs.last))(
           (s, row) => {
-            val (idx, vals, y) = row
+            val (idx, vals, y, v, off) = row
             val (lv, acts, pos, a0s, bs, os) = bState.value
             var i = 0
             while (i < lv.length) {
@@ -3194,7 +3338,7 @@ object SgdNet {
               val m = a.length
               val pm = pos(i)
               // eta over the row's nonzeros in this cell's active set
-              var eta = a0s(i)
+              var eta = a0s(i) + off
               var t = 0
               while (t < idx.length) {
                 if (pm(idx(t)) >= 0) eta += bs(i)(idx(t)) * vals(t)
@@ -3205,13 +3349,14 @@ object SgdNet {
               if (binomial) {
                 val mu = 1.0 / (1.0 + math.exp(-eta))
                 w = math.max(mu * (1.0 - mu), 1e-5)
-                z = eta + (y - mu) / w
+                z = eta + (y - mu) / w - off
               } else {
                 val etaC = math.max(math.min(eta, 30.0), -30.0)
                 val mu = math.exp(etaC)
                 w = math.max(mu, 1e-5)
-                z = etaC + (y - mu) / w
+                z = etaC + (y - mu) / w - off
               }
+              w *= v
               val base = os(i)
               s(base) += w
               s(base + 1) += w * z

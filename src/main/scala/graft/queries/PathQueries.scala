@@ -1067,6 +1067,70 @@ object PathQueries {
       .orderBy("gamma", "lambda_idx")
   }
 
+  /** WEIGHTED relaxed BINOMIAL fit (round 17 — glmnet relax = TRUE +
+    * weights for the IRLS families, `SgdNet.relaxedFitWeighted`
+    * routing to the weighted GLM refit): with `thresh` large every
+    * stage is closed-form on v-WEIGHTED moments — the penalized point
+    * is ONE WLS step from the v-weighted null (constant weights
+    * p̄_v(1−p̄_v), soft-thresholded v-weighted covariance), the refit
+    * is ONE unpenalized WLS step with per-row accumulation weight
+    * w·v (z uses the pure IRLS w), and λ = 1.0 zeroes the threshold
+    * so penalized == refit == the v-weighted null. Converged weighted
+    * refits are duplication-anchored in RelaxedGlmSpec. */
+  def relaxedBinomWeighted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+      .withColumn("w", col("l_linenumber").cast("double"))
+    val rp = SgdNet.relaxedFitWeighted(li, Seq("l_quantity"), "is_r", "w",
+      SgdNetParams(family = "binomial", alpha = 1.0,
+        lambda = Array(1.0, 0.0002), thresh = 1e6), gamma = 0.25)
+    val rows = for {
+      l <- 0 until 2
+      (term, pen, ols) <- Seq(
+        ("a0", rp.model.a0(l)(0), rp.olsA0(l)),
+        ("l_quantity", rp.model.beta(l)(0)(0), rp.olsBeta(l)(0)))
+    } yield (l, term, pen, ols, 0.25 * pen + 0.75 * ols)
+    rows.toDF("lambda_idx", "term", "pen", "ols", "blend")
+      .select(col("lambda_idx").cast("int").as("lambda_idx"), col("term"),
+        (round(col("pen"), 6) + lit(0.0)).as("pen"),
+        (round(col("ols"), 6) + lit(0.0)).as("ols"),
+        (round(col("blend"), 6) + lit(0.0)).as("blend"))
+      .orderBy("lambda_idx", "term")
+  }
+
+  /** Relaxed BINOMIAL fit WITH an offset (round 17 — glmnet
+    * relax = TRUE + offset, `SgdNet.relaxedFitWithOffset` routing to
+    * the offset-aware IRLS refit): constant offset c, so every stage
+    * is closed-form — the offset null is logit(p̄) − c exactly, the
+    * penalized point is the plain one-step form with the intercept
+    * shifted by −c, and the refit is ONE unpenalized WLS step whose η
+    * includes c while the WLS target excludes it. λ = 1.0 collapses
+    * to the offset null on both sides of the blend. The varying-
+    * offset regime is spec-anchored against spark.ml GLR
+    * (RelaxedGlmSpec). */
+  def relaxedBinomOffset(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+      .withColumn("c", lit(0.7))
+    val rp = SgdNet.relaxedFitWithOffset(li, Seq("l_quantity"), "is_r", "c",
+      SgdNetParams(family = "binomial", alpha = 1.0,
+        lambda = Array(1.0, 0.0002), thresh = 1e6), gamma = 0.25)
+    val rows = for {
+      l <- 0 until 2
+      (term, pen, ols) <- Seq(
+        ("a0", rp.model.a0(l)(0), rp.olsA0(l)),
+        ("l_quantity", rp.model.beta(l)(0)(0), rp.olsBeta(l)(0)))
+    } yield (l, term, pen, ols, 0.25 * pen + 0.75 * ols)
+    rows.toDF("lambda_idx", "term", "pen", "ols", "blend")
+      .select(col("lambda_idx").cast("int").as("lambda_idx"), col("term"),
+        (round(col("pen"), 6) + lit(0.0)).as("pen"),
+        (round(col("ols"), 6) + lit(0.0)).as("ols"),
+        (round(col("blend"), 6) + lit(0.0)).as("blend"))
+      .orderBy("lambda_idx", "term")
+  }
+
   /** SPARSE relaxed BINOMIAL CV (round 17 — cv.glmnet relax = TRUE
     * with a dgCMatrix x and an IRLS family, the last sparse-delegation
     * cell of R/cv_sgdnet.R): the [[cvRelaxedBinom]] query verbatim
@@ -1085,6 +1149,37 @@ object PathQueries {
         lambda = Array(0.0002), thresh = 1e6),
       nfolds = 5, gammas = Seq(0.0, 1.0), measure = "deviance",
       foldCol = fold)
+    cv.curveDF(spark)
+      .select((round(col("gamma"), 2) + lit(0.0)).as("gamma"),
+        col("lambda_idx").cast("int").as("lambda_idx"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("gamma", "lambda_idx")
+  }
+
+  /** Relaxed BINOMIAL CV WITH an offset (round 17 — cv.glmnet
+    * relax = TRUE + offset, `CvSgdNet.fitRelaxed` offsetCol): a
+    * CONSTANT offset c shifts every fold's penalized AND refit
+    * intercept by exactly −c (the fold-tiled offset-null Newton is
+    * exact at its start for constant offsets) while held-out scoring
+    * adds the row's own offset back — so the whole (γ × λ) deviance
+    * surface must reproduce the no-offset [[cvRelaxedBinom]] oracle
+    * BYTE-IDENTICALLY, which only happens when the offset algebra is
+    * right in every stage. The varying-offset regime is spec-anchored
+    * (RelaxedCvSpec: γ=1 == plain offset CV, γ=0 == hand-scored
+    * per-fold offset refits, dense == sparse incl. the
+    * offset-corrected data-derived lambda path). */
+  def cvRelaxedBinomOffset(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+      .withColumn("c", lit(0.7))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitRelaxed(li, Seq("l_quantity"), "is_r",
+      SgdNetParams(family = "binomial", alpha = 1.0,
+        lambda = Array(0.0002), thresh = 1e6),
+      nfolds = 5, gammas = Seq(0.0, 1.0), measure = "deviance",
+      foldCol = fold, offsetCol = "c")
     cv.curveDF(spark)
       .select((round(col("gamma"), 2) + lit(0.0)).as("gamma"),
         col("lambda_idx").cast("int").as("lambda_idx"),

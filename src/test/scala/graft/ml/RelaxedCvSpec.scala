@@ -373,4 +373,88 @@ class RelaxedCvSpec extends SparkSpec {
     }
     ()
   }
+
+  test("relaxed CV + offset: zero collapse, gamma=1 == offset CV, hand-scored refits, sparse, gaussian (round 17)") {
+    val foldB = pmod(xxhash64(col("rid")), lit(3))
+    val db = binData.withColumn("off", col("x2") * 0.4 + lit(0.2))
+      .withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("x1"), col("x2")))
+    val lambdas = Array(0.05, 0.01)
+    val pb = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = lambdas, thresh = 1e-9, maxit = 100000)
+    // zero offset == plain relaxed CV on every (gamma, lambda) cell
+    val z = db.withColumn("z0", lit(0.0))
+    val rz = CvSgdNet.fitRelaxed(z, Seq("x1", "x2"), "y", pb,
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = foldB, offsetCol = "z0")
+    val rp = CvSgdNet.fitRelaxed(db, Seq("x1", "x2"), "y", pb,
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = foldB)
+    for (g <- 0 until 2; l <- 0 until 2)
+      assert(math.abs(rz.paths(g).cvm(l) - rp.paths(g).cvm(l)) <=
+        1e-9 * math.max(1.0, rp.paths(g).cvm(l)), s"zero-off cvm($g)($l)")
+    // varying offset, gamma = 1 slice == the plain binomial OFFSET CV
+    val r = CvSgdNet.fitRelaxed(db, Seq("x1", "x2"), "y", pb,
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = foldB,
+      offsetCol = "off")
+    val plain = CvSgdNet.fitWithOffset(db, Seq("x1", "x2"), "y", "off", pb,
+      nfolds = 3, foldCol = foldB)
+    for (l <- lambdas.indices)
+      assert(math.abs(r.paths(1).cvm(l) - plain.best.cvm(l)) <=
+        1e-6 * math.max(1.0, plain.best.cvm(l)), s"gamma=1 off cvm($l)")
+    // gamma = 0 cvm == per-fold standalone offset refits scored by hand
+    // (held-out deviance INCLUDES the row's own offset)
+    val withF = db.withColumn("__f", foldB)
+    for (l <- lambdas.indices) {
+      var cvm = 0.0
+      for (f <- 0 until 3) {
+        val rpf = SgdNet.relaxedFitWithOffset(withF.filter(col("__f") =!= f),
+          Seq("x1", "x2"), "y", "off", pb)
+        val test = withF.filter(col("__f") === f)
+          .select("x1", "x2", "y", "off").collect()
+        var s = 0.0
+        test.foreach { rw =>
+          val eta = rpf.olsA0(l) + rpf.olsBeta(l)(0) * rw.getDouble(0) +
+            rpf.olsBeta(l)(1) * rw.getDouble(1) + rw.getDouble(3)
+          val mu0 = 1.0 / (1.0 + math.exp(-eta))
+          val mu = math.min(math.max(mu0, 1e-5), 1.0 - 1e-5)
+          val y = rw.getDouble(2)
+          s += -2.0 * (y * math.log(mu) + (1 - y) * math.log(1 - mu))
+        }
+        cvm += s / test.length
+      }
+      cvm /= 3.0
+      assert(math.abs(r.paths(0).cvm(l) - cvm) < 1e-4 * math.max(1.0, cvm),
+        s"gamma=0 off cvm($l): ${r.paths(0).cvm(l)} vs $cvm")
+    }
+    // sparse twin == dense on the full (gamma, lambda) surface
+    val s = CvSgdNet.fitRelaxedSparse(db, "sidx", "svals", 2, "y", pb,
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = foldB,
+      offsetCol = "off")
+    for (g <- 0 until 2; l <- 0 until 2)
+      assert(math.abs(s.paths(g).cvm(l) - r.paths(g).cvm(l)) <=
+        1e-7 * math.max(1.0, r.paths(g).cvm(l)), s"sparse off cvm($g)($l)")
+    // data-derived lambda path with an offset agrees dense == sparse
+    val pAuto = SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 5,
+      thresh = 1e-9, maxit = 100000)
+    val rA = CvSgdNet.fitRelaxed(db, Seq("x1", "x2"), "y", pAuto,
+      nfolds = 3, gammas = Seq(1.0), foldCol = foldB, offsetCol = "off")
+    val sA = CvSgdNet.fitRelaxedSparse(db, "sidx", "svals", 2, "y", pAuto,
+      nfolds = 3, gammas = Seq(1.0), foldCol = foldB, offsetCol = "off")
+    assert(rA.paths(0).lambda.length == sA.paths(0).lambda.length)
+    for (l <- rA.paths(0).lambda.indices)
+      assert(math.abs(rA.paths(0).lambda(l) - sA.paths(0).lambda(l)) <=
+        1e-9 * rA.paths(0).lambda(l), s"auto-path lambda($l)")
+    // gaussian: relaxed CV + offset == relaxed CV on y − offset
+    val dg = data.withColumn("off", col("x3") * 0.5)
+    val pg = SgdNetParams(alpha = 1.0, lambda = Array(0.5, 0.05),
+      thresh = 1e-10, maxit = 100000)
+    val gOff = CvSgdNet.fitRelaxed(dg, Seq("x1", "x2"), "y", pg,
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = fold, offsetCol = "off")
+    val gAdj = CvSgdNet.fitRelaxed(
+      dg.withColumn("y", col("y") - col("off")), Seq("x1", "x2"), "y", pg,
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = fold)
+    for (g <- 0 until 2; l <- 0 until 2)
+      assert(math.abs(gOff.paths(g).cvm(l) - gAdj.paths(g).cvm(l)) <=
+        1e-11 * math.max(1.0, gAdj.paths(g).cvm(l)), s"gauss off cvm($g)($l)")
+    ()
+  }
 }

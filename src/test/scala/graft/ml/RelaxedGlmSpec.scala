@@ -156,4 +156,132 @@ class RelaxedGlmSpec extends SparkSpec {
     }
     ()
   }
+
+  test("weighted IRLS relax: integer weights == row duplication (round 17)") {
+    // glmnet relax = TRUE + weights for binomial/poisson, dense and
+    // sparse: the weighted refit must reproduce exact row duplication,
+    // and the public relaxedFitWeighted / relaxedFitSparse entries
+    // must route the IRLS families here
+    val db = SparkSpec.binaryDF(spark)
+      .withColumn("w", (pmod(xxhash64(col("x1")), lit(3)) + 1).cast("double"))
+      .withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("x1"), col("x2")))
+    val dup = db.withColumn("k", explode(sequence(lit(1), col("w").cast("int"))))
+    val pb = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(0.05, 0.01), thresh = 1e-9, maxit = 100000)
+    val wr = SgdNet.relaxedFitWeighted(db, Seq("x1", "x2"), "y", "w", pb,
+      gamma = 0.0)
+    val dr = SgdNet.relaxedFitGlm(dup, Seq("x1", "x2"), "y", pb, gamma = 0.0)
+    for (l <- 0 until 2) {
+      assert(math.abs(wr.olsA0(l) - dr.olsA0(l)) < 1e-6, s"binom a0($l)")
+      for (j <- 0 until 2)
+        assert(math.abs(wr.olsBeta(l)(j) - dr.olsBeta(l)(j)) < 1e-6,
+          s"binom ols($l)($j)")
+    }
+    // sparse twin routes through relaxedFitSparse and matches dense
+    val sr = SgdNet.relaxedFitSparse(db, "sidx", "svals", 2, "y", pb,
+      gamma = 0.0, weightCol = "w")
+    for (l <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(sr.olsBeta(l)(j) - wr.olsBeta(l)(j)) < 1e-7,
+        s"sparse binom ols($l)($j)")
+    // poisson weighted == duplication
+    val dp = SparkSpec.regressionDF(spark)
+      .withColumn("yp", ceil(abs(col("y"))).cast("double"))
+      .withColumn("w", (pmod(xxhash64(col("x1")), lit(3)) + 1).cast("double"))
+    val pp = SgdNetParams(family = "poisson", alpha = 1.0,
+      lambda = Array(0.05), thresh = 1e-9, maxit = 100000)
+    val wp = SgdNet.relaxedFitWeighted(dp, Seq("x1", "x2"), "yp", "w", pp,
+      gamma = 0.0)
+    val dupP = dp.withColumn("k",
+      explode(sequence(lit(1), col("w").cast("int"))))
+    val dpR = SgdNet.relaxedFitGlm(dupP, Seq("x1", "x2"), "yp", pp,
+      gamma = 0.0)
+    for (j <- 0 until 2)
+      assert(math.abs(wp.olsBeta(0)(j) - dpR.olsBeta(0)(j)) < 1e-6,
+        s"poisson ols($j)")
+    // zero weights drop the row everywhere
+    val dz = db.withColumn("w0",
+      when(col("x1") > 1.0, 0.0).otherwise(col("w")))
+    val wz = SgdNet.relaxedFitWeighted(dz, Seq("x1", "x2"), "y", "w0", pb,
+      gamma = 0.0)
+    val filt = dz.filter(col("w0") > 0)
+    val wf = SgdNet.relaxedFitWeighted(filt, Seq("x1", "x2"), "y", "w0", pb,
+      gamma = 0.0)
+    for (l <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(wz.olsBeta(l)(j) - wf.olsBeta(l)(j)) < 1e-9,
+        s"zero-drop ols($l)($j)")
+  }
+
+  test("relax + offset: GLR anchor, zero-offset collapse, weights, sparse, gaussian (round 17)") {
+    val db = SparkSpec.binaryDF(spark)
+      .withColumn("off", col("x2") * 0.4 + lit(0.2))
+      .withColumn("w", (pmod(xxhash64(col("x1")), lit(3)) + 1).cast("double"))
+      .withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("x1"), col("x2")))
+    val pb = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(0.02), thresh = 1e-9, maxit = 100000)
+    // varying offset, gamma = 0: the unpenalized active-set refit must
+    // equal spark.ml GLR with the same offset at regParam 0
+    val rp = SgdNet.relaxedFitWithOffset(db, Seq("x1", "x2"), "y", "off",
+      pb, gamma = 0.0)
+    assert(rp.model.df(0) == 2, "both features should be active")
+    val glr = new org.apache.spark.ml.regression.GeneralizedLinearRegression()
+      .setFamily("binomial").setLink("logit").setOffsetCol("off")
+      .setRegParam(0.0).setFitIntercept(true).setTol(1e-12).setMaxIter(300)
+      .setFeaturesCol("fv").setLabelCol("y")
+      .fit(assembled(db, Array("x1", "x2")))
+    assert(math.abs(rp.olsA0(0) - glr.intercept) < 1e-5,
+      s"a0 ${rp.olsA0(0)} vs ${glr.intercept}")
+    for (j <- 0 until 2)
+      assert(math.abs(rp.olsBeta(0)(j) - glr.coefficients(j)) < 1e-5,
+        s"b$j ${rp.olsBeta(0)(j)} vs ${glr.coefficients(j)}")
+    // zero offset == plain IRLS relax
+    val z = db.withColumn("z0", lit(0.0))
+    val r0 = SgdNet.relaxedFitWithOffset(z, Seq("x1", "x2"), "y", "z0", pb,
+      gamma = 0.0)
+    val rPlain = SgdNet.relaxedFitGlm(db, Seq("x1", "x2"), "y", pb,
+      gamma = 0.0)
+    for (j <- 0 until 2)
+      assert(math.abs(r0.olsBeta(0)(j) - rPlain.olsBeta(0)(j)) < 1e-7,
+        s"zero-off ols($j)")
+    // offset + integer weights == row duplication
+    val wr = SgdNet.relaxedFitWithOffset(db, Seq("x1", "x2"), "y", "off", pb,
+      gamma = 0.0, weightCol = "w")
+    val dup = db.withColumn("k", explode(sequence(lit(1), col("w").cast("int"))))
+    val dr = SgdNet.relaxedFitWithOffset(dup, Seq("x1", "x2"), "y", "off", pb,
+      gamma = 0.0)
+    for (j <- 0 until 2)
+      assert(math.abs(wr.olsBeta(0)(j) - dr.olsBeta(0)(j)) < 1e-6,
+        s"w+off ols($j)")
+    // sparse twin matches dense
+    val sr = SgdNet.relaxedFitGlmSparse(db, "sidx", "svals", 2, "y", pb,
+      gamma = 0.0, offsetCol = "off")
+    for (j <- 0 until 2)
+      assert(math.abs(sr.olsBeta(0)(j) - rp.olsBeta(0)(j)) < 1e-7,
+        s"sparse+off ols($j)")
+    // poisson offset null for an empty active set: exposure MLE
+    val dp = SparkSpec.regressionDF(spark)
+      .withColumn("yp", ceil(abs(col("y"))).cast("double"))
+      .withColumn("off", col("x2") * 0.1)
+    val pp = SgdNetParams(family = "poisson", alpha = 1.0,
+      lambda = Array(1e6), thresh = 1e-9, maxit = 100000)
+    val rNull = SgdNet.relaxedFitWithOffset(dp, Seq("x1"), "yp", "off", pp,
+      gamma = 0.0)
+    val exp30 = exp(greatest(least(col("off"), lit(30.0)), lit(-30.0)))
+    val row = dp.agg(sum(col("yp")).as("sy"), sum(exp30).as("se")).head
+    assert(math.abs(rNull.olsA0(0) -
+      math.log(row.getDouble(0) / row.getDouble(1))) < 1e-9, "poisson off-null")
+    // gaussian delegation: relaxedFitWithOffset == relaxedFit on y - off
+    val dg = SparkSpec.regressionDF(spark).withColumn("off", col("x3") * 0.5)
+    val pg = SgdNetParams(alpha = 1.0, lambda = Array(0.5, 0.05),
+      thresh = 1e-10, maxit = 100000)
+    val go = SgdNet.relaxedFitWithOffset(dg, Seq("x1", "x2"), "y", "off", pg,
+      gamma = 0.25)
+    val gAdj = dg.withColumn("ya", col("y") - col("off"))
+    val gd = SgdNet.relaxedFit(gAdj, Seq("x1", "x2"), "ya", pg, gamma = 0.25)
+    for (l <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(go.olsBeta(l)(j) - gd.olsBeta(l)(j)) < 1e-10,
+        s"gaussian delegation ols($l)($j)")
+    ()
+  }
 }
