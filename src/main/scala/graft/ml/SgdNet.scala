@@ -1578,6 +1578,30 @@ object SgdNet {
     def blendedBeta(l: Int): Array[Double] =
       Array.tabulate(model.beta(l)(0).length)(j =>
         gamma * model.beta(l)(0)(j) + (1 - gamma) * olsBeta(l)(j))
+    /** Persist the relaxed path (round 17): the penalized model under
+      * `<path>/penalized`, the active-set refits + gamma under
+      * `<path>/refit` — restored by [[SgdNet.loadRelaxedPath]]. Same
+      * overwrite contract as [[SgdNetModel.save]]. */
+    def save(spark: org.apache.spark.sql.SparkSession, path: String,
+             overwrite: Boolean = true): Unit = {
+      import spark.implicits._
+      SgdNetModel.checkOverwrite(spark, path, overwrite)
+      model.save(spark, s"$path/penalized")
+      olsA0.indices.map(l => (l, gamma, olsA0(l), olsBeta(l).toSeq))
+        .toDF("lambda_idx", "gamma", "ols_a0", "ols_beta")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/refit")
+    }
+  }
+
+  /** Restore a relaxed path persisted by [[RelaxedPath.save]]. */
+  def loadRelaxedPath(spark: org.apache.spark.sql.SparkSession,
+                      path: String): RelaxedPath = {
+    val model = SgdNetModel.load(spark, s"$path/penalized")
+    val rows = spark.read.parquet(s"$path/refit")
+      .select("lambda_idx", "gamma", "ols_a0", "ols_beta")
+      .collect().sortBy(_.getInt(0))
+    RelaxedPath(model, rows.map(_.getDouble(2)),
+      rows.map(_.getSeq[Double](3).toArray), rows.head.getDouble(1))
   }
 
   /** Fit the gaussian path, then refit each lambda's active set

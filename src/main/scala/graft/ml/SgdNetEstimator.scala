@@ -93,12 +93,14 @@ class SgdNetEstimator(override val uid: String)
       // The fitted stage carries the gamma-BLENDED path (coefficients
       // exactly gamma*penalized + (1-gamma)*refit per lambda, the
       // RelaxedPath blend); dev.ratio stays the penalized path's
-      // (informational, like cv.glmnet's relaxed slot).
-      require(!isSet(offsetCol),
-        "relax through SgdNetEstimator does not combine with offsetCol " +
-          "(use SgdNet.relaxedFit* directly)")
+      // (informational, like cv.glmnet's relaxed slot). offsetCol and
+      // weightCol compose (the full relax grid).
       val rp =
-        if (isSet(weightCol))
+        if (isSet(offsetCol))
+          SgdNet.relaxedFitWithOffset(df, $(featureCols).toSeq, $(labelCol),
+            $(offsetCol), params, $(gamma),
+            weightCol = if (isSet(weightCol)) $(weightCol) else null)
+        else if (isSet(weightCol))
           SgdNet.relaxedFitWeighted(df, $(featureCols).toSeq, $(labelCol),
             $(weightCol), params, $(gamma))
         else SgdNet.relaxedFit(df, $(featureCols).toSeq, $(labelCol),

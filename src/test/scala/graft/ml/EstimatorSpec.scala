@@ -161,11 +161,15 @@ class EstimatorSpec extends SparkSpec {
     for (j <- 0 until 2)
       assert(math.abs(estB.beta(0)(0)(j) - rpB.blendedBeta(0)(j)) < 1e-7,
         s"binomial beta($j)")
-    // contracts: relax + offsetCol rejects; gamma range validates
-    val wOff = df.withColumn("off", lit(0.1))
-    intercept[IllegalArgumentException] {
-      base().setRelax(true).setOffsetCol("off").fit(wOff)
-    }
+    // relax + offsetCol routes to relaxedFitWithOffset (the full grid)
+    val wOff = df.withColumn("off", col("x1") * 0.3)
+    val estO = base().setRelax(true).setGamma(0.5).setOffsetCol("off")
+      .fit(wOff).pathModel
+    val rpO = SgdNet.relaxedFitWithOffset(wOff, Seq("x1", "x2"), "y", "off",
+      SgdNetParams(lambda = Array(0.5, 0.1), thresh = 1e-10), gamma = 0.5)
+    for (l <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(estO.beta(l)(0)(j) - rpO.blendedBeta(l)(j)) < 1e-9,
+        s"offset relax beta($l)($j)")
     intercept[IllegalArgumentException] { base().setGamma(1.5) }
     ()
   }

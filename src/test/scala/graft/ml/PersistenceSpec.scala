@@ -139,4 +139,30 @@ class PersistenceSpec extends SparkSpec {
     }
     ()
   }
+
+  test("RelaxedPath round-trips: penalized model, refits, gamma, blends (round 17)") {
+    val df = SparkSpec.binaryDF(spark)
+    val rp = SgdNet.relaxedFit(df, Seq("x1", "x2"), "y",
+      SgdNetParams(family = "binomial", alpha = 1.0,
+        lambda = Array(0.05, 0.01), thresh = 1e-8, maxit = 100000),
+      gamma = 0.25)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rp").toString
+    rp.save(spark, s"$dir/rp")
+    val back = SgdNet.loadRelaxedPath(spark, s"$dir/rp")
+    assert(back.gamma == rp.gamma)
+    assert(back.model.classLabels.sameElements(rp.model.classLabels))
+    for (l <- 0 until 2) {
+      assert(back.olsA0(l) == rp.olsA0(l), s"olsA0($l)")
+      assert(back.olsBeta(l).sameElements(rp.olsBeta(l)), s"olsBeta($l)")
+      assert(back.blendedA0(l) == rp.blendedA0(l), s"blend a0($l)")
+      for (j <- 0 until 2)
+        assert(back.model.beta(l)(0)(j) == rp.model.beta(l)(0)(j),
+          s"pen beta($l)($j)")
+    }
+    // overwrite contract: second save without overwrite fails
+    intercept[IllegalArgumentException] {
+      rp.save(spark, s"$dir/rp", overwrite = false)
+    }
+    ()
+  }
 }
