@@ -284,4 +284,58 @@ class RelaxedGlmSpec extends SparkSpec {
         s"gaussian delegation ols($l)($j)")
     ()
   }
+
+  test("refit score equations vanish on random weighted+offset problems (round 17)") {
+    // direct optimality check with no external anchor: the converged
+    // unpenalized refit must satisfy the v-weighted GLM score equations
+    // sum v*(y - mu)*[1, x_A] = 0 with mu evaluated at eta + offset
+    import spark.implicits._
+    for (trial <- 1 to 2) {
+      val rnd = new scala.util.Random(900 + trial)
+      val binomialT = trial % 2 == 1
+      val rows = (1 to 300).map { _ =>
+        val x1 = rnd.nextGaussian(); val x2 = rnd.nextGaussian()
+        val x3 = rnd.nextGaussian()
+        val off = 0.3 * x2 + 0.1
+        val eta = 0.4 + 1.1 * x1 - 0.6 * x3 + off
+        val y =
+          if (binomialT) {
+            if (rnd.nextDouble() < 1.0 / (1.0 + math.exp(-eta))) 1.0 else 0.0
+          } else {
+            // poisson-ish counts from the rate
+            val mu = math.exp(math.min(eta, 3.0))
+            math.floor(mu + rnd.nextGaussian() * math.sqrt(mu)).max(0.0)
+          }
+        (x1, x2, x3, off, y, (rnd.nextInt(3) + 1).toDouble)
+      }
+      val df = rows.toDF("x1", "x2", "x3", "off", "y", "w")
+      val fam = if (binomialT) "binomial" else "poisson"
+      val params = SgdNetParams(family = fam, alpha = 1.0,
+        lambda = Array(0.08, 0.02), thresh = 1e-10, maxit = 100000)
+      val rp = SgdNet.relaxedFitGlm(df, Seq("x1", "x2", "x3"), "y", params,
+        gamma = 0.0, weightCol = "w", offsetCol = "off")
+      val data = rows
+      for (l <- 0 until 2) {
+        val b = rp.olsBeta(l); val a0 = rp.olsA0(l)
+        val active = (0 until 3).filter(j => b(j) != 0.0)
+        var s0 = 0.0
+        val sj = new Array[Double](3)
+        var sw = 0.0
+        data.foreach { case (x1, x2, x3, off, y, w) =>
+          val xs = Array(x1, x2, x3)
+          var eta = a0 + off
+          for (j <- 0 until 3) eta += b(j) * xs(j)
+          val mu = if (binomialT) 1.0 / (1.0 + math.exp(-eta))
+            else math.exp(math.max(math.min(eta, 30.0), -30.0))
+          s0 += w * (y - mu)
+          for (j <- 0 until 3) sj(j) += w * (y - mu) * xs(j)
+          sw += w
+        }
+        assert(math.abs(s0 / sw) < 1e-6, s"$fam trial $trial score a0($l): ${s0 / sw}")
+        for (j <- active)
+          assert(math.abs(sj(j) / sw) < 1e-6,
+            s"$fam trial $trial score x$j($l): ${sj(j) / sw}")
+      }
+    }
+  }
 }

@@ -124,4 +124,63 @@ class SolverPropertySpec extends AnyFunSuite {
       assert(xs.sliding(2).forall(a => a(0) > a(1)))
     }
   }
+
+  test("solveScreened == solve over 40 random weighted WLS problems (round 17)") {
+    // the strong-rule screen's equality with the direct solve must hold
+    // for ANY warm start / lambda pair / penalty config, not just the
+    // curated ScreenSpec cases — violators re-enter via the exact KKT
+    // backcheck, so equality is structural
+    for (trial <- 1 to 40) {
+      val rnd = new scala.util.Random(trial * 7919L)
+      val p = 36 + rnd.nextInt(24)
+      val n = 200 + rnd.nextInt(200)
+      val a = Array.ofDim[Double](p, p)
+      val c = new Array[Double](p)
+      val xw = new Array[Double](p)
+      var zw = 0.0
+      var ww = 0.0
+      val trueB = Array.tabulate(p)(j =>
+        if (rnd.nextDouble() < 0.1) rnd.nextGaussian() * 2 else 0.0)
+      for (_ <- 0 until n) {
+        val x = Array.fill(p)(rnd.nextGaussian())
+        val w = 0.02 + rnd.nextDouble() * 0.25
+        var z = rnd.nextGaussian() * 0.6
+        var j = 0
+        while (j < p) { z += x(j) * trueB(j); j += 1 }
+        ww += w / n; zw += w * z / n
+        j = 0
+        while (j < p) {
+          c(j) += w * x(j) * z / n
+          xw(j) += w * x(j) / n
+          var m = 0
+          while (m <= j) {
+            a(m)(j) += w * x(m) * x(j) / n
+            if (m != j) a(j)(m) = a(m)(j)
+            m += 1
+          }
+          j += 1
+        }
+      }
+      val alpha = 0.5 + rnd.nextDouble() * 0.5
+      val lamMax = c.map(math.abs).max / alpha
+      val lam = lamMax * (0.02 + rnd.nextDouble() * 0.5)
+      val lamPrev = lam * (1.2 + rnd.nextDouble())
+      val pf = if (rnd.nextBoolean()) null
+        else Array.tabulate(p)(j => if (j % 11 == 0) 0.0 else 1.0)
+      // warm start: the direct solve at lamPrev (a realistic path warm)
+      val warm = CoordinateDescent.solve(a, c, xw, zw, ww, lamPrev, alpha,
+        intercept = true, new Array[Double](p), thresh = 1e-12,
+        maxIter = 100000, penaltyFactor = pf).beta
+      val u = CoordinateDescent.solve(a, c, xw, zw, ww, lam, alpha,
+        intercept = true, warm, thresh = 1e-12, maxIter = 100000,
+        penaltyFactor = pf)
+      val s = CoordinateDescent.solveScreened(a, c, xw, zw, ww, lam, lamPrev,
+        alpha, intercept = true, warm, thresh = 1e-12, maxIter = 100000,
+        penaltyFactor = pf)
+      assert(math.abs(s.a0 - u.a0) < 1e-9, s"trial $trial a0")
+      for (j <- 0 until p)
+        assert(math.abs(s.beta(j) - u.beta(j)) < 1e-9,
+          s"trial $trial beta($j): ${s.beta(j)} vs ${u.beta(j)}")
+    }
+  }
 }
