@@ -5744,7 +5744,17 @@ object CvSgdNet {
           val aM = Array.tabulate(active.size, active.size)((i2, j2) =>
             st.gram(active(i2))(active(j2)))
           val bv = active.map(j => st.b(0)(j)).toArray
-          val sol = LinAlg.solve(aM, bv)
+          // glmnet relax + limits (round 17): the per-fold refit honors
+          // the box — CD at lambda = 0 when bounded, exact solve otherwise
+          val sol =
+            if (loStd == null && upStd == null) LinAlg.solve(aM, bv)
+            else CoordinateDescent.solve(aM, bv,
+              new Array[Double](active.size), 0.0, 1.0, 0.0, 1.0,
+              intercept = false, active.map(r.beta(_)).toArray,
+              thresh = 1e-12, maxIter = params.maxit,
+              lower = if (loStd == null) null else active.map(loStd(_)).toArray,
+              upper = if (upStd == null) null else active.map(upStd(_)).toArray
+            ).beta
           active.zipWithIndex.foreach { case (j, i2) =>
             bOls(f)(l)(j) = sol(i2) / scale(j)
           }
@@ -5963,7 +5973,17 @@ object CvSgdNet {
           val aM = Array.tabulate(active.size, active.size)((i2, j2) =>
             st.gram(active(i2))(active(j2)))
           val bv = active.map(j => st.b(0)(j)).toArray
-          val sol = LinAlg.solve(aM, bv)
+          // glmnet relax + limits (round 17): the per-fold refit honors
+          // the box — CD at lambda = 0 when bounded, exact solve otherwise
+          val sol =
+            if (loStd == null && upStd == null) LinAlg.solve(aM, bv)
+            else CoordinateDescent.solve(aM, bv,
+              new Array[Double](active.size), 0.0, 1.0, 0.0, 1.0,
+              intercept = false, active.map(r.beta(_)).toArray,
+              thresh = 1e-12, maxIter = params.maxit,
+              lower = if (loStd == null) null else active.map(loStd(_)).toArray,
+              upper = if (upStd == null) null else active.map(upStd(_)).toArray
+            ).beta
           active.zipWithIndex.foreach { case (j, i2) =>
             bOls(f)(l)(j) = sol(i2) / scale(j)
           }
@@ -6419,42 +6439,19 @@ object CvSgdNet {
           val a = activeSet(f)(l)
           val m = a.length
           val base = offs(i)
-          val dim = if (params.intercept) m + 1 else m
-          val mat = Array.ofDim[Double](dim, dim)
-          val rhs = new Array[Double](dim)
-          if (params.intercept) {
-            mat(0)(0) = acc(base)
-            rhs(0) = acc(base + 1)
-            for (q <- 0 until m) {
-              mat(0)(q + 1) = acc(base + 2 + q)
-              mat(q + 1)(0) = acc(base + 2 + q)
-              rhs(q + 1) = acc(base + 2 + m + q)
-              for (r2 <- 0 to q) {
-                val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
-                mat(r2 + 1)(q + 1) = v
-                mat(q + 1)(r2 + 1) = v
-              }
-            }
-          } else {
-            for (q <- 0 until m) {
-              rhs(q) = acc(base + 2 + m + q)
-              for (r2 <- 0 to q) {
-                val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
-                mat(r2)(q) = v
-                mat(q)(r2) = v
-              }
-            }
-          }
-          val sol = LinAlg.solve(mat, rhs)
-          val na0 = if (params.intercept) sol(0) else 0.0
+          val loA = if (params.lowerLimits == null) null
+            else a.map(params.lowerLimits(_))
+          val upA = if (params.upperLimits == null) null
+            else a.map(params.upperLimits(_))
+          val (na0, sol) = SgdNet.solveRestrictedWls(acc, base, m,
+            params.intercept, loA, upA, a.map(bFull(f)(l)(_)), params.maxit)
           var maxD = math.abs(na0 - a0R(f)(l))
-          val off0 = if (params.intercept) 1 else 0
           for (q <- 0 until m) {
-            val d = math.abs(sol(off0 + q) - bFull(f)(l)(a(q)))
+            val d = math.abs(sol(q) - bFull(f)(l)(a(q)))
             if (d > maxD) maxD = d
           }
           a0R(f)(l) = na0
-          for (q <- 0 until m) bFull(f)(l)(a(q)) = sol(off0 + q)
+          for (q <- 0 until m) bFull(f)(l)(a(q)) = sol(q)
           if (maxD < tolR) doneR(f)(l) = true
         }
         iterR += 1
@@ -7059,42 +7056,19 @@ object CvSgdNet {
           val a = activeSet(f)(l)
           val m = a.length
           val base = offsA(i)
-          val dim2 = if (params.intercept) m + 1 else m
-          val mat = Array.ofDim[Double](dim2, dim2)
-          val rhs = new Array[Double](dim2)
-          if (params.intercept) {
-            mat(0)(0) = acc(base)
-            rhs(0) = acc(base + 1)
-            for (q <- 0 until m) {
-              mat(0)(q + 1) = acc(base + 2 + q)
-              mat(q + 1)(0) = acc(base + 2 + q)
-              rhs(q + 1) = acc(base + 2 + m + q)
-              for (r2 <- 0 to q) {
-                val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
-                mat(r2 + 1)(q + 1) = v
-                mat(q + 1)(r2 + 1) = v
-              }
-            }
-          } else {
-            for (q <- 0 until m) {
-              rhs(q) = acc(base + 2 + m + q)
-              for (r2 <- 0 to q) {
-                val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
-                mat(r2)(q) = v
-                mat(q)(r2) = v
-              }
-            }
-          }
-          val sol = LinAlg.solve(mat, rhs)
-          val na0 = if (params.intercept) sol(0) else 0.0
+          val loA = if (params.lowerLimits == null) null
+            else a.map(params.lowerLimits(_))
+          val upA = if (params.upperLimits == null) null
+            else a.map(params.upperLimits(_))
+          val (na0, sol) = SgdNet.solveRestrictedWls(acc, base, m,
+            params.intercept, loA, upA, a.map(bFull(f)(l)(_)), params.maxit)
           var maxD = math.abs(na0 - a0R(f)(l))
-          val off0 = if (params.intercept) 1 else 0
           for (q <- 0 until m) {
-            val d = math.abs(sol(off0 + q) - bFull(f)(l)(a(q)))
+            val d = math.abs(sol(q) - bFull(f)(l)(a(q)))
             if (d > maxD) maxD = d
           }
           a0R(f)(l) = na0
-          for (q <- 0 until m) bFull(f)(l)(a(q)) = sol(off0 + q)
+          for (q <- 0 until m) bFull(f)(l)(a(q)) = sol(q)
           if (maxD < tolR) doneR(f)(l) = true
         }
         iterR += 1

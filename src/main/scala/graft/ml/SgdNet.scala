@@ -1910,42 +1910,19 @@ object SgdNet {
           val a = active(l)
           val m = a.length
           val base = offs(i)
-          val dim = if (params.intercept) m + 1 else m
-          val mat = Array.ofDim[Double](dim, dim)
-          val rhs = new Array[Double](dim)
-          if (params.intercept) {
-            mat(0)(0) = acc(base)
-            rhs(0) = acc(base + 1)
-            for (q <- 0 until m) {
-              mat(0)(q + 1) = acc(base + 2 + q)
-              mat(q + 1)(0) = acc(base + 2 + q)
-              rhs(q + 1) = acc(base + 2 + m + q)
-              for (r2 <- 0 to q) {
-                val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
-                mat(r2 + 1)(q + 1) = v
-                mat(q + 1)(r2 + 1) = v
-              }
-            }
-          } else {
-            for (q <- 0 until m) {
-              rhs(q) = acc(base + 2 + m + q)
-              for (r2 <- 0 to q) {
-                val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
-                mat(r2)(q) = v
-                mat(q)(r2) = v
-              }
-            }
-          }
-          val sol = LinAlg.solve(mat, rhs)
-          val na0 = if (params.intercept) sol(0) else 0.0
+          val loA = if (params.lowerLimits == null) null
+            else a.map(params.lowerLimits(_))
+          val upA = if (params.upperLimits == null) null
+            else a.map(params.upperLimits(_))
+          val (na0, sol) = solveRestrictedWls(acc, base, m,
+            params.intercept, loA, upA, a.map(bR(l)(_)), params.maxit)
           var maxD = math.abs(na0 - a0R(l))
-          val off0 = if (params.intercept) 1 else 0
           for (q <- 0 until m) {
-            val d = math.abs(sol(off0 + q) - bR(l)(a(q)))
+            val d = math.abs(sol(q) - bR(l)(a(q)))
             if (d > maxD) maxD = d
           }
           a0R(l) = na0
-          for (q <- 0 until m) bR(l)(a(q)) = sol(off0 + q)
+          for (q <- 0 until m) bR(l)(a(q)) = sol(q)
           if (maxD < tol) done(l) = true
         }
         iter += 1
@@ -1964,13 +1941,27 @@ object SgdNet {
     val L = model.lambda.length
     val olsA0 = new Array[Double](L)
     val olsBeta = Array.ofDim[Double](L, p)
+    val (loStdR, upStdR) = boundsStd(params, scale, 1.0)
     for (l <- 0 until L) {
       val active = (0 until p).filter(j => model.beta(l)(0)(j) != 0.0)
       if (active.nonEmpty) {
         val a = Array.tabulate(active.size, active.size)((i, j) =>
           st.gram(active(i))(active(j)))
         val bv = active.map(j => st.b(0)(j)).toArray
-        val sol = LinAlg.solve(a, bv)
+        // glmnet relax + lower/upper.limits (round 17): the refit
+        // honors the ORIGINAL call's box — CD at λ = 0 with clipped
+        // steps on standardized coordinates; unbounded keeps the exact
+        // normal-equations solve bit-identically
+        val sol =
+          if (loStdR == null && upStdR == null) LinAlg.solve(a, bv)
+          else CoordinateDescent.solve(a, bv,
+            new Array[Double](active.size), 0.0, 1.0, 0.0, 1.0,
+            intercept = false,
+            active.map(j => model.beta(l)(0)(j) * scale(j)).toArray,
+            thresh = 1e-12, maxIter = params.maxit,
+            lower = if (loStdR == null) null else active.map(loStdR(_)).toArray,
+            upper = if (upStdR == null) null else active.map(upStdR(_)).toArray
+          ).beta
         active.zipWithIndex.foreach { case (j, i) =>
           olsBeta(l)(j) = sol(i) / scale(j)
         }
@@ -2406,6 +2397,63 @@ object SgdNet {
         s"$MaxMultinomialClasses distinct values — multinomial state is " +
         "O(classes × features); is the label a continuous or id column?")
     cs
+  }
+
+  /** Solve one restricted unpenalized WLS system from an accumulated
+    * moment block laid out [Σw, Σwz, Σw·x_A (m), Σw·x_A·z (m),
+    * packed Σw·x_A·x_A' (tri(m))] — shared by every IRLS relaxed-refit
+    * site. Unbounded solves the exact normal equations (bit-identical
+    * to the pre-round-17 arithmetic); with box limits (round 17 —
+    * glmnet relax.glmnet refits with the ORIGINAL call's
+    * lower/upper.limits) it runs CD at λ = 0 with clipped steps:
+    * box-constrained WLS, exact 1-D prox per coordinate, intercept
+    * unbounded. `lo`/`up` are per-ACTIVE-coordinate on the solve's
+    * coordinate scale (null = unbounded); `warm` is the current
+    * active-set coefficients. Returns (a0, beta_A). */
+  private[ml] def solveRestrictedWls(acc: Array[Double], base: Int, m: Int,
+                                     intercept: Boolean,
+                                     lo: Array[Double], up: Array[Double],
+                                     warm: Array[Double],
+                                     maxit: Int): (Double, Array[Double]) = {
+    if (lo == null && up == null) {
+      val dim2 = if (intercept) m + 1 else m
+      val mat = Array.ofDim[Double](dim2, dim2)
+      val rhs = new Array[Double](dim2)
+      if (intercept) {
+        mat(0)(0) = acc(base)
+        rhs(0) = acc(base + 1)
+        for (q <- 0 until m) {
+          mat(0)(q + 1) = acc(base + 2 + q)
+          mat(q + 1)(0) = acc(base + 2 + q)
+          rhs(q + 1) = acc(base + 2 + m + q)
+          for (r2 <- 0 to q) {
+            val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
+            mat(r2 + 1)(q + 1) = v
+            mat(q + 1)(r2 + 1) = v
+          }
+        }
+      } else {
+        for (q <- 0 until m) {
+          rhs(q) = acc(base + 2 + m + q)
+          for (r2 <- 0 to q) {
+            val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
+            mat(r2)(q) = v
+            mat(q)(r2) = v
+          }
+        }
+      }
+      val sol = LinAlg.solve(mat, rhs)
+      if (intercept) (sol(0), sol.drop(1)) else (0.0, sol)
+    } else {
+      val aM = Array.tabulate(m, m)((i, j) =>
+        acc(base + 2 + 2 * m + LinAlg.triIdx(math.min(i, j), math.max(i, j))))
+      val c = Array.tabulate(m)(q => acc(base + 2 + m + q))
+      val xw = Array.tabulate(m)(q => acc(base + 2 + q))
+      val r = CoordinateDescent.solve(aM, c, xw, acc(base + 1), acc(base),
+        0.0, 1.0, intercept, warm, thresh = 1e-12, maxIter = maxit,
+        lower = lo, upper = up)
+      (r.a0, r.beta)
+    }
   }
 
   private[ml] def requireNoZeroPf(params: SgdNetParams, where: String): Unit =
@@ -3415,42 +3463,19 @@ object SgdNet {
           val a = active(l)
           val m = a.length
           val base = offs(i)
-          val dim2 = if (params.intercept) m + 1 else m
-          val mat = Array.ofDim[Double](dim2, dim2)
-          val rhs = new Array[Double](dim2)
-          if (params.intercept) {
-            mat(0)(0) = acc(base)
-            rhs(0) = acc(base + 1)
-            for (q <- 0 until m) {
-              mat(0)(q + 1) = acc(base + 2 + q)
-              mat(q + 1)(0) = acc(base + 2 + q)
-              rhs(q + 1) = acc(base + 2 + m + q)
-              for (r2 <- 0 to q) {
-                val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
-                mat(r2 + 1)(q + 1) = v
-                mat(q + 1)(r2 + 1) = v
-              }
-            }
-          } else {
-            for (q <- 0 until m) {
-              rhs(q) = acc(base + 2 + m + q)
-              for (r2 <- 0 to q) {
-                val v = acc(base + 2 + 2 * m + LinAlg.triIdx(r2, q))
-                mat(r2)(q) = v
-                mat(q)(r2) = v
-              }
-            }
-          }
-          val sol = LinAlg.solve(mat, rhs)
-          val na0 = if (params.intercept) sol(0) else 0.0
+          val loA = if (params.lowerLimits == null) null
+            else a.map(params.lowerLimits(_))
+          val upA = if (params.upperLimits == null) null
+            else a.map(params.upperLimits(_))
+          val (na0, sol) = solveRestrictedWls(acc, base, m,
+            params.intercept, loA, upA, a.map(bR(l)(_)), params.maxit)
           var maxD = math.abs(na0 - a0R(l))
-          val off0 = if (params.intercept) 1 else 0
           for (q <- 0 until m) {
-            val d = math.abs(sol(off0 + q) - bR(l)(a(q)))
+            val d = math.abs(sol(q) - bR(l)(a(q)))
             if (d > maxD) maxD = d
           }
           a0R(l) = na0
-          for (q <- 0 until m) bR(l)(a(q)) = sol(off0 + q)
+          for (q <- 0 until m) bR(l)(a(q)) = sol(q)
           if (maxD < tol) done(l) = true
         }
         iter += 1

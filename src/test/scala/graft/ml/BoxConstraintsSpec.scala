@@ -143,4 +143,60 @@ class BoxConstraintsSpec extends SparkSpec {
     for (j <- 0 until 2)
       assert(math.abs(a.beta(0)(0)(j) - b.beta(0)(0)(j)) < 1e-9)
   }
+
+  test("relax + limits: the refit honors the box on every route (round 17)") {
+    import org.apache.spark.sql.functions._
+    // gaussian: unconstrained refit has b2 < 0; with lowerLimits = 0 the
+    // refit must clip it and re-optimize the free coordinate
+    val df = negData
+    val params = SgdNetParams(alpha = 1.0, lambda = Array(0.1, 0.01),
+      thresh = 1e-11, maxit = 100000,
+      lowerLimits = Array(0.0, 0.0), upperLimits = null)
+    val rp = SgdNet.relaxedFit(df, Seq("x1", "x2"), "y", params, gamma = 0.0)
+    for (l <- 0 until 2; j <- 0 until 2)
+      assert(rp.olsBeta(l)(j) >= -1e-12, s"refit bound ols($l)($j)")
+    // the bound binds (the unbounded refit would be negative), and the
+    // free coordinate re-optimizes: compare against the 1-feature OLS
+    // of y on x1 alone when b2 is pinned at 0
+    val un = SgdNet.relaxedFit(df, Seq("x1", "x2"), "y",
+      params.copy(lowerLimits = null), gamma = 0.0)
+    assert(un.olsBeta(0)(1) < -0.1, "unbounded refit should be negative")
+    val st = df.agg(
+      covar_pop(col("x1"), col("y")).as("c1y"),
+      var_pop(col("x1")).as("v1")).head
+    val b1Pinned = st.getDouble(0) / st.getDouble(1)
+    for (l <- 0 until 2 if rp.olsBeta(l)(1) == 0.0 && rp.olsBeta(l)(0) != 0.0)
+      assert(math.abs(rp.olsBeta(l)(0) - b1Pinned) < 1e-6,
+        s"free coord re-optimizes at l=$l: ${rp.olsBeta(l)(0)} vs $b1Pinned")
+    // non-binding limits == unbounded refit (CD route vs exact solve)
+    val loose = SgdNet.relaxedFit(df, Seq("x1", "x2"), "y",
+      params.copy(lowerLimits = Array(-100.0, -100.0),
+        upperLimits = Array(100.0, 100.0)), gamma = 0.0)
+    for (l <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(loose.olsBeta(l)(j) - un.olsBeta(l)(j)) < 1e-8,
+        s"non-binding == unbounded ols($l)($j)")
+    // binomial IRLS refit honors the box too
+    val db = SparkSpec.binaryDF(spark)
+    val pb = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(0.02), thresh = 1e-9, maxit = 100000,
+      lowerLimits = Array(0.0, 0.0), upperLimits = null)
+    val rb = SgdNet.relaxedFitGlm(db, Seq("x1", "x2"), "y", pb, gamma = 0.0)
+    for (j <- 0 until 2)
+      assert(rb.olsBeta(0)(j) >= -1e-12, s"binomial refit bound ($j)")
+    // x2's true effect is negative, so the bound binds there
+    val ub = SgdNet.relaxedFitGlm(db, Seq("x1", "x2"), "y",
+      pb.copy(lowerLimits = null), gamma = 0.0)
+    assert(ub.olsBeta(0)(1) < 0, "unbounded binomial refit negative on x2")
+    assert(rb.olsBeta(0)(1) == 0.0 || rb.olsBeta(0)(1) > 0,
+      "bounded binomial refit clipped")
+    // relaxed CV: the per-fold refits honor the box (full-data refit
+    // rides as the virtual fold)
+    val cvB = CvSgdNet.fitRelaxed(negData.withColumn("rid",
+        monotonically_increasing_id()), Seq("x1", "x2"), "y",
+      params, nfolds = 3, gammas = Seq(0.0, 1.0),
+      foldCol = pmod(xxhash64(col("rid")), lit(3)))
+    for (l <- 0 until 2; j <- 0 until 2)
+      assert(cvB.relaxed.olsBeta(l)(j) >= -1e-12, s"CV refit bound ($l)($j)")
+    ()
+  }
 }
