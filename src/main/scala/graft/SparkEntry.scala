@@ -137,6 +137,8 @@ object SparkEntry {
     "q_embed_project"    -> (OpsQueries.embedProject _),
     "q_lang_id"          -> (OpsQueries.langId _),
     "q_quality_score"    -> (OpsQueries.qualityScore _),
+    "q_gopher_rules"     -> (OpsQueries.gopherRulesQ _),
+    "q_c4_filters"       -> (OpsQueries.c4FiltersQ _),
     "q_token_count"      -> (OpsQueries.tokenCount _),
     "q_fingerprint"      -> (OpsQueries.fingerprint _),
     "q_winnow"           -> (OpsQueries.winnow _),

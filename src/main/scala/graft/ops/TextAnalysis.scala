@@ -40,6 +40,101 @@ object TextAnalysis {
         size(array_distinct(ws)).cast("double") / size(ws))
   }
 
+  /** Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A — the MassiveText filter battery; round 17): the NAMED
+    * rule set corpus pipelines reach for, as per-rule boolean flags
+    * plus the overall `gopher_keep`:
+    *
+    *  - word count in [minWords, maxWords]
+    *  - mean word length in [3, 10]
+    *  - symbol-to-word ratio (# and ...) <= 0.1
+    *  - <= 90% of lines start with a bullet (-, *, •)
+    *  - <= 30% of lines end with an ellipsis
+    *  - >= 80% of words contain at least one alphabetic character
+    *  - >= 2 distinct hits from the required-stopword set
+    *    (the/be/to/of/and/that/have/with)
+    *
+    * One shuffle-free projection per document (array HOFs over the
+    * per-doc word/line arrays, O(words) each), so the rule battery
+    * runs at scan speed at any corpus size. */
+  def gopherRules(df: DataFrame, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val ws = split(trim(t), "\\s+")
+    val lines = split(t, "\n")
+    val reqStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val wsLower = transform(ws, w => lower(w))
+    val stopHits = reqStops.map(s =>
+      when(array_contains(wsLower, s), 1).otherwise(0)).reduce(_ + _)
+    df.withColumn("n_words", size(ws))
+      .withColumn("mean_word_len",
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+          col("n_words"))
+      .withColumn("symbol_ratio",
+        ((length(t) - length(regexp_replace(t, "#", ""))) +
+          (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+          .cast("double") / col("n_words"))
+      .withColumn("bullet_ratio",
+        size(filter(lines, ln => ln.rlike("^\\s*[-*•]"))).cast("double") /
+          size(lines))
+      .withColumn("ellipsis_ratio",
+        size(filter(lines, ln => ln.rlike("\\.\\.\\.\\s*$"))).cast("double") /
+          size(lines))
+      .withColumn("alpha_word_ratio",
+        size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") /
+          col("n_words"))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("g_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("g_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("g_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("g_bullets", col("bullet_ratio") <= 0.9)
+      .withColumn("g_ellipsis", col("ellipsis_ratio") <= 0.3)
+      .withColumn("g_alpha", col("alpha_word_ratio") >= 0.8)
+      .withColumn("g_stops", col("stop_hits") >= 2)
+      .withColumn("gopher_keep",
+        col("g_word_count") && col("g_word_len") && col("g_symbols") &&
+          col("g_bullets") && col("g_ellipsis") && col("g_alpha") &&
+          col("g_stops"))
+  }
+
+  /** C4 document filters (Raffel et al. 2020, the Colossal Clean
+    * Crawled Corpus rules; round 17): line-level cleaning + page-level
+    * drops as a named battery —
+    *
+    *  - a line is KEPT iff it ends in terminal punctuation (. ! ? "),
+    *    has >= `minWordsPerLine` words, and does not mention
+    *    "javascript" (case-insensitive);
+    *  - the page is kept (`c4_keep`) iff the cleaned text has >=
+    *    `minSentences` sentence terminators, and the page contains
+    *    neither "lorem ipsum" nor a curly brace.
+    *
+    * Returns `c4_text` (kept lines re-joined), per-rule flags, and
+    * line/sentence counts. One shuffle-free projection per document —
+    * corpus-linear. */
+  def c4Filters(df: DataFrame, textCol: String,
+                minSentences: Int = 3, minWordsPerLine: Int = 5): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val keptLines = filter(lines, ln =>
+      ln.rlike("[.!?\"]\\s*$") &&
+        size(split(trim(ln), "\\s+")) >= minWordsPerLine &&
+        !lower(ln).contains("javascript"))
+    df.withColumn("n_lines", size(lines))
+      .withColumn("c4_text", array_join(keptLines, "\n"))
+      .withColumn("n_kept_lines", size(keptLines))
+      .withColumn("n_sentences",
+        length(col("c4_text")) -
+          length(regexp_replace(col("c4_text"), "[.!?]", "")))
+      .withColumn("c4_lorem", lower(t).contains("lorem ipsum"))
+      .withColumn("c4_brace", t.contains("{"))
+      .withColumn("c4_keep",
+        col("n_sentences") >= minSentences && !col("c4_lorem") &&
+          !col("c4_brace"))
+  }
+
   /** Composite quality score in [0,1]: penalizes extreme lengths, high
     * punctuation/digit density, and heavy repetition. */
   def qualityScore(df: DataFrame, textCol: String): DataFrame =

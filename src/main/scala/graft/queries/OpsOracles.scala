@@ -1652,6 +1652,130 @@ object OpsOracles {
         |      + least(uniq_word_ratio * 2.0, 1.0) * 0.2, 6) AS quality
         |FROM m ORDER BY doc_id""".stripMargin.trim,
 
+    // Gopher rule battery (round 17): the same re-lining + injections
+    // as the Spark query, every rule's violation census in DuckDB list
+    // arithmetic
+    "q_gopher_rules" ->
+      """
+        |WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((\S+ ){6}\S+) ', '\1' || chr(10), 'g') AS t0
+        |  FROM documents),
+        |d2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN '- one' || chr(10) || '* two' || chr(10) || '- three' || chr(10) || t0
+        |    ELSE t0 END AS t1 FROM d),
+        |d3 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN t1 || chr(10) || 'to be continued...'
+        |    ELSE t1 END AS t2a FROM d2),
+        |d4 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |    THEN t2a || ' ### ### ### ### ### ### ### ###'
+        |    ELSE t2a END AS t2 FROM d3),
+        |m AS (
+        |  SELECT doc_id, t2,
+        |    regexp_split_to_array(trim(t2), '\s+') AS ws,
+        |    string_split(t2, chr(10)) AS lines
+        |  FROM d4),
+        |r AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    list_sum(list_transform(ws, w -> len(w)))::DOUBLE / len(ws) AS mwl,
+        |    ((len(t2) - len(replace(t2, '#', '')))
+        |      + (len(t2) - len(replace(t2, '...', ''))) / 3)::DOUBLE
+        |      / len(ws) AS symbol_ratio,
+        |    len(list_filter(lines, ln -> regexp_matches(ln, '^\s*[-*•]')))::DOUBLE
+        |      / len(lines) AS bullet_ratio,
+        |    len(list_filter(lines, ln -> regexp_matches(ln, '\.\.\.\s*$')))::DOUBLE
+        |      / len(lines) AS ellipsis_ratio,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+        |      / len(ws) AS alpha_ratio,
+        |    (list_contains(list_transform(ws, w -> lower(w)), 'the')::INT
+        |     + list_contains(list_transform(ws, w -> lower(w)), 'be')::INT
+        |     + list_contains(list_transform(ws, w -> lower(w)), 'to')::INT
+        |     + list_contains(list_transform(ws, w -> lower(w)), 'of')::INT
+        |     + list_contains(list_transform(ws, w -> lower(w)), 'and')::INT
+        |     + list_contains(list_transform(ws, w -> lower(w)), 'that')::INT
+        |     + list_contains(list_transform(ws, w -> lower(w)), 'have')::INT
+        |     + list_contains(list_transform(ws, w -> lower(w)), 'with')::INT
+        |    ) AS stop_hits
+        |  FROM m),
+        |f AS (
+        |  SELECT *,
+        |    (n_words >= 20 AND n_words <= 100000) AS g_word_count,
+        |    (mwl >= 3.0 AND mwl <= 10.0) AS g_word_len,
+        |    (symbol_ratio <= 0.1) AS g_symbols,
+        |    (bullet_ratio <= 0.9) AS g_bullets,
+        |    (ellipsis_ratio <= 0.3) AS g_ellipsis,
+        |    (alpha_ratio >= 0.8) AS g_alpha,
+        |    (stop_hits >= 2) AS g_stops
+        |  FROM r)
+        |SELECT count(*) AS n_docs,
+        |  sum(CASE WHEN NOT g_word_count THEN 1 ELSE 0 END)::BIGINT AS f_word_count,
+        |  sum(CASE WHEN NOT g_word_len THEN 1 ELSE 0 END)::BIGINT AS f_word_len,
+        |  sum(CASE WHEN NOT g_symbols THEN 1 ELSE 0 END)::BIGINT AS f_symbols,
+        |  sum(CASE WHEN NOT g_bullets THEN 1 ELSE 0 END)::BIGINT AS f_bullets,
+        |  sum(CASE WHEN NOT g_ellipsis THEN 1 ELSE 0 END)::BIGINT AS f_ellipsis,
+        |  sum(CASE WHEN NOT g_alpha THEN 1 ELSE 0 END)::BIGINT AS f_alpha,
+        |  sum(CASE WHEN NOT g_stops THEN 1 ELSE 0 END)::BIGINT AS f_stops,
+        |  sum(CASE WHEN g_word_count AND g_word_len AND g_symbols AND
+        |    g_bullets AND g_ellipsis AND g_alpha AND g_stops
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+        |  round(sum(mwl), 4) AS sum_mwl
+        |FROM f""".stripMargin.trim,
+
+    // C4 filter battery (round 17): same re-lining + injections; the
+    // kept-line/sentence census and page drops in DuckDB
+    "q_c4_filters" ->
+      """
+        |WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((\S+ ){6}\S+) ', '\1.' || chr(10), 'g')
+        |      || '.' || chr(10) || 'too short.' AS t0
+        |  FROM documents),
+        |d2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN t0 || chr(10) || 'braces are code { nope.'
+        |    ELSE t0 END AS t1 FROM d),
+        |d3 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN t1 || chr(10) || 'this page is Lorem Ipsum filler text.'
+        |    ELSE t1 END AS t2a FROM d2),
+        |d4 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 0
+        |    THEN t2a || chr(10) || 'enable JavaScript to view this page.'
+        |    ELSE t2a END AS t2 FROM d3),
+        |m AS (
+        |  SELECT doc_id, t2,
+        |    list_filter(string_split(t2, chr(10)), ln ->
+        |      regexp_matches(ln, '[.!?"]\s*$')
+        |      AND len(regexp_split_to_array(trim(ln), '\s+')) >= 5
+        |      AND NOT contains(lower(ln), 'javascript')) AS kept
+        |  FROM d4),
+        |r AS (
+        |  SELECT doc_id,
+        |    len(kept) AS n_kept_lines,
+        |    list_sum(list_transform(kept, ln ->
+        |      len(ln) - len(regexp_replace(ln, '[.!?]', '', 'g'))))
+        |      AS n_sentences0,
+        |    contains(lower(t2), 'lorem ipsum') AS c4_lorem,
+        |    contains(t2, '{') AS c4_brace
+        |  FROM m),
+        |f AS (
+        |  SELECT doc_id, n_kept_lines,
+        |    coalesce(n_sentences0, 0) AS n_sentences, c4_lorem, c4_brace,
+        |    (coalesce(n_sentences0, 0) >= 3 AND NOT c4_lorem AND NOT c4_brace)
+        |      AS c4_keep
+        |  FROM r)
+        |SELECT count(*) AS n_docs,
+        |  sum(CASE WHEN c4_keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+        |  sum(n_kept_lines)::BIGINT AS kept_lines,
+        |  sum(n_sentences)::BIGINT AS sentences,
+        |  sum(CASE WHEN c4_lorem THEN 1 ELSE 0 END)::BIGINT AS n_lorem,
+        |  sum(CASE WHEN c4_brace THEN 1 ELSE 0 END)::BIGINT AS n_brace
+        |FROM f""".stripMargin.trim,
+
     "q_token_count" ->
       """
         |SELECT doc_id,

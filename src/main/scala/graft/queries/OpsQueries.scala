@@ -412,6 +412,71 @@ object OpsQueries {
       .groupBy("lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang_pred")
 
+  /** Documents re-lined into 7-word lines with deterministic
+    * degeneracies injected by doc_id residue — bullets (%7), trailing
+    * ellipsis (%11), hash spam (%13) — so every Gopher rule fires on a
+    * known subset; the whole per-rule violation census verifies in
+    * DuckDB with the same list arithmetic. */
+  def gopherRulesQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+      .withColumn("t2", regexp_replace(col("text"),
+        "((\\S+ ){6}\\S+) ", "$1\n"))
+      .withColumn("t2",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("- one\n* two\n- three\n"), col("t2")))
+          .otherwise(col("t2")))
+      .withColumn("t2",
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("t2"), lit("\nto be continued...")))
+          .otherwise(col("t2")))
+      .withColumn("t2",
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("t2"), lit(" ### ### ### ### ### ### ### ###")))
+          .otherwise(col("t2")))
+    TextAnalysis.gopherRules(d, "t2", minWords = 20)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("g_word_count"), 1).otherwise(0)).as("f_word_count"),
+        sum(when(!col("g_word_len"), 1).otherwise(0)).as("f_word_len"),
+        sum(when(!col("g_symbols"), 1).otherwise(0)).as("f_symbols"),
+        sum(when(!col("g_bullets"), 1).otherwise(0)).as("f_bullets"),
+        sum(when(!col("g_ellipsis"), 1).otherwise(0)).as("f_ellipsis"),
+        sum(when(!col("g_alpha"), 1).otherwise(0)).as("f_alpha"),
+        sum(when(!col("g_stops"), 1).otherwise(0)).as("f_stops"),
+        sum(when(col("gopher_keep"), 1).otherwise(0)).as("n_keep"),
+        round(sum(col("mean_word_len")), 4).as("sum_mwl"))
+  }
+
+  /** Documents re-lined into period-terminated 7-word lines with C4
+    * degeneracies injected by doc_id residue — a curly brace (%7), a
+    * "lorem ipsum" line (%11), a javascript line (%13), and a 2-word
+    * line everywhere (dropped by the min-words-per-line rule) — the
+    * census of kept lines/sentences and page drops is DuckDB-exact. */
+  def c4FiltersQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+      .withColumn("t2", concat(regexp_replace(col("text"),
+        "((\\S+ ){6}\\S+) ", "$1.\n"), lit(".")))
+      .withColumn("t2", concat(col("t2"), lit("\ntoo short.")))
+      .withColumn("t2",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("t2"), lit("\nbraces are code { nope.")))
+          .otherwise(col("t2")))
+      .withColumn("t2",
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("t2"), lit("\nthis page is Lorem Ipsum filler text.")))
+          .otherwise(col("t2")))
+      .withColumn("t2",
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat(col("t2"), lit("\nenable JavaScript to view this page.")))
+          .otherwise(col("t2")))
+    TextAnalysis.c4Filters(d, "t2")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c4_keep"), 1).otherwise(0)).as("n_keep"),
+        sum(col("n_kept_lines")).as("kept_lines"),
+        sum(col("n_sentences")).as("sentences"),
+        sum(when(col("c4_lorem"), 1).otherwise(0)).as("n_lorem"),
+        sum(when(col("c4_brace"), 1).otherwise(0)).as("n_brace"))
+  }
+
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(
         tbl(spark, dir, "documents").filter(col("doc_id") < 100), "text")

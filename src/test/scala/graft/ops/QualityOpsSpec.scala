@@ -160,4 +160,61 @@ class QualityOpsSpec extends SparkSpec {
       s"classifier failed to separate: target min $tMin <= background max $bMax")
     assert(tMin > 0.5 && bMax < 0.5)
   }
+
+  test("gopherRules: each rule fires on a crafted violator (round 17)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val good = ("good", ("the quick brown fox jumps over the lazy dog and " +
+      "then it ran off to be with all of that other pack having fun " +
+      "with every word here so the count clears twenty easily today"))
+    val docs = Seq(
+      good,
+      ("short", "the of and be"), // word count < 20
+      ("symbols", ("the of and be " * 5) + ("# " * 30)), // symbol ratio
+      ("bullets", (1 to 12).map(i => s"- item $i of the set").mkString("\n")),
+      ("ellipsis", (1 to 10).map(i =>
+        s"the line $i of this doc trails off...").mkString("\n")),
+      ("numeric", "the of " + ((1 to 40).map(_.toString).mkString(" "))),
+      ("nostops", (1 to 30).map(i => s"w$i").mkString(" "))
+    ).toDF("id", "text")
+    val r = TextAnalysis.gopherRules(docs, "text", minWords = 20)
+      .select("id", "g_word_count", "g_symbols", "g_bullets", "g_ellipsis",
+        "g_alpha", "g_stops", "gopher_keep")
+      .collect().map(rw => rw.getString(0) -> rw).toMap
+    assert(r("good").getBoolean(7), "good doc keeps")
+    assert(!r("short").getBoolean(1), "word count fires")
+    assert(!r("symbols").getBoolean(2), "symbol ratio fires")
+    assert(!r("bullets").getBoolean(3), "bullet ratio fires")
+    assert(!r("ellipsis").getBoolean(4), "ellipsis ratio fires")
+    assert(!r("numeric").getBoolean(5), "alpha-word ratio fires")
+    assert(!r("nostops").getBoolean(6), "stopword rule fires")
+    docs.collect() // force no lazy surprises
+    ()
+  }
+
+  test("c4Filters: line keeps and page drops (round 17)") {
+    import spark.implicits._
+    val docs = Seq(
+      ("keep", "this is a fine sentence here.\nanother full line of text is kept!\nand one more decent line stays put."),
+      ("shortlines", "too short.\nway too small.\nnope tiny."),
+      ("nopunct", "this line has no terminal punctuation at all\nneither does this one over here\nnor this third one either"),
+      ("lorem", "this is a fine sentence here.\nanother full line of text is kept!\nand one more decent line stays put.\nlorem ipsum dolor sit amet friends."),
+      ("brace", "this is a fine sentence here.\nanother full line of text is kept!\nand one more decent line stays put { sadly."),
+      ("js", "this is a fine sentence here.\nanother full line of text is kept!\nand one more decent line stays put.\nplease enable javascript to continue reading.")
+    ).toDF("id", "text")
+    val r = TextAnalysis.c4Filters(docs, "text")
+      .select("id", "n_kept_lines", "n_sentences", "c4_lorem", "c4_brace",
+        "c4_keep")
+      .collect().map(rw => rw.getString(0) -> rw).toMap
+    assert(r("keep").getBoolean(5) && r("keep").getInt(1) == 3)
+    assert(r("shortlines").getInt(1) == 0 && !r("shortlines").getBoolean(5),
+      "min words per line drops all")
+    assert(r("nopunct").getInt(1) == 0 && !r("nopunct").getBoolean(5),
+      "terminal punctuation rule drops all")
+    assert(r("lorem").getBoolean(3) && !r("lorem").getBoolean(5))
+    assert(r("brace").getBoolean(4) && !r("brace").getBoolean(5))
+    // the javascript line is dropped but the page survives (3 sentences left)
+    assert(r("js").getInt(1) == 3 && r("js").getBoolean(5))
+    ()
+  }
 }
