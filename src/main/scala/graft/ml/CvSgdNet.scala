@@ -5583,6 +5583,28 @@ object CvSgdNet {
         .repartition(1).write.mode("overwrite").parquet(s"$path/refit")
     }
 
+    /** predict.cv.glmnet with relax = TRUE (round 17): predictions
+      * from the best-gamma BLENDED full-data model at
+      * lambda.min | lambda.1se | a numeric string — each [[CvPath]]'s
+      * `fit` carries the γ-blend, so this is the [[CvResult.predictAt]]
+      * delegation on the winning gamma's path. */
+    def predictAt(df: DataFrame, which: String = "lambda.min",
+                  tpe: String = "link"): DataFrame = {
+      val s = which match {
+        case "lambda.min" => best.lambdaMin
+        case "lambda.1se" => best.lambda1se
+        case other        => other.toDouble
+      }
+      val (a0, beta) = best.fit.atLambda(s)
+      val c = tpe match {
+        case "link"     => best.fit.linkColFor(a0(0), beta(0))
+        case "response" => best.fit.responseColFor(a0, beta)
+        case "class"    => best.fit.classColFor(a0, beta)
+        case t => throw new IllegalArgumentException(s"unknown predict type: $t")
+      }
+      df.withColumn("pred", c)
+    }
+
     /** Blended full-data coefficients at (bestGamma, lambda.min|.1se):
       * the selected lambda is a grid point, so no interpolation. */
     def coefAt(which: String = "lambda.min"): (Double, Array[Double]) = {

@@ -457,4 +457,36 @@ class RelaxedCvSpec extends SparkSpec {
         1e-11 * math.max(1.0, gAdj.paths(g).cvm(l)), s"gauss off cvm($g)($l)")
     ()
   }
+
+  test("predictAt: blended predictions at the selected point (round 17)") {
+    val params = SgdNetParams(alpha = 1.0, lambda = Array(0.5, 0.05),
+      thresh = 1e-10, maxit = 100000)
+    val r = CvSgdNet.fitRelaxed(data, Seq("x1", "x2"), "y", params,
+      nfolds = 3, gammas = Seq(0.0, 0.5, 1.0), foldCol = fold)
+    // predictions at lambda.min equal the coefAt blend applied by hand
+    val (a0, b) = r.coefAt("lambda.min")
+    val preds = r.predictAt(data, "lambda.min")
+      .select("x1", "x2", "pred").collect()
+    preds.foreach { rw =>
+      val eta = a0 + b(0) * rw.getDouble(0) + b(1) * rw.getDouble(1)
+      assert(math.abs(rw.getDouble(2) - eta) < 1e-9)
+    }
+    // binomial: response type stays in [0,1] and matches the blend
+    val db = binData
+    val foldB = pmod(xxhash64(col("rid")), lit(3))
+    val rb = CvSgdNet.fitRelaxed(db, Seq("x1", "x2"), "y",
+      SgdNetParams(family = "binomial", alpha = 1.0,
+        lambda = Array(0.05, 0.01), thresh = 1e-9, maxit = 100000),
+      nfolds = 3, gammas = Seq(0.0, 1.0), foldCol = foldB)
+    val (a0b, bb) = rb.coefAt("lambda.min")
+    rb.predictAt(db, "lambda.min", tpe = "response")
+      .select("x1", "x2", "pred").collect().foreach { rw =>
+        val mu = 1.0 / (1.0 + math.exp(-(a0b + bb(0) * rw.getDouble(0) +
+          bb(1) * rw.getDouble(1))))
+        assert(math.abs(rw.getDouble(2) - mu) < 1e-9)
+        assert(rw.getDouble(2) >= 0 && rw.getDouble(2) <= 1)
+      }
+    intercept[IllegalArgumentException] { r.predictAt(data, tpe = "bogus") }
+    ()
+  }
 }
