@@ -139,6 +139,7 @@ object SparkEntry {
     "q_quality_score"    -> (OpsQueries.qualityScore _),
     "q_gopher_rules"     -> (OpsQueries.gopherRulesQ _),
     "q_c4_filters"       -> (OpsQueries.c4FiltersQ _),
+    "q_gopher_repetition" -> (OpsQueries.gopherRepetitionQ _),
     "q_token_count"      -> (OpsQueries.tokenCount _),
     "q_fingerprint"      -> (OpsQueries.fingerprint _),
     "q_winnow"           -> (OpsQueries.winnow _),

@@ -100,6 +100,114 @@ object TextAnalysis {
           col("g_stops"))
   }
 
+  /** Gopher REPETITION rules (Rae et al. 2021 Appendix A, Table A1 —
+    * the companion battery to [[gopherRules]]; round 17): per-document
+    * repetition fractions with the paper's thresholds and the overall
+    * `rep_keep`:
+    *
+    *  - duplicate line / paragraph fraction <= 0.30 (occurrences after
+    *    the first, over the line/paragraph count)
+    *  - duplicate line / paragraph CHARACTER fraction <= 0.20 (chars of
+    *    occurrences after the first, over total line/paragraph chars)
+    *  - top word-n-gram character fraction: n=2 <= 0.20, n=3 <= 0.18,
+    *    n=4 <= 0.16 — count × n-gram char length (ties: the longest
+    *    max-count gram) over the single-space-joined word text; a top
+    *    count of 1 scores 0 (no repetition — short docs would
+    *    otherwise fire on their own longest n-gram)
+    *  - duplicated word-n-gram character fraction: n=5..10 <=
+    *    0.15/0.14/0.13/0.12/0.11/0.10 — the UNION of character spans
+    *    covered by occurrences after each n-gram's first, over the
+    *    joined word text
+    *
+    * Runs as a typed mapPartitions kernel (per-doc hash maps + one
+    * boolean span array — the interpreted-HOF-per-column trap doesn't
+    * apply), one pass, no shuffle: corpus-linear. Lines split on \\n,
+    * paragraphs on \\n\\n; words on whitespace. */
+  def gopherRepetitionRules(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val t = if (text == null) "" else text
+        def dupFrac(xs: Array[String]): (Double, Double) = {
+          if (xs.isEmpty) (0.0, 0.0)
+          else {
+            val counts = scala.collection.mutable.HashMap.empty[String, Int]
+            xs.foreach(x => counts(x) = counts.getOrElse(x, 0) + 1)
+            val dups = xs.length - counts.size
+            val totalChars = xs.map(_.length.toLong).sum.toDouble
+            val dupChars = counts.iterator.map { case (s, c) =>
+              (c - 1).toLong * s.length }.sum.toDouble
+            (dups.toDouble / xs.length,
+              if (totalChars > 0) dupChars / totalChars else 0.0)
+          }
+        }
+        val (dlf, dlcf) = dupFrac(t.split("\n"))
+        val (dpf, dpcf) = dupFrac(t.split("\n\n"))
+        val words = t.trim.split("\\s+").filter(_.nonEmpty)
+        val starts = new Array[Int](words.length)
+        var off = 0
+        for (i <- words.indices) { starts(i) = off; off += words(i).length + 1 }
+        val total = math.max(off - 1, 0) // single-space-joined length
+        def topNgramFrac(n: Int): Double = {
+          if (words.length < n || total == 0) 0.0
+          else {
+            val counts = scala.collection.mutable.HashMap.empty[String, Int]
+            var i = 0
+            while (i + n <= words.length) {
+              val g = words.slice(i, i + n).mkString(" ")
+              counts(g) = counts.getOrElse(g, 0) + 1
+              i += 1
+            }
+            val maxC = counts.valuesIterator.max
+            if (maxC < 2) 0.0 // no repetition at all: the rule can't fire
+            else {
+              val len =
+                counts.iterator.filter(_._2 == maxC).map(_._1.length).max
+              maxC.toLong * len / total.toDouble
+            }
+          }
+        }
+        def dupNgramFrac(n: Int): Double = {
+          if (words.length < n || total == 0) 0.0
+          else {
+            val firstSeen = scala.collection.mutable.HashSet.empty[String]
+            val marked = new Array[Boolean](total)
+            var i = 0
+            while (i + n <= words.length) {
+              val g = words.slice(i, i + n).mkString(" ")
+              if (!firstSeen.add(g)) {
+                val e = starts(i + n - 1) + words(i + n - 1).length
+                var k = starts(i)
+                while (k < e) { marked(k) = true; k += 1 }
+              }
+              i += 1
+            }
+            var c = 0
+            var k = 0
+            while (k < total) { if (marked(k)) c += 1; k += 1 }
+            c.toDouble / total
+          }
+        }
+        val t2 = topNgramFrac(2); val t3 = topNgramFrac(3)
+        val t4 = topNgramFrac(4)
+        val d5 = dupNgramFrac(5); val d6 = dupNgramFrac(6)
+        val d7 = dupNgramFrac(7); val d8 = dupNgramFrac(8)
+        val d9 = dupNgramFrac(9); val d10 = dupNgramFrac(10)
+        val keep = dlf <= 0.30 && dpf <= 0.30 && dlcf <= 0.20 &&
+          dpcf <= 0.20 && t2 <= 0.20 && t3 <= 0.18 && t4 <= 0.16 &&
+          d5 <= 0.15 && d6 <= 0.14 && d7 <= 0.13 && d8 <= 0.12 &&
+          d9 <= 0.11 && d10 <= 0.10
+        (id, dlf, dlcf, dpf, dpcf, t2, t3, t4, d5, d6, d7, d8, d9, d10, keep)
+      })
+      .toDF(idCol, "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+        "dup_para_char_frac", "top_2gram_frac", "top_3gram_frac",
+        "top_4gram_frac", "dup_5gram_frac", "dup_6gram_frac",
+        "dup_7gram_frac", "dup_8gram_frac", "dup_9gram_frac",
+        "dup_10gram_frac", "rep_keep")
+  }
+
   /** C4 document filters (Raffel et al. 2020, the Colossal Clean
     * Crawled Corpus rules; round 17): line-level cleaning + page-level
     * drops as a named battery —

@@ -1725,6 +1725,100 @@ object OpsOracles {
         |  round(sum(mwl), 4) AS sum_mwl
         |FROM f""".stripMargin.trim,
 
+    // Gopher REPETITION battery (round 17): dup-line fractions + top
+    // 2/3/4-gram char fractions (count >= 2 convention, longest
+    // tie-break) recomputed per doc in DuckDB list arithmetic
+    "q_gopher_repetition" ->
+      """
+        |WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((\S+ ){6}\S+) ', '\1' || chr(10), 'g') AS t0
+        |  FROM documents),
+        |d2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN 'copy this line now' || chr(10) || 'copy this line now'
+        |      || chr(10) || 'copy this line now' || chr(10) || t0
+        |    ELSE t0 END AS t1 FROM d),
+        |d3 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |    THEN t1 || chr(10) || repeat('the cat ', 14) || 'the cat'
+        |    ELSE t1 END AS t2 FROM d2),
+        |base AS (
+        |  SELECT doc_id, t2,
+        |    regexp_split_to_array(trim(t2), '\s+') AS ws,
+        |    len(array_to_string(regexp_split_to_array(trim(t2), '\s+'), ' '))
+        |      AS tot
+        |  FROM d3),
+        |ld AS (
+        |  SELECT doc_id,
+        |    (sum(c) - count(*))::DOUBLE / sum(c) AS dlf,
+        |    sum((c - 1) * ll)::DOUBLE / sum(c * ll) AS dlcf
+        |  FROM (SELECT doc_id, line, count(*) AS c, len(line) AS ll
+        |        FROM (SELECT doc_id, unnest(string_split(t2, chr(10))) AS line
+        |              FROM d3)
+        |        GROUP BY doc_id, line)
+        |  GROUP BY doc_id),
+        |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
+        |    i -> ws[i+1] || ' ' || ws[i+2])) AS g FROM base) GROUP BY 1, 2),
+        |c3 AS (SELECT doc_id, g, count(*) AS cnt FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(ws) - 2),
+        |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS g
+        |  FROM base) GROUP BY 1, 2),
+        |c4 AS (SELECT doc_id, g, count(*) AS cnt FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(ws) - 3),
+        |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))
+        |    AS g FROM base) GROUP BY 1, 2),
+        |f2 AS (SELECT b.doc_id,
+        |    CASE WHEN m.mc < 2 THEN 0.0
+        |         ELSE (m.mc * x.ml)::DOUBLE / b.tot END AS frac
+        |  FROM base b
+        |  JOIN (SELECT doc_id, max(cnt) AS mc FROM c2 GROUP BY 1) m
+        |    USING (doc_id)
+        |  JOIN (SELECT c2.doc_id, max(len(g)) AS ml FROM c2
+        |        JOIN (SELECT doc_id, max(cnt) AS mc FROM c2 GROUP BY 1) mm
+        |          USING (doc_id)
+        |        WHERE c2.cnt = mm.mc GROUP BY c2.doc_id) x USING (doc_id)),
+        |f3 AS (SELECT b.doc_id,
+        |    CASE WHEN m.mc < 2 THEN 0.0
+        |         ELSE (m.mc * x.ml)::DOUBLE / b.tot END AS frac
+        |  FROM base b
+        |  JOIN (SELECT doc_id, max(cnt) AS mc FROM c3 GROUP BY 1) m
+        |    USING (doc_id)
+        |  JOIN (SELECT c3.doc_id, max(len(g)) AS ml FROM c3
+        |        JOIN (SELECT doc_id, max(cnt) AS mc FROM c3 GROUP BY 1) mm
+        |          USING (doc_id)
+        |        WHERE c3.cnt = mm.mc GROUP BY c3.doc_id) x USING (doc_id)),
+        |f4 AS (SELECT b.doc_id,
+        |    CASE WHEN m.mc < 2 THEN 0.0
+        |         ELSE (m.mc * x.ml)::DOUBLE / b.tot END AS frac
+        |  FROM base b
+        |  JOIN (SELECT doc_id, max(cnt) AS mc FROM c4 GROUP BY 1) m
+        |    USING (doc_id)
+        |  JOIN (SELECT c4.doc_id, max(len(g)) AS ml FROM c4
+        |        JOIN (SELECT doc_id, max(cnt) AS mc FROM c4 GROUP BY 1) mm
+        |          USING (doc_id)
+        |        WHERE c4.cnt = mm.mc GROUP BY c4.doc_id) x USING (doc_id)),
+        |j AS (
+        |  SELECT ld.doc_id, ld.dlf, ld.dlcf, f2.frac AS t2f, f3.frac AS t3f,
+        |    f4.frac AS t4f
+        |  FROM ld JOIN f2 USING (doc_id) JOIN f3 USING (doc_id)
+        |    JOIN f4 USING (doc_id))
+        |SELECT count(*) AS n_docs,
+        |  sum(CASE WHEN dlf > 0.3::DOUBLE THEN 1 ELSE 0 END)::BIGINT
+        |    AS f_dup_line,
+        |  sum(CASE WHEN dlcf > 0.2::DOUBLE THEN 1 ELSE 0 END)::BIGINT
+        |    AS f_dup_line_char,
+        |  sum(CASE WHEN t2f > 0.2::DOUBLE THEN 1 ELSE 0 END)::BIGINT
+        |    AS f_top2,
+        |  sum(CASE WHEN t3f > 0.18::DOUBLE THEN 1 ELSE 0 END)::BIGINT
+        |    AS f_top3,
+        |  sum(CASE WHEN t4f > 0.16::DOUBLE THEN 1 ELSE 0 END)::BIGINT
+        |    AS f_top4,
+        |  round(sum(dlf), 4) AS sum_dlf,
+        |  round(sum(t2f), 4) AS sum_top2
+        |FROM j""".stripMargin.trim,
+
     // C4 filter battery (round 17): same re-lining + injections; the
     // kept-line/sentence census and page drops in DuckDB
     "q_c4_filters" ->

@@ -477,6 +477,38 @@ object OpsQueries {
         sum(when(col("c4_brace"), 1).otherwise(0)).as("n_brace"))
   }
 
+  /** Gopher repetition battery census over re-lined docs with injected
+    * duplicate lines (%7) and a bigram-spam line (%11): the
+    * SQL-expressible rules (dup line fraction, dup line CHAR fraction,
+    * top 2/3/4-gram char fractions with the count≥2 convention and
+    * longest-tie-break) recompute exactly in DuckDB; the dup-5..10-gram
+    * span-union rules are hand-computed in QualityOpsSpec. */
+  def gopherRepetitionQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = tbl(spark, dir, "documents")
+      .withColumn("t2", regexp_replace(col("text"),
+        "((\\S+ ){6}\\S+) ", "$1\n"))
+      .withColumn("t2",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("copy this line now\ncopy this line now\n" +
+            "copy this line now\n"), col("t2")))
+          .otherwise(col("t2")))
+      .withColumn("t2",
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("t2"), lit("\n" + ("the cat " * 14) + "the cat")))
+          .otherwise(col("t2")))
+    TextAnalysis.gopherRepetitionRules(d, "doc_id", "t2")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dup_line_frac") > 0.3, 1).otherwise(0))
+          .as("f_dup_line"),
+        sum(when(col("dup_line_char_frac") > 0.2, 1).otherwise(0))
+          .as("f_dup_line_char"),
+        sum(when(col("top_2gram_frac") > 0.2, 1).otherwise(0)).as("f_top2"),
+        sum(when(col("top_3gram_frac") > 0.18, 1).otherwise(0)).as("f_top3"),
+        sum(when(col("top_4gram_frac") > 0.16, 1).otherwise(0)).as("f_top4"),
+        round(sum(col("dup_line_frac")), 4).as("sum_dlf"),
+        round(sum(col("top_2gram_frac")), 4).as("sum_top2"))
+  }
+
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(
         tbl(spark, dir, "documents").filter(col("doc_id") < 100), "text")

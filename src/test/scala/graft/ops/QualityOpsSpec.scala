@@ -217,4 +217,40 @@ class QualityOpsSpec extends SparkSpec {
     assert(r("js").getInt(1) == 3 && r("js").getBoolean(5))
     ()
   }
+
+  test("gopherRepetitionRules: hand-computed fractions per rule (round 17)") {
+    import spark.implicits._
+    val docs = Seq(
+      // clean prose: everything under threshold
+      (1L, "the quick brown fox jumps over a lazy dog\nwhile the calm cat naps near a warm stove today\n\nfresh air drifts in from the open window now"),
+      // duplicate lines: "x y." three times out of 4 lines
+      (2L, "x y.\nx y.\nx y.\nsomething else entirely different here"),
+      // bigram spam: "the cat" repeated
+      (3L, "the cat the cat the cat the cat the cat"),
+      // half-repeated 10 words: dup 5..10-gram rules fire
+      (4L, "a b c d e f g h i j a b c d e f g h i j")
+    ).toDF("id", "text")
+    val r = TextAnalysis.gopherRepetitionRules(docs, "id", "text")
+      .collect().map(rw => rw.getLong(0) -> rw).toMap
+    // doc 1: no duplicate lines/paras, no repeated n-grams at all (top
+    // count 1 scores 0 by convention)
+    assert(r(1L).getBoolean(14), "clean doc keeps")
+    assert(r(1L).getDouble(1) == 0.0 && r(1L).getDouble(3) == 0.0)
+    assert(r(1L).getDouble(5) == 0.0 && r(1L).getDouble(7) == 0.0)
+    // doc 2: dup_line_frac = 2/4; dup_line_char_frac = 2*4 / (3*4+38)
+    assert(math.abs(r(2L).getDouble(1) - 0.5) < 1e-12)
+    assert(math.abs(r(2L).getDouble(2) - 8.0 / 50.0) < 1e-12)
+    assert(!r(2L).getBoolean(14), "dup lines reject")
+    // doc 3: V = "the cat " * 5 trimmed, T = 39; top bigram "the cat"
+    // count 5, len 7 -> 35/39; also "cat the" count 4 len 7 = 28 -> max
+    assert(math.abs(r(3L).getDouble(5) - 35.0 / 39.0) < 1e-12)
+    assert(!r(3L).getBoolean(14))
+    // doc 4: T = 39; every 5..10-gram of the second half repeats the
+    // first half -> marked chars are exactly positions 20..38 (19 chars)
+    for (c <- 8 to 13)
+      assert(math.abs(r(4L).getDouble(c) - 19.0 / 39.0) < 1e-12,
+        s"dup ngram col $c: ${r(4L).getDouble(c)}")
+    assert(!r(4L).getBoolean(14))
+    ()
+  }
 }
