@@ -24,7 +24,11 @@ import org.apache.spark.sql.SparkSession
   * times and the reported per-query number is the MIN — first-run
   * wall-clock on a shared box swings 2-3x with background load and
   * JIT/plan-compile warm-up, which has produced phantom regressions in
-  * committed bench files twice. The `methodology` field names this so
+  * committed bench files twice. Round 18: reps are ROTATED — each rep
+  * walks the whole board from a deterministic offset (rep r starts at
+  * r·n/reps) instead of running one query's reps back-to-back, so a
+  * transient host-stall window cannot pin the same alphabetic stretch
+  * in every rep (the r17 k–l cluster) and min-of-reps is stall-robust. The `methodology` field names this so
   * consumers never compare min-of-reps against first-run files; the
   * per-query first-run times are kept alongside (`queries_first_run`).
   * A query that throws is EXCLUDED from every total and listed in
@@ -106,12 +110,30 @@ object Bench {
     // deterministic name order: stable cross-round comparisons
     val board = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val firstPass = board.map { case (name, fn) =>
-      var err: Option[String] = None
-      val times = (1 to reps).map { _ =>
-        val (t, e) = timeOnce(fn); if (e.isDefined) err = e; t
+    // Rotated-rep schedule (round 18): each rep walks the WHOLE board,
+    // rep r starting at deterministic offset r·n/reps. Back-to-back
+    // reps of one query meant a transient host-stall window always hit
+    // the same alphabetic stretch in ALL reps, so min-of-reps couldn't
+    // remove it (the r17 k–l cluster). With rotation the stall lands on
+    // different queries in different reps and the min recovers the
+    // clean time. Rep 0 runs the original name order, so the first-run
+    // column keeps its meaning.
+    val n = board.size
+    val repTimes = Array.fill(n)(List.empty[Double])
+    val repErr = Array.fill[Option[String]](n)(None)
+    val firstRun = new Array[Double](n)
+    for (rep <- 0 until reps) {
+      val off = if (n == 0) 0 else (rep * n) / reps
+      for (k <- 0 until n) {
+        val i = (off + k) % n
+        val (t, e) = timeOnce(board(i)._2)
+        if (e.isDefined) repErr(i) = e
+        if (rep == 0) firstRun(i) = t
+        repTimes(i) ::= t
       }
-      (name, times.min, times.head, err)
+    }
+    val firstPass = board.indices.map { i =>
+      (board(i)._1, repTimes(i).min, firstRun(i), repErr(i))
     }
     // Outlier re-check: min-of-reps has still produced phantom 5-10x
     // "regressions" in committed round files when a host-load burst
@@ -162,7 +184,8 @@ object Bench {
     val recheckJson = rechecked.map(jstr).mkString("[", ",", "]")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""methodology":"min_of_reps","first_run_total":$firstTotal,""" +
+      s""""methodology":"min_of_reps","rep_order":"rotated_offset",""" +
+      s""""first_run_total":$firstTotal,""" +
       s""""rechecked":$recheckJson,""" +
       s""""errors":$errJson,"error_msgs":$errMsgJson,"queries":${fmtQ(qMin)},""" +
       s""""queries_first_run":${fmtQ(qFirst)}$baseline,"sf":"$sfDir"}"""

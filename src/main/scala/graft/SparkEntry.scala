@@ -73,6 +73,8 @@ object SparkEntry {
     "q_cv_poisson"       -> (PathQueries.cvPoisson _),
     "q_cv_offset"        -> (PathQueries.cvOffset _),
     "q_cv_sparse_offset" -> (PathQueries.cvSparseOffset _),
+    "q_cv_predict_offset" -> (PathQueries.cvPredictOffset _),
+    "q_screen_irls"      -> (PathQueries.screenIrls _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
     "q_cv_deviance"      -> (PathQueries.cvDeviance _),
@@ -564,9 +566,52 @@ object SparkEntry {
       |         s12, s13, s23, s1y, s2y, s3y, syy, b1, b2, b3,
       |         my - b1*m1 - b2*m2 - b3*m3 AS a0 FROM fu)""".stripMargin
 
+  /** q_screen_irls oracle (round 18), generated: the 36-feature
+    * one-IRLS-step binomial closed form — per-feature working gradient
+    * c_j = cov(x_j, y)/sd_j, λ₁ = 0.75·max|c_j|, each coefficient the
+    * soft threshold S(c_j, λ₁)/(p̄(1−p̄))/sd_j (zero for every
+    * pseudo-noise feature by construction), intercept
+    * logit(p̄) − Σ b_j·mean_j. Long frame over both path points. */
+  private def screenIrlsSql: String = {
+    val names = Seq("f0") ++ (1 until 36).map(j => f"f$j%02d")
+    val featDefs = ("(CASE WHEN l_returnflag = 'R' THEN 4 ELSE 0 END " +
+      "+ l_orderkey % 3)::DOUBLE AS f0") +: (1 until 36).map(j =>
+      f"((l_orderkey*${2 * j + 3} + l_linenumber*${j + 1}) %% 23)::DOUBLE AS f$j%02d")
+    val statDefs = names.map(f =>
+      s"avg($f) m_$f, covar_pop($f, y)/sqrt(var_pop($f)) c_$f, " +
+        s"sqrt(var_pop($f)) s_$f")
+    val lmax = names.map(f => s"abs(c_$f)").mkString("greatest(", ", ", ")")
+    val coefDefs = names.map(f =>
+      s"sign(c_$f)*greatest(abs(c_$f) - lam, 0)/(p*(1 - p))/s_$f AS b_$f")
+    val a0Adj = names.map(f => s"b_$f*m_$f").mkString(" + ")
+    val rows0 =
+      ("SELECT 0 AS lambda_idx, 'a0' AS term, " +
+        "round(ln(p/(1 - p)), 6) + 0.0 AS value FROM coefs") +:
+        names.map(f => s"SELECT 0, '$f', 0.0 FROM coefs")
+    val rows1 =
+      (s"SELECT 1, 'a0', round(ln(p/(1 - p)) - ($a0Adj), 6) + 0.0 " +
+        "FROM coefs") +:
+        names.map(f => s"SELECT 1, '$f', round(b_$f, 6) + 0.0 FROM coefs")
+    s"""WITH r AS MATERIALIZED (
+       |  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+       |    ${featDefs.mkString(",\n    ")}
+       |  FROM lineitem),
+       |s AS (SELECT avg(y) p,
+       |  ${statDefs.mkString(",\n  ")}
+       |  FROM r),
+       |g AS (SELECT *, $lmax AS lmax FROM s),
+       |lm AS (SELECT *, 0.75*lmax AS lam FROM g),
+       |coefs AS (SELECT *,
+       |  ${coefDefs.mkString(",\n  ")}
+       |  FROM lm)
+       |${(rows0 ++ rows1).mkString("\nUNION ALL ")}
+       |ORDER BY lambda_idx, term""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL for each SQL-expressible query. */
   def oracleSql: Map[String, String] = {
     val base = Map(
+    "q_screen_irls" -> screenIrlsSql,
     "q_cv_curve" ->
       s"""$cvRidgeCte
         |SELECT cast(lambda_idx AS INT) AS lambda_idx, round(lam, 4) AS lambda,
@@ -2531,6 +2576,23 @@ object SparkEntry {
         |SELECT 0 AS lambda_idx, round(10.0::DOUBLE, 4) AS lambda,
         |       round(ln(cvm), 6) AS ln_cvm, round(ln(cvsd), 6) AS ln_cvsd
         |FROM cv""".stripMargin,
+
+    // predict.cv_sgdnet with newoffset + sparse newx (round 18): the
+    // single-point ridge grid makes lambda.min the grid point, so the
+    // prediction is a0 + b·x + off with (a0, b) the q_gauss_ridge1
+    // shrink on offset-adjusted moments; pred_sparse rides the CSR
+    // route through the same predictAt and must emit the same value
+    "q_cv_predict_offset" ->
+      """WITH s AS (SELECT avg(l_quantity) mx,
+        |    avg(l_extendedprice - ln(l_linenumber::DOUBLE)) my,
+        |    covar_pop(l_quantity, l_extendedprice - ln(l_linenumber::DOUBLE)) cxy,
+        |    var_pop(l_quantity) vx FROM lineitem),
+        |t AS (SELECT mx, my, cxy / (vx * (1 + 2.5)) AS b FROM s)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(my - b*mx + b*l_quantity + ln(l_linenumber::DOUBLE), 4) + 0.0 AS pred,
+        |  round(my - b*mx + b*l_quantity + ln(l_linenumber::DOUBLE), 4) + 0.0 AS pred_sparse
+        |FROM lineitem, t WHERE l_orderkey <= 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // one IRLS step from the null point: constant weights w = ybar
     "q_poisson_fit" ->

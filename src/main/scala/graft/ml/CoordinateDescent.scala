@@ -193,7 +193,13 @@ object CoordinateDescent {
       // tracking the CD threshold so finite-precision actives don't
       // spuriously re-enter)
       val nz2 = idx.filter(out(_) != 0.0)
-      val tol = math.max(thresh * 1e2, 1e-12) * math.max(lambda, 1.0)
+      // tolerance == the CD convergence threshold itself (round 18:
+      // was thresh*1e2, which at the IRLS callers' thresh=newtonTol
+      // left ~1e-5·λ of slack where a boundary coordinate could stay
+      // screened out while the unscreened solve would activate it).
+      // A marginal false re-entry only costs one extra sub-solve —
+      // act is grow-only, so the loop still terminates.
+      val tol = math.max(thresh, 1e-12) * math.max(lambda, 1.0)
       var violations = 0
       j = 0
       while (j < p) {

@@ -48,23 +48,33 @@ object CvSgdNet {
     }
 
     /** predict.cv_sgdnet: predictions at the selected penalty
-      * (`which` = "lambda.min" | "lambda.1se"), interpolating the best
-      * full-data path like the reference. */
+      * (`which` = "lambda.min" | "lambda.1se" | a numeric string),
+      * interpolating the best full-data path like the reference.
+      *
+      * Round 18 — the glmnet predict.cv.glmnet composition hooks:
+      * `offsetCols` forwards a per-row `newoffset` (REQUIRED by glmnet
+      * when the fit used offset; one column for single-response
+      * families, one per class/response for multinomial/mgaussian),
+      * and `idxCol`/`valCol` score CSR (indices, values) rows instead
+      * of dense feature columns (dgCMatrix newx) — both delegate to
+      * [[SgdNetModel.predColFor]], the same column algebra as
+      * `predictWithOffset`/`predictSparse` at the interpolated
+      * coefficients. */
     def predictAt(df: DataFrame, which: String = "lambda.min",
-                  tpe: String = "link"): DataFrame = {
+                  tpe: String = "link",
+                  offsetCols: Seq[String] = Nil,
+                  idxCol: String = null, valCol: String = null): DataFrame = {
       val s = which match {
         case "lambda.min" => best.lambdaMin
         case "lambda.1se" => best.lambda1se
         case other        => other.toDouble
       }
+      require((idxCol == null) == (valCol == null),
+        "sparse predictAt needs BOTH idxCol and valCol")
       val (a0, beta) = best.fit.atLambda(s)
-      val c = tpe match {
-        case "link"     => best.fit.linkColFor(a0(0), beta(0))
-        case "response" => best.fit.responseColFor(a0, beta)
-        case "class"    => best.fit.classColFor(a0, beta)
-        case t => throw new IllegalArgumentException(s"unknown predict type: $t")
-      }
-      df.withColumn("pred", c)
+      val sparse = if (idxCol == null) None else Some((idxCol, valCol))
+      df.withColumn("pred", best.fit.predColFor(df.sparkSession, tpe,
+        a0, beta, offsetCols, sparse))
     }
 
     /** score.cv_sgdnet (reference R/score.R:182-201): score NEW data at
@@ -183,13 +193,19 @@ object CvSgdNet {
     CvResult(paths, paths(bestIdx))
   }
 
+  /** lambda.min / lambda.1se from a CV curve. `maximize = true` runs
+    * the same rule on −cvm (cv.glmnet's internal sign flip for auc):
+    * lambda.min is the argmax, lambda.1se the largest lambda with
+    * cvm >= max − sd. */
   private def select(lambda: Array[Double], cvm: Array[Double],
-                     cvsd: Array[Double]): (Double, Double) = {
-    val minIdx = cvm.indices.minBy(cvm(_))
+                     cvsd: Array[Double],
+                     maximize: Boolean = false): (Double, Double) = {
+    val s = if (maximize) cvm.map(-_) else cvm
+    val minIdx = s.indices.minBy(s(_))
     val lambdaMin = lambda(minIdx)
-    val cut = cvm(minIdx) + cvsd(minIdx)
+    val cut = s(minIdx) + cvsd(minIdx)
     // lambda is descending: pick the LARGEST lambda within one se
-    val idx1se = lambda.indices.find(l => cvm(l) <= cut).getOrElse(minIdx)
+    val idx1se = lambda.indices.find(l => s(l) <= cut).getOrElse(minIdx)
     (lambdaMin, lambda(idx1se))
   }
 
@@ -213,6 +229,7 @@ object CvSgdNet {
           alphas: Seq[Double] = Seq.empty,
           measure: String = "deviance",
           foldCol: Column = null): CvResult = {
+    SgdNet.requireGramP(featureCols.size)
     require(nfolds >= 2, "nfolds must be at least 2")
     require(Set("deviance", "mse", "mae", "class", "auc").contains(measure),
       s"unknown type.measure '$measure' (want deviance|mse|mae|class|auc)")
@@ -1392,6 +1409,7 @@ object CvSgdNet {
                     foldCol: Column = null,
                     alphas: Seq[Double] = Seq.empty,
                     weightCol: String = null): CvResult = {
+    SgdNet.requireGramP(featureCols.size)
     require(nfolds >= 2, "nfolds must be at least 2")
     val okMeasures = params.family match {
       case "binomial" => Set("deviance", "mse", "mae", "class", "auc")
@@ -1441,6 +1459,7 @@ object CvSgdNet {
                          foldCol: Column = null,
                          alphas: Seq[Double] = Seq.empty,
                          weightCol: String = null): CvResult = {
+    SgdNet.requireGramP(featureCols.size)
     require(params.family == "mgaussian" || params.family == "gaussian",
       s"fitMultiWithOffset is the identity-link (gaussian/mgaussian) CV route, not ${params.family}")
     require(offsetCols.size == labelCols.size,
@@ -2225,6 +2244,7 @@ object CvSgdNet {
                                foldCol: Column = null,
                                alphas: Seq[Double] = Seq.empty,
                                weightCol: String = null): CvResult = {
+    SgdNet.requireGramP(featureCols.size)
     require(nfolds >= 2, "nfolds must be at least 2")
     require(params.family == "multinomial",
       s"fitMultinomialWithOffset is the multinomial CV route, not ${params.family}")
@@ -3083,6 +3103,7 @@ object CvSgdNet {
                 foldCol: Column = null,
                 alphas: Seq[Double] = Seq.empty,
                 weightCol: String = null): CvResult = {
+    SgdNet.requireGramP(dim)
     require(nfolds >= 2, "nfolds must be at least 2")
     val okMeasures = params.family match {
       case "binomial"    => Set("deviance", "mse", "mae", "class", "auc")
@@ -3133,6 +3154,7 @@ object CvSgdNet {
                           foldCol: Column = null,
                           alphas: Seq[Double] = Seq.empty,
                           weightCol: String = null): CvResult = {
+    SgdNet.requireGramP(dim)
     require(nfolds >= 2, "nfolds must be at least 2")
     val okMeasures = params.family match {
       case "binomial" => Set("deviance", "mse", "mae", "class", "auc")
@@ -3179,6 +3201,7 @@ object CvSgdNet {
                                foldCol: Column = null,
                                alphas: Seq[Double] = Seq.empty,
                                weightCol: String = null): CvResult = {
+    SgdNet.requireGramP(dim)
     require(params.family == "mgaussian" || params.family == "gaussian",
       s"fitSparseMultiWithOffset is the identity-link CV route, not ${params.family}")
     require(offsetCols.size == labelCols.size,
@@ -3198,6 +3221,7 @@ object CvSgdNet {
                      foldCol: Column = null,
                      alphas: Seq[Double] = Seq.empty,
                      weightCol: String = null): CvResult = {
+    SgdNet.requireGramP(dim)
     require(nfolds >= 2, "nfolds must be at least 2")
     require(params.family == "gaussian" || params.family == "mgaussian",
       s"fitSparseMulti supports gaussian and mgaussian, not ${params.family}")
@@ -4571,6 +4595,7 @@ object CvSgdNet {
                                      foldCol: Column = null,
                                      alphas: Seq[Double] = Seq.empty,
                                      weightCol: String = null): CvResult = {
+    SgdNet.requireGramP(dim)
     require(nfolds >= 2, "nfolds must be at least 2")
     require(params.family == "multinomial",
       s"fitSparseMultinomialWithOffset is the multinomial CV route, not ${params.family}")
@@ -5142,6 +5167,7 @@ object CvSgdNet {
                        measure: String = "deviance",
                        foldCol: Column = null,
                        alphas: Seq[Double] = Seq.empty): CvResult = {
+    SgdNet.requireGramP(featureCols.size)
     require(nfolds >= 2, "nfolds must be at least 2")
     val okMeasures = params.family match {
       case "binomial"    => Set("deviance", "mse", "mae", "class", "auc")
@@ -5538,7 +5564,10 @@ object CvSgdNet {
 
   /** cv.glmnet `relax = TRUE` result: one [[CvPath]] per gamma over a
     * SHARED lambda grid, the overall (gamma, lambda) winner, and the
-    * full-data relaxed path for coefficient extraction. */
+    * full-data relaxed path for coefficient extraction. The winner
+    * (bestGamma, lambda.min, lambda.1se) minimizes cvm for every
+    * measure EXCEPT auc, which is maximized (cv.glmnet's sign flip);
+    * cvm itself always holds the raw measure. */
   final case class RelaxedCvResult(
       gammas: Array[Double],
       paths: Seq[CvPath],
@@ -5587,22 +5616,25 @@ object CvSgdNet {
       * from the best-gamma BLENDED full-data model at
       * lambda.min | lambda.1se | a numeric string — each [[CvPath]]'s
       * `fit` carries the γ-blend, so this is the [[CvResult.predictAt]]
-      * delegation on the winning gamma's path. */
+      * delegation on the winning gamma's path. Round 18: `offsetCols`
+      * (glmnet newoffset — required when the fit used offset) and
+      * `idxCol`/`valCol` (sparse newx) compose exactly like
+      * [[CvResult.predictAt]], through [[SgdNetModel.predColFor]]. */
     def predictAt(df: DataFrame, which: String = "lambda.min",
-                  tpe: String = "link"): DataFrame = {
+                  tpe: String = "link",
+                  offsetCols: Seq[String] = Nil,
+                  idxCol: String = null, valCol: String = null): DataFrame = {
       val s = which match {
         case "lambda.min" => best.lambdaMin
         case "lambda.1se" => best.lambda1se
         case other        => other.toDouble
       }
+      require((idxCol == null) == (valCol == null),
+        "sparse predictAt needs BOTH idxCol and valCol")
       val (a0, beta) = best.fit.atLambda(s)
-      val c = tpe match {
-        case "link"     => best.fit.linkColFor(a0(0), beta(0))
-        case "response" => best.fit.responseColFor(a0, beta)
-        case "class"    => best.fit.classColFor(a0, beta)
-        case t => throw new IllegalArgumentException(s"unknown predict type: $t")
-      }
-      df.withColumn("pred", c)
+      val sparse = if (idxCol == null) None else Some((idxCol, valCol))
+      df.withColumn("pred", best.fit.predColFor(df.sparkSession, tpe,
+        a0, beta, offsetCols, sparse))
     }
 
     /** Blended full-data coefficients at (bestGamma, lambda.min|.1se):
@@ -5645,7 +5677,14 @@ object CvSgdNet {
     * convention (per-fold sum-to-n_train renormalization, w = 0 drops
     * the row); held-out scores are Σv·err/Σv with raw v. glmnet
     * semantics; the reference has no relax (graft extension, like
-    * relaxedFit). */
+    * relaxedFit).
+    *
+    * Selection: measure = "auc" (binomial) is MAXIMIZED — bestGamma,
+    * lambda.min and lambda.1se come from the sign-flipped curve, the
+    * cv.glmnet relax convention — while every other measure minimizes.
+    * (Plain [[fit]] keeps the reference's unconditional which.min for
+    * auc too; the relax grid is a glmnet-parity surface, so it follows
+    * glmnet here.) `cvm` itself always holds the RAW measure. */
   def fitRelaxed(df: DataFrame, featureCols: Seq[String], labelCol: String,
                  params: SgdNetParams = SgdNetParams(),
                  nfolds: Int = 10,
@@ -5654,6 +5693,7 @@ object CvSgdNet {
                  foldCol: Column = null,
                  weightCol: String = null,
                  offsetCol: String = null): RelaxedCvResult = {
+    SgdNet.requireGramP(featureCols.size)
     require(nfolds >= 2, "nfolds must be at least 2")
     require(gammas.nonEmpty && gammas.forall(g => g >= 0 && g <= 1),
       "gamma grid must lie in [0, 1]")
@@ -5880,7 +5920,9 @@ object CvSgdNet {
     * gathering per-fold moments through the O(nnz²) sparse
     * accumulation and the mae scoring cells (when requested) built on
     * the codegen `graft_sparse_dot` expression — the matrix is never
-    * densified. */
+    * densified. Selection follows [[fitRelaxed]]: auc is MAXIMIZED
+    * (the cv.glmnet relax convention), all other measures minimized;
+    * `cvm` always holds the raw measure. */
   def fitRelaxedSparse(df: DataFrame, idxCol: String, valCol: String,
                        dim: Int, labelCol: String,
                        params: SgdNetParams = SgdNetParams(),
@@ -5890,6 +5932,7 @@ object CvSgdNet {
                        foldCol: Column = null,
                        weightCol: String = null,
                        offsetCol: String = null): RelaxedCvResult = {
+    SgdNet.requireGramP(dim)
     require(nfolds >= 2, "nfolds must be at least 2")
     require(gammas.nonEmpty && gammas.forall(g => g >= 0 && g <= 1),
       "gamma grid must lie in [0, 1]")
@@ -6639,9 +6682,16 @@ object CvSgdNet {
         val foldScores = Array.tabulate(nfolds, L)((f, l) =>
           if (measure == "auc") cellAuc((g * nfolds + f) * L + l)
           else sums((g * nfolds + f) * L + l) / wFold(f))
-        summarize(params.alpha, lambdas, foldScores, model)
+        summarize(params.alpha, lambdas, foldScores, model,
+          maximize = measure == "auc")
       }
-      val bestIdx = (0 until G).minBy(g => paths(g).cvm.min)
+      // cv.glmnet relax maximizes auc (sign-flipped internally); every
+      // other measure minimizes — unlike plain fit's documented
+      // reference which.min parity (R/cv_sgdnet.R:265-282), the relax
+      // grid is a glmnet-parity surface.
+      val bestIdx =
+        if (measure == "auc") (0 until G).maxBy(g => paths(g).cvm.max)
+        else (0 until G).minBy(g => paths(g).cvm.min)
       val fullPenalized = new SgdNetModel(params.family, names,
         Array(labelCol), classes, lambdas, a0FullP, betaFullP, nulldev,
         Array.tabulate(L)(l =>
@@ -7253,9 +7303,16 @@ object CvSgdNet {
         val foldScores = Array.tabulate(nfolds, L)((f, l) =>
           if (measure == "auc") cellAuc((g * nfolds + f) * L + l)
           else sums((g * nfolds + f) * L + l) / wFold(f))
-        summarize(params.alpha, lambdas, foldScores, model)
+        summarize(params.alpha, lambdas, foldScores, model,
+          maximize = measure == "auc")
       }
-      val bestIdx = (0 until G).minBy(g => paths(g).cvm.min)
+      // cv.glmnet relax maximizes auc (sign-flipped internally); every
+      // other measure minimizes — unlike plain fit's documented
+      // reference which.min parity (R/cv_sgdnet.R:265-282), the relax
+      // grid is a glmnet-parity surface.
+      val bestIdx =
+        if (measure == "auc") (0 until G).maxBy(g => paths(g).cvm.max)
+        else (0 until G).minBy(g => paths(g).cvm.min)
       val fullPenalized = new SgdNetModel(params.family, names,
         Array(labelCol), classes, lambdas, a0FullP, betaFullP, nulldev,
         Array.tabulate(L)(l =>
@@ -7272,7 +7329,8 @@ object CvSgdNet {
 
   private def summarize(alpha: Double, lambdas: Array[Double],
                         foldScores: Array[Array[Double]],
-                        full: SgdNetModel): CvPath = {
+                        full: SgdNetModel,
+                        maximize: Boolean = false): CvPath = {
     val nfolds = foldScores.length
     val L = lambdas.length
     val cvm = Array.tabulate(L)(l => foldScores.map(_(l)).sum / nfolds)
@@ -7281,7 +7339,7 @@ object CvSgdNet {
       val mu = cvm(l)
       math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (nfolds - 1.0) / nfolds)
     }
-    val (lmin, l1se) = select(lambdas, cvm, cvsd)
+    val (lmin, l1se) = select(lambdas, cvm, cvsd, maximize)
     CvPath(alpha, lambdas, cvm, cvsd, lmin, l1se, full)
   }
 }

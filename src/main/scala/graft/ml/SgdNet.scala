@@ -187,6 +187,31 @@ object SgdNet {
     (loS, upS)
   }
 
+  /** Large-p contract (round 18): the sufficient-stats / IRLS
+    * architecture keeps O(p²) driver AND per-task state — the packed
+    * Gram is p(p+1)/2 doubles, every per-Newton WLS subproblem a
+    * p×p solve. SURVEY §3 scopes the design to p up to ~5k–8k; beyond
+    * that the failure mode used to be a driver OOM deep inside a
+    * treeAggregate. Every fit / CV / relax / offset / weighted entry
+    * (dense and sparse) now fails fast at p > maxGramP instead.
+    * Override with `-Dgraft.ml.maxGramP=N` (or assign the var) when
+    * the driver is provisioned for the p² state; for genuinely large
+    * p, reduce dimensionality first (feature hashing, screening, JL
+    * projection — `graft.ops.Embeddings.projectTopK`/random
+    * projection) — the designed extension is a screened/active-set
+    * Gram, not a bigger allocation. */
+  @volatile var maxGramP: Int =
+    sys.props.get("graft.ml.maxGramP").map(_.toInt).getOrElse(8192)
+
+  private[ml] def requireGramP(p: Int): Unit =
+    require(p <= maxGramP,
+      s"p = $p features exceeds maxGramP = $maxGramP: graft's " +
+        "sufficient-stats/IRLS solvers keep O(p^2) driver state (packed " +
+        "Gram + per-Newton WLS), sized for p up to ~8k. Reduce " +
+        "dimensionality (feature hashing / screening / a random " +
+        "projection) or raise graft.ml.SgdNet.maxGramP / " +
+        "-Dgraft.ml.maxGramP if the driver is provisioned for p^2 memory.")
+
   /** The argument validation every fit entry point shares (reference
     * R/sgdnet.R:101-131 input checks) — fitMulti and the weighted /
     * offset routes that bypass it run the same requires. */
@@ -194,6 +219,7 @@ object SgdNet {
                                  labelCols: Seq[String],
                                  params: SgdNetParams): Unit = {
     require(featureCols.nonEmpty, "the predictor matrix (x) is empty.")
+    requireGramP(featureCols.size)
     require(labelCols.nonEmpty, "the response (y) is empty.")
     require(params.alpha >= 0 && params.alpha <= 1,
       "elastic net mixing parameter (alpha) must be in [0, 1].")
@@ -261,6 +287,7 @@ object SgdNet {
     */
   def fitSparse(df: DataFrame, idxCol: String, valCol: String, dim: Int,
                 labelCol: String, params: SgdNetParams = SgdNetParams()): SgdNetModel = {
+    requireGramP(dim)
     import org.apache.spark.sql.functions.col
     params.family match {
       case "gaussian" | "mgaussian" =>
@@ -303,6 +330,7 @@ object SgdNet {
                                offsetCols: Seq[String],
                                params: SgdNetParams = SgdNetParams(),
                                weightCol: String = null): SgdNetModel = {
+    requireGramP(dim)
     import org.apache.spark.sql.functions.col
     require(params.family == "mgaussian" || params.family == "gaussian",
       s"fitSparseMultiWithOffset is the identity-link route, not ${params.family}")
@@ -318,6 +346,7 @@ object SgdNet {
                      dim: Int, labelCols: Seq[String],
                      params: SgdNetParams = SgdNetParams(),
                      weightCol: String = null): SgdNetModel = {
+    requireGramP(dim)
     import org.apache.spark.sql.functions.{col, lit}
     require(params.family == "gaussian" || params.family == "mgaussian",
       s"fitSparseMulti supports gaussian and mgaussian, not ${params.family}")
@@ -367,6 +396,7 @@ object SgdNet {
   def fitSparseWeighted(df: DataFrame, idxCol: String, valCol: String,
                         dim: Int, labelCol: String, weightCol: String,
                         params: SgdNetParams = SgdNetParams()): SgdNetModel = {
+    requireGramP(dim)
     import org.apache.spark.sql.functions.col
     params.family match {
       case "gaussian" =>
@@ -420,6 +450,7 @@ object SgdNet {
                           dim: Int, labelCol: String, offsetCol: String,
                           params: SgdNetParams = SgdNetParams(),
                           weightCol: String = null): SgdNetModel = {
+    requireGramP(dim)
     import org.apache.spark.sql.functions.{col, lit}
     params.family match {
       case "gaussian" =>
@@ -641,12 +672,24 @@ object SgdNet {
             }
             j += 1
           }
-          val r = CoordinateDescent.solve(aM, swxzStd.map(_ * ninv),
-            swxStd.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
-            lambdas(l), params.alpha, params.intercept, beta,
-            thresh = newtonTol, maxIter = params.maxit,
-            penaltyFactor = params.penaltyFactor,
-            lower = loStd, upper = upStd)
+          // round 18: the sparse IRLS working-response solves take the
+          // same per-Newton strong-rule screen as the dense routes
+          // (round 17) — exact by KKT backcheck, same gates; the
+          // centered/standardized Gram algebra above is unchanged
+          val r =
+            if (screenGlm && params.alpha > 0 && p >= ScreenMinP && l > 0)
+              CoordinateDescent.solveScreened(aM, swxzStd.map(_ * ninv),
+                swxStd.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
+                lambdas(l), lambdas(l - 1), params.alpha, params.intercept,
+                beta, thresh = newtonTol, maxIter = params.maxit,
+                penaltyFactor = params.penaltyFactor,
+                lower = loStd, upper = upStd)
+            else CoordinateDescent.solve(aM, swxzStd.map(_ * ninv),
+              swxStd.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
+              lambdas(l), params.alpha, params.intercept, beta,
+              thresh = newtonTol, maxIter = params.maxit,
+              penaltyFactor = params.penaltyFactor,
+              lower = loStd, upper = upStd)
           var maxD = math.abs(r.a0 - a0)
           j = 0
           while (j < p) {
@@ -867,12 +910,24 @@ object SgdNet {
             }
             j += 1
           }
-          val r = CoordinateDescent.solve(aM, swxzStd.map(_ * ninv),
-            swxStd.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
-            lambdas(l), params.alpha, params.intercept, beta,
-            thresh = newtonTol, maxIter = params.maxit,
-            penaltyFactor = params.penaltyFactor,
-            lower = loStd, upper = upStd)
+          // round 18: the sparse IRLS working-response solves take the
+          // same per-Newton strong-rule screen as the dense routes
+          // (round 17) — exact by KKT backcheck, same gates; the
+          // centered/standardized Gram algebra above is unchanged
+          val r =
+            if (screenGlm && params.alpha > 0 && p >= ScreenMinP && l > 0)
+              CoordinateDescent.solveScreened(aM, swxzStd.map(_ * ninv),
+                swxStd.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
+                lambdas(l), lambdas(l - 1), params.alpha, params.intercept,
+                beta, thresh = newtonTol, maxIter = params.maxit,
+                penaltyFactor = params.penaltyFactor,
+                lower = loStd, upper = upStd)
+            else CoordinateDescent.solve(aM, swxzStd.map(_ * ninv),
+              swxStd.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
+              lambdas(l), params.alpha, params.intercept, beta,
+              thresh = newtonTol, maxIter = params.maxit,
+              penaltyFactor = params.penaltyFactor,
+              lower = loStd, upper = upStd)
           var maxD = math.abs(r.a0 - a0)
           j = 0
           while (j < p) {
@@ -1004,6 +1059,11 @@ object SgdNet {
     * construction, it just solves a |active|-sized subproblem per
     * lambda instead of a p-sized one. */
   private[ml] val ScreenMinP: Int = 32
+  /** Test seam (round 18): disables the per-Newton IRLS strong-rule
+    * screen so chassis-level specs can assert screened == unscreened
+    * through the REAL dense/sparse fit routes (not just the solver).
+    * Production code never touches it. */
+  @volatile private[ml] var screenGlm: Boolean = true
 
   private[ml] def solveGaussianFromStats(g: GramStats, featureCols: Seq[String],
                                      labelCols: Seq[String],
@@ -1682,6 +1742,7 @@ object SgdNet {
                        params: SgdNetParams = SgdNetParams(),
                        gamma: Double = 1.0,
                        weightCol: String = null): RelaxedPath = {
+    requireGramP(dim)
     import org.apache.spark.sql.functions.{col, lit}
     // binomial/poisson route to the sparse IRLS refit (round 17 adds
     // the weighted cell — glmnet relax + weights with a dgCMatrix x)
@@ -2068,7 +2129,7 @@ object SgdNet {
         // at scale (exact by KKT backcheck — same gate as the gaussian
         // driver solve; first path point has no lamPrev)
         val r =
-          if (params.alpha > 0 && p >= ScreenMinP && l > 0)
+          if (screenGlm && params.alpha > 0 && p >= ScreenMinP && l > 0)
             CoordinateDescent.solveScreened(a, c, xw, wg.swz * ninv,
               wg.sw * ninv, lam, lambdas(l - 1), params.alpha,
               params.intercept, beta, thresh = newtonTol,
@@ -2189,7 +2250,7 @@ object SgdNet {
           // round 17: strong-rule screen on the per-Newton WLS
           // subproblem at scale (exact by KKT backcheck)
           val r =
-            if (params.alpha > 0 && p >= ScreenMinP && l > 0)
+            if (screenGlm && params.alpha > 0 && p >= ScreenMinP && l > 0)
               CoordinateDescent.solveScreened(a, wg.swxz.map(_ * ninv),
                 wg.swx.map(_ * ninv), wg.swz * ninv, wg.sw * ninv,
                 lambdas(l), lambdas(l - 1), params.alpha, params.intercept,
@@ -2479,6 +2540,7 @@ object SgdNet {
   def fitWithOffset(df: DataFrame, featureCols: Seq[String], labelCol: String,
                     offsetCol: String,
                     params: SgdNetParams = SgdNetParams()): SgdNetModel = {
+    requireGramP(featureCols.size)
     import org.apache.spark.sql.functions.col
     params.family match {
       case "gaussian" =>
@@ -2510,6 +2572,7 @@ object SgdNet {
                             labelCol: String, offsetCol: String,
                             weightCol: String,
                             params: SgdNetParams = SgdNetParams()): SgdNetModel = {
+    requireGramP(featureCols.size)
     import org.apache.spark.sql.functions.col
     params.family match {
       case "gaussian" =>
@@ -2543,6 +2606,7 @@ object SgdNet {
                          labelCols: Seq[String], offsetCols: Seq[String],
                          params: SgdNetParams,
                          weightCol: String = null): SgdNetModel = {
+    requireGramP(featureCols.size)
     import org.apache.spark.sql.functions.col
     require(params.family == "mgaussian" || params.family == "gaussian",
       s"fitMultiWithOffset is the identity-link (gaussian/mgaussian) route, not ${params.family}")
@@ -3203,6 +3267,7 @@ object SgdNet {
                                labelCol: String, offsetCols: Seq[String],
                                params: SgdNetParams,
                                weightCol: String = null): SgdNetModel = {
+    requireGramP(featureCols.size)
     import org.apache.spark.sql.functions.{col, lit}
     require(params.family == "multinomial",
       s"fitMultinomialWithOffset is the multinomial route, not ${params.family}")
@@ -3303,6 +3368,7 @@ object SgdNet {
                           gamma: Double = 1.0,
                           weightCol: String = null,
                           offsetCol: String = null): RelaxedPath = {
+    requireGramP(dim)
     import org.apache.spark.sql.functions.{col, lit}
     require(params.family == "binomial" || params.family == "poisson",
       s"relaxedFitGlmSparse is the IRLS-family route (binomial|poisson), not ${params.family}")
@@ -4085,6 +4151,7 @@ object SgdNet {
                                      offsetCols: Seq[String],
                                      params: SgdNetParams,
                                      weightCol: String = null): SgdNetModel = {
+    requireGramP(dim)
     import org.apache.spark.sql.functions.{col, lit}
     require(params.family == "multinomial",
       s"fitSparseMultinomialWithOffset is the multinomial route, not ${params.family}")

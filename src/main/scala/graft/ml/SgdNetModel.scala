@@ -139,6 +139,58 @@ final class SgdNetModel(
     case f => throw new IllegalArgumentException(s"class prediction undefined for $f")
   }
 
+  /** Prediction column at EXPLICIT (a0, beta) — e.g. interpolated
+    * [[atLambda]] output — with an optional per-row offset (glmnet
+    * `newoffset`) and an optional CSR (indices, values) route (sparse
+    * newx). This is the shared algebra behind [[predictWithOffset]],
+    * [[predictSparse]] and the CV layer's `predictAt` delegations
+    * (round 18 — reference analogue R/predict.cv_sgdnet.R forwarding
+    * newoffset / dgCMatrix newx to predict.sgdnet). Pure Column
+    * composition: coefficients fold in as literals, the offset is one
+    * more codegen'd term, the sparse route rides the codegen
+    * `graft_sparse_dot` — no UDF anywhere. */
+  def predColFor(spark: SparkSession, tpe: String,
+                 a0v: Array[Double], betaV: Array[Array[Double]],
+                 offsetCols: Seq[String] = Nil,
+                 sparseCols: Option[(String, String)] = None): Column = {
+    val multi = family == "multinomial" || family == "mgaussian"
+    if (offsetCols.nonEmpty)
+      require(if (multi) offsetCols.size == nResponses
+              else offsetCols.size == 1,
+        s"newoffset needs ${if (multi) s"$nResponses columns (one per class/response)"
+          else "exactly one column"} for $family, got ${offsetCols.size}")
+    val offs = offsetCols.map(c => col(c).cast("double"))
+    def rawEta(t: Int): Column = sparseCols match {
+      case Some((i, v)) => sparseLinkColFor(spark, i, v, a0v(t), betaV(t))
+      case None         => linkColFor(a0v(t), betaV(t))
+    }
+    def eta(t: Int): Column =
+      if (offs.isEmpty) rawEta(t) else rawEta(t) + offs(if (multi) t else 0)
+    tpe match {
+      case "link" => eta(0)
+      case "response" => family match {
+        case "poisson"  => exp(eta(0))
+        case "binomial" => lit(1.0) / (lit(1.0) + exp(-eta(0)))
+        case "multinomial" =>
+          val z = (0 until nResponses).map(t => exp(eta(t))).reduce(_ + _)
+          exp(eta(0)) / z
+        case _ => eta(0)
+      }
+      case "class" => family match {
+        case "binomial" =>
+          when(lit(1.0) / (lit(1.0) + exp(-eta(0))) > 0.5,
+            lit(classLabels(1))).otherwise(lit(classLabels(0)))
+        case "multinomial" =>
+          val structs = (0 until nResponses).map(t =>
+            struct(eta(t).as("eta"), lit(classLabels(t)).as("cls")))
+          greatest(structs: _*).getField("cls")
+        case f => throw new IllegalArgumentException(
+          s"class prediction undefined for $f")
+      }
+      case t => throw new IllegalArgumentException(s"unknown predict type: $t")
+    }
+  }
+
   /** predict(df, type): appends one prediction column per requested lambda
     * index. Types: link | response | class. */
   def predict(df: DataFrame, tpe: String = "link",

@@ -20,6 +20,14 @@ import org.apache.spark.storage.StorageLevel
   * (the whole lambda path is solved from them with zero further passes).
   */
 final class GramStats(val p: Int, val k: Int) extends Serializable {
+  // large-p contract (round 18): the zeroValue of every moment
+  // treeAggregate is constructed driver-side BEFORE any data pass, so
+  // this structural gate fails fast on EVERY gaussian/mgaussian route
+  // (fit, CV, relax; dense and sparse) instead of OOMing mid-aggregate.
+  // Driver-side ONLY (TaskContext == null): executors of a real
+  // cluster don't see a driver-side maxGramP override, and a task that
+  // got this far was already admitted by the driver's gate.
+  if (org.apache.spark.TaskContext.get() == null) SgdNet.requireGramP(p)
   var n: Long = 0L
   val sumX = new Array[Double](p)           // column sums of features
   val xtx = new Array[Double](LinAlg.triSize(p)) // packed upper-tri X'X

@@ -60,7 +60,11 @@ object TextAnalysis {
     * runs at scan speed at any corpus size. */
   def gopherRules(df: DataFrame, textCol: String,
                   minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val t = col(textCol)
+    // null text scores as the empty document (every metric defined,
+    // gopher_keep = false) instead of null-propagating into flags that
+    // a when(!flag) census would silently count as passing — the same
+    // contract gopherRepetitionRules applies in its kernel
+    val t = coalesce(col(textCol).cast("string"), lit(""))
     val ws = split(trim(t), "\\s+")
     val lines = split(t, "\n")
     val reqStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
@@ -224,7 +228,9 @@ object TextAnalysis {
     * corpus-linear. */
   def c4Filters(df: DataFrame, textCol: String,
                 minSentences: Int = 3, minWordsPerLine: Int = 5): DataFrame = {
-    val t = col(textCol)
+    // null text = empty document (c4_keep = false), matching
+    // gopherRules/gopherRepetitionRules — see the gopherRules note
+    val t = coalesce(col(textCol).cast("string"), lit(""))
     val lines = split(t, "\n")
     val keptLines = filter(lines, ln =>
       ln.rlike("[.!?\"]\\s*$") &&

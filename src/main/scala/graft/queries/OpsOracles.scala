@@ -1800,10 +1800,15 @@ object OpsOracles {
         |          USING (doc_id)
         |        WHERE c4.cnt = mm.mc GROUP BY c4.doc_id) x USING (doc_id)),
         |j AS (
-        |  SELECT ld.doc_id, ld.dlf, ld.dlcf, f2.frac AS t2f, f3.frac AS t3f,
-        |    f4.frac AS t4f
-        |  FROM ld JOIN f2 USING (doc_id) JOIN f3 USING (doc_id)
-        |    JOIN f4 USING (doc_id))
+        |  -- LEFT joins: a doc with < 2/3/4 words has no c2/c3/c4 rows,
+        |  -- and the Spark kernel scores it 0.0 and KEEPS it — so the
+        |  -- oracle census must not drop it (n_docs stays the full count)
+        |  SELECT ld.doc_id, ld.dlf, ld.dlcf,
+        |    coalesce(f2.frac, 0.0) AS t2f,
+        |    coalesce(f3.frac, 0.0) AS t3f,
+        |    coalesce(f4.frac, 0.0) AS t4f
+        |  FROM ld LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+        |    LEFT JOIN f4 USING (doc_id))
         |SELECT count(*) AS n_docs,
         |  sum(CASE WHEN dlf > 0.3::DOUBLE THEN 1 ELSE 0 END)::BIGINT
         |    AS f_dup_line,

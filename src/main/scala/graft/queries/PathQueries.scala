@@ -89,6 +89,49 @@ object PathQueries {
       .orderBy("term")
   }
 
+  /** IRLS strong-rule screen on the correctness board (round 18 —
+    * `CoordinateDescent.solveScreened` via the dense binomial path
+    * core; the round-17 screen was spec-only): the [[binomFit]]
+    * one-IRLS-step discipline at p = 36 ≥ ScreenMinP, so path point 2
+    * REALLY runs the per-Newton screen (p ≥ 32, l > 0, alpha = 1).
+    * Feature 0 carries manufactured dominant signal (4·y + a small
+    * integer hash); 35 pseudo-noise integer-hash features have
+    * working gradients near 0, so at λ₁ = 0.75·λmax the strong-rule
+    * bound α(2λ₁ − λ₀) ≈ 0.5·λmax discards ALL of them, the KKT
+    * backcheck confirms, and the returned surface is the
+    * single-coordinate soft-threshold closed form the oracle
+    * recomputes — a screened-route output the hash compare pins
+    * feature-by-feature at both path points. */
+  def screenIrls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li0 = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+      .withColumn("f0",
+        (col("is_r") * 4 + pmod(col("l_orderkey"), lit(3))).cast("double"))
+    val feats = Seq("f0") ++ (1 until 36).map(j => f"f$j%02d")
+    val li = (1 until 36).foldLeft(li0)((d, j) =>
+      d.withColumn(f"f$j%02d",
+        pmod(col("l_orderkey") * (2 * j + 3) + col("l_linenumber") * (j + 1),
+          lit(23)).cast("double")))
+    val aggs = feats.map(f =>
+      (abs(covar_pop(col(f), col("is_r"))) /
+        sqrt(var_pop(col(f)))).as(s"c_$f"))
+    val crow = li.agg(aggs.head, aggs.tail: _*).head()
+    val lmax = feats.indices.map(crow.getDouble).max
+    val m = SgdNet.fit(li, feats, "is_r",
+      SgdNetParams(family = "binomial", alpha = 1.0,
+        lambda = Array(lmax * 1.0001, lmax * 0.75), thresh = 1e6))
+    val rows = for {
+      l <- 0 until 2
+      (t, v) <- ("a0", m.a0(l)(0)) +:
+        feats.zipWithIndex.map { case (f, j) => (f, m.beta(l)(0)(j)) }
+    } yield (l, t, v)
+    rows.toDF("lambda_idx", "term", "value")
+      .select(col("lambda_idx").cast("int").as("lambda_idx"), col("term"),
+        (round(col("value"), 6) + lit(0.0)).as("value"))
+      .orderBy("lambda_idx", "term")
+  }
+
   /** Binomial fit with a CONSTANT offset, one IRLS step from the
     * closed-form offset null (round 16 — `SgdNet.fitBinomialOffset`;
     * glmnet supports offset for every family): with a constant offset
@@ -1449,6 +1492,43 @@ object PathQueries {
         round(log(col("cvm")), 6).as("ln_cvm"),
         round(log(col("cvsd")), 6).as("ln_cvsd"))
       .orderBy("lambda_idx")
+  }
+
+  /** predict.cv_sgdnet with `newoffset` AND sparse newx (round 18 —
+    * the glmnet predict.cv.glmnet composition hooks,
+    * `CvResult.predictAt(offsetCols, idxCol/valCol)` delegating to
+    * `SgdNetModel.predColFor`): a gaussian offset CV on a
+    * single-point ridge grid (lambda.min IS the grid point), scored
+    * back through predictAt with each row's own offset — pred =
+    * a0 + b·x + off where (a0, b) is the 1-feature ridge closed form
+    * on y − off (the q_gauss_ridge1 shrink on offset-adjusted
+    * moments). The same rows ALSO go through the sparse (indices,
+    * values) route + offset, emitted as a second column the oracle
+    * writes identically — a dropped offset or dense/sparse divergence
+    * fails the hash. Converged multi-lambda selection is spec-anchored
+    * (OffsetCvSpec round-18 parity rows). */
+  def cvPredictOffset(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("lexp", log(col("l_linenumber").cast("double")))
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = CvSgdNet.fitWithOffset(li, Seq("l_quantity"),
+      "l_extendedprice", "lexp",
+      SgdNetParams(alpha = 0.0, lambda = Array(2.5), thresh = 1e-11,
+        maxit = 100000),
+      nfolds = 5, measure = "mse", foldCol = fold)
+    val sp = li.filter(col("l_orderkey") <= 5)
+      .withColumn("sidx", array(lit(0)))
+      .withColumn("svals", array(col("l_quantity").cast("double")))
+    val dense = cv.predictAt(sp, "lambda.min", "link",
+        offsetCols = Seq("lexp"))
+      .withColumnRenamed("pred", "pred_dense")
+    cv.predictAt(dense, "lambda.min", "link", offsetCols = Seq("lexp"),
+        idxCol = "sidx", valCol = "svals")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("pred_dense"), 4).as("pred"),
+        round(col("pred"), 4).as("pred_sparse"))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   /** lambda.min / lambda.1se selection on the [[cvRidgeFit]] chain —

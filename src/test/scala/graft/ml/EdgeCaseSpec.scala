@@ -44,4 +44,54 @@ class EdgeCaseSpec extends SparkSpec {
       SgdNet.fit(df, Seq("x1"), "y", SgdNetParams(family = "tweedie"))
     }
   }
+
+  test("large-p contract: oversized p fails FAST on every route " +
+      "(round 18)") {
+    // The sufficient-stats/IRLS architecture keeps O(p²) driver state;
+    // SURVEY §3 scopes it to p up to ~5k–8k. Round 18 enforces that as
+    // a fail-fast require at EVERY entry (fit / CV / relax / offset /
+    // weighted, dense and sparse) instead of a driver OOM mid-
+    // treeAggregate. The cap is configurable (maxGramP); shrink it for
+    // the test so no big allocation ever happens.
+    val df = SparkSpec.regressionDF(spark)
+      .withColumn("w", lit(1.0)).withColumn("off", lit(0.1))
+      .withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("x1"), col("x2")))
+      .withColumn("yb", (col("y") > 0).cast("double"))
+    // three REAL columns (> the shrunken cap): column resolution must
+    // not be what fails — the maxGramP require must fire first
+    val names = Seq("x1", "x2", "w")
+    val saved = SgdNet.maxGramP
+    SgdNet.maxGramP = 2
+    try {
+      def mustFail(body: => Any): Unit = {
+        val e = intercept[IllegalArgumentException](body)
+        assert(e.getMessage.contains("maxGramP"), e.getMessage)
+      }
+      mustFail(SgdNet.fit(df, names, "y", SgdNetParams()))
+      mustFail(SgdNet.fitWeighted(df, names, "y", "w", SgdNetParams()))
+      mustFail(SgdNet.fitWithOffset(df, names, "y", "off", SgdNetParams()))
+      mustFail(SgdNet.relaxedFit(df, names, "y",
+        SgdNetParams(lambda = Array(1.0))))
+      mustFail(SgdNet.fitSparse(df, "sidx", "svals", 3, "y", SgdNetParams()))
+      mustFail(SgdNet.fitSparseWithOffset(df, "sidx", "svals", 3, "y",
+        "off", SgdNetParams(family = "poisson")))
+      mustFail(CvSgdNet.fit(df, names, Seq("y"), SgdNetParams(), nfolds = 3))
+      mustFail(CvSgdNet.fitWeighted(df, names, "y", "w", SgdNetParams(),
+        nfolds = 3))
+      mustFail(CvSgdNet.fitWithOffset(df, names, "y", "off", SgdNetParams(),
+        nfolds = 3))
+      mustFail(CvSgdNet.fitSparse(df, "sidx", "svals", 3, "y",
+        SgdNetParams(), nfolds = 3))
+      mustFail(CvSgdNet.fitRelaxed(df, names, "y",
+        SgdNetParams(lambda = Array(1.0)), nfolds = 3))
+      mustFail(CvSgdNet.fitRelaxedSparse(df, "sidx", "svals", 3, "y",
+        SgdNetParams(lambda = Array(1.0)), nfolds = 3))
+      // GramStats itself is structurally gated driver-side
+      mustFail(new GramStats(3, 1))
+    } finally SgdNet.maxGramP = saved
+    // at the restored cap the same fits run fine
+    val m = SgdNet.fit(df, Seq("x1", "x2"), "y", SgdNetParams())
+    assert(m.lambda.nonEmpty)
+  }
 }

@@ -1,0 +1,132 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Screened-Gram large-p route (round 18 — `LargeP.fitGaussian`):
+  * must EQUAL the one-pass full-Gram path (`SgdNet.fit`) on every
+  * shared regime — the strong rule + per-point exact KKT pass makes
+  * the equality structural — while never holding more than O(|E|²)
+  * driver state, proven by running where the full route's maxGramP
+  * contract refuses. */
+class LargePSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val p = 48
+  private lazy val data = {
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 400).map { i =>
+      val x = Array.fill(p)(rnd.nextGaussian())
+      val y = 1.5 * x(0) - 0.9 * x(7) + 0.6 * x(19) - 0.3 * x(33) + 0.4 +
+        rnd.nextGaussian() * 0.5
+      (i.toLong, x.toSeq, y)
+    }
+    val names = (0 until p).map(j => s"x$j")
+    rows.toDF("rid", "xs", "y")
+      .select(col("rid") +: names.map(nm =>
+        col("xs")(nm.drop(1).toInt).as(nm)) :+ col("y"): _*)
+  }
+  private val names = (0 until p).map(j => s"x$j")
+
+  private def assertSame(a: SgdNetModel, b: SgdNetModel, tol: Double,
+                         tag: String): Unit = {
+    assert(a.lambda.length == b.lambda.length, s"$tag path length")
+    for (l <- a.lambda.indices) {
+      assert(math.abs(a.lambda(l) - b.lambda(l)) <=
+        tol * math.max(1.0, b.lambda(l)), s"$tag lambda($l)")
+      assert(math.abs(a.a0(l)(0) - b.a0(l)(0)) < tol, s"$tag a0($l)")
+      assert(math.abs(a.devRatio(l) - b.devRatio(l)) < tol, s"$tag dr($l)")
+      for (j <- 0 until p)
+        assert(math.abs(a.beta(l)(0)(j) - b.beta(l)(0)(j)) < tol,
+          s"$tag beta($l)($j): ${a.beta(l)(0)(j)} vs ${b.beta(l)(0)(j)}")
+    }
+    assert(math.abs(a.nulldev - b.nulldev) <=
+      tol * math.max(1.0, b.nulldev), s"$tag nulldev")
+  }
+
+  test("screened-Gram path == full-Gram path (auto + user lambda, " +
+      "alpha grid, standardize/intercept off)") {
+    for ((alpha, std, icept) <- Seq((1.0, true, true), (0.5, true, true),
+        (1.0, false, true), (1.0, true, false))) {
+      val prm = SgdNetParams(alpha = alpha, nlambda = 20, thresh = 1e-9,
+        maxit = 100000, standardize = std, intercept = icept)
+      val full = SgdNet.fit(data, names, "y", prm)
+      val big = LargeP.fitGaussian(data, names, "y", prm)
+      assertSame(big, full, 1e-7, s"alpha=$alpha std=$std int=$icept")
+    }
+    // user-supplied lambda including a first point ABOVE lambda_max
+    // (empty candidate set at l = 0) and a dense tail
+    val full0 = SgdNet.fit(data, names, "y",
+      SgdNetParams(alpha = 1.0, nlambda = 3, thresh = 1e-9))
+    val lmax = full0.lambda(0)
+    val prmU = SgdNetParams(alpha = 1.0,
+      lambda = Array(lmax * 2.0, lmax * 0.5, lmax * 0.1, lmax * 0.02),
+      thresh = 1e-9, maxit = 100000)
+    assertSame(LargeP.fitGaussian(data, names, "y", prmU),
+      SgdNet.fit(data, names, "y", prmU), 1e-7, "user-lambda")
+  }
+
+  test("dfmax/pmax stop the path identically; contracts reject") {
+    val prm = SgdNetParams(alpha = 1.0, nlambda = 30, thresh = 1e-9,
+      maxit = 100000, dfmax = 3)
+    val full = SgdNet.fit(data, names, "y", prm)
+    val big = LargeP.fitGaussian(data, names, "y", prm)
+    assertSame(big, full, 1e-7, "dfmax")
+    assert(big.lambda.length < 30, "dfmax actually truncated")
+    intercept[IllegalArgumentException] {
+      LargeP.fitGaussian(data, names, "y", SgdNetParams(alpha = 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      LargeP.fitGaussian(data, names, "y",
+        SgdNetParams(family = "binomial"))
+    }
+    intercept[IllegalArgumentException] {
+      LargeP.fitGaussian(data, names, "y",
+        SgdNetParams(penaltyFactor = Array.fill(p)(1.0)))
+    }
+  }
+
+  test("runs where the full-Gram contract refuses; |E| cap enforced") {
+    // a SELECTIVE path: geometric steps of ~0.75 keep the strong-rule
+    // bound alpha(2λ_l − λ_{l-1}) ≈ 0.5·λ positive and tight (a coarse
+    // grid with λ_l < λ_{l-1}/2 makes the rule vacuous and E → p); the
+    // 0.25·lmax floor keeps the candidate set well under the test cap
+    val full0 = SgdNet.fit(data, names, "y",
+      SgdNetParams(alpha = 1.0, nlambda = 3, thresh = 1e-9))
+    val lmax = full0.lambda(0)
+    val prm = SgdNetParams(alpha = 1.0,
+      lambda = Array(1.0, 0.75, 0.56, 0.42, 0.32, 0.25).map(_ * lmax),
+      thresh = 1e-9, maxit = 100000)
+    // reference answer first, while the cap still admits the full route
+    val full = SgdNet.fit(data, names, "y", prm)
+    val saved = SgdNet.maxGramP
+    SgdNet.maxGramP = 16 // << p = 48
+    try {
+      intercept[IllegalArgumentException] {
+        SgdNet.fit(data, names, "y", prm) // full Gram refuses at p > cap
+      }
+      // the screened route runs — its state is |E|^2, not p^2 — and
+      // still returns the exact full-Gram path
+      val big = LargeP.fitGaussian(data, names, "y", prm)
+      assertSame(big, full, 1e-7, "capped")
+      // ... but it fails FAST (not OOM) when the path drives |E| past
+      // the cap: a deep fine path eventually admits everything
+      val e = intercept[IllegalArgumentException] {
+        LargeP.fitGaussian(data, names, "y",
+          SgdNetParams(alpha = 1.0, nlambda = 60, lambdaMinRatio = 1e-4,
+            thresh = 1e-9, maxit = 100000))
+      }
+      assert(e.getMessage.contains("maxGramP"), e.getMessage)
+    } finally SgdNet.maxGramP = saved
+  }
+
+  test("npasses counts data passes: 1 + nlambda + extensions order") {
+    val prm = SgdNetParams(alpha = 1.0, nlambda = 10, thresh = 1e-9,
+      maxit = 100000)
+    val big = LargeP.fitGaussian(data, names, "y", prm)
+    // pass A + <= (gradient per point, skipped while beta = 0) +
+    // extension passes: comfortably linear in the path length
+    assert(big.npasses >= 2 && big.npasses <= 1 + 2 * 10 + 8,
+      s"npasses = ${big.npasses}")
+  }
+}

@@ -624,4 +624,79 @@ class OffsetCvSpec extends SparkSpec {
     assertClose(offCv.best, adjCv.best, 1e-12, "sparse-mgauss-offset-cv")
     ()
   }
+
+  test("predictAt forwards newoffset and sparse newx (round 18)") {
+    // glmnet's predict.cv.glmnet REQUIRES newoffset when the fit used
+    // offset and accepts dgCMatrix newx; both now compose through
+    // CvResult.predictAt / RelaxedCvResult.predictAt via predColFor.
+    // The grids are fixed, so lambda.min is a grid point and atLambda
+    // returns the exact path coefficients — parity with the model
+    // layer's predictWithOffset/predictSparse is then 1e-12-exact.
+    val pb = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(0.05, 0.01), thresh = 1e-9, maxit = 100000)
+    val cv = CvSgdNet.fitWithOffset(data, Seq("x1", "x2"), "yb", "off", pb,
+      nfolds = 3, measure = "deviance", foldCol = fold)
+    val li = cv.best.lambda.indexOf(cv.best.lambdaMin)
+    val sp = data.withColumn("idx", array(lit(0), lit(1)))
+      .withColumn("vals", array(col("x1"), col("x2")))
+    def colDiff(a: org.apache.spark.sql.DataFrame, ca: String,
+                b: org.apache.spark.sql.DataFrame, cb: String): Double = {
+      val xs = a.orderBy("rid").select(col(ca).cast("double")).collect()
+        .map(_.getDouble(0))
+      val ys = b.orderBy("rid").select(col(cb).cast("double")).collect()
+        .map(_.getDouble(0))
+      xs.zip(ys).map { case (x, y) => math.abs(x - y) }.max
+    }
+    for (tpe <- Seq("link", "response")) {
+      val viaAt = cv.predictAt(data, "lambda.min", tpe,
+        offsetCols = Seq("off"))
+      val viaModel = cv.best.fit.predictWithOffset(data, Seq("off"), tpe,
+        Seq(li))
+      assert(colDiff(viaAt, "pred", viaModel, s"pred_$li") < 1e-12,
+        s"offset predictAt $tpe == predictWithOffset")
+      // sparse newx route == the model layer's predictSparse
+      val sAt = cv.predictAt(sp, "lambda.min", tpe,
+        idxCol = "idx", valCol = "vals")
+      val sModel = cv.best.fit.predictSparse(sp, "idx", "vals", tpe, Seq(li))
+      assert(colDiff(sAt, "pred", sModel, s"pred_$li") < 1e-12,
+        s"sparse predictAt $tpe == predictSparse")
+      // sparse + offset composition == dense + offset (same rows)
+      val sBoth = cv.predictAt(sp, "lambda.min", tpe,
+        offsetCols = Seq("off"), idxCol = "idx", valCol = "vals")
+      assert(colDiff(sBoth, "pred", viaAt, "pred") < 1e-12,
+        s"sparse+offset predictAt $tpe")
+    }
+    // class type: string predictions must agree row-for-row
+    val cAt = cv.predictAt(data, "lambda.min", "class",
+      offsetCols = Seq("off")).orderBy("rid").select("pred").collect()
+    val cModel = cv.best.fit.predictWithOffset(data, Seq("off"), "class",
+      Seq(li)).orderBy("rid").select(s"pred_$li").collect()
+    assert(cAt.zip(cModel).forall { case (a, b) =>
+      a.getString(0) == b.getString(0) }, "offset class parity")
+    // relaxed twin: the blended best-gamma path with offset + sparse
+    val r = CvSgdNet.fitRelaxed(data, Seq("x1", "x2"), "yb", pb,
+      nfolds = 3, gammas = Seq(0.0, 1.0), measure = "deviance",
+      foldCol = fold, offsetCol = "off")
+    val rli = r.best.lambda.indexOf(r.best.lambdaMin)
+    val rAt = r.predictAt(data, "lambda.min", "response",
+      offsetCols = Seq("off"))
+    val rModel = r.best.fit.predictWithOffset(data, Seq("off"), "response",
+      Seq(rli))
+    assert(colDiff(rAt, "pred", rModel, s"pred_$rli") < 1e-12,
+      "relaxed offset predictAt")
+    val rS = r.predictAt(sp, "lambda.min", "link",
+      offsetCols = Seq("off"), idxCol = "idx", valCol = "vals")
+    val rD = r.predictAt(data, "lambda.min", "link", offsetCols = Seq("off"))
+    assert(colDiff(rS, "pred", rD, "pred") < 1e-12,
+      "relaxed sparse+offset == dense+offset")
+    // contracts: wrong offset arity, half-specified sparse cols
+    intercept[IllegalArgumentException] {
+      cv.predictAt(data, "lambda.min", "link",
+        offsetCols = Seq("off", "off"))
+    }
+    intercept[IllegalArgumentException] {
+      cv.predictAt(sp, "lambda.min", "link", idxCol = "idx")
+    }
+    ()
+  }
 }

@@ -344,6 +344,30 @@ class RelaxedCvSpec extends SparkSpec {
         SgdNetParams(family = "poisson", lambda = Array(0.1)),
         measure = "auc", foldCol = foldB)
     }
+    // round 18: relaxed auc selection MAXIMIZES (the cv.glmnet relax
+    // convention) — bestGamma/lambda.min sit at the curve MAXIMUM, and
+    // lambda.1se is the largest lambda with cvm >= max − sd; cvm stays
+    // the raw AUC on every path. Dense and sparse agree.
+    for (res <- Seq(r, s)) {
+      val bestAuc = res.gammas.indices.map(g => res.paths(g).cvm.max).max
+      assert(res.best.cvm.max == bestAuc, "bestGamma is the argmax path")
+      val li = res.best.lambda.indexOf(res.best.lambdaMin)
+      assert(res.best.cvm(li) == res.best.cvm.max,
+        s"lambda.min at max auc: ${res.best.cvm(li)} vs ${res.best.cvm.max}")
+      val cut = res.best.cvm(li) - res.best.cvsd(li)
+      val i1se = res.best.lambda.indexOf(res.best.lambda1se)
+      assert(res.best.cvm(i1se) >= cut - 1e-15, "1se within one sd of max")
+      assert(!res.best.lambda.indices.exists(l =>
+        l < i1se && res.best.cvm(l) >= cut - 1e-15),
+        "1se is the LARGEST lambda within one sd")
+    }
+    // deviance still minimizes on the same data (unchanged convention)
+    val rDev = CvSgdNet.fitRelaxed(binData, Seq("x1", "x2"), "y", params,
+      nfolds = 3, gammas = Seq(0.0, 1.0), measure = "deviance",
+      foldCol = foldB)
+    val lDev = rDev.best.lambda.indexOf(rDev.best.lambdaMin)
+    assert(rDev.best.cvm(lDev) == rDev.best.cvm.min,
+      "deviance lambda.min at curve minimum")
     ()
   }
 

@@ -171,4 +171,67 @@ class ScreenSpec extends AnyFunSuite {
       SgdNetParams(alpha = 0.0, nlambda = 5, thresh = 1e-9), screen = false)
     assert(maxDiff(r, r2) == 0.0)
   }
+
+  test("screened WLS at the PRODUCTION thresh regime (round 18)") {
+    // The IRLS callers pass thresh = newtonTol (~1e-7 at the default
+    // params.thresh = 1e-3). Round 18 tied the KKT-backcheck tolerance
+    // to thresh itself (was thresh*1e2, leaving ~1e-5·λ of slack where
+    // boundary coordinates stayed screened out). Assert at exactly that
+    // regime: screened == unscreened within O(thresh), and the screened
+    // zeros satisfy the FULL problem's KKT within the backcheck bound.
+    val p = 48
+    val rnd = new scala.util.Random(83)
+    val n = 300
+    val xs = Array.fill(n)(Array.fill(p)(rnd.nextGaussian()))
+    val w = Array.fill(n)(0.05 + rnd.nextDouble() * 0.2)
+    val z = xs.map(x => 1.1 * x(2) - 0.8 * x(9) + 0.3 * x(31) +
+      rnd.nextGaussian() * 0.5)
+    val a = Array.ofDim[Double](p, p)
+    val c = new Array[Double](p)
+    val xw = new Array[Double](p)
+    var zw = 0.0
+    var ww = 0.0
+    for (i <- 0 until n) {
+      ww += w(i) / n; zw += w(i) * z(i) / n
+      for (j <- 0 until p) {
+        c(j) += w(i) * xs(i)(j) * z(i) / n
+        xw(j) += w(i) * xs(i)(j) / n
+        for (m <- 0 to j) {
+          a(m)(j) += w(i) * xs(i)(m) * xs(i)(j) / n
+          if (m != j) a(j)(m) = a(m)(j)
+        }
+      }
+    }
+    val thresh = 1e-7 // == newtonTol at the default params.thresh
+    val lams = Array(0.5, 0.2, 0.08, 0.03, 0.01)
+    for (alpha <- Seq(1.0, 0.7)) {
+      var warmU = new Array[Double](p)
+      var warmS = new Array[Double](p)
+      for (li <- lams.indices) {
+        val u = CoordinateDescent.solve(a, c, xw, zw, ww, lams(li), alpha,
+          intercept = true, warmU, thresh = thresh, maxIter = 100000)
+        val s = if (li == 0) u
+          else CoordinateDescent.solveScreened(a, c, xw, zw, ww, lams(li),
+            lams(li - 1), alpha, intercept = true, warmS, thresh = thresh,
+            maxIter = 100000)
+        // O(thresh) agreement: both solves stop within thresh of the
+        // optimum, so they can differ by a small multiple of it
+        assert(math.abs(s.a0 - u.a0) < 1e-5, s"alpha=$alpha a0($li)")
+        for (j <- 0 until p)
+          assert(math.abs(s.beta(j) - u.beta(j)) < 1e-5,
+            s"alpha=$alpha beta($li)($j)")
+        // full-problem KKT at every screened zero, at the backcheck's
+        // own tolerance (thresh, not thresh*1e2)
+        val a0s = s.a0
+        val tol = thresh * math.max(lams(li), 1.0) * 2.0
+        for (j <- 0 until p if s.beta(j) == 0.0) {
+          var g = c(j) - a0s * xw(j)
+          for (m <- 0 until p) g -= a(j)(m) * s.beta(m)
+          assert(math.abs(g) <= lams(li) * alpha + tol,
+            s"alpha=$alpha KKT zero($li)($j): |$g| > ${lams(li) * alpha}")
+        }
+        warmU = u.beta; warmS = s.beta.clone()
+      }
+    }
+  }
 }

@@ -137,4 +137,58 @@ class SgdNetBinomialSpec extends SparkSpec {
     }
     assert(screeningUseful, "path never sparse enough to exercise the screen")
   }
+
+  test("sparse IRLS screen: screened == unscreened through the sparse " +
+      "chassis (round 18)") {
+    // Round 18 put the per-Newton strong rule on the SPARSE GLM routes
+    // (fitSparseGlm / fitSparseGlmOffset) behind the same gates as the
+    // dense ones. Chassis-level equality: fit the SAME CSR data with
+    // the screen on and off (the screenGlm test seam) — every
+    // coefficient and intercept along the path must agree to 1e-9
+    // (separate fits: treeAggregate merge order wobbles the last ulp).
+    import spark.implicits._
+    val rnd = new scala.util.Random(91)
+    val p = 40
+    assert(p >= SgdNet.ScreenMinP)
+    val rows = (1 to 400).map { i =>
+      // ~10 nonzeros per row: real CSR, signal on features 0/3/11
+      val nz = (Seq(0, 3, 11) ++ Seq.fill(7)(rnd.nextInt(p))).distinct.sorted
+      val vals = nz.map(_ => rnd.nextGaussian())
+      val x = nz.zip(vals).toMap
+      val eta = 1.4 * x(0) - 0.9 * x(3) + 0.6 * x(11) - 0.2
+      val y = if (rnd.nextDouble() < 1.0 / (1.0 + math.exp(-eta))) 1.0 else 0.0
+      val yp = math.max(0L, math.round(math.exp(0.4 * x(0) - 0.3 * x(3)) +
+        rnd.nextGaussian() * 0.3)).toDouble
+      (i.toLong, nz, vals, y, yp, math.log(1.0 + (i % 4)))
+    }
+    val df = rows.toDF("rid", "sidx", "svals", "y", "yp", "off")
+    def runBoth(fit: () => SgdNetModel): (SgdNetModel, SgdNetModel) = {
+      val on = fit()
+      SgdNet.screenGlm = false
+      val off0 = try fit() finally SgdNet.screenGlm = true
+      (on, off0)
+    }
+    def assertSame(a: SgdNetModel, b: SgdNetModel, tag: String): Unit = {
+      assert(a.lambda.length == b.lambda.length, s"$tag path length")
+      for (l <- a.lambda.indices) {
+        assert(math.abs(a.a0(l)(0) - b.a0(l)(0)) < 1e-9, s"$tag a0($l)")
+        for (j <- 0 until p)
+          assert(math.abs(a.beta(l)(0)(j) - b.beta(l)(0)(j)) < 1e-9,
+            s"$tag beta($l)($j): ${a.beta(l)(0)(j)} vs ${b.beta(l)(0)(j)}")
+      }
+    }
+    val pb = SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 8,
+      thresh = 1e-10, maxit = 100000)
+    val (bOn, bOff) = runBoth(() => SgdNet.fitSparse(df, "sidx", "svals", p,
+      "y", pb))
+    assertSame(bOn, bOff, "binomial")
+    assert(bOn.beta.exists(_. head.count(_ != 0.0) * 2 < p),
+      "path sparse enough to exercise the screen")
+    // poisson + offset: the fitSparseGlmOffset screened site
+    val pp = SgdNetParams(family = "poisson", alpha = 1.0, nlambda = 6,
+      thresh = 1e-9, maxit = 100000)
+    val (pOn, pOff) = runBoth(() => SgdNet.fitSparseWithOffset(df, "sidx",
+      "svals", p, "yp", "off", pp))
+    assertSame(pOn, pOff, "poisson-offset")
+  }
 }

@@ -218,6 +218,38 @@ class QualityOpsSpec extends SparkSpec {
     ()
   }
 
+  test("gopherRules / c4Filters: null text = empty doc, flags never null " +
+      "(round 18)") {
+    // round 18 (ADVICE): a null text column used to null-propagate into
+    // gopher_keep/c4_keep, and a when(!flag) violation census silently
+    // counted those docs as PASSING every rule. Now null == '' and every
+    // flag is a real boolean (keep = false), matching the repetition
+    // kernel's explicit null handling.
+    import spark.implicits._
+    val docs = Seq(("a", null: String), ("b", ""),
+      ("c", "the quick brown fox is here with all of that and be to of."))
+      .toDF("id", "text")
+    val g = TextAnalysis.gopherRules(docs, "text", minWords = 5)
+      .select("id", "g_word_count", "g_word_len", "g_symbols", "g_bullets",
+        "g_ellipsis", "g_alpha", "g_stops", "gopher_keep")
+      .collect().map(rw => rw.getString(0) -> rw).toMap
+    for (id <- Seq("a", "b"); i <- 1 to 8) {
+      assert(!g(id).isNullAt(i), s"gopher $id flag $i must not be null")
+    }
+    assert(!g("a").getBoolean(8) && !g("b").getBoolean(8),
+      "null and empty both drop")
+    // null text scores EXACTLY like the empty string on every flag
+    for (i <- 1 to 8)
+      assert(g("a").getBoolean(i) == g("b").getBoolean(i), s"flag $i parity")
+    val c = TextAnalysis.c4Filters(docs, "text")
+      .select("id", "c4_text", "c4_lorem", "c4_brace", "c4_keep")
+      .collect().map(rw => rw.getString(0) -> rw).toMap
+    for (id <- Seq("a", "b"); i <- 1 to 4)
+      assert(!c(id).isNullAt(i), s"c4 $id col $i must not be null")
+    assert(!c("a").getBoolean(4) && !c("b").getBoolean(4))
+    ()
+  }
+
   test("gopherRepetitionRules: hand-computed fractions per rule (round 17)") {
     import spark.implicits._
     val docs = Seq(

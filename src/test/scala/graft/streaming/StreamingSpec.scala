@@ -553,4 +553,69 @@ class StreamingSpec extends SparkSpec {
       assert(s.getDouble(4) === b.getAs[Double]("est"), s"$k est")
     }
   }
+
+  test("streaming quality gate == batch batteries on multi-batch feeds " +
+      "(round 18)") {
+    implicit val sqlCtx = spark.sqlContext
+    // stateless per-doc batteries: batch == stream must hold under any
+    // batching — feed three micro-batches with every rule's violator
+    // split across them, plus a null-text doc (the ADVICE null contract)
+    val good = (1L, "this is a fine long sentence with all of the usual " +
+      "words. it should pass every single rule because there is plenty " +
+      "here. the clean text goes on to be seen with that and have today.")
+    val docs = Seq(
+      good,
+      (2L, "the of and be"), // short
+      (3L, ("- bullet one\n" * 10) + "the of and be with that have to."),
+      (4L, ("copy this line now.\n" * 6) +
+        "the quick brown fox is here with all of that and be to of."),
+      (5L, null: String),
+      (6L, "braces are code { nope. " + good._2))
+    val input = MemoryStream[(Long, String)]
+    val q = QualityStream.gateStream(
+        input.toDF().toDF("doc_id", "text"), "text", minWords = 10)
+      .select("doc_id", "gopher_keep", "c4_keep", "quality_keep")
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode("append").start()
+    input.addData(docs.take(2)); q.processAllAvailable()
+    input.addData(docs.slice(2, 4)); q.processAllAvailable()
+    input.addData(docs.drop(4)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "select doc_id, gopher_keep, c4_keep, quality_keep from qgate")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    val batch = QualityStream.gateStream(
+        docs.toDF("doc_id", "text"), "text", minWords = 10)
+      .select("doc_id", "gopher_keep", "c4_keep", "quality_keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch(1L)._3 && !batch(2L)._3 && !batch(6L)._3,
+      "gate keeps the good doc and drops violators")
+    assert(!batch(5L)._1 && !batch(5L)._2 && !batch(5L)._3,
+      "null text drops with real (non-null) flags")
+
+    // the repetition battery's typed kernel applies to a stream as-is
+    val repIn = MemoryStream[(Long, String)]
+    val q2 = graft.ops.TextAnalysis.gopherRepetitionRules(
+        repIn.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "dup_line_frac", "top_2gram_frac", "rep_keep")
+      .writeStream.format("memory").queryName("qrep")
+      .outputMode("append").start()
+    repIn.addData(docs.take(3)); q2.processAllAvailable()
+    repIn.addData(docs.drop(3)); q2.processAllAvailable()
+    q2.stop()
+    val streamedRep = spark.sql(
+      "select doc_id, dup_line_frac, top_2gram_frac, rep_keep from qrep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val batchRep = graft.ops.TextAnalysis.gopherRepetitionRules(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "dup_line_frac", "top_2gram_frac", "rep_keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(streamedRep == batchRep, s"rep streamed=$streamedRep batch=$batchRep")
+    assert(!batchRep(4L)._3, "the duplicate-line doc fails rep_keep")
+  }
 }
