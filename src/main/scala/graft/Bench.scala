@@ -54,6 +54,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // rotated reps (round 18) re-visit each query after the whole
+      // board; the default 100-entry codegen cache evicts everything
+      // in between, so every rep would pay janino recompiles the old
+      // back-to-back reps skipped — size the cache to the board
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/shuffle warm-up so the first measured query doesn't

@@ -145,6 +145,113 @@ object ScaleProbe {
         println(f"probe_screenwls p=$p n=$nObs df_last=$df " +
           f"unscreened=$tu%.2f screened=$ts%.2f maxdiff=$md%.2e")
         lams.length.toLong
+      case "largep" =>
+        // round 18: screened-Gram large-p route (LargeP.fitGaussian)
+        // vs the full-Gram path at growing p. args = largep <n> <p>
+        // <nlambda> <mode: both|big>. Deterministic per-row features
+        // (seeded by id), signal on 4 coordinates. "both" times the
+        // two routes and checks coefficient agreement; "big" runs the
+        // screened route alone (the full route's maxGramP regime).
+        val nRows = args(1).toLong
+        val p = args(2).toInt
+        val nl = args(3).toInt
+        val mode = args(4)
+        val schema = org.apache.spark.sql.types.StructType(
+          (0 until p).map(j => org.apache.spark.sql.types.StructField(
+            s"x$j", org.apache.spark.sql.types.DoubleType, false)) :+
+            org.apache.spark.sql.types.StructField("y",
+              org.apache.spark.sql.types.DoubleType, false))
+        val rdd = spark.sparkContext.range(0L, nRows,
+            numSlices = cpus.toInt).map { i =>
+          val rnd = new scala.util.Random(i * 2654435761L + 12345)
+          val x = Array.fill(p)(rnd.nextGaussian())
+          val y = 1.5 * x(0) - 0.9 * x(7) + 0.6 * x(19) - 0.3 * x(33) +
+            rnd.nextGaussian() * 0.5
+          org.apache.spark.sql.Row.fromSeq(x.toSeq :+ y)
+        }
+        val df = spark.createDataFrame(rdd, schema)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count() // materialize once so neither route pays generation
+        val names = (0 until p).map(j => s"x$j")
+        // optional 6th arg: lambda.min.ratio — the sparse-path regime
+        // (the screened route's design point) vs the dense default
+        val minRatio = if (args.length > 5) args(5).toDouble else Double.NaN
+        val prm = ml.SgdNetParams(alpha = 1.0, nlambda = nl,
+          lambdaMinRatio = minRatio, thresh = 1e-7, maxit = 100000)
+        if (mode == "both") {
+          def t1[T](f: => T): (T, Double) = {
+            val t = System.nanoTime()
+            val r = f; (r, (System.nanoTime() - t) / 1e9)
+          }
+          val (_, twarm) = t1(ml.SgdNet.fit(df, names, "y", prm))
+          val (full, tf) = t1(ml.SgdNet.fit(df, names, "y", prm))
+          val (big, tb) = t1(ml.LargeP.fitGaussian(df, names, "y", prm))
+          var md = 0.0
+          for (l <- full.lambda.indices; j <- 0 until p)
+            md = math.max(md,
+              math.abs(full.beta(l)(0)(j) - big.beta(l)(0)(j)))
+          val dfLast = big.beta.last.head.count(_ != 0.0)
+          println(f"probe_largep p=$p n=$nRows L=${full.lambda.length} " +
+            f"df_last=$dfLast full=$tf%.2f (warm $twarm%.2f) " +
+            f"screened=$tb%.2f passes=${big.npasses} maxdiff=$md%.2e")
+          full.lambda.length.toLong
+        } else {
+          val t = System.nanoTime()
+          val big = ml.LargeP.fitGaussian(df, names, "y", prm)
+          val tb = (System.nanoTime() - t) / 1e9
+          val dfLast = big.beta.last.head.count(_ != 0.0)
+          println(f"probe_largep p=$p n=$nRows L=${big.lambda.length} " +
+            f"df_last=$dfLast screened=$tb%.2f passes=${big.npasses}")
+          big.lambda.length.toLong
+        }
+      case "sparseirls" =>
+        // round 18: strong-rule screen on the SPARSE GLM per-Newton
+        // WLS solves — screened vs unscreened wall through the REAL
+        // fitSparse chassis (the screenGlm seam), solutions compared.
+        // args = sparseirls <n> <p> <nnzPerRow> <nlambda>
+        val nRows = args(1).toInt
+        val p = args(2).toInt
+        val nnz = args(3).toInt
+        val nl = args(4).toInt
+        import spark.implicits._
+        val rows = (0 until nRows).map { i =>
+          val rnd = new scala.util.Random(i * 2654435761L + 7)
+          val idx = (Seq(0, 7, 19) ++ Seq.fill(nnz)(rnd.nextInt(p)))
+            .distinct.sorted
+          val vals = idx.map(_ => rnd.nextGaussian())
+          val x = idx.zip(vals).toMap
+          val eta = 1.4 * x(0) - 0.9 * x(7) + 0.6 * x(19) - 0.2
+          val y = if (rnd.nextDouble() < 1.0 / (1.0 + math.exp(-eta)))
+            1.0 else 0.0
+          (idx, vals, y)
+        }
+        val df = rows.toDF("sidx", "svals", "y")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        // optional 6th arg: lambda.min.ratio (sparse-path regime — the
+        // screen's design point; the dense default gates it off)
+        val mr = if (args.length > 5) args(5).toDouble else Double.NaN
+        val prm = ml.SgdNetParams(family = "binomial", alpha = 1.0,
+          nlambda = nl, lambdaMinRatio = mr, thresh = 1e-7, maxit = 100000)
+        def fitOnce(): (ml.SgdNetModel, Double) = {
+          val t = System.nanoTime()
+          val m = ml.SgdNet.fitSparse(df, "sidx", "svals", p, "y", prm)
+          (m, (System.nanoTime() - t) / 1e9)
+        }
+        fitOnce() // JIT warm
+        val (mOn, tOn) = fitOnce()
+        ml.SgdNet.screenGlm = false
+        val (mOff, tOff) =
+          try fitOnce() finally ml.SgdNet.screenGlm = true
+        var md = 0.0
+        for (l <- mOn.lambda.indices; j <- 0 until p)
+          md = math.max(md,
+            math.abs(mOn.beta(l)(0)(j) - mOff.beta(l)(0)(j)))
+        val dfLast = mOn.beta.last.head.count(_ != 0.0)
+        println(f"probe_sparseirls p=$p n=$nRows L=${mOn.lambda.length} " +
+          f"df_last=$dfLast screened=$tOn%.2f unscreened=$tOff%.2f " +
+          f"maxdiff=$md%.2e")
+        mOn.lambda.length.toLong
       case "dfmaxroute" =>
         // round 17: true dfmax early stopping on a SECONDARY route
         // (weighted binomial IRLS) — full path vs dfmax-truncated,

@@ -75,6 +75,7 @@ object SparkEntry {
     "q_cv_sparse_offset" -> (PathQueries.cvSparseOffset _),
     "q_cv_predict_offset" -> (PathQueries.cvPredictOffset _),
     "q_screen_irls"      -> (PathQueries.screenIrls _),
+    "q_gauss_largep"     -> (PathQueries.gaussLargeP _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
     "q_cv_deviance"      -> (PathQueries.cvDeviance _),
@@ -595,8 +596,49 @@ object SparkEntry {
     s"""WITH r AS MATERIALIZED (
        |  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
        |    ${featDefs.mkString(",\n    ")}
-       |  FROM lineitem),
+       |  FROM lineitem WHERE l_orderkey % 4 = 0),
        |s AS (SELECT avg(y) p,
+       |  ${statDefs.mkString(",\n  ")}
+       |  FROM r),
+       |g AS (SELECT *, $lmax AS lmax FROM s),
+       |lm AS (SELECT *, 0.75*lmax AS lam FROM g),
+       |coefs AS (SELECT *,
+       |  ${coefDefs.mkString(",\n  ")}
+       |  FROM lm)
+       |${(rows0 ++ rows1).mkString("\nUNION ALL ")}
+       |ORDER BY lambda_idx, term""".stripMargin
+  }
+
+  /** q_gauss_largep oracle (round 18), generated: the gaussian twin of
+    * [[screenIrlsSql]] through the screened-Gram LargeP route —
+    * c_j = cov(f_j, y)/sd_j, λ₁ = 0.75·max|c_j|, the single active
+    * coefficient S(c_j, λ₁)/sd_j (zero for every noise feature),
+    * a0 = ȳ − Σ b_j·mean_j; idx 0 (λ₀ > λmax) is the ȳ intercept
+    * with an EMPTY candidate set exercised in the engine. */
+  private def gaussLargePSql: String = {
+    val names = Seq("f0") ++ (1 until 36).map(j => f"f$j%02d")
+    val featDefs = ("(l_extendedprice::DOUBLE / 1000 + l_orderkey % 3) " +
+      "AS f0") +: (1 until 36).map(j =>
+      f"((l_orderkey*${2 * j + 3} + l_linenumber*${j + 1}) %% 23)::DOUBLE AS f$j%02d")
+    val statDefs = names.map(f =>
+      s"avg($f) m_$f, covar_pop($f, y)/sqrt(var_pop($f)) c_$f, " +
+        s"sqrt(var_pop($f)) s_$f")
+    val lmax = names.map(f => s"abs(c_$f)").mkString("greatest(", ", ", ")")
+    val coefDefs = names.map(f =>
+      s"sign(c_$f)*greatest(abs(c_$f) - lam, 0)/s_$f AS b_$f")
+    val a0Adj = names.map(f => s"b_$f*m_$f").mkString(" + ")
+    val rows0 =
+      ("SELECT 0 AS lambda_idx, 'a0' AS term, " +
+        "round(ym, 6) + 0.0 AS value FROM coefs") +:
+        names.map(f => s"SELECT 0, '$f', 0.0 FROM coefs")
+    val rows1 =
+      (s"SELECT 1, 'a0', round(ym - ($a0Adj), 6) + 0.0 FROM coefs") +:
+        names.map(f => s"SELECT 1, '$f', round(b_$f, 6) + 0.0 FROM coefs")
+    s"""WITH r AS MATERIALIZED (
+       |  SELECT l_extendedprice::DOUBLE AS y,
+       |    ${featDefs.mkString(",\n    ")}
+       |  FROM lineitem WHERE l_orderkey % 4 = 0),
+       |s AS (SELECT avg(y) ym,
        |  ${statDefs.mkString(",\n  ")}
        |  FROM r),
        |g AS (SELECT *, $lmax AS lmax FROM s),
@@ -612,6 +654,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val base = Map(
     "q_screen_irls" -> screenIrlsSql,
+    "q_gauss_largep" -> gaussLargePSql,
     "q_cv_curve" ->
       s"""$cvRidgeCte
         |SELECT cast(lambda_idx AS INT) AS lambda_idx, round(lam, 4) AS lambda,

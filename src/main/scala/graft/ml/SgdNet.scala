@@ -1063,7 +1063,7 @@ object SgdNet {
     * screen so chassis-level specs can assert screened == unscreened
     * through the REAL dense/sparse fit routes (not just the solver).
     * Production code never touches it. */
-  @volatile private[ml] var screenGlm: Boolean = true
+  @volatile private[graft] var screenGlm: Boolean = true
 
   private[ml] def solveGaussianFromStats(g: GramStats, featureCols: Seq[String],
                                      labelCols: Seq[String],

@@ -231,11 +231,22 @@ object Drift {
     val vc = round(col(valueCol).cast("double") * lit(unit)).cast("long")
     val base = df.filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
     val minDay = base.agg(min(to_date(col(tsCol)))).head().getDate(0)
+    // the collect is bounded by the CALENDAR SPAN (one row per day,
+    // pre-aggregated), not the row count — but that bound is
+    // data-dependent, so cap the materialization STRUCTURALLY
+    // (round 18, the maxGramP discipline): the limit means the driver
+    // can never receive more than ~550 years of daily state even off
+    // a corrupt ts column; hitting the cap fails fast.
+    val maxDays = 200000
     val daily = base
       .groupBy(expr(s"datediff(to_date($tsCol), date'$minDay')").as("t"))
       .agg(sum(vc).as("xc"))
-      .orderBy("t").collect()
+      .orderBy("t").limit(maxDays + 1).collect()
       .map(r => (r.getInt(0), r.getLong(1)))
+    require(daily.length <= maxDays,
+      s"holtWinters would fold > $maxDays daily buckets driver-side " +
+        "(ts span too large or corrupt timestamps); pre-filter the " +
+        "series or aggregate to a coarser grain")
     val n = daily.length
     require(n >= 2 * period, s"need at least ${2 * period} days, got $n")
     require(daily.map(_._1).toSeq == (0 until n),

@@ -104,23 +104,80 @@ object PathQueries {
     * feature-by-feature at both path points. */
   def screenIrls(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li0 = tbl(spark, dir, "lineitem")
-      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
-      .withColumn("f0",
-        (col("is_r") * 4 + pmod(col("l_orderkey"), lit(3))).cast("double"))
     val feats = Seq("f0") ++ (1 until 36).map(j => f"f$j%02d")
-    val li = (1 until 36).foldLeft(li0)((d, j) =>
-      d.withColumn(f"f$j%02d",
-        pmod(col("l_orderkey") * (2 * j + 3) + col("l_linenumber") * (j + 1),
-          lit(23)).cast("double")))
-    val aggs = feats.map(f =>
-      (abs(covar_pop(col(f), col("is_r"))) /
-        sqrt(var_pop(col(f)))).as(s"c_$f"))
-    val crow = li.agg(aggs.head, aggs.tail: _*).head()
-    val lmax = feats.indices.map(crow.getDouble).max
+    // ONE select for all 36 features: a 35-deep withColumn chain costs
+    // quadratic analyzer work per downstream use (bench-measured 16.5 s
+    // for this query before the flatten; 0.4 s after)
+    val isR = (col("l_returnflag") === "R").cast("int")
+    val featCols = (isR * 4 + pmod(col("l_orderkey"), lit(3)))
+      .cast("double").as("f0") +: (1 until 36).map(j =>
+      pmod(col("l_orderkey") * (2 * j + 3) + col("l_linenumber") * (j + 1),
+        lit(23)).cast("double").as(f"f$j%02d"))
+    // bounded fixture: every solver pass pays a p+3-column row
+    // conversion, so the query runs on the deterministic 1/4 subset
+    // (the oracle filters identically; the closed-form margin is
+    // scale-free)
+    val li = tbl(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      .select(col("l_orderkey") +: col("l_linenumber") +:
+        isR.as("is_r") +: featCols: _*)
+    // lambda_max = max_j |cov(f_j, y)|/sd_j from ONE typed moment pass
+    // (a 72-aggregate DataFrame agg here measured 14 s at sf0.1 — the
+    // buffer count kills whole-stage codegen; GramStats is 0.1 s)
+    val g = graft.ml.SufficientStats.compute(
+      graft.ml.SufficientStats.toRdd(li, feats, Seq("is_r")),
+      feats.size, 1)
+    val st = graft.ml.SufficientStats.standardize(g,
+      standardizeX = true, intercept = true)
+    val lmax = st.b(0).map(math.abs).max
     val m = SgdNet.fit(li, feats, "is_r",
       SgdNetParams(family = "binomial", alpha = 1.0,
         lambda = Array(lmax * 1.0001, lmax * 0.75), thresh = 1e6))
+    val rows = for {
+      l <- 0 until 2
+      (t, v) <- ("a0", m.a0(l)(0)) +:
+        feats.zipWithIndex.map { case (f, j) => (f, m.beta(l)(0)(j)) }
+    } yield (l, t, v)
+    rows.toDF("lambda_idx", "term", "value")
+      .select(col("lambda_idx").cast("int").as("lambda_idx"), col("term"),
+        (round(col("value"), 6) + lit(0.0)).as("value"))
+      .orderBy("lambda_idx", "term")
+  }
+
+  /** Screened-Gram LARGE-P route on the correctness board (round 18 —
+    * `LargeP.fitGaussian`, the gaussian path without the p×p Gram):
+    * the [[screenIrls]] fixture design on the gaussian family —
+    * f0 = y/1000 + a small integer hash carries manufactured dominant
+    * signal (the synthetic lineitem has NO naturally dominant
+    * regressor: corr(quantity, extendedprice) ≈ 0.003, below the
+    * ±0.02 spurious correlations of the hash features — measured
+    * before this design), 35 integer-hash pseudo-noise features have
+    * working gradients near 0, λ₁ = 0.75·λmax — driven through the
+    * REAL multi-pass chassis (moment pass → strong-set candidates →
+    * Gram-extension pass → per-point full-gradient KKT passes), whose
+    * output must be the single-coordinate soft-threshold closed form:
+    * b = S(c₀, λ₁)/sd₀ on standardized coordinates, a0 = ȳ − b·m₀,
+    * every noise coefficient exactly 0 — recomputed feature-by-feature
+    * in DuckDB at both path points. */
+  def gaussLargeP(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Seq("f0") ++ (1 until 36).map(j => f"f$j%02d")
+    val featCols = (col("l_extendedprice").cast("double") / 1000.0 +
+      pmod(col("l_orderkey"), lit(3))).as("f0") +:
+      (1 until 36).map(j =>
+        pmod(col("l_orderkey") * (2 * j + 3) + col("l_linenumber") * (j + 1),
+          lit(23)).cast("double").as(f"f$j%02d"))
+    val li = tbl(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      .select(col("l_extendedprice").cast("double").as("y") +: featCols: _*)
+    val g = graft.ml.SufficientStats.compute(
+      graft.ml.SufficientStats.toRdd(li, feats, Seq("y")), feats.size, 1)
+    val st = graft.ml.SufficientStats.standardize(g,
+      standardizeX = true, intercept = true)
+    val lmax = st.b(0).map(math.abs).max
+    val m = graft.ml.LargeP.fitGaussian(li, feats, "y",
+      SgdNetParams(alpha = 1.0, lambda = Array(lmax * 1.0001, lmax * 0.75),
+        thresh = 1e-9, maxit = 100000))
     val rows = for {
       l <- 0 until 2
       (t, v) <- ("a0", m.a0(l)(0)) +:
