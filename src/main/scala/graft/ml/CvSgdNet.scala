@@ -37,7 +37,14 @@ object CvSgdNet {
       lambda1se: Double,       // largest lambda with cvm <= min + 1 se
       fit: SgdNetModel)        // full-data fit at this alpha
 
-  final case class CvResult(paths: Seq[CvPath], best: CvPath) {
+  /** @param offsetFit true when the CV was fit through an offset entry
+    *                   (fitWithOffset and kin) — [[predictAt]] then
+    *                   REQUIRES offsetCols (glmnet: predict.cv.glmnet
+    *                   errors without newoffset when the fit used
+    *                   offset). NOT persisted by [[save]]: a loaded
+    *                   result cannot re-enforce the contract. */
+  final case class CvResult(paths: Seq[CvPath], best: CvPath,
+                            offsetFit: Boolean = false) {
     /** CV curve long-frame (reference plot.cv_sgdnet data). */
     def curveDF(spark: SparkSession): DataFrame = {
       import spark.implicits._
@@ -71,6 +78,11 @@ object CvSgdNet {
       }
       require((idxCol == null) == (valCol == null),
         "sparse predictAt needs BOTH idxCol and valCol")
+      require(!offsetFit || offsetCols.nonEmpty,
+        "this CV was fit WITH an offset: predictAt requires offsetCols " +
+          "(the glmnet predict.cv.glmnet newoffset contract) — " +
+          "offset-less predictions would be silently wrong by each " +
+          "row's offset")
       val (a0, beta) = best.fit.atLambda(s)
       val sparse = if (idxCol == null) None else Some((idxCol, valCol))
       df.withColumn("pred", best.fit.predColFor(df.sparkSession, tpe,
@@ -1441,7 +1453,7 @@ object CvSgdNet {
         s"offset CV supports gaussian, binomial, poisson, not $f " +
           "(the SgdNet.fitWithOffset surface)")
     }
-  }
+  }.copy(offsetFit = true) // predictAt must get newoffset (glmnet)
 
   /** Multi-response (mgaussian) CV with a per-response OFFSET matrix
     * (round 16 — cv.glmnet offset for family = "mgaussian"): identity
@@ -1469,11 +1481,14 @@ object CvSgdNet {
     val adj = labelCols.zip(offsetCols).foldLeft(df) { case (d, (l, o)) =>
       d.withColumn(l, col(l).cast("double") - col(o).cast("double"))
     }
-    if (weightCol == null)
-      fit(adj, featureCols, labelCols, params, nfolds, alphas, measure, foldCol)
-    else
-      fitWeightedMulti(adj, featureCols, labelCols, weightCol, params,
-        nfolds, measure, foldCol, alphas)
+    val r =
+      if (weightCol == null)
+        fit(adj, featureCols, labelCols, params, nfolds, alphas, measure,
+          foldCol)
+      else
+        fitWeightedMulti(adj, featureCols, labelCols, weightCol, params,
+          nfolds, measure, foldCol, alphas)
+    r.copy(offsetFit = true) // predictAt must get newoffset (glmnet)
   }
 
   /** Shared-pass binomial/poisson CV with a per-row offset (see
@@ -2255,7 +2270,7 @@ object CvSgdNet {
       labelCol, offsetCols, params.copy(alpha = a), nfolds, foldCol, measure,
       weightCol))
     val best = paths.minBy(p => p.cvm.min)
-    CvResult(paths, best)
+    CvResult(paths, best, offsetFit = true)
   }
 
   private def cvOffsetMultinomialShared(df: DataFrame,
@@ -3180,7 +3195,7 @@ object CvSgdNet {
         s"sparse offset CV supports gaussian, binomial, poisson, not $f " +
           "(the SgdNet.fitSparseWithOffset surface)")
     }
-  }
+  }.copy(offsetFit = true) // predictAt must get newoffset (glmnet)
 
   /** [[fitSparse]] with a MULTI-COLUMN response — the
     * cv.glmnet-with-dgCMatrix mgaussian route (round 16; also accepts
@@ -3211,6 +3226,7 @@ object CvSgdNet {
     }
     fitSparseMulti(adj, idxCol, valCol, dim, labelCols, params, nfolds,
       measure, foldCol, alphas, weightCol)
+      .copy(offsetFit = true) // predictAt must get newoffset (glmnet)
   }
 
   def fitSparseMulti(df: DataFrame, idxCol: String, valCol: String, dim: Int,
@@ -4606,7 +4622,7 @@ object CvSgdNet {
       valCol, dim, labelCol, offsetCols, params.copy(alpha = a), nfolds,
       foldCol, measure, weightCol))
     val best = paths.minBy(p => p.cvm.min)
-    CvResult(paths, best)
+    CvResult(paths, best, offsetFit = true)
   }
 
   private def cvSparseOffsetMultinomialShared(df: DataFrame, idxCol: String,
@@ -5573,7 +5589,8 @@ object CvSgdNet {
       paths: Seq[CvPath],
       bestGamma: Double,
       best: CvPath,
-      relaxed: SgdNet.RelaxedPath) {
+      relaxed: SgdNet.RelaxedPath,
+      offsetFit: Boolean = false) {
     /** CV surface long-frame: (gamma, lambda_idx, lambda, cvm, cvsd). */
     def curveDF(spark: SparkSession): DataFrame = {
       import spark.implicits._
@@ -5631,6 +5648,11 @@ object CvSgdNet {
       }
       require((idxCol == null) == (valCol == null),
         "sparse predictAt needs BOTH idxCol and valCol")
+      require(!offsetFit || offsetCols.nonEmpty,
+        "this CV was fit WITH an offset: predictAt requires offsetCols " +
+          "(the glmnet predict.cv.glmnet newoffset contract) — " +
+          "offset-less predictions would be silently wrong by each " +
+          "row's offset")
       val (a0, beta) = best.fit.atLambda(s)
       val sparse = if (idxCol == null) None else Some((idxCol, valCol))
       df.withColumn("pred", best.fit.predColFor(df.sparkSession, tpe,
@@ -5706,6 +5728,7 @@ object CvSgdNet {
           s"${okMeasures.toSeq.sorted.mkString("|")}, not '$measure'")
       return cvRelaxedGlmShared(df, featureCols, labelCol, params, nfolds,
         gammas, measure, foldCol, weightCol, offsetCol)
+        .copy(offsetFit = offsetCol != null)
     }
     require(params.family == "gaussian",
       s"relaxed CV supports gaussian, binomial, poisson, not ${params.family}")
@@ -5717,6 +5740,7 @@ object CvSgdNet {
         col(labelCol).cast("double") - col(offsetCol).cast("double"))
       return fitRelaxed(adj, featureCols, labelCol, params, nfolds, gammas,
         measure, foldCol, weightCol)
+        .copy(offsetFit = true) // predictAt must get newoffset (glmnet)
     }
     require(Set("deviance", "mse", "mae").contains(measure),
       s"relaxed gaussian CV supports deviance|mse|mae, not '$measure'")
@@ -5945,6 +5969,7 @@ object CvSgdNet {
           s"${okMeasures.toSeq.sorted.mkString("|")}, not '$measure'")
       return cvRelaxedGlmSharedSparse(df, idxCol, valCol, dim, labelCol,
         params, nfolds, gammas, measure, foldCol, weightCol, offsetCol)
+        .copy(offsetFit = offsetCol != null)
     }
     require(params.family == "gaussian",
       s"sparse relaxed CV supports gaussian, binomial, poisson, " +
@@ -5956,6 +5981,7 @@ object CvSgdNet {
         col(labelCol).cast("double") - col(offsetCol).cast("double"))
       return fitRelaxedSparse(adj, idxCol, valCol, dim, labelCol, params,
         nfolds, gammas, measure, foldCol, weightCol)
+        .copy(offsetFit = true) // predictAt must get newoffset (glmnet)
     }
     require(Set("deviance", "mse", "mae").contains(measure),
       s"sparse relaxed gaussian CV supports deviance|mse|mae, not '$measure'")

@@ -1239,7 +1239,9 @@ object SgdNet {
         // CD convergence threshold so finite-precision actives don't
         // spuriously re-enter
         val nz2 = idx.filter(out(_) != 0.0)
-        val tol = math.max(params.thresh * 1e-2, 1e-12) * math.max(lam, 1.0)
+        // round 18: track the CD solve threshold (thresh*1e-4 above),
+        // not 1e-2 — the same slack class tightened in solveScreened
+        val tol = math.max(params.thresh * 1e-4, 1e-12) * math.max(lam, 1.0)
         var violations = 0
         j = 0
         while (j < p) {

@@ -647,6 +647,11 @@ class OffsetCvSpec extends SparkSpec {
         .map(_.getDouble(0))
       xs.zip(ys).map { case (x, y) => math.abs(x - y) }.max
     }
+    // the pure-sparse-newx route needs an OFFSET-LESS cv (the round-18
+    // contract forbids offset-less predictAt on an offset fit)
+    val cvPlain = CvSgdNet.fit(data, Seq("x1", "x2"), Seq("yb"), pb,
+      nfolds = 3, measure = "deviance", foldCol = fold)
+    val pli = cvPlain.best.lambda.indexOf(cvPlain.best.lambdaMin)
     for (tpe <- Seq("link", "response")) {
       val viaAt = cv.predictAt(data, "lambda.min", tpe,
         offsetCols = Seq("off"))
@@ -655,10 +660,11 @@ class OffsetCvSpec extends SparkSpec {
       assert(colDiff(viaAt, "pred", viaModel, s"pred_$li") < 1e-12,
         s"offset predictAt $tpe == predictWithOffset")
       // sparse newx route == the model layer's predictSparse
-      val sAt = cv.predictAt(sp, "lambda.min", tpe,
+      val sAt = cvPlain.predictAt(sp, "lambda.min", tpe,
         idxCol = "idx", valCol = "vals")
-      val sModel = cv.best.fit.predictSparse(sp, "idx", "vals", tpe, Seq(li))
-      assert(colDiff(sAt, "pred", sModel, s"pred_$li") < 1e-12,
+      val sModel = cvPlain.best.fit.predictSparse(sp, "idx", "vals", tpe,
+        Seq(pli))
+      assert(colDiff(sAt, "pred", sModel, s"pred_$pli") < 1e-12,
         s"sparse predictAt $tpe == predictSparse")
       // sparse + offset composition == dense + offset (same rows)
       val sBoth = cv.predictAt(sp, "lambda.min", tpe,
@@ -696,6 +702,21 @@ class OffsetCvSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       cv.predictAt(sp, "lambda.min", "link", idxCol = "idx")
+    }
+    // glmnet newoffset contract: an offset-fit CV REFUSES offset-less
+    // predictAt (predict.cv.glmnet errors without newoffset) — dense,
+    // relaxed, and sparse-chassis entries all carry the flag
+    intercept[IllegalArgumentException] {
+      cv.predictAt(data, "lambda.min", "link")
+    }
+    intercept[IllegalArgumentException] {
+      r.predictAt(data, "lambda.min", "link")
+    }
+    val sCv = CvSgdNet.fitSparseWithOffset(sp, "idx", "vals", 2, "yb",
+      "off", pb, nfolds = 3, measure = "deviance", foldCol = fold)
+    intercept[IllegalArgumentException] {
+      sCv.predictAt(sp, "lambda.min", "link", idxCol = "idx",
+        valCol = "vals")
     }
     ()
   }
