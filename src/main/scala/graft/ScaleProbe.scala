@@ -204,6 +204,60 @@ object ScaleProbe {
             f"df_last=$dfLast screened=$tb%.2f passes=${big.npasses}")
           big.lambda.length.toLong
         }
+      case "largepglm" =>
+        // round 18: screened-Gram large-p IRLS route (LargeP
+        // .fitBinomial) vs the full-Gram dense IRLS path. args =
+        // largepglm <n> <p> <nlambda> <mode: both|big> [minRatio]
+        val nRows = args(1).toLong
+        val p = args(2).toInt
+        val nl = args(3).toInt
+        val mode = args(4)
+        val schema = org.apache.spark.sql.types.StructType(
+          (0 until p).map(j => org.apache.spark.sql.types.StructField(
+            s"x$j", org.apache.spark.sql.types.DoubleType, false)) :+
+            org.apache.spark.sql.types.StructField("y",
+              org.apache.spark.sql.types.DoubleType, false))
+        val rdd = spark.sparkContext.range(0L, nRows,
+            numSlices = cpus.toInt).map { i =>
+          val rnd = new scala.util.Random(i * 2654435761L + 54321)
+          val x = Array.fill(p)(rnd.nextGaussian())
+          val eta = 1.4 * x(0) - 0.9 * x(7) + 0.6 * x(19) - 0.4 * x(33)
+          val y = if (rnd.nextDouble() < 1.0 / (1.0 + math.exp(-eta))) 1.0
+            else 0.0
+          org.apache.spark.sql.Row.fromSeq(x.toSeq :+ y)
+        }
+        val df = spark.createDataFrame(rdd, schema)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        val names = (0 until p).map(j => s"x$j")
+        val minRatio = if (args.length > 5) args(5).toDouble else Double.NaN
+        val prm = ml.SgdNetParams(family = "binomial", alpha = 1.0,
+          nlambda = nl, lambdaMinRatio = minRatio, thresh = 1e-7,
+          maxit = 100000)
+        def t1g[T](f: => T): (T, Double) = {
+          val t = System.nanoTime()
+          val r = f; (r, (System.nanoTime() - t) / 1e9)
+        }
+        if (mode == "both") {
+          val (_, twarm) = t1g(ml.SgdNet.fit(df, names, "y", prm))
+          val (full, tf) = t1g(ml.SgdNet.fit(df, names, "y", prm))
+          val (big, tb) = t1g(ml.LargeP.fitBinomial(df, names, "y", prm))
+          var md = 0.0
+          for (l <- full.lambda.indices; j <- 0 until p)
+            md = math.max(md,
+              math.abs(full.beta(l)(0)(j) - big.beta(l)(0)(j)))
+          val dfLast = big.beta.last.head.count(_ != 0.0)
+          println(f"probe_largepglm p=$p n=$nRows L=${full.lambda.length} " +
+            f"df_last=$dfLast full=$tf%.2f (warm $twarm%.2f) " +
+            f"screened=$tb%.2f passes=${big.npasses} maxdiff=$md%.2e")
+          full.lambda.length.toLong
+        } else {
+          val (big, tb) = t1g(ml.LargeP.fitBinomial(df, names, "y", prm))
+          val dfLast = big.beta.last.head.count(_ != 0.0)
+          println(f"probe_largepglm p=$p n=$nRows L=${big.lambda.length} " +
+            f"df_last=$dfLast screened=$tb%.2f passes=${big.npasses}")
+          big.lambda.length.toLong
+        }
       case "sparseirls" =>
         // round 18: strong-rule screen on the SPARSE GLM per-Newton
         // WLS solves — screened vs unscreened wall through the REAL

@@ -76,6 +76,7 @@ object SparkEntry {
     "q_cv_predict_offset" -> (PathQueries.cvPredictOffset _),
     "q_screen_irls"      -> (PathQueries.screenIrls _),
     "q_gauss_largep"     -> (PathQueries.gaussLargeP _),
+    "q_binom_largep"     -> (PathQueries.binomLargeP _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
     "q_cv_deviance"      -> (PathQueries.cvDeviance _),
@@ -655,6 +656,10 @@ object SparkEntry {
     val base = Map(
     "q_screen_irls" -> screenIrlsSql,
     "q_gauss_largep" -> gaussLargePSql,
+    // the screened large-p IRLS chassis on the SAME fixture, grid and
+    // one-step discipline as q_screen_irls — the oracle is the same
+    // closed form byte-for-byte (divergence isolates the chassis)
+    "q_binom_largep" -> screenIrlsSql,
     "q_cv_curve" ->
       s"""$cvRidgeCte
         |SELECT cast(lambda_idx AS INT) AS lambda_idx, round(lam, 4) AS lambda,

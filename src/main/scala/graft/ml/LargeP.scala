@@ -1,5 +1,6 @@
 package graft.ml
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.storage.StorageLevel
 
@@ -60,8 +61,14 @@ object LargeP {
         "limits / sgdnetCompat / standardizeResponse — reduce " +
         "dimensionality and use SgdNet.fit for those")
     require(featureCols.nonEmpty, "the predictor matrix (x) is empty.")
+    require(params.alpha <= 1,
+      "elastic net mixing parameter (alpha) must be in [0, 1].")
     require(params.nlambda > 0, "lambda path cannot be of zero length.")
-    require(params.thresh >= 0 && params.maxit > 0, "bad thresh/maxit")
+    require(params.thresh >= 0, "threshold for stopping criteria cannot be negative.")
+    require(params.maxit > 0, "maximum number of iterations cannot be negative or zero.")
+    if (params.lambda != null)
+      require(params.lambda.forall(_ >= 0),
+        "penalty strengths (lambdas) must be positive.")
     val p = featureCols.size
     val sc = df.sparkSession.sparkContext
 
@@ -110,7 +117,10 @@ object LargeP {
       val lambdas = if (params.lambda != null) params.lambda
         else LambdaPath.build(Array(c), params.alpha, params.nlambda,
           minRatio, null)
-      val lmaxData = c.map(math.abs).max / params.alpha
+      // the SAME max(alpha, 1e-3) clamp as LambdaPath.lambdaMax: without
+      // it, alpha < 1e-3 makes lamPrev exceed the first auto-path lambda
+      // and the first strong-rule bound goes negative (admits all of p)
+      val lmaxData = c.map(math.abs).max / math.max(params.alpha, 1e-3)
 
       // ------------------------------------- ever-candidate Gram block E
       val posOf = scala.collection.mutable.HashMap.empty[Int, Int]
@@ -217,7 +227,10 @@ object LargeP {
         val bound = params.alpha * (2.0 * lam - lamPrev)
         extend((0 until p).filter(j => !posOf.contains(j) &&
           (beta(j) != 0.0 || math.abs(grad(j)) >= bound)))
-        val tol = math.max(params.thresh * 1e-2, 1e-12) * math.max(lam, 1.0)
+        // tolerance tracks the CD solve threshold itself (thresh*1e-4
+        // below) — the same round-18 tightening as solveScreened; a
+        // marginal false re-entry costs one extra sub-solve, grow-only E
+        val tol = math.max(params.thresh * 1e-4, 1e-12) * math.max(lam, 1.0)
         var done = false
         while (!done) {
           val m = eIdx.size
@@ -265,5 +278,504 @@ object LargeP {
         betaOut.take(cutL), nulldev, devRatio.take(cutL), nL, passes,
         params)
     } finally rows.unpersist(blocking = false)
+  }
+
+  // ------------------------------------------------------------------ GLM
+
+  /** Screened-Gram IRLS for LARGE p — the binomial twin of
+    * [[fitGaussian]] (round 18): the logistic elastic-net path without
+    * ever materializing the p×p weighted Gram. Each Newton step's WLS
+    * subproblem is solved over the grow-only ever-candidate set E
+    * (strong-rule seeded) and backchecked with the EXACT per-step WLS
+    * KKT sweep over every discarded coordinate — violators re-enter E
+    * and the step re-solves, so the screened IRLS path equals the
+    * full-Gram [[SgdNet.fit]] path structurally (same discipline as
+    * `CoordinateDescent.solveScreened`, moved from the driver solve to
+    * the aggregation contract).
+    *
+    * Cost model per path point: 1 weighted-moments pass + one FUSED
+    * pass per Newton step (the fused pass computes the O(p) WLS KKT
+    * vector at the candidate point under the step's frozen weights AND
+    * the next step's O(|E|²) weighted moment block in the same scan),
+    * + rare extension re-passes. Driver/task state is O(|E|²), never
+    * O(p²). Same contract surface as [[fitGaussian]] (alpha > 0, no
+    * penalty factors / box limits / compat), plus the dense route's
+    * IRLS conventions bit-for-bit: w = max(mu(1−mu), 1e-5),
+    * z = eta + (y − mu)/w, Newton cap 25, stop at
+    * max|Δcoef| < max(thresh·1e-2, 1e-8) (SgdNet.fitBinomialImpl). */
+  def fitBinomial(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                  params: SgdNetParams = SgdNetParams(family = "binomial")): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    require(params.family == "binomial",
+      s"LargeP.fitBinomial supports binomial, not ${params.family}")
+    requireGlmContract(params, featureCols)
+    val p = featureCols.size
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .limit(3).collect().map(_.getString(0)).sorted
+    require(classes.length == 2,
+      if (classes.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
+      else "only one class in response.")
+    val positive = classes(1)
+    val rows = df.selectExpr(
+        (featureCols.map(c => s"cast(`$c` as double)") :+
+          s"cast(cast(`$labelCol` as string) = '$positive' as double)"): _*)
+      .rdd.map { row =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = row.getDouble(j); j += 1 }
+        (x, row.getDouble(p))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try fitGlmImpl(rows, featureCols, labelCol, classes, "binomial", params)
+    finally rows.unpersist(blocking = false)
+  }
+
+  /** Screened-Gram IRLS for LARGE p — the poisson (log link) twin of
+    * [[fitBinomial]], with the dense route's link conventions
+    * (eta clamped to ±30, w = max(mu, 1e-5) — SgdNet.poissonGram). */
+  def fitPoisson(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                 params: SgdNetParams = SgdNetParams(family = "poisson")): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    require(params.family == "poisson",
+      s"LargeP.fitPoisson supports poisson, not ${params.family}")
+    requireGlmContract(params, featureCols)
+    val p = featureCols.size
+    val rows = df.select(
+        (featureCols.map(c => col(c).cast("double")) :+
+          col(labelCol).cast("double")): _*)
+      .rdd.map { row =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = row.getDouble(j); j += 1 }
+        (x, row.getDouble(p))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try fitGlmImpl(rows, featureCols, labelCol, Array.empty, "poisson", params)
+    finally rows.unpersist(blocking = false)
+  }
+
+  private def requireGlmContract(params: SgdNetParams,
+                                 featureCols: Seq[String]): Unit = {
+    require(params.alpha > 0,
+      "the screened-Gram route needs alpha > 0 (at alpha = 0 every " +
+        "coordinate is active and the weighted Gram IS p x p — ridge " +
+        "at large p needs dimensionality reduction first)")
+    require(params.penaltyFactor == null && params.lowerLimits == null &&
+      params.upperLimits == null && !params.sgdnetCompat &&
+      !params.standardizeResponse,
+      "the screened-Gram GLM route composes with none of penaltyFactor " +
+        "/ box limits / sgdnetCompat / standardizeResponse — reduce " +
+        "dimensionality and use SgdNet.fit for those")
+    require(featureCols.nonEmpty, "the predictor matrix (x) is empty.")
+    require(params.alpha <= 1,
+      "elastic net mixing parameter (alpha) must be in [0, 1].")
+    require(params.nlambda > 0, "lambda path cannot be of zero length.")
+    require(params.thresh >= 0, "threshold for stopping criteria cannot be negative.")
+    require(params.maxit > 0, "maximum number of iterations cannot be negative or zero.")
+    if (params.lambda != null)
+      require(params.lambda.forall(_ >= 0),
+        "penalty strengths (lambdas) must be positive.")
+  }
+
+  private def fitGlmImpl(rows: RDD[(Array[Double], Double)],
+                         featureCols: Seq[String], labelCol: String,
+                         classes: Array[String], family: String,
+                         params: SgdNetParams): SgdNetModel = {
+    val p = featureCols.size
+    val sc = rows.sparkContext
+    val binom = family == "binomial"
+
+    // ---------------------------------------------- pass A: O(p) moments
+    val accA = rows.treeAggregate(new Array[Double](3 * p + 3))(
+      seqOp = (a, r) => {
+        val x = r._1; val y = r._2
+        var j = 0
+        while (j < p) {
+          val xj = x(j)
+          a(j) += xj; a(p + j) += xj * xj; a(2 * p + j) += xj * y
+          j += 1
+        }
+        a(3 * p) += 1.0; a(3 * p + 1) += y; a(3 * p + 2) += y * y
+        a
+      },
+      combOp = (a, b) => {
+        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+      }, depth = 2)
+    var passes = 1
+    val nD = accA(3 * p)
+    require(nD > 0, "the response (y) is empty.")
+    val nL = nD.toLong
+    val n = nD
+    val mean = Array.tabulate(p)(j => accA(j) / nD)
+    val xSd = Array.tabulate(p) { j =>
+      val v = math.max(accA(p + j) / nD - mean(j) * mean(j), 0.0)
+      val s = math.sqrt(v); if (s > 0) s else 1.0
+    }
+    val scale = if (params.standardize) xSd else Array.fill(p)(1.0)
+    val center = if (params.intercept) mean else new Array[Double](p)
+    val yBar = accA(3 * p + 1) / nD
+    if (!binom) require(yBar > 0, "poisson response must contain positive counts")
+    val yCen = if (params.intercept) yBar else 0.0
+    // standardized null-covariance b (SufficientStats.standardize
+    // formula) — the dense IRLS routes' lambda-path input
+    val b0 = Array.tabulate(p)(j =>
+      (accA(2 * p + j) / nD - center(j) * yBar - yCen * mean(j) +
+        center(j) * yCen) / scale(j))
+
+    val minRatio = if (params.lambdaMinRatio.isNaN)
+      LambdaPath.defaultMinRatio(nL, p) else params.lambdaMinRatio
+    val lambdas = if (params.lambda != null) params.lambda
+      else LambdaPath.build(Array(b0), params.alpha, params.nlambda,
+        minRatio, null)
+    val lmaxData = b0.map(math.abs).max / math.max(params.alpha, 1e-3)
+
+    val bCS = sc.broadcast((center, scale))
+
+    // per-family link kernel: eta -> (mu, w, z-producing pieces) is
+    // inlined in the passes below to keep the hot loop allocation-free
+
+    // --------------------------------- pass kernels (all standardized x)
+    // weighted moments over E at the point (a0w, actIdx/actVal):
+    // [packed swxx m(m+1)/2][swxz m][swx m][swz][sw]
+    def passW(eArr: Array[Int], a0w: Double, actIdx: Array[Int],
+              actVal: Array[Double]): Array[Double] = {
+      val m = eArr.length
+      val sz = m * (m + 1) / 2 + 2 * m + 2
+      val bc = sc.broadcast((eArr, actIdx, actVal))
+      val acc = rows.treeAggregate(new Array[Double](sz))(
+        seqOp = (a, r) => {
+          val x = r._1; val y = r._2
+          val (eL, aI, aV) = bc.value
+          val (ctr, scl) = bCS.value
+          var eta = a0w
+          var i = 0
+          while (i < aI.length) {
+            val j = aI(i); eta += aV(i) * (x(j) - ctr(j)) / scl(j); i += 1
+          }
+          var w = 0.0; var z = 0.0
+          if (binom) {
+            val mu = 1.0 / (1.0 + math.exp(-eta))
+            w = math.max(mu * (1.0 - mu), 1e-5)
+            z = eta + (y - mu) / w
+          } else {
+            val etaC = math.max(math.min(eta, 30.0), -30.0)
+            val mu = math.exp(etaC)
+            w = math.max(mu, 1e-5)
+            z = etaC + (y - mu) / w
+          }
+          val base2 = m * (m + 1) / 2
+          a(sz - 2) += w * z; a(sz - 1) += w
+          var jj = 0
+          while (jj < m) {
+            val ej = eL(jj)
+            val xsj = (x(ej) - ctr(ej)) / scl(ej)
+            val wxj = w * xsj
+            a(base2 + jj) += wxj * z
+            a(base2 + m + jj) += wxj
+            val base = jj * (jj + 1) / 2
+            var ii = 0
+            while (ii <= jj) {
+              val ei = eL(ii)
+              a(base + ii) += (x(ei) - ctr(ei)) / scl(ei) * wxj
+              ii += 1
+            }
+            jj += 1
+          }
+          a
+        },
+        combOp = (a, b2) => {
+          var i = 0; while (i < a.length) { a(i) += b2(i); i += 1 }; a
+        }, depth = 2)
+      passes += 1
+      bc.destroy()
+      acc
+    }
+
+    // FUSED pass: under the FROZEN weights of (a0w, actW) compute the
+    // full-p WLS KKT residual gradient at the candidate (a0n, actN)
+    // [slots 0..p-1], AND the next step's weighted moments over E at
+    // the candidate point's weights [slots p..]. One scan does both.
+    def passFused(eArr: Array[Int], a0w: Double, wIdx: Array[Int],
+                  wVal: Array[Double], a0n: Double, nIdx: Array[Int],
+                  nVal: Array[Double]): (Array[Double], Array[Double]) = {
+      val m = eArr.length
+      val szE = m * (m + 1) / 2 + 2 * m + 2
+      val bc = sc.broadcast((eArr, wIdx, wVal, nIdx, nVal))
+      val acc = rows.treeAggregate(new Array[Double](p + szE))(
+        seqOp = (a, r) => {
+          val x = r._1; val y = r._2
+          val (eL, wI, wV, nI, nV) = bc.value
+          val (ctr, scl) = bCS.value
+          var etaW = a0w
+          var i = 0
+          while (i < wI.length) {
+            val j = wI(i); etaW += wV(i) * (x(j) - ctr(j)) / scl(j); i += 1
+          }
+          var etaN = a0n
+          i = 0
+          while (i < nI.length) {
+            val j = nI(i); etaN += nV(i) * (x(j) - ctr(j)) / scl(j); i += 1
+          }
+          // frozen-weight WLS residual at the candidate point
+          var wF = 0.0; var zF = 0.0
+          if (binom) {
+            val mu = 1.0 / (1.0 + math.exp(-etaW))
+            wF = math.max(mu * (1.0 - mu), 1e-5)
+            zF = etaW + (y - mu) / wF
+          } else {
+            val etaC = math.max(math.min(etaW, 30.0), -30.0)
+            val mu = math.exp(etaC)
+            wF = math.max(mu, 1e-5)
+            zF = etaC + (y - mu) / wF
+          }
+          val resid = wF * (zF - etaN)
+          var j = 0
+          while (j < p) { a(j) += resid * (x(j) - ctr(j)) / scl(j); j += 1 }
+          // next-step weighted moments over E at the candidate point
+          var wN = 0.0; var zN = 0.0
+          if (binom) {
+            val mu = 1.0 / (1.0 + math.exp(-etaN))
+            wN = math.max(mu * (1.0 - mu), 1e-5)
+            zN = etaN + (y - mu) / wN
+          } else {
+            val etaC = math.max(math.min(etaN, 30.0), -30.0)
+            val mu = math.exp(etaC)
+            wN = math.max(mu, 1e-5)
+            zN = etaC + (y - mu) / wN
+          }
+          val base2 = p + m * (m + 1) / 2
+          a(p + szE - 2) += wN * zN; a(p + szE - 1) += wN
+          var jj = 0
+          while (jj < m) {
+            val ej = eL(jj)
+            val xsj = (x(ej) - ctr(ej)) / scl(ej)
+            val wxj = wN * xsj
+            a(base2 + jj) += wxj * zN
+            a(base2 + m + jj) += wxj
+            val base = p + jj * (jj + 1) / 2
+            var ii = 0
+            while (ii <= jj) {
+              val ei = eL(ii)
+              a(base + ii) += (x(ei) - ctr(ei)) / scl(ei) * wxj
+              ii += 1
+            }
+            jj += 1
+          }
+          a
+        },
+        combOp = (a, b2) => {
+          var i = 0; while (i < a.length) { a(i) += b2(i); i += 1 }; a
+        }, depth = 2)
+      passes += 1
+      bc.destroy()
+      val kkt = Array.tabulate(p)(j => acc(j) / n)
+      val wg = java.util.Arrays.copyOfRange(acc, p, p + szE)
+      (kkt, wg)
+    }
+
+    // gradient of the unpenalized loss at the INIT point (beta = 0,
+    // a0 = a0Init) — the strong-rule seed for the first path point
+    // (for !intercept inits this is NOT b0; one O(p) pass, exact)
+    def initGrad(a0i: Double): Array[Double] = {
+      val acc = rows.treeAggregate(new Array[Double](p))(
+        seqOp = (a, r) => {
+          val x = r._1; val y = r._2
+          val (ctr, scl) = bCS.value
+          val mu = if (binom) 1.0 / (1.0 + math.exp(-a0i))
+            else math.exp(math.max(math.min(a0i, 30.0), -30.0))
+          val resid = y - mu
+          var j = 0
+          while (j < p) { a(j) += resid * (x(j) - ctr(j)) / scl(j); j += 1 }
+          a
+        },
+        combOp = (a, b2) => {
+          var i = 0; while (i < a.length) { a(i) += b2(i); i += 1 }; a
+        }, depth = 2)
+      passes += 1
+      Array.tabulate(p)(j => acc(j) / n)
+    }
+
+    // ------------------------------------- ever-candidate set E (indices
+    // only: the weighted Gram block is rebuilt per Newton step, so E
+    // carries no slab state — unlike the gaussian route's gramE)
+    val posOf = scala.collection.mutable.HashMap.empty[Int, Int]
+    val eIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def extendIdx(newCols: Seq[Int]): Unit = {
+      if (newCols.isEmpty) return
+      require(eIdx.size + newCols.size <= SgdNet.maxGramP,
+        s"the ever-candidate set would grow to " +
+          s"${eIdx.size + newCols.size} > maxGramP = ${SgdNet.maxGramP} " +
+          "columns: the active block no longer fits the O(|E|^2) " +
+          "driver budget. Use dfmax/pmax to bound the path, a larger " +
+          "lambda floor, or raise graft.ml.SgdNet.maxGramP.")
+      newCols.foreach { j => posOf(j) = eIdx.size; eIdx += j }
+    }
+
+    // ----------------------------------------------------- path loop
+    val L = lambdas.length
+    val a0Out = Array.ofDim[Double](L, 1)
+    val betaOut = Array.ofDim[Double](L, 1, p)
+    val beta = new Array[Double](p) // standardized coords, warm across l
+    var a0 =
+      if (binom) { if (params.intercept && yBar > 0 && yBar < 1)
+          math.log(yBar / (1 - yBar)) else 0.0 }
+      else { if (params.intercept) math.log(yBar) else 0.0 }
+    // with an intercept the init gradient IS b0 (mu_i == yBar for both
+    // links at the intercept-only init) — skip the seed pass there
+    var grad = if (params.intercept) b0.clone() else initGrad(a0)
+    var lamPrev = lmaxData
+    val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
+    val dfGate = new SgdNet.DfGate(params, p)
+    // frozen-weight moments over E at the current (a0, beta) — carried
+    // ACROSS path points (the previous point's last fused pass computed
+    // them at exactly this point); invalidated only when E grows
+    var wg: Array[Double] = null
+    var wgESize = -1
+    var cutL = L
+    var l = 0
+    def actOf(bb: Array[Double]): (Array[Int], Array[Double]) = {
+      val idx = (0 until p).filter(bb(_) != 0.0).toArray
+      (idx, idx.map(bb))
+    }
+    while (l < L) {
+      val lam = lambdas(l)
+      val bound = params.alpha * (2.0 * lam - lamPrev)
+      extendIdx((0 until p).filter(j => !posOf.contains(j) &&
+        (beta(j) != 0.0 || math.abs(grad(j)) >= bound)))
+      val tol = math.max(newtonTol, 1e-12) * math.max(lam, 1.0)
+      var iter = 0
+      var done = false
+      var (wi, wv) = actOf(beta)
+      if (wg == null || wgESize != eIdx.size) {
+        wg = passW(eIdx.toArray, a0, wi, wv); wgESize = eIdx.size
+      }
+      while (iter < 25 && !done) {
+        var stepDone = false
+        var a0n = a0
+        var betaN: Array[Double] = null
+        var kktN: Array[Double] = null
+        var wgNext: Array[Double] = null
+        while (!stepDone) {
+          val eArr = eIdx.toArray
+          val m = eArr.length
+          val base2 = m * (m + 1) / 2
+          val ninv = 1.0 / n
+          val (ra0, rbeta) =
+            if (m == 0) {
+              val zw = wg(base2) * ninv // note: with m = 0, slots collapse
+              val ww = wg(base2 + 1) * ninv
+              (if (params.intercept) zw / ww else a0, Array.empty[Double])
+            } else {
+              val aM = Array.tabulate(m, m) { (x2, y2) =>
+                val (hi, lo) = if (x2 >= y2) (x2, y2) else (y2, x2)
+                wg(hi * (hi + 1) / 2 + lo) * ninv
+              }
+              val cM = Array.tabulate(m)(x2 => wg(base2 + x2) * ninv)
+              val xwM = Array.tabulate(m)(x2 => wg(base2 + m + x2) * ninv)
+              val zw = wg(base2 + 2 * m) * ninv
+              val ww = wg(base2 + 2 * m + 1) * ninv
+              val init = Array.tabulate(m)(x2 => beta(eArr(x2)))
+              val r = CoordinateDescent.solve(aM, cM, xwM, zw, ww, lam,
+                params.alpha, params.intercept, init,
+                thresh = newtonTol, maxIter = params.maxit)
+              (r.a0, r.beta)
+            }
+          val bFull = new Array[Double](p)
+          var x2 = 0
+          while (x2 < m) { bFull(eArr(x2)) = rbeta(x2); x2 += 1 }
+          val (ni, nv) = actOf(bFull)
+          val (kkt, wgN) = passFused(eArr, a0, wi, wv, ra0, ni, nv)
+          val violators = (0 until p).filter(j => !posOf.contains(j) &&
+            math.abs(kkt(j)) > lam * params.alpha + tol)
+          if (violators.isEmpty) {
+            a0n = ra0; betaN = bFull; kktN = kkt; wgNext = wgN
+            stepDone = true
+          } else {
+            extendIdx(violators)
+            // the fused pass's E-moments are stale (E grew): rebuild the
+            // frozen-weight moments over the grown E and re-solve
+            wg = passW(eIdx.toArray, a0, wi, wv); wgESize = eIdx.size
+          }
+        }
+        var maxD = math.abs(a0n - a0)
+        var j = 0
+        while (j < p) {
+          val d = math.abs(betaN(j) - beta(j)); if (d > maxD) maxD = d
+          j += 1
+        }
+        System.arraycopy(betaN, 0, beta, 0, p)
+        a0 = a0n
+        grad = kktN
+        wg = wgNext
+        val t = actOf(beta); wi = t._1; wv = t._2
+        iter += 1
+        if (maxD < math.max(params.thresh * 1e-2, 1e-8)) done = true
+      }
+      if (!dfGate.admit(j => beta(j) != 0.0)) { cutL = l; l = L }
+      else {
+        for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
+        a0Out(l)(0) = if (params.intercept)
+          a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
+        else a0
+        lamPrev = lam
+        l += 1
+      }
+    }
+    require(cutL > 0, "dfmax/pmax exclude every path point")
+    val lambdasT = lambdas.take(cutL)
+    val a0OutT = a0Out.take(cutL)
+    val betaOutT = betaOut.take(cutL)
+
+    // ------------------------- deviance: ONE sparse-coefficient scan
+    // (active-only per path point — the dense pathDeviance is O(L·p)
+    // per row, unaffordable at large p)
+    val actIdxL = betaOutT.map(bl => (0 until p).filter(bl(0)(_) != 0.0).toArray)
+    val actValL = actIdxL.zip(betaOutT).map { case (ix, bl) => ix.map(bl(0)) }
+    val a0L = a0OutT.map(_(0))
+    val muNull = if (params.intercept) yBar else 1.0
+    val bcPath = sc.broadcast((a0L, actIdxL, actValL))
+    val Lc = cutL
+    val devAcc = rows.treeAggregate(new Array[Double](Lc + 1))(
+      seqOp = (acc, r) => {
+        val x = r._1; val y = r._2
+        val (a0s, ixs, vls) = bcPath.value
+        var l2 = 0
+        while (l2 < Lc) {
+          var eta = a0s(l2)
+          val ix = ixs(l2); val vl = vls(l2)
+          var i = 0
+          while (i < ix.length) { eta += vl(i) * x(ix(i)); i += 1 }
+          if (binom) {
+            val mx = math.max(eta, 0.0)
+            acc(l2) += 2.0 * (mx + math.log(math.exp(-mx) + math.exp(eta - mx)) - y * eta)
+          } else {
+            val mu = math.exp(math.max(math.min(eta, 30.0), -30.0))
+            val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+            acc(l2) += 2.0 * (ylog - (y - mu))
+          }
+          l2 += 1
+        }
+        if (!binom) {
+          val ylog = if (y > 0) y * math.log(y / muNull) else 0.0
+          acc(Lc) += 2.0 * (ylog - (y - muNull))
+        }
+        acc
+      },
+      combOp = (a, b2) => {
+        var i = 0; while (i <= Lc) { a(i) += b2(i); i += 1 }; a
+      }, depth = 2)
+    passes += 1
+    bcPath.destroy()
+    val nulldev =
+      if (binom) {
+        val nullP = if (params.intercept) yBar else 0.5
+        -2.0 * n * (SgdNet.safeXLog(yBar, nullP) +
+          SgdNet.safeXLog(1 - yBar, 1 - nullP))
+      } else devAcc(Lc)
+    val devRatio = Array.tabulate(Lc)(l2 =>
+      if (nulldev > 0) 1.0 - devAcc(l2) / nulldev else 0.0)
+
+    bCS.destroy()
+    new SgdNetModel(family, featureCols.toArray, Array(labelCol),
+      classes, lambdasT, a0OutT, betaOutT, nulldev, devRatio, nL, passes,
+      params)
   }
 }

@@ -144,6 +144,48 @@ object PathQueries {
       .orderBy("lambda_idx", "term")
   }
 
+  /** Screened-Gram LARGE-P IRLS route on the correctness board
+    * (round 18 — `LargeP.fitBinomial`, the logistic path without the
+    * p×p weighted Gram): the [[screenIrls]] fixture VERBATIM — same
+    * features, label, lambda grid, one-IRLS-step discipline — driven
+    * through the screened multi-pass chassis (O(p) moment pass →
+    * strong-rule candidates → per-Newton fused KKT + weighted-moment
+    * passes), so the oracle is byte-identical to q_screen_irls and any
+    * divergence isolates the large-p IRLS chassis. At λ₀ > λmax the
+    * candidate set is EMPTY (intercept-only weighted solve) — the
+    * degenerate path the dense route never exercises. */
+  def binomLargeP(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Seq("f0") ++ (1 until 36).map(j => f"f$j%02d")
+    val isR = (col("l_returnflag") === "R").cast("int")
+    val featCols = (isR * 4 + pmod(col("l_orderkey"), lit(3)))
+      .cast("double").as("f0") +: (1 until 36).map(j =>
+      pmod(col("l_orderkey") * (2 * j + 3) + col("l_linenumber") * (j + 1),
+        lit(23)).cast("double").as(f"f$j%02d"))
+    val li = tbl(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      .select(col("l_orderkey") +: col("l_linenumber") +:
+        isR.as("is_r") +: featCols: _*)
+    val g = graft.ml.SufficientStats.compute(
+      graft.ml.SufficientStats.toRdd(li, feats, Seq("is_r")),
+      feats.size, 1)
+    val st = graft.ml.SufficientStats.standardize(g,
+      standardizeX = true, intercept = true)
+    val lmax = st.b(0).map(math.abs).max
+    val m = graft.ml.LargeP.fitBinomial(li, feats, "is_r",
+      SgdNetParams(family = "binomial", alpha = 1.0,
+        lambda = Array(lmax * 1.0001, lmax * 0.75), thresh = 1e6))
+    val rows = for {
+      l <- 0 until 2
+      (t, v) <- ("a0", m.a0(l)(0)) +:
+        feats.zipWithIndex.map { case (f, j) => (f, m.beta(l)(0)(j)) }
+    } yield (l, t, v)
+    rows.toDF("lambda_idx", "term", "value")
+      .select(col("lambda_idx").cast("int").as("lambda_idx"), col("term"),
+        (round(col("value"), 6) + lit(0.0)).as("value"))
+      .orderBy("lambda_idx", "term")
+  }
+
   /** Screened-Gram LARGE-P route on the correctness board (round 18 —
     * `LargeP.fitGaussian`, the gaussian path without the p×p Gram):
     * the [[screenIrls]] fixture design on the gaussian family —

@@ -129,4 +129,92 @@ class LargePSpec extends SparkSpec {
     assert(big.npasses >= 2 && big.npasses <= 1 + 2 * 10 + 8,
       s"npasses = ${big.npasses}")
   }
+
+  // ------------------------------------------------- GLM (IRLS) twins
+
+  private lazy val glmData = {
+    val rnd = new scala.util.Random(91)
+    val rows = (1 to 500).map { i =>
+      val x = Array.fill(p)(rnd.nextGaussian())
+      val eta = 1.2 * x(0) - 0.8 * x(7) + 0.5 * x(19) - 0.3
+      val pb = 1.0 / (1.0 + math.exp(-eta))
+      val yb = if (rnd.nextDouble() < pb) 1.0 else 0.0
+      // poisson counts from a smaller linear predictor (log link)
+      val mu = math.exp(0.6 * x(3) - 0.4 * x(11) + 0.5)
+      var yp = 0; var t = math.exp(-mu); var s = t; val u = rnd.nextDouble()
+      while (s < u && yp < 60) { yp += 1; t *= mu / yp; s += t }
+      (i.toLong, x.toSeq, yb, yp.toDouble)
+    }
+    rows.toDF("rid", "xs", "yb", "yp")
+      .select(col("rid") +: names.map(nm =>
+        col("xs")(nm.drop(1).toInt).as(nm)) :+ col("yb") :+ col("yp"): _*)
+  }
+
+  test("screened IRLS binomial path == full-Gram SgdNet.fit path") {
+    for ((alpha, std, icept) <- Seq((1.0, true, true), (0.5, true, true),
+        (1.0, true, false))) {
+      val prm = SgdNetParams(family = "binomial", alpha = alpha,
+        nlambda = 12, thresh = 1e-9, maxit = 100000,
+        standardize = std, intercept = icept)
+      val full = SgdNet.fit(glmData, names, "yb", prm)
+      val big = LargeP.fitBinomial(glmData, names, "yb", prm)
+      assertSame(big, full, 1e-6, s"binom alpha=$alpha std=$std int=$icept")
+    }
+    // user lambda incl. a point above lambda_max (empty E at l = 0)
+    val l0 = SgdNet.fit(glmData, names, "yb",
+      SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 3,
+        thresh = 1e-9)).lambda(0)
+    val prmU = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(l0 * 2.0, l0 * 0.5, l0 * 0.1), thresh = 1e-9,
+      maxit = 100000)
+    assertSame(LargeP.fitBinomial(glmData, names, "yb", prmU),
+      SgdNet.fit(glmData, names, "yb", prmU), 1e-6, "binom-user-lambda")
+  }
+
+  test("screened IRLS poisson path == full-Gram SgdNet.fit path") {
+    for ((alpha, icept) <- Seq((1.0, true), (0.5, true), (1.0, false))) {
+      val prm = SgdNetParams(family = "poisson", alpha = alpha,
+        nlambda = 12, thresh = 1e-9, maxit = 100000, intercept = icept)
+      val full = SgdNet.fit(glmData, names, "yp", prm)
+      val big = LargeP.fitPoisson(glmData, names, "yp", prm)
+      assertSame(big, full, 1e-6, s"poisson alpha=$alpha int=$icept")
+    }
+  }
+
+  test("GLM route: dfmax stops identically; contracts; runs past the cap") {
+    val prm = SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 20,
+      thresh = 1e-9, maxit = 100000, dfmax = 2)
+    val full = SgdNet.fit(glmData, names, "yb", prm)
+    val big = LargeP.fitBinomial(glmData, names, "yb", prm)
+    assertSame(big, full, 1e-6, "binom-dfmax")
+    assert(big.lambda.length < 20, "dfmax actually truncated")
+    intercept[IllegalArgumentException] {
+      LargeP.fitBinomial(glmData, names, "yb",
+        SgdNetParams(family = "binomial", alpha = 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      LargeP.fitPoisson(glmData, names, "yb",
+        SgdNetParams(family = "binomial"))
+    }
+    intercept[IllegalArgumentException] {
+      LargeP.fitBinomial(glmData, names, "yb",
+        SgdNetParams(family = "binomial",
+          penaltyFactor = Array.fill(p)(1.0)))
+    }
+    // runs where the full-Gram IRLS contract refuses (|E|^2 state only)
+    val l0 = full.lambda(0)
+    val prmS = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(1.0, 0.75, 0.56).map(_ * l0), thresh = 1e-9,
+      maxit = 100000)
+    val ref = SgdNet.fit(glmData, names, "yb", prmS)
+    val saved = SgdNet.maxGramP
+    SgdNet.maxGramP = 16
+    try {
+      intercept[IllegalArgumentException] {
+        SgdNet.fit(glmData, names, "yb", prmS)
+      }
+      assertSame(LargeP.fitBinomial(glmData, names, "yb", prmS), ref,
+        1e-6, "binom-capped")
+    } finally SgdNet.maxGramP = saved
+  }
 }
