@@ -227,8 +227,13 @@ object ScaleProbe {
           org.apache.spark.sql.Row.fromSeq(x.toSeq :+ y)
         }
         val df = spark.createDataFrame(rdd, schema)
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count()
+        if (mode == "both") {
+          // columnar DataFrame caching allocates per-column builders —
+          // prohibitive at p = 16k; the route persists its row RDD
+          // internally, so only the two-route comparison caches here
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+        }
         val names = (0 until p).map(j => s"x$j")
         val minRatio = if (args.length > 5) args(5).toDouble else Double.NaN
         val prm = ml.SgdNetParams(family = "binomial", alpha = 1.0,
