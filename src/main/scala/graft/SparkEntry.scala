@@ -77,6 +77,7 @@ object SparkEntry {
     "q_screen_irls"      -> (PathQueries.screenIrls _),
     "q_gauss_largep"     -> (PathQueries.gaussLargeP _),
     "q_binom_largep"     -> (PathQueries.binomLargeP _),
+    "q_cv_largep"        -> (PathQueries.cvLargeP _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
     "q_cv_deviance"      -> (PathQueries.cvDeviance _),
@@ -651,11 +652,71 @@ object SparkEntry {
        |ORDER BY lambda_idx, term""".stripMargin
   }
 
+  /** q_cv_largep oracle (round 18), generated: 5-fold CV of the
+    * gaussLargeP fixture at the two-point lasso grid
+    * (λ₀ = 1.15·λmax → every fold model is the train-mean null;
+    * λ₁ = 0.75·λmax → one active coordinate, the soft threshold on
+    * the fold's TRAIN moments) — per-fold held-out MSE in moment
+    * form, cvm = mean, cvsd = sqrt(var_samp/nfolds), ln-encoded like
+    * the other CV oracles. λmax needs the full 36-feature stats; the
+    * per-fold algebra only needs f0 (the only coordinate any fold
+    * activates — margins are structural: noise |c| ≈ 0.02·λmax). */
+  private def cvLargePSql: String = {
+    val names = Seq("f0") ++ (1 until 36).map(j => f"f$j%02d")
+    val featDefs = ("(l_extendedprice::DOUBLE / 1000 + l_orderkey % 3) " +
+      "AS f0") +: (1 until 36).map(j =>
+      f"((l_orderkey*${2 * j + 3} + l_linenumber*${j + 1}) %% 23)::DOUBLE AS f$j%02d")
+    val statDefs = names.map(f =>
+      s"covar_pop($f, y)/sqrt(var_pop($f)) c_$f")
+    val lmax = names.map(f => s"abs(c_$f)").mkString("greatest(", ", ", ")")
+    s"""WITH r AS MATERIALIZED (
+       |  SELECT l_extendedprice::DOUBLE AS y,
+       |    (((l_orderkey * 100 + l_linenumber) % 2147483648) * 2654435761)
+       |      % 4294967296 % 5 AS f,
+       |    ${featDefs.mkString(",\n    ")}
+       |  FROM lineitem WHERE l_orderkey % 4 = 0),
+       |s AS (SELECT ${statDefs.mkString(",\n  ")} FROM r),
+       |lmx AS (SELECT $lmax AS lmax FROM s),
+       |lgrid AS (SELECT 0 AS lambda_idx, 1.15*lmax AS lam FROM lmx
+       |          UNION ALL SELECT 1, 0.75*lmax FROM lmx),
+       |tot AS (SELECT count(*)::DOUBLE n, sum(f0) s, sum(f0*f0) s00,
+       |          sum(y) sy, sum(f0*y) s0y, sum(y*y) syy FROM r),
+       |pf AS (SELECT f, count(*)::DOUBLE n, sum(f0) s, sum(f0*f0) s00,
+       |         sum(y) sy, sum(f0*y) s0y, sum(y*y) syy FROM r GROUP BY f),
+       |trn AS (SELECT pf.f, tot.n - pf.n AS n, tot.s - pf.s AS s,
+       |          tot.s00 - pf.s00 AS s00, tot.sy - pf.sy AS sy,
+       |          tot.s0y - pf.s0y AS s0y
+       |        FROM pf, tot),
+       |mo AS (SELECT f, n, s/n m, sy/n my,
+       |         s00/n - (s/n)*(s/n) v, s0y/n - (s/n)*(sy/n) e FROM trn),
+       |co AS (SELECT mo.f, lambda_idx, lam, m, my, sqrt(v) sd,
+       |         e/sqrt(v) AS c FROM mo, lgrid),
+       |bb AS (SELECT *, CASE WHEN abs(c) > lam
+       |         THEN sign(c)*(abs(c) - lam)/sd ELSE 0.0::DOUBLE END AS b
+       |       FROM co),
+       |sc AS (SELECT bb.f, lambda_idx, lam, my - b*m AS a0, b,
+       |         pf.n nf, pf.s fs, pf.sy fsy, pf.s00 fs00, pf.s0y fs0y,
+       |         pf.syy fsyy
+       |       FROM bb JOIN pf ON bb.f = pf.f),
+       |ms AS (SELECT lambda_idx, lam,
+       |         fsyy/nf - 2*a0*fsy/nf + a0*a0 + b*b*fs00/nf
+       |           + 2*a0*b*fs/nf - 2*b*fs0y/nf AS mse
+       |       FROM sc),
+       |curve AS (SELECT lambda_idx, lam, avg(mse) AS cvm,
+       |            sqrt(var_samp(mse)/5) AS cvsd
+       |          FROM ms GROUP BY lambda_idx, lam)
+       |SELECT cast(lambda_idx AS INT) AS lambda_idx,
+       |       round(lam, 4) AS lambda,
+       |       round(ln(cvm), 6) AS ln_cvm, round(ln(cvsd), 6) AS ln_cvsd
+       |FROM curve ORDER BY lambda_idx""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL for each SQL-expressible query. */
   def oracleSql: Map[String, String] = {
     val base = Map(
     "q_screen_irls" -> screenIrlsSql,
     "q_gauss_largep" -> gaussLargePSql,
+    "q_cv_largep" -> cvLargePSql,
     // the screened large-p IRLS chassis on the SAME fixture, grid and
     // one-step discipline as q_screen_irls — the oracle is the same
     // closed form byte-for-byte (divergence isolates the chassis)

@@ -320,14 +320,14 @@ object CvSgdNet {
     CvResult(paths, best)
   }
 
-  private def foldExpr(foldCol: Column, hashCols: Seq[Column], nfolds: Int): Column =
+  private[ml] def foldExpr(foldCol: Column, hashCols: Seq[Column], nfolds: Int): Column =
     if (foldCol != null) foldCol else pmod(xxhash64(hashCols: _*), lit(nfolds))
 
   /** Every fold must receive at least one observation: an empty fold has
     * no held-out rows to score (mean over 0 rows -> silent NaN poisoning
     * cvm/cvsd downstream), so fail fast with an actionable message — the
     * analogue of the reference's fold-size validation (R/cv_sgdnet.R). */
-  private def requireNonEmptyFolds(counts: IndexedSeq[Long], nfolds: Int): Unit = {
+  private[ml] def requireNonEmptyFolds(counts: IndexedSeq[Long], nfolds: Int): Unit = {
     val empty = counts.indices.filter(counts(_) == 0L)
     require(empty.isEmpty,
       s"cross-validation fold(s) ${empty.mkString(", ")} of $nfolds received " +
@@ -7353,7 +7353,7 @@ object CvSgdNet {
     } finally rows.unpersist(blocking = false)
   }
 
-  private def summarize(alpha: Double, lambdas: Array[Double],
+  private[ml] def summarize(alpha: Double, lambdas: Array[Double],
                         foldScores: Array[Array[Double]],
                         full: SgdNetModel,
                         maximize: Boolean = false): CvPath = {

@@ -280,6 +280,456 @@ object LargeP {
     } finally rows.unpersist(blocking = false)
   }
 
+  // ------------------------------------------------------------------- CV
+
+  /** Screened-Gram CROSS-VALIDATION for LARGE p (round 18 — the
+    * gaussian cv.glmnet surface past the p² cliff): `CvSgdNet.fit`'s
+    * one-pass moment CV holds nfolds × p²/2 doubles (per-fold
+    * GramStats), which dies at the same maxGramP boundary as the fit
+    * routes. This route reproduces its exact semantics — per-fold
+    * moment-subtraction training statistics, per-training-fold
+    * standardization, the full-data fit defining the lambda path,
+    * closed-form held-out MSE from fold moments, the same
+    * cvm/cvsd/lambda.min/lambda.1se arithmetic — while holding only:
+    *
+    *  - ONE per-fold O(p) moment pass (nfolds × (3p+3) driver state);
+    *  - RAW cross-moment slabs per fold over the UNION ever-candidate
+    *    set E (nfolds × |E|² driver state, never p²) — each model's
+    *    standardized train Gram derives driver-side by moment
+    *    subtraction + the standardize formula;
+    *  - ONE BATCHED gradient pass per path point serving ALL nfolds+1
+    *    models (each row contributes to every model whose train set
+    *    holds it; per-row O((nfolds+1)·p) worst case, O(p) while
+    *    models are null) — each model's exact KKT backcheck over its
+    *    discarded coordinates AND its next strong-rule input;
+    *  - for measure="mae" one final scoring scan (|residual| is not a
+    *    moment form), per-row O(L·|active|).
+    *
+    * The alpha grid shares E, the slabs and the moment pass — adding
+    * an alpha adds gradient passes only. Verified equal to
+    * `CvSgdNet.fit` on every shared regime by LargePSpec. */
+  def cvGaussian(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                 params: SgdNetParams = SgdNetParams(),
+                 nfolds: Int = 10,
+                 alphas: Seq[Double] = Seq.empty,
+                 measure: String = "deviance",
+                 foldCol: org.apache.spark.sql.Column = null): CvSgdNet.CvResult = {
+    import org.apache.spark.sql.functions.col
+    require(params.family == "gaussian",
+      s"LargeP.cvGaussian supports gaussian, not ${params.family}")
+    require(nfolds >= 2, "nfolds must be at least 2")
+    require(Set("deviance", "mse", "mae").contains(measure),
+      s"large-p gaussian CV supports deviance|mse|mae, not '$measure'")
+    val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
+    alphaGrid.foreach(a => require(a > 0 && a <= 1,
+      "the screened-Gram CV needs every alpha in (0, 1] (at alpha = 0 " +
+        "every coordinate is active and the per-fold Gram IS p x p)"))
+    require(params.penaltyFactor == null && params.lowerLimits == null &&
+      params.upperLimits == null && !params.sgdnetCompat &&
+      !params.standardizeResponse,
+      "LargeP.cvGaussian composes with none of penaltyFactor / box " +
+        "limits / sgdnetCompat / standardizeResponse — reduce " +
+        "dimensionality and use CvSgdNet.fit for those")
+    require(featureCols.nonEmpty, "the predictor matrix (x) is empty.")
+    require(params.nlambda > 0, "lambda path cannot be of zero length.")
+    if (params.lambda != null)
+      require(params.lambda.forall(_ >= 0),
+        "penalty strengths (lambdas) must be positive.")
+    val p = featureCols.size
+    val sc = df.sparkSession.sparkContext
+    val M = nfolds + 1 // models: 0..nfolds-1 exclude that fold; nfolds = full
+
+    val hashCols = (featureCols :+ labelCol).map(col)
+    val withFold = df.withColumn("__fold",
+      CvSgdNet.foldExpr(foldCol, hashCols, nfolds).cast("int"))
+    val rows = withFold
+      .select((featureCols.map(c => col(c).cast("double")) :+
+        col(labelCol).cast("double") :+ col("__fold")): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = r.getDouble(j); j += 1 }
+        (r.getInt(p + 1), x, r.getDouble(p))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ------------------------------ pass A: per-fold O(p) moments
+      val accA = rows.treeAggregate(
+          Array.fill(nfolds)(new Array[Double](3 * p + 3)))(
+        seqOp = (acc, t) => {
+          val a = acc(t._1); val x = t._2; val y = t._3
+          var j = 0
+          while (j < p) {
+            val xj = x(j)
+            a(j) += xj; a(p + j) += xj * xj; a(2 * p + j) += xj * y
+            j += 1
+          }
+          a(3 * p) += 1.0; a(3 * p + 1) += y; a(3 * p + 2) += y * y
+          acc
+        },
+        combOp = (a, b) => {
+          var f = 0
+          while (f < nfolds) {
+            val af = a(f); val bf = b(f)
+            var i = 0
+            while (i < af.length) { af(i) += bf(i); i += 1 }
+            f += 1
+          }
+          a
+        }, depth = 2)
+      var passes = 1
+      CvSgdNet.requireNonEmptyFolds(
+        accA.map(_(3 * p).toLong).toIndexedSeq, nfolds)
+      // per-model TRAIN moment vectors (model nfolds = total)
+      val momTot = new Array[Double](3 * p + 3)
+      accA.foreach { a =>
+        var i = 0; while (i < momTot.length) { momTot(i) += a(i); i += 1 }
+      }
+      val mom = Array.tabulate(M) { m =>
+        if (m == nfolds) momTot
+        else {
+          val t = momTot.clone()
+          val a = accA(m)
+          var i = 0; while (i < t.length) { t(i) -= a(i); i += 1 }
+          t
+        }
+      }
+      val nM = Array.tabulate(M)(m => mom(m)(3 * p))
+      val meanM = Array.tabulate(M, p)((m, j) => mom(m)(j) / nM(m))
+      val sdM = Array.tabulate(M, p) { (m, j) =>
+        val v = math.max(mom(m)(p + j) / nM(m) - meanM(m)(j) * meanM(m)(j), 0.0)
+        val s = math.sqrt(v); if (s > 0) s else 1.0
+      }
+      val scaleM = Array.tabulate(M)(m =>
+        if (params.standardize) sdM(m) else Array.fill(p)(1.0))
+      val centerM = Array.tabulate(M)(m =>
+        if (params.intercept) meanM(m) else new Array[Double](p))
+      val invScaleM = Array.tabulate(M, p)((m, j) => 1.0 / scaleM(m)(j))
+      val yMeanM = Array.tabulate(M)(m => mom(m)(3 * p + 1) / nM(m))
+      val yCenM = Array.tabulate(M)(m => if (params.intercept) yMeanM(m) else 0.0)
+      val cM = Array.tabulate(M, p)((m, j) =>
+        (mom(m)(2 * p + j) / nM(m) - centerM(m)(j) * yMeanM(m) -
+          yCenM(m) * meanM(m)(j) + centerM(m)(j) * yCenM(m)) / scaleM(m)(j))
+      val nTot = nM(nfolds)
+      val yVarTot = math.max(momTot(3 * p + 2) / nTot -
+        yMeanM(nfolds) * yMeanM(nfolds), 0.0)
+
+      val bcStd = sc.broadcast((centerM, invScaleM))
+
+      // ---------------- union ever-candidate set E + per-fold RAW slabs
+      val posOf = scala.collection.mutable.HashMap.empty[Int, Int]
+      val eIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+      // foldSlab(f)(a)(b): SUM over fold-f rows of x_Ea * x_Eb (raw,
+      // uncentered; symmetric, grown in place). totSlab = Σ folds.
+      val foldSlab = Array.fill(nfolds)(
+        scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[Double]])
+      val totSlab = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[Double]]
+
+      def slabExtend(newCols: Seq[Int]): Unit = {
+        if (newCols.isEmpty) return
+        require(eIdx.size + newCols.size <= SgdNet.maxGramP,
+          s"the union ever-candidate set would grow to " +
+            s"${eIdx.size + newCols.size} > maxGramP = ${SgdNet.maxGramP} " +
+            "columns: the nfolds x |E|^2 slab no longer fits the " +
+            "driver budget. Use dfmax/pmax to bound the path, a larger " +
+            "lambda floor, or raise graft.ml.SgdNet.maxGramP.")
+        val oldE = eIdx.toArray
+        val nn = newCols.toArray
+        val eAfter = oldE ++ nn
+        val bc = sc.broadcast((nn, eAfter))
+        val block = nn.length * eAfter.length
+        val acc = rows.treeAggregate(new Array[Double](nfolds * block))(
+          seqOp = (a, t) => {
+            val x = t._2
+            val (nnL, eL) = bc.value
+            val off = t._1 * nnL.length * eL.length
+            var ai = 0
+            while (ai < nnL.length) {
+              val xa = x(nnL(ai))
+              val base = off + ai * eL.length
+              var bi = 0
+              while (bi < eL.length) { a(base + bi) += xa * x(eL(bi)); bi += 1 }
+              ai += 1
+            }
+            a
+          },
+          combOp = (a, b) => {
+            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+          }, depth = 2)
+        passes += 1
+        bc.destroy()
+        for (f <- 0 until nfolds) {
+          val off = f * block
+          for (bi <- oldE.indices; ai <- nn.indices)
+            foldSlab(f)(bi) += acc(off + ai * eAfter.length + bi)
+          for (ai <- nn.indices) {
+            val row = scala.collection.mutable.ArrayBuffer.empty[Double]
+            for (bi <- eAfter.indices)
+              row += acc(off + ai * eAfter.length + bi)
+            foldSlab(f) += row
+          }
+        }
+        for (bi <- oldE.indices; ai <- nn.indices)
+          totSlab(bi) += (0 until nfolds).map(f =>
+            foldSlab(f)(bi)(oldE.length + ai)).sum
+        for (ai <- nn.indices) {
+          val row = scala.collection.mutable.ArrayBuffer.empty[Double]
+          for (bi <- eAfter.indices)
+            row += (0 until nfolds).map(f =>
+              foldSlab(f)(oldE.length + ai)(bi)).sum
+          totSlab += row
+        }
+        nn.foreach { j => posOf(j) = eIdx.size; eIdx += j }
+      }
+
+      // raw train-moment lookup for model m over E positions (a, b)
+      def trainRaw(m: Int, a: Int, b: Int): Double =
+        if (m == nfolds) totSlab(a)(b)
+        else totSlab(a)(b) - foldSlab(m)(a)(b)
+
+      // batched full-p gradient pass: every model's standardized
+      // gradient at its current coefficients, ONE scan. Rows in fold f
+      // contribute to every model except f (full model: all rows).
+      def gradPass(act: Array[(Array[Int], Array[Double])]): Array[Array[Double]] = {
+        val bc = sc.broadcast(act)
+        val acc = rows.treeAggregate(new Array[Double](M * p))(
+          seqOp = (a, t) => {
+            val f = t._1; val x = t._2
+            val actL = bc.value
+            val (ctrs, invS) = bcStd.value
+            var m = 0
+            while (m < actL.length) {
+              if (m != f) {
+                val (ai, av) = actL(m)
+                if (ai.length > 0) {
+                  val ctr = ctrs(m); val inv = invS(m)
+                  var s = 0.0
+                  var i = 0
+                  while (i < ai.length) {
+                    val j = ai(i)
+                    s += av(i) * (x(j) - ctr(j)) * inv(j)
+                    i += 1
+                  }
+                  if (s != 0.0) {
+                    val base = m * x.length
+                    var j = 0
+                    while (j < x.length) {
+                      a(base + j) += (x(j) - ctr(j)) * inv(j) * s
+                      j += 1
+                    }
+                  }
+                }
+              }
+              m += 1
+            }
+            a
+          },
+          combOp = (a, b) => {
+            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+          }, depth = 2)
+        passes += 1
+        bc.destroy()
+        Array.tabulate(M, p)((m, j) => cM(m)(j) - acc(m * p + j) / nM(m))
+      }
+
+      // ------------------------------------------------ per-alpha paths
+      val paths = alphaGrid.map { alpha =>
+        val prm = params.copy(alpha = alpha)
+        val minRatio = if (prm.lambdaMinRatio.isNaN)
+          LambdaPath.defaultMinRatio(nTot.toLong, p) else prm.lambdaMinRatio
+        val lambdas = if (prm.lambda != null) prm.lambda
+          else LambdaPath.build(Array(cM(nfolds)), alpha, prm.nlambda,
+            minRatio, null)
+        val L = lambdas.length
+        // per-model path state
+        val beta = Array.fill(M)(new Array[Double](p)) // standardized
+        val cand = Array.fill(M)(
+          scala.collection.mutable.LinkedHashSet.empty[Int])
+        val grad = Array.tabulate(M)(m => cM(m).clone())
+        val lamPrev0 = Array.tabulate(M)(m =>
+          cM(m).map(math.abs).max / math.max(alpha, 1e-3))
+        val a0Out = Array.ofDim[Double](M, L)
+        val bOut = Array.ofDim[Array[Double]](M, L) // SPARSE via actIdx
+        val actOut = Array.ofDim[Array[Int]](M, L)
+        val foldScores = Array.ofDim[Double](nfolds, L)
+        val fullBeta = Array.ofDim[Double](L, 1, p)
+        val fullA0 = Array.ofDim[Double](L, 1)
+        val devRatio = new Array[Double](L)
+        val dfGate = new SgdNet.DfGate(prm, p)
+        var cutL = L
+        var lamPrev = lamPrev0
+        var l = 0
+        while (l < L) {
+          val lam = lambdas(l)
+          val tol = math.max(prm.thresh * 1e-4, 1e-12) * math.max(lam, 1.0)
+          // strong rule per model; union E extension in ONE slab pass
+          val needE = scala.collection.mutable.LinkedHashSet.empty[Int]
+          for (m <- 0 until M) {
+            val bound = alpha * (2.0 * lam - lamPrev(m))
+            var j = 0
+            while (j < p) {
+              if (!cand(m).contains(j) &&
+                  (beta(m)(j) != 0.0 || math.abs(grad(m)(j)) >= bound)) {
+                cand(m) += j
+                if (!posOf.contains(j)) needE += j
+              }
+              j += 1
+            }
+          }
+          slabExtend(needE.toSeq)
+          var settled = false
+          while (!settled) {
+            // solve every model over its candidate set (driver CD on
+            // the standardized train sub-Gram from the raw slabs)
+            for (m <- 0 until M) {
+              val cIdx = cand(m).toArray
+              val k = cIdx.length
+              if (k > 0) {
+                val ctr = centerM(m); val mn = meanM(m); val scl = scaleM(m)
+                val nm = nM(m)
+                val pos = cIdx.map(posOf)
+                val aSub = Array.tabulate(k, k) { (x2, y2) =>
+                  val i = cIdx(x2); val j = cIdx(y2)
+                  (trainRaw(m, pos(x2), pos(y2)) / nm - ctr(i) * mn(j) -
+                    ctr(j) * mn(i) + ctr(i) * ctr(j)) / (scl(i) * scl(j))
+                }
+                val cSub = cIdx.map(cM(m))
+                val init = cIdx.map(beta(m))
+                val r = CoordinateDescent.solve(aSub, cSub,
+                  new Array[Double](k), 0.0, 1.0, lam, alpha,
+                  intercept = false, init = init,
+                  thresh = prm.thresh * 1e-4, maxIter = prm.maxit)
+                java.util.Arrays.fill(beta(m), 0.0)
+                var x2 = 0
+                while (x2 < k) { beta(m)(cIdx(x2)) = r.beta(x2); x2 += 1 }
+              }
+            }
+            // ONE batched gradient pass -> exact KKT for every model
+            val acts = Array.tabulate(M) { m =>
+              val ai = (0 until p).filter(beta(m)(_) != 0.0).toArray
+              (ai, ai.map(beta(m)))
+            }
+            val g = gradPass(acts)
+            for (m <- 0 until M) grad(m) = g(m)
+            val needE2 = scala.collection.mutable.LinkedHashSet.empty[Int]
+            var any = false
+            for (m <- 0 until M) {
+              var j = 0
+              while (j < p) {
+                if (!cand(m).contains(j) &&
+                    math.abs(grad(m)(j)) > lam * alpha + tol) {
+                  cand(m) += j
+                  if (!posOf.contains(j)) needE2 += j
+                  any = true
+                }
+                j += 1
+              }
+            }
+            if (!any) settled = true
+            else slabExtend(needE2.toSeq)
+          }
+          // record: full model through the DfGate; folds scored
+          if (!dfGate.admit(j => beta(nfolds)(j) != 0.0)) { cutL = l; l = L }
+          else {
+            for (m <- 0 until M) {
+              val ai = (0 until p).filter(beta(m)(_) != 0.0).toArray
+              val bOrig = ai.map(j => beta(m)(j) / scaleM(m)(j))
+              val a0 = if (prm.intercept)
+                yMeanM(m) - ai.indices.map(i =>
+                  bOrig(i) * meanM(m)(ai(i))).sum
+              else 0.0
+              actOut(m)(l) = ai; bOut(m)(l) = bOrig; a0Out(m)(l) = a0
+              if (m < nfolds && measure != "mae") {
+                // held-out MSE from fold-m raw moments (closed form)
+                val fa = accA(m)
+                val nf = fa(3 * p)
+                var quad = 0.0; var bx = 0.0; var bxy = 0.0
+                for (i <- ai.indices) {
+                  val j = ai(i)
+                  bx += bOrig(i) * fa(j) / nf
+                  bxy += bOrig(i) * fa(2 * p + j) / nf
+                  var s = 0.0
+                  for (i2 <- ai.indices)
+                    s += foldSlab(m)(posOf(j))(posOf(ai(i2))) / nf * bOrig(i2)
+                  quad += bOrig(i) * s
+                }
+                foldScores(m)(l) = fa(3 * p + 2) / nf -
+                  2 * a0 * fa(3 * p + 1) / nf + a0 * a0 +
+                  quad + 2 * a0 * bx - 2 * bxy
+              }
+              if (m == nfolds) {
+                for (i <- ai.indices) fullBeta(l)(0)(ai(i)) = bOrig(i)
+                fullA0(l)(0) = a0
+                // RSS/n from the slab moments (standardized form)
+                val ySecond = if (prm.intercept) yVarTot
+                  else yVarTot + yMeanM(nfolds) * yMeanM(nfolds)
+                var bb = 0.0; var gq = 0.0
+                val ctr = centerM(m); val mn = meanM(m); val scl = scaleM(m)
+                for (i <- ai.indices) {
+                  val j = ai(i)
+                  bb += cM(m)(j) * beta(m)(j)
+                  var s = 0.0
+                  for (i2 <- ai.indices) {
+                    val j2 = ai(i2)
+                    s += (trainRaw(m, posOf(j), posOf(j2)) / nTot -
+                      ctr(j) * mn(j2) - ctr(j2) * mn(j) +
+                      ctr(j) * ctr(j2)) / (scl(j) * scl(j2)) * beta(m)(j2)
+                  }
+                  gq += beta(m)(j) * s
+                }
+                val rssOverN = ySecond - 2 * bb + gq
+                devRatio(l) = if (ySecond > 0) 1.0 - rssOverN / ySecond else 0.0
+              }
+            }
+            lamPrev = Array.fill(M)(lam)
+            l += 1
+          }
+        }
+        require(cutL > 0, "dfmax/pmax exclude every path point")
+        val lambdasT = lambdas.take(cutL)
+        if (measure == "mae") {
+          // one scoring scan: each row scores its OWN fold's model at
+          // every path point (per-row O(L x |active|))
+          val bc = sc.broadcast((a0Out, bOut, actOut, cutL))
+          val acc = rows.treeAggregate(new Array[Double](nfolds * cutL))(
+            seqOp = (a, t) => {
+              val f = t._1; val x = t._2; val y = t._3
+              val (a0s, bs, as2, lc) = bc.value
+              var l2 = 0
+              while (l2 < lc) {
+                var eta = a0s(f)(l2)
+                val ai = as2(f)(l2); val bv = bs(f)(l2)
+                var i = 0
+                while (i < ai.length) { eta += bv(i) * x(ai(i)); i += 1 }
+                a(f * lc + l2) += math.abs(y - eta)
+                l2 += 1
+              }
+              a
+            },
+            combOp = (a, b) => {
+              var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+            }, depth = 2)
+          passes += 1
+          bc.destroy()
+          for (f <- 0 until nfolds; l2 <- 0 until cutL)
+            foldScores(f)(l2) = acc(f * cutL + l2) / accA(f)(3 * p)
+        }
+        val nulldev = nTot * (if (prm.intercept) yVarTot
+          else yVarTot + yMeanM(nfolds) * yMeanM(nfolds))
+        val full = new SgdNetModel("gaussian", featureCols.toArray,
+          Array(labelCol), Array.empty, lambdasT, fullA0.take(cutL),
+          fullBeta.take(cutL), nulldev, devRatio.take(cutL),
+          nTot.toLong, passes, prm)
+        CvSgdNet.summarize(alpha, lambdasT,
+          foldScores.map(_.take(cutL)), full)
+      }
+      bcStd.destroy()
+      val best = paths.minBy(pth => pth.cvm.min)
+      CvSgdNet.CvResult(paths, best)
+    } finally rows.unpersist(blocking = false)
+  }
+
   // ------------------------------------------------------------------ GLM
 
   /** Screened-Gram IRLS for LARGE p — the binomial twin of

@@ -144,6 +144,49 @@ object PathQueries {
       .orderBy("lambda_idx", "term")
   }
 
+  /** Screened-Gram LARGE-P CROSS-VALIDATION on the correctness board
+    * (round 18 — `LargeP.cvGaussian`, the gaussian cv.glmnet surface
+    * past the p² cliff): the [[gaussLargeP]] 36-feature fixture under
+    * a 5-fold CV at a fixed two-point lasso grid (λ₀ = 1.15·λmax —
+    * above every training fold's own λmax, so every fold model is the
+    * null intercept; λ₁ = 0.75·λmax — exactly one active coordinate
+    * per fold, the single-coordinate soft-threshold closed form on
+    * that fold's TRAIN moments) — driven through the REAL batched
+    * chassis (one per-fold moment pass, union-candidate slab passes,
+    * one batched gradient pass per path point serving all 6 models)
+    * and emitted as the CV curve; DuckDB recomputes every fold's
+    * train-moment soft threshold, the held-out-MSE moment form, and
+    * the cvm/cvsd arithmetic. */
+  def cvLargeP(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Seq("f0") ++ (1 until 36).map(j => f"f$j%02d")
+    val featCols = (col("l_extendedprice").cast("double") / 1000.0 +
+      pmod(col("l_orderkey"), lit(3))).as("f0") +:
+      (1 until 36).map(j =>
+        pmod(col("l_orderkey") * (2 * j + 3) + col("l_linenumber") * (j + 1),
+          lit(23)).cast("double").as(f"f$j%02d"))
+    val li = tbl(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      .select(col("l_orderkey") +: col("l_linenumber") +:
+        col("l_extendedprice").cast("double").as("y") +: featCols: _*)
+    val g = graft.ml.SufficientStats.compute(
+      graft.ml.SufficientStats.toRdd(li, feats, Seq("y")), feats.size, 1)
+    val st = graft.ml.SufficientStats.standardize(g,
+      standardizeX = true, intercept = true)
+    val lmax = st.b(0).map(math.abs).max
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = graft.ml.LargeP.cvGaussian(li, feats, "y",
+      SgdNetParams(alpha = 1.0, lambda = Array(lmax * 1.15, lmax * 0.75),
+        thresh = 1e-9, maxit = 100000),
+      nfolds = 5, measure = "mse", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
   /** Screened-Gram LARGE-P IRLS route on the correctness board
     * (round 18 — `LargeP.fitBinomial`, the logistic path without the
     * p×p weighted Gram): the [[screenIrls]] fixture VERBATIM — same

@@ -130,6 +130,103 @@ class LargePSpec extends SparkSpec {
       s"npasses = ${big.npasses}")
   }
 
+  // ---------------------------------------------- screened-Gram CV
+
+  private def assertSameCv(a: CvSgdNet.CvResult, b: CvSgdNet.CvResult,
+                           tol: Double, tag: String): Unit = {
+    assert(a.paths.size == b.paths.size, s"$tag path count")
+    for ((pa, pb) <- a.paths.zip(b.paths)) {
+      assert(pa.alpha == pb.alpha, s"$tag alpha")
+      assert(pa.lambda.length == pb.lambda.length, s"$tag L")
+      for (l <- pa.lambda.indices) {
+        assert(math.abs(pa.lambda(l) - pb.lambda(l)) <=
+          tol * math.max(1.0, pb.lambda(l)), s"$tag lambda($l)")
+        assert(math.abs(pa.cvm(l) - pb.cvm(l)) <=
+          tol * math.max(1.0, math.abs(pb.cvm(l))), s"$tag cvm($l): ${pa.cvm(l)} vs ${pb.cvm(l)}")
+        assert(math.abs(pa.cvsd(l) - pb.cvsd(l)) <=
+          tol * math.max(1.0, math.abs(pb.cvsd(l))), s"$tag cvsd($l)")
+      }
+      assert(math.abs(pa.lambdaMin - pb.lambdaMin) <= tol *
+        math.max(1.0, pb.lambdaMin), s"$tag lambda.min")
+      assert(math.abs(pa.lambda1se - pb.lambda1se) <= tol *
+        math.max(1.0, pb.lambda1se), s"$tag lambda.1se")
+      for (l <- pa.lambda.indices; j <- 0 until p)
+        assert(math.abs(pa.fit.beta(l)(0)(j) - pb.fit.beta(l)(0)(j)) < tol,
+          s"$tag full beta($l)($j)")
+    }
+    assert(a.best.alpha == b.best.alpha, s"$tag best alpha")
+  }
+
+  test("screened-Gram CV == CvSgdNet.fit (alpha grid, mae, user lambda)") {
+    val fold = pmod(col("rid") * 2654435761L, lit(4))
+    val prm = SgdNetParams(alpha = 1.0, nlambda = 12, thresh = 1e-9,
+      maxit = 100000)
+    val ref = CvSgdNet.fit(data, names, Seq("y"), prm, nfolds = 4,
+      alphas = Seq(1.0, 0.5), foldCol = fold)
+    val big = LargeP.cvGaussian(data, names, "y", prm, nfolds = 4,
+      alphas = Seq(1.0, 0.5), foldCol = fold)
+    assertSameCv(big, ref, 1e-7, "alpha-grid")
+    // mae goes through the batched scoring scan, not the moment form
+    val refMae = CvSgdNet.fit(data, names, Seq("y"), prm, nfolds = 4,
+      measure = "mae", foldCol = fold)
+    val bigMae = LargeP.cvGaussian(data, names, "y", prm, nfolds = 4,
+      measure = "mae", foldCol = fold)
+    assertSameCv(bigMae, refMae, 1e-7, "mae")
+    // user lambda + no-intercept/no-standardize variants
+    val lmax = ref.paths.head.lambda(0)
+    val prmU = SgdNetParams(alpha = 1.0,
+      lambda = Array(lmax * 2.0, lmax * 0.5, lmax * 0.1),
+      thresh = 1e-9, maxit = 100000, standardize = false)
+    assertSameCv(
+      LargeP.cvGaussian(data, names, "y", prmU, nfolds = 4, foldCol = fold),
+      CvSgdNet.fit(data, names, Seq("y"), prmU, nfolds = 4, foldCol = fold),
+      1e-7, "user-lambda-nostd")
+    val prmN = SgdNetParams(alpha = 1.0, nlambda = 8, thresh = 1e-9,
+      maxit = 100000, intercept = false)
+    assertSameCv(
+      LargeP.cvGaussian(data, names, "y", prmN, nfolds = 4, foldCol = fold),
+      CvSgdNet.fit(data, names, Seq("y"), prmN, nfolds = 4, foldCol = fold),
+      1e-7, "no-intercept")
+  }
+
+  test("screened-Gram CV: dfmax, contracts, runs past the full-route cap") {
+    val fold = pmod(col("rid") * 2654435761L, lit(4))
+    val prmD = SgdNetParams(alpha = 1.0, nlambda = 20, thresh = 1e-9,
+      maxit = 100000, dfmax = 3)
+    val refD = CvSgdNet.fit(data, names, Seq("y"), prmD, nfolds = 4,
+      foldCol = fold)
+    val bigD = LargeP.cvGaussian(data, names, "y", prmD, nfolds = 4,
+      foldCol = fold)
+    assertSameCv(bigD, refD, 1e-7, "dfmax")
+    assert(bigD.best.lambda.length < 20, "dfmax actually truncated")
+    intercept[IllegalArgumentException] {
+      LargeP.cvGaussian(data, names, "y", SgdNetParams(alpha = 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      LargeP.cvGaussian(data, names, "y",
+        SgdNetParams(penaltyFactor = Array.fill(p)(1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      LargeP.cvGaussian(data, names, "y", SgdNetParams(), measure = "auc")
+    }
+    // the regime the route exists for: CV where the per-fold Gram CV
+    // refuses at the cap, same answers as the full CV computed first
+    val prmS = SgdNetParams(alpha = 1.0, nlambda = 8,
+      lambdaMinRatio = 0.25, thresh = 1e-9, maxit = 100000)
+    val ref = CvSgdNet.fit(data, names, Seq("y"), prmS, nfolds = 4,
+      foldCol = fold)
+    val saved = SgdNet.maxGramP
+    SgdNet.maxGramP = 16
+    try {
+      intercept[IllegalArgumentException] {
+        CvSgdNet.fit(data, names, Seq("y"), prmS, nfolds = 4, foldCol = fold)
+      }
+      assertSameCv(
+        LargeP.cvGaussian(data, names, "y", prmS, nfolds = 4, foldCol = fold),
+        ref, 1e-7, "capped-cv")
+    } finally SgdNet.maxGramP = saved
+  }
+
   // ------------------------------------------------- GLM (IRLS) twins
 
   private lazy val glmData = {
