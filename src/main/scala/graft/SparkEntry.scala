@@ -78,6 +78,8 @@ object SparkEntry {
     "q_gauss_largep"     -> (PathQueries.gaussLargeP _),
     "q_binom_largep"     -> (PathQueries.binomLargeP _),
     "q_cv_largep"        -> (PathQueries.cvLargeP _),
+    "q_sparse_largep"    -> (PathQueries.sparseLargeP _),
+    "q_sparse_irls"      -> (PathQueries.sparseIrls _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
     "q_cv_deviance"      -> (PathQueries.cvDeviance _),
@@ -717,6 +719,12 @@ object SparkEntry {
     "q_screen_irls" -> screenIrlsSql,
     "q_gauss_largep" -> gaussLargePSql,
     "q_cv_largep" -> cvLargePSql,
+    // the sparse (CSR) screened chassis on the SAME fixture and grid
+    // as q_gauss_largep — byte-identical closed-form oracle
+    "q_sparse_largep" -> gaussLargePSql,
+    // the sparse screened IRLS chassis on the q_screen_irls fixture —
+    // byte-identical one-IRLS-step closed-form oracle
+    "q_sparse_irls" -> screenIrlsSql,
     // the screened large-p IRLS chassis on the SAME fixture, grid and
     // one-step discipline as q_screen_irls — the oracle is the same
     // closed form byte-for-byte (divergence isolates the chassis)

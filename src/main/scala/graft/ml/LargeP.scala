@@ -280,6 +280,299 @@ object LargeP {
     } finally rows.unpersist(blocking = false)
   }
 
+  // --------------------------------------------------------------- sparse
+
+  /** Screened-Gram path for LARGE-DIM SPARSE (CSR) input — the
+    * hashed-feature twin of [[fitGaussian]] (round 18): the gaussian
+    * elastic-net path over (indices, values) rows at dimensions the
+    * p×p Gram of [[SgdNet.fitSparse]] refuses, with every cluster
+    * pass SPARSE per row:
+    *
+    *  - pass A: per-feature moments from the nnz entries only —
+    *    O(nnz) per row;
+    *  - Gram-extension passes: raw cross moments x_a·x_b are nonzero
+    *    only when BOTH features occur in the row, so the |new|×|E|
+    *    slab costs O(k_new·k_E) per row (k = the row's nnz inside
+    *    each set, found via broadcast slot lookups);
+    *  - gradient passes: centering makes the standardized gradient
+    *    dense, but it splits as
+    *    (1/s_j)·(Σᵢ x_ij·innerᵢ − c_j·Σᵢ innerᵢ): accumulate the
+    *    SPARSE products and the scalar Σ inner, apply the centering
+    *    correction driver-side — O(nnz + |active ∩ nnz|) per row,
+    *    never O(p).
+    *
+    * Same contract and structural-equality discipline as
+    * [[fitGaussian]]; feature names are the `V$j` convention of
+    * [[SgdNet.fitSparse]]. Verified equal to the full-Gram sparse
+    * route (and to the dense screened route on densified rows) by
+    * LargePSpec. */
+  def fitSparseGaussian(df: DataFrame, idxCol: String, valCol: String,
+                        dim: Int, labelCol: String,
+                        params: SgdNetParams = SgdNetParams()): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    require(params.family == "gaussian",
+      s"LargeP.fitSparseGaussian supports gaussian, not ${params.family}")
+    require(params.alpha > 0,
+      "the screened-Gram route needs alpha > 0 (at alpha = 0 every " +
+        "coordinate is active and the Gram IS p x p — ridge at large p " +
+        "needs dimensionality reduction first)")
+    require(params.penaltyFactor == null && params.lowerLimits == null &&
+      params.upperLimits == null && !params.sgdnetCompat &&
+      !params.standardizeResponse,
+      "LargeP.fitSparseGaussian composes with none of penaltyFactor / " +
+        "box limits / sgdnetCompat / standardizeResponse — reduce " +
+        "dimensionality and use SgdNet.fitSparse for those")
+    require(dim > 0, "the predictor matrix (x) is empty.")
+    require(params.alpha <= 1,
+      "elastic net mixing parameter (alpha) must be in [0, 1].")
+    require(params.nlambda > 0, "lambda path cannot be of zero length.")
+    require(params.thresh >= 0, "threshold for stopping criteria cannot be negative.")
+    require(params.maxit > 0, "maximum number of iterations cannot be negative or zero.")
+    if (params.lambda != null)
+      require(params.lambda.forall(_ >= 0),
+        "penalty strengths (lambdas) must be positive.")
+    val p = dim
+    val sc = df.sparkSession.sparkContext
+    val rows = df.select(col(idxCol), col(valCol).cast("array<double>"),
+        col(labelCol).cast("double"))
+      .rdd.map { r =>
+        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray,
+          r.getDouble(2))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ---------------------------------------------- pass A (O(nnz)/row)
+      val accA = rows.treeAggregate(new Array[Double](3 * p + 3))(
+        seqOp = (a, r) => {
+          val (ix, vs, y) = r
+          var k = 0
+          while (k < ix.length) {
+            val j = ix(k); val v = vs(k)
+            a(j) += v; a(p + j) += v * v; a(2 * p + j) += v * y
+            k += 1
+          }
+          a(3 * p) += 1.0; a(3 * p + 1) += y; a(3 * p + 2) += y * y
+          a
+        },
+        combOp = (a, b) => {
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        }, depth = 2)
+      var passes = 1
+      val nD = accA(3 * p)
+      require(nD > 0, "the response (y) is empty.")
+      val nL = nD.toLong
+      val mean = Array.tabulate(p)(j => accA(j) / nD)
+      val xSd = Array.tabulate(p) { j =>
+        val v = math.max(accA(p + j) / nD - mean(j) * mean(j), 0.0)
+        val s = math.sqrt(v); if (s > 0) s else 1.0
+      }
+      val scale = if (params.standardize) xSd else Array.fill(p)(1.0)
+      val center = if (params.intercept) mean else new Array[Double](p)
+      val invScale = Array.tabulate(p)(j => 1.0 / scale(j))
+      val yMean = accA(3 * p + 1) / nD
+      val yVar = math.max(accA(3 * p + 2) / nD - yMean * yMean, 0.0)
+      val yCen = if (params.intercept) yMean else 0.0
+      val c = Array.tabulate(p)(j =>
+        (accA(2 * p + j) / nD - center(j) * yMean - yCen * mean(j) +
+          center(j) * yCen) / scale(j))
+
+      val minRatio = if (params.lambdaMinRatio.isNaN)
+        LambdaPath.defaultMinRatio(nL, p) else params.lambdaMinRatio
+      val lambdas = if (params.lambda != null) params.lambda
+        else LambdaPath.build(Array(c), params.alpha, params.nlambda,
+          minRatio, null)
+      val lmaxData = c.map(math.abs).max / math.max(params.alpha, 1e-3)
+
+      // ------------------------------------- ever-candidate Gram block E
+      val posOf = scala.collection.mutable.HashMap.empty[Int, Int]
+      val eIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val gramE = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[Double]]
+
+      def extend(newCols: Seq[Int]): Unit = {
+        if (newCols.isEmpty) return
+        require(eIdx.size + newCols.size <= SgdNet.maxGramP,
+          s"the ever-candidate set would grow to " +
+            s"${eIdx.size + newCols.size} > maxGramP = ${SgdNet.maxGramP} " +
+            "columns: the active block no longer fits the O(|E|^2) " +
+            "driver budget. Use dfmax/pmax to bound the path, a larger " +
+            "lambda floor, or raise graft.ml.SgdNet.maxGramP.")
+        val oldE = eIdx.toArray
+        val nn = newCols.toArray
+        val eAfter = oldE ++ nn
+        // slot lookups so each row finds its nnz inside each set in
+        // O(nnz) — broadcast int arrays, -1 = not a member
+        val slotNew = Array.fill(p)(-1)
+        nn.indices.foreach(i => slotNew(nn(i)) = i)
+        val slotE = Array.fill(p)(-1)
+        eAfter.indices.foreach(i => slotE(eAfter(i)) = i)
+        val bc = sc.broadcast((slotNew, slotE, nn.length, eAfter.length))
+        val acc = rows.treeAggregate(
+            new Array[Double](nn.length * eAfter.length))(
+          seqOp = (a, r) => {
+            val (ix, vs, _) = r
+            val (sN, sE, nNew, nE) = bc.value
+            // gather the row's entries inside each set
+            var k = 0
+            var cntN = 0; var cntE = 0
+            while (k < ix.length) {
+              val j = ix(k)
+              if (sN(j) >= 0) cntN += 1
+              if (sE(j) >= 0) cntE += 1
+              k += 1
+            }
+            if (cntN > 0 && cntE > 0) {
+              val nIdx = new Array[Int](cntN); val nVal = new Array[Double](cntN)
+              val eIdx2 = new Array[Int](cntE); val eVal = new Array[Double](cntE)
+              k = 0; var a1 = 0; var a2 = 0
+              while (k < ix.length) {
+                val j = ix(k)
+                val s1 = sN(j); val s2 = sE(j)
+                if (s1 >= 0) { nIdx(a1) = s1; nVal(a1) = vs(k); a1 += 1 }
+                if (s2 >= 0) { eIdx2(a2) = s2; eVal(a2) = vs(k); a2 += 1 }
+                k += 1
+              }
+              var i1 = 0
+              while (i1 < cntN) {
+                val base = nIdx(i1) * nE
+                val v1 = nVal(i1)
+                var i2 = 0
+                while (i2 < cntE) {
+                  a(base + eIdx2(i2)) += v1 * eVal(i2)
+                  i2 += 1
+                }
+                i1 += 1
+              }
+            }
+            a
+          },
+          combOp = (a, b) => {
+            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+          }, depth = 2)
+        passes += 1
+        bc.destroy()
+        def std(aRaw: Double, i: Int, j: Int): Double =
+          (aRaw / nD - center(i) * mean(j) - center(j) * mean(i) +
+            center(i) * center(j)) / (scale(i) * scale(j))
+        for (bi <- oldE.indices)
+          for (ai <- nn.indices)
+            gramE(bi) += std(acc(ai * eAfter.length + bi), nn(ai), oldE(bi))
+        for (ai <- nn.indices) {
+          val row = scala.collection.mutable.ArrayBuffer.empty[Double]
+          for (bi <- eAfter.indices)
+            row += std(acc(ai * eAfter.length + bi), nn(ai), eAfter(bi))
+          gramE += row
+        }
+        nn.foreach { j => posOf(j) = eIdx.size; eIdx += j }
+      }
+
+      // full standardized gradient, SPARSE per row: the centering
+      // correction applies driver-side (see scaladoc)
+      def gradientPass(beta: Array[Double]): Array[Double] = {
+        val act = (0 until p).filter(beta(_) != 0.0).toArray
+        if (act.isEmpty) return c.clone()
+        // row inner product: sum over act∩nnz of beta_k*x_k/s_k minus
+        // the constant sum over act of beta_k*ctr_k/s_k
+        val betaInv = act.map(j => beta(j) * invScale(j))
+        val actSlot = Array.fill(p)(-1)
+        act.indices.foreach(i => actSlot(act(i)) = i)
+        var cAct = 0.0
+        act.indices.foreach(i => cAct += betaInv(i) * center(act(i)))
+        val bc = sc.broadcast((actSlot, betaInv, cAct))
+        val acc = rows.treeAggregate(new Array[Double](p + 1))(
+          seqOp = (a, r) => {
+            val (ix, vs, _) = r
+            val (sA, bI, c0) = bc.value
+            var inner = -c0
+            var k = 0
+            while (k < ix.length) {
+              val s = sA(ix(k))
+              if (s >= 0) inner += bI(s) * vs(k)
+              k += 1
+            }
+            if (inner != 0.0) {
+              k = 0
+              while (k < ix.length) {
+                a(ix(k)) += vs(k) * inner
+                k += 1
+              }
+              a(p) += inner
+            }
+            a
+          },
+          combOp = (a, b) => {
+            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+          }, depth = 2)
+        passes += 1
+        bc.destroy()
+        val t = acc(p)
+        Array.tabulate(p)(j =>
+          c(j) - (acc(j) - center(j) * t) * invScale(j) / nD)
+      }
+
+      // ----------------------------------------------------- path loop
+      val L = lambdas.length
+      val ySecond = if (params.intercept) yVar else yVar + yMean * yMean
+      val nulldev = nD * ySecond
+      val a0Out = Array.ofDim[Double](L, 1)
+      val betaOut = Array.ofDim[Double](L, 1, p)
+      val devRatio = new Array[Double](L)
+      val beta = new Array[Double](p)
+      var grad = c.clone()
+      var lamPrev = lmaxData
+      val dfGate = new SgdNet.DfGate(params, p)
+      var cutL = L
+      var l = 0
+      while (l < L) {
+        val lam = lambdas(l)
+        val bound = params.alpha * (2.0 * lam - lamPrev)
+        extend((0 until p).filter(j => !posOf.contains(j) &&
+          (beta(j) != 0.0 || math.abs(grad(j)) >= bound)))
+        val tol = math.max(params.thresh * 1e-4, 1e-12) * math.max(lam, 1.0)
+        var done = false
+        while (!done) {
+          val m = eIdx.size
+          val aSub = Array.tabulate(m, m)((x2, y2) => gramE(x2)(y2))
+          val cSub = Array.tabulate(m)(x2 => c(eIdx(x2)))
+          val init = Array.tabulate(m)(x2 => beta(eIdx(x2)))
+          val r = CoordinateDescent.solve(aSub, cSub,
+            new Array[Double](m), 0.0, 1.0, lam, params.alpha,
+            intercept = false, init = init,
+            thresh = params.thresh * 1e-4, maxIter = params.maxit)
+          var x2 = 0
+          while (x2 < m) { beta(eIdx(x2)) = r.beta(x2); x2 += 1 }
+          grad = gradientPass(beta)
+          val violators = (0 until p).filter(j => !posOf.contains(j) &&
+            math.abs(grad(j)) > lam * params.alpha + tol)
+          if (violators.isEmpty) done = true else extend(violators)
+        }
+        if (!dfGate.admit(j => beta(j) != 0.0)) { cutL = l; l = L }
+        else {
+          var bb = 0.0; var gq = 0.0
+          for (x2 <- 0 until eIdx.size) {
+            val j = eIdx(x2)
+            bb += c(j) * beta(j)
+            var s = 0.0
+            for (y2 <- 0 until eIdx.size) s += gramE(x2)(y2) * beta(eIdx(y2))
+            gq += beta(j) * s
+          }
+          val rssOverN = ySecond - 2 * bb + gq
+          devRatio(l) = if (nulldev > 0) 1.0 - nD * rssOverN / nulldev else 0.0
+          for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
+          a0Out(l)(0) = if (params.intercept)
+            yMean - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
+          else 0.0
+          lamPrev = lam
+          l += 1
+        }
+      }
+      require(cutL > 0, "dfmax/pmax exclude every path point")
+      new SgdNetModel("gaussian", (0 until p).map(j => s"V$j").toArray,
+        Array(labelCol), Array.empty, lambdas.take(cutL), a0Out.take(cutL),
+        betaOut.take(cutL), nulldev, devRatio.take(cutL), nL, passes,
+        params)
+    } finally rows.unpersist(blocking = false)
+  }
+
   // ------------------------------------------------------------------- CV
 
   /** Screened-Gram CROSS-VALIDATION for LARGE p (round 18 — the
@@ -800,6 +1093,483 @@ object LargeP {
       }.persist(StorageLevel.MEMORY_AND_DISK)
     try fitGlmImpl(rows, featureCols, labelCol, Array.empty, "poisson", params)
     finally rows.unpersist(blocking = false)
+  }
+
+  /** Screened-Gram IRLS for LARGE-DIM SPARSE (CSR) input — the
+    * hashed-feature logistic path (round 18): [[fitBinomial]]'s fused
+    * per-Newton discipline with every cluster pass SPARSE per row.
+    * Centering makes the standardized weighted moments dense, but each
+    * splits into raw sparse accumulations plus driver-side
+    * corrections:
+    *
+    *   Σw·xsₐ·xs_b = (Σw·xₐ·x_b − cₐΣw·x_b − c_bΣw·xₐ + cₐc_bΣw)/(sₐs_b)
+    *   Σw·z·xsₐ   = (Σw·z·xₐ − cₐΣw·z)/sₐ
+    *   kkt_j      = (Σr·x_j − c_jΣr)/s_j/n,  r = w·(z − ηN)
+    *
+    * so the moments pass is O(k_E²) per row (k_E = the row's nnz
+    * inside E), the fused KKT+moments pass is O(nnz + k_E²), and no
+    * pass ever loops over all p in a row. This is the quality-
+    * classifier regime — logistic elastic net over 2^17-dim hashed
+    * text features — where the dense weighted Gram never existed.
+    * Same contract as [[fitBinomial]]; feature names are `V$j`. */
+  def fitSparseBinomial(df: DataFrame, idxCol: String, valCol: String,
+                        dim: Int, labelCol: String,
+                        params: SgdNetParams = SgdNetParams(family = "binomial")): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    require(params.family == "binomial",
+      s"LargeP.fitSparseBinomial supports binomial, not ${params.family}")
+    requireGlmContract(params, (0 until dim).map(j => s"V$j"))
+    val classes = df.select(col(labelCol).cast("string")).distinct()
+      .limit(3).collect().map(_.getString(0)).sorted
+    require(classes.length == 2,
+      if (classes.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
+      else "only one class in response.")
+    val positive = classes(1)
+    val rows = df.select(col(idxCol), col(valCol).cast("array<double>"),
+        (col(labelCol).cast("string") === positive).cast("double"))
+      .rdd.map { r =>
+        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray,
+          r.getDouble(2))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try fitSparseGlmImpl(rows, dim, labelCol, classes, "binomial", params)
+    finally rows.unpersist(blocking = false)
+  }
+
+  /** Sparse large-dim poisson twin of [[fitSparseBinomial]] (log link,
+    * the [[fitPoisson]] conventions). */
+  def fitSparsePoisson(df: DataFrame, idxCol: String, valCol: String,
+                       dim: Int, labelCol: String,
+                       params: SgdNetParams = SgdNetParams(family = "poisson")): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    require(params.family == "poisson",
+      s"LargeP.fitSparsePoisson supports poisson, not ${params.family}")
+    requireGlmContract(params, (0 until dim).map(j => s"V$j"))
+    val rows = df.select(col(idxCol), col(valCol).cast("array<double>"),
+        col(labelCol).cast("double"))
+      .rdd.map { r =>
+        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray,
+          r.getDouble(2))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try fitSparseGlmImpl(rows, dim, labelCol, Array.empty, "poisson", params)
+    finally rows.unpersist(blocking = false)
+  }
+
+  private def fitSparseGlmImpl(rows: RDD[(Array[Int], Array[Double], Double)],
+                               dim: Int, labelCol: String,
+                               classes: Array[String], family: String,
+                               params: SgdNetParams): SgdNetModel = {
+    val p = dim
+    val sc = rows.sparkContext
+    val binom = family == "binomial"
+
+    // ---------------------------------------------- pass A (O(nnz)/row)
+    val accA = rows.treeAggregate(new Array[Double](3 * p + 3))(
+      seqOp = (a, r) => {
+        val (ix, vs, y) = r
+        var k = 0
+        while (k < ix.length) {
+          val j = ix(k); val v = vs(k)
+          a(j) += v; a(p + j) += v * v; a(2 * p + j) += v * y
+          k += 1
+        }
+        a(3 * p) += 1.0; a(3 * p + 1) += y; a(3 * p + 2) += y * y
+        a
+      },
+      combOp = (a, b) => {
+        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+      }, depth = 2)
+    var passes = 1
+    val nD = accA(3 * p)
+    require(nD > 0, "the response (y) is empty.")
+    val nL = nD.toLong
+    val n = nD
+    val mean = Array.tabulate(p)(j => accA(j) / nD)
+    val xSd = Array.tabulate(p) { j =>
+      val v = math.max(accA(p + j) / nD - mean(j) * mean(j), 0.0)
+      val s = math.sqrt(v); if (s > 0) s else 1.0
+    }
+    val scale = if (params.standardize) xSd else Array.fill(p)(1.0)
+    val center = if (params.intercept) mean else new Array[Double](p)
+    val invScale = Array.tabulate(p)(j => 1.0 / scale(j))
+    val yBar = accA(3 * p + 1) / nD
+    if (!binom) require(yBar > 0, "poisson response must contain positive counts")
+    val yCen = if (params.intercept) yBar else 0.0
+    val b0 = Array.tabulate(p)(j =>
+      (accA(2 * p + j) / nD - center(j) * yBar - yCen * mean(j) +
+        center(j) * yCen) / scale(j))
+
+    val minRatio = if (params.lambdaMinRatio.isNaN)
+      LambdaPath.defaultMinRatio(nL, p) else params.lambdaMinRatio
+    val lambdas = if (params.lambda != null) params.lambda
+      else LambdaPath.build(Array(b0), params.alpha, params.nlambda,
+        minRatio, null)
+    val lmaxData = b0.map(math.abs).max / math.max(params.alpha, 1e-3)
+
+    // note: NO per-row center/invScale use anywhere below — every
+    // centering correction is applied driver-side (see scaladoc), so
+    // the broadcasts carry only active-set packs and E slot lookups
+
+    // sparse eta at a point (a0, act): a0 − C_act + Σ_{act∩nnz} β·x·inv
+    // with C_act = Σ_act β·ctr·inv precomputed driver-side. Broadcast
+    // carries (slot lookup over p, beta·inv values, C_act).
+    def actPack(a0x: Double, beta: Array[Double]): (Array[Int], Array[Double], Double, Double) = {
+      val ai = (0 until p).filter(beta(_) != 0.0).toArray
+      val bi = ai.map(j => beta(j) * invScale(j))
+      var cAct = 0.0
+      ai.indices.foreach(i => cAct += bi(i) * center(ai(i)))
+      val slot = Array.fill(p)(-1)
+      ai.indices.foreach(i => slot(ai(i)) = i)
+      (slot, bi, cAct, a0x)
+    }
+    @inline def linkWZ(eta: Double, y: Double): (Double, Double) =
+      if (binom) {
+        val mu = 1.0 / (1.0 + math.exp(-eta))
+        val w = math.max(mu * (1.0 - mu), 1e-5)
+        (w, eta + (y - mu) / w)
+      } else {
+        val etaC = math.max(math.min(eta, 30.0), -30.0)
+        val mu = math.exp(etaC)
+        val w = math.max(mu, 1e-5)
+        (w, etaC + (y - mu) / w)
+      }
+
+    // assemble the standardized weighted moment block from the raw
+    // sparse accumulations: layout of the raw acc (size base2 + 2m + 2):
+    // [Σw x_a x_b packed][Σw z x_a][Σw x_a][Σw z][Σw]
+    def assemble(raw: Array[Double], eArr: Array[Int], off: Int): (Array[Array[Double]], Array[Double], Array[Double], Double, Double) = {
+      val m = eArr.length
+      val base2 = m * (m + 1) / 2
+      val sw = raw(off + base2 + 2 * m + 1)
+      val swz = raw(off + base2 + 2 * m)
+      val ninv = 1.0 / n
+      val swxRaw = Array.tabulate(m)(i => raw(off + base2 + m + i))
+      val swxzRaw = Array.tabulate(m)(i => raw(off + base2 + i))
+      val aM = Array.tabulate(m, m) { (x2, y2) =>
+        val (hi, lo) = if (x2 >= y2) (x2, y2) else (y2, x2)
+        val i = eArr(x2); val j = eArr(y2)
+        (raw(off + hi * (hi + 1) / 2 + lo) - center(i) * swxRaw(y2) -
+          center(j) * swxRaw(x2) + center(i) * center(j) * sw) *
+          invScale(i) * invScale(j) * ninv
+      }
+      val cM = Array.tabulate(m) { x2 =>
+        val i = eArr(x2)
+        (swxzRaw(x2) - center(i) * swz) * invScale(i) * ninv
+      }
+      val xwM = Array.tabulate(m) { x2 =>
+        val i = eArr(x2)
+        (swxRaw(x2) - center(i) * sw) * invScale(i) * ninv
+      }
+      (aM, cM, xwM, swz * ninv, sw * ninv)
+    }
+
+    // raw weighted moments over E at the point pack — all sparse per
+    // row: gather the row's nnz inside E, then O(k_E²) packed updates
+    def passW(eArr: Array[Int],
+              pack: (Array[Int], Array[Double], Double, Double)): Array[Double] = {
+      val m = eArr.length
+      val sz = m * (m + 1) / 2 + 2 * m + 2
+      val slotE = Array.fill(p)(-1)
+      eArr.indices.foreach(i => slotE(eArr(i)) = i)
+      val bc = sc.broadcast((slotE, pack))
+      val acc = rows.treeAggregate(new Array[Double](sz))(
+        seqOp = (a, r) => {
+          val (ix, vs, y) = r
+          val (sE, pk) = bc.value
+          val (slot, bi, cAct, a0w) = pk
+          var eta = a0w - cAct
+          var k = 0
+          var cntE = 0
+          while (k < ix.length) {
+            val j = ix(k)
+            val s = slot(j)
+            if (s >= 0) eta += bi(s) * vs(k)
+            if (sE(j) >= 0) cntE += 1
+            k += 1
+          }
+          val (w, z) = linkWZ(eta, y)
+          val b2 = sz - 2 * m - 2 // = m(m+1)/2, start of the Σwzx block
+          a(sz - 2) += w * z; a(sz - 1) += w
+          if (cntE > 0) {
+            val eS = new Array[Int](cntE); val eV = new Array[Double](cntE)
+            k = 0; var t = 0
+            while (k < ix.length) {
+              val s = sE(ix(k))
+              if (s >= 0) { eS(t) = s; eV(t) = vs(k); t += 1 }
+              k += 1
+            }
+            val wz = w * z
+            var i1 = 0
+            while (i1 < cntE) {
+              val s1 = eS(i1); val wv = w * eV(i1)
+              a(b2 + s1) += wz * eV(i1)        // Σ w z x_a
+              a(b2 + m + s1) += wv             // Σ w x_a
+              var i2 = 0
+              while (i2 < cntE) {
+                val s2 = eS(i2)
+                if (s2 <= s1) a(s1 * (s1 + 1) / 2 + s2) += wv * eV(i2)
+                i2 += 1
+              }
+              i1 += 1
+            }
+          }
+          a
+        },
+        combOp = (a, b) => {
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        }, depth = 2)
+      passes += 1
+      bc.destroy()
+      acc
+    }
+
+    // FUSED pass: frozen-weight full-p KKT at the candidate point
+    // (sparse: Σ r·x_j + scalar Σ r, centering applied driver-side)
+    // AND the candidate point's raw weighted moments over E
+    def passFused(eArr: Array[Int],
+                  packW: (Array[Int], Array[Double], Double, Double),
+                  packN: (Array[Int], Array[Double], Double, Double)): (Array[Double], Array[Double]) = {
+      val m = eArr.length
+      val szE = m * (m + 1) / 2 + 2 * m + 2
+      val slotE = Array.fill(p)(-1)
+      eArr.indices.foreach(i => slotE(eArr(i)) = i)
+      val bc = sc.broadcast((slotE, packW, packN))
+      val acc = rows.treeAggregate(new Array[Double](p + 1 + szE))(
+        seqOp = (a, r) => {
+          val (ix, vs, y) = r
+          val (sE, pw, pn) = bc.value
+          val (slW, biW, cW, a0w) = pw
+          val (slN, biN, cN, a0n) = pn
+          var etaW = a0w - cW
+          var etaN = a0n - cN
+          var k = 0
+          var cntE = 0
+          while (k < ix.length) {
+            val j = ix(k); val v = vs(k)
+            val s1 = slW(j); if (s1 >= 0) etaW += biW(s1) * v
+            val s2 = slN(j); if (s2 >= 0) etaN += biN(s2) * v
+            if (sE(j) >= 0) cntE += 1
+            k += 1
+          }
+          val (wF, zF) = linkWZ(etaW, y)
+          val resid = wF * (zF - etaN)
+          if (resid != 0.0) {
+            k = 0
+            while (k < ix.length) { a(ix(k)) += resid * vs(k); k += 1 }
+            a(p) += resid
+          }
+          val (wN, zN) = linkWZ(etaN, y)
+          val off = p + 1
+          a(off + szE - 2) += wN * zN; a(off + szE - 1) += wN
+          if (cntE > 0) {
+            val eS = new Array[Int](cntE); val eV = new Array[Double](cntE)
+            k = 0; var t = 0
+            while (k < ix.length) {
+              val s = sE(ix(k))
+              if (s >= 0) { eS(t) = s; eV(t) = vs(k); t += 1 }
+              k += 1
+            }
+            val b2 = off + szE - 2 * m - 2
+            val wz = wN * zN
+            var i1 = 0
+            while (i1 < cntE) {
+              val s1 = eS(i1); val wv = wN * eV(i1)
+              a(b2 + s1) += wz * eV(i1)
+              a(b2 + m + s1) += wv
+              var i2 = 0
+              while (i2 < cntE) {
+                val s2 = eS(i2)
+                if (s2 <= s1) a(off + s1 * (s1 + 1) / 2 + s2) += wv * eV(i2)
+                i2 += 1
+              }
+              i1 += 1
+            }
+          }
+          a
+        },
+        combOp = (a, b) => {
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        }, depth = 2)
+      passes += 1
+      bc.destroy()
+      val sumR = acc(p)
+      val kkt = Array.tabulate(p)(j =>
+        (acc(j) - center(j) * sumR) * invScale(j) / n)
+      val wg = java.util.Arrays.copyOfRange(acc, p + 1, p + 1 + szE)
+      (kkt, wg)
+    }
+
+    // ------------------------------------- ever-candidate set E
+    val posOf = scala.collection.mutable.HashMap.empty[Int, Int]
+    val eIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def extendIdx(newCols: Seq[Int]): Unit = {
+      if (newCols.isEmpty) return
+      require(eIdx.size + newCols.size <= SgdNet.maxGramP,
+        s"the ever-candidate set would grow to " +
+          s"${eIdx.size + newCols.size} > maxGramP = ${SgdNet.maxGramP} " +
+          "columns: the active block no longer fits the O(|E|^2) " +
+          "driver budget. Use dfmax/pmax to bound the path, a larger " +
+          "lambda floor, or raise graft.ml.SgdNet.maxGramP.")
+      newCols.foreach { j => posOf(j) = eIdx.size; eIdx += j }
+    }
+
+    // ----------------------------------------------------- path loop
+    val L = lambdas.length
+    val a0Out = Array.ofDim[Double](L, 1)
+    val betaOut = Array.ofDim[Double](L, 1, p)
+    val beta = new Array[Double](p)
+    var a0 =
+      if (binom) { if (params.intercept && yBar > 0 && yBar < 1)
+          math.log(yBar / (1 - yBar)) else 0.0 }
+      else { if (params.intercept) math.log(yBar) else 0.0 }
+    // init gradient at (a0, 0): mu is CONSTANT, so it assembles from
+    // the pass-A moments driver-side — no extra pass:
+    // grad_j = [Σx_j·y − mu·Σx_j − c_j·n·(ȳ − mu)]·inv_j / n
+    var grad = {
+      val mu0 = if (binom) 1.0 / (1.0 + math.exp(-a0))
+        else math.exp(math.max(math.min(a0, 30.0), -30.0))
+      Array.tabulate(p)(j =>
+        (accA(2 * p + j) - mu0 * accA(j) -
+          center(j) * nD * (yBar - mu0)) * invScale(j) / n)
+    }
+    var lamPrev = lmaxData
+    val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
+    val dfGate = new SgdNet.DfGate(params, p)
+    var wg: Array[Double] = null
+    var wgESize = -1
+    var cutL = L
+    var l = 0
+    while (l < L) {
+      val lam = lambdas(l)
+      val bound = params.alpha * (2.0 * lam - lamPrev)
+      extendIdx((0 until p).filter(j => !posOf.contains(j) &&
+        (beta(j) != 0.0 || math.abs(grad(j)) >= bound)))
+      val tol = math.max(newtonTol, 1e-12) * math.max(lam, 1.0)
+      var iter = 0
+      var done = false
+      var packCur = actPack(a0, beta)
+      if (wg == null || wgESize != eIdx.size) {
+        wg = passW(eIdx.toArray, packCur); wgESize = eIdx.size
+      }
+      while (iter < 25 && !done) {
+        var stepDone = false
+        var a0n = a0
+        var betaN: Array[Double] = null
+        var kktN: Array[Double] = null
+        var wgNext: Array[Double] = null
+        while (!stepDone) {
+          val eArr = eIdx.toArray
+          val m = eArr.length
+          val (ra0, rbeta) =
+            if (m == 0) {
+              val (_, _, _, zwN, wwN) = assemble(wg, eArr, 0)
+              (if (params.intercept) zwN / wwN else a0, Array.empty[Double])
+            } else {
+              val (aM, cMv, xwM, zw, ww) = assemble(wg, eArr, 0)
+              val init = Array.tabulate(m)(x2 => beta(eArr(x2)))
+              val r = CoordinateDescent.solve(aM, cMv, xwM, zw, ww, lam,
+                params.alpha, params.intercept, init,
+                thresh = newtonTol, maxIter = params.maxit)
+              (r.a0, r.beta)
+            }
+          val bFull = new Array[Double](p)
+          var x2 = 0
+          while (x2 < m) { bFull(eArr(x2)) = rbeta(x2); x2 += 1 }
+          val packN = actPack(ra0, bFull)
+          val (kkt, wgN) = passFused(eArr, packCur, packN)
+          val violators = (0 until p).filter(j => !posOf.contains(j) &&
+            math.abs(kkt(j)) > lam * params.alpha + tol)
+          if (violators.isEmpty) {
+            a0n = ra0; betaN = bFull; kktN = kkt; wgNext = wgN
+            stepDone = true
+          } else {
+            extendIdx(violators)
+            wg = passW(eIdx.toArray, packCur); wgESize = eIdx.size
+          }
+        }
+        var maxD = math.abs(a0n - a0)
+        var j = 0
+        while (j < p) {
+          val d = math.abs(betaN(j) - beta(j)); if (d > maxD) maxD = d
+          j += 1
+        }
+        System.arraycopy(betaN, 0, beta, 0, p)
+        a0 = a0n
+        grad = kktN
+        wg = wgNext
+        packCur = actPack(a0, beta)
+        iter += 1
+        if (maxD < math.max(params.thresh * 1e-2, 1e-8)) done = true
+      }
+      if (!dfGate.admit(j => beta(j) != 0.0)) { cutL = l; l = L }
+      else {
+        for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
+        a0Out(l)(0) = if (params.intercept)
+          a0 - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum
+        else a0
+        lamPrev = lam
+        l += 1
+      }
+    }
+    require(cutL > 0, "dfmax/pmax exclude every path point")
+    val lambdasT = lambdas.take(cutL)
+    val a0OutT = a0Out.take(cutL)
+    val betaOutT = betaOut.take(cutL)
+
+    // ------------------------- deviance: ONE sparse scan, per-l active
+    // coefficients on the ORIGINAL scale (sorted idx + binary search)
+    val actIdxL = betaOutT.map(bl => (0 until p).filter(bl(0)(_) != 0.0).toArray)
+    val actValL = actIdxL.zip(betaOutT).map { case (ixA, bl) => ixA.map(bl(0)) }
+    val a0L = a0OutT.map(_(0))
+    val muNull = if (params.intercept) yBar else 1.0
+    val bcPath = sc.broadcast((a0L, actIdxL, actValL))
+    val Lc = cutL
+    val devAcc = rows.treeAggregate(new Array[Double](Lc + 1))(
+      seqOp = (acc, r) => {
+        val (ix, vs, y) = r
+        val (a0s, ixs, vls) = bcPath.value
+        var l2 = 0
+        while (l2 < Lc) {
+          var eta = a0s(l2)
+          val ai = ixs(l2); val av = vls(l2)
+          var k = 0
+          while (k < ix.length) {
+            val s = java.util.Arrays.binarySearch(ai, ix(k))
+            if (s >= 0) eta += av(s) * vs(k)
+            k += 1
+          }
+          if (binom) {
+            val mx = math.max(eta, 0.0)
+            acc(l2) += 2.0 * (mx + math.log(math.exp(-mx) + math.exp(eta - mx)) - y * eta)
+          } else {
+            val mu = math.exp(math.max(math.min(eta, 30.0), -30.0))
+            val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+            acc(l2) += 2.0 * (ylog - (y - mu))
+          }
+          l2 += 1
+        }
+        if (!binom) {
+          val ylog = if (y > 0) y * math.log(y / muNull) else 0.0
+          acc(Lc) += 2.0 * (ylog - (y - muNull))
+        }
+        acc
+      },
+      combOp = (a, b2) => {
+        var i = 0; while (i <= Lc) { a(i) += b2(i); i += 1 }; a
+      }, depth = 2)
+    passes += 1
+    bcPath.destroy()
+    val nulldev =
+      if (binom) {
+        val nullP = if (params.intercept) yBar else 0.5
+        -2.0 * n * (SgdNet.safeXLog(yBar, nullP) +
+          SgdNet.safeXLog(1 - yBar, 1 - nullP))
+      } else devAcc(Lc)
+    val devRatio = Array.tabulate(Lc)(l2 =>
+      if (nulldev > 0) 1.0 - devAcc(l2) / nulldev else 0.0)
+
+    new SgdNetModel(family, (0 until p).map(j => s"V$j").toArray,
+      Array(labelCol), classes, lambdasT, a0OutT, betaOutT, nulldev,
+      devRatio, nL, passes, params)
   }
 
   private def requireGlmContract(params: SgdNetParams,

@@ -144,6 +144,86 @@ object PathQueries {
       .orderBy("lambda_idx", "term")
   }
 
+  /** Screened-Gram LARGE-DIM SPARSE route on the correctness board
+    * (round 18 — `LargeP.fitSparseGaussian`, the hashed-feature/CSR
+    * twin): the [[gaussLargeP]] fixture VERBATIM, encoded as
+    * (indices, values) rows and driven through the sparse multi-pass
+    * chassis (O(nnz) moment pass → slot-lookup slab passes →
+    * centering-corrected sparse gradient passes), so the oracle is
+    * byte-identical to q_gauss_largep and any divergence isolates the
+    * sparse chassis. */
+  def sparseLargeP(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Seq("f0") ++ (1 until 36).map(j => f"f$j%02d")
+    val featCols = (col("l_extendedprice").cast("double") / 1000.0 +
+      pmod(col("l_orderkey"), lit(3))).as("f0") +:
+      (1 until 36).map(j =>
+        pmod(col("l_orderkey") * (2 * j + 3) + col("l_linenumber") * (j + 1),
+          lit(23)).cast("double").as(f"f$j%02d"))
+    val li = tbl(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      .select(col("l_extendedprice").cast("double").as("y") +: featCols: _*)
+      .withColumn("sidx", array((0 until 36).map(lit): _*))
+      .withColumn("svals", array(feats.map(col): _*))
+    val g = graft.ml.SufficientStats.compute(
+      graft.ml.SufficientStats.toRdd(li, feats, Seq("y")), feats.size, 1)
+    val st = graft.ml.SufficientStats.standardize(g,
+      standardizeX = true, intercept = true)
+    val lmax = st.b(0).map(math.abs).max
+    val m = graft.ml.LargeP.fitSparseGaussian(li, "sidx", "svals", 36, "y",
+      SgdNetParams(alpha = 1.0, lambda = Array(lmax * 1.0001, lmax * 0.75),
+        thresh = 1e-9, maxit = 100000))
+    val rows = for {
+      l <- 0 until 2
+      (t, v) <- ("a0", m.a0(l)(0)) +:
+        feats.zipWithIndex.map { case (f, j) => (f, m.beta(l)(0)(j)) }
+    } yield (l, t, v)
+    rows.toDF("lambda_idx", "term", "value")
+      .select(col("lambda_idx").cast("int").as("lambda_idx"), col("term"),
+        (round(col("value"), 6) + lit(0.0)).as("value"))
+      .orderBy("lambda_idx", "term")
+  }
+
+  /** Screened LARGE-DIM SPARSE IRLS on the correctness board
+    * (round 18 — `LargeP.fitSparseBinomial`, the hashed-feature
+    * logistic path): the [[screenIrls]] fixture VERBATIM as CSR rows
+    * through the sparse fused-pass chassis (O(nnz) moments,
+    * driver-corrected weighted moment assembly, sparse KKT), so the
+    * oracle is byte-identical to q_screen_irls and any divergence
+    * isolates the sparse IRLS chassis. */
+  def sparseIrls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Seq("f0") ++ (1 until 36).map(j => f"f$j%02d")
+    val isR = (col("l_returnflag") === "R").cast("int")
+    val featCols = (isR * 4 + pmod(col("l_orderkey"), lit(3)))
+      .cast("double").as("f0") +: (1 until 36).map(j =>
+      pmod(col("l_orderkey") * (2 * j + 3) + col("l_linenumber") * (j + 1),
+        lit(23)).cast("double").as(f"f$j%02d"))
+    val li = tbl(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      .select(isR.as("is_r") +: featCols: _*)
+      .withColumn("sidx", array((0 until 36).map(lit): _*))
+      .withColumn("svals", array(feats.map(col): _*))
+    val g = graft.ml.SufficientStats.compute(
+      graft.ml.SufficientStats.toRdd(li, feats, Seq("is_r")),
+      feats.size, 1)
+    val st = graft.ml.SufficientStats.standardize(g,
+      standardizeX = true, intercept = true)
+    val lmax = st.b(0).map(math.abs).max
+    val m = graft.ml.LargeP.fitSparseBinomial(li, "sidx", "svals", 36,
+      "is_r", SgdNetParams(family = "binomial", alpha = 1.0,
+        lambda = Array(lmax * 1.0001, lmax * 0.75), thresh = 1e6))
+    val rows = for {
+      l <- 0 until 2
+      (t, v) <- ("a0", m.a0(l)(0)) +:
+        feats.zipWithIndex.map { case (f, j) => (f, m.beta(l)(0)(j)) }
+    } yield (l, t, v)
+    rows.toDF("lambda_idx", "term", "value")
+      .select(col("lambda_idx").cast("int").as("lambda_idx"), col("term"),
+        (round(col("value"), 6) + lit(0.0)).as("value"))
+      .orderBy("lambda_idx", "term")
+  }
+
   /** Screened-Gram LARGE-P CROSS-VALIDATION on the correctness board
     * (round 18 — `LargeP.cvGaussian`, the gaussian cv.glmnet surface
     * past the p² cliff): the [[gaussLargeP]] 36-feature fixture under

@@ -130,6 +130,107 @@ class LargePSpec extends SparkSpec {
       s"npasses = ${big.npasses}")
   }
 
+  // -------------------------------------------- sparse (CSR) twin
+
+  test("screened-Gram SPARSE path == full-Gram fitSparse == dense twin") {
+    // dense rows as CSR (exact same moments -> same path), plus a
+    // truly sparse fixture with structural zeros
+    val csr = data.select(col("y") +: names.map(col): _*)
+      .withColumn("sidx", array((0 until p).map(lit): _*))
+      .withColumn("svals", array(names.map(col): _*))
+    for ((alpha, std, icept) <- Seq((1.0, true, true), (0.5, true, true),
+        (1.0, true, false))) {
+      val prm = SgdNetParams(alpha = alpha, nlambda = 12, thresh = 1e-9,
+        maxit = 100000, standardize = std, intercept = icept)
+      val full = SgdNet.fitSparse(csr, "sidx", "svals", p, "y", prm)
+      val big = LargeP.fitSparseGaussian(csr, "sidx", "svals", p, "y", prm)
+      assertSame(big, full, 1e-7, s"sparse alpha=$alpha std=$std int=$icept")
+      val dense = LargeP.fitGaussian(data, names, "y", prm)
+      assertSame(big, dense, 1e-7, s"sparse==dense alpha=$alpha")
+    }
+    // structural zeros: drop every entry below 0.5 in magnitude
+    val rnd = new scala.util.Random(17)
+    val sp = (1 to 300).map { i =>
+      val ent = (0 until p).flatMap { j =>
+        val v = rnd.nextGaussian()
+        if (math.abs(v) > 0.8) Some((j, v * 2)) else None
+      }
+      val y = ent.collect {
+        case (0, v) => 1.5 * v
+        case (7, v) => -0.9 * v
+      }.sum + rnd.nextGaussian() * 0.3
+      (i.toLong, ent.map(_._1), ent.map(_._2), y)
+    }.toDF("rid", "sidx", "svals", "y")
+    val prm = SgdNetParams(alpha = 1.0, nlambda = 15, thresh = 1e-9,
+      maxit = 100000)
+    assertSame(LargeP.fitSparseGaussian(sp, "sidx", "svals", p, "y", prm),
+      SgdNet.fitSparse(sp, "sidx", "svals", p, "y", prm), 1e-7,
+      "structural-zeros")
+    // dfmax + contracts + the capped regime
+    val prmD = prm.copy(dfmax = 3)
+    assertSame(LargeP.fitSparseGaussian(sp, "sidx", "svals", p, "y", prmD),
+      SgdNet.fitSparse(sp, "sidx", "svals", p, "y", prmD), 1e-7,
+      "sparse-dfmax")
+    intercept[IllegalArgumentException] {
+      LargeP.fitSparseGaussian(sp, "sidx", "svals", p, "y",
+        SgdNetParams(alpha = 0.0))
+    }
+    // capped regime needs a SELECTIVE path (the gaussian capped test's
+    // lesson: a dense default-min-ratio path drives |E| past any cap)
+    val l0s = SgdNet.fitSparse(sp, "sidx", "svals", p, "y",
+      SgdNetParams(alpha = 1.0, nlambda = 3, thresh = 1e-9)).lambda(0)
+    val prmS = SgdNetParams(alpha = 1.0,
+      lambda = Array(1.0, 0.75, 0.56, 0.42).map(_ * l0s), thresh = 1e-9,
+      maxit = 100000)
+    val ref = SgdNet.fitSparse(sp, "sidx", "svals", p, "y", prmS)
+    val saved = SgdNet.maxGramP
+    SgdNet.maxGramP = 16
+    try {
+      intercept[IllegalArgumentException] {
+        SgdNet.fitSparse(sp, "sidx", "svals", p, "y", prmS)
+      }
+      assertSame(
+        LargeP.fitSparseGaussian(sp, "sidx", "svals", p, "y", prmS), ref,
+        1e-7, "sparse-capped")
+    } finally SgdNet.maxGramP = saved
+  }
+
+  test("screened SPARSE IRLS == full sparse IRLS == dense screened twin") {
+    val csr = glmData.select(col("yb") +: col("yp") +: names.map(col): _*)
+      .withColumn("sidx", array((0 until p).map(lit): _*))
+      .withColumn("svals", array(names.map(col): _*))
+    for ((alpha, icept) <- Seq((1.0, true), (0.5, true), (1.0, false))) {
+      val prmB = SgdNetParams(family = "binomial", alpha = alpha,
+        nlambda = 10, thresh = 1e-9, maxit = 100000, intercept = icept)
+      val full = SgdNet.fitSparse(csr, "sidx", "svals", p, "yb", prmB)
+      val big = LargeP.fitSparseBinomial(csr, "sidx", "svals", p, "yb", prmB)
+      assertSame(big, full, 1e-6, s"sparse-binom alpha=$alpha int=$icept")
+      val dense = LargeP.fitBinomial(glmData, names, "yb", prmB)
+      assertSame(big, dense, 1e-6, s"sparse==dense-binom alpha=$alpha")
+    }
+    val prmP = SgdNetParams(family = "poisson", alpha = 1.0, nlambda = 10,
+      thresh = 1e-9, maxit = 100000)
+    assertSame(
+      LargeP.fitSparsePoisson(csr, "sidx", "svals", p, "yp", prmP),
+      SgdNet.fitSparse(csr, "sidx", "svals", p, "yp", prmP), 1e-6,
+      "sparse-poisson")
+    // dfmax + contracts
+    val prmD = SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 15,
+      thresh = 1e-9, maxit = 100000, dfmax = 2)
+    assertSame(
+      LargeP.fitSparseBinomial(csr, "sidx", "svals", p, "yb", prmD),
+      SgdNet.fitSparse(csr, "sidx", "svals", p, "yb", prmD), 1e-6,
+      "sparse-binom-dfmax")
+    intercept[IllegalArgumentException] {
+      LargeP.fitSparseBinomial(csr, "sidx", "svals", p, "yb",
+        SgdNetParams(family = "binomial", alpha = 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      LargeP.fitSparsePoisson(csr, "sidx", "svals", p, "yp",
+        SgdNetParams(family = "binomial"))
+    }
+  }
+
   // ---------------------------------------------- screened-Gram CV
 
   private def assertSameCv(a: CvSgdNet.CvResult, b: CvSgdNet.CvResult,
