@@ -266,6 +266,71 @@ object ScaleProbe {
             f"passes=${big.npasses}")
           big.lambda.length.toLong
         }
+      case "largepsparseirls" =>
+        // round 18: sparse screened IRLS (LargeP.fitSparseBinomial)
+        // at hashed-feature dims — the quality-classifier regime.
+        // args = largepsparseirls <n> <dim> <nnzPerRow> <nlambda>
+        // <mode: both|big> [minRatio]
+        val nRows = args(1).toLong
+        val dimP = args(2).toInt
+        val nnz = args(3).toInt
+        val nl = args(4).toInt
+        val mode = args(5)
+        import spark.implicits._
+        val sig = Array(17 % dimP, 4099 % dimP, 65537 % dimP,
+          262139 % dimP).distinct
+        val ds = spark.sparkContext.range(0L, nRows,
+            numSlices = cpus.toInt).map { i =>
+          val rnd = new scala.util.Random(i * 2654435761L + 4242)
+          val ix0 = (Array.fill(nnz)(rnd.nextInt(dimP)) ++
+            sig.filter(_ => rnd.nextDouble() < 0.6)).distinct.sorted
+          val vs0 = ix0.map(_ => rnd.nextGaussian())
+          val eta = ix0.zip(vs0).collect {
+            case (j, v) if j == sig(0) => 1.5 * v
+            case (j, v) if sig.length > 1 && j == sig(1) => -0.9 * v
+            case (j, v) if sig.length > 2 && j == sig(2) => 0.6 * v
+            case (j, v) if sig.length > 3 && j == sig(3) => -0.4 * v
+          }.sum
+          val y = if (rnd.nextDouble() < 1.0 / (1.0 + math.exp(-eta))) 1.0
+            else 0.0
+          (ix0, vs0, y)
+        }.toDF("sidx", "svals", "y")
+        ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ds.count()
+        val minRatio = if (args.length > 6) args(6).toDouble else Double.NaN
+        val prm = ml.SgdNetParams(family = "binomial", alpha = 1.0,
+          nlambda = nl, lambdaMinRatio = minRatio, thresh = 1e-7,
+          maxit = 100000)
+        def t1i[T](f: => T): (T, Double) = {
+          val t = System.nanoTime()
+          val r = f; (r, (System.nanoTime() - t) / 1e9)
+        }
+        if (mode == "both") {
+          val (_, twarm) = t1i(ml.SgdNet.fitSparse(ds, "sidx", "svals",
+            dimP, "y", prm))
+          val (full, tf) = t1i(ml.SgdNet.fitSparse(ds, "sidx", "svals",
+            dimP, "y", prm))
+          val (big, tb) = t1i(ml.LargeP.fitSparseBinomial(ds, "sidx",
+            "svals", dimP, "y", prm))
+          var md = 0.0
+          for (l <- full.lambda.indices; j <- 0 until dimP)
+            md = math.max(md,
+              math.abs(full.beta(l)(0)(j) - big.beta(l)(0)(j)))
+          val dfLast = big.beta.last.head.count(_ != 0.0)
+          println(f"probe_largepsparseirls dim=$dimP n=$nRows nnz=$nnz " +
+            f"L=${full.lambda.length} df_last=$dfLast full=$tf%.2f " +
+            f"(warm $twarm%.2f) screened=$tb%.2f passes=${big.npasses} " +
+            f"maxdiff=$md%.2e")
+          full.lambda.length.toLong
+        } else {
+          val (big, tb) = t1i(ml.LargeP.fitSparseBinomial(ds, "sidx",
+            "svals", dimP, "y", prm))
+          val dfLast = big.beta.last.head.count(_ != 0.0)
+          println(f"probe_largepsparseirls dim=$dimP n=$nRows nnz=$nnz " +
+            f"L=${big.lambda.length} df_last=$dfLast screened=$tb%.2f " +
+            f"passes=${big.npasses}")
+          big.lambda.length.toLong
+        }
       case "largepcv" =>
         // round 18: screened-Gram batched CV (LargeP.cvGaussian) vs
         // the per-fold-Gram moment CV (CvSgdNet.fit). args =
