@@ -80,6 +80,7 @@ object SparkEntry {
     "q_cv_largep"        -> (PathQueries.cvLargeP _),
     "q_sparse_largep"    -> (PathQueries.sparseLargeP _),
     "q_sparse_irls"      -> (PathQueries.sparseIrls _),
+    "q_weighted_largep"  -> (PathQueries.weightedLargeP _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
     "q_cv_deviance"      -> (PathQueries.cvDeviance _),
@@ -713,6 +714,55 @@ object SparkEntry {
        |FROM curve ORDER BY lambda_idx""".stripMargin
   }
 
+  /** q_weighted_largep oracle (round 18), generated: the weighted
+    * twin of [[gaussLargePSql]] — every moment a weighted sum ratio
+    * (Σw·x/Σw), the single active coefficient the weighted
+    * soft-threshold closed form, a0 the weighted mean adjusted by
+    * b·m. Two CTE levels (raw weighted sums, then ratios) keep the
+    * SQL portable. */
+  private def weightedLargePSql: String = {
+    val names = Seq("f0") ++ (1 until 36).map(j => f"f$j%02d")
+    val featDefs = ("(l_extendedprice::DOUBLE / 1000 + l_orderkey % 3) " +
+      "AS f0") +: (1 until 36).map(j =>
+      f"((l_orderkey*${2 * j + 3} + l_linenumber*${j + 1}) %% 23)::DOUBLE AS f$j%02d")
+    val sumDefs = names.map(f =>
+      s"sum(w*$f) sf_$f, sum(w*$f*$f) sff_$f, sum(w*$f*y) sfy_$f")
+    val ratioDefs = names.map(f =>
+      s"sf_$f/sw AS m_$f, " +
+        s"sqrt(sff_$f/sw - (sf_$f/sw)*(sf_$f/sw)) AS s_$f, " +
+        s"(sfy_$f/sw - (sf_$f/sw)*ym) / " +
+        s"sqrt(sff_$f/sw - (sf_$f/sw)*(sf_$f/sw)) AS c_$f")
+    val lmax = names.map(f => s"abs(c_$f)").mkString("greatest(", ", ", ")")
+    val coefDefs = names.map(f =>
+      s"sign(c_$f)*greatest(abs(c_$f) - lam, 0)/s_$f AS b_$f")
+    val a0Adj = names.map(f => s"b_$f*m_$f").mkString(" + ")
+    val rows0 =
+      ("SELECT 0 AS lambda_idx, 'a0' AS term, " +
+        "round(ym, 6) + 0.0 AS value FROM coefs") +:
+        names.map(f => s"SELECT 0, '$f', 0.0 FROM coefs")
+    val rows1 =
+      (s"SELECT 1, 'a0', round(ym - ($a0Adj), 6) + 0.0 FROM coefs") +:
+        names.map(f => s"SELECT 1, '$f', round(b_$f, 6) + 0.0 FROM coefs")
+    s"""WITH r AS MATERIALIZED (
+       |  SELECT l_extendedprice::DOUBLE AS y,
+       |    (l_orderkey % 3 + 1)::DOUBLE AS w,
+       |    ${featDefs.mkString(",\n    ")}
+       |  FROM lineitem WHERE l_orderkey % 4 = 0),
+       |s0 AS (SELECT sum(w) sw, sum(w*y) swy,
+       |  ${sumDefs.mkString(",\n  ")}
+       |  FROM r),
+       |s AS (SELECT sw, swy/sw AS ym,
+       |  ${ratioDefs.mkString(",\n  ")}
+       |  FROM s0),
+       |g AS (SELECT *, $lmax AS lmax FROM s),
+       |lm AS (SELECT *, 0.75*lmax AS lam FROM g),
+       |coefs AS (SELECT *,
+       |  ${coefDefs.mkString(",\n  ")}
+       |  FROM lm)
+       |${(rows0 ++ rows1).mkString("\nUNION ALL ")}
+       |ORDER BY lambda_idx, term""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL for each SQL-expressible query. */
   def oracleSql: Map[String, String] = {
     val base = Map(
@@ -725,6 +775,7 @@ object SparkEntry {
     // the sparse screened IRLS chassis on the q_screen_irls fixture —
     // byte-identical one-IRLS-step closed-form oracle
     "q_sparse_irls" -> screenIrlsSql,
+    "q_weighted_largep" -> weightedLargePSql,
     // the screened large-p IRLS chassis on the SAME fixture, grid and
     // one-step discipline as q_screen_irls — the oracle is the same
     // closed form byte-for-byte (divergence isolates the chassis)

@@ -41,13 +41,25 @@ import org.apache.spark.storage.StorageLevel
   * coordinate — screening is vacuous), no penalty factors / box
   * limits / sgdnetCompat (those compose with the full-Gram route,
   * which large-p users reach after dimensionality reduction).
-  * standardize and intercept both honored. Verified equal to
-  * [[SgdNet.fit]] on every shared regime by LargePSpec.
+  * standardize and intercept both honored; round 18 adds `weightCol`
+  * (glmnet weights as pure ratio forms — v ≡ 1 reproduces the
+  * unweighted arithmetic bitwise) and `offsetCol` (the identity-link
+  * y − offset reduction). Verified equal to [[SgdNet.fit]] /
+  * [[SgdNet.fitWeighted]] on every shared regime by LargePSpec.
   */
 object LargeP {
 
+  /** `weightCol` (round 18): glmnet `weights` through the screened
+    * route — sum-to-n normalized frequency weights applied as pure
+    * RATIO forms (every moment divides by Σv instead of n, which for
+    * v ≡ 1 reproduces the unweighted arithmetic bitwise), w = 0 drops
+    * the row, equal to [[SgdNet.fitWeighted]] structurally.
+    * `offsetCol`: identity link — the exact y − offset reduction every
+    * gaussian offset route uses. */
   def fitGaussian(df: DataFrame, featureCols: Seq[String], labelCol: String,
-                  params: SgdNetParams = SgdNetParams()): SgdNetModel = {
+                  params: SgdNetParams = SgdNetParams(),
+                  weightCol: String = null,
+                  offsetCol: String = null): SgdNetModel = {
     require(params.family == "gaussian",
       s"LargeP.fitGaussian supports gaussian, not ${params.family}")
     require(params.alpha > 0,
@@ -72,30 +84,47 @@ object LargeP {
     val p = featureCols.size
     val sc = df.sparkSession.sparkContext
 
-    val rows = SufficientStats.toRdd(df, featureCols, Seq(labelCol))
-      .map { case (x, y) => (x, y(0)) }
+    // offset: the identity-link reduction; weights ride along as a
+    // third row slot (1.0 when unweighted — the ratio forms below then
+    // reproduce the unweighted arithmetic bitwise)
+    val adj = if (offsetCol == null) df
+      else df.withColumn(labelCol,
+        org.apache.spark.sql.functions.col(labelCol).cast("double") -
+          org.apache.spark.sql.functions.col(offsetCol).cast("double"))
+    val labCols = if (weightCol == null) Seq(labelCol)
+      else Seq(labelCol, weightCol)
+    val rows0 = SufficientStats.toRdd(adj, featureCols, labCols)
+      .map { case (x, y) => (x, y(0), if (y.length > 1) y(1) else 1.0) }
+    val rows = (if (weightCol == null) rows0
+      else rows0.map { t =>
+        require(t._3 >= 0, "weights must be non-negative")
+        t
+      }.filter(_._3 > 0))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // ---------------------------------------------- pass A: O(p) moments
-      val accA = rows.treeAggregate(new Array[Double](3 * p + 3))(
+      val accA = rows.treeAggregate(new Array[Double](3 * p + 4))(
         seqOp = (a, r) => {
-          val x = r._1; val y = r._2
+          val x = r._1; val y = r._2; val v = r._3
           var j = 0
           while (j < p) {
-            val xj = x(j)
-            a(j) += xj; a(p + j) += xj * xj; a(2 * p + j) += xj * y
+            val xj = v * x(j)
+            a(j) += xj; a(p + j) += xj * x(j); a(2 * p + j) += xj * y
             j += 1
           }
-          a(3 * p) += 1.0; a(3 * p + 1) += y; a(3 * p + 2) += y * y
+          a(3 * p) += 1.0; a(3 * p + 1) += v * y; a(3 * p + 2) += v * y * y
+          a(3 * p + 3) += v
           a
         },
         combOp = (a, b) => {
           var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
         }, depth = 2)
       var passes = 1
-      val nD = accA(3 * p)
-      require(nD > 0, "the response (y) is empty.")
-      val nL = nD.toLong
+      val nRows = accA(3 * p)
+      require(nRows > 0, "the response (y) is empty.")
+      val nL = nRows.toLong
+      // every moment ratio divides by Σv (== row count when unweighted)
+      val nD = accA(3 * p + 3)
       val mean = Array.tabulate(p)(j => accA(j) / nD)
       val xSd = Array.tabulate(p) { j =>
         val v = math.max(accA(p + j) / nD - mean(j) * mean(j), 0.0)
@@ -141,16 +170,17 @@ object LargeP {
         val nn = newCols.toArray
         val eAfter = oldE ++ nn
         val bc = sc.broadcast((nn, eAfter))
-        // RAW cross moments (same accumulation shape as GramStats.xtx);
-        // centered/standardized driver-side with the standardize formula
+        // RAW v-weighted cross moments (same accumulation shape as
+        // GramStats.xtx); centered/standardized driver-side with the
+        // standardize formula (v ≡ 1 unweighted — bitwise unchanged)
         val acc = rows.treeAggregate(
             new Array[Double](nn.length * eAfter.length))(
           seqOp = (a, r) => {
-            val x = r._1
+            val x = r._1; val v = r._3
             val (nnL, eL) = bc.value
             var ai = 0
             while (ai < nnL.length) {
-              val xa = x(nnL(ai))
+              val xa = v * x(nnL(ai))
               val base = ai * eL.length
               var bi = 0
               while (bi < eL.length) { a(base + bi) += xa * x(eL(bi)); bi += 1 }
@@ -188,7 +218,7 @@ object LargeP {
         val bc = sc.broadcast((act, bAct, center, scale))
         val acc = rows.treeAggregate(new Array[Double](p))(
           seqOp = (a, r) => {
-            val x = r._1
+            val x = r._1; val v = r._3
             val (actL, bL, ctr, scl) = bc.value
             var s = 0.0
             var i = 0
@@ -197,6 +227,7 @@ object LargeP {
               s += bL(i) * (x(j) - ctr(j)) / scl(j)
               i += 1
             }
+            s *= v
             var j = 0
             while (j < p) { a(j) += (x(j) - ctr(j)) / scl(j) * s; j += 1 }
             a
@@ -212,7 +243,7 @@ object LargeP {
       // ----------------------------------------------------- path loop
       val L = lambdas.length
       val ySecond = if (params.intercept) yVar else yVar + yMean * yMean
-      val nulldev = nD * ySecond
+      val nulldev = nRows * ySecond  // row count, the solveGaussianFromStats g.n scale
       val a0Out = Array.ofDim[Double](L, 1)
       val betaOut = Array.ofDim[Double](L, 1, p)
       val devRatio = new Array[Double](L)
@@ -260,7 +291,7 @@ object LargeP {
             gq += beta(j) * s
           }
           val rssOverN = ySecond - 2 * bb + gq
-          devRatio(l) = if (nulldev > 0) 1.0 - nD * rssOverN / nulldev else 0.0
+          devRatio(l) = if (nulldev > 0) 1.0 - nRows * rssOverN / nulldev else 0.0
           for (j <- 0 until p) betaOut(l)(0)(j) = beta(j) / scale(j)
           a0Out(l)(0) = if (params.intercept)
             yMean - (0 until p).map(j => betaOut(l)(0)(j) * mean(j)).sum

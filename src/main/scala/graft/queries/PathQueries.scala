@@ -184,6 +184,68 @@ object PathQueries {
       .orderBy("lambda_idx", "term")
   }
 
+  /** WEIGHTED screened large-p route on the correctness board
+    * (round 18 — `LargeP.fitGaussian(weightCol)`, glmnet `weights`
+    * past the p² cliff): the [[gaussLargeP]] fixture with an integer
+    * weight column w = 1 + l_orderkey % 3, same two-point grid on the
+    * WEIGHTED λmax — every moment in the engine's ratio forms
+    * (Σv·x/Σv) is recomputed by DuckDB as weighted sums, and the
+    * single active coefficient is the weighted soft-threshold closed
+    * form at both path points. */
+  def weightedLargeP(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Seq("f0") ++ (1 until 36).map(j => f"f$j%02d")
+    val featCols = (col("l_extendedprice").cast("double") / 1000.0 +
+      pmod(col("l_orderkey"), lit(3))).as("f0") +:
+      (1 until 36).map(j =>
+        pmod(col("l_orderkey") * (2 * j + 3) + col("l_linenumber") * (j + 1),
+          lit(23)).cast("double").as(f"f$j%02d"))
+    val li = tbl(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      .select(col("l_extendedprice").cast("double").as("y") +:
+        (pmod(col("l_orderkey"), lit(3)) + lit(1)).cast("double").as("w") +:
+        featCols: _*)
+    // weighted lambda_max from ONE typed moment pass (ratio forms)
+    val pN = feats.size
+    val rdd = li.select((feats.map(c => col(c)) :+ col("y") :+ col("w")): _*)
+      .rdd.map { r =>
+        val x = Array.tabulate(pN)(j => r.getDouble(j))
+        (x, r.getDouble(pN), r.getDouble(pN + 1))
+      }
+    val acc = rdd.treeAggregate(new Array[Double](3 * pN + 2))(
+      (a, t) => {
+        val (x, y, w) = t
+        var j = 0
+        while (j < pN) {
+          val wx = w * x(j)
+          a(j) += wx; a(pN + j) += wx * x(j); a(2 * pN + j) += wx * y
+          j += 1
+        }
+        a(3 * pN) += w; a(3 * pN + 1) += w * y
+        a
+      },
+      (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a },
+      depth = 2)
+    val sw = acc(3 * pN); val ym = acc(3 * pN + 1) / sw
+    val lmax = (0 until pN).map { j =>
+      val m = acc(j) / sw
+      val sd = math.sqrt(math.max(acc(pN + j) / sw - m * m, 0.0))
+      if (sd > 0) math.abs((acc(2 * pN + j) / sw - m * ym) / sd) else 0.0
+    }.max
+    val m = graft.ml.LargeP.fitGaussian(li, feats, "y",
+      SgdNetParams(alpha = 1.0, lambda = Array(lmax * 1.0001, lmax * 0.75),
+        thresh = 1e-9, maxit = 100000), weightCol = "w")
+    val rows = for {
+      l <- 0 until 2
+      (t, v) <- ("a0", m.a0(l)(0)) +:
+        feats.zipWithIndex.map { case (f, j) => (f, m.beta(l)(0)(j)) }
+    } yield (l, t, v)
+    rows.toDF("lambda_idx", "term", "value")
+      .select(col("lambda_idx").cast("int").as("lambda_idx"), col("term"),
+        (round(col("value"), 6) + lit(0.0)).as("value"))
+      .orderBy("lambda_idx", "term")
+  }
+
   /** Screened LARGE-DIM SPARSE IRLS on the correctness board
     * (round 18 — `LargeP.fitSparseBinomial`, the hashed-feature
     * logistic path): the [[screenIrls]] fixture VERBATIM as CSR rows

@@ -130,6 +130,55 @@ class LargePSpec extends SparkSpec {
       s"npasses = ${big.npasses}")
   }
 
+  test("weights and offset through the screened gaussian route") {
+    val rnd = new scala.util.Random(53)
+    val wdata = data.withColumn("w",
+      (pmod(col("rid") * 7, lit(3)) + lit(1)).cast("double"))
+      .withColumn("off", (col("x3") * 0.5 + col("x11") * 0.2))
+    val prm = SgdNetParams(alpha = 1.0, nlambda = 12, thresh = 1e-9,
+      maxit = 100000)
+    // weighted == the full-Gram weighted route
+    val full = SgdNet.fitWeighted(wdata, names, "y", "w", prm)
+    val big = LargeP.fitGaussian(wdata, names, "y", prm, weightCol = "w")
+    assertSame(big, full, 1e-7, "weighted")
+    // integer weights == row duplication through the screened chassis
+    // (nulldev excepted: it scales with the ROW COUNT — 400 weighted
+    // rows vs ~800 duplicated — exactly like the full weighted route;
+    // the scale-free devRatio and all coefficients must agree)
+    val dup = wdata.withColumn("k", col("w").cast("int"))
+      .withColumn("k", explode(sequence(lit(1), col("k"))))
+    val dupFit = LargeP.fitGaussian(dup, names, "y", prm)
+    assert(big.lambda.length == dupFit.lambda.length, "dup path length")
+    for (l <- big.lambda.indices) {
+      assert(math.abs(big.lambda(l) - dupFit.lambda(l)) <=
+        1e-6 * math.max(1.0, dupFit.lambda(l)), s"dup lambda($l)")
+      assert(math.abs(big.a0(l)(0) - dupFit.a0(l)(0)) < 1e-6, s"dup a0($l)")
+      assert(math.abs(big.devRatio(l) - dupFit.devRatio(l)) < 1e-6,
+        s"dup devRatio($l)")
+      for (j <- 0 until p)
+        assert(math.abs(big.beta(l)(0)(j) - dupFit.beta(l)(0)(j)) < 1e-6,
+          s"dup beta($l)($j)")
+    }
+    // zero weights drop the row
+    val wz = wdata.withColumn("w0",
+      when(pmod(col("rid"), lit(5)) === 0, 0.0).otherwise(col("w")))
+    assertSame(
+      LargeP.fitGaussian(wz, names, "y", prm, weightCol = "w0"),
+      LargeP.fitGaussian(wz.filter(col("w0") > 0), names, "y", prm,
+        weightCol = "w0"), 1e-9, "zero-weight-drop")
+    // offset == the y − offset reduction; composes with weights
+    assertSame(
+      LargeP.fitGaussian(wdata, names, "y", prm, offsetCol = "off"),
+      LargeP.fitGaussian(wdata.withColumn("y", col("y") - col("off")),
+        names, "y", prm), 1e-9, "offset")
+    assertSame(
+      LargeP.fitGaussian(wdata, names, "y", prm, weightCol = "w",
+        offsetCol = "off"),
+      SgdNet.fitWeighted(wdata.withColumn("y", col("y") - col("off")),
+        names, "y", "w", prm), 1e-7, "weighted+offset")
+    ()
+  }
+
   // -------------------------------------------- sparse (CSR) twin
 
   test("screened-Gram SPARSE path == full-Gram fitSparse == dense twin") {
