@@ -81,6 +81,9 @@ object SparkEntry {
     "q_sparse_largep"    -> (PathQueries.sparseLargeP _),
     "q_sparse_irls"      -> (PathQueries.sparseIrls _),
     "q_weighted_largep"  -> (PathQueries.weightedLargeP _),
+    "q_irls_weighted_largep" -> (PathQueries.irlsWeightedLargeP _),
+    "q_cv_irls_largep"   -> (PathQueries.cvIrlsLargeP _),
+    "q_irls_offset_largep" -> (PathQueries.irlsOffsetLargeP _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
     "q_cv_deviance"      -> (PathQueries.cvDeviance _),
@@ -2997,6 +3000,16 @@ object SparkEntry {
       // scoring adds it back, so the deviance surface reproduces the
       // no-offset oracle byte-identically (exact only when the offset
       // algebra is right in every stage)
-      ("q_cv_relaxed_binom_offset" -> base("q_cv_relaxed_binom"))
+      ("q_cv_relaxed_binom_offset" -> base("q_cv_relaxed_binom")) +
+      // round 18: weights and offset through the screened-Gram IRLS
+      // chassis — the q_weighted_binom / q_binom_offset_fit fixtures
+      // VERBATIM through LargeP.fitBinomial(weightCol/offsetCol), so
+      // the oracles are byte-identical and divergence isolates the
+      // weighted/offset screened routes
+      ("q_irls_weighted_largep" -> base("q_weighted_binom")) +
+      ("q_irls_offset_largep" -> base("q_binom_offset_fit")) +
+      // round 18: the batched screened-Gram GLM CV (lockstep-Newton
+      // IRLS CV past the p^2 cliff) — the q_cv_auc fixture VERBATIM
+      ("q_cv_irls_largep" -> base("q_cv_auc"))
   }
 }

@@ -5398,7 +5398,7 @@ object CvSgdNet {
     * contribution pos·(cum + cnt/2) and correction P²/2 instead of the
     * integer-rank pos·(cum + (cnt+1)/2) and P(P+1)/2 (the two agree
     * exactly when every v = 1: the Σpos·½ = P/2 halves cancel). */
-  private def aucPerGroup(scored: DataFrame, nGroups: Int,
+  private[ml] def aucPerGroup(scored: DataFrame, nGroups: Int,
                           maxLocalCells: Long = 1L << 20,
                           weightCol: String = null): Array[Double] = {
     val grouped = scored.groupBy(col("__g"), col("__s"))

@@ -1054,6 +1054,657 @@ object LargeP {
     } finally rows.unpersist(blocking = false)
   }
 
+  // -------------------------------------------------------------- GLM CV
+
+  /** Screened-Gram IRLS CROSS-VALIDATION for LARGE p (round 18 — the
+    * binomial cv.glmnet surface past the p² cliff): reproduces the
+    * shared-pass GLM CV semantics of `CvSgdNet.fit` (all nfolds+1
+    * models advance in LOCKSTEP — the full-data model rides as the
+    * virtual empty fold; per-training-fold standardization from
+    * moment subtraction; the lambda grid from the full-data
+    * standardized gradient; held-out deviance/mse/mae/class from one
+    * scoring pass, auc from the fold-partitioned rank chain; identical
+    * cvm/cvsd/lambda.min/lambda.1se arithmetic) while holding
+    * O(M·|E|²) driver state instead of the shared route's
+    * (nfolds+1)·p²/2 weighted Grams. Each Newton round is the
+    * [[fitBinomial]] fused discipline BATCHED across models: ONE pass
+    * computes every active model's full-p WLS KKT vector at its
+    * candidate point (frozen weights) AND its next-step weighted
+    * moments over the grow-only UNION candidate set E — violators
+    * re-enter E and the step re-solves, so each model's path equals
+    * its full-Gram shared-CV twin within the convergence tolerance
+    * (the same optimality slack the shared route's gram-carry has).
+    * Per-model a0/beta/grad is M·p driver state; the alpha grid
+    * shares the moment pass and E. Same contract surface as
+    * [[fitBinomial]] plus nfolds ≥ 2; measures
+    * deviance|mse|mae|class|auc (selection minimizes cvm for EVERY
+    * measure — the documented reference-parity which.min convention,
+    * auc included). */
+  def cvBinomial(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                 params: SgdNetParams = SgdNetParams(family = "binomial"),
+                 nfolds: Int = 10,
+                 alphas: Seq[Double] = Seq.empty,
+                 measure: String = "deviance",
+                 foldCol: org.apache.spark.sql.Column = null): CvSgdNet.CvResult = {
+    require(params.family == "binomial",
+      s"LargeP.cvBinomial supports binomial, not ${params.family}")
+    require(Set("deviance", "mse", "mae", "class", "auc").contains(measure),
+      s"unknown type.measure '$measure' (want deviance|mse|mae|class|auc)")
+    cvGlmImpl(df, featureCols, labelCol, "binomial", params, nfolds,
+      alphas, measure, foldCol)
+  }
+
+  /** Poisson twin of [[cvBinomial]] (log link, the [[fitPoisson]]
+    * conventions; measures deviance|mse|mae — class/auc are
+    * binomial-only, as in `CvSgdNet.fit`). */
+  def cvPoisson(df: DataFrame, featureCols: Seq[String], labelCol: String,
+                params: SgdNetParams = SgdNetParams(family = "poisson"),
+                nfolds: Int = 10,
+                alphas: Seq[Double] = Seq.empty,
+                measure: String = "deviance",
+                foldCol: org.apache.spark.sql.Column = null): CvSgdNet.CvResult = {
+    require(params.family == "poisson",
+      s"LargeP.cvPoisson supports poisson, not ${params.family}")
+    require(Set("deviance", "mse", "mae").contains(measure),
+      s"large-p poisson CV supports deviance|mse|mae, not '$measure'")
+    cvGlmImpl(df, featureCols, labelCol, "poisson", params, nfolds,
+      alphas, measure, foldCol)
+  }
+
+  private def cvGlmImpl(df: DataFrame, featureCols: Seq[String],
+                        labelCol: String, family: String,
+                        params: SgdNetParams, nfolds: Int,
+                        alphas: Seq[Double], measure: String,
+                        foldCol: org.apache.spark.sql.Column): CvSgdNet.CvResult = {
+    import org.apache.spark.sql.functions.col
+    val binom = family == "binomial"
+    require(nfolds >= 2, "nfolds must be at least 2")
+    requireGlmContract(params, featureCols)
+    val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
+    alphaGrid.foreach(a => require(a > 0 && a <= 1,
+      "the screened-Gram GLM CV needs every alpha in (0, 1] (at " +
+        "alpha = 0 every coordinate is active and the per-model " +
+        "weighted Gram IS p x p)"))
+    val p = featureCols.size
+    val sc = df.sparkSession.sparkContext
+    val M = nfolds + 1 // models: 0..nfolds-1 exclude that fold; nfolds = full
+
+    val classes: Array[String] =
+      if (binom) {
+        val cs = df.select(col(labelCol).cast("string")).distinct()
+          .limit(3).collect().map(_.getString(0)).sorted
+        require(cs.length == 2,
+          if (cs.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
+          else "only one class in response.")
+        cs
+      } else Array.empty
+    val yExpr =
+      if (binom) (col(labelCol).cast("string") === classes(1)).cast("double")
+      else col(labelCol).cast("double")
+
+    val hashCols = (featureCols :+ labelCol).map(col)
+    val withFold = df.withColumn("__fold",
+      CvSgdNet.foldExpr(foldCol, hashCols, nfolds).cast("int"))
+    val rows = withFold
+      .select((featureCols.map(c => col(c).cast("double")) :+ yExpr :+
+        col("__fold")): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = r.getDouble(j); j += 1 }
+        (r.getInt(p + 1), x, r.getDouble(p))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ------------------------------ pass A: per-fold O(p) moments
+      val accA = rows.treeAggregate(
+          Array.fill(nfolds)(new Array[Double](3 * p + 3)))(
+        seqOp = (acc, t) => {
+          val a = acc(t._1); val x = t._2; val y = t._3
+          var j = 0
+          while (j < p) {
+            val xj = x(j)
+            a(j) += xj; a(p + j) += xj * xj; a(2 * p + j) += xj * y
+            j += 1
+          }
+          a(3 * p) += 1.0; a(3 * p + 1) += y; a(3 * p + 2) += y * y
+          acc
+        },
+        combOp = (a, b) => {
+          var f = 0
+          while (f < nfolds) {
+            val af = a(f); val bf = b(f)
+            var i = 0
+            while (i < af.length) { af(i) += bf(i); i += 1 }
+            f += 1
+          }
+          a
+        }, depth = 2)
+      var passes = 1
+      CvSgdNet.requireNonEmptyFolds(
+        accA.map(_(3 * p).toLong).toIndexedSeq, nfolds)
+      val momTot = new Array[Double](3 * p + 3)
+      accA.foreach { a =>
+        var i = 0; while (i < momTot.length) { momTot(i) += a(i); i += 1 }
+      }
+      val mom = Array.tabulate(M) { m =>
+        if (m == nfolds) momTot
+        else {
+          val t = momTot.clone()
+          val a = accA(m)
+          var i = 0; while (i < t.length) { t(i) -= a(i); i += 1 }
+          t
+        }
+      }
+      val nM = Array.tabulate(M)(m => mom(m)(3 * p))
+      val meanM = Array.tabulate(M, p)((m, j) => mom(m)(j) / nM(m))
+      val sdM = Array.tabulate(M, p) { (m, j) =>
+        val v = math.max(mom(m)(p + j) / nM(m) - meanM(m)(j) * meanM(m)(j), 0.0)
+        val s = math.sqrt(v); if (s > 0) s else 1.0
+      }
+      val scaleM = Array.tabulate(M)(m =>
+        if (params.standardize) sdM(m) else Array.fill(p)(1.0))
+      val centerM = Array.tabulate(M)(m =>
+        if (params.intercept) meanM(m) else new Array[Double](p))
+      val yMeanM = Array.tabulate(M)(m => mom(m)(3 * p + 1) / nM(m))
+      if (!binom) (0 until M).foreach(m => require(yMeanM(m) > 0,
+        "poisson response must contain positive counts in every train fold"))
+      val yCenM = Array.tabulate(M)(m => if (params.intercept) yMeanM(m) else 0.0)
+      // standardized null covariance per model (the lambda-path input
+      // and, at an intercept-only init, the exact init gradient)
+      val cM = Array.tabulate(M, p)((m, j) =>
+        (mom(m)(2 * p + j) / nM(m) - centerM(m)(j) * yMeanM(m) -
+          yCenM(m) * meanM(m)(j) + centerM(m)(j) * yCenM(m)) / scaleM(m)(j))
+      val nTot = nM(nfolds)
+      val bcStd = sc.broadcast((centerM, scaleM))
+
+      // --------------- union ever-candidate set E (indices only — the
+      // weighted moment blocks are rebuilt per Newton step)
+      val posOf = scala.collection.mutable.HashMap.empty[Int, Int]
+      val eIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def extendIdx(newCols: Seq[Int]): Unit = {
+        if (newCols.isEmpty) return
+        require(eIdx.size + newCols.size <= SgdNet.maxGramP,
+          s"the union ever-candidate set would grow to " +
+            s"${eIdx.size + newCols.size} > maxGramP = ${SgdNet.maxGramP} " +
+            "columns: the per-model O(|E|^2) weighted moment blocks no " +
+            "longer fit the driver budget. Use dfmax/pmax to bound the " +
+            "path, a larger lambda floor, or raise graft.ml.SgdNet.maxGramP.")
+        newCols.foreach { j => posOf(j) = eIdx.size; eIdx += j }
+      }
+
+      def linkWZ(eta: Double, y: Double): (Double, Double) =
+        if (binom) {
+          val mu = 1.0 / (1.0 + math.exp(-eta))
+          val w = math.max(mu * (1.0 - mu), 1e-5)
+          (w, eta + (y - mu) / w)
+        } else {
+          val etaC = math.max(math.min(eta, 30.0), -30.0)
+          val mu = math.exp(etaC)
+          val w = math.max(mu, 1e-5)
+          (w, etaC + (y - mu) / w)
+        }
+
+      // batched frozen-weight moments over E for the flagged models:
+      // per model [packed |E|(|E|+1)/2][swxz][swx][swz][sw]
+      def passWAll(eArr: Array[Int], need: Array[Boolean],
+                   a0w: Array[Double],
+                   act: Array[(Array[Int], Array[Double])]): Array[Array[Double]] = {
+        val m = eArr.length
+        val szE = m * (m + 1) / 2 + 2 * m + 2
+        val bc = sc.broadcast((eArr, need, a0w, act))
+        val acc = rows.treeAggregate(new Array[Double](M * szE))(
+          seqOp = (a, r) => {
+            val (fold, x, y) = r
+            val (eL, needL, a0s, actL) = bc.value
+            val (ctrs, scls) = bcStd.value
+            var mm = 0
+            while (mm < M) {
+              if (needL(mm) && mm != fold) {
+                val ctr = ctrs(mm); val scl = scls(mm)
+                val (aI, aV) = actL(mm)
+                var eta = a0s(mm)
+                var i = 0
+                while (i < aI.length) {
+                  val j = aI(i); eta += aV(i) * (x(j) - ctr(j)) / scl(j); i += 1
+                }
+                val (w, z) = linkWZ(eta, y)
+                val off = mm * szE
+                val base2 = m * (m + 1) / 2
+                a(off + szE - 2) += w * z; a(off + szE - 1) += w
+                var jj = 0
+                while (jj < m) {
+                  val ej = eL(jj)
+                  val xsj = (x(ej) - ctr(ej)) / scl(ej)
+                  val wxj = w * xsj
+                  a(off + base2 + jj) += wxj * z
+                  a(off + base2 + m + jj) += wxj
+                  val base = off + jj * (jj + 1) / 2
+                  var ii = 0
+                  while (ii <= jj) {
+                    val ei = eL(ii)
+                    a(base + ii) += (x(ei) - ctr(ei)) / scl(ei) * wxj
+                    ii += 1
+                  }
+                  jj += 1
+                }
+              }
+              mm += 1
+            }
+            a
+          },
+          combOp = (a, b2) => {
+            var i = 0; while (i < a.length) { a(i) += b2(i); i += 1 }; a
+          }, depth = 2)
+        passes += 1
+        bc.destroy()
+        Array.tabulate(M)(mm =>
+          if (need(mm)) java.util.Arrays.copyOfRange(acc, mm * szE, (mm + 1) * szE)
+          else null)
+      }
+
+      // batched FUSED pass: per active model, the full-p WLS KKT vector
+      // at its candidate point under its frozen weights AND its
+      // next-step weighted moments over E at the candidate point
+      def passFusedAll(eArr: Array[Int], act: Array[Boolean],
+                       a0w: Array[Double], wAct: Array[(Array[Int], Array[Double])],
+                       a0n: Array[Double], nAct: Array[(Array[Int], Array[Double])]): (Array[Array[Double]], Array[Array[Double]]) = {
+        val m = eArr.length
+        val szE = m * (m + 1) / 2 + 2 * m + 2
+        val blk = p + szE
+        val bc = sc.broadcast((eArr, act, a0w, wAct, a0n, nAct))
+        val acc = rows.treeAggregate(new Array[Double](M * blk))(
+          seqOp = (a, r) => {
+            val (fold, x, y) = r
+            val (eL, actL, a0ws, wActL, a0ns, nActL) = bc.value
+            val (ctrs, scls) = bcStd.value
+            var mm = 0
+            while (mm < M) {
+              if (actL(mm) && mm != fold) {
+                val ctr = ctrs(mm); val scl = scls(mm)
+                val (wI, wV) = wActL(mm)
+                var etaW = a0ws(mm)
+                var i = 0
+                while (i < wI.length) {
+                  val j = wI(i); etaW += wV(i) * (x(j) - ctr(j)) / scl(j); i += 1
+                }
+                val (nI, nV) = nActL(mm)
+                var etaN = a0ns(mm)
+                i = 0
+                while (i < nI.length) {
+                  val j = nI(i); etaN += nV(i) * (x(j) - ctr(j)) / scl(j); i += 1
+                }
+                val off = mm * blk
+                val (wF, zF) = linkWZ(etaW, y)
+                val resid = wF * (zF - etaN)
+                var j = 0
+                while (j < p) {
+                  a(off + j) += resid * (x(j) - ctr(j)) / scl(j); j += 1
+                }
+                val (wN, zN) = linkWZ(etaN, y)
+                val base2 = off + p + m * (m + 1) / 2
+                a(off + p + szE - 2) += wN * zN; a(off + p + szE - 1) += wN
+                var jj = 0
+                while (jj < m) {
+                  val ej = eL(jj)
+                  val xsj = (x(ej) - ctr(ej)) / scl(ej)
+                  val wxj = wN * xsj
+                  a(base2 + jj) += wxj * zN
+                  a(base2 + m + jj) += wxj
+                  val base = off + p + jj * (jj + 1) / 2
+                  var ii = 0
+                  while (ii <= jj) {
+                    val ei = eL(ii)
+                    a(base + ii) += (x(ei) - ctr(ei)) / scl(ei) * wxj
+                    ii += 1
+                  }
+                  jj += 1
+                }
+              }
+              mm += 1
+            }
+            a
+          },
+          combOp = (a, b2) => {
+            var i = 0; while (i < a.length) { a(i) += b2(i); i += 1 }; a
+          }, depth = 2)
+        passes += 1
+        bc.destroy()
+        val kkts = Array.tabulate(M)(mm =>
+          if (act(mm)) Array.tabulate(p)(j => acc(mm * blk + j) / nM(mm))
+          else null)
+        val wgs = Array.tabulate(M)(mm =>
+          if (act(mm)) java.util.Arrays.copyOfRange(acc, mm * blk + p, (mm + 1) * blk)
+          else null)
+        (kkts, wgs)
+      }
+
+      // batched init gradients at (beta = 0, a0 per model) — only the
+      // !intercept regime needs the pass (with an intercept the init
+      // gradient IS cM(m))
+      def initGradAll(a0i: Array[Double]): Array[Array[Double]] = {
+        val bc = sc.broadcast(a0i)
+        val acc = rows.treeAggregate(new Array[Double](M * p))(
+          seqOp = (a, r) => {
+            val (fold, x, y) = r
+            val a0s = bc.value
+            val (ctrs, scls) = bcStd.value
+            var mm = 0
+            while (mm < M) {
+              if (mm != fold) {
+                val eta = a0s(mm)
+                val mu = if (binom) 1.0 / (1.0 + math.exp(-eta))
+                  else math.exp(math.max(math.min(eta, 30.0), -30.0))
+                val resid = y - mu
+                val ctr = ctrs(mm); val scl = scls(mm)
+                var j = 0
+                while (j < p) {
+                  a(mm * p + j) += resid * (x(j) - ctr(j)) / scl(j); j += 1
+                }
+              }
+              mm += 1
+            }
+            a
+          },
+          combOp = (a, b2) => {
+            var i = 0; while (i < a.length) { a(i) += b2(i); i += 1 }; a
+          }, depth = 2)
+        passes += 1
+        bc.destroy()
+        Array.tabulate(M, p)((mm, j) => acc(mm * p + j) / nM(mm))
+      }
+
+      def actOf(bb: Array[Double]): (Array[Int], Array[Double]) = {
+        val idx = (0 until p).filter(bb(_) != 0.0).toArray
+        (idx, idx.map(bb))
+      }
+
+      // ------------------------------------------------ per-alpha paths
+      val paths = alphaGrid.map { alpha =>
+        val prm = params.copy(alpha = alpha)
+        val lambdas = if (prm.lambda != null) prm.lambda
+          else {
+            val minRatio = if (prm.lambdaMinRatio.isNaN)
+              LambdaPath.defaultMinRatio(nTot.toLong, p) else prm.lambdaMinRatio
+            LambdaPath.build(Array(cM(nfolds)), alpha, prm.nlambda,
+              minRatio, null)
+          }
+        val L = lambdas.length
+        val beta = Array.fill(M)(new Array[Double](p)) // per-model std scale
+        val a0 = Array.tabulate(M) { m =>
+          if (binom) {
+            val pb = yMeanM(m)
+            if (prm.intercept && pb > 0 && pb < 1) math.log(pb / (1 - pb)) else 0.0
+          } else if (prm.intercept) math.log(yMeanM(m)) else 0.0
+        }
+        val grad: Array[Array[Double]] =
+          if (prm.intercept) Array.tabulate(M)(m => cM(m).clone())
+          else initGradAll(a0)
+        val lamPrev = Array.tabulate(M)(m =>
+          grad(m).map(math.abs).max / math.max(alpha, 1e-3))
+        // frozen-weight moments over E per model, carried across path
+        // points; invalidated whenever E grows
+        val wg = Array.fill[Array[Double]](M)(null)
+        val wgESize = Array.fill(M)(-1)
+        val a0Out = Array.ofDim[Double](M, L)
+        val bOut = Array.ofDim[Array[Double]](M, L)
+        val actOut = Array.ofDim[Array[Int]](M, L)
+        val newtonTol = math.max(prm.thresh * 1e-4, 1e-10)
+        val dfGate = new SgdNet.DfGate(prm, p)
+        var cutL = L
+        var l = 0
+        while (l < L) {
+          val lam = lambdas(l)
+          val needE = scala.collection.mutable.LinkedHashSet.empty[Int]
+          for (m <- 0 until M) {
+            val bound = alpha * (2.0 * lam - lamPrev(m))
+            var j = 0
+            while (j < p) {
+              if (!posOf.contains(j) &&
+                  (beta(m)(j) != 0.0 || math.abs(grad(m)(j)) >= bound))
+                needE += j
+              j += 1
+            }
+          }
+          extendIdx(needE.toSeq)
+          val tol = math.max(newtonTol, 1e-12) * math.max(lam, 1.0)
+          val active = Array.fill(M)(true)
+          var iter = 0
+          while (iter < 25 && active.exists(identity)) {
+            // fresh frozen moments for active models whose E view is stale
+            val stale = Array.tabulate(M)(m =>
+              active(m) && (wg(m) == null || wgESize(m) != eIdx.size))
+            if (stale.exists(identity)) {
+              val ws = passWAll(eIdx.toArray, stale, a0, beta.map(actOf))
+              for (m <- 0 until M if stale(m)) {
+                wg(m) = ws(m); wgESize(m) = eIdx.size
+              }
+            }
+            var stepDone = false
+            var a0N: Array[Double] = null
+            var betaN: Array[Array[Double]] = null
+            var kktN: Array[Array[Double]] = null
+            var wgN: Array[Array[Double]] = null
+            while (!stepDone) {
+              val eArr = eIdx.toArray
+              val mE = eArr.length
+              val base2 = mE * (mE + 1) / 2
+              // per-model WLS solve over E from the frozen moments
+              val ra0 = a0.clone()
+              val rbeta = beta.map(_.clone())
+              for (m <- 0 until M if active(m)) {
+                val g = wg(m)
+                val ninv = 1.0 / nM(m)
+                if (mE == 0) {
+                  val zw = g(base2) * ninv
+                  val ww = g(base2 + 1) * ninv
+                  if (prm.intercept) ra0(m) = zw / ww
+                } else {
+                  val aM = Array.tabulate(mE, mE) { (x2, y2) =>
+                    val (hi, lo) = if (x2 >= y2) (x2, y2) else (y2, x2)
+                    g(hi * (hi + 1) / 2 + lo) * ninv
+                  }
+                  val cV = Array.tabulate(mE)(x2 => g(base2 + x2) * ninv)
+                  val xwV = Array.tabulate(mE)(x2 => g(base2 + mE + x2) * ninv)
+                  val zw = g(base2 + 2 * mE) * ninv
+                  val ww = g(base2 + 2 * mE + 1) * ninv
+                  val init = Array.tabulate(mE)(x2 => beta(m)(eArr(x2)))
+                  val r = CoordinateDescent.solve(aM, cV, xwV, zw, ww, lam,
+                    alpha, prm.intercept, init,
+                    thresh = newtonTol, maxIter = prm.maxit)
+                  ra0(m) = r.a0
+                  val bF = new Array[Double](p)
+                  var x2 = 0
+                  while (x2 < mE) { bF(eArr(x2)) = r.beta(x2); x2 += 1 }
+                  rbeta(m) = bF
+                }
+              }
+              val (kkts, wgs) = passFusedAll(eArr, active, a0,
+                beta.map(actOf), ra0, rbeta.map(actOf))
+              val viol = scala.collection.mutable.LinkedHashSet.empty[Int]
+              for (m <- 0 until M if active(m)) {
+                var j = 0
+                while (j < p) {
+                  if (!posOf.contains(j) &&
+                      math.abs(kkts(m)(j)) > lam * alpha + tol)
+                    viol += j
+                  j += 1
+                }
+              }
+              if (viol.isEmpty) {
+                a0N = ra0; betaN = rbeta; kktN = kkts; wgN = wgs
+                stepDone = true
+              } else {
+                extendIdx(viol.toSeq)
+                // rebuild the frozen moments over the grown E for the
+                // active models and re-solve the step
+                val ws = passWAll(eIdx.toArray, active, a0, beta.map(actOf))
+                for (m <- 0 until M if active(m)) {
+                  wg(m) = ws(m); wgESize(m) = eIdx.size
+                }
+              }
+            }
+            for (m <- 0 until M if active(m)) {
+              var maxD = math.abs(a0N(m) - a0(m))
+              var j = 0
+              while (j < p) {
+                val d = math.abs(betaN(m)(j) - beta(m)(j))
+                if (d > maxD) maxD = d
+                j += 1
+              }
+              beta(m) = betaN(m); a0(m) = a0N(m)
+              grad(m) = kktN(m); wg(m) = wgN(m); wgESize(m) = eIdx.size
+              if (maxD < math.max(prm.thresh * 1e-2, 1e-8)) active(m) = false
+            }
+            iter += 1
+          }
+          if (!dfGate.admit(j => beta(nfolds)(j) != 0.0)) { cutL = l; l = L }
+          else {
+            for (m <- 0 until M) {
+              val ai = (0 until p).filter(beta(m)(_) != 0.0).toArray
+              val bOrig = ai.map(j => beta(m)(j) / scaleM(m)(j))
+              actOut(m)(l) = ai; bOut(m)(l) = bOrig
+              a0Out(m)(l) = if (prm.intercept)
+                a0(m) - ai.indices.map(i => bOrig(i) * meanM(m)(ai(i))).sum
+              else a0(m)
+              lamPrev(m) = lam
+            }
+            l += 1
+          }
+        }
+        require(cutL > 0, "dfmax/pmax exclude every path point")
+        val lambdasT = lambdas.take(cutL)
+        val Lc = cutL
+
+        // ---- ONE fused scoring scan: held-out fold scores (all
+        // measures but auc) + the full model's deviance path — every
+        // eta from active-only coefficient lists (O(L·|active|)/row)
+        val bcOut = sc.broadcast((a0Out, bOut, actOut, Lc))
+        val muNullP = if (prm.intercept) yMeanM(nfolds) else 1.0
+        val scoreAuc = measure == "auc"
+        val acc = rows.treeAggregate(new Array[Double](nfolds * Lc + Lc + 1))(
+          seqOp = (a, r) => {
+            val (f, x, y) = r
+            val (a0s, bs, as2, lc) = bcOut.value
+            // held-out: the row's own fold's model
+            if (!scoreAuc) {
+              var l2 = 0
+              while (l2 < lc) {
+                var eta = a0s(f)(l2)
+                val ai = as2(f)(l2); val bv = bs(f)(l2)
+                var i = 0
+                while (i < ai.length) { eta += bv(i) * x(ai(i)); i += 1 }
+                a(f * lc + l2) += (if (binom) {
+                  val mu = 1.0 / (1.0 + math.exp(-eta))
+                  measure match {
+                    case "mse" => 2.0 * (mu - y) * (mu - y)
+                    case "mae" => 2.0 * math.abs(mu - y)
+                    case "class" =>
+                      if ((if (mu > 0.5) 1.0 else 0.0) != y) 1.0 else 0.0
+                    case _ =>
+                      val mc = math.min(math.max(mu, 1e-5), 1.0 - 1e-5)
+                      -2.0 * (y * math.log(mc) + (1 - y) * math.log(1 - mc))
+                  }
+                } else {
+                  val mu = math.exp(eta)
+                  measure match {
+                    case "mse" => (y - mu) * (y - mu)
+                    case "mae" => math.abs(y - mu)
+                    case _ =>
+                      val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+                      2.0 * (ylog - (y - mu))
+                  }
+                })
+                l2 += 1
+              }
+            }
+            // full model deviance (+ poisson null slot)
+            var l2 = 0
+            while (l2 < lc) {
+              var eta = a0s(nfolds)(l2)
+              val ai = as2(nfolds)(l2); val bv = bs(nfolds)(l2)
+              var i = 0
+              while (i < ai.length) { eta += bv(i) * x(ai(i)); i += 1 }
+              a(nfolds * lc + l2) += (if (binom) {
+                val mx = math.max(eta, 0.0)
+                2.0 * (mx + math.log(math.exp(-mx) + math.exp(eta - mx)) - y * eta)
+              } else {
+                val mu = math.exp(math.max(math.min(eta, 30.0), -30.0))
+                val ylog = if (y > 0) y * math.log(y / mu) else 0.0
+                2.0 * (ylog - (y - mu))
+              })
+              l2 += 1
+            }
+            if (!binom) {
+              val ylog = if (y > 0) y * math.log(y / muNullP) else 0.0
+              a(nfolds * lc + lc) += 2.0 * (ylog - (y - muNullP))
+            }
+            a
+          },
+          combOp = (a, b2) => {
+            var i = 0; while (i < a.length) { a(i) += b2(i); i += 1 }; a
+          }, depth = 2)
+        passes += 1
+
+        val nulldev =
+          if (binom) {
+            val pBar = yMeanM(nfolds)
+            val nullP = if (prm.intercept) pBar else 0.5
+            -2.0 * nTot * (SgdNet.safeXLog(pBar, nullP) +
+              SgdNet.safeXLog(1 - pBar, 1 - nullP))
+          } else acc(nfolds * Lc + Lc)
+        val devRatio = Array.tabulate(Lc)(l2 =>
+          if (nulldev > 0) 1.0 - acc(nfolds * Lc + l2) / nulldev else 0.0)
+        val a0Full = Array.tabulate(Lc)(l2 => Array(a0Out(nfolds)(l2)))
+        val betaFull = Array.tabulate(Lc) { l2 =>
+          val b = new Array[Double](p)
+          val ai = actOut(nfolds)(l2); val bv = bOut(nfolds)(l2)
+          for (i <- ai.indices) b(ai(i)) = bv(i)
+          Array(b)
+        }
+        val full = new SgdNetModel(family, featureCols.toArray,
+          Array(labelCol), classes, lambdasT, a0Full, betaFull, nulldev,
+          devRatio, nTot.toLong, passes, prm)
+
+        val foldScores: Array[Array[Double]] =
+          if (scoreAuc) {
+            // the fold-partitioned rank chain over active-only etas
+            val spark = df.sparkSession
+            import spark.implicits._
+            val scored = spark.createDataFrame(rows.map { t =>
+              val (f, x, _) = t
+              val (a0s, bs, as2, lc) = bcOut.value
+              val etas = new Array[Double](lc)
+              var l2 = 0
+              while (l2 < lc) {
+                var eta = a0s(f)(l2)
+                val ai = as2(f)(l2); val bv = bs(f)(l2)
+                var i = 0
+                while (i < ai.length) { eta += bv(i) * x(ai(i)); i += 1 }
+                etas(l2) = eta
+                l2 += 1
+              }
+              (f, t._3, etas)
+            }).toDF("__fold", "__y", "__etas")
+            val exploded = scored
+              .select(col("__fold"), col("__y"),
+                org.apache.spark.sql.functions.posexplode(col("__etas"))
+                  .as(Seq("__l", "__s")))
+              .select((col("__l") * nfolds + col("__fold")).as("__g"),
+                col("__s"), col("__y"))
+            val aucs = CvSgdNet.aucPerGroup(exploded, Lc * nfolds)
+            Array.tabulate(nfolds, Lc)((f, l2) => aucs(l2 * nfolds + f))
+          } else
+            Array.tabulate(nfolds, Lc)((f, l2) =>
+              acc(f * Lc + l2) / accA(f)(3 * p))
+        bcOut.destroy()
+        CvSgdNet.summarize(alpha, lambdasT, foldScores, full)
+      }
+      bcStd.destroy()
+      val best = paths.minBy(pth => pth.cvm.min)
+      CvSgdNet.CvResult(paths, best)
+    } finally rows.unpersist(blocking = false)
+  }
+
   // ------------------------------------------------------------------ GLM
 
   /** Screened-Gram IRLS for LARGE p — the binomial twin of
@@ -1078,28 +1729,23 @@ object LargeP {
     * z = eta + (y − mu)/w, Newton cap 25, stop at
     * max|Δcoef| < max(thresh·1e-2, 1e-8) (SgdNet.fitBinomialImpl). */
   def fitBinomial(df: DataFrame, featureCols: Seq[String], labelCol: String,
-                  params: SgdNetParams = SgdNetParams(family = "binomial")): SgdNetModel = {
+                  params: SgdNetParams = SgdNetParams(family = "binomial"),
+                  weightCol: String = null,
+                  offsetCol: String = null): SgdNetModel = {
     import org.apache.spark.sql.functions.col
     require(params.family == "binomial",
       s"LargeP.fitBinomial supports binomial, not ${params.family}")
     requireGlmContract(params, featureCols)
-    val p = featureCols.size
     val classes = df.select(col(labelCol).cast("string")).distinct()
       .limit(3).collect().map(_.getString(0)).sorted
     require(classes.length == 2,
       if (classes.length > 2) "more than two classes in response. Are you looking for family = 'multinomial'?"
       else "only one class in response.")
     val positive = classes(1)
-    val rows = df.selectExpr(
-        (featureCols.map(c => s"cast(`$c` as double)") :+
-          s"cast(cast(`$labelCol` as string) = '$positive' as double)"): _*)
-      .rdd.map { row =>
-        val x = new Array[Double](p)
-        var j = 0
-        while (j < p) { x(j) = row.getDouble(j); j += 1 }
-        (x, row.getDouble(p))
-      }.persist(StorageLevel.MEMORY_AND_DISK)
-    try fitGlmImpl(rows, featureCols, labelCol, classes, "binomial", params)
+    val yCol = (col(labelCol).cast("string") === positive).cast("double")
+    val rows = glmRows(df, featureCols, yCol, weightCol, offsetCol)
+    try fitGlmImpl(rows, featureCols, labelCol, classes, "binomial",
+      params, hasOffset = offsetCol != null, weighted = weightCol != null)
     finally rows.unpersist(blocking = false)
   }
 
@@ -1107,23 +1753,55 @@ object LargeP {
     * [[fitBinomial]], with the dense route's link conventions
     * (eta clamped to ±30, w = max(mu, 1e-5) — SgdNet.poissonGram). */
   def fitPoisson(df: DataFrame, featureCols: Seq[String], labelCol: String,
-                 params: SgdNetParams = SgdNetParams(family = "poisson")): SgdNetModel = {
+                 params: SgdNetParams = SgdNetParams(family = "poisson"),
+                 weightCol: String = null,
+                 offsetCol: String = null): SgdNetModel = {
     import org.apache.spark.sql.functions.col
     require(params.family == "poisson",
       s"LargeP.fitPoisson supports poisson, not ${params.family}")
     requireGlmContract(params, featureCols)
+    val rows = glmRows(df, featureCols, col(labelCol).cast("double"),
+      weightCol, offsetCol)
+    try fitGlmImpl(rows, featureCols, labelCol, Array.empty, "poisson",
+      params, hasOffset = offsetCol != null, weighted = weightCol != null)
+    finally rows.unpersist(blocking = false)
+  }
+
+  /** (x, y, offset, vn) rows for the dense GLM routes: offset defaults
+    * to 0.0, vn to 1.0; with a `weightCol` the glmnet conventions
+    * apply — w must be non-negative, w = 0 drops the observation, and
+    * the kept rows' weights renormalize to sum to their count (one
+    * count/sum pre-pass), so every downstream moment is a pure ratio
+    * form over n. The returned RDD is persisted MEMORY_AND_DISK. */
+  private def glmRows(df: DataFrame, featureCols: Seq[String],
+                      yCol: org.apache.spark.sql.Column,
+                      weightCol: String,
+                      offsetCol: String): RDD[(Array[Double], Double, Double, Double)] = {
+    import org.apache.spark.sql.functions.{col, lit}
     val p = featureCols.size
-    val rows = df.select(
-        (featureCols.map(c => col(c).cast("double")) :+
-          col(labelCol).cast("double")): _*)
+    val offC = if (offsetCol == null) lit(0.0) else col(offsetCol).cast("double")
+    val wC = if (weightCol == null) lit(1.0) else col(weightCol).cast("double")
+    val raw = df.select((featureCols.map(c => col(c).cast("double")) ++
+        Seq(yCol, offC, wC)): _*)
       .rdd.map { row =>
         val x = new Array[Double](p)
         var j = 0
         while (j < p) { x(j) = row.getDouble(j); j += 1 }
-        (x, row.getDouble(p))
-      }.persist(StorageLevel.MEMORY_AND_DISK)
-    try fitGlmImpl(rows, featureCols, labelCol, Array.empty, "poisson", params)
-    finally rows.unpersist(blocking = false)
+        (x, row.getDouble(p), row.getDouble(p + 1), row.getDouble(p + 2))
+      }
+    if (weightCol == null) raw.persist(StorageLevel.MEMORY_AND_DISK)
+    else {
+      val (nRows, wSum) = raw.treeAggregate((0L, 0.0))(
+        seqOp = (s, r) => {
+          require(r._4 >= 0, "weights must be non-negative")
+          if (r._4 > 0) (s._1 + 1, s._2 + r._4) else s
+        },
+        combOp = (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+      require(nRows > 0, "the response (y) is empty.")
+      val norm = nRows.toDouble / wSum
+      raw.filter(_._4 > 0).map(r => (r._1, r._2, r._3, r._4 * norm))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
   }
 
   /** Screened-Gram IRLS for LARGE-DIM SPARSE (CSR) input — the
@@ -1626,25 +2304,35 @@ object LargeP {
         "penalty strengths (lambdas) must be positive.")
   }
 
-  private def fitGlmImpl(rows: RDD[(Array[Double], Double)],
+  /** Rows carry (x, y, offset, vn): `vn` is the PRE-normalized
+    * frequency weight (Σvn = n over kept rows, 1.0 unweighted — the
+    * ratio forms below then run the identical per-row arithmetic,
+    * 1.0·x ≡ x), `offset` the per-row link-level offset (0.0 without
+    * one — every eta below is a0 + off + xs·β and every WLS target is
+    * z − off, the dense fitBinomialOffset/fitPoissonOffset shape). */
+  private def fitGlmImpl(rows: RDD[(Array[Double], Double, Double, Double)],
                          featureCols: Seq[String], labelCol: String,
                          classes: Array[String], family: String,
-                         params: SgdNetParams): SgdNetModel = {
+                         params: SgdNetParams,
+                         hasOffset: Boolean = false,
+                         weighted: Boolean = false): SgdNetModel = {
     val p = featureCols.size
     val sc = rows.sparkContext
     val binom = family == "binomial"
 
-    // ---------------------------------------------- pass A: O(p) moments
-    val accA = rows.treeAggregate(new Array[Double](3 * p + 3))(
+    // ------------------- pass A: O(p) weighted moments (+ offset sums)
+    val accA = rows.treeAggregate(new Array[Double](3 * p + 5))(
       seqOp = (a, r) => {
-        val x = r._1; val y = r._2
+        val x = r._1; val y = r._2; val off = r._3; val vn = r._4
         var j = 0
         while (j < p) {
-          val xj = x(j)
-          a(j) += xj; a(p + j) += xj * xj; a(2 * p + j) += xj * y
+          val xj = vn * x(j)
+          a(j) += xj; a(p + j) += xj * x(j); a(2 * p + j) += xj * y
           j += 1
         }
-        a(3 * p) += 1.0; a(3 * p + 1) += y; a(3 * p + 2) += y * y
+        a(3 * p) += 1.0; a(3 * p + 1) += vn * y; a(3 * p + 2) += vn * y * y
+        a(3 * p + 3) += vn * off
+        a(3 * p + 4) += vn * math.exp(math.max(math.min(off, 30.0), -30.0))
         a
       },
       combOp = (a, b) => {
@@ -1673,12 +2361,47 @@ object LargeP {
 
     val minRatio = if (params.lambdaMinRatio.isNaN)
       LambdaPath.defaultMinRatio(nL, p) else params.lambdaMinRatio
-    val lambdas = if (params.lambda != null) params.lambda
-      else LambdaPath.build(Array(b0), params.alpha, params.nlambda,
-        minRatio, null)
-    val lmaxData = b0.map(math.abs).max / math.max(params.alpha, 1e-3)
 
     val bCS = sc.broadcast((center, scale))
+
+    // null intercept (the a0 init and the null-deviance anchor): the
+    // closed forms at the weighted yBar without an offset; with one,
+    // binomial+intercept solves Σvn·σ(a0+off) = Σvn·y by a driver
+    // Newton loop over scalar-pair passes (quadratic; the mean-offset-
+    // shifted logit start is exact for a constant offset —
+    // fitBinomialOffset), poisson+intercept is the exposure-weighted
+    // closed form ln(Σvn·y / Σvn·e^off) (fitPoissonOffset)
+    val a0Null: Double =
+      if (!params.intercept) 0.0
+      else if (binom) {
+        if (!hasOffset) {
+          if (yBar > 0 && yBar < 1) math.log(yBar / (1 - yBar)) else 0.0
+        } else {
+          require(yBar > 0 && yBar < 1,
+            "binomial response must contain both classes")
+          var a0N = math.log(yBar / (1 - yBar)) - accA(3 * p + 3) / n
+          var it = 0
+          var done = false
+          while (it < 25 && !done) {
+            val (s1, s2) = rows.treeAggregate((0.0, 0.0))(
+              (s, r) => {
+                val mu = 1.0 / (1.0 + math.exp(-(a0N + r._3)))
+                (s._1 + r._4 * (r._2 - mu),
+                  s._2 + r._4 * math.max(mu * (1.0 - mu), 1e-10))
+              },
+              (a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+            passes += 1
+            val step = s1 / s2
+            a0N += step
+            it += 1
+            if (math.abs(step) < 1e-12) done = true
+          }
+          a0N
+        }
+      } else {
+        if (!hasOffset) math.log(yBar)
+        else math.log(accA(3 * p + 1) / accA(3 * p + 4))
+      }
 
     // per-family link kernel: eta -> (mu, w, z-producing pieces) is
     // inlined in the passes below to keep the hot loop allocation-free
@@ -1693,24 +2416,28 @@ object LargeP {
       val bc = sc.broadcast((eArr, actIdx, actVal))
       val acc = rows.treeAggregate(new Array[Double](sz))(
         seqOp = (a, r) => {
-          val x = r._1; val y = r._2
+          val x = r._1; val y = r._2; val off = r._3; val vn = r._4
           val (eL, aI, aV) = bc.value
           val (ctr, scl) = bCS.value
-          var eta = a0w
+          var eta = a0w + off
           var i = 0
           while (i < aI.length) {
             val j = aI(i); eta += aV(i) * (x(j) - ctr(j)) / scl(j); i += 1
           }
+          // w carries the vn-folded IRLS weight; z is on the SOLVER
+          // scale (the WLS target excludes the offset)
           var w = 0.0; var z = 0.0
           if (binom) {
             val mu = 1.0 / (1.0 + math.exp(-eta))
-            w = math.max(mu * (1.0 - mu), 1e-5)
-            z = eta + (y - mu) / w
+            val wr = math.max(mu * (1.0 - mu), 1e-5)
+            w = wr * vn
+            z = eta + (y - mu) / wr - off
           } else {
             val etaC = math.max(math.min(eta, 30.0), -30.0)
             val mu = math.exp(etaC)
-            w = math.max(mu, 1e-5)
-            z = etaC + (y - mu) / w
+            val wr = math.max(mu, 1e-5)
+            w = wr * vn
+            z = etaC + (y - mu) / wr - off
           }
           val base2 = m * (m + 1) / 2
           a(sz - 2) += w * z; a(sz - 1) += w
@@ -1752,45 +2479,51 @@ object LargeP {
       val bc = sc.broadcast((eArr, wIdx, wVal, nIdx, nVal))
       val acc = rows.treeAggregate(new Array[Double](p + szE))(
         seqOp = (a, r) => {
-          val x = r._1; val y = r._2
+          val x = r._1; val y = r._2; val off = r._3; val vn = r._4
           val (eL, wI, wV, nI, nV) = bc.value
           val (ctr, scl) = bCS.value
-          var etaW = a0w
+          var etaW = a0w + off
           var i = 0
           while (i < wI.length) {
             val j = wI(i); etaW += wV(i) * (x(j) - ctr(j)) / scl(j); i += 1
           }
-          var etaN = a0n
+          // etaNs: the candidate point on the SOLVER scale (no offset);
+          // etaN adds the offset back for the link evaluations
+          var etaNs = a0n
           i = 0
           while (i < nI.length) {
-            val j = nI(i); etaN += nV(i) * (x(j) - ctr(j)) / scl(j); i += 1
+            val j = nI(i); etaNs += nV(i) * (x(j) - ctr(j)) / scl(j); i += 1
           }
-          // frozen-weight WLS residual at the candidate point
+          val etaN = etaNs + off
+          // frozen-weight WLS residual at the candidate point (z on the
+          // solver scale, so the residual is against etaNs)
           var wF = 0.0; var zF = 0.0
           if (binom) {
             val mu = 1.0 / (1.0 + math.exp(-etaW))
             wF = math.max(mu * (1.0 - mu), 1e-5)
-            zF = etaW + (y - mu) / wF
+            zF = etaW + (y - mu) / wF - off
           } else {
             val etaC = math.max(math.min(etaW, 30.0), -30.0)
             val mu = math.exp(etaC)
             wF = math.max(mu, 1e-5)
-            zF = etaC + (y - mu) / wF
+            zF = etaC + (y - mu) / wF - off
           }
-          val resid = wF * (zF - etaN)
+          val resid = wF * vn * (zF - etaNs)
           var j = 0
           while (j < p) { a(j) += resid * (x(j) - ctr(j)) / scl(j); j += 1 }
           // next-step weighted moments over E at the candidate point
           var wN = 0.0; var zN = 0.0
           if (binom) {
             val mu = 1.0 / (1.0 + math.exp(-etaN))
-            wN = math.max(mu * (1.0 - mu), 1e-5)
-            zN = etaN + (y - mu) / wN
+            val wr = math.max(mu * (1.0 - mu), 1e-5)
+            wN = wr * vn
+            zN = etaN + (y - mu) / wr - off
           } else {
             val etaC = math.max(math.min(etaN, 30.0), -30.0)
             val mu = math.exp(etaC)
-            wN = math.max(mu, 1e-5)
-            zN = etaC + (y - mu) / wN
+            val wr = math.max(mu, 1e-5)
+            wN = wr * vn
+            zN = etaC + (y - mu) / wr - off
           }
           val base2 = p + m * (m + 1) / 2
           a(p + szE - 2) += wN * zN; a(p + szE - 1) += wN
@@ -1824,15 +2557,20 @@ object LargeP {
 
     // gradient of the unpenalized loss at the INIT point (beta = 0,
     // a0 = a0Init) — the strong-rule seed for the first path point
-    // (for !intercept inits this is NOT b0; one O(p) pass, exact)
+    // (for !intercept inits this is NOT b0; one O(p) pass, exact).
+    // With an offset this is ALSO the path input: the null mean
+    // mu_i = g⁻¹(a0 + off_i) varies per row, so the offset-ignoring
+    // covariance b0 would start the path at a lambda where
+    // coefficients are already nonzero (the dense bOff correction)
     def initGrad(a0i: Double): Array[Double] = {
       val acc = rows.treeAggregate(new Array[Double](p))(
         seqOp = (a, r) => {
-          val x = r._1; val y = r._2
+          val x = r._1; val y = r._2; val off = r._3; val vn = r._4
           val (ctr, scl) = bCS.value
-          val mu = if (binom) 1.0 / (1.0 + math.exp(-a0i))
-            else math.exp(math.max(math.min(a0i, 30.0), -30.0))
-          val resid = y - mu
+          val eta = a0i + off
+          val mu = if (binom) 1.0 / (1.0 + math.exp(-eta))
+            else math.exp(math.max(math.min(eta, 30.0), -30.0))
+          val resid = vn * (y - mu)
           var j = 0
           while (j < p) { a(j) += resid * (x(j) - ctr(j)) / scl(j); j += 1 }
           a
@@ -1860,18 +2598,25 @@ object LargeP {
       newCols.foreach { j => posOf(j) = eIdx.size; eIdx += j }
     }
 
+    // ------------------------------------- lambda path + gradient seed
+    var a0 = a0Null
+    // with an intercept and NO offset the init gradient IS b0 (mu_i ==
+    // yBar for both links at the intercept-only init) — skip the seed
+    // pass there; any offset needs the real gradient pass (and it IS
+    // the path input, the dense routes' bOff correction)
+    var grad = if (!hasOffset && params.intercept) b0.clone()
+      else initGrad(a0)
+    val pathB = if (hasOffset) grad else b0
+    val lambdas = if (params.lambda != null) params.lambda
+      else LambdaPath.build(Array(pathB), params.alpha, params.nlambda,
+        minRatio, null)
+    val lmaxData = pathB.map(math.abs).max / math.max(params.alpha, 1e-3)
+
     // ----------------------------------------------------- path loop
     val L = lambdas.length
     val a0Out = Array.ofDim[Double](L, 1)
     val betaOut = Array.ofDim[Double](L, 1, p)
     val beta = new Array[Double](p) // standardized coords, warm across l
-    var a0 =
-      if (binom) { if (params.intercept && yBar > 0 && yBar < 1)
-          math.log(yBar / (1 - yBar)) else 0.0 }
-      else { if (params.intercept) math.log(yBar) else 0.0 }
-    // with an intercept the init gradient IS b0 (mu_i == yBar for both
-    // links at the intercept-only init) — skip the seed pass there
-    var grad = if (params.intercept) b0.clone() else initGrad(a0)
     var lamPrev = lmaxData
     val newtonTol = math.max(params.thresh * 1e-4, 1e-10)
     val dfGate = new SgdNet.DfGate(params, p)
@@ -1982,31 +2727,46 @@ object LargeP {
     val actValL = actIdxL.zip(betaOutT).map { case (ix, bl) => ix.map(bl(0)) }
     val a0L = a0OutT.map(_(0))
     val muNull = if (params.intercept) yBar else 1.0
+    // binomial keeps its closed-form nulldev in the plain regime; any
+    // weights/offset make the null a per-row quantity (binDev(a0Null +
+    // off)·vn — the dense fitWeightedGlm/fitBinomialOffset forms), so
+    // the scan accumulates it in slot Lc like poisson always has
+    val binNullScan = binom && (weighted || hasOffset)
+    val a0NullD = a0Null
     val bcPath = sc.broadcast((a0L, actIdxL, actValL))
     val Lc = cutL
     val devAcc = rows.treeAggregate(new Array[Double](Lc + 1))(
       seqOp = (acc, r) => {
-        val x = r._1; val y = r._2
+        val x = r._1; val y = r._2; val off = r._3; val vn = r._4
         val (a0s, ixs, vls) = bcPath.value
         var l2 = 0
         while (l2 < Lc) {
-          var eta = a0s(l2)
+          var eta = a0s(l2) + off
           val ix = ixs(l2); val vl = vls(l2)
           var i = 0
           while (i < ix.length) { eta += vl(i) * x(ix(i)); i += 1 }
           if (binom) {
             val mx = math.max(eta, 0.0)
-            acc(l2) += 2.0 * (mx + math.log(math.exp(-mx) + math.exp(eta - mx)) - y * eta)
+            acc(l2) += vn * 2.0 *
+              (mx + math.log(math.exp(-mx) + math.exp(eta - mx)) - y * eta)
           } else {
             val mu = math.exp(math.max(math.min(eta, 30.0), -30.0))
             val ylog = if (y > 0) y * math.log(y / mu) else 0.0
-            acc(l2) += 2.0 * (ylog - (y - mu))
+            acc(l2) += vn * 2.0 * (ylog - (y - mu))
           }
           l2 += 1
         }
         if (!binom) {
-          val ylog = if (y > 0) y * math.log(y / muNull) else 0.0
-          acc(Lc) += 2.0 * (ylog - (y - muNull))
+          val mu0 = if (hasOffset)
+            math.exp(math.max(math.min(a0NullD + off, 30.0), -30.0))
+          else muNull
+          val ylog = if (y > 0) y * math.log(y / mu0) else 0.0
+          acc(Lc) += vn * 2.0 * (ylog - (y - mu0))
+        } else if (binNullScan) {
+          val eta0 = a0NullD + off
+          val mx = math.max(eta0, 0.0)
+          acc(Lc) += vn * 2.0 *
+            (mx + math.log(math.exp(-mx) + math.exp(eta0 - mx)) - y * eta0)
         }
         acc
       },
@@ -2016,7 +2776,7 @@ object LargeP {
     passes += 1
     bcPath.destroy()
     val nulldev =
-      if (binom) {
+      if (binom && !binNullScan) {
         val nullP = if (params.intercept) yBar else 0.5
         -2.0 * n * (SgdNet.safeXLog(yBar, nullP) +
           SgdNet.safeXLog(1 - yBar, 1 - nullP))

@@ -371,6 +371,50 @@ object PathQueries {
       .orderBy("lambda_idx", "term")
   }
 
+  /** WEIGHTED binomial through the screened-Gram IRLS chassis (round
+    * 18 — `LargeP.fitBinomial(weightCol)`): the q_weighted_binom
+    * fixture VERBATIM — same data, weights, lambda — so the oracle is
+    * byte-identical (the intercept-only weighted logistic MLE closed
+    * form) and any divergence isolates the weighted screened chassis:
+    * the sum-to-n weight normalization pre-pass, the vn-folded ratio
+    * moments of pass A, and the vn-folded IRLS weights of the
+    * empty-candidate Newton solve. */
+  def irlsWeightedLargeP(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+    val m = graft.ml.LargeP.fitBinomial(li, Seq("l_quantity"), "is_r",
+      SgdNetParams(family = "binomial", alpha = 1.0, lambda = Array(1e6),
+        thresh = 1e-9, maxit = 10000), weightCol = "l_linenumber")
+    Seq(("a0", m.a0(0)(0)), ("l_quantity", m.beta(0)(0)(0)))
+      .toDF("term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("term")
+  }
+
+  /** Binomial OFFSET fit through the screened-Gram IRLS chassis
+    * (round 18 — `LargeP.fitBinomial(offsetCol)`): the
+    * q_binom_offset_fit constant-offset one-IRLS-step fixture
+    * VERBATIM — same data, offset, lambda, thresh — so the oracle is
+    * byte-identical and any divergence isolates the offset screened
+    * chassis: the driver-Newton null intercept (exact at a constant
+    * offset), the offset-corrected seed-gradient lambda input, the
+    * z − off WLS targets of the fused passes, and the offset
+    * deviance scan. */
+  def irlsOffsetLargeP(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+      .withColumn("c", lit(0.7))
+    val m = graft.ml.LargeP.fitBinomial(li, Seq("l_quantity"), "is_r",
+      SgdNetParams(family = "binomial", alpha = 1.0, lambda = Array(0.0002),
+        thresh = 1e6), offsetCol = "c")
+    Seq(("a0", m.a0(0)(0)), ("l_quantity", m.beta(0)(0)(0)))
+      .toDF("term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("term")
+  }
+
   /** Screened-Gram LARGE-P route on the correctness board (round 18 —
     * `LargeP.fitGaussian`, the gaussian path without the p×p Gram):
     * the [[screenIrls]] fixture design on the gaussian family —
@@ -1544,6 +1588,33 @@ object PathQueries {
     // (exact KKT, any thresh) and SIGN (stable after the first Newton
     // step), so tight convergence would only buy extra IRLS data passes
     val cv = CvSgdNet.fit(li, Seq("l_quantity"), Seq("is_r"),
+      SgdNetParams(family = "binomial", alpha = 1.0, lambda = lambdas,
+        thresh = 1e-5),
+      nfolds = 5, measure = "auc", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 6).as("lambda"),
+        (round(col("cvm"), 6) + lit(0.0)).as("cvm"),
+        (round(col("cvsd"), 6) + lit(0.0)).as("cvsd"))
+      .orderBy("lambda_idx")
+  }
+
+  /** Batched screened-Gram GLM CV on the correctness board (round 18 —
+    * `LargeP.cvBinomial`, the lockstep-Newton IRLS CV past the p²
+    * cliff): the [[cvAuc]] fixture VERBATIM — same data, Knuth folds,
+    * fixed lambda grid, auc measure — through the large-p chassis, so
+    * the oracle is byte-identical (the 1-feature AUC curve depends
+    * only on coefficient activity and sign, both closed-form at the
+    * fold train moments) and any divergence isolates the batched
+    * screened CV: the union candidate set, the per-model fused
+    * KKT/moment passes, and the active-only rank-chain scoring. */
+  def cvIrlsLargeP(spark: SparkSession, dir: String): DataFrame = {
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+    val lambdas = Array(0.01, 0.003, 0.001, 5e-4, 2e-4, 5e-5)
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = graft.ml.LargeP.cvBinomial(li, Seq("l_quantity"), "is_r",
       SgdNetParams(family = "binomial", alpha = 1.0, lambda = lambdas,
         thresh = 1e-5),
       nfolds = 5, measure = "auc", foldCol = fold)

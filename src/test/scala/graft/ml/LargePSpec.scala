@@ -464,4 +464,138 @@ class LargePSpec extends SparkSpec {
         1e-6, "binom-capped")
     } finally SgdNet.maxGramP = saved
   }
+
+  test("screened-Gram GLM CV == CvSgdNet.fit shared-pass CV") {
+    val fold = pmod(col("rid") * 2654435761L, lit(4))
+    val prmB = SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 8,
+      thresh = 1e-9, maxit = 100000)
+    val refB = CvSgdNet.fit(glmData, names, Seq("yb"), prmB, nfolds = 4,
+      foldCol = fold)
+    val bigB = LargeP.cvBinomial(glmData, names, "yb", prmB, nfolds = 4,
+      foldCol = fold)
+    assertSameCv(bigB, refB, 1e-6, "binom-cv")
+    // the non-moment measures: class (0/1 counts), auc (rank chain),
+    // mse (response scale) — all against the shared-pass route
+    for (msr <- Seq("class", "auc", "mse")) {
+      assertSameCv(
+        LargeP.cvBinomial(glmData, names, "yb", prmB, nfolds = 4,
+          measure = msr, foldCol = fold),
+        CvSgdNet.fit(glmData, names, Seq("yb"), prmB, nfolds = 4,
+          measure = msr, foldCol = fold), 1e-6, s"binom-cv-$msr")
+    }
+    // poisson with an alpha grid (one moment pass, shared E)
+    val prmP = SgdNetParams(family = "poisson", alpha = 1.0, nlambda = 8,
+      thresh = 1e-9, maxit = 100000)
+    assertSameCv(
+      LargeP.cvPoisson(glmData, names, "yp", prmP, nfolds = 4,
+        alphas = Seq(1.0, 0.5), foldCol = fold),
+      CvSgdNet.fit(glmData, names, Seq("yp"), prmP, nfolds = 4,
+        alphas = Seq(1.0, 0.5), foldCol = fold), 1e-6, "pois-cv-grid")
+    // no-intercept variant (batched init-gradient pass)
+    val prmN = SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 6,
+      thresh = 1e-9, maxit = 100000, intercept = false)
+    assertSameCv(
+      LargeP.cvBinomial(glmData, names, "yb", prmN, nfolds = 4,
+        foldCol = fold),
+      CvSgdNet.fit(glmData, names, Seq("yb"), prmN, nfolds = 4,
+        foldCol = fold), 1e-6, "binom-cv-noint")
+  }
+
+  test("screened-Gram GLM CV: contracts; runs past the full-route cap") {
+    val fold = pmod(col("rid") * 2654435761L, lit(4))
+    intercept[IllegalArgumentException] {
+      LargeP.cvBinomial(glmData, names, "yb",
+        SgdNetParams(family = "binomial", alpha = 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      LargeP.cvPoisson(glmData, names, "yp",
+        SgdNetParams(family = "poisson"), measure = "auc")
+    }
+    intercept[IllegalArgumentException] {
+      LargeP.cvBinomial(glmData, names, "yb",
+        SgdNetParams(family = "binomial",
+          penaltyFactor = Array.fill(p)(1.0)))
+    }
+    // the regime the route exists for: the shared-pass CV holds
+    // (nfolds+1)·p²/2 weighted-Gram doubles and refuses at the cap;
+    // the batched screened CV returns its exact answers
+    val prm0 = SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 3,
+      thresh = 1e-9)
+    val l0 = CvSgdNet.fit(glmData, names, Seq("yb"), prm0, nfolds = 4,
+      foldCol = fold).paths.head.lambda(0)
+    val prmS = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(1.0, 0.75, 0.56).map(_ * l0), thresh = 1e-9,
+      maxit = 100000)
+    val ref = CvSgdNet.fit(glmData, names, Seq("yb"), prmS, nfolds = 4,
+      foldCol = fold)
+    val saved = SgdNet.maxGramP
+    SgdNet.maxGramP = 16
+    try {
+      intercept[IllegalArgumentException] {
+        CvSgdNet.fit(glmData, names, Seq("yb"), prmS, nfolds = 4,
+          foldCol = fold)
+      }
+      assertSameCv(
+        LargeP.cvBinomial(glmData, names, "yb", prmS, nfolds = 4,
+          foldCol = fold), ref, 1e-6, "capped-glm-cv")
+    } finally SgdNet.maxGramP = saved
+  }
+
+  test("weights and offset through the screened IRLS routes") {
+    val wdata = glmData
+      .withColumn("w", (pmod(col("rid") * 7, lit(3)) + lit(1)).cast("double"))
+      .withColumn("off", col("x3") * 0.4 + col("x11") * 0.2)
+    val prmB = SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 8,
+      thresh = 1e-9, maxit = 100000)
+    val prmP = SgdNetParams(family = "poisson", alpha = 1.0, nlambda = 8,
+      thresh = 1e-9, maxit = 100000)
+    // weighted == the full-Gram weighted IRLS routes
+    assertSame(LargeP.fitBinomial(wdata, names, "yb", prmB, weightCol = "w"),
+      SgdNet.fitWeighted(wdata, names, "yb", "w", prmB), 1e-6, "binom-w")
+    assertSame(LargeP.fitPoisson(wdata, names, "yp", prmP, weightCol = "w"),
+      SgdNet.fitWeighted(wdata, names, "yp", "w", prmP), 1e-6, "pois-w")
+    // NON-CONSTANT offset == the full-Gram offset IRLS routes (null
+    // Newton intercept, offset-corrected lambda path, z − off targets)
+    assertSame(LargeP.fitBinomial(wdata, names, "yb", prmB, offsetCol = "off"),
+      SgdNet.fitWithOffset(wdata, names, "yb", "off", prmB), 1e-6,
+      "binom-off")
+    assertSame(LargeP.fitPoisson(wdata, names, "yp", prmP, offsetCol = "off"),
+      SgdNet.fitWithOffset(wdata, names, "yp", "off", prmP), 1e-6,
+      "pois-off")
+    // offset + weights together (the rate-model regime)
+    assertSame(
+      LargeP.fitBinomial(wdata, names, "yb", prmB, weightCol = "w",
+        offsetCol = "off"),
+      SgdNet.fitWithOffsetWeighted(wdata, names, "yb", "off", "w", prmB),
+      1e-6, "binom-w-off")
+    assertSame(
+      LargeP.fitPoisson(wdata, names, "yp", prmP, weightCol = "w",
+        offsetCol = "off"),
+      SgdNet.fitWithOffsetWeighted(wdata, names, "yp", "off", "w", prmP),
+      1e-6, "pois-w-off")
+    // vn ≡ 1 runs the identical per-row arithmetic FORMS (1.0·x ≡ x);
+    // only the aggregation tree's combine order differs (the weighted
+    // wrapper's filter/map stage), so outputs agree to last-ulp sums
+    val ones = wdata.withColumn("one", lit(1.0))
+    val a = LargeP.fitBinomial(wdata, names, "yb", prmB)
+    val b = LargeP.fitBinomial(ones, names, "yb", prmB, weightCol = "one")
+    assert(a.lambda.length == b.lambda.length, "ones path length")
+    for (l <- a.lambda.indices) {
+      assert(math.abs(a.lambda(l) - b.lambda(l)) <= 1e-12 * a.lambda(l).abs,
+        s"ones lambda($l)")
+      assert(math.abs(a.a0(l)(0) - b.a0(l)(0)) < 1e-10, s"ones a0($l)")
+      for (j <- 0 until p)
+        assert(math.abs(a.beta(l)(0)(j) - b.beta(l)(0)(j)) < 1e-10,
+          s"ones beta($l)($j)")
+      assert(math.abs(a.devRatio(l) - b.devRatio(l)) < 1e-10, s"ones dr($l)")
+    }
+    // zero weights drop the row
+    val wz = wdata.withColumn("w0",
+      when(pmod(col("rid"), lit(5)) === 0, 0.0).otherwise(col("w")))
+    assertSame(
+      LargeP.fitBinomial(wz, names, "yb", prmB, weightCol = "w0"),
+      LargeP.fitBinomial(wz.filter(col("w0") > 0), names, "yb", prmB,
+        weightCol = "w0"), 1e-9, "binom-zero-weight-drop")
+    ()
+  }
 }
