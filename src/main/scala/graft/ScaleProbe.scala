@@ -452,6 +452,71 @@ object ScaleProbe {
             f"df_last=$dfLast screened=$tb%.2f passes=${big.npasses}")
           big.lambda.length.toLong
         }
+      case "largepglmcv" =>
+        // round 18: batched screened-Gram GLM CV (LargeP.cvBinomial)
+        // vs the shared-pass weighted-Gram CV (CvSgdNet.fit). args =
+        // largepglmcv <n> <p> <nlambda> <nfolds> <mode: both|big>
+        // [minRatio]
+        val nRows = args(1).toLong
+        val p = args(2).toInt
+        val nl = args(3).toInt
+        val nf = args(4).toInt
+        val mode = args(5)
+        val schema = org.apache.spark.sql.types.StructType(
+          (0 until p).map(j => org.apache.spark.sql.types.StructField(
+            s"x$j", org.apache.spark.sql.types.DoubleType, false)) :+
+            org.apache.spark.sql.types.StructField("y",
+              org.apache.spark.sql.types.DoubleType, false))
+        val rdd = spark.sparkContext.range(0L, nRows,
+            numSlices = cpus.toInt).map { i =>
+          val rnd = new scala.util.Random(i * 2654435761L + 54321)
+          val x = Array.fill(p)(rnd.nextGaussian())
+          val eta = 1.4 * x(0) - 0.9 * x(7) + 0.6 * x(19) - 0.4 * x(33)
+          val y = if (rnd.nextDouble() < 1.0 / (1.0 + math.exp(-eta))) 1.0
+            else 0.0
+          org.apache.spark.sql.Row.fromSeq(x.toSeq :+ y)
+        }
+        val df = spark.createDataFrame(rdd, schema)
+        if (mode == "both") {
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+        }
+        val names = (0 until p).map(j => s"x$j")
+        val minRatio = if (args.length > 6) args(6).toDouble else Double.NaN
+        val prm = ml.SgdNetParams(family = "binomial", alpha = 1.0,
+          nlambda = nl, lambdaMinRatio = minRatio, thresh = 1e-7,
+          maxit = 100000)
+        def t1gc[T](f: => T): (T, Double) = {
+          val t = System.nanoTime()
+          val r = f; (r, (System.nanoTime() - t) / 1e9)
+        }
+        if (mode == "both") {
+          val (_, twarm) = t1gc(ml.CvSgdNet.fit(df, names, Seq("y"), prm,
+            nfolds = nf))
+          val (ref, tf) = t1gc(ml.CvSgdNet.fit(df, names, Seq("y"), prm,
+            nfolds = nf))
+          val (big, tb) = t1gc(ml.LargeP.cvBinomial(df, names, "y", prm,
+            nfolds = nf))
+          val pr = ref.best; val pb = big.best
+          var md = 0.0
+          for (l <- pr.lambda.indices)
+            md = math.max(md, math.abs(pr.cvm(l) - pb.cvm(l)) /
+              math.max(1.0, math.abs(pr.cvm(l))))
+          println(f"probe_largepglmcv p=$p n=$nRows nfolds=$nf " +
+            f"L=${pr.lambda.length} full=$tf%.2f (warm $twarm%.2f) " +
+            f"screened=$tb%.2f passes=${pb.fit.npasses} " +
+            f"cvm_reldiff=$md%.2e lmin_eq=${pr.lambdaMin == pb.lambdaMin}")
+          pr.lambda.length.toLong
+        } else {
+          val (big, tb) = t1gc(ml.LargeP.cvBinomial(df, names, "y", prm,
+            nfolds = nf))
+          val pb = big.best
+          val dfLast = pb.fit.beta.last.head.count(_ != 0.0)
+          println(f"probe_largepglmcv p=$p n=$nRows nfolds=$nf " +
+            f"L=${pb.lambda.length} df_last=$dfLast screened=$tb%.2f " +
+            f"passes=${pb.fit.npasses}")
+          pb.lambda.length.toLong
+        }
       case "sparseirls" =>
         // round 18: strong-rule screen on the SPARSE GLM per-Newton
         // WLS solves — screened vs unscreened wall through the REAL

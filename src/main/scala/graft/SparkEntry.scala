@@ -83,6 +83,8 @@ object SparkEntry {
     "q_weighted_largep"  -> (PathQueries.weightedLargeP _),
     "q_irls_weighted_largep" -> (PathQueries.irlsWeightedLargeP _),
     "q_cv_irls_largep"   -> (PathQueries.cvIrlsLargeP _),
+    "q_sparse_cv_largep" -> (PathQueries.sparseCvLargeP _),
+    "q_relaxed_largep"   -> (PathQueries.relaxedLargeP _),
     "q_irls_offset_largep" -> (PathQueries.irlsOffsetLargeP _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
@@ -3010,6 +3012,11 @@ object SparkEntry {
       ("q_irls_offset_largep" -> base("q_binom_offset_fit")) +
       // round 18: the batched screened-Gram GLM CV (lockstep-Newton
       // IRLS CV past the p^2 cliff) — the q_cv_auc fixture VERBATIM
-      ("q_cv_irls_largep" -> base("q_cv_auc"))
+      ("q_cv_irls_largep" -> base("q_cv_auc")) +
+      // round 18: the sparse screened CV and the screened relax — the
+      // q_cv_largep / q_relaxed_fit fixtures VERBATIM through the CSR
+      // CV chassis and the captured-E-Gram relax
+      ("q_sparse_cv_largep" -> base("q_cv_largep")) +
+      ("q_relaxed_largep" -> base("q_relaxed_fit"))
   }
 }

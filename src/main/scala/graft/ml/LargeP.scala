@@ -56,10 +56,24 @@ object LargeP {
     * the row, equal to [[SgdNet.fitWeighted]] structurally.
     * `offsetCol`: identity link — the exact y − offset reduction every
     * gaussian offset route uses. */
+  /** Driver-side capture of a screened fit's sufficient-statistics
+    * view over its ever-candidate set E — what the relaxed refits
+    * consume (active sets are ⊆ E, so gramAA and b_A read from here
+    * with ZERO extra data passes, exactly `relaxedFromStats`' shape). */
+  private[ml] final class GramCapture {
+    var eIdx: Array[Int] = _
+    var gram: Array[Array[Double]] = _ // standardized Gram over E
+    var b: Array[Double] = _ // standardized covariance (full p)
+    var scale: Array[Double] = _
+    var mean: Array[Double] = _
+    var yMean: Double = 0.0
+  }
+
   def fitGaussian(df: DataFrame, featureCols: Seq[String], labelCol: String,
                   params: SgdNetParams = SgdNetParams(),
                   weightCol: String = null,
-                  offsetCol: String = null): SgdNetModel = {
+                  offsetCol: String = null,
+                  capture: GramCapture = null): SgdNetModel = {
     require(params.family == "gaussian",
       s"LargeP.fitGaussian supports gaussian, not ${params.family}")
     require(params.alpha > 0,
@@ -301,6 +315,12 @@ object LargeP {
         }
       }
       require(cutL > 0, "dfmax/pmax exclude every path point")
+      if (capture != null) {
+        capture.eIdx = eIdx.toArray
+        capture.gram = Array.tabulate(eIdx.size, eIdx.size)((i, j) => gramE(i)(j))
+        capture.b = c.clone(); capture.scale = scale; capture.mean = mean
+        capture.yMean = yMean
+      }
 
       // npasses reports DATA passes (the resource this route is
       // designed around), unlike the one-pass route's CD-iteration count
@@ -339,7 +359,8 @@ object LargeP {
     * LargePSpec. */
   def fitSparseGaussian(df: DataFrame, idxCol: String, valCol: String,
                         dim: Int, labelCol: String,
-                        params: SgdNetParams = SgdNetParams()): SgdNetModel = {
+                        params: SgdNetParams = SgdNetParams(),
+                        capture: GramCapture = null): SgdNetModel = {
     import org.apache.spark.sql.functions.col
     require(params.family == "gaussian",
       s"LargeP.fitSparseGaussian supports gaussian, not ${params.family}")
@@ -597,11 +618,94 @@ object LargeP {
         }
       }
       require(cutL > 0, "dfmax/pmax exclude every path point")
+      if (capture != null) {
+        capture.eIdx = eIdx.toArray
+        capture.gram = Array.tabulate(eIdx.size, eIdx.size)((i, j) => gramE(i)(j))
+        capture.b = c.clone(); capture.scale = scale; capture.mean = mean
+        capture.yMean = yMean
+      }
       new SgdNetModel("gaussian", (0 until p).map(j => s"V$j").toArray,
         Array(labelCol), Array.empty, lambdas.take(cutL), a0Out.take(cutL),
         betaOut.take(cutL), nulldev, devRatio.take(cutL), nL, passes,
         params)
     } finally rows.unpersist(blocking = false)
+  }
+
+  // --------------------------------------------------------------- relax
+
+  /** Relaxed elastic net at LARGE p (round 18 — glmnet `relax = TRUE`
+    * through the screened-Gram gaussian chassis): the screened path
+    * from [[fitGaussian]], then each lambda's active set refit
+    * UNPENALIZED from the already-accumulated standardized Gram over
+    * the ever-candidate set E — active sets are ⊆ E by construction,
+    * so the refits are pure driver-side normal-equation solves with
+    * ZERO extra data passes (exactly the `SgdNet.relaxedFit` shape,
+    * whose one-pass moments this route could never hold at p beyond
+    * the cliff). Empty active set refits to the intercept-only model.
+    * `weightCol`/`offsetCol` compose exactly as on [[fitGaussian]]
+    * (the refit then solves the WEIGHTED normal equations / the
+    * offset-adjusted response — the `relaxedFitWeighted` /
+    * `relaxedFitWithOffset` semantics). Same contract as
+    * [[fitGaussian]]; box limits are excluded there, so the refit is
+    * always the exact solve branch. */
+  def relaxedFitGaussian(df: DataFrame, featureCols: Seq[String],
+                         labelCol: String,
+                         params: SgdNetParams = SgdNetParams(),
+                         gamma: Double = 1.0,
+                         weightCol: String = null,
+                         offsetCol: String = null): SgdNet.RelaxedPath = {
+    require(gamma >= 0 && gamma <= 1, "gamma must be in [0, 1]")
+    val cap = new GramCapture
+    val model = fitGaussian(df, featureCols, labelCol, params, weightCol,
+      offsetCol, cap)
+    val (olsA0, olsBeta) = relaxRefits(model, cap, params)
+    SgdNet.RelaxedPath(model, olsA0, olsBeta, gamma)
+  }
+
+  /** Sparse (CSR) twin of [[relaxedFitGaussian]] — glmnet relax over
+    * hashed features, where no dense-Gram relax route exists at all:
+    * [[fitSparseGaussian]]'s screened path + zero-extra-pass
+    * driver-side refits from the captured E-Gram. */
+  def relaxedFitSparseGaussian(df: DataFrame, idxCol: String,
+                               valCol: String, dim: Int, labelCol: String,
+                               params: SgdNetParams = SgdNetParams(),
+                               gamma: Double = 1.0): SgdNet.RelaxedPath = {
+    require(gamma >= 0 && gamma <= 1, "gamma must be in [0, 1]")
+    val cap = new GramCapture
+    val model = fitSparseGaussian(df, idxCol, valCol, dim, labelCol,
+      params, cap)
+    val (olsA0, olsBeta) = relaxRefits(model, cap, params)
+    SgdNet.RelaxedPath(model, olsA0, olsBeta, gamma)
+  }
+
+  // unpenalized active-set refits from a captured E-Gram: solve
+  // gram_AA·x = b_A on standardized coordinates (LinAlg.solve — the
+  // relaxedFromStats exact branch), coefficients back on the original
+  // scale, intercept from the (weighted) means
+  private def relaxRefits(model: SgdNetModel, cap: GramCapture,
+                          params: SgdNetParams): (Array[Double], Array[Array[Double]]) = {
+    val p = cap.b.length
+    val posOf = cap.eIdx.zipWithIndex.toMap
+    val L = model.lambda.length
+    val olsBeta = Array.ofDim[Double](L, p)
+    val olsA0 = new Array[Double](L)
+    for (l <- 0 until L) {
+      val active = (0 until p).filter(j => model.beta(l)(0)(j) != 0.0)
+      if (active.nonEmpty) {
+        val pos = active.map(posOf)
+        val a = Array.tabulate(active.size, active.size)((i, j) =>
+          cap.gram(pos(i))(pos(j)))
+        val bv = active.map(cap.b(_)).toArray
+        val sol = LinAlg.solve(a, bv)
+        active.zipWithIndex.foreach { case (j, i) =>
+          olsBeta(l)(j) = sol(i) / cap.scale(j)
+        }
+      }
+      olsA0(l) = if (params.intercept)
+        cap.yMean - (0 until p).map(j => olsBeta(l)(j) * cap.mean(j)).sum
+      else 0.0
+    }
+    (olsA0, olsBeta)
   }
 
   // ------------------------------------------------------------------- CV
@@ -1049,6 +1153,498 @@ object LargeP {
           foldScores.map(_.take(cutL)), full)
       }
       bcStd.destroy()
+      val best = paths.minBy(pth => pth.cvm.min)
+      CvSgdNet.CvResult(paths, best)
+    } finally rows.unpersist(blocking = false)
+  }
+
+  // -------------------------------------------------------- sparse CV
+
+  /** Screened-Gram CROSS-VALIDATION for LARGE-DIM SPARSE (CSR) input
+    * (round 18 — the gaussian cv.glmnet surface over hashed features,
+    * where `CvSgdNet.fitSparse`'s per-fold GramStats hold
+    * nfolds·p²/2 doubles): [[cvGaussian]]'s exact driver algebra —
+    * per-fold moment-subtraction train statistics, per-training-fold
+    * standardization, the full-data path, closed-form held-out MSE
+    * from fold moments, identical cvm/cvsd/lambda.min/lambda.1se —
+    * with every cluster pass SPARSE per row:
+    *
+    *  - pass A: per-fold O(nnz)-per-row raw moments;
+    *  - slab extensions: per-fold RAW cross-moment slabs over the
+    *    UNION ever-candidate set E via slot lookups (a raw cross
+    *    moment needs both features in the row — O(k_new·k_E)/row);
+    *  - ONE BATCHED sparse gradient pass per path point serving all
+    *    nfolds+1 models: per model the centering-corrected form
+    *    (Σxᵢⱼ·innerᵢ − cⱼ·Σinnerᵢ)/sⱼ splits the standardized
+    *    gradient into sparse accumulations plus a driver-side
+    *    correction — never an O(p) row loop;
+    *  - measure="mae": one sparse scoring scan over active sets.
+    *
+    * The alpha grid shares E, the slabs and the moment pass. Verified
+    * equal to `CvSgdNet.fitSparse` (gaussian) and to the dense
+    * [[cvGaussian]] on densified rows by LargePSpec. Same contract as
+    * [[fitSparseGaussian]] plus nfolds ≥ 2; no weightCol (the
+    * weighted sparse CV lives on `CvSgdNet.fitSparse`). */
+  def cvSparseGaussian(df: DataFrame, idxCol: String, valCol: String,
+                       dim: Int, labelCol: String,
+                       params: SgdNetParams = SgdNetParams(),
+                       nfolds: Int = 10,
+                       alphas: Seq[Double] = Seq.empty,
+                       measure: String = "deviance",
+                       foldCol: org.apache.spark.sql.Column = null): CvSgdNet.CvResult = {
+    import org.apache.spark.sql.functions.col
+    require(params.family == "gaussian",
+      s"LargeP.cvSparseGaussian supports gaussian, not ${params.family}")
+    require(nfolds >= 2, "nfolds must be at least 2")
+    require(Set("deviance", "mse", "mae").contains(measure),
+      s"large-p sparse gaussian CV supports deviance|mse|mae, not '$measure'")
+    val alphaGrid = if (alphas.nonEmpty) alphas else Seq(params.alpha)
+    alphaGrid.foreach(a => require(a > 0 && a <= 1,
+      "the screened-Gram CV needs every alpha in (0, 1] (at alpha = 0 " +
+        "every coordinate is active and the per-fold Gram IS p x p)"))
+    require(params.penaltyFactor == null && params.lowerLimits == null &&
+      params.upperLimits == null && !params.sgdnetCompat &&
+      !params.standardizeResponse,
+      "LargeP.cvSparseGaussian composes with none of penaltyFactor / " +
+        "box limits / sgdnetCompat / standardizeResponse — reduce " +
+        "dimensionality and use CvSgdNet.fitSparse for those")
+    require(dim > 0, "the predictor matrix (x) is empty.")
+    require(params.nlambda > 0, "lambda path cannot be of zero length.")
+    if (params.lambda != null)
+      require(params.lambda.forall(_ >= 0),
+        "penalty strengths (lambdas) must be positive.")
+    val p = dim
+    val sc = df.sparkSession.sparkContext
+    val M = nfolds + 1
+
+    // the CvSgdNet.fitSparse fold convention: hash (idx, vals, label)
+    val hashCols = Seq(col(idxCol), col(valCol), col(labelCol))
+    val rows = df
+      .withColumn("__fold", CvSgdNet.foldExpr(foldCol, hashCols, nfolds).cast("int"))
+      .select(col(idxCol), col(valCol).cast("array<double>"),
+        col(labelCol).cast("double"), col("__fold"))
+      .rdd.map { r =>
+        (r.getInt(3), r.getSeq[Int](0).toArray,
+          r.getSeq[Double](1).toArray, r.getDouble(2))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ------------------------ pass A: per-fold O(nnz)-per-row moments
+      val accA = rows.treeAggregate(
+          Array.fill(nfolds)(new Array[Double](3 * p + 3)))(
+        seqOp = (acc, t) => {
+          val a = acc(t._1); val ix = t._2; val vs = t._3; val y = t._4
+          var k = 0
+          while (k < ix.length) {
+            val j = ix(k); val v = vs(k)
+            a(j) += v; a(p + j) += v * v; a(2 * p + j) += v * y
+            k += 1
+          }
+          a(3 * p) += 1.0; a(3 * p + 1) += y; a(3 * p + 2) += y * y
+          acc
+        },
+        combOp = (a, b) => {
+          var f = 0
+          while (f < nfolds) {
+            val af = a(f); val bf = b(f)
+            var i = 0
+            while (i < af.length) { af(i) += bf(i); i += 1 }
+            f += 1
+          }
+          a
+        }, depth = 2)
+      var passes = 1
+      CvSgdNet.requireNonEmptyFolds(
+        accA.map(_(3 * p).toLong).toIndexedSeq, nfolds)
+      val momTot = new Array[Double](3 * p + 3)
+      accA.foreach { a =>
+        var i = 0; while (i < momTot.length) { momTot(i) += a(i); i += 1 }
+      }
+      val mom = Array.tabulate(M) { m =>
+        if (m == nfolds) momTot
+        else {
+          val t = momTot.clone()
+          val a = accA(m)
+          var i = 0; while (i < t.length) { t(i) -= a(i); i += 1 }
+          t
+        }
+      }
+      val nM = Array.tabulate(M)(m => mom(m)(3 * p))
+      val meanM = Array.tabulate(M, p)((m, j) => mom(m)(j) / nM(m))
+      val sdM = Array.tabulate(M, p) { (m, j) =>
+        val v = math.max(mom(m)(p + j) / nM(m) - meanM(m)(j) * meanM(m)(j), 0.0)
+        val s = math.sqrt(v); if (s > 0) s else 1.0
+      }
+      val scaleM = Array.tabulate(M)(m =>
+        if (params.standardize) sdM(m) else Array.fill(p)(1.0))
+      val centerM = Array.tabulate(M)(m =>
+        if (params.intercept) meanM(m) else new Array[Double](p))
+      val invScaleM = Array.tabulate(M, p)((m, j) => 1.0 / scaleM(m)(j))
+      val yMeanM = Array.tabulate(M)(m => mom(m)(3 * p + 1) / nM(m))
+      val yCenM = Array.tabulate(M)(m => if (params.intercept) yMeanM(m) else 0.0)
+      val cM = Array.tabulate(M, p)((m, j) =>
+        (mom(m)(2 * p + j) / nM(m) - centerM(m)(j) * yMeanM(m) -
+          yCenM(m) * meanM(m)(j) + centerM(m)(j) * yCenM(m)) / scaleM(m)(j))
+      val nTot = nM(nfolds)
+      val yVarTot = math.max(momTot(3 * p + 2) / nTot -
+        yMeanM(nfolds) * yMeanM(nfolds), 0.0)
+
+      // ---------------- union ever-candidate set E + per-fold RAW slabs
+      val posOf = scala.collection.mutable.HashMap.empty[Int, Int]
+      val eIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val foldSlab = Array.fill(nfolds)(
+        scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[Double]])
+      val totSlab = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[Double]]
+
+      def slabExtend(newCols: Seq[Int]): Unit = {
+        if (newCols.isEmpty) return
+        require(eIdx.size + newCols.size <= SgdNet.maxGramP,
+          s"the union ever-candidate set would grow to " +
+            s"${eIdx.size + newCols.size} > maxGramP = ${SgdNet.maxGramP} " +
+            "columns: the nfolds x |E|^2 slab no longer fits the " +
+            "driver budget. Use dfmax/pmax to bound the path, a larger " +
+            "lambda floor, or raise graft.ml.SgdNet.maxGramP.")
+        val oldE = eIdx.toArray
+        val nn = newCols.toArray
+        val eAfter = oldE ++ nn
+        // slot lookups so each row finds its nnz inside each set in
+        // O(nnz) — broadcast int arrays, -1 = not a member
+        val slotNew = Array.fill(p)(-1)
+        nn.indices.foreach(i => slotNew(nn(i)) = i)
+        val slotE = Array.fill(p)(-1)
+        eAfter.indices.foreach(i => slotE(eAfter(i)) = i)
+        val block = nn.length * eAfter.length
+        val bc = sc.broadcast((slotNew, slotE, nn.length, eAfter.length))
+        val acc = rows.treeAggregate(new Array[Double](nfolds * block))(
+          seqOp = (a, t) => {
+            val (fold, ix, vs, _) = t
+            val (sN, sE, nNew, nE) = bc.value
+            var k = 0
+            var cntN = 0; var cntE = 0
+            while (k < ix.length) {
+              val j = ix(k)
+              if (sN(j) >= 0) cntN += 1
+              if (sE(j) >= 0) cntE += 1
+              k += 1
+            }
+            if (cntN > 0 && cntE > 0) {
+              val nIdx = new Array[Int](cntN); val nVal = new Array[Double](cntN)
+              val eIdx2 = new Array[Int](cntE); val eVal = new Array[Double](cntE)
+              k = 0; var a1 = 0; var a2 = 0
+              while (k < ix.length) {
+                val j = ix(k)
+                val s1 = sN(j); val s2 = sE(j)
+                if (s1 >= 0) { nIdx(a1) = s1; nVal(a1) = vs(k); a1 += 1 }
+                if (s2 >= 0) { eIdx2(a2) = s2; eVal(a2) = vs(k); a2 += 1 }
+                k += 1
+              }
+              val off = fold * nNew * nE
+              var i1 = 0
+              while (i1 < cntN) {
+                val base = off + nIdx(i1) * nE
+                val v1 = nVal(i1)
+                var i2 = 0
+                while (i2 < cntE) {
+                  a(base + eIdx2(i2)) += v1 * eVal(i2)
+                  i2 += 1
+                }
+                i1 += 1
+              }
+            }
+            a
+          },
+          combOp = (a, b) => {
+            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+          }, depth = 2)
+        passes += 1
+        bc.destroy()
+        for (f <- 0 until nfolds) {
+          val off = f * block
+          for (bi <- oldE.indices; ai <- nn.indices)
+            foldSlab(f)(bi) += acc(off + ai * eAfter.length + bi)
+          for (ai <- nn.indices) {
+            val row = scala.collection.mutable.ArrayBuffer.empty[Double]
+            for (bi <- eAfter.indices)
+              row += acc(off + ai * eAfter.length + bi)
+            foldSlab(f) += row
+          }
+        }
+        for (bi <- oldE.indices; ai <- nn.indices)
+          totSlab(bi) += (0 until nfolds).map(f =>
+            foldSlab(f)(bi)(oldE.length + ai)).sum
+        for (ai <- nn.indices) {
+          val row = scala.collection.mutable.ArrayBuffer.empty[Double]
+          for (bi <- eAfter.indices)
+            row += (0 until nfolds).map(f =>
+              foldSlab(f)(oldE.length + ai)(bi)).sum
+          totSlab += row
+        }
+        nn.foreach { j => posOf(j) = eIdx.size; eIdx += j }
+      }
+
+      def trainRaw(m: Int, a: Int, b: Int): Double =
+        if (m == nfolds) totSlab(a)(b)
+        else totSlab(a)(b) - foldSlab(m)(a)(b)
+
+      // batched SPARSE full-p gradient pass: every model's standardized
+      // gradient at its coefficients via the centering-corrected form —
+      // per model, p + 1 accumulator slots (Σ x_ij·inner_i, Σ inner_i)
+      def gradPass(act: Array[(Array[Int], Array[Double])]): Array[Array[Double]] = {
+        // per model: slot lookup over its active set, beta·invScale and
+        // the constant center·beta·invScale sum
+        val actSlot = Array.fill(M)(null: Array[Int])
+        val betaInv = Array.fill(M)(null: Array[Double])
+        val cAct = new Array[Double](M)
+        for (m <- 0 until M) {
+          val (ai, av) = act(m)
+          if (ai.length > 0) {
+            val sl = Array.fill(p)(-1)
+            ai.indices.foreach(i => sl(ai(i)) = i)
+            actSlot(m) = sl
+            betaInv(m) = ai.indices.map(i => av(i) * invScaleM(m)(ai(i))).toArray
+            cAct(m) = ai.indices.map(i =>
+              betaInv(m)(i) * centerM(m)(ai(i))).sum
+          }
+        }
+        val anyAct = (0 until M).exists(actSlot(_) != null)
+        if (!anyAct) return Array.tabulate(M)(m => cM(m).clone())
+        val bc = sc.broadcast((actSlot, betaInv, cAct))
+        val acc = rows.treeAggregate(new Array[Double](M * (p + 1)))(
+          seqOp = (a, t) => {
+            val (fold, ix, vs, _) = t
+            val (sA, bI, c0) = bc.value
+            var m = 0
+            while (m < M) {
+              if (m != fold && sA(m) != null) {
+                val sl = sA(m); val bi = bI(m)
+                var inner = -c0(m)
+                var k = 0
+                while (k < ix.length) {
+                  val s = sl(ix(k))
+                  if (s >= 0) inner += bi(s) * vs(k)
+                  k += 1
+                }
+                if (inner != 0.0) {
+                  val off = m * (p + 1)
+                  k = 0
+                  while (k < ix.length) {
+                    a(off + ix(k)) += vs(k) * inner
+                    k += 1
+                  }
+                  a(off + p) += inner
+                }
+              }
+              m += 1
+            }
+            a
+          },
+          combOp = (a, b2) => {
+            var i = 0; while (i < a.length) { a(i) += b2(i); i += 1 }; a
+          }, depth = 2)
+        passes += 1
+        bc.destroy()
+        Array.tabulate(M) { m =>
+          if (actSlot(m) == null) cM(m).clone()
+          else {
+            val off = m * (p + 1)
+            val t = acc(off + p)
+            Array.tabulate(p)(j => cM(m)(j) -
+              (acc(off + j) - centerM(m)(j) * t) * invScaleM(m)(j) / nM(m))
+          }
+        }
+      }
+
+      // ------------------------------------------------ per-alpha paths
+      val paths = alphaGrid.map { alpha =>
+        val prm = params.copy(alpha = alpha)
+        val minRatio = if (prm.lambdaMinRatio.isNaN)
+          LambdaPath.defaultMinRatio(nTot.toLong, p) else prm.lambdaMinRatio
+        val lambdas = if (prm.lambda != null) prm.lambda
+          else LambdaPath.build(Array(cM(nfolds)), alpha, prm.nlambda,
+            minRatio, null)
+        val L = lambdas.length
+        val beta = Array.fill(M)(new Array[Double](p))
+        val cand = Array.fill(M)(
+          scala.collection.mutable.LinkedHashSet.empty[Int])
+        val grad = Array.tabulate(M)(m => cM(m).clone())
+        val lamPrev0 = Array.tabulate(M)(m =>
+          cM(m).map(math.abs).max / math.max(alpha, 1e-3))
+        val a0Out = Array.ofDim[Double](M, L)
+        val bOut = Array.ofDim[Array[Double]](M, L)
+        val actOut = Array.ofDim[Array[Int]](M, L)
+        val foldScores = Array.ofDim[Double](nfolds, L)
+        val fullBeta = Array.ofDim[Double](L, 1, p)
+        val fullA0 = Array.ofDim[Double](L, 1)
+        val devRatio = new Array[Double](L)
+        val dfGate = new SgdNet.DfGate(prm, p)
+        var cutL = L
+        var lamPrev = lamPrev0
+        var l = 0
+        while (l < L) {
+          val lam = lambdas(l)
+          val tol = math.max(prm.thresh * 1e-4, 1e-12) * math.max(lam, 1.0)
+          val needE = scala.collection.mutable.LinkedHashSet.empty[Int]
+          for (m <- 0 until M) {
+            val bound = alpha * (2.0 * lam - lamPrev(m))
+            var j = 0
+            while (j < p) {
+              if (!cand(m).contains(j) &&
+                  (beta(m)(j) != 0.0 || math.abs(grad(m)(j)) >= bound)) {
+                cand(m) += j
+                if (!posOf.contains(j)) needE += j
+              }
+              j += 1
+            }
+          }
+          slabExtend(needE.toSeq)
+          var settled = false
+          while (!settled) {
+            for (m <- 0 until M) {
+              val cIdx = cand(m).toArray
+              val k = cIdx.length
+              if (k > 0) {
+                val ctr = centerM(m); val mn = meanM(m); val scl = scaleM(m)
+                val nm = nM(m)
+                val pos = cIdx.map(posOf)
+                val aSub = Array.tabulate(k, k) { (x2, y2) =>
+                  val i = cIdx(x2); val j = cIdx(y2)
+                  (trainRaw(m, pos(x2), pos(y2)) / nm - ctr(i) * mn(j) -
+                    ctr(j) * mn(i) + ctr(i) * ctr(j)) / (scl(i) * scl(j))
+                }
+                val cSub = cIdx.map(cM(m))
+                val init = cIdx.map(beta(m))
+                val r = CoordinateDescent.solve(aSub, cSub,
+                  new Array[Double](k), 0.0, 1.0, lam, alpha,
+                  intercept = false, init = init,
+                  thresh = prm.thresh * 1e-4, maxIter = prm.maxit)
+                java.util.Arrays.fill(beta(m), 0.0)
+                var x2 = 0
+                while (x2 < k) { beta(m)(cIdx(x2)) = r.beta(x2); x2 += 1 }
+              }
+            }
+            val acts = Array.tabulate(M) { m =>
+              val ai = (0 until p).filter(beta(m)(_) != 0.0).toArray
+              (ai, ai.map(beta(m)))
+            }
+            val g = gradPass(acts)
+            for (m <- 0 until M) grad(m) = g(m)
+            val needE2 = scala.collection.mutable.LinkedHashSet.empty[Int]
+            var any = false
+            for (m <- 0 until M) {
+              var j = 0
+              while (j < p) {
+                if (!cand(m).contains(j) &&
+                    math.abs(grad(m)(j)) > lam * alpha + tol) {
+                  cand(m) += j
+                  if (!posOf.contains(j)) needE2 += j
+                  any = true
+                }
+                j += 1
+              }
+            }
+            if (!any) settled = true
+            else slabExtend(needE2.toSeq)
+          }
+          if (!dfGate.admit(j => beta(nfolds)(j) != 0.0)) { cutL = l; l = L }
+          else {
+            for (m <- 0 until M) {
+              val ai = (0 until p).filter(beta(m)(_) != 0.0).toArray
+              val bOrig = ai.map(j => beta(m)(j) / scaleM(m)(j))
+              val a0 = if (prm.intercept)
+                yMeanM(m) - ai.indices.map(i =>
+                  bOrig(i) * meanM(m)(ai(i))).sum
+              else 0.0
+              actOut(m)(l) = ai; bOut(m)(l) = bOrig; a0Out(m)(l) = a0
+              if (m < nfolds && measure != "mae") {
+                val fa = accA(m)
+                val nf = fa(3 * p)
+                var quad = 0.0; var bx = 0.0; var bxy = 0.0
+                for (i <- ai.indices) {
+                  val j = ai(i)
+                  bx += bOrig(i) * fa(j) / nf
+                  bxy += bOrig(i) * fa(2 * p + j) / nf
+                  var s = 0.0
+                  for (i2 <- ai.indices)
+                    s += foldSlab(m)(posOf(j))(posOf(ai(i2))) / nf * bOrig(i2)
+                  quad += bOrig(i) * s
+                }
+                foldScores(m)(l) = fa(3 * p + 2) / nf -
+                  2 * a0 * fa(3 * p + 1) / nf + a0 * a0 +
+                  quad + 2 * a0 * bx - 2 * bxy
+              }
+              if (m == nfolds) {
+                for (i <- ai.indices) fullBeta(l)(0)(ai(i)) = bOrig(i)
+                fullA0(l)(0) = a0
+                val ySecond = if (prm.intercept) yVarTot
+                  else yVarTot + yMeanM(nfolds) * yMeanM(nfolds)
+                var bb = 0.0; var gq = 0.0
+                val ctr = centerM(m); val mn = meanM(m); val scl = scaleM(m)
+                for (i <- ai.indices) {
+                  val j = ai(i)
+                  bb += cM(m)(j) * beta(m)(j)
+                  var s = 0.0
+                  for (i2 <- ai.indices) {
+                    val j2 = ai(i2)
+                    s += (trainRaw(m, posOf(j), posOf(j2)) / nTot -
+                      ctr(j) * mn(j2) - ctr(j2) * mn(j) +
+                      ctr(j) * ctr(j2)) / (scl(j) * scl(j2)) * beta(m)(j2)
+                  }
+                  gq += beta(m)(j) * s
+                }
+                val rssOverN = ySecond - 2 * bb + gq
+                devRatio(l) = if (ySecond > 0) 1.0 - rssOverN / ySecond else 0.0
+              }
+            }
+            lamPrev = Array.fill(M)(lam)
+            l += 1
+          }
+        }
+        require(cutL > 0, "dfmax/pmax exclude every path point")
+        val lambdasT = lambdas.take(cutL)
+        if (measure == "mae") {
+          // one SPARSE scoring scan: each row scores its own fold's
+          // model at every path point over the active sets only
+          val bc = sc.broadcast((a0Out, bOut, actOut, cutL))
+          val acc = rows.treeAggregate(new Array[Double](nfolds * cutL))(
+            seqOp = (a, t) => {
+              val (f, ix, vs, y) = t
+              val (a0s, bs, as2, lc) = bc.value
+              var l2 = 0
+              while (l2 < lc) {
+                var eta = a0s(f)(l2)
+                val ai = as2(f)(l2); val bv = bs(f)(l2)
+                // ai is sorted ascending (filter over 0 until p) and so
+                // is ix — merge-join the two sparse lists
+                var i = 0; var k = 0
+                while (i < ai.length && k < ix.length) {
+                  val d = ai(i) - ix(k)
+                  if (d == 0) { eta += bv(i) * vs(k); i += 1; k += 1 }
+                  else if (d < 0) i += 1
+                  else k += 1
+                }
+                a(f * lc + l2) += math.abs(y - eta)
+                l2 += 1
+              }
+              a
+            },
+            combOp = (a, b) => {
+              var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+            }, depth = 2)
+          passes += 1
+          bc.destroy()
+          for (f <- 0 until nfolds; l2 <- 0 until cutL)
+            foldScores(f)(l2) = acc(f * cutL + l2) / accA(f)(3 * p)
+        }
+        val nulldev = nTot * (if (prm.intercept) yVarTot
+          else yVarTot + yMeanM(nfolds) * yMeanM(nfolds))
+        val full = new SgdNetModel("gaussian", (0 until p).map(j => s"V$j").toArray,
+          Array(labelCol), Array.empty, lambdasT, fullA0.take(cutL),
+          fullBeta.take(cutL), nulldev, devRatio.take(cutL),
+          nTot.toLong, passes, prm)
+        CvSgdNet.summarize(alpha, lambdasT,
+          foldScores.map(_.take(cutL)), full)
+      }
       val best = paths.minBy(pth => pth.cvm.min)
       CvSgdNet.CvResult(paths, best)
     } finally rows.unpersist(blocking = false)

@@ -329,6 +329,76 @@ object PathQueries {
       .orderBy("lambda_idx")
   }
 
+  /** SPARSE screened-Gram CV on the correctness board (round 18 —
+    * `LargeP.cvSparseGaussian`, the CSR CV twin): the [[cvLargeP]]
+    * fixture VERBATIM as CSR rows — same data, folds, two-point grid,
+    * mse measure — so the oracle is byte-identical (DuckDB recomputes
+    * fold train statistics, held-out-MSE moment form and cvm/cvsd)
+    * and any divergence isolates the sparse CV chassis: the O(nnz)
+    * per-fold moment pass, the slot-lookup slab passes, and the
+    * batched centering-corrected sparse gradient pass. */
+  def sparseCvLargeP(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Seq("f0") ++ (1 until 36).map(j => f"f$j%02d")
+    val featCols = (col("l_extendedprice").cast("double") / 1000.0 +
+      pmod(col("l_orderkey"), lit(3))).as("f0") +:
+      (1 until 36).map(j =>
+        pmod(col("l_orderkey") * (2 * j + 3) + col("l_linenumber") * (j + 1),
+          lit(23)).cast("double").as(f"f$j%02d"))
+    val li = tbl(spark, dir, "lineitem")
+      .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+      .select(col("l_orderkey") +: col("l_linenumber") +:
+        col("l_extendedprice").cast("double").as("y") +: featCols: _*)
+      .withColumn("sidx", array(feats.indices.map(lit): _*))
+      .withColumn("svals", array(feats.map(col): _*))
+    val g = graft.ml.SufficientStats.compute(
+      graft.ml.SufficientStats.toRdd(li, feats, Seq("y")), feats.size, 1)
+    val st = graft.ml.SufficientStats.standardize(g,
+      standardizeX = true, intercept = true)
+    val lmax = st.b(0).map(math.abs).max
+    val fold = pmod(graft.ops.Sampling.hashBucket(
+      col("l_orderkey") * 100 + col("l_linenumber")), lit(5))
+    val cv = graft.ml.LargeP.cvSparseGaussian(li, "sidx", "svals",
+      feats.size, "y",
+      SgdNetParams(alpha = 1.0, lambda = Array(lmax * 1.15, lmax * 0.75),
+        thresh = 1e-9, maxit = 100000),
+      nfolds = 5, measure = "mse", foldCol = fold)
+    cv.curveDF(spark)
+      .select(col("lambda_idx").cast("int").as("lambda_idx"),
+        round(col("lambda"), 4).as("lambda"),
+        round(log(col("cvm")), 6).as("ln_cvm"),
+        round(log(col("cvsd")), 6).as("ln_cvsd"))
+      .orderBy("lambda_idx")
+  }
+
+  /** Relaxed lasso through the screened-Gram chassis (round 18 —
+    * `LargeP.relaxedFitGaussian`, glmnet relax = TRUE at large p):
+    * the q_relaxed_fit fixture VERBATIM — same data, the
+    * (λ > λmax, λ = 1.0) grid whose both stages are closed forms,
+    * gamma = 0.5 — so the oracle is byte-identical and any divergence
+    * isolates the screened relax: the captured E-Gram, the
+    * driver-side active-set normal-equation refits (zero extra data
+    * passes), and the empty-set intercept-only refit at λ > λmax. */
+  def relaxedLargeP(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val rp = graft.ml.LargeP.relaxedFitGaussian(li, Seq("l_quantity"),
+      "l_extendedprice",
+      SgdNetParams(alpha = 1.0, lambda = Array(1e12, 1.0), thresh = 1e-9),
+      gamma = 0.5)
+    val m = rp.model
+    val rows = for {
+      l <- m.lambda.indices
+      (term, la, ol) <- Seq(
+        ("a0", m.a0(l)(0), rp.olsA0(l)),
+        ("l_quantity", m.beta(l)(0)(0), rp.olsBeta(l)(0)))
+    } yield (l, term, la, ol, rp.gamma * la + (1 - rp.gamma) * ol)
+    rows.toDF("lambda_idx", "term", "lasso", "ols", "relaxed")
+      .withColumn("lasso", round(col("lasso"), 4) + lit(0.0))
+      .withColumn("ols", round(col("ols"), 4) + lit(0.0))
+      .withColumn("relaxed", round(col("relaxed"), 4) + lit(0.0))
+      .orderBy("lambda_idx", "term")
+  }
+
   /** Screened-Gram LARGE-P IRLS route on the correctness board
     * (round 18 — `LargeP.fitBinomial`, the logistic path without the
     * p×p weighted Gram): the [[screenIrls]] fixture VERBATIM — same

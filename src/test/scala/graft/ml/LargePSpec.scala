@@ -244,6 +244,72 @@ class LargePSpec extends SparkSpec {
     } finally SgdNet.maxGramP = saved
   }
 
+  test("screened-Gram SPARSE CV == CvSgdNet.fitSparse == dense screened CV") {
+    val fold = pmod(col("rid") * 2654435761L, lit(4))
+    val csr = data
+      .withColumn("sidx", array((0 until p).map(lit): _*))
+      .withColumn("svals", array(names.map(col): _*))
+    val prm = SgdNetParams(alpha = 1.0, nlambda = 10, thresh = 1e-9,
+      maxit = 100000)
+    val ref = CvSgdNet.fitSparse(csr, "sidx", "svals", p, "y", prm,
+      nfolds = 4, foldCol = fold)
+    val big = LargeP.cvSparseGaussian(csr, "sidx", "svals", p, "y", prm,
+      nfolds = 4, foldCol = fold)
+    assertSameCv(big, ref, 1e-7, "sparse-cv")
+    // the same folds through the DENSE screened CV — identical answers
+    assertSameCv(big,
+      LargeP.cvGaussian(data, names, "y", prm, nfolds = 4, foldCol = fold),
+      1e-7, "sparse-cv==dense-cv")
+    // mae (the sparse merge-join scoring scan) + an alpha grid
+    assertSameCv(
+      LargeP.cvSparseGaussian(csr, "sidx", "svals", p, "y", prm,
+        nfolds = 4, alphas = Seq(1.0, 0.5), measure = "mae",
+        foldCol = fold),
+      CvSgdNet.fitSparse(csr, "sidx", "svals", p, "y", prm, nfolds = 4,
+        measure = "mae", foldCol = fold, alphas = Seq(1.0, 0.5)),
+      1e-7, "sparse-cv-mae")
+    // structural zeros (rows carry only their nnz)
+    val rnd = new scala.util.Random(17)
+    val spRows = (1 to 300).map { i =>
+      val ent = (0 until p).flatMap { j =>
+        val v = rnd.nextGaussian()
+        if (math.abs(v) > 0.8) Some((j, v * 2)) else None
+      }
+      val y = ent.collect {
+        case (0, v) => 1.5 * v
+        case (7, v) => -0.9 * v
+      }.sum + rnd.nextGaussian() * 0.3
+      (i.toLong, ent.map(_._1), ent.map(_._2), y)
+    }
+    val sp = spRows.toDF("rid", "sidx", "svals", "y")
+    val foldSp = pmod(col("rid") * 2654435761L, lit(4))
+    assertSameCv(
+      LargeP.cvSparseGaussian(sp, "sidx", "svals", p, "y", prm,
+        nfolds = 4, foldCol = foldSp),
+      CvSgdNet.fitSparse(sp, "sidx", "svals", p, "y", prm, nfolds = 4,
+        foldCol = foldSp), 1e-7, "sparse-cv-zeros")
+    // contracts + the capped regime (fitSparse CV refuses at the cap)
+    intercept[IllegalArgumentException] {
+      LargeP.cvSparseGaussian(sp, "sidx", "svals", p, "y",
+        SgdNetParams(alpha = 0.0))
+    }
+    val prmS = SgdNetParams(alpha = 1.0, nlambda = 8,
+      lambdaMinRatio = 0.25, thresh = 1e-9, maxit = 100000)
+    val refS = CvSgdNet.fitSparse(sp, "sidx", "svals", p, "y", prmS,
+      nfolds = 4, foldCol = foldSp)
+    val saved = SgdNet.maxGramP
+    SgdNet.maxGramP = 16
+    try {
+      intercept[IllegalArgumentException] {
+        CvSgdNet.fitSparse(sp, "sidx", "svals", p, "y", prmS, nfolds = 4,
+          foldCol = foldSp)
+      }
+      assertSameCv(
+        LargeP.cvSparseGaussian(sp, "sidx", "svals", p, "y", prmS,
+          nfolds = 4, foldCol = foldSp), refS, 1e-7, "sparse-cv-capped")
+    } finally SgdNet.maxGramP = saved
+  }
+
   test("screened SPARSE IRLS == full sparse IRLS == dense screened twin") {
     val csr = glmData.select(col("yb") +: col("yp") +: names.map(col): _*)
       .withColumn("sidx", array((0 until p).map(lit): _*))
@@ -463,6 +529,74 @@ class LargePSpec extends SparkSpec {
       assertSame(LargeP.fitBinomial(glmData, names, "yb", prmS), ref,
         1e-6, "binom-capped")
     } finally SgdNet.maxGramP = saved
+  }
+
+  private def assertSameRelax(a: SgdNet.RelaxedPath, b: SgdNet.RelaxedPath,
+                              tol: Double, tag: String): Unit = {
+    assertSame(a.model, b.model, tol, s"$tag model")
+    for (l <- a.model.lambda.indices) {
+      assert(math.abs(a.olsA0(l) - b.olsA0(l)) < tol, s"$tag olsA0($l)")
+      for (j <- 0 until p)
+        assert(math.abs(a.olsBeta(l)(j) - b.olsBeta(l)(j)) < tol,
+          s"$tag olsBeta($l)($j): ${a.olsBeta(l)(j)} vs ${b.olsBeta(l)(j)}")
+    }
+  }
+
+  test("relaxed refits through the screened chassis == SgdNet.relaxedFit") {
+    val prm = SgdNetParams(alpha = 1.0, nlambda = 12, thresh = 1e-9,
+      maxit = 100000)
+    assertSameRelax(
+      LargeP.relaxedFitGaussian(data, names, "y", prm, gamma = 0.3),
+      SgdNet.relaxedFit(data, names, "y", prm, gamma = 0.3), 1e-7, "relax")
+    // weighted + offset compositions
+    val wdata = data
+      .withColumn("w", (pmod(col("rid") * 7, lit(3)) + lit(1)).cast("double"))
+      .withColumn("off", col("x3") * 0.5 + col("x11") * 0.2)
+    assertSameRelax(
+      LargeP.relaxedFitGaussian(wdata, names, "y", prm, gamma = 0.0,
+        weightCol = "w"),
+      SgdNet.relaxedFitWeighted(wdata, names, "y", "w", prm, gamma = 0.0),
+      1e-7, "relax-w")
+    assertSameRelax(
+      LargeP.relaxedFitGaussian(wdata, names, "y", prm, gamma = 1.0,
+        offsetCol = "off"),
+      SgdNet.relaxedFitWithOffset(wdata, names, "y", "off", prm,
+        gamma = 1.0), 1e-7, "relax-off")
+    // sparse twin == relaxedFitSparse == the dense screened relax
+    val csr = data
+      .withColumn("sidx", array((0 until p).map(lit): _*))
+      .withColumn("svals", array(names.map(col): _*))
+    val bigSp = LargeP.relaxedFitSparseGaussian(csr, "sidx", "svals", p,
+      "y", prm, gamma = 0.5)
+    assertSameRelax(bigSp,
+      SgdNet.relaxedFitSparse(csr, "sidx", "svals", p, "y", prm,
+        gamma = 0.5), 1e-7, "relax-sparse")
+    // capped regime: the one-pass relax refuses, the screened one runs
+    val full0 = SgdNet.fit(data, names, "y",
+      SgdNetParams(alpha = 1.0, nlambda = 3, thresh = 1e-9))
+    val lmax = full0.lambda(0)
+    val prmS = SgdNetParams(alpha = 1.0,
+      lambda = Array(1.0, 0.75, 0.56, 0.42).map(_ * lmax), thresh = 1e-9,
+      maxit = 100000)
+    val ref = SgdNet.relaxedFit(data, names, "y", prmS, gamma = 0.2)
+    val saved = SgdNet.maxGramP
+    SgdNet.maxGramP = 16
+    try {
+      intercept[IllegalArgumentException] {
+        SgdNet.relaxedFit(data, names, "y", prmS, gamma = 0.2)
+      }
+      assertSameRelax(
+        LargeP.relaxedFitGaussian(data, names, "y", prmS, gamma = 0.2),
+        ref, 1e-7, "relax-capped")
+    } finally SgdNet.maxGramP = saved
+    // blend sanity: gamma = 1 reproduces the penalized path exactly
+    val g1 = LargeP.relaxedFitGaussian(data, names, "y", prm, gamma = 1.0)
+    for (l <- g1.model.lambda.indices) {
+      assert(g1.blendedA0(l) == g1.model.a0(l)(0), s"blend a0($l)")
+      for (j <- 0 until p)
+        assert(g1.blendedBeta(l)(j) == g1.model.beta(l)(0)(j),
+          s"blend beta($l)($j)")
+    }
   }
 
   test("screened-Gram GLM CV == CvSgdNet.fit shared-pass CV") {
