@@ -517,6 +517,75 @@ object ScaleProbe {
             f"passes=${pb.fit.npasses}")
           pb.lambda.length.toLong
         }
+      case "largepsparsecv" =>
+        // round 18: sparse screened CV (LargeP.cvSparseGaussian) vs
+        // the per-fold sparse-Gram CV (CvSgdNet.fitSparse). args =
+        // largepsparsecv <n> <dim> <nnz> <nlambda> <nfolds>
+        // <mode: both|big> [minRatio]
+        val nRows = args(1).toLong
+        val dim = args(2).toInt
+        val nnz = args(3).toInt
+        val nl = args(4).toInt
+        val nf = args(5).toInt
+        val mode = args(6)
+        import spark.implicits._
+        val ds = spark.sparkContext.range(0L, nRows,
+            numSlices = cpus.toInt).map { i =>
+          val rnd = new scala.util.Random(i * 2654435761L + 99)
+          // nnz random slots + 4 fixed signal slots (0, 7, 19, 33)
+          val sig = Array(0, 7, 19, 33)
+          val rest = Array.fill(nnz)(4 + rnd.nextInt(dim - 4)).distinct
+            .filterNot(sig.contains)
+          val idx = (sig ++ rest).sorted
+          val vals = idx.map(_ => rnd.nextGaussian())
+          val pos = idx.zipWithIndex.toMap
+          val y = 1.5 * vals(pos(0)) - 0.9 * vals(pos(7)) +
+            0.6 * vals(pos(19)) - 0.3 * vals(pos(33)) +
+            rnd.nextGaussian() * 0.5
+          (i, idx, vals, y)
+        }.toDF("rid", "sidx", "svals", "y")
+        if (mode == "both") {
+          ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          ds.count()
+        }
+        val foldC = org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("rid") * 2654435761L,
+          org.apache.spark.sql.functions.lit(nf))
+        val minRatio = if (args.length > 7) args(7).toDouble else Double.NaN
+        val prm = ml.SgdNetParams(alpha = 1.0, nlambda = nl,
+          lambdaMinRatio = minRatio, thresh = 1e-7, maxit = 100000)
+        def t1sc[T](f: => T): (T, Double) = {
+          val t = System.nanoTime()
+          val r = f; (r, (System.nanoTime() - t) / 1e9)
+        }
+        if (mode == "both") {
+          val (_, twarm) = t1sc(ml.CvSgdNet.fitSparse(ds, "sidx", "svals",
+            dim, "y", prm, nfolds = nf, foldCol = foldC))
+          val (ref, tf) = t1sc(ml.CvSgdNet.fitSparse(ds, "sidx", "svals",
+            dim, "y", prm, nfolds = nf, foldCol = foldC))
+          val (big, tb) = t1sc(ml.LargeP.cvSparseGaussian(ds, "sidx",
+            "svals", dim, "y", prm, nfolds = nf, foldCol = foldC))
+          val pr = ref.best; val pb = big.best
+          var md = 0.0
+          for (l <- pr.lambda.indices)
+            md = math.max(md, math.abs(pr.cvm(l) - pb.cvm(l)) /
+              math.max(1.0, math.abs(pr.cvm(l))))
+          println(f"probe_largepsparsecv dim=$dim n=$nRows nnz=$nnz " +
+            f"nfolds=$nf L=${pr.lambda.length} full=$tf%.2f " +
+            f"(warm $twarm%.2f) screened=$tb%.2f " +
+            f"passes=${pb.fit.npasses} cvm_reldiff=$md%.2e " +
+            f"lmin_eq=${pr.lambdaMin == pb.lambdaMin}")
+          pr.lambda.length.toLong
+        } else {
+          val (big, tb) = t1sc(ml.LargeP.cvSparseGaussian(ds, "sidx",
+            "svals", dim, "y", prm, nfolds = nf, foldCol = foldC))
+          val pb = big.best
+          val dfLast = pb.fit.beta.last.head.count(_ != 0.0)
+          println(f"probe_largepsparsecv dim=$dim n=$nRows nnz=$nnz " +
+            f"nfolds=$nf L=${pb.lambda.length} df_last=$dfLast " +
+            f"screened=$tb%.2f passes=${pb.fit.npasses}")
+          pb.lambda.length.toLong
+        }
       case "sparseirls" =>
         // round 18: strong-rule screen on the SPARSE GLM per-Newton
         // WLS solves — screened vs unscreened wall through the REAL

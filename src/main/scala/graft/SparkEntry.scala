@@ -85,6 +85,7 @@ object SparkEntry {
     "q_cv_irls_largep"   -> (PathQueries.cvIrlsLargeP _),
     "q_sparse_cv_largep" -> (PathQueries.sparseCvLargeP _),
     "q_relaxed_largep"   -> (PathQueries.relaxedLargeP _),
+    "q_relaxed_glm_largep" -> (PathQueries.relaxedGlmLargePQ _),
     "q_irls_offset_largep" -> (PathQueries.irlsOffsetLargeP _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
@@ -3017,6 +3018,10 @@ object SparkEntry {
       // q_cv_largep / q_relaxed_fit fixtures VERBATIM through the CSR
       // CV chassis and the captured-E-Gram relax
       ("q_sparse_cv_largep" -> base("q_cv_largep")) +
-      ("q_relaxed_largep" -> base("q_relaxed_fit"))
+      ("q_relaxed_largep" -> base("q_relaxed_fit")) +
+      // round 18: GLM relax at large p — the q_relaxed_binom fixture
+      // VERBATIM through the screened penalized path + the shared
+      // lockstep restricted-moment refit
+      ("q_relaxed_glm_largep" -> base("q_relaxed_binom"))
   }
 }

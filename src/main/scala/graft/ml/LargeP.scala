@@ -678,6 +678,70 @@ object LargeP {
     SgdNet.RelaxedPath(model, olsA0, olsBeta, gamma)
   }
 
+  /** Relaxed GLM path at LARGE p (round 18 — glmnet `relax = TRUE`
+    * for binomial through the screened chassis): the screened
+    * penalized path from [[fitBinomial]], then `SgdNet`'s lockstep
+    * unpenalized IRLS refit stage UNCHANGED — the refit passes
+    * accumulate only the restricted per-lambda moment blocks
+    * (O(Σ|A_l|²) per row), so that machinery never had a p² term;
+    * only the penalized stage needed the screened twin. Weights and
+    * offset compose exactly as on [[fitBinomial]]. */
+  def relaxedFitBinomial(df: DataFrame, featureCols: Seq[String],
+                         labelCol: String,
+                         params: SgdNetParams = SgdNetParams(family = "binomial"),
+                         gamma: Double = 1.0,
+                         weightCol: String = null,
+                         offsetCol: String = null): SgdNet.RelaxedPath = {
+    require(gamma >= 0 && gamma <= 1, "gamma must be in [0, 1]")
+    val model = fitBinomial(df, featureCols, labelCol, params, weightCol,
+      offsetCol)
+    relaxedGlmLargeP(df, featureCols, labelCol, model, params, gamma,
+      weightCol, offsetCol)
+  }
+
+  /** Poisson twin of [[relaxedFitBinomial]]. */
+  def relaxedFitPoisson(df: DataFrame, featureCols: Seq[String],
+                        labelCol: String,
+                        params: SgdNetParams = SgdNetParams(family = "poisson"),
+                        gamma: Double = 1.0,
+                        weightCol: String = null,
+                        offsetCol: String = null): SgdNet.RelaxedPath = {
+    require(gamma >= 0 && gamma <= 1, "gamma must be in [0, 1]")
+    val model = fitPoisson(df, featureCols, labelCol, params, weightCol,
+      offsetCol)
+    relaxedGlmLargeP(df, featureCols, labelCol, model, params, gamma,
+      weightCol, offsetCol)
+  }
+
+  private def relaxedGlmLargeP(df: DataFrame, featureCols: Seq[String],
+                               labelCol: String, model: SgdNetModel,
+                               params: SgdNetParams, gamma: Double,
+                               weightCol: String,
+                               offsetCol: String): SgdNet.RelaxedPath = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val p = featureCols.size
+    val yExpr =
+      if (params.family == "binomial") {
+        val positive = model.classLabels(1)
+        (col(labelCol).cast("string") === positive).cast("double")
+      } else col(labelCol).cast("double")
+    val wExpr = if (weightCol != null) col(weightCol).cast("double") else lit(1.0)
+    val oExpr = if (offsetCol != null) col(offsetCol).cast("double") else lit(0.0)
+    val rows0 = df.select((featureCols.map(c => col(c).cast("double")) :+
+        yExpr :+ wExpr :+ oExpr): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = r.getDouble(j); j += 1 }
+        (x, r.getDouble(p), r.getDouble(p + 1), r.getDouble(p + 2))
+      }
+    val rows = (if (weightCol != null) rows0.filter(_._3 > 0) else rows0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try SgdNet.relaxedGlmRefit(rows, model, params, gamma,
+      hasOffset = offsetCol != null)
+    finally { rows.unpersist(blocking = false); () }
+  }
+
   // unpenalized active-set refits from a captured E-Gram: solve
   // gram_AA·x = b_A on standardized coordinates (LinAlg.solve — the
   // relaxedFromStats exact branch), coefficients back on the original

@@ -1856,10 +1856,28 @@ object SgdNet {
         rows0.map { t => require(t._3 >= 0, "weights must be non-negative"); t }
           .filter(_._3 > 0)
       else rows0).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    try relaxedGlmRefit(rows, model, params, gamma, hasOffset)
+    finally { rows.unpersist(blocking = false); () }
+  }
+
+  /** Lockstep unpenalized IRLS refits of a fitted GLM path's active
+    * sets over (x, y, v, off) rows — the [[relaxedFitGlm]] refit stage
+    * as a standalone: every cluster pass accumulates only the
+    * RESTRICTED per-lambda moment blocks (O(Σ_live |A_l|²) per row,
+    * never p²), so the LARGE-P screened penalized paths
+    * (`LargeP.relaxedFitBinomial`/`relaxedFitPoisson`) reuse it
+    * unchanged — the refit machinery never had a p² term to remove.
+    * Weights enter RAW (the WLS solves and the null closed forms are
+    * invariant to uniform weight scaling, so raw v and sum-to-n
+    * normalized vn give identical refits). */
+  private[ml] def relaxedGlmRefit(rows: RDD[(Array[Double], Double, Double, Double)],
+                                  model: SgdNetModel, params: SgdNetParams,
+                                  gamma: Double, hasOffset: Boolean): RelaxedPath = {
+    val binomial = params.family == "binomial"
+    locally {
       val L = model.lambda.length
       val active: Array[Array[Int]] =
-        model.beta.map(bl => (0 until p).filter(j => bl(0)(j) != 0.0).toArray)
+        model.beta.map(bl => bl(0).indices.filter(bl(0)(_) != 0.0).toArray)
       val a0R = Array.tabulate(L)(l => model.a0(l)(0))
       val bR = Array.tabulate(L)(l => model.beta(l)(0).clone())
       val done = new Array[Boolean](L)
@@ -1991,7 +2009,7 @@ object SgdNet {
         iter += 1
       }
       RelaxedPath(model, a0R, bR, gamma)
-    } finally { rows.unpersist(blocking = false); () }
+    }
   }
 
   private[ml] def relaxedFromStats(g: GramStats, featureCols: Seq[String],

@@ -609,6 +609,34 @@ object PathQueries {
       .orderBy("lambda_idx", "term")
   }
 
+  /** Relaxed binomial through the screened chassis (round 18 —
+    * `LargeP.relaxedFitBinomial`, glmnet relax for the IRLS families
+    * at large p): the [[relaxedBinom]] 2-lambda closed-form fixture
+    * VERBATIM — same data, grid, gamma — through the screened
+    * penalized path + the shared lockstep restricted-moment refit, so
+    * the oracle is byte-identical and any divergence isolates the
+    * screened-penalized × refit composition. */
+  def relaxedGlmLargePQ(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("is_r", (col("l_returnflag") === "R").cast("int"))
+    val rp = graft.ml.LargeP.relaxedFitBinomial(li, Seq("l_quantity"),
+      "is_r", SgdNetParams(family = "binomial", alpha = 1.0,
+        lambda = Array(1.0, 0.0002), thresh = 1e6), gamma = 0.25)
+    val rows = for {
+      l <- 0 until 2
+      (term, pen, ols) <- Seq(
+        ("a0", rp.model.a0(l)(0), rp.olsA0(l)),
+        ("l_quantity", rp.model.beta(l)(0)(0), rp.olsBeta(l)(0)))
+    } yield (l, term, pen, ols, 0.25 * pen + 0.75 * ols)
+    rows.toDF("lambda_idx", "term", "pen", "ols", "blend")
+      .select(col("lambda_idx").cast("int").as("lambda_idx"), col("term"),
+        (round(col("pen"), 6) + lit(0.0)).as("pen"),
+        (round(col("ols"), 6) + lit(0.0)).as("ols"),
+        (round(col("blend"), 6) + lit(0.0)).as("blend"))
+      .orderBy("lambda_idx", "term")
+  }
+
   /** SPARSE relaxed binomial (round 16 — `SgdNet.relaxedFitGlmSparse`):
     * the [[relaxedBinom]] 2-lambda closed-form query verbatim over CSR
     * rows — same data, grid and gamma, so the oracle is byte-identical

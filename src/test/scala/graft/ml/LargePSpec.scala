@@ -599,6 +599,70 @@ class LargePSpec extends SparkSpec {
     }
   }
 
+  test("GLM relax through the screened chassis == SgdNet.relaxedFit") {
+    // auto paths start at EXACTLY λmax, where refit activity is a
+    // knife-edge (a 1e-12 moment difference decides whether the top
+    // point refits the null or a 1-coefficient model — the round-16
+    // sparse-relax spec lesson); generic user grids, with the top
+    // point safely above λmax, pin activity in both routes
+    val l0b = SgdNet.fit(glmData, names, "yb",
+      SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 3,
+        thresh = 1e-9)).lambda(0)
+    val prmB = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(1.3, 0.7, 0.4, 0.2, 0.1).map(_ * l0b),
+      thresh = 1e-9, maxit = 100000)
+    assertSameRelax(
+      LargeP.relaxedFitBinomial(glmData, names, "yb", prmB, gamma = 0.3),
+      SgdNet.relaxedFit(glmData, names, "yb", prmB, gamma = 0.3), 1e-6,
+      "relax-binom")
+    val l0p = SgdNet.fit(glmData, names, "yp",
+      SgdNetParams(family = "poisson", alpha = 1.0, nlambda = 3,
+        thresh = 1e-9)).lambda(0)
+    val prmP = SgdNetParams(family = "poisson", alpha = 1.0,
+      lambda = Array(1.3, 0.7, 0.4, 0.2, 0.1).map(_ * l0p),
+      thresh = 1e-9, maxit = 100000)
+    assertSameRelax(
+      LargeP.relaxedFitPoisson(glmData, names, "yp", prmP, gamma = 0.0),
+      SgdNet.relaxedFit(glmData, names, "yp", prmP, gamma = 0.0), 1e-6,
+      "relax-pois")
+    // weights + offset compositions ride the same shared refit
+    val wdata = glmData
+      .withColumn("w", (pmod(col("rid") * 7, lit(3)) + lit(1)).cast("double"))
+      .withColumn("off", col("x3") * 0.4 + col("x11") * 0.2)
+    assertSameRelax(
+      LargeP.relaxedFitBinomial(wdata, names, "yb", prmB, gamma = 0.5,
+        weightCol = "w"),
+      SgdNet.relaxedFitWeighted(wdata, names, "yb", "w", prmB, gamma = 0.5),
+      1e-6, "relax-binom-w")
+    assertSameRelax(
+      LargeP.relaxedFitBinomial(wdata, names, "yb", prmB, gamma = 0.5,
+        offsetCol = "off"),
+      SgdNet.relaxedFitWithOffset(wdata, names, "yb", "off", prmB,
+        gamma = 0.5), 1e-6, "relax-binom-off")
+    // capped regime: the dense relax refuses, the screened one runs.
+    // λ₀ sits ABOVE λmax (the exact-λmax point is a knife-edge: a
+    // sub-tolerance activity difference flips the refit between the
+    // null model and a 1-coefficient OLS — the round-16 sparse-relax
+    // spec lesson)
+    val l0 = SgdNet.fit(glmData, names, "yb",
+      SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 3,
+        thresh = 1e-9)).lambda(0)
+    val prmS = SgdNetParams(family = "binomial", alpha = 1.0,
+      lambda = Array(1.0001, 0.75, 0.56).map(_ * l0), thresh = 1e-9,
+      maxit = 100000)
+    val ref = SgdNet.relaxedFit(glmData, names, "yb", prmS, gamma = 0.2)
+    val saved = SgdNet.maxGramP
+    SgdNet.maxGramP = 16
+    try {
+      intercept[IllegalArgumentException] {
+        SgdNet.relaxedFit(glmData, names, "yb", prmS, gamma = 0.2)
+      }
+      assertSameRelax(
+        LargeP.relaxedFitBinomial(glmData, names, "yb", prmS, gamma = 0.2),
+        ref, 1e-6, "relax-binom-capped")
+    } finally SgdNet.maxGramP = saved
+  }
+
   test("screened-Gram GLM CV == CvSgdNet.fit shared-pass CV") {
     val fold = pmod(col("rid") * 2654435761L, lit(4))
     val prmB = SgdNetParams(family = "binomial", alpha = 1.0, nlambda = 8,
