@@ -86,6 +86,8 @@ object SparkEntry {
     "q_sparse_cv_largep" -> (PathQueries.sparseCvLargeP _),
     "q_relaxed_largep"   -> (PathQueries.relaxedLargeP _),
     "q_relaxed_glm_largep" -> (PathQueries.relaxedGlmLargePQ _),
+    "q_multinom_largep"  -> (PathQueries.multinomLargeP _),
+    "q_multinom_sparse_largep" -> (PathQueries.multinomSparseLargeP _),
     "q_irls_offset_largep" -> (PathQueries.irlsOffsetLargeP _),
     "q_cv_summary"       -> (PathQueries.cvSummary _),
     "q_cv_score"         -> (PathQueries.cvScore _),
@@ -3022,6 +3024,11 @@ object SparkEntry {
       // round 18: GLM relax at large p — the q_relaxed_binom fixture
       // VERBATIM through the screened penalized path + the shared
       // lockstep restricted-moment refit
-      ("q_relaxed_glm_largep" -> base("q_relaxed_binom"))
+      ("q_relaxed_glm_largep" -> base("q_relaxed_binom")) +
+      // round 18: multinomial at large p — the q_multinom_fit
+      // one-FISTA-step fixture VERBATIM through the dense and sparse
+      // large-p chassis (distributed power-iteration Lipschitz)
+      ("q_multinom_largep" -> base("q_multinom_fit")) +
+      ("q_multinom_sparse_largep" -> base("q_multinom_fit"))
   }
 }

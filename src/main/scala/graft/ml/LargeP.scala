@@ -631,6 +631,273 @@ object LargeP {
     } finally rows.unpersist(blocking = false)
   }
 
+  // --------------------------------------------------------- multinomial
+
+  /** Multinomial (softmax) elastic net at LARGE p (round 18): the
+    * dense route's FISTA core consumes its p×p Gram for ONE number —
+    * the Lipschitz bound 0.5·λmax(Gram) — while the FISTA state, the
+    * gradient passes and every prox are already O(p·k). This route
+    * therefore runs the IDENTICAL core (`SgdNet.fitMultinomialCoreSt`,
+    * same gradient/deviance kernels, same grouped/ungrouped prox, same
+    * penalty-factor/box-limit support) from:
+    *
+    *  - ONE O(p·k)-state moment pass (means/sds, class proportions,
+    *    the standardized null gradient b — the lambda-path input);
+    *  - a DISTRIBUTED POWER ITERATION for the Lipschitz bound: each
+    *    iteration is one O(p)-state pass computing Gram·v row-wise
+    *    ((1/n)·Xsᵀ(Xs v)) without materializing the Gram; early-stops
+    *    at machine-precision eigenvalue convergence (the dense
+    *    `LinAlg.maxEig` runs the same recursion on the explicit
+    *    matrix), capped at 100 iterations.
+    *
+    * Driver/broadcast state is O(p·k) (the FISTA coefficient block),
+    * never p². npasses counts the moment pass + power-iteration
+    * passes + FISTA gradient passes. */
+  def fitMultinomial(df: DataFrame, featureCols: Seq[String],
+                     labelCol: String,
+                     params: SgdNetParams = SgdNetParams(family = "multinomial")): SgdNetModel = {
+    require(params.family == "multinomial",
+      s"LargeP.fitMultinomial supports multinomial, not ${params.family}")
+    require(featureCols.nonEmpty, "the predictor matrix (x) is empty.")
+    val p = featureCols.size
+    val classes = SgdNet.multinomialClasses(df, labelCol)
+    val k = classes.length
+    val classIdx = classes.zipWithIndex.toMap
+    val rows = df.selectExpr(
+        (featureCols.map(c => s"cast(`$c` as double)") :+
+          s"cast(`$labelCol` as string)"): _*)
+      .rdd.map { row =>
+        val x = new Array[Double](p)
+        var j = 0
+        while (j < p) { x(j) = row.getDouble(j); j += 1 }
+        (x, row.getString(p))
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idx = rows.sparkContext.broadcast(classIdx)
+      val onehot = rows.map { case (x, c) =>
+        val y = new Array[Double](k); y(idx.value(c)) = 1.0; (x, y)
+      }
+      val sc = rows.sparkContext
+      // ------------------------------- pass A: O(p·k) raw moments
+      val sz = 2 * p + p * k + 2 * k + 1
+      val accA = onehot.treeAggregate(new Array[Double](sz))(
+        seqOp = (a, r) => {
+          val (x, y) = r
+          var j = 0
+          while (j < p) {
+            val xj = x(j)
+            a(j) += xj; a(p + j) += xj * xj
+            var t = 0
+            while (t < k) { a(2 * p + j * k + t) += xj * y(t); t += 1 }
+            j += 1
+          }
+          var t = 0
+          while (t < k) {
+            a(2 * p + p * k + t) += y(t)
+            a(2 * p + p * k + k + t) += y(t) * y(t)
+            t += 1
+          }
+          a(sz - 1) += 1.0
+          a
+        },
+        combOp = (a, b) => {
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        }, depth = 2)
+      var passes = 1
+      val nD = accA(sz - 1)
+      require(nD > 0, "the response (y) is empty.")
+      val st = stdStatsFrom(accA, p, k, nD, params)
+      val mean = if (params.intercept) st.xMean else new Array[Double](p)
+      val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      // --------------------- Lipschitz by distributed power iteration
+      val lipPasses = new Array[Int](1)
+      val lip = 0.5 * powerEig(p, mean, scale, nD, lipPasses) { v =>
+        val bc = sc.broadcast(v)
+        val acc = onehot.treeAggregate(new Array[Double](p))(
+          seqOp = (a, r) => {
+            val x = r._1
+            val vv = bc.value
+            var inner = 0.0
+            var j = 0
+            while (j < p) {
+              inner += (x(j) - mean(j)) / scale(j) * vv(j); j += 1
+            }
+            if (inner != 0.0) {
+              j = 0
+              while (j < p) {
+                a(j) += (x(j) - mean(j)) / scale(j) * inner; j += 1
+              }
+            }
+            a
+          },
+          combOp = (a, b) => {
+            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+          }, depth = 2)
+        bc.destroy()
+        acc
+      } + 1e-9
+      passes += lipPasses(0)
+      SgdNet.fitMultinomialCoreSt(st, nD.toLong, lip,
+        featureCols.toArray, labelCol, classes, params,
+        gradFn = (m, s, yB, yA) => SgdNet.softmaxGrad(onehot, m, s, yB, yA, k),
+        devFn = (a0Out, betaOut) =>
+          SgdNet.multinomDeviance(onehot, a0Out, betaOut, k),
+        passes0 = passes)
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** SPARSE (CSR) multinomial at LARGE dim — the many-class quality-
+    * classifier regime over hashed text features, where the dense Gram
+    * never existed: [[fitMultinomial]]'s discipline with the sparse
+    * kernels (`sparseSoftmaxGrad` / `sparseMultinomDeviance` — the
+    * exact kernels the full-Gram sparse route runs) and the power
+    * iteration's matvec split into sparse accumulations plus the
+    * driver-side centering correction (never an O(p) row loop). */
+  def fitSparseMultinomial(df: DataFrame, idxCol: String, valCol: String,
+                           dim: Int, labelCol: String,
+                           params: SgdNetParams = SgdNetParams(family = "multinomial")): SgdNetModel = {
+    import org.apache.spark.sql.functions.col
+    require(params.family == "multinomial",
+      s"LargeP.fitSparseMultinomial supports multinomial, not ${params.family}")
+    require(dim > 0, "the predictor matrix (x) is empty.")
+    val p = dim
+    val classes = SgdNet.multinomialClasses(df, labelCol)
+    val k = classes.length
+    val classIdx = classes.zipWithIndex.toMap
+    val bcIdx = df.sparkSession.sparkContext.broadcast(classIdx)
+    val rows = df.select(col(idxCol), col(valCol).cast("array<double>"),
+        col(labelCol).cast("string"))
+      .rdd.map { r =>
+        val y = new Array[Double](k)
+        y(bcIdx.value(r.getString(2))) = 1.0
+        (r.getSeq[Int](0).toArray, r.getSeq[Double](1).toArray, y, 1.0)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sc = rows.sparkContext
+      // --------------------- pass A: O(nnz·k)-per-row raw moments
+      val sz = 2 * p + p * k + 2 * k + 1
+      val accA = rows.treeAggregate(new Array[Double](sz))(
+        seqOp = (a, r) => {
+          val (ix, vs, y, _) = r
+          var q = 0
+          while (q < ix.length) {
+            val j = ix(q); val xj = vs(q)
+            a(j) += xj; a(p + j) += xj * xj
+            var t = 0
+            while (t < k) { a(2 * p + j * k + t) += xj * y(t); t += 1 }
+            q += 1
+          }
+          var t = 0
+          while (t < k) {
+            a(2 * p + p * k + t) += y(t)
+            a(2 * p + p * k + k + t) += y(t) * y(t)
+            t += 1
+          }
+          a(sz - 1) += 1.0
+          a
+        },
+        combOp = (a, b) => {
+          var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+        }, depth = 2)
+      var passes = 1
+      val nD = accA(sz - 1)
+      require(nD > 0, "the response (y) is empty.")
+      val st = stdStatsFrom(accA, p, k, nD, params)
+      val mean = if (params.intercept) st.xMean else new Array[Double](p)
+      val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
+      val invS = Array.tabulate(p)(j => 1.0 / scale(j))
+      val lipPasses = new Array[Int](1)
+      val lip = 0.5 * powerEig(p, mean, scale, nD, lipPasses) { v =>
+        // (Xs v)_i = Σ_nnz x_j v_j / s_j − Σ_j c_j v_j / s_j; then
+        // Xsᵀ(.) splits into sparse sums + a Σinner centering term
+        var cv = 0.0
+        var j = 0
+        while (j < p) { cv += mean(j) * invS(j) * v(j); j += 1 }
+        val vOverS = Array.tabulate(p)(j2 => v(j2) * invS(j2))
+        val bc = sc.broadcast((vOverS, cv))
+        val acc = rows.treeAggregate(new Array[Double](p + 1))(
+          seqOp = (a, r) => {
+            val (ix, vs, _, _) = r
+            val (vS, c0) = bc.value
+            var inner = -c0
+            var q = 0
+            while (q < ix.length) { inner += vs(q) * vS(ix(q)); q += 1 }
+            if (inner != 0.0) {
+              q = 0
+              while (q < ix.length) { a(ix(q)) += vs(q) * inner; q += 1 }
+              a(p) += inner
+            }
+            a
+          },
+          combOp = (a, b) => {
+            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+          }, depth = 2)
+        bc.destroy()
+        Array.tabulate(p)(j2 => (acc(j2) - mean(j2) * acc(p)) * invS(j2))
+      } + 1e-9
+      passes += lipPasses(0)
+      SgdNet.fitMultinomialCoreSt(st, nD.toLong, lip,
+        (0 until p).map(j => s"V$j").toArray, labelCol, classes, params,
+        gradFn = (m, s, yB, yA) =>
+          SgdNet.sparseSoftmaxGrad(rows, m, s, yB, yA, k),
+        devFn = (a0Out, betaOut) =>
+          SgdNet.sparseMultinomDeviance(rows.map(r => (r._1, r._2, r._3)),
+            a0Out, betaOut, k),
+        passes0 = passes)
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** StdStats (gram = null) from the raw multinomial moment layout
+    * [sumX p][sumXX p][xty p·k j-major][sumY k][sumYY k][n] — the
+    * exact `SufficientStats.standardize` arithmetic. */
+  private def stdStatsFrom(accA: Array[Double], p: Int, k: Int,
+                           nD: Double, params: SgdNetParams): StdStats = {
+    val xMean = Array.tabulate(p)(j => accA(j) / nD)
+    val xSd = Array.tabulate(p) { j =>
+      val v = math.max(accA(p + j) / nD - xMean(j) * xMean(j), 0.0)
+      val s = math.sqrt(v); if (s > 0) s else 1.0
+    }
+    val scale = if (params.standardize) xSd else Array.fill(p)(1.0)
+    val center = if (params.intercept) xMean else new Array[Double](p)
+    val yMean = Array.tabulate(k)(t => accA(2 * p + p * k + t) / nD)
+    val yVar = Array.tabulate(k)(t =>
+      math.max(accA(2 * p + p * k + k + t) / nD - yMean(t) * yMean(t), 0.0))
+    val yCenter = if (params.intercept) yMean else new Array[Double](k)
+    val b = Array.tabulate(k, p) { (t, j) =>
+      (accA(2 * p + j * k + t) / nD - center(j) * yMean(t) -
+        yCenter(t) * xMean(j) + center(j) * yCenter(t)) / scale(j)
+    }
+    StdStats(nD.toLong, xMean, xSd, yMean, yVar, null, b)
+  }
+
+  /** Largest eigenvalue of the standardized Gram by power iteration
+    * over cluster matvec passes: `matvec` returns the UN-normalized
+    * Xsᵀ(Xs v) sums (divided by n here). Deterministic uniform start,
+    * the `LinAlg.maxEig` recursion, early-stopped at machine-precision
+    * eigenvalue convergence, capped at the same 100 iterations.
+    * `passesOut(0)` receives the pass count. */
+  private def powerEig(p: Int, mean: Array[Double], scale: Array[Double],
+                       nD: Double, passesOut: Array[Int])
+                      (matvec: Array[Double] => Array[Double]): Double = {
+    var v = Array.fill(p)(1.0 / math.sqrt(p.toDouble))
+    var eig = 0.0
+    var it = 0
+    var done = false
+    while (it < 100 && !done) {
+      val raw = matvec(v)
+      val av = Array.tabulate(p)(j => raw(j) / nD)
+      val nrm = math.sqrt(av.map(x => x * x).sum)
+      if (nrm == 0.0) { passesOut(0) = it + 1; return 0.0 }
+      if (it > 0 && math.abs(nrm - eig) <= 1e-14 * math.max(nrm, 1.0))
+        done = true
+      eig = nrm
+      v = av.map(_ / nrm)
+      it += 1
+    }
+    passesOut(0) = it
+    eig
+  }
+
   // --------------------------------------------------------------- relax
 
   /** Relaxed elastic net at LARGE p (round 18 — glmnet `relax = TRUE`

@@ -3744,10 +3744,35 @@ object SgdNet {
       nulldevOverride: Double = Double.NaN,
       passes0: Int = 0)
       : SgdNetModel = {
+    val st = SufficientStats.standardize(g, params.standardize, params.intercept)
+    // Lipschitz bound for softmax cross-entropy on standardized X:
+    // L <= 0.5 * lambda_max(Gram)
+    val lip = 0.5 * LinAlg.maxEig(st.gram) + 1e-9
+    fitMultinomialCoreSt(st, g.n, lip, featureNames, labelCol, classes,
+      params, gradFn, devFn, nullA0, nullB, nulldevOverride, passes0)
+  }
+
+  /** [[fitMultinomialCore]] from PRE-STANDARDIZED stats and a caller-
+    * supplied Lipschitz constant — the Gram matrix itself is consumed
+    * ONLY for the Lipschitz bound, so the large-p multinomial route
+    * (`LargeP.fitMultinomial`: O(p·k) moments + a distributed power
+    * iteration for L) runs the IDENTICAL FISTA core without ever
+    * materializing p². `st.gram` may be null here. */
+  private[ml] def fitMultinomialCoreSt(
+      st: StdStats, nRows: Long, lip: Double,
+      featureNames: Array[String], labelCol: String,
+      classes: Array[String], params: SgdNetParams,
+      gradFn: (Array[Double], Array[Double], Array[Array[Double]], Array[Double]) =>
+        (Array[Array[Double]], Array[Double]),
+      devFn: (Array[Array[Double]], Array[Array[Array[Double]]]) => Array[Double],
+      nullA0: Array[Double] = null,
+      nullB: Array[Array[Double]] = null,
+      nulldevOverride: Double = Double.NaN,
+      passes0: Int = 0)
+      : SgdNetModel = {
     val p = featureNames.length
     val k = classes.length
-    val n = g.n.toDouble
-    val st = SufficientStats.standardize(g, params.standardize, params.intercept)
+    val n = nRows.toDouble
 
     // glmnet penalty.factor for multinomial: per-FEATURE multiplier on
     // both penalty terms (every class coefficient of feature j scales
@@ -3766,7 +3791,7 @@ object SgdNet {
     // cite as missing.
 
     val minRatio = if (params.lambdaMinRatio.isNaN)
-      LambdaPath.defaultMinRatio(g.n, p) else params.lambdaMinRatio
+      LambdaPath.defaultMinRatio(nRows, p) else params.lambdaMinRatio
     // gradient at null: (1/n)<xs_j, y_t - pbar_t>; with xs centered this is b
     val bSrc = if (nullB != null) nullB else st.b
     val lambdas = if (params.lambda != null) params.lambda
@@ -3785,10 +3810,6 @@ object SgdNet {
     val mean = if (params.intercept) st.xMean else new Array[Double](p)
     val scale = if (params.standardize) st.xSd else Array.fill(p)(1.0)
     val (loStd, upStd) = boundsStd(params, scale, 1.0)
-
-    // Lipschitz bound for softmax cross-entropy on standardized X:
-    // L <= 0.5 * lambda_max(Gram)
-    val lip = 0.5 * LinAlg.maxEig(st.gram) + 1e-9
     val priors = st.yMean // class proportions
 
     val L = lambdas.length
@@ -3919,10 +3940,10 @@ object SgdNet {
     val devRatio = devs.map(d => if (nulldev > 0) 1.0 - d / nulldev else 0.0)
 
     new SgdNetModel("multinomial", featureNames, Array(labelCol),
-      classes, lambdasT, a0OutT, betaOutT, nulldev, devRatio, g.n, passes, params)
+      classes, lambdasT, a0OutT, betaOutT, nulldev, devRatio, nRows, passes, params)
   }
 
-  private def softmaxGrad(rows: RDD[(Array[Double], Array[Double])],
+  private[ml] def softmaxGrad(rows: RDD[(Array[Double], Array[Double])],
                           mean: Array[Double], scale: Array[Double],
                           beta: Array[Array[Double]], a0: Array[Double],
                           k: Int): (Array[Array[Double]], Array[Double]) = {
@@ -4018,7 +4039,7 @@ object SgdNet {
     * nonzeros only; the centering/standardization correction
     *   grad_std[t][j] = (sum r_t x_j - m_j sum r_t) / s_j / n
     * is applied driver-side (same algebra as the sparse IRLS gram). */
-  private def sparseSoftmaxGrad(
+  private[ml] def sparseSoftmaxGrad(
       rows: RDD[(Array[Int], Array[Double], Array[Double], Double)],
       mean: Array[Double], scale: Array[Double],
       beta: Array[Array[Double]], a0: Array[Double],

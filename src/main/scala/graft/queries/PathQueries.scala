@@ -690,6 +690,58 @@ object PathQueries {
       .orderBy("class", "term")
   }
 
+  /** Multinomial at LARGE p on the correctness board (round 18 —
+    * `LargeP.fitMultinomial`, the FISTA core without the p×p Gram):
+    * the [[multinomFit]] one-FISTA-step fixture VERBATIM — same data,
+    * lambda, maxit = 1 — through the large-p chassis, so the oracle is
+    * byte-identical and any divergence isolates the O(p·k) moment pass
+    * or the DISTRIBUTED power-iteration Lipschitz (on this 2-feature
+    * fixture the uniform start IS the Gram's eigenvector, so the
+    * distributed recursion returns the dense `maxEig` value exactly
+    * and the one soft-threshold step reproduces the closed form). */
+  def multinomLargeP(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = tbl(spark, dir, "lineitem")
+    val m = graft.ml.LargeP.fitMultinomial(li,
+      Seq("l_quantity", "l_discount"), "l_returnflag",
+      SgdNetParams(family = "multinomial", alpha = 1.0,
+        lambda = Array(0.001), maxit = 1))
+    val rows = for {
+      t <- 0 until m.nResponses
+      (term, v) <- ("a0", m.a0(0)(t)) +:
+        m.featureNames.toSeq.zipWithIndex.map { case (f, j) => (f, m.beta(0)(t)(j)) }
+    } yield (m.classLabels(t), term, v)
+    rows.toDF("class", "term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("class", "term")
+  }
+
+  /** Sparse (CSR) twin of [[multinomLargeP]] — the same fixture
+    * through `LargeP.fitSparseMultinomial` (sparse moment pass, the
+    * centering-corrected sparse power-iteration matvec, and the
+    * sparse softmax kernels), byte-identical oracle. The model's
+    * V$j feature names are remapped for the output frame only. */
+  def multinomSparseLargeP(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val names = Seq("l_quantity", "l_discount")
+    val li = tbl(spark, dir, "lineitem")
+      .withColumn("sidx", array(lit(0), lit(1)))
+      .withColumn("svals", array(col("l_quantity").cast("double"),
+        col("l_discount").cast("double")))
+    val m = graft.ml.LargeP.fitSparseMultinomial(li, "sidx", "svals", 2,
+      "l_returnflag",
+      SgdNetParams(family = "multinomial", alpha = 1.0,
+        lambda = Array(0.001), maxit = 1))
+    val rows = for {
+      t <- 0 until m.nResponses
+      (term, v) <- ("a0", m.a0(0)(t)) +:
+        names.zipWithIndex.map { case (f, j) => (f, m.beta(0)(t)(j)) }
+    } yield (m.classLabels(t), term, v)
+    rows.toDF("class", "term", "value")
+      .withColumn("value", round(col("value"), 6) + lit(0.0))
+      .orderBy("class", "term")
+  }
+
   /** GROUPED multinomial penalty (the reference's own TODO,
     * R/sgdnet.R:265), ONE FISTA step from the null point — closed form
     * like [[multinomFit]], except the prox is the group soft-threshold

@@ -599,6 +599,68 @@ class LargePSpec extends SparkSpec {
     }
   }
 
+  private def assertSameMn(a: SgdNetModel, b: SgdNetModel, tol: Double,
+                           tag: String): Unit = {
+    assert(a.lambda.length == b.lambda.length, s"$tag path length")
+    val k = b.a0(0).length
+    for (l <- a.lambda.indices) {
+      assert(math.abs(a.lambda(l) - b.lambda(l)) <=
+        tol * math.max(1.0, b.lambda(l)), s"$tag lambda($l)")
+      for (t <- 0 until k) {
+        assert(math.abs(a.a0(l)(t) - b.a0(l)(t)) < tol, s"$tag a0($l)($t)")
+        for (j <- 0 until p)
+          assert(math.abs(a.beta(l)(t)(j) - b.beta(l)(t)(j)) < tol,
+            s"$tag beta($l)($t)($j): ${a.beta(l)(t)(j)} vs ${b.beta(l)(t)(j)}")
+      }
+      assert(math.abs(a.devRatio(l) - b.devRatio(l)) < tol, s"$tag dr($l)")
+    }
+    assert(math.abs(a.nulldev - b.nulldev) <=
+      tol * math.max(1.0, b.nulldev), s"$tag nulldev")
+  }
+
+  test("large-p multinomial == full-Gram multinomial (same FISTA core)") {
+    val mn = glmData.withColumn("ym",
+      when(col("x0") + col("x7") * 0.5 > 0.6, "a")
+        .when(col("x19") > 0.0, "b").otherwise("c"))
+    // FISTA pays one cluster pass per iteration, so the spec runs the
+    // board fixtures' convergence regime (thresh 1e-5, short explicit
+    // grids), not the moment routes' 1e-9 — both routes execute the
+    // IDENTICAL core, so parity only needs each to converge at its own
+    // thresh; tolerance follows the thresh
+    for ((tm, alpha) <- Seq(("ungrouped", 1.0), ("grouped", 0.5))) {
+      val prm = SgdNetParams(family = "multinomial", alpha = alpha,
+        lambda = Array(0.08, 0.03), thresh = 1e-5, maxit = 5000,
+        typeMultinomial = tm)
+      val full = SgdNet.fit(mn, names, "ym", prm)
+      val big = LargeP.fitMultinomial(mn, names, "ym", prm)
+      assertSameMn(big, full, 1e-4, s"mn-$tm")
+    }
+    // sparse CSR twin == the full-Gram sparse route == the dense twin
+    val csr = mn
+      .withColumn("sidx", array((0 until p).map(lit): _*))
+      .withColumn("svals", array(names.map(col): _*))
+    val prmS = SgdNetParams(family = "multinomial", alpha = 1.0,
+      lambda = Array(0.08, 0.03), thresh = 1e-5, maxit = 5000)
+    val bigSp = LargeP.fitSparseMultinomial(csr, "sidx", "svals", p, "ym",
+      prmS)
+    assertSameMn(bigSp,
+      SgdNet.fitSparse(csr, "sidx", "svals", p, "ym", prmS), 1e-4,
+      "mn-sparse")
+    val bigDense = LargeP.fitMultinomial(mn, names, "ym", prmS)
+    assertSameMn(bigSp, bigDense, 1e-4, "mn-sparse==dense")
+    // runs past the cap, returning the full route's path
+    val ref = SgdNet.fit(mn, names, "ym", prmS)
+    val saved = SgdNet.maxGramP
+    SgdNet.maxGramP = 16
+    try {
+      intercept[IllegalArgumentException] {
+        SgdNet.fit(mn, names, "ym", prmS)
+      }
+      assertSameMn(LargeP.fitMultinomial(mn, names, "ym", prmS), ref,
+        1e-4, "mn-capped")
+    } finally SgdNet.maxGramP = saved
+  }
+
   test("GLM relax through the screened chassis == SgdNet.relaxedFit") {
     // auto paths start at EXACTLY λmax, where refit activity is a
     // knife-edge (a 1e-12 moment difference decides whether the top
