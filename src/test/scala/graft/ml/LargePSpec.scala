@@ -575,8 +575,15 @@ class LargePSpec extends SparkSpec {
     val full0 = SgdNet.fit(data, names, "y",
       SgdNetParams(alpha = 1.0, nlambda = 3, thresh = 1e-9))
     val lmax = full0.lambda(0)
+    // top point STRICTLY above lambda_max: at exactly lmax the refit
+    // activity is a knife-edge (a 1e-12 moment difference between the
+    // full-Gram and screened chassis decides null vs 1-coefficient
+    // refit at the top point) — the same discipline the other parity
+    // rows in this suite and the round-16 sparse-relax spec adopted.
+    // (1.05, not 2.0: a huge top-point jump would blow the strong-rule
+    // candidate set past the capped maxGramP=16 budget below)
     val prmS = SgdNetParams(alpha = 1.0,
-      lambda = Array(1.0, 0.75, 0.56, 0.42).map(_ * lmax), thresh = 1e-9,
+      lambda = Array(1.05, 0.75, 0.56, 0.42).map(_ * lmax), thresh = 1e-9,
       maxit = 100000)
     val ref = SgdNet.relaxedFit(data, names, "y", prmS, gamma = 0.2)
     val saved = SgdNet.maxGramP
