@@ -294,7 +294,14 @@ object Dedup {
     import spark.implicits._
     import graft.functions.TextKernels.md5Hex
     val numHashes = bands * rowsPerBand
-    df.select(col(idCol).cast("long"), col(textCol))
+    // spread thin inputs MODESTLY: the per-(seed, gram) md5 loop is the
+    // dominant CPU cost of the LSH pipeline and inherits the scan
+    // partitioning, but the kernel output is re-scanned by several
+    // downstream stages, so full-parallelism spreading floods them with
+    // tiny tasks (bench-measured net loss at 32) — 8 buys most of the
+    // kernel speedup at a quarter of the stage overhead (no-op at scale)
+    Spread.thin(df.select(col(idCol).cast("long"), col(textCol)),
+        target = math.min(df.sparkSession.sparkContext.defaultParallelism, 8))
       .as[(Long, String)]
       .mapPartitions { it =>
         // per-partition state: pre-encoded seed prefixes + two reused
@@ -1870,8 +1877,12 @@ object Dedup {
                    keepBelowPpm: Long = 500000L): DataFrame = {
     require(w >= 1 && minDf >= 2, "need w >= 1 and minDf >= 2")
     // typed shingle kernel, not array HOFs (the §6 round-2 lesson:
-    // interpreted HOFs cost ~2.5 ms/doc and dominated this query 20:1)
-    val sh = shingleSets(df.filter(col(textCol).isNotNull),
+    // interpreted HOFs cost ~2.5 ms/doc and dominated this query 20:1).
+    // Spread thin inputs HERE (not in shingleSets): onion scans the
+    // whole corpus so the kernel dominates (bench-measured 0.78x),
+    // while light shingleSets consumers (containment on a doc slice)
+    // lose to the exchange overhead.
+    val sh = shingleSets(Spread.thin(df.filter(col(textCol).isNotNull)),
         idCol, textCol, w)
       .toDF("id", "sh")
       .select(col("id"), explode(col("sh")).as("g"))
@@ -1932,7 +1943,14 @@ object Dedup {
     import spark.implicits._
     import graft.functions.TextKernels.md5Hex
     val numHashes = bands * rowsPerBand
-    df.select(col(idCol).cast("long"), col(textCol))
+    // spread thin inputs MODESTLY: the per-(seed, gram) md5 loop is the
+    // dominant CPU cost of the LSH pipeline and inherits the scan
+    // partitioning, but the kernel output is re-scanned by several
+    // downstream stages, so full-parallelism spreading floods them with
+    // tiny tasks (bench-measured net loss at 32) — 8 buys most of the
+    // kernel speedup at a quarter of the stage overhead (no-op at scale)
+    Spread.thin(df.select(col(idCol).cast("long"), col(textCol)),
+        target = math.min(df.sparkSession.sparkContext.defaultParallelism, 8))
       .as[(Long, String)]
       .mapPartitions { it =>
         val wsPat = java.util.regex.Pattern.compile("\\s+")

