@@ -555,10 +555,16 @@ object CvSgdNet {
     val positive = classes(1)
 
     val hashCols = (featureCols :+ labelCol).map(col)
-    val rows = df
+    // spread a thin (single-file) input before the pass loop: every
+    // shared IRLS round re-scans these persisted blocks, so a one-
+    // partition scan serializes EVERY pass; modest target (the
+    // minhash-kernel lesson: full parallelism floods the per-pass jobs
+    // with tiny tasks). No-op at scale — see graft.ops.Spread.
+    val rows = graft.ops.Spread.thin(df
       .withColumn("__fold", foldExpr(foldCol, hashCols, nfolds).cast("int"))
       .select((featureCols.map(c => col(c).cast("double")) :+
-        (col(labelCol).cast("string") === positive).cast("double") :+ col("__fold")): _*)
+        (col(labelCol).cast("string") === positive).cast("double") :+ col("__fold")): _*),
+      target = math.min(df.sparkSession.sparkContext.defaultParallelism, 8))
       .rdd.map { r =>
         val x = new Array[Double](p)
         var j = 0

@@ -2072,9 +2072,13 @@ object LargeP {
     val hashCols = (featureCols :+ labelCol).map(col)
     val withFold = df.withColumn("__fold",
       CvSgdNet.foldExpr(foldCol, hashCols, nfolds).cast("int"))
-    val rows = withFold
+    // spread a thin input before the batched pass loop (the
+    // cvBinomialShared rationale: every fused KKT/moment pass re-scans
+    // these blocks; no-op at scale — see graft.ops.Spread)
+    val rows = graft.ops.Spread.thin(withFold
       .select((featureCols.map(c => col(c).cast("double")) :+ yExpr :+
-        col("__fold")): _*)
+        col("__fold")): _*),
+      target = math.min(df.sparkSession.sparkContext.defaultParallelism, 8))
       .rdd.map { r =>
         val x = new Array[Double](p)
         var j = 0
@@ -2708,6 +2712,10 @@ object LargeP {
     val p = featureCols.size
     val offC = if (offsetCol == null) lit(0.0) else col(offsetCol).cast("double")
     val wC = if (weightCol == null) lit(1.0) else col(weightCol).cast("double")
+    // NOT spread (unlike the batched-CV prep): the single-fit IRLS
+    // routes run few enough passes that the extra exchange measured as
+    // a net loss (bench: q_binom_largep 1.05x, q_relaxed_glm_largep
+    // 1.24x with a spread here)
     val raw = df.select((featureCols.map(c => col(c).cast("double")) ++
         Seq(yCol, offC, wC)): _*)
       .rdd.map { row =>

@@ -1149,7 +1149,10 @@ object Analytics {
     * engine-identical). Returns one row (n_days, n_pairs,
     * slope_per_day). */
   def theilSen(df: DataFrame, dateCol: String, valueCol: String,
-               scaleDigits: Int = 2, outDigits: Int = 6): DataFrame = {
+               scaleDigits: Int = 2, outDigits: Int = 6,
+               maxLocalDays: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val unit = math.pow(10, scaleDigits)
     val vc = round(col(valueCol).cast("double") * lit(unit)).cast("long")
     val perDay = df
@@ -1160,6 +1163,47 @@ object Analytics {
     val idx = perDay.crossJoin(broadcast(bounds))
       .select(datediff(col("d"), col("d0")).cast("long").as("t"), col("y"))
       .localCheckpoint(false)
+    // Driver cutover (the pageRank/aucPerGroup pattern): the per-day
+    // table is calendar-bounded — a 100 TB corpus still aggregates to
+    // one row per day — so below an explicit day bound the O(n²)
+    // slope enumeration + median selection run on the driver instead
+    // of an n² cross join + the two-pass range rank (optimization
+    // round 18: 2.12 s → sub-second on the bench board). Identical
+    // output: slope doubles are the same divisions ((yB−yA)/(tB−tA) is
+    // orientation-invariant in IEEE), the median positions select the
+    // same multiset values as globalRank's row_number filter, and the
+    // final round is the same HALF_UP BigDecimal. Above the bound the
+    // distributed two-pass rank below is unchanged.
+    if (idx.count() <= maxLocalDays) {
+      val days = idx.as[(Long, Long)].collect()
+      val nDays = days.length.toLong
+      val nPairs = nDays * (nDays - 1) / 2
+      if (nPairs <= 0)
+        return Seq.empty[(Long, Long, Double)]
+          .toDF("n_days", "n_pairs", "slope_per_day")
+      val slopes = new Array[Double](nPairs.toInt)
+      var k = 0
+      var i = 0
+      while (i < days.length) {
+        var j = i + 1
+        while (j < days.length) {
+          slopes(k) = (days(j)._2 - days(i)._2).toDouble /
+            (days(j)._1 - days(i)._1).toDouble
+          k += 1; j += 1
+        }
+        i += 1
+      }
+      java.util.Arrays.sort(slopes)
+      val r1 = ((nPairs + 1) / 2).toInt
+      val r2 = ((nPairs + 2) / 2).toInt
+      val avg =
+        if (r1 == r2) slopes(r1 - 1)
+        else (slopes(r1 - 1) + slopes(r2 - 1)) / 2.0
+      val slope = BigDecimal(avg / unit)
+        .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+      return Seq((nDays, nPairs, slope))
+        .toDF("n_days", "n_pairs", "slope_per_day")
+    }
     val a = idx.select(col("t").as("t1"), col("y").as("y1"))
     val b = idx.select(col("t").as("t2"), col("y").as("y2"))
     val slopes = a.join(b, col("t1") < col("t2"))

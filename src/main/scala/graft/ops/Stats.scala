@@ -109,41 +109,46 @@ object Stats {
       require(k <= maxCells,
         s"kendallTau: $k distinct (x,y) cells exceed maxCells=$maxCells — " +
           "quantize the inputs (scaleDigits) before calling")
-      // tau-b's denominator is 0 when either margin is constant (every
-      // pair tied) — fail with a diagnostic up front rather than
-      // converting the resulting NaN
-      val dm = cells.agg(countDistinct(col("x")), countDistinct(col("y"))).head()
-      require(dm.getLong(0) >= 2 && dm.getLong(1) >= 2,
+      // The cell histogram is contract-bounded (k <= maxCells, enforced
+      // above), so everything after the one corpus aggregation is
+      // driver arithmetic over <= maxCells rows: one collect replaces
+      // the distinct-margin job, the k² broadcast-NLJ concordance job
+      // (bench-measured ~13 CPU-seconds of per-row join overhead for a
+      // ~50 ms integer loop) and the three margin/tie jobs
+      // (optimization round 18). All sums are exact integers (BigInt ==
+      // Spark's exact decimal(38,0) sums); the closing double algebra
+      // is byte-identical to the distributed form the oracle mirrors.
+      val cs = cells.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val dx = cs.map(_._1).distinct.length
+      val dy = cs.map(_._2).distinct.length
+      require(dx >= 2 && dy >= 2,
         "kendallTau: a constant margin leaves tau-b undefined " +
-          s"(distinct x=${dm.getLong(0)}, y=${dm.getLong(1)})")
-      val c1 = cells.select(col("x").as("x1"), col("y").as("y1"), col("cnt").as("n1"))
-      val c2 = cells.select(col("x").as("x2"), col("y").as("y2"), col("cnt").as("n2"))
-      def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      val pair = c1.join(broadcast(c2), col("x1") < col("x2"))
-        .agg(
-          // coalesce: with a single distinct x cell the x1 < x2 join is
-          // empty and the sums come back null (the oracle coalesces too)
-          coalesce(sum(when(col("y1") < col("y2"), dd(col("n1")) * dd(col("n2")))
-            .otherwise(lit(0).cast("decimal(38,0)"))),
-            lit(0).cast("decimal(38,0)")).as("nc"),
-          coalesce(sum(when(col("y1") > col("y2"), dd(col("n1")) * dd(col("n2")))
-            .otherwise(lit(0).cast("decimal(38,0)"))),
-            lit(0).cast("decimal(38,0)")).as("nd"))
-        .head()
-      val nc = BigDecimal(pair.getDecimal(0))
-      val nd = BigDecimal(pair.getDecimal(1))
-      val margin = cells.agg(
-        sum(dd(col("cnt"))).as("n"),
-        sum(dd(col("cnt")) * dd(col("cnt"))).as("scell2")).head()
-      val n = BigDecimal(margin.getDecimal(0))
-      def tiePairs2(kc: String): BigDecimal = {
-        // 2 * sum_g C(t_g, 2) = sum_g t_g^2 - n, integral throughout
-        val r = cells.groupBy(col(kc)).agg(sum(col("cnt")).as("t"))
-          .agg(sum(dd(col("t")) * dd(col("t")))).head()
-        BigDecimal(r.getDecimal(0)) - n
+          s"(distinct x=$dx, y=$dy)")
+      var ncB = BigInt(0)
+      var ndB = BigInt(0)
+      var i = 0
+      while (i < cs.length) {
+        var j = 0
+        while (j < cs.length) {
+          if (cs(i)._1 < cs(j)._1) {
+            val m = BigInt(cs(i)._3) * BigInt(cs(j)._3)
+            if (cs(i)._2 < cs(j)._2) ncB += m
+            else if (cs(i)._2 > cs(j)._2) ndB += m
+          }
+          j += 1
+        }
+        i += 1
       }
-      val tx2 = tiePairs2("x")
-      val ty2 = tiePairs2("y")
+      val nc = BigDecimal(ncB)
+      val nd = BigDecimal(ndB)
+      val n = BigDecimal(cs.map(c => BigInt(c._3)).sum)
+      def tiePairs2(key: ((Long, Long, Long)) => Long): BigDecimal = {
+        // 2 * sum_g C(t_g, 2) = sum_g t_g^2 - n, integral throughout
+        val tg = cs.groupBy(key).values.map(g => g.map(c => BigInt(c._3)).sum)
+        BigDecimal(tg.map(t => t * t).sum) - n
+      }
+      val tx2 = tiePairs2(_._1)
+      val ty2 = tiePairs2(_._2)
       val n02 = n * (n - 1) // 2 * C(n,2)
       val den = math.sqrt((n02 - tx2).toDouble) * math.sqrt((n02 - ty2).toDouble)
       val tau = BigDecimal((nc - nd).toDouble * 2.0 / den)
