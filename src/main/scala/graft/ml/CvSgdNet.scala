@@ -5417,6 +5417,15 @@ object CvSgdNet {
             .otherwise(0.0)).as("pos")))
       .select(col("__g").cast("int").as("__g"), col("__s").cast("double").as("__s"),
         col("cnt"), col("pos"))
+    // RDD-level cache (optimization round 18): the former DataFrame
+    // persist pinned the exchange at full shuffle parallelism (AQE may
+    // not re-optimize under a cache) and paid a columnar cache build —
+    // probe-measured 2-4x slower on the Quantiles/Drift twins of this
+    // shape. The cardinality gate, the driver fast path and the
+    // distributed two-pass rank all read this one cache.
+    val cellsRdd = perScore.rdd
+      .map(r => ((r.getInt(0), r.getDouble(1)),
+        (r.getDouble(2), r.getDouble(3))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // integer-rank midrank offset (+1/2 per cell) and rank-sum
     // correction differ between the count and continuous-mass forms
@@ -5432,16 +5441,17 @@ object CvSgdNet {
     // persisted aggregate (which BOTH paths then reuse from cache) and
     // transfers no rows, so continuous-score data at scale pays nothing
     // before taking the distributed two-pass rank below.
-    if (perScore.count() <= maxLocalCells) {
-      val probe = perScore.collect()
-      perScore.unpersist(blocking = false)
+    try {
+    if (cellsRdd.count() <= maxLocalCells) {
+      val probe = cellsRdd.collect()
       val np = Array.fill(nGroups)(0.0)
       val total = Array.fill(nGroups)(0.0)
       val rpos = Array.fill(nGroups)(0.0)
       val cum = Array.fill(nGroups)(0.0)
-      probe.foreach { r => total(r.getInt(0)) += r.getDouble(2); np(r.getInt(0)) += r.getDouble(3) }
-      probe.sortBy(r => (r.getInt(0), r.getDouble(1))).foreach { r =>
-        val g = r.getInt(0); val cnt = r.getDouble(2); val pos = r.getDouble(3)
+      probe.foreach { case ((g, _), (cnt, pos)) =>
+        total(g) += cnt; np(g) += pos
+      }
+      probe.sortBy(_._1).foreach { case ((g, _), (cnt, pos)) =>
         rpos(g) += pos * (cum(g) + cnt / 2.0 + halfOff)
         cum(g) += cnt
       }
@@ -5451,13 +5461,11 @@ object CvSgdNet {
         else (rpos(g) - rankCorr(np(g))) / (np(g) * nn)
       }
     }
-    val ranged = perScore
-      .repartitionByRange(col("__g"), col("__s"))
-      .sortWithinPartitions("__g", "__s")
-      .select(col("__g").cast("int"), col("cnt"), col("pos"))
-    val rdd = ranged.rdd.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    val rdd = cellsRdd.repartitionAndSortWithinPartitions(
+        new org.apache.spark.RangePartitioner(
+          math.max(1, cellsRdd.sparkContext.defaultParallelism), cellsRdd))
+      .map { case ((g, _), (cnt, pos)) => (g, cnt, pos) }
+    {
       val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Double)]
         it.foreach { case (f, cnt, pos) =>
@@ -5495,10 +5503,8 @@ object CvSgdNet {
         if (np(g) == 0 || nn == 0) Double.NaN
         else (rpos(g) - rankCorr(np(g))) / (np(g) * nn)
       }
-    } finally {
-      rdd.unpersist(blocking = false)
-      perScore.unpersist(blocking = false)
     }
+    } finally cellsRdd.unpersist(blocking = false)
   }
 
   /** Held-out score per lambda in ONE aggregation over the test fold. */

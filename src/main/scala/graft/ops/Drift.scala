@@ -22,23 +22,50 @@ object Drift {
   /** KS statistic D = sup_x |F_a(x) - F_b(x)| between `valueCol` in `a`
     * and in `b`, plus the two sample sizes. Exact (no binning): ECDFs
     * are evaluated at every distinct value. */
-  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String): (Double, Long, Long) = {
+  def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String,
+                  maxLocalCells: Long = 1L << 16): (Double, Long, Long) = {
     val tagged = a.select(col(valueCol).cast("double").as("v"), lit(1).as("g"))
       .unionAll(b.select(col(valueCol).cast("double").as("v"), lit(0).as("g")))
       .filter(col("v").isNotNull)
-    val perValue = tagged.groupBy(col("v"))
+    val perValue0 = tagged.groupBy(col("v"))
       .agg(sum(col("g")).cast("double").as("ca"),
         sum(lit(1) - col("g")).cast("double").as("cb"))
-      .repartitionByRange(col("v"))
-      .sortWithinPartitions("v")
-      .select(col("ca"), col("cb"))
+    // Bounded driver cutover over the RDD-cached distinct-value
+    // aggregate (optimization round 18): the aggregate output is
+    // cached ONCE at RDD level (a DataFrame-level persist pins the
+    // exchange at full shuffle parallelism and pays a columnar cache
+    // build — probe-measured 2-4x worse); the cardinality gate, the
+    // driver fast path and the distributed two-pass scan all read that
+    // one cache, so neither side ever recomputes the aggregation.
+    // Below the cell bound: same value-ordered walk, same exact
+    // integer-in-double sums — bit-identical result. Above it:
+    // RangePartitioner over the cached cells (boundaries don't affect
+    // the prefix algebra) and the unchanged two passes.
     // Double sums here are EXACT, not approximate: ca/cb are integer
     // counts, and IEEE doubles represent every integer below 2^53
     // exactly (same argument as SgdNetModel.aucOf) — do not "fix" this
     // to floats or to a lossy accumulator.
-    val rdd = perValue.rdd.map(r => (r.getDouble(0), r.getDouble(1)))
+    val cellsRdd = perValue0.rdd
+      .map(r => (r.getDouble(0), (r.getDouble(1), r.getDouble(2))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      if (cellsRdd.count() <= maxLocalCells) {
+        val cells = cellsRdd.collect().sortBy(_._1)
+        var na = 0.0; var nb = 0.0
+        cells.foreach { c => na += c._2._1; nb += c._2._2 }
+        require(na > 0 && nb > 0, "both samples must be non-empty")
+        var ca = 0.0; var cb = 0.0; var best = 0.0
+        cells.foreach { case (_, (xa, xb)) =>
+          ca += xa; cb += xb
+          val gap = math.abs(ca / na - cb / nb)
+          if (gap > best) best = gap
+        }
+        return (best, na.toLong, nb.toLong)
+      }
+      val rdd = cellsRdd.repartitionAndSortWithinPartitions(
+        new org.apache.spark.RangePartitioner(
+          math.max(1, cellsRdd.sparkContext.defaultParallelism), cellsRdd))
+        .map(_._2)
       val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
         var x = 0.0; var y = 0.0
         it.foreach { case (ca, cb) => x += ca; y += cb }
@@ -62,7 +89,7 @@ object Drift {
         Iterator(best)
       }.fold(0.0)(math.max)
       (d, na.toLong, nb.toLong)
-    } finally rdd.unpersist(blocking = false)
+    } finally cellsRdd.unpersist(blocking = false)
   }
 
   /** Two-sample Cramér–von Mises criterion (Anderson 1962 functional):
@@ -77,20 +104,44 @@ object Drift {
     * S / (n·m·(n+m)²) at the end is mirrored by the oracle. Returns
     * (n_a, n_b, cvm). */
   def cvmStatistic(a: DataFrame, b: DataFrame, valueCol: String,
-                   outDigits: Int = 6): DataFrame = {
+                   outDigits: Int = 6,
+                   maxLocalCells: Long = 1L << 16): DataFrame = {
     val spark = a.sparkSession
     import spark.implicits._
     val tagged = a.select(col(valueCol).cast("double").as("v"), lit(1L).as("g"))
       .unionAll(b.select(col(valueCol).cast("double").as("v"), lit(0L).as("g")))
       .filter(col("v").isNotNull)
-    val perValue = tagged.groupBy(col("v"))
+    val perValue0 = tagged.groupBy(col("v"))
       .agg(sum(col("g")).as("ca"), sum(lit(1L) - col("g")).as("cb"))
-      .repartitionByRange(col("v"))
-      .sortWithinPartitions("v")
-      .select(col("ca"), col("cb"))
-    val rdd = perValue.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    // bounded driver cutover over the shared RDD-cached aggregate
+    // ([[ksStatistic]] rationale): BigInt sums over the same value
+    // order — exact, order-free, bit-identical
+    val cellsRdd = perValue0.rdd
+      .map(r => (r.getDouble(0), (r.getLong(1), r.getLong(2))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      if (cellsRdd.count() <= maxLocalCells) {
+        val cells = cellsRdd.collect().sortBy(_._1)
+        var na = 0L; var nb = 0L
+        cells.foreach { c => na += c._2._1; nb += c._2._2 }
+        require(na > 0 && nb > 0, "both samples must be non-empty")
+        var ca = 0L; var cb = 0L
+        var acc = BigInt(0)
+        cells.foreach { case (_, (xa, xb)) =>
+          ca += xa; cb += xb
+          val num = BigInt(ca) * nb - BigInt(cb) * na
+          acc += num * num * BigInt(xa + xb)
+        }
+        val n = na + nb
+        val denom = BigInt(na) * BigInt(nb) * BigInt(n) * BigInt(n)
+        val t = BigDecimal(acc.toDouble / denom.toDouble)
+          .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+        return Seq((na, nb, t)).toDF("n_a", "n_b", "cvm")
+      }
+      val rdd = cellsRdd.repartitionAndSortWithinPartitions(
+        new org.apache.spark.RangePartitioner(
+          math.max(1, cellsRdd.sparkContext.defaultParallelism), cellsRdd))
+        .map(_._2)
       val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
         var x = 0L; var y = 0L
         it.foreach { case (ca, cb) => x += ca; y += cb }
@@ -120,7 +171,7 @@ object Drift {
       val t = BigDecimal(s.toDouble / denom.toDouble)
         .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
       Seq((na, nb, t)).toDF("n_a", "n_b", "cvm")
-    } finally { rdd.unpersist(blocking = false); () }
+    } finally { cellsRdd.unpersist(blocking = false); () }
   }
 
   /** Per-series CUSUM change-point statistic: for each key, over rows
@@ -446,7 +497,8 @@ object Drift {
     * [[ksStatistic]] (per-partition cum/boundary offsets; the partials
     * are one BigInt per partition). Reported
     * `emd_milli = num·1000 div (nA·nB)` in milli-cents. */
-  def emd1d(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+  def emd1d(a: DataFrame, b: DataFrame, valueCol: String,
+            maxLocalCells: Long = 1L << 16): DataFrame = {
     val spark = a.sparkSession
     import spark.implicits._
     val tagged = a.select(round(col(valueCol).cast("double") * 100)
@@ -454,14 +506,39 @@ object Drift {
       .unionAll(b.select(round(col(valueCol).cast("double") * 100)
         .cast("long").as("v"), lit(0L).as("g")))
       .filter(col("v").isNotNull)
-    val perValue = tagged.groupBy(col("v"))
+    val perValue0 = tagged.groupBy(col("v"))
       .agg(sum(col("g")).as("ca"), sum(lit(1L) - col("g")).as("cb"))
-      .repartitionByRange(col("v"))
-      .sortWithinPartitions("v")
-    val rdd = perValue.rdd
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bounded driver cutover over the shared RDD-cached aggregate
+    // ([[ksStatistic]] rationale): same BigInt gap·step sum over the
+    // same value order
+    val cellsRdd = perValue0.rdd
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      if (cellsRdd.count() <= maxLocalCells) {
+        val cells = cellsRdd.collect().sortBy(_._1)
+        var na = 0L; var nb = 0L
+        cells.foreach { c => na += c._2._1; nb += c._2._2 }
+        require(na > 0 && nb > 0, "both samples must be non-empty")
+        var cA = 0L; var cB = 0L
+        var prev = 0L; var havePrev = false
+        var num = BigInt(0)
+        cells.foreach { case (v, (pa, pb)) =>
+          if (havePrev) {
+            val gap = BigInt(v - prev)
+            num += (BigInt(cA) * nb - BigInt(cB) * na).abs * gap
+          }
+          cA += pa; cB += pb
+          prev = v; havePrev = true
+        }
+        val denom = BigInt(na) * BigInt(nb)
+        val emdMilli = (num * 1000 / denom).toLong
+        return Seq((na, nb, emdMilli)).toDF("n_a", "n_b", "emd_milli_cents")
+      }
+      val rdd = cellsRdd.repartitionAndSortWithinPartitions(
+        new org.apache.spark.RangePartitioner(
+          math.max(1, cellsRdd.sparkContext.defaultParallelism), cellsRdd))
+        .map { case (v, (pa, pb)) => (v, pa, pb) }
       // pass 1: per-partition totals + first/last values
       val parts = rdd.mapPartitionsWithIndex { (i, it) =>
         var sa = 0L; var sb = 0L
@@ -508,7 +585,7 @@ object Drift {
       val denom = BigInt(na) * BigInt(nb)
       val emdMilli = (partials * 1000 / denom).toLong
       Seq((na, nb, emdMilli)).toDF("n_a", "n_b", "emd_milli_cents")
-    } finally rdd.unpersist(blocking = false)
+    } finally cellsRdd.unpersist(blocking = false)
   }
 
   /** Holt double-exponential smoothing per key: level + trend state
@@ -584,20 +661,47 @@ object Drift {
     *                  rounded; the ONLY float, computed once from the
     *                  integer sufficient statistics. */
   def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String,
-                   outDigits: Int = 6): DataFrame = {
+                   outDigits: Int = 6,
+                   maxLocalCells: Long = 1L << 16): DataFrame = {
     val spark = a.sparkSession
     import spark.implicits._
     val tagged = a.select(col(valueCol).cast("double").as("v"), lit(1L).as("g"))
       .unionAll(b.select(col(valueCol).cast("double").as("v"), lit(0L).as("g")))
       .filter(col("v").isNotNull)
-    val perValue = tagged.groupBy(col("v"))
+    val perValue0 = tagged.groupBy(col("v"))
       .agg(sum(col("g")).as("ca"), sum(lit(1L) - col("g")).as("cb"))
-      .repartitionByRange(col("v"))
-      .sortWithinPartitions("v")
-    val rdd = perValue.rdd
-      .map(r => (r.getLong(1), r.getLong(2)))
+    // bounded driver cutover over the shared RDD-cached aggregate
+    // ([[ksStatistic]] rationale): the same integral ×2-midrank fold
+    // over the same value order
+    val cellsRdd = perValue0.rdd
+      .map(r => (r.getDouble(0), (r.getLong(1), r.getLong(2))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      if (cellsRdd.count() <= maxLocalCells) {
+        val cells = cellsRdd.collect().sortBy(_._1)
+        var na = 0L; var nb = 0L
+        cells.foreach { c => na += c._2._1; nb += c._2._2 }
+        require(na > 0 && nb > 0, "both samples must be non-empty")
+        var cum = 0L; var r1x2 = 0L; var tieSum = 0L
+        cells.foreach { case (_, (ca, cb)) =>
+          val t = ca + cb
+          r1x2 += ca * (2 * cum + t + 1)
+          tieSum += t * t * t - t
+          cum += t
+        }
+        val u2 = r1x2 - na * (na + 1)
+        val n = na + nb
+        val sigma = math.sqrt(na.toDouble * nb / 12.0 *
+          ((n + 1) - tieSum.toDouble / (n.toDouble * (n - 1))))
+        val z = BigDecimal((u2 - na * nb).toDouble / (2.0 * sigma))
+          .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+        return Seq((na, nb, u2, tieSum, z))
+          .toDF("n_a", "n_b", "u2", "tie_term", "z")
+      }
+      val rdd = cellsRdd.repartitionAndSortWithinPartitions(
+        new org.apache.spark.RangePartitioner(
+          math.max(1, cellsRdd.sparkContext.defaultParallelism), cellsRdd))
+        .map(_._2)
       val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
         var x = 0L; var y = 0L
         it.foreach { case (ca, cb) => x += ca; y += cb }
@@ -629,7 +733,7 @@ object Drift {
       val z = BigDecimal((u2 - na * nb).toDouble / (2.0 * sigma))
         .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
       Seq((na, nb, u2, tieSum, z)).toDF("n_a", "n_b", "u2", "tie_term", "z")
-    } finally rdd.unpersist(blocking = false)
+    } finally cellsRdd.unpersist(blocking = false)
   }
 
   /** Daily cent totals of a timestamped value column, ordered — the

@@ -74,18 +74,63 @@ object Quantiles {
     * statistics — and hence the interpolated result — are identical to
     * [[exact]]. */
   def exactScale(df: DataFrame, valueCol: String,
-                 probs: Seq[Double]): DataFrame = {
+                 probs: Seq[Double],
+                 maxLocalCells: Long = 1L << 16): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
     val spark = df.sparkSession
-    val perValue = df.filter(col(valueCol).isNotNull)
+    val perValue0 = df.filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__cnt"))
-    val ranged = perValue.repartitionByRange(col("__v"))
-      .sortWithinPartitions("__v")
-    val rdd = ranged.select(col("__v"), col("__cnt")).rdd
+    // Bounded small-side fast path (optimization round 18): the rank
+    // scan runs over the DISTINCT-value aggregation, which for
+    // integer/decimal-grained data is tiny even when the corpus is
+    // not. The aggregate output is cached ONCE at RDD level (row
+    // objects — a DataFrame-level persist was tried and REVERTED: it
+    // pins the exchange at full shuffle parallelism, AQE may not
+    // re-optimize under a cache, and the columnar cache build measured
+    // 2-4x slower); the cardinality gate, the driver fast path AND the
+    // distributed scan all read that one cache, so neither side ever
+    // recomputes the aggregation (the earlier collect-gate variants
+    // paid a wasted pass when the gate said "too big"). Below the cell
+    // bound the bracketing order statistics are selected on the
+    // driver; above it, the cached cells are range-partitioned with
+    // RangePartitioner (boundaries don't affect the prefix algebra)
+    // and the two-pass scan below is unchanged. Selection and
+    // interpolation are the same integer ranks and the same double
+    // expression on both sides — bit-identical.
+    val cellsRdd = perValue0.rdd
       .map(r => (r.getDouble(0), r.getLong(1)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    if (cellsRdd.count() <= maxLocalCells) {
+      val cells = cellsRdd.collect().sortBy(_._1)
+      val n = cells.iterator.map(_._2).sum
+      require(n > 0, s"no non-null values in $valueCol")
+      val wanted = probs.flatMap { q =>
+        val lo = math.floor(q * (n - 1)).toLong
+        Seq(lo + 1, math.min(lo + 2, n))
+      }.distinct.sorted.toArray
+      val stats = scala.collection.mutable.HashMap.empty[Long, Double]
+      var cum = 0L
+      cells.foreach { case (v, cnt) =>
+        val lo = cum; cum += cnt
+        var k = java.util.Arrays.binarySearch(wanted, lo + 1)
+        if (k < 0) k = -k - 1
+        while (k < wanted.length && wanted(k) <= cum) {
+          stats(wanted(k)) = v; k += 1
+        }
+      }
+      import spark.implicits._
+      return probs.map { q =>
+        val h = q * (n - 1); val lo = math.floor(h).toLong
+        val vlo = stats(lo + 1)
+        val vhi = stats(math.min(lo + 2, n))
+        (q, vlo + (h - lo) * (vhi - vlo))
+      }.toDF("q", "value")
+    }
+    val rdd = cellsRdd.repartitionAndSortWithinPartitions(
+      new org.apache.spark.RangePartitioner(
+        math.max(1, spark.sparkContext.defaultParallelism), cellsRdd))
       val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
         var c = 0L; it.foreach(c += _._2); Iterator((i, c))
       }.collect().sortBy(_._1)
@@ -120,7 +165,7 @@ object Quantiles {
         val vhi = stats(math.min(lo + 2, n))
         (q, vlo + (h - lo) * (vhi - vlo))
       }.toDF("q", "value")
-    } finally rdd.unpersist(blocking = false)
+    } finally cellsRdd.unpersist(blocking = false)
   }
 
   /** WEIGHTED exact quantiles with bounded state — "the price the
@@ -136,7 +181,8 @@ object Quantiles {
     * (p_permille, t_rank, total_weight, value). */
   def weightedExactScale(df: DataFrame, valueCol: String,
                          weightCol: String,
-                         permille: Seq[Int]): DataFrame = {
+                         permille: Seq[Int],
+                         maxLocalCells: Long = 1L << 16): DataFrame = {
     require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
       "permille targets must be in [1, 1000]")
     val spark = df.sparkSession
@@ -145,12 +191,39 @@ object Quantiles {
         && col(weightCol) > 0)
       .groupBy(col(valueCol).cast("double").as("__v"))
       .agg(sum(col(weightCol).cast("long")).as("__w"))
-    val ranged = perValue.repartitionByRange(col("__v"))
-      .sortWithinPartitions("__v")
-    val rdd = ranged.select(col("__v"), col("__w")).rdd
+    // bounded driver cutover over the shared RDD-cached distinct-value
+    // aggregate — the [[exactScale]] rationale verbatim (integral
+    // target ranks, LOWER quantile selection: both paths walk the same
+    // value order)
+    val cellsRdd = perValue.rdd
       .map(r => (r.getDouble(0), r.getLong(1)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+    if (cellsRdd.count() <= maxLocalCells) {
+      val cells = cellsRdd.collect().sortBy(_._1)
+      val w = cells.iterator.map(_._2).sum
+      require(w > 0, s"no positive weight in $weightCol")
+      val targets = permille.map(pm => (pm.toLong * w + 999L) / 1000L)
+        .distinct.sorted.toArray
+      val hit = scala.collection.mutable.HashMap.empty[Long, Double]
+      var cum = 0L
+      cells.foreach { case (v, wt) =>
+        val lo = cum; cum += wt
+        var j = java.util.Arrays.binarySearch(targets, lo + 1)
+        if (j < 0) j = -j - 1
+        while (j < targets.length && targets(j) <= cum) {
+          hit(targets(j)) = v; j += 1
+        }
+      }
+      import spark.implicits._
+      return permille.map { pm =>
+        val t = (pm.toLong * w + 999L) / 1000L
+        (pm.toLong, t, w, hit(t))
+      }.toDF("p_permille", "t_rank", "total_weight", "value")
+    }
+    val rdd = cellsRdd.repartitionAndSortWithinPartitions(
+      new org.apache.spark.RangePartitioner(
+        math.max(1, spark.sparkContext.defaultParallelism), cellsRdd))
       val partTotals = rdd.mapPartitionsWithIndex { (i, it) =>
         var c = 0L; it.foreach(c += _._2); Iterator((i, c))
       }.collect().sortBy(_._1)
@@ -181,7 +254,7 @@ object Quantiles {
         val t = (pm.toLong * w + 999L) / 1000L
         (pm.toLong, t, w, hit(t))
       }.toDF("p_permille", "t_rank", "total_weight", "value")
-    } finally rdd.unpersist(blocking = false)
+    } finally cellsRdd.unpersist(blocking = false)
   }
 
   /** Exact interpolated quantiles PER GROUP — the p50/p95/p99-by-
@@ -217,14 +290,78 @@ object Quantiles {
     * [[approx]]; on integer/decimal-grained data (prices, counts,
     * durations) this path is exact at any scale. */
   def exactByGroupScale(df: DataFrame, groupCol: String, valueCol: String,
-                        probs: Seq[Double]): DataFrame = {
+                        probs: Seq[Double],
+                        maxLocalCells: Long = 1L << 16): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
+    val spark = df.sparkSession
     val vc = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__cnt"))
+    // bounded driver cutover over the RDD-cached distinct (group,
+    // value) cells — the [[exactScale]] rationale; the window +
+    // explode + conditional min-aggregation chain below collapses to
+    // one collect + the same double interpolation expression per
+    // (group, prob); above the bound the window chain rebuilds from
+    // the same cache, so the aggregation runs exactly once either way
+    // persisted, not unpersisted on the distributed branch: the
+    // returned lazy frame still reads it (the Ranking.globalRank
+    // idiom; RDD persists are reference-tracked and GC-freed)
+    val cellsRdd = vc.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (cellsRdd.count() <= maxLocalCells) {
+      val rows = cellsRdd.collect()
+      cellsRdd.unpersist(blocking = false)
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      val byG = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.ArrayBuffer[(Double, Long)]]
+      rows.foreach { r =>
+        byG.getOrElseUpdate(r.get(0),
+          scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]) +=
+          ((r.getDouble(1), r.getLong(2)))
+      }
+      byG.foreach { case (g, buf) =>
+        val cells = buf.toArray.sortBy(_._1)
+        var n = 0L
+        cells.foreach(n += _._2)
+        // one walk per group: the bracketing ranks ⌊h⌋+1 / ⌊h⌋+2 of all
+        // probs are collected up front (the exactScale `wanted` array)
+        val hs = probs.map(q => q * (n - 1)).toArray
+        val wanted = hs.flatMap { h =>
+          val lo = math.floor(h).toLong
+          Seq(lo + 1, math.min(lo + 2, n))
+        }.distinct.sorted
+        val hit = scala.collection.mutable.HashMap.empty[Long, Double]
+        var cum = 0L
+        cells.foreach { case (v, c) =>
+          val lo = cum; cum += c
+          var j = java.util.Arrays.binarySearch(wanted, lo + 1)
+          if (j < 0) j = -j - 1
+          while (j < wanted.length && wanted(j) <= cum) {
+            hit(wanted(j)) = v; j += 1
+          }
+        }
+        var i = 0
+        while (i < probs.length) {
+          val q = probs(i); val h = hs(i); val lo = math.floor(h)
+          val vlo = hit(lo.toLong + 1)
+          val vh = hit(math.min(lo.toLong + 2, n))
+          out += org.apache.spark.sql.Row(g, q, vlo + (h - lo) * (vh - vlo))
+          i += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(out.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          vc.schema.fields(0),
+          org.apache.spark.sql.types.StructField("q",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
+    }
+    val vcc = spark.createDataFrame(cellsRdd, vc.schema)
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
     val wg = Window.partitionBy(col(groupCol))
-    val cum = vc
+    val cum = vcc
       .withColumn("__cum", sum(col("__cnt")).over(w))
       .withColumn("__n", sum(col("__cnt")).over(wg))
     // h and lo are constant within (group, q): they depend only on n

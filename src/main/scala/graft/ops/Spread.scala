@@ -47,9 +47,17 @@ private[graft] object Spread {
     val par =
       if (target > 0) target
       else df.sparkSession.sparkContext.defaultParallelism
-    val small =
-      try df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
-      catch { case scala.util.control.NonFatal(_) => false }
-    if (small && par > 1) df.repartition(par) else df
+    if (smallByStats(df, maxBytes) && par > 1) df.repartition(par) else df
   }
+
+  /** True when the optimizer's plan-stats size estimate says `df` is at
+    * most `maxBytes` — the same free (never plans a job) and
+    * conservative (post-filter estimates only overshoot) gate
+    * [[thin]] uses, exposed for driver-cutover pregates: an operator
+    * whose bounded-collect gate would otherwise cost an extra
+    * aggregation pass at scale checks this first, so a 100 TB input
+    * skips the gate work entirely. */
+  def smallByStats(df: DataFrame, maxBytes: Long = 1L << 30): Boolean =
+    try df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes
+    catch { case scala.util.control.NonFatal(_) => false }
 }

@@ -53,12 +53,99 @@ object Stats {
     * Returns one row (n, rho). The double division + sqrt at the end is
     * the only inexact step, mirrored by the oracle. */
   def spearman(df: DataFrame, colA: String, colB: String,
-               outDigits: Int = 6): DataFrame = {
+               outDigits: Int = 6,
+               maxLocalCells: Long = 1L << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df
       .select(col(colA).cast("double").as("a"), col(colB).cast("double").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
+    // Bounded joint-histogram fast path (optimization round 18): every
+    // moment sum decomposes over the DISTINCT (a, b) cells —
+    // Σ_rows ra2·rb2 = Σ_cells cnt·ra2(a)·rb2(b) — so below an explicit
+    // cell bound ONE corpus aggregation replaces the two rank-map
+    // passes (each a range-partition chain), the two joins back and
+    // the row-level moment aggregate. Ranks and moments are the same
+    // exact integers (BigInt == decimal(38,0) sums); the double
+    // conversions below are copied expression for expression, so the
+    // result is bit-identical. Above the bound the distributed
+    // two-pass rank path below is unchanged. The cell aggregation is
+    // NOT shared with the distributed path, so it is pre-gated on the
+    // free plan-stats estimate ([[Spread.smallByStats]]) — a 100 TB
+    // input never pays the gate pass.
+    if (Spread.smallByStats(rows, 128L << 20)) {
+      val cellsRdd = rows.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cnt")).rdd
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+      if (cellsRdd.count() <= maxLocalCells) {
+        val cells0 = cellsRdd.collect()
+        val m = cells0.length
+        val va = new Array[Double](m); val vb = new Array[Double](m)
+        val cn = new Array[Long](m)
+        var i = 0
+        while (i < m) {
+          val r = cells0(i)
+          va(i) = r._1; vb(i) = r._2; cn(i) = r._3
+          i += 1
+        }
+        // ×2 midranks per cell, assigned by one value-sorted index walk
+        // per column (int-array arithmetic, no maps — the
+        // harmonicCentrality lesson)
+        def assignRank2(v: Array[Double], out: Array[Long]): Unit = {
+          val idx = Array.range(0, m).sortBy(v(_))
+          var cum = 0L; var p = 0
+          while (p < m) {
+            var q = p; var t = 0L
+            while (q < m && v(idx(q)) == v(idx(p))) { t += cn(idx(q)); q += 1 }
+            val r2 = 2 * cum + t + 1
+            var k = p
+            while (k < q) { out(idx(k)) = r2; k += 1 }
+            cum += t; p = q
+          }
+        }
+        val xr = new Array[Long](m); val yr = new Array[Long](m)
+        assignRank2(va, xr); assignRank2(vb, yr)
+        var nL = 0L
+        i = 0; while (i < m) { nL += cn(i); i += 1 }
+        // moments: long accumulators are exact while 4n³ < 2^63
+        // (rank2 ≤ 2n+1, each term ≤ cnt·(2n+1)², total ≤ n·(2n+1)²);
+        // above that, BigInt per cell — both equal the distributed
+        // decimal(38,0) sums exactly
+        val Seq(n, sx, sy, sxx, syy, sxy) =
+          if (nL <= 1200000L) {
+            var sxL = 0L; var syL = 0L; var sxxL = 0L; var syyL = 0L
+            var sxyL = 0L
+            i = 0
+            while (i < m) {
+              val c = cn(i); val x = xr(i); val y = yr(i)
+              sxL += c * x; syL += c * y
+              sxxL += c * x * x; syyL += c * y * y; sxyL += c * x * y
+              i += 1
+            }
+            Seq(nL, sxL, syL, sxxL, syyL, sxyL).map(BigDecimal(_))
+          } else {
+            var sxB = BigInt(0); var syB = BigInt(0); var sxxB = BigInt(0)
+            var syyB = BigInt(0); var sxyB = BigInt(0)
+            i = 0
+            while (i < m) {
+              val c = BigInt(cn(i)); val x = BigInt(xr(i)); val y = BigInt(yr(i))
+              sxB += c * x; syB += c * y
+              sxxB += c * x * x; syyB += c * y * y; sxyB += c * x * y
+              i += 1
+            }
+            Seq(BigInt(nL), sxB, syB, sxxB, syyB, sxyB).map(BigDecimal(_))
+          }
+        val num = (n * sxy - sx * sy).toDouble
+        val dx = (n * sxx - sx * sx).toDouble
+        val dy = (n * syy - sy * sy).toDouble
+        val rho = BigDecimal(num / (math.sqrt(dx) * math.sqrt(dy)))
+          .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+        return Seq((n.toLong, rho)).toDF("n", "rho")
+      }
+      } finally cellsRdd.unpersist(blocking = false)
+    }
     val ra = rank2Map(rows, "a").withColumnRenamed("rank2", "ra2")
     val rb = rank2Map(rows, "b").withColumnRenamed("rank2", "rb2")
     val joined = rows
@@ -264,31 +351,85 @@ object Stats {
     * driver closed form over the bounded group list. Returns one row
     * (k_groups, n, h_stat). */
   def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
-                    maxGroups: Int = 1000, outDigits: Int = 6): DataFrame = {
+                    maxGroups: Int = 1000, outDigits: Int = 6,
+                    maxLocalCells: Long = 1L << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
-    val ranks = rank2Map(rows.select(col("v").as("a")), "a")
-      .withColumnRenamed("v", "vv")
-    val joined = rows.join(ranks, rows("v") === ranks("vv"))
+    // bounded (group, value)-cell fast path (the [[spearman]]
+    // rationale): per-group rank sums decompose over the distinct
+    // cells, so one aggregation + collect replaces the pooled
+    // rank-map chain, the value join and the tie aggregate; ranks,
+    // sums and the tie term are the same exact integers and the
+    // closed form below is shared verbatim
     def dd(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-    val perGroup = joined.groupBy(col("g"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum(dd(col("rank2"))).as("r2"))
-      .collect()
-      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1)),
-        BigDecimal(r.getDecimal(2))))
-      .sortBy(_._1)
+    var localTie: Option[BigDecimal] = None
+    // like [[spearman]], the cell aggregation is not shared with the
+    // distributed path, so pre-gate on the free plan-stats estimate;
+    // the RDD-cached aggregate feeds both the cardinality gate and the
+    // collect
+    val localCells: Option[Array[(String, Double, Long)]] =
+      if (Spread.smallByStats(rows, 128L << 20)) {
+        val cellsRdd = rows.groupBy(col("g"), col("v"))
+          .agg(count(lit(1)).as("cnt")).rdd
+          .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (cellsRdd.count() <= maxLocalCells) Some(cellsRdd.collect())
+          else None
+        } finally cellsRdd.unpersist(blocking = false)
+      } else None
+    val perGroup: Array[(String, BigDecimal, BigDecimal)] =
+      if (localCells.isDefined) {
+        val cells = localCells.get
+        val perV = scala.collection.mutable.HashMap.empty[Double, Long]
+        cells.foreach { c => perV(c._2) = perV.getOrElse(c._2, 0L) + c._3 }
+        val r2Of = {
+          var cum = 0L
+          perV.toArray.sortBy(_._1).map { case (v, t) =>
+            val r2 = BigInt(2 * cum + t + 1)
+            cum += t
+            v -> r2
+          }.toMap
+        }
+        var tieB = BigInt(0)
+        perV.valuesIterator.foreach { t =>
+          val tb = BigInt(t); tieB += tb * tb * tb - tb
+        }
+        localTie = Some(BigDecimal(tieB))
+        val perG = scala.collection.mutable.HashMap
+          .empty[String, (BigInt, BigInt)]
+        cells.foreach { case (g, v, c) =>
+          val cur = perG.getOrElse(g, (BigInt(0), BigInt(0)))
+          perG(g) = (cur._1 + c, cur._2 + BigInt(c) * r2Of(v))
+        }
+        perG.toArray.map { case (g, (ng, r2)) =>
+          (g, BigDecimal(ng), BigDecimal(r2))
+        }.sortBy(_._1)
+      } else {
+        val ranks = rank2Map(rows.select(col("v").as("a")), "a")
+          .withColumnRenamed("v", "vv")
+        val joined = rows.join(ranks, rows("v") === ranks("vv"))
+        joined.groupBy(col("g"))
+          .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(dd(col("rank2"))).as("r2"))
+          .collect()
+          .map(r => (r.getString(0), BigDecimal(r.getDecimal(1)),
+            BigDecimal(r.getDecimal(2))))
+          .sortBy(_._1)
+      }
     val k = perGroup.length
     require(k >= 2 && k <= maxGroups, s"need 2..$maxGroups groups, got $k")
     // tie term from the distinct-value counts: sum t^3 - t
-    val tieRow = rows.groupBy(col("v")).agg(count(lit(1)).as("t"))
-      .agg(coalesce(sum(dd(col("t")) * dd(col("t")) * dd(col("t"))
-        - dd(col("t"))), lit(0L).cast("decimal(38,0)"))).head()
-    val tie = BigDecimal(tieRow.getDecimal(0))
+    val tie = localTie.getOrElse {
+      val tieRow = rows.groupBy(col("v")).agg(count(lit(1)).as("t"))
+        .agg(coalesce(sum(dd(col("t")) * dd(col("t")) * dd(col("t"))
+          - dd(col("t"))), lit(0L).cast("decimal(38,0)"))).head()
+      BigDecimal(tieRow.getDecimal(0))
+    }
     val n = perGroup.map(_._2).sum
     require(n > 1, "need n > 1")
     // H = 12/(N(N+1)) * sum (R_g^2 / n_g) - 3(N+1), with R_g = r2/2;
