@@ -53,8 +53,13 @@ object Probe {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // optional machine-readable evidence: SPARK_GRAFT_PROBE_OUT=<suffix>
+    // writes plans/r19/<query>_probe_<suffix>.json (one JSON object per
+    // query, all reps) so the round's claims are checkable offline.
+    val probeOut = sys.env.get("SPARK_GRAFT_PROBE_OUT")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      val repJson = new StringBuilder
       for (rep <- 1 to reps) {
         jobs = 0; stages = 0; tasks = 0; taskMs = 0L
         shufWrite = 0L; shufRead = 0L
@@ -67,6 +72,18 @@ object Probe {
         println(f"PROBE $name%-28s rep=$rep wall=$wall%7.3f jobs=$jobs%4d " +
           f"stages=$stages%4d tasks=$tasks%5d taskSec=${taskMs / 1e3}%8.2f " +
           f"shufW=${shufWrite / 1e6}%8.2fMB shufR=${shufRead / 1e6}%8.2fMB")
+        if (repJson.nonEmpty) repJson.append(",")
+        repJson.append(f"""{"rep":$rep,"wall_sec":$wall%.3f,"jobs":$jobs,""" +
+          f""""stages":$stages,"tasks":$tasks,"task_sec":${taskMs / 1e3}%.2f,""" +
+          f""""shuffle_write_mb":${shufWrite / 1e6}%.2f,""" +
+          f""""shuffle_read_mb":${shufRead / 1e6}%.2f}""")
+      }
+      probeOut.foreach { suffix =>
+        val dir = java.nio.file.Paths.get("plans/r19")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve(s"${name}_probe_$suffix.json"),
+          (s"""{"query":"$name","sf":"$sfDir","cpus":$cpus,""" +
+           s""""reps":[${repJson.toString}]}""" + "\n").getBytes("UTF-8"))
       }
     }
     spark.stop()

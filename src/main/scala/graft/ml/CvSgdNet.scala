@@ -5465,7 +5465,7 @@ object CvSgdNet {
         new org.apache.spark.RangePartitioner(
           math.max(1, cellsRdd.sparkContext.defaultParallelism), cellsRdd))
       .map { case ((g, _), (cnt, pos)) => (g, cnt, pos) }
-    {
+    locally {
       val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Double)]
         it.foreach { case (f, cnt, pos) =>

@@ -656,7 +656,14 @@ object Drift {
     * Returns one row:
     *   n_a, n_b     — sample sizes
     *   u2           — 2·U_a (integer-exact; U_a = u2/2)
-    *   tie_term     — Σ (t³ − t) over tie groups (integer)
+    *   tie_term     — Σ (t³ − t) over tie groups (integer). BOUND: the
+    *                  declared long column caps any single value's tie
+    *                  count at t < 2^21 ≈ 2.1M (t³ < 2^63); both paths
+    *                  accumulate in long to match the declared schema —
+    *                  beyond the bound the OUTPUT COLUMN itself cannot
+    *                  hold Σ(t³−t), so quantize/bucket values first
+    *                  (kruskal/cvm return no raw tie sum and use
+    *                  BigInt/decimal internally instead)
     *   z            — normal approximation with tie correction,
     *                  rounded; the ONLY float, computed once from the
     *                  integer sufficient statistics. */

@@ -54,7 +54,8 @@ object Stats {
     * the only inexact step, mirrored by the oracle. */
   def spearman(df: DataFrame, colA: String, colB: String,
                outDigits: Int = 6,
-               maxLocalCells: Long = 1L << 20): DataFrame = {
+               maxLocalCells: Long = 1L << 20,
+               longExactN: Long = 1200000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df
@@ -112,9 +113,11 @@ object Stats {
         // moments: long accumulators are exact while 4n³ < 2^63
         // (rank2 ≤ 2n+1, each term ≤ cnt·(2n+1)², total ≤ n·(2n+1)²);
         // above that, BigInt per cell — both equal the distributed
-        // decimal(38,0) sums exactly
+        // decimal(38,0) sums exactly. `longExactN` (default 1.2M, well
+        // under the ∛(2^61) ≈ 1.3M safety bound) is a parameter so the
+        // BigInt branch is testable at small n (LocalCutoverSpec).
         val Seq(n, sx, sy, sxx, syy, sxy) =
-          if (nL <= 1200000L) {
+          if (nL <= longExactN) {
             var sxL = 0L; var syL = 0L; var sxxL = 0L; var syyL = 0L
             var sxyL = 0L
             i = 0

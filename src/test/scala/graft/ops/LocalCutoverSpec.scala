@@ -79,16 +79,19 @@ class LocalCutoverSpec extends SparkSpec {
   }
 
   test("spearman: BigInt moment branch (n > long-exact bound) matches") {
-    // force the BigInt accumulator branch by shrinking nothing — the
-    // branch condition is data-size-driven, so instead check the two
-    // accumulator forms agree on the same cells via the public API at
-    // a size where both are exact: rank2 sums here are tiny, so the
-    // long branch runs; the distributed path (BigDecimal sums) is the
-    // independent witness.
+    // round 19 (ADVICE): the long-exact bound is now a parameter
+    // (`longExactN`), so the BigInt accumulator branch EXECUTES at
+    // small n — longExactN = 0 forces it; the long branch (default
+    // bound) and the distributed decimal(38,0) path are the witnesses.
     val d = (0 until 500).map { i =>
       (i.toLong, (i % 17).toDouble, ((i * 31) % 13).toDouble)
     }.toDF("id", "x", "y")
-    assert(sortedRows(Stats.spearman(d, "x", "y")) ===
-      sortedRows(Stats.spearman(d, "x", "y", maxLocalCells = 0L)))
+    val long_branch = sortedRows(Stats.spearman(d, "x", "y"))
+    val bigint_branch = sortedRows(Stats.spearman(d, "x", "y",
+      longExactN = 0L))
+    val distributed = sortedRows(Stats.spearman(d, "x", "y",
+      maxLocalCells = 0L))
+    assert(bigint_branch === long_branch)
+    assert(bigint_branch === distributed)
   }
 }
