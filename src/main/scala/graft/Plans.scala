@@ -92,7 +92,14 @@ object Plans {
       // bitext the inverted-index pair join on digit tokens; int8 one
       // narrow kernel pass + label rollup
       "q_bitext_mine", "q_embed_int8")
-    interesting.filter(n => only.forall(_.contains(n))).foreach { name =>
+    // an explicit name list dumps exactly those queries (they need not
+    // be in the curated audit list); no list = the curated audit set
+    val picked = only match {
+      case Some(names) => SparkEntry.queries.keys.filter(names.contains)
+        .toSeq.sorted
+      case None => interesting
+    }
+    picked.foreach { name =>
       println(s"\n===================== $name =====================")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

@@ -1509,11 +1509,45 @@ object Dedup {
     * label-identical to [[connectedComponents]] (min reachable id),
     * self-loop-only nodes included. */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
-                              maxIter: Int = 50): DataFrame = {
+                              maxIter: Int = 50,
+                              maxLocalEdges: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     val p0 = pairs.select(col(aCol).cast("long").as("u"),
         col(bCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
       .localCheckpoint(true)
+    // Small-graph fast path (optimization round 19): the star
+    // contraction's CONTRACT is label-equality with
+    // [[connectedComponents]] (min reachable id per node — the same
+    // reachability oracle verifies both), so below the same explicit
+    // pair bound the same driver union-find produces the identical
+    // (id, cluster_id) rows in two jobs, instead of ~5 shuffles + a
+    // fingerprint aggregate + an eager checkpoint PER ALTERNATION.
+    // The gate is a count() on already-checkpointed blocks — free of
+    // row transfer at 100 TB, where the distributed loop below runs
+    // unchanged.
+    if (p0.count() <= maxLocalEdges) {
+      val probe = p0.collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      probe.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min id keeps the label = component min
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val out = parent.keysIterator.map(id => (id, find(id))).toSeq
+      return spark.createDataset(out).toDF("id", "cluster_id")
+    }
     val nodes = p0.select(col("u").as("id"))
       .unionAll(p0.select(col("v").as("id"))).distinct()
       .localCheckpoint(true)

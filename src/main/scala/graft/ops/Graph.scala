@@ -498,12 +498,69 @@ object Graph {
     * ends in an eager localCheckpoint (the [[pageRank]] lineage-cut
     * rationale). */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int = 2): DataFrame = {
+           iters: Int = 2, maxLocalEdges: Long = 1L << 20): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint(true)
+    // Small-graph fast path (optimization round 19 — the pageRank /
+    // connectedComponents cutover discipline): below an explicit edge
+    // bound, run the SAME pure-long trajectory on the driver — long
+    // sums are order-free exact and the power-of-two rescale is the
+    // identical `floor(log2 max) − 39` shift, so the integer scores
+    // and the closing double divisions are bit-identical to the
+    // distributed loop, in two jobs instead of 2 agg + 2 checkpoint
+    // jobs PER HALF-ITERATION. The gate is a count() on the already-
+    // checkpointed edge blocks: a 100 TB edge set pays no collect
+    // before taking the distributed loop below.
+    if (e.count() <= maxLocalEdges) {
+      val es = e.as[(Long, Long)].collect()
+      val idx = new java.util.HashMap[Long, Integer]()
+      val idBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def ix(id: Long): Int = {
+        val got = idx.get(id)
+        if (got != null) got.intValue()
+        else { val i = idBuf.length; idx.put(id, i); idBuf += id; i }
+      }
+      val srcI = new Array[Int](es.length)
+      val dstI = new Array[Int](es.length)
+      var k = 0
+      while (k < es.length) {
+        srcI(k) = ix(es(k)._1); dstI(k) = ix(es(k)._2); k += 1
+      }
+      val n = idBuf.length
+      def rescale(a: Array[Long]): Array[Long] = {
+        var mx = 1L // empty-nodes coalesce(max, 1); n > 0 here, but a
+        var i = 0   // genuine all-max is what the shift reads
+        while (i < a.length) { if (a(i) > mx) mx = a(i); i += 1 }
+        val shift = math.max(0,
+          (63 - java.lang.Long.numberOfLeadingZeros(mx)) - 39)
+        if (shift == 0) a else a.map(v => v >> shift)
+      }
+      var hub = Array.fill(n)(1L)
+      var auth = new Array[Long](n)
+      for (_ <- 1 to iters) {
+        val na = new Array[Long](n)
+        k = 0
+        while (k < es.length) { na(dstI(k)) += hub(srcI(k)); k += 1 }
+        auth = rescale(na)
+        val nh = new Array[Long](n)
+        k = 0
+        while (k < es.length) { nh(srcI(k)) += auth(dstI(k)); k += 1 }
+        hub = rescale(nh)
+      }
+      var ta = 0L; var th = 0L
+      var i = 0
+      while (i < n) { ta += auth(i); th += hub(i); i += 1 }
+      val (taM, thM) = (math.max(ta, 1L), math.max(th, 1L))
+      return spark.createDataset((0 until n).map(j =>
+          (idBuf(j), auth(j), hub(j),
+            auth(j).toDouble / taM, hub(j).toDouble / thM)))
+        .toDF("id", "auth", "hub", "auth_share", "hub_share")
+    }
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
@@ -649,9 +706,102 @@ object Graph {
     * window. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        seeds: DataFrame, idCol: String, labelCol: String,
-                       rounds: Int = 2): DataFrame = {
+                       rounds: Int = 2,
+                       maxLocalEdges: Long = 1L << 20): DataFrame = {
     require(rounds >= 1 && rounds <= 10, s"rounds must be in [1,10], got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e = simple(edges, srcCol, dstCol).localCheckpoint(false)
+    val seedL0 = seeds.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("__seed"))
+    // Small-graph fast path (optimization round 19, the pageRank/CC
+    // cutover discipline): below an explicit edge bound — with a FREE
+    // plan-stats pregate on the seed table so a 100 TB seed set never
+    // pays a collect — run the same synchronous rounds on the driver.
+    // Exactness: the majority argmax `min(struct(-count, label))`
+    // compares labels in UTF8 BINARY order, which the driver mirrors
+    // by comparing UTF-8 bytes unsigned (Java String.compareTo is
+    // UTF-16 code-unit order — NOT the same above the BMP); counts are
+    // integers; seed clamping and the null-seed coalesce are replayed
+    // literally. String labels only; duplicate seed ids fall back to
+    // the distributed loop (the join would multiply rows — semantics
+    // the driver map cannot hold).
+    val labelIsString = seedL0.schema("__seed").dataType ==
+      org.apache.spark.sql.types.StringType
+    if (labelIsString && Spread.smallByStats(seedL0, 64L << 20) &&
+        e.count() <= maxLocalEdges) {
+      val eL = e.as[(Long, Long)].collect()
+      val seedRows = seedL0.collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      val dupSeeds = seedRows.map(_._1).distinct.length != seedRows.length
+      if (!dupSeeds) {
+        val idx = new java.util.HashMap[Long, Integer]()
+        val idBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def ix(id: Long): Int = {
+          val got = idx.get(id)
+          if (got != null) got.intValue()
+          else { val i = idBuf.length; idx.put(id, i); idBuf += id; i }
+        }
+        val aI = new Array[Int](eL.length)
+        val bI = new Array[Int](eL.length)
+        var k = 0
+        while (k < eL.length) {
+          aI(k) = ix(eL(k)._1); bI(k) = ix(eL(k)._2); k += 1
+        }
+        val n = idBuf.length
+        val seedOf = new Array[String](n)
+        seedRows.foreach { case (id, s) =>
+          val got = idx.get(id)
+          if (got != null) seedOf(got.intValue()) = s
+        }
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        def utf8Less(x: String, y: String): Boolean =
+          java.util.Arrays.compareUnsigned(
+            x.getBytes(utf8), y.getBytes(utf8)) < 0
+        var cur: Array[String] = seedOf.clone()
+        for (_ <- 1 to rounds) {
+          val counts = Array.fill(n)(
+            null: java.util.HashMap[String, Long])
+          def bump(id: Int, lbl: String): Unit = {
+            if (counts(id) == null)
+              counts(id) = new java.util.HashMap[String, Long]()
+            counts(id).merge(lbl, 1L, (a, b) => a + b)
+          }
+          k = 0
+          while (k < eL.length) {
+            val a = aI(k); val b = bI(k)
+            if (cur(b) != null) bump(a, cur(b))
+            if (cur(a) != null) bump(b, cur(a))
+            k += 1
+          }
+          val next = new Array[String](n)
+          var i = 0
+          while (i < n) {
+            var best: String = null
+            if (counts(i) != null) {
+              var bc = 0L
+              val it = counts(i).entrySet().iterator()
+              while (it.hasNext) {
+                val en = it.next()
+                val c = en.getValue
+                if (best == null || c > bc ||
+                    (c == bc && utf8Less(en.getKey, best))) {
+                  best = en.getKey; bc = c
+                }
+              }
+            }
+            next(i) =
+              if (seedOf(i) != null) seedOf(i)
+              else if (best != null) best
+              else cur(i)
+            i += 1
+          }
+          cur = next
+        }
+        return spark.createDataset((0 until n).map(i => (idBuf(i), cur(i))))
+          .toDF("id", labelCol)
+      }
+    }
     val adj = e.select(col("a").as("id"), col("b").as("nb"))
       .unionAll(e.select(col("b").as("id"), col("a").as("nb")))
       .localCheckpoint(false)

@@ -78,6 +78,41 @@ class LocalCutoverSpec extends SparkSpec {
       sortedRows(Stats.kruskalWallis(g, "g", "x", maxLocalCells = 0L)))
   }
 
+  test("hits / ccStar / labelProp: driver cutover == forced distributed") {
+    // round 19: the iterative-graph driver cutovers must be PATH-EQUAL
+    // with the distributed loops (maxLocalEdges = 0 forces them).
+    // Graph mixes a chain (deep), a star (wide), a triangle and a
+    // self-loop; ids collide across shapes to exercise min-label races.
+    val pairs = ((0L until 20L).map(i => (i + 1, i)) ++
+      Seq((100L, 3L), (100L, 101L), (102L, 103L), (103L, 102L),
+        (200L, 200L), (7L, 2L), (2L, 7L))).toDF("id_a", "id_b")
+    assert(sortedRows(Dedup.connectedComponentsStar(pairs, "id_a", "id_b")) ===
+      sortedRows(Dedup.connectedComponentsStar(pairs, "id_a", "id_b",
+        maxLocalEdges = 0L)))
+    val dir = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    assert(sortedRows(Graph.hits(dir, "src", "dst", iters = 2)) ===
+      sortedRows(Graph.hits(dir, "src", "dst", iters = 2,
+        maxLocalEdges = 0L)))
+    // seeds: clamped labels incl. a null-label seed and tie-prone
+    // duplicate labels on both sides of several nodes
+    val seeds = Seq((0L, "alpha"), (5L, "beta"), (100L, "alpha"),
+      (102L, null.asInstanceOf[String]), (103L, "gamma"))
+      .toDF("id", "lab")
+    assert(sortedRows(Graph.labelPropagation(pairs, "id_a", "id_b",
+        seeds, "id", "lab", rounds = 3)) ===
+      sortedRows(Graph.labelPropagation(pairs, "id_a", "id_b",
+        seeds, "id", "lab", rounds = 3, maxLocalEdges = 0L)))
+    // duplicate seed ids: the driver path must DECLINE (the distributed
+    // join multiplies rows) — equality with the forced path proves the
+    // fallback fired rather than silently deduping
+    val dupSeeds = Seq((0L, "alpha"), (0L, "beta"), (5L, "beta"))
+      .toDF("id", "lab")
+    assert(sortedRows(Graph.labelPropagation(pairs, "id_a", "id_b",
+        dupSeeds, "id", "lab", rounds = 2)) ===
+      sortedRows(Graph.labelPropagation(pairs, "id_a", "id_b",
+        dupSeeds, "id", "lab", rounds = 2, maxLocalEdges = 0L)))
+  }
+
   test("spearman: BigInt moment branch (n > long-exact bound) matches") {
     // round 19 (ADVICE): the long-exact bound is now a parameter
     // (`longExactN`), so the BigInt accumulator branch EXECUTES at

@@ -968,9 +968,12 @@ class OpsSpec extends SparkSpec {
     val expected = Dedup.connectedComponents(pairs, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // maxIter = 15 bounds the rounds: a 64-chain needs ~log2(64)
-    // alternations, far under label propagation's unjumped 64
+    // alternations, far under label propagation's unjumped 64.
+    // maxLocalEdges = 0 forces the DISTRIBUTED star loop (round 19
+    // added a driver union-find cutover below the bound; this test's
+    // subject is the star algorithm itself)
     val got = Dedup.connectedComponentsStar(pairs, "id_a", "id_b",
-        maxIter = 15)
+        maxIter = 15, maxLocalEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == expected, s"star labels diverge: $got")
     assert(got(63L) == 0L && got(208L) == 200L && got(303L) == 300L &&
@@ -984,7 +987,7 @@ class OpsSpec extends SparkSpec {
     val exp2 = Dedup.connectedComponents(randPairs, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val got2 = Dedup.connectedComponentsStar(randPairs, "id_a", "id_b",
-        maxIter = 15)
+        maxIter = 15, maxLocalEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == exp2)
     // empty input converges immediately
