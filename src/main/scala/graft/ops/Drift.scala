@@ -23,10 +23,65 @@ object Drift {
     * and in `b`, plus the two sample sizes. Exact (no binning): ECDFs
     * are evaluated at every distinct value. */
   def ksStatistic(a: DataFrame, b: DataFrame, valueCol: String,
-                  maxLocalCells: Long = 1L << 16): (Double, Long, Long) = {
+                  maxLocalCells: Long = 1L << 16,
+                  maxLocalRows: Long = 1L << 22): (Double, Long, Long) = {
     val tagged = a.select(col(valueCol).cast("double").as("v"), lit(1).as("g"))
       .unionAll(b.select(col(valueCol).cast("double").as("v"), lit(0).as("g")))
       .filter(col("v").isNotNull)
+    // Raw bounded collect (optimization round 19, the spearman raw
+    // tier): for CONTINUOUS value columns the distinct-value aggregate
+    // below shuffles ~n cells to deduplicate little and then pays the
+    // RDD cache + range-partition machinery (probe: q_ks_drift
+    // taskSec 14-50 for a 10 MB input). Below an explicit ROW bound —
+    // behind the free plan-stats pregate, so a 100 TB union never pays
+    // the count — collect the raw (v, tag) pairs and fold the SAME
+    // per-distinct-value (ca, cb) walk on primitive arrays: sorted
+    // copy → distinct values → per-row binary-search accumulation →
+    // the identical value-ordered gap scan. Counts are the same exact
+    // integers-in-doubles; expressions shared — bit-identical D.
+    if (Spread.smallByStats(tagged, 128L << 20) &&
+        tagged.count() <= maxLocalRows) {
+      val spark = tagged.sparkSession
+      import spark.implicits._
+      val raw = tagged.as[(Double, Int)].collect()
+      val m = raw.length
+      val va = new Array[Double](m)
+      var i = 0
+      while (i < m) {
+        val x = raw(i)._1
+        va(i) = if (x == 0.0) 0.0 else x // -0.0 like grouping semantics
+        i += 1
+      }
+      val sorted = va.clone()
+      java.util.Arrays.sort(sorted)
+      val dv = new Array[Double](m)
+      var nd = 0; var p0 = 0
+      while (p0 < m) {
+        var q = p0
+        while (q < m && sorted(q) == sorted(p0)) q += 1
+        dv(nd) = sorted(p0); nd += 1; p0 = q
+      }
+      val caV = new Array[Double](nd); val cbV = new Array[Double](nd)
+      i = 0
+      while (i < m) {
+        val k = java.util.Arrays.binarySearch(dv, 0, nd, va(i))
+        if (raw(i)._2 == 1) caV(k) += 1.0 else cbV(k) += 1.0
+        i += 1
+      }
+      var na = 0.0; var nb = 0.0
+      i = 0
+      while (i < nd) { na += caV(i); nb += cbV(i); i += 1 }
+      require(na > 0 && nb > 0, "both samples must be non-empty")
+      var ca = 0.0; var cb = 0.0; var best = 0.0
+      i = 0
+      while (i < nd) {
+        ca += caV(i); cb += cbV(i)
+        val gap = math.abs(ca / na - cb / nb)
+        if (gap > best) best = gap
+        i += 1
+      }
+      return (best, na.toLong, nb.toLong)
+    }
     val perValue0 = tagged.groupBy(col("v"))
       .agg(sum(col("g")).cast("double").as("ca"),
         sum(lit(1) - col("g")).cast("double").as("cb"))
@@ -105,12 +160,62 @@ object Drift {
     * (n_a, n_b, cvm). */
   def cvmStatistic(a: DataFrame, b: DataFrame, valueCol: String,
                    outDigits: Int = 6,
-                   maxLocalCells: Long = 1L << 16): DataFrame = {
+                   maxLocalCells: Long = 1L << 16,
+                   maxLocalRows: Long = 1L << 22): DataFrame = {
     val spark = a.sparkSession
     import spark.implicits._
     val tagged = a.select(col(valueCol).cast("double").as("v"), lit(1L).as("g"))
       .unionAll(b.select(col(valueCol).cast("double").as("v"), lit(0L).as("g")))
       .filter(col("v").isNotNull)
+    // raw bounded collect (round 19 — the [[ksStatistic]] raw tier):
+    // same per-distinct-value (ca, cb) fold on primitive arrays, same
+    // BigInt walk, bit-identical T
+    if (Spread.smallByStats(tagged, 128L << 20) &&
+        tagged.count() <= maxLocalRows) {
+      val raw = tagged.as[(Double, Long)].collect()
+      val m = raw.length
+      val va = new Array[Double](m)
+      var i = 0
+      while (i < m) {
+        val x = raw(i)._1
+        va(i) = if (x == 0.0) 0.0 else x
+        i += 1
+      }
+      val sorted = va.clone()
+      java.util.Arrays.sort(sorted)
+      val dv = new Array[Double](m)
+      var nd = 0; var p0 = 0
+      while (p0 < m) {
+        var q = p0
+        while (q < m && sorted(q) == sorted(p0)) q += 1
+        dv(nd) = sorted(p0); nd += 1; p0 = q
+      }
+      val caV = new Array[Long](nd); val cbV = new Array[Long](nd)
+      i = 0
+      while (i < m) {
+        val k = java.util.Arrays.binarySearch(dv, 0, nd, va(i))
+        if (raw(i)._2 == 1L) caV(k) += 1L else cbV(k) += 1L
+        i += 1
+      }
+      var na = 0L; var nb = 0L
+      i = 0
+      while (i < nd) { na += caV(i); nb += cbV(i); i += 1 }
+      require(na > 0 && nb > 0, "both samples must be non-empty")
+      var ca = 0L; var cb = 0L
+      var acc = BigInt(0)
+      i = 0
+      while (i < nd) {
+        ca += caV(i); cb += cbV(i)
+        val num = BigInt(ca) * nb - BigInt(cb) * na
+        acc += num * num * BigInt(caV(i) + cbV(i))
+        i += 1
+      }
+      val n = na + nb
+      val denom = BigInt(na) * BigInt(nb) * BigInt(n) * BigInt(n)
+      val t = BigDecimal(acc.toDouble / denom.toDouble)
+        .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+      return Seq((na, nb, t)).toDF("n_a", "n_b", "cvm")
+    }
     val perValue0 = tagged.groupBy(col("v"))
       .agg(sum(col("g")).as("ca"), sum(lit(1L) - col("g")).as("cb"))
     // bounded driver cutover over the shared RDD-cached aggregate

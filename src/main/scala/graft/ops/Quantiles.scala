@@ -75,11 +75,44 @@ object Quantiles {
     * [[exact]]. */
   def exactScale(df: DataFrame, valueCol: String,
                  probs: Seq[Double],
-                 maxLocalCells: Long = 1L << 16): DataFrame = {
+                 maxLocalCells: Long = 1L << 16,
+                 maxLocalRows: Long = 1L << 22): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
     val spark = df.sparkSession
-    val perValue0 = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(valueCol).cast("double").as("__v"))
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("__v"))
+    // Raw bounded collect (optimization round 19, the spearman raw
+    // tier): for CONTINUOUS value columns the distinct-value aggregate
+    // below shuffles ~n cells to deduplicate little, then pays the RDD
+    // cache + range-partition chain. Below an explicit ROW bound —
+    // behind the free plan-stats pregate so a 100 TB scan never pays
+    // the count — the bracketing order statistics come straight off a
+    // primitively SORTED raw array: rank r (1-indexed over the
+    // cumulative distinct-value counts) is sorted(r−1) by definition,
+    // and the closing interpolation expression is shared —
+    // bit-identical output.
+    if (Spread.smallByStats(vals, 128L << 20) && vals.count() <= maxLocalRows) {
+      import spark.implicits._
+      val raw = vals.as[Double].collect()
+      val n = raw.length.toLong
+      require(n > 0, s"no non-null values in $valueCol")
+      val sorted = new Array[Double](raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val x = raw(i)
+        sorted(i) = if (x == 0.0) 0.0 else x // -0.0 like grouping
+        i += 1
+      }
+      java.util.Arrays.sort(sorted)
+      return probs.map { q =>
+        val h = q * (n - 1); val lo = math.floor(h).toLong
+        val vlo = sorted(lo.toInt)
+        val vhi = sorted((math.min(lo + 2, n) - 1).toInt)
+        (q, vlo + (h - lo) * (vhi - vlo))
+      }.toDF("q", "value")
+    }
+    val perValue0 = vals
+      .groupBy(col("__v"))
       .agg(count(lit(1)).as("__cnt"))
     // Bounded small-side fast path (optimization round 18): the rank
     // scan runs over the DISTINCT-value aggregation, which for
@@ -182,15 +215,73 @@ object Quantiles {
   def weightedExactScale(df: DataFrame, valueCol: String,
                          weightCol: String,
                          permille: Seq[Int],
-                         maxLocalCells: Long = 1L << 16): DataFrame = {
+                         maxLocalCells: Long = 1L << 16,
+                         maxLocalRows: Long = 1L << 22): DataFrame = {
     require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000),
       "permille targets must be in [1, 1000]")
     val spark = df.sparkSession
-    val perValue = df
+    val pairs = df
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull
         && col(weightCol) > 0)
-      .groupBy(col(valueCol).cast("double").as("__v"))
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .select(col(valueCol).cast("double").as("__v"),
+        col(weightCol).cast("long").as("__w"))
+    // raw bounded collect (round 19 — the [[exactScale]] raw tier):
+    // distinct values + per-value weight sums folded on primitive
+    // arrays (sorted copy → binary-search accumulation), then the
+    // identical value-ordered target walk — bit-identical selection
+    if (Spread.smallByStats(pairs, 128L << 20) &&
+        pairs.count() <= maxLocalRows) {
+      import spark.implicits._
+      val raw = pairs.as[(Double, Long)].collect()
+      val m = raw.length
+      val va = new Array[Double](m)
+      var i = 0
+      while (i < m) {
+        val x = raw(i)._1
+        va(i) = if (x == 0.0) 0.0 else x
+        i += 1
+      }
+      val sorted = va.clone()
+      java.util.Arrays.sort(sorted)
+      val dv = new Array[Double](m)
+      var nd = 0; var p0 = 0
+      while (p0 < m) {
+        var q = p0
+        while (q < m && sorted(q) == sorted(p0)) q += 1
+        dv(nd) = sorted(p0); nd += 1; p0 = q
+      }
+      val wV = new Array[Long](nd)
+      i = 0
+      while (i < m) {
+        wV(java.util.Arrays.binarySearch(dv, 0, nd, va(i))) += raw(i)._2
+        i += 1
+      }
+      var w = 0L
+      i = 0
+      while (i < nd) { w += wV(i); i += 1 }
+      require(w > 0, s"no positive weight in $weightCol")
+      val targets = permille.map(pm => (pm.toLong * w + 999L) / 1000L)
+        .distinct.sorted.toArray
+      val hit = scala.collection.mutable.HashMap.empty[Long, Double]
+      var cum = 0L
+      i = 0
+      while (i < nd) {
+        val lo = cum; cum += wV(i)
+        var j = java.util.Arrays.binarySearch(targets, lo + 1)
+        if (j < 0) j = -j - 1
+        while (j < targets.length && targets(j) <= cum) {
+          hit(targets(j)) = dv(i); j += 1
+        }
+        i += 1
+      }
+      return permille.map { pm =>
+        val t = (pm.toLong * w + 999L) / 1000L
+        (pm.toLong, t, w, hit(t))
+      }.toDF("p_permille", "t_rank", "total_weight", "value")
+    }
+    val perValue = pairs
+      .groupBy(col("__v"))
+      .agg(sum(col("__w")).as("__w"))
     // bounded driver cutover over the shared RDD-cached distinct-value
     // aggregate — the [[exactScale]] rationale verbatim (integral
     // target ranks, LOWER quantile selection: both paths walk the same
@@ -291,11 +382,50 @@ object Quantiles {
     * durations) this path is exact at any scale. */
   def exactByGroupScale(df: DataFrame, groupCol: String, valueCol: String,
                         probs: Seq[Double],
-                        maxLocalCells: Long = 1L << 16): DataFrame = {
+                        maxLocalCells: Long = 1L << 16,
+                        maxLocalRows: Long = 1L << 22): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1))
     val spark = df.sparkSession
-    val vc = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
+    val gv = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+    // raw bounded collect (round 19 — the [[exactScale]] raw tier, per
+    // group): per-group primitive sort, direct order statistics, the
+    // shared interpolation expression — bit-identical rows
+    if (Spread.smallByStats(gv, 128L << 20) && gv.count() <= maxLocalRows) {
+      val raw = gv.collect()
+      val byG = scala.collection.mutable.LinkedHashMap
+        .empty[Any, scala.collection.mutable.ArrayBuffer[Double]]
+      raw.foreach { r =>
+        val x = r.getDouble(1)
+        byG.getOrElseUpdate(r.get(0),
+          scala.collection.mutable.ArrayBuffer.empty[Double]) +=
+          (if (x == 0.0) 0.0 else x)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      byG.foreach { case (g, buf) =>
+        val sorted = buf.toArray
+        java.util.Arrays.sort(sorted)
+        val n = sorted.length.toLong
+        var i = 0
+        while (i < probs.length) {
+          val q = probs(i); val h = q * (n - 1); val lo = math.floor(h)
+          val vlo = sorted(lo.toInt)
+          val vh = sorted((math.min(lo.toLong + 2, n) - 1).toInt)
+          out += org.apache.spark.sql.Row(g, q, vlo + (h - lo) * (vh - vlo))
+          i += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(out.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          gv.schema.fields(0),
+          org.apache.spark.sql.types.StructField("q",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType, nullable = true))))
+    }
+    val vc = gv
+      .groupBy(col(groupCol), col("__v"))
       .agg(count(lit(1)).as("__cnt"))
     // bounded driver cutover over the RDD-cached distinct (group,
     // value) cells — the [[exactScale]] rationale; the window +

@@ -55,12 +55,95 @@ object Stats {
   def spearman(df: DataFrame, colA: String, colB: String,
                outDigits: Int = 6,
                maxLocalCells: Long = 1L << 20,
-               longExactN: Long = 1200000L): DataFrame = {
+               longExactN: Long = 1200000L,
+               maxLocalRows: Long = 1L << 22): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df
       .select(col(colA).cast("double").as("a"), col(colB).cast("double").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
+    // Raw bounded collect (optimization round 19): for CONTINUOUS pair
+    // columns the (a, b) cells are nearly all distinct, so the cell
+    // aggregation below shuffles ~n rows to deduplicate nothing and
+    // then pays an RDD cache + boxed index sorts on the driver
+    // (probe: q_spearman 2.73 s, most of it that chain). Below an
+    // explicit ROW bound — still behind the free plan-stats pregate,
+    // so a 100 TB input pays neither the count nor the collect — skip
+    // the aggregation entirely: collect the raw pairs and assign ranks
+    // with primitive-array sorts + binary search. Rank2 values are the
+    // identical integers (ties accumulate the same per-value row
+    // counts in the same value order), the moment accumulators are the
+    // same long/BigInt branches with cnt = 1, and the closing double
+    // expressions are shared — bit-identical output (LocalCutoverSpec
+    // pins all three paths).
+    if (Spread.smallByStats(rows, 128L << 20) && rows.count() <= maxLocalRows) {
+      val raw = rows.as[(Double, Double)].collect()
+      val m = raw.length
+      val va = new Array[Double](m); val vb = new Array[Double](m)
+      var i = 0
+      while (i < m) {
+        // normalize -0.0 like Spark's grouping/rank semantics would
+        val x = raw(i)._1; val y = raw(i)._2
+        va(i) = if (x == 0.0) 0.0 else x
+        vb(i) = if (y == 0.0) 0.0 else y
+        i += 1
+      }
+      // ×2 midranks: sorted COPY → distinct values + per-value rank2 →
+      // binary-search each row (all primitive — the boxed
+      // Array.range.sortBy on 600k indices was the driver hot spot)
+      def assignRank2Raw(v: Array[Double]): Array[Long] = {
+        val sorted = v.clone()
+        java.util.Arrays.sort(sorted)
+        val dv = new Array[Double](m); val r2 = new Array[Long](m)
+        var nd = 0; var p0 = 0; var cum = 0L
+        while (p0 < m) {
+          var q = p0
+          while (q < m && sorted(q) == sorted(p0)) q += 1
+          val t = (q - p0).toLong
+          dv(nd) = sorted(p0); r2(nd) = 2 * cum + t + 1
+          cum += t; nd += 1; p0 = q
+        }
+        val out = new Array[Long](m)
+        var k = 0
+        while (k < m) {
+          out(k) = r2(java.util.Arrays.binarySearch(dv, 0, nd, v(k)))
+          k += 1
+        }
+        out
+      }
+      val xr = assignRank2Raw(va); val yr = assignRank2Raw(vb)
+      val nL = m.toLong
+      val Seq(n, sx, sy, sxx, syy, sxy) =
+        if (nL <= longExactN) {
+          var sxL = 0L; var syL = 0L; var sxxL = 0L; var syyL = 0L
+          var sxyL = 0L
+          i = 0
+          while (i < m) {
+            val x = xr(i); val y = yr(i)
+            sxL += x; syL += y
+            sxxL += x * x; syyL += y * y; sxyL += x * y
+            i += 1
+          }
+          Seq(nL, sxL, syL, sxxL, syyL, sxyL).map(BigDecimal(_))
+        } else {
+          var sxB = BigInt(0); var syB = BigInt(0); var sxxB = BigInt(0)
+          var syyB = BigInt(0); var sxyB = BigInt(0)
+          i = 0
+          while (i < m) {
+            val x = BigInt(xr(i)); val y = BigInt(yr(i))
+            sxB += x; syB += y
+            sxxB += x * x; syyB += y * y; sxyB += x * y
+            i += 1
+          }
+          Seq(BigInt(nL), sxB, syB, sxxB, syyB, sxyB).map(BigDecimal(_))
+        }
+      val num = (n * sxy - sx * sy).toDouble
+      val dx = (n * sxx - sx * sx).toDouble
+      val dy = (n * syy - sy * sy).toDouble
+      val rho = BigDecimal(num / (math.sqrt(dx) * math.sqrt(dy)))
+        .setScale(outDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
+      return Seq((n.toLong, rho)).toDF("n", "rho")
+    }
     // Bounded joint-histogram fast path (optimization round 18): every
     // moment sum decomposes over the DISTINCT (a, b) cells —
     // Σ_rows ra2·rb2 = Σ_cells cnt·ra2(a)·rb2(b) — so below an explicit

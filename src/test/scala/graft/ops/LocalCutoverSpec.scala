@@ -24,42 +24,58 @@ class LocalCutoverSpec extends SparkSpec {
   private def sortedRows(d: org.apache.spark.sql.DataFrame) =
     d.collect().map(_.toSeq.map(String.valueOf(_)).mkString("|")).sorted.toSeq
 
-  test("exactScale: driver cutover == forced distributed scan") {
+  test("exactScale: raw tier == cell tier == forced distributed scan") {
     val probs = Seq(0.1, 0.25, 0.5, 0.9, 1.0)
-    val a = Quantiles.exactScale(df(xs), "x", probs)
-    val b = Quantiles.exactScale(df(xs), "x", probs, maxLocalCells = 0L)
+    val a = Quantiles.exactScale(df(xs), "x", probs) // raw tier (r19)
+    val c = Quantiles.exactScale(df(xs), "x", probs, maxLocalRows = 0L)
+    val b = Quantiles.exactScale(df(xs), "x", probs, maxLocalCells = 0L,
+      maxLocalRows = 0L)
+    assert(sortedRows(a) === sortedRows(c))
     assert(sortedRows(a) === sortedRows(b))
-    // and both equal the buffering correctness anchor
+    // and all equal the buffering correctness anchor
     assert(sortedRows(a) === sortedRows(Quantiles.exact(df(xs), "x", probs)))
   }
 
-  test("weightedExactScale: driver cutover == forced distributed scan") {
+  test("weightedExactScale: raw tier == cell tier == forced distributed") {
     val d = xs.zip(ys).zipWithIndex
       .map { case ((v, w), i) => (i.toLong, v, math.max(w, 1.0).toLong) }
       .toDF("id", "x", "w")
     val pm = Seq(100, 500, 900, 1000)
     val a = Quantiles.weightedExactScale(d, "x", "w", pm)
-    val b = Quantiles.weightedExactScale(d, "x", "w", pm, maxLocalCells = 0L)
+    val c = Quantiles.weightedExactScale(d, "x", "w", pm, maxLocalRows = 0L)
+    val b = Quantiles.weightedExactScale(d, "x", "w", pm,
+      maxLocalCells = 0L, maxLocalRows = 0L)
+    assert(sortedRows(a) === sortedRows(c))
     assert(sortedRows(a) === sortedRows(b))
   }
 
-  test("exactByGroupScale: driver cutover == forced distributed chain") {
+  test("exactByGroupScale: raw tier == cell tier == forced distributed") {
     val d = xs.zip(ys).zipWithIndex
       .map { case ((v, g), i) => (i.toLong, (g % 3).toInt, v) }
       .toDF("id", "g", "x")
     val probs = Seq(0.0, 0.5, 0.95)
     val a = Quantiles.exactByGroupScale(d, "g", "x", probs)
+    val c = Quantiles.exactByGroupScale(d, "g", "x", probs,
+      maxLocalRows = 0L)
     val b = Quantiles.exactByGroupScale(d, "g", "x", probs,
-      maxLocalCells = 0L)
+      maxLocalCells = 0L, maxLocalRows = 0L)
+    assert(sortedRows(a) === sortedRows(c))
     assert(sortedRows(a) === sortedRows(b))
   }
 
   test("ksStatistic / cvmStatistic / mannWhitneyU / emd1d: path equality") {
     val a = df(xs); val b = df(ys)
+    // ks/cvm: raw tier (default), cell tier (maxLocalRows = 0),
+    // distributed (both 0) — r19 added the raw tier
     assert(Drift.ksStatistic(a, b, "x") ===
-      Drift.ksStatistic(a, b, "x", maxLocalCells = 0L))
+      Drift.ksStatistic(a, b, "x", maxLocalRows = 0L))
+    assert(Drift.ksStatistic(a, b, "x") ===
+      Drift.ksStatistic(a, b, "x", maxLocalCells = 0L, maxLocalRows = 0L))
     assert(sortedRows(Drift.cvmStatistic(a, b, "x")) ===
-      sortedRows(Drift.cvmStatistic(a, b, "x", maxLocalCells = 0L)))
+      sortedRows(Drift.cvmStatistic(a, b, "x", maxLocalRows = 0L)))
+    assert(sortedRows(Drift.cvmStatistic(a, b, "x")) ===
+      sortedRows(Drift.cvmStatistic(a, b, "x", maxLocalCells = 0L,
+        maxLocalRows = 0L)))
     assert(sortedRows(Drift.mannWhitneyU(a, b, "x")) ===
       sortedRows(Drift.mannWhitneyU(a, b, "x", maxLocalCells = 0L)))
     assert(sortedRows(Drift.emd1d(a, b, "x")) ===
@@ -69,8 +85,14 @@ class LocalCutoverSpec extends SparkSpec {
   test("spearman / kruskalWallis: joint-cell cutover == rank-map path") {
     val d = xs.zip(ys).zipWithIndex
       .map { case ((x, y), i) => (i.toLong, x, y) }.toDF("id", "x", "y")
+    // three tiers (round 19): raw-collect (default at spec scale),
+    // cell-aggregate (maxLocalRows = 0 declines the raw tier), and
+    // distributed rank-map (both bounds 0) must agree exactly
     assert(sortedRows(Stats.spearman(d, "x", "y")) ===
-      sortedRows(Stats.spearman(d, "x", "y", maxLocalCells = 0L)))
+      sortedRows(Stats.spearman(d, "x", "y", maxLocalRows = 0L)))
+    assert(sortedRows(Stats.spearman(d, "x", "y")) ===
+      sortedRows(Stats.spearman(d, "x", "y", maxLocalCells = 0L,
+        maxLocalRows = 0L)))
     val g = xs.zip(ys).zipWithIndex
       .map { case ((x, y), i) => (i.toLong, s"g${(y % 3).toInt}", x) }
       .toDF("id", "g", "x")
@@ -124,9 +146,13 @@ class LocalCutoverSpec extends SparkSpec {
     val long_branch = sortedRows(Stats.spearman(d, "x", "y"))
     val bigint_branch = sortedRows(Stats.spearman(d, "x", "y",
       longExactN = 0L))
+    // BigInt branch of the CELL tier too (raw tier declined)
+    val bigint_cells = sortedRows(Stats.spearman(d, "x", "y",
+      longExactN = 0L, maxLocalRows = 0L))
     val distributed = sortedRows(Stats.spearman(d, "x", "y",
-      maxLocalCells = 0L))
+      maxLocalCells = 0L, maxLocalRows = 0L))
     assert(bigint_branch === long_branch)
+    assert(bigint_branch === bigint_cells)
     assert(bigint_branch === distributed)
   }
 }
